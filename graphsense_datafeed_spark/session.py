@@ -1,0 +1,86 @@
+"""SparkSession construction and runtime-conf hygiene.
+
+The reference system is a JVM service with a hand-rolled thread pool
+(SURVEY.md §3.1); here the entire execution substrate is Spark. Two
+entry paths matter:
+
+1. ``build_session()`` — our own tests / bench build the session and
+   can set everything at builder time.
+2. The driver's correctness gate hands us an *already-built* session
+   (``queries()[name](spark, sf_dir)``). Builder-time config is
+   unavailable there, so every conf we depend on must also be settable
+   at runtime — ``ensure_runtime_confs(spark)`` does that and is called
+   by every table loader (sources/tables.py).
+
+Scale note: on a real 1000-executor cluster the only knobs below that
+change are master/shuffle-partitions (AQE coalesces the rest); nothing
+in the engine assumes local mode.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Confs we require AND that are runtime-settable (verified by setting
+# them on a live session in this environment):
+#   - nanosAsLong: events.parquet is timestamp[ns]; without this Spark
+#     4.1.2 refuses to read the file at all (PARQUET_TYPE_ILLEGAL).
+#   - session.timeZone=UTC: fixture timestamps are tz-naive wall times;
+#     pinning UTC makes TIMESTAMP(_LTZ) ↔ TIMESTAMP_NTZ conversions the
+#     identity, which keeps DuckDB (naive) parity exact.
+#   - Arrow: vectorized JVM↔Python transfer for pandas UDFs / toPandas.
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+# Builder-time defaults for sessions we own (tests, bench, CLI).
+BUILDER_CONFS: dict[str, str] = {
+    **RUNTIME_CONFS,
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Fits the fixture scale; at cluster scale this is sized to
+    # ~128-256MB of shuffle data per partition and AQE coalesces down.
+    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.autoBroadcastJoinThreshold": str(32 * 1024 * 1024),
+    "spark.ui.enabled": "false",
+    "spark.driver.memory": "8g",
+}
+
+
+def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Idempotently apply the runtime-settable confs to a live session.
+
+    Safe to call per-query: ``spark.conf.set`` on an unchanged value is
+    a no-op, and none of these confs are static (verified by running
+    against a started session in this environment).
+    """
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:
+            # A conf may be unreadable on some builds; set best-effort.
+            spark.conf.set(k, v)
+    return spark
+
+
+def build_session(app_name: str = "graphsense-datafeed-spark",
+                  master: str | None = None) -> SparkSession:
+    """Build the engine's SparkSession (tests/bench/CLI path).
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env var, else
+    ``local[*]``) so the same code path serves CI and the bench driver.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    for k, v in BUILDER_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    return ensure_runtime_confs(spark)

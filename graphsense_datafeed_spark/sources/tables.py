@@ -1,0 +1,64 @@
+"""Typed loaders for the fixture tables (SURVEY §2.1 ``scan_parquet``).
+
+The reference's sources are a bitcoind HTTP API and a rates API feeding
+fixed-schema Cassandra tables (SURVEY.md §1.2, §3.1); here every source
+is a typed columnar scan. Loads go through explicit StructType schemas
+(schemas.py) — no inference — so column pruning and predicate pushdown
+have precise types to work with.
+
+Scale notes:
+- ``spark.read.schema(s).parquet(path)`` scans are fully
+  Catalyst-managed: filters/projections placed on top of these reads
+  reach the parquet reader (``PushedFilters`` / ``ReadSchema`` — see
+  tests/test_plans.py which asserts this on real queries).
+- At 100 TB the same loader reads a partitioned directory tree instead
+  of one file; nothing else changes. Partition-column pruning then
+  composes with the row-group pruning already exercised here.
+- ``events`` needs the ns→µs conversion below; it is a pure projection
+  (no shuffle) and keeps the scan vectorized.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from graphsense_datafeed_spark.schemas import TABLE_SCHEMAS, TABLES
+from graphsense_datafeed_spark.session import ensure_runtime_confs
+
+
+def path_for(sf_dir: str, table: str) -> str:
+    return f"{sf_dir}/{table}.parquet"
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Load one fixture table with its explicit schema.
+
+    ``events``: the file stores ``timestamp[ns]`` which Spark 4 cannot
+    read natively; with ``nanosAsLong`` (ensured here at runtime — the
+    driver hands us a session we didn't build) it arrives as int64 ns.
+    We convert to TIMESTAMP_NTZ at µs precision, which equals DuckDB's
+    read of the same column exactly (verified; FIXTURES.md header), and
+    keep the original column name/position.
+    """
+    if table not in TABLE_SCHEMAS:
+        raise KeyError(f"unknown table {table!r}; known: {TABLES}")
+    ensure_runtime_confs(spark)
+    df = spark.read.schema(TABLE_SCHEMAS[table]).parquet(path_for(sf_dir, table))
+    if table == "events":
+        # ns→µs truncation, tz-pinned identity cast (session tz=UTC).
+        df = df.withColumn(
+            "ts",
+            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+        )
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str, prefix: str = "") -> None:
+    """SURVEY §2.1 ``table_register``: name every table for SQL entry."""
+    for t in TABLES:
+        load(spark, sf_dir, t).createOrReplaceTempView(prefix + t)
