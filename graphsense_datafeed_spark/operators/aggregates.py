@@ -1,1 +1,402 @@
-"""Placeholder — operators land in this module incrementally."""
+"""SURVEY §2.4 — aggregations.
+
+The reference's aggregate surface is per-block tx totals and the global
+``summary_statistics`` row (SURVEY.md §1.2); §2.4 generalizes that to
+the full relational aggregation surface.
+
+Scale notes:
+- Every groupBy below compiles to partial (map-side) + final
+  HashAggregateExec around a single key-hash exchange — shuffled bytes
+  are |groups|×partitions, not |rows| (asserted on the real plan in
+  tests/test_plans.py). That property is exactly what makes these
+  viable at 100 TB.
+- ROLLUP/CUBE/GROUPING SETS expand rows by #grouping-sets before the
+  shuffle; at scale prefer explicit grouping_sets over full CUBE to
+  bound the expansion factor.
+- collect_list is the one aggregate whose state is unbounded per group
+  — only used on bounded groups (≤7 lines per order here; the ingest
+  facade bounds by block).
+- Exact COUNT(DISTINCT) re-shuffles by (group, value); the documented
+  100 TB default is approx_count_distinct (HLL, mergeable sketch) with
+  exact reserved for reconciliation runs.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from graphsense_datafeed_spark.registry import query
+from graphsense_datafeed_spark.sources.tables import load
+
+
+@query(
+    "agg_global",
+    """
+    SELECT COUNT(*) AS n_rows,
+           COUNT(DISTINCT l_orderkey) AS n_orders,
+           CAST(SUM(CAST(l_quantity AS INT)) AS BIGINT) AS total_qty,
+           ROUND(SUM(l_extendedprice), 2) AS total_price,
+           ROUND(MIN(l_extendedprice), 2) AS min_price,
+           ROUND(MAX(l_extendedprice), 2) AS max_price
+    FROM lineitem
+    """,
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-table totals — the reference's ``summary_statistics`` row."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.sum(F.col("l_quantity").cast("int")).cast("bigint").alias("total_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+    )
+
+
+@query(
+    "agg_groupby",
+    """
+    SELECT o_orderpriority, o_orderstatus,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS sum_price,
+           ROUND(AVG(o_totalprice), 4) AS avg_price,
+           MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+    FROM orders
+    GROUP BY o_orderpriority, o_orderstatus
+    """,
+)
+def agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash aggregate ([REF] per-block totals: group txs by height)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+    )
+
+
+@query(
+    "agg_count_distinct",
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@query("agg_approx_distinct")
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL NDV sketch — rows-only (approximate result is engine-specific).
+
+    tests/test_operators.py asserts the estimate is within the
+    configured rsd of the exact count. At 100 TB this, not exact
+    countDistinct, is the default NDV path (mergeable, no re-shuffle
+    by value)."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"))
+    )
+
+
+@query(
+    "agg_having",
+    """
+    SELECT o_custkey, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS spend
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 12 AND SUM(o_totalprice) > 100000.0
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("spend"),
+            F.sum("o_totalprice").alias("_raw_spend"),
+        )
+        .filter((F.col("n_orders") >= 12) & (F.col("_raw_spend") > 100000.0))
+        .drop("_raw_spend")
+    )
+
+
+@query(
+    "agg_rollup",
+    """
+    SELECT r_name, n_name,
+           COUNT(*) AS n_cust,
+           CAST(SUM(CAST(FLOOR(c_acctbal) AS BIGINT)) AS BIGINT) AS bal_floor_sum
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = (
+        load(spark, sf_dir, "customer")
+        .join(F.broadcast(load(spark, sf_dir, "nation")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(load(spark, sf_dir, "region")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return base.rollup("r_name", "n_name").agg(
+        F.count("*").alias("n_cust"),
+        F.sum(F.floor("c_acctbal").cast("bigint")).cast("bigint").alias("bal_floor_sum"),
+    )
+
+
+@query(
+    "agg_cube",
+    """
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS INT)) AS BIGINT) AS qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("int")).cast("bigint").alias("qty"),
+        )
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus) + 2 * GROUPING(o_orderpriority) AS gid,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets with GROUPING() disambiguation (a NULL
+    from the data vs a NULL meaning 'aggregated across this column')."""
+    df = load(spark, sf_dir, "orders")
+    return df.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        (F.grouping("o_orderstatus") + F.lit(2) * F.grouping("o_orderpriority"))
+        .cast("bigint")
+        .alias("gid"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@query(
+    "agg_stats",
+    """
+    SELECT l_returnflag,
+           ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
+           ROUND(var_samp(l_quantity), 4) AS var_qty,
+           ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+            F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias(
+                "corr_qty_price"
+            ),
+        )
+    )
+
+
+@query(
+    "agg_percentile",
+    """
+    SELECT l_linestatus,
+           ROUND(median(l_extendedprice), 4) AS med_price,
+           ROUND(quantile_cont(l_extendedprice, 0.90), 4) AS p90_price
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation — same rule both engines)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_linestatus")
+        .agg(
+            F.round(F.median("l_extendedprice"), 4).alias("med_price"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.90)), 4).alias(
+                "p90_price"
+            ),
+        )
+    )
+
+
+@query("agg_approx_percentile")
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch percentile — the 100 TB default (exact
+    percentile needs a per-group sort of all values). Rows-only check;
+    accuracy asserted vs exact in tests/test_operators.py."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_linestatus")
+        .agg(
+            F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
+                "approx_median"
+            )
+        )
+    )
+
+
+@query(
+    "agg_collect",
+    """
+    SELECT l_orderkey, list(l_linenumber ORDER BY l_linenumber) AS line_numbers
+    FROM lineitem
+    WHERE l_orderkey < 200
+    GROUP BY l_orderkey
+    """,
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array agg, order-canonicalized (collect_list order is partition-
+    dependent — always array_sort before comparing/emitting)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 200)
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_list("l_linenumber")).alias("line_numbers"))
+    )
+
+
+@query(
+    "agg_first_last",
+    """
+    SELECT o_custkey,
+           MIN(CASE WHEN rn_f = 1 THEN o_orderkey END) AS first_order,
+           MIN(CASE WHEN rn_l = 1 THEN o_orderkey END) AS last_order
+    FROM (
+        SELECT o_custkey, o_orderkey,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn_f,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn_l
+        FROM orders
+    ) GROUP BY o_custkey
+    """,
+)
+def agg_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic first/last per group. ``F.first``/``F.last`` are
+    explicitly nondeterministic in Spark; the contract-grade pattern is
+    row_number over an explicit total order (unique tiebreak included).
+    Both windows share one partitioning → one shuffle, two sorts."""
+    orders = load(spark, sf_dir, "orders")
+    w_f = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    w_l = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.row_number().over(w_f).alias("rn_f"),
+            F.row_number().over(w_l).alias("rn_l"),
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.min(F.when(F.col("rn_f") == 1, F.col("o_orderkey"))).alias(
+                "first_order"
+            ),
+            F.min(F.when(F.col("rn_l") == 1, F.col("o_orderkey"))).alias(
+                "last_order"
+            ),
+        )
+    )
+
+
+@query(
+    "agg_conditional",
+    """
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+           COUNT(*) FILTER (WHERE event_type = 'error') AS n_errors,
+           ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 2)
+               AS purchase_value
+    FROM events GROUP BY user_id
+    """,
+)
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count_if(F.col("event_type") == "purchase").alias("n_purchases"),
+        F.count_if(F.col("event_type") == "error").alias("n_errors"),
+        F.round(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(
+                    0.0
+                )
+            ),
+            2,
+        ).alias("purchase_value"),
+    )
+
+
+_PIVOT_TYPES = ["click", "view", "signup", "purchase", "error"]
+
+
+@query(
+    "agg_pivot",
+    """
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
+           COUNT(*) FILTER (WHERE event_type = 'view')     AS view,
+           COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (WHERE event_type = 'error')    AS error
+    FROM events GROUP BY user_id
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an EXPLICIT value list — without it Spark must run an
+    extra distinct job to discover pivot columns (a full pass at 100 TB)
+    and the output schema becomes data-dependent."""
+    df = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", _PIVOT_TYPES)
+        .count()
+    )
+    # pivot yields NULL for absent combos; the FILTER oracle yields 0.
+    return df.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _PIVOT_TYPES],
+    )

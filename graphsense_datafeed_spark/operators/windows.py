@@ -1,1 +1,258 @@
-"""Placeholder — operators land in this module incrementally."""
+"""SURVEY §2.5 — window functions.
+
+The reference's only window-shaped need is "newest record per key wins"
+on re-ingest (SURVEY §2.5 `win_topk_per_group` provenance note); the
+rest is the general analytical window surface.
+
+Scale notes:
+- A window = one hash exchange on partitionBy keys + an in-partition
+  sort. Multiple windows sharing a partitionBy reuse one exchange
+  (Catalyst window coalescing) — queries below are written to share.
+- The dangerous shape at 100 TB is a window with NO partitionBy (single
+  partition holds everything); none of the engine's operators emit one.
+  Skewed partition keys (one user with 1e9 events) are handled by AQE
+  skew hints upstream or pre-aggregation; documented per call site.
+- Frames: ROWS frames are O(1) per row; RANGE frames need the sorted
+  run — both spill-safe via UnsafeExternalSorter.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from graphsense_datafeed_spark.registry import query
+from graphsense_datafeed_spark.sources.tables import load
+
+# Deterministic per-customer order: date then unique key (SURVEY §2.12-5).
+# Built lazily — PySpark 4 column expressions require an active session,
+# and operator modules are imported before one exists.
+def _w_cust() -> Window:
+    return Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+
+
+_DUCK_W_CUST = "PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC"
+
+
+@query(
+    "win_row_number",
+    f"""
+    SELECT o_custkey, o_orderkey,
+           row_number() OVER ({_DUCK_W_CUST}) AS rn
+    FROM orders WHERE o_custkey < 300
+    """,
+)
+def win_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 300)
+        .select(
+            "o_custkey", "o_orderkey", F.row_number().over(_w_cust()).alias("rn")
+        )
+    )
+
+
+@query(
+    "win_rank_dense",
+    """
+    SELECT l_returnflag, l_orderkey, l_linenumber,
+           rank()       OVER (PARTITION BY l_returnflag ORDER BY l_quantity DESC) AS qty_rank,
+           dense_rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity DESC) AS qty_dense_rank
+    FROM lineitem WHERE l_orderkey < 100
+    """,
+)
+def win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank tie handling (l_quantity has heavy ties — ranks
+    are deterministic even though row order within ties is not; only
+    rank columns + unique keys are emitted)."""
+    w = Window.partitionBy("l_returnflag").orderBy(F.col("l_quantity").desc())
+    return (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 100)
+        .select(
+            "l_returnflag",
+            "l_orderkey",
+            "l_linenumber",
+            F.rank().over(w).alias("qty_rank"),
+            F.dense_rank().over(w).alias("qty_dense_rank"),
+        )
+    )
+
+
+@query(
+    "win_ntile",
+    f"""
+    SELECT o_custkey, o_orderkey, ntile(4) OVER ({_DUCK_W_CUST}) AS quartile
+    FROM orders WHERE o_custkey < 300
+    """,
+)
+def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 300)
+        .select(
+            "o_custkey", "o_orderkey", F.ntile(4).over(_w_cust()).alias("quartile")
+        )
+    )
+
+
+@query(
+    "win_lag_lead",
+    """
+    SELECT user_id, event_id, ts,
+           lag(ts)  OVER w AS prev_ts,
+           lead(ts) OVER w AS next_ts,
+           CAST(epoch_us(ts) - epoch_us(lag(ts) OVER w) AS BIGINT) AS gap_us
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    """,
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap between a user's consecutive events (classic sessionization
+    precursor — reused by stream_session's batch oracle)."""
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    ev = load(spark, sf_dir, "events")
+    prev_ts = F.lag("ts").over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        prev_ts.alias("prev_ts"),
+        F.lead("ts").over(w).alias("next_ts"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(prev_ts.cast("timestamp"))
+        ).alias("gap_us"),
+    )
+
+
+@query(
+    "win_running_sum",
+    f"""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT))
+                OVER ({_DUCK_W_CUST} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS running_spend
+    FROM orders WHERE o_custkey < 300
+    """,
+)
+def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total on an integerized measure (float running sums are
+    order-sensitive in the last ulp — SURVEY §2.12-3)."""
+    w = _w_cust().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 300)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.sum(F.floor("o_totalprice").cast("bigint"))
+            .over(w)
+            .cast("bigint")
+            .alias("running_spend"),
+        )
+    )
+
+
+@query(
+    "win_moving_avg",
+    f"""
+    SELECT o_custkey, o_orderkey,
+           ROUND(AVG(o_totalprice)
+                 OVER ({_DUCK_W_CUST} ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+               AS moving_avg3
+    FROM orders WHERE o_custkey < 300
+    """,
+)
+def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = _w_cust().rowsBetween(-2, 0)
+    return (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 300)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.avg("o_totalprice").over(w), 4).alias("moving_avg3"),
+        )
+    )
+
+
+@query(
+    "win_percent_cume",
+    """
+    SELECT s_suppkey,
+           ROUND(percent_rank() OVER (ORDER BY s_acctbal ASC, s_suppkey ASC), 6) AS pr,
+           ROUND(cume_dist()    OVER (ORDER BY s_acctbal ASC, s_suppkey ASC), 6) AS cd
+    FROM supplier
+    """,
+)
+def win_percent_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global-order window — acceptable ONLY on dimension-sized inputs
+    (supplier ≤1k rows); a no-partitionBy window on a fact table would
+    serialize onto one task at 100 TB."""
+    w = Window.orderBy(F.col("s_acctbal").asc(), F.col("s_suppkey").asc())
+    return load(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+@query(
+    "win_first_last_value",
+    f"""
+    SELECT o_custkey, o_orderkey,
+           first_value(o_orderkey) OVER ({_DUCK_W_CUST}
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_key,
+           last_value(o_orderkey)  OVER ({_DUCK_W_CUST}
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_key
+    FROM orders WHERE o_custkey < 300
+    """,
+)
+def win_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = _w_cust().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 300)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.first("o_orderkey").over(w).alias("first_key"),
+            F.last("o_orderkey").over(w).alias("last_key"),
+        )
+    )
+
+
+@query(
+    "win_topk_per_group",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rn AS k
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer; with k=1 this is exactly the
+    reference's newest-record-wins upsert dedup ([REF]; dedup_keys).
+    Spark plans the rn<=k filter as a per-partition running limit
+    (WindowGroupLimit) — it does NOT materialize full ranks at scale."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        load(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+        .withColumnRenamed("rn", "k")
+    )

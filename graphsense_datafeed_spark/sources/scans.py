@@ -1,1 +1,222 @@
-"""Placeholder — operators land in this module incrementally."""
+"""SURVEY §2.1 — scans, sources and sinks.
+
+The reference's source surface is an HTTP block-JSON feed + a rates CSV
+API + Cassandra as the terminal sink (SURVEY.md §1.1/§3.1). Here each
+becomes a typed declarative scan so Catalyst can push filters/prune
+columns into the reader.
+
+Scale notes:
+- Parquet scans: pushdown verified in tests/test_plans.py; at 100 TB
+  the same plan prunes partitions + row groups before touching data.
+- JSON/CSV: schema is always explicit — schema inference would be a
+  full extra pass over 100 TB of input. Malformed rows surface as
+  nulls (PERMISSIVE) rather than killing a 1000-executor job.
+- sink_parquet: partitioned write; partition column choice
+  (low-cardinality l_returnflag here; height-bucket / date in the
+  ingest facade) bounds file counts — at scale add
+  ``df.repartition(partition_cols)`` before write to get one file per
+  partition per shuffle slot instead of files × tasks.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DateType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from graphsense_datafeed_spark.registry import query
+from graphsense_datafeed_spark.session import ensure_runtime_confs
+from graphsense_datafeed_spark.sources.tables import load, register_views
+
+FIXTURES_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "fixtures")
+BLOCKS_JSONL = os.path.abspath(os.path.join(FIXTURES_DIR, "blocks.jsonl"))
+RATES_CSV = os.path.abspath(os.path.join(FIXTURES_DIR, "rates.csv"))
+
+# Reconstructed raw block model (SURVEY.md §1.2) as a Spark schema.
+TX_IO = StructType(
+    [
+        StructField("address", ArrayType(StringType())),
+        StructField("value", LongType()),
+    ]
+)
+TX = StructType(
+    [
+        StructField("tx_hash", StringType()),
+        StructField("coinbase", BooleanType()),
+        StructField("total_input", LongType()),
+        StructField("total_output", LongType()),
+        StructField("inputs", ArrayType(TX_IO)),
+        StructField("outputs", ArrayType(TX_IO)),
+    ]
+)
+BLOCK = StructType(
+    [
+        StructField("height", LongType()),
+        StructField("block_hash", StringType()),
+        StructField("timestamp", LongType()),
+        StructField("no_transactions", LongType()),
+        StructField("txs", ArrayType(TX)),
+    ]
+)
+
+RATES = StructType(
+    [
+        StructField("date", DateType()),
+        StructField("usd", DoubleType()),
+        StructField("eur", DoubleType()),
+    ]
+)
+
+# DuckDB column-spec mirror of BLOCK for the oracle side.
+_DUCK_TX = (
+    "STRUCT(tx_hash VARCHAR, coinbase BOOLEAN, total_input BIGINT, "
+    "total_output BIGINT, inputs STRUCT(address VARCHAR[], value BIGINT)[], "
+    "outputs STRUCT(address VARCHAR[], value BIGINT)[])[]"
+)
+_DUCK_BLOCK_COLS = (
+    "{'height':'BIGINT','block_hash':'VARCHAR','timestamp':'BIGINT',"
+    f"'no_transactions':'BIGINT','txs':\"{_DUCK_TX}\"}}"
+)
+
+
+def read_blocks_json(spark: SparkSession, path: str = BLOCKS_JSONL) -> DataFrame:
+    """Typed JSON source for the reference's block feed shape."""
+    ensure_runtime_confs(spark)
+    return spark.read.schema(BLOCK).json(path)
+
+
+def read_rates_csv(spark: SparkSession, path: str = RATES_CSV) -> DataFrame:
+    ensure_runtime_confs(spark)
+    return spark.read.csv(path, header=True, schema=RATES)
+
+
+@query(
+    "scan_parquet",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_quantity >= 30
+    """,
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed parquet scan with projection+filter reaching the reader."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .filter(F.col("l_quantity") >= 30)
+    )
+
+
+@query(
+    "scan_json",
+    f"""
+    SELECT height, block_hash, timestamp, no_transactions,
+           CAST(len(txs) AS BIGINT) AS n_txs
+    FROM read_json('{BLOCKS_JSONL}', format='newline_delimited',
+                   columns={_DUCK_BLOCK_COLS})
+    WHERE height < 100
+    """,
+)
+def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON block-feed scan ([REF] fetch+parse stage, SURVEY §3.1-1)."""
+    return (
+        read_blocks_json(spark)
+        .filter(F.col("height") < 100)
+        .select(
+            "height",
+            "block_hash",
+            "timestamp",
+            "no_transactions",
+            F.size("txs").cast("bigint").alias("n_txs"),
+        )
+    )
+
+
+@query(
+    "scan_csv",
+    f"""
+    SELECT date, usd, eur, ROUND(usd - eur, 2) AS spread
+    FROM read_csv('{RATES_CSV}', header=true,
+                  columns={{'date':'DATE','usd':'DOUBLE','eur':'DOUBLE'}})
+    WHERE usd > 100.0
+    """,
+)
+def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV rates scan ([REF] exchange-rates ingest, SURVEY §3.1-3)."""
+    return (
+        read_rates_csv(spark)
+        .filter(F.col("usd") > 100.0)
+        .select(
+            "date",
+            "usd",
+            "eur",
+            F.round(F.col("usd") - F.col("eur"), 2).alias("spread"),
+        )
+    )
+
+
+@query(
+    "sink_parquet",
+    """
+    SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE l_linenumber <= 2
+    """,
+)
+def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned parquet write + re-read (write verified by identity).
+
+    Partitioning by the low-cardinality ``l_returnflag`` (3 values)
+    mirrors how the ingest facade partitions by height bucket / date:
+    bounded directory fan-out, prunable on read.
+    """
+    out = os.path.join(
+        tempfile.gettempdir(), "gds_sink_parquet", os.path.basename(sf_dir.rstrip("/"))
+    )
+    df = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_linenumber") <= 2)
+        .select("l_returnflag", "l_orderkey", "l_linenumber", "l_quantity")
+    )
+    df.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    back = spark.read.parquet(out)
+    # partitionBy lifts the partition column out of the files; restore
+    # the declared column order + types for the contract comparison.
+    return back.select(
+        F.col("l_returnflag").cast("string"),
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+    )
+
+
+@query(
+    "table_register",
+    """
+    SELECT n_name, COUNT(*) AS n_cust, ROUND(SUM(c_acctbal), 2) AS total_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def table_register(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Register temp views, then answer through the SQL entry point."""
+    register_views(spark, sf_dir, prefix="gds_")
+    return spark.sql(
+        """
+        SELECT n_name, COUNT(*) AS n_cust, ROUND(SUM(c_acctbal), 2) AS total_bal
+        FROM gds_customer JOIN gds_nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        """
+    )
