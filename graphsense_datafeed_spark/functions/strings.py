@@ -1,1 +1,92 @@
-"""Placeholder — operators land in this module incrementally."""
+"""SURVEY §2.8 — string functions (basic / regex / hashing).
+
+The reference's parse-normalize stage is dominated by exactly this
+scalar work: hex↔bytes tx-hash handling, field cleanup (SURVEY §2.8
+provenance). All functions here are JVM built-ins inside whole-stage
+codegen — zero Python boundary, so per-row cost is nanoseconds and the
+operators are scan-bound at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from graphsense_datafeed_spark.registry import query
+from graphsense_datafeed_spark.sources.tables import load
+
+
+@query(
+    "str_basic",
+    """
+    SELECT c_custkey,
+           concat(c_name, '/', c_mktsegment) AS tagged,
+           upper(c_name)  AS name_uc,
+           lower(c_mktsegment) AS seg_lc,
+           CAST(length(c_name) AS INT) AS name_len,
+           trim(concat('  ', c_name, ' ')) AS trimmed,
+           substring(c_name, 1, 8) AS name_prefix,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded
+    FROM customer WHERE c_custkey < 500
+    """,
+)
+def str_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 500)
+    return c.select(
+        "c_custkey",
+        F.concat(F.col("c_name"), F.lit("/"), F.col("c_mktsegment")).alias("tagged"),
+        F.upper("c_name").alias("name_uc"),
+        F.lower("c_mktsegment").alias("seg_lc"),
+        F.length("c_name").cast("int").alias("name_len"),
+        F.trim(F.concat(F.lit("  "), F.col("c_name"), F.lit(" "))).alias("trimmed"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_padded"),
+    )
+
+
+@query(
+    "str_split_regex",
+    """
+    SELECT p_partkey,
+           str_split(p_name, ' ') AS name_words,
+           regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+           regexp_replace(p_type, '[AEIOU]', '_', 'g') AS type_devoweled
+    FROM part WHERE p_partkey < 500
+    """,
+)
+def str_split_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex patterns kept POSIX-simple — Java vs RE2-ish dialect
+    differences only bite on exotic syntax (SURVEY §2.8). Spark
+    regexp_replace is replace-ALL; DuckDB needs the explicit 'g' flag.
+    """
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") < 500)
+    return p.select(
+        "p_partkey",
+        F.split("p_name", " ").alias("name_words"),
+        F.regexp_extract("p_brand", "([0-9]+)", 1).alias("brand_num"),
+        F.regexp_replace("p_type", "[AEIOU]", "_").alias("type_devoweled"),
+    )
+
+
+@query(
+    "str_hash",
+    """
+    SELECT doc_id,
+           sha256(text) AS text_sha256,
+           md5(text)    AS text_md5,
+           upper(md5(lang)) AS lang_md5_uc,
+           to_base64(encode(source)) AS source_b64
+    FROM documents WHERE doc_id < 300
+    """,
+)
+def str_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[REF] tx-hash handling: digest + encode surface. sha2/md5 emit
+    lowercase hex in both engines; base64 standard alphabet both."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return d.select(
+        "doc_id",
+        F.sha2(F.col("text"), 256).alias("text_sha256"),
+        F.md5(F.col("text").cast("binary")).alias("text_md5"),
+        F.upper(F.md5(F.col("lang").cast("binary"))).alias("lang_md5_uc"),
+        F.base64(F.col("source").cast("binary")).alias("source_b64"),
+    )
