@@ -1,1 +1,196 @@
-"""Placeholder — operators land in this module incrementally."""
+"""SURVEY §2.11 — user-extensibility surface (UDF/UDAF/UDTF).
+
+The reference is a fixed pipeline with no user extension point; this
+module is the [CAT] surface plus the Arrow-vectorization patterns from
+the retrieved public snippets (SNIPPETS.md §[1], §[3]).
+
+Scale notes — the UDF ladder, fastest to slowest:
+1. built-in functions / higher-order lambdas (JVM codegen)   — default
+2. @pandas_udf scalar / grouped-agg (Arrow batches, ~10-100× faster
+   than row UDFs; one JVM↔Python hop per batch)               — when 1 can't
+3. applyInPandas / mapInPandas (full-group / full-stream pdf)  — reshape ops
+4. row-at-a-time F.udf                                         — last resort,
+   registered here only to cover the surface; never in a hot path.
+Deterministic-output discipline: every UDF below is a pure function of
+its row/group, so re-execution under task retries (speculative or
+failure) cannot change results — a correctness requirement, not a
+style preference, at 1000-executor scale.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from graphsense_datafeed_spark.registry import query
+from graphsense_datafeed_spark.sources.tables import load
+
+
+@query(
+    "udf_python",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 250000.0 THEN 'high'
+                WHEN o_totalprice > 100000.0 THEN 'mid'
+                ELSE 'low' END AS band
+    FROM orders WHERE o_orderkey < 2000
+    """,
+)
+def udf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF (the slow path, covered for surface
+    completeness; the identical logic lives JVM-side in cond_case)."""
+
+    @F.udf("string")
+    def band(p: float) -> str:
+        return "high" if p > 250000.0 else ("mid" if p > 100000.0 else "low")
+
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    return o.select("o_orderkey", band("o_totalprice").alias("band"))
+
+
+@query(
+    "udf_pandas_scalar",
+    """
+    SELECT event_id,
+           CAST(FLOOR(value * 1.1 * 1000) AS BIGINT) AS fee_e3
+    FROM events WHERE event_id < 3000
+    """,
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized Series→Series UDF (SNIPPETS.md §[1] pattern).
+    IEEE ops on the same doubles are bit-identical to the SQL oracle,
+    and FLOOR of an identical double is deterministic (ROUND isn't)."""
+    import numpy as np
+
+    @F.pandas_udf("bigint")
+    def fee_e3(v: pd.Series) -> pd.Series:
+        return np.floor(v * 1.1 * 1000).astype("int64")
+
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+    return ev.select("event_id", fee_e3("value").alias("fee_e3"))
+
+
+@query(
+    "udaf_pandas_agg",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(FLOOR(value) AS BIGINT)) AS BIGINT) AS floor_sum,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def udaf_pandas_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF (Series→scalar), usable in
+    groupBy().agg() like any built-in. Integer accumulation → no
+    float-order sensitivity across partition orders."""
+    import numpy as np
+
+    @F.pandas_udf("bigint")
+    def floor_sum(v: pd.Series) -> int:
+        return int(np.floor(v).astype("int64").sum())
+
+    @F.pandas_udf("bigint")
+    def n_rows(v: pd.Series) -> int:
+        return int(len(v))
+
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        floor_sum("value").alias("floor_sum"),
+        n_rows("value").alias("n"),
+    )
+
+
+@query(
+    "udtf_grouped_map",
+    """
+    SELECT user_id, event_id,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY event_id
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS purchases_so_far
+    FROM events
+    """,
+)
+def udtf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas (SNIPPETS.md §[3] pattern): whole
+    group as one pdf → pdf out, schema declared up front. The pdf is
+    sorted inside the UDF — grouped-map input order is NOT guaranteed,
+    an easy nondeterminism trap under retries.
+
+    Scale: one shuffle on the group key; a single group must fit in
+    one python worker's memory — fine for per-user/per-block groups,
+    never applied to unbounded groups."""
+
+    def running_purchases(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("event_id")
+        pdf["purchases_so_far"] = (
+            (pdf["event_type"] == "purchase").astype("int64").cumsum()
+        )
+        return pdf[["user_id", "event_id", "purchases_so_far"]]
+
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id", "event_type")
+    return ev.groupBy("user_id").applyInPandas(
+        running_purchases, "user_id bigint, event_id bigint, purchases_so_far bigint"
+    )
+
+
+@query(
+    "udtf_map_batches",
+    """
+    SELECT event_id, event_type,
+           CAST(ROUND(value * 100, 0) AS BIGINT) AS value_cents
+    FROM events WHERE event_type IN ('purchase', 'click')
+    """,
+)
+def udtf_map_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas: pdf-iterator → pdf-iterator over the whole stream;
+    the batch-shaped enrichment/filter surface (multimodal.py uses the
+    same mechanism for decode pipelines). Per-row-pure logic only —
+    batch boundaries are an execution detail that must not affect
+    output."""
+
+    def to_cents(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[pdf["event_type"].isin(["purchase", "click"])].copy()
+            # value has 2 decimals → value*100 is integral up to 1 ulp;
+            # nearest-int round matches SQL ROUND( ,0) exactly.
+            out["value_cents"] = out["value"].mul(100).round().astype("int64")
+            yield out[["event_id", "event_type", "value_cents"]]
+
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return ev.mapInPandas(
+        to_cents, "event_id bigint, event_type string, value_cents bigint"
+    )
+
+
+@query(
+    "udtf_python",
+    """
+    SELECT doc_id, unnest(str_split(text, ' ')) AS word
+    FROM documents WHERE doc_id < 40
+    """,
+)
+def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4): rows-out-per-row-in, lateral-join style —
+    the SQL-surfaced table function (vs mapInPandas' DataFrame-level
+    equivalent)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word string")
+    class SplitWords:
+        def eval(self, text: str):
+            for w in text.split(" "):
+                yield (w,)
+
+    spark.udtf.register("gds_split_words", SplitWords)
+    load(spark, sf_dir, "documents").filter(F.col("doc_id") < 40).select(
+        "doc_id", "text"
+    ).createOrReplaceTempView("gds_docs_for_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.word
+        FROM gds_docs_for_udtf d, LATERAL gds_split_words(d.text) s
+        """
+    )

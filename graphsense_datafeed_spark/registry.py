@@ -61,6 +61,7 @@ _OPERATOR_MODULES = (
     "graphsense_datafeed_spark.functions.collections",
     "graphsense_datafeed_spark.functions.udfs",
     "graphsense_datafeed_spark.streaming.windows",
+    "graphsense_datafeed_spark.streaming.stateful",
     "graphsense_datafeed_spark.operators.llm_dedup",
     "graphsense_datafeed_spark.operators.llm_similarity",
     "graphsense_datafeed_spark.operators.llm_text",

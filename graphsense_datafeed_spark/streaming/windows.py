@@ -1,1 +1,304 @@
-"""Placeholder — operators land in this module incrementally."""
+"""SURVEY §2.9 — Structured Streaming over the `events` table.
+
+The reference's daemon mode — poll the chain tip, ingest each new block
+exactly once, survive restarts — IS micro-batch streaming
+(SURVEY §3.2-2): source offsets replace the hand-rolled "last height"
+bookkeeping, checkpoints replace its restart logic, and idempotent
+sinks replace Cassandra upsert.
+
+Registered queries run REAL streaming (file source → availableNow →
+memory sink) and their final state hash-matches a batch SQL oracle —
+the batch-equivalence strategy of SURVEY §5.2. Multi-micro-batch and
+late-data scenarios that need finer control live in
+tests/test_streaming.py.
+
+Scale notes:
+- State stores (windowed aggs, dedup, sessions) are partitioned by
+  group key across executors; watermarks bound state size — an
+  unwatermarked streaming agg on an unbounded key space is the one
+  unscalable shape, and every stateful query here carries a watermark
+  except the bounded-cardinality complete-mode demos.
+- availableNow = the reference's bulk/full-sync entry point;
+  continuous micro-batches = its daemon loop. Same code path.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from graphsense_datafeed_spark.registry import query
+from graphsense_datafeed_spark.schemas import EVENTS_RAW
+from graphsense_datafeed_spark.session import ensure_runtime_confs
+from graphsense_datafeed_spark.sources.tables import load
+
+
+def _events_stream_dir(sf_dir: str) -> str:
+    """The file stream source needs a DIRECTORY; stage one containing a
+    symlink to the fixture file (no copy, read-only source untouched)."""
+    d = os.path.join(
+        tempfile.gettempdir(), "gds_stream_src", os.path.basename(sf_dir.rstrip("/"))
+    )
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    return d
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events fixture with the same ns→µs
+    conversion as the batch loader (one file → one micro-batch under
+    availableNow; tests split the file to force multi-batch runs)."""
+    ensure_runtime_confs(spark)
+    raw = spark.readStream.schema(EVENTS_RAW).parquet(_events_stream_dir(sf_dir))
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+    )
+
+
+def run_stream_to_memory(
+    spark: SparkSession, sdf: DataFrame, output_mode: str
+) -> DataFrame:
+    """Execute a streaming DataFrame to completion (availableNow) into
+    a memory sink and return the final result as a batch DataFrame."""
+    name = "s" + uuid.uuid4().hex[:12]
+    ckpt = os.path.join(tempfile.gettempdir(), "gds_ckpt", name)
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    result = spark.table(name)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return result
+
+
+@query(
+    "stream_tumbling",
+    """
+    SELECT date_trunc('hour', ts) AS win_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS win_end,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(FLOOR(value) AS BIGINT)) AS BIGINT) AS val_floor_sum
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h windows × event_type, executed as a real stream;
+    final state ≡ the batch GROUP BY (oracle)."""
+    s = read_events_stream(spark, sf_dir)
+    agg = s.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.floor("value").cast("bigint")).cast("bigint").alias("val_floor_sum"),
+    )
+    out = run_stream_to_memory(spark, agg, "complete")
+    return out.select(
+        F.col("window.start").alias("win_start"),
+        F.col("window.end").alias("win_end"),
+        "event_type",
+        "n_events",
+        "val_floor_sum",
+    )
+
+
+@query(
+    "stream_sliding",
+    """
+    SELECT time_bucket(INTERVAL 15 MINUTES, ts) - k * INTERVAL 15 MINUTES
+               AS win_start,
+           COUNT(*) AS n_events
+    FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) AS slides(k)
+    GROUP BY 1
+    """,
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1h/15min windows: each event lands in 4 overlapping
+    windows (oracle: explicit 4-slide expansion)."""
+    s = read_events_stream(spark, sf_dir)
+    agg = s.groupBy(F.window("ts", "1 hour", "15 minutes")).agg(
+        F.count("*").alias("n_events")
+    )
+    out = run_stream_to_memory(spark, agg, "complete")
+    return out.select(F.col("window.start").alias("win_start"), "n_events")
+
+
+@query(
+    "stream_session",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTES
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ), numbered AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTES AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered GROUP BY user_id, session_id
+    """,
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (30 min) per user via the native
+    ``session_window`` operator; oracle is the classic gaps-and-islands
+    sessionization SQL. (Batch execution of the same operator the
+    streaming path uses; the watermarked streaming variant is asserted
+    equal in tests/test_streaming.py.)"""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "stream_dedup",
+    "SELECT event_id, user_id, event_type, ts FROM events",
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once by event_id over a deliberately duplicated stream
+    (self-union = the reference's re-fetch/reorg re-ingest), state
+    bounded by watermark. Final output ≡ the distinct batch oracle."""
+    s = read_events_stream(spark, sf_dir)
+    dup = s.union(s)
+    # Watermarks require TIMESTAMP (not NTZ); under the pinned UTC
+    # session tz the LTZ↔NTZ casts are the identity.
+    dedup = (
+        dup.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates(["event_id"])
+        .select(
+            "event_id", "user_id", "event_type", F.col("ts").cast("timestamp_ntz").alias("ts")
+        )
+    )
+    return run_stream_to_memory(spark, dedup, "append")
+
+
+@query(
+    "stream_static_join",
+    """
+    SELECT event_id, user_id, value, c_name, c_mktsegment
+    FROM events JOIN customer ON user_id = c_custkey
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream⋈static enrichment ([REF] block ⋈ exchange_rates): the
+    static dim is broadcast per micro-batch, no streaming state."""
+    s = read_events_stream(spark, sf_dir)
+    cust = load(spark, sf_dir, "customer")
+    joined = s.join(
+        F.broadcast(cust), s.user_id == cust.c_custkey
+    ).select("event_id", "user_id", "value", "c_name", "c_mktsegment")
+    return run_stream_to_memory(spark, joined, "append")
+
+
+@query("stream_watermark")
+def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling agg in APPEND mode: only windows closed by
+    the final watermark are emitted — inherently not batch-SQL
+    semantics, so rows-only here; the drop-late-data behavior is pinned
+    down in tests/test_streaming.py with a crafted two-batch file
+    sequence."""
+    s = read_events_stream(spark, sf_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")  # watermark needs LTZ
+    )
+    agg = (
+        s.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    out = run_stream_to_memory(spark, agg, "append")
+    return out.select(
+        F.col("window.start").cast("timestamp_ntz").alias("win_start"), "n_events"
+    )
+
+
+@query("source_rate_stream")
+def source_rate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental tailing source — the daemon's chain-tip poll loop:
+    the fixture is re-laid as many small files (≈ blocks arriving) and
+    tailed with maxFilesPerTrigger=1, so the count aggregates across
+    many micro-batches exactly once. Rows-only (the tail mechanics,
+    not the arithmetic, are under test; the arithmetic is
+    stream_tumbling's job)."""
+    ensure_runtime_confs(spark)
+    tail_dir = os.path.join(
+        tempfile.gettempdir(), "gds_tail", os.path.basename(sf_dir.rstrip("/"))
+    )
+    if not os.path.exists(tail_dir):
+        load(spark, sf_dir, "events").repartitionByRange(8, "event_id").write.mode(
+            "overwrite"
+        ).parquet(tail_dir)
+    s = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp_ntz, user_id bigint, "
+            "event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(tail_dir)
+    )
+    agg = s.groupBy("event_type").agg(F.count("*").alias("n_events"))
+    return run_stream_to_memory(spark, agg, "complete")
+
+
+@query(
+    "stream_foreachbatch",
+    "SELECT event_id, user_id, event_type, value FROM events",
+)
+def stream_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daemon's write loop: per-micro-batch idempotent sink via
+    foreachBatch (the seam where the Cassandra writer plugs in —
+    sinks.CassandraSink). Each batch lands exactly once keyed by
+    batch_id; the re-read union ≡ the source (oracle)."""
+    ensure_runtime_confs(spark)
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        "gds_febatch",
+        os.path.basename(sf_dir.rstrip("/")),
+        uuid.uuid4().hex[:8],
+    )
+
+    def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # Idempotent: overwrite THIS batch's partition (re-running a
+        # batch after restart replaces, never duplicates — the C*
+        # upsert analogy).
+        batch_df.select("event_id", "user_id", "event_type", "value").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, f"batch={batch_id}"))
+
+    s = read_events_stream(spark, sf_dir)
+    name = "s" + uuid.uuid4().hex[:12]
+    ckpt = os.path.join(tempfile.gettempdir(), "gds_ckpt", name)
+    q = (
+        s.writeStream.foreachBatch(upsert_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.read.parquet(os.path.join(out_dir, "batch=*"))
