@@ -1,0 +1,89 @@
+"""Benchmark harness — one JSON line for the driver (BENCH_r{N}.json).
+
+Runs the headline query set at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints:
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {qid: sec, ...}, "sf": <sf>}
+
+Headline set = the flagship goldens + one representative of each
+expensive operator family (shuffle join, window top-k, streaming agg,
+MinHash LSH, ANN, TF-IDF, ingest explode) — the queries whose plans
+actually move data. Results are materialized with count() on the
+executors; nothing but the row count crosses to the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "golden_q1_pricing",
+    "golden_q3_shipping",
+    "golden_q5_volume",
+    "golden_q6_revenue",
+    "join_multiway",
+    "join_asof",
+    "agg_groupby",
+    "agg_cube",
+    "win_topk_per_group",
+    "dedup_keys",
+    "dedup_exact",
+    "dedup_near",
+    "sim_topk_exact",
+    "sim_ann_lsh",
+    "embed_centroids",
+    "text_tfidf",
+    "text_tokenize",
+    "stream_tumbling",
+    "ingest_tx_explode",
+    "ingest_address_totals",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    from graphsense_datafeed_spark import registry
+    from graphsense_datafeed_spark.session import build_session
+
+    registry.load_all_operators()
+    spark = build_session("gds-bench")
+    # Warm the JVM/codegen and the OS page cache for the fact table so
+    # per-query numbers measure the plan, not first-touch costs.
+    from graphsense_datafeed_spark.sources.tables import load
+
+    load(spark, sf_dir, "lineitem").count()
+    load(spark, sf_dir, "events").count()
+
+    per_query: dict[str, float] = {}
+    total = 0.0
+    for qid in HEADLINE:
+        fn = registry.QUERIES[qid]
+        t0 = time.perf_counter()
+        n = fn(spark, sf_dir).count()
+        dt = time.perf_counter() - t0
+        per_query[qid] = round(dt, 3)
+        total += dt
+        print(f"# {qid}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": per_query,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,280 @@
+"""M6 — the ingestion facade: the reference's actual capability as one
+DataFrame program (SURVEY §3.2-3).
+
+The datafeed's pipeline — fetch block JSON → parse → normalize →
+denormalize tx inputs/outputs → aggregate summaries → upsert — becomes
+``scan_json → cast_types/project → arr_explode → dedup_keys →
+agg_global → sink_*``. The fetch loop, thread pool, retry/batching and
+statement management of the reference have no counterpart: Spark's
+scheduler and the sink own them (SURVEY §3.3).
+
+Scale notes:
+- One block JSON ≈ KBs; at 100 TB the scan parallelizes by file/split
+  and everything downstream is narrow until the per-address aggregate,
+  whose shuffle key (address) is the natural Cassandra partition key —
+  co-partitioned write.
+- Explodes multiply rows (≈ tx_outputs per block) BEFORE any shuffle;
+  the projection keeps only (height, tx_hash, address, value) so the
+  blow-up carries ~40 bytes/row.
+- Re-ingest idempotency = newest-wins dedup on the PK (win_topk k=1
+  shape) + idempotent sink write — the reorg story without any
+  bookkeeping table.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from graphsense_datafeed_spark.registry import query
+from graphsense_datafeed_spark.sources.scans import (
+    BLOCKS_JSONL,
+    RATES_CSV,
+    read_blocks_json,
+    read_rates_csv,
+)
+from graphsense_datafeed_spark.sources.sinks import Sink
+
+_DUCK_TX = (
+    "STRUCT(tx_hash VARCHAR, coinbase BOOLEAN, total_input BIGINT, "
+    "total_output BIGINT, inputs STRUCT(address VARCHAR[], value BIGINT)[], "
+    "outputs STRUCT(address VARCHAR[], value BIGINT)[])[]"
+)
+_DUCK_BLOCKS = (
+    f"read_json('{BLOCKS_JSONL}', format='newline_delimited', "
+    "columns={'height':'BIGINT','block_hash':'VARCHAR','timestamp':'BIGINT',"
+    f"'no_transactions':'BIGINT','txs':\"{_DUCK_TX}\"}})"
+)
+
+
+def normalize_blocks(raw: DataFrame) -> DataFrame:
+    """Parse/normalize stage: typed block rows + derived timestamp."""
+    return raw.select(
+        "height",
+        "block_hash",
+        F.timestamp_seconds("timestamp").cast("timestamp_ntz").alias("block_ts"),
+        F.to_date(F.timestamp_seconds("timestamp").cast("timestamp_ntz")).alias(
+            "block_date"
+        ),
+        "no_transactions",
+        "txs",
+    )
+
+
+def explode_transactions(blocks: DataFrame) -> DataFrame:
+    """Denormalize stage 1: one row per transaction."""
+    return blocks.select(
+        "height", "block_date", F.explode("txs").alias("tx")
+    ).select(
+        "height",
+        "block_date",
+        F.col("tx.tx_hash").alias("tx_hash"),
+        F.col("tx.coinbase").alias("coinbase"),
+        F.col("tx.total_input").alias("total_input"),
+        F.col("tx.total_output").alias("total_output"),
+        F.col("tx.outputs").alias("outputs"),
+    )
+
+
+def explode_outputs(txs: DataFrame) -> DataFrame:
+    """Denormalize stage 2 — THE datafeed shape: one row per tx output
+    (address, satoshi value)."""
+    return txs.select(
+        "height",
+        "tx_hash",
+        F.posexplode("outputs").alias("out_idx", "out"),
+    ).select(
+        "height",
+        "tx_hash",
+        F.col("out_idx").cast("int").alias("out_idx"),
+        F.col("out.address")[0].alias("address"),
+        F.col("out.value").alias("value_satoshi"),
+    )
+
+
+def ingest(
+    spark: SparkSession, sink: Sink, json_path: str = BLOCKS_JSONL
+) -> dict[str, DataFrame]:
+    """Full-sync entry point: raw block JSON → normalized tables →
+    sink. Returns the table DataFrames (lazily; sink.write triggers)."""
+    raw = read_blocks_json(spark, json_path)
+    blocks = normalize_blocks(raw)
+    txs = explode_transactions(blocks)
+    outputs = explode_outputs(txs)
+    address_totals = (
+        outputs.groupBy("address")
+        .agg(
+            F.count("*").alias("n_outputs"),
+            F.sum("value_satoshi").alias("total_received"),
+        )
+    )
+    summary = blocks.agg(
+        F.count("*").alias("no_blocks"),
+        F.sum("no_transactions").alias("no_transactions"),
+        F.max("block_ts").alias("last_ts"),
+    )
+    tables = {
+        "block": blocks.drop("txs"),
+        "transaction": txs.drop("outputs"),
+        "tx_output": outputs,
+        "address_totals": address_totals,
+        "summary_statistics": summary,
+    }
+    keys = {
+        "block": ["height"],
+        "transaction": ["tx_hash"],
+        "tx_output": ["tx_hash", "out_idx"],
+        "address_totals": ["address"],
+        "summary_statistics": [],
+    }
+    for name, df in tables.items():
+        sink.write(df, name, keys[name])
+    return tables
+
+
+@query(
+    "ingest_blocks",
+    f"""
+    SELECT height, block_hash,
+           make_timestamp(timestamp * 1000000) AS block_ts,
+           CAST(make_timestamp(timestamp * 1000000) AS DATE) AS block_date,
+           no_transactions
+    FROM {_DUCK_BLOCKS}
+    """,
+)
+def ingest_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage 1: parse+normalize block headers ([REF] fetch/parse)."""
+    return normalize_blocks(read_blocks_json(spark)).drop("txs")
+
+
+@query(
+    "ingest_tx_explode",
+    f"""
+    WITH txr AS (
+        SELECT height, unnest(txs) AS tx FROM {_DUCK_BLOCKS}
+    ), outs AS (
+        SELECT height, (tx).tx_hash AS tx_hash,
+               unnest((tx).outputs) AS o,
+               generate_subscripts((tx).outputs, 1) - 1 AS out_idx
+        FROM txr
+    )
+    SELECT height, tx_hash, CAST(out_idx AS INT) AS out_idx,
+           (o).address[1] AS address, (o).value AS value_satoshi
+    FROM outs
+    """,
+)
+def ingest_tx_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stages 2-3: the double denormalization blocks→txs→outputs —
+    the reference's signature list<frozen<tx_io>> flattening."""
+    return explode_outputs(explode_transactions(normalize_blocks(read_blocks_json(spark))))
+
+
+@query(
+    "ingest_address_totals",
+    f"""
+    WITH txr AS (
+        SELECT unnest(txs) AS tx FROM {_DUCK_BLOCKS}
+    ), outs AS (
+        SELECT unnest((tx).outputs) AS o FROM txr
+    )
+    SELECT (o).address[1] AS address,
+           COUNT(*) AS n_outputs,
+           SUM((o).value) AS total_received
+    FROM outs GROUP BY 1
+    """,
+)
+def ingest_address_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-address satoshi totals — integer money end to end (the
+    reference's bigint-satoshi discipline; SURVEY §1.3), so sums are
+    exact at any scale and the aggregate partial-combines."""
+    outputs = explode_outputs(
+        explode_transactions(normalize_blocks(read_blocks_json(spark)))
+    )
+    return outputs.groupBy("address").agg(
+        F.count("*").alias("n_outputs"),
+        F.sum("value_satoshi").alias("total_received"),
+    )
+
+
+@query(
+    "ingest_summary",
+    f"""
+    SELECT COUNT(*) AS no_blocks,
+           SUM(no_transactions) AS no_transactions,
+           MAX(make_timestamp(timestamp * 1000000)) AS last_ts
+    FROM {_DUCK_BLOCKS}
+    """,
+)
+def ingest_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[REF] summary_statistics: the global ingest bookkeeping row."""
+    return normalize_blocks(read_blocks_json(spark)).agg(
+        F.count("*").alias("no_blocks"),
+        F.sum("no_transactions").alias("no_transactions"),
+        F.max("block_ts").alias("last_ts"),
+    )
+
+
+@query(
+    "ingest_rates_join",
+    f"""
+    SELECT b.height, b.block_date, r.usd,
+           CAST(FLOOR(SUM((o).value) / 100000000.0 * r.usd * 100) AS BIGINT)
+               AS block_output_usd_cents
+    FROM (
+        SELECT height, block_date, unnest((tx).outputs) AS o
+        FROM (
+            SELECT height,
+                   CAST(make_timestamp(timestamp * 1000000) AS DATE) AS block_date,
+                   unnest(txs) AS tx
+            FROM {_DUCK_BLOCKS}
+        )
+    ) b
+    JOIN read_csv('{RATES_CSV}', header=true,
+                  columns={{'date':'DATE','usd':'DOUBLE','eur':'DOUBLE'}}) r
+      ON b.block_date = r.date
+    GROUP BY b.height, b.block_date, r.usd
+    """,
+)
+def ingest_rates_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[REF] the datafeed's one join: fiat rates by date, enriching
+    block output totals into USD. The rates dim is KBs forever →
+    broadcast; satoshi stays integer until the final fiat conversion."""
+    blocks = normalize_blocks(read_blocks_json(spark))
+    outputs = explode_transactions(blocks).select(
+        "height", "block_date", F.explode("outputs").alias("o")
+    )
+    rates = read_rates_csv(spark)
+    per_block = (
+        outputs.join(F.broadcast(rates), outputs.block_date == rates.date)
+        .groupBy("height", "block_date", "usd")
+        .agg(
+            F.floor(
+                F.sum("o.value") / 100000000.0 * F.first("usd") * 100
+            )
+            .cast("bigint")
+            .alias("block_output_usd_cents")
+        )
+    )
+    return per_block.select("height", "block_date", "usd", "block_output_usd_cents")
+
+
+@query("sink_cassandra")
+def sink_cassandra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pluggable-sink seam (SURVEY §2.1): run the full ingest
+    facade through the Sink interface. Offline the ParquetSink stands
+    in (no C* server — SURVEY §0.1); CassandraSink carries the real
+    connector config and its construction/options are unit-tested.
+    Returns the re-read block table (write verified by identity in
+    tests; rows-only here)."""
+    import os
+    import tempfile
+
+    out = os.path.join(tempfile.gettempdir(), "gds_ingest_sink")
+    from graphsense_datafeed_spark.sources.sinks import ParquetSink
+
+    ingest(spark, ParquetSink(out, partition_col="block_date"))
+    back = spark.read.parquet(f"{out}/block")
+    return back.select(
+        "height", "block_hash", "no_transactions",
+        F.col("block_date").cast("date").alias("block_date"),
+    )

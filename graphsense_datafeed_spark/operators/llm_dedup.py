@@ -112,31 +112,64 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# MinHash parameters: 16 hashes → 4 bands × 4 rows. Band collision
-# P ≈ 1-(1-j^4)^4 — steep around j≈0.5, the intended near-dup zone.
+# MinHash parameters: 16 hashes → 8 bands × 2 rows. Band collision
+# P = j², overall recall 1-(1-j²)⁸: ≈0.90 at j=0.5, ≈1.0 at j≥0.8.
+# Tuned against the MEASURED corpus similarity profile: the fixture
+# vocabulary is tiny (31 words), so word-SET Jaccard between unrelated
+# docs averages 0.63 (useless signal), while 3-word SHINGLE Jaccard
+# averages 0.009 with max 0.05 — shingles encode order and are the
+# discriminating signature. (Measured at sf0.1; see commit history.)
 _N_HASHES = 16
-_N_BANDS = 4
+_N_BANDS = 8
 _ROWS_PER_BAND = _N_HASHES // _N_BANDS
 
 
-def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, sig array<bigint>) — per-doc MinHash over word sets.
+def shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, s) — distinct 3-word shingles per document.
 
-    Pure-DF: explode words once, take min(hash(word, seed_i)) for each
+    The split array is materialized as a column FIRST: referencing
+    ``F.split(text)`` inside the lambda would re-split the text for
+    every element_at (no common-subexpression elimination inside
+    higher-order lambdas — measured ~6× slower)."""
+    with_ws = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    ws = F.col("ws")
+    return with_ws.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.size(ws) - 2, F.lit(0))),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(ws, i),
+                        F.element_at(ws, i + 1),
+                        F.element_at(ws, i + 2),
+                    ),
+                )
+            )
+        ).alias("s"),
+    )
+
+
+def minhash_signatures_from(sh: DataFrame) -> DataFrame:
+    """(doc_id, sig array<bigint>) — per-doc MinHash over 3-shingles.
+
+    Pure-DF: explode shingles once, take min(hash(s, seed_i)) for each
     of the 16 seeds in ONE aggregation pass (16 partial-aggregated
     mins — no per-seed re-scan, no UDF). Signature size is constant →
     shuffle volume is |docs|×16 longs regardless of text size."""
-    words = docs.select(
-        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
-    )
     mins = [
-        F.min(F.hash(F.col("w"), F.lit(i)).cast("bigint")).alias(f"h{i}")
+        F.min(F.hash(F.col("s"), F.lit(i)).cast("bigint")).alias(f"h{i}")
         for i in range(_N_HASHES)
     ]
-    sig = words.groupBy("doc_id").agg(*mins)
+    sig = sh.groupBy("doc_id").agg(*mins)
     return sig.select(
         "doc_id", F.array(*[f"h{i}" for i in range(_N_HASHES)]).alias("sig")
     )
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    return minhash_signatures_from(shingles(docs))
 
 
 def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
@@ -181,24 +214,33 @@ def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
 @query("dedup_near")
 def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup: signature → band buckets → candidate
-    pairs → EXACT Jaccard verification of candidates only. Rows-only
-    in the driver (approximate recall is engine-specific);
-    tests/test_llm.py plants near-duplicates and asserts recall=1.0
-    for Jaccard ≥ 0.8 pairs plus exact-dup detection at sf0.1."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    cands = lsh_candidate_pairs(minhash_signatures(docs))
-
-    words = docs.select(
-        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
+    pairs → EXACT shingle-Jaccard verification of candidates only.
+    Rows-only in the driver (approximate recall is engine-specific);
+    tests/test_llm.py plants near-duplicates and asserts recall for
+    Jaccard ≥ 0.8 pairs plus exact-dup detection at sf0.1."""
+    # repartition: the fixture is a single parquet file → a single
+    # input split → the (CPU-bound) shingle explode would run on ONE
+    # core. On a cluster the scan has many splits and this is a no-op
+    # cost-wise; locally it fans the work across all slots.
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
-    sizes = words.groupBy("doc_id").agg(F.count("*").alias("n"))
-    wa, wb = words.alias("wa"), words.alias("wb")
+    # The shingle explode feeds the signature AND both verify sides —
+    # persist it so the subtree runs once, not 3× (at cluster scale
+    # this is a checkpoint of the signature table, the standard
+    # pattern for multi-pass fuzzy dedup).
+    sh = shingles(docs).persist()
+    cands = lsh_candidate_pairs(minhash_signatures_from(sh))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    wa, wb = sh.alias("wa"), sh.alias("wb")
     commons = (
         cands.join(wa, F.col("doc_a") == F.col("wa.doc_id"))
         .join(
             wb,
             (F.col("doc_b") == F.col("wb.doc_id"))
-            & (F.col("wa.w") == F.col("wb.w")),
+            & (F.col("wa.s") == F.col("wb.s")),
         )
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("c"))
@@ -225,37 +267,35 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pure-DF bit math: explode (doc, word) → explode 64 bits via
     shiftright/mask → per-(doc,bit) vote sum → assemble fingerprint
     with sum(bit<<i) — one shuffle on doc_id."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    words = docs.select(
-        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
-    h = F.xxhash64("w")
-    bits = words.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1)
-                    .otherwise(-1)
-                    .alias(f"b{i}")
-                    for i in range(64)
-                ]
-            )
-        ).alias("bit", "vote"),
-    )
-    fp = (
-        bits.groupBy("doc_id", "bit")
-        .agg(F.sum("vote").alias("v"))
-        .groupBy("doc_id")
-        .agg(
+    # 3-shingle features, not words: the fixture vocabulary is 31
+    # words, so word-level fingerprints collide corpus-wide (measured —
+    # see _N_HASHES note above); shingles encode order and separate.
+    feats = shingles(docs)
+    h = F.xxhash64("s")
+    # Per-bit votes as 64 aggregate expressions over the shingle rows —
+    # NOT a 64-way row explode (which would multiply the shuffle by 64;
+    # measured 64×260k=16.6M rows and a straggler stage). Partial
+    # aggregation compacts each partition to |docs|×64 ints pre-shuffle.
+    votes = feats.groupBy("doc_id").agg(
+        *[
             F.sum(
-                # Python API needs a literal shift amount; SQL form
-                # accepts a per-row column.
-                F.when(F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"))
-                .otherwise(F.lit(0).cast("bigint"))
-            ).alias("fp")
-        )
+                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(64)
+        ]
     )
+    fp_expr = None
+    for i in range(64):
+        term = F.when(
+            F.col(f"v{i}") > 0, F.lit(1 << i if i < 63 else -(1 << 63)).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+        fp_expr = term if fp_expr is None else fp_expr + term
+    fp = votes.select("doc_id", fp_expr.alias("fp"))
     blocks = fp.select(
         "doc_id",
         "fp",

@@ -301,8 +301,15 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprints make containment/overlap checks a bounded-cost join
     at any corpus size. Digests (md5 hex) are engine-portable, unlike
     murmur/xxhash."""
-    d = load(spark, sf_dir, "documents")
-    ws = F.split("text", " ")
+    # Materialized ws column (split-inside-lambda re-splits per
+    # element: no CSE in higher-order lambdas) + repartition (the
+    # single-file fixture is one input split → one task otherwise).
+    d = (
+        load(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", F.split("text", " ").alias("ws"))
+    )
+    ws = F.col("ws")
     shingled = d.select(
         "doc_id",
         F.explode(

@@ -66,6 +66,7 @@ _OPERATOR_MODULES = (
     "graphsense_datafeed_spark.operators.llm_similarity",
     "graphsense_datafeed_spark.operators.llm_text",
     "graphsense_datafeed_spark.operators.multimodal",
+    "graphsense_datafeed_spark.ingest.facade",
 )
 
 _loaded = False
