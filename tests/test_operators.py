@@ -1,0 +1,110 @@
+"""Accuracy bounds for approximate operators (the rows-only queries
+the driver can't value-check) plus engine-infrastructure unit tests."""
+
+import pyspark.sql.functions as F
+
+from graphsense_datafeed_spark.registry import ORACLES, QUERIES
+from graphsense_datafeed_spark.sources.tables import load
+
+
+def test_approx_count_distinct_within_rsd(spark, sf_dir):
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in QUERIES["agg_approx_distinct"](spark, sf_dir).collect()
+    }
+    exact = {
+        r["event_type"]: r["n_users"]
+        for r in load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .collect()
+    }
+    for k, e in exact.items():
+        assert abs(approx[k] - e) <= max(3, 0.1 * e), (k, approx[k], e)
+
+
+def test_approx_percentile_near_exact(spark, sf_dir):
+    approx = {
+        r["l_linestatus"]: r["approx_median"]
+        for r in QUERIES["agg_approx_percentile"](spark, sf_dir).collect()
+    }
+    exact = {
+        r["l_linestatus"]: r["m"]
+        for r in load(spark, sf_dir, "lineitem")
+        .groupBy("l_linestatus")
+        .agg(F.median("l_extendedprice").alias("m"))
+        .collect()
+    }
+    for k, e in exact.items():
+        assert abs(approx[k] - e) / e < 0.02, (k, approx[k], e)
+
+
+def test_stream_stateful_equals_batch(spark, sf_dir):
+    got = {
+        (r["user_id"]): (r["n_events"], r["total_cents"])
+        for r in QUERIES["stream_stateful"](spark, sf_dir).collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], r["c"])
+        for r in load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("c"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_parquet_sink_roundtrip_partitioned(spark, sf_dir, tmp_path):
+    from graphsense_datafeed_spark.sources.sinks import ParquetSink
+
+    df = load(spark, sf_dir, "nation")
+    ParquetSink(str(tmp_path), partition_col="n_regionkey").write(
+        df, "nation", ["n_nationkey"]
+    )
+    back = spark.read.parquet(f"{tmp_path}/nation")
+    assert sorted(
+        (r["n_nationkey"], r["n_name"]) for r in back.collect()
+    ) == sorted((r["n_nationkey"], r["n_name"]) for r in df.collect())
+    # idempotent re-run: same rows, no duplication
+    ParquetSink(str(tmp_path), partition_col="n_regionkey").write(
+        df, "nation", ["n_nationkey"]
+    )
+    assert spark.read.parquet(f"{tmp_path}/nation").count() == df.count()
+
+
+def test_memory_sink_and_ingest_facade(spark):
+    from graphsense_datafeed_spark.ingest.facade import ingest
+    from graphsense_datafeed_spark.sources.sinks import MemorySink
+
+    sink = MemorySink()
+    ingest(spark, sink)
+    assert set(sink.tables) == {
+        "block",
+        "transaction",
+        "tx_output",
+        "address_totals",
+        "summary_statistics",
+    }
+    assert len(sink.tables["block"]) == 120
+    summary = sink.tables["summary_statistics"][0]
+    assert summary["no_blocks"] == 120
+    # conservation: every tx's outputs land in tx_output
+    n_tx = len(sink.tables["transaction"])
+    assert summary["no_transactions"] == n_tx
+    assert len(sink.tables["tx_output"]) >= n_tx  # ≥1 output per tx
+
+
+def test_every_query_has_registry_discipline():
+    """Each oracle key maps to a query; ids are snake_case and stable."""
+    assert set(ORACLES) <= set(QUERIES)
+    for k in QUERIES:
+        assert k == k.lower() and " " not in k
+
+
+def test_session_builder_confs(spark):
+    assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"

@@ -1,0 +1,93 @@
+"""Physical-plan assertions: the 100 TB story is only real if the
+plans actually have the right shape — filters reaching the parquet
+reader, dims broadcast, aggregates partial+final, top-k without a full
+sort. These tests pin the shapes so a refactor can't silently regress
+them (SURVEY §4.2's verify-via-explain checklist)."""
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+from graphsense_datafeed_spark.registry import QUERIES
+
+
+def plan_of(df, mode="formatted") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_scan_pushdown_and_pruning(spark, sf_dir):
+    p = plan_of(QUERIES["scan_parquet"](spark, sf_dir))
+    assert "PushedFilters: [" in p and "l_quantity" in p.split("PushedFilters")[1].split("]")[0], p
+    # column pruning: ReadSchema must NOT include unused wide columns
+    read_schema = p.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_extendedprice" in read_schema
+    assert "l_returnflag" not in read_schema
+    assert "l_shipdate" not in read_schema
+
+
+def test_broadcast_join_for_dims(spark, sf_dir):
+    p = plan_of(QUERIES["golden_q5_volume"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    p2 = plan_of(QUERIES["join_inner_broadcast"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p2
+    assert "SortMergeJoin" not in p2
+
+
+def test_topk_avoids_global_sort(spark, sf_dir):
+    p = plan_of(QUERIES["topk"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
+
+
+def test_partial_final_aggregation(spark, sf_dir):
+    p = plan_of(QUERIES["agg_groupby"](spark, sf_dir))
+    # two HashAggregate nodes around the exchange = map-side combine
+    assert p.count("HashAggregate") >= 2
+    assert "Exchange" in p
+
+
+def test_window_topk_uses_group_limit(spark, sf_dir):
+    p = plan_of(QUERIES["win_topk_per_group"](spark, sf_dir))
+    assert "WindowGroupLimit" in p
+
+
+def test_semi_anti_join_shapes(spark, sf_dir):
+    p = plan_of(QUERIES["join_left_semi"](spark, sf_dir))
+    assert "LeftSemi" in p
+    p = plan_of(QUERIES["join_left_anti"](spark, sf_dir))
+    assert "LeftAnti" in p
+
+
+def test_date_filter_pushed_to_scan(spark, sf_dir):
+    """golden_q6: both shipdate bounds and the discount band must reach
+    the reader as pushed filters (row-group pruning at scale)."""
+    p = plan_of(QUERIES["golden_q6_revenue"](spark, sf_dir))
+    pushed = p.split("PushedFilters")[1].split("]")[0]
+    assert "l_discount" in pushed
+    assert "l_quantity" in pushed
+
+
+def test_no_cartesian_in_interval_join(spark, sf_dir):
+    """join_interval must plan as an equi (hash) join on the day bucket
+    with a residual range condition — not a nested-loop over all
+    (event × window) pairs."""
+    p = plan_of(QUERIES["join_interval"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p or "ShuffledHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_asof_is_single_exchange_window(spark, sf_dir):
+    """join_asof composes as one hash exchange + running window — no
+    join node at all (the point of the union+window formulation)."""
+    p = plan_of(QUERIES["join_asof"](spark, sf_dir))
+    assert "Join" not in p
+    assert "Window" in p
+    assert p.count("hashpartitioning") == 1
+
+
+def test_whole_stage_codegen_active(spark, sf_dir):
+    p = plan_of(QUERIES["golden_q1_pricing"](spark, sf_dir), mode="codegen")
+    assert "WholeStageCodegen" in p

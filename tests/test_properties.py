@@ -1,0 +1,183 @@
+"""Property-based Spark↔DuckDB scalar parity (SURVEY §5.2-3): generate
+values with hypothesis, run the same scalar expressions through both
+engines, demand exact canonical equality. Catches dialect gaps (round
+modes, dow numbering, modulo signs, unicode case rules) far cheaper
+than t2 round-trips."""
+
+import datetime
+
+import duckdb
+import pyspark.sql.functions as F
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from tests.helpers import canon_value
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _compare(spark, rows, schema, spark_cols, duck_sql):
+    """rows → both engines → canonical equality, keyed by row id."""
+    sdf = spark.createDataFrame(rows, schema)
+    got = [
+        tuple(canon_value(v) for v in r)
+        for r in sorted(sdf.select("i", *spark_cols).collect())
+    ]
+    con = duckdb.connect()
+    con.register("t", sdf.toPandas())
+    want = [
+        tuple(canon_value(v) for v in r)
+        for r in sorted(con.sql(duck_sql).fetchall())
+    ]
+    con.close()
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.floats(
+            allow_nan=False, allow_infinity=False, min_value=-1e6, max_value=1e6
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**_SETTINGS)
+def test_float_scalar_parity(spark, xs):
+    rows = [(i, x) for i, x in enumerate(xs)]
+    _compare(
+        spark,
+        rows,
+        "i int, x double",
+        [
+            F.floor("x").cast("bigint").alias("fl"),
+            F.ceil("x").cast("bigint").alias("ce"),
+            F.abs("x").alias("ab"),
+            F.signum("x").cast("int").alias("sg"),
+            F.sqrt(F.abs("x")).alias("sq"),  # IEEE correctly-rounded → exact
+        ],
+        """SELECT i, CAST(FLOOR(x) AS BIGINT), CAST(CEIL(x) AS BIGINT),
+                  ABS(x), CAST(sign(x) AS INT), sqrt(ABS(x)) FROM t""",
+    )
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-(2**40), max_value=2**40),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**_SETTINGS)
+def test_int_scalar_parity(spark, xs):
+    rows = [(i, x) for i, x in enumerate(xs)]
+    _compare(
+        spark,
+        rows,
+        "i int, x bigint",
+        [
+            F.pmod("x", F.lit(7)).cast("bigint").alias("pm"),
+            (F.col("x") % 7).cast("bigint").alias("md"),
+            F.greatest(F.col("x"), F.lit(0).cast("bigint")).alias("gr"),
+            F.col("x").cast("string").alias("s"),
+            F.col("x").cast("string").cast("bigint").alias("rt"),
+        ],
+        """SELECT i, ((x % 7) + 7) % 7, x % 7,
+                  greatest(x, 0), CAST(x AS VARCHAR),
+                  CAST(CAST(x AS VARCHAR) AS BIGINT) FROM t""",
+    )
+
+
+_ASCII = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 _-"
+
+
+@given(
+    st.lists(
+        st.text(alphabet=_ASCII, min_size=0, max_size=30),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**_SETTINGS)
+def test_string_scalar_parity(spark, xs):
+    rows = [(i, x) for i, x in enumerate(xs)]
+    _compare(
+        spark,
+        rows,
+        "i int, x string",
+        [
+            F.upper("x").alias("up"),
+            F.lower("x").alias("lo"),
+            F.length("x").cast("bigint").alias("ln"),
+            F.substring("x", 2, 3).alias("sub"),
+            F.concat(F.col("x"), F.lit("|"), F.col("x")).alias("cc"),
+            F.trim("x").alias("tr"),
+            F.reverse("x").alias("rv"),
+        ],
+        """SELECT i, upper(x), lower(x), CAST(length(x) AS BIGINT),
+                  substring(x, 2, 3), concat(x, '|', x), trim(x),
+                  reverse(x) FROM t""",
+    )
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=2**31),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**_SETTINGS)
+def test_epoch_timestamp_parity(spark, xs):
+    """unix-secs → timestamp and calendar-field extraction — the
+    reference's storage format for block timestamps."""
+    rows = [(i, x) for i, x in enumerate(xs)]
+    ts = F.timestamp_seconds("x").cast("timestamp_ntz")
+    _compare(
+        spark,
+        rows,
+        "i int, x bigint",
+        [
+            ts.alias("ts"),
+            F.year(ts).alias("y"),
+            F.dayofweek(ts).alias("dw"),
+            F.to_date(ts).alias("d"),
+        ],
+        """SELECT i, make_timestamp(x * 1000000),
+                  CAST(date_part('year', make_timestamp(x * 1000000)) AS INT),
+                  CAST(date_part('dow', make_timestamp(x * 1000000)) + 1 AS INT),
+                  CAST(make_timestamp(x * 1000000) AS DATE) FROM t""",
+    )
+
+
+@given(
+    st.lists(
+        st.dates(
+            min_value=datetime.date(1970, 1, 1),
+            max_value=datetime.date(2100, 1, 1),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**_SETTINGS)
+def test_date_arith_parity(spark, xs):
+    rows = [(i, x) for i, x in enumerate(xs)]
+    _compare(
+        spark,
+        rows,
+        "i int, x date",
+        [
+            F.date_add("x", 31).alias("plus"),
+            F.last_day("x").alias("eom"),
+            F.datediff("x", F.lit("2000-01-01").cast("date")).alias("dd"),
+            F.date_trunc("month", "x").cast("date").alias("mstart"),
+        ],
+        """SELECT i, CAST(x + INTERVAL 31 DAY AS DATE), last_day(x),
+                  CAST(date_diff('day', DATE '2000-01-01', x) AS INT),
+                  CAST(date_trunc('month', x) AS DATE) FROM t""",
+    )

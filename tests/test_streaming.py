@@ -1,0 +1,177 @@
+"""Streaming scenarios the driver's rows-only check can't see:
+multi-micro-batch equivalence, watermark late-data dropping, and
+stateful state carry-over (SURVEY §5.2-3 batch↔stream equivalence)."""
+
+import os
+import shutil
+import tempfile
+import uuid
+
+import pyspark.sql.functions as F
+import pytest
+
+from graphsense_datafeed_spark.schemas import EVENTS_RAW
+from graphsense_datafeed_spark.sources.tables import load
+from graphsense_datafeed_spark.streaming.windows import run_stream_to_memory
+
+
+@pytest.fixture(scope="module")
+def multi_file_events(spark, sf_dir):
+    """Events re-laid as 6 range-partitioned files (≈ six arrivals) so
+    maxFilesPerTrigger=1 forces a genuine multi-batch run."""
+    d = os.path.join(tempfile.gettempdir(), "gds_test_multifile", uuid.uuid4().hex[:8])
+    load(spark, sf_dir, "events").repartitionByRange(6, "event_id").write.parquet(d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _stream_events(spark, path, max_files=1):
+    return (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp_ntz, user_id bigint, "
+            "event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(path)
+    )
+
+
+def test_multibatch_tumbling_equals_batch(spark, sf_dir, multi_file_events):
+    """Windowed agg over 6 micro-batches == the one-shot batch agg."""
+    s = _stream_events(spark, multi_file_events)
+    agg = s.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count("*").alias("n")
+    )
+    got = {
+        (r["window"]["start"], r["event_type"]): r["n"]
+        for r in run_stream_to_memory(spark, agg, "complete").collect()
+    }
+    want = {
+        (r["win"]["start"], r["event_type"]): r["n"]
+        for r in load(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_stateful_state_carries_across_batches(spark, sf_dir, multi_file_events):
+    """applyInPandasWithState: per-user counts must ACCUMULATE across
+    micro-batches; final per-user state == batch groupBy counts."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs: Iterator, state: GroupState) -> Iterator:
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n": [n]})
+
+    s = _stream_events(spark, multi_file_events).select("user_id")
+    out = s.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n bigint",
+        stateStructType="n bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    rows = run_stream_to_memory(spark, out, "update").collect()
+    # one emission per (user, batch-with-data); the max per user is the
+    # final accumulated state
+    final = {}
+    for r in rows:
+        final[r["user_id"]] = max(final.get(r["user_id"], 0), r["n"])
+    want = {
+        r["user_id"]: r["n"]
+        for r in load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert final == want
+    # and there really were multiple emissions for at least one user
+    assert len(rows) > len(want)
+
+
+def test_watermark_drops_late_event(spark):
+    """A two-batch file sequence where batch 2 carries an event older
+    than (max event time − watermark): the late event must NOT appear
+    in any finalized window."""
+    d = os.path.join(tempfile.gettempdir(), "gds_test_late", uuid.uuid4().hex[:8])
+    ckpt = os.path.join(d, "ckpt")
+    src = os.path.join(d, "src")
+    os.makedirs(src)
+
+    def write_batch(name, rows):
+        df = spark.createDataFrame(
+            rows, "event_id bigint, ts timestamp, user_id bigint"
+        )
+        df.coalesce(1).write.parquet(os.path.join(d, "stage", name))
+        # move files in atomically so the source sees one new file per
+        # listing (≈ one micro-batch per file)
+        stage = os.path.join(d, "stage", name)
+        for f in os.listdir(stage):
+            if f.endswith(".parquet"):
+                shutil.move(os.path.join(stage, f), os.path.join(src, name + ".parquet"))
+
+    import datetime
+
+    t = datetime.datetime(2024, 6, 1, 10, 0, 0)
+
+    def ts(minutes):
+        return t + datetime.timedelta(minutes=minutes)
+
+    write_batch("b1", [(1, ts(0), 1), (2, ts(65), 1)])  # advances watermark past 10:00 window
+    name = "late" + uuid.uuid4().hex[:8]
+    s = (
+        spark.readStream.schema("event_id bigint, ts timestamp, user_id bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = (
+        s.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: one on-time event (10:55 window open) + one LATE
+        # event at 10:05 — watermark is already 10:55 (65-10) > 10:05+1h
+        # window end? The 10:00-11:00 window closed when watermark
+        # passed 11:00 — push watermark first with a third event.
+        write_batch("b2", [(3, ts(130), 1)])  # watermark → 12:00-10min
+        q.processAllAvailable()
+        write_batch("b3", [(4, ts(5), 1), (5, ts(135), 1)])  # event 4 is LATE
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["window"]["start"].hour, r["n"]) for r in spark.table(name).collect()
+    }
+    # the 10:00 window finalized with exactly 2 events (1 and 2... no —
+    # event 2 is 11:05) → window(10:00)={1}, late event 4 dropped.
+    assert (10, 1) in got, got
+    assert (10, 2) not in got, f"late event leaked into closed window: {got}"
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_foreachbatch_idempotent_rerun(spark, sf_dir):
+    """Re-running the foreachBatch ingest over the same data must not
+    duplicate rows (overwrite-by-batch idempotency)."""
+    from graphsense_datafeed_spark.registry import QUERIES
+
+    n1 = QUERIES["stream_foreachbatch"](spark, sf_dir).count()
+    n2 = QUERIES["stream_foreachbatch"](spark, sf_dir).count()
+    want = load(spark, sf_dir, "events").count()
+    assert n1 == n2 == want
