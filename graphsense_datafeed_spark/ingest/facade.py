@@ -258,6 +258,66 @@ def ingest_rates_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_block.select("height", "block_date", "usd", "block_output_usd_cents")
 
 
+@query(
+    "ingest_stream",
+    f"""
+    SELECT height, block_hash,
+           make_timestamp(timestamp * 1000000) AS block_ts,
+           CAST(make_timestamp(timestamp * 1000000) AS DATE) AS block_date,
+           no_transactions
+    FROM {_DUCK_BLOCKS}
+    """,
+)
+def ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's DAEMON entry point end-to-end: tail the block
+    feed as a micro-batch stream, run the same normalize pipeline per
+    batch, land each batch idempotently through foreachBatch — then
+    the landed table must equal the batch ingest (the oracle).
+
+    availableNow here = the bulk/full-sync run; the identical query
+    with a continuous trigger is the live daemon (SURVEY §3.2-2)."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from graphsense_datafeed_spark.session import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)
+    # stage the feed file into a tail directory (the "arriving blocks")
+    stream_dir = os.path.join(tempfile.gettempdir(), "gds_block_feed")
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "blocks.jsonl")
+    if not os.path.exists(link):
+        os.symlink(BLOCKS_JSONL, link)
+    out_dir = os.path.join(
+        tempfile.gettempdir(), "gds_ingest_stream", uuid.uuid4().hex[:8]
+    )
+
+    from graphsense_datafeed_spark.sources.scans import BLOCK
+
+    raw = spark.readStream.schema(BLOCK).json(stream_dir)
+    normalized = normalize_blocks(raw).drop("txs")
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={batch_id}")
+        )
+
+    ckpt = os.path.join(tempfile.gettempdir(), "gds_ckpt", uuid.uuid4().hex[:8])
+    q = (
+        normalized.writeStream.foreachBatch(land)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.read.parquet(os.path.join(out_dir, "batch=*")).select(
+        "height", "block_hash", "block_ts", "block_date", "no_transactions"
+    )
+
+
 @query("sink_cassandra")
 def sink_cassandra(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pluggable-sink seam (SURVEY §2.1): run the full ingest

@@ -55,6 +55,7 @@ _OPERATOR_MODULES = (
     "graphsense_datafeed_spark.operators.windows",
     "graphsense_datafeed_spark.operators.sort_limit",
     "graphsense_datafeed_spark.operators.setops",
+    "graphsense_datafeed_spark.operators.subqueries",
     "graphsense_datafeed_spark.functions.strings",
     "graphsense_datafeed_spark.functions.dates",
     "graphsense_datafeed_spark.functions.math_cond",

@@ -49,6 +49,12 @@ BUILDER_CONFS: dict[str, str] = {
     "spark.sql.autoBroadcastJoinThreshold": str(32 * 1024 * 1024),
     "spark.ui.enabled": "false",
     "spark.driver.memory": "8g",
+    # Static conf — must be set at build time; saveAsTable (bucketed
+    # tables) lands here. Harmless for sessions we don't own (the
+    # driver's session never calls saveAsTable).
+    "spark.sql.warehouse.dir": os.path.join(
+        __import__("tempfile").gettempdir(), "gds_warehouse"
+    ),
 }
 
 
