@@ -37,6 +37,16 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
 }
 
+# Applied only when the session still carries the stock default —
+# right-sizes sessions we DIDN'T build (a bare session's 200 shuffle
+# partitions cost 200 tasks per exchange at fixture scale, and AQE
+# coalesces batch plans but NOT streaming micro-batches) without
+# stomping anyone's explicit choice. At deployment scale this knob is
+# instead sized to ~128-256MB per shuffle partition.
+RUNTIME_DEFAULT_FIXES: dict[str, tuple[str, str]] = {
+    "spark.sql.shuffle.partitions": ("200", "32"),
+}
+
 # Builder-time defaults for sessions we own (tests, bench, CLI).
 BUILDER_CONFS: dict[str, str] = {
     **RUNTIME_CONFS,
@@ -72,6 +82,14 @@ def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
         except Exception:
             # A conf may be unreadable on some builds; set best-effort.
             spark.conf.set(k, v)
+    for k, (stock_default, better) in RUNTIME_DEFAULT_FIXES.items():
+        try:
+            # no-default get: returns the EFFECTIVE value ("200" when
+            # unset); get(k, None) would return None for unset confs
+            if spark.conf.get(k) == stock_default:
+                spark.conf.set(k, better)
+        except Exception:
+            pass
     return spark
 
 

@@ -247,12 +247,19 @@ def source_rate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream_tumbling's job)."""
     ensure_runtime_confs(spark)
     tail_dir = os.path.join(
-        tempfile.gettempdir(), "gds_tail", os.path.basename(sf_dir.rstrip("/"))
+        tempfile.gettempdir(), "gds_tail_v2", os.path.basename(sf_dir.rstrip("/"))
     )
     if not os.path.exists(tail_dir):
+        # stage → atomic rename: a crashed half-write must never leave
+        # a readable-but-partial tail dir for later runs
+        stage = tail_dir + ".stage." + uuid.uuid4().hex[:8]
         load(spark, sf_dir, "events").repartitionByRange(8, "event_id").write.mode(
             "overwrite"
-        ).parquet(tail_dir)
+        ).parquet(stage)
+        try:
+            os.rename(stage, tail_dir)
+        except OSError:
+            shutil.rmtree(stage, ignore_errors=True)  # lost the race — fine
     s = (
         spark.readStream.schema(
             "event_id bigint, ts timestamp_ntz, user_id bigint, "
