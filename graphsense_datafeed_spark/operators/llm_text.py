@@ -273,6 +273,51 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_pipeline",
+    f"""
+    WITH gated AS (
+        SELECT doc_id, text, lang,
+               str_split(text, ' ') AS ws
+        FROM documents
+        WHERE length(text) BETWEEN 100 AND 500
+          AND len(str_split(text, ' ')) >= 10
+    ), survivors AS (
+        SELECT lang, MIN(doc_id) AS keep_id, ANY_VALUE(len(ws)) AS n_words
+        FROM gated GROUP BY sha256(text), lang
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS total_tokens,
+           CAST(MIN(keep_id) AS BIGINT) AS first_doc
+    FROM survivors GROUP BY lang
+    """,
+)
+def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus preparation in ONE DataFrame program:
+    quality gate → exact dedup (min-id survivor per content hash) →
+    per-language token budget. The composition the individual §2.10
+    operators exist for; at 100 TB this whole plan is two shuffles
+    (dedup hash, language agg)."""
+    d = load(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    gated = d.filter(
+        F.length("text").between(100, 500) & (F.size(ws) >= 10)
+    ).select("doc_id", "text", "lang", F.size(ws).alias("n_words"))
+    survivors = (
+        gated.groupBy(F.sha2("text", 256).alias("h"), "lang")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.any_value("n_words").alias("n_words"),
+        )
+    )
+    return survivors.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("total_tokens"),
+        F.min("keep_id").cast("bigint").alias("first_doc"),
+    )
+
+
+@query(
     "text_fingerprint",
     """
     WITH shingles AS (

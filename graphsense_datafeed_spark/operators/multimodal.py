@@ -89,6 +89,56 @@ def multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "multimodal_vector_ops",
+    """
+    SELECT vec_id,
+           ROUND(sqrt(list_reduce(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * x), (a, b) -> a + b)), 4) AS norm,
+           ROUND(list_reduce(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * 2.5), (a, b) -> a + b), 4) AS scaled_sum,
+           ROUND(list_reduce(list_transform(list_zip(embedding, embedding),
+                 p -> (CAST(p[1] AS DOUBLE) + p[2]) * p[1]), (a, b) -> a + b), 4)
+               AS self_affine,
+           CAST(FLOOR(CAST(embedding[1] AS DOUBLE)
+                 / sqrt(list_reduce(list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) * x), (a, b) -> a + b)) * 10000)
+               AS BIGINT) AS first_normalized_e4
+    FROM embeddings WHERE vec_id < 400
+    """,
+)
+def multimodal_vector_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector/array columns as first-class values: norm, scalar
+    multiply, element-wise combine (zip_with) and normalization — all
+    JVM higher-order functions, no UDF (SURVEY §2.10 multimodal_cols
+    semantics; the binary-payload surface lives in multimodal_cols/
+    multimodal_decode)."""
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 400)
+    dbl = lambda c: c.cast("double")  # noqa: E731
+    sq_sum = F.aggregate(
+        "embedding", F.lit(0.0), lambda a, x: a + dbl(x) * x
+    )
+    norm = F.sqrt(sq_sum)
+    return e.select(
+        "vec_id",
+        F.round(norm, 4).alias("norm"),
+        F.round(
+            F.aggregate("embedding", F.lit(0.0), lambda a, x: a + dbl(x) * 2.5), 4
+        ).alias("scaled_sum"),
+        F.round(
+            F.aggregate(
+                F.zip_with("embedding", "embedding", lambda x, y: (dbl(x) + y) * x),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            ),
+            4,
+        ).alias("self_affine"),
+        F.floor(dbl(F.col("embedding")[0]) / norm * 10000)
+        .cast("bigint")
+        .alias("first_normalized_e4"),
+    )
+
+
 _DECODE_SCHEMA = (
     "doc_id bigint, n_bytes int, byte_sum bigint, mean_byte_e2 bigint, "
     "digest string, decoder string"
