@@ -181,6 +181,64 @@ def golden_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "golden_q7_trade",
+    """
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           COUNT(*) AS n_lines,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation cn ON cn.n_nationkey = c_nationkey
+    JOIN nation sn ON sn.n_nationkey = s_nationkey
+    WHERE cn.n_name IN ('NATION_1', 'NATION_2')
+      AND sn.n_name IN ('NATION_3', 'NATION_4')
+      AND CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+    GROUP BY cn.n_name, sn.n_name
+    """,
+)
+def golden_q7_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 adapted: revenue flow between customer-nation and
+    supplier-nation pairs — a 6-table join using BOTH ends of the
+    lineitem fact (customer side and supplier side), with the nation
+    dim joined twice under different aliases."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").cast("date") >= F.lit("1996-01-01").cast("date")
+    )
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    sup = load(spark, sf_dir, "supplier")
+    cn = load(spark, sf_dir, "nation").alias("cn")
+    sn = load(spark, sf_dir, "nation").alias("sn")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(
+            F.broadcast(cn),
+            (cust.c_nationkey == F.col("cn.n_nationkey"))
+            & F.col("cn.n_name").isin("NATION_1", "NATION_2"),
+        )
+        .join(
+            F.broadcast(sn),
+            (sup.s_nationkey == F.col("sn.n_nationkey"))
+            & F.col("sn.n_name").isin("NATION_3", "NATION_4"),
+        )
+        .groupBy(
+            F.col("cn.n_name").alias("cust_nation"),
+            F.col("sn.n_name").alias("supp_nation"),
+        )
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+@query(
     "arr_explode_outer",
     """
     SELECT doc_id,

@@ -88,6 +88,19 @@ def test_asof_is_single_exchange_window(spark, sf_dir):
     assert p.count("hashpartitioning") == 1
 
 
+def test_theta_join_broadcasts_small_side(spark, sf_dir):
+    """Pure non-equi joins have no hash-join strategy; the plan must
+    broadcast the small side (BNLJ), never a full CartesianProduct."""
+    p = plan_of(QUERIES["join_theta_range"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q7_broadcasts_both_nation_aliases(spark, sf_dir):
+    p = plan_of(QUERIES["golden_q7_trade"](spark, sf_dir))
+    assert p.count("BroadcastHashJoin") >= 3  # supplier + nation ×2
+
+
 def test_whole_stage_codegen_active(spark, sf_dir):
     p = plan_of(QUERIES["golden_q1_pricing"](spark, sf_dir), mode="codegen")
     assert "WholeStageCodegen" in p
