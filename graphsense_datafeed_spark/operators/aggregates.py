@@ -370,6 +370,40 @@ def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "agg_unpivot",
+    """
+    SELECT l_orderkey, l_linenumber, measure, ROUND(val, 2) AS val
+    FROM (
+        UNPIVOT (SELECT l_orderkey, l_linenumber,
+                        l_quantity, l_extendedprice, l_discount
+                 FROM lineitem WHERE l_orderkey < 300)
+        ON l_quantity, l_extendedprice, l_discount
+        INTO NAME measure VALUE val
+    )
+    """,
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: wide measures → long (measure, value) rows — the
+    inverse of agg_pivot and the standard reshape before per-measure
+    aggregation. Pure projection+explode under the hood: no shuffle."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 300)
+        .select(
+            "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"
+        )
+    )
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "val0",
+    ).select(
+        "l_orderkey", "l_linenumber", "measure", F.round("val0", 2).alias("val")
+    )
+
+
 _PIVOT_TYPES = ["click", "view", "signup", "purchase", "error"]
 
 
