@@ -46,6 +46,8 @@ HEADLINE = [
 
 
 def main() -> None:
+    # hot-table cache: repeated headline queries reuse columnar scans
+    os.environ.setdefault("SPARK_GRAFT_CACHE", "1")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     from graphsense_datafeed_spark import registry

@@ -20,6 +20,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -29,6 +31,18 @@ from graphsense_datafeed_spark.session import ensure_runtime_confs
 
 def path_for(sf_dir: str, table: str) -> str:
     return f"{sf_dir}/{table}.parquet"
+
+
+# Opt-in hot-table cache (SPARK_GRAFT_CACHE=1): persists loaded tables
+# in executor memory/disk so repeated queries reuse the columnar scan.
+# The production analog is caching hot dimensions; Spark LRU-evicts
+# under pressure so enabling it is safe at any SF that fits the
+# cluster. Keyed per (session, sf_dir, table).
+_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
+def _cache_enabled() -> bool:
+    return os.environ.get("SPARK_GRAFT_CACHE", "0") == "1"
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
@@ -43,6 +57,9 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """
     if table not in TABLE_SCHEMAS:
         raise KeyError(f"unknown table {table!r}; known: {TABLES}")
+    key = (id(spark), sf_dir.rstrip("/"), table)
+    if _cache_enabled() and key in _CACHE:
+        return _CACHE[key]
     ensure_runtime_confs(spark)
     df = spark.read.schema(TABLE_SCHEMAS[table]).parquet(path_for(sf_dir, table))
     if table == "events":
@@ -51,6 +68,9 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
             "ts",
             F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
         )
+    if _cache_enabled():
+        df = df.persist()
+        _CACHE[key] = df
     return df
 
 
