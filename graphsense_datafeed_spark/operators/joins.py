@@ -197,7 +197,7 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT s_suppkey, p_partkey, s_acctbal, p_retailprice
     FROM supplier JOIN part
-      ON p_retailprice BETWEEN s_acctbal - 5.0 AND s_acctbal + 5.0
+      ON p_retailprice BETWEEN s_acctbal - 50.0 AND s_acctbal + 50.0
     WHERE s_suppkey < 50
     """,
 )
@@ -210,7 +210,7 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sup.join(
         part,
         part.p_retailprice.between(
-            sup.s_acctbal - 5.0, sup.s_acctbal + 5.0
+            sup.s_acctbal - 50.0, sup.s_acctbal + 50.0
         ),
     ).select("s_suppkey", "p_partkey", "s_acctbal", "p_retailprice")
 

@@ -340,13 +340,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
     WHERE a.vec_id < 150 AND b.vec_id < 150
       AND list_reduce(list_transform(list_zip(a.embedding, b.embedding),
-              p -> CAST(p[1] AS DOUBLE) * p[2]), (x, y) -> x + y) >= 0.8
+              p -> CAST(p[1] AS DOUBLE) * p[2]), (x, y) -> x + y) >= 0.35
     """,
 )
 def dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup: pairs above cosine 0.8 (unit-norm
-    vectors → cosine ≡ dot). Brute-force pair space deliberately
-    bounded; at scale the LSH bucketing of sim_ann_lsh prefilters."""
+    """Embedding-cosine near-dup: pairs above a cosine threshold
+    (unit-norm
+    vectors → cosine ≡ dot; 0.35 sits above the fixture's random-pair
+    baseline ≈0 and inside its top-neighbor band 0.33-0.6 — real
+    corpora with actual duplicates would use 0.9+). Brute-force pair
+    space deliberately bounded; at scale the LSH bucketing of
+    sim_ann_lsh prefilters."""
     e = (
         load(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") < 150)
@@ -367,7 +371,7 @@ def dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.vec_id").alias("vec_b"),
             dot.alias("dot"),
         )
-        .filter(F.col("dot") >= 0.8)
+        .filter(F.col("dot") >= 0.35)
         .select(
             "vec_a", "vec_b", F.floor(F.col("dot") * 10000).cast("bigint").alias("cosine_e4")
         )
