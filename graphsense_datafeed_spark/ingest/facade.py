@@ -259,6 +259,112 @@ def ingest_rates_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ingest_address_graph",
+    f"""
+    WITH txio AS (
+        SELECT (tx).tx_hash AS tx_hash,
+               (tx).inputs AS inputs, (tx).outputs AS outputs
+        FROM (SELECT unnest(txs) AS tx FROM {_DUCK_BLOCKS})
+        WHERE NOT (tx).coinbase
+    ), ins AS (
+        SELECT tx_hash, (i).address[1] AS src
+        FROM (SELECT tx_hash, unnest(inputs) AS i FROM txio)
+    ), outs AS (
+        SELECT tx_hash, (o).address[1] AS dst, (o).value AS sat
+        FROM (SELECT tx_hash, unnest(outputs) AS o FROM txio)
+    )
+    SELECT src, dst,
+           COUNT(*) AS n_edges,
+           SUM(sat) AS total_satoshi
+    FROM ins JOIN outs USING (tx_hash)
+    GROUP BY src, dst
+    HAVING COUNT(*) >= 2
+    """,
+)
+def ingest_address_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One step past the datafeed: the address-flow graph the wider
+    GraphSense platform derives from the raw keyspace (SURVEY §1.1 —
+    raw → transformation → address/entity graph). Edges = (input
+    address → output address) pairs co-occurring in a non-coinbase tx,
+    weighted by count and satoshi volume.
+
+    Scale: the ins⋈outs join shuffles on tx_hash (bounded fan-out per
+    tx), then aggregates on the edge key — the canonical graph-build
+    as two relational shuffles, no graph library required. Satoshi
+    stays BIGINT → exact at any scale."""
+    raw = read_blocks_json(spark)
+    txio = (
+        raw.select(F.explode("txs").alias("tx"))
+        .filter(~F.col("tx.coinbase"))
+        .select(
+            F.col("tx.tx_hash").alias("tx_hash"),
+            F.col("tx.inputs").alias("inputs"),
+            F.col("tx.outputs").alias("outputs"),
+        )
+    )
+    ins = txio.select("tx_hash", F.explode("inputs").alias("i")).select(
+        "tx_hash", F.col("i.address")[0].alias("src")
+    )
+    outs = txio.select("tx_hash", F.explode("outputs").alias("o")).select(
+        "tx_hash", F.col("o.address")[0].alias("dst"), F.col("o.value").alias("sat")
+    )
+    return (
+        ins.join(outs, "tx_hash")
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("n_edges"), F.sum("sat").alias("total_satoshi"))
+        .filter(F.col("n_edges") >= 2)
+    )
+
+
+@query(
+    "scan_json_corrupt",
+    f"""
+    SELECT height, block_hash, no_transactions
+    FROM read_json('{BLOCKS_JSONL}', format='newline_delimited',
+                   columns={{'height':'BIGINT','block_hash':'VARCHAR',
+                             'no_transactions':'BIGINT'}})
+    WHERE height IS NOT NULL
+    """,
+)
+def scan_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input robustness: PERMISSIVE JSON parsing routes bad
+    records into a _corrupt_record column instead of failing the job —
+    at 1000-executor scale one bad feed line must never kill a sync.
+    The fixture feed is clean, so a poisoned copy (2 broken lines) is
+    staged alongside it; the oracle reads the CLEAN file and the query
+    must recover exactly the clean rows and quarantine the rest."""
+    import os
+    import tempfile
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    poisoned = os.path.join(tempfile.gettempdir(), "gds_poisoned.jsonl")
+    if not os.path.exists(poisoned):
+        with open(BLOCKS_JSONL) as f, open(poisoned + ".tmp", "w") as out:
+            out.write('{"height": broken!!\n')
+            out.write(f.read())
+            out.write("not json at all\n")
+        os.rename(poisoned + ".tmp", poisoned)
+    schema = StructType(
+        [
+            StructField("height", LongType()),
+            StructField("block_hash", StringType()),
+            StructField("no_transactions", LongType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    parsed = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(poisoned)
+    )
+    return parsed.filter(
+        F.col("_corrupt_record").isNull() & F.col("height").isNotNull()
+    ).select("height", "block_hash", "no_transactions")
+
+
+@query(
     "ingest_stream",
     f"""
     SELECT height, block_hash,
