@@ -316,6 +316,90 @@ def ingest_address_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("graph_components")
+def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the address graph — the iterative
+    (beyond-SQL) workload class, Pregel-style in pure DataFrames:
+    every vertex starts with its own hash label; each round vertices
+    adopt the min label among themselves and their neighbors;
+    converged when no label changes. Rows-only (iteration count is
+    data-dependent, not SQL-expressible); cross-checked against a
+    driver-side union-find on the same edges in tests/test_llm.py.
+
+    Scale: each round = one edge⋈label join + a min-aggregate (two
+    shuffles); rounds ≤ graph diameter. The production version
+    checkpoints labels every few rounds to cut lineage and uses
+    large-star/small-star to reduce rounds — noted, not needed at
+    fixture diameter. The loop is driver-side CONTROL FLOW only; all
+    data stays on executors (the one count() per round is the
+    convergence check)."""
+    raw = read_blocks_json(spark)
+    txio = (
+        raw.select(F.explode("txs").alias("tx"))
+        .filter(~F.col("tx.coinbase"))
+        .select("tx.tx_hash", "tx.inputs", "tx.outputs")
+    )
+    ins = txio.select(
+        "tx_hash", F.explode("inputs").alias("i")
+    ).select("tx_hash", F.col("i.address")[0].alias("addr"))
+    outs = txio.select(
+        "tx_hash", F.explode("outputs").alias("o")
+    ).select("tx_hash", F.col("o.address")[0].alias("addr"))
+    # co-spend edges: addresses appearing in the same tx (either side)
+    nodes_in_tx = ins.union(outs).distinct()
+    a, b = nodes_in_tx.alias("a"), nodes_in_tx.alias("b")
+    edges = (
+        a.join(b, "tx_hash")
+        .filter(F.col("a.addr") < F.col("b.addr"))
+        .select(F.col("a.addr").alias("src"), F.col("b.addr").alias("dst"))
+        .distinct()
+    )
+    # undirected: propagate both ways
+    sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    # localCheckpoint each round: iteration grows the logical plan
+    # unboundedly otherwise (round N's plan embeds rounds 1..N-1 —
+    # analysis/codegen eventually blows up; measured). Checkpointing
+    # truncates lineage to the materialized data, the standard
+    # iterative-DataFrame pattern (production: reliable checkpoint dir).
+    labels = (
+        nodes_in_tx.select("addr")
+        .distinct()
+        .select("addr", F.xxhash64("addr").alias("label"))
+        .localCheckpoint()
+    )
+    sym = sym.localCheckpoint()
+    for _ in range(20):  # diameter bound; converges far earlier here
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.addr)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.addr == neighbor_min.src, "left")
+            .select(
+                "addr",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "addr")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.groupBy("label").agg(
+        F.count("*").alias("component_size"),
+        F.min("addr").alias("representative"),
+    )
+
+
 @query(
     "scan_json_corrupt",
     f"""

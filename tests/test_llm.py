@@ -150,6 +150,51 @@ def test_cassandra_sink_config():
     }
 
 
+def test_graph_components_match_union_find(spark, sf_dir):
+    """Iterative DataFrame label propagation must produce exactly the
+    components a driver-side union-find computes on the same co-spend
+    edges."""
+    import json
+
+    from graphsense_datafeed_spark.sources.scans import BLOCKS_JSONL
+
+    # ground truth: union-find over co-spend sets per non-coinbase tx
+    parent: dict[str, str] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(x, y):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[rx] = ry
+
+    with open(BLOCKS_JSONL) as f:
+        for line in f:
+            block = json.loads(line)
+            for tx in block["txs"]:
+                if tx["coinbase"]:
+                    continue
+                addrs = sorted(
+                    {io["address"][0] for io in tx["inputs"] + tx["outputs"]}
+                )
+                for other in addrs[1:]:
+                    union(addrs[0], other)
+    want = {}
+    for addr in parent:
+        want.setdefault(find(addr), set()).add(addr)
+    want_sizes = sorted(len(v) for v in want.values())
+
+    got = QUERIES["graph_components"](spark, sf_dir).collect()
+    got_sizes = sorted(r["component_size"] for r in got)
+    assert got_sizes == want_sizes
+    assert {r["representative"] for r in got} == {min(v) for v in want.values()}
+
+
 def test_langid_accuracy_floor(spark, sf_dir):
     """Profile-vote language-ID should beat the majority-class
     baseline on the synthetic corpus (langs share a vocabulary, so
