@@ -203,6 +203,77 @@ def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scan_orc",
+    """
+    SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+    FROM supplier WHERE s_acctbal > 0.0
+    """,
+)
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink roundtrip (the other first-class columnar lake
+    format; same pushdown/pruning machinery as parquet). DuckDB can't
+    read ORC, so the oracle reads the parquet original — the roundtrip
+    is an identity, which is exactly what's being checked."""
+    out = os.path.join(
+        tempfile.gettempdir(), "gds_orc", os.path.basename(sf_dir.rstrip("/"))
+    )
+    src = load(spark, sf_dir, "supplier")
+    if not os.path.exists(out):
+        stage = out + ".stage"
+        src.write.mode("overwrite").orc(stage)
+        try:
+            os.rename(stage, out)
+        except OSError:
+            pass
+    return (
+        spark.read.schema(src.schema)
+        .orc(out)
+        .filter(F.col("s_acctbal") > 0.0)
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    )
+
+
+@query(
+    "scan_schema_evolution",
+    """
+    SELECT r_regionkey, r_name, r_zone FROM (
+        SELECT r_regionkey, r_name, NULL AS r_zone FROM region
+        UNION ALL
+        SELECT r_regionkey + 100 AS r_regionkey, r_name,
+               CAST(r_regionkey AS BIGINT) % 3 AS r_zone
+        FROM region
+    )
+    """,
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: two file generations (v2 adds a
+    column) merged with mergeSchema — old files surface NULL for the
+    new column instead of failing. At 100 TB, re-writing history for
+    every added column is not an option; this is the survival path.
+    Oracle reconstructs both generations relationally."""
+    out = os.path.join(
+        tempfile.gettempdir(), "gds_evolve", os.path.basename(sf_dir.rstrip("/"))
+    )
+    region = load(spark, sf_dir, "region")
+    if not os.path.exists(out):
+        stage = out + ".stage"
+        region.write.mode("overwrite").parquet(f"{stage}/gen=1")
+        region.select(
+            (F.col("r_regionkey") + 100).alias("r_regionkey"),
+            "r_name",
+            (F.col("r_regionkey").cast("bigint") % 3).alias("r_zone"),
+        ).write.mode("overwrite").parquet(f"{stage}/gen=2")
+        try:
+            os.rename(stage, out)
+        except OSError:
+            pass
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{out}/gen=1", f"{out}/gen=2"
+    )
+    return merged.select("r_regionkey", "r_name", "r_zone")
+
+
+@query(
     "table_register",
     """
     SELECT n_name, COUNT(*) AS n_cust, ROUND(SUM(c_acctbal), 2) AS total_bal
