@@ -24,7 +24,6 @@ Scale notes:
 
 from __future__ import annotations
 
-import hashlib
 from typing import Iterator
 
 import pandas as pd
