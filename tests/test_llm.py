@@ -74,6 +74,30 @@ def test_sim_ann_recall_vs_exact(spark):
     assert recall >= 0.6, f"ANN recall {recall:.2f} below floor"
 
 
+def test_sim_ivf_recall_vs_exact(spark):
+    """IVF ANN (16 Lloyd-refined cells, nprobe=4) top-3 must recover
+    ≥70% of the exact top-3 neighbor sets — measured 0.80 at sf0.1 on
+    the near-orthogonal fixture geometry, with candidate volume
+    bounded a priori at nprobe/k = 25% of the corpus."""
+    exact = QUERIES["sim_topk_exact"](spark, SF01).collect()
+    ann = QUERIES["sim_ann_ivf"](spark, SF01).collect()
+    exact_sets: dict[int, set] = {}
+    for r in exact:
+        if r["rank_k"] <= 3:
+            exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    ann_sets: dict[int, set] = {}
+    for r in ann:
+        ann_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = total = 0
+    for qid, want in exact_sets.items():
+        got = ann_sets.get(qid, set())
+        hits += len(want & got)
+        total += len(want)
+    assert total > 0
+    recall = hits / total
+    assert recall >= 0.7, f"IVF recall {recall:.2f} below floor"
+
+
 def test_multimodal_decode_matches_hand_computed(spark, sf_dir):
     """The mapInPandas decode features must equal a hand computation
     from the same deterministic payload bytes."""
