@@ -75,3 +75,158 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "n_events", "total_cents")
     )
+
+
+_TWS_OUT_SCHEMA = (
+    "user_id bigint, n_events bigint, total_cents bigint, n_purchases bigint"
+)
+
+
+def _protobuf_available() -> bool:
+    """transformWithStateInPandas speaks protobuf between the JVM and
+    its Python state server; this environment ships no google.protobuf
+    and installs are off-limits, so the TWS path is gated."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@query("stream_stateful_tws")
+def stream_stateful_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user state machine on Spark 4's transformWithStateInPandas —
+    the successor API to applyInPandasWithState, with typed composable
+    state handles instead of one opaque tuple. Keeps a ValueState of
+    (count, cents-total) plus a MapState of per-event_type counts and
+    emits the running totals each micro-batch. Rows-only in the driver;
+    tests assert final state == the batch aggregate and purchase counts
+    match a batch filter.
+
+    GATED: the TWS runtime needs google.protobuf, absent in this
+    offline environment (verified: the state-server worker crashes on
+    import) — then this falls back to an applyInPandasWithState
+    machine computing the identical per-user output, so the registered
+    semantics hold either way and the TWS code path activates wherever
+    protobuf exists.
+
+    Scale: identical runtime story to applyInPandasWithState (state
+    hash-partitioned by key in the checkpointed store, O(1) per key),
+    but MapState/ListState update single entries without rewriting the
+    whole state value — the difference that matters when per-key state
+    is a wide map at 100 TB. Class defined in-function so cloudpickle
+    ships it by value to workers."""
+    if not _protobuf_available():
+        return _stateful_totals_fallback(spark, sf_dir)
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "n_events bigint, total_cents bigint"
+            )
+            self._by_type = handle.getMapState(
+                "by_type", "event_type string", "n bigint"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, cents = self._totals.get() if self._totals.exists() else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(
+                    pdf["value"].mul(100).round().astype("int64").sum()
+                )
+                for etype, cnt in pdf["event_type"].value_counts().items():
+                    prev = (
+                        self._by_type.getValue((etype,))[0]
+                        if self._by_type.containsKey((etype,))
+                        else 0
+                    )
+                    self._by_type.updateValue((etype,), (prev + int(cnt),))
+            self._totals.update((n, cents))
+            purchases = (
+                self._by_type.getValue(("purchase",))[0]
+                if self._by_type.containsKey(("purchase",))
+                else 0
+            )
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_cents": [cents],
+                    "n_purchases": [purchases],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    s = read_events_stream(spark, sf_dir).select("user_id", "event_type", "value")
+    updated = s.groupBy("user_id").transformWithStateInPandas(
+        UserTotals(),
+        outputStructType=_TWS_OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+    out = run_stream_to_memory(spark, updated, "update")
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "total_cents", "n_purchases")
+    )
+
+
+def _stateful_totals_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState twin of stream_stateful_tws: same per-user
+    (count, cents, purchase-count) machine with the map folded into the
+    tuple state — used where the TWS protobuf runtime is unavailable."""
+
+    def update_user_state(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n, cents, purchases = state.get if state.exists else (0, 0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int(pdf["value"].mul(100).round().astype("int64").sum())
+            purchases += int((pdf["event_type"] == "purchase").sum())
+        state.update((n, cents, purchases))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_cents": [cents],
+                "n_purchases": [purchases],
+            }
+        )
+
+    s = read_events_stream(spark, sf_dir).select("user_id", "event_type", "value")
+    updated = s.groupBy("user_id").applyInPandasWithState(
+        update_user_state,
+        outputStructType=_TWS_OUT_SCHEMA,
+        stateStructType="n_events bigint, total_cents bigint, n_purchases bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = run_stream_to_memory(spark, updated, "update")
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "total_cents", "n_purchases")
+    )

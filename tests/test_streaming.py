@@ -175,3 +175,28 @@ def test_foreachbatch_idempotent_rerun(spark, sf_dir):
     n2 = QUERIES["stream_foreachbatch"](spark, sf_dir).count()
     want = load(spark, sf_dir, "events").count()
     assert n1 == n2 == want
+
+
+def test_stream_stateful_tws_equals_batch(spark, sf_dir):
+    """stream_stateful_tws (transformWithStateInPandas where protobuf
+    exists, its applyInPandasWithState twin here) final per-user state
+    must equal the batch aggregate including the per-type MapState
+    projection (purchase counts)."""
+    from graphsense_datafeed_spark.registry import QUERIES
+
+    got = {
+        r["user_id"]: (r["n_events"], r["total_cents"], r["n_purchases"])
+        for r in QUERIES["stream_stateful_tws"](spark, sf_dir).collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], r["cents"], r["p"])
+        for r in load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"),
+            F.count_if(F.col("event_type") == "purchase").alias("p"),
+        )
+        .collect()
+    }
+    assert got == want
