@@ -26,6 +26,9 @@ HEADLINE = [
     "golden_q3_shipping",
     "golden_q5_volume",
     "golden_q6_revenue",
+    "golden_q8_market_share",
+    "golden_q9_profit",
+    "golden_q18_large_orders",
     "join_multiway",
     "join_asof",
     "agg_groupby",
@@ -36,6 +39,7 @@ HEADLINE = [
     "dedup_near",
     "sim_topk_exact",
     "sim_ann_lsh",
+    "sim_ann_ivf",
     "embed_centroids",
     "text_tfidf",
     "text_tokenize",

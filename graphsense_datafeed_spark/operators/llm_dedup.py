@@ -123,9 +123,14 @@ _N_HASHES = 16
 _N_BANDS = 8
 _ROWS_PER_BAND = _N_HASHES // _N_BANDS
 
+# Bounded persist of the shingle-array table (one per sf_dir; see
+# dedup_near for rationale).
+_SHINGLE_CACHE: dict[str, DataFrame] = {}
 
-def shingles(docs: DataFrame) -> DataFrame:
-    """(doc_id, s) — distinct 3-word shingles per document.
+
+def shingle_arrays(docs: DataFrame) -> DataFrame:
+    """(doc_id, arr, n) — the distinct 3-word shingle SET per document,
+    kept as an array column (narrow op, no explode).
 
     The split array is materialized as a column FIRST: referencing
     ``F.split(text)`` inside the lambda would re-split the text for
@@ -135,20 +140,24 @@ def shingles(docs: DataFrame) -> DataFrame:
     ws = F.col("ws")
     return with_ws.select(
         "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), F.greatest(F.size(ws) - 2, F.lit(0))),
-                    lambda i: F.concat_ws(
-                        " ",
-                        F.element_at(ws, i),
-                        F.element_at(ws, i + 1),
-                        F.element_at(ws, i + 2),
-                    ),
-                )
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(ws) - 2, F.lit(0))),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(ws, i),
+                    F.element_at(ws, i + 1),
+                    F.element_at(ws, i + 2),
+                ),
             )
-        ).alias("s"),
-    )
+        ).alias("arr"),
+    ).select("doc_id", "arr", F.size("arr").alias("n"))
+
+
+def shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, s) — distinct 3-word shingles per document, one row per
+    shingle (the exploded view of shingle_arrays)."""
+    return shingle_arrays(docs).select("doc_id", F.explode("arr").alias("s"))
 
 
 def minhash_signatures_from(sh: DataFrame) -> DataFrame:
@@ -227,29 +236,39 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
-    # The shingle explode feeds the signature AND both verify sides —
-    # persist it so the subtree runs once, not 3× (at cluster scale
-    # this is a checkpoint of the signature table, the standard
-    # pattern for multi-pass fuzzy dedup).
-    sh = shingles(docs).persist()
-    cands = lsh_candidate_pairs(minhash_signatures_from(sh))
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    wa, wb = sh.alias("wa"), sh.alias("wb")
-    commons = (
-        cands.join(wa, F.col("doc_a") == F.col("wa.doc_id"))
-        .join(
-            wb,
-            (F.col("doc_b") == F.col("wb.doc_id"))
-            & (F.col("wa.s") == F.col("wb.s")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("c"))
+    # The shingle arrays feed the signature pass AND both verify sides;
+    # the transform lambda is INTERPRETED (round-1 measurement), so
+    # recomputing it per consumer tripled the query cost — persist
+    # once, bounded to one cached copy per sf_dir (the prior unbounded
+    # persist leaked across calls and was measured degrading long
+    # sessions). At cluster scale this materialization is the standard
+    # "write the signature table" step of multi-pass fuzzy dedup.
+    old = _SHINGLE_CACHE.pop(sf_dir, None)
+    if old is not None:
+        old.unpersist()
+    arrs = shingle_arrays(docs).persist()
+    _SHINGLE_CACHE[sf_dir] = arrs
+    cands = lsh_candidate_pairs(
+        minhash_signatures_from(arrs.select("doc_id", F.explode("arr").alias("s")))
     )
-    sa, sb = sizes.alias("sa"), sizes.alias("sb")
-    jac = F.col("c").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("c"))
+    # Exact-Jaccard verification on the candidate pairs only: the tiny
+    # pair table is broadcast against the shingle-array table twice, and
+    # the intersection is a per-row codegen'd array_intersect — no
+    # explode re-shuffle, no groupBy. At 100 TB the broadcast stays
+    # valid as long as the candidate count does (it is bounded by
+    # bucket-size caps), and the fallback is a shuffle equi-join on
+    # doc_id — still linear in candidates, never in pairs².
+    a = arrs.select(
+        F.col("doc_id").alias("a_id"), F.col("arr").alias("arr_a"), F.col("n").alias("na")
+    )
+    b = arrs.select(
+        F.col("doc_id").alias("b_id"), F.col("arr").alias("arr_b"), F.col("n").alias("nb")
+    )
+    c = F.size(F.array_intersect(F.col("arr_a"), F.col("arr_b")))
+    jac = c.cast("double") / (F.col("na") + F.col("nb") - c)
     return (
-        commons.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        a.join(F.broadcast(cands), F.col("a_id") == F.col("doc_a"))
+        .join(b, F.col("b_id") == F.col("doc_b"))
         .filter(jac >= 0.5)
         .select(
             "doc_a", "doc_b", F.floor(jac * 10000).cast("bigint").alias("jaccard_e4")

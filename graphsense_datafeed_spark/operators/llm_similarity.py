@@ -151,6 +151,34 @@ def lsh_buckets_udf():
     return buckets
 
 
+# The bucket index is reused by both sides of the candidate self-join;
+# persisting it avoids running the projection UDF twice. Bounded: one
+# cached index per sf_dir, the previous one unpersisted on re-build —
+# an unbounded persist here leaked across repeated calls and was
+# measured poisoning long sessions.
+_LSH_INDEX_CACHE: dict[str, DataFrame] = {}
+
+
+def _lsh_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, table_id, bucket) — the materialized LSH index. At
+    100 TB this is the index table you'd write to storage partitioned
+    by (table_id, bucket); here it is a persisted 3-int-column DF."""
+    old = _LSH_INDEX_CACHE.pop(sf_dir, None)
+    if old is not None:
+        old.unpersist()
+    buckets = lsh_buckets_udf()
+    idx = (
+        load(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.posexplode(buckets(F.col("embedding"))).alias("table_id", "bucket"),
+        )
+        .persist()
+    )
+    _LSH_INDEX_CACHE[sf_dir] = idx
+    return idx
+
+
 @query("sim_ann_lsh")
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via multi-table random-hyperplane LSH: every
@@ -162,31 +190,31 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: bucketing is a narrow map (no shuffle); candidates come
     from an equi-join on (table_id, bucket) — hash join, no cross
-    product — and the exact re-rank touches only candidates. Recall ↑
-    by adding tables (linear cost), precision ↑ by adding planes."""
-    buckets = lsh_buckets_udf()
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        "embedding",
-        F.posexplode(buckets(F.col("embedding"))).alias("table_id", "bucket"),
+    product — and the exact re-rank touches only candidates. The
+    candidate pair-dedup runs on the two id columns alone (deduping
+    rows that carry the embedding arrays hashes 128 floats per pair —
+    measured cost, not hypothetical); embeddings re-attach by id
+    afterwards. Recall ↑ by adding tables (linear cost), precision ↑
+    by adding planes."""
+    idx = _lsh_index(spark, sf_dir)
+    q = idx.filter(F.col("vec_id") < 30).select(
+        F.col("vec_id").alias("query_id"), "table_id", "bucket"
     )
-    q = e.filter(F.col("vec_id") < 30).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        "table_id",
-        "bucket",
-    )
-    c = e.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("c_emb"),
-        "table_id",
-        "bucket",
-    )
-    scored = (
+    c = idx.select(F.col("vec_id").alias("neighbor_id"), "table_id", "bucket")
+    pairs = (
         q.join(c, ["table_id", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "q_emb", "c_emb")
+        .select("query_id", "neighbor_id")
         .distinct()  # a pair may collide in several tables — score once
+    )
+    emb = load(spark, sf_dir, "embeddings")
+    qe = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    ce = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    )
+    scored = (
+        pairs.join(qe, "query_id")
+        .join(ce, "neighbor_id")
         .select(
             "query_id",
             "neighbor_id",
