@@ -29,7 +29,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from graphsense_datafeed_spark.registry import query
-from graphsense_datafeed_spark.sources.tables import load
+from graphsense_datafeed_spark.sources.tables import load, register_views
 
 
 @query(
@@ -362,4 +362,89 @@ def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_lines"),
             F.sum(F.col("l_quantity").cast("int")).cast("bigint").alias("total_qty"),
         )
+    )
+
+
+@query(
+    "join_skew_salted",
+    """
+    SELECT label, COUNT(*) AS n_events, SUM(cents) AS total_cents
+    FROM (
+      SELECT CASE WHEN user_id % 10 < 7 THEN 0 ELSE user_id END AS k,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    ) f
+    JOIN (SELECT c_custkey AS k, c_mktsegment AS label FROM customer) d
+      USING (k)
+    GROUP BY label
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join under heavy key skew — the 100 TB answer when AQE's
+    skew-join split isn't available (e.g. the skewed side feeds a
+    further co-partitioned op) or a single key exceeds what one split
+    can hold.
+
+    70% of fact rows are funneled onto key 0 (synthetic CASE mapping),
+    then the fact side salts each row into one of 8 sub-keys
+    (pmod(hash(event_id), 8)) and the dimension replicates ×8 via
+    explode — the hot key's rows spread over 8 tasks instead of one.
+    Salting is semantics-preserving, so the oracle is the PLAIN join:
+    an exact ✅ check that the rewrite changes the physical
+    distribution and nothing else.
+
+    Scale: salt factor trades dim-side duplication (S× rows) for fact
+    shuffle fan-out; production salts only the keys above a frequency
+    threshold (two-pass: heavy-hitter count, then conditional salt) —
+    here every key is salted to keep the plan single-pass."""
+    n_salt = 8
+    fact = load(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 10 < 7, F.lit(0))
+        .otherwise(F.col("user_id"))
+        .alias("k"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.pmod(F.hash("event_id"), F.lit(n_salt)).alias("salt"),
+    )
+    dim = (
+        load(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("k"), F.col("c_mktsegment").alias("label"))
+        .withColumn(
+            "salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+        )
+    )
+    return (
+        fact.join(dim, ["k", "salt"])
+        .groupBy("label")
+        .agg(F.count("*").alias("n_events"), F.sum("cents").alias("total_cents"))
+    )
+
+
+@query(
+    "join_lateral",
+    """
+    SELECT o_orderkey, l.n_lines, l.max_price
+    FROM orders o, LATERAL (
+      SELECT COUNT(*) AS n_lines, MAX(l_extendedprice) AS max_price
+      FROM lineitem WHERE l_orderkey = o_orderkey
+    ) l
+    WHERE o_orderkey < 200
+    """,
+)
+def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery (SQL entry point): a per-order
+    aggregate computed by a lateral derived table. Catalyst
+    decorrelates this into the same partial-agg + join shape as the
+    hand-written Q17 rewrite — verified by the plan containing a
+    HashAggregate on l_orderkey, not a per-row re-scan; DuckDB runs
+    the identical ANSI text."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, l.n_lines, l.max_price
+        FROM orders o, LATERAL (
+          SELECT COUNT(*) AS n_lines, MAX(l_extendedprice) AS max_price
+          FROM lineitem WHERE l_orderkey = o_orderkey
+        ) l
+        WHERE o_orderkey < 200
+        """
     )

@@ -181,14 +181,21 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     return minhash_signatures_from(shingles(docs))
 
 
-def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
+def lsh_candidate_pairs(sig: DataFrame, max_bucket: int | None = 256) -> DataFrame:
     """(doc_a, doc_b) candidates: docs sharing ≥1 LSH band bucket.
 
-    Bands explode to |docs|×4 rows; the self-join shuffles on
+    Bands explode to |docs|×n_bands rows; the self-join shuffles on
     (band_id, band_key) — bucket sizes, not corpus size, drive cost.
     A crushingly hot bucket (all-identical boilerplate docs) is the
-    known failure mode at scale; production adds a bucket-size cap
-    before the join (F.count over bucket → filter)."""
+    known failure mode at scale: one bucket of b docs emits b²/2 pairs
+    no matter how big the cluster. ``max_bucket`` drops oversized
+    buckets before the join (count over the bucket key, one extra
+    pass on the same partitioning, reused by the join exchange). The
+    docs a dropped bucket contains are near-identical boilerplate by
+    construction — the EXACT-dedup pass (one shuffle of content
+    hashes) is the right tool for them, not pairwise Jaccard; pass
+    ``max_bucket=None`` to disable. Capped-bucket behavior asserted in
+    tests/test_llm.py with a planted 300-identical-doc bucket."""
     bands = sig.select(
         "doc_id",
         F.posexplode(
@@ -205,6 +212,15 @@ def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
             )
         ).alias("band_id", "band_key"),
     )
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band_id", "band_key")
+        bands = (
+            bands.withColumn("bucket_n", F.count("*").over(w))
+            .filter(F.col("bucket_n") <= max_bucket)
+            .drop("bucket_n")
+        )
     x, y = bands.alias("x"), bands.alias("y")
     return (
         x.join(

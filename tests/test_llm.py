@@ -49,6 +49,34 @@ def test_dedup_near_planted_recall(spark):
     assert (3, 4) not in pairs
 
 
+def test_lsh_bucket_cap_drops_hot_bucket(spark):
+    """A planted hot bucket (300 identical boilerplate docs → identical
+    signatures → one bucket per band) must be dropped by the bucket cap
+    before it emits ~300²/2 pairs, while a near-dup pair in a normal
+    bucket is still found; uncapped, the hot pairs come through."""
+    base = (
+        "spark join filter aggregate window shuffle partition broadcast "
+        "catalyst tungsten codegen parquet arrow stream batch schema "
+        "column row table query plan optimizer executor driver stage task"
+    )
+    words = base.split(" ")
+    variant = " ".join(words[:-2] + ["memory", "disk"])
+    boiler = " ".join(words[::-1])  # distinct content for the hot bucket
+    rows = [(1, base), (2, variant)] + [(100 + i, boiler) for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    sig = llm_dedup.minhash_signatures(docs)
+
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in llm_dedup.lsh_candidate_pairs(sig, max_bucket=64).collect()
+    }
+    assert (1, 2) in capped  # normal bucket unaffected
+    assert not any(a >= 100 and b >= 100 for a, b in capped)  # hot bucket gone
+
+    uncapped = llm_dedup.lsh_candidate_pairs(sig, max_bucket=None)
+    assert uncapped.count() >= 300 * 299 // 2  # the quadratic blow-up is real
+
+
 def test_sim_ann_recall_vs_exact(spark):
     """LSH ANN top-3 must recover ≥60% of the exact top-3 neighbor
     sets for the query vectors (random-hyperplane LSH with 12 planes
