@@ -528,3 +528,76 @@ def sink_cassandra(spark: SparkSession, sf_dir: str) -> DataFrame:
         "height", "block_hash", "no_transactions",
         F.col("block_date").cast("date").alias("block_date"),
     )
+
+
+@query("graph_pagerank")
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the directed address-flow graph — the second
+    iterative workload class (power iteration, fixed round count)
+    alongside graph_components' label propagation. Rows-only in the
+    driver; tests/test_llm.py cross-checks every rank against a
+    driver-side numpy power iteration on the identical edge list.
+
+    Scale: each round is one ranks⋈edges shuffle join on src plus a
+    sum-aggregate on dst — partial aggregation makes the shuffle carry
+    |dst-partitions| partials, and localCheckpoint truncates the
+    per-round lineage exactly as in graph_components. Dangling mass
+    (sinks) is a scalar agg broadcast back into the update, so the
+    ranks stay a proper distribution every round — no mass leak, which
+    at web scale is the difference between converging and drifting."""
+    raw = read_blocks_json(spark)
+    txio = (
+        raw.select(F.explode("txs").alias("tx"))
+        .filter(~F.col("tx.coinbase"))
+        .select("tx.tx_hash", "tx.inputs", "tx.outputs")
+    )
+    ins = txio.select("tx_hash", F.explode("inputs").alias("i")).select(
+        "tx_hash", F.col("i.address")[0].alias("src")
+    )
+    outs = txio.select("tx_hash", F.explode("outputs").alias("o")).select(
+        "tx_hash", F.col("o.address")[0].alias("dst")
+    )
+    edges = (
+        ins.join(outs, "tx_hash")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("addr"))
+        .union(edges.select(F.col("dst").alias("addr")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    damping = 0.85
+    ranks = nodes.select("addr", F.lit(1.0 / n).alias("rank")).localCheckpoint()
+    for _ in range(10):
+        contribs = (
+            edges.join(out_deg, "src")
+            .join(ranks, edges.src == ranks.addr)
+            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        # mass sitting on dangling nodes (no out-edges) spreads uniformly
+        dangling = (
+            ranks.join(out_deg, ranks.addr == out_deg.src, "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .collect()[0][0]
+        )
+        base = (1.0 - damping) / n + damping * dangling / n
+        ranks = (
+            nodes.join(contribs, nodes.addr == contribs.dst, "left")
+            .select(
+                "addr",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select("addr", F.floor(F.col("rank") * 1e9).cast("bigint").alias("rank_e9"))

@@ -258,3 +258,54 @@ def test_langid_accuracy_floor(spark, sf_dir):
     ).collect()[0]
     assert agg["n"] > 0
     assert agg["ok"] / agg["n"] >= 0.25  # > uniform-5-class chance
+
+
+def test_graph_pagerank_matches_numpy(spark, sf_dir):
+    """Distributed power iteration must match a dense numpy PageRank
+    (same damping, same dangling handling, same 10 rounds) on the
+    identical edge list, to 1e-9 absolute on every rank."""
+    import numpy as np
+
+    from graphsense_datafeed_spark.ingest.facade import read_blocks_json
+
+    raw = read_blocks_json(spark)
+    txio = (
+        raw.select(F.explode("txs").alias("tx"))
+        .filter(~F.col("tx.coinbase"))
+        .select("tx.tx_hash", "tx.inputs", "tx.outputs")
+    )
+    ins = txio.select("tx_hash", F.explode("inputs").alias("i")).select(
+        "tx_hash", F.col("i.address")[0].alias("src")
+    )
+    outs = txio.select("tx_hash", F.explode("outputs").alias("o")).select(
+        "tx_hash", F.col("o.address")[0].alias("dst")
+    )
+    edges = [
+        (r["src"], r["dst"])
+        for r in ins.join(outs, "tx_hash")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .collect()
+    ]
+    nodes = sorted({a for e in edges for a in e})
+    ix = {a: i for i, a in enumerate(nodes)}
+    n = len(nodes)
+    out_deg = np.zeros(n)
+    for s, _ in edges:
+        out_deg[ix[s]] += 1
+    r = np.full(n, 1.0 / n)
+    d = 0.85
+    for _ in range(10):
+        contrib = np.zeros(n)
+        for s, t in edges:
+            contrib[ix[t]] += r[ix[s]] / out_deg[ix[s]]
+        dangling = r[out_deg == 0].sum()
+        r = (1 - d) / n + d * dangling / n + d * contrib
+    got = {
+        row["addr"]: row["rank_e9"]
+        for row in QUERIES["graph_pagerank"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(nodes)
+    for a in nodes:
+        assert got[a] == int(np.floor(r[ix[a]] * 1e9)), a
