@@ -291,3 +291,60 @@ def table_register(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n_name
         """
     )
+
+
+@query(
+    "sink_partitioned_overwrite",
+    """
+    SELECT CAST(ts AS DATE) AS event_date, COUNT(*) AS n_events,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) AS total_cents
+    FROM events GROUP BY CAST(ts AS DATE)
+    """,
+)
+def sink_partitioned_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idempotent re-ingest by partition — the reference's reorg story
+    (re-ingest from the fork height) at file-sink level, via dynamic
+    partition overwrite.
+
+    The sequence deliberately plants damage and repairs it: (1) full
+    date-partitioned write, (2) one day's partition corrupted (half its
+    rows dropped — a torn ingest), (3) that day re-ingested with
+    ``partitionOverwriteMode=dynamic``, which rewrites ONLY partitions
+    present in the incoming frame. The oracle is the clean batch
+    aggregate: it matches iff the repair restored the damaged day
+    without touching the others (static overwrite mode would have
+    deleted them — the classic production foot-gun this mode exists
+    for).
+
+    Scale: a reorg/backfill rewrites O(affected days), never the
+    table; the date partition column is the same low-cardinality
+    derivative of the ingest key the facade uses for height buckets."""
+    out = os.path.join(
+        tempfile.gettempdir(), "gds_sink_dynover", os.path.basename(sf_dir.rstrip("/"))
+    )
+    ev = load(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("event_date"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    ev.write.mode("overwrite").partitionBy("event_date").parquet(out)
+
+    target_day = ev.agg(F.min("event_date")).collect()[0][0]
+    day = ev.filter(F.col("event_date") == F.lit(target_day))
+    # torn ingest: half the day's rows lost
+    with_conf = spark.conf
+    prev = with_conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    with_conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        day.filter(F.col("event_id") % 2 == 0).write.mode("overwrite").partitionBy(
+            "event_date"
+        ).parquet(out)
+        # repair: re-ingest the full day; dynamic mode rewrites only it
+        day.write.mode("overwrite").partitionBy("event_date").parquet(out)
+    finally:
+        with_conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    back = spark.read.parquet(out)
+    return back.groupBy(F.col("event_date").cast("date").alias("event_date")).agg(
+        F.count("*").alias("n_events"), F.sum("cents").alias("total_cents")
+    )
