@@ -174,3 +174,28 @@ def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_json(F.struct(parsed.getField("k").alias("k"))).alias("rebuilt"),
         F.get_json_object("props", "$.missing").alias("absent"),
     )
+
+
+@query(
+    "json_variant",
+    """
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           COUNT(*) AS n,
+           MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k
+    FROM events GROUP BY 1
+    """,
+)
+def json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON through Spark 4's VARIANT type:
+    parse_json keeps the document in a binary-encoded form (parsed
+    once, no re-tokenization per field access — the at-scale
+    difference vs get_json_object, which re-parses the string per
+    call) and variant_get path-extracts with a target type. DuckDB
+    side uses its native JSON extraction — same values, different
+    encodings, so the oracle compares the extracted typed results."""
+    e = load(spark, sf_dir, "events")
+    v = e.select(F.parse_json("props").alias("v"))
+    k = F.variant_get(F.col("v"), "$.k", "bigint")
+    return v.select((k % 10).alias("k_bucket"), k.alias("kk")).groupBy(
+        "k_bucket"
+    ).agg(F.count("*").alias("n"), F.min("kk").alias("min_k"))

@@ -467,3 +467,26 @@ def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("x.item").alias("event_type"),
         F.col("x.count").alias("cnt"),
     )
+
+
+@query(
+    "agg_mode",
+    """
+    SELECT l_returnflag, mode_qty FROM (
+      SELECT l_returnflag, l_quantity AS mode_qty,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY COUNT(*) DESC, l_quantity) AS rn
+      FROM lineitem GROUP BY l_returnflag, l_quantity
+    ) WHERE rn = 1
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-frequent value per group via F.mode(deterministic=True),
+    which breaks frequency ties by taking the lowest value — the
+    oracle spells that contract out as count-then-value ranked SQL, so
+    the check pins the tie semantics, not just the happy path."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.mode("l_quantity", deterministic=True).alias("mode_qty"))
+    )
