@@ -104,3 +104,31 @@ def test_q7_broadcasts_both_nation_aliases(spark, sf_dir):
 def test_whole_stage_codegen_active(spark, sf_dir):
     p = plan_of(QUERIES["golden_q1_pricing"](spark, sf_dir), mode="codegen")
     assert "WholeStageCodegen" in p
+
+
+def test_q17_decorrelates_to_agg_join(spark, sf_dir):
+    """The per-part average threshold must plan as a partial+final
+    aggregate joined back to the fact — never a correlated per-row
+    re-scan (no nested-loop node anywhere)."""
+    p = plan_of(QUERIES["golden_q17_small_qty"](spark, sf_dir))
+    assert "HashAggregate" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_lateral_decorrelates_to_agg_join(spark, sf_dir):
+    """LATERAL correlated aggregate: Catalyst must rewrite to
+    aggregate-then-join (same contract as test_q17)."""
+    p = plan_of(QUERIES["join_lateral"](spark, sf_dir))
+    assert "HashAggregate" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_q8_star_all_hash_joins(spark, sf_dir):
+    """The 8-relation star must compose entirely of hash joins (no
+    nested loop, no cartesian) with a single aggregate exchange."""
+    p = plan_of(QUERIES["golden_q8_market_share"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
