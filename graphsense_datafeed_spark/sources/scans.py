@@ -348,3 +348,41 @@ def sink_partitioned_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy(F.col("event_date").cast("date").alias("event_date")).agg(
         F.count("*").alias("n_events"), F.sum("cents").alias("total_cents")
     )
+
+
+@query(
+    "scan_observe_metrics",
+    """
+    SELECT event_id, user_id, event_type,
+           CAST(ROUND(value * 100) AS BIGINT) AS cents
+    FROM events WHERE event_type <> 'error'
+    """,
+)
+def scan_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest QA counters via the Observation API: row count, distinct
+    hint, value sum, and bad-row count ride along on the SAME pass as
+    the scan (accumulator-backed — zero extra jobs), where a naive QA
+    step would re-scan the table per metric. The observed frame is a
+    pure pass-through, so the oracle checks the rows; the metric
+    values themselves are asserted in tests/test_operators.py.
+
+    Scale: this is how a 100 TB ingest validates itself — metrics
+    accumulate on executors during the one scan the pipeline was going
+    to do anyway, and the reorg/alert decision reads four scalars."""
+    from pyspark.sql import Observation
+
+    ev = load(spark, sf_dir, "events")
+    obs = Observation("ingest_qa")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("total_cents"),
+        F.count_if(F.col("event_type") == "error").alias("n_error_rows"),
+        F.max("event_id").alias("max_event_id"),
+    )
+    return observed.filter(F.col("event_type") != "error").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )

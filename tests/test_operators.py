@@ -108,3 +108,30 @@ def test_session_builder_confs(spark):
     assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
     assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
+def test_observe_metrics_single_pass(spark, sf_dir):
+    """The Observation metrics must equal independently computed batch
+    aggregates — collected from the same single pass that produced the
+    query result."""
+    from pyspark.sql import Observation
+
+    ev = load(spark, sf_dir, "events")
+    obs = Observation("qa")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("total_cents"),
+        F.count_if(F.col("event_type") == "error").alias("n_error_rows"),
+    )
+    kept = observed.filter(F.col("event_type") != "error").count()
+    got = obs.get
+    want = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("c"),
+        F.count_if(F.col("event_type") == "error").alias("e"),
+    ).collect()[0]
+    assert got["n_rows"] == want["n"]
+    assert got["total_cents"] == want["c"]
+    assert got["n_error_rows"] == want["e"]
+    assert kept == want["n"] - want["e"]
