@@ -490,3 +490,25 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(F.mode("l_quantity", deterministic=True).alias("mode_qty"))
     )
+
+
+@query(
+    "agg_bool",
+    """
+    SELECT l_returnflag,
+           bool_and(l_quantity > 0)     AS all_positive_qty,
+           bool_or(l_discount > 0.09)   AS any_deep_discount,
+           bool_and(l_tax <= 0.08)      AS all_tax_capped
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (every/any) — the constraint-audit shape:
+    one partial+final agg pass answers 'does any row violate X' without
+    materializing violators."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bool_and(F.col("l_quantity") > 0).alias("all_positive_qty"),
+        F.bool_or(F.col("l_discount") > 0.09).alias("any_deep_discount"),
+        F.bool_and(F.col("l_tax") <= 0.08).alias("all_tax_capped"),
+    )

@@ -411,3 +411,47 @@ def dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_a", "vec_b", F.floor(F.col("dot") * 10000).cast("bigint").alias("cosine_e4")
         )
     )
+
+
+@query(
+    "dedup_edit_distance",
+    """
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           levenshtein(a.text, b.text) AS edit_dist
+    FROM documents a JOIN documents b
+      ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE a.doc_id < 60 AND b.doc_id < 60
+      AND levenshtein(a.text, b.text) <= 40
+    """,
+)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup: Levenshtein between documents of the
+    same source bucket (bounded query set). Character-level distance
+    catches the small-insertion/typo duplicates that shingle Jaccard
+    under-weights on short texts; both engines implement the classic
+    DP, so the oracle is exact.
+
+    Scale: Levenshtein is O(len²) per pair — it is NEVER the first
+    pass. Production ordering is exact-hash → MinHash bands →
+    edit-distance only on surviving candidates (this query's bucketed
+    join stands in for that candidate set; the bound keeps the pair
+    count linear-ish)."""
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 60)
+        .select("doc_id", "source", "text")
+    )
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.levenshtein(F.col("a.text"), F.col("b.text")).alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 40)
+    )
