@@ -224,3 +224,47 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "payload").mapInPandas(
         sample_frames, _FRAME_SCHEMA
     )
+
+
+_RESIZE_SCHEMA = "doc_id bigint, src_w int, src_h int, dst_w int, dst_h int, pooled_hex string"
+
+
+@query("multimodal_resize")
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize/downsample over binary image payloads via mapInPandas —
+    the third leg of the mandated decode / resize / frame-sample
+    multimodal trio. The synthetic 64-byte payload is treated as an
+    8×8 single-channel image and mean-pooled 2×2 → 4×4 (floor
+    division, deterministic); with a real imaging library the pooling
+    line is the only thing that changes (PIL.Image.resize), the
+    Spark-side plumbing — schema, Arrow batching, closure shipping —
+    is what's under test. Rows-only; hand-computed pixel values
+    asserted in tests/test_llm.py.
+
+    Scale: a narrow Arrow-batched map over the payload column — no
+    shuffle, embarrassingly parallel, output strictly smaller than
+    input (the property that makes resize-early the standard first
+    stage of image pipelines)."""
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+
+        for pdf in batches:
+            pooled = []
+            for b in pdf["payload"]:
+                img = _np.frombuffer(bytes(b), dtype=_np.uint8).reshape(8, 8)
+                p = img.reshape(4, 2, 4, 2).mean(axis=(1, 3)).astype(_np.uint8)
+                pooled.append(p.tobytes().hex())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "src_w": 8,
+                    "src_h": 8,
+                    "dst_w": 4,
+                    "dst_h": 4,
+                    "pooled_hex": pooled,
+                }
+            )
+
+    d = with_payload(load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200))
+    return d.select("doc_id", "payload").mapInPandas(resize_batches, _RESIZE_SCHEMA)

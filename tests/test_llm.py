@@ -309,3 +309,28 @@ def test_graph_pagerank_matches_numpy(spark, sf_dir):
     assert set(got) == set(nodes)
     for a in nodes:
         assert got[a] == int(np.floor(r[ix[a]] * 1e9)), a
+
+
+def test_multimodal_resize_matches_hand_pooling(spark, sf_dir):
+    """2x2 mean-pooling of the synthetic 8x8 payload must equal a hand
+    numpy computation from the same deterministic bytes."""
+    import numpy as np
+
+    rows = {
+        r["doc_id"]: r
+        for r in QUERIES["multimodal_resize"](spark, sf_dir).collect()
+    }
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 5)
+        .collect()
+    }
+    assert docs
+    for doc_id, text in docs.items():
+        payload = bytes.fromhex(hashlib.md5(text.encode()).hexdigest() * 4)
+        img = np.frombuffer(payload, dtype=np.uint8).reshape(8, 8)
+        want = img.reshape(4, 2, 4, 2).mean(axis=(1, 3)).astype(np.uint8).tobytes().hex()
+        got = rows[doc_id]
+        assert (got["src_w"], got["src_h"], got["dst_w"], got["dst_h"]) == (8, 8, 4, 4)
+        assert got["pooled_hex"] == want
