@@ -65,6 +65,14 @@ def main() -> None:
 
     load(spark, sf_dir, "lineitem").count()
     load(spark, sf_dir, "events").count()
+    # ...and the Python/Arrow worker pool (first pandas_udf call spawns
+    # workers; that's session setup, not query cost).
+    # (lambda form: @pandas_udf type-hint inference breaks under this
+    # module's `from __future__ import annotations` — round-1 lesson)
+    import pyspark.sql.functions as F
+
+    _warm = F.pandas_udf(lambda s: s, "long")
+    spark.range(64).repartition(32).select(_warm("id")).count()
 
     per_query: dict[str, float] = {}
     total = 0.0
