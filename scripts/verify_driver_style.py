@@ -1,0 +1,103 @@
+"""Driver-style verification gate — run from ANY directory:
+
+    python /root/repo/scripts/verify_driver_style.py [qid ...]
+
+Replicates what the grading driver does (SURVEY §0.1): builds a BARE
+SparkSession (none of the repo's builder confs — loaders must
+self-heal), imports /root/repo/__spark_entry__.py, smoke-runs entry(),
+then for every oracle pair runs the Spark query and the DuckDB SQL at
+sf0.01 and compares columns + order-insensitive canonical rows;
+queries without an oracle get the driver's weaker rows-only check.
+Pass query ids to restrict to a changed subset.
+
+Exit code 0 = green. This is the pre-commit gate: pytest alone cannot
+catch worker-pickling and runtime-conf regressions that only appear in
+a bare session launched outside the repo (round-1 lesson).
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tests")
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def main() -> int:
+    only = set(sys.argv[1:])
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    from helpers import canon_value
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entry", "/root/repo/__spark_entry__.py"
+    )
+    entry_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry_mod)
+
+    n_entry = len(entry_mod.entry(spark).collect())
+    print(f"entry rows: {n_entry}", file=sys.stderr)
+    ok = n_entry > 0
+
+    queries, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+
+    failures: list[tuple[str, str]] = []
+    for qid in sorted(queries):
+        if only and qid not in only:
+            continue
+        try:
+            sdf = queries[qid](spark, SF_DIR)
+            s_cols = sdf.columns
+            s_rows = sorted(
+                "|".join(canon_value(r[c]) for c in sorted(s_cols))
+                for r in sdf.collect()
+            )
+            if qid not in oracles:
+                continue  # rows-only: reaching here without raising is the check
+            rel = con.sql(oracles[qid])
+            d_cols = rel.columns
+            idx = [d_cols.index(c) for c in sorted(d_cols)]
+            d_rows = sorted(
+                "|".join(canon_value(row[i]) for i in idx) for row in rel.fetchall()
+            )
+            if sorted(s_cols) != sorted(d_cols):
+                failures.append((qid, f"cols {sorted(s_cols)} != {sorted(d_cols)}"))
+            elif s_rows != d_rows:
+                diff = next(
+                    (f"{a} != {b}" for a, b in zip(s_rows, d_rows) if a != b),
+                    f"row counts {len(s_rows)} vs {len(d_rows)}",
+                )
+                failures.append((qid, f"values: {diff[:160]}"))
+        except Exception as ex:  # noqa: BLE001 — report, don't abort the sweep
+            failures.append((qid, f"ERROR {str(ex)[:160]}"))
+
+    checked = len(only) if only else len(queries)
+    print(f"checked: {checked} queries ({len(oracles)} oracles registered)")
+    print(f"FAILURES: {failures or 'none'}")
+    spark.stop()
+    return 0 if (ok and not failures) else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
