@@ -132,3 +132,20 @@ def test_q8_star_all_hash_joins(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p
+
+
+def test_skew_salt_reaches_partitioner(spark, sf_dir):
+    """With broadcast disabled (the 100 TB case — the dim is too big),
+    the salted join must shuffle on (k, salt): the hot key's rows then
+    spread over salt-many tasks. Broadcast re-enabled afterwards."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = plan_of(QUERIES["join_skew_salted"](spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    import re
+
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", p)
+    assert any("k" in x and "salt" in x for x in parts), parts
+    assert "BroadcastHashJoin" not in p
