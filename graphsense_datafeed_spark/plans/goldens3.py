@@ -1,0 +1,141 @@
+"""Third batch of golden plans: TPC-H Q13/Q15 adaptations + deterministic sampling.
+
+Adapted to the reduced fixture schema (FIXTURES.md): Q13's
+``o_comment NOT LIKE`` filter becomes an ``o_orderpriority`` exclusion
+(same shape: a right-side predicate inside the LEFT JOIN's ON clause);
+Q15's revenue window uses the fixture shipdate domain.
+
+``sample_deterministic`` is the training-data-pipeline sampling
+pattern: a content-hash (md5-hex-prefix) systematic sample. Unlike
+``TABLESAMPLE``/``df.sample`` it is reproducible across engines, scales
+(the decision is a pure per-row function — no coordination, no seed
+state), and is stable under repartitioning/retries, which
+partition-order-dependent Bernoulli sampling is not.
+
+Scale notes (100 TB):
+- Q13 is a fact→dim LEFT join grouped by the *dim* key: the first
+  aggregate shuffles on c_custkey (same key as the join → AQE reuses
+  the exchange), the second groups a customer-cardinality input on a
+  tiny integer domain — effectively free.
+- Q15's revenue aggregate shuffles lineitem once on l_suppkey; the
+  max-revenue scalar is a 1-row broadcast (no driver collect), and the
+  supplier join is dim-sized.
+- The md5 sample prunes at scan time right after the parquet reader
+  (one hash per row, whole-stage codegen) — bytes after the filter are
+  sample-sized, so every downstream stage shrinks by the sample rate.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from graphsense_datafeed_spark.registry import query
+from graphsense_datafeed_spark.sources.tables import load
+
+
+@query(
+    "golden_q13_custdist",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    """,
+)
+def q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of per-customer order counts.
+
+    LEFT OUTER join keeps zero-order customers (c_count = 0 bucket);
+    the right-side predicate lives in the ON clause, which is
+    equivalent to pre-filtering the right input — the form used here so
+    the filter reaches the orders scan.
+    """
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    c_orders = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return c_orders.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@query(
+    "golden_q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem
+      WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        AND CAST(l_shipdate AS DATE) <  DATE '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue.
+
+    The view-reuse query: ``revenue`` feeds both the scalar MAX and the
+    join. The max rides as a 1-row broadcast crossJoin (SCALE.md rule:
+    no driver-side scalars); equality is on ROUND(...,2) values
+    computed identically on both sides, so the float-sum §2.12 trap
+    can't flip the winner.
+    """
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1996-04-01").cast("date"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_revenue"
+        )
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    supp = load(spark, sf_dir, "supplier")
+    return (
+        revenue.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(supp, F.col("supplier_no") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "sample_deterministic",
+    """
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)), 1, 2) <= '0f'
+    """,
+)
+def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash systematic sample (~1/16) of lineitem by PK digest.
+
+    ``md5(pk)`` hex-prefix comparison is engine-portable (both emit
+    lowercase hex, compared lexicographically) and reproducible: the
+    same row is always in or out, independent of partitioning, retries,
+    or engine — the property training-data subsampling needs and
+    seed-based Bernoulli sampling lacks.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    digest = F.md5(
+        F.concat(
+            F.col("l_orderkey").cast("string"),
+            F.lit("-"),
+            F.col("l_linenumber").cast("string"),
+        ).cast("binary")
+    )
+    return li.filter(F.substring(digest, 1, 2) <= "0f").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )

@@ -49,6 +49,7 @@ def query(qid: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 _OPERATOR_MODULES = (
     "graphsense_datafeed_spark.plans.flagship",
     "graphsense_datafeed_spark.plans.goldens2",
+    "graphsense_datafeed_spark.plans.goldens3",
     "graphsense_datafeed_spark.sources.scans",
     "graphsense_datafeed_spark.operators.rowops",
     "graphsense_datafeed_spark.operators.joins",
