@@ -378,3 +378,131 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice(F.array_sort(F.collect_set("h")), 1, 5).alias("fingerprint")
         )
     )
+
+
+@query(
+    "text_chunk",
+    """
+    WITH t AS (
+      SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+    )
+    SELECT doc_id,
+           (start // 32) AS chunk_id,
+           array_to_string(list_slice(toks, start + 1, start + 32), ' ') AS chunk_text,
+           CAST(len(list_slice(toks, start + 1, start + 32)) AS INT) AS n_tokens
+    FROM t, UNNEST(generate_series(0, len(toks) - 1, 32)) AS u(start)
+    """,
+)
+def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split documents into fixed-size (32-token) context chunks — the
+    pre-training chunking step. One `sequence` of chunk starts per doc
+    exploded against a `slice` of the materialized token array: the
+    whole op is narrow (no shuffle at all — chunk rows stay on the
+    doc's partition), so at 100 TB it streams through the scan stage.
+    The token array is materialized once per row (split outside the
+    per-chunk expression) — the round-1 no-CSE-inside-HOF lesson."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    return (
+        toks.select(
+            "doc_id",
+            "toks",
+            F.explode(
+                F.sequence(F.lit(0), F.size("toks") - 1, F.lit(32))
+            ).alias("start"),
+        )
+        .select(
+            "doc_id",
+            (F.col("start") / 32).cast("bigint").alias("chunk_id"),
+            F.array_join(
+                F.slice(F.col("toks"), F.col("start") + 1, F.lit(32)), " "
+            ).alias("chunk_text"),
+            F.size(F.slice(F.col("toks"), F.col("start") + 1, F.lit(32))).alias(
+                "n_tokens"
+            ),
+        )
+    )
+
+
+@query(
+    "text_pack_sequences",
+    """
+    WITH sized AS (
+      SELECT source, doc_id,
+             CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), packed AS (
+      SELECT source, doc_id, n_tokens,
+             (SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - n_tokens) // 512 AS bin_id
+      FROM sized
+    )
+    SELECT source, bin_id,
+           COUNT(*) AS docs_packed,
+           SUM(n_tokens) AS tokens_packed
+    FROM packed
+    GROUP BY source, bin_id
+    """,
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: assign docs (in stable doc_id order,
+    per source shard) to 512-token training bins by running token
+    offset — the contiguous-packing approximation every large corpus
+    pipeline uses, expressed as one integer running-sum window.
+
+    Scale: the window partitions by the shard key (`source`), so state
+    per partition is one counter and shards pack independently — the
+    global-order variant would serialize the corpus through one
+    partition and is exactly what NOT to do at 100 TB. Integer token
+    counts make the running sum order-exact, so the oracle matches
+    bit-for-bit."""
+    docs = load(spark, sf_dir, "documents")
+    sized = docs.select(
+        "source",
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = sized.withColumn(
+        "bin_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(512)),
+    )
+    return packed.groupBy("source", "bin_id").agg(
+        F.count("*").alias("docs_packed"),
+        F.sum("n_tokens").alias("tokens_packed"),
+    )
+
+
+@query(
+    "text_mixture_sample",
+    """
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+          CASE lang WHEN 'en' THEN '80' WHEN 'fr' THEN '40' ELSE '1a' END
+    """,
+)
+def text_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted mixture sampling for corpus curation: keep ~50% of en,
+    ~25% of fr, ~10% of everything else, decided by an md5-hex-prefix
+    threshold per row. Like `sample_deterministic` this is a pure
+    per-row function — reproducible across engines, retries and
+    repartitionings, and composable (the same digest prefix always
+    selects the same docs at a higher rate, so raising a source's
+    weight only ADDS documents — monotone mixture updates, the
+    property curriculum re-mixes need)."""
+    docs = load(spark, sf_dir, "documents")
+    prefix = F.substring(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2
+    )
+    threshold = (
+        F.when(F.col("lang") == "en", "80")
+        .when(F.col("lang") == "fr", "40")
+        .otherwise("1a")
+    )
+    return docs.filter(prefix < threshold).select("doc_id", "lang", "source")
