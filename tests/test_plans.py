@@ -149,3 +149,41 @@ def test_skew_salt_reaches_partitioner(spark, sf_dir):
     parts = re.findall(r"hashpartitioning\(([^)]*)\)", p)
     assert any("k" in x and "salt" in x for x in parts), parts
     assert "BroadcastHashJoin" not in p
+
+
+def test_chunking_is_narrow(spark, sf_dir):
+    """text_chunk must be shuffle-free: sequence+explode+slice are all
+    narrow, so chunk rows never leave the doc's partition."""
+    p = plan_of(QUERIES["text_chunk"](spark, sf_dir))
+    assert "Exchange" not in p, p
+
+
+def test_q15_scalar_max_is_broadcast(spark, sf_dir):
+    """Q15's MAX(total_revenue) must ride as a broadcast (1-row build
+    side), never a shuffled join or a driver collect."""
+    p = plan_of(QUERIES["golden_q15_top_supplier"](spark, sf_dir))
+    assert "BroadcastExchange" in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_sample_prunes_columns_and_stays_codegen(spark, sf_dir):
+    """The md5 sample filter reads exactly its 3 columns (digest keys +
+    projection) and evaluates inside whole-stage codegen right after
+    the scan — the property that shrinks every downstream stage."""
+    p = plan_of(QUERIES["sample_deterministic"](spark, sf_dir))
+    read_schema = p.split("ReadSchema:")[1].splitlines()[0]
+    for col in ("l_orderkey", "l_linenumber", "l_extendedprice"):
+        assert col in read_schema
+    assert "l_shipdate" not in read_schema
+    assert "* Filter" in p  # '*' prefix = inside WholeStageCodegen
+
+
+def test_pack_window_partitions_by_shard(spark, sf_dir):
+    """Sequence packing must window per source shard (parallel), not
+    over one global order (serial bottleneck at scale)."""
+    import re
+
+    p = plan_of(QUERIES["text_pack_sequences"](spark, sf_dir))
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", p)
+    assert any("source" in x for x in parts), parts
+    assert "SinglePartition" not in p, p

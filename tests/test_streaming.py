@@ -200,3 +200,42 @@ def test_stream_stateful_tws_equals_batch(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_restart_resumes_from_checkpoint(spark, sf_dir):
+    """The daemon-restart story: stop the stream, deliver more data,
+    start a NEW query on the same checkpoint — it must resume from the
+    recorded offsets (no reprocessing of batch 1, no loss of batch 2).
+    File sink + checkpoint give exactly-once across the restart."""
+    d = os.path.join(tempfile.gettempdir(), "gds_test_restart", uuid.uuid4().hex[:8])
+    src, sink, ckpt = (os.path.join(d, x) for x in ("src", "sink", "ckpt"))
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id")
+    b1 = ev.filter(F.col("event_id") < 100)
+    b2 = ev.filter((F.col("event_id") >= 100) & (F.col("event_id") < 250))
+    b1.coalesce(1).write.parquet(os.path.join(src, "b1"))
+
+    def run_once():
+        q = (
+            spark.readStream.schema("event_id bigint, user_id bigint")
+            .option("pathGlobFilter", "*.parquet")
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once()
+    n_after_b1 = spark.read.parquet(sink).count()
+    assert n_after_b1 == b1.count()
+    b2.coalesce(1).write.parquet(os.path.join(src, "b2"))
+    run_once()  # brand-new query object, same checkpoint
+    got = spark.read.parquet(sink)
+    assert got.count() == b1.count() + b2.count()  # no dups, no loss
+    assert got.select("event_id").distinct().count() == got.count()
+    shutil.rmtree(d, ignore_errors=True)
