@@ -549,3 +549,44 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("ndv_customers")
         )
     )
+
+
+@query(
+    "agg_incremental_rollup",
+    """
+    SELECT CAST(date_trunc('month', CAST(ts AS DATE)) AS DATE) AS month,
+           event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents
+    FROM events
+    GROUP BY month, event_type
+    """,
+)
+def agg_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-aggregate maintenance: daily pre-aggregates rolled
+    up to monthly finals — the materialized-view pattern behind the
+    reference's `summary_statistics` table, generalized. The engine
+    computes the DAILY layer first (what a production pipeline would
+    persist per ingest day) and derives months by merging days; the
+    oracle aggregates raw events directly, so the check proves the
+    two-level maintenance path is lossless.
+
+    Exactness: counts and integer cents are associative — any
+    partial/merge order gives identical results, which is what makes
+    the incremental path safe at all (float sums would not be). Scale:
+    the daily layer shrinks 100 TB of events to |days|×|types| rows;
+    month-end re-aggregation touches only that layer, never the raw
+    facts — same story as the HLL sketch rollup for NDV."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"),
+    )
+    return daily.groupBy(
+        F.trunc("day", "month").alias("month"), "event_type"
+    ).agg(
+        F.sum("n").alias("n_events"),
+        F.sum("cents").alias("value_cents"),
+    )
