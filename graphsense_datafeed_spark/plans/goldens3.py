@@ -139,3 +139,92 @@ def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.filter(F.substring(digest, 1, 2) <= "0f").select(
         "l_orderkey", "l_linenumber", "l_extendedprice"
     )
+
+
+@query(
+    "events_funnel",
+    """
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS first_signup
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), p AS (
+      SELECT e.user_id, COUNT(*) AS purchases_after
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s.first_signup
+      GROUP BY e.user_id
+    )
+    SELECT s.user_id, COALESCE(p.purchases_after, 0) AS purchases_after
+    FROM s LEFT JOIN p ON s.user_id = p.user_id
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→purchase funnel: per signed-up user, purchases strictly
+    after their first signup. Two aggregates over the same fact table
+    shuffled on the same key (user_id) — AQE reuses the exchange; the
+    per-user signup min is user-cardinality, so the enrich join
+    broadcasts at any realistic user count. Timestamp comparison is
+    µs-exact on both engines (events ts parity, SURVEY §2.12-1)."""
+    ev = load(spark, sf_dir, "events")
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_signup"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(signups), "user_id")
+        .filter(F.col("ts") > F.col("first_signup"))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("p_after"))
+    )
+    return signups.join(purchases, "user_id", "left").select(
+        "user_id", F.coalesce("p_after", F.lit(0)).alias("purchases_after")
+    )
+
+
+@query(
+    "events_cohort_retention",
+    """
+    WITH cohorts AS (
+      SELECT user_id,
+             CAST(date_trunc('week', MIN(CAST(ts AS DATE))) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id
+    )
+    SELECT cohort_week,
+           date_diff('day', cohort_week,
+                     CAST(date_trunc('week', CAST(e.ts AS DATE)) AS DATE)) // 7
+             AS week_offset,
+           COUNT(DISTINCT e.user_id) AS active_users
+    FROM events e JOIN cohorts c USING (user_id)
+    GROUP BY cohort_week, week_offset
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users bucketed by first-seen week, counted
+    distinct in each subsequent activity week. Week offsets are
+    computed as whole-day differences between week-truncated dates
+    divided by 7 — exact integers on both engines (date_trunc('week')
+    is Monday-start in Spark AND DuckDB; a 'week'-unit datediff would
+    instead count engine-specific boundary crossings). The cohort dim
+    is user-cardinality → broadcast enrich; the distinct count
+    shuffles on (cohort, offset, user) — bounded by active pairs."""
+    ev = load(spark, sf_dir, "events")
+    cohorts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min(F.to_date("ts"))).cast("date").alias("cohort_week")
+    )
+    return (
+        ev.join(F.broadcast(cohorts), "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(
+                F.datediff(
+                    F.date_trunc("week", F.to_date("ts")).cast("date"),
+                    F.col("cohort_week"),
+                )
+                / 7
+            ).alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
