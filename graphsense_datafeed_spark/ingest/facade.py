@@ -179,7 +179,7 @@ def ingest_tx_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT (o).address[1] AS address,
            COUNT(*) AS n_outputs,
-           SUM((o).value) AS total_received
+           CAST(SUM((o).value) AS BIGINT) AS total_received
     FROM outs GROUP BY 1
     """,
 )
@@ -200,7 +200,7 @@ def ingest_address_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ingest_summary",
     f"""
     SELECT COUNT(*) AS no_blocks,
-           SUM(no_transactions) AS no_transactions,
+           CAST(SUM(no_transactions) AS BIGINT) AS no_transactions,
            MAX(make_timestamp(timestamp * 1000000)) AS last_ts
     FROM {_DUCK_BLOCKS}
     """,
@@ -275,7 +275,7 @@ def ingest_rates_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT src, dst,
            COUNT(*) AS n_edges,
-           SUM(sat) AS total_satoshi
+           CAST(SUM(sat) AS BIGINT) AS total_satoshi
     FROM ins JOIN outs USING (tx_hash)
     GROUP BY src, dst
     HAVING COUNT(*) >= 2

@@ -557,7 +557,7 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(date_trunc('month', CAST(ts AS DATE)) AS DATE) AS month,
            event_type,
            COUNT(*) AS n_events,
-           SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
     FROM events
     GROUP BY month, event_type
     """,

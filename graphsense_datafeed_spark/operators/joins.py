@@ -368,7 +368,7 @@ def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "join_skew_salted",
     """
-    SELECT label, COUNT(*) AS n_events, SUM(cents) AS total_cents
+    SELECT label, COUNT(*) AS n_events, CAST(SUM(cents) AS BIGINT) AS total_cents
     FROM (
       SELECT CASE WHEN user_id % 10 < 7 THEN 0 ELSE user_id END AS k,
              CAST(ROUND(value * 100) AS BIGINT) AS cents

@@ -433,14 +433,14 @@ def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ), packed AS (
       SELECT source, doc_id, n_tokens,
-             (SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             CAST((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-              - n_tokens) // 512 AS bin_id
+              - n_tokens) // 512 AS BIGINT) AS bin_id
       FROM sized
     )
     SELECT source, bin_id,
            COUNT(*) AS docs_packed,
-           SUM(n_tokens) AS tokens_packed
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_packed
     FROM packed
     GROUP BY source, bin_id
     """,

@@ -107,7 +107,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "golden_q9_profit",
     """
     SELECT nation, o_year,
-           SUM(CAST(ROUND(volume * 10000) AS BIGINT)) AS sum_profit_e4
+           CAST(SUM(CAST(ROUND(volume * 10000) AS BIGINT)) AS BIGINT) AS sum_profit_e4
     FROM (
       SELECT n_name AS nation,
              EXTRACT(year FROM o_orderdate) AS o_year,

@@ -297,7 +297,7 @@ def table_register(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sink_partitioned_overwrite",
     """
     SELECT CAST(ts AS DATE) AS event_date, COUNT(*) AS n_events,
-           SUM(CAST(ROUND(value * 100) AS BIGINT)) AS total_cents
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
     FROM events GROUP BY CAST(ts AS DATE)
     """,
 )

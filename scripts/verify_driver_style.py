@@ -35,7 +35,7 @@ def main() -> int:
     import duckdb
     from pyspark.sql import SparkSession
 
-    from helpers import canon_value
+    from helpers import assert_driver_safe_types, canon_value
 
     spark = (
         SparkSession.builder.master("local[8]")
@@ -77,6 +77,9 @@ def main() -> int:
                 continue  # rows-only: reaching here without raising is the check
             rel = con.sql(oracles[qid])
             d_cols = rel.columns
+            # the driver's hash is type-sensitive: HUGEINT/DECIMAL
+            # oracle outputs hash-fail even when values match
+            assert_driver_safe_types(d_cols, rel.types, qid)
             idx = [d_cols.index(c) for c in sorted(d_cols)]
             d_rows = sorted(
                 "|".join(canon_value(row[i]) for i in idx) for row in rel.fetchall()

@@ -10,7 +10,31 @@ from __future__ import annotations
 
 import datetime
 import math
+import re
 from decimal import Decimal
+
+# Types the driver's hash cannot be trusted with (round-1 lesson: DuckDB
+# SUM(BIGINT) -> HUGEINT hash-failed 3 queries whose VALUES matched,
+# because the driver's value-hash is type-sensitive while our canon_value
+# collapses HUGEINT/Decimal into int/float).  The pattern is matched
+# against the full DuckDB type string, so list/struct element types are
+# covered too (e.g. "STRUCT(v HUGEINT)[]").
+_UNSAFE_DUCK_TYPE = re.compile(
+    r"HUGEINT|DECIMAL|UBIGINT|UINTEGER|USMALLINT|UTINYINT"
+)
+
+
+def assert_driver_safe_types(columns, types, qid: str = "query") -> None:
+    """Fail if any DuckDB oracle output column has a type the driver's
+    type-sensitive value-hash would diverge on (HUGEINT, DECIMAL, and
+    unsigned ints). Oracles must CAST such expressions to
+    BIGINT/DOUBLE so both engines hand the driver the same wire type."""
+    bad = [(c, str(t)) for c, t in zip(columns, types) if _UNSAFE_DUCK_TYPE.search(str(t))]
+    if bad:
+        raise AssertionError(
+            f"{qid}: oracle output types unsafe for the driver hash: {bad}; "
+            "wrap the expression in CAST(... AS BIGINT) / CAST(... AS DOUBLE)"
+        )
 
 
 def canon_value(v):
@@ -66,6 +90,7 @@ def assert_parity(spark, ddb, qid: str, sf_dir: str, queries=None, oracles=None)
 
     rel = ddb.sql(oracles[qid])
     d_cols = rel.columns
+    assert_driver_safe_types(d_cols, rel.types, qid)
     d_rows = rel.fetchall()
 
     assert sorted(s_cols) == sorted(d_cols), (

@@ -39,3 +39,33 @@ def test_entry_smoke(spark):
 
 def test_oracle_keys_subset():
     assert set(registry.ORACLES) <= set(registry.QUERIES)
+
+
+def test_gate_rejects_hugeint_oracle(ddb):
+    """Regression (round-1 driver failure): an uncast integer SUM yields
+    DuckDB HUGEINT, which the driver's type-sensitive hash rejects even
+    when values match. The hardened local gate must fail it too."""
+    from tests.helpers import assert_driver_safe_types
+
+    rel = ddb.sql("SELECT SUM(o_custkey) AS s FROM orders")
+    with pytest.raises(AssertionError, match="HUGEINT"):
+        assert_driver_safe_types(rel.columns, rel.types, "deliberate_hugeint")
+
+
+def test_gate_rejects_nested_hugeint_oracle(ddb):
+    """The unsafe-type scan must see through list/struct element types."""
+    from tests.helpers import assert_driver_safe_types
+
+    rel = ddb.sql("SELECT [SUM(o_custkey)] AS s FROM orders")
+    with pytest.raises(AssertionError, match="HUGEINT"):
+        assert_driver_safe_types(rel.columns, rel.types, "nested_hugeint")
+
+
+def test_no_oracle_emits_unsafe_types(ddb):
+    """Sweep every registered oracle: zero HUGEINT/DECIMAL/unsigned
+    output columns (the driver-hash-safe invariant, VERDICT r1 item 1)."""
+    from tests.helpers import assert_driver_safe_types
+
+    for qid, sql in sorted(registry.ORACLES.items()):
+        rel = ddb.sql(sql)
+        assert_driver_safe_types(rel.columns, rel.types, qid)
