@@ -419,6 +419,85 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def split_salted_join(fact, dim, key: str, n_salt: int, threshold: int):
+    """Two-pass conditional skew join: salt ONLY the heavy-hitter keys.
+
+    Pass 1 is a cheap partial-aggregated frequency count of ``key`` on
+    the fact side; keys above ``threshold`` form the (tiny, broadcast)
+    hot set. Pass 2 splits both sides on hot-set membership: the hot
+    fact slice salts into ``n_salt`` sub-keys and joins a dim slice
+    replicated only for hot keys; the cold slice takes the plain
+    equi-join with zero dim replication. At 100 TB this is what you
+    actually run — unconditional salting replicates the whole dim side
+    ×S and fans out every fact row for keys that were never skewed.
+
+    Returns ``(joined, dim_hot_replicated)`` — the second element is
+    exposed so tests can assert the replication factor is
+    |hot keys| × n_salt, not |dim| × n_salt.
+    """
+    hot = (
+        fact.groupBy(key)
+        .count()
+        .filter(F.col("count") > threshold)
+        .select(key)
+    )
+    # deterministic salt from the row's own values: any salt in
+    # [0, n_salt) is correct (the dim slice carries all of them), and
+    # hashing beats monotonically_increasing_id by staying
+    # deterministic under task retry / recomputation
+    salt_expr = F.pmod(F.hash(*[F.col(c) for c in fact.columns]), F.lit(n_salt))
+    fact_hot = fact.join(F.broadcast(hot), key, "left_semi").withColumn(
+        "salt", salt_expr
+    )
+    fact_cold = fact.join(F.broadcast(hot), key, "left_anti")
+    dim_hot = (
+        dim.join(F.broadcast(hot), key, "left_semi")
+        .withColumn("salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)])))
+    )
+    hot_joined = fact_hot.join(dim_hot, [key, "salt"]).drop("salt")
+    cold_joined = fact_cold.join(dim, key)
+    return hot_joined.unionByName(cold_joined), dim_hot
+
+
+@query(
+    "join_skew_conditional",
+    """
+    SELECT label, COUNT(*) AS n_events,
+           COUNT(DISTINCT k) AS n_keys,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM (
+      SELECT CASE WHEN user_id % 10 < 7 THEN 0 ELSE user_id END AS k,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    ) f
+    JOIN (SELECT c_custkey AS k, c_mktsegment AS label FROM customer) d
+      USING (k)
+    GROUP BY label
+    """,
+)
+def join_skew_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional (heavy-hitter) salted join — the production variant
+    of ``join_skew_salted``: a first pass counts key frequencies, only
+    keys above the threshold are salted, and cold keys take the plain
+    join with no dim replication. Semantics-preserving, so the oracle
+    is the plain join (exact hash check)."""
+    fact = load(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 10 < 7, F.lit(0))
+        .otherwise(F.col("user_id"))
+        .alias("k"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    dim = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), F.col("c_mktsegment").alias("label")
+    )
+    joined, _ = split_salted_join(fact, dim, "k", n_salt=8, threshold=1000)
+    return joined.groupBy("label").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("k").alias("n_keys"),
+        F.sum("cents").alias("total_cents"),
+    )
+
+
 @query(
     "join_lateral",
     """

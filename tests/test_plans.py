@@ -151,6 +151,57 @@ def test_skew_salt_reaches_partitioner(spark, sf_dir):
     assert "BroadcastHashJoin" not in p
 
 
+def test_skew_conditional_replicates_only_hot_keys(spark, sf_dir):
+    """The two-pass conditional skew join must NOT replicate the dim
+    side for cold keys: replicated dim rows == |hot keys| * n_salt,
+    and the plan's only explode feeds the hot branch."""
+    from pyspark.sql import functions as F
+
+    from graphsense_datafeed_spark.operators.joins import load, split_salted_join
+
+    fact = load(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 10 < 7, F.lit(0))
+        .otherwise(F.col("user_id"))
+        .alias("k"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    dim = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), F.col("c_mktsegment").alias("label")
+    )
+    # scale-relative threshold: key 0 funnels ~70% of rows, so 10% of
+    # the fact count marks it hot at every SF the suite runs at
+    n_salt, threshold = 8, max(1, fact.count() // 10)
+    joined, dim_hot = split_salted_join(fact, dim, "k", n_salt, threshold)
+
+    n_hot = fact.groupBy("k").count().filter(F.col("count") > threshold).count()
+    hot_in_dim = (
+        fact.groupBy("k")
+        .count()
+        .filter(F.col("count") > threshold)
+        .join(dim, "k", "left_semi")
+        .count()
+    )
+    assert n_hot >= 1  # the synthetic funnel makes key 0 hot
+    # replication bounded by hot keys, nowhere near |dim| * n_salt
+    assert dim_hot.count() == hot_in_dim * n_salt
+    assert dim_hot.count() < dim.count() * n_salt
+    # exactly one explode in the whole plan — the hot branch; the cold
+    # branch joins the dim unreplicated
+    p = plan_of(joined, "simple")
+    assert p.count("Generate") == 1, p
+
+    # semantics preserved vs the plain join
+    plain = (
+        fact.join(dim, "k")
+        .groupBy("label")
+        .agg(F.count("*").alias("n"), F.sum("cents").alias("c"))
+    )
+    cond = joined.groupBy("label").agg(
+        F.count("*").alias("n"), F.sum("cents").alias("c")
+    )
+    assert sorted(map(tuple, cond.collect())) == sorted(map(tuple, plain.collect()))
+
+
 def test_chunking_is_narrow(spark, sf_dir):
     """text_chunk must be shuffle-free: sequence+explode+slice are all
     narrow, so chunk rows never leave the doc's partition."""
