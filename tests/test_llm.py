@@ -311,6 +311,66 @@ def test_graph_pagerank_matches_numpy(spark, sf_dir):
         assert got[a] == int(np.floor(r[ix[a]] * 1e9)), a
 
 
+def test_pagerank_early_exit_on_stationary_graph(spark):
+    """On a directed cycle the uniform distribution is already
+    stationary, so the L1-delta convergence probe must stop the power
+    iteration after a single round — not burn the full max_iter (each
+    wasted round is a full edge-set shuffle at scale)."""
+    from graphsense_datafeed_spark.ingest.facade import pagerank_iterate
+
+    edges = spark.createDataFrame(
+        [(f"a{i}", f"a{(i + 1) % 6}") for i in range(6)], "src string, dst string"
+    )
+    nodes = (
+        edges.select(F.col("src").alias("addr"))
+        .union(edges.select(F.col("dst").alias("addr")))
+        .distinct()
+    )
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    ranks, iters = pagerank_iterate(nodes, edges, out_deg, 6, max_iter=10, tol=1e-9)
+    assert iters < 10, iters
+    for row in ranks.collect():
+        assert abs(row["rank"] - 1.0 / 6) < 1e-12, row
+
+
+def test_pagerank_early_exit_output_matches_full_run(spark):
+    """Converged-early ranks must equal the full-bound run bit-for-bit
+    (the early exit only skips no-op rounds)."""
+    from graphsense_datafeed_spark.ingest.facade import pagerank_iterate
+
+    edges = spark.createDataFrame(
+        [(f"a{i}", f"a{(i + 1) % 4}") for i in range(4)], "src string, dst string"
+    )
+    nodes = edges.select(F.col("src").alias("addr")).distinct()
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    early, it_early = pagerank_iterate(nodes, edges, out_deg, 4, max_iter=10, tol=1e-9)
+    full, it_full = pagerank_iterate(nodes, edges, out_deg, 4, max_iter=10, tol=0.0)
+    assert it_early < it_full == 10
+    e = {r["addr"]: r["rank"] for r in early.collect()}
+    f_ = {r["addr"]: r["rank"] for r in full.collect()}
+    assert e == f_
+
+
+def test_components_converge_before_iteration_bound(spark):
+    """Label propagation on a 5-node path (diameter 4) must exit well
+    before the 20-round bound and still produce one component."""
+    from graphsense_datafeed_spark.ingest.facade import label_propagate
+
+    chain = [(f"a{i}", f"a{i + 1}") for i in range(4)]
+    edges = spark.createDataFrame(chain, "src string, dst string")
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = (
+        sym.select(F.col("src").alias("addr"))
+        .distinct()
+        .select("addr", F.xxhash64("addr").alias("label"))
+    )
+    labels, iters = label_propagate(sym, labels, max_iter=20)
+    assert iters < 20, iters
+    assert labels.select("label").distinct().count() == 1
+
+
 def test_multimodal_resize_matches_hand_pooling(spark, sf_dir):
     """2x2 mean-pooling of the synthetic 8x8 payload must equal a hand
     numpy computation from the same deterministic bytes."""
