@@ -526,6 +526,90 @@ def ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "stream_rates_upsert",
+    f"""
+    WITH r AS (
+        SELECT * FROM read_csv('{RATES_CSV}', header=true,
+                  columns={{'date':'DATE','usd':'DOUBLE','eur':'DOUBLE'}})
+    ), rev AS (SELECT date FROM r ORDER BY date LIMIT 5)
+    SELECT r.date,
+           CASE WHEN r.date IN (SELECT date FROM rev)
+                THEN r.usd * 2 ELSE r.usd END AS usd,
+           r.eur
+    FROM r
+    """,
+)
+def stream_rates_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's periodic exchange-rates daemon (SURVEY §3.1-3)
+    as a stream: the rates feed directory is tailed as a micro-batch
+    file stream and every batch upserts BY DATE KEY into the rates
+    table — a re-fetch of an already-landed date wins over the stale
+    row, which is exactly the daemon's refresh contract.
+
+    Mechanics: two staged feed files (the full fetch, then a
+    5-date correction with doubled usd) arrive in mtime order —
+    maxFilesPerTrigger=1 makes each its own micro-batch — and
+    foreachBatch lands them via dynamic partition overwrite keyed on
+    date: an idempotent per-key upsert with no bookkeeping table. The
+    oracle applies the same correction to the base CSV in SQL, so this
+    is an exact hash check of the upsert semantics.
+
+    Scale: the rates table stays KBs forever (one row per day), but
+    the same foreachBatch + dynamic-partition-overwrite shape is the
+    100 TB block-reingest path (see ``sink_partitioned_overwrite``)."""
+    import csv
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    run = uuid.uuid4().hex[:8]
+    feed_dir = os.path.join(tempfile.gettempdir(), "gds_rates_feed", run)
+    os.makedirs(feed_dir)
+    base = os.path.join(feed_dir, "rates_000.csv")
+    shutil.copy(RATES_CSV, base)
+    os.utime(base, (1_000_000, 1_000_000))
+    with open(RATES_CSV) as f:
+        rows = sorted(csv.DictReader(f), key=lambda r: r["date"])
+    rev = os.path.join(feed_dir, "rates_001.csv")
+    with open(rev, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["date", "usd", "eur"])
+        for r in rows[:5]:
+            w.writerow([r["date"], repr(float(r["usd"]) * 2), r["eur"]])
+    os.utime(rev, (2_000_000, 2_000_000))
+
+    target = os.path.join(tempfile.gettempdir(), "gds_rates_table", run)
+    ckpt = os.path.join(tempfile.gettempdir(), "gds_ckpt", "rates_" + run)
+    stream = (
+        spark.readStream.schema("date DATE, usd DOUBLE, eur DOUBLE")
+        .option("header", True)
+        .option("maxFilesPerTrigger", 1)
+        .csv(feed_dir)
+    )
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("date")
+            .parquet(target)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.read.parquet(target).select(
+        F.col("date").cast("date").alias("date"), "usd", "eur"
+    )
+
+
 @query("sink_cassandra")
 def sink_cassandra(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pluggable-sink seam (SURVEY §2.1): run the full ingest

@@ -239,3 +239,29 @@ def test_restart_resumes_from_checkpoint(spark, sf_dir):
     assert got.count() == b1.count() + b2.count()  # no dups, no loss
     assert got.select("event_id").distinct().count() == got.count()
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_rates_upsert_revision_wins(spark, sf_dir):
+    """The rates-refresh stream must apply per-date upsert semantics:
+    the re-fetched (revised) dates carry the corrected usd, every
+    other date keeps its original value, and no date is duplicated."""
+    import csv
+
+    from pyspark.sql import functions as F
+
+    from graphsense_datafeed_spark.registry import QUERIES
+    from graphsense_datafeed_spark.sources.scans import RATES_CSV
+
+    with open(RATES_CSV) as f:
+        base = sorted(csv.DictReader(f), key=lambda r: r["date"])
+    revised = {r["date"]: float(r["usd"]) * 2 for r in base[:5]}
+
+    got = {
+        r["date"].isoformat(): (r["usd"], r["eur"])
+        for r in QUERIES["stream_rates_upsert"](spark, sf_dir).collect()
+    }
+    assert len(got) == len(base)  # one row per date — upsert, not append
+    for r in base:
+        want_usd = revised.get(r["date"], float(r["usd"]))
+        assert got[r["date"]][0] == want_usd, r["date"]
+        assert got[r["date"]][1] == float(r["eur"]), r["date"]
