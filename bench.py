@@ -50,8 +50,12 @@ HEADLINE = [
 
 
 def main() -> None:
-    # hot-table cache: repeated headline queries reuse columnar scans
+    # hot-table cache: repeated headline queries reuse columnar scans.
+    # SPARK_GRAFT_CACHE=0 runs the honest cold mode (every query pays
+    # its own scans) — BASELINE.md records BOTH numbers so the perf
+    # gate never silently leans on the cache.
     os.environ.setdefault("SPARK_GRAFT_CACHE", "1")
+    cache_hot = os.environ["SPARK_GRAFT_CACHE"] == "1"
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     from graphsense_datafeed_spark import registry
@@ -93,6 +97,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": per_query,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "cache": "hot" if cache_hot else "cold",
             }
         )
     )

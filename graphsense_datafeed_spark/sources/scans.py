@@ -40,6 +40,33 @@ from graphsense_datafeed_spark.registry import query
 from graphsense_datafeed_spark.session import ensure_runtime_confs
 from graphsense_datafeed_spark.sources.tables import load, register_views
 
+def staged_output(out: str, write_fn) -> str:
+    """Write-once staging with crash/concurrency safety.
+
+    An existing target directory is trusted only if it carries the
+    completion marker — an interrupted earlier run can leave a partial
+    tree that would silently yield wrong results. Fresh data is written
+    into a uuid-suffixed stage, marked complete, then atomically
+    renamed into place; if the rename loses a race (the target appeared
+    concurrently) the freshly written stage is returned instead, so the
+    caller never reads a possibly-partial directory.
+    """
+    import uuid
+
+    marker = ".gds_complete"
+    if os.path.exists(os.path.join(out, marker)):
+        return out
+    stage = f"{out}.stage-{uuid.uuid4().hex[:8]}"
+    write_fn(stage)
+    with open(os.path.join(stage, marker), "w") as f:
+        f.write("ok")
+    try:
+        os.rename(stage, out)
+        return out
+    except OSError:
+        return stage
+
+
 FIXTURES_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "fixtures")
 BLOCKS_JSONL = os.path.abspath(os.path.join(FIXTURES_DIR, "blocks.jsonl"))
 RATES_CSV = os.path.abspath(os.path.join(FIXTURES_DIR, "rates.csv"))
@@ -218,13 +245,7 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(), "gds_orc", os.path.basename(sf_dir.rstrip("/"))
     )
     src = load(spark, sf_dir, "supplier")
-    if not os.path.exists(out):
-        stage = out + ".stage"
-        src.write.mode("overwrite").orc(stage)
-        try:
-            os.rename(stage, out)
-        except OSError:
-            pass
+    out = staged_output(out, lambda d: src.write.mode("overwrite").orc(d))
     return (
         spark.read.schema(src.schema)
         .orc(out)
@@ -255,18 +276,16 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(), "gds_evolve", os.path.basename(sf_dir.rstrip("/"))
     )
     region = load(spark, sf_dir, "region")
-    if not os.path.exists(out):
-        stage = out + ".stage"
+
+    def write_gens(stage: str) -> None:
         region.write.mode("overwrite").parquet(f"{stage}/gen=1")
         region.select(
             (F.col("r_regionkey") + 100).alias("r_regionkey"),
             "r_name",
             (F.col("r_regionkey").cast("bigint") % 3).alias("r_zone"),
         ).write.mode("overwrite").parquet(f"{stage}/gen=2")
-        try:
-            os.rename(stage, out)
-        except OSError:
-            pass
+
+    out = staged_output(out, write_gens)
     merged = spark.read.option("mergeSchema", "true").parquet(
         f"{out}/gen=1", f"{out}/gen=2"
     )

@@ -135,3 +135,32 @@ def test_observe_metrics_single_pass(spark, sf_dir):
     assert got["total_cents"] == want["c"]
     assert got["n_error_rows"] == want["e"]
     assert kept == want["n"] - want["e"]
+
+
+def test_staged_output_distrusts_partial_target(tmp_path):
+    """A target left behind by an interrupted run (no completion
+    marker) must be rewritten, and the fresh stage used when the
+    rename can't replace it — never the possibly-partial directory."""
+    import os
+
+    from graphsense_datafeed_spark.sources.scans import staged_output
+
+    out = tmp_path / "data"
+    out.mkdir()
+    (out / "junk").write_text("partial")  # no .gds_complete marker
+    calls = []
+
+    def write(d):
+        os.makedirs(d)
+        with open(os.path.join(d, "real"), "w") as f:
+            f.write("ok")
+        calls.append(d)
+
+    got = staged_output(str(out), write)
+    assert calls, "partial target was wrongly trusted"
+    assert os.path.exists(os.path.join(got, "real"))
+
+    # a complete target (marker present) is trusted and not rewritten
+    calls.clear()
+    got2 = staged_output(got, write)
+    assert got2 == got and not calls
