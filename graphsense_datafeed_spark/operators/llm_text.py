@@ -506,3 +506,200 @@ def text_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("1a")
     )
     return docs.filter(prefix < threshold).select("doc_id", "lang", "source")
+
+
+@query(
+    "text_repetition_filter",
+    """
+    WITH g AS (
+        SELECT doc_id, ws,
+               list_transform(range(1, greatest(len(ws) - 1, 0) + 1),
+                              i -> array_to_string(ws[i:i+1], ' ')) AS g2
+        FROM (SELECT doc_id, str_split(text, ' ') AS ws FROM documents)
+    )
+    SELECT doc_id,
+           CAST(FLOOR(CAST(list_max(list_transform(list_distinct(ws),
+                    w -> len(list_filter(ws, x -> x = w)))) AS DOUBLE)
+                / len(ws) * 10000) AS BIGINT) AS top_word_ratio_e4,
+           CAST(FLOOR((1.0 - CAST(len(list_distinct(g2)) AS DOUBLE)
+                           / len(g2)) * 10000) AS BIGINT) AS dup_2gram_ratio_e4
+    FROM g
+    """,
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality rules (the Gopher-rules family the
+    length gates in ``text_quality`` don't cover): fraction of tokens
+    taken by the single most frequent word, and the duplicate-2-gram
+    fraction. Highly repetitive documents (boilerplate, keyword spam,
+    decoding loops) light up both.
+
+    Scale: entirely NARROW — both ratios are higher-order-function
+    array math inside the document row, so a 100 TB corpus scan never
+    shuffles; the split array is materialized once per row first
+    (no CSE inside HOF lambdas — round-1 lesson)."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    ws = F.col("ws")
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(ws),
+            lambda w: F.size(F.filter(ws, lambda x: x == w)),
+        )
+    )
+    g2 = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(ws) - 1, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.element_at(ws, i), F.element_at(ws, i + 1)),
+    )
+    return d.select(
+        "doc_id",
+        F.floor(top_cnt.cast("double") / F.size(ws) * 10000)
+        .cast("bigint")
+        .alias("top_word_ratio_e4"),
+        F.floor(
+            (1.0 - F.size(F.array_distinct(g2)).cast("double") / F.size(g2))
+            * 10000
+        )
+        .cast("bigint")
+        .alias("dup_2gram_ratio_e4"),
+    )
+
+
+@query(
+    "text_decontaminate",
+    """
+    WITH grams AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(ws) - 4, 0) + 1),
+                   i -> array_to_string(ws[i:i+4], ' ')))) AS s
+        FROM (SELECT doc_id, str_split(text, ' ') AS ws FROM documents)
+    ), bench AS (
+        SELECT DISTINCT s FROM grams WHERE doc_id < 20
+    ), hits AS (
+        SELECT c.doc_id, COUNT(DISTINCT c.s) AS n_shared
+        FROM grams c JOIN bench b USING (s)
+        WHERE c.doc_id >= 20
+        GROUP BY c.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(h.n_shared, 0) AS BIGINT) AS n_shared_5grams,
+           COALESCE(h.n_shared, 0) > 0 AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id >= 20) d
+    LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    5-word n-gram with the held-out eval set (docs 0..19 stand in for
+    the benchmark). The standard leakage guard before training.
+
+    Scale: n-gram generation is narrow (HOF over the split array); the
+    only shuffle is the equi-join on the shingle string, and the
+    benchmark side (eval suites are ~1e5 docs, corpus is ~1e10) is
+    broadcast — the corpus is never shuffled, only scanned."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    ws = F.col("ws")
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.size(ws) - 4, F.lit(0))),
+                    lambda i: F.array_join(F.slice(ws, i, 5), " "),
+                )
+            )
+        ).alias("s"),
+    )
+    bench = grams.filter(F.col("doc_id") < 20).select("s").distinct()
+    corpus = grams.filter(F.col("doc_id") >= 20)
+    hits = (
+        corpus.join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("s").alias("n_shared"))
+    )
+    ids = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") >= 20)
+        .select("doc_id")
+    )
+    return ids.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_shared"), F.lit(0))
+        .cast("bigint")
+        .alias("n_shared_5grams"),
+        (F.coalesce(F.col("n_shared"), F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
+# PII patterns shared verbatim by the Spark query and the DuckDB oracle
+# (simple enough to mean the same thing in Java regex and RE2).
+_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PHONE_RE = r"\+[0-9]{3}-[0-9]{4}"
+
+
+@query(
+    "text_pii_scrub",
+    f"""
+    WITH seeded AS (
+        SELECT doc_id,
+               text
+               || CASE WHEN doc_id % 10 = 0
+                       THEN ' contact user' || doc_id || '@example.com'
+                       ELSE '' END
+               || CASE WHEN doc_id % 7 = 0
+                       THEN ' call +555-1234' ELSE '' END AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_EMAIL_RE}'))
+                AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_PHONE_RE}'))
+                AS BIGINT) AS n_phones,
+           regexp_replace(regexp_replace(text,
+               '{_EMAIL_RE}', '[EMAIL]', 'g'),
+               '{_PHONE_RE}', '[PHONE]', 'g') AS scrubbed
+    FROM seeded
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: find-and-mask emails and phone numbers before a
+    corpus ships to training. The fixture corpus is synthetic word
+    salad, so deterministic PII is seeded into a slice of documents
+    first (same expression on both engines), then masked; the oracle
+    check covers both the counts and the scrubbed text byte-for-byte.
+
+    Scale: pure per-row regexp (narrow, JVM-side, codegen'd); the
+    production version swaps the regex list for a compiled RE2 set via
+    the same projection — no shuffle either way."""
+    d = load(spark, sf_dir, "documents")
+    seeded = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(" call +555-1234")).otherwise(
+            F.lit("")
+        ),
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(seeded, F.lit(_EMAIL_RE), 0))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(seeded, F.lit(_PHONE_RE), 0))
+        .cast("bigint")
+        .alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace(seeded, _EMAIL_RE, "[EMAIL]"),
+            _PHONE_RE,
+            "[PHONE]",
+        ).alias("scrubbed"),
+    )

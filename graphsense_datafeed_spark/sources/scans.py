@@ -405,3 +405,32 @@ def scan_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.round(F.col("value") * 100).cast("bigint").alias("cents"),
     )
+
+
+BIN_DIR = os.path.abspath(os.path.join(FIXTURES_DIR, "bin"))
+
+
+@query(
+    "scan_binary_files",
+    f"""
+    SELECT regexp_extract(filename, '[^/]+$') AS file_name,
+           CAST(size AS BIGINT) AS n_bytes,
+           content
+    FROM read_blob('{BIN_DIR}/*.bin')
+    """,
+)
+def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-file source — the ingestion entry point for multimodal
+    payloads (images/audio as opaque bytes + typed metadata, SURVEY
+    §2.10): Spark's `binaryFile` format yields (path, length, content)
+    without ever decoding, so a 100 TB media lake scans with the same
+    partitioned-reader machinery as parquet and decode happens later,
+    AFTER metadata filters prune (see multimodal_decode). Oracle:
+    DuckDB read_blob over the identical fixture files — byte-for-byte
+    content equality."""
+    df = spark.read.format("binaryFile").load(f"{BIN_DIR}/*.bin")
+    return df.select(
+        F.regexp_extract(F.col("path"), "[^/]+$", 0).alias("file_name"),
+        F.col("length").cast("bigint").alias("n_bytes"),
+        F.col("content"),
+    )

@@ -329,3 +329,66 @@ def stream_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     shutil.rmtree(ckpt, ignore_errors=True)
     return spark.read.parquet(os.path.join(out_dir, "batch=*"))
+
+
+@query(
+    "stream_stream_join",
+    """
+    SELECT c.user_id,
+           c.event_id AS click_id, p.event_id AS purchase_id,
+           c.ts AS click_ts, p.ts AS purchase_ts
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 1 HOUR
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: purchases attributed to a click by the
+    same user within the preceding hour — the missing sibling of
+    ``stream_static_join`` (two live sides, not stream × dim).
+
+    Both sides carry a watermark and the join condition carries the
+    time-range bound, so the state store evicts rows older than
+    watermark + range instead of buffering both streams forever —
+    THE requirement for an unbounded 100 TB/day click/purchase join.
+    Batch-equivalence oracle: the identical join as ANSI SQL (exact
+    hash)."""
+    ev = read_events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            # watermark needs LTZ; cast back to ntz on output
+            F.col("ts").cast("timestamp").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").cast("timestamp").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            """
+            user_id = p_user_id
+            AND purchase_ts >= click_ts
+            AND purchase_ts < click_ts + INTERVAL 1 HOUR
+            """
+        ),
+    ).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
+        F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+    )
+    return run_stream_to_memory(spark, joined, "append")

@@ -238,3 +238,26 @@ def test_pack_window_partitions_by_shard(spark, sf_dir):
     parts = re.findall(r"hashpartitioning\(([^)]*)\)", p)
     assert any("source" in x for x in parts), parts
     assert "SinglePartition" not in p, p
+
+
+def test_repetition_and_pii_are_narrow(spark, sf_dir):
+    """Per-doc quality rules and PII scrubbing must be shuffle-free —
+    pure projection over the corpus scan."""
+    assert "Exchange" not in plan_of(QUERIES["text_repetition_filter"](spark, sf_dir))
+    assert "Exchange" not in plan_of(QUERIES["text_pii_scrub"](spark, sf_dir))
+
+
+def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
+    """The eval-set side of the contamination join must broadcast: the
+    corpus is never shuffled on the shingle key."""
+    p = plan_of(QUERIES["text_decontaminate"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+
+
+def test_sessionize_single_exchange(spark, sf_dir):
+    """Sessionization must reuse ONE user_id shuffle for the lag
+    window, the running-sum window, and the final per-session agg
+    (hash-partitioning on user_id satisfies the (user_id, session_id)
+    clustering)."""
+    p = plan_of(QUERIES["events_sessionize"](spark, sf_dir), "simple")
+    assert p.count("Exchange") == 1, p
