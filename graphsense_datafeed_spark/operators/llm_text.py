@@ -703,3 +703,71 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             "[PHONE]",
         ).alias("scrubbed"),
     )
+
+
+@query(
+    "text_unigram_logprob",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents
+    ), counts AS (
+        SELECT token, COUNT(*) AS c FROM toks GROUP BY token
+    ), total AS (
+        SELECT CAST(SUM(c) AS DOUBLE) AS n FROM counts
+    ), probs AS (
+        SELECT token,
+               CAST(FLOOR(-ln(CAST(c AS DOUBLE) / (SELECT n FROM total))
+                          * 1000000) AS BIGINT) AS nll_e6
+        FROM counts
+    )
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(p.nll_e6) AS BIGINT) AS nll_sum_e6,
+           CAST(FLOOR(CAST(SUM(p.nll_e6) AS DOUBLE) / COUNT(*)) AS BIGINT)
+               AS avg_nll_e6
+    FROM toks t JOIN probs p USING (token)
+    GROUP BY t.doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring with a self-trained unigram LM: the
+    corpus's own token frequencies become p(token), and each document
+    is scored by total and average negative log-likelihood — the
+    cheap first rung of the perplexity-filter ladder (docs full of
+    corpus-rare tokens score high and get culled).
+
+    Determinism across engines: each token's -ln p is floored to e6
+    integer ONCE (per vocab entry, so an ulp difference only matters
+    at a floor boundary of one of |vocab| values), and the per-doc
+    aggregation then runs entirely in exact bigint arithmetic — no
+    float sum whose result depends on partial-agg order.
+
+    Scale: token counts partial-aggregate on token; the vocab-sized
+    probability table is broadcast; the per-doc agg shuffles on doc_id.
+    The corpus is scanned twice (train + score) — at 100 TB you
+    persist the vocab table, which is exactly what the broadcast
+    stage materializes."""
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    counts = toks.groupBy("token").agg(F.count("*").alias("c"))
+    n_total = float(toks.count())  # scalar; the LM normalizer
+    probs = counts.select(
+        "token",
+        F.floor(-F.log(F.col("c").cast("double") / F.lit(n_total)) * 1000000)
+        .cast("bigint")
+        .alias("nll_e6"),
+    )
+    return (
+        toks.join(F.broadcast(probs), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("nll_e6").cast("bigint").alias("nll_sum_e6"),
+            F.floor(
+                F.sum("nll_e6").cast("double") / F.count("*")
+            )
+            .cast("bigint")
+            .alias("avg_nll_e6"),
+        )
+    )

@@ -434,3 +434,23 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").cast("bigint").alias("n_bytes"),
         F.col("content"),
     )
+
+
+@query(
+    "scan_text",
+    f"""
+    SELECT line, CAST(length(line) AS BIGINT) AS n_chars
+    FROM read_csv('{BLOCKS_JSONL}', columns={{'line':'VARCHAR'}},
+                  delim='\x01', quote='', escape='', header=false)
+    """,
+)
+def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-oriented text source — the rawest ingest shape (log files,
+    WET/WARC-extracted text, one record per line). Spark's text source
+    parallelizes by file split exactly like parquet; parsing is then an
+    ordinary projection the optimizer can see through. Oracle: DuckDB
+    single-column CSV with an unused 1-byte delimiter."""
+    return spark.read.text(BLOCKS_JSONL).select(
+        F.col("value").alias("line"),
+        F.length("value").cast("bigint").alias("n_chars"),
+    )
