@@ -406,3 +406,46 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("dot") * 10000).cast("bigint").alias("cosine_e4"),
         )
     )
+
+
+@query(
+    "embed_quantize_int8",
+    """
+    WITH s AS (
+        SELECT vec_id, embedding,
+               list_max(list_transform(embedding,
+                        x -> abs(CAST(x AS DOUBLE)))) AS scale
+        FROM embeddings
+    )
+    SELECT vec_id, scale,
+           list_transform(embedding, x ->
+               CAST(FLOOR(CAST(x AS DOUBLE)
+                          / (CASE WHEN scale = 0 THEN 1.0 ELSE scale END)
+                          * 127 + 0.5) AS BIGINT)) AS q
+    FROM s
+    """,
+)
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the
+    storage/serving scale move (4× smaller vectors, SIMD-friendly
+    dot products downstream): per-vector absmax scale, each component
+    mapped to round-half-up(v/scale*127).
+
+    Determinism across engines: every component is cast float32 →
+    double BEFORE any arithmetic so both sides run identical IEEE64
+    ops, and round-half-up is spelled floor(x+0.5) — no banker's
+    rounding divergence (round-1 FLOOR discipline). Fully narrow:
+    per-row HOF array math, no shuffle, no UDF."""
+    e = load(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    scale = F.array_max(F.transform(emb, lambda x: F.abs(x.cast("double"))))
+    with_scale = e.select("vec_id", "embedding", scale.alias("scale"))
+    safe = F.when(F.col("scale") == 0.0, F.lit(1.0)).otherwise(F.col("scale"))
+    return with_scale.select(
+        "vec_id",
+        "scale",
+        F.transform(
+            emb,
+            lambda x: F.floor(x.cast("double") / safe * 127 + 0.5).cast("bigint"),
+        ).alias("q"),
+    )
