@@ -449,3 +449,72 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: F.floor(x.cast("double") / safe * 127 + 0.5).cast("bigint"),
         ).alias("q"),
     )
+
+
+@query("embed_pca")
+def embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA to 8 components, the way it has to work at
+    100 TB: executors reduce each partition to a partial (count, sum,
+    Gram) statistic via Arrow `mapInPandas`; only those partials — one
+    tiny row per batch, bounded by partition count like the IVF
+    centroid matrix — reach the driver, which combines them, forms the
+    covariance, eigendecomposes a 64x64 matrix (driver-side numpy on
+    KBs), and broadcasts the top components back as plan literals. The
+    projection itself is then narrow JVM-side HOF math over the corpus
+    — the full embedding set never moves.
+
+    Rows-only in the driver (eigendecomposition is not
+    SQL-expressible); tests/test_llm.py checks the projected variances
+    against numpy's PCA eigenvalues and each component against the
+    numpy projection up to sign."""
+    k = 8
+    e = load(spark, sf_dir, "embeddings")
+
+    def pca_partials(it):
+        # mapInPandas kernel: one partial-statistics row per Arrow
+        # batch — (n, sum vector, flattened Gram). A CLOSURE so
+        # cloudpickle ships it by value (module-level fns pickle by
+        # reference and break in workers without the repo on path —
+        # round-1 lesson, see multimodal_decode).
+        for pdf in it:
+            X = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            yield pd.DataFrame(
+                {
+                    "n": [X.shape[0]],
+                    "s": [X.sum(axis=0).tolist()],
+                    "g": [(X.T @ X).ravel().tolist()],
+                }
+            )
+
+    partials = e.select("embedding").mapInPandas(
+        pca_partials, "n long, s array<double>, g array<double>"
+    )
+    rows = partials.collect()  # bounded: one row per Arrow batch
+    n = sum(r["n"] for r in rows)
+    s = np.sum([r["s"] for r in rows], axis=0)
+    g = np.sum([r["g"] for r in rows], axis=0).reshape(EMBEDDING_DIM, EMBEDDING_DIM)
+    mean = s / n
+    cov = g / n - np.outer(mean, mean)
+    eigvals, eigvecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(eigvals)[::-1][:k]
+    comps = eigvecs[:, order].T  # k x 64
+    # deterministic sign: make each component's largest-|.| entry positive
+    for i in range(k):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i][j] < 0:
+            comps[i] = -comps[i]
+
+    emb = F.col("embedding")
+    mean_arr = F.array(*[F.lit(float(v)) for v in mean])
+    centered = F.zip_with(emb, mean_arr, lambda x, m: x.cast("double") - m)
+    proj_cols = []
+    for i in range(k):
+        comp_arr = F.array(*[F.lit(float(v)) for v in comps[i]])
+        proj_cols.append(
+            F.aggregate(
+                F.zip_with(centered, comp_arr, lambda x, c: x * c),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        )
+    return e.select("vec_id", "label", F.array(*proj_cols).alias("pca"))

@@ -394,3 +394,40 @@ def test_multimodal_resize_matches_hand_pooling(spark, sf_dir):
         got = rows[doc_id]
         assert (got["src_w"], got["src_h"], got["dst_w"], got["dst_h"]) == (8, 8, 4, 4)
         assert got["pooled_hex"] == want
+
+
+def test_embed_pca_matches_numpy(spark, sf_dir):
+    """Distributed partial-Gram PCA must match numpy PCA on the
+    collected fixture: projected variances equal the top eigenvalues
+    and each projection equals numpy's up to the pinned sign."""
+    import numpy as np
+
+    from graphsense_datafeed_spark.registry import QUERIES
+    from graphsense_datafeed_spark.sources.tables import load
+
+    rows = (
+        load(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
+    )
+    ids = [r["vec_id"] for r in rows]
+    X = np.stack([np.array(r["embedding"], dtype="float64") for r in rows])
+    Xc = X - X.mean(axis=0)
+    cov = (X.T @ X) / len(X) - np.outer(X.mean(axis=0), X.mean(axis=0))
+    eigvals, eigvecs = np.linalg.eigh(cov)
+    order = np.argsort(eigvals)[::-1][:8]
+    comps = eigvecs[:, order].T
+    for i in range(8):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i][j] < 0:
+            comps[i] = -comps[i]
+    want = {vid: Xc[ix] @ comps.T for ix, vid in enumerate(ids)}
+
+    got = {
+        r["vec_id"]: np.array(r["pca"])
+        for r in QUERIES["embed_pca"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for vid in ids:
+        assert np.allclose(got[vid], want[vid], atol=1e-8), vid
+    # projected variance tracks the eigenvalues
+    P = np.stack([got[v] for v in ids])
+    assert np.allclose(P.var(axis=0), eigvals[order], atol=1e-8)
