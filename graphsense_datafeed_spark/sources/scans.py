@@ -454,3 +454,78 @@ def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("line"),
         F.length("value").cast("bigint").alias("n_chars"),
     )
+
+
+@query(
+    "source_python_datasource",
+    f"""
+    SELECT height, block_hash, timestamp, no_transactions
+    FROM read_json('{BLOCKS_JSONL}', format='newline_delimited',
+                   columns={{'height':'BIGINT','block_hash':'VARCHAR',
+                             'timestamp':'BIGINT','no_transactions':'BIGINT'}})
+    """,
+)
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's HTTP block-feed fetch as a FIRST-CLASS Spark
+    source: a custom Python DataSource (Spark 4 API) whose partitions
+    are page slices of the feed — each executor task fetches and
+    parses its own page, which is exactly how the reference's
+    paginated REST polling parallelizes at scale (N fetch tasks, no
+    driver-side download). Offline, pages come from the fixture file;
+    the HTTP seam is the ``path`` option.
+
+    Classes are defined in function scope ON PURPOSE: cloudpickle
+    ships them by value to the Python workers, so a bare driver
+    session needs no package on the worker path (round-1 pickling
+    lesson). Oracle: DuckDB reads the same feed directly."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    class BlockFeedReader(DataSourceReader):
+        def __init__(self, options):
+            self.path = options["path"]
+            self.n_pages = int(options.get("numPages", "4"))
+
+        def partitions(self):
+            return [InputPartition(i) for i in range(self.n_pages)]
+
+        def read(self, partition):
+            import json as _json
+
+            page = partition.value
+            with open(self.path) as f:
+                for k, line in enumerate(f):
+                    if k % self.n_pages != page:
+                        continue
+                    b = _json.loads(line)
+                    yield (
+                        b["height"],
+                        b["block_hash"],
+                        b["timestamp"],
+                        b["no_transactions"],
+                    )
+
+    class BlockFeedDataSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "gds_blockfeed"
+
+        def schema(self):
+            return (
+                "height bigint, block_hash string, "
+                "timestamp bigint, no_transactions bigint"
+            )
+
+        def reader(self, schema):
+            return BlockFeedReader(self.options)
+
+    spark.dataSource.register(BlockFeedDataSource)
+    return (
+        spark.read.format("gds_blockfeed")
+        .option("path", BLOCKS_JSONL)
+        .option("numPages", "4")
+        .load()
+    )
