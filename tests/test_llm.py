@@ -431,3 +431,24 @@ def test_embed_pca_matches_numpy(spark, sf_dir):
     # projected variance tracks the eigenvalues
     P = np.stack([got[v] for v in ids])
     assert np.allclose(P.var(axis=0), eigvals[order], atol=1e-8)
+
+
+def test_quantize_int8_roundtrip_error_bound(spark, sf_dir):
+    """Dequantized components must sit within half a quantization step
+    (scale/127/2) of the originals, and every q must be in [-127,127]."""
+    import numpy as np
+
+    from graphsense_datafeed_spark.registry import QUERIES
+    from graphsense_datafeed_spark.sources.tables import load
+
+    orig = {
+        r["vec_id"]: np.array(r["embedding"], dtype="float64")
+        for r in load(spark, sf_dir, "embeddings").collect()
+    }
+    for r in QUERIES["embed_quantize_int8"](spark, sf_dir).collect():
+        q = np.array(r["q"], dtype="float64")
+        assert np.all(np.abs(q) <= 127)
+        if r["scale"] > 0:
+            deq = q * r["scale"] / 127
+            step = r["scale"] / 127
+            assert np.max(np.abs(deq - orig[r["vec_id"]])) <= step / 2 + 1e-12
