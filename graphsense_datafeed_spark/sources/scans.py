@@ -529,3 +529,57 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("numPages", "4")
         .load()
     )
+
+
+def _zvalue_sql(x: str, y: str) -> str:
+    """DuckDB SQL for the 16-bit interleaved z-order value (generated
+    once at import; mirrors zvalue_col bit-for-bit)."""
+    terms = []
+    for i in range(16):
+        terms.append(f"((({x} & 65535) >> {i} & 1) << {2 * i})")
+        terms.append(f"((({y} & 65535) >> {i} & 1) << {2 * i + 1})")
+    return "(" + " | ".join(terms) + ")"
+
+
+def zvalue_col(x, y):
+    """32-bit Morton/z-order interleave of two 16-bit key projections —
+    pure JVM bit math (shiftleft/shiftright + bitwise and/or), codegen
+    friendly, no UDF."""
+    xm = x.bitwiseAND(F.lit(65535))
+    ym = y.bitwiseAND(F.lit(65535))
+    z = F.lit(0).cast("bigint")
+    for i in range(16):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(xm, i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(ym, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+@query(
+    "layout_zorder",
+    f"""
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           CAST({_zvalue_sql('l_partkey', 'l_suppkey')} AS BIGINT) AS zval
+    FROM lineitem
+    """,
+)
+def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering value over (l_partkey, l_suppkey) —
+    the data-layout move for multi-dimensional pruning: range-partition
+    + sort files by the interleaved z-value and every file's min/max
+    span is narrow in BOTH keys, so point/range predicates on EITHER
+    column prune row groups (a single-column sort only prunes its own
+    column). tests/test_bucketing.py measures the effect: z-sorted
+    files cover a fraction of each key range vs unsorted files
+    covering all of it. The bit interleave is pure codegen'd JVM bit
+    math — exact-oracle checkable."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        zvalue_col(F.col("l_partkey"), F.col("l_suppkey")).alias("zval"),
+    )

@@ -261,3 +261,32 @@ def test_sessionize_single_exchange(spark, sf_dir):
     clustering)."""
     p = plan_of(QUERIES["events_sessionize"](spark, sf_dir), "simple")
     assert p.count("Exchange") == 1, p
+
+
+def test_runtime_bloom_filter_injects(spark, sf_dir):
+    """Runtime row-level filtering: joining the fact to a selectively
+    filtered build side must inject a bloom_filter_agg semi-filter on
+    the fact scan once the size gates are met (forced here by lowering
+    the application-side threshold — at 100 TB the default 10 GB gate
+    passes naturally). Asserts the engine benefits from Spark's
+    runtime filtering at deployment scale."""
+    from pyspark.sql import functions as F
+
+    from graphsense_datafeed_spark.sources.tables import load
+
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    key = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    prev_app = spark.conf.get(key)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(key, "0")
+    try:
+        li = load(spark, sf_dir, "lineitem")
+        orders = load(spark, sf_dir, "orders").filter(
+            F.col("o_totalprice") > 400000
+        )
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        pp = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.conf.set(key, prev_app)
+    assert "bloom_filter_agg" in pp, pp[:2000]
