@@ -14,6 +14,32 @@ from __future__ import annotations
 import abc
 
 from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+
+def cql_type(dt: T.DataType) -> str:
+    """Spark type → CQL column type for sink DDL generation."""
+    if isinstance(dt, T.ArrayType):
+        return f"list<frozen<{cql_type(dt.elementType)}>>"
+    if isinstance(dt, T.StructType):
+        inner = ", ".join(f"{f.name} {cql_type(f.dataType)}" for f in dt.fields)
+        return f"frozen<tuple<{inner}>>"
+    mapping = {
+        T.LongType: "bigint",
+        T.IntegerType: "int",
+        T.DoubleType: "double",
+        T.FloatType: "float",
+        T.StringType: "text",
+        T.BooleanType: "boolean",
+        T.DateType: "date",
+        T.TimestampType: "timestamp",
+        T.TimestampNTZType: "timestamp",
+        T.BinaryType: "blob",
+    }
+    for spark_t, cql in mapping.items():
+        if isinstance(dt, spark_t):
+            return cql
+    raise TypeError(f"no CQL mapping for Spark type {dt}")
 
 
 class Sink(abc.ABC):
@@ -66,6 +92,28 @@ class CassandraSink(Sink):
 
     def options_for(self, table: str) -> dict[str, str]:
         return {"keyspace": self.keyspace, "table": table}
+
+    def keyspace_ddl(self, replication: int = 3) -> str:
+        """CQL for the keyspace — the reference's schema-setup stage."""
+        return (
+            f"CREATE KEYSPACE IF NOT EXISTS {self.keyspace} WITH replication = "
+            f"{{'class': 'SimpleStrategy', 'replication_factor': {replication}}}"
+        )
+
+    def table_ddl(self, df: DataFrame, table: str, keys: list[str]) -> str:
+        """CQL CREATE TABLE derived from the DataFrame's schema, with
+        the upsert keys as the primary key (first key = partition key,
+        rest clustering — the co-partitioned-write contract)."""
+        if not keys:
+            raise ValueError("Cassandra tables need at least one key column")
+        cols = ",\n  ".join(
+            f"{f.name} {cql_type(f.dataType)}" for f in df.schema.fields
+        )
+        pk = ", ".join(keys)
+        return (
+            f"CREATE TABLE IF NOT EXISTS {self.keyspace}.{table} (\n"
+            f"  {cols},\n  PRIMARY KEY ({pk})\n)"
+        )
 
     def write(self, df: DataFrame, table: str, keys: list[str]) -> None:
         spark = df.sparkSession

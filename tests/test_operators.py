@@ -164,3 +164,41 @@ def test_staged_output_distrusts_partial_target(tmp_path):
     calls.clear()
     got2 = staged_output(got, write)
     assert got2 == got and not calls
+
+
+def test_cassandra_ddl_generation(spark):
+    """The sink must derive complete CQL schema DDL from a DataFrame
+    schema — the reference's keyspace/table setup stage, generated
+    instead of hand-maintained."""
+    from graphsense_datafeed_spark.sources.sinks import CassandraSink, cql_type
+    from pyspark.sql import types as T
+
+    s = CassandraSink(keyspace="graphsense_raw")
+    assert "CREATE KEYSPACE IF NOT EXISTS graphsense_raw" in s.keyspace_ddl()
+    assert "'replication_factor': 3" in s.keyspace_ddl()
+
+    df = spark.createDataFrame(
+        [],
+        T.StructType(
+            [
+                T.StructField("height", T.LongType()),
+                T.StructField("block_hash", T.StringType()),
+                T.StructField("no_transactions", T.LongType()),
+                T.StructField("block_date", T.DateType()),
+            ]
+        ),
+    )
+    ddl = s.table_ddl(df, "block", keys=["height"])
+    assert "CREATE TABLE IF NOT EXISTS graphsense_raw.block" in ddl
+    assert "height bigint" in ddl and "block_hash text" in ddl
+    assert "block_date date" in ddl
+    assert "PRIMARY KEY (height)" in ddl
+
+    assert cql_type(T.ArrayType(T.LongType())) == "list<frozen<bigint>>"
+    nested = T.StructType([T.StructField("address", T.StringType())])
+    assert cql_type(nested) == "frozen<tuple<address text>>"
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        s.table_ddl(df, "block", keys=[])
