@@ -265,3 +265,85 @@ def test_rates_upsert_revision_wins(spark, sf_dir):
         want_usd = revised.get(r["date"], float(r["usd"]))
         assert got[r["date"]][0] == want_usd, r["date"]
         assert got[r["date"]][1] == float(r["eur"]), r["date"]
+
+
+def test_multibatch_stream_stream_join_equals_batch(spark, sf_dir):
+    """Stream-stream inner join over 6 IN-ORDER micro-batches must
+    equal the one-shot batch join: matches across batch boundaries
+    come from buffered state, and the 2 h watermark (> the 1 h join
+    range) means eviction never drops a row an in-order purchase could
+    still match. Files are staged with increasing mtimes because the
+    file source orders batches by modification time — same-mtime files
+    arrive in arbitrary order, which for watermarked state is genuine
+    out-of-order input (the multi_file_events fixture is only safe for
+    order-insensitive aggregations)."""
+    ev_all = load(spark, sf_dir, "events").orderBy("event_id").collect()
+    d = os.path.join(tempfile.gettempdir(), "gds_sj", uuid.uuid4().hex[:8])
+    os.makedirs(d)
+    n = len(ev_all)
+    step = (n + 5) // 6
+    import glob
+
+    for i in range(6):
+        chunk = ev_all[i * step : (i + 1) * step]
+        if not chunk:
+            continue
+        stage = os.path.join(d, f"_stage_{i}")
+        spark.createDataFrame(chunk, schema=load(spark, sf_dir, "events").schema) \
+            .coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dest = os.path.join(d, f"chunk_{i}.parquet")
+        shutil.move(part, dest)
+        shutil.rmtree(stage)
+        base = 1_000_000 + i * 1000
+        os.utime(dest, (base, base))
+    s = _stream_events(spark, d)
+    clicks = (
+        s.filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").cast("timestamp").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        s.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").cast("timestamp").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "user_id = p_user_id AND purchase_ts >= click_ts "
+            "AND purchase_ts < click_ts + INTERVAL 1 HOUR"
+        ),
+    ).select("click_id", "purchase_id")
+    got = {
+        (r["click_id"], r["purchase_id"])
+        for r in run_stream_to_memory(spark, joined, "append").collect()
+    }
+
+    ev = load(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("cts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+    )
+    want = {
+        (r["click_id"], r["purchase_id"])
+        for r in c.join(
+            p,
+            F.expr(
+                "user_id = pu AND pts >= cts AND pts < cts + INTERVAL 1 HOUR"
+            ),
+        ).collect()
+    }
+    assert got == want and len(want) > 0
