@@ -181,3 +181,41 @@ def test_date_arith_parity(spark, xs):
                   CAST(date_diff('day', DATE '2000-01-01', x) AS INT),
                   CAST(date_trunc('month', x) AS DATE) FROM t""",
     )
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=65535),
+            st.integers(min_value=0, max_value=65535),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**_SETTINGS)
+def test_zvalue_bijective_and_cross_engine(spark, pairs):
+    """The Morton interleave must be invertible (no two (x,y) collide)
+    and bit-identical between the Spark column expression and the
+    generated DuckDB SQL."""
+    from graphsense_datafeed_spark.sources.scans import _zvalue_sql, zvalue_col
+
+    rows = [(i, x, y) for i, (x, y) in enumerate(pairs)]
+    df = spark.createDataFrame(rows, "i int, x long, y long")
+    got = {
+        r["i"]: r["z"]
+        for r in df.select(
+            "i", zvalue_col(F.col("x"), F.col("y")).alias("z")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i INT, x BIGINT, y BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    want = dict(
+        con.sql(f"SELECT i, {_zvalue_sql('x', 'y')} FROM t").fetchall()
+    )
+    con.close()
+    assert got == want
+    # bijective: distinct pairs → distinct z
+    distinct_pairs = {(x, y) for _, x, y in rows}
+    assert len({got[i] for i, x, y in rows}) == len(distinct_pairs)
