@@ -740,3 +740,118 @@ def pagerank_iterate(
         if delta < tol:
             break
     return ranks, iters
+
+
+def _edge_fingerprint(e) -> tuple:
+    """Cheap fixpoint probe for an edge DataFrame: (count, xor of row
+    hashes) — one scalar agg, order-insensitive."""
+    row = e.agg(
+        F.count("*").alias("n"),
+        F.coalesce(
+            F.sum(F.xxhash64("src", "dst") % 1000003), F.lit(0)
+        ).alias("h"),
+    ).collect()[0]
+    return (row["n"], row["h"])
+
+
+def star_contract(edges, max_iter: int = 30):
+    """Two-phase star contraction (the large-star/small-star
+    MapReduce-CC algorithm): alternating rounds connect every node to
+    the minimum of its neighborhood, contracting components into star
+    forests in O(log n) rounds — versus label propagation's
+    O(diameter) rounds. On a path graph of 64 nodes this converges in
+    ~6 rounds where min-label propagation needs 63 full edge-set
+    shuffles; at 100 TB that round count IS the job cost.
+
+    ``edges`` is any (src, dst) DataFrame (direction ignored, self
+    loops dropped). Returns ``(labels, rounds_run)`` where labels maps
+    every node (addr) to its component minimum (label).
+    """
+
+    def sym(e):
+        return (
+            e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
+    def star(e, large: bool):
+        # m(u) = min(N(u) ∪ {u}) over the symmetric neighbor view
+        s = sym(e)
+        mins = (
+            s.groupBy("src")
+            .agg(F.min("dst").alias("mn"))
+            .select("src", F.least(F.col("src"), F.col("mn")).alias("m"))
+        )
+        joined = s.join(mins, "src")
+        if large:
+            out = joined.filter(F.col("dst") > F.col("src")).select(
+                F.col("dst").alias("src"), F.col("m").alias("dst")
+            )
+        else:
+            out = joined.filter(F.col("dst") <= F.col("src")).select(
+                F.col("dst").alias("src"), F.col("m").alias("dst")
+            ).union(joined.select("src", F.col("m").alias("dst")))
+        return (
+            out.filter(F.col("src") != F.col("dst")).distinct().localCheckpoint()
+        )
+
+    nodes = (
+        sym(edges).select(F.col("src").alias("addr")).distinct().localCheckpoint()
+    )
+    e = sym(edges).localCheckpoint()
+    fp = _edge_fingerprint(e)
+    iters = 0
+    for _ in range(max_iter):
+        iters += 1
+        e = star(star(e, large=True), large=False)
+        new_fp = _edge_fingerprint(e)
+        if new_fp == fp:
+            break
+        fp = new_fp
+    # fixpoint is a star forest: every edge points node → component min
+    member_min = e.groupBy("src").agg(F.min("dst").alias("label"))
+    labels = nodes.join(
+        member_min, nodes.addr == member_min.src, "left"
+    ).select(
+        "addr",
+        F.least(
+            F.col("addr"), F.coalesce(F.col("label"), F.col("addr"))
+        ).alias("label"),
+    )
+    return labels, iters
+
+
+@query("graph_components_star")
+def graph_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components via star contraction — the log-round
+    algorithm for when graph diameter matters (VERDICT r1 watch item).
+    Same co-spend graph and output shape as ``graph_components``;
+    tests assert both algorithms produce identical component
+    partitions, and that star contraction beats the propagation round
+    count on a long path."""
+    raw = read_blocks_json(spark)
+    txio = (
+        raw.select(F.explode("txs").alias("tx"))
+        .filter(~F.col("tx.coinbase"))
+        .select("tx.tx_hash", "tx.inputs", "tx.outputs")
+    )
+    ins = txio.select(
+        "tx_hash", F.explode("inputs").alias("i")
+    ).select("tx_hash", F.col("i.address")[0].alias("addr"))
+    outs = txio.select(
+        "tx_hash", F.explode("outputs").alias("o")
+    ).select("tx_hash", F.col("o.address")[0].alias("addr"))
+    nodes_in_tx = ins.union(outs).distinct()
+    a, b = nodes_in_tx.alias("a"), nodes_in_tx.alias("b")
+    edges = (
+        a.join(b, "tx_hash")
+        .filter(F.col("a.addr") < F.col("b.addr"))
+        .select(F.col("a.addr").alias("src"), F.col("b.addr").alias("dst"))
+        .distinct()
+    )
+    labels, _ = star_contract(edges)
+    return labels.groupBy("label").agg(
+        F.count("*").alias("component_size"),
+        F.min("addr").alias("representative"),
+    )

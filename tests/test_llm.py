@@ -452,3 +452,91 @@ def test_quantize_int8_roundtrip_error_bound(spark, sf_dir):
             deq = q * r["scale"] / 127
             step = r["scale"] / 127
             assert np.max(np.abs(deq - orig[r["vec_id"]])) <= step / 2 + 1e-12
+
+
+def _partition_of(labels_df):
+    """component partition as a set of frozensets of node ids."""
+    groups: dict = {}
+    for r in labels_df.collect():
+        groups.setdefault(r["label"], set()).add(r["addr"])
+    return {frozenset(v) for v in groups.values()}
+
+
+def test_star_contract_matches_label_propagation(spark):
+    """Star contraction and min-label propagation must induce the same
+    component partition on a seeded random graph (labels differ — min
+    node vs min hash — so compare partitions, not labels)."""
+    import random as _r
+
+    from graphsense_datafeed_spark.ingest.facade import (
+        label_propagate,
+        star_contract,
+    )
+
+    rng = _r.Random(11)
+    edge_list = list(
+        {
+            (f"n{rng.randrange(60):02d}", f"n{rng.randrange(60):02d}")
+            for _ in range(70)
+        }
+    )
+    edges = spark.createDataFrame(edge_list, "src string, dst string")
+    star_labels, star_rounds = star_contract(edges)
+
+    sym = (
+        edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    lp0 = (
+        sym.select(F.col("src").alias("addr"))
+        .distinct()
+        .select("addr", F.xxhash64("addr").alias("label"))
+    )
+    lp_labels, _ = label_propagate(sym, lp0, max_iter=100)
+    assert _partition_of(star_labels) == _partition_of(lp_labels)
+    assert star_rounds < 30
+
+
+def test_star_contract_beats_propagation_on_path(spark):
+    """On a 32-node path (diameter 31) star contraction must converge
+    in O(log n) rounds while min-label propagation needs ~diameter
+    rounds — the reason the log-round variant exists at 100 TB."""
+    from graphsense_datafeed_spark.ingest.facade import (
+        label_propagate,
+        star_contract,
+    )
+
+    chain = [(f"p{i:02d}", f"p{i + 1:02d}") for i in range(31)]
+    edges = spark.createDataFrame(chain, "src string, dst string")
+    labels, star_rounds = star_contract(edges)
+    part = _partition_of(labels)
+    assert len(part) == 1 and len(next(iter(part))) == 32
+    assert star_rounds <= 10, star_rounds
+
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    lp0 = (
+        sym.select(F.col("src").alias("addr"))
+        .distinct()
+        .select("addr", F.xxhash64("addr").alias("label"))
+    )
+    _, lp_rounds = label_propagate(sym, lp0, max_iter=100)
+    assert lp_rounds > star_rounds
+
+
+def test_components_star_query_matches_propagation_query(spark, sf_dir):
+    """Both registered component queries must report identical
+    (component_size, representative) rows on the co-spend graph."""
+    a = sorted(
+        (r["component_size"], r["representative"])
+        for r in QUERIES["graph_components_star"](spark, sf_dir).collect()
+    )
+    b = sorted(
+        (r["component_size"], r["representative"])
+        for r in QUERIES["graph_components"](spark, sf_dir).collect()
+    )
+    assert a == b and len(a) > 0
