@@ -347,3 +347,36 @@ def test_multibatch_stream_stream_join_equals_batch(spark, sf_dir):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_rocksdb_state_store_provider(spark, sf_dir, multi_file_events):
+    """Production streaming state lives in RocksDB, not the default
+    in-memory HDFS-backed store (bounded executor heap at 100 TB/day
+    key cardinality). The windowed agg must produce identical results
+    under the RocksDB provider — pinning that the deployment config
+    actually works in this distro (rocksdbjni ships in the jars)."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        s = _stream_events(spark, multi_file_events)
+        agg = s.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+            F.count("*").alias("n")
+        )
+        got = {
+            (r["window"]["start"], r["event_type"]): r["n"]
+            for r in run_stream_to_memory(spark, agg, "complete").collect()
+        }
+    finally:
+        spark.conf.set(key, prev)
+    want = {
+        (r["win"]["start"], r["event_type"]): r["n"]
+        for r in load(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
