@@ -53,6 +53,8 @@ def staged_output(out: str, write_fn) -> str:
     """
     import uuid
 
+    import shutil
+
     marker = ".gds_complete"
     if os.path.exists(os.path.join(out, marker)):
         return out
@@ -60,6 +62,11 @@ def staged_output(out: str, write_fn) -> str:
     write_fn(stage)
     with open(os.path.join(stage, marker), "w") as f:
         f.write("ok")
+    # a stale target without the marker blocks the rename forever and
+    # would force a rewrite on every call — clear it first (it was
+    # untrusted anyway)
+    if os.path.isdir(out) and not os.path.exists(os.path.join(out, marker)):
+        shutil.rmtree(out, ignore_errors=True)
     try:
         os.rename(stage, out)
         return out
