@@ -316,15 +316,50 @@ def ingest_address_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("graph_components")
+_DUCK_COMPONENTS = f"""
+    WITH RECURSIVE txio AS (
+        SELECT (tx).tx_hash AS tx_hash,
+               (tx).inputs AS inputs, (tx).outputs AS outputs
+        FROM (SELECT unnest(txs) AS tx FROM {_DUCK_BLOCKS})
+        WHERE NOT (tx).coinbase
+    ), base AS (
+        SELECT tx_hash, (i).address[1] AS addr
+        FROM (SELECT tx_hash, unnest(inputs) AS i FROM txio)
+        UNION
+        SELECT tx_hash, (o).address[1] AS addr
+        FROM (SELECT tx_hash, unnest(outputs) AS o FROM txio)
+    ), edges AS (
+        SELECT a.addr AS src, b.addr AS dst
+        FROM base a JOIN base b USING (tx_hash) WHERE a.addr < b.addr
+    ), sym AS (
+        SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+    ), reach(src, dst) AS (
+        SELECT src, dst FROM sym
+        UNION
+        SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+    ), nodes AS (SELECT DISTINCT addr FROM base),
+    labels AS (
+        SELECT n.addr, least(n.addr, coalesce(min(r.dst), n.addr)) AS label
+        FROM nodes n LEFT JOIN reach r ON n.addr = r.src
+        GROUP BY n.addr
+    )
+    SELECT COUNT(*) AS component_size, MIN(addr) AS representative
+    FROM labels GROUP BY label
+"""
+
+
+@query("graph_components", _DUCK_COMPONENTS)
 def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the address graph — the iterative
     (beyond-SQL) workload class, Pregel-style in pure DataFrames:
     every vertex starts with its own hash label; each round vertices
     adopt the min label among themselves and their neighbors;
-    converged when no label changes. Rows-only (iteration count is
-    data-dependent, not SQL-expressible); cross-checked against a
-    driver-side union-find on the same edges in tests/test_llm.py.
+    converged when no label changes. Exact-oracle checked: DuckDB
+    computes the same components via a WITH RECURSIVE reachability
+    closure (fine at fixture scale; the closure is quadratic per
+    component, which is WHY the engine side iterates instead);
+    also cross-checked against a driver-side union-find in
+    tests/test_llm.py.
 
     Scale: each round = one edge⋈label join + a min-aggregate (two
     shuffles); rounds ≤ graph diameter. The production version
@@ -371,7 +406,7 @@ def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.groupBy("label").agg(
         F.count("*").alias("component_size"),
         F.min("addr").alias("representative"),
-    )
+    ).select("component_size", "representative")
 
 
 def label_propagate(sym, labels, max_iter: int = 20):
@@ -822,14 +857,14 @@ def star_contract(edges, max_iter: int = 30):
     return labels, iters
 
 
-@query("graph_components_star")
+@query("graph_components_star", _DUCK_COMPONENTS)
 def graph_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components via star contraction — the log-round
     algorithm for when graph diameter matters (VERDICT r1 watch item).
-    Same co-spend graph and output shape as ``graph_components``;
-    tests assert both algorithms produce identical component
-    partitions, and that star contraction beats the propagation round
-    count on a long path."""
+    Same co-spend graph, output shape, and recursive-CTE oracle as
+    ``graph_components``; tests assert both algorithms produce
+    identical component partitions, and that star contraction beats
+    the propagation round count on a long path."""
     raw = read_blocks_json(spark)
     txio = (
         raw.select(F.explode("txs").alias("tx"))
@@ -854,4 +889,4 @@ def graph_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.groupBy("label").agg(
         F.count("*").alias("component_size"),
         F.min("addr").alias("representative"),
-    )
+    ).select("component_size", "representative")
