@@ -625,8 +625,12 @@ def stream_rates_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        # rates are KBs: pin one file per date dir regardless of how
+        # the upstream source happens to be partitioned (a no-op for
+        # the single-file CSV batches here, a guard for wider feeds)
         (
-            batch_df.write.mode("overwrite")
+            batch_df.coalesce(1)
+            .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("date")
             .parquet(target)
@@ -670,8 +674,9 @@ def sink_cassandra(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("graph_pagerank")
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the directed address-flow graph — the second
-    iterative workload class (power iteration, fixed round count)
-    alongside graph_components' label propagation. Rows-only in the
+    iterative workload class (power iteration with an L1-delta
+    convergence exit, see pagerank_iterate) alongside
+    graph_components' label propagation. Rows-only in the
     driver; tests/test_llm.py cross-checks every rank against a
     driver-side numpy power iteration on the identical edge list.
 
