@@ -72,6 +72,9 @@ _OPERATOR_MODULES = (
     "graphsense_datafeed_spark.plans.flagship",
     "graphsense_datafeed_spark.plans.goldens2",
     "graphsense_datafeed_spark.plans.goldens3",
+    # round-2 additions: new queries go BEHIND the driver-unchecked
+    # block so they never displace a §2 row from the first-50 window
+    "graphsense_datafeed_spark.plans.goldens4",
     "graphsense_datafeed_spark.sources.scans",
     "graphsense_datafeed_spark.operators.rowops",
     "graphsense_datafeed_spark.operators.joins",
