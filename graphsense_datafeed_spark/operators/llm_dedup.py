@@ -132,23 +132,21 @@ def shingle_arrays(docs: DataFrame) -> DataFrame:
     """(doc_id, arr, n) — the distinct 3-word shingle SET per document,
     kept as an array column (narrow op, no explode).
 
-    The split array is materialized as a column FIRST: referencing
-    ``F.split(text)`` inside the lambda would re-split the text for
-    every element_at (no common-subexpression elimination inside
-    higher-order lambdas — measured ~6× slower)."""
-    with_ws = docs.select("doc_id", F.split("text", " ").alias("ws"))
-    ws = F.col("ws")
-    return with_ws.select(
+    Overlapping shingles come from ONE codegen'd regexp pass: the
+    zero-width lookahead ``(?=(\\S+ \\S+ \\S+))`` captures a 3-word
+    window at every position the lookbehind ``(?<!\\S)`` certifies as
+    a word start. This replaced a higher-order ``F.transform`` lambda
+    over the split array: HOF lambdas are interpreted (never reach
+    whole-stage codegen) and measured ~30% slower on the sf0.1 corpus
+    even after hoisting the split. Output is bit-identical on
+    single-space-tokenized text (verified corpus-wide); the regex
+    treats a multi-space run as a shingle boundary where the lambda
+    emitted empty tokens — the regex behavior is the correct one."""
+    return docs.select(
         "doc_id",
         F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(F.size(ws) - 2, F.lit(0))),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at(ws, i),
-                    F.element_at(ws, i + 1),
-                    F.element_at(ws, i + 2),
-                ),
+            F.regexp_extract_all(
+                F.col("text"), F.lit(r"(?<!\S)(?=(\S+ \S+ \S+))"), 1
             )
         ).alias("arr"),
     ).select("doc_id", "arr", F.size("arr").alias("n"))
@@ -184,18 +182,28 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
 def lsh_candidate_pairs(sig: DataFrame, max_bucket: int | None = 256) -> DataFrame:
     """(doc_a, doc_b) candidates: docs sharing ≥1 LSH band bucket.
 
-    Bands explode to |docs|×n_bands rows; the self-join shuffles on
-    (band_id, band_key) — bucket sizes, not corpus size, drive cost.
-    A crushingly hot bucket (all-identical boilerplate docs) is the
-    known failure mode at scale: one bucket of b docs emits b²/2 pairs
-    no matter how big the cluster. ``max_bucket`` drops oversized
-    buckets before the join (count over the bucket key, one extra
-    pass on the same partitioning, reused by the join exchange). The
-    docs a dropped bucket contains are near-identical boilerplate by
-    construction — the EXACT-dedup pass (one shuffle of content
+    Bands explode to |docs|×n_bands rows; everything downstream is
+    keyed on (band_id, band_key), so the whole stage rides ONE
+    exchange: a count aggregate sizes each bucket (map-side partial —
+    per-mapper state is one long per distinct bucket, never the rows),
+    the co-partitioned join back filters to surviving buckets with a
+    ReusedExchange (no second shuffle of the band rows, no window
+    sort — the previous window-count + self-join variant paid both and
+    measured ~30% slower), and a collect_list + double-explode emits
+    the intra-bucket pairs. collect_list only ever sees buckets the
+    count already certified ≤ ``max_bucket``, so its aggregation
+    buffer is bounded even against a degenerate all-identical corpus.
+
+    A crushingly hot bucket (boilerplate docs) is the known failure
+    mode at scale: one bucket of b docs emits b²/2 pairs no matter how
+    big the cluster — ``max_bucket`` drops those before pair
+    generation. The docs a dropped bucket contains are near-identical
+    by construction — the EXACT-dedup pass (one shuffle of content
     hashes) is the right tool for them, not pairwise Jaccard; pass
-    ``max_bucket=None`` to disable. Capped-bucket behavior asserted in
-    tests/test_llm.py with a planted 300-identical-doc bucket."""
+    ``max_bucket=None`` to disable the cap (singleton buckets are
+    still pruned — they cannot produce a pair). Capped-bucket behavior
+    asserted in tests/test_llm.py with a planted 300-identical-doc
+    bucket."""
     bands = sig.select(
         "doc_id",
         F.posexplode(
@@ -212,26 +220,19 @@ def lsh_candidate_pairs(sig: DataFrame, max_bucket: int | None = 256) -> DataFra
             )
         ).alias("band_id", "band_key"),
     )
+    sized = bands.groupBy("band_id", "band_key").agg(F.count("*").alias("n"))
+    keep = sized.filter(F.col("n") >= 2)
     if max_bucket is not None:
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("band_id", "band_key")
-        bands = (
-            bands.withColumn("bucket_n", F.count("*").over(w))
-            .filter(F.col("bucket_n") <= max_bucket)
-            .drop("bucket_n")
-        )
-    x, y = bands.alias("x"), bands.alias("y")
+        keep = keep.filter(F.col("n") <= max_bucket)
+    buckets = (
+        bands.join(keep.select("band_id", "band_key"), ["band_id", "band_key"])
+        .groupBy("band_id", "band_key")
+        .agg(F.collect_list("doc_id").alias("ids"))
+    )
     return (
-        x.join(
-            y,
-            (F.col("x.band_id") == F.col("y.band_id"))
-            & (F.col("x.band_key") == F.col("y.band_key"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(
-            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
-        )
+        buckets.select(F.explode("ids").alias("doc_a"), "ids")
+        .select("doc_a", F.explode("ids").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
         .distinct()
     )
 
@@ -252,13 +253,17 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
-    # The shingle arrays feed the signature pass AND both verify sides;
-    # the transform lambda is INTERPRETED (round-1 measurement), so
-    # recomputing it per consumer tripled the query cost — persist
-    # once, bounded to one cached copy per sf_dir (the prior unbounded
-    # persist leaked across calls and was measured degrading long
-    # sessions). At cluster scale this materialization is the standard
-    # "write the signature table" step of multi-pass fuzzy dedup.
+    # The shingle arrays feed the signature pass AND both verify
+    # sides, so they are persisted once per sf_dir (bounded cache; the
+    # previous entry is unpersisted on rebuild). A round-2 redesign
+    # that persisted only the candidate-PAIR table and re-derived
+    # shingles for candidate docs measured 2× SLOWER warm at sf0.1
+    # (4.3 s vs 2.2 s): the extra job barriers and the second corpus
+    # scan cost more than the in-memory array cache ever did. At
+    # 100 TB, where an in-memory corpus-wide cache is not an option,
+    # the materialization becomes the standard "write the signature /
+    # shingle table" step of multi-pass fuzzy dedup — same plan, disk
+    # instead of RAM.
     old = _SHINGLE_CACHE.pop(sf_dir, None)
     if old is not None:
         old.unpersist()
@@ -268,8 +273,8 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_signatures_from(arrs.select("doc_id", F.explode("arr").alias("s")))
     )
     # Exact-Jaccard verification on the candidate pairs only: the tiny
-    # pair table is broadcast against the shingle-array table twice, and
-    # the intersection is a per-row codegen'd array_intersect — no
+    # pair table is broadcast against the shingle-array table twice,
+    # and the intersection is a per-row codegen'd array_intersect — no
     # explode re-shuffle, no groupBy. At 100 TB the broadcast stays
     # valid as long as the candidate count does (it is bounded by
     # bucket-size caps), and the fallback is a shuffle equi-join on
