@@ -1,0 +1,146 @@
+"""Structural statistics over the address co-occurrence graph.
+
+The datafeed's downstream consumers (SURVEY §1.1 — the address/entity
+graph the wider platform derives) ask structural questions of the graph
+the feed builds: how clustered is it (triangles), how are degrees
+distributed (hubs vs leaves). Both are pure relational programs over
+the same co-occurrence edge set `graph_components` uses — no graph
+library, exact DuckDB oracles.
+
+Scale notes (100 TB):
+- The edge set is DISTINCT (a < b) pairs per tx — built by one
+  shuffle on tx_hash, deduped by one shuffle on the edge key. Every
+  downstream op shuffles on node ids only.
+- Triangle enumeration joins the ordered edge list with itself twice.
+  Ordering every edge low→high node id is the classic halving trick
+  (each triangle counted once, not 6×); the remaining scale hazard is
+  hub nodes (a node of degree d contributes O(d²) wedge rows). The
+  production refinement — orienting edges by DEGREE so every wedge
+  pivots on its lowest-degree vertex, bounding work by arboricity —
+  is one extra broadcast join against the degree table; documented
+  here, not needed at fixture scale.
+- The degree histogram is two cascaded aggregations (node → degree,
+  degree → count); both partial-aggregate map-side.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from graphsense_datafeed_spark.registry import query
+from graphsense_datafeed_spark.ingest.facade import _DUCK_BLOCKS
+from graphsense_datafeed_spark.sources.scans import read_blocks_json
+
+_DUCK_EDGES = f"""
+    txio AS (
+        SELECT (tx).tx_hash AS tx_hash,
+               (tx).inputs AS inputs, (tx).outputs AS outputs
+        FROM (SELECT unnest(txs) AS tx FROM {_DUCK_BLOCKS})
+        WHERE NOT (tx).coinbase
+    ), base AS (
+        SELECT tx_hash, (i).address[1] AS addr
+        FROM (SELECT tx_hash, unnest(inputs) AS i FROM txio)
+        UNION
+        SELECT tx_hash, (o).address[1] AS addr
+        FROM (SELECT tx_hash, unnest(outputs) AS o FROM txio)
+    ), edges AS (
+        SELECT DISTINCT a.addr AS src, b.addr AS dst
+        FROM base a JOIN base b USING (tx_hash) WHERE a.addr < b.addr
+    )
+"""
+
+
+def cooccurrence_edges(spark: SparkSession) -> DataFrame:
+    """(src, dst) with src < dst — distinct address co-occurrence
+    edges: two addresses touched by the same non-coinbase tx. The
+    lexicographic orientation means each undirected edge appears
+    exactly once."""
+    raw = read_blocks_json(spark)
+    txio = (
+        raw.select(F.explode("txs").alias("tx"))
+        .filter(~F.col("tx.coinbase"))
+        .select("tx.tx_hash", "tx.inputs", "tx.outputs")
+    )
+    ins = txio.select(
+        "tx_hash", F.explode("inputs").alias("io")
+    ).select("tx_hash", F.col("io.address")[0].alias("addr"))
+    outs = txio.select(
+        "tx_hash", F.explode("outputs").alias("io")
+    ).select("tx_hash", F.col("io.address")[0].alias("addr"))
+    base = ins.union(outs).distinct()
+    a = base.alias("a")
+    b = base.alias("b")
+    return (
+        a.join(b, "tx_hash")
+        .filter(F.col("a.addr") < F.col("b.addr"))
+        .select(F.col("a.addr").alias("src"), F.col("b.addr").alias("dst"))
+        .distinct()
+    )
+
+
+@query(
+    "graph_triangle_count",
+    f"""
+    WITH {_DUCK_EDGES}
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM edges e1
+    JOIN edges e2 ON e2.src = e1.dst
+    JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle count of the address co-occurrence graph.
+
+    Pure join program on the lexicographically oriented edge list:
+    wedge a<b<c exists when (a,b) and (b,c) are edges; the third join
+    checks the closing edge (a,c). Orientation counts each triangle
+    exactly once. The wedge join shuffles on node ids; the closing
+    check is an equi-join on the (src, dst) pair — at 100 TB the
+    degree-orientation refinement (pivot every wedge on its
+    lowest-DEGREE vertex) bounds wedge fan-out by graph arboricity and
+    slots in as one extra join against the degree table.
+    """
+    e = cooccurrence_edges(spark)
+    e1 = e.alias("e1")
+    e2 = e.alias("e2")
+    e3 = e.alias("e3")
+    wedges = e1.join(e2, F.col("e2.src") == F.col("e1.dst"))
+    return (
+        wedges.join(
+            e3,
+            (F.col("e3.src") == F.col("e1.src"))
+            & (F.col("e3.dst") == F.col("e2.dst")),
+            "left_semi",
+        )
+        .agg(F.count("*").cast("bigint").alias("n_triangles"))
+    )
+
+
+@query(
+    "graph_degree_hist",
+    f"""
+    WITH {_DUCK_EDGES}, sym AS (
+        SELECT src AS addr, dst AS nbr FROM edges
+        UNION
+        SELECT dst AS addr, src AS nbr FROM edges
+    ), deg AS (
+        SELECT addr, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM sym GROUP BY addr
+    )
+    SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY degree
+    """,
+)
+def graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the address co-occurrence graph: for
+    each degree value, how many nodes have it. Symmetrize the oriented
+    edge list (UNION dedups), count neighbors per node, histogram the
+    counts — two cascaded map-side-combinable aggregations, the
+    shape that survives any scale."""
+    e = cooccurrence_edges(spark)
+    sym = e.select(
+        F.col("src").alias("addr"), F.col("dst").alias("nbr")
+    ).union(e.select(F.col("dst").alias("addr"), F.col("src").alias("nbr"))).distinct()
+    deg = sym.groupBy("addr").agg(F.count("*").cast("bigint").alias("degree"))
+    return deg.groupBy("degree").agg(F.count("*").cast("bigint").alias("n_nodes"))

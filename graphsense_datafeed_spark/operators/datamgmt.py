@@ -1,0 +1,163 @@
+"""Dataset-management operators: stratified sampling, table profiling,
+snapshot change-data-capture.
+
+The operations that sit AROUND a 100 TB corpus rather than inside one
+query: drawing a reproducible per-stratum sample for a training mix,
+profiling a table before trusting it, and diffing two snapshots of a
+mutable upstream (the datafeed's re-ingest/reorg story, SURVEY §3.3,
+expressed as set reconciliation instead of per-row upserts).
+
+Determinism discipline: sampling uses the md5-hex-prefix selection of
+`sample_deterministic` (engine-portable, partition-independent);
+profiling emits min/max through VARCHAR casts only for integer/string
+columns (double formatting differs between engines); the CDC diff
+compares only exactly-representable values.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from graphsense_datafeed_spark.registry import query
+from graphsense_datafeed_spark.sources.tables import load
+
+
+@query(
+    "stratified_sample",
+    """
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+          <= CASE WHEN lang = 'en' THEN '14' ELSE '46' END
+    """,
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sample: downsample the majority
+    language ('en' keeps ~8%) while keeping ~28% of everything else —
+    the language-rebalancing step of a training-data mixture.
+
+    The stratum only changes the THRESHOLD; membership stays a pure
+    function of the row's key digest, so the sample is reproducible
+    across engines, partitionings and retries, and composable with
+    further hash-based splits (train/eval on a different digest
+    prefix). One narrow filter on the scan — no shuffle, no
+    per-stratum pass, unlike `sampleBy` whose per-partition RNG is
+    neither engine-portable nor retry-stable."""
+    docs = load(spark, sf_dir, "documents")
+    digest = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2)
+    threshold = F.when(F.col("lang") == "en", "14").otherwise("46")
+    return docs.filter(digest <= threshold).select("doc_id", "lang", "source")
+
+
+_PROFILE_COLS = ("l_orderkey", "l_suppkey", "l_linenumber", "l_returnflag", "l_linestatus")
+
+
+@query(
+    "profile_columns",
+    " UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS col_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               CAST(MIN({c}) AS VARCHAR) AS min_v,
+               CAST(MAX({c}) AS VARCHAR) AS max_v
+        FROM lineitem
+        """
+        for c in _PROFILE_COLS
+    ),
+)
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile of lineitem: row/null/distinct counts and
+    min/max per column, one output row per column.
+
+    The Spark plan is ONE pass over the scan — all per-column
+    aggregates computed in a single partial-aggregated job, then
+    unpivoted to long form with ``stack`` (a narrow generate). The
+    oracle spells it as UNION ALL of per-column scans for clarity;
+    the values are identical. Only integer/string columns are
+    profiled through VARCHAR casts — double→string formatting is not
+    engine-portable."""
+    li = load(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count("*").alias(f"{c}__rows"),
+            (F.count("*") - F.count(c)).alias(f"{c}__null"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__rows, {c}__null, {c}__distinct, {c}__min, {c}__max"
+        for c in _PROFILE_COLS
+    )
+    return wide.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+        "(col_name, n_rows, n_null, n_distinct, min_v, max_v)"
+    )
+
+
+@query(
+    "cdc_snapshot_diff",
+    """
+    WITH snap_a AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '1997-07-01'
+    ), snap_b AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderstatus = 'P' THEN 'F' ELSE o_orderstatus END
+                 AS o_orderstatus,
+             o_totalprice
+      FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '1998-07-01'
+    )
+    SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+           CASE WHEN a.o_orderkey IS NULL THEN 'insert'
+                ELSE 'update' END AS change_type
+    FROM snap_a a FULL OUTER JOIN snap_b b ON a.o_orderkey = b.o_orderkey
+    WHERE a.o_orderkey IS NULL
+       OR b.o_orderkey IS NULL
+       OR a.o_orderstatus <> b.o_orderstatus
+    """,
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture between two snapshots of a mutable table:
+    full-outer join on the primary key, classify each key as
+    insert / update (delete falls out of the same CASE — the fixture
+    snapshots are append-plus-amend, so none occur, but the branch is
+    exercised by tests/test_datamgmt.py on a synthetic frame).
+
+    Snapshot A is the table as of 1997-07; snapshot B a year later
+    with pending orders finalized ('P'→'F') — a deterministic stand-in
+    for the datafeed's re-ingest-after-reorg input. At scale both
+    sides shuffle once on the PK (the join key IS the snapshot sort
+    key, so with bucketed snapshots this is exchange-free), and the
+    diff output is sized in changes, not table size."""
+    orders = load(spark, sf_dir, "orders")
+    snap_a = orders.filter(
+        F.col("o_orderdate").cast("date") < F.lit("1997-07-01").cast("date")
+    ).select(
+        F.col("o_orderkey").alias("a_key"), F.col("o_orderstatus").alias("a_status")
+    )
+    snap_b = orders.filter(
+        F.col("o_orderdate").cast("date") < F.lit("1998-07-01").cast("date")
+    ).select(
+        F.col("o_orderkey").alias("b_key"),
+        F.when(F.col("o_orderstatus") == "P", "F")
+        .otherwise(F.col("o_orderstatus"))
+        .alias("b_status"),
+    )
+    joined = snap_a.join(snap_b, snap_a.a_key == snap_b.b_key, "full_outer")
+    return joined.filter(
+        F.col("a_key").isNull()
+        | F.col("b_key").isNull()
+        | (F.col("a_status") != F.col("b_status"))
+    ).select(
+        F.coalesce("a_key", "b_key").alias("o_orderkey"),
+        F.when(F.col("a_key").isNull(), "insert")
+        .when(F.col("b_key").isNull(), "delete")
+        .otherwise("update")
+        .alias("change_type"),
+    )

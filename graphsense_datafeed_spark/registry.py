@@ -75,6 +75,8 @@ _OPERATOR_MODULES = (
     # round-2 additions: new queries go BEHIND the driver-unchecked
     # block so they never displace a §2 row from the first-50 window
     "graphsense_datafeed_spark.plans.goldens4",
+    "graphsense_datafeed_spark.ingest.graphstats",
+    "graphsense_datafeed_spark.operators.datamgmt",
     "graphsense_datafeed_spark.sources.scans",
     "graphsense_datafeed_spark.operators.rowops",
     "graphsense_datafeed_spark.operators.joins",

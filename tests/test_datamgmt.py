@@ -1,0 +1,60 @@
+"""Dataset-management operators: the branches the fixture data cannot
+exercise (CDC deletes) plus structural sanity of the graph stats.
+
+The registered queries themselves are exact-oracle checked by
+test_parity.py; these tests cover what the oracles can't."""
+
+import pyspark.sql.functions as F
+
+
+def test_cdc_delete_branch(spark):
+    """A key present only in snapshot A must classify as 'delete' —
+    the fixture snapshots are append-plus-amend so the oracle never
+    sees one; exercise the branch on synthetic frames with the same
+    classification expression as cdc_snapshot_diff."""
+    a = spark.createDataFrame(
+        [(1, "O"), (2, "P"), (3, "F")], ["a_key", "a_status"]
+    )
+    b = spark.createDataFrame(
+        [(2, "F"), (3, "F"), (4, "O")], ["b_key", "b_status"]
+    )
+    joined = a.join(b, a.a_key == b.b_key, "full_outer")
+    out = {
+        r["o_orderkey"]: r["change_type"]
+        for r in joined.filter(
+            F.col("a_key").isNull()
+            | F.col("b_key").isNull()
+            | (F.col("a_status") != F.col("b_status"))
+        )
+        .select(
+            F.coalesce("a_key", "b_key").alias("o_orderkey"),
+            F.when(F.col("a_key").isNull(), "insert")
+            .when(F.col("b_key").isNull(), "delete")
+            .otherwise("update")
+            .alias("change_type"),
+        )
+        .collect()
+    }
+    assert out == {1: "delete", 2: "update", 4: "insert"}
+
+
+def test_triangle_count_known_graph(spark):
+    """K4 minus one edge contains exactly 2 triangles; verify the
+    oriented wedge-close program on a graph whose answer is known
+    (independent of the fixture edge set)."""
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d")],
+        ["src", "dst"],
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    n = (
+        e1.join(e2, F.col("e2.src") == F.col("e1.dst"))
+        .join(
+            e3,
+            (F.col("e3.src") == F.col("e1.src"))
+            & (F.col("e3.dst") == F.col("e2.dst")),
+            "left_semi",
+        )
+        .count()
+    )
+    assert n == 2
