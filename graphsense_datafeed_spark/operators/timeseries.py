@@ -1,0 +1,161 @@
+"""Time-series operators over the event stream: regular-grid
+resampling with gap fill, time-RANGE rolling windows, equi-width
+histograms.
+
+The reference's feed is itself a time series (blocks/rates arriving on
+a clock — SURVEY §3.1); these are the operators its consumers run:
+"give me a regular hourly series even where nothing happened",
+"trailing one-hour volume per key", "the shape of the value
+distribution".
+
+Determinism discipline: ROWS-framed running fills are ordered by the
+(gap-free) grid timestamp — a unique key within partition, so frames
+are unambiguous; the RANGE frame is keyed on integral epoch seconds
+(Spark ``unix_timestamp`` and DuckDB ``CAST(epoch(..) AS BIGINT)``
+both truncate toward zero for post-1970 data) and RANGE includes all
+peers by definition, so equal-second ties cannot reorder the sum;
+measures are FLOOR-integerized before summing.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from graphsense_datafeed_spark.registry import query
+from graphsense_datafeed_spark.sources.tables import load
+
+
+@query(
+    "ts_resample_locf",
+    """
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour_ts,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events WHERE user_id < 40
+      GROUP BY user_id, date_trunc('hour', ts)
+    ), bounds AS (
+      SELECT user_id, MIN(hour_ts) AS h0, MAX(hour_ts) AS h1
+      FROM hourly GROUP BY user_id
+    ), grid AS (
+      SELECT user_id,
+             unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour_ts
+      FROM bounds
+    )
+    SELECT g.user_id, g.hour_ts,
+           last_value(h.n_events IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.hour_ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS n_events_locf,
+           h.n_events IS NULL AS is_gap
+    FROM grid g
+    LEFT JOIN hourly h
+      ON g.user_id = h.user_id AND g.hour_ts = h.hour_ts
+    """,
+)
+def ts_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample each user's event stream onto a regular hourly grid
+    between their first and last active hour, carrying the last
+    observation forward across gaps (LOCF) and flagging filled rows.
+
+    Plan: one aggregation builds the sparse hourly series; per-user
+    bounds ride the SAME shuffle (second agg on the same key); the
+    dense grid comes from ``sequence()`` + explode — generation is
+    narrow, sized by hours-per-user, and never touches the raw events
+    again. The fill is a running ``last(ignorenulls)`` ordered by the
+    gap-free grid timestamp (unique per partition → unambiguous
+    frames). At 100 TB the grid explode is the only row-multiplying
+    step and its fan-out is bounded by the resample period, not by
+    event volume."""
+    hourly = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 40)
+        .groupBy("user_id", F.date_trunc("hour", "ts").alias("hour_ts"))
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+    )
+    grid = (
+        hourly.groupBy("user_id")
+        .agg(F.min("hour_ts").alias("h0"), F.max("hour_ts").alias("h1"))
+        .select(
+            "user_id",
+            F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("hour_ts"),
+        )
+    )
+    joined = grid.join(hourly, ["user_id", "hour_ts"], "left")
+    w = Window.partitionBy("user_id").orderBy("hour_ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return joined.select(
+        "user_id",
+        "hour_ts",
+        F.last("n_events", ignorenulls=True).over(w).alias("n_events_locf"),
+        F.col("n_events").isNull().alias("is_gap"),
+    )
+
+
+@query(
+    "win_time_range_sum",
+    """
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(FLOOR(value) AS BIGINT)) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(epoch(ts) AS BIGINT)
+               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS trailing_1h
+    FROM events WHERE user_id < 40
+    """,
+)
+def win_time_range_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing one-hour volume per user at every event — a true
+    time-RANGE frame (seconds, not row counts), the window shape the
+    rates/blocks consumers actually ask for.
+
+    The frame is keyed on integral epoch seconds; RANGE includes all
+    equal-second peers by definition, so tie order cannot change any
+    frame's contents. Compare win_moving_avg's ROWS frame: that one
+    answers "last 3 observations", this answers "last hour" —
+    irregular event spacing makes them genuinely different operators."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.floor("value").cast("bigint"))
+        .over(w)
+        .cast("bigint")
+        .alias("trailing_1h"),
+    )
+
+
+@query(
+    "histogram_equiwidth",
+    """
+    SELECT CAST(FLOOR(o_totalprice / 20000) AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MIN(FLOOR(o_totalprice)) AS BIGINT) AS bucket_min_fl,
+           CAST(MAX(FLOOR(o_totalprice)) AS BIGINT) AS bucket_max_fl
+    FROM orders
+    GROUP BY CAST(FLOOR(o_totalprice / 20000) AS BIGINT)
+    """,
+)
+def histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width value histogram of order totals (20k-wide buckets)
+    with per-bucket observed min/max — the distribution-shape profile
+    behind partition sizing and skew diagnosis. One
+    map-side-combinable aggregation on a derived key; FLOOR keeps
+    bucket assignment tie-free (the double division is bit-identical
+    in both engines)."""
+    orders = load(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 20000).cast("bigint")
+    return (
+        orders.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.min(F.floor("o_totalprice")).cast("bigint").alias("bucket_min_fl"),
+            F.max(F.floor("o_totalprice")).cast("bigint").alias("bucket_max_fl"),
+        )
+    )
