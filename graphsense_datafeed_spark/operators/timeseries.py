@@ -58,21 +58,28 @@ def ts_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     between their first and last active hour, carrying the last
     observation forward across gaps (LOCF) and flagging filled rows.
 
-    Plan: one aggregation builds the sparse hourly series; per-user
-    bounds ride the SAME shuffle (second agg on the same key); the
-    dense grid comes from ``sequence()`` + explode — generation is
-    narrow, sized by hours-per-user, and never touches the raw events
-    again. The fill is a running ``last(ignorenulls)`` ordered by the
-    gap-free grid timestamp (unique per partition → unambiguous
-    frames). At 100 TB the grid explode is the only row-multiplying
-    step and its fan-out is bounded by the resample period, not by
-    event volume."""
+    Plan: an aggregation builds the sparse hourly series; per-user
+    bounds cascade off it; the dense grid comes from ``sequence()`` +
+    explode — generation is narrow and sized by hours-per-user. The
+    fill is a running ``last(ignorenulls)`` ordered by the gap-free
+    grid timestamp (unique per partition → unambiguous frames). At
+    100 TB the grid explode is the only row-multiplying step and its
+    fan-out is bounded by the resample period, not by event volume."""
     hourly = (
         load(spark, sf_dir, "events")
         .filter(F.col("user_id") < 40)
         .groupBy("user_id", F.date_trunc("hour", "ts").alias("hour_ts"))
         .agg(F.count("*").cast("bigint").alias("n_events"))
     )
+    # The bounds branch re-derives the rollup rather than sharing one
+    # exchange: Catalyst prunes n_events out of the bounds copy, so
+    # the subtrees are not identical and ReusedExchange cannot fire
+    # (verified — a window-based variant loses to pruning the same
+    # way). Both passes are pushed-down (user_id filter) and pruned
+    # to two columns, asserted in tests/test_plans.py; the production
+    # form at 100 TB materializes the hourly rollup table first and
+    # both consumers read THAT — the standard pre-aggregation step,
+    # same plan with storage in place of the second scan.
     grid = (
         hourly.groupBy("user_id")
         .agg(F.min("hour_ts").alias("h0"), F.max("hour_ts").alias("h1"))

@@ -290,3 +290,63 @@ def test_runtime_bloom_filter_injects(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
         spark.conf.set(key, prev_app)
     assert "bloom_filter_agg" in pp, pp[:2000]
+
+
+def test_q11_reuses_grouped_exchange(spark, sf_dir):
+    """The scalar grand total must come from the SAME shuffled partial
+    aggregate as the per-part values — a ReusedExchange, not a second
+    lineitem scan. AQE materializes the reuse at runtime, so assert on
+    the executed plan after an action."""
+    df = QUERIES["golden_q11_important_stock"](spark, sf_dir)
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in p, p
+
+
+def test_q21_probes_share_orderkey_exchange(spark, sf_dir):
+    """All three lineitem appearances shuffle on l_orderkey only; the
+    plan must contain the semi and anti probes but no cartesian and no
+    broadcast of the fact table."""
+    p = plan_of(QUERIES["golden_q21_waiting_orders"](spark, sf_dir))
+    assert "LeftSemi" in p and "LeftAnti" in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_lsh_pairs_have_no_window_sort(spark, sf_dir):
+    """Candidate generation was rebuilt around count-filtered
+    collect_list buckets; the plan must carry no Window operator (the
+    old shape sorted every band partition) and must still cap via the
+    co-partitioned count join."""
+    from graphsense_datafeed_spark.operators.llm_dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from graphsense_datafeed_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text").limit(500)
+    p = plan_of(lsh_candidate_pairs(minhash_signatures(docs)))
+    assert "Window" not in p, p
+    assert "collect_list" in p, p
+
+
+def test_profile_is_single_scan(spark, sf_dir):
+    """profile_columns computes every per-column aggregate in ONE
+    pass: exactly one parquet scan node in the formatted plan (each
+    node prints once in the tree and once in the detail section)."""
+    p = plan_of(QUERIES["profile_columns"](spark, sf_dir))
+    assert p.count("Scan parquet") == 2, p  # 1 node × (tree + detail)
+
+
+def test_resample_scans_pushed_and_pruned(spark, sf_dir):
+    """Both passes over raw events (the rollup and its bounds — reuse
+    is defeated by column pruning, see the operator's comment) must
+    reach the scan with the user_id filter pushed and only (user_id,
+    ts) read; the grid explode must sit above an Aggregate, never on
+    raw events."""
+    p = plan_of(QUERIES["ts_resample_locf"](spark, sf_dir))
+    for seg in p.split("PushedFilters")[1:]:
+        assert "user_id" in seg.split("]")[0], p
+    for seg in p.split("ReadSchema:")[1:]:
+        line = seg.splitlines()[0]
+        assert "value" not in line and "props" not in line, p
+    assert "Generate" in p, p
