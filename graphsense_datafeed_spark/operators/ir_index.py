@@ -1,0 +1,110 @@
+"""Information-retrieval index structures over the document corpus:
+inverted index and bounded token co-occurrence.
+
+The retrieval side of a training-data pipeline: once a corpus is
+cleaned and deduped, consumers need "which documents contain token t"
+(inverted index — the join-back structure for decontamination and
+targeted filtering) and "which tokens travel together" (co-occurrence
+— the raw counts under PMI/embedding-style association measures;
+association SCORES involve logs whose libm rounding is not
+engine-portable, so the operator emits exact counts and leaves the
+score arithmetic to the consumer).
+
+Scale notes:
+- The inverted index is explode → distinct → groupBy token: shuffle
+  keys are tokens, and posting lists are per-token — the classic
+  skew hazard is stopword tokens whose postings approach |corpus|.
+  The posting ARRAY is therefore capped (deterministically, smallest
+  doc_ids) while df_count stays exact; the uncapped list lives in
+  storage partitioned by token prefix, not in one array cell.
+- Co-occurrence explodes the leading token window per document
+  (k tokens → k·(k-1)/2 pairs, k=12 capped ⇒ ≤66 pairs/doc — the
+  blow-up is bounded by the cap², independent of document length or
+  corpus size), then one count aggregation on the pair key.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from graphsense_datafeed_spark.registry import query
+from graphsense_datafeed_spark.sources.tables import load
+
+_POSTINGS_CAP = 32
+
+
+@query(
+    "text_inverted_index",
+    f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    )
+    SELECT token,
+           CAST(COUNT(*) AS BIGINT) AS df_count,
+           list_sort(list(doc_id))[1:{_POSTINGS_CAP}] AS postings
+    FROM tok
+    GROUP BY token
+    """,
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """token → (document frequency, capped sorted posting list).
+
+    df_count is exact for every token; the materialized posting array
+    keeps the {_POSTINGS_CAP} smallest doc_ids — deterministic under
+    any partitioning (sort-then-slice, not first-seen), exactly what
+    both engines compute. Hot stopword tokens therefore cost one
+    bounded array, never an unbounded collect."""
+    tok = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .distinct()
+    )
+    return tok.groupBy("token").agg(
+        F.count("*").cast("bigint").alias("df_count"),
+        F.slice(F.sort_array(F.collect_list("doc_id")), 1, _POSTINGS_CAP).alias(
+            "postings"
+        ),
+    )
+
+
+@query(
+    "text_cooccurrence",
+    """
+    WITH head AS (
+      SELECT doc_id, string_split(text, ' ')[1:12] AS toks FROM documents
+    ), pairs AS (
+      SELECT a.tok AS tok_a, b.tok AS tok_b
+      FROM (SELECT doc_id, unnest(toks) AS tok FROM head) a
+      JOIN (SELECT doc_id, unnest(toks) AS tok FROM head) b
+        ON a.doc_id = b.doc_id AND a.tok < b.tok
+    )
+    SELECT tok_a, tok_b, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pairs
+    GROUP BY tok_a, tok_b
+    HAVING COUNT(*) >= 10
+    """,
+)
+def text_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token co-occurrence counts within each document's leading
+    12-token window, thresholded to recurring pairs.
+
+    The pair explosion is bounded by the window cap (≤66 pairs/doc),
+    so the pre-aggregation row count is linear in corpus size with a
+    small constant; the count aggregation partial-combines map-side on
+    the pair key. Count duplicates from repeated tokens inside one
+    window are intentional on both sides (the self-join semantics) —
+    exact-match territory, no floating point anywhere."""
+    head = load(spark, sf_dir, "documents").select(
+        "doc_id", F.slice(F.split("text", " "), 1, 12).alias("toks")
+    )
+    a = head.select("doc_id", F.explode("toks").alias("tok_a"))
+    b = head.select("doc_id", F.explode("toks").alias("tok_b"))
+    return (
+        a.join(b, "doc_id")
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .filter(F.col("n_docs") >= 10)
+    )

@@ -78,6 +78,7 @@ _OPERATOR_MODULES = (
     "graphsense_datafeed_spark.ingest.graphstats",
     "graphsense_datafeed_spark.operators.datamgmt",
     "graphsense_datafeed_spark.operators.timeseries",
+    "graphsense_datafeed_spark.operators.ir_index",
     "graphsense_datafeed_spark.sources.scans",
     "graphsense_datafeed_spark.operators.rowops",
     "graphsense_datafeed_spark.operators.joins",
