@@ -460,3 +460,113 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("edit_dist") <= 40)
     )
+
+
+@query(
+    "dedup_prefix_filter",
+    """
+    WITH ws AS (
+      SELECT doc_id, str_split(text, ' ') AS w FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(
+               [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                for i in generate_series(1, len(w) - 2)]
+             )) AS s
+      FROM ws WHERE len(w) >= 3
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), commons AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(FLOOR(CAST(c AS DOUBLE) / (sa.n + sb.n - c) * 10000) AS BIGINT)
+               AS jaccard_e4
+    FROM commons
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+    """,
+)
+def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT shingle-Jaccard ≥ 0.5 join via prefix filtering (the
+    AllPairs/PPJoin family) — the third point in the near-dup design
+    space: MinHash-LSH is probabilistic-recall, brute-force is exact
+    but quadratic, prefix filtering is exact AND sub-quadratic.
+
+    The filter: order every document's shingles by global rarity
+    (document frequency asc, shingle asc — one canonical order for the
+    whole corpus); if jac(A,B) ≥ τ, the first |A|−⌈τ·|A|⌉+1 shingles
+    of A and the like prefix of B must share at least one element
+    (pigeonhole on the ≥τ overlap), so candidates = docs sharing a
+    PREFIX shingle, not any shingle. Rare-first ordering makes those
+    prefixes the least-shared shingles — candidate fan-out collapses
+    versus the plain token join. Verification on candidates recovers
+    the driver-checked EXACT answer: this oracle is the full
+    brute-force intersection join, and the prefix plan must reproduce
+    it bit-for-bit (no recall bound — it is a theorem, and the t2
+    hash-match is the proof obligation).
+
+    Scale: the df table is vocabulary-sized (broadcast here; at 100 TB
+    it is the dictionary table you'd co-partition by shingle hash);
+    the candidate join shuffles on prefix shingles only; verification
+    is array_intersect on the bounded candidate set, as dedup_near.
+    """
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
+    arrs = shingle_arrays(docs)
+    sh = arrs.select("doc_id", F.explode("arr").alias("s"))
+    df_tab = sh.groupBy("s").agg(F.count("*").alias("df"))
+    ordered = (
+        sh.join(F.broadcast(df_tab), "s")
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("df", "s"))).alias("by_rarity"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "doc_id",
+            F.transform(
+                F.slice(
+                    "by_rarity",
+                    1,
+                    (F.col("n") - F.ceil(F.col("n") * F.lit(0.5)) + 1).cast("int"),
+                ),
+                lambda x: x["s"],
+            ).alias("prefix"),
+        )
+    )
+    pre = ordered.select("doc_id", F.explode("prefix").alias("s"))
+    pa, pb = pre.alias("pa"), pre.alias("pb")
+    cands = (
+        pa.join(
+            pb,
+            (F.col("pa.s") == F.col("pb.s"))
+            & (F.col("pa.doc_id") < F.col("pb.doc_id")),
+        )
+        .select(
+            F.col("pa.doc_id").alias("doc_a"), F.col("pb.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    a = arrs.select(
+        F.col("doc_id").alias("a_id"), F.col("arr").alias("arr_a"), F.col("n").alias("na")
+    )
+    b = arrs.select(
+        F.col("doc_id").alias("b_id"), F.col("arr").alias("arr_b"), F.col("n").alias("nb")
+    )
+    c = F.size(F.array_intersect(F.col("arr_a"), F.col("arr_b")))
+    jac = c.cast("double") / (F.col("na") + F.col("nb") - c)
+    return (
+        a.join(F.broadcast(cands), F.col("a_id") == F.col("doc_a"))
+        .join(b, F.col("b_id") == F.col("doc_b"))
+        .filter(jac >= 0.5)
+        .select(
+            "doc_a", "doc_b", F.floor(jac * 10000).cast("bigint").alias("jaccard_e4")
+        )
+    )
