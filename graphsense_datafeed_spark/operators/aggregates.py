@@ -590,3 +590,37 @@ def agg_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("n_events"),
         F.sum("cents").alias("value_cents"),
     )
+
+
+@query(
+    "agg_argminmax",
+    """
+    SELECT s_nationkey,
+           max_by(s_name, s_acctbal) AS richest,
+           min_by(s_name, s_acctbal) AS poorest,
+           CAST(count_if(s_acctbal < 0) AS BIGINT) AS n_negative
+    FROM supplier
+    GROUP BY s_nationkey
+    """,
+)
+def agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arg-min/arg-max aggregation (max_by/min_by) plus count_if —
+    the modern aggregate trio both engines ship natively; one
+    partial-aggregated pass, no window, no self-join (the pre-max_by
+    formulation is the groupBy-max + equality-rejoin of golden_q15).
+
+    max_by on a tied measure is NONDETERMINISTIC in both engines;
+    s_acctbal has no intra-nation max/min ties at any fixture scale
+    (verified sf0.001/0.01/0.1), which is what makes this
+    exact-oracle-able. On tied data, make the measure unique first
+    (struct of measure + PK) or fall back to the window formulation.
+    """
+    return (
+        load(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(
+            F.max_by("s_name", "s_acctbal").alias("richest"),
+            F.min_by("s_name", "s_acctbal").alias("poorest"),
+            F.count_if(F.col("s_acctbal") < 0).cast("bigint").alias("n_negative"),
+        )
+    )
