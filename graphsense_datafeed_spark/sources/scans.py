@@ -590,3 +590,53 @@ def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_suppkey",
         zvalue_col(F.col("l_partkey"), F.col("l_suppkey")).alias("zval"),
     )
+
+
+@query(
+    "scan_partition_pruning",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(EXTRACT(year FROM o_orderdate) * 100
+                + EXTRACT(month FROM o_orderdate) AS BIGINT) AS order_month
+    FROM orders
+    WHERE EXTRACT(year FROM o_orderdate) * 100
+          + EXTRACT(month FROM o_orderdate) = 199703
+    """,
+)
+def scan_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partition PRUNING — the other half of scan-time
+    elimination (test_plans covers data-file pushdown; this covers
+    directory-level pruning, the one that matters most at 100 TB: a
+    month predicate on a month-partitioned table must list ONE
+    directory, not stat a million files).
+
+    Stages orders partitioned by derived order_month
+    (``partitionBy`` on write), reads back with an equality predicate
+    on the partition column, and returns the surviving rows; the
+    oracle recomputes the same slice from the unpartitioned original.
+    tests/test_plans.py asserts the plan scans a pruned file set. The
+    partition column round-trips through the directory name (hive
+    path encoding) as INT — cast to BIGINT for the contract."""
+    out = os.path.join(
+        tempfile.gettempdir(), "gds_partmonth", os.path.basename(sf_dir.rstrip("/"))
+    )
+    src = load(spark, sf_dir, "orders").withColumn(
+        "order_month",
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate")).cast("bigint"),
+    )
+    out = staged_output(
+        out,
+        lambda d: src.write.mode("overwrite")
+        .partitionBy("order_month")
+        .parquet(d),
+    )
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("order_month") == 199703)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.col("order_month").cast("bigint").alias("order_month"),
+        )
+    )

@@ -350,3 +350,21 @@ def test_resample_scans_pushed_and_pruned(spark, sf_dir):
         line = seg.splitlines()[0]
         assert "value" not in line and "props" not in line, p
     assert "Generate" in p, p
+
+
+def test_partition_pruning_lists_one_directory(spark, sf_dir):
+    """The month equality predicate must reach the catalog as a
+    partition filter: the scan's partition count is 1 and the data
+    filters no longer mention the partition column."""
+    df = QUERIES["scan_partition_pruning"](spark, sf_dir)
+    p = plan_of(df)
+    assert "PartitionFilters" in p, p
+    seg = p.split("PartitionFilters:")[1].split("]")[0]
+    assert "order_month" in seg, p
+    df.collect()
+    ep = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"partitions read: (\d+)", ep)
+    if m:  # wording varies by Spark version; partition filter is the gate
+        assert m.group(1) == "1", ep
