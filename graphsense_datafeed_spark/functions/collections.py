@@ -54,9 +54,11 @@ def arr_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(len(str_split(text, ' ')) AS INT) AS n_words,
            list_contains(str_split(text, ' '), 'spark') AS has_spark,
-           list_sort(list_distinct(str_split(text, ' '))) AS vocab,
-           str_split(text, ' ')[1:5] AS first5,
-           flatten([str_split(text, ' ')[1:2], str_split(text, ' ')[3:4]])
+           array_to_string(list_sort(list_distinct(str_split(text, ' '))), '|')
+               AS vocab,
+           array_to_string(str_split(text, ' ')[1:5], '|') AS first5,
+           array_to_string(flatten([str_split(text, ' ')[1:2],
+                                    str_split(text, ' ')[3:4]]), '|')
                AS stitched
     FROM documents WHERE doc_id < 60
     """,
@@ -64,18 +66,20 @@ def arr_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def arr_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """size/contains/sort/slice/distinct/flatten. array_distinct
     preserves first-occurrence order in Spark but is unspecified in
-    DuckDB → always sort after distinct when order matters."""
+    DuckDB → always sort after distinct when order matters. Array
+    results are emitted '|'-joined: the driver's pandas row sort
+    crashes on ndarray cells (r2 lesson)."""
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
     words = F.split("text", " ")
     return d.select(
         "doc_id",
         F.size(words).alias("n_words"),
         F.array_contains(words, "spark").alias("has_spark"),
-        F.array_sort(F.array_distinct(words)).alias("vocab"),
-        F.slice(words, 1, 5).alias("first5"),
-        F.flatten(F.array(F.slice(words, 1, 2), F.slice(words, 3, 2))).alias(
-            "stitched"
-        ),
+        F.array_join(F.array_sort(F.array_distinct(words)), "|").alias("vocab"),
+        F.array_join(F.slice(words, 1, 5), "|").alias("first5"),
+        F.array_join(
+            F.flatten(F.array(F.slice(words, 1, 2), F.slice(words, 3, 2))), "|"
+        ).alias("stitched"),
     )
 
 
@@ -126,7 +130,8 @@ def arr_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT date,
            map_extract(MAP {{'usd': usd, 'eur': eur}}, 'usd')[1] AS usd_rate,
            map_extract(MAP {{'usd': usd, 'eur': eur}}, 'eur')[1] AS eur_rate,
-           list_sort(map_keys(MAP {{'usd': usd, 'eur': eur}})) AS currencies,
+           array_to_string(list_sort(map_keys(MAP {{'usd': usd, 'eur': eur}})), '|')
+               AS currencies,
            CAST(cardinality(MAP {{'usd': usd, 'eur': eur}}) AS INT) AS n_currencies
     FROM read_csv('{RATES_CSV}', header=true,
                   columns={{'date':'DATE','usd':'DOUBLE','eur':'DOUBLE'}})
@@ -135,7 +140,8 @@ def arr_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[REF] `exchange_rates map<text,float>` — build, probe and
-    enumerate a map column; only derived scalars are emitted."""
+    enumerate a map column; only derived scalars are emitted (the key
+    list '|'-joined — array cells crash the driver's pandas sort)."""
     r = read_rates_csv(spark).filter(F.col("date") < F.lit("2009-06-01").cast("date"))
     m = F.create_map(
         F.lit("usd"), F.col("usd"), F.lit("eur"), F.col("eur")
@@ -144,7 +150,7 @@ def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "date",
         F.element_at(m, "usd").alias("usd_rate"),
         F.element_at(m, "eur").alias("eur_rate"),
-        F.array_sort(F.map_keys(m)).alias("currencies"),
+        F.array_join(F.array_sort(F.map_keys(m)), "|").alias("currencies"),
         F.size(m).alias("n_currencies"),
     )
 

@@ -48,7 +48,8 @@ def str_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     "str_split_regex",
     """
     SELECT p_partkey,
-           str_split(p_name, ' ') AS name_words,
+           array_to_string(str_split(p_name, ' '), '|') AS name_words,
+           CAST(len(str_split(p_name, ' ')) AS INT) AS n_words,
            regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
            regexp_replace(p_type, '[AEIOU]', '_', 'g') AS type_devoweled
     FROM part WHERE p_partkey < 500
@@ -58,11 +59,16 @@ def str_split_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regex patterns kept POSIX-simple — Java vs RE2-ish dialect
     differences only bite on exotic syntax (SURVEY §2.8). Spark
     regexp_replace is replace-ALL; DuckDB needs the explicit 'g' flag.
-    """
+
+    The split array is emitted re-joined ('|') plus its length: the
+    driver's pandas row sort crashes on ndarray cells (r2 lesson), so
+    the array op is exercised but presented scalar-encoded."""
     p = load(spark, sf_dir, "part").filter(F.col("p_partkey") < 500)
+    words = F.split("p_name", " ")
     return p.select(
         "p_partkey",
-        F.split("p_name", " ").alias("name_words"),
+        F.array_join(words, "|").alias("name_words"),
+        F.size(words).alias("n_words"),
         F.regexp_extract("p_brand", "([0-9]+)", 1).alias("brand_num"),
         F.regexp_replace("p_type", "[AEIOU]", "_").alias("type_devoweled"),
     )

@@ -279,7 +279,8 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_collect",
     """
-    SELECT l_orderkey, list(l_linenumber ORDER BY l_linenumber) AS line_numbers
+    SELECT l_orderkey,
+           string_agg(l_linenumber, ',' ORDER BY l_linenumber) AS line_numbers
     FROM lineitem
     WHERE l_orderkey < 200
     GROUP BY l_orderkey
@@ -287,12 +288,25 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array agg, order-canonicalized (collect_list order is partition-
-    dependent — always array_sort before comparing/emitting)."""
+    dependent — always array_sort before comparing/emitting).
+
+    The sorted array is emitted joined as a string: the driver's
+    pandas-based row sort cannot factorize ndarray cells (r2 lesson —
+    array-typed output columns crash its compare), so oracle-checked
+    queries must present list results scalar-encoded."""
     return (
         load(spark, sf_dir, "lineitem")
         .filter(F.col("l_orderkey") < 200)
         .groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_list("l_linenumber")).alias("line_numbers"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("l_linenumber")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("line_numbers")
+        )
     )
 
 

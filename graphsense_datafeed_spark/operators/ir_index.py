@@ -43,7 +43,8 @@ _POSTINGS_CAP = 32
     )
     SELECT token,
            CAST(COUNT(*) AS BIGINT) AS df_count,
-           list_sort(list(doc_id))[1:{_POSTINGS_CAP}] AS postings
+           array_to_string(list_sort(list(doc_id))[1:{_POSTINGS_CAP}], ',')
+               AS postings
     FROM tok
     GROUP BY token
     """,
@@ -55,7 +56,8 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps the {_POSTINGS_CAP} smallest doc_ids — deterministic under
     any partitioning (sort-then-slice, not first-seen), exactly what
     both engines compute. Hot stopword tokens therefore cost one
-    bounded array, never an unbounded collect."""
+    bounded array, never an unbounded collect. Postings are emitted
+    ','-joined (array cells crash the driver's pandas sort)."""
     tok = (
         load(spark, sf_dir, "documents")
         .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
@@ -63,9 +65,13 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return tok.groupBy("token").agg(
         F.count("*").cast("bigint").alias("df_count"),
-        F.slice(F.sort_array(F.collect_list("doc_id")), 1, _POSTINGS_CAP).alias(
-            "postings"
-        ),
+        F.array_join(
+            F.transform(
+                F.slice(F.sort_array(F.collect_list("doc_id")), 1, _POSTINGS_CAP),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("postings"),
     )
 
 

@@ -418,10 +418,10 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings
     )
     SELECT vec_id, scale,
-           list_transform(embedding, x ->
+           array_to_string(list_transform(embedding, x ->
                CAST(FLOOR(CAST(x AS DOUBLE)
                           / (CASE WHEN scale = 0 THEN 1.0 ELSE scale END)
-                          * 127 + 0.5) AS BIGINT)) AS q
+                          * 127 + 0.5) AS BIGINT)), ',') AS q
     FROM s
     """,
 )
@@ -435,7 +435,9 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     double BEFORE any arithmetic so both sides run identical IEEE64
     ops, and round-half-up is spelled floor(x+0.5) — no banker's
     rounding divergence (round-1 FLOOR discipline). Fully narrow:
-    per-row HOF array math, no shuffle, no UDF."""
+    per-row HOF array math, no shuffle, no UDF. The quantized vector
+    is emitted ','-joined — array cells crash the driver's pandas
+    sort (r2 lesson)."""
     e = load(spark, sf_dir, "embeddings")
     emb = F.col("embedding")
     scale = F.array_max(F.transform(emb, lambda x: F.abs(x.cast("double"))))
@@ -444,9 +446,14 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_scale.select(
         "vec_id",
         "scale",
-        F.transform(
-            emb,
-            lambda x: F.floor(x.cast("double") / safe * 127 + 0.5).cast("bigint"),
+        F.array_join(
+            F.transform(
+                emb,
+                lambda x: F.floor(x.cast("double") / safe * 127 + 0.5)
+                .cast("bigint")
+                .cast("string"),
+            ),
+            ",",
         ).alias("q"),
     )
 

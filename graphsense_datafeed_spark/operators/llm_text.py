@@ -335,7 +335,9 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    SELECT doc_id, list_sort(list_distinct(list(h)))[1:5] AS fingerprint
+    SELECT doc_id,
+           array_to_string(list_sort(list_distinct(list(h)))[1:5], '|')
+               AS fingerprint
     FROM shingles GROUP BY doc_id
     """,
 )
@@ -375,7 +377,12 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         shingled.groupBy("doc_id")
         .agg(
-            F.slice(F.array_sort(F.collect_set("h")), 1, 5).alias("fingerprint")
+            # '|'-joined: the driver's pandas row sort crashes on
+            # ndarray cells (r2 lesson), so the sketch is emitted
+            # scalar-encoded.
+            F.array_join(
+                F.slice(F.array_sort(F.collect_set("h")), 1, 5), "|"
+            ).alias("fingerprint")
         )
     )
 

@@ -6,11 +6,14 @@ counterpart: production reads never rely on schema inference
 (SURVEY.md §1.3). Schemas below were extracted from the real parquet
 files (FIXTURES.md) and are asserted against them in tests.
 
-``events.ts`` is declared LongType deliberately: the file is
-``timestamp[ns]`` and with ``spark.sql.legacy.parquet.nanosAsLong=true``
-(session.py) Spark surfaces it as ns-since-epoch int64. The loader
-(sources/tables.py) converts it to a µs TIMESTAMP_NTZ column that is
-bit-identical to DuckDB's read of the same file.
+``events.ts`` has two raw schemas because the fixture generator has
+shipped BOTH ``timestamp[ns]`` (rounds 1-2) and ``timestamp[us]``
+(round 3) files. For ns files, ``spark.sql.legacy.parquet.nanosAsLong
+=true`` (session.py) surfaces ts as int64 and the loader truncates to
+µs; for µs files the column maps straight to TIMESTAMP_NTZ. Either
+way the loaded column is bit-identical to DuckDB's read of the same
+file. The loader detects the unit from the file footer per path
+(sources/tables.py:events_ts_unit).
 """
 
 from __future__ import annotations
@@ -87,10 +90,24 @@ LINEITEM = _s(
     ("l_shipdate", TimestampNTZType()),
 )
 
-# Raw as-read schema (ts = int64 ns; see module docstring).
+# Raw as-read schema for NANOSECOND files (ts = int64 ns via
+# nanosAsLong; see module docstring).  The fixture generator has
+# shipped both units across rounds, so the loader detects the unit per
+# file (sources/tables.py) and picks the matching schema.
 EVENTS_RAW = _s(
     ("event_id", LongType()),
     ("ts", LongType()),
+    ("user_id", LongType()),
+    ("event_type", StringType()),
+    ("value", DoubleType()),
+    ("props", StringType()),
+)
+
+# Schema for MICROSECOND files (naive timestamp[us] → TIMESTAMP_NTZ,
+# identical to DuckDB's read — no conversion needed).
+EVENTS_US = _s(
+    ("event_id", LongType()),
+    ("ts", TimestampNTZType()),
     ("user_id", LongType()),
     ("event_type", StringType()),
     ("value", DoubleType()),

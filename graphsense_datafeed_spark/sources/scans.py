@@ -422,7 +422,7 @@ BIN_DIR = os.path.abspath(os.path.join(FIXTURES_DIR, "bin"))
     f"""
     SELECT regexp_extract(filename, '[^/]+$') AS file_name,
            CAST(size AS BIGINT) AS n_bytes,
-           content
+           lower(hex(content)) AS content_hex
     FROM read_blob('{BIN_DIR}/*.bin')
     """,
 )
@@ -433,13 +433,15 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     without ever decoding, so a 100 TB media lake scans with the same
     partitioned-reader machinery as parquet and decode happens later,
     AFTER metadata filters prune (see multimodal_decode). Oracle:
-    DuckDB read_blob over the identical fixture files — byte-for-byte
-    content equality."""
+    DuckDB read_blob over the identical fixture files; byte equality
+    is proven via hex encoding (DuckDB 1.0 has no sha256(BLOB)) —
+    raw blob cells arrive as bytearray in pandas and crash the
+    driver's row sort (r2 lesson)."""
     df = spark.read.format("binaryFile").load(f"{BIN_DIR}/*.bin")
     return df.select(
         F.regexp_extract(F.col("path"), "[^/]+$", 0).alias("file_name"),
         F.col("length").cast("bigint").alias("n_bytes"),
-        F.col("content"),
+        F.lower(F.hex(F.col("content"))).alias("content_hex"),
     )
 
 

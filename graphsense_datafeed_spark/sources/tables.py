@@ -25,12 +25,47 @@ import os
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from graphsense_datafeed_spark.schemas import TABLE_SCHEMAS, TABLES
+from graphsense_datafeed_spark.schemas import (
+    EVENTS_RAW,
+    EVENTS_US,
+    TABLE_SCHEMAS,
+    TABLES,
+)
 from graphsense_datafeed_spark.session import ensure_runtime_confs
 
 
 def path_for(sf_dir: str, table: str) -> str:
     return f"{sf_dir}/{table}.parquet"
+
+
+# The fixture generator has shipped events.ts as BOTH timestamp[ns]
+# (rounds 1-2) and timestamp[us] (round 3), so the unit is detected
+# from the footer, not assumed.  Detection is one schema-inference
+# read (footer metadata only, no data pages — cheap even on a
+# partitioned 100 TB directory tree) memoized per (session, path).
+_TS_UNIT: dict[tuple[int, str], str] = {}
+
+
+def events_ts_unit(spark: SparkSession, path: str) -> str:
+    """'ns' if the events file stores timestamp[ns] (surfaced as int64
+    under nanosAsLong), 'us' for native timestamp[us]."""
+    key = (id(spark), path)
+    if key not in _TS_UNIT:
+        from pyspark.sql.types import LongType
+
+        inferred = spark.read.parquet(path).schema["ts"].dataType
+        _TS_UNIT[key] = "ns" if isinstance(inferred, LongType) else "us"
+    return _TS_UNIT[key]
+
+
+def normalize_events_ts(df: DataFrame, unit: str) -> DataFrame:
+    """ns→µs truncation for ns files; identity for µs files. Pure
+    projection — no shuffle, scan stays vectorized."""
+    if unit == "ns":
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
+    return df
 
 
 # Opt-in hot-table cache (SPARK_GRAFT_CACHE=1): persists loaded tables
@@ -48,12 +83,12 @@ def _cache_enabled() -> bool:
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Load one fixture table with its explicit schema.
 
-    ``events``: the file stores ``timestamp[ns]`` which Spark 4 cannot
-    read natively; with ``nanosAsLong`` (ensured here at runtime — the
-    driver hands us a session we didn't build) it arrives as int64 ns.
-    We convert to TIMESTAMP_NTZ at µs precision, which equals DuckDB's
-    read of the same column exactly (verified; FIXTURES.md header), and
-    keep the original column name/position.
+    ``events``: the ts unit is detected per file (``events_ts_unit``).
+    ns files (rounds 1-2) arrive as int64 under ``nanosAsLong`` (ensured
+    here at runtime — the driver hands us a session we didn't build) and
+    are truncated to µs; µs files (round 3) map straight to
+    TIMESTAMP_NTZ. Either way the loaded column equals DuckDB's read of
+    the same file exactly (verified; FIXTURES.md header).
     """
     if table not in TABLE_SCHEMAS:
         raise KeyError(f"unknown table {table!r}; known: {TABLES}")
@@ -61,13 +96,13 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     if _cache_enabled() and key in _CACHE:
         return _CACHE[key]
     ensure_runtime_confs(spark)
-    df = spark.read.schema(TABLE_SCHEMAS[table]).parquet(path_for(sf_dir, table))
+    path = path_for(sf_dir, table)
     if table == "events":
-        # ns→µs truncation, tz-pinned identity cast (session tz=UTC).
-        df = df.withColumn(
-            "ts",
-            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
-        )
+        unit = events_ts_unit(spark, path)
+        schema = EVENTS_RAW if unit == "ns" else EVENTS_US
+        df = normalize_events_ts(spark.read.schema(schema).parquet(path), unit)
+    else:
+        df = spark.read.schema(TABLE_SCHEMAS[table]).parquet(path)
     if _cache_enabled():
         df = df.persist()
         _CACHE[key] = df

@@ -33,9 +33,14 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from graphsense_datafeed_spark.registry import query
-from graphsense_datafeed_spark.schemas import EVENTS_RAW
+from graphsense_datafeed_spark.schemas import EVENTS_RAW, EVENTS_US
 from graphsense_datafeed_spark.session import ensure_runtime_confs
-from graphsense_datafeed_spark.sources.tables import load
+from graphsense_datafeed_spark.sources.tables import (
+    events_ts_unit,
+    load,
+    normalize_events_ts,
+    path_for,
+)
 
 
 def _events_stream_dir(sf_dir: str) -> str:
@@ -52,14 +57,16 @@ def _events_stream_dir(sf_dir: str) -> str:
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events fixture with the same ns→µs
-    conversion as the batch loader (one file → one micro-batch under
-    availableNow; tests split the file to force multi-batch runs)."""
+    """File-source stream over the events fixture with the same
+    unit-adaptive ts normalization as the batch loader (one file → one
+    micro-batch under availableNow; tests split the file to force
+    multi-batch runs). The unit probe runs on the batch source file —
+    readStream cannot infer, and the staged dir symlinks that file."""
     ensure_runtime_confs(spark)
-    raw = spark.readStream.schema(EVENTS_RAW).parquet(_events_stream_dir(sf_dir))
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
-    )
+    unit = events_ts_unit(spark, path_for(sf_dir, "events"))
+    schema = EVENTS_RAW if unit == "ns" else EVENTS_US
+    raw = spark.readStream.schema(schema).parquet(_events_stream_dir(sf_dir))
+    return normalize_events_ts(raw, unit)
 
 
 _STREAM_STATE_PARTITIONS = 8

@@ -19,8 +19,15 @@ from decimal import Decimal
 # collapses HUGEINT/Decimal into int/float).  The pattern is matched
 # against the full DuckDB type string, so list/struct element types are
 # covered too (e.g. "STRUCT(v HUGEINT)[]").
+#
+# Round-2 lesson: the driver's compare converts both sides to pandas and
+# sorts rows with DataFrame.sort_values over every column; ndarray /
+# bytearray / dict cells are unhashable there, so LIST/STRUCT/MAP/BLOB
+# output columns CRASH its compare (agg_collect, str_split_regex, …).
+# Oracle-checked queries must scalar-encode them (array_join / sha256).
 _UNSAFE_DUCK_TYPE = re.compile(
     r"HUGEINT|DECIMAL|UBIGINT|UINTEGER|USMALLINT|UTINYINT"
+    r"|\[\]|LIST|STRUCT|MAP|BLOB|UNION"
 )
 
 

@@ -182,9 +182,10 @@ def test_simhash_planted_pair(spark):
 
 
 def test_fingerprint_stability_and_shape(spark, sf_dir):
-    """k-min fingerprints: 5 sorted digests, identical across runs."""
-    a = {r["doc_id"]: tuple(r["fingerprint"]) for r in QUERIES["text_fingerprint"](spark, sf_dir).collect()}
-    b = {r["doc_id"]: tuple(r["fingerprint"]) for r in QUERIES["text_fingerprint"](spark, sf_dir).collect()}
+    """k-min fingerprints: ≤5 sorted digests ('|'-joined — driver-safe
+    scalar encoding), identical across runs."""
+    a = {r["doc_id"]: tuple(r["fingerprint"].split("|")) for r in QUERIES["text_fingerprint"](spark, sf_dir).collect()}
+    b = {r["doc_id"]: tuple(r["fingerprint"].split("|")) for r in QUERIES["text_fingerprint"](spark, sf_dir).collect()}
     assert a == b
     assert all(len(v) <= 5 and list(v) == sorted(v) for v in a.values())
 
@@ -446,7 +447,7 @@ def test_quantize_int8_roundtrip_error_bound(spark, sf_dir):
         for r in load(spark, sf_dir, "embeddings").collect()
     }
     for r in QUERIES["embed_quantize_int8"](spark, sf_dir).collect():
-        q = np.array(r["q"], dtype="float64")
+        q = np.array(r["q"].split(","), dtype="float64")
         assert np.all(np.abs(q) <= 127)
         if r["scale"] > 0:
             deq = q * r["scale"] / 127

@@ -110,6 +110,42 @@ def test_session_builder_confs(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
 
 
+def test_events_ts_unit_adaptive(spark, tmp_path):
+    """The fixture generator has shipped events.ts as BOTH
+    timestamp[ns] (rounds 1-2) and timestamp[us] (round 3). The loader
+    must detect the unit per file and produce identical TIMESTAMP_NTZ
+    values either way (r2 lesson: assuming ns on a µs file shifted
+    every event to 1970 and silently broke 5 driver rows)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from graphsense_datafeed_spark.sources import tables as T
+
+    micros = [1704067207179575, 1704070800000001]
+    cols = {
+        "event_id": pa.array([1, 2], pa.int64()),
+        "user_id": pa.array([10, 11], pa.int64()),
+        "event_type": pa.array(["a", "b"]),
+        "value": pa.array([1.5, 2.5], pa.float64()),
+        "props": pa.array(["{}", "{}"]),
+    }
+    t_us = pa.table({**cols, "ts": pa.array(micros, pa.timestamp("us"))})
+    t_ns = pa.table(
+        {**cols, "ts": pa.array([m * 1000 for m in micros], pa.timestamp("ns"))}
+    )
+    d_us, d_ns = tmp_path / "us", tmp_path / "ns"
+    d_us.mkdir(), d_ns.mkdir()
+    pq.write_table(t_us, d_us / "events.parquet")
+    pq.write_table(t_ns, d_ns / "events.parquet")
+
+    assert T.events_ts_unit(spark, str(d_us / "events.parquet")) == "us"
+    assert T.events_ts_unit(spark, str(d_ns / "events.parquet")) == "ns"
+    got_us = {r["event_id"]: r["ts"] for r in T.load(spark, str(d_us), "events").collect()}
+    got_ns = {r["event_id"]: r["ts"] for r in T.load(spark, str(d_ns), "events").collect()}
+    assert got_us == got_ns
+    assert got_us[1].microsecond == 179575
+
+
 def test_observe_metrics_single_pass(spark, sf_dir):
     """The Observation metrics must equal independently computed batch
     aggregates — collected from the same single pass that produced the

@@ -10,7 +10,6 @@ import uuid
 import pyspark.sql.functions as F
 import pytest
 
-from graphsense_datafeed_spark.schemas import EVENTS_RAW
 from graphsense_datafeed_spark.sources.tables import load
 from graphsense_datafeed_spark.streaming.windows import run_stream_to_memory
 
