@@ -570,3 +570,142 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_a", "doc_b", F.floor(jac * 10000).cast("bigint").alias("jaccard_e4")
         )
     )
+
+
+# --- semantic (embedding) dedup with a SQL-expressible prefilter ------
+
+_SEM_BANDS = 16  # bands of sign bits over the leading 64 components
+_SEM_BW = 4  # bits per band
+_SEM_TAU = 0.30  # cosine keep-threshold (fixture corpus is random
+#                  unit vectors, max pairwise cos ≈ 0.51 — real dedup
+#                  runs at 0.9+; the MECHANISM is threshold-agnostic)
+_SEM_MAX_BUCKET = 256  # hot-bucket kill, same rationale as MinHash LSH
+
+
+def semantic_dedup_frame(
+    e: DataFrame,
+    bands: int = _SEM_BANDS,
+    bw: int = _SEM_BW,
+    tau: float = _SEM_TAU,
+    max_bucket: int = _SEM_MAX_BUCKET,
+) -> DataFrame:
+    """Semantic near-dup removal over an (vec_id, embedding) frame:
+    banded sign-bit LSH prefilter → exact-cosine verify → keep the
+    lowest vec_id per duplicate cluster (the SemDeDup-style greedy
+    canonicalization: a vector is removed iff some LOWER-id vector is
+    within the cosine threshold; emitted with that keeper and score).
+
+    Unlike the random-hyperplane LSH of sim_ann_lsh, the bucketing here
+    is axis-aligned sign bits — deliberately: it is expressible in
+    plain SQL, so the WHOLE pipeline (bucket → candidate join → exact
+    cosine → canonical keeper) gets an exact DuckDB oracle instead of a
+    rows-only check. Recall at the demo threshold is ~92% on the
+    fixture corpus (measured); true near-dups (cos ≥ 0.9) agree on
+    nearly all sign bits and are caught with probability ≈ 1.
+
+    Scale shape: one narrow projection computes 16 band keys per
+    vector, posexplode ×16, equi-join per (band, key) — shuffles on
+    band keys, never on pairs². Bucket caps bound the worst bucket;
+    at production corpus sizes the band width grows with log(n)
+    (16-32 bits) so bucket sizes stay O(1)-ish — 4-bit demo bands are
+    sized to the 500-2000-vector fixtures."""
+    emb = F.col("embedding")
+    keys = F.array(
+        *[
+            sum(
+                (F.element_at(emb, b * bw + i + 1) > 0).cast("int") * (1 << i)
+                for i in range(bw)
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = e.select(
+        F.col("vec_id"), F.posexplode(keys).alias("band_id", "band_key")
+    )
+    sized = (
+        banded.groupBy("band_id", "band_key")
+        .agg(F.count("*").alias("n"))
+        .filter((F.col("n") >= 2) & (F.col("n") <= max_bucket))
+        .select("band_id", "band_key")
+    )
+    pruned = banded.join(sized, ["band_id", "band_key"])
+    a, b_ = pruned.alias("ka"), pruned.alias("kb")
+    cands = (
+        a.join(
+            b_,
+            (F.col("ka.band_id") == F.col("kb.band_id"))
+            & (F.col("ka.band_key") == F.col("kb.band_key"))
+            & (F.col("ka.vec_id") < F.col("kb.vec_id")),
+        )
+        .select(
+            F.col("ka.vec_id").alias("keep_id"),
+            F.col("kb.vec_id").alias("rm_id"),
+        )
+        .distinct()
+    )
+    ea = e.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("ea"))
+    eb = e.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("eb"))
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        cands.join(ea, F.col("keep_id") == F.col("a_id"))
+        .join(eb, F.col("rm_id") == F.col("b_id"))
+        .select("keep_id", "rm_id", dot.alias("dot"))
+        .filter(F.col("dot") >= F.lit(tau))
+    )
+    return scored.groupBy(F.col("rm_id").alias("vec_id")).agg(
+        F.min("keep_id").cast("bigint").alias("keeper_id"),
+        F.min_by(F.floor(F.col("dot") * 10000).cast("bigint"), F.col("keep_id")).alias(
+            "cosine_e4"
+        ),
+    )
+
+
+@query(
+    "dedup_semantic",
+    f"""
+    WITH k AS (
+        SELECT vec_id, b.band_id,
+               {" + ".join(
+                   f"(CASE WHEN embedding[b.band_id*{_SEM_BW}+{i + 1}] > 0 "
+                   f"THEN {1 << i} ELSE 0 END)"
+                   for i in range(_SEM_BW)
+               )} AS band_key
+        FROM embeddings
+        CROSS JOIN (SELECT unnest(range(0, {_SEM_BANDS})) AS band_id) b
+    ), sized AS (
+        SELECT band_id, band_key FROM k GROUP BY band_id, band_key
+        HAVING COUNT(*) BETWEEN 2 AND {_SEM_MAX_BUCKET}
+    ), pruned AS (
+        SELECT k.* FROM k JOIN sized USING (band_id, band_key)
+    ), cand AS (
+        SELECT DISTINCT a.vec_id AS keep_id, b.vec_id AS rm_id
+        FROM pruned a JOIN pruned b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.vec_id < b.vec_id
+    ), scored AS (
+        SELECT c.keep_id, c.rm_id,
+               list_reduce(list_transform(list_zip(ea.embedding, eb.embedding),
+                   p -> CAST(p[1] AS DOUBLE) * p[2]), (x, y) -> x + y) AS dot
+        FROM cand c
+        JOIN embeddings ea ON ea.vec_id = c.keep_id
+        JOIN embeddings eb ON eb.vec_id = c.rm_id
+    )
+    SELECT rm_id AS vec_id,
+           CAST(MIN(keep_id) AS BIGINT) AS keeper_id,
+           CAST(arg_min(CAST(FLOOR(dot * 10000) AS BIGINT), keep_id)
+                AS BIGINT) AS cosine_e4
+    FROM scored WHERE dot >= {_SEM_TAU}
+    GROUP BY rm_id
+    """,
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space near-duplicate removal (SemDeDup-style): banded
+    sign-bit LSH candidates → exact cosine ≥ τ → keep the lowest
+    vec_id per cluster. The one ANN-family operator with an EXACT
+    oracle — see semantic_dedup_frame for why the bucketing is
+    axis-aligned."""
+    return semantic_dedup_frame(load(spark, sf_dir, "embeddings"))

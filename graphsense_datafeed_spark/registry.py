@@ -174,6 +174,7 @@ _NEXT_UP = (
     "graph_triangle_count",
     "graph_degree_hist",
     "join_skew_conditional",
+    "dedup_semantic",
     "corpus_pipeline",
     "text_repetition_filter",
     "text_decontaminate",

@@ -49,6 +49,29 @@ def test_dedup_near_planted_recall(spark):
     assert (3, 4) not in pairs
 
 
+def test_semantic_dedup_planted_dups(spark):
+    """Planted embedding duplicates must be removed with the lowest id
+    as keeper; orthogonal vectors must survive. Exact dups agree on
+    every sign bit, so the banded sign-LSH prefilter catches them with
+    certainty — and the exact-cosine verify kills sign-compatible but
+    dissimilar candidates (v5: same orthant as v1, cosine ≈ 0.7 only
+    when below τ=0.99 run; here τ=0.9 keeps it out)."""
+    dim = 64
+    base = [(1.0 if i % 7 else -1.0) / 8.0 for i in range(dim)]
+    near = list(base)
+    near[0], near[1] = near[0] * 1.05, near[1] * 0.95  # tiny, sign-safe
+    ortho = [(1.0 if i % 2 else -1.0) / 8.0 for i in range(dim)]
+    rows = [(10, base), (11, near), (12, ortho), (13, base)]
+    e = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    got = {
+        r["vec_id"]: (r["keeper_id"], r["cosine_e4"])
+        for r in llm_dedup.semantic_dedup_frame(e, tau=0.9).collect()
+    }
+    assert set(got) == {11, 13}  # base survives as keeper, ortho unrelated
+    assert got[13][0] == 10 and got[13][1] == 10000  # exact dup, dot = 1.0
+    assert got[11][0] == 10 and got[11][1] >= 9900  # near dup
+
+
 def test_lsh_bucket_cap_drops_hot_bucket(spark):
     """A planted hot bucket (300 identical boilerplate docs → identical
     signatures → one bucket per band) must be dropped by the bucket cap
