@@ -158,16 +158,41 @@ def shingles(docs: DataFrame) -> DataFrame:
     return shingle_arrays(docs).select("doc_id", F.explode("arr").alias("s"))
 
 
+# Universal-hash family for MinHash, chosen to be ENGINE-PORTABLE so
+# the whole MinHash→LSH→verify pipeline hash-matches a DuckDB oracle:
+# base(s) = first 28 bits of md5(s) (md5 hex is identical in every
+# engine; 28 bits keeps every product below 2^59 — no bigint overflow
+# under Spark's ANSI mode), then h_i(s) = (a_i·base + b_i) mod P with
+# P = 2^31-1 (Mersenne prime) and seeded (a_i, b_i) shared verbatim by
+# the Spark expressions and the oracle SQL. Spark's hash(s, seed)
+# (xxhash-family) would be faster per call but exists in no other
+# engine — the one-md5-then-16-mults shape costs one digest per
+# shingle and keeps exactness testable.
+_MINHASH_P = (1 << 31) - 1
+import random as _random  # noqa: E402  (stdlib, seeded, import-local)
+
+_rng = _random.Random(42)
+_MINHASH_AB = [
+    (_rng.randrange(1, _MINHASH_P), _rng.randrange(0, _MINHASH_P))
+    for _ in range(_N_HASHES)
+]
+del _rng
+
+
 def minhash_signatures_from(sh: DataFrame) -> DataFrame:
     """(doc_id, sig array<bigint>) — per-doc MinHash over 3-shingles.
 
-    Pure-DF: explode shingles once, take min(hash(s, seed_i)) for each
-    of the 16 seeds in ONE aggregation pass (16 partial-aggregated
-    mins — no per-seed re-scan, no UDF). Signature size is constant →
-    shuffle volume is |docs|×16 longs regardless of text size."""
+    Pure-DF: explode shingles once, take min(h_i(s)) for each of the
+    16 universal-hash functions in ONE aggregation pass (16
+    partial-aggregated mins — no per-seed re-scan, no UDF). Signature
+    size is constant → shuffle volume is |docs|×16 longs regardless of
+    text size."""
+    base = F.conv(F.substring(F.md5(F.col("s").cast("binary")), 1, 7), 16, 10).cast(
+        "bigint"
+    )
     mins = [
-        F.min(F.hash(F.col("s"), F.lit(i)).cast("bigint")).alias(f"h{i}")
-        for i in range(_N_HASHES)
+        F.min((F.lit(a) * base + F.lit(b)) % F.lit(_MINHASH_P)).alias(f"h{i}")
+        for i, (a, b) in enumerate(_MINHASH_AB)
     ]
     sig = sh.groupBy("doc_id").agg(*mins)
     return sig.select(
@@ -204,17 +229,19 @@ def lsh_candidate_pairs(sig: DataFrame, max_bucket: int | None = 256) -> DataFra
     still pruned — they cannot produce a pair). Capped-bucket behavior
     asserted in tests/test_llm.py with a planted 300-identical-doc
     bucket."""
+    # Band key = positional mix of the band's signature mins
+    # (h_even·P + h_odd < 2^62 — exact in bigint, and engine-portable
+    # unlike hash(); collision-free by construction, not just w.h.p.).
     bands = sig.select(
         "doc_id",
         F.posexplode(
             F.array(
                 *[
-                    F.hash(
-                        *[
-                            F.col("sig")[b * _ROWS_PER_BAND + r]
-                            for r in range(_ROWS_PER_BAND)
-                        ]
-                    ).cast("bigint")
+                    sum(
+                        F.col("sig")[b * _ROWS_PER_BAND + r]
+                        * F.lit(_MINHASH_P ** (_ROWS_PER_BAND - 1 - r))
+                        for r in range(_ROWS_PER_BAND)
+                    )
                     for b in range(_N_BANDS)
                 ]
             )
@@ -237,13 +264,75 @@ def lsh_candidate_pairs(sig: DataFrame, max_bucket: int | None = 256) -> DataFra
     )
 
 
-@query("dedup_near")
+# dedup_near's oracle replicates the ENTIRE pipeline in SQL — possible
+# because the minhash family is md5-based universal hashing (see
+# minhash_signatures_from) rather than an engine hash. The (a_i, b_i)
+# literals below come from the same _MINHASH_AB list the Spark
+# expressions use.
+_DEDUP_NEAR_ORACLE = f"""
+    WITH ws AS (
+        SELECT doc_id, str_split(text, ' ') AS w FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id, concat_ws(' ', w[i], w[i+1], w[i+2]) AS s
+        FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM ws)
+    ), hb AS (
+        SELECT doc_id, s,
+               CAST('0x' || substr(md5(s), 1, 7) AS BIGINT) AS hbase
+        FROM sh
+    ), sig AS (
+        SELECT doc_id,
+               {", ".join(
+                   f"MIN(({a} * hbase + {b}) % {_MINHASH_P}) AS h{i}"
+                   for i, (a, b) in enumerate(_MINHASH_AB)
+               )}
+        FROM hb GROUP BY doc_id
+    ), bands AS (
+        SELECT doc_id, bd.band_id,
+               [{", ".join(
+                   f"h{2 * b} * {_MINHASH_P} + h{2 * b + 1}"
+                   for b in range(_N_BANDS)
+               )}][bd.band_id + 1] AS band_key
+        FROM sig
+        CROSS JOIN (SELECT unnest(range(0, {_N_BANDS})) AS band_id) bd
+    ), sized AS (
+        SELECT band_id, band_key FROM bands GROUP BY band_id, band_key
+        HAVING COUNT(*) BETWEEN 2 AND 256
+    ), pruned AS (
+        SELECT bands.* FROM bands JOIN sized USING (band_id, band_key)
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM pruned a JOIN pruned b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ), nsh AS (
+        SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS c
+        FROM cand c
+        JOIN sh x ON x.doc_id = c.doc_a
+        JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           CAST(FLOOR(CAST(i.c AS DOUBLE) / (na.n + nb.n - i.c) * 10000)
+                AS BIGINT) AS jaccard_e4
+    FROM inter i
+    JOIN nsh na ON na.doc_id = i.doc_a
+    JOIN nsh nb ON nb.doc_id = i.doc_b
+    WHERE CAST(i.c AS DOUBLE) / (na.n + nb.n - i.c) >= 0.5
+"""
+
+
+@query("dedup_near", _DEDUP_NEAR_ORACLE)
 def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup: signature → band buckets → candidate
     pairs → EXACT shingle-Jaccard verification of candidates only.
-    Rows-only in the driver (approximate recall is engine-specific);
-    tests/test_llm.py plants near-duplicates and asserts recall for
-    Jaccard ≥ 0.8 pairs plus exact-dup detection at sf0.1."""
+    EXACT oracle: the md5-based universal-hash family makes every
+    stage (signatures, band keys, bucket caps, candidate pairs,
+    verified Jaccard) SQL-replicable — the driver hash-matches the
+    full pipeline, not just row counts. tests/test_llm.py additionally
+    plants near-duplicates and asserts recall for Jaccard ≥ 0.8 pairs
+    plus exact-dup detection at sf0.1."""
     # repartition: the fixture is a single parquet file → a single
     # input split → the (CPU-bound) shingle explode would run on ONE
     # core. On a cluster the scan has many splits and this is a no-op
