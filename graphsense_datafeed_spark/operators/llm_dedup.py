@@ -386,16 +386,74 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_simhash")
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash: 64-bit per-doc fingerprint = sign of per-bit vote sums
-    over token hashes; candidate pairs = hamming distance ≤ 3 within
-    16-bit block buckets (a hamming-≤3 pair must agree on ≥1 of 4
-    blocks — pigeonhole). Rows-only; planted-pair recall in tests.
+# SimHash geometry: 60 bits (the top 15 hex chars of md5 — 60 bits
+# keeps every intermediate in signed-bigint range with NO sign-bit
+# special case, and md5 makes the bit source engine-portable like the
+# MinHash family above), 4 blocks × 15 bits for the hamming-≤3
+# pigeonhole bucketing.
+_SIMHASH_BITS = 60
+_SIMHASH_BLOCKS = 4
+_SIMHASH_BW = 15
+_SIMHASH_MASK = (1 << _SIMHASH_BW) - 1
 
-    Pure-DF bit math: explode (doc, word) → explode 64 bits via
-    shiftright/mask → per-(doc,bit) vote sum → assemble fingerprint
-    with sum(bit<<i) — one shuffle on doc_id."""
+_DEDUP_SIMHASH_ORACLE = f"""
+    WITH ws AS (
+        SELECT doc_id, str_split(text, ' ') AS w FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id, concat_ws(' ', w[i], w[i+1], w[i+2]) AS s
+        FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM ws)
+    ), hb AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h
+        FROM sh
+    ), votes AS (
+        SELECT doc_id,
+               {", ".join(
+                   f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+                   for i in range(_SIMHASH_BITS)
+               )}
+        FROM hb GROUP BY doc_id
+    ), fp AS (
+        SELECT doc_id,
+               {" + ".join(
+                   f"(CASE WHEN v{i} > 0 THEN CAST({1 << i} AS BIGINT) "
+                   f"ELSE 0 END)"
+                   for i in range(_SIMHASH_BITS)
+               )} AS fp
+        FROM votes
+    ), blocks AS (
+        SELECT doc_id, fp, b.block_id,
+               (fp >> ({_SIMHASH_BW} * b.block_id)) & {_SIMHASH_MASK}
+                   AS block_val
+        FROM fp
+        CROSS JOIN (SELECT unnest(range(0, {_SIMHASH_BLOCKS})) AS block_id) b
+    ), cand AS (
+        SELECT DISTINCT p.doc_id AS doc_a, q.doc_id AS doc_b,
+               p.fp AS fp_a, q.fp AS fp_b
+        FROM blocks p JOIN blocks q
+          ON p.block_id = q.block_id AND p.block_val = q.block_val
+         AND p.doc_id < q.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(fp_a, fp_b)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 3
+"""
+
+
+@query("dedup_simhash", _DEDUP_SIMHASH_ORACLE)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash: 60-bit per-doc fingerprint = sign of per-bit vote sums
+    over md5 shingle hashes; candidate pairs = hamming distance ≤ 3
+    within 15-bit block buckets (a hamming-≤3 pair must agree on ≥1 of
+    4 blocks — pigeonhole). EXACT oracle (round 3): all-integer md5
+    bit math is engine-portable, so fingerprints, block buckets and
+    hamming distances hash-match SQL. Planted-pair recall in tests.
+
+    Pure-DF bit math: explode (doc, shingle) → 60 vote-sum aggregate
+    expressions — NOT a 60-way row explode (which would multiply the
+    shuffle by 60; measured 64×260k=16.6M rows and a straggler stage).
+    Partial aggregation compacts each partition to |docs|×60 ints
+    pre-shuffle; one shuffle on doc_id."""
     docs = (
         load(spark, sf_dir, "documents")
         .select("doc_id", "text")
@@ -405,24 +463,22 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # words, so word-level fingerprints collide corpus-wide (measured —
     # see _N_HASHES note above); shingles encode order and separate.
     feats = shingles(docs)
-    h = F.xxhash64("s")
-    # Per-bit votes as 64 aggregate expressions over the shingle rows —
-    # NOT a 64-way row explode (which would multiply the shuffle by 64;
-    # measured 64×260k=16.6M rows and a straggler stage). Partial
-    # aggregation compacts each partition to |docs|×64 ints pre-shuffle.
+    h = F.conv(F.substring(F.md5(F.col("s").cast("binary")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
     votes = feats.groupBy("doc_id").agg(
         *[
             F.sum(
                 F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
             ).alias(f"v{i}")
-            for i in range(64)
+            for i in range(_SIMHASH_BITS)
         ]
     )
     fp_expr = None
-    for i in range(64):
-        term = F.when(
-            F.col(f"v{i}") > 0, F.lit(1 << i if i < 63 else -(1 << 63)).cast("bigint")
-        ).otherwise(F.lit(0).cast("bigint"))
+    for i in range(_SIMHASH_BITS):
+        term = F.when(F.col(f"v{i}") > 0, F.lit(1 << i).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
         fp_expr = term if fp_expr is None else fp_expr + term
     fp = votes.select("doc_id", fp_expr.alias("fp"))
     blocks = fp.select(
@@ -431,8 +487,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright("fp", 16 * k).bitwiseAND(F.lit(0xFFFF)).cast("bigint")
-                    for k in range(4)
+                    F.shiftright("fp", _SIMHASH_BW * k)
+                    .bitwiseAND(F.lit(_SIMHASH_MASK))
+                    .cast("bigint")
+                    for k in range(_SIMHASH_BLOCKS)
                 ]
             )
         ).alias("block_id", "block_val"),

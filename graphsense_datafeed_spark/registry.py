@@ -175,6 +175,8 @@ _NEXT_UP = (
     "graph_degree_hist",
     "join_skew_conditional",
     "dedup_semantic",
+    "dedup_near",
+    "dedup_simhash",
     "corpus_pipeline",
     "text_repetition_filter",
     "text_decontaminate",
