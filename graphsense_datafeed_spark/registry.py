@@ -152,6 +152,10 @@ _NEXT_UP = (
     "stream_foreachbatch",
     "stream_stream_join",
     "stream_rates_upsert",
+    "stream_watermark",
+    "stream_stateful",
+    "stream_stateful_tws",
+    "source_rate_stream",
     "ingest_blocks",
     "ingest_tx_explode",
     "ingest_address_totals",

@@ -30,12 +30,24 @@ _STATE_SCHEMA = "n_events bigint, total_cents bigint"
 _OUT_SCHEMA = "user_id bigint, n_events bigint, total_cents bigint"
 
 
-@query("stream_stateful")
+@query(
+    "stream_stateful",
+    """
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM events GROUP BY user_id
+    """,
+)
 def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user running (count, cents-total) state machine. Rows-only
-    in the driver (statefulness isn't batch-SQL-expressible);
-    tests/test_streaming.py asserts the final state equals the batch
-    aggregate and that state carries across micro-batches.
+    """Per-user running (count, cents-total) state machine. The
+    PROGRESSION of state isn't batch-SQL-expressible, but its final
+    value is: after the stream drains, each user's state must equal
+    the batch aggregate — registered as an exact oracle (round-3
+    upgrade from rows-only; a state machine that dropped or
+    double-counted a batch would hash-mismatch).
+    tests/test_streaming.py additionally asserts state carries across
+    micro-batches, which the single-shot oracle cannot see.
 
     The state fn is a closure so cloudpickle ships it by value —
     executor workers don't have this package on sys.path when the
@@ -94,15 +106,26 @@ def _protobuf_available() -> bool:
         return False
 
 
-@query("stream_stateful_tws")
+@query(
+    "stream_stateful_tws",
+    """
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+               AS n_purchases
+    FROM events GROUP BY user_id
+    """,
+)
 def stream_stateful_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user state machine on Spark 4's transformWithStateInPandas —
     the successor API to applyInPandasWithState, with typed composable
     state handles instead of one opaque tuple. Keeps a ValueState of
     (count, cents-total) plus a MapState of per-event_type counts and
-    emits the running totals each micro-batch. Rows-only in the driver;
-    tests assert final state == the batch aggregate and purchase counts
-    match a batch filter.
+    emits the running totals each micro-batch. Exact oracle on the
+    DRAINED state (round-3 upgrade from rows-only): final per-user
+    totals and purchase counts must equal the batch aggregates; tests
+    additionally assert state accumulates across micro-batches.
 
     GATED: the TWS runtime needs google.protobuf, absent in this
     offline environment (verified: the state-server worker crashes on

@@ -243,13 +243,27 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(spark, joined, "append")
 
 
-@query("stream_watermark")
+@query(
+    "stream_watermark",
+    """
+    SELECT date_trunc('hour', ts) AS win_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY date_trunc('hour', ts)
+    HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR
+           <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
+    """,
+)
 def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling agg in APPEND mode: only windows closed by
-    the final watermark are emitted — inherently not batch-SQL
-    semantics, so rows-only here; the drop-late-data behavior is pinned
-    down in tests/test_streaming.py with a crafted two-batch file
-    sequence."""
+    the final watermark are emitted. Under availableNow over a fixed
+    file set this IS deterministic — the final watermark is
+    max(ts) - 10 min and append emits exactly the windows whose end it
+    passed (Spark's no-data final micro-batch flushes them), so the
+    oracle is the batch agg HAVING win_end ≤ that watermark (round-3
+    upgrade from rows-only). The multi-batch drop-late-data behavior —
+    where watermark PROGRESSION matters — is pinned down in
+    tests/test_streaming.py with a crafted two-batch file sequence."""
     s = read_events_stream(spark, sf_dir).withColumn(
         "ts", F.col("ts").cast("timestamp")  # watermark needs LTZ
     )
@@ -264,14 +278,21 @@ def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("source_rate_stream")
+@query(
+    "source_rate_stream",
+    """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
 def source_rate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental tailing source — the daemon's chain-tip poll loop:
     the fixture is re-laid as many small files (≈ blocks arriving) and
     tailed with maxFilesPerTrigger=1, so the count aggregates across
-    many micro-batches exactly once. Rows-only (the tail mechanics,
-    not the arithmetic, are under test; the arithmetic is
-    stream_tumbling's job)."""
+    many micro-batches exactly once. The complete-mode final state is
+    therefore the plain batch group-by — an EXACT oracle (round-3
+    upgrade from rows-only): if the tail ever dropped or double-read a
+    file, the counts would hash-mismatch."""
     ensure_runtime_confs(spark)
     tail_dir = os.path.join(
         tempfile.gettempdir(), "gds_tail_v2", os.path.basename(sf_dir.rstrip("/"))
