@@ -161,3 +161,68 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("update")
         .alias("change_type"),
     )
+
+
+@query(
+    "layout_compact",
+    """
+    SELECT event_id, user_id, event_type,
+           CAST(ROUND(value * 100) AS BIGINT) AS cents
+    FROM events
+    """,
+)
+def layout_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction — the table-maintenance pass every
+    micro-batch-ingested 100 TB table needs: streaming sinks and
+    per-batch upserts leave thousands of KB-sized files whose
+    open/footer costs come to dominate scans.
+
+    The sequence stages the events table fragmented into 64 shard
+    files (simulated ingest debris), then compacts: repartitionByRange
+    on the query key + sortWithinPartitions, so the rewritten files
+    are both FEW and RANGE-CLUSTERED — each file covers a tight
+    event_id/min-max band, which parquet row-group pruning and
+    partition-level data skipping both exploit on every later read
+    (same discipline as layout_zorder, one dimension). At scale the
+    file-count target comes from total_bytes/128MB via
+    ``spark.sql.files.maxRecordsPerFile``; locally 4 files stand in.
+
+    The oracle is the full content of the source table: compaction
+    that lost, duplicated, or mutated ANY row hash-mismatches —
+    exactly the invariant a production compactor must prove before
+    swapping the new layout in (staged-rename here, manifest commit in
+    a table format). tests/test_datamgmt.py asserts the 64→≤4 file
+    reduction and the clustered min/max bands."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    base = os.path.join(
+        tempfile.gettempdir(), "gds_compact", os.path.basename(sf_dir.rstrip("/"))
+    )
+    frag_dir, compact_dir = f"{base}/fragmented", f"{base}/compacted"
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    if not os.path.exists(frag_dir):
+        stage = frag_dir + ".stage." + uuid.uuid4().hex[:8]
+        ev.repartition(64).write.mode("overwrite").parquet(stage)
+        try:
+            os.rename(stage, frag_dir)
+        except OSError:
+            shutil.rmtree(stage, ignore_errors=True)
+    frag = spark.read.parquet(frag_dir)
+    stage = compact_dir + ".stage." + uuid.uuid4().hex[:8]
+    (
+        frag.repartitionByRange(4, "event_id")
+        .sortWithinPartitions("event_id")
+        .write.mode("overwrite")
+        .parquet(stage)
+    )
+    shutil.rmtree(compact_dir, ignore_errors=True)
+    os.rename(stage, compact_dir)
+    return spark.read.parquet(compact_dir)

@@ -178,6 +178,7 @@ _NEXT_UP = (
     "graph_triangle_count",
     "graph_degree_hist",
     "join_skew_conditional",
+    "layout_compact",
     "dedup_semantic",
     "dedup_near",
     "dedup_simhash",

@@ -115,3 +115,36 @@ def test_prefix_filter_prunes_candidates(spark, sf_dir):
         .count()
     )
     assert 0 < pruned < plain, (pruned, plain)
+
+
+def test_layout_compact_file_count_and_clustering(spark, sf_dir):
+    """Compaction must collapse the 64 staged shards into ≤4
+    range-clustered files whose event_id bands do not overlap (the
+    property row-group pruning relies on), preserving every row."""
+    import glob
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from graphsense_datafeed_spark.registry import QUERIES
+    from graphsense_datafeed_spark.sources.tables import load
+
+    out = QUERIES["layout_compact"](spark, sf_dir)
+    assert out.count() == load(spark, sf_dir, "events").count()
+
+    base = os.path.join(
+        tempfile.gettempdir(), "gds_compact", os.path.basename(sf_dir.rstrip("/"))
+    )
+    frag = glob.glob(f"{base}/fragmented/*.parquet")
+    comp = glob.glob(f"{base}/compacted/*.parquet")
+    assert len(frag) == 64
+    assert 0 < len(comp) <= 4
+    bands = []
+    for f in comp:
+        t = pq.read_table(f, columns=["event_id"])
+        ids = t.column("event_id").to_pylist()
+        bands.append((min(ids), max(ids)))
+    bands.sort()
+    for (_, hi), (lo, _) in zip(bands, bands[1:]):
+        assert hi < lo  # non-overlapping ranges → min/max skipping works
