@@ -368,3 +368,23 @@ def test_partition_pruning_lists_one_directory(spark, sf_dir):
     m = re.search(r"partitions read: (\d+)", ep)
     if m:  # wording varies by Spark version; partition filter is the gate
         assert m.group(1) == "1", ep
+
+
+def test_semantic_dedup_no_cartesian(spark, sf_dir):
+    """dedup_semantic candidates must come from the (band_id, band_key)
+    equi-join — a hash/sort-merge join, never a cartesian/BNLJ pair
+    blow-up — and the band-key projection must stay narrow (no
+    exchange before the band explode)."""
+    p = plan_of(QUERIES["dedup_semantic"](spark, sf_dir))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_dedup_near_oracle_pipeline_joins_on_buckets(spark, sf_dir):
+    """dedup_near (md5-minhash form) must keep the LSH candidate join
+    keyed on (band_id, band_key) — no cross product anywhere in the
+    MinHash → bucket → verify pipeline."""
+    p = plan_of(QUERIES["dedup_near"](spark, sf_dir))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
