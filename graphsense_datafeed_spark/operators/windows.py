@@ -256,3 +256,61 @@ def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .withColumnRenamed("rn", "k")
     )
+
+
+@query(
+    "win_count_distinct",
+    """
+    WITH flagged AS (
+        SELECT user_id, event_id, ts, event_type,
+               CASE WHEN row_number() OVER (
+                        PARTITION BY user_id, event_type
+                        ORDER BY ts ASC, event_id ASC) = 1
+                    THEN 1 ELSE 0 END AS first_seen
+        FROM events WHERE user_id < 40
+    )
+    SELECT user_id, event_id,
+           CAST(SUM(first_seen) OVER (
+                    PARTITION BY user_id
+                    ORDER BY ts ASC, event_id ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS distinct_types_so_far
+    FROM flagged
+    """,
+)
+def win_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative DISTINCT count over a window — "how many distinct
+    event types has this user produced so far" — which neither Spark
+    nor DuckDB supports natively (`COUNT(DISTINCT) OVER (... ROWS
+    ...)` is rejected by both parsers). The standard two-window
+    rewrite: flag each (user, event_type)'s FIRST occurrence with
+    row_number over (user, type), then running-sum the flags over the
+    user's event order.
+
+    Scale: both windows hash-partition on user_id (the second's key is
+    a superset start — Catalyst still needs one exchange per distinct
+    partitionBy, so this is two exchanges total, each on the same
+    bounded key space). Per-row state is O(1); no collect_set of the
+    value space ever materializes — THE reason this rewrite beats a
+    `size(collect_set() over w)` formulation, whose per-row state is
+    the distinct set itself (unbounded at 100 TB key cardinalities)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    w_first = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias("first_seen"),
+    )
+    return flagged.select(
+        "user_id",
+        "event_id",
+        F.sum("first_seen").over(w_run).cast("bigint").alias("distinct_types_so_far"),
+    )

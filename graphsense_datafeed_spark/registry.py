@@ -171,6 +171,7 @@ _NEXT_UP = (
     "events_cohort_retention",
     "win_range_interval",
     "win_time_range_sum",
+    "win_count_distinct",
     "ts_resample_locf",
     "histogram_equiwidth",
     "graph_components",
