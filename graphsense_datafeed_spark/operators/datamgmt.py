@@ -226,3 +226,59 @@ def layout_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(compact_dir, ignore_errors=True)
     os.rename(stage, compact_dir)
     return spark.read.parquet(compact_dir)
+
+
+@query(
+    "profile_skew",
+    """
+    WITH counts AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY user_id
+    ), tot AS (SELECT CAST(SUM(n_events) AS BIGINT) AS total FROM counts)
+    SELECT user_id, n_events,
+           CAST(FLOOR(CAST(n_events AS DOUBLE) / total * 10000) AS BIGINT)
+               AS share_e4,
+           CAST(rk AS INT) AS rank
+    FROM (
+        SELECT user_id, n_events, total,
+               row_number() OVER (ORDER BY n_events DESC, user_id ASC) AS rk
+        FROM counts CROSS JOIN tot
+    )
+    WHERE rk <= 10
+    """,
+)
+def profile_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis: the top-10 heaviest keys of the fact
+    table with absolute counts and e4 traffic shares — the
+    measurement that decides WHICH keys join_skew_conditional salts
+    (its heavy-hitter threshold) and how AQE skew-join thresholds
+    should be set, run as one cheap aggregation BEFORE committing a
+    100 TB join strategy.
+
+    Scale shape: one partial-aggregated count per key (map-side
+    combine ⇒ shuffle carries |distinct keys| rows, not |fact|), the
+    one-row total broadcast back, then a global rank window — run on
+    the AGGREGATED key table only (|keys| rows; same bounded-input
+    discipline as win_percent_cume), never on the fact. At extreme key
+    cardinality the rank window degrades gracefully to a
+    top-k-per-partition pre-filter + final top-k. Integer counts and
+    floor-e4 shares keep the oracle exact."""
+    ev = load(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count("*").cast("bigint").alias("n_events"))
+    total = counts.agg(F.sum("n_events").cast("bigint").alias("total"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("n_events").desc(), F.col("user_id").asc())
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "user_id",
+            "n_events",
+            F.floor(F.col("n_events").cast("double") / F.col("total") * 10000)
+            .cast("bigint")
+            .alias("share_e4"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -179,6 +179,7 @@ _NEXT_UP = (
     "graph_triangle_count",
     "graph_degree_hist",
     "join_skew_conditional",
+    "profile_skew",
     "layout_compact",
     "dedup_semantic",
     "dedup_near",
