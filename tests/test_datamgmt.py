@@ -148,3 +148,42 @@ def test_layout_compact_file_count_and_clustering(spark, sf_dir):
     bands.sort()
     for (_, hi), (lo, _) in zip(bands, bands[1:]):
         assert hi < lo  # non-overlapping ranges → min/max skipping works
+
+
+def test_profile_skew_shares_and_rank(spark, sf_dir):
+    """Top-10 heavy hitters: ranks 1..10, counts non-increasing, and
+    every share_e4 consistent with the full table's totals."""
+    from graphsense_datafeed_spark.registry import QUERIES
+    from graphsense_datafeed_spark.sources.tables import load
+
+    rows = QUERIES["profile_skew"](spark, sf_dir).orderBy("rank").collect()
+    total = load(spark, sf_dir, "events").count()
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    counts = [r["n_events"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for r in rows:
+        assert r["share_e4"] == int(r["n_events"] / total * 10000)
+
+
+def test_win_count_distinct_monotone_and_bounded(spark, sf_dir):
+    """Cumulative distinct count per user: non-decreasing along the
+    event order and finally equal to the user's true distinct count."""
+    import pyspark.sql.functions as F
+
+    from graphsense_datafeed_spark.registry import QUERIES
+    from graphsense_datafeed_spark.sources.tables import load
+
+    out = QUERIES["win_count_distinct"](spark, sf_dir)
+    final = {
+        r["user_id"]: r["mx"]
+        for r in out.groupBy("user_id").agg(F.max("distinct_types_so_far").alias("mx")).collect()
+    }
+    truth = {
+        r["user_id"]: r["d"]
+        for r in load(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 40)
+        .groupBy("user_id")
+        .agg(F.countDistinct("event_type").alias("d"))
+        .collect()
+    }
+    assert final == truth
