@@ -638,3 +638,40 @@ def agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(F.col("s_acctbal") < 0).cast("bigint").alias("n_negative"),
         )
     )
+
+
+@query(
+    "agg_bitmap_ndv",
+    """
+    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS ndv_users
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_bitmap_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct count via bitmaps — the pattern between
+    raw COUNT(DISTINCT) (exact, but re-shuffles raw keys at every
+    rollup) and HLL sketches (mergeable, but approximate): integer
+    keys become (bucket, bit-position) pairs, each (group, bucket)
+    aggregates to a fixed 4 KB bitmap, rollups OR bitmaps together and
+    sum popcounts. Exactness of COUNT(DISTINCT) with the mergeability
+    of a sketch — per-group state is |key-space|/32768 bitmaps, the
+    right trade wherever keys are dense integers (user ids, block
+    heights).
+
+    Two partial-aggregated shuffles, both on bounded keys: (type,
+    bucket) then type; the bitmap build and popcount are JVM-side
+    `bitmap_construct_agg`/`bitmap_count`. Oracle = plain exact
+    COUNT(DISTINCT) — they must agree bit-for-bit, which is the whole
+    claim."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.bitmap_bucket_number("user_id").alias("bkt"),
+            F.bitmap_bit_position("user_id").alias("pos"),
+        )
+        .groupBy("event_type", "bkt")
+        .agg(F.bitmap_construct_agg("pos").alias("bm"))
+        .groupBy("event_type")
+        .agg(F.sum(F.bitmap_count("bm")).cast("bigint").alias("ndv_users"))
+    )

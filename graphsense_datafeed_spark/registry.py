@@ -172,6 +172,7 @@ _NEXT_UP = (
     "win_range_interval",
     "win_time_range_sum",
     "win_count_distinct",
+    "agg_bitmap_ndv",
     "ts_resample_locf",
     "histogram_equiwidth",
     "graph_components",
