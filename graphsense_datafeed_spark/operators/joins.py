@@ -527,3 +527,42 @@ def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE o_orderkey < 200
         """
     )
+
+
+@query(
+    "join_asof_forward",
+    """
+    SELECT event_id, user_id, ts,
+           first_value(p_ts IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts ASC
+               RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS next_purchase_ts
+    FROM (SELECT event_id, user_id, ts,
+                 CASE WHEN event_type = 'purchase' THEN ts END AS p_ts
+          FROM events)
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each event ↔ EARLIEST purchase at-or-after
+    it, per user — the mirror of join_asof's backward lookup (time-to-
+    conversion, next-maintenance-window, rates-effective-from joins).
+
+    Same scalable composition reversed: purchase timestamps ride the
+    one user_id-partitioned sort and ``first(..., ignorenulls)`` over
+    a RANGE current-row→following frame carries the nearest future one
+    back. One exchange, no point-in-time cross product; the RANGE
+    frame keeps ASOF's >= tie semantics symmetric. Exact oracle via
+    the identical window SQL."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rangeBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    p_ts = F.when(F.col("event_type") == "purchase", F.col("ts"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.first(p_ts, ignorenulls=True).over(w).alias("next_purchase_ts"),
+    )
