@@ -28,7 +28,7 @@ Scale notes (100 TB):
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from graphsense_datafeed_spark.registry import query
 from graphsense_datafeed_spark.sources.tables import load
@@ -296,4 +296,60 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("session_end"),
         F.count("*").alias("n_events"),
         F.sum("cents").alias("total_cents"),
+    )
+
+
+@query(
+    "events_user_paths",
+    """
+    WITH ordered AS (
+        SELECT user_id,
+               string_agg(event_type, '>' ORDER BY ts ASC, event_id ASC)
+                   FILTER (WHERE rn <= 5) AS path
+        FROM (
+            SELECT user_id, event_type, ts, event_id,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts ASC, event_id ASC) AS rn
+            FROM events
+        )
+        GROUP BY user_id
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM ordered GROUP BY path
+    HAVING COUNT(*) >= 2
+    """,
+)
+def events_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey path analysis: each user's first five event types
+    joined into a '>'-delimited path, counted across users, thresholded
+    to recurring journeys — the onboarding-funnel discovery query
+    (which opening sequences actually happen, and how often).
+
+    Scale shape: ONE user_id exchange serves both the ordering window
+    and the per-user aggregation; the path strings are bounded (5
+    types) so the second aggregation's keys are small and map-side
+    combinable. The driver-safe encoding lesson applied from the
+    start: the sequence is emitted as a delimited string, never an
+    array cell. Exact oracle via ordered string_agg."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    first5 = (
+        ev.select("user_id", "event_type", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 5)
+    )
+    paths = first5.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("rn"), F.col("event_type")))
+                ),
+                lambda s: s.getField("event_type"),
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+        .filter(F.col("n_users") >= 2)
     )

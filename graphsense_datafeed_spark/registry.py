@@ -169,6 +169,7 @@ _NEXT_UP = (
     "events_sessionize",
     "events_funnel",
     "events_cohort_retention",
+    "events_user_paths",
     "win_range_interval",
     "win_time_range_sum",
     "win_count_distinct",
