@@ -675,3 +675,47 @@ def agg_bitmap_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.sum(F.bitmap_count("bm")).cast("bigint").alias("ndv_users"))
     )
+
+
+@query(
+    "agg_regr_trend",
+    """
+    SELECT event_type,
+           ROUND(regr_slope(value, epoch_h), 4) AS slope,
+           ROUND(regr_intercept(value, epoch_h), 4) AS intercept,
+           ROUND(regr_r2(value, epoch_h), 4) AS r2,
+           CAST(regr_count(value, epoch_h) AS BIGINT) AS n
+    FROM (
+        SELECT event_type, value,
+               CAST(epoch_us(ts) // 3600000000 AS DOUBLE) AS epoch_h
+        FROM events
+    )
+    GROUP BY event_type
+    """,
+)
+def agg_regr_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group linear trend via the SQL regression aggregates:
+    value regressed on event time (hours since epoch) per event type —
+    drift/trend detection as ONE partial-aggregatable pass, where the
+    naive formulation (center, multiply, re-aggregate) takes three.
+
+    regr_* carry (n, Σx, Σy, Σxx, Σxy, Σyy) as mergeable state, so
+    the same query rolls up across shards/days without rescans — the
+    sketch-style scaling story, but exact. The x value is integral
+    hours cast to double (exactly representable), and outputs round to
+    4 decimals under the cross-engine float discipline of agg_stats
+    (SURVEY §2.12-3)."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        (F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(3600000000))
+        .cast("long")
+        .cast("double")
+        .alias("epoch_h"),
+    )
+    return ev.groupBy("event_type").agg(
+        F.round(F.regr_slope("value", "epoch_h"), 4).alias("slope"),
+        F.round(F.regr_intercept("value", "epoch_h"), 4).alias("intercept"),
+        F.round(F.regr_r2("value", "epoch_h"), 4).alias("r2"),
+        F.regr_count("value", "epoch_h").cast("bigint").alias("n"),
+    )

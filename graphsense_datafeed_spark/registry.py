@@ -174,6 +174,7 @@ _NEXT_UP = (
     "win_time_range_sum",
     "win_count_distinct",
     "agg_bitmap_ndv",
+    "agg_regr_trend",
     "join_asof_forward",
     "ts_resample_locf",
     "histogram_equiwidth",
