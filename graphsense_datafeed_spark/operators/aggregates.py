@@ -719,3 +719,35 @@ def agg_regr_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_r2("value", "epoch_h"), 4).alias("r2"),
         F.regr_count("value", "epoch_h").cast("bigint").alias("n"),
     )
+
+
+@query(
+    "agg_higher_moments",
+    """
+    SELECT l_returnflag,
+           ROUND(skewness(l_quantity), 4) AS skew_qty,
+           ROUND(kurtosis(l_quantity), 4) AS kurt_qty,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third/fourth-moment distribution shape per group (skewness +
+    excess kurtosis) — the quality-profiling statistics that flag a
+    drifted or corrupted numeric column before it poisons training
+    (the moment analog of text_quality's rule-based gates).
+
+    Like all moment aggregates these are single-pass and map-side
+    combinable (running (n, Σx, Σx², Σx³, Σx⁴) state). Cross-engine
+    parity verified at ROUND 4 on the fixture group sizes; small-n
+    groups would surface the engines' differing bias-correction
+    choices — profile at shard grain, not per tiny key."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.skewness("l_quantity"), 4).alias("skew_qty"),
+            F.round(F.kurtosis("l_quantity"), 4).alias("kurt_qty"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+    )

@@ -175,6 +175,7 @@ _NEXT_UP = (
     "win_count_distinct",
     "agg_bitmap_ndv",
     "agg_regr_trend",
+    "agg_higher_moments",
     "join_asof_forward",
     "ts_resample_locf",
     "histogram_equiwidth",
