@@ -139,3 +139,33 @@ def math_safe_div(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("tax_per_disc_e4"),
     )
+
+
+@query(
+    "cast_try",
+    """
+    SELECT event_id,
+           TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k_ok,
+           TRY_CAST(json_extract_string(props, '$.k') || 'x' AS INT) AS k_bad,
+           TRY_CAST(event_type AS DOUBLE) AS et_num,
+           TRY_CAST(NULL AS BIGINT) AS null_thru
+    FROM events WHERE event_id < 1000
+    """,
+)
+def cast_try(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe casting: under ANSI mode (Spark 4's default) a
+    malformed CAST raises and kills the 100 TB job at task 9,999 of
+    10,000 — `try_cast` turns per-row garbage into NULLs the pipeline
+    can quarantine instead (the scan_json_corrupt philosophy applied
+    to scalar conversion). Valid numeric string → value; corrupted
+    string / non-numeric text → NULL; NULL propagates. Identical
+    TRY_CAST semantics in the oracle."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    k = F.get_json_object("props", "$.k")
+    return ev.select(
+        "event_id",
+        k.try_cast("int").alias("k_ok"),
+        F.concat(k, F.lit("x")).try_cast("int").alias("k_bad"),
+        F.col("event_type").try_cast("double").alias("et_num"),
+        F.lit(None).try_cast("bigint").alias("null_thru"),
+    )

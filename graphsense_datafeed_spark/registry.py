@@ -176,6 +176,7 @@ _NEXT_UP = (
     "agg_bitmap_ndv",
     "agg_regr_trend",
     "agg_higher_moments",
+    "cast_try",
     "join_asof_forward",
     "ts_resample_locf",
     "histogram_equiwidth",
