@@ -856,3 +856,67 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle — see semantic_dedup_frame for why the bucketing is
     axis-aligned."""
     return semantic_dedup_frame(load(spark, sf_dir, "embeddings"))
+
+
+# Clusters wrap the ENTIRE dedup_near oracle as a CTE, then close it
+# transitively with the same recursive-reachability trick as
+# graph_components — the whole candidate→verify→cluster pipeline is
+# hash-checked end-to-end.
+_DEDUP_CLUSTERS_ORACLE = f"""
+    WITH RECURSIVE pairs AS ({_DEDUP_NEAR_ORACLE}),
+    sym AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ), reach(src, dst) AS (
+        SELECT src, dst FROM sym
+        UNION
+        SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+    ), nodes AS (SELECT DISTINCT src AS doc_id FROM sym),
+    labels AS (
+        SELECT n.doc_id,
+               least(n.doc_id, coalesce(min(r.dst), n.doc_id)) AS cluster_rep
+        FROM nodes n LEFT JOIN reach r ON n.doc_id = r.src
+        GROUP BY n.doc_id
+    )
+    SELECT doc_id, CAST(cluster_rep AS BIGINT) AS cluster_rep,
+           doc_id = cluster_rep AS is_keeper
+    FROM labels
+"""
+
+
+@query("dedup_clusters", _DEDUP_CLUSTERS_ORACLE)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The final step of fuzzy dedup: verified near-dup PAIRS closed
+    into CLUSTERS (a-b, b-c ⇒ {a,b,c}), lowest doc_id elected keeper,
+    everything else marked for removal — pairwise output alone
+    over-deletes (removing both ends of every pair) or under-deletes
+    (keeping transitive dups that never paired directly).
+
+    Reuses dedup_near's verified pairs and graph_components'
+    min-label propagation (convergence early-exit; rounds ≤ cluster
+    diameter, which for near-dup clusters is tiny). Docs with no dup
+    pair are implicit keepers and stay out of the output — the result
+    is sized in DUPLICATES, not corpus size. Exact oracle: the
+    dedup_near SQL pipeline nested as a CTE + recursive reachability
+    closure."""
+    from graphsense_datafeed_spark.ingest.facade import label_propagate
+
+    pairs = dedup_near(spark, sf_dir).select("doc_a", "doc_b")
+    sym = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .localCheckpoint()
+    )
+    labels = (
+        sym.select(F.col("src").alias("addr"))
+        .distinct()
+        .select("addr", F.col("addr").alias("label"))
+        .localCheckpoint()
+    )
+    labels, _ = label_propagate(sym, labels, max_iter=20)
+    return labels.select(
+        F.col("addr").alias("doc_id"),
+        F.col("label").cast("bigint").alias("cluster_rep"),
+        (F.col("addr") == F.col("label")).alias("is_keeper"),
+    )

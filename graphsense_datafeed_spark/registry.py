@@ -190,6 +190,7 @@ _NEXT_UP = (
     "dedup_semantic",
     "dedup_near",
     "dedup_simhash",
+    "dedup_clusters",
     "corpus_pipeline",
     "text_repetition_filter",
     "text_decontaminate",
