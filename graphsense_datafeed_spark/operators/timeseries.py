@@ -166,3 +166,122 @@ def histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.floor("o_totalprice")).cast("bigint").alias("bucket_max_fl"),
         )
     )
+
+
+@query(
+    "ts_interpolate_linear",
+    """
+    WITH hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS hour_ts,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE)
+                   / (COUNT(*) * 100) AS v
+        FROM events WHERE user_id < 40
+        GROUP BY user_id, date_trunc('hour', ts)
+    ), grid AS (
+        SELECT user_id,
+               unnest(generate_series(min(hour_ts), max(hour_ts),
+                                      INTERVAL 1 HOUR)) AS hour_ts
+        FROM hourly GROUP BY user_id
+    ), joined AS (
+        SELECT g.user_id, g.hour_ts, h.v,
+               last_value(h.v IGNORE NULLS) OVER w_prev AS prev_v,
+               last_value(CASE WHEN h.v IS NOT NULL THEN g.hour_ts END
+                          IGNORE NULLS) OVER w_prev AS prev_t,
+               first_value(h.v IGNORE NULLS) OVER w_next AS next_v,
+               first_value(CASE WHEN h.v IS NOT NULL THEN g.hour_ts END
+                           IGNORE NULLS) OVER w_next AS next_t
+        FROM grid g LEFT JOIN hourly h USING (user_id, hour_ts)
+        WINDOW
+          w_prev AS (PARTITION BY user_id ORDER BY hour_ts ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+          w_next AS (PARTITION BY user_id ORDER BY hour_ts ASC
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, hour_ts,
+           CAST(FLOOR((CASE
+               WHEN v IS NOT NULL THEN v
+               WHEN prev_v IS NULL THEN next_v
+               WHEN next_v IS NULL THEN prev_v
+               ELSE prev_v + (next_v - prev_v)
+                    * (epoch_us(hour_ts) - epoch_us(prev_t))
+                    / (epoch_us(next_t) - epoch_us(prev_t))
+           END) * 10000) AS BIGINT) AS v_interp_e4,
+           (v IS NULL) AS was_gap
+    FROM joined
+    """,
+)
+def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear gap interpolation on the hourly grid — the smoother
+    sibling of ts_resample_locf for continuous measures: each missing
+    hour gets prev + (next-prev)·Δt/T between its nearest observed
+    neighbors (edges extend flat). Same scale shape as LOCF: ONE
+    user_id exchange carries the grid explode and BOTH directional
+    windows; the interpolation itself is per-row arithmetic.
+
+    Determinism: the hourly mean is integer-cents summed (order-free,
+    exact) and divided ONCE, so both engines interpolate from
+    bit-identical endpoints; time fractions are ratios of exact
+    integral microsecond differences; and the output is FLOOR-e4
+    scaled, not ROUND-4 — hour-fraction ratios like 17/40 make exact
+    5-decimal values (2.28325) STRUCTURAL, and a .5 tie at the
+    rounding digit flips between engines (measured; SURVEY §2.12
+    rounding discipline). A float AVG for the endpoints ulp-flips the
+    same way — both pitfalls hit in this one query."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hour_ts")
+    ).agg(
+        (
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("double")
+            / (F.count("*") * 100)
+        ).alias("v")
+    )
+    grid = (
+        hourly.groupBy("user_id")
+        .agg(F.min("hour_ts").alias("h0"), F.max("hour_ts").alias("h1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour_ts"),
+        )
+    )
+    j = grid.join(hourly, ["user_id", "hour_ts"], "left")
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_ts")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_t = F.when(F.col("v").isNotNull(), F.col("hour_ts"))
+    marked = j.select(
+        "user_id",
+        "hour_ts",
+        "v",
+        F.last("v", ignorenulls=True).over(w_prev).alias("prev_v"),
+        F.last(obs_t, ignorenulls=True).over(w_prev).alias("prev_t"),
+        F.first("v", ignorenulls=True).over(w_next).alias("next_v"),
+        F.first(obs_t, ignorenulls=True).over(w_next).alias("next_t"),
+    )
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("prev_v").isNull(), F.col("next_v"))
+        .when(F.col("next_v").isNull(), F.col("prev_v"))
+        .otherwise(
+            F.col("prev_v")
+            + (F.col("next_v") - F.col("prev_v"))
+            * (us("hour_ts") - us("prev_t"))
+            / (us("next_t") - us("prev_t"))
+        )
+    )
+    return marked.select(
+        "user_id",
+        "hour_ts",
+        F.floor(interp * 10000).cast("bigint").alias("v_interp_e4"),
+        F.col("v").isNull().alias("was_gap"),
+    )

@@ -179,6 +179,7 @@ _NEXT_UP = (
     "cast_try",
     "join_asof_forward",
     "ts_resample_locf",
+    "ts_interpolate_linear",
     "histogram_equiwidth",
     "graph_components",
     "graph_components_star",
