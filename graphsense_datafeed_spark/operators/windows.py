@@ -314,3 +314,31 @@ def win_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.sum("first_seen").over(w_run).cast("bigint").alias("distinct_types_so_far"),
     )
+
+
+@query(
+    "win_nth_value",
+    f"""
+    SELECT o_custkey, o_orderkey,
+           nth_value(o_orderkey, 2) OVER ({_DUCK_W_CUST}
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS second_order,
+           nth_value(o_orderkey, 3) OVER ({_DUCK_W_CUST}
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS third_order
+    FROM orders WHERE o_custkey < 300
+    """,
+)
+def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTH_VALUE over the full partition frame: each order row carries
+    the customer's 2nd and 3rd order keys (NULL when fewer exist) —
+    the k-th-event lookup that first/last_value can't express. Full
+    frame, deterministic order with the unique-key tiebreak."""
+    w = _w_cust().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") < 300)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+        F.nth_value("o_orderkey", 3).over(w).alias("third_order"),
+    )

@@ -173,6 +173,7 @@ _NEXT_UP = (
     "win_range_interval",
     "win_time_range_sum",
     "win_count_distinct",
+    "win_nth_value",
     "agg_bitmap_ndv",
     "agg_regr_trend",
     "agg_higher_moments",
