@@ -205,3 +205,50 @@ def json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.select((k % 10).alias("k_bucket"), k.alias("kk")).groupBy(
         "k_bucket"
     ).agg(F.count("*").alias("n"), F.min("kk").alias("min_k"))
+
+
+@query(
+    "arr_set_algebra",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               str_split(text, ' ')[1:12]  AS head,
+               str_split(text, ' ')[7:18] AS mid
+        FROM documents WHERE doc_id < 60
+    )
+    SELECT doc_id,
+           array_to_string(list_sort(list_distinct(
+               flatten([head, mid]))), '|') AS union_words,
+           array_to_string(list_sort(list_intersect(
+               list_distinct(head), list_distinct(mid))), '|')
+               AS common_words,
+           array_to_string(list_sort(list_filter(list_distinct(head),
+               w -> NOT list_contains(mid, w))), '|') AS head_only,
+           list_has_any(head, mid) AS overlaps
+    FROM t
+    """,
+)
+def arr_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra — union/intersect/except/overlap on the two
+    (overlapping) leading windows of each document's tokens. Results
+    sorted then '|'-joined (set-op output order is engine-unspecified;
+    array cells crash the driver compare). arrays_overlap gives the
+    cheap existence probe that short-circuits before materializing an
+    intersection."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    words = F.split("text", " ")
+    head, mid = F.slice(words, 1, 12), F.slice(words, 7, 12)
+    dedup = F.array_distinct
+    return d.select(
+        "doc_id",
+        F.array_join(F.array_sort(dedup(F.concat(head, mid))), "|").alias(
+            "union_words"
+        ),
+        F.array_join(
+            F.array_sort(F.array_intersect(dedup(head), dedup(mid))), "|"
+        ).alias("common_words"),
+        F.array_join(F.array_sort(F.array_except(dedup(head), mid)), "|").alias(
+            "head_only"
+        ),
+        F.arrays_overlap(head, mid).alias("overlaps"),
+    )

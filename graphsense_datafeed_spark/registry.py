@@ -178,6 +178,7 @@ _NEXT_UP = (
     "agg_regr_trend",
     "agg_higher_moments",
     "cast_try",
+    "arr_set_algebra",
     "join_asof_forward",
     "ts_resample_locf",
     "ts_interpolate_linear",
