@@ -751,3 +751,60 @@ def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n"),
         )
     )
+
+
+@query(
+    "agg_entropy",
+    """
+    WITH counts AS (
+        SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events WHERE user_id < 100
+        GROUP BY user_id, event_type
+    ), packed AS (
+        SELECT user_id,
+               list_sort(list(n)) AS ns,
+               CAST(SUM(n) AS BIGINT) AS total
+        FROM counts GROUP BY user_id
+    )
+    SELECT user_id,
+           ROUND(-list_reduce(list_transform(ns,
+                     n -> (CAST(n AS DOUBLE) / total)
+                          * ln(CAST(n AS DOUBLE) / total)),
+                 (a, b) -> a + b), 4) AS entropy_nats,
+           CAST(len(ns) AS INT) AS n_types
+    FROM packed
+    """,
+)
+def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type distribution — the
+    behavioral-diversity / data-quality profile (a bot hammering one
+    endpoint scores ≈0; organic traffic sits near ln(5)).
+
+    Float-determinism pattern worth naming: a plain SUM over the
+    p·ln(p) terms leaves accumulation order to the engine (and ties in
+    the last ulp flip rounded output); instead the per-type counts are
+    SORTED into an array and folded LEFT-TO-RIGHT — both engines then
+    execute bit-identical IEEE64 op sequences, so ROUND 4 is safe.
+    The fold runs over ≤|event types| elements per group (bounded),
+    after an ordinary two-level partial-aggregated count."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    packed = counts.groupBy("user_id").agg(
+        F.array_sort(F.collect_list("n")).alias("ns"),
+        F.sum("n").cast("bigint").alias("total"),
+    )
+    p = lambda n: n.cast("double") / F.col("total")  # noqa: E731
+    return packed.select(
+        "user_id",
+        F.round(
+            -F.aggregate(
+                F.transform(F.col("ns"), lambda n: p(n) * F.log(p(n))),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            4,
+        ).alias("entropy_nats"),
+        F.size("ns").alias("n_types"),
+    )

@@ -177,6 +177,7 @@ _NEXT_UP = (
     "agg_bitmap_ndv",
     "agg_regr_trend",
     "agg_higher_moments",
+    "agg_entropy",
     "cast_try",
     "arr_set_algebra",
     "join_asof_forward",
