@@ -402,14 +402,16 @@ def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("addr", F.xxhash64("addr").alias("label"))
         .localCheckpoint()
     )
-    labels, _ = label_propagate(sym.localCheckpoint(), labels, max_iter=20)
+    labels, _ = label_propagate(
+        sym.localCheckpoint(), labels, max_iter=50, require_converged=True
+    )
     return labels.groupBy("label").agg(
         F.count("*").alias("component_size"),
         F.min("addr").alias("representative"),
     ).select("component_size", "representative")
 
 
-def label_propagate(sym, labels, max_iter: int = 20):
+def label_propagate(sym, labels, max_iter: int = 20, require_converged: bool = False):
     """Min-label propagation with convergence early-exit.
 
     Each round: neighbor-min join + least(own, neighbor) update, then
@@ -419,10 +421,17 @@ def label_propagate(sym, labels, max_iter: int = 20):
     scale every avoided round is a full edge-set shuffle, so the exit
     is the difference between diameter-many rounds and max_iter rounds.
 
+    ``require_converged=True`` raises RuntimeError if the bound is hit
+    with labels still changing — callers whose oracle is a FULL
+    transitive closure (dedup_clusters, graph_components) must fail
+    loudly rather than hand back unconverged labels that silently
+    hash-mismatch.
+
     Returns ``(labels, rounds_run)`` so callers/tests can observe that
     convergence beat the bound.
     """
     iters = 0
+    converged = False
     for _ in range(max_iter):
         iters += 1
         neighbor_min = (
@@ -449,7 +458,13 @@ def label_propagate(sym, labels, max_iter: int = 20):
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if require_converged and not converged:
+        raise RuntimeError(
+            f"label propagation did not converge within {max_iter} rounds; "
+            "raise max_iter (component diameter exceeds the bound)"
+        )
     return labels, iters
 
 

@@ -681,9 +681,10 @@ def agg_bitmap_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_regr_trend",
     """
     SELECT event_type,
-           ROUND(regr_slope(value, epoch_h), 4) AS slope,
-           ROUND(regr_intercept(value, epoch_h), 4) AS intercept,
-           ROUND(regr_r2(value, epoch_h), 4) AS r2,
+           CAST(FLOOR(regr_slope(value, epoch_h) * 10000) AS BIGINT) AS slope_e4,
+           CAST(FLOOR(regr_intercept(value, epoch_h) * 10000) AS BIGINT)
+               AS intercept_e4,
+           CAST(FLOOR(regr_r2(value, epoch_h) * 10000) AS BIGINT) AS r2_e4,
            CAST(regr_count(value, epoch_h) AS BIGINT) AS n
     FROM (
         SELECT event_type, value,
@@ -702,9 +703,11 @@ def agg_regr_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     regr_* carry (n, Σx, Σy, Σxx, Σxy, Σyy) as mergeable state, so
     the same query rolls up across shards/days without rescans — the
     sketch-style scaling story, but exact. The x value is integral
-    hours cast to double (exactly representable), and outputs round to
-    4 decimals under the cross-engine float discipline of agg_stats
-    (SURVEY §2.12-3)."""
+    hours cast to double (exactly representable); outputs use the
+    FLOOR-e4 integer encoding (floor(x·10⁴) as BIGINT) rather than
+    ROUND(...,4) — ROUND's half-tie rule differs between engines and
+    flips the hash on exact .5 boundaries, while FLOOR is
+    tie-rule-free (the ts_interpolate_linear discipline)."""
     ev = load(spark, sf_dir, "events").select(
         "event_type",
         "value",
@@ -714,9 +717,13 @@ def agg_regr_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("epoch_h"),
     )
     return ev.groupBy("event_type").agg(
-        F.round(F.regr_slope("value", "epoch_h"), 4).alias("slope"),
-        F.round(F.regr_intercept("value", "epoch_h"), 4).alias("intercept"),
-        F.round(F.regr_r2("value", "epoch_h"), 4).alias("r2"),
+        F.floor(F.regr_slope("value", "epoch_h") * 10000)
+        .cast("bigint")
+        .alias("slope_e4"),
+        F.floor(F.regr_intercept("value", "epoch_h") * 10000)
+        .cast("bigint")
+        .alias("intercept_e4"),
+        F.floor(F.regr_r2("value", "epoch_h") * 10000).cast("bigint").alias("r2_e4"),
         F.regr_count("value", "epoch_h").cast("bigint").alias("n"),
     )
 
@@ -725,8 +732,8 @@ def agg_regr_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_higher_moments",
     """
     SELECT l_returnflag,
-           ROUND(skewness(l_quantity), 4) AS skew_qty,
-           ROUND(kurtosis(l_quantity), 4) AS kurt_qty,
+           CAST(FLOOR(skewness(l_quantity) * 10000) AS BIGINT) AS skew_e4,
+           CAST(FLOOR(kurtosis(l_quantity) * 10000) AS BIGINT) AS kurt_e4,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM lineitem GROUP BY l_returnflag
     """,
@@ -738,16 +745,21 @@ def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the moment analog of text_quality's rule-based gates).
 
     Like all moment aggregates these are single-pass and map-side
-    combinable (running (n, Σx, Σx², Σx³, Σx⁴) state). Cross-engine
-    parity verified at ROUND 4 on the fixture group sizes; small-n
-    groups would surface the engines' differing bias-correction
-    choices — profile at shard grain, not per tiny key."""
+    combinable (running (n, Σx, Σx², Σx³, Σx⁴) state). Outputs use the
+    FLOOR-e4 integer encoding (no cross-engine half-tie hazard, unlike
+    ROUND); parity holds at the fixture group sizes — small-n groups
+    would surface the engines' differing bias-correction choices, so
+    profile at shard grain, not per tiny key."""
     return (
         load(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.round(F.skewness("l_quantity"), 4).alias("skew_qty"),
-            F.round(F.kurtosis("l_quantity"), 4).alias("kurt_qty"),
+            F.floor(F.skewness("l_quantity") * 10000)
+            .cast("bigint")
+            .alias("skew_e4"),
+            F.floor(F.kurtosis("l_quantity") * 10000)
+            .cast("bigint")
+            .alias("kurt_e4"),
             F.count("*").cast("bigint").alias("n"),
         )
     )

@@ -914,7 +914,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("addr", F.col("addr").alias("label"))
         .localCheckpoint()
     )
-    labels, _ = label_propagate(sym, labels, max_iter=20)
+    # require_converged: the oracle is the FULL recursive closure, so
+    # an unconverged label set must raise, not silently hash-mismatch.
+    labels, _ = label_propagate(sym, labels, max_iter=50, require_converged=True)
     return labels.select(
         F.col("addr").alias("doc_id"),
         F.col("label").cast("bigint").alias("cluster_rep"),

@@ -251,7 +251,8 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     GROUP BY date_trunc('hour', ts)
     HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR
-           <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
+           <= (SELECT date_trunc('milliseconds', max(ts)) - INTERVAL 10 MINUTE
+               FROM events)
     """,
 )
 def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -261,7 +262,11 @@ def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     max(ts) - 10 min and append emits exactly the windows whose end it
     passed (Spark's no-data final micro-batch flushes them), so the
     oracle is the batch agg HAVING win_end ≤ that watermark (round-3
-    upgrade from rows-only). The multi-batch drop-late-data behavior —
+    upgrade from rows-only). The oracle truncates max(ts) to
+    MILLISECONDS first because Spark tracks event-time stats (and thus
+    the watermark) at ms precision — a window ending inside the
+    sub-millisecond gap would otherwise flip membership between
+    engines. The multi-batch drop-late-data behavior —
     where watermark PROGRESSION matters — is pinned down in
     tests/test_streaming.py with a crafted two-batch file sequence."""
     s = read_events_stream(spark, sf_dir).withColumn(
@@ -294,8 +299,16 @@ def source_rate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     upgrade from rows-only): if the tail ever dropped or double-read a
     file, the counts would hash-mismatch."""
     ensure_runtime_confs(spark)
+    from graphsense_datafeed_spark.sources.tables import path_for, source_fingerprint
+
+    # Tail dir keys on the source events fingerprint: a regenerated
+    # fixture misses this cache and re-stages instead of serving stale
+    # rows against the fresh oracle (same hazard as layout_compact).
+    fp = source_fingerprint(path_for(sf_dir, "events"))
     tail_dir = os.path.join(
-        tempfile.gettempdir(), "gds_tail_v2", os.path.basename(sf_dir.rstrip("/"))
+        tempfile.gettempdir(),
+        "gds_tail_v2",
+        f"{os.path.basename(sf_dir.rstrip('/'))}-{fp}",
     )
     if not os.path.exists(tail_dir):
         # stage → atomic rename: a crashed half-write must never leave
