@@ -379,3 +379,88 @@ def test_rocksdb_state_store_provider(spark, sf_dir, multi_file_events):
         .collect()
     }
     assert got == want
+
+
+def test_watermark_progression_three_batches(spark):
+    """Watermark PROGRESSION, not just final state: three explicit
+    micro-batches with a late row arriving BETWEEN batches. Spark
+    drops a late row only when its WINDOW's end is at or below the
+    current watermark, so the planted late row (9:45, window ending
+    10:00) lands one full window behind the 10:55 watermark — it must
+    vanish without ever creating state. Asserts cumulative append-mode
+    emissions at each processAllAvailable checkpoint, so the test
+    fails if
+
+    - the watermark is removed (append agg without watermark raises),
+    - the threshold shrinks ≲5 min (win10 emits at checkpoint 1),
+    - the threshold grows ≳15 min (win11 misses checkpoint 3) or
+      ≳70 min (the 9:45 row is accepted and win9 appears), or
+    - state eviction breaks (the still-open 12:00 window must never
+      be emitted).
+
+    Timeline (1-hour windows, 10-min delay): batch1 = 10:00/10:20/
+    10:40/11:05 -> wm 10:55, nothing closed. batch2 = LATE 9:45
+    (window end 10:00 <= wm, dropped) + 12:00/12:05 -> wm 11:55; the
+    no-data flush emits win10 (n=3). batch3 = 12:14 -> wm 12:04; the
+    flush emits win11 (n=1); win12 stays open through end-of-stream."""
+    d = os.path.join(tempfile.gettempdir(), "gds_test_wmprog", uuid.uuid4().hex[:8])
+    src_dir = os.path.join(d, "src")
+    os.makedirs(src_dir)
+    import datetime
+
+    t0 = datetime.datetime(2024, 6, 1, 10, 0, 0)
+
+    def ts(minutes):
+        return t0 + datetime.timedelta(minutes=minutes)
+
+    def write_file(name, rows):
+        stage = os.path.join(d, "stage", name)
+        spark.createDataFrame(
+            rows, "event_id bigint, ts timestamp"
+        ).coalesce(1).write.parquet(stage)
+        for f in os.listdir(stage):
+            if f.endswith(".parquet"):
+                shutil.move(
+                    os.path.join(stage, f), os.path.join(src_dir, name + ".parquet")
+                )
+
+    emitted: list[tuple[int, int]] = []  # (window start hour, n)
+
+    def sink(batch_df, batch_id):
+        for r in batch_df.collect():
+            emitted.append((r["window"]["start"].hour, r["n"]))
+
+    write_file("b1", [(1, ts(0)), (2, ts(20)), (3, ts(40)), (4, ts(65))])
+    s = (
+        spark.readStream.schema("event_id bigint, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    agg = (
+        s.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        agg.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(d, "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # checkpoint 1: wm only reached 10:55 — nothing closed yet
+        assert emitted == [], f"premature emission (threshold too small?): {emitted}"
+        write_file("b2", [(5, ts(-15)), (6, ts(120)), (7, ts(125))])  # 5 is LATE
+        q.processAllAvailable()
+        # checkpoint 2: wm 11:55 closed win10 (n=3); the late 9:45 row
+        # was dropped without ever creating a win9 state entry
+        assert sorted(emitted) == [(10, 3)], emitted
+        write_file("b3", [(8, ts(134))])
+        q.processAllAvailable()
+        # checkpoint 3: wm 12:04 closed win11; win12 still open
+        assert sorted(emitted) == [(10, 3), (11, 1)], emitted
+    finally:
+        q.stop()
+    assert all(h not in (9, 12) for h, _ in emitted), f"late/open leak: {emitted}"
+    shutil.rmtree(d, ignore_errors=True)
