@@ -922,3 +922,42 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").cast("bigint").alias("cluster_rep"),
         (F.col("addr") == F.col("label")).alias("is_keeper"),
     )
+
+
+# The survivors oracle nests the entire cluster pipeline (which itself
+# nests the entire dedup_near pipeline) and anti-joins the losers away
+# — the full candidate→verify→cluster→apply chain is hash-checked as
+# one statement.
+_DEDUP_APPLY_ORACLE = f"""
+    SELECT d.doc_id, d.lang, d.source, CAST(length(d.text) AS BIGINT) AS n_chars
+    FROM documents d
+    WHERE d.doc_id NOT IN (
+        SELECT doc_id FROM ({_DEDUP_CLUSTERS_ORACLE}) WHERE NOT is_keeper
+    )
+"""
+
+
+@query("dedup_apply", _DEDUP_APPLY_ORACLE)
+def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus a 100 TB pipeline actually MATERIALIZES after fuzzy
+    dedup: every document except the elected-out near-duplicates
+    (cluster members that lost keeper election). dedup_clusters ends
+    at the per-duplicate verdict table; this is the missing last step
+    — a broadcast anti-join of that (duplicates-sized, tiny relative
+    to the corpus) removal set against the full corpus, so the
+    surviving corpus streams through without a corpus-sized shuffle.
+
+    Output projects doc metadata (+ length), not the text payload —
+    the 100 TB materialization rewrites files; the verification
+    contract only needs the surviving identity set. Exact oracle: the
+    full near-dup SQL pipeline nested under NOT IN."""
+    removed = (
+        dedup_clusters(spark, sf_dir).filter(~F.col("is_keeper")).select("doc_id")
+    )
+    docs = load(spark, sf_dir, "documents")
+    return docs.join(F.broadcast(removed), "doc_id", "left_anti").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.length("text").cast("bigint").alias("n_chars"),
+    )

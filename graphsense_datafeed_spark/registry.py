@@ -156,6 +156,8 @@ _ROUND4_WINDOW = (
 # window (new r4 queries are prepended here as they land, so they
 # queue for r5 without displacing a §2 row from the r4 first-50).
 _ROUND5_NEXT_UP = (
+    # round-4 additions queue here (position 51+) for the r5 window
+    "dedup_apply",
     "win_range_interval",
     "win_time_range_sum",
     "ts_resample_locf",

@@ -564,3 +564,22 @@ def test_components_star_query_matches_propagation_query(spark, sf_dir):
         for r in QUERIES["graph_components"](spark, sf_dir).collect()
     )
     assert a == b and len(a) > 0
+
+
+def test_dedup_apply_is_corpus_minus_losers(spark):
+    """dedup_apply must return exactly the corpus minus the cluster
+    members that lost keeper election — no over-deletion (keepers and
+    never-paired docs survive) and no under-deletion (every loser is
+    gone). Checked at sf0.01 where LSH actually surfaces duplicate
+    clusters."""
+    clusters = QUERIES["dedup_clusters"](spark, SF01).collect()
+    removed = {r["doc_id"] for r in clusters if not r["is_keeper"]}
+    keepers = {r["doc_id"] for r in clusters if r["is_keeper"]}
+    assert removed, "fixture produced no near-dup losers; test is vacuous"
+    surv = {r["doc_id"] for r in QUERIES["dedup_apply"](spark, SF01).collect()}
+    all_ids = {
+        r["doc_id"]
+        for r in load(spark, SF01, "documents").select("doc_id").collect()
+    }
+    assert surv == all_ids - removed
+    assert keepers <= surv and removed.isdisjoint(surv)
