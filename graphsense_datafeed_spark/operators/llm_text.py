@@ -778,3 +778,50 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("avg_nll_e6"),
         )
     )
+
+
+@query(
+    "split_train_holdout",
+    """
+    SELECT doc_id,
+           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT)
+               % 1000 AS bucket,
+           CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)
+                     AS BIGINT) % 1000 < 50
+                THEN 'holdout' ELSE 'train' END AS split
+    FROM documents
+    """,
+)
+def split_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/holdout split (5% holdout) — the
+    assignment step every training corpus needs, with the properties a
+    100 TB pipeline actually requires and a random() or row_number()
+    split lacks:
+
+    - STABLE: a document's split depends only on its own id, so
+      re-runs, corpus growth, and shard-order changes never move a doc
+      across the boundary (no eval contamination when the corpus is
+      extended);
+    - DISTRIBUTED: pure per-row projection, no shuffle, no global
+      ordering;
+    - ENGINE-PORTABLE: the bucket is the first 28 bits of
+      md5(doc_id-as-text) mod 1000 (the dedup_near hash discipline),
+      so the oracle reproduces the assignment bit-for-bit.
+
+    Buckets are granular (per-mille) so holdout fractions can be
+    retuned without rehashing; the split boundary at 50/1000 = 5%.
+    tests/test_llm.py pins stability-under-subset and the holdout
+    fraction's concentration."""
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 7),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000
+    )
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < 50, "holdout").otherwise("train").alias("split"),
+    )

@@ -158,6 +158,7 @@ _ROUND4_WINDOW = (
 _ROUND5_NEXT_UP = (
     # round-4 additions queue here (position 51+) for the r5 window
     "dedup_apply",
+    "split_train_holdout",
     "win_range_interval",
     "win_time_range_sum",
     "ts_resample_locf",

@@ -248,8 +248,15 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     format; same pushdown/pruning machinery as parquet). DuckDB can't
     read ORC, so the oracle reads the parquet original — the roundtrip
     is an identity, which is exactly what's being checked."""
+    from graphsense_datafeed_spark.sources.tables import path_for, source_fingerprint
+
+    # staged dirs key on the source fingerprint: a regenerated fixture
+    # re-stages instead of serving stale bytes against the new oracle
     out = os.path.join(
-        tempfile.gettempdir(), "gds_orc", os.path.basename(sf_dir.rstrip("/"))
+        tempfile.gettempdir(),
+        "gds_orc",
+        f"{os.path.basename(sf_dir.rstrip('/'))}-"
+        f"{source_fingerprint(path_for(sf_dir, 'supplier'))}",
     )
     src = load(spark, sf_dir, "supplier")
     out = staged_output(out, lambda d: src.write.mode("overwrite").orc(d))
@@ -279,8 +286,13 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     new column instead of failing. At 100 TB, re-writing history for
     every added column is not an option; this is the survival path.
     Oracle reconstructs both generations relationally."""
+    from graphsense_datafeed_spark.sources.tables import path_for, source_fingerprint
+
     out = os.path.join(
-        tempfile.gettempdir(), "gds_evolve", os.path.basename(sf_dir.rstrip("/"))
+        tempfile.gettempdir(),
+        "gds_evolve",
+        f"{os.path.basename(sf_dir.rstrip('/'))}-"
+        f"{source_fingerprint(path_for(sf_dir, 'region'))}",
     )
     region = load(spark, sf_dir, "region")
 
@@ -619,8 +631,13 @@ def scan_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_plans.py asserts the plan scans a pruned file set. The
     partition column round-trips through the directory name (hive
     path encoding) as INT — cast to BIGINT for the contract."""
+    from graphsense_datafeed_spark.sources.tables import path_for, source_fingerprint
+
     out = os.path.join(
-        tempfile.gettempdir(), "gds_partmonth", os.path.basename(sf_dir.rstrip("/"))
+        tempfile.gettempdir(),
+        "gds_partmonth",
+        f"{os.path.basename(sf_dir.rstrip('/'))}-"
+        f"{source_fingerprint(path_for(sf_dir, 'orders'))}",
     )
     src = load(spark, sf_dir, "orders").withColumn(
         "order_month",
