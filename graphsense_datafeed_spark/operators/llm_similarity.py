@@ -525,3 +525,53 @@ def embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return e.select("vec_id", "label", F.array(*proj_cols).alias("pca"))
+
+
+@query(
+    "embed_quality_gate",
+    f"""
+    SELECT vec_id, n_dims, n_nan, norm_e4,
+           (n_dims = {EMBEDDING_DIM} AND n_nan = 0
+            AND norm_e4 BETWEEN 9000 AND 11000) AS passed
+    FROM (
+        SELECT vec_id,
+               CAST(len(embedding) AS INT) AS n_dims,
+               CAST(len(list_filter(embedding, x -> isnan(x))) AS INT) AS n_nan,
+               CAST(FLOOR(sqrt(list_reduce(
+                        list_prepend(CAST(0 AS DOUBLE),
+                            list_transform(embedding,
+                                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                        (a, b) -> a + b)) * 10000) AS BIGINT) AS norm_e4
+        FROM embeddings
+    )
+    """,
+)
+def embed_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding QA gate — the validation pass that must run BEFORE
+    any ANN index or semantic-dedup stage consumes a vector column at
+    scale: a single NaN poisons every dot product it touches, a
+    zero/degenerate norm breaks cosine, and a wrong dimensionality
+    crashes the Arrow matmul kernels. Emits per-vector diagnostics
+    (dim, NaN count, e4-floored L2 norm) plus the pass verdict.
+
+    Pure narrow projection — higher-order functions only, no shuffle,
+    no UDF; at 100 TB this runs as a side-effect-free column scan and
+    the `passed` predicate pushes straight into downstream filters.
+    Float determinism: squares are folded LEFT-TO-RIGHT with a 0.0
+    seed in both engines (array order is pinned, so the IEEE64 op
+    sequence is bit-identical — the agg_entropy discipline), making
+    floor(·10⁴) safe to hash."""
+    sq = F.transform("embedding", lambda x: x.cast("double") * x.cast("double"))
+    ss = F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x)
+    gated = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.size("embedding").cast("int").alias("n_dims"),
+        F.size(F.filter("embedding", F.isnan)).cast("int").alias("n_nan"),
+        F.floor(F.sqrt(ss) * 10000).cast("bigint").alias("norm_e4"),
+    )
+    return gated.withColumn(
+        "passed",
+        (F.col("n_dims") == EMBEDDING_DIM)
+        & (F.col("n_nan") == 0)
+        & F.col("norm_e4").between(9000, 11000),
+    )

@@ -159,6 +159,7 @@ _ROUND5_NEXT_UP = (
     # round-4 additions queue here (position 51+) for the r5 window
     "dedup_apply",
     "split_train_holdout",
+    "embed_quality_gate",
     "win_range_interval",
     "win_time_range_sum",
     "ts_resample_locf",

@@ -602,3 +602,30 @@ def test_split_train_holdout_stable_and_sized(spark):
     again = {r["doc_id"]: r["split"] for r in
              QUERIES["split_train_holdout"](spark, SF01).collect()}
     assert again == full
+
+
+def test_embed_quality_gate_catches_planted_junk(spark, tmp_path):
+    """The gate must flag exactly the poisoned vectors: a NaN cell, a
+    wrong dimensionality, and a zero norm — and pass clean unit-norm
+    vectors."""
+    import math
+
+    dim = 64
+    unit = [1.0 / math.sqrt(dim)] * dim
+    rows = [
+        (1, unit, 0),                                  # clean
+        (2, [float("nan")] + unit[1:], 0),             # NaN cell
+        (3, unit[: dim - 2], 0),                       # wrong dim
+        (4, [0.0] * dim, 0),                           # zero norm
+    ]
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+    got = {
+        r["vec_id"]: (r["n_dims"], r["n_nan"], r["passed"])
+        for r in QUERIES["embed_quality_gate"](spark, str(tmp_path)).collect()
+    }
+    assert got[1] == (dim, 0, True)
+    assert got[2][1] == 1 and got[2][2] is False
+    assert got[3][0] == dim - 2 and got[3][2] is False
+    assert got[4][2] is False  # norm_e4 = 0, outside the unit band
