@@ -825,3 +825,80 @@ def split_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket.alias("bucket"),
         F.when(bucket < 50, "holdout").otherwise("train").alias("split"),
     )
+
+
+@query(
+    "text_bigram_lm",
+    """
+    WITH toks AS (
+        SELECT doc_id, str_split(text, ' ') AS t FROM documents
+    ), bg AS (
+        SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i+1] AS bigram
+        FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)
+    ), c2 AS (
+        SELECT w1, bigram, COUNT(*) AS c FROM bg GROUP BY w1, bigram
+    ), c1 AS (
+        SELECT w1, SUM(c) AS cw FROM c2 GROUP BY w1
+    ), probs AS (
+        SELECT bigram,
+               CAST(FLOOR(-ln(CAST(c AS DOUBLE) / cw) * 1000000) AS BIGINT)
+                   AS nll_e6
+        FROM c2 JOIN c1 USING (w1)
+    )
+    SELECT b.doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(SUM(p.nll_e6) AS BIGINT) AS nll_sum_e6,
+           CAST(FLOOR(CAST(SUM(p.nll_e6) AS DOUBLE) / COUNT(*)) AS BIGINT)
+               AS avg_nll_e6
+    FROM bg b JOIN probs p USING (bigram)
+    GROUP BY b.doc_id
+    """,
+)
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality scoring — the second rung of the perplexity
+    ladder above text_unigram_logprob: documents are scored by the
+    conditional NLL -Σ ln p(wᵢ | wᵢ₋₁), where the corpus's own bigram/
+    prefix counts define the LM. Word-salad text (plausible unigrams,
+    impossible transitions) scores high here while passing a unigram
+    filter — exactly the gap this rung exists to close.
+
+    Same determinism discipline as the unigram rung: each bigram
+    type's -ln p floors to e6 integer ONCE (|bigram vocab| values),
+    and per-doc aggregation runs in exact bigint arithmetic — no
+    order-dependent float sum. Scale: bigram extraction is a narrow
+    transform (no self-join on positions); counts partial-aggregate;
+    the bigram-vocab probability table (bounded by vocab², tiny vs
+    corpus) broadcasts; one doc_id shuffle for the final agg. Docs
+    with <2 tokens have no bigrams and drop out of BOTH engines
+    identically."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    bg = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> struct(t[i-1] AS w1, concat(t[i-1], ' ', t[i]) AS bigram))"
+            )
+        ).alias("x"),
+    ).select("doc_id", "x.w1", "x.bigram")
+    c2 = bg.groupBy("w1", "bigram").agg(F.count("*").alias("c"))
+    c1 = c2.groupBy("w1").agg(F.sum("c").alias("cw"))
+    probs = c2.join(c1, "w1").select(
+        "bigram",
+        F.floor(-F.log(F.col("c").cast("double") / F.col("cw")) * 1000000)
+        .cast("bigint")
+        .alias("nll_e6"),
+    )
+    return (
+        bg.join(F.broadcast(probs), "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("nll_e6").cast("bigint").alias("nll_sum_e6"),
+            F.floor(F.sum("nll_e6").cast("double") / F.count("*"))
+            .cast("bigint")
+            .alias("avg_nll_e6"),
+        )
+    )

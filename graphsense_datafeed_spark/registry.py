@@ -160,6 +160,7 @@ _ROUND5_NEXT_UP = (
     "dedup_apply",
     "split_train_holdout",
     "embed_quality_gate",
+    "text_bigram_lm",
     "win_range_interval",
     "win_time_range_sum",
     "ts_resample_locf",

@@ -629,3 +629,25 @@ def test_embed_quality_gate_catches_planted_junk(spark, tmp_path):
     assert got[2][1] == 1 and got[2][2] is False
     assert got[3][0] == dim - 2 and got[3][2] is False
     assert got[4][2] is False  # norm_e4 = 0, outside the unit band
+
+
+def test_text_bigram_lm_ranks_word_salad_above_natural(spark, tmp_path):
+    """A document made of corpus-frequent TRANSITIONS must score lower
+    avg bigram NLL than word-salad with the same unigrams in impossible
+    order — the exact discriminating power the bigram rung adds over
+    the unigram filter."""
+    rows = [
+        (1, "the cat sat on the mat", "en", "test", 22),
+        (2, "the cat sat on the rug", "en", "test", 22),
+        (3, "the cat sat on the mat", "en", "test", 22),
+        (4, "mat the on sat cat the", "en", "test", 22),  # salad
+    ]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["doc_id"]: r["avg_nll_e6"]
+        for r in QUERIES["text_bigram_lm"](spark, str(tmp_path)).collect()
+    }
+    assert got[1] == got[3]  # identical docs score identically
+    assert got[4] > got[1], got  # salad transitions are corpus-rare
