@@ -285,3 +285,65 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(interp * 10000).cast("bigint").alias("v_interp_e4"),
         F.col("v").isNull().alias("was_gap"),
     )
+
+
+@query(
+    "ts_outlier_mad",
+    """
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type
+    ), spread AS (
+        SELECT e.event_type,
+               quantile_cont(abs(e.value - m.med), 0.5) AS mad,
+               ANY_VALUE(m.med) AS med
+        FROM events e JOIN med m USING (event_type)
+        GROUP BY e.event_type
+    )
+    SELECT e.event_id, e.event_type,
+           CAST(FLOOR(s.med * 10000) AS BIGINT) AS med_e4,
+           CAST(FLOOR(s.mad * 10000) AS BIGINT) AS mad_e4,
+           abs(e.value - s.med) > 4.4478 * s.mad AS is_outlier
+    FROM events e JOIN spread s USING (event_type)
+    """,
+)
+def ts_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-series outlier flagging via median absolute
+    deviation — the data-QA pass that survives exactly the corrupt
+    values it hunts (mean/stddev z-scores are dragged by the outliers
+    themselves; medians are not). Flag = |v - med| > 3·1.4826·MAD, the
+    normal-consistent 3σ-equivalent, written as the single literal
+    4.4478 so both engines associate the arithmetic identically.
+
+    Two grouped EXACT percentile passes (bounded key: event_type) and
+    a broadcast of the per-type (med, mad) table back onto the stream
+    — the detail table never shuffles. Exact percentile buffers a
+    group's values, which is fine per bounded key; at 100 TB swap in
+    approx_percentile (the agg_approx_percentile contract row) and
+    keep the identical downstream flag expression. Engine parity:
+    both engines linear-interpolate the median over identical doubles
+    (agg_percentile precedent), so med/mad are bit-identical and the
+    strict-inequality flag cannot straddle engines."""
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    spread = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias(
+                "mad"
+            ),
+            F.any_value("med").alias("med"),
+        )
+    )
+    return ev.join(F.broadcast(spread), "event_type").select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("med") * 10000).cast("bigint").alias("med_e4"),
+        F.floor(F.col("mad") * 10000).cast("bigint").alias("mad_e4"),
+        (F.abs(F.col("value") - F.col("med")) > 4.4478 * F.col("mad")).alias(
+            "is_outlier"
+        ),
+    )

@@ -161,6 +161,7 @@ _ROUND5_NEXT_UP = (
     "split_train_holdout",
     "embed_quality_gate",
     "text_bigram_lm",
+    "ts_outlier_mad",
     "win_range_interval",
     "win_time_range_sum",
     "ts_resample_locf",
