@@ -388,3 +388,23 @@ def test_dedup_near_oracle_pipeline_joins_on_buckets(spark, sf_dir):
     p = plan_of(QUERIES["dedup_near"](spark, sf_dir))
     assert "CartesianProduct" not in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_round4_ops_plan_shapes(spark, sf_dir):
+    """Round-4 operators must plan the shapes their docstrings claim:
+    pure projections stay exchange-free, the MAD stats and dedup
+    removal set broadcast back onto the detail."""
+    from graphsense_datafeed_spark.registry import QUERIES
+
+    # split_train_holdout and embed_quality_gate: narrow — no shuffle
+    p = plan_of(QUERIES["split_train_holdout"](spark, sf_dir))
+    assert "Exchange" not in p, p
+    p = plan_of(QUERIES["embed_quality_gate"](spark, sf_dir))
+    assert "Exchange" not in p, p
+    # ts_outlier_mad: the (med, mad) table joins back via broadcast;
+    # the detail side carries no Exchange below the join
+    p = plan_of(QUERIES["ts_outlier_mad"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p, p
+    # dedup_apply: removal set is broadcast, anti side
+    p = plan_of(QUERIES["dedup_apply"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p, p
