@@ -162,6 +162,7 @@ _ROUND5_NEXT_UP = (
     "embed_quality_gate",
     "text_bigram_lm",
     "ts_outlier_mad",
+    "scd_type2",
     "win_range_interval",
     "win_time_range_sum",
     "ts_resample_locf",

@@ -187,3 +187,23 @@ def test_win_count_distinct_monotone_and_bounded(spark, sf_dir):
         .collect()
     }
     assert final == truth
+
+
+def test_scd_type2_intervals_tile_and_compress(spark, sf_dir):
+    """Version chains must tile (each valid_to equals the next
+    valid_from), end open (exactly one current version per key), and
+    be maximally compressed (adjacent versions always differ)."""
+    from graphsense_datafeed_spark.registry import QUERIES
+
+    rows = QUERIES["scd_type2"](spark, sf_dir).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert by_user
+    for uid, vs in by_user.items():
+        vs.sort(key=lambda r: r["valid_from"])
+        assert sum(1 for r in vs if r["is_current"]) == 1, uid
+        assert vs[-1]["valid_to"] is None and vs[-1]["is_current"]
+        for a, b in zip(vs, vs[1:]):
+            assert a["valid_to"] == b["valid_from"], uid
+            assert a["event_type"] != b["event_type"], uid
