@@ -356,3 +356,73 @@ def scd_type2(spark: SparkSession, sf_dir: str) -> DataFrame:
         lead_from.alias("valid_to"),
         lead_from.isNull().alias("is_current"),
     )
+
+
+@query(
+    "batch_merge_upsert",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_orderstatus = 'P' THEN 'F' ELSE o_orderstatus END
+               AS o_orderstatus,
+           o_totalprice
+    FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '1998-07-01'
+    """,
+)
+def batch_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MERGE INTO: apply a change set (the cdc_snapshot_diff
+    scenario's inserts + updates) onto the base snapshot — changed
+    keys take their new row, unchanged base rows pass through
+    (anti-join), deletes would subtract (no deletes in the fixture
+    scenario; the branch is exercised on a synthetic frame in
+    tests/test_datamgmt.py). The oracle is the CLOSURE PROPERTY that
+    makes MERGE trustworthy: base ⊕ diff(base, target) must equal the
+    target snapshot EXACTLY — any dropped, duplicated, or stale row
+    hash-mismatches.
+
+    Scale: one primary-key shuffle for the anti-join (exchange-free
+    with PK-bucketed snapshots); the applied change set is sized in
+    changes, not table size, so the common case broadcasts. This is
+    the batch twin of stream_rates_upsert's per-micro-batch upsert."""
+    orders = load(spark, sf_dir, "orders")
+    base = orders.filter(
+        F.col("o_orderdate").cast("date") < F.lit("1997-07-01").cast("date")
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+    target = orders.filter(
+        F.col("o_orderdate").cast("date") < F.lit("1998-07-01").cast("date")
+    ).select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "P", "F")
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    # change set: rows of TARGET whose key is new or whose row changed
+    b = base.select(
+        F.col("o_orderkey").alias("b_key"), F.col("o_orderstatus").alias("b_status")
+    )
+    changes = (
+        target.join(b, target.o_orderkey == b.b_key, "left")
+        .filter(F.col("b_key").isNull() | (F.col("o_orderstatus") != F.col("b_status")))
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            F.when(F.col("b_key").isNull(), "insert")
+            .otherwise("update")
+            .alias("change_type"),
+        )
+    )
+    return apply_changes(base, changes, "o_orderkey")
+
+
+def apply_changes(base: DataFrame, changes: DataFrame, key: str) -> DataFrame:
+    """MERGE INTO core: ``changes`` carries the key, the new payload
+    columns, and ``change_type`` ∈ {insert, update, delete}.
+    Inserts/updates contribute their new row; every changed key
+    (deletes included) is anti-joined out of ``base``; untouched base
+    rows pass through. One PK shuffle; the change set broadcasts when
+    small. Delete semantics are pinned by
+    tests/test_datamgmt.py::test_apply_changes_handles_deletes."""
+    upserts = changes.filter(F.col("change_type") != "delete").drop("change_type")
+    survivors = base.join(changes.select(key), key, "left_anti")
+    return upserts.unionByName(survivors)

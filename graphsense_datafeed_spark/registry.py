@@ -163,6 +163,7 @@ _ROUND5_NEXT_UP = (
     "text_bigram_lm",
     "ts_outlier_mad",
     "scd_type2",
+    "batch_merge_upsert",
     "win_range_interval",
     "win_time_range_sum",
     "ts_resample_locf",

@@ -207,3 +207,20 @@ def test_scd_type2_intervals_tile_and_compress(spark, sf_dir):
         for a, b in zip(vs, vs[1:]):
             assert a["valid_to"] == b["valid_from"], uid
             assert a["event_type"] != b["event_type"], uid
+
+
+def test_apply_changes_handles_deletes(spark):
+    """MERGE closure incl. the delete branch (the fixture scenario has
+    none): insert adds, update replaces, delete removes, untouched
+    rows survive."""
+    from graphsense_datafeed_spark.operators.datamgmt import apply_changes
+
+    base = spark.createDataFrame(
+        [(1, "A"), (2, "B"), (3, "C")], "k bigint, v string"
+    )
+    changes = spark.createDataFrame(
+        [(4, "D", "insert"), (2, "B2", "update"), (3, None, "delete")],
+        "k bigint, v string, change_type string",
+    )
+    got = {(r["k"], r["v"]) for r in apply_changes(base, changes, "k").collect()}
+    assert got == {(1, "A"), (2, "B2"), (4, "D")}
