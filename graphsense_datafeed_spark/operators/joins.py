@@ -566,3 +566,70 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.first(p_ts, ignorenulls=True).over(w).alias("next_purchase_ts"),
     )
+
+
+@query(
+    "join_bloom_prefilter",
+    """
+    SELECT l.l_orderkey, l.l_suppkey, s.s_name
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    WHERE s.s_nationkey = 5
+    """,
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join reduction with a Bloom filter — the classic 100 TB
+    shuffle-size lever: the filtered build side folds its join keys
+    into a 4096-bit Bloom filter (3 xxhash64 probes per key; built
+    DISTRIBUTED via a per-word `bit_or` aggregate, assembled as one
+    map<word,bits> row — never collected to the driver), the filter
+    rides to the fact side as a ONE-ROW BROADCAST, and the bit-test
+    predicate prunes fact rows BEFORE the join exchange. At this
+    selectivity (1-in-25 nations) ~96% of the fact table never
+    shuffles; false positives pass the pre-filter harmlessly and die
+    in the exact join — which is why the oracle is simply the plain
+    join, EXACT, with no bloom replica needed.
+
+    This is what Spark's runtime-filter machinery injects when
+    statistics justify it; the explicit form pins the semantics, sizes
+    the filter deliberately (m/n ≈ 100 bits/key here → FP ≈ 1e-4), and
+    works where injected filters don't reach. tests/test_plans.py
+    asserts the fact-side Filter sits below the join exchange."""
+    m_bits, n_hashes = 4096, 3
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") == 5)
+        .select("s_suppkey", "s_name")
+    )
+    pos = supp.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64("s_suppkey", F.lit(i)), F.lit(m_bits))
+                    for i in range(n_hashes)
+                ]
+            )
+        ).alias("p")
+    )
+    words = (
+        pos.selectExpr(
+            "cast(p div 64 as int) AS w",
+            "shiftleft(cast(1 as bigint), cast(p % 64 as int)) AS bit",
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+    bloom = words.agg(
+        F.map_from_arrays(F.collect_list("w"), F.collect_list("bits")).alias("bf")
+    )
+    probe = " AND ".join(
+        f"(coalesce(element_at(bf,"
+        f" cast(pmod(xxhash64(l_suppkey, {i}), {m_bits}) div 64 as int)), 0L)"
+        f" & shiftleft(cast(1 as bigint),"
+        f" cast(pmod(xxhash64(l_suppkey, {i}), {m_bits}) % 64 as int))) != 0"
+        for i in range(n_hashes)
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pruned = li.join(F.broadcast(bloom)).filter(F.expr(probe)).drop("bf")
+    return pruned.join(F.broadcast(supp), pruned.l_suppkey == supp.s_suppkey).select(
+        "l_orderkey", "l_suppkey", "s_name"
+    )

@@ -164,6 +164,7 @@ _ROUND5_NEXT_UP = (
     "ts_outlier_mad",
     "scd_type2",
     "batch_merge_upsert",
+    "join_bloom_prefilter",
     "win_range_interval",
     "win_time_range_sum",
     "ts_resample_locf",

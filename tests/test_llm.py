@@ -651,3 +651,25 @@ def test_text_bigram_lm_ranks_word_salad_above_natural(spark, tmp_path):
     }
     assert got[1] == got[3]  # identical docs score identically
     assert got[4] > got[1], got  # salad transitions are corpus-rare
+
+
+def test_bloom_prefilter_prunes_and_preserves(spark, sf_dir):
+    """The bloom pre-filter must (1) return exactly the plain-join
+    result (false positives die in the join) and (2) actually prune:
+    the pre-filtered fact side must be a small fraction of the table
+    at 1-in-25-nation selectivity (FP rate ~1e-4 at 100 bits/key)."""
+    from graphsense_datafeed_spark.operators.joins import join_bloom_prefilter
+
+    got = join_bloom_prefilter(spark, sf_dir)
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier").filter("s_nationkey = 5")
+    plain = li.join(supp, li.l_suppkey == supp.s_suppkey).select(
+        "l_orderkey", "l_suppkey", "s_name"
+    )
+    g = {tuple(r) for r in got.collect()}
+    p = {tuple(r) for r in plain.collect()}
+    assert g == p
+    # pruning power: matching keys are a minority of the fact table
+    n_match = len({r["l_suppkey"] for r in got.select("l_suppkey").collect()})
+    n_keys = li.select("l_suppkey").distinct().count()
+    assert n_match < n_keys * 0.25, (n_match, n_keys)
