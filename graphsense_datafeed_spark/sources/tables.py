@@ -99,8 +99,8 @@ def normalize_events_ts(df: DataFrame, unit: str) -> DataFrame:
 # in executor memory/disk so repeated queries reuse the columnar scan.
 # The production analog is caching hot dimensions; Spark LRU-evicts
 # under pressure so enabling it is safe at any SF that fits the
-# cluster. Keyed per (session, sf_dir, table).
-_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+# cluster. Keyed per (session, sf_dir, table, source fingerprint).
+_CACHE: dict[tuple[int, str, str, str], DataFrame] = {}
 
 
 def _cache_enabled() -> bool:
@@ -119,7 +119,14 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """
     if table not in TABLE_SCHEMAS:
         raise KeyError(f"unknown table {table!r}; known: {TABLES}")
-    key = (id(spark), sf_dir.rstrip("/"), table)
+    # fingerprint in the key: a regenerated fixture misses the cache
+    # (same discipline as events_ts_unit / the staged dirs)
+    key = (
+        id(spark),
+        sf_dir.rstrip("/"),
+        table,
+        source_fingerprint(path_for(sf_dir, table)),
+    )
     if _cache_enabled() and key in _CACHE:
         return _CACHE[key]
     ensure_runtime_confs(spark)

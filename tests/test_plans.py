@@ -408,3 +408,8 @@ def test_round4_ops_plan_shapes(spark, sf_dir):
     # dedup_apply: removal set is broadcast, anti side
     p = plan_of(QUERIES["dedup_apply"](spark, sf_dir))
     assert "BroadcastHashJoin" in p and "LeftAnti" in p, p
+    # join_bloom_prefilter: the bloom bit-test Filter must sit on the
+    # fact scan side (pre-join pruning), and both joins broadcast
+    p = plan_of(QUERIES["join_bloom_prefilter"](spark, sf_dir))
+    assert "might_contain" in p or "shiftleft" in p, p
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p, p
