@@ -464,3 +464,69 @@ def test_watermark_progression_three_batches(spark):
         q.stop()
     assert all(h not in (9, 12) for h, _ in emitted), f"late/open leak: {emitted}"
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stateful_per_batch_progression(spark, sf_dir, multi_file_events):
+    """The stateful PROGRESSION itself, not just its endpoint: captured
+    per micro-batch, every user's running count must be STRICTLY
+    increasing across the batches that mention the user (each mention
+    adds ≥1 event; a state store that dropped or re-initialized state
+    between batches would emit a flat or decreasing step), and the last
+    step must equal the batch aggregate."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs: Iterator, state: GroupState) -> Iterator:
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n": [n]})
+
+    s = _stream_events(spark, multi_file_events).select("user_id")
+    out = s.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n bigint",
+        stateStructType="n bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    steps: list[tuple[int, int, int]] = []  # (batch_id, user_id, n)
+
+    def sink(bdf, bid):
+        for r in bdf.collect():
+            steps.append((bid, r["user_id"], r["n"]))
+
+    ckpt = os.path.join(
+        tempfile.gettempdir(), "gds_test_prog", uuid.uuid4().hex[:8]
+    )
+    q = (
+        out.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    by_user: dict[int, list[tuple[int, int]]] = {}
+    for bid, uid, n in steps:
+        by_user.setdefault(uid, []).append((bid, n))
+    assert by_user
+    multi = 0
+    for uid, seq in by_user.items():
+        seq.sort()
+        ns = [n for _, n in seq]
+        assert all(a < b for a, b in zip(ns, ns[1:])), (uid, seq)
+        multi += len(ns) > 1
+    assert multi > 0  # progression was actually multi-step somewhere
+    want = {
+        r["user_id"]: r["n"]
+        for r in load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert {u: seq[-1][1] for u, seq in by_user.items()} == want
