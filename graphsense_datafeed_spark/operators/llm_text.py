@@ -902,3 +902,67 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("avg_nll_e6"),
         )
     )
+
+
+@query(
+    "text_line_dedup",
+    """
+    WITH ls AS (
+        SELECT doc_id, str_split(text, '. ') AS arr FROM documents
+    ), lines AS (
+        SELECT doc_id, i AS pos, arr[i] AS ln
+        FROM (SELECT doc_id, arr, unnest(range(1, len(arr) + 1)) AS i FROM ls)
+        WHERE arr[i] <> ''
+    ), freq AS (
+        SELECT ln, COUNT(*) AS c FROM lines GROUP BY ln
+    ), kept AS (
+        SELECT doc_id, pos, ln FROM lines
+        WHERE ln NOT IN (SELECT ln FROM freq WHERE c >= 3)
+    )
+    SELECT doc_id,
+           string_agg(ln, '. ' ORDER BY pos) AS text_clean,
+           CAST(COUNT(*) AS BIGINT) AS n_kept
+    FROM kept GROUP BY doc_id
+    """,
+)
+def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINE-level corpus dedup (the C4/RefinedWeb boilerplate pass):
+    sentences occurring ≥3 times across the corpus — cookie banners,
+    navigation chrome, legal footers — are struck from every document,
+    and each document is reassembled from its surviving lines in
+    original order. Doc-level dedup (dedup_exact/near) cannot touch
+    these: the documents differ, their boilerplate doesn't.
+
+    Scale shape is the asymmetry that makes this cheap: the REMOVED
+    set (lines frequent enough to be boilerplate) is tiny relative to
+    the corpus, so after one line-hash count the pass is a broadcast
+    LEFT ANTI join — the corpus's exploded lines never shuffle again,
+    and reassembly groups by doc_id (one shuffle, sized in surviving
+    lines). Order is pinned by the exploded position (array_sort over
+    (pos, line) structs; pos is unique per doc), so reassembly is
+    deterministic in both engines. Docs that were ALL boilerplate drop
+    out of both sides identically."""
+    docs = load(spark, sf_dir, "documents")
+    lines = (
+        docs.select(
+            "doc_id", F.posexplode(F.split("text", "\\. ")).alias("pos", "ln")
+        )
+        .filter(F.col("ln") != "")
+    )
+    boiler = (
+        lines.groupBy("ln")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 3)
+        .select("ln")
+    )
+    kept = lines.join(F.broadcast(boiler), "ln", "left_anti")
+    return kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "ln"))),
+                lambda s: s["ln"],
+            ),
+            ". ",
+        ).alias("text_clean"),
+        F.count("*").cast("bigint").alias("n_kept"),
+    )

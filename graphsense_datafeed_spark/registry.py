@@ -165,6 +165,7 @@ _ROUND5_NEXT_UP = (
     "scd_type2",
     "batch_merge_upsert",
     "join_bloom_prefilter",
+    "text_line_dedup",
     "win_range_interval",
     "win_time_range_sum",
     "ts_resample_locf",

@@ -673,3 +673,26 @@ def test_bloom_prefilter_prunes_and_preserves(spark, sf_dir):
     n_match = len({r["l_suppkey"] for r in got.select("l_suppkey").collect()})
     n_keys = li.select("l_suppkey").distinct().count()
     assert n_match < n_keys * 0.25, (n_match, n_keys)
+
+
+def test_text_line_dedup_strips_boilerplate_preserves_order(spark, tmp_path):
+    """Corpus-frequent lines vanish from every doc; unique lines
+    survive in original order; an all-boilerplate doc drops out."""
+    bp = "accept cookies to continue"
+    rows = [
+        (1, f"{bp}. alpha beta. gamma delta", "en", "t", 0),
+        (2, f"unique opening. {bp}. closing words", "en", "t", 0),
+        (3, f"{bp}. another doc body", "en", "t", 0),
+        (4, bp, "en", "t", 0),  # all boilerplate
+    ]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["doc_id"]: (r["text_clean"], r["n_kept"])
+        for r in QUERIES["text_line_dedup"](spark, str(tmp_path)).collect()
+    }
+    assert got[1] == ("alpha beta. gamma delta", 2)
+    assert got[2] == ("unique opening. closing words", 2)
+    assert got[3] == ("another doc body", 1)
+    assert 4 not in got
