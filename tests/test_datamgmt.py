@@ -224,3 +224,42 @@ def test_apply_changes_handles_deletes(spark):
     )
     got = {(r["k"], r["v"]) for r in apply_changes(base, changes, "k").collect()}
     assert got == {(1, "A"), (2, "B2"), (4, "D")}
+
+
+def test_staged_dirs_rebuild_on_fixture_regeneration(spark, sf_dir, tmp_path):
+    """The ADVICE-r3 hazard, rehearsed: staged /tmp derivatives must
+    REBUILD when the source fixture is regenerated in place (the
+    driver does this between rounds), not serve the stale copy. Builds
+    a private sf_dir, runs the staged operators, rewrites events and
+    supplier with fewer rows at the same paths, and asserts the
+    second run reflects the new contents."""
+    import os
+    import shutil
+
+    from graphsense_datafeed_spark.registry import QUERIES
+    from graphsense_datafeed_spark.schemas import TABLES
+
+    d = str(tmp_path / "sf_regen")
+    os.makedirs(d)
+    for t in TABLES:
+        shutil.copy(f"{sf_dir}/{t}.parquet", f"{d}/{t}.parquet")
+
+    n_compact_1 = QUERIES["layout_compact"](spark, d).count()
+    n_orc_1 = QUERIES["scan_orc"](spark, d).count()
+
+    # "regenerate" events and supplier in place with a strict subset
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").limit(500)
+    ev.coalesce(1).write.mode("overwrite").parquet(f"{d}/tmp_ev")
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet").limit(3)
+    sup.coalesce(1).write.mode("overwrite").parquet(f"{d}/tmp_sup")
+    for src_dir, dst in (("tmp_ev", "events.parquet"), ("tmp_sup", "supplier.parquet")):
+        part = next(
+            f for f in os.listdir(f"{d}/{src_dir}") if f.endswith(".parquet")
+        )
+        os.replace(f"{d}/{src_dir}/{part}", f"{d}/{dst}")
+        shutil.rmtree(f"{d}/{src_dir}")
+
+    n_compact_2 = QUERIES["layout_compact"](spark, d).count()
+    n_orc_2 = QUERIES["scan_orc"](spark, d).count()
+    assert n_compact_2 == 500 != n_compact_1
+    assert 0 < n_orc_2 <= 3 and n_orc_2 != n_orc_1
