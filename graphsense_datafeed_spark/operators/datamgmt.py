@@ -195,21 +195,13 @@ def layout_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduction and the clustered min/max bands."""
     import os
     import shutil
-    import tempfile
     import uuid
 
-    from graphsense_datafeed_spark.sources.tables import path_for, source_fingerprint
+    from graphsense_datafeed_spark.sources.tables import staged_source_dir
 
-    # Staged dirs key on the SOURCE's content fingerprint (size+mtime),
-    # not the sf_dir name: the fixture generator regenerates testdata
-    # between rounds, and a name-only key would serve the old staged
-    # copy against the regenerated oracle — a silent hash mismatch.
-    fp = source_fingerprint(path_for(sf_dir, "events"))
-    base = os.path.join(
-        tempfile.gettempdir(),
-        "gds_compact",
-        f"{os.path.basename(sf_dir.rstrip('/'))}-{fp}",
-    )
+    # fingerprint-keyed staging (see staged_source_dir): a regenerated
+    # fixture re-stages instead of hash-mismatching the fresh oracle
+    base = staged_source_dir(sf_dir, "gds_compact", "events")
     frag_dir, compact_dir = f"{base}/fragmented", f"{base}/compacted"
     ev = load(spark, sf_dir, "events").select(
         "event_id",

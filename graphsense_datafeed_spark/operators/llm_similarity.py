@@ -530,18 +530,22 @@ def embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "embed_quality_gate",
     f"""
-    SELECT vec_id, n_dims, n_nan, norm_e4,
+    SELECT vec_id, n_dims, n_nan,
+           CASE WHEN n_nan > 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(FLOOR(sqrt(ss) * 10000) AS BIGINT) END AS norm_e4,
            (n_dims = {EMBEDDING_DIM} AND n_nan = 0
-            AND norm_e4 BETWEEN 9000 AND 11000) AS passed
+            AND CASE WHEN n_nan > 0 THEN 0
+                     ELSE CAST(FLOOR(sqrt(ss) * 10000) AS BIGINT) END
+                BETWEEN 9000 AND 11000) AS passed
     FROM (
         SELECT vec_id,
                CAST(len(embedding) AS INT) AS n_dims,
                CAST(len(list_filter(embedding, x -> isnan(x))) AS INT) AS n_nan,
-               CAST(FLOOR(sqrt(list_reduce(
-                        list_prepend(CAST(0 AS DOUBLE),
-                            list_transform(embedding,
-                                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
-                        (a, b) -> a + b)) * 10000) AS BIGINT) AS norm_e4
+               list_reduce(
+                   list_prepend(CAST(0 AS DOUBLE),
+                       list_transform(embedding,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                   (a, b) -> a + b) AS ss
         FROM embeddings
     )
     """,
@@ -560,14 +564,21 @@ def embed_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Float determinism: squares are folded LEFT-TO-RIGHT with a 0.0
     seed in both engines (array order is pinned, so the IEEE64 op
     sequence is bit-identical — the agg_entropy discipline), making
-    floor(·10⁴) safe to hash."""
+    floor(·10⁴) safe to hash. A NaN cell poisons the fold to NaN,
+    and the engines disagree on casting NaN to integer (Spark → 0,
+    DuckDB → conversion ERROR), so norm_e4 is DEFINED as 0 whenever
+    n_nan > 0 — explicitly, in both engines."""
     sq = F.transform("embedding", lambda x: x.cast("double") * x.cast("double"))
     ss = F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x)
+    n_nan = F.size(F.filter("embedding", F.isnan)).cast("int")
     gated = load(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.size("embedding").cast("int").alias("n_dims"),
-        F.size(F.filter("embedding", F.isnan)).cast("int").alias("n_nan"),
-        F.floor(F.sqrt(ss) * 10000).cast("bigint").alias("norm_e4"),
+        n_nan.alias("n_nan"),
+        F.when(n_nan > 0, F.lit(0))
+        .otherwise(F.floor(F.sqrt(ss) * 10000))
+        .cast("bigint")
+        .alias("norm_e4"),
     )
     return gated.withColumn(
         "passed",

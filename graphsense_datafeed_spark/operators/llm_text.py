@@ -869,10 +869,15 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     transform (no self-join on positions); counts partial-aggregate;
     the bigram-vocab probability table (bounded by vocab², tiny vs
     corpus) broadcasts; one doc_id shuffle for the final agg. Docs
-    with <2 tokens have no bigrams and drop out of BOTH engines
-    identically."""
-    docs = load(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", " ").alias("t")
+    with <2 tokens are filtered EXPLICITLY before the transform:
+    Spark's sequence(1, size-1) is DESCENDING [1, 0] at size=1 and
+    would index past the array under ANSI mode, while DuckDB's
+    range(1, 1) is simply empty — the guard makes both engines drop
+    such docs identically instead of relying on that asymmetry."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("t"))
+        .filter(F.size("t") >= 2)
     )
     bg = docs.select(
         "doc_id",

@@ -248,16 +248,9 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     format; same pushdown/pruning machinery as parquet). DuckDB can't
     read ORC, so the oracle reads the parquet original — the roundtrip
     is an identity, which is exactly what's being checked."""
-    from graphsense_datafeed_spark.sources.tables import path_for, source_fingerprint
+    from graphsense_datafeed_spark.sources.tables import staged_source_dir
 
-    # staged dirs key on the source fingerprint: a regenerated fixture
-    # re-stages instead of serving stale bytes against the new oracle
-    out = os.path.join(
-        tempfile.gettempdir(),
-        "gds_orc",
-        f"{os.path.basename(sf_dir.rstrip('/'))}-"
-        f"{source_fingerprint(path_for(sf_dir, 'supplier'))}",
-    )
+    out = staged_source_dir(sf_dir, "gds_orc", "supplier")
     src = load(spark, sf_dir, "supplier")
     out = staged_output(out, lambda d: src.write.mode("overwrite").orc(d))
     return (
@@ -286,14 +279,9 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     new column instead of failing. At 100 TB, re-writing history for
     every added column is not an option; this is the survival path.
     Oracle reconstructs both generations relationally."""
-    from graphsense_datafeed_spark.sources.tables import path_for, source_fingerprint
+    from graphsense_datafeed_spark.sources.tables import staged_source_dir
 
-    out = os.path.join(
-        tempfile.gettempdir(),
-        "gds_evolve",
-        f"{os.path.basename(sf_dir.rstrip('/'))}-"
-        f"{source_fingerprint(path_for(sf_dir, 'region'))}",
-    )
+    out = staged_source_dir(sf_dir, "gds_evolve", "region")
     region = load(spark, sf_dir, "region")
 
     def write_gens(stage: str) -> None:
@@ -631,14 +619,9 @@ def scan_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_plans.py asserts the plan scans a pruned file set. The
     partition column round-trips through the directory name (hive
     path encoding) as INT — cast to BIGINT for the contract."""
-    from graphsense_datafeed_spark.sources.tables import path_for, source_fingerprint
+    from graphsense_datafeed_spark.sources.tables import staged_source_dir
 
-    out = os.path.join(
-        tempfile.gettempdir(),
-        "gds_partmonth",
-        f"{os.path.basename(sf_dir.rstrip('/'))}-"
-        f"{source_fingerprint(path_for(sf_dir, 'orders'))}",
-    )
+    out = staged_source_dir(sf_dir, "gds_partmonth", "orders")
     src = load(spark, sf_dir, "orders").withColumn(
         "order_month",
         (F.year("o_orderdate") * 100 + F.month("o_orderdate")).cast("bigint"),

@@ -299,17 +299,11 @@ def source_rate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     upgrade from rows-only): if the tail ever dropped or double-read a
     file, the counts would hash-mismatch."""
     ensure_runtime_confs(spark)
-    from graphsense_datafeed_spark.sources.tables import path_for, source_fingerprint
+    from graphsense_datafeed_spark.sources.tables import staged_source_dir
 
-    # Tail dir keys on the source events fingerprint: a regenerated
-    # fixture misses this cache and re-stages instead of serving stale
-    # rows against the fresh oracle (same hazard as layout_compact).
-    fp = source_fingerprint(path_for(sf_dir, "events"))
-    tail_dir = os.path.join(
-        tempfile.gettempdir(),
-        "gds_tail_v2",
-        f"{os.path.basename(sf_dir.rstrip('/'))}-{fp}",
-    )
+    # fingerprint-keyed staging: a regenerated fixture re-stages
+    # instead of serving stale rows against the fresh oracle
+    tail_dir = staged_source_dir(sf_dir, "gds_tail_v2", "events")
     if not os.path.exists(tail_dir):
         # stage → atomic rename: a crashed half-write must never leave
         # a readable-but-partial tail dir for later runs
