@@ -473,7 +473,13 @@ def embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only in the driver (eigendecomposition is not
     SQL-expressible); tests/test_llm.py checks the projected variances
     against numpy's PCA eigenvalues and each component against the
-    numpy projection up to sign."""
+    numpy projection up to sign.
+
+    The projection is emitted as a ','-joined string of floor-e4
+    components, NOT an array<double>: the driver canonicalizes even
+    rows-only results through a pandas lexsort, and ndarray cells are
+    unhashable there (the r4 red row — CORRECTNESS_r04 `embed_pca`
+    TypeError). Same scalar-encoding rule as embed_quantize_int8."""
     k = 8
     e = load(spark, sf_dir, "embeddings")
 
@@ -518,13 +524,20 @@ def embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in range(k):
         comp_arr = F.array(*[F.lit(float(v)) for v in comps[i]])
         proj_cols.append(
-            F.aggregate(
-                F.zip_with(centered, comp_arr, lambda x, c: x * c),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
+            F.floor(
+                F.aggregate(
+                    F.zip_with(centered, comp_arr, lambda x, c: x * c),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                * 10000
             )
+            .cast("bigint")
+            .cast("string")
         )
-    return e.select("vec_id", "label", F.array(*proj_cols).alias("pca"))
+    return e.select(
+        "vec_id", "label", F.concat_ws(",", *proj_cols).alias("pca_e4")
+    )
 
 
 @query(

@@ -63,7 +63,12 @@ def main() -> int:
         try:
             sdf = queries[qid](spark, SF_DIR)
             if qid not in oracles:
-                n = sdf.count()  # rows-only check: must run without raising
+                # rows-only check STILL goes through the driver's pandas
+                # canonicalization — replicate it exactly so unhashable
+                # cells (ndarray/dict) crash HERE, not in the driver
+                # (r4's embed_pca escaped because this path was a bare
+                # count()).
+                n = len(canon(sdf.toPandas()))
                 if run_all:
                     print(f"ok (rows-only, {n}): {qid}", flush=True)
                 continue

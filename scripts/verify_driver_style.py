@@ -35,7 +35,11 @@ def main() -> int:
     import duckdb
     from pyspark.sql import SparkSession
 
-    from helpers import assert_driver_safe_types, canon_value
+    from helpers import (
+        assert_driver_safe_types,
+        assert_spark_driver_safe_schema,
+        canon_value,
+    )
 
     spark = (
         SparkSession.builder.master("local[8]")
@@ -68,6 +72,10 @@ def main() -> int:
             continue
         try:
             sdf = queries[qid](spark, SF_DIR)
+            # the driver pandas-canonicalizes EVERY query's Spark
+            # output, rows-only ones included — complex-typed columns
+            # crash it there even when no oracle exists (r4 embed_pca)
+            assert_spark_driver_safe_schema(sdf, qid)
             s_cols = sdf.columns
             s_rows = sorted(
                 "|".join(canon_value(r[c]) for c in sorted(s_cols))

@@ -44,6 +44,30 @@ def assert_driver_safe_types(columns, types, qid: str = "query") -> None:
         )
 
 
+def assert_spark_driver_safe_schema(sdf, qid: str = "query") -> None:
+    """Fail if the SPARK result schema contains ARRAY/MAP/STRUCT
+    columns. The driver canonicalizes EVERY query's Spark output —
+    oracle-checked or rows-only — through a pandas lexsort before
+    hashing, and ndarray/dict cells are unhashable there (round-4 red
+    row: `embed_pca` returned array<double> and the driver recorded
+    `TypeError: unhashable type: 'numpy.ndarray'` instead of even a
+    rows-only pass). Scalar-encode complex columns instead
+    (array_join / concat_ws / sha256 digest)."""
+    from pyspark.sql import types as T
+
+    bad = [
+        (f.name, f.dataType.simpleString())
+        for f in sdf.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    if bad:
+        raise AssertionError(
+            f"{qid}: Spark output columns unsafe for the driver's pandas "
+            f"canonicalization: {bad}; encode them to scalars "
+            "(array_join / concat_ws / sha2)"
+        )
+
+
 def canon_value(v):
     """Canonicalize one cell for cross-engine comparison."""
     if v is None:
@@ -92,6 +116,7 @@ def assert_parity(spark, ddb, qid: str, sf_dir: str, queries=None, oracles=None)
     queries = queries or registry.QUERIES
     oracles = oracles or registry.ORACLES
     sdf = queries[qid](spark, sf_dir)
+    assert_spark_driver_safe_schema(sdf, qid)
     s_cols = sdf.columns
     s_rows = [tuple(r) for r in sdf.collect()]
 

@@ -445,16 +445,19 @@ def test_embed_pca_matches_numpy(spark, sf_dir):
             comps[i] = -comps[i]
     want = {vid: Xc[ix] @ comps.T for ix, vid in enumerate(ids)}
 
+    # pca_e4 is a ','-joined floor-e4 string (driver-safe scalar
+    # encoding — array cells crash the driver's pandas canon, r4 red
+    # row), so decode then compare at e4 resolution.
     got = {
-        r["vec_id"]: np.array(r["pca"])
+        r["vec_id"]: np.array(r["pca_e4"].split(","), dtype="float64") / 10000.0
         for r in QUERIES["embed_pca"](spark, sf_dir).collect()
     }
     assert set(got) == set(want)
     for vid in ids:
-        assert np.allclose(got[vid], want[vid], atol=1e-8), vid
-    # projected variance tracks the eigenvalues
+        assert np.allclose(got[vid], want[vid], atol=1.5e-4), vid
+    # projected variance tracks the eigenvalues (e4-quantized values)
     P = np.stack([got[v] for v in ids])
-    assert np.allclose(P.var(axis=0), eigvals[order], atol=1e-8)
+    assert np.allclose(P.var(axis=0), eigvals[order], atol=1e-3)
 
 
 def test_quantize_int8_roundtrip_error_bound(spark, sf_dir):

@@ -24,10 +24,31 @@ def test_oracle_parity(spark, ddb, sf_dir, qid):
 
 @pytest.mark.parametrize("qid", _NO_ORACLE)
 def test_rows_only(spark, sf_dir, qid):
+    from tests.helpers import assert_spark_driver_safe_schema
+
     df = registry.QUERIES[qid](spark, sf_dir)
+    # the driver pandas-canonicalizes rows-only outputs too — complex
+    # columns crash it even without an oracle (r4 embed_pca red row)
+    assert_spark_driver_safe_schema(df, qid)
     rows = df.collect()
     assert rows is not None
     assert df.columns  # stable, non-empty schema
+
+
+def test_gate_rejects_array_spark_output(spark, sf_dir):
+    """Regression (round-4 driver crash): a Spark result with an
+    array column is unhashable in the driver's pandas lexsort. The
+    Spark-side schema gate must reject LIST/STRUCT/MAP outputs."""
+    from pyspark.sql import functions as F
+
+    from tests.helpers import assert_spark_driver_safe_schema
+
+    df = spark.range(3).select(F.array(F.col("id"), F.col("id")).alias("a"))
+    with pytest.raises(AssertionError, match="pandas"):
+        assert_spark_driver_safe_schema(df, "deliberate_array")
+    df2 = spark.range(3).select(F.struct(F.col("id")).alias("s"))
+    with pytest.raises(AssertionError, match="pandas"):
+        assert_spark_driver_safe_schema(df2, "deliberate_struct")
 
 
 def test_entry_smoke(spark):
