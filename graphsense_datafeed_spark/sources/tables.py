@@ -45,7 +45,12 @@ def source_fingerprint(path: str) -> str:
     types in place once — the events ns→µs incident), so anything staged
     or memoized FROM a source must key on this, not on the path alone:
     a regenerated source then misses the cache and rebuilds instead of
-    silently serving stale bytes. Stat-only — no data read."""
+    silently serving stale bytes. Stat-only — no data read.
+
+    Inode is folded in alongside size+mtime_ns so an equal-size rewrite
+    restored with mtime preservation (cp -p / rsync -t) still changes
+    the fingerprint — a regeneration writes a new inode even when it
+    replays both size and mtime (ADVICE r4)."""
     import hashlib
 
     h = hashlib.sha256()
@@ -55,10 +60,12 @@ def source_fingerprint(path: str) -> str:
                 full = os.path.join(root, name)
                 st = os.stat(full)
                 rel = os.path.relpath(full, path)
-                h.update(f"{rel}|{st.st_size}|{st.st_mtime_ns}\n".encode())
+                h.update(
+                    f"{rel}|{st.st_size}|{st.st_mtime_ns}|{st.st_ino}\n".encode()
+                )
     else:
         st = os.stat(path)
-        h.update(f"{st.st_size}|{st.st_mtime_ns}".encode())
+        h.update(f"{st.st_size}|{st.st_mtime_ns}|{st.st_ino}".encode())
     return h.hexdigest()[:16]
 
 
@@ -70,13 +77,22 @@ def staged_source_dir(sf_dir: str, label: str, table: str) -> str:
     the pattern — every staged operator (layout_compact, scan_orc,
     scan_schema_evolution, scan_partition_pruning, source_rate_stream)
     goes through here."""
+    import hashlib
     import shutil
     import tempfile
 
     fp = source_fingerprint(path_for(sf_dir, table))
     base = os.path.join(tempfile.gettempdir(), label)
-    name = f"{os.path.basename(sf_dir.rstrip('/'))}-{fp}"
-    prefix = name[: -len(fp)]  # "<basename>-"
+    # the stale-sibling sweep matches on a prefix that identifies the
+    # FULL source path, not just its basename: two fixture roots named
+    # e.g. .../a/sf0.01 and .../b/sf0.01 must not evict each other's
+    # stagings (ADVICE r4), so a short hash of the absolute sf_dir is
+    # part of the prefix.
+    root_tag = hashlib.sha256(
+        os.path.abspath(sf_dir.rstrip("/")).encode()
+    ).hexdigest()[:8]
+    prefix = f"{os.path.basename(sf_dir.rstrip('/'))}-{root_tag}-"
+    name = prefix + fp
     if os.path.isdir(base):
         for d in os.listdir(base):
             if d.startswith(prefix) and d != name:
