@@ -530,3 +530,94 @@ def test_stateful_per_batch_progression(spark, sf_dir, multi_file_events):
         .collect()
     }
     assert {u: seq[-1][1] for u, seq in by_user.items()} == want
+
+
+def test_watermark_same_batch_eviction_race(spark):
+    """The eviction RACE the three-batch progression test can't see:
+    a late-ish row arriving in the SAME micro-batch as the advance
+    that will evict its window. Spark admits rows against the
+    watermark computed at the end of the PREVIOUS batch, then advances
+    the watermark and evicts at batch END — so the 10:30 row in batch
+    2 must land in win10 (its window end 11:00 is above the entering
+    watermark 10:59:59.999) even though its batch-mate at 13:00 moves
+    the watermark to 12:50, which closes win10 immediately after. An
+    engine that filtered against its OWN batch's watermark would drop
+    the row and emit win10 with n=1 instead of n=2.
+
+    Batch 1 also pins the ms-TRUNCATION edge (ADVICE r3): its max
+    event time 11:09:59.999500 puts the raw watermark at
+    10:59:59.999500, which Spark FLOORS to the millisecond —
+    10:59:59.999 < 11:00, so win10 must still be open at checkpoint 1.
+    Rounding (to 11:00:00.000) would close and emit it early, and a
+    threshold change in either direction flips one of the asserts."""
+    import datetime
+
+    d = os.path.join(
+        tempfile.gettempdir(), "gds_test_wmrace", uuid.uuid4().hex[:8]
+    )
+    src_dir = os.path.join(d, "src")
+    os.makedirs(src_dir)
+    t0 = datetime.datetime(2024, 6, 1, 10, 0, 0)
+
+    def ts(minutes, micros=0):
+        return t0 + datetime.timedelta(minutes=minutes, microseconds=micros)
+
+    def write_file(name, rows):
+        stage = os.path.join(d, "stage", name)
+        spark.createDataFrame(rows, "event_id bigint, ts timestamp").coalesce(
+            1
+        ).write.parquet(stage)
+        for f in os.listdir(stage):
+            if f.endswith(".parquet"):
+                shutil.move(
+                    os.path.join(stage, f),
+                    os.path.join(src_dir, name + ".parquet"),
+                )
+
+    emitted: list[tuple[int, int]] = []  # (window start hour, n)
+
+    def sink(batch_df, batch_id):
+        for r in batch_df.collect():
+            emitted.append((r["window"]["start"].hour, r["n"]))
+
+    # batch 1: win10 has one row; max ts 11:09:59.999500 → watermark
+    # floors to 10:59:59.999, a hair BELOW win10's end
+    write_file("b1", [(1, ts(0)), (2, ts(69, 59_999_500))])
+    s = (
+        spark.readStream.schema("event_id bigint, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    agg = (
+        s.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        agg.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(d, "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # ms-floor: watermark 10:59:59.999 < 11:00 → win10 still open.
+        # A rounded-up watermark would have emitted (10, 1) here.
+        assert emitted == [], f"truncation edge broke (rounded up?): {emitted}"
+        # batch 2: the race — 10:30 (win10) rides with the 13:00
+        # advance. Entering wm 10:59:59.999 admits it; the exit wm
+        # 12:50 then evicts win10 WITH the row counted.
+        write_file("b2", [(3, ts(30)), (4, ts(180))])
+        q.processAllAvailable()
+        got = sorted(emitted)
+        assert (10, 2) in got, (
+            f"same-batch late row lost — admission used the batch's own "
+            f"watermark instead of the previous one: {got}"
+        )
+        assert (10, 1) not in got, got
+        # win11 (the 11:09 row) closed by the same advance; win13 open
+        assert (11, 1) in got, got
+        assert all(h != 13 for h, _ in got), f"open window leaked: {got}"
+    finally:
+        q.stop()
+    shutil.rmtree(d, ignore_errors=True)
