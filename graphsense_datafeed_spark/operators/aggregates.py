@@ -827,3 +827,137 @@ def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("entropy_nats"),
         F.size("ns").alias("n_types"),
     )
+
+
+@query(
+    "agg_string_agg",
+    """
+    SELECT c_mktsegment,
+           string_agg(c_name, ',' ORDER BY c_custkey) AS names,
+           CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM customer
+    WHERE c_custkey % 40 = 0
+    GROUP BY c_mktsegment
+    """,
+)
+def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered LISTAGG/STRING_AGG per group — the report/export shape
+    ("all member names, comma-joined, in key order"). Spark has no
+    ordered listagg aggregate, so the deterministic composition is
+    collect_list of (key, value) structs → array_sort (structs sort
+    field-by-field; c_custkey is unique so the order is total) →
+    transform to the value → concat_ws. One partial-aggregated
+    exchange, same as any groupBy.
+
+    Scale note: an ordered string agg is inherently group-sized —
+    the aggregation buffer AND the output cell grow with the group,
+    so the operator is only sane after a selective filter (here
+    every-40th customer) or on bounded groups; at 100 TB the
+    unbounded-group variant is a design smell, not an engineering
+    problem — cap or pre-bucket first."""
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_custkey") % 40 == 0)
+    return cust.groupBy("c_mktsegment").agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("c_custkey", "c_name"))),
+                lambda s: s.c_name,
+            ),
+        ).alias("names"),
+        F.count("*").cast("bigint").alias("n_members"),
+    )
+
+
+@query(
+    "agg_corr_exact",
+    """
+    WITH s AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS sx,
+               CAST(SUM(CAST(FLOOR(l_extendedprice) AS BIGINT)) AS BIGINT) AS sy,
+               CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)
+                        * CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS sxx,
+               CAST(SUM(CAST(FLOOR(l_extendedprice) AS BIGINT)
+                        * CAST(FLOOR(l_extendedprice) AS BIGINT)) AS BIGINT) AS syy,
+               CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)
+                        * CAST(FLOOR(l_extendedprice) AS BIGINT)) AS BIGINT) AS sxy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           CAST(FLOOR(
+               (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+               * 1000000) AS BIGINT) AS corr_e6
+    FROM s
+    """,
+)
+def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation with DETERMINISTIC parallel aggregation:
+    the naive corr() accumulates floating covariance in partition
+    order (parallel sums of doubles are order-dependent, so two runs
+    — or two engines — can differ in the last ulps). Here both
+    variables are floored to integer units first, the five sufficient
+    statistics (Σx Σy Σx² Σy² Σxy) are summed as bigints — exact and
+    associative, any partial/merge order identical — and the corr
+    formula is then ONE double-arithmetic expression over those exact
+    integers, bit-identical on both engines. The one-pass
+    five-statistic shape is also the scale story: a single
+    partial-aggregated exchange per group, no second scan, no
+    centering pass."""
+    li = load(spark, sf_dir, "lineitem")
+    x = F.floor("l_quantity")
+    y = F.floor("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    r = (d("n") * d("sxy") - d("sx") * d("sy")) / F.sqrt(
+        (d("n") * d("sxx") - d("sx") * d("sx"))
+        * (d("n") * d("syy") - d("sy") * d("sy"))
+    )
+    return s.select(
+        "l_returnflag", "n", F.floor(r * 1000000).cast("bigint").alias("corr_e6")
+    )
+
+
+@query(
+    "agg_count_if_distinct",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) FILTER (WHERE value > 100) AS BIGINT) AS n_big,
+           CAST(COUNT(DISTINCT CASE WHEN value > 100 THEN user_id END)
+                AS BIGINT) AS users_big,
+           CAST(COUNT(DISTINCT CASE WHEN value <= 100 THEN user_id END)
+                AS BIGINT) AS users_small
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_count_if_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional counting surface: count_if plus DISTINCT counts
+    restricted by a predicate (count_distinct over a CASE that maps
+    non-qualifying rows to NULL — nulls are ignored by count). The
+    pattern matters at scale because multiple conditional distincts in
+    one SELECT expand the plan (Spark rewrites them to expand + two
+    aggregations); keeping them in a single groupBy lets the rewrite
+    share the one exchange instead of scanning per-metric."""
+    ev = load(spark, sf_dir, "events")
+    big = F.col("value") > 100
+    return ev.groupBy("event_type").agg(
+        F.count_if(big).cast("bigint").alias("n_big"),
+        F.count_distinct(F.when(big, F.col("user_id")))
+        .cast("bigint")
+        .alias("users_big"),
+        F.count_distinct(F.when(~big, F.col("user_id")))
+        .cast("bigint")
+        .alias("users_small"),
+    )

@@ -418,3 +418,88 @@ def apply_changes(base: DataFrame, changes: DataFrame, key: str) -> DataFrame:
     upserts = changes.filter(F.col("change_type") != "delete").drop("change_type")
     survivors = base.join(changes.select(key), key, "left_anti")
     return upserts.unionByName(survivors)
+
+
+@query(
+    "unpivot_longer",
+    """
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+           l_quantity AS val
+    FROM lineitem WHERE l_orderkey % 50 = 0
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+    FROM lineitem WHERE l_orderkey % 50 = 0
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+    FROM lineitem WHERE l_orderkey % 50 = 0
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+    FROM lineitem WHERE l_orderkey % 50 = 0
+    """,
+)
+def unpivot_longer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (UNPIVOT / melt): four measure columns become
+    (metric, val) rows — the shape feature stores, plotting layers,
+    and metric-generic quality checks consume. Spark's native
+    `DataFrame.unpivot` compiles to a single Expand node: ONE scan
+    emits all four rows per input row, no self-union, no re-scan
+    (the oracle spells it as UNION ALL because that is portable SQL —
+    the plans differ, the result multiset must not).
+
+    Scale: Expand multiplies rows 4× in the map stage with zero
+    shuffle; column pruning still reaches the scan (only the 2 id +
+    4 measure columns are read). The value columns must share one
+    type (all doubles here) — heterogeneous unpivots cast first."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "metric",
+        "val",
+    )
+
+
+@query(
+    "anon_k_suppress",
+    """
+    WITH sized AS (
+        SELECT c_custkey, c_nationkey, c_mktsegment,
+               COUNT(*) OVER (PARTITION BY c_nationkey, c_mktsegment)
+                   AS group_n
+        FROM customer
+    )
+    SELECT c_custkey,
+           CASE WHEN group_n < 10 THEN NULL
+                ELSE CAST(c_nationkey AS BIGINT) END AS nat_q,
+           CASE WHEN group_n < 10 THEN NULL ELSE c_mktsegment END AS seg_q,
+           CAST(group_n AS BIGINT) AS group_n,
+           group_n < 10 AS is_suppressed
+    FROM sized
+    """,
+)
+def anon_k_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity suppression (k=10) over the quasi-identifier pair
+    (nationkey, mktsegment): any row whose QI combination is shared by
+    fewer than k individuals gets its quasi-identifiers NULLed — the
+    release-gate pass a training-data pipeline runs before publishing
+    per-user derived tables (small QI groups are re-identifiable by
+    linkage). Row identity and measures survive; only the linkable
+    attributes are redacted, and the group size is emitted for audit.
+
+    One window count over the QI key — a single exchange, no join
+    back. At 100 TB this is a groupBy-count (tiny: |QI combinations|)
+    broadcast-joined onto the corpus instead of a window, same
+    semantics; the window form is used here because the QI group
+    count rides the same shuffle the output needs anyway."""
+    w = Window.partitionBy("c_nationkey", "c_mktsegment")
+    n = F.count("*").over(w)
+    small = n < 10
+    return load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(small, F.lit(None))
+        .otherwise(F.col("c_nationkey").cast("bigint"))
+        .alias("nat_q"),
+        F.when(small, F.lit(None)).otherwise(F.col("c_mktsegment")).alias("seg_q"),
+        n.cast("bigint").alias("group_n"),
+        small.alias("is_suppressed"),
+    )

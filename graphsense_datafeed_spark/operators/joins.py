@@ -633,3 +633,60 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pruned.join(F.broadcast(supp), pruned.l_suppkey == supp.s_suppkey).select(
         "l_orderkey", "l_suppkey", "s_name"
     )
+
+
+@query(
+    "join_null_safe",
+    """
+    WITH o AS (
+        SELECT o_orderkey,
+               CASE WHEN o_custkey % 25 = 7 THEN NULL
+                    ELSE o_custkey % 25 END AS k
+        FROM orders
+    ), c AS (
+        SELECT c_custkey,
+               CASE WHEN c_nationkey = 7 THEN NULL
+                    ELSE CAST(c_nationkey AS BIGINT) END AS k
+        FROM customer
+    )
+    SELECT o.k AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders
+    FROM o JOIN c ON o.k IS NOT DISTINCT FROM c.k
+    GROUP BY o.k
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL
+    keys MATCH each other instead of vanishing — the semantics CDC
+    and merge pipelines need when the join key is legitimately
+    nullable (unknown dimension member, pre-migration rows). A plain
+    equi-join silently drops every NULL-keyed row; the null-safe form
+    keeps them as one more key value.
+
+    Catalyst treats `<=>` as an equi-join condition, so this stays a
+    hash join (broadcast here — the dim side is small), NOT a
+    nested-loop: the null bucket hashes like any other key. The known
+    scale hazard is that bucket's SKEW — every NULL-keyed row on both
+    sides lands in one task and the match is a cross product of the
+    null groups, so at 100 TB you split NULLs out (they match only
+    NULLs, a union of one null⋈null join and one plain equi-join) —
+    the same decomposition join_skew_salted applies to measured heavy
+    hitters."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_custkey") % 25 == 7, F.lit(None))
+        .otherwise(F.col("o_custkey") % 25)
+        .alias("k"),
+    )
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_nationkey") == 7, F.lit(None))
+        .otherwise(F.col("c_nationkey").cast("bigint"))
+        .alias("k"),
+    )
+    joined = o.join(F.broadcast(c), o["k"].eqNullSafe(c["k"]))
+    return joined.groupBy(o["k"].alias("k")).agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.count_distinct("o_orderkey").cast("bigint").alias("n_orders"),
+    )

@@ -22,7 +22,7 @@ set math via explode+join, no UDFs, no driver-side loops.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from graphsense_datafeed_spark.registry import query
 from graphsense_datafeed_spark.sources.tables import load
@@ -1028,4 +1028,54 @@ def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "source",
         F.length("text").cast("bigint").alias("n_chars"),
+    )
+
+
+@query(
+    "dedup_rank_quality",
+    """
+    WITH keyed AS (
+        SELECT doc_id, n_chars,
+               md5(regexp_replace(lower(text), '[^a-z ]', '', 'g'))
+                   AS content_key
+        FROM documents
+    )
+    SELECT doc_id, content_key,
+           ROW_NUMBER() OVER (PARTITION BY content_key
+                              ORDER BY n_chars DESC, doc_id) = 1
+               AS is_keeper
+    FROM keyed
+    """,
+)
+def dedup_rank_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked exact dedup: documents are keyed by a NORMALIZED
+    content digest (lowercase, letters+spaces only — case and
+    punctuation variants of the same text collide) and within each key
+    the BEST copy wins: longest original text, doc_id as the total
+    tie-break. This is the keep-policy layer dedup_keys lacks (it
+    keeps an arbitrary first) and dedup_clusters delegates to min-id —
+    real corpus dedup keeps the highest-quality duplicate, not the
+    first-seen one.
+
+    One groupBy-key window with a rank-1 predicate: Spark's
+    WindowGroupLimit turns it into per-partition top-1 heaps — no
+    full sort of the corpus, one exchange on the digest (the digest,
+    not the text, shuffles — same bytes-on-wire discipline as
+    dedup_exact). Spark's regexp_replace is global by default; DuckDB
+    needs the explicit 'g' flag — a known parity trap, pinned here."""
+    docs = load(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        "n_chars",
+        F.md5(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z ]", "").cast("binary")
+        ).alias("content_key"),
+    )
+    w = Window.partitionBy("content_key").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return keyed.select(
+        "doc_id",
+        "content_key",
+        (F.row_number().over(w) == 1).alias("is_keeper"),
     )

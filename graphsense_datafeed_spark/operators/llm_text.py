@@ -971,3 +971,158 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text_clean"),
         F.count("*").cast("bigint").alias("n_kept"),
     )
+
+
+@query(
+    "text_ngram_topk",
+    """
+    WITH chars AS (
+        SELECT lang, lower(text) AS t FROM documents
+    ), grams AS (
+        SELECT lang, substr(t, i, 3) AS gram
+        FROM (SELECT lang, t, unnest(generate_series(1, len(t) - 2)) AS i
+              FROM chars)
+    ), counted AS (
+        SELECT lang, gram, CAST(COUNT(*) AS BIGINT) AS n
+        FROM grams GROUP BY lang, gram
+    )
+    SELECT lang, gram, n, CAST(rnk AS BIGINT) AS rnk FROM (
+        SELECT lang, gram, n,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY n DESC, gram) AS rnk
+        FROM counted
+    ) WHERE rnk <= 10
+    """,
+)
+def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 character trigrams per language — the feature table a
+    classical n-gram language identifier trains on (langid profiles
+    ARE ranked trigram lists; text_langid consumes exactly this kind
+    of profile). Grams come from one narrow pass: sequence(1, len-2)
+    → transform(substr) → explode — no self-join of positions.
+
+    The count shuffles on (lang, gram) with map-side partial
+    aggregation (the gram space collapses fast: |langs|×|distinct
+    trigrams|, not corpus size), then the top-k is a WindowGroupLimit
+    per lang — Spark pushes the rnk<=10 filter into the sort, keeping
+    per-partition heaps of 10 instead of sorting every gram
+    (win_topk_per_group precedent). Ties break on the gram itself, so
+    rank order is total in both engines."""
+    docs = load(spark, sf_dir, "documents").select(
+        "lang", F.lower(F.col("text")).alias("t")
+    )
+    grams = docs.select(
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length("t") - 2, F.lit(0))),
+                lambda i: F.substr(F.col("t"), i, F.lit(3)),
+            )
+        ).alias("gram"),
+    )
+    counted = grams.groupBy("lang", "gram").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("gram"))
+    return (
+        counted.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 10)
+        .select("lang", "gram", "n", "rnk")
+    )
+
+
+@query(
+    "sample_reservoir",
+    """
+    SELECT event_type, event_id, CAST(rnk AS BIGINT) AS rnk FROM (
+        SELECT event_type, event_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type
+                   ORDER BY CAST('0x' || substr(md5(event_type || ':'
+                            || CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT),
+                            event_id) AS rnk
+        FROM events
+    ) WHERE rnk <= 10
+    """,
+)
+def sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reservoir sample of k=10 per stream, distributed-safe: a
+    uniform reservoir is EQUIVALENT to "the k rows with the smallest
+    uniform random tags", so tagging every row with an md5 hash of
+    its identity and keeping the per-group k smallest gives the same
+    distribution with none of the sequential-scan statefulness of the
+    classic algorithm — partial top-k heaps merge associatively
+    across partitions (WindowGroupLimit pushes rnk<=k into the sort),
+    and the sample is REPRODUCIBLE: identity-derived tags mean
+    reruns, retries, and both engines draw the same rows, which is
+    what makes a 100 TB training-mix sample auditable. Same
+    md5-prefix-uniform trick as sample_deterministic, one rank per
+    group instead of a global percentage."""
+    ev = load(spark, sf_dir, "events")
+    tag = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("event_type"), F.lit(":"), F.col("event_id").cast("string")).cast("binary")),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    w = Window.partitionBy("event_type").orderBy(tag, F.col("event_id"))
+    return (
+        ev.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 10)
+        .select("event_type", "event_id", "rnk")
+    )
+
+
+@query(
+    "sample_weighted",
+    """
+    WITH keyed AS (
+        SELECT doc_id, lang,
+               -ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)
+                         AS BIGINT) + 1.0) / 268435456.0)
+               / CAST(n_chars AS DOUBLE) AS k
+        FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, lang, CAST(rnk AS BIGINT) AS rnk FROM (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY k, doc_id)
+                   AS rnk
+        FROM keyed
+    ) WHERE rnk <= 5
+    """,
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (k=5 per language),
+    P(selected) ∝ document length, via the Efraimidis–Spirakis
+    exponential-rank method: each row draws u ~ Uniform(0,1] and the
+    k rows with the SMALLEST −ln(u)/w win — the reduction that turns
+    weighted sampling into an associative per-group top-k (same merge
+    property as sample_reservoir, so it distributes and replays).
+
+    u is derived from md5(doc_id) (28-bit prefix, +1 to exclude 0) —
+    deterministic, engine-portable, reproducible across retries; both
+    engines evaluate the identical −ln(u)/w doubles so the rank order
+    cannot diverge. This is the length-balanced pick a mixture
+    pipeline uses when long documents should anchor the sample but
+    short ones must still win sometimes — contrast text_mixture_sample
+    (rate-per-source) and split_train_holdout (unweighted hash
+    split)."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 7),
+            16,
+            10,
+        ).cast("bigint")
+        + 1.0
+    ) / 268435456.0
+    key = -F.log(u) / F.col("n_chars").cast("double")
+    w = Window.partitionBy("lang").orderBy(key, F.col("doc_id"))
+    return (
+        docs.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 5)
+        .select("doc_id", "lang", "rnk")
+    )

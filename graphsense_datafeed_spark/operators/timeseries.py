@@ -347,3 +347,261 @@ def ts_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_outlier"
         ),
     )
+
+
+@query(
+    "ts_ewma",
+    """
+    WITH ordered AS (
+        SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+        FROM events WHERE user_id < 30 GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(vals) AS BIGINT) AS n_obs,
+           CAST(FLOOR(list_reduce(vals, (acc, x) -> acc * 0.5 + x * 0.5)
+                      * 1000000) AS BIGINT) AS ewma_e6
+    FROM ordered
+    """,
+)
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (α=0.5) of each user's
+    value stream — the classic smoother whose recurrence
+    s_i = α·v_i + (1−α)·s_{i−1} is inherently SEQUENTIAL per key: no
+    window frame expresses it, and the closed-form power expansion
+    under/overflows past ~1e3 observations. The scalable formulation
+    is exactly what a keyed fold is: collect the (bounded, per-key)
+    series in event order and fold left — keys parallelize across
+    executors, the sequence runs inside one.
+
+    Engine parity is the whole trick: both engines fold the IDENTICAL
+    ordered list with the IDENTICAL seed (DuckDB's list_reduce seeds
+    with the first element; Spark seeds F.aggregate with element 1 and
+    folds the slice from 2), so every IEEE64 op matches bit-for-bit
+    and floor-e6 is hash-safe. Order is total: (ts, event_id) with
+    event_id unique. At 100 TB the same recurrence runs incrementally
+    as keyed streaming state (stream_stateful's shape) — one double
+    per key, no history."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    packed = ev.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))),
+            lambda s: s.value,
+        ).alias("vals")
+    )
+    folded = F.aggregate(
+        F.slice(F.col("vals"), 2, F.greatest(F.size("vals") - 1, F.lit(0))),
+        F.element_at(F.col("vals"), 1),
+        lambda acc, x: acc * 0.5 + x * 0.5,
+    )
+    return packed.select(
+        "user_id",
+        F.size("vals").cast("bigint").alias("n_obs"),
+        F.floor(folded * 1000000).cast("bigint").alias("ewma_e6"),
+    )
+
+
+@query(
+    "ts_zscore_anomaly",
+    """
+    WITH g AS (
+        SELECT event_id, event_type, ts,
+               CAST(FLOOR(value * 10000) AS BIGINT) AS v_e4,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n,
+               CAST(SUM(CAST(FLOOR(value * 10000) AS BIGINT)) OVER w
+                    AS BIGINT) AS s,
+               CAST(SUM(CAST(FLOOR(value * 10000) AS BIGINT)
+                        * CAST(FLOOR(value * 10000) AS BIGINT)) OVER w
+                    AS BIGINT) AS ss
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, event_type,
+           CASE WHEN n >= 8 THEN
+             (CAST(v_e4 AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(v_e4 AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+             > 9.0 * ((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)
+                       * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                      / CAST(n AS DOUBLE))
+           ELSE FALSE END AS is_anomaly,
+           n AS n_window
+    FROM g
+    """,
+)
+def ts_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window z-score anomaly flag: each event is compared
+    against the mean/variance of its own series' PREVIOUS 24
+    observations (frame ends at 1 PRECEDING — the candidate point
+    must not contaminate its own baseline), flagged when
+    (v−μ)² > (3σ)². Rows with fewer than 8 priors are never flagged
+    (cold-start guard).
+
+    Determinism: the window sums are BIGINT sums of floor-e4 values —
+    exact and order-free — and μ/σ² enter only through one double
+    expression both engines evaluate identically; the flag compares
+    squares, avoiding a sqrt. Scale: one window sort per series
+    partition; at 100 TB the sort key is (event_type, day-bucket)
+    with frame-sized overlap carried between buckets, keeping
+    partition sizes bounded instead of series-sized."""
+    ev = load(spark, sf_dir, "events")
+    v = F.floor(F.col("value") * 10000).cast("bigint")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-24, -1)
+    )
+    g = ev.select(
+        "event_id",
+        "event_type",
+        v.alias("v_e4"),
+        F.count("*").over(w).cast("bigint").alias("n"),
+        F.sum(v).over(w).cast("bigint").alias("s"),
+        F.sum(v * v).over(w).cast("bigint").alias("ss"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    dev = d("v_e4") - d("s") / d("n")
+    var = (d("ss") - d("s") * d("s") / d("n")) / d("n")
+    return g.select(
+        "event_id",
+        "event_type",
+        F.when(F.col("n") >= 8, dev * dev > 9.0 * var)
+        .otherwise(F.lit(False))
+        .alias("is_anomaly"),
+        F.col("n").alias("n_window"),
+    )
+
+
+@query(
+    "ts_changepoint_cusum",
+    """
+    WITH stats AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_total,
+               CAST(SUM(CAST(FLOOR(value * 10000) AS BIGINT)) AS BIGINT)
+                   AS s_total,
+               CAST(SUM(CAST(FLOOR(value * 10000) AS BIGINT)
+                        * CAST(FLOOR(value * 10000) AS BIGINT)) AS BIGINT)
+                   AS ss_total
+        FROM events GROUP BY event_type
+    ), run AS (
+        SELECT e.event_id, e.event_type,
+               CAST(ROW_NUMBER() OVER w AS BIGINT) AS i,
+               CAST(SUM(CAST(FLOOR(e.value * 10000) AS BIGINT)) OVER w
+                    AS BIGINT) AS run_s,
+               s.n_total, s.s_total, s.ss_total
+        FROM events e JOIN stats s USING (event_type)
+        WINDOW w AS (PARTITION BY e.event_type ORDER BY e.ts, e.event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, event_type,
+           CAST(FLOOR((CAST(run_s AS DOUBLE)
+                       - CAST(i AS DOUBLE) * CAST(s_total AS DOUBLE)
+                         / CAST(n_total AS DOUBLE)) / 10000) AS BIGINT)
+               AS cusum_units,
+           abs(CAST(run_s AS DOUBLE)
+               - CAST(i AS DOUBLE) * CAST(s_total AS DOUBLE)
+                 / CAST(n_total AS DOUBLE))
+           > 5.0 * sqrt((CAST(ss_total AS DOUBLE)
+                         - CAST(s_total AS DOUBLE) * CAST(s_total AS DOUBLE)
+                           / CAST(n_total AS DOUBLE)) / CAST(n_total AS DOUBLE))
+             * sqrt(CAST(i AS DOUBLE)) AS is_shift
+    FROM run
+    """,
+)
+def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM mean-shift detection per series: the running sum of
+    deviations from the series mean, C_i = Σ_{j≤i} v_j − i·μ, flagged
+    when |C_i| exceeds 5σ·√i (the random-walk-scaled control limit) —
+    the monitoring pass that catches a feed whose level quietly
+    changed (rate source drift, schema-mapped unit change) long
+    before per-point outlier flags fire.
+
+    Two exact integer layers (per-type totals; running window sums of
+    floor-e4 values — both order-free bigint arithmetic), one double
+    formula on top, identical in both engines. Scale: the global
+    stats are a tiny broadcast; the running sum is one window sort
+    per series — same bucketed-partition note as ts_zscore_anomaly;
+    in streaming form this is one (sum, count) state pair per key."""
+    ev = load(spark, sf_dir, "events")
+    v = F.floor(F.col("value") * 10000).cast("bigint")
+    stats = ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_total"),
+        F.sum(v).alias("s_total"),
+        F.sum(v * v).alias("ss_total"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = ev.join(F.broadcast(stats), "event_type").select(
+        "event_id",
+        "event_type",
+        F.row_number().over(w).cast("bigint").alias("i"),
+        F.sum(v).over(w).cast("bigint").alias("run_s"),
+        "n_total",
+        "s_total",
+        "ss_total",
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    cusum = d("run_s") - d("i") * d("s_total") / d("n_total")
+    sd = F.sqrt(
+        (d("ss_total") - d("s_total") * d("s_total") / d("n_total")) / d("n_total")
+    )
+    return run.select(
+        "event_id",
+        "event_type",
+        F.floor(cusum / 10000).cast("bigint").alias("cusum_units"),
+        (F.abs(cusum) > 5.0 * sd * F.sqrt(d("i"))).alias("is_shift"),
+    )
+
+
+@query(
+    "events_retention",
+    """
+    WITH weekly AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+        FROM events
+    ), cohorts AS (
+        SELECT user_id, MIN(week) AS cohort_week FROM weekly GROUP BY user_id
+    )
+    SELECT CAST(c.cohort_week AS DATE) AS cohort_week,
+           CAST(datediff('day', CAST(c.cohort_week AS DATE),
+                         CAST(w.week AS DATE)) / 7 AS BIGINT) AS week_offset,
+           CAST(COUNT(DISTINCT w.user_id) AS BIGINT) AS n_active
+    FROM weekly w JOIN cohorts c USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users are cohorted by their first
+    active week, then each (cohort, week-offset) cell counts how many
+    of them were still active that many weeks later — the
+    product-analytics readout behind every "week-4 retention" number.
+
+    Both engines truncate weeks to Monday (date_trunc('week')), and
+    the offset divides an exact day difference between two week
+    starts (always a multiple of 7) — integer-safe. Plan: one
+    distinct over (user, week) — the only corpus-sized shuffle — a
+    tiny per-user MIN, and a count-distinct over the joined pair;
+    the cohort table re-joins by user_id on the same key the distinct
+    already partitioned by, so AQE reuses the layout. At 100 TB the
+    weekly activity table is the persisted incremental artifact
+    (append one week per week); the triangle re-aggregates only
+    |users-active| rows, never raw events."""
+    ev = load(spark, sf_dir, "events")
+    weekly = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("week")
+    ).distinct()
+    cohorts = weekly.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    offset = (
+        F.datediff(F.to_date("week"), F.to_date("cohort_week")) / 7
+    ).cast("bigint")
+    return (
+        weekly.join(cohorts, "user_id")
+        .groupBy(
+            F.to_date("cohort_week").alias("cohort_week"),
+            offset.alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").cast("bigint").alias("n_active"))
+    )

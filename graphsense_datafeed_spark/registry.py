@@ -148,7 +148,7 @@ _ROUND5_WINDOW = (
     "agg_corr_exact",
     "text_ngram_topk",
     "dedup_rank_quality",
-    "win_qualify",
+    "ts_changepoint_cusum",
     "agg_count_if_distinct",
 )
 
