@@ -78,9 +78,13 @@ def main() -> None:
     _warm = F.pandas_udf(lambda s: s, "long")
     spark.range(64).repartition(32).select(_warm("id")).count()
 
+    # SPARK_GRAFT_ONLY=qid[,qid...] isolates a subset (the BASELINE.md
+    # protocol's "isolated reading" — suite-position effects removed)
+    only = os.environ.get("SPARK_GRAFT_ONLY")
+    selected = [q for q in HEADLINE if not only or q in only.split(",")]
     per_query: dict[str, float] = {}
     total = 0.0
-    for qid in HEADLINE:
+    for qid in selected:
         fn = registry.QUERIES[qid]
         t0 = time.perf_counter()
         n = fn(spark, sf_dir).count()

@@ -144,3 +144,96 @@ def graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).union(e.select(F.col("dst").alias("addr"), F.col("src").alias("nbr"))).distinct()
     deg = sym.groupBy("addr").agg(F.count("*").cast("bigint").alias("degree"))
     return deg.groupBy("degree").agg(F.count("*").cast("bigint").alias("n_nodes"))
+
+
+@query(
+    "graph_common_neighbors",
+    """
+    WITH bip AS (
+        SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    ), deg AS (
+        SELECT cust, CAST(COUNT(*) AS BIGINT) AS d FROM bip GROUP BY cust
+    ), pairs AS (
+        SELECT a.cust AS cust_a, b.cust AS cust_b,
+               CAST(COUNT(*) AS BIGINT) AS common_parts
+        FROM bip a JOIN bip b ON a.part = b.part AND a.cust < b.cust
+        GROUP BY a.cust, b.cust
+        HAVING COUNT(*) >= 3
+    ), scored AS (
+        SELECT cust_a, cust_b, common_parts,
+               CAST(FLOOR(common_parts * 10000.0
+                          / (da.d + db.d - common_parts)) AS BIGINT)
+                   AS jaccard_e4
+        FROM pairs
+        JOIN deg da ON da.cust = pairs.cust_a
+        JOIN deg db ON db.cust = pairs.cust_b
+    )
+    SELECT cust_a, cust_b, common_parts, jaccard_e4
+    FROM scored
+    ORDER BY jaccard_e4 DESC, cust_a, cust_b
+    LIMIT 20
+    """,
+)
+def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor / Jaccard link prediction over the
+    customer–part co-purchase bipartite graph (round 5): customers are
+    similar when their purchased-part sets overlap. The classic
+    neighborhood-similarity program — and the classic scale trap done
+    right: pairs are generated ONLY within a shared part (equi-join on
+    the part key, never customer×customer), so work is Σ_part d_p²,
+    not |customers|². At 100 TB the remaining hazard is hub parts (a part
+    bought by 10⁶ customers); the production guard is the same
+    count-certified cap dedup_near applies to LSH buckets — measure
+    part degrees first, drop/sample parts past the cap, a part that
+    popular carries no similarity signal anyway (df-style damping).
+
+    Degrees join back by customer key (two broadcast-sized joins at
+    this output bound); Jaccard enters the double domain exactly once,
+    over exact bigint counts, identically in both engines. Top-20 with
+    a full-order tiebreak is a TakeOrderedAndProject, not a sort."""
+    from graphsense_datafeed_spark.sources.tables import load
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    bip = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        .distinct()
+    )
+    deg = bip.groupBy("cust").agg(F.count("*").cast("bigint").alias("d"))
+    a = bip.alias("a")
+    b = bip.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.part") == F.col("b.part"))
+            & (F.col("a.cust") < F.col("b.cust")),
+        )
+        .groupBy(
+            F.col("a.cust").alias("cust_a"), F.col("b.cust").alias("cust_b")
+        )
+        .agg(F.count("*").cast("bigint").alias("common_parts"))
+        .filter(F.col("common_parts") >= 3)
+    )
+    da = deg.select(F.col("cust").alias("cust_a"), F.col("d").alias("da"))
+    db = deg.select(F.col("cust").alias("cust_b"), F.col("d").alias("db"))
+    scored = (
+        pairs.join(F.broadcast(da), "cust_a")
+        .join(F.broadcast(db), "cust_b")
+        .select(
+            "cust_a",
+            "cust_b",
+            "common_parts",
+            F.floor(
+                F.col("common_parts")
+                * 10000.0
+                / (F.col("da") + F.col("db") - F.col("common_parts"))
+            )
+            .cast("bigint")
+            .alias("jaccard_e4"),
+        )
+    )
+    return scored.orderBy(
+        F.col("jaccard_e4").desc(), "cust_a", "cust_b"
+    ).limit(20)

@@ -961,3 +961,41 @@ def agg_count_if_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("users_small"),
     )
+
+
+@query(
+    "agg_decimal_exact",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 10000 AS BIGINT)
+               AS total_e4,
+           CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2))) * 10000 AS BIGINT)
+               AS max_e4
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact money aggregation in the DECIMAL domain (round 5).
+
+    Doubles accumulate in partition order and drift in the last ulps
+    at 100 TB row counts; casting to DECIMAL(12,2) FIRST makes every
+    partial sum an exact scaled integer — Spark promotes the sum to
+    DECIMAL(22,2) (10 extra digits of headroom) and merges partials
+    associatively, so ANY partition order and ANY merge tree produce
+    the identical result, no floor/round discipline needed. The output
+    is scaled to e4 bigints only to cross the driver's hash compare;
+    the arithmetic itself never leaves the exact domain. The cast
+    double→DECIMAL(12,2) is unambiguous round-to-nearest (fixture
+    prices carry 2 decimals, so the stored double is within 1e-10 of
+    the true value — never a tie). This is the ledger-grade twin of
+    the ROUND(x*100)-to-bigint pattern used elsewhere; DECIMAL keeps
+    exactness through division and scale changes where bigint cents
+    would truncate."""
+    orders = load(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(12,2)")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        (F.sum(dec) * 10000).cast("bigint").alias("total_e4"),
+        (F.max(dec) * 10000).cast("bigint").alias("max_e4"),
+    )

@@ -690,3 +690,71 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_pairs"),
         F.count_distinct("o_orderkey").cast("bigint").alias("n_orders"),
     )
+
+
+def _bucketed_table(spark: SparkSession, sf_dir: str, table: str, key: str):
+    """Register ``table`` as a BUCKETED catalog table (8 buckets on
+    ``key``, sorted within buckets), staged under a fingerprint-keyed
+    dir so fixture regeneration rewrites instead of serving stale
+    bytes. The catalog name embeds the fingerprint: a fresh fixture
+    gets a fresh name, and a stale in-session entry is never read.
+    Bucket metadata lives in the session catalog (in-memory, non-Hive)
+    — ``spark.table`` reads carry the bucket spec, which is what lets
+    the join below elide its exchanges; a plain ``read.parquet`` of
+    the same files would not."""
+    from graphsense_datafeed_spark.sources.tables import staged_source_dir
+
+    d = staged_source_dir(sf_dir, f"gds_bucketed_{table}", table)
+    name = "gds_bk_" + table + "_" + d.rsplit("-", 1)[-1][:12]
+    if not spark.catalog.tableExists(name):
+        (
+            load(spark, sf_dir, table)
+            .repartition(8, key)
+            .write.bucketBy(8, key)
+            .sortBy(key)
+            .option("path", d)
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    return spark.table(name)
+
+
+@query(
+    "join_bucketed_colocated",
+    """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus
+    """,
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join on pre-bucketed tables (round 5) — the at-rest
+    layout that removes the shuffle from the biggest recurring join.
+    Both sides are written ONCE with `bucketBy(8, key).sortBy(key)`;
+    every later orders⋈lineitem equi-join on that key compiles to a
+    sort-merge join with NO Exchange on either side (asserted on the
+    real plan in tests/test_bucketing.py) because Spark trusts the
+    bucket spec as a hash partitioning. At 100 TB this is the
+    difference between re-shuffling terabytes per run and moving
+    nothing: the bucketed write is amortized over every downstream
+    join and the bucket count scales with data volume (buckets ≈
+    total_bytes / 128 MB, co-prime with nothing). The `merge` hint
+    pins sort-merge so the demonstration doesn't degrade to a
+    broadcast at fixture scale; semantics are hint-invariant — the
+    oracle is the PLAIN join."""
+    o = _bucketed_table(spark, sf_dir, "orders", "o_orderkey")
+    li = _bucketed_table(spark, sf_dir, "lineitem", "l_orderkey")
+    return (
+        o.hint("merge")
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n_items"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("revenue_cents"),
+        )
+    )

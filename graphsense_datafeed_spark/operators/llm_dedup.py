@@ -1079,3 +1079,102 @@ def dedup_rank_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "content_key",
         (F.row_number().over(w) == 1).alias("is_keeper"),
     )
+
+
+@query(
+    "dedup_containment",
+    """
+    WITH sh AS (
+        SELECT DISTINCT doc_id,
+               md5(concat_ws(' ', ws[i], ws[i + 1], ws[i + 2])) AS h
+        FROM (
+            SELECT doc_id, str_split(text, ' ') AS ws,
+                   unnest(range(1, len(str_split(text, ' ')) - 1)) AS i
+            FROM documents
+        )
+    ), sizes AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id
+    ), df AS (
+        SELECT h, COUNT(*) AS nd FROM sh GROUP BY h
+    ), kept AS (
+        SELECT s.doc_id, s.h FROM sh s JOIN df USING (h) WHERE nd <= 16
+    ), common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id != b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, n_common,
+           CAST(FLOOR(n_common * 10000.0 / sa.n) AS BIGINT) AS containment_e4
+    FROM common JOIN sizes sa ON sa.doc_id = common.doc_a
+    WHERE n_common * 2 >= sa.n
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional shingle CONTAINMENT detection (round 5) — Broder's
+    containment c(A,B)=|S_A∩S_B|/|S_A|, the asymmetric measure Jaccard
+    misses: a short document quoted wholesale inside a long one scores
+    near-zero Jaccard but containment ≈ 1. Emits ordered pairs where
+    ≥ half of doc_a's shingles also occur in doc_b — the
+    quote/subset-dup candidates a training-data pipeline strips
+    separately from symmetric near-dups (partial overlap leaks eval
+    data just as well as full duplication).
+
+    Same scale skeleton as the other dedup rows: distinct (doc,
+    shingle-digest) shuffles digests (never text), pair generation is
+    shingle-bucketed under the count-certified hot cap (boilerplate
+    shingles in >16 docs carry no containment signal — both engines
+    drop them identically, so the capped measure stays exact-parity),
+    per-doc sizes join back broadcast-sized, and the ≥½ gate stays in
+    the integer domain (n_common*2 >= n — no float threshold)."""
+    d = (
+        load(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", F.split("text", " ").alias("ws"))
+    )
+    ws = F.col("ws")
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(ws) - 2),
+                lambda i: F.md5(
+                    F.concat_ws(
+                        " ",
+                        F.element_at(ws, i),
+                        F.element_at(ws, i + 1),
+                        F.element_at(ws, i + 2),
+                    ).cast("binary")
+                ),
+            )
+        ).alias("h"),
+    ).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n"))
+    df_ = sh.groupBy("h").agg(F.count("*").alias("nd"))
+    kept = sh.join(df_.filter(F.col("nd") <= 16), "h").select("doc_id", "h")
+    a = kept.alias("a")
+    b = kept.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), "n")
+    return (
+        common.join(F.broadcast(sa), "doc_a")
+        .filter(F.col("n_common") * 2 >= F.col("n"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            F.floor(F.col("n_common") * 10000.0 / F.col("n"))
+            .cast("bigint")
+            .alias("containment_e4"),
+        )
+    )

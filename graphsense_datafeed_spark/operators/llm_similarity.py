@@ -438,7 +438,12 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row HOF array math, no shuffle, no UDF. The quantized vector
     is emitted ','-joined — array cells crash the driver's pandas
     sort (r2 lesson)."""
-    e = load(spark, sf_dir, "embeddings")
+    return quantize_int8_frame(load(spark, sf_dir, "embeddings"))
+
+
+def quantize_int8_frame(e: DataFrame) -> DataFrame:
+    """Parameterized quantize core (embed_quantize_int8's body) so
+    embedding_pipeline can run it over its survivor set."""
     emb = F.col("embedding")
     scale = F.array_max(F.transform(emb, lambda x: F.abs(x.cast("double"))))
     with_scale = e.select("vec_id", "embedding", scale.alias("scale"))
@@ -599,3 +604,214 @@ def embed_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("n_nan") == 0)
         & F.col("norm_e4").between(9000, 11000),
     )
+
+
+@query(
+    "embed_knn_graph",
+    f"""
+    WITH sub AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200
+    ), scored AS (
+        SELECT q.vec_id AS src, c.vec_id AS dst,
+               {_DUCK_DOT.format(a="q.embedding", b="c.embedding")} AS dot
+        FROM sub q JOIN sub c ON q.vec_id != c.vec_id
+    ), ranked AS (
+        SELECT src, dst, dot,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY dot DESC, dst ASC) AS rk
+        FROM scored
+    ), knn AS (
+        SELECT src, dst, dot FROM ranked WHERE rk <= 5
+    )
+    SELECT a.src AS src, a.dst AS dst,
+           CAST(FLOOR(a.dot * 10000) AS BIGINT) AS cosine_e4
+    FROM knn a JOIN knn b ON b.src = a.dst AND b.dst = a.src
+    WHERE a.src < a.dst
+    """,
+)
+def embed_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual k-NN graph construction (round 5): undirected edges
+    where BOTH endpoints rank each other in their top-5 cosine
+    neighbors — the graph semantic-clustering, manifold methods
+    (UMAP/spectral), and graph-based dedup all start from. Mutuality
+    is the standard symmetrization that kills hub-induced false edges
+    (a hub lands in everyone's top-k; mutual requires reciprocation).
+
+    Shape: directed top-k per node (WindowGroupLimit — the running
+    per-partition limit, no full rank materialization) → one self
+    equi-join on the REVERSED id pair keeps reciprocated edges, `src <
+    dst` emits each undirected edge once. Edge weight is the shared
+    exact dot (unit-norm fixtures ⇒ cosine), floored e4 in the single
+    double expression both engines share.
+
+    Scale: the bounded subset stands in for the ANN-candidate stage —
+    at 100 TB the directed top-k comes from sim_ann_lsh/ivf candidate
+    re-ranking (never corpus×corpus, the documented anti-pattern), and
+    this operator is exactly the mutualization pass over that
+    candidate table: one shuffle on the edge key, output sized
+    ≤ k·|nodes|."""
+    sub = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 200)
+        .select("vec_id", "embedding")
+    )
+    q = sub.select(F.col("vec_id").alias("src"), F.col("embedding").alias("q_emb"))
+    c = sub.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("c_emb"))
+    scored = q.join(c, F.col("src") != F.col("dst")).select(
+        "src", "dst", dot_product(F.col("q_emb"), F.col("c_emb")).alias("dot")
+    )
+    w = Window.partitionBy("src").orderBy(F.col("dot").desc(), F.col("dst").asc())
+    knn = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("src", "dst", "dot")
+    )
+    rev = knn.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return (
+        knn.join(rev, ["src", "dst"], "left_semi")
+        .filter(F.col("src") < F.col("dst"))
+        .select(
+            "src",
+            "dst",
+            F.floor(F.col("dot") * 10000).cast("bigint").alias("cosine_e4"),
+        )
+    )
+
+
+@query(
+    "embed_matryoshka_truncate",
+    f"""
+    WITH sub AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id < 60
+    ), pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               {_DUCK_DOT.format(a="a.embedding", b="b.embedding")} AS dot_full,
+               {_DUCK_DOT.format(a="a.embedding[1:16]", b="b.embedding[1:16]")}
+                   AS dot16,
+               sqrt({_DUCK_DOT.format(a="a.embedding[1:16]",
+                                      b="a.embedding[1:16]")}) AS na,
+               sqrt({_DUCK_DOT.format(a="b.embedding[1:16]",
+                                      b="b.embedding[1:16]")}) AS nb
+        FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b,
+           CAST(FLOOR(dot_full * 10000) AS BIGINT) AS cos_full_e4,
+           CAST(FLOOR(dot16 / (na * nb) * 10000) AS BIGINT) AS cos16_e4,
+           abs(CAST(FLOOR(dot_full * 10000) AS BIGINT)
+               - CAST(FLOOR(dot16 / (na * nb) * 10000) AS BIGINT)) AS err_e4
+    FROM pairs
+    """,
+)
+def embed_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation fidelity audit (round 5): cosine under
+    the first-16-dims prefix (re-normalized) vs the full-dimension
+    cosine, per pair of a bounded sample — the measurement that
+    decides whether prefix-truncated vectors (the MRL serving trick:
+    4× less compute/storage for candidate generation) are safe for a
+    given corpus, and at which prefix length. Fully narrow pair math:
+    slice + the same left-fold dot both engines share; the
+    re-normalization enters the double domain in ONE shared
+    expression (dot16/(na·nb)), and the error readout stays in the
+    integer domain (difference of the floored e4 values).
+
+    Scale: the audit runs on a deterministic bounded sample (the
+    standard fidelity-estimation shape); the truncation itself is a
+    narrow per-row slice any consumer applies inline — no shuffle
+    anywhere."""
+    sub = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 60)
+        .select("vec_id", "embedding")
+    )
+    a = sub.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = sub.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    ea16 = F.slice(F.col("ea"), 1, 16)
+    eb16 = F.slice(F.col("eb"), 1, 16)
+    pairs = a.join(b, F.col("id_a") < F.col("id_b")).select(
+        "id_a",
+        "id_b",
+        dot_product(F.col("ea"), F.col("eb")).alias("dot_full"),
+        dot_product(ea16, eb16).alias("dot16"),
+        F.sqrt(dot_product(ea16, ea16)).alias("na"),
+        F.sqrt(dot_product(eb16, eb16)).alias("nb"),
+    )
+    full_e4 = F.floor(F.col("dot_full") * 10000).cast("bigint")
+    c16_e4 = F.floor(
+        F.col("dot16") / (F.col("na") * F.col("nb")) * 10000
+    ).cast("bigint")
+    return pairs.select(
+        "id_a",
+        "id_b",
+        full_e4.alias("cos_full_e4"),
+        c16_e4.alias("cos16_e4"),
+        F.abs(full_e4 - c16_e4).alias("err_e4"),
+    )
+
+
+def _pipeline_oracle() -> str:
+    """The embedding_pipeline oracle COMPOSES the registered oracles of
+    its stages (gate → semantic dedup → quantize), so it can never
+    drift from them: the semantic-dedup SQL is re-targeted from the
+    raw table to the gated CTE by name substitution (the dedup_apply
+    nesting precedent, llm_dedup.py)."""
+    # ensure the dedup_semantic oracle is registered even when this
+    # module is imported directly (not via load_all_operators)
+    import graphsense_datafeed_spark.operators.llm_dedup  # noqa: F401
+
+    from graphsense_datafeed_spark.registry import ORACLES
+
+    gate = ORACLES["embed_quality_gate"]
+    sem = (
+        ORACLES["dedup_semantic"]
+        .replace("FROM embeddings", "FROM gated")
+        .replace("JOIN embeddings", "JOIN gated")
+    )
+    return f"""
+    WITH gated AS (
+        SELECT e.vec_id, e.embedding
+        FROM embeddings e
+        JOIN ({gate}) g ON g.vec_id = e.vec_id AND g.passed
+    ), survivors AS (
+        SELECT vec_id, embedding FROM gated
+        WHERE vec_id NOT IN (SELECT vec_id FROM ({sem}))
+    ), s AS (
+        SELECT vec_id, embedding,
+               list_max(list_transform(embedding,
+                        x -> abs(CAST(x AS DOUBLE)))) AS scale
+        FROM survivors
+    )
+    SELECT vec_id, scale,
+           array_to_string(list_transform(embedding, x ->
+               CAST(FLOOR(CAST(x AS DOUBLE)
+                          / (CASE WHEN scale = 0 THEN 1.0 ELSE scale END)
+                          * 127 + 0.5) AS BIGINT)), ',') AS q
+    FROM s
+    """
+
+
+@query("embedding_pipeline", _pipeline_oracle())
+def embedding_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end embedding curation (round 5) — the composition an
+    embedding-serving/training pipeline actually materializes, as ONE
+    declarative plan: quality gate (drop wrong-dim/NaN/off-norm
+    vectors) → semantic near-dup removal over the gated set (SemDeDup
+    keeper election) → int8 quantization of the survivors. The sibling
+    of corpus_pipeline on the vector side; every stage is the already
+    driver-verified operator, composed by DataFrame reference, and the
+    oracle nests the stages' own SQL so the WHOLE flow is hash-checked
+    end-to-end.
+
+    Scale: the gate is a narrow projection; dedup shuffles band keys
+    (bounded by the count-certified bucket caps); the removal set is
+    duplicates-sized so the anti-join broadcasts; quantization is
+    narrow. One logical plan also means Catalyst prunes the embedding
+    column through all three stages — nothing is materialized between
+    them."""
+    from graphsense_datafeed_spark.operators.llm_dedup import semantic_dedup_frame
+
+    e = load(spark, sf_dir, "embeddings")
+    gate = embed_quality_gate(spark, sf_dir).filter("passed").select("vec_id")
+    gated = e.join(gate, "vec_id", "left_semi").select("vec_id", "embedding")
+    removed = semantic_dedup_frame(gated).select("vec_id")
+    survivors = gated.join(F.broadcast(removed), "vec_id", "left_anti")
+    return quantize_int8_frame(survivors)

@@ -1126,3 +1126,171 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .select("doc_id", "lang", "rnk")
     )
+
+
+@query(
+    "bpe_pair_counts",
+    """
+    WITH words AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT unnest(str_split(text, ' ')) AS w FROM documents)
+        WHERE w <> '' GROUP BY w
+    ), pairs AS (
+        SELECT substr(w, CAST(i AS INT), 2) AS pair, n
+        FROM (
+            SELECT w, n, unnest(range(1, len(w))) AS i
+            FROM words WHERE len(w) >= 2
+        )
+    )
+    SELECT pair, CAST(SUM(n) AS BIGINT) AS merge_count
+    FROM pairs GROUP BY pair
+    ORDER BY merge_count DESC, pair
+    LIMIT 20
+    """,
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE merge iteration over the corpus (round 5): weighted
+    adjacent-symbol-pair counts at the character stage — the argmax
+    pair is the first merge a byte-pair-encoding tokenizer would
+    learn. The implementation carries THE trick that makes BPE
+    training feasible on a 100 TB corpus: aggregate to the word-count
+    vocabulary FIRST (Zipf makes it tiny relative to the corpus), then
+    expand character pairs over the VOCAB ONLY, weighted by word
+    frequency — pair counting never touches corpus-sized data again,
+    and every later merge iteration reruns over the same small table.
+    Two map-side-combinable aggregations; the pair expansion is a
+    narrow transform+explode between them. Top-20 with the pair-string
+    tiebreak is a TakeOrderedAndProject."""
+    docs = load(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    pairs = words.filter(F.length("w") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "n",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("n").cast("bigint").alias("merge_count"))
+        .orderBy(F.col("merge_count").desc(), "pair")
+        .limit(20)
+    )
+
+
+@query(
+    "text_winnowing",
+    """
+    WITH sh AS (
+        SELECT doc_id,
+               list_transform(
+                   range(1, len(ws) - 1),
+                   i -> md5(concat_ws(' ', ws[CAST(i AS INT)],
+                                      ws[CAST(i AS INT) + 1],
+                                      ws[CAST(i AS INT) + 2]))
+               ) AS hs
+        FROM (SELECT doc_id, str_split(text, ' ') AS ws FROM documents)
+    ), sel AS (
+        SELECT DISTINCT doc_id, h
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, len(hs) - 2),
+                       i -> list_min(hs[CAST(i AS INT):CAST(i AS INT) + 3])
+                   )) AS h
+            FROM sh
+        )
+    ), df AS (
+        SELECT h, COUNT(*) AS nd FROM sel GROUP BY h
+    ), kept AS (
+        SELECT s.doc_id, s.h FROM sel s JOIN df USING (h) WHERE df.nd <= 16
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_fps
+    FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= 2
+    """,
+)
+def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint overlap (round 5) — the MOSS algorithm
+    (Schleimer, Wilkerson, Aiken, SIGMOD'03): hash every 3-word
+    shingle, slide a window of w=4 consecutive hashes, select each
+    window's MINIMUM — the selected set is guaranteed to catch any
+    shared run of ≥ w+2 words between two documents (the winnowing
+    guarantee text_fingerprint's global k-min sketch does NOT give),
+    at ~2/(w+1) selection density. Docs sharing ≥2 selected
+    fingerprints are plagiarism/near-dup candidates.
+
+    Everything up to the distinct is NARROW: shingle hashes and
+    window minima are per-row array math (transform over offsets +
+    array_min over slices — no window function, no exchange), so the
+    first shuffle ever sees only the sparse selected set. Pair
+    generation is fingerprint-bucketed with the same count-certified
+    hot-bucket cap as dedup_near (fingerprints in >16 docs are
+    boilerplate, dropped before pairing) — never all-pairs. md5 is the
+    engine-portable hash family (SURVEY §2.10 discipline)."""
+    d = (
+        load(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", F.split("text", " ").alias("ws"))
+    )
+    ws = F.col("ws")
+    sh = d.select(
+        "doc_id",
+        F.when(
+            F.size(ws) >= 3,
+            F.transform(
+                F.sequence(F.lit(1), F.size(ws) - 2),
+                lambda i: F.md5(
+                    F.concat_ws(
+                        " ",
+                        F.element_at(ws, i),
+                        F.element_at(ws, i + 1),
+                        F.element_at(ws, i + 2),
+                    ).cast("binary")
+                ),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("hs"),
+    )
+    hs = F.col("hs")
+    sel = (
+        sh.select(
+            "doc_id",
+            F.explode(
+                F.when(
+                    F.size(hs) >= 4,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(hs) - 3),
+                        lambda i: F.array_min(F.slice(hs, i, 4)),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    df_ = sel.groupBy("h").agg(F.count("*").alias("nd"))
+    kept = sel.join(df_.filter(F.col("nd") <= 16), "h").select("doc_id", "h")
+    a = kept.alias("a")
+    b = kept.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").cast("bigint").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= 2)
+    )

@@ -605,3 +605,124 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count_distinct("user_id").cast("bigint").alias("n_active"))
     )
+
+
+@query(
+    "histogram_equidepth",
+    """
+    WITH tiled AS (
+        SELECT o_totalprice,
+               ntile(8) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+        FROM orders
+    )
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(FLOOR(MIN(o_totalprice)) AS BIGINT) AS lo_fl,
+           CAST(FLOOR(MAX(o_totalprice)) AS BIGINT) AS hi_fl
+    FROM tiled GROUP BY bucket
+    """,
+)
+def histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile) histogram of order totals (round 5):
+    NTILE(8) over the global value order gives buckets of EQUAL ROW
+    COUNT with data-driven boundaries — the histogram query optimizers
+    and skew diagnostics actually want (equi-WIDTH buckets collapse
+    into one bar under heavy-tailed data; see histogram_equiwidth for
+    the fixed-grid sibling). The o_orderkey tiebreak pins which side
+    of a boundary equal values land on, making bucket assignment
+    bit-reproducible across engines.
+
+    The single ORDER BY window is a global sort — the documented local
+    form. At 100 TB the same readout comes from approx_percentile's
+    mergeable sketch (boundaries) + one bucketing pass (counts), no
+    total order; NTILE is kept here because its exactness is what the
+    oracle can certify."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select("o_totalprice", F.ntile(8).over(w).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.floor(F.min("o_totalprice")).cast("bigint").alias("lo_fl"),
+            F.floor(F.max("o_totalprice")).cast("bigint").alias("hi_fl"),
+        )
+    )
+
+
+@query(
+    "ts_downsample_m4",
+    """
+    WITH pts AS (
+        SELECT user_id, date_trunc('hour', ts) AS bucket, ts, event_id,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events WHERE user_id < 40
+    ), marked AS (
+        SELECT *,
+            row_number() OVER (PARTITION BY user_id, bucket
+                               ORDER BY ts, event_id) AS rn_f,
+            row_number() OVER (PARTITION BY user_id, bucket
+                               ORDER BY ts DESC, event_id DESC) AS rn_l,
+            row_number() OVER (PARTITION BY user_id, bucket
+                               ORDER BY cents, ts, event_id) AS rn_min,
+            row_number() OVER (PARTITION BY user_id, bucket
+                               ORDER BY cents DESC, ts, event_id) AS rn_max
+        FROM pts
+    )
+    SELECT user_id, bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pts,
+           MAX(CASE WHEN rn_f = 1 THEN cents END) AS first_cents,
+           MAX(CASE WHEN rn_min = 1 THEN cents END) AS min_cents,
+           MAX(CASE WHEN rn_max = 1 THEN cents END) AS max_cents,
+           MAX(CASE WHEN rn_l = 1 THEN cents END) AS last_cents,
+           MAX(CASE WHEN rn_min = 1 THEN ts END) AS min_ts,
+           MAX(CASE WHEN rn_max = 1 THEN ts END) AS max_ts
+    FROM marked GROUP BY user_id, bucket
+    """,
+)
+def ts_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 downsampling (round 5; Jugel et al., VLDB'14): per series ×
+    time bucket keep first/min/max/last WITH the extremes' timestamps
+    — the error-free line-rendering reduction (any pixel column's
+    drawn span is exactly preserved), and the standard dashboard
+    pre-aggregate that turns billions of points into 4 per bucket.
+    Plain MIN/MAX aggregation loses WHERE the extreme happened; M4's
+    value is exactly those retained coordinates.
+
+    All four row_number windows share the one (user_id, bucket) hash
+    exchange (same partition spec, different orders — Spark reuses the
+    partitioning, pays one sort per order), and the final rollup
+    re-uses it again. Ties pin on (ts, event_id); for equal-value
+    extremes the EARLIEST occurrence wins in both engines. At 100 TB
+    this is the incremental per-day artifact: buckets never span
+    ingest partitions, so each partition downsamples independently —
+    no global state, append-only maintenance."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    pts = ev.select(
+        "user_id",
+        F.date_trunc("hour", "ts").alias("bucket"),
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    p = Window.partitionBy("user_id", "bucket")
+    marked = pts.select(
+        "*",
+        F.row_number().over(p.orderBy("ts", "event_id")).alias("rn_f"),
+        F.row_number()
+        .over(p.orderBy(F.col("ts").desc(), F.col("event_id").desc()))
+        .alias("rn_l"),
+        F.row_number().over(p.orderBy("cents", "ts", "event_id")).alias("rn_min"),
+        F.row_number()
+        .over(p.orderBy(F.col("cents").desc(), "ts", "event_id"))
+        .alias("rn_max"),
+    )
+    pick = lambda flag, col: F.max(F.when(F.col(flag) == 1, F.col(col)))  # noqa: E731
+    return marked.groupBy("user_id", "bucket").agg(
+        F.count("*").cast("bigint").alias("n_pts"),
+        pick("rn_f", "cents").alias("first_cents"),
+        pick("rn_min", "cents").alias("min_cents"),
+        pick("rn_max", "cents").alias("max_cents"),
+        pick("rn_l", "cents").alias("last_cents"),
+        pick("rn_min", "ts").alias("min_ts"),
+        pick("rn_max", "ts").alias("max_ts"),
+    )

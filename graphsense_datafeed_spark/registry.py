@@ -155,7 +155,20 @@ _ROUND5_WINDOW = (
 # Overflow queue behind the window: anything registered this round that
 # doesn't fit the first-50 (plus future additions) queues here for the
 # r6 rotation without displacing a window row.
-_ROUND6_NEXT_UP = ()
+_ROUND6_NEXT_UP = (
+    "agg_decimal_exact",
+    "histogram_equidepth",
+    "join_bucketed_colocated",
+    "join_scd_lookup",
+    "graph_common_neighbors",
+    "embed_knn_graph",
+    "bpe_pair_counts",
+    "text_winnowing",
+    "dedup_containment",
+    "ts_downsample_m4",
+    "embed_matryoshka_truncate",
+    "embedding_pipeline",
+)
 
 _loaded = False
 

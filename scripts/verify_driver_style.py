@@ -27,7 +27,9 @@ TABLES = (
     "documents embeddings"
 ).split()
 
-SF_DIR = "/root/testdata/sf0.01"
+import os
+
+SF_DIR = os.environ.get("GDS_VERIFY_SF_DIR", "/root/testdata/sf0.01")
 
 
 def main() -> int:

@@ -122,20 +122,17 @@ def test_layout_compact_file_count_and_clustering(spark, sf_dir):
     range-clustered files whose event_id bands do not overlap (the
     property row-group pruning relies on), preserving every row."""
     import glob
-    import os
-    import tempfile
 
     import pyarrow.parquet as pq
 
     from graphsense_datafeed_spark.registry import QUERIES
-    from graphsense_datafeed_spark.sources.tables import load
+    from graphsense_datafeed_spark.sources.tables import load, staged_source_dir
 
     out = QUERIES["layout_compact"](spark, sf_dir)
     assert out.count() == load(spark, sf_dir, "events").count()
 
-    base = os.path.join(
-        tempfile.gettempdir(), "gds_compact", os.path.basename(sf_dir.rstrip("/"))
-    )
+    # same fingerprint-keyed staging base the operator uses
+    base = staged_source_dir(sf_dir, "gds_compact", "events")
     frag = glob.glob(f"{base}/fragmented/*.parquet")
     comp = glob.glob(f"{base}/compacted/*.parquet")
     assert len(frag) == 64
