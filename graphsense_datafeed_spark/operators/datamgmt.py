@@ -549,8 +549,9 @@ def join_scd_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     version-open rows and probe rows are unioned onto one per-key tape
     and a running `last(ignorenulls)` window carries the in-effect
     version forward onto every probe (the join_asof union+window
-    trick). One user_id exchange total; no interval predicate, no
-    range join, no per-probe search.
+    trick). Every exchange hashes on user_id alone — the grid-bounds
+    aggregate and the tape window (two, plan-audited); no interval
+    predicate, no range join, no per-probe search.
 
     Tie semantics are pinned: at equal timestamps the state row sorts
     BEFORE the probe (is_probe 0 < 1), so a probe exactly at

@@ -758,3 +758,64 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue_cents"),
         )
     )
+
+
+@query(
+    "join_asof_tolerance",
+    """
+    WITH tape AS (
+        SELECT event_id, user_id, ts,
+               last_value(CASE WHEN event_type = 'signup' THEN ts END
+                          IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS sig_ts
+        FROM events
+    )
+    SELECT event_id, user_id, ts,
+           CASE WHEN sig_ts IS NOT NULL
+                 AND epoch_us(ts) - epoch_us(sig_ts) <= 21600000000
+                THEN sig_ts END AS signup_ts_tol,
+           CASE WHEN sig_ts IS NOT NULL
+                 AND epoch_us(ts) - epoch_us(sig_ts) <= 21600000000
+                THEN epoch_us(ts) - epoch_us(sig_ts) END AS age_us
+    FROM tape
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness TOLERANCE (round 5): each event ↔
+    the latest signup at-or-before it, but only if that signup is at
+    most 6 hours old — older state is considered expired and the match
+    is NULL (pandas merge_asof's `tolerance`, the semantics
+    feature-store reads need: a feature computed last week must not
+    silently serve this week's request). Neither engine's native as-of
+    expresses the bound, so both sides run the same union+window
+    formulation with the tolerance as a post-predicate — which costs
+    NOTHING extra at scale: the same one user_id exchange and RANGE
+    window as join_asof, then per-row arithmetic. The age readout
+    stays in exact integral microseconds (no division, no float)."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sig = F.last(
+        F.when(F.col("event_type") == "signup", F.col("ts")), ignorenulls=True
+    ).over(w)
+    # NTZ → TIMESTAMP cast before unix_micros (a fixed session-tz
+    # offset cancels in the difference — the ts_interpolate precedent)
+    age = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.col("sig_ts").cast("timestamp")
+    )
+    fresh = F.col("sig_ts").isNotNull() & (age <= 21600000000)
+    return (
+        ev.select("event_id", "user_id", "ts", sig.alias("sig_ts"))
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.when(fresh, F.col("sig_ts")).alias("signup_ts_tol"),
+            F.when(fresh, age).alias("age_us"),
+        )
+    )

@@ -168,6 +168,8 @@ _ROUND6_NEXT_UP = (
     "ts_downsample_m4",
     "embed_matryoshka_truncate",
     "embedding_pipeline",
+    "join_asof_tolerance",
+    "sink_manifest_commit",
 )
 
 _loaded = False

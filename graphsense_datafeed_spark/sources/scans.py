@@ -642,3 +642,80 @@ def scan_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("order_month").cast("bigint").alias("order_month"),
         )
     )
+
+
+@query(
+    "sink_manifest_commit",
+    """
+    SELECT event_id, user_id, event_type,
+           CAST(ROUND(value * 100) AS BIGINT) AS cents
+    FROM events
+    """,
+)
+def sink_manifest_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-based atomic table commit (round 5) — the snapshot
+    pattern table formats (Iceberg/Delta) are built on, reduced to its
+    load-bearing core: data files are immutable and APPEND-ONLY, a
+    manifest lists exactly the files of one snapshot, and commit =
+    atomically swapping a tiny CURRENT pointer. Readers resolve
+    CURRENT → manifest → explicit file list and NEVER list
+    directories, which is what makes the scheme work on object stores
+    (no atomic rename of big dirs needed — only the pointer write),
+    keeps metadata O(snapshot), and makes torn writes invisible: the
+    scenario plants un-referenced debris files inside the data tree
+    and commits two snapshots (v1 = half the rows, v2 = all); the read
+    path returns exactly v2's manifest content.
+
+    The oracle is the clean full projection: a reader that
+    double-counts via directory listing (debris), serves the stale v1,
+    or loses a v2 file hash-mismatches. Staged under the
+    fingerprint-keyed dir; the build is idempotent (overwrite +
+    pointer-last ordering — a crash before the pointer swap leaves the
+    previous snapshot intact, the re-run rebuilds)."""
+    import glob
+    import json
+    import uuid
+
+    from graphsense_datafeed_spark.sources.tables import staged_source_dir
+
+    base = staged_source_dir(sf_dir, "gds_manifest", "events")
+    data = os.path.join(base, "data")
+    current = os.path.join(base, "CURRENT")
+    if not os.path.exists(current):
+        ev = load(spark, sf_dir, "events").select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        b1 = os.path.join(data, "batch1")
+        b2 = os.path.join(data, "batch2")
+        ev.filter(F.col("event_id") % 2 == 0).repartition(4).write.mode(
+            "overwrite"
+        ).parquet(b1)
+        ev.filter(F.col("event_id") % 2 == 1).repartition(4).write.mode(
+            "overwrite"
+        ).parquet(b2)
+        # torn-write debris: files a failed writer left in the tree —
+        # a directory-listing reader would double-count them
+        ev.limit(100).write.mode("overwrite").parquet(
+            os.path.join(data, "debris")
+        )
+        files_v1 = sorted(glob.glob(os.path.join(b1, "*.parquet")))
+        files_v2 = files_v1 + sorted(glob.glob(os.path.join(b2, "*.parquet")))
+        for ver, files in ((1, files_v1), (2, files_v2)):
+            mpath = os.path.join(base, f"manifest-{ver}.json")
+            tmp = mpath + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump({"snapshot": ver, "files": files}, fh)
+            os.rename(tmp, mpath)
+        # commit LAST: the pointer swap is the only mutation readers see
+        tmp = current + ".stage." + uuid.uuid4().hex[:8]
+        with open(tmp, "w") as fh:
+            fh.write("manifest-2.json")
+        os.rename(tmp, current)
+    with open(current) as fh:
+        mname = fh.read().strip()
+    with open(os.path.join(base, mname)) as fh:
+        manifest = json.load(fh)
+    return spark.read.parquet(*manifest["files"])

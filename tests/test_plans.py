@@ -413,3 +413,47 @@ def test_round4_ops_plan_shapes(spark, sf_dir):
     p = plan_of(QUERIES["join_bloom_prefilter"](spark, sf_dir))
     assert "might_contain" in p or "shiftleft" in p, p
     assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p, p
+
+
+def test_round5_batch23_plan_shapes(spark, sf_dir):
+    """Round-5 batch-2/3 operators must plan the shapes their
+    docstrings claim."""
+    from graphsense_datafeed_spark.registry import QUERIES
+
+    # ts_downsample_m4: four window orders + rollup share ONE hash
+    # exchange on (user_id, bucket) — count the shuffle exchanges in
+    # the pre-AQE plan
+    p = plan_of(QUERIES["ts_downsample_m4"](spark, sf_dir))
+    tree = p.split("===== Subqueries")[0]
+    n_shuffle = sum(
+        1
+        for line in tree.splitlines()
+        if "Exchange" in line and "Broadcast" not in line and "(" in line
+    )
+    assert n_shuffle <= 2, tree  # 1 window exchange (+1 if agg re-hashes)
+    assert tree.count("Window") >= 1
+    # histogram_equidepth: the NTILE global sort is a single-partition
+    # window (documented local form) feeding a hash agg
+    p = plan_of(QUERIES["histogram_equidepth"](spark, sf_dir))
+    assert "Window" in p and "HashAggregate" in p
+    # agg_decimal_exact: plain partial+final hash agg, no window/join
+    p = plan_of(QUERIES["agg_decimal_exact"](spark, sf_dir))
+    assert p.count("HashAggregate") >= 2 and "Join" not in p
+    # graph_common_neighbors: degree join-backs broadcast; top-20 is
+    # TakeOrdered, never a global sort
+    p = plan_of(QUERIES["graph_common_neighbors"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+    # embed_knn_graph: directed top-k is a WindowGroupLimit; the
+    # mutualization is a LeftSemi join
+    p = plan_of(QUERIES["embed_knn_graph"](spark, sf_dir))
+    assert "WindowGroupLimit" in p and "LeftSemi" in p
+    # bpe_pair_counts / winnowing selection: pair expansion sits
+    # between two aggregations; no join in bpe at all
+    p = plan_of(QUERIES["bpe_pair_counts"](spark, sf_dir))
+    assert p.count("HashAggregate") >= 4 and "Join" not in p
+    assert "TakeOrderedAndProject" in p
+    # embedding_pipeline: the removal anti-join broadcasts
+    p = plan_of(QUERIES["embedding_pipeline"](spark, sf_dir))
+    assert "LeftAnti" in p and "BroadcastHashJoin" in p

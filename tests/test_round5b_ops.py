@@ -382,3 +382,68 @@ def test_embedding_pipeline_composes_its_stages(spark, sf_dir):
     for vid in list(want_ids)[:20]:
         assert out[vid]["q"] == quant[vid]["q"]
         assert out[vid]["scale"] == quant[vid]["scale"]
+
+
+def test_asof_tolerance_expires_stale_matches(spark, sf_dir):
+    """Referee: per user, the latest signup at-or-before each event;
+    matches older than 6 h must be NULL, fresher ones must carry the
+    exact integral age."""
+    rows = sorted(
+        (
+            (r["user_id"], r["ts"], r["event_id"], r["event_type"])
+            for r in load(spark, sf_dir, "events").collect()
+        )
+    )
+    sig: dict[int, list] = {}
+    for uid, ts, _eid, et in rows:
+        if et == "signup":
+            sig.setdefault(uid, []).append(ts)
+    got = Q["join_asof_tolerance"](spark, sf_dir).collect()
+    assert len(got) == len(rows)
+    n_expired = n_fresh = 0
+    for r in got:
+        cand = [t for t in sig.get(r["user_id"], []) if t <= r["ts"]]
+        if not cand:
+            assert r["signup_ts_tol"] is None and r["age_us"] is None
+            continue
+        latest = max(cand)
+        d = r["ts"] - latest
+        age_us = (d.days * 86_400 + d.seconds) * 1_000_000 + d.microseconds
+        if age_us <= 21_600_000_000:
+            assert (r["signup_ts_tol"], r["age_us"]) == (latest, age_us), r
+            n_fresh += 1
+        else:
+            assert r["signup_ts_tol"] is None and r["age_us"] is None, r
+            n_expired += 1
+    assert n_fresh > 0 and n_expired > 0  # both branches exercised
+
+
+def test_manifest_commit_isolates_debris_and_snapshots(spark, sf_dir):
+    """The committed snapshot must equal the full projection; debris
+    files in the data tree must be invisible; the v1 manifest must
+    still describe exactly the even-id half (time travel)."""
+    import glob
+    import json
+    import os
+
+    from graphsense_datafeed_spark.sources.tables import staged_source_dir
+
+    out = Q["sink_manifest_commit"](spark, sf_dir)
+    total = load(spark, sf_dir, "events").count()
+    assert out.count() == total
+    base = staged_source_dir(sf_dir, "gds_manifest", "events")
+    with open(os.path.join(base, "CURRENT")) as fh:
+        assert fh.read().strip() == "manifest-2.json"
+    all_files = glob.glob(os.path.join(base, "data", "*", "*.parquet"))
+    with open(os.path.join(base, "manifest-2.json")) as fh:
+        m2 = json.load(fh)["files"]
+    assert len(all_files) > len(m2)  # debris exists on disk, unreferenced
+    with open(os.path.join(base, "manifest-1.json")) as fh:
+        m1 = json.load(fh)["files"]
+    v1 = spark.read.parquet(*m1)
+    evens = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 2 == 0)
+        .count()
+    )
+    assert v1.count() == evens
