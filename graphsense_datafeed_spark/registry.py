@@ -170,6 +170,7 @@ _ROUND6_NEXT_UP = (
     "embedding_pipeline",
     "join_asof_tolerance",
     "sink_manifest_commit",
+    "source_python_stream",
 )
 
 _loaded = False

@@ -621,3 +621,21 @@ def test_watermark_same_batch_eviction_race(spark):
     finally:
         q.stop()
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_python_stream_source_pages_exactly_once(spark, sf_dir):
+    """The custom streaming DataSource must drain the whole 120-block
+    feed in page-sized micro-batches with no drop or double-read, and
+    its paging must be genuinely incremental (multiple batches)."""
+    import json
+
+    from graphsense_datafeed_spark.registry import QUERIES
+    from graphsense_datafeed_spark.sources.scans import BLOCKS_JSONL
+
+    out = QUERIES["source_python_stream"](spark, sf_dir).collect()
+    with open(BLOCKS_JSONL) as f:
+        feed = [json.loads(line) for line in f]
+    assert len(out) == len(feed) == 120
+    got = sorted((r["height"], r["block_hash"]) for r in out)
+    want = sorted((b["height"], b["block_hash"]) for b in feed)
+    assert got == want  # exactly-once: no page dropped or replayed
