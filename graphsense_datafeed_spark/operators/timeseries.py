@@ -726,3 +726,60 @@ def ts_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick("rn_min", "ts").alias("min_ts"),
         pick("rn_max", "ts").alias("max_ts"),
     )
+
+
+@query(
+    "date_spine_fill",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS total_cents
+        FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    ), spine AS (
+        SELECT unnest(generate_series(MIN(d), MAX(d), INTERVAL 1 DAY))::DATE
+                   AS d
+        FROM daily
+    )
+    SELECT s.d AS order_date,
+           COALESCE(n_orders, 0) AS n_orders,
+           COALESCE(total_cents, 0) AS total_cents,
+           n_orders IS NULL AS is_gap
+    FROM spine s LEFT JOIN daily USING (d)
+    """,
+)
+def date_spine_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine zero-fill (round 5): daily order totals over the
+    COMPLETE date span, absent days emitted as explicit zeros with a
+    gap flag — the reporting staple GROUP BY alone cannot produce
+    (missing groups simply don't exist, so week-over-week deltas,
+    moving averages, and gap alarms all silently skip them). The spine
+    generates from the data's own min/max — one tiny aggregate — and
+    the left join back is spine-sized, not fact-sized.
+
+    Scale: the daily aggregate is the standard partial+final hash agg
+    over the fact table; the spine is |days| rows (thousands for
+    decades) so the join BROADCASTS the spine side; zero-fill is
+    per-row coalesce. Integer-cents domain throughout — no float
+    drift."""
+    orders = load(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("d")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("total_cents"),
+    )
+    spine = daily.agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    ).select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("d")
+    )
+    return spine.join(daily, "d", "left").select(
+        F.col("d").alias("order_date"),
+        F.coalesce("n_orders", F.lit(0)).cast("bigint").alias("n_orders"),
+        F.coalesce("total_cents", F.lit(0)).cast("bigint").alias("total_cents"),
+        F.col("n_orders").isNull().alias("is_gap"),
+    )

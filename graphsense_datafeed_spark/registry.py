@@ -171,6 +171,7 @@ _ROUND6_NEXT_UP = (
     "join_asof_tolerance",
     "sink_manifest_commit",
     "source_python_stream",
+    "date_spine_fill",
 )
 
 _loaded = False

@@ -447,3 +447,27 @@ def test_manifest_commit_isolates_debris_and_snapshots(spark, sf_dir):
         .count()
     )
     assert v1.count() == evens
+
+
+def test_date_spine_has_no_holes_and_exact_totals(spark, sf_dir):
+    import datetime
+
+    rows = sorted(
+        Q["date_spine_fill"](spark, sf_dir).collect(),
+        key=lambda r: r["order_date"],
+    )
+    days = [r["order_date"] for r in rows]
+    assert days[0] + datetime.timedelta(days=len(days) - 1) == days[-1]
+    for a, b in zip(days, days[1:]):
+        assert b - a == datetime.timedelta(days=1)  # gap-free spine
+    want: dict = {}
+    for r in load(spark, sf_dir, "orders").collect():
+        d = r["o_orderdate"].date()
+        n, c = want.get(d, (0, 0))
+        want[d] = (n + 1, c + round(r["o_totalprice"] * 100))
+    for r in rows:
+        if r["is_gap"]:
+            assert (r["n_orders"], r["total_cents"]) == (0, 0)
+            assert r["order_date"] not in want
+        else:
+            assert (r["n_orders"], r["total_cents"]) == want[r["order_date"]]
