@@ -144,13 +144,25 @@ def _docs_fingerprint(sf_dir: str) -> str:
 
 def _cached_persist(cache, spark, sf_dir, fp, build):
     """Fingerprint-guarded persist memo: hit → reuse, miss/stale →
-    unpersist the superseded entry and rebuild."""
+    unpersist the superseded entry and rebuild. Entries belonging to
+    STOPPED sessions are swept on every miss — a new session gets a
+    new id(), so a dead session's entries could never hit again and
+    would otherwise pin their DataFrames (and the session object) for
+    process lifetime (round-5 code-review find)."""
     key = (id(spark), sf_dir.rstrip("/"))
     hit = cache.get(key)
     if hit is not None and hit[0] == fp:
         return hit[1]
     if hit is not None:
         hit[1].unpersist()
+    for k in [k for k in cache if k != key]:
+        df_old = cache[k][1]
+        try:
+            stopped = df_old.sparkSession.sparkContext._jsc.sc().isStopped()
+        except Exception:
+            stopped = True
+        if stopped:
+            cache.pop(k, None)
     df = build().persist()
     cache[key] = (fp, df)
     return df
@@ -1133,11 +1145,16 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.split("text", " ").alias("ws"))
     )
     ws = F.col("ws")
+    from graphsense_datafeed_spark.operators.llm_text import safe_offsets
+
     sh = d.select(
         "doc_id",
         F.explode(
             F.transform(
-                F.sequence(F.lit(1), F.size(ws) - 2),
+                # guarded: <3-word docs contribute no shingles (the
+                # unguarded sequence descends to [1,0] and element_at
+                # aborts under ANSI — round-5 code-review find)
+                safe_offsets(F.size(ws) - 2),
                 lambda i: F.md5(
                     F.concat_ws(
                         " ",

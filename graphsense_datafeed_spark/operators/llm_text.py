@@ -20,6 +20,23 @@ from graphsense_datafeed_spark.registry import query
 from graphsense_datafeed_spark.sources.tables import load
 
 
+def safe_offsets(last):
+    """1-based offsets ``[1..last]``, EMPTY when ``last < 1``.
+
+    ``F.sequence(1, last)`` silently DESCENDS for last < 1 —
+    sequence(1, 0) is [1, 0] — so every gram/shingle offset range built
+    from a length must go through this guard or a short input either
+    fabricates phantom grams (substr at 0 returns the whole string) or
+    aborts the job (element_at/slice at 0 raise under ANSI). The
+    DuckDB oracles' range()/generate_series() are empty for last < 1,
+    so this is also the parity-exact form. Round-5 code-review find:
+    three shipped operators guarded with greatest(n, 0), which still
+    yields the descending [1, 0]."""
+    return F.when(last >= 1, F.sequence(F.lit(1), last)).otherwise(
+        F.array().cast("array<int>")
+    )
+
+
 def tokens(docs: DataFrame) -> DataFrame:
     """(doc_id, lang, token) — whitespace tokenization, one row per
     occurrence."""
@@ -361,8 +378,8 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(
             F.transform(
-                # sequence over valid 3-shingle start offsets (1-based)
-                F.sequence(F.lit(1), F.size(ws) - 2),
+                # valid 3-shingle start offsets (1-based, guarded)
+                safe_offsets(F.size(ws) - 2),
                 lambda i: F.md5(
                     F.concat_ws(
                         " ",
@@ -555,7 +572,7 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     g2 = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(ws) - 1, F.lit(0))),
+        safe_offsets(F.size(ws) - 1),
         lambda i: F.concat_ws(" ", F.element_at(ws, i), F.element_at(ws, i + 1)),
     )
     return d.select(
@@ -563,12 +580,19 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(top_cnt.cast("double") / F.size(ws) * 10000)
         .cast("bigint")
         .alias("top_word_ratio_e4"),
-        F.floor(
-            (1.0 - F.size(F.array_distinct(g2)).cast("double") / F.size(g2))
-            * 10000
-        )
-        .cast("bigint")
-        .alias("dup_2gram_ratio_e4"),
+        # no bigrams (doc of <2 words) → NULL, matching the oracle's
+        # NULL-propagating double 0/0; unguarded this is an ANSI
+        # DIVIDE_BY_ZERO abort (round-5 code-review regression test)
+        F.when(
+            F.size(g2) >= 1,
+            F.floor(
+                (
+                    1.0
+                    - F.size(F.array_distinct(g2)).cast("double") / F.size(g2)
+                )
+                * 10000
+            ).cast("bigint"),
+        ).alias("dup_2gram_ratio_e4"),
     )
 
 
@@ -614,7 +638,7 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.array_distinct(
                 F.transform(
-                    F.sequence(F.lit(1), F.greatest(F.size(ws) - 4, F.lit(0))),
+                    safe_offsets(F.size(ws) - 4),
                     lambda i: F.array_join(F.slice(ws, i, 5), " "),
                 )
             )
@@ -1015,7 +1039,7 @@ def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.explode(
             F.transform(
-                F.sequence(F.lit(1), F.greatest(F.length("t") - 2, F.lit(0))),
+                safe_offsets(F.length("t") - 2),
                 lambda i: F.substr(F.col("t"), i, F.lit(3)),
             )
         ).alias("gram"),
@@ -1248,7 +1272,7 @@ def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             F.size(ws) >= 3,
             F.transform(
-                F.sequence(F.lit(1), F.size(ws) - 2),
+                safe_offsets(F.size(ws) - 2),
                 lambda i: F.md5(
                     F.concat_ws(
                         " ",
@@ -1270,7 +1294,7 @@ def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(
                     F.size(hs) >= 4,
                     F.transform(
-                        F.sequence(F.lit(1), F.size(hs) - 3),
+                        safe_offsets(F.size(hs) - 3),
                         lambda i: F.array_min(F.slice(hs, i, 4)),
                     ),
                 ).otherwise(F.array().cast("array<string>"))

@@ -21,6 +21,7 @@ Scale notes:
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
 import pyspark.sql.functions as F
@@ -842,4 +843,16 @@ def source_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.table(name)
+    # materialize the (tiny, feed-sized) result, then release the
+    # uuid-named sink table and the checkpoint dir — repeated
+    # invocations in a long session must not accumulate either
+    # (round-5 code-review find)
+    rows = spark.table(name).collect()
+    out = spark.createDataFrame(
+        rows,
+        "height bigint, block_hash string, timestamp bigint, "
+        "no_transactions bigint",
+    )
+    spark.catalog.dropTempView(name)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out

@@ -471,3 +471,53 @@ def test_date_spine_has_no_holes_and_exact_totals(spark, sf_dir):
             assert r["order_date"] not in want
         else:
             assert (r["n_orders"], r["total_cents"]) == want[r["order_date"]]
+
+
+def test_gram_operators_survive_short_documents(spark, tmp_path):
+    """Round-5 code-review regression: F.sequence(1, last) DESCENDS for
+    last < 1 ([1, 0]), so unguarded/greatest()-guarded offset ranges
+    either crash under ANSI (element_at/slice at 0) or fabricate
+    phantom grams on short inputs. The fixtures' docs are all long, so
+    this builds a corpus of degenerate documents (empty, 1-2 words,
+    1-2 chars) and requires every gram-family operator to stay
+    parity-exact against its own DuckDB oracle."""
+    import duckdb
+    import pandas as pd
+
+    from helpers import assert_parity
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": list(range(1, 31)),
+            "text": (
+                ["", "a", "ab", "a b", "one two", "x y z"] * 4
+                + ["the quick brown fox jumps over the lazy dog again ok"]
+                * 6
+            ),
+            "lang": ["en", "de"] * 15,
+            "source": ["web", "wiki", "web"] * 10,
+            "n_chars": [0] * 30,
+        }
+    )
+    docs["n_chars"] = docs["text"].str.len()
+    sf = str(tmp_path / "shortsf")
+    import os as _os
+
+    _os.makedirs(sf, exist_ok=True)
+    docs.to_parquet(_os.path.join(sf, "documents.parquet"))
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    for qid in (
+        "text_ngram_topk",
+        "dedup_containment",
+        "text_winnowing",
+        "text_repetition_filter",
+        "text_decontaminate",
+        "text_fingerprint",
+        "bpe_pair_counts",
+    ):
+        assert_parity(spark, con, qid, sf)
+    con.close()
