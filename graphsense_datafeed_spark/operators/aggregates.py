@@ -999,3 +999,57 @@ def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(dec) * 10000).cast("bigint").alias("total_e4"),
         (F.max(dec) * 10000).cast("bigint").alias("max_e4"),
     )
+
+
+@query(
+    "agg_itemset_pairs",
+    """
+    WITH basket AS (
+        SELECT DISTINCT l_orderkey, p_brand
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+    ), pairs AS (
+        SELECT a.p_brand AS brand_a, b.p_brand AS brand_b
+        FROM basket a JOIN basket b
+          ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+    )
+    SELECT brand_a, brand_b, CAST(COUNT(*) AS BIGINT) AS support
+    FROM pairs GROUP BY brand_a, brand_b
+    ORDER BY support DESC, brand_a, brand_b
+    LIMIT 20
+    """,
+)
+def agg_itemset_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 2-itemset mining / market-basket support (round 5):
+    brand pairs bought together within one order, counted across
+    orders — the association-rule readout (the top pair IS the first
+    rule candidate; confidence/lift divide by the single-item counts
+    the same table yields). The scale discipline is the basket-local
+    pair expansion: the self-join is keyed on the ORDER, so fan-out is
+    Σ basket_size² (baskets are ≤7 lines here, ≤k in any real cart),
+    never catalog² — the same bounded-bucket principle as dedup_near's
+    band caps. The item dimension broadcasts into the basket build;
+    one order-key shuffle + one pair-count aggregation, both
+    map-side-combinable; top-20 is a TakeOrderedAndProject."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    basket = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a = basket.alias("a")
+    b = basket.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("brand_a"),
+            F.col("b.p_brand").alias("brand_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("support"))
+        .orderBy(F.col("support").desc(), "brand_a", "brand_b")
+        .limit(20)
+    )

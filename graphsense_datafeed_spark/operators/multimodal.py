@@ -268,3 +268,47 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = with_payload(load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200))
     return d.select("doc_id", "payload").mapInPandas(resize_batches, _RESIZE_SCHEMA)
+
+
+@query(
+    "multimodal_dedup_exact",
+    """
+    WITH media AS (
+        SELECT doc_id, unhex(repeat(md5(text), 4)) AS payload
+        FROM documents
+    ), hashed AS (
+        SELECT doc_id, sha256(hex(payload)) AS digest FROM media
+    )
+    SELECT digest, CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_id
+    FROM hashed GROUP BY digest
+    HAVING COUNT(*) >= 2
+    """,
+)
+def multimodal_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact BINARY dedup over media payloads (round 5): digest the
+    opaque bytes (sha256 of the payload column, never the decoded
+    content), group by digest, lowest id keeps — the first pass every
+    multimodal pipeline runs before any perceptual/near-dup stage,
+    because byte-identical copies (mirrors, re-uploads, crawler
+    re-fetches) dominate raw media corpora and cost nothing to catch.
+    Identical shape to dedup_exact on text but down the BINARY column
+    path: the 32-byte digest shuffles, the payload bytes never leave
+    the scan. Groups with one copy are filtered before the output —
+    the result is sized in duplicates. The digest runs over the HEX
+    form of the bytes (identical uppercase hex both engines — the
+    multimodal_cols parity) because this DuckDB build's sha256 binds
+    VARCHAR only."""
+    media = with_payload(load(spark, sf_dir, "documents"))
+    return (
+        media.select(
+            "doc_id",
+            F.sha2(F.hex(F.col("payload")).cast("binary"), 256).alias("digest"),
+        )
+        .groupBy("digest")
+        .agg(
+            F.count("*").cast("bigint").alias("n_copies"),
+            F.min("doc_id").cast("bigint").alias("keeper_id"),
+        )
+        .filter(F.col("n_copies") >= 2)
+    )

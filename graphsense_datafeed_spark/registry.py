@@ -172,6 +172,8 @@ _ROUND6_NEXT_UP = (
     "sink_manifest_commit",
     "source_python_stream",
     "date_spine_fill",
+    "agg_itemset_pairs",
+    "multimodal_dedup_exact",
 )
 
 _loaded = False

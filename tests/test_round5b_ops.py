@@ -521,3 +521,76 @@ def test_gram_operators_survive_short_documents(spark, tmp_path):
     ):
         assert_parity(spark, con, qid, sf)
     con.close()
+
+
+def test_itemset_pairs_matches_bruteforce(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets: dict[int, set] = {}
+    for r in li.join(part, li.l_partkey == part.p_partkey).collect():
+        baskets.setdefault(r["l_orderkey"], set()).add(r["p_brand"])
+    support: dict = {}
+    for items in baskets.values():
+        s = sorted(items)
+        for i, x in enumerate(s):
+            for y in s[i + 1 :]:
+                support[(x, y)] = support.get((x, y), 0) + 1
+    want = sorted(((-n, a, b) for (a, b), n in support.items()))[:20]
+    want = [(a, b, -n) for n, a, b in want]
+    got = [
+        (r["brand_a"], r["brand_b"], r["support"])
+        for r in Q["agg_itemset_pairs"](spark, sf_dir).collect()
+    ]
+    assert got == want
+
+
+def test_multimodal_dedup_groups_match_text_dups(spark, sf_dir):
+    """Payloads derive deterministically from text, so binary dup
+    groups must coincide exactly with exact-text dup groups."""
+    texts: dict[str, list] = {}
+    for r in load(spark, sf_dir, "documents").collect():
+        texts.setdefault(r["text"], []).append(r["doc_id"])
+    want = {
+        (len(ids), min(ids))
+        for ids in texts.values()
+        if len(ids) >= 2
+    }
+    got = {
+        (r["n_copies"], r["keeper_id"])
+        for r in Q["multimodal_dedup_exact"](spark, sf_dir).collect()
+    }
+    assert got == want  # may be empty at this SF — dups planted at sf0.1
+
+
+def test_multimodal_dedup_catches_planted_binary_dups(spark, tmp_path):
+    """Planted byte-identical payloads must group with the lowest id
+    as keeper, parity-exact vs the oracle."""
+    import os as _os
+
+    import duckdb
+    import pandas as pd
+
+    from helpers import assert_parity
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5, 6],
+            "text": ["same text", "unique a", "same text", "unique b",
+                     "same text", "other dup"],
+            "lang": ["en"] * 6,
+            "source": ["web"] * 6,
+            "n_chars": [9, 8, 9, 8, 9, 9],
+        }
+    )
+    sf = str(tmp_path / "dupsf")
+    _os.makedirs(sf, exist_ok=True)
+    docs.to_parquet(_os.path.join(sf, "documents.parquet"))
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    assert_parity(spark, con, "multimodal_dedup_exact", sf)
+    rows = Q["multimodal_dedup_exact"](spark, sf).collect()
+    assert [(r["n_copies"], r["keeper_id"]) for r in rows] == [(3, 1)]
+    con.close()
