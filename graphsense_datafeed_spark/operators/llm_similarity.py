@@ -736,9 +736,14 @@ def embed_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(dot_product(eb16, eb16)).alias("nb"),
     )
     full_e4 = F.floor(F.col("dot_full") * 10000).cast("bigint")
-    c16_e4 = F.floor(
-        F.col("dot16") / (F.col("na") * F.col("nb")) * 10000
-    ).cast("bigint")
+    # all-zero prefix → NULL, matching DuckDB's NULL-on-double-/0
+    # (unguarded, Spark's Inf overflows the bigint cast under ANSI)
+    c16_e4 = F.when(
+        F.col("na") * F.col("nb") != 0.0,
+        F.floor(F.col("dot16") / (F.col("na") * F.col("nb")) * 10000).cast(
+            "bigint"
+        ),
+    )
     return pairs.select(
         "id_a",
         "id_b",
