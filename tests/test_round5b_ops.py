@@ -594,3 +594,64 @@ def test_multimodal_dedup_catches_planted_binary_dups(spark, tmp_path):
     rows = Q["multimodal_dedup_exact"](spark, sf).collect()
     assert [(r["n_copies"], r["keeper_id"]) for r in rows] == [(3, 1)]
     con.close()
+
+
+def test_round5_staged_ops_rebuild_on_fixture_regeneration(spark, tmp_path):
+    """The round-5 staged operators (manifest snapshots, bucketed
+    tables) must REBUILD when the source fixture is regenerated —
+    serving stale staged bytes against a fresh oracle is the proven
+    r3/r4 failure mode the fingerprint keying exists to prevent."""
+    import os as _os
+    import shutil as _sh
+
+    import pandas as pd
+
+    sf = str(tmp_path / "regen_sf")
+    _os.makedirs(sf, exist_ok=True)
+    for t in ("events", "orders", "lineitem"):
+        _sh.copy(f"/root/testdata/sf0.001/{t}.parquet", f"{sf}/{t}.parquet")
+
+    n1 = Q["sink_manifest_commit"](spark, sf).count()
+    full_events = pd.read_parquet(f"{sf}/events.parquet")
+    assert n1 == len(full_events)
+    j1 = {
+        r["o_orderstatus"]: r["revenue_cents"]
+        for r in Q["join_bucketed_colocated"](spark, sf).collect()
+    }
+
+    # regenerate: half the events, half the orders (new inode + size)
+    full_events.iloc[: len(full_events) // 2].to_parquet(
+        f"{sf}/events.parquet"
+    )
+    orders = pd.read_parquet(f"{sf}/orders.parquet")
+    orders.iloc[: len(orders) // 2].to_parquet(f"{sf}/orders.parquet")
+
+    n2 = Q["sink_manifest_commit"](spark, sf).count()
+    assert n2 == len(full_events) // 2  # rebuilt, not stale
+
+    j2 = {
+        r["o_orderstatus"]: r["revenue_cents"]
+        for r in Q["join_bucketed_colocated"](spark, sf).collect()
+    }
+    import pyspark.sql.functions as _F
+
+    from graphsense_datafeed_spark.sources.tables import load as _load
+
+    want = {
+        r["o_orderstatus"]: r["rc"]
+        for r in _load(spark, sf, "orders")
+        .join(
+            _load(spark, sf, "lineitem"),
+            _F.col("o_orderkey") == _F.col("l_orderkey"),
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            _F.sum(
+                _F.round(_F.col("l_extendedprice") * 100).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("rc")
+        )
+        .collect()
+    }
+    assert j2 == want and j2 != j1  # fresh build over the halved orders
