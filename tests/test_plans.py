@@ -457,3 +457,33 @@ def test_round5_batch23_plan_shapes(spark, sf_dir):
     # embedding_pipeline: the removal anti-join broadcasts
     p = plan_of(QUERIES["embedding_pipeline"](spark, sf_dir))
     assert "LeftAnti" in p and "BroadcastHashJoin" in p
+
+
+def test_round5_batch45_plan_shapes(spark, sf_dir):
+    """Batch-4/5 operators must plan their documented shapes."""
+    from graphsense_datafeed_spark.registry import QUERIES
+
+    # join_asof_tolerance: the union+window form — ONE shuffle on
+    # user_id, a Window node, and NO join node anywhere
+    p = plan_of(QUERIES["join_asof_tolerance"](spark, sf_dir))
+    assert "Window" in p and "Join" not in p, p
+    tree = p.split("===== Subqueries")[0]
+    # each node appears twice in "formatted" output (tree + detail)
+    n_shuffle = sum(
+        1
+        for line in tree.splitlines()
+        if "Exchange" in line and "Broadcast" not in line and "(" in line
+    )
+    assert n_shuffle <= 2, tree  # exactly one shuffle exchange
+    # agg_itemset_pairs: item dim broadcasts into the basket build;
+    # top-20 is TakeOrdered, no cartesian anywhere
+    p = plan_of(QUERIES["agg_itemset_pairs"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+    # multimodal_dedup_exact: digest partial+final agg, no join
+    p = plan_of(QUERIES["multimodal_dedup_exact"](spark, sf_dir))
+    assert p.count("HashAggregate") >= 2 and "Join" not in p
+    # date_spine_fill: the spine side joins back broadcast
+    p = plan_of(QUERIES["date_spine_fill"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p, p
