@@ -1318,3 +1318,57 @@ def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("shared_fps"))
         .filter(F.col("shared_fps") >= 2)
     )
+
+
+@query(
+    "vocab_coverage",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(str_split(text, ' ')) AS token
+        FROM documents
+    ), vocab AS (
+        SELECT token FROM (
+            SELECT token,
+                   row_number() OVER (ORDER BY COUNT(*) DESC, token) AS rnk
+            FROM toks GROUP BY token
+        ) WHERE rnk <= 1000
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) FILTER (WHERE v.token IS NULL) AS BIGINT) AS n_oov,
+           CAST(FLOOR(COUNT(*) FILTER (WHERE v.token IS NULL) * 10000.0
+                      / COUNT(*)) AS BIGINT) AS oov_e4
+    FROM toks t LEFT JOIN vocab v ON v.token = t.token
+    GROUP BY doc_id
+    """,
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage / OOV-rate audit (round 5): per-document
+    fraction of tokens outside the corpus's own top-1000 vocabulary —
+    the tokenizer-health rung of a training-data pipeline (a doc whose
+    tokens are mostly out-of-vocabulary will fragment into rare-piece
+    soup at tokenization time; corpora are gated on this before BPE
+    training, and the same readout decides when a tokenizer must be
+    retrained for a new domain). Ties at the vocab boundary are pinned
+    by (count DESC, token) so the 1000-token cut is identical in both
+    engines.
+
+    Scale: vocab = one token aggregate → top-k (TakeOrdered, tiny) →
+    BROADCAST against the token stream; the per-doc rollup is the one
+    doc_id-keyed aggregation. The OOV flag never materializes a
+    corpus-sized join output wider than the token stream itself."""
+    toks = tokens(load(spark, sf_dir, "documents")).select("doc_id", "token")
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(1000)
+        .select("token", F.lit(True).alias("in_vocab"))
+    )
+    marked = toks.join(F.broadcast(vocab), "token", "left")
+    oov = F.count_if(F.col("in_vocab").isNull())
+    return marked.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        oov.cast("bigint").alias("n_oov"),
+        F.floor(oov * 10000.0 / F.count("*")).cast("bigint").alias("oov_e4"),
+    )

@@ -174,6 +174,7 @@ _ROUND6_NEXT_UP = (
     "date_spine_fill",
     "agg_itemset_pairs",
     "multimodal_dedup_exact",
+    "vocab_coverage",
 )
 
 _loaded = False

@@ -655,3 +655,26 @@ def test_round5_staged_ops_rebuild_on_fixture_regeneration(spark, tmp_path):
         .collect()
     }
     assert j2 == want and j2 != j1  # fresh build over the halved orders
+
+
+def test_vocab_coverage_matches_bruteforce(spark, sf_dir):
+    docs = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in load(spark, sf_dir, "documents").collect()
+    }
+    counts: dict[str, int] = {}
+    for ws in docs.values():
+        for w in ws:
+            counts[w] = counts.get(w, 0) + 1
+    vocab = {
+        t for _, t in sorted(((-n, t) for t, n in counts.items()))[:1000]
+    }
+    want = {}
+    for did, ws in docs.items():
+        oov = sum(1 for w in ws if w not in vocab)
+        want[did] = (len(ws), oov, math.floor(oov * 10000.0 / len(ws)))
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_oov"], r["oov_e4"])
+        for r in Q["vocab_coverage"](spark, sf_dir).collect()
+    }
+    assert got == want
