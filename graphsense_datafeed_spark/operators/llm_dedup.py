@@ -160,7 +160,10 @@ def _cached_persist(cache, spark, sf_dir, fp, build):
         try:
             stopped = df_old.sparkSession.sparkContext._jsc.sc().isStopped()
         except Exception:
-            stopped = True
+            # probe unavailable (e.g. Spark Connect) → assume LIVE and
+            # keep: popping a live entry would orphan its persisted
+            # data server-side (review find)
+            continue
         if stopped:
             cache.pop(k, None)
     df = build().persist()

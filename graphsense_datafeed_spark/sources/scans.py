@@ -772,8 +772,10 @@ def source_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             with open(self.path) as f:
                 for k, line in enumerate(f):
-                    if k < s or k >= s + self.page:
+                    if k < s:
                         continue
+                    if k >= s + self.page:
+                        break  # page full — never scan the tail
                     b = _json.loads(line)
                     rows.append(
                         (
@@ -792,7 +794,9 @@ def source_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = []
             with open(self.path) as f:
                 for k, line in enumerate(f):
-                    if s <= k < e:
+                    if k >= e:
+                        break
+                    if s <= k:
                         b = _json.loads(line)
                         out.append(
                             (
