@@ -175,6 +175,7 @@ _ROUND6_NEXT_UP = (
     "agg_itemset_pairs",
     "multimodal_dedup_exact",
     "vocab_coverage",
+    "agg_hll_window_rollup",
 )
 
 _loaded = False

@@ -678,3 +678,24 @@ def test_vocab_coverage_matches_bruteforce(spark, sf_dir):
         for r in Q["vocab_coverage"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_hll_window_rollup_matches_bruteforce(spark, sf_dir):
+    """Trailing-3h distinct users per hour, sketch-merged, must equal
+    the exact distinct count at fixture NDV (sparse-mode exactness)."""
+    import datetime
+
+    rows = [
+        (r["user_id"], r["ts"].replace(minute=0, second=0, microsecond=0))
+        for r in load(spark, sf_dir, "events").collect()
+    ]
+    hours = sorted({h for _, h in rows})
+    want = {}
+    for h in hours:
+        lo = h - datetime.timedelta(hours=2)
+        want[h] = len({u for u, hh in rows if lo <= hh <= h})
+    got = {
+        r["hour_ts"]: r["ndv_users_3h"]
+        for r in Q["agg_hll_window_rollup"](spark, sf_dir).collect()
+    }
+    assert got == want
