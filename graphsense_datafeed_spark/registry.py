@@ -176,6 +176,7 @@ _ROUND6_NEXT_UP = (
     "multimodal_dedup_exact",
     "vocab_coverage",
     "agg_hll_window_rollup",
+    "events_concurrency_sweep",
 )
 
 _loaded = False

@@ -699,3 +699,29 @@ def test_hll_window_rollup_matches_bruteforce(spark, sf_dir):
         for r in Q["agg_hll_window_rollup"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_concurrency_sweep_matches_bruteforce(spark, sf_dir):
+    """Hourly peak concurrency must equal a Python sweep line over the
+    same sessions with the same starts-before-ends tie order."""
+    sessions = [
+        (r["user_id"], r["session_id"], r["session_start"], r["session_end"])
+        for r in Q["events_sessionize"](spark, sf_dir).collect()
+    ]
+    points = []
+    for uid, sid, s, e in sessions:
+        points.append((s, 0, uid, sid, 1))
+        points.append((e, 1, uid, sid, -1))
+    points.sort(key=lambda p: (p[0], p[1], p[2], p[3]))
+    want: dict = {}
+    conc = 0
+    for ts, _k, _u, _s, d in points:
+        conc += d
+        h = ts.replace(minute=0, second=0, microsecond=0)
+        want[h] = max(want.get(h, conc), conc)
+    got = {
+        r["hour_ts"]: r["peak_concurrency"]
+        for r in Q["events_concurrency_sweep"](spark, sf_dir).collect()
+    }
+    assert got == want
+    assert max(want.values()) > 1  # concurrency actually observed
