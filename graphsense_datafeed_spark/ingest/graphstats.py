@@ -237,3 +237,65 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.col("jaccard_e4").desc(), "cust_a", "cust_b"
     ).limit(20)
+
+
+@query(
+    "graph_bfs_layers",
+    f"""
+    WITH RECURSIVE {_DUCK_EDGES}, sym AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT dst AS src, src AS dst FROM edges
+    ), seed AS (
+        SELECT MIN(src) AS a FROM sym
+    ), walk(addr, d) AS (
+        SELECT a, 0 FROM seed
+        UNION
+        SELECT s.dst, w.d + 1
+        FROM walk w JOIN sym s ON s.src = w.addr
+        WHERE w.d < 10
+    )
+    SELECT addr, CAST(MIN(d) AS BIGINT) AS dist
+    FROM walk GROUP BY addr
+    """,
+)
+def graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-round BFS hop distances from a deterministic seed (round
+    5): the lexicographically-smallest address, expanded frontier by
+    frontier over the symmetrized co-occurrence graph, 10-round bound
+    — the reachability-with-DISTANCE readout components can't give
+    (taint tracing / mixing-depth analysis asks "how many hops from
+    the seed", not just "same component").
+
+    The loop is the distributed-BFS shape: each round joins only the
+    FRONTIER (not all visited nodes) against the edge list, anti-joins
+    out already-labelled nodes, and stops early on an empty frontier —
+    per-round work is O(frontier × avg-degree), the bound is explicit,
+    and the only driver state is the 1-row seed and the per-round
+    emptiness probe (the graph_components convergence discipline). At
+    100 TB the edge list is partitioned by src and every round reuses
+    that layout."""
+    e = cooccurrence_edges(spark)
+    sym = (
+        e.select("src", "dst")
+        .union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+    )
+    seed = sym.agg(F.min("src").alias("a")).collect()[0]["a"]
+    dist = sym.sparkSession.createDataFrame(
+        [(seed, 0)], "addr string, dist int"
+    )
+    frontier = dist
+    for depth in range(1, 11):
+        nxt = (
+            frontier.join(sym, frontier.addr == sym.src)
+            .select(F.col("dst").alias("addr"))
+            .distinct()
+            .join(dist.select("addr"), "addr", "left_anti")
+            .select("addr", F.lit(depth).alias("dist"))
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.union(nxt)
+        frontier = nxt
+    return dist.select("addr", F.col("dist").cast("bigint").alias("dist"))

@@ -177,6 +177,8 @@ _ROUND6_NEXT_UP = (
     "vocab_coverage",
     "agg_hll_window_rollup",
     "events_concurrency_sweep",
+    "sink_manifest_vacuum",
+    "graph_bfs_layers",
 )
 
 _loaded = False

@@ -673,13 +673,30 @@ def sink_manifest_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint-keyed dir; the build is idempotent (overwrite +
     pointer-last ordering — a crash before the pointer swap leaves the
     previous snapshot intact, the re-run rebuilds)."""
+    import json
+
+    base = _manifest_table_build(spark, sf_dir, "gds_manifest")
+    current = os.path.join(base, "CURRENT")
+    with open(current) as fh:
+        mname = fh.read().strip()
+    with open(os.path.join(base, mname)) as fh:
+        manifest = json.load(fh)
+    return spark.read.parquet(*manifest["files"])
+
+
+def _manifest_table_build(spark: SparkSession, sf_dir: str, label: str) -> str:
+    """Build (idempotently) the two-snapshot manifest table under its
+    own fingerprint-keyed staging ``label`` and return its base dir.
+    Parameterized so sink_manifest_vacuum mutates a PRIVATE staging —
+    vacuuming the commit operator's shared staging would destroy the
+    debris/expired-manifest evidence other sessions' checks rely on."""
     import glob
     import json
     import uuid
 
     from graphsense_datafeed_spark.sources.tables import staged_source_dir
 
-    base = staged_source_dir(sf_dir, "gds_manifest", "events")
+    base = staged_source_dir(sf_dir, label, "events")
     data = os.path.join(base, "data")
     current = os.path.join(base, "CURRENT")
     if not os.path.exists(current):
@@ -715,11 +732,7 @@ def sink_manifest_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
         with open(tmp, "w") as fh:
             fh.write("manifest-2.json")
         os.rename(tmp, current)
-    with open(current) as fh:
-        mname = fh.read().strip()
-    with open(os.path.join(base, mname)) as fh:
-        manifest = json.load(fh)
-    return spark.read.parquet(*manifest["files"])
+    return base
 
 
 @query(
@@ -860,3 +873,56 @@ def source_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.catalog.dropTempView(name)
     shutil.rmtree(ckpt, ignore_errors=True)
     return out
+
+
+@query(
+    "sink_manifest_vacuum",
+    """
+    SELECT event_id, user_id, event_type,
+           CAST(ROUND(value * 100) AS BIGINT) AS cents
+    FROM events
+    """,
+)
+def sink_manifest_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot expiry + orphan-file vacuum (round 5) — the GC half of
+    the manifest-commit pattern, the maintenance every snapshot table
+    needs or storage grows without bound: expire manifests older than
+    the retention point (here: everything but the current snapshot),
+    compute the still-REFERENCED file set as the union of the live
+    manifests, and delete every data file outside it (expired-only
+    files and torn-write debris alike). The ordering is the
+    load-bearing part, exactly as in Iceberg's expire_snapshots +
+    remove_orphan_files: manifests are retired FIRST, so a reader
+    resolving CURRENT never holds a manifest whose files are being
+    deleted; files shared with live snapshots are kept (v1's files
+    live inside v2's manifest here, so expiring v1 deletes no data).
+
+    The oracle is the same clean full projection as
+    sink_manifest_commit: a vacuum that deletes a still-referenced
+    file (or a reader that re-lists directories) hash-mismatches.
+    tests assert the debris is physically gone and the live snapshot
+    is byte-complete."""
+    import glob
+    import json
+
+    # build (or reuse) a PRIVATE committed two-snapshot table, then
+    # vacuum it — never the sibling operator's shared staging
+    base = _manifest_table_build(spark, sf_dir, "gds_manifest_vac")
+    with open(os.path.join(base, "CURRENT")) as fh:
+        current = fh.read().strip()
+    live = {current}
+    # 1) expire: retire every non-live manifest file first
+    for m in glob.glob(os.path.join(base, "manifest-*.json")):
+        if os.path.basename(m) not in live:
+            os.remove(m)
+    # 2) vacuum: delete data files no live manifest references
+    referenced = set()
+    for name in live:
+        with open(os.path.join(base, name)) as fh:
+            referenced.update(json.load(fh)["files"])
+    for f in glob.glob(os.path.join(base, "data", "*", "*.parquet")):
+        if f not in referenced:
+            os.remove(f)
+    with open(os.path.join(base, current)) as fh:
+        manifest = json.load(fh)
+    return spark.read.parquet(*manifest["files"])

@@ -725,3 +725,61 @@ def test_concurrency_sweep_matches_bruteforce(spark, sf_dir):
     }
     assert got == want
     assert max(want.values()) > 1  # concurrency actually observed
+
+
+def test_manifest_vacuum_removes_orphans_keeps_live(spark, sf_dir):
+    """After expiry+vacuum: debris and expired-only files are gone,
+    every live-manifest file survives, and the snapshot reads
+    byte-complete. The commit operator's own staging is untouched."""
+    import glob
+    import json
+    import os as _os
+
+    from graphsense_datafeed_spark.sources.tables import staged_source_dir
+
+    out = Q["sink_manifest_vacuum"](spark, sf_dir)
+    assert out.count() == load(spark, sf_dir, "events").count()
+    base = staged_source_dir(sf_dir, "gds_manifest_vac", "events")
+    with open(_os.path.join(base, "manifest-2.json")) as fh:
+        live_files = set(json.load(fh)["files"])
+    on_disk = set(glob.glob(_os.path.join(base, "data", "*", "*.parquet")))
+    assert on_disk == live_files  # nothing orphaned, nothing lost
+    assert not _os.path.exists(_os.path.join(base, "manifest-1.json"))
+    # the sibling commit staging still has its debris + v1 history
+    sib = staged_source_dir(sf_dir, "gds_manifest", "events")
+    if _os.path.exists(_os.path.join(sib, "CURRENT")):
+        sib_disk = glob.glob(_os.path.join(sib, "data", "*", "*.parquet"))
+        with open(_os.path.join(sib, "manifest-2.json")) as fh:
+            sib_live = json.load(fh)["files"]
+        assert len(sib_disk) > len(sib_live)
+        assert _os.path.exists(_os.path.join(sib, "manifest-1.json"))
+
+
+def test_bfs_layers_matches_python_bfs(spark, sf_dir):
+    from collections import deque
+
+    from graphsense_datafeed_spark.ingest.graphstats import (
+        cooccurrence_edges,
+    )
+
+    adj: dict[str, set] = {}
+    for r in cooccurrence_edges(spark).collect():
+        adj.setdefault(r["src"], set()).add(r["dst"])
+        adj.setdefault(r["dst"], set()).add(r["src"])
+    seed = min(adj)
+    want = {seed: 0}
+    dq = deque([seed])
+    while dq:
+        u = dq.popleft()
+        if want[u] >= 10:
+            continue
+        for v in adj[u]:
+            if v not in want:
+                want[v] = want[u] + 1
+                dq.append(v)
+    got = {
+        r["addr"]: r["dist"]
+        for r in Q["graph_bfs_layers"](spark, sf_dir).collect()
+    }
+    assert got == want
+    assert max(want.values()) >= 2  # genuinely multi-layer
