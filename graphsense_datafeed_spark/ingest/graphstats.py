@@ -276,10 +276,16 @@ def graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the edge list is partitioned by src and every round reuses
     that layout."""
     e = cooccurrence_edges(spark)
+    # localCheckpoint: the loop below re-reads sym every round and
+    # embeds dist twice per iteration — without lineage truncation the
+    # plan doubles per round and every emptiness probe re-derives the
+    # JSON explode chain (facade.py label_propagate discipline;
+    # measured 65 s → sub-second at sf0.01 by the round-5 review)
     sym = (
         e.select("src", "dst")
         .union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
+        .localCheckpoint()
     )
     seed = sym.agg(F.min("src").alias("a")).collect()[0]["a"]
     dist = sym.sparkSession.createDataFrame(
@@ -293,6 +299,7 @@ def graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .join(dist.select("addr"), "addr", "left_anti")
             .select("addr", F.lit(depth).alias("dist"))
+            .localCheckpoint()
         )
         if nxt.isEmpty():
             break

@@ -1084,13 +1084,16 @@ def agg_hll_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (hour BETWEEN h-2 AND h via a range join on the sketch table, not
     a ROWS frame that silently spans gaps in sparse hours).
 
-    The oracle is the exact distinct count: at fixture NDV the lgK=12
+    The oracle is the exact distinct count: at fixture NDV the lgK=14
     sketches are in exact sparse mode (the agg_hll_sketch precedent),
     so estimate ≡ exact and the row hash-matches; at production NDV
     the same plan returns ±2% estimates — the documented trade."""
     ev = load(spark, sf_dir, "events")
     hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hour_ts")).agg(
-        F.hll_sketch_agg("user_id").alias("sk")
+        # lgK=14 like agg_hll_sketch: ~10x sparse-mode headroom over
+        # the fixture window NDV (411 at sf0.1) — the default lgK=12
+        # sits within 2.5x of dense promotion (round-5 review find)
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk")
     )
     h = hourly.select(F.col("hour_ts").alias("win_end"))
     member = hourly.alias("m")

@@ -230,10 +230,12 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "events_sessionize",
-    """
-    WITH ordered AS (
+# THE single definition of the session semantics (30-min gap,
+# (ts, event_id) tie order) — both events_sessionize's oracle and
+# events_concurrency_sweep's oracle build on this one string, so the
+# gap/tie rules cannot silently diverge (round-5 review find).
+_SESSIONS_CTE = """
+    ordered AS (
         SELECT user_id, event_id, ts,
                CAST(ROUND(value * 100) AS BIGINT) AS cents,
                lag(ts) OVER (PARTITION BY user_id
@@ -252,13 +254,24 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
                                         ROWS UNBOUNDED PRECEDING)
                     AS BIGINT) AS session_id
         FROM marked
+    ), sessions AS (
+        SELECT user_id, session_id,
+               MIN(ts) AS session_start, MAX(ts) AS session_end,
+               COUNT(*) AS n_events,
+               CAST(SUM(cents) AS BIGINT) AS total_cents
+        FROM numbered
+        GROUP BY user_id, session_id
     )
-    SELECT user_id, session_id,
-           MIN(ts) AS session_start, MAX(ts) AS session_end,
-           COUNT(*) AS n_events,
-           CAST(SUM(cents) AS BIGINT) AS total_cents
-    FROM numbered
-    GROUP BY user_id, session_id
+"""
+
+
+@query(
+    "events_sessionize",
+    f"""
+    WITH {_SESSIONS_CTE}
+    SELECT user_id, session_id, session_start, session_end,
+           n_events, total_cents
+    FROM sessions
     """,
 )
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -355,33 +368,6 @@ def events_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SESSIONS_CTE = """
-    ordered AS (
-        SELECT user_id, event_id, ts,
-               lag(ts) OVER (PARTITION BY user_id
-                             ORDER BY ts, event_id) AS prev_ts
-        FROM events
-    ), marked AS (
-        SELECT user_id, event_id, ts,
-               CASE WHEN prev_ts IS NULL
-                         OR ts > prev_ts + INTERVAL 30 MINUTE
-                    THEN 1 ELSE 0 END AS new_sess
-        FROM ordered
-    ), numbered AS (
-        SELECT user_id, ts,
-               CAST(SUM(new_sess) OVER (PARTITION BY user_id
-                                        ORDER BY ts, event_id
-                                        ROWS UNBOUNDED PRECEDING)
-                    AS BIGINT) AS session_id
-        FROM marked
-    ), sessions AS (
-        SELECT user_id, session_id,
-               MIN(ts) AS session_start, MAX(ts) AS session_end
-        FROM numbered GROUP BY user_id, session_id
-    )
-"""
-
-
 @query(
     "events_concurrency_sweep",
     f"""
@@ -411,7 +397,7 @@ def events_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     decomposition instead of one all-data-to-one-partition window:
 
     1. points aggregate per hour bucket (distributed, map-side
-       combinable) → the bucket-total table is \|hours\|-sized;
+       combinable) → the bucket-total table is hours-sized;
     2. an exclusive prefix over THAT tiny table gives each bucket its
        carry-in offset (a single-partition window over hours, not
        events — the acceptable global step);
