@@ -450,3 +450,76 @@ def events_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run.groupBy("hour_ts").agg(
         F.max("conc").cast("bigint").alias("peak_concurrency")
     )
+
+
+@query(
+    "join_interval_self",
+    f"""
+    WITH {_SESSIONS_CTE}, pairs AS (
+        SELECT a.user_id AS user_a, a.session_id AS sess_a,
+               b.user_id AS user_b, b.session_id AS sess_b
+        FROM sessions a JOIN sessions b
+          ON a.user_id < b.user_id
+         AND a.session_start <= b.session_end
+         AND b.session_start <= a.session_end
+    )
+    SELECT user_a, user_b, CAST(COUNT(*) AS BIGINT) AS n_overlaps
+    FROM pairs GROUP BY user_a, user_b
+    ORDER BY n_overlaps DESC, user_a, user_b
+    LIMIT 20
+    """,
+)
+def join_interval_self(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval SELF-join (round 5): pairs of users whose sessions
+    overlap in time, counted per pair — co-presence analysis (who is
+    online together), the self-join sibling of join_interval's
+    events×windows stab. The scale decomposition is the one every
+    distributed interval self-join uses: explode each interval onto
+    its covered HOUR buckets (bounded by session length), equi-join on
+    the bucket — a hash join, never a full theta join — apply the
+    exact overlap predicate as a residual, and de-duplicate the
+    session-pair 4-tuple (a pair sharing several hours must count
+    once). The DuckDB oracle runs the plain theta join: the bucketed
+    plan must reproduce it EXACTLY — any pair lost at a bucket
+    boundary or double-counted across shared hours hash-mismatches.
+    Top-20 with the full-order tiebreak is a TakeOrderedAndProject."""
+    sessions = events_sessionize(spark, sf_dir).select(
+        "user_id", "session_id", "session_start", "session_end"
+    )
+    hours = sessions.select(
+        "user_id",
+        "session_id",
+        "session_start",
+        "session_end",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", "session_start"),
+                F.date_trunc("hour", "session_end"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("h"),
+    )
+    a = hours.alias("a")
+    b = hours.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.user_id") < F.col("b.user_id"))
+            & (F.col("a.session_start") <= F.col("b.session_end"))
+            & (F.col("b.session_start") <= F.col("a.session_end")),
+        )
+        .select(
+            F.col("a.user_id").alias("user_a"),
+            F.col("a.session_id").alias("sess_a"),
+            F.col("b.user_id").alias("user_b"),
+            F.col("b.session_id").alias("sess_b"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.groupBy("user_a", "user_b")
+        .agg(F.count("*").cast("bigint").alias("n_overlaps"))
+        .orderBy(F.col("n_overlaps").desc(), "user_a", "user_b")
+        .limit(20)
+    )

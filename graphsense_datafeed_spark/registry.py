@@ -179,6 +179,7 @@ _ROUND6_NEXT_UP = (
     "events_concurrency_sweep",
     "sink_manifest_vacuum",
     "graph_bfs_layers",
+    "join_interval_self",
 )
 
 _loaded = False

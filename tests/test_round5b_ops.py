@@ -783,3 +783,23 @@ def test_bfs_layers_matches_python_bfs(spark, sf_dir):
     }
     assert got == want
     assert max(want.values()) >= 2  # genuinely multi-layer
+
+
+def test_interval_self_join_matches_bruteforce(spark, sf_dir):
+    sessions = [
+        (r["user_id"], r["session_id"], r["session_start"], r["session_end"])
+        for r in Q["events_sessionize"](spark, sf_dir).collect()
+    ]
+    counts: dict = {}
+    for i, (ua, _sa, s1, e1) in enumerate(sessions):
+        for ub, _sb, s2, e2 in sessions[i + 1 :]:
+            x, y = ((ua, ub) if ua < ub else (ub, ua)) if ua != ub else (None, None)
+            if ua != ub and s1 <= e2 and s2 <= e1:
+                counts[(x, y)] = counts.get((x, y), 0) + 1
+    want = sorted(((-n, a, b) for (a, b), n in counts.items()))[:20]
+    want = [(a, b, -n) for n, a, b in want]
+    got = [
+        (r["user_a"], r["user_b"], r["n_overlaps"])
+        for r in Q["join_interval_self"](spark, sf_dir).collect()
+    ]
+    assert got == want
