@@ -180,6 +180,7 @@ _ROUND6_NEXT_UP = (
     "sink_manifest_vacuum",
     "graph_bfs_layers",
     "join_interval_self",
+    "scan_dynamic_partition_pruning",
 )
 
 _loaded = False

@@ -926,3 +926,73 @@ def sink_manifest_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     with open(os.path.join(base, current)) as fh:
         manifest = json.load(fh)
     return spark.read.parquet(*manifest["files"])
+
+
+@query(
+    "scan_dynamic_partition_pruning",
+    """
+    WITH dim AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS event_date
+        FROM events
+        WHERE day(CAST(ts AS DATE)) <= 2
+    )
+    SELECT e.event_date, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM (SELECT CAST(ts AS DATE) AS event_date, value FROM events) e
+    JOIN dim USING (event_date)
+    GROUP BY e.event_date
+    """,
+)
+def scan_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning (round 5) — the optimizer feature
+    static pruning (scan_partition_pruning) can't cover: the fact
+    table is date-partitioned at rest, the filter lives on the DIM
+    side (first two dates), and Catalyst injects the dim's join keys
+    as a runtime partition filter on the fact scan — only the matching
+    date directories are ever read, decided AT RUN TIME from the
+    broadcast build side. At 100 TB this is the star-schema workhorse:
+    a "last week" predicate on a calendar dim prunes a years-deep fact
+    table without any literal date reaching the fact query.
+    tests/test_plans.py pins `dynamicpruning` in the fact scan's
+    partition filters; the oracle is the same join over the raw table
+    — pruning must be semantics-free."""
+    from graphsense_datafeed_spark.sources.tables import staged_source_dir
+
+    base = staged_source_dir(sf_dir, "gds_dpp", "events")
+    part_dir = os.path.join(base, "by_date")
+    if not os.path.exists(part_dir):
+        stage = part_dir + ".stage"
+        (
+            load(spark, sf_dir, "events")
+            .select(
+                F.col("ts").cast("date").alias("event_date"),
+                F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+            )
+            .repartition("event_date")
+            .write.mode("overwrite")
+            .partitionBy("event_date")
+            .parquet(stage)
+        )
+        try:
+            os.rename(stage, part_dir)
+        except OSError:
+            shutil.rmtree(stage, ignore_errors=True)
+    fact = spark.read.parquet(part_dir)
+    # a SELECTIVE predicate on the dim side (day-of-month <= 2) — the
+    # DPP heuristic requires one (a bare LIMIT does not qualify;
+    # verified: no dynamicpruning filter was injected with limit(2))
+    dim = (
+        load(spark, sf_dir, "events")
+        .select(F.col("ts").cast("date").alias("event_date"))
+        .filter(F.dayofmonth("event_date") <= 2)
+        .distinct()
+    )
+    return (
+        fact.join(F.broadcast(dim), "event_date")
+        .groupBy("event_date")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+        )
+    )
