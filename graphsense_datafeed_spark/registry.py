@@ -152,9 +152,12 @@ _ROUND5_WINDOW = (
     "agg_count_if_distinct",
 )
 
-# Overflow queue behind the window: anything registered this round that
-# doesn't fit the first-50 (plus future additions) queues here for the
-# r6 rotation without displacing a window row.
+# Overflow queue behind the window: the 25 round-5 operators that
+# landed AFTER the window was pinned (batches 2-5), each local-gate
+# green at sf0.01+sf0.001 but never driver-checked. ROUND-6 ROTATION
+# RECIPE: promote these 25 to the front of the next window, then fill
+# the remaining slots with any r5 rows that came back non-green plus
+# a rotating re-check sample of long-green rows.
 _ROUND6_NEXT_UP = (
     "agg_decimal_exact",
     "histogram_equidepth",
