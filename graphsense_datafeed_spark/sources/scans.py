@@ -960,9 +960,8 @@ def scan_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
     from graphsense_datafeed_spark.sources.tables import staged_source_dir
 
     base = staged_source_dir(sf_dir, "gds_dpp", "events")
-    part_dir = os.path.join(base, "by_date")
-    if not os.path.exists(part_dir):
-        stage = part_dir + ".stage"
+
+    def _write(stage: str) -> None:
         (
             load(spark, sf_dir, "events")
             .select(
@@ -974,10 +973,11 @@ def scan_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
             .partitionBy("event_date")
             .parquet(stage)
         )
-        try:
-            os.rename(stage, part_dir)
-        except OSError:
-            shutil.rmtree(stage, ignore_errors=True)
+
+    # staged_output: marker-trusted, uuid-staged, race-safe (the same
+    # helper every staged scan uses — a fixed stage path would let two
+    # concurrent builders clobber each other mid-write)
+    part_dir = staged_output(os.path.join(base, "by_date"), _write)
     fact = spark.read.parquet(part_dir)
     # a SELECTIVE predicate on the dim side (day-of-month <= 2) — the
     # DPP heuristic requires one (a bare LIMIT does not qualify;

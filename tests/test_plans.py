@@ -492,7 +492,5 @@ def test_round5_batch45_plan_shapes(spark, sf_dir):
 def test_dynamic_partition_pruning_injects(spark, sf_dir):
     """The fact scan must carry a runtime dynamicpruning partition
     filter injected from the dim side — DPP, not a full-table read."""
-    from graphsense_datafeed_spark.registry import QUERIES
-
     p = plan_of(QUERIES["scan_dynamic_partition_pruning"](spark, sf_dir))
     assert "dynamicpruning" in p.lower(), p
