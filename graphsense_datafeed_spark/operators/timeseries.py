@@ -783,3 +783,42 @@ def date_spine_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("total_cents", F.lit(0)).cast("bigint").alias("total_cents"),
         F.col("n_orders").isNull().alias("is_gap"),
     )
+
+
+@query(
+    "ts_seasonality_profile",
+    """
+    SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+           CAST(hour(ts) AS BIGINT) AS hod,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM events GROUP BY dayofweek(ts), hour(ts)
+    """,
+)
+def ts_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality profile (round 5): the (day-of-week × hour-of-day)
+    activity matrix — events, distinct users, and value per calendar
+    cell. The fingerprint behind anomaly baselines ("is this Tuesday
+    3pm normal for a Tuesday 3pm?"), capacity planning, and the
+    seasonal-naive forecast; ts_zscore_anomaly's trailing window
+    flags level shifts, this profiles the EXPECTED periodic shape the
+    z-score must not flag. One partial-aggregated pass over a 7×24
+    key space — group state is constant-bounded at any corpus size,
+    the friendliest aggregation shape 100 TB allows.
+
+    Engine parity trap pinned (SURVEY §2.12): day-of-week NUMBERING
+    differs — Spark's dayofweek is 1=Sunday..7, DuckDB's is
+    0=Sunday..6, so the oracle shifts by +1."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.dayofweek("ts").cast("bigint").alias("dow"),
+        F.hour("ts").cast("bigint").alias("hod"),
+    ).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.count_distinct("user_id").cast("bigint").alias("n_users"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("total_cents"),
+    )

@@ -184,6 +184,7 @@ _ROUND6_NEXT_UP = (
     "graph_bfs_layers",
     "join_interval_self",
     "scan_dynamic_partition_pruning",
+    "ts_seasonality_profile",
 )
 
 _loaded = False

@@ -803,3 +803,25 @@ def test_interval_self_join_matches_bruteforce(spark, sf_dir):
         for r in Q["join_interval_self"](spark, sf_dir).collect()
     ]
     assert got == want
+
+
+def test_seasonality_profile_matches_bruteforce(spark, sf_dir):
+    """Cells must partition the event stream exactly: totals
+    recompose, dow is Spark's 1=Sunday..7 numbering."""
+    rows = load(spark, sf_dir, "events").collect()
+    want: dict = {}
+    for r in rows:
+        # Python weekday(): 0=Mon..6=Sun → Spark dayofweek 1=Sun..7
+        dow = (r["ts"].weekday() + 1) % 7 + 1
+        key = (dow, r["ts"].hour)
+        n, users, cents = want.get(key, (0, set(), 0))
+        users = users | {r["user_id"]}
+        want[key] = (n + 1, users, cents + round(r["value"] * 100))
+    got = {
+        (r["dow"], r["hod"]): (r["n_events"], r["n_users"], r["total_cents"])
+        for r in Q["ts_seasonality_profile"](spark, sf_dir).collect()
+    }
+    assert got == {
+        k: (n, len(users), cents) for k, (n, users, cents) in want.items()
+    }
+    assert sum(n for n, _, _ in got.values()) == len(rows)
