@@ -1107,3 +1107,41 @@ def agg_hll_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("ndv_users_3h")
     )
+
+
+@query(
+    "agg_percentile_disc",
+    """
+    SELECT event_type,
+           CAST(quantile_disc(CAST(ROUND(value * 100) AS BIGINT), 0.5)
+                AS BIGINT) AS med_cents_disc,
+           CAST(quantile_disc(CAST(ROUND(value * 100) AS BIGINT), 0.9)
+                AS BIGINT) AS p90_cents_disc
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISCRETE percentiles (round 5) — PERCENTILE_DISC semantics:
+    the quantile is an ACTUAL element of the group (the smallest value
+    whose cumulative share reaches p), never an interpolated midpoint.
+    The distinction matters whenever the value domain is integral or
+    categorical-ordinal (latencies in whole ms, cents, severity
+    levels): agg_percentile's continuous interpolation can return a
+    price nobody ever paid; disc cannot. Computed in the exact integer
+    domain end-to-end — no float enters at all, so the parity needs no
+    rounding discipline. Same scale shape as agg_percentile: exact
+    per-group sort is bounded by group cardinality; the 100 TB default
+    is the approx_percentile sketch with disc reserved for bounded
+    keys/reconciliation."""
+    ev = load(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    return ev.select("event_type", cents.alias("cents")).groupBy(
+        "event_type"
+    ).agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)")
+        .cast("bigint")
+        .alias("med_cents_disc"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY cents)")
+        .cast("bigint")
+        .alias("p90_cents_disc"),
+    )

@@ -152,10 +152,10 @@ _ROUND5_WINDOW = (
     "agg_count_if_distinct",
 )
 
-# Overflow queue behind the window: the 25 round-5 operators that
-# landed AFTER the window was pinned (batches 2-5), each local-gate
-# green at sf0.01+sf0.001 but never driver-checked. ROUND-6 ROTATION
-# RECIPE: promote these 25 to the front of the next window, then fill
+# Overflow queue behind the window: the round-5 operators that landed
+# AFTER the window was pinned (batches 2-5), each local-gate green at
+# sf0.01+sf0.001 but never driver-checked. ROUND-6 ROTATION RECIPE:
+# promote this whole queue to the front of the next window, then fill
 # the remaining slots with any r5 rows that came back non-green plus
 # a rotating re-check sample of long-green rows.
 _ROUND6_NEXT_UP = (
@@ -185,6 +185,7 @@ _ROUND6_NEXT_UP = (
     "join_interval_self",
     "scan_dynamic_partition_pruning",
     "ts_seasonality_profile",
+    "agg_percentile_disc",
 )
 
 _loaded = False

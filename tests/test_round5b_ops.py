@@ -825,3 +825,26 @@ def test_seasonality_profile_matches_bruteforce(spark, sf_dir):
         k: (n, len(users), cents) for k, (n, users, cents) in want.items()
     }
     assert sum(n for n, _, _ in got.values()) == len(rows)
+
+
+def test_percentile_disc_returns_actual_elements(spark, sf_dir):
+    """PERCENTILE_DISC must return the smallest element whose
+    cumulative share reaches p — an ACTUAL value, never interpolated."""
+    import bisect
+
+    groups: dict[str, list] = {}
+    for r in load(spark, sf_dir, "events").collect():
+        groups.setdefault(r["event_type"], []).append(round(r["value"] * 100))
+    got = {
+        r["event_type"]: (r["med_cents_disc"], r["p90_cents_disc"])
+        for r in Q["agg_percentile_disc"](spark, sf_dir).collect()
+    }
+    for et, vals in groups.items():
+        vals.sort()
+        n = len(vals)
+        import math as _m
+
+        med = vals[_m.ceil(0.5 * n) - 1]
+        p90 = vals[_m.ceil(0.9 * n) - 1]
+        assert got[et] == (med, p90), (et, got[et], (med, p90))
+        assert bisect.bisect_left(vals, got[et][0]) < n  # element of group
