@@ -1145,3 +1145,67 @@ def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("p90_cents_disc"),
     )
+
+
+@query(
+    "agg_weighted_median",
+    """
+    WITH vals AS (
+        SELECT l_returnflag AS flag,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+               CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS w
+        FROM lineitem
+        GROUP BY l_returnflag, CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+    ), cum AS (
+        SELECT flag, cents, w,
+               SUM(w) OVER (PARTITION BY flag ORDER BY cents
+                            ROWS UNBOUNDED PRECEDING) AS cw,
+               SUM(w) OVER (PARTITION BY flag) AS tw
+        FROM vals
+    )
+    SELECT flag AS l_returnflag,
+           CAST(MIN(cents) AS BIGINT) AS weighted_median_cents,
+           CAST(MAX(tw) AS BIGINT) AS total_weight
+    FROM cum WHERE 2 * cw >= tw GROUP BY flag
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED median (round 5): the quantity-weighted median price
+    per return flag — the smallest value whose cumulative WEIGHT
+    reaches half the group's total. Plain percentiles treat a
+    10,000-unit line and a 1-unit line as equal observations; every
+    volume-weighted readout (VWAP-style pricing, token-weighted doc
+    stats, the mixture weights text_mixture_sample consumes) needs
+    this form, and neither engine ships it built-in — it composes from
+    the cumulative-weight definition directly.
+
+    Scale shape: aggregate to DISTINCT (group, value) first — the
+    running-weight window then runs over value cardinality, not row
+    count, and both windows share one group-hash exchange. Everything
+    stays in exact bigint cents/units: the half-total comparison is
+    `2*cum >= total`, no division, no float."""
+    li = load(spark, sf_dir, "lineitem")
+    vals = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    ).agg(F.sum(F.floor("l_quantity").cast("bigint")).cast("bigint").alias("w"))
+    w_cum = (
+        Window.partitionBy("flag")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("flag")
+    cum = vals.select(
+        "flag",
+        "cents",
+        F.sum("w").over(w_cum).alias("cw"),
+        F.sum("w").over(w_tot).alias("tw"),
+    )
+    return (
+        cum.filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy(F.col("flag").alias("l_returnflag"))
+        .agg(
+            F.min("cents").cast("bigint").alias("weighted_median_cents"),
+            F.max("tw").cast("bigint").alias("total_weight"),
+        )
+    )

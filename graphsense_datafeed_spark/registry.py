@@ -186,6 +186,7 @@ _ROUND6_NEXT_UP = (
     "scan_dynamic_partition_pruning",
     "ts_seasonality_profile",
     "agg_percentile_disc",
+    "agg_weighted_median",
 )
 
 _loaded = False

@@ -848,3 +848,28 @@ def test_percentile_disc_returns_actual_elements(spark, sf_dir):
         p90 = vals[_m.ceil(0.9 * n) - 1]
         assert got[et] == (med, p90), (et, got[et], (med, p90))
         assert bisect.bisect_left(vals, got[et][0]) < n  # element of group
+
+
+def test_weighted_median_matches_bruteforce(spark, sf_dir):
+    """The weighted median must be the smallest value whose cumulative
+    weight reaches half the total — checked against a Python scan."""
+    groups: dict = {}
+    for r in load(spark, sf_dir, "lineitem").collect():
+        cents = round(r["l_extendedprice"] * 100)
+        w = math.floor(r["l_quantity"])
+        g = groups.setdefault(r["l_returnflag"], {})
+        g[cents] = g.get(cents, 0) + w
+    want = {}
+    for flag, g in groups.items():
+        tot = sum(g.values())
+        cum = 0
+        for cents in sorted(g):
+            cum += g[cents]
+            if 2 * cum >= tot:
+                want[flag] = (cents, tot)
+                break
+    got = {
+        r["l_returnflag"]: (r["weighted_median_cents"], r["total_weight"])
+        for r in Q["agg_weighted_median"](spark, sf_dir).collect()
+    }
+    assert got == want
