@@ -1209,3 +1209,70 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("tw").cast("bigint").alias("total_weight"),
         )
     )
+
+
+@query(
+    "agg_gini_concentration",
+    """
+    WITH spend AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY o_custkey
+    ), ranked AS (
+        SELECT cents,
+               row_number() OVER (ORDER BY cents, o_custkey) AS i
+        FROM spend
+    ), s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(cents) AS BIGINT) AS total_cents,
+               CAST(SUM(i * cents) AS BIGINT) AS rank_weighted
+        FROM ranked
+    )
+    SELECT n_customers, total_cents,
+           CAST(FLOOR((2.0 * rank_weighted / (n_customers * total_cents)
+                       - (n_customers + 1.0) / n_customers) * 1000000)
+                AS BIGINT) AS gini_e6
+    FROM s
+    """,
+)
+def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend (round 5) — the
+    concentration readout profile_skew's top-10 list can't give: ONE
+    number for how unequal the whole distribution is (0 = uniform,
+    →1 = one customer is the business), the standard
+    revenue-concentration / whale-risk metric. Computed from the
+    rank-weighted identity G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over the
+    ascending-sorted per-customer totals; ties pin on (cents,
+    custkey) so the rank weighting is bit-identical in both engines,
+    and every accumulation is an exact bigint — the double enters in
+    ONE final shared expression.
+
+    The global rank is a single-partition window over the
+    per-customer AGGREGATE (|customers|, not |orders|) — the
+    documented local form; at 100 TB the same rank comes from the
+    two-pass distributed prefix rank events_concurrency_sweep
+    demonstrates (per-bucket counts → exclusive prefix offsets)."""
+    orders = load(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = Window.orderBy("cents", "o_custkey")
+    ranked = spend.select("cents", F.row_number().over(w).alias("i"))
+    s = ranked.agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+        F.sum(F.col("i") * F.col("cents")).cast("bigint").alias("rank_weighted"),
+    )
+    n = F.col("n_customers").cast("double")
+    gini = (
+        2.0 * F.col("rank_weighted") / (n * F.col("total_cents"))
+        - (n + 1.0) / n
+    )
+    return s.select(
+        "n_customers",
+        "total_cents",
+        F.floor(gini * 1000000).cast("bigint").alias("gini_e6"),
+    )

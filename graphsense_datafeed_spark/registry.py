@@ -187,6 +187,7 @@ _ROUND6_NEXT_UP = (
     "ts_seasonality_profile",
     "agg_percentile_disc",
     "agg_weighted_median",
+    "agg_gini_concentration",
 )
 
 _loaded = False

@@ -873,3 +873,19 @@ def test_weighted_median_matches_bruteforce(spark, sf_dir):
         for r in Q["agg_weighted_median"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_gini_matches_bruteforce_and_bounds(spark, sf_dir):
+    spend: dict = {}
+    for r in load(spark, sf_dir, "orders").collect():
+        spend[r["o_custkey"]] = spend.get(r["o_custkey"], 0) + round(
+            r["o_totalprice"] * 100
+        )
+    xs = [c for _, c in sorted(spend.items(), key=lambda kv: (kv[1], kv[0]))]
+    n, tot = len(xs), sum(xs)
+    iw = sum((i + 1) * x for i, x in enumerate(xs))
+    gini = 2.0 * iw / (n * tot) - (n + 1.0) / n
+    row = Q["agg_gini_concentration"](spark, sf_dir).collect()[0]
+    assert (row["n_customers"], row["total_cents"]) == (n, tot)
+    assert row["gini_e6"] == math.floor(gini * 1000000)
+    assert 0 <= row["gini_e6"] < 1000000  # bounded like a Gini must be
