@@ -1276,3 +1276,66 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_cents",
         F.floor(gini * 1000000).cast("bigint").alias("gini_e6"),
     )
+
+
+@query(
+    "agg_lorenz_deciles",
+    """
+    WITH spend AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY o_custkey
+    ), tiled AS (
+        SELECT cents,
+               ntile(10) OVER (ORDER BY cents, o_custkey) AS decile
+        FROM spend
+    ), tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS t FROM tiled)
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(cents) AS BIGINT) AS decile_cents,
+           CAST(FLOOR(SUM(cents) * 10000.0 / t) AS BIGINT) AS share_e4
+    FROM tiled CROSS JOIN tot
+    GROUP BY decile, t
+    """,
+)
+def agg_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz-curve deciles (round 5) — the distribution curve BEHIND
+    agg_gini_concentration's single number: customers ranked by spend,
+    cut into ten equal-count buckets, each bucket's share of total
+    revenue. "The top decile carries X% of revenue" is the
+    concentration statement executives and risk models actually
+    consume; the Gini is this curve's integral. Tie order pins on
+    (cents, custkey) so bucket assignment is bit-reproducible; shares
+    floor-e4 over exact bigint sums with the total riding along via a
+    1-row cross join (never a driver collect).
+
+    Same local/global split as histogram_equidepth: the NTILE runs
+    over the per-customer AGGREGATE (|customers| rows), and the
+    distributed form at 100 TB is quantile-sketch boundaries + one
+    bucketing pass."""
+    orders = load(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = Window.orderBy("cents", "o_custkey")
+    tiled = spend.select("cents", F.ntile(10).over(w).alias("decile"))
+    tot = tiled.agg(F.sum("cents").cast("bigint").alias("t"))
+    return (
+        tiled.crossJoin(F.broadcast(tot))
+        .groupBy("decile", "t")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.sum("cents").cast("bigint").alias("decile_cents"),
+        )
+        .select(
+            "decile",
+            "n_customers",
+            "decile_cents",
+            F.floor(F.col("decile_cents") * 10000.0 / F.col("t"))
+            .cast("bigint")
+            .alias("share_e4"),
+        )
+    )

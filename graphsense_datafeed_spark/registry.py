@@ -188,6 +188,7 @@ _ROUND6_NEXT_UP = (
     "agg_percentile_disc",
     "agg_weighted_median",
     "agg_gini_concentration",
+    "agg_lorenz_deciles",
 )
 
 _loaded = False

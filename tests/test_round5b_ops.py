@@ -889,3 +889,27 @@ def test_gini_matches_bruteforce_and_bounds(spark, sf_dir):
     assert (row["n_customers"], row["total_cents"]) == (n, tot)
     assert row["gini_e6"] == math.floor(gini * 1000000)
     assert 0 <= row["gini_e6"] < 1000000  # bounded like a Gini must be
+
+
+def test_lorenz_deciles_monotone_and_complete(spark, sf_dir):
+    """Shares must be monotone non-decreasing by decile (Lorenz
+    property), counts balanced, and sums recompose the total."""
+    rows = sorted(
+        Q["agg_lorenz_deciles"](spark, sf_dir).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    counts = [r["n_customers"] for r in rows]
+    assert max(counts) - min(counts) <= 1
+    cents = [r["decile_cents"] for r in rows]
+    assert cents == sorted(cents)  # ascending-rank deciles
+    spend: dict = {}
+    for r in load(spark, sf_dir, "orders").collect():
+        spend[r["o_custkey"]] = spend.get(r["o_custkey"], 0) + round(
+            r["o_totalprice"] * 100
+        )
+    assert sum(cents) == sum(spend.values())
+    assert sum(counts) == len(spend)
+    tot = sum(cents)
+    for r in rows:
+        assert r["share_e4"] == math.floor(r["decile_cents"] * 10000.0 / tot)
