@@ -822,3 +822,43 @@ def ts_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("total_cents"),
     )
+
+
+@query(
+    "agg_histogram_log2",
+    """
+    SELECT CAST(length(bin(CAST(ROUND(o_totalprice * 100) AS BIGINT)))
+                AS BIGINT) AS bucket_log2,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MIN(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS lo_cents,
+           CAST(MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS hi_cents
+    FROM orders
+    GROUP BY length(bin(CAST(ROUND(o_totalprice * 100) AS BIGINT)))
+    """,
+)
+def agg_histogram_log2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2 (doubling-bucket) histogram (round 5): order totals
+    bucketed by binary magnitude — the heavy-tail profile equi-width
+    bars flatten (one giant bar) and equi-depth boundaries obscure
+    (latency/price/size distributions live on a log axis). The bucket
+    key is the BIT LENGTH of the integer cents (floor(log2)+1),
+    computed entirely in the integer/string domain — deliberately NOT
+    floor(log2(x)) in doubles, whose last-ulp differences between the
+    JVM's and DuckDB's libm could flip a value across a bucket
+    boundary at exact powers of two. One partial-aggregated pass over
+    a ≤64-bucket key space; the same trick gives log-scaled latency
+    histograms on any metrics pipeline."""
+    orders = load(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    bucket = F.length(F.conv(cents.cast("string"), 10, 2)).cast("bigint")
+    return (
+        orders.select(cents.alias("cents"), bucket.alias("bucket_log2"))
+        .groupBy("bucket_log2")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.min("cents").cast("bigint").alias("lo_cents"),
+            F.max("cents").cast("bigint").alias("hi_cents"),
+        )
+    )

@@ -189,6 +189,7 @@ _ROUND6_NEXT_UP = (
     "agg_weighted_median",
     "agg_gini_concentration",
     "agg_lorenz_deciles",
+    "agg_histogram_log2",
 )
 
 _loaded = False

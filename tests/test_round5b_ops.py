@@ -913,3 +913,15 @@ def test_lorenz_deciles_monotone_and_complete(spark, sf_dir):
     tot = sum(cents)
     for r in rows:
         assert r["share_e4"] == math.floor(r["decile_cents"] * 10000.0 / tot)
+
+
+def test_histogram_log2_buckets_are_bit_lengths(spark, sf_dir):
+    rows = Q["agg_histogram_log2"](spark, sf_dir).collect()
+    total = 0
+    for r in rows:
+        b = r["bucket_log2"]
+        assert r["lo_cents"].bit_length() == b
+        assert r["hi_cents"].bit_length() == b
+        assert 2 ** (b - 1) <= r["lo_cents"] <= r["hi_cents"] < 2**b
+        total += r["n_orders"]
+    assert total == load(spark, sf_dir, "orders").count()
