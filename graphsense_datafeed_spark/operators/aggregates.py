@@ -1339,3 +1339,170 @@ def agg_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("share_e4"),
         )
     )
+
+
+@query(
+    "agg_ks_two_sample",
+    """
+    WITH s AS (
+        SELECT CAST(FLOOR(value * 10000) AS BIGINT) AS v_e4,
+               CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS ca,
+               CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS cb
+        FROM events WHERE event_type IN ('click', 'purchase')
+        GROUP BY 1
+    ), c AS (
+        SELECT v_e4,
+               CAST(SUM(ca) OVER w AS BIGINT) AS cum_a,
+               CAST(SUM(cb) OVER w AS BIGINT) AS cum_b,
+               CAST(SUM(ca) OVER () AS BIGINT) AS n_a,
+               CAST(SUM(cb) OVER () AS BIGINT) AS n_b
+        FROM s
+        WINDOW w AS (ORDER BY v_e4
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT CAST(MAX(n_a) AS BIGINT) AS n_a,
+           CAST(MAX(n_b) AS BIGINT) AS n_b,
+           CAST(MAX(ABS(n_b * cum_a - n_a * cum_b)) AS BIGINT) AS d_num,
+           CAST(FLOOR(CAST(MAX(ABS(n_b * cum_a - n_a * cum_b)) AS DOUBLE)
+                      / (CAST(MAX(n_a) AS DOUBLE) * CAST(MAX(n_b) AS DOUBLE))
+                      * 1000000) AS BIGINT) AS d_e6
+    FROM c
+    """,
+)
+def agg_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov D statistic (round 5 batch 6):
+    the largest gap between the empirical CDFs of 'click' and
+    'purchase' event values — the standard drift test a data-quality
+    gate runs between yesterday's and today's feature distribution
+    before a training run is allowed to consume it.
+
+    Exactness is the design: D = max|F_a(x) − F_b(x)| is evaluated in
+    PURE INTEGER arithmetic as max|n_b·cumA(x) − n_a·cumB(x)| over the
+    per-distinct-value cumulative counts (cross-multiplying denominators
+    away), so the statistic is bit-reproducible under any partition
+    order; the single double division happens ONCE on the final scalar.
+    Tie-safety falls out of aggregating to distinct v_e4 FIRST — the
+    CDF is evaluated only at atom boundaries, where it is well defined.
+
+    Scale: the value-level table is |distinct values|-sized (the same
+    reduction histogram_equidepth leans on), so the unpartitioned
+    cumulative window runs over a bounded atom table, not raw rows; at
+    100 TB the distribution is pre-binned (equi-width e4 buckets are
+    already the atoms here) and D over bins is the standard streaming
+    approximation with error ≤ bin width."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    s = ev.groupBy(
+        F.floor(F.col("value") * 10000).cast("bigint").alias("v_e4")
+    ).agg(
+        F.count_if(F.col("event_type") == "click").cast("bigint").alias("ca"),
+        F.count_if(F.col("event_type") == "purchase")
+        .cast("bigint")
+        .alias("cb"),
+    )
+    w = Window.orderBy("v_e4").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    c = s.select(
+        F.sum("ca").over(w).cast("bigint").alias("cum_a"),
+        F.sum("cb").over(w).cast("bigint").alias("cum_b"),
+        F.sum("ca").over(wall).cast("bigint").alias("n_a"),
+        F.sum("cb").over(wall).cast("bigint").alias("n_b"),
+    )
+    gap = F.abs(F.col("n_b") * F.col("cum_a") - F.col("n_a") * F.col("cum_b"))
+    return c.agg(
+        F.max("n_a").cast("bigint").alias("n_a"),
+        F.max("n_b").cast("bigint").alias("n_b"),
+        F.max(gap).cast("bigint").alias("d_num"),
+        F.floor(
+            F.max(gap).cast("double")
+            / (F.max("n_a").cast("double") * F.max("n_b").cast("double"))
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("d_e6"),
+    )
+
+
+@query(
+    "agg_chi_square",
+    """
+    WITH obs AS (
+        SELECT event_type, dayofweek(ts) AS dow,
+               CAST(COUNT(*) AS BIGINT) AS o
+        FROM events GROUP BY 1, 2
+    ), m AS (
+        SELECT event_type, dow, o,
+               CAST(SUM(o) OVER (PARTITION BY event_type) AS BIGINT) AS rm,
+               CAST(SUM(o) OVER (PARTITION BY dow) AS BIGINT) AS cm,
+               CAST(SUM(o) OVER () AS BIGINT) AS n
+        FROM obs
+    ), cells AS (
+        SELECT event_type, dow, o,
+               CAST(FLOOR(CAST(rm AS DOUBLE) * CAST(cm AS DOUBLE)
+                          / CAST(n AS DOUBLE) * 10000) AS BIGINT)
+                   AS expected_e4,
+               CAST(FLOOR(
+                   (CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
+                    - CAST(rm AS DOUBLE) * CAST(cm AS DOUBLE))
+                   * (CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
+                      - CAST(rm AS DOUBLE) * CAST(cm AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(rm AS DOUBLE)
+                      * CAST(cm AS DOUBLE))
+                   * 1000000) AS BIGINT) AS term_e6
+        FROM m
+    )
+    SELECT event_type, dow, o, expected_e4, term_e6,
+           CAST(SUM(term_e6) OVER () AS BIGINT) AS chi2_sum_e6
+    FROM cells
+    """,
+)
+def agg_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test over the event_type × day-of-week
+    contingency table (round 5 batch 6) — "is behavior independent of
+    weekday?", the categorical-drift analogue of agg_ks_two_sample.
+    Emits every cell with its observed count, floor-e4 expectation,
+    floor-e6 χ² contribution, and the grand χ² alongside so one scan
+    serves both the verdict and the which-cell-drove-it diagnosis.
+
+    Determinism: margins are exact bigint sums over the CELL table;
+    each cell's (o·n − rm·cm)²/(n·rm·cm) is one double expression both
+    engines evaluate identically, floored to e6 BEFORE the order-free
+    bigint total. The numerator is differenced and squared in doubles
+    deliberately — at 100 TB row counts (o·n − rm·cm)² overflows
+    bigint, while the double path loses only last-ulp bits that the
+    e6 floor absorbs everywhere except a measure-zero boundary.
+
+    Scale: one map-side-combinable count agg to |types|×7 cells, then
+    margin windows over that tiny table — nothing after the first agg
+    touches row-scale data. Day-of-week parity: Spark dayofweek() is
+    1=Sunday, DuckDB's is 0=Sunday; the Spark side subtracts 1."""
+    ev = load(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "event_type", (F.dayofweek("ts") - 1).cast("bigint").alias("dow")
+    ).agg(F.count("*").cast("bigint").alias("o"))
+    m = obs.select(
+        "event_type",
+        "dow",
+        "o",
+        F.sum("o").over(Window.partitionBy("event_type")).cast("bigint").alias("rm"),
+        F.sum("o").over(Window.partitionBy("dow")).cast("bigint").alias("cm"),
+        F.sum("o").over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    diff = d("o") * d("n") - d("rm") * d("cm")
+    cells = m.select(
+        "event_type",
+        "dow",
+        "o",
+        F.floor(d("rm") * d("cm") / d("n") * 10000)
+        .cast("bigint")
+        .alias("expected_e4"),
+        F.floor(diff * diff / (d("n") * d("rm") * d("cm")) * 1000000)
+        .cast("bigint")
+        .alias("term_e6"),
+    )
+    return cells.withColumn(
+        "chi2_sum_e6",
+        F.sum("term_e6").over(Window.partitionBy()).cast("bigint"),
+    )

@@ -600,3 +600,58 @@ def join_scd_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tape.filter(F.col("is_probe") == 1).select(
         "user_id", F.col("ts").alias("hour_ts"), "type_asof"
     )
+
+
+@query(
+    "anon_l_diversity",
+    """
+    WITH g AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS group_n,
+               CAST(COUNT(DISTINCT
+                    CAST(FLOOR(c_acctbal / 1000) AS BIGINT)) AS BIGINT)
+                   AS l_sensitive
+        FROM customer GROUP BY 1, 2
+    )
+    SELECT CAST(c_nationkey AS BIGINT) AS nat_q, c_mktsegment AS seg_q,
+           group_n, l_sensitive,
+           (group_n >= 10 AND l_sensitive >= 3) AS releasable
+    FROM g
+    """,
+)
+def anon_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (round 5 batch 6) — the privacy check
+    k-anonymity alone fails: a quasi-identifier group can be large
+    (k ≥ 10) yet still leak if every member shares one sensitive
+    value (the classic homogeneity attack — 'all 12 people in that
+    ZIP+age bucket have the same diagnosis'). Each
+    (nation, segment) group is scored by size AND by the number of
+    DISTINCT sensitive-attribute classes it contains (account-balance
+    bands as the sensitive column); releasable = k ≥ 10 ∧ l ≥ 3,
+    complementing anon_k_suppress's row-level suppression with the
+    group-level release decision an anonymization pipeline actually
+    gates on.
+
+    One groupBy with a conditional distinct (the agg_count_if_distinct
+    expand rewrite — one exchange for count + distinct together);
+    bands floor-quantize in exact integer domain. Scale: group-keyed
+    partial agg; the sensitive-class NDV per group is bounded by the
+    band count, so distinct state never grows past it."""
+    c = load(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / 1000).cast("bigint")
+    g = c.groupBy(
+        F.col("c_nationkey").cast("bigint").alias("nat_q"),
+        F.col("c_mktsegment").alias("seg_q"),
+    ).agg(
+        F.count("*").cast("bigint").alias("group_n"),
+        F.countDistinct(band).cast("bigint").alias("l_sensitive"),
+    )
+    return g.select(
+        "nat_q",
+        "seg_q",
+        "group_n",
+        "l_sensitive",
+        ((F.col("group_n") >= 10) & (F.col("l_sensitive") >= 3)).alias(
+            "releasable"
+        ),
+    )

@@ -1372,3 +1372,320 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         oov.cast("bigint").alias("n_oov"),
         F.floor(oov * 10000.0 / F.count("*")).cast("bigint").alias("oov_e4"),
     )
+
+
+@query(
+    "text_dsir_weights",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents
+    ), raw_counts AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS cr FROM toks GROUP BY token
+    ), tgt_counts AS (
+        SELECT t.token, CAST(COUNT(*) AS BIGINT) AS ct
+        FROM toks t JOIN documents d USING (doc_id)
+        WHERE d.lang = 'en' GROUP BY t.token
+    ), scal AS (
+        SELECT (SELECT CAST(SUM(cr) AS DOUBLE) FROM raw_counts) AS nr,
+               (SELECT CAST(COALESCE(SUM(ct), 0) AS DOUBLE)
+                FROM tgt_counts) AS nt,
+               (SELECT CAST(COUNT(*) AS DOUBLE) FROM raw_counts) AS v
+    ), lm AS (
+        SELECT r.token,
+               CAST(FLOOR((ln((CAST(COALESCE(t.ct, 0) AS DOUBLE) + 1.0)
+                              / (s.nt + s.v))
+                           - ln(CAST(r.cr AS DOUBLE) / s.nr))
+                          * 1000000) AS BIGINT) AS w_e6
+        FROM raw_counts r LEFT JOIN tgt_counts t USING (token), scal s
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(l.w_e6) AS BIGINT) AS logw_sum_e6,
+           CAST(FLOOR(CAST(SUM(l.w_e6) AS DOUBLE) / COUNT(*)) AS BIGINT)
+               AS avg_logw_e6
+    FROM toks t JOIN lm l USING (token)
+    GROUP BY t.doc_id
+    """,
+)
+def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (round 5 batch 6) — Data Selection via
+    Importance Resampling (Xie et al., NeurIPS'23): score every
+    document by how much more likely its tokens are under a TARGET
+    domain LM (here the corpus's English slice) than under the raw
+    corpus LM; log w(doc) = Σ_tok [ln p_target − ln p_raw]. Sampling
+    proportional to exp(log w) is how a 100 TB crawl is tilted toward
+    a quality domain without training a classifier — the natural next
+    rung after text_unigram_logprob's single-LM perplexity gate.
+
+    Add-1 smoothing over the CORPUS vocabulary keeps p_target finite
+    for tokens the target slice never saw. Determinism is the
+    unigram-logprob discipline: each vocab entry's log-ratio is
+    floored to e6 ONCE, per-doc aggregation then runs in exact bigint
+    — no order-dependent float folds; the three LM normalizers are
+    bounded scalars (vocab-level aggregates, collected once like the
+    unigram LM's).
+
+    Scale: two token-count aggs (map-side combinable), a vocab-sized
+    LEFT join to build the weight table (broadcast), one doc-keyed
+    agg. The weight table is the persistable artifact — re-tilting
+    with a new target re-uses the raw counts untouched."""
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.explode(F.split("text", " ")).alias("token"),
+    )
+    raw = toks.groupBy("token").agg(F.count("*").cast("bigint").alias("cr"))
+    tgt = (
+        toks.filter(F.col("lang") == "en")
+        .groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("ct"))
+    )
+    n_raw = float(toks.count())
+    n_tgt = float(toks.filter(F.col("lang") == "en").count())
+    vocab = float(raw.count())
+    lm = raw.join(tgt, "token", "left").select(
+        "token",
+        F.floor(
+            (
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)).cast("double") + 1.0)
+                    / F.lit(n_tgt + vocab)
+                )
+                - F.log(F.col("cr").cast("double") / F.lit(n_raw))
+            )
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("w_e6"),
+    )
+    return (
+        toks.join(F.broadcast(lm), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum("w_e6").cast("bigint").alias("logw_sum_e6"),
+            F.floor(F.sum("w_e6").cast("double") / F.count("*"))
+            .cast("bigint")
+            .alias("avg_logw_e6"),
+        )
+    )
+
+
+@query(
+    "bpe_merge_apply",
+    """
+    WITH words AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT unnest(str_split(text, ' ')) AS w FROM documents)
+        WHERE w <> '' GROUP BY w
+    ), top_pair AS (
+        SELECT pair FROM (
+            SELECT substr(w, CAST(i AS INT), 2) AS pair, SUM(n) AS c
+            FROM (SELECT w, n, unnest(range(1, len(w))) AS i
+                  FROM words WHERE len(w) >= 2)
+            GROUP BY 1 ORDER BY c DESC, pair LIMIT 1
+        )
+    ), merged AS (
+        SELECT replace(w, (SELECT pair FROM top_pair), chr(1)) AS w, n
+        FROM words
+    ), pairs2 AS (
+        SELECT substr(w, CAST(i AS INT), 2) AS p2, n
+        FROM (SELECT w, n, unnest(range(1, len(w))) AS i
+              FROM merged WHERE len(w) >= 2)
+    )
+    SELECT replace(p2, chr(1),
+                   '(' || (SELECT pair FROM top_pair) || ')') AS pair,
+           CAST(SUM(n) AS BIGINT) AS merge_count
+    FROM pairs2 GROUP BY 1
+    ORDER BY merge_count DESC, pair
+    LIMIT 20
+    """,
+)
+def bpe_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second BPE training iteration (round 5 batch 6): take
+    bpe_pair_counts' argmax pair, MERGE it into a single symbol across
+    the weighted vocabulary, and recount adjacent-symbol pairs — the
+    inductive step that, iterated, learns the whole merge table. The
+    merged symbol is a 1-byte sentinel (chr(1), collision-free against
+    the corpus alphabet), so the next-level symbols stay fixed-width
+    and pair extraction stays the same substring transform; output
+    pairs render the sentinel back as '(ab)'.
+
+    The greedy left-to-right non-overlap semantics BPE specifies is
+    EXACTLY what string replace() does on both engines ('aaa' under
+    merge 'aa' → '<m>a', never 'a<m>'), which is why the merge is a
+    plain replace and not a regex. The winning pair joins in as a
+    broadcast 1-row table — no driver round-trip; the whole iteration
+    stays the vocab-sized Zipf reduction of bpe_pair_counts (corpus
+    touched zero times here), which is what makes 50k-merge training
+    runs feasible at 100 TB.
+
+    Ties at the argmax pin on (count desc, pair) — both engines pick
+    the same winner by construction."""
+    docs = load(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    pair_of = lambda df: df.filter(F.length("w") >= 2).select(  # noqa: E731
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "n",
+    )
+    top = (
+        pair_of(words)
+        .groupBy("pair")
+        .agg(F.sum("n").alias("c"))
+        .orderBy(F.col("c").desc(), "pair")
+        .limit(1)
+        .select(F.col("pair").alias("mp"))
+    )
+    merged = words.crossJoin(F.broadcast(top)).select(
+        F.replace(F.col("w"), F.col("mp"), F.lit("\x01")).alias("w"),
+        "n",
+        "mp",
+    )
+    pairs2 = merged.filter(F.length("w") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("p2"),
+        "n",
+        "mp",
+    )
+    return (
+        pairs2.groupBy(
+            F.replace(
+                F.col("p2"),
+                F.lit("\x01"),
+                F.concat(F.lit("("), F.col("mp"), F.lit(")")),
+            ).alias("pair")
+        )
+        .agg(F.sum("n").cast("bigint").alias("merge_count"))
+        .orderBy(F.col("merge_count").desc(), "pair")
+        .limit(20)
+    )
+
+
+@query(
+    "text_gopher_rules",
+    f"""
+    WITH g AS (
+        SELECT doc_id,
+               str_split(text, ' ') AS ws,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(length(replace(text, ' ', '')) -
+                    length(regexp_replace(replace(text, ' ', ''),
+                                          '[a-z]', '', 'g')) AS BIGINT)
+                   AS n_alpha
+        FROM documents
+    ), m AS (
+        SELECT doc_id,
+               CAST(len(ws) AS BIGINT) AS n_words,
+               CAST(FLOOR(CAST(n_chars - len(ws) + 1 AS DOUBLE)
+                          / len(ws) * 100) AS BIGINT) AS avg_wlen_e2,
+               CAST(FLOOR((1.0 - CAST(n_alpha AS DOUBLE)
+                                 / CAST(n_chars - len(ws) + 1 AS DOUBLE))
+                          * 10000) AS BIGINT) AS symbol_ratio_e4,
+               CAST(FLOOR(CAST(len(list_filter(ws,
+                        w -> regexp_matches(w, '^[a-z]+$'))) AS DOUBLE)
+                        / len(ws) * 10000) AS BIGINT) AS alpha_word_e4,
+               CAST(len(list_filter(ws,
+                        w -> list_contains({list(_STOPWORDS)}, w)))
+                    AS BIGINT) AS n_stop
+        FROM g
+    )
+    SELECT doc_id, n_words, avg_wlen_e2, symbol_ratio_e4, alpha_word_e4,
+           n_stop,
+           CAST(CASE WHEN n_words BETWEEN 10 AND 5000 THEN 1 ELSE 0 END
+              + CASE WHEN avg_wlen_e2 BETWEEN 300 AND 1000 THEN 2 ELSE 0 END
+              + CASE WHEN symbol_ratio_e4 <= 1000 THEN 4 ELSE 0 END
+              + CASE WHEN alpha_word_e4 >= 8000 THEN 8 ELSE 0 END
+              + CASE WHEN n_stop >= 2 THEN 16 ELSE 0 END AS BIGINT)
+               AS rules_mask,
+           (n_words BETWEEN 10 AND 5000
+            AND avg_wlen_e2 BETWEEN 300 AND 1000
+            AND symbol_ratio_e4 <= 1000
+            AND alpha_word_e4 >= 8000
+            AND n_stop >= 2) AS passes
+    FROM m
+    """,
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality rule bundle (round 5 batch 6) — the Rae et
+    al. 2021 heuristic battery as ONE narrow projection: word-count
+    bounds, mean-word-length band (3.00–10.00), symbol-to-character
+    ratio cap, alphabetic-word fraction floor, and a ≥2-stopword
+    function-word check. Emits every sub-metric PLUS a bitmask of
+    which rules passed — the mask is what corpus triage dashboards
+    facet on ('which rule kills most of source X?'), where
+    text_quality's single gate only says yes/no.
+
+    Parity choices that keep it exact: mean word length counts
+    NON-SPACE characters ((n_chars − n_words + 1)/n_words — spaces are
+    separators, not word mass); the symbol ratio is 1 − alpha/nonspace
+    with both counts integer before the one floored division; the
+    alphabetic-word test is the same anchored regex on both engines.
+    All per-row, zero shuffles — at 100 TB this runs as a scan-fused
+    filter in the same stage as the tokenizer that follows it."""
+    d = load(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    n_words = F.size(ws).cast("bigint")
+    n_chars = F.length("text").cast("bigint")
+    nonspace = n_chars - n_words + 1
+    n_alpha = (
+        F.length(F.regexp_replace(F.regexp_replace("text", " ", ""), "[^a-z]", ""))
+    ).cast("bigint")
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    m = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.floor(nonspace.cast("double") / n_words * 100)
+        .cast("bigint")
+        .alias("avg_wlen_e2"),
+        F.floor(
+            (1.0 - n_alpha.cast("double") / nonspace.cast("double")) * 10000
+        )
+        .cast("bigint")
+        .alias("symbol_ratio_e4"),
+        F.floor(
+            F.size(F.filter(ws, lambda w: w.rlike("^[a-z]+$"))).cast("double")
+            / n_words
+            * 10000
+        )
+        .cast("bigint")
+        .alias("alpha_word_e4"),
+        F.size(F.filter(ws, lambda w: F.array_contains(stop_arr, w)))
+        .cast("bigint")
+        .alias("n_stop"),
+    )
+    r1 = F.col("n_words").between(10, 5000)
+    r2 = F.col("avg_wlen_e2").between(300, 1000)
+    r3 = F.col("symbol_ratio_e4") <= 1000
+    r4 = F.col("alpha_word_e4") >= 8000
+    r5 = F.col("n_stop") >= 2
+    mask = (
+        r1.cast("bigint")
+        + r2.cast("bigint") * 2
+        + r3.cast("bigint") * 4
+        + r4.cast("bigint") * 8
+        + r5.cast("bigint") * 16
+    )
+    return m.select(
+        "doc_id",
+        "n_words",
+        "avg_wlen_e2",
+        "symbol_ratio_e4",
+        "alpha_word_e4",
+        "n_stop",
+        mask.cast("bigint").alias("rules_mask"),
+        (r1 & r2 & r3 & r4 & r5).alias("passes"),
+    )

@@ -862,3 +862,284 @@ def agg_histogram_log2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cents").cast("bigint").alias("hi_cents"),
         )
     )
+
+
+@query(
+    "ts_acf",
+    """
+    WITH base AS (
+        SELECT event_type,
+               CAST(FLOOR(value * 100) AS BIGINT) AS v,
+               lag(CAST(FLOOR(value * 100) AS BIGINT), 1) OVER w AS y1,
+               lag(CAST(FLOOR(value * 100) AS BIGINT), 2) OVER w AS y2,
+               lag(CAST(FLOOR(value * 100) AS BIGINT), 3) OVER w AS y3
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    ), pairs AS (
+        SELECT event_type, CAST(1 AS BIGINT) AS lag_k, v AS x, y1 AS y
+        FROM base WHERE y1 IS NOT NULL
+        UNION ALL
+        SELECT event_type, 2, v, y2 FROM base WHERE y2 IS NOT NULL
+        UNION ALL
+        SELECT event_type, 3, v, y3 FROM base WHERE y3 IS NOT NULL
+    ), stats AS (
+        SELECT event_type, lag_k,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM pairs GROUP BY 1, 2
+    )
+    SELECT event_type, lag_k, n,
+           CAST(FLOOR(
+               (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+               * 1000000) AS BIGINT) AS acf_e6
+    FROM stats
+    """,
+)
+def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function at lags 1–3 per series (round 5 batch
+    6): Pearson correlation between each series and its own k-step-
+    lagged self — THE seasonality/memory probe run before choosing a
+    forecasting model (flat ACF → don't bother with AR terms;
+    ts_seasonality_profile shows WHERE the cycle is, this shows HOW
+    MUCH of the variance it explains).
+
+    Determinism is agg_corr_exact's discipline applied per (series,
+    lag): the five sufficient statistics are EXACT bigint sums of
+    floor-e2 encodings (order-free, merge-safe — v² ≤ 1.1e9 keeps Σx²
+    under bigint far past 1e9 rows per series), and the Pearson
+    formula runs ONCE per output row in IEEE64 both engines evaluate
+    identically. The three lag columns ride ONE window (shared
+    exchange + sort); the lag-stack explode is narrow.
+
+    Scale: one exchange on event_type, one in-partition sort, then a
+    35-row aggregate — series parallelize across executors; at 100 TB
+    the sort runs per (series, day-bucket) with k rows of overlap
+    carried across bucket edges (the standard frame-overlap split)."""
+    ev = load(spark, sf_dir, "events")
+    v = F.floor(F.col("value") * 100).cast("bigint")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    base = ev.select(
+        "event_type",
+        v.alias("v"),
+        F.lag(v, 1).over(w).alias("y1"),
+        F.lag(v, 2).over(w).alias("y2"),
+        F.lag(v, 3).over(w).alias("y3"),
+    )
+    pairs = base.select(
+        "event_type",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).cast("bigint").alias("lag_k"),
+                        F.col("v").alias("x"),
+                        F.col(f"y{k}").alias("y"),
+                    )
+                    for k in (1, 2, 3)
+                ]
+            )
+        ).alias("p"),
+    ).select("event_type", "p.lag_k", "p.x", "p.y").filter(
+        F.col("y").isNotNull()
+    )
+    stats = pairs.groupBy("event_type", "lag_k").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    num = d("n") * d("sxy") - d("sx") * d("sy")
+    den = F.sqrt(
+        (d("n") * d("sxx") - d("sx") * d("sx"))
+        * (d("n") * d("syy") - d("sy") * d("sy"))
+    )
+    return stats.select(
+        "event_type",
+        "lag_k",
+        "n",
+        F.floor(num / den * 1000000).cast("bigint").alias("acf_e6"),
+    )
+
+
+@query(
+    "events_attribution",
+    """
+    WITH keyed AS (
+        SELECT event_id, user_id, ts, event_type,
+               max(CASE WHEN event_type <> 'purchase' THEN
+                     lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || '|' ||
+                     lpad(CAST(event_id AS VARCHAR), 12, '0') || '|' ||
+                     event_type
+                   END) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS touch
+        FROM events
+    )
+    SELECT event_id AS purchase_id, user_id,
+           CAST(substr(touch, 22, 12) AS BIGINT) AS touch_id,
+           substr(touch, 35) AS touch_type,
+           CAST(epoch_us(ts) - CAST(substr(touch, 1, 20) AS BIGINT)
+                AS BIGINT) AS gap_us
+    FROM keyed
+    WHERE event_type = 'purchase' AND touch IS NOT NULL
+    """,
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution (round 5 batch 6): every purchase is
+    credited to the user's most recent PRECEDING non-purchase event —
+    the marketing-analytics join ("which click/view gets the
+    conversion credit?") that a naive as-of join can't express because
+    the match predicate excludes the fact table's own event class.
+
+    The conditional-last-in-window trick: encode each candidate touch
+    as a fixed-width zero-padded sortable string
+    (epoch_us‖event_id‖type), take MAX(CASE WHEN eligible) over the
+    UNBOUNDED..1 PRECEDING frame — byte-wise string max over ASCII
+    digits IS chronological max on both engines, ties broken by the
+    unique id, and the frame-end excludes self-attribution. One window
+    per user; decode by substring afterwards.
+
+    Scale: one exchange on user_id + in-partition sort shared with
+    every other per-user window; the carried state is ONE string per
+    row. At 100 TB this is the streaming `last eligible event per key`
+    state (stream_stateful's shape) — the batch window is its replay."""
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    key = F.concat(
+        F.lpad(us.cast("string"), 20, "0"),
+        F.lit("|"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+        F.lit("|"),
+        F.col("event_type"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    keyed = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        us.alias("us"),
+        F.max(F.when(F.col("event_type") != "purchase", key)).over(w).alias(
+            "touch"
+        ),
+    )
+    return keyed.filter(
+        (F.col("event_type") == "purchase") & F.col("touch").isNotNull()
+    ).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.substring("touch", 22, 12).cast("bigint").alias("touch_id"),
+        F.substring("touch", 35, 100).alias("touch_type"),
+        (F.col("us") - F.substring("touch", 1, 20).cast("bigint"))
+        .cast("bigint")
+        .alias("gap_us"),
+    )
+
+
+@query(
+    "events_rfm_segment",
+    """
+    WITH p AS (
+        SELECT user_id,
+               CAST(MAX(ts) AS DATE) AS last_d,
+               CAST(COUNT(*) AS BIGINT) AS f,
+               CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+                   AS m_cents
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ), anch AS (
+        SELECT MAX(last_d) AS anchor FROM p
+    ), rfm AS (
+        SELECT user_id,
+               CAST(date_diff('day', last_d, (SELECT anchor FROM anch))
+                    AS BIGINT) AS r_days,
+               f, m_cents,
+               CAST(ntile(4) OVER (ORDER BY
+                    date_diff('day', last_d, (SELECT anchor FROM anch)),
+                    user_id) AS BIGINT) AS r_q,
+               CAST(ntile(4) OVER (ORDER BY f, user_id) AS BIGINT) AS f_q,
+               CAST(ntile(4) OVER (ORDER BY m_cents, user_id) AS BIGINT)
+                   AS m_q
+        FROM p
+    )
+    SELECT user_id, r_days, f, m_cents, r_q, f_q, m_q,
+           CAST(r_q * 100 + f_q * 10 + m_q AS BIGINT) AS rfm_code
+    FROM rfm
+    """,
+)
+def events_rfm_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (round 5 batch 6): per-user Recency (days since
+    last purchase, anchored to the corpus's own latest purchase date
+    so the query is reproducible), Frequency (purchase count) and
+    Monetary (exact cent sum), each cut into quartiles — the classic
+    customer-value grid (r_q=4,f_q=4,m_q=4 ≈ churned whales) that CRM
+    scoring, win-back targeting and LTV models all start from.
+
+    Determinism: cents are floored per event THEN bigint-summed;
+    every NTILE rides a (metric, user_id) total order; the anchor date
+    is a 1-row broadcast, never a driver collect. Three global NTILEs
+    = three sorts over the per-user AGGREGATE (|users| rows, the same
+    local/global split as agg_lorenz_deciles — at 100 TB swap each for
+    approx-quantile boundaries + one bucketing pass)."""
+    p = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max("ts").cast("date").alias("last_d"),
+            F.count("*").cast("bigint").alias("f"),
+            F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("m_cents"),
+        )
+    )
+    anch = p.agg(F.max("last_d").alias("anchor"))
+    rfm = (
+        p.crossJoin(F.broadcast(anch))
+        .withColumn("r_days", F.datediff("anchor", "last_d").cast("bigint"))
+        .select(
+            "user_id",
+            "r_days",
+            "f",
+            "m_cents",
+            F.ntile(4)
+            .over(Window.orderBy("r_days", "user_id"))
+            .cast("bigint")
+            .alias("r_q"),
+            F.ntile(4)
+            .over(Window.orderBy("f", "user_id"))
+            .cast("bigint")
+            .alias("f_q"),
+            F.ntile(4)
+            .over(Window.orderBy("m_cents", "user_id"))
+            .cast("bigint")
+            .alias("m_q"),
+        )
+    )
+    return rfm.select(
+        "user_id",
+        "r_days",
+        "f",
+        "m_cents",
+        "r_q",
+        "f_q",
+        "m_q",
+        (F.col("r_q") * 100 + F.col("f_q") * 10 + F.col("m_q"))
+        .cast("bigint")
+        .alias("rfm_code"),
+    )

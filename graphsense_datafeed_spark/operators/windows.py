@@ -342,3 +342,57 @@ def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
         F.nth_value("o_orderkey", 3).over(w).alias("third_order"),
     )
+
+
+@query(
+    "win_moving_median",
+    """
+    SELECT event_id, event_type,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_window,
+           CAST(FLOOR(median(CAST(FLOOR(value * 10000) AS BIGINT)) OVER w
+                      * 10) AS BIGINT) AS med_e5
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                 ROWS BETWEEN 10 PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 11-row moving MEDIAN of each series' value (round 5
+    batch 6) — the robust smoother win_moving_avg is not: one spike in
+    the frame shifts the mean by spike/11 but leaves the median
+    untouched, which is why despiking pipelines median-filter first
+    (ts_outlier_mad is the same robustness idea as a global gate; this
+    is its sliding form).
+
+    Determinism: the frame contents are pinned by the (ts, event_id)
+    total order; values enter as floor-e4 bigints, and the only double
+    is the even-count midpoint average (a+b)/2 of two bigints — exact
+    in IEEE64 far past this domain — floored at e5 to keep the .5
+    midpoints integral. Spark refuses ordered-aggregate median over a
+    moving frame (INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC), so the
+    frame is materialized with collect_list — bounded at 11 elements
+    by construction — sorted, and the midpoint read by index: the
+    median from its definition, identical to DuckDB's frame median.
+
+    Scale: per-series window sort, same exchange discipline as every
+    ROWS frame here; the per-row array is O(k) state, fine at k=11
+    (documented: for k in the thousands, switch to the two-heap
+    applyInPandas form rather than ever growing this buffer)."""
+    ev = load(spark, sf_dir, "events")
+    v = F.floor(F.col("value") * 10000).cast("bigint")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-10, 0)
+    )
+    arr = F.array_sort(F.collect_list(v).over(w))
+    n = F.size(arr)
+    mid_lo = F.element_at(arr, F.floor((n + 1) / 2).cast("int"))
+    mid_hi = F.element_at(arr, F.ceil((n + 1) / 2).cast("int"))
+    med = (mid_lo + mid_hi).cast("double") / 2.0
+    return ev.select(
+        "event_id",
+        "event_type",
+        n.cast("bigint").alias("n_window"),
+        F.floor(med * 10).cast("bigint").alias("med_e5"),
+    )

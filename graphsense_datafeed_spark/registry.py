@@ -190,6 +190,16 @@ _ROUND6_NEXT_UP = (
     "agg_gini_concentration",
     "agg_lorenz_deciles",
     "agg_histogram_log2",
+    "agg_ks_two_sample",
+    "agg_chi_square",
+    "win_moving_median",
+    "ts_acf",
+    "events_attribution",
+    "events_rfm_segment",
+    "text_dsir_weights",
+    "bpe_merge_apply",
+    "text_gopher_rules",
+    "anon_l_diversity",
 )
 
 _loaded = False

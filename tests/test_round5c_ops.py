@@ -1,0 +1,318 @@
+"""Semantic checks for the round-5 batch-6 operators — brute-force
+Python referees for the properties the parity hash can't express (the
+hash proves Spark≡DuckDB; these prove both mean what the operator
+claims)."""
+
+import math
+
+import pyspark.sql.functions as F
+
+from graphsense_datafeed_spark import registry
+from graphsense_datafeed_spark.sources.tables import load
+
+registry.load_all_operators()
+Q = registry.QUERIES
+
+
+def test_ks_two_sample_matches_bruteforce(spark, sf_dir):
+    """D_num must equal max|n_b·cumA − n_a·cumB| over the merged
+    support, computed independently in Python."""
+    rows = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select("event_type", "value")
+        .collect()
+    )
+    a = sorted(math.floor(r["value"] * 10000) for r in rows if r["event_type"] == "click")
+    b = sorted(math.floor(r["value"] * 10000) for r in rows if r["event_type"] == "purchase")
+    support = sorted(set(a) | set(b))
+    import bisect
+
+    d_num = max(
+        abs(len(b) * bisect.bisect_right(a, x) - len(a) * bisect.bisect_right(b, x))
+        for x in support
+    )
+    got = Q["agg_ks_two_sample"](spark, sf_dir).collect()[0]
+    assert got["n_a"] == len(a) and got["n_b"] == len(b)
+    assert got["d_num"] == d_num
+    assert got["d_e6"] == math.floor(d_num / (len(a) * len(b)) * 1_000_000)
+
+
+def test_chi_square_matches_bruteforce(spark, sf_dir):
+    """Every cell's floor-e6 χ² term and the grand total must match a
+    contingency table built in plain Python."""
+    rows = (
+        load(spark, sf_dir, "events")
+        .select("event_type", (F.dayofweek("ts") - 1).alias("dow"))
+        .collect()
+    )
+    obs: dict[tuple, int] = {}
+    for r in rows:
+        obs[(r["event_type"], r["dow"])] = obs.get((r["event_type"], r["dow"]), 0) + 1
+    n = sum(obs.values())
+    rm = {}
+    cm = {}
+    for (et, dw), o in obs.items():
+        rm[et] = rm.get(et, 0) + o
+        cm[dw] = cm.get(dw, 0) + o
+    want = {}
+    for (et, dw), o in obs.items():
+        diff = o * n - rm[et] * cm[dw]
+        want[(et, dw)] = math.floor(diff * diff / (n * rm[et] * cm[dw]) * 1_000_000)
+    got = Q["agg_chi_square"](spark, sf_dir).collect()
+    assert len(got) == len(obs)
+    total = sum(want.values())
+    for r in got:
+        key = (r["event_type"], r["dow"])
+        assert r["o"] == obs[key]
+        assert r["term_e6"] == want[key]
+        assert r["chi2_sum_e6"] == total
+
+
+def test_moving_median_matches_bruteforce(spark, sf_dir):
+    """Trailing 11-row median per series must equal the sorted-frame
+    midpoint replayed in Python."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("event_id", "event_type", "ts", "value")
+        .collect()
+    )
+    series: dict[str, list] = {}
+    for r in sorted(ev, key=lambda r: (r["ts"], r["event_id"])):
+        series.setdefault(r["event_type"], []).append(
+            (r["event_id"], math.floor(r["value"] * 10000))
+        )
+    want = {}
+    for et, items in series.items():
+        vals = [v for _, v in items]
+        for i, (eid, _) in enumerate(items):
+            frame = sorted(vals[max(0, i - 10) : i + 1])
+            k = len(frame)
+            lo = frame[(k + 1) // 2 - 1]
+            hi = frame[-(-(k + 1) // 2) - 1]
+            want[eid] = (k, math.floor((lo + hi) / 2.0 * 10))
+    got = Q["win_moving_median"](spark, sf_dir).collect()
+    assert len(got) == len(want)
+    for r in got:
+        assert (r["n_window"], r["med_e5"]) == want[r["event_id"]]
+
+
+def test_acf_matches_bruteforce(spark, sf_dir):
+    """Per-(series, lag) Pearson over the lagged pairs, replayed in
+    exact Python integers + one float formula."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", "value"
+    ).collect()
+    series: dict[str, list[int]] = {}
+    for r in sorted(ev, key=lambda r: (r["ts"], r["event_id"])):
+        series.setdefault(r["event_type"], []).append(math.floor(r["value"] * 100))
+    want = {}
+    for et, xs in series.items():
+        for k in (1, 2, 3):
+            pairs = [(xs[i], xs[i - k]) for i in range(k, len(xs))]
+            n = len(pairs)
+            sx = sum(x for x, _ in pairs)
+            sy = sum(y for _, y in pairs)
+            sxy = sum(x * y for x, y in pairs)
+            sxx = sum(x * x for x, _ in pairs)
+            syy = sum(y * y for _, y in pairs)
+            num = float(n) * float(sxy) - float(sx) * float(sy)
+            den = math.sqrt(
+                (float(n) * float(sxx) - float(sx) * float(sx))
+                * (float(n) * float(syy) - float(sy) * float(sy))
+            )
+            want[(et, k)] = (n, math.floor(num / den * 1_000_000))
+    got = Q["ts_acf"](spark, sf_dir).collect()
+    assert len(got) == len(want)
+    for r in got:
+        assert (r["n"], r["acf_e6"]) == want[(r["event_type"], r["lag_k"])]
+    # sanity: autocorrelation is a correlation — bounded
+    assert all(-1_000_000 <= r["acf_e6"] <= 1_000_000 for r in got)
+
+
+def test_attribution_matches_bruteforce(spark, sf_dir):
+    """Replaying each user's event stream in Python must assign every
+    purchase the same last eligible touch."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    ).collect()
+    by_user: dict[int, list] = {}
+    for r in sorted(ev, key=lambda r: (r["ts"], r["event_id"])):
+        by_user.setdefault(r["user_id"], []).append(r)
+    want = {}
+    for uid, items in by_user.items():
+        last_touch = None
+        for r in items:
+            if r["event_type"] == "purchase" and last_touch is not None:
+                delta = r["ts"] - last_touch["ts"]
+                gap = (
+                    delta.days * 86_400 + delta.seconds
+                ) * 1_000_000 + delta.microseconds
+                want[r["event_id"]] = (
+                    last_touch["event_id"],
+                    last_touch["event_type"],
+                    gap,
+                )
+            if r["event_type"] != "purchase":
+                last_touch = r
+    got = Q["events_attribution"](spark, sf_dir).collect()
+    assert len(got) == len(want)
+    for r in got:
+        tid, ttype, gap = want[r["purchase_id"]]
+        assert r["touch_id"] == tid
+        assert r["touch_type"] == ttype
+        assert r["gap_us"] == gap
+
+
+def test_rfm_segment_properties(spark, sf_dir):
+    """Quartiles must be balanced NTILEs, the code must compose the
+    three digits, and the population must be exactly the purchasing
+    users."""
+    got = Q["events_rfm_segment"](spark, sf_dir).collect()
+    n_users = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert len(got) == n_users
+    for col in ("r_q", "f_q", "m_q"):
+        counts = [0] * 5
+        for r in got:
+            assert 1 <= r[col] <= 4
+            counts[r[col]] += 1
+        assert max(counts[1:]) - min(counts[1:]) <= 1  # NTILE balance
+    for r in got:
+        assert r["rfm_code"] == r["r_q"] * 100 + r["f_q"] * 10 + r["m_q"]
+        assert r["r_days"] >= 0 and r["f"] >= 1 and r["m_cents"] > 0
+
+
+def test_dsir_weights_matches_bruteforce(spark, sf_dir):
+    """Per-doc log importance weight must equal the smoothed-LM ratio
+    replayed in Python with the identical e6 floor-per-vocab-entry."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text").collect()
+    raw: dict[str, int] = {}
+    tgt: dict[str, int] = {}
+    toks_by_doc = {}
+    for r in docs:
+        toks = r["text"].split(" ")
+        toks_by_doc[r["doc_id"]] = toks
+        for t in toks:
+            raw[t] = raw.get(t, 0) + 1
+            if r["lang"] == "en":
+                tgt[t] = tgt.get(t, 0) + 1
+    n_raw = float(sum(raw.values()))
+    n_tgt = float(sum(tgt.values()))
+    v = float(len(raw))
+    w_e6 = {
+        t: math.floor(
+            (math.log((tgt.get(t, 0) + 1.0) / (n_tgt + v)) - math.log(c / n_raw))
+            * 1_000_000
+        )
+        for t, c in raw.items()
+    }
+    got = {r["doc_id"]: r for r in Q["text_dsir_weights"](spark, sf_dir).collect()}
+    assert len(got) == len(toks_by_doc)
+    for doc_id, toks in toks_by_doc.items():
+        s = sum(w_e6[t] for t in toks)
+        assert got[doc_id]["n_tokens"] == len(toks)
+        assert got[doc_id]["logw_sum_e6"] == s
+        assert got[doc_id]["avg_logw_e6"] == math.floor(s / len(toks))
+    # English docs should skew toward higher weight than non-English
+    by_lang: dict[str, list] = {}
+    for r in docs:
+        by_lang.setdefault(r["lang"], []).append(got[r["doc_id"]]["avg_logw_e6"])
+    if "en" in by_lang and len(by_lang) > 1:
+        others = [v for k, vs in by_lang.items() if k != "en" for v in vs]
+        en_mean = sum(by_lang["en"]) / len(by_lang["en"])
+        assert en_mean > sum(others) / len(others)
+
+
+def test_bpe_merge_apply_matches_bruteforce(spark, sf_dir):
+    """The merged-vocab pair counts must match a Python replay of
+    greedy replace + recount; the sentinel must render as '(pair)'."""
+    docs = load(spark, sf_dir, "documents").select("text").collect()
+    words: dict[str, int] = {}
+    for r in docs:
+        for w in r["text"].split(" "):
+            if w:
+                words[w] = words.get(w, 0) + 1
+    pairs: dict[str, int] = {}
+    for w, n in words.items():
+        for i in range(len(w) - 1):
+            pairs[w[i : i + 2]] = pairs.get(w[i : i + 2], 0) + n
+    top = min(pairs, key=lambda p: (-pairs[p], p))
+    pairs2: dict[str, int] = {}
+    for w, n in words.items():
+        m = w.replace(top, "\x01")
+        for i in range(len(m) - 1):
+            pairs2[m[i : i + 2]] = pairs2.get(m[i : i + 2], 0) + n
+    want = sorted(pairs2.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    want = [(p.replace("\x01", f"({top})"), c) for p, c in want]
+    got = [
+        (r["pair"], r["merge_count"])
+        for r in Q["bpe_merge_apply"](spark, sf_dir).collect()
+    ]
+    assert sorted(got) == sorted(want)
+
+
+def test_gopher_rules_matches_bruteforce(spark, sf_dir):
+    """Every sub-metric and the rule bitmask must match a Python
+    replay of the rule battery."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    got = {r["doc_id"]: r for r in Q["text_gopher_rules"](spark, sf_dir).collect()}
+    assert len(got) == len(docs)
+    for d in docs:
+        ws = d["text"].split(" ")
+        n_words = len(ws)
+        nonspace = len(d["text"]) - n_words + 1
+        n_alpha = sum(1 for ch in d["text"] if "a" <= ch <= "z")
+        avg_wlen_e2 = math.floor(nonspace / n_words * 100)
+        symbol_e4 = math.floor((1.0 - n_alpha / nonspace) * 10000)
+        alpha_word_e4 = math.floor(
+            sum(1 for w in ws if w and all("a" <= c <= "z" for c in w))
+            / n_words
+            * 10000
+        )
+        n_stop = sum(
+            1
+            for w in ws
+            if w in ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+        )
+        r = got[d["doc_id"]]
+        assert r["n_words"] == n_words
+        assert r["avg_wlen_e2"] == avg_wlen_e2
+        assert r["symbol_ratio_e4"] == symbol_e4
+        assert r["alpha_word_e4"] == alpha_word_e4
+        assert r["n_stop"] == n_stop
+        mask = (
+            (10 <= n_words <= 5000)
+            + (300 <= avg_wlen_e2 <= 1000) * 2
+            + (symbol_e4 <= 1000) * 4
+            + (alpha_word_e4 >= 8000) * 8
+            + (n_stop >= 2) * 16
+        )
+        assert r["rules_mask"] == mask
+        assert r["passes"] == (mask == 31)
+
+
+def test_l_diversity_matches_bruteforce(spark, sf_dir):
+    """Group sizes, sensitive-class NDV and the release verdict must
+    match a Python contingency replay."""
+    rows = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"
+    ).collect()
+    size: dict[tuple, int] = {}
+    classes: dict[tuple, set] = {}
+    for r in rows:
+        k = (r["c_nationkey"], r["c_mktsegment"])
+        size[k] = size.get(k, 0) + 1
+        classes.setdefault(k, set()).add(math.floor(r["c_acctbal"] / 1000))
+    got = Q["anon_l_diversity"](spark, sf_dir).collect()
+    assert len(got) == len(size)
+    for r in got:
+        k = (r["nat_q"], r["seg_q"])
+        assert r["group_n"] == size[k]
+        assert r["l_sensitive"] == len(classes[k])
+        assert r["releasable"] == (size[k] >= 10 and len(classes[k]) >= 3)
