@@ -306,3 +306,180 @@ def graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
         dist = dist.union(nxt)
         frontier = nxt
     return dist.select("addr", F.col("dist").cast("bigint").alias("dist"))
+
+
+@query(
+    "graph_clustering_coeff",
+    f"""
+    WITH {_DUCK_EDGES},
+    sym AS (
+        SELECT src, dst FROM edges
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM edges
+    ), deg AS (
+        SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+        FROM sym GROUP BY 1
+    ), tri AS (
+        SELECT s1.src AS node, CAST(COUNT(*) AS BIGINT) AS t
+        FROM sym s1
+        JOIN sym s2 ON s2.src = s1.src AND s1.dst < s2.dst
+        WHERE EXISTS (SELECT 1 FROM edges e
+                      WHERE e.src = s1.dst AND e.dst = s2.dst)
+        GROUP BY 1
+    )
+    SELECT deg.node, deg.d AS degree,
+           CAST(COALESCE(tri.t, 0) AS BIGINT) AS n_closed,
+           CAST(CASE WHEN deg.d >= 2 THEN
+                    FLOOR(CAST(2 * COALESCE(tri.t, 0) AS DOUBLE) * 10000
+                          / (CAST(deg.d AS DOUBLE) * (deg.d - 1)))
+                ELSE 0 END AS BIGINT) AS cc_e4
+    FROM deg LEFT JOIN tri ON tri.node = deg.node
+    """,
+)
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node (round 5 batch 7): the
+    fraction of each address's neighbor PAIRS that are themselves
+    connected — cc(v) = 2·T(v)/(d(v)·(d(v)−1)). High-cc nodes sit in
+    tight co-spend cliques (the address-clustering signal GraphSense's
+    entity heuristics feed on); graph_triangle_count gives the global
+    total, this localizes WHERE the closure is.
+
+    The wedge program reuses graph_triangle_count's orientation
+    discipline: neighbor pairs enumerate from the symmetrized edge
+    list with a<b canonicalization, and the closing check is a
+    LEFT-SEMI against the ORIENTED edge list, so each closed wedge at
+    v counts exactly once. The one double division per node is floored
+    e4; degrees and triangle counts stay bigint.
+
+    Scale: wedge fan-out is Σ d(v)² — the degree-orientation
+    refinement (pivot on the lower-degree endpoint) bounds it by
+    arboricity and slots in as one join against deg, same note as the
+    global count; the semi-join shuffles on the (a,b) pair key."""
+    e = cooccurrence_edges(spark)
+    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("bigint").alias("d")
+    )
+    s1 = sym.alias("s1")
+    s2 = sym.alias("s2")
+    wedges = s1.join(
+        s2,
+        (F.col("s2.src") == F.col("s1.src"))
+        & (F.col("s1.dst") < F.col("s2.dst")),
+    ).select(
+        F.col("s1.src").alias("node"),
+        F.col("s1.dst").alias("a"),
+        F.col("s2.dst").alias("b"),
+    )
+    closed = wedges.join(
+        e.alias("e"),
+        (F.col("e.src") == F.col("a")) & (F.col("e.dst") == F.col("b")),
+        "left_semi",
+    )
+    tri = closed.groupBy("node").agg(F.count("*").cast("bigint").alias("t"))
+    j = deg.join(tri, "node", "left")
+    t = F.coalesce(F.col("t"), F.lit(0)).cast("bigint")
+    return j.select(
+        "node",
+        F.col("d").alias("degree"),
+        t.alias("n_closed"),
+        F.when(
+            F.col("d") >= 2,
+            F.floor(
+                (2 * t).cast("double")
+                * 10000
+                / (F.col("d").cast("double") * (F.col("d") - 1))
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("cc_e4"),
+    )
+
+
+def _duck_kcore_rounds(k: int, rounds: int) -> str:
+    """Unrolled peel rounds as chained CTEs (sym0 → symN)."""
+    parts = [
+        """sym0 AS (
+            SELECT src, dst FROM edges
+            UNION ALL
+            SELECT dst AS src, src AS dst FROM edges
+        )"""
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"""live{r} AS (
+                SELECT src AS node FROM sym{r}
+                GROUP BY 1 HAVING COUNT(*) >= {k}
+            ), sym{r + 1} AS (
+                SELECT s.src, s.dst FROM sym{r} s
+                JOIN live{r} a ON s.src = a.node
+                JOIN live{r} b ON s.dst = b.node
+            )"""
+        )
+    return ", ".join(parts)
+
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 4
+
+
+@query(
+    "graph_kcore_peel",
+    f"""
+    WITH {_DUCK_EDGES},
+    {_duck_kcore_rounds(_KCORE_K, _KCORE_ROUNDS)}
+    SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS core_degree
+    FROM sym{_KCORE_ROUNDS} GROUP BY 1
+    """,
+)
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition by iterative peeling (round 5 batch 7),
+    k=3: repeatedly delete nodes with degree < k until the remainder —
+    the maximal subgraph where everyone keeps ≥k neighbors — is all
+    that's left. The k-core is the standard "dense backbone" extract
+    (spam/bot rings, co-spend cores, community seeds) and the
+    degeneracy-ordering primitive faster triangle algorithms build on.
+
+    Peeling is a NON-MONOTONE fixpoint (deletions cascade), which no
+    single window or recursive-union CTE expresses — so both engines
+    run the SAME FIXED 4-round unroll (the fixture graph converges in
+    3; the referee test asserts a 5th round changes nothing, i.e. the
+    unroll HAS reached the true 3-core). Each round is degree-count →
+    HAVING filter → two semi-shaped joins back onto the edge list;
+    parity is exact because the program, not a convergence probe,
+    determines the output.
+
+    Scale: the production form iterates with the facade's
+    convergence-guard pattern (graph_components' probe) instead of a
+    fixed unroll — each round is one groupBy + join round-trip, and
+    rounds-to-converge is bounded by the peel depth (typically ≪20
+    even on billion-edge graphs); per-round state is the live edge
+    list, shrinking monotonically."""
+    e = cooccurrence_edges(spark)
+    # localCheckpoint per round: each round references the previous
+    # edge list THREE times (degree count + two endpoint semi-joins),
+    # so an un-cut lineage grows 3^rounds and OOMs the analyzer —
+    # same fix as graph_bfs_layers / label propagation.
+    sym = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    for _ in range(_KCORE_ROUNDS):
+        live = (
+            sym.groupBy(F.col("src").alias("node"))
+            .agg(F.count("*").alias("c"))
+            .filter(F.col("c") >= _KCORE_K)
+            .select("node")
+        )
+        sym = (
+            sym.join(live, sym.src == live.node, "left_semi")
+            .join(
+                live.select(F.col("node").alias("dnode")),
+                sym.dst == F.col("dnode"),
+                "left_semi",
+            )
+            .localCheckpoint()
+        )
+    return sym.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("bigint").alias("core_degree")
+    )

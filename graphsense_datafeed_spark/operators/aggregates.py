@@ -1506,3 +1506,189 @@ def agg_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chi2_sum_e6",
         F.sum("term_e6").over(Window.partitionBy()).cast("bigint"),
     )
+
+
+@query(
+    "agg_t_test_welch",
+    """
+    WITH s AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(FLOOR(value * 10000) AS BIGINT)) AS BIGINT)
+                   AS sx,
+               CAST(SUM(CAST(FLOOR(value * 10000) AS BIGINT)
+                        * CAST(FLOOR(value * 10000) AS BIGINT)) AS BIGINT)
+                   AS sxx
+        FROM events WHERE event_type IN ('click', 'purchase')
+        GROUP BY event_type
+    ), w AS (
+        SELECT MAX(CASE WHEN event_type = 'click' THEN n END) AS n1,
+               MAX(CASE WHEN event_type = 'click' THEN sx END) AS s1,
+               MAX(CASE WHEN event_type = 'click' THEN sxx END) AS ss1,
+               MAX(CASE WHEN event_type = 'purchase' THEN n END) AS n2,
+               MAX(CASE WHEN event_type = 'purchase' THEN sx END) AS s2,
+               MAX(CASE WHEN event_type = 'purchase' THEN sxx END) AS ss2
+        FROM s
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           CAST(FLOOR((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2))
+                AS BIGINT) AS mean_diff_e4,
+           CAST(FLOOR(
+               (CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+               / sqrt(((CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                        * CAST(s1 AS DOUBLE) / n1) / (n1 - 1)) / n1
+                      + ((CAST(ss2 AS DOUBLE) - CAST(s2 AS DOUBLE)
+                          * CAST(s2 AS DOUBLE) / n2) / (n2 - 1)) / n2)
+               * 10000) AS BIGINT) AS t_e4
+    FROM w
+    """,
+)
+def agg_t_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t statistic (round 5 batch 6): mean
+    difference between 'click' and 'purchase' event values scaled by
+    the unequal-variance standard error — the parametric sibling of
+    agg_ks_two_sample (KS asks "same distribution?", Welch asks "same
+    mean?", and is the default A/B-test readout).
+
+    Same exactness layering as the KS test: per-group (n, Σx, Σx²)
+    are exact bigint sums of floor-e4 encodings — associative,
+    merge-order-free — and mean/variance/t evaluate in ONE double
+    expression per output cell. Welch (not Student) because the two
+    event classes have no reason to share a variance; the
+    denominator is s₁²/n₁ + s₂²/n₂ with sample variances.
+
+    Scale: one map-side-combinable agg to two rows, then a 1-row
+    pivot — nothing after the first agg touches row-scale data; the
+    sufficient statistics are the mergeable per-shard state an
+    incremental A/B dashboard persists."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    v = F.floor(F.col("value") * 10000).cast("bigint")
+    s = ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(v).cast("bigint").alias("sx"),
+        F.sum(v * v).cast("bigint").alias("sxx"),
+    )
+    pick = lambda t, c: F.max(  # noqa: E731
+        F.when(F.col("event_type") == t, F.col(c))
+    )
+    w = s.agg(
+        pick("click", "n").alias("n1"),
+        pick("click", "sx").alias("s1"),
+        pick("click", "sxx").alias("ss1"),
+        pick("purchase", "n").alias("n2"),
+        pick("purchase", "sx").alias("s2"),
+        pick("purchase", "sxx").alias("ss2"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    mdiff = d("s1") / F.col("n1") - d("s2") / F.col("n2")
+    var1 = (d("ss1") - d("s1") * d("s1") / F.col("n1")) / (F.col("n1") - 1)
+    var2 = (d("ss2") - d("s2") * d("s2") / F.col("n2")) / (F.col("n2") - 1)
+    se = F.sqrt(var1 / F.col("n1") + var2 / F.col("n2"))
+    return w.select(
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        F.floor(mdiff).cast("bigint").alias("mean_diff_e4"),
+        F.floor(mdiff / se * 10000).cast("bigint").alias("t_e4"),
+    )
+
+
+@query(
+    "agg_mann_whitney",
+    """
+    WITH s AS (
+        SELECT CAST(FLOOR(value * 10000) AS BIGINT) AS v_e4,
+               CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS c1,
+               CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS c2
+        FROM events WHERE event_type IN ('click', 'purchase')
+        GROUP BY 1
+    ), r AS (
+        SELECT c1, c2,
+               CAST(COALESCE(SUM(c1 + c2) OVER (ORDER BY v_e4
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS prev,
+               CAST(SUM(c1) OVER () AS BIGINT) AS n1,
+               CAST(SUM(c2) OVER () AS BIGINT) AS n2
+        FROM s
+    )
+    SELECT MAX(n1) AS n1, MAX(n2) AS n2,
+           CAST(2 * MAX(n1) * MAX(n2) + MAX(n1) * (MAX(n1) + 1)
+                - SUM(c1 * (2 * prev + c1 + c2 + 1)) AS BIGINT) AS u1_x2,
+           CAST(2 * MAX(n1) * MAX(n2)
+                - (2 * MAX(n1) * MAX(n2) + MAX(n1) * (MAX(n1) + 1)
+                   - SUM(c1 * (2 * prev + c1 + c2 + 1))) AS BIGINT) AS u2_x2,
+           CAST(FLOOR(
+               (CAST(2 * MAX(n1) * MAX(n2) + MAX(n1) * (MAX(n1) + 1)
+                     - SUM(c1 * (2 * prev + c1 + c2 + 1)) AS DOUBLE) / 2.0
+                - CAST(MAX(n1) AS DOUBLE) * CAST(MAX(n2) AS DOUBLE) / 2.0)
+               / sqrt(CAST(MAX(n1) AS DOUBLE) * CAST(MAX(n2) AS DOUBLE)
+                      * (CAST(MAX(n1) AS DOUBLE) + CAST(MAX(n2) AS DOUBLE)
+                         + 1.0) / 12.0)
+               * 10000) AS BIGINT) AS z_e4
+    FROM r
+    """,
+)
+def agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test (round 5 batch 6): the
+    NONPARAMETRIC "is one group stochastically larger?" — robust to
+    the heavy tails and outliers that inflate Welch's variance, and
+    the right test when values are ordinal rather than interval.
+
+    The tie-handling trick keeps it EXACT: values aggregate to
+    distinct atoms first; a tie block of c=c1+c2 equal values
+    occupying ranks prev+1..prev+c gets average rank prev+(c+1)/2 —
+    a half-integer, so the whole computation runs in DOUBLED units
+    (rank×2 = 2·prev+c+1 is always integral) and U₁×2, U₂×2 are
+    exact bigints under any partition order. The normal-approximation
+    z enters as one final double formula (tie-corrected σ documented
+    as the follow-on; at these tie densities the correction is <1e-3
+    relative). U₁×2 + U₂×2 = 2·n₁·n₂ by construction — the built-in
+    self-check the referee test asserts.
+
+    Scale: same atom-table reduction as the KS test — the cumulative
+    window runs over |distinct values|, never raw rows."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    s = ev.groupBy(
+        F.floor(F.col("value") * 10000).cast("bigint").alias("v_e4")
+    ).agg(
+        F.count_if(F.col("event_type") == "click").cast("bigint").alias("c1"),
+        F.count_if(F.col("event_type") == "purchase")
+        .cast("bigint")
+        .alias("cb"),
+    ).withColumnRenamed("cb", "c2")
+    wprev = Window.orderBy("v_e4").rowsBetween(Window.unboundedPreceding, -1)
+    wall = Window.partitionBy()
+    r = s.select(
+        "c1",
+        "c2",
+        F.coalesce(F.sum(F.col("c1") + F.col("c2")).over(wprev), F.lit(0))
+        .cast("bigint")
+        .alias("prev"),
+        F.sum("c1").over(wall).cast("bigint").alias("n1"),
+        F.sum("c2").over(wall).cast("bigint").alias("n2"),
+    )
+    rank2 = 2 * F.col("prev") + F.col("c1") + F.col("c2") + 1
+    agg = r.agg(
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+        F.sum(F.col("c1") * rank2).alias("r1_x2"),
+    )
+    u1_x2 = (
+        2 * F.col("n1") * F.col("n2")
+        + F.col("n1") * (F.col("n1") + 1)
+        - F.col("r1_x2")
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    z = (u1_x2.cast("double") / 2.0 - d("n1") * d("n2") / 2.0) / F.sqrt(
+        d("n1") * d("n2") * (d("n1") + d("n2") + 1.0) / 12.0
+    )
+    return agg.select(
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        u1_x2.cast("bigint").alias("u1_x2"),
+        (2 * F.col("n1") * F.col("n2") - u1_x2).cast("bigint").alias("u2_x2"),
+        F.floor(z * 10000).cast("bigint").alias("z_e4"),
+    )

@@ -1143,3 +1143,91 @@ def events_rfm_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rfm_code"),
     )
+
+
+@query(
+    "ts_holt_linear",
+    """
+    WITH ordered AS (
+        SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+        FROM events WHERE user_id < 30 GROUP BY user_id
+    ), folded AS (
+        SELECT user_id, CAST(len(vals) AS BIGINT) AS n_obs,
+               list_reduce(
+                   list_transform(vals,
+                                  v -> [CAST(v AS DOUBLE),
+                                        CAST(0.0 AS DOUBLE)]),
+                   (acc, x) -> [
+                       0.5 * x[1] + 0.5 * (acc[1] + acc[2]),
+                       0.25 * ((0.5 * x[1] + 0.5 * (acc[1] + acc[2]))
+                               - acc[1])
+                       + 0.75 * acc[2]
+                   ]
+               ) AS st
+        FROM ordered
+    )
+    SELECT user_id, n_obs,
+           CAST(FLOOR(st[1] * 1000000) AS BIGINT) AS level_e6,
+           CAST(FLOOR(st[2] * 1000000) AS BIGINT) AS trend_e6,
+           CAST(FLOOR((st[1] + st[2]) * 1000000) AS BIGINT) AS forecast1_e6
+    FROM folded
+    """,
+)
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend smoothing (round 5 batch 7), α=0.5 β=0.25:
+    the double-exponential recurrence lₜ = α·vₜ + (1−α)(lₜ₋₁+bₜ₋₁),
+    bₜ = β(lₜ−lₜ₋₁) + (1−β)bₜ₋₁ — what ts_ewma becomes once the
+    series has drift (a plain EWMA lags a trending series forever;
+    Holt tracks the slope and forecasts l+b one step out).
+
+    ts_ewma's keyed-ordered-fold pattern carried to a TWO-field
+    state — [level, trend] as a 2-element DOUBLE array, seeded by the
+    first element in both engines (DuckDB list_reduce seeds with
+    element 1; Spark seeds F.aggregate with it and folds the rest).
+    An ARRAY accumulator, deliberately not a struct: DuckDB's
+    list_reduce over struct accumulators updates fields SEQUENTIALLY
+    (the 'b' expression already sees the new 'l' — measured, not
+    documented), while list accumulators snapshot like Spark's. lₜ is
+    recomputed inside the bₜ expression — neither lambda has a
+    let-binding, and evaluating the identical expression twice keeps
+    the IEEE64 sequences bit-equal. α, β exactly representable in
+    binary so the literals cannot diverge.
+
+    Scale: identical to ts_ewma — keys parallelize, the per-key
+    sequence folds inside one task; the streaming form is two doubles
+    of keyed state."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    packed = ev.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))),
+            lambda s: s.value,
+        ).alias("vals")
+    )
+    first_st = F.array(
+        F.element_at(F.col("vals"), 1).cast("double"), F.lit(0.0)
+    )
+    rest = F.slice(
+        F.col("vals"), 2, F.greatest(F.size("vals") - 1, F.lit(0))
+    )
+
+    def step(acc, v):
+        l_old = F.element_at(acc, 1)
+        b_old = F.element_at(acc, 2)
+        l_new = 0.5 * v + 0.5 * (l_old + b_old)
+        b_new = 0.25 * ((0.5 * v + 0.5 * (l_old + b_old)) - l_old) + 0.75 * b_old
+        return F.array(l_new, b_new)
+
+    st = F.aggregate(rest, first_st, step)
+    return packed.select(
+        "user_id",
+        F.size("vals").cast("bigint").alias("n_obs"),
+        F.floor(F.element_at(st, 1) * 1000000)
+        .cast("bigint")
+        .alias("level_e6"),
+        F.floor(F.element_at(st, 2) * 1000000)
+        .cast("bigint")
+        .alias("trend_e6"),
+        F.floor((F.element_at(st, 1) + F.element_at(st, 2)) * 1000000)
+        .cast("bigint")
+        .alias("forecast1_e6"),
+    )

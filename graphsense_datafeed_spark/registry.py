@@ -200,6 +200,13 @@ _ROUND6_NEXT_UP = (
     "bpe_merge_apply",
     "text_gopher_rules",
     "anon_l_diversity",
+    "agg_t_test_welch",
+    "agg_mann_whitney",
+    "graph_clustering_coeff",
+    "graph_kcore_peel",
+    "text_keywords_topk",
+    "ts_holt_linear",
+    "sim_ann_pq",
 )
 
 _loaded = False

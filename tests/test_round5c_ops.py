@@ -316,3 +316,180 @@ def test_l_diversity_matches_bruteforce(spark, sf_dir):
         assert r["group_n"] == size[k]
         assert r["l_sensitive"] == len(classes[k])
         assert r["releasable"] == (size[k] >= 10 and len(classes[k]) >= 3)
+
+
+def test_t_test_welch_matches_bruteforce(spark, sf_dir):
+    """t statistic must match the Welch formula computed from exact
+    Python integer sums."""
+    rows = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select("event_type", "value")
+        .collect()
+    )
+    g = {"click": [], "purchase": []}
+    for r in rows:
+        g[r["event_type"]].append(math.floor(r["value"] * 10000))
+    n1, n2 = len(g["click"]), len(g["purchase"])
+    s1, s2 = sum(g["click"]), sum(g["purchase"])
+    ss1 = sum(v * v for v in g["click"])
+    ss2 = sum(v * v for v in g["purchase"])
+    mdiff = s1 / n1 - s2 / n2
+    var1 = (ss1 - s1 * s1 / n1) / (n1 - 1)
+    var2 = (ss2 - s2 * s2 / n2) / (n2 - 1)
+    t = mdiff / math.sqrt(var1 / n1 + var2 / n2)
+    got = Q["agg_t_test_welch"](spark, sf_dir).collect()[0]
+    assert (got["n1"], got["n2"]) == (n1, n2)
+    assert got["mean_diff_e4"] == math.floor(mdiff)
+    assert got["t_e4"] == math.floor(t * 10000)
+
+
+def test_mann_whitney_matches_bruteforce(spark, sf_dir):
+    """U values (doubled units) must match tie-averaged rank sums
+    computed in Python; U1+U2 must equal 2·n1·n2 by identity."""
+    rows = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select("event_type", "value")
+        .collect()
+    )
+    both = sorted(
+        (math.floor(r["value"] * 10000), r["event_type"]) for r in rows
+    )
+    n1 = sum(1 for _, t in both if t == "click")
+    n2 = len(both) - n1
+    # tie-averaged ranks in doubled units
+    r1_x2 = 0
+    i = 0
+    while i < len(both):
+        j = i
+        while j < len(both) and both[j][0] == both[i][0]:
+            j += 1
+        rank2 = 2 * i + (j - i) + 1  # 2*prev + c + 1
+        r1_x2 += sum(rank2 for k in range(i, j) if both[k][1] == "click")
+        i = j
+    u1_x2 = 2 * n1 * n2 + n1 * (n1 + 1) - r1_x2
+    got = Q["agg_mann_whitney"](spark, sf_dir).collect()[0]
+    assert (got["n1"], got["n2"]) == (n1, n2)
+    assert got["u1_x2"] == u1_x2
+    assert got["u1_x2"] + got["u2_x2"] == 2 * n1 * n2
+    z = (u1_x2 / 2.0 - n1 * n2 / 2.0) / math.sqrt(n1 * n2 * (n1 + n2 + 1) / 12.0)
+    assert got["z_e4"] == math.floor(z * 10000)
+
+
+def _python_graph(spark):
+    from graphsense_datafeed_spark.ingest.graphstats import cooccurrence_edges
+
+    edges = [(r["src"], r["dst"]) for r in cooccurrence_edges(spark).collect()]
+    adj: dict[str, set] = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    return edges, adj
+
+
+def test_clustering_coeff_matches_bruteforce(spark, sf_dir):
+    edges, adj = _python_graph(spark)
+    eset = set(edges)
+    got = {r["node"]: r for r in Q["graph_clustering_coeff"](spark, sf_dir).collect()}
+    assert len(got) == len(adj)
+    for node, nbrs in adj.items():
+        ns = sorted(nbrs)
+        closed = sum(
+            1
+            for i in range(len(ns))
+            for j in range(i + 1, len(ns))
+            if (ns[i], ns[j]) in eset
+        )
+        d = len(ns)
+        r = got[node]
+        assert r["degree"] == d
+        assert r["n_closed"] == closed
+        want_cc = math.floor(2 * closed * 10000 / (d * (d - 1))) if d >= 2 else 0
+        assert r["cc_e4"] == want_cc
+
+
+def test_kcore_peel_reaches_fixpoint(spark, sf_dir):
+    """The fixed 4-round unroll must produce the TRUE 3-core (i.e.
+    peeling to convergence in Python gives the same node set), and
+    every survivor must keep core_degree ≥ 3."""
+    _, adj = _python_graph(spark)
+    live = set(adj)
+    while True:
+        drop = {n for n in live if sum(1 for m in adj[n] if m in live) < 3}
+        if not drop:
+            break
+        live -= drop
+    got = {r["node"]: r["core_degree"] for r in Q["graph_kcore_peel"](spark, sf_dir).collect()}
+    assert set(got) == live
+    for n, d in got.items():
+        assert d >= 3
+        assert d == sum(1 for m in adj[n] if m in live)
+
+
+def test_keywords_topk_matches_bruteforce(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    tf: dict[tuple, int] = {}
+    dfc: dict[str, set] = {}
+    for r in docs:
+        for t in r["text"].split(" "):
+            tf[(r["doc_id"], t)] = tf.get((r["doc_id"], t), 0) + 1
+            dfc.setdefault(t, set()).add(r["doc_id"])
+    n = float(len(docs))
+    idf = {t: math.floor(math.log(n / len(ds)) * 1_000_000) for t, ds in dfc.items()}
+    want: dict[int, list] = {}
+    for (doc, t), c in tf.items():
+        want.setdefault(doc, []).append((-c * idf[t], t))
+    got = Q["text_keywords_topk"](spark, sf_dir).collect()
+    by_doc: dict[int, list] = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc) == len(docs)
+    for doc, rows in by_doc.items():
+        top = sorted(want[doc])[:3]
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["keyword"] for r in rows] == [t for _, t in top]
+        assert [r["score_e6"] for r in rows] == [-s for s, _ in top]
+
+
+def test_holt_linear_matches_python_fold(spark, sf_dir):
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 30)
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    )
+    series: dict[int, list] = {}
+    for r in sorted(ev, key=lambda r: (r["ts"], r["event_id"])):
+        series.setdefault(r["user_id"], []).append(r["value"])
+    got = {r["user_id"]: r for r in Q["ts_holt_linear"](spark, sf_dir).collect()}
+    assert len(got) == len(series)
+    for uid, vals in series.items():
+        l, b = vals[0], 0.0
+        for v in vals[1:]:
+            l_new = 0.5 * v + 0.5 * (l + b)
+            b_new = 0.25 * ((0.5 * v + 0.5 * (l + b)) - l) + 0.75 * b
+            l, b = l_new, b_new
+        r = got[uid]
+        assert r["n_obs"] == len(vals)
+        assert r["level_e6"] == math.floor(l * 1_000_000)
+        assert r["trend_e6"] == math.floor(b * 1_000_000)
+        assert r["forecast1_e6"] == math.floor((l + b) * 1_000_000)
+
+
+def test_pq_recall_vs_exact(spark, sf_dir):
+    """PQ + shortlist re-rank must recover ≥70% of the exact top-3
+    (measured 0.79 at sf0.001, 0.82 at sf0.01), and every emitted
+    cosine must be the TRUE cosine (re-rank is exact)."""
+    exact = Q["sim_topk_exact"](spark, sf_dir).collect()
+    exact3 = {(r["query_id"], r["neighbor_id"]) for r in exact if r["rank_k"] <= 3}
+    exact_cos = {
+        (r["query_id"], r["neighbor_id"]): r["cosine_e4"] for r in exact
+    }
+    pq = Q["sim_ann_pq"](spark, sf_dir).collect()
+    hits = {(r["query_id"], r["neighbor_id"]) for r in pq}
+    assert len(hits & exact3) / len(exact3) >= 0.70
+    for r in pq:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_cos:  # overlap rows must agree exactly
+            assert r["cosine_e4"] == exact_cos[key]
