@@ -1692,3 +1692,90 @@ def agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         (2 * F.col("n1") * F.col("n2") - u1_x2).cast("bigint").alias("u2_x2"),
         F.floor(z * 10000).cast("bigint").alias("z_e4"),
     )
+
+
+@query(
+    "agg_kl_divergence",
+    """
+    WITH binned AS (
+        SELECT CAST(FLOOR(value / 10) AS BIGINT) AS bucket,
+               CAST(COUNT(*) FILTER (dayofweek(ts) IN (0, 6)) AS BIGINT)
+                   AS c_wend,
+               CAST(COUNT(*) FILTER (dayofweek(ts) NOT IN (0, 6)) AS BIGINT)
+                   AS c_wday
+        FROM events GROUP BY 1
+    ), tot AS (
+        SELECT bucket, c_wday, c_wend,
+               CAST(SUM(c_wday) OVER () AS BIGINT) AS n_wday,
+               CAST(SUM(c_wend) OVER () AS BIGINT) AS n_wend,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n_buckets
+        FROM binned
+    ), terms AS (
+        SELECT bucket, c_wday, c_wend,
+               CAST(FLOOR(
+                   (CAST(c_wday + 1 AS DOUBLE) / (n_wday + n_buckets))
+                   * ln((CAST(c_wday + 1 AS DOUBLE) / (n_wday + n_buckets))
+                        / (CAST(c_wend + 1 AS DOUBLE)
+                           / (n_wend + n_buckets)))
+                   * 1000000000) AS BIGINT) AS term_e9
+        FROM tot
+    )
+    SELECT bucket, c_wday, c_wend, term_e9,
+           CAST(SUM(term_e9) OVER () AS BIGINT) AS kl_sum_e9
+    FROM terms
+    """,
+)
+def agg_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL divergence between the weekday and weekend value
+    distributions (round 5 batch 8): D(P_weekday ‖ Q_weekend) over
+    equal-width value buckets with add-1 smoothing — the
+    distribution-drift NUMBER (in nats) that complements
+    agg_ks_two_sample's max-gap statistic: KS localizes the worst
+    point, KL integrates the whole mismatch and is what mixture
+    rebalancing and monitoring alarms threshold on.
+
+    Per-bucket discipline mirrors agg_chi_square: counts and margins
+    are exact bigints over the BUCKET table; each bucket's
+    p·ln(p/q) evaluates in one double expression both engines run
+    identically, floored to e9 BEFORE the order-free bigint total
+    (terms are ±1e-3-scale, so e9 keeps 6 significant digits).
+    Smoothing keeps q>0 on buckets the weekend never hit. Day-of-week
+    parity pinned as in agg_chi_square (Spark −1 shift).
+
+    Scale: one map-side-combinable conditional-count agg to ≤34
+    buckets; everything after runs on the bucket table."""
+    ev = load(spark, sf_dir, "events")
+    dow = F.dayofweek("ts") - 1
+    is_wend = dow.isin(0, 6)
+    binned = ev.groupBy(
+        F.floor(F.col("value") / 10).cast("bigint").alias("bucket")
+    ).agg(
+        F.count_if(is_wend).cast("bigint").alias("c_wend"),
+        F.count_if(~is_wend).cast("bigint").alias("c_wday"),
+    )
+    wall = Window.partitionBy()
+    tot = binned.select(
+        "bucket",
+        "c_wday",
+        "c_wend",
+        F.sum("c_wday").over(wall).cast("bigint").alias("n_wday"),
+        F.sum("c_wend").over(wall).cast("bigint").alias("n_wend"),
+        F.count("*").over(wall).cast("bigint").alias("n_buckets"),
+    )
+    p = (F.col("c_wday") + 1).cast("double") / (
+        F.col("n_wday") + F.col("n_buckets")
+    )
+    q = (F.col("c_wend") + 1).cast("double") / (
+        F.col("n_wend") + F.col("n_buckets")
+    )
+    terms = tot.select(
+        "bucket",
+        "c_wday",
+        "c_wend",
+        F.floor(p * F.log(p / q) * 1000000000)
+        .cast("bigint")
+        .alias("term_e9"),
+    )
+    return terms.withColumn(
+        "kl_sum_e9", F.sum("term_e9").over(wall).cast("bigint")
+    )

@@ -819,3 +819,131 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(fresh, age).alias("age_us"),
         )
     )
+
+
+@query(
+    "join_asof_nearest",
+    """
+    WITH tape AS (
+        SELECT event_id, user_id, ts, event_type,
+               last_value(CASE WHEN event_type = 'signup' THEN
+                     lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || '|' ||
+                     lpad(CAST(event_id AS VARCHAR), 12, '0')
+                   END IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS back_key,
+               first_value(CASE WHEN event_type = 'signup' THEN
+                     lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || '|' ||
+                     lpad(CAST(event_id AS VARCHAR), 12, '0')
+                   END IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+               ) AS fwd_key
+        FROM events WHERE user_id < 40
+    ), gaps AS (
+        SELECT event_id, user_id, ts,
+               CAST(substr(back_key, 22, 12) AS BIGINT) AS back_id,
+               epoch_us(ts) - CAST(substr(back_key, 1, 20) AS BIGINT)
+                   AS back_gap,
+               CAST(substr(fwd_key, 22, 12) AS BIGINT) AS fwd_id,
+               CAST(substr(fwd_key, 1, 20) AS BIGINT) - epoch_us(ts)
+                   AS fwd_gap
+        FROM tape WHERE event_type <> 'signup'
+    )
+    SELECT event_id, user_id,
+           CASE WHEN back_id IS NOT NULL
+                 AND (fwd_id IS NULL OR back_gap <= fwd_gap)
+                THEN back_id ELSE fwd_id END AS anchor_id,
+           CASE WHEN back_id IS NOT NULL
+                 AND (fwd_id IS NULL OR back_gap <= fwd_gap)
+                THEN 'backward' ELSE 'forward' END AS direction,
+           CAST(CASE WHEN back_id IS NOT NULL
+                      AND (fwd_id IS NULL OR back_gap <= fwd_gap)
+                     THEN back_gap ELSE fwd_gap END AS BIGINT) AS gap_us
+    FROM gaps
+    WHERE back_id IS NOT NULL OR fwd_id IS NOT NULL
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor as-of join (round 5 batch 8): each
+    non-signup event matches the CLOSEST signup anchor in EITHER time
+    direction (ties → backward) — completing the as-of family:
+    join_asof (backward), join_asof_forward, join_asof_tolerance
+    (backward + staleness bound), and now nearest, the variant sensor
+    fusion and feature alignment ask for ("the calibration reading
+    closest to this measurement").
+
+    Both directional candidates come from ONE (user_id) window
+    exchange — the backward tape is last_value over the preceding
+    frame, the forward tape first_value over the following frame,
+    both over the same sort — and the winner is a pure projection
+    comparing integer microsecond gaps. The anchor rides the
+    events_attribution string encoding (epoch_us‖event_id, fixed
+    width) so each tape carries ONE sortable value; matching at equal
+    timestamps resolves by the (ts, event_id) total order, and the
+    self row is excluded by the event_type filter, not frame surgery.
+
+    Scale: one exchange + one sort per user partition serves both
+    tapes; no join node at all — the standard as-of trick, in both
+    directions at once."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    key = F.when(
+        F.col("event_type") == "signup",
+        F.concat(
+            F.lpad(us.cast("string"), 20, "0"),
+            F.lit("|"),
+            F.lpad(F.col("event_id").cast("string"), 12, "0"),
+        ),
+    )
+    order = [F.col("ts"), F.col("event_id")]
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    tape = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        us.alias("us"),
+        F.last(key, ignorenulls=True).over(w_back).alias("back_key"),
+        F.first(key, ignorenulls=True).over(w_fwd).alias("fwd_key"),
+    ).filter(F.col("event_type") != "signup")
+    gaps = tape.select(
+        "event_id",
+        "user_id",
+        F.substring("back_key", 22, 12).cast("bigint").alias("back_id"),
+        (F.col("us") - F.substring("back_key", 1, 20).cast("bigint")).alias(
+            "back_gap"
+        ),
+        F.substring("fwd_key", 22, 12).cast("bigint").alias("fwd_id"),
+        (F.substring("fwd_key", 1, 20).cast("bigint") - F.col("us")).alias(
+            "fwd_gap"
+        ),
+    )
+    back_wins = F.col("back_id").isNotNull() & (
+        F.col("fwd_id").isNull() | (F.col("back_gap") <= F.col("fwd_gap"))
+    )
+    return gaps.filter(
+        F.col("back_id").isNotNull() | F.col("fwd_id").isNotNull()
+    ).select(
+        "event_id",
+        "user_id",
+        F.when(back_wins, F.col("back_id"))
+        .otherwise(F.col("fwd_id"))
+        .alias("anchor_id"),
+        F.when(back_wins, F.lit("backward"))
+        .otherwise(F.lit("forward"))
+        .alias("direction"),
+        F.when(back_wins, F.col("back_gap"))
+        .otherwise(F.col("fwd_gap"))
+        .cast("bigint")
+        .alias("gap_us"),
+    )

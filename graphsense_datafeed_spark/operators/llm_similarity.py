@@ -968,3 +968,119 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("dot") * 10000).cast("bigint").alias("cosine_e4"),
         )
     )
+
+
+@query(
+    "embed_drift_labels",
+    """
+    WITH flat AS (
+        SELECT label, CAST(vec_id % 2 AS BIGINT) AS half,
+               generate_subscripts(embedding, 1) AS pos,
+               CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 10000)
+                    AS BIGINT) AS v_e4
+        FROM embeddings
+    ), sums AS (
+        SELECT label, half, pos,
+               CAST(SUM(v_e4) AS BIGINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM flat GROUP BY 1, 2, 3
+    ), paired AS (
+        SELECT a.label, a.pos, a.s AS s0, a.n AS n0, b.s AS s1, b.n AS n1
+        FROM sums a JOIN sums b
+          ON a.label = b.label AND a.pos = b.pos
+         AND a.half = 0 AND b.half = 1
+    ), per_pos AS (
+        SELECT label, n0, n1,
+               s0 * s1 AS dot_term,
+               s0 * s0 AS nrm0_term,
+               s1 * s1 AS nrm1_term,
+               CAST(FLOOR(
+                   (CAST(s0 AS DOUBLE) / n0 - CAST(s1 AS DOUBLE) / n1)
+                   * (CAST(s0 AS DOUBLE) / n0 - CAST(s1 AS DOUBLE) / n1)
+               ) AS BIGINT) AS shift_term_e8
+        FROM paired
+    )
+    SELECT label, MAX(n0) AS n_even, MAX(n1) AS n_odd,
+           CAST(FLOOR(CAST(SUM(dot_term) AS DOUBLE)
+                      / sqrt(CAST(SUM(nrm0_term) AS DOUBLE)
+                             * CAST(SUM(nrm1_term) AS DOUBLE))
+                      * 1000000) AS BIGINT) AS centroid_cos_e6,
+           CAST(SUM(shift_term_e8) AS BIGINT) AS shift_sq_e8
+    FROM per_pos GROUP BY label
+    """,
+)
+def embed_drift_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding drift check (round 5 batch 8): split each
+    label's vectors into two deterministic shards (vec_id parity),
+    compare the shard CENTROIDS by cosine and squared mean-shift —
+    the "did the embedding distribution move?" monitor run between
+    two ingest batches / model versions before a similarity index is
+    trusted (matching shards push cos toward 1 and shift toward 0;
+    on this fixture's RANDOM unit vectors the centroids are
+    near-zero-norm noise, so the readout legitimately hovers near 0 —
+    the referee asserts exactness and bounds, not clustering).
+
+    Determinism beyond embed_centroids' float AVG: components
+    quantize to e4 integers ONCE, per-(label, shard, position) sums
+    are exact bigints, and the centroid cosine is computed on the SUM
+    vectors (cos of sums ≡ cos of means — the n's cancel), so dot and
+    norms stay in exact integer arithmetic until one final double
+    formula per label; the mean-shift term floors per POSITION before
+    its bigint total (no 64-term float fold). e4 quantization keeps
+    Σv·Σv under bigint to ~1e9 vectors per (label, shard).
+
+    Scale: one partial-aggregatable sum keyed (label, shard, pos) —
+    |labels|×2×dim rows — then label-level folds; raw vectors are
+    touched exactly once."""
+    e = load(spark, sf_dir, "embeddings")
+    flat = e.select(
+        "label",
+        (F.col("vec_id") % 2).cast("bigint").alias("half"),
+        F.posexplode("embedding").alias("pos0", "val"),
+    ).select(
+        "label",
+        "half",
+        (F.col("pos0") + 1).alias("pos"),
+        F.floor(F.col("val").cast("double") * 10000)
+        .cast("bigint")
+        .alias("v_e4"),
+    )
+    sums = flat.groupBy("label", "half", "pos").agg(
+        F.sum("v_e4").cast("bigint").alias("s"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    a = sums.filter(F.col("half") == 0).select(
+        "label", "pos", F.col("s").alias("s0"), F.col("n").alias("n0")
+    )
+    b = sums.filter(F.col("half") == 1).select(
+        "label", "pos", F.col("s").alias("s1"), F.col("n").alias("n1")
+    )
+    paired = a.join(b, ["label", "pos"])
+    mean_diff = (
+        F.col("s0").cast("double") / F.col("n0")
+        - F.col("s1").cast("double") / F.col("n1")
+    )
+    per_pos = paired.select(
+        "label",
+        "n0",
+        "n1",
+        (F.col("s0") * F.col("s1")).alias("dot_term"),
+        (F.col("s0") * F.col("s0")).alias("nrm0_term"),
+        (F.col("s1") * F.col("s1")).alias("nrm1_term"),
+        F.floor(mean_diff * mean_diff).cast("bigint").alias("shift_term_e8"),
+    )
+    return per_pos.groupBy("label").agg(
+        F.max("n0").alias("n_even"),
+        F.max("n1").alias("n_odd"),
+        F.floor(
+            F.sum("dot_term").cast("double")
+            / F.sqrt(
+                F.sum("nrm0_term").cast("double")
+                * F.sum("nrm1_term").cast("double")
+            )
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("centroid_cos_e6"),
+        F.sum("shift_term_e8").cast("bigint").alias("shift_sq_e8"),
+    )

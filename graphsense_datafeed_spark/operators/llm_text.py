@@ -1765,3 +1765,117 @@ def text_keywords_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("doc_id", F.col("token").alias("keyword"), "tf", "score_e6", "rank")
     )
+
+
+@query(
+    "text_url_normalize",
+    """
+    WITH seeded AS (
+        SELECT doc_id,
+               'HTTPS://WWW.Example' || CAST(doc_id % 7 AS VARCHAR)
+               || '.COM:443/Path' || CAST(doc_id % 13 AS VARCHAR)
+               || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END
+               || '?utm_source=feed&id=' || CAST(doc_id % 5 AS VARCHAR)
+               || CASE WHEN doc_id % 2 = 0 THEN '&fbclid=AbC123' ELSE '' END
+               || CASE WHEN doc_id % 4 = 0 THEN '&ref=home' ELSE '' END
+               || '#section' || CAST(doc_id % 3 AS VARCHAR) AS url
+        FROM documents
+    ), canon AS (
+        SELECT doc_id, url,
+               regexp_replace(
+                   regexp_replace(
+                       replace(lower(regexp_extract(
+                           regexp_replace(url, '#.*$', ''), '^[^?]*')),
+                           ':443/', '/'),
+                       '/$', ''),
+                   '^https?://www\\.', 'https://') AS base,
+               list_filter(
+                   str_split(regexp_extract(
+                       regexp_replace(url, '#.*$', ''), '\\?(.*)$', 1), '&'),
+                   p -> p <> '' AND NOT p LIKE 'utm_%'
+                        AND NOT p LIKE 'fbclid=%') AS kept
+        FROM seeded
+    ), built AS (
+        SELECT doc_id, url,
+               base || CASE WHEN len(kept) > 0
+                            THEN '?' || array_to_string(kept, '&')
+                            ELSE '' END AS canon_url
+        FROM canon
+    )
+    SELECT doc_id, url, canon_url,
+           CAST(COUNT(*) OVER (PARTITION BY canon_url) AS BIGINT)
+               AS n_sharing
+    FROM built
+    """,
+)
+def text_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization for crawl dedup (round 5 batch 8): the
+    same page arrives as HTTPS://WWW.Site.COM:443/Path/?utm_source=…
+    and https://site.com/path — URL-key dedup without normalization
+    silently keeps both. The battery: drop the fragment, lowercase
+    scheme+host+path, strip the :443 default port, strip the trailing
+    slash, collapse www., and delete tracking parameters (utm_*,
+    fbclid) while KEEPING meaningful ones — then count how many docs
+    share each canonical key (the dedup group size a crawl frontier
+    thresholds on). Fixture documents carry no URLs, so they are
+    seeded deterministically from doc_id (the text_pii_scrub
+    precedent) with every messy feature exercised.
+
+    Parity trap pinned: replacement-group syntax DIFFERS between
+    engines (Java $1 vs RE2 \\1), so every regexp_replace here uses
+    a groupless pattern; the port strip is a literal replace.
+
+    Scale: pure per-row string work (narrow, codegen) + one window
+    count on the canonical key — at 100 TB the count becomes the
+    groupBy the frontier already does."""
+    d = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTPS://WWW.Example"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".COM:443/Path"),
+        (F.col("doc_id") % 13).cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=feed&id="),
+        (F.col("doc_id") % 5).cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("&fbclid=AbC123")).otherwise(
+            F.lit("")
+        ),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("&ref=home")).otherwise(
+            F.lit("")
+        ),
+        F.lit("#section"),
+        (F.col("doc_id") % 3).cast("string"),
+    )
+    no_frag = F.regexp_replace(url, r"#.*$", "")
+    base = F.regexp_replace(
+        F.regexp_replace(
+            F.replace(
+                F.lower(F.regexp_extract(no_frag, r"^[^?]*", 0)),
+                F.lit(":443/"),
+                F.lit("/"),
+            ),
+            r"/$",
+            "",
+        ),
+        r"^https?://www\.",
+        "https://",
+    )
+    kept = F.filter(
+        F.split(F.regexp_extract(no_frag, r"\?(.*)$", 1), "&"),
+        lambda p: (p != "")
+        & ~p.startswith("utm_")
+        & ~p.startswith("fbclid="),
+    )
+    canon = F.concat(
+        base,
+        F.when(
+            F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
+        ).otherwise(F.lit("")),
+    )
+    built = d.select(
+        "doc_id", url.alias("url"), canon.alias("canon_url")
+    )
+    return built.withColumn(
+        "n_sharing",
+        F.count("*").over(Window.partitionBy("canon_url")).cast("bigint"),
+    )

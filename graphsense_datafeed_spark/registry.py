@@ -207,6 +207,10 @@ _ROUND6_NEXT_UP = (
     "text_keywords_topk",
     "ts_holt_linear",
     "sim_ann_pq",
+    "join_asof_nearest",
+    "agg_kl_divergence",
+    "embed_drift_labels",
+    "text_url_normalize",
 )
 
 _loaded = False

@@ -493,3 +493,130 @@ def test_pq_recall_vs_exact(spark, sf_dir):
         key = (r["query_id"], r["neighbor_id"])
         if key in exact_cos:  # overlap rows must agree exactly
             assert r["cosine_e4"] == exact_cos[key]
+
+
+def test_asof_nearest_matches_bruteforce(spark, sf_dir):
+    """Every non-signup event must match the closest signup in either
+    direction, ties to backward, replayed in Python."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 40)
+        .select("event_id", "user_id", "ts", "event_type")
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in sorted(ev, key=lambda r: (r["ts"], r["event_id"])):
+        by_user.setdefault(r["user_id"], []).append(r)
+    want = {}
+    for uid, items in by_user.items():
+        sigs = [r for r in items if r["event_type"] == "signup"]
+        for i, r in enumerate(items):
+            if r["event_type"] == "signup":
+                continue
+            back = [s for s in sigs if (s["ts"], s["event_id"]) <= (r["ts"], r["event_id"])]
+            fwd = [s for s in sigs if (s["ts"], s["event_id"]) > (r["ts"], r["event_id"])]
+            cand = []
+            us = lambda d: (d.days * 86_400 + d.seconds) * 1_000_000 + d.microseconds
+            if back:
+                s = back[-1]
+                cand.append((us(r["ts"] - s["ts"]), 0, s["event_id"], "backward"))
+            if fwd:
+                s = fwd[0]
+                cand.append((us(s["ts"] - r["ts"]), 1, s["event_id"], "forward"))
+            if cand:
+                gap, _, sid, direction = min(cand)
+                want[r["event_id"]] = (sid, direction, gap)
+    got = Q["join_asof_nearest"](spark, sf_dir).collect()
+    assert len(got) == len(want)
+    for r in got:
+        sid, direction, gap = want[r["event_id"]]
+        assert (r["anchor_id"], r["direction"], r["gap_us"]) == (sid, direction, gap)
+
+
+def test_kl_divergence_matches_bruteforce(spark, sf_dir):
+    rows = (
+        load(spark, sf_dir, "events")
+        .select((F.dayofweek("ts") - 1).alias("dow"), "value")
+        .collect()
+    )
+    cw: dict[int, int] = {}
+    ce: dict[int, int] = {}
+    for r in rows:
+        b = math.floor(r["value"] / 10)
+        if r["dow"] in (0, 6):
+            ce[b] = ce.get(b, 0) + 1
+        else:
+            cw[b] = cw.get(b, 0) + 1
+    buckets = set(cw) | set(ce)
+    nb = len(buckets)
+    nw, ne = sum(cw.values()), sum(ce.values())
+    want = {}
+    for b in buckets:
+        p = (cw.get(b, 0) + 1) / (nw + nb)
+        q = (ce.get(b, 0) + 1) / (ne + nb)
+        want[b] = math.floor(p * math.log(p / q) * 1_000_000_000)
+    got = Q["agg_kl_divergence"](spark, sf_dir).collect()
+    assert len(got) == nb
+    total = sum(want.values())
+    for r in got:
+        assert r["term_e9"] == want[r["bucket"]]
+        assert r["kl_sum_e9"] == total
+    # KL of the UNsmoothed empirical dists is >= 0; smoothing keeps the
+    # total near it — just sanity-bound the scale here
+    assert total > -(10**9)
+
+
+def test_embed_drift_matches_bruteforce(spark, sf_dir):
+    embs = load(spark, sf_dir, "embeddings").collect()
+    sums: dict[tuple, list] = {}
+    counts: dict[tuple, int] = {}
+    for r in embs:
+        key = (r["label"], r["vec_id"] % 2)
+        v = [math.floor(float(x) * 10000) for x in r["embedding"]]
+        if key not in sums:
+            sums[key] = [0] * len(v)
+            counts[key] = 0
+        for i, x in enumerate(v):
+            sums[key][i] += x
+        counts[key] += 1
+    got = {r["label"]: r for r in Q["embed_drift_labels"](spark, sf_dir).collect()}
+    labels = {l for l, h in sums}
+    assert set(got) == labels
+    for lab in labels:
+        s0, s1 = sums[(lab, 0)], sums[(lab, 1)]
+        n0, n1 = counts[(lab, 0)], counts[(lab, 1)]
+        dot = sum(a * b for a, b in zip(s0, s1))
+        nrm0 = sum(a * a for a in s0)
+        nrm1 = sum(b * b for b in s1)
+        cos = math.floor(dot / math.sqrt(nrm0 * nrm1) * 1_000_000)
+        shift = sum(
+            math.floor((a / n0 - b / n1) ** 2) for a, b in zip(s0, s1)
+        )
+        r = got[lab]
+        assert (r["n_even"], r["n_odd"]) == (n0, n1)
+        assert r["centroid_cos_e6"] == cos
+        assert r["shift_sq_e8"] == shift
+        # a cosine is bounded; fixture labels are arbitrary over random
+        # unit vectors, so shard centroids need not correlate strongly
+        assert -1_000_000 <= r["centroid_cos_e6"] <= 1_000_000
+
+
+def test_url_normalize_properties(spark, sf_dir):
+    """Canonical URLs must be lowercase, fragment/port/tracking-free,
+    and group counts must equal the actual canonical-key histogram."""
+    got = Q["text_url_normalize"](spark, sf_dir).collect()
+    from collections import Counter
+
+    hist = Counter(r["canon_url"] for r in got)
+    for r in got:
+        c = r["canon_url"]
+        assert c == c.lower()
+        assert "#" not in c and ":443" not in c and "www." not in c
+        assert "utm_" not in c and "fbclid" not in c
+        assert not c.split("?")[0].endswith("/")
+        assert c.startswith("https://example")
+        assert r["n_sharing"] == hist[c]
+        # meaningful params survive
+        if r["doc_id"] % 4 == 0:
+            assert "ref=home" in c
+        assert f"id={r['doc_id'] % 5}" in c
