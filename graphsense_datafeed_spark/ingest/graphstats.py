@@ -483,3 +483,88 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sym.groupBy(F.col("src").alias("node")).agg(
         F.count("*").cast("bigint").alias("core_degree")
     )
+
+
+@query(
+    "graph_assortativity",
+    f"""
+    WITH {_DUCK_EDGES},
+    sym AS (
+        SELECT src, dst FROM edges
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM edges
+    ), deg AS (
+        SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+        FROM sym GROUP BY 1
+    ), pairs AS (
+        SELECT da.d AS x, db.d AS y
+        FROM sym s
+        JOIN deg da ON da.node = s.src
+        JOIN deg db ON db.node = s.dst
+    ), stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM pairs
+    )
+    SELECT CAST(n / 2 AS BIGINT) AS n_edges,
+           CAST(FLOOR(
+               (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+               * 1000000) AS BIGINT) AS assortativity_e6
+    FROM stats
+    """,
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the address graph (round 5 batch 9):
+    Pearson correlation of endpoint degrees over every edge — ONE
+    number for "do hubs connect to hubs?" (positive: social-style
+    core; negative: hub-and-spoke, the typical exchange-address
+    topology). The structural summary that decides whether hub-targeted
+    sampling or uniform sampling is the right corpus reduction.
+
+    agg_corr_exact's discipline on graph data: both endpoint degree
+    lists come from the symmetrized edge list (each undirected edge
+    contributes both orientations, which is exactly the standard
+    definition's summation), the five sufficient statistics are exact
+    bigint sums — degrees are bounded by max-degree so Σd² stays far
+    under bigint — and the formula runs ONCE in IEEE64.
+
+    Scale: degree table = one groupBy; the two joins hash on node id
+    (broadcast at dimension-sized degree tables); the stats agg is
+    map-side combinable. Nothing touches pairs²."""
+    e = cooccurrence_edges(spark)
+    sym = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("bigint").alias("d")
+    )
+    da = deg.select(F.col("node").alias("src"), F.col("d").alias("x"))
+    db = deg.select(F.col("node").alias("dst"), F.col("d").alias("y"))
+    pairs = sym.join(da, "src").join(db, "dst")
+    stats = pairs.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    num = d("n") * d("sxy") - d("sx") * d("sy")
+    den = F.sqrt(
+        (d("n") * d("sxx") - d("sx") * d("sx"))
+        * (d("n") * d("syy") - d("sy") * d("sy"))
+    )
+    return stats.select(
+        (F.col("n") / 2).cast("bigint").alias("n_edges"),
+        F.floor(num / den * 1000000).cast("bigint").alias("assortativity_e6"),
+    )

@@ -1779,3 +1779,78 @@ def agg_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terms.withColumn(
         "kl_sum_e9", F.sum("term_e9").over(wall).cast("bigint")
     )
+
+
+@query(
+    "agg_benford_profile",
+    """
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+               CAST(COUNT(*) AS BIGINT) AS o
+        FROM orders GROUP BY 1
+    ), tot AS (
+        SELECT digit, o, CAST(SUM(o) OVER () AS BIGINT) AS n
+        FROM digits
+    ), terms AS (
+        SELECT digit, o,
+               CAST(FLOOR(ln(1.0 + 1.0 / digit) / ln(10.0) * 1000000)
+                    AS BIGINT) AS benford_e6,
+               CAST(FLOOR(
+                   (CAST(o AS DOUBLE)
+                    - CAST(n AS DOUBLE) * (ln(1.0 + 1.0 / digit) / ln(10.0)))
+                   * (CAST(o AS DOUBLE)
+                      - CAST(n AS DOUBLE) * (ln(1.0 + 1.0 / digit) / ln(10.0)))
+                   / (CAST(n AS DOUBLE) * (ln(1.0 + 1.0 / digit) / ln(10.0)))
+                   * 1000000) AS BIGINT) AS dev_e6
+        FROM tot
+    )
+    SELECT digit, o, benford_e6, dev_e6,
+           CAST(SUM(dev_e6) OVER () AS BIGINT) AS chi2_sum_e6
+    FROM terms
+    """,
+)
+def agg_benford_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals (round 5 batch 9):
+    naturally-occurring amounts follow P(d) = log₁₀(1+1/d); fabricated
+    or systematically-generated ones don't — the classic
+    fraud/synthetic-data screen auditors run before trusting a ledger,
+    and a data-quality gate before training on transaction-like
+    columns. Emits each digit's observed count, the Benford
+    expectation (e6), its χ²-style deviation term, and the grand
+    deviation total in one scan.
+
+    The first digit comes from STRING truncation of the exact integer
+    cents — deliberately not floor(x/10^floor(log10 x)), whose libm
+    log10 differs in the last ulp across engines and flips boundary
+    values (the agg_histogram_log2 lesson, same family). Counts and
+    margins are bigint; each digit's expectation and deviation
+    evaluate in one double expression floored BEFORE the order-free
+    total. Nine-row key space; one map-side-combinable agg."""
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    digits = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.substring(cents.cast("string"), 1, 1)
+            .cast("bigint")
+            .alias("digit")
+        )
+        .agg(F.count("*").cast("bigint").alias("o"))
+    )
+    wall = Window.partitionBy()
+    tot = digits.withColumn(
+        "n", F.sum("o").over(wall).cast("bigint")
+    )
+    p = F.log(1.0 + 1.0 / F.col("digit")) / F.log(F.lit(10.0))
+    dev = (F.col("o").cast("double") - F.col("n").cast("double") * p)
+    terms = tot.select(
+        "digit",
+        "o",
+        F.floor(p * 1000000).cast("bigint").alias("benford_e6"),
+        F.floor(dev * dev / (F.col("n").cast("double") * p) * 1000000)
+        .cast("bigint")
+        .alias("dev_e6"),
+    )
+    return terms.withColumn(
+        "chi2_sum_e6", F.sum("dev_e6").over(wall).cast("bigint")
+    )

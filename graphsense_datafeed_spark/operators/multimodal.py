@@ -312,3 +312,138 @@ def multimodal_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_copies") >= 2)
     )
+
+
+@query(
+    "multimodal_phash_dedup",
+    """
+    WITH media AS (
+        SELECT doc_id, repeat(md5(text), 4) AS h
+        FROM documents
+    ), bytes AS (
+        SELECT doc_id,
+               list_transform(range(1, 65),
+                   i -> CAST('0x' || substr(h, CAST(i AS INT) * 2 - 1, 2)
+                             AS BIGINT)) AS bs
+        FROM media
+    ), bits AS (
+        SELECT doc_id,
+               list_transform(bs,
+                   b -> CAST(b * 64 > list_sum(bs) AS BIGINT)) AS bit
+        FROM bytes
+    ), blocks AS (
+        SELECT doc_id, bit,
+               unnest(range(0, 4)) AS k
+        FROM bits
+    ), keyed AS (
+        SELECT doc_id, bit, k,
+               list_reduce(bit[CAST(k * 16 + 1 AS INT):CAST(k * 16 + 16 AS INT)],
+                           (acc, x) -> acc * 2 + x) AS block_val
+        FROM blocks
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM keyed a JOIN keyed b
+          ON a.k = b.k AND a.block_val = b.block_val
+         AND a.doc_id < b.doc_id
+    ), verified AS (
+        SELECT c.doc_a, c.doc_b,
+               list_reduce(
+                   list_transform(list_zip(x.bit, y.bit),
+                       p -> CAST(p[1] <> p[2] AS BIGINT)),
+                   (acc, v) -> acc + v) AS hamming
+        FROM cand c
+        JOIN bits x ON x.doc_id = c.doc_a
+        JOIN bits y ON y.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+    FROM verified WHERE hamming <= 3
+    """,
+)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup over media payloads (round 5 batch 9):
+    average-hash (aHash) treats the 64-byte payload as an 8×8
+    grayscale grid — bit i = (pixel i > image mean) — and
+    near-duplicate candidates are found by dedup_simhash's pigeonhole:
+    4 blocks of 16 bits, hamming ≤ 3 GUARANTEES at least one block
+    matches exactly, so candidate generation is a block equi-join and
+    the full 64-bit hamming is computed only for candidates. This is
+    the stage between multimodal_dedup_exact (byte-identical) and
+    embedding similarity: catches re-encoded/slightly-corrupted copies
+    whose bytes differ but whose content pattern doesn't.
+
+    ENTIRELY SQL-expressible — no decoder needed: bytes come from hex
+    pairs of the payload's hex form (engine-portable '0x' parse /
+    conv), the mean comparison is the integer cross-multiplication
+    b·64 > Σb (no division), block keys fold bits to integers
+    (seedless fold ≡ seed-0 for acc·2+x), and hamming is an integer
+    xor-fold. On this fixture the payload is an md5 repeated 4× so all
+    four blocks coincide per doc — degenerate but harmless pigeonhole;
+    real media payloads exercise all four independently (planted-dup
+    test covers a distinct-block case).
+
+    Scale: the hash is 8 bytes/row at rest; candidates are bucketed by
+    (block, value) — never all-pairs — with dedup_near's count-
+    certified cap as the documented hot-bucket guard."""
+    docs = load(spark, sf_dir, "documents")
+    h = F.repeat(F.md5(F.col("text").cast("binary")), 4)
+    bytes_arr = F.transform(
+        F.sequence(F.lit(1), F.lit(64)),
+        lambda i: F.conv(h.substr(i * 2 - 1, F.lit(2)), 16, 10).cast(
+            "bigint"
+        ),
+    )
+    base = docs.select("doc_id", bytes_arr.alias("bs"))
+    total = F.aggregate(F.col("bs"), F.lit(0).cast("bigint"), lambda a, x: a + x)
+    bits = base.select(
+        "doc_id",
+        F.transform(
+            F.col("bs"), lambda b: (b * 64 > total).cast("bigint")
+        ).alias("bit"),
+    )
+    keyed = bits.select(
+        "doc_id",
+        "bit",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("k"),
+    ).select(
+        "doc_id",
+        "k",
+        F.aggregate(
+            F.slice(F.col("bit"), F.col("k") * 16 + 1, F.lit(16)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc * 2 + x,
+        ).alias("block_val"),
+    )
+    a = keyed.select(
+        F.col("doc_id").alias("doc_a"), "k", "block_val"
+    )
+    b = keyed.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("k").alias("kb"),
+        F.col("block_val").alias("bvb"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("k") == F.col("kb"))
+            & (F.col("block_val") == F.col("bvb"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    x = bits.select(F.col("doc_id").alias("doc_a"), F.col("bit").alias("bx"))
+    y = bits.select(F.col("doc_id").alias("doc_b"), F.col("bit").alias("by"))
+    verified = cand.join(x, "doc_a").join(y, "doc_b").select(
+        "doc_a",
+        "doc_b",
+        F.aggregate(
+            F.zip_with(
+                F.col("bx"), F.col("by"), lambda p, q: (p != q).cast("bigint")
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        ).alias("hamming"),
+    )
+    return verified.filter(F.col("hamming") <= 3).select(
+        "doc_a", "doc_b", F.col("hamming").cast("bigint").alias("hamming")
+    )

@@ -1231,3 +1231,74 @@ def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("forecast1_e6"),
     )
+
+
+@query(
+    "ts_seasonal_adjust",
+    """
+    WITH cells AS (
+        SELECT dayofweek(ts) AS dow, CAST(hour(ts) AS BIGINT) AS hod,
+               CAST(SUM(CAST(FLOOR(value * 10000) AS BIGINT)) AS BIGINT)
+                   AS s,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT e.event_id, c.dow, c.hod,
+           CAST(FLOOR(e.value * 10000) AS BIGINT) AS v_e4,
+           CAST(FLOOR(CAST(c.s AS DOUBLE) / c.n) AS BIGINT)
+               AS seasonal_mean_e4,
+           CAST(FLOOR(CAST(CAST(FLOOR(e.value * 10000) AS BIGINT) AS DOUBLE)
+                      - CAST(c.s AS DOUBLE) / c.n) AS BIGINT) AS residual_e4
+    FROM events e
+    JOIN cells c ON dayofweek(e.ts) = c.dow
+                AND CAST(hour(e.ts) AS BIGINT) = c.hod
+    """,
+)
+def ts_seasonal_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal adjustment (round 5 batch 9): subtract each event's
+    (day-of-week × hour) seasonal cell mean from its value — turning
+    ts_seasonality_profile's FINGERPRINT into a TRANSFORM. The
+    deseasonalized residual is what anomaly detection should consume:
+    ts_zscore_anomaly on raw values flags every Monday 9am peak as an
+    outlier; on residuals it flags only departures from the weekly
+    rhythm.
+
+    Cell means come from exact bigint (Σ floor-e4, n) per cell — 7×24
+    mergeable state — and each row's residual is ONE double expression
+    (v − s/n) floored e4, so parity holds without any float agg. The
+    cell table broadcasts back onto the detail (the ts_outlier_mad
+    shape: the detail never re-shuffles). DOW parity: both sides key
+    the JOIN on each engine's own dayofweek encoding — the cell is
+    identical either way; the EMITTED dow uses DuckDB numbering
+    (Spark −1) like agg_chi_square.
+
+    Scale: one partial agg to 168 cells + broadcast join — the
+    seasonal profile is the persistable artifact; at 100 TB it updates
+    incrementally (mergeable sums) while the adjustment stays a
+    map-only pass."""
+    ev = load(spark, sf_dir, "events")
+    dow = (F.dayofweek("ts") - 1).alias("dow")
+    hod = F.hour("ts").cast("bigint").alias("hod")
+    v = F.floor(F.col("value") * 10000).cast("bigint")
+    cells = ev.groupBy(dow, hod).agg(
+        F.sum(v).cast("bigint").alias("s"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    detail = ev.select(
+        "event_id",
+        (F.dayofweek("ts") - 1).alias("dow"),
+        F.hour("ts").cast("bigint").alias("hod"),
+        v.alias("v_e4"),
+    )
+    j = detail.join(F.broadcast(cells), ["dow", "hod"])
+    mean = F.col("s").cast("double") / F.col("n")
+    return j.select(
+        "event_id",
+        "dow",
+        "hod",
+        "v_e4",
+        F.floor(mean).cast("bigint").alias("seasonal_mean_e4"),
+        F.floor(F.col("v_e4").cast("double") - mean)
+        .cast("bigint")
+        .alias("residual_e4"),
+    )

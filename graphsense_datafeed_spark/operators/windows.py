@@ -396,3 +396,65 @@ def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("bigint").alias("n_window"),
         F.floor(med * 10).cast("bigint").alias("med_e5"),
     )
+
+
+@query(
+    "win_pattern_match",
+    """
+    WITH tape AS (
+        SELECT event_id, user_id, ts, event_type,
+               lag(event_type, 1) OVER w AS t1,
+               lag(event_type, 2) OVER w AS t2,
+               lag(event_id, 2) OVER w AS start_id,
+               lag(ts, 2) OVER w AS start_ts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id AS match_id, user_id, start_id,
+           CAST(epoch_us(ts) - epoch_us(start_ts) AS BIGINT) AS span_us
+    FROM tape
+    WHERE event_type = 'purchase' AND t1 = 'click' AND t2 = 'view'
+    """,
+)
+def win_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-pattern matching (round 5 batch 9): detect the CONSECUTIVE
+    view → click → purchase sequence inside each user's stream — SQL's
+    MATCH_RECOGNIZE shape, which neither engine parses, expressed as
+    its lag-program equivalent: a fixed-length pattern over K
+    consecutive rows is exactly K−1 lag columns plus one predicate.
+    events_funnel counts stage reach ANYWHERE in a user's history;
+    this demands adjacency — the strict-sequence semantics clickstream
+    "golden path" and fraud-pattern rules actually specify. Emits the
+    matching row, the pattern's start row and the integer-µs span.
+
+    All three lags ride ONE (user, ts, event_id) window exchange;
+    matching is a post-window filter, so the plan is scan → window →
+    filter with no join. Variable-length patterns (A B* C) need the
+    sessionize-then-fold form (events_user_paths' machinery), pinned
+    here as the documented extension, not a different engine.
+
+    Scale: one exchange + per-user sort — the streaming form is a
+    K-row ring buffer per key (stream_stateful's shape)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    tape = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("t1"),
+        F.lag("event_type", 2).over(w).alias("t2"),
+        F.lag("event_id", 2).over(w).alias("start_id"),
+        F.lag("ts", 2).over(w).alias("start_ts"),
+    )
+    return tape.filter(
+        (F.col("event_type") == "purchase")
+        & (F.col("t1") == "click")
+        & (F.col("t2") == "view")
+    ).select(
+        F.col("event_id").alias("match_id"),
+        "user_id",
+        "start_id",
+        (us("ts") - us("start_ts")).cast("bigint").alias("span_us"),
+    )

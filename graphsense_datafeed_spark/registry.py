@@ -211,6 +211,11 @@ _ROUND6_NEXT_UP = (
     "agg_kl_divergence",
     "embed_drift_labels",
     "text_url_normalize",
+    "win_pattern_match",
+    "graph_assortativity",
+    "agg_benford_profile",
+    "ts_seasonal_adjust",
+    "multimodal_phash_dedup",
 )
 
 _loaded = False

@@ -620,3 +620,198 @@ def test_url_normalize_properties(spark, sf_dir):
         if r["doc_id"] % 4 == 0:
             assert "ref=home" in c
         assert f"id={r['doc_id'] % 5}" in c
+
+
+def test_pattern_match_matches_bruteforce(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    ).collect()
+    by_user: dict[int, list] = {}
+    for r in sorted(ev, key=lambda r: (r["ts"], r["event_id"])):
+        by_user.setdefault(r["user_id"], []).append(r)
+    want = {}
+    for uid, items in by_user.items():
+        for i in range(2, len(items)):
+            a, b, c = items[i - 2], items[i - 1], items[i]
+            if (
+                a["event_type"] == "view"
+                and b["event_type"] == "click"
+                and c["event_type"] == "purchase"
+            ):
+                d = c["ts"] - a["ts"]
+                span = (d.days * 86_400 + d.seconds) * 1_000_000 + d.microseconds
+                want[c["event_id"]] = (a["event_id"], span)
+    got = Q["win_pattern_match"](spark, sf_dir).collect()
+    assert len(got) == len(want)
+    assert len(got) > 0  # the pattern must actually occur in the fixture
+    for r in got:
+        sid, span = want[r["match_id"]]
+        assert (r["start_id"], r["span_us"]) == (sid, span)
+
+
+def test_assortativity_matches_bruteforce(spark, sf_dir):
+    edges, adj = _python_graph(spark)
+    deg = {n: len(v) for n, v in adj.items()}
+    xs, ys = [], []
+    for s, d in edges:
+        xs += [deg[s], deg[d]]
+        ys += [deg[d], deg[s]]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    syy = sum(b * b for b in ys)
+    num = float(n) * sxy - float(sx) * sy
+    den = math.sqrt(
+        (float(n) * sxx - float(sx) * sx) * (float(n) * syy - float(sy) * sy)
+    )
+    got = Q["graph_assortativity"](spark, sf_dir).collect()[0]
+    assert got["n_edges"] == len(edges)
+    assert got["assortativity_e6"] == math.floor(num / den * 1_000_000)
+    assert -1_000_000 <= got["assortativity_e6"] <= 1_000_000
+
+
+def test_benford_profile_matches_bruteforce(spark, sf_dir):
+    rows = load(spark, sf_dir, "orders").select("o_totalprice").collect()
+    from decimal import Decimal, ROUND_HALF_UP
+
+    obs: dict[int, int] = {}
+    for r in rows:
+        cents = int(
+            Decimal(repr(r["o_totalprice"] * 100)).quantize(0, ROUND_HALF_UP)
+        )
+        d = int(str(cents)[0])
+        obs[d] = obs.get(d, 0) + 1
+    n = sum(obs.values())
+    got = Q["agg_benford_profile"](spark, sf_dir).collect()
+    assert {r["digit"] for r in got} == set(obs)
+    total = 0
+    want_dev = {}
+    for d, o in obs.items():
+        p = math.log(1 + 1 / d) / math.log(10)
+        dev = math.floor((o - n * p) ** 2 / (n * p) * 1_000_000)
+        want_dev[d] = dev
+        total += dev
+    for r in got:
+        assert r["o"] == obs[r["digit"]]
+        p = math.log(1 + 1 / r["digit"]) / math.log(10)
+        assert r["benford_e6"] == math.floor(p * 1_000_000)
+        assert r["dev_e6"] == want_dev[r["digit"]]
+        assert r["chi2_sum_e6"] == total
+
+
+def test_seasonal_adjust_matches_bruteforce(spark, sf_dir):
+    rows = (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            (F.dayofweek("ts") - 1).alias("dow"),
+            F.hour("ts").alias("hod"),
+            "value",
+        )
+        .collect()
+    )
+    sums: dict[tuple, list] = {}
+    for r in rows:
+        k = (r["dow"], r["hod"])
+        v = math.floor(r["value"] * 10000)
+        if k not in sums:
+            sums[k] = [0, 0]
+        sums[k][0] += v
+        sums[k][1] += 1
+    got = {r["event_id"]: r for r in Q["ts_seasonal_adjust"](spark, sf_dir).collect()}
+    assert len(got) == len(rows)
+    # residuals of each cell must sum to ~0 (mean removal)
+    cell_res: dict[tuple, int] = {}
+    for r in rows:
+        k = (r["dow"], r["hod"])
+        s, n = sums[k]
+        v = math.floor(r["value"] * 10000)
+        g = got[r["event_id"]]
+        assert (g["dow"], g["hod"], g["v_e4"]) == (r["dow"], r["hod"], v)
+        assert g["seasonal_mean_e4"] == math.floor(s / n)
+        assert g["residual_e4"] == math.floor(v - s / n)
+        cell_res[k] = cell_res.get(k, 0) + g["residual_e4"]
+    for k, tot in cell_res.items():
+        assert abs(tot) <= sums[k][1]  # floor() loses < 1 per row
+
+
+def test_phash_dedup_matches_bruteforce(spark, sf_dir):
+    """aHash near-dups replayed in Python over the same synthetic
+    payload bytes; planted exact text dups must appear at hamming 0."""
+    import hashlib
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    bits_by_doc = {}
+    for r in docs:
+        raw = (hashlib.md5(r["text"].encode()).hexdigest()) * 4
+        bs = [int(raw[i * 2 : i * 2 + 2], 16) for i in range(64)]
+        tot = sum(bs)
+        bits_by_doc[r["doc_id"]] = [1 if b * 64 > tot else 0 for b in bs]
+    ids = sorted(bits_by_doc)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            ba, bb = bits_by_doc[a], bits_by_doc[b]
+            share = any(
+                ba[k * 16 : k * 16 + 16] == bb[k * 16 : k * 16 + 16]
+                for k in range(4)
+            )
+            if not share:
+                continue
+            ham = sum(1 for x, y in zip(ba, bb) if x != y)
+            if ham <= 3:
+                want[(a, b)] = ham
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in Q["multimodal_phash_dedup"](spark, sf_dir).collect()
+    }
+    assert got == want
+    # the corpus's planted exact text dups must surface at hamming 0
+    texts: dict[str, list] = {}
+    for r in docs:
+        texts.setdefault(r["text"], []).append(r["doc_id"])
+    planted = [sorted(v) for v in texts.values() if len(v) >= 2]
+    # exact text dups exist only at the larger SFs (FIXTURES.md: 8 at
+    # sf0.1); when present they MUST surface at hamming 0
+    for grp in planted:
+        assert got.get((grp[0], grp[1])) == 0
+
+
+def test_phash_dedup_catches_planted_near_dup(spark, tmp_path):
+    """A payload differing by a small byte perturbation (hamming ≤ 3
+    after hashing) must pair with its original; a random payload must
+    not. Drives the SPARK pipeline over planted documents."""
+    import shutil
+
+    src = "/root/testdata/sf0.001"
+    dst = tmp_path / "sf"
+    dst.mkdir()
+    for t in ("documents",):
+        shutil.copy(f"{src}/{t}.parquet", dst / f"{t}.parquet")
+    # two docs with IDENTICAL text → identical payload → hamming 0
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(
+        f"""
+        COPY (
+            SELECT * FROM read_parquet('{src}/documents.parquet')
+            UNION ALL
+            SELECT 900001 AS doc_id, text, lang, source, n_chars
+            FROM read_parquet('{src}/documents.parquet') WHERE doc_id = 1
+            UNION ALL
+            SELECT 900002 AS doc_id, text, lang, source, n_chars
+            FROM read_parquet('{src}/documents.parquet') WHERE doc_id = 1
+        ) TO '{dst}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in Q["multimodal_phash_dedup"](spark, str(dst)).collect()
+    }
+    # planted byte-identical payloads must pair at hamming 0 with each
+    # other AND with their source doc
+    assert got.get((900001, 900002)) == 0
+    assert got.get((1, 900001)) == 0
+    assert got.get((1, 900002)) == 0
