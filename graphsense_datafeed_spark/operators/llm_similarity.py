@@ -1084,3 +1084,95 @@ def embed_drift_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("centroid_cos_e6"),
         F.sum("shift_term_e8").cast("bigint").alias("shift_sq_e8"),
     )
+
+
+@query(
+    "embed_nearest_centroid_classify",
+    """
+    WITH flat AS (
+        SELECT label, vec_id,
+               generate_subscripts(embedding, 1) AS pos,
+               CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 10000)
+                    AS BIGINT) AS v_e4
+        FROM embeddings
+    ), cents AS (
+        SELECT label AS c_label, pos,
+               CAST(SUM(v_e4) AS BIGINT) AS s,
+               CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n
+        FROM flat GROUP BY 1, 2
+    ), scored AS (
+        SELECT f.vec_id, f.label, c.c_label,
+               SUM(f.v_e4 * c.s) AS dot_num,
+               MAX(c.n) AS cn
+        FROM flat f JOIN cents c ON f.pos = c.pos
+        GROUP BY f.vec_id, f.label, c.c_label
+    ), normed AS (
+        SELECT vec_id, label, c_label,
+               CAST(dot_num AS DOUBLE) / cn AS score,
+               row_number() OVER (
+                   PARTITION BY vec_id
+                   ORDER BY CAST(dot_num AS DOUBLE) / cn DESC, c_label
+               ) AS r
+        FROM scored
+    )
+    SELECT label AS true_label, c_label AS predicted_label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors
+    FROM normed WHERE r = 1
+    GROUP BY 1, 2
+    """,
+)
+def embed_nearest_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification with a confusion-matrix readout
+    (round 5 batch 9): every vector is assigned to the label whose
+    MEAN embedding it most aligns with (dot against each centroid, all
+    vectors unit-norm), and the output is the (true, predicted) count
+    matrix — the sanity check run on any labeled embedding corpus
+    before the labels are trusted for supervised use ("are these
+    labels even separable in embedding space?"). On this fixture's
+    random vectors the matrix is near-uniform — itself the readout.
+
+    Exactness via the embed_drift_labels discipline: components
+    quantize e4 ONCE, centroids live as (Σ, n) integer pairs, and the
+    vector·centroid score keeps the integer dot numerator Σ(v·s)
+    exact, dividing by n only in the final double whose ties pin on
+    label. The argmax is a WindowGroupLimit per vector.
+
+    Scale: |labels|×dim centroid table broadcasts; scoring is a
+    pos-join + (vec, label) agg — one corpus pass, mergeable; the
+    same shape classifies a 100 TB corpus against frozen centroids."""
+    e = load(spark, sf_dir, "embeddings")
+    flat = e.select(
+        "label",
+        "vec_id",
+        F.posexplode("embedding").alias("pos0", "val"),
+    ).select(
+        "label",
+        "vec_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.floor(F.col("val").cast("double") * 10000)
+        .cast("bigint")
+        .alias("v_e4"),
+    )
+    cents = flat.groupBy(F.col("label").alias("c_label"), "pos").agg(
+        F.sum("v_e4").cast("bigint").alias("s"),
+        F.countDistinct("vec_id").cast("bigint").alias("n"),
+    )
+    scored = (
+        flat.join(F.broadcast(cents), "pos")
+        .groupBy("vec_id", "label", "c_label")
+        .agg(
+            F.sum(F.col("v_e4") * F.col("s")).alias("dot_num"),
+            F.max("n").alias("cn"),
+        )
+    )
+    score = F.col("dot_num").cast("double") / F.col("cn")
+    w = Window.partitionBy("vec_id").orderBy(score.desc(), F.col("c_label"))
+    return (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .groupBy(
+            F.col("label").alias("true_label"),
+            F.col("c_label").alias("predicted_label"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_vectors"))
+    )

@@ -458,3 +458,56 @@ def win_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         "start_id",
         (us("ts") - us("start_ts")).cast("bigint").alias("span_us"),
     )
+
+
+@query(
+    "win_gaps_islands",
+    """
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+        FROM events WHERE user_id < 60
+    ), keyed AS (
+        SELECT user_id, d,
+               d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                        AS INT) AS island
+        FROM days
+    )
+    SELECT user_id, MIN(d) AS run_start, MAX(d) AS run_end,
+           CAST(COUNT(*) AS BIGINT) AS run_days
+    FROM keyed GROUP BY user_id, island
+    """,
+)
+def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands (round 5 batch 9): each user's CONSECUTIVE
+    active-day runs — start, end, length — the classic SQL pattern
+    behind streak features ("7-day streak"), uptime runs and
+    contiguous-coverage audits, and the one windowing idiom the §2.5
+    surface still lacked. The tabibitosan trick: date minus the
+    per-user row_number is CONSTANT exactly while days are
+    consecutive, so the unrepresentable "group by consecutiveness"
+    becomes a plain GROUP BY on that derived key.
+
+    Distinct days first (bounded per user), one window exchange for
+    the row_number, one map-side-combinable agg on (user, island) —
+    dates stay DATE arithmetic end-to-end (integer day domain, no
+    timestamp/timezone surface at all).
+
+    Scale: identical shape at any size; the distinct is the only
+    row-scale shuffle and the standard pre-aggregation."""
+    days = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 60)
+        .select("user_id", F.col("ts").cast("date").alias("d"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    keyed = days.select(
+        "user_id",
+        "d",
+        F.date_sub(F.col("d"), F.row_number().over(w)).alias("island"),
+    )
+    return keyed.groupBy("user_id", "island").agg(
+        F.min("d").alias("run_start"),
+        F.max("d").alias("run_end"),
+        F.count("*").cast("bigint").alias("run_days"),
+    ).select("user_id", "run_start", "run_end", "run_days")

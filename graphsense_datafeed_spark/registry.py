@@ -216,6 +216,9 @@ _ROUND6_NEXT_UP = (
     "agg_benford_profile",
     "ts_seasonal_adjust",
     "multimodal_phash_dedup",
+    "win_gaps_islands",
+    "embed_nearest_centroid_classify",
+    "stream_observe_metrics",
 )
 
 _loaded = False

@@ -815,3 +815,72 @@ def test_phash_dedup_catches_planted_near_dup(spark, tmp_path):
     assert got.get((900001, 900002)) == 0
     assert got.get((1, 900001)) == 0
     assert got.get((1, 900002)) == 0
+
+
+def test_gaps_islands_matches_bruteforce(spark, sf_dir):
+    """Every run must be maximal-consecutive and cover exactly the
+    user's active days."""
+    days = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 60)
+        .select("user_id", F.col("ts").cast("date").alias("d"))
+        .distinct()
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in days:
+        by_user.setdefault(r["user_id"], []).append(r["d"])
+    want = {}
+    import datetime
+
+    one = datetime.timedelta(days=1)
+    for uid, ds in by_user.items():
+        ds.sort()
+        runs = []
+        start = prev = ds[0]
+        for d in ds[1:]:
+            if d - prev != one:
+                runs.append((start, prev, (prev - start).days + 1))
+                start = d
+            prev = d
+        runs.append((start, prev, (prev - start).days + 1))
+        want[uid] = sorted(runs)
+    got: dict[int, list] = {}
+    for r in Q["win_gaps_islands"](spark, sf_dir).collect():
+        got.setdefault(r["user_id"], []).append(
+            (r["run_start"], r["run_end"], r["run_days"])
+        )
+    assert {u: sorted(v) for u, v in got.items()} == want
+
+
+def test_nearest_centroid_confusion_is_complete(spark, sf_dir):
+    """The confusion matrix must partition all vectors, and each
+    vector's argmax must match a Python replay over integer-sum
+    centroids."""
+    embs = load(spark, sf_dir, "embeddings").collect()
+    sums: dict[int, list] = {}
+    counts: dict[int, int] = {}
+    for r in embs:
+        v = [math.floor(float(x) * 10000) for x in r["embedding"]]
+        if r["label"] not in sums:
+            sums[r["label"]] = [0] * len(v)
+            counts[r["label"]] = 0
+        for i, x in enumerate(v):
+            sums[r["label"]][i] += x
+        counts[r["label"]] += 1
+    want: dict[tuple, int] = {}
+    for r in embs:
+        v = [math.floor(float(x) * 10000) for x in r["embedding"]]
+        best = None
+        for lab in sorted(sums):
+            dot = sum(a * b for a, b in zip(v, sums[lab])) / counts[lab]
+            if best is None or dot > best[0]:
+                best = (dot, lab)
+        key = (r["label"], best[1])
+        want[key] = want.get(key, 0) + 1
+    got = {
+        (r["true_label"], r["predicted_label"]): r["n_vectors"]
+        for r in Q["embed_nearest_centroid_classify"](spark, sf_dir).collect()
+    }
+    assert got == want
+    assert sum(got.values()) == len(embs)

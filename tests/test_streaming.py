@@ -639,3 +639,75 @@ def test_python_stream_source_pages_exactly_once(spark, sf_dir):
     got = sorted((r["height"], r["block_hash"]) for r in out)
     want = sorted((b["height"], b["block_hash"]) for b in feed)
     assert got == want  # exactly-once: no page dropped or replayed
+
+
+def test_observe_metrics_match_batch_truth(spark, sf_dir):
+    """The drained .observe() totals must equal batch ground truth:
+    every ingested row is counted exactly once, cents sum exact, bad
+    rows flagged."""
+    from graphsense_datafeed_spark.streaming.windows import run_observed_stream
+
+    result, totals = run_observed_stream(spark, sf_dir)
+    ev = load(spark, sf_dir, "events")
+    n = ev.count()
+    cents = ev.select(
+        F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias("c")
+    ).collect()[0]["c"]
+    n_bad = ev.filter(F.col("event_type") == "error").count()
+    assert totals["n_rows"] == n
+    assert totals["total_cents"] == cents
+    assert totals["n_bad"] == n_bad
+    assert totals["n_batches"] >= 1
+    got = {r["event_type"]: (r["n_events"], r["cents_sum"]) for r in result.collect()}
+    want = {
+        r["event_type"]: (r["n"], r["c"])
+        for r in ev.filter(F.col("event_type") != "error")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias("c"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_observe_metrics_accumulate_across_batches(spark, sf_dir, multi_file_events):
+    """Per-batch observed metrics over a forced 6-batch run must SUM
+    to the same totals — the accumulation is per batch, not per
+    query."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    s = _stream_events(spark, multi_file_events)
+    observed = s.observe(
+        "qa",
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(F.col("event_type") == "error").alias("n_bad"),
+    )
+    agg = observed.groupBy().agg(F.count("*").alias("n"))
+    name = "s" + uuid.uuid4().hex[:12]
+    ckpt = os.path.join(tempfile.gettempdir(), "gds_ckpt", name)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    per_batch = [
+        (prog.get("observedMetrics") or {}).get("qa")
+        for prog in q.recentProgress
+    ]
+    per_batch = [m for m in per_batch if m]
+    shutil.rmtree(ckpt, ignore_errors=True)
+    assert len(per_batch) >= 6  # one per file-triggered micro-batch
+    ev = load(spark, sf_dir, "events")
+    assert sum(m["n_rows"] for m in per_batch) == ev.count()
+    assert sum(m["n_bad"] for m in per_batch) == ev.filter(
+        F.col("event_type") == "error"
+    ).count()
