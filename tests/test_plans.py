@@ -494,3 +494,64 @@ def test_dynamic_partition_pruning_injects(spark, sf_dir):
     filter injected from the dim side — DPP, not a full-table read."""
     p = plan_of(QUERIES["scan_dynamic_partition_pruning"](spark, sf_dir))
     assert "dynamicpruning" in p.lower(), p
+
+
+def test_asof_nearest_single_exchange_no_join(spark, sf_dir):
+    """Both directional tapes must share ONE user exchange and the
+    plan must contain no join node at all."""
+    p = plan_of(QUERIES["join_asof_nearest"](spark, sf_dir), mode="simple")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert p.count("Window") == 1  # both tapes in one window node
+    assert "Join" not in p
+
+
+def test_seasonal_adjust_broadcasts_cells(spark, sf_dir):
+    """The 168-cell seasonal profile must broadcast; the detail side
+    must never sort-merge."""
+    p = plan_of(QUERIES["ts_seasonal_adjust"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_keywords_topk_uses_group_limit_and_broadcast_idf(spark, sf_dir):
+    p = plan_of(QUERIES["text_keywords_topk"](spark, sf_dir))
+    assert "WindowGroupLimit" in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_phash_dedup_no_cartesian(spark, sf_dir):
+    """Candidate generation must be the block equi-join — never a
+    cross/nested-loop product over documents."""
+    p = plan_of(QUERIES["multimodal_phash_dedup"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_kcore_peel_round_is_semi_joins(spark, sf_dir):
+    """One peel round (built un-checkpointed, the way the loop builds
+    it) must filter via two semi-joins — no outer materialization, no
+    cartesian. The operator itself checkpoints each round, which
+    collapses the visible plan, so the round shape is pinned here."""
+    import pyspark.sql.functions as F
+    from graphsense_datafeed_spark.ingest.graphstats import (
+        cooccurrence_edges,
+    )
+
+    e = cooccurrence_edges(spark)
+    sym = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    live = (
+        sym.groupBy(F.col("src").alias("node"))
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 3)
+        .select("node")
+    )
+    one_round = sym.join(live, sym.src == live.node, "left_semi").join(
+        live.select(F.col("node").alias("dnode")),
+        sym.dst == F.col("dnode"),
+        "left_semi",
+    )
+    p = plan_of(one_round)
+    assert p.count("LeftSemi") >= 2
+    assert "CartesianProduct" not in p
