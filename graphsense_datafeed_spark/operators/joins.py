@@ -947,3 +947,90 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("gap_us"),
     )
+
+
+@query(
+    "geo_grid_neighbors",
+    """
+    WITH pts AS (
+        SELECT c_custkey AS id,
+               CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 7)
+                    AS BIGINT) % 10000 AS x,
+               CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 8, 7)
+                    AS BIGINT) % 10000 AS y
+        FROM customer
+    ), lhs AS (
+        SELECT id, x, y,
+               (x // 200 + dx) AS cx, (y // 200 + dy) AS cy
+        FROM pts,
+             (SELECT unnest([-1, 0, 1]) AS dx) dxs,
+             (SELECT unnest([-1, 0, 1]) AS dy) dys
+    ), rhs AS (
+        SELECT id, x, y, x // 200 AS cx, y // 200 AS cy FROM pts
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST((a.x - b.x) * (a.x - b.x)
+                + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS d2
+    FROM lhs a JOIN rhs b ON a.cx = b.cx AND a.cy = b.cy AND a.id < b.id
+    WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 40000
+    """,
+)
+def geo_grid_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial ε-neighbor join via grid bucketing (round 5 batch 11)
+    — the engine's spatial-join primitive: find every point pair
+    within ε=200 m in a 10 km square, WITHOUT the all-pairs distance
+    matrix. The scalable pattern: snap points to an ε-sized grid,
+    replicate the LEFT side to its 3×3 neighboring cells (a bounded
+    9× expansion), equi-join on the exact cell, then verify true
+    distance — any pair within ε is GUARANTEED to share one of the 9
+    cells, so the equi-join loses nothing while touching only
+    near-collocated candidates. Proximity joins (store↔customer,
+    sensor↔asset, pickup↔driver) are all this shape.
+
+    Entirely exact: coordinates are integers seeded from md5(id)
+    (fixture tables carry no geo columns — the pii_scrub seeding
+    precedent), the cell snap is integer division, and the verify
+    compares integer SQUARED distance to ε² — no sqrt, no float
+    anywhere. a<b on the id pins each pair once.
+
+    Scale: the 9× replication is the only expansion and is bounded a
+    priori; the join hashes on cell id (at rest, the cell is the
+    partition key — neighborhood queries become partition pruning);
+    hot cells (urban cores) take dedup_near's count-certified cap."""
+    c = load(spark, sf_dir, "customer")
+    h = F.md5(F.col("c_custkey").cast("string").cast("binary"))
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        (F.conv(F.substring(h, 1, 7), 16, 10).cast("bigint") % 10000).alias("x"),
+        (F.conv(F.substring(h, 8, 7), 16, 10).cast("bigint") % 10000).alias("y"),
+    )
+    lhs = (
+        pts.withColumn("dx", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .withColumn("dy", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .select(
+            "id",
+            "x",
+            "y",
+            (F.floor(F.col("x") / 200) + F.col("dx")).alias("cx"),
+            (F.floor(F.col("y") / 200) + F.col("dy")).alias("cy"),
+        )
+    )
+    rhs = pts.select(
+        F.col("id").alias("id_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        F.floor(F.col("x") / 200).alias("cx"),
+        F.floor(F.col("y") / 200).alias("cy"),
+    )
+    d2 = (F.col("x") - F.col("xb")) * (F.col("x") - F.col("xb")) + (
+        F.col("y") - F.col("yb")
+    ) * (F.col("y") - F.col("yb"))
+    return (
+        lhs.join(rhs, ["cx", "cy"])
+        .filter((F.col("id") < F.col("id_b")) & (d2 <= 40000))
+        .select(
+            F.col("id").alias("id_a"),
+            "id_b",
+            d2.cast("bigint").alias("d2"),
+        )
+    )

@@ -1302,3 +1302,60 @@ def ts_seasonal_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("residual_e4"),
     )
+
+
+@query(
+    "events_markov_transitions",
+    """
+    WITH tape AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ), counts AS (
+        SELECT prev_type AS from_type, event_type AS to_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM tape WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n,
+           CAST(FLOOR(CAST(n AS DOUBLE) * 1000000
+                      / SUM(n) OVER (PARTITION BY from_type)) AS BIGINT)
+               AS p_e6
+    FROM counts
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over event types (round 5
+    batch 11): for every adjacent pair in each user's stream, count
+    (from → to) and normalize per source state — the behavioral model
+    behind next-action prediction, bot detection (near-deterministic
+    rows) and synthetic-session generation; text_bigram_lm's shape on
+    the EVENT alphabet, with per-row adjacency from a lag window
+    rather than intra-document arrays.
+
+    One (user) window exchange for the lag, one map-side-combinable
+    count agg to a |types|² table, and the row-normalizing window
+    runs on that tiny matrix; n is exact bigint and each probability
+    is one floored double division. Streaming form: the (prev, curr)
+    pair emits from one event of keyed state — stream_stateful's
+    shape."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tape = ev.select(
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    counts = tape.groupBy(
+        F.col("prev_type").alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    wrow = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.floor(F.col("n").cast("double") * 1000000 / F.sum("n").over(wrow))
+        .cast("bigint")
+        .alias("p_e6"),
+    )

@@ -219,6 +219,8 @@ _ROUND6_NEXT_UP = (
     "win_gaps_islands",
     "embed_nearest_centroid_classify",
     "stream_observe_metrics",
+    "geo_grid_neighbors",
+    "events_markov_transitions",
 )
 
 _loaded = False

@@ -884,3 +884,62 @@ def test_nearest_centroid_confusion_is_complete(spark, sf_dir):
     }
     assert got == want
     assert sum(got.values()) == len(embs)
+
+
+def test_geo_grid_neighbors_matches_bruteforce(spark, sf_dir):
+    """The grid join must return EXACTLY the brute-force all-pairs
+    result — the 3×3 replication guarantees no pair within ε is
+    missed."""
+    import hashlib
+
+    ids = [
+        r["c_custkey"]
+        for r in load(spark, sf_dir, "customer").select("c_custkey").collect()
+    ]
+    pts = {}
+    for i in ids:
+        h = hashlib.md5(str(i).encode()).hexdigest()
+        pts[i] = (int(h[0:7], 16) % 10000, int(h[7:14], 16) % 10000)
+    want = {}
+    items = sorted(pts.items())
+    for idx, (a, (xa, ya)) in enumerate(items):
+        for b, (xb, yb) in items[idx + 1 :]:
+            d2 = (xa - xb) ** 2 + (ya - yb) ** 2
+            if d2 <= 40000:
+                want[(a, b)] = d2
+    got = {
+        (r["id_a"], r["id_b"]): r["d2"]
+        for r in Q["geo_grid_neighbors"](spark, sf_dir).collect()
+    }
+    assert got == want
+    assert want, "fixture should produce at least one neighbor pair"
+
+
+def test_markov_transitions_matches_bruteforce(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    ).collect()
+    by_user: dict[int, list] = {}
+    for r in sorted(ev, key=lambda r: (r["ts"], r["event_id"])):
+        by_user.setdefault(r["user_id"], []).append(r["event_type"])
+    counts: dict[tuple, int] = {}
+    for seq in by_user.values():
+        for a, b in zip(seq, seq[1:]):
+            counts[(a, b)] = counts.get((a, b), 0) + 1
+    row_tot: dict[str, int] = {}
+    for (a, _), n in counts.items():
+        row_tot[a] = row_tot.get(a, 0) + n
+    got = Q["events_markov_transitions"](spark, sf_dir).collect()
+    assert len(got) == len(counts)
+    for r in got:
+        key = (r["from_type"], r["to_type"])
+        assert r["n"] == counts[key]
+        assert r["p_e6"] == math.floor(
+            counts[key] * 1_000_000 / row_tot[r["from_type"]]
+        )
+    # each row of the matrix must sum to ~1 (floor loses < |types| µ)
+    by_from: dict[str, int] = {}
+    for r in got:
+        by_from[r["from_type"]] = by_from.get(r["from_type"], 0) + r["p_e6"]
+    for tot in by_from.values():
+        assert 1_000_000 - 5 <= tot <= 1_000_000
