@@ -1854,3 +1854,97 @@ def agg_benford_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terms.withColumn(
         "chi2_sum_e6", F.sum("dev_e6").over(wall).cast("bigint")
     )
+
+
+@query(
+    "agg_cramers_v",
+    """
+    WITH obs AS (
+        SELECT event_type, dayofweek(ts) AS dow,
+               CAST(COUNT(*) AS BIGINT) AS o
+        FROM events GROUP BY 1, 2
+    ), m AS (
+        SELECT event_type, dow, o,
+               CAST(SUM(o) OVER (PARTITION BY event_type) AS BIGINT) AS rm,
+               CAST(SUM(o) OVER (PARTITION BY dow) AS BIGINT) AS cm,
+               CAST(SUM(o) OVER () AS BIGINT) AS n
+        FROM obs
+    ), terms AS (
+        SELECT n,
+               CAST(FLOOR(
+                   (CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
+                    - CAST(rm AS DOUBLE) * CAST(cm AS DOUBLE))
+                   * (CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
+                      - CAST(rm AS DOUBLE) * CAST(cm AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(rm AS DOUBLE)
+                      * CAST(cm AS DOUBLE))
+                   * 1000000) AS BIGINT) AS term_e6
+        FROM m
+    ), agg AS (
+        SELECT MAX(n) AS n,
+               CAST(SUM(term_e6) AS BIGINT) AS chi2_e6,
+               (SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT)
+                FROM obs) AS r,
+               (SELECT CAST(COUNT(DISTINCT dow) AS BIGINT) FROM obs) AS c
+        FROM terms
+    )
+    SELECT n, r, c, chi2_e6,
+           CAST(FLOOR(sqrt((CAST(chi2_e6 AS DOUBLE) / 1000000)
+                           / (CAST(n AS DOUBLE)
+                              * least(r - 1, c - 1)))
+                      * 1000000) AS BIGINT) AS cramers_v_e6
+    FROM agg
+    """,
+)
+def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V effect size (round 5 batch 12): agg_chi_square tells
+    you the event_type × weekday association is statistically
+    nonzero; V = √(χ²/(n·min(r−1,c−1))) tells you whether it MATTERS
+    — a 0-to-1 normalized strength comparable across tables of any
+    size and shape, which is what feature selection and drift triage
+    actually rank by (χ² alone grows with n; V doesn't).
+
+    Built on the identical floored cell terms as agg_chi_square (the
+    e6-integer χ² total is bit-shared between the two operators by
+    construction), with dimensions counted from the SAME cell table
+    and one final double formula. One count agg + tiny-table windows
+    + a 1-row fold."""
+    ev = load(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "event_type", (F.dayofweek("ts") - 1).cast("bigint").alias("dow")
+    ).agg(F.count("*").cast("bigint").alias("o"))
+    m = obs.select(
+        "event_type",
+        "dow",
+        "o",
+        F.sum("o").over(Window.partitionBy("event_type")).cast("bigint").alias("rm"),
+        F.sum("o").over(Window.partitionBy("dow")).cast("bigint").alias("cm"),
+        F.sum("o").over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    diff = d("o") * d("n") - d("rm") * d("cm")
+    terms = m.select(
+        "n",
+        "event_type",
+        "dow",
+        F.floor(diff * diff / (d("n") * d("rm") * d("cm")) * 1000000)
+        .cast("bigint")
+        .alias("term_e6"),
+    )
+    agg = terms.agg(
+        F.max("n").alias("n"),
+        F.sum("term_e6").cast("bigint").alias("chi2_e6"),
+        F.countDistinct("event_type").cast("bigint").alias("r"),
+        F.countDistinct("dow").cast("bigint").alias("c"),
+    )
+    v = F.sqrt(
+        (F.col("chi2_e6").cast("double") / 1000000)
+        / (F.col("n").cast("double") * F.least(F.col("r") - 1, F.col("c") - 1))
+    )
+    return agg.select(
+        "n",
+        "r",
+        "c",
+        "chi2_e6",
+        F.floor(v * 1000000).cast("bigint").alias("cramers_v_e6"),
+    )

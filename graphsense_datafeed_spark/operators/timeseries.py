@@ -1359,3 +1359,185 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("p_e6"),
     )
+
+
+@query(
+    "events_active_users_rolling",
+    """
+    WITH activity AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+    ), days AS (
+        SELECT DISTINCT d FROM activity
+    )
+    SELECT days.d,
+           CAST(COUNT(DISTINCT CASE WHEN a.d = days.d
+                                    THEN a.user_id END) AS BIGINT) AS dau,
+           CAST(COUNT(DISTINCT CASE WHEN a.d > days.d - 7
+                                    THEN a.user_id END) AS BIGINT) AS wau,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS mau
+    FROM days JOIN activity a
+      ON a.d <= days.d AND a.d > days.d - 30
+    GROUP BY days.d
+    """,
+)
+def events_active_users_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU / MAU (round 5 batch 12): per calendar day, the
+    distinct users active that day, in the trailing 7 days, and in the
+    trailing 30 — THE product-health triple every analytics stack
+    reports, and a window shape SQL windows cannot express (COUNT
+    (DISTINCT) OVER a RANGE frame is rejected by both engines;
+    agg_hll_window_rollup solves it approximately by sketch-merge,
+    this is the EXACT form).
+
+    The exact form is a day×activity RANGE JOIN on the 30-day bound
+    with conditional distincts per tier — one pass computes all three
+    tiers because DAU ⊂ WAU ⊆ MAU share the same joined rows. Work is
+    |days| × (active users per trailing month), i.e. bounded by the
+    calendar and per-month reach, NOT by raw event volume — the
+    distinct (user, day) pre-aggregation is the row-scale shuffle.
+    Date arithmetic stays in the integer day domain.
+
+    Scale: at 100 TB the activity table is the persisted daily
+    artifact (events_retention's discipline); beyond ~10⁸
+    user-days-per-month the documented swap is the HLL rollup."""
+    ev = load(spark, sf_dir, "events")
+    activity = ev.select(
+        F.col("ts").cast("date").alias("d"), "user_id"
+    ).distinct()
+    days = activity.select("d").distinct()
+    a = activity.select(
+        F.col("d").alias("ad"), F.col("user_id").alias("uid")
+    )
+    j = days.join(
+        a,
+        (F.col("ad") <= F.col("d"))
+        & (F.col("ad") > F.date_sub(F.col("d"), 30)),
+    )
+    return j.groupBy("d").agg(
+        F.countDistinct(
+            F.when(F.col("ad") == F.col("d"), F.col("uid"))
+        )
+        .cast("bigint")
+        .alias("dau"),
+        F.countDistinct(
+            F.when(F.col("ad") > F.date_sub(F.col("d"), 7), F.col("uid"))
+        )
+        .cast("bigint")
+        .alias("wau"),
+        F.countDistinct("uid").cast("bigint").alias("mau"),
+    )
+
+
+@query(
+    "events_survival_km",
+    """
+    WITH anchor AS (
+        SELECT MAX(CAST(ts AS DATE)) AS corpus_max FROM events
+    ), users AS (
+        SELECT user_id,
+               date_diff('day', MIN(CAST(ts AS DATE)),
+                         MAX(CAST(ts AS DATE))) AS t,
+               MAX(CAST(ts AS DATE)) <
+                   (SELECT corpus_max FROM anchor) - 3 AS churned
+        FROM events GROUP BY user_id
+    ), times AS (
+        SELECT t,
+               CAST(COUNT(*) AS BIGINT) AS n_at,
+               CAST(COUNT(*) FILTER (churned) AS BIGINT) AS d
+        FROM users GROUP BY t
+    ), risk AS (
+        SELECT t, d,
+               CAST(SUM(n_at) OVER (ORDER BY t DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS n_risk
+        FROM times
+    ), terms AS (
+        SELECT t, d, n_risk,
+               CASE WHEN d < n_risk THEN
+                   CAST(FLOOR(ln(1.0 - CAST(d AS DOUBLE) / n_risk)
+                              * 1000000000) AS BIGINT)
+               ELSE NULL END AS term_e9
+        FROM risk WHERE d > 0
+    )
+    SELECT t AS t_days, n_risk, d AS d_churned,
+           CASE WHEN term_e9 IS NULL THEN 0
+                ELSE CAST(FLOOR(exp(CAST(SUM(term_e9) OVER (ORDER BY t
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS DOUBLE) / 1000000000) * 1000000) AS BIGINT)
+           END AS surv_e6
+    FROM terms
+    """,
+)
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve over user lifetimes (round 5 batch
+    12): S(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ) where lifetime = days between a
+    user's first and last event, churn is OBSERVED only when the last
+    event predates the corpus end by >3 days (later users are
+    CENSORED — still alive as far as the data knows, which is exactly
+    what KM handles and a naive churn-rate curve gets wrong). The
+    retention readout ("what fraction of users survive 7 days?")
+    product and churn models are built on.
+
+    The float-product trap solved in log space: each event time's
+    ln(1 − d/n) is floored to an e9 INTEGER once, the running product
+    becomes an exact bigint prefix SUM over the tiny event-time table,
+    and exp() of the floored sum is one deterministic double per row.
+    d = n_risk (everyone left dies) can only happen at the final time
+    — S pins to 0 there without touching ln(0).
+
+    Scale: per-user min/max is one map-side agg; everything after
+    runs on |distinct lifetimes| rows (≤ calendar span). The anchor
+    date is a 1-row broadcast."""
+    ev = load(spark, sf_dir, "events")
+    anchor = ev.agg(F.max(F.col("ts").cast("date")).alias("corpus_max"))
+    users = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(F.col("ts").cast("date")).alias("first_d"),
+            F.max(F.col("ts").cast("date")).alias("last_d"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            F.datediff("last_d", "first_d").alias("t"),
+            (F.col("last_d") < F.date_sub(F.col("corpus_max"), 3)).alias(
+                "churned"
+            ),
+        )
+    )
+    times = users.groupBy("t").agg(
+        F.count("*").cast("bigint").alias("n_at"),
+        F.count_if(F.col("churned")).cast("bigint").alias("d"),
+    )
+    w_desc = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = times.select(
+        "t",
+        "d",
+        F.sum("n_at").over(w_desc).cast("bigint").alias("n_risk"),
+    ).filter(F.col("d") > 0)
+    term = F.when(
+        F.col("d") < F.col("n_risk"),
+        F.floor(
+            F.log(1.0 - F.col("d").cast("double") / F.col("n_risk"))
+            * 1000000000
+        ).cast("bigint"),
+    )
+    terms = risk.withColumn("term_e9", term)
+    w_asc = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    return terms.select(
+        F.col("t").alias("t_days"),
+        "n_risk",
+        F.col("d").alias("d_churned"),
+        F.when(F.col("term_e9").isNull(), F.lit(0))
+        .otherwise(
+            F.floor(
+                F.exp(
+                    F.sum("term_e9").over(w_asc).cast("double") / 1000000000
+                )
+                * 1000000
+            )
+        )
+        .cast("bigint")
+        .alias("surv_e6"),
+    )

@@ -221,6 +221,9 @@ _ROUND6_NEXT_UP = (
     "stream_observe_metrics",
     "geo_grid_neighbors",
     "events_markov_transitions",
+    "events_active_users_rolling",
+    "events_survival_km",
+    "agg_cramers_v",
 )
 
 _loaded = False

@@ -943,3 +943,92 @@ def test_markov_transitions_matches_bruteforce(spark, sf_dir):
         by_from[r["from_type"]] = by_from.get(r["from_type"], 0) + r["p_e6"]
     for tot in by_from.values():
         assert 1_000_000 - 5 <= tot <= 1_000_000
+
+
+def test_active_users_rolling_matches_bruteforce(spark, sf_dir):
+    rows = (
+        load(spark, sf_dir, "events")
+        .select(F.col("ts").cast("date").alias("d"), "user_id")
+        .distinct()
+        .collect()
+    )
+    import datetime
+
+    act: dict = {}
+    for r in rows:
+        act.setdefault(r["d"], set()).add(r["user_id"])
+    days = sorted(act)
+    got = {r["d"]: r for r in Q["events_active_users_rolling"](spark, sf_dir).collect()}
+    assert set(got) == set(days)
+    for d in days:
+        dau = len(act[d])
+        wau = len(
+            set().union(*[act[x] for x in days if d - datetime.timedelta(days=7) < x <= d])
+        )
+        mau = len(
+            set().union(*[act[x] for x in days if d - datetime.timedelta(days=30) < x <= d])
+        )
+        r = got[d]
+        assert (r["dau"], r["wau"], r["mau"]) == (dau, wau, mau)
+        assert r["dau"] <= r["wau"] <= r["mau"]  # containment invariant
+
+
+def test_survival_km_matches_bruteforce(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).collect()
+    first: dict = {}
+    last: dict = {}
+    for r in ev:
+        u = r["user_id"]
+        first[u] = min(first.get(u, r["d"]), r["d"])
+        last[u] = max(last.get(u, r["d"]), r["d"])
+    import datetime
+
+    corpus_max = max(last.values())
+    users = [
+        (
+            (last[u] - first[u]).days,
+            last[u] < corpus_max - datetime.timedelta(days=3),
+        )
+        for u in first
+    ]
+    times = sorted({t for t, _ in users})
+    got = {r["t_days"]: r for r in Q["events_survival_km"](spark, sf_dir).collect()}
+    cum = 0
+    prev_surv = 10**6
+    for t in times:
+        n_risk = sum(1 for tt, _ in users if tt >= t)
+        d = sum(1 for tt, ch in users if tt == t and ch)
+        if d == 0:
+            assert t not in got
+            continue
+        r = got[t]
+        assert (r["n_risk"], r["d_churned"]) == (n_risk, d)
+        if d < n_risk:
+            cum += math.floor(math.log(1.0 - d / n_risk) * 1_000_000_000)
+            surv = math.floor(math.exp(cum / 1_000_000_000) * 1_000_000)
+        else:
+            surv = 0
+        assert r["surv_e6"] == surv
+        assert r["surv_e6"] <= prev_surv  # survival is non-increasing
+        prev_surv = r["surv_e6"]
+
+
+def test_cramers_v_matches_chi_square_and_bounds(spark, sf_dir):
+    """V must derive from the SAME floored χ² total agg_chi_square
+    emits, and land in [0, 1]."""
+    chi_rows = Q["agg_chi_square"](spark, sf_dir).collect()
+    chi_total = chi_rows[0]["chi2_sum_e6"]
+    n = sum(r["o"] for r in chi_rows)
+    r_dim = len({r["event_type"] for r in chi_rows})
+    c_dim = len({r["dow"] for r in chi_rows})
+    got = Q["agg_cramers_v"](spark, sf_dir).collect()[0]
+    assert got["chi2_e6"] == chi_total
+    assert (got["n"], got["r"], got["c"]) == (n, r_dim, c_dim)
+    want = math.floor(
+        math.sqrt((chi_total / 1_000_000) / (n * min(r_dim - 1, c_dim - 1)))
+        * 1_000_000
+    )
+    assert got["cramers_v_e6"] == want
+    assert 0 <= got["cramers_v_e6"] <= 1_000_000
