@@ -1948,3 +1948,224 @@ def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chi2_e6",
         F.floor(v * 1000000).cast("bigint").alias("cramers_v_e6"),
     )
+
+
+@query(
+    "agg_winsorized_mean",
+    """
+    WITH atoms AS (
+        SELECT event_type,
+               CAST(FLOOR(value * 10000) AS BIGINT) AS v,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ), ranked AS (
+        SELECT event_type, v, c,
+               CAST(COALESCE(SUM(c) OVER (PARTITION BY event_type
+                    ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) AS BIGINT) AS below,
+               CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        FROM atoms
+    ), bounds AS (
+        SELECT event_type,
+               MIN(CASE WHEN (below + c) * 20 >= n THEN v END) AS lo,
+               MIN(CASE WHEN (below + c) * 20 >= 19 * n THEN v END) AS hi
+        FROM ranked GROUP BY event_type
+    )
+    SELECT r.event_type, b.lo AS lo_e4, b.hi AS hi_e4,
+           CAST(SUM(r.c) AS BIGINT) AS n,
+           CAST(FLOOR(CAST(SUM(r.c * least(greatest(r.v, b.lo), b.hi))
+                           AS DOUBLE) / SUM(r.c)) AS BIGINT)
+               AS winsor_mean_e4
+    FROM ranked r JOIN bounds b USING (event_type)
+    GROUP BY r.event_type, b.lo, b.hi
+    """,
+)
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%-winsorized mean per series (round 5 batch 13): clamp values
+    to the [p5, p95] band, THEN average — the robust location estimate
+    dashboards want when a mean must stay interpretable (a trimmed/
+    winsorized mean moves ~20× less than the raw mean under a 1%
+    outlier burst, while the median throws information away).
+    Complements ts_outlier_mad: MAD FLAGS outliers, winsorizing
+    BOUNDS their influence without dropping rows.
+
+    The percentile bounds use agg_percentile_disc's discipline —
+    discrete quantiles as actual domain atoms via the integer
+    cross-multiplication (below+c)·20 ≥ n (no interpolation, no
+    division) — and the clamped sum is exact bigint (clamping happens
+    on atom VALUES, weighted by atom counts), with one floored
+    division at the end.
+
+    Scale: the atom table is |distinct values| per series; the two
+    windows and the join-back all run on it, never on raw rows."""
+    ev = load(spark, sf_dir, "events")
+    atoms = ev.groupBy(
+        "event_type",
+        F.floor(F.col("value") * 10000).cast("bigint").alias("v"),
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    wprev = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wall = Window.partitionBy("event_type")
+    ranked = atoms.select(
+        "event_type",
+        "v",
+        "c",
+        F.coalesce(F.sum("c").over(wprev), F.lit(0))
+        .cast("bigint")
+        .alias("below"),
+        F.sum("c").over(wall).cast("bigint").alias("n"),
+    )
+    reach = (F.col("below") + F.col("c")) * 20
+    bounds = ranked.groupBy("event_type").agg(
+        F.min(F.when(reach >= F.col("n"), F.col("v"))).alias("lo"),
+        F.min(F.when(reach >= 19 * F.col("n"), F.col("v"))).alias("hi"),
+    )
+    j = ranked.join(F.broadcast(bounds), "event_type")
+    clamped = F.least(F.greatest(F.col("v"), F.col("lo")), F.col("hi"))
+    return j.groupBy(
+        "event_type", F.col("lo").alias("lo_e4"), F.col("hi").alias("hi_e4")
+    ).agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.floor(
+            F.sum(F.col("c") * clamped).cast("double") / F.sum("c")
+        )
+        .cast("bigint")
+        .alias("winsor_mean_e4"),
+    ).select("event_type", "lo_e4", "hi_e4", "n", "winsor_mean_e4")
+
+
+@query(
+    "agg_bootstrap_se",
+    """
+    WITH base AS (
+        SELECT event_id, CAST(FLOOR(value * 10000) AS BIGINT) AS v
+        FROM events WHERE event_type = 'purchase'
+    ), reps AS (
+        SELECT b.b, base.v,
+               CAST('0x' || substr(md5(CAST(base.event_id AS VARCHAR)
+                                       || '_' || CAST(b.b AS VARCHAR)),
+                                   1, 7) AS BIGINT)
+               / 268435456.0 AS u
+        FROM base, (SELECT unnest(range(1, 51)) AS b) b
+    ), weighted AS (
+        SELECT b,
+               CASE WHEN u < 0.36787944117144233 THEN 0
+                    WHEN u < 0.7357588823428847 THEN 1
+                    WHEN u < 0.9196986029286058 THEN 2
+                    WHEN u < 0.9810118431238462 THEN 3
+                    WHEN u < 0.9963401531726563 THEN 4
+                    ELSE 5 END AS w,
+               v
+        FROM reps
+    ), boot AS (
+        SELECT b,
+               CAST(FLOOR(CAST(SUM(w * v) AS DOUBLE) / SUM(w) * 100)
+                    AS BIGINT) AS m_e6
+        FROM weighted GROUP BY b
+    ), stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_boot,
+               CAST(SUM(m_e6) AS BIGINT) AS sm,
+               CAST(SUM(m_e6 * m_e6) AS BIGINT) AS smm
+        FROM boot
+    )
+    SELECT n_boot,
+           CAST(FLOOR(CAST(sm AS DOUBLE) / n_boot) AS BIGINT) AS boot_mean_e6,
+           CAST(FLOOR(sqrt((CAST(smm AS DOUBLE)
+                            - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE)
+                              / n_boot)
+                           / (n_boot - 1))) AS BIGINT) AS boot_se_e6
+    FROM stats
+    """,
+)
+def agg_bootstrap_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap standard error of the mean, fully deterministic
+    (round 5 batch 13): 50 Poisson(1) resamples of purchase values —
+    the uncertainty quantification a point estimate needs before
+    anyone compares two dashboards ("is that +0.4% real?"), done the
+    way a DISTRIBUTED bootstrap actually works: the Poisson bootstrap
+    (Chamandy et al., Google 2012) draws each row's replicate weight
+    independently (Poisson(1) ≈ multinomial at scale), so no replicate
+    ever needs a global shuffled resample — one pass, B weighted aggs.
+
+    Randomness is md5(row, replicate) mapped through the Poisson(1)
+    inverse CDF with exactly-representable literal thresholds — both
+    engines compute identical weights, so the WHOLE bootstrap is
+    hash-reproducible (re-running yields bit-identical CIs; the
+    sample_weighted/split_train_holdout hashing discipline). Replicate
+    means floor to e6 integers ONCE; the SE formula runs on exact
+    integer (Σm, Σm²) over B=50.
+
+    Scale: the explode is B× the FILTERED base (never the raw corpus);
+    per-replicate states are two bigints. At 100 TB, B rides the same
+    scan as the statistic itself."""
+    base = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            F.floor(F.col("value") * 10000).cast("bigint").alias("v"),
+        )
+    )
+    reps = base.withColumn(
+        "b", F.explode(F.sequence(F.lit(1), F.lit(50)))
+    ).withColumn(
+        "u",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("event_id").cast("string"),
+                        F.lit("_"),
+                        F.col("b").cast("string"),
+                    ).cast("binary")
+                ),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / 268435456.0,
+    )
+    w = (
+        F.when(F.col("u") < 0.36787944117144233, 0)
+        .when(F.col("u") < 0.7357588823428847, 1)
+        .when(F.col("u") < 0.9196986029286058, 2)
+        .when(F.col("u") < 0.9810118431238462, 3)
+        .when(F.col("u") < 0.9963401531726563, 4)
+        .otherwise(5)
+    )
+    boot = (
+        reps.select("b", "v", w.alias("w"))
+        .groupBy("b")
+        .agg(
+            F.floor(
+                F.sum(F.col("w") * F.col("v")).cast("double")
+                / F.sum("w")
+                * 100
+            )
+            .cast("bigint")
+            .alias("m_e6")
+        )
+    )
+    stats = boot.agg(
+        F.count("*").cast("bigint").alias("n_boot"),
+        F.sum("m_e6").cast("bigint").alias("sm"),
+        F.sum(F.col("m_e6") * F.col("m_e6")).cast("bigint").alias("smm"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return stats.select(
+        "n_boot",
+        F.floor(d("sm") / F.col("n_boot")).cast("bigint").alias("boot_mean_e6"),
+        F.floor(
+            F.sqrt(
+                (d("smm") - d("sm") * d("sm") / F.col("n_boot"))
+                / (F.col("n_boot") - 1)
+            )
+        )
+        .cast("bigint")
+        .alias("boot_se_e6"),
+    )

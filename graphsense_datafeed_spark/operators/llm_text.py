@@ -1879,3 +1879,85 @@ def text_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_sharing",
         F.count("*").over(Window.partitionBy("canon_url")).cast("bigint"),
     )
+
+
+@query(
+    "text_ngram_novelty",
+    """
+    WITH sh AS (
+        SELECT DISTINCT doc_id,
+               md5(concat_ws(' ', ws[CAST(i AS INT)],
+                             ws[CAST(i AS INT) + 1],
+                             ws[CAST(i AS INT) + 2])) AS g
+        FROM (
+            SELECT doc_id, str_split(text, ' ') AS ws FROM documents
+        ), unnest(range(1, len(ws) - 1)) AS t(i)
+        WHERE len(ws) >= 3
+    ), firsts AS (
+        SELECT g, CAST(MIN(doc_id) AS BIGINT) AS first_doc FROM sh GROUP BY g
+    )
+    SELECT sh.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(COUNT(*) FILTER (f.first_doc = sh.doc_id) AS BIGINT)
+               AS n_novel,
+           CAST(FLOOR(CAST(COUNT(*) FILTER (f.first_doc = sh.doc_id)
+                           AS DOUBLE) / COUNT(*) * 10000) AS BIGINT)
+               AS novelty_e4
+    FROM sh JOIN firsts f USING (g)
+    GROUP BY sh.doc_id
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty (round 5 batch 13): the fraction of
+    a doc's distinct 3-gram shingles that NO earlier doc (lower
+    doc_id ≈ earlier ingest) already contains — the incremental-value
+    metric of continued crawling ("day-30 of this source is 95%
+    re-hash of day-1"), and the inter-document redundancy readout
+    BETWEEN exact-dup (novelty 0 against its twin) and topical overlap
+    that dedup thresholds don't surface.
+
+    First-occurrence attribution is one MIN(doc_id) per shingle —
+    order-free, merge-safe — joined back onto the per-doc shingle
+    sets; both counts are exact bigints with one floored ratio.
+    Shingling reuses text_winnowing's narrow transform (no window, no
+    explode before the distinct).
+
+    Scale: the shingle-first table is the persisted artifact — a new
+    batch's novelty needs only ITS shingles probed against it
+    (broadcast or bucketed anti-join), never a corpus rescan; at rest
+    it is exactly a Bloom-backed seen-set. The min-attribution
+    shuffles on the shingle hash once."""
+    docs = load(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    sh = (
+        docs.filter(F.size(ws) >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(ws) - 2),
+                    lambda i: F.md5(
+                        F.concat_ws(
+                            " ",
+                            F.element_at(ws, i),
+                            F.element_at(ws, i + 1),
+                            F.element_at(ws, i + 2),
+                        ).cast("binary")
+                    ),
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    firsts = sh.groupBy("g").agg(
+        F.min("doc_id").cast("bigint").alias("first_doc")
+    )
+    j = sh.join(firsts, "g")
+    novel = F.count_if(F.col("first_doc") == F.col("doc_id"))
+    return j.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_shingles"),
+        novel.cast("bigint").alias("n_novel"),
+        F.floor(novel.cast("double") / F.count("*") * 10000)
+        .cast("bigint")
+        .alias("novelty_e4"),
+    )

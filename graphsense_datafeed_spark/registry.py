@@ -224,6 +224,9 @@ _ROUND6_NEXT_UP = (
     "events_active_users_rolling",
     "events_survival_km",
     "agg_cramers_v",
+    "agg_winsorized_mean",
+    "agg_bootstrap_se",
+    "text_ngram_novelty",
 )
 
 _loaded = False

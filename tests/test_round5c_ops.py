@@ -1032,3 +1032,97 @@ def test_cramers_v_matches_chi_square_and_bounds(spark, sf_dir):
     )
     assert got["cramers_v_e6"] == want
     assert 0 <= got["cramers_v_e6"] <= 1_000_000
+
+
+def test_winsorized_mean_matches_bruteforce(spark, sf_dir):
+    rows = load(spark, sf_dir, "events").select("event_type", "value").collect()
+    series: dict[str, list] = {}
+    for r in rows:
+        series.setdefault(r["event_type"], []).append(
+            math.floor(r["value"] * 10000)
+        )
+    got = {r["event_type"]: r for r in Q["agg_winsorized_mean"](spark, sf_dir).collect()}
+    assert set(got) == set(series)
+    for et, vals in series.items():
+        vals.sort()
+        n = len(vals)
+        # discrete p5/p95: smallest atom whose cumulative reach ×20 ≥ n / ≥ 19n,
+        # replayed via atoms for exactness
+        from collections import Counter
+
+        atoms = sorted(Counter(vals).items())
+        below = 0
+        lo = hi = None
+        for v, c in atoms:
+            reach = (below + c) * 20
+            if lo is None and reach >= n:
+                lo = v
+            if hi is None and reach >= 19 * n:
+                hi = v
+            below += c
+        clamped = [min(max(v, lo), hi) for v in vals]
+        r = got[et]
+        assert (r["lo_e4"], r["hi_e4"], r["n"]) == (lo, hi, n)
+        assert r["winsor_mean_e4"] == math.floor(sum(clamped) / n)
+        # robustness: the winsorized mean sits inside the clamp band
+        assert lo <= r["winsor_mean_e4"] <= hi
+
+
+def test_bootstrap_se_deterministic_and_sane(spark, sf_dir):
+    """Re-running must give bit-identical results (hash bootstrap);
+    the bootstrap mean must sit near the true mean and the SE near
+    σ/√n."""
+    a = Q["agg_bootstrap_se"](spark, sf_dir).collect()[0]
+    b = Q["agg_bootstrap_se"](spark, sf_dir).collect()[0]
+    assert a == b  # hash-deterministic
+    assert a["n_boot"] == 50
+    vals = [
+        math.floor(r["value"] * 10000)
+        for r in load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("value")
+        .collect()
+    ]
+    n = len(vals)
+    mean = sum(vals) / n
+    var = sum((v - mean) ** 2 for v in vals) / (n - 1)
+    se_classic = math.sqrt(var / n)
+    # m_e6 units are e4-values × 100
+    boot_mean = a["boot_mean_e6"] / 100
+    boot_se = a["boot_se_e6"] / 100
+    assert abs(boot_mean - mean) < 5 * se_classic
+    assert 0.6 * se_classic < boot_se < 1.6 * se_classic
+
+
+def test_ngram_novelty_matches_bruteforce(spark, sf_dir):
+    import hashlib
+
+    docs = sorted(
+        load(spark, sf_dir, "documents").select("doc_id", "text").collect(),
+        key=lambda r: r["doc_id"],
+    )
+    seen: set = set()
+    want = {}
+    for r in docs:
+        ws = r["text"].split(" ")
+        if len(ws) < 3:
+            continue
+        grams = {
+            hashlib.md5(" ".join(ws[i : i + 3]).encode()).hexdigest()
+            for i in range(len(ws) - 2)
+        }
+        novel = len(grams - seen)
+        want[r["doc_id"]] = (
+            len(grams),
+            novel,
+            math.floor(novel / len(grams) * 10000),
+        )
+        seen |= grams
+    got = {r["doc_id"]: r for r in Q["text_ngram_novelty"](spark, sf_dir).collect()}
+    assert set(got) == set(want)
+    for doc_id, (ns, nv, ne) in want.items():
+        r = got[doc_id]
+        assert (r["n_shingles"], r["n_novel"], r["novelty_e4"]) == (ns, nv, ne)
+    # the first doc is 100% novel by construction
+    first = min(want)
+    assert got[first]["novelty_e4"] == 10000
