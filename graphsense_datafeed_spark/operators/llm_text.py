@@ -1961,3 +1961,98 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("novelty_e4"),
     )
+
+
+@query(
+    "text_zipf_slope",
+    """
+    WITH counts AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS f
+        FROM (SELECT unnest(str_split(text, ' ')) AS token FROM documents)
+        WHERE token <> '' GROUP BY token
+    ), ranked AS (
+        SELECT f,
+               row_number() OVER (ORDER BY f DESC, token) AS r
+        FROM counts
+    ), pts AS (
+        SELECT CAST(FLOOR(ln(CAST(r AS DOUBLE)) * 1000) AS BIGINT) AS x,
+               CAST(FLOOR(ln(CAST(f AS DOUBLE)) * 1000) AS BIGINT) AS y
+        FROM ranked
+    ), s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM pts
+    )
+    SELECT n AS vocab_size,
+           CAST(FLOOR(
+               (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               * 1000000) AS BIGINT) AS slope_e6,
+           CAST(FLOOR(
+               (CAST(sy AS DOUBLE) / n
+                - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * CAST(sx AS DOUBLE) / n) / 1000 * 1000000) AS BIGINT)
+               AS intercept_e6
+    FROM s
+    """,
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the token frequency distribution (round 5
+    batch 14): regress ln(frequency) on ln(rank) over the whole vocab
+    — natural language sits near slope −1; a corpus that drifts flat
+    (template spam, boilerplate floods) or too steep (vocabulary
+    collapse, over-dedup) fails this corpus-health check before any
+    downstream tokenizer or mixture decision trusts it.
+
+    Determinism: ranks pin on (freq desc, token); each vocab entry's
+    (ln r, ln f) pair floors to e3 integers ONCE — e3, not e6, so the
+    Σxy bigint stays exact past 10⁸-entry vocabularies — and the OLS
+    slope/intercept run as one double formula over the five exact
+    sums (agg_corr_exact's shape; the quantization perturbs the fit
+    by <1e-3, identically on both engines, which is what an oracle
+    needs). The intercept de-scales back to ln-frequency units.
+
+    Scale: one token-count agg; the rank window runs over the
+    Zipf-tiny vocab (the bpe_pair_counts reduction); the regression
+    state is five bigints."""
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    counts = toks.groupBy("token").agg(F.count("*").cast("bigint").alias("f"))
+    w = Window.orderBy(F.col("f").desc(), F.col("token"))
+    ranked = counts.select("f", F.row_number().over(w).alias("r"))
+    pts = ranked.select(
+        F.floor(F.log(F.col("r").cast("double")) * 1000)
+        .cast("bigint")
+        .alias("x"),
+        F.floor(F.log(F.col("f").cast("double")) * 1000)
+        .cast("bigint")
+        .alias("y"),
+    )
+    s = pts.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    slope = (d("n") * d("sxy") - d("sx") * d("sy")) / (
+        d("n") * d("sxx") - d("sx") * d("sx")
+    )
+    intercept = (d("sy") / F.col("n") - slope * d("sx") / F.col("n")) / 1000
+    return s.select(
+        F.col("n").alias("vocab_size"),
+        F.floor(slope * 1000000).cast("bigint").alias("slope_e6"),
+        F.floor(intercept * 1000000).cast("bigint").alias("intercept_e6"),
+    )

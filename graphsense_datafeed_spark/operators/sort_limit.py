@@ -16,7 +16,7 @@ Scale notes:
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from graphsense_datafeed_spark.registry import query
 from graphsense_datafeed_spark.sources.tables import load
@@ -88,4 +88,47 @@ def topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_custkey", "o_totalprice")
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .limit(25)
+    )
+
+
+@query(
+    "topk_with_ties",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(FLOOR(o_totalprice) AS BIGINT) AS price_fl,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               rank() OVER (ORDER BY FLOOR(o_totalprice) DESC) AS rnk
+        FROM orders
+    )
+    WHERE rnk <= 10
+    """,
+)
+def topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k WITH TIES (round 5 batch 14) — SQL's FETCH FIRST k ROWS
+    WITH TIES: every row whose RANK reaches the cutoff survives, so
+    equal values at the boundary are all kept or all dropped —
+    the semantics leaderboards and threshold reports actually need,
+    where `topk`'s row_number silently discards an arbitrary subset
+    of the boundary tie. Ranking on the FLOORED integer price makes
+    ties structural (deterministic across engines) rather than
+    float-exact-equality luck.
+
+    The global RANK is acceptable for a k-bounded readout: Catalyst
+    rewrites rank-filter ≤ k into WindowGroupLimit (running limit per
+    partition, then one k-bounded merge) — asserted in
+    tests/test_plans.py for the row_number form; the rank form keeps
+    the same shape with ties retained. Output size is k + tie overflow
+    (data-dependent, bounded by the tie class)."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.orderBy(F.floor("o_totalprice").desc())
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.floor("o_totalprice").cast("bigint").alias("price_fl"),
+            F.rank().over(w).cast("bigint").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 10)
     )

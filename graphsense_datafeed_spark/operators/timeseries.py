@@ -1541,3 +1541,74 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("surv_e6"),
     )
+
+
+@query(
+    "events_burstiness",
+    """
+    WITH gaps AS (
+        SELECT event_type,
+               CAST((epoch_us(ts) - epoch_us(lag(ts) OVER w)) // 1000
+                    AS BIGINT) AS gap_ms
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    ), stats AS (
+        SELECT event_type,
+               CAST(COUNT(gap_ms) AS BIGINT) AS n_gaps,
+               CAST(SUM(gap_ms) AS BIGINT) AS s,
+               CAST(SUM(gap_ms * gap_ms) AS BIGINT) AS ss
+        FROM gaps GROUP BY event_type
+    )
+    SELECT event_type, n_gaps,
+           CAST(FLOOR(CAST(s AS DOUBLE) / n_gaps) AS BIGINT)
+               AS mean_gap_ms,
+           CAST(FLOOR(
+               sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)
+                     * CAST(s AS DOUBLE) / n_gaps) / (n_gaps - 1))
+               / (CAST(s AS DOUBLE) / n_gaps) * 1000000) AS BIGINT)
+               AS cv_e6
+    FROM stats
+    """,
+)
+def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival burstiness per event stream (round 5 batch 14):
+    the coefficient of variation of consecutive gaps — CV ≈ 1 means
+    memoryless Poisson arrivals (what organic traffic looks like),
+    CV ≫ 1 means bursts (incidents, batch jobs, bots), CV ≪ 1 means
+    a metronome (schedulers, scrapers). The one-number traffic-shape
+    diagnostic that decides whether rate alarms need burst smoothing,
+    and a strong bot signal next to events_markov_transitions'
+    determinism readout.
+
+    Gaps are exact integer MILLISECONDS off ONE (type, ts, event_id)
+    window exchange (win_lag_lead's tape) — ms, not µs, deliberately:
+    Σgap² in µs² overflows bigint already at day-scale gaps (measured,
+    ANSI overflow), while ms² keeps the sums exact to ~10⁶-second gaps
+    at 10⁹ rows; truncating division is identical in both engines.
+    (n, Σ, Σ²) are exact bigint sums; the CV is one floored double
+    expression.
+
+    Scale: one window + one map-side-combinable agg to |types| rows;
+    the streaming form keeps (prev_ts, n, Σ, Σ²) per key."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev = F.lag(F.col("ts")).over(w)
+    gap_ms = F.floor(
+        (us - F.unix_micros(prev.cast("timestamp"))) / 1000
+    ).cast("bigint")
+    gaps = ev.select("event_type", gap_ms.alias("gap_ms"))
+    stats = gaps.groupBy("event_type").agg(
+        F.count("gap_ms").cast("bigint").alias("n_gaps"),
+        F.sum("gap_ms").cast("bigint").alias("s"),
+        F.sum(F.col("gap_ms") * F.col("gap_ms")).cast("bigint").alias("ss"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    mean = d("s") / F.col("n_gaps")
+    sd = F.sqrt((d("ss") - d("s") * d("s") / F.col("n_gaps")) / (F.col("n_gaps") - 1))
+    return stats.select(
+        "event_type",
+        "n_gaps",
+        F.floor(mean).cast("bigint").alias("mean_gap_ms"),
+        F.floor(sd / mean * 1000000).cast("bigint").alias("cv_e6"),
+    )

@@ -227,6 +227,9 @@ _ROUND6_NEXT_UP = (
     "agg_winsorized_mean",
     "agg_bootstrap_se",
     "text_ngram_novelty",
+    "topk_with_ties",
+    "events_burstiness",
+    "text_zipf_slope",
 )
 
 _loaded = False

@@ -1126,3 +1126,81 @@ def test_ngram_novelty_matches_bruteforce(spark, sf_dir):
     # the first doc is 100% novel by construction
     first = min(want)
     assert got[first]["novelty_e4"] == 10000
+
+
+def test_topk_with_ties_keeps_whole_tie_classes(spark, sf_dir):
+    rows = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    ).collect()
+    prices = sorted((math.floor(r["o_totalprice"]) for r in rows), reverse=True)
+    got = Q["topk_with_ties"](spark, sf_dir).collect()
+    # rank semantics: every row whose rank <= 10 survives
+    from collections import Counter
+
+    hist = Counter(math.floor(r["o_totalprice"]) for r in rows)
+    kept = []
+    rank = 1
+    for p in sorted(hist, reverse=True):
+        if rank > 10:
+            break
+        kept.append((p, hist[p], rank))
+        rank += hist[p]
+    want_n = sum(c for _, c, _ in kept)
+    assert len(got) == want_n
+    want_ranks = {p: r for p, _, r in kept}
+    for r in got:
+        assert r["rnk"] == want_ranks[r["price_fl"]]
+    # the boundary tie class is intact: all rows of the lowest kept
+    # price appear
+    lowest = min(p for p, _, _ in kept)
+    assert sum(1 for r in got if r["price_fl"] == lowest) == hist[lowest]
+
+
+def test_burstiness_matches_bruteforce(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts"
+    ).collect()
+    series: dict[str, list] = {}
+    for r in sorted(ev, key=lambda r: (r["ts"], r["event_id"])):
+        series.setdefault(r["event_type"], []).append(r["ts"])
+    got = {r["event_type"]: r for r in Q["events_burstiness"](spark, sf_dir).collect()}
+    assert set(got) == set(series)
+    for et, tss in series.items():
+        gaps = []
+        for a, b in zip(tss, tss[1:]):
+            delta = b - a
+            us = (delta.days * 86_400 + delta.seconds) * 1_000_000 + delta.microseconds
+            gaps.append(us // 1000)
+        n = len(gaps)
+        s, ss = sum(gaps), sum(g * g for g in gaps)
+        mean = s / n
+        sd = math.sqrt((ss - s * s / n) / (n - 1))
+        r = got[et]
+        assert r["n_gaps"] == n
+        assert r["mean_gap_ms"] == math.floor(mean)
+        assert r["cv_e6"] == math.floor(sd / mean * 1_000_000)
+        assert r["cv_e6"] > 0
+
+
+def test_zipf_slope_matches_bruteforce_and_is_negative(spark, sf_dir):
+    from collections import Counter
+
+    toks = Counter()
+    for r in load(spark, sf_dir, "documents").select("text").collect():
+        for t in r["text"].split(" "):
+            if t:
+                toks[t] += 1
+    ranked = sorted(toks.items(), key=lambda kv: (-kv[1], kv[0]))
+    xs = [math.floor(math.log(i + 1) * 1000) for i in range(len(ranked))]
+    ys = [math.floor(math.log(f) * 1000) for _, f in ranked]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy / n - slope * sx / n) / 1000
+    got = Q["text_zipf_slope"](spark, sf_dir).collect()[0]
+    assert got["vocab_size"] == n
+    assert got["slope_e6"] == math.floor(slope * 1_000_000)
+    assert got["intercept_e6"] == math.floor(intercept * 1_000_000)
+    assert got["slope_e6"] < 0  # frequency falls with rank
