@@ -568,3 +568,74 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") / 2).cast("bigint").alias("n_edges"),
         F.floor(num / den * 1000000).cast("bigint").alias("assortativity_e6"),
     )
+
+
+@query(
+    "graph_2hop_reach",
+    f"""
+    WITH {_DUCK_EDGES},
+    sym AS (
+        SELECT src, dst FROM edges
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM edges
+    ), two_hop AS (
+        SELECT DISTINCT a.src AS node, b.dst AS reached
+        FROM sym a JOIN sym b ON a.dst = b.src
+        WHERE b.dst <> a.src
+    ), direct AS (
+        SELECT src AS node, dst AS reached FROM sym
+    )
+    SELECT t.node,
+           CAST(COUNT(*) AS BIGINT) AS n_2hop,
+           CAST(COUNT(*) FILTER (d.reached IS NULL) AS BIGINT)
+               AS n_new_at_2
+    FROM two_hop t
+    LEFT JOIN direct d ON d.node = t.node AND d.reached = t.reached
+    GROUP BY t.node
+    """,
+)
+def graph_2hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-hop reach per node (round 5 batch 15): how many distinct
+    addresses are within two hops, and how many of those are NEW at
+    distance exactly 2 (not already direct neighbors) — the
+    friend-of-friend expansion factor behind contagion/taint analysis
+    ("how far does exposure spread in one more step?") and the
+    branching estimate graph_bfs_layers' global frontier sizes don't
+    give per node.
+
+    One wedge join on the symmetrized list (self excluded), distinct
+    on the (node, reached) pair, then an anti-style LEFT join against
+    direct neighbors to split new-at-2 from already-adjacent. All
+    equi-joins on node ids.
+
+    Scale: the wedge join is Σ d(v)² — the hub hazard shared with
+    triangle counting, bounded by the same degree-orientation
+    refinement; the distinct is the only pair-scale shuffle, and at
+    100 TB the 2-hop set is computed per BFS frontier batch rather
+    than all nodes at once (graph_bfs_layers' machinery)."""
+    e = cooccurrence_edges(spark)
+    sym = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    a = sym.alias("a")
+    b = sym.alias("b")
+    two_hop = (
+        a.join(b, F.col("a.dst") == F.col("b.src"))
+        .filter(F.col("b.dst") != F.col("a.src"))
+        .select(
+            F.col("a.src").alias("node"), F.col("b.dst").alias("reached")
+        )
+        .distinct()
+    )
+    direct = sym.select(
+        F.col("src").alias("node"),
+        F.col("dst").alias("reached"),
+        F.lit(1).alias("is_direct"),
+    )
+    j = two_hop.join(direct, ["node", "reached"], "left")
+    return j.groupBy("node").agg(
+        F.count("*").cast("bigint").alias("n_2hop"),
+        F.count_if(F.col("is_direct").isNull())
+        .cast("bigint")
+        .alias("n_new_at_2"),
+    )

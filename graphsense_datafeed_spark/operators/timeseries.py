@@ -1612,3 +1612,107 @@ def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(mean).cast("bigint").alias("mean_gap_ms"),
         F.floor(sd / mean * 1000000).cast("bigint").alias("cv_e6"),
     )
+
+
+@query(
+    "ts_anomaly_pipeline",
+    """
+    WITH cells AS (
+        SELECT dayofweek(ts) AS dow, CAST(hour(ts) AS BIGINT) AS hod,
+               CAST(SUM(CAST(FLOOR(value * 10000) AS BIGINT)) AS BIGINT)
+                   AS s,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ), resid AS (
+        SELECT e.event_id, e.event_type, e.ts,
+               CAST(FLOOR(CAST(CAST(FLOOR(e.value * 10000) AS BIGINT)
+                               AS DOUBLE)
+                          - CAST(c.s AS DOUBLE) / c.n) AS BIGINT) AS r_e4
+        FROM events e
+        JOIN cells c ON dayofweek(e.ts) = c.dow
+                    AND CAST(hour(e.ts) AS BIGINT) = c.hod
+    ), g AS (
+        SELECT event_id, event_type, r_e4,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n,
+               CAST(SUM(r_e4) OVER w AS BIGINT) AS s,
+               CAST(SUM(r_e4 * r_e4) OVER w AS BIGINT) AS ss
+        FROM resid
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, event_type, r_e4, n AS n_window
+    FROM g
+    WHERE n >= 8
+      AND (CAST(r_e4 AS DOUBLE) - CAST(s AS DOUBLE) / n)
+          * (CAST(r_e4 AS DOUBLE) - CAST(s AS DOUBLE) / n)
+          > 9.0 * ((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)
+                    * CAST(s AS DOUBLE) / n) / CAST(n AS DOUBLE))
+    """,
+)
+def ts_anomaly_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deseasonalize-then-flag anomaly pipeline (round 5 batch 15):
+    the composition ts_seasonal_adjust's docstring promises — subtract
+    each event's (dow × hour) cell mean, THEN run the trailing z-score
+    gate on the RESIDUAL — emitted as one plan with one oracle, the
+    way a monitoring consumer actually deploys it. Flagging raw
+    values alarms every weekly peak; flagging residuals alarms only
+    departures from the rhythm — the set difference between this
+    operator's output and ts_zscore_anomaly's IS the false-alarm mass
+    the seasonal stage removes.
+
+    Stage disciplines carry through unchanged: 168 exact-bigint cells
+    broadcast onto the detail; residuals floor e4 per row; window
+    sums of residuals are exact bigints; the flag compares squares.
+    Emits only the flagged rows (alert-stream shape).
+
+    Scale: broadcast join (no detail re-shuffle) into the same
+    per-series window exchange the raw z-score uses — composing the
+    stages costs ZERO additional shuffles over ts_zscore_anomaly
+    alone."""
+    ev = load(spark, sf_dir, "events")
+    v = F.floor(F.col("value") * 10000).cast("bigint")
+    cells = ev.groupBy(
+        (F.dayofweek("ts") - 1).alias("dow"),
+        F.hour("ts").cast("bigint").alias("hod"),
+    ).agg(
+        F.sum(v).cast("bigint").alias("s"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    detail = ev.select(
+        "event_id",
+        "event_type",
+        "ts",
+        (F.dayofweek("ts") - 1).alias("dow"),
+        F.hour("ts").cast("bigint").alias("hod"),
+        v.alias("v_e4"),
+    )
+    resid = detail.join(F.broadcast(cells), ["dow", "hod"]).select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.floor(
+            F.col("v_e4").cast("double")
+            - F.col("s").cast("double") / F.col("n")
+        )
+        .cast("bigint")
+        .alias("r_e4"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-24, -1)
+    )
+    g = resid.select(
+        "event_id",
+        "event_type",
+        "r_e4",
+        F.count("*").over(w).cast("bigint").alias("n"),
+        F.sum("r_e4").over(w).cast("bigint").alias("s"),
+        F.sum(F.col("r_e4") * F.col("r_e4")).over(w).cast("bigint").alias("ss"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    dev = d("r_e4") - d("s") / F.col("n")
+    var = (d("ss") - d("s") * d("s") / F.col("n")) / d("n")
+    return g.filter((F.col("n") >= 8) & (dev * dev > 9.0 * var)).select(
+        "event_id", "event_type", "r_e4", F.col("n").alias("n_window")
+    )

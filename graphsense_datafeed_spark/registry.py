@@ -230,6 +230,9 @@ _ROUND6_NEXT_UP = (
     "topk_with_ties",
     "events_burstiness",
     "text_zipf_slope",
+    "agg_itemset_lift",
+    "graph_2hop_reach",
+    "ts_anomaly_pipeline",
 )
 
 _loaded = False

@@ -1204,3 +1204,95 @@ def test_zipf_slope_matches_bruteforce_and_is_negative(spark, sf_dir):
     assert got["slope_e6"] == math.floor(slope * 1_000_000)
     assert got["intercept_e6"] == math.floor(intercept * 1_000_000)
     assert got["slope_e6"] < 0  # frequency falls with rank
+
+
+def test_itemset_lift_matches_bruteforce(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").collect()
+    pt = {
+        r["p_partkey"]: r["p_brand"]
+        for r in load(spark, sf_dir, "part").select("p_partkey", "p_brand").collect()
+    }
+    baskets: dict[int, set] = {}
+    for r in li:
+        baskets.setdefault(r["l_orderkey"], set()).add(pt[r["l_partkey"]])
+    n = len(baskets)
+    item: dict[str, int] = {}
+    support: dict[tuple, int] = {}
+    for brands in baskets.values():
+        bs = sorted(brands)
+        for x in bs:
+            item[x] = item.get(x, 0) + 1
+        for i in range(len(bs)):
+            for j in range(i + 1, len(bs)):
+                support[(bs[i], bs[j])] = support.get((bs[i], bs[j]), 0) + 1
+    got = {
+        (r["brand_a"], r["brand_b"]): r
+        for r in Q["agg_itemset_lift"](spark, sf_dir).collect()
+    }
+    want_keys = {k for k, s in support.items() if s >= 10}
+    assert set(got) == want_keys
+    for (a, b), r in got.items():
+        s = support[(a, b)]
+        assert r["support"] == s
+        assert r["conf_a_to_b_e4"] == math.floor(s * 10000 / item[a])
+        assert r["lift_e4"] == math.floor(s * n / (item[a] * item[b]) * 10000)
+
+
+def test_two_hop_reach_matches_bruteforce(spark, sf_dir):
+    _, adj = _python_graph(spark)
+    got = {r["node"]: r for r in Q["graph_2hop_reach"](spark, sf_dir).collect()}
+    for node, nbrs in adj.items():
+        reach = set()
+        for m in nbrs:
+            reach |= adj[m]
+        reach.discard(node)
+        if not reach:
+            assert node not in got
+            continue
+        r = got[node]
+        assert r["n_2hop"] == len(reach)
+        assert r["n_new_at_2"] == len(reach - nbrs)
+    assert set(got) <= set(adj)
+
+
+def test_anomaly_pipeline_composes_stages(spark, sf_dir):
+    """The pipeline must equal z-score-on-residuals where residuals
+    come from ts_seasonal_adjust — verified by composing the two
+    operators' own outputs."""
+    resid = {
+        r["event_id"]: r["residual_e4"]
+        for r in Q["ts_seasonal_adjust"](spark, sf_dir).collect()
+    }
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts"
+    ).collect()
+    series: dict[str, list] = {}
+    for r in sorted(ev, key=lambda r: (r["ts"], r["event_id"])):
+        series.setdefault(r["event_type"], []).append(r["event_id"])
+    want = {}
+    for et, ids in series.items():
+        vals = [resid[i] for i in ids]
+        for i, eid in enumerate(ids):
+            frame = vals[max(0, i - 24) : i]
+            n = len(frame)
+            if n < 8:
+                continue
+            s = sum(frame)
+            ss = sum(x * x for x in frame)
+            dev = vals[i] - s / n
+            var = (ss - s * s / n) / n
+            if dev * dev > 9.0 * var:
+                want[eid] = (et, vals[i], n)
+    got = {r["event_id"]: r for r in Q["ts_anomaly_pipeline"](spark, sf_dir).collect()}
+    assert set(got) == set(want)
+    for eid, (et, r_e4, n) in want.items():
+        r = got[eid]
+        assert (r["event_type"], r["r_e4"], r["n_window"]) == (et, r_e4, n)
+    # the pipeline flags fewer or different events than the raw gate —
+    # the seasonal stage must change the verdict set on this fixture
+    raw = {
+        r["event_id"]
+        for r in Q["ts_zscore_anomaly"](spark, sf_dir).collect()
+        if r["is_anomaly"]
+    }
+    assert set(got) != raw
