@@ -132,3 +132,71 @@ def topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rnk") <= 10)
     )
+
+
+@query(
+    "skyline_2d",
+    """
+    WITH pts AS (
+        SELECT o_orderkey,
+               CAST(FLOOR(o_totalprice) AS BIGINT) AS price_fl,
+               o_orderdate
+        FROM orders
+    ), flagged AS (
+        SELECT o_orderkey, price_fl, o_orderdate,
+               max(o_orderdate) OVER (
+                   ORDER BY price_fl, o_orderdate DESC, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS best_date_cheaper
+        FROM pts
+    )
+    SELECT o_orderkey, price_fl, o_orderdate
+    FROM flagged
+    WHERE best_date_cheaper IS NULL OR o_orderdate > best_date_cheaper
+    """,
+)
+def skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline / Pareto frontier (round 5 batch 16): the orders no
+    other order DOMINATES — here "cheaper or equal AND at least as
+    recent, better in one" (minimize price, maximize date) — the
+    multi-objective shortlist (price-vs-freshness, cost-vs-quality,
+    latency-vs-recall) that no single ORDER BY can produce and
+    top-k over any one column gets wrong.
+
+    The classic sort-scan: order by price ascending (date DESC as the
+    tie order so an equal-price-newer row dominates its older twins,
+    o_orderkey as the FINAL tiebreak so rows identical in BOTH
+    dimensions get a deterministic survivor — without it the ROWS
+    frame's contents at exact duplicates are engine-order luck), carry
+    the running best date over STRICTLY PRECEDING rows — a row
+    survives iff its date beats every cheaper-or-tied-earlier row's.
+    One window over the frontier sort; dominance is a single NULL-safe
+    comparison per row. Integer price floor makes tie classes
+    structural across engines.
+
+    Scale: a global sort — but the skyline's input can be pre-pruned
+    to per-partition skylines first (skyline(∪) = skyline(∪ of
+    partial skylines), the standard distributed reduction, documented
+    here: partial skylines are tiny, the global pass runs on their
+    union); the window itself is the same running-max discipline as
+    win_running_sum."""
+    o = load(spark, sf_dir, "orders")
+    pts = o.select(
+        "o_orderkey",
+        F.floor("o_totalprice").cast("bigint").alias("price_fl"),
+        "o_orderdate",
+    )
+    w = (
+        Window.orderBy(
+            F.col("price_fl").asc(),
+            F.col("o_orderdate").desc(),
+            F.col("o_orderkey").asc(),
+        ).rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = pts.withColumn(
+        "best_date_cheaper", F.max("o_orderdate").over(w)
+    )
+    return flagged.filter(
+        F.col("best_date_cheaper").isNull()
+        | (F.col("o_orderdate") > F.col("best_date_cheaper"))
+    ).select("o_orderkey", "price_fl", "o_orderdate")

@@ -233,6 +233,8 @@ _ROUND6_NEXT_UP = (
     "agg_itemset_lift",
     "graph_2hop_reach",
     "ts_anomaly_pipeline",
+    "skyline_2d",
+    "multimodal_parse_header",
 )
 
 _loaded = False

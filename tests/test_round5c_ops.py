@@ -1296,3 +1296,51 @@ def test_anomaly_pipeline_composes_stages(spark, sf_dir):
         if r["is_anomaly"]
     }
     assert set(got) != raw
+
+
+def test_skyline_matches_bruteforce(spark, sf_dir):
+    rows = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    ).collect()
+    pts = [
+        (math.floor(r["o_totalprice"]), r["o_orderdate"], r["o_orderkey"])
+        for r in rows
+    ]
+    got = {r["o_orderkey"] for r in Q["skyline_2d"](spark, sf_dir).collect()}
+    # dominance: p dominates q iff p.price<=q.price, p.date>=q.date,
+    # strictly better in one; among full duplicates the lowest key wins
+    want = set()
+    for p, d, k in pts:
+        dominated = any(
+            (p2 <= p and d2 >= d and (p2 < p or d2 > d))
+            or (p2 == p and d2 == d and k2 < k)
+            for p2, d2, k2 in pts
+        )
+        if not dominated:
+            want.add(k)
+    assert got == want
+    # frontier is monotone: along ascending price, a costlier survivor
+    # must offer a strictly later date (else the cheaper one dominates)
+    front = sorted((p, d) for p, d, k in pts if k in got)
+    for (p1, d1), (p2, d2) in zip(front, front[1:]):
+        assert d2 > d1
+
+
+def test_parse_header_matches_bruteforce(spark, sf_dir):
+    import hashlib
+    from functools import reduce
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    got = {r["doc_id"]: r for r in Q["multimodal_parse_header"](spark, sf_dir).collect()}
+    assert len(got) == len(docs)
+    for d in docs:
+        raw = hashlib.md5(d["text"].encode()).hexdigest() * 4
+        bs = [int(raw[i * 2 : i * 2 + 2], 16) for i in range(16)]
+        r = got[d["doc_id"]]
+        assert r["magic"] == raw[:4].upper()
+        assert r["version"] == bs[2] % 4
+        assert r["n_frames"] == bs[3] % 8 + 1
+        assert r["duration_ms"] == (
+            bs[4] * 16777216 + bs[5] * 65536 + bs[6] * 256 + bs[7]
+        )
+        assert r["xor_check"] == reduce(lambda a, x: a ^ x, bs[8:16])
