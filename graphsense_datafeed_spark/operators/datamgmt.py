@@ -655,3 +655,90 @@ def anon_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "releasable"
         ),
     )
+
+
+@query(
+    "events_ab_srm",
+    """
+    WITH assigned AS (
+        SELECT user_id,
+               CAST('0x' || substr(md5('exp42_' || CAST(user_id AS VARCHAR)),
+                                   1, 7) AS BIGINT) % 2 AS arm
+        FROM (SELECT DISTINCT user_id FROM events)
+    ), counts AS (
+        SELECT CAST(COUNT(*) FILTER (arm = 0) AS BIGINT) AS n_control,
+               CAST(COUNT(*) FILTER (arm = 1) AS BIGINT) AS n_treat
+        FROM assigned
+    )
+    SELECT n_control, n_treat,
+           CAST(FLOOR(
+               (CAST(n_control AS DOUBLE) - CAST(n_control + n_treat
+                    AS DOUBLE) / 2)
+               * (CAST(n_control AS DOUBLE) - CAST(n_control + n_treat
+                      AS DOUBLE) / 2)
+               / (CAST(n_control + n_treat AS DOUBLE) / 2) * 2 * 1000000)
+               AS BIGINT) AS srm_chi2_e6,
+           (CAST(n_control AS DOUBLE) - CAST(n_control + n_treat AS DOUBLE)
+            / 2)
+           * (CAST(n_control AS DOUBLE) - CAST(n_control + n_treat
+                  AS DOUBLE) / 2)
+           / (CAST(n_control + n_treat AS DOUBLE) / 2) * 2 > 3.84
+               AS srm_alarm
+    FROM counts
+    """,
+)
+def events_ab_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B assignment + sample-ratio-mismatch guard (round 5 batch
+    17): users split 50/50 by salted hash (the split_train_holdout
+    discipline — stable under re-runs, new users land consistently,
+    no coordination), then the 1-df χ² against the intended ratio.
+    SRM is THE silent experiment killer (biased logging, bot
+    filtering applied to one arm, redirect loss): if the realized
+    split is detectably off 50/50, every downstream metric comparison
+    is invalid — experimentation platforms gate on exactly this alarm
+    (χ² > 3.84 ⇔ p < 0.05) before showing results.
+
+    Counts are exact bigints; the χ² and the alarm evaluate in one
+    shared double expression. Composes with agg_t_test_welch /
+    agg_mann_whitney as the metric tests the gate protects.
+
+    Scale: one distinct + one conditional-count agg; assignment is a
+    narrow hash expression any metric pipeline re-derives for free
+    (no assignment table to join at all — the hash IS the table)."""
+    assigned = (
+        load(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .select(
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("exp42_"),
+                                F.col("user_id").cast("string"),
+                            ).cast("binary")
+                        ),
+                        1,
+                        7,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % 2
+            ).alias("arm")
+        )
+    )
+    counts = assigned.agg(
+        F.count_if(F.col("arm") == 0).cast("bigint").alias("n_control"),
+        F.count_if(F.col("arm") == 1).cast("bigint").alias("n_treat"),
+    )
+    total = (F.col("n_control") + F.col("n_treat")).cast("double")
+    dev = F.col("n_control").cast("double") - total / 2
+    chi2 = dev * dev / (total / 2) * 2
+    return counts.select(
+        "n_control",
+        "n_treat",
+        F.floor(chi2 * 1000000).cast("bigint").alias("srm_chi2_e6"),
+        (chi2 > 3.84).alias("srm_alarm"),
+    )

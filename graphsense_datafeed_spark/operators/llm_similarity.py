@@ -1176,3 +1176,116 @@ def embed_nearest_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .agg(F.count("*").cast("bigint").alias("n_vectors"))
     )
+
+
+_RP_OUT_DIM = 16
+
+
+@query(
+    "embed_random_projection",
+    f"""
+    WITH flat AS (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) AS pos,
+               CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 10000)
+                    AS BIGINT) AS v_e4
+        FROM embeddings
+    ), signed AS (
+        SELECT f.vec_id, m.m,
+               CAST(SUM(CASE WHEN
+                   CAST('0x' || substr(md5(CAST(m.m AS VARCHAR) || '_'
+                                       || CAST(f.pos AS VARCHAR)), 1, 7)
+                       AS BIGINT) % 2 = 0
+                   THEN f.v_e4 ELSE -f.v_e4 END) AS BIGINT) AS p
+        FROM flat f, (SELECT unnest(range(0, {_RP_OUT_DIM})) AS m) m
+        GROUP BY 1, 2
+    )
+    SELECT vec_id,
+           string_agg(CAST(p AS VARCHAR), ',' ORDER BY m) AS proj_e4,
+           CAST(FLOOR(sqrt(CAST(SUM(p * p) AS DOUBLE)
+                           / {_RP_OUT_DIM}) / 10000 * 10000) AS BIGINT)
+               AS norm_ratio_e4
+    FROM signed GROUP BY vec_id
+    """,
+)
+def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64 → 16 dims (round 5
+    batch 17): each output coordinate is Σᵢ ±vᵢ with DATA-INDEPENDENT
+    signs — the dimension reduction that needs no training pass at
+    all (contrast embed_pca's Gram pipeline), preserves pairwise
+    distances within 1±ε with high probability, and therefore
+    composes with any downstream ANN or clustering without re-fitting
+    as the corpus grows. The streaming-friendly reduction: a vector
+    projects the moment it arrives.
+
+    Exactness end-to-end: components quantize e4 ONCE; signs come
+    from md5(outdim, position) parity — engine-portable, baked into
+    the expression, reproducible forever — so every projected
+    coordinate is an EXACT bigint signed sum. The output vector
+    serializes ','-joined (driver-safe); norm_ratio_e4 =
+    ‖proj‖/√k / ‖v‖ (unit vectors ⇒ denominator 1) is the JL
+    distortion self-check the referee bounds.
+
+    Scale: posexplode + (vec, outdim) partial agg — shuffles
+    |rows|×k key-space, map-side combinable; no model state
+    anywhere."""
+    e = load(spark, sf_dir, "embeddings")
+    flat = e.select(
+        "vec_id",
+        F.posexplode("embedding").alias("pos0", "val"),
+    ).select(
+        "vec_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.floor(F.col("val").cast("double") * 10000)
+        .cast("bigint")
+        .alias("v_e4"),
+    )
+    ms = F.explode(F.sequence(F.lit(0), F.lit(_RP_OUT_DIM - 1))).alias("m")
+    sign_even = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("m").cast("string"),
+                        F.lit("_"),
+                        F.col("pos").cast("string"),
+                    ).cast("binary")
+                ),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+        == 0
+    )
+    signed = (
+        flat.select("vec_id", "pos", "v_e4", ms)
+        .groupBy("vec_id", "m")
+        .agg(
+            F.sum(
+                F.when(sign_even, F.col("v_e4")).otherwise(-F.col("v_e4"))
+            )
+            .cast("bigint")
+            .alias("p")
+        )
+    )
+    return signed.groupBy("vec_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m", "p"))),
+                lambda s: s.p.cast("string"),
+            ),
+            ",",
+        ).alias("proj_e4"),
+        F.floor(
+            F.sqrt(
+                F.sum(F.col("p") * F.col("p")).cast("double") / _RP_OUT_DIM
+            )
+            / 10000
+            * 10000
+        )
+        .cast("bigint")
+        .alias("norm_ratio_e4"),
+    )

@@ -2056,3 +2056,81 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(slope * 1000000).cast("bigint").alias("slope_e6"),
         F.floor(intercept * 1000000).cast("bigint").alias("intercept_e6"),
     )
+
+
+@query(
+    "text_hash_features",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents
+    ), hashed AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(token), 1, 7) AS BIGINT) % 1024
+                   AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM toks WHERE token <> '' GROUP BY 1, 2
+    ), packed AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_active,
+               string_agg(CAST(bucket AS VARCHAR) || ':'
+                          || CAST(c AS VARCHAR), ','
+                          ORDER BY bucket) AS features
+        FROM hashed GROUP BY doc_id
+    )
+    SELECT doc_id, n_active, features FROM packed
+    """,
+)
+def text_hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing — the hashing trick (round 5 batch 17): tokens
+    map straight to one of 2¹⁰ feature indices via md5, giving every
+    document a FIXED-dimension sparse count vector with NO vocabulary
+    pass, no dictionary to build/ship/version — the featurizer that
+    makes streaming/online linear models and out-of-core training
+    possible (Weinberger et al., ICML'09). Collisions are the accepted
+    tax (here ~vocab/1024 per bucket), which is why the bucket count
+    is the tunable.
+
+    The sparse vector serializes as an ordered 'idx:count' join —
+    driver-safe scalar encoding, deterministic: bucket ids are
+    md5-derived (engine-portable, the split_train_holdout discipline)
+    and the pack orders by bucket. Counts exact bigint.
+
+    Scale: one (doc, bucket) agg — map-side combinable — then a
+    doc-keyed pack of ≤1024 entries; no vocabulary table exists at
+    ANY scale, which is the entire point."""
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("token").cast("binary")), 1, 7), 16, 10)
+        .cast("bigint")
+        % 1024
+    )
+    hashed = toks.groupBy("doc_id", bucket.alias("bucket")).agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    entry = F.concat(
+        F.col("bucket").cast("string"), F.lit(":"), F.col("c").cast("string")
+    )
+    packed = (
+        hashed.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_active"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("bucket", "c"))
+                    ),
+                    lambda s: F.concat(
+                        s.bucket.cast("string"),
+                        F.lit(":"),
+                        s.c.cast("string"),
+                    ),
+                ),
+                ",",
+            ).alias("features"),
+        )
+    )
+    return packed

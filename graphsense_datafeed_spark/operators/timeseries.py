@@ -1716,3 +1716,67 @@ def ts_anomaly_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.filter((F.col("n") >= 8) & (dev * dev > 9.0 * var)).select(
         "event_id", "event_type", "r_e4", F.col("n").alias("n_window")
     )
+
+
+@query(
+    "events_velocity_rule",
+    """
+    WITH p AS (
+        SELECT event_id, user_id, ts,
+               CAST(epoch(ts) AS BIGINT) AS sec
+        FROM events WHERE event_type = 'purchase'
+    ), counted AS (
+        SELECT event_id, user_id, ts,
+               CAST(COUNT(*) OVER (
+                   PARTITION BY user_id ORDER BY sec
+                   RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS n_24h
+        FROM p
+    )
+    SELECT event_id, user_id, n_24h,
+           n_24h >= 3 AS velocity_flag
+    FROM counted
+    """,
+)
+def events_velocity_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Velocity rule (round 5 batch 17): flag a purchase when it is
+    the user's ≥3rd within a trailing 24 h — the fraud/abuse rule
+    shape ("N events of kind K within window W per key") that rule
+    engines compile thousands of, here as its canonical one-window
+    form. A true time-RANGE frame, not a ROWS frame: bursts are
+    defined by the CLOCK, and irregular spacing makes "last k rows"
+    a different (wrong) rule — win_time_range_sum's distinction
+    applied to counting.
+
+    The frame keys on integral epoch seconds (truncation identical
+    both engines); RANGE includes all equal-second peers by
+    definition so tie order cannot change any frame; the flag is a
+    pure comparison. Scale: one exchange + per-user sort on the
+    FILTERED purchase stream; the streaming form is exactly
+    stream_sliding's windowed count with the flag as a filter — this
+    operator is its batch replay."""
+    p = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_timestamp(F.col("ts").cast("timestamp")).alias("sec"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-86400, 0)
+    )
+    counted = p.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).cast("bigint").alias("n_24h"),
+    )
+    return counted.select(
+        "event_id",
+        "user_id",
+        "n_24h",
+        (F.col("n_24h") >= 3).alias("velocity_flag"),
+    )

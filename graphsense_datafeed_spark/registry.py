@@ -235,6 +235,10 @@ _ROUND6_NEXT_UP = (
     "ts_anomaly_pipeline",
     "skyline_2d",
     "multimodal_parse_header",
+    "text_hash_features",
+    "embed_random_projection",
+    "events_velocity_rule",
+    "events_ab_srm",
 )
 
 _loaded = False

@@ -1344,3 +1344,92 @@ def test_parse_header_matches_bruteforce(spark, sf_dir):
             bs[4] * 16777216 + bs[5] * 65536 + bs[6] * 256 + bs[7]
         )
         assert r["xor_check"] == reduce(lambda a, x: a ^ x, bs[8:16])
+
+
+def test_hash_features_matches_bruteforce(spark, sf_dir):
+    import hashlib
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    got = {r["doc_id"]: r for r in Q["text_hash_features"](spark, sf_dir).collect()}
+    assert len(got) == len(docs)
+    for d in docs:
+        buckets: dict[int, int] = {}
+        for t in d["text"].split(" "):
+            if t:
+                b = int(hashlib.md5(t.encode()).hexdigest()[:7], 16) % 1024
+                buckets[b] = buckets.get(b, 0) + 1
+        want = ",".join(f"{b}:{c}" for b, c in sorted(buckets.items()))
+        r = got[d["doc_id"]]
+        assert r["n_active"] == len(buckets)
+        assert r["features"] == want
+        assert r["n_active"] <= 1024  # fixed dimensionality
+
+
+def test_random_projection_matches_bruteforce_and_jl(spark, sf_dir):
+    import hashlib
+
+    embs = load(spark, sf_dir, "embeddings").collect()
+    signs = {}
+    for m in range(16):
+        for pos in range(1, 65):
+            h = hashlib.md5(f"{m}_{pos}".encode()).hexdigest()
+            signs[(m, pos)] = 1 if int(h[:7], 16) % 2 == 0 else -1
+    got = {r["vec_id"]: r for r in Q["embed_random_projection"](spark, sf_dir).collect()}
+    assert len(got) == len(embs)
+    ratios = []
+    for e in embs:
+        v = [math.floor(float(x) * 10000) for x in e["embedding"]]
+        proj = [
+            sum(signs[(m, i + 1)] * v[i] for i in range(len(v)))
+            for m in range(16)
+        ]
+        r = got[e["vec_id"]]
+        assert r["proj_e4"] == ",".join(str(p) for p in proj)
+        want_ratio = math.floor(
+            math.sqrt(sum(p * p for p in proj) / 16) / 10000 * 10000
+        )
+        assert r["norm_ratio_e4"] == want_ratio
+        ratios.append(r["norm_ratio_e4"] / 10000)
+    # JL distortion: unit-norm inputs → ratios concentrate near 1
+    mean_ratio = sum(ratios) / len(ratios)
+    assert 0.8 < mean_ratio < 1.2
+
+
+def test_velocity_rule_matches_bruteforce(spark, sf_dir):
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts")
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in sorted(ev, key=lambda r: r["ts"]):
+        by_user.setdefault(r["user_id"], []).append(r)
+    import calendar
+
+    want = {}
+    for uid, items in by_user.items():
+        secs = [
+            calendar.timegm(r["ts"].timetuple()) for r in items
+        ]
+        for i, r in enumerate(items):
+            n = sum(1 for s in secs if secs[i] - 86400 <= s <= secs[i])
+            want[r["event_id"]] = n
+    got = Q["events_velocity_rule"](spark, sf_dir).collect()
+    assert len(got) == len(want)
+    for r in got:
+        assert r["n_24h"] == want[r["event_id"]]
+        assert r["velocity_flag"] == (r["n_24h"] >= 3)
+
+
+def test_ab_srm_balanced_and_deterministic(spark, sf_dir):
+    a = Q["events_ab_srm"](spark, sf_dir).collect()[0]
+    b = Q["events_ab_srm"](spark, sf_dir).collect()[0]
+    assert a == b  # hash assignment is stable
+    n_users = load(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert a["n_control"] + a["n_treat"] == n_users
+    # a fair hash on this population must not trip the alarm
+    assert not a["srm_alarm"]
+    dev = a["n_control"] - n_users / 2
+    chi2 = dev * dev / (n_users / 2) * 2
+    assert a["srm_chi2_e6"] == math.floor(chi2 * 1_000_000)
