@@ -2273,3 +2273,153 @@ def agg_itemset_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("lift_e4"),
     )
+
+
+@query(
+    "agg_theil_decomposition",
+    """
+    WITH cust AS (
+        SELECT c_nationkey AS nation,
+               CAST(ROUND(c_acctbal * 100) AS BIGINT) + 100000 AS x
+        FROM customer
+    ), gstats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s
+        FROM cust
+    ), grp AS (
+        SELECT nation, CAST(COUNT(*) AS BIGINT) AS ng,
+               CAST(SUM(x) AS BIGINT) AS sg
+        FROM cust GROUP BY nation
+    ), rowterms AS (
+        SELECT c.nation,
+               CAST(FLOOR((CAST(c.x AS DOUBLE) / (CAST(g.sg AS DOUBLE) / g.ng))
+                          * ln(CAST(c.x AS DOUBLE)
+                               / (CAST(g.sg AS DOUBLE) / g.ng))
+                          * 1000000000) AS BIGINT) AS tg_term_e9,
+               CAST(FLOOR((CAST(c.x AS DOUBLE)
+                           / (CAST((SELECT s FROM gstats) AS DOUBLE)
+                              / (SELECT n FROM gstats)))
+                          * ln(CAST(c.x AS DOUBLE)
+                               / (CAST((SELECT s FROM gstats) AS DOUBLE)
+                                  / (SELECT n FROM gstats)))
+                          * 1000000000) AS BIGINT) AS tt_term_e9
+        FROM cust c JOIN grp g USING (nation)
+    ), pernation AS (
+        SELECT r.nation, g.ng,
+               CAST(FLOOR(CAST(SUM(r.tg_term_e9) AS DOUBLE) / g.ng)
+                    AS BIGINT) AS t_g_e9,
+               CAST(FLOOR(
+                   (CAST(g.ng AS DOUBLE) / (SELECT n FROM gstats))
+                   * ((CAST(g.sg AS DOUBLE) / g.ng)
+                      / (CAST((SELECT s FROM gstats) AS DOUBLE)
+                         / (SELECT n FROM gstats)))
+                   * (CAST(SUM(r.tg_term_e9) AS DOUBLE) / g.ng)) AS BIGINT)
+                   AS within_e9,
+               CAST(FLOOR(
+                   (CAST(g.ng AS DOUBLE) / (SELECT n FROM gstats))
+                   * ((CAST(g.sg AS DOUBLE) / g.ng)
+                      / (CAST((SELECT s FROM gstats) AS DOUBLE)
+                         / (SELECT n FROM gstats)))
+                   * ln((CAST(g.sg AS DOUBLE) / g.ng)
+                        / (CAST((SELECT s FROM gstats) AS DOUBLE)
+                           / (SELECT n FROM gstats)))
+                   * 1000000000) AS BIGINT) AS between_e9,
+               CAST(SUM(r.tt_term_e9) AS BIGINT) AS tt_sum_e9
+        FROM rowterms r JOIN grp g USING (nation)
+        GROUP BY r.nation, g.ng, g.sg
+    )
+    SELECT CAST(nation AS BIGINT) AS nation, ng, t_g_e9, within_e9,
+           between_e9,
+           CAST(SUM(within_e9) OVER () AS BIGINT) AS within_sum_e9,
+           CAST(SUM(between_e9) OVER () AS BIGINT) AS between_sum_e9,
+           CAST(FLOOR(CAST(SUM(tt_sum_e9) OVER () AS DOUBLE)
+                      / (SELECT n FROM gstats)) AS BIGINT) AS t_total_e9
+    FROM pernation
+    """,
+)
+def agg_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index with between/within decomposition
+    (round 5 batch 18): T = (1/n)Σ(x/μ)ln(x/μ) over customer balances
+    (shifted positive), split EXACTLY into T_between (inequality of
+    nation means) + T_within (Σ weighted per-nation Theils) — the
+    decomposability the Gini famously lacks, and the reason Theil is
+    the inequality measure used when the question is "is the
+    disparity BETWEEN segments or INSIDE them?" (drives completely
+    different interventions). agg_gini_concentration gives the one
+    number; this locates it.
+
+    Float discipline: group and global means are doubles derived from
+    exact bigint (Σ, n); every per-row (x/μ)ln(x/μ) term floors to e9
+    ONCE (identical expression both engines), per-group aggregation
+    then runs in exact bigint; the decomposition identity
+    T ≈ within + between holds to flooring error (≤ n ulps at e9 —
+    the referee bounds it). Per-nation rows carry their own T_g,
+    weighted contributions, and the riding totals.
+
+    Scale: one row-term pass joined against the group-stat broadcast,
+    then nation-level folds — the group table is dimension-sized."""
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nation"),
+        (F.round(F.col("c_acctbal") * 100).cast("bigint") + 100000).alias("x"),
+    )
+    glob = cust.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+    )
+    grp = cust.groupBy("nation").agg(
+        F.count("*").cast("bigint").alias("ng"),
+        F.sum("x").cast("bigint").alias("sg"),
+    )
+    j = cust.join(F.broadcast(grp), "nation").crossJoin(F.broadcast(glob))
+    mu_g = F.col("sg").cast("double") / F.col("ng")
+    mu = F.col("s").cast("double") / F.col("n")
+    xd = F.col("x").cast("double")
+    rowterms = j.select(
+        "nation",
+        "ng",
+        "sg",
+        "n",
+        "s",
+        F.floor((xd / mu_g) * F.log(xd / mu_g) * 1000000000)
+        .cast("bigint")
+        .alias("tg_term_e9"),
+        F.floor((xd / mu) * F.log(xd / mu) * 1000000000)
+        .cast("bigint")
+        .alias("tt_term_e9"),
+    )
+    share = F.col("ng").cast("double") / F.col("n")
+    ratio = (F.col("sg").cast("double") / F.col("ng")) / (
+        F.col("s").cast("double") / F.col("n")
+    )
+    pernation = rowterms.groupBy("nation", "ng", "sg", "n", "s").agg(
+        F.sum("tg_term_e9").cast("bigint").alias("tg_sum"),
+        F.sum("tt_term_e9").cast("bigint").alias("tt_sum_e9"),
+    ).select(
+        "nation",
+        "ng",
+        "n",
+        F.floor(F.col("tg_sum").cast("double") / F.col("ng"))
+        .cast("bigint")
+        .alias("t_g_e9"),
+        F.floor(share * ratio * (F.col("tg_sum").cast("double") / F.col("ng")))
+        .cast("bigint")
+        .alias("within_e9"),
+        F.floor(share * ratio * F.log(ratio) * 1000000000)
+        .cast("bigint")
+        .alias("between_e9"),
+        "tt_sum_e9",
+    )
+    wall = Window.partitionBy()
+    return pernation.select(
+        F.col("nation").cast("bigint").alias("nation"),
+        "ng",
+        "t_g_e9",
+        "within_e9",
+        "between_e9",
+        F.sum("within_e9").over(wall).cast("bigint").alias("within_sum_e9"),
+        F.sum("between_e9").over(wall).cast("bigint").alias("between_sum_e9"),
+        F.floor(
+            F.sum("tt_sum_e9").over(wall).cast("double") / F.col("n")
+        )
+        .cast("bigint")
+        .alias("t_total_e9"),
+    )

@@ -239,6 +239,8 @@ _ROUND6_NEXT_UP = (
     "embed_random_projection",
     "events_velocity_rule",
     "events_ab_srm",
+    "scan_manifest_incremental_read",
+    "agg_theil_decomposition",
 )
 
 _loaded = False

@@ -996,3 +996,41 @@ def scan_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
             F.sum("cents").cast("bigint").alias("total_cents"),
         )
     )
+
+
+@query(
+    "scan_manifest_incremental_read",
+    """
+    SELECT event_id, user_id, event_type,
+           CAST(ROUND(value * 100) AS BIGINT) AS cents
+    FROM events WHERE event_id % 2 = 1
+    """,
+)
+def scan_manifest_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental snapshot consumption (round 5 batch 18): read ONLY
+    the files snapshot v2 added over snapshot v1 — the manifest set
+    difference — which is how a downstream consumer tails a
+    manifest-committed table without reprocessing history (Iceberg's
+    incremental scan / Delta's CDF, reduced to the same load-bearing
+    core as sink_manifest_commit: manifests are explicit file lists,
+    so "what's new" is list subtraction, no directory listing, no
+    modification-time heuristics — mtimes lie on object stores).
+
+    The oracle is the odd-event_id half of the table (v2's append
+    batch by construction), so a consumer that re-reads v1 files,
+    misses a v2 file, or picks up torn-write debris hash-mismatches.
+    Builds on the identical two-snapshot staging (idempotent,
+    fingerprint-keyed).
+
+    Scale: incremental work is sized by the DELTA, not the table —
+    the property that makes daily downstream jobs O(day) on a
+    100 TB table; the manifest diff itself is metadata-sized."""
+    import json
+
+    base = _manifest_table_build(spark, sf_dir, "gds_manifest")
+    with open(os.path.join(base, "manifest-1.json")) as fh:
+        v1 = set(json.load(fh)["files"])
+    with open(os.path.join(base, "manifest-2.json")) as fh:
+        v2 = json.load(fh)["files"]
+    new_files = [f for f in v2 if f not in v1]
+    return spark.read.parquet(*new_files)

@@ -1433,3 +1433,62 @@ def test_ab_srm_balanced_and_deterministic(spark, sf_dir):
     dev = a["n_control"] - n_users / 2
     chi2 = dev * dev / (n_users / 2) * 2
     assert a["srm_chi2_e6"] == math.floor(chi2 * 1_000_000)
+
+
+def test_manifest_incremental_reads_only_the_delta(spark, sf_dir):
+    got = Q["scan_manifest_incremental_read"](spark, sf_dir)
+    rows = got.collect()
+    ev = load(spark, sf_dir, "events")
+    want_n = ev.filter(F.col("event_id") % 2 == 1).count()
+    assert len(rows) == want_n
+    assert all(r["event_id"] % 2 == 1 for r in rows)
+    # and the full snapshot read is delta + v1
+    full = Q["sink_manifest_commit"](spark, sf_dir).count()
+    assert full == ev.count()
+
+
+def test_theil_decomposition_identity_and_bruteforce(spark, sf_dir):
+    rows = load(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_acctbal"
+    ).collect()
+    from decimal import Decimal, ROUND_HALF_UP
+
+    by_nation: dict[int, list] = {}
+    for r in rows:
+        x = int(
+            Decimal(repr(r["c_acctbal"] * 100)).quantize(0, ROUND_HALF_UP)
+        ) + 100000
+        by_nation.setdefault(r["c_nationkey"], []).append(x)
+    allx = [x for xs in by_nation.values() for x in xs]
+    n, s = len(allx), sum(allx)
+    mu = s / n
+    got = {r["nation"]: r for r in Q["agg_theil_decomposition"](spark, sf_dir).collect()}
+    assert set(got) == set(by_nation)
+    within_sum = between_sum = 0
+    for nat, xs in by_nation.items():
+        ng, sg = len(xs), sum(xs)
+        mug = sg / ng
+        tg_sum = sum(
+            math.floor((x / mug) * math.log(x / mug) * 1_000_000_000)
+            for x in xs
+        )
+        t_g = math.floor(tg_sum / ng)
+        share, ratio = ng / n, mug / mu
+        within = math.floor(share * ratio * (tg_sum / ng))
+        between = math.floor(share * ratio * math.log(ratio) * 1_000_000_000)
+        r = got[nat]
+        assert r["ng"] == ng
+        assert r["t_g_e9"] == t_g
+        assert r["within_e9"] == within
+        assert r["between_e9"] == between
+        within_sum += within
+        between_sum += between
+    any_row = next(iter(got.values()))
+    assert any_row["within_sum_e9"] == within_sum
+    assert any_row["between_sum_e9"] == between_sum
+    # decomposition identity holds to flooring error
+    assert (
+        abs(any_row["t_total_e9"] - (within_sum + between_sum))
+        < len(by_nation) * 10 + n
+    )
+    assert any_row["t_total_e9"] > 0  # there IS inequality
