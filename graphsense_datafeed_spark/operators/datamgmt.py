@@ -742,3 +742,161 @@ def events_ab_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(chi2 * 1000000).cast("bigint").alias("srm_chi2_e6"),
         (chi2 > 3.84).alias("srm_alarm"),
     )
+
+
+@query(
+    "events_ab_cuped",
+    """
+    WITH anchor AS (
+        SELECT CAST(MIN(CAST(ts AS DATE)) AS DATE) AS d0,
+               CAST(MAX(CAST(ts AS DATE)) AS DATE) AS d1
+        FROM events
+    ), per_user AS (
+        SELECT user_id,
+               CAST('0x' || substr(md5('exp42_' || CAST(user_id AS VARCHAR)),
+                                   1, 7) AS BIGINT) % 2 AS arm,
+               CAST(SUM(CASE WHEN CAST(ts AS DATE) <
+                        (SELECT d0 FROM anchor)
+                        + CAST(((SELECT d1 FROM anchor)
+                                - (SELECT d0 FROM anchor)) // 2 AS INT)
+                        THEN CAST(FLOOR(value * 100) AS BIGINT) ELSE 0 END)
+                    AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN CAST(ts AS DATE) >=
+                        (SELECT d0 FROM anchor)
+                        + CAST(((SELECT d1 FROM anchor)
+                                - (SELECT d0 FROM anchor)) // 2 AS INT)
+                        THEN CAST(FLOOR(value * 100) AS BIGINT) ELSE 0 END)
+                    AS BIGINT) AS y
+        FROM events GROUP BY user_id
+    ), s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM per_user
+    ), arms AS (
+        SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_arm,
+               CAST(SUM(y) AS BIGINT) AS sy_arm,
+               CAST(SUM(x) AS BIGINT) AS sx_arm
+        FROM per_user GROUP BY arm
+    )
+    SELECT CAST(a.arm AS BIGINT) AS arm, a.n_arm,
+           CAST(FLOOR(CAST(a.sy_arm AS DOUBLE) / a.n_arm) AS BIGINT)
+               AS raw_mean_e2,
+           CAST(FLOOR(
+               CAST(a.sy_arm AS DOUBLE) / a.n_arm
+               - ((CAST(s.n AS DOUBLE) * s.sxy
+                   - CAST(s.sx AS DOUBLE) * s.sy)
+                  / (CAST(s.n AS DOUBLE) * s.sxx
+                     - CAST(s.sx AS DOUBLE) * s.sx))
+                 * (CAST(a.sx_arm AS DOUBLE) / a.n_arm
+                    - CAST(s.sx AS DOUBLE) / s.n)) AS BIGINT)
+               AS cuped_mean_e2,
+           CAST(FLOOR(
+               ((CAST(s.n AS DOUBLE) * s.sxy - CAST(s.sx AS DOUBLE) * s.sy)
+                * (CAST(s.n AS DOUBLE) * s.sxy - CAST(s.sx AS DOUBLE) * s.sy))
+               / ((CAST(s.n AS DOUBLE) * s.sxx - CAST(s.sx AS DOUBLE) * s.sx)
+                  * (CAST(s.n AS DOUBLE) * s.syy
+                     - CAST(s.sy AS DOUBLE) * s.sy))
+               * 1000000) AS BIGINT) AS var_reduction_e6
+    FROM arms a, s
+    """,
+)
+def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (round 5 batch 19; Deng et al.
+    WSDM'13): each user's experiment-period metric y is adjusted by
+    their PRE-period covariate x — ŷ = y − θ(x − x̄), θ = cov(x,y)/
+    var(x) — which removes the between-user variance x explains and
+    shrinks A/B confidence intervals by exactly ρ² (the emitted
+    var_reduction_e6). The fixture splits its span in half:
+    first half = pre-period, second = experiment; arms come from
+    events_ab_srm's stable hash. This is the third piece of the
+    experimentation kit: SRM gates validity, Welch/U test the metric,
+    CUPED buys sensitivity.
+
+    Exactness: per-user (x, y) are exact bigint cent sums; θ, the
+    adjusted means and ρ² evaluate from the six exact global sums in
+    shared double expressions (agg_corr_exact's discipline); the
+    midpoint date derives from integer date arithmetic identical in
+    both engines.
+
+    Scale: one user-keyed agg (map-side combinable) + a 6-scalar fold
+    + a 2-row arm join. θ is a corpus-level scalar — at 100 TB it is
+    computed once and reused by every metric breakdown."""
+    ev = load(spark, sf_dir, "events")
+    anchor = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.max(F.col("ts").cast("date")).alias("d1"),
+    )
+    cents = F.floor(F.col("value") * 100).cast("bigint")
+    j = ev.crossJoin(F.broadcast(anchor))
+    mid = F.date_add(
+        F.col("d0"), (F.datediff("d1", "d0") / 2).cast("int")
+    )
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("exp42_"), F.col("user_id").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    per_user = j.groupBy("user_id").agg(
+        F.max(arm).alias("arm"),
+        F.sum(
+            F.when(F.col("ts").cast("date") < mid, cents).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("x"),
+        F.sum(
+            F.when(F.col("ts").cast("date") >= mid, cents).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("y"),
+    )
+    s = per_user.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count("*").cast("bigint").alias("n_arm"),
+        F.sum("y").cast("bigint").alias("sy_arm"),
+        F.sum("x").cast("bigint").alias("sx_arm"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    theta = (d("n") * d("sxy") - d("sx") * d("sy")) / (
+        d("n") * d("sxx") - d("sx") * d("sx")
+    )
+    rho2 = (
+        (d("n") * d("sxy") - d("sx") * d("sy"))
+        * (d("n") * d("sxy") - d("sx") * d("sy"))
+    ) / (
+        (d("n") * d("sxx") - d("sx") * d("sx"))
+        * (d("n") * d("syy") - d("sy") * d("sy"))
+    )
+    out = arms.crossJoin(F.broadcast(s))
+    return out.select(
+        F.col("arm").cast("bigint").alias("arm"),
+        "n_arm",
+        F.floor(d("sy_arm") / F.col("n_arm")).cast("bigint").alias("raw_mean_e2"),
+        F.floor(
+            d("sy_arm") / F.col("n_arm")
+            - theta * (d("sx_arm") / F.col("n_arm") - d("sx") / F.col("n"))
+        )
+        .cast("bigint")
+        .alias("cuped_mean_e2"),
+        F.floor(rho2 * 1000000).cast("bigint").alias("var_reduction_e6"),
+    )

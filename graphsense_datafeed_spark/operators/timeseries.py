@@ -1780,3 +1780,73 @@ def events_velocity_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_24h",
         (F.col("n_24h") >= 3).alias("velocity_flag"),
     )
+
+
+@query(
+    "ts_backtest_snaive",
+    """
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ), paired AS (
+        SELECT a.event_type, a.h, a.y, f.y AS yhat
+        FROM hourly a
+        JOIN hourly f
+          ON f.event_type = a.event_type
+         AND f.h = a.h - INTERVAL 168 HOUR
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(SUM(abs(y - yhat)) AS BIGINT) AS abs_err_sum,
+           CAST(FLOOR(CAST(SUM(abs(y - yhat)) AS DOUBLE) / COUNT(*)
+                      * 10000) AS BIGINT) AS mae_e4,
+           CAST(FLOOR(CAST(SUM(abs(y - yhat)) AS DOUBLE) * 10000
+                      / SUM(y)) AS BIGINT) AS wape_e4
+    FROM paired GROUP BY event_type
+    """,
+)
+def ts_backtest_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest (round 5 batch 19): predict
+    every hour's event count by the SAME HOUR LAST WEEK (the 168-hour
+    seasonal-naive forecast — the baseline every forecasting paper
+    must beat and most dashboards quietly run), then score MAE and
+    WAPE per series over the whole overlap span. A model that can't
+    beat this table hasn't learned anything beyond the weekly rhythm
+    ts_seasonality_profile displays; the backtest IS the evidence.
+
+    The join is a self-equi-join on (series, hour − 168h) over the
+    hourly AGGREGATE — the forecast needs no model state at all —
+    and every error is an exact integer |y − ŷ| summed in bigint with
+    two floored ratios at the end (WAPE = Σ|err|/Σy, the
+    scale-independent one). Timestamp arithmetic stays on truncated
+    hours (integral both engines).
+
+    Scale: hourly rollup = the persisted artifact; the lagged join is
+    calendar-sized per series. Backtesting fancier models swaps the
+    forecast side of the SAME join."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").cast("bigint").alias("y"))
+    f = hourly.select(
+        F.col("event_type").alias("et2"),
+        F.col("h").alias("h2"),
+        F.col("y").alias("yhat"),
+    )
+    paired = hourly.join(
+        f,
+        (F.col("et2") == F.col("event_type"))
+        & (F.col("h2") == F.col("h") - F.expr("INTERVAL 168 HOURS")),
+    )
+    err = F.abs(F.col("y") - F.col("yhat"))
+    return paired.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_points"),
+        F.sum(err).cast("bigint").alias("abs_err_sum"),
+        F.floor(F.sum(err).cast("double") / F.count("*") * 10000)
+        .cast("bigint")
+        .alias("mae_e4"),
+        F.floor(F.sum(err).cast("double") * 10000 / F.sum("y"))
+        .cast("bigint")
+        .alias("wape_e4"),
+    )

@@ -241,6 +241,8 @@ _ROUND6_NEXT_UP = (
     "events_ab_srm",
     "scan_manifest_incremental_read",
     "agg_theil_decomposition",
+    "events_ab_cuped",
+    "ts_backtest_snaive",
 )
 
 _loaded = False
