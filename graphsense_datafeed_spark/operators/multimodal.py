@@ -511,3 +511,88 @@ def multimodal_parse_header(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("duration_ms"),
         xor_fold.cast("bigint").alias("xor_check"),
     )
+
+
+@query(
+    "multimodal_video_near_dup",
+    """
+    WITH media AS (
+        SELECT doc_id, repeat(md5(text), 4) AS h FROM documents
+    ), sigs AS (
+        SELECT doc_id,
+               list_aggregate(
+                   list_transform(range(0, 16),
+                       fr -> substr('0123456789abcdef',
+                                    CAST(CAST('0x' || substr(h,
+                                         CAST(fr AS INT) * 8 + 1, 8)
+                                         AS BIGINT) % 16 AS INT) + 1, 1)),
+                   'string_agg', '') AS sig
+        FROM media
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.sig AS sig_a, b.sig AS sig_b
+        FROM sigs a JOIN sigs b
+          ON substr(a.sig, 1, 4) = substr(b.sig, 1, 4)
+         AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(levenshtein(sig_a, sig_b) AS BIGINT) AS seq_dist
+    FROM cand
+    WHERE levenshtein(sig_a, sig_b) <= 2
+    """,
+)
+def multimodal_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sequence near-dup for video-like payloads (round 5 batch
+    20): each 64-byte payload is treated as 16 frames of 4 bytes;
+    every frame reduces to a 1-hex-char mini-hash, the 16-char frame
+    SIGNATURE is the video's temporal fingerprint, and near-duplicates
+    are signatures within edit distance ≤ 2 — the re-encoded /
+    trimmed-by-a-frame / re-muxed copy class that whole-payload
+    digests (multimodal_dedup_exact) and single-image hashes
+    (multimodal_phash_dedup) both miss, because those have no notion
+    of SEQUENCE. Candidate generation buckets on the first-4-frame
+    prefix (a trimmed-head copy differs at the tail; the pigeonhole
+    for edit distance over a shared prefix), Levenshtein runs only on
+    bucket mates.
+
+    Everything is engine-portable string/integer work: frame hash =
+    big-endian u32 of the frame bytes mod 16 (the parse_header byte
+    machinery), and BOTH engines ship a native levenshtein — the one
+    string-similarity function they share (dedup_edit_distance's
+    discipline, applied to media signatures).
+
+    Scale: signatures are 16 bytes/row at rest; prefix buckets bound
+    the pair space with the count-certified cap as the hot-bucket
+    guard; edit distance touches candidates only."""
+    docs = load(spark, sf_dir, "documents")
+    h = F.repeat(F.md5(F.col("text").cast("binary")), 4)
+    frame_char = lambda fr: F.substring(  # noqa: E731
+        F.lit("0123456789abcdef"),
+        (
+            F.conv(F.substring(h, fr * 8 + 1, 8), 16, 10).cast("bigint") % 16
+        ).cast("int")
+        + 1,
+        1,
+    )
+    sig = F.concat(*[frame_char(fr) for fr in range(16)])
+    sigs = docs.select("doc_id", sig.alias("sig"))
+    a = sigs.select(
+        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")
+    )
+    cand = (
+        a.join(
+            b,
+            (
+                F.substring("sig_a", 1, 4) == F.substring("sig_b", 1, 4)
+            )
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .distinct()
+    )
+    dist = F.levenshtein("sig_a", "sig_b")
+    return cand.filter(dist <= 2).select(
+        "doc_a", "doc_b", dist.cast("bigint").alias("seq_dist")
+    )

@@ -243,6 +243,8 @@ _ROUND6_NEXT_UP = (
     "agg_theil_decomposition",
     "events_ab_cuped",
     "ts_backtest_snaive",
+    "join_exists_flags",
+    "multimodal_video_near_dup",
 )
 
 _loaded = False

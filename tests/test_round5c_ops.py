@@ -1568,3 +1568,67 @@ def test_backtest_snaive_matches_bruteforce(spark, sf_dir):
         assert r["abs_err_sum"] == errs
         assert r["mae_e4"] == math.floor(errs / np_ * 10000)
         assert r["wape_e4"] == math.floor(errs * 10000 / ysum)
+
+
+def test_exists_flags_match_bruteforce(spark, sf_dir):
+    custs = {r["c_custkey"] for r in load(spark, sf_dir, "customer").select("c_custkey").collect()}
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderpriority"
+    ).collect()
+    want = {c: [False, False, False] for c in custs}
+    for o in orders:
+        c = o["o_custkey"]
+        if c not in want:
+            continue
+        want[c][0] = True
+        if o["o_totalprice"] > 200000:
+            want[c][1] = True
+        if o["o_orderpriority"] == "1-URGENT":
+            want[c][2] = True
+    got = {r["c_custkey"]: r for r in Q["join_exists_flags"](spark, sf_dir).collect()}
+    assert set(got) == custs
+    for c, (f1, f2, f3) in want.items():
+        r = got[c]
+        assert (r["has_order"], r["has_big_order"], r["has_urgent"]) == (f1, f2, f3)
+    # flags are monotone: big/urgent imply has_order
+    for r in got.values():
+        if r["has_big_order"] or r["has_urgent"]:
+            assert r["has_order"]
+
+
+def test_video_near_dup_matches_bruteforce(spark, sf_dir):
+    import hashlib
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[-1]
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    sigs = {}
+    for d in docs:
+        raw = hashlib.md5(d["text"].encode()).hexdigest() * 4
+        sig = "".join(
+            "0123456789abcdef"[int(raw[fr * 8 : fr * 8 + 8], 16) % 16]
+            for fr in range(16)
+        )
+        sigs[d["doc_id"]] = sig
+    ids = sorted(sigs)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if sigs[a][:4] != sigs[b][:4]:
+                continue
+            dd = lev(sigs[a], sigs[b])
+            if dd <= 2:
+                want[(a, b)] = dd
+    got = {
+        (r["doc_a"], r["doc_b"]): r["seq_dist"]
+        for r in Q["multimodal_video_near_dup"](spark, sf_dir).collect()
+    }
+    assert got == want
