@@ -2423,3 +2423,66 @@ def agg_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("t_total_e9"),
     )
+
+
+@query(
+    "agg_geometric_mean",
+    """
+    WITH atoms AS (
+        SELECT event_type,
+               CAST(FLOOR(value * 10000) AS BIGINT) AS v,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events WHERE value > 0 GROUP BY 1, 2
+    ), logs AS (
+        SELECT event_type, c,
+               CAST(FLOOR(ln(CAST(v AS DOUBLE) / 10000) * 1000000000)
+                    AS BIGINT) AS lnv_e9
+        FROM atoms
+    )
+    SELECT event_type,
+           CAST(SUM(c) AS BIGINT) AS n,
+           CAST(FLOOR(exp(CAST(SUM(c * lnv_e9) AS DOUBLE)
+                          / SUM(c) / 1000000000) * 10000) AS BIGINT)
+               AS geo_mean_e4
+    FROM logs GROUP BY event_type
+    """,
+)
+def agg_geometric_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric mean per series (round 5 batch 21): exp(mean(ln x))
+    — the correct average for ratios, growth factors and
+    latency-style right-skewed positives, where the arithmetic mean
+    chases the tail (a 100× spike moves it 100×; it moves the
+    geometric mean by 100^(1/n)). The aggregate surface's log-domain
+    member next to the winsorized/robust family.
+
+    The float-product trap (Πx overflows AND is order-dependent)
+    solved the survival-curve way: aggregate to value atoms, floor
+    each atom's ln ONCE to an e9 integer, take the exact bigint
+    count-weighted sum, and run exp() once per group. ln·e9 ≤ 1e10
+    per atom keeps the weighted sum exact past 10⁸ rows per group.
+
+    Scale: atom-table reduction, one map-side agg + one tiny-group
+    fold; mergeable state = (Σ c·ln_e9, Σc) per group — sketch-style
+    mergeability with exact arithmetic."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value") > 0)
+    atoms = ev.groupBy(
+        "event_type",
+        F.floor(F.col("value") * 10000).cast("bigint").alias("v"),
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    lnv = F.floor(
+        F.log(F.col("v").cast("double") / 10000) * 1000000000
+    ).cast("bigint")
+    logs = atoms.select("event_type", "c", lnv.alias("lnv_e9"))
+    return logs.groupBy("event_type").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.floor(
+            F.exp(
+                F.sum(F.col("c") * F.col("lnv_e9")).cast("double")
+                / F.sum("c")
+                / 1000000000
+            )
+            * 10000
+        )
+        .cast("bigint")
+        .alias("geo_mean_e4"),
+    )

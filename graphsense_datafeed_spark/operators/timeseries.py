@@ -1850,3 +1850,176 @@ def ts_backtest_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("wape_e4"),
     )
+
+
+@query(
+    "agg_time_decay_mean",
+    """
+    WITH anchor AS (
+        SELECT MAX(CAST(ts AS DATE)) AS d1 FROM events
+    ), daily AS (
+        SELECT event_type,
+               CAST((SELECT d1 FROM anchor) - CAST(ts AS DATE) AS BIGINT)
+                   AS age_d,
+               CAST(SUM(CAST(FLOOR(value * 10000) AS BIGINT)) AS BIGINT)
+                   AS s,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ), weighted AS (
+        SELECT event_type,
+               CAST(FLOOR(pow(2.0, -CAST(age_d AS DOUBLE) / 7.0)
+                          * CAST(s AS DOUBLE)) AS BIGINT) AS ws_e4,
+               CAST(FLOOR(pow(2.0, -CAST(age_d AS DOUBLE) / 7.0)
+                          * CAST(c AS DOUBLE) * 1000000) AS BIGINT) AS wc_e6
+        FROM daily
+    )
+    SELECT event_type,
+           CAST(SUM(ws_e4) AS BIGINT) AS decayed_sum_e4,
+           CAST(SUM(wc_e6) AS BIGINT) AS decayed_count_e6,
+           CAST(FLOOR(CAST(SUM(ws_e4) AS DOUBLE)
+                      / (CAST(SUM(wc_e6) AS DOUBLE) / 1000000))
+                AS BIGINT) AS decay_mean_e4
+    FROM weighted GROUP BY event_type
+    """,
+)
+def agg_time_decay_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential time-decay weighted mean (round 5 batch 21),
+    half-life 7 days anchored to the corpus's own last day: recent
+    observations count fully, week-old ones half — the recency
+    weighting behind engagement scores, decayed feature aggregates
+    and trend-following dashboards, where a plain mean treats a
+    30-day-old spike as today's news. ts_ewma decays per OBSERVATION
+    along each key's sequence; this decays per CLOCK DAY across the
+    whole stream — different operators (irregular spacing makes them
+    genuinely disagree).
+
+    The order-dependent Σwᵢvᵢ float trap: group by integer AGE IN
+    DAYS first (exact bigint subtotals per (series, age)), apply the
+    decay weight ONCE per day-bucket — each wₐ·Sₐ floored to an
+    integer — and total in bigint. ≤ span-days buckets per series, so
+    quantization error is bounded by days, not rows. The weighted
+    count scales e6 to keep small weights from flooring to zero.
+
+    Scale: one daily-rollup agg (map-side), decay applied on the tiny
+    (series × days) table; incremental form re-anchors by multiplying
+    yesterday's totals by 2^(−1/7) — one scalar per key."""
+    ev = load(spark, sf_dir, "events")
+    anchor = ev.agg(F.max(F.col("ts").cast("date")).alias("d1"))
+    daily = (
+        ev.crossJoin(F.broadcast(anchor))
+        .groupBy(
+            "event_type",
+            F.datediff("d1", F.col("ts").cast("date"))
+            .cast("bigint")
+            .alias("age_d"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * 10000).cast("bigint"))
+            .cast("bigint")
+            .alias("s"),
+            F.count("*").cast("bigint").alias("c"),
+        )
+    )
+    w = F.pow(F.lit(2.0), -F.col("age_d").cast("double") / 7.0)
+    weighted = daily.select(
+        "event_type",
+        F.floor(w * F.col("s").cast("double")).cast("bigint").alias("ws_e4"),
+        F.floor(w * F.col("c").cast("double") * 1000000)
+        .cast("bigint")
+        .alias("wc_e6"),
+    )
+    return weighted.groupBy("event_type").agg(
+        F.sum("ws_e4").cast("bigint").alias("decayed_sum_e4"),
+        F.sum("wc_e6").cast("bigint").alias("decayed_count_e6"),
+        F.floor(
+            F.sum("ws_e4").cast("double")
+            / (F.sum("wc_e6").cast("double") / 1000000)
+        )
+        .cast("bigint")
+        .alias("decay_mean_e4"),
+    )
+
+
+@query(
+    "events_conversion_lag",
+    """
+    WITH firsts AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'signup' THEN ts END) AS s_ts,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS p_ts
+        FROM events GROUP BY user_id
+    ), lags AS (
+        SELECT CAST(epoch_us(p_ts) - epoch_us(s_ts) AS BIGINT) // 3600000000
+                   AS lag_h
+        FROM firsts
+        WHERE s_ts IS NOT NULL AND p_ts IS NOT NULL AND p_ts > s_ts
+    ), atoms AS (
+        SELECT lag_h, CAST(COUNT(*) AS BIGINT) AS c FROM lags GROUP BY lag_h
+    ), ranked AS (
+        SELECT lag_h, c,
+               CAST(SUM(c) OVER (ORDER BY lag_h
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum,
+               CAST(SUM(c) OVER () AS BIGINT) AS n
+        FROM atoms
+    )
+    SELECT CAST(d.dec AS BIGINT) AS decile,
+           CAST(MIN(CASE WHEN cum * 10 >= d.dec * n THEN lag_h END)
+                AS BIGINT) AS lag_h,
+           CAST(MAX(n) AS BIGINT) AS n_converters
+    FROM ranked, (SELECT unnest(range(1, 11)) AS dec) d
+    GROUP BY d.dec
+    """,
+)
+def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup-to-first-purchase lag deciles (round 5 batch 21): the
+    DISTRIBUTION of how long conversion takes — "half convert within
+    N hours, the slowest decile takes M" — which events_funnel's
+    conversion COUNT can't say and a mean lag actively misstates
+    (conversion lags are heavy-tailed). The attribution-window and
+    nurture-campaign timing decision reads exactly this table.
+
+    Discrete deciles via agg_percentile_disc's integer
+    cross-multiplication (cum·10 ≥ dec·n — actual hour atoms, no
+    interpolation) over the per-user first-signup/first-purchase lag
+    in truncated integer hours; the decile spine is a 10-row unnest
+    cross join, so all ten quantiles read ONE cumulative pass.
+
+    Scale: per-user firsts = one conditional-min agg; everything
+    after runs on |distinct lag hours| atoms."""
+    ev = load(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "s_ts"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "p_ts"
+        ),
+    )
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    lags = firsts.filter(
+        F.col("s_ts").isNotNull()
+        & F.col("p_ts").isNotNull()
+        & (F.col("p_ts") > F.col("s_ts"))
+    ).select(
+        F.floor((us("p_ts") - us("s_ts")) / 3600000000).cast("bigint").alias("lag_h")
+    )
+    atoms = lags.groupBy("lag_h").agg(F.count("*").cast("bigint").alias("c"))
+    wcum = Window.orderBy("lag_h").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    ranked = atoms.select(
+        "lag_h",
+        F.sum("c").over(wcum).cast("bigint").alias("cum"),
+        F.sum("c").over(wall).cast("bigint").alias("n"),
+    )
+    spine = ranked.crossJoin(
+        F.broadcast(spark.range(1, 11).select(F.col("id").alias("dec")))
+    )
+    return spine.groupBy(F.col("dec").cast("bigint").alias("decile")).agg(
+        F.min(
+            F.when(F.col("cum") * 10 >= F.col("dec") * F.col("n"), F.col("lag_h"))
+        )
+        .cast("bigint")
+        .alias("lag_h"),
+        F.max("n").cast("bigint").alias("n_converters"),
+    )

@@ -245,6 +245,9 @@ _ROUND6_NEXT_UP = (
     "ts_backtest_snaive",
     "join_exists_flags",
     "multimodal_video_near_dup",
+    "agg_geometric_mean",
+    "agg_time_decay_mean",
+    "events_conversion_lag",
 )
 
 _loaded = False

@@ -1632,3 +1632,94 @@ def test_video_near_dup_matches_bruteforce(spark, sf_dir):
         for r in Q["multimodal_video_near_dup"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_geometric_mean_matches_bruteforce(spark, sf_dir):
+    rows = load(spark, sf_dir, "events").filter(F.col("value") > 0).select(
+        "event_type", "value"
+    ).collect()
+    groups: dict[str, dict] = {}
+    for r in rows:
+        v = math.floor(r["value"] * 10000)
+        g = groups.setdefault(r["event_type"], {})
+        g[v] = g.get(v, 0) + 1
+    got = {r["event_type"]: r for r in Q["agg_geometric_mean"](spark, sf_dir).collect()}
+    assert set(got) == set(groups)
+    for et, atoms in groups.items():
+        n = sum(atoms.values())
+        s = sum(c * math.floor(math.log(v / 10000) * 1_000_000_000) for v, c in atoms.items())
+        want = math.floor(math.exp(s / n / 1_000_000_000) * 10000)
+        r = got[et]
+        assert r["n"] == n
+        assert r["geo_mean_e4"] == want
+        # AM-GM: geometric mean never exceeds the arithmetic mean
+        am = sum(v * c for v, c in atoms.items()) / n
+        assert r["geo_mean_e4"] <= am + 1
+
+
+def test_time_decay_mean_matches_bruteforce(spark, sf_dir):
+    rows = load(spark, sf_dir, "events").select(
+        "event_type", F.col("ts").cast("date").alias("d"), "value"
+    ).collect()
+    d1 = max(r["d"] for r in rows)
+    daily: dict[tuple, list] = {}
+    for r in rows:
+        k = (r["event_type"], (d1 - r["d"]).days)
+        g = daily.setdefault(k, [0, 0])
+        g[0] += math.floor(r["value"] * 10000)
+        g[1] += 1
+    per_type: dict[str, list] = {}
+    for (et, age), (s, c) in daily.items():
+        w = 2.0 ** (-age / 7.0)
+        t = per_type.setdefault(et, [0, 0])
+        t[0] += math.floor(w * s)
+        t[1] += math.floor(w * c * 1_000_000)
+    got = {r["event_type"]: r for r in Q["agg_time_decay_mean"](spark, sf_dir).collect()}
+    assert set(got) == set(per_type)
+    for et, (ws, wc) in per_type.items():
+        r = got[et]
+        assert r["decayed_sum_e4"] == ws
+        assert r["decayed_count_e6"] == wc
+        assert r["decay_mean_e4"] == math.floor(ws / (wc / 1_000_000))
+
+
+def test_conversion_lag_deciles_match_bruteforce(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    ).collect()
+    firsts: dict[int, dict] = {}
+    for r in ev:
+        u = firsts.setdefault(r["user_id"], {})
+        if r["event_type"] in ("signup", "purchase"):
+            k = r["event_type"]
+            if k not in u or r["ts"] < u[k]:
+                u[k] = r["ts"]
+    lags = []
+    for u in firsts.values():
+        if "signup" in u and "purchase" in u and u["purchase"] > u["signup"]:
+            delta = u["purchase"] - u["signup"]
+            us = (delta.days * 86_400 + delta.seconds) * 1_000_000 + delta.microseconds
+            lags.append(us // 3_600_000_000)
+    lags.sort()
+    n = len(lags)
+    got = {r["decile"]: r for r in Q["events_conversion_lag"](spark, sf_dir).collect()}
+    assert set(got) == set(range(1, 11))
+    import bisect
+
+    from collections import Counter
+
+    atoms = sorted(Counter(lags).items())
+    for dec in range(1, 11):
+        cum = 0
+        want = None
+        for v, c in atoms:
+            cum += c
+            if cum * 10 >= dec * n:
+                want = v
+                break
+        r = got[dec]
+        assert r["lag_h"] == want
+        assert r["n_converters"] == n
+    # deciles are monotone
+    vals = [got[d]["lag_h"] for d in range(1, 11)]
+    assert vals == sorted(vals)
