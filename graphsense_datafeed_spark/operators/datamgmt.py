@@ -900,3 +900,49 @@ def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cuped_mean_e2"),
         F.floor(rho2 * 1000000).cast("bigint").alias("var_reduction_e6"),
     )
+
+
+@query(
+    "profile_format_masks",
+    """
+    WITH masked AS (
+        SELECT regexp_replace(regexp_replace(regexp_replace(c_name,
+                   '[0-9]', '9', 'g'),
+                   '[A-Z]', 'A', 'g'),
+                   '[a-z]', 'a', 'g') AS mask
+        FROM customer
+    )
+    SELECT mask, CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM masked GROUP BY mask
+    """,
+)
+def profile_format_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format-mask profiling (round 5 batch 22): every customer name
+    reduces to its character-CLASS pattern (digits→9, upper→A,
+    lower→a, punctuation kept literally) and the masks are
+    histogrammed — the data-quality profile that catches format drift
+    (a new '+NN NN...' import, a column that suddenly carries free
+    text) the moment it lands, where value-level profiling
+    (profile_columns) sees only min/max/NDV and misses STRUCTURE. One
+    dominant mask = healthy; a long tail = dirty ingest.
+
+    Three global regex replaces (char-class patterns, no capture
+    groups — the §2.12 replacement-syntax trap doesn't arise) then a
+    map-side-combinable histogram on the mask key. The mask space is
+    format-cardinality-sized (tiny), so the profile is effectively
+    free on any scan.
+
+    Scale: narrow + one small-key agg; per-column masks at 100 TB run
+    in the same pass as ingest validation (scan_observe_metrics'
+    ride-along discipline)."""
+    c = load(spark, sf_dir, "customer")
+    mask = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("c_name", "[0-9]", "9"), "[A-Z]", "A"
+        ),
+        "[a-z]",
+        "a",
+    )
+    return c.select(mask.alias("mask")).groupBy("mask").agg(
+        F.count("*").cast("bigint").alias("n_rows")
+    )

@@ -2023,3 +2023,146 @@ def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("lag_h"),
         F.max("n").cast("bigint").alias("n_converters"),
     )
+
+
+@query(
+    "ts_max_drawdown",
+    """
+    WITH cum AS (
+        SELECT event_type, ts, event_id,
+               CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)
+                        * CASE WHEN event_id % 3 = 0 THEN -1 ELSE 1 END)
+                    OVER w AS BIGINT) AS c
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), dd AS (
+        SELECT event_type, c,
+               CAST(MAX(c) OVER (PARTITION BY event_type
+                    ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS peak
+        FROM cum
+    )
+    SELECT event_type,
+           CAST(MAX(peak) AS BIGINT) AS max_peak_e2,
+           CAST(MAX(peak - c) AS BIGINT) AS max_drawdown_e2,
+           CAST(MAX(CASE WHEN peak > 0 THEN
+                    CAST(FLOOR(CAST(peak - c AS DOUBLE) * 10000 / peak)
+                         AS BIGINT) ELSE 0 END) AS BIGINT)
+               AS max_drawdown_pct_e4
+    FROM dd GROUP BY event_type
+    """,
+)
+def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per series (round 5 batch 22): the largest
+    peak-to-trough decline of the running balance — THE downside-risk
+    number for any cumulative series (P&L, token budget, inventory),
+    answering "how far under its own high-water mark did this ever
+    fall?", which no variance statistic captures (volatility is
+    symmetric; drawdown is the asymmetric ruin measure). The signed
+    flow is synthesized deterministically (every 3rd event a debit)
+    so the balance actually goes down.
+
+    Two stacked windows on ONE (series, time) exchange — running sum,
+    then running max of it (Catalyst coalesces same-spec windows) —
+    and drawdown = peak − balance in exact integer cents; only the
+    percentage divides, floored per row BEFORE the max (max of
+    floors, deterministic). The relative drawdown guards peak ≤ 0.
+
+    Scale: the classic prefix-scan pair; at 100 TB the same two-pass
+    bucket decomposition as events_concurrency_sweep's prefix sum."""
+    ev = load(spark, sf_dir, "events")
+    signed = F.floor(F.col("value") * 100).cast("bigint") * F.when(
+        F.col("event_id") % 3 == 0, -1
+    ).otherwise(1)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.sum(signed).over(w).cast("bigint").alias("c"),
+    )
+    dd = cum.select(
+        "event_type",
+        "c",
+        F.max("c").over(w).cast("bigint").alias("peak"),
+    )
+    rel = F.when(
+        F.col("peak") > 0,
+        F.floor(
+            (F.col("peak") - F.col("c")).cast("double")
+            * 10000
+            / F.col("peak")
+        ).cast("bigint"),
+    ).otherwise(F.lit(0))
+    return dd.groupBy("event_type").agg(
+        F.max("peak").cast("bigint").alias("max_peak_e2"),
+        F.max(F.col("peak") - F.col("c")).cast("bigint").alias(
+            "max_drawdown_e2"
+        ),
+        F.max(rel).cast("bigint").alias("max_drawdown_pct_e4"),
+    )
+
+
+@query(
+    "events_new_vs_returning",
+    """
+    WITH firsts AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS first_d
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(e.ts AS DATE) AS d,
+           CAST(COUNT(DISTINCT CASE WHEN CAST(e.ts AS DATE) = f.first_d
+                                    THEN e.user_id END) AS BIGINT)
+               AS new_users,
+           CAST(COUNT(DISTINCT CASE WHEN CAST(e.ts AS DATE) > f.first_d
+                                    THEN e.user_id END) AS BIGINT)
+               AS returning_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events e JOIN firsts f USING (user_id)
+    GROUP BY 1
+    """,
+)
+def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New vs returning users per day (round 5 batch 22): every
+    active day's user count split by whether that day is the user's
+    FIRST — the acquisition-vs-retention decomposition of a DAU curve
+    ("growth" that is all new users with no returners is churn in
+    disguise; events_active_users_rolling gives the totals, this
+    explains their composition, events_retention tracks the cohorts
+    those new users become).
+
+    First-seen attribution is one MIN(date) per user (order-free,
+    merge-safe — text_ngram_novelty's discipline on the user axis)
+    broadcast back onto the detail; the day aggregation uses
+    conditional distincts sharing one exchange (the
+    agg_count_if_distinct rewrite). Pure integer date arithmetic.
+
+    Scale: the firsts table is |users|-sized and is the persisted
+    artifact — a new day's split needs only ITS events probed against
+    it; new users are exactly the anti-join misses, which is how the
+    incremental form maintains the table."""
+    ev = load(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_d")
+    )
+    j = ev.join(firsts, "user_id")
+    d = F.col("ts").cast("date")
+    return j.groupBy(d.alias("d")).agg(
+        F.countDistinct(
+            F.when(d == F.col("first_d"), F.col("user_id"))
+        )
+        .cast("bigint")
+        .alias("new_users"),
+        F.countDistinct(
+            F.when(d > F.col("first_d"), F.col("user_id"))
+        )
+        .cast("bigint")
+        .alias("returning_users"),
+        F.count("*").cast("bigint").alias("n_events"),
+    )

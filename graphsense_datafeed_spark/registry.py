@@ -248,6 +248,9 @@ _ROUND6_NEXT_UP = (
     "agg_geometric_mean",
     "agg_time_decay_mean",
     "events_conversion_lag",
+    "profile_format_masks",
+    "ts_max_drawdown",
+    "events_new_vs_returning",
 )
 
 _loaded = False

@@ -1723,3 +1723,82 @@ def test_conversion_lag_deciles_match_bruteforce(spark, sf_dir):
     # deciles are monotone
     vals = [got[d]["lag_h"] for d in range(1, 11)]
     assert vals == sorted(vals)
+
+
+def test_format_masks_match_bruteforce(spark, sf_dir):
+    import re
+
+    rows = load(spark, sf_dir, "customer").select("c_name").collect()
+    from collections import Counter
+
+    want = Counter(
+        re.sub(
+            "[a-z]", "a", re.sub("[A-Z]", "A", re.sub("[0-9]", "9", r["c_name"]))
+        )
+        for r in rows
+    )
+    got = {r["mask"]: r["n_rows"] for r in Q["profile_format_masks"](spark, sf_dir).collect()}
+    assert got == dict(want)
+    assert sum(got.values()) == len(rows)
+
+
+def test_max_drawdown_matches_bruteforce(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", "value"
+    ).collect()
+    series: dict[str, list] = {}
+    for r in sorted(ev, key=lambda r: (r["ts"], r["event_id"])):
+        amt = math.floor(r["value"] * 100)
+        if r["event_id"] % 3 == 0:
+            amt = -amt
+        series.setdefault(r["event_type"], []).append(amt)
+    got = {r["event_type"]: r for r in Q["ts_max_drawdown"](spark, sf_dir).collect()}
+    assert set(got) == set(series)
+    for et, amts in series.items():
+        c = peak = 0
+        max_peak = max_dd = max_pct = 0
+        first = True
+        for a in amts:
+            c = a if first else c + a
+            peak = c if first else max(peak, c)
+            first = False
+            max_peak = max(max_peak, peak)
+            max_dd = max(max_dd, peak - c)
+            if peak > 0:
+                max_pct = max(max_pct, math.floor((peak - c) * 10000 / peak))
+        r = got[et]
+        assert r["max_peak_e2"] == max_peak
+        assert r["max_drawdown_e2"] == max_dd
+        assert r["max_drawdown_pct_e4"] == max_pct
+        assert r["max_drawdown_e2"] >= 0
+
+
+def test_new_vs_returning_matches_bruteforce(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).collect()
+    first: dict[int, object] = {}
+    for r in ev:
+        if r["user_id"] not in first or r["d"] < first[r["user_id"]]:
+            first[r["user_id"]] = r["d"]
+    days: dict = {}
+    for r in ev:
+        g = days.setdefault(r["d"], [set(), set(), 0])
+        if r["d"] == first[r["user_id"]]:
+            g[0].add(r["user_id"])
+        else:
+            g[1].add(r["user_id"])
+        g[2] += 1
+    got = {r["d"]: r for r in Q["events_new_vs_returning"](spark, sf_dir).collect()}
+    assert set(got) == set(days)
+    total_new = 0
+    for d, (new_u, ret_u, n_ev) in days.items():
+        r = got[d]
+        assert (r["new_users"], r["returning_users"], r["n_events"]) == (
+            len(new_u),
+            len(ret_u),
+            n_ev,
+        )
+        total_new += len(new_u)
+    # every user is new exactly once
+    assert total_new == len(first)
