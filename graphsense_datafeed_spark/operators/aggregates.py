@@ -2486,3 +2486,134 @@ def agg_geometric_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("geo_mean_e4"),
     )
+
+
+@query(
+    "agg_runs_test",
+    """
+    WITH atoms AS (
+        SELECT event_type,
+               CAST(FLOOR(value * 10000) AS BIGINT) AS v,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ), med AS (
+        SELECT event_type,
+               MIN(CASE WHEN cum * 2 >= n THEN v END) AS m
+        FROM (
+            SELECT event_type, v,
+                   CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS cum,
+                   CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+            FROM atoms
+        ) GROUP BY event_type
+    ), signs AS (
+        SELECT e.event_type,
+               CASE WHEN CAST(FLOOR(e.value * 10000) AS BIGINT) > med.m
+                    THEN 1 ELSE 0 END AS s,
+               lag(CASE WHEN CAST(FLOOR(e.value * 10000) AS BIGINT) > med.m
+                        THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY e.event_type ORDER BY e.ts, e.event_id
+               ) AS prev_s
+        FROM events e JOIN med USING (event_type)
+        WHERE CAST(FLOOR(e.value * 10000) AS BIGINT) <> med.m
+    ), stats AS (
+        SELECT event_type,
+               CAST(SUM(s) AS BIGINT) AS n1,
+               CAST(COUNT(*) - SUM(s) AS BIGINT) AS n2,
+               CAST(1 + COUNT(*) FILTER (prev_s IS NOT NULL
+                                          AND s <> prev_s) AS BIGINT) AS r
+        FROM signs GROUP BY event_type
+    )
+    SELECT event_type, n1, n2, r,
+           CAST(FLOOR(
+               (CAST(r AS DOUBLE)
+                - (1.0 + 2.0 * n1 * n2 / (n1 + n2)))
+               / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                      / ((CAST(n1 + n2 AS DOUBLE)) * (n1 + n2)
+                         * (n1 + n2 - 1)))
+               * 10000) AS BIGINT) AS z_e4
+    FROM stats
+    """,
+)
+def agg_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test per series (round 5 batch 23): is the
+    above/below-median sequence RANDOM in time? Too few runs ⇒
+    clustering/trending (a level shift parks the series on one side),
+    too many ⇒ oscillation (negative feedback, alternating load) —
+    the randomness check that completes the testing family: KS/Welch/
+    U compare DISTRIBUTIONS, χ² compares CATEGORIES, runs tests
+    ORDER, which none of the others see at all.
+
+    Median via the discrete-atom cross-multiplication (cum·2 ≥ n);
+    exact-median ties are EXCLUDED (the standard treatment — a tie
+    has no side); runs count = 1 + sign changes off one lag window;
+    (n1, n2, R) exact bigints, the normal-approximation z one floored
+    formula. Deterministic end-to-end.
+
+    Scale: atom-table median + broadcast back + one series window —
+    the ts_outlier_mad shape with a lag instead of a flag."""
+    ev = load(spark, sf_dir, "events")
+    v = F.floor(F.col("value") * 10000).cast("bigint")
+    atoms = ev.groupBy("event_type", v.alias("v")).agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("event_type")
+    ranked = atoms.select(
+        "event_type",
+        "v",
+        F.sum("c").over(wcum).cast("bigint").alias("cum"),
+        F.sum("c").over(wall).cast("bigint").alias("n"),
+    )
+    med = ranked.groupBy("event_type").agg(
+        F.min(
+            F.when(F.col("cum") * 2 >= F.col("n"), F.col("v"))
+        ).alias("m")
+    )
+    j = ev.join(F.broadcast(med), "event_type").filter(v != F.col("m"))
+    s = F.when(v > F.col("m"), 1).otherwise(0)
+    wseq = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    signs = j.select(
+        "event_type",
+        s.alias("s"),
+        F.lag(s).over(wseq).alias("prev_s"),
+    )
+    stats = signs.groupBy("event_type").agg(
+        F.sum("s").cast("bigint").alias("n1"),
+        (F.count("*") - F.sum("s")).cast("bigint").alias("n2"),
+        (
+            1
+            + F.count_if(
+                F.col("prev_s").isNotNull() & (F.col("s") != F.col("prev_s"))
+            )
+        )
+        .cast("bigint")
+        .alias("r"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    mu = 1.0 + 2.0 * F.col("n1") * F.col("n2") / (F.col("n1") + F.col("n2"))
+    var = (
+        2.0
+        * F.col("n1")
+        * F.col("n2")
+        * (2.0 * F.col("n1") * F.col("n2") - F.col("n1") - F.col("n2"))
+        / (
+            (F.col("n1") + F.col("n2")).cast("double")
+            * (F.col("n1") + F.col("n2"))
+            * (F.col("n1") + F.col("n2") - 1)
+        )
+    )
+    return stats.select(
+        "event_type",
+        "n1",
+        "n2",
+        "r",
+        F.floor((d("r") - mu) / F.sqrt(var) * 10000)
+        .cast("bigint")
+        .alias("z_e4"),
+    )

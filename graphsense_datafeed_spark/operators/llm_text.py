@@ -2134,3 +2134,96 @@ def text_hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return packed
+
+
+@query(
+    "text_entity_extract",
+    """
+    WITH seeded AS (
+        SELECT doc_id,
+               text || CASE WHEN doc_id % 5 = 0
+                    THEN ' due 2024-0' || CAST(doc_id % 9 + 1 AS VARCHAR)
+                         || '-15'
+                    ELSE '' END
+                    || CASE WHEN doc_id % 4 = 0
+                    THEN ' amount $' || CAST(doc_id % 900 + 100 AS VARCHAR)
+                         || '.50'
+                    ELSE '' END
+                    || CASE WHEN doc_id % 7 = 0
+                    THEN ' ref INV-' || CAST(doc_id * 13 % 10000 AS VARCHAR)
+                    ELSE '' END AS body
+        FROM documents
+    ), dates AS (
+        SELECT doc_id, 'date' AS entity_type,
+               unnest(regexp_extract_all(body,
+                   '[0-9]{4}-[0-9]{2}-[0-9]{2}')) AS value
+        FROM seeded
+    ), amounts AS (
+        SELECT doc_id, 'amount' AS entity_type,
+               unnest(regexp_extract_all(body,
+                   '\\$[0-9]+\\.[0-9]{2}')) AS value
+        FROM seeded
+    ), refs AS (
+        SELECT doc_id, 'reference' AS entity_type,
+               unnest(regexp_extract_all(body, 'INV-[0-9]+')) AS value
+        FROM seeded
+    )
+    SELECT * FROM dates
+    UNION ALL SELECT * FROM amounts
+    UNION ALL SELECT * FROM refs
+    """,
+)
+def text_entity_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed entity extraction to a long table (round 5 batch 23):
+    dates, money amounts and reference codes pulled from text into
+    (doc_id, entity_type, value) rows — the EXTRACT side of the
+    regex surface where text_pii_scrub is the MASK side; the long
+    shape is what entity linking, invoice pipelines and weak-labeling
+    joins consume (one row per mention, not one column per type — new
+    entity types are new UNION branches, not schema changes).
+
+    Entities are seeded deterministically into a doc slice (the
+    pii_scrub precedent; the fixture corpus is word salad), each
+    class extracted with an anchored regexp_extract_all + explode —
+    per-row, codegen'd, no capture-group replacement anywhere.
+
+    Scale: three narrow extract branches over ONE scan (Catalyst
+    collapses the union's shared source); output is mention-sized."""
+    d = load(spark, sf_dir, "documents")
+    body = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" due 2024-0"),
+                (F.col("doc_id") % 9 + 1).cast("string"),
+                F.lit("-15"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit(" amount $"),
+                (F.col("doc_id") % 900 + 100).cast("string"),
+                F.lit(".50"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" ref INV-"),
+                (F.col("doc_id") * 13 % 10000).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    seeded = d.select("doc_id", body.alias("body"))
+    branch = lambda etype, pat: seeded.select(  # noqa: E731
+        "doc_id",
+        F.lit(etype).alias("entity_type"),
+        F.explode(F.regexp_extract_all("body", F.lit(pat), 0)).alias("value"),
+    )
+    return (
+        branch("date", r"[0-9]{4}-[0-9]{2}-[0-9]{2}")
+        .unionAll(branch("amount", r"\$[0-9]+\.[0-9]{2}"))
+        .unionAll(branch("reference", r"INV-[0-9]+"))
+    )

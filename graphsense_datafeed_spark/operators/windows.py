@@ -511,3 +511,78 @@ def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("d").alias("run_end"),
         F.count("*").cast("bigint").alias("run_days"),
     ).select("user_id", "run_start", "run_end", "run_days")
+
+
+@query(
+    "win_weighted_moving_avg",
+    """
+    WITH tape AS (
+        SELECT event_id, event_type,
+               CAST(FLOOR(value * 10000) AS BIGINT) AS v,
+               lag(CAST(FLOOR(value * 10000) AS BIGINT), 1) OVER w AS v1,
+               lag(CAST(FLOOR(value * 10000) AS BIGINT), 2) OVER w AS v2,
+               lag(CAST(FLOOR(value * 10000) AS BIGINT), 3) OVER w AS v3,
+               lag(CAST(FLOOR(value * 10000) AS BIGINT), 4) OVER w AS v4
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    )
+    SELECT event_id, event_type,
+           CAST(FLOOR(CAST(5 * v + 4 * COALESCE(v1, 0)
+                           + 3 * COALESCE(v2, 0) + 2 * COALESCE(v3, 0)
+                           + COALESCE(v4, 0) AS DOUBLE)
+                      / (5 + CASE WHEN v1 IS NULL THEN 0 ELSE 4 END
+                           + CASE WHEN v2 IS NULL THEN 0 ELSE 3 END
+                           + CASE WHEN v3 IS NULL THEN 0 ELSE 2 END
+                           + CASE WHEN v4 IS NULL THEN 0 ELSE 1 END))
+                AS BIGINT) AS wma_e4
+    FROM tape
+    """,
+)
+def win_weighted_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linearly-weighted moving average, 5-point triangular weights
+    (round 5 batch 23): the newest observation counts 5×, the oldest
+    1× — the smoother between win_moving_avg (all-equal weights,
+    laggy) and ts_ewma (infinite memory, recursive): bounded memory
+    AND recency emphasis, which is why WMA is the chartist/telemetry
+    default. Warm-up rows renormalize over the weights actually
+    present (a shrinking-window mean, not a zero-padded lie).
+
+    Exactness: the frame is materialized as K−1 lag columns on ONE
+    window exchange (the win_pattern_match tape trick — weighted
+    frames can't be expressed as a plain framed SUM since the weight
+    depends on the OFFSET, not the row); numerator and denominator
+    are exact integers, one floored division per row.
+
+    Scale: one exchange + per-series sort; K scales the projection
+    width, not the shuffle."""
+    ev = load(spark, sf_dir, "events")
+    v = F.floor(F.col("value") * 10000).cast("bigint")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    tape = ev.select(
+        "event_id",
+        "event_type",
+        v.alias("v"),
+        F.lag(v, 1).over(w).alias("v1"),
+        F.lag(v, 2).over(w).alias("v2"),
+        F.lag(v, 3).over(w).alias("v3"),
+        F.lag(v, 4).over(w).alias("v4"),
+    )
+    num = (
+        5 * F.col("v")
+        + 4 * F.coalesce(F.col("v1"), F.lit(0))
+        + 3 * F.coalesce(F.col("v2"), F.lit(0))
+        + 2 * F.coalesce(F.col("v3"), F.lit(0))
+        + F.coalesce(F.col("v4"), F.lit(0))
+    )
+    den = (
+        F.lit(5)
+        + F.when(F.col("v1").isNull(), 0).otherwise(4)
+        + F.when(F.col("v2").isNull(), 0).otherwise(3)
+        + F.when(F.col("v3").isNull(), 0).otherwise(2)
+        + F.when(F.col("v4").isNull(), 0).otherwise(1)
+    )
+    return tape.select(
+        "event_id",
+        "event_type",
+        F.floor(num.cast("double") / den).cast("bigint").alias("wma_e4"),
+    )

@@ -251,6 +251,9 @@ _ROUND6_NEXT_UP = (
     "profile_format_masks",
     "ts_max_drawdown",
     "events_new_vs_returning",
+    "text_entity_extract",
+    "win_weighted_moving_avg",
+    "agg_runs_test",
 )
 
 _loaded = False

@@ -1802,3 +1802,97 @@ def test_new_vs_returning_matches_bruteforce(spark, sf_dir):
         total_new += len(new_u)
     # every user is new exactly once
     assert total_new == len(first)
+
+
+def test_entity_extract_matches_bruteforce(spark, sf_dir):
+    import re
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    want = []
+    for d in docs:
+        body = d["text"]
+        if d["doc_id"] % 5 == 0:
+            body += f" due 2024-0{d['doc_id'] % 9 + 1}-15"
+        if d["doc_id"] % 4 == 0:
+            body += f" amount ${d['doc_id'] % 900 + 100}.50"
+        if d["doc_id"] % 7 == 0:
+            body += f" ref INV-{d['doc_id'] * 13 % 10000}"
+        for m in re.findall(r"[0-9]{4}-[0-9]{2}-[0-9]{2}", body):
+            want.append((d["doc_id"], "date", m))
+        for m in re.findall(r"\$[0-9]+\.[0-9]{2}", body):
+            want.append((d["doc_id"], "amount", m))
+        for m in re.findall(r"INV-[0-9]+", body):
+            want.append((d["doc_id"], "reference", m))
+    got = [
+        (r["doc_id"], r["entity_type"], r["value"])
+        for r in Q["text_entity_extract"](spark, sf_dir).collect()
+    ]
+    assert sorted(got) == sorted(want)
+    assert {"date", "amount", "reference"} <= {t for _, t, _ in got}
+
+
+def test_weighted_moving_avg_matches_bruteforce(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", "value"
+    ).collect()
+    series: dict[str, list] = {}
+    for r in sorted(ev, key=lambda r: (r["ts"], r["event_id"])):
+        series.setdefault(r["event_type"], []).append(
+            (r["event_id"], math.floor(r["value"] * 10000))
+        )
+    want = {}
+    weights = [5, 4, 3, 2, 1]
+    for et, items in series.items():
+        vals = [v for _, v in items]
+        for i, (eid, _) in enumerate(items):
+            num = den = 0
+            for k, wgt in enumerate(weights):
+                if i - k < 0:
+                    break
+                num += wgt * vals[i - k]
+                den += wgt
+            want[eid] = math.floor(num / den)
+    got = Q["win_weighted_moving_avg"](spark, sf_dir).collect()
+    assert len(got) == len(want)
+    for r in got:
+        assert r["wma_e4"] == want[r["event_id"]]
+
+
+def test_runs_test_matches_bruteforce(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", "value"
+    ).collect()
+    series: dict[str, list] = {}
+    for r in sorted(ev, key=lambda r: (r["ts"], r["event_id"])):
+        series.setdefault(r["event_type"], []).append(
+            math.floor(r["value"] * 10000)
+        )
+    got = {r["event_type"]: r for r in Q["agg_runs_test"](spark, sf_dir).collect()}
+    assert set(got) == set(series)
+    for et, vals in series.items():
+        svals = sorted(vals)
+        n = len(svals)
+        # discrete median: smallest atom with cum*2 >= n
+        cum = 0
+        med = None
+        from collections import Counter
+
+        for v, c in sorted(Counter(svals).items()):
+            cum += c
+            if cum * 2 >= n:
+                med = v
+                break
+        seq = [1 if v > med else 0 for v in vals if v != med]
+        n1 = sum(seq)
+        n2 = len(seq) - n1
+        runs = 1 + sum(1 for a, b in zip(seq, seq[1:]) if a != b)
+        r = got[et]
+        assert (r["n1"], r["n2"], r["r"]) == (n1, n2, runs)
+        mu = 1 + 2 * n1 * n2 / (n1 + n2)
+        var = (
+            2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+            / ((n1 + n2) ** 2 * (n1 + n2 - 1))
+        )
+        assert r["z_e4"] == math.floor((runs - mu) / math.sqrt(var) * 10000)
+        # a random series must not be wildly non-random
+        assert abs(r["z_e4"]) < 50_000
