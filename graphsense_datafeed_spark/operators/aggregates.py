@@ -2617,3 +2617,77 @@ def agg_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("z_e4"),
     )
+
+
+@query(
+    "agg_odds_ratio",
+    """
+    WITH cells AS (
+        SELECT CAST(COUNT(*) FILTER (dayofweek(ts) IN (0, 6)
+                    AND event_type = 'purchase') AS BIGINT) AS a,
+               CAST(COUNT(*) FILTER (dayofweek(ts) IN (0, 6)
+                    AND event_type <> 'purchase') AS BIGINT) AS b,
+               CAST(COUNT(*) FILTER (dayofweek(ts) NOT IN (0, 6)
+                    AND event_type = 'purchase') AS BIGINT) AS c,
+               CAST(COUNT(*) FILTER (dayofweek(ts) NOT IN (0, 6)
+                    AND event_type <> 'purchase') AS BIGINT) AS d
+        FROM events
+    )
+    SELECT a, b, c, d,
+           CAST(FLOOR(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c)
+                      * 10000) AS BIGINT) AS odds_ratio_e4,
+           CAST(FLOOR(sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)
+                      * 10000) AS BIGINT) AS log_se_e4,
+           CAST(FLOOR((ln(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c))
+                       - 1.96 * sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d))
+                      * 10000) AS BIGINT) AS ci_lo_ln_e4,
+           CAST(FLOOR((ln(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c))
+                       + 1.96 * sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d))
+                      * 10000) AS BIGINT) AS ci_hi_ln_e4
+    FROM cells
+    """,
+)
+def agg_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2×2 odds ratio with Woolf confidence interval (round 5 batch
+    24): are purchases relatively MORE likely on weekends? — the
+    epidemiology/risk-analysis readout for any exposure×outcome pair
+    (OR = ad/bc), with the log-scale SE √(1/a+1/b+1/c+1/d) and the
+    95% CI that tells you whether OR ≠ 1 is believable. χ² (the
+    association test) says "related"; the odds ratio says "how
+    strongly, in which direction, with what uncertainty" — the
+    effect-size sibling of agg_cramers_v for the 2×2 special case.
+
+    Four conditional counts in ONE pass (exact bigints), then OR, SE
+    and both CI bounds as shared double expressions floored e4. The
+    CI is emitted in log-odds units (the scale the normal
+    approximation lives on); exponentiating is the consumer's
+    one-liner.
+
+    Scale: a single map-side-combinable conditional-count agg —
+    4 longs of state, mergeable across any sharding."""
+    ev = load(spark, sf_dir, "events")
+    wend = (F.dayofweek("ts") - 1).isin(0, 6)
+    purch = F.col("event_type") == "purchase"
+    cells = ev.agg(
+        F.count_if(wend & purch).cast("bigint").alias("a"),
+        F.count_if(wend & ~purch).cast("bigint").alias("b"),
+        F.count_if(~wend & purch).cast("bigint").alias("c"),
+        F.count_if(~wend & ~purch).cast("bigint").alias("d"),
+    )
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    orr = dd("a") * dd("d") / (dd("b") * dd("c"))
+    se = F.sqrt(1.0 / dd("a") + 1.0 / dd("b") + 1.0 / dd("c") + 1.0 / dd("d"))
+    return cells.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        F.floor(orr * 10000).cast("bigint").alias("odds_ratio_e4"),
+        F.floor(se * 10000).cast("bigint").alias("log_se_e4"),
+        F.floor((F.log(orr) - 1.96 * se) * 10000)
+        .cast("bigint")
+        .alias("ci_lo_ln_e4"),
+        F.floor((F.log(orr) + 1.96 * se) * 10000)
+        .cast("bigint")
+        .alias("ci_hi_ln_e4"),
+    )

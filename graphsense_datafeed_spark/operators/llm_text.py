@@ -2227,3 +2227,90 @@ def text_entity_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(branch("amount", r"\$[0-9]+\.[0-9]{2}"))
         .unionAll(branch("reference", r"INV-[0-9]+"))
     )
+
+
+@query(
+    "text_js_divergence",
+    """
+    WITH toks AS (
+        SELECT d.source, unnest(str_split(d.text, ' ')) AS token
+        FROM documents d
+        WHERE d.source IN ('src7', 'src13')
+    ), counts AS (
+        SELECT token,
+               CAST(COUNT(*) FILTER (source = 'src7') AS BIGINT) AS cp,
+               CAST(COUNT(*) FILTER (source = 'src13') AS BIGINT) AS cq
+        FROM toks GROUP BY token
+    ), tot AS (
+        SELECT token, cp, cq,
+               CAST(SUM(cp) OVER () AS BIGINT) AS np,
+               CAST(SUM(cq) OVER () AS BIGINT) AS nq,
+               CAST(COUNT(*) OVER () AS BIGINT) AS v
+        FROM counts
+    ), probs AS (
+        SELECT token, cp, cq,
+               (CAST(cp + 1 AS DOUBLE) / (np + v)) AS p,
+               (CAST(cq + 1 AS DOUBLE) / (nq + v)) AS q
+        FROM tot
+    ), terms AS (
+        SELECT token, cp, cq,
+               CAST(FLOOR((0.5 * p * ln(p / ((p + q) / 2))
+                           + 0.5 * q * ln(q / ((p + q) / 2)))
+                          * 1000000000) AS BIGINT) AS term_e9
+        FROM probs
+    )
+    SELECT token, cp, cq, term_e9,
+           CAST(SUM(term_e9) OVER () AS BIGINT) AS js_sum_e9
+    FROM terms
+    """,
+)
+def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between two sources' token
+    distributions (round 5 batch 24): ½KL(P‖M) + ½KL(Q‖M) with M the
+    mixture — the SYMMETRIC, always-finite sibling of
+    agg_kl_divergence (KL(P‖Q) blows up where Q has a hole and
+    changes with argument order; JS is bounded by ln 2 and
+    direction-free), which is why corpus-mixture monitoring and
+    source-similarity matrices use JS, not raw KL. Per-token terms
+    ride along, so 'WHICH tokens drive the divergence' — the
+    actionable part — is the same scan.
+
+    Same determinism layering as the KL operator: vocab-level
+    conditional counts exact bigint, add-1 smoothing over the shared
+    vocab, each token's JS term ONE double expression floored e9
+    before the order-free total. Bound 0 ≤ JS ≤ ln 2 referee-checked.
+
+    Scale: one vocab-keyed conditional-count agg; everything after is
+    vocab-sized."""
+    toks = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("source").isin("src7", "src13"))
+        .select("source", F.explode(F.split("text", " ")).alias("token"))
+    )
+    counts = toks.groupBy("token").agg(
+        F.count_if(F.col("source") == "src7").cast("bigint").alias("cp"),
+        F.count_if(F.col("source") == "src13").cast("bigint").alias("cq"),
+    )
+    wall = Window.partitionBy()
+    tot = counts.select(
+        "token",
+        "cp",
+        "cq",
+        F.sum("cp").over(wall).cast("bigint").alias("np"),
+        F.sum("cq").over(wall).cast("bigint").alias("nq"),
+        F.count("*").over(wall).cast("bigint").alias("v"),
+    )
+    p = (F.col("cp") + 1).cast("double") / (F.col("np") + F.col("v"))
+    q = (F.col("cq") + 1).cast("double") / (F.col("nq") + F.col("v"))
+    m = (p + q) / 2
+    terms = tot.select(
+        "token",
+        "cp",
+        "cq",
+        F.floor((0.5 * p * F.log(p / m) + 0.5 * q * F.log(q / m)) * 1000000000)
+        .cast("bigint")
+        .alias("term_e9"),
+    )
+    return terms.withColumn(
+        "js_sum_e9", F.sum("term_e9").over(wall).cast("bigint")
+    )

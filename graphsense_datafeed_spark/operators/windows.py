@@ -586,3 +586,92 @@ def win_weighted_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.floor(num.cast("double") / den).cast("bigint").alias("wma_e4"),
     )
+
+
+@query(
+    "win_hampel_filter",
+    """
+    WITH framed AS (
+        SELECT event_id, event_type,
+               CAST(FLOOR(value * 10000) AS BIGINT) AS v,
+               list_sort(list(CAST(FLOOR(value * 10000) AS BIGINT)) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN 10 PRECEDING AND CURRENT ROW
+               )) AS arr
+        FROM events
+    ), med AS (
+        SELECT event_id, event_type, v, arr,
+               arr[CAST((len(arr) + 1) // 2 AS INT)]
+               + arr[CAST(len(arr) - (len(arr) - 1) // 2 AS INT)] AS med2
+        FROM framed
+    ), mad AS (
+        SELECT event_id, event_type, v, med2,
+               list_sort(list_transform(arr, x -> abs(2 * x - med2))) AS devs
+        FROM med
+    )
+    SELECT event_id, event_type,
+           CAST(med2 AS BIGINT) AS med2_e4,
+           CAST(devs[CAST((len(devs) + 1) // 2 AS INT)]
+                + devs[CAST(len(devs) - (len(devs) - 1) // 2 AS INT)]
+                AS BIGINT) AS mad4_e4,
+           20000 * abs(2 * v - med2) >
+               44478 * (devs[CAST((len(devs) + 1) // 2 AS INT)]
+                        + devs[CAST(len(devs) - (len(devs) - 1) // 2 AS INT)])
+               AS is_spike
+    FROM mad
+    """,
+)
+def win_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel filter (round 5 batch 24): the sliding ROBUST despiker —
+    flag a point when |v − frame median| > 3·1.4826·frame MAD — which
+    is what ts_zscore_anomaly becomes once the baseline itself must
+    survive spikes (a burst of outliers inflates the trailing
+    mean/σ and MASKS its own members; median and MAD barely move).
+    ts_outlier_mad applies this GLOBALLY per series; the Hampel form
+    is its per-window sibling, the standard sensor-stream cleaner.
+
+    ENTIRELY in integer arithmetic despite two nested medians: work
+    in doubled units — med2 = lo+hi of the sorted frame (2× median,
+    always integral), per-element deviations |2x − med2| (2× dev,
+    integral), mad4 = lo+hi of the sorted deviations (4× MAD) — and
+    the 3·1.4826 threshold becomes the integer cross-multiplication
+    20000·dev2 > 44478·mad4. No float comparison anywhere, so the
+    flag cannot flip on an ulp.
+
+    Scale: win_moving_median's bounded-frame discipline (k=11 array
+    per row); the transform/sort work is per-row O(k log k), JVM
+    codegen, no extra exchange."""
+    ev = load(spark, sf_dir, "events")
+    v = F.floor(F.col("value") * 10000).cast("bigint")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-10, 0)
+    )
+    arr = F.array_sort(F.collect_list(v).over(w))
+    framed = ev.select(
+        "event_id", "event_type", v.alias("v"), arr.alias("arr")
+    )
+    n = F.size("arr")
+    lo = F.element_at(F.col("arr"), F.floor((n + 1) / 2).cast("int"))
+    hi = F.element_at(F.col("arr"), (n - F.floor((n - 1) / 2)).cast("int"))
+    med = framed.withColumn("med2", lo + hi)
+    devs = F.array_sort(
+        F.transform(F.col("arr"), lambda x: F.abs(2 * x - F.col("med2")))
+    )
+    mad = med.withColumn("devs", devs)
+    nd = F.size("devs")
+    dlo = F.element_at(F.col("devs"), F.floor((nd + 1) / 2).cast("int"))
+    dhi = F.element_at(
+        F.col("devs"), (nd - F.floor((nd - 1) / 2)).cast("int")
+    )
+    mad4 = dlo + dhi
+    return mad.select(
+        "event_id",
+        "event_type",
+        F.col("med2").cast("bigint").alias("med2_e4"),
+        mad4.cast("bigint").alias("mad4_e4"),
+        (20000 * F.abs(2 * F.col("v") - F.col("med2")) > 44478 * mad4).alias(
+            "is_spike"
+        ),
+    )

@@ -254,6 +254,9 @@ _ROUND6_NEXT_UP = (
     "text_entity_extract",
     "win_weighted_moving_avg",
     "agg_runs_test",
+    "agg_odds_ratio",
+    "text_js_divergence",
+    "win_hampel_filter",
 )
 
 _loaded = False

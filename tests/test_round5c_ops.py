@@ -1896,3 +1896,97 @@ def test_runs_test_matches_bruteforce(spark, sf_dir):
         assert r["z_e4"] == math.floor((runs - mu) / math.sqrt(var) * 10000)
         # a random series must not be wildly non-random
         assert abs(r["z_e4"]) < 50_000
+
+
+def test_odds_ratio_matches_bruteforce(spark, sf_dir):
+    rows = (
+        load(spark, sf_dir, "events")
+        .select((F.dayofweek("ts") - 1).alias("dow"), "event_type")
+        .collect()
+    )
+    a = b = c = d = 0
+    for r in rows:
+        wend = r["dow"] in (0, 6)
+        purch = r["event_type"] == "purchase"
+        if wend and purch:
+            a += 1
+        elif wend:
+            b += 1
+        elif purch:
+            c += 1
+        else:
+            d += 1
+    got = Q["agg_odds_ratio"](spark, sf_dir).collect()[0]
+    assert (got["a"], got["b"], got["c"], got["d"]) == (a, b, c, d)
+    orr = a * d / (b * c)
+    se = math.sqrt(1 / a + 1 / b + 1 / c + 1 / d)
+    assert got["odds_ratio_e4"] == math.floor(orr * 10000)
+    assert got["log_se_e4"] == math.floor(se * 10000)
+    assert got["ci_lo_ln_e4"] == math.floor((math.log(orr) - 1.96 * se) * 10000)
+    assert got["ci_hi_ln_e4"] == math.floor((math.log(orr) + 1.96 * se) * 10000)
+    assert got["ci_lo_ln_e4"] < got["ci_hi_ln_e4"]
+
+
+def test_js_divergence_matches_bruteforce_and_bounds(spark, sf_dir):
+    toks_p: dict[str, int] = {}
+    toks_q: dict[str, int] = {}
+    for r in (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("source").isin("src7", "src13"))
+        .select("source", "text")
+        .collect()
+    ):
+        target = toks_p if r["source"] == "src7" else toks_q
+        for t in r["text"].split(" "):
+            target[t] = target.get(t, 0) + 1
+    vocab = set(toks_p) | set(toks_q)
+    v = len(vocab)
+    np_, nq = sum(toks_p.values()), sum(toks_q.values())
+    want = {}
+    for t in vocab:
+        p = (toks_p.get(t, 0) + 1) / (np_ + v)
+        q = (toks_q.get(t, 0) + 1) / (nq + v)
+        m = (p + q) / 2
+        want[t] = math.floor(
+            (0.5 * p * math.log(p / m) + 0.5 * q * math.log(q / m))
+            * 1_000_000_000
+        )
+    got = Q["text_js_divergence"](spark, sf_dir).collect()
+    assert len(got) == v
+    total = sum(want.values())
+    for r in got:
+        assert r["term_e9"] == want[r["token"]]
+        assert r["js_sum_e9"] == total
+    # JS is bounded by ln 2 (and non-negative up to flooring)
+    assert -v <= total <= math.log(2) * 1_000_000_000
+
+
+def test_hampel_filter_matches_bruteforce(spark, sf_dir):
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("event_id", "event_type", "ts", "value")
+        .collect()
+    )
+    series: dict[str, list] = {}
+    for r in sorted(ev, key=lambda r: (r["ts"], r["event_id"])):
+        series.setdefault(r["event_type"], []).append(
+            (r["event_id"], math.floor(r["value"] * 10000))
+        )
+    got = {r["event_id"]: r for r in Q["win_hampel_filter"](spark, sf_dir).collect()}
+    assert len(got) == len(ev)
+
+    def med2(sorted_vals):
+        k = len(sorted_vals)
+        return sorted_vals[(k + 1) // 2 - 1] + sorted_vals[k - (k - 1) // 2 - 1]
+
+    for et, items in series.items():
+        vals = [v for _, v in items]
+        for i, (eid, v) in enumerate(items):
+            frame = sorted(vals[max(0, i - 10) : i + 1])
+            m2 = med2(frame)
+            devs = sorted(abs(2 * x - m2) for x in frame)
+            m4 = med2(devs)
+            r = got[eid]
+            assert r["med2_e4"] == m2
+            assert r["mad4_e4"] == m4
+            assert r["is_spike"] == (20000 * abs(2 * v - m2) > 44478 * m4)
