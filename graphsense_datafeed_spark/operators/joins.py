@@ -1086,3 +1086,102 @@ def join_exists_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("f_big"), F.lit(False)).alias("has_big_order"),
         F.coalesce(F.col("f_urgent"), F.lit(False)).alias("has_urgent"),
     )
+
+
+@query(
+    "join_reconciliation",
+    """
+    WITH pay AS (
+        SELECT o_orderkey + 5000000 AS pay_id,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT)
+               + (o_orderkey % 21) - 10 AS pay_cents,
+               CAST(o_orderdate AS DATE) + CAST(o_orderkey % 4 AS INT) AS pay_date
+        FROM orders WHERE o_orderkey % 3 <> 0
+    ), ord AS (
+        SELECT o_orderkey,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS ord_cents,
+               CAST(o_orderdate AS DATE) AS o_orderdate
+        FROM orders
+    ), cand AS (
+        SELECT o.o_orderkey, p.pay_id, o.ord_cents, p.pay_cents,
+               CAST(p.pay_date - o.o_orderdate AS BIGINT) AS lag_days,
+               abs(p.pay_cents - o.ord_cents) AS diff_cents
+        FROM ord o
+        JOIN pay p
+          ON p.pay_cents BETWEEN o.ord_cents - 10 AND o.ord_cents + 10
+         AND p.pay_date BETWEEN o.o_orderdate AND o.o_orderdate + 3
+    ), best AS (
+        SELECT o_orderkey, pay_id, diff_cents, lag_days,
+               row_number() OVER (PARTITION BY o_orderkey
+                                  ORDER BY diff_cents, lag_days, pay_id)
+                   AS rnk
+        FROM cand
+    )
+    SELECT o_orderkey, pay_id,
+           CAST(diff_cents AS BIGINT) AS diff_cents, lag_days
+    FROM best WHERE rnk = 1
+    """,
+)
+def join_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payment-to-order reconciliation join (round 5 batch 25): match
+    each order to its payment within ±10 cents AND 0–3 days — the
+    finance back-office matching problem (bank fees shave cents,
+    settlement lags days, some payments never arrive), which is a
+    TOLERANCE join on two dimensions at once: neither equi (amounts
+    differ) nor as-of (bounded both sides), with a deterministic
+    best-match election (smallest amount gap, then earliest, then
+    pay_id) so each order matches at most ONE payment. Payments are
+    synthesized from orders with deterministic cent/day perturbations
+    and a third of them missing — unmatched orders fall out, as they
+    do in production.
+
+    The band predicate compiles to a range join; at 100 TB the
+    bucketing trick (join on cents/1000 bucket ±1 — the
+    geo_grid_neighbors pigeonhole on one dimension) bounds candidates
+    before the tolerance verify, documented here, unnecessary at
+    fixture scale. The election is a WindowGroupLimit.
+
+    Exactness: integer cents and integer day lags end-to-end; the
+    perturbations are modular arithmetic on the key."""
+    o = load(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    pay = o.filter(F.col("o_orderkey") % 3 != 0).select(
+        (F.col("o_orderkey") + 5000000).alias("pay_id"),
+        (cents + (F.col("o_orderkey") % 21) - 10).alias("pay_cents"),
+        F.date_add(
+            F.col("o_orderdate").cast("date"),
+            (F.col("o_orderkey") % 4).cast("int"),
+        ).alias("pay_date"),
+    )
+    ord_ = o.select(
+        "o_orderkey",
+        cents.alias("ord_cents"),
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+    )
+    cand = ord_.join(
+        pay,
+        F.col("pay_cents").between(
+            F.col("ord_cents") - 10, F.col("ord_cents") + 10
+        )
+        & F.col("pay_date").between(
+            F.col("o_orderdate"), F.date_add(F.col("o_orderdate"), 3)
+        ),
+    ).select(
+        "o_orderkey",
+        "pay_id",
+        F.abs(F.col("pay_cents") - F.col("ord_cents")).alias("diff_cents"),
+        F.datediff("pay_date", "o_orderdate").cast("bigint").alias("lag_days"),
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(
+        "diff_cents", "lag_days", "pay_id"
+    )
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "o_orderkey",
+            "pay_id",
+            F.col("diff_cents").cast("bigint").alias("diff_cents"),
+            "lag_days",
+        )
+    )

@@ -257,6 +257,9 @@ _ROUND6_NEXT_UP = (
     "agg_odds_ratio",
     "text_js_divergence",
     "win_hampel_filter",
+    "join_reconciliation",
+    "agg_capture_recapture",
+    "sample_neyman_allocation",
 )
 
 _loaded = False

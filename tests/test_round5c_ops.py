@@ -1990,3 +1990,107 @@ def test_hampel_filter_matches_bruteforce(spark, sf_dir):
             assert r["med2_e4"] == m2
             assert r["mad4_e4"] == m4
             assert r["is_spike"] == (20000 * abs(2 * v - m2) > 44478 * m4)
+
+
+def test_reconciliation_matches_bruteforce(spark, sf_dir):
+    from decimal import Decimal, ROUND_HALF_UP
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", F.col("o_orderdate").cast("date").alias("d")
+    ).collect()
+    cents = {
+        r["o_orderkey"]: int(
+            Decimal(repr(r["o_totalprice"] * 100)).quantize(0, ROUND_HALF_UP)
+        )
+        for r in orders
+    }
+    import datetime
+
+    pays = []
+    for r in orders:
+        k = r["o_orderkey"]
+        if k % 3 == 0:
+            continue
+        pays.append(
+            (
+                k + 5_000_000,
+                cents[k] + (k % 21) - 10,
+                r["d"] + datetime.timedelta(days=k % 4),
+            )
+        )
+    want = {}
+    for r in orders:
+        k, oc, od = r["o_orderkey"], cents[r["o_orderkey"]], r["d"]
+        cands = [
+            (abs(pc - oc), (pd - od).days, pid)
+            for pid, pc, pd in pays
+            if oc - 10 <= pc <= oc + 10 and od <= pd <= od + datetime.timedelta(days=3)
+        ]
+        if cands:
+            diff, lag, pid = min(cands)
+            want[k] = (pid, diff, lag)
+    got = {r["o_orderkey"]: r for r in Q["join_reconciliation"](spark, sf_dir).collect()}
+    assert set(got) == set(want)
+    for k, (pid, diff, lag) in want.items():
+        r = got[k]
+        assert (r["pay_id"], r["diff_cents"], r["lag_days"]) == (pid, diff, lag)
+    # each order matched at most one payment; its own payment (same
+    # key) should usually win when present
+    own = sum(1 for k, (pid, _, _) in want.items() if pid == k + 5_000_000)
+    assert own / len(want) > 0.9
+
+
+def test_capture_recapture_matches_bruteforce(spark, sf_dir):
+    import datetime
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).collect()
+    d0 = min(r["d"] for r in ev)
+    w1 = {r["user_id"] for r in ev if (r["d"] - d0).days < 7}
+    w2 = {r["user_id"] for r in ev if 7 <= (r["d"] - d0).days < 14}
+    m = len(w1 & w2)
+    got = Q["agg_capture_recapture"](spark, sf_dir).collect()[0]
+    assert (got["n1"], got["n2"], got["m"]) == (len(w1), len(w2), m)
+    want = math.floor((len(w1) + 1) * (len(w2) + 1) / (m + 1) - 1)
+    assert got["n_hat"] == want
+    # the estimate covers at least the directly observed population
+    assert got["n_hat"] >= len(w1 | w2) - 1
+
+
+def test_neyman_allocation_matches_bruteforce(spark, sf_dir):
+    import hashlib
+    from decimal import Decimal, ROUND_HALF_UP
+
+    rows = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    ).collect()
+    strata: dict[str, list] = {}
+    for r in rows:
+        c = int(Decimal(repr(r["c_acctbal"] * 100)).quantize(0, ROUND_HALF_UP))
+        strata.setdefault(r["c_mktsegment"], []).append((r["c_custkey"], c))
+    ws = {}
+    for seg, items in strata.items():
+        n = len(items)
+        s = sum(c for _, c in items)
+        ss = sum(c * c for _, c in items)
+        sd = math.sqrt((ss - s * s / n) / (n - 1))
+        ws[seg] = n * sd
+    wtot = sum(ws.values())
+    got = {r["c_mktsegment"]: r for r in Q["sample_neyman_allocation"](spark, sf_dir).collect()}
+    assert set(got) == set(strata)
+    total_alloc = 0
+    for seg, items in strata.items():
+        n = len(items)
+        alloc = math.floor(ws[seg] * 500 / wtot)
+        sampled = sum(
+            1
+            for k, _ in items
+            if int(hashlib.md5(f"neyman_{k}".encode()).hexdigest()[:7], 16)
+            % 1_000_000
+            < alloc / n * 1_000_000
+        )
+        r = got[seg]
+        assert (r["n_h"], r["n_alloc"], r["n_sampled"]) == (n, alloc, sampled)
+        total_alloc += alloc
+    assert 500 - len(strata) <= total_alloc <= 500  # floors round down
