@@ -2166,3 +2166,177 @@ def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("returning_users"),
         F.count("*").cast("bigint").alias("n_events"),
     )
+
+
+@query(
+    "ts_control_chart_imr",
+    """
+    WITH tape AS (
+        SELECT event_id, event_type,
+               CAST(FLOOR(value * 10000) AS BIGINT) AS v,
+               abs(CAST(FLOOR(value * 10000) AS BIGINT)
+                   - lag(CAST(FLOOR(value * 10000) AS BIGINT)) OVER w)
+                   AS mr
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    ), limits AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(v) AS BIGINT) AS sv,
+               CAST(SUM(mr) AS BIGINT) AS smr,
+               CAST(COUNT(mr) AS BIGINT) AS nmr
+        FROM tape GROUP BY event_type
+    )
+    SELECT t.event_id, t.event_type, t.v AS v_e4,
+           CAST(FLOOR(CAST(l.sv AS DOUBLE) / l.n) AS BIGINT) AS center_e4,
+           CAST(FLOOR(CAST(l.sv AS DOUBLE) / l.n
+                      + 2.66 * CAST(l.smr AS DOUBLE) / l.nmr) AS BIGINT)
+               AS ucl_e4,
+           CAST(FLOOR(CAST(l.sv AS DOUBLE) / l.n
+                      - 2.66 * CAST(l.smr AS DOUBLE) / l.nmr) AS BIGINT)
+               AS lcl_e4,
+           CAST(t.v AS DOUBLE) >
+               CAST(l.sv AS DOUBLE) / l.n
+               + 2.66 * CAST(l.smr AS DOUBLE) / l.nmr
+           OR CAST(t.v AS DOUBLE) <
+               CAST(l.sv AS DOUBLE) / l.n
+               - 2.66 * CAST(l.smr AS DOUBLE) / l.nmr AS out_of_control
+    FROM tape t JOIN limits l USING (event_type)
+    """,
+)
+def ts_control_chart_imr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Individuals/moving-range (I-MR) control chart (round 5 batch
+    26): Shewhart SPC for per-observation data — center line x̄,
+    control limits x̄ ± 2.66·M̄R where M̄R is the mean absolute
+    consecutive difference (2.66 = 3/d₂ for n=2, the constant that
+    turns moving range into a σ estimate) — the manufacturing-grade
+    "is this process stable?" gate, and the right chart when there is
+    no natural subgroup. Differs from ts_zscore_anomaly in KIND:
+    z-scores use a LOCAL trailing window (adaptive, follows drift);
+    control limits are GLOBAL process constants (fixed, so drift gets
+    FLAGGED rather than absorbed) — SPC's entire point.
+
+    Moving ranges come off one (series, time) lag window (exact
+    integer |Δ|); (n, Σv, ΣMR) are exact bigints; limits and the
+    breach flag evaluate in shared double expressions, limits floored
+    e4, the flag comparing unfloored doubles identically on both
+    engines.
+
+    Scale: one window + one tiny limits agg joined back broadcast —
+    the ts_outlier_mad shape with process-constant semantics."""
+    ev = load(spark, sf_dir, "events")
+    v = F.floor(F.col("value") * 10000).cast("bigint")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    tape = ev.select(
+        "event_id",
+        "event_type",
+        v.alias("v"),
+        F.abs(v - F.lag(v).over(w)).alias("mr"),
+    )
+    limits = tape.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("v").cast("bigint").alias("sv"),
+        F.sum("mr").cast("bigint").alias("smr"),
+        F.count("mr").cast("bigint").alias("nmr"),
+    )
+    j = tape.join(F.broadcast(limits), "event_type")
+    center = F.col("sv").cast("double") / F.col("n")
+    spread = 2.66 * F.col("smr").cast("double") / F.col("nmr")
+    return j.select(
+        "event_id",
+        "event_type",
+        F.col("v").alias("v_e4"),
+        F.floor(center).cast("bigint").alias("center_e4"),
+        F.floor(center + spread).cast("bigint").alias("ucl_e4"),
+        F.floor(center - spread).cast("bigint").alias("lcl_e4"),
+        (
+            (F.col("v").cast("double") > center + spread)
+            | (F.col("v").cast("double") < center - spread)
+        ).alias("out_of_control"),
+    )
+
+
+@query(
+    "events_behavior_entropy_rate",
+    """
+    WITH tape AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ), trans AS (
+        SELECT prev_type AS a, event_type AS b,
+               CAST(COUNT(*) AS BIGINT) AS n_ab
+        FROM tape WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    ), rowtot AS (
+        SELECT a, b, n_ab,
+               CAST(SUM(n_ab) OVER (PARTITION BY a) AS BIGINT) AS n_a,
+               CAST(SUM(n_ab) OVER () AS BIGINT) AS n
+        FROM trans
+    ), terms AS (
+        SELECT a, b, n_ab,
+               CAST(FLOOR(
+                   -(CAST(n_a AS DOUBLE) / n)
+                   * (CAST(n_ab AS DOUBLE) / n_a)
+                   * ln(CAST(n_ab AS DOUBLE) / n_a)
+                   * 1000000000) AS BIGINT) AS term_e9
+        FROM rowtot
+    )
+    SELECT a AS from_type, b AS to_type, n_ab, term_e9,
+           CAST(SUM(term_e9) OVER () AS BIGINT) AS entropy_rate_e9
+    FROM terms
+    """,
+)
+def events_behavior_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov entropy rate of behavior (round 5 batch 26): H = −Σ_a
+    π_a Σ_b p(b|a) ln p(b|a) over the empirical transition matrix —
+    ONE number for how PREDICTABLE the event stream is (0 = fully
+    deterministic next-action, ln|types| = uniformly random), the
+    summary events_markov_transitions' full matrix rolls up to:
+    near-zero per-user entropy rates are the strongest bot signal
+    this engine computes (complementing burstiness's timing axis with
+    the SEQUENCE axis), and corpus-level drops flag templated
+    traffic. Per-transition terms ride along for the which-state
+    diagnosis.
+
+    π comes from empirical state occupancy (row totals / grand
+    total — the stationary weighting of the observed chain);
+    each (a,b) term is ONE double expression floored e9, totals
+    order-free bigint — the KL/chi-square discipline on the
+    |types|² matrix.
+
+    Scale: one lag window + |types|² aggregation; everything after
+    is matrix-sized."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tape = ev.select(
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    trans = tape.groupBy(
+        F.col("prev_type").alias("a"), F.col("event_type").alias("b")
+    ).agg(F.count("*").cast("bigint").alias("n_ab"))
+    rowtot = trans.select(
+        "a",
+        "b",
+        "n_ab",
+        F.sum("n_ab").over(Window.partitionBy("a")).cast("bigint").alias("n_a"),
+        F.sum("n_ab").over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    term = F.floor(
+        -(d("n_a") / F.col("n"))
+        * (d("n_ab") / F.col("n_a"))
+        * F.log(d("n_ab") / F.col("n_a"))
+        * 1000000000
+    ).cast("bigint")
+    terms = rowtot.select(
+        F.col("a").alias("from_type"),
+        F.col("b").alias("to_type"),
+        "n_ab",
+        term.alias("term_e9"),
+    )
+    return terms.withColumn(
+        "entropy_rate_e9",
+        F.sum("term_e9").over(Window.partitionBy()).cast("bigint"),
+    )

@@ -260,6 +260,8 @@ _ROUND6_NEXT_UP = (
     "join_reconciliation",
     "agg_capture_recapture",
     "sample_neyman_allocation",
+    "ts_control_chart_imr",
+    "events_behavior_entropy_rate",
 )
 
 _loaded = False

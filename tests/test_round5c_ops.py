@@ -2094,3 +2094,64 @@ def test_neyman_allocation_matches_bruteforce(spark, sf_dir):
         assert (r["n_h"], r["n_alloc"], r["n_sampled"]) == (n, alloc, sampled)
         total_alloc += alloc
     assert 500 - len(strata) <= total_alloc <= 500  # floors round down
+
+
+def test_control_chart_matches_bruteforce(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", "value"
+    ).collect()
+    series: dict[str, list] = {}
+    for r in sorted(ev, key=lambda r: (r["ts"], r["event_id"])):
+        series.setdefault(r["event_type"], []).append(
+            (r["event_id"], math.floor(r["value"] * 10000))
+        )
+    got = {r["event_id"]: r for r in Q["ts_control_chart_imr"](spark, sf_dir).collect()}
+    assert len(got) == len(ev)
+    for et, items in series.items():
+        vals = [v for _, v in items]
+        n = len(vals)
+        center = sum(vals) / n
+        mrs = [abs(a - b) for a, b in zip(vals[1:], vals)]
+        spread = 2.66 * sum(mrs) / len(mrs)
+        for eid, v in items:
+            r = got[eid]
+            assert r["center_e4"] == math.floor(center)
+            assert r["ucl_e4"] == math.floor(center + spread)
+            assert r["lcl_e4"] == math.floor(center - spread)
+            assert r["out_of_control"] == (
+                v > center + spread or v < center - spread
+            )
+
+
+def test_behavior_entropy_rate_matches_bruteforce(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    ).collect()
+    by_user: dict[int, list] = {}
+    for r in sorted(ev, key=lambda r: (r["ts"], r["event_id"])):
+        by_user.setdefault(r["user_id"], []).append(r["event_type"])
+    trans: dict[tuple, int] = {}
+    for seq in by_user.values():
+        for a, b in zip(seq, seq[1:]):
+            trans[(a, b)] = trans.get((a, b), 0) + 1
+    n = sum(trans.values())
+    row: dict[str, int] = {}
+    for (a, _), c in trans.items():
+        row[a] = row.get(a, 0) + c
+    want = {
+        (a, b): math.floor(
+            -(row[a] / n) * (c / row[a]) * math.log(c / row[a]) * 1_000_000_000
+        )
+        for (a, b), c in trans.items()
+    }
+    got = Q["events_behavior_entropy_rate"](spark, sf_dir).collect()
+    assert len(got) == len(trans)
+    total = sum(want.values())
+    n_types = len({a for a, _ in trans} | {b for _, b in trans})
+    for r in got:
+        key = (r["from_type"], r["to_type"])
+        assert r["n_ab"] == trans[key]
+        assert r["term_e9"] == want[key]
+        assert r["entropy_rate_e9"] == total
+    # bounded by ln(number of states)
+    assert 0 < total <= math.log(n_types) * 1_000_000_000
