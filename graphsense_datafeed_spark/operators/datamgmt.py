@@ -1045,3 +1045,99 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("c_mktsegment", "n_h", "n_alloc").agg(
         sampled.cast("bigint").alias("n_sampled")
     )
+
+
+@query(
+    "audit_totals_reconcile",
+    """
+    WITH line_sums AS (
+        SELECT l_orderkey,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                                   * (1 + l_tax) * 100) AS BIGINT))
+                    AS BIGINT) AS computed_cents,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM lineitem GROUP BY l_orderkey
+    ), joined AS (
+        SELECT o.o_orderkey,
+               CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS header_cents,
+               COALESCE(l.computed_cents, 0) AS computed_cents,
+               COALESCE(l.n_lines, 0) AS n_lines
+        FROM orders o LEFT JOIN line_sums l ON l.l_orderkey = o.o_orderkey
+    ), classified AS (
+        SELECT o_orderkey, header_cents, computed_cents, n_lines,
+               header_cents - computed_cents AS diff_cents,
+               CASE WHEN n_lines = 0 THEN 'orphan_header'
+                    WHEN abs(header_cents - computed_cents)
+                         <= n_lines THEN 'reconciled'
+                    ELSE 'mismatch' END AS status
+        FROM joined
+    )
+    SELECT status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(abs(diff_cents)) AS BIGINT) AS abs_diff_cents,
+           CAST(MAX(abs(diff_cents)) AS BIGINT) AS worst_diff_cents
+    FROM classified GROUP BY status
+    """,
+)
+def audit_totals_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table financial reconciliation audit (round 5 batch 27):
+    does each order's HEADER total equal the sum of its LINES
+    (extended price × (1−discount) × (1+tax))? — the
+    invariant-between-tables audit every ledger-shaped warehouse runs
+    nightly, which single-table profiling can never see (both tables
+    can profile clean while disagreeing with each other). Orders are
+    classified reconciled / mismatch / orphan_header (no lines at
+    all) with the absolute and worst drifts per class — the triage
+    readout, not just a pass/fail.
+
+    Tolerance = n_lines cents: each line's computed amount floors
+    independently, so the header may legitimately differ by up to one
+    cent per line — the tolerance is derived from the arithmetic, not
+    tuned. (On THIS synthetic fixture headers and lines are generated
+    independently, so 'mismatch' dominates — which is exactly what
+    the audit is for, and the referee asserts the classification
+    arithmetic, not a clean ledger.) All cents exact bigint; the
+    status CASE is pure integer comparison.
+
+    Scale: one line-sum agg (map-side) + one key join; the audit
+    output is class-sized. The incremental form audits only orders
+    whose lines changed (cdc_snapshot_diff's delta feeds it)."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    line_cents = F.floor(
+        F.col("l_extendedprice")
+        * (1 - F.col("l_discount"))
+        * (1 + F.col("l_tax"))
+        * 100
+    ).cast("bigint")
+    line_sums = li.groupBy("l_orderkey").agg(
+        F.sum(line_cents).cast("bigint").alias("computed_cents"),
+        F.count("*").cast("bigint").alias("n_lines"),
+    )
+    joined = o.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias(
+            "header_cents"
+        ),
+    ).join(
+        line_sums, o.o_orderkey == line_sums.l_orderkey, "left"
+    ).select(
+        "o_orderkey",
+        "header_cents",
+        F.coalesce(F.col("computed_cents"), F.lit(0)).alias("computed_cents"),
+        F.coalesce(F.col("n_lines"), F.lit(0)).alias("n_lines"),
+    )
+    diff = F.col("header_cents") - F.col("computed_cents")
+    status = (
+        F.when(F.col("n_lines") == 0, "orphan_header")
+        .when(F.abs(diff) <= F.col("n_lines"), "reconciled")
+        .otherwise("mismatch")
+    )
+    classified = joined.select(
+        status.alias("status"), F.abs(diff).alias("abs_diff")
+    )
+    return classified.groupBy("status").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum("abs_diff").cast("bigint").alias("abs_diff_cents"),
+        F.max("abs_diff").cast("bigint").alias("worst_diff_cents"),
+    )

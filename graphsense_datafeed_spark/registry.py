@@ -262,6 +262,7 @@ _ROUND6_NEXT_UP = (
     "sample_neyman_allocation",
     "ts_control_chart_imr",
     "events_behavior_entropy_rate",
+    "audit_totals_reconcile",
 )
 
 _loaded = False

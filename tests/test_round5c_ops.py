@@ -2155,3 +2155,48 @@ def test_behavior_entropy_rate_matches_bruteforce(spark, sf_dir):
         assert r["entropy_rate_e9"] == total
     # bounded by ln(number of states)
     assert 0 < total <= math.log(n_types) * 1_000_000_000
+
+
+def test_totals_reconcile_matches_bruteforce(spark, sf_dir):
+    from decimal import Decimal, ROUND_HALF_UP
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount", "l_tax"
+    ).collect()
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    ).collect()
+    sums: dict[int, list] = {}
+    for r in li:
+        g = sums.setdefault(r["l_orderkey"], [0, 0])
+        g[0] += math.floor(
+            r["l_extendedprice"] * (1 - r["l_discount"]) * (1 + r["l_tax"]) * 100
+        )
+        g[1] += 1
+    classes: dict[str, list] = {}
+    for r in orders:
+        header = int(
+            Decimal(repr(r["o_totalprice"] * 100)).quantize(0, ROUND_HALF_UP)
+        )
+        comp, n = sums.get(r["o_orderkey"], [0, 0])
+        diff = abs(header - comp)
+        if n == 0:
+            st = "orphan_header"
+        elif diff <= n:
+            st = "reconciled"
+        else:
+            st = "mismatch"
+        c = classes.setdefault(st, [0, 0, 0])
+        c[0] += 1
+        c[1] += diff
+        c[2] = max(c[2], diff)
+    got = {r["status"]: r for r in Q["audit_totals_reconcile"](spark, sf_dir).collect()}
+    assert set(got) == set(classes)
+    for st, (n, s, w) in classes.items():
+        r = got[st]
+        assert (r["n_orders"], r["abs_diff_cents"], r["worst_diff_cents"]) == (
+            n,
+            s,
+            w,
+        )
+    assert sum(r["n_orders"] for r in got.values()) == len(orders)
