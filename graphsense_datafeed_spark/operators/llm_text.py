@@ -2314,3 +2314,131 @@ def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terms.withColumn(
         "js_sum_e9", F.sum("term_e9").over(wall).cast("bigint")
     )
+
+
+@query(
+    "text_heaps_law",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(str_split(text, ' ')) AS token
+        FROM documents WHERE text <> ''
+    ), firsts AS (
+        SELECT token, CAST(MIN(doc_id) AS BIGINT) AS first_doc
+        FROM toks GROUP BY token
+    ), per_doc AS (
+        SELECT t.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_toks,
+               CAST(COUNT(*) FILTER (f.first_doc = t.doc_id
+                    AND t.rn = 1) AS BIGINT) AS n_new
+        FROM (SELECT doc_id, token,
+                     row_number() OVER (PARTITION BY doc_id, token
+                                        ORDER BY doc_id) AS rn
+              FROM toks) t
+        JOIN firsts f USING (token)
+        GROUP BY t.doc_id
+    ), cum AS (
+        SELECT doc_id,
+               CAST(SUM(n_toks) OVER w AS BIGINT) AS cum_toks,
+               CAST(SUM(n_new) OVER w AS BIGINT) AS cum_vocab,
+               row_number() OVER (ORDER BY doc_id) AS rn,
+               COUNT(*) OVER () AS n_docs
+        FROM per_doc
+        WINDOW w AS (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), pts AS (
+        SELECT CAST(FLOOR(ln(CAST(cum_toks AS DOUBLE)) * 1000) AS BIGINT)
+                   AS x,
+               CAST(FLOOR(ln(CAST(cum_vocab AS DOUBLE)) * 1000) AS BIGINT)
+                   AS y
+        FROM cum WHERE rn % GREATEST(n_docs // 20, 1) = 0
+    ), s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM pts
+    )
+    SELECT n AS n_checkpoints,
+           CAST(FLOOR(
+               (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+               / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+               * 1000000) AS BIGINT) AS beta_e6
+    FROM s
+    """,
+)
+def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth fit (round 5 batch 28): V(n) ≈
+    K·n^β estimated by log-log OLS over ~20 checkpoints of the
+    (tokens seen, distinct vocab seen) curve in doc-id ingest order —
+    the companion of text_zipf_slope (Zipf: frequency vs rank at one
+    instant; Heaps: vocabulary vs corpus size over time, and the two
+    exponents are theoretically linked β ≈ 1/slope). Natural text
+    sits at β ≈ 0.4-0.7; β near 1 means the corpus never repeats
+    itself (ids/noise leaking into text), β near 0 means template
+    flood — the same failure modes text_ngram_novelty flags per doc,
+    here as ONE corpus curve exponent.
+
+    New-vocabulary attribution per doc = MIN(doc_id) per token
+    (novelty's discipline) counted once per (doc, token); cumulative
+    sums ride one ordered window over the per-doc table; checkpoint
+    (ln n, ln V) pairs floor to e3 ONCE (zipf discipline) and the
+    slope runs on five exact sums.
+
+    Scale: token firsts = one shuffle; the curve and fit live on
+    |docs| then ~20 rows."""
+    toks = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("text") != "")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    )
+    firsts = toks.groupBy("token").agg(
+        F.min("doc_id").cast("bigint").alias("first_doc")
+    )
+    per_tok = toks.join(firsts, "token").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("doc_id", "token").orderBy("doc_id")
+        ),
+    )
+    per_doc = per_tok.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_toks"),
+        F.count_if(
+            (F.col("first_doc") == F.col("doc_id")) & (F.col("rn") == 1)
+        )
+        .cast("bigint")
+        .alias("n_new"),
+    )
+    wcum = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = per_doc.select(
+        "doc_id",
+        F.sum("n_toks").over(wcum).cast("bigint").alias("cum_toks"),
+        F.sum("n_new").over(wcum).cast("bigint").alias("cum_vocab"),
+        F.row_number().over(Window.orderBy("doc_id")).alias("rn"),
+        F.count("*").over(wall).alias("n_docs"),
+    )
+    pts = cum.filter(
+        F.col("rn") % F.greatest(F.floor(F.col("n_docs") / 20), F.lit(1)) == 0
+    ).select(
+        F.floor(F.log(F.col("cum_toks").cast("double")) * 1000)
+        .cast("bigint")
+        .alias("x"),
+        F.floor(F.log(F.col("cum_vocab").cast("double")) * 1000)
+        .cast("bigint")
+        .alias("y"),
+    )
+    s = pts.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    beta = (d("n") * d("sxy") - d("sx") * d("sy")) / (
+        d("n") * d("sxx") - d("sx") * d("sx")
+    )
+    return s.select(
+        F.col("n").alias("n_checkpoints"),
+        F.floor(beta * 1000000).cast("bigint").alias("beta_e6"),
+    )

@@ -2340,3 +2340,93 @@ def events_behavior_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "entropy_rate_e9",
         F.sum("term_e9").over(Window.partitionBy()).cast("bigint"),
     )
+
+
+@query(
+    "ts_seasonality_strength",
+    """
+    WITH cells AS (
+        SELECT dayofweek(ts) AS dow, CAST(hour(ts) AS BIGINT) AS hod,
+               CAST(SUM(CAST(FLOOR(value * 10000) AS BIGINT)) AS BIGINT)
+                   AS s,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ), resid AS (
+        SELECT CAST(FLOOR(e.value * 10000) AS BIGINT) AS v,
+               CAST(FLOOR(CAST(CAST(FLOOR(e.value * 10000) AS BIGINT)
+                               AS DOUBLE)
+                          - CAST(c.s AS DOUBLE) / c.n) AS BIGINT) AS r
+        FROM events e
+        JOIN cells c ON dayofweek(e.ts) = c.dow
+                    AND CAST(hour(e.ts) AS BIGINT) = c.hod
+    ), stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(v) AS BIGINT) AS sv,
+               CAST(SUM(v * v) AS BIGINT) AS svv,
+               CAST(SUM(r) AS BIGINT) AS sr,
+               CAST(SUM(r * r) AS BIGINT) AS srr
+        FROM resid
+    )
+    SELECT n,
+           CAST(FLOOR(GREATEST(0.0,
+               1.0 - (CAST(srr AS DOUBLE) - CAST(sr AS DOUBLE) * sr / n)
+                     / (CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE) * sv / n))
+               * 1000000) AS BIGINT) AS strength_e6
+    FROM stats
+    """,
+)
+def ts_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality strength (round 5 batch 28): the fraction of total
+    variance the (dow × hour) seasonal component explains —
+    1 − Var(residual)/Var(raw), the Hyndman STL-strength measure in
+    its profile form — which turns ts_seasonality_profile (WHERE the
+    cycle is) and ts_seasonal_adjust (removing it) into ONE
+    decision number: near 0 ⇒ don't bother deseasonalizing, near 1 ⇒
+    the rhythm IS the series (and ts_anomaly_pipeline's residual gate
+    is the right anomaly detector). Clamped at 0 for the degenerate
+    negative case.
+
+    Both variances come from the SAME residual pass (raw values and
+    floored residuals side by side), all five sufficient statistics
+    exact bigints, ONE double formula — the agg_corr_exact layering
+    applied to the seasonal decomposition.
+
+    Scale: 168-cell broadcast + one scan + a 5-scalar fold; this is
+    the per-series health metric a forecasting platform computes for
+    every one of millions of series nightly."""
+    ev = load(spark, sf_dir, "events")
+    v = F.floor(F.col("value") * 10000).cast("bigint")
+    cells = ev.groupBy(
+        (F.dayofweek("ts") - 1).alias("dow"),
+        F.hour("ts").cast("bigint").alias("hod"),
+    ).agg(
+        F.sum(v).cast("bigint").alias("s"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    detail = ev.select(
+        (F.dayofweek("ts") - 1).alias("dow"),
+        F.hour("ts").cast("bigint").alias("hod"),
+        v.alias("v"),
+    )
+    j = detail.join(F.broadcast(cells), ["dow", "hod"])
+    r = F.floor(
+        F.col("v").cast("double") - F.col("s").cast("double") / F.col("n")
+    ).cast("bigint")
+    resid = j.select("v", r.alias("r"))
+    stats = resid.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("v").cast("bigint").alias("sv"),
+        F.sum(F.col("v") * F.col("v")).cast("bigint").alias("svv"),
+        F.sum("r").cast("bigint").alias("sr"),
+        F.sum(F.col("r") * F.col("r")).cast("bigint").alias("srr"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    strength = 1.0 - (d("srr") - d("sr") * d("sr") / F.col("n")) / (
+        d("svv") - d("sv") * d("sv") / F.col("n")
+    )
+    return stats.select(
+        "n",
+        F.floor(F.greatest(F.lit(0.0), strength) * 1000000)
+        .cast("bigint")
+        .alias("strength_e6"),
+    )

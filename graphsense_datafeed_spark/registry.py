@@ -263,6 +263,8 @@ _ROUND6_NEXT_UP = (
     "ts_control_chart_imr",
     "events_behavior_entropy_rate",
     "audit_totals_reconcile",
+    "ts_seasonality_strength",
+    "text_heaps_law",
 )
 
 _loaded = False

@@ -2200,3 +2200,78 @@ def test_totals_reconcile_matches_bruteforce(spark, sf_dir):
             w,
         )
     assert sum(r["n_orders"] for r in got.values()) == len(orders)
+
+
+def test_seasonality_strength_matches_bruteforce(spark, sf_dir):
+    rows = (
+        load(spark, sf_dir, "events")
+        .select(
+            (F.dayofweek("ts") - 1).alias("dow"),
+            F.hour("ts").alias("hod"),
+            "value",
+        )
+        .collect()
+    )
+    sums: dict[tuple, list] = {}
+    for r in rows:
+        k = (r["dow"], r["hod"])
+        g = sums.setdefault(k, [0, 0])
+        g[0] += math.floor(r["value"] * 10000)
+        g[1] += 1
+    vs, rs = [], []
+    for r in rows:
+        v = math.floor(r["value"] * 10000)
+        s, n = sums[(r["dow"], r["hod"])]
+        vs.append(v)
+        rs.append(math.floor(v - s / n))
+    n = len(vs)
+    var = lambda xs: sum(x * x for x in xs) - sum(xs) ** 2 / n  # noqa: E731
+    strength = max(0.0, 1.0 - var(rs) / var(vs))
+    got = Q["ts_seasonality_strength"](spark, sf_dir).collect()[0]
+    assert got["n"] == n
+    assert got["strength_e6"] == math.floor(strength * 1_000_000)
+    assert 0 <= got["strength_e6"] <= 1_000_000
+
+
+def test_heaps_law_matches_bruteforce(spark, sf_dir):
+    docs = sorted(
+        load(spark, sf_dir, "documents")
+        .filter(F.col("text") != "")
+        .select("doc_id", "text")
+        .collect(),
+        key=lambda r: r["doc_id"],
+    )
+    seen: set = set()
+    cum_toks = cum_vocab = 0
+    curve = []
+    for r in docs:
+        toks = r["text"].split(" ")
+        cum_toks += len(toks)
+        new = {t for t in toks if t not in seen}
+        cum_vocab += len(new)
+        seen |= new
+        curve.append((cum_toks, cum_vocab))
+    step = max(len(docs) // 20, 1)
+    pts = [
+        (
+            math.floor(math.log(ct) * 1000),
+            math.floor(math.log(cv) * 1000),
+        )
+        for i, (ct, cv) in enumerate(curve, 1)
+        if i % step == 0
+    ]
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    got = Q["text_heaps_law"](spark, sf_dir).collect()[0]
+    assert got["n_checkpoints"] == n
+    assert got["beta_e6"] == math.floor(beta * 1_000_000)
+    # vocabulary grows sublinearly on a repeating corpus; this
+    # fixture's tiny vocab (~31 words) saturates almost immediately,
+    # so the exponent legitimately sits at ~0 — the 'template flood'
+    # reading the operator exists to flag
+    assert 0 <= got["beta_e6"] < 1_000_000
+    assert curve[-1][1] == len(seen)
