@@ -219,3 +219,109 @@ def test_zvalue_bijective_and_cross_engine(spark, pairs):
     # bijective: distinct pairs → distinct z
     distinct_pairs = {(x, y) for _, x, y in rows}
     assert len({got[i] for i, x, y in rows}) == len(distinct_pairs)
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=-10**9, max_value=10**9), min_size=1, max_size=15),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(**_SETTINGS)
+def test_doubled_unit_median_parity(spark, arrs):
+    """The lo+hi sorted-midpoint kernel (win_moving_median /
+    win_hampel_filter's doubled-unit median) must agree cross-engine
+    for ANY integer array — odd, even, duplicated, negative."""
+    rows = [(i, a) for i, a in enumerate(arrs)]
+    n = F.size("a")
+    srt = F.array_sort("a")
+    lo = F.element_at(srt, F.floor((n + 1) / 2).cast("int"))
+    hi = F.element_at(srt, (n - F.floor((n - 1) / 2)).cast("int"))
+    _compare(
+        spark,
+        rows,
+        "i int, a array<long>",
+        [(lo + hi).alias("med2")],
+        """
+        SELECT i,
+               list_sort(a)[CAST((len(a) + 1) // 2 AS INT)]
+               + list_sort(a)[CAST(len(a) - (len(a) - 1) // 2 AS INT)]
+                   AS med2
+        FROM t
+        """,
+    )
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=1), min_size=1, max_size=24),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(**_SETTINGS)
+def test_seedless_bit_fold_parity(spark, arrs):
+    """acc·2 + x folded WITHOUT an explicit seed must equal the
+    seed-0 fold on both engines (multimodal_phash_dedup's block-key
+    kernel relies on DuckDB's first-element seeding ≡ Spark's 0
+    seed for this operator)."""
+    rows = [(i, a) for i, a in enumerate(arrs)]
+    spark_fold = F.aggregate(
+        "a", F.lit(0).cast("bigint"), lambda acc, x: acc * 2 + x
+    ).alias("key")
+    _compare(
+        spark,
+        rows,
+        "i int, a array<long>",
+        [spark_fold],
+        "SELECT i, list_reduce(a, (acc, x) -> acc * 2 + x) AS key FROM t",
+    )
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2**52),
+            st.integers(min_value=0, max_value=10**11),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**_SETTINGS)
+def test_sortable_string_encode_roundtrip_parity(spark, pairs):
+    """The fixed-width zero-padded (epoch_us‖id) string encoding
+    (events_attribution / join_asof_nearest) must decode back to its
+    inputs identically on both engines, and its string order must
+    equal the numeric order."""
+    rows = [(i, a, b) for i, (a, b) in enumerate(pairs)]
+    key = F.concat(
+        F.lpad(F.col("a").cast("string"), 20, "0"),
+        F.lit("|"),
+        F.lpad(F.col("b").cast("string"), 12, "0"),
+    )
+    _compare(
+        spark,
+        rows,
+        "i int, a long, b long",
+        [
+            F.substring(key, 1, 20).cast("bigint").alias("back_a"),
+            F.substring(key, 22, 12).cast("bigint").alias("back_b"),
+        ],
+        """
+        SELECT i,
+               CAST(substr(lpad(CAST(a AS VARCHAR), 20, '0') || '|'
+                           || lpad(CAST(b AS VARCHAR), 12, '0'),
+                           1, 20) AS BIGINT) AS back_a,
+               CAST(substr(lpad(CAST(a AS VARCHAR), 20, '0') || '|'
+                           || lpad(CAST(b AS VARCHAR), 12, '0'),
+                           22, 12) AS BIGINT) AS back_b
+        FROM t
+        """,
+    )
+    # string order ≡ numeric order (the property MAX-over-window uses)
+    encoded = sorted(
+        (f"{a:020d}|{b:012d}", (a, b)) for a, b in pairs
+    )
+    assert [v for _, v in encoded] == sorted((a, b) for a, b in pairs)
