@@ -2430,3 +2430,89 @@ def ts_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("strength_e6"),
     )
+
+
+@query(
+    "events_funnel_windowed",
+    """
+    WITH firsts AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'signup' THEN ts END) AS s_ts
+        FROM events GROUP BY user_id
+    ), conv AS (
+        SELECT f.user_id, f.s_ts,
+               MIN(e.ts) AS conv_ts
+        FROM firsts f
+        JOIN events e
+          ON e.user_id = f.user_id
+         AND e.event_type = 'purchase'
+         AND e.ts > f.s_ts
+         AND epoch_us(e.ts) - epoch_us(f.s_ts) <= 86400000000
+        WHERE f.s_ts IS NOT NULL
+        GROUP BY f.user_id, f.s_ts
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM firsts
+            WHERE s_ts IS NOT NULL) AS n_signups,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM conv) AS n_converted_24h,
+           CAST(FLOOR(
+               (SELECT CAST(COUNT(*) AS DOUBLE) FROM conv)
+               / (SELECT COUNT(*) FROM firsts WHERE s_ts IS NOT NULL)
+               * 10000) AS BIGINT) AS conv_rate_e4
+    """,
+)
+def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded funnel conversion (round 5 batch 29): a signup
+    counts as converted only if the first subsequent purchase lands
+    WITHIN 24 hours — the windowed semantics growth teams actually
+    report ("D1 conversion"), which events_funnel's unbounded count
+    inflates (a purchase a month later is not activation) and
+    events_conversion_lag's decile table summarizes from the other
+    side. Together the three answer: did they convert (bounded), how
+    many ever (unbounded), and how fast (distribution).
+
+    First-signup per user (conditional MIN, order-free), one
+    window-bounded join to the purchase stream (the predicate is an
+    integer-µs comparison), and three exact counts folded into one
+    row with a single floored rate.
+
+    Scale: the join is keyed on user_id with the time bound as a
+    residual predicate — one exchange; the firsts table is the same
+    persisted artifact events_conversion_lag uses."""
+    ev = load(spark, sf_dir, "events")
+    firsts = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "signup", F.col("ts"))
+            ).alias("s_ts")
+        )
+        .filter(F.col("s_ts").isNotNull())
+    )
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    conv = (
+        firsts.join(
+            p,
+            (F.col("p_user") == F.col("user_id"))
+            & (F.col("p_ts") > F.col("s_ts"))
+            & (us("p_ts") - us("s_ts") <= 86400000000),
+        )
+        .groupBy("user_id")
+        .agg(F.min("p_ts").alias("conv_ts"))
+    )
+    n_signups = firsts.agg(F.count("*").cast("bigint").alias("n_signups"))
+    n_conv = conv.agg(F.count("*").cast("bigint").alias("n_converted_24h"))
+    out = n_signups.crossJoin(F.broadcast(n_conv))
+    return out.select(
+        "n_signups",
+        "n_converted_24h",
+        F.floor(
+            F.col("n_converted_24h").cast("double")
+            / F.col("n_signups")
+            * 10000
+        )
+        .cast("bigint")
+        .alias("conv_rate_e4"),
+    )

@@ -265,6 +265,7 @@ _ROUND6_NEXT_UP = (
     "audit_totals_reconcile",
     "ts_seasonality_strength",
     "text_heaps_law",
+    "events_funnel_windowed",
 )
 
 _loaded = False

@@ -2275,3 +2275,38 @@ def test_heaps_law_matches_bruteforce(spark, sf_dir):
     # reading the operator exists to flag
     assert 0 <= got["beta_e6"] < 1_000_000
     assert curve[-1][1] == len(seen)
+
+
+def test_funnel_windowed_matches_bruteforce(spark, sf_dir):
+    import datetime
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    ).collect()
+    signup: dict[int, object] = {}
+    for r in ev:
+        if r["event_type"] == "signup":
+            if r["user_id"] not in signup or r["ts"] < signup[r["user_id"]]:
+                signup[r["user_id"]] = r["ts"]
+    day = datetime.timedelta(hours=24)
+    converted = set()
+    for r in ev:
+        if (
+            r["event_type"] == "purchase"
+            and r["user_id"] in signup
+            and signup[r["user_id"]] < r["ts"] <= signup[r["user_id"]] + day
+        ):
+            converted.add(r["user_id"])
+    got = Q["events_funnel_windowed"](spark, sf_dir).collect()[0]
+    assert got["n_signups"] == len(signup)
+    assert got["n_converted_24h"] == len(converted)
+    assert got["conv_rate_e4"] == math.floor(
+        len(converted) / len(signup) * 10000
+    )
+    # windowed conversion can never exceed the unbounded funnel's reach
+    unbounded = {
+        r["user_id"]
+        for r in Q["events_funnel"](spark, sf_dir).collect()
+        if r["purchases_after"] > 0
+    }
+    assert converted <= unbounded
