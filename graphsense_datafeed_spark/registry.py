@@ -153,11 +153,15 @@ _ROUND5_WINDOW = (
 )
 
 # Overflow queue behind the window: the round-5 operators that landed
-# AFTER the window was pinned (batches 2-5), each local-gate green at
-# sf0.01+sf0.001 but never driver-checked. ROUND-6 ROTATION RECIPE:
-# promote this whole queue to the front of the next window, then fill
-# the remaining slots with any r5 rows that came back non-green plus
-# a rotating re-check sample of long-green rows.
+# AFTER the window was pinned (batches 2-29), each local-gate green at
+# sf0.01+sf0.001 but never driver-checked. The continuation grew this
+# queue past 100 entries — more than two driver windows' worth.
+# ROUND-6+ ROTATION RECIPE: promote the FIRST 50 of this queue to the
+# round-6 window (drop them from the queue), the next 50 to round 7,
+# and so on, front-loading any rows that came back non-green; once the
+# queue drains, windows become rotating re-check samples of long-green
+# rows. Every entry is ordered oldest-first so driver coverage follows
+# landing order.
 _ROUND6_NEXT_UP = (
     "agg_decimal_exact",
     "histogram_equidepth",
