@@ -1,7 +1,7 @@
-"""Semantic checks for the round-5 batch-6 operators — brute-force
-Python referees for the properties the parity hash can't express (the
-hash proves Spark≡DuckDB; these prove both mean what the operator
-claims)."""
+"""Semantic checks for the round-5 continuation operators (batches
+6-29) — brute-force Python referees for the properties the parity hash
+can't express (the hash proves Spark≡DuckDB; these prove both mean
+what the operator claims)."""
 
 import math
 
