@@ -2516,3 +2516,180 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("conv_rate_e4"),
     )
+
+
+@query(
+    "ts_rolling_corr",
+    """
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h,
+               CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS x,
+               CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT)
+                   AS y
+        FROM events GROUP BY 1
+    ), rolled AS (
+        SELECT h, x, y,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n,
+               CAST(SUM(x) OVER w AS BIGINT) AS sx,
+               CAST(SUM(y) OVER w AS BIGINT) AS sy,
+               CAST(SUM(x * y) OVER w AS BIGINT) AS sxy,
+               CAST(SUM(x * x) OVER w AS BIGINT) AS sxx,
+               CAST(SUM(y * y) OVER w AS BIGINT) AS syy
+        FROM hourly
+        WINDOW w AS (ORDER BY h ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+    )
+    SELECT h, n,
+           CASE WHEN n >= 12
+                 AND (CAST(n AS DOUBLE) * sxx
+                      - CAST(sx AS DOUBLE) * sx) > 0
+                 AND (CAST(n AS DOUBLE) * syy
+                      - CAST(sy AS DOUBLE) * sy) > 0 THEN
+               CAST(FLOOR(
+                   (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                   / sqrt((CAST(n AS DOUBLE) * sxx
+                           - CAST(sx AS DOUBLE) * sx)
+                          * (CAST(n AS DOUBLE) * syy
+                             - CAST(sy AS DOUBLE) * sy))
+                   * 1000000) AS BIGINT)
+           END AS corr_e6
+    FROM rolled
+    """,
+)
+def ts_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling correlation between two series (round 5 batch 30):
+    trailing-24-hour Pearson between hourly click and purchase
+    volumes — the metric-COUPLING monitor ("did purchases stop
+    following clicks?") behind funnel-health alerts and pairs-style
+    coupling checks, which the static agg_corr_exact can't see
+    drifting and per-series anomaly flags don't relate. Cold-start
+    rows (<12 hours) and degenerate windows (zero variance in either
+    leg — constant series) emit NULL rather than a fabricated number.
+
+    agg_corr_exact's discipline made SLIDING: the five sufficient
+    statistics are exact bigint WINDOW sums over the hourly pair
+    table, merged per row into one guarded double formula. The pair
+    table comes from one conditional-count agg (hours × 2 metrics in
+    one pass), so the unpartitioned window runs over calendar-sized
+    rows (the histogram reduction).
+
+    Scale: at 100 TB the hourly pair table is the persisted rollup;
+    the rolling window is bucket-decomposable like every prefix
+    scan."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count_if(F.col("event_type") == "click").cast("bigint").alias("x"),
+        F.count_if(F.col("event_type") == "purchase")
+        .cast("bigint")
+        .alias("y"),
+    )
+    w = Window.orderBy("h").rowsBetween(-23, 0)
+    rolled = hourly.select(
+        "h",
+        F.count("*").over(w).cast("bigint").alias("n"),
+        F.sum("x").over(w).cast("bigint").alias("sx"),
+        F.sum("y").over(w).cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).cast("bigint").alias("syy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    varx = d("n") * d("sxx") - d("sx") * d("sx")
+    vary = d("n") * d("syy") - d("sy") * d("sy")
+    corr = (d("n") * d("sxy") - d("sx") * d("sy")) / F.sqrt(varx * vary)
+    return rolled.select(
+        "h",
+        "n",
+        F.when(
+            (F.col("n") >= 12) & (varx > 0) & (vary > 0),
+            F.floor(corr * 1000000).cast("bigint"),
+        ).alias("corr_e6"),
+    )
+
+
+@query(
+    "events_audience_overlap",
+    """
+    WITH aud AS (
+        SELECT DISTINCT event_type, user_id FROM events
+    ), sizes AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM aud GROUP BY event_type
+    ), inter AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM aud a JOIN aud b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT i.type_a, i.type_b, i.n_common,
+           sa.n AS n_a, sb.n AS n_b,
+           CAST(FLOOR(CAST(i.n_common AS DOUBLE) * 10000
+                      / (sa.n + sb.n - i.n_common)) AS BIGINT)
+               AS jaccard_e4,
+           CAST(FLOOR(CAST(i.n_common AS DOUBLE) * 10000
+                      / LEAST(sa.n, sb.n)) AS BIGINT) AS containment_e4
+    FROM inter i
+    JOIN sizes sa ON sa.event_type = i.type_a
+    JOIN sizes sb ON sb.event_type = i.type_b
+    """,
+)
+def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix between event types (round 5 batch
+    30): for every pair of behaviors, the users doing BOTH — as raw
+    intersection, Jaccard, and containment (overlap over the SMALLER
+    audience — the right number when one behavior is rare:
+    purchase ⊂ click reads ~100% containment at tiny Jaccard). The
+    segmentation readout behind "should these audiences share a
+    campaign?" and the behavioral cousin of graph_common_neighbors
+    (same program: distinct bipartite membership → key-bucketed pair
+    intersection → normalized scores).
+
+    Intersections come from a user-keyed self-join of the DISTINCT
+    (type, user) table — work is Σ_user (types-per-user)², bounded by
+    the type alphabet, never users²; sizes broadcast back. All counts
+    exact bigint; Jaccard and containment one floored division each.
+
+    Scale: at a 10⁶-type alphabet the hot-user cap (count-certified,
+    the dedup_near guard) bounds the per-user pair expansion; here
+    the alphabet is 5."""
+    ev = load(spark, sf_dir, "events")
+    aud = ev.select("event_type", "user_id").distinct()
+    sizes = aud.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    a = aud.select(F.col("event_type").alias("type_a"), "user_id")
+    b = aud.select(F.col("event_type").alias("type_b"), "user_id")
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("event_type").alias("type_a"), F.col("n").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("event_type").alias("type_b"), F.col("n").alias("n_b")
+    )
+    j = inter.join(F.broadcast(sa), "type_a").join(F.broadcast(sb), "type_b")
+    return j.select(
+        "type_a",
+        "type_b",
+        "n_common",
+        "n_a",
+        "n_b",
+        F.floor(
+            F.col("n_common").cast("double")
+            * 10000
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+        )
+        .cast("bigint")
+        .alias("jaccard_e4"),
+        F.floor(
+            F.col("n_common").cast("double")
+            * 10000
+            / F.least(F.col("n_a"), F.col("n_b"))
+        )
+        .cast("bigint")
+        .alias("containment_e4"),
+    )

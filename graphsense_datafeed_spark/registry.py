@@ -270,6 +270,8 @@ _ROUND6_NEXT_UP = (
     "ts_seasonality_strength",
     "text_heaps_law",
     "events_funnel_windowed",
+    "ts_rolling_corr",
+    "events_audience_overlap",
 )
 
 _loaded = False

@@ -2310,3 +2310,65 @@ def test_funnel_windowed_matches_bruteforce(spark, sf_dir):
         if r["purchases_after"] > 0
     }
     assert converted <= unbounded
+
+
+def test_rolling_corr_matches_bruteforce(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").select("ts", "event_type").collect()
+    hourly: dict = {}
+    for r in ev:
+        h = r["ts"].replace(minute=0, second=0, microsecond=0)
+        g = hourly.setdefault(h, [0, 0])
+        if r["event_type"] == "click":
+            g[0] += 1
+        elif r["event_type"] == "purchase":
+            g[1] += 1
+    hs = sorted(hourly)
+    got = {r["h"]: r for r in Q["ts_rolling_corr"](spark, sf_dir).collect()}
+    assert set(got) == set(hs)
+    for i, h in enumerate(hs):
+        frame = [hourly[x] for x in hs[max(0, i - 23) : i + 1]]
+        n = len(frame)
+        sx = sum(x for x, _ in frame)
+        sy = sum(y for _, y in frame)
+        sxy = sum(x * y for x, y in frame)
+        sxx = sum(x * x for x, _ in frame)
+        syy = sum(y * y for _, y in frame)
+        varx = n * sxx - sx * sx
+        vary = n * syy - sy * sy
+        r = got[h]
+        assert r["n"] == n
+        if n >= 12 and varx > 0 and vary > 0:
+            want = math.floor(
+                (n * sxy - sx * sy) / math.sqrt(varx * vary) * 1_000_000
+            )
+            assert r["corr_e6"] == want
+            assert -1_000_000 <= r["corr_e6"] <= 1_000_000
+        else:
+            assert r["corr_e6"] is None
+
+
+def test_audience_overlap_matches_bruteforce(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").select("event_type", "user_id").collect()
+    aud: dict[str, set] = {}
+    for r in ev:
+        aud.setdefault(r["event_type"], set()).add(r["user_id"])
+    types = sorted(aud)
+    got = {
+        (r["type_a"], r["type_b"]): r
+        for r in Q["events_audience_overlap"](spark, sf_dir).collect()
+    }
+    for i, a in enumerate(types):
+        for b in types[i + 1 :]:
+            common = len(aud[a] & aud[b])
+            if common == 0:
+                assert (a, b) not in got
+                continue
+            r = got[(a, b)]
+            assert r["n_common"] == common
+            assert (r["n_a"], r["n_b"]) == (len(aud[a]), len(aud[b]))
+            union = len(aud[a] | aud[b])
+            assert r["jaccard_e4"] == math.floor(common * 10000 / union)
+            assert r["containment_e4"] == math.floor(
+                common * 10000 / min(len(aud[a]), len(aud[b]))
+            )
+            assert r["jaccard_e4"] <= r["containment_e4"]
