@@ -2764,3 +2764,56 @@ def agg_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_hat"),
     )
+
+
+@query(
+    "agg_simpson_diversity",
+    """
+    WITH counts AS (
+        SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(SUM(c) AS BIGINT) AS n_events,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(FLOOR((1.0 - CAST(SUM(c * c) AS DOUBLE)
+                             / (CAST(SUM(c) AS DOUBLE) * SUM(c)))
+                      * 1000000) AS BIGINT) AS simpson_e6
+    FROM counts GROUP BY user_id
+    """,
+)
+def agg_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson diversity per user (round 5 batch 31): 1 − Σpᵢ² — the
+    probability two random events from the same user differ in type.
+    agg_entropy's quadratic sibling with a different sensitivity
+    profile: entropy weights rare behaviors logarithmically (a single
+    stray event moves it), Simpson is dominated by the TOP shares (a
+    bot that is 99% one action scores ≈0 regardless of a long rare
+    tail) — which is why ecology reports both, and why the bot-triage
+    stack here pairs it with the entropy rate and burstiness.
+
+    Exact: per-(user, type) counts are bigint; Σc² and (Σc)² stay in
+    integer arithmetic with ONE double division — no per-share float
+    terms at all (unlike entropy's fold, Simpson needs no logs, so
+    the whole statistic is a ratio of exact integers).
+
+    Scale: one two-key agg + one user-key agg, both map-side
+    combinable; state per user = two longs."""
+    ev = load(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    return counts.groupBy("user_id").agg(
+        F.sum("c").cast("bigint").alias("n_events"),
+        F.count("*").cast("bigint").alias("n_types"),
+        F.floor(
+            (
+                1.0
+                - F.sum(F.col("c") * F.col("c")).cast("double")
+                / (F.sum("c").cast("double") * F.sum("c"))
+            )
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("simpson_e6"),
+    )

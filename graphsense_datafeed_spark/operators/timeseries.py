@@ -2693,3 +2693,61 @@ def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("containment_e4"),
     )
+
+
+@query(
+    "ts_local_peaks",
+    """
+    WITH tape AS (
+        SELECT event_id, event_type, ts,
+               CAST(FLOOR(value * 10000) AS BIGINT) AS v,
+               lag(CAST(FLOOR(value * 10000) AS BIGINT)) OVER w AS prev_v,
+               lead(CAST(FLOOR(value * 10000) AS BIGINT)) OVER w AS next_v
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    )
+    SELECT event_id, event_type, v AS v_e4,
+           CAST(v - GREATEST(prev_v, next_v) AS BIGINT) AS prominence_e4
+    FROM tape
+    WHERE prev_v IS NOT NULL AND next_v IS NOT NULL
+      AND v > prev_v AND v > next_v
+      AND v - GREATEST(prev_v, next_v) >= 500000
+    """,
+)
+def ts_local_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local peak detection with a prominence floor (round 5 batch
+    31): points strictly above BOTH neighbors by ≥ 50 units — the
+    spike-shape extractor feeding event annotation and burst triage,
+    complementary to the threshold detectors: z-scores/Hampel flag
+    "far from baseline" (a plateau qualifies), a peak is a SHAPE
+    (strict local maximum), and the prominence floor separates signal
+    spikes from sampling jitter. The 1-neighbor form is the canonical
+    lag/lead program; wider plateaus and multi-scale prominence are
+    the documented extension via the same tape with k lags.
+
+    Strict integer comparisons on floored values over one
+    (series, time) window exchange — edges (no neighbor) are excluded
+    rather than padded. Scale: one exchange + sort, narrow filter."""
+    ev = load(spark, sf_dir, "events")
+    v = F.floor(F.col("value") * 10000).cast("bigint")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    tape = ev.select(
+        "event_id",
+        "event_type",
+        v.alias("v"),
+        F.lag(v).over(w).alias("prev_v"),
+        F.lead(v).over(w).alias("next_v"),
+    )
+    prominence = F.col("v") - F.greatest(F.col("prev_v"), F.col("next_v"))
+    return tape.filter(
+        F.col("prev_v").isNotNull()
+        & F.col("next_v").isNotNull()
+        & (F.col("v") > F.col("prev_v"))
+        & (F.col("v") > F.col("next_v"))
+        & (prominence >= 500000)
+    ).select(
+        "event_id",
+        "event_type",
+        F.col("v").alias("v_e4"),
+        prominence.cast("bigint").alias("prominence_e4"),
+    )

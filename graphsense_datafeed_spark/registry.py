@@ -272,6 +272,8 @@ _ROUND6_NEXT_UP = (
     "events_funnel_windowed",
     "ts_rolling_corr",
     "events_audience_overlap",
+    "agg_simpson_diversity",
+    "ts_local_peaks",
 )
 
 _loaded = False

@@ -2372,3 +2372,45 @@ def test_audience_overlap_matches_bruteforce(spark, sf_dir):
                 common * 10000 / min(len(aud[a]), len(aud[b]))
             )
             assert r["jaccard_e4"] <= r["containment_e4"]
+
+
+def test_simpson_diversity_matches_bruteforce(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type").collect()
+    per_user: dict[int, dict] = {}
+    for r in ev:
+        per_user.setdefault(r["user_id"], {}).setdefault(r["event_type"], 0)
+        per_user[r["user_id"]][r["event_type"]] += 1
+    got = {r["user_id"]: r for r in Q["agg_simpson_diversity"](spark, sf_dir).collect()}
+    assert set(got) == set(per_user)
+    for uid, counts in per_user.items():
+        n = sum(counts.values())
+        ssq = sum(c * c for c in counts.values())
+        want = math.floor((1.0 - ssq / (n * n)) * 1_000_000)
+        r = got[uid]
+        assert (r["n_events"], r["n_types"]) == (n, len(counts))
+        assert r["simpson_e6"] == want
+        assert 0 <= r["simpson_e6"] < 1_000_000
+
+
+def test_local_peaks_match_bruteforce(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", "value"
+    ).collect()
+    series: dict[str, list] = {}
+    for r in sorted(ev, key=lambda r: (r["ts"], r["event_id"])):
+        series.setdefault(r["event_type"], []).append(
+            (r["event_id"], math.floor(r["value"] * 10000))
+        )
+    want = {}
+    for et, items in series.items():
+        for i in range(1, len(items) - 1):
+            eid, v = items[i]
+            pv, nv = items[i - 1][1], items[i + 1][1]
+            prom = v - max(pv, nv)
+            if v > pv and v > nv and prom >= 500_000:
+                want[eid] = (v, prom)
+    got = {r["event_id"]: r for r in Q["ts_local_peaks"](spark, sf_dir).collect()}
+    assert set(got) == set(want)
+    for eid, (v, prom) in want.items():
+        assert (got[eid]["v_e4"], got[eid]["prominence_e4"]) == (v, prom)
+    assert want, "prominence floor should still leave real peaks"
