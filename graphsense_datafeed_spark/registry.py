@@ -152,17 +152,12 @@ _ROUND5_WINDOW = (
     "agg_count_if_distinct",
 )
 
-# Overflow queue behind the window: the round-5 operators that landed
-# AFTER the window was pinned (batches 2-29), each local-gate green at
-# sf0.01+sf0.001 but never driver-checked. The continuation grew this
-# queue past 100 entries — more than two driver windows' worth.
-# ROUND-6+ ROTATION RECIPE: promote the FIRST 50 of this queue to the
-# round-6 window (drop them from the queue), the next 50 to round 7,
-# and so on, front-loading any rows that came back non-green; once the
-# queue drains, windows become rotating re-check samples of long-green
-# rows. Every entry is ordered oldest-first so driver coverage follows
-# landing order.
-_ROUND6_NEXT_UP = (
+# Round-6 window: the first 50 of the round-5 overflow queue, promoted
+# per the documented rotation recipe (VERDICT r5 item 1).  Every entry
+# is local-sweep green; a green CORRECTNESS_r06 row for each converts
+# it from judge-verified to driver-verified.  sim_ann_pq (a ✖ row,
+# never driver-seen) rides at its queued position (#48).
+_ROUND6_WINDOW = (
     "agg_decimal_exact",
     "histogram_equidepth",
     "join_bucketed_colocated",
@@ -213,6 +208,13 @@ _ROUND6_NEXT_UP = (
     "sim_ann_pq",
     "join_asof_nearest",
     "agg_kl_divergence",
+)
+
+# Remaining overflow queue (61 entries) -> the round-7 window, plus any
+# round-6 additions appended at the tail.  Once this drains, windows
+# become rotating re-check samples of long-green rows, front-loading
+# any row that came back non-green.
+_ROUND7_NEXT_UP = (
     "embed_drift_labels",
     "text_url_normalize",
     "win_pattern_match",
@@ -288,7 +290,7 @@ def load_all_operators() -> None:
         return
     for mod in _OPERATOR_MODULES:
         importlib.import_module(mod)
-    pinned = [q for q in _ROUND5_WINDOW + _ROUND6_NEXT_UP if q in QUERIES]
+    pinned = [q for q in _ROUND6_WINDOW + _ROUND7_NEXT_UP + _ROUND5_WINDOW if q in QUERIES]
     rest = [q for q in QUERIES if q not in set(pinned)]
     reordered = {q: QUERIES[q] for q in [*pinned, *rest]}
     QUERIES.clear()
