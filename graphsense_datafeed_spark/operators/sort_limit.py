@@ -174,27 +174,67 @@ def skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparison per row. Integer price floor makes tie classes
     structural across engines.
 
-    Scale: a global sort — but the skyline's input can be pre-pruned
-    to per-partition skylines first (skyline(∪) = skyline(∪ of
-    partial skylines), the standard distributed reduction, documented
-    here: partial skylines are tiny, the global pass runs on their
-    union); the window itself is the same running-max discipline as
-    win_running_sum."""
+    Scale: the standard two-phase distributed reduction —
+    skyline(S) = skyline(∪ of per-partition partial skylines).  Phase 1
+    sorts WITHIN each input partition (local sort, zero exchange) and
+    folds the same strictly-preceding running-max through an Arrow
+    ``mapInPandas`` stream, dropping every locally-dominated row.  The
+    pruning is exact, not heuristic: the sort is a total order
+    (price, date DESC, orderkey), so a row's local dominator also
+    precedes it globally with a date ≥ the local best — locally
+    dominated ⇒ globally dominated — while a global survivor's local
+    preceding set is a subset of its global one, so it always survives
+    phase 1.  Phase 2 re-runs the identical window globally, but over
+    only the partial-skyline union (expected O(P·log n) rows for
+    random data), so the single-partition sort that previously moved
+    the whole fact table now moves a shortlist, and no network
+    exchange ever carries the full input.  Partition boundaries only
+    affect how MUCH phase 1 prunes — phase 2 alone decides membership,
+    so the result is deterministic.  Pinned in tests/test_plans.py:
+    the one Exchange SinglePartition in the plan consumes the phase-1
+    output, never the raw scan."""
     o = load(spark, sf_dir, "orders")
     pts = o.select(
         "o_orderkey",
         F.floor("o_totalprice").cast("bigint").alias("price_fl"),
         "o_orderdate",
     )
-    w = (
-        Window.orderBy(
-            F.col("price_fl").asc(),
-            F.col("o_orderdate").desc(),
-            F.col("o_orderkey").asc(),
-        ).rowsBetween(Window.unboundedPreceding, -1)
+    order_keys = [
+        F.col("price_fl").asc(),
+        F.col("o_orderdate").desc(),
+        F.col("o_orderkey").asc(),
+    ]
+
+    def _partial_skyline(batches):
+        import pandas as pd
+
+        best = None  # running max date over all rows seen so far
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            d = pd.to_datetime(pdf["o_orderdate"])
+            prev = d.cummax().shift(1)
+            if best is not None:
+                # max(prev, carry-in best); NaT compares False -> best
+                prev = prev.where(prev >= best, best)
+            keep = prev.isna() | (d > prev)
+            batch_max = d.max()
+            if best is None or batch_max > best:
+                best = batch_max
+            out = pdf[keep.values]
+            if len(out):
+                yield out
+
+    partial = pts.sortWithinPartitions(*order_keys).mapInPandas(
+        _partial_skyline, schema=pts.schema
     )
-    flagged = pts.withColumn(
-        "best_date_cheaper", F.max("o_orderdate").over(w)
+
+    # Phase 2: exact skyline over the pruned union.
+    w_global = Window.orderBy(*order_keys).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    flagged = partial.withColumn(
+        "best_date_cheaper", F.max("o_orderdate").over(w_global)
     )
     return flagged.filter(
         F.col("best_date_cheaper").isNull()

@@ -555,3 +555,19 @@ def test_kcore_peel_round_is_semi_joins(spark, sf_dir):
     p = plan_of(one_round)
     assert p.count("LeftSemi") >= 2
     assert "CartesianProduct" not in p
+
+
+def test_skyline_two_phase_reduction(spark, sf_dir):
+    """skyline_2d's single-partition window must consume the phase-1
+    partial-skyline output (MapInPandas over a local sort), never the
+    raw orders scan — the distributed reduction from VERDICT r5 #2."""
+    p = plan_of(QUERIES["skyline_2d"](spark, sf_dir))
+    assert "MapInPandas" in p, p
+    # exactly one exchange, the single-partition one for phase 2
+    assert p.count("SinglePartition") == 1, p
+    # phase-1 local sort does not shuffle: no hash exchange anywhere
+    assert "hashpartitioning" not in p, p
+    # tree prints sink-first: the global Exchange sits ABOVE the
+    # phase-1 Arrow fold, i.e. it consumes the pruned set, not the scan
+    tree = p.split("\n\n")[0]
+    assert tree.index("Exchange") < tree.index("MapInPandas"), tree
