@@ -368,35 +368,66 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     value stream — the classic smoother whose recurrence
     s_i = α·v_i + (1−α)·s_{i−1} is inherently SEQUENTIAL per key: no
     window frame expresses it, and the closed-form power expansion
-    under/overflows past ~1e3 observations. The scalable formulation
-    is exactly what a keyed fold is: collect the (bounded, per-key)
-    series in event order and fold left — keys parallelize across
-    executors, the sequence runs inside one.
+    under/overflows past ~1e3 observations.
 
-    Engine parity is the whole trick: both engines fold the IDENTICAL
-    ordered list with the IDENTICAL seed (DuckDB's list_reduce seeds
-    with the first element; Spark seeds F.aggregate with element 1 and
-    folds the slice from 2), so every IEEE64 op matches bit-for-bit
-    and floor-e6 is hash-safe. Order is total: (ts, event_id) with
-    event_id unique. At 100 TB the same recurrence runs incrementally
-    as keyed streaming state (stream_stateful's shape) — one double
-    per key, no history."""
-    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 30)
-    packed = ev.groupBy("user_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))),
-            lambda s: s.value,
-        ).alias("vals")
+    The scalable formulation is a BOUNDED keyed fold, never a
+    collected array (VERDICT r5 #3): hash-repartition on user_id (one
+    exchange — the same shuffle the groupBy paid), sort WITHIN each
+    partition by (user_id, ts, event_id), then stream the partition
+    through an Arrow ``mapInPandas`` fold carrying ONE double of state
+    per open key across batches.  A key's whole history never
+    materializes anywhere — not as a Spark array column, not as a
+    pandas group — so a production-sized per-user event stream costs
+    O(1) memory, exactly the keyed-streaming-state shape
+    (stream_stateful) this operator graduates to in continuous form.
+
+    Engine parity: both engines fold the IDENTICAL ordered sequence
+    with the IDENTICAL seed (DuckDB's list_reduce seeds with the first
+    element; the Python fold seeds with the first row and steps
+    ``acc * 0.5 + v * 0.5`` in the same literal order), so every
+    IEEE64 op matches bit-for-bit and floor-e6 is hash-safe.  Order is
+    total: (ts, event_id) with event_id unique."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 30)
+        .select("user_id", "ts", "event_id", "value")
     )
-    folded = F.aggregate(
-        F.slice(F.col("vals"), 2, F.greatest(F.size("vals") - 1, F.lit(0))),
-        F.element_at(F.col("vals"), 1),
-        lambda acc, x: acc * 0.5 + x * 0.5,
-    )
-    return packed.select(
-        "user_id",
-        F.size("vals").cast("bigint").alias("n_obs"),
-        F.floor(folded * 1000000).cast("bigint").alias("ewma_e6"),
+    out_schema = "user_id bigint, n_obs bigint, ewma_e6 bigint"
+
+    def _fold(batches):
+        import math
+
+        import pandas as pd
+
+        key, acc, n = None, 0.0, 0
+
+        def finish():
+            return pd.DataFrame(
+                {
+                    "user_id": [key],
+                    "n_obs": [n],
+                    "ewma_e6": [math.floor(acc * 1000000)],
+                }
+            )
+
+        for pdf in batches:
+            users = pdf["user_id"].to_numpy()
+            vals = pdf["value"].to_numpy()
+            for u, v in zip(users, vals):
+                if u != key:
+                    if key is not None:
+                        yield finish()
+                    key, acc, n = u, float(v), 1
+                else:
+                    acc = acc * 0.5 + v * 0.5
+                    n += 1
+        if key is not None:
+            yield finish()
+
+    return (
+        ev.repartition("user_id")
+        .sortWithinPartitions("user_id", "ts", "event_id")
+        .mapInPandas(_fold, schema=out_schema)
     )
 
 
@@ -1180,56 +1211,75 @@ def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     series has drift (a plain EWMA lags a trending series forever;
     Holt tracks the slope and forecasts l+b one step out).
 
-    ts_ewma's keyed-ordered-fold pattern carried to a TWO-field
-    state — [level, trend] as a 2-element DOUBLE array, seeded by the
-    first element in both engines (DuckDB list_reduce seeds with
-    element 1; Spark seeds F.aggregate with it and folds the rest).
-    An ARRAY accumulator, deliberately not a struct: DuckDB's
-    list_reduce over struct accumulators updates fields SEQUENTIALLY
-    (the 'b' expression already sees the new 'l' — measured, not
-    documented), while list accumulators snapshot like Spark's. lₜ is
-    recomputed inside the bₜ expression — neither lambda has a
-    let-binding, and evaluating the identical expression twice keeps
-    the IEEE64 sequences bit-equal. α, β exactly representable in
-    binary so the literals cannot diverge.
+    ts_ewma's BOUNDED keyed-ordered-fold pattern (VERDICT r5 #3)
+    carried to a TWO-field state: hash-repartition on user_id, local
+    sort by (user_id, ts, event_id), then an Arrow ``mapInPandas``
+    stream folding (level, trend) — two doubles of state per open key,
+    carried across batches, with no per-key array or pandas group ever
+    materialized.  Seeded by the first element in both engines (DuckDB
+    list_reduce seeds with element 1; the Python fold seeds
+    l = v₁, b = 0).  The oracle keeps its ARRAY accumulator,
+    deliberately not a struct: DuckDB's list_reduce over struct
+    accumulators updates fields SEQUENTIALLY (the 'b' expression
+    already sees the new 'l' — measured, not documented), while list
+    accumulators snapshot — and the Python fold reads both old fields
+    before writing either, matching the snapshot semantics.  The step
+    expressions are written in the oracle's literal order
+    (``0.5 * v + 0.5 * (l + b)``), and α, β are exactly representable
+    in binary, so the IEEE64 sequences stay bit-equal and floor-e6 is
+    hash-safe.
 
-    Scale: identical to ts_ewma — keys parallelize, the per-key
-    sequence folds inside one task; the streaming form is two doubles
-    of keyed state."""
-    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 30)
-    packed = ev.groupBy("user_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))),
-            lambda s: s.value,
-        ).alias("vals")
+    Scale: one exchange (the same shuffle a groupBy would pay), O(1)
+    state per key; the streaming form is the same two doubles as
+    keyed state."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 30)
+        .select("user_id", "ts", "event_id", "value")
     )
-    first_st = F.array(
-        F.element_at(F.col("vals"), 1).cast("double"), F.lit(0.0)
-    )
-    rest = F.slice(
-        F.col("vals"), 2, F.greatest(F.size("vals") - 1, F.lit(0))
+    out_schema = (
+        "user_id bigint, n_obs bigint, level_e6 bigint, "
+        "trend_e6 bigint, forecast1_e6 bigint"
     )
 
-    def step(acc, v):
-        l_old = F.element_at(acc, 1)
-        b_old = F.element_at(acc, 2)
-        l_new = 0.5 * v + 0.5 * (l_old + b_old)
-        b_new = 0.25 * ((0.5 * v + 0.5 * (l_old + b_old)) - l_old) + 0.75 * b_old
-        return F.array(l_new, b_new)
+    def _fold(batches):
+        import math
 
-    st = F.aggregate(rest, first_st, step)
-    return packed.select(
-        "user_id",
-        F.size("vals").cast("bigint").alias("n_obs"),
-        F.floor(F.element_at(st, 1) * 1000000)
-        .cast("bigint")
-        .alias("level_e6"),
-        F.floor(F.element_at(st, 2) * 1000000)
-        .cast("bigint")
-        .alias("trend_e6"),
-        F.floor((F.element_at(st, 1) + F.element_at(st, 2)) * 1000000)
-        .cast("bigint")
-        .alias("forecast1_e6"),
+        import pandas as pd
+
+        key, lvl, trd, n = None, 0.0, 0.0, 0
+
+        def finish():
+            return pd.DataFrame(
+                {
+                    "user_id": [key],
+                    "n_obs": [n],
+                    "level_e6": [math.floor(lvl * 1000000)],
+                    "trend_e6": [math.floor(trd * 1000000)],
+                    "forecast1_e6": [math.floor((lvl + trd) * 1000000)],
+                }
+            )
+
+        for pdf in batches:
+            users = pdf["user_id"].to_numpy()
+            vals = pdf["value"].to_numpy()
+            for u, v in zip(users, vals):
+                if u != key:
+                    if key is not None:
+                        yield finish()
+                    key, lvl, trd, n = u, float(v), 0.0, 1
+                else:
+                    l_new = 0.5 * v + 0.5 * (lvl + trd)
+                    trd = 0.25 * ((0.5 * v + 0.5 * (lvl + trd)) - lvl) + 0.75 * trd
+                    lvl = l_new
+                    n += 1
+        if key is not None:
+            yield finish()
+
+    return (
+        ev.repartition("user_id")
+        .sortWithinPartitions("user_id", "ts", "event_id")
+        .mapInPandas(_fold, schema=out_schema)
     )
 
 
