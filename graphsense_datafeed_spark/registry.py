@@ -276,6 +276,8 @@ _ROUND7_NEXT_UP = (
     "events_audience_overlap",
     "agg_simpson_diversity",
     "ts_local_peaks",
+    # --- round-6 additions, appended in landing order ---
+    "multimodal_decode_codec",
 )
 
 _loaded = False
