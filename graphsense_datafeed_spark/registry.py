@@ -278,6 +278,7 @@ _ROUND7_NEXT_UP = (
     "ts_local_peaks",
     # --- round-6 additions, appended in landing order ---
     "multimodal_decode_codec",
+    "win_pattern_match_var",
 )
 
 _loaded = False

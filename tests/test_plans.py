@@ -585,3 +585,14 @@ def test_recurrence_folds_are_bounded(spark, sf_dir):
         assert "ObjectHashAggregate" not in p, (qid, p)
         assert p.count("hashpartitioning") == 1, (qid, p)
         assert "SinglePartition" not in p, (qid, p)
+
+
+def test_pattern_match_var_single_exchange_no_join(spark, sf_dir):
+    """A B* C matching must stay one keyed exchange: the row-number
+    window and the four carried last_value's share the user_id
+    partitioning (exchange reuse), and the variable-length contiguity
+    test is a predicate — no self-join, no explode."""
+    p = plan_of(QUERIES["win_pattern_match_var"](spark, sf_dir))
+    assert p.count("hashpartitioning") == 1, p
+    assert "Join" not in p, p
+    assert "Generate" not in p, p
