@@ -1185,3 +1185,206 @@ def join_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lag_days",
         )
     )
+
+
+@query(
+    "interval_overlap_duration",
+    """
+    WITH numbered AS (
+        SELECT user_id, ts,
+               lag(ts) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    ), marked AS (
+        SELECT user_id, ts,
+               CASE WHEN prev_ts IS NULL
+                         OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM numbered
+    ), sessed AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id
+                                 ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS sess_id
+        FROM marked
+    ), sessions AS (
+        SELECT user_id, sess_id,
+               MIN(ts) AS s_start, MAX(ts) AS s_end
+        FROM sessed GROUP BY user_id, sess_id
+    ), exploded AS (
+        SELECT user_id, sess_id, s_start, s_end,
+               unnest(generate_series(date_trunc('day', s_start),
+                                      date_trunc('day', s_end),
+                                      INTERVAL 1 DAY)) AS day
+        FROM sessions
+    ), ovl AS (
+        SELECT user_id, sess_id,
+               GREATEST(CAST(0 AS BIGINT),
+                   LEAST(epoch_us(s_end), epoch_us(day + INTERVAL 17 HOUR))
+                   - GREATEST(epoch_us(s_start),
+                              epoch_us(day + INTERVAL 9 HOUR))) AS ov_us
+        FROM exploded
+    )
+    SELECT user_id,
+           CAST(COUNT(*) FILTER (WHERE ov_us > 0) AS BIGINT)
+               AS n_overlapping_windows,
+           CAST(FLOOR(SUM(ov_us) / 1000000.0) AS BIGINT) AS total_overlap_s
+    FROM ovl
+    GROUP BY user_id
+    """,
+)
+def interval_overlap_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-ALGEBRA aggregation (round 6): total time each user's
+    activity sessions overlap the 09:00–17:00 business window — the
+    'how much of this activity happened in coverage hours' question
+    (SLA attribution, on-call load, ad-delivery pacing) that neither a
+    point-in-interval join (join_interval) nor a point as-of join can
+    answer: both SIDES are intervals and the measure is the LENGTH of
+    the intersection, not a match count.
+
+    Pipeline: 30-minute-gap sessionization (the events_sessionize
+    program: lag → new-session flag → running sum), session bounds per
+    (user, session), then the date-spine trick — each session explodes
+    to the calendar DAYS it touches (bounded: sessions are minutes
+    long, so ≤ 2 rows each) and meets that day's business window by
+    construction, making the 'interval × interval' join an equi-spine
+    explode with ZERO join node.  Overlap is classic interval algebra
+    computed in exact integer µs: max(0, min(ends) − max(starts)).
+
+    Scale: one keyed exchange (user_id) reused by both windows and the
+    session agg; the explode is bounded by days-per-session; no join,
+    no cartesian anywhere (plan-pinned).  With arbitrary-length
+    sessions the explode is bounded by session span — the same spine
+    discipline as events_concurrency_sweep."""
+    ev = load(spark, sf_dir, "events")
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    w_lag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    numbered = ev.select(
+        "user_id", "ts", F.lag("ts").over(w_lag).alias("prev_ts")
+    )
+    marked = numbered.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.col("prev_ts").isNull()
+            | ((us("ts") - us("prev_ts")) > 1800000000),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("is_new"),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sessed = marked.select(
+        "user_id", "ts", F.sum("is_new").over(w_run).alias("sess_id")
+    )
+    sessions = sessed.groupBy("user_id", "sess_id").agg(
+        F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
+    )
+    exploded = sessions.select(
+        "user_id",
+        "sess_id",
+        "s_start",
+        "s_end",
+        F.explode(
+            F.sequence(
+                F.date_trunc("day", "s_start"),
+                F.date_trunc("day", "s_end"),
+                F.expr("interval 1 day"),
+            )
+        ).alias("day"),
+    )
+    w_start = us("day") + F.lit(9 * 3600 * 1000000)
+    w_end = us("day") + F.lit(17 * 3600 * 1000000)
+    ov = F.greatest(
+        F.lit(0).cast("bigint"),
+        F.least(us("s_end"), w_end) - F.greatest(us("s_start"), w_start),
+    )
+    overlaps = exploded.select("user_id", "sess_id", ov.alias("ov_us"))
+    return overlaps.groupBy("user_id").agg(
+        F.count(F.when(F.col("ov_us") > 0, 1)).cast("bigint").alias(
+            "n_overlapping_windows"
+        ),
+        F.floor(F.sum("ov_us") / 1000000.0).cast("bigint").alias(
+            "total_overlap_s"
+        ),
+    )
+
+
+@query(
+    "join_range_grid",
+    """
+    WITH iv AS (
+        SELECT c_custkey,
+               CAST(ROUND(c_acctbal * 100) AS BIGINT) - 5000 AS lo_c,
+               CAST(ROUND(c_acctbal * 100) AS BIGINT) + 5000 AS hi_c
+        FROM customer
+    ), pts AS (
+        SELECT s_suppkey,
+               CAST(ROUND(s_acctbal * 100) AS BIGINT) AS bal_c
+        FROM supplier
+    )
+    SELECT i.c_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_in_band,
+           CAST(SUM(p.bal_c) AS BIGINT) AS sum_bal_cents
+    FROM iv i JOIN pts p
+      ON p.bal_c BETWEEN i.lo_c AND i.hi_c
+    GROUP BY i.c_custkey
+    """,
+)
+def join_range_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed RANGE join (round 6): supplier balances falling
+    within ±$50 of each customer's balance — the same predicate class
+    as join_theta_range, but executed the way a 100 TB engine must
+    when NEITHER side broadcasts: quantize the value axis into
+    grid-width cells, explode each interval to the (bounded) cells it
+    touches — width == grid ⇒ at most 2 — map each point to its one
+    cell, hash-join on the CELL KEY, then apply the BETWEEN as a
+    residual filter.  Work is |matching cells| not |iv|×|pts|, the
+    shuffle is a plain equi-exchange both sides, and the plan contains
+    a hash join with zero BroadcastNestedLoop/Cartesian nodes
+    (plan-pinned with broadcast disabled in tests/test_plans.py).
+
+    Money enters as exact ROUND(bal×100) cents (bigint) so interval
+    bounds, cell ids (floor-div 10000), the residual compare, and the
+    final SUM are all integer — the oracle states the plain range
+    join; the grid decomposition is pure execution strategy and must
+    (and does) produce identical rows.
+
+    Scale: grid width tunes the explode/selectivity trade exactly like
+    join_interval's day bucket; skewed cells fall under the same AQE
+    skew-split as any hash join."""
+    grid = 10000  # one cell = $100 of balance, in cents
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    iv = c.select(
+        "c_custkey",
+        (F.round(F.col("c_acctbal") * 100).cast("bigint") - 5000).alias("lo_c"),
+        (F.round(F.col("c_acctbal") * 100).cast("bigint") + 5000).alias("hi_c"),
+    )
+    iv_cells = iv.select(
+        "c_custkey",
+        "lo_c",
+        "hi_c",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("lo_c") / grid).cast("bigint"),
+                F.floor(F.col("hi_c") / grid).cast("bigint"),
+            )
+        ).alias("cell"),
+    )
+    pts = s.select(
+        "s_suppkey",
+        F.round(F.col("s_acctbal") * 100).cast("bigint").alias("bal_c"),
+    ).withColumn("cell", F.floor(F.col("bal_c") / grid).cast("bigint"))
+    joined = iv_cells.join(pts, "cell").filter(
+        F.col("bal_c").between(F.col("lo_c"), F.col("hi_c"))
+    )
+    return joined.groupBy("c_custkey").agg(
+        F.count("*").cast("bigint").alias("n_in_band"),
+        F.sum("bal_c").cast("bigint").alias("sum_bal_cents"),
+    )

@@ -1289,3 +1289,81 @@ def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("norm_ratio_e4"),
     )
+
+
+@query(
+    "embed_centroid_topk",
+    """
+    WITH flat AS (
+        SELECT label, vec_id,
+               unnest(embedding) AS val,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings
+    ), centroid AS (
+        SELECT label AS c_label, pos, AVG(CAST(val AS DOUBLE)) AS c
+        FROM flat GROUP BY label, pos
+    ), dists AS (
+        SELECT f.vec_id, c.c_label,
+               CAST(FLOOR(SUM((CAST(f.val AS DOUBLE) - c.c)
+                              * (CAST(f.val AS DOUBLE) - c.c)) * 10000)
+                    AS BIGINT) AS dist_e4
+        FROM flat f JOIN centroid c ON f.pos = c.pos
+        GROUP BY f.vec_id, c.c_label
+    )
+    SELECT c_label, CAST(rnk AS BIGINT) AS rnk, vec_id, dist_e4 FROM (
+        SELECT c_label, vec_id, dist_e4,
+               ROW_NUMBER() OVER (PARTITION BY c_label
+                                  ORDER BY dist_e4, vec_id) AS rnk
+        FROM dists
+    ) WHERE rnk <= 3
+    """,
+)
+def embed_centroid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster EXEMPLARS (round 6): the 3 vectors closest to EVERY
+    label centroid — across the whole corpus, not just the centroid's
+    own members.  This is the artifact the centroid summary actually
+    gets used for: SemDeDup-style keeper election, nearest-prototype
+    audit ('which docs best represent cluster 7?'), and labeling-QA
+    (an exemplar whose own label differs from the centroid's flags a
+    suspect cluster).
+
+    Shape: embed_centroids' posexplode→avg centroid build, then every
+    (vector × centroid) distance via a join on POSITION only — the
+    |labels|×dim centroid table is broadcast-sized (bounded by class
+    count, independent of corpus), so the big side never shuffles for
+    the join; distances re-aggregate per (vec_id, label), and the
+    top-3 per centroid runs as a rank window that Spark executes as
+    WindowGroupLimit (per-partition top-k, never a full sort —
+    plan-pinned in tests/test_plans.py).  Ranking compares FLOORED-e4
+    bigints with vec_id tiebreak, so a last-ulp float-sum difference
+    between engines cannot flip an order.
+
+    Scale: work is corpus × labels on the distance agg (map-side
+    partial), and the final window carries only (vec, label, dist)
+    triples; at 1000 classes the exemplar table is 3000 rows."""
+    flat = (
+        load(spark, sf_dir, "embeddings")
+        .select("label", "vec_id", F.posexplode("embedding").alias("pos0", "val"))
+        .select(
+            "label",
+            "vec_id",
+            (F.col("pos0") + 1).alias("pos"),
+            F.col("val").cast("double").alias("val"),
+        )
+    )
+    centroid = (
+        flat.groupBy(F.col("label").alias("c_label"), "pos")
+        .agg(F.avg("val").alias("c"))
+    )
+    d = F.col("val") - F.col("c")
+    dists = (
+        flat.join(F.broadcast(centroid), "pos")
+        .groupBy("vec_id", "c_label")
+        .agg(F.floor(F.sum(d * d) * 10000).cast("bigint").alias("dist_e4"))
+    )
+    w = Window.partitionBy("c_label").orderBy("dist_e4", "vec_id")
+    return (
+        dists.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+        .select("c_label", "rnk", "vec_id", "dist_e4")
+    )

@@ -2442,3 +2442,71 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_checkpoints"),
         F.floor(beta * 1000000).cast("bigint").alias("beta_e6"),
     )
+
+
+@query(
+    "sample_upsample_mixture",
+    """
+    WITH planned AS (
+        SELECT doc_id, source,
+               CAST(substr(source, 4) AS BIGINT) % 3
+               + CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                               1, 7) AS BIGINT)
+                           / 268435456.0 < 0.5
+                      THEN 1 ELSE 0 END AS n_copies
+        FROM documents
+    )
+    SELECT doc_id, source,
+           CAST(unnest(range(n_copies)) AS BIGINT) AS copy_idx
+    FROM planned WHERE n_copies >= 1
+    """,
+)
+def sample_upsample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture sampling WITH REPLICATION (round 6): the corpus-mixing
+    step that text_mixture_sample (rate ≤ 1 per source) cannot do —
+    low-resource sources get UPSAMPLED by emitting whole copies, the
+    standard multi-epoch-per-domain recipe for training-data mixes.
+    Each source's target weight w = (src_num % 3) + 0.5 spans the
+    interesting cases: w = 0.5 downsamples, 1.5 keeps-plus-half,
+    2.5 duplicates-plus-half.  floor(w) full copies always ship; the
+    fractional half-copy is decided per document by the engine's
+    standard md5 28-bit uniform (deterministic across engines,
+    retries, partitionings — the sample_deterministic discipline), so
+    the realized rate concentrates on w with zero coordination.
+
+    copy_idx (0..n−1) rides along so downstream packing/shuffling can
+    treat replicas as distinct rows (and so dedup stages can be TOLD
+    these are intentional duplicates — drop copy_idx and dedup_exact
+    would eat the upsample).
+
+    Scale: narrow projection + bounded explode (≤ 3 rows out per row
+    in); no shuffle at all — the mixture plan is a map, which is the
+    whole reason hash-based mixing beats sort/sample pipelines at
+    100 TB.  Plan-pinned: zero exchanges."""
+    docs = load(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 7
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(268435456.0)
+    )
+    n_copies = (
+        F.substring("source", 4, 8).cast("bigint") % 3
+        + F.when(u < 0.5, F.lit(1)).otherwise(F.lit(0))
+    ).alias("n_copies")
+    planned = docs.select("doc_id", "source", n_copies).filter(
+        F.col("n_copies") >= 1
+    )
+    return planned.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.sequence(F.lit(0), (F.col("n_copies") - 1).cast("int"))
+        ).alias("copy_idx0"),
+    ).select(
+        "doc_id", "source", F.col("copy_idx0").cast("bigint").alias("copy_idx")
+    )

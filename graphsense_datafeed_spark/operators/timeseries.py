@@ -2801,3 +2801,89 @@ def ts_local_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("v_e4"),
         prominence.cast("bigint").alias("prominence_e4"),
     )
+
+
+@query(
+    "win_rolling_slope",
+    """
+    WITH seq AS (
+        SELECT event_id, event_type,
+               CAST(FLOOR(value * 10000) AS BIGINT) AS y,
+               CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                       ORDER BY ts, event_id) AS BIGINT)
+                   AS x
+        FROM events
+    ), sums AS (
+        SELECT event_id, event_type, x,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n,
+               CAST(SUM(x) OVER w AS BIGINT) AS sx,
+               CAST(SUM(y) OVER w AS BIGINT) AS sy,
+               CAST(SUM(x * y) OVER w AS BIGINT) AS sxy,
+               CAST(SUM(x * x) OVER w AS BIGINT) AS sxx
+        FROM seq
+        WINDOW w AS (PARTITION BY event_type ORDER BY x
+                     ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, event_type, n,
+           CASE WHEN n >= 2 THEN
+               CAST(FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+                          / CAST(n * sxx - sx * sx AS DOUBLE)
+                          * 1000000) AS BIGINT)
+           END AS slope_e6
+    FROM sums
+    """,
+)
+def win_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing OLS trend per series (round 6): the least-squares
+    slope of the last 12 observations at every row — what
+    agg_regr_trend (one global fit per group) becomes as a WINDOW, and
+    the statistically honest upgrade of 'value minus lag' trend
+    flags: a 12-point fit smooths single-tick noise yet turns in 12
+    rows, the monitoring sweet spot.
+
+    Everything until the final division is EXACT bigint window
+    arithmetic: x is the per-series row number, y the floored-e4
+    value, and the five framed sums (n, Σx, Σy, Σxy, Σx²) are integer
+    ROWS-frame sums — so the regression numerator n·Σxy − Σx·Σy and
+    denominator n·Σx² − (Σx)² are exact integers in both engines and
+    ONE double division (then floor-e6) decides the output.  The
+    denominator is positive whenever n ≥ 2 (x values are distinct
+    consecutive integers); n = 1 rows emit NULL (undefined slope).
+
+    Scale: one keyed exchange + sort, O(1) per-row frame state — the
+    same discipline as win_running_sum; Σxy fits bigint while
+    series-position × value-e4 < 2⁶³ (position ≤ ~1e12 at e4 values —
+    beyond any per-key series; the day-bucketed re-key applies long
+    before)."""
+    ev = load(spark, sf_dir, "events")
+    w_num = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 10000).cast("bigint").alias("y"),
+        F.row_number().over(w_num).cast("bigint").alias("x"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("x")
+        .rowsBetween(-11, 0)
+    )
+    sums = seq.select(
+        "event_id",
+        "event_type",
+        "x",
+        F.count("*").over(w).cast("bigint").alias("n"),
+        F.sum("x").over(w).cast("bigint").alias("sx"),
+        F.sum("y").over(w).cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).cast("bigint").alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return sums.select(
+        "event_id",
+        "event_type",
+        "n",
+        F.when(F.col("n") >= 2, F.floor(num / den * 1000000).cast("bigint"))
+        .alias("slope_e6"),
+    )

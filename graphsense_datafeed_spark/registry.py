@@ -279,6 +279,11 @@ _ROUND7_NEXT_UP = (
     # --- round-6 additions, appended in landing order ---
     "multimodal_decode_codec",
     "win_pattern_match_var",
+    "sample_upsample_mixture",
+    "embed_centroid_topk",
+    "win_rolling_slope",
+    "interval_overlap_duration",
+    "join_range_grid",
 )
 
 _loaded = False

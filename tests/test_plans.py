@@ -596,3 +596,40 @@ def test_pattern_match_var_single_exchange_no_join(spark, sf_dir):
     assert p.count("hashpartitioning") == 1, p
     assert "Join" not in p, p
     assert "Generate" not in p, p
+
+
+def test_round6_ops_plan_shapes(spark, sf_dir):
+    # upsample mixture: pure map + bounded explode — ZERO exchanges
+    p = plan_of(QUERIES["sample_upsample_mixture"](spark, sf_dir))
+    assert "Exchange" not in p, p
+    assert "Generate" in p, p  # the explode
+
+    # centroid exemplars: broadcast centroid join + WindowGroupLimit
+    p = plan_of(QUERIES["embed_centroid_topk"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p, p
+    assert "WindowGroupLimit" in p, p
+    assert "CartesianProduct" not in p, p
+
+    # rolling slope: both windows share the event_type exchange
+    p = plan_of(QUERIES["win_rolling_slope"](spark, sf_dir))
+    assert p.count("hashpartitioning") == 1, p
+    assert "SinglePartition" not in p, p
+
+    # interval overlap: spine explode, no join node anywhere
+    p = plan_of(QUERIES["interval_overlap_duration"](spark, sf_dir))
+    assert "Join" not in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_range_grid_join_is_hash_not_bnlj(spark, sf_dir):
+    """The grid decomposition must keep the range join an equi hash
+    join even when nothing broadcasts (the 100 TB case)."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = plan_of(QUERIES["join_range_grid"](spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p
