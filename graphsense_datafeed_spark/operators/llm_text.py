@@ -2510,3 +2510,97 @@ def sample_upsample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", "source", F.col("copy_idx0").cast("bigint").alias("copy_idx")
     )
+
+
+@query(
+    "text_lang_id_trigram",
+    """
+    WITH tri AS (
+        SELECT doc_id, lang,
+               substr(lower(text), CAST(i AS INT), 3) AS tg
+        FROM documents,
+             LATERAL (SELECT unnest(range(1, length(text) - 1)) AS i)
+        WHERE length(text) >= 3
+    ), lang_counts AS (
+        SELECT lang, tg, CAST(COUNT(*) AS BIGINT) AS n
+        FROM tri GROUP BY lang, tg
+    ), profile AS (
+        SELECT lang AS p_lang, tg FROM (
+            SELECT lang, tg,
+                   ROW_NUMBER() OVER (PARTITION BY lang
+                                      ORDER BY n DESC, tg) AS rnk
+            FROM lang_counts
+        ) WHERE rnk <= 20
+    ), doc_tris AS (
+        SELECT DISTINCT doc_id, lang, tg FROM tri
+    ), scores AS (
+        SELECT d.doc_id, d.lang, p.p_lang,
+               CAST(COUNT(*) AS BIGINT) AS score
+        FROM doc_tris d JOIN profile p ON d.tg = p.tg
+        GROUP BY d.doc_id, d.lang, p.p_lang
+    )
+    SELECT doc_id, lang, p_lang AS pred_lang, score FROM (
+        SELECT doc_id, lang, p_lang, score,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, p_lang) AS rnk
+        FROM scores
+    ) WHERE rnk = 1
+    """,
+)
+def text_lang_id_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language IDENTIFICATION by character-trigram profile (round 6)
+    — the n-gram heuristic langid every corpus pipeline runs before
+    mixing (the mandate's language-ID item as an actual CLASSIFIER,
+    where text_lang_stats only profiles the already-given label).
+
+    Train and classify in one plan, all exact integers: per-language
+    trigram frequencies → each language's top-20 signature trigrams
+    (count-desc, trigram tiebreak — deterministic), then each document
+    scores every language by how many of its DISTINCT trigrams hit
+    that language's signature; argmax with lexicographic tiebreak
+    predicts.  On the synthetic word-soup corpus the languages share
+    vocabulary, so accuracy is NOT the point (the pytest asserts the
+    mechanics: scores bounded by 20, deterministic argmax, every doc
+    classified) — the point is the SHAPE, which is cld3/fasttext's
+    exact serving topology.
+
+    Scale: the explode is the only corpus-sized stage (length×1 rows,
+    same cost class as text_tokenize); language profiles are
+    |langs|×20 rows — broadcast by construction — so classification
+    is a broadcast join + partial agg + per-doc WindowGroupLimit
+    argmax.  Training updates incrementally (trigram counts are
+    mergeable)."""
+    docs = load(spark, sf_dir, "documents").filter(F.length("text") >= 3)
+    tri = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.sequence(F.lit(1), (F.length("text") - 2).cast("int"))
+        ).alias("i"),
+        F.lower(F.col("text")).alias("lt"),
+    ).select(
+        "doc_id", "lang", F.col("lt").substr(F.col("i"), F.lit(3)).alias("tg")
+    )
+    lang_counts = tri.groupBy("lang", "tg").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    w_prof = Window.partitionBy("lang").orderBy(F.col("n").desc(), "tg")
+    profile = (
+        lang_counts.withColumn("rnk", F.row_number().over(w_prof))
+        .filter(F.col("rnk") <= 20)
+        .select(F.col("lang").alias("p_lang"), "tg")
+    )
+    doc_tris = tri.select("doc_id", "lang", "tg").distinct()
+    scores = (
+        doc_tris.join(F.broadcast(profile), "tg")
+        .groupBy("doc_id", "lang", "p_lang")
+        .agg(F.count("*").cast("bigint").alias("score"))
+    )
+    w_arg = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), "p_lang"
+    )
+    return (
+        scores.withColumn("rnk", F.row_number().over(w_arg))
+        .filter(F.col("rnk") == 1)
+        .select("doc_id", "lang", F.col("p_lang").alias("pred_lang"), "score")
+    )

@@ -284,6 +284,8 @@ _ROUND7_NEXT_UP = (
     "win_rolling_slope",
     "interval_overlap_duration",
     "join_range_grid",
+    "text_lang_id_trigram",
+    "scan_csv_quarantine",
 )
 
 _loaded = False

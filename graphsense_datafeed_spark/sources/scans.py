@@ -1034,3 +1034,59 @@ def scan_manifest_incremental_read(spark: SparkSession, sf_dir: str) -> DataFram
         v2 = json.load(fh)["files"]
     new_files = [f for f in v2 if f not in v1]
     return spark.read.parquet(*new_files)
+
+
+@query(
+    "scan_csv_quarantine",
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def scan_csv_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV malformed-input robustness (round 6) — scan_json_corrupt's
+    twin for the delimited-feed path: a poisoned CSV copy of the
+    nation dim (wrong-arity line + non-numeric key line planted) is
+    read PERMISSIVE with a _corrupt_record column; the query must
+    recover EXACTLY the clean rows (the oracle reads the pristine
+    table) and quarantine the rest instead of failing the job.
+
+    The poisoned file is staged under the fixture fingerprint
+    (staged_source_dir discipline) from the loaded dim itself —
+    bounded collect: nation is a 25-row dimension.  At 100 TB the
+    same reader options apply per-file on a partitioned landing zone;
+    quarantined lines go to a reject sink for replay (the
+    sink_manifest pattern), never to stderr."""
+    from graphsense_datafeed_spark.sources.tables import staged_source_dir
+
+    base = staged_source_dir(sf_dir, "gds_csv_quarantine", "nation")
+    csv_path = os.path.join(base, "nation_poisoned.csv")
+    if not os.path.exists(csv_path):
+        os.makedirs(base, exist_ok=True)
+        rows = (
+            load(spark, sf_dir, "nation")
+            .select("n_nationkey", "n_name", "n_regionkey")
+            .orderBy("n_nationkey")
+            .collect()
+        )
+        tmp = csv_path + ".tmp"
+        with open(tmp, "w") as out:
+            out.write("only,two\n")  # wrong arity
+            for r in rows:
+                out.write(f"{r.n_nationkey},{r.n_name},{r.n_regionkey}\n")
+            out.write("abc,BADLAND,xyz\n")  # non-numeric keys
+        os.rename(tmp, csv_path)
+    schema = StructType(
+        [
+            StructField("n_nationkey", LongType()),
+            StructField("n_name", StringType()),
+            StructField("n_regionkey", LongType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    parsed = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(csv_path)
+    )
+    return parsed.filter(F.col("_corrupt_record").isNull()).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
