@@ -286,6 +286,7 @@ _ROUND7_NEXT_UP = (
     "join_range_grid",
     "text_lang_id_trigram",
     "scan_csv_quarantine",
+    "sink_jsonl_export",
 )
 
 _loaded = False

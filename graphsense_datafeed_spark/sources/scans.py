@@ -1090,3 +1090,48 @@ def scan_csv_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.filter(F.col("_corrupt_record").isNull()).select(
         "n_nationkey", "n_name", "n_regionkey"
     )
+
+
+@query(
+    "sink_jsonl_export",
+    """
+    SELECT doc_id, lang, source, n_chars
+    FROM documents WHERE n_chars >= 100
+    """,
+)
+def sink_jsonl_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL export sink + re-read (round 6): the interchange format
+    every downstream tokenizer/training job actually consumes.  The
+    filtered document metadata is written as newline-delimited JSON
+    (one shard per task — the layout the 100 TB export would keep),
+    then read back through the schema'd JSON reader; the oracle reads
+    the ORIGINAL parquet, so the round trip must lose nothing — key
+    order, type mapping (bigint vs double ambiguity in JSON), and
+    null handling are all on the hook.
+
+    Staged under the source fingerprint; re-runs reuse the export.
+    Text itself is deliberately NOT exported here (the metadata
+    manifest shape); text-bearing exports ride the same writer with
+    per-column escaping handled by the JSON codec."""
+    from graphsense_datafeed_spark.sources.tables import staged_source_dir
+
+    base = staged_source_dir(sf_dir, "gds_jsonl", "documents")
+    out_dir = os.path.join(base, "docs_jsonl")
+    if not os.path.exists(out_dir):
+        ensure_runtime_confs(spark)
+        (
+            load(spark, sf_dir, "documents")
+            .filter(F.col("n_chars") >= 100)
+            .select("doc_id", "lang", "source", "n_chars")
+            .write.mode("ignore")
+            .json(out_dir)
+        )
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    return spark.read.schema(schema).json(out_dir)
