@@ -1198,3 +1198,65 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("containment_e4"),
         )
     )
+
+
+@query(
+    "corpus_dup_health",
+    """
+    WITH per_digest AS (
+        SELECT source, md5(text) AS dg,
+               CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(MIN(n_chars) AS BIGINT) AS chars
+        FROM documents GROUP BY source, md5(text)
+    )
+    SELECT source,
+           CAST(SUM(cnt) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_unique,
+           CAST(SUM(cnt) - COUNT(*) AS BIGINT) AS n_dup_copies,
+           CAST(FLOOR((SUM(cnt) - COUNT(*)) * 10000.0 / SUM(cnt))
+                AS BIGINT) AS dup_rate_e4,
+           CAST(SUM((cnt - 1) * chars) AS BIGINT) AS wasted_chars
+    FROM per_digest
+    GROUP BY source
+    """,
+)
+def corpus_dup_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication HEALTH rollup (round 6): the dashboard
+    number a dedup stage reports — how duplicated is each ingest
+    source, and how many bytes a dedup pass would reclaim.  dedup_exact
+    finds the duplicates; this operator turns them into the
+    per-source accounting (docs, uniques, duplicate copies, rate,
+    wasted chars) that decides WHICH sources are worth re-crawling or
+    gating — the triage view, computed without materializing any
+    duplicate pair.
+
+    Two stacked exact aggregations: (source, digest) partial counts —
+    only 16-byte digests shuffle, the dedup_exact discipline — then a
+    per-source rollup where every measure is bigint (identical texts
+    have identical n_chars, so MIN(n_chars) is THE doc length);
+    dup_rate enters double exactly once, floored e4.
+
+    Scale: both aggs are map-side partial; the first shuffles
+    (source, digest) pairs (corpus-sized but digest-narrow), the
+    second shuffles |sources| rows.  Incremental: per-digest counts
+    are mergeable, so the health board updates per ingest batch."""
+    d = load(spark, sf_dir, "documents")
+    per_digest = d.groupBy(
+        "source", F.md5(F.col("text").cast("binary")).alias("dg")
+    ).agg(
+        F.count("*").cast("bigint").alias("cnt"),
+        F.min("n_chars").cast("bigint").alias("chars"),
+    )
+    n_docs = F.sum("cnt").cast("bigint")
+    n_unique = F.count("*").cast("bigint")
+    return per_digest.groupBy("source").agg(
+        n_docs.alias("n_docs"),
+        n_unique.alias("n_unique"),
+        (n_docs - n_unique).cast("bigint").alias("n_dup_copies"),
+        F.floor((n_docs - n_unique) * 10000.0 / n_docs)
+        .cast("bigint")
+        .alias("dup_rate_e4"),
+        F.sum((F.col("cnt") - 1) * F.col("chars"))
+        .cast("bigint")
+        .alias("wasted_chars"),
+    )

@@ -1367,3 +1367,88 @@ def embed_centroid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("c_label", "rnk", "vec_id", "dist_e4")
     )
+
+
+@query(
+    "embed_quantize_error",
+    """
+    WITH s AS (
+        SELECT vec_id, embedding,
+               list_max(list_transform(embedding,
+                        x -> abs(CAST(x AS DOUBLE)))) AS scale
+        FROM embeddings
+    ), r AS (
+        SELECT vec_id, scale,
+               list_transform(embedding, x ->
+                   CAST(x AS DOUBLE)
+                   - CAST(FLOOR(CAST(x AS DOUBLE)
+                         / (CASE WHEN scale = 0 THEN 1.0 ELSE scale END)
+                         * 127 + 0.5) AS BIGINT)
+                     * (CASE WHEN scale = 0 THEN 1.0 ELSE scale END)
+                     / 127.0) AS errs
+        FROM s
+    ), e2 AS (
+        SELECT vec_id, scale, len(errs) AS dim,
+               list_transform(errs, e -> e * e) AS errs2,
+               list_max(list_transform(errs, e -> abs(e))) AS max_abs
+        FROM r
+    )
+    SELECT vec_id,
+           CAST(FLOOR(list_reduce(errs2, (a, b) -> a + b)
+                      / dim * 1000000000) AS BIGINT) AS mse_e9,
+           CAST(FLOOR(max_abs * 1000000) AS BIGINT) AS max_err_e6
+    FROM e2
+    """,
+)
+def embed_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantization DISTORTION audit (round 6): per-vector
+    reconstruction error of the embed_quantize_int8 path — mean
+    squared error and worst component error after the int8 round
+    trip (v → round(v/scale·127) → back).  The number that decides
+    whether 4× compression is safe for a given corpus BEFORE serving
+    switches to quantized dot products; embedding_pipeline gates on
+    norms, this gates the compression itself.
+
+    Parity discipline: every component casts float32→double before
+    arithmetic; quantize spells round-half-up as floor(x+0.5); the
+    reconstruction expression runs in the oracle's literal order; and
+    the MSE fold is the ts_ewma seeding trick (DuckDB list_reduce
+    seeds with element 1, Spark seeds F.aggregate the same way) so
+    the IEEE64 sum sequence is bit-identical.  One double division +
+    floor at the very end.
+
+    Scale: narrow per-row HOF math — no shuffle, no UDF; the rollup
+    (p99 of mse over the corpus) is one more partial agg on top."""
+    e = load(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    scale = F.array_max(F.transform(emb, lambda x: F.abs(x.cast("double"))))
+    s = e.select("vec_id", "embedding", scale.alias("scale"))
+    safe = F.when(F.col("scale") == 0.0, F.lit(1.0)).otherwise(F.col("scale"))
+
+    def recon_err(x):
+        q = F.floor(x.cast("double") / safe * 127 + 0.5).cast("bigint")
+        return x.cast("double") - q * safe / F.lit(127.0)
+
+    r = s.select(
+        "vec_id", "scale", F.transform(emb, recon_err).alias("errs")
+    )
+    e2 = r.select(
+        "vec_id",
+        F.size("errs").alias("dim"),
+        F.transform(F.col("errs"), lambda e_: e_ * e_).alias("errs2"),
+        F.array_max(F.transform(F.col("errs"), lambda e_: F.abs(e_))).alias(
+            "max_abs"
+        ),
+    )
+    folded = F.aggregate(
+        F.slice(F.col("errs2"), 2, F.greatest(F.size("errs2") - 1, F.lit(0))),
+        F.element_at(F.col("errs2"), 1),
+        lambda a, x: a + x,
+    )
+    return e2.select(
+        "vec_id",
+        F.floor(folded / F.col("dim") * 1000000000)
+        .cast("bigint")
+        .alias("mse_e9"),
+        F.floor(F.col("max_abs") * 1000000).cast("bigint").alias("max_err_e6"),
+    )

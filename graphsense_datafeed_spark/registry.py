@@ -287,6 +287,8 @@ _ROUND7_NEXT_UP = (
     "text_lang_id_trigram",
     "scan_csv_quarantine",
     "sink_jsonl_export",
+    "corpus_dup_health",
+    "embed_quantize_error",
 )
 
 _loaded = False
