@@ -1141,3 +1141,154 @@ def audit_totals_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("abs_diff").cast("bigint").alias("abs_diff_cents"),
         F.max("abs_diff").cast("bigint").alias("worst_diff_cents"),
     )
+
+
+@query(
+    "split_kfold_assign",
+    """
+    WITH assigned AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)
+                    AS BIGINT) % 5 AS fold
+        FROM documents
+    )
+    SELECT doc_id, CAST(fold AS BIGINT) AS fold,
+           CAST(ROW_NUMBER() OVER (PARTITION BY fold ORDER BY doc_id)
+                AS BIGINT) AS idx_in_fold
+    FROM assigned
+    """,
+)
+def split_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold assignment (round 6, k=5):
+    split_train_holdout generalized to cross-validation — every doc
+    lands in exactly one fold via the md5-28-bit uniform mod k (the
+    content-hash selection discipline: stable across engines, retries,
+    partitionings, and INSERTIONS — adding documents never moves an
+    existing doc's fold, which a row_number-mod-k split cannot
+    promise).  idx_in_fold (dense per-fold ordinal) rides along as the
+    shard key downstream writers use.
+
+    Scale: the assignment is a pure map; the ordinal is one keyed
+    window (fold cardinality = k, so the exchange moves k partitions
+    — at 100 TB swap the ordinal for a (fold, file) composite emitted
+    at write time, documented here)."""
+    docs = load(spark, sf_dir, "documents")
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 7
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 5
+    )
+    assigned = docs.select("doc_id", fold.alias("fold"))
+    w = Window.partitionBy("fold").orderBy("doc_id")
+    return assigned.select(
+        "doc_id",
+        F.col("fold").cast("bigint").alias("fold"),
+        F.row_number().over(w).cast("bigint").alias("idx_in_fold"),
+    )
+
+
+@query(
+    "layout_zone_overlap",
+    """
+    WITH zones AS (
+        SELECT date_trunc('month', o_orderdate) AS zone,
+               CAST(MIN(o_custkey) AS BIGINT) AS ck_min,
+               CAST(MAX(o_custkey) AS BIGINT) AS ck_max,
+               CAST(MIN(epoch_us(CAST(o_orderdate AS TIMESTAMP)))
+                    AS BIGINT) AS dt_min,
+               CAST(MAX(epoch_us(CAST(o_orderdate AS TIMESTAMP)))
+                    AS BIGINT) AS dt_max
+        FROM orders GROUP BY 1
+    ), pairs AS (
+        SELECT a.zone AS za, b.zone AS zb,
+               CASE WHEN a.ck_min <= b.ck_max AND b.ck_min <= a.ck_max
+                    THEN 1 ELSE 0 END AS ck_ov,
+               CASE WHEN a.dt_min <= b.dt_max AND b.dt_min <= a.dt_max
+                    THEN 1 ELSE 0 END AS dt_ov
+        FROM zones a JOIN zones b ON a.zone < b.zone
+    )
+    SELECT col_name,
+           CAST((SELECT COUNT(*) FROM zones) AS BIGINT) AS n_zones,
+           n_overlapping_pairs
+    FROM (
+        SELECT 'o_custkey' AS col_name,
+               CAST(SUM(ck_ov) AS BIGINT) AS n_overlapping_pairs
+        FROM pairs
+        UNION ALL
+        SELECT 'o_orderdate' AS col_name,
+               CAST(SUM(dt_ov) AS BIGINT) AS n_overlapping_pairs
+        FROM pairs
+    )
+    """,
+)
+def layout_zone_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map OVERLAP audit (round 6): how effective would min/max
+    data skipping be, per column, if the table is laid out in
+    month-of-orderdate zones?  For each zone (a calendar month — the
+    natural ingest layout, NO global sort needed) compute the min/max
+    zone map of the sort column and of a non-clustered column, then
+    count zone PAIRS whose ranges overlap: 0 overlapping pairs =
+    perfect skipping (every predicate prunes to one zone),
+    all-pairs-overlap = the zone map is useless for that column —
+    exactly the measurement that justifies layout_zorder before
+    anyone pays for the rewrite.
+
+    orderdate zones are disjoint BY CONSTRUCTION (the audit's built-in
+    referee) while custkey ranges overlap almost totally on an
+    unclustered table — the two rows this emits.  All arithmetic is
+    bigint (epoch-µs for dates); the pair join runs on the aggregated
+    zone table (|months|² pairs — tens of rows), broadcast by size.
+
+    Scale: one partial agg to |zones| rows + a tiny self-join; at
+    100 TB zones = files/row-groups and the same audit reads footer
+    stats instead of scanning — the shape is identical."""
+    o = load(spark, sf_dir, "orders")
+    us = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+    zones = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("zone")
+    ).agg(
+        F.min("o_custkey").cast("bigint").alias("ck_min"),
+        F.max("o_custkey").cast("bigint").alias("ck_max"),
+        F.min(us).cast("bigint").alias("dt_min"),
+        F.max(us).cast("bigint").alias("dt_max"),
+    )
+    a = zones.alias("a")
+    b = zones.alias("b")
+    pairs = a.join(b, F.col("a.zone") < F.col("b.zone")).select(
+        F.when(
+            (F.col("a.ck_min") <= F.col("b.ck_max"))
+            & (F.col("b.ck_min") <= F.col("a.ck_max")),
+            1,
+        )
+        .otherwise(0)
+        .alias("ck_ov"),
+        F.when(
+            (F.col("a.dt_min") <= F.col("b.dt_max"))
+            & (F.col("b.dt_min") <= F.col("a.dt_max")),
+            1,
+        )
+        .otherwise(0)
+        .alias("dt_ov"),
+    )
+    n_zones = zones.count()
+    summed = pairs.agg(
+        F.sum("ck_ov").cast("bigint").alias("ck"),
+        F.sum("dt_ov").cast("bigint").alias("dt"),
+    )
+    out = summed.select(
+        F.lit("o_custkey").alias("col_name"),
+        F.lit(n_zones).cast("bigint").alias("n_zones"),
+        F.col("ck").alias("n_overlapping_pairs"),
+    ).union(
+        summed.select(
+            F.lit("o_orderdate").alias("col_name"),
+            F.lit(n_zones).cast("bigint").alias("n_zones"),
+            F.col("dt").alias("n_overlapping_pairs"),
+        )
+    )
+    return out

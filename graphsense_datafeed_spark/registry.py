@@ -289,6 +289,8 @@ _ROUND7_NEXT_UP = (
     "sink_jsonl_export",
     "corpus_dup_health",
     "embed_quantize_error",
+    "split_kfold_assign",
+    "layout_zone_overlap",
 )
 
 _loaded = False
