@@ -1275,20 +1275,20 @@ def layout_zone_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("dt_ov"),
     )
-    n_zones = zones.count()
+    # n_zones joins in lazily (1-row cross join) — no driver action
+    nz = zones.agg(F.count("*").cast("bigint").alias("n_zones"))
     summed = pairs.agg(
         F.sum("ck_ov").cast("bigint").alias("ck"),
         F.sum("dt_ov").cast("bigint").alias("dt"),
-    )
-    out = summed.select(
+    ).crossJoin(F.broadcast(nz))
+    return summed.select(
         F.lit("o_custkey").alias("col_name"),
-        F.lit(n_zones).cast("bigint").alias("n_zones"),
+        "n_zones",
         F.col("ck").alias("n_overlapping_pairs"),
     ).union(
         summed.select(
             F.lit("o_orderdate").alias("col_name"),
-            F.lit(n_zones).cast("bigint").alias("n_zones"),
+            "n_zones",
             F.col("dt").alias("n_overlapping_pairs"),
         )
     )
-    return out
