@@ -291,6 +291,7 @@ _ROUND7_NEXT_UP = (
     "embed_quantize_error",
     "split_kfold_assign",
     "layout_zone_overlap",
+    "stream_pattern_match",
 )
 
 _loaded = False

@@ -253,3 +253,124 @@ def _stateful_totals_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "n_events", "total_cents", "n_purchases")
     )
+
+
+_PM_STATE_SCHEMA = (
+    "nc_type string, nc_rn bigint, nc_id bigint, nc_ts_us bigint, rn bigint"
+)
+_PM_OUT_SCHEMA = (
+    "match_id bigint, user_id bigint, start_id bigint, "
+    "n_clicks bigint, span_us bigint"
+)
+
+
+@query(
+    "stream_pattern_match",
+    """
+    WITH numbered AS (
+        SELECT user_id, event_id, ts, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ), tape AS (
+        SELECT user_id, event_id, ts, event_type, rn,
+               last_value(CASE WHEN event_type <> 'click'
+                               THEN event_type END IGNORE NULLS)
+                   OVER w AS prev_nc_type,
+               last_value(CASE WHEN event_type <> 'click'
+                               THEN rn END IGNORE NULLS)
+                   OVER w AS prev_nc_rn,
+               last_value(CASE WHEN event_type <> 'click'
+                               THEN event_id END IGNORE NULLS)
+                   OVER w AS prev_nc_id,
+               last_value(CASE WHEN event_type <> 'click'
+                               THEN ts END IGNORE NULLS)
+                   OVER w AS prev_nc_ts
+        FROM numbered
+        WINDOW w AS (PARTITION BY user_id ORDER BY rn
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id AS match_id, user_id,
+           prev_nc_id AS start_id,
+           CAST(rn - prev_nc_rn - 1 AS BIGINT) AS n_clicks,
+           CAST(epoch_us(ts) - epoch_us(prev_nc_ts) AS BIGINT) AS span_us
+    FROM tape
+    WHERE event_type = 'purchase' AND prev_nc_type = 'view'
+    """,
+)
+def stream_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING variable-length pattern match (round 6) — the
+    ``view click* purchase`` matcher of win_pattern_match_var run as a
+    per-key state machine: the whole carried context is FOUR scalars
+    per user (last non-click row's type/position/id/ts plus the row
+    counter), evolved by ``applyInPandasWithState`` and emitting a
+    match row the moment its purchase arrives — O(1) state per key,
+    never a buffered B*-run, which is exactly why the sessionize-fold
+    formulation (not a lag tape) is the one that streams.
+
+    The drained availableNow run must emit PRECISELY the batch
+    operator's match set — registered as the identical exact oracle
+    (the same SQL as win_pattern_match_var), so a state machine that
+    lost a carried view across micro-batches, double-emitted, or
+    mis-counted clicks hash-mismatches.  Rows within a batch are
+    sorted (ts, event_id) inside the fold; batches arrive in file
+    order, which the staged stream source keeps time-ordered (the
+    stream_stateful contract).
+
+    Scale: state is hash-partitioned by user across executors in the
+    checkpointed store; production adds a GroupStateTimeout to evict
+    idle users (bounded fixture keys here)."""
+
+    def update_pattern_state(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        nc_type, nc_rn, nc_id, nc_ts, rn = (
+            state.get if state.exists else (None, None, None, None, 0)
+        )
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch):
+            batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
+            out = {
+                "match_id": [],
+                "user_id": [],
+                "start_id": [],
+                "n_clicks": [],
+                "span_us": [],
+            }
+            ts_us = batch["ts"].astype("int64") // 1000
+            for et, eid, t_us in zip(
+                batch["event_type"], batch["event_id"], ts_us
+            ):
+                rn += 1
+                if et == "purchase" and nc_type == "view":
+                    out["match_id"].append(int(eid))
+                    out["user_id"].append(int(key[0]))
+                    out["start_id"].append(int(nc_id))
+                    out["n_clicks"].append(rn - nc_rn - 1)
+                    out["span_us"].append(int(t_us) - nc_ts)
+                if et != "click":
+                    nc_type, nc_rn, nc_id, nc_ts = (
+                        et,
+                        rn,
+                        int(eid),
+                        int(t_us),
+                    )
+            state.update((nc_type, nc_rn, nc_id, nc_ts, rn))
+            if out["match_id"]:
+                yield pd.DataFrame(out)
+        else:
+            state.update((nc_type, nc_rn, nc_id, nc_ts, rn))
+
+    s = read_events_stream(spark, sf_dir).select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    updated = s.groupBy("user_id").applyInPandasWithState(
+        update_pattern_state,
+        outputStructType=_PM_OUT_SCHEMA,
+        stateStructType=_PM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_stream_to_memory(spark, updated, "append")

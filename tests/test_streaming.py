@@ -785,3 +785,77 @@ def test_watermark_per_batch_drop_counts(spark):
     finally:
         q.stop()
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_pattern_match_carries_state_across_batches(spark, sf_dir):
+    """The view→click*→purchase state machine must survive micro-batch
+    boundaries: 6 TIME-ORDERED files (increasing mtimes, global
+    (ts,event_id) order so every user's rows arrive in order) — a
+    carried view whose purchase lands batches later must still match,
+    and the drained match set must equal the batch operator exactly."""
+    import glob
+
+    from graphsense_datafeed_spark.registry import QUERIES
+    from graphsense_datafeed_spark.streaming.stateful import (
+        stream_pattern_match,
+    )
+
+    ev_all = (
+        load(spark, sf_dir, "events").orderBy("ts", "event_id").collect()
+    )
+    d = os.path.join(tempfile.gettempdir(), "gds_pm", uuid.uuid4().hex[:8])
+    os.makedirs(d)
+    n = len(ev_all)
+    step = (n + 5) // 6
+    for i in range(6):
+        chunk = ev_all[i * step : (i + 1) * step]
+        if not chunk:
+            continue
+        stage = os.path.join(d, f"_stage_{i}")
+        spark.createDataFrame(
+            chunk, schema=load(spark, sf_dir, "events").schema
+        ).coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dest = os.path.join(d, f"chunk_{i}.parquet")
+        shutil.move(part, dest)
+        shutil.rmtree(stage)
+        base = 2_000_000 + i * 1000
+        os.utime(dest, (base, base))
+
+    # run the streaming matcher against the chunked dir: symlink the
+    # chunks as the events stream source by pointing sf_dir at a
+    # staged copy — simplest is to call the operator internals via a
+    # temp sf_dir layout
+    sf_stage = os.path.join(d, "sfdir")
+    os.makedirs(sf_stage)
+    os.symlink(
+        os.path.join(os.path.abspath(sf_dir), "events.parquet"),
+        os.path.join(sf_stage, "events.parquet"),
+    )
+    # the stream reader consumes a directory; point it at the chunks
+    from graphsense_datafeed_spark.streaming import windows as sw
+
+    orig = sw._events_stream_dir
+    try:
+        sw._events_stream_dir = lambda _sf: d
+        got = {
+            (r["match_id"], r["user_id"], r["start_id"], r["n_clicks"], r["span_us"])
+            for r in stream_pattern_match(spark, sf_stage).collect()
+        }
+    finally:
+        sw._events_stream_dir = orig
+    want = {
+        (r["match_id"], r["user_id"], r["start_id"], r["n_clicks"], r["span_us"])
+        for r in QUERIES["win_pattern_match_var"](spark, sf_dir).collect()
+    }
+    assert got == want
+    # matches must span batch boundaries for the test to mean anything:
+    # at least one match's start and purchase sit in different chunks
+    id_to_chunk = {}
+    for i in range(6):
+        for r in ev_all[i * step : (i + 1) * step]:
+            id_to_chunk[r["event_id"]] = i
+    assert any(
+        id_to_chunk[m[0]] != id_to_chunk[m[2]] for m in want
+    ), "fixture produced no cross-batch match; split differently"
+    shutil.rmtree(d, ignore_errors=True)
