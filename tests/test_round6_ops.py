@@ -130,3 +130,37 @@ def test_range_grid_equals_naive_range_join(spark, sf_dir):
         for r in naive.collect()
     }
     assert got == want
+
+
+def test_recurrence_folds_survive_tiny_arrow_batches(spark, sf_dir):
+    """The mapInPandas folds carry state ACROSS Arrow batches inside a
+    partition: force 7-row batches so every key spans many batches and
+    assert results are identical to the default-batch run."""
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    big = {
+        r["user_id"]: tuple(r)
+        for r in Q["ts_ewma"](spark, sf_dir).collect()
+    }
+    big_holt = {
+        r["user_id"]: tuple(r)
+        for r in Q["ts_holt_linear"](spark, sf_dir).collect()
+    }
+    big_sky = {tuple(r) for r in Q["skyline_2d"](spark, sf_dir).collect()}
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        small = {
+            r["user_id"]: tuple(r)
+            for r in Q["ts_ewma"](spark, sf_dir).collect()
+        }
+        small_holt = {
+            r["user_id"]: tuple(r)
+            for r in Q["ts_holt_linear"](spark, sf_dir).collect()
+        }
+        small_sky = {tuple(r) for r in Q["skyline_2d"](spark, sf_dir).collect()}
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", prev
+        )
+    assert small == big
+    assert small_holt == big_holt
+    assert small_sky == big_sky
