@@ -639,3 +639,86 @@ def graph_2hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_new_at_2"),
     )
+
+
+@query(
+    "graph_adamic_adar",
+    """
+    WITH bip AS (
+        SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    ), w AS (
+        SELECT part,
+               CAST(FLOOR(1000000000.0 / ln(CAST(COUNT(*) AS DOUBLE)))
+                    AS BIGINT) AS wp
+        FROM bip GROUP BY part HAVING COUNT(*) >= 2
+    ), pairs AS (
+        SELECT a.cust AS cust_a, b.cust AS cust_b, w.wp
+        FROM bip a
+        JOIN bip b ON a.part = b.part AND a.cust < b.cust
+        JOIN w ON w.part = a.part
+    )
+    SELECT cust_a, cust_b,
+           CAST(COUNT(*) AS BIGINT) AS common_parts,
+           CAST(SUM(wp) AS BIGINT) AS aa_e9
+    FROM pairs GROUP BY cust_a, cust_b
+    HAVING COUNT(*) >= 3
+    """,
+)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic–Adar link prediction over the co-purchase bipartite
+    graph (round 6): graph_common_neighbors' raw overlap, re-weighted
+    so RARE shared parts count more — a shared part bought by 3
+    customers is strong evidence of similarity, one bought by 3000 is
+    noise; AA(a,b) = Σ_shared 1/ln(degree(p)) is the standard damping.
+
+    The float hazard is the Σ: doubles summed in shuffle order differ
+    between engines by ulps.  The house floored-once discipline kills
+    it: each part's weight floor(1e9/ln(d_p)) is computed ONCE per
+    part (one double expression, identical both engines), and the
+    per-pair score is then an EXACT bigint sum — order-free, merge-
+    safe, incrementally maintainable.  Degree-1 parts produce no pairs
+    and are excluded before the log (ln 1 = 0 guard).
+
+    Scale: same Σ_p d_p² pair generation as common_neighbors — pairs
+    only within a shared part, never cust×cust; hub parts fall under
+    the same count-certified cap discipline (df-damping makes their
+    weight ≈0 anyway, which is the POINT of Adamic–Adar)."""
+    from graphsense_datafeed_spark.sources.tables import load
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    bip = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        .distinct()
+    )
+    w = (
+        bip.groupBy("part")
+        .agg(F.count("*").cast("bigint").alias("dp"))
+        .filter(F.col("dp") >= 2)
+        .select(
+            "part",
+            F.floor(1000000000.0 / F.log(F.col("dp").cast("double")))
+            .cast("bigint")
+            .alias("wp"),
+        )
+    )
+    a = bip.alias("a")
+    b = bip.alias("b")
+    w2 = w.select(F.col("part").alias("w_part"), "wp")
+    pairs = a.join(
+        b,
+        (F.col("a.part") == F.col("b.part"))
+        & (F.col("a.cust") < F.col("b.cust")),
+    ).join(w2, F.col("a.part") == F.col("w_part"))
+    return (
+        pairs.groupBy(
+            F.col("a.cust").alias("cust_a"), F.col("b.cust").alias("cust_b")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("common_parts"),
+            F.sum("wp").cast("bigint").alias("aa_e9"),
+        )
+        .filter(F.col("common_parts") >= 3)
+    )

@@ -2817,3 +2817,67 @@ def agg_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("simpson_e6"),
     )
+
+
+@query(
+    "agg_wilson_interval",
+    """
+    WITH g AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(*) FILTER (WHERE n_chars >= 200) AS BIGINT) AS k
+        FROM documents GROUP BY lang
+    )
+    SELECT lang, n, k,
+           CAST(FLOOR(CAST(k AS DOUBLE) / n * 1000000) AS BIGINT) AS p_e6,
+           CAST(FLOOR(
+               ((CAST(k AS DOUBLE) / n + 1.96 * 1.96 / (2 * n))
+                - 1.96 * sqrt(CAST(k AS DOUBLE) / n
+                              * (1 - CAST(k AS DOUBLE) / n) / n
+                              + 1.96 * 1.96 / (4.0 * n * n)))
+               / (1 + 1.96 * 1.96 / n) * 1000000) AS BIGINT) AS wilson_lo_e6,
+           CAST(FLOOR(
+               ((CAST(k AS DOUBLE) / n + 1.96 * 1.96 / (2 * n))
+                + 1.96 * sqrt(CAST(k AS DOUBLE) / n
+                              * (1 - CAST(k AS DOUBLE) / n) / n
+                              + 1.96 * 1.96 / (4.0 * n * n)))
+               / (1 + 1.96 * 1.96 / n) * 1000000) AS BIGINT) AS wilson_hi_e6
+    FROM g
+    """,
+)
+def agg_wilson_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson 95% score interval per group (round 6): the proportion
+    CI that stays inside [0,1] and behaves at small n — what a
+    quality-gate dashboard should print next to every pass-rate
+    instead of the ±1.96·√(p(1−p)/n) Wald interval that collapses at
+    p→0/1 (precisely where corpus QA lives).  Here: the share of docs
+    per language passing the ≥200-char gate, with honest uncertainty.
+
+    Parity: n, k are exact bigints; p̂ and both bounds are single
+    double expressions written in the oracle's literal order (1.96
+    parses to the identical IEEE64 in both engines), floored e6 at
+    the end — the agg_t_test_welch discipline.
+
+    Scale: one partial agg to |groups| rows; the CI math is free."""
+    d = load(spark, sf_dir, "documents")
+    g = d.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.count(F.when(F.col("n_chars") >= 200, 1)).cast("bigint").alias("k"),
+    )
+    n = F.col("n").cast("double")
+    p = F.col("k").cast("double") / n
+    z2 = 1.96 * 1.96
+    center = p + z2 / (2 * n)
+    half = 1.96 * F.sqrt(p * (1 - p) / n + z2 / (4.0 * n * n))
+    denom = 1 + z2 / n
+    return g.select(
+        "lang",
+        "n",
+        "k",
+        F.floor(p * 1000000).cast("bigint").alias("p_e6"),
+        F.floor((center - half) / denom * 1000000)
+        .cast("bigint")
+        .alias("wilson_lo_e6"),
+        F.floor((center + half) / denom * 1000000)
+        .cast("bigint")
+        .alias("wilson_hi_e6"),
+    )

@@ -2887,3 +2887,67 @@ def win_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("n") >= 2, F.floor(num / den * 1000000).cast("bigint"))
         .alias("slope_e6"),
     )
+
+
+@query(
+    "ts_period_over_period",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT cur.event_type, cur.day, cur.n,
+           prev.n AS n_prev_week,
+           CASE WHEN prev.n > 0
+                THEN CAST(FLOOR(cur.n * 10000.0 / prev.n) AS BIGINT)
+           END AS wow_e4
+    FROM daily cur
+    LEFT JOIN daily prev
+      ON prev.event_type = cur.event_type
+     AND prev.day = cur.day - INTERVAL 7 DAY
+    """,
+)
+def ts_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week growth per series (round 6): each day's event
+    count against the SAME WEEKDAY one week earlier — the most-read
+    BI number there is, and one that a row-LAG gets silently wrong on
+    sparse series (lag(7) reaches 7 ROWS back, not 7 DAYS back, so a
+    missing day shifts the comparison off its weekday).  The correct
+    form is a calendar self-join on (series, day − 7), LEFT so the
+    first week still reports with a NULL baseline; growth is exact
+    bigint counts entering double once, floored e4.
+
+    Scale: the self-join runs on the DAILY AGGREGATE (|series| ×
+    |days| rows, tiny vs the fact), hash on the same (type, day) key
+    the rollup already produced; the fact table shuffles exactly once
+    for the aggregation."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    cur = daily.alias("cur")
+    prev = daily.select(
+        F.col("event_type").alias("p_type"),
+        F.col("day").alias("p_day"),
+        F.col("n").alias("n_prev_week"),
+    )
+    joined = cur.join(
+        prev,
+        (F.col("p_type") == F.col("cur.event_type"))
+        & (F.col("p_day") == F.date_sub(F.col("cur.day"), 7)),
+        "left",
+    )
+    return joined.select(
+        F.col("cur.event_type").alias("event_type"),
+        F.col("cur.day").alias("day"),
+        F.col("cur.n").alias("n"),
+        "n_prev_week",
+        F.when(
+            F.col("n_prev_week") > 0,
+            F.floor(F.col("cur.n") * 10000.0 / F.col("n_prev_week")).cast(
+                "bigint"
+            ),
+        ).alias("wow_e4"),
+    )

@@ -292,6 +292,9 @@ _ROUND7_NEXT_UP = (
     "split_kfold_assign",
     "layout_zone_overlap",
     "stream_pattern_match",
+    "graph_adamic_adar",
+    "ts_period_over_period",
+    "agg_wilson_interval",
 )
 
 _loaded = False
