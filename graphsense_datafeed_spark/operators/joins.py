@@ -1388,3 +1388,143 @@ def join_range_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_in_band"),
         F.sum("bal_c").cast("bigint").alias("sum_bal_cents"),
     )
+
+
+@query(
+    "join_interval_allen",
+    """
+    WITH numbered AS (
+        SELECT user_id, ts,
+               lag(ts) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    ), marked AS (
+        SELECT user_id, ts,
+               CASE WHEN prev_ts IS NULL
+                         OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM numbered
+    ), sessed AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id
+                                 ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS sess_id
+        FROM marked
+    ), sessions AS (
+        SELECT user_id, sess_id,
+               epoch_us(MIN(ts)) AS s_lo, epoch_us(MAX(ts)) AS s_hi,
+               date_trunc('day', MIN(ts)) AS day
+        FROM sessed GROUP BY user_id, sess_id
+    ), rel AS (
+        SELECT user_id, sess_id,
+               epoch_us(day + INTERVAL 9 HOUR) AS w_lo,
+               epoch_us(day + INTERVAL 17 HOUR) AS w_hi,
+               s_lo, s_hi
+        FROM sessions
+    )
+    SELECT relation, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM (
+        SELECT CASE
+            WHEN s_hi < w_lo THEN 'before'
+            WHEN s_hi = w_lo THEN 'meets'
+            WHEN s_lo < w_lo AND s_hi > w_lo AND s_hi < w_hi THEN 'overlaps'
+            WHEN s_lo < w_lo AND s_hi = w_hi THEN 'finished_by_inv'
+            WHEN s_lo < w_lo AND s_hi > w_hi THEN 'contains'
+            WHEN s_lo = w_lo AND s_hi < w_hi THEN 'starts'
+            WHEN s_lo = w_lo AND s_hi = w_hi THEN 'equals'
+            WHEN s_lo = w_lo AND s_hi > w_hi THEN 'started_by'
+            WHEN s_lo > w_lo AND s_hi < w_hi THEN 'during'
+            WHEN s_lo > w_lo AND s_lo < w_hi AND s_hi = w_hi THEN 'finishes'
+            WHEN s_lo > w_lo AND s_lo < w_hi AND s_hi > w_hi
+                THEN 'overlapped_by'
+            WHEN s_lo = w_hi THEN 'met_by'
+            ELSE 'after'
+        END AS relation
+        FROM rel
+    )
+    GROUP BY relation
+    """,
+)
+def join_interval_allen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allen's interval-relation census (round 6): every user session
+    classified against its day's 09:00–17:00 business window into the
+    full 13-relation Allen algebra (before / meets / overlaps /
+    starts / during / finishes / equals / + inverses) — the temporal-
+    logic vocabulary behind 'did the incident START inside the
+    maintenance window or merely overlap it?', which a boolean
+    overlap test (interval_overlap_duration) erases.
+
+    The 13 cases are mutually exclusive and exhaustive by
+    construction (trichotomy on each endpoint pair), and every
+    comparison runs on exact integer µs — no floats anywhere, so the
+    census is engine-exact.  Sessions meet their OWN day's window
+    by key (no interval join needed); the pair set is |sessions|.
+
+    Scale: the same one-keyed-exchange sessionize as
+    interval_overlap_duration, then a pure map classification and a
+    13-row aggregate.  The full two-sided Allen JOIN (arbitrary
+    interval sets) reduces to join_interval's day-bucket equi-join
+    with this CASE as the residual — documented composition."""
+    ev = load(spark, sf_dir, "events")
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    w_lag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    numbered = ev.select(
+        "user_id", "ts", F.lag("ts").over(w_lag).alias("prev_ts")
+    )
+    marked = numbered.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.col("prev_ts").isNull()
+            | ((us("ts") - us("prev_ts")) > 1800000000),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("is_new"),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sessed = marked.select(
+        "user_id", "ts", F.sum("is_new").over(w_run).alias("sess_id")
+    )
+    sessions = sessed.groupBy("user_id", "sess_id").agg(
+        F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
+    )
+    rel = sessions.select(
+        us("s_start").alias("s_lo"),
+        us("s_end").alias("s_hi"),
+        (
+            F.unix_micros(F.date_trunc("day", "s_start").cast("timestamp"))
+            + F.lit(9 * 3600 * 1000000)
+        ).alias("w_lo"),
+        (
+            F.unix_micros(F.date_trunc("day", "s_start").cast("timestamp"))
+            + F.lit(17 * 3600 * 1000000)
+        ).alias("w_hi"),
+    )
+    s_lo, s_hi = F.col("s_lo"), F.col("s_hi")
+    w_lo, w_hi = F.col("w_lo"), F.col("w_hi")
+    relation = (
+        F.when(s_hi < w_lo, "before")
+        .when(s_hi == w_lo, "meets")
+        .when((s_lo < w_lo) & (s_hi > w_lo) & (s_hi < w_hi), "overlaps")
+        .when((s_lo < w_lo) & (s_hi == w_hi), "finished_by_inv")
+        .when((s_lo < w_lo) & (s_hi > w_hi), "contains")
+        .when((s_lo == w_lo) & (s_hi < w_hi), "starts")
+        .when((s_lo == w_lo) & (s_hi == w_hi), "equals")
+        .when((s_lo == w_lo) & (s_hi > w_hi), "started_by")
+        .when((s_lo > w_lo) & (s_hi < w_hi), "during")
+        .when((s_lo > w_lo) & (s_lo < w_hi) & (s_hi == w_hi), "finishes")
+        .when((s_lo > w_lo) & (s_lo < w_hi) & (s_hi > w_hi), "overlapped_by")
+        .when(s_lo == w_hi, "met_by")
+        .otherwise("after")
+    )
+    return (
+        rel.select(relation.alias("relation"))
+        .groupBy("relation")
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+    )

@@ -295,6 +295,7 @@ _ROUND7_NEXT_UP = (
     "graph_adamic_adar",
     "ts_period_over_period",
     "agg_wilson_interval",
+    "join_interval_allen",
 )
 
 _loaded = False
