@@ -1187,6 +1187,44 @@ def join_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _us(c):
+    return F.unix_micros(F.col(c).cast("timestamp"))
+
+
+def user_sessions(ev: DataFrame) -> DataFrame:
+    """30-minute-gap sessionization shared by the interval-algebra
+    operators (the events_sessionize program: lag -> new-session flag
+    -> running sum -> bounds per (user, session)).  One keyed exchange
+    on user_id reused by both windows and the aggregate."""
+    w_lag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    numbered = ev.select(
+        "user_id", "ts", F.lag("ts").over(w_lag).alias("prev_ts")
+    )
+    marked = numbered.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.col("prev_ts").isNull()
+            | ((_us("ts") - _us("prev_ts")) > 1800000000),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("is_new"),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sessed = marked.select(
+        "user_id", "ts", F.sum("is_new").over(w_run).alias("sess_id")
+    )
+    return sessed.groupBy("user_id", "sess_id").agg(
+        F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
+    )
+
+
+
 @query(
     "interval_overlap_duration",
     """
@@ -1257,34 +1295,8 @@ def interval_overlap_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
     no cartesian anywhere (plan-pinned).  With arbitrary-length
     sessions the explode is bounded by session span — the same spine
     discipline as events_concurrency_sweep."""
-    ev = load(spark, sf_dir, "events")
-    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
-    w_lag = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    numbered = ev.select(
-        "user_id", "ts", F.lag("ts").over(w_lag).alias("prev_ts")
-    )
-    marked = numbered.select(
-        "user_id",
-        "ts",
-        F.when(
-            F.col("prev_ts").isNull()
-            | ((us("ts") - us("prev_ts")) > 1800000000),
-            F.lit(1),
-        )
-        .otherwise(F.lit(0))
-        .alias("is_new"),
-    )
-    w_run = (
-        Window.partitionBy("user_id")
-        .orderBy("ts")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    sessed = marked.select(
-        "user_id", "ts", F.sum("is_new").over(w_run).alias("sess_id")
-    )
-    sessions = sessed.groupBy("user_id", "sess_id").agg(
-        F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
-    )
+    sessions = user_sessions(load(spark, sf_dir, "events"))
+    us = _us
     exploded = sessions.select(
         "user_id",
         "sess_id",
@@ -1466,34 +1478,8 @@ def join_interval_allen(spark: SparkSession, sf_dir: str) -> DataFrame:
     13-row aggregate.  The full two-sided Allen JOIN (arbitrary
     interval sets) reduces to join_interval's day-bucket equi-join
     with this CASE as the residual — documented composition."""
-    ev = load(spark, sf_dir, "events")
-    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
-    w_lag = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    numbered = ev.select(
-        "user_id", "ts", F.lag("ts").over(w_lag).alias("prev_ts")
-    )
-    marked = numbered.select(
-        "user_id",
-        "ts",
-        F.when(
-            F.col("prev_ts").isNull()
-            | ((us("ts") - us("prev_ts")) > 1800000000),
-            F.lit(1),
-        )
-        .otherwise(F.lit(0))
-        .alias("is_new"),
-    )
-    w_run = (
-        Window.partitionBy("user_id")
-        .orderBy("ts")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    sessed = marked.select(
-        "user_id", "ts", F.sum("is_new").over(w_run).alias("sess_id")
-    )
-    sessions = sessed.groupBy("user_id", "sess_id").agg(
-        F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
-    )
+    sessions = user_sessions(load(spark, sf_dir, "events"))
+    us = _us
     rel = sessions.select(
         us("s_start").alias("s_lo"),
         us("s_end").alias("s_hi"),
