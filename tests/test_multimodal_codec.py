@@ -117,3 +117,29 @@ def test_decode_codec_operator_covers_both_containers(spark, sf_dir):
         assert len(r["pixel_sha256"]) == 64
     assert set(by_container) == {"png", "ppm"}
     assert filters == {0, 1, 2, 3, 4}  # every PNG filter exercised
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    HAVE_HYP = False
+
+if HAVE_HYP:
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        w=st.integers(1, 17),
+        h=st.integers(1, 13),
+        ch=st.sampled_from([1, 3, 4]),
+        ft=st.integers(0, 4),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def test_png_round_trip_property(w, h, ch, ft, seed):
+        rng = np.random.RandomState(seed % (2**32 - 1))
+        px = rng.randint(0, 256, size=w * h * ch, dtype=np.uint8).tobytes()
+        enc = png_encode(px, w, h, ch, ft)
+        assert png_parse_header(enc) == (w, h, ch)
+        assert png_decode(enc) == (w, h, ch, px)
