@@ -910,3 +910,97 @@ def graph_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("component_size"),
         F.min("addr").alias("representative"),
     ).select("component_size", "representative")
+
+
+_REORG_H1, _REORG_H2 = 100, 110
+_REORG_HASH1 = "f" * 64
+_REORG_HASH2 = "e" * 64
+
+
+@query(
+    "ingest_reorg_detect",
+    f"""
+    SELECT height, block_hash AS orphaned_hash,
+           CASE height WHEN {_REORG_H1} THEN '{_REORG_HASH1}'
+                       ELSE '{_REORG_HASH2}' END AS replaced_by
+    FROM read_json('{BLOCKS_JSONL}', format='newline_delimited',
+                   columns={{'height':'BIGINT','block_hash':'VARCHAR'}})
+    WHERE height IN ({_REORG_H1}, {_REORG_H2})
+    """,
+)
+def ingest_reorg_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chain REORG detection (round 6) — the datafeed-specific event
+    the re-ingest machinery exists FOR: competing blocks arrive at an
+    already-ingested height, and the canonical pick is
+    newest-record-wins by ingest sequence (the reference's re-ingest
+    rule — SURVEY §2.5 win_topk_per_group provenance).  This operator
+    finds every height with >1 observed block, elects the winner, and
+    emits the ORPHANED blocks with the hash that replaced them — the
+    exact worklist sink_partitioned_overwrite then replays (orphaned
+    heights → affected day partitions → O(affected) rewrite).
+
+    The staged reorg feed is the clean fixture feed with each line
+    stamped ingest_seq = arrival index, plus two competing blocks
+    planted at heights {_REORG_H1}/{_REORG_H2} with later sequence
+    numbers; the oracle reconstructs the SAME answer relationally from
+    the CLEAN feed + the planted constants (the scan_json_corrupt
+    asymmetry: staging bugs can't self-certify).
+
+    Scale: one keyed window over (height) on the block-header table —
+    headers are tiny next to tx payloads; the orphan set is
+    reorg-depth-sized."""
+    import json as _json
+    import os
+    import tempfile
+
+    staged = os.path.join(tempfile.gettempdir(), "gds_reorg_feed.jsonl")
+    if not os.path.exists(staged):
+        with open(BLOCKS_JSONL) as f, open(staged + ".tmp", "w") as out:
+            seq = 0
+            for line in f:
+                rec = _json.loads(line)
+                out.write(
+                    _json.dumps(
+                        {
+                            "height": rec["height"],
+                            "block_hash": rec["block_hash"],
+                            "ingest_seq": seq,
+                        }
+                    )
+                    + "\n"
+                )
+                seq += 1
+            for h, hsh in ((_REORG_H1, _REORG_HASH1), (_REORG_H2, _REORG_HASH2)):
+                out.write(
+                    _json.dumps(
+                        {"height": h, "block_hash": hsh, "ingest_seq": seq}
+                    )
+                    + "\n"
+                )
+                seq += 1
+        os.rename(staged + ".tmp", staged)
+    from pyspark.sql import Window
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("height", LongType()),
+            StructField("block_hash", StringType()),
+            StructField("ingest_seq", LongType()),
+        ]
+    )
+    feed = spark.read.schema(schema).json(staged)
+    w = Window.partitionBy("height").orderBy(F.col("ingest_seq").desc())
+    ranked = feed.select(
+        "height",
+        "block_hash",
+        F.row_number().over(w).alias("rnk"),
+        F.first("block_hash").over(
+            Window.partitionBy("height").orderBy(F.col("ingest_seq").desc())
+        ).alias("replaced_by"),
+    )
+    return ranked.filter(F.col("rnk") > 1).select(
+        "height",
+        F.col("block_hash").alias("orphaned_hash"),
+        "replaced_by",
+    )

@@ -298,6 +298,7 @@ _ROUND7_NEXT_UP = (
     "ts_period_over_period",
     "agg_wilson_interval",
     "join_interval_allen",
+    "ingest_reorg_detect",
 )
 
 _loaded = False
