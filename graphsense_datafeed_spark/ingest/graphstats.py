@@ -722,3 +722,82 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("common_parts") >= 3)
     )
+
+
+@query(
+    "graph_preferential_attachment",
+    """
+    WITH bip AS (
+        SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    ), deg AS (
+        SELECT cust, CAST(COUNT(*) AS BIGINT) AS d FROM bip GROUP BY cust
+    ), pairs AS (
+        SELECT a.cust AS cust_a, b.cust AS cust_b,
+               CAST(COUNT(*) AS BIGINT) AS common_parts
+        FROM bip a JOIN bip b ON a.part = b.part AND a.cust < b.cust
+        GROUP BY a.cust, b.cust
+        HAVING COUNT(*) >= 3
+    )
+    SELECT cust_a, cust_b, common_parts,
+           CAST(da.d * db.d AS BIGINT) AS pa_score
+    FROM pairs
+    JOIN deg da ON da.cust = pairs.cust_a
+    JOIN deg db ON db.cust = pairs.cust_b
+    """,
+)
+def graph_preferential_attachment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preferential-attachment link score (round 6) — the third leg of
+    the classical link-prediction triple this engine now carries
+    (Jaccard: graph_common_neighbors; rarity-damped: graph_adamic_adar;
+    activity-product: this).  PA(a,b) = deg(a)·deg(b) predicts links
+    between ACTIVE nodes regardless of current overlap — the
+    rich-get-richer baseline every LP benchmark reports, and the
+    cheapest of the three (no per-neighbor weighting at all).
+
+    Candidate pairs reuse the bounded within-part generation (Σ d²,
+    never cust²) with the same ≥3-common-parts support floor, so the
+    three scores are computed over the SAME candidate set and are
+    directly comparable downstream.  Degrees join back broadcast-sized;
+    the score is one exact bigint product — no float anywhere.
+
+    Scale: identical to graph_common_neighbors; the degree table is
+    |customers| rows and joins by key at the candidate-set bound."""
+    from graphsense_datafeed_spark.sources.tables import load
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    bip = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part")
+        )
+        .distinct()
+    )
+    deg = bip.groupBy("cust").agg(F.count("*").cast("bigint").alias("d"))
+    a = bip.alias("a")
+    b = bip.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.part") == F.col("b.part"))
+            & (F.col("a.cust") < F.col("b.cust")),
+        )
+        .groupBy(
+            F.col("a.cust").alias("cust_a"), F.col("b.cust").alias("cust_b")
+        )
+        .agg(F.count("*").cast("bigint").alias("common_parts"))
+        .filter(F.col("common_parts") >= 3)
+    )
+    da = deg.select(F.col("cust").alias("cust_a"), F.col("d").alias("da"))
+    db = deg.select(F.col("cust").alias("cust_b"), F.col("d").alias("db"))
+    return (
+        pairs.join(F.broadcast(da), "cust_a")
+        .join(F.broadcast(db), "cust_b")
+        .select(
+            "cust_a",
+            "cust_b",
+            "common_parts",
+            (F.col("da") * F.col("db")).cast("bigint").alias("pa_score"),
+        )
+    )

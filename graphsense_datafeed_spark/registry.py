@@ -299,6 +299,7 @@ _ROUND7_NEXT_UP = (
     "agg_wilson_interval",
     "join_interval_allen",
     "ingest_reorg_detect",
+    "graph_preferential_attachment",
 )
 
 _loaded = False
