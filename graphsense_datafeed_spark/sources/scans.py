@@ -1116,16 +1116,18 @@ def sink_jsonl_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphsense_datafeed_spark.sources.tables import staged_source_dir
 
     base = staged_source_dir(sf_dir, "gds_jsonl", "documents")
-    out_dir = os.path.join(base, "docs_jsonl")
-    if not os.path.exists(out_dir):
-        ensure_runtime_confs(spark)
+    ensure_runtime_confs(spark)
+
+    def write_export(stage: str) -> None:
         (
             load(spark, sf_dir, "documents")
             .filter(F.col("n_chars") >= 100)
             .select("doc_id", "lang", "source", "n_chars")
-            .write.mode("ignore")
-            .json(out_dir)
+            .write.mode("overwrite")
+            .json(stage)
         )
+
+    out_dir = staged_output(os.path.join(base, "docs_jsonl"), write_export)
     schema = StructType(
         [
             StructField("doc_id", LongType()),
