@@ -2881,3 +2881,101 @@ def agg_wilson_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("wilson_hi_e6"),
     )
+
+
+@query(
+    "agg_ratio_delta_method",
+    """
+    WITH per_user AS (
+        SELECT user_id,
+               CAST('0x' || substr(md5('exp42_' || CAST(user_id AS VARCHAR)),
+                                   1, 7) AS BIGINT) % 2 AS arm,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ), s AS (
+        SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM per_user GROUP BY arm
+    )
+    SELECT arm, n,
+           CAST(FLOOR(CAST(sx AS DOUBLE) / sy * 1000000) AS BIGINT)
+               AS r_e6,
+           CAST(FLOOR(
+               sqrt(((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
+                     - 2 * (CAST(sx AS DOUBLE) / sy)
+                         * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+                     + (CAST(sx AS DOUBLE) / sy) * (CAST(sx AS DOUBLE) / sy)
+                         * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n))
+                    / n / n
+                    / ((CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)))
+               * 1000000) AS BIGINT) AS se_e6
+    FROM s
+    """,
+)
+def agg_ratio_delta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RATIO-metric standard error by the delta method (round 6): the
+    experimentation stat events_ab_cuped / events_ab_srm don't cover —
+    'revenue per event' is a ratio of two USER-LEVEL sums, and naive
+    per-event variance is wrong because events cluster within users
+    (the unit of randomization).  Var(X̄/Ȳ) ≈ (σx² − 2Rσxy + R²σy²)
+    / (n·ȳ²) over user-level (x, y) pairs — the formula every A/B
+    platform implements for ratio metrics.
+
+    Exactness discipline: per-user x (cents) and y (events) are exact
+    bigints; the five arm-level sums (Σx, Σy, Σx², Σy², Σxy) are exact
+    bigint partials (mergeable, any order); R, the three centered
+    moments, and the SE are ONE double expression chain written in the
+    oracle's literal order, floored e6 at the end.  Cents (not e4)
+    keep Σx² far from the int64 cliff.
+
+    Scale: one user-keyed rollup (the randomization-unit shuffle the
+    experiment already needs), then a 2-row arm aggregate."""
+    ev = load(spark, sf_dir, "events")
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("exp42_"), F.col("user_id").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    per_user = ev.groupBy("user_id", arm.alias("arm")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("x"),
+        F.count("*").cast("bigint").alias("y"),
+    )
+    s = per_user.groupBy("arm").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    n = d("n")
+    r = d("sx") / F.col("sy")
+    cxx = d("sxx") - d("sx") * F.col("sx") / F.col("n")
+    cxy = d("sxy") - d("sx") * F.col("sy") / F.col("n")
+    cyy = d("syy") - d("sy") * F.col("sy") / F.col("n")
+    ybar = d("sy") / n
+    var = (cxx - 2 * r * cxy + r * r * cyy) / n / n / (ybar * ybar)
+    return s.select(
+        "arm",
+        "n",
+        F.floor(r * 1000000).cast("bigint").alias("r_e6"),
+        F.floor(F.sqrt(var) * 1000000).cast("bigint").alias("se_e6"),
+    )

@@ -2951,3 +2951,224 @@ def ts_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("wow_e4"),
     )
+
+
+@query(
+    "events_cohort_ltv",
+    """
+    WITH cohorts AS (
+        SELECT user_id, MIN(date_trunc('week', ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    ), weekly_rev AS (
+        SELECT e.user_id, c.cohort_week,
+               CAST(datediff('day', CAST(c.cohort_week AS DATE),
+                             CAST(date_trunc('week', e.ts) AS DATE)) / 7
+                    AS BIGINT) AS week_offset,
+               CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT)
+                   AS rev_cents
+        FROM events e JOIN cohorts c USING (user_id)
+        WHERE e.event_type = 'purchase'
+        GROUP BY 1, 2, 3
+    ), cells AS (
+        SELECT cohort_week, week_offset,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_buyers,
+               CAST(SUM(rev_cents) AS BIGINT) AS rev_cents
+        FROM weekly_rev GROUP BY 1, 2
+    )
+    SELECT CAST(cohort_week AS DATE) AS cohort_week, week_offset,
+           n_buyers, rev_cents,
+           CAST(SUM(rev_cents) OVER (PARTITION BY cohort_week
+                                     ORDER BY week_offset
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND CURRENT ROW)
+                AS BIGINT) AS cum_rev_cents
+    FROM cells
+    """,
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LIFETIME-VALUE curve (round 6): events_retention's
+    triangle with the VALUE dimension — per (first-active-week cohort,
+    week offset): buyers, purchase revenue, and the cohort's running
+    cumulative revenue, i.e. the LTV-by-age curve payback models read
+    (which week does cumulative revenue cross acquisition cost?).
+
+    Money stays exact: cents = ROUND(value·100) bigint at the row,
+    summed twice (user-week, then cell) and then a running window —
+    every stage integer, order-free.  The cumulative window runs per
+    cohort over week offsets (bounded by calendar weeks), never raw
+    events.
+
+    Scale: the only corpus-sized shuffle is the (user, week) revenue
+    rollup; the cohort MIN re-joins on the same user_id layout; cells
+    are |cohorts|×|offsets| — dashboard-sized."""
+    ev = load(spark, sf_dir, "events")
+    week = F.date_trunc("week", "ts")
+    cohorts = ev.groupBy("user_id").agg(F.min(week).alias("cohort_week"))
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    weekly_rev = (
+        purchases.join(cohorts, "user_id")
+        .groupBy(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(
+                    week.cast("date"), F.col("cohort_week").cast("date")
+                )
+                / 7
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("rev_cents")
+        )
+    )
+    cells = weekly_rev.groupBy("cohort_week", "week_offset").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_buyers"),
+        F.sum("rev_cents").cast("bigint").alias("rev_cents"),
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return cells.select(
+        F.col("cohort_week").cast("date").alias("cohort_week"),
+        "week_offset",
+        "n_buyers",
+        "rev_cents",
+        F.sum("rev_cents").over(w).cast("bigint").alias("cum_rev_cents"),
+    )
+
+
+@query(
+    "ts_ljung_box",
+    """
+    WITH base AS (
+        SELECT event_type,
+               CAST(FLOOR(value * 100) AS BIGINT) AS v,
+               lag(CAST(FLOOR(value * 100) AS BIGINT), 1) OVER w AS y1,
+               lag(CAST(FLOOR(value * 100) AS BIGINT), 2) OVER w AS y2,
+               lag(CAST(FLOOR(value * 100) AS BIGINT), 3) OVER w AS y3
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    ), pairs AS (
+        SELECT event_type, CAST(1 AS BIGINT) AS lag_k, v AS x, y1 AS y
+        FROM base WHERE y1 IS NOT NULL
+        UNION ALL
+        SELECT event_type, 2, v, y2 FROM base WHERE y2 IS NOT NULL
+        UNION ALL
+        SELECT event_type, 3, v, y3 FROM base WHERE y3 IS NOT NULL
+    ), stats AS (
+        SELECT event_type, lag_k,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM pairs GROUP BY 1, 2
+    ), terms AS (
+        SELECT event_type, lag_k, n + lag_k AS n_total,
+               CAST(FLOOR(
+                   ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                           * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
+                   * ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                           * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
+                   / n * 1000000000) AS BIGINT) AS term_e9
+        FROM stats
+    )
+    SELECT event_type,
+           CAST(MAX(n_total) AS BIGINT) AS n_obs,
+           CAST(SUM(term_e9) AS BIGINT) AS sum_terms_e9,
+           CAST(FLOOR(CAST(MAX(n_total) AS DOUBLE)
+                      * (MAX(n_total) + 2)
+                      * CAST(SUM(term_e9) AS DOUBLE)
+                      / 1000000000.0 * 1000) AS BIGINT) AS q_e3
+    FROM terms GROUP BY event_type
+    """,
+)
+def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung–Box portmanteau statistic, lags 1–3, per series (round
+    6): ts_acf answers 'how correlated is lag k'; this answers the
+    question that gates forecasting-residual QA — 'are these lags
+    JOINTLY white noise?'  Q = n(n+2) Σ ρ̂ₖ²/(n−k), compared to χ²(m)
+    downstream; residuals that fail it mean the model left structure
+    on the table (ts_backtest_snaive's residuals are the intended
+    input at 100 TB).
+
+    Parity: ρ̂ₖ comes from the same exact-bigint lag tape as ts_acf;
+    each lag's ρ̂ₖ²/(n−k) is ONE double chain floored-once to e9, so
+    the cross-lag sum is an EXACT bigint (3 rows, any order), and the
+    final n(n+2)·Σ/1e9 scaling is one more deterministic chain —
+    the floored-once-into-exact-sum house discipline, applied at the
+    statistic level.  (The e9 floor makes this a deterministic SPEC
+    of Q, biased < 3e-9 absolute — documented, irrelevant against
+    χ² thresholds.)
+
+    Scale: one keyed window exchange for the lag tape (shared with
+    ts_acf's), then |series|×3 rows of statistics."""
+    ev = load(spark, sf_dir, "events")
+    v = F.floor(F.col("value") * 100).cast("bigint")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    base = ev.select(
+        "event_type",
+        v.alias("v"),
+        F.lag(v, 1).over(w).alias("y1"),
+        F.lag(v, 2).over(w).alias("y2"),
+        F.lag(v, 3).over(w).alias("y3"),
+    )
+    parts = []
+    for k in (1, 2, 3):
+        parts.append(
+            base.filter(F.col(f"y{k}").isNotNull()).select(
+                "event_type",
+                F.lit(k).cast("bigint").alias("lag_k"),
+                F.col("v").alias("x"),
+                F.col(f"y{k}").alias("y"),
+            )
+        )
+    pairs = parts[0].unionAll(parts[1]).unionAll(parts[2])
+    stats = pairs.groupBy("event_type", "lag_k").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    rho = (d("n") * d("sxy") - d("sx") * d("sy")) / F.sqrt(
+        (d("n") * d("sxx") - d("sx") * d("sx"))
+        * (d("n") * d("syy") - d("sy") * d("sy"))
+    )
+    terms = stats.select(
+        "event_type",
+        (F.col("n") + F.col("lag_k")).alias("n_total"),
+        F.floor(rho * rho / F.col("n") * 1000000000)
+        .cast("bigint")
+        .alias("term_e9"),
+    )
+    return terms.groupBy("event_type").agg(
+        F.max("n_total").cast("bigint").alias("n_obs"),
+        F.sum("term_e9").cast("bigint").alias("sum_terms_e9"),
+        F.floor(
+            F.max("n_total").cast("double")
+            * (F.max("n_total") + 2)
+            * F.sum("term_e9").cast("double")
+            / 1000000000.0
+            * 1000
+        )
+        .cast("bigint")
+        .alias("q_e3"),
+    )

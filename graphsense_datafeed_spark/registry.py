@@ -300,6 +300,9 @@ _ROUND7_NEXT_UP = (
     "join_interval_allen",
     "ingest_reorg_detect",
     "graph_preferential_attachment",
+    "events_cohort_ltv",
+    "agg_ratio_delta_method",
+    "ts_ljung_box",
 )
 
 _loaded = False
