@@ -303,6 +303,7 @@ _ROUND7_NEXT_UP = (
     "events_cohort_ltv",
     "agg_ratio_delta_method",
     "ts_ljung_box",
+    "scan_footer_stats",
 )
 
 _loaded = False

@@ -1137,3 +1137,51 @@ def sink_jsonl_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return spark.read.schema(schema).json(out_dir)
+
+
+@query(
+    "scan_footer_stats",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS num_rows,
+           CAST(MIN(event_id) AS BIGINT) AS min_event_id,
+           CAST(MAX(event_id) AS BIGINT) AS max_event_id
+    FROM events
+    """,
+)
+def scan_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet FOOTER statistics as a queryable result (round 6) — the
+    zone map layout_zone_overlap reasons about, read the way a real
+    lakehouse reads it: row counts and min/max assembled ONLY from
+    row-group metadata (pyarrow ParquetFile.metadata), ZERO data pages
+    touched.  This is the primitive behind data skipping, compaction
+    planning, and the 100 TB form of the zone-overlap audit (footers
+    instead of scans).
+
+    The oracle scans the DATA (COUNT/MIN/MAX over the table), so the
+    check is the data-skipping soundness theorem itself: footer stats
+    must equal truth for an int64 column (parquet int stats are exact,
+    no truncation) regardless of how many row groups the fixture
+    generator writes — per-row-group stats are summed/min'd/max'd
+    across groups, so a regenerated multi-row-group file still
+    matches.
+
+    The footer read is driver-side on METADATA only (KBs per file);
+    at scale the FILE LIST distributes (a binaryFile scan over
+    footers feeding the same per-file fold) — documented seam."""
+    import pyarrow.parquet as pq
+
+    from graphsense_datafeed_spark.sources.tables import path_for
+
+    md = pq.ParquetFile(path_for(sf_dir, "events")).metadata
+    col_idx = md.schema.names.index("event_id")
+    total, mn, mx = 0, None, None
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        st = g.column(col_idx).statistics
+        total += g.num_rows
+        mn = int(st.min) if mn is None else min(mn, int(st.min))
+        mx = int(st.max) if mx is None else max(mx, int(st.max))
+    return spark.createDataFrame(
+        [(total, mn, mx)],
+        "num_rows bigint, min_event_id bigint, max_event_id bigint",
+    )
