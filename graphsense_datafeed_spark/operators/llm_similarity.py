@@ -1452,3 +1452,101 @@ def embed_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("mse_e9"),
         F.floor(F.col("max_abs") * 1000000).cast("bigint").alias("max_err_e6"),
     )
+
+
+@query(
+    "embed_silhouette_simplified",
+    """
+    WITH flat AS (
+        SELECT label, vec_id,
+               unnest(embedding) AS val,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings
+    ), centroid AS (
+        SELECT label AS c_label, pos, AVG(CAST(val AS DOUBLE)) AS c
+        FROM flat GROUP BY label, pos
+    ), dists AS (
+        SELECT f.vec_id, f.label, c.c_label,
+               CAST(FLOOR(SUM((CAST(f.val AS DOUBLE) - c.c)
+                              * (CAST(f.val AS DOUBLE) - c.c)) * 10000)
+                    AS BIGINT) AS dist_e4
+        FROM flat f JOIN centroid c ON f.pos = c.pos
+        GROUP BY f.vec_id, f.label, c.c_label
+    ), ab AS (
+        SELECT vec_id, label,
+               MIN(CASE WHEN c_label = label THEN dist_e4 END) AS a,
+               MIN(CASE WHEN c_label <> label THEN dist_e4 END) AS b
+        FROM dists GROUP BY vec_id, label
+    ), sil AS (
+        SELECT label,
+               CAST(FLOOR((CAST(b AS DOUBLE) - a)
+                          / GREATEST(CAST(a AS DOUBLE), CAST(b AS DOUBLE))
+                          * 1000000) AS BIGINT) AS s_e6
+        FROM ab WHERE GREATEST(a, b) > 0
+    )
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(FLOOR(CAST(SUM(s_e6) AS DOUBLE) / COUNT(*)) AS BIGINT)
+               AS mean_sil_e6
+    FROM sil GROUP BY label
+    """,
+)
+def embed_silhouette_simplified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified silhouette per cluster (round 6): for every vector,
+    a = distance to its OWN label centroid, b = distance to the
+    NEAREST other centroid, s = (b−a)/max(a,b) — the clustering-QA
+    number that tells you whether a label partition is real structure
+    or wishful thinking (s→1 tight/separated, s≈0 boundary, s<0
+    misassigned), at centroid cost O(n·k) instead of the classic
+    silhouette's O(n²) pairwise bill — the variant that actually runs
+    at corpus scale.
+
+    Shares embed_centroid_topk's machinery verbatim: posexplode→avg
+    centroids (broadcast-sized), distance re-aggregation per
+    (vec, centroid), then a/b by conditional MIN over floored-e4
+    bigint distances (so the min and the comparison are exact), each
+    vector's s floored-once to e6, and the per-label mean one exact
+    bigint sum + one floored division.
+
+    Scale: corpus × labels distance agg (map-side partial), |labels|
+    result rows; the per-label mean is incrementally mergeable."""
+    flat = (
+        load(spark, sf_dir, "embeddings")
+        .select("label", "vec_id", F.posexplode("embedding").alias("pos0", "val"))
+        .select(
+            "label",
+            "vec_id",
+            (F.col("pos0") + 1).alias("pos"),
+            F.col("val").cast("double").alias("val"),
+        )
+    )
+    centroid = flat.groupBy(F.col("label").alias("c_label"), "pos").agg(
+        F.avg("val").alias("c")
+    )
+    dd = F.col("val") - F.col("c")
+    dists = (
+        flat.join(F.broadcast(centroid), "pos")
+        .groupBy("vec_id", "label", "c_label")
+        .agg(F.floor(F.sum(dd * dd) * 10000).cast("bigint").alias("dist_e4"))
+    )
+    ab = dists.groupBy("vec_id", "label").agg(
+        F.min(
+            F.when(F.col("c_label") == F.col("label"), F.col("dist_e4"))
+        ).alias("a"),
+        F.min(
+            F.when(F.col("c_label") != F.col("label"), F.col("dist_e4"))
+        ).alias("b"),
+    )
+    s_e6 = F.floor(
+        (F.col("b").cast("double") - F.col("a"))
+        / F.greatest(F.col("a").cast("double"), F.col("b").cast("double"))
+        * 1000000
+    ).cast("bigint")
+    sil = ab.filter(F.greatest("a", "b") > 0).select(
+        "label", s_e6.alias("s_e6")
+    )
+    return sil.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        F.floor(F.sum("s_e6").cast("double") / F.count("*"))
+        .cast("bigint")
+        .alias("mean_sil_e6"),
+    )

@@ -3172,3 +3172,72 @@ def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("q_e3"),
     )
+
+
+@query(
+    "events_error_budget_burn",
+    """
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS hour,
+               CAST(COUNT(*) AS BIGINT) AS n_total,
+               CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT)
+                   AS n_err
+        FROM events GROUP BY 1
+    ), overall AS (
+        SELECT CAST(SUM(n_total) AS BIGINT) AS g_total,
+               CAST(SUM(n_err) AS BIGINT) AS g_err
+        FROM hourly
+    )
+    SELECT CAST(h.hour AS TIMESTAMP) AS hour, h.n_total, h.n_err,
+           CAST(FLOOR(CAST(h.n_err AS DOUBLE) / h.n_total * 1000000)
+                AS BIGINT) AS err_rate_e6,
+           CAST(FLOOR((CAST(h.n_err AS DOUBLE) / h.n_total)
+                      / (CAST(o.g_err AS DOUBLE) / o.g_total)
+                      * 1000) AS BIGINT) AS burn_x1000,
+           (CAST(h.n_err AS DOUBLE) / h.n_total)
+               > 2.0 * (CAST(o.g_err AS DOUBLE) / o.g_total)
+               AS is_fast_burn
+    FROM hourly h CROSS JOIN overall o
+    """,
+)
+def events_error_budget_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLO error-budget BURN RATE per hour (round 6) — the SRE
+    alerting primitive: each hour's error rate expressed as a multiple
+    of the service's overall baseline rate (burn×1000, exact-count
+    derived), with the 2× fast-burn flag that pages before the budget
+    is gone.  Plain threshold alerts fire on absolute rates and
+    mis-page quiet services; burn-rate alerts normalize by the
+    service's own budget — the Google SRE workbook's multiwindow
+    pattern, here at the one-window core.
+
+    Exactness: hourly and overall (errors, totals) are exact bigint
+    counts; rate, burn, and the flag are single double expressions in
+    the oracle's literal order (flag compares rates directly — no
+    rounding in the predicate, so both engines branch identically).
+
+    Scale: one partial agg to |hours| rows; the overall baseline is a
+    1-row broadcast cross join (lazy, no driver action); incremental:
+    hourly counts merge per ingest batch, the baseline re-derives
+    from the merged table."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count("*").cast("bigint").alias("n_total"),
+        F.count(F.when(F.col("event_type") == "error", 1))
+        .cast("bigint")
+        .alias("n_err"),
+    )
+    overall = hourly.agg(
+        F.sum("n_total").cast("bigint").alias("g_total"),
+        F.sum("n_err").cast("bigint").alias("g_err"),
+    )
+    joined = hourly.crossJoin(F.broadcast(overall))
+    h_rate = F.col("n_err").cast("double") / F.col("n_total")
+    g_rate = F.col("g_err").cast("double") / F.col("g_total")
+    return joined.select(
+        F.col("hour").cast("timestamp").alias("hour"),
+        "n_total",
+        "n_err",
+        F.floor(h_rate * 1000000).cast("bigint").alias("err_rate_e6"),
+        F.floor(h_rate / g_rate * 1000).cast("bigint").alias("burn_x1000"),
+        (h_rate > 2.0 * g_rate).alias("is_fast_burn"),
+    )

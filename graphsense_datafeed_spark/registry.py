@@ -304,6 +304,8 @@ _ROUND7_NEXT_UP = (
     "agg_ratio_delta_method",
     "ts_ljung_box",
     "scan_footer_stats",
+    "embed_silhouette_simplified",
+    "events_error_budget_burn",
 )
 
 _loaded = False
