@@ -1260,3 +1260,63 @@ def corpus_dup_health(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("wasted_chars"),
     )
+
+
+@query(
+    "dedup_incremental_snapshot",
+    """
+    WITH existing AS (
+        SELECT DISTINCT md5(text) AS dg FROM documents WHERE doc_id < 250
+    ), batch AS (
+        SELECT doc_id, md5(text) AS dg FROM documents WHERE doc_id >= 250
+    ), first_in_batch AS (
+        SELECT doc_id, dg,
+               ROW_NUMBER() OVER (PARTITION BY dg ORDER BY doc_id) AS rn
+        FROM batch
+    )
+    SELECT b.doc_id,
+           CASE WHEN e.dg IS NOT NULL THEN 'dup_of_existing'
+                WHEN b.rn > 1 THEN 'dup_within_batch'
+                ELSE 'new' END AS status
+    FROM first_in_batch b LEFT JOIN existing e ON b.dg = e.dg
+    """,
+)
+def dedup_incremental_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL dedup against an existing corpus snapshot (round
+    6) — the production nightly that dedup_exact's one-shot form
+    doesn't express: new documents (doc_id ≥ 250, the arriving batch)
+    are checked against the ALREADY-INGESTED corpus digest index
+    (doc_id < 250) AND against each other, each classified
+    dup_of_existing / dup_within_batch / new.  Only 'new' rows
+    proceed to ingest; the index then absorbs their digests —
+    the loop that keeps a growing corpus exact-deduped without ever
+    re-scanning history.
+
+    Within-batch ties elect the lowest doc_id (deterministic), and
+    existing-corpus hits take precedence over within-batch rank
+    (a batch doc equal to an existing one is dup_of_existing even if
+    it's also first in its batch group) — both pinned by the oracle.
+
+    Scale: the digest index is digest-only (16 bytes/doc) and joins
+    by digest hash — at 100 TB it lives partitioned by digest prefix
+    and the batch (≪ corpus) shuffles to IT; history is never
+    re-read, only probed.  The same shape backs text_decontaminate
+    (benchmark digests) and dedup_apply (removal sets)."""
+    d = load(spark, sf_dir, "documents")
+    dg = F.md5(F.col("text").cast("binary"))
+    existing = (
+        d.filter(F.col("doc_id") < 250).select(dg.alias("dg")).distinct()
+    )
+    batch = d.filter(F.col("doc_id") >= 250).select("doc_id", dg.alias("dg"))
+    w = Window.partitionBy("dg").orderBy("doc_id")
+    first_in_batch = batch.withColumn("rn", F.row_number().over(w))
+    e = existing.select(F.col("dg").alias("e_dg"))
+    joined = first_in_batch.join(
+        e, first_in_batch.dg == F.col("e_dg"), "left"
+    )
+    status = (
+        F.when(F.col("e_dg").isNotNull(), "dup_of_existing")
+        .when(F.col("rn") > 1, "dup_within_batch")
+        .otherwise("new")
+    )
+    return joined.select("doc_id", status.alias("status"))

@@ -2604,3 +2604,75 @@ def text_lang_id_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") == 1)
         .select("doc_id", "lang", F.col("p_lang").alias("pred_lang"), "score")
     )
+
+
+@query(
+    "text_score_linear_model",
+    """
+    WITH feats AS (
+        SELECT doc_id,
+               CAST(n_chars AS DOUBLE) / 1000 AS f_len,
+               CAST(length(text) - length(replace(text, ' ', ''))
+                    AS DOUBLE) / 100 AS f_words,
+               CAST(length(text) - length(replace(text, 'the', ''))
+                    AS DOUBLE)
+                   / (3 * GREATEST(CAST(n_chars AS DOUBLE), 1.0)) * 10
+                   AS f_the
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(FLOOR((-0.25 + 1.5 * f_len - 0.75 * f_words + 2.0 * f_the)
+                      * 1000000) AS BIGINT) AS logit_e6,
+           CAST(FLOOR(1.0 / (1.0 + exp(-(-0.25 + 1.5 * f_len
+                                         - 0.75 * f_words + 2.0 * f_the)))
+                      * 1000000) AS BIGINT) AS prob_e6,
+           (1.0 / (1.0 + exp(-(-0.25 + 1.5 * f_len - 0.75 * f_words
+                               + 2.0 * f_the)))) > 0.5 AS keep
+    FROM feats
+    """,
+)
+def text_score_linear_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier SCORING (round 6): apply a trained
+    logistic model (weights frozen as literals here — in production
+    they arrive as a broadcast row from the training job) over cheap
+    text features, emit logit, calibrated probability, and the 0.5
+    keep decision — the model-apply stage every learned quality
+    filter (fastText-style, DSIR-refined, ...) runs at corpus scale,
+    and the missing rung between text_gopher_rules (hand rules) and
+    an external ML stack.
+
+    Features are deliberately relational (length, space-count words,
+    'the'-density) so the WHOLE pipeline — features, dot product,
+    sigmoid — is one narrow JVM expression chain per row: no UDF, no
+    Python, fully codegen'd, trivially pushed behind any upstream
+    filter.  Parity: every feature and the sigmoid are single double
+    chains in the oracle's literal order; the keep flag compares the
+    probability directly (identical branching both engines).
+
+    Scale: a pure map — zero shuffle; scoring cost is the scan. The
+    model-update path swaps literals for a 1-row broadcast join
+    (events_error_budget_burn's baseline shape), nothing else
+    changes."""
+    d = load(spark, sf_dir, "documents")
+    f_len = F.col("n_chars").cast("double") / 1000
+    f_words = (
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "))))
+        .cast("double")
+        / 100
+    )
+    f_the = (
+        (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit("the")))
+        ).cast("double")
+        / (3 * F.greatest(F.col("n_chars").cast("double"), F.lit(1.0)))
+        * 10
+    )
+    logit = -0.25 + 1.5 * f_len - 0.75 * f_words + 2.0 * f_the
+    prob = 1.0 / (1.0 + F.exp(-logit))
+    return d.select(
+        "doc_id",
+        F.floor(logit * 1000000).cast("bigint").alias("logit_e6"),
+        F.floor(prob * 1000000).cast("bigint").alias("prob_e6"),
+        (prob > 0.5).alias("keep"),
+    )

@@ -306,6 +306,8 @@ _ROUND7_NEXT_UP = (
     "scan_footer_stats",
     "embed_silhouette_simplified",
     "events_error_budget_burn",
+    "dedup_incremental_snapshot",
+    "text_score_linear_model",
 )
 
 _loaded = False
