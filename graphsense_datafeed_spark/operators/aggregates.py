@@ -2979,3 +2979,89 @@ def agg_ratio_delta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(r * 1000000).cast("bigint").alias("r_e6"),
         F.floor(F.sqrt(var) * 1000000).cast("bigint").alias("se_e6"),
     )
+
+
+@query(
+    "agg_pareto_coverage",
+    """
+    WITH per_cust AS (
+        SELECT c.c_mktsegment AS segment, o.o_custkey,
+               CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev_cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ), ranked AS (
+        SELECT segment, o_custkey, rev_cents,
+               SUM(rev_cents) OVER (PARTITION BY segment) AS seg_total,
+               SUM(rev_cents) OVER (PARTITION BY segment
+                                    ORDER BY rev_cents DESC, o_custkey
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND CURRENT ROW) AS cum_rev,
+               ROW_NUMBER() OVER (PARTITION BY segment
+                                  ORDER BY rev_cents DESC, o_custkey) AS rn
+        FROM per_cust
+    )
+    SELECT segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(MIN(CASE WHEN cum_rev * 5 >= seg_total * 4 THEN rn END)
+                AS BIGINT) AS n_to_80pct,
+           CAST(MAX(seg_total) AS BIGINT) AS seg_total_cents
+    FROM ranked GROUP BY segment
+    """,
+)
+def agg_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto coverage per segment (round 6): how many top customers
+    cover 80% of the segment's revenue — the '80/20' number account
+    teams act on, where agg_lorenz_deciles draws the whole curve and
+    agg_gini_concentration compresses it to one index; this is the
+    operational cut (exactly WHERE to draw the key-account line).
+
+    The 80% threshold is evaluated in EXACT integer arithmetic —
+    cum·5 ≥ total·4 instead of cum/total ≥ 0.8 — so no division ever
+    happens and the crossing row cannot flip on a float ulp;
+    rev-desc + custkey gives a total order, making the crossing row
+    unique and deterministic.
+
+    Scale: fact → per-customer rollup (the only corpus shuffle), then
+    segment-keyed windows over |customers| rows; the 1000× version
+    ranks within segment shards and merges partial prefix sums (the
+    win_running_sum discipline)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    per_cust = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"), "o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("rev_cents")
+        )
+    )
+    w_total = Window.partitionBy("segment")
+    w_cum = (
+        Window.partitionBy("segment")
+        .orderBy(F.col("rev_cents").desc(), "o_custkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_rn = Window.partitionBy("segment").orderBy(
+        F.col("rev_cents").desc(), "o_custkey"
+    )
+    ranked = per_cust.select(
+        "segment",
+        "o_custkey",
+        "rev_cents",
+        F.sum("rev_cents").over(w_total).alias("seg_total"),
+        F.sum("rev_cents").over(w_cum).alias("cum_rev"),
+        F.row_number().over(w_rn).alias("rn"),
+    )
+    return ranked.groupBy("segment").agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        F.min(
+            F.when(
+                F.col("cum_rev") * 5 >= F.col("seg_total") * 4, F.col("rn")
+            )
+        )
+        .cast("bigint")
+        .alias("n_to_80pct"),
+        F.max("seg_total").cast("bigint").alias("seg_total_cents"),
+    )

@@ -114,3 +114,87 @@ def text_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_docs"))
         .filter(F.col("n_docs") >= 10)
     )
+
+
+@query(
+    "text_pmi",
+    """
+    WITH head AS (
+      SELECT doc_id, string_split(text, ' ')[1:12] AS toks FROM documents
+    ), presence AS (
+      SELECT DISTINCT doc_id, unnest(toks) AS tok FROM head
+    ), tok_df AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_tok FROM presence GROUP BY tok
+    ), pair_df AS (
+      SELECT a.tok AS tok_a, b.tok AS tok_b,
+             CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM presence a JOIN presence b
+        ON a.doc_id = b.doc_id AND a.tok < b.tok
+      GROUP BY 1, 2 HAVING COUNT(*) >= 10
+    ), total AS (
+      SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM head
+    )
+    SELECT p.tok_a, p.tok_b, p.n_ab,
+           CAST(FLOOR(ln(CAST(p.n_ab AS DOUBLE) * t.n_docs
+                         / (CAST(da.n_tok AS DOUBLE) * db.n_tok))
+                      * 1000000) AS BIGINT) AS pmi_e6
+    FROM pair_df p
+    JOIN tok_df da ON da.tok = p.tok_a
+    JOIN tok_df db ON db.tok = p.tok_b
+    CROSS JOIN total t
+    """,
+)
+def text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over windowed co-occurrence
+    (round 6): text_cooccurrence counts pairs; PMI normalizes them by
+    marginal frequency — ln(P(a,b)/(P(a)P(b))) — which is what turns
+    raw counts into COLLOCATIONS ('key'+'order' fire together beyond
+    chance) and is the statistic behind phrase mining, word2vec's SGNS
+    objective (implicit PMI factorization), and stop-pair pruning.
+
+    Presence semantics (DISTINCT token-per-doc before counting) make
+    the probabilities document frequencies — the standard PMI corpus
+    estimator.  Marginals, pair counts, and doc total are exact
+    bigints; the log enters once per pair in the oracle's literal
+    order, floored e6.
+
+    Scale: the pair explosion is bounded by the same ≤66-pairs/doc
+    window cap as text_cooccurrence; marginal and total tables are
+    vocab/1-row sized (broadcast); thresholded pairs are the only
+    wide aggregation."""
+    head = load(spark, sf_dir, "documents").select(
+        "doc_id", F.slice(F.split("text", " "), 1, 12).alias("toks")
+    )
+    presence = head.select(
+        "doc_id", F.explode("toks").alias("tok")
+    ).distinct()
+    tok_df = presence.groupBy("tok").agg(
+        F.count("*").cast("bigint").alias("n_tok")
+    )
+    a = presence.select("doc_id", F.col("tok").alias("tok_a"))
+    b = presence.select(F.col("doc_id").alias("doc_b"), F.col("tok").alias("tok_b"))
+    pair_df = (
+        a.join(b, (a.doc_id == b.doc_b) & (F.col("tok_a") < F.col("tok_b")))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count("*").cast("bigint").alias("n_ab"))
+        .filter(F.col("n_ab") >= 10)
+    )
+    total = head.agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs")
+    )
+    da = tok_df.select(F.col("tok").alias("tok_a"), F.col("n_tok").alias("na"))
+    db = tok_df.select(F.col("tok").alias("tok_b"), F.col("n_tok").alias("nb"))
+    joined = (
+        pair_df.join(F.broadcast(da), "tok_a")
+        .join(F.broadcast(db), "tok_b")
+        .crossJoin(F.broadcast(total))
+    )
+    pmi = F.floor(
+        F.log(
+            F.col("n_ab").cast("double")
+            * F.col("n_docs")
+            / (F.col("na").cast("double") * F.col("nb"))
+        )
+        * 1000000
+    ).cast("bigint")
+    return joined.select("tok_a", "tok_b", "n_ab", pmi.alias("pmi_e6"))

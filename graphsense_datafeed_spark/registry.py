@@ -308,6 +308,8 @@ _ROUND7_NEXT_UP = (
     "events_error_budget_burn",
     "dedup_incremental_snapshot",
     "text_score_linear_model",
+    "agg_pareto_coverage",
+    "text_pmi",
 )
 
 _loaded = False
