@@ -801,3 +801,134 @@ def graph_preferential_attachment(spark: SparkSession, sf_dir: str) -> DataFrame
             (F.col("da") * F.col("db")).cast("bigint").alias("pa_score"),
         )
     )
+
+
+@query(
+    "graph_modularity_segments",
+    """
+    WITH bip AS (
+        SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    ), edges AS (
+        SELECT a.cust AS cust_a, b.cust AS cust_b
+        FROM bip a JOIN bip b ON a.part = b.part AND a.cust < b.cust
+        GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    ), seg AS (
+        SELECT c_custkey, c_mktsegment FROM customer
+    ), labeled AS (
+        SELECT e.cust_a, e.cust_b,
+               sa.c_mktsegment AS seg_a, sb.c_mktsegment AS seg_b
+        FROM edges e
+        JOIN seg sa ON sa.c_custkey = e.cust_a
+        JOIN seg sb ON sb.c_custkey = e.cust_b
+    ), m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM labeled
+    ), deg AS (
+        SELECT seg, CAST(SUM(d) AS BIGINT) AS d_seg FROM (
+            SELECT seg_a AS seg, CAST(COUNT(*) AS BIGINT) AS d
+            FROM labeled GROUP BY seg_a
+            UNION ALL
+            SELECT seg_b, CAST(COUNT(*) AS BIGINT) FROM labeled GROUP BY seg_b
+        ) GROUP BY seg
+    ), within AS (
+        SELECT seg_a AS seg, CAST(COUNT(*) AS BIGINT) AS e_in
+        FROM labeled WHERE seg_a = seg_b GROUP BY seg_a
+    )
+    SELECT d.seg AS segment, m.n_edges,
+           COALESCE(w.e_in, 0) AS e_within, d.d_seg,
+           CAST(FLOOR((CAST(COALESCE(w.e_in, 0) AS DOUBLE) / m.n_edges
+                       - (CAST(d.d_seg AS DOUBLE) / (2 * m.n_edges))
+                         * (CAST(d.d_seg AS DOUBLE) / (2 * m.n_edges)))
+                      * 1000000) AS BIGINT) AS q_contrib_e6
+    FROM deg d
+    LEFT JOIN within w ON w.seg = d.seg
+    CROSS JOIN m
+    """,
+)
+def graph_modularity_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman MODULARITY of a given partition (round 6): does the
+    market-segment labeling correspond to actual community structure
+    in the co-purchase graph?  Per segment c the modularity
+    contribution e_c/m − (d_c/2m)² — summing them gives Q, and a
+    segment whose contribution ≈ 0 buys nothing over random wiring.
+    This evaluates an EXTERNALLY-given partition (labels, tenants,
+    segments) without running community detection — the audit that
+    decides whether label-propagation output (or a business taxonomy)
+    is worth partitioning storage by.
+
+    e_c (within-segment edges), d_c (degree sums), and m are exact
+    bigint counts over the same support-thresholded edge set as the
+    link-prediction family; each contribution is one double chain
+    floored e6 (summable downstream: floored-once discipline).
+
+    Scale: edges from the bounded within-part generation; degree and
+    within-edge tables are |segments| rows; the label join is
+    broadcast-sized (customer dim)."""
+    from graphsense_datafeed_spark.sources.tables import load
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    bip = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part")
+        )
+        .distinct()
+    )
+    a = bip.alias("a")
+    b = bip.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.part") == F.col("b.part"))
+            & (F.col("a.cust") < F.col("b.cust")),
+        )
+        .groupBy(
+            F.col("a.cust").alias("cust_a"), F.col("b.cust").alias("cust_b")
+        )
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= 3)
+        .select("cust_a", "cust_b")
+    )
+    sa = c.select(
+        F.col("c_custkey").alias("cust_a"), F.col("c_mktsegment").alias("seg_a")
+    )
+    sb = c.select(
+        F.col("c_custkey").alias("cust_b"), F.col("c_mktsegment").alias("seg_b")
+    )
+    labeled = edges.join(F.broadcast(sa), "cust_a").join(
+        F.broadcast(sb), "cust_b"
+    )
+    m = labeled.agg(F.count("*").cast("bigint").alias("n_edges"))
+    deg = (
+        labeled.select(F.col("seg_a").alias("seg"))
+        .unionAll(labeled.select(F.col("seg_b").alias("seg")))
+        .groupBy("seg")
+        .agg(F.count("*").cast("bigint").alias("d_seg"))
+    )
+    within = (
+        labeled.filter(F.col("seg_a") == F.col("seg_b"))
+        .groupBy(F.col("seg_a").alias("w_seg"))
+        .agg(F.count("*").cast("bigint").alias("e_in"))
+    )
+    joined = (
+        deg.join(within, deg.seg == F.col("w_seg"), "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            F.col("seg").alias("segment"),
+            "n_edges",
+            F.coalesce(F.col("e_in"), F.lit(0)).cast("bigint").alias(
+                "e_within"
+            ),
+            "d_seg",
+        )
+    )
+    frac = F.col("d_seg").cast("double") / (2 * F.col("n_edges"))
+    q = F.floor(
+        (F.col("e_within").cast("double") / F.col("n_edges") - frac * frac)
+        * 1000000
+    ).cast("bigint")
+    return joined.select(
+        "segment", "n_edges", "e_within", "d_seg", q.alias("q_contrib_e6")
+    )

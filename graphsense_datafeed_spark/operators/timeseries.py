@@ -3241,3 +3241,148 @@ def events_error_budget_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(h_rate / g_rate * 1000).cast("bigint").alias("burn_x1000"),
         (h_rate > 2.0 * g_rate).alias("is_fast_burn"),
     )
+
+
+@query(
+    "ts_interrupted_series",
+    """
+    WITH seq AS (
+        SELECT event_type,
+               CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+                    THEN 'pre' ELSE 'post' END AS phase,
+               CAST(FLOOR(value * 10000) AS BIGINT) AS y,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY event_type,
+                       CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+                            THEN 'pre' ELSE 'post' END
+                   ORDER BY ts, event_id) AS BIGINT) AS x
+        FROM events
+    ), fits AS (
+        SELECT event_type, phase,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM seq GROUP BY 1, 2
+    ), params AS (
+        SELECT event_type, phase, n,
+               (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+               / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                   AS slope,
+               (CAST(sy AS DOUBLE)
+                - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                  / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                  * sx) / n AS intercept
+        FROM fits
+    )
+    SELECT pre.event_type,
+           pre.n AS n_pre, post.n AS n_post,
+           CAST(FLOOR(pre.slope * 1000000) AS BIGINT) AS slope_pre_e6,
+           CAST(FLOOR(post.slope * 1000000) AS BIGINT) AS slope_post_e6,
+           CAST(FLOOR((post.slope - pre.slope) * 1000000) AS BIGINT)
+               AS trend_change_e6,
+           CAST(FLOOR((post.intercept
+                       - (pre.intercept + pre.slope * (pre.n + 1)))
+                      * 10) AS BIGINT) AS level_change_e5
+    FROM params pre JOIN params post
+      ON pre.event_type = post.event_type
+     AND pre.phase = 'pre' AND post.phase = 'post'
+    """,
+)
+def ts_interrupted_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interrupted time-series analysis (round 6): the
+    pre/post-intervention comparison behind 'did the Jan-15 release
+    change the trend?' — segmented OLS on each side of the cutover,
+    reporting the TREND change (slope delta) and the LEVEL change
+    (post intercept vs the pre fit's projection one step past its own
+    segment).  The causal-inference rung events_ab_cuped can't cover
+    when there is no concurrent control — ITS is the standard
+    observational fallback.
+
+    win_rolling_slope's exact-integer OLS discipline, applied per
+    (series, phase): the five regression sums are exact bigints, and
+    slope / intercept / deltas are double chains in the oracle's
+    literal order (the slope expression is repeated inline for the
+    intercept exactly as the oracle spells it — identical IEEE64
+    sequences), floored at the end.
+
+    Scale: one keyed window per (series, phase) for the row index,
+    then |series|×2 fit rows self-joined — dashboard-sized."""
+    ev = load(spark, sf_dir, "events")
+    cutover = F.lit("2024-01-15 00:00:00").cast("timestamp_ntz")
+    phase = F.when(F.col("ts") < cutover, "pre").otherwise("post")
+    w_num = Window.partitionBy("event_type", "phase").orderBy(
+        "ts", "event_id"
+    )
+    seq = ev.select(
+        "event_type",
+        phase.alias("phase"),
+        F.floor(F.col("value") * 10000).cast("bigint").alias("y"),
+        "ts",
+        "event_id",
+    ).select(
+        "event_type",
+        "phase",
+        "y",
+        F.row_number().over(w_num).cast("bigint").alias("x"),
+    )
+    fits = seq.groupBy("event_type", "phase").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    slope = (d("n") * d("sxy") - d("sx") * d("sy")) / (
+        d("n") * d("sxx") - d("sx") * d("sx")
+    )
+    intercept = (
+        d("sy")
+        - (d("n") * d("sxy") - d("sx") * d("sy"))
+        / (d("n") * d("sxx") - d("sx") * d("sx"))
+        * d("sx")
+    ) / d("n")
+    params = fits.select(
+        "event_type",
+        "phase",
+        "n",
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+    )
+    pre = params.filter(F.col("phase") == "pre").select(
+        "event_type",
+        F.col("n").alias("n_pre"),
+        F.col("slope").alias("slope_pre"),
+        F.col("intercept").alias("int_pre"),
+    )
+    post = params.filter(F.col("phase") == "post").select(
+        F.col("event_type").alias("et2"),
+        F.col("n").alias("n_post"),
+        F.col("slope").alias("slope_post"),
+        F.col("intercept").alias("int_post"),
+    )
+    j = pre.join(post, pre.event_type == post.et2)
+    return j.select(
+        "event_type",
+        "n_pre",
+        "n_post",
+        F.floor(F.col("slope_pre") * 1000000)
+        .cast("bigint")
+        .alias("slope_pre_e6"),
+        F.floor(F.col("slope_post") * 1000000)
+        .cast("bigint")
+        .alias("slope_post_e6"),
+        F.floor((F.col("slope_post") - F.col("slope_pre")) * 1000000)
+        .cast("bigint")
+        .alias("trend_change_e6"),
+        F.floor(
+            (
+                F.col("int_post")
+                - (F.col("int_pre") + F.col("slope_pre") * (F.col("n_pre") + 1))
+            )
+            * 10
+        )
+        .cast("bigint")
+        .alias("level_change_e5"),
+    )

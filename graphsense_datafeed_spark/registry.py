@@ -310,6 +310,8 @@ _ROUND7_NEXT_UP = (
     "text_score_linear_model",
     "agg_pareto_coverage",
     "text_pmi",
+    "ts_interrupted_series",
+    "graph_modularity_segments",
 )
 
 _loaded = False
