@@ -1550,3 +1550,135 @@ def embed_silhouette_simplified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("mean_sil_e6"),
     )
+
+
+# DCG gain constants floor(1e9 / log2(rank+1)) for ranks 1..5, and the
+# ideal-DCG prefix sums — precomputed ONCE and embedded as integer
+# literals in BOTH engines so no log/float ever runs at query time.
+_DCG_E9 = (1000000000, 630929753, 500000000, 430676558, 386852807)
+_IDCG_E9 = (0, 1000000000, 1630929753, 2130929753, 2561606311, 2948459118)
+
+
+@query(
+    "embed_retrieval_ndcg",
+    f"""
+    WITH scored AS (
+        SELECT q.vec_id AS query_id, q.label AS q_label,
+               c.vec_id AS neighbor_id, c.label AS c_label,
+               {_DUCK_DOT.format(a="q.embedding", b="c.embedding")} AS dot
+        FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+        WHERE q.vec_id < 30
+    ), top5 AS (
+        SELECT query_id,
+               CASE WHEN q_label = c_label THEN 1 ELSE 0 END AS rel,
+               rank_k
+        FROM (
+            SELECT query_id, q_label, c_label,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY dot DESC, neighbor_id ASC)
+                       AS rank_k
+            FROM scored
+        ) WHERE rank_k <= 5
+    ), agg AS (
+        SELECT query_id,
+               CAST(SUM(rel) AS BIGINT) AS n_rel,
+               CAST(SUM(rel * CASE rank_k
+                   WHEN 1 THEN {_DCG_E9[0]} WHEN 2 THEN {_DCG_E9[1]}
+                   WHEN 3 THEN {_DCG_E9[2]} WHEN 4 THEN {_DCG_E9[3]}
+                   ELSE {_DCG_E9[4]} END) AS BIGINT) AS dcg_e9
+        FROM top5 GROUP BY query_id
+    )
+    SELECT query_id, n_rel, dcg_e9,
+           CASE WHEN n_rel = 0 THEN 0 ELSE
+               CAST(FLOOR(CAST(dcg_e9 AS DOUBLE)
+                   / CASE n_rel
+                       WHEN 1 THEN {_IDCG_E9[1]} WHEN 2 THEN {_IDCG_E9[2]}
+                       WHEN 3 THEN {_IDCG_E9[3]} WHEN 4 THEN {_IDCG_E9[4]}
+                       ELSE {_IDCG_E9[5]} END
+                   * 1000000) AS BIGINT) END AS ndcg_e6
+    FROM agg
+    """,
+)
+def embed_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality EVAL — nDCG@5 with label relevance (round 6):
+    sim_topk_exact produces rankings; this scores them.  A neighbor is
+    relevant iff it shares the query's label; DCG discounts relevance
+    by log2(rank+1); nDCG normalizes by the ideal ordering of the same
+    relevance multiset — the standard ranking-eval the ANN family's
+    recall tests approximate from the other side (recall asks 'did the
+    candidates survive', nDCG asks 'did the ORDER put relevant items
+    first').
+
+    Zero floats until the final division: the five per-rank gains are
+    floor(1e9/log2(rank+1)) precomputed ONCE and embedded as integer
+    literals in both engines (no engine evaluates a log), DCG is an
+    exact bigint dot product of {{0,1}} relevance with those literals,
+    ideal DCG is a literal prefix-sum lookup on the relevant count,
+    and nDCG is one floored division.
+
+    Scale: same bounded queries × corpus re-rank stage as
+    sim_topk_exact (WindowGroupLimit top-5); the eval adds one
+    |queries|-row aggregate — at 100 TB this scores ANN candidate
+    rankings instead, same shape."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 30).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("c_label"),
+        F.col("embedding").alias("c_emb"),
+    )
+    scored = q.join(c, F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id",
+        "q_label",
+        "c_label",
+        "neighbor_id",
+        dot_product(F.col("q_emb"), F.col("c_emb")).alias("dot"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("neighbor_id").asc()
+    )
+    top5 = (
+        scored.withColumn("rank_k", F.row_number().over(w))
+        .filter(F.col("rank_k") <= 5)
+        .select(
+            "query_id",
+            F.when(F.col("q_label") == F.col("c_label"), 1)
+            .otherwise(0)
+            .alias("rel"),
+            "rank_k",
+        )
+    )
+    gain = (
+        F.when(F.col("rank_k") == 1, _DCG_E9[0])
+        .when(F.col("rank_k") == 2, _DCG_E9[1])
+        .when(F.col("rank_k") == 3, _DCG_E9[2])
+        .when(F.col("rank_k") == 4, _DCG_E9[3])
+        .otherwise(_DCG_E9[4])
+    )
+    agg = top5.groupBy("query_id").agg(
+        F.sum("rel").cast("bigint").alias("n_rel"),
+        F.sum(F.col("rel") * gain).cast("bigint").alias("dcg_e9"),
+    )
+    idcg = (
+        F.when(F.col("n_rel") == 1, _IDCG_E9[1])
+        .when(F.col("n_rel") == 2, _IDCG_E9[2])
+        .when(F.col("n_rel") == 3, _IDCG_E9[3])
+        .when(F.col("n_rel") == 4, _IDCG_E9[4])
+        .otherwise(_IDCG_E9[5])
+    )
+    return agg.select(
+        "query_id",
+        "n_rel",
+        "dcg_e9",
+        F.when(F.col("n_rel") == 0, F.lit(0).cast("bigint"))
+        .otherwise(
+            F.floor(F.col("dcg_e9").cast("double") / idcg * 1000000).cast(
+                "bigint"
+            )
+        )
+        .alias("ndcg_e6"),
+    )

@@ -312,6 +312,7 @@ _ROUND7_NEXT_UP = (
     "text_pmi",
     "ts_interrupted_series",
     "graph_modularity_segments",
+    "embed_retrieval_ndcg",
 )
 
 _loaded = False
