@@ -164,3 +164,78 @@ def test_recurrence_folds_survive_tiny_arrow_batches(spark, sf_dir):
     assert small == big
     assert small_holt == big_holt
     assert small_sky == big_sky
+
+
+def test_ndcg_bounds_and_perfect_ranking(spark, sf_dir):
+    rows = Q["embed_retrieval_ndcg"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["ndcg_e6"] <= 1000000
+        assert 0 <= r["n_rel"] <= 5
+        if r["n_rel"] == 0:
+            assert r["ndcg_e6"] == 0 and r["dcg_e9"] == 0
+    # at least one query should rank all its relevant items first
+    # (ndcg == 1e6 requires the top-n_rel slots to be the relevant ones)
+    assert any(r["ndcg_e6"] == 1000000 and r["n_rel"] > 0 for r in rows)
+
+
+def test_ljung_box_is_nonnegative_and_scales(spark, sf_dir):
+    rows = Q["ts_ljung_box"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["q_e3"] >= 0
+        assert r["sum_terms_e9"] >= 0
+        assert r["n_obs"] > 3
+
+
+def test_modularity_contributions_sum_below_one(spark, sf_dir):
+    rows = Q["graph_modularity_segments"](spark, sf_dir).collect()
+    assert rows
+    q_total = sum(r["q_contrib_e6"] for r in rows) / 1e6
+    assert -1.0 <= q_total <= 1.0  # Newman Q bounds
+    m = rows[0]["n_edges"]
+    assert sum(r["e_within"] for r in rows) <= m
+    assert sum(r["d_seg"] for r in rows) == 2 * m
+
+
+def test_pareto_coverage_sane(spark, sf_dir):
+    rows = Q["agg_pareto_coverage"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["n_to_80pct"] <= r["n_customers"]
+        # top-80% cut never needs more than ~80% of customers + 1
+        assert r["n_to_80pct"] <= 0.8 * r["n_customers"] + 1
+
+
+def test_incremental_dedup_statuses_partition(spark, sf_dir):
+    rows = Q["dedup_incremental_snapshot"](spark, sf_dir).collect()
+    assert rows
+    statuses = {r["status"] for r in rows}
+    assert statuses <= {"dup_of_existing", "dup_within_batch", "new"}
+    # every batch doc classified exactly once
+    assert len({r["doc_id"] for r in rows}) == len(rows)
+
+
+def test_linear_model_sigmoid_consistency(spark, sf_dir):
+    import math
+
+    rows = Q["text_score_linear_model"](spark, sf_dir).collect()
+    assert rows
+    for r in rows[:50]:
+        logit = r["logit_e6"] / 1e6
+        prob = 1.0 / (1.0 + math.exp(-logit))
+        assert abs(prob - r["prob_e6"] / 1e6) < 2e-3
+        assert r["keep"] == (r["prob_e6"] >= 500000) or abs(
+            r["prob_e6"] - 500000
+        ) < 5
+
+
+def test_burn_rate_flags_match_definition(spark, sf_dir):
+    rows = Q["events_error_budget_burn"](spark, sf_dir).collect()
+    assert rows
+    tot_err = sum(r["n_err"] for r in rows)
+    tot_all = sum(r["n_total"] for r in rows)
+    base = tot_err / tot_all
+    for r in rows:
+        rate = r["n_err"] / r["n_total"]
+        assert r["is_fast_burn"] == (rate > 2.0 * base)
