@@ -313,6 +313,8 @@ _ROUND7_NEXT_UP = (
     "ts_interrupted_series",
     "graph_modularity_segments",
     "embed_retrieval_ndcg",
+    "scan_manifest_time_travel",
+    "stream_cdc_apply",
 )
 
 _loaded = False

@@ -1185,3 +1185,37 @@ def scan_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(total, mn, mx)],
         "num_rows bigint, min_event_id bigint, max_event_id bigint",
     )
+
+
+@query(
+    "scan_manifest_time_travel",
+    """
+    SELECT event_id, user_id, event_type,
+           CAST(ROUND(value * 100) AS BIGINT) AS cents
+    FROM events WHERE event_id % 2 = 0
+    """,
+)
+def scan_manifest_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL over the manifest table (round 6): read snapshot v1
+    AS OF its manifest even though CURRENT already points at v2 — the
+    fourth leg of the manifest family (commit / incremental read /
+    vacuum / time travel) and the reason table formats keep expired
+    manifests around for a retention window.  Readers resolve an
+    EXPLICIT manifest instead of CURRENT; nothing else changes, which
+    is the whole point — history is just another snapshot pointer.
+
+    The oracle reconstructs v1 relationally (the even-event_id half
+    the builder committed first), so a reader that accidentally
+    resolves CURRENT (returns v2 = everything) or leaks torn-write
+    debris hash-mismatches.
+
+    Scale: identical to sink_manifest_commit's read path — O(snapshot)
+    metadata, no directory listing; retention GC (sink_manifest_vacuum)
+    bounds how far back travel reaches, exactly like Iceberg's
+    expire_snapshots."""
+    import json
+
+    base = _manifest_table_build(spark, sf_dir, "gds_manifest")
+    with open(os.path.join(base, "manifest-1.json")) as fh:
+        manifest = json.load(fh)
+    return spark.read.parquet(*manifest["files"])

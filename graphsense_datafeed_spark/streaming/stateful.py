@@ -374,3 +374,157 @@ def stream_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return run_stream_to_memory(spark, updated, "append")
+
+
+@query(
+    "stream_cdc_apply",
+    """
+    WITH base AS (
+        SELECT c_custkey AS key, c_name AS name,
+               CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents,
+               c_custkey % 10 AS m
+        FROM customer
+    )
+    SELECT key, name,
+           CAST(cents + CASE WHEN m IN (1, 2) THEN 10000 ELSE 0 END
+                AS BIGINT) AS cents
+    FROM base WHERE m <> 0
+    UNION ALL
+    SELECT key + 1000000 AS key, name, CAST(cents + 5000 AS BIGINT) AS cents
+    FROM base WHERE m = 3
+    """,
+)
+def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CDC apply (round 6): a change feed of
+    insert/update/delete rows, arriving as micro-batches, folded into
+    a snapshot table via foreachBatch — the lakehouse ingestion loop
+    batch_merge_upsert runs once and CDC runs forever.  Apply rule per
+    batch: any changed key's old row is retired (anti-join), then the
+    batch's upserts (U full new row, I new key) append — so deletes,
+    updates and inserts are all one shape, and key-disjoint changes
+    commute across batch boundaries (the property that makes the
+    result split-invariant, which the oracle then certifies).
+
+    The feed derives deterministically from the customer dim
+    (key%10: 0→delete, 1/2→update +100.00, 3→insert key+1e6), split
+    into three mtime-ordered files so availableNow really runs three
+    merge batches; state versions land as parquet snapshots with a
+    pointer file committed LAST (the sink_manifest_commit discipline —
+    a crash between batches leaves the previous state readable).  The
+    drained final state must equal the relational CASE over the dim:
+    a merge that loses a delete, double-applies an update across
+    batches, or re-reads its own write hash-mismatches.
+
+    Scale: each batch's merge shuffles on the table key only
+    (changes ≪ table broadcast to the anti-join); state versions are
+    the table-format snapshot chain, vacuumed by retention exactly
+    like sink_manifest_vacuum."""
+    import glob
+    import json
+    import os
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from graphsense_datafeed_spark.sources.tables import (
+        load,
+        staged_source_dir,
+    )
+
+    base_dir = staged_source_dir(sf_dir, "gds_cdc_apply", "customer")
+    final_marker = os.path.join(base_dir, "FINAL")
+    if not os.path.exists(final_marker):
+        shutil.rmtree(base_dir, ignore_errors=True)
+        feed_dir = os.path.join(base_dir, "feed")
+        state_dir = os.path.join(base_dir, "state")
+        os.makedirs(feed_dir)
+        os.makedirs(state_dir)
+        cust = load(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("key"),
+            F.col("c_name").alias("name"),
+            F.round(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
+            (F.col("c_custkey") % 10).alias("m"),
+        )
+        # state v0 = the base snapshot
+        cust.select("key", "name", "cents").write.parquet(
+            os.path.join(state_dir, "v0")
+        )
+        pointer = os.path.join(base_dir, "STATE_CURRENT")
+        with open(pointer + ".tmp", "w") as fh:
+            fh.write("v0")
+        os.rename(pointer + ".tmp", pointer)
+        # deterministic change feed: D / U / I rows
+        changes = (
+            cust.filter(F.col("m") == 0)
+            .select("key", "name", "cents", F.lit("D").alias("op"))
+            .unionAll(
+                cust.filter(F.col("m").isin(1, 2)).select(
+                    "key",
+                    "name",
+                    (F.col("cents") + 10000).alias("cents"),
+                    F.lit("U").alias("op"),
+                )
+            )
+            .unionAll(
+                cust.filter(F.col("m") == 3).select(
+                    (F.col("key") + 1000000).alias("key"),
+                    "name",
+                    (F.col("cents") + 5000).alias("cents"),
+                    F.lit("I").alias("op"),
+                )
+            )
+        )
+        for i in range(3):
+            stage = os.path.join(base_dir, f"_feedstage_{i}")
+            changes.filter(F.col("key") % 3 == i).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(stage)
+            part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            dest = os.path.join(feed_dir, f"chunk_{i}.parquet")
+            shutil.move(part, dest)
+            shutil.rmtree(stage)
+            os.utime(dest, (3_000_000 + i * 1000, 3_000_000 + i * 1000))
+
+        def apply_batch(batch_df, batch_id):
+            with open(pointer) as fh:
+                cur = fh.read().strip()
+            state = spark.read.parquet(os.path.join(state_dir, cur))
+            changed_keys = batch_df.select("key").distinct()
+            upserts = batch_df.filter(F.col("op") != "D").select(
+                "key", "name", "cents"
+            )
+            new_state = state.join(changed_keys, "key", "left_anti").unionAll(
+                upserts
+            )
+            new_ver = f"v{batch_id + 1}"
+            new_state.write.mode("overwrite").parquet(
+                os.path.join(state_dir, new_ver)
+            )
+            tmp = pointer + f".tmp{batch_id}"
+            with open(tmp, "w") as fh:
+                fh.write(new_ver)
+            os.rename(tmp, pointer)
+
+        q = (
+            spark.readStream.schema(
+                "key bigint, name string, cents bigint, op string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed_dir)
+            .writeStream.foreachBatch(apply_batch)
+            .option(
+                "checkpointLocation", os.path.join(base_dir, "ckpt")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        with open(final_marker + ".tmp", "w") as fh:
+            with open(pointer) as p:
+                fh.write(p.read())
+        os.rename(final_marker + ".tmp", final_marker)
+    with open(final_marker) as fh:
+        final_ver = fh.read().strip()
+    return spark.read.parquet(
+        os.path.join(base_dir, "state", final_ver)
+    )
