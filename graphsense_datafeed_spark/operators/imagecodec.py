@@ -1,5 +1,6 @@
-"""Pure-Python PNG + PPM codec — the real container format behind the
-multimodal decode seam (VERDICT r5 #4).
+"""Pure-Python PNG + PPM + WAV codecs — the real container formats
+behind the multimodal decode seam (VERDICT r5 #4; WAV added later in
+round 6 for the audio modality).
 
 The container has no imaging library, but PNG's critical path is all
 stdlib: zlib inflate/deflate + the five scanline filters (None, Sub,
@@ -223,3 +224,80 @@ def ppm_decode(payload: bytes) -> tuple[int, int, int, bytes]:
     if len(pixels) != w * h * 3:
         raise PngFormatError("PPM pixel size mismatch")
     return w, h, 3, pixels
+
+
+# ---------------------------------------------------------------------------
+# WAV (RIFF PCM) — the audio leg of the multimodal codec family.  Same
+# philosophy as the PNG path: a real container format whose critical
+# path is pure stdlib (struct), decoded behind header triage.
+# ---------------------------------------------------------------------------
+
+
+def wav_encode(pcm: bytes, sample_rate: int, channels: int = 1,
+               bits: int = 16) -> bytes:
+    """Encode raw little-endian PCM as a canonical RIFF/WAVE file."""
+    if bits % 8 != 0:
+        raise ValueError("bits must be byte-aligned")
+    block_align = channels * bits // 8
+    if len(pcm) % block_align != 0:
+        raise ValueError("pcm length not frame-aligned")
+    byte_rate = sample_rate * block_align
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, byte_rate, block_align, bits
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def wav_parse_header(payload: bytes) -> tuple[int, int, int, int]:
+    """Triage WITHOUT decoding: validate RIFF/WAVE magic and the PCM
+    fmt chunk; return (sample_rate, channels, bits, n_frames).  Raises
+    PngFormatError (the shared triage error) on anything that is not
+    integer PCM."""
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise PngFormatError("bad RIFF/WAVE signature")
+    if struct.unpack("<I", payload[4:8])[0] != len(payload) - 8:
+        raise PngFormatError("RIFF size mismatch")
+    # walk chunks for fmt and data
+    off = 12
+    fmt = data = None
+    while off + 8 <= len(payload):
+        cid, length = payload[off : off + 4], struct.unpack(
+            "<I", payload[off + 4 : off + 8]
+        )[0]
+        chunk = payload[off + 8 : off + 8 + length]
+        if len(chunk) != length:
+            raise PngFormatError("truncated WAV chunk")
+        if cid == b"fmt ":
+            fmt = chunk
+        elif cid == b"data":
+            data = chunk
+        off += 8 + length + (length & 1)
+    if fmt is None or data is None:
+        raise PngFormatError("missing fmt/data chunk")
+    audio_fmt, channels, rate, _brate, block_align, bits = struct.unpack(
+        "<HHIIHH", fmt[:16]
+    )
+    if audio_fmt != 1 or bits not in (8, 16) or channels == 0:
+        raise PngFormatError(f"unsupported WAV format {audio_fmt}/{bits}")
+    if block_align != channels * bits // 8 or len(data) % block_align:
+        raise PngFormatError("frame alignment mismatch")
+    return rate, channels, bits, len(data) // block_align
+
+
+def wav_decode(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a PCM WAV -> (sample_rate, channels, bits, raw pcm)."""
+    rate, channels, bits, _n = wav_parse_header(payload)
+    off = 12
+    while off + 8 <= len(payload):
+        cid, length = payload[off : off + 4], struct.unpack(
+            "<I", payload[off + 4 : off + 8]
+        )[0]
+        if cid == b"data":
+            return rate, channels, bits, payload[off + 8 : off + 8 + length]
+        off += 8 + length + (length & 1)
+    raise PngFormatError("missing data chunk")  # pragma: no cover

@@ -7,10 +7,13 @@ no image/audio LIBRARIES, but since round 6 the decode seam is real
 for raster containers: ``multimodal_decode_codec`` round-trips actual
 PNG (all five scanline filters, pure-stdlib zlib codec in
 gds/operators/imagecodec.py) and binary PPM through header triage +
-decode, under an exact DuckDB oracle on the decoded pixels.  The
-older ``multimodal_decode`` byte-feature stub remains for the
-audio/video modalities where no pure-Python codec is feasible (real
-library behind an import-try, deterministic fake otherwise).
+decode, under an exact DuckDB oracle on the decoded pixels — and for
+audio: ``multimodal_audio_wav`` round-trips RIFF/WAVE PCM (header
+triage incl. frame alignment, int16 LE decode, waveform features)
+under an exact oracle that re-parses the samples relationally.  The
+older ``multimodal_decode`` byte-feature stub remains only for video
+codecs, where no pure-Python decoder is feasible (real library behind
+an import-try, deterministic fake otherwise).
 
 Synthetic payloads are derived deterministically from document text
 (repeat(md5) bytes) so every engine/run sees identical binaries.
@@ -697,3 +700,110 @@ def multimodal_decode_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return src.mapInPandas(codec_batches, out_schema)
+
+
+@query(
+    "multimodal_audio_wav",
+    """
+    WITH media AS (
+        SELECT doc_id, repeat(md5(text), 8) AS h,
+               CAST(8000 + (doc_id % 3) * 4000 AS BIGINT) AS rate
+        FROM documents WHERE doc_id < 200
+    ), samples AS (
+        SELECT doc_id, h, rate,
+               list_transform(range(0, 64), i -> CASE
+                   WHEN CAST('0x' || substr(h, CAST(i * 4 + 1 AS INT), 2)
+                             AS BIGINT)
+                        + 256 * CAST('0x' || substr(h, CAST(i * 4 + 3 AS INT),
+                                                    2) AS BIGINT) >= 32768
+                   THEN CAST('0x' || substr(h, CAST(i * 4 + 1 AS INT), 2)
+                             AS BIGINT)
+                        + 256 * CAST('0x' || substr(h, CAST(i * 4 + 3 AS INT),
+                                                    2) AS BIGINT) - 65536
+                   ELSE CAST('0x' || substr(h, CAST(i * 4 + 1 AS INT), 2)
+                             AS BIGINT)
+                        + 256 * CAST('0x' || substr(h, CAST(i * 4 + 3 AS INT),
+                                                    2) AS BIGINT)
+               END) AS pcm
+        FROM media
+    )
+    SELECT doc_id, rate AS sample_rate,
+           CAST(64 AS BIGINT) AS n_frames,
+           CAST(list_max(list_transform(pcm, s -> abs(s))) AS BIGINT)
+               AS peak_abs,
+           CAST(list_reduce(list_transform(pcm, s -> s * s),
+                            (a, b) -> a + b) AS BIGINT) AS sum_sq,
+           sha256(upper(h)) AS pcm_sha256
+    FROM samples
+    """,
+)
+def multimodal_audio_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio-container decode (round 6) — the WAV leg of the
+    codec family, upgrading the audio modality from declared stub to
+    real exactly as multimodal_decode_codec did for images: each
+    document's deterministic 128-byte PCM block (md5(text)×8) is
+    ENCODED as a canonical RIFF/WAVE file (mono int16, per-doc sample
+    rate 8/12/16 kHz) in the Python stage, header-TRIAGED (RIFF magic,
+    size check, PCM fmt chunk, frame alignment — wav_parse_header),
+    then DECODED back by gds/operators/imagecodec.py's WAV codec, and
+    reduced to the waveform features every audio pipeline extracts
+    first (frame count, peak amplitude, energy).
+
+    The oracle parses the SAME int16 little-endian samples relationally
+    (hex-pair byte math, two's-complement CASE) and computes identical
+    exact-integer features plus a digest of the raw PCM — any
+    chunk-walk, alignment, or endianness bug in the decoder breaks the
+    hash match.
+
+    Scale: one narrow Arrow-batched map, no shuffle; decode memory
+    bounded by Arrow batch size; triage rejects non-PCM payloads at
+    the gate."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    src = d.select(
+        "doc_id",
+        F.unhex(F.repeat(F.md5(F.col("text").cast("binary")), 8)).alias(
+            "pcm"
+        ),
+        (8000 + (F.col("doc_id") % 3) * 4000)
+        .cast("int")
+        .alias("rate"),
+    )
+    out_schema = (
+        "doc_id bigint, sample_rate bigint, n_frames bigint, "
+        "peak_abs bigint, sum_sq bigint, pcm_sha256 string"
+    )
+
+    def wav_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+        import struct as _st
+
+        from graphsense_datafeed_spark.operators import imagecodec as _ic
+
+        for pdf in batches:
+            rows = {
+                "doc_id": [],
+                "sample_rate": [],
+                "n_frames": [],
+                "peak_abs": [],
+                "sum_sq": [],
+                "pcm_sha256": [],
+            }
+            for doc_id, pcm, rate in zip(
+                pdf["doc_id"], pdf["pcm"], pdf["rate"]
+            ):
+                pcm = bytes(pcm)
+                payload = _ic.wav_encode(pcm, int(rate), 1, 16)
+                srate, ch, bits, n_frames = _ic.wav_parse_header(payload)
+                dr, dch, dbits, dec = _ic.wav_decode(payload)
+                samples = _st.unpack(f"<{len(dec) // 2}h", dec)
+                rows["doc_id"].append(doc_id)
+                rows["sample_rate"].append(srate)
+                rows["n_frames"].append(n_frames)
+                rows["peak_abs"].append(max(abs(s) for s in samples))
+                rows["sum_sq"].append(sum(s * s for s in samples))
+                rows["pcm_sha256"].append(
+                    _hl.sha256(dec.hex().upper().encode()).hexdigest()
+                )
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(wav_batches, out_schema)

@@ -315,6 +315,7 @@ _ROUND7_NEXT_UP = (
     "embed_retrieval_ndcg",
     "scan_manifest_time_travel",
     "stream_cdc_apply",
+    "multimodal_audio_wav",
 )
 
 _loaded = False

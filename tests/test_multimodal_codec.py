@@ -143,3 +143,62 @@ if HAVE_HYP:
         enc = png_encode(px, w, h, ch, ft)
         assert png_parse_header(enc) == (w, h, ch)
         assert png_decode(enc) == (w, h, ch, px)
+
+
+def test_wav_round_trip_and_triage():
+    from graphsense_datafeed_spark.operators.imagecodec import (
+        wav_decode,
+        wav_encode,
+        wav_parse_header,
+    )
+
+    pcm = bytes(range(256))  # 128 int16 frames mono
+    enc = wav_encode(pcm, 16000, 1, 16)
+    assert wav_parse_header(enc) == (16000, 1, 16, 128)
+    assert wav_decode(enc) == (16000, 1, 16, pcm)
+    # stereo 8-bit
+    enc2 = wav_encode(pcm, 8000, 2, 8)
+    assert wav_parse_header(enc2) == (8000, 2, 8, 128)
+    # triage rejections: bad magic, truncated, float format
+    import struct as _st
+
+    with pytest.raises(PngFormatError):
+        wav_parse_header(b"RIFF" + b"\x00" * 40)
+    ieee = wav_encode(pcm, 8000, 1, 16)
+    # corrupt the audio-format field to 3 (IEEE float)
+    idx = ieee.index(b"fmt ") + 8
+    bad = ieee[:idx] + _st.pack("<H", 3) + ieee[idx + 2 :]
+    with pytest.raises(PngFormatError):
+        wav_parse_header(bad)
+
+
+def test_wav_operator_features_match_struct_parse(spark, sf_dir):
+    import hashlib
+    import struct as _st
+
+    import duckdb
+
+    from graphsense_datafeed_spark.registry import QUERIES
+
+    rows = {
+        r["doc_id"]: r
+        for r in QUERIES["multimodal_audio_wav"](spark, sf_dir).collect()
+    }
+    assert rows
+    # independent referee for 5 docs: recompute features from md5 text
+    docs = duckdb.sql(
+        f"SELECT doc_id, md5(text) AS h FROM '{sf_dir}/documents.parquet' "
+        "WHERE doc_id < 5 ORDER BY doc_id"
+    ).fetchall()
+    for doc_id, h in docs:
+        pcm = bytes.fromhex(h * 8)
+        samples = _st.unpack("<64h", pcm)
+        r = rows[doc_id]
+        assert r["n_frames"] == 64
+        assert r["peak_abs"] == max(abs(s) for s in samples)
+        assert r["sum_sq"] == sum(s * s for s in samples)
+        assert (
+            r["pcm_sha256"]
+            == hashlib.sha256(pcm.hex().upper().encode()).hexdigest()
+        )
+        assert r["sample_rate"] == 8000 + (doc_id % 3) * 4000
