@@ -301,3 +301,77 @@ def wav_decode(payload: bytes) -> tuple[int, int, int, bytes]:
             return rate, channels, bits, payload[off + 8 : off + 8 + length]
         off += 8 + length + (length & 1)
     raise PngFormatError("missing data chunk")  # pragma: no cover
+
+
+# ---------------------------------------------------------------------------
+# Y4M (YUV4MPEG2) — the video leg.  A real uncompressed video container
+# (the interchange format ffmpeg/x264 pipelines use for raw frames):
+# text header with geometry/rate/chroma tokens, then FRAME-delimited
+# planar YUV.  Pure stdlib; closes the last multimodal stub.
+# ---------------------------------------------------------------------------
+
+_Y4M_MAGIC = b"YUV4MPEG2"
+
+
+def _y4m_frame_size(w: int, h: int) -> int:
+    # C420: full-res Y plane + quarter-res U and V planes
+    return w * h + 2 * ((w // 2) * (h // 2))
+
+
+def y4m_encode(frames: list[bytes], width: int, height: int,
+               fps: int = 25) -> bytes:
+    """Encode planar C420 frames as a YUV4MPEG2 stream."""
+    if width % 2 or height % 2:
+        raise ValueError("C420 needs even dimensions")
+    fsize = _y4m_frame_size(width, height)
+    for f in frames:
+        if len(f) != fsize:
+            raise ValueError("frame size mismatch")
+    header = b"%s W%d H%d F%d:1 Ip A1:1 C420\n" % (
+        _Y4M_MAGIC, width, height, fps
+    )
+    return header + b"".join(b"FRAME\n" + f for f in frames)
+
+
+def y4m_parse_header(payload: bytes) -> tuple[int, int, int]:
+    """Triage WITHOUT decoding frames: validate magic + C420 chroma,
+    return (width, height, fps).  Raises PngFormatError (the shared
+    triage error) otherwise."""
+    nl = payload.find(b"\n")
+    if nl < 0 or not payload.startswith(_Y4M_MAGIC + b" "):
+        raise PngFormatError("bad YUV4MPEG2 signature")
+    w = h = fps = None
+    chroma = "C420"  # spec default
+    for tok in payload[len(_Y4M_MAGIC) + 1 : nl].split(b" "):
+        tok = tok.decode("ascii", "replace")
+        if tok.startswith("W"):
+            w = int(tok[1:])
+        elif tok.startswith("H"):
+            h = int(tok[1:])
+        elif tok.startswith("F"):
+            fps = int(tok[1:].split(":")[0])
+        elif tok.startswith("C"):
+            chroma = tok
+    if not w or not h or not fps or w % 2 or h % 2:
+        raise PngFormatError("bad Y4M geometry")
+    if not chroma.startswith("C420"):
+        raise PngFormatError(f"unsupported chroma {chroma}")
+    return w, h, fps
+
+
+def y4m_decode(payload: bytes) -> tuple[int, int, int, list[bytes]]:
+    """Decode a YUV4MPEG2 stream -> (width, height, fps, frames)."""
+    w, h, fps = y4m_parse_header(payload)
+    fsize = _y4m_frame_size(w, h)
+    off = payload.find(b"\n") + 1
+    frames: list[bytes] = []
+    while off < len(payload):
+        nl = payload.find(b"\n", off)
+        if nl < 0 or not payload[off:nl].startswith(b"FRAME"):
+            raise PngFormatError("bad FRAME marker")
+        frame = payload[nl + 1 : nl + 1 + fsize]
+        if len(frame) != fsize:
+            raise PngFormatError("truncated frame")
+        frames.append(frame)
+        off = nl + 1 + fsize
+    return w, h, fps, frames

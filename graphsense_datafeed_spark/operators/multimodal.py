@@ -10,10 +10,12 @@ gds/operators/imagecodec.py) and binary PPM through header triage +
 decode, under an exact DuckDB oracle on the decoded pixels — and for
 audio: ``multimodal_audio_wav`` round-trips RIFF/WAVE PCM (header
 triage incl. frame alignment, int16 LE decode, waveform features)
-under an exact oracle that re-parses the samples relationally.  The
-older ``multimodal_decode`` byte-feature stub remains only for video
-codecs, where no pure-Python decoder is feasible (real library behind
-an import-try, deterministic fake otherwise).
+under an exact oracle that re-parses the samples relationally — and
+for video: ``multimodal_video_y4m`` round-trips YUV4MPEG2 (ffmpeg's
+raw-frame interchange) frame-by-frame.  All three modalities decode
+REAL containers under exact oracles; only LOSSY codecs (JPEG / AAC /
+H.264) remain behind the declared import-try seam
+(``multimodal_decode``'s byte-feature fallback).
 
 Synthetic payloads are derived deterministically from document text
 (repeat(md5) bytes) so every engine/run sees identical binaries.
@@ -807,3 +809,91 @@ def multimodal_audio_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return src.mapInPandas(wav_batches, out_schema)
+
+
+@query(
+    "multimodal_video_y4m",
+    """
+    WITH media AS (
+        SELECT doc_id, repeat(md5(text), 8) AS h
+        FROM documents WHERE doc_id < 200
+    ), frames AS (
+        SELECT doc_id, h, unnest(range(0, 5)) AS frame_idx FROM media
+    )
+    SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(4 AS BIGINT) AS width, CAST(4 AS BIGINT) AS height,
+           CAST(list_reduce(list_transform(range(0, 16),
+                j -> CAST('0x' || substr(h,
+                          CAST(frame_idx * 48 + j * 2 + 1 AS INT), 2)
+                          AS BIGINT)),
+                (a, b) -> a + b) AS BIGINT) AS luma_sum,
+           sha256(upper(substr(h, CAST(frame_idx * 48 + 1 AS INT), 48)))
+               AS frame_sha256
+    FROM frames
+    """,
+)
+def multimodal_video_y4m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-container decode (round 6) — the Y4M (YUV4MPEG2)
+    leg, closing the LAST multimodal stub: each document's
+    deterministic 120 bytes (md5×8, truncated) become five 4×4 C420
+    frames (16 Y + 4 U + 4 V bytes each), ENCODED as a real YUV4MPEG2
+    stream (the raw-frame interchange format ffmpeg/x264 pipelines
+    pass around), header-TRIAGED (magic, even geometry, C420 chroma —
+    y4m_parse_header), then DECODED frame-by-frame by the stdlib codec
+    and reduced to per-frame features (luma energy, frame digest) —
+    the decode → per-frame feature shape real video ingest uses, with
+    multimodal_frames' explode-shaped output contract.
+
+    The oracle re-derives every frame relationally (hex slicing of the
+    known payload): a frame-boundary, plane-size, or FRAME-marker bug
+    in the decoder breaks luma sums and digests alike.  With this, all
+    three modalities (image / audio / video) decode REAL containers
+    under exact oracles; only lossy codecs (JPEG/AAC/H.264) remain
+    behind the declared library seam.
+
+    Scale: narrow Arrow-batched map, ≤5 output rows per input row, no
+    shuffle; triage rejects non-Y4M payloads at the gate."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    src = d.select(
+        "doc_id",
+        F.unhex(F.repeat(F.md5(F.col("text").cast("binary")), 8)).alias(
+            "payload"
+        ),
+    )
+    out_schema = (
+        "doc_id bigint, frame_idx bigint, width bigint, height bigint, "
+        "luma_sum bigint, frame_sha256 string"
+    )
+
+    def y4m_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+
+        from graphsense_datafeed_spark.operators import imagecodec as _ic
+
+        for pdf in batches:
+            rows = {
+                "doc_id": [],
+                "frame_idx": [],
+                "width": [],
+                "height": [],
+                "luma_sum": [],
+                "frame_sha256": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)[:120]
+                frames = [raw[i * 24 : (i + 1) * 24] for i in range(5)]
+                stream = _ic.y4m_encode(frames, 4, 4, 25)
+                w, h, fps = _ic.y4m_parse_header(stream)
+                dw, dh, dfps, dec = _ic.y4m_decode(stream)
+                for idx, fr in enumerate(dec):
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(idx)
+                    rows["width"].append(dw)
+                    rows["height"].append(dh)
+                    rows["luma_sum"].append(sum(fr[:16]))
+                    rows["frame_sha256"].append(
+                        _hl.sha256(fr.hex().upper().encode()).hexdigest()
+                    )
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(y4m_batches, out_schema)

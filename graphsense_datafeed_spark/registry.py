@@ -316,6 +316,7 @@ _ROUND7_NEXT_UP = (
     "scan_manifest_time_travel",
     "stream_cdc_apply",
     "multimodal_audio_wav",
+    "multimodal_video_y4m",
 )
 
 _loaded = False

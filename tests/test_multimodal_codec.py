@@ -202,3 +202,26 @@ def test_wav_operator_features_match_struct_parse(spark, sf_dir):
             == hashlib.sha256(pcm.hex().upper().encode()).hexdigest()
         )
         assert r["sample_rate"] == 8000 + (doc_id % 3) * 4000
+
+
+def test_y4m_round_trip_and_triage():
+    from graphsense_datafeed_spark.operators.imagecodec import (
+        y4m_decode,
+        y4m_encode,
+        y4m_parse_header,
+    )
+
+    frames = [bytes(range(24)), bytes(range(100, 124))]
+    enc = y4m_encode(frames, 4, 4, 25)
+    assert y4m_parse_header(enc) == (4, 4, 25)
+    assert y4m_decode(enc) == (4, 4, 25, frames)
+    with pytest.raises(PngFormatError):
+        y4m_parse_header(b"YUV4MPEG2 W3 H4 F25:1 C420\n")  # odd width
+    with pytest.raises(PngFormatError):
+        y4m_parse_header(b"NOTAVIDEO\n")
+    with pytest.raises(PngFormatError):
+        # C444 unsupported by this decoder
+        y4m_parse_header(b"YUV4MPEG2 W4 H4 F25:1 C444\n")
+    truncated = enc[:-3]
+    with pytest.raises(PngFormatError):
+        y4m_decode(truncated)
