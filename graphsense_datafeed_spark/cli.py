@@ -10,6 +10,8 @@ plus a query runner over the full registered inventory:
     python -m graphsense_datafeed_spark.cli rates  --csv fixtures/rates.csv --out /tmp/raw
     python -m graphsense_datafeed_spark.cli query  golden_q1_pricing --sf /root/testdata/sf0.001
     python -m graphsense_datafeed_spark.cli list
+    python -m graphsense_datafeed_spark.cli audit             # plan gate
+    python -m graphsense_datafeed_spark.cli verify [qid ...]  # oracle gate
 """
 
 from __future__ import annotations
@@ -40,6 +42,16 @@ def main(argv: list[str] | None = None) -> int:
 
     sub.add_parser("list", help="list registered query ids")
 
+    p_audit = sub.add_parser(
+        "audit", help="physical-plan audit over the registry"
+    )
+    p_audit.add_argument("qids", nargs="*", help="restrict to these ids")
+
+    p_verify = sub.add_parser(
+        "verify", help="driver-style oracle verification sweep"
+    )
+    p_verify.add_argument("qids", nargs="*", help="restrict to these ids")
+
     args = ap.parse_args(argv)
 
     from graphsense_datafeed_spark import registry
@@ -52,6 +64,21 @@ def main(argv: list[str] | None = None) -> int:
             mark = "oracle" if qid in registry.ORACLES else "rows-only"
             print(f"{qid}\t{mark}")
         return 0
+
+    if args.cmd in ("audit", "verify"):
+        # delegate to the repo gate scripts (same behavior, one entry)
+        import os
+        import subprocess
+
+        script = (
+            "plan_audit.py" if args.cmd == "audit" else "verify_driver_style.py"
+        )
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts",
+            script,
+        )
+        return subprocess.call([sys.executable, path, *args.qids])
 
     spark = build_session("gds-cli")
     try:
