@@ -1004,3 +1004,54 @@ def ingest_reorg_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("block_hash").alias("orphaned_hash"),
         "replaced_by",
     )
+
+
+@query(
+    "ingest_fee_summary",
+    f"""
+    WITH txr AS (
+        SELECT height, unnest(txs) AS tx FROM {_DUCK_BLOCKS}
+    ), fees AS (
+        SELECT height,
+               (tx).total_input - (tx).total_output AS fee
+        FROM txr WHERE NOT (tx).coinbase
+    )
+    SELECT height,
+           CAST(COUNT(*) AS BIGINT) AS n_tx,
+           CAST(SUM(fee) AS BIGINT) AS fees_total,
+           CAST(MIN(fee) AS BIGINT) AS fee_min,
+           CAST(MAX(fee) AS BIGINT) AS fee_max,
+           CAST(FLOOR(CAST(SUM(fee) AS DOUBLE) / COUNT(*)) AS BIGINT)
+               AS fee_mean_floor
+    FROM fees GROUP BY height
+    """,
+)
+def ingest_fee_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-block FEE-market summary (round 6) — the reference-domain
+    analytics the datafeed's consumers actually compute from the
+    exploded tx table: fee = total_input − total_output per
+    non-coinbase transaction (coinbase mints, it doesn't pay), rolled
+    up per block (count, total, min/max, floored mean).  The miner-
+    revenue / congestion readout fee estimators start from.
+
+    Exactness: satoshi values are integral; every aggregate is bigint
+    except the mean's single floored division.  Synthetic fixture
+    blocks can carry negative fees (generator doesn't enforce
+    input ≥ output) — summarized as-is, both engines identically.
+
+    Scale: one explode + partial agg keyed on height — the same
+    per-block discipline as ingest_tx_explode; incremental per block
+    at the daemon's pace."""
+    txs = explode_transactions(normalize_blocks(read_blocks_json(spark)))
+    fees = txs.filter(~F.col("coinbase")).select(
+        "height", (F.col("total_input") - F.col("total_output")).alias("fee")
+    )
+    return fees.groupBy("height").agg(
+        F.count("*").cast("bigint").alias("n_tx"),
+        F.sum("fee").cast("bigint").alias("fees_total"),
+        F.min("fee").cast("bigint").alias("fee_min"),
+        F.max("fee").cast("bigint").alias("fee_max"),
+        F.floor(F.sum("fee").cast("double") / F.count("*"))
+        .cast("bigint")
+        .alias("fee_mean_floor"),
+    )

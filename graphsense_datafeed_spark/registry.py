@@ -317,6 +317,7 @@ _ROUND7_NEXT_UP = (
     "stream_cdc_apply",
     "multimodal_audio_wav",
     "multimodal_video_y4m",
+    "ingest_fee_summary",
 )
 
 _loaded = False
