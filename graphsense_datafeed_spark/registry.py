@@ -318,6 +318,7 @@ _ROUND7_NEXT_UP = (
     "multimodal_audio_wav",
     "multimodal_video_y4m",
     "ingest_fee_summary",
+    "ingest_address_balance",
 )
 
 _loaded = False
