@@ -1130,3 +1130,84 @@ def ingest_address_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         spent.cast("bigint").alias("total_spent"),
         (recv - spent).cast("bigint").alias("balance"),
     )
+
+
+@query(
+    "ingest_entity_cospend",
+    f"""
+    WITH RECURSIVE txin AS (
+        SELECT (tx).tx_hash AS tx_hash, unnest((tx).inputs) AS i
+        FROM (SELECT unnest(txs) AS tx FROM {_DUCK_BLOCKS})
+        WHERE NOT (tx).coinbase
+    ), base AS (
+        SELECT tx_hash, (i).address[1] AS addr FROM txin
+    ), edges AS (
+        SELECT DISTINCT a.addr AS src, b.addr AS dst
+        FROM base a JOIN base b USING (tx_hash) WHERE a.addr < b.addr
+    ), sym AS (
+        SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+    ), reach(src, dst) AS (
+        SELECT src, dst FROM sym
+        UNION
+        SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+    ), nodes AS (SELECT DISTINCT addr FROM base),
+    labels AS (
+        SELECT n.addr, least(n.addr, coalesce(min(r.dst), n.addr)) AS entity
+        FROM nodes n LEFT JOIN reach r ON n.addr = r.src
+        GROUP BY n.addr
+    )
+    SELECT addr AS address, entity FROM labels
+    """,
+)
+def ingest_entity_cospend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CO-SPEND entity clustering (round 6) — GraphSense's signature
+    heuristic, as itself: addresses spending inputs in the SAME
+    transaction are controlled by one wallet, so connected components
+    over the inputs-only co-occurrence graph define ENTITIES (the
+    'multi-input' heuristic).  graph_components clusters the looser
+    inputs∪outputs graph; this is the strict domain rule — outputs
+    never merge entities (a payment doesn't co-own the payee).
+
+    Entity id = lexicographic min address of the component, computed
+    by the convergence-bounded min-label propagation helper
+    (label_propagate: neighbor-min join per round, cheapest-possible
+    changed-row probe, localCheckpoint lineage truncation,
+    require_converged so an unconverged bound fails loudly instead of
+    hash-mismatching).  The oracle is the full recursive-CTE
+    transitive closure — the strongest possible referee for an
+    iterative algorithm.
+
+    Scale: edges are Σ inputs-per-tx² (bounded per tx, the dedup_near
+    bucket discipline applies to megaspend txs); rounds ≤ component
+    diameter, each one keyed edge shuffle."""
+    raw = normalize_blocks(read_blocks_json(spark))
+    txr = raw.select(F.explode("txs").alias("tx")).filter(
+        ~F.col("tx.coinbase")
+    )
+    base = txr.select(
+        F.col("tx.tx_hash").alias("tx_hash"),
+        F.explode("tx.inputs").alias("i"),
+    ).select("tx_hash", F.col("i.address")[0].alias("addr"))
+    a = base.alias("a")
+    b = base.alias("b")
+    edges = (
+        a.join(b, "tx_hash")
+        .filter(F.col("a.addr") < F.col("b.addr"))
+        .select(F.col("a.addr").alias("src"), F.col("b.addr").alias("dst"))
+        .distinct()
+    )
+    sym = edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = (
+        base.select("addr")
+        .distinct()
+        .select("addr", F.col("addr").alias("label"))
+        .localCheckpoint()
+    )
+    labels, _ = label_propagate(
+        sym.localCheckpoint(), labels, max_iter=50, require_converged=True
+    )
+    return labels.select(
+        F.col("addr").alias("address"), F.col("label").alias("entity")
+    )

@@ -319,6 +319,7 @@ _ROUND7_NEXT_UP = (
     "multimodal_video_y4m",
     "ingest_fee_summary",
     "ingest_address_balance",
+    "ingest_entity_cospend",
 )
 
 _loaded = False
