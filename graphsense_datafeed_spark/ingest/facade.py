@@ -1211,3 +1211,81 @@ def ingest_entity_cospend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("addr").alias("address"), F.col("label").alias("entity")
     )
+
+
+@query(
+    "ingest_entity_summary",
+    f"""
+    WITH RECURSIVE txin AS (
+        SELECT (tx).tx_hash AS tx_hash, unnest((tx).inputs) AS i
+        FROM (SELECT unnest(txs) AS tx FROM {_DUCK_BLOCKS})
+        WHERE NOT (tx).coinbase
+    ), base AS (
+        SELECT tx_hash, (i).address[1] AS addr FROM txin
+    ), edges AS (
+        SELECT DISTINCT a.addr AS src, b.addr AS dst
+        FROM base a JOIN base b USING (tx_hash) WHERE a.addr < b.addr
+    ), sym AS (
+        SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+    ), reach(src, dst) AS (
+        SELECT src, dst FROM sym
+        UNION
+        SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+    ), nodes AS (SELECT DISTINCT addr FROM base),
+    entities AS (
+        SELECT n.addr, least(n.addr, coalesce(min(r.dst), n.addr)) AS entity
+        FROM nodes n LEFT JOIN reach r ON n.addr = r.src
+        GROUP BY n.addr
+    ), txr2 AS (
+        SELECT unnest(txs) AS tx FROM {_DUCK_BLOCKS}
+    ), flows AS (
+        SELECT (o).address[1] AS address, (o).value AS sat, 'out' AS kind
+        FROM (SELECT unnest((tx).outputs) AS o FROM txr2)
+        UNION ALL
+        SELECT (i).address[1] AS address, (i).value AS sat, 'in' AS kind
+        FROM (SELECT unnest((tx).inputs) AS i FROM txr2)
+    ), balances AS (
+        SELECT address,
+               CAST(COALESCE(SUM(sat) FILTER (kind = 'out'), 0)
+                    - COALESCE(SUM(sat) FILTER (kind = 'in'), 0) AS BIGINT)
+                   AS balance
+        FROM flows GROUP BY address
+    )
+    SELECT e.entity,
+           CAST(COUNT(*) AS BIGINT) AS n_addresses,
+           CAST(SUM(b.balance) AS BIGINT) AS entity_balance
+    FROM entities e JOIN balances b ON b.address = e.addr
+    GROUP BY e.entity
+    """,
+)
+def ingest_entity_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENTITY keyspace summary (round 6) — the table GraphSense
+    actually serves: co-spend entities (ingest_entity_cospend's
+    clustering) joined with per-address balances
+    (ingest_address_balance's two-sided ledger) and rolled up to one
+    row per entity (address count, aggregate balance).  The full
+    reference pipeline — parse → explode → cluster → ledger →
+    entity rollup — as ONE composed Catalyst plan; the oracle composes
+    the recursive-CTE closure with the flow ledger the same way, so a
+    drift in ANY stage (missed edge, lost flow, wrong precedence)
+    surfaces as a hash mismatch at the very end — the
+    embedding_pipeline stage-composition discipline applied to the
+    reference's own domain.
+
+    Scale: clustering shuffles edges, the ledger shuffles flows, and
+    the final rollup shuffles |addresses| (entity, balance) pairs —
+    each stage keyed on what it aggregates; the entity map is the
+    persisted artifact the daemon updates incrementally (new blocks
+    merge edges; label propagation resumes from current labels)."""
+    ent = ingest_entity_cospend(spark, sf_dir).select(
+        F.col("address").alias("e_addr"), "entity"
+    )
+    bal = ingest_address_balance(spark, sf_dir).select("address", "balance")
+    return (
+        ent.join(bal, ent.e_addr == bal.address)
+        .groupBy("entity")
+        .agg(
+            F.count("*").cast("bigint").alias("n_addresses"),
+            F.sum("balance").cast("bigint").alias("entity_balance"),
+        )
+    )

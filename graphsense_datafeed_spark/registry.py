@@ -320,6 +320,7 @@ _ROUND7_NEXT_UP = (
     "ingest_fee_summary",
     "ingest_address_balance",
     "ingest_entity_cospend",
+    "ingest_entity_summary",
 )
 
 _loaded = False
