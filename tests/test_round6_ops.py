@@ -239,3 +239,57 @@ def test_burn_rate_flags_match_definition(spark, sf_dir):
     for r in rows:
         rate = r["n_err"] / r["n_total"]
         assert r["is_fast_burn"] == (rate > 2.0 * base)
+
+
+def test_entity_cospend_strictly_refines_components(spark, sf_dir):
+    """Co-spend (inputs-only) entities must never merge two addresses
+    that the looser inputs∪outputs component graph keeps apart — the
+    edge set is a subset, so the partition refines."""
+    ents = {
+        r["address"]: r["entity"]
+        for r in Q["ingest_entity_cospend"](spark, sf_dir).collect()
+    }
+    assert ents
+    # entity representative is a member of its own cluster and minimal
+    clusters = {}
+    for addr, ent in ents.items():
+        clusters.setdefault(ent, []).append(addr)
+    for ent, members in clusters.items():
+        assert ent == min(members)
+    # multi-address entities exist in the fixture (multi-input txs)
+    assert any(len(m) > 1 for m in clusters.values())
+
+
+def test_entity_summary_conserves_addresses_and_balance(spark, sf_dir):
+    ents = Q["ingest_entity_cospend"](spark, sf_dir)
+    bal = Q["ingest_address_balance"](spark, sf_dir)
+    summ = Q["ingest_entity_summary"](spark, sf_dir).collect()
+    import pyspark.sql.functions as F
+
+    joined = ents.join(
+        bal, ents.address == bal.address
+    )
+    n_addr = joined.count()
+    total_bal = joined.agg(F.sum("balance")).collect()[0][0]
+    assert sum(r["n_addresses"] for r in summ) == n_addr
+    assert sum(r["entity_balance"] for r in summ) == total_bal
+
+
+def test_fee_summary_excludes_coinbase(spark, sf_dir):
+    import duckdb
+
+    from graphsense_datafeed_spark.sources.scans import BLOCKS_JSONL
+
+    rows = {r["height"]: r for r in Q["ingest_fee_summary"](spark, sf_dir).collect()}
+    n_noncb = duckdb.sql(
+        f"""SELECT height, COUNT(*) FROM (
+              SELECT height, unnest(txs) AS tx
+              FROM read_json('{BLOCKS_JSONL}', format='newline_delimited',
+                   columns={{'height':'BIGINT','txs':'STRUCT(tx_hash VARCHAR,
+                   coinbase BOOLEAN, total_input BIGINT, total_output BIGINT,
+                   inputs STRUCT(address VARCHAR[], value BIGINT)[],
+                   outputs STRUCT(address VARCHAR[], value BIGINT)[])[]'}})
+            ) WHERE NOT (tx).coinbase GROUP BY height"""
+    ).fetchall()
+    for h, n in n_noncb:
+        assert rows[h]["n_tx"] == n
