@@ -1289,3 +1289,74 @@ def ingest_entity_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("balance").cast("bigint").alias("entity_balance"),
         )
     )
+
+
+@query(
+    "ingest_block_gaps",
+    f"""
+    WITH heights AS (
+        SELECT DISTINCT height
+        FROM read_json('{BLOCKS_JSONL}', format='newline_delimited',
+                       columns={{'height':'BIGINT'}})
+        WHERE height % 7 <> 3
+    ), islands AS (
+        SELECT height,
+               height - ROW_NUMBER() OVER (ORDER BY height) AS grp
+        FROM heights
+    ), runs AS (
+        SELECT MIN(height) AS run_start, MAX(height) AS run_end
+        FROM islands GROUP BY grp
+    )
+    SELECT run_end + 1 AS gap_start,
+           next_start - 1 AS gap_end,
+           CAST(next_start - run_end - 1 AS BIGINT) AS n_missing
+    FROM (
+        SELECT run_start, run_end,
+               lead(run_start) OVER (ORDER BY run_start) AS next_start
+        FROM runs
+    ) WHERE next_start IS NOT NULL
+    """,
+)
+def ingest_block_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sync-integrity GAP detection (round 6): which height ranges are
+    missing from the ingested chain — the daemon's catch-up worklist
+    (the reference tracks 'last ingested height'; gaps happen when a
+    batch dies mid-range or a reorg rollback removes blocks).  A
+    synthetic hole is drilled (heights ≡ 3 mod 7 filtered) so the
+    detector has something to find; production runs the same plan over
+    the landed block table.
+
+    The gaps-and-islands program (win_gaps_islands' tabibitosan trick):
+    height − row_number is constant within each contiguous run, so
+    runs collapse to a GROUP BY; gaps are the space between a run's
+    end and the next run's start (one lead window over |runs| rows).
+    Integer arithmetic only.
+
+    Scale: one global-ordered window over the DISTINCT height table —
+    heights are block-chain-sized (millions), not tx-sized, and the
+    run table it feeds lead() is gaps-sized; at true chain scale the
+    row_number re-keys per epoch range exactly like date_spine_fill."""
+    from pyspark.sql import Window
+
+    raw = read_blocks_json(spark).select("height").distinct()
+    heights = raw.filter(F.col("height") % 7 != 3)
+    w = Window.orderBy("height")
+    islands = heights.select(
+        "height", (F.col("height") - F.row_number().over(w)).alias("grp")
+    )
+    runs = islands.groupBy("grp").agg(
+        F.min("height").alias("run_start"), F.max("height").alias("run_end")
+    )
+    w2 = Window.orderBy("run_start")
+    seq = runs.select(
+        "run_start",
+        "run_end",
+        F.lead("run_start").over(w2).alias("next_start"),
+    ).filter(F.col("next_start").isNotNull())
+    return seq.select(
+        (F.col("run_end") + 1).alias("gap_start"),
+        (F.col("next_start") - 1).alias("gap_end"),
+        (F.col("next_start") - F.col("run_end") - 1)
+        .cast("bigint")
+        .alias("n_missing"),
+    )

@@ -321,6 +321,7 @@ _ROUND7_NEXT_UP = (
     "ingest_address_balance",
     "ingest_entity_cospend",
     "ingest_entity_summary",
+    "ingest_block_gaps",
 )
 
 _loaded = False
