@@ -1360,3 +1360,83 @@ def ingest_block_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_missing"),
     )
+
+
+@query(
+    "ingest_fiat_values",
+    f"""
+    WITH blocks AS (
+        SELECT height,
+               CAST(make_timestamp(timestamp * 1000000) AS DATE)
+                   AS block_date,
+               txs
+        FROM {_DUCK_BLOCKS}
+    ), outs AS (
+        SELECT height, block_date,
+               CAST(SUM((o).value) AS BIGINT) AS total_out_satoshi
+        FROM (SELECT height, block_date, unnest((tx).outputs) AS o
+              FROM (SELECT height, block_date, unnest(txs) AS tx
+                    FROM blocks))
+        GROUP BY height, block_date
+    ), rates AS (
+        SELECT CAST(date AS DATE) AS rate_date,
+               CAST(usd AS DOUBLE) AS usd, CAST(eur AS DOUBLE) AS eur
+        FROM read_csv('/root/repo/fixtures/rates.csv', header=true)
+    )
+    SELECT o.height, o.block_date, o.total_out_satoshi,
+           CAST(FLOOR(CAST(o.total_out_satoshi AS DOUBLE) / 100000000.0
+                      * r.usd * 100) AS BIGINT) AS usd_value_cents,
+           CAST(FLOOR(CAST(o.total_out_satoshi AS DOUBLE) / 100000000.0
+                      * r.eur * 100) AS BIGINT) AS eur_value_cents
+    FROM outs o JOIN rates r ON r.rate_date = o.block_date
+    """,
+)
+def ingest_fiat_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIAT conversion of block flows (round 6) — what the reference
+    ingests exchange rates FOR: each block's total output value
+    (satoshi) priced in USD/EUR at that block DATE's rate, the
+    fiat-denominated columns GraphSense exposes on every keyspace
+    row.  The rates feed (stream_rates_upsert keeps it current)
+    finally meets the block feed.
+
+    Join is an equi-join on the calendar date — the rates table is
+    daily and dimension-tiny, so it broadcasts and the block side
+    never shuffles (for gap days the production form is the join_asof
+    backward fill over the same union; documented, not needed for the
+    gapless fixture feed).  Satoshi totals are exact bigints; each
+    fiat value is ONE double chain (satoshi / 1e8 × rate × 100) in the
+    oracle's literal order, floored to integer cents.
+
+    Scale: per-block output rollup (height-keyed partial agg) +
+    broadcast rate dim; incremental per block at the daemon's pace."""
+    from graphsense_datafeed_spark.sources.scans import read_rates_csv
+
+    raw = normalize_blocks(read_blocks_json(spark))
+    outs = (
+        raw.select(
+            "height", "block_date", F.explode("txs").alias("tx")
+        )
+        .select("height", "block_date", F.explode("tx.outputs").alias("o"))
+        .groupBy("height", "block_date")
+        .agg(F.sum("o.value").cast("bigint").alias("total_out_satoshi"))
+    )
+    rates = read_rates_csv(spark).select(
+        F.col("date").cast("date").alias("rate_date"),
+        F.col("usd").cast("double").alias("usd"),
+        F.col("eur").cast("double").alias("eur"),
+    )
+    joined = outs.join(
+        F.broadcast(rates), outs.block_date == rates.rate_date
+    )
+    btc = F.col("total_out_satoshi").cast("double") / 100000000.0
+    return joined.select(
+        "height",
+        "block_date",
+        "total_out_satoshi",
+        F.floor(btc * F.col("usd") * 100).cast("bigint").alias(
+            "usd_value_cents"
+        ),
+        F.floor(btc * F.col("eur") * 100).cast("bigint").alias(
+            "eur_value_cents"
+        ),
+    )

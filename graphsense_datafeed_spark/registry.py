@@ -322,6 +322,7 @@ _ROUND7_NEXT_UP = (
     "ingest_entity_cospend",
     "ingest_entity_summary",
     "ingest_block_gaps",
+    "ingest_fiat_values",
 )
 
 _loaded = False
