@@ -953,7 +953,14 @@ def ingest_reorg_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    staged = os.path.join(tempfile.gettempdir(), "gds_reorg_feed.jsonl")
+    from graphsense_datafeed_spark.sources.tables import source_fingerprint
+
+    # fingerprint-keyed staging (house discipline): a regenerated feed
+    # fixture re-stages instead of serving stale poisoned bytes
+    fp = source_fingerprint(BLOCKS_JSONL)
+    staged = os.path.join(
+        tempfile.gettempdir(), f"gds_reorg_feed-{fp}.jsonl"
+    )
     if not os.path.exists(staged):
         with open(BLOCKS_JSONL) as f, open(staged + ".tmp", "w") as out:
             seq = 0
