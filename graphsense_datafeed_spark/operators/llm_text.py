@@ -2571,15 +2571,17 @@ def text_lang_id_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax.  Training updates incrementally (trigram counts are
     mergeable)."""
     docs = load(spark, sf_dir, "documents").filter(F.length("text") >= 3)
+    # build the trigram ARRAY per doc, then explode it — the exploded
+    # rows carry 3-char strings only; exploding positions first would
+    # copy the whole text into every generated row (O(len²) bytes at
+    # corpus scale)
+    lt = F.lower(F.col("text"))
+    tris = F.transform(
+        F.sequence(F.lit(1), (F.length("text") - 2).cast("int")),
+        lambda i: lt.substr(i, F.lit(3)),
+    )
     tri = docs.select(
-        "doc_id",
-        "lang",
-        F.explode(
-            F.sequence(F.lit(1), (F.length("text") - 2).cast("int"))
-        ).alias("i"),
-        F.lower(F.col("text")).alias("lt"),
-    ).select(
-        "doc_id", "lang", F.col("lt").substr(F.col("i"), F.lit(3)).alias("tg")
+        "doc_id", "lang", F.explode(tris).alias("tg")
     )
     lang_counts = tri.groupBy("lang", "tg").agg(
         F.count("*").cast("bigint").alias("n")
