@@ -3065,3 +3065,53 @@ def agg_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_to_80pct"),
         F.max("seg_total").cast("bigint").alias("seg_total_cents"),
     )
+
+
+@query(
+    "agg_cube_grouping_id",
+    """
+    SELECT COALESCE(o_orderstatus, '<all>') AS status,
+           COALESCE(o_orderpriority, '<all>') AS priority,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+                AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE with GROUPING_ID (round 6) — the disambiguation agg_cube
+    leaves open: a NULL grouping cell can mean 'this row is the
+    subtotal over that column' OR 'the data really was NULL', and
+    downstream consumers (pivot UIs, caching layers keyed on cell
+    identity) MUST tell them apart.  GROUPING() is the standard answer
+    — 1 when the column is rolled up, 0 when it's a real value — and
+    the packed grouping id (status-bit×2 + priority-bit) names each of
+    the 4 cube strata unambiguously.
+
+    Parity notes: Spark's grouping_id() packs bits in GROUP BY column
+    order, same as the explicit GROUPING()-arithmetic spelled in the
+    oracle; subtotal labels are COALESCE'd to a sentinel on BOTH sides
+    so the driver's hash never sees engine-specific NULL sort order
+    interacting with the stratum rows.  Money exact cents.
+
+    Scale: CUBE expands 4 strata map-side (the agg_cube discipline —
+    explicit GROUPING SETS bound the blow-up when columns grow)."""
+    o = load(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    cube = o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().cast("bigint").alias("gid"),
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(cents).cast("bigint").alias("cents"),
+    )
+    return cube.select(
+        F.coalesce(F.col("o_orderstatus"), F.lit("<all>")).alias("status"),
+        F.coalesce(F.col("o_orderpriority"), F.lit("<all>")).alias(
+            "priority"
+        ),
+        "gid",
+        "n",
+        "cents",
+    )

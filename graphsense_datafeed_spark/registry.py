@@ -323,6 +323,7 @@ _ROUND7_NEXT_UP = (
     "ingest_entity_summary",
     "ingest_block_gaps",
     "ingest_fiat_values",
+    "agg_cube_grouping_id",
 )
 
 _loaded = False
