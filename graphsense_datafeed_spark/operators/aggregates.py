@@ -3115,3 +3115,86 @@ def agg_cube_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "cents",
     )
+
+
+@query(
+    "agg_median_of_means",
+    """
+    WITH bucketed AS (
+        SELECT event_type,
+               CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 7)
+                    AS BIGINT) % 9 AS bucket,
+               CAST(FLOOR(value * 10000) AS BIGINT) AS v
+        FROM events
+    ), bucket_means AS (
+        SELECT event_type, bucket,
+               CAST(FLOOR(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT)
+                   AS mean_e4
+        FROM bucketed GROUP BY event_type, bucket
+    ), ranked AS (
+        SELECT event_type, mean_e4,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY mean_e4, bucket) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS k
+        FROM bucket_means
+    )
+    SELECT event_type, CAST(k AS BIGINT) AS n_buckets,
+           CAST(mean_e4 AS BIGINT) AS mom_e4
+    FROM ranked WHERE rn = (k + 1) / 2
+    """,
+)
+def agg_median_of_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEDIAN-OF-MEANS robust estimator per group (round 6): hash rows
+    into 9 buckets, take each bucket's mean, report the median bucket
+    mean — the estimator with sub-Gaussian concentration under
+    heavy-tailed data that a plain mean lacks (one adversarial outlier
+    corrupts at most one bucket), and the trick behind sketching-
+    theory estimators (AMS, Count-Sketch medians).  Sits between
+    agg_winsorized_mean (needs a trim fraction) and agg_stats (not
+    robust at all).
+
+    Determinism: bucket assignment is the md5 content-hash discipline
+    (stable across engines/partitionings/retries); bucket means are
+    floored-once to e4 bigints, so the median pick compares exact
+    integers with a bucket-id tiebreak; odd bucket count (9) makes the
+    median a single element — no interpolation anywhere.
+
+    Scale: ONE extra aggregation level over the plain mean — (group,
+    bucket) partials merge map-side, then |groups|×9 rows rank
+    locally.  Mergeable, incremental."""
+    ev = load(spark, sf_dir, "events")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.col("event_id").cast("string").cast("binary")), 1, 7
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 9
+    )
+    v = F.floor(F.col("value") * 10000).cast("bigint")
+    bucket_means = (
+        ev.select("event_type", bucket.alias("bucket"), v.alias("v"))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.floor(F.sum("v").cast("double") / F.count("*"))
+            .cast("bigint")
+            .alias("mean_e4")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("mean_e4", "bucket")
+    wc = Window.partitionBy("event_type")
+    ranked = bucket_means.select(
+        "event_type",
+        "mean_e4",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wc).alias("k"),
+    )
+    return ranked.filter(
+        F.col("rn") == ((F.col("k") + 1) / 2).cast("int")
+    ).select(
+        "event_type",
+        F.col("k").cast("bigint").alias("n_buckets"),
+        F.col("mean_e4").cast("bigint").alias("mom_e4"),
+    )

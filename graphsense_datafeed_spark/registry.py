@@ -324,6 +324,8 @@ _ROUND7_NEXT_UP = (
     "ingest_block_gaps",
     "ingest_fiat_values",
     "agg_cube_grouping_id",
+    "udf_pandas_iter",
+    "agg_median_of_means",
 )
 
 _loaded = False
