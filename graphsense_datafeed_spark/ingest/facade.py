@@ -1447,3 +1447,118 @@ def ingest_fiat_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             "eur_value_cents"
         ),
     )
+
+
+@query(
+    "ingest_fiat_values_asof",
+    f"""
+    WITH blocks AS (
+        SELECT height,
+               CAST(make_timestamp(timestamp * 1000000) AS DATE)
+                   AS block_date,
+               txs
+        FROM {_DUCK_BLOCKS}
+    ), outs AS (
+        SELECT height, block_date,
+               CAST(SUM((o).value) AS BIGINT) AS total_out_satoshi
+        FROM (SELECT height, block_date, unnest((tx).outputs) AS o
+              FROM (SELECT height, block_date, unnest(txs) AS tx
+                    FROM blocks))
+        GROUP BY height, block_date
+    ), gappy_rates AS (
+        SELECT CAST(date AS DATE) AS rate_date,
+               CAST(usd AS DOUBLE) AS usd
+        FROM read_csv('/root/repo/fixtures/rates.csv', header=true)
+        WHERE dayofmonth(CAST(date AS DATE)) % 5 <> 2
+    )
+    SELECT o.height, o.block_date, o.total_out_satoshi,
+           r.rate_date AS rate_date_used,
+           CAST(FLOOR(CAST(o.total_out_satoshi AS DOUBLE) / 100000000.0
+                      * r.usd * 100) AS BIGINT) AS usd_value_cents
+    FROM outs o
+    ASOF JOIN gappy_rates r ON o.block_date >= r.rate_date
+    """,
+)
+def ingest_fiat_values_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fiat conversion under a GAPPY rates feed (round 6) —
+    ingest_fiat_values' documented fallback made real: days ≡ 2 mod 5
+    are drilled out of the rates table, so the equi-join would drop
+    those blocks; the correct semantics is LAST AVAILABLE RATE
+    at-or-before the block date (how every market-data consumer
+    handles weekends/outages), i.e. an as-of join.
+
+    Spark side runs the engine's standard as-of composition (the
+    join_asof union+window program): rate rows and block rows ride one
+    date-ordered stream, ``last(rate, ignorenulls)`` over the
+    RANGE-to-current frame carries the latest rate forward — ONE
+    exchange, no point-in-time cross product.  DuckDB's native
+    ASOF JOIN states the same semantics for the oracle; the emitted
+    rate_date_used column pins WHICH rate was carried (a
+    backward-fill bug shows up as the wrong date before it shows up
+    in cents).
+
+    Scale: the rates stream is dimension-tiny but rides the same keyed
+    exchange (here keyless-by-date: the union stream is
+    date-partitioned at scale by calendar bucket, the join_interval
+    discipline)."""
+    from pyspark.sql import Window
+
+    from graphsense_datafeed_spark.sources.scans import read_rates_csv
+
+    raw = normalize_blocks(read_blocks_json(spark))
+    outs = (
+        raw.select("height", "block_date", F.explode("txs").alias("tx"))
+        .select("height", "block_date", F.explode("tx.outputs").alias("o"))
+        .groupBy("height", "block_date")
+        .agg(F.sum("o.value").cast("bigint").alias("total_out_satoshi"))
+    )
+    rates = (
+        read_rates_csv(spark)
+        .filter(F.dayofmonth(F.col("date").cast("date")) % 5 != 2)
+        .select(
+            F.col("date").cast("date").alias("d"),
+            F.col("usd").cast("double").alias("usd"),
+        )
+    )
+    # union+window as-of: rates and blocks on one date-ordered tape
+    tape = rates.select(
+        F.col("d"),
+        F.lit(0).alias("is_block"),
+        F.lit(None).cast("bigint").alias("height"),
+        F.lit(None).cast("bigint").alias("total_out_satoshi"),
+        F.col("usd"),
+        F.col("d").alias("rate_date"),
+    ).unionAll(
+        outs.select(
+            F.col("block_date").alias("d"),
+            F.lit(1).alias("is_block"),
+            "height",
+            "total_out_satoshi",
+            F.lit(None).cast("double").alias("usd"),
+            F.lit(None).cast("date").alias("rate_date"),
+        )
+    )
+    w = (
+        Window.orderBy("d", "is_block")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = tape.select(
+        "d",
+        "is_block",
+        "height",
+        "total_out_satoshi",
+        F.last("usd", ignorenulls=True).over(w).alias("usd"),
+        F.last("rate_date", ignorenulls=True).over(w).alias(
+            "rate_date_used"
+        ),
+    ).filter(F.col("is_block") == 1)
+    btc = F.col("total_out_satoshi").cast("double") / 100000000.0
+    return carried.select(
+        "height",
+        F.col("d").alias("block_date"),
+        "total_out_satoshi",
+        "rate_date_used",
+        F.floor(btc * F.col("usd") * 100)
+        .cast("bigint")
+        .alias("usd_value_cents"),
+    )

@@ -326,6 +326,7 @@ _ROUND7_NEXT_UP = (
     "agg_cube_grouping_id",
     "udf_pandas_iter",
     "agg_median_of_means",
+    "ingest_fiat_values_asof",
 )
 
 _loaded = False
