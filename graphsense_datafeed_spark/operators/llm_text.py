@@ -2678,3 +2678,58 @@ def text_score_linear_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(prob * 1000000).cast("bigint").alias("prob_e6"),
         (prob > 0.5).alias("keep"),
     )
+
+
+@query(
+    "text_rare_token_mask",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ), df AS (
+        SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        FROM toks GROUP BY tok
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) FILTER (WHERE d.df < 3) AS BIGINT) AS n_masked,
+           CAST(FLOOR(COUNT(*) FILTER (WHERE d.df < 3) * 1000000.0
+                      / COUNT(*)) AS BIGINT) AS masked_ratio_e6
+    FROM toks t JOIN df d ON d.tok = t.tok
+    GROUP BY t.doc_id
+    """,
+)
+def text_rare_token_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RARE-token masking audit (round 6) — the privacy transform
+    text_pii_scrub's pattern rules can't do: a token appearing in
+    fewer than k=3 documents is a QUASI-identifier (a name, an ID, a
+    one-off typo fingerprint) regardless of its shape, and privacy-
+    hardened corpus releases mask exactly these (the k-anonymity idea
+    applied to vocabulary — anon_k_suppress's discipline at the token
+    level).  Emits per-document token counts, how many would be
+    masked, and the masked fraction — the audit that decides whether
+    masking is survivable before anyone rewrites text.
+
+    Document frequency uses COUNT(DISTINCT doc) (a token repeated
+    inside one doc is still rare corpus-wide); per-doc masking counts
+    multiplicity (every occurrence would be replaced).  All exact
+    bigints, one floored division.
+
+    Scale: token explode (the text_tokenize cost class), a vocab-sized
+    df table that BROADCASTS back onto the token stream, one doc_id
+    rollup.  The actual rewrite is the same join feeding a transform —
+    zero extra shuffles."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    df = toks.groupBy("tok").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("df")
+    )
+    joined = toks.join(F.broadcast(df), "tok")
+    n_masked = F.count(F.when(F.col("df") < 3, 1))
+    return joined.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        n_masked.cast("bigint").alias("n_masked"),
+        F.floor(n_masked * 1000000.0 / F.count("*"))
+        .cast("bigint")
+        .alias("masked_ratio_e6"),
+    )

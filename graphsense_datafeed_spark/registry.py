@@ -327,6 +327,7 @@ _ROUND7_NEXT_UP = (
     "udf_pandas_iter",
     "agg_median_of_means",
     "ingest_fiat_values_asof",
+    "text_rare_token_mask",
 )
 
 _loaded = False
