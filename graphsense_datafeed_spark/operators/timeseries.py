@@ -3386,3 +3386,104 @@ def ts_interrupted_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("level_change_e5"),
     )
+
+
+@query(
+    "events_alert_throttle",
+    """
+    WITH errors AS (
+        SELECT user_id, event_id, ts,
+               lag(ts) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS prev_ts
+        FROM events WHERE event_type = 'error'
+    ), marked AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN prev_ts IS NULL
+                         OR epoch_us(ts) - epoch_us(prev_ts) > 600000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM errors
+    ), grouped AS (
+        SELECT user_id, event_id, ts, is_new,
+               SUM(is_new) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS burst_id
+        FROM marked
+    )
+    SELECT user_id, CAST(burst_id AS BIGINT) AS burst_id,
+           CAST(MIN(event_id) AS BIGINT) AS alert_event_id,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_suppressed,
+           CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT)
+               AS burst_span_us
+    FROM grouped GROUP BY user_id, burst_id
+    """,
+)
+def events_alert_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alert THROTTLING / dedup (round 6): page once per error BURST,
+    not once per error — the ops primitive between raw error events
+    and a pager.  An error starts a new burst when >10 min passed
+    since the previous error (per user); the burst's FIRST event is
+    the alert, the rest are suppressed (counted, with the burst span,
+    so the alert carries 'and 47 more over 12 minutes' context).
+
+    Gap-based bursting is a sequential predicate, but the engine's
+    sessionize program makes it one window pass: lag → gap flag →
+    running-sum burst id → per-burst rollup.  Throttle semantics note:
+    gap is measured to the previous ERROR (not the previous alert) —
+    the classic sessionize definition; cooldown-to-last-ALERT is the
+    stream_stateful keyed-state form (documented, needs per-key state,
+    not a frame).  Exact integer µs everywhere.
+
+    Scale: one user-keyed exchange shared by both windows + the
+    rollup — the interval_overlap_duration discipline; streaming form
+    = stream_pattern_match's four-scalar state shape with a timestamp
+    instead of a type."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "error"
+    )
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    w_lag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    errors = ev.select(
+        "user_id", "event_id", "ts", F.lag("ts").over(w_lag).alias("prev_ts")
+    )
+    marked = errors.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(
+            F.col("prev_ts").isNull()
+            | ((us("ts") - us("prev_ts")) > 600000000),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("is_new"),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    grouped = marked.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum("is_new").over(w_run).alias("burst_id"),
+    )
+    span = F.unix_micros(F.max("ts").cast("timestamp")) - F.unix_micros(
+        F.min("ts").cast("timestamp")
+    )
+    return (
+        grouped.groupBy("user_id", "burst_id")
+        .agg(
+            F.min("event_id").cast("bigint").alias("alert_event_id"),
+            (F.count("*") - 1).cast("bigint").alias("n_suppressed"),
+            span.cast("bigint").alias("burst_span_us"),
+        )
+        .select(
+            "user_id",
+            F.col("burst_id").cast("bigint").alias("burst_id"),
+            "alert_event_id",
+            "n_suppressed",
+            "burst_span_us",
+        )
+    )

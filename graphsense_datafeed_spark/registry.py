@@ -328,6 +328,7 @@ _ROUND7_NEXT_UP = (
     "agg_median_of_means",
     "ingest_fiat_values_asof",
     "text_rare_token_mask",
+    "events_alert_throttle",
 )
 
 _loaded = False
