@@ -3487,3 +3487,85 @@ def events_alert_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
             "burst_span_us",
         )
     )
+
+
+@query(
+    "ts_hierarchy_coherence",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ), bottom_fc AS (
+        SELECT cur.event_type, cur.day, base.n AS fc
+        FROM daily cur JOIN daily base
+          ON base.event_type = cur.event_type
+         AND base.day = cur.day - INTERVAL 7 DAY
+    ), total_daily AS (
+        SELECT day, CAST(SUM(n) AS BIGINT) AS n FROM daily GROUP BY day
+    ), top_fc AS (
+        SELECT cur.day, base.n AS fc
+        FROM total_daily cur JOIN total_daily base
+          ON base.day = cur.day - INTERVAL 7 DAY
+    )
+    SELECT b.day,
+           CAST(SUM(b.fc) AS BIGINT) AS bottom_up_fc,
+           CAST(MAX(t.fc) AS BIGINT) AS top_down_fc,
+           CAST(SUM(b.fc) - MAX(t.fc) AS BIGINT) AS coherence_gap
+    FROM bottom_fc b JOIN top_fc t ON t.day = b.day
+    GROUP BY b.day
+    """,
+)
+def ts_hierarchy_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical-forecast COHERENCE check (round 6): seasonal-naive
+    forecasts made independently per series (bottom level) versus one
+    made on the pre-aggregated total (top level) — per day, does
+    Σ child forecasts equal the total's own forecast?  For snaive
+    under a complete panel they coincide; gaps appear exactly where a
+    series was MISSING from the base week (its forecast contributes
+    nothing while the total's base day still counted it) — so the gap
+    is simultaneously the hierarchical-reconciliation diagnostic
+    (planning stacks must pick bottom-up, top-down, or MinT — this
+    measures how much it matters) and a panel-completeness alarm.
+
+    Exactness: snaive forecast = the count 7 days prior — pure bigint
+    calendar self-joins (ts_period_over_period's discipline), summed
+    exactly; the gap is integer subtraction.  No floats at all.
+
+    Scale: everything runs on the daily AGGREGATE (|series|×|days|);
+    the fact table shuffles once for the rollup."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    cur = daily.alias("cur")
+    base = daily.select(
+        F.col("event_type").alias("b_type"),
+        F.col("day").alias("b_day"),
+        F.col("n").alias("fc"),
+    )
+    bottom_fc = cur.join(
+        base,
+        (F.col("b_type") == F.col("cur.event_type"))
+        & (F.col("b_day") == F.date_sub(F.col("cur.day"), 7)),
+    ).select(F.col("cur.day").alias("day"), "fc")
+    total_daily = daily.groupBy("day").agg(
+        F.sum("n").cast("bigint").alias("n")
+    )
+    tbase = total_daily.select(
+        F.col("day").alias("t_day"), F.col("n").alias("tfc")
+    )
+    top_fc = total_daily.join(
+        tbase, F.col("t_day") == F.date_sub(F.col("day"), 7)
+    ).select("day", "tfc")
+    joined = bottom_fc.groupBy("day").agg(
+        F.sum("fc").cast("bigint").alias("bottom_up_fc")
+    ).join(top_fc, "day")
+    return joined.select(
+        "day",
+        "bottom_up_fc",
+        F.col("tfc").cast("bigint").alias("top_down_fc"),
+        (F.col("bottom_up_fc") - F.col("tfc"))
+        .cast("bigint")
+        .alias("coherence_gap"),
+    )

@@ -329,6 +329,7 @@ _ROUND7_NEXT_UP = (
     "ingest_fiat_values_asof",
     "text_rare_token_mask",
     "events_alert_throttle",
+    "ts_hierarchy_coherence",
 )
 
 _loaded = False
