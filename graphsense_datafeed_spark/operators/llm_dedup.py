@@ -1320,3 +1320,40 @@ def dedup_incremental_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("new")
     )
     return joined.select("doc_id", status.alias("status"))
+
+
+@query(
+    "dedup_lsh_scurve",
+    """
+    SELECT CAST(i AS BIGINT) AS jaccard_e2,
+           CAST(FLOOR((1 - pow(1 - pow(i / 100.0, 2), 8)) * 1000000)
+                AS BIGINT) AS p_candidate_e6
+    FROM (SELECT unnest(range(5, 100, 5)) AS i)
+    """,
+)
+def dedup_lsh_scurve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH S-CURVE of the engine's own MinHash banding (round 6):
+    with 16 hashes as 8 bands × 2 rows, a pair with Jaccard s collides
+    in ≥1 band with P = 1 − (1 − s²)⁸ — THE design table behind
+    dedup_near's parameters, emitted as a query so the calibration is
+    inspectable next to the operator it justifies (at s=0.8: ~0.999
+    recall; at s=0.3: ~0.5 false-candidate rate absorbed by the exact
+    re-rank; the threshold where P=0.5 sits near s≈0.55 — the (r,b)
+    trade every LSH deployment tunes).
+
+    A pure generated table — no input data; Spark's range() and the
+    oracle's generate_series produce the identical grid, and the
+    probability is one double chain (pow/pow) floored e6.  Changing
+    the banding in llm_dedup.py without updating this table is caught
+    by eye; changing BOTH consistently keeps the docs honest.
+
+    Scale: 19 rows.  The point is the artifact, not the plan."""
+    grid = spark.range(1, 20).select(
+        (F.col("id") * 5).cast("bigint").alias("jaccard_e2")
+    )
+    s = F.col("jaccard_e2") / 100.0
+    p = 1 - F.pow(1 - F.pow(s, 2), 8)
+    return grid.select(
+        "jaccard_e2",
+        F.floor(p * 1000000).cast("bigint").alias("p_candidate_e6"),
+    )

@@ -330,6 +330,7 @@ _ROUND7_NEXT_UP = (
     "text_rare_token_mask",
     "events_alert_throttle",
     "ts_hierarchy_coherence",
+    "dedup_lsh_scurve",
 )
 
 _loaded = False
