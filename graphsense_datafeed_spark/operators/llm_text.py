@@ -2733,3 +2733,83 @@ def text_rare_token_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("masked_ratio_e6"),
     )
+
+
+@query(
+    "text_vocab_overlap_sources",
+    """
+    WITH pres AS (
+        SELECT DISTINCT source, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ), vocab AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS v FROM pres GROUP BY source
+    ), inter AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM pres a JOIN pres b
+          ON a.tok = b.tok AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT i.src_a, i.src_b, i.n_common,
+           CAST(FLOOR(i.n_common * 10000.0
+                      / (va.v + vb.v - i.n_common)) AS BIGINT)
+               AS vocab_jaccard_e4
+    FROM inter i
+    JOIN vocab va ON va.source = i.src_a
+    JOIN vocab vb ON vb.source = i.src_b
+    """,
+)
+def text_vocab_overlap_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise VOCABULARY overlap between ingest sources (round 6) —
+    the domain-similarity matrix mixture design needs BEFORE choosing
+    weights (sample_upsample_mixture / text_mixture_sample): two
+    sources with Jaccard-similar vocabularies are redundant (upsample
+    one, not both); a low-overlap source brings coverage.  The same
+    measurement drives dedup-scope decisions (cross-source exact dedup
+    only pays where vocabularies overlap).
+
+    The pair generation is token-keyed (graph_common_neighbors' Σd²
+    discipline — pairs only within a shared token, never sources²),
+    and d ≤ |sources| per token, so the join is bounded by vocab ×
+    sources².  Exact bigint intersection + per-source vocab counts;
+    Jaccard enters double once, floored e4.
+
+    Scale: presence distinct is the corpus shuffle; everything after
+    runs on vocab-sized tables."""
+    d = load(spark, sf_dir, "documents")
+    pres = d.select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    ).distinct()
+    vocab = pres.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("v")
+    )
+    a = pres.alias("a")
+    b = pres.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+    )
+    va = vocab.select(F.col("source").alias("src_a"), F.col("v").alias("va"))
+    vb = vocab.select(F.col("source").alias("src_b"), F.col("v").alias("vb"))
+    joined = inter.join(F.broadcast(va), "src_a").join(
+        F.broadcast(vb), "src_b"
+    )
+    return joined.select(
+        "src_a",
+        "src_b",
+        "n_common",
+        F.floor(
+            F.col("n_common")
+            * 10000.0
+            / (F.col("va") + F.col("vb") - F.col("n_common"))
+        )
+        .cast("bigint")
+        .alias("vocab_jaccard_e4"),
+    )

@@ -3569,3 +3569,76 @@ def ts_hierarchy_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("coherence_gap"),
     )
+
+
+@query(
+    "events_resurrection",
+    """
+    WITH daily AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        FROM events
+    ), lagged AS (
+        SELECT user_id, day,
+               lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev_day
+        FROM daily
+    ), classified AS (
+        SELECT day,
+               CASE WHEN prev_day IS NULL THEN 'new'
+                    WHEN day - prev_day >= 14 THEN 'resurrected'
+                    ELSE 'retained' END AS klass
+        FROM lagged
+    )
+    SELECT day,
+           CAST(COUNT(*) FILTER (klass = 'new') AS BIGINT) AS n_new,
+           CAST(COUNT(*) FILTER (klass = 'retained') AS BIGINT) AS n_retained,
+           CAST(COUNT(*) FILTER (klass = 'resurrected') AS BIGINT)
+               AS n_resurrected
+    FROM classified GROUP BY day
+    """,
+)
+def events_resurrection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW / RETAINED / RESURRECTED daily split (round 6): the growth-
+    accounting triple — events_new_vs_returning's binary split with
+    the third class product teams actually chase: a user active today
+    whose PREVIOUS active day is ≥14 days back is a resurrection
+    (win-back campaigns live on this number), under 14 days they're
+    retained, no previous day means new.  Exhaustive and exclusive by
+    construction (trichotomy on the lag), and growth accounting
+    follows: today's actives = new + retained + resurrected.
+
+    Pure calendar-integer arithmetic: distinct (user, day) activity,
+    one lag per user, DATE subtraction (exact int days), a day-keyed
+    rollup.  No floats.
+
+    Scale: the distinct is the only corpus-sized shuffle; the lag
+    window rides the user key; the rollup is |days| rows — the
+    events_retention discipline with a per-user lag instead of a
+    cohort join."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    lagged = daily.select(
+        "user_id", "day", F.lag("day").over(w).alias("prev_day")
+    )
+    klass = (
+        F.when(F.col("prev_day").isNull(), "new")
+        .when(F.datediff("day", "prev_day") >= 14, "resurrected")
+        .otherwise("retained")
+    )
+    return (
+        lagged.select("day", klass.alias("klass"))
+        .groupBy("day")
+        .agg(
+            F.count(F.when(F.col("klass") == "new", 1))
+            .cast("bigint")
+            .alias("n_new"),
+            F.count(F.when(F.col("klass") == "retained", 1))
+            .cast("bigint")
+            .alias("n_retained"),
+            F.count(F.when(F.col("klass") == "resurrected", 1))
+            .cast("bigint")
+            .alias("n_resurrected"),
+        )
+    )

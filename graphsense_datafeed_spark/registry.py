@@ -331,6 +331,8 @@ _ROUND7_NEXT_UP = (
     "events_alert_throttle",
     "ts_hierarchy_coherence",
     "dedup_lsh_scurve",
+    "events_resurrection",
+    "text_vocab_overlap_sources",
 )
 
 _loaded = False
