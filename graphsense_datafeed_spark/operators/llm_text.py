@@ -2813,3 +2813,89 @@ def text_vocab_overlap_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("vocab_jaccard_e4"),
     )
+
+
+@query(
+    "text_model_calibration_ece",
+    """
+    WITH scored AS (
+        SELECT doc_id,
+               1.0 / (1.0 + exp(-(-0.25
+                   + 1.5 * (CAST(n_chars AS DOUBLE) / 1000)
+                   - 0.75 * (CAST(length(text) - length(replace(text, ' ', ''))
+                             AS DOUBLE) / 100)
+                   + 2.0 * (CAST(length(text) - length(replace(text, 'the', ''))
+                            AS DOUBLE)
+                            / (3 * GREATEST(CAST(n_chars AS DOUBLE), 1.0))
+                            * 10)))) AS prob,
+               CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS label
+        FROM documents
+    ), binned AS (
+        SELECT LEAST(CAST(FLOOR(prob * 10) AS BIGINT), 9) AS bin,
+               CAST(FLOOR(prob * 1000000) AS BIGINT) AS p_e6,
+               label
+        FROM scored
+    )
+    SELECT bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(p_e6) AS BIGINT) AS sum_p_e6,
+           CAST(SUM(label) AS BIGINT) AS n_pos,
+           CAST(FLOOR(ABS(CAST(SUM(p_e6) AS DOUBLE) / COUNT(*)
+                    - CAST(SUM(label) AS DOUBLE) / COUNT(*) * 1000000))
+                AS BIGINT) AS gap_e6
+    FROM binned GROUP BY bin
+    """,
+)
+def text_model_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier CALIBRATION table (round 6) — the third leg of the
+    model-eval triad (embed_retrieval_ndcg ranks, embed_silhouette
+    clusters, this calibrates): text_score_linear_model's probabilities
+    bucketed into 10 confidence bins, each bin reporting predicted
+    confidence vs realized positive rate; the per-bin |gap| is the
+    expected-calibration-error decomposition, and a model whose 0.9
+    bin wins only 60% of the time gets recalibrated before its scores
+    gate a corpus.
+
+    Parity: the sigmoid chain is text_score_linear_model's verbatim;
+    probabilities floor ONCE to e6 and bin by floor(p·10) (LEAST
+    guards the p=1.0 edge into bin 9), after which every bin statistic
+    is an exact bigint sum — the |gap| is one double chain over exact
+    sums, truncated to e6.
+
+    Scale: pure map + a 10-row aggregate; recalibration (Platt /
+    isotonic) consumes exactly this table."""
+    d = load(spark, sf_dir, "documents")
+    f_len = F.col("n_chars").cast("double") / 1000
+    f_words = (
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "))))
+        .cast("double")
+        / 100
+    )
+    f_the = (
+        (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit("the")))
+        ).cast("double")
+        / (3 * F.greatest(F.col("n_chars").cast("double"), F.lit(1.0)))
+        * 10
+    )
+    prob = 1.0 / (1.0 + F.exp(-(-0.25 + 1.5 * f_len - 0.75 * f_words + 2.0 * f_the)))
+    label = F.when(F.col("n_chars") >= 200, 1).otherwise(0)
+    binned = d.select(
+        F.least(F.floor(prob * 10).cast("bigint"), F.lit(9).cast("bigint")).alias("bin"),
+        F.floor(prob * 1000000).cast("bigint").alias("p_e6"),
+        label.alias("label"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("p_e6").cast("bigint").alias("sum_p_e6"),
+        F.sum("label").cast("bigint").alias("n_pos"),
+        F.floor(
+            F.abs(
+                F.sum("p_e6").cast("double") / F.count("*")
+                - F.sum("label").cast("double") / F.count("*") * 1000000
+            )
+        )
+        .cast("bigint")
+        .alias("gap_e6"),
+    )

@@ -333,6 +333,7 @@ _ROUND7_NEXT_UP = (
     "dedup_lsh_scurve",
     "events_resurrection",
     "text_vocab_overlap_sources",
+    "text_model_calibration_ece",
 )
 
 _loaded = False
