@@ -2899,3 +2899,107 @@ def text_model_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("gap_e6"),
     )
+
+
+@query(
+    "text_model_auc",
+    """
+    WITH scored AS (
+        SELECT doc_id,
+               CAST(FLOOR(1000000.0 / (1.0 + exp(-(-0.25
+                   + 1.5 * (CAST(n_chars AS DOUBLE) / 1000)
+                   - 0.75 * (CAST(length(text) - length(replace(text, ' ', ''))
+                             AS DOUBLE) / 100)
+                   + 2.0 * (CAST(length(text)
+                                 - length(replace(text, 'the', ''))
+                            AS DOUBLE)
+                            / (3 * GREATEST(CAST(n_chars AS DOUBLE), 1.0))
+                            * 10))))) AS BIGINT) AS s_e6,
+               CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS label
+        FROM documents
+    ), ranked AS (
+        SELECT label,
+               2 * RANK() OVER (ORDER BY s_e6)
+               + COUNT(*) OVER (PARTITION BY s_e6) - 1 AS rank2
+        FROM scored
+    ), agg AS (
+        SELECT CAST(SUM(CASE WHEN label = 1 THEN rank2 END) AS BIGINT)
+                   AS r1_2,
+               CAST(COUNT(*) FILTER (label = 1) AS BIGINT) AS n1,
+               CAST(COUNT(*) FILTER (label = 0) AS BIGINT) AS n0
+        FROM ranked
+    )
+    SELECT n1, n0,
+           CAST(r1_2 - n1 * (n1 + 1) AS BIGINT) AS u2,
+           CAST(FLOOR(CAST(r1_2 - n1 * (n1 + 1) AS DOUBLE)
+                      / (2.0 * n1 * n0) * 1000000) AS BIGINT) AS auc_e6
+    FROM agg
+    """,
+)
+def text_model_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC of the quality classifier (round 6) — the
+    DISCRIMINATION leg of the model-eval family (nDCG: ranking order,
+    ECE: calibration, AUC: can the score separate classes at all):
+    AUC = P(score⁺ > score⁻) + ½P(tie), computed exactly via the
+    Mann–Whitney identity over tie-corrected rank sums.
+
+    The integer trick: doubled average rank = 2·RANK() + ties − 1
+    stays integral (RANK gives the first position of a tie run;
+    adding the run length recovers twice the midpoint), so the rank
+    sum R₁, U₂ = 2U, and n₁n₂ are all exact bigints from floored-e6
+    scores — ONE double division produces auc_e6.  Scores floor to
+    e6 BEFORE ranking so both engines rank the identical integer key
+    (ranking raw doubles would let an ulp flip a tie group).
+
+    Scale: one global sort of (score, rows) — at corpus scale the
+    standard move is histogram-AUC over the e6 score buckets (exact
+    for floored scores: the bucket table is ≤1e6 rows regardless of
+    corpus), documented here; the rank form is the referee."""
+    d = load(spark, sf_dir, "documents")
+    f_len = F.col("n_chars").cast("double") / 1000
+    f_words = (
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "))))
+        .cast("double")
+        / 100
+    )
+    f_the = (
+        (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit("the")))
+        ).cast("double")
+        / (3 * F.greatest(F.col("n_chars").cast("double"), F.lit(1.0)))
+        * 10
+    )
+    prob = 1000000.0 / (
+        1.0 + F.exp(-(-0.25 + 1.5 * f_len - 0.75 * f_words + 2.0 * f_the))
+    )
+    scored = d.select(
+        F.floor(prob).cast("bigint").alias("s_e6"),
+        F.when(F.col("n_chars") >= 200, 1).otherwise(0).alias("label"),
+    )
+    w_rank = Window.orderBy("s_e6")
+    w_tie = Window.partitionBy("s_e6")
+    ranked = scored.select(
+        "label",
+        (
+            2 * F.rank().over(w_rank) + F.count("*").over(w_tie) - 1
+        ).alias("rank2"),
+    )
+    agg = ranked.agg(
+        F.sum(F.when(F.col("label") == 1, F.col("rank2")))
+        .cast("bigint")
+        .alias("r1_2"),
+        F.count(F.when(F.col("label") == 1, 1)).cast("bigint").alias("n1"),
+        F.count(F.when(F.col("label") == 0, 1)).cast("bigint").alias("n0"),
+    )
+    u2 = F.col("r1_2") - F.col("n1") * (F.col("n1") + 1)
+    return agg.select(
+        "n1",
+        "n0",
+        u2.cast("bigint").alias("u2"),
+        F.floor(
+            u2.cast("double") / (2.0 * F.col("n1") * F.col("n0")) * 1000000
+        )
+        .cast("bigint")
+        .alias("auc_e6"),
+    )

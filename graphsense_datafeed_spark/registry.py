@@ -334,6 +334,7 @@ _ROUND7_NEXT_UP = (
     "events_resurrection",
     "text_vocab_overlap_sources",
     "text_model_calibration_ece",
+    "text_model_auc",
 )
 
 _loaded = False
