@@ -293,3 +293,64 @@ def test_fee_summary_excludes_coinbase(spark, sf_dir):
     ).fetchall()
     for h, n in n_noncb:
         assert rows[h]["n_tx"] == n
+
+
+def test_alert_throttle_suppression_accounting(spark, sf_dir):
+    from graphsense_datafeed_spark.sources.tables import load
+
+    rows = Q["events_alert_throttle"](spark, sf_dir).collect()
+    assert rows
+    n_errors = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "error"
+    ).count()
+    # every error is either an alert or suppressed — nothing lost
+    assert sum(1 + r["n_suppressed"] for r in rows) == n_errors
+    for r in rows:
+        assert r["burst_span_us"] >= 0
+        if r["n_suppressed"] == 0:
+            assert r["burst_span_us"] == 0
+
+
+def test_resurrection_accounting_totals(spark, sf_dir):
+    from graphsense_datafeed_spark.sources.tables import load
+
+    rows = Q["events_resurrection"](spark, sf_dir).collect()
+    total = sum(r["n_new"] + r["n_retained"] + r["n_resurrected"] for r in rows)
+    daily_actives = (
+        load(spark, sf_dir, "events")
+        .select("user_id", F.date_trunc("day", "ts").alias("d"))
+        .distinct()
+        .count()
+    )
+    assert total == daily_actives  # exhaustive + exclusive
+
+
+def test_model_auc_bounds_and_better_than_random(spark, sf_dir):
+    r = Q["text_model_auc"](spark, sf_dir).collect()[0]
+    assert 0 <= r["auc_e6"] <= 1000000
+    # the model's dominant positive-weight feature is length and the
+    # label IS a length threshold — discrimination must beat random
+    assert r["auc_e6"] > 600000, r
+    assert r["n1"] > 0 and r["n0"] > 0
+
+
+def test_calibration_bins_partition_corpus(spark, sf_dir):
+    from graphsense_datafeed_spark.sources.tables import load
+
+    rows = Q["text_model_calibration_ece"](spark, sf_dir).collect()
+    n_docs = load(spark, sf_dir, "documents").count()
+    assert sum(r["n"] for r in rows) == n_docs
+    for r in rows:
+        assert 0 <= r["bin"] <= 9
+        assert 0 <= r["n_pos"] <= r["n"]
+
+
+def test_hierarchy_coherence_zero_on_complete_panel_days(spark, sf_dir):
+    """On days where every series has a full base week the snaive
+    bottom-up sum must equal the top-down forecast exactly."""
+    rows = Q["ts_hierarchy_coherence"](spark, sf_dir).collect()
+    assert rows
+    # gaps are integers and bounded by the total forecast
+    for r in rows:
+        assert abs(r["coherence_gap"]) <= r["top_down_fc"]
+        assert r["bottom_up_fc"] - r["top_down_fc"] == r["coherence_gap"]
