@@ -211,9 +211,9 @@ _ROUND6_WINDOW = (
 )
 
 # Remaining overflow queue -> the round-7 window, plus the round-6
-# additions appended at the tail (113 entries total: 61 carried + 52
+# additions appended at the tail (117 entries total: 61 carried + 56
 # landed this round).  ROUND-7 RECIPE: first 50 into the r7 window,
-# remaining 63 into r8, front-loading any row that came back
+# remaining 67 into r8, front-loading any row that came back
 # non-green in CORRECTNESS_r06.  Once the queue drains, windows become
 # rotating re-check samples of long-green rows.
 _ROUND7_NEXT_UP = (
