@@ -210,13 +210,18 @@ _ROUND6_WINDOW = (
     "agg_kl_divergence",
 )
 
-# Remaining overflow queue -> the round-7 window, plus the round-6
-# additions appended at the tail (117 entries total: 61 carried + 56
-# landed this round).  ROUND-7 RECIPE: first 50 into the r7 window,
-# remaining 67 into r8, front-loading any row that came back
-# non-green in CORRECTNESS_r06.  Once the queue drains, windows become
-# rotating re-check samples of long-green rows.
-_ROUND7_NEXT_UP = (
+# Round-7 window, promoted per the documented rotation recipe (VERDICT
+# r6 item 1): CORRECTNESS_r06 came back all-green (49 hash + sim_ann_pq
+# rows-only by design), so nothing needed re-check front-loading.  Two
+# rows are front-loaded by explicit VERDICT r6 instruction instead:
+# ``embed_pca`` (item 1 — its rows-only driver row predates the r5
+# scalar re-encoding) and ``multimodal_decode_codec`` (item 5 — give
+# the real-codec imagecodec.py stack a hard driver row this cycle).
+# The remaining 48 slots are the head of the r6 overflow queue in its
+# documented order.
+_ROUND7_WINDOW = (
+    "embed_pca",
+    "multimodal_decode_codec",
     "embed_drift_labels",
     "text_url_normalize",
     "win_pattern_match",
@@ -265,6 +270,16 @@ _ROUND7_NEXT_UP = (
     "agg_odds_ratio",
     "text_js_divergence",
     "win_hampel_filter",
+)
+
+# Remaining overflow queue -> the round-8 window (68 entries: the 12
+# carried r6-queue rows the r7 window didn't reach + the round-6
+# additions minus the front-loaded multimodal_decode_codec).  ROUND-8
+# RECIPE: first 50 into the r8 window, front-loading any row that comes
+# back non-green in CORRECTNESS_r07; the remainder (plus any round-7
+# additions) rotate behind.  Once the queue drains, windows become
+# rotating re-check samples of long-green rows.
+_ROUND8_NEXT_UP = (
     "join_reconciliation",
     "agg_capture_recapture",
     "sample_neyman_allocation",
@@ -279,7 +294,7 @@ _ROUND7_NEXT_UP = (
     "agg_simpson_diversity",
     "ts_local_peaks",
     # --- round-6 additions, appended in landing order ---
-    "multimodal_decode_codec",
+    # (multimodal_decode_codec front-loaded into _ROUND7_WINDOW)
     "win_pattern_match_var",
     "sample_upsample_mixture",
     "embed_centroid_topk",
@@ -349,7 +364,11 @@ def load_all_operators() -> None:
         return
     for mod in _OPERATOR_MODULES:
         importlib.import_module(mod)
-    pinned = [q for q in _ROUND6_WINDOW + _ROUND7_NEXT_UP + _ROUND5_WINDOW if q in QUERIES]
+    pinned = [
+        q
+        for q in _ROUND7_WINDOW + _ROUND8_NEXT_UP + _ROUND6_WINDOW + _ROUND5_WINDOW
+        if q in QUERIES
+    ]
     rest = [q for q in QUERIES if q not in set(pinned)]
     reordered = {q: QUERIES[q] for q in [*pinned, *rest]}
     QUERIES.clear()
