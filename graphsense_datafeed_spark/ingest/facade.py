@@ -1551,7 +1551,11 @@ def ingest_fiat_values_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("rate_date", ignorenulls=True).over(w).alias(
             "rate_date_used"
         ),
-    ).filter(F.col("is_block") == 1)
+        # INNER as-of semantics, pinned (ADVICE r6): a block with no
+        # rate at-or-before its date is DROPPED, exactly like DuckDB's
+        # ASOF JOIN — without this filter the two engines would return
+        # different row sets if the feed ever lost its earliest dates.
+    ).filter((F.col("is_block") == 1) & F.col("usd").isNotNull())
     btc = F.col("total_out_satoshi").cast("double") / 100000000.0
     return carried.select(
         "height",

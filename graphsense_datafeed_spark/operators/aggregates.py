@@ -1660,20 +1660,20 @@ def agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cb"),
     ).withColumnRenamed("cb", "c2")
     wprev = Window.orderBy("v_e4").rowsBetween(Window.unboundedPreceding, -1)
-    wall = Window.partitionBy()
     r = s.select(
         "c1",
         "c2",
         F.coalesce(F.sum(F.col("c1") + F.col("c2")).over(wprev), F.lit(0))
         .cast("bigint")
         .alias("prev"),
-        F.sum("c1").over(wall).cast("bigint").alias("n1"),
-        F.sum("c2").over(wall).cast("bigint").alias("n2"),
     )
     rank2 = 2 * F.col("prev") + F.col("c1") + F.col("c2") + 1
+    # n1/n2 as plain aggregates (not OVER () windows): keeps the one
+    # ordered pass the ONLY single-partition stage, and its input is
+    # the pre-reduced atom table — the audit's benign shape (r7).
     agg = r.agg(
-        F.max("n1").alias("n1"),
-        F.max("n2").alias("n2"),
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
         F.sum(F.col("c1") * rank2).alias("r1_x2"),
     )
     u1_x2 = (

@@ -662,15 +662,47 @@ def histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     of a boundary equal values land on, making bucket assignment
     bit-reproducible across engines.
 
-    The single ORDER BY window is a global sort — the documented local
-    form. At 100 TB the same readout comes from approx_percentile's
-    mergeable sketch (boundaries) + one bucketing pass (counts), no
-    total order; NTILE is kept here because its exactness is what the
-    oracle can certify."""
-    orders = load(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
+    Round-7 scale rewrite (the r5 form globally sorted the table):
+    the global row number decomposes TWO-LEVEL — coarse price cells
+    (floor(price/4096), bounded by value range not row count) carry
+    prefix counts via one tiny ordered pass over the cell TABLE;
+    each row's rn = cell prefix + row_number within its cell (keyed
+    window, hashpartitioned).  NTILE is then pure arithmetic on rn
+    and the total N: base = N÷8, rem = N mod 8, first rem buckets
+    take base+1 rows — bit-identical to the oracle's NTILE because
+    (price, orderkey) is a total order.  No unpartitioned sort ever
+    sees per-row data; the only single-partition stage consumes the
+    pre-reduced cell table (plan-audit benign shape)."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_totalprice",
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") / 4096).cast("bigint").alias("cg"),
+    )
+    cells = orders.groupBy("cg").agg(F.count("*").cast("bigint").alias("c"))
+    w_prev = Window.orderBy("cg").rowsBetween(Window.unboundedPreceding, -1)
+    cells = cells.select(
+        "cg",
+        F.coalesce(F.sum("c").over(w_prev), F.lit(0))
+        .cast("bigint")
+        .alias("prefix"),
+        F.sum("c").over(Window.partitionBy()).cast("bigint").alias("n_total"),
+    )
+    w_in = Window.partitionBy("cg").orderBy("o_totalprice", "o_orderkey")
+    rn = (F.col("prefix") + F.row_number().over(w_in)).alias("rn")
+    ranked = orders.join(F.broadcast(cells), "cg").select(
+        "o_totalprice", "n_total", rn
+    )
+    base = (F.col("n_total") / 8).cast("bigint")
+    rem = F.col("n_total") % 8
+    head = rem * (base + 1)
+    bucket = F.when(
+        F.col("rn") <= head,
+        ((F.col("rn") + base) / (base + 1)).cast("bigint"),
+    ).otherwise(
+        rem + ((F.col("rn") - head + base - 1) / base).cast("bigint")
+    )
     return (
-        orders.select("o_totalprice", F.ntile(8).over(w).alias("bucket"))
+        ranked.select("o_totalprice", bucket.cast("int").alias("bucket"))
         .groupBy("bucket")
         .agg(
             F.count("*").cast("bigint").alias("n_orders"),

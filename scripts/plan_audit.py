@@ -12,9 +12,17 @@ judge greps for:
                      side is bounded — allowlisted per query)
 - ``row_udf``        BatchEvalPython = row-at-a-time Python UDF (the
                      slow path; ArrowEvalPython / MapInPandas are fine)
-- ``single_part``    Exchange SinglePartition (acceptable only over
-                     aggregate/limit-bounded or pre-reduced input —
-                     allowlisted per query)
+- ``single_part``    Exchange SinglePartition over NON-reduced input.
+                     An Exchange SinglePartition whose immediate child
+                     is an Aggregate node (Hash/Sort/ObjectHash) is
+                     NOT flagged: that is the partial→final global
+                     aggregate or a window over an already-reduced
+                     bucket table — the docstring criterion
+                     ("pre-reduced input") applied mechanically
+                     instead of via allowlist (round-7 refinement).
+                     Remaining hits (global sort/window/limit over
+                     base rows) still need an allowlist entry with a
+                     boundedness argument.
 
 Streaming / stateful / effectful queries execute work when built, so
 they are skipped here (their plan shape is pinned by their own pytest
@@ -30,6 +38,7 @@ from __future__ import annotations
 import io
 import json
 import os
+import re
 import sys
 from contextlib import redirect_stdout
 
@@ -42,9 +51,17 @@ ALLOWLIST_PATH = os.path.join(
 
 # Queries whose CONSTRUCTION runs jobs (streams, staged writes, model
 # training, driver-side eigen/centroid steps): plan-audit skips them —
-# each pins its shape in its own tests instead.
-_EFFECTFUL_PREFIXES = ("stream_", "source_rate", "source_python", "ingest_")
+# each pins its shape in its own tests instead.  The blanket
+# ``ingest_`` prefix was dropped in round 7 (ADVICE r6): only the
+# genuinely effectful ingest queries are excluded (reorg feed staging,
+# entity label-propagation with localCheckpoint, the streaming daemon);
+# the pure lazy ingest plans are audited like everything else.
+_EFFECTFUL_PREFIXES = ("stream_", "source_rate", "source_python")
 _EFFECTFUL = {
+    "ingest_reorg_detect",
+    "ingest_entity_cospend",
+    "ingest_entity_summary",
+    "ingest_stream",
     "sink_parquet",
     "sink_partitioned_overwrite",
     "sink_manifest_commit",
@@ -80,12 +97,58 @@ _EFFECTFUL = {
 }
 
 
+_AGG_NODES = {"HashAggregate", "SortAggregate", "ObjectHashAggregate"}
+_TREE_RE = re.compile(r"^(?P<pre>.*?)(?P<name>[A-Za-z][\w .]*?) \((?P<id>\d+)\)\s*$")
+_DETAIL_RE = re.compile(r"^\((?P<id>\d+)\) (?P<name>[A-Za-z][\w .]*)")
+
+
+def _unreduced_single_part(plan: str) -> bool:
+    """True iff some Exchange SinglePartition in the FORMATTED plan
+    (main tree or subquery trees) has a non-Aggregate immediate child —
+    i.e. a global sort/window/limit over input that was not pre-reduced
+    by a keyed aggregation first.  The partial→final global aggregate
+    and bucket-table windows (child = Hash/Sort/ObjectHashAggregate)
+    are the documented-benign shape and do not flag."""
+    sp_ids: set[str] = set()
+    cur_id: str | None = None
+    for line in plan.splitlines():
+        m = _DETAIL_RE.match(line)
+        if m:
+            cur_id = m.group("id") if m.group("name").startswith("Exchange") else None
+        elif cur_id is not None and "SinglePartition" in line:
+            sp_ids.add(cur_id)
+    if not sp_ids:
+        return False
+    # walk every tree section; a tree line carries its node id at EOL
+    tree_nodes: list[tuple[str, str]] = []  # (id, name) in print order
+    for line in plan.splitlines():
+        if _DETAIL_RE.match(line):
+            continue
+        m = _TREE_RE.match(line)
+        if m and ("+-" in m.group("pre") or ":-" in m.group("pre")
+                  or m.group("pre").strip() in ("", "*", ": ")):
+            tree_nodes.append((m.group("id"), m.group("name").strip("* ")))
+    # row-preserving wrappers Catalyst may insert between the Exchange
+    # and the aggregate that reduced its input (Project precomputing
+    # window args, Filter, engine adapters): skip through them
+    passthrough = {"Project", "Filter", "ColumnarToRow", "InputAdapter",
+                   "WholeStageCodegen"}
+    for i, (nid, name) in enumerate(tree_nodes):
+        if nid in sp_ids and name.startswith("Exchange"):
+            j = i + 1
+            while j < len(tree_nodes) and tree_nodes[j][1] in passthrough:
+                j += 1
+            if j >= len(tree_nodes) or tree_nodes[j][1] not in _AGG_NODES:
+                return True
+    return False
+
+
 def audit_plan(plan: str) -> dict[str, bool]:
     return {
         "cartesian": "CartesianProduct" in plan,
         "bnlj": "BroadcastNestedLoopJoin" in plan,
         "row_udf": "BatchEvalPython" in plan,
-        "single_part": "SinglePartition" in plan,
+        "single_part": _unreduced_single_part(plan),
     }
 
 

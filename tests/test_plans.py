@@ -633,3 +633,52 @@ def test_range_grid_join_is_hash_not_bnlj(spark, sf_dir):
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_model_auc_histogram_prereduction(spark, sf_dir):
+    """text_model_auc must reduce per-document rows to the ≤1e6-row
+    e6-score bucket table BEFORE any unpartitioned sort (VERDICT r6
+    item 2): the only SinglePartition exchange consumes the keyed
+    groupBy output, never the documents scan, and the keyed bucket
+    aggregation runs partial+final."""
+    p = plan_of(QUERIES["text_model_auc"](spark, sf_dir), mode="simple")
+    assert p.count("Exchange SinglePartition") == 1, p
+    lines = p.splitlines()
+    i = next(n for n, ln in enumerate(lines) if "Exchange SinglePartition" in ln)
+    assert "HashAggregate" in lines[i + 1], p  # pre-reduced child
+    assert "hashpartitioning" in p, p  # the keyed bucket shuffle exists
+
+
+def test_mann_whitney_single_ordered_pass_over_atoms(spark, sf_dir):
+    """agg_mann_whitney: ONE window (the prefix-count pass over the
+    value-atom table) — the r6 form's second OVER () global window for
+    n1/n2 is gone (they ride the final aggregate instead), so the
+    single-partition stage consumes pre-reduced input only."""
+    p = plan_of(QUERIES["agg_mann_whitney"](spark, sf_dir), mode="simple")
+    assert p.count("Window") == 1, p
+    i = next(
+        n for n, ln in enumerate(p.splitlines())
+        if "Exchange SinglePartition" in ln
+    )
+    nxt = "\n".join(p.splitlines()[i + 1 : i + 3])
+    assert "HashAggregate" in nxt, p
+
+
+def test_equidepth_histogram_two_level_ranking(spark, sf_dir):
+    """histogram_equidepth must never sort the orders table on one
+    task: row numbers come from the two-level decomposition (cell
+    prefix counts + within-cell row_number), so the per-row window is
+    hashpartitioned by cell and the only SinglePartition stage is the
+    tiny ordered pass over the cell TABLE (child = HashAggregate)."""
+    p = plan_of(QUERIES["histogram_equidepth"](spark, sf_dir), mode="simple")
+    lines = p.splitlines()
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" in ln:
+            window_below = any(
+                "Scan parquet" in l2 for l2 in lines[i + 1 : i + 3]
+            )
+            assert not window_below, p
+    # the per-row ranking window is keyed
+    assert "hashpartitioning(cg" in p, p
+    # broadcast of the cell table, not a shuffle of the fact side
+    assert "BroadcastHashJoin" in p, p

@@ -1,0 +1,78 @@
+"""Round-7 referee tests: histogram-AUC vs the demoted rank form,
+the mann-whitney invariants after the window removal, and the
+two-level equidepth decomposition vs a direct NTILE readout."""
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from graphsense_datafeed_spark.registry import QUERIES
+
+
+def test_auc_histogram_matches_rank_referee(spark, sf_dir):
+    """The registered histogram-AUC must be BIT-IDENTICAL to the
+    round-6 global-rank form on every output column — they compute the
+    same Mann-Whitney identity, one over per-doc rows, one over the
+    pre-reduced bucket table."""
+    from graphsense_datafeed_spark.operators.llm_text import (
+        _text_model_auc_rank_referee,
+    )
+
+    hist = QUERIES["text_model_auc"](spark, sf_dir).collect()[0]
+    rank = _text_model_auc_rank_referee(spark, sf_dir).collect()[0]
+    assert hist.asDict() == rank.asDict()
+
+
+def test_mann_whitney_u_sum_invariant(spark, sf_dir):
+    """U1x2 + U2x2 == 2*n1*n2 — the built-in self-check, re-asserted
+    after n1/n2 moved from OVER () windows into the final aggregate."""
+    r = QUERIES["agg_mann_whitney"](spark, sf_dir).collect()[0]
+    assert r["u1_x2"] + r["u2_x2"] == 2 * r["n1"] * r["n2"]
+    assert r["n1"] > 0 and r["n2"] > 0
+
+
+def test_equidepth_matches_direct_ntile(spark, sf_dir):
+    """The two-level ranking decomposition must reproduce NTILE(8)
+    exactly: same bucket populations and identical floored
+    boundaries as a direct (single-partition) NTILE readout."""
+    from graphsense_datafeed_spark.sources.scans import load
+
+    orders = load(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    direct = {
+        r["bucket"]: (r["n_orders"], r["lo_fl"], r["hi_fl"])
+        for r in (
+            orders.select(
+                "o_totalprice", F.ntile(8).over(w).alias("bucket")
+            )
+            .groupBy("bucket")
+            .agg(
+                F.count("*").cast("bigint").alias("n_orders"),
+                F.floor(F.min("o_totalprice")).cast("bigint").alias("lo_fl"),
+                F.floor(F.max("o_totalprice")).cast("bigint").alias("hi_fl"),
+            )
+            .collect()
+        )
+    }
+    ours = {
+        r["bucket"]: (r["n_orders"], r["lo_fl"], r["hi_fl"])
+        for r in QUERIES["histogram_equidepth"](spark, sf_dir).collect()
+    }
+    assert ours == direct
+    # equal-depth property: bucket sizes differ by at most one row
+    sizes = [n for n, _, _ in ours.values()]
+    assert max(sizes) - min(sizes) <= 1
+
+
+def test_fiat_asof_inner_semantics_drops_rateless_blocks(spark, sf_dir):
+    """INNER as-of pin (ADVICE r6): no output row may carry a NULL
+    carried rate/rate_date — blocks dated before the first available
+    rate are dropped, matching DuckDB ASOF JOIN."""
+    out = QUERIES["ingest_fiat_values_asof"](spark, sf_dir)
+    assert (
+        out.filter(
+            F.col("rate_date_used").isNull()
+            | F.col("usd_value_cents").isNull()
+        ).count()
+        == 0
+    )
+    assert out.count() > 0
