@@ -76,3 +76,56 @@ def test_fiat_asof_inner_semantics_drops_rateless_blocks(spark, sf_dir):
         == 0
     )
     assert out.count() > 0
+
+
+def test_footer_stats_distributed_multifile(spark, sf_dir, tmp_path):
+    """VERDICT r6 item 3 done-criterion: the distributed footer fold
+    over a MULTI-file staged copy of events must equal the data-scan
+    truth, with one per-file row per shard and no driver-side footer
+    loop (the driver only lists paths)."""
+    from graphsense_datafeed_spark.sources.scans import (
+        load,
+        parquet_footer_stats,
+    )
+
+    staged = str(tmp_path / "events_multifile")
+    ev = load(spark, sf_dir, "events")
+    ev.repartition(3).write.mode("overwrite").parquet(staged)
+
+    per_file = parquet_footer_stats(spark, [staged], "event_id")
+    assert per_file.count() >= 3  # one row per shard
+    agg = per_file.groupBy().agg(
+        F.sum("num_rows").alias("n"),
+        F.min("stat_min").alias("mn"),
+        F.max("stat_max").alias("mx"),
+    ).collect()[0]
+    truth = ev.agg(
+        F.count("*").alias("n"),
+        F.min("event_id").alias("mn"),
+        F.max("event_id").alias("mx"),
+    ).collect()[0]
+    assert (agg["n"], agg["mn"], agg["mx"]) == (
+        truth["n"], truth["mn"], truth["mx"],
+    )
+
+
+def test_footer_stats_missing_column_stats_fails_loudly(spark, tmp_path):
+    """ADVICE r6: a parquet file written WITHOUT column statistics
+    must raise a descriptive error naming the file and column, not an
+    AttributeError."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from graphsense_datafeed_spark.sources.scans import (
+        parquet_footer_stats,
+    )
+
+    path = str(tmp_path / "nostats.parquet")
+    pq.write_table(
+        pa.table({"event_id": list(range(10))}),
+        path,
+        write_statistics=False,
+    )
+    with pytest.raises(Exception, match="no min/max statistics"):
+        parquet_footer_stats(spark, [path], "event_id").collect()
