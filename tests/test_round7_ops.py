@@ -129,3 +129,43 @@ def test_footer_stats_missing_column_stats_fails_loudly(spark, tmp_path):
     )
     with pytest.raises(Exception, match="no min/max statistics"):
         parquet_footer_stats(spark, [path], "event_id").collect()
+
+
+def test_ewma_chunked_scan_bit_equals_sequential_fold():
+    """The ldexp/accumulate segmented scan must be BIT-EQUAL to the
+    plain sequential fold across chunk boundaries (runs longer than
+    256) and for adversarial magnitudes — the exact-halving argument,
+    checked empirically."""
+    import math
+    import random
+
+    import numpy as np
+
+    def sequential(vals):
+        acc = vals[0]
+        for v in vals[1:]:
+            acc = acc * 0.5 + v * 0.5
+        return acc
+
+    def chunked(vals, chunk=256):
+        acc, i, m = vals[0], 1, len(vals)
+        a = np.asarray(vals, dtype="float64")
+        while i < m:
+            c = min(chunk, m - i)
+            terms = np.empty(c + 1)
+            terms[0] = math.ldexp(acc, -c)
+            np.ldexp(
+                a[i : i + c],
+                (-np.arange(c, 0, -1)).astype(np.int32),
+                out=terms[1:],
+            )
+            acc = float(np.add.accumulate(terms)[-1])
+            i += c
+        return acc
+
+    rng = random.Random(7)
+    for scale in (1.0, 1e6, 1e-6, 123.456):
+        vals = [rng.uniform(-scale, scale) for _ in range(1000)]
+        s, c = sequential(vals), chunked(vals)
+        assert s == c, (scale, s, c)
+        assert math.floor(s * 1e6) == math.floor(c * 1e6)
