@@ -3140,7 +3140,7 @@ def agg_cube_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type, CAST(k AS BIGINT) AS n_buckets,
            CAST(mean_e4 AS BIGINT) AS mom_e4
-    FROM ranked WHERE rn = (k + 1) / 2
+    FROM ranked WHERE rn = (k + 1) // 2
     """,
 )
 def agg_median_of_means(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3191,8 +3191,13 @@ def agg_median_of_means(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).alias("rn"),
         F.count("*").over(wc).alias("k"),
     )
+    # integer-exact lower-median pick in BOTH engines (ADVICE r6): the
+    # oracle uses (k+1)//2 and Spark floors the same expression, so an
+    # even populated-bucket count (small groups missing buckets) picks
+    # the identical rank instead of silently dropping the group from
+    # one side.
     return ranked.filter(
-        F.col("rn") == ((F.col("k") + 1) / 2).cast("int")
+        F.col("rn") == F.floor((F.col("k") + 1) / 2).cast("int")
     ).select(
         "event_type",
         F.col("k").cast("bigint").alias("n_buckets"),

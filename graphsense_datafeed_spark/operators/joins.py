@@ -1198,11 +1198,12 @@ def user_sessions(ev: DataFrame) -> DataFrame:
     on user_id reused by both windows and the aggregate."""
     w_lag = Window.partitionBy("user_id").orderBy("ts", "event_id")
     numbered = ev.select(
-        "user_id", "ts", F.lag("ts").over(w_lag).alias("prev_ts")
+        "user_id", "ts", "event_id", F.lag("ts").over(w_lag).alias("prev_ts")
     )
     marked = numbered.select(
         "user_id",
         "ts",
+        "event_id",
         F.when(
             F.col("prev_ts").isNull()
             | ((_us("ts") - _us("prev_ts")) > 1800000000),
@@ -1211,9 +1212,14 @@ def user_sessions(ev: DataFrame) -> DataFrame:
         .otherwise(F.lit(0))
         .alias("is_new"),
     )
+    # event_id in the running-sum order (ADVICE r6): duplicate
+    # (user_id, ts) rows otherwise make the cumulative sum over the
+    # tie block nondeterministic in BOTH engines, flaking session ids
+    # across runs/partitionings; the total order pins it, matching
+    # the is_new flag's own (ts, event_id) order.
     w_run = (
         Window.partitionBy("user_id")
-        .orderBy("ts")
+        .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     sessed = marked.select(
@@ -1229,12 +1235,12 @@ def user_sessions(ev: DataFrame) -> DataFrame:
     "interval_overlap_duration",
     """
     WITH numbered AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                lag(ts) OVER (PARTITION BY user_id
                              ORDER BY ts, event_id) AS prev_ts
         FROM events
     ), marked AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                CASE WHEN prev_ts IS NULL
                          OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
                     THEN 1 ELSE 0 END AS is_new
@@ -1242,7 +1248,7 @@ def user_sessions(ev: DataFrame) -> DataFrame:
     ), sessed AS (
         SELECT user_id, ts,
                SUM(is_new) OVER (PARTITION BY user_id
-                                 ORDER BY ts
+                                 ORDER BY ts, event_id
                                  ROWS BETWEEN UNBOUNDED PRECEDING
                                           AND CURRENT ROW) AS sess_id
         FROM marked
@@ -1406,12 +1412,12 @@ def join_range_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_interval_allen",
     """
     WITH numbered AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                lag(ts) OVER (PARTITION BY user_id
                              ORDER BY ts, event_id) AS prev_ts
         FROM events
     ), marked AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                CASE WHEN prev_ts IS NULL
                          OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
                     THEN 1 ELSE 0 END AS is_new
@@ -1419,7 +1425,7 @@ def join_range_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), sessed AS (
         SELECT user_id, ts,
                SUM(is_new) OVER (PARTITION BY user_id
-                                 ORDER BY ts
+                                 ORDER BY ts, event_id
                                  ROWS BETWEEN UNBOUNDED PRECEDING
                                           AND CURRENT ROW) AS sess_id
         FROM marked

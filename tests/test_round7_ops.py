@@ -169,3 +169,83 @@ def test_ewma_chunked_scan_bit_equals_sequential_fold():
         s, c = sequential(vals), chunked(vals)
         assert s == c, (scale, s, c)
         assert math.floor(s * 1e6) == math.floor(c * 1e6)
+
+
+def test_median_of_means_even_bucket_midpoint_parity(spark, ddb):
+    """ADVICE r6 (medium): a group that populates an EVEN number of
+    buckets must pick the same lower-median rank in both engines.
+    Build a tiny frame where one group hits exactly 4 buckets and
+    compare against the oracle midpoint (k+1)//2."""
+    import pandas as pd
+
+    # event_ids chosen so md5-hash buckets give group 'x' exactly 4
+    # distinct buckets; checked below, not assumed.
+    pdf = pd.DataFrame(
+        {
+            "event_id": list(range(1, 40)),
+            "event_type": ["x"] * 39,
+            "value": [float(i) for i in range(1, 40)],
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    import pyspark.sql.functions as SF
+
+    bucket = (
+        SF.conv(
+            SF.substring(
+                SF.md5(SF.col("event_id").cast("string").cast("binary")),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 9
+    )
+    k = sdf.select(bucket.alias("b")).distinct().count()
+    means = (
+        sdf.select(
+            "event_type",
+            bucket.alias("bucket"),
+            SF.floor(SF.col("value") * 10000).cast("bigint").alias("v"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            SF.floor(SF.sum("v").cast("double") / SF.count("*"))
+            .cast("bigint")
+            .alias("mean_e4")
+        )
+        .orderBy("mean_e4", "bucket")
+        .collect()
+    )
+    # Spark-side pick with the fixed midpoint
+    expect = means[(k + 1) // 2 - 1]["mean_e4"]
+    got = (
+        sdf.select(
+            "event_type",
+            bucket.alias("bucket"),
+            SF.floor(SF.col("value") * 10000).cast("bigint").alias("v"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            SF.floor(SF.sum("v").cast("double") / SF.count("*"))
+            .cast("bigint")
+            .alias("mean_e4")
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("event_type").orderBy("mean_e4", "bucket")
+    wc = W.partitionBy("event_type")
+    row = (
+        got.select(
+            "event_type",
+            "mean_e4",
+            SF.row_number().over(w).alias("rn"),
+            SF.count("*").over(wc).alias("kk"),
+        )
+        .filter(SF.col("rn") == SF.floor((SF.col("kk") + 1) / 2).cast("int"))
+        .collect()
+    )
+    assert len(row) == 1  # the group never vanishes, odd OR even k
+    assert row[0]["mean_e4"] == expect
