@@ -24,7 +24,7 @@ Scale notes:
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from graphsense_datafeed_spark.registry import query
 from graphsense_datafeed_spark.sources.scans import (
@@ -1565,4 +1565,197 @@ def ingest_fiat_values_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(btc * F.col("usd") * 100)
         .cast("bigint")
         .alias("usd_value_cents"),
+    )
+
+
+@query(
+    "ingest_address_activity_span",
+    f"""
+    WITH txr AS (
+        SELECT height, unnest(txs) AS tx FROM {_DUCK_BLOCKS}
+    ), flows AS (
+        SELECT height, (tx).tx_hash AS tx_hash,
+               (o).address[1] AS address, 'out' AS kind
+        FROM (SELECT height, tx, unnest((tx).outputs) AS o FROM txr)
+        UNION ALL
+        SELECT height, (tx).tx_hash AS tx_hash,
+               (i).address[1] AS address, 'in' AS kind
+        FROM (SELECT height, tx, unnest((tx).inputs) AS i FROM txr)
+    )
+    SELECT address,
+           CAST(MIN(height) AS BIGINT) AS first_height,
+           CAST(MAX(height) AS BIGINT) AS last_height,
+           CAST(COUNT(DISTINCT height) AS BIGINT) AS n_blocks_active,
+           CAST(COUNT(DISTINCT CASE WHEN kind = 'out' THEN tx_hash END)
+                AS BIGINT) AS n_tx_receiving,
+           CAST(COUNT(DISTINCT CASE WHEN kind = 'in' THEN tx_hash END)
+                AS BIGINT) AS n_tx_spending
+    FROM flows GROUP BY address
+    """,
+)
+def ingest_address_activity_span(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-address ACTIVITY SPAN (round 7) — the first_tx / last_tx /
+    activity columns of the GraphSense address keyspace that
+    ingest_address_balance's value ledger doesn't carry: when an
+    address first and last appeared on-chain, how many blocks it was
+    active in, and in how many distinct transactions it received vs
+    spent.  Address-lifetime analytics (dormancy, one-shot addresses,
+    exchange hot wallets) read exactly this row.
+
+    Exact bigint min/max/distinct aggregation over the same two
+    explodes as the balance ledger — no floats anywhere.
+
+    Scale: one address-keyed exchange; distinct-tx counts are
+    per-address partial aggregations (address, tx_hash) — mergeable
+    per block for the daemon's incremental maintenance."""
+    raw = normalize_blocks(read_blocks_json(spark))
+    txr = raw.select("height", F.explode("txs").alias("tx"))
+    outs = txr.select(
+        "height",
+        F.col("tx.tx_hash").alias("tx_hash"),
+        F.explode("tx.outputs").alias("o"),
+    ).select(
+        "height",
+        "tx_hash",
+        F.col("o.address")[0].alias("address"),
+        F.lit("out").alias("kind"),
+    )
+    ins = txr.select(
+        "height",
+        F.col("tx.tx_hash").alias("tx_hash"),
+        F.explode("tx.inputs").alias("i"),
+    ).select(
+        "height",
+        "tx_hash",
+        F.col("i.address")[0].alias("address"),
+        F.lit("in").alias("kind"),
+    )
+    flows = outs.unionAll(ins)
+    return flows.groupBy("address").agg(
+        F.min("height").cast("bigint").alias("first_height"),
+        F.max("height").cast("bigint").alias("last_height"),
+        F.countDistinct("height").cast("bigint").alias("n_blocks_active"),
+        F.countDistinct(
+            F.when(F.col("kind") == "out", F.col("tx_hash"))
+        )
+        .cast("bigint")
+        .alias("n_tx_receiving"),
+        F.countDistinct(
+            F.when(F.col("kind") == "in", F.col("tx_hash"))
+        )
+        .cast("bigint")
+        .alias("n_tx_spending"),
+    )
+
+
+@query(
+    "ingest_balance_running_audit",
+    f"""
+    WITH txr AS (
+        SELECT height, unnest(txs) AS tx FROM {_DUCK_BLOCKS}
+    ), flows AS (
+        SELECT height, (o).address[1] AS address,
+               CAST((o).value AS BIGINT) AS delta
+        FROM (SELECT height, unnest((tx).outputs) AS o FROM txr)
+        UNION ALL
+        SELECT height, (i).address[1] AS address,
+               CAST(-(i).value AS BIGINT) AS delta
+        FROM (SELECT height, unnest((tx).inputs) AS i FROM txr)
+    ), per_height AS (
+        SELECT address, height, CAST(SUM(delta) AS BIGINT) AS d
+        FROM flows GROUP BY address, height
+    ), run AS (
+        SELECT address, height,
+               CAST(SUM(d) OVER (PARTITION BY address ORDER BY height
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS bal
+        FROM per_height
+    )
+    SELECT address,
+           CAST(MAX(CASE WHEN rn = 1 THEN bal END) AS BIGINT)
+               AS final_balance,
+           CAST(MIN(bal) AS BIGINT) AS min_balance,
+           CAST(MIN(CASE WHEN bal < 0 THEN height END) AS BIGINT)
+               AS first_overdraft_height,
+           MIN(bal) >= 0 AS is_consistent
+    FROM (
+        SELECT address, height, bal,
+               ROW_NUMBER() OVER (PARTITION BY address
+                                  ORDER BY height DESC) AS rn
+        FROM run
+    ) GROUP BY address
+    """,
+)
+def ingest_balance_running_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Running-balance NON-NEGATIVITY audit per address (round 7) —
+    the ledger invariant a real chain ingest must certify: at no
+    block height may an address have spent more than it had received
+    (a violation means a missed output, a double-applied input, or a
+    reorg applied out of order).  Emits each address's final balance,
+    its running minimum, the first overdraft height (NULL when
+    consistent), and the verdict — the audit_totals_reconcile
+    discipline applied to the reference's own ledger.
+
+    The synthetic feed does NOT conserve value (documented at
+    ingest_address_balance), so violations are EXPECTED here — the
+    audit's job is to locate them identically in both engines: flows
+    atomize per (address, height) BEFORE the prefix sum, so the
+    running balance is deterministic with no intra-height order
+    dependence.  Exact bigint satoshis end to end.
+
+    Scale: one address-keyed exchange reused by the prefix window and
+    the final aggregate; per-height atomization bounds window input
+    to active (address, height) pairs."""
+    raw = normalize_blocks(read_blocks_json(spark))
+    txr = raw.select("height", F.explode("txs").alias("tx"))
+    outs = txr.select(
+        "height", F.explode("tx.outputs").alias("o")
+    ).select(
+        "height",
+        F.col("o.address")[0].alias("address"),
+        F.col("o.value").cast("bigint").alias("delta"),
+    )
+    ins = txr.select("height", F.explode("tx.inputs").alias("i")).select(
+        "height",
+        F.col("i.address")[0].alias("address"),
+        (-F.col("i.value")).cast("bigint").alias("delta"),
+    )
+    per_height = (
+        outs.unionAll(ins)
+        .groupBy("address", "height")
+        .agg(F.sum("delta").cast("bigint").alias("d"))
+    )
+    w_run = (
+        Window.partitionBy("address")
+        .orderBy("height")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = per_height.select(
+        "address",
+        "height",
+        F.sum("d").over(w_run).cast("bigint").alias("bal"),
+    )
+    w_last = Window.partitionBy("address").orderBy(F.col("height").desc())
+    return (
+        run.select(
+            "address",
+            "height",
+            "bal",
+            F.row_number().over(w_last).alias("rn"),
+        )
+        .groupBy("address")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("bal")))
+            .cast("bigint")
+            .alias("final_balance"),
+            F.min("bal").cast("bigint").alias("min_balance"),
+            F.min(F.when(F.col("bal") < 0, F.col("height")))
+            .cast("bigint")
+            .alias("first_overdraft_height"),
+            (F.min("bal") >= 0).alias("is_consistent"),
+        )
     )

@@ -932,3 +932,86 @@ def graph_modularity_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "segment", "n_edges", "e_within", "d_seg", q.alias("q_contrib_e6")
     )
+
+
+@query(
+    "graph_jaccard_similarity",
+    """
+    WITH bip AS (
+        SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    ), deg AS (
+        SELECT cust, CAST(COUNT(*) AS BIGINT) AS d FROM bip GROUP BY cust
+    ), pairs AS (
+        SELECT a.cust AS cust_a, b.cust AS cust_b,
+               CAST(COUNT(*) AS BIGINT) AS common_parts
+        FROM bip a JOIN bip b ON a.part = b.part AND a.cust < b.cust
+        GROUP BY a.cust, b.cust HAVING COUNT(*) >= 3
+    )
+    SELECT p.cust_a, p.cust_b, p.common_parts,
+           CAST(da.d + db.d - p.common_parts AS BIGINT) AS union_parts,
+           CAST(FLOOR(CAST(p.common_parts AS DOUBLE) * 1000000
+                      / (da.d + db.d - p.common_parts)) AS BIGINT)
+               AS jaccard_e6
+    FROM pairs p
+    JOIN deg da ON da.cust = p.cust_a
+    JOIN deg db ON db.cust = p.cust_b
+    """,
+)
+def graph_jaccard_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighbor-set Jaccard similarity (round 7) — completes the
+    link-prediction trio: graph_common_neighbors counts the overlap,
+    graph_adamic_adar df-damps it, Jaccard NORMALIZES it by the union
+    so high-degree customers don't dominate: J = |∩| / (dₐ+d_b−|∩|).
+
+    Exactness: |∩| comes from the shared-part pair aggregation and
+    |∪| from the inclusion–exclusion identity on exact bigint degrees
+    — ONE floored double division at the end (floored-once
+    discipline), so the score hash-matches across engines.
+
+    Scale: identical Σ_p d_p² pair generation as the siblings (pairs
+    only within a shared part, never cust×cust); the two degree joins
+    are broadcast-sized (|customers| rows of two bigints)."""
+    from graphsense_datafeed_spark.sources.tables import load
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    bip = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part")
+        )
+        .distinct()
+    )
+    deg = bip.groupBy("cust").agg(F.count("*").cast("bigint").alias("d"))
+    a = bip.alias("a")
+    b = bip.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.part") == F.col("b.part"))
+            & (F.col("a.cust") < F.col("b.cust")),
+        )
+        .groupBy(
+            F.col("a.cust").alias("cust_a"), F.col("b.cust").alias("cust_b")
+        )
+        .agg(F.count("*").cast("bigint").alias("common_parts"))
+        .filter(F.col("common_parts") >= 3)
+    )
+    da = deg.select(F.col("cust").alias("cust_a"), F.col("d").alias("da"))
+    db = deg.select(F.col("cust").alias("cust_b"), F.col("d").alias("db"))
+    joined = pairs.join(F.broadcast(da), "cust_a").join(
+        F.broadcast(db), "cust_b"
+    )
+    union_parts = F.col("da") + F.col("db") - F.col("common_parts")
+    return joined.select(
+        "cust_a",
+        "cust_b",
+        "common_parts",
+        union_parts.cast("bigint").alias("union_parts"),
+        F.floor(
+            F.col("common_parts").cast("double") * 1000000 / union_parts
+        )
+        .cast("bigint")
+        .alias("jaccard_e6"),
+    )

@@ -3203,3 +3203,209 @@ def agg_median_of_means(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k").cast("bigint").alias("n_buckets"),
         F.col("mean_e4").cast("bigint").alias("mom_e4"),
     )
+
+
+@query(
+    "agg_spearman_corr",
+    """
+    WITH base AS (
+        SELECT event_type,
+               CAST(FLOOR(value * 10000) AS BIGINT) AS x,
+               epoch_us(ts) AS y
+        FROM events
+    ), xa AS (
+        SELECT event_type, x, CAST(COUNT(*) AS BIGINT) AS c
+        FROM base GROUP BY event_type, x
+    ), xr AS (
+        SELECT event_type, x,
+               2 * COALESCE(SUM(c) OVER (PARTITION BY event_type ORDER BY x
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + c + 1 AS rx2
+        FROM xa
+    ), ya AS (
+        SELECT event_type, y, CAST(COUNT(*) AS BIGINT) AS c
+        FROM base GROUP BY event_type, y
+    ), yr AS (
+        SELECT event_type, y,
+               2 * COALESCE(SUM(c) OVER (PARTITION BY event_type ORDER BY y
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + c + 1 AS ry2
+        FROM ya
+    ), j AS (
+        SELECT b.event_type, xr.rx2, yr.ry2
+        FROM base b
+        JOIN xr ON xr.event_type = b.event_type AND xr.x = b.x
+        JOIN yr ON yr.event_type = b.event_type AND yr.y = b.y
+    ), m AS (
+        SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(rx2) AS HUGEINT) AS sx,
+               CAST(SUM(ry2) AS HUGEINT) AS sy,
+               SUM(CAST(rx2 AS HUGEINT) * rx2) AS sxx,
+               SUM(CAST(ry2 AS HUGEINT) * ry2) AS syy,
+               SUM(CAST(rx2 AS HUGEINT) * ry2) AS sxy
+        FROM j GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                THEN CAST(FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                            * CAST(n * syy - sy * sy AS DOUBLE))
+                     * 1000000) AS BIGINT)
+                ELSE NULL END AS rho_e6
+    FROM m
+    """,
+)
+def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation of (value, arrival order) per event
+    type (round 7) — the NONPARAMETRIC monotone-trend leg next to
+    agg_corr_exact's Pearson: outlier-proof, and the right question
+    ("do values drift over time?") for heavy-tailed metrics.
+
+    Exactness is the round-7 bucket-rank discipline end-to-end: both
+    variables atomize (value→e4 atoms, time→µs atoms) per group; the
+    tie-aware DOUBLED average rank 2·prev + c + 1 stays integral from
+    a KEYED prefix window over each atom table (partitionBy
+    event_type — never a global sort); ranks join back to rows on the
+    atom key; and all five moments are exact 128-bit integers (HUGEINT
+    / decimal(38,0)) — n⁴-scale products overflow bigint at sf0.1 —
+    with ONE double formula at the end (floored-once).  Zero-variance
+    groups emit NULL instead of dividing by zero.
+
+    Scale: two atom-table aggregations + two keyed prefix windows +
+    two keyed equi-joins back to rows, all partitioned by (group,
+    atom); no single-partition stage anywhere."""
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 10000).cast("bigint").alias("x"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("y"),
+    )
+
+    def rank2(col: str, out: str) -> DataFrame:
+        atoms = base.groupBy("event_type", col).agg(
+            F.count("*").cast("bigint").alias("c")
+        )
+        w = (
+            Window.partitionBy("event_type")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return atoms.select(
+            "event_type",
+            col,
+            (
+                2 * F.coalesce(F.sum("c").over(w), F.lit(0))
+                + F.col("c")
+                + 1
+            ).alias(out),
+        )
+
+    xr = rank2("x", "rx2")
+    yr = rank2("y", "ry2")
+    j = base.join(xr, ["event_type", "x"]).join(yr, ["event_type", "y"])
+    d38 = "decimal(38,0)"
+    m = j.groupBy("event_type").agg(
+        F.count("*").cast(d38).alias("n"),
+        F.sum("rx2").cast(d38).alias("sx"),
+        F.sum("ry2").cast(d38).alias("sy"),
+        F.sum(F.col("rx2").cast(d38) * F.col("rx2")).alias("sxx"),
+        F.sum(F.col("ry2").cast(d38) * F.col("ry2")).alias("syy"),
+        F.sum(F.col("rx2").cast(d38) * F.col("ry2")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    dx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    rho = F.floor(
+        num.cast("double")
+        / F.sqrt(dx.cast("double") * dy.cast("double"))
+        * 1000000
+    ).cast("bigint")
+    return m.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.when((dx > 0) & (dy > 0), rho).alias("rho_e6"),
+    )
+
+
+@query(
+    "agg_two_proportion_z",
+    """
+    WITH arms AS (
+        SELECT user_id % 2 AS arm,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(COUNT(DISTINCT CASE WHEN event_type = 'purchase'
+                                             AND value >= 200
+                                        THEN user_id END) AS BIGINT)
+                   AS conv_users
+        FROM events GROUP BY user_id % 2
+    ), w AS (
+        SELECT MAX(CASE WHEN arm = 0 THEN n_users END) AS n0,
+               MAX(CASE WHEN arm = 0 THEN conv_users END) AS c0,
+               MAX(CASE WHEN arm = 1 THEN n_users END) AS n1,
+               MAX(CASE WHEN arm = 1 THEN conv_users END) AS c1
+        FROM arms
+    )
+    SELECT n0, c0, n1, c1,
+           CASE WHEN n0 > 0 AND n1 > 0 AND c0 + c1 > 0
+                     AND c0 + c1 < n0 + n1 THEN
+           CAST(FLOOR(
+               (CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+               / sqrt(CAST(c0 + c1 AS DOUBLE) / (n0 + n1)
+                      * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                      * (1.0 / n0 + 1.0 / n1))
+               * 10000) AS BIGINT) ELSE NULL END AS z_e4
+    FROM w
+    """,
+)
+def agg_two_proportion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on user conversion by assignment arm
+    (round 7) — the missing elementary leg of the A/B family:
+    events_ab_srm checks the SPLIT, events_ab_cuped tightens a MEAN
+    metric; this is the binary-outcome test (did the user purchase at
+    all?) every experiment readout starts from.
+
+    Arm = user_id % 2 (deterministic hash-split surrogate); n and
+    conversions are exact distinct-user bigints; the pooled-variance
+    z statistic is ONE double chain in the oracle's literal order,
+    floored to e4.
+
+    Scale: one distinct-user aggregation per arm (partial map-side),
+    then a 2-row pivot — the single-partition final is the benign
+    pre-reduced shape."""
+    ev = load(spark, sf_dir, "events")
+    arms = ev.groupBy((F.col("user_id") % 2).alias("arm")).agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.countDistinct(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") >= 200),
+                F.col("user_id"),
+            )
+        )
+        .cast("bigint")
+        .alias("conv_users"),
+    )
+    w = arms.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n_users"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 0, F.col("conv_users"))).alias("c0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n_users"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 1, F.col("conv_users"))).alias("c1"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    pbar = (d("c0") + d("c1")) / (F.col("n0") + F.col("n1"))
+    z = (d("c1") / F.col("n1") - d("c0") / F.col("n0")) / F.sqrt(
+        pbar * (1.0 - pbar) * (1.0 / F.col("n0") + 1.0 / F.col("n1"))
+    )
+    ok = (
+        (F.col("n0") > 0)
+        & (F.col("n1") > 0)
+        & (F.col("c0") + F.col("c1") > 0)
+        & (F.col("c0") + F.col("c1") < F.col("n0") + F.col("n1"))
+    )
+    return w.select(
+        "n0",
+        "c0",
+        "n1",
+        "c1",
+        F.when(ok, F.floor(z * 10000).cast("bigint")).alias("z_e4"),
+    )

@@ -1682,3 +1682,81 @@ def embed_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("ndcg_e6"),
     )
+
+
+@query(
+    "embed_cluster_purity",
+    """
+    WITH assigned AS (
+        SELECT vec_id, label,
+               4 * (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+               + 2 * (CASE WHEN embedding[2] >= 0 THEN 1 ELSE 0 END)
+               + (CASE WHEN embedding[3] >= 0 THEN 1 ELSE 0 END)
+                   AS cluster_id
+        FROM embeddings
+    ), counts AS (
+        SELECT cluster_id, label, CAST(COUNT(*) AS BIGINT) AS c
+        FROM assigned GROUP BY cluster_id, label
+    ), ranked AS (
+        SELECT cluster_id, label, c,
+               ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                  ORDER BY c DESC, label ASC) AS rn,
+               CAST(SUM(c) OVER (PARTITION BY cluster_id) AS BIGINT) AS n
+        FROM counts
+    )
+    SELECT CAST(cluster_id AS BIGINT) AS cluster_id, n,
+           CAST(label AS BIGINT) AS top_label, c AS top_n,
+           CAST(FLOOR(CAST(c AS DOUBLE) / n * 1000000) AS BIGINT)
+               AS purity_e6
+    FROM ranked WHERE rn = 1
+    """,
+)
+def embed_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster purity against ground-truth labels (round 7) — the
+    clustering-evaluation leg next to embed_silhouette_simplified
+    (geometry) and embed_retrieval_ndcg (ranking): for each cluster,
+    the fraction of members sharing the majority label.  The readout
+    every embedding-space partition (IVF cells, dedup buckets,
+    topic clusters) is judged by when labels exist.
+
+    Clusters here are the deterministic sign-octant assignment over
+    the first three dimensions (the embed_random_projection
+    discipline: sign tests on stored floats are exact, no distance
+    float chain at all), so the purity table is reproducible across
+    engines/partitionings; majority pick tie-breaks by label id.
+
+    Scale: one keyed count aggregation + a keyed top-1 window
+    (WindowGroupLimit shape); no distance computation, no
+    single-partition stage."""
+    e = load(spark, sf_dir, "embeddings")
+    bit = lambda i: F.when(  # noqa: E731
+        F.col("embedding")[i] >= 0, 1
+    ).otherwise(0)
+    assigned = e.select(
+        "vec_id",
+        "label",
+        (4 * bit(0) + 2 * bit(1) + bit(2)).alias("cluster_id"),
+    )
+    counts = assigned.groupBy("cluster_id", "label").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("c").desc(), F.col("label").asc()
+    )
+    wn = Window.partitionBy("cluster_id")
+    ranked = counts.select(
+        "cluster_id",
+        "label",
+        "c",
+        F.row_number().over(w).alias("rn"),
+        F.sum("c").over(wn).cast("bigint").alias("n"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+        "n",
+        F.col("label").cast("bigint").alias("top_label"),
+        F.col("c").alias("top_n"),
+        F.floor(F.col("c").cast("double") / F.col("n") * 1000000)
+        .cast("bigint")
+        .alias("purity_e6"),
+    )

@@ -3054,3 +3054,72 @@ def _text_model_auc_rank_referee(
         .cast("bigint")
         .alias("auc_e6"),
     )
+
+
+@query(
+    "text_readability_fk",
+    """
+    WITH f AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+'))
+                    AS BIGINT) AS words,
+               CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)
+                    AS BIGINT) AS sentences,
+               CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                    AS BIGINT) AS syllables
+        FROM documents
+    )
+    SELECT doc_id, words, sentences, syllables,
+           CASE WHEN words > 0 THEN
+               CAST(FLOOR((0.39 * (CAST(words AS DOUBLE) / sentences)
+                           + 11.8 * (CAST(syllables AS DOUBLE) / words)
+                           - 15.59) * 10000) AS BIGINT)
+           ELSE NULL END AS fk_grade_e4
+    FROM f
+    """,
+)
+def text_readability_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch–Kincaid grade-level readability per document (round 7)
+    — the classic quality-scoring leg the Gopher/C4 rule sets
+    (text_gopher_rules) sit next to: words per sentence × syllables
+    per word, mapped to a US school grade.  Corpus curation uses it
+    to filter both unreadable fragments AND machine-generated
+    word-salad that passes length filters.
+
+    The proxy features are deliberately rule-exact, not linguistic:
+    words = letter runs, sentences = [.!?] runs (min 1), syllables =
+    vowel-group runs — each a single regexp count that both engines
+    evaluate identically (the standard syllable approximation).  The
+    FK formula is ONE double chain in the oracle's literal order,
+    floored to e4; zero-word docs emit NULL.
+
+    Scale: embarrassingly parallel single scan — three regexp counts
+    per document, no shuffle at all."""
+    d = load(spark, sf_dir, "documents")
+    words = F.regexp_count(F.col("text"), F.lit("[A-Za-z]+")).cast("bigint")
+    sentences = F.greatest(
+        F.regexp_count(F.col("text"), F.lit("[.!?]+")), F.lit(1)
+    ).cast("bigint")
+    syllables = F.regexp_count(
+        F.lower(F.col("text")), F.lit("[aeiouy]+")
+    ).cast("bigint")
+    f = d.select(
+        "doc_id",
+        words.alias("words"),
+        sentences.alias("sentences"),
+        syllables.alias("syllables"),
+    )
+    fk = (
+        0.39 * (F.col("words").cast("double") / F.col("sentences"))
+        + 11.8 * (F.col("syllables").cast("double") / F.col("words"))
+        - 15.59
+    )
+    return f.select(
+        "doc_id",
+        "words",
+        "sentences",
+        "syllables",
+        F.when(
+            F.col("words") > 0, F.floor(fk * 10000).cast("bigint")
+        ).alias("fk_grade_e4"),
+    )

@@ -3718,3 +3718,447 @@ def events_resurrection(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_resurrected"),
         )
     )
+
+
+@query(
+    "ts_theil_sen_slope",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(FLOOR(CAST(SUM(CAST(FLOOR(value * 10000) AS BIGINT))
+                          AS DOUBLE) / COUNT(*)) AS BIGINT) AS m_e4
+        FROM events GROUP BY event_type, date_trunc('day', ts)
+    ), slopes AS (
+        SELECT a.event_type,
+               CAST(FLOOR(CAST(b.m_e4 - a.m_e4 AS DOUBLE)
+                          / (b.day - a.day) * 100) AS BIGINT) AS s_e6
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.day < b.day
+    ), ranked AS (
+        SELECT event_type, s_e6,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY s_e6) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS k
+        FROM slopes
+    )
+    SELECT event_type, CAST(k AS BIGINT) AS n_pairs,
+           CAST(s_e6 AS BIGINT) AS slope_e6
+    FROM ranked WHERE rn = (k + 1) // 2
+    """,
+)
+def ts_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend slope per event type (round 7) — the
+    median of all pairwise day-to-day slopes: breakdown point 29%,
+    versus agg_regr_trend's OLS slope that one outlier day drags
+    arbitrarily.  The standard robust-trend estimator for noisy
+    operational metrics.
+
+    Exactness: daily means floor once to e4 (same sum/count program
+    both engines); each pairwise slope floors once to e6 (Δm_e4/Δdays
+    ·100, one double division); the median pick is the integer-exact
+    lower-median rank (k+1)//2 over (slope, pair) — the
+    agg_median_of_means midpoint discipline — with ROW_NUMBER
+    tie-broken by the slope value itself (duplicates collapse
+    identically in both engines since only s_e6 is emitted).
+
+    Scale: pairwise generation is per-group over the DAILY atom table
+    — O(d²) with d = days, bounded by calendar span (3 650 rows per
+    decade), never by event count; the join and the rank window are
+    keyed by event_type."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts").cast("timestamp"))
+        .cast("date")
+        .alias("day"),
+    ).agg(
+        F.floor(
+            F.sum(F.floor(F.col("value") * 10000).cast("bigint")).cast(
+                "double"
+            )
+            / F.count("*")
+        )
+        .cast("bigint")
+        .alias("m_e4")
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.day") < F.col("b.day")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.floor(
+            (F.col("b.m_e4") - F.col("a.m_e4")).cast("double")
+            / F.datediff(F.col("b.day"), F.col("a.day"))
+            * 100
+        )
+        .cast("bigint")
+        .alias("s_e6"),
+    )
+    w = Window.partitionBy("event_type").orderBy("s_e6")
+    wc = Window.partitionBy("event_type")
+    ranked = slopes.select(
+        "event_type",
+        "s_e6",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wc).alias("k"),
+    )
+    return ranked.filter(
+        F.col("rn") == F.floor((F.col("k") + 1) / 2).cast("int")
+    ).select(
+        "event_type",
+        F.col("k").cast("bigint").alias("n_pairs"),
+        F.col("s_e6").cast("bigint").alias("slope_e6"),
+    )
+
+
+@query(
+    "events_stickiness",
+    """
+    WITH daily AS (
+        SELECT date_trunc('month', ts) AS month,
+               CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+        FROM events GROUP BY 1, 2
+    ), monthly AS (
+        SELECT date_trunc('month', ts) AS month,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+        FROM events GROUP BY 1
+    )
+    SELECT CAST(d.month AS DATE) AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(d.dau) AS BIGINT) AS dau_total,
+           MAX(m.mau) AS mau,
+           CAST(FLOOR(CAST(SUM(d.dau) AS DOUBLE)
+                      / (COUNT(*) * MAX(m.mau)) * 10000) AS BIGINT)
+               AS stickiness_e4
+    FROM daily d JOIN monthly m ON d.month = m.month
+    GROUP BY d.month
+    """,
+)
+def events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per month (round 7) — the engagement ratio
+    every consumer product reports: average daily active users over
+    monthly active users.  events_active_users_rolling gives the
+    rolling-window numerator; this is the calendar-month readout with
+    the distinct-user denominator.
+
+    Exactness: DAU and MAU are exact distinct counts; stickiness is
+    ONE floored division of bigints (Σdau / (days·mau)).
+
+    Scale: two distinct aggregations keyed by calendar bucket (both
+    map-side partial over (bucket, user) pairs), joined on month —
+    the month table is dimension-tiny."""
+    ev = load(spark, sf_dir, "events").select(
+        F.date_trunc("month", F.col("ts").cast("timestamp")).alias("month"),
+        F.date_trunc("day", F.col("ts").cast("timestamp"))
+        .cast("date")
+        .alias("day"),
+        "user_id",
+    )
+    daily = ev.groupBy("month", "day").agg(
+        F.countDistinct("user_id").cast("bigint").alias("dau")
+    )
+    monthly = ev.groupBy("month").agg(
+        F.countDistinct("user_id").cast("bigint").alias("mau")
+    )
+    j = daily.join(F.broadcast(monthly), "month")
+    return j.groupBy("month").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum("dau").cast("bigint").alias("dau_total"),
+        F.max("mau").alias("mau"),
+        F.floor(
+            F.sum("dau").cast("double")
+            / (F.count("*") * F.max("mau"))
+            * 10000
+        )
+        .cast("bigint")
+        .alias("stickiness_e4"),
+    ).select(
+        F.col("month").cast("date").alias("month"),
+        "n_days",
+        "dau_total",
+        "mau",
+        "stickiness_e4",
+    )
+
+
+@query(
+    "events_session_depth_hist",
+    """
+    WITH numbered AS (
+        SELECT user_id, ts, event_id,
+               lag(ts) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    ), marked AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN prev_ts IS NULL
+                         OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM numbered
+    ), sessed AS (
+        SELECT user_id,
+               SUM(is_new) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS sess_id
+        FROM marked
+    ), depths AS (
+        SELECT user_id, sess_id, CAST(COUNT(*) AS BIGINT) AS depth
+        FROM sessed GROUP BY user_id, sess_id
+    )
+    SELECT depth,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM depths GROUP BY depth
+    """,
+)
+def events_session_depth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-depth histogram (round 7): how many events a
+    30-minute-gap session contains, as a distribution — the
+    engagement-shape readout (1-event bounce sessions vs long
+    explorations) that events_sessionize's per-session rows feed in
+    practice.
+
+    The running-sum window orders by the (ts, event_id) TOTAL order,
+    same as user_sessions after the ADVICE r6 fix: with duplicate
+    timestamps a ts-only order could split a tie block across two
+    sessions differently per run.  Exact bigint counts everywhere; no
+    floats at all.
+
+    Scale: the sessionization pair of keyed windows (one user_id
+    exchange, reused), then two keyed aggregations; the histogram is
+    bounded by max depth."""
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w_lag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    numbered = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lag("ts").over(w_lag).alias("prev_ts"),
+    )
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    marked = numbered.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.col("prev_ts").isNull()
+            | ((us("ts") - us("prev_ts")) > 1800000000),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("is_new"),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    depths = (
+        marked.select(
+            "user_id", F.sum("is_new").over(w_run).alias("sess_id")
+        )
+        .groupBy("user_id", "sess_id")
+        .agg(F.count("*").cast("bigint").alias("depth"))
+    )
+    return depths.groupBy("depth").agg(
+        F.count("*").cast("bigint").alias("n_sessions"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )
+
+
+@query(
+    "ts_ordinal_patterns",
+    """
+    WITH base AS (
+        SELECT event_type,
+               CAST(FLOOR(value * 10000) AS BIGINT) AS v,
+               lag(CAST(FLOOR(value * 10000) AS BIGINT), 1)
+                   OVER w AS v1,
+               lag(CAST(FLOOR(value * 10000) AS BIGINT), 2)
+                   OVER w AS v2
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    ), pat AS (
+        SELECT event_type,
+               9 * (CASE WHEN v1 > v2 THEN 2 WHEN v1 = v2 THEN 1
+                         ELSE 0 END)
+               + 3 * (CASE WHEN v > v1 THEN 2 WHEN v = v1 THEN 1
+                           ELSE 0 END)
+               + (CASE WHEN v > v2 THEN 2 WHEN v = v2 THEN 1
+                       ELSE 0 END) AS motif
+        FROM base WHERE v2 IS NOT NULL
+    ), counts AS (
+        SELECT event_type, motif, CAST(COUNT(*) AS BIGINT) AS n
+        FROM pat GROUP BY event_type, motif
+    ), tot AS (
+        SELECT event_type, CAST(SUM(n) AS BIGINT) AS total
+        FROM counts GROUP BY event_type
+    )
+    SELECT c.event_type, CAST(c.motif AS BIGINT) AS motif, c.n,
+           CAST(FLOOR(CAST(c.n AS DOUBLE) / t.total * 1000000)
+                AS BIGINT) AS p_e6
+    FROM counts c JOIN tot t ON t.event_type = c.event_type
+    """,
+)
+def ts_ordinal_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-3 ordinal-motif profile per event type (round 7) — the
+    permutation-entropy / Bandt-Pompe representation's histogram
+    stage: each consecutive value triple maps to one of 27 motifs by
+    the pairwise comparisons (v₁ vs v₂, v₂ vs v₃, v₁ vs v₃, each
+    up/flat/down), and the motif distribution is the complexity
+    fingerprint (white noise → uniform over monotone motifs; trends
+    and cycles → concentrated).  Downstream entropy is one exact-sum
+    pass over these ≤27 rows per group.
+
+    Determinism: triples order by the (ts, event_id) total order;
+    comparisons run on floored-e4 integers (a tie is a STRUCTURAL
+    'flat' leg, not float lottery); share floors once per motif.
+
+    Scale: two keyed lag windows (one event_type exchange) + keyed
+    counts; the motif table is ≤27·|groups| rows."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    v = F.floor(F.col("value") * 10000).cast("bigint")
+    base = ev.select(
+        "event_type",
+        v.alias("v"),
+        F.lag(v, 1).over(w).alias("v1"),
+        F.lag(v, 2).over(w).alias("v2"),
+    ).filter(F.col("v2").isNotNull())
+
+    def leg(a, b):
+        return (
+            F.when(F.col(a) > F.col(b), 2)
+            .when(F.col(a) == F.col(b), 1)
+            .otherwise(0)
+        )
+
+    pat = base.select(
+        "event_type",
+        (9 * leg("v1", "v2") + 3 * leg("v", "v1") + leg("v", "v2")).alias(
+            "motif"
+        ),
+    )
+    counts = pat.groupBy("event_type", "motif").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    tot = counts.groupBy("event_type").agg(
+        F.sum("n").cast("bigint").alias("total")
+    )
+    return counts.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        F.col("motif").cast("bigint").alias("motif"),
+        "n",
+        F.floor(F.col("n").cast("double") / F.col("total") * 1000000)
+        .cast("bigint")
+        .alias("p_e6"),
+    )
+
+
+@query(
+    "ts_sax_symbols",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(FLOOR(CAST(SUM(CAST(FLOOR(value * 10000) AS BIGINT))
+                          AS DOUBLE) / COUNT(*)) AS BIGINT) AS m_e4
+        FROM events GROUP BY event_type, date_trunc('day', ts)
+    ), stats AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(m_e4) AS BIGINT) AS s,
+               CAST(SUM(m_e4 * m_e4) AS BIGINT) AS ss
+        FROM daily GROUP BY event_type
+    )
+    SELECT d.event_type, d.day, d.m_e4,
+           CASE WHEN (CAST(st.ss AS DOUBLE)
+                      - CAST(st.s AS DOUBLE) * st.s / st.k) / st.k
+                     <= 0.0 THEN 'b'
+                WHEN (CAST(d.m_e4 AS DOUBLE) - CAST(st.s AS DOUBLE) / st.k)
+                     / sqrt((CAST(st.ss AS DOUBLE)
+                             - CAST(st.s AS DOUBLE) * st.s / st.k)
+                            / st.k)
+                     < -0.67 THEN 'a'
+                WHEN (CAST(d.m_e4 AS DOUBLE) - CAST(st.s AS DOUBLE) / st.k)
+                     / sqrt((CAST(st.ss AS DOUBLE)
+                             - CAST(st.s AS DOUBLE) * st.s / st.k)
+                            / st.k)
+                     < 0.0 THEN 'b'
+                WHEN (CAST(d.m_e4 AS DOUBLE) - CAST(st.s AS DOUBLE) / st.k)
+                     / sqrt((CAST(st.ss AS DOUBLE)
+                             - CAST(st.s AS DOUBLE) * st.s / st.k)
+                            / st.k)
+                     < 0.67 THEN 'c'
+                ELSE 'd' END AS sym
+    FROM daily d JOIN stats st ON st.event_type = d.event_type
+    """,
+)
+def ts_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolization of the daily series per event type (round 7)
+    — Symbolic Aggregate approXimation: z-normalize each day's mean
+    against its group and quantize into a 4-letter alphabet at the
+    standard Gaussian breakpoints (−0.67, 0, 0.67).  The symbolic
+    series is what motif mining, symbolic anomaly detection, and
+    series indexing actually consume; ts_downsample_m4 keeps shape
+    for plots, SAX keeps shape for ALPHABETS.
+
+    Parity: daily means floor once to e4; group moments are exact
+    bigint sums; the z expression is ONE double chain written
+    identically in both engines, and each CASE breakpoint compares
+    the same double — a boundary tie lands the same side in both.
+    Zero-variance groups emit the middle symbol instead of dividing
+    by zero.
+
+    Scale: daily atom table (calendar-bounded) + one broadcast of
+    per-group moments; everything keyed by event_type."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts").cast("timestamp"))
+        .cast("date")
+        .alias("day"),
+    ).agg(
+        F.floor(
+            F.sum(F.floor(F.col("value") * 10000).cast("bigint")).cast(
+                "double"
+            )
+            / F.count("*")
+        )
+        .cast("bigint")
+        .alias("m_e4")
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("m_e4").cast("bigint").alias("s"),
+        F.sum(F.col("m_e4") * F.col("m_e4")).cast("bigint").alias("ss"),
+    )
+    j = daily.join(F.broadcast(stats), "event_type")
+    z = (
+        F.col("m_e4").cast("double")
+        - F.col("s").cast("double") / F.col("k")
+    ) / F.sqrt(
+        (
+            F.col("ss").cast("double")
+            - F.col("s").cast("double") * F.col("s") / F.col("k")
+        )
+        / F.col("k")
+    )
+    # variance guard on the SAME double chain as z's denominator —
+    # an integer k*ss - s*s formulation would overflow bigint on
+    # decade spans (s ~ 1e7 * days)
+    var0 = (
+        F.col("ss").cast("double")
+        - F.col("s").cast("double") * F.col("s") / F.col("k")
+    ) / F.col("k") <= 0.0
+    sym = (
+        F.when(var0, F.lit("b"))
+        .when(z < -0.67, F.lit("a"))
+        .when(z < 0.0, F.lit("b"))
+        .when(z < 0.67, F.lit("c"))
+        .otherwise(F.lit("d"))
+    )
+    return j.select("event_type", "day", "m_e4", sym.alias("sym"))

@@ -272,9 +272,10 @@ _ROUND7_WINDOW = (
     "win_hampel_filter",
 )
 
-# Remaining overflow queue -> the round-8 window (68 entries: the 12
+# Remaining overflow queue -> the round-8 window (80 entries: the 12
 # carried r6-queue rows the r7 window didn't reach + the round-6
-# additions minus the front-loaded multimodal_decode_codec).  ROUND-8
+# additions minus the front-loaded multimodal_decode_codec + the 12
+# round-7 additions at the tail).  ROUND-8
 # RECIPE: first 50 into the r8 window, front-loading any row that comes
 # back non-green in CORRECTNESS_r07; the remainder (plus any round-7
 # additions) rotate behind.  Once the queue drains, windows become
@@ -350,6 +351,19 @@ _ROUND8_NEXT_UP = (
     "text_vocab_overlap_sources",
     "text_model_calibration_ece",
     "text_model_auc",
+    # --- round-7 additions, appended in landing order ---
+    "graph_jaccard_similarity",
+    "agg_spearman_corr",
+    "agg_two_proportion_z",
+    "ts_theil_sen_slope",
+    "events_stickiness",
+    "events_session_depth_hist",
+    "ts_ordinal_patterns",
+    "ts_sax_symbols",
+    "text_readability_fk",
+    "embed_cluster_purity",
+    "ingest_address_activity_span",
+    "ingest_balance_running_audit",
 )
 
 _loaded = False

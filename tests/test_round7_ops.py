@@ -263,3 +263,152 @@ def test_doc_tallies_match_registry():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     assert mod.run(write=False) == 0
+
+
+# ---------- round-7 operator batch referees ----------
+
+
+def test_jaccard_bounds_and_trio_consistency(spark, sf_dir):
+    rows = QUERIES["graph_jaccard_similarity"](spark, sf_dir).collect()
+    assert rows
+    cn = {
+        (r["cust_a"], r["cust_b"]): r["common_parts"]
+        for r in QUERIES["graph_common_neighbors"](spark, sf_dir).collect()
+    }
+    for r in rows:
+        assert 0 < r["common_parts"] <= r["union_parts"]
+        assert 0 <= r["jaccard_e6"] <= 1000000
+        k = (r["cust_a"], r["cust_b"])
+        if k in cn:  # trio consistency: same pair, same overlap
+            assert cn[k] == r["common_parts"]
+
+
+def test_spearman_bounds_and_self_correlation(spark, sf_dir):
+    rows = QUERIES["agg_spearman_corr"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r["rho_e6"] is not None:
+            assert -1000000 <= r["rho_e6"] <= 1000000
+
+
+def test_two_proportion_z_matches_python(spark, sf_dir):
+    import math
+
+    r = QUERIES["agg_two_proportion_z"](spark, sf_dir).collect()[0]
+    n0, c0, n1, c1 = r["n0"], r["c0"], r["n1"], r["c1"]
+    p = (c0 + c1) / (n0 + n1)
+    z = (c1 / n1 - c0 / n0) / math.sqrt(
+        p * (1.0 - p) * (1.0 / n0 + 1.0 / n1)
+    )
+    assert r["z_e4"] == math.floor(z * 10000)
+
+
+def test_theil_sen_pair_counts(spark, sf_dir):
+    rows = QUERIES["ts_theil_sen_slope"](spark, sf_dir).collect()
+    assert rows
+    from graphsense_datafeed_spark.sources.scans import load
+
+    days = {
+        r["event_type"]: r["d"]
+        for r in load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct(
+                F.date_trunc("day", F.col("ts").cast("timestamp"))
+            ).alias("d")
+        )
+        .collect()
+    }
+    for r in rows:
+        d = days[r["event_type"]]
+        assert r["n_pairs"] == d * (d - 1) // 2
+
+
+def test_ordinal_patterns_partition_of_triples(spark, sf_dir):
+    rows = QUERIES["ts_ordinal_patterns"](spark, sf_dir).collect()
+    assert rows
+    from graphsense_datafeed_spark.sources.scans import load
+
+    totals = {
+        r["event_type"]: r["n"]
+        for r in load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    by_group = {}
+    for r in rows:
+        assert 0 <= r["motif"] <= 26
+        by_group.setdefault(r["event_type"], 0)
+        by_group[r["event_type"]] += r["n"]
+    for g, n in by_group.items():
+        assert n == totals[g] - 2  # every triple counted exactly once
+
+
+def test_sax_alphabet_and_coverage(spark, sf_dir):
+    rows = QUERIES["ts_sax_symbols"](spark, sf_dir).collect()
+    assert rows
+    assert {r["sym"] for r in rows} <= {"a", "b", "c", "d"}
+    # z-quantization must use more than one letter on real data
+    assert len({r["sym"] for r in rows}) >= 2
+
+
+def test_stickiness_bounded_by_one(spark, sf_dir):
+    rows = QUERIES["events_stickiness"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["stickiness_e4"] <= 10000
+        assert r["mau"] > 0 and r["n_days"] > 0
+
+
+def test_session_depth_hist_accounts_all_events(spark, sf_dir):
+    rows = QUERIES["events_session_depth_hist"](spark, sf_dir).collect()
+    from graphsense_datafeed_spark.sources.scans import load
+
+    n_events = load(spark, sf_dir, "events").count()
+    assert sum(r["depth"] * r["n_sessions"] for r in rows) == n_events
+
+
+def test_readability_null_iff_wordless(spark, sf_dir):
+    rows = QUERIES["text_readability_fk"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert (r["fk_grade_e4"] is None) == (r["words"] == 0)
+        assert r["sentences"] >= 1
+
+
+def test_cluster_purity_partition_and_bounds(spark, sf_dir):
+    rows = QUERIES["embed_cluster_purity"](spark, sf_dir).collect()
+    from graphsense_datafeed_spark.sources.scans import load
+
+    n = load(spark, sf_dir, "embeddings").count()
+    assert sum(r["n"] for r in rows) == n
+    for r in rows:
+        assert 0 < r["top_n"] <= r["n"]
+        assert 0 < r["purity_e6"] <= 1000000
+
+
+def test_running_audit_final_balance_matches_ledger(spark, sf_dir):
+    """STRONG referee: the running audit's final balance per address
+    must equal ingest_address_balance's ledger balance — two
+    independent programs over the same flows."""
+    audit = {
+        r["address"]: r["final_balance"]
+        for r in QUERIES["ingest_balance_running_audit"](
+            spark, sf_dir
+        ).collect()
+    }
+    ledger = {
+        r["address"]: r["balance"]
+        for r in QUERIES["ingest_address_balance"](spark, sf_dir).collect()
+    }
+    assert audit == ledger
+
+
+def test_activity_span_orders_and_ledger_consistency(spark, sf_dir):
+    spans = QUERIES["ingest_address_activity_span"](spark, sf_dir).collect()
+    assert spans
+    for r in spans:
+        assert r["first_height"] <= r["last_height"]
+        assert r["n_blocks_active"] >= 1
+        assert r["n_tx_receiving"] + r["n_tx_spending"] >= 1
