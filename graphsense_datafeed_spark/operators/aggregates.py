@@ -3409,3 +3409,159 @@ def agg_two_proportion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c1",
         F.when(ok, F.floor(z * 10000).cast("bigint")).alias("z_e4"),
     )
+
+
+@query(
+    "agg_cohens_kappa",
+    """
+    WITH rated AS (
+        SELECT CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS a,
+               CASE WHEN length(text) - length(replace(text, ' ', ''))
+                         >= 30 THEN 1 ELSE 0 END AS b
+        FROM documents
+    ), c AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(*) FILTER (a = 1 AND b = 1) AS BIGINT) AS n11,
+               CAST(COUNT(*) FILTER (a = 1 AND b = 0) AS BIGINT) AS n10,
+               CAST(COUNT(*) FILTER (a = 0 AND b = 1) AS BIGINT) AS n01,
+               CAST(COUNT(*) FILTER (a = 0 AND b = 0) AS BIGINT) AS n00
+        FROM rated
+    )
+    SELECT n, n11, n10, n01, n00,
+           CASE WHEN CAST(n AS DOUBLE) * n
+                     - (CAST(n11 + n10 AS DOUBLE) * (n11 + n01)
+                        + CAST(n01 + n00 AS DOUBLE) * (n10 + n00)) > 0
+                THEN CAST(FLOOR(
+                    (CAST(n11 + n00 AS DOUBLE) * n
+                     - (CAST(n11 + n10 AS DOUBLE) * (n11 + n01)
+                        + CAST(n01 + n00 AS DOUBLE) * (n10 + n00)))
+                    / (CAST(n AS DOUBLE) * n
+                       - (CAST(n11 + n10 AS DOUBLE) * (n11 + n01)
+                          + CAST(n01 + n00 AS DOUBLE) * (n10 + n00)))
+                    * 1000000) AS BIGINT)
+                ELSE NULL END AS kappa_e6
+    FROM c
+    """,
+)
+def agg_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two deterministic quality raters (round
+    7) — chance-corrected agreement, the statistic every labeling /
+    filter-rule comparison reports (raw agreement is inflated when
+    both raters say 'keep' 90% of the time).  Raters here are two
+    independent document-quality rules (char-length gate vs
+    space-count word proxy — the text_model_auc label vs a Gopher-ish
+    feature), so the kappa table doubles as a rule-redundancy audit
+    for the filtering stack.
+
+    Exactness: the 2×2 contingency table is exact bigints; kappa is
+    algebraically rearranged to ONE ratio of integer-valued double
+    products — (n·agree − Σ marginal products) / (n² − Σ marginal
+    products) — floored once; degenerate marginals (pe = 1) emit
+    NULL.
+
+    Scale: one global aggregate over per-row flags (partial
+    map-side); the single-partition final consumes the pre-reduced
+    partials."""
+    d = load(spark, sf_dir, "documents")
+    a = F.when(F.col("n_chars") >= 200, 1).otherwise(0)
+    b = F.when(
+        (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit(" ")))
+        )
+        >= 30,
+        1,
+    ).otherwise(0)
+    rated = d.select(a.alias("a"), b.alias("b"))
+    c = rated.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.count(F.when((F.col("a") == 1) & (F.col("b") == 1), 1))
+        .cast("bigint")
+        .alias("n11"),
+        F.count(F.when((F.col("a") == 1) & (F.col("b") == 0), 1))
+        .cast("bigint")
+        .alias("n10"),
+        F.count(F.when((F.col("a") == 0) & (F.col("b") == 1), 1))
+        .cast("bigint")
+        .alias("n01"),
+        F.count(F.when((F.col("a") == 0) & (F.col("b") == 0), 1))
+        .cast("bigint")
+        .alias("n00"),
+    )
+    d_ = lambda c_: F.col(c_).cast("double")  # noqa: E731
+    pe_num = (d_("n11") + d_("n10")) * (F.col("n11") + F.col("n01")) + (
+        d_("n01") + d_("n00")
+    ) * (F.col("n10") + F.col("n00"))
+    den = d_("n") * F.col("n") - pe_num
+    num = (d_("n11") + d_("n00")) * F.col("n") - pe_num
+    return c.select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.when(den > 0, F.floor(num / den * 1000000).cast("bigint")).alias(
+            "kappa_e6"
+        ),
+    )
+
+
+@query(
+    "agg_poisson_dispersion",
+    """
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY event_type, date_trunc('day', ts)
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS k,
+           CAST(SUM(c) AS BIGINT) AS total,
+           CASE WHEN COUNT(*) > 1 AND SUM(c) > 0 THEN
+               CAST(FLOOR(
+                   ((CAST(SUM(c * c) AS DOUBLE)
+                     - CAST(SUM(c) AS DOUBLE) * SUM(c) / COUNT(*))
+                    / (COUNT(*) - 1))
+                   / (CAST(SUM(c) AS DOUBLE) / COUNT(*))
+                   * 1000000) AS BIGINT)
+           ELSE NULL END AS dispersion_e6
+    FROM daily GROUP BY event_type
+    """,
+)
+def agg_poisson_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index of dispersion (variance-to-mean ratio) of daily event
+    counts per type (round 7) — the overdispersion diagnostic: a
+    Poisson arrival process has D = 1; D ≫ 1 means bursty/clumped
+    traffic (events_burstiness' Fano-factor cousin at daily grain),
+    D ≪ 1 means regular/throttled.  The first question capacity
+    planning asks of a count series.
+
+    Exactness: daily counts are exact bigints; sample variance and
+    mean come from exact Σc, Σc² in ONE double chain floored to e6;
+    single-day or empty groups emit NULL.
+
+    Scale: calendar-bounded daily atom table per group, then a keyed
+    aggregate — no window, no single-partition stage."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts").cast("timestamp")).alias("day"),
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    g = daily.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("c").cast("bigint").alias("total"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("ss"),
+    )
+    k = F.col("k")
+    s = F.col("total").cast("double")
+    var = (F.col("ss").cast("double") - s * F.col("total") / k) / (k - 1)
+    disp = var / (s / k)
+    return g.select(
+        "event_type",
+        "k",
+        "total",
+        F.when(
+            (k > 1) & (F.col("total") > 0),
+            F.floor(disp * 1000000).cast("bigint"),
+        ).alias("dispersion_e6"),
+    )

@@ -1292,3 +1292,68 @@ def layout_zone_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dt").alias("n_overlapping_pairs"),
         )
     )
+
+
+@query(
+    "split_temporal_holdout",
+    """
+    WITH cut AS (
+        SELECT epoch_us(MIN(ts))
+               + CAST(FLOOR((epoch_us(MAX(ts)) - epoch_us(MIN(ts)))
+                            * 0.8) AS BIGINT) AS cut_us
+        FROM events
+    ), tagged AS (
+        SELECT e.user_id, e.ts,
+               CASE WHEN epoch_us(e.ts) < c.cut_us THEN 'train'
+                    ELSE 'test' END AS split
+        FROM events e CROSS JOIN cut c
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(MIN(epoch_us(ts)) AS BIGINT) AS lo_us,
+           CAST(MAX(epoch_us(ts)) AS BIGINT) AS hi_us
+    FROM tagged GROUP BY split
+    """,
+)
+def split_temporal_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPORAL train/holdout split at the 80% point of the observed
+    time range (round 7) — the split a forecasting or recommendation
+    pipeline must use where split_train_holdout's hash split would
+    LEAK THE FUTURE into training: everything before the cutoff
+    trains, everything at-or-after tests, and the emitted lo/hi
+    bounds are the leakage audit (train.hi < test.lo, asserted in
+    tests — a shuffled split fails it immediately).
+
+    Exactness: the cutoff is integer µs arithmetic from exact
+    min/max (one floored multiply); split tags are integer compares;
+    counts exact.
+
+    Scale: one min/max aggregate (1-row broadcast via the scalar
+    cross join) + one tagged aggregate — two scans, or one with the
+    cutoff precomputed by the daemon; no window."""
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    cut = ev.agg(
+        (
+            F.min(us)
+            + F.floor((F.max(us) - F.min(us)) * 0.8).cast("bigint")
+        ).alias("cut_us")
+    )
+    tagged = ev.crossJoin(F.broadcast(cut)).select(
+        "user_id",
+        "ts",
+        F.when(us < F.col("cut_us"), "train").otherwise("test").alias(
+            "split"
+        ),
+    )
+    return tagged.groupBy("split").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.min(F.unix_micros(F.col("ts").cast("timestamp")))
+        .cast("bigint")
+        .alias("lo_us"),
+        F.max(F.unix_micros(F.col("ts").cast("timestamp")))
+        .cast("bigint")
+        .alias("hi_us"),
+    )

@@ -1357,3 +1357,145 @@ def dedup_lsh_scurve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "jaccard_e2",
         F.floor(p * 1000000).cast("bigint").alias("p_candidate_e6"),
     )
+
+
+@query(
+    "dedup_minhash_jaccard_estimate",
+    """
+    WITH docs AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 20 = 3
+    ), ws AS (
+        SELECT doc_id, str_split(text, ' ') AS w FROM docs
+    ), sh AS (
+        SELECT DISTINCT doc_id, concat_ws(' ', w[i], w[i+1], w[i+2]) AS s
+        FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM ws)
+    ), mins AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n,
+               MIN(md5('0:' || s)) AS m0, MIN(md5('1:' || s)) AS m1,
+               MIN(md5('2:' || s)) AS m2, MIN(md5('3:' || s)) AS m3,
+               MIN(md5('4:' || s)) AS m4, MIN(md5('5:' || s)) AS m5,
+               MIN(md5('6:' || s)) AS m6, MIN(md5('7:' || s)) AS m7
+        FROM sh GROUP BY doc_id HAVING COUNT(*) >= 1
+    ), common AS (
+        SELECT a.doc_id AS da, b.doc_id AS db,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ), pairs AS (
+        SELECT CAST((CASE WHEN a.m0 = b.m0 THEN 1 ELSE 0 END)
+             + (CASE WHEN a.m1 = b.m1 THEN 1 ELSE 0 END)
+             + (CASE WHEN a.m2 = b.m2 THEN 1 ELSE 0 END)
+             + (CASE WHEN a.m3 = b.m3 THEN 1 ELSE 0 END)
+             + (CASE WHEN a.m4 = b.m4 THEN 1 ELSE 0 END)
+             + (CASE WHEN a.m5 = b.m5 THEN 1 ELSE 0 END)
+             + (CASE WHEN a.m6 = b.m6 THEN 1 ELSE 0 END)
+             + (CASE WHEN a.m7 = b.m7 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS matches,
+               CAST(FLOOR(CAST(COALESCE(c.c, 0) AS DOUBLE) * 1000000
+                          / (a.n + b.n - COALESCE(c.c, 0))) AS BIGINT)
+                   AS exact_e6
+        FROM mins a
+        JOIN mins b ON a.doc_id < b.doc_id
+        LEFT JOIN common c ON c.da = a.doc_id AND c.db = b.doc_id
+    )
+    SELECT matches, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(matches * 125000 AS BIGINT) AS est_e6,
+           CAST(FLOOR(CAST(SUM(exact_e6) AS DOUBLE) / COUNT(*))
+                AS BIGINT) AS mean_exact_e6,
+           CAST(FLOOR(CAST(SUM(ABS(matches * 125000 - exact_e6))
+                           AS DOUBLE) / COUNT(*)) AS BIGINT)
+               AS mean_abs_err_e6
+    FROM pairs GROUP BY matches
+    """,
+)
+def dedup_minhash_jaccard_estimate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MinHash estimator CALIBRATION table (round 7) — measures the
+    estimator dedup_near trusts, on this corpus, with this hash
+    family: for every pair in a deterministic 5% document subset,
+    the 8-permutation signature-agreement estimate (matches/8) sits
+    next to the EXACT shingle Jaccard, aggregated per agreement
+    level into mean exact similarity and mean absolute error.  The
+    dedup_lsh_scurve companion: the s-curve says which pairs become
+    candidates, this says how honest the underlying estimate is —
+    together they justify the (bands, rows, K) choice with
+    measurements instead of folklore.
+
+    Exactness: the same engine-portable md5 MinHash family as
+    dedup_near (string-min over salted hex digests); est is exact
+    integer arithmetic (·125000); exact Jaccard from distinct-shingle
+    counts with inclusion–exclusion; error sums are exact bigints
+    with two floored means.
+
+    Scale: the all-pairs stage runs ONLY on the documented bounded
+    subset (doc_id % 20 — the centroid-sample discipline; 25 docs at
+    sf0.01, 250 at sf0.1); production calibration samples the same
+    way — the estimator's error is a corpus property, not a
+    full-corpus computation."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 20 == 3)
+    )
+    sh = shingles(docs)
+    mins = sh.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n"),
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("s")))).alias(
+                f"m{k}"
+            )
+            for k in range(8)
+        ],
+    )
+    a = mins.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("n").alias("na"),
+        *[F.col(f"m{k}").alias(f"a{k}") for k in range(8)],
+    )
+    b = mins.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("n").alias("nb"),
+        *[F.col(f"m{k}").alias(f"b{k}") for k in range(8)],
+    )
+    sa = sh.select(F.col("doc_id").alias("ca"), "s")
+    sb = sh.select(F.col("doc_id").alias("cb"), F.col("s").alias("s2"))
+    common = (
+        sa.join(sb, (F.col("s") == F.col("s2")) & (F.col("ca") < F.col("cb")))
+        .groupBy("ca", "cb")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    pairs = (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .join(
+            common,
+            (F.col("ca") == F.col("a_id")) & (F.col("cb") == F.col("b_id")),
+            "left",
+        )
+    )
+    matches = sum(
+        F.when(F.col(f"a{k}") == F.col(f"b{k}"), 1).otherwise(0)
+        for k in range(8)
+    ).cast("bigint")
+    c = F.coalesce(F.col("c"), F.lit(0))
+    exact = F.floor(
+        c.cast("double") * 1000000 / (F.col("na") + F.col("nb") - c)
+    ).cast("bigint")
+    tagged = pairs.select(
+        matches.alias("matches"), exact.alias("exact_e6")
+    )
+    return tagged.groupBy("matches").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        (F.first("matches") * 125000).cast("bigint").alias("est_e6"),
+        F.floor(F.sum("exact_e6").cast("double") / F.count("*"))
+        .cast("bigint")
+        .alias("mean_exact_e6"),
+        F.floor(
+            F.sum(
+                F.abs(F.col("matches") * 125000 - F.col("exact_e6"))
+            ).cast("double")
+            / F.count("*")
+        )
+        .cast("bigint")
+        .alias("mean_abs_err_e6"),
+    )

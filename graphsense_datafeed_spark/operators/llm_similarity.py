@@ -1760,3 +1760,67 @@ def embed_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("purity_e6"),
     )
+
+
+@query(
+    "embed_dim_variance_profile",
+    """
+    WITH dims AS (
+        SELECT u.i - 1 AS dim,
+               CAST(FLOOR(embedding[u.i] * 1000000) AS BIGINT) AS v_e6
+        FROM embeddings,
+             LATERAL (SELECT unnest(generate_series(1,
+                          len(embedding))) AS i) u
+    )
+    SELECT CAST(dim AS BIGINT) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(FLOOR(CAST(SUM(v_e6) AS DOUBLE) / COUNT(*)) AS BIGINT)
+               AS mean_e6,
+           CAST(FLOOR((CAST(SUM(v_e6 * v_e6) AS DOUBLE)
+                       - CAST(SUM(v_e6) AS DOUBLE) * SUM(v_e6)
+                         / COUNT(*))
+                      / COUNT(*) / 1000000) AS BIGINT) AS var_e6
+    FROM dims GROUP BY dim
+    """,
+)
+def embed_dim_variance_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/variance profile of the embedding space
+    (round 7) — the collapse diagnostic: dimensions with ~zero
+    variance are wasted capacity (anisotropic or rank-collapsed
+    encoders), and the variance ranking is what embed_pca's spectrum
+    estimates and embed_matryoshka_truncate's prefix assumption
+    depend on.  Run BEFORE trusting any truncation/quantization.
+
+    Exactness: each float quantizes ONCE to e6 (floor — exact on
+    stored f32), then Σ and Σ² are exact bigints per dimension; mean
+    and population variance are one floored double chain each
+    (variance rescaled back to e6 units).
+
+    Scale: posexplode → (dim)-keyed aggregation — one shuffle of
+    (dim, partial) pairs, mergeable; no per-vector state."""
+    e = load(spark, sf_dir, "embeddings")
+    dims = e.select(
+        F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        "dim", F.floor(F.col("v").cast("double") * 1000000).cast("bigint").alias("v_e6")
+    )
+    g = dims.groupBy("dim").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("v_e6").cast("bigint").alias("s"),
+        F.sum(F.col("v_e6") * F.col("v_e6")).cast("bigint").alias("ss"),
+    )
+    mean = F.floor(F.col("s").cast("double") / F.col("n")).cast("bigint")
+    var = F.floor(
+        (
+            F.col("ss").cast("double")
+            - F.col("s").cast("double") * F.col("s") / F.col("n")
+        )
+        / F.col("n")
+        / 1000000
+    ).cast("bigint")
+    return g.select(
+        F.col("dim").cast("bigint").alias("dim"),
+        "n",
+        mean.alias("mean_e6"),
+        var.alias("var_e6"),
+    )

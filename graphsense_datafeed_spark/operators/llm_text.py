@@ -3123,3 +3123,69 @@ def text_readability_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("words") > 0, F.floor(fk * 10000).cast("bigint")
         ).alias("fk_grade_e4"),
     )
+
+
+@query(
+    "text_type_token_ratio",
+    """
+    WITH toks AS (
+        SELECT source, unnest(regexp_extract_all(lower(text),
+                                                 '[a-z0-9]+')) AS tok
+        FROM documents
+    ), tok_counts AS (
+        SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+        FROM toks GROUP BY source, tok
+    )
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(COUNT(*) FILTER (c = 1) AS BIGINT) AS n_hapax,
+           CAST(FLOOR(CAST(COUNT(*) AS DOUBLE) / SUM(c) * 1000000)
+                AS BIGINT) AS ttr_e6,
+           CAST(FLOOR(CAST(COUNT(*) FILTER (c = 1) AS DOUBLE)
+                      / COUNT(*) * 1000000) AS BIGINT) AS hapax_e6
+    FROM tok_counts GROUP BY source
+    """,
+)
+def text_type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-token ratio and hapax share per source (round 7) — the
+    lexical-diversity pair: TTR = distinct types / total tokens
+    (template spam and boilerplate crater it), hapax share = fraction
+    of types seen exactly once (OCR noise and random strings inflate
+    it).  text_heaps_law fits the growth CURVE; this is the per-source
+    point diagnostic that corpus mixers threshold on.
+
+    Exactness: one tokenizer expression (lowercase [a-z0-9] runs)
+    identical in both engines; counts exact bigints; two floored
+    divisions.
+
+    Scale: explode → (source, token)-keyed count (the partial-agg
+    shuffle text_tfidf already pays) → per-source rollup; no windows,
+    no single-partition stage over raw tokens."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit("[a-z0-9]+"), F.lit(0)
+            )
+        ).alias("tok"),
+    )
+    tc = toks.groupBy("source", "tok").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    return tc.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_types"),
+        F.count(F.when(F.col("c") == 1, 1)).cast("bigint").alias("n_hapax"),
+        F.floor(F.count("*").cast("double") / F.sum("c") * 1000000)
+        .cast("bigint")
+        .alias("ttr_e6"),
+        F.floor(
+            F.count(F.when(F.col("c") == 1, 1)).cast("double")
+            / F.count("*")
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("hapax_e6"),
+    )

@@ -4162,3 +4162,143 @@ def ts_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("d"))
     )
     return j.select("event_type", "day", "m_e4", sym.alias("sym"))
+
+
+@query(
+    "ts_durbin_watson",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(FLOOR(CAST(SUM(CAST(FLOOR(value * 10000) AS BIGINT))
+                          AS DOUBLE) / COUNT(*)) AS BIGINT) AS m_e4
+        FROM events GROUP BY event_type, date_trunc('day', ts)
+    ), diffs AS (
+        SELECT event_type, m_e4,
+               m_e4 - lag(m_e4) OVER (PARTITION BY event_type
+                                      ORDER BY day) AS dm
+        FROM daily
+    )
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS k,
+           CASE WHEN CAST(SUM(m_e4 * m_e4) AS DOUBLE)
+                     - CAST(SUM(m_e4) AS DOUBLE) * SUM(m_e4) / COUNT(*)
+                     > 0
+                THEN CAST(FLOOR(CAST(SUM(dm * dm) AS DOUBLE)
+                     / (CAST(SUM(m_e4 * m_e4) AS DOUBLE)
+                        - CAST(SUM(m_e4) AS DOUBLE) * SUM(m_e4)
+                          / COUNT(*))
+                     * 1000000) AS BIGINT)
+                ELSE NULL END AS dw_e6
+    FROM diffs GROUP BY event_type
+    """,
+)
+def ts_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin–Watson autocorrelation statistic of the daily series
+    per event type (round 7) — Σ(Δe)²/Σe² over mean residuals: ≈2 for
+    white noise, →0 under positive serial correlation, →4 under
+    negative.  The one-number companion to ts_acf's full
+    correlogram, and the residual-independence check ts_ljung_box
+    formalizes.
+
+    The algebra that keeps it exact: successive-RESIDUAL differences
+    equal successive-MEAN differences (the group mean cancels), so
+    the numerator is an exact bigint sum of squared e4 diffs; the
+    denominator Σe² = Σm² − (Σm)²/k is one double chain from exact
+    sums; ONE floored division.  Zero-variance groups emit NULL.
+
+    Scale: calendar-bounded daily atoms, one keyed lag window, one
+    keyed aggregate."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts").cast("timestamp"))
+        .cast("date")
+        .alias("day"),
+    ).agg(
+        F.floor(
+            F.sum(F.floor(F.col("value") * 10000).cast("bigint")).cast(
+                "double"
+            )
+            / F.count("*")
+        )
+        .cast("bigint")
+        .alias("m_e4")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    diffs = daily.select(
+        "event_type",
+        "m_e4",
+        (F.col("m_e4") - F.lag("m_e4").over(w)).alias("dm"),
+    )
+    g = diffs.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum(F.col("dm") * F.col("dm")).cast("bigint").alias("num"),
+        F.sum("m_e4").cast("bigint").alias("s"),
+        F.sum(F.col("m_e4") * F.col("m_e4")).cast("bigint").alias("ss"),
+    )
+    den = (
+        F.col("ss").cast("double")
+        - F.col("s").cast("double") * F.col("s") / F.col("k")
+    )
+    return g.select(
+        "event_type",
+        "k",
+        F.when(
+            den > 0,
+            F.floor(F.col("num").cast("double") / den * 1000000).cast(
+                "bigint"
+            ),
+        ).alias("dw_e6"),
+    )
+
+
+@query(
+    "events_interarrival_hist",
+    """
+    WITH gaps AS (
+        SELECT event_type,
+               epoch_us(ts) - epoch_us(lag(ts) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id))
+                   AS gap_us
+        FROM events
+    )
+    SELECT event_type,
+           CAST(length(bin(gap_us + 1)) AS BIGINT) AS bucket_log2,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(MIN(gap_us) AS BIGINT) AS lo_us,
+           CAST(MAX(gap_us) AS BIGINT) AS hi_us
+    FROM gaps WHERE gap_us IS NOT NULL
+    GROUP BY event_type, length(bin(gap_us + 1))
+    """,
+)
+def events_interarrival_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time histogram per event type (round 7), log2
+    buckets — the arrival-process fingerprint (exponential ≈ straight
+    line in log-buckets; heavy-tailed bursts show as a long right
+    tail) that events_burstiness reduces to one number and
+    agg_poisson_dispersion tests at daily grain.
+
+    Determinism: gaps come from the (ts, event_id) total order; the
+    bucket is the BIT LENGTH of (gap_µs + 1) — integer-exact in both
+    engines (length(bin(x)) / length(conv(x,10,2))), no floating log
+    whose libm rounding could flip a power-of-two boundary.
+
+    Scale: one keyed lag window + keyed counts; buckets are ≤64 per
+    group by construction."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev = F.lag(F.col("ts")).over(w)
+    gaps = ev.select(
+        "event_type",
+        (
+            us - F.unix_micros(prev.cast("timestamp"))
+        ).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    bucket = F.length(
+        F.conv((F.col("gap_us") + 1).cast("string"), 10, 2)
+    ).cast("bigint")
+    return gaps.groupBy("event_type", bucket.alias("bucket_log2")).agg(
+        F.count("*").cast("bigint").alias("n_gaps"),
+        F.min("gap_us").cast("bigint").alias("lo_us"),
+        F.max("gap_us").cast("bigint").alias("hi_us"),
+    )

@@ -272,9 +272,9 @@ _ROUND7_WINDOW = (
     "win_hampel_filter",
 )
 
-# Remaining overflow queue -> the round-8 window (80 entries: the 12
+# Remaining overflow queue -> the round-8 window (90 entries: the 12
 # carried r6-queue rows the r7 window didn't reach + the round-6
-# additions minus the front-loaded multimodal_decode_codec + the 12
+# additions minus the front-loaded multimodal_decode_codec + the 22
 # round-7 additions at the tail).  ROUND-8
 # RECIPE: first 50 into the r8 window, front-loading any row that comes
 # back non-green in CORRECTNESS_r07; the remainder (plus any round-7
@@ -364,6 +364,16 @@ _ROUND8_NEXT_UP = (
     "embed_cluster_purity",
     "ingest_address_activity_span",
     "ingest_balance_running_audit",
+    "agg_cohens_kappa",
+    "agg_poisson_dispersion",
+    "ts_durbin_watson",
+    "events_interarrival_hist",
+    "text_type_token_ratio",
+    "graph_degree_gini",
+    "split_temporal_holdout",
+    "embed_dim_variance_profile",
+    "stream_tumbling_distinct",
+    "dedup_minhash_jaccard_estimate",
 )
 
 _loaded = False

@@ -1212,9 +1212,12 @@ def parquet_footer_stats(
             files.append(p)
     if not files:
         raise ValueError(f"parquet_footer_stats: no parquet files in {paths}")
+    # hash-spread the file list across tasks by path (not a bare
+    # repartition(n): with one file that collapses to an Exchange
+    # SinglePartition and reads as a serialization point in the plan)
     flist = spark.createDataFrame(
         [(f,) for f in files], "path string"
-    ).repartition(min(len(files), 64))
+    ).repartition(min(len(files), 64), "path")
 
     def fold(batches):
         import pandas as pd

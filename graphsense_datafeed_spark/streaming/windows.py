@@ -519,3 +519,42 @@ def stream_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     in tests/test_streaming.py, including a forced multi-batch run."""
     result, _ = run_observed_stream(spark, sf_dir)
     return result.select("event_type", "n_events", "cents_sum")
+
+
+@query(
+    "stream_tumbling_distinct",
+    """
+    SELECT date_trunc('hour', ts) AS win_start,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY 1
+    """,
+)
+def stream_tumbling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per tumbling hour, as a real stream
+    (round 7) — the pattern Structured Streaming forbids directly
+    (COUNT(DISTINCT) is unsupported in streaming aggs) executed the
+    supported way: stream-side dropDuplicates on (user_id, hour)
+    collapses each user's events to one state row per window, then a
+    plain streaming COUNT(*) per window is exactly the distinct
+    count.  Final state ≡ the batch COUNT(DISTINCT) oracle.
+
+    This is the streaming DAU primitive (events_stickiness'
+    numerator as a live pipeline); with a watermark the dedup state
+    expires per window — documented production form, exercised
+    un-watermarked here because availableNow replays a bounded
+    fixture.
+
+    Scale: dedup state is |users active in window| rows keyed by
+    (user, window) — the same key the count shuffles on; both stages
+    share one exchange."""
+    s = read_events_stream(spark, sf_dir)
+    hour = F.date_trunc("hour", F.col("ts"))
+    dedup = s.select(
+        "user_id", hour.alias("win_start")
+    ).dropDuplicates(["user_id", "win_start"])
+    agg = dedup.groupBy("win_start").agg(
+        F.count("*").cast("bigint").alias("n_users")
+    )
+    out = run_stream_to_memory(spark, agg, "complete")
+    return out.select("win_start", "n_users")
