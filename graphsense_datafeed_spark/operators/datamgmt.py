@@ -1357,3 +1357,179 @@ def split_temporal_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("hi_us"),
     )
+
+
+@query(
+    "anon_t_closeness",
+    """
+    WITH banded AS (
+        SELECT CAST(c_nationkey AS BIGINT) AS nat_q,
+               c_mktsegment AS seg_q,
+               CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS band
+        FROM customer
+    ), gdist AS (
+        SELECT band, CAST(COUNT(*) AS BIGINT) AS c FROM banded
+        GROUP BY band
+    ), tot AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS m
+        FROM gdist
+    ), grp AS (
+        SELECT nat_q, seg_q, CAST(COUNT(*) AS BIGINT) AS gn
+        FROM banded GROUP BY nat_q, seg_q
+    ), spine AS (
+        SELECT g.nat_q, g.seg_q, g.gn, gl.band, gl.c
+        FROM grp g CROSS JOIN gdist gl
+    ), gcounts AS (
+        SELECT nat_q, seg_q, band, CAST(COUNT(*) AS BIGINT) AS gc
+        FROM banded GROUP BY nat_q, seg_q, band
+    ), cum AS (
+        SELECT s.nat_q, s.seg_q, s.gn,
+               SUM(COALESCE(gc.gc, 0) * t.n - s.c * s.gn)
+                   OVER (PARTITION BY s.nat_q, s.seg_q ORDER BY s.band
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cnum,
+               t.n, t.m
+        FROM spine s
+        LEFT JOIN gcounts gc ON gc.nat_q = s.nat_q
+             AND gc.seg_q = s.seg_q AND gc.band = s.band
+        CROSS JOIN tot t
+    )
+    SELECT nat_q, seg_q, CAST(MAX(gn) AS BIGINT) AS group_n,
+           CAST(FLOOR(CAST(SUM(ABS(cnum)) AS DOUBLE) * 1000000
+                      / ((MAX(m) - 1) * MAX(gn) * MAX(n)))
+                AS BIGINT) AS t_e6,
+           CAST(FLOOR(CAST(SUM(ABS(cnum)) AS DOUBLE) * 1000000
+                      / ((MAX(m) - 1) * MAX(gn) * MAX(n)))
+                AS BIGINT) <= 200000 AS releasable
+    FROM cum GROUP BY nat_q, seg_q
+    """,
+)
+def anon_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (round 7) — completes the anonymization trio
+    (anon_k_suppress: group SIZE; anon_l_diversity: sensitive-value
+    VARIETY; this: sensitive-value DISTRIBUTION): a group can be
+    large and diverse yet still leak by SKEW ('that ZIP's balances
+    are 90% in the top band' tells you plenty about any member).  t =
+    ordered-attribute Earth Mover's Distance between the group's
+    band distribution and the global one, normalized by (m−1);
+    releasable gates at t ≤ 0.2.
+
+    Exactness: EMD over an ordered attribute is Σ_j |cum_j(p − q)|
+    /(m−1); the cumulative differences are computed on the COMMON
+    DENOMINATOR as exact bigints (gc·N − c·gn — no per-band float
+    division), one floored division at the very end.  The band spine
+    cross-joins every group with every global band so absent bands
+    contribute their full deficit.
+
+    Scale: bands and groups are both dimension-bounded (the spine is
+    |groups|·|bands|); one keyed prefix window over the spine, one
+    keyed rollup.  Overflow-safe: gc·N ≤ |rows|² per term."""
+    c = load(spark, sf_dir, "customer")
+    banded = c.select(
+        F.col("c_nationkey").cast("bigint").alias("nat_q"),
+        F.col("c_mktsegment").alias("seg_q"),
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("band"),
+    )
+    glob = banded.groupBy("band").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    tot = glob.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("m"),
+    )
+    grp = banded.groupBy("nat_q", "seg_q").agg(
+        F.count("*").cast("bigint").alias("gn")
+    )
+    spine = grp.crossJoin(F.broadcast(glob))
+    gcounts = banded.groupBy("nat_q", "seg_q", "band").agg(
+        F.count("*").cast("bigint").alias("gc")
+    )
+    cum_src = (
+        spine.join(gcounts, ["nat_q", "seg_q", "band"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "nat_q",
+            "seg_q",
+            "gn",
+            "band",
+            "n",
+            "m",
+            (
+                F.coalesce(F.col("gc"), F.lit(0)) * F.col("n")
+                - F.col("c") * F.col("gn")
+            ).alias("diff"),
+        )
+    )
+    w = (
+        Window.partitionBy("nat_q", "seg_q")
+        .orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = cum_src.select(
+        "nat_q",
+        "seg_q",
+        "gn",
+        "n",
+        "m",
+        F.sum("diff").over(w).alias("cnum"),
+    )
+    t_e6 = F.floor(
+        F.sum(F.abs(F.col("cnum"))).cast("double")
+        * 1000000
+        / ((F.max("m") - 1) * F.max("gn") * F.max("n"))
+    ).cast("bigint")
+    return cum.groupBy("nat_q", "seg_q").agg(
+        F.max("gn").cast("bigint").alias("group_n"),
+        t_e6.alias("t_e6"),
+        (t_e6 <= 200000).alias("releasable"),
+    )
+
+
+@query(
+    "sample_balanced_classes",
+    """
+    WITH counts AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS c
+        FROM documents GROUP BY lang
+    ), target AS (
+        SELECT CAST(MIN(c) AS BIGINT) AS m FROM counts
+    ), ranked AS (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                           doc_id) AS rk
+        FROM documents
+    )
+    SELECT r.doc_id, r.lang
+    FROM ranked r CROSS JOIN target t
+    WHERE r.rk <= t.m
+    """,
+)
+def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced class downsample (round 7) — equalize class sizes by
+    deterministic content-hash ranking: every language keeps exactly
+    min(class size) documents, chosen by md5(doc_id) order — the
+    class-imbalance fix a classifier-training pipeline applies before
+    fitting (text_score_linear_model's training side), with the
+    sample_deterministic reproducibility discipline (reruns, engines
+    and partitionings all pick the SAME rows; no RNG state).
+
+    Scale: per-class rank is a keyed window (WindowGroupLimit-style
+    early pruning applies once the target broadcasts); the target is
+    a 1-row broadcast.  Adding a class or re-sharding never changes
+    another class's picks."""
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").cast("bigint").alias("c"))
+    target = counts.agg(F.min("c").cast("bigint").alias("m"))
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), F.col("doc_id")
+    )
+    ranked = d.select(
+        "doc_id", "lang", F.row_number().over(w).alias("rk")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(target))
+        .filter(F.col("rk") <= F.col("m"))
+        .select("doc_id", "lang")
+    )

@@ -3189,3 +3189,129 @@ def text_type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("hapax_e6"),
     )
+
+
+@query(
+    "corpus_quality_report",
+    """
+    WITH fk AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_short,
+               CAST(SUM(CAST(FLOOR(
+                   (0.39 * (CAST(len(regexp_extract_all(text,
+                        '[A-Za-z]+')) AS DOUBLE)
+                            / GREATEST(len(regexp_extract_all(text,
+                                  '[.!?]+')), 1))
+                    + 11.8 * (CAST(len(regexp_extract_all(lower(text),
+                          '[aeiouy]+')) AS DOUBLE)
+                              / GREATEST(len(regexp_extract_all(text,
+                                    '[A-Za-z]+')), 1))
+                    - 15.59) * 10000) AS BIGINT)) AS BIGINT) AS fk_sum
+        FROM documents GROUP BY source
+    ), toks AS (
+        SELECT source, unnest(regexp_extract_all(lower(text),
+                                                 '[a-z0-9]+')) AS tok
+        FROM documents
+    ), tc AS (
+        SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+        FROM toks GROUP BY source, tok
+    ), lex AS (
+        SELECT source,
+               CAST(FLOOR(CAST(COUNT(*) AS DOUBLE) / SUM(c) * 1000000)
+                    AS BIGINT) AS ttr_e6,
+               CAST(FLOOR(CAST(COUNT(*) FILTER (c = 1) AS DOUBLE)
+                          / COUNT(*) * 1000000) AS BIGINT) AS hapax_e6
+        FROM tc GROUP BY source
+    )
+    SELECT f.source, f.n_docs,
+           CAST(FLOOR(CAST(f.fk_sum AS DOUBLE) / f.n_docs) AS BIGINT)
+               AS mean_fk_e4,
+           CAST(FLOOR(CAST(f.n_short AS DOUBLE) / f.n_docs * 1000000)
+                AS BIGINT) AS short_share_e6,
+           l.ttr_e6, l.hapax_e6
+    FROM fk f JOIN lex l ON l.source = f.source
+    """,
+)
+def corpus_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus QUALITY REPORT (round 7) — the composed
+    dashboard a corpus curator reads before setting mixture weights:
+    readability (mean Flesch–Kincaid, text_readability_fk's feature
+    set with a zero-word guard folded into the per-doc floor),
+    short-document share (the n_chars gate), and lexical diversity
+    (TTR + hapax share, text_type_token_ratio's program) — ONE
+    composed Catalyst plan per source, with the oracle composing the
+    same three stages, so drift in ANY stage hash-mismatches at the
+    end (the ingest_entity_summary / embedding_pipeline
+    stage-composition discipline on the text-quality side).
+
+    Per-doc FK values floor ONCE to e4 bigints before the source sum
+    (exact thereafter); each share is one floored division.
+
+    Scale: a doc-parallel regexp scan + the token-keyed TTR
+    aggregation, joined on the dimension-tiny source key."""
+    d = load(spark, sf_dir, "documents")
+    words = F.regexp_count(F.col("text"), F.lit("[A-Za-z]+")).cast("bigint")
+    sentences = F.greatest(
+        F.regexp_count(F.col("text"), F.lit("[.!?]+")), F.lit(1)
+    ).cast("bigint")
+    syllables = F.regexp_count(
+        F.lower(F.col("text")), F.lit("[aeiouy]+")
+    ).cast("bigint")
+    fk_doc = F.floor(
+        (
+            0.39 * (words.cast("double") / sentences)
+            + 11.8
+            * (
+                syllables.cast("double")
+                / F.greatest(words, F.lit(1)).cast("bigint")
+            )
+            - 15.59
+        )
+        * 10000
+    ).cast("bigint")
+    fk = d.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("n_chars") < 200, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_short"),
+        F.sum(fk_doc).cast("bigint").alias("fk_sum"),
+    )
+    toks = d.select(
+        "source",
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit("[a-z0-9]+"), F.lit(0)
+            )
+        ).alias("tok"),
+    )
+    tc = toks.groupBy("source", "tok").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    lex = tc.groupBy("source").agg(
+        F.floor(F.count("*").cast("double") / F.sum("c") * 1000000)
+        .cast("bigint")
+        .alias("ttr_e6"),
+        F.floor(
+            F.count(F.when(F.col("c") == 1, 1)).cast("double")
+            / F.count("*")
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("hapax_e6"),
+    )
+    return fk.join(lex, "source").select(
+        "source",
+        "n_docs",
+        F.floor(F.col("fk_sum").cast("double") / F.col("n_docs"))
+        .cast("bigint")
+        .alias("mean_fk_e4"),
+        F.floor(
+            F.col("n_short").cast("double") / F.col("n_docs") * 1000000
+        )
+        .cast("bigint")
+        .alias("short_share_e6"),
+        "ttr_e6",
+        "hapax_e6",
+    )

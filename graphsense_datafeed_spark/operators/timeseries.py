@@ -4302,3 +4302,64 @@ def events_interarrival_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("gap_us").cast("bigint").alias("lo_us"),
         F.max("gap_us").cast("bigint").alias("hi_us"),
     )
+
+
+@query(
+    "win_streak_longest",
+    """
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        FROM events
+    ), runs AS (
+        SELECT user_id, day,
+               day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                             ORDER BY day) AS INTEGER)
+                   AS grp
+        FROM days
+    ), streaks AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS len
+        FROM runs GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           CAST(SUM(len) AS BIGINT) AS n_active_days,
+           CAST(MAX(len) AS BIGINT) AS longest_streak,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks
+    FROM streaks GROUP BY user_id
+    """,
+)
+def win_streak_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user (round 7) —
+    the engagement metric every habit-forming product tracks, and the
+    canonical tabibitosan program read out per USER: distinct active
+    days → (day − row_number) is constant exactly within a
+    consecutive run → run lengths → max/sum/count per user.
+    win_gaps_islands emits the islands themselves; this is the
+    per-key streak summary (ingest_block_gaps' cousin on the
+    engagement side).
+
+    Pure integer date arithmetic — no floats, no ties (days are
+    distinct by construction).
+
+    Scale: one user-keyed exchange shared by the distinct, the
+    row_number window and both rollups."""
+    ev = load(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id",
+        F.date_trunc("day", F.col("ts").cast("timestamp"))
+        .cast("date")
+        .alias("day"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    runs = days.select(
+        "user_id",
+        "day",
+        F.date_sub(F.col("day"), F.row_number().over(w)).alias("grp"),
+    )
+    streaks = runs.groupBy("user_id", "grp").agg(
+        F.count("*").cast("bigint").alias("len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.sum("len").cast("bigint").alias("n_active_days"),
+        F.max("len").cast("bigint").alias("longest_streak"),
+        F.count("*").cast("bigint").alias("n_streaks"),
+    )

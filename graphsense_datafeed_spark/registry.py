@@ -272,9 +272,9 @@ _ROUND7_WINDOW = (
     "win_hampel_filter",
 )
 
-# Remaining overflow queue -> the round-8 window (90 entries: the 12
+# Remaining overflow queue -> the round-8 window (94 entries: the 12
 # carried r6-queue rows the r7 window didn't reach + the round-6
-# additions minus the front-loaded multimodal_decode_codec + the 22
+# additions minus the front-loaded multimodal_decode_codec + the 26
 # round-7 additions at the tail).  ROUND-8
 # RECIPE: first 50 into the r8 window, front-loading any row that comes
 # back non-green in CORRECTNESS_r07; the remainder (plus any round-7
@@ -374,6 +374,10 @@ _ROUND8_NEXT_UP = (
     "embed_dim_variance_profile",
     "stream_tumbling_distinct",
     "dedup_minhash_jaccard_estimate",
+    "anon_t_closeness",
+    "sample_balanced_classes",
+    "win_streak_longest",
+    "corpus_quality_report",
 )
 
 _loaded = False

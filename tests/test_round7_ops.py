@@ -521,3 +521,58 @@ def test_minhash_calibration_is_monotone_and_exact_at_8(spark, sf_dir):
     # signature agreement rises (weak monotonicity over observed levels)
     exacts = [r["mean_exact_e6"] for r in rows]
     assert all(b >= a - 100000 for a, b in zip(exacts, exacts[1:]))
+
+
+# ---------- round-7 batch-3 referees ----------
+
+
+def test_t_closeness_bounds_and_global_group(spark, sf_dir):
+    rows = QUERIES["anon_t_closeness"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["t_e6"] <= 1000000  # EMD/(m-1) is in [0,1]
+        assert r["releasable"] == (r["t_e6"] <= 200000)
+
+
+def test_balanced_classes_equal_counts(spark, sf_dir):
+    from collections import Counter
+
+    rows = QUERIES["sample_balanced_classes"](spark, sf_dir).collect()
+    by_lang = Counter(r["lang"] for r in rows)
+    from graphsense_datafeed_spark.sources.scans import load
+
+    d = load(spark, sf_dir, "documents")
+    counts = {
+        r["lang"]: r["c"]
+        for r in d.groupBy("lang").agg(F.count("*").alias("c")).collect()
+    }
+    m = min(counts.values())
+    assert set(by_lang) == set(counts)
+    assert all(v == m for v in by_lang.values())
+    # determinism: second run picks the identical rows
+    again = {
+        (r["doc_id"], r["lang"])
+        for r in QUERIES["sample_balanced_classes"](spark, sf_dir).collect()
+    }
+    assert again == {(r["doc_id"], r["lang"]) for r in rows}
+
+
+def test_streaks_bounded_by_active_days(spark, sf_dir):
+    rows = QUERIES["win_streak_longest"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["longest_streak"] <= r["n_active_days"]
+        assert r["n_streaks"] >= 1
+
+
+def test_quality_report_composes_ttr(spark, sf_dir):
+    """The composed report must agree with its standalone stage."""
+    rep = {
+        r["source"]: (r["ttr_e6"], r["hapax_e6"])
+        for r in QUERIES["corpus_quality_report"](spark, sf_dir).collect()
+    }
+    solo = {
+        r["source"]: (r["ttr_e6"], r["hapax_e6"])
+        for r in QUERIES["text_type_token_ratio"](spark, sf_dir).collect()
+    }
+    assert rep == solo
