@@ -325,3 +325,123 @@ def test_sortable_string_encode_roundtrip_parity(spark, pairs):
         (f"{a:020d}|{b:012d}", (a, b)) for a, b in pairs
     )
     assert [v for _, v in encoded] == sorted((a, b) for a, b in pairs)
+
+
+# ---------- round-7 decomposition kernels (pure-formula properties:
+# these mirror arithmetic BOTH engines run, on inputs the fixture may
+# never exercise — N < buckets, all-tied ranks, degenerate bands) ----
+
+
+def _ntile_direct(n: int, k: int) -> list:
+    """NTILE(k) reference: first (n % k) buckets get (n // k) + 1."""
+    base, rem = divmod(n, k)
+    out = []
+    for b in range(1, k + 1):
+        out.extend([b] * (base + 1 if b <= rem else base))
+    return out
+
+
+@given(st.integers(min_value=1, max_value=2000))
+@settings(max_examples=60, deadline=None)
+def test_equidepth_bucket_formula_equals_ntile(n):
+    """The histogram_equidepth arithmetic — base = N÷8, rem = N mod 8,
+    head = rem·(base+1); bucket = ceil-div against base+1 in the head,
+    shifted ceil-div against base after — must equal NTILE(8) for
+    EVERY rn, including N < 8 and exact-boundary N."""
+    k = 8
+    direct = _ntile_direct(n, k)
+    base, rem = divmod(n, k)
+    head = rem * (base + 1)
+    for rn in range(1, n + 1):
+        if rn <= head:
+            b = (rn + base) // (base + 1)
+        else:
+            b = rem + (rn - head + base - 1) // base
+        assert b == direct[rn - 1], (n, rn)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-50, max_value=50),
+            st.integers(min_value=0, max_value=20),
+        ),
+        min_size=2,
+        max_size=60,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_spearman_doubled_rank_moments_match_reference(pairs):
+    """The doubled-tie-rank Mann-Whitney/Spearman machinery: doubled
+    average ranks computed the atom-table way (2·prev + c + 1 per
+    atom) must equal 2× the classic average rank per element."""
+    xs = [p[0] for p in pairs]
+    # atom-table form
+    from collections import Counter
+
+    cnt = Counter(xs)
+    atoms = sorted(cnt)
+    prev, rank2 = 0, {}
+    for a in atoms:
+        rank2[a] = 2 * prev + cnt[a] + 1
+        prev += cnt[a]
+    # classic average ranks
+    order = sorted(range(len(xs)), key=lambda i: xs[i])
+    classic = [0.0] * len(xs)
+    i = 0
+    while i < len(order):
+        j = i
+        while j < len(order) and xs[order[j]] == xs[order[i]]:
+            j += 1
+        avg = (i + 1 + j) / 2  # average of positions i+1..j
+        for t in range(i, j):
+            classic[order[t]] = avg
+        i = j
+    for i, x in enumerate(xs):
+        assert rank2[x] == int(2 * classic[i])
+
+
+@given(
+    st.lists(st.integers(min_value=-1000, max_value=1000), min_size=1,
+             max_size=9)
+)
+@settings(max_examples=40, deadline=None)
+def test_lower_median_rank_pick_never_empty(values):
+    """The (k+1)//2 integer lower-median pick (median-of-means,
+    Theil–Sen): for every k ≥ 1 the picked rank exists and is the
+    classic lower median."""
+    k = len(values)
+    pick = (k + 1) // 2
+    assert 1 <= pick <= k
+    assert sorted(values)[pick - 1] == sorted(values)[(k - 1) // 2]
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=30), min_size=2,
+             max_size=8),
+    st.lists(st.integers(min_value=0, max_value=30), min_size=2,
+             max_size=8),
+)
+@settings(max_examples=40, deadline=None)
+def test_t_closeness_integer_emd_matches_float_reference(g, q):
+    """The common-denominator integer EMD (anon_t_closeness):
+    Σ|cum(gc·N − c·gn)| / ((m−1)·gn·N) must equal the float EMD over
+    normalized distributions to 1e-9."""
+    m = min(len(g), len(q))
+    g, q = g[:m], q[:m]
+    gn, N = sum(g), sum(q)
+    if gn == 0 or N == 0 or m < 2:
+        return
+    # integer form
+    cum, acc = 0, 0
+    for i in range(m):
+        cum += g[i] * N - q[i] * gn
+        acc += abs(cum)
+    integer_emd = acc / ((m - 1) * gn * N)
+    # float reference
+    cumf, accf = 0.0, 0.0
+    for i in range(m):
+        cumf += g[i] / gn - q[i] / N
+        accf += abs(cumf)
+    float_emd = accf / (m - 1)
+    assert abs(integer_emd - float_emd) < 1e-9
