@@ -3565,3 +3565,108 @@ def agg_poisson_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(disp * 1000000).cast("bigint"),
         ).alias("dispersion_e6"),
     )
+
+
+@query(
+    "agg_jackknife_ratio_se",
+    """
+    WITH base AS (
+        SELECT CASE WHEN event_type = 'purchase'
+                    THEN CAST(FLOOR(value * 10000) AS BIGINT)
+                    ELSE 0 END AS y,
+               CASE WHEN event_type = 'click'
+                    THEN CAST(FLOOR(value * 10000) AS BIGINT)
+                    ELSE 0 END AS x
+        FROM events WHERE event_type IN ('purchase', 'click')
+    ), tot AS (
+        SELECT CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM base
+    ), loo AS (
+        SELECT t.n,
+               CAST(FLOOR(CAST(t.sy - b.y AS DOUBLE) / (t.sx - b.x)
+                          * 1000000000) AS BIGINT) AS r_e9
+        FROM base b CROSS JOIN tot t
+        WHERE t.sx - b.x > 0
+    ), m AS (
+        SELECT CAST(MAX(n) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(CAST(r_e9 AS HUGEINT)) AS HUGEINT) AS s,
+               SUM(CAST(r_e9 AS HUGEINT) * r_e9) AS ss
+        FROM loo
+    )
+    SELECT n, k,
+           CAST(FLOOR(sqrt(
+               (CAST(k AS DOUBLE) - 1) / k
+               * (CAST(ss AS DOUBLE)
+                  - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / k))
+               / 1000) AS BIGINT) AS jackknife_se_e6
+    FROM m
+    """,
+)
+def agg_jackknife_ratio_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jackknife standard error of the purchase/click value RATIO
+    (round 7) — the RESAMPLING companion to agg_ratio_delta_method's
+    analytic SE and agg_bootstrap_se's bootstrap: leave-one-out
+    pseudovalues need no derivative and no RNG, and for a smooth
+    ratio statistic the two should agree — running both is the
+    standard estimator cross-check.
+
+    The leave-one-out trick stays one pass: R₋ᵢ = (Sy−yᵢ)/(Sx−xᵢ)
+    needs only the global totals (1-row broadcast) next to each row.
+    Determinism: each pseudovalue floors ONCE to e9 (the only float
+    op per row), then Σr and Σr² are exact 128-bit integers
+    (HUGEINT/decimal(38) — Σr² overflows bigint at sf0.1), and the
+    SE is one double chain: sqrt((k−1)/k · (Σr² − (Σr)²/k)), scaled
+    back e9→e6.  Rows that would zero the denominator are excluded
+    (documented small-sample caveat).
+
+    Scale: one totals aggregate + one map-side pseudovalue pass +
+    one aggregate — no window, no per-row state."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    v = F.floor(F.col("value") * 10000).cast("bigint")
+    base = ev.select(
+        F.when(F.col("event_type") == "purchase", v).otherwise(0).alias("y"),
+        F.when(F.col("event_type") == "click", v).otherwise(0).alias("x"),
+    )
+    tot = base.agg(
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    loo = (
+        base.crossJoin(F.broadcast(tot))
+        .filter(F.col("sx") - F.col("x") > 0)
+        .select(
+            "n",
+            F.floor(
+                (F.col("sy") - F.col("y")).cast("double")
+                / (F.col("sx") - F.col("x"))
+                * 1000000000
+            )
+            .cast("bigint")
+            .alias("r_e9"),
+        )
+    )
+    d38 = "decimal(38,0)"
+    m = loo.agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("k"),
+        F.sum(F.col("r_e9").cast(d38)).alias("s"),
+        F.sum(F.col("r_e9").cast(d38) * F.col("r_e9")).alias("ss"),
+    )
+    se = F.sqrt(
+        (F.col("k").cast("double") - 1)
+        / F.col("k")
+        * (
+            F.col("ss").cast("double")
+            - F.col("s").cast("double") * F.col("s").cast("double") / F.col("k")
+        )
+    ) / 1000
+    return m.select(
+        "n",
+        "k",
+        F.floor(se).cast("bigint").alias("jackknife_se_e6"),
+    )

@@ -3315,3 +3315,83 @@ def corpus_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ttr_e6",
         "hapax_e6",
     )
+
+
+@query(
+    "text_lang_confusion",
+    """
+    WITH tri AS (
+        SELECT doc_id, lang,
+               substr(lower(text), CAST(i AS INT), 3) AS tg
+        FROM documents,
+             LATERAL (SELECT unnest(range(1, length(text) - 1)) AS i)
+        WHERE length(text) >= 3
+    ), lang_counts AS (
+        SELECT lang, tg, CAST(COUNT(*) AS BIGINT) AS n
+        FROM tri GROUP BY lang, tg
+    ), profile AS (
+        SELECT lang AS p_lang, tg FROM (
+            SELECT lang, tg,
+                   ROW_NUMBER() OVER (PARTITION BY lang
+                                      ORDER BY n DESC, tg) AS rnk
+            FROM lang_counts
+        ) WHERE rnk <= 20
+    ), doc_tris AS (
+        SELECT DISTINCT doc_id, lang, tg FROM tri
+    ), scores AS (
+        SELECT d.doc_id, d.lang, p.p_lang,
+               CAST(COUNT(*) AS BIGINT) AS score
+        FROM doc_tris d JOIN profile p ON d.tg = p.tg
+        GROUP BY d.doc_id, d.lang, p.p_lang
+    ), pred AS (
+        SELECT doc_id, lang, p_lang AS pred_lang FROM (
+            SELECT doc_id, lang, p_lang,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY score DESC, p_lang) AS rnk
+            FROM scores
+        ) WHERE rnk = 1
+    ), cells AS (
+        SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+        FROM pred GROUP BY lang, pred_lang
+    ), tot AS (
+        SELECT lang, CAST(SUM(n) AS BIGINT) AS n_true
+        FROM cells GROUP BY lang
+    )
+    SELECT c.lang, c.pred_lang, c.n, t.n_true,
+           CAST(FLOOR(CAST(c.n AS DOUBLE) / t.n_true * 1000000)
+                AS BIGINT) AS row_share_e6
+    FROM cells c JOIN tot t ON t.lang = c.lang
+    """,
+)
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONFUSION MATRIX of the trigram language classifier (round 7)
+    — closes the classifier-eval loop text_lang_id_trigram opened:
+    per (true, predicted) cell counts with per-true-language row
+    shares (the diagonal is recall).  Reads as 'where does the langid
+    stage send mislabeled documents', which decides whether a
+    low-resource language's corpus slice is trustworthy before
+    mixture weighting.
+
+    Composes the EXACT same train+classify program as the classifier
+    (same top-20 signatures, same argmax tiebreaks), so the oracle's
+    composition re-verifies that plan end-to-end, then adds a keyed
+    rollup — the stage-composition discipline.
+
+    Scale: the classifier's cost profile unchanged; the confusion
+    rollup is |langs|² cells."""
+    pred = text_lang_id_trigram(spark, sf_dir).select("lang", "pred_lang")
+    cells = pred.groupBy("lang", "pred_lang").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    tot = cells.groupBy("lang").agg(
+        F.sum("n").cast("bigint").alias("n_true")
+    )
+    return cells.join(F.broadcast(tot), "lang").select(
+        "lang",
+        "pred_lang",
+        "n",
+        "n_true",
+        F.floor(F.col("n").cast("double") / F.col("n_true") * 1000000)
+        .cast("bigint")
+        .alias("row_share_e6"),
+    )

@@ -4363,3 +4363,119 @@ def win_streak_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("len").cast("bigint").alias("longest_streak"),
         F.count("*").cast("bigint").alias("n_streaks"),
     )
+
+
+@query(
+    "ts_cross_correlation_lagged",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(FLOOR(CAST(SUM(CAST(FLOOR(value * 10000) AS BIGINT))
+                          AS DOUBLE) / COUNT(*)) AS BIGINT) AS m_e4
+        FROM events WHERE event_type IN ('click', 'purchase')
+        GROUP BY event_type, date_trunc('day', ts)
+    ), a AS (SELECT day, m_e4 FROM daily WHERE event_type = 'click'),
+    b AS (SELECT day, m_e4 FROM daily WHERE event_type = 'purchase'),
+    lags AS (SELECT unnest([-3, -2, -1, 0, 1, 2, 3]) AS lag),
+    paired AS (
+        SELECT l.lag, a.m_e4 AS xa, b.m_e4 AS xb
+        FROM lags l
+        JOIN a ON TRUE
+        JOIN b ON b.day = a.day + CAST(l.lag AS INT) * INTERVAL 1 DAY
+    ), m AS (
+        SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(xa) AS BIGINT) AS sa,
+               CAST(SUM(xb) AS BIGINT) AS sb,
+               CAST(SUM(xa * xa) AS BIGINT) AS saa,
+               CAST(SUM(xb * xb) AS BIGINT) AS sbb,
+               CAST(SUM(xa * xb) AS BIGINT) AS sab
+        FROM paired GROUP BY lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag, n_days,
+           CASE WHEN n_days > 1
+                     AND CAST(n_days AS DOUBLE) * saa
+                         - CAST(sa AS DOUBLE) * sa > 0
+                     AND CAST(n_days AS DOUBLE) * sbb
+                         - CAST(sb AS DOUBLE) * sb > 0
+                THEN CAST(FLOOR(
+                    (CAST(n_days AS DOUBLE) * sab
+                     - CAST(sa AS DOUBLE) * sb)
+                    / sqrt((CAST(n_days AS DOUBLE) * saa
+                            - CAST(sa AS DOUBLE) * sa)
+                           * (CAST(n_days AS DOUBLE) * sbb
+                              - CAST(sb AS DOUBLE) * sb))
+                    * 1000000) AS BIGINT)
+                ELSE NULL END AS corr_e6
+    FROM m
+    """,
+)
+def ts_cross_correlation_lagged(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Lagged cross-correlation between the click and purchase daily
+    series (round 7), lags −3..+3 — the lead/lag detector: does click
+    volume today predict purchase volume in k days?  ts_rolling_corr
+    tracks contemporaneous co-movement over time; this sweeps the lag
+    axis once, which is how conversion delay shows up at series
+    grain (events_conversion_lag measures it per user).
+
+    Exactness: daily means floor once to e4; per-lag Pearson moments
+    are exact bigint sums over the lag-shifted day join; one double
+    chain per lag with degenerate-variance guards.
+
+    Scale: the daily atom tables are calendar-bounded; the 7-lag
+    spine is a broadcast constant; each (lag, day) join row count is
+    ≤ 7·|days|."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts").cast("timestamp"))
+        .cast("date")
+        .alias("day"),
+    ).agg(
+        F.floor(
+            F.sum(F.floor(F.col("value") * 10000).cast("bigint")).cast(
+                "double"
+            )
+            / F.count("*")
+        )
+        .cast("bigint")
+        .alias("m_e4")
+    )
+    a = daily.filter(F.col("event_type") == "click").select(
+        F.col("day").alias("a_day"), F.col("m_e4").alias("xa")
+    )
+    b = daily.filter(F.col("event_type") == "purchase").select(
+        F.col("day").alias("b_day"), F.col("m_e4").alias("xb")
+    )
+    lags = spark.range(-3, 4).select(F.col("id").cast("int").alias("lag"))
+    paired = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            F.col("b_day") == F.date_add(F.col("a_day"), F.col("lag")),
+        )
+        .select("lag", "xa", "xb")
+    )
+    m = paired.groupBy("lag").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum("xa").cast("bigint").alias("sa"),
+        F.sum("xb").cast("bigint").alias("sb"),
+        F.sum(F.col("xa") * F.col("xa")).cast("bigint").alias("saa"),
+        F.sum(F.col("xb") * F.col("xb")).cast("bigint").alias("sbb"),
+        F.sum(F.col("xa") * F.col("xb")).cast("bigint").alias("sab"),
+    )
+    nd = F.col("n_days").cast("double")
+    num = nd * F.col("sab") - F.col("sa").cast("double") * F.col("sb")
+    dx = nd * F.col("saa") - F.col("sa").cast("double") * F.col("sa")
+    dy = nd * F.col("sbb") - F.col("sb").cast("double") * F.col("sb")
+    corr = F.floor(num / F.sqrt(dx * dy) * 1000000).cast("bigint")
+    return m.select(
+        F.col("lag").cast("bigint").alias("lag"),
+        "n_days",
+        F.when((F.col("n_days") > 1) & (dx > 0) & (dy > 0), corr).alias(
+            "corr_e6"
+        ),
+    )

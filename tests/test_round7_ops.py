@@ -576,3 +576,68 @@ def test_quality_report_composes_ttr(spark, sf_dir):
         for r in QUERIES["text_type_token_ratio"](spark, sf_dir).collect()
     }
     assert rep == solo
+
+
+# ---------- round-7 batch-4 referees ----------
+
+
+def test_lang_confusion_is_partition_of_predictions(spark, sf_dir):
+    rows = QUERIES["text_lang_confusion"](spark, sf_dir).collect()
+    assert rows
+    n_pred = QUERIES["text_lang_id_trigram"](spark, sf_dir).count()
+    assert sum(r["n"] for r in rows) == n_pred
+    by_lang = {}
+    for r in rows:
+        assert 0 < r["row_share_e6"] <= 1000000
+        by_lang.setdefault(r["lang"], 0)
+        by_lang[r["lang"]] += r["n"]
+    for r in rows:
+        assert by_lang[r["lang"]] == r["n_true"]
+
+
+def test_jackknife_se_agrees_with_delta_method_order(spark, sf_dir):
+    """The jackknife SE of a smooth ratio should be the same ORDER of
+    magnitude as a direct python recomputation (sanity referee — the
+    oracle already pins exactness)."""
+    import math
+
+    r = QUERIES["agg_jackknife_ratio_se"](spark, sf_dir).collect()[0]
+    assert r["k"] <= r["n"]
+    assert r["jackknife_se_e6"] >= 0
+    from graphsense_datafeed_spark.sources.scans import load
+
+    rows = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "click"))
+        .select("event_type", F.floor(F.col("value") * 10000).alias("v"))
+        .collect()
+    )
+    ys = [r2["v"] if r2["event_type"] == "purchase" else 0 for r2 in rows]
+    xs = [r2["v"] if r2["event_type"] == "click" else 0 for r2 in rows]
+    sy, sx = sum(ys), sum(xs)
+    pseudo = [
+        math.floor((sy - y) / (sx - x) * 1e9)
+        for x, y in zip(xs, ys)
+        if sx - x > 0
+    ]
+    k = len(pseudo)
+    mean = sum(pseudo) / k
+    se = math.sqrt((k - 1) / k * sum((p - mean) ** 2 for p in pseudo)) / 1000
+    assert abs(r["jackknife_se_e6"] - math.floor(se)) <= 1
+
+
+def test_cross_correlation_symmetric_coverage(spark, sf_dir):
+    rows = {
+        r["lag"]: r
+        for r in QUERIES["ts_cross_correlation_lagged"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(rows) == set(range(-3, 4))
+    for r in rows.values():
+        if r["corr_e6"] is not None:
+            assert -1000000 <= r["corr_e6"] <= 1000000
+    # lag windows shrink the overlap: |pairs(lag)| <= |pairs(0)|
+    for k in (1, 2, 3):
+        assert rows[k]["n_days"] <= rows[0]["n_days"]
+        assert rows[-k]["n_days"] <= rows[0]["n_days"]
