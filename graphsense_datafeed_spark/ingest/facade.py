@@ -1759,3 +1759,91 @@ def ingest_balance_running_audit(
             (F.min("bal") >= 0).alias("is_consistent"),
         )
     )
+
+
+@query(
+    "ingest_block_interval_stats",
+    f"""
+    WITH heights AS (
+        SELECT DISTINCT height, timestamp FROM {_DUCK_BLOCKS}
+    ), gaps AS (
+        SELECT height,
+               timestamp - lag(timestamp) OVER (ORDER BY height)
+                   AS gap_s
+        FROM heights
+    ), atoms AS (
+        SELECT gap_s, CAST(COUNT(*) AS BIGINT) AS c
+        FROM gaps WHERE gap_s IS NOT NULL GROUP BY gap_s
+    ), ranked AS (
+        SELECT gap_s, c,
+               COALESCE(SUM(c) OVER (ORDER BY gap_s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS prev,
+               CAST(SUM(c) OVER () AS BIGINT) AS n
+        FROM atoms
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_gaps,
+           CAST(MIN(gap_s) AS BIGINT) AS min_gap_s,
+           CAST(MAX(gap_s) AS BIGINT) AS max_gap_s,
+           CAST(MIN(CASE WHEN prev < (n + 1) / 2 AND prev + c >= (n + 1) / 2
+                         THEN gap_s END) AS BIGINT) AS median_gap_s,
+           CAST(FLOOR(CAST(SUM(gap_s * c) AS DOUBLE) / MAX(n)) AS BIGINT)
+               AS mean_gap_s_fl
+    FROM ranked
+    """,
+)
+def ingest_block_interval_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Block inter-arrival statistics (round 7) — the chain-health
+    readout a datafeed dashboard shows first: min/median/mean/max
+    seconds between consecutive blocks.  A drifting median means
+    difficulty retarget lag; a huge max is a stall the daemon's
+    catch-up (ingest_block_gaps) must absorb; the reference's
+    10-minute-target intuition made measurable on the actual feed.
+
+    Exactness: gaps from the height-ordered header tape; the median
+    is the atom-table prefix-count pick (exact discrete lower
+    median, the agg_percentile_disc program); mean is one floored
+    division of exact sums.
+
+    Scale: headers are tiny next to payloads (the ingest_reorg_detect
+    argument); the ordered pass runs over the distinct-GAP atom
+    table, pre-reduced."""
+    raw = read_blocks_json(spark)
+    heights = raw.select("height", "timestamp").distinct()
+    w = Window.orderBy("height")
+    gaps = heights.select(
+        (F.col("timestamp") - F.lag("timestamp").over(w)).alias("gap_s")
+    ).filter(F.col("gap_s").isNotNull())
+    atoms = gaps.groupBy("gap_s").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    w_prev = (
+        Window.orderBy("gap_s").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = atoms.select(
+        "gap_s",
+        "c",
+        F.coalesce(F.sum("c").over(w_prev), F.lit(0)).alias("prev"),
+        F.sum("c").over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    half = (F.col("n") + 1) / 2
+    return ranked.agg(
+        F.max("n").cast("bigint").alias("n_gaps"),
+        F.min("gap_s").cast("bigint").alias("min_gap_s"),
+        F.max("gap_s").cast("bigint").alias("max_gap_s"),
+        F.min(
+            F.when(
+                (F.col("prev") < half) & (F.col("prev") + F.col("c") >= half),
+                F.col("gap_s"),
+            )
+        )
+        .cast("bigint")
+        .alias("median_gap_s"),
+        F.floor(
+            F.sum(F.col("gap_s") * F.col("c")).cast("double") / F.max("n")
+        )
+        .cast("bigint")
+        .alias("mean_gap_s_fl"),
+    )

@@ -897,3 +897,119 @@ def multimodal_video_y4m(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return src.mapInPandas(y4m_batches, out_schema)
+
+
+@query(
+    "multimodal_audio_features",
+    """
+    WITH media AS (
+        SELECT doc_id, repeat(md5(text), 8) AS h
+        FROM documents WHERE doc_id < 200
+    ), samples AS (
+        SELECT doc_id,
+               list_transform(range(0, 64), i -> CASE
+                   WHEN CAST('0x' || substr(h, CAST(i * 4 + 1 AS INT), 2)
+                             AS BIGINT)
+                        + 256 * CAST('0x' || substr(h, CAST(i * 4 + 3 AS INT),
+                                                    2) AS BIGINT) >= 32768
+                   THEN CAST('0x' || substr(h, CAST(i * 4 + 1 AS INT), 2)
+                             AS BIGINT)
+                        + 256 * CAST('0x' || substr(h, CAST(i * 4 + 3 AS INT),
+                                                    2) AS BIGINT) - 65536
+                   ELSE CAST('0x' || substr(h, CAST(i * 4 + 1 AS INT), 2)
+                             AS BIGINT)
+                        + 256 * CAST('0x' || substr(h, CAST(i * 4 + 3 AS INT),
+                                                    2) AS BIGINT)
+               END) AS pcm
+        FROM media
+    ), feats AS (
+        SELECT doc_id,
+               CAST(list_reduce(
+                   list_transform(range(1, 64), i ->
+                       CASE WHEN (pcm[CAST(i AS INT)] < 0)
+                                 <> (pcm[CAST(i + 1 AS INT)] < 0)
+                            THEN 1 ELSE 0 END),
+                   (a, b) -> a + b) AS BIGINT) AS zcr,
+               CAST(list_max(list_transform(pcm, s -> abs(s)))
+                    AS BIGINT) AS peak_abs,
+               CAST(list_reduce(list_transform(pcm, s -> s * s),
+                                (a, b) -> a + b) AS BIGINT) AS sum_sq
+        FROM samples
+    )
+    SELECT doc_id, zcr, peak_abs,
+           CAST(FLOOR(sqrt(CAST(sum_sq AS DOUBLE) / 64) * 100) AS BIGINT)
+               AS rms_e2,
+           CASE WHEN sum_sq > 0 THEN
+               CAST(FLOOR(CAST(peak_abs AS DOUBLE)
+                          / sqrt(CAST(sum_sq AS DOUBLE) / 64)
+                          * 10000) AS BIGINT)
+           ELSE NULL END AS crest_e4
+    FROM feats
+    """,
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Waveform FEATURE EXTRACTION through the real WAV codec path
+    (round 7) — the step after multimodal_audio_wav's decode: each
+    deterministic PCM clip is encoded to RIFF/WAVE, decoded back by
+    the imagecodec WAV codec, and reduced to the first features every
+    audio-curation pipeline computes — zero-crossing rate (spectral
+    brightness proxy), peak amplitude, RMS energy, and crest factor
+    (peak/RMS, the clipping/dynamics diagnostic that flags
+    silence-padded or clipped clips before they reach training).
+
+    The oracle re-derives the SAME int16 samples relationally and
+    computes zcr/peak exactly in integers; RMS and crest are each one
+    double chain (÷64 is an exact power-of-two scaling; IEEE sqrt is
+    correctly rounded in both engines).  A decoder bug upstream
+    breaks zcr/peak before it breaks the digests.
+
+    Scale: one narrow Arrow-batched map, no shuffle."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    src = d.select(
+        "doc_id",
+        F.unhex(F.repeat(F.md5(F.col("text").cast("binary")), 8)).alias(
+            "pcm"
+        ),
+    )
+    out_schema = (
+        "doc_id bigint, zcr bigint, peak_abs bigint, rms_e2 bigint, "
+        "crest_e4 bigint"
+    )
+
+    def feat_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math as _m
+        import struct as _st
+
+        from graphsense_datafeed_spark.operators import imagecodec as _ic
+
+        for pdf in batches:
+            rows = {
+                "doc_id": [],
+                "zcr": [],
+                "peak_abs": [],
+                "rms_e2": [],
+                "crest_e4": [],
+            }
+            for doc_id, pcm in zip(pdf["doc_id"], pdf["pcm"]):
+                payload = _ic.wav_encode(bytes(pcm), 8000, 1, 16)
+                _ic.wav_parse_header(payload)
+                _r, _c, _b, dec = _ic.wav_decode(payload)
+                s = _st.unpack(f"<{len(dec) // 2}h", dec)
+                zcr = sum(
+                    1
+                    for i in range(1, len(s))
+                    if (s[i] < 0) != (s[i - 1] < 0)
+                )
+                peak = max(abs(v) for v in s)
+                sum_sq = sum(v * v for v in s)
+                rms = _m.sqrt(sum_sq / 64)
+                rows["doc_id"].append(doc_id)
+                rows["zcr"].append(zcr)
+                rows["peak_abs"].append(peak)
+                rows["rms_e2"].append(_m.floor(rms * 100))
+                rows["crest_e4"].append(
+                    _m.floor(peak / rms * 10000) if sum_sq > 0 else None
+                )
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(feat_batches, out_schema)

@@ -641,3 +641,35 @@ def test_cross_correlation_symmetric_coverage(spark, sf_dir):
     for k in (1, 2, 3):
         assert rows[k]["n_days"] <= rows[0]["n_days"]
         assert rows[-k]["n_days"] <= rows[0]["n_days"]
+
+
+def test_audio_features_consistency(spark, sf_dir):
+    feats = {
+        r["doc_id"]: r
+        for r in QUERIES["multimodal_audio_features"](
+            spark, sf_dir
+        ).collect()
+    }
+    wav = {
+        r["doc_id"]: r
+        for r in QUERIES["multimodal_audio_wav"](spark, sf_dir).collect()
+    }
+    assert set(feats) == set(wav)
+    import math
+
+    for doc_id, f in feats.items():
+        assert 0 <= f["zcr"] <= 63
+        assert f["peak_abs"] == wav[doc_id]["peak_abs"]  # same decode
+        # rms from the wav op's exact sum_sq must match
+        rms = math.sqrt(wav[doc_id]["sum_sq"] / 64)
+        assert f["rms_e2"] == math.floor(rms * 100)
+        # crest factor >= 1 by definition (peak >= rms)
+        if f["crest_e4"] is not None:
+            assert f["crest_e4"] >= 10000
+
+
+def test_block_interval_stats_orders(spark, sf_dir):
+    r = QUERIES["ingest_block_interval_stats"](spark, sf_dir).collect()[0]
+    assert r["min_gap_s"] <= r["median_gap_s"] <= r["max_gap_s"]
+    assert r["min_gap_s"] <= r["mean_gap_s_fl"] <= r["max_gap_s"]
+    assert r["n_gaps"] > 0
