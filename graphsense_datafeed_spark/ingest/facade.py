@@ -1847,3 +1847,66 @@ def ingest_block_interval_stats(
         .cast("bigint")
         .alias("mean_gap_s_fl"),
     )
+
+
+@query(
+    "ingest_coinbase_subsidy_check",
+    f"""
+    WITH cb AS (
+        SELECT height,
+               CAST((tx).total_output AS BIGINT) AS cb_out
+        FROM (SELECT height, unnest(txs) AS tx FROM {_DUCK_BLOCKS})
+        WHERE (tx).coinbase
+    ), expect AS (
+        SELECT height, cb_out,
+               CAST(5000000000 // power(2, height // 210000) AS BIGINT)
+                   AS subsidy
+        FROM cb
+    )
+    SELECT height, cb_out, subsidy,
+           CAST(cb_out - subsidy AS BIGINT) AS fee_plus_excess,
+           cb_out > subsidy AS exceeds_subsidy
+    FROM expect
+    """,
+)
+def ingest_coinbase_subsidy_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Coinbase SUBSIDY audit per block (round 7) — the consensus
+    invariant a chain ingest can check for free: the coinbase output
+    must equal block subsidy (50 BTC halved every 210 000 blocks) plus
+    collected fees; cb_out − subsidy is the implied fee take, and
+    cb_out below subsidy means the miner burned coins (rare but real
+    — and a parser bug looks exactly like it).  The synthetic feed's
+    coinbase values are arbitrary, so the audit mostly FLAGS — which
+    is the point: both engines must locate the same violations
+    (ingest_balance_running_audit's prey discipline).
+
+    Exact satoshi bigints; the halving shift is power-of-two integer
+    arithmetic identical in both engines (fixture heights < 210 000
+    keep the exponent at 0-range; the formula is the real schedule).
+
+    Scale: coinbase rows are one per block — header-scale."""
+    raw = normalize_blocks(read_blocks_json(spark))
+    cb = (
+        raw.select("height", F.explode("txs").alias("tx"))
+        .filter(F.col("tx.coinbase"))
+        .select(
+            "height",
+            F.col("tx.total_output").cast("bigint").alias("cb_out"),
+        )
+    )
+    subsidy = (
+        F.lit(5000000000)
+        / F.pow(F.lit(2.0), F.floor(F.col("height") / 210000))
+    ).cast("bigint")
+    e = cb.select("height", "cb_out", subsidy.alias("subsidy"))
+    return e.select(
+        "height",
+        "cb_out",
+        "subsidy",
+        (F.col("cb_out") - F.col("subsidy")).cast("bigint").alias(
+            "fee_plus_excess"
+        ),
+        (F.col("cb_out") > F.col("subsidy")).alias("exceeds_subsidy"),
+    )

@@ -26,7 +26,7 @@ Scale notes:
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from graphsense_datafeed_spark.registry import query
 from graphsense_datafeed_spark.sources.tables import load
@@ -198,3 +198,138 @@ def text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         * 1000000
     ).cast("bigint")
     return joined.select("tok_a", "tok_b", "n_ab", pmi.alias("pmi_e6"))
+
+
+@query(
+    "rank_biased_overlap",
+    """
+    WITH rev AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS v
+        FROM lineitem GROUP BY l_partkey
+    ), qty AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS v
+        FROM lineitem GROUP BY l_partkey
+    ), ra AS (
+        SELECT l_partkey, ROW_NUMBER() OVER (ORDER BY v DESC, l_partkey)
+                   AS r
+        FROM rev QUALIFY r <= 20
+    ), rb AS (
+        SELECT l_partkey, ROW_NUMBER() OVER (ORDER BY v DESC, l_partkey)
+                   AS r
+        FROM qty QUALIFY r <= 20
+    ), entries AS (
+        SELECT GREATEST(ra.r, rb.r) AS entry
+        FROM ra JOIN rb USING (l_partkey)
+    ), depths AS (
+        SELECT unnest(range(1, 21)) AS d
+    ), xd AS (
+        SELECT d, CAST(COUNT(e.entry) AS BIGINT) AS x
+        FROM depths LEFT JOIN entries e ON e.entry <= d
+        GROUP BY d
+    ), folded AS (
+        SELECT CAST(SUM(CASE WHEN d = 20 THEN x END) AS BIGINT)
+                   AS n_common,
+               list_reduce(
+                   list_transform(
+                       [CAST(1.0 AS DOUBLE)]
+                       || list(CAST(x AS DOUBLE) / d ORDER BY d),
+                       x -> [x, CAST(0.0 AS DOUBLE)]),
+                   (a, b) -> [a[1] * CAST(0.9 AS DOUBLE),
+                              a[2] + a[1] * b[1]]) AS st
+        FROM xd
+    )
+    SELECT n_common,
+           CAST(FLOOR(st[2] * 0.1 * 1000000) AS BIGINT)
+               AS rbo_trunc_e6
+    FROM folded
+    """,
+)
+def rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-Biased Overlap between two top-20 rankings (round 7) —
+    parts by REVENUE vs parts by QUANTITY, compared with the
+    top-weighted indefinite-ranking similarity of Webber et al.
+    (truncated form, p = 0.9): RBO = (1−p)·Σ p^{d−1}·|A₁..d ∩
+    B₁..d|/d.  The ranking-STABILITY leg of the eval family —
+    embed_retrieval_ndcg scores one ranking against relevance; RBO
+    scores two rankings against each other (did the re-rank change
+    what users actually see?).
+
+    Determinism: prefix-intersection sizes come from each common
+    part's ENTRY DEPTH max(ra, rb) — exact integers; the 20-term
+    weighted sum runs as an ORDERED fold (sorted list → list_reduce /
+    F.aggregate carrying [pw, acc]) so both engines execute the
+    identical IEEE sequence — no SUM() float reassociation, no pow()
+    (powers accumulate by repeated multiply, the ts_holt fold
+    discipline).
+
+    Scale: rankings are top-k of keyed aggregates (WindowGroupLimit
+    class); everything after is ≤20-row arithmetic."""
+    li = load(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("v")
+    )
+    qty = li.groupBy("l_partkey").agg(
+        F.sum(F.floor(F.col("l_quantity")).cast("bigint"))
+        .cast("bigint")
+        .alias("v")
+    )
+
+    def top20(df):
+        w = Window.orderBy(F.col("v").desc(), "l_partkey")
+        return (
+            df.select("l_partkey", F.row_number().over(w).alias("r"))
+            .filter(F.col("r") <= 20)
+        )
+
+    ra = top20(rev).select("l_partkey", F.col("r").alias("ra"))
+    rb = top20(qty).select("l_partkey", F.col("r").alias("rb"))
+    entries = ra.join(rb, "l_partkey").select(
+        F.greatest("ra", "rb").alias("entry")
+    )
+    depths = spark.range(1, 21).select(F.col("id").cast("int").alias("d"))
+    xd = (
+        depths.join(entries, F.col("entry") <= F.col("d"), "left")
+        .groupBy("d")
+        .agg(F.count("entry").cast("bigint").alias("x"))
+    )
+    folded = xd.agg(
+        F.sum(F.when(F.col("d") == 20, F.col("x")))
+        .cast("bigint")
+        .alias("n_common"),
+        # NOTE: Spark's aggregate() takes an explicit seed, so the
+        # ratio array carries NO sentinel; the DuckDB oracle prepends
+        # a 1.0 sentinel because list_reduce seeds from element 1.
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("d").cast("int").alias("d"),
+                            (
+                                F.col("x").cast("double") / F.col("d")
+                            ).alias("r"),
+                        )
+                    )
+                ),
+                lambda s: s["r"],
+            ),
+            F.struct(
+                F.lit(1.0).alias("pw"), F.lit(0.0).alias("acc")
+            ),
+            lambda a, x: F.struct(
+                (a["pw"] * 0.9).alias("pw"),
+                (a["acc"] + a["pw"] * x).alias("acc"),
+            ),
+        ).alias("st"),
+    )
+    return folded.select(
+        "n_common",
+        F.floor(F.col("st")["acc"] * 0.1 * 1000000)
+        .cast("bigint")
+        .alias("rbo_trunc_e6"),
+    )

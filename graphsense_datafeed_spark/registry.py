@@ -272,9 +272,9 @@ _ROUND7_WINDOW = (
     "win_hampel_filter",
 )
 
-# Remaining overflow queue -> the round-8 window (99 entries: the 12
+# Remaining overflow queue -> the round-8 window (101 entries: the 12
 # carried r6-queue rows the r7 window didn't reach + the round-6
-# additions minus the front-loaded multimodal_decode_codec + the 31
+# additions minus the front-loaded multimodal_decode_codec + the 33
 # round-7 additions at the tail).  ROUND-8
 # RECIPE: first 50 into the r8 window, front-loading any row that comes
 # back non-green in CORRECTNESS_r07; the remainder (plus any round-7
@@ -383,6 +383,8 @@ _ROUND8_NEXT_UP = (
     "ts_cross_correlation_lagged",
     "multimodal_audio_features",
     "ingest_block_interval_stats",
+    "ingest_coinbase_subsidy_check",
+    "rank_biased_overlap",
 )
 
 _loaded = False

@@ -673,3 +673,28 @@ def test_block_interval_stats_orders(spark, sf_dir):
     assert r["min_gap_s"] <= r["median_gap_s"] <= r["max_gap_s"]
     assert r["min_gap_s"] <= r["mean_gap_s_fl"] <= r["max_gap_s"]
     assert r["n_gaps"] > 0
+
+
+def test_coinbase_audit_one_row_per_block(spark, sf_dir):
+    rows = QUERIES["ingest_coinbase_subsidy_check"](spark, sf_dir).collect()
+    assert rows
+    heights = [r["height"] for r in rows]
+    assert len(heights) == len(set(heights))
+    for r in rows:
+        assert r["subsidy"] == 5000000000 >> (r["height"] // 210000)
+        assert r["fee_plus_excess"] == r["cb_out"] - r["subsidy"]
+
+
+def test_rbo_bounds_and_identity(spark, sf_dir):
+    r = QUERIES["rank_biased_overlap"](spark, sf_dir).collect()[0]
+    assert 0 <= r["n_common"] <= 20
+    assert 0 <= r["rbo_trunc_e6"] <= 1000000
+    # identical rankings would give the p-truncated maximum; sanity:
+    # the observed rbo cannot exceed that bound
+    import math
+
+    pw, acc = 1.0, 0.0
+    for _d in range(1, 21):
+        acc += pw * 1.0
+        pw *= 0.9
+    assert r["rbo_trunc_e6"] <= math.floor(acc * 0.1 * 1e6)
