@@ -698,3 +698,33 @@ def test_rbo_bounds_and_identity(spark, sf_dir):
         acc += pw * 1.0
         pw *= 0.9
     assert r["rbo_trunc_e6"] <= math.floor(acc * 0.1 * 1e6)
+
+
+def test_grouped_quantiles_match_sorted_readout(spark, sf_dir):
+    from graphsense_datafeed_spark.sources.scans import load
+
+    got = {
+        r["event_type"]: r
+        for r in QUERIES["agg_quantiles_grouped"](spark, sf_dir).collect()
+    }
+    vals = {}
+    for r in (
+        load(spark, sf_dir, "events")
+        .select("event_type", F.floor(F.col("value") * 10000).alias("v"))
+        .collect()
+    ):
+        vals.setdefault(r["event_type"], []).append(r["v"])
+    for g, xs in vals.items():
+        xs.sort()
+        n = len(xs)
+        for col, q in (
+            ("p25_e4", 0.25),
+            ("p50_e4", 0.5),
+            ("p75_e4", 0.75),
+            ("p90_e4", 0.9),
+        ):
+            import math
+
+            want = xs[math.ceil(n * q) - 1]  # discrete lower quantile
+            assert got[g][col] == want, (g, col)
+        assert got[g]["n"] == n
