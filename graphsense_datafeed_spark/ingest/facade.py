@@ -1910,3 +1910,55 @@ def ingest_coinbase_subsidy_check(
         ),
         (F.col("cb_out") > F.col("subsidy")).alias("exceeds_subsidy"),
     )
+
+
+@query(
+    "ingest_tx_fanout_census",
+    f"""
+    WITH txr AS (
+        SELECT unnest(txs) AS tx FROM {_DUCK_BLOCKS}
+    ), shapes AS (
+        SELECT LEAST(len((tx).inputs), 5) AS in_bucket,
+               LEAST(len((tx).outputs), 5) AS out_bucket,
+               (tx).coinbase AS coinbase
+        FROM txr
+    )
+    SELECT CAST(in_bucket AS BIGINT) AS in_bucket,
+           CAST(out_bucket AS BIGINT) AS out_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_txs,
+           CAST(COUNT(*) FILTER (coinbase) AS BIGINT) AS n_coinbase
+    FROM shapes GROUP BY in_bucket, out_bucket
+    """,
+)
+def ingest_tx_fanout_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transaction FAN-OUT census (round 7) — the (inputs × outputs)
+    shape histogram, capped at 5+: the motif table chain analysts
+    read first (many→1 = consolidation sweeps, 1→many =
+    batched payouts/distribution, 1→2 = the classic payment+change
+    pair, 0→1 = coinbase).  The co-spend heuristic's input-side
+    fan-in (ingest_entity_cospend) and the dedup hub-cap discipline
+    both key off exactly this distribution.
+
+    Exact bucket counts; the cap keeps the census table ≤36 rows at
+    any corpus size.
+
+    Scale: one explode + one keyed aggregate over per-tx array
+    LENGTHS — the payload arrays are never exploded."""
+    raw = normalize_blocks(read_blocks_json(spark))
+    txr = raw.select(F.explode("txs").alias("tx"))
+    shapes = txr.select(
+        F.least(F.size("tx.inputs"), F.lit(5)).alias("in_bucket"),
+        F.least(F.size("tx.outputs"), F.lit(5)).alias("out_bucket"),
+        F.col("tx.coinbase").alias("coinbase"),
+    )
+    return shapes.groupBy("in_bucket", "out_bucket").agg(
+        F.count("*").cast("bigint").alias("n_txs"),
+        F.count(F.when(F.col("coinbase"), 1))
+        .cast("bigint")
+        .alias("n_coinbase"),
+    ).select(
+        F.col("in_bucket").cast("bigint").alias("in_bucket"),
+        F.col("out_bucket").cast("bigint").alias("out_bucket"),
+        "n_txs",
+        "n_coinbase",
+    )

@@ -3744,3 +3744,76 @@ def agg_quantiles_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick(4, 3).alias("p75_e4"),
         pick(10, 9).alias("p90_e4"),
     )
+
+
+@query(
+    "agg_mcnemar_test",
+    """
+    WITH rated AS (
+        SELECT CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS a,
+               CASE WHEN length(text) - length(replace(text, ' ', ''))
+                         >= 30 THEN 1 ELSE 0 END AS b
+        FROM documents
+    ), c AS (
+        SELECT CAST(COUNT(*) FILTER (a = 1 AND b = 0) AS BIGINT) AS n10,
+               CAST(COUNT(*) FILTER (a = 0 AND b = 1) AS BIGINT) AS n01
+        FROM rated
+    )
+    SELECT n10, n01,
+           CASE WHEN n10 + n01 > 0 THEN
+               CAST(FLOOR(CAST((n10 - n01) * (n10 - n01) AS DOUBLE)
+                          / (n10 + n01) * 10000) AS BIGINT)
+           ELSE NULL END AS chi2_e4,
+           CASE WHEN n10 + n01 > 0 THEN
+               CAST(FLOOR(CAST((ABS(n10 - n01) - 1)
+                               * (ABS(n10 - n01) - 1) AS DOUBLE)
+                          / (n10 + n01) * 10000) AS BIGINT)
+           ELSE NULL END AS chi2_cc_e4
+    FROM c
+    """,
+)
+def agg_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test on the paired rater table (round 7) — the
+    SIGNIFICANCE companion to agg_cohens_kappa: kappa says how much
+    two filter rules agree; McNemar says whether their DISAGREEMENTS
+    are systematically one-sided (rule A keeps documents rule B
+    drops far more often than vice versa — i.e. the rules are not
+    interchangeable, one is strictly stricter).  Only the discordant
+    cells matter: χ² = (n₁₀−n₀₁)²/(n₁₀+n₀₁), with the
+    continuity-corrected variant alongside.
+
+    Exact discordant-cell bigints; each statistic is one floored
+    double division; no-disagreement tables emit NULL.
+
+    Scale: the same single pre-reduced global aggregate as kappa."""
+    d = load(spark, sf_dir, "documents")
+    a = F.when(F.col("n_chars") >= 200, 1).otherwise(0)
+    b = F.when(
+        (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit(" ")))
+        )
+        >= 30,
+        1,
+    ).otherwise(0)
+    c = d.select(a.alias("a"), b.alias("b")).agg(
+        F.count(F.when((F.col("a") == 1) & (F.col("b") == 0), 1))
+        .cast("bigint")
+        .alias("n10"),
+        F.count(F.when((F.col("a") == 0) & (F.col("b") == 1), 1))
+        .cast("bigint")
+        .alias("n01"),
+    )
+    disc = F.col("n10") + F.col("n01")
+    diff = F.col("n10") - F.col("n01")
+    chi2 = F.floor((diff * diff).cast("double") / disc * 10000).cast(
+        "bigint"
+    )
+    cc = (F.abs(diff) - 1) * (F.abs(diff) - 1)
+    chi2_cc = F.floor(cc.cast("double") / disc * 10000).cast("bigint")
+    return c.select(
+        "n10",
+        "n01",
+        F.when(disc > 0, chi2).alias("chi2_e4"),
+        F.when(disc > 0, chi2_cc).alias("chi2_cc_e4"),
+    )

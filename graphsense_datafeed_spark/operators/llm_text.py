@@ -3395,3 +3395,75 @@ def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("row_share_e6"),
     )
+
+
+@query(
+    "text_code_detect",
+    """
+    WITH f AS (
+        SELECT doc_id,
+               CAST(GREATEST(length(text), 1) AS BIGINT) AS n,
+               CAST(len(regexp_extract_all(text, '[{{}}()\\[\\];=<>]'))
+                    AS BIGINT) AS n_sym,
+               CAST(len(regexp_extract_all(text, '\\n[ \\t]+'))
+                    AS BIGINT) AS n_indent,
+               CAST(len(regexp_extract_all(text,
+                    '(def |function |class |import |return |void |int )'))
+                    AS BIGINT) AS n_kw
+        FROM documents
+    )
+    SELECT doc_id, n_sym, n_indent, n_kw,
+           CAST(FLOOR(CAST(n_sym AS DOUBLE) / n * 1000000) AS BIGINT)
+               AS sym_density_e6,
+           (CAST(n_sym AS DOUBLE) / n > 0.03 AND n_kw >= 2)
+               OR n_indent >= 5 AS looks_like_code
+    FROM f
+    """,
+)
+def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CODE-vs-prose detection heuristic (round 7) — the corpus-mixing
+    gate between text_gopher_rules (prose quality) and
+    text_lang_id_trigram (natural language): code has its own mixture
+    weight in every modern pretraining recipe, and misrouted code
+    inflates prose perplexity while misrouted prose pollutes code
+    fine-tunes.  Features: structural-symbol density ({}();=<>),
+    indented-line count, and a keyword hit count; the flag combines
+    them with fixed thresholds.
+
+    Rule-exact regexp counts identical in both engines (no tokenizer,
+    no model); one floored density division.  On the synthetic prose
+    corpus the flag is mostly false — the pytest plants a code
+    document and asserts it flags.
+
+    Scale: embarrassingly parallel single scan."""
+    d = load(spark, sf_dir, "documents")
+    n = F.greatest(F.length("text"), F.lit(1)).cast("bigint")
+    n_sym = F.regexp_count(
+        F.col("text"), F.lit(r"[{}()\[\];=<>]")
+    ).cast("bigint")
+    n_indent = F.regexp_count(
+        F.col("text"), F.lit("\n[ \t]+")
+    ).cast("bigint")
+    n_kw = F.regexp_count(
+        F.col("text"),
+        F.lit("(def |function |class |import |return |void |int )"),
+    ).cast("bigint")
+    f = d.select(
+        "doc_id",
+        n.alias("n"),
+        n_sym.alias("n_sym"),
+        n_indent.alias("n_indent"),
+        n_kw.alias("n_kw"),
+    )
+    density = F.col("n_sym").cast("double") / F.col("n")
+    return f.select(
+        "doc_id",
+        "n_sym",
+        "n_indent",
+        "n_kw",
+        F.floor(density * 1000000).cast("bigint").alias("sym_density_e6"),
+        (
+            ((density > 0.03) & (F.col("n_kw") >= 2))
+            | (F.col("n_indent") >= 5)
+        ).alias("looks_like_code"),
+    )

@@ -728,3 +728,55 @@ def test_grouped_quantiles_match_sorted_readout(spark, sf_dir):
             want = xs[math.ceil(n * q) - 1]  # discrete lower quantile
             assert got[g][col] == want, (g, col)
         assert got[g]["n"] == n
+
+
+def test_mcnemar_consistent_with_kappa_table(spark, sf_dir):
+    mc = QUERIES["agg_mcnemar_test"](spark, sf_dir).collect()[0]
+    ck = QUERIES["agg_cohens_kappa"](spark, sf_dir).collect()[0]
+    assert (mc["n10"], mc["n01"]) == (ck["n10"], ck["n01"])
+    if mc["chi2_e4"] is not None:
+        assert mc["chi2_cc_e4"] <= mc["chi2_e4"] + 10000
+
+
+def test_tx_fanout_census_partitions_txs(spark, sf_dir):
+    rows = QUERIES["ingest_tx_fanout_census"](spark, sf_dir).collect()
+    assert rows and len(rows) <= 36
+    n_cb = sum(r["n_coinbase"] for r in rows)
+    assert n_cb > 0  # one coinbase per block
+    for r in rows:
+        assert 0 <= r["in_bucket"] <= 5 and 0 <= r["out_bucket"] <= 5
+        assert r["n_coinbase"] <= r["n_txs"]
+
+
+def test_code_detect_flags_planted_code(spark):
+    import pandas as pd
+
+    code = (
+        "def f(x):\n    return [x];\n"
+        "def g(y):\n    import os;\n    return {y: (y)};\n"
+        "class A:\n    def h(self):\n        return self;\n"
+    )
+    prose = "The quick brown fox jumps over the lazy dog again and again."
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": [code, prose]})
+    )
+    import pyspark.sql.functions as SF
+
+    n = SF.greatest(SF.length("text"), SF.lit(1))
+    density = (
+        SF.regexp_count(SF.col("text"), SF.lit(r"[{}()\[\];=<>]")).cast(
+            "double"
+        )
+        / n
+    )
+    n_indent = SF.regexp_count(SF.col("text"), SF.lit("\n[ \t]+"))
+    n_kw = SF.regexp_count(
+        SF.col("text"),
+        SF.lit("(def |function |class |import |return |void |int )"),
+    )
+    flag = ((density > 0.03) & (n_kw >= 2)) | (n_indent >= 5)
+    got = {
+        r["doc_id"]: r["f"]
+        for r in sdf.select("doc_id", flag.alias("f")).collect()
+    }
+    assert got[1] is True and got[2] is False
