@@ -1962,3 +1962,161 @@ def ingest_tx_fanout_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_txs",
         "n_coinbase",
     )
+
+
+@query(
+    "ingest_change_address_heuristic",
+    f"""
+    WITH txr AS (
+        SELECT height, unnest(txs) AS tx FROM {_DUCK_BLOCKS}
+    ), outs AS (
+        SELECT height, (tx).tx_hash AS tx_hash,
+               len((tx).outputs) AS n_out, (tx).coinbase AS coinbase,
+               (o).address[1] AS address
+        FROM (SELECT height, tx, unnest((tx).outputs) AS o FROM txr)
+    ), first_seen AS (
+        SELECT address, CAST(MIN(height) AS BIGINT) AS first_height
+        FROM outs GROUP BY address
+    ), flagged AS (
+        SELECT o.height, o.tx_hash,
+               CASE WHEN o.n_out = 2 AND NOT o.coinbase
+                         AND f.first_height = o.height
+                    THEN 1 ELSE 0 END AS is_change_candidate
+        FROM outs o JOIN first_seen f ON f.address = o.address
+    )
+    SELECT height,
+           CAST(COUNT(*) AS BIGINT) AS n_outputs,
+           CAST(SUM(is_change_candidate) AS BIGINT) AS n_change_candidates
+    FROM flagged GROUP BY height
+    """,
+)
+def ingest_change_address_heuristic(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CHANGE-ADDRESS heuristic census (round 7) — GraphSense's other
+    clustering signal next to co-spend: in a 2-output non-coinbase
+    payment, the output paying a NEVER-SEEN-BEFORE address is the
+    likely change back to the spender (fresh-address wallet
+    behavior).  This census counts, per block, outputs that satisfy
+    the heuristic's structural precondition (2-out, non-coinbase,
+    address first appearance at this height) — the candidate stream a
+    full change-linking stage (entity merge with co-spend) consumes.
+
+    Exactness: first-appearance is an exact MIN(height) per address;
+    the flag is pure integer predicates; per-block counts exact.
+
+    Scale: one address-keyed first-seen aggregate joined back to the
+    output stream on address (the partition key the address table is
+    stored under), then a height-keyed rollup."""
+    raw = normalize_blocks(read_blocks_json(spark))
+    txr = raw.select("height", F.explode("txs").alias("tx"))
+    outs = txr.select(
+        "height",
+        F.col("tx.tx_hash").alias("tx_hash"),
+        F.size("tx.outputs").alias("n_out"),
+        F.col("tx.coinbase").alias("coinbase"),
+        F.explode("tx.outputs").alias("o"),
+    ).select(
+        "height",
+        "tx_hash",
+        "n_out",
+        "coinbase",
+        F.col("o.address")[0].alias("address"),
+    )
+    first_seen = outs.groupBy("address").agg(
+        F.min("height").cast("bigint").alias("first_height")
+    )
+    flagged = outs.join(first_seen, "address").select(
+        "height",
+        F.when(
+            (F.col("n_out") == 2)
+            & (~F.col("coinbase"))
+            & (F.col("first_height") == F.col("height")),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_change_candidate"),
+    )
+    return flagged.groupBy("height").agg(
+        F.count("*").cast("bigint").alias("n_outputs"),
+        F.sum("is_change_candidate")
+        .cast("bigint")
+        .alias("n_change_candidates"),
+    )
+
+
+@query(
+    "ingest_peel_shape_census",
+    f"""
+    WITH txr AS (
+        SELECT unnest(txs) AS tx FROM {_DUCK_BLOCKS}
+    ), shaped AS (
+        SELECT (tx).tx_hash AS tx_hash
+        FROM txr
+        WHERE NOT (tx).coinbase
+          AND len((tx).inputs) = 1 AND len((tx).outputs) = 2
+          AND GREATEST((tx).outputs[1].value, (tx).outputs[2].value) * 10
+              >= (tx).total_input * 9
+    ), base AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_txs,
+               CAST(COUNT(*) FILTER (NOT (tx).coinbase
+                    AND len((tx).inputs) = 1
+                    AND len((tx).outputs) = 2) AS BIGINT) AS n_1in2out
+        FROM txr
+    )
+    SELECT b.n_txs, b.n_1in2out,
+           CAST((SELECT COUNT(*) FROM shaped) AS BIGINT) AS n_peel_shaped,
+           CAST(FLOOR(CAST((SELECT COUNT(*) FROM shaped) AS DOUBLE)
+                      / GREATEST(b.n_1in2out, 1) * 1000000) AS BIGINT)
+               AS peel_share_e6
+    FROM base b
+    """,
+)
+def ingest_peel_shape_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PEELING-CHAIN shape census (round 7) — the structural signature
+    of automated payout chains (exchanges, mixers): a 1-input/2-output
+    transaction whose larger output carries ≥90% of the input value is
+    one 'peel' — long runs of them are the chains GraphSense's flow
+    tracing follows.  This census measures how much of the 1-in-2-out
+    population is peel-shaped — the precondition census the full
+    chain-LINKING stage (tx graph traversal over change links)
+    consumes, and a corpus-level fingerprint of automated vs organic
+    payment traffic.
+
+    Exactness: the ≥90% test is integer cross-multiplication
+    (out·10 ≥ in·9 — no float division); one floored share at the
+    end.
+
+    Scale: pure per-tx predicates over array lengths and two array
+    elements — no explode of payload arrays, one global census
+    aggregate."""
+    raw = normalize_blocks(read_blocks_json(spark))
+    txr = raw.select(F.explode("txs").alias("tx"))
+    is_1in2out = (
+        (~F.col("tx.coinbase"))
+        & (F.size("tx.inputs") == 1)
+        & (F.size("tx.outputs") == 2)
+    )
+    bigger = F.greatest(
+        F.col("tx.outputs")[0]["value"], F.col("tx.outputs")[1]["value"]
+    )
+    is_peel = is_1in2out & (
+        bigger * 10 >= F.col("tx.total_input") * 9
+    )
+    base = txr.agg(
+        F.count("*").cast("bigint").alias("n_txs"),
+        F.count(F.when(is_1in2out, 1)).cast("bigint").alias("n_1in2out"),
+        F.count(F.when(is_peel, 1)).cast("bigint").alias("n_peel_shaped"),
+    )
+    return base.select(
+        "n_txs",
+        "n_1in2out",
+        "n_peel_shaped",
+        F.floor(
+            F.col("n_peel_shaped").cast("double")
+            / F.greatest(F.col("n_1in2out"), F.lit(1))
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("peel_share_e6"),
+    )

@@ -3817,3 +3817,100 @@ def agg_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(disc > 0, chi2).alias("chi2_e4"),
         F.when(disc > 0, chi2_cc).alias("chi2_cc_e4"),
     )
+
+
+@query(
+    "agg_cochran_q",
+    """
+    WITH rated AS (
+        SELECT CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END
+               + CASE WHEN length(text) - length(replace(text, ' ', ''))
+                           >= 30 THEN 1 ELSE 0 END
+               + CASE WHEN len(regexp_extract_all(text, '[.!?]+')) >= 3
+                      THEN 1 ELSE 0 END AS row_sum,
+               CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS r1,
+               CASE WHEN length(text) - length(replace(text, ' ', ''))
+                         >= 30 THEN 1 ELSE 0 END AS r2,
+               CASE WHEN len(regexp_extract_all(text, '[.!?]+')) >= 3
+                    THEN 1 ELSE 0 END AS r3
+        FROM documents
+    ), m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(r1) AS BIGINT) AS c1,
+               CAST(SUM(r2) AS BIGINT) AS c2,
+               CAST(SUM(r3) AS BIGINT) AS c3,
+               CAST(SUM(row_sum) AS BIGINT) AS t,
+               CAST(SUM(row_sum * row_sum) AS BIGINT) AS t2
+        FROM rated
+    )
+    SELECT n, c1, c2, c3,
+           CASE WHEN 3 * t - t2 > 0 THEN
+               CAST(FLOOR(
+                   2.0 * (3.0 * (CAST(c1 AS DOUBLE) * c1
+                                 + CAST(c2 AS DOUBLE) * c2
+                                 + CAST(c3 AS DOUBLE) * c3)
+                          - CAST(t AS DOUBLE) * t)
+                   / (3.0 * t - t2) * 10000) AS BIGINT)
+           ELSE NULL END AS q_e4
+    FROM m
+    """,
+)
+def agg_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q over THREE quality raters (round 7) — the k-rater
+    generalization of agg_mcnemar_test (k=2 reduces to it): do the
+    char-length gate, the word-count proxy, and a sentence-count rule
+    keep documents at the same RATE, or is one systematically
+    stricter?  The filter-stack audit for k rules at once.
+
+    Q = (k−1)(k·ΣCⱼ² − T²) / (k·T − ΣRᵢ²) with k=3: column sums,
+    the grand total and the row-sum square total are all exact
+    bigints; Q is one guarded double chain floored to e4.
+
+    Scale: one pre-reduced global aggregate over per-row flags —
+    row sums fold into the same pass (no per-rater shuffle)."""
+    d = load(spark, sf_dir, "documents")
+    r1 = F.when(F.col("n_chars") >= 200, 1).otherwise(0)
+    r2 = F.when(
+        (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit(" ")))
+        )
+        >= 30,
+        1,
+    ).otherwise(0)
+    r3 = F.when(
+        F.regexp_count(F.col("text"), F.lit("[.!?]+")) >= 3, 1
+    ).otherwise(0)
+    rated = d.select(
+        r1.alias("r1"),
+        r2.alias("r2"),
+        r3.alias("r3"),
+        (r1 + r2 + r3).alias("row_sum"),
+    )
+    m = rated.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("r1").cast("bigint").alias("c1"),
+        F.sum("r2").cast("bigint").alias("c2"),
+        F.sum("r3").cast("bigint").alias("c3"),
+        F.sum("row_sum").cast("bigint").alias("t"),
+        F.sum(F.col("row_sum") * F.col("row_sum"))
+        .cast("bigint")
+        .alias("t2"),
+    )
+    d_ = lambda c: F.col(c).cast("double")  # noqa: E731
+    num = 2.0 * (
+        3.0 * (d_("c1") * F.col("c1") + d_("c2") * F.col("c2")
+               + d_("c3") * F.col("c3"))
+        - d_("t") * F.col("t")
+    )
+    den = 3.0 * F.col("t") - F.col("t2")
+    return m.select(
+        "n",
+        "c1",
+        "c2",
+        "c3",
+        F.when(
+            3 * F.col("t") - F.col("t2") > 0,
+            F.floor(num / den * 10000).cast("bigint"),
+        ).alias("q_e4"),
+    )

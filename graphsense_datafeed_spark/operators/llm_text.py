@@ -3467,3 +3467,65 @@ def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("n_indent") >= 5)
         ).alias("looks_like_code"),
     )
+
+
+@query(
+    "text_source_cross_entropy",
+    """
+    WITH toks AS (
+        SELECT source, unnest(str_split(text, ' ')) AS token
+        FROM documents
+    ), counts AS (
+        SELECT token, COUNT(*) AS c FROM toks GROUP BY token
+    ), total AS (
+        SELECT CAST(SUM(c) AS DOUBLE) AS n FROM counts
+    ), probs AS (
+        SELECT token,
+               CAST(FLOOR(-ln(CAST(c AS DOUBLE) / (SELECT n FROM total))
+                          * 1000000) AS BIGINT) AS nll_e6
+        FROM counts
+    )
+    SELECT t.source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(FLOOR(CAST(SUM(p.nll_e6) AS DOUBLE) / COUNT(*)) AS BIGINT)
+               AS cross_entropy_e6
+    FROM toks t JOIN probs p USING (token)
+    GROUP BY t.source
+    """,
+)
+def text_source_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source cross-entropy under the CORPUS unigram LM (round 7)
+    — the mixture diagnostic text_unigram_logprob scores per
+    document, read at the grain mixture weights are set: a source
+    whose tokens are typical of the whole corpus scores near the
+    corpus entropy; a source full of corpus-rare vocabulary scores
+    high (specialist or noisy — the DSIR question, answered with the
+    engine's own LM instead of importance weights).
+
+    Same determinism discipline as the per-doc op: each vocab
+    entry's −ln p floors ONCE to e6, then everything per source is
+    exact bigint arithmetic — no order-dependent float sums.
+
+    Scale: token counts partial-aggregate on token; the vocab table
+    broadcasts; the rollup shuffles |sources| keys."""
+    toks = load(spark, sf_dir, "documents").select(
+        "source", F.explode(F.split("text", " ")).alias("token")
+    )
+    counts = toks.groupBy("token").agg(F.count("*").alias("c"))
+    total = counts.agg(F.sum("c").cast("double").alias("n"))
+    probs = counts.crossJoin(F.broadcast(total)).select(
+        "token",
+        F.floor(-F.log(F.col("c").cast("double") / F.col("n")) * 1000000)
+        .cast("bigint")
+        .alias("nll_e6"),
+    )
+    return (
+        toks.join(F.broadcast(probs), "token")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.floor(F.sum("nll_e6").cast("double") / F.count("*"))
+            .cast("bigint")
+            .alias("cross_entropy_e6"),
+        )
+    )

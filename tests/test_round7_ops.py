@@ -780,3 +780,36 @@ def test_code_detect_flags_planted_code(spark):
         for r in sdf.select("doc_id", flag.alias("f")).collect()
     }
     assert got[1] is True and got[2] is False
+
+
+def test_change_candidates_bounded_by_outputs(spark, sf_dir):
+    rows = QUERIES["ingest_change_address_heuristic"](
+        spark, sf_dir
+    ).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_change_candidates"] <= r["n_outputs"]
+
+
+def test_peel_census_orders(spark, sf_dir):
+    r = QUERIES["ingest_peel_shape_census"](spark, sf_dir).collect()[0]
+    assert 0 <= r["n_peel_shaped"] <= r["n_1in2out"] <= r["n_txs"]
+    assert 0 <= r["peel_share_e6"] <= 1000000
+
+
+def test_source_cross_entropy_near_corpus_entropy(spark, sf_dir):
+    rows = QUERIES["text_source_cross_entropy"](spark, sf_dir).collect()
+    assert rows
+    vals = [r["cross_entropy_e6"] for r in rows]
+    # all sources of the synthetic word-soup corpus are near-typical:
+    # spread bounded well below an entropy unit
+    assert max(vals) - min(vals) < 2000000
+    for r in rows:
+        assert r["cross_entropy_e6"] > 0
+
+
+def test_cochran_q_reduces_sensibly(spark, sf_dir):
+    r = QUERIES["agg_cochran_q"](spark, sf_dir).collect()[0]
+    assert r["c1"] <= r["n"] and r["c2"] <= r["n"] and r["c3"] <= r["n"]
+    if r["q_e4"] is not None:
+        assert r["q_e4"] >= 0
