@@ -3914,3 +3914,92 @@ def agg_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(num / den * 10000).cast("bigint"),
         ).alias("q_e4"),
     )
+
+
+@query(
+    "agg_effect_size_cohens_d",
+    """
+    WITH g AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(FLOOR(value * 10000) AS BIGINT)) AS BIGINT)
+                   AS s,
+               CAST(SUM(CAST(FLOOR(value * 10000) AS BIGINT)
+                        * CAST(FLOOR(value * 10000) AS BIGINT)) AS BIGINT)
+                   AS ss
+        FROM events WHERE event_type IN ('click', 'purchase')
+        GROUP BY event_type
+    ), w AS (
+        SELECT MAX(CASE WHEN event_type = 'click' THEN n END) AS n1,
+               MAX(CASE WHEN event_type = 'click' THEN s END) AS s1,
+               MAX(CASE WHEN event_type = 'click' THEN ss END) AS ss1,
+               MAX(CASE WHEN event_type = 'purchase' THEN n END) AS n2,
+               MAX(CASE WHEN event_type = 'purchase' THEN s END) AS s2,
+               MAX(CASE WHEN event_type = 'purchase' THEN ss END) AS ss2
+        FROM g
+    )
+    SELECT n1, n2,
+           CASE WHEN n1 > 1 AND n2 > 1 AND
+                     (CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1)
+                     + (CAST(ss2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2)
+                     > 0
+                THEN CAST(FLOOR(
+                    (CAST(s2 AS DOUBLE) / n2 - CAST(s1 AS DOUBLE) / n1)
+                    / sqrt(((CAST(ss1 AS DOUBLE)
+                             - CAST(s1 AS DOUBLE) * s1 / n1)
+                            + (CAST(ss2 AS DOUBLE)
+                               - CAST(s2 AS DOUBLE) * s2 / n2))
+                           / (n1 + n2 - 2))
+                    * 10000) AS BIGINT)
+                ELSE NULL END AS cohens_d_e4
+    FROM w
+    """,
+)
+def agg_effect_size_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d between click and purchase values (round 7) — the
+    EFFECT-SIZE companion to agg_t_test_welch: at corpus scale every
+    difference is 'significant' (t grows with √n), so the decision
+    number is d = Δmean / pooled SD, which does NOT grow with n.
+    The stats family now answers all three questions: is it real
+    (t/Mann-Whitney), how big is it (d), how uncertain is the ratio
+    (delta/jackknife/bootstrap SE).
+
+    Exact e4-floored sums and squares per group; d is one guarded
+    double chain (pooled SD with n₁+n₂−2 dof) floored to e4.
+
+    Scale: one keyed aggregate + a 2-row pivot."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    v = F.floor(F.col("value") * 10000).cast("bigint")
+    g = ev.select("event_type", v.alias("v")).groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("v").cast("bigint").alias("s"),
+        F.sum(F.col("v") * F.col("v")).cast("bigint").alias("ss"),
+    )
+
+    def pick(et, col):
+        return F.max(F.when(F.col("event_type") == et, F.col(col)))
+
+    w = g.agg(
+        pick("click", "n").alias("n1"),
+        pick("click", "s").alias("s1"),
+        pick("click", "ss").alias("ss1"),
+        pick("purchase", "n").alias("n2"),
+        pick("purchase", "s").alias("s2"),
+        pick("purchase", "ss").alias("ss2"),
+    )
+    d_ = lambda c: F.col(c).cast("double")  # noqa: E731
+    dev1 = d_("ss1") - d_("s1") * F.col("s1") / F.col("n1")
+    dev2 = d_("ss2") - d_("s2") * F.col("s2") / F.col("n2")
+    dd = (d_("s2") / F.col("n2") - d_("s1") / F.col("n1")) / F.sqrt(
+        (dev1 + dev2) / (F.col("n1") + F.col("n2") - 2)
+    )
+    return w.select(
+        "n1",
+        "n2",
+        F.when(
+            (F.col("n1") > 1) & (F.col("n2") > 1) & (dev1 + dev2 > 0),
+            F.floor(dd * 10000).cast("bigint"),
+        ).alias("cohens_d_e4"),
+    )

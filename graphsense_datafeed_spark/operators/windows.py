@@ -778,3 +778,90 @@ def win_pattern_match_var(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("span_us"),
     )
+
+
+@query(
+    "win_value_percentile_grouped",
+    """
+    WITH base AS (
+        SELECT event_id, user_id, event_type,
+               CAST(FLOOR(value * 10000) AS BIGINT) AS v
+        FROM events
+    ), atoms AS (
+        SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS c
+        FROM base GROUP BY event_type, v
+    ), ranked AS (
+        SELECT event_type, v,
+               COALESCE(SUM(c) OVER (PARTITION BY event_type ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS prev,
+               c,
+               CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        FROM atoms
+    )
+    SELECT b.event_id, b.event_type, b.v,
+           CAST(FLOOR(CAST(r.prev + r.c AS DOUBLE) / r.n * 1000000)
+                AS BIGINT) AS cume_dist_e6
+    FROM base b
+    JOIN ranked r ON r.event_type = b.event_type AND r.v = b.v
+    WHERE b.user_id < 20
+    """,
+)
+def win_value_percentile_grouped(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-row within-group percentile WITHOUT ranking the fact table
+    (round 7) — the scale-correct form of the global-rank family
+    (win_percent_cume's documented dimension-only limitation,
+    solved): cumulative distribution per (event_type, value) comes
+    from the ATOM table's keyed prefix window, then joins BACK onto
+    fact rows by the atom key — every row learns its percentile
+    while the only ordered pass touches |distinct values| rows.  The
+    emitted subset (user_id < 20) bounds the driver readout; the
+    ranks are computed against the FULL group distribution.
+
+    cume_dist = (prev + c)/n floored once to e6 — the exact tie-aware
+    definition both engines share.
+
+    Scale: atom aggregation + keyed prefix window + one broadcast-or
+    -shuffle equi-join on (group, atom) — the join key is the
+    at-rest partition key for floored metrics."""
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 10000).cast("bigint").alias("v"),
+    )
+    atoms = base.groupBy("event_type", "v").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wn = Window.partitionBy("event_type")
+    ranked = atoms.select(
+        "event_type",
+        "v",
+        F.coalesce(F.sum("c").over(w_prev), F.lit(0)).alias("prev"),
+        "c",
+        F.sum("c").over(wn).cast("bigint").alias("n"),
+    )
+    return (
+        base.filter(F.col("user_id") < 20)
+        .join(ranked, ["event_type", "v"])
+        .select(
+            "event_id",
+            "event_type",
+            "v",
+            F.floor(
+                (F.col("prev") + F.col("c")).cast("double")
+                / F.col("n")
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("cume_dist_e6"),
+        )
+    )

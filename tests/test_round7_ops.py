@@ -813,3 +813,46 @@ def test_cochran_q_reduces_sensibly(spark, sf_dir):
     assert r["c1"] <= r["n"] and r["c2"] <= r["n"] and r["c3"] <= r["n"]
     if r["q_e4"] is not None:
         assert r["q_e4"] >= 0
+
+
+def test_cohens_d_consistent_with_welch_direction(spark, sf_dir):
+    d = QUERIES["agg_effect_size_cohens_d"](spark, sf_dir).collect()[0]
+    t = QUERIES["agg_t_test_welch"](spark, sf_dir).collect()[0]
+    if d["cohens_d_e4"] is not None:
+        # opposite sign conventions: d is (purchase - click)/sd, the
+        # welch readout's mean_diff is (click - purchase) -- the two
+        # must disagree in sign (or both be zero)
+        assert (d["cohens_d_e4"] >= 0) == (t["mean_diff_e4"] <= 0)
+
+
+def test_grouped_percentile_join_back_matches_window(spark, sf_dir):
+    """The atom join-back must equal a direct cume_dist window on the
+    same data (the referee the decomposition replaces)."""
+    from graphsense_datafeed_spark.sources.scans import load
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 10000).alias("v"),
+    )
+    w = Window.partitionBy("event_type").orderBy("v")
+    direct = {
+        r["event_id"]: r["cd"]
+        for r in ev.select(
+            "event_id",
+            "user_id",
+            F.floor(F.cume_dist().over(w) * 1000000).cast("bigint").alias(
+                "cd"
+            ),
+        )
+        .filter(F.col("user_id") < 20)
+        .collect()
+    }
+    got = {
+        r["event_id"]: r["cume_dist_e6"]
+        for r in QUERIES["win_value_percentile_grouped"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == direct
