@@ -3529,3 +3529,142 @@ def text_source_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cross_entropy_e6"),
         )
     )
+
+
+@query(
+    "train_decision_stump",
+    """
+    WITH base AS (
+        SELECT CAST(FLOOR(value * 10000) AS BIGINT) AS v,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ), atoms AS (
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS c,
+               CAST(SUM(y) AS BIGINT) AS c1
+        FROM base GROUP BY v
+    ), pre AS (
+        SELECT v,
+               CAST(SUM(c) OVER w AS BIGINT) AS nl,
+               CAST(SUM(c1) OVER w AS BIGINT) AS c1l,
+               CAST(SUM(c) OVER () AS BIGINT) AS n,
+               CAST(SUM(c1) OVER () AS BIGINT) AS c1t
+        FROM atoms
+        WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW)
+    ), scored AS (
+        SELECT v, nl, c1l, n, c1t,
+               CAST(FLOOR((
+                   nl * (1.0 - (CAST(c1l AS DOUBLE) / nl)
+                               * (CAST(c1l AS DOUBLE) / nl)
+                             - (CAST(nl - c1l AS DOUBLE) / nl)
+                               * (CAST(nl - c1l AS DOUBLE) / nl))
+                   + (n - nl) * (1.0
+                       - (CAST(c1t - c1l AS DOUBLE) / (n - nl))
+                         * (CAST(c1t - c1l AS DOUBLE) / (n - nl))
+                       - (CAST((n - nl) - (c1t - c1l) AS DOUBLE)
+                          / (n - nl))
+                         * (CAST((n - nl) - (c1t - c1l) AS DOUBLE)
+                            / (n - nl)))
+               ) / n * 1000000000) AS BIGINT) AS impurity_e9
+        FROM pre WHERE nl < n
+    )
+    SELECT v AS split_v_e4, impurity_e9,
+           nl AS n_left, c1l AS c1_left,
+           CAST(n - nl AS BIGINT) AS n_right,
+           CAST(c1t - c1l AS BIGINT) AS c1_right,
+           CAST(FLOOR(CAST(GREATEST(c1l, nl - c1l)
+                           + GREATEST(c1t - c1l, (n - nl) - (c1t - c1l))
+                      AS DOUBLE) / n * 1000000) AS BIGINT)
+               AS train_accuracy_e6
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY impurity_e9, v) AS rnk
+        FROM scored
+    ) WHERE rnk = 1
+    """,
+)
+def train_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a DECISION STUMP distributed (round 7) — the simplest
+    real model-training loop expressed as one Catalyst plan: find the
+    value threshold minimizing weighted Gini impurity for separating
+    purchases from clicks.  Every candidate split's class counts come
+    from ONE prefix pass over the value-atom table (the bucket-rank
+    discipline applied to TRAINING: candidate splits = distinct
+    values, left-side counts = prefix sums — no per-split scan, no
+    driver loop), so the full stump train is two aggregations and a
+    bounded ordered pass regardless of row count.  The pattern
+    gradient-boosted tree libraries run per feature per node,
+    demonstrated exactly.
+
+    Determinism: impurity floors ONCE per atom to e9; argmin
+    tie-breaks by the split value; majority-vote training accuracy
+    is pure integer arithmetic over the winning row.
+
+    Scale: atom table bounded by the value domain; the single
+    ordered pass is audit-benign (pre-reduced input)."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    base = ev.select(
+        F.floor(F.col("value") * 10000).cast("bigint").alias("v"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    atoms = base.groupBy("v").agg(
+        F.count("*").cast("bigint").alias("c"),
+        F.sum("y").cast("bigint").alias("c1"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    pre = atoms.select(
+        "v",
+        F.sum("c").over(w).cast("bigint").alias("nl"),
+        F.sum("c1").over(w).cast("bigint").alias("c1l"),
+        F.sum("c").over(wall).cast("bigint").alias("n"),
+        F.sum("c1").over(wall).cast("bigint").alias("c1t"),
+    ).filter(F.col("nl") < F.col("n"))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    nl, n = F.col("nl"), F.col("n")
+    c1l, c1t = F.col("c1l"), F.col("c1t")
+    nr = n - nl
+    c1r = c1t - c1l
+    p1l = d("c1l") / nl
+    p0l = (nl - c1l).cast("double") / nl
+    p1r = c1r.cast("double") / nr
+    p0r = (nr - c1r).cast("double") / nr
+    weighted = (
+        nl * (1.0 - p1l * p1l - p0l * p0l)
+        + nr * (1.0 - p1r * p1r - p0r * p0r)
+    )
+    scored = pre.select(
+        "v",
+        "nl",
+        "c1l",
+        "n",
+        "c1t",
+        F.floor(weighted / n * 1000000000).cast("bigint").alias(
+            "impurity_e9"
+        ),
+    )
+    w_arg = Window.orderBy("impurity_e9", "v")
+    best = scored.withColumn("rnk", F.row_number().over(w_arg)).filter(
+        F.col("rnk") == 1
+    )
+    acc = F.floor(
+        (
+            F.greatest(F.col("c1l"), F.col("nl") - F.col("c1l"))
+            + F.greatest(
+                F.col("c1t") - F.col("c1l"),
+                (F.col("n") - F.col("nl")) - (F.col("c1t") - F.col("c1l")),
+            )
+        ).cast("double")
+        / F.col("n")
+        * 1000000
+    ).cast("bigint")
+    return best.select(
+        F.col("v").alias("split_v_e4"),
+        "impurity_e9",
+        F.col("nl").alias("n_left"),
+        F.col("c1l").alias("c1_left"),
+        (F.col("n") - F.col("nl")).cast("bigint").alias("n_right"),
+        (F.col("c1t") - F.col("c1l")).cast("bigint").alias("c1_right"),
+        acc.alias("train_accuracy_e6"),
+    )

@@ -856,3 +856,52 @@ def test_grouped_percentile_join_back_matches_window(spark, sf_dir):
         ).collect()
     }
     assert got == direct
+
+
+def test_decision_stump_matches_brute_force(spark, sf_dir):
+    """Brute-force referee: recompute the optimal split in python and
+    demand the identical winner + impurity."""
+    import math
+    from collections import Counter
+
+    from graphsense_datafeed_spark.sources.scans import load
+
+    rows = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            F.floor(F.col("value") * 10000).alias("v"),
+            (F.col("event_type") == "purchase").alias("y"),
+        )
+        .collect()
+    )
+    c = Counter()
+    c1 = Counter()
+    for r in rows:
+        c[r["v"]] += 1
+        c1[r["v"]] += int(r["y"])
+    n = sum(c.values())
+    c1t = sum(c1.values())
+    best = None
+    nl = c1l = 0
+    for v in sorted(c):
+        nl += c[v]
+        c1l += c1[v]
+        if nl >= n:
+            continue
+        nr, c1r = n - nl, c1t - c1l
+
+        def gini(k1, k):
+            p1 = k1 / k
+            p0 = (k - k1) / k
+            return 1.0 - p1 * p1 - p0 * p0
+
+        imp = math.floor(
+            (nl * gini(c1l, nl) + nr * gini(c1r, nr)) / n * 1e9
+        )
+        if best is None or (imp, v) < best:
+            best = (imp, v)
+    got = QUERIES["train_decision_stump"](spark, sf_dir).collect()[0]
+    assert (got["impurity_e9"], got["split_v_e4"]) == best
+    assert got["n_left"] + got["n_right"] == n
+    assert 500000 <= got["train_accuracy_e6"] <= 1000000
