@@ -238,7 +238,30 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RESIZE_SCHEMA = "doc_id bigint, src_w int, src_h int, dst_w int, dst_h int, pooled_hex string"
 
 
-@query("multimodal_resize")
+@query(
+    "multimodal_resize",
+    """
+    WITH media AS (
+        SELECT doc_id, repeat(md5(text), 4) AS h
+        FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           CAST(8 AS INT) AS src_w, CAST(8 AS INT) AS src_h,
+           CAST(4 AS INT) AS dst_w, CAST(4 AS INT) AS dst_h,
+           array_to_string(list_transform(range(0, 16), o -> printf(
+               '%02x',
+               (  CAST('0x' || substr(h, ((o // 4 * 2) * 8
+                      + (o % 4) * 2) * 2 + 1, 2) AS BIGINT)
+                + CAST('0x' || substr(h, ((o // 4 * 2) * 8
+                      + (o % 4) * 2 + 1) * 2 + 1, 2) AS BIGINT)
+                + CAST('0x' || substr(h, ((o // 4 * 2 + 1) * 8
+                      + (o % 4) * 2) * 2 + 1, 2) AS BIGINT)
+                + CAST('0x' || substr(h, ((o // 4 * 2 + 1) * 8
+                      + (o % 4) * 2 + 1) * 2 + 1, 2) AS BIGINT)
+               ) // 4)), '') AS pooled_hex
+    FROM media
+    """,
+)
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize/downsample over binary image payloads via mapInPandas —
     the third leg of the mandated decode / resize / frame-sample
@@ -247,8 +270,14 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     division, deterministic); with a real imaging library the pooling
     line is the only thing that changes (PIL.Image.resize), the
     Spark-side plumbing — schema, Arrow batching, closure shipping —
-    is what's under test. Rows-only; hand-computed pixel values
-    asserted in tests/test_llm.py.
+    is what's under test.
+
+    Round 7 upgraded this from rows-only to an EXACT oracle: the
+    pooling is pure integer arithmetic on hex-pair bytes, so DuckDB
+    re-derives every pooled pixel relationally ((A+B+C+D)//4 per 2×2
+    block, %02x hex assembly) — a ✖ row retired (the imagecodec
+    discipline applied backwards to the round-3 stub).  Hand-computed
+    pixel values stay asserted in tests/test_llm.py.
 
     Scale: a narrow Arrow-batched map over the payload column — no
     shuffle, embarrassingly parallel, output strictly smaller than
