@@ -153,11 +153,37 @@ _DECODE_SCHEMA = (
 )
 
 
-@query("multimodal_decode")
+@query(
+    "multimodal_decode",
+    """
+    WITH media AS (
+        SELECT doc_id, repeat(md5(text), 4) AS h
+        FROM documents WHERE doc_id < 200
+    ), feats AS (
+        SELECT doc_id, h,
+               CAST(list_reduce(list_transform(range(0, 64), k ->
+                   CAST('0x' || substr(h, CAST(k * 2 + 1 AS INT), 2)
+                        AS BIGINT)), (a, b) -> a + b) AS BIGINT)
+                   AS byte_sum
+        FROM media
+    )
+    SELECT doc_id, CAST(64 AS INT) AS n_bytes, byte_sum,
+           CAST(byte_sum * 100 // 64 AS BIGINT) AS mean_byte_e2,
+           sha256(upper(h)) AS digest,
+           'fake' AS decoder
+    FROM feats
+    """,
+)
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode/feature-extract over binary payloads via mapInPandas
-    (rows-only: byte-wrangling isn't SQL surface; determinism and
-    hand-computed feature values asserted in tests/test_llm.py).
+    """Decode/feature-extract over binary payloads via mapInPandas.
+    Round 7 upgraded this round-3 ✖ row to an EXACT oracle: the byte
+    features are integer arithmetic over hex-pair bytes and the
+    digest is sha256 of the UPPERCASE HEX rendering (the codec-family
+    digest discipline — DuckDB hashes VARCHAR, not BLOB), so the
+    whole row re-derives relationally.  The oracle pins
+    decoder='fake' — this container has no imaging library; with PIL
+    present the seam decodes for real and this row intentionally
+    hash-mismatches until the oracle is updated alongside.
 
     The batch fn is a CLOSURE on purpose: cloudpickle ships closures by
     value, so executor Python workers don't need this package on their
@@ -167,7 +193,7 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # Arrow-batched 'decode': real byte-level feature extraction
-        # (length, sum, mean, sha1 digest) + a STUBBED image decode —
+        # (length, sum, mean, hex-digest) + a STUBBED image decode —
         # no imaging library in the container → decoder='fake' and
         # features come from raw bytes. With PIL present this seam
         # decodes for real; the plumbing under test is identical.
@@ -183,7 +209,11 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "n_bytes": n_bytes.astype("int32"),
                     "byte_sum": byte_sum.astype("int64"),
                     "mean_byte_e2": (byte_sum * 100 // n_bytes).astype("int64"),
-                    "digest": payloads.map(lambda b: _hl.sha1(b).hexdigest()),
+                    "digest": payloads.map(
+                        lambda b: _hl.sha256(
+                            bytes(b).hex().upper().encode()
+                        ).hexdigest()
+                    ),
                     "decoder": "pil" if have_pil else "fake",
                 }
             )

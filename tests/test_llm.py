@@ -167,7 +167,10 @@ def test_multimodal_decode_matches_hand_computed(spark, sf_dir):
         got = rows[doc_id]
         assert got["n_bytes"] == 64
         assert got["byte_sum"] == sum(payload)
-        assert got["digest"] == hashlib.sha1(payload).hexdigest()
+        assert (
+            got["digest"]
+            == hashlib.sha256(payload.hex().upper().encode()).hexdigest()
+        )
         assert got["decoder"] == "fake"
 
 
