@@ -4003,3 +4003,87 @@ def agg_effect_size_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(dd * 10000).cast("bigint"),
         ).alias("cohens_d_e4"),
     )
+
+
+@query(
+    "agg_anova_oneway",
+    """
+    WITH g AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(FLOOR(value * 10000) AS BIGINT)) AS BIGINT)
+                   AS s,
+               CAST(SUM(CAST(FLOOR(value * 10000) AS BIGINT)
+                        * CAST(FLOOR(value * 10000) AS BIGINT)) AS BIGINT)
+                   AS ss
+        FROM events GROUP BY event_type
+    ), m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(n) AS BIGINT) AS n,
+               CAST(SUM(s) AS HUGEINT) AS st,
+               CAST(SUM(ss) AS HUGEINT) AS sst,
+               SUM(CAST(s AS HUGEINT) * s / n) AS sb_scaled
+        FROM g
+    )
+    SELECT k, n,
+           CASE WHEN k > 1 AND n > k AND
+                     CAST(sst AS DOUBLE) - CAST(sb_scaled AS DOUBLE) > 0
+                THEN CAST(FLOOR(
+                    ((CAST(sb_scaled AS DOUBLE)
+                      - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / n)
+                     / (k - 1))
+                    / ((CAST(sst AS DOUBLE) - CAST(sb_scaled AS DOUBLE))
+                       / (n - k))
+                    * 10000) AS BIGINT)
+                ELSE NULL END AS f_e4
+    FROM m
+    """,
+)
+def agg_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F statistic across ALL event types (round 7) —
+    the k-group generalization of agg_t_test_welch's two-group
+    question: does event type explain value variance at all?
+    Between-group mean square over within-group mean square; the
+    k-group screen run BEFORE k² pairwise tests.
+
+    Determinism: per-group (n, Σ, Σ²) are exact e4 bigints; the only
+    non-integer intermediate, Σⱼ(Sⱼ²/nⱼ), is computed in 128-bit
+    integer division (HUGEINT / decimal(38) — identical truncation
+    both engines, error bounded by k atoms of <1 each, absorbed by
+    the e4 floor); F is one guarded double chain.
+
+    Scale: one keyed aggregate + a k-row rollup — no window, no
+    single-partition stage over rows."""
+    ev = load(spark, sf_dir, "events")
+    v = F.floor(F.col("value") * 10000).cast("bigint")
+    g = ev.select("event_type", v.alias("v")).groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("v").cast("bigint").alias("s"),
+        F.sum(F.col("v") * F.col("v")).cast("bigint").alias("ss"),
+    )
+    d38 = "decimal(38,0)"
+    m = g.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum(F.col("s").cast(d38)).alias("st"),
+        F.sum(F.col("ss").cast(d38)).alias("sst"),
+        # explicit FLOOR, not a decimal cast: Spark's decimal cast
+        # rounds HALF_UP while DuckDB's HUGEINT division truncates —
+        # floor pins both engines to the same integral term (all
+        # group sums are positive, so floor == truncation)
+        F.sum(
+            F.floor(F.col("s").cast(d38) * F.col("s") / F.col("n"))
+        ).alias("sb_scaled"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    ssb = d("sb_scaled") - d("st") * d("st") / F.col("n")
+    ssw = d("sst") - d("sb_scaled")
+    f_stat = (ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k")))
+    return m.select(
+        "k",
+        "n",
+        F.when(
+            (F.col("k") > 1) & (F.col("n") > F.col("k")) & (ssw > 0),
+            F.floor(f_stat * 10000).cast("bigint"),
+        ).alias("f_e4"),
+    )

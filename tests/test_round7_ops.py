@@ -905,3 +905,14 @@ def test_decision_stump_matches_brute_force(spark, sf_dir):
     assert (got["impurity_e9"], got["split_v_e4"]) == best
     assert got["n_left"] + got["n_right"] == n
     assert 500000 <= got["train_accuracy_e6"] <= 1000000
+
+
+def test_anova_f_positive_and_groups_complete(spark, sf_dir):
+    from graphsense_datafeed_spark.sources.scans import load
+
+    r = QUERIES["agg_anova_oneway"](spark, sf_dir).collect()[0]
+    ev = load(spark, sf_dir, "events")
+    assert r["k"] == ev.select("event_type").distinct().count()
+    assert r["n"] == ev.count()
+    if r["f_e4"] is not None:
+        assert r["f_e4"] >= 0
