@@ -3668,3 +3668,149 @@ def train_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c1t") - F.col("c1l")).cast("bigint").alias("c1_right"),
         acc.alias("train_accuracy_e6"),
     )
+
+
+@query(
+    "corpus_source_ranking",
+    """
+    WITH fk AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_short
+        FROM documents GROUP BY source
+    ), toks AS (
+        SELECT source, unnest(regexp_extract_all(lower(text),
+                                                 '[a-z0-9]+')) AS tok
+        FROM documents
+    ), tc AS (
+        SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+        FROM toks GROUP BY source, tok
+    ), lex AS (
+        SELECT source,
+               CAST(FLOOR(CAST(COUNT(*) AS DOUBLE) / SUM(c) * 1000000)
+                    AS BIGINT) AS ttr_e6
+        FROM tc GROUP BY source
+    ), counts AS (
+        SELECT tok, CAST(SUM(c) AS BIGINT) AS ct FROM tc GROUP BY tok
+    ), total AS (
+        SELECT CAST(SUM(ct) AS DOUBLE) AS n FROM counts
+    ), probs AS (
+        SELECT tok,
+               CAST(FLOOR(-ln(CAST(ct AS DOUBLE) / (SELECT n FROM total))
+                          * 1000000) AS BIGINT) AS nll_e6
+        FROM counts
+    ), xent AS (
+        SELECT t.source,
+               CAST(FLOOR(CAST(SUM(t.c * p.nll_e6) AS DOUBLE) / SUM(t.c))
+                    AS BIGINT) AS ce_e6
+        FROM tc t JOIN probs p USING (tok) GROUP BY t.source
+    ), metrics AS (
+        SELECT f.source, f.n_docs,
+               CAST(FLOOR(CAST(f.n_short AS DOUBLE) / f.n_docs * 1000000)
+                    AS BIGINT) AS short_share_e6,
+               l.ttr_e6, x.ce_e6
+        FROM fk f
+        JOIN lex l ON l.source = f.source
+        JOIN xent x ON x.source = f.source
+    )
+    SELECT source, n_docs, short_share_e6, ttr_e6, ce_e6,
+           CAST(ROW_NUMBER() OVER (ORDER BY short_share_e6, source)
+              + ROW_NUMBER() OVER (ORDER BY ttr_e6 DESC, source)
+              + ROW_NUMBER() OVER (ORDER BY ce_e6, source) AS BIGINT)
+               AS borda_score
+    FROM metrics
+    """,
+)
+def corpus_source_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Borda rank aggregation of the quality dimensions per source
+    (round 7) — the DECISION artifact the quality dashboard feeds:
+    each source is ranked by short-document share (fewer is better),
+    lexical diversity (higher is better), and corpus-LM cross-entropy
+    (lower = more typical), and the Borda sum combines the three
+    WITHOUT commensurating their units — the standard trick when
+    metrics live on incomparable scales, and entirely INTEGER (no
+    weight normalization float chain).  Lower Borda = mix-first.
+
+    Composes three round-7 programs (short share, TTR,
+    source cross-entropy) in one Catalyst plan with a
+    fully-composed oracle; ranks tie-break on the source id.
+
+    Scale: the token-keyed aggregations dominate (text_tfidf cost
+    class); the ranking windows run over |sources| rows."""
+    d = load(spark, sf_dir, "documents")
+    fk = d.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("n_chars") < 200, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_short"),
+    )
+    tc = (
+        d.select(
+            "source",
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col("text")), F.lit("[a-z0-9]+"), F.lit(0)
+                )
+            ).alias("tok"),
+        )
+        .groupBy("source", "tok")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    lex = tc.groupBy("source").agg(
+        F.floor(F.count("*").cast("double") / F.sum("c") * 1000000)
+        .cast("bigint")
+        .alias("ttr_e6")
+    )
+    counts = tc.groupBy("tok").agg(F.sum("c").cast("bigint").alias("ct"))
+    total = counts.agg(F.sum("ct").cast("double").alias("n"))
+    probs = counts.crossJoin(F.broadcast(total)).select(
+        "tok",
+        F.floor(-F.log(F.col("ct").cast("double") / F.col("n")) * 1000000)
+        .cast("bigint")
+        .alias("nll_e6"),
+    )
+    xent = (
+        tc.join(F.broadcast(probs), "tok")
+        .groupBy("source")
+        .agg(
+            F.floor(
+                F.sum(F.col("c") * F.col("nll_e6")).cast("double")
+                / F.sum("c")
+            )
+            .cast("bigint")
+            .alias("ce_e6")
+        )
+    )
+    metrics = (
+        fk.join(lex, "source")
+        .join(xent, "source")
+        .select(
+            "source",
+            "n_docs",
+            F.floor(
+                F.col("n_short").cast("double") / F.col("n_docs") * 1000000
+            )
+            .cast("bigint")
+            .alias("short_share_e6"),
+            "ttr_e6",
+            "ce_e6",
+        )
+    )
+    r1 = Window.orderBy("short_share_e6", "source")
+    r2 = Window.orderBy(F.col("ttr_e6").desc(), "source")
+    r3 = Window.orderBy("ce_e6", "source")
+    return metrics.select(
+        "source",
+        "n_docs",
+        "short_share_e6",
+        "ttr_e6",
+        "ce_e6",
+        (
+            F.row_number().over(r1)
+            + F.row_number().over(r2)
+            + F.row_number().over(r3)
+        )
+        .cast("bigint")
+        .alias("borda_score"),
+    )

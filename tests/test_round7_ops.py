@@ -916,3 +916,23 @@ def test_anova_f_positive_and_groups_complete(spark, sf_dir):
     assert r["n"] == ev.count()
     if r["f_e4"] is not None:
         assert r["f_e4"] >= 0
+
+
+def test_source_ranking_composes_and_borda_bounds(spark, sf_dir):
+    rows = QUERIES["corpus_source_ranking"](spark, sf_dir).collect()
+    assert rows
+    k = len(rows)
+    # Borda score of k sources over 3 rankings lies in [3, 3k] and the
+    # total is fixed: 3 * k(k+1)/2
+    assert sum(r["borda_score"] for r in rows) == 3 * k * (k + 1) // 2
+    for r in rows:
+        assert 3 <= r["borda_score"] <= 3 * k
+    # composition agreement with the standalone cross-entropy stage
+    solo = {
+        r["source"]: r["cross_entropy_e6"]
+        for r in QUERIES["text_source_cross_entropy"](
+            spark, sf_dir
+        ).collect()
+    }
+    for r in rows:
+        assert r["ce_e6"] == solo[r["source"]]
