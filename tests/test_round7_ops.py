@@ -936,3 +936,21 @@ def test_source_ranking_composes_and_borda_bounds(spark, sf_dir):
     }
     for r in rows:
         assert r["ce_e6"] == solo[r["source"]]
+
+
+def test_katz_message_passing_invariants(spark, sf_dir):
+    rows = QUERIES["graph_katz_bounded"](spark, sf_dir).collect()
+    assert rows
+    total1 = sum(r["walks1"] for r in rows)
+    total2 = sum(r["walks2"] for r in rows)
+    # walk conservation: sum of walks2 equals sum over edges of the
+    # endpoint degrees = sum of deg^2... weaker invariant: every
+    # 2-walk extends a 1-walk, so total2 >= total1 on a graph with
+    # min degree >= 1
+    assert total2 >= total1
+    for r in rows:
+        assert r["katz_e6"] == (
+            r["walks1"] * 500000 + r["walks2"] * 250000
+            + r["walks3"] * 125000
+        )
+        assert r["walks1"] >= 1
