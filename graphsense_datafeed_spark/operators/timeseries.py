@@ -4479,3 +4479,96 @@ def ts_cross_correlation_lagged(
             "corr_e6"
         ),
     )
+
+
+@query(
+    "ts_bollinger_bands",
+    """
+    WITH base AS (
+        SELECT event_id, event_type, ts,
+               CAST(FLOOR(value * 10000) AS BIGINT) AS v
+        FROM events
+    ), stats AS (
+        SELECT event_id, event_type, v,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n,
+               CAST(SUM(v) OVER w AS BIGINT) AS s,
+               CAST(SUM(v * v) OVER w AS BIGINT) AS ss
+        FROM base
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, event_type, v,
+           CASE WHEN n >= 20 THEN
+               CAST(FLOOR(CAST(s AS DOUBLE) / n) AS BIGINT)
+           ELSE NULL END AS ma_e4,
+           CASE WHEN n >= 20 THEN
+               CAST(FLOOR(sqrt((CAST(ss AS DOUBLE)
+                                - CAST(s AS DOUBLE) * s / n) / n)
+                          * 2.0) AS BIGINT)
+           ELSE NULL END AS band_halfwidth_e4,
+           CASE WHEN n >= 20 THEN
+               CAST(v AS DOUBLE)
+               > CAST(s AS DOUBLE) / n
+                 + sqrt((CAST(ss AS DOUBLE)
+                         - CAST(s AS DOUBLE) * s / n) / n) * 2.0
+           ELSE NULL END AS above_upper
+    FROM stats
+    """,
+)
+def ts_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands over each type's value stream (round 7) — the
+    rolling mean ± 2σ envelope every monitoring dashboard draws, with
+    per-row breach flags: the CONTINUOUS-threshold sibling of
+    ts_zscore_anomaly's boolean (same 20-row frame discipline, but
+    emitting the band geometry so downstream can plot/alert on
+    proximity, not just breach).
+
+    Exactness: frame sums of e4 integers are exact; mean, half-width
+    and the breach comparison are per-row double chains written
+    identically in both engines (population σ over the frame; rows
+    before a full 20-row frame emit NULL — no partial-window
+    ambiguity).
+
+    Scale: one keyed window frame (event_type exchange shared by all
+    three readouts); O(1) state per row via the running-frame sums."""
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.floor(F.col("value") * 10000).cast("bigint").alias("v"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, 0)
+    )
+    stats = base.select(
+        "event_id",
+        "event_type",
+        "v",
+        F.count("*").over(w).cast("bigint").alias("n"),
+        F.sum("v").over(w).cast("bigint").alias("s"),
+        F.sum(F.col("v") * F.col("v")).over(w).cast("bigint").alias("ss"),
+    )
+    full = F.col("n") >= 20
+    mean = F.col("s").cast("double") / F.col("n")
+    sd = F.sqrt(
+        (
+            F.col("ss").cast("double")
+            - F.col("s").cast("double") * F.col("s") / F.col("n")
+        )
+        / F.col("n")
+    )
+    return stats.select(
+        "event_id",
+        "event_type",
+        "v",
+        F.when(full, F.floor(mean).cast("bigint")).alias("ma_e4"),
+        F.when(full, F.floor(sd * 2.0).cast("bigint")).alias(
+            "band_halfwidth_e4"
+        ),
+        F.when(full, F.col("v").cast("double") > mean + sd * 2.0).alias(
+            "above_upper"
+        ),
+    )

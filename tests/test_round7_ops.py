@@ -954,3 +954,52 @@ def test_katz_message_passing_invariants(spark, sf_dir):
             + r["walks3"] * 125000
         )
         assert r["walks1"] >= 1
+
+
+def test_spatial_knn_is_true_in_radius_knn(spark, sf_dir):
+    """Brute-force referee: grid candidates must recover the exact
+    in-radius kNN for every point."""
+    from collections import defaultdict
+    import hashlib
+
+    from graphsense_datafeed_spark.sources.scans import load
+
+    ids = [
+        r["c_custkey"]
+        for r in load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 300)
+        .select("c_custkey")
+        .collect()
+    ]
+    pts = {}
+    for i in ids:
+        h = hashlib.md5(str(i).encode()).hexdigest()
+        pts[i] = (int(h[0:7], 16) % 10000, int(h[7:14], 16) % 10000)
+    want = defaultdict(list)
+    for a, (xa, ya) in pts.items():
+        cands = []
+        for b, (xb, yb) in pts.items():
+            if a == b:
+                continue
+            d2 = (xa - xb) ** 2 + (ya - yb) ** 2
+            if d2 <= 1000000:
+                cands.append((d2, b))
+        for rnk, (d2, b) in enumerate(sorted(cands)[:3], 1):
+            want[a].append((b, d2, rnk))
+    got = defaultdict(list)
+    for r in QUERIES["join_spatial_knn"](spark, sf_dir).collect():
+        got[r["id_a"]].append((r["id_b"], r["d2"], r["rnk"]))
+    for a in got:
+        got[a].sort(key=lambda t: t[2])
+    assert dict(got) == {k: v for k, v in want.items() if v}
+
+
+def test_bollinger_null_before_full_frame_and_breach_rate(spark, sf_dir):
+    rows = QUERIES["ts_bollinger_bands"](spark, sf_dir).collect()
+    n_full = sum(1 for r in rows if r["ma_e4"] is not None)
+    n_breach = sum(1 for r in rows if r["above_upper"])
+    assert n_full > 0
+    # 2-sigma breaches should be rare but present
+    assert 0 < n_breach < n_full * 0.2
+    for r in rows:
+        assert (r["ma_e4"] is None) == (r["band_halfwidth_e4"] is None)
