@@ -2120,3 +2120,67 @@ def ingest_peel_shape_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("peel_share_e6"),
     )
+
+
+@query(
+    "ingest_address_reuse_rate",
+    f"""
+    WITH txr AS (
+        SELECT height, unnest(txs) AS tx FROM {_DUCK_BLOCKS}
+    ), outs AS (
+        SELECT height, (o).address[1] AS address
+        FROM (SELECT height, unnest((tx).outputs) AS o FROM txr)
+    ), first_seen AS (
+        SELECT address, CAST(MIN(height) AS BIGINT) AS first_height
+        FROM outs GROUP BY address
+    )
+    SELECT o.height,
+           CAST(COUNT(*) AS BIGINT) AS n_outputs,
+           CAST(COUNT(*) FILTER (f.first_height < o.height) AS BIGINT)
+               AS n_reused,
+           CAST(FLOOR(CAST(COUNT(*) FILTER (f.first_height < o.height)
+                           AS DOUBLE) / COUNT(*) * 1000000) AS BIGINT)
+               AS reuse_share_e6
+    FROM outs o JOIN first_seen f ON f.address = o.address
+    GROUP BY o.height
+    """,
+)
+def ingest_address_reuse_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Address REUSE rate per block (round 7) — the chain's
+    privacy-hygiene metric and the flip side of the change heuristic:
+    an output pays a REUSED address when that address first appeared
+    at an earlier height.  High reuse = custodial hot wallets and
+    merchant addresses (good for clustering, bad for privacy);
+    fresh-address wallets push it down.  Trend analysts read this
+    series next to ingest_block_interval_stats on the chain-health
+    dashboard.
+
+    Exact first-seen MIN(height) join (the change-heuristic
+    machinery, reused); strict inequality so a block's own first
+    appearances never count as reuse; one floored share per block.
+
+    Scale: one address-keyed aggregate + one address-keyed join +
+    height rollup."""
+    raw = normalize_blocks(read_blocks_json(spark))
+    outs = (
+        raw.select("height", F.explode("txs").alias("tx"))
+        .select("height", F.explode("tx.outputs").alias("o"))
+        .select("height", F.col("o.address")[0].alias("address"))
+    )
+    first_seen = outs.groupBy("address").agg(
+        F.min("height").cast("bigint").alias("first_height")
+    )
+    reused = F.count(
+        F.when(F.col("first_height") < F.col("height"), 1)
+    ).cast("bigint")
+    return (
+        outs.join(first_seen, "address")
+        .groupBy("height")
+        .agg(
+            F.count("*").cast("bigint").alias("n_outputs"),
+            reused.alias("n_reused"),
+            F.floor(reused.cast("double") / F.count("*") * 1000000)
+            .cast("bigint")
+            .alias("reuse_share_e6"),
+        )
+    )

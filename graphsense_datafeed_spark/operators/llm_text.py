@@ -3814,3 +3814,76 @@ def corpus_source_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("borda_score"),
     )
+
+
+@query(
+    "text_boilerplate_share",
+    """
+    WITH lines AS (
+        SELECT doc_id, unnest(str_split(text, '. ')) AS line
+        FROM documents
+    ), norm AS (
+        SELECT doc_id, trim(lower(line)) AS line FROM lines
+        WHERE length(trim(line)) >= 20
+    ), df AS (
+        SELECT line, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS docs
+        FROM norm GROUP BY line
+    ), scored AS (
+        SELECT n.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(COUNT(*) FILTER (d.docs > 10) AS BIGINT) AS n_boiler
+        FROM norm n JOIN df d USING (line)
+        GROUP BY n.doc_id
+    )
+    SELECT doc_id, n_lines, n_boiler,
+           CAST(FLOOR(CAST(n_boiler AS DOUBLE) / n_lines * 1000000)
+                AS BIGINT) AS boiler_share_e6
+    FROM scored
+    """,
+)
+def text_boilerplate_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document BOILERPLATE share (round 7) — the doc-level
+    readout of the corpus-wide C4 line-dedup program
+    (text_line_dedup removes the lines; this scores the documents):
+    fraction of a doc's sentences that appear in >10 documents
+    corpus-wide.  High share = navigation chrome, license footers,
+    template spam — the docs a mixture should downweight even when
+    their unique content passes the quality gates.
+
+    Same normalization as the line-dedup stage (trimmed lowercase
+    sentences ≥20 chars); document frequency is an exact distinct
+    count; one floored share per doc.
+
+    Scale: the sentence explode and the line-keyed DF aggregation
+    are the text_line_dedup cost class; the join back is keyed on
+    the line hash."""
+    d = load(spark, sf_dir, "documents")
+    lines = d.select(
+        "doc_id", F.explode(F.split("text", r"\. ")).alias("line")
+    )
+    norm = lines.select(
+        "doc_id", F.trim(F.lower(F.col("line"))).alias("line")
+    ).filter(F.length(F.trim(F.col("line"))) >= 20)
+    df_ = norm.groupBy("line").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("docs")
+    )
+    scored = (
+        norm.join(df_, "line")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.count(F.when(F.col("docs") > 10, 1))
+            .cast("bigint")
+            .alias("n_boiler"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_lines",
+        "n_boiler",
+        F.floor(
+            F.col("n_boiler").cast("double") / F.col("n_lines") * 1000000
+        )
+        .cast("bigint")
+        .alias("boiler_share_e6"),
+    )

@@ -1003,3 +1003,23 @@ def test_bollinger_null_before_full_frame_and_breach_rate(spark, sf_dir):
     assert 0 < n_breach < n_full * 0.2
     for r in rows:
         assert (r["ma_e4"] is None) == (r["band_halfwidth_e4"] is None)
+
+
+def test_boilerplate_share_bounds(spark, sf_dir):
+    rows = QUERIES["text_boilerplate_share"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_boiler"] <= r["n_lines"]
+        assert 0 <= r["boiler_share_e6"] <= 1000000
+
+
+def test_address_reuse_monotone_start(spark, sf_dir):
+    rows = sorted(
+        QUERIES["ingest_address_reuse_rate"](spark, sf_dir).collect(),
+        key=lambda r: r["height"],
+    )
+    assert rows
+    # genesis block cannot reuse anything
+    assert rows[0]["n_reused"] == 0
+    for r in rows:
+        assert 0 <= r["n_reused"] <= r["n_outputs"]
