@@ -4087,3 +4087,92 @@ def agg_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(f_stat * 10000).cast("bigint"),
         ).alias("f_e4"),
     )
+
+
+@query(
+    "agg_trend_cochran_armitage",
+    """
+    WITH bucketed AS (
+        SELECT CAST(hour(ts) // 6 AS BIGINT) AS grp,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ), g AS (
+        SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS r
+        FROM bucketed GROUP BY grp
+    ), m AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS nt,
+               CAST(SUM(r) AS BIGINT) AS rt,
+               CAST(SUM(grp * r) AS BIGINT) AS sr,
+               CAST(SUM(grp * n) AS BIGINT) AS sn,
+               CAST(SUM(grp * grp * n) AS BIGINT) AS snn
+        FROM g
+    )
+    SELECT nt AS n, rt AS conversions,
+           CASE WHEN rt > 0 AND rt < nt
+                     AND CAST(nt AS DOUBLE) * snn
+                         - CAST(sn AS DOUBLE) * sn > 0
+                THEN CAST(FLOOR(
+                    (CAST(nt AS DOUBLE) * sr - CAST(rt AS DOUBLE) * sn)
+                    / sqrt(CAST(rt AS DOUBLE) * (nt - rt) / nt
+                           * (CAST(nt AS DOUBLE) * snn
+                              - CAST(sn AS DOUBLE) * sn) / nt)
+                    * 10000) AS BIGINT)
+                ELSE NULL END AS z_trend_e4
+    FROM m
+    """,
+)
+def agg_trend_cochran_armitage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cochran–Armitage trend test across ordered groups (round 7) —
+    the ORDERED-group member of the proportion-test family: does
+    purchase share rise or fall monotonically across the four
+    six-hour dayparts?  A plain chi-square would detect ANY
+    difference; CA is powered specifically against the trend
+    alternative (scores 0..3 on the ordered buckets), which is the
+    question dose-response and time-of-day analyses actually ask.
+
+    Z = (N·Σsᵢrᵢ − R·Σsᵢnᵢ) / √(R(N−R)/N · (N·Σsᵢ²nᵢ − (Σsᵢnᵢ)²)/N)
+    — every moment an exact bigint, one guarded double chain floored
+    to e4; degenerate tables (all/no conversions, zero score
+    variance) emit NULL.
+
+    Scale: one keyed aggregate over 4 buckets + a 1-row rollup."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    b = ev.select(
+        F.floor(F.hour(F.col("ts").cast("timestamp")) / 6)
+        .cast("bigint")
+        .alias("grp"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    g = b.groupBy("grp").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("r"),
+    )
+    m = g.agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.sum("r").cast("bigint").alias("rt"),
+        F.sum(F.col("grp") * F.col("r")).cast("bigint").alias("sr"),
+        F.sum(F.col("grp") * F.col("n")).cast("bigint").alias("sn"),
+        F.sum(F.col("grp") * F.col("grp") * F.col("n"))
+        .cast("bigint")
+        .alias("snn"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    svar = d("nt") * F.col("snn") - d("sn") * F.col("sn")
+    z = (d("nt") * F.col("sr") - d("rt") * F.col("sn")) / F.sqrt(
+        d("rt") * (F.col("nt") - F.col("rt")) / F.col("nt")
+        * svar
+        / F.col("nt")
+    )
+    return m.select(
+        F.col("nt").alias("n"),
+        F.col("rt").alias("conversions"),
+        F.when(
+            (F.col("rt") > 0) & (F.col("rt") < F.col("nt")) & (svar > 0),
+            F.floor(z * 10000).cast("bigint"),
+        ).alias("z_trend_e4"),
+    )

@@ -37,7 +37,7 @@ from typing import Iterator
 
 import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from graphsense_datafeed_spark.registry import query
 from graphsense_datafeed_spark.sources.tables import load
@@ -1072,3 +1072,73 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return src.mapInPandas(feat_batches, out_schema)
+
+
+@query(
+    "multimodal_video_scene_cut",
+    """
+    WITH media AS (
+        SELECT doc_id, repeat(md5(text), 8) AS h
+        FROM documents WHERE doc_id < 200
+    ), frames AS (
+        SELECT doc_id, h, unnest(range(0, 5)) AS frame_idx FROM media
+    ), luma AS (
+        SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+               CAST(list_reduce(list_transform(range(0, 16),
+                    j -> CAST('0x' || substr(h,
+                              CAST(frame_idx * 48 + j * 2 + 1 AS INT), 2)
+                              AS BIGINT)),
+                    (a, b) -> a + b) AS BIGINT) AS luma_sum
+        FROM frames
+    ), deltas AS (
+        SELECT doc_id, frame_idx, luma_sum,
+               luma_sum - lag(luma_sum) OVER (PARTITION BY doc_id
+                                              ORDER BY frame_idx)
+                   AS d_luma
+        FROM luma
+    )
+    SELECT doc_id, frame_idx, luma_sum,
+           CAST(COALESCE(d_luma, 0) AS BIGINT) AS d_luma,
+           COALESCE(ABS(d_luma) > 400, FALSE) AS is_cut
+    FROM deltas
+    """,
+)
+def multimodal_video_scene_cut(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SCENE-CUT detection over decoded video frames (round 7) — the
+    analysis step after multimodal_video_y4m's decode: a hard cut
+    shows as a large jump in frame luma energy, so flagging
+    |Δluma| > threshold between consecutive decoded frames is the
+    first-pass shot segmentation every video-curation pipeline runs
+    (frame sampling for training picks one frame per shot, not per
+    second).  The frames come through the REAL Y4M encode→triage→
+    decode path; the oracle re-derives every luma sum relationally,
+    so a decoder bug breaks the cut flags before anything else.
+
+    Exact integer luma sums and deltas; the threshold compare is
+    integer; frame 0 is never a cut (COALESCE).
+
+    Scale: the decode map (≤5 rows per doc) + one doc-keyed lag
+    window."""
+    decoded = multimodal_video_y4m(spark, sf_dir).select(
+        "doc_id", "frame_idx", "luma_sum"
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    deltas = decoded.select(
+        "doc_id",
+        "frame_idx",
+        "luma_sum",
+        (F.col("luma_sum") - F.lag("luma_sum").over(w)).alias("d_luma"),
+    )
+    return deltas.select(
+        "doc_id",
+        "frame_idx",
+        "luma_sum",
+        F.coalesce(F.col("d_luma"), F.lit(0)).cast("bigint").alias(
+            "d_luma"
+        ),
+        F.coalesce(F.abs(F.col("d_luma")) > 400, F.lit(False)).alias(
+            "is_cut"
+        ),
+    )

@@ -272,9 +272,9 @@ _ROUND7_WINDOW = (
     "win_hampel_filter",
 )
 
-# Remaining overflow queue -> the round-8 window (119 entries: the 12
+# Remaining overflow queue -> the round-8 window (121 entries: the 12
 # carried r6-queue rows the r7 window didn't reach + the round-6
-# additions minus the front-loaded multimodal_decode_codec + the 51
+# additions minus the front-loaded multimodal_decode_codec + the 53
 # round-7 additions at the tail).  ROUND-8
 # RECIPE: first 50 into the r8 window, front-loading any row that comes
 # back non-green in CORRECTNESS_r07; the remainder (plus any round-7
@@ -403,6 +403,8 @@ _ROUND8_NEXT_UP = (
     "ts_bollinger_bands",
     "text_boilerplate_share",
     "ingest_address_reuse_rate",
+    "multimodal_video_scene_cut",
+    "agg_trend_cochran_armitage",
 )
 
 _loaded = False

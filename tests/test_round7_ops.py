@@ -1023,3 +1023,26 @@ def test_address_reuse_monotone_start(spark, sf_dir):
     assert rows[0]["n_reused"] == 0
     for r in rows:
         assert 0 <= r["n_reused"] <= r["n_outputs"]
+
+
+def test_scene_cut_consistent_with_decode(spark, sf_dir):
+    cuts = QUERIES["multimodal_video_scene_cut"](spark, sf_dir).collect()
+    lumas = {
+        (r["doc_id"], r["frame_idx"]): r["luma_sum"]
+        for r in QUERIES["multimodal_video_y4m"](spark, sf_dir).collect()
+    }
+    assert cuts
+    for r in cuts:
+        assert lumas[(r["doc_id"], r["frame_idx"])] == r["luma_sum"]
+        if r["frame_idx"] == 0:
+            assert r["is_cut"] is False and r["d_luma"] == 0
+        else:
+            prev = lumas[(r["doc_id"], r["frame_idx"] - 1)]
+            assert r["d_luma"] == r["luma_sum"] - prev
+            assert r["is_cut"] == (abs(r["d_luma"]) > 400)
+
+
+def test_cochran_armitage_bounds(spark, sf_dir):
+    r = QUERIES["agg_trend_cochran_armitage"](spark, sf_dir).collect()[0]
+    assert 0 < r["conversions"] < r["n"]
+    assert r["z_trend_e4"] is not None
