@@ -445,3 +445,37 @@ def test_t_closeness_integer_emd_matches_float_reference(g, q):
         accf += abs(cumf)
     float_emd = accf / (m - 1)
     assert abs(integer_emd - float_emd) < 1e-9
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=8),
+            st.integers(min_value=0, max_value=8),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(max_examples=30, deadline=None)
+def test_katz_message_passing_equals_walk_enumeration(raw_edges):
+    """graph_katz_bounded's message-passing recurrence
+    walks_{k+1}(a) = Σ_{b∈N(a)} walks_k(b) must equal brute-force
+    walk ENUMERATION on arbitrary small graphs (walks revisit nodes,
+    so path intuition does not apply — the recurrence is the spec)."""
+    edges = {(a, b) for a, b in raw_edges if a != b}
+    sym = edges | {(b, a) for a, b in edges}
+    if not sym:
+        return
+    nodes = {a for a, _ in sym} | {b for _, b in sym}
+    nbrs = {n: [b for a, b in sym if a == n] for n in nodes}
+    # message passing
+    w1 = {n: len(nbrs[n]) for n in nodes}
+    w2 = {n: sum(w1[b] for b in nbrs[n]) for n in nodes}
+    w3 = {n: sum(w2[b] for b in nbrs[n]) for n in nodes}
+    # brute-force enumeration of length-k walks from each node
+    for n in nodes:
+        walks = [[n]]
+        for k, expect in ((1, w1), (2, w2), (3, w3)):
+            walks = [w + [b] for w in walks for b in nbrs[w[-1]]]
+            assert len(walks) == expect[n], (n, k)
