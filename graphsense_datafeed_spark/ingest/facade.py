@@ -2184,3 +2184,78 @@ def ingest_address_reuse_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("reuse_share_e6"),
         )
     )
+
+
+@query(
+    "ingest_coin_days_destroyed",
+    f"""
+    WITH txr AS (
+        SELECT height, unnest(txs) AS tx FROM {_DUCK_BLOCKS}
+    ), outs AS (
+        SELECT height, (o).address[1] AS address
+        FROM (SELECT height, unnest((tx).outputs) AS o FROM txr)
+    ), first_seen AS (
+        SELECT address, CAST(MIN(height) AS BIGINT) AS first_height
+        FROM outs GROUP BY address
+    ), spends AS (
+        SELECT height, (i).address[1] AS address,
+               CAST((i).value AS BIGINT) AS sat
+        FROM (SELECT height, unnest((tx).inputs) AS i FROM txr)
+    )
+    SELECT s.height,
+           CAST(COUNT(*) AS BIGINT) AS n_spends,
+           CAST(SUM(s.sat) AS BIGINT) AS sat_moved,
+           CAST(SUM(s.sat * GREATEST(s.height - f.first_height, 0))
+                AS BIGINT) AS sat_blocks_destroyed
+    FROM spends s JOIN first_seen f ON f.address = s.address
+    GROUP BY s.height
+    """,
+)
+def ingest_coin_days_destroyed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """COIN-BLOCKS DESTROYED per block (round 7) — the classic
+    dormancy-weighted flow metric (value × age summed over spends):
+    old coins moving is the signal (long-term holders selling, cold
+    wallets waking) that raw volume hides.  The fixture's inputs
+    carry no outpoint references, so age is the documented
+    ADDRESS-AGE approximation — blocks since the spending address
+    first RECEIVED (clamped at 0 for addresses never funded on-feed);
+    with outpoints present the same program keys on (funding_tx,
+    vout) instead of address.
+
+    Exact satoshi·block bigints end to end (sat_moved ≤ 2³³, age ≤
+    chain height — products well inside int64 headroom at real chain
+    scale when expressed per block).
+
+    Scale: the first-seen table is the change-heuristic aggregate
+    reused; one address-keyed join + height rollup."""
+    raw = normalize_blocks(read_blocks_json(spark))
+    txr = raw.select("height", F.explode("txs").alias("tx"))
+    outs = txr.select(
+        "height", F.explode("tx.outputs").alias("o")
+    ).select("height", F.col("o.address")[0].alias("address"))
+    first_seen = outs.groupBy("address").agg(
+        F.min("height").cast("bigint").alias("first_height")
+    )
+    spends = txr.select(
+        "height", F.explode("tx.inputs").alias("i")
+    ).select(
+        "height",
+        F.col("i.address")[0].alias("address"),
+        F.col("i.value").cast("bigint").alias("sat"),
+    )
+    age = F.greatest(
+        F.col("height") - F.col("first_height"), F.lit(0)
+    )
+    return (
+        spends.join(first_seen, "address")
+        .groupBy("height")
+        .agg(
+            F.count("*").cast("bigint").alias("n_spends"),
+            F.sum("sat").cast("bigint").alias("sat_moved"),
+            F.sum(F.col("sat") * age)
+            .cast("bigint")
+            .alias("sat_blocks_destroyed"),
+        )
+    )

@@ -4572,3 +4572,77 @@ def ts_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             "above_upper"
         ),
     )
+
+
+@query(
+    "events_churn_weekly",
+    """
+    WITH weekly AS (
+        SELECT DISTINCT CAST(date_trunc('week', ts) AS DATE) AS week,
+               user_id
+        FROM events
+    ), weeks AS (
+        SELECT DISTINCT week FROM weekly
+    ), churned AS (
+        SELECT w.week,
+               CAST(COUNT(*) AS BIGINT) AS n_churned
+        FROM weeks w
+        JOIN weekly prev
+          ON prev.week = w.week - INTERVAL 7 DAY
+        LEFT JOIN weekly cur
+          ON cur.week = w.week AND cur.user_id = prev.user_id
+        WHERE cur.user_id IS NULL
+        GROUP BY w.week
+    ), active AS (
+        SELECT week, CAST(COUNT(*) AS BIGINT) AS n_active
+        FROM weekly GROUP BY week
+    )
+    SELECT a.week, a.n_active,
+           CAST(COALESCE(c.n_churned, 0) AS BIGINT) AS n_churned
+    FROM active a LEFT JOIN churned c ON c.week = a.week
+    """,
+)
+def events_churn_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly CHURN counts (round 7) — the missing leg of the
+    lifecycle trio: events_new_vs_returning classifies arrivals,
+    events_resurrection counts comebacks, this counts EXITS — users
+    active in week w−1 with no activity in week w.  Retention
+    dashboards need all three columns to reconcile (active_w =
+    active_{w−1} − churned + new + resurrected).
+
+    Exact distinct (week, user) table feeding an anti-join per week
+    pair; calendar weeks are Monday-truncated identically in both
+    engines.
+
+    Scale: one (week,user)-keyed distinct + a week-shifted self
+    anti-join keyed on user — the distinct table is the bounded
+    activity matrix, never raw events."""
+    ev = load(spark, sf_dir, "events")
+    weekly = ev.select(
+        F.date_trunc("week", F.col("ts").cast("timestamp"))
+        .cast("date")
+        .alias("week"),
+        "user_id",
+    ).distinct()
+    weeks = weekly.select("week").distinct()
+    prev = weekly.select(
+        F.date_add(F.col("week"), 7).alias("week"),
+        F.col("user_id"),
+    )
+    # users present in the prev-shifted week but absent now
+    churn_counts = (
+        prev.join(weeks, "week")
+        .join(weekly, ["week", "user_id"], "left_anti")
+        .groupBy("week")
+        .agg(F.count("*").cast("bigint").alias("n_churned"))
+    )
+    active = weekly.groupBy("week").agg(
+        F.count("*").cast("bigint").alias("n_active")
+    )
+    return active.join(churn_counts, "week", "left").select(
+        "week",
+        "n_active",
+        F.coalesce(F.col("n_churned"), F.lit(0))
+        .cast("bigint")
+        .alias("n_churned"),
+    )

@@ -1046,3 +1046,31 @@ def test_cochran_armitage_bounds(spark, sf_dir):
     r = QUERIES["agg_trend_cochran_armitage"](spark, sf_dir).collect()[0]
     assert 0 < r["conversions"] < r["n"]
     assert r["z_trend_e4"] is not None
+
+
+def test_churn_bounded_by_previous_active(spark, sf_dir):
+    rows = {
+        r["week"]: r
+        for r in QUERIES["events_churn_weekly"](spark, sf_dir).collect()
+    }
+    assert rows
+    weeks = sorted(rows)
+    from datetime import timedelta
+
+    for i, w in enumerate(weeks):
+        if i == 0:
+            assert rows[w]["n_churned"] == 0  # no prior week on-feed
+        else:
+            prev = w - timedelta(days=7)
+            if prev in rows:
+                assert rows[w]["n_churned"] <= rows[prev]["n_active"]
+
+
+def test_coin_days_destroyed_consistency(spark, sf_dir):
+    rows = QUERIES["ingest_coin_days_destroyed"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["n_spends"]
+        assert 0 <= r["sat_blocks_destroyed"]
+        # age is bounded by the block's own height
+        assert r["sat_blocks_destroyed"] <= r["sat_moved"] * r["height"]
