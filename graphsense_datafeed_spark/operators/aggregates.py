@@ -4176,3 +4176,104 @@ def agg_trend_cochran_armitage(
             F.floor(z * 10000).cast("bigint"),
         ).alias("z_trend_e4"),
     )
+
+
+@query(
+    "agg_partial_correlation",
+    """
+    WITH base AS (
+        SELECT CAST(FLOOR(value * 10000) AS BIGINT) AS x,
+               CAST(hour(ts) AS BIGINT) AS y,
+               CAST(dayofweek(ts) AS BIGINT) AS z
+        FROM events
+    ), m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(z) AS BIGINT) AS sz,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy,
+               CAST(SUM(z * z) AS BIGINT) AS szz,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * z) AS BIGINT) AS sxz,
+               CAST(SUM(y * z) AS BIGINT) AS syz
+        FROM base
+    ), r AS (
+        SELECT n,
+               (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+               / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                      * (CAST(n AS DOUBLE) * syy
+                         - CAST(sy AS DOUBLE) * sy)) AS rxy,
+               (CAST(n AS DOUBLE) * sxz - CAST(sx AS DOUBLE) * sz)
+               / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                      * (CAST(n AS DOUBLE) * szz
+                         - CAST(sz AS DOUBLE) * sz)) AS rxz,
+               (CAST(n AS DOUBLE) * syz - CAST(sy AS DOUBLE) * sz)
+               / sqrt((CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)
+                      * (CAST(n AS DOUBLE) * szz
+                         - CAST(sz AS DOUBLE) * sz)) AS ryz
+        FROM m
+    )
+    SELECT n,
+           CAST(FLOOR(rxy * 1000000) AS BIGINT) AS rxy_e6,
+           CASE WHEN (1.0 - rxz * rxz) * (1.0 - ryz * ryz) > 0
+                THEN CAST(FLOOR((rxy - rxz * ryz)
+                     / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz))
+                     * 1000000) AS BIGINT)
+                ELSE NULL END AS partial_rxy_z_e6
+    FROM r
+    """,
+)
+def agg_partial_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial correlation r(value, hour | weekday) (round 7) — the
+    confounder-controlled member of the correlation family: does
+    value co-move with time-of-day AFTER removing what weekday
+    explains of both?  agg_corr_exact answers the marginal question;
+    drawing causal-ish conclusions from it when a third variable
+    drives both is the classic analytics mistake this operator
+    exists to catch.
+
+    All nine cross moments are exact bigints from ONE scan; the
+    three Pearson r's and the partial formula are one literal-order
+    double chain (the r's never floor individually — only the two
+    emitted readouts do); degenerate denominators emit NULL.
+
+    Scale: a single global aggregate with map-side partials; the
+    1-row finish is the audit-benign shape."""
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        F.floor(F.col("value") * 10000).cast("bigint").alias("x"),
+        F.hour(F.col("ts").cast("timestamp")).cast("bigint").alias("y"),
+        F.dayofweek(F.col("ts").cast("timestamp")).cast("bigint").alias("z"),
+    )
+    m = base.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum("z").cast("bigint").alias("sz"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("z") * F.col("z")).cast("bigint").alias("szz"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("z")).cast("bigint").alias("sxz"),
+        F.sum(F.col("y") * F.col("z")).cast("bigint").alias("syz"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+
+    def pearson(sab, a, b, saa, sbb):
+        num = d("n") * F.col(sab) - d("s" + a) * F.col("s" + b)
+        da = d("n") * F.col(saa) - d("s" + a) * F.col("s" + a)
+        db = d("n") * F.col(sbb) - d("s" + b) * F.col("s" + b)
+        return num / F.sqrt(da * db)
+
+    rxy = pearson("sxy", "x", "y", "sxx", "syy")
+    rxz = pearson("sxz", "x", "z", "sxx", "szz")
+    ryz = pearson("syz", "y", "z", "syy", "szz")
+    den = (1.0 - rxz * rxz) * (1.0 - ryz * ryz)
+    partial = (rxy - rxz * ryz) / F.sqrt(den)
+    return m.select(
+        "n",
+        F.floor(rxy * 1000000).cast("bigint").alias("rxy_e6"),
+        F.when(
+            den > 0, F.floor(partial * 1000000).cast("bigint")
+        ).alias("partial_rxy_z_e6"),
+    )

@@ -1074,3 +1074,10 @@ def test_coin_days_destroyed_consistency(spark, sf_dir):
         assert 0 <= r["sat_blocks_destroyed"]
         # age is bounded by the block's own height
         assert r["sat_blocks_destroyed"] <= r["sat_moved"] * r["height"]
+
+
+def test_partial_correlation_bounds_and_marginal_agreement(spark, sf_dir):
+    r = QUERIES["agg_partial_correlation"](spark, sf_dir).collect()[0]
+    assert -1000000 <= r["rxy_e6"] <= 1000000
+    if r["partial_rxy_z_e6"] is not None:
+        assert -1000000 <= r["partial_rxy_z_e6"] <= 1000000
