@@ -2259,3 +2259,69 @@ def ingest_coin_days_destroyed(
             .alias("sat_blocks_destroyed"),
         )
     )
+
+
+@query(
+    "ingest_miner_concentration",
+    f"""
+    WITH cb AS (
+        SELECT (o).address[1] AS miner
+        FROM (SELECT unnest((tx).outputs) AS o
+              FROM (SELECT unnest(txs) AS tx FROM {_DUCK_BLOCKS})
+              WHERE (tx).coinbase)
+    ), counts AS (
+        SELECT miner, CAST(COUNT(*) AS BIGINT) AS blocks
+        FROM cb GROUP BY miner
+    ), tot AS (
+        SELECT CAST(SUM(blocks) AS BIGINT) AS n FROM counts
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_miners,
+           MAX(t.n) AS n_blocks,
+           CAST(MAX(blocks) AS BIGINT) AS top_miner_blocks,
+           CAST(FLOOR(CAST(SUM(blocks * blocks) AS DOUBLE)
+                      / (MAX(t.n) * MAX(t.n)) * 1000000) AS BIGINT)
+               AS hhi_e6
+    FROM counts CROSS JOIN tot t
+    """,
+)
+def ingest_miner_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Miner concentration HHI (round 7) — the decentralization
+    number every chain-health report leads with: the
+    Herfindahl–Hirschman index over coinbase payout addresses (the
+    standard miner proxy when pools aren't labeled).  HHI → 1/n for
+    even hashpower, → 1 under a dominant pool; the 51%-risk
+    screening stat, and graph_degree_gini's cousin on the mining
+    side.
+
+    Exact block counts; HHI = Σb²/N² as one floored division of
+    exact bigints (b ≤ N ≤ chain height — no overflow at any real
+    chain size).
+
+    Scale: coinbase rows are one per block; one keyed count + a
+    1-row total broadcast."""
+    raw = normalize_blocks(read_blocks_json(spark))
+    cb = (
+        raw.select(F.explode("txs").alias("tx"))
+        .filter(F.col("tx.coinbase"))
+        .select(F.explode("tx.outputs").alias("o"))
+        .select(F.col("o.address")[0].alias("miner"))
+    )
+    counts = cb.groupBy("miner").agg(
+        F.count("*").cast("bigint").alias("blocks")
+    )
+    tot = counts.agg(F.sum("blocks").cast("bigint").alias("n"))
+    j = counts.crossJoin(F.broadcast(tot))
+    return j.agg(
+        F.count("*").cast("bigint").alias("n_miners"),
+        F.max("n").alias("n_blocks"),
+        F.max("blocks").cast("bigint").alias("top_miner_blocks"),
+        F.floor(
+            F.sum(F.col("blocks") * F.col("blocks")).cast("double")
+            / (F.max("n") * F.max("n"))
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("hhi_e6"),
+    )

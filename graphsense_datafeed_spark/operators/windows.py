@@ -865,3 +865,71 @@ def win_value_percentile_grouped(
             .alias("cume_dist_e6"),
         )
     )
+
+
+@query(
+    "win_record_highs",
+    """
+    WITH base AS (
+        SELECT user_id, ts, event_id,
+               CAST(FLOOR(value * 10000) AS BIGINT) AS v
+        FROM events
+    ), marked AS (
+        SELECT user_id, v,
+               CASE WHEN v > COALESCE(MAX(v) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   -9223372036854775808)
+               THEN 1 ELSE 0 END AS is_record
+        FROM base
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(is_record) AS BIGINT) AS n_records,
+           CAST(MAX(v) AS BIGINT) AS all_time_high_e4
+    FROM marked GROUP BY user_id
+    """,
+)
+def win_record_highs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-high counter per user (round 7) — how many times each
+    user's value stream set a new all-time high: the classic
+    record-statistics readout (for an i.i.d. stream E[records] ≈ ln n,
+    so a user whose record count far exceeds ln(events) is trending,
+    not fluctuating — a one-number trend detector with a known null
+    model, unlike a slope it needs no window length).
+
+    Exact: a strict > against the running prefix max on floored-e4
+    integers over the (ts, event_id) total order — the first event is
+    always a record (the sentinel min-bigint COALESCE).
+
+    Scale: one keyed prefix-max window + one keyed rollup."""
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 10000).cast("bigint").alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = base.select(
+        "user_id",
+        "v",
+        F.when(
+            F.col("v")
+            > F.coalesce(
+                F.max("v").over(w), F.lit(-9223372036854775808)
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_record"),
+    )
+    return marked.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum("is_record").cast("bigint").alias("n_records"),
+        F.max("v").cast("bigint").alias("all_time_high_e4"),
+    )

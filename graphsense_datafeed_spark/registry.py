@@ -272,9 +272,9 @@ _ROUND7_WINDOW = (
     "win_hampel_filter",
 )
 
-# Remaining overflow queue -> the round-8 window (124 entries: the 12
+# Remaining overflow queue -> the round-8 window (126 entries: the 12
 # carried r6-queue rows the r7 window didn't reach + the round-6
-# additions minus the front-loaded multimodal_decode_codec + the 56
+# additions minus the front-loaded multimodal_decode_codec + the 58
 # round-7 additions at the tail).  ROUND-8
 # RECIPE: first 50 into the r8 window, front-loading any row that comes
 # back non-green in CORRECTNESS_r07; the remainder (plus any round-7
@@ -408,6 +408,8 @@ _ROUND8_NEXT_UP = (
     "events_churn_weekly",
     "ingest_coin_days_destroyed",
     "agg_partial_correlation",
+    "win_record_highs",
+    "ingest_miner_concentration",
 )
 
 _loaded = False

@@ -1081,3 +1081,23 @@ def test_partial_correlation_bounds_and_marginal_agreement(spark, sf_dir):
     assert -1000000 <= r["rxy_e6"] <= 1000000
     if r["partial_rxy_z_e6"] is not None:
         assert -1000000 <= r["partial_rxy_z_e6"] <= 1000000
+
+
+def test_record_highs_null_model_order(spark, sf_dir):
+    import math
+
+    rows = QUERIES["win_record_highs"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["n_records"] <= r["n_events"]
+        # i.i.d. null: E[records] = H_n ~ ln n + gamma; allow wide slack
+        assert r["n_records"] <= max(10 * math.log(r["n_events"] + 1), 5)
+
+
+def test_miner_hhi_bounds(spark, sf_dir):
+    r = QUERIES["ingest_miner_concentration"](spark, sf_dir).collect()[0]
+    assert 0 < r["n_miners"] <= r["n_blocks"]
+    # HHI lies in [1/n_miners, 1]
+    assert r["hhi_e6"] >= 1000000 // r["n_miners"] - 1
+    assert r["hhi_e6"] <= 1000000
+    assert r["top_miner_blocks"] <= r["n_blocks"]
