@@ -1824,3 +1824,78 @@ def embed_dim_variance_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         mean.alias("mean_e6"),
         var.alias("var_e6"),
     )
+
+
+@query(
+    "embed_text_alignment_audit",
+    """
+    WITH joined AS (
+        SELECT e.label, d.lang
+        FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+    ), cells AS (
+        SELECT label, lang, CAST(COUNT(*) AS BIGINT) AS n
+        FROM joined GROUP BY label, lang
+    ), tot AS (
+        SELECT label, CAST(SUM(n) AS BIGINT) AS n_label
+        FROM cells GROUP BY label
+    ), top AS (
+        SELECT label, lang AS top_lang, n AS top_n FROM (
+            SELECT label, lang, n,
+                   ROW_NUMBER() OVER (PARTITION BY label
+                                      ORDER BY n DESC, lang) AS rnk
+            FROM cells
+        ) WHERE rnk = 1
+    )
+    SELECT t.label AS label, tt.n_label, t.top_lang, t.top_n,
+           CAST(FLOOR(CAST(t.top_n AS DOUBLE) / tt.n_label * 1000000)
+                AS BIGINT) AS alignment_e6
+    FROM top t JOIN tot tt ON tt.label = t.label
+    """,
+)
+def embed_text_alignment_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CROSS-MODAL alignment audit (round 7) — the first operator
+    joining the two modality tables on their shared id (vec_id ≡
+    doc_id in the fixture contract): for each embedding-space label,
+    the majority TEXT language among its members and the alignment
+    rate.  This is the paired-dataset hygiene check every multimodal
+    training set needs — misaligned rows (caption shuffled against
+    image, embedding row drifted from its text) poison contrastive
+    training silently, and the per-label majority table localizes
+    WHERE the pairing broke.
+
+    Exact cell counts, deterministic majority tiebreak (by lang), one
+    floored rate.
+
+    Scale: one id-keyed equi-join (both tables store id as the sort
+    key at rest) + label-keyed counts + a label-keyed top-1 window."""
+    e = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "label"
+    )
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    cells = (
+        e.join(d, "doc_id")
+        .groupBy("label", "lang")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    tot = cells.groupBy("label").agg(
+        F.sum("n").cast("bigint").alias("n_label")
+    )
+    w = Window.partitionBy("label").orderBy(F.col("n").desc(), "lang")
+    top = (
+        cells.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("label", F.col("lang").alias("top_lang"), F.col("n").alias("top_n"))
+    )
+    return top.join(tot, "label").select(
+        F.col("label").cast("bigint").alias("label"),
+        "n_label",
+        "top_lang",
+        "top_n",
+        F.floor(
+            F.col("top_n").cast("double") / F.col("n_label") * 1000000
+        )
+        .cast("bigint")
+        .alias("alignment_e6"),
+    )

@@ -272,9 +272,9 @@ _ROUND7_WINDOW = (
     "win_hampel_filter",
 )
 
-# Remaining overflow queue -> the round-8 window (126 entries: the 12
+# Remaining overflow queue -> the round-8 window (128 entries: the 12
 # carried r6-queue rows the r7 window didn't reach + the round-6
-# additions minus the front-loaded multimodal_decode_codec + the 58
+# additions minus the front-loaded multimodal_decode_codec + the 60
 # round-7 additions at the tail).  ROUND-8
 # RECIPE: first 50 into the r8 window, front-loading any row that comes
 # back non-green in CORRECTNESS_r07; the remainder (plus any round-7
@@ -410,6 +410,8 @@ _ROUND8_NEXT_UP = (
     "agg_partial_correlation",
     "win_record_highs",
     "ingest_miner_concentration",
+    "embed_text_alignment_audit",
+    "ts_range_volatility",
 )
 
 _loaded = False

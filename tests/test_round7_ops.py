@@ -1101,3 +1101,22 @@ def test_miner_hhi_bounds(spark, sf_dir):
     assert r["hhi_e6"] >= 1000000 // r["n_miners"] - 1
     assert r["hhi_e6"] <= 1000000
     assert r["top_miner_blocks"] <= r["n_blocks"]
+
+
+def test_alignment_audit_partitions_embeddings(spark, sf_dir):
+    rows = QUERIES["embed_text_alignment_audit"](spark, sf_dir).collect()
+    from graphsense_datafeed_spark.sources.scans import load
+
+    n = load(spark, sf_dir, "embeddings").count()
+    assert sum(r["n_label"] for r in rows) == n
+    for r in rows:
+        assert 0 < r["top_n"] <= r["n_label"]
+        assert 0 < r["alignment_e6"] <= 1000000
+
+
+def test_range_volatility_orders(spark, sf_dir):
+    rows = QUERIES["ts_range_volatility"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["mean_range_e4"] <= r["rms_range_e4"] + 1
+        assert r["rms_range_e4"] <= r["max_range_e4"]
