@@ -272,15 +272,13 @@ _ROUND7_WINDOW = (
     "win_hampel_filter",
 )
 
-# Remaining overflow queue -> the round-8 window (128 entries: the 12
-# carried r6-queue rows the r7 window didn't reach + the round-6
-# additions minus the front-loaded multimodal_decode_codec + the 60
-# round-7 additions at the tail).  ROUND-8
-# RECIPE: first 50 into the r8 window, front-loading any row that comes
-# back non-green in CORRECTNESS_r07; the remainder (plus any round-7
-# additions) rotate behind.  Once the queue drains, windows become
-# rotating re-check samples of long-green rows.
-_ROUND8_NEXT_UP = (
+# Round-8 window, promoted per the documented rotation recipe (VERDICT
+# r7 item 1): CORRECTNESS_r07 came back all-green (49 hash +
+# embed_pca rows-only by design), so nothing needed re-check
+# front-loading.  The window is exactly the first 50 entries of the r7
+# overflow queue in its documented order (join_reconciliation …
+# multimodal_video_y4m); the remaining 78 wait in _ROUND9_NEXT_UP.
+_ROUND8_WINDOW = (
     "join_reconciliation",
     "agg_capture_recapture",
     "sample_neyman_allocation",
@@ -333,6 +331,16 @@ _ROUND8_NEXT_UP = (
     "stream_cdc_apply",
     "multimodal_audio_wav",
     "multimodal_video_y4m",
+)
+
+# Remaining overflow queue -> the round-9 window (78 entries: the rest
+# of the r7 queue, driver-unseen).  ROUND-9 RECIPE: first 50 into the
+# r9 window, front-loading any row that comes back non-green in
+# CORRECTNESS_r08; the remainder (plus any round-8 additions, appended
+# in landing order) rotate behind.  Once the queue drains (~r10),
+# windows become rotating re-check samples of long-green rows, oldest
+# driver timestamp first.
+_ROUND9_NEXT_UP = (
     "ingest_fee_summary",
     "ingest_address_balance",
     "ingest_entity_cospend",
@@ -428,7 +436,7 @@ def load_all_operators() -> None:
         importlib.import_module(mod)
     pinned = [
         q
-        for q in _ROUND7_WINDOW + _ROUND8_NEXT_UP + _ROUND6_WINDOW + _ROUND5_WINDOW
+        for q in _ROUND8_WINDOW + _ROUND9_NEXT_UP + _ROUND7_WINDOW + _ROUND6_WINDOW + _ROUND5_WINDOW
         if q in QUERIES
     ]
     rest = [q for q in QUERIES if q not in set(pinned)]
