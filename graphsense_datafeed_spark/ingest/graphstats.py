@@ -1032,7 +1032,7 @@ def graph_jaccard_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM deg
     )
     SELECT MAX(n) AS n_nodes, MAX(total) AS total_degree,
-           CAST(FLOOR((2.0 * SUM(CAST(rn AS DOUBLE) * d)
+           CAST(FLOOR((2.0 * CAST(CAST(SUM(rn * d) AS BIGINT) AS DOUBLE)
                        / (MAX(n) * MAX(total))
                        - (CAST(MAX(n) AS DOUBLE) + 1) / MAX(n))
                       * 1000000) AS BIGINT) AS gini_e6
@@ -1075,13 +1075,18 @@ def graph_degree_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(wall).cast("bigint").alias("n"),
         F.sum("d").over(wall).cast("bigint").alias("total"),
     )
+    # Σ(r·d) accumulates as BIGINT in both engines (cast to double only
+    # once at the end): a double accumulator is exact only below 2^53
+    # and becomes addition-order-dependent beyond, silently breaking
+    # cross-engine parity at the scale this operator targets.
     agg = ranked.agg(
         F.max("n").alias("n_nodes"),
         F.max("total").alias("total_degree"),
-        F.sum(F.col("rn").cast("double") * F.col("d")).alias("rd"),
+        F.sum(F.col("rn").cast("bigint") * F.col("d")).cast("bigint").alias("rd"),
     )
     gini = (
-        2.0 * F.col("rd") / (F.col("n_nodes") * F.col("total_degree"))
+        2.0 * F.col("rd").cast("double")
+        / (F.col("n_nodes") * F.col("total_degree"))
         - (F.col("n_nodes").cast("double") + 1) / F.col("n_nodes")
     )
     return agg.select(

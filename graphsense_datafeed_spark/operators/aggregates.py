@@ -4069,8 +4069,10 @@ def agg_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("ss").cast(d38)).alias("sst"),
         # explicit FLOOR, not a decimal cast: Spark's decimal cast
         # rounds HALF_UP while DuckDB's HUGEINT division truncates —
-        # floor pins both engines to the same integral term (all
-        # group sums are positive, so floor == truncation)
+        # floor pins both engines to the same integral term.  The
+        # dividend is s·s ≥ 0 BY CONSTRUCTION (a square), and n > 0,
+        # so the quotient is non-negative and floor == truncation for
+        # EVERY sign of s — no fixture assumption about group sums.
         F.sum(
             F.floor(F.col("s").cast(d38) * F.col("s") / F.col("n"))
         ).alias("sb_scaled"),
@@ -4243,7 +4245,12 @@ def agg_partial_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = ev.select(
         F.floor(F.col("value") * 10000).cast("bigint").alias("x"),
         F.hour(F.col("ts").cast("timestamp")).cast("bigint").alias("y"),
-        F.dayofweek(F.col("ts").cast("timestamp")).cast("bigint").alias("z"),
+        # Spark dayofweek() is 1=Sunday..7; DuckDB's is 0=Sunday..6.
+        # Subtract 1 so the integer moments (sz/szz/sxz/syz) are
+        # IDENTICAL across engines — partial r is shift-invariant
+        # algebraically, but the floored-e6 readouts are only
+        # bit-identical when the double chains see the same integers.
+        (F.dayofweek(F.col("ts").cast("timestamp")) - 1).cast("bigint").alias("z"),
     )
     m = base.agg(
         F.count("*").cast("bigint").alias("n"),

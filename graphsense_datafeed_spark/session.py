@@ -92,27 +92,56 @@ def _ensure_package_on_workers(spark: SparkSession) -> None:
             return
     except Exception:
         pass
+    import hashlib
     import tempfile
     import zipfile
 
     pkg_root = os.path.dirname(os.path.abspath(__file__))
+    # Collect sources first and key the zip name on a CONTENT hash:
+    # a PID-keyed name is reusable by an unrelated process after PID
+    # reuse (or another user on a shared /tmp) and would silently ship
+    # stale worker code; content addressing makes "exists" trustworthy.
+    sources: list[tuple[str, str]] = []
+    for dirpath, _dirnames, filenames in os.walk(pkg_root):
+        if "__pycache__" in dirpath:
+            continue
+        for fn in sorted(filenames):
+            if not fn.endswith(".py"):
+                continue
+            full = os.path.join(dirpath, fn)
+            rel = os.path.join(
+                "graphsense_datafeed_spark",
+                os.path.relpath(full, pkg_root),
+            )
+            sources.append((full, rel))
+    sources.sort(key=lambda fr: fr[1])
+    digest = hashlib.sha256()
+    for full, rel in sources:
+        digest.update(rel.encode())
+        with open(full, "rb") as fh:
+            digest.update(fh.read())
     zip_path = os.path.join(
-        tempfile.gettempdir(), f"gds_pkg_{os.getpid()}.zip"
+        tempfile.gettempdir(), f"gds_pkg_{digest.hexdigest()[:16]}.zip"
     )
     if not os.path.exists(zip_path):
-        with zipfile.ZipFile(zip_path, "w") as zf:
-            for dirpath, _dirnames, filenames in os.walk(pkg_root):
-                if "__pycache__" in dirpath:
-                    continue
-                for fn in filenames:
-                    if not fn.endswith(".py"):
-                        continue
-                    full = os.path.join(dirpath, fn)
-                    rel = os.path.join(
-                        "graphsense_datafeed_spark",
-                        os.path.relpath(full, pkg_root),
-                    )
+        # Write to a unique temp file and os.replace() into place —
+        # never a partial zip at the final path, even if a concurrent
+        # session races us or this process crashes mid-write.
+        fd, tmp_path = tempfile.mkstemp(
+            suffix=".zip", prefix="gds_pkg_tmp_",
+            dir=tempfile.gettempdir(),
+        )
+        try:
+            with os.fdopen(fd, "wb") as raw, zipfile.ZipFile(raw, "w") as zf:
+                for full, rel in sources:
                     zf.write(full, rel)
+            os.replace(tmp_path, zip_path)
+        except BaseException:
+            try:
+                os.unlink(tmp_path)
+            except OSError:
+                pass
+            raise
     try:
         sc.addPyFile(zip_path)
     except Exception:
