@@ -260,18 +260,48 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_percentile")
+@query(
+    "agg_approx_percentile",
+    """
+    SELECT l_linestatus,
+           quantile_disc(CAST(FLOOR(l_extendedprice * 100) AS BIGINT), 0.5)
+               AS approx_median_e2,
+           quantile_disc(CAST(FLOOR(l_extendedprice * 100) AS BIGINT), 0.9)
+               AS approx_p90_e2
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch percentile — the 100 TB default (exact
-    percentile needs a per-group sort of all values). Rows-only check;
-    accuracy asserted vs exact in tests/test_operators.py."""
+    percentile needs a per-group sort of all values).
+
+    Retired from rows-only to an EXACT oracle (round 8, the
+    multimodal_decode/resize pattern): with ``accuracy`` A, the
+    Greenwald-Khanna sketch guarantees rank error ≤ N/A; for every
+    group with N < A = 10⁶ rows the error is < 1 rank, and since
+    ranks are integers the sketch returns EXACTLY the discrete
+    quantile — the element at rank ⌈p·N⌉, which is precisely DuckDB's
+    ``quantile_disc`` (pinned empirically across odd/even/tied
+    multisets).  The domain is floored to e2 integer cents so both
+    engines select from the identical integer multiset.  Groups
+    beyond 10⁶ rows degrade gracefully to ±N·10⁻⁶ ranks — the sketch,
+    not the oracle, is the deployment mode; the oracle documents the
+    exact regime.
+
+    Scale: one groupBy with a mergeable sketch per group — partial
+    sketches merge map-side, no per-group sort, no window."""
+    v = F.floor(F.col("l_extendedprice") * 100).cast("bigint")
     return (
         load(spark, sf_dir, "lineitem")
+        .select("l_linestatus", v.alias("v"))
         .groupBy("l_linestatus")
         .agg(
-            F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
-                "approx_median"
-            )
+            F.approx_percentile("v", F.lit(0.5), F.lit(1000000)).alias(
+                "approx_median_e2"
+            ),
+            F.approx_percentile("v", F.lit(0.9), F.lit(1000000)).alias(
+                "approx_p90_e2"
+            ),
         )
     )
 

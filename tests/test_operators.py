@@ -23,20 +23,28 @@ def test_approx_count_distinct_within_rsd(spark, sf_dir):
         assert abs(approx[k] - e) <= max(3, 0.1 * e), (k, approx[k], e)
 
 
-def test_approx_percentile_near_exact(spark, sf_dir):
-    approx = {
-        r["l_linestatus"]: r["approx_median"]
+def test_approx_percentile_exact_in_sub_accuracy_regime(spark, sf_dir):
+    """With accuracy=10^6 and every group under 10^6 rows the sketch's
+    rank error is < 1, so the result must EQUAL the exact discrete
+    quantile (rank ceil(p*n)) on the same e2 integer domain — the
+    argument that retired this query's oracle from rows-only."""
+    got = {
+        r["l_linestatus"]: (r["approx_median_e2"], r["approx_p90_e2"])
         for r in QUERIES["agg_approx_percentile"](spark, sf_dir).collect()
     }
+    v = F.floor(F.col("l_extendedprice") * 100).cast("bigint")
     exact = {
-        r["l_linestatus"]: r["m"]
+        r["l_linestatus"]: (r["m"], r["p90"])
         for r in load(spark, sf_dir, "lineitem")
+        .select("l_linestatus", v.alias("v"))
         .groupBy("l_linestatus")
-        .agg(F.median("l_extendedprice").alias("m"))
+        .agg(
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY v)").alias("m"),
+            F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY v)").alias("p90"),
+        )
         .collect()
     }
-    for k, e in exact.items():
-        assert abs(approx[k] - e) / e < 0.02, (k, approx[k], e)
+    assert got == exact, (got, exact)
 
 
 def test_stream_stateful_equals_batch(spark, sf_dir):
