@@ -40,11 +40,24 @@ _DUCK_TX = (
     "total_output BIGINT, inputs STRUCT(address VARCHAR[], value BIGINT)[], "
     "outputs STRUCT(address VARCHAR[], value BIGINT)[])[]"
 )
-_DUCK_BLOCKS = (
-    f"read_json('{BLOCKS_JSONL}', format='newline_delimited', "
-    "columns={'height':'BIGINT','block_hash':'VARCHAR','timestamp':'BIGINT',"
-    f"'no_transactions':'BIGINT','txs':\"{_DUCK_TX}\"}})"
-)
+def _duck_blocks_sql(path: str) -> str:
+    """DuckDB typed-read expression for one currency's block feed."""
+    return (
+        f"read_json('{path}', format='newline_delimited', "
+        "columns={'height':'BIGINT','block_hash':'VARCHAR','timestamp':'BIGINT',"
+        f"'no_transactions':'BIGINT','txs':\"{_DUCK_TX}\"}})"
+    )
+
+
+_DUCK_BLOCKS = _duck_blocks_sql(BLOCKS_JSONL)
+
+
+def raw_keyspace(currency: str) -> str:
+    """Keyspace name for a currency's raw tables (btc → btc_raw),
+    mirroring the reference's one-keyspace-per-currency deployment."""
+    from graphsense_datafeed_spark.ingest.genfixtures import CURRENCIES
+
+    return CURRENCIES[currency].keyspace
 
 
 def normalize_blocks(raw: DataFrame) -> DataFrame:
@@ -93,10 +106,26 @@ def explode_outputs(txs: DataFrame) -> DataFrame:
 
 
 def ingest(
-    spark: SparkSession, sink: Sink, json_path: str = BLOCKS_JSONL
+    spark: SparkSession,
+    sink: Sink,
+    json_path: str | None = None,
+    currency: str = "btc",
 ) -> dict[str, DataFrame]:
     """Full-sync entry point: raw block JSON → normalized tables →
-    sink. Returns the table DataFrames (lazily; sink.write triggers)."""
+    sink. Returns the table DataFrames (lazily; sink.write triggers).
+
+    PER-CURRENCY KEYSPACES: the reference runs one datafeed instance
+    per currency, each into its own raw keyspace (btc_raw, ltc_raw —
+    SURVEY §1.1).  ``currency`` selects the feed (fixtures registry in
+    genfixtures.CURRENCIES) when ``json_path`` is not given; the sink
+    is constructed per keyspace by the caller (CassandraSink(keyspace=
+    raw_keyspace(currency)), ParquetSink(base_dir=<dir>/<keyspace>)) so
+    table names stay identical across currencies and isolation lives
+    where the reference puts it — in the keyspace, not the table."""
+    if json_path is None:
+        from graphsense_datafeed_spark.sources.scans import currency_feed
+
+        json_path, _ = currency_feed(currency)
     raw = read_blocks_json(spark, json_path)
     blocks = normalize_blocks(raw)
     txs = explode_transactions(blocks)
@@ -130,6 +159,79 @@ def ingest(
     for name, df in tables.items():
         sink.write(df, name, keys[name])
     return tables
+
+
+def _multi_currency_oracle_sql() -> str:
+    """Per-keyspace rollup over EVERY registered currency feed — the
+    UNION ALL of one typed read_json per chain, tagged with the
+    currency and keyspace literals."""
+    from graphsense_datafeed_spark.ingest.genfixtures import CURRENCIES
+    from graphsense_datafeed_spark.sources.scans import currency_feed
+
+    parts = []
+    for cur, spec in sorted(CURRENCIES.items()):
+        blocks_path, _rates = currency_feed(cur)
+        parts.append(
+            f"""
+    SELECT '{cur}' AS currency, '{spec.keyspace}' AS keyspace,
+           CAST(COUNT(*) AS BIGINT) AS no_blocks,
+           CAST(SUM(no_transactions) AS BIGINT) AS no_transactions,
+           CAST(SUM(list_sum(list_transform(txs, t -> (t).total_output)))
+                AS BIGINT) AS total_output_satoshi,
+           CAST(MAX(height) AS BIGINT) AS last_height
+    FROM {_duck_blocks_sql(blocks_path)}"""
+        )
+    return " UNION ALL ".join(parts)
+
+
+@query("ingest_multi_currency", _multi_currency_oracle_sql())
+def ingest_multi_currency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-currency keyspace summary (round 9) — the multi-keyspace
+    deployment seam made driver-visible: one typed scan per registered
+    currency feed (genfixtures.CURRENCIES), each tagged with its
+    currency + raw keyspace name, rolled up to the summary_statistics
+    shape (block count, tx count, total output mass, chain tip).
+
+    The per-block tx mass is an ARRAY AGGREGATE (F.aggregate over the
+    txs array) — no explode, so each feed contributes exactly one
+    narrow scan + one 1-row aggregate and the union stays
+    O(#currencies) rows.  At 100 TB each keyspace is its own feed
+    directory; the scans parallelize independently and the union is a
+    metadata no-op."""
+    dfs = []
+    from graphsense_datafeed_spark.ingest.genfixtures import CURRENCIES
+    from graphsense_datafeed_spark.sources.scans import currency_feed
+
+    for cur, spec in sorted(CURRENCIES.items()):
+        blocks_path, _rates = currency_feed(cur)
+        raw = read_blocks_json(spark, blocks_path)
+        dfs.append(
+            raw.agg(
+                F.count("*").cast("bigint").alias("no_blocks"),
+                F.sum("no_transactions").cast("bigint").alias("no_transactions"),
+                F.sum(
+                    F.aggregate(
+                        "txs",
+                        F.lit(0).cast("bigint"),
+                        lambda acc, t: acc + t["total_output"],
+                    )
+                )
+                .cast("bigint")
+                .alias("total_output_satoshi"),
+                F.max("height").cast("bigint").alias("last_height"),
+            ).select(
+                F.lit(cur).alias("currency"),
+                F.lit(spec.keyspace).alias("keyspace"),
+                "no_blocks",
+                "no_transactions",
+                "total_output_satoshi",
+                "last_height",
+            )
+        )
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionAll(d)
+    return out
 
 
 @query(
@@ -686,14 +788,82 @@ def sink_cassandra(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("graph_pagerank")
+PAGERANK_SCALE = 10**12
+
+
+def _pagerank_oracle_sql(iters: int = 10) -> str:
+    """Exact DuckDB oracle for the quantized PageRank: the 10 rounds
+    unroll into 10 chained CTE hops (the graph_katz_bounded w1/w2/w3
+    precedent, generated by loop instead of by hand).  Every quantity
+    is BIGINT and every division is integer, so the oracle reproduces
+    the Spark result bit-for-bit — no float-summation-order slack."""
+    s = PAGERANK_SCALE
+    sql = f"""
+    WITH txio AS (
+        SELECT (tx).tx_hash AS tx_hash, (tx).inputs AS inputs,
+               (tx).outputs AS outputs
+        FROM (SELECT unnest(txs) AS tx FROM {_DUCK_BLOCKS})
+        WHERE NOT (tx).coinbase
+    ), ins AS (
+        SELECT tx_hash, (i).address[1] AS src
+        FROM (SELECT tx_hash, unnest(inputs) AS i FROM txio)
+    ), outs AS (
+        SELECT tx_hash, (o).address[1] AS dst
+        FROM (SELECT tx_hash, unnest(outputs) AS o FROM txio)
+    ), edges AS MATERIALIZED (
+        SELECT DISTINCT src, dst FROM ins JOIN outs USING (tx_hash)
+        WHERE src <> dst
+    ), nodes AS MATERIALIZED (
+        SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes
+    ), outdeg AS MATERIALIZED (
+        SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM edges GROUP BY src
+    ), pr0 AS MATERIALIZED (
+        SELECT node, CAST({s} // (SELECT n FROM nn) AS BIGINT) AS r
+        FROM nodes
+    )"""
+    for i in range(1, iters + 1):
+        sql += f""", contrib{i} AS MATERIALIZED (
+        SELECT e.dst AS node, CAST(SUM(p.r // d.deg) AS BIGINT) AS contrib
+        FROM edges e
+        JOIN pr{i - 1} p ON p.node = e.src
+        JOIN outdeg d ON d.node = e.src
+        GROUP BY e.dst
+    ), dang{i} AS MATERIALIZED (
+        SELECT CAST(COALESCE(SUM(p.r), 0) AS BIGINT) AS d
+        FROM pr{i - 1} p LEFT JOIN outdeg o ON o.node = p.node
+        WHERE o.node IS NULL
+    ), pr{i} AS MATERIALIZED (
+        SELECT n.node,
+               CAST(3 * {s} // (20 * (SELECT n FROM nn))
+                    + 17 * (COALESCE(c.contrib, 0)
+                            + (SELECT d FROM dang{i})
+                              // (SELECT n FROM nn)) // 20
+                    AS BIGINT) AS r
+        FROM nodes n LEFT JOIN contrib{i} c ON c.node = n.node
+    )"""
+    sql += f"\n    SELECT node AS addr, r AS rank_e12 FROM pr{iters}"
+    return sql
+
+
+@query("graph_pagerank", _pagerank_oracle_sql())
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the directed address-flow graph — the second
     iterative workload class (power iteration with an L1-delta
     convergence exit, see pagerank_iterate) alongside
-    graph_components' label propagation. Rows-only in the
-    driver; tests/test_llm.py cross-checks every rank against a
-    driver-side numpy power iteration on the identical edge list.
+    graph_components' label propagation.
+
+    EXACT ORACLE (round 9, retired from rows-only): ranks are carried
+    as bigint e12 units and every per-round operation is integer —
+    share(src) = r DIV deg, new = 3·S DIV 20n + 17·(contrib + D DIV n)
+    DIV 20 with damping 0.85 = 17/20 exact.  Integer sums are
+    order-independent, so the 10-hop unrolled DuckDB CTE
+    (_pagerank_oracle_sql) reproduces the distributed result
+    bit-for-bit; the e12 quantization error vs true float PageRank is
+    ≤ iters·(1+damping)·1e-12 per node — far below any ranking use.
+    tests/test_llm.py cross-checks every rank against a driver-side
+    numpy integer simulation on the identical edge list.
 
     Scale: each round is one ranks⋈edges shuffle join on src plus a
     sum-aggregate on dst — partial aggregation makes the shuffle carry
@@ -730,7 +900,9 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = nodes.count()
     out_deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     ranks, _ = pagerank_iterate(nodes, edges, out_deg, n, max_iter=10)
-    return ranks.select("addr", F.floor(F.col("rank") * 1e9).cast("bigint").alias("rank_e9"))
+    return ranks.select(
+        "addr", F.col("rank_e12").cast("bigint").alias("rank_e12")
+    )
 
 
 def pagerank_iterate(
@@ -739,61 +911,83 @@ def pagerank_iterate(
     out_deg,
     n: int,
     max_iter: int = 10,
-    tol: float = 1e-12,
-    damping: float = 0.85,
+    tol: int = 0,
 ):
-    """Damped power iteration with an L1-delta convergence early-exit.
+    """Quantized damped power iteration with an L1-delta early-exit.
 
-    Per round: contribs join+agg, a scalar dangling-mass agg, the rank
-    update, and one extra scalar agg — sum(|new - old|) over the
-    (per-node, not per-edge) rank table. When that L1 delta drops
-    below ``tol`` the loop stops: each avoided round is a full
-    ranks⋈edges shuffle of the edge set, which at 100× scale dominates
-    the cheap per-node delta agg many times over. On an
-    already-stationary distribution (e.g. a directed cycle) this exits
-    after a single round instead of burning all ``max_iter``.
+    Ranks are bigint e12 units (PAGERANK_SCALE); damping 0.85 is the
+    exact rational 17/20, so the per-round update
 
-    Returns ``(ranks, rounds_run)``.
+        share(src)  = rank DIV deg(src)
+        contrib(v)  = Σ share over in-edges
+        rank'(v)    = 3·S DIV 20n + 17·(contrib(v) + D DIV n) DIV 20
+
+    (D = dangling mass) is pure integer arithmetic: order-independent
+    sums, no float drift, hence cross-engine exact vs the unrolled SQL
+    oracle.  Per round: contribs join+agg, a scalar dangling-mass agg,
+    the rank update, and one cheap per-node L1-delta agg.  When the
+    bigint delta drops to ``tol`` (default 0 = exact fixpoint) the
+    loop stops: an integer fixpoint is invariant under further rounds,
+    so the early exit returns output IDENTICAL to the full
+    ``max_iter`` unroll — each avoided round is a full ranks⋈edges
+    shuffle, which at 100× scale dominates the delta agg many times
+    over.  ``tol < 0`` disables the exit (referee use only).
+
+    Returns ``(ranks, rounds_run)`` with ranks = (addr, rank_e12).
     """
-    ranks = nodes.select("addr", F.lit(1.0 / n).alias("rank")).localCheckpoint()
+    base = 3 * PAGERANK_SCALE // (20 * n)
+    ranks = nodes.select(
+        "addr", F.lit(PAGERANK_SCALE // n).cast("bigint").alias("rank_e12")
+    ).localCheckpoint()
     iters = 0
     for _ in range(max_iter):
         iters += 1
         contribs = (
             edges.join(out_deg, "src")
             .join(ranks, edges.src == ranks.addr)
-            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+            .select("dst", F.expr("rank_e12 DIV deg").alias("share"))
             .groupBy("dst")
-            .agg(F.sum("c").alias("contrib"))
+            .agg(F.sum("share").cast("bigint").alias("contrib"))
         )
         # mass sitting on dangling nodes (no out-edges) spreads uniformly
-        dangling = (
+        dangling = int(
             ranks.join(out_deg, ranks.addr == out_deg.src, "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .agg(F.coalesce(F.sum("rank_e12"), F.lit(0)).cast("bigint"))
             .collect()[0][0]
         )
-        base = (1.0 - damping) / n + damping * dangling / n
+        dang_share = dangling // n
         new_ranks = (
             nodes.join(contribs, nodes.addr == contribs.dst, "left")
             .select(
                 "addr",
-                (
-                    F.lit(base)
-                    + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
-                ).alias("rank"),
+                F.expr(
+                    f"CAST({base} + (17 * (COALESCE(contrib, 0) "
+                    f"+ {dang_share})) DIV 20 AS BIGINT)"
+                ).alias("rank_e12"),
             )
             .localCheckpoint()
         )
-        delta = (
-            new_ranks.alias("new")
-            .join(ranks.alias("old"), "addr")
-            .agg(F.sum(F.abs(F.col("new.rank") - F.col("old.rank"))))
-            .collect()[0][0]
-            or 0.0
-        )
-        ranks = new_ranks
-        if delta < tol:
-            break
+        if tol >= 0:
+            delta = (
+                new_ranks.alias("new")
+                .join(ranks.alias("old"), "addr")
+                .agg(
+                    F.coalesce(
+                        F.sum(
+                            F.abs(
+                                F.col("new.rank_e12") - F.col("old.rank_e12")
+                            )
+                        ),
+                        F.lit(0),
+                    )
+                )
+                .collect()[0][0]
+            )
+            ranks = new_ranks
+            if delta <= tol:
+                break
+        else:
+            ranks = new_ranks
     return ranks, iters
 
 

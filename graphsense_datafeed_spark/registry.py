@@ -333,14 +333,10 @@ _ROUND8_WINDOW = (
     "multimodal_video_y4m",
 )
 
-# Remaining overflow queue -> the round-9 window (78 entries: the rest
-# of the r7 queue, driver-unseen).  ROUND-9 RECIPE: first 50 into the
-# r9 window, front-loading any row that comes back non-green in
-# CORRECTNESS_r08; the remainder (plus any round-8 additions, appended
-# in landing order) rotate behind.  Once the queue drains (~r10),
-# windows become rotating re-check samples of long-green rows, oldest
-# driver timestamp first.
-_ROUND9_NEXT_UP = (
+# Round-9 driver window: CORRECTNESS_r08 came back 50/50 green, so per
+# the written recipe there is nothing to front-load -- the first 50
+# entries of the r8 overflow queue promote verbatim.
+_ROUND9_WINDOW = (
     "ingest_fee_summary",
     "ingest_address_balance",
     "ingest_entity_cospend",
@@ -359,7 +355,6 @@ _ROUND9_NEXT_UP = (
     "text_vocab_overlap_sources",
     "text_model_calibration_ece",
     "text_model_auc",
-    # --- round-7 additions, appended in landing order ---
     "graph_jaccard_similarity",
     "agg_spearman_corr",
     "agg_two_proportion_z",
@@ -392,6 +387,19 @@ _ROUND9_NEXT_UP = (
     "multimodal_audio_features",
     "ingest_block_interval_stats",
     "ingest_coinbase_subsidy_check",
+)
+
+# Remaining overflow -> the round-10 window (28 entries; any round-9
+# additions append in landing order).  ROUND-10 RECIPE: the queue
+# drains this round -- fill the window to 50 by appending re-check
+# rows sampled oldest-driver-green first (r1 passes, then r2, ...),
+# skipping rows already in the window.  From r11 on, the whole window
+# is the oldest-green re-check sample, so no row stays unverified for
+# more than ~8 rounds and early greens cannot rot unnoticed.  Track
+# each row's last-green round in the CORRECTNESS_r*.json ledger (the
+# files are the source of truth; scripts/next_window.py computes the
+# oldest-first ordering mechanically).
+_ROUND10_NEXT_UP = (
     "rank_biased_overlap",
     "agg_quantiles_grouped",
     "agg_mcnemar_test",
@@ -436,7 +444,7 @@ def load_all_operators() -> None:
         importlib.import_module(mod)
     pinned = [
         q
-        for q in _ROUND8_WINDOW + _ROUND9_NEXT_UP + _ROUND7_WINDOW + _ROUND6_WINDOW + _ROUND5_WINDOW
+        for q in _ROUND9_WINDOW + _ROUND10_NEXT_UP + _ROUND8_WINDOW + _ROUND7_WINDOW + _ROUND6_WINDOW + _ROUND5_WINDOW
         if q in QUERIES
     ]
     rest = [q for q in QUERIES if q not in set(pinned)]

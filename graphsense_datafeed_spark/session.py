@@ -92,15 +92,24 @@ def _ensure_package_on_workers(spark: SparkSession) -> None:
             return
     except Exception:
         pass
+    zip_path = _package_zip()
+    try:
+        sc.addPyFile(zip_path)
+    except Exception:
+        # best-effort: a session that already has the repo importable
+        # on its workers doesn't need the zip
+        pass
+
+
+def _package_sources() -> tuple[list[tuple[str, str]], str]:
+    """(abs path, archive name) for every package .py + content digest.
+
+    The zip name is keyed on a CONTENT hash: a PID-keyed name is
+    reusable by an unrelated process after PID reuse (or another user
+    on a shared /tmp) and would silently ship stale worker code."""
     import hashlib
-    import tempfile
-    import zipfile
 
     pkg_root = os.path.dirname(os.path.abspath(__file__))
-    # Collect sources first and key the zip name on a CONTENT hash:
-    # a PID-keyed name is reusable by an unrelated process after PID
-    # reuse (or another user on a shared /tmp) and would silently ship
-    # stale worker code; content addressing makes "exists" trustworthy.
     sources: list[tuple[str, str]] = []
     for dirpath, _dirnames, filenames in os.walk(pkg_root):
         if "__pycache__" in dirpath:
@@ -120,10 +129,41 @@ def _ensure_package_on_workers(spark: SparkSession) -> None:
         digest.update(rel.encode())
         with open(full, "rb") as fh:
             digest.update(fh.read())
+    return sources, digest.hexdigest()
+
+
+def _zip_matches(path: str, sources, hexdigest: str) -> bool:
+    """True iff the zip at ``path`` holds exactly ``sources`` with the
+    given content digest.  /tmp is world-shared: a name collision
+    (stale, corrupt, or planted file) must not ship to workers, so the
+    members are re-hashed before an existing zip is trusted."""
+    import hashlib
+    import zipfile
+
+    try:
+        with zipfile.ZipFile(path) as zf:
+            names = sorted(zf.namelist())
+            if names != sorted(rel for _full, rel in sources):
+                return False
+            check = hashlib.sha256()
+            for _full, rel in sources:
+                check.update(rel.encode())
+                check.update(zf.read(rel))
+            return check.hexdigest() == hexdigest
+    except Exception:
+        return False
+
+
+def _package_zip() -> str:
+    """Build (or verify-and-reuse) the content-addressed package zip."""
+    import tempfile
+    import zipfile
+
+    sources, hexdigest = _package_sources()
     zip_path = os.path.join(
-        tempfile.gettempdir(), f"gds_pkg_{digest.hexdigest()[:16]}.zip"
+        tempfile.gettempdir(), f"gds_pkg_{hexdigest[:16]}.zip"
     )
-    if not os.path.exists(zip_path):
+    if not (os.path.exists(zip_path) and _zip_matches(zip_path, sources, hexdigest)):
         # Write to a unique temp file and os.replace() into place —
         # never a partial zip at the final path, even if a concurrent
         # session races us or this process crashes mid-write.
@@ -142,12 +182,7 @@ def _ensure_package_on_workers(spark: SparkSession) -> None:
             except OSError:
                 pass
             raise
-    try:
-        sc.addPyFile(zip_path)
-    except Exception:
-        # best-effort: a session that already has the repo importable
-        # on its workers doesn't need the zip
-        pass
+    return zip_path
 
 
 def ensure_runtime_confs(spark: SparkSession) -> SparkSession:

@@ -79,6 +79,24 @@ FIXTURES_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "fixtures")
 BLOCKS_JSONL = os.path.abspath(os.path.join(FIXTURES_DIR, "blocks.jsonl"))
 RATES_CSV = os.path.abspath(os.path.join(FIXTURES_DIR, "rates.csv"))
 
+
+def currency_feed(currency: str = "btc") -> tuple[str, str]:
+    """(blocks_jsonl, rates_csv) for one currency's raw keyspace feed.
+
+    The reference deploys one datafeed instance per currency, each
+    writing its own Cassandra keyspace (SURVEY §1.1); here each
+    currency has its own committed fixture feed (btc at the fixtures
+    root for backward compatibility, alts in subdirs — see
+    ingest/genfixtures.CURRENCIES)."""
+    from graphsense_datafeed_spark.ingest.genfixtures import CURRENCIES
+
+    spec = CURRENCIES[currency]
+    base = os.path.join(FIXTURES_DIR, spec.subdir) if spec.subdir else FIXTURES_DIR
+    return (
+        os.path.abspath(os.path.join(base, "blocks.jsonl")),
+        os.path.abspath(os.path.join(base, "rates.csv")),
+    )
+
 # Reconstructed raw block model (SURVEY.md §1.2) as a Spark schema.
 TX_IO = StructType(
     [

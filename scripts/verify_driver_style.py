@@ -73,12 +73,19 @@ def main() -> int:
         with open(cap.name) as fh:
             return sum(_WINDOW_WARN in line for line in fh)
 
+    rc = 1
     try:
-        return _sweep(only, real_err, warn_count)
+        rc = _sweep(only, real_err, warn_count)
+        return rc
     finally:
         # restore the original stderr so a crash traceback (or the
         # caller's subsequent output) isn't swallowed by the capture
         os.dup2(real_err.fileno(), 2)
+        cap.close()
+        if rc == 0:
+            os.unlink(cap.name)  # keep the JVM log only on failure
+        else:
+            print(f"stderr capture kept for debugging: {cap.name}", file=real_err)
 
 
 def _sweep(only, real_err, warn_count) -> int:

@@ -287,13 +287,15 @@ def test_langid_accuracy_floor(spark, sf_dir):
     assert agg["ok"] / agg["n"] >= 0.25  # > uniform-5-class chance
 
 
-def test_graph_pagerank_matches_numpy(spark, sf_dir):
-    """Distributed power iteration must match a dense numpy PageRank
-    (same damping, same dangling handling, same 10 rounds) on the
-    identical edge list, to 1e-9 absolute on every rank."""
-    import numpy as np
-
-    from graphsense_datafeed_spark.ingest.facade import read_blocks_json
+def test_graph_pagerank_matches_driver_side_int_sim(spark, sf_dir):
+    """Distributed quantized power iteration must match a driver-side
+    pure-python integer simulation (same 17/20 damping, same dangling
+    handling, same 10-round bound) on the identical edge list,
+    BIT-FOR-BIT — the property that makes the SQL oracle exact."""
+    from graphsense_datafeed_spark.ingest.facade import (
+        PAGERANK_SCALE,
+        read_blocks_json,
+    )
 
     raw = read_blocks_json(spark)
     txio = (
@@ -316,26 +318,28 @@ def test_graph_pagerank_matches_numpy(spark, sf_dir):
         .collect()
     ]
     nodes = sorted({a for e in edges for a in e})
-    ix = {a: i for i, a in enumerate(nodes)}
     n = len(nodes)
-    out_deg = np.zeros(n)
+    out_deg = {a: 0 for a in nodes}
     for s, _ in edges:
-        out_deg[ix[s]] += 1
-    r = np.full(n, 1.0 / n)
-    d = 0.85
+        out_deg[s] += 1
+    r = {a: PAGERANK_SCALE // n for a in nodes}
+    base = 3 * PAGERANK_SCALE // (20 * n)
     for _ in range(10):
-        contrib = np.zeros(n)
+        contrib = {a: 0 for a in nodes}
         for s, t in edges:
-            contrib[ix[t]] += r[ix[s]] / out_deg[ix[s]]
-        dangling = r[out_deg == 0].sum()
-        r = (1 - d) / n + d * dangling / n + d * contrib
+            contrib[t] += r[s] // out_deg[s]
+        dang_share = sum(r[a] for a in nodes if out_deg[a] == 0) // n
+        new = {a: base + (17 * (contrib[a] + dang_share)) // 20 for a in nodes}
+        if new == r:  # integer fixpoint — further rounds are no-ops
+            break
+        r = new
     got = {
-        row["addr"]: row["rank_e9"]
+        row["addr"]: row["rank_e12"]
         for row in QUERIES["graph_pagerank"](spark, sf_dir).collect()
     }
     assert set(got) == set(nodes)
     for a in nodes:
-        assert got[a] == int(np.floor(r[ix[a]] * 1e9)), a
+        assert got[a] == r[a], a
 
 
 def test_pagerank_early_exit_on_stationary_graph(spark):
@@ -354,10 +358,13 @@ def test_pagerank_early_exit_on_stationary_graph(spark):
         .distinct()
     )
     out_deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    ranks, iters = pagerank_iterate(nodes, edges, out_deg, 6, max_iter=10, tol=1e-9)
+    ranks, iters = pagerank_iterate(nodes, edges, out_deg, 6, max_iter=10)
     assert iters < 10, iters
+    from graphsense_datafeed_spark.ingest.facade import PAGERANK_SCALE
+
     for row in ranks.collect():
-        assert abs(row["rank"] - 1.0 / 6) < 1e-12, row
+        # uniform e12 mass is the integer fixpoint on the 6-cycle
+        assert row["rank_e12"] == PAGERANK_SCALE // 6, row
 
 
 def test_pagerank_early_exit_output_matches_full_run(spark):
@@ -370,11 +377,11 @@ def test_pagerank_early_exit_output_matches_full_run(spark):
     )
     nodes = edges.select(F.col("src").alias("addr")).distinct()
     out_deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    early, it_early = pagerank_iterate(nodes, edges, out_deg, 4, max_iter=10, tol=1e-9)
-    full, it_full = pagerank_iterate(nodes, edges, out_deg, 4, max_iter=10, tol=0.0)
+    early, it_early = pagerank_iterate(nodes, edges, out_deg, 4, max_iter=10, tol=0)
+    full, it_full = pagerank_iterate(nodes, edges, out_deg, 4, max_iter=10, tol=-1)
     assert it_early < it_full == 10
-    e = {r["addr"]: r["rank"] for r in early.collect()}
-    f_ = {r["addr"]: r["rank"] for r in full.collect()}
+    e = {r["addr"]: r["rank_e12"] for r in early.collect()}
+    f_ = {r["addr"]: r["rank_e12"] for r in full.collect()}
     assert e == f_
 
 

@@ -246,3 +246,111 @@ def test_cassandra_ddl_generation(spark):
 
     with _pt.raises(ValueError):
         s.table_ddl(df, "block", keys=[])
+
+
+def test_currency_fixture_btc_byte_stable(tmp_path):
+    """The parametrized generator must reproduce the committed btc
+    fixture BYTE-FOR-BYTE — the currency seam may not move the default
+    keyspace's feed (every btc oracle hash depends on it)."""
+    import filecmp
+    import os
+
+    from graphsense_datafeed_spark.ingest.genfixtures import (
+        FIXTURE_DIR,
+        write_fixtures,
+    )
+
+    blocks, rates = write_fixtures(str(tmp_path), "btc")
+    for got, name in ((blocks, "blocks.jsonl"), (rates, "rates.csv")):
+        committed = os.path.join(FIXTURE_DIR, name)
+        assert filecmp.cmp(got, committed, shallow=False), name
+
+
+def test_currency_fixture_ltc_committed_and_distinct(tmp_path):
+    """The alt keyspace's committed feed must match its generator and
+    share NOTHING identifying with btc (hashes, addresses, heights may
+    collide only on height — the keyspaces are separate chains)."""
+    import filecmp
+    import json
+    import os
+
+    from graphsense_datafeed_spark.ingest.genfixtures import (
+        FIXTURE_DIR,
+        write_fixtures,
+    )
+
+    blocks, _rates = write_fixtures(str(tmp_path), "ltc")
+    committed = os.path.join(FIXTURE_DIR, "ltc", "blocks.jsonl")
+    assert filecmp.cmp(blocks, committed, shallow=False)
+
+    def idset(path, key):
+        out = set()
+        with open(path) as fh:
+            for line in fh:
+                b = json.loads(line)
+                out.add(b[key])
+        return out
+
+    btc_hashes = idset(os.path.join(FIXTURE_DIR, "blocks.jsonl"), "block_hash")
+    ltc_hashes = idset(committed, "block_hash")
+    assert not btc_hashes & ltc_hashes
+    with open(committed) as fh:
+        first = json.loads(fh.readline())
+    assert all(
+        o["address"][0].startswith("laddr")
+        for tx in first["txs"]
+        for o in tx["outputs"]
+    )
+
+
+def test_ingest_per_currency_keyspace_isolation(spark, tmp_path):
+    """Running the facade once per currency into per-keyspace sink
+    roots (the reference's btc_raw/ltc_raw deployment) must produce
+    the same table names in each keyspace with fully disjoint content,
+    and each keyspace's summary must match a DuckDB readout of ITS OWN
+    feed — cross-keyspace parity, not just isolation."""
+    import duckdb
+
+    from graphsense_datafeed_spark.ingest.facade import (
+        _duck_blocks_sql,
+        ingest,
+        raw_keyspace,
+    )
+    from graphsense_datafeed_spark.sources.scans import currency_feed
+    from graphsense_datafeed_spark.sources.sinks import ParquetSink
+
+    tables = {}
+    for cur in ("btc", "ltc"):
+        ks = raw_keyspace(cur)
+        sink = ParquetSink(f"{tmp_path}/{ks}", partition_col="block_date")
+        tables[cur] = ingest(spark, sink, currency=cur)
+    assert raw_keyspace("btc") == "btc_raw" and raw_keyspace("ltc") == "ltc_raw"
+    assert set(tables["btc"]) == set(tables["ltc"])  # same schema surface
+
+    con = duckdb.connect()
+    for cur in ("btc", "ltc"):
+        back = spark.read.parquet(f"{tmp_path}/{raw_keyspace(cur)}/block")
+        blocks_path, _ = currency_feed(cur)
+        want = con.sql(
+            f"SELECT COUNT(*) AS n, SUM(no_transactions) AS ntx, "
+            f"MAX(height) AS tip FROM {_duck_blocks_sql(blocks_path)}"
+        ).fetchone()
+        got = back.agg(
+            F.count("*"), F.sum("no_transactions"), F.max("height")
+        ).collect()[0]
+        assert (got[0], got[1], got[2]) == want, cur
+
+    # keyspace isolation: no tx hash crosses chains
+    btc_tx = {
+        r["tx_hash"]
+        for r in spark.read.parquet(f"{tmp_path}/btc_raw/transaction")
+        .select("tx_hash")
+        .collect()
+    }
+    ltc_tx = {
+        r["tx_hash"]
+        for r in spark.read.parquet(f"{tmp_path}/ltc_raw/transaction")
+        .select("tx_hash")
+        .collect()
+    }
+    assert btc_tx and ltc_tx and not (btc_tx & ltc_tx)

@@ -682,3 +682,43 @@ def test_equidepth_histogram_two_level_ranking(spark, sf_dir):
     assert "hashpartitioning(cg" in p, p
     # broadcast of the cell table, not a shuffle of the fact side
     assert "BroadcastHashJoin" in p, p
+
+
+def test_worker_zip_rejects_planted_content():
+    """The content-addressed worker zip in shared /tmp must not be
+    trusted on name alone (ADVICE r8): a stale/corrupt/planted file at
+    the digest path has to be detected by member re-hash and rebuilt."""
+    import os
+    import zipfile
+
+    from graphsense_datafeed_spark.session import (
+        _package_sources,
+        _package_zip,
+        _zip_matches,
+    )
+
+    sources, hexdigest = _package_sources()
+    zip_path = _package_zip()
+    assert _zip_matches(zip_path, sources, hexdigest)
+
+    # plant a wrong-content zip at the content-addressed path
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for _full, rel in sources:
+            zf.writestr(rel, b"# planted\n")
+    assert not _zip_matches(zip_path, sources, hexdigest)
+
+    # truncated/corrupt file must also be rejected, not crash
+    with open(zip_path, "wb") as fh:
+        fh.write(b"not a zip")
+    assert not _zip_matches(zip_path, sources, hexdigest)
+
+    # _package_zip must rebuild over the planted file
+    rebuilt = _package_zip()
+    assert rebuilt == zip_path and _zip_matches(zip_path, sources, hexdigest)
+
+    # wrong member set (extra file) is rejected even if names overlap
+    with zipfile.ZipFile(zip_path, "a") as zf:
+        zf.writestr("graphsense_datafeed_spark/extra_planted.py", b"")
+    assert not _zip_matches(zip_path, sources, hexdigest)
+    assert _zip_matches(_package_zip(), sources, hexdigest)
+    assert os.path.exists(zip_path)
