@@ -161,6 +161,94 @@ def ingest(
     return tables
 
 
+BLOCK_FEED_SCHEMA = (
+    "height bigint, block_hash string, timestamp bigint, "
+    "no_transactions bigint, ingest_seq bigint"
+)
+
+
+def stream_ingest_blocks(
+    spark: SparkSession,
+    feed_dir: str,
+    target_dir: str,
+    ckpt_dir: str,
+    bucket: int = 50,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """The streaming block-ingest daemon with REORG handling — the
+    reference's long-running mode: a file-source micro-batch stream
+    over arriving block-header JSON, folded into a height-keyed
+    parquet table where competing blocks at an already-ingested height
+    resolve newest-ingest-wins (the re-ingest rule ingest_reorg_detect
+    elects offline).
+
+    Per micro-batch: the batch's heights map to height buckets
+    (``height DIV bucket``); the winners for AFFECTED buckets are
+    recomputed from existing-rows ∪ batch (row_number over ingest_seq
+    desc per height) and written back via DYNAMIC partition overwrite —
+    so a reorg of depth d rewrites O(d/bucket + 1) directories, never
+    the table (the sink_partitioned_overwrite discipline, driven by a
+    stream).  The checkpoint makes file delivery exactly-once: a
+    daemon restart mid-feed resumes without double-applying a batch
+    (soaked in tests/test_streaming.py).
+
+    Scale: block headers are tiny next to tx payloads; the per-batch
+    shuffle is keyed on height within affected buckets only, and the
+    bucket count bounds file-listing pressure on the target."""
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.withColumn(
+            "hbucket", F.expr(f"height DIV {bucket}")
+        )
+        buckets = [r["hbucket"] for r in batch.select("hbucket").distinct().collect()]
+        if not buckets:
+            return
+        import os as _os
+
+        merged = batch
+        if _os.path.exists(_os.path.join(target_dir, "_SUCCESS")) or any(
+            name.startswith("hbucket=") for name in (
+                _os.listdir(target_dir) if _os.path.isdir(target_dir) else []
+            )
+        ):
+            existing = spark.read.parquet(target_dir).filter(
+                F.col("hbucket").isin(buckets)
+            )
+            merged = batch.unionByName(existing)
+        w = Window.partitionBy("height").orderBy(F.col("ingest_seq").desc())
+        winners = (
+            merged.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") == 1)
+            .drop("rnk")
+        )
+        winners.write.mode("overwrite").partitionBy("hbucket").parquet(target_dir)
+
+    q = (
+        spark.readStream.schema(BLOCK_FEED_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(feed_dir)
+        .writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def batch_ingest_blocks(spark: SparkSession, feed_dir: str) -> DataFrame:
+    """The batch-equivalence referee for stream_ingest_blocks: read the
+    ENTIRE feed at once and apply the same newest-ingest-wins rule
+    globally.  A correct daemon's drained table equals this exactly."""
+    feed = spark.read.schema(BLOCK_FEED_SCHEMA).json(feed_dir)
+    w = Window.partitionBy("height").orderBy(F.col("ingest_seq").desc())
+    return (
+        feed.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .drop("rnk")
+    )
+
+
 def _multi_currency_oracle_sql() -> str:
     """Per-keyspace rollup over EVERY registered currency feed — the
     UNION ALL of one typed read_json per chain, tagged with the
