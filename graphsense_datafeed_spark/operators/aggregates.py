@@ -1057,13 +1057,14 @@ def agg_itemset_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair expansion: the self-join is keyed on the ORDER, so fan-out is
     Σ basket_size² (baskets are ≤7 lines here, ≤k in any real cart),
     never catalog² — the same bounded-bucket principle as dedup_near's
-    band caps. The item dimension broadcasts into the basket build;
+    band caps. The item dimension joins into the basket build (AQE broadcasts
+    while it fits — part SCALES, so no hint-pin);
     one order-key shuffle + one pair-count aggregation, both
     map-side-combinable; top-20 is a TakeOrderedAndProject."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
     basket = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .select("l_orderkey", "p_brand")
         .distinct()
     )

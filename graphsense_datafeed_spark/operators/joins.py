@@ -630,7 +630,7 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     pruned = li.join(F.broadcast(bloom)).filter(F.expr(probe)).drop("bf")
-    return pruned.join(F.broadcast(supp), pruned.l_suppkey == supp.s_suppkey).select(
+    return pruned.join(supp, pruned.l_suppkey == supp.s_suppkey).select(
         "l_orderkey", "l_suppkey", "s_name"
     )
 

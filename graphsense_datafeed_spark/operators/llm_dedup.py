@@ -1027,8 +1027,11 @@ def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cluster members that lost keeper election). dedup_clusters ends
     at the per-duplicate verdict table; this is the missing last step
     — a broadcast anti-join of that (duplicates-sized, tiny relative
-    to the corpus) removal set against the full corpus, so the
-    surviving corpus streams through without a corpus-sized shuffle.
+    to the corpus) removal set against the full corpus — id-only rows,
+    with AQE choosing broadcast vs shuffle by measured size (the
+    removal set scales with dup mass, so it is not hint-pinned), and
+    the surviving corpus streams through without a corpus-sized
+    payload shuffle.
 
     Output projects doc metadata (+ length), not the text payload —
     the 100 TB materialization rewrites files; the verification
@@ -1038,7 +1041,7 @@ def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup_clusters(spark, sf_dir).filter(~F.col("is_keeper")).select("doc_id")
     )
     docs = load(spark, sf_dir, "documents")
-    return docs.join(F.broadcast(removed), "doc_id", "left_anti").select(
+    return docs.join(removed, "doc_id", "left_anti").select(
         "doc_id",
         "lang",
         "source",

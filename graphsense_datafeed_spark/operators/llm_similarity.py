@@ -818,7 +818,7 @@ def embedding_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate = embed_quality_gate(spark, sf_dir).filter("passed").select("vec_id")
     gated = e.join(gate, "vec_id", "left_semi").select("vec_id", "embedding")
     removed = semantic_dedup_frame(gated).select("vec_id")
-    survivors = gated.join(F.broadcast(removed), "vec_id", "left_anti")
+    survivors = gated.join(removed, "vec_id", "left_anti")
     return quantize_int8_frame(survivors)
 
 

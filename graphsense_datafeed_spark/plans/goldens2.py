@@ -81,7 +81,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
 
     joined = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
@@ -142,7 +142,7 @@ def q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     nation = load(spark, sf_dir, "nation")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
@@ -179,7 +179,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     num = F.round(F.sum(F.when(F.col("p_type").like("PROMO%"), vol).otherwise(0.0)), 2)
     den = F.round(F.sum(vol), 2)
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             F.floor(num / den * 10000).cast("bigint").alias("promo_share_bp"),
             F.count("*").alias("n_lines"),
@@ -214,7 +214,7 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold")
     ).withColumnRenamed("l_partkey", "t_partkey")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(avg_qty, li.l_partkey == avg_qty.t_partkey)
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(
@@ -311,7 +311,7 @@ def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .filter(cond)
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(

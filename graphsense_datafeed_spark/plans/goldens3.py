@@ -161,8 +161,10 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Signup→purchase funnel: per signed-up user, purchases strictly
     after their first signup. Two aggregates over the same fact table
     shuffled on the same key (user_id) — AQE reuses the exchange; the
-    per-user signup min is user-cardinality, so the enrich join
-    broadcasts at any realistic user count. Timestamp comparison is
+    per-user signup min is user-cardinality — it SCALES with users, so
+    the enrich join is left to AQE (broadcast only while it fits,
+    shuffle beyond; round-9 sf1 lesson: never hint-pin a build side
+    that grows with the data). Timestamp comparison is
     µs-exact on both engines (events ts parity, SURVEY §2.12-1)."""
     ev = load(spark, sf_dir, "events")
     signups = (
@@ -172,7 +174,7 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     purchases = (
         ev.filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(signups), "user_id")
+        .join(signups, "user_id")
         .filter(F.col("ts") > F.col("first_signup"))
         .groupBy("user_id")
         .agg(F.count("*").alias("p_after"))
@@ -206,14 +208,14 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     divided by 7 — exact integers on both engines (date_trunc('week')
     is Monday-start in Spark AND DuckDB; a 'week'-unit datediff would
     instead count engine-specific boundary crossings). The cohort dim
-    is user-cardinality → broadcast enrich; the distinct count
+    is user-cardinality → AQE picks the enrich strategy (it scales); the distinct count
     shuffles on (cohort, offset, user) — bounded by active pairs."""
     ev = load(spark, sf_dir, "events")
     cohorts = ev.groupBy("user_id").agg(
         F.date_trunc("week", F.min(F.to_date("ts"))).cast("date").alias("cohort_week")
     )
     return (
-        ev.join(F.broadcast(cohorts), "user_id")
+        ev.join(cohorts, "user_id")
         .select(
             "user_id",
             "cohort_week",

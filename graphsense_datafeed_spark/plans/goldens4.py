@@ -109,7 +109,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (euro_offers.l_partkey == best.b_partkey)
             & (euro_offers.l_extendedprice == best.min_price),
         )
-        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .join(part, F.col("l_partkey") == part.p_partkey)
         .select(
             "p_partkey",
             "p_brand",
@@ -252,9 +252,9 @@ def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     blacklist = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
     return (
-        bridge.join(F.broadcast(part), bridge.l_partkey == part.p_partkey)
+        bridge.join(part, bridge.l_partkey == part.p_partkey)
         .join(
-            F.broadcast(blacklist),
+            blacklist,
             bridge.l_suppkey == blacklist.s_suppkey,
             "left_anti",
         )
@@ -296,7 +296,7 @@ def q20_excess_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate").cast("date") < F.lit("1998-01-01").cast("date"))
     )
     movers = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum("l_quantity").alias("qty"))
         .filter(F.col("qty") > 50)
@@ -372,7 +372,7 @@ def q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        blamed.join(F.broadcast(supp), F.col("l1.l_suppkey") == supp.s_suppkey)
+        blamed.join(supp, F.col("l1.l_suppkey") == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )

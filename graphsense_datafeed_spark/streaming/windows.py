@@ -234,11 +234,13 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream⋈static enrichment ([REF] block ⋈ exchange_rates): the
-    static dim is broadcast per micro-batch, no streaming state."""
+    static dim joins per micro-batch with the planner choosing
+    broadcast vs shuffle by its size (customer SCALES — no hint), no
+    streaming state."""
     s = read_events_stream(spark, sf_dir)
     cust = load(spark, sf_dir, "customer")
     joined = s.join(
-        F.broadcast(cust), s.user_id == cust.c_custkey
+        cust, s.user_id == cust.c_custkey
     ).select("event_id", "user_id", "value", "c_name", "c_mktsegment")
     return run_stream_to_memory(spark, joined, "append")
 

@@ -91,10 +91,24 @@ def main() -> int:
         (t, c): strides[dom] for dom, cols in KEY_DOMAINS.items() for t, c in cols
     }
 
+    import glob
+    import shutil
+
+    def write_single_file(df, table):
+        # one parquet FILE per table (the driver's testdata layout) so
+        # DuckDB oracles can read_parquet('{dir}/{t}.parquet') at sf1
+        # exactly as they do at the driver SFs
+        stage = f"{args.out}/_stage_{table}"
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        dest = f"{args.out}/{table}.parquet"
+        if os.path.isdir(dest):
+            shutil.rmtree(dest)
+        shutil.move(part, dest)
+        shutil.rmtree(stage)
+
     for table in FIXED_DIMS:
-        spark.read.parquet(f"{SRC}/{table}.parquet").write.mode(
-            "overwrite"
-        ).parquet(f"{args.out}/{table}.parquet")
+        write_single_file(spark.read.parquet(f"{SRC}/{table}.parquet"), table)
         print(f"{table}: copied (fixed dim)")
 
     for table in SCALED:
@@ -125,7 +139,7 @@ def main() -> int:
         out = copies[0]
         for cp in copies[1:]:
             out = out.unionAll(cp)
-        out.write.mode("overwrite").parquet(f"{args.out}/{table}.parquet")
+        write_single_file(out, table)
         n = spark.read.parquet(f"{args.out}/{table}.parquet").count()
         print(f"{table}: {n} rows ({args.factor}x)")
 

@@ -405,9 +405,14 @@ def test_round4_ops_plan_shapes(spark, sf_dir):
     # the detail side carries no Exchange below the join
     p = plan_of(QUERIES["ts_outlier_mad"](spark, sf_dir))
     assert "BroadcastHashJoin" in p, p
-    # dedup_apply: removal set is broadcast, anti side
-    p = plan_of(QUERIES["dedup_apply"](spark, sf_dir))
-    assert "BroadcastHashJoin" in p and "LeftAnti" in p, p
+    # dedup_apply: the removal set SCALES with dup mass, so it is no
+    # longer hint-pinned (round-9 sf1 lesson) — the static plan may be
+    # SMJ, but once AQE measures the small side at fixture scale the
+    # FINAL plan must still anti-join via broadcast
+    df = QUERIES["dedup_apply"](spark, sf_dir)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in final and "LeftAnti" in final, final
     # join_bloom_prefilter: the bloom bit-test Filter must sit on the
     # fact scan side (pre-join pruning), and both joins broadcast
     p = plan_of(QUERIES["join_bloom_prefilter"](spark, sf_dir))
@@ -722,3 +727,29 @@ def test_worker_zip_rejects_planted_content():
     assert not _zip_matches(zip_path, sources, hexdigest)
     assert _zip_matches(_package_zip(), sources, hexdigest)
     assert os.path.exists(zip_path)
+
+
+def test_no_broadcast_hints_on_scaling_frames():
+    """Round-9 sf1 lesson: golden_q9 OOM'd a 1 GiB bare driver at sf1
+    because `F.broadcast(part)` pinned a build side that SCALES with
+    the data (broadcast hints bypass AQE's size check entirely).
+    Bounded frames — nation/region, 1-row anchors, value-domain cell
+    tables, cap-certified candidate sets — may pin; anything
+    fact-proportional must be left to AQE.  This guard greps the
+    package for hint-pins on the known scaling frame names."""
+    import glob
+    import os
+    import re
+
+    deny = re.compile(
+        r"F\.broadcast\(\s*(part|supp|supplier|cust|customer|orders|"
+        r"li|lineitem|ev|events|docs|documents|signups|cohorts|"
+        r"removed|blacklist)\s*[,)]"
+    )
+    pkg = os.path.join(os.path.dirname(__file__), "..", "graphsense_datafeed_spark")
+    hits = []
+    for p in glob.glob(os.path.join(pkg, "**", "*.py"), recursive=True):
+        for i, line in enumerate(open(p), 1):
+            if deny.search(line):
+                hits.append(f"{p}:{i}: {line.strip()}")
+    assert not hits, "\n".join(hits)
