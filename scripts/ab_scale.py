@@ -42,6 +42,8 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/tmp/sf1")
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--skip-pairs", action="store_true", dest="skip_pairs",
+                    help="skip the quadratic all-pairs dedup variant")
     args = ap.parse_args()
 
     import pyspark.sql.functions as F
@@ -115,6 +117,36 @@ def main() -> int:
     res["join_speedup"] = round(
         res["join_shuffled_s"] / res["join_bucketed_s"], 2
     )
+
+    # ---- C: near-dup — banded LSH vs naive all-pairs exact Jaccard ----
+    # The SCALE.md claim: banded candidates scale with the corpus,
+    # all-pairs scales with its SQUARE. Measured here at the given SF;
+    # run at two SFs to see the decade ratio split.
+    if not args.skip_pairs:
+
+        def banded():
+            QUERIES["dedup_near"](spark, args.sf).count()
+
+        def naive_pairs():
+            docs = load(spark, args.sf, "documents").select(
+                "doc_id",
+                F.array_distinct(F.split(F.lower("text"), " ")).alias("toks"),
+            )
+            a, b = docs.alias("a"), docs.alias("b")
+            inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+            uni = F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
+            (
+                a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+                .select((inter / uni).alias("j"))
+                .filter(F.col("j") >= 0.8)
+                .count()
+            )
+
+        res["dedup_banded_s"] = timed(banded, args.reps)
+        res["dedup_naive_pairs_s"] = timed(naive_pairs, args.reps)
+        res["dedup_speedup"] = round(
+            res["dedup_naive_pairs_s"] / res["dedup_banded_s"], 2
+        )
 
     # sanity: the bucketed plan really has no Exchange
     plan = (
