@@ -3887,3 +3887,96 @@ def text_boilerplate_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("boiler_share_e6"),
     )
+
+
+_APPORTION_BUDGET = 1_000_000
+
+
+@query(
+    "corpus_token_budget_apportion",
+    f"""
+    WITH tok AS (
+        SELECT source,
+               CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS tokens
+        FROM documents GROUP BY source
+    ), tot AS (
+        SELECT CAST(SUM(tokens) AS BIGINT) AS total FROM tok
+    ), base AS (
+        SELECT source, tokens,
+               CAST(({_APPORTION_BUDGET} * tokens)
+                    // (SELECT total FROM tot) AS BIGINT) AS floor_q,
+               CAST(({_APPORTION_BUDGET} * tokens)
+                    % (SELECT total FROM tot) AS BIGINT) AS rem
+        FROM tok
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk
+        FROM base
+    ), need AS (
+        SELECT CAST({_APPORTION_BUDGET} - SUM(floor_q) AS BIGINT) AS r
+        FROM base
+    )
+    SELECT source, tokens,
+           CAST(floor_q + CASE WHEN rk <= (SELECT r FROM need)
+                               THEN 1 ELSE 0 END AS BIGINT) AS quota,
+           CAST(CASE WHEN rk <= (SELECT r FROM need)
+                     THEN 1 ELSE 0 END AS BIGINT) AS extra
+    FROM ranked
+    """,
+)
+def corpus_token_budget_apportion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Token-budget APPORTIONMENT across sources (round 9) — the exact
+    integer step every mixture recipe needs before sampling: split a
+    fixed training budget (1 M tokens here) across sources
+    proportional to their token mass, with the rounding residue
+    assigned by LARGEST REMAINDER (Hamilton's method).  Distinct from
+    sample_neyman_allocation (variance-optimal sample sizing) and
+    sample_upsample_mixture (per-row replication): this is the
+    budget-setting step whose output FEEDS those samplers, and Hamilton
+    is the one apportionment rule that never violates quota
+    (each source gets floor or ceil of its exact share — asserted in
+    tests).
+
+    Everything is bigint: floor_q = (N·T_s) DIV ΣT, remainder =
+    (N·T_s) mod ΣT, the R = N − Σfloor largest remainders get +1
+    (ties broken by source name, pinned in both engines) — so the
+    quotas sum to N exactly and the whole readout is hash-exact
+    cross-engine.
+
+    Scale: one map-side-combinable token-count aggregate over the
+    corpus (the only corpus-sized stage); everything after runs on the
+    SOURCE table, bounded by the source taxonomy (dozens), where the
+    ranking window's single partition is the pre-reduced benign shape
+    (plan-audit window_warn_prereduced)."""
+    docs = load(spark, sf_dir, "documents").select(
+        "source", F.size(F.split("text", " ")).cast("bigint").alias("n_tok")
+    )
+    tok = docs.groupBy("source").agg(
+        F.sum("n_tok").cast("bigint").alias("tokens")
+    )
+    tot = tok.agg(F.sum("tokens").cast("bigint").alias("total"))
+    base = tok.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "tokens",
+        F.expr(f"CAST(({_APPORTION_BUDGET} * tokens) DIV total AS BIGINT)").alias(
+            "floor_q"
+        ),
+        F.expr(f"CAST(({_APPORTION_BUDGET} * tokens) % total AS BIGINT)").alias(
+            "rem"
+        ),
+    )
+    need = base.agg(
+        (F.lit(_APPORTION_BUDGET) - F.sum("floor_q")).cast("bigint").alias("r")
+    )
+    w = Window.orderBy(F.col("rem").desc(), "source")
+    ranked = base.withColumn("rk", F.row_number().over(w)).crossJoin(
+        F.broadcast(need)
+    )
+    extra = F.when(F.col("rk") <= F.col("r"), F.lit(1)).otherwise(F.lit(0))
+    return ranked.select(
+        "source",
+        "tokens",
+        (F.col("floor_q") + extra).cast("bigint").alias("quota"),
+        extra.cast("bigint").alias("extra"),
+    )

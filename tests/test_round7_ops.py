@@ -1120,3 +1120,23 @@ def test_range_volatility_orders(spark, sf_dir):
     for r in rows:
         assert 0 <= r["mean_range_e4"] <= r["rms_range_e4"] + 1
         assert r["rms_range_e4"] <= r["max_range_e4"]
+
+
+def test_apportion_hamilton_quota_property(spark, sf_dir):
+    """Hamilton apportionment must (a) sum quotas to the budget
+    exactly, (b) never violate quota: every source's allocation is
+    floor or ceil of its exact proportional share."""
+    import math
+
+    from graphsense_datafeed_spark.operators.llm_text import (
+        _APPORTION_BUDGET,
+        corpus_token_budget_apportion,
+    )
+
+    rows = corpus_token_budget_apportion(spark, sf_dir).collect()
+    total = sum(r["tokens"] for r in rows)
+    assert sum(r["quota"] for r in rows) == _APPORTION_BUDGET
+    for r in rows:
+        exact = _APPORTION_BUDGET * r["tokens"] / total
+        assert r["quota"] in (math.floor(exact), math.ceil(exact)), r
+        assert r["extra"] in (0, 1)
