@@ -54,9 +54,24 @@ def main() -> None:
     # SPARK_GRAFT_CACHE=0 runs the honest cold mode (every query pays
     # its own scans) — BASELINE.md records BOTH numbers so the perf
     # gate never silently leans on the cache.
-    os.environ.setdefault("SPARK_GRAFT_CACHE", "1")
-    cache_hot = os.environ["SPARK_GRAFT_CACHE"] == "1"
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # Scale-aware default: above ~512 MB of parquet the columnar cache
+    # no longer fits the executor heap and ping-pongs between eviction
+    # and recompute — measured at sf10: "hot" 394 s vs cold 256 s on
+    # identical code. Caching a working set you can't hold is worse
+    # than rescanning; default to cold there (explicit env still wins).
+    try:
+        import glob as _glob
+
+        data_bytes = sum(
+            os.path.getsize(p) for p in _glob.glob(f"{sf_dir}/*.parquet")
+        )
+    except OSError:
+        data_bytes = 0
+    os.environ.setdefault(
+        "SPARK_GRAFT_CACHE", "0" if data_bytes > 512_000_000 else "1"
+    )
+    cache_hot = os.environ["SPARK_GRAFT_CACHE"] == "1"
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     from graphsense_datafeed_spark import registry
     from graphsense_datafeed_spark.session import build_session

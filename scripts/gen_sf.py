@@ -13,9 +13,12 @@ script scales sf0.1 by ``--factor`` via key-shifted replication:
   UNCHANGED — output cardinalities scale linearly by construction,
   which is what makes the sf1/sf0.1 bench ratio interpretable.
 - region/nation are fixed dimensions (TPC-H semantics) — copied once.
-- documents get a per-copy text salt (``rep{i} `` prefix) so exact and
-  near dedup don't collapse the copies into one giant cluster
-  (n_chars recomputed to stay consistent with the text).
+- documents get a per-copy INTERLEAVED token salt (``rep{i}`` every
+  4 words) so copies land below the near-dup Jaccard line — a bare
+  prefix salt left copies ~99% shingle-identical, creating factor-way
+  near-dup clusters whose in-bucket pairs grow with factor² (measured
+  19.4× dedup_near at factor 100); n_chars is recomputed to stay
+  consistent with the text.
 - embeddings rotate the vector by i positions per copy —
   norm-preserving and deterministic, so ANN recall referees keep a
   non-degenerate neighbor structure instead of 10 exact duplicates of
@@ -66,7 +69,13 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factor", type=int, default=10)
     ap.add_argument("--out", default="/tmp/sf1")
+    ap.add_argument(
+        "--tables",
+        default="",
+        help="comma-separated subset to (re)generate; default all",
+    )
     args = ap.parse_args()
+    only = set(args.tables.split(",")) if args.tables else None
 
     import pyspark.sql.functions as F
 
@@ -108,10 +117,14 @@ def main() -> int:
         shutil.rmtree(stage)
 
     for table in FIXED_DIMS:
+        if only and table not in only:
+            continue
         write_single_file(spark.read.parquet(f"{SRC}/{table}.parquet"), table)
         print(f"{table}: copied (fixed dim)")
 
     for table in SCALED:
+        if only and table not in only:
+            continue
         df = spark.read.parquet(f"{SRC}/{table}.parquet")
         shifted_cols = {
             c: s for (t, c), s in col_stride.items() if t == table
@@ -122,19 +135,37 @@ def main() -> int:
             for c, stride in shifted_cols.items():
                 cp = cp.withColumn(c, (F.col(c) + F.lit(i * stride)).cast("bigint"))
             if table == "documents" and i > 0:
+                # interleave a copy token every 4 words: a bare prefix
+                # salt leaves copies ~99% shingle-identical, turning
+                # the corpus into factor-way near-dup clusters whose
+                # in-bucket pairs grow with factor² (measured: 19.4×
+                # dedup_near at factor 100). Poisoning every 5-shingle
+                # keeps copies BELOW the 0.8-Jaccard line, so dup
+                # structure stays realistic as the factor grows.
                 cp = cp.withColumn(
-                    "text", F.concat(F.lit(f"rep{i} "), F.col("text"))
+                    "text",
+                    F.expr(
+                        "array_join(flatten(transform("
+                        "  split(text, ' '), "
+                        f" (w, j) -> CASE WHEN j % 4 = 0 THEN array('rep{i}', w) "
+                        "            ELSE array(w) END)), ' ')"
+                    ),
                 ).withColumn("n_chars", F.length("text").cast("bigint"))
             if table == "embeddings" and i > 0:
-                # rotate by i: norm-preserving deterministic perturbation
+                # rotate by i mod dim: norm-preserving deterministic
+                # perturbation (mod keeps factors > dim valid; the one
+                # copy per full cycle that lands on rotation 0 is an
+                # exact duplicate — harmless for bench, noted for ANN)
                 dim = len(df.first()["embedding"])
-                cp = cp.withColumn(
-                    "embedding",
-                    F.concat(
-                        F.slice("embedding", i + 1, dim - i),
-                        F.slice("embedding", 1, i),
-                    ),
-                )
+                rot = i % dim
+                if rot:
+                    cp = cp.withColumn(
+                        "embedding",
+                        F.concat(
+                            F.slice("embedding", rot + 1, dim - rot),
+                            F.slice("embedding", 1, rot),
+                        ),
+                    )
             copies.append(cp)
         out = copies[0]
         for cp in copies[1:]:
@@ -143,6 +174,9 @@ def main() -> int:
         n = spark.read.parquet(f"{args.out}/{table}.parquet").count()
         print(f"{table}: {n} rows ({args.factor}x)")
 
+    if only:
+        spark.stop()
+        return 0
     # FK integrity spot-check: every lineitem orderkey resolves
     li = spark.read.parquet(f"{args.out}/lineitem.parquet")
     o = spark.read.parquet(f"{args.out}/orders.parquet")
