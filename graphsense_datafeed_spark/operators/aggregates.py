@@ -36,20 +36,31 @@ from graphsense_datafeed_spark.sources.tables import load
     SELECT COUNT(*) AS n_rows,
            COUNT(DISTINCT l_orderkey) AS n_orders,
            CAST(SUM(CAST(l_quantity AS INT)) AS BIGINT) AS total_qty,
-           ROUND(SUM(l_extendedprice), 2) AS total_price,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS total_price_cents,
            ROUND(MIN(l_extendedprice), 2) AS min_price,
            ROUND(MAX(l_extendedprice), 2) AS max_price
     FROM lineitem
     """,
 )
 def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whole-table totals — the reference's ``summary_statistics`` row."""
+    """Whole-table totals — the reference's ``summary_statistics`` row.
+
+    The price total is summed in integral CENTS (round-9): a rounded
+    double SUM is summation-order-sensitive, and at sf1 (6M rows) the
+    two engines' partial-sum trees landed half a cent apart — the
+    per-row ROUND(×100) → bigint sum is order-exact at EVERY scale
+    (the golden_q1/q9 measure discipline, applied to the one global
+    rollup that still carried a float sum). min/max stay float: they
+    select single values, no reassociation."""
     li = load(spark, sf_dir, "lineitem")
     return li.agg(
         F.count("*").alias("n_rows"),
         F.countDistinct("l_orderkey").alias("n_orders"),
         F.sum(F.col("l_quantity").cast("int")).cast("bigint").alias("total_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("total_price_cents"),
         F.round(F.min("l_extendedprice"), 2).alias("min_price"),
         F.round(F.max("l_extendedprice"), 2).alias("max_price"),
     )
