@@ -4326,3 +4326,422 @@ def agg_partial_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             den > 0, F.floor(partial * 1000000).cast("bigint")
         ).alias("partial_rxy_z_e6"),
     )
+
+
+@query(
+    "agg_kruskal_wallis",
+    """
+    WITH s AS (
+        SELECT CAST(FLOOR(value * 10000) AS BIGINT) AS v_e4, event_type,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ), t AS (
+        SELECT v_e4, event_type, c,
+               CAST(SUM(c) OVER (PARTITION BY v_e4) AS BIGINT) AS c_tot,
+               CAST(COALESCE(SUM(c) OVER (ORDER BY v_e4
+                    RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS prev
+        FROM s
+    ), grp AS (
+        SELECT event_type,
+               CAST(SUM(c) AS BIGINT) AS n_j,
+               CAST(SUM(c * (2 * prev + c_tot + 1)) AS BIGINT) AS r2_j
+        FROM t GROUP BY event_type
+    ), ties AS (
+        SELECT CAST(SUM(c_tot * c_tot * c_tot - c_tot) AS BIGINT) AS t3t
+        FROM (SELECT v_e4, MAX(c_tot) AS c_tot FROM t GROUP BY v_e4)
+    ), fin AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(n_j) AS BIGINT) AS n,
+               SUM(CAST(r2_j AS DOUBLE) * CAST(r2_j AS DOUBLE)
+                   / (4.0 * CAST(n_j AS DOUBLE))) AS srr,
+               (SELECT t3t FROM ties) AS t3t
+        FROM grp
+    )
+    SELECT k, n,
+           CAST(FLOOR((12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+                       * srr - 3.0 * (CAST(n AS DOUBLE) + 1.0)) * 1000000)
+                AS BIGINT) AS h_e6,
+           CAST(FLOOR((12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+                       * srr - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+                      / (1.0 - CAST(t3t AS DOUBLE)
+                         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                            * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)))
+                      * 1000000) AS BIGINT) AS h_corr_e6
+    FROM fin
+    """,
+)
+def agg_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H (round 9): the k-group NONPARAMETRIC screen —
+    agg_anova_oneway on ranks, for the heavy-tailed value
+    distributions where the F test's variance assumptions fail.
+    Completes the rank family: Mann-Whitney answers 2 groups, this
+    answers "do ANY of the k event types differ in location?".
+
+    Exactness uses the same atom-table trick as agg_mann_whitney: a
+    tie block of c_tot equal values after `prev` smaller ones has
+    average rank prev+(c_tot+1)/2, so DOUBLED rank units
+    (2·prev+c_tot+1) keep every per-group rank sum an exact bigint
+    under any partition order; Σ Rⱼ²/nⱼ and the tie factor
+    Σ(t³−t)/(N³−N) enter one final double chain, only the two H
+    readouts floor to e6.
+
+    Scale: rows reduce to (value-atom × group) counts FIRST — the
+    cumulative window runs over |distinct values|, never raw rows,
+    and it is the pre-reduced benign single-partition shape
+    (plan-audit window_warn_prereduced); everything else is keyed
+    aggregation."""
+    ev = load(spark, sf_dir, "events")
+    s = ev.groupBy(
+        F.floor(F.col("value") * 10000).cast("bigint").alias("v_e4"),
+        "event_type",
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    w_tot = Window.partitionBy("v_e4")
+    w_prev = Window.orderBy("v_e4").rangeBetween(Window.unboundedPreceding, -1)
+    t = s.select(
+        "v_e4",
+        "event_type",
+        "c",
+        F.sum("c").over(w_tot).cast("bigint").alias("c_tot"),
+    ).withColumn(
+        "prev",
+        F.coalesce(F.sum("c").over(w_prev), F.lit(0)).cast("bigint"),
+    )
+    grp = t.groupBy("event_type").agg(
+        F.sum("c").cast("bigint").alias("n_j"),
+        F.sum(F.col("c") * (2 * F.col("prev") + F.col("c_tot") + 1))
+        .cast("bigint")
+        .alias("r2_j"),
+    )
+    ties = (
+        t.groupBy("v_e4")
+        .agg(F.max("c_tot").alias("c_tot"))
+        .agg(
+            F.sum(
+                F.col("c_tot") * F.col("c_tot") * F.col("c_tot")
+                - F.col("c_tot")
+            )
+            .cast("bigint")
+            .alias("t3t")
+        )
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    fin = grp.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("n_j").cast("bigint").alias("n"),
+        F.sum(d("r2_j") * d("r2_j") / (4.0 * d("n_j"))).alias("srr"),
+    ).crossJoin(F.broadcast(ties))
+    h = 12.0 / (d("n") * (d("n") + 1.0)) * F.col("srr") - 3.0 * (
+        d("n") + 1.0
+    )
+    corr = 1.0 - d("t3t") / (d("n") * d("n") * d("n") - d("n"))
+    return fin.select(
+        "k",
+        "n",
+        F.floor(h * 1000000).cast("bigint").alias("h_e6"),
+        F.floor(h / corr * 1000000).cast("bigint").alias("h_corr_e6"),
+    )
+
+
+@query(
+    "agg_levene_brown_forsythe",
+    """
+    WITH med AS (
+        SELECT event_type,
+               CAST(quantile_disc(CAST(FLOOR(value * 10000) AS BIGINT), 0.5)
+                    AS BIGINT) AS med_e4
+        FROM events GROUP BY event_type
+    ), dev AS (
+        SELECT e.event_type,
+               ABS(CAST(FLOOR(e.value * 10000) AS BIGINT) - m.med_e4) AS z
+        FROM events e JOIN med m USING (event_type)
+    ), grp AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_j,
+               CAST(SUM(z) AS BIGINT) AS s_j,
+               CAST(SUM(z * z) AS BIGINT) AS ss_j
+        FROM dev GROUP BY event_type
+    ), fin AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(n_j) AS BIGINT) AS n,
+               CAST(SUM(s_j) AS BIGINT) AS s,
+               CAST(SUM(ss_j) AS BIGINT) AS ss,
+               SUM(CAST(s_j AS DOUBLE) * CAST(s_j AS DOUBLE)
+                   / CAST(n_j AS DOUBLE)) AS ssn
+        FROM grp
+    )
+    SELECT k, n,
+           CAST(FLOOR(
+               ((ssn - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                       / CAST(n AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0))
+               / ((CAST(ss AS DOUBLE) - ssn)
+                  / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))
+               * 1000000) AS BIGINT) AS w_e6
+    FROM fin
+    """,
+)
+def agg_levene_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe Levene test (round 9): equal-VARIANCE screen
+    across the k event types — the assumption check that decides
+    between agg_anova_oneway (pooled variance) and Welch-style
+    per-group variances. Brown-Forsythe deviates from the group
+    MEDIAN (not mean): robust to the skew these value distributions
+    actually have, and the variant recommended by the NIST handbook.
+
+    Two exact stages: per-group discrete medians in the e4 integer
+    domain (percentile_disc — an actual element, engine-portable, the
+    agg_percentile_disc discipline), then |x−med| deviations as exact
+    bigints whose per-group (n, Σ, Σ²) feed the standard one-way-F
+    formula on deviations. The only non-integer intermediate is
+    Σ sⱼ²/nⱼ, evaluated in the same literal double order on both
+    engines; one floored readout.
+
+    Scale: group-keyed median (bounded by group count) + broadcast of
+    the k-row median table back onto the scan + map-side-combinable
+    moments — two passes over events, no global sort, no
+    single-partition stage at all."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 10000).cast("bigint").alias("v_e4"),
+    )
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY v_e4)")
+        .cast("bigint")
+        .alias("med_e4")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        F.abs(F.col("v_e4") - F.col("med_e4")).alias("z"),
+    )
+    grp = dev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_j"),
+        F.sum("z").cast("bigint").alias("s_j"),
+        F.sum(F.col("z") * F.col("z")).cast("bigint").alias("ss_j"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    fin = grp.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("n_j").cast("bigint").alias("n"),
+        F.sum("s_j").cast("bigint").alias("s"),
+        F.sum("ss_j").cast("bigint").alias("ss"),
+        F.sum(d("s_j") * d("s_j") / d("n_j")).alias("ssn"),
+    )
+    num = (F.col("ssn") - d("s") * d("s") / d("n")) / (d("k") - 1.0)
+    den = (d("ss") - F.col("ssn")) / (d("n") - d("k"))
+    return fin.select(
+        "k", "n", F.floor(num / den * 1000000).cast("bigint").alias("w_e6")
+    )
+
+
+_KENDALL_ANCHOR_N = 500
+
+
+@query(
+    "agg_kendall_tau",
+    f"""
+    WITH anchor AS (
+        SELECT c.c_custkey AS k,
+               CAST(ROUND(c.c_acctbal * 100) AS BIGINT) AS x,
+               CAST(COALESCE(SUM(CAST(ROUND(o.o_totalprice * 100)
+                                      AS BIGINT)), 0) AS BIGINT) AS y
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        WHERE c.c_custkey <= {_KENDALL_ANCHOR_N}
+        GROUP BY c.c_custkey, c.c_acctbal
+    ), pairs AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+               CAST(COUNT(*) FILTER (
+                   (a.x - b.x) * (a.y - b.y) > 0) AS BIGINT) AS conc,
+               CAST(COUNT(*) FILTER (
+                   (a.x - b.x) * (a.y - b.y) < 0) AS BIGINT) AS disc,
+               CAST(COUNT(*) FILTER (a.x = b.x AND a.y <> b.y)
+                    AS BIGINT) AS tx,
+               CAST(COUNT(*) FILTER (a.y = b.y AND a.x <> b.x)
+                    AS BIGINT) AS ty
+        FROM anchor a JOIN anchor b ON a.k < b.k
+    )
+    SELECT n0, conc, disc,
+           CAST(FLOOR((CAST(conc AS DOUBLE) - CAST(disc AS DOUBLE))
+                      / sqrt((CAST(n0 AS DOUBLE) - CAST(tx AS DOUBLE))
+                             * (CAST(n0 AS DOUBLE) - CAST(ty AS DOUBLE)))
+                      * 1000000) AS BIGINT) AS tau_b_e6
+    FROM pairs
+    """,
+)
+def agg_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b rank correlation (round 9): account balance vs
+    realized order spend — the concordance question ("do customers
+    with more balance actually spend more, monotonically?") that
+    Pearson (agg_corr_exact) answers only for LINEAR co-movement and
+    Spearman (agg_spearman_corr) answers through rank differences.
+    tau-b's pair counts additionally give the Kendall distance
+    (disc/n0 = bubble-sort distance between the two rankings), and
+    its tie treatment is symmetric by construction.
+
+    tau IS inherently pairwise — no rank reduction removes the n²
+    term (contrast Spearman). The engine therefore computes it EXACT
+    on a BOUNDED ANCHOR: the first {_KENDALL_ANCHOR_N} customer keys
+    (deterministic at every SF, the bounded-pairs discipline of
+    sim_topk_exact), whose pair table is anchor×anchor with the small
+    side broadcast — pairs never shuffle, and the anchor size is the
+    knob that trades confidence-interval width for cost (tau's SE
+    ~ 1/sqrt(n) means 500 anchors already give ±0.03). Concordant /
+    discordant / tie counts are exact bigints; only the final tau-b
+    ratio floors.
+
+    Scale: the corpus-sized stage is the spend rollup (keyed agg,
+    pushed-down key filter); the quadratic stage is anchor²,
+    constant in SF by construction."""
+    cust = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= _KENDALL_ANCHOR_N)
+        .select(
+            F.col("c_custkey").alias("k"),
+            F.round(F.col("c_acctbal") * 100).cast("bigint").alias("x"),
+        )
+    )
+    spend = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") <= _KENDALL_ANCHOR_N)
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("y0")
+        )
+    )
+    anchor = (
+        cust.join(spend, "k", "left")
+        .select("k", "x", F.coalesce("y0", F.lit(0)).cast("bigint").alias("y"))
+    )
+    a = anchor.alias("a")
+    b = anchor.alias("b")
+    p = a.join(F.broadcast(b), F.col("a.k") < F.col("b.k"))
+    dx = F.col("a.x") - F.col("b.x")
+    dy = F.col("a.y") - F.col("b.y")
+    pairs = p.agg(
+        F.count("*").cast("bigint").alias("n0"),
+        F.count_if(dx * dy > 0).cast("bigint").alias("conc"),
+        F.count_if(dx * dy < 0).cast("bigint").alias("disc"),
+        F.count_if((dx == 0) & (dy != 0)).cast("bigint").alias("tx"),
+        F.count_if((dy == 0) & (dx != 0)).cast("bigint").alias("ty"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    tau = (d("conc") - d("disc")) / F.sqrt(
+        (d("n0") - d("tx")) * (d("n0") - d("ty"))
+    )
+    return pairs.select(
+        "n0",
+        "conc",
+        "disc",
+        F.floor(tau * 1000000).cast("bigint").alias("tau_b_e6"),
+    )
+
+
+@query(
+    "agg_mann_kendall_trend",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ), pairs AS (
+        SELECT a.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n0,
+               CAST(SUM(CASE WHEN b.x > a.x THEN 1
+                             WHEN b.x < a.x THEN -1 ELSE 0 END)
+                    AS BIGINT) AS s
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.d < b.d
+        GROUP BY a.event_type
+    ), nn AS (
+        SELECT event_type, CAST(SUM(t) AS BIGINT) AS n,
+               CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS t3t
+        FROM (
+            SELECT event_type, x, CAST(COUNT(*) AS BIGINT) AS t
+            FROM daily GROUP BY event_type, x
+        ) GROUP BY event_type
+    )
+    SELECT p.event_type, n.n, p.s,
+           CAST(FLOOR(
+               CASE WHEN p.s > 0 THEN CAST(p.s AS DOUBLE) - 1.0
+                    WHEN p.s < 0 THEN CAST(p.s AS DOUBLE) + 1.0
+                    ELSE 0.0 END
+               / sqrt((CAST(n.n AS DOUBLE) * (CAST(n.n AS DOUBLE) - 1.0)
+                       * (2.0 * CAST(n.n AS DOUBLE) + 5.0)
+                       - CAST(n.t3t AS DOUBLE)) / 18.0)
+               * 1000000) AS BIGINT) AS z_e6
+    FROM pairs p JOIN nn n USING (event_type)
+    ORDER BY p.event_type
+    """,
+)
+def agg_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test per event type (round 9): the
+    nonparametric "is this daily series monotonically trending?" —
+    S = Σ_{i<j} sign(xⱼ−xᵢ) over the day-ordered counts, the standard
+    pre-test before fitting ts_theil_sen_slope (same pair structure;
+    Theil-Sen estimates the slope MK decides is nonzero). Robust to
+    outlier days and distribution-free, unlike agg_regr_trend's
+    least-squares t.
+
+    Pairwise like Kendall, but the pair domain is the DAILY rollup —
+    bounded by the calendar (30 days here → ≤435 pairs per series),
+    never by corpus size, so the self-join is broadcast-trivial at
+    every SF. S and the tie term Σ tᵢ(tᵢ−1)(2tᵢ+5) are exact
+    bigints; the continuity-corrected z enters one double chain
+    (σ² = [n(n−1)(2n+5) − Σt]/18), one floored readout.
+
+    Scale: events reduce map-side to (type, day) counts first; the
+    quadratic stage runs on the reduced series, constant in SF."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count("*").cast("bigint").alias("x"))
+    a = daily.alias("a")
+    b = daily.alias("b")
+    sgn = (
+        F.when(F.col("b.x") > F.col("a.x"), 1)
+        .when(F.col("b.x") < F.col("a.x"), -1)
+        .otherwise(0)
+    )
+    pairs = (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.d") < F.col("b.d")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.count("*").cast("bigint").alias("n0"),
+            F.sum(sgn).cast("bigint").alias("s"),
+        )
+    )
+    ties = (
+        daily.groupBy("event_type", "x")
+        .agg(F.count("*").cast("bigint").alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("t").cast("bigint").alias("n"),
+            F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5))
+            .cast("bigint")
+            .alias("t3t"),
+        )
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    num = (
+        F.when(F.col("s") > 0, d("s") - 1.0)
+        .when(F.col("s") < 0, d("s") + 1.0)
+        .otherwise(F.lit(0.0))
+    )
+    sigma = F.sqrt(
+        (d("n") * (d("n") - 1.0) * (2.0 * d("n") + 5.0) - d("t3t")) / 18.0
+    )
+    return (
+        pairs.join(ties, "event_type")
+        .select(
+            "event_type",
+            "n",
+            "s",
+            F.floor(num / sigma * 1000000).cast("bigint").alias("z_e6"),
+        )
+        .orderBy("event_type")
+    )

@@ -1533,3 +1533,66 @@ def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= F.col("m"))
         .select("doc_id", "lang")
     )
+
+
+# z_{0.975} and z_{0.80}: fixed normal quantiles for alpha=0.05
+# two-sided / 80% power -- literal constants so both engines evaluate
+# the identical doubles (no quantile function needed).
+_Z_ALPHA = 1.959963984540054
+_Z_BETA = 0.8416212335729143
+
+
+@query(
+    "events_power_sample_size",
+    f"""
+    WITH base AS (
+        SELECT CAST(COUNT(*) FILTER (event_type = 'purchase') AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS p1,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events
+    )
+    SELECT n_events,
+           CAST(FLOOR(p1 * 1000000) AS BIGINT) AS p1_e6,
+           CAST(FLOOR(p1 * 1.1 * 1000000) AS BIGINT) AS p2_e6,
+           CAST(CEIL(
+               ({_Z_ALPHA} + {_Z_BETA}) * ({_Z_ALPHA} + {_Z_BETA})
+               * (p1 * (1.0 - p1) + (p1 * 1.1) * (1.0 - p1 * 1.1))
+               / ((p1 * 1.1 - p1) * (p1 * 1.1 - p1))
+           ) AS BIGINT) AS n_per_arm
+    FROM base
+    """,
+)
+def events_power_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B-test POWER ANALYSIS (round 9): the sample-size step that
+    precedes events_ab_srm and events_ab_cuped in any real
+    experimentation loop — measure the baseline conversion rate p₁
+    (purchase share of events), posit the minimum detectable
+    effect (a relative 10% lift), and size each arm at
+    n = (z_{{α/2}}+z_β)²·(p₁q₁+p₂q₂)/(p₂−p₁)² for α=0.05 two-sided,
+    80% power. The z quantiles are literal constants (no normal-CDF
+    function exists in either engine), so both sides evaluate an
+    identical short double chain: p₁ from exact counts, three
+    readouts (p₁, p₂ floored e6; n per arm ceiled to whole units).
+
+    Scale: one pass over events with two map-side-combinable counts;
+    the formula runs on a 1-row frame."""
+    ev = load(spark, sf_dir, "events")
+    base = ev.agg(
+        (
+            F.count_if(F.col("event_type") == "purchase").cast("double")
+            / F.count("*").cast("double")
+        ).alias("p1"),
+        F.count("*").cast("bigint").alias("n_events"),
+    )
+    p1 = F.col("p1")
+    p2 = p1 * 1.1
+    zsum = F.lit(_Z_ALPHA + _Z_BETA)
+    n = F.ceil(
+        zsum * zsum * (p1 * (1.0 - p1) + p2 * (1.0 - p2)) / ((p2 - p1) * (p2 - p1))
+    )
+    return base.select(
+        "n_events",
+        F.floor(p1 * 1000000).cast("bigint").alias("p1_e6"),
+        F.floor(p2 * 1000000).cast("bigint").alias("p2_e6"),
+        n.cast("bigint").alias("n_per_arm"),
+    )

@@ -3980,3 +3980,142 @@ def corpus_token_budget_apportion(
         (F.col("floor_q") + extra).cast("bigint").alias("quota"),
         extra.cast("bigint").alias("extra"),
     )
+
+
+@query(
+    "text_rater_agreement_fleiss",
+    """
+    WITH rated AS (
+        SELECT doc_id,
+               CASE WHEN n_chars < 200 THEN 0
+                    WHEN n_chars < 500 THEN 1 ELSE 2 END AS r_a,
+               CASE WHEN len(str_split(text, ' ')) < 40 THEN 0
+                    WHEN len(str_split(text, ' ')) < 100 THEN 1
+                    ELSE 2 END AS r_b,
+               CASE WHEN n_chars + (CAST('0x' || substr(md5(
+                             CAST(doc_id AS VARCHAR)), 1, 2) AS BIGINT) - 128)
+                         < 200 THEN 0
+                    WHEN n_chars + (CAST('0x' || substr(md5(
+                             CAST(doc_id AS VARCHAR)), 1, 2) AS BIGINT) - 128)
+                         < 500 THEN 1 ELSE 2 END AS r_c
+        FROM documents
+    ), counts AS (
+        SELECT doc_id,
+               CAST((CASE WHEN r_a = 0 THEN 1 ELSE 0 END)
+                  + (CASE WHEN r_b = 0 THEN 1 ELSE 0 END)
+                  + (CASE WHEN r_c = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+               CAST((CASE WHEN r_a = 1 THEN 1 ELSE 0 END)
+                  + (CASE WHEN r_b = 1 THEN 1 ELSE 0 END)
+                  + (CASE WHEN r_c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST((CASE WHEN r_a = 2 THEN 1 ELSE 0 END)
+                  + (CASE WHEN r_b = 2 THEN 1 ELSE 0 END)
+                  + (CASE WHEN r_c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+        FROM rated
+    ), agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n0 * n0 + n1 * n1 + n2 * n2 - 3) AS BIGINT) AS spair,
+               CAST(SUM(n0) AS BIGINT) AS m0,
+               CAST(SUM(n1) AS BIGINT) AS m1,
+               CAST(SUM(n2) AS BIGINT) AS m2
+        FROM counts
+    )
+    SELECT n_docs,
+           CAST(FLOOR(CAST(spair AS DOUBLE)
+                      / (CAST(n_docs AS DOUBLE) * 6.0) * 1000000)
+                AS BIGINT) AS p_bar_e6,
+           CAST(FLOOR((CAST(m0 AS DOUBLE) * CAST(m0 AS DOUBLE)
+                       + CAST(m1 AS DOUBLE) * CAST(m1 AS DOUBLE)
+                       + CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE))
+                      / (CAST(n_docs AS DOUBLE) * 3.0
+                         * CAST(n_docs AS DOUBLE) * 3.0) * 1000000)
+                AS BIGINT) AS p_e_e6,
+           CAST(FLOOR(
+               (CAST(spair AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 6.0)
+                - (CAST(m0 AS DOUBLE) * CAST(m0 AS DOUBLE)
+                   + CAST(m1 AS DOUBLE) * CAST(m1 AS DOUBLE)
+                   + CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE))
+                  / (CAST(n_docs AS DOUBLE) * 3.0
+                     * CAST(n_docs AS DOUBLE) * 3.0))
+               / (1.0 - (CAST(m0 AS DOUBLE) * CAST(m0 AS DOUBLE)
+                         + CAST(m1 AS DOUBLE) * CAST(m1 AS DOUBLE)
+                         + CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE))
+                        / (CAST(n_docs AS DOUBLE) * 3.0
+                           * CAST(n_docs AS DOUBLE) * 3.0))
+               * 1000000) AS BIGINT) AS kappa_e6
+    FROM agg
+    """,
+)
+def text_rater_agreement_fleiss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa over three quality RATERS (round 9): the
+    multi-rater generalization of agg_cohens_kappa — when a corpus is
+    labeled by several automatic quality classifiers (or human
+    annotators), kappa measures agreement BEYOND what the category
+    marginals predict by chance. Here the three deterministic raters
+    are real quality heuristics that disagree at the margins: a
+    character-length tercile, a token-count tercile, and a
+    noise-perturbed length tercile (md5-derived ±128-char jitter — a
+    reproducible stand-in for rater noise).
+
+    Per-document category counts n_ij are exact integers; with n=3
+    raters, P_i = (Σn_ij²−3)/6 and everything aggregates to five
+    exact bigints (N, Σpairs, three category marginals); P̄, P_e and
+    κ = (P̄−P_e)/(1−P_e) evaluate in one literal double chain, three
+    floored readouts. The κ∈[−1,1] bound and the
+    perfect-agreement-implies-κ=1 degenerate case are referee-tested.
+
+    Scale: one corpus pass computing three CASE expressions and a
+    5-value global aggregate — map-side combinable, no shuffle beyond
+    the 1-row finish."""
+    docs = load(spark, sf_dir, "documents")
+    jitter = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2),
+            16,
+            10,
+        ).cast("bigint")
+        - 128
+    )
+    n_tok = F.size(F.split("text", " "))
+
+    def tercile(x, lo, hi):
+        return F.when(x < lo, 0).when(x < hi, 1).otherwise(2)
+
+    rated = docs.select(
+        tercile(F.col("n_chars"), F.lit(200), F.lit(500)).alias("r_a"),
+        tercile(n_tok, F.lit(40), F.lit(100)).alias("r_b"),
+        tercile(F.col("n_chars") + jitter, F.lit(200), F.lit(500)).alias("r_c"),
+    )
+    cnt = lambda k: (  # noqa: E731
+        (F.col("r_a") == k).cast("bigint")
+        + (F.col("r_b") == k).cast("bigint")
+        + (F.col("r_c") == k).cast("bigint")
+    )
+    counts = rated.select(
+        cnt(0).alias("n0"), cnt(1).alias("n1"), cnt(2).alias("n2")
+    )
+    agg = counts.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(
+            F.col("n0") * F.col("n0")
+            + F.col("n1") * F.col("n1")
+            + F.col("n2") * F.col("n2")
+            - 3
+        )
+        .cast("bigint")
+        .alias("spair"),
+        F.sum("n0").cast("bigint").alias("m0"),
+        F.sum("n1").cast("bigint").alias("m1"),
+        F.sum("n2").cast("bigint").alias("m2"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    p_bar = d("spair") / (d("n_docs") * 6.0)
+    p_e = (d("m0") * d("m0") + d("m1") * d("m1") + d("m2") * d("m2")) / (
+        d("n_docs") * 3.0 * d("n_docs") * 3.0
+    )
+    kappa = (p_bar - p_e) / (1.0 - p_e)
+    return agg.select(
+        "n_docs",
+        F.floor(p_bar * 1000000).cast("bigint").alias("p_bar_e6"),
+        F.floor(p_e * 1000000).cast("bigint").alias("p_e_e6"),
+        F.floor(kappa * 1000000).cast("bigint").alias("kappa_e6"),
+    )

@@ -428,6 +428,13 @@ _ROUND10_NEXT_UP = (
     "ingest_miner_concentration",
     "embed_text_alignment_audit",
     "ts_range_volatility",
+    # --- round-9 continuation additions, landing order ---
+    "agg_kruskal_wallis",
+    "agg_levene_brown_forsythe",
+    "agg_kendall_tau",
+    "agg_mann_kendall_trend",
+    "events_power_sample_size",
+    "text_rater_agreement_fleiss",
 )
 
 _loaded = False

@@ -1,0 +1,176 @@
+"""Round-9 continuation batch: brute-force Python referees for the
+new statistical operators. Each test recomputes the statistic from
+the raw fixture with plain Python/numpy (no SQL on either engine) and
+asserts the registered query reproduces it at the floored precision —
+independent of the DuckDB oracle, which the driver exercises
+separately."""
+
+import math
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from graphsense_datafeed_spark.registry import QUERIES
+
+
+def _events(sf_dir):
+    return pq.read_table(f"{sf_dir}/events.parquet").to_pandas()
+
+
+def test_kruskal_wallis_referee(spark, sf_dir):
+    ev = _events(sf_dir)
+    v = np.floor(ev["value"].to_numpy() * 10000).astype(np.int64)
+    g = ev["event_type"].to_numpy()
+    order = np.argsort(v, kind="stable")
+    sv = v[order]
+    # average ranks with ties
+    ranks = np.empty(len(sv), dtype=np.float64)
+    i = 0
+    t3t = 0
+    while i < len(sv):
+        j = i
+        while j < len(sv) and sv[j] == sv[i]:
+            j += 1
+        ranks[i:j] = (i + 1 + j) / 2.0
+        t = j - i
+        t3t += t * t * t - t
+        i = j
+    r = np.empty(len(v), dtype=np.float64)
+    r[order] = ranks
+    n = len(v)
+    srr = sum(
+        r[g == grp].sum() ** 2 / (g == grp).sum() for grp in np.unique(g)
+    )
+    h = 12.0 / (n * (n + 1)) * srr - 3.0 * (n + 1)
+    h_corr = h / (1.0 - t3t / (n**3 - n))
+    row = QUERIES["agg_kruskal_wallis"](spark, sf_dir).collect()[0]
+    assert row["n"] == n
+    assert row["h_e6"] == math.floor(h * 1000000)
+    assert row["h_corr_e6"] == math.floor(h_corr * 1000000)
+
+
+def test_levene_brown_forsythe_referee(spark, sf_dir):
+    ev = _events(sf_dir)
+    v = np.floor(ev["value"].to_numpy() * 10000).astype(np.int64)
+    g = ev["event_type"].to_numpy()
+    groups = np.unique(g)
+    zs = []
+    for grp in groups:
+        x = np.sort(v[g == grp])
+        # percentile_disc(0.5): smallest element whose cumulative
+        # share reaches 0.5
+        med = x[math.ceil(0.5 * len(x)) - 1]
+        zs.append(np.abs(v[g == grp] - med).astype(np.float64))
+    n = sum(len(z) for z in zs)
+    k = len(zs)
+    s = sum(z.sum() for z in zs)
+    ss = sum((z * z).sum() for z in zs)
+    ssn = sum(z.sum() ** 2 / len(z) for z in zs)
+    w = ((ssn - s * s / n) / (k - 1)) / ((ss - ssn) / (n - k))
+    row = QUERIES["agg_levene_brown_forsythe"](spark, sf_dir).collect()[0]
+    assert row["k"] == k and row["n"] == n
+    assert row["w_e6"] == math.floor(w * 1000000)
+
+
+def test_kendall_tau_referee(spark, sf_dir):
+    cust = pq.read_table(f"{sf_dir}/customer.parquet").to_pandas()
+    orders = pq.read_table(f"{sf_dir}/orders.parquet").to_pandas()
+    cust = cust[cust["c_custkey"] <= 500]
+    spend = (
+        orders[orders["o_custkey"] <= 500]
+        .assign(cents=lambda d: np.round(d["o_totalprice"] * 100).astype(np.int64))
+        .groupby("o_custkey")["cents"]
+        .sum()
+    )
+    x = np.round(cust["c_acctbal"].to_numpy() * 100).astype(np.int64)
+    y = cust["c_custkey"].map(spend).fillna(0).astype(np.int64).to_numpy()
+    n = len(x)
+    conc = disc = tx = ty = 0
+    for i in range(n):
+        dx = x[i] - x[i + 1 :]
+        dy = y[i] - y[i + 1 :]
+        p = dx * dy
+        conc += int((p > 0).sum())
+        disc += int((p < 0).sum())
+        tx += int(((dx == 0) & (dy != 0)).sum())
+        ty += int(((dy == 0) & (dx != 0)).sum())
+    n0 = n * (n - 1) // 2
+    tau = (conc - disc) / math.sqrt((n0 - tx) * (n0 - ty))
+    row = QUERIES["agg_kendall_tau"](spark, sf_dir).collect()[0]
+    assert row["n0"] == n0
+    assert row["conc"] == conc and row["disc"] == disc
+    assert row["tau_b_e6"] == math.floor(tau * 1000000)
+    assert -1000000 <= row["tau_b_e6"] <= 1000000
+
+
+def test_mann_kendall_referee(spark, sf_dir):
+    ev = _events(sf_dir)
+    ev["d"] = ev["ts"].dt.date
+    rows = {
+        r["event_type"]: r
+        for r in QUERIES["agg_mann_kendall_trend"](spark, sf_dir).collect()
+    }
+    for grp, sub in ev.groupby("event_type"):
+        daily = sub.groupby("d").size().sort_index()
+        xs = daily.to_numpy()
+        n = len(xs)
+        s = 0
+        for i in range(n):
+            s += int(np.sign(xs[i + 1 :] - xs[i]).sum())
+        _, t_counts = np.unique(xs, return_counts=True)
+        t3t = int(sum(t * (t - 1) * (2 * t + 5) for t in t_counts))
+        sigma = math.sqrt((n * (n - 1) * (2 * n + 5) - t3t) / 18.0)
+        num = (s - 1.0) if s > 0 else (s + 1.0) if s < 0 else 0.0
+        r = rows[grp]
+        assert r["n"] == n and r["s"] == s
+        assert r["z_e6"] == math.floor(num / sigma * 1000000)
+
+
+def test_power_sample_size_referee(spark, sf_dir):
+    ev = _events(sf_dir)
+    n_events = len(ev)
+    p1 = (ev["event_type"] == "purchase").sum() / n_events
+    p2 = p1 * 1.1
+    za, zb = 1.959963984540054, 0.8416212335729143
+    n = math.ceil(
+        (za + zb) ** 2 * (p1 * (1 - p1) + p2 * (1 - p2)) / (p2 - p1) ** 2
+    )
+    row = QUERIES["events_power_sample_size"](spark, sf_dir).collect()[0]
+    assert row["n_events"] == n_events
+    assert row["p1_e6"] == math.floor(p1 * 1000000)
+    assert row["n_per_arm"] == n
+    # sanity: detecting a 10% relative lift on a rare baseline needs
+    # many users per arm
+    assert row["n_per_arm"] > 100
+
+
+def test_fleiss_kappa_referee(spark, sf_dir):
+    docs = pq.read_table(f"{sf_dir}/documents.parquet").to_pandas()
+    import hashlib
+
+    def cat(x, lo=200, hi=500):
+        return 0 if x < lo else (1 if x < hi else 2)
+
+    counts = []
+    for _, row in docs.iterrows():
+        ra = cat(row["n_chars"])
+        rb = cat(len(row["text"].split(" ")), 40, 100)
+        j = int(hashlib.md5(str(row["doc_id"]).encode()).hexdigest()[:2], 16) - 128
+        rc = cat(row["n_chars"] + j)
+        c = [0, 0, 0]
+        for r in (ra, rb, rc):
+            c[r] += 1
+        counts.append(c)
+    counts = np.array(counts)
+    n_docs = len(counts)
+    spair = int((counts * counts).sum() - 3 * n_docs)
+    m = counts.sum(axis=0)
+    p_bar = spair / (n_docs * 6.0)
+    p_e = float((m.astype(float) ** 2).sum()) / (n_docs * 3.0) ** 2
+    kappa = (p_bar - p_e) / (1.0 - p_e)
+    row = QUERIES["text_rater_agreement_fleiss"](spark, sf_dir).collect()[0]
+    assert row["n_docs"] == n_docs
+    assert row["p_bar_e6"] == math.floor(p_bar * 1000000)
+    assert row["p_e_e6"] == math.floor(p_e * 1000000)
+    assert row["kappa_e6"] == math.floor(kappa * 1000000)
+    assert -1000000 <= row["kappa_e6"] <= 1000000
