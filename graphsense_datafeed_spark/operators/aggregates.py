@@ -4745,3 +4745,219 @@ def agg_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "agg_hodges_lehmann",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    )
+    SELECT a.event_type,
+           CAST(COUNT(DISTINCT a.d) AS BIGINT) AS n_days,
+           CAST(COUNT(*) AS BIGINT) AS n_walsh,
+           CAST(quantile_disc(a.x + b.x, 0.5) AS BIGINT) AS hl_x2
+    FROM daily a JOIN daily b
+      ON a.event_type = b.event_type AND a.d <= b.d
+    GROUP BY a.event_type
+    ORDER BY a.event_type
+    """,
+)
+def agg_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges-Lehmann location estimator (round 9) per event-type
+    daily series: the median of all WALSH AVERAGES (xᵢ+xⱼ)/2, i≤j —
+    the estimator the signed-rank test inverts. It splits the
+    difference between the mean (efficient, fragile) and the median
+    (robust, inefficient): ~96% Gaussian efficiency yet a 29%
+    breakdown point, the right "typical daily volume" readout when
+    outage days and burst days both occur.
+
+    Exactness: Walsh averages stay in DOUBLED units (xᵢ+xⱼ, exact
+    bigint) and the median is percentile_disc over those integers —
+    an actual element, no interpolation, no floats anywhere; the
+    emitted hl_x2 is exactly 2·HL.
+
+    Scale: the pair set is inherently quadratic, but the pair domain
+    is the map-side-reduced DAILY series — calendar-bounded (30 days
+    → 465 Walsh points per series at ANY SF), the same
+    bounded-pair discipline as agg_mann_kendall_trend; the join is
+    broadcast, the median groups are tiny."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count("*").cast("bigint").alias("x"))
+    a = daily.alias("a")
+    b = daily.alias("b")
+    pairs = a.join(
+        F.broadcast(b),
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.d") <= F.col("b.d")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.d").alias("d"),
+        (F.col("a.x") + F.col("b.x")).cast("bigint").alias("w_x2"),
+    )
+    return (
+        pairs.groupBy("event_type")
+        .agg(
+            F.countDistinct("d").cast("bigint").alias("n_days"),
+            F.count("*").cast("bigint").alias("n_walsh"),
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY w_x2)")
+            .cast("bigint")
+            .alias("hl_x2"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_PERM_B = 200
+
+
+@query(
+    "agg_permutation_test",
+    f"""
+    WITH base AS (
+        SELECT event_id, event_type,
+               CAST(FLOOR(value * 10000) AS BIGINT) AS v_e4
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ), obs AS (
+        SELECT CAST(FLOOR(ABS(
+                   CAST(SUM(v_e4) FILTER (event_type = 'click') AS DOUBLE)
+                   / CAST(COUNT(*) FILTER (event_type = 'click') AS DOUBLE)
+                 - CAST(SUM(v_e4) FILTER (event_type = 'purchase') AS DOUBLE)
+                   / CAST(COUNT(*) FILTER (event_type = 'purchase') AS DOUBLE)
+               ) * 100.0) AS BIGINT) AS d_obs_e6
+        FROM base
+    ), perms AS (
+        SELECT b.b,
+               CAST(FLOOR(ABS(
+                   CAST(SUM(v_e4) FILTER (arm = 0) AS DOUBLE)
+                   / CAST(COUNT(*) FILTER (arm = 0) AS DOUBLE)
+                 - CAST(SUM(v_e4) FILTER (arm = 1) AS DOUBLE)
+                   / CAST(COUNT(*) FILTER (arm = 1) AS DOUBLE)
+               ) * 100.0) AS BIGINT) AS d_e6
+        FROM (
+            SELECT e.v_e4, bb.b,
+                   CAST(CAST('0x' || substr(md5(CAST(e.event_id AS VARCHAR)
+                        || ':' || CAST(bb.b AS VARCHAR)), 1, 4) AS BIGINT) % 2
+                        AS BIGINT) AS arm
+            FROM base e CROSS JOIN
+                 (SELECT unnest(range(1, {_PERM_B} + 1)) AS b) bb
+        ) b
+        GROUP BY b.b
+    )
+    SELECT CAST({_PERM_B} AS BIGINT) AS n_perm,
+           (SELECT d_obs_e6 FROM obs) AS d_obs_e6,
+           CAST(COUNT(*) FILTER (d_e6 >= (SELECT d_obs_e6 FROM obs))
+                AS BIGINT) AS n_ge,
+           CAST(FLOOR((1.0 + COUNT(*) FILTER (
+                    d_e6 >= (SELECT d_obs_e6 FROM obs)))
+                / ({_PERM_B} + 1.0) * 1000000) AS BIGINT) AS p_e6
+    FROM perms
+    """,
+)
+def agg_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monte-Carlo randomization test (round 9): the
+    assumption-free p-value for the click-vs-purchase mean gap —
+    where Welch assumes normal-ish tails and Mann-Whitney tests rank
+    dominance, the randomization test asks directly "how often does a
+    random relabeling produce a gap this large?". B={_PERM_B} frozen
+    relabelings, each an md5(event_id:b) coin — deterministic,
+    engine-portable, re-runnable (the events_ab_srm hash-assignment
+    discipline applied B times); p = (1+#{{d_b ≥ d_obs}})/(B+1), the
+    add-one form that never returns zero.
+
+    Exactness: per-relabeling arm sums are exact bigints; each mean
+    gap floors to e6 through ONE identical double expression, and the
+    ≥ comparison then runs on integers — no accumulated float state
+    anywhere, so the full B-row distribution hash-matches.
+
+    Scale: the B× expansion IS the method's cost and it
+    DISTRIBUTES — (B·N) rows partition across executors with
+    map-side partial aggregation per (b, arm); B is the knob.
+    The plan-audit BNLJ note covers the 1-row obs broadcast."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    base = ev.select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 10000).cast("bigint").alias("v_e4"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    obs = base.agg(
+        F.floor(
+            F.abs(
+                F.sum(F.when(F.col("event_type") == "click", F.col("v_e4")))
+                .cast("double")
+                / F.count_if(F.col("event_type") == "click").cast("double")
+                - F.sum(
+                    F.when(F.col("event_type") == "purchase", F.col("v_e4"))
+                ).cast("double")
+                / F.count_if(F.col("event_type") == "purchase").cast("double")
+            )
+            * 100.0
+        )
+        .cast("bigint")
+        .alias("d_obs_e6")
+    )
+    expanded = base.crossJoin(
+        F.broadcast(
+            spark.range(1, _PERM_B + 1).select(F.col("id").alias("b"))
+        )
+    ).select(
+        "b",
+        "v_e4",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("event_id").cast("string"),
+                            F.lit(":"),
+                            F.col("b").cast("string"),
+                        ).cast("binary")
+                    ),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 2
+        ).alias("arm"),
+    )
+    perms = expanded.groupBy("b").agg(
+        F.floor(
+            F.abs(
+                F.sum(F.when(F.col("arm") == 0, F.col("v_e4"))).cast("double")
+                / F.count_if(F.col("arm") == 0).cast("double")
+                - F.sum(F.when(F.col("arm") == 1, F.col("v_e4"))).cast(
+                    "double"
+                )
+                / F.count_if(F.col("arm") == 1).cast("double")
+            )
+            * 100.0
+        )
+        .cast("bigint")
+        .alias("d_e6")
+    )
+    return (
+        perms.crossJoin(F.broadcast(obs))
+        .agg(
+            F.lit(_PERM_B).cast("bigint").alias("n_perm"),
+            F.max("d_obs_e6").cast("bigint").alias("d_obs_e6"),
+            F.count_if(F.col("d_e6") >= F.col("d_obs_e6"))
+            .cast("bigint")
+            .alias("n_ge"),
+            F.floor(
+                (1.0 + F.count_if(F.col("d_e6") >= F.col("d_obs_e6")))
+                / (_PERM_B + 1.0)
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("p_e6"),
+        )
+    )

@@ -4703,3 +4703,217 @@ def ts_range_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rms_range_e4"),
     )
+
+
+@query(
+    "ts_page_hinkley",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ), cum AS (
+        SELECT event_type, d, x,
+               CAST(SUM(x) OVER (PARTITION BY event_type ORDER BY d
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s,
+               CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d)
+                    AS BIGINT) AS i
+        FROM daily
+    ), term AS (
+        SELECT event_type, d, x,
+               CAST(FLOOR((CAST(x AS DOUBLE)
+                           - CAST(s AS DOUBLE) / CAST(i AS DOUBLE)
+                           - 2.0) * 1000000) AS BIGINT) AS t_e6
+        FROM cum
+    ), m AS (
+        SELECT event_type, d, x,
+               CAST(SUM(t_e6) OVER (PARTITION BY event_type ORDER BY d
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS m_e6
+        FROM term
+    )
+    SELECT event_type, d, x,
+           CAST(m_e6 - MIN(m_e6) OVER (PARTITION BY event_type ORDER BY d
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ph_e6,
+           CAST(CASE WHEN m_e6 - MIN(m_e6) OVER (PARTITION BY event_type
+                          ORDER BY d ROWS UNBOUNDED PRECEDING) > 20000000
+                     THEN 1 ELSE 0 END AS BIGINT) AS alarm
+    FROM m ORDER BY event_type, d
+    """,
+)
+def ts_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley sequential drift detector (round 9) per event-type
+    daily series: the STREAMING changepoint test — where
+    ts_changepoint_cusum scans retrospectively for the single best
+    split, Page-Hinkley maintains a one-pass cumulative statistic
+    m_t = Σ(xᵢ − x̄ᵢ − δ) against its running minimum and alarms the
+    moment the gap exceeds λ — the standard upward-drift monitor in
+    data-stream mining (δ=2 tolerated drift, λ=20 alarm threshold
+    here). Emitting the whole PH trajectory (not just the alarm)
+    makes the readout auditable.
+
+    Exactness: the one fractional term per row (running mean Sᵢ/i)
+    floors to e6 immediately — per-row single division, identical
+    literal chain both engines — and everything downstream
+    (cumulative sum, running min, threshold compare) is exact bigint
+    arithmetic, so the trajectory hash-matches at any scale.
+
+    Scale: the raw stream reduces map-side to (type, day) counts
+    first; all four windows are keyed by event_type (no
+    single-partition stage), sequential-state O(1) per row — the
+    shape applyInPandasWithState would use on a live stream, here as
+    the replayable batch program."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count("*").cast("bigint").alias("x"))
+    w_seq = Window.partitionBy("event_type").orderBy("d")
+    w_cum = w_seq.rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.select(
+        "event_type",
+        "d",
+        "x",
+        F.sum("x").over(w_cum).cast("bigint").alias("s"),
+        F.row_number().over(w_seq).cast("bigint").alias("i"),
+    )
+    term = cum.withColumn(
+        "t_e6",
+        F.floor(
+            (
+                F.col("x").cast("double")
+                - F.col("s").cast("double") / F.col("i").cast("double")
+                - 2.0
+            )
+            * 1000000
+        ).cast("bigint"),
+    )
+    m = term.withColumn(
+        "m_e6", F.sum("t_e6").over(w_cum).cast("bigint")
+    )
+    ph = (F.col("m_e6") - F.min("m_e6").over(w_cum)).cast("bigint")
+    return m.select(
+        "event_type",
+        "d",
+        "x",
+        ph.alias("ph_e6"),
+        F.when(ph > 20000000, 1).otherwise(0).cast("bigint").alias("alarm"),
+    ).orderBy("event_type", "d")
+
+
+@query(
+    "ts_variance_ratio",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ), delta AS (
+        SELECT d, CAST(x - LAG(x) OVER (ORDER BY d) AS BIGINT) AS dx
+        FROM daily QUALIFY LAG(x) OVER (ORDER BY d) IS NOT NULL
+    ), qsum AS (
+        SELECT d,
+               CAST(SUM(dx) OVER (ORDER BY d
+                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS y,
+               CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS i
+        FROM delta
+    ), base AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dx) AS BIGINT) AS s
+        FROM delta
+    ), bsum AS (
+        SELECT CAST(SUM((b.n * q.y - 5 * b.s) * (b.n * q.y - 5 * b.s))
+                    AS BIGINT) AS a
+        FROM qsum q, base b WHERE q.i >= 5
+    ), dsum AS (
+        SELECT CAST(SUM((b.n * dd.dx - b.s) * (b.n * dd.dx - b.s))
+                    AS BIGINT) AS bb
+        FROM delta dd, base b
+    )
+    SELECT b.n, CAST(5 AS BIGINT) AS q,
+           CAST(FLOOR(
+               CAST(a AS DOUBLE) * (CAST(b.n AS DOUBLE) - 1.0)
+               * CAST(b.n AS DOUBLE)
+               / (CAST(bb AS DOUBLE) * 5.0 * (CAST(b.n AS DOUBLE) - 4.0)
+                  * (CAST(b.n AS DOUBLE) - 5.0))
+               * 1000000) AS BIGINT) AS vr_e6
+    FROM base b, bsum, dsum
+    """,
+)
+def ts_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lo-MacKinlay variance-ratio test statistic (round 9), q=5, on
+    the daily event-count CHANGES: VR(q) = Var(q-period sums) /
+    (q·Var(1-period)). Under a random walk VR=1; VR>1 means positive
+    serial dependence (momentum/bursts), VR<1 mean reversion — the
+    aggregation-level diagnostic that complements ts_acf (per-lag
+    autocorrelation) with a single scalar per horizon, the classic
+    market-efficiency test applied to activity series.
+
+    Exactness by clearing denominators: with S=Σdx and n deltas, the
+    overlapping-sum deviation Σ(n·yⱼ−qS)² and the base deviation
+    Σ(n·dxᵢ−S)² are exact bigints (integer counts, bounded products),
+    and VR = A·(n−1)·n / (B·q·(n−q+1)·(n−q)) — one double division
+    at the end, floored e6. The estimator uses the standard
+    overlapping q-sums with the m = q(n−q+1)(1−q/n) bias correction.
+
+    Scale: map-side daily rollup, then every window runs over the
+    calendar-bounded series (pre-reduced benign single-partition
+    shape, same as ts_acf); the statistic folds to one row."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count("*").cast("bigint").alias("x")
+    )
+    w_seq = Window.orderBy("d")
+    delta = (
+        daily.select(
+            "d", (F.col("x") - F.lag("x").over(w_seq)).cast("bigint").alias("dx")
+        )
+        .filter(F.col("dx").isNotNull())
+    )
+    qsum = delta.select(
+        "d",
+        F.sum("dx")
+        .over(w_seq.rowsBetween(-4, 0))
+        .cast("bigint")
+        .alias("y"),
+        F.row_number().over(w_seq).cast("bigint").alias("i"),
+    )
+    base = delta.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("dx").cast("bigint").alias("s"),
+    )
+    bsum = (
+        qsum.filter(F.col("i") >= 5)
+        .crossJoin(F.broadcast(base))
+        .agg(
+            F.sum(
+                (F.col("n") * F.col("y") - 5 * F.col("s"))
+                * (F.col("n") * F.col("y") - 5 * F.col("s"))
+            )
+            .cast("bigint")
+            .alias("a")
+        )
+    )
+    dsum = (
+        delta.crossJoin(F.broadcast(base))
+        .agg(
+            F.sum(
+                (F.col("n") * F.col("dx") - F.col("s"))
+                * (F.col("n") * F.col("dx") - F.col("s"))
+            )
+            .cast("bigint")
+            .alias("bb")
+        )
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    vr = (
+        d("a")
+        * (d("n") - 1.0)
+        * d("n")
+        / (d("bb") * 5.0 * (d("n") - 4.0) * (d("n") - 5.0))
+    )
+    return (
+        base.crossJoin(F.broadcast(bsum))
+        .crossJoin(F.broadcast(dsum))
+        .select(
+            "n",
+            F.lit(5).cast("bigint").alias("q"),
+            F.floor(vr * 1000000).cast("bigint").alias("vr_e6"),
+        )
+    )

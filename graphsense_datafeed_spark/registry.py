@@ -435,6 +435,11 @@ _ROUND10_NEXT_UP = (
     "agg_mann_kendall_trend",
     "events_power_sample_size",
     "text_rater_agreement_fleiss",
+    "ts_page_hinkley",
+    "ts_variance_ratio",
+    "agg_hodges_lehmann",
+    "agg_permutation_test",
+    "scan_schema_evolution_merge",
 )
 
 _loaded = False

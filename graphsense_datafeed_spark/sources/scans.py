@@ -1307,3 +1307,81 @@ def scan_manifest_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     with open(os.path.join(base, "manifest-1.json")) as fh:
         manifest = json.load(fh)
     return spark.read.parquet(*manifest["files"])
+
+
+@query(
+    "scan_schema_evolution_merge",
+    """
+    WITH unioned AS (
+        SELECT o_orderkey,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_cents,
+               CAST(NULL AS VARCHAR) AS o_orderpriority
+        FROM orders WHERE o_orderkey % 2 = 0
+        UNION ALL
+        SELECT o_orderkey,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_cents,
+               o_orderpriority
+        FROM orders WHERE o_orderkey % 2 = 1
+    )
+    SELECT COALESCE(o_orderpriority, '(pre-evolution)') AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(total_cents) AS BIGINT) AS sum_cents
+    FROM unioned GROUP BY 1 ORDER BY 1
+    """,
+)
+def scan_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read across parquet generations (round 9):
+    generation 1 was written BEFORE the `o_orderpriority` column
+    existed, generation 2 after — the single most common lakehouse
+    migration (a column added mid-stream). The scan must unify the
+    two footers (``mergeSchema=true``), null-fill the missing column
+    on old files, and keep aggregates correct across the boundary —
+    exactly what a 100 TB table accumulated over years of schema
+    drift requires on every read.
+
+    The query MATERIALIZES both generations (even/odd orderkey
+    split → distinct column sets) under one directory, then re-reads
+    with schema merge and rolls up per priority with the
+    pre-evolution rows surfaced as their own class — the audit view
+    that shows how much of the table predates the column.
+
+    Scale: schema merge costs one footer read per FILE (distributed
+    in Spark's mergeSchema job, bounded by file count not bytes);
+    the null-fill is free (parquet readers synthesize missing
+    columns); partition pruning and predicate pushdown are unaffected
+    because the merged schema is a superset. The write side uses the
+    sink_parquet overwrite discipline."""
+    ensure_runtime_confs(spark)
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "gds_schema_evo",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100)
+        .cast("bigint")
+        .alias("total_cents"),
+        "o_orderpriority",
+    )
+    gen1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "total_cents"
+    )
+    gen2 = orders.filter(F.col("o_orderkey") % 2 == 1)
+    shutil.rmtree(out, ignore_errors=True)
+    gen1.write.mode("overwrite").parquet(os.path.join(out, "gen=1"))
+    gen2.write.mode("overwrite").parquet(os.path.join(out, "gen=2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(out, "gen=1"), os.path.join(out, "gen=2")
+    )
+    return (
+        merged.groupBy(
+            F.coalesce(F.col("o_orderpriority"), F.lit("(pre-evolution)"))
+            .alias("priority")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("total_cents").cast("bigint").alias("sum_cents"),
+        )
+        .orderBy("priority")
+    )

@@ -174,3 +174,107 @@ def test_fleiss_kappa_referee(spark, sf_dir):
     assert row["p_e_e6"] == math.floor(p_e * 1000000)
     assert row["kappa_e6"] == math.floor(kappa * 1000000)
     assert -1000000 <= row["kappa_e6"] <= 1000000
+
+
+def test_page_hinkley_referee(spark, sf_dir):
+    ev = _events(sf_dir)
+    ev["d"] = ev["ts"].dt.date
+    rows = QUERIES["ts_page_hinkley"](spark, sf_dir).collect()
+    got = {(r["event_type"], r["d"]): r for r in rows}
+    for grp, sub in ev.groupby("event_type"):
+        daily = sub.groupby("d").size().sort_index()
+        s = 0
+        m = 0
+        mmin = 0
+        for i, (day, x) in enumerate(daily.items(), start=1):
+            s += x
+            m += math.floor((x - s / i - 2.0) * 1000000)
+            mmin = min(mmin, m) if i > 1 else m
+            ph = m - mmin
+            r = got[(grp, day)]
+            assert r["x"] == x
+            assert r["ph_e6"] == ph and ph >= 0
+            assert r["alarm"] == (1 if ph > 20000000 else 0)
+
+
+def test_variance_ratio_referee(spark, sf_dir):
+    ev = _events(sf_dir)
+    ev["d"] = ev["ts"].dt.date
+    daily = ev.groupby("d").size().sort_index().to_numpy()
+    dx = np.diff(daily).astype(np.int64)
+    n = len(dx)
+    s = int(dx.sum())
+    y = np.convolve(dx, np.ones(5, dtype=np.int64), mode="valid")
+    a = int(((n * y - 5 * s) ** 2).sum())
+    b = int(((n * dx - s) ** 2).sum())
+    vr = a * (n - 1) * n / (b * 5.0 * (n - 4) * (n - 5))
+    row = QUERIES["ts_variance_ratio"](spark, sf_dir).collect()[0]
+    assert row["n"] == n and row["q"] == 5
+    assert row["vr_e6"] == math.floor(vr * 1000000)
+    assert row["vr_e6"] > 0
+
+
+def test_hodges_lehmann_referee(spark, sf_dir):
+    ev = _events(sf_dir)
+    ev["d"] = ev["ts"].dt.date
+    rows = {
+        r["event_type"]: r
+        for r in QUERIES["agg_hodges_lehmann"](spark, sf_dir).collect()
+    }
+    for grp, sub in ev.groupby("event_type"):
+        xs = sub.groupby("d").size().sort_index().to_numpy()
+        walsh = sorted(
+            int(xs[i] + xs[j])
+            for i in range(len(xs))
+            for j in range(i, len(xs))
+        )
+        med = walsh[math.ceil(0.5 * len(walsh)) - 1]
+        r = rows[grp]
+        assert r["n_days"] == len(xs)
+        assert r["n_walsh"] == len(walsh)
+        assert r["hl_x2"] == med
+        # HL lies within the data range (doubled units)
+        assert 2 * xs.min() <= med <= 2 * xs.max()
+
+
+def test_permutation_test_referee(spark, sf_dir):
+    import hashlib
+
+    ev = _events(sf_dir)
+    ev = ev[ev["event_type"].isin(["click", "purchase"])]
+    v = np.floor(ev["value"].to_numpy() * 10000).astype(np.int64)
+    ids = ev["event_id"].to_numpy()
+    is_click = (ev["event_type"] == "click").to_numpy()
+    d_obs = math.floor(
+        abs(v[is_click].mean() - v[~is_click].mean()) * 100.0
+    )
+    n_ge = 0
+    for b in range(1, 201):
+        arm = np.array(
+            [
+                int(hashlib.md5(f"{i}:{b}".encode()).hexdigest()[:4], 16) % 2
+                for i in ids
+            ]
+        )
+        d_b = math.floor(abs(v[arm == 0].mean() - v[arm == 1].mean()) * 100.0)
+        if d_b >= d_obs:
+            n_ge += 1
+    row = QUERIES["agg_permutation_test"](spark, sf_dir).collect()[0]
+    assert row["n_perm"] == 200
+    assert row["d_obs_e6"] == d_obs
+    assert row["n_ge"] == n_ge
+    assert row["p_e6"] == math.floor((1 + n_ge) / 201.0 * 1000000)
+    assert 0 < row["p_e6"] <= 1000000
+
+
+def test_schema_evolution_merge_referee(spark, sf_dir):
+    orders = pq.read_table(f"{sf_dir}/orders.parquet").to_pandas()
+    rows = QUERIES["scan_schema_evolution_merge"](spark, sf_dir).collect()
+    total_n = sum(r["n_orders"] for r in rows)
+    total_cents = sum(r["sum_cents"] for r in rows)
+    assert total_n == len(orders)
+    assert total_cents == int(
+        np.round(orders["o_totalprice"].to_numpy() * 100).astype(np.int64).sum()
+    )
+    pre = {r["priority"]: r for r in rows}["(pre-evolution)"]
+    assert pre["n_orders"] == int((orders["o_orderkey"] % 2 == 0).sum())
