@@ -1596,3 +1596,82 @@ def events_power_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(p2 * 1000000).cast("bigint").alias("p2_e6"),
         n.cast("bigint").alias("n_per_arm"),
     )
+
+
+@query(
+    "split_grouped_holdout",
+    """
+    WITH assigned AS (
+        SELECT user_id,
+               CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4)
+                    AS BIGINT) % 5 AS BIGINT) AS fold,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY user_id
+    ), tot AS (
+        SELECT CAST(SUM(n_events) AS BIGINT) AS total FROM assigned
+    )
+    SELECT fold,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           CAST(FLOOR(CAST(SUM(n_events) AS DOUBLE)
+                      / CAST((SELECT total FROM tot) AS DOUBLE)
+                      * 1000000) AS BIGINT) AS share_e6
+    FROM assigned GROUP BY fold ORDER BY fold
+    """,
+)
+def split_grouped_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-aware holdout split (round 9): every event of a user
+    lands in the same fold — the leakage-safe split for any model
+    evaluated per-user (sessions, LTV, churn), where
+    split_train_holdout's row-hash would scatter one user's history
+    across train AND test and leak trivially. Group identity hashes
+    once (md5(user_id) % 5, the events_ab_srm stable-assignment
+    discipline); the readout is the fold census a practitioner checks
+    before trusting the split: user count, event count, and event
+    share per fold (shares drift from 20% exactly when heavy users
+    skew folds — visible here, invisible in a row-wise split).
+
+    Scale: one keyed user rollup (map-side combinable), a 5-row fold
+    rollup, a 1-row total broadcast. The assignment column is the
+    same expression a writer would partition by — no shuffle beyond
+    the user key."""
+    ev = load(spark, sf_dir, "events")
+    assigned = ev.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events")
+    ).select(
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.col("user_id").cast("string").cast("binary")),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 5
+        ).alias("fold"),
+        "n_events",
+    )
+    tot = assigned.agg(F.sum("n_events").cast("bigint").alias("total"))
+    return (
+        assigned.groupBy("fold")
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.sum("n_events").cast("bigint").alias("n_events"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "fold",
+            "n_users",
+            "n_events",
+            F.floor(
+                F.col("n_events").cast("double")
+                / F.col("total").cast("double")
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("share_e6"),
+        )
+        .orderBy("fold")
+    )

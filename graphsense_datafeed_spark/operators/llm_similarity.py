@@ -1899,3 +1899,95 @@ def embed_text_alignment_audit(
         .cast("bigint")
         .alias("alignment_e6"),
     )
+
+
+@query(
+    "embed_outlier_mahalanobis",
+    """
+    WITH ex AS (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) AS pos,
+               CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                    AS BIGINT) AS q
+        FROM embeddings
+    ), stats AS (
+        SELECT pos, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(q) AS BIGINT) AS s,
+               CAST(SUM(q * q) AS BIGINT) AS ss
+        FROM ex GROUP BY pos
+    ), term AS (
+        SELECT e.vec_id,
+               CAST(FLOOR(
+                   CASE WHEN (CAST(st.ss AS DOUBLE)
+                              - CAST(st.s AS DOUBLE) * CAST(st.s AS DOUBLE)
+                                / CAST(st.n AS DOUBLE)) / CAST(st.n AS DOUBLE)
+                             <= 0.0 THEN 0.0
+                   ELSE (CAST(e.q AS DOUBLE)
+                         - CAST(st.s AS DOUBLE) / CAST(st.n AS DOUBLE))
+                        * (CAST(e.q AS DOUBLE)
+                           - CAST(st.s AS DOUBLE) / CAST(st.n AS DOUBLE))
+                        / ((CAST(st.ss AS DOUBLE)
+                            - CAST(st.s AS DOUBLE) * CAST(st.s AS DOUBLE)
+                              / CAST(st.n AS DOUBLE)) / CAST(st.n AS DOUBLE))
+                   END * 1000000) AS BIGINT) AS t_e6
+        FROM ex e JOIN stats st USING (pos)
+    )
+    SELECT vec_id, CAST(SUM(t_e6) AS BIGINT) AS dist2_e6
+    FROM term GROUP BY vec_id
+    ORDER BY dist2_e6 DESC, vec_id LIMIT 20
+    """,
+)
+def embed_outlier_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-corpus outlier audit (round 9): squared Mahalanobis
+    distance under a DIAGONAL covariance — Σ_d (x_d−μ_d)²/σ²_d — the
+    per-vector anomaly score that catches corrupted embeddings
+    (zeroed rows, scale blowups, wrong-model batches) BEFORE they
+    poison ANN indexes or dedup thresholds; the top-20 worst vectors
+    are the triage list. Diagonal covariance is the deliberate scale
+    choice: the full Σ⁻¹ needs a d×d solve, diagonal needs only
+    per-dimension moments — mergeable, one pass, no driver math.
+
+    Exactness layers: elements quantize to e6 bigints first; per-dim
+    (n, Σ, Σ²) are exact; each per-(vector, dim) term runs ONE double
+    chain (population variance, guarded against degenerate dims) and
+    floors to e6; the over-dims total is then an ORDER-FREE bigint
+    sum, so the score hash-matches despite 64-term float math.
+
+    Scale: posexplode is a narrow 64× expansion; the d-row stats
+    table broadcasts back onto the stream; top-20 is
+    TakeOrderedAndProject. No corpus×corpus anything."""
+    emb = load(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos0", "val")
+    ).select(
+        "vec_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.floor(F.col("val").cast("double") * 1000000)
+        .cast("bigint")
+        .alias("q"),
+    )
+    stats = ex.groupBy("pos").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("q").cast("bigint").alias("s"),
+        F.sum(F.col("q") * F.col("q")).cast("bigint").alias("ss"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    var = (d("ss") - d("s") * d("s") / d("n")) / d("n")
+    mu = d("s") / d("n")
+    term = ex.join(F.broadcast(stats), "pos").select(
+        "vec_id",
+        F.floor(
+            F.when(var <= 0.0, F.lit(0.0)).otherwise(
+                (d("q") - mu) * (d("q") - mu) / var
+            )
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("t_e6"),
+    )
+    return (
+        term.groupBy("vec_id")
+        .agg(F.sum("t_e6").cast("bigint").alias("dist2_e6"))
+        .orderBy(F.col("dist2_e6").desc(), "vec_id")
+        .limit(20)
+    )

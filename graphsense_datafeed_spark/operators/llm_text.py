@@ -4119,3 +4119,78 @@ def text_rater_agreement_fleiss(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(p_e * 1000000).cast("bigint").alias("p_e_e6"),
         F.floor(kappa * 1000000).cast("bigint").alias("kappa_e6"),
     )
+
+
+@query(
+    "text_context_window_fit",
+    """
+    WITH tok AS (
+        SELECT doc_id, CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents
+    ), win AS (
+        SELECT unnest([64, 128, 256]) AS w
+    )
+    SELECT CAST(w AS BIGINT) AS window_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (n_tok <= w) AS BIGINT) AS n_fit,
+           CAST(SUM(CASE WHEN n_tok <= w THEN n_tok ELSE w END)
+                AS BIGINT) AS tokens_kept,
+           CAST(SUM(CASE WHEN n_tok > w THEN n_tok - w ELSE 0 END)
+                AS BIGINT) AS tokens_truncated,
+           CAST(FLOOR(CAST(COUNT(*) FILTER (n_tok <= w) AS DOUBLE)
+                      / CAST(COUNT(*) AS DOUBLE) * 1000000)
+                AS BIGINT) AS fit_share_e6
+    FROM tok CROSS JOIN win
+    GROUP BY w ORDER BY window_tokens
+    """,
+)
+def text_context_window_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window fit report (round 9): for candidate training
+    context lengths (64/128/256 tokens here), how much of the corpus
+    fits whole, and how many tokens a hard truncation would discard —
+    the sizing table consulted BEFORE text_chunk (split long docs) and
+    text_pack_sequences (pack short ones) are configured: high
+    truncation loss argues for chunking, high fit share with small
+    docs argues for packing. One row per candidate window, exact
+    integer token accounting (kept + truncated = total, referee-
+    asserted), only the fit share floors.
+
+    Scale: one token-count pass over the corpus (the same reduction
+    every text op starts with), a 3× broadcast expansion against the
+    window list, one small-key rollup — map-side combinable
+    throughout."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tok")
+    )
+    win = spark.range(0, 3).select(
+        F.element_at(
+            F.array(F.lit(64), F.lit(128), F.lit(256)),
+            (F.col("id") + 1).cast("int"),
+        ).alias("w")
+    )
+    fit = F.col("n_tok") <= F.col("w")
+    return (
+        tok.crossJoin(F.broadcast(win))
+        .groupBy(F.col("w").cast("bigint").alias("window_tokens"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.count_if(fit).cast("bigint").alias("n_fit"),
+            F.sum(F.when(fit, F.col("n_tok")).otherwise(F.col("w")))
+            .cast("bigint")
+            .alias("tokens_kept"),
+            F.sum(
+                F.when(~fit, F.col("n_tok") - F.col("w")).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("tokens_truncated"),
+            F.floor(
+                F.count_if(fit).cast("double")
+                / F.count("*").cast("double")
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("fit_share_e6"),
+        )
+        .orderBy("window_tokens")
+    )

@@ -440,6 +440,9 @@ _ROUND10_NEXT_UP = (
     "agg_hodges_lehmann",
     "agg_permutation_test",
     "scan_schema_evolution_merge",
+    "embed_outlier_mahalanobis",
+    "split_grouped_holdout",
+    "text_context_window_fit",
 )
 
 _loaded = False
