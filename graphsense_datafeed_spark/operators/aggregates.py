@@ -4961,3 +4961,162 @@ def agg_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("p_e6"),
         )
     )
+
+
+_EB_PRIOR_M = 20
+
+
+@query(
+    "agg_shrunk_rates_eb",
+    f"""
+    WITH per_user AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_u,
+               CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT)
+                   AS x_u
+        FROM events GROUP BY user_id
+    ), gstats AS (
+        SELECT CAST(SUM(n_u) AS BIGINT) AS n, CAST(SUM(x_u) AS BIGINT) AS x
+        FROM per_user
+    )
+    SELECT user_id, n_u, x_u,
+           CAST((x_u * 1000000) // n_u AS BIGINT) AS raw_e6,
+           CAST(((x_u * g.n + {_EB_PRIOR_M} * g.x) * 1000000)
+                // ((n_u + {_EB_PRIOR_M}) * g.n) AS BIGINT) AS shrunk_e6
+    FROM per_user, gstats g
+    ORDER BY shrunk_e6 DESC, user_id LIMIT 20
+    """,
+)
+def agg_shrunk_rates_eb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes SHRUNK rates (round 9): each user's purchase
+    rate pulled toward the global rate with prior strength m={_EB_PRIOR_M}
+    pseudo-events — shrunk = (x_u + m·p̂)/(n_u + m). The
+    small-sample-rate fix every leaderboard needs: a 1-for-2 user
+    beats a 40-for-100 user on raw rate and loses on the shrunk one,
+    which is the correct ranking for "who converts best".
+    Beta-binomial posterior mean with a moment-matched prior; the
+    top-20 IS the stabilized leaderboard.
+
+    Exactness: with p̂ = X/N, shrunk = (x_u·N + m·X)/((n_u+m)·N) is a
+    ratio of bigints — the whole readout (raw and shrunk, e6-floored
+    by integer division) never touches a double, so there is no
+    rounding discipline to maintain at all.
+
+    Scale: one map-side-combinable user rollup, a 1-row global
+    broadcast, TakeOrdered top-20. The shrinkage expression is the
+    same one a streaming scorer applies per state update."""
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_u"),
+        F.count_if(F.col("event_type") == "purchase")
+        .cast("bigint")
+        .alias("x_u"),
+    )
+    glob = per_user.agg(
+        F.sum("n_u").cast("bigint").alias("n"),
+        F.sum("x_u").cast("bigint").alias("x"),
+    )
+    return (
+        per_user.crossJoin(F.broadcast(glob))
+        .select(
+            "user_id",
+            "n_u",
+            "x_u",
+            F.expr("CAST((x_u * 1000000) DIV n_u AS BIGINT)").alias("raw_e6"),
+            F.expr(
+                f"CAST(((x_u * n + {_EB_PRIOR_M} * x) * 1000000)"
+                f" DIV ((n_u + {_EB_PRIOR_M}) * n) AS BIGINT)"
+            ).alias("shrunk_e6"),
+        )
+        .orderBy(F.col("shrunk_e6").desc(), "user_id")
+        .limit(20)
+    )
+
+
+_HILL_K = 100
+
+
+@query(
+    "agg_hill_tail_index",
+    f"""
+    WITH top AS (
+        SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+        ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT) DESC, o_orderkey
+        LIMIT {_HILL_K} + 1
+    ), ref AS (
+        SELECT CAST(MIN(cents) AS BIGINT) AS x_ref FROM top
+    ), terms AS (
+        SELECT CAST(FLOOR(ln(CAST(t.cents AS DOUBLE)
+                             / CAST(f.x_ref AS DOUBLE)) * 1000000000)
+                    AS BIGINT) AS t_e9
+        FROM top t, ref f
+    )
+    SELECT CAST({_HILL_K} AS BIGINT) AS k,
+           (SELECT x_ref FROM ref) AS x_ref_cents,
+           CAST(SUM(t_e9) AS BIGINT) AS sum_log_e9,
+           CAST(({_HILL_K} * 1000000000000000) // SUM(t_e9) AS BIGINT)
+               AS alpha_e6
+    FROM terms
+    """,
+)
+def agg_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the Pareto tail index (round 9) on order
+    totals: α̂ = k / Σᵢ ln(x₍ᵢ₎/x₍ₖ₊₁₎) over the k={_HILL_K} largest
+    values — THE standard heavy-tail exponent readout, closing the
+    tail-behavior family: Benford tests digit law, Pareto-coverage
+    measures concentration, Zipf fits ranks; Hill estimates the
+    exponent itself (α<2 ⇒ infinite variance — means stop being
+    informative; α̂ decides whether winsorized/median-of-means
+    estimators are optional or mandatory).
+
+    Exactness: the top-(k+1) order statistics pin on (cents DESC,
+    orderkey); x_ref is their MIN, and the sum runs over all k+1 rows
+    — the boundary row contributes ln(x_ref/x_ref)=0 exactly, so no
+    rank window is needed to exclude it (and under boundary ties ANY
+    excluded tie-row would have contributed the same 0). Each
+    log-ratio floors to e9 through one double ln; the sum is exact
+    bigint and α̂ = k·10¹⁵ DIV Σ — integer division, no accumulated
+    float state.
+
+    Scale: top-(k+1) compiles to TakeOrderedAndProject (per-partition
+    heaps + driver merge, never a global sort or a single-partition
+    window); k rows of log math; 1-row finish. The estimator reads a
+    100 TB table through one top-k pass."""
+    orders = load(spark, sf_dir, "orders")
+    top = (
+        orders.select(
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+            "o_orderkey",
+        )
+        .orderBy(F.col("cents").desc(), "o_orderkey")
+        .limit(_HILL_K + 1)
+        .select("cents")
+    )
+    ref = top.agg(F.min("cents").cast("bigint").alias("x_ref"))
+    terms = (
+        top.crossJoin(F.broadcast(ref))
+        .select(
+            F.floor(
+                F.log(
+                    F.col("cents").cast("double")
+                    / F.col("x_ref").cast("double")
+                )
+                * 1000000000
+            )
+            .cast("bigint")
+            .alias("t_e9"),
+            "x_ref",
+        )
+    )
+    return terms.groupBy("x_ref").agg(
+        F.lit(_HILL_K).cast("bigint").alias("k"),
+        F.sum("t_e9").cast("bigint").alias("sum_log_e9"),
+        F.expr(
+            f"CAST(({_HILL_K} * 1000000000000000) DIV SUM(t_e9) AS BIGINT)"
+        ).alias("alpha_e6"),
+    ).select(
+        "k",
+        F.col("x_ref").cast("bigint").alias("x_ref_cents"),
+        "sum_log_e9",
+        "alpha_e6",
+    )

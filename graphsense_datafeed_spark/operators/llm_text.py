@@ -4194,3 +4194,88 @@ def text_context_window_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_tokens")
     )
+
+
+@query(
+    "text_score_quantile_normalize",
+    """
+    WITH src AS (
+        SELECT doc_id, source, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY n_chars, doc_id) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n_s
+        FROM documents
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents
+    ), atoms AS (
+        SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c,
+               CAST(COALESCE(SUM(COUNT(*)) OVER (ORDER BY n_chars
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS prev
+        FROM documents GROUP BY n_chars
+    )
+    SELECT s.doc_id, s.source, s.n_chars,
+           CAST(a.v AS BIGINT) AS norm_chars
+    FROM src s, tot t, atoms a
+    WHERE ((s.rn * t.n + s.n_s - 1) // s.n_s) > a.prev
+      AND ((s.rn * t.n + s.n_s - 1) // s.n_s) <= a.prev + a.c
+    """,
+)
+def text_score_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization ACROSS SOURCES (round 9): each
+    document's score (length here, standing in for any quality score)
+    is replaced by the POOLED distribution's value at the same
+    within-source quantile — the batch-effect correction that makes
+    scores comparable when each source's scorer ran under different
+    conditions (the microarray-normalization classic, applied to
+    corpus quality scores before a global threshold is applied).
+    After it, every source has the same score distribution by
+    construction; before it, a global cutoff silently over-prunes
+    whichever source scored harsh.
+
+    Exactness: all positions are integers — within-source rank rn
+    (tie-pinned by doc_id), pooled position ⌈rn·N/n_s⌉ via integer
+    ceiling-division, and the pooled lookup goes through VALUE ATOMS
+    (distinct score + cumulative range), never a row-level pooled
+    sort-join. No floats anywhere.
+
+    Scale: the per-source rank is a keyed window; the pooled side
+    reduces to atoms FIRST (bounded by the value domain, the
+    agg_mann_whitney discipline) whose cumulative window is the
+    pre-reduced benign shape; the position→atom range join is a
+    broadcast of the atom table. The 100 TB variant swaps exact atoms
+    for histogram_equidepth bins — same program, coarser atoms."""
+    docs = load(spark, sf_dir, "documents")
+    w_rank = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    w_cnt = Window.partitionBy("source")
+    src = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count("*").over(w_cnt).cast("bigint").alias("n_s"),
+    )
+    tot = docs.agg(F.count("*").cast("bigint").alias("n"))
+    w_prev = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    atoms = (
+        docs.groupBy(F.col("n_chars").alias("v"))
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .withColumn(
+            "prev",
+            F.coalesce(F.sum("c").over(w_prev), F.lit(0)).cast("bigint"),
+        )
+    )
+    pos = F.expr("(rn * n + n_s - 1) DIV n_s")
+    return (
+        src.crossJoin(F.broadcast(tot))
+        .join(
+            F.broadcast(atoms),
+            (pos > F.col("prev")) & (pos <= F.col("prev") + F.col("c")),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.col("v").cast("bigint").alias("norm_chars"),
+        )
+    )

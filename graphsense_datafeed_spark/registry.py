@@ -443,6 +443,9 @@ _ROUND10_NEXT_UP = (
     "embed_outlier_mahalanobis",
     "split_grouped_holdout",
     "text_context_window_fit",
+    "agg_shrunk_rates_eb",
+    "agg_hill_tail_index",
+    "text_score_quantile_normalize",
 )
 
 _loaded = False

@@ -348,3 +348,69 @@ def test_context_window_fit_referee(spark, sf_dir):
     # fit share is monotone in the window size
     shares = [r["fit_share_e6"] for r in rows]
     assert shares == sorted(shares)
+
+
+def test_shrunk_rates_referee(spark, sf_dir):
+    ev = _events(sf_dir)
+    per = ev.groupby("user_id").agg(
+        n_u=("event_type", "size"),
+        x_u=("event_type", lambda s: (s == "purchase").sum()),
+    )
+    N = int(per["n_u"].sum())
+    X = int(per["x_u"].sum())
+    rows = QUERIES["agg_shrunk_rates_eb"](spark, sf_dir).collect()
+    got = {r["user_id"]: r for r in rows}
+    glob_e6 = X * 1000000 // N
+    for u, r in got.items():
+        n_u, x_u = int(per.loc[u, "n_u"]), int(per.loc[u, "x_u"])
+        assert r["n_u"] == n_u and r["x_u"] == x_u
+        assert r["raw_e6"] == x_u * 1000000 // n_u
+        want = (x_u * N + 20 * X) * 1000000 // ((n_u + 20) * N)
+        assert r["shrunk_e6"] == want
+        # shrinkage always lands between the raw rate and the global
+        lo, hi = sorted((r["raw_e6"], glob_e6))
+        assert lo - 1 <= r["shrunk_e6"] <= hi + 1
+    # leaderboard is sorted by shrunk rate
+    sr = [r["shrunk_e6"] for r in rows]
+    assert sr == sorted(sr, reverse=True)
+
+
+def test_hill_tail_index_referee(spark, sf_dir):
+    orders = pq.read_table(f"{sf_dir}/orders.parquet").to_pandas()
+    cents = np.round(orders["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    order = np.lexsort((orders["o_orderkey"].to_numpy(), -cents))
+    top = cents[order][:101]
+    x_ref = int(top[100])
+    s = sum(math.floor(math.log(int(x) / x_ref) * 1e9) for x in top[:100])
+    row = QUERIES["agg_hill_tail_index"](spark, sf_dir).collect()[0]
+    assert row["k"] == 100
+    assert row["x_ref_cents"] == x_ref
+    assert row["sum_log_e9"] == s
+    assert row["alpha_e6"] == 100 * 10**15 // s
+    assert row["alpha_e6"] > 0
+
+
+def test_quantile_normalize_referee(spark, sf_dir):
+    docs = pq.read_table(f"{sf_dir}/documents.parquet").to_pandas()
+    rows = QUERIES["text_score_quantile_normalize"](spark, sf_dir).collect()
+    assert len(rows) == len(docs)
+    pooled = np.sort(docs["n_chars"].to_numpy())
+    N = len(pooled)
+    got = {r["doc_id"]: r for r in rows}
+    for src, sub in docs.groupby("source"):
+        sub = sub.sort_values(["n_chars", "doc_id"]).reset_index(drop=True)
+        n_s = len(sub)
+        for rn0, (_, d) in enumerate(sub.iterrows()):
+            p = (int(rn0 + 1) * N + n_s - 1) // n_s
+            want = int(pooled[p - 1])
+            r = got[d["doc_id"]]
+            assert r["norm_chars"] == want
+    # post-normalization, every source's distribution is (near-)pooled:
+    # per-source max must equal the pooled max
+    import collections
+
+    by_src = collections.defaultdict(list)
+    for r in rows:
+        by_src[r["source"]].append(r["norm_chars"])
+    for vals in by_src.values():
+        assert max(vals) == int(pooled[-1])
