@@ -1217,3 +1217,148 @@ def graph_katz_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("katz_e6"),
     )
+
+
+_HITS_SCALE = 10**12
+_HITS_ITERS = 4
+
+
+def _hits_oracle_sql(iters: int = _HITS_ITERS) -> str:
+    """Exact DuckDB oracle for quantized HITS: the iterations unroll
+    into chained MATERIALIZED CTEs (the _pagerank_oracle_sql
+    precedent). Raw hub/authority sums are exact bigints; each
+    normalization is ONE double chain floor(raw·S/Σ) — IEEE-identical
+    on both engines — so every iteration reproduces bit-for-bit."""
+    s = _HITS_SCALE
+    sql = f"""
+    WITH bip AS MATERIALIZED (
+        SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    ), parts AS MATERIALIZED (SELECT DISTINCT part FROM bip
+    ), np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM parts
+    ), a0 AS MATERIALIZED (
+        SELECT part, CAST({s} // (SELECT n FROM np) AS BIGINT) AS a
+        FROM parts
+    )"""
+    for i in range(1, iters + 1):
+        sql += f""", hraw{i} AS MATERIALIZED (
+        SELECT b.cust, CAST(SUM(a.a) AS BIGINT) AS hr
+        FROM bip b JOIN a{i - 1} a USING (part) GROUP BY b.cust
+    ), hs{i} AS (SELECT CAST(SUM(hr) AS BIGINT) AS t FROM hraw{i}
+    ), h{i} AS MATERIALIZED (
+        SELECT cust,
+               CAST(FLOOR(CAST(hr AS DOUBLE) * {s}.0
+                          / CAST((SELECT t FROM hs{i}) AS DOUBLE))
+                    AS BIGINT) AS h
+        FROM hraw{i}
+    ), araw{i} AS MATERIALIZED (
+        SELECT b.part, CAST(SUM(h.h) AS BIGINT) AS ar
+        FROM bip b JOIN h{i} h USING (cust) GROUP BY b.part
+    ), asum{i} AS (SELECT CAST(SUM(ar) AS BIGINT) AS t FROM araw{i}
+    ), a{i} AS MATERIALIZED (
+        SELECT part,
+               CAST(FLOOR(CAST(ar AS DOUBLE) * {s}.0
+                          / CAST((SELECT t FROM asum{i}) AS DOUBLE))
+                    AS BIGINT) AS a
+        FROM araw{i}
+    )"""
+    sql += f"""
+    SELECT part AS l_partkey, a AS authority_e12
+    FROM a{iters} ORDER BY a DESC, part LIMIT 20"""
+    return sql
+
+
+@query("graph_hits_bounded", _hits_oracle_sql())
+def graph_hits_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities (round 9), {_HITS_ITERS} rounds over
+    the customer-part co-purchase bipartite graph — the third
+    iterative graph workload next to graph_components (propagation)
+    and graph_pagerank (power iteration with damping): hubs
+    (customers whose baskets point at important parts) and
+    authorities (parts bought by important hubs) reinforce mutually,
+    h = A·a, a = Aᵀ·h with L1 normalization per round. Top-20
+    authorities = the structurally-central catalog items, a different
+    (and for merchandising, better) notion than raw sales rank:
+    breadth-of-important-demand, not volume.
+
+    Determinism: raw sums each round are exact bigints; the L1
+    normalization floor(raw·10¹²/Σ) is ONE double chain — IEEE-754
+    ops are exactly specified, so both engines produce identical
+    bigints every round (the floored-once discipline, applied per
+    iteration), and the unrolled-CTE oracle reproduces the result
+    bit-for-bit. Quantization drift vs float HITS ≤ iters·1e-12
+    relative — invisible at ranking granularity.
+
+    Scale: each round is two keyed join+agg shuffles over the edge
+    list (partial aggregation shrinks the shuffle to per-key
+    partials) plus a 1-row scalar broadcast; localCheckpoint
+    truncates per-round lineage exactly as pagerank_iterate does.
+    No step is quadratic in nodes or edges."""
+    from graphsense_datafeed_spark.sources.tables import load
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    bip = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    s = _HITS_SCALE
+    n_parts = bip.select("part").distinct().count()
+    a = (
+        bip.select("part")
+        .distinct()
+        .select("part", F.lit(s // n_parts).cast("bigint").alias("a"))
+    )
+    for _ in range(_HITS_ITERS):
+        hraw = (
+            bip.join(a, "part")
+            .groupBy("cust")
+            .agg(F.sum("a").cast("bigint").alias("hr"))
+        )
+        hsum = hraw.agg(F.sum("hr").cast("bigint").alias("t"))
+        h = (
+            hraw.crossJoin(F.broadcast(hsum))
+            .select(
+                "cust",
+                F.floor(
+                    F.col("hr").cast("double")
+                    * float(s)
+                    / F.col("t").cast("double")
+                )
+                .cast("bigint")
+                .alias("h"),
+            )
+            .localCheckpoint()
+        )
+        araw = (
+            bip.join(h, "cust")
+            .groupBy("part")
+            .agg(F.sum("h").cast("bigint").alias("ar"))
+        )
+        asum = araw.agg(F.sum("ar").cast("bigint").alias("t"))
+        a = (
+            araw.crossJoin(F.broadcast(asum))
+            .select(
+                "part",
+                F.floor(
+                    F.col("ar").cast("double")
+                    * float(s)
+                    / F.col("t").cast("double")
+                )
+                .cast("bigint")
+                .alias("a"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        a.select(
+            F.col("part").alias("l_partkey"),
+            F.col("a").alias("authority_e12"),
+        )
+        .orderBy(F.col("authority_e12").desc(), "l_partkey")
+        .limit(20)
+    )

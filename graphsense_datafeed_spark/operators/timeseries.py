@@ -4917,3 +4917,65 @@ def ts_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(vr * 1000000).cast("bigint").alias("vr_e6"),
         )
     )
+
+
+@query(
+    "ts_best_window_sum",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ), rolled AS (
+        SELECT event_type, d AS window_end,
+               CAST(SUM(x) OVER (PARTITION BY event_type ORDER BY d
+                    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS total_7d,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS i
+        FROM daily
+    )
+    SELECT event_type, window_end, total_7d FROM (
+        SELECT event_type, window_end, total_7d,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                   ORDER BY total_7d DESC, window_end) AS rk
+        FROM rolled WHERE i >= 7
+    ) WHERE rk = 1 ORDER BY event_type
+    """,
+)
+def ts_best_window_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best 7-day window per series (round 9): the maximum
+    consecutive-window total and WHEN it ended — "our best week" /
+    campaign-peak detection, the argmax companion to ts_max_drawdown's
+    argmin. Only complete windows compete (the first 6 days are
+    warm-up, excluded), and the argmax tie-pins on the earliest
+    window end, so the answer is unique and replayable.
+
+    Exact bigint throughout — daily counts, rolling sum, and the
+    argmax rank never touch a float.
+
+    Scale: map-side daily rollup, one keyed rolling-sum window and
+    one keyed argmax window over the calendar-bounded series — the
+    same two-window shape as ts_max_drawdown, no single-partition
+    stage."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count("*").cast("bigint").alias("x"))
+    w_seq = Window.partitionBy("event_type").orderBy("d")
+    rolled = daily.select(
+        "event_type",
+        F.col("d").alias("window_end"),
+        F.sum("x").over(w_seq.rowsBetween(-6, 0)).cast("bigint").alias(
+            "total_7d"
+        ),
+        F.row_number().over(w_seq).alias("i"),
+    ).filter(F.col("i") >= 7)
+    w_rank = Window.partitionBy("event_type").orderBy(
+        F.col("total_7d").desc(), "window_end"
+    )
+    return (
+        rolled.withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") == 1)
+        .select("event_type", "window_end", "total_7d")
+        .orderBy("event_type")
+    )

@@ -446,6 +446,8 @@ _ROUND10_NEXT_UP = (
     "agg_shrunk_rates_eb",
     "agg_hill_tail_index",
     "text_score_quantile_normalize",
+    "graph_hits_bounded",
+    "ts_best_window_sum",
 )
 
 _loaded = False

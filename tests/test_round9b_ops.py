@@ -414,3 +414,57 @@ def test_quantile_normalize_referee(spark, sf_dir):
         by_src[r["source"]].append(r["norm_chars"])
     for vals in by_src.values():
         assert max(vals) == int(pooled[-1])
+
+
+def test_hits_referee(spark, sf_dir):
+    li = pq.read_table(f"{sf_dir}/lineitem.parquet").to_pandas()[
+        ["l_orderkey", "l_partkey"]
+    ]
+    orders = pq.read_table(f"{sf_dir}/orders.parquet").to_pandas()[
+        ["o_orderkey", "o_custkey"]
+    ]
+    bip = (
+        li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")[
+            ["o_custkey", "l_partkey"]
+        ]
+        .drop_duplicates()
+        .to_numpy()
+    )
+    S = 10**12
+    parts = sorted(set(int(p) for _, p in bip))
+    a = {p: S // len(parts) for p in parts}
+    for _ in range(4):
+        hraw = {}
+        for c, p in bip:
+            hraw[int(c)] = hraw.get(int(c), 0) + a[int(p)]
+        t = sum(hraw.values())
+        h = {c: math.floor(v * float(S) / t) for c, v in hraw.items()}
+        araw = {}
+        for c, p in bip:
+            araw[int(p)] = araw.get(int(p), 0) + h[int(c)]
+        t2 = sum(araw.values())
+        a = {p: math.floor(v * float(S) / t2) for p, v in araw.items()}
+    top = sorted(a.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    rows = QUERIES["graph_hits_bounded"](spark, sf_dir).collect()
+    assert [(r["l_partkey"], r["authority_e12"]) for r in rows] == top
+
+
+def test_best_window_referee(spark, sf_dir):
+    ev = _events(sf_dir)
+    ev["d"] = ev["ts"].dt.date
+    rows = {
+        r["event_type"]: r
+        for r in QUERIES["ts_best_window_sum"](spark, sf_dir).collect()
+    }
+    for grp, sub in ev.groupby("event_type"):
+        daily = sub.groupby("d").size().sort_index()
+        xs = daily.to_numpy()
+        days = list(daily.index)
+        best = None
+        for i in range(6, len(xs)):
+            tot = int(xs[i - 6 : i + 1].sum())
+            if best is None or tot > best[0]:
+                best = (tot, days[i])
+        r = rows[grp]
+        assert r["total_7d"] == best[0]
+        assert r["window_end"] == best[1]
