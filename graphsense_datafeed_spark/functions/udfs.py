@@ -234,3 +234,34 @@ def udf_pandas_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     return d.select("doc_id", count_the("text").alias("n_the"))
+
+
+@query(
+    "udf_arrow_scalar",
+    """
+    SELECT event_id,
+           CAST(FLOOR(value * value * 1000) AS BIGINT) AS sq_e3
+    FROM events WHERE event_id < 3000
+    """,
+)
+def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-OPTIMIZED Python UDF (``useArrow=True``) — the Spark-4
+    third lane between the pickled row UDF (udf_python) and the
+    pandas UDF (udf_pandas_scalar): the function still receives plain
+    Python scalars (no pandas API needed), but batches cross the
+    JVM/Python boundary as Arrow record batches instead of pickled
+    rows — typically 1.5-2× over the pickled path with zero code
+    change beyond the flag. The right migration step for existing
+    per-row UDF code that can't be vectorized.
+
+    Same determinism argument as udf_pandas_scalar: IEEE double
+    multiply then FLOOR, identical on both engines."""
+
+    @F.udf("bigint", useArrow=True)
+    def sq_e3(v: float) -> int:
+        import math
+
+        return math.floor(v * v * 1000)
+
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+    return ev.select("event_id", sq_e3("value").alias("sq_e3"))

@@ -232,3 +232,58 @@ def dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "event_id", "event_type", "ts")
     )
+
+
+@query(
+    "seq_global_two_pass",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) - 1
+                AS BIGINT) AS seq
+    FROM lineitem
+    WHERE l_orderkey < 4000
+    """,
+)
+def seq_global_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed GLOBAL sequence assignment (round 9) — the
+    scalable replacement for the zipWithIndex / single-partition
+    ROW_NUMBER() OVER (ORDER BY ...) trap. The classic two-pass
+    program: (1) range-repartition on the sort key and rank LOCALLY
+    within each partition (keyed window, fully parallel); (2) count
+    rows per partition — a tiny frame — prefix-sum it into partition
+    OFFSETS, broadcast, and add. seq = offset(pid) + local_rank − 1
+    is the exact global sequence because range partitioning orders
+    the partitions and the local window orders within: no stage ever
+    moves all rows to one task.
+
+    Correctness is boundary-placement-independent: wherever the range
+    sampler cuts, offsets absorb the cut — the referee asserts the
+    result equals the single-partition ROW_NUMBER oracle exactly.
+
+    Scale: pass 1 is the same shuffle a global sort needs but ends at
+    per-partition windows; pass 2 shuffles |partitions| integers. The
+    oracle's single-partition window is the 10 TB anti-pattern this
+    operator exists to replace — at driver scale (sf0.01) both sides
+    are cheap and hash-equal."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 4000)
+        .select("l_orderkey", "l_linenumber")
+        .repartitionByRange(8, "l_orderkey", "l_linenumber")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    w_local = Window.partitionBy("pid").orderBy("l_orderkey", "l_linenumber")
+    ranked = li.withColumn("rn", F.row_number().over(w_local))
+    counts = ranked.groupBy("pid").agg(F.count("*").alias("c"))
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "off", F.coalesce(F.sum("c").over(w_off), F.lit(0)).cast("bigint")
+    ).select("pid", "off")
+    return (
+        ranked.join(F.broadcast(offsets), "pid")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (F.col("off") + F.col("rn") - 1).cast("bigint").alias("seq"),
+        )
+    )

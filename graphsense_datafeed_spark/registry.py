@@ -448,6 +448,8 @@ _ROUND10_NEXT_UP = (
     "text_score_quantile_normalize",
     "graph_hits_bounded",
     "ts_best_window_sum",
+    "udf_arrow_scalar",
+    "seq_global_two_pass",
 )
 
 _loaded = False

@@ -468,3 +468,24 @@ def test_best_window_referee(spark, sf_dir):
         r = rows[grp]
         assert r["total_7d"] == best[0]
         assert r["window_end"] == best[1]
+
+
+def test_arrow_udf_referee(spark, sf_dir):
+    ev = _events(sf_dir)
+    ev = ev[ev["event_id"] < 3000]
+    want = {
+        int(r["event_id"]): math.floor(r["value"] * r["value"] * 1000)
+        for _, r in ev.iterrows()
+    }
+    rows = QUERIES["udf_arrow_scalar"](spark, sf_dir).collect()
+    assert len(rows) == len(want)
+    for r in rows:
+        assert r["sq_e3"] == want[r["event_id"]]
+
+
+def test_seq_two_pass_is_exact_global_sequence(spark, sf_dir):
+    rows = QUERIES["seq_global_two_pass"](spark, sf_dir).collect()
+    ordered = sorted(rows, key=lambda r: (r["l_orderkey"], r["l_linenumber"]))
+    # the two-pass assignment equals the dense 0..n-1 sequence in key
+    # order — boundary placement of the range partitioner cancels out
+    assert [r["seq"] for r in ordered] == list(range(len(rows)))
