@@ -1675,3 +1675,80 @@ def split_grouped_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold")
     )
+
+
+@query(
+    "anon_dp_laplace_counts",
+    """
+    WITH c AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS true_n
+        FROM events GROUP BY event_type
+    ), u AS (
+        SELECT event_type, true_n,
+               (CAST('0x' || substr(md5('dp:' || event_type), 1, 13)
+                     AS BIGINT) + 1.0) / 4503599627370497.0 AS uu
+        FROM c
+    )
+    SELECT event_type, true_n,
+           CAST(FLOOR(
+               CAST(true_n AS DOUBLE)
+               - 2.0 * (CASE WHEN uu - 0.5 < 0 THEN -1.0
+                             WHEN uu - 0.5 > 0 THEN 1.0 ELSE 0.0 END)
+                 * ln(1.0 - 2.0 * abs(uu - 0.5))
+           ) AS BIGINT) AS released_n
+    FROM u ORDER BY event_type
+    """,
+)
+def anon_dp_laplace_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release (round 9), ε=0.5 Laplace
+    mechanism — the fourth anonymization rung: k-suppress NULLs rare
+    rows, l-diversity audits groups, t-closeness bounds distribution
+    leakage, and DP noise bounds what ANY query reveals about ANY
+    individual. Sensitivity of a count is 1, so noise ~ Laplace(1/ε)
+    = Laplace(2); released = floor(true + noise).
+
+    The noise is SEEDED, not sampled: u derives from md5('dp:'+key)
+    (52-bit mantissa-scale uniform, +1 to exclude 0) and inverts the
+    Laplace CDF in one literal double chain — deterministic,
+    engine-portable, replayable, exactly the "frozen randomness"
+    discipline of sample_weighted/agg_permutation_test applied to the
+    DP mechanism. A production deployment swaps the md5 for a secret
+    per-release seed; the mechanism's privacy analysis is unchanged
+    because u is uniform in both cases — what matters here is the
+    PIPELINE shape (noise added post-aggregation, per released cell,
+    before any join-back).
+
+    Scale: one keyed count + per-row scalar math — free on any
+    aggregate readout."""
+    ev = load(spark, sf_dir, "events")
+    c = ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("true_n")
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("dp:"), F.col("event_type")).cast("binary")
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        + 1.0
+    ) / 4503599627370497.0
+    centered = u - 0.5
+    sgn = (
+        F.when(centered < 0, F.lit(-1.0))
+        .when(centered > 0, F.lit(1.0))
+        .otherwise(F.lit(0.0))
+    )
+    noise = -2.0 * sgn * F.log(1.0 - 2.0 * F.abs(centered))
+    return c.select(
+        "event_type",
+        "true_n",
+        F.floor(F.col("true_n").cast("double") + noise)
+        .cast("bigint")
+        .alias("released_n"),
+    ).orderBy("event_type")

@@ -1629,3 +1629,107 @@ def join_spatial_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("bigint").alias("rnk"),
         )
     )
+
+
+@query(
+    "join_fuzzy_levenshtein",
+    """
+    WITH dirty AS (
+        SELECT c_custkey AS orig_key,
+               CASE WHEN CAST('0x' || substr(md5('fz:' ||
+                         CAST(c_custkey AS VARCHAR)), 1, 2) AS BIGINT) % 2
+                         = 0
+                    THEN substr(c_name, 1, 10)
+                         || CAST(CAST('0x' || substr(md5('fz:' ||
+                                CAST(c_custkey AS VARCHAR)), 3, 1)
+                                AS BIGINT) % 10 AS VARCHAR)
+                         || substr(c_name, 12)
+                    ELSE substr(c_name, 1, 13)
+                         || CAST(CAST('0x' || substr(md5('fz:' ||
+                                CAST(c_custkey AS VARCHAR)), 3, 1)
+                                AS BIGINT) % 10 AS VARCHAR)
+                         || substr(c_name, 15)
+               END AS dirty_name
+        FROM customer WHERE c_custkey < 100
+    ), clean AS (
+        SELECT c_custkey, c_name FROM customer WHERE c_custkey < 200
+    ), scored AS (
+        SELECT d.orig_key, d.dirty_name, c.c_custkey AS matched_key,
+               CAST(levenshtein(d.dirty_name, c.c_name) AS BIGINT) AS lev,
+               ROW_NUMBER() OVER (PARTITION BY d.orig_key
+                   ORDER BY levenshtein(d.dirty_name, c.c_name),
+                            c.c_custkey) AS rk
+        FROM dirty d CROSS JOIN clean c
+    )
+    SELECT orig_key, dirty_name, matched_key, lev
+    FROM scored WHERE rk = 1 ORDER BY orig_key
+    """,
+)
+def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity-resolution join (round 9): imported records whose
+    names were corrupted in transit (one md5-seeded digit substitution
+    — the deterministic-corruption discipline of text_pii_scrub's
+    seeding) matched back to the clean dimension by MINIMUM edit
+    distance, tie-pinned on the candidate key. The linkage step
+    deduplication can't do: dedup_edit_distance clusters WITHIN a
+    table; this joins ACROSS tables when no exact key survives.
+
+    Exact: levenshtein is integer-valued and identically defined in
+    both engines; the argmin rank pins ties; the corruption is
+    replayable.
+
+    Scale: the demonstration runs a bounded anchor (100 dirty × 200
+    clean, broadcast). The production shape documented here is
+    BLOCKED matching — group candidates by a blocking key (name
+    prefix, phonetic code, LSH bucket) and run the edit-distance
+    argmin within blocks only (the dedup_near banding discipline);
+    unblocked fuzzy join is quadratic and never acceptable at
+    100 TB."""
+    cust = load(spark, sf_dir, "customer")
+    h = lambda n, ln: F.conv(  # noqa: E731
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("fz:"), F.col("c_custkey").cast("string")
+                ).cast("binary")
+            ),
+            n,
+            ln,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    digit = (h(3, 1) % 10).cast("string")
+    dirty_name = F.when(
+        h(1, 2) % 2 == 0,
+        F.concat(
+            F.substring(F.col("c_name"), 1, 10),
+            digit,
+            F.expr("substr(c_name, 12)"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.substring(F.col("c_name"), 1, 13),
+            digit,
+            F.expr("substr(c_name, 15)"),
+        )
+    )
+    dirty = cust.filter(F.col("c_custkey") < 100).select(
+        F.col("c_custkey").alias("orig_key"), dirty_name.alias("dirty_name")
+    )
+    clean = cust.filter(F.col("c_custkey") < 200).select(
+        "c_custkey", "c_name"
+    )
+    scored = dirty.crossJoin(F.broadcast(clean)).select(
+        "orig_key",
+        "dirty_name",
+        F.col("c_custkey").alias("matched_key"),
+        F.levenshtein("dirty_name", "c_name").cast("bigint").alias("lev"),
+    )
+    w = Window.partitionBy("orig_key").orderBy("lev", "matched_key")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("orig_key", "dirty_name", "matched_key", "lev")
+        .orderBy("orig_key")
+    )

@@ -450,6 +450,9 @@ _ROUND10_NEXT_UP = (
     "ts_best_window_sum",
     "udf_arrow_scalar",
     "seq_global_two_pass",
+    "anon_dp_laplace_counts",
+    "join_fuzzy_levenshtein",
+    "sink_csv_roundtrip",
 )
 
 _loaded = False

@@ -1385,3 +1385,59 @@ def scan_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+@query(
+    "sink_csv_roundtrip",
+    """
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+           n_name || ', "' || n_name || '"' || chr(10) || 'line2:'
+                  || n_name AS tricky
+    FROM nation
+    """,
+)
+def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV escaping ROUND-TRIP audit (round 9): fields carrying the
+    three CSV landmines at once — embedded commas, embedded double
+    quotes, and embedded NEWLINES — written through the CSV sink and
+    read back; the contract is byte identity with the source
+    expression (the sink_parquet write-verified-by-identity
+    discipline applied to the format where identity actually breaks
+    in the wild). Write quotes+escapes per RFC 4180 (quote doubling);
+    the read side needs ``multiLine=true`` — without it every
+    embedded newline silently becomes a phantom row, which is exactly
+    the corruption class scan_csv_quarantine exists to catch
+    downstream.
+
+    Scale note: multiLine CSV is NOT splittable (a reader can't seek
+    into a quoted region), so files parallelize per-FILE, not
+    per-block — the documented reason parquet is the interchange
+    default and CSV is edge-only in this engine.
+
+    The oracle recomputes the tricky field relationally — any
+    quoting/escaping asymmetry between write and read hash-fails."""
+    ensure_runtime_confs(spark)
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "gds_csv_roundtrip",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    nation = load(spark, sf_dir, "nation")
+    df = nation.select(
+        F.col("n_nationkey").cast("bigint").alias("n_nationkey"),
+        F.concat(
+            F.col("n_name"),
+            F.lit(', "'),
+            F.col("n_name"),
+            F.lit('"\nline2:'),
+            F.col("n_name"),
+        ).alias("tricky"),
+    )
+    df.write.mode("overwrite").option("header", "true").csv(out)
+    back = (
+        spark.read.option("header", "true")
+        .option("multiLine", "true")
+        .schema("n_nationkey bigint, tricky string")
+        .csv(out)
+    )
+    return back

@@ -489,3 +489,53 @@ def test_seq_two_pass_is_exact_global_sequence(spark, sf_dir):
     # the two-pass assignment equals the dense 0..n-1 sequence in key
     # order — boundary placement of the range partitioner cancels out
     assert [r["seq"] for r in ordered] == list(range(len(rows)))
+
+
+def test_dp_laplace_counts_referee(spark, sf_dir):
+    import hashlib
+
+    ev = _events(sf_dir)
+    true = ev.groupby("event_type").size()
+    rows = QUERIES["anon_dp_laplace_counts"](spark, sf_dir).collect()
+    for r in rows:
+        t = int(true[r["event_type"]])
+        assert r["true_n"] == t
+        u = (
+            int(
+                hashlib.md5(f"dp:{r['event_type']}".encode()).hexdigest()[:13],
+                16,
+            )
+            + 1.0
+        ) / 4503599627370497.0
+        c = u - 0.5
+        sgn = -1.0 if c < 0 else (1.0 if c > 0 else 0.0)
+        noise = -2.0 * sgn * math.log(1.0 - 2.0 * abs(c))
+        assert r["released_n"] == math.floor(t + noise)
+        # Laplace(2) noise: |released - true| beyond 20 would be a
+        # ~1e-4 tail event per cell — a bug, not noise
+        assert abs(r["released_n"] - t) <= 20
+
+
+def test_fuzzy_levenshtein_referee(spark, sf_dir):
+    rows = QUERIES["join_fuzzy_levenshtein"](spark, sf_dir).collect()
+    assert len(rows) == 100
+    # every dirty record resolves back to its origin (one-digit
+    # corruption cannot beat the true match) at distance <= 1
+    for r in rows:
+        assert r["matched_key"] == r["orig_key"]
+        assert 0 <= r["lev"] <= 1
+    # and the corruption is real: a good share of names actually moved
+    assert sum(1 for r in rows if r["lev"] == 1) >= 50
+
+
+def test_csv_roundtrip_identity(spark, sf_dir):
+    rows = QUERIES["sink_csv_roundtrip"](spark, sf_dir).collect()
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    want = {
+        int(r["n_nationkey"]): f'{r["n_name"]}, "{r["n_name"]}"\nline2:{r["n_name"]}'
+        for _, r in nation.iterrows()
+    }
+    assert len(rows) == len(want)
+    for r in rows:
+        assert r["tricky"] == want[r["n_nationkey"]]
+        assert "\n" in r["tricky"] and '"' in r["tricky"]
