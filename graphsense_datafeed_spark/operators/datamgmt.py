@@ -1752,3 +1752,246 @@ def anon_dp_laplace_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("released_n"),
     ).orderBy("event_type")
+
+
+_IPF_ITERS = 3
+_IPF_S = 10**9
+
+
+def _ipf_oracle_sql(iters: int = _IPF_ITERS) -> str:
+    """Unrolled DuckDB oracle for the quantized IPF raking: weights
+    are carried as e9 bigints, each scaling is one double chain floored
+    back to bigint (the graph_hits_bounded per-round discipline), so
+    margin sums are order-free integer aggregates and every iteration
+    reproduces bit-for-bit."""
+    s = _IPF_S
+    sql = f"""
+    WITH cells AS MATERIALIZED (
+        SELECT CAST(EXTRACT(hour FROM ts) // 6 AS BIGINT) AS d,
+               event_type AS t, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ), tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM cells
+    ), colm AS MATERIALIZED (
+        SELECT t, CAST(SUM(n) * {s} AS BIGINT) AS c FROM cells GROUP BY t
+    ), w0 AS MATERIALIZED (
+        SELECT d, t, n, CAST(n * {s} AS BIGINT) AS w FROM cells
+    )"""
+    for i in range(1, iters + 1):
+        sql += f""", rs{i} AS (
+        SELECT d, CAST(SUM(w) AS BIGINT) AS sd FROM w{i - 1} GROUP BY d
+    ), wr{i} AS MATERIALIZED (
+        SELECT w.d, w.t, w.n,
+               CAST(FLOOR(CAST(w.w AS DOUBLE)
+                          * (CAST((SELECT total FROM tot) AS DOUBLE)
+                             * {s}.0 / 4.0)
+                          / CAST(r.sd AS DOUBLE)) AS BIGINT) AS w
+        FROM w{i - 1} w JOIN rs{i} r USING (d)
+    ), cs{i} AS (
+        SELECT t, CAST(SUM(w) AS BIGINT) AS st FROM wr{i} GROUP BY t
+    ), w{i} AS MATERIALIZED (
+        SELECT w.d, w.t, w.n,
+               CAST(FLOOR(CAST(w.w AS DOUBLE) * CAST(c.c AS DOUBLE)
+                          / CAST(cst.st AS DOUBLE)) AS BIGINT) AS w
+        FROM wr{i} w JOIN colm c USING (t) JOIN cs{i} cst USING (t)
+    )"""
+    sql += f"""
+    SELECT d, t, n, w AS w_e9 FROM w{iters} ORDER BY d, t"""
+    return sql
+
+
+@query("agg_ipf_raking", _ipf_oracle_sql())
+def agg_ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative proportional fitting / raking (round 9), 3 rounds:
+    reweight the (daypart × event type) cell table so DAYPART margins
+    become uniform (the target exposure) while EVENT-TYPE margins
+    stay at their observed totals — the survey-weighting workhorse
+    (post-stratification on two margins at once) and the correction
+    step before any daypart-confounded comparison; the alternating
+    row-scale / column-scale updates converge geometrically.
+
+    Determinism is the graph_hits_bounded per-round discipline:
+    weights live as e9 bigints; margin sums are order-free INTEGER
+    aggregates; each of the six scalings is one IEEE-identical double
+    chain floored straight back to bigint — so the unrolled-CTE
+    oracle reproduces every round bit-for-bit, and the referee checks
+    the raked margins actually converged onto their targets.
+
+    Scale: the iteration runs on the CELL table (|dayparts|×|types|,
+    margins-bounded, never row-bounded) — the corpus is touched once
+    for the counts; at 100 TB the cell table is still 20 rows."""
+    ev = load(spark, sf_dir, "events")
+    s = _IPF_S
+    cells = ev.groupBy(
+        F.floor(F.hour("ts") / 6).cast("bigint").alias("d"),
+        F.col("event_type").alias("t"),
+    ).agg(F.count("*").cast("bigint").alias("n")).localCheckpoint()
+    tot = cells.agg(F.sum("n").cast("bigint").alias("total"))
+    colm = cells.groupBy("t").agg(
+        (F.sum("n") * s).cast("bigint").alias("c")
+    )
+    w = cells.select("d", "t", "n", (F.col("n") * s).cast("bigint").alias("w"))
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    for _ in range(_IPF_ITERS):
+        rs = w.groupBy("d").agg(F.sum("w").cast("bigint").alias("sd"))
+        w = (
+            w.join(rs, "d")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "d",
+                "t",
+                "n",
+                F.floor(
+                    dd("w") * (dd("total") * float(s) / 4.0) / dd("sd")
+                )
+                .cast("bigint")
+                .alias("w"),
+            )
+        )
+        cs = w.groupBy("t").agg(F.sum("w").cast("bigint").alias("st"))
+        w = (
+            w.join(cs, "t")
+            .join(F.broadcast(colm), "t")
+            .select(
+                "d",
+                "t",
+                "n",
+                F.floor(dd("w") * dd("c") / dd("st"))
+                .cast("bigint")
+                .alias("w"),
+            )
+            .localCheckpoint()
+        )
+    return w.select("d", "t", "n", F.col("w").alias("w_e9")).orderBy("d", "t")
+
+
+@query(
+    "events_switchback_analysis",
+    """
+    WITH buckets AS (
+        SELECT date_trunc('hour', ts) AS h,
+               CAST(CAST('0x' || substr(md5('sb:' ||
+                    strftime(date_trunc('hour', ts),
+                             '%Y-%m-%d %H:%M:%S')), 1, 4)
+                    AS BIGINT) % 2 AS BIGINT) AS arm,
+               CAST(SUM(CAST(FLOOR(value * 10000) AS BIGINT)) AS BIGINT)
+                   AS y_e4
+        FROM events GROUP BY 1
+    ), arms AS (
+        SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y_e4) AS BIGINT) AS s,
+               CAST(SUM(y_e4 * y_e4) AS BIGINT) AS ss
+        FROM buckets GROUP BY arm
+    ), wide AS (
+        SELECT MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+               MAX(CASE WHEN arm = 0 THEN s END) AS s0,
+               MAX(CASE WHEN arm = 0 THEN ss END) AS ss0,
+               MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+               MAX(CASE WHEN arm = 1 THEN s END) AS s1,
+               MAX(CASE WHEN arm = 1 THEN ss END) AS ss1
+        FROM arms
+    )
+    SELECT CAST(n0 AS BIGINT) AS n_buckets_0,
+           CAST(n1 AS BIGINT) AS n_buckets_1,
+           CAST(FLOOR((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                       - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)) * 100.0)
+                AS BIGINT) AS mean_diff_e6,
+           CAST(FLOOR((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                       - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+               / sqrt(
+                   ((CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                     * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                    / (CAST(n1 AS DOUBLE) - 1.0)) / CAST(n1 AS DOUBLE)
+                 + ((CAST(ss0 AS DOUBLE) - CAST(s0 AS DOUBLE)
+                     * CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                    / (CAST(n0 AS DOUBLE) - 1.0)) / CAST(n0 AS DOUBLE))
+               * 10000) AS BIGINT) AS t_e4
+    FROM wide
+    """,
+)
+def events_switchback_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SWITCHBACK experiment analysis (round 9): when treatment can't
+    be split by user (marketplace pricing, dispatch policies — one
+    side's treatment leaks into the other's outcome), the standard
+    design alternates the WHOLE system between arms in time slices;
+    the analysis unit is the TIME BUCKET, not the user. Hour buckets
+    hash to arms (md5-frozen, the events_ab_srm discipline on the
+    bucket key); per-bucket outcome totals become the i.i.d.-ish
+    samples, and the readout is Welch's t over BUCKET means — the
+    conservative variance treatment interference forces (completing
+    the experimentation kit: srm → power → cuped → switchback).
+
+    Exactness: per-bucket totals are exact e4 bigints; per-arm
+    (n, Σ, Σ²) exact; mean diff and Welch t are one literal double
+    chain each, floored once (agg_t_test_welch's discipline at the
+    bucket level).
+
+    Scale: one keyed hour rollup (map-side combinable), a 2-row arm
+    rollup, a 1-row finish — interference-safe analysis at any event
+    volume."""
+    ev = load(spark, sf_dir, "events")
+    hcol = F.date_trunc("hour", F.col("ts"))
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("sb:"),
+                        F.date_format(hcol, "yyyy-MM-dd HH:mm:ss"),
+                    ).cast("binary")
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    buckets = ev.groupBy(hcol.alias("h")).agg(
+        F.sum(F.floor(F.col("value") * 10000).cast("bigint"))
+        .cast("bigint")
+        .alias("y_e4")
+    ).select(
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("sb:"),
+                            F.date_format(F.col("h"), "yyyy-MM-dd HH:mm:ss"),
+                        ).cast("binary")
+                    ),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 2
+        ).alias("arm"),
+        "y_e4",
+    )
+    arms = buckets.groupBy("arm").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y_e4").cast("bigint").alias("s"),
+        F.sum(F.col("y_e4") * F.col("y_e4")).cast("bigint").alias("ss"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 0, F.col("s"))).alias("s0"),
+        F.max(F.when(F.col("arm") == 0, F.col("ss"))).alias("ss0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 1, F.col("s"))).alias("s1"),
+        F.max(F.when(F.col("arm") == 1, F.col("ss"))).alias("ss1"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    mdiff = d("s1") / d("n1") - d("s0") / d("n0")
+    var1 = (d("ss1") - d("s1") * d("s1") / d("n1")) / (d("n1") - 1.0)
+    var0 = (d("ss0") - d("s0") * d("s0") / d("n0")) / (d("n0") - 1.0)
+    se = F.sqrt(var1 / d("n1") + var0 / d("n0"))
+    return wide.select(
+        F.col("n0").cast("bigint").alias("n_buckets_0"),
+        F.col("n1").cast("bigint").alias("n_buckets_1"),
+        F.floor(mdiff * 100.0).cast("bigint").alias("mean_diff_e6"),
+        F.floor(mdiff / se * 10000).cast("bigint").alias("t_e4"),
+    )

@@ -453,6 +453,8 @@ _ROUND10_NEXT_UP = (
     "anon_dp_laplace_counts",
     "join_fuzzy_levenshtein",
     "sink_csv_roundtrip",
+    "agg_ipf_raking",
+    "events_switchback_analysis",
 )
 
 _loaded = False

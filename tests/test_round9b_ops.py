@@ -539,3 +539,49 @@ def test_csv_roundtrip_identity(spark, sf_dir):
     for r in rows:
         assert r["tricky"] == want[r["n_nationkey"]]
         assert "\n" in r["tricky"] and '"' in r["tricky"]
+
+
+def test_ipf_raking_margins_converge(spark, sf_dir):
+    rows = QUERIES["agg_ipf_raking"](spark, sf_dir).collect()
+    import collections
+
+    total = sum(r["n"] for r in rows)
+    row_m = collections.Counter()
+    col_m = collections.Counter()
+    col_target = collections.Counter()
+    for r in rows:
+        row_m[r["d"]] += r["w_e9"]
+        col_m[r["t"]] += r["w_e9"]
+        col_target[r["t"]] += r["n"] * 10**9
+    # after the final COLUMN scaling, column margins are (near-)exact;
+    # row margins have converged geometrically onto total/4
+    for t, got in col_m.items():
+        assert abs(got - col_target[t]) <= len(rows) * 2
+    target_row = total * 10**9 / 4.0
+    for d_, got in row_m.items():
+        assert abs(got - target_row) / target_row < 0.02
+    # weights stay positive and finite
+    assert all(r["w_e9"] > 0 for r in rows)
+
+
+def test_switchback_referee(spark, sf_dir):
+    import hashlib
+
+    ev = _events(sf_dir)
+    ev["h"] = ev["ts"].dt.floor("h")
+    ev["y"] = np.floor(ev["value"].to_numpy() * 10000).astype(np.int64)
+    per = ev.groupby("h")["y"].sum()
+    arms = {0: [], 1: []}
+    for h, y in per.items():
+        key = f"sb:{h.strftime('%Y-%m-%d %H:%M:%S')}"
+        a = int(hashlib.md5(key.encode()).hexdigest()[:4], 16) % 2
+        arms[a].append(int(y))
+    row = QUERIES["events_switchback_analysis"](spark, sf_dir).collect()[0]
+    assert row["n_buckets_0"] == len(arms[0])
+    assert row["n_buckets_1"] == len(arms[1])
+    m0 = sum(arms[0]) / len(arms[0])
+    m1 = sum(arms[1]) / len(arms[1])
+    assert row["mean_diff_e6"] == math.floor((m1 - m0) * 100.0)
+    # an A/A-like split on homogeneous data should not be wildly
+    # significant
+    assert abs(row["t_e4"]) < 50000
