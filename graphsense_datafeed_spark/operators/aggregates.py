@@ -5120,3 +5120,112 @@ def agg_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_log_e9",
         "alpha_e6",
     )
+
+
+@query(
+    "agg_robust_summary",
+    """
+    WITH v AS (
+        SELECT event_type, CAST(FLOOR(value * 10000) AS BIGINT) AS x
+        FROM events
+    ), q AS (
+        SELECT event_type,
+               CAST(quantile_disc(x, 0.25) AS BIGINT) AS q1,
+               CAST(quantile_disc(x, 0.5) AS BIGINT) AS med,
+               CAST(quantile_disc(x, 0.75) AS BIGINT) AS q3,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM v GROUP BY event_type
+    ), m AS (
+        SELECT v.event_type,
+               CAST(quantile_disc(ABS(v.x - q.med), 0.5) AS BIGINT) AS mad
+        FROM v JOIN q USING (event_type) GROUP BY v.event_type
+    ), o AS (
+        SELECT v.event_type,
+               CAST(COUNT(*) FILTER (
+                   v.x < q.q1 - 3 * (q.q3 - q.q1) // 2
+                   OR v.x > q.q3 + 3 * (q.q3 - q.q1) // 2) AS BIGINT)
+                   AS n_outliers
+        FROM v JOIN q USING (event_type) GROUP BY v.event_type
+    )
+    SELECT q.event_type, q.n, q.q1, q.med, q.q3, m.mad, o.n_outliers,
+           CAST(CASE WHEN q.q3 > q.q1 THEN
+                ((q.q3 + q.q1 - 2 * q.med) * 1000000) // (q.q3 - q.q1)
+                END AS BIGINT) AS bowley_skew_e6
+    FROM q JOIN m USING (event_type) JOIN o USING (event_type)
+    ORDER BY q.event_type
+    """,
+)
+def agg_robust_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTILE-based robust summary per group (round 9) — the
+    order-statistics twin of agg_stats' moment summary: median and
+    quartiles (location/spread the way boxplots report them), MAD
+    (the robust σ ts_outlier_mad uses, here as a per-group readout),
+    Tukey-fence outlier counts (1.5·IQR rule — the boxplot whisker
+    census), and Bowley skewness (q₃+q₁−2·med)/(q₃−q₁) — skew from
+    quartiles alone, defined even where third moments explode. When
+    agg_stats and this table disagree about a group, the data is
+    heavy-tailed and the moment summary is the one lying.
+
+    Exact: everything runs in the e4 integer domain — discrete
+    quantiles are actual elements, MAD is a discrete median of
+    integer deviations, fences and the Bowley ratio are integer
+    arithmetic with one bigint division. No floats.
+
+    Scale: two group-keyed passes (quantiles, then deviations against
+    the broadcast medians) — the agg_levene_brown_forsythe shape; at
+    100 TB swap discrete quantiles for the approx_percentile sketch
+    (documented trade)."""
+    ev = load(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 10000).cast("bigint").alias("x"),
+    )
+    q = v.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY x)")
+        .cast("bigint")
+        .alias("q1"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY x)")
+        .cast("bigint")
+        .alias("med"),
+        F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY x)")
+        .cast("bigint")
+        .alias("q3"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    joined = v.join(F.broadcast(q), "event_type")
+    m = joined.groupBy("event_type").agg(
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY abs(x - med))"
+        )
+        .cast("bigint")
+        .alias("mad")
+    )
+    o = joined.groupBy("event_type").agg(
+        F.count_if(
+            (F.col("x") < F.col("q1") - F.expr("3 * (q3 - q1) DIV 2"))
+            | (F.col("x") > F.col("q3") + F.expr("3 * (q3 - q1) DIV 2"))
+        )
+        .cast("bigint")
+        .alias("n_outliers")
+    )
+    return (
+        q.join(m, "event_type")
+        .join(o, "event_type")
+        .select(
+            "event_type",
+            "n",
+            "q1",
+            "med",
+            "q3",
+            "mad",
+            "n_outliers",
+            F.when(
+                F.col("q3") > F.col("q1"),
+                F.expr(
+                    "CAST(((q3 + q1 - 2 * med) * 1000000)"
+                    " DIV (q3 - q1) AS BIGINT)"
+                ),
+            ).alias("bowley_skew_e6"),
+        )
+        .orderBy("event_type")
+    )

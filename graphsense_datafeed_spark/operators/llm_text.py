@@ -4279,3 +4279,65 @@ def text_score_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col("v").cast("bigint").alias("norm_chars"),
         )
     )
+
+
+@query(
+    "text_tokenizer_fertility",
+    """
+    WITH tok AS (
+        SELECT lang, CAST(n_chars AS BIGINT) AS n_chars,
+               CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents WHERE len(str_split(text, ' ')) > 0
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST((SUM(n_chars) * 1000000) // SUM(n_tok) AS BIGINT)
+               AS fertility_e6,
+           CAST(quantile_disc((n_chars * 1000000) // n_tok, 0.5)
+                AS BIGINT) AS fertility_p50_e6
+    FROM tok GROUP BY lang ORDER BY lang
+    """,
+)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY per language (round 9): characters per
+    token — the compression-efficiency number that decides whether a
+    tokenizer needs retraining for a language (high fertility = the
+    vocab fragments that language into many short tokens, so its
+    documents cost proportionally more context window and compute per
+    character; the standard cross-lingual equity metric for
+    multilingual corpora). Corpus-level fertility (total ratio) and
+    the per-doc median both emitted — the mean-median gap flags
+    fat-tailed fragmentation inside a language.
+
+    Exact: both readouts are integer — the corpus ratio by bigint
+    division, the median by percentile_disc over per-doc e6 integer
+    ratios. No floats.
+
+    Scale: one token-count pass, a lang-keyed rollup; the per-group
+    discrete median is bounded by group cardinality
+    (agg_percentile_disc's discipline)."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+    ).filter(F.col("n_tok") > 0)
+    per_doc = F.expr("(n_chars * 1000000) DIV n_tok")
+    return (
+        tok.withColumn("f_doc", per_doc)
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            F.expr(
+                "CAST((SUM(n_chars) * 1000000) DIV SUM(n_tok) AS BIGINT)"
+            ).alias("fertility_e6"),
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY f_doc)")
+            .cast("bigint")
+            .alias("fertility_p50_e6"),
+        )
+        .orderBy("lang")
+    )

@@ -455,6 +455,8 @@ _ROUND10_NEXT_UP = (
     "sink_csv_roundtrip",
     "agg_ipf_raking",
     "events_switchback_analysis",
+    "text_tokenizer_fertility",
+    "agg_robust_summary",
 )
 
 _loaded = False

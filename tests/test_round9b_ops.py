@@ -585,3 +585,52 @@ def test_switchback_referee(spark, sf_dir):
     # an A/A-like split on homogeneous data should not be wildly
     # significant
     assert abs(row["t_e4"]) < 50000
+
+
+def test_tokenizer_fertility_referee(spark, sf_dir):
+    docs = pq.read_table(f"{sf_dir}/documents.parquet").to_pandas()
+    docs["n_tok"] = docs["text"].str.split(" ").str.len()
+    docs = docs[docs["n_tok"] > 0]
+    rows = {
+        r["lang"]: r
+        for r in QUERIES["text_tokenizer_fertility"](spark, sf_dir).collect()
+    }
+    for lang, sub in docs.groupby("lang"):
+        r = rows[lang]
+        assert r["n_docs"] == len(sub)
+        tc, tt = int(sub["n_chars"].sum()), int(sub["n_tok"].sum())
+        assert r["total_chars"] == tc and r["total_tokens"] == tt
+        assert r["fertility_e6"] == tc * 1000000 // tt
+        per = sorted(
+            int(c) * 1000000 // int(t)
+            for c, t in zip(sub["n_chars"], sub["n_tok"])
+        )
+        assert r["fertility_p50_e6"] == per[math.ceil(0.5 * len(per)) - 1]
+
+
+def test_robust_summary_referee(spark, sf_dir):
+    ev = _events(sf_dir)
+    ev["x"] = np.floor(ev["value"].to_numpy() * 10000).astype(np.int64)
+    rows = {
+        r["event_type"]: r
+        for r in QUERIES["agg_robust_summary"](spark, sf_dir).collect()
+    }
+    for grp, sub in ev.groupby("event_type"):
+        xs = np.sort(sub["x"].to_numpy())
+        n = len(xs)
+        disc = lambda q: int(xs[math.ceil(q * n) - 1])  # noqa: E731
+        q1, med, q3 = disc(0.25), disc(0.5), disc(0.75)
+        devs = np.sort(np.abs(sub["x"].to_numpy() - med))
+        mad = int(devs[math.ceil(0.5 * n) - 1])
+        lo = q1 - 3 * (q3 - q1) // 2
+        hi = q3 + 3 * (q3 - q1) // 2
+        n_out = int(((sub["x"] < lo) | (sub["x"] > hi)).sum())
+        r = rows[grp]
+        assert (r["q1"], r["med"], r["q3"]) == (q1, med, q3)
+        assert r["mad"] == mad
+        assert r["n_outliers"] == n_out
+        if q3 > q1:
+            assert r["bowley_skew_e6"] == (q3 + q1 - 2 * med) * 1000000 // (
+                q3 - q1
+            )
+            assert -1000000 <= r["bowley_skew_e6"] <= 1000000
