@@ -4979,3 +4979,222 @@ def ts_best_window_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "window_end", "total_7d")
         .orderBy("event_type")
     )
+
+
+_MKV_SCALE = 10**12
+_MKV_ITERS = 8
+
+
+def _markov_stationary_oracle_sql(iters: int = _MKV_ITERS) -> str:
+    """Unrolled DuckDB oracle for the quantized stationary-
+    distribution power iteration (the graph_hits_bounded per-round
+    discipline on a |types|² matrix): transition probabilities and π
+    live as e12 bigints; each update's Σ π(i)·P(i,j) term quantizes
+    through one double chain per cell and re-floors, so every round
+    reproduces bit-for-bit."""
+    s = _MKV_SCALE
+    sql = f"""
+    WITH tape AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ), counts AS MATERIALIZED (
+        SELECT prev_type AS f, event_type AS t, CAST(COUNT(*) AS BIGINT) AS n
+        FROM tape WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    ), p AS MATERIALIZED (
+        SELECT f, t,
+               CAST(FLOOR(CAST(n AS DOUBLE) * {s}.0
+                          / SUM(n) OVER (PARTITION BY f)) AS BIGINT) AS p
+        FROM counts
+    ), states AS MATERIALIZED (SELECT DISTINCT f AS st FROM counts
+    ), ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM states
+    ), pi0 AS MATERIALIZED (
+        SELECT st, CAST({s} // (SELECT k FROM ns) AS BIGINT) AS r
+        FROM states
+    )"""
+    for i in range(1, iters + 1):
+        sql += f""", raw{i} AS MATERIALIZED (
+        SELECT p.t AS st,
+               CAST(SUM(CAST(FLOOR(CAST(q.r AS DOUBLE) * CAST(p.p AS DOUBLE)
+                             / {s}.0) AS BIGINT)) AS BIGINT) AS r
+        FROM p JOIN pi{i - 1} q ON q.st = p.f
+        GROUP BY p.t
+    ), pi{i} AS MATERIALIZED (
+        SELECT st, r FROM raw{i}
+    )"""
+    sql += f"""
+    SELECT st AS event_type, r AS pi_e12 FROM pi{iters} ORDER BY st"""
+    return sql
+
+
+@query("events_markov_stationary", _markov_stationary_oracle_sql())
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATIONARY distribution of the behavior chain (round 9):
+    π = πP iterated to the fixed point of events_markov_transitions'
+    matrix — the long-run share of time a user spends in each state,
+    the single most-quoted summary of a behavioral Markov model
+    (where transitions say "what happens NEXT", π says "what the
+    system DOES all day"); π also ranks states for capacity and
+    staffing the way raw event counts can't once sessions loop.
+
+    Determinism is the graph_hits_bounded discipline on a tiny
+    matrix: P quantizes to e12 per row (floored division), π starts
+    uniform, and each π(i)·P(i,j) term floors through one double
+    chain before the bigint sum — order-free, bit-exact against the
+    unrolled-CTE oracle. Mass leaks ≤ k·iters quanta (≈4e-11),
+    referee-bounded.
+
+    Scale: ONE corpus pass builds the count matrix (the transitions
+    op's lag window + rollup); the iteration runs on |types|² = 25
+    broadcast cells — free at any SF."""
+    ev = load(spark, sf_dir, "events")
+    s = _MKV_SCALE
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tape = ev.select(
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    counts = tape.groupBy(
+        F.col("prev_type").alias("f"), F.col("event_type").alias("t")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    wf = Window.partitionBy("f")
+    p = counts.select(
+        "f",
+        "t",
+        F.floor(
+            F.col("n").cast("double") * float(s)
+            / F.sum("n").over(wf).cast("double")
+        )
+        .cast("bigint")
+        .alias("p"),
+    ).localCheckpoint()
+    states = p.select(F.col("f").alias("st")).distinct()
+    k = states.count()
+    pi = states.select("st", F.lit(s // k).cast("bigint").alias("r"))
+    for _ in range(_MKV_ITERS):
+        pi = (
+            p.join(pi.withColumnRenamed("st", "f"), "f")
+            .select(
+                F.col("t").alias("st"),
+                F.floor(
+                    F.col("r").cast("double")
+                    * F.col("p").cast("double")
+                    / float(s)
+                )
+                .cast("bigint")
+                .alias("term"),
+            )
+            .groupBy("st")
+            .agg(F.sum("term").cast("bigint").alias("r"))
+            .localCheckpoint()
+        )
+    return pi.select("st", "r").select(
+        F.col("st").alias("event_type"), F.col("r").alias("pi_e12")
+    ).orderBy("event_type")
+
+
+import math as _math
+
+_PGRAM_PERIODS = (7, 14, 30)
+# Integer e9 cosine/sine tables per candidate period, precomputed ONCE
+# in Python and embedded as literals in BOTH engines' programs — the
+# whole DFT then runs on shared integer coefficients, so no libm
+# cos/sin difference can ever flip a floor.
+_PGRAM_COS = {
+    p: [int(_math.floor(_math.cos(2 * _math.pi * k / p) * 10**9)) for k in range(p)]
+    for p in _PGRAM_PERIODS
+}
+_PGRAM_SIN = {
+    p: [int(_math.floor(_math.sin(2 * _math.pi * k / p) * 10**9)) for k in range(p)]
+    for p in _PGRAM_PERIODS
+}
+
+
+def _pgram_oracle_sql() -> str:
+    branches = []
+    for p in _PGRAM_PERIODS:
+        cos_list = ", ".join(str(v) for v in _PGRAM_COS[p])
+        sin_list = ", ".join(str(v) for v in _PGRAM_SIN[p])
+        branches.append(f"""
+        SELECT {p} AS period,
+               CAST(SUM(x * ([{cos_list}])[CAST(t % {p} AS INT) + 1])
+                    AS BIGINT) AS c,
+               CAST(SUM(x * ([{sin_list}])[CAST(t % {p} AS INT) + 1])
+                    AS BIGINT) AS s
+        FROM tape""")
+    union = " UNION ALL ".join(branches)
+    return f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ), tape AS (
+        SELECT x, CAST(ROW_NUMBER() OVER (ORDER BY d) - 1 AS BIGINT) AS t
+        FROM daily
+    ), spec AS ({union})
+    SELECT period,
+           CAST(FLOOR(((CAST(c AS DOUBLE) / 1000000000.0)
+                       * (CAST(c AS DOUBLE) / 1000000000.0)
+                       + (CAST(s AS DOUBLE) / 1000000000.0)
+                       * (CAST(s AS DOUBLE) / 1000000000.0)) * 1000)
+                AS BIGINT) AS power_e3
+    FROM spec ORDER BY period"""
+
+
+@query("ts_periodogram_peaks", _pgram_oracle_sql())
+def ts_periodogram_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goertzel-style PERIODOGRAM probe (round 9) at candidate
+    periods 7/14/30 days: spectral power |Σ xₜ·e^(−2πit/p)|² of the
+    daily series at exactly the cycles an analyst suspects — the
+    frequency-domain seasonality detector that complements ts_acf
+    (lag domain, needs the period to stand out against ALL lags) and
+    ts_seasonality_strength (needs the period as input): the
+    periodogram RANKS candidate periods by explained oscillation.
+
+    The cross-engine exactness problem a DFT normally has — libm
+    cos/sin differ in the last ulp between JVMs and C — is removed
+    structurally: the e9-integer coefficient tables are precomputed
+    ONCE in Python and embedded as literals in BOTH programs, so
+    every term x·coef is an exact bigint product, the sums are
+    order-free, and only the final power leaves integers through one
+    shared double chain.
+
+    Scale: map-side daily rollup; the index window runs over the
+    calendar-bounded series (pre-reduced benign); each period's probe
+    is one pass over the tiny tape — O(|days|·|periods|), never
+    O(n log n) FFT machinery for three candidate frequencies."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count("*").cast("bigint").alias("x")
+    )
+    tape = daily.select(
+        "x",
+        (F.row_number().over(Window.orderBy("d")) - 1)
+        .cast("bigint")
+        .alias("t"),
+    )
+    frames = []
+    for p in _PGRAM_PERIODS:
+        cos_arr = F.array(*[F.lit(v) for v in _PGRAM_COS[p]])
+        sin_arr = F.array(*[F.lit(v) for v in _PGRAM_SIN[p]])
+        idx = (F.col("t") % p).cast("int") + 1
+        frames.append(
+            tape.agg(
+                F.lit(p).cast("bigint").alias("period"),
+                F.sum(F.col("x") * F.element_at(cos_arr, idx))
+                .cast("bigint")
+                .alias("c"),
+                F.sum(F.col("x") * F.element_at(sin_arr, idx))
+                .cast("bigint")
+                .alias("s"),
+            )
+        )
+    spec = frames[0]
+    for fdf in frames[1:]:
+        spec = spec.unionByName(fdf)
+    cd = F.col("c").cast("double") / 1e9
+    sd = F.col("s").cast("double") / 1e9
+    return spec.select(
+        "period",
+        F.floor((cd * cd + sd * sd) * 1000).cast("bigint").alias("power_e3"),
+    ).orderBy("period")

@@ -457,6 +457,8 @@ _ROUND10_NEXT_UP = (
     "events_switchback_analysis",
     "text_tokenizer_fertility",
     "agg_robust_summary",
+    "events_markov_stationary",
+    "ts_periodogram_peaks",
 )
 
 _loaded = False

@@ -634,3 +634,52 @@ def test_robust_summary_referee(spark, sf_dir):
                 q3 - q1
             )
             assert -1000000 <= r["bowley_skew_e6"] <= 1000000
+
+
+def test_markov_stationary_referee(spark, sf_dir):
+    rows = QUERIES["events_markov_stationary"](spark, sf_dir).collect()
+    total = sum(r["pi_e12"] for r in rows)
+    # mass leak bounded by k*iters quanta at e12
+    assert abs(total - 10**12) <= len(rows) * 8 * 10**3 + len(rows)
+    # compare against a float power-iteration on the same matrix
+    ev = _events(sf_dir).sort_values(["user_id", "ts", "event_id"])
+    import collections
+
+    counts = collections.Counter()
+    for _, sub in ev.groupby("user_id"):
+        types = sub["event_type"].tolist()
+        for a, b in zip(types, types[1:]):
+            counts[(a, b)] += 1
+    states = sorted(set(t for t, _ in counts) | set(t for _, t in counts))
+    idx = {s: i for i, s in enumerate(states)}
+    P = np.zeros((len(states), len(states)))
+    for (a, b), n in counts.items():
+        P[idx[a], idx[b]] = n
+    P = P / P.sum(axis=1, keepdims=True)
+    pi = np.full(len(states), 1.0 / len(states))
+    for _ in range(100):
+        pi = pi @ P
+    got = {r["event_type"]: r["pi_e12"] / 1e12 for r in rows}
+    for s_, i in idx.items():
+        assert abs(got[s_] - pi[i]) < 1e-3
+
+
+def test_periodogram_referee(spark, sf_dir):
+    from graphsense_datafeed_spark.operators.timeseries import (
+        _PGRAM_COS,
+        _PGRAM_SIN,
+    )
+
+    ev = _events(sf_dir)
+    ev["d"] = ev["ts"].dt.date
+    xs = ev.groupby("d").size().sort_index().to_numpy()
+    rows = {
+        r["period"]: r
+        for r in QUERIES["ts_periodogram_peaks"](spark, sf_dir).collect()
+    }
+    for p in (7, 14, 30):
+        c = sum(int(x) * _PGRAM_COS[p][t % p] for t, x in enumerate(xs))
+        s = sum(int(x) * _PGRAM_SIN[p][t % p] for t, x in enumerate(xs))
+        power = ((c / 1e9) ** 2 + (s / 1e9) ** 2) * 1000
+        assert rows[p]["power_e3"] == math.floor(power)
+        assert rows[p]["power_e3"] >= 0
