@@ -71,6 +71,15 @@ def main() -> None:
     os.environ.setdefault(
         "SPARK_GRAFT_CACHE", "0" if data_bytes > 512_000_000 else "1"
     )
+    # Scale-aware heap (third-decade lesson): the stock 8g local JVM
+    # is 256 MB per concurrent task at local[32] — measured OOM on
+    # sf100's 600M-row scans. Size the heap like a cluster would
+    # (~1-2 GB/core once input outgrows the lean default): 8g up to
+    # ~2 GB of parquet, else ~3x input capped at 48g. Explicit
+    # SPARK_GRAFT_DRIVER_MEM still wins.
+    if data_bytes > 2_000_000_000:
+        gb = min(48, max(16, (3 * data_bytes) // 1_000_000_000))
+        os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", f"{gb}g")
     cache_hot = os.environ["SPARK_GRAFT_CACHE"] == "1"
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     from graphsense_datafeed_spark import registry

@@ -1995,3 +1995,160 @@ def events_switchback_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(mdiff * 100.0).cast("bigint").alias("mean_diff_e6"),
         F.floor(mdiff / se * 10000).cast("bigint").alias("t_e4"),
     )
+
+
+# O'Brien-Fleming-style boundary: z_k = z_final * sqrt(K/k) for looks
+# k=1..4 with z_final = 2.024 (the standard 4-look OBF final boundary
+# preserving overall alpha=0.05) -- literal constants, no quantile
+# function needed.
+_OBF_FINAL_Z = 2.024
+_OBF_LOOKS = 4
+
+
+@query(
+    "events_sequential_probe_obf",
+    f"""
+    WITH assigned AS (
+        SELECT CAST(FLOOR(value * 10000) AS BIGINT) AS v_e4,
+               CAST(CAST('0x' || substr(md5('arm:' ||
+                    CAST(user_id AS VARCHAR)), 1, 4) AS BIGINT) % 2
+                    AS BIGINT) AS arm,
+               CAST((EXTRACT(day FROM ts) - 1) // 7 + 1 AS BIGINT) AS wk
+        FROM events
+    ), looks AS (
+        SELECT k.k, a.arm,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(v_e4) AS BIGINT) AS s,
+               CAST(SUM(v_e4 * v_e4) AS BIGINT) AS ss
+        FROM assigned a
+        JOIN (SELECT unnest(range(1, {_OBF_LOOKS} + 1)) AS k) k
+          ON a.wk <= k.k
+        GROUP BY k.k, a.arm
+    ), wide AS (
+        SELECT k,
+               MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+               MAX(CASE WHEN arm = 0 THEN s END) AS s0,
+               MAX(CASE WHEN arm = 0 THEN ss END) AS ss0,
+               MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+               MAX(CASE WHEN arm = 1 THEN s END) AS s1,
+               MAX(CASE WHEN arm = 1 THEN ss END) AS ss1
+        FROM looks GROUP BY k
+    )
+    SELECT CAST(k AS BIGINT) AS look,
+           CAST(n0 + n1 AS BIGINT) AS n_total,
+           CAST(FLOOR((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                       - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+               / sqrt(
+                   ((CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                     * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                    / (CAST(n1 AS DOUBLE) - 1.0)) / CAST(n1 AS DOUBLE)
+                 + ((CAST(ss0 AS DOUBLE) - CAST(s0 AS DOUBLE)
+                     * CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                    / (CAST(n0 AS DOUBLE) - 1.0)) / CAST(n0 AS DOUBLE))
+               * 10000) AS BIGINT) AS z_e4,
+           CAST(FLOOR({_OBF_FINAL_Z}
+                      * sqrt(CAST({_OBF_LOOKS} AS DOUBLE)
+                             / CAST(k AS DOUBLE)) * 10000)
+                AS BIGINT) AS boundary_e4,
+           CAST(CASE WHEN ABS(
+                   FLOOR((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                          - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                   / sqrt(
+                       ((CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                         * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                        / (CAST(n1 AS DOUBLE) - 1.0)) / CAST(n1 AS DOUBLE)
+                     + ((CAST(ss0 AS DOUBLE) - CAST(s0 AS DOUBLE)
+                         * CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                        / (CAST(n0 AS DOUBLE) - 1.0)) / CAST(n0 AS DOUBLE))
+                   * 10000))
+                >= FLOOR({_OBF_FINAL_Z}
+                         * sqrt(CAST({_OBF_LOOKS} AS DOUBLE)
+                                / CAST(k AS DOUBLE)) * 10000)
+                THEN 1 ELSE 0 END AS BIGINT) AS crossed
+    FROM wide ORDER BY look
+    """,
+)
+def events_sequential_probe_obf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-SEQUENTIAL monitoring with O'Brien-Fleming boundaries
+    (round 9): the legal way to peek at an experiment weekly — naive
+    repeated z>1.96 checks inflate false positives to ~14% over four
+    looks; OBF spends almost no alpha early (look-1 boundary
+    z≈4.05) and nearly the nominal 1.96-ish at the end (z≈2.02), so
+    early stops happen only for overwhelming effects. Four weekly
+    looks over the cumulative (hash-assigned) arms: each look is the
+    running Welch z against boundary 2.024·√(K/k) — the literal-
+    constant discipline of events_power_sample_size (no quantile
+    functions exist in either engine).
+
+    Exactness: cumulative per-look arm moments are exact bigints
+    (each event joins every look it has entered — a 4× bounded
+    expansion); z and boundary each floor through one literal double
+    chain; the crossing flag compares the two floored integers.
+
+    Scale: the look expansion is ×K (bounded), map-side combinable
+    to (look, arm) partials; 1-row-per-look finish. The streaming
+    form updates the same six sums per look key."""
+    ev = load(spark, sf_dir, "events")
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("arm:"), F.col("user_id").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    assigned = ev.select(
+        F.floor(F.col("value") * 10000).cast("bigint").alias("v_e4"),
+        arm.alias("arm"),
+        (F.floor((F.dayofmonth("ts") - 1) / 7) + 1)
+        .cast("bigint")
+        .alias("wk"),
+    )
+    looks_dim = spark.range(1, _OBF_LOOKS + 1).select(
+        F.col("id").cast("bigint").alias("k")
+    )
+    looks = (
+        assigned.join(F.broadcast(looks_dim), F.col("wk") <= F.col("k"))
+        .groupBy("k", "arm")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("v_e4").cast("bigint").alias("s"),
+            F.sum(F.col("v_e4") * F.col("v_e4")).cast("bigint").alias("ss"),
+        )
+    )
+    wide = looks.groupBy("k").agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 0, F.col("s"))).alias("s0"),
+        F.max(F.when(F.col("arm") == 0, F.col("ss"))).alias("ss0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 1, F.col("s"))).alias("s1"),
+        F.max(F.when(F.col("arm") == 1, F.col("ss"))).alias("ss1"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    mdiff = d("s1") / d("n1") - d("s0") / d("n0")
+    var1 = (d("ss1") - d("s1") * d("s1") / d("n1")) / (d("n1") - 1.0)
+    var0 = (d("ss0") - d("s0") * d("s0") / d("n0")) / (d("n0") - 1.0)
+    z_e4 = F.floor(mdiff / F.sqrt(var1 / d("n1") + var0 / d("n0")) * 10000)
+    bound_e4 = F.floor(
+        F.lit(_OBF_FINAL_Z)
+        * F.sqrt(F.lit(float(_OBF_LOOKS)) / d("k"))
+        * 10000
+    )
+    return wide.select(
+        F.col("k").cast("bigint").alias("look"),
+        (F.col("n0") + F.col("n1")).cast("bigint").alias("n_total"),
+        z_e4.cast("bigint").alias("z_e4"),
+        bound_e4.cast("bigint").alias("boundary_e4"),
+        F.when(F.abs(z_e4) >= bound_e4, 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("crossed"),
+    ).orderBy("look")

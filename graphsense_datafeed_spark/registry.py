@@ -459,6 +459,9 @@ _ROUND10_NEXT_UP = (
     "agg_robust_summary",
     "events_markov_stationary",
     "ts_periodogram_peaks",
+    "stream_topk_per_window",
+    "scan_partition_evolution_union",
+    "events_sequential_probe_obf",
 )
 
 _loaded = False

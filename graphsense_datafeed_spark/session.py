@@ -58,7 +58,15 @@ BUILDER_CONFS: dict[str, str] = {
     "spark.sql.shuffle.partitions": "32",
     "spark.sql.autoBroadcastJoinThreshold": str(32 * 1024 * 1024),
     "spark.ui.enabled": "false",
-    "spark.driver.memory": "8g",
+    # Local-mode heap = the WHOLE "cluster": 32 executor threads share
+    # it, so 8g = 256 MB per concurrent task. That floor is fine up to
+    # sf10 (~1.6 GB input) and OOMs at sf100 (16 GB input, measured:
+    # golden_q1's 600M-row scan dies in 128 MB column-batch
+    # allocations). SPARK_GRAFT_DRIVER_MEM overrides for big local
+    # fixtures — the knob a real cluster expresses as executor-memory
+    # × executor-count (production sizing is 1-2 GB per core; 8g/32 is
+    # deliberately lean so undersized-heap bugs surface in testing).
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     # Static conf — must be set at build time; saveAsTable (bucketed
     # tables) lands here. Harmless for sessions we don't own (the
     # driver's session never calls saveAsTable).

@@ -1441,3 +1441,85 @@ def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .csv(out)
     )
     return back
+
+
+@query(
+    "scan_partition_evolution_union",
+    """
+    WITH unioned AS (
+        SELECT CAST(strftime(o_orderdate, '%Y-%m') AS VARCHAR) AS mth,
+               CAST(NULL AS BIGINT) AS dy,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders WHERE o_orderkey % 2 = 0
+        UNION ALL
+        SELECT CAST(strftime(o_orderdate, '%Y-%m') AS VARCHAR) AS mth,
+               CAST(EXTRACT(day FROM o_orderdate) AS BIGINT) AS dy,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders WHERE o_orderkey % 2 = 1
+    )
+    SELECT mth,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(*) FILTER (dy IS NULL) AS BIGINT) AS n_coarse,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM unioned GROUP BY mth ORDER BY mth
+    """,
+)
+def scan_partition_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION-SPEC evolution read (round 9) — the layout twin of
+    scan_schema_evolution_merge's column evolution: generation 1 was
+    laid out ``mth=YYYY-MM/`` (coarse), generation 2 re-specced to
+    ``mth=YYYY-MM/dy=D/`` (fine) — exactly what happens when a table's
+    query pattern shifts from monthly rollups to daily drill-downs.
+    Hive-style discovery REFUSES mixed partition depths under one
+    root (by design — ambiguous schema), so the correct Spark program
+    is the one written here: read each generation under its own spec,
+    ``unionByName(allowMissingColumns=true)`` to null-fill the
+    missing ``dy``, and aggregate across the boundary; the
+    ``n_coarse`` column audits how much of the table still lives in
+    the old spec (the repartition-backfill backlog).
+
+    Partition pruning still works PER GENERATION — a ``mth`` filter
+    prunes both, a ``dy`` filter prunes gen-2 and falls back to scan
+    on gen-1 — which is the real operational trade this operator
+    documents (Iceberg's spec-evolution metadata does the same thing
+    under the hood).
+
+    Scale: two prunable partitioned reads + a null-filling union —
+    no shuffle beyond the final rollup."""
+    ensure_runtime_confs(spark)
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "gds_part_evo",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM").alias("mth"),
+        F.dayofmonth("o_orderdate").cast("bigint").alias("dy"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    gen1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "mth", "cents"
+    )
+    gen2 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "mth", "dy", "cents"
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    gen1.write.mode("overwrite").partitionBy("mth").parquet(
+        os.path.join(out, "gen1")
+    )
+    gen2.write.mode("overwrite").partitionBy("mth", "dy").parquet(
+        os.path.join(out, "gen2")
+    )
+    back1 = spark.read.parquet(os.path.join(out, "gen1"))
+    back2 = spark.read.parquet(os.path.join(out, "gen2"))
+    merged = back1.unionByName(back2, allowMissingColumns=True)
+    return (
+        merged.groupBy(F.col("mth").cast("string").alias("mth"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.count_if(F.col("dy").isNull()).cast("bigint").alias("n_coarse"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+        .orderBy("mth")
+    )

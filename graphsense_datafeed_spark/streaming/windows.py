@@ -30,7 +30,7 @@ import tempfile
 import uuid
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from graphsense_datafeed_spark.registry import query
 from graphsense_datafeed_spark.schemas import EVENTS_RAW, EVENTS_US
@@ -560,3 +560,56 @@ def stream_tumbling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_stream_to_memory(spark, agg, "complete")
     return out.select("win_start", "n_users")
+
+
+@query(
+    "stream_topk_per_window",
+    """
+    WITH agg AS (
+        SELECT date_trunc('hour', ts) AS win_start, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1, 2
+    )
+    SELECT win_start, event_type, n_events, CAST(rk AS BIGINT) AS rk
+    FROM (
+        SELECT win_start, event_type, n_events,
+               ROW_NUMBER() OVER (PARTITION BY win_start
+                   ORDER BY n_events DESC, event_type) AS rk
+        FROM agg
+    ) WHERE rk <= 3
+    """,
+)
+def stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming TOP-K per tumbling window (round 9): the hourly
+    leaderboard — which event types dominated each hour — as a real
+    micro-batch stream. Structured Streaming cannot rank inside the
+    stream (no window functions over streaming aggregates), so this
+    is the documented TWO-LAYER pattern every streaming leaderboard
+    uses: the STREAM maintains the per-(window, key) counts (complete
+    mode, mergeable state, watermark-safe); the RANK is a trivial
+    keyed window over the drained aggregate — batch finishing over
+    streaming state, the same split stream_foreachbatch demonstrates
+    for sinks. Tie-pins on event_type keep the leaderboard
+    deterministic.
+
+    Scale: streaming state is |windows|×|types| counters (bounded),
+    and the finishing rank runs per window key — no single-partition
+    stage; at production scale the drain is a foreachBatch upsert
+    into the serving store and the rank is the reader's query."""
+    s = read_events_stream(spark, sf_dir)
+    agg = s.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count("*").cast("bigint").alias("n_events")
+    )
+    out = run_stream_to_memory(spark, agg, "complete")
+    w = Window.partitionBy("win_start").orderBy(
+        F.col("n_events").desc(), "event_type"
+    )
+    return (
+        out.select(
+            F.col("window.start").alias("win_start"),
+            "event_type",
+            "n_events",
+        )
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 3)
+    )

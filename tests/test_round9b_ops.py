@@ -683,3 +683,53 @@ def test_periodogram_referee(spark, sf_dir):
         power = ((c / 1e9) ** 2 + (s / 1e9) ** 2) * 1000
         assert rows[p]["power_e3"] == math.floor(power)
         assert rows[p]["power_e3"] >= 0
+
+
+def test_stream_topk_per_window_referee(spark, sf_dir):
+    ev = _events(sf_dir)
+    ev["h"] = ev["ts"].dt.floor("h")
+    rows = QUERIES["stream_topk_per_window"](spark, sf_dir).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["win_start"], []).append(
+            (r["rk"], r["event_type"], r["n_events"])
+        )
+    for h, sub in ev.groupby("h"):
+        counts = sub.groupby("event_type").size()
+        want = sorted(
+            ((int(n), t) for t, n in counts.items()),
+            key=lambda x: (-x[0], x[1]),
+        )[:3]
+        gl = sorted(got[h.to_pydatetime()])
+        assert [(n, t) for _, t, n in gl] == [(n, t) for n, t in want]
+        assert [rk for rk, _, _ in gl] == list(range(1, len(gl) + 1))
+
+
+def test_partition_evolution_referee(spark, sf_dir):
+    orders = pq.read_table(f"{sf_dir}/orders.parquet").to_pandas()
+    rows = QUERIES["scan_partition_evolution_union"](spark, sf_dir).collect()
+    orders["mth"] = orders["o_orderdate"].dt.strftime("%Y-%m")
+    orders["cents"] = np.round(
+        orders["o_totalprice"].to_numpy() * 100
+    ).astype(np.int64)
+    got = {r["mth"]: r for r in rows}
+    for mth, sub in orders.groupby("mth"):
+        r = got[mth]
+        assert r["n_orders"] == len(sub)
+        assert r["n_coarse"] == int((sub["o_orderkey"] % 2 == 0).sum())
+        assert r["sum_cents"] == int(sub["cents"].sum())
+
+
+def test_sequential_obf_referee(spark, sf_dir):
+    rows = QUERIES["events_sequential_probe_obf"](spark, sf_dir).collect()
+    assert [r["look"] for r in rows] == [1, 2, 3, 4]
+    # OBF boundaries decrease monotonically toward the final 2.024
+    bounds = [r["boundary_e4"] for r in rows]
+    assert bounds == sorted(bounds, reverse=True)
+    assert bounds[-1] == math.floor(2.024 * 10000)
+    assert bounds[0] == math.floor(2.024 * 2 * 10000)
+    # cumulative looks only grow
+    ns = [r["n_total"] for r in rows]
+    assert ns == sorted(ns)
+    for r in rows:
+        assert r["crossed"] == (1 if abs(r["z_e4"]) >= r["boundary_e4"] else 0)
