@@ -2152,3 +2152,136 @@ def events_sequential_probe_obf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("crossed"),
     ).orderBy("look")
+
+
+@query(
+    "agg_conformal_interval",
+    """
+    WITH labeled AS (
+        SELECT event_type, CAST(FLOOR(value * 10000) AS BIGINT) AS v_e4,
+               CAST(CAST('0x' || substr(md5('cf:' ||
+                    CAST(event_id AS VARCHAR)), 1, 4) AS BIGINT) % 4
+                    AS BIGINT) AS split
+        FROM events
+    ), pred AS (
+        SELECT event_type,
+               CAST(SUM(v_e4) // COUNT(*) AS BIGINT) AS yhat_e4
+        FROM labeled WHERE split <= 1 GROUP BY event_type
+    ), resid AS (
+        SELECT l.event_type, ABS(l.v_e4 - p.yhat_e4) AS res,
+               ROW_NUMBER() OVER (PARTITION BY l.event_type
+                                  ORDER BY ABS(l.v_e4 - p.yhat_e4)) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY l.event_type) AS BIGINT)
+                   AS n_cal
+        FROM labeled l JOIN pred p USING (event_type)
+        WHERE l.split = 2
+    ), cal AS (
+        SELECT event_type, n_cal, CAST(res AS BIGINT) AS q_e4
+        FROM resid
+        WHERE rn = LEAST(n_cal, CAST(CEIL(0.9 * (n_cal + 1)) AS BIGINT))
+    )
+    SELECT c.event_type, c.n_cal, c.q_e4,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(FLOOR(CAST(COUNT(*) FILTER (
+                    ABS(l.v_e4 - p.yhat_e4) <= c.q_e4) AS DOUBLE)
+                / CAST(COUNT(*) AS DOUBLE) * 1000000) AS BIGINT)
+               AS coverage_e6
+    FROM labeled l
+    JOIN pred p USING (event_type)
+    JOIN cal c ON c.event_type = l.event_type
+    WHERE l.split = 3
+    GROUP BY c.event_type, c.n_cal, c.q_e4
+    ORDER BY c.event_type
+    """,
+)
+def agg_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPLIT-CONFORMAL prediction intervals (round 9): the
+    distribution-free way to attach a finite-sample coverage
+    GUARANTEE to ANY point predictor — fit on train (hash splits 0-1),
+    take the ⌈0.9(n+1)⌉-th smallest absolute residual (the k-th order
+    statistic, via a keyed rank — both engines refuse data-dependent
+    quantile levels) on the CALIBRATION split (2) as the half-width, and the marginal coverage on
+    fresh data (split 3) is ≥90% by exchangeability alone, no
+    distributional assumption. The predictor here is the humble
+    per-group mean — deliberately: conformal wraps anything, and the
+    readout (per-type half-width q, realized test coverage) is what a
+    model-risk reviewer actually checks.
+
+    Exactness: md5 splits are frozen; the predictor floors to one e4
+    integer per group; residuals are integer; the calibration
+    quantile is DISCRETE at the finite-sample-corrected level
+    ⌈0.9(n+1)⌉/n (an actual residual, the conformal requirement —
+    interpolated quantiles void the guarantee); coverage is a count
+    ratio floored once.
+
+    Scale: one labeled pass, group-keyed predictor + calibration
+    quantile (bounded per group), broadcast join-back — the
+    agg_levene shape with a guarantee on top."""
+    ev = load(spark, sf_dir, "events")
+    split = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("cf:"), F.col("event_id").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 4
+    )
+    labeled = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 10000).cast("bigint").alias("v_e4"),
+        split.alias("split"),
+    )
+    pred = (
+        labeled.filter(F.col("split") <= 1)
+        .groupBy("event_type")
+        .agg(F.expr("CAST(SUM(v_e4) DIV COUNT(*) AS BIGINT)").alias("yhat_e4"))
+    )
+    cal_rows = labeled.filter(F.col("split") == 2).join(
+        F.broadcast(pred), "event_type"
+    ).select(
+        "event_type", F.abs(F.col("v_e4") - F.col("yhat_e4")).alias("res")
+    )
+    w_rank = Window.partitionBy("event_type").orderBy("res")
+    w_cnt = Window.partitionBy("event_type")
+    cal = (
+        cal_rows.withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("n_cal", F.count("*").over(w_cnt).cast("bigint"))
+        .filter(
+            F.col("rn")
+            == F.least(
+                F.col("n_cal"),
+                F.ceil(0.9 * (F.col("n_cal") + 1)).cast("bigint"),
+            )
+        )
+        .select(
+            "event_type", "n_cal", F.col("res").cast("bigint").alias("q_e4")
+        )
+    )
+    test = labeled.filter(F.col("split") == 3).join(
+        F.broadcast(pred), "event_type"
+    ).join(F.broadcast(cal), "event_type")
+    return (
+        test.groupBy("event_type", "n_cal", "q_e4")
+        .agg(
+            F.count("*").cast("bigint").alias("n_test"),
+            F.floor(
+                F.count_if(
+                    F.abs(F.col("v_e4") - F.col("yhat_e4")) <= F.col("q_e4")
+                ).cast("double")
+                / F.count("*").cast("double")
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("coverage_e6"),
+        )
+        .select("event_type", "n_cal", "q_e4", "n_test", "coverage_e6")
+        .orderBy("event_type")
+    )

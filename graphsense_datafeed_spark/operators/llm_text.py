@@ -4341,3 +4341,96 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "text_watermark_greenlist",
+    """
+    WITH toks AS (
+        SELECT doc_id, w, lead(w) OVER (PARTITION BY doc_id ORDER BY i)
+                   AS nxt
+        FROM (
+            SELECT doc_id, unnest(str_split(text, ' ')) AS w,
+                   generate_subscripts(str_split(text, ' '), 1) AS i
+            FROM documents
+        )
+    ), scored AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(COUNT(*) FILTER (
+                   CAST('0x' || substr(md5(w || '|' || nxt), 1, 4)
+                        AS BIGINT) % 2 = 0) AS BIGINT) AS n_green
+        FROM toks WHERE nxt IS NOT NULL GROUP BY doc_id
+    )
+    SELECT doc_id, n_pairs, n_green,
+           CAST(FLOOR((CAST(n_green AS DOUBLE)
+                       - CAST(n_pairs AS DOUBLE) / 2.0)
+                      / sqrt(CAST(n_pairs AS DOUBLE) / 4.0) * 10000)
+                AS BIGINT) AS z_e4,
+           CAST(CASE WHEN (CAST(n_green AS DOUBLE)
+                           - CAST(n_pairs AS DOUBLE) / 2.0)
+                          / sqrt(CAST(n_pairs AS DOUBLE) / 4.0) > 4.0
+                     THEN 1 ELSE 0 END AS BIGINT) AS flagged
+    FROM scored WHERE n_pairs >= 20
+    ORDER BY doc_id
+    """,
+)
+def text_watermark_greenlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-output WATERMARK detection (round 9), greenlist z-test
+    (Kirchenbauer et al., ICML'23): a watermarking sampler biases
+    each token toward a pseudorandom "green" half of the vocabulary
+    keyed on the previous token; the detector recomputes the same
+    keyed coin for every adjacent pair and z-tests the green fraction
+    against the unwatermarked 1/2. In a training-data pipeline this
+    is a PROVENANCE filter — flagging crawl documents that are
+    themselves watermarked model output before they contaminate the
+    next training run (the synthetic-text recursion problem).
+
+    The green coin is md5(prev|next)%2 — deterministic,
+    engine-portable (the frozen-randomness discipline); pair counts
+    are exact bigints from one lag pass; z floors through one chain;
+    the 4σ flag (p≈3e-5) keeps the false-positive budget below one
+    doc per 30k on clean data, referee-asserted on this (clean)
+    corpus. Short docs (<20 pairs) are excluded — no detection power.
+
+    Scale: tokenize → lag within doc (keyed window over positions) →
+    per-doc counts; no vocabulary table, no model — the detector is
+    one scan, which is why it can run at crawl scale."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("i", "w")
+    )
+    w_seq = Window.partitionBy("doc_id").orderBy("i")
+    pairs = toks.select(
+        "doc_id", "w", F.lead("w").over(w_seq).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    green = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.col("w"), F.lit("|"), F.col("nxt")).cast(
+                        "binary"
+                    )
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+        == 0
+    )
+    scored = pairs.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.count_if(green).cast("bigint").alias("n_green"),
+    ).filter(F.col("n_pairs") >= 20)
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    z = (d("n_green") - d("n_pairs") / 2.0) / F.sqrt(d("n_pairs") / 4.0)
+    return scored.select(
+        "doc_id",
+        "n_pairs",
+        "n_green",
+        F.floor(z * 10000).cast("bigint").alias("z_e4"),
+        F.when(z > 4.0, 1).otherwise(0).cast("bigint").alias("flagged"),
+    ).orderBy("doc_id")

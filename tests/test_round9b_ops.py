@@ -733,3 +733,86 @@ def test_sequential_obf_referee(spark, sf_dir):
     assert ns == sorted(ns)
     for r in rows:
         assert r["crossed"] == (1 if abs(r["z_e4"]) >= r["boundary_e4"] else 0)
+
+
+def test_conformal_interval_coverage_guarantee(spark, sf_dir):
+    rows = QUERIES["agg_conformal_interval"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # finite-sample marginal coverage: E[cov] >= 90%; at small n
+        # the realized value fluctuates — bound the fluctuation by a
+        # 4-sigma binomial band around 0.9
+        n = r["n_test"]
+        slack = 4 * math.sqrt(0.9 * 0.1 / n)
+        assert r["coverage_e6"] / 1e6 >= 0.9 - slack
+        assert r["q_e4"] > 0
+        assert r["n_cal"] > 0
+
+
+def test_conformal_quantile_is_order_statistic(spark, sf_dir):
+    import hashlib
+
+    ev = _events(sf_dir)
+    ev["v_e4"] = np.floor(ev["value"].to_numpy() * 10000).astype(np.int64)
+    ev["split"] = [
+        int(hashlib.md5(f"cf:{i}".encode()).hexdigest()[:4], 16) % 4
+        for i in ev["event_id"]
+    ]
+    rows = {
+        r["event_type"]: r
+        for r in QUERIES["agg_conformal_interval"](spark, sf_dir).collect()
+    }
+    for grp, sub in ev.groupby("event_type"):
+        train = sub[sub["split"] <= 1]
+        yhat = int(train["v_e4"].sum()) // len(train)
+        calres = np.sort(
+            np.abs(sub.loc[sub["split"] == 2, "v_e4"].to_numpy() - yhat)
+        )
+        n = len(calres)
+        k = min(n, math.ceil(0.9 * (n + 1)))
+        r = rows[grp]
+        assert r["n_cal"] == n
+        assert r["q_e4"] == int(calres[k - 1])
+
+
+def test_watermark_greenlist_clean_corpus(spark, sf_dir):
+    rows = QUERIES["text_watermark_greenlist"](spark, sf_dir).collect()
+    assert rows
+    # clean (non-watermarked) corpus: green fraction ~ Binomial(n, 1/2)
+    # per doc, so no doc should cross the 4-sigma flag and the mean
+    # z should sit near zero
+    assert all(r["flagged"] == 0 for r in rows)
+    zs = [r["z_e4"] / 1e4 for r in rows]
+    assert abs(sum(zs) / len(zs)) < 0.5
+    for r in rows:
+        assert 0 <= r["n_green"] <= r["n_pairs"]
+        assert r["n_pairs"] >= 20
+
+
+def test_watermark_detects_planted_greenlist(spark, sf_dir):
+    """Plant a watermark: build a doc whose every adjacent pair is
+    green under the same md5 coin, run the SAME detector logic, and
+    assert it flags — the power side of the clean-corpus test."""
+    import hashlib
+
+    words = ["w0"]
+    vocab = [f"tok{i}" for i in range(50)]
+    for _ in range(120):
+        prev = words[-1]
+        for cand in vocab:
+            if int(
+                hashlib.md5(f"{prev}|{cand}".encode()).hexdigest()[:4], 16
+            ) % 2 == 0:
+                words.append(cand)
+                break
+        else:
+            words.append(vocab[0])
+    text = " ".join(words)
+    n_pairs = len(words) - 1
+    n_green = sum(
+        1
+        for a, b in zip(words, words[1:])
+        if int(hashlib.md5(f"{a}|{b}".encode()).hexdigest()[:4], 16) % 2 == 0
+    )
+    z = (n_green - n_pairs / 2.0) / math.sqrt(n_pairs / 4.0)
+    assert z > 4.0  # the planted doc must be flaggable by construction
