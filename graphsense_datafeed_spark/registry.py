@@ -462,6 +462,8 @@ _ROUND10_NEXT_UP = (
     "stream_topk_per_window",
     "scan_partition_evolution_union",
     "events_sequential_probe_obf",
+    "agg_conformal_interval",
+    "text_watermark_greenlist",
 )
 
 _loaded = False
