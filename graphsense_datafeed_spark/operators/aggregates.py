@@ -5229,3 +5229,188 @@ def agg_robust_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "agg_benjamini_hochberg",
+    """
+    WITH base AS (
+        SELECT event_type, dayofweek(ts) AS dow,
+               CAST(FLOOR(value * 10000) AS BIGINT) AS v_e4
+        FROM events
+    ), cell AS (
+        SELECT event_type, dow,
+               CAST(COUNT(*) AS BIGINT) AS n_cell,
+               CAST(SUM(v_e4) AS BIGINT) AS s_cell
+        FROM base GROUP BY event_type, dow
+    ), typ AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_t,
+               CAST(SUM(v_e4) AS BIGINT) AS s_t,
+               CAST(SUM(v_e4 * v_e4) AS BIGINT) AS ss_t
+        FROM base GROUP BY event_type
+    ), z AS (
+        SELECT c.event_type, CAST(c.dow AS BIGINT) AS dow, c.n_cell,
+               CAST(FLOOR(
+                   (CAST(c.s_cell AS DOUBLE) / c.n_cell
+                    - CAST(t.s_t AS DOUBLE) / t.n_t)
+                   / sqrt(((CAST(t.ss_t AS DOUBLE)
+                            - CAST(t.s_t AS DOUBLE)
+                              * CAST(t.s_t AS DOUBLE) / t.n_t)
+                           / (t.n_t - 1.0)) / c.n_cell)
+                   * 10000) AS BIGINT) AS z_e4
+        FROM cell c JOIN typ t USING (event_type)
+    ), p AS (
+        SELECT event_type, dow, n_cell, z_e4,
+               CAST(FLOOR(
+                   (1.0 / (1.0 + 0.3275911
+                           * (CAST(ABS(z_e4) AS DOUBLE) / 10000.0
+                              / 1.4142135623730951)))
+                   * (0.254829592
+                      + (1.0 / (1.0 + 0.3275911
+                                * (CAST(ABS(z_e4) AS DOUBLE) / 10000.0
+                                   / 1.4142135623730951)))
+                        * (-0.284496736
+                           + (1.0 / (1.0 + 0.3275911
+                                     * (CAST(ABS(z_e4) AS DOUBLE) / 10000.0
+                                        / 1.4142135623730951)))
+                             * (1.421413741
+                                + (1.0 / (1.0 + 0.3275911
+                                          * (CAST(ABS(z_e4) AS DOUBLE)
+                                             / 10000.0
+                                             / 1.4142135623730951)))
+                                  * (-1.453152027
+                                     + (1.0 / (1.0 + 0.3275911
+                                               * (CAST(ABS(z_e4) AS DOUBLE)
+                                                  / 10000.0
+                                                  / 1.4142135623730951)))
+                                       * 1.061405429))))
+                   * exp(-(CAST(ABS(z_e4) AS DOUBLE) / 10000.0
+                           / 1.4142135623730951)
+                         * (CAST(ABS(z_e4) AS DOUBLE) / 10000.0
+                            / 1.4142135623730951))
+                   * 1000000) AS BIGINT) AS p_e6
+        FROM z
+    ), ranked AS (
+        SELECT *,
+               CAST(ROW_NUMBER() OVER (ORDER BY p_e6, event_type, dow)
+                    AS BIGINT) AS rnk,
+               CAST(COUNT(*) OVER () AS BIGINT) AS m
+        FROM p
+    ), crit AS (
+        SELECT *,
+               CAST(FLOOR(0.05 * rnk / m * 1000000) AS BIGINT) AS thr_e6
+        FROM ranked
+    ), kmax AS (
+        SELECT COALESCE(MAX(CASE WHEN p_e6 <= thr_e6 THEN rnk END),
+                        CAST(0 AS BIGINT)) AS k
+        FROM crit
+    )
+    SELECT c.event_type, c.dow, c.n_cell, c.z_e4, c.p_e6, c.rnk,
+           c.thr_e6,
+           CAST(CASE WHEN c.rnk <= k.k THEN 1 ELSE 0 END AS BIGINT)
+               AS rejected
+    FROM crit c CROSS JOIN kmax k
+    ORDER BY c.rnk
+    """,
+)
+def agg_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENJAMINI-HOCHBERG FDR step-up (round 9): when a pipeline
+    screens MANY hypotheses at once — here the 5×7 family "does this
+    event type's mean shift on this weekday?" — per-test α=.05 gives
+    ~1.75 expected false alarms; Bonferroni over-corrects; BH controls
+    the FALSE DISCOVERY RATE: sort p ascending, find the largest i
+    with p_(i) ≤ α·i/m, reject that prefix. This is the standard
+    multiple-testing gate on top of any per-segment anomaly screen
+    (the agg_anova_oneway family, metric drift dashboards).
+
+    Cross-engine p-values without erf in either engine: z floors to
+    e4 FIRST (both engines then feed the identical rational number),
+    and the two-sided normal p = 1-erf(|z|/√2) is the Abramowitz-
+    Stegun 7.1.26 polynomial — Horner in t = 1/(1+0.3275911·x) times
+    exp(-x²), |err| ≤ 1.5e-7, spelled with the same literals and the
+    same association order in both engines (the literal-coefficient
+    periodogram discipline), floored at e6. Both sides of the BH
+    comparison are FLOORED integers (p_e6 vs ⌊α·i/m·1e6⌋), so the
+    step-up decision is integer-exact; dayofweek uses the
+    agg_partial_correlation 0=Sunday parity shift.
+
+    Scale: two keyed partial aggregates (cell + type) on one scan,
+    broadcast-joined; the step-up runs on the 35-row pre-reduced
+    family (window-warn budgeted), never on row-scale data."""
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        (F.dayofweek("ts") - 1).cast("bigint").alias("dow"),
+        F.floor(F.col("value") * 10000).cast("bigint").alias("v_e4"),
+    )
+    cell = base.groupBy("event_type", "dow").agg(
+        F.count("*").cast("bigint").alias("n_cell"),
+        F.sum("v_e4").cast("bigint").alias("s_cell"),
+    )
+    typ = base.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_t"),
+        F.sum("v_e4").cast("bigint").alias("s_t"),
+        F.sum(F.col("v_e4") * F.col("v_e4")).cast("bigint").alias("ss_t"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    var_t = (d("ss_t") - d("s_t") * d("s_t") / d("n_t")) / (d("n_t") - 1.0)
+    z = cell.join(F.broadcast(typ), "event_type").select(
+        "event_type",
+        "dow",
+        "n_cell",
+        F.floor(
+            (d("s_cell") / d("n_cell") - d("s_t") / d("n_t"))
+            / F.sqrt(var_t / d("n_cell"))
+            * 10000
+        )
+        .cast("bigint")
+        .alias("z_e4"),
+    )
+    # identical A&S 7.1.26 chain: x from the FLOORED z, Horner poly
+    x = F.abs(F.col("z_e4")).cast("double") / 10000.0 / 1.4142135623730951
+    t = 1.0 / (1.0 + 0.3275911 * x)
+    horner = t * (
+        0.254829592
+        + t
+        * (
+            -0.284496736
+            + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429))
+        )
+    )
+    p = z.withColumn(
+        "p_e6",
+        F.floor(horner * F.exp(-x * x) * 1000000).cast("bigint"),
+    )
+    w_rank = Window.orderBy("p_e6", "event_type", "dow")
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = (
+        p.withColumn("rnk", F.row_number().over(w_rank).cast("bigint"))
+        .withColumn("m", F.count("*").over(w_all).cast("bigint"))
+        .withColumn(
+            "thr_e6",
+            F.floor(F.lit(0.05) * F.col("rnk") / F.col("m") * 1000000)
+            .cast("bigint"),
+        )
+    )
+    kmax = F.coalesce(
+        F.max(
+            F.when(F.col("p_e6") <= F.col("thr_e6"), F.col("rnk"))
+        ).over(w_all),
+        F.lit(0).cast("bigint"),
+    )
+    return ranked.select(
+        "event_type",
+        "dow",
+        "n_cell",
+        "z_e4",
+        "p_e6",
+        "rnk",
+        "thr_e6",
+        F.when(F.col("rnk") <= kmax, 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("rejected"),
+    ).orderBy("rnk")

@@ -2285,3 +2285,154 @@ def agg_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "n_cal", "q_e4", "n_test", "coverage_e6")
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_did_estimator",
+    """
+    WITH base AS (
+        SELECT CAST(FLOOR(value * 10000) AS BIGINT) AS v_e4,
+               CAST(CAST('0x' || substr(md5('did:' ||
+                    CAST(user_id AS VARCHAR)), 1, 4) AS BIGINT) % 2
+                    AS BIGINT) AS treat,
+               CAST(CASE WHEN day(ts) >= 16 THEN 1 ELSE 0 END
+                    AS BIGINT) AS post
+        FROM events
+    ), cell AS (
+        SELECT treat, post,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(v_e4) AS BIGINT) AS s,
+               CAST(SUM(v_e4 * v_e4) AS BIGINT) AS ss
+        FROM base GROUP BY treat, post
+    ), wide AS (
+        SELECT MAX(CASE WHEN treat = 0 AND post = 0 THEN n END) AS n00,
+               MAX(CASE WHEN treat = 0 AND post = 0 THEN s END) AS s00,
+               MAX(CASE WHEN treat = 0 AND post = 0 THEN ss END) AS ss00,
+               MAX(CASE WHEN treat = 0 AND post = 1 THEN n END) AS n01,
+               MAX(CASE WHEN treat = 0 AND post = 1 THEN s END) AS s01,
+               MAX(CASE WHEN treat = 0 AND post = 1 THEN ss END) AS ss01,
+               MAX(CASE WHEN treat = 1 AND post = 0 THEN n END) AS n10,
+               MAX(CASE WHEN treat = 1 AND post = 0 THEN s END) AS s10,
+               MAX(CASE WHEN treat = 1 AND post = 0 THEN ss END) AS ss10,
+               MAX(CASE WHEN treat = 1 AND post = 1 THEN n END) AS n11,
+               MAX(CASE WHEN treat = 1 AND post = 1 THEN s END) AS s11,
+               MAX(CASE WHEN treat = 1 AND post = 1 THEN ss END) AS ss11
+        FROM cell
+    )
+    SELECT CAST(n00 AS BIGINT) AS n00, CAST(n01 AS BIGINT) AS n01,
+           CAST(n10 AS BIGINT) AS n10, CAST(n11 AS BIGINT) AS n11,
+           CAST(FLOOR((CAST(s11 AS DOUBLE) / n11
+                       - CAST(s10 AS DOUBLE) / n10)
+                      - (CAST(s01 AS DOUBLE) / n01
+                         - CAST(s00 AS DOUBLE) / n00)) AS BIGINT)
+               AS did_e4,
+           CAST(FLOOR(sqrt(
+               ((CAST(ss00 AS DOUBLE) - CAST(s00 AS DOUBLE)
+                 * CAST(s00 AS DOUBLE) / n00) / (n00 - 1.0)) / n00
+             + ((CAST(ss01 AS DOUBLE) - CAST(s01 AS DOUBLE)
+                 * CAST(s01 AS DOUBLE) / n01) / (n01 - 1.0)) / n01
+             + ((CAST(ss10 AS DOUBLE) - CAST(s10 AS DOUBLE)
+                 * CAST(s10 AS DOUBLE) / n10) / (n10 - 1.0)) / n10
+             + ((CAST(ss11 AS DOUBLE) - CAST(s11 AS DOUBLE)
+                 * CAST(s11 AS DOUBLE) / n11) / (n11 - 1.0)) / n11))
+               AS BIGINT) AS se_e4,
+           CAST(FLOOR(
+               (((CAST(s11 AS DOUBLE) / n11 - CAST(s10 AS DOUBLE) / n10)
+                 - (CAST(s01 AS DOUBLE) / n01
+                    - CAST(s00 AS DOUBLE) / n00))
+                / sqrt(
+               ((CAST(ss00 AS DOUBLE) - CAST(s00 AS DOUBLE)
+                 * CAST(s00 AS DOUBLE) / n00) / (n00 - 1.0)) / n00
+             + ((CAST(ss01 AS DOUBLE) - CAST(s01 AS DOUBLE)
+                 * CAST(s01 AS DOUBLE) / n01) / (n01 - 1.0)) / n01
+             + ((CAST(ss10 AS DOUBLE) - CAST(s10 AS DOUBLE)
+                 * CAST(s10 AS DOUBLE) / n10) / (n10 - 1.0)) / n10
+             + ((CAST(ss11 AS DOUBLE) - CAST(s11 AS DOUBLE)
+                 * CAST(s11 AS DOUBLE) / n11) / (n11 - 1.0)) / n11))
+               * 10000) AS BIGINT) AS t_e4
+    FROM wide
+    """,
+)
+def events_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIFFERENCE-IN-DIFFERENCES (round 9): the workhorse causal
+    estimator when randomization is at the UNIT level but exposure
+    turns on at a TIME cutoff — compare the treated arm's pre→post
+    mean change against the control arm's, so any shared time trend
+    (seasonality, launch-day surge) cancels instead of biasing the
+    effect. Arms are the frozen md5 user hash (the events_ab_srm
+    discipline); the cutoff splits January at day 16. Readout is the
+    2×2 cell sizes, the DiD point estimate, its four-cell delta-method
+    SE (Σ s²_ab/n_ab under independence), and the t statistic — what
+    an experiment reviewer needs to sign off.
+
+    Exactness: all four cells reduce to integer (n, Σv, Σv²) in e4
+    units; the estimate/SE/t each floor through ONE double chain
+    written identically in both engines (the events_sequential_probe
+    discipline).
+
+    Scale: one pass → 4-cell partial aggregate (map-side combinable),
+    1-row finish on the driver-side-free conditional-max pivot; the
+    same six-sums-per-cell state streams (events_ab_cuped note)."""
+    ev = load(spark, sf_dir, "events")
+    treat = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("did:"), F.col("user_id").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    base = ev.select(
+        F.floor(F.col("value") * 10000).cast("bigint").alias("v_e4"),
+        treat.alias("treat"),
+        F.when(F.dayofmonth("ts") >= 16, 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("post"),
+    )
+    cell = base.groupBy("treat", "post").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("v_e4").cast("bigint").alias("s"),
+        F.sum(F.col("v_e4") * F.col("v_e4")).cast("bigint").alias("ss"),
+    )
+
+    def _pick(t: int, p: int, col: str):
+        return F.max(
+            F.when((F.col("treat") == t) & (F.col("post") == p), F.col(col))
+        ).alias(f"{col}{t}{p}")
+
+    wide = cell.groupBy().agg(
+        *[_pick(t, p, c) for t in (0, 1) for p in (0, 1) for c in ("n", "s", "ss")]
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    did = (d("s11") / d("n11") - d("s10") / d("n10")) - (
+        d("s01") / d("n01") - d("s00") / d("n00")
+    )
+
+    def _cell_var_over_n(t: int, p: int):
+        n, s, ss = d(f"n{t}{p}"), d(f"s{t}{p}"), d(f"ss{t}{p}")
+        return ((ss - s * s / n) / (n - 1.0)) / n
+
+    se = F.sqrt(
+        _cell_var_over_n(0, 0)
+        + _cell_var_over_n(0, 1)
+        + _cell_var_over_n(1, 0)
+        + _cell_var_over_n(1, 1)
+    )
+    return wide.select(
+        F.col("n00").cast("bigint").alias("n00"),
+        F.col("n01").cast("bigint").alias("n01"),
+        F.col("n10").cast("bigint").alias("n10"),
+        F.col("n11").cast("bigint").alias("n11"),
+        F.floor(did).cast("bigint").alias("did_e4"),
+        F.floor(se).cast("bigint").alias("se_e4"),
+        F.floor(did / se * 10000).cast("bigint").alias("t_e4"),
+    )

@@ -464,6 +464,8 @@ _ROUND10_NEXT_UP = (
     "events_sequential_probe_obf",
     "agg_conformal_interval",
     "text_watermark_greenlist",
+    "events_did_estimator",
+    "agg_benjamini_hochberg",
 )
 
 _loaded = False

@@ -816,3 +816,96 @@ def test_watermark_detects_planted_greenlist(spark, sf_dir):
     )
     z = (n_green - n_pairs / 2.0) / math.sqrt(n_pairs / 4.0)
     assert z > 4.0  # the planted doc must be flaggable by construction
+
+
+def test_did_estimator_referee(spark, sf_dir):
+    import hashlib
+
+    ev = _events(sf_dir)
+    v = np.floor(ev["value"].to_numpy() * 10000).astype(np.int64)
+    treat = np.array(
+        [
+            int(hashlib.md5(f"did:{u}".encode()).hexdigest()[:4], 16) % 2
+            for u in ev["user_id"]
+        ]
+    )
+    post = (ev["ts"].dt.day >= 16).to_numpy().astype(np.int64)
+    cells = {}
+    for t in (0, 1):
+        for p in (0, 1):
+            sub = v[(treat == t) & (post == p)].astype(np.float64)
+            cells[(t, p)] = (
+                len(sub),
+                sub.sum(),
+                ((sub - sub.mean()) ** 2).sum() / (len(sub) - 1),
+            )
+    did = (
+        cells[(1, 1)][1] / cells[(1, 1)][0]
+        - cells[(1, 0)][1] / cells[(1, 0)][0]
+    ) - (
+        cells[(0, 1)][1] / cells[(0, 1)][0]
+        - cells[(0, 0)][1] / cells[(0, 0)][0]
+    )
+    se = math.sqrt(
+        sum(cells[k][2] / cells[k][0] for k in sorted(cells))
+    )
+    (r,) = QUERIES["events_did_estimator"](spark, sf_dir).collect()
+    assert (r["n00"], r["n01"], r["n10"], r["n11"]) == (
+        cells[(0, 0)][0],
+        cells[(0, 1)][0],
+        cells[(1, 0)][0],
+        cells[(1, 1)][0],
+    )
+    # referee tolerates ±1 on the floored units (numpy accumulates in
+    # a different order than the engines' single chain)
+    assert abs(r["did_e4"] - math.floor(did)) <= 1
+    assert abs(r["se_e4"] - math.floor(se)) <= 1
+    assert abs(r["t_e4"] - math.floor(did / se * 10000)) <= 1
+    # hash-randomized arms on untreated synthetic data: no real effect
+    assert abs(r["t_e4"]) < 40000
+
+
+def test_benjamini_hochberg_stepup_semantics(spark, sf_dir):
+    rows = QUERIES["agg_benjamini_hochberg"](spark, sf_dir).collect()
+    assert len(rows) == 35  # 5 event types x 7 weekdays
+    assert sorted(r["rnk"] for r in rows) == list(range(1, 36))
+    # p sorted by rank; thresholds are alpha*i/m floored at e6
+    by_rank = sorted(rows, key=lambda r: r["rnk"])
+    ps = [r["p_e6"] for r in by_rank]
+    assert ps == sorted(ps)
+    for r in by_rank:
+        assert r["thr_e6"] == math.floor(0.05 * r["rnk"] / 35 * 1e6)
+        assert 0 <= r["dow"] <= 6
+        assert 0 <= r["p_e6"] <= 1000000
+    # step-up: rejected prefix ends exactly at the LAST rank whose
+    # p <= threshold (ranks after kmax are all unrejected, before all
+    # rejected) -- recompute kmax independently
+    kmax = max(
+        (r["rnk"] for r in by_rank if r["p_e6"] <= r["thr_e6"]), default=0
+    )
+    for r in by_rank:
+        assert r["rejected"] == (1 if r["rnk"] <= kmax else 0)
+
+
+def test_benjamini_hochberg_pvalue_chain(spark, sf_dir):
+    # the A&S 7.1.26 chain from the floored z must match a python
+    # recomputation on the same floored input bit-for-bit at e6
+    rows = QUERIES["agg_benjamini_hochberg"](spark, sf_dir).collect()
+    for r in rows:
+        x = abs(r["z_e4"]) / 10000.0 / 1.4142135623730951
+        t = 1.0 / (1.0 + 0.3275911 * x)
+        poly = t * (
+            0.254829592
+            + t
+            * (
+                -0.284496736
+                + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429))
+            )
+        )
+        p = poly * math.exp(-x * x)
+        assert abs(r["p_e6"] - math.floor(p * 1e6)) <= 1
+        # sanity: the approximation is a real two-sided p
+        from math import erfc
+
+        exact = erfc(abs(r["z_e4"]) / 10000.0 / math.sqrt(2.0))
+        assert abs(r["p_e6"] / 1e6 - exact) < 2e-6
