@@ -5198,3 +5198,433 @@ def ts_periodogram_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "period",
         F.floor((cd * cd + sd * sd) * 1000).cast("bigint").alias("power_e3"),
     ).orderBy("period")
+
+
+_SPEC_N = 30  # daily-series period table length (January tape)
+_SPEC_K = 14  # Fourier frequencies 1..K (below the Nyquist 15)
+# e9-integer cos/sin tables cos(2πk·t/N), flattened k-major — computed
+# ONCE here and embedded as literals in BOTH engines' programs (the
+# ts_periodogram_peaks discipline: no libm cos/sin can flip a floor).
+_SPEC_COS = [
+    int(_math.floor(_math.cos(2 * _math.pi * k * t / _SPEC_N) * 10**9))
+    for k in range(1, _SPEC_K + 1)
+    for t in range(_SPEC_N)
+]
+_SPEC_SIN = [
+    int(_math.floor(_math.sin(2 * _math.pi * k * t / _SPEC_N) * 10**9))
+    for k in range(1, _SPEC_K + 1)
+    for t in range(_SPEC_N)
+]
+_SPEC_LN_K = repr(_math.log(float(_SPEC_K)))
+
+
+def _spectral_entropy_oracle_sql() -> str:
+    cos_list = ", ".join(str(v) for v in _SPEC_COS)
+    sin_list = ", ".join(str(v) for v in _SPEC_SIN)
+    return f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ), tape AS (
+        SELECT x, CAST(ROW_NUMBER() OVER (ORDER BY d) - 1 AS BIGINT) AS t
+        FROM daily
+    ), spec AS (
+        SELECT f.k,
+               CAST(SUM(e.x * ([{cos_list}])[CAST((f.k - 1) * {_SPEC_N}
+                    + e.t % {_SPEC_N} AS INT) + 1]) AS BIGINT) AS c,
+               CAST(SUM(e.x * ([{sin_list}])[CAST((f.k - 1) * {_SPEC_N}
+                    + e.t % {_SPEC_N} AS INT) + 1]) AS BIGINT) AS s
+        FROM tape e, (SELECT unnest([1,2,3,4,5,6,7,8,9,10,11,12,13,14])
+                      AS k) f
+        GROUP BY f.k
+    ), power AS (
+        SELECT k,
+               CAST(FLOOR(((CAST(c AS DOUBLE) / 1000000000.0)
+                           * (CAST(c AS DOUBLE) / 1000000000.0)
+                           + (CAST(s AS DOUBLE) / 1000000000.0)
+                           * (CAST(s AS DOUBLE) / 1000000000.0)) * 1000)
+                    AS BIGINT) AS p_e3
+        FROM spec
+    ), shared AS (
+        SELECT k, p_e3,
+               CAST(SUM(p_e3) OVER () AS BIGINT) AS total_e3
+        FROM power
+    ), terms AS (
+        SELECT k, p_e3, total_e3,
+               CAST(CASE WHEN p_e3 = 0 THEN 0
+                    ELSE FLOOR(-(CAST(p_e3 AS DOUBLE)
+                                 / CAST(total_e3 AS DOUBLE))
+                               * ln(CAST(p_e3 AS DOUBLE)
+                                    / CAST(total_e3 AS DOUBLE))
+                               * 1000000000) END AS BIGINT) AS ent_e9,
+               CAST(CASE WHEN p_e3 = 0 THEN 0
+                    ELSE FLOOR(ln(CAST(p_e3 AS DOUBLE) / 1000.0)
+                               * 1000000000) END AS BIGINT) AS lnp_e9
+        FROM shared
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_freq,
+           CAST(MAX(total_e3) AS BIGINT) AS total_power_e3,
+           CAST(SUM(ent_e9) AS BIGINT) AS entropy_e9,
+           CAST(FLOOR(CAST(SUM(ent_e9) AS DOUBLE) / 1000000000.0
+                      / {_SPEC_LN_K} * 1000000) AS BIGINT)
+               AS entropy_norm_e6,
+           CAST(CASE WHEN MIN(p_e3) = 0 THEN 0
+                ELSE FLOOR(exp(CAST(SUM(lnp_e9) AS DOUBLE) / 1000000000.0
+                               / {_SPEC_K})
+                           / (CAST(MAX(total_e3) AS DOUBLE) / 1000.0
+                              / {_SPEC_K})
+                           * 1000000) END AS BIGINT) AS flatness_e6
+    FROM terms
+    """
+
+
+@query("ts_spectral_entropy", _spectral_entropy_oracle_sql())
+def ts_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPECTRAL ENTROPY + FLATNESS of the daily series (round 9):
+    the one-number answer to "is this series periodic or noise?" —
+    entropy of the normalized periodogram over the full Fourier grid
+    k=1..14 (every resolvable cycle of the 30-day tape, not just the
+    ts_periodogram_peaks candidates). A pure tone → one dominant
+    power bin → entropy near 0; white noise → flat spectrum →
+    normalized entropy near 1; spectral flatness (geometric / arith-
+    metic mean of power, Wiener entropy) is the audio-world twin. In
+    a forecasting pipeline this is the FORECASTABILITY gate: series
+    with entropy ≈ 1 get the naive model, not the seasonal one.
+
+    Cross-engine exactness layer by layer: the 14×30 e9-integer DFT
+    coefficient tables are Python-precomputed literals in both
+    programs (no libm cos/sin); per-frequency power floors to e3
+    BEFORE the cross-frequency reductions, so Σp, entropy terms and
+    ln-power terms each start from identical integers; each −q·ln q
+    and ln p term floors to e9 per frequency (order-free integer
+    sums, no double-accumulation ordering anywhere); ln(14) rides as
+    a Python-repr'd literal double.
+
+    Scale: map-side daily rollup → 14-frequency expansion of a
+    30-row tape via explode (no cartesian) → all reductions on ≤14
+    pre-reduced rows (window-warn budgeted)."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count("*").cast("bigint").alias("x")
+    )
+    tape = daily.select(
+        "x",
+        (F.row_number().over(Window.orderBy("d")) - 1)
+        .cast("bigint")
+        .alias("t"),
+    )
+    cos_arr = F.array(*[F.lit(v) for v in _SPEC_COS])
+    sin_arr = F.array(*[F.lit(v) for v in _SPEC_SIN])
+    ks = tape.select(
+        "x",
+        "t",
+        F.explode(
+            F.array(*[F.lit(k) for k in range(1, _SPEC_K + 1)])
+        ).alias("k"),
+    )
+    idx = (
+        (F.col("k") - 1) * _SPEC_N + F.col("t") % _SPEC_N
+    ).cast("int") + 1
+    spec = ks.groupBy("k").agg(
+        F.sum(F.col("x") * F.element_at(cos_arr, idx))
+        .cast("bigint")
+        .alias("c"),
+        F.sum(F.col("x") * F.element_at(sin_arr, idx))
+        .cast("bigint")
+        .alias("s"),
+    )
+    cd = F.col("c").cast("double") / 1e9
+    sd = F.col("s").cast("double") / 1e9
+    power = spec.select(
+        "k",
+        F.floor((cd * cd + sd * sd) * 1000).cast("bigint").alias("p_e3"),
+    )
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    shared = power.withColumn(
+        "total_e3", F.sum("p_e3").over(w_all).cast("bigint")
+    )
+    q = F.col("p_e3").cast("double") / F.col("total_e3").cast("double")
+    terms = shared.select(
+        "k",
+        "p_e3",
+        "total_e3",
+        F.when(F.col("p_e3") == 0, F.lit(0))
+        .otherwise(F.floor(-q * F.log(q) * 1000000000))
+        .cast("bigint")
+        .alias("ent_e9"),
+        F.when(F.col("p_e3") == 0, F.lit(0))
+        .otherwise(
+            F.floor(
+                F.log(F.col("p_e3").cast("double") / 1000.0) * 1000000000
+            )
+        )
+        .cast("bigint")
+        .alias("lnp_e9"),
+    )
+    ln_k = float(_SPEC_LN_K)
+    return terms.groupBy().agg(
+        F.count("*").cast("bigint").alias("n_freq"),
+        F.max("total_e3").cast("bigint").alias("total_power_e3"),
+        F.sum("ent_e9").cast("bigint").alias("entropy_e9"),
+        F.floor(
+            F.sum("ent_e9").cast("double") / 1000000000.0 / ln_k * 1000000
+        )
+        .cast("bigint")
+        .alias("entropy_norm_e6"),
+        F.when(F.min("p_e3") == 0, F.lit(0))
+        .otherwise(
+            F.floor(
+                F.exp(
+                    F.sum("lnp_e9").cast("double")
+                    / 1000000000.0
+                    / float(_SPEC_K)
+                )
+                / (
+                    F.max("total_e3").cast("double")
+                    / 1000.0
+                    / float(_SPEC_K)
+                )
+                * 1000000
+            )
+        )
+        .cast("bigint")
+        .alias("flatness_e6"),
+    )
+
+
+_HURST_SIZES = (16, 36, 80, 180)
+# ln(size) as Python-repr'd literal doubles, plus the purely-literal
+# pieces of the least-squares slope over the 4 (ln n, ln RS) points —
+# precomputed here so neither engine ever evaluates ln on a literal.
+_HURST_X = {s: repr(_math.log(float(s))) for s in _HURST_SIZES}
+_HURST_SX = repr(sum(_math.log(float(s)) for s in _HURST_SIZES))
+_HURST_DENOM = repr(
+    4.0 * sum(_math.log(float(s)) ** 2 for s in _HURST_SIZES)
+    - sum(_math.log(float(s)) for s in _HURST_SIZES) ** 2
+)
+
+
+def _hurst_oracle_sql() -> str:
+    sizes = ", ".join(str(s) for s in _HURST_SIZES)
+    y = {
+        s: f"ln(CAST(rs{s} AS DOUBLE) / CAST(nb{s} AS DOUBLE)"
+        f" / 1000000.0)"
+        for s in _HURST_SIZES
+    }
+    sxy = " + ".join(f"{_HURST_X[s]} * {y[s]}" for s in _HURST_SIZES)
+    sy = " + ".join(y[s] for s in _HURST_SIZES)
+    picks = []
+    for s in _HURST_SIZES:
+        picks.append(
+            f"MAX(CASE WHEN size = {s} THEN nblocks END) AS nb{s}"
+        )
+        picks.append(
+            f"MAX(CASE WHEN size = {s} THEN rs_sum_e6 END) AS rs{s}"
+        )
+    return f"""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h,
+               CAST(COUNT(*) AS BIGINT) AS v
+        FROM events GROUP BY 1
+    ), tape AS (
+        SELECT v, CAST(ROW_NUMBER() OVER (ORDER BY h) - 1 AS BIGINT) AS t,
+               CAST(COUNT(*) OVER () AS BIGINT) AS tn
+        FROM hourly
+    ), expanded AS (
+        SELECT s.size, e.t // s.size AS blk, e.t % s.size + 1 AS ti, e.v
+        FROM tape e, (SELECT unnest([{sizes}]) AS size) s
+        WHERE e.t < s.size * (e.tn // s.size)
+    ), wb AS (
+        SELECT size, blk, ti, v,
+               SUM(v) OVER (PARTITION BY size, blk) AS s_blk,
+               SUM(v * v) OVER (PARTITION BY size, blk) AS ss_blk,
+               size * SUM(v) OVER (PARTITION BY size, blk ORDER BY ti
+                                   ROWS UNBOUNDED PRECEDING)
+                   - ti * SUM(v) OVER (PARTITION BY size, blk) AS nz
+        FROM expanded
+    ), blocks AS (
+        SELECT size, blk, MAX(nz) - MIN(nz) AS r_int,
+               MAX(s_blk) AS s_blk, MAX(ss_blk) AS ss_blk
+        FROM wb GROUP BY size, blk
+    ), rs AS (
+        SELECT size,
+               CAST(CASE WHEN r_int = 0 THEN 0
+                    ELSE FLOOR((CAST(r_int AS DOUBLE) / size)
+                         / sqrt((CAST(ss_blk AS DOUBLE)
+                                 - CAST(s_blk AS DOUBLE)
+                                   * CAST(s_blk AS DOUBLE) / size)
+                                / size)
+                         * 1000000) END AS BIGINT) AS rs_e6
+        FROM blocks
+    ), persize AS (
+        SELECT size, CAST(COUNT(*) AS BIGINT) AS nblocks,
+               CAST(SUM(rs_e6) AS BIGINT) AS rs_sum_e6
+        FROM rs GROUP BY size
+    ), wide AS (
+        SELECT {", ".join(picks)} FROM persize
+    )
+    SELECT CAST(nb16 AS BIGINT) AS nb16, CAST(nb36 AS BIGINT) AS nb36,
+           CAST(nb80 AS BIGINT) AS nb80, CAST(nb180 AS BIGINT) AS nb180,
+           CAST(FLOOR(CAST(rs16 AS DOUBLE) / nb16) AS BIGINT)
+               AS rs_mean16_e6,
+           CAST(FLOOR(CAST(rs36 AS DOUBLE) / nb36) AS BIGINT)
+               AS rs_mean36_e6,
+           CAST(FLOOR(CAST(rs80 AS DOUBLE) / nb80) AS BIGINT)
+               AS rs_mean80_e6,
+           CAST(FLOOR(CAST(rs180 AS DOUBLE) / nb180) AS BIGINT)
+               AS rs_mean180_e6,
+           CAST(FLOOR((4.0 * ({sxy}) - {_HURST_SX} * ({sy}))
+                      / {_HURST_DENOM} * 1000000) AS BIGINT) AS hurst_e6
+    FROM wide
+    """
+
+
+@query("ts_hurst_rs", _hurst_oracle_sql())
+def ts_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HURST EXPONENT by rescaled-range (R/S) analysis (round 9):
+    the long-memory diagnostic — H≈0.5 means the hourly series is
+    memoryless, H>0.5 persistent (trends feed on themselves, naive
+    capacity forecasts undershoot), H<0.5 anti-persistent. Classic
+    Mandelbrot-Wallis recipe: for each window size n ∈ {16,36,80,
+    180} hours, split the tape into ⌊T/n⌋ full blocks, per block
+    take R = range of the cumulative deviations from the block mean
+    and S = population std, average R/S over blocks, and H is the
+    least-squares slope of ln(R/S) on ln(n).
+
+    Cross-engine exactness: within a block, n·Z_t = n·cum_t − t·Σv
+    is INTEGER (the mean never divides until the last step), so R
+    and S both derive from integer (max−min, Σv, Σv²); each block's
+    R/S floors to e6 before the per-size average (order-free integer
+    sum); ln(n), Σln(n) and the slope denominator are Python-repr'd
+    literals, so each engine only evaluates ln on the four data-
+    dependent means; the slope is one literal-ordered chain.
+
+    Scale: hourly rollup is map-side; the 4-size expansion rides an
+    explode of the pre-reduced 720-row tape; block windows are keyed
+    by (size, block) — the global index window touches only the tape
+    (window-warn budgeted)."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count("*").cast("bigint").alias("v")
+    )
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    tape = hourly.select(
+        "v",
+        (F.row_number().over(Window.orderBy("h")) - 1)
+        .cast("bigint")
+        .alias("t"),
+        F.count("*").over(w_all).cast("bigint").alias("tn"),
+    )
+    expanded = (
+        tape.select(
+            "v",
+            "t",
+            "tn",
+            F.explode(
+                F.array(*[F.lit(s) for s in _HURST_SIZES])
+            ).alias("size"),
+        )
+        .filter(F.col("t") < F.col("size") * F.expr("tn DIV size"))
+        .select(
+            "size",
+            F.expr("t DIV size").alias("blk"),
+            (F.col("t") % F.col("size") + 1).alias("ti"),
+            "v",
+        )
+    )
+    w_blk = Window.partitionBy("size", "blk")
+    w_cum = w_blk.orderBy("ti").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wb = expanded.select(
+        "size",
+        "blk",
+        (
+            F.col("size") * F.sum("v").over(w_cum)
+            - F.col("ti") * F.sum("v").over(w_blk)
+        ).alias("nz"),
+        F.sum("v").over(w_blk).alias("s_blk"),
+        F.sum(F.col("v") * F.col("v")).over(w_blk).alias("ss_blk"),
+    )
+    blocks = wb.groupBy("size", "blk").agg(
+        (F.max("nz") - F.min("nz")).alias("r_int"),
+        F.max("s_blk").alias("s_blk"),
+        F.max("ss_blk").alias("ss_blk"),
+    )
+    dsz = F.col("size").cast("double")
+    rs = blocks.select(
+        "size",
+        F.when(F.col("r_int") == 0, F.lit(0))
+        .otherwise(
+            F.floor(
+                (F.col("r_int").cast("double") / dsz)
+                / F.sqrt(
+                    (
+                        F.col("ss_blk").cast("double")
+                        - F.col("s_blk").cast("double")
+                        * F.col("s_blk").cast("double")
+                        / dsz
+                    )
+                    / dsz
+                )
+                * 1000000
+            )
+        )
+        .cast("bigint")
+        .alias("rs_e6"),
+    )
+    persize = rs.groupBy("size").agg(
+        F.count("*").cast("bigint").alias("nblocks"),
+        F.sum("rs_e6").cast("bigint").alias("rs_sum_e6"),
+    )
+    wide = persize.groupBy().agg(
+        *[
+            col
+            for s in _HURST_SIZES
+            for col in (
+                F.max(
+                    F.when(F.col("size") == s, F.col("nblocks"))
+                ).alias(f"nb{s}"),
+                F.max(
+                    F.when(F.col("size") == s, F.col("rs_sum_e6"))
+                ).alias(f"rs{s}"),
+            )
+        ]
+    )
+    ys = {
+        s: F.log(
+            F.col(f"rs{s}").cast("double")
+            / F.col(f"nb{s}").cast("double")
+            / 1000000.0
+        )
+        for s in _HURST_SIZES
+    }
+    sxy = None
+    for s in _HURST_SIZES:
+        term = F.lit(float(_HURST_X[s])) * ys[s]
+        sxy = term if sxy is None else sxy + term
+    sy = None
+    for s in _HURST_SIZES:
+        sy = ys[s] if sy is None else sy + ys[s]
+    hurst = (
+        (F.lit(4.0) * sxy - F.lit(float(_HURST_SX)) * sy)
+        / F.lit(float(_HURST_DENOM))
+        * 1000000
+    )
+    out_cols = []
+    for s in _HURST_SIZES:
+        out_cols.append(F.col(f"nb{s}").cast("bigint").alias(f"nb{s}"))
+    for s in _HURST_SIZES:
+        out_cols.append(
+            F.floor(
+                F.col(f"rs{s}").cast("double") / F.col(f"nb{s}")
+            )
+            .cast("bigint")
+            .alias(f"rs_mean{s}_e6")
+        )
+    out_cols.append(F.floor(hurst).cast("bigint").alias("hurst_e6"))
+    return wide.select(*out_cols)

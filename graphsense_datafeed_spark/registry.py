@@ -466,6 +466,8 @@ _ROUND10_NEXT_UP = (
     "text_watermark_greenlist",
     "events_did_estimator",
     "agg_benjamini_hochberg",
+    "ts_spectral_entropy",
+    "ts_hurst_rs",
 )
 
 _loaded = False

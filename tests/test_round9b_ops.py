@@ -909,3 +909,75 @@ def test_benjamini_hochberg_pvalue_chain(spark, sf_dir):
 
         exact = erfc(abs(r["z_e4"]) / 10000.0 / math.sqrt(2.0))
         assert abs(r["p_e6"] / 1e6 - exact) < 2e-6
+
+
+def test_spectral_entropy_referee(spark, sf_dir):
+    ev = _events(sf_dir)
+    days = ev["ts"].dt.date
+    daily = days.value_counts().sort_index().to_numpy().astype(np.float64)
+    n, kk = 30, 14
+    t = np.arange(len(daily))
+    p_e3 = []
+    for k in range(1, kk + 1):
+        cos_t = np.array(
+            [math.floor(math.cos(2 * math.pi * k * u / n) * 1e9) for u in range(n)]
+        )
+        sin_t = np.array(
+            [math.floor(math.sin(2 * math.pi * k * u / n) * 1e9) for u in range(n)]
+        )
+        c = int((daily * cos_t[t % n]).sum()) / 1e9
+        s = int((daily * sin_t[t % n]).sum()) / 1e9
+        p_e3.append(math.floor((c * c + s * s) * 1000))
+    total = sum(p_e3)
+    ent = sum(
+        math.floor(-(p / total) * math.log(p / total) * 1e9)
+        for p in p_e3
+        if p > 0
+    )
+    (r,) = QUERIES["ts_spectral_entropy"](spark, sf_dir).collect()
+    assert r["n_freq"] == kk
+    assert r["total_power_e3"] == total
+    assert r["entropy_e9"] == ent
+    assert 0 <= r["entropy_norm_e6"] <= 1000100
+    if min(p_e3) > 0:
+        flat = math.exp(
+            sum(math.floor(math.log(p / 1000.0) * 1e9) for p in p_e3)
+            / 1e9
+            / kk
+        ) / (total / 1000.0 / kk)
+        assert abs(r["flatness_e6"] - math.floor(flat * 1e6)) <= 1
+        assert 0 <= r["flatness_e6"] <= 1000000
+
+
+def test_hurst_rs_referee(spark, sf_dir):
+    ev = _events(sf_dir).sort_values("ts")
+    hours = ev["ts"].dt.floor("h")
+    v = hours.value_counts().sort_index().to_numpy().astype(np.int64)
+    (r,) = QUERIES["ts_hurst_rs"](spark, sf_dir).collect()
+    lx, ly = [], []
+    for size in (16, 36, 80, 180):
+        nb = len(v) // size
+        assert r[f"nb{size}"] == nb
+        rs_sum = 0
+        for b in range(nb):
+            blk = v[b * size : (b + 1) * size].astype(np.float64)
+            zc = np.cumsum(blk - blk.mean())
+            rng = zc.max() - zc.min()
+            std = blk.std()  # population
+            rs_sum += (
+                0 if rng == 0 else math.floor(rng / std * 1e6)
+            )
+        got = r[f"rs_mean{size}_e6"]
+        want = math.floor(rs_sum / nb)
+        # numpy float accumulation differs from the integer chain by
+        # at most one e6 quantum per block
+        assert abs(got - want) <= nb
+        lx.append(math.log(size))
+        ly.append(math.log(rs_sum / nb / 1e6))
+    xb, yb = sum(lx) / 4, sum(ly) / 4
+    slope = sum(
+        (x - xb) * (y - yb) for x, y in zip(lx, ly)
+    ) / sum((x - xb) ** 2 for x in lx)
+    assert abs(r["hurst_e6"] / 1e6 - slope) < 0.01
+    # hourly event counts: H must land in the physical (0, 1) band
+    assert 0 < r["hurst_e6"] < 1000000
