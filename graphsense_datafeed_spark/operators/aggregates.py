@@ -5414,3 +5414,105 @@ def agg_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rejected"),
     ).orderBy("rnk")
+
+
+@query(
+    "agg_grubbs_outlier",
+    """
+    WITH base AS (
+        SELECT event_type, CAST(FLOOR(value * 10000) AS BIGINT) AS v_e4
+        FROM events
+    ), stats AS (
+        SELECT event_type, v_e4,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS n,
+               CAST(SUM(v_e4) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS s,
+               CAST(SUM(v_e4 * v_e4) OVER (PARTITION BY event_type)
+                    AS BIGINT) AS ss
+        FROM base
+    ), dev AS (
+        SELECT *, ABS(n * v_e4 - s) AS d,
+               MAX(ABS(n * v_e4 - s))
+                   OVER (PARTITION BY event_type) AS maxdev
+        FROM stats
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n,
+           CAST(MIN(CASE WHEN d = maxdev THEN v_e4 END) AS BIGINT)
+               AS outlier_e4,
+           CAST(FLOOR((CAST(MAX(maxdev) AS DOUBLE) / MAX(n))
+                      / sqrt((CAST(MAX(ss) AS DOUBLE)
+                              - CAST(MAX(s) AS DOUBLE)
+                                * CAST(MAX(s) AS DOUBLE) / MAX(n))
+                             / (MAX(n) - 1.0))
+                      * 10000) AS BIGINT) AS g_e4
+    FROM dev
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def agg_grubbs_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRUBBS maximum-studentized-deviation screen (round 9): per
+    group, G = max|v − mean|/sd — the classic single-outlier test
+    statistic, and the right readout for a metrics pipeline's "worst
+    point per segment" dashboard: WHICH value is most extreme and HOW
+    many sds out it sits (G > ~4 on thousands of rows is a data bug,
+    not a tail). Complements ts_outlier_mad (robust, per-window) and
+    ts_zscore_anomaly (time-ordered): Grubbs is the group-global
+    worst-case certificate.
+
+    Exactness: |v − s/n| is maximized exactly where the INTEGER
+    |n·v − s| is (n never divides until the final chain), so the
+    argmax is integer-exact with a min-value tie-break; G floors
+    through one double chain from integer (maxdev, n, s, ss).
+
+    Scale: one keyed window pass (partitioned by group — no global
+    window) + one keyed aggregate; six integers of state per group,
+    map-side combinable in the agg step. The window is row-scale but
+    key-partitioned; with heavy group skew the two-pass agg+join
+    form trades the window for a broadcast join (the
+    agg_benjamini_hochberg shape)."""
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 10000).cast("bigint").alias("v_e4"),
+    )
+    w_t = Window.partitionBy("event_type")
+    stats = base.select(
+        "event_type",
+        "v_e4",
+        F.count("*").over(w_t).cast("bigint").alias("n"),
+        F.sum("v_e4").over(w_t).cast("bigint").alias("s"),
+        F.sum(F.col("v_e4") * F.col("v_e4"))
+        .over(w_t)
+        .cast("bigint")
+        .alias("ss"),
+    )
+    dev = stats.select(
+        "*",
+        F.abs(F.col("n") * F.col("v_e4") - F.col("s")).alias("d"),
+    ).withColumn(
+        "maxdev",
+        F.max(F.abs(F.col("n") * F.col("v_e4") - F.col("s"))).over(w_t),
+    )
+    dd = lambda c: F.max(c).cast("double")  # noqa: E731
+    g = (
+        (dd("maxdev") / F.max("n"))
+        / F.sqrt(
+            (dd("ss") - dd("s") * dd("s") / F.max("n"))
+            / (F.max("n") - 1.0)
+        )
+        * 10000
+    )
+    return (
+        dev.groupBy("event_type")
+        .agg(
+            F.max("n").cast("bigint").alias("n"),
+            F.min(F.when(F.col("d") == F.col("maxdev"), F.col("v_e4")))
+            .cast("bigint")
+            .alias("outlier_e4"),
+            F.floor(g).cast("bigint").alias("g_e4"),
+        )
+        .orderBy("event_type")
+    )

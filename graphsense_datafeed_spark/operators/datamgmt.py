@@ -2436,3 +2436,94 @@ def events_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(se).cast("bigint").alias("se_e4"),
         F.floor(did / se * 10000).cast("bigint").alias("t_e4"),
     )
+
+
+_FD_CANDIDATES = (
+    ("o_orderkey", "o_custkey"),
+    ("o_custkey", "o_orderpriority"),
+    ("o_custkey", "o_orderstatus"),
+    ("o_orderpriority", "o_orderstatus"),
+    ("o_orderstatus", "o_orderpriority"),
+)
+
+
+def _fd_oracle_sql() -> str:
+    branches = []
+    for lhs, rhs in _FD_CANDIDATES:
+        branches.append(f"""
+        SELECT '{lhs}' AS lhs, '{rhs}' AS rhs,
+               CAST(SUM(sc) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_lhs,
+               CAST(SUM(mx) AS BIGINT) AS sum_max,
+               CAST(SUM(sc) - SUM(mx) AS BIGINT) AS viol,
+               CAST(FLOOR((CAST(SUM(sc) AS DOUBLE)
+                           - CAST(SUM(mx) AS DOUBLE))
+                          / CAST(SUM(sc) AS DOUBLE) * 1000000)
+                    AS BIGINT) AS g3_e6
+        FROM (
+            SELECT {lhs}, MAX(c) AS mx, SUM(c) AS sc
+            FROM (
+                SELECT {lhs}, {rhs}, COUNT(*) AS c
+                FROM orders GROUP BY {lhs}, {rhs}
+            ) GROUP BY {lhs}
+        )""")
+    return " UNION ALL ".join(branches) + " ORDER BY lhs, rhs"
+
+
+@query("profile_functional_dependency", _fd_oracle_sql())
+def profile_functional_dependency(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Approximate FUNCTIONAL-DEPENDENCY profiling (round 9), the
+    TANE/g3 measure: for each candidate A→B, the violation count is
+    the minimum number of rows you'd have to delete for the FD to
+    hold exactly — N − Σ_a max_b count(a,b) — and g3 = viol/N is the
+    standard approximate-FD score. This is the schema-discovery
+    primitive a data catalog runs on every new feed: g3 = 0 certifies
+    a key/denormalization (o_orderkey→o_custkey here), small g3
+    flags near-FDs worth a constraint, large g3 refutes. The
+    candidate list is literal (5 pairs on orders); the same plan
+    parametrizes over any table's column pairs.
+
+    Exactness: everything is integer counting until the single g3
+    division — no floats anywhere else, so cross-engine parity is
+    structural.
+
+    Scale: per pair, two keyed partial aggregates (a,b)-counts then
+    a-max — both map-side combinable, shuffled bytes bounded by
+    |distinct pairs|; the 5 branches share one scan per branch and
+    union 5 single rows. No windows, no collects; the same shape at
+    100 TB is bounded by the (a,b) cardinality, which is the thing
+    being measured."""
+    orders = load(spark, sf_dir, "orders")
+    frames = []
+    for lhs, rhs in _FD_CANDIDATES:
+        inner = orders.groupBy(lhs, rhs).agg(
+            F.count("*").cast("bigint").alias("c")
+        )
+        mid = inner.groupBy(lhs).agg(
+            F.max("c").alias("mx"), F.sum("c").alias("sc")
+        )
+        n_rows = F.sum("sc").cast("bigint")
+        sum_max = F.sum("mx").cast("bigint")
+        frames.append(
+            mid.groupBy().agg(
+                F.lit(lhs).alias("lhs"),
+                F.lit(rhs).alias("rhs"),
+                n_rows.alias("n_rows"),
+                F.count("*").cast("bigint").alias("n_lhs"),
+                sum_max.alias("sum_max"),
+                (n_rows - sum_max).cast("bigint").alias("viol"),
+                F.floor(
+                    (n_rows.cast("double") - sum_max.cast("double"))
+                    / n_rows.cast("double")
+                    * 1000000
+                )
+                .cast("bigint")
+                .alias("g3_e6"),
+            )
+        )
+    out = frames[0]
+    for fdf in frames[1:]:
+        out = out.unionByName(fdf)
+    return out.orderBy("lhs", "rhs")

@@ -468,6 +468,8 @@ _ROUND10_NEXT_UP = (
     "agg_benjamini_hochberg",
     "ts_spectral_entropy",
     "ts_hurst_rs",
+    "profile_functional_dependency",
+    "agg_grubbs_outlier",
 )
 
 _loaded = False

@@ -981,3 +981,53 @@ def test_hurst_rs_referee(spark, sf_dir):
     assert abs(r["hurst_e6"] / 1e6 - slope) < 0.01
     # hourly event counts: H must land in the physical (0, 1) band
     assert 0 < r["hurst_e6"] < 1000000
+
+
+def test_functional_dependency_referee(spark, sf_dir):
+    orders = pq.read_table(f"{sf_dir}/orders.parquet").to_pandas()
+    rows = {
+        (r["lhs"], r["rhs"]): r
+        for r in QUERIES["profile_functional_dependency"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert len(rows) == 5
+    for (lhs, rhs), r in rows.items():
+        cnt = orders.groupby([lhs, rhs]).size()
+        per_lhs = cnt.groupby(level=0)
+        sum_max = int(per_lhs.max().sum())
+        assert r["n_rows"] == len(orders)
+        assert r["n_lhs"] == orders[lhs].nunique()
+        assert r["sum_max"] == sum_max
+        assert r["viol"] == len(orders) - sum_max
+        assert r["g3_e6"] == math.floor(
+            (len(orders) - sum_max) / len(orders) * 1e6
+        )
+    # the primary key determines every column: exact FD, zero g3
+    assert rows[("o_orderkey", "o_custkey")]["viol"] == 0
+    # a 5-value status can't determine a 5-value priority exactly
+    assert rows[("o_orderstatus", "o_orderpriority")]["g3_e6"] > 0
+
+
+def test_grubbs_outlier_referee(spark, sf_dir):
+    ev = _events(sf_dir)
+    ev["v_e4"] = np.floor(ev["value"].to_numpy() * 10000).astype(np.int64)
+    rows = {
+        r["event_type"]: r
+        for r in QUERIES["agg_grubbs_outlier"](spark, sf_dir).collect()
+    }
+    for grp, sub in ev.groupby("event_type"):
+        v = sub["v_e4"].to_numpy()
+        n, s = len(v), int(v.sum())
+        d = np.abs(n * v - s)
+        maxdev = int(d.max())
+        outlier = int(v[d == maxdev].min())
+        sd = math.sqrt(
+            (float((v.astype(np.float64) ** 2).sum()) - s * s / n) / (n - 1)
+        )
+        g = (maxdev / n) / sd
+        r = rows[grp]
+        assert r["n"] == n
+        assert r["outlier_e4"] == outlier
+        assert abs(r["g_e4"] - math.floor(g * 1e4)) <= 1
+        assert r["g_e4"] > 10000  # worst point is always > 1 sd out
