@@ -5516,3 +5516,245 @@ def agg_grubbs_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "agg_cronbach_alpha",
+    """
+    WITH base AS (
+        SELECT user_id, event_type,
+               CAST(FLOOR(value * 100) AS BIGINT) AS v_e2
+        FROM events
+    ), items AS (
+        SELECT event_type, user_id, CAST(SUM(v_e2) AS BIGINT) AS x
+        FROM base GROUP BY event_type, user_id
+    ), u AS (
+        SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k
+        FROM base
+    ), item_num AS (
+        SELECT SUM(nm) AS sum_item_num
+        FROM (
+            SELECT (SELECT n_users FROM u) * SUM(x * x)
+                   - SUM(x) * SUM(x) AS nm
+            FROM items GROUP BY event_type
+        )
+    ), totals AS (
+        SELECT user_id, CAST(SUM(x) AS BIGINT) AS t
+        FROM items GROUP BY user_id
+    ), total_num AS (
+        SELECT (SELECT n_users FROM u) * SUM(t * t)
+               - SUM(t) * SUM(t) AS tot_num
+        FROM totals
+    )
+    SELECT u.k, u.n_users,
+           CAST(FLOOR(CAST(u.k AS DOUBLE) / (u.k - 1.0)
+                      * (1.0 - CAST(i.sum_item_num AS DOUBLE)
+                               / CAST(t.tot_num AS DOUBLE))
+                      * 1000000) AS BIGINT) AS alpha_e6
+    FROM u, item_num i, total_num t
+    """,
+)
+def agg_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRONBACH'S ALPHA internal-consistency coefficient (round 9):
+    treat each event type as an "item" scoring each user (the user's
+    summed value for that type, 0 when absent), and α = k/(k−1) ·
+    (1 − Σᵢvarᵢ / var_total) asks whether the k per-type scores
+    move together across users — the reliability check behind any
+    composite engagement index ("can I sum these five signals into
+    one score?"). α near 1 = the items co-vary (a coherent scale);
+    near 0 = summing them mixes unrelated quantities.
+
+    Exactness is STRUCTURAL, no float discipline needed: with U =
+    all users, each variance's numerator U·Σx² − (Σx)² is exact
+    (absent user-item cells contribute 0 to both sums — no grid
+    densification needed), the shared denominator U(U−1) cancels in
+    Σvarᵢ/var_total, and α floors through the only double chain.
+    The numerators grow as U²·σ² — past int64 at even sf0.01 — so
+    BOTH engines do them in 128-bit integers: DuckDB promotes SUM to
+    hugeint natively, Spark runs the products in decimal(38,0) (the
+    agg_decimal_exact lane); the final double casts round the same
+    128-bit integer to the same double on both sides.
+
+    Scale: two keyed aggregates ((type,user) then type / then user),
+    both map-side combinable; 1-row finish via broadcast scalar
+    anchors. decimal(38,0) holds to ~1e38 — Σ(Σv)² at 1e9 users
+    × e2 quanta sits near 1e27, comfortably inside."""
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("bigint").alias("v_e2"),
+    )
+    items = base.groupBy("event_type", "user_id").agg(
+        F.sum("v_e2").cast("bigint").alias("x")
+    )
+    u = base.groupBy().agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.countDistinct("event_type").cast("bigint").alias("k"),
+    )
+    dec = "decimal(38,0)"
+    xd = F.col("x").cast(dec)
+    per_item = items.groupBy("event_type").agg(
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(xd).alias("sx"),
+    )
+    item_num = (
+        per_item.crossJoin(F.broadcast(u))
+        .select(
+            (
+                F.col("n_users").cast(dec) * F.col("sxx")
+                - F.col("sx") * F.col("sx")
+            ).alias("nm")
+        )
+        .groupBy()
+        .agg(F.sum("nm").alias("sum_item_num"))
+    )
+    totals = items.groupBy("user_id").agg(
+        F.sum("x").cast("bigint").alias("t")
+    )
+    td = F.col("t").cast(dec)
+    total_num = (
+        totals.groupBy()
+        .agg(F.sum(td * td).alias("stt"), F.sum(td).alias("st"))
+        .crossJoin(F.broadcast(u))
+        .select(
+            (
+                F.col("n_users").cast(dec) * F.col("stt")
+                - F.col("st") * F.col("st")
+            ).alias("tot_num")
+        )
+    )
+    joined = (
+        u.crossJoin(F.broadcast(item_num)).crossJoin(F.broadcast(total_num))
+    )
+    alpha = (
+        F.col("k").cast("double")
+        / (F.col("k") - 1.0)
+        * (
+            1.0
+            - F.col("sum_item_num").cast("double")
+            / F.col("tot_num").cast("double")
+        )
+        * 1000000
+    )
+    return joined.select(
+        "k",
+        "n_users",
+        F.floor(alpha).cast("bigint").alias("alpha_e6"),
+    )
+
+
+@query(
+    "agg_deming_regression",
+    """
+    WITH base AS (
+        SELECT event_type,
+               CAST(FLOOR(value * 10000) AS BIGINT) AS x,
+               CAST(json_extract(props, '$.k') AS BIGINT) AS y
+        FROM events
+    ), m AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM base GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CAST(FLOOR(
+               ((CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)
+                - (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                + sqrt(((CAST(n AS DOUBLE) * syy
+                         - CAST(sy AS DOUBLE) * sy)
+                        - (CAST(n AS DOUBLE) * sxx
+                           - CAST(sx AS DOUBLE) * sx))
+                       * ((CAST(n AS DOUBLE) * syy
+                           - CAST(sy AS DOUBLE) * sy)
+                          - (CAST(n AS DOUBLE) * sxx
+                             - CAST(sx AS DOUBLE) * sx))
+                       + 4.0 * (CAST(n AS DOUBLE) * sxy
+                                - CAST(sx AS DOUBLE) * sy)
+                             * (CAST(n AS DOUBLE) * sxy
+                                - CAST(sx AS DOUBLE) * sy)))
+               / (2.0 * (CAST(n AS DOUBLE) * sxy
+                         - CAST(sx AS DOUBLE) * sy))
+               * 1000000) AS BIGINT) AS slope_e6,
+           CAST(FLOOR(
+               (CAST(sy AS DOUBLE) / n
+                - ((CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)
+                   - (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                   + sqrt(((CAST(n AS DOUBLE) * syy
+                            - CAST(sy AS DOUBLE) * sy)
+                           - (CAST(n AS DOUBLE) * sxx
+                              - CAST(sx AS DOUBLE) * sx))
+                          * ((CAST(n AS DOUBLE) * syy
+                              - CAST(sy AS DOUBLE) * sy)
+                             - (CAST(n AS DOUBLE) * sxx
+                                - CAST(sx AS DOUBLE) * sx))
+                          + 4.0 * (CAST(n AS DOUBLE) * sxy
+                                   - CAST(sx AS DOUBLE) * sy)
+                                * (CAST(n AS DOUBLE) * sxy
+                                   - CAST(sx AS DOUBLE) * sy)))
+                  / (2.0 * (CAST(n AS DOUBLE) * sxy
+                            - CAST(sx AS DOUBLE) * sy))
+                  * (CAST(sx AS DOUBLE) / n)) * 10000) AS BIGINT)
+               AS intercept_e4
+    FROM m
+    WHERE CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy <> 0
+    ORDER BY event_type
+    """,
+)
+def agg_deming_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEMING (errors-in-variables) regression (round 9), δ=1: when
+    BOTH variables carry measurement error — here each event's value
+    against its props.k tag — OLS of y on x is attenuated toward 0
+    by the noise in x, and the two OLS directions disagree; Deming's
+    slope (Syy − Sxx + √((Syy−Sxx)² + 4S²xy)) / 2Sxy is the maximum-
+    likelihood line treating both sides symmetrically — the method-
+    comparison standard (two instruments measuring one quantity).
+
+    Exactness: the centered second moments enter as the integer
+    forms n·Σxy − Σx·Σy etc. (cast once to double), and slope +
+    intercept each floor through ONE literal-ordered chain; groups
+    where Sxy = 0 (slope undefined) are filtered identically in both
+    engines. JSON parity: props.k extracts via get_json_object /
+    json_extract to the same integer.
+
+    Scale: six integer sums per group, map-side combinable — the
+    agg_regr_trend shape with a second noisy axis."""
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 10000).cast("bigint").alias("x"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("y"),
+    )
+    m = base.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    syy_c = d("n") * F.col("syy") - d("sy") * F.col("sy")
+    sxx_c = d("n") * F.col("sxx") - d("sx") * F.col("sx")
+    sxy_c = d("n") * F.col("sxy") - d("sx") * F.col("sy")
+    slope = (
+        (syy_c - sxx_c)
+        + F.sqrt((syy_c - sxx_c) * (syy_c - sxx_c) + 4.0 * sxy_c * sxy_c)
+    ) / (2.0 * sxy_c)
+    intercept = d("sy") / F.col("n") - slope * (d("sx") / F.col("n"))
+    return (
+        m.filter(sxy_c != 0)
+        .select(
+            "event_type",
+            "n",
+            F.floor(slope * 1000000).cast("bigint").alias("slope_e6"),
+            F.floor(intercept * 10000).cast("bigint").alias("intercept_e4"),
+        )
+        .orderBy("event_type")
+    )

@@ -470,6 +470,8 @@ _ROUND10_NEXT_UP = (
     "ts_hurst_rs",
     "profile_functional_dependency",
     "agg_grubbs_outlier",
+    "agg_cronbach_alpha",
+    "agg_deming_regression",
 )
 
 _loaded = False

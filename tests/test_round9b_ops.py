@@ -1031,3 +1031,64 @@ def test_grubbs_outlier_referee(spark, sf_dir):
         assert r["outlier_e4"] == outlier
         assert abs(r["g_e4"] - math.floor(g * 1e4)) <= 1
         assert r["g_e4"] > 10000  # worst point is always > 1 sd out
+
+
+def test_cronbach_alpha_referee(spark, sf_dir):
+    ev = _events(sf_dir)
+    ev["v_e2"] = np.floor(ev["value"].to_numpy() * 100).astype(np.int64)
+    pivot = ev.pivot_table(
+        index="user_id",
+        columns="event_type",
+        values="v_e2",
+        aggfunc="sum",
+        fill_value=0,
+    )
+    u, k = len(pivot), pivot.shape[1]
+    # exact python ints (arbitrary precision) mirror the engines'
+    # 128-bit accumulators
+    item_num = sum(
+        u * int((pivot[c].to_numpy().astype(object) ** 2).sum())
+        - int(pivot[c].sum()) ** 2
+        for c in pivot.columns
+    )
+    t = pivot.sum(axis=1).to_numpy().astype(object)
+    tot_num = u * int((t**2).sum()) - int(t.sum()) ** 2
+    alpha = k / (k - 1) * (1 - item_num / tot_num)
+    (r,) = QUERIES["agg_cronbach_alpha"](spark, sf_dir).collect()
+    assert r["k"] == k and r["n_users"] == u
+    assert r["alpha_e6"] == math.floor(alpha * 1e6)
+    assert r["alpha_e6"] < 1000000  # alpha <= 1 always
+
+
+def test_deming_regression_referee(spark, sf_dir):
+    import json as _json
+
+    ev = _events(sf_dir)
+    ev["x"] = np.floor(ev["value"].to_numpy() * 10000).astype(np.int64)
+    ev["y"] = [
+        int(_json.loads(p)["k"]) for p in ev["props"]
+    ]
+    rows = {
+        r["event_type"]: r
+        for r in QUERIES["agg_deming_regression"](spark, sf_dir).collect()
+    }
+    for grp, sub in ev.groupby("event_type"):
+        x = sub["x"].to_numpy().astype(np.float64)
+        y = sub["y"].to_numpy().astype(np.float64)
+        n = len(x)
+        syy = n * (y * y).sum() - y.sum() ** 2
+        sxx = n * (x * x).sum() - x.sum() ** 2
+        sxy = n * (x * y).sum() - x.sum() * y.sum()
+        if sxy == 0:
+            assert grp not in rows
+            continue
+        slope = (syy - sxx + math.sqrt((syy - sxx) ** 2 + 4 * sxy * sxy)) / (
+            2 * sxy
+        )
+        intercept = y.mean() - slope * x.mean()
+        r = rows[grp]
+        assert r["n"] == n
+        assert abs(r["slope_e6"] - math.floor(slope * 1e6)) <= 1
+        assert abs(r["intercept_e4"] - math.floor(intercept * 1e4)) <= 1
+        # x and props.k are independent by construction: slope tiny
+        assert abs(r["slope_e6"]) < 10_000_000
