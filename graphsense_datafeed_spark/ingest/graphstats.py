@@ -1362,3 +1362,157 @@ def graph_hits_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("authority_e12").desc(), "l_partkey")
         .limit(20)
     )
+
+
+_RC_THRESHOLDS = (2, 4, 8, 16)
+
+
+def _rich_club_oracle_sql() -> str:
+    node_counts = ", ".join(
+        f"CAST(COUNT(*) FILTER (d > {k}) AS BIGINT) AS nk{k}"
+        for k in _RC_THRESHOLDS
+    )
+    edge_counts = ", ".join(
+        f"CAST(COUNT(*) FILTER (da > {k} AND db > {k}) AS BIGINT) AS ek{k}"
+        for k in _RC_THRESHOLDS
+    )
+    branches = " UNION ALL ".join(
+        f"""
+        SELECT CAST({k} AS BIGINT) AS k, nk{k} AS n_nodes,
+               ek{k} AS n_edges,
+               CAST(CASE WHEN nk{k} < 2 THEN 0
+                    ELSE FLOOR(2.0 * ek{k}
+                               / (CAST(nk{k} AS DOUBLE) * (nk{k} - 1))
+                               * 1000000) END AS BIGINT) AS phi_e6
+        FROM wide"""
+        for k in _RC_THRESHOLDS
+    )
+    return f"""
+    WITH bip AS (
+        SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), edges AS (
+        SELECT a.cust AS ca, b.cust AS cb
+        FROM bip a JOIN bip b
+          ON a.part = b.part AND a.cust < b.cust
+        GROUP BY a.cust, b.cust
+        HAVING COUNT(*) >= 3
+    ), deg AS (
+        SELECT cust, CAST(COUNT(*) AS BIGINT) AS d
+        FROM (
+            SELECT ca AS cust FROM edges
+            UNION ALL
+            SELECT cb AS cust FROM edges
+        ) GROUP BY cust
+    ), ed AS (
+        SELECT da.d AS da, db.d AS db
+        FROM edges e
+        JOIN deg da ON e.ca = da.cust
+        JOIN deg db ON e.cb = db.cust
+    ), nw AS (
+        SELECT {node_counts} FROM deg
+    ), ew AS (
+        SELECT {edge_counts} FROM ed
+    ), wide AS (
+        SELECT * FROM nw, ew
+    )
+    SELECT k, n_nodes, n_edges, phi_e6 FROM ({branches}) ORDER BY k
+    """
+
+
+@query("graph_rich_club_coefficient", _rich_club_oracle_sql())
+def graph_rich_club_coefficient(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RICH-CLUB coefficient φ(k) (round 9) on the co-purchase graph
+    (the graph_modularity_segments edge set — customers sharing ≥3
+    parts): among nodes of degree > k, φ(k) = 2·E_k / (N_k(N_k−1))
+    is the realized fraction of possible hub-hub links. A rising
+    φ(k) curve means the hubs form a tight oligarchy (routing/risk
+    concentration — in a payments graph, the few big intermediaries
+    all interlinked); flat-or-falling means hubs connect the
+    periphery instead. Complements graph_assortativity (one global
+    correlation) with the per-threshold structure.
+
+    Exactness: degrees, N_k and E_k are pure integer counting over
+    the deterministic thresholded edge set; φ floors once per
+    threshold from three integers. No floats anywhere else.
+
+    Scale: the candidate-pair generation is the bounded within-part
+    self-join (the established graph-family shape — parts bound the
+    fan-out); degree join is keyed; the four thresholds reduce to
+    TWO 1-row conditional-count aggregates (one over nodes, one over
+    degree-labeled edges) — no per-k passes, no windows."""
+    from graphsense_datafeed_spark.sources.tables import load
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    bip = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part")
+        )
+        .distinct()
+    )
+    a = bip.alias("a")
+    b = bip.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.part") == F.col("b.part"))
+            & (F.col("a.cust") < F.col("b.cust")),
+        )
+        .groupBy(F.col("a.cust").alias("ca"), F.col("b.cust").alias("cb"))
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= 3)
+        .select("ca", "cb")
+    )
+    deg = (
+        edges.select(F.col("ca").alias("cust"))
+        .unionAll(edges.select(F.col("cb").alias("cust")))
+        .groupBy("cust")
+        .agg(F.count("*").cast("bigint").alias("d"))
+    )
+    da = deg.select(F.col("cust").alias("ca"), F.col("d").alias("da"))
+    db = deg.select(F.col("cust").alias("cb"), F.col("d").alias("db"))
+    ed = edges.join(da, "ca").join(db, "cb")
+    nw = deg.groupBy().agg(
+        *[
+            F.count_if(F.col("d") > k).cast("bigint").alias(f"nk{k}")
+            for k in _RC_THRESHOLDS
+        ]
+    )
+    ew = ed.groupBy().agg(
+        *[
+            F.count_if((F.col("da") > k) & (F.col("db") > k))
+            .cast("bigint")
+            .alias(f"ek{k}")
+            for k in _RC_THRESHOLDS
+        ]
+    )
+    wide = nw.crossJoin(F.broadcast(ew))
+    frames = []
+    for k in _RC_THRESHOLDS:
+        nk, ek = F.col(f"nk{k}"), F.col(f"ek{k}")
+        frames.append(
+            wide.select(
+                F.lit(k).cast("bigint").alias("k"),
+                nk.alias("n_nodes"),
+                ek.alias("n_edges"),
+                F.when(nk < 2, F.lit(0))
+                .otherwise(
+                    F.floor(
+                        2.0
+                        * ek
+                        / (nk.cast("double") * (nk - 1))
+                        * 1000000
+                    )
+                )
+                .cast("bigint")
+                .alias("phi_e6"),
+            )
+        )
+    out = frames[0]
+    for fdf in frames[1:]:
+        out = out.unionByName(fdf)
+    return out.orderBy("k")

@@ -333,3 +333,165 @@ def rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rbo_trunc_e6"),
     )
+
+
+_BM25_QUERIES = (
+    (1, ("table", "scan")),
+    (2, ("hash", "value")),
+    (3, ("slow", "fast")),
+)
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 5
+
+
+def _bm25_oracle_sql() -> str:
+    qterms = ", ".join(
+        f"({qid}, '{t}')" for qid, ts in _BM25_QUERIES for t in ts
+    )
+    return f"""
+    WITH qt AS (
+        SELECT * FROM (VALUES {qterms}) v(query_id, term)
+    ), doclen AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        FROM documents
+    ), corpus AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(dl) AS BIGINT) AS sum_dl
+        FROM doclen
+    ), tf AS (
+        SELECT t.doc_id, t.token, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ) t
+        JOIN (SELECT DISTINCT term FROM qt) q ON t.token = q.term
+        GROUP BY t.doc_id, t.token
+    ), df AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token
+    ), contrib AS (
+        SELECT q.query_id, f.doc_id,
+               CAST(FLOOR(
+                   ln((CAST(c.n_docs AS DOUBLE) - d.df + 0.5)
+                      / (d.df + 0.5) + 1.0)
+                   * (CAST(f.tf AS DOUBLE) * ({_BM25_K1} + 1.0))
+                   / (CAST(f.tf AS DOUBLE)
+                      + {_BM25_K1} * (1.0 - {_BM25_B}
+                                      + {_BM25_B} * CAST(l.dl AS DOUBLE)
+                                        / (CAST(c.sum_dl AS DOUBLE)
+                                           / c.n_docs)))
+                   * 1000000) AS BIGINT) AS w_e6
+        FROM tf f
+        JOIN qt q ON f.token = q.term
+        JOIN df d ON f.token = d.token
+        JOIN doclen l ON f.doc_id = l.doc_id
+        CROSS JOIN corpus c
+    ), scored AS (
+        SELECT query_id, doc_id, CAST(SUM(w_e6) AS BIGINT) AS score_e6
+        FROM contrib GROUP BY query_id, doc_id
+    ), ranked AS (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY score_e6 DESC, doc_id) AS BIGINT) AS rnk
+        FROM scored
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score_e6, rnk
+    FROM ranked WHERE rnk <= {_BM25_TOPK}
+    ORDER BY query_id, rnk
+    """
+
+
+@query("text_bm25_topk", _bm25_oracle_sql())
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval (round 9) — the lexical ranking function
+    behind Lucene/Elasticsearch and the sparse half of every hybrid
+    RAG retriever: score(q,d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·
+    (1−b+b·dl/avgdl)) with the Lucene idf = ln((N−df+0.5)/(df+0.5)
+    +1), k1=1.2, b=0.75. On a training-data pipeline this is the
+    decontamination/retrieval workhorse the inverted index
+    (text_inverted_index) exists to serve; three literal 2-term
+    queries exercise it end-to-end.
+
+    Exactness: tf, df, dl, N, Σdl are exact integers; each (query,
+    term, doc) contribution floors to e6 through ONE double chain
+    (ln parity precedent: agg_kl_divergence), and per-doc scores are
+    order-free INTEGER sums of those — no unordered double
+    accumulation, so ties in the final ranking are broken on the
+    integer score then doc_id, deterministically in both engines.
+
+    Scale: the token explode filters to query terms via a broadcast
+    semi-join BEFORE any shuffle (candidate postings only — the
+    inverted-index access path, not a corpus scan per query); df and
+    corpus stats are tiny broadcast anchors; ranking is a keyed
+    window per query_id."""
+    docs = load(spark, sf_dir, "documents")
+    qt = spark.createDataFrame(
+        [(qid, t) for qid, ts in _BM25_QUERIES for t in ts],
+        "query_id int, term string",
+    )
+    doclen = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("dl")
+    )
+    corpus = doclen.groupBy().agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("sum_dl"),
+    )
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    terms = qt.select("term").distinct()
+    tf = (
+        toks.join(F.broadcast(terms), toks.token == terms.term)
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    df = tf.groupBy("token").agg(F.count("*").cast("bigint").alias("df"))
+    contrib = (
+        tf.join(F.broadcast(qt), tf.token == qt.term)
+        .join(F.broadcast(df), "token")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+    )
+    idf = F.log(
+        (F.col("n_docs").cast("double") - F.col("df") + 0.5)
+        / (F.col("df") + 0.5)
+        + 1.0
+    )
+    tfd = F.col("tf").cast("double")
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    w = (
+        idf
+        * (tfd * (_BM25_K1 + 1.0))
+        / (
+            tfd
+            + _BM25_K1
+            * (1.0 - _BM25_B + _BM25_B * F.col("dl").cast("double") / avgdl)
+        )
+        * 1000000
+    )
+    scored = (
+        contrib.select(
+            "query_id",
+            "doc_id",
+            F.floor(w).cast("bigint").alias("w_e6"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("w_e6").cast("bigint").alias("score_e6"))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("score_e6").desc(), "doc_id"
+    )
+    return (
+        scored.withColumn(
+            "rnk", F.row_number().over(w_rank).cast("bigint")
+        )
+        .filter(F.col("rnk") <= _BM25_TOPK)
+        .select(
+            F.col("query_id").cast("bigint").alias("query_id"),
+            "doc_id",
+            "score_e6",
+            "rnk",
+        )
+        .orderBy("query_id", "rnk")
+    )

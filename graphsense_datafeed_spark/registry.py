@@ -472,6 +472,8 @@ _ROUND10_NEXT_UP = (
     "agg_grubbs_outlier",
     "agg_cronbach_alpha",
     "agg_deming_regression",
+    "graph_rich_club_coefficient",
+    "text_bm25_topk",
 )
 
 _loaded = False

@@ -1092,3 +1092,80 @@ def test_deming_regression_referee(spark, sf_dir):
         assert abs(r["intercept_e4"] - math.floor(intercept * 1e4)) <= 1
         # x and props.k are independent by construction: slope tiny
         assert abs(r["slope_e6"]) < 10_000_000
+
+
+def test_rich_club_referee(spark, sf_dir):
+    import itertools
+
+    li = pq.read_table(f"{sf_dir}/lineitem.parquet").to_pandas()
+    orders = pq.read_table(f"{sf_dir}/orders.parquet").to_pandas()
+    m = li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+    bip = set(zip(m["o_custkey"], m["l_partkey"]))
+    by_part = {}
+    for cust, part in bip:
+        by_part.setdefault(part, []).append(cust)
+    support = {}
+    for custs in by_part.values():
+        for ca, cb in itertools.combinations(sorted(custs), 2):
+            support[(ca, cb)] = support.get((ca, cb), 0) + 1
+    edges = [e for e, sup in support.items() if sup >= 3]
+    deg = {}
+    for ca, cb in edges:
+        deg[ca] = deg.get(ca, 0) + 1
+        deg[cb] = deg.get(cb, 0) + 1
+    rows = {r["k"]: r for r in QUERIES["graph_rich_club_coefficient"](
+        spark, sf_dir
+    ).collect()}
+    assert sorted(rows) == [2, 4, 8, 16]
+    for k, r in rows.items():
+        nk = sum(1 for d in deg.values() if d > k)
+        ek = sum(
+            1 for ca, cb in edges if deg[ca] > k and deg[cb] > k
+        )
+        assert r["n_nodes"] == nk
+        assert r["n_edges"] == ek
+        want = 0 if nk < 2 else math.floor(2.0 * ek / (nk * (nk - 1)) * 1e6)
+        assert r["phi_e6"] == want
+    # monotone containment: the k-club node/edge sets shrink with k
+    ns = [rows[k]["n_nodes"] for k in (2, 4, 8, 16)]
+    es = [rows[k]["n_edges"] for k in (2, 4, 8, 16)]
+    assert ns == sorted(ns, reverse=True)
+    assert es == sorted(es, reverse=True)
+
+
+def test_bm25_topk_referee(spark, sf_dir):
+    docs = pq.read_table(f"{sf_dir}/documents.parquet").to_pandas()
+    toks = {r.doc_id: r.text.split(" ") for r in docs.itertuples()}
+    n_docs = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n_docs
+    queries = {1: ("table", "scan"), 2: ("hash", "value"), 3: ("slow", "fast")}
+    all_terms = {t for ts in queries.values() for t in ts}
+    df = {
+        t: sum(1 for ts in toks.values() if t in ts) for t in all_terms
+    }
+    got = QUERIES["text_bm25_topk"](spark, sf_dir).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert sorted(by_q) == [1, 2, 3]
+    for qid, terms in queries.items():
+        scores = {}
+        for doc_id, ts in toks.items():
+            total = 0
+            for t in terms:
+                tf = ts.count(t)
+                if tf == 0:
+                    continue
+                idf = math.log((n_docs - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+                w = (
+                    idf
+                    * (tf * (1.2 + 1.0))
+                    / (tf + 1.2 * (1.0 - 0.75 + 0.75 * len(ts) / avgdl))
+                )
+                total += math.floor(w * 1e6)
+            if total:
+                scores[doc_id] = total
+        want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        rows = sorted(by_q[qid], key=lambda r: r["rnk"])
+        assert [(r["doc_id"], r["score_e6"]) for r in rows] == want
+        assert [r["rnk"] for r in rows] == list(range(1, len(rows) + 1))
