@@ -2527,3 +2527,124 @@ def profile_functional_dependency(
     for fdf in frames[1:]:
         out = out.unionByName(fdf)
     return out.orderBy("lhs", "rhs")
+
+
+@query(
+    "agg_icc_design_effect",
+    """
+    WITH base AS (
+        SELECT user_id, CAST(FLOOR(value * 100) AS BIGINT) AS v_e2
+        FROM events
+    ), clus AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(SUM(v_e2) AS BIGINT) AS s
+        FROM base GROUP BY user_id
+    ), terms AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(m) AS BIGINT) AS n,
+               CAST(SUM(s) AS BIGINT) AS stot,
+               CAST(SUM(m * m) AS BIGINT) AS sm2,
+               CAST(SUM(CAST(FLOOR(CAST(s AS DOUBLE) * s / m * 1000000)
+                             AS BIGINT)) AS BIGINT) AS a_e6
+        FROM clus
+    ), sy AS (
+        SELECT CAST(SUM(v_e2 * v_e2) AS BIGINT) AS sy2 FROM base
+    )
+    SELECT t.k, t.n,
+           CAST(FLOOR((t.n - CAST(t.sm2 AS DOUBLE) / t.n)
+                      / (t.k - 1.0) * 10000) AS BIGINT) AS m0_e4,
+           CAST(FLOOR(
+               (((CAST(t.a_e6 AS DOUBLE) / 1000000.0
+                  - CAST(t.stot AS DOUBLE) * t.stot / t.n) / (t.k - 1.0))
+                - ((s.sy2 - CAST(t.a_e6 AS DOUBLE) / 1000000.0)
+                   / (t.n - t.k)))
+               / (((CAST(t.a_e6 AS DOUBLE) / 1000000.0
+                    - CAST(t.stot AS DOUBLE) * t.stot / t.n) / (t.k - 1.0))
+                  + (((t.n - CAST(t.sm2 AS DOUBLE) / t.n) / (t.k - 1.0))
+                     - 1.0)
+                    * ((s.sy2 - CAST(t.a_e6 AS DOUBLE) / 1000000.0)
+                       / (t.n - t.k)))
+               * 1000000) AS BIGINT) AS icc_e6,
+           CAST(FLOOR(
+               (1.0 + (CAST(t.n AS DOUBLE) / t.k - 1.0)
+                * ((((CAST(t.a_e6 AS DOUBLE) / 1000000.0
+                      - CAST(t.stot AS DOUBLE) * t.stot / t.n)
+                     / (t.k - 1.0))
+                    - ((s.sy2 - CAST(t.a_e6 AS DOUBLE) / 1000000.0)
+                       / (t.n - t.k)))
+                   / (((CAST(t.a_e6 AS DOUBLE) / 1000000.0
+                        - CAST(t.stot AS DOUBLE) * t.stot / t.n)
+                       / (t.k - 1.0))
+                      + (((t.n - CAST(t.sm2 AS DOUBLE) / t.n)
+                          / (t.k - 1.0)) - 1.0)
+                        * ((s.sy2 - CAST(t.a_e6 AS DOUBLE) / 1000000.0)
+                           / (t.n - t.k)))))
+               * 1000000) AS BIGINT) AS deff_e6
+    FROM terms t, sy s
+    """,
+)
+def agg_icc_design_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTRACLASS CORRELATION + survey DESIGN EFFECT (round 9):
+    when observations cluster (events within users here; classrooms,
+    shards, sessions in general), n independent-looking rows carry
+    fewer than n effective samples. The one-way ANOVA estimator
+    ICC = (MSB − MSW)/(MSB + (m₀−1)·MSW) with m₀ = (N − Σmᵢ²/N)/
+    (k−1) (the unequal-cluster-size correction), and Kish's
+    DEFF = 1 + (m̄−1)·ICC is the variance-inflation factor every
+    cluster-randomized experiment must divide its effective sample
+    size by — the missing piece next to events_power_sample_size
+    (which assumes independence).
+
+    Exactness: cluster (m, Σv, and Σv²) reduce exactly; the one
+    unordered-rational reduction Σsᵢ²/mᵢ is made order-free by
+    flooring each cluster's term at e6 BEFORE the integer sum (the
+    ts_hurst_rs discipline — bias ≤ k·1e-6 in e2-squared units,
+    referee-bounded); every output then floors through one literal-
+    ordered chain from the same five integers. e2 value quanta keep
+    sᵢ² inside bigint (headroom note: ~1e5 e2-events per cluster).
+
+    Scale: one keyed aggregate per cluster + two 1-row reductions;
+    map-side combinable, no windows, no row-scale joins."""
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        F.floor(F.col("value") * 100).cast("bigint").alias("v_e2"),
+    )
+    clus = base.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("m"),
+        F.sum("v_e2").cast("bigint").alias("s"),
+    )
+    terms = clus.groupBy().agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("m").cast("bigint").alias("n"),
+        F.sum("s").cast("bigint").alias("stot"),
+        F.sum(F.col("m") * F.col("m")).cast("bigint").alias("sm2"),
+        F.sum(
+            F.floor(
+                F.col("s").cast("double") * F.col("s") / F.col("m") * 1000000
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("a_e6"),
+    )
+    sy = base.groupBy().agg(
+        F.sum(F.col("v_e2") * F.col("v_e2")).cast("bigint").alias("sy2")
+    )
+    j = terms.crossJoin(F.broadcast(sy))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    a = d("a_e6") / 1000000.0
+    ssb = a - d("stot") * F.col("stot") / F.col("n")
+    ssw = F.col("sy2") - a
+    msb = ssb / (F.col("k") - 1.0)
+    msw = ssw / (F.col("n") - F.col("k"))
+    m0 = (F.col("n") - d("sm2") / F.col("n")) / (F.col("k") - 1.0)
+    icc = (msb - msw) / (msb + (m0 - 1.0) * msw)
+    deff = 1.0 + (d("n") / F.col("k") - 1.0) * icc
+    return j.select(
+        "k",
+        "n",
+        F.floor(m0 * 10000).cast("bigint").alias("m0_e4"),
+        F.floor(icc * 1000000).cast("bigint").alias("icc_e6"),
+        F.floor(deff * 1000000).cast("bigint").alias("deff_e6"),
+    )

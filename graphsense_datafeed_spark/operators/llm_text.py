@@ -4434,3 +4434,149 @@ def text_watermark_greenlist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(z * 10000).cast("bigint").alias("z_e4"),
         F.when(z > 4.0, 1).otherwise(0).cast("bigint").alias("flagged"),
     ).orderBy("doc_id")
+
+
+@query(
+    "corpus_contamination_matrix",
+    """
+    WITH assigned AS (
+        SELECT doc_id, text,
+               CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                              1, 7) AS BIGINT) % 1000 < 800 THEN 'train'
+                    WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                              1, 7) AS BIGINT) % 1000 < 900 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT split,
+               md5(concat_ws(' ', ws[i], ws[i + 1], ws[i + 2],
+                             ws[i + 3], ws[i + 4])) AS h
+        FROM (
+            SELECT split, str_split(text, ' ') AS ws,
+                   unnest(range(1, len(str_split(text, ' ')) - 3)) AS i
+            FROM assigned
+        )
+    ), sizes AS (
+        SELECT split, CAST(COUNT(*) AS BIGINT) AS n_shingles
+        FROM sh GROUP BY split
+    ), shared AS (
+        SELECT a.split AS split_a, b.split AS split_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM sh a JOIN sh b ON a.h = b.h AND a.split < b.split
+        GROUP BY a.split, b.split
+    )
+    SELECT s.split_a, s.split_b, za.n_shingles AS n_a,
+           zb.n_shingles AS n_b, s.n_shared,
+           CAST(FLOOR(CAST(s.n_shared AS DOUBLE) / za.n_shingles
+                      * 1000000) AS BIGINT) AS rate_a_e6,
+           CAST(FLOOR(CAST(s.n_shared AS DOUBLE) / zb.n_shingles
+                      * 1000000) AS BIGINT) AS rate_b_e6
+    FROM shared s
+    JOIN sizes za ON za.split = s.split_a
+    JOIN sizes zb ON zb.split = s.split_b
+    ORDER BY s.split_a, s.split_b
+    """,
+)
+def corpus_contamination_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CROSS-SPLIT CONTAMINATION matrix (round 9): after hash-
+    splitting the corpus 80/10/10 (the split_train_holdout bucket
+    discipline), measure 5-gram overlap between every split pair —
+    the audit that catches what text_decontaminate exists to fix:
+    if val/test shingles appear verbatim in train, benchmark numbers
+    are inflated. The readout is per-pair distinct-shingle sets
+    sizes, the shared count, and the contamination rate from each
+    side — run it BEFORE training, on every corpus refresh.
+
+    Exactness: pure set arithmetic over md5 5-gram digests (engine-
+    portable hashes, the text_fingerprint discipline); the two rates
+    floor once from exact integers.
+
+    Scale: shingle sets reduce to distinct (split, digest) pairs
+    BEFORE the pair join — the join key is the digest, each digest
+    matching ≤3 split rows (bounded fan-out, no pairs² anywhere);
+    counts are map-side combinable. The same plan generalizes to
+    per-source × split matrices by widening the key."""
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 7
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000
+    )
+    assigned = docs.select(
+        F.when(bucket < 800, "train")
+        .when(bucket < 900, "val")
+        .otherwise("test")
+        .alias("split"),
+        F.split("text", " ").alias("ws"),
+    )
+    ws = F.col("ws")
+    sh = assigned.select(
+        "split",
+        F.explode(
+            F.transform(
+                safe_offsets(F.size(ws) - 4),
+                lambda i: F.md5(
+                    F.concat_ws(
+                        " ",
+                        F.element_at(ws, i),
+                        F.element_at(ws, i + 1),
+                        F.element_at(ws, i + 2),
+                        F.element_at(ws, i + 3),
+                        F.element_at(ws, i + 4),
+                    ).cast("binary")
+                ),
+            )
+        ).alias("h"),
+    ).distinct()
+    sizes = sh.groupBy("split").agg(
+        F.count("*").cast("bigint").alias("n_shingles")
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.split") < F.col("b.split")),
+        )
+        .groupBy(
+            F.col("a.split").alias("split_a"),
+            F.col("b.split").alias("split_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+    )
+    za = sizes.select(
+        F.col("split").alias("split_a"), F.col("n_shingles").alias("n_a")
+    )
+    zb = sizes.select(
+        F.col("split").alias("split_b"), F.col("n_shingles").alias("n_b")
+    )
+    j = shared.join(F.broadcast(za), "split_a").join(
+        F.broadcast(zb), "split_b"
+    )
+    return j.select(
+        "split_a",
+        "split_b",
+        "n_a",
+        "n_b",
+        "n_shared",
+        F.floor(
+            F.col("n_shared").cast("double") / F.col("n_a") * 1000000
+        )
+        .cast("bigint")
+        .alias("rate_a_e6"),
+        F.floor(
+            F.col("n_shared").cast("double") / F.col("n_b") * 1000000
+        )
+        .cast("bigint")
+        .alias("rate_b_e6"),
+    ).orderBy("split_a", "split_b")

@@ -474,6 +474,8 @@ _ROUND10_NEXT_UP = (
     "agg_deming_regression",
     "graph_rich_club_coefficient",
     "text_bm25_topk",
+    "agg_icc_design_effect",
+    "corpus_contamination_matrix",
 )
 
 _loaded = False

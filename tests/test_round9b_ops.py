@@ -1169,3 +1169,68 @@ def test_bm25_topk_referee(spark, sf_dir):
         rows = sorted(by_q[qid], key=lambda r: r["rnk"])
         assert [(r["doc_id"], r["score_e6"]) for r in rows] == want
         assert [r["rnk"] for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_icc_design_effect_referee(spark, sf_dir):
+    ev = _events(sf_dir)
+    ev["v_e2"] = np.floor(ev["value"].to_numpy() * 100).astype(np.int64)
+    g = ev.groupby("user_id")["v_e2"]
+    m = g.size().to_numpy().astype(np.int64)
+    s = g.sum().to_numpy().astype(np.int64)
+    k, n = len(m), int(m.sum())
+    a = sum(
+        math.floor(float(si) * si / mi * 1e6) for si, mi in zip(s, m)
+    ) / 1e6
+    stot = int(s.sum())
+    sy2 = int((ev["v_e2"].to_numpy().astype(object) ** 2).sum())
+    ssb = a - stot * stot / n
+    ssw = sy2 - a
+    msb, msw = ssb / (k - 1), ssw / (n - k)
+    sm2 = int((m.astype(object) ** 2).sum())
+    m0 = (n - sm2 / n) / (k - 1)
+    icc = (msb - msw) / (msb + (m0 - 1) * msw)
+    deff = 1 + (n / k - 1) * icc
+    (r,) = QUERIES["agg_icc_design_effect"](spark, sf_dir).collect()
+    assert r["k"] == k and r["n"] == n
+    assert abs(r["m0_e4"] - math.floor(m0 * 1e4)) <= 1
+    assert abs(r["icc_e6"] - math.floor(icc * 1e6)) <= 1
+    assert abs(r["deff_e6"] - math.floor(deff * 1e6)) <= 1
+    # iid-by-construction synthetic values: ICC must hug zero and
+    # DEFF must hug one
+    assert abs(r["icc_e6"]) < 100000
+    assert 0 < r["deff_e6"] < 3000000
+
+
+def test_contamination_matrix_referee(spark, sf_dir):
+    import hashlib
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet").to_pandas()
+
+    def split_of(doc_id):
+        b = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:7], 16) % 1000
+        return "train" if b < 800 else ("val" if b < 900 else "test")
+
+    sets = {"train": set(), "val": set(), "test": set()}
+    for r in docs.itertuples():
+        ws = r.text.split(" ")
+        sp = split_of(r.doc_id)
+        for i in range(len(ws) - 4):
+            sets[sp].add(" ".join(ws[i : i + 5]))
+    rows = {
+        (r["split_a"], r["split_b"]): r
+        for r in QUERIES["corpus_contamination_matrix"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(rows) <= {
+        ("test", "train"),
+        ("test", "val"),
+        ("train", "val"),
+    }
+    for (sa, sb), r in rows.items():
+        shared = len(sets[sa] & sets[sb])
+        assert r["n_a"] == len(sets[sa])
+        assert r["n_b"] == len(sets[sb])
+        assert r["n_shared"] == shared
+        assert r["rate_a_e6"] == math.floor(shared / len(sets[sa]) * 1e6)
+        assert r["rate_b_e6"] == math.floor(shared / len(sets[sb]) * 1e6)
