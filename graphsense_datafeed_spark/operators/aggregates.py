@@ -5758,3 +5758,117 @@ def agg_deming_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "agg_price_index_fisher",
+    """
+    WITH base AS (
+        SELECT l_partkey AS part,
+               CASE WHEN l_shipdate < TIMESTAMP '1998-01-01'
+                    THEN 0 ELSE 1 END AS period,
+               CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS ep_c,
+               CAST(l_quantity AS BIGINT) AS qty
+        FROM lineitem
+    ), pp AS (
+        SELECT part, period,
+               CAST(SUM(ep_c) AS BIGINT) AS sep,
+               CAST(SUM(qty) AS BIGINT) AS sq
+        FROM base GROUP BY part, period
+    ), matched AS (
+        SELECT p0.part,
+               p0.sep AS sep0, p0.sq AS sq0,
+               p1.sep AS sep1, p1.sq AS sq1
+        FROM pp p0 JOIN pp p1
+          ON p0.part = p1.part AND p0.period = 0 AND p1.period = 1
+    ), terms AS (
+        SELECT part,
+               CAST(FLOOR(CAST(sep1 AS DOUBLE) / sq1 * sq0 * 100)
+                    AS BIGINT) AS p1q0_c2,
+               CAST(sep0 * 100 AS BIGINT) AS p0q0_c2,
+               CAST(sep1 * 100 AS BIGINT) AS p1q1_c2,
+               CAST(FLOOR(CAST(sep0 AS DOUBLE) / sq0 * sq1 * 100)
+                    AS BIGINT) AS p0q1_c2
+        FROM matched
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(FLOOR(CAST(SUM(p1q0_c2) AS DOUBLE) / SUM(p0q0_c2)
+                      * 1000000) AS BIGINT) AS laspeyres_e6,
+           CAST(FLOOR(CAST(SUM(p1q1_c2) AS DOUBLE) / SUM(p0q1_c2)
+                      * 1000000) AS BIGINT) AS paasche_e6,
+           CAST(FLOOR(sqrt((CAST(SUM(p1q0_c2) AS DOUBLE) / SUM(p0q0_c2))
+                           * (CAST(SUM(p1q1_c2) AS DOUBLE)
+                              / SUM(p0q1_c2)))
+                      * 1000000) AS BIGINT) AS fisher_e6
+    FROM terms
+    """,
+)
+def agg_price_index_fisher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRICE INDEX numbers (round 9) — Laspeyres, Paasche, Fisher —
+    the national-accounts workhorses, computed as unit-value indices
+    over the two shipdate periods (pre/post 1998) on parts traded in
+    BOTH: Laspeyres Σp₁q₀/Σp₀q₀ weights by old baskets (overstates
+    inflation under substitution), Paasche Σp₁q₁/Σp₀q₁ by new
+    (understates), Fisher's ideal index is their geometric mean —
+    the standard readout for "how did effective prices move?" on
+    any priced-transaction feed.
+
+    Exactness: per (part,period) unit values come from integer cent
+    and quantity sums; the two cross terms p₁q₀/p₀q₁ floor per part
+    at centi-cent precision BEFORE the integer Σ over parts (the
+    order-free-sum discipline); the matched-parts inner join is the
+    same set in both engines; three final floors, one sqrt.
+
+    Scale: one keyed (part,period) aggregate (map-side combinable),
+    a self-join on part (co-partitioned, 2 rows per key), and a
+    1-row finish — no windows, no broadcast-scale risk since the
+    pair join is keyed on the aggregation key it just produced."""
+    li = load(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_partkey").alias("part"),
+        F.when(F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"), 0)
+        .otherwise(1)
+        .alias("period"),
+        F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("ep_c"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+    pp = base.groupBy("part", "period").agg(
+        F.sum("ep_c").cast("bigint").alias("sep"),
+        F.sum("qty").cast("bigint").alias("sq"),
+    )
+    p0 = pp.filter(F.col("period") == 0).select(
+        "part",
+        F.col("sep").alias("sep0"),
+        F.col("sq").alias("sq0"),
+    )
+    p1 = pp.filter(F.col("period") == 1).select(
+        "part",
+        F.col("sep").alias("sep1"),
+        F.col("sq").alias("sq1"),
+    )
+    both = p0.join(p1, "part")
+    terms = both.select(
+        "part",
+        F.floor(
+            F.col("sep1").cast("double") / F.col("sq1") * F.col("sq0") * 100
+        )
+        .cast("bigint")
+        .alias("p1q0_c2"),
+        (F.col("sep0") * 100).cast("bigint").alias("p0q0_c2"),
+        (F.col("sep1") * 100).cast("bigint").alias("p1q1_c2"),
+        F.floor(
+            F.col("sep0").cast("double") / F.col("sq0") * F.col("sq1") * 100
+        )
+        .cast("bigint")
+        .alias("p0q1_c2"),
+    )
+    lasp = F.sum("p1q0_c2").cast("double") / F.sum("p0q0_c2")
+    paas = F.sum("p1q1_c2").cast("double") / F.sum("p0q1_c2")
+    return terms.groupBy().agg(
+        F.count("*").cast("bigint").alias("n_parts"),
+        F.floor(lasp * 1000000).cast("bigint").alias("laspeyres_e6"),
+        F.floor(paas * 1000000).cast("bigint").alias("paasche_e6"),
+        F.floor(F.sqrt(lasp * paas) * 1000000)
+        .cast("bigint")
+        .alias("fisher_e6"),
+    )

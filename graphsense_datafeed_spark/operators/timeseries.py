@@ -5628,3 +5628,155 @@ def ts_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     out_cols.append(F.floor(hurst).cast("bigint").alias("hurst_e6"))
     return wide.select(*out_cols)
+
+
+@query(
+    "events_uplift_qini",
+    """
+    WITH peru AS (
+        SELECT user_id,
+               CAST(CAST('0x' || substr(md5('qini:' ||
+                    CAST(user_id AS VARCHAR)), 1, 4) AS BIGINT) % 2
+                    AS BIGINT) AS w,
+               CAST(SUM(CASE WHEN day(ts) <= 21
+                    THEN CAST(FLOOR(value * 10000) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS score,
+               CAST(SUM(CASE WHEN day(ts) >= 22
+                    THEN CAST(FLOOR(value * 10000) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS y
+        FROM events GROUP BY user_id
+    ), decs AS (
+        SELECT *, CAST(NTILE(10) OVER (ORDER BY score DESC, user_id)
+                       AS BIGINT) AS decile
+        FROM peru
+    ), agg AS (
+        SELECT decile,
+               CAST(COUNT(*) FILTER (w = 1) AS BIGINT) AS nt,
+               CAST(COUNT(*) FILTER (w = 0) AS BIGINT) AS nc,
+               CAST(SUM(CASE WHEN w = 1 THEN y ELSE 0 END) AS BIGINT)
+                   AS yt,
+               CAST(SUM(CASE WHEN w = 0 THEN y ELSE 0 END) AS BIGINT)
+                   AS yc
+        FROM decs GROUP BY decile
+    ), cum AS (
+        SELECT decile,
+               CAST(SUM(nt) OVER (ORDER BY decile
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cnt,
+               CAST(SUM(nc) OVER (ORDER BY decile
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cnc,
+               CAST(SUM(yt) OVER (ORDER BY decile
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cyt,
+               CAST(SUM(yc) OVER (ORDER BY decile
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cyc
+        FROM agg
+    )
+    SELECT decile, cnt, cnc, cyt, cyc,
+           CAST(CASE WHEN cnc = 0 THEN 0
+                ELSE FLOOR(cyt - CAST(cyc AS DOUBLE) * cnt / cnc)
+                END AS BIGINT) AS qini_e4,
+           CAST(CASE WHEN cnt = 0 OR cnc = 0 THEN 0
+                ELSE FLOOR(CAST(cyt AS DOUBLE) / cnt
+                           - CAST(cyc AS DOUBLE) / cnc)
+                END AS BIGINT) AS uplift_e4
+    FROM cum ORDER BY decile
+    """,
+)
+def events_uplift_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPLIFT deciles + QINI curve (round 9): the targeting readout
+    for an experiment — rank users by a PRE-period activity score,
+    then per cumulative decile compare post-period outcomes between
+    the hash-assigned arms: uplift(d) = ȳ_t − ȳ_c among the top-d
+    deciles, and Qini(d) = Y_t − Y_c·N_t/N_c is the incremental-
+    outcome curve whose area is the standard uplift-model metric.
+    If targeting works, uplift concentrates in early deciles; under
+    this null (random arms, no treatment) the curve referee-hugs 0.
+    Completes the experimentation kit: srm → power → cuped →
+    switchback → did → sequential-obf → qini.
+
+    Exactness: per-user pre/post e4 sums and the md5 arm are exact;
+    NTILE rides a fully-specified order (score desc, user_id); all
+    cumulative quantities are integer; the two readouts floor once.
+
+    Scale: the user aggregate is keyed; the decile NTILE is the one
+    global-order step (documented single-partition budget — at
+    cluster scale the SCALE.md two-level ranking substitutes); the
+    cumulative window runs on 10 pre-reduced rows."""
+    ev = load(spark, sf_dir, "events")
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("qini:"), F.col("user_id").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    v_e4 = F.floor(F.col("value") * 10000).cast("bigint")
+    peru = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.dayofmonth("ts") <= 21, v_e4).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("score"),
+        F.sum(
+            F.when(F.dayofmonth("ts") >= 22, v_e4).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("y"),
+    ).withColumn("w", arm)
+    decs = peru.withColumn(
+        "decile",
+        F.ntile(10)
+        .over(Window.orderBy(F.col("score").desc(), "user_id"))
+        .cast("bigint"),
+    )
+    agg = decs.groupBy("decile").agg(
+        F.count_if(F.col("w") == 1).cast("bigint").alias("nt"),
+        F.count_if(F.col("w") == 0).cast("bigint").alias("nc"),
+        F.sum(F.when(F.col("w") == 1, F.col("y")).otherwise(0))
+        .cast("bigint")
+        .alias("yt"),
+        F.sum(F.when(F.col("w") == 0, F.col("y")).otherwise(0))
+        .cast("bigint")
+        .alias("yc"),
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = agg.select(
+        "decile",
+        F.sum("nt").over(w_cum).cast("bigint").alias("cnt"),
+        F.sum("nc").over(w_cum).cast("bigint").alias("cnc"),
+        F.sum("yt").over(w_cum).cast("bigint").alias("cyt"),
+        F.sum("yc").over(w_cum).cast("bigint").alias("cyc"),
+    )
+    qini = F.when(F.col("cnc") == 0, F.lit(0)).otherwise(
+        F.floor(
+            F.col("cyt")
+            - F.col("cyc").cast("double") * F.col("cnt") / F.col("cnc")
+        )
+    )
+    uplift = F.when(
+        (F.col("cnt") == 0) | (F.col("cnc") == 0), F.lit(0)
+    ).otherwise(
+        F.floor(
+            F.col("cyt").cast("double") / F.col("cnt")
+            - F.col("cyc").cast("double") / F.col("cnc")
+        )
+    )
+    return cum.select(
+        "decile",
+        "cnt",
+        "cnc",
+        "cyt",
+        "cyc",
+        qini.cast("bigint").alias("qini_e4"),
+        uplift.cast("bigint").alias("uplift_e4"),
+    ).orderBy("decile")

@@ -476,6 +476,8 @@ _ROUND10_NEXT_UP = (
     "text_bm25_topk",
     "agg_icc_design_effect",
     "corpus_contamination_matrix",
+    "agg_price_index_fisher",
+    "events_uplift_qini",
 )
 
 _loaded = False

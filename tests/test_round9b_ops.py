@@ -1234,3 +1234,94 @@ def test_contamination_matrix_referee(spark, sf_dir):
         assert r["n_shared"] == shared
         assert r["rate_a_e6"] == math.floor(shared / len(sets[sa]) * 1e6)
         assert r["rate_b_e6"] == math.floor(shared / len(sets[sb]) * 1e6)
+
+
+def test_price_index_fisher_referee(spark, sf_dir):
+    li = pq.read_table(f"{sf_dir}/lineitem.parquet").to_pandas()
+    li["period"] = (
+        li["l_shipdate"] >= np.datetime64("1998-01-01")
+    ).astype(int)
+    li["ep_c"] = np.floor(li["l_extendedprice"].to_numpy() * 100).astype(
+        np.int64
+    )
+    li["qty"] = li["l_quantity"].astype(np.int64)
+    g = li.groupby(["l_partkey", "period"]).agg(
+        sep=("ep_c", "sum"), sq=("qty", "sum")
+    )
+    s1, s2, s3, s4, n = 0, 0, 0, 0, 0
+    for part in g.index.get_level_values(0).unique():
+        try:
+            r0, r1 = g.loc[(part, 0)], g.loc[(part, 1)]
+        except KeyError:
+            continue
+        n += 1
+        s1 += math.floor(float(r1.sep) / r1.sq * r0.sq * 100)
+        s2 += int(r0.sep) * 100
+        s3 += int(r1.sep) * 100
+        s4 += math.floor(float(r0.sep) / r0.sq * r1.sq * 100)
+    (r,) = QUERIES["agg_price_index_fisher"](spark, sf_dir).collect()
+    assert r["n_parts"] == n
+    lasp, paas = s1 / s2, s3 / s4
+    assert abs(r["laspeyres_e6"] - math.floor(lasp * 1e6)) <= 1
+    assert abs(r["paasche_e6"] - math.floor(paas * 1e6)) <= 1
+    assert abs(r["fisher_e6"] - math.floor(math.sqrt(lasp * paas) * 1e6)) <= 1
+    # uniform synthetic prices: index near 1, and Fisher must sit
+    # between its two bounding indices
+    assert 800000 < r["fisher_e6"] < 1250000
+    lo, hi = sorted((r["laspeyres_e6"], r["paasche_e6"]))
+    assert lo - 1 <= r["fisher_e6"] <= hi + 1
+
+
+def test_uplift_qini_referee(spark, sf_dir):
+    import hashlib
+
+    ev = _events(sf_dir)
+    ev["v_e4"] = np.floor(ev["value"].to_numpy() * 10000).astype(np.int64)
+    day = ev["ts"].dt.day
+    pre = ev[day <= 21].groupby("user_id")["v_e4"].sum()
+    post = ev[day >= 22].groupby("user_id")["v_e4"].sum()
+    users = sorted(ev["user_id"].unique())
+    rows_u = []
+    for u in users:
+        rows_u.append(
+            (
+                u,
+                int(hashlib.md5(f"qini:{u}".encode()).hexdigest()[:4], 16)
+                % 2,
+                int(pre.get(u, 0)),
+                int(post.get(u, 0)),
+            )
+        )
+    rows_u.sort(key=lambda t: (-t[2], t[0]))
+    n = len(rows_u)
+    qsz, rem = divmod(n, 10)
+    deciles = []
+    for i in range(10):
+        deciles += [i + 1] * (qsz + (1 if i < rem else 0))
+    got = sorted(
+        QUERIES["events_uplift_qini"](spark, sf_dir).collect(),
+        key=lambda r: r["decile"],
+    )
+    cnt = cnc = cyt = cyc = 0
+    idx = 0
+    for d in range(1, 11):
+        while idx < n and deciles[idx] == d:
+            _, w, _, y = rows_u[idx]
+            if w == 1:
+                cnt, cyt = cnt + 1, cyt + y
+            else:
+                cnc, cyc = cnc + 1, cyc + y
+            idx += 1
+        r = got[d - 1]
+        assert (r["cnt"], r["cnc"], r["cyt"], r["cyc"]) == (
+            cnt,
+            cnc,
+            cyt,
+            cyc,
+        )
+        want_q = 0 if cnc == 0 else math.floor(cyt - cyc * cnt / cnc)
+        assert abs(r["qini_e4"] - want_q) <= 1
+    # null experiment: final-decile uplift per user stays small
+    # relative to the mean outcome
+    mean_y = (cyt + cyc) / (cnt + cnc)
+    assert abs(got[-1]["uplift_e4"]) < 0.5 * mean_y
