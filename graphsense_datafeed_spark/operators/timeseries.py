@@ -5780,3 +5780,107 @@ def events_uplift_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
         qini.cast("bigint").alias("qini_e4"),
         uplift.cast("bigint").alias("uplift_e4"),
     ).orderBy("decile")
+
+
+_GUM_SQRT6_PI = "0.779696801233676"
+_GUM_GAMMA = "0.5772156649015329"
+_GUM_C30 = "3.3842944934992527"
+_GUM_C365 = "5.8985259242227315"
+
+
+@query(
+    "agg_gumbel_block_maxima",
+    f"""
+    WITH blocks AS (
+        SELECT CAST(ts AS DATE) AS d,
+               CAST(MAX(CAST(FLOOR(value * 10000) AS BIGINT)) AS BIGINT)
+                   AS m
+        FROM events GROUP BY 1
+    ), agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(m) AS BIGINT) AS s,
+               CAST(SUM(m * m) AS BIGINT) AS ss,
+               CAST(MAX(m) AS BIGINT) AS observed_max_e4
+        FROM blocks
+    )
+    SELECT n, observed_max_e4,
+           CAST(FLOOR(CAST(s AS DOUBLE) / n) AS BIGINT) AS mean_e4,
+           CAST(FLOOR(sqrt((CAST(ss AS DOUBLE)
+                            - CAST(s AS DOUBLE) * s / n) / (n - 1.0))
+                      * {_GUM_SQRT6_PI}) AS BIGINT) AS sigma_e4,
+           CAST(FLOOR(CAST(s AS DOUBLE) / n
+                      - {_GUM_GAMMA}
+                        * (sqrt((CAST(ss AS DOUBLE)
+                                 - CAST(s AS DOUBLE) * s / n) / (n - 1.0))
+                           * {_GUM_SQRT6_PI})) AS BIGINT) AS mu_e4,
+           CAST(FLOOR((CAST(s AS DOUBLE) / n
+                       - {_GUM_GAMMA}
+                         * (sqrt((CAST(ss AS DOUBLE)
+                                  - CAST(s AS DOUBLE) * s / n)
+                                 / (n - 1.0)) * {_GUM_SQRT6_PI}))
+                      + (sqrt((CAST(ss AS DOUBLE)
+                               - CAST(s AS DOUBLE) * s / n) / (n - 1.0))
+                         * {_GUM_SQRT6_PI}) * {_GUM_C30}) AS BIGINT)
+               AS rl30_e4,
+           CAST(FLOOR((CAST(s AS DOUBLE) / n
+                       - {_GUM_GAMMA}
+                         * (sqrt((CAST(ss AS DOUBLE)
+                                  - CAST(s AS DOUBLE) * s / n)
+                                 / (n - 1.0)) * {_GUM_SQRT6_PI}))
+                      + (sqrt((CAST(ss AS DOUBLE)
+                               - CAST(s AS DOUBLE) * s / n) / (n - 1.0))
+                         * {_GUM_SQRT6_PI}) * {_GUM_C365}) AS BIGINT)
+               AS rl365_e4
+    FROM agg
+    """,
+)
+def agg_gumbel_block_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTREME-VALUE return levels by GUMBEL block maxima (round 9):
+    capacity planning's actual question is never "what's the mean?"
+    but "what daily peak should I expect once a month / once a
+    year?". Fisher-Tippett says block maxima of light-tailed data
+    converge to a Gumbel; the method-of-moments fit σ̂ = s·√6/π,
+    μ̂ = m̄ − γ·σ̂ (γ = Euler–Mascheroni) turns 30 daily maxima into
+    return levels z_T = μ̂ + σ̂·(−ln(−ln(1−1/T))) for T = 30 and 365
+    days. Complements agg_hill_tail_index (heavy-tail exponent) on
+    the light-tailed side.
+
+    Exactness: block maxima are exact e4 integers (max commutes
+    with the monotone floor); (n, Σm, Σm²) reduce exactly; √6/π, γ
+    and the two −ln(−ln(1−1/T)) constants are Python-repr'd literals
+    so neither engine evaluates ln/π itself; each output floors
+    through one literal-ordered chain from the same three integers.
+
+    Scale: keyed daily-max partial aggregate → 1-row finish; the
+    block grain (day) is the parallelism unit, so the same plan fits
+    per-key block maxima at any fan-out."""
+    ev = load(spark, sf_dir, "events")
+    blocks = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.max(F.floor(F.col("value") * 10000).cast("bigint"))
+        .cast("bigint")
+        .alias("m")
+    )
+    agg = blocks.groupBy().agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("m").cast("bigint").alias("s"),
+        F.sum(F.col("m") * F.col("m")).cast("bigint").alias("ss"),
+        F.max("m").cast("bigint").alias("observed_max_e4"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    mean = d("s") / F.col("n")
+    sd = F.sqrt((d("ss") - d("s") * F.col("s") / F.col("n")) / (F.col("n") - 1.0))
+    sigma = sd * float(_GUM_SQRT6_PI)
+    mu = mean - float(_GUM_GAMMA) * sigma
+    return agg.select(
+        "n",
+        "observed_max_e4",
+        F.floor(mean).cast("bigint").alias("mean_e4"),
+        F.floor(sigma).cast("bigint").alias("sigma_e4"),
+        F.floor(mu).cast("bigint").alias("mu_e4"),
+        F.floor(mu + sigma * float(_GUM_C30))
+        .cast("bigint")
+        .alias("rl30_e4"),
+        F.floor(mu + sigma * float(_GUM_C365))
+        .cast("bigint")
+        .alias("rl365_e4"),
+    )

@@ -478,6 +478,8 @@ _ROUND10_NEXT_UP = (
     "corpus_contamination_matrix",
     "agg_price_index_fisher",
     "events_uplift_qini",
+    "agg_gumbel_block_maxima",
+    "embed_gram_spectral_norm",
 )
 
 _loaded = False

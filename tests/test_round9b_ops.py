@@ -1325,3 +1325,69 @@ def test_uplift_qini_referee(spark, sf_dir):
     # relative to the mean outcome
     mean_y = (cyt + cyc) / (cnt + cnc)
     assert abs(got[-1]["uplift_e4"]) < 0.5 * mean_y
+
+
+def test_gumbel_block_maxima_referee(spark, sf_dir):
+    ev = _events(sf_dir)
+    ev["v_e4"] = np.floor(ev["value"].to_numpy() * 10000).astype(np.int64)
+    m = ev.groupby(ev["ts"].dt.date)["v_e4"].max().to_numpy().astype(float)
+    n = len(m)
+    mean = m.sum() / n
+    sd = math.sqrt((np.sum(m * m) - m.sum() ** 2 / n) / (n - 1))
+    sigma = sd * (math.sqrt(6.0) / math.pi)
+    mu = mean - 0.5772156649015329 * sigma
+    rl30 = mu + sigma * (-math.log(-math.log(29.0 / 30.0)))
+    rl365 = mu + sigma * (-math.log(-math.log(364.0 / 365.0)))
+    (r,) = QUERIES["agg_gumbel_block_maxima"](spark, sf_dir).collect()
+    assert r["n"] == n
+    assert r["observed_max_e4"] == int(m.max())
+    assert abs(r["mean_e4"] - math.floor(mean)) <= 1
+    assert abs(r["sigma_e4"] - math.floor(sigma)) <= 1
+    assert abs(r["mu_e4"] - math.floor(mu)) <= 1
+    assert abs(r["rl30_e4"] - math.floor(rl30)) <= 1
+    assert abs(r["rl365_e4"] - math.floor(rl365)) <= 1
+    # ordering sanity: mode < 1-month level < 1-year level, and the
+    # 30-day return level should sit near the observed 30-block max
+    assert r["mu_e4"] < r["rl30_e4"] < r["rl365_e4"]
+    assert abs(r["rl30_e4"] - r["observed_max_e4"]) < 3 * r["sigma_e4"]
+
+
+def test_gram_spectral_norm_referee(spark, sf_dir):
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    x = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in emb["embedding"]]
+    )
+    qm = np.floor(x * 1e6).astype(np.int64)
+    (r,) = QUERIES["embed_gram_spectral_norm"](spark, sf_dir).collect()
+    assert r["d"] == x.shape[1]
+    assert r["n_vecs"] == len(x)
+    # bit-exact replay of the quantized recursion (integer gram,
+    # double renormalization chain identical to both engines)
+    gram = qm.T.astype(object) @ qm.astype(object)
+    g = np.array(
+        [[math.floor(float(c) / 1e6) for c in row] for row in gram],
+        dtype=object,
+    )
+    S = 10**8
+    d = g.shape[0]
+    v = np.full(d, S // d, dtype=object)
+    for _ in range(8):
+        w = g @ v
+        nrm = int(np.abs(w).sum())
+        v = np.array(
+            [math.floor(float(c) * float(S) / float(nrm)) for c in w],
+            dtype=object,
+        )
+    wf = g @ v
+    num, den = int((v * wf).sum()), int((v * v).sum())
+    lam_replay = float(num) / float(den)
+    assert r["lambda_e3"] == math.floor(lam_replay * 1000)
+    assert r["spectral_e3"] == math.floor(lam_replay / 1000.0)
+    # bound sanity vs the true top eigenvalue: a Rayleigh quotient
+    # can never exceed lambda_1, and 8 rounds must capture most of it
+    lam_true = float(
+        np.linalg.eigvalsh(g.astype(np.float64)).max()
+    )
+    lam_got = r["lambda_e3"] / 1e3
+    assert lam_got <= lam_true * 1.001
+    assert lam_got >= 0.8 * lam_true
