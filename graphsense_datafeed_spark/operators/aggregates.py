@@ -5872,3 +5872,119 @@ def agg_price_index_fisher(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("fisher_e6"),
     )
+
+
+@query(
+    "agg_tail_dependence",
+    """
+    WITH base AS (
+        SELECT CAST(FLOOR(value * 10000) AS BIGINT) AS x,
+               CAST(json_extract(props, '$.k') AS BIGINT) AS y
+        FROM events
+    ), q AS (
+        SELECT CAST(quantile_disc(x, 0.95) AS BIGINT) AS qxu,
+               CAST(quantile_disc(y, 0.95) AS BIGINT) AS qyu,
+               CAST(quantile_disc(x, 0.05) AS BIGINT) AS qxl,
+               CAST(quantile_disc(y, 0.05) AS BIGINT) AS qyl,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM base
+    )
+    SELECT q.n, q.qxu AS qx_hi_e4, q.qyu AS qy_hi, q.qxl AS qx_lo_e4,
+           q.qyl AS qy_lo,
+           CAST(COUNT(*) FILTER (b.y > q.qyu) AS BIGINT) AS n_y_hi,
+           CAST(COUNT(*) FILTER (b.x > q.qxu AND b.y > q.qyu) AS BIGINT)
+               AS n_both_hi,
+           CAST(COUNT(*) FILTER (b.y < q.qyl) AS BIGINT) AS n_y_lo,
+           CAST(COUNT(*) FILTER (b.x < q.qxl AND b.y < q.qyl) AS BIGINT)
+               AS n_both_lo,
+           CAST(CASE WHEN COUNT(*) FILTER (b.y > q.qyu) = 0 THEN 0
+                ELSE FLOOR(CAST(COUNT(*) FILTER (b.x > q.qxu
+                                AND b.y > q.qyu) AS DOUBLE)
+                           / COUNT(*) FILTER (b.y > q.qyu) * 1000000)
+                END AS BIGINT) AS lambda_u_e6,
+           CAST(CASE WHEN COUNT(*) FILTER (b.y < q.qyl) = 0 THEN 0
+                ELSE FLOOR(CAST(COUNT(*) FILTER (b.x < q.qxl
+                                AND b.y < q.qyl) AS DOUBLE)
+                           / COUNT(*) FILTER (b.y < q.qyl) * 1000000)
+                END AS BIGINT) AS lambda_l_e6
+    FROM base b, q
+    GROUP BY q.n, q.qxu, q.qyu, q.qxl, q.qyl
+    """,
+)
+def agg_tail_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMPIRICAL TAIL DEPENDENCE (round 9): correlation answers "do
+    X and Y move together on average?" — risk asks "do they spike
+    TOGETHER?" The upper tail-dependence coefficient λ_U =
+    P(X > q95(X) | Y > q95(Y)) (and λ_L for the lower tail) is the
+    copula-level answer: under independence λ ≈ 0.05; λ near 1 means
+    joint extremes (the failure mode diversification does not save
+    you from). Complements agg_corr_exact / agg_partial_correlation
+    with the extremes-only view on (value, props.k).
+
+    Exactness: thresholds are PERCENTILE_DISC integers (actual
+    data), tail membership is integer comparison, both λs floor once
+    from exact counts — no float discipline needed beyond the one
+    division.
+
+    Scale: one discrete-quantile pass, one broadcast threshold
+    anchor, one conditional-count aggregate — the ts_pot_gpd_moments
+    two-pass shape with a second axis."""
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        F.floor(F.col("value") * 10000).cast("bigint").alias("x"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("y"),
+    )
+    q = base.agg(
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY x)")
+        .cast("bigint")
+        .alias("qxu"),
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY y)")
+        .cast("bigint")
+        .alias("qyu"),
+        F.expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY x)")
+        .cast("bigint")
+        .alias("qxl"),
+        F.expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY y)")
+        .cast("bigint")
+        .alias("qyl"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    j = base.crossJoin(F.broadcast(q))
+    n_y_hi = F.count_if(F.col("y") > F.col("qyu"))
+    n_both_hi = F.count_if(
+        (F.col("x") > F.col("qxu")) & (F.col("y") > F.col("qyu"))
+    )
+    n_y_lo = F.count_if(F.col("y") < F.col("qyl"))
+    n_both_lo = F.count_if(
+        (F.col("x") < F.col("qxl")) & (F.col("y") < F.col("qyl"))
+    )
+    return j.groupBy("n", "qxu", "qyu", "qxl", "qyl").agg(
+        n_y_hi.cast("bigint").alias("n_y_hi"),
+        n_both_hi.cast("bigint").alias("n_both_hi"),
+        n_y_lo.cast("bigint").alias("n_y_lo"),
+        n_both_lo.cast("bigint").alias("n_both_lo"),
+        F.when(n_y_hi == 0, F.lit(0))
+        .otherwise(
+            F.floor(n_both_hi.cast("double") / n_y_hi * 1000000)
+        )
+        .cast("bigint")
+        .alias("lambda_u_e6"),
+        F.when(n_y_lo == 0, F.lit(0))
+        .otherwise(
+            F.floor(n_both_lo.cast("double") / n_y_lo * 1000000)
+        )
+        .cast("bigint")
+        .alias("lambda_l_e6"),
+    ).select(
+        F.col("n"),
+        F.col("qxu").alias("qx_hi_e4"),
+        F.col("qyu").alias("qy_hi"),
+        F.col("qxl").alias("qx_lo_e4"),
+        F.col("qyl").alias("qy_lo"),
+        "n_y_hi",
+        "n_both_hi",
+        "n_y_lo",
+        "n_both_lo",
+        "lambda_u_e6",
+        "lambda_l_e6",
+    )

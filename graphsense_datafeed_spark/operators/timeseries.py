@@ -5884,3 +5884,86 @@ def agg_gumbel_block_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rl365_e4"),
     )
+
+
+@query(
+    "ts_pot_gpd_moments",
+    """
+    WITH base AS (
+        SELECT CAST(FLOOR(value * 10000) AS BIGINT) AS v FROM events
+    ), thr AS (
+        SELECT CAST(quantile_disc(v, 0.9) AS BIGINT) AS u,
+               CAST(COUNT(*) AS BIGINT) AS n_total
+        FROM base
+    ), exc AS (
+        SELECT b.v - t.u AS y, t.u, t.n_total
+        FROM base b, thr t
+        WHERE b.v > t.u
+    )
+    SELECT CAST(MAX(u) AS BIGINT) AS u_e4,
+           CAST(MAX(n_total) AS BIGINT) AS n_total,
+           CAST(COUNT(*) AS BIGINT) AS n_exceed,
+           CAST(FLOOR((0.5 * (1.0
+                - (CAST(SUM(y) AS DOUBLE) / COUNT(*))
+                  * (CAST(SUM(y) AS DOUBLE) / COUNT(*))
+                  / ((CAST(SUM(y * y) AS DOUBLE)
+                      - CAST(SUM(y) AS DOUBLE) * SUM(y) / COUNT(*))
+                     / (COUNT(*) - 1.0))))
+                * 1000000) AS BIGINT) AS xi_e6,
+           CAST(FLOOR((0.5 * (CAST(SUM(y) AS DOUBLE) / COUNT(*))
+                * (1.0
+                   + (CAST(SUM(y) AS DOUBLE) / COUNT(*))
+                     * (CAST(SUM(y) AS DOUBLE) / COUNT(*))
+                     / ((CAST(SUM(y * y) AS DOUBLE)
+                         - CAST(SUM(y) AS DOUBLE) * SUM(y) / COUNT(*))
+                        / (COUNT(*) - 1.0))))) AS BIGINT) AS beta_e4
+    FROM exc
+    """,
+)
+def ts_pot_gpd_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PEAKS-OVER-THRESHOLD with a GPD moment fit (round 9): the
+    other half of extreme-value theory next to agg_gumbel_block_
+    maxima — instead of one maximum per block, use EVERY exceedance
+    over a high threshold (the discrete p90 here): excesses over u
+    follow a Generalized Pareto(ξ, β), and the method-of-moments
+    estimators ξ̂ = ½(1 − m²/s²), β̂ = ½m(1 + m²/s²) read the tail
+    shape directly — ξ > 0 heavy tail (infinite higher moments
+    in range), ξ < 0 bounded tail, ξ ≈ 0 exponential. POT uses the
+    data 10× more efficiently than block maxima on the same window.
+
+    Exactness: u is PERCENTILE_DISC — an actual e4 integer datum in
+    both engines (the agg_percentile_disc lane), excesses are exact
+    integers, and ξ/β floor through one literal-ordered chain each
+    from (n, Σy, Σy²).
+
+    Scale: one global discrete quantile (bounded by the value
+    domain), one broadcast threshold anchor, one filtered map-side
+    aggregate — streams as a two-pass plan at any SF."""
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(F.floor(F.col("value") * 10000).cast("bigint").alias("v"))
+    thr = base.agg(
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY v)")
+        .cast("bigint")
+        .alias("u"),
+        F.count("*").cast("bigint").alias("n_total"),
+    )
+    exc = (
+        base.crossJoin(F.broadcast(thr))
+        .filter(F.col("v") > F.col("u"))
+        .select((F.col("v") - F.col("u")).alias("y"), "u", "n_total")
+    )
+    n = F.count("*")
+    m = F.sum("y").cast("double") / n
+    var = (
+        F.sum(F.col("y") * F.col("y")).cast("double")
+        - F.sum("y").cast("double") * F.sum("y") / n
+    ) / (n - 1.0)
+    xi = 0.5 * (1.0 - m * m / var)
+    beta = 0.5 * m * (1.0 + m * m / var)
+    return exc.groupBy().agg(
+        F.max("u").cast("bigint").alias("u_e4"),
+        F.max("n_total").cast("bigint").alias("n_total"),
+        n.cast("bigint").alias("n_exceed"),
+        F.floor(xi * 1000000).cast("bigint").alias("xi_e6"),
+        F.floor(beta).cast("bigint").alias("beta_e4"),
+    )

@@ -480,6 +480,8 @@ _ROUND10_NEXT_UP = (
     "events_uplift_qini",
     "agg_gumbel_block_maxima",
     "embed_gram_spectral_norm",
+    "ts_pot_gpd_moments",
+    "agg_tail_dependence",
 )
 
 _loaded = False

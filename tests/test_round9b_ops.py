@@ -1391,3 +1391,67 @@ def test_gram_spectral_norm_referee(spark, sf_dir):
     lam_got = r["lambda_e3"] / 1e3
     assert lam_got <= lam_true * 1.001
     assert lam_got >= 0.8 * lam_true
+
+
+def test_pot_gpd_referee(spark, sf_dir):
+    ev = _events(sf_dir)
+    v = np.sort(np.floor(ev["value"].to_numpy() * 10000).astype(np.int64))
+    n = len(v)
+    # percentile_disc(0.9): smallest element with cum share >= 0.9
+    u = int(v[math.ceil(0.9 * n) - 1])
+    y = (v[v > u] - u).astype(np.float64)
+    m = y.mean()
+    s2 = ((y - m) ** 2).sum() / (len(y) - 1)
+    xi = 0.5 * (1 - m * m / s2)
+    beta = 0.5 * m * (1 + m * m / s2)
+    (r,) = QUERIES["ts_pot_gpd_moments"](spark, sf_dir).collect()
+    assert r["u_e4"] == u
+    assert r["n_total"] == n
+    assert r["n_exceed"] == len(y)
+    assert abs(r["xi_e6"] - math.floor(xi * 1e6)) <= 1
+    assert abs(r["beta_e4"] - math.floor(beta)) <= 1
+    # the synthetic value tail is near-exponential: xi must hug 0,
+    # far from the heavy-tail (xi > 0.5) and hard-bound (xi < -0.5)
+    # regimes
+    assert abs(r["xi_e6"]) < 500000
+    assert r["beta_e4"] > 0
+
+
+def test_tail_dependence_referee(spark, sf_dir):
+    import json as _json
+
+    ev = _events(sf_dir)
+    x = np.floor(ev["value"].to_numpy() * 10000).astype(np.int64)
+    y = np.array([int(_json.loads(p)["k"]) for p in ev["props"]])
+    n = len(x)
+
+    def qdisc(a, p):
+        sa = np.sort(a)
+        return int(sa[math.ceil(p * n) - 1])
+
+    qxu, qyu = qdisc(x, 0.95), qdisc(y, 0.95)
+    qxl, qyl = qdisc(x, 0.05), qdisc(y, 0.05)
+    (r,) = QUERIES["agg_tail_dependence"](spark, sf_dir).collect()
+    assert (r["qx_hi_e4"], r["qy_hi"], r["qx_lo_e4"], r["qy_lo"]) == (
+        qxu,
+        qyu,
+        qxl,
+        qyl,
+    )
+    n_y_hi = int((y > qyu).sum())
+    n_both_hi = int(((x > qxu) & (y > qyu)).sum())
+    n_y_lo = int((y < qyl).sum())
+    n_both_lo = int(((x < qxl) & (y < qyl)).sum())
+    assert (r["n_y_hi"], r["n_both_hi"], r["n_y_lo"], r["n_both_lo"]) == (
+        n_y_hi,
+        n_both_hi,
+        n_y_lo,
+        n_both_lo,
+    )
+    assert r["lambda_u_e6"] == (
+        0 if n_y_hi == 0 else math.floor(n_both_hi / n_y_hi * 1e6)
+    )
+    # value and props.k are independent by construction: both lambdas
+    # must hug the tail mass (~5%), far from dependence (~100%)
+    assert r["lambda_u_e6"] < 250000
+    assert r["lambda_l_e6"] < 250000
