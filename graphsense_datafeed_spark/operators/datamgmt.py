@@ -2648,3 +2648,118 @@ def agg_icc_design_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(icc * 1000000).cast("bigint").alias("icc_e6"),
         F.floor(deff * 1000000).cast("bigint").alias("deff_e6"),
     )
+
+
+@query(
+    "profile_ndv_sample_gee",
+    """
+    WITH rows_t AS (
+        SELECT l_partkey AS part,
+               CAST(CAST('0x' || substr(md5('ndv:' ||
+                    CAST(l_orderkey AS VARCHAR) || ':' ||
+                    CAST(l_linenumber AS VARCHAR)), 1, 6) AS BIGINT)
+                    % 100 AS BIGINT) AS bucket
+        FROM lineitem
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+               CAST(COUNT(DISTINCT part) AS BIGINT) AS d_exact
+        FROM rows_t
+    ), samp AS (
+        SELECT part, CAST(COUNT(*) AS BIGINT) AS c
+        FROM rows_t WHERE bucket < 10 GROUP BY part
+    ), sagg AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n_sample,
+               CAST(COUNT(*) AS BIGINT) AS d_sample,
+               CAST(COUNT(*) FILTER (c = 1) AS BIGINT) AS f1
+        FROM samp
+    )
+    SELECT t.n_total, t.d_exact, s.n_sample, s.d_sample, s.f1,
+           CAST(FLOOR(sqrt(CAST(t.n_total AS DOUBLE) / s.n_sample)
+                      * s.f1 + (s.d_sample - s.f1)) AS BIGINT) AS gee,
+           CAST(FLOOR(ABS(FLOOR(sqrt(CAST(t.n_total AS DOUBLE)
+                                     / s.n_sample)
+                                * s.f1 + (s.d_sample - s.f1))
+                          - CAST(t.d_exact AS DOUBLE))
+                      / t.d_exact * 1000000) AS BIGINT) AS err_e6
+    FROM tot t, sagg s
+    """,
+)
+def profile_ndv_sample_gee(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled NDV estimation with the GEE estimator (round 9) —
+    the optimizer-statistics problem: a 10% row sample SEES only
+    some distinct keys, and the naive "scale d_sample" answer is
+    badly biased. Charikar et al.'s Guaranteed-Error Estimator
+    D̂ = √(N/n)·f₁ + (d_sample − f₁) — singletons in the sample are
+    the evidence for unseen values — achieves the provable √(N/n)
+    error ratio bound that paper shows is optimal. The operator runs
+    BOTH the sample estimate and the exact NDV and reports the
+    realized relative error: exactly how a stats-collection job
+    validates its sampling rate before trusting it at 100 TB.
+
+    Exactness: the sample is the frozen md5 row-hash (re-runnable,
+    engine-portable), all counts are integers, and the two outputs
+    floor through one sqrt chain; the realized-error column reuses
+    the FLOORED estimator so both engines divide identical integers.
+
+    Scale: the sample aggregate touches 10% of rows with a keyed
+    groupBy; the exact side is one COUNT(DISTINCT) — the expensive
+    reconciliation path the estimator exists to avoid, carried here
+    as the referee."""
+    li = load(spark, sf_dir, "lineitem")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("ndv:"),
+                        F.col("l_orderkey").cast("string"),
+                        F.lit(":"),
+                        F.col("l_linenumber").cast("string"),
+                    ).cast("binary")
+                ),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    rows_t = li.select(
+        F.col("l_partkey").alias("part"), bucket.alias("bucket")
+    )
+    tot = rows_t.agg(
+        F.count("*").cast("bigint").alias("n_total"),
+        F.countDistinct("part").cast("bigint").alias("d_exact"),
+    )
+    samp = (
+        rows_t.filter(F.col("bucket") < 10)
+        .groupBy("part")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    sagg = samp.agg(
+        F.sum("c").cast("bigint").alias("n_sample"),
+        F.count("*").cast("bigint").alias("d_sample"),
+        F.count_if(F.col("c") == 1).cast("bigint").alias("f1"),
+    )
+    j = tot.crossJoin(F.broadcast(sagg))
+    gee = F.floor(
+        F.sqrt(F.col("n_total").cast("double") / F.col("n_sample"))
+        * F.col("f1")
+        + (F.col("d_sample") - F.col("f1"))
+    )
+    return j.select(
+        "n_total",
+        "d_exact",
+        "n_sample",
+        "d_sample",
+        "f1",
+        gee.cast("bigint").alias("gee"),
+        F.floor(
+            F.abs(gee - F.col("d_exact").cast("double"))
+            / F.col("d_exact")
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("err_e6"),
+    )

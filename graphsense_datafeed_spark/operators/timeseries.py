@@ -5967,3 +5967,191 @@ def ts_pot_gpd_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(xi * 1000000).cast("bigint").alias("xi_e6"),
         F.floor(beta).cast("bigint").alias("beta_e4"),
     )
+
+
+@query(
+    "ts_changepoint_binseg2",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ), tape AS (
+        SELECT x,
+               CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS t,
+               CAST(SUM(x) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS s,
+               CAST(SUM(x) OVER () AS BIGINT) AS stot,
+               CAST(COUNT(*) OVER () AS BIGINT) AS tt
+        FROM daily
+    ), c1 AS (
+        SELECT t, tt,
+               CAST(FLOOR(CAST(tt * s - t * stot AS DOUBLE)
+                          * (tt * s - t * stot)
+                          / (t * (tt - t)) / tt * 1000) AS BIGINT)
+                   AS gain_e3,
+               CAST(ROW_NUMBER() OVER (ORDER BY
+                    CAST(FLOOR(CAST(tt * s - t * stot AS DOUBLE)
+                               * (tt * s - t * stot)
+                               / (t * (tt - t)) / tt * 1000) AS BIGINT)
+                    DESC, t) AS BIGINT) AS rnk
+        FROM tape WHERE t >= 3 AND t <= tt - 3
+    ), cp1 AS (
+        SELECT t AS cp, tt, gain_e3 FROM c1 WHERE rnk = 1
+    ), seg AS (
+        SELECT CASE WHEN e.t <= p.cp THEN 'left' ELSE 'right' END
+                   AS segment,
+               e.t, e.x, p.cp
+        FROM tape e, cp1 p
+    ), seg_tape AS (
+        SELECT segment, t, cp,
+               CAST(ROW_NUMBER() OVER (PARTITION BY segment ORDER BY t)
+                    AS BIGINT) AS r,
+               CAST(SUM(x) OVER (PARTITION BY segment ORDER BY t
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ls,
+               CAST(SUM(x) OVER (PARTITION BY segment) AS BIGINT)
+                   AS lstot,
+               CAST(COUNT(*) OVER (PARTITION BY segment) AS BIGINT)
+                   AS lt
+        FROM seg
+    ), c2 AS (
+        SELECT segment, t, r, lt,
+               CAST(FLOOR(CAST(lt * ls - r * lstot AS DOUBLE)
+                          * (lt * ls - r * lstot)
+                          / (r * (lt - r)) / lt * 1000) AS BIGINT)
+                   AS gain_e3,
+               CAST(ROW_NUMBER() OVER (PARTITION BY segment ORDER BY
+                    CAST(FLOOR(CAST(lt * ls - r * lstot AS DOUBLE)
+                               * (lt * ls - r * lstot)
+                               / (r * (lt - r)) / lt * 1000) AS BIGINT)
+                    DESC, t) AS BIGINT) AS rnk
+        FROM seg_tape WHERE r >= 3 AND r <= lt - 3
+    )
+    SELECT CAST(1 AS BIGINT) AS level, 'all' AS segment,
+           cp AS cp_t, cp AS n_left, tt - cp AS n_right, gain_e3
+    FROM cp1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT) AS level, segment, t AS cp_t,
+           r AS n_left, lt - r AS n_right, gain_e3
+    FROM c2 WHERE rnk = 1
+    ORDER BY level, segment
+    """,
+)
+def ts_changepoint_binseg2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BINARY-SEGMENTATION changepoints, two levels (round 9): where
+    ts_changepoint_cusum asks "did the mean shift?", binary
+    segmentation asks "WHERE, and then where within each half?" —
+    the classic multiple-changepoint recursion: pick the split t
+    maximizing the SSE reduction Δ(t) = (T·Sₜ − t·S)² / (t(T−t)T)
+    over the daily tape, then recurse into each side (min segment 3;
+    a side shorter than 6 emits no candidate). Two levels = up to 3
+    changepoints, the monitoring dashboard's "break the month into
+    regimes" readout.
+
+    Exactness: the argmax discriminant T·Sₜ − t·S is an exact
+    bigint (prefix sums never divide); the gain floors to e3 through
+    one chain, and BOTH the ranking and the tie-break run on the
+    floored integer (gain desc, t asc) — so the selected splits are
+    identical integers in both engines, level by level.
+
+    Scale: the tape is the pre-reduced daily rollup (global windows
+    budgeted); level-2 windows are keyed by segment. For k levels
+    the same plan recurses with segment-id prefixes — each level is
+    one keyed window pass, never a per-candidate scan."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count("*").cast("bigint").alias("x")
+    )
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_cum = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tape = daily.select(
+        "x",
+        F.row_number().over(Window.orderBy("d")).cast("bigint").alias("t"),
+        F.sum("x").over(w_cum).cast("bigint").alias("s"),
+        F.sum("x").over(w_all).cast("bigint").alias("stot"),
+        F.count("*").over(w_all).cast("bigint").alias("tt"),
+    )
+
+    def gain_col(n_tot, pref, idx, tot):
+        dnum = n_tot * pref - idx * tot
+        return F.floor(
+            dnum.cast("double")
+            * dnum
+            / (idx * (n_tot - idx))
+            / n_tot
+            * 1000
+        ).cast("bigint")
+
+    g1 = gain_col(F.col("tt"), F.col("s"), F.col("t"), F.col("stot"))
+    c1 = tape.filter(
+        (F.col("t") >= 3) & (F.col("t") <= F.col("tt") - 3)
+    ).select(
+        "t",
+        "tt",
+        g1.alias("gain_e3"),
+    )
+    c1 = c1.withColumn(
+        "rnk",
+        F.row_number()
+        .over(Window.orderBy(F.col("gain_e3").desc(), "t"))
+        .cast("bigint"),
+    )
+    cp1 = c1.filter(F.col("rnk") == 1).select(
+        F.col("t").alias("cp"), "tt", "gain_e3"
+    )
+    seg = tape.crossJoin(F.broadcast(cp1.select("cp"))).select(
+        F.when(F.col("t") <= F.col("cp"), "left")
+        .otherwise("right")
+        .alias("segment"),
+        "t",
+        "x",
+    )
+    w_seg = Window.partitionBy("segment")
+    w_seg_cum = w_seg.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    seg_tape = seg.select(
+        "segment",
+        "t",
+        F.row_number()
+        .over(w_seg.orderBy("t"))
+        .cast("bigint")
+        .alias("r"),
+        F.sum("x").over(w_seg_cum).cast("bigint").alias("ls"),
+        F.sum("x").over(w_seg).cast("bigint").alias("lstot"),
+        F.count("*").over(w_seg).cast("bigint").alias("lt"),
+    )
+    g2 = gain_col(F.col("lt"), F.col("ls"), F.col("r"), F.col("lstot"))
+    c2 = seg_tape.filter(
+        (F.col("r") >= 3) & (F.col("r") <= F.col("lt") - 3)
+    ).select("segment", "t", "r", "lt", g2.alias("gain_e3"))
+    c2 = c2.withColumn(
+        "rnk",
+        F.row_number()
+        .over(
+            Window.partitionBy("segment").orderBy(
+                F.col("gain_e3").desc(), "t"
+            )
+        )
+        .cast("bigint"),
+    )
+    lvl1 = cp1.select(
+        F.lit(1).cast("bigint").alias("level"),
+        F.lit("all").alias("segment"),
+        F.col("cp").alias("cp_t"),
+        F.col("cp").alias("n_left"),
+        (F.col("tt") - F.col("cp")).cast("bigint").alias("n_right"),
+        "gain_e3",
+    )
+    lvl2 = c2.filter(F.col("rnk") == 1).select(
+        F.lit(2).cast("bigint").alias("level"),
+        "segment",
+        F.col("t").alias("cp_t"),
+        F.col("r").alias("n_left"),
+        (F.col("lt") - F.col("r")).cast("bigint").alias("n_right"),
+        "gain_e3",
+    )
+    return lvl1.unionByName(lvl2).orderBy("level", "segment")

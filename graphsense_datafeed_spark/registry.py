@@ -482,6 +482,8 @@ _ROUND10_NEXT_UP = (
     "embed_gram_spectral_norm",
     "ts_pot_gpd_moments",
     "agg_tail_dependence",
+    "profile_ndv_sample_gee",
+    "ts_changepoint_binseg2",
 )
 
 _loaded = False

@@ -1455,3 +1455,72 @@ def test_tail_dependence_referee(spark, sf_dir):
     # must hug the tail mass (~5%), far from dependence (~100%)
     assert r["lambda_u_e6"] < 250000
     assert r["lambda_l_e6"] < 250000
+
+
+def test_ndv_gee_referee(spark, sf_dir):
+    import hashlib
+
+    li = pq.read_table(f"{sf_dir}/lineitem.parquet").to_pandas()
+    keys = [
+        f"ndv:{o}:{l}"
+        for o, l in zip(li["l_orderkey"], li["l_linenumber"])
+    ]
+    bucket = np.array(
+        [int(hashlib.md5(k.encode()).hexdigest()[:6], 16) % 100 for k in keys]
+    )
+    parts = li["l_partkey"].to_numpy()
+    (r,) = QUERIES["profile_ndv_sample_gee"](spark, sf_dir).collect()
+    assert r["n_total"] == len(li)
+    assert r["d_exact"] == len(np.unique(parts))
+    sample = parts[bucket < 10]
+    vals, counts = np.unique(sample, return_counts=True)
+    assert r["n_sample"] == len(sample)
+    assert r["d_sample"] == len(vals)
+    assert r["f1"] == int((counts == 1).sum())
+    gee = math.floor(
+        math.sqrt(len(li) / len(sample)) * r["f1"]
+        + (len(vals) - r["f1"])
+    )
+    assert r["gee"] == gee
+    assert r["err_e6"] == math.floor(abs(gee - r["d_exact"]) / r["d_exact"] * 1e6)
+    # GEE at 10% on this key distribution: within 40% of truth
+    assert r["err_e6"] < 400000
+
+
+def test_changepoint_binseg2_referee(spark, sf_dir):
+    ev = _events(sf_dir)
+    x = ev.groupby(ev["ts"].dt.date).size().sort_index().to_numpy()
+
+    def best_split(xs):
+        T, S = len(xs), int(xs.sum())
+        pref = np.cumsum(xs)
+        best = None
+        for t in range(3, T - 2):
+            d = T * int(pref[t - 1]) - t * S
+            gain = math.floor(float(d) * d / (t * (T - t)) / T * 1000)
+            key = (-gain, t)
+            if best is None or key < best[0]:
+                best = (key, t, gain)
+        return best
+
+    rows = {
+        (r["level"], r["segment"]): r
+        for r in QUERIES["ts_changepoint_binseg2"](spark, sf_dir).collect()
+    }
+    _, cp1, g1 = best_split(x)
+    r1 = rows[(1, "all")]
+    assert r1["cp_t"] == cp1
+    assert r1["gain_e3"] == g1
+    assert r1["n_left"] == cp1 and r1["n_right"] == len(x) - cp1
+    for segname, xs, offset in (
+        ("left", x[:cp1], 0),
+        ("right", x[cp1:], cp1),
+    ):
+        if len(xs) < 6:
+            assert (2, segname) not in rows
+            continue
+        _, cp, g = best_split(xs)
+        r = rows[(2, segname)]
+        assert r["cp_t"] == cp + offset
+        assert r["gain_e3"] == g
+        assert r["n_left"] == cp and r["n_right"] == len(xs) - cp
