@@ -5988,3 +5988,129 @@ def agg_tail_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lambda_u_e6",
         "lambda_l_e6",
     )
+
+
+_KM1D_ITERS = 3
+
+
+def _kmeans_1d_oracle_sql() -> str:
+    sql = """
+    WITH base AS MATERIALIZED (
+        SELECT CAST(FLOOR(value * 10000) AS BIGINT) AS v FROM events
+    ), c0 AS (
+        SELECT CAST(quantile_disc(v, 0.25) AS BIGINT) AS c1,
+               CAST(quantile_disc(v, 0.75) AS BIGINT) AS c2
+        FROM base
+    )"""
+    prev = "c0"
+    for i in range(1, _KM1D_ITERS + 1):
+        sql += f""", a{i} AS MATERIALIZED (
+        SELECT b.v,
+               CASE WHEN ABS(b.v - c.c1) <= ABS(b.v - c.c2)
+                    THEN 1 ELSE 2 END AS cl
+        FROM base b, {prev} c
+    ), c{i} AS (
+        SELECT CAST(FLOOR(CAST(SUM(CASE WHEN cl = 1 THEN v END)
+                               AS DOUBLE)
+                          / COUNT(CASE WHEN cl = 1 THEN 1 END))
+                    AS BIGINT) AS c1,
+               CAST(FLOOR(CAST(SUM(CASE WHEN cl = 2 THEN v END)
+                               AS DOUBLE)
+                          / COUNT(CASE WHEN cl = 2 THEN 1 END))
+                    AS BIGINT) AS c2
+        FROM a{i}
+    )"""
+        prev = f"c{i}"
+    k = _KM1D_ITERS
+    sql += f"""
+    SELECT CAST({k} AS BIGINT) AS iters, c.c1 AS c1_e4, c.c2 AS c2_e4,
+           CAST(COUNT(CASE WHEN ABS(b.v - c.c1) <= ABS(b.v - c.c2)
+                      THEN 1 END) AS BIGINT) AS n1,
+           CAST(COUNT(CASE WHEN ABS(b.v - c.c1) > ABS(b.v - c.c2)
+                      THEN 1 END) AS BIGINT) AS n2,
+           CAST(SUM(CASE WHEN ABS(b.v - c.c1) <= ABS(b.v - c.c2)
+                    THEN (b.v - c.c1) * (b.v - c.c1)
+                    ELSE (b.v - c.c2) * (b.v - c.c2) END) AS BIGINT)
+               AS inertia_e8
+    FROM base b, c{k} c
+    GROUP BY c.c1, c.c2
+    """
+    return sql
+
+
+@query("agg_kmeans_1d_bounded", _kmeans_1d_oracle_sql())
+def agg_kmeans_1d_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D K-MEANS, two clusters, bounded Lloyd iterations (round
+    9): the canonical "split this metric into low/high regimes"
+    operator (bimodal latency, price bands, engagement tiers) —
+    initialize at the discrete quartiles, then 3 rounds of
+    assign-to-nearest / recompute-floored-means, reporting final
+    centers, cluster sizes and exact inertia. The iterative-
+    algorithm family's simplest member (components → pagerank →
+    hits → spectral norm → k-means), and the only one that needs NO
+    float discipline at all.
+
+    Exactness is total: initialization is PERCENTILE_DISC (an actual
+    datum); assignment compares integer distances (ties to the lower
+    cluster); each new center is the FLOORED integer mean; inertia
+    is an exact bigint. Both engines iterate identical integers —
+    the unrolled-CTE oracle replays every round.
+
+    Scale: each round is one broadcast of the 2-integer state + one
+    map-side-combinable conditional aggregate over the scan —
+    exactly k·iters counters of state; localCheckpoint truncates
+    lineage per round (the graph_hits_bounded shape)."""
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        F.floor(F.col("value") * 10000).cast("bigint").alias("v")
+    ).localCheckpoint()
+    c = base.agg(
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY v)")
+        .cast("bigint")
+        .alias("c1"),
+        F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY v)")
+        .cast("bigint")
+        .alias("c2"),
+    )
+    for _ in range(_KM1D_ITERS):
+        assigned = base.crossJoin(F.broadcast(c)).select(
+            "v",
+            F.when(
+                F.abs(F.col("v") - F.col("c1"))
+                <= F.abs(F.col("v") - F.col("c2")),
+                1,
+            )
+            .otherwise(2)
+            .alias("cl"),
+        )
+        c = assigned.agg(
+            F.floor(
+                F.sum(F.when(F.col("cl") == 1, F.col("v"))).cast("double")
+                / F.count(F.when(F.col("cl") == 1, F.lit(1)))
+            )
+            .cast("bigint")
+            .alias("c1"),
+            F.floor(
+                F.sum(F.when(F.col("cl") == 2, F.col("v"))).cast("double")
+                / F.count(F.when(F.col("cl") == 2, F.lit(1)))
+            )
+            .cast("bigint")
+            .alias("c2"),
+        ).localCheckpoint()
+    final = base.crossJoin(F.broadcast(c))
+    near1 = F.abs(F.col("v") - F.col("c1")) <= F.abs(F.col("v") - F.col("c2"))
+    return final.groupBy("c1", "c2").agg(
+        F.lit(_KM1D_ITERS).cast("bigint").alias("iters"),
+        F.count(F.when(near1, F.lit(1))).cast("bigint").alias("n1"),
+        F.count(F.when(~near1, F.lit(1))).cast("bigint").alias("n2"),
+        F.sum(
+            F.when(
+                near1, (F.col("v") - F.col("c1")) * (F.col("v") - F.col("c1"))
+            ).otherwise(
+                (F.col("v") - F.col("c2")) * (F.col("v") - F.col("c2"))
+            )
+        )
+        .cast("bigint")
+        .alias("inertia_e8"),
+    ).select("iters", F.col("c1").alias("c1_e4"), F.col("c2").alias("c2_e4"),
+             "n1", "n2", "inertia_e8")

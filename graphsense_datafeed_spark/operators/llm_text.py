@@ -4580,3 +4580,137 @@ def corpus_contamination_matrix(
         .cast("bigint")
         .alias("rate_b_e6"),
     ).orderBy("split_a", "split_b")
+
+
+@query(
+    "text_char_ngram_entropy",
+    """
+    WITH uni AS (
+        SELECT lang, g, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (
+            SELECT lang, substr(text, i, 1) AS g
+            FROM (
+                SELECT lang, text,
+                       unnest(range(1, len(text) + 1)) AS i
+                FROM documents
+            )
+        ) GROUP BY lang, g
+    ), bi AS (
+        SELECT lang, g, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (
+            SELECT lang, substr(text, i, 2) AS g
+            FROM (
+                SELECT lang, text,
+                       unnest(range(1, len(text))) AS i
+                FROM documents
+            )
+        ) GROUP BY lang, g
+    ), hu AS (
+        SELECT lang,
+               CAST(SUM(c) AS BIGINT) AS n_unigrams,
+               CAST(COUNT(*) AS BIGINT) AS ndv_unigram,
+               CAST(SUM(term) AS BIGINT) AS h_uni_e9
+        FROM (
+            SELECT lang, c,
+                   CAST(FLOOR(-(CAST(c AS DOUBLE) / nl)
+                              * ln(CAST(c AS DOUBLE) / nl)
+                              * 1000000000) AS BIGINT) AS term
+            FROM (
+                SELECT lang, c,
+                       SUM(c) OVER (PARTITION BY lang) AS nl
+                FROM uni
+            )
+        ) GROUP BY lang
+    ), hb AS (
+        SELECT lang,
+               CAST(SUM(c) AS BIGINT) AS n_bigrams,
+               CAST(COUNT(*) AS BIGINT) AS ndv_bigram,
+               CAST(SUM(term) AS BIGINT) AS h_bi_e9
+        FROM (
+            SELECT lang, c,
+                   CAST(FLOOR(-(CAST(c AS DOUBLE) / nl)
+                              * ln(CAST(c AS DOUBLE) / nl)
+                              * 1000000000) AS BIGINT) AS term
+            FROM (
+                SELECT lang, c,
+                       SUM(c) OVER (PARTITION BY lang) AS nl
+                FROM bi
+            )
+        ) GROUP BY lang
+    )
+    SELECT u.lang, u.n_unigrams, u.ndv_unigram, u.h_uni_e9,
+           b.n_bigrams, b.ndv_bigram, b.h_bi_e9,
+           CAST(b.h_bi_e9 - u.h_uni_e9 AS BIGINT) AS h_cond_e9
+    FROM hu u JOIN hb b ON u.lang = b.lang
+    ORDER BY u.lang
+    """,
+)
+def text_char_ngram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHARACTER n-gram ENTROPY per language (round 9): H(unigram),
+    H(bigram), and the conditional entropy H(c₂|c₁) = H₂ − H₁ — the
+    Shannon-style redundancy fingerprint of a language/script that
+    language-ID models implicitly learn. In a corpus pipeline this
+    is a CHEAP drift + anomaly probe: machine-generated or encrypted
+    junk shows near-maximal conditional entropy, template spam
+    shows collapsed entropy, and a shift in a language's profile
+    flags an encoding or crawler regression upstream of any model.
+
+    Exactness: gram counts are exact integers from substr windows
+    (identical in both engines); each −p·ln p term floors to e9 per
+    gram then sums as integers (order-free; agg_kl_divergence ln
+    precedent); the conditional entropy is an integer subtraction.
+
+    Scale: the gram explode is linear in corpus characters with a
+    keyed (lang, gram) reduce — the classic vocabulary-count shape
+    (group count bounded by alphabet², not rows); the entropy pass
+    runs over the tiny distinct-gram tables with a lang-keyed
+    window."""
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+
+    def grams(width: int, upper):
+        return docs.select(
+            "lang",
+            F.explode(
+                F.transform(
+                    safe_offsets(upper),
+                    lambda i: F.col("text").substr(i, F.lit(width)),
+                )
+            ).alias("g"),
+        ).groupBy("lang", "g").agg(F.count("*").cast("bigint").alias("c"))
+
+    uni = grams(1, F.length("text"))
+    bi = grams(2, F.length("text") - 1)
+    w_lang = Window.partitionBy("lang")
+
+    def h(df, n_name, ndv_name, h_name):
+        p = F.col("c").cast("double") / F.sum("c").over(w_lang)
+        term = F.floor(-p * F.log(p) * 1000000000).cast("bigint")
+        return (
+            df.withColumn("term", term)
+            .groupBy("lang")
+            .agg(
+                F.sum("c").cast("bigint").alias(n_name),
+                F.count("*").cast("bigint").alias(ndv_name),
+                F.sum("term").cast("bigint").alias(h_name),
+            )
+        )
+    hu = h(uni, "n_unigrams", "ndv_unigram", "h_uni_e9")
+    hb = h(bi, "n_bigrams", "ndv_bigram", "h_bi_e9")
+    return (
+        hu.join(hb, "lang")
+        .select(
+            "lang",
+            "n_unigrams",
+            "ndv_unigram",
+            "h_uni_e9",
+            "n_bigrams",
+            "ndv_bigram",
+            "h_bi_e9",
+            (F.col("h_bi_e9") - F.col("h_uni_e9"))
+            .cast("bigint")
+            .alias("h_cond_e9"),
+        )
+        .orderBy("lang")
+    )

@@ -484,6 +484,8 @@ _ROUND10_NEXT_UP = (
     "agg_tail_dependence",
     "profile_ndv_sample_gee",
     "ts_changepoint_binseg2",
+    "agg_kmeans_1d_bounded",
+    "text_char_ngram_entropy",
 )
 
 _loaded = False

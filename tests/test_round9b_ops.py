@@ -1524,3 +1524,61 @@ def test_changepoint_binseg2_referee(spark, sf_dir):
         assert r["cp_t"] == cp + offset
         assert r["gain_e3"] == g
         assert r["n_left"] == cp and r["n_right"] == len(xs) - cp
+
+
+def test_kmeans_1d_referee(spark, sf_dir):
+    ev = _events(sf_dir)
+    v = np.floor(ev["value"].to_numpy() * 10000).astype(np.int64)
+    sv = np.sort(v)
+    n = len(v)
+    c1 = int(sv[math.ceil(0.25 * n) - 1])
+    c2 = int(sv[math.ceil(0.75 * n) - 1])
+    for _ in range(3):
+        near1 = np.abs(v - c1) <= np.abs(v - c2)
+        c1 = math.floor(float(v[near1].sum()) / near1.sum())
+        c2 = math.floor(float(v[~near1].sum()) / (~near1).sum())
+    near1 = np.abs(v - c1) <= np.abs(v - c2)
+    inertia = int(
+        ((v[near1] - c1) ** 2).sum() + ((v[~near1] - c2) ** 2).sum()
+    )
+    (r,) = QUERIES["agg_kmeans_1d_bounded"](spark, sf_dir).collect()
+    assert r["iters"] == 3
+    assert (r["c1_e4"], r["c2_e4"]) == (c1, c2)
+    assert (r["n1"], r["n2"]) == (int(near1.sum()), int((~near1).sum()))
+    assert r["inertia_e8"] == inertia
+    assert r["c1_e4"] < r["c2_e4"]
+
+
+def test_char_ngram_entropy_referee(spark, sf_dir):
+    from collections import Counter
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet").to_pandas()
+    rows = {
+        r["lang"]: r
+        for r in QUERIES["text_char_ngram_entropy"](spark, sf_dir).collect()
+    }
+    for lang, sub in docs.groupby("lang"):
+        uni, bi = Counter(), Counter()
+        for t in sub["text"]:
+            for ch in t:
+                uni[ch] += 1
+            for i in range(len(t) - 1):
+                bi[t[i : i + 2]] += 1
+
+        def h_e9(cnt):
+            n = sum(cnt.values())
+            return sum(
+                math.floor(-(c / n) * math.log(c / n) * 1e9)
+                for c in cnt.values()
+            )
+
+        r = rows[lang]
+        assert r["n_unigrams"] == sum(uni.values())
+        assert r["ndv_unigram"] == len(uni)
+        assert r["n_bigrams"] == sum(bi.values())
+        assert r["ndv_bigram"] == len(bi)
+        assert abs(r["h_uni_e9"] - h_e9(uni)) <= len(uni)
+        assert abs(r["h_bi_e9"] - h_e9(bi)) <= len(bi)
+        assert r["h_cond_e9"] == r["h_bi_e9"] - r["h_uni_e9"]
+        # conditioning reduces entropy: 0 <= H(c2|c1) <= H(c1)
+        assert 0 <= r["h_cond_e9"] <= r["h_uni_e9"] + len(uni)
