@@ -2160,3 +2160,161 @@ def embed_gram_spectral_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(lam * 1000).cast("bigint").alias("lambda_e3"),
         F.floor(lam / 1000.0).cast("bigint").alias("spectral_e3"),
     )
+
+
+@query(
+    "embed_alignment_uniformity",
+    """
+    WITH samp AS (
+        SELECT vec_id, label, embedding
+        FROM embeddings
+        WHERE CAST('0x' || substr(md5('au:' ||
+              CAST(vec_id AS VARCHAR)), 1, 6) AS BIGINT) % 100 < 20
+    ), q AS (
+        SELECT vec_id, label,
+               generate_subscripts(embedding, 1) AS i,
+               CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                    AS BIGINT) AS qv
+        FROM samp
+    ), pairs AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb,
+               CAST(MAX(CASE WHEN a.label = b.label THEN 1 ELSE 0 END)
+                    AS BIGINT) AS same,
+               CAST(SUM((a.qv - b.qv) * (a.qv - b.qv)) AS BIGINT) AS d2
+        FROM q a JOIN q b ON a.i = b.i AND a.vec_id < b.vec_id
+        GROUP BY a.vec_id, b.vec_id
+    )
+    SELECT CAST((SELECT COUNT(*) FROM samp) AS BIGINT) AS n_sampled,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(*) FILTER (same = 1) AS BIGINT) AS n_pos_pairs,
+           CAST(FLOOR(CAST(SUM(CASE WHEN same = 1 THEN d2 END)
+                           AS DOUBLE)
+                      / COUNT(*) FILTER (same = 1)
+                      / 1000000000000.0 * 1000000) AS BIGINT)
+               AS align_e6,
+           CAST(FLOOR(ln(CAST(SUM(CAST(FLOOR(
+                    exp(-2.0 * (CAST(d2 AS DOUBLE)
+                                / 1000000000000.0))
+                    * 1000000000) AS BIGINT)) AS DOUBLE)
+                         / COUNT(*) / 1000000000.0)
+                      * 1000000) AS BIGINT) AS uniformity_e6
+    FROM pairs
+    """,
+)
+def embed_alignment_uniformity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ALIGNMENT & UNIFORMITY of the embedding space (round 9),
+    Wang & Isola ICML'20: the two numbers that explain contrastive
+    representation quality — alignment = E‖x−y‖² over SAME-LABEL
+    pairs (want small: positives land together) and uniformity =
+    ln E[exp(−2‖x−y‖²)] over ALL pairs (want very negative: mass
+    spread over the sphere, no collapse). Together they catch the
+    two opposite failure modes (collapse vs scatter) that a single
+    retrieval metric (embed_retrieval_ndcg) can miss.
+
+    Exactness: the 20% md5 vector sample is frozen; e6-quantized
+    elements make every pairwise ‖x−y‖² an exact bigint; each
+    pair's exp(−2d²) floors to e9 BEFORE the integer sum (order-
+    free), and alignment/uniformity leave integers through one
+    ln/divide chain each.
+
+    Scale: pairwise metrics are pairs² BY DEFINITION — the sample
+    bounds the pair set (k² pairs, k = 20% here, a fixed budget at
+    any corpus size: tighten the hash window as the corpus grows);
+    the distance join is keyed on the dimension index, map-side
+    combinable per pair."""
+    emb = load(spark, sf_dir, "embeddings")
+    keep = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("au:"), F.col("vec_id").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+        < 20
+    )
+    samp = emb.filter(keep).select("vec_id", "label", "embedding")
+    n_sampled = samp.count()
+    q = samp.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("i0", "e"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("i0") + 1).alias("i"),
+        F.floor(F.col("e").cast("double") * 1000000)
+        .cast("bigint")
+        .alias("qv"),
+    )
+    a = q.select(
+        F.col("vec_id").alias("va"),
+        F.col("label").alias("la"),
+        "i",
+        F.col("qv").alias("qa"),
+    )
+    b = q.select(
+        F.col("vec_id").alias("vb"),
+        F.col("label").alias("lb"),
+        "i",
+        F.col("qv").alias("qb"),
+    )
+    pairs = (
+        a.join(b, "i")
+        .filter(F.col("va") < F.col("vb"))
+        .groupBy("va", "vb")
+        .agg(
+            F.max(
+                F.when(F.col("la") == F.col("lb"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("same"),
+            F.sum(
+                (F.col("qa") - F.col("qb")) * (F.col("qa") - F.col("qb"))
+            )
+            .cast("bigint")
+            .alias("d2"),
+        )
+    )
+    d2d = F.col("d2").cast("double") / 1000000000000.0
+    per_pair_u = F.floor(F.exp(-2.0 * d2d) * 1000000000).cast("bigint")
+    agg = pairs.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.count_if(F.col("same") == 1).cast("bigint").alias("n_pos_pairs"),
+        F.sum(F.when(F.col("same") == 1, F.col("d2")))
+        .cast("bigint")
+        .alias("d2_pos"),
+        F.sum(per_pair_u).cast("bigint").alias("u_sum_e9"),
+    )
+    return agg.select(
+        F.lit(n_sampled).cast("bigint").alias("n_sampled"),
+        "n_pairs",
+        "n_pos_pairs",
+        F.floor(
+            F.col("d2_pos").cast("double")
+            / F.col("n_pos_pairs")
+            / 1000000000000.0
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("align_e6"),
+        F.floor(
+            F.log(
+                F.col("u_sum_e9").cast("double")
+                / F.col("n_pairs")
+                / 1000000000.0
+            )
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("uniformity_e6"),
+    )

@@ -4714,3 +4714,138 @@ def text_char_ngram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "agg_youden_j_threshold",
+    """
+    WITH scored AS (
+        SELECT doc_id,
+               CAST(FLOOR(1000000.0 / (1.0 + exp(-(-0.25
+                   + 1.5 * (CAST(n_chars AS DOUBLE) / 1000)
+                   - 0.75 * (CAST(length(text) - length(replace(text, ' ', ''))
+                             AS DOUBLE) / 100)
+                   + 2.0 * (CAST(length(text)
+                                 - length(replace(text, 'the', ''))
+                            AS DOUBLE)
+                            / (3 * GREATEST(CAST(n_chars AS DOUBLE), 1.0))
+                            * 10))))) AS BIGINT) AS s_e6,
+               CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS label
+        FROM documents
+    ), per_s AS (
+        SELECT s_e6,
+               CAST(COUNT(*) FILTER (label = 1) AS BIGINT) AS n1_at,
+               CAST(COUNT(*) FILTER (label = 0) AS BIGINT) AS n0_at
+        FROM scored GROUP BY s_e6
+    ), cum AS (
+        SELECT s_e6,
+               CAST(SUM(n1_at) OVER (ORDER BY s_e6 DESC
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tp,
+               CAST(SUM(n0_at) OVER (ORDER BY s_e6 DESC
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS fp,
+               CAST(SUM(n1_at) OVER () AS BIGINT) AS p,
+               CAST(SUM(n0_at) OVER () AS BIGINT) AS nn
+        FROM per_s
+    ), j AS (
+        SELECT s_e6, tp, fp, p, nn,
+               CAST(FLOOR((CAST(tp AS DOUBLE) / p
+                           - CAST(fp AS DOUBLE) / nn) * 1000000)
+                    AS BIGINT) AS j_e6,
+               CAST(ROW_NUMBER() OVER (ORDER BY
+                    CAST(FLOOR((CAST(tp AS DOUBLE) / p
+                                - CAST(fp AS DOUBLE) / nn) * 1000000)
+                         AS BIGINT) DESC, s_e6) AS BIGINT) AS rnk
+        FROM cum
+    )
+    SELECT s_e6 AS threshold_e6, tp, fp,
+           CAST(p - tp AS BIGINT) AS fn, CAST(nn - fp AS BIGINT) AS tn,
+           j_e6,
+           CAST(FLOOR(CAST(tp AS DOUBLE) / p * 1000000) AS BIGINT)
+               AS tpr_e6,
+           CAST(FLOOR(CAST(fp AS DOUBLE) / nn * 1000000) AS BIGINT)
+               AS fpr_e6
+    FROM j WHERE rnk = 1
+    """,
+)
+def agg_youden_j_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """YOUDEN-J optimal threshold (round 9): text_model_auc ranks
+    the quality model; this op OPERATIONALIZES it — sweep every
+    observed score as a cut, J(t) = TPR(t) − FPR(t), and return the
+    threshold maximizing J (the point farthest above the ROC
+    diagonal — the standard operating point when FP and FN cost the
+    same). Same score and label construction as text_model_auc, so
+    the pair audits one model end-to-end: discrimination (AUC) then
+    deployment cut (J).
+
+    Exactness: per-score label counts and the cumulative TP/FP are
+    exact integers (the sweep IS the ROC); J floors to e6 and BOTH
+    the argmax and its tie-break (higher threshold) rank on floored
+    integers — identical selection in both engines.
+
+    Scale: one keyed reduce to distinct scores, then windows over
+    the score-cardinality-bounded tape (budgeted); the argmax never
+    touches row-scale data."""
+    docs = load(spark, sf_dir, "documents")
+    n_spaces = F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    n_the = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit("the"), F.lit("")))
+    ) / 3.0
+    z = (
+        -0.25
+        + 1.5 * (F.col("n_chars").cast("double") / 1000)
+        - 0.75 * (n_spaces.cast("double") / 100)
+        + 2.0
+        * (
+            n_the.cast("double")
+            / F.greatest(F.col("n_chars").cast("double"), F.lit(1.0))
+            * 10
+        )
+    )
+    scored = docs.select(
+        F.floor(1000000.0 / (1.0 + F.exp(-z))).cast("bigint").alias("s_e6"),
+        F.when(F.col("n_chars") >= 200, 1).otherwise(0).alias("label"),
+    )
+    per_s = scored.groupBy("s_e6").agg(
+        F.count_if(F.col("label") == 1).cast("bigint").alias("n1_at"),
+        F.count_if(F.col("label") == 0).cast("bigint").alias("n0_at"),
+    )
+    w_desc = Window.orderBy(F.col("s_e6").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = per_s.select(
+        "s_e6",
+        F.sum("n1_at").over(w_desc).cast("bigint").alias("tp"),
+        F.sum("n0_at").over(w_desc).cast("bigint").alias("fp"),
+        F.sum("n1_at").over(w_all).cast("bigint").alias("p"),
+        F.sum("n0_at").over(w_all).cast("bigint").alias("nn"),
+    )
+    j_e6 = F.floor(
+        (
+            F.col("tp").cast("double") / F.col("p")
+            - F.col("fp").cast("double") / F.col("nn")
+        )
+        * 1000000
+    ).cast("bigint")
+    j = cum.withColumn("j_e6", j_e6).withColumn(
+        "rnk",
+        F.row_number()
+        .over(Window.orderBy(F.col("j_e6").desc(), "s_e6"))
+        .cast("bigint"),
+    )
+    return j.filter(F.col("rnk") == 1).select(
+        F.col("s_e6").alias("threshold_e6"),
+        "tp",
+        "fp",
+        (F.col("p") - F.col("tp")).cast("bigint").alias("fn"),
+        (F.col("nn") - F.col("fp")).cast("bigint").alias("tn"),
+        "j_e6",
+        F.floor(F.col("tp").cast("double") / F.col("p") * 1000000)
+        .cast("bigint")
+        .alias("tpr_e6"),
+        F.floor(F.col("fp").cast("double") / F.col("nn") * 1000000)
+        .cast("bigint")
+        .alias("fpr_e6"),
+    )

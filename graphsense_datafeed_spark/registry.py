@@ -486,6 +486,8 @@ _ROUND10_NEXT_UP = (
     "ts_changepoint_binseg2",
     "agg_kmeans_1d_bounded",
     "text_char_ngram_entropy",
+    "agg_youden_j_threshold",
+    "embed_alignment_uniformity",
 )
 
 _loaded = False

@@ -1582,3 +1582,89 @@ def test_char_ngram_entropy_referee(spark, sf_dir):
         assert r["h_cond_e9"] == r["h_bi_e9"] - r["h_uni_e9"]
         # conditioning reduces entropy: 0 <= H(c2|c1) <= H(c1)
         assert 0 <= r["h_cond_e9"] <= r["h_uni_e9"] + len(uni)
+
+
+def test_youden_j_referee(spark, sf_dir):
+    docs = pq.read_table(f"{sf_dir}/documents.parquet").to_pandas()
+
+    def score(row):
+        t = row.text
+        n_spaces = len(t) - len(t.replace(" ", ""))
+        n_the = (len(t) - len(t.replace("the", ""))) / 3.0
+        z = (
+            -0.25
+            + 1.5 * (row.n_chars / 1000)
+            - 0.75 * (n_spaces / 100)
+            + 2.0 * (n_the / max(row.n_chars, 1.0) * 10)
+        )
+        return math.floor(1e6 / (1.0 + math.exp(-z)))
+
+    pts = [
+        (score(r), 1 if r.n_chars >= 200 else 0)
+        for r in docs.itertuples()
+    ]
+    p = sum(l for _, l in pts)
+    nn = len(pts) - p
+    from collections import defaultdict
+
+    by_s = defaultdict(lambda: [0, 0])
+    for s, l in pts:
+        by_s[s][l] += 1
+    best = None
+    tp = fp = 0
+    for s in sorted(by_s, reverse=True):
+        n0, n1 = by_s[s]
+        tp += n1
+        fp += n0
+        j = math.floor((tp / p - fp / nn) * 1e6)
+        key = (-j, s)
+        if best is None or key < best[0]:
+            best = (key, s, tp, fp, j)
+    (r,) = QUERIES["agg_youden_j_threshold"](spark, sf_dir).collect()
+    _, s_star, tp_star, fp_star, j_star = best
+    assert r["threshold_e6"] == s_star
+    assert (r["tp"], r["fp"]) == (tp_star, fp_star)
+    assert r["fn"] == p - tp_star and r["tn"] == nn - fp_star
+    assert r["j_e6"] == j_star
+    # the label shares a feature with the score, so the sweep must
+    # find a clearly-better-than-chance cut (J = 0 is chance)
+    assert r["j_e6"] > 200000
+
+
+def test_alignment_uniformity_referee(spark, sf_dir):
+    import hashlib
+    import itertools
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    keep = [
+        int(hashlib.md5(f"au:{v}".encode()).hexdigest()[:6], 16) % 100 < 20
+        for v in emb["vec_id"]
+    ]
+    sub = emb[np.array(keep)]
+    qs = {
+        int(r.vec_id): (
+            np.floor(np.asarray(r.embedding, dtype=np.float64) * 1e6).astype(
+                np.int64
+            ),
+            int(r.label),
+        )
+        for r in sub.itertuples()
+    }
+    ids = sorted(qs)
+    d2s, same, usum = [], [], 0
+    for va, vb in itertools.combinations(ids, 2):
+        d2 = int(((qs[va][0] - qs[vb][0]) ** 2).sum())
+        d2s.append((d2, qs[va][1] == qs[vb][1]))
+        usum += math.floor(math.exp(-2.0 * (d2 / 1e12)) * 1e9)
+    n_pairs = len(d2s)
+    pos = [d for d, s in d2s if s]
+    align = sum(pos) / len(pos) / 1e12
+    unif = math.log(usum / n_pairs / 1e9)
+    (r,) = QUERIES["embed_alignment_uniformity"](spark, sf_dir).collect()
+    assert r["n_sampled"] == len(sub)
+    assert r["n_pairs"] == n_pairs
+    assert r["n_pos_pairs"] == len(pos)
+    assert abs(r["align_e6"] - math.floor(align * 1e6)) <= 1
+    assert abs(r["uniformity_e6"] - math.floor(unif * 1e6)) <= 1
+    # geometry sanity: uniformity is never positive
+    assert r["uniformity_e6"] <= 0
