@@ -6155,3 +6155,102 @@ def ts_changepoint_binseg2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gain_e3",
     )
     return lvl1.unionByName(lvl2).orderBy("level", "segment")
+
+
+@query(
+    "events_hazard_nelson_aalen",
+    """
+    WITH peru AS (
+        SELECT user_id,
+               CAST(FLOOR((epoch(MAX(ts)) - epoch(MIN(ts))) / 3600)
+                    AS BIGINT) AS t,
+               CAST(CASE WHEN day(MAX(ts)) <= 27 THEN 1 ELSE 0 END
+                    AS BIGINT) AS ev
+        FROM events GROUP BY user_id
+    ), times AS (
+        SELECT t,
+               CAST(COUNT(*) FILTER (ev = 1) AS BIGINT) AS d,
+               CAST(COUNT(*) AS BIGINT) AS c_at
+        FROM peru GROUP BY t
+    ), risk AS (
+        SELECT t, d,
+               CAST(SUM(c_at) OVER (ORDER BY t DESC
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_risk
+        FROM times
+    ), terms AS (
+        SELECT t, d, n_risk,
+               CAST(FLOOR(CAST(d AS DOUBLE) / n_risk * 1000000000)
+                    AS BIGINT) AS term_e9
+        FROM risk WHERE d > 0
+    )
+    SELECT t AS t_hours, d, n_risk,
+           CAST(SUM(term_e9) OVER (ORDER BY t
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS h_cum_e9
+    FROM terms ORDER BY t
+    """,
+)
+def events_hazard_nelson_aalen(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """NELSON-AALEN cumulative hazard (round 9): the integral twin
+    of events_survival_km — where KM multiplies survival factors,
+    NA sums the raw hazard increments Ĥ(t) = Σ_{tᵢ≤t} dᵢ/nᵢ, which
+    is the better-behaved estimator for SMALL risk sets and the one
+    whose slope is read directly as "instantaneous churn rate".
+    Durations are per-user first→last activity spans in hours;
+    users still active in the final 3 days are right-censored (they
+    enter risk sets but contribute no jump).
+
+    Exactness: durations, event flags, death counts and the
+    at-risk reverse-cumulative are exact integers; each hazard
+    increment d/n floors to e9 once and the cumulative hazard is an
+    integer prefix sum — no unordered double accumulation.
+
+    Scale: one keyed user aggregate, one reduce to distinct
+    durations; both windows run over the distinct-duration tape
+    (bounded by the time domain, budgeted)."""
+    ev = load(spark, sf_dir, "events")
+    peru = ev.groupBy("user_id").agg(
+        F.floor(
+            (
+                F.unix_timestamp(F.max("ts"))
+                - F.unix_timestamp(F.min("ts"))
+            )
+            / 3600
+        )
+        .cast("bigint")
+        .alias("t"),
+        F.when(F.dayofmonth(F.max("ts")) <= 27, 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("ev"),
+    )
+    times = peru.groupBy("t").agg(
+        F.count_if(F.col("ev") == 1).cast("bigint").alias("d"),
+        F.count("*").cast("bigint").alias("c_at"),
+    )
+    w_desc = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = times.select(
+        "t",
+        "d",
+        F.sum("c_at").over(w_desc).cast("bigint").alias("n_risk"),
+    )
+    terms = risk.filter(F.col("d") > 0).select(
+        "t",
+        "d",
+        "n_risk",
+        F.floor(F.col("d").cast("double") / F.col("n_risk") * 1000000000)
+        .cast("bigint")
+        .alias("term_e9"),
+    )
+    w_asc = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return terms.select(
+        F.col("t").alias("t_hours"),
+        "d",
+        "n_risk",
+        F.sum("term_e9").over(w_asc).cast("bigint").alias("h_cum_e9"),
+    ).orderBy("t_hours")

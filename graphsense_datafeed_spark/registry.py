@@ -488,6 +488,7 @@ _ROUND10_NEXT_UP = (
     "text_char_ngram_entropy",
     "agg_youden_j_threshold",
     "embed_alignment_uniformity",
+    "events_hazard_nelson_aalen",
 )
 
 _loaded = False
