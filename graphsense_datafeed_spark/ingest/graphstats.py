@@ -1516,3 +1516,199 @@ def graph_rich_club_coefficient(
     for fdf in frames[1:]:
         out = out.unionByName(fdf)
     return out.orderBy("k")
+
+
+@query(
+    "graph_reciprocity",
+    f"""
+    WITH txio AS (
+        SELECT (tx).tx_hash AS tx_hash,
+               (tx).inputs AS inputs, (tx).outputs AS outputs
+        FROM (SELECT unnest(txs) AS tx FROM {_DUCK_BLOCKS})
+        WHERE NOT (tx).coinbase
+    ), ins AS (
+        SELECT tx_hash, (i).address[1] AS src
+        FROM (SELECT tx_hash, unnest(inputs) AS i FROM txio)
+    ), outs AS (
+        SELECT tx_hash, (o).address[1] AS dst
+        FROM (SELECT tx_hash, unnest(outputs) AS o FROM txio)
+    ), dedges AS (
+        SELECT DISTINCT i.src, o.dst
+        FROM ins i JOIN outs o USING (tx_hash)
+        WHERE i.src <> o.dst
+    ), mut AS (
+        SELECT e.src, e.dst
+        FROM dedges e JOIN dedges r ON e.src = r.dst AND e.dst = r.src
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_directed FROM dedges
+    ), m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_mutual FROM mut
+    )
+    SELECT n_directed, n_mutual,
+           CAST(n_mutual / 2 AS BIGINT) AS n_mutual_dyads,
+           CAST(FLOOR(CAST(n_mutual AS DOUBLE) * 1000000 / n_directed)
+                AS BIGINT) AS reciprocity_e6
+    FROM tot, m
+    """,
+)
+def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed-graph reciprocity on the address-FLOW graph (round 9)
+    — the structural question the undirected co-occurrence family
+    cannot ask: of all distinct input→output payment edges, what
+    share is ever paid BACK?  High reciprocity flags ping-pong flows
+    (self-churn, peeling loops, exchange hot-wallet rebalancing);
+    background payment graphs sit near zero.  Uses the same directed
+    edge derivation as ingest_address_graph (SURVEY §1.1) minus the
+    weight columns, self-loops excluded so each mutual DYAD
+    contributes exactly two mutual edges.
+
+    Exactness: edge and mutual-edge counts are exact bigints from
+    DISTINCT aggregation; reciprocity = mutual/directed floors e6
+    once — no other float exists.
+
+    Scale: the ins⋈outs build shuffles on tx_hash (bounded per-tx
+    fan-out), the distinct on the edge key; the mutuality probe is an
+    equi self-join on (dst,src) — one hash shuffle on node keys, no
+    pair enumeration beyond existing edges.  Both final counts are
+    1-row anchors; their crossJoin is the bounded 1-row×1-row
+    finishing shape."""
+    raw = read_blocks_json(spark)
+    txio = (
+        raw.select(F.explode("txs").alias("tx"))
+        .filter(~F.col("tx.coinbase"))
+        .select(
+            F.col("tx.tx_hash").alias("tx_hash"),
+            F.col("tx.inputs").alias("inputs"),
+            F.col("tx.outputs").alias("outputs"),
+        )
+    )
+    ins = txio.select("tx_hash", F.explode("inputs").alias("i")).select(
+        "tx_hash", F.col("i.address")[0].alias("src")
+    )
+    outs = txio.select("tx_hash", F.explode("outputs").alias("o")).select(
+        "tx_hash", F.col("o.address")[0].alias("dst")
+    )
+    dedges = (
+        ins.join(outs, "tx_hash")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    rev = dedges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    tot = dedges.agg(F.count("*").cast("bigint").alias("n_directed"))
+    mut = (
+        dedges.join(rev, ["src", "dst"], "left_semi")
+        .agg(F.count("*").cast("bigint").alias("n_mutual"))
+    )
+    return tot.crossJoin(mut).select(
+        "n_directed",
+        "n_mutual",
+        (F.col("n_mutual") / 2).cast("bigint").alias("n_mutual_dyads"),
+        F.floor(
+            F.col("n_mutual").cast("double") * 1000000 / F.col("n_directed")
+        )
+        .cast("bigint")
+        .alias("reciprocity_e6"),
+    )
+
+
+@query(
+    "graph_edge_overlap_bridges",
+    f"""
+    WITH {_DUCK_EDGES.strip().lstrip()},
+    sym AS (
+        SELECT src AS a, dst AS b FROM edges
+        UNION ALL SELECT dst, src FROM edges
+    ), deg AS (
+        SELECT a, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY a
+    ), tri AS (
+        SELECT e.src, e.dst, CAST(COUNT(*) AS BIGINT) AS cn
+        FROM edges e
+        JOIN sym s1 ON s1.a = e.src
+        JOIN sym s2 ON s2.a = e.dst AND s2.b = s1.b
+        GROUP BY e.src, e.dst
+    )
+    SELECT e.src, e.dst,
+           da.d AS deg_src, db.d AS deg_dst,
+           CAST(COALESCE(t.cn, 0) AS BIGINT) AS common_neighbors,
+           CASE WHEN da.d + db.d - 2 - COALESCE(t.cn, 0) > 0
+                THEN CAST(FLOOR(CAST(COALESCE(t.cn, 0) AS DOUBLE) * 1000000
+                     / (da.d + db.d - 2 - COALESCE(t.cn, 0))) AS BIGINT)
+                ELSE NULL END AS overlap_e6,
+           CAST(CASE WHEN COALESCE(t.cn, 0) = 0 THEN 1 ELSE 0 END
+                AS BIGINT) AS is_local_bridge
+    FROM edges e
+    LEFT JOIN tri t ON t.src = e.src AND t.dst = e.dst
+    JOIN deg da ON da.a = e.src
+    JOIN deg db ON db.a = e.dst
+    """,
+)
+def graph_edge_overlap_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-EDGE neighborhood overlap and local-bridge census (round
+    9) — the Granovetter/Onnela weak-tie audit the node-level family
+    misses: for every co-occurrence edge (a,b), overlap = |N(a)∩N(b)|
+    / |N(a)∪N(b)∖{a,b}|.  Overlap 0 means the edge closes NO
+    triangle — a LOCAL BRIDGE, the only route between its endpoints'
+    neighborhoods and the classic inter-community tie; high overlap
+    means an intra-community edge.  graph_clustering_coeff aggregates
+    triangles per NODE; this is the same machinery re-keyed per edge,
+    which is what community-boundary detection actually consumes.
+
+    Exactness: per-edge common-neighbor counts, degrees and the
+    inclusion-exclusion union are exact bigints; overlap floors e6
+    once; degree-1–degree-1 edges have an empty union and emit NULL
+    (undefined, not 0 — a bare edge is trivially a bridge and the
+    flag column says so).
+
+    Scale: the wedge join costs Σ_v d(v)² like every common-neighbor
+    member — the hub hazard and its degree-orientation refinement are
+    documented at module head; the two degree joins broadcast
+    (|nodes| rows of two ints)."""
+    edges = cooccurrence_edges(spark)
+    sym = edges.select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    ).unionAll(
+        edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+    )
+    deg = sym.groupBy("a").agg(F.count("*").cast("bigint").alias("d"))
+    s1 = sym.select(F.col("a").alias("s1a"), F.col("b").alias("s1b"))
+    s2 = sym.select(F.col("a").alias("s2a"), F.col("b").alias("s2b"))
+    tri = (
+        edges.join(s1, F.col("s1a") == F.col("src"))
+        .join(
+            s2,
+            (F.col("s2a") == F.col("dst")) & (F.col("s2b") == F.col("s1b")),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("bigint").alias("cn"))
+    )
+    da = deg.select(F.col("a").alias("src"), F.col("d").alias("deg_src"))
+    db = deg.select(F.col("a").alias("dst"), F.col("d").alias("deg_dst"))
+    joined = (
+        edges.join(tri, ["src", "dst"], "left")
+        .join(F.broadcast(da), "src")
+        .join(F.broadcast(db), "dst")
+        .withColumn("cn", F.coalesce(F.col("cn"), F.lit(0)).cast("bigint"))
+    )
+    denom = F.col("deg_src") + F.col("deg_dst") - 2 - F.col("cn")
+    return joined.select(
+        "src",
+        "dst",
+        "deg_src",
+        "deg_dst",
+        F.col("cn").alias("common_neighbors"),
+        F.when(
+            denom > 0,
+            F.floor(F.col("cn").cast("double") * 1000000 / denom).cast(
+                "bigint"
+            ),
+        )
+        .otherwise(F.lit(None).cast("bigint"))
+        .alias("overlap_e6"),
+        F.when(F.col("cn") == 0, 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("is_local_bridge"),
+    )

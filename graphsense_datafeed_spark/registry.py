@@ -489,6 +489,8 @@ _ROUND10_NEXT_UP = (
     "agg_youden_j_threshold",
     "embed_alignment_uniformity",
     "events_hazard_nelson_aalen",
+    "graph_reciprocity",
+    "graph_edge_overlap_bridges",
 )
 
 _loaded = False
