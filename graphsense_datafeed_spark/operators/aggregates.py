@@ -6114,3 +6114,86 @@ def agg_kmeans_1d_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("inertia_e8"),
     ).select("iters", F.col("c1").alias("c1_e4"), F.col("c2").alias("c2_e4"),
              "n1", "n2", "inertia_e8")
+
+
+@query(
+    "agg_gamma_fit_moments",
+    """
+    WITH base AS (
+        SELECT o_orderpriority AS priority,
+               CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ), m AS (
+        SELECT priority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS s,
+               SUM(CAST(cents AS HUGEINT) * cents) AS q
+        FROM base GROUP BY priority
+    )
+    SELECT priority, n,
+           CAST(FLOOR(CAST(s AS DOUBLE) / n) AS BIGINT) AS mean_cents,
+           CAST(FLOOR(CAST(CAST(s AS HUGEINT) * s * (n - 1) AS DOUBLE)
+                      / CAST(n * (n * q - CAST(s AS HUGEINT) * s)
+                             AS DOUBLE)
+                      * 1000000) AS BIGINT) AS shape_e6,
+           CAST(FLOOR(CAST(n * q - CAST(s AS HUGEINT) * s AS DOUBLE)
+                      / CAST((n - 1) * CAST(s AS HUGEINT) AS DOUBLE))
+                AS BIGINT) AS theta_cents
+    FROM m ORDER BY priority
+    """,
+)
+def agg_gamma_fit_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GAMMA-distribution fit by method of moments (round 9) — the
+    parametric summary for positive right-skewed totals the normal
+    family misrepresents: per priority class, k̂ = mean²/var (shape:
+    k<1 hyper-dispersed, k→∞ normal-like) and θ̂ = var/mean (scale,
+    in cents).  The fit downstreams into tail pricing (Gamma
+    quantiles for SLA bounds) and is the standard first model for
+    order-value distributions; agg_stats gives the same moments
+    unshaped, agg_hill_tail_index covers the power-law alternative —
+    k̂ is the statistic that ARBITRATES between them.
+
+    Exactness is STRUCTURAL (the Cronbach lane): with integral
+    cents, S = Σx and Q = Σx² are exact 128-bit integers (DuckDB
+    hugeint, Spark decimal(38,0) — S² passes int64 already at
+    sf0.01); mean²/var and var/mean clear to ratios of exact
+    integers — S²(n−1) / (n(nQ−S²)) and (nQ−S²)/((n−1)S) — and each
+    readout is ONE double division floored once; both engines round
+    the same 128-bit integers to the same doubles.
+
+    Scale: one keyed aggregate, fully map-side combinable; the
+    5-row moment table finishes driver-free."""
+    o = load(spark, sf_dir, "orders")
+    dec = "decimal(38,0)"
+    base = o.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    cd = F.col("cents").cast(dec)
+    m = base.groupBy("priority").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s"),
+        F.sum(cd * cd).alias("q"),
+    )
+    nd = F.col("n").cast(dec)
+    sd = F.col("s").cast(dec)
+    var_num = nd * F.col("q") - sd * sd
+    return m.select(
+        "priority",
+        "n",
+        F.floor(F.col("s").cast("double") / F.col("n"))
+        .cast("bigint")
+        .alias("mean_cents"),
+        F.floor(
+            (sd * sd * (nd - 1)).cast("double")
+            / (nd * var_num).cast("double")
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("shape_e6"),
+        F.floor(
+            var_num.cast("double") / ((nd - 1) * sd).cast("double")
+        )
+        .cast("bigint")
+        .alias("theta_cents"),
+    ).orderBy("priority")

@@ -4849,3 +4849,101 @@ def agg_youden_j_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("fpr_e6"),
     )
+
+
+@query(
+    "text_model_average_precision",
+    """
+    WITH scored AS (
+        SELECT doc_id,
+               CAST(FLOOR(1000000.0 / (1.0 + exp(-(-0.25
+                   + 1.5 * (CAST(n_chars AS DOUBLE) / 1000)
+                   - 0.75 * (CAST(length(text) - length(replace(text, ' ', ''))
+                             AS DOUBLE) / 100)
+                   + 2.0 * (CAST(length(text)
+                                 - length(replace(text, 'the', ''))
+                            AS DOUBLE)
+                            / (3 * GREATEST(CAST(n_chars AS DOUBLE), 1.0))
+                            * 10))))) AS BIGINT) AS s_e6,
+               CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS label
+        FROM documents
+    ), buckets AS (
+        SELECT s_e6, CAST(COUNT(*) AS BIGINT) AS n_b,
+               CAST(SUM(label) AS BIGINT) AS n1_b
+        FROM scored GROUP BY s_e6
+    ), tot AS (
+        SELECT CAST(SUM(n1_b) AS BIGINT) AS n1,
+               CAST(SUM(n_b - n1_b) AS BIGINT) AS n0
+        FROM buckets
+    ), cum AS (
+        SELECT n1_b,
+               CAST(SUM(n_b) OVER (ORDER BY s_e6 DESC
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_cum,
+               CAST(SUM(n1_b) OVER (ORDER BY s_e6 DESC
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tp_cum
+        FROM buckets
+    ), terms AS (
+        SELECT CAST(FLOOR(CAST(n1_b AS DOUBLE) * tp_cum / n_cum
+                    / (SELECT n1 FROM tot)
+                    * 1000000000000) AS BIGINT) AS term_e12
+        FROM cum WHERE n1_b > 0
+    )
+    SELECT t.n1, t.n0, CAST(SUM(term_e12) AS BIGINT) AS ap_e12
+    FROM tot t, terms GROUP BY t.n1, t.n0
+    """,
+)
+def text_model_average_precision(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """AVERAGE PRECISION (area under the precision–recall curve) of
+    the quality classifier (round 9) — the model-eval leg ROC AUC
+    cannot cover under class imbalance: AUC stays high when
+    negatives dominate because false positives barely dent the FPR,
+    while AP = Σ_t ΔR_t·P_t weights every threshold by the PRECISION
+    the consumer actually experiences at that operating point.  The
+    sklearn step-interpolation convention (no trapezoid — that one
+    is optimistic on PR curves) over DISTINCT score thresholds.
+
+    Exactness: the corpus reduces to exact (s_e6 → n_b, n1_b)
+    buckets first (the histogram-AUC lane); per threshold,
+    ΔTP = n1_b, TP and N at the cut are exact prefix bigints, and
+    each term ΔTP·TP/(N·n₁) runs ONE IEEE-identical double chain
+    floored to e12 — the sum of floored terms is the defined
+    quantization (referee-matched), order-free as a bigint sum.
+
+    Scale: keyed bucket aggregate (map-side combinable, ≤1e6 rows
+    by the e6 score domain regardless of corpus size); cumulative
+    window runs over the pre-reduced bucket tape; 1-row finish."""
+    scored = _auc_scored(spark, sf_dir)
+    buckets = scored.groupBy("s_e6").agg(
+        F.count("*").cast("bigint").alias("n_b"),
+        F.sum("label").cast("bigint").alias("n1_b"),
+    )
+    tot = buckets.agg(
+        F.sum("n1_b").cast("bigint").alias("n1"),
+        F.sum(F.col("n_b") - F.col("n1_b")).cast("bigint").alias("n0"),
+    )
+    w_desc = Window.orderBy(F.col("s_e6").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = buckets.select(
+        "n1_b",
+        F.sum("n_b").over(w_desc).cast("bigint").alias("n_cum"),
+        F.sum("n1_b").over(w_desc).cast("bigint").alias("tp_cum"),
+    ).filter(F.col("n1_b") > 0)
+    terms = cum.crossJoin(F.broadcast(tot)).select(
+        "n1",
+        "n0",
+        F.floor(
+            F.col("n1_b").cast("double")
+            * F.col("tp_cum")
+            / F.col("n_cum")
+            / F.col("n1")
+            * 1000000000000
+        )
+        .cast("bigint")
+        .alias("term_e12"),
+    )
+    return terms.groupBy("n1", "n0").agg(
+        F.sum("term_e12").cast("bigint").alias("ap_e12")
+    )

@@ -491,6 +491,8 @@ _ROUND10_NEXT_UP = (
     "events_hazard_nelson_aalen",
     "graph_reciprocity",
     "graph_edge_overlap_bridges",
+    "agg_gamma_fit_moments",
+    "text_model_average_precision",
 )
 
 _loaded = False

@@ -72,3 +72,71 @@ def test_graph_edge_overlap_bridges_referee(spark, sf_dir):
     # the fixture graph must exercise both classes
     assert any(r["is_local_bridge"] == 1 for r in got)
     assert any(r["is_local_bridge"] == 0 for r in got)
+
+
+def test_gamma_fit_moments_referee(spark, sf_dir):
+    import pyarrow.parquet as pq
+
+    o = pq.read_table(f"{sf_dir}/orders.parquet").to_pandas()
+    cents = (o["o_totalprice"] * 100).apply(math.floor).astype(object)
+    got = {
+        r["priority"]: r
+        for r in QUERIES["agg_gamma_fit_moments"](spark, sf_dir).collect()
+    }
+    for pri, grp in cents.groupby(o["o_orderpriority"]):
+        n = len(grp)
+        s = int(grp.sum())
+        q = int(sum(int(c) * int(c) for c in grp))  # unbounded python int
+        var_num = n * q - s * s
+        r = got[pri]
+        assert r["n"] == n
+        assert r["mean_cents"] == math.floor(s / n)
+        assert r["shape_e6"] == math.floor(
+            float(s * s * (n - 1)) / float(n * var_num) * 1000000
+        )
+        assert r["theta_cents"] == math.floor(
+            float(var_num) / float((n - 1) * s)
+        )
+        # gamma moments sanity: shape*theta ~= mean
+        assert (
+            abs(r["shape_e6"] / 1e6 * r["theta_cents"] - s / n)
+            / (s / n)
+            < 0.01
+        )
+
+
+def test_average_precision_referee(spark, sf_dir):
+    """Recompute AP from the registered scorer's own (s_e6, label)
+    output with sklearn's step convention + the documented per-term
+    e12 floors; assert the bucketed plan reproduces the sum exactly,
+    and that AP behaves (between prevalence and 1)."""
+    from graphsense_datafeed_spark.operators.llm_text import _auc_scored
+
+    rows = _auc_scored(spark, sf_dir).collect()
+    from collections import defaultdict
+
+    buckets = defaultdict(lambda: [0, 0])
+    for r in rows:
+        buckets[r["s_e6"]][0] += 1
+        buckets[r["s_e6"]][1] += r["label"]
+    n1 = sum(v[1] for v in buckets.values())
+    n0 = sum(v[0] - v[1] for v in buckets.values())
+    n_cum = tp = ap = 0
+    for s in sorted(buckets, reverse=True):
+        n_b, n1_b = buckets[s]
+        n_cum += n_b
+        tp += n1_b
+        if n1_b > 0:
+            ap += math.floor(
+                float(n1_b) * tp / n_cum / n1 * 1000000000000
+            )
+    row = QUERIES["text_model_average_precision"](spark, sf_dir).collect()[
+        0
+    ]
+    assert row["n1"] == n1 and row["n0"] == n0
+    assert row["ap_e12"] == ap
+    # AP of any scorer is bounded below by prevalence (random ranking)
+    # up to quantization, above by 1
+    prevalence_e12 = n1 / (n1 + n0) * 1e12
+    assert row["ap_e12"] <= 1000000000000
+    assert row["ap_e12"] > prevalence_e12 * 0.5
