@@ -2318,3 +2318,100 @@ def embed_alignment_uniformity(
         .cast("bigint")
         .alias("uniformity_e6"),
     )
+
+
+@query(
+    "embed_pair_distance_hist",
+    """
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(FLOOR(x * 1000000) AS BIGINT)) AS qv,
+               list_sum(list_transform(embedding,
+                   x -> CAST(FLOOR(x * 1000000) AS BIGINT)
+                        * CAST(FLOOR(x * 1000000) AS BIGINT))) AS n2
+        FROM embeddings WHERE vec_id < 128
+    ), pairs AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb,
+               list_sum(list_transform(list_zip(a.qv, b.qv),
+                        p -> p[1] * p[2])) AS dot,
+               a.n2 AS na, b.n2 AS nb
+        FROM q a JOIN q b ON a.vec_id < b.vec_id
+    ), sims AS (
+        SELECT CAST(FLOOR(CAST(dot AS DOUBLE)
+                          / sqrt(CAST(na AS DOUBLE))
+                          / sqrt(CAST(nb AS DOUBLE)) * 20) AS BIGINT)
+                   AS bucket
+        FROM pairs
+    )
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM sims GROUP BY bucket ORDER BY bucket
+    """,
+)
+def embed_pair_distance_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-pair cosine-similarity HISTOGRAM (round 9) — the
+    one-glance geometry diagnostic the per-dim variance profile
+    can't give: a healthy isotropic corpus concentrates pair
+    similarity near its mean cosine with thin tails; a spike at the
+    top bucket = duplicate/near-duplicate clusters (run dedup first),
+    a right-shifted mass = anisotropic collapse (every vector in one
+    cone — rank-reduce or whiten before ANN), bimodality = mixed
+    encoder versions (embed_drift_labels' prey).  Buckets are 0.05
+    cosine widths (floor(sim·20), range −20…19).
+
+    Exactness: elements quantize e6 once (exact on stored f32), dot
+    and norms² are exact bigint sums; sim = dot/√na/√nb is ONE
+    double chain — IEEE sqrt is correctly rounded, so both engines
+    produce the identical double — floored onto the bucket grid;
+    bucket counts exact.
+
+    Scale: the pair domain is a FIXED 128-vector anchor panel
+    (8 128 pairs at 64 dims regardless of corpus size — the
+    sim_topk_exact bounded-pairs discipline); the anchor filter
+    pushes to the scan, the panel broadcasts, and the histogram is a
+    keyed aggregate over ≤40 buckets."""
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 128)
+    qv = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * 1000000).cast("bigint"),
+    )
+    base = e.select(
+        "vec_id",
+        qv.alias("qv"),
+        F.aggregate(
+            F.transform(qv, lambda v: v * v),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        ).alias("n2"),
+    )
+    a = base.select(
+        F.col("vec_id").alias("va"),
+        F.col("qv").alias("qa"),
+        F.col("n2").alias("na"),
+    )
+    b = base.select(
+        F.col("vec_id").alias("vb"),
+        F.col("qv").alias("qb"),
+        F.col("n2").alias("nb"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("va") < F.col("vb"))
+    dot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    sims = pairs.select(
+        F.floor(
+            dot.cast("double")
+            / F.sqrt(F.col("na").cast("double"))
+            / F.sqrt(F.col("nb").cast("double"))
+            * 20
+        )
+        .cast("bigint")
+        .alias("bucket")
+    )
+    return (
+        sims.groupBy("bucket")
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+        .orderBy("bucket")
+    )

@@ -6254,3 +6254,118 @@ def events_hazard_nelson_aalen(
         "n_risk",
         F.sum("term_e9").over(w_asc).cast("bigint").alias("h_cum_e9"),
     ).orderBy("t_hours")
+
+
+@query(
+    "ts_robust_decompose",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS v
+        FROM events GROUP BY event_type, date_trunc('day', ts)
+    ), tr AS (
+        SELECT event_type, d, v,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n_w,
+               CAST(median(v) OVER w AS BIGINT) AS trend
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY d
+                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ), detr AS (
+        SELECT event_type, d, v, trend,
+               CAST(v - trend AS BIGINT) AS detrended
+        FROM tr WHERE n_w = 7
+    ), seas AS (
+        SELECT event_type, dayofweek(d) AS wd,
+               CAST(quantile_disc(detrended, 0.5) AS BIGINT) AS seasonal
+        FROM detr GROUP BY event_type, dayofweek(d)
+    )
+    SELECT t.event_type, t.d, t.v, t.trend, s.seasonal,
+           CAST(t.detrended - s.seasonal AS BIGINT) AS remainder
+    FROM detr t
+    JOIN seas s ON s.event_type = t.event_type
+                AND s.wd = dayofweek(t.d)
+    ORDER BY t.event_type, t.d
+    """,
+)
+def ts_robust_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-based robust trend/seasonal/remainder decomposition
+    (round 9) — the outlier-proof sibling of ts_seasonal_adjust
+    (mean-based) and the practical stand-in for STL where exactness
+    matters: trend = CENTERED 7-day moving median per series (one
+    spike shifts a mean window by spike/7 but leaves the median
+    untouched), seasonal = per-weekday discrete median of the
+    detrended series, remainder = what neither explains — the series
+    anomaly detectors should actually score (feeding a raw series to
+    ts_zscore_anomaly makes every Saturday an anomaly).
+
+    Exactness is TOTAL — no floats anywhere: daily counts are
+    integers, a 7-element median is the 4th order statistic (an
+    element), the weekday seasonal is percentile_disc (an element),
+    and both subtractions are bigint.  Incomplete edge windows
+    (n_w < 7) are excluded rather than padded — a padded median is a
+    different estimator, not a convenience.
+
+    Weekday grouping uses each engine's native weekday numbering
+    (Spark 1-7, DuckDB 0-6) — safe because the label is internal to
+    the groupBy and never emitted (the agg_partial_correlation
+    dayofweek-parity lesson applied preventively).
+
+    Scale: one keyed daily rollup (map-side combinable), one
+    per-series ROWS window (partitioned by event_type — never a
+    single-partition exchange), a (type × 7)-row seasonal table
+    broadcast back.  The 7-element collect_list is O(1) state; the
+    moving-median scale note at win_moving_median applies."""
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type", F.to_date(F.date_trunc("day", "ts")).alias("d")
+        )
+        .agg(F.count("*").cast("bigint").alias("v"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-3, 3)
+    )
+    arr = F.array_sort(F.collect_list("v").over(w))
+    tr = daily.select(
+        "event_type",
+        "d",
+        "v",
+        F.size(arr).alias("n_w"),
+        # try_element_at: edge windows hold 4-6 elements; the n_w == 7
+        # filter below discards them, but ANSI mode must not throw on
+        # a degenerate (<4-day) series before the filter runs
+        F.try_element_at(arr, F.lit(4)).cast("bigint").alias("trend"),
+    )
+    detr = tr.filter(F.col("n_w") == 7).select(
+        "event_type",
+        "d",
+        "v",
+        "trend",
+        (F.col("v") - F.col("trend")).cast("bigint").alias("detrended"),
+    )
+    seas = (
+        detr.withColumn("wd", F.dayofweek("d"))
+        .groupBy("event_type", "wd")
+        .agg(
+            F.expr(
+                "percentile_disc(0.5) WITHIN GROUP (ORDER BY detrended)"
+            )
+            .cast("bigint")
+            .alias("seasonal")
+        )
+    )
+    out = detr.withColumn("wd", F.dayofweek("d")).join(
+        F.broadcast(seas), ["event_type", "wd"]
+    )
+    return out.select(
+        "event_type",
+        "d",
+        "v",
+        "trend",
+        "seasonal",
+        (F.col("detrended") - F.col("seasonal"))
+        .cast("bigint")
+        .alias("remainder"),
+    ).orderBy("event_type", "d")

@@ -493,6 +493,8 @@ _ROUND10_NEXT_UP = (
     "graph_edge_overlap_bridges",
     "agg_gamma_fit_moments",
     "text_model_average_precision",
+    "embed_pair_distance_hist",
+    "ts_robust_decompose",
 )
 
 _loaded = False

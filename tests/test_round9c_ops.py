@@ -140,3 +140,84 @@ def test_average_precision_referee(spark, sf_dir):
     prevalence_e12 = n1 / (n1 + n0) * 1e12
     assert row["ap_e12"] <= 1000000000000
     assert row["ap_e12"] > prevalence_e12 * 0.5
+
+
+def test_pair_distance_hist_referee(spark, sf_dir):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    t = t[t["vec_id"] < 128].sort_values("vec_id")
+    q = np.stack(
+        [
+            np.floor(np.asarray(v, dtype=np.float64) * 1000000).astype(
+                np.int64
+            )
+            for v in t["embedding"]
+        ]
+    )
+    n2 = (q * q).sum(axis=1)
+    from collections import Counter
+
+    want = Counter()
+    for i in range(len(q)):
+        for j in range(i + 1, len(q)):
+            dot = int((q[i] * q[j]).sum())
+            sim = float(dot) / math.sqrt(float(n2[i])) / math.sqrt(
+                float(n2[j])
+            )
+            want[math.floor(sim * 20)] += 1
+    got = {
+        r["bucket"]: r["n_pairs"]
+        for r in QUERIES["embed_pair_distance_hist"](spark, sf_dir).collect()
+    }
+    assert got == dict(want)
+    n = len(q)
+    assert sum(got.values()) == n * (n - 1) // 2
+
+
+def test_robust_decompose_referee(spark, sf_dir):
+    import pyarrow.parquet as pq
+
+    ev = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+    ).to_pandas()
+    ev["d"] = ev["ts"].dt.date
+    daily = (
+        ev.groupby(["event_type", "d"]).size().rename("v").reset_index()
+    )
+    got = QUERIES["ts_robust_decompose"](spark, sf_dir).collect()
+    want = {}
+    for typ, grp in daily.groupby("event_type"):
+        grp = grp.sort_values("d").reset_index(drop=True)
+        vs = grp["v"].tolist()
+        detr = {}
+        for i in range(3, len(vs) - 3):
+            window = sorted(vs[i - 3 : i + 4])
+            trend = window[3]
+            detr[grp["d"][i]] = (vs[i], trend, vs[i] - trend)
+        by_wd = {}
+        for d, (_v, _t, dt_) in detr.items():
+            by_wd.setdefault(d.isoweekday() % 7, []).append(dt_)
+        seas = {}
+        for wd, xs in by_wd.items():
+            xs = sorted(xs)
+            # percentile_disc(0.5): first element with cum share >= .5
+            seas[wd] = xs[(len(xs) - 1) // 2]
+        for d, (v, trend, dt_) in detr.items():
+            s = seas[d.isoweekday() % 7]
+            want[(typ, d)] = (v, trend, s, dt_ - s)
+    assert len(got) == len(want)
+    for r in got:
+        v, trend, s, rem = want[(r["event_type"], r["d"])]
+        assert r["v"] == v
+        assert r["trend"] == trend
+        assert r["seasonal"] == s
+        assert r["remainder"] == rem
+    # the decomposition must explain something: remainder variance
+    # strictly below raw variance
+    import numpy as np
+
+    vs = np.array([r["v"] for r in got], dtype=np.float64)
+    rems = np.array([r["remainder"] for r in got], dtype=np.float64)
+    assert rems.var() < vs.var()
