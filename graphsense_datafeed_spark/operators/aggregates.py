@@ -6197,3 +6197,193 @@ def agg_gamma_fit_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("theta_cents"),
     ).orderBy("priority")
+
+
+@query(
+    "agg_mutual_information",
+    """
+    WITH cells AS (
+        SELECT event_type,
+               CAST(FLOOR(hour(ts) / 6) AS BIGINT) AS daypart,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY event_type, FLOOR(hour(ts) / 6)
+    ), marg AS (
+        SELECT event_type, daypart, c,
+               CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS r_i,
+               CAST(SUM(c) OVER (PARTITION BY daypart) AS BIGINT) AS c_j,
+               CAST(SUM(c) OVER () AS BIGINT) AS n
+        FROM cells
+    ), terms AS (
+        SELECT event_type, daypart, c,
+               CAST(FLOOR(CAST(c AS DOUBLE) / n
+                          * ln(CAST(c AS DOUBLE) * n
+                               / (CAST(r_i AS DOUBLE) * c_j))
+                          * 1000000000) AS BIGINT) AS term_e9
+        FROM marg
+    )
+    SELECT event_type, daypart, c, term_e9,
+           CAST(SUM(term_e9) OVER () AS BIGINT) AS mi_sum_e9
+    FROM terms
+    """,
+)
+def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MUTUAL INFORMATION between event type and daypart (round 9) —
+    the dependence number that completes the categorical-association
+    family: chi-square tests WHETHER the contingency table deviates,
+    Cramér's V normalizes the deviation, MI measures it in NATS on
+    the same scale as agg_entropy/agg_kl_divergence — I(X;Y) =
+    Σ p_ij·ln(p_ij/(p_i·p_j)) is exactly the KL divergence of the
+    joint from independence, so the feature-selection and
+    mixture-confounding readouts that threshold on nats can compare
+    it directly against the drift numbers.
+
+    Per-cell discipline mirrors agg_kl_divergence: counts and
+    margins exact bigints over the (type × daypart) cell table; each
+    cell's p·ln(pn²/(r·c)) evaluates in ONE double expression both
+    engines run identically, floored e9 BEFORE the order-free bigint
+    total.  Empty cells never materialize (0·ln 0 = 0 is their
+    correct contribution, delivered structurally by GROUP BY).
+
+    Scale: one map-side-combinable count to |types|×4 cells;
+    margins and terms run entirely on the cell table."""
+    ev = load(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type",
+        F.floor(F.hour("ts") / 6).cast("bigint").alias("daypart"),
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    w_i = Window.partitionBy("event_type")
+    w_j = Window.partitionBy("daypart")
+    w_all = Window.partitionBy()
+    marg = cells.select(
+        "event_type",
+        "daypart",
+        "c",
+        F.sum("c").over(w_i).cast("bigint").alias("r_i"),
+        F.sum("c").over(w_j).cast("bigint").alias("c_j"),
+        F.sum("c").over(w_all).cast("bigint").alias("n"),
+    )
+    term = F.floor(
+        F.col("c").cast("double")
+        / F.col("n")
+        * F.log(
+            F.col("c").cast("double")
+            * F.col("n")
+            / (F.col("r_i").cast("double") * F.col("c_j"))
+        )
+        * 1000000000
+    ).cast("bigint")
+    terms = marg.select("event_type", "daypart", "c", term.alias("term_e9"))
+    return terms.select(
+        "event_type",
+        "daypart",
+        "c",
+        "term_e9",
+        F.sum("term_e9").over(w_all).cast("bigint").alias("mi_sum_e9"),
+    )
+
+
+@query(
+    "agg_negative_binomial_fit",
+    """
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS d,
+               CAST(COUNT(*) AS BIGINT) AS v
+        FROM events GROUP BY event_type, date_trunc('day', ts)
+    ), m AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(v) AS BIGINT) AS s,
+               SUM(CAST(v AS HUGEINT) * v) AS q
+        FROM daily GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CAST(FLOOR(CAST(s AS DOUBLE) / n * 1000000) AS BIGINT)
+               AS mean_e6,
+           CAST(FLOOR(CAST(n * q - CAST(s AS HUGEINT) * s AS DOUBLE)
+                      / CAST(n * (n - 1) AS DOUBLE) * 1000000) AS BIGINT)
+               AS var_e6,
+           CASE WHEN n * q - CAST(s AS HUGEINT) * s - (n - 1) * s > 0
+                THEN CAST(FLOOR(
+                    CAST(CAST(s AS HUGEINT) * s * (n - 1) AS DOUBLE)
+                    / CAST(n * (n * q - CAST(s AS HUGEINT) * s
+                                - (n - 1) * s) AS DOUBLE)
+                    * 1000000) AS BIGINT)
+                ELSE NULL END AS r_e6,
+           CAST(FLOOR(CAST(CAST(s AS HUGEINT) * (n - 1) AS DOUBLE)
+                      / CAST(n * q - CAST(s AS HUGEINT) * s AS DOUBLE)
+                      * 1000000) AS BIGINT) AS p_e6,
+           CAST(CASE WHEN n * q - CAST(s AS HUGEINT) * s
+                          - (n - 1) * s > 0
+                     THEN 1 ELSE 0 END AS BIGINT) AS overdispersed
+    FROM m ORDER BY event_type
+    """,
+)
+def agg_negative_binomial_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEGATIVE-BINOMIAL fit of daily event counts by method of
+    moments (round 9) — the count-model step after
+    agg_poisson_dispersion says "overdispersed": NB(r, p) with
+    r̂ = mean²/(var−mean) (small r = heavy clumping; r→∞ recovers
+    Poisson) and p̂ = mean/var — the parameters capacity planning
+    and anomaly thresholds consume (a Poisson P99 on clumped
+    arrivals alarms constantly).  Under-dispersed series emit NULL
+    r̂ with the flag down — the fit is undefined there, not zero
+    (agg_gamma_fit_moments is the continuous twin).
+
+    Exactness (the Cronbach/Gamma 128-bit lane): daily counts are
+    exact integers; S, Q = Σv² in hugeint/decimal(38,0);
+    r̂ = S²(n−1)/(n(nQ−S²−(n−1)S)), p̂ = S(n−1)/(nQ−S²), mean and
+    sample variance all clear to ratios of exact 128-bit integers
+    with ONE double division each; the overdispersion gate compares
+    integers, never floats.
+
+    Scale: keyed daily rollup (map-side combinable) then a
+    |types|-row moment table — both shuffles on small keys."""
+    ev = load(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.count("*").cast("bigint").alias("v"))
+    vd = F.col("v").cast(dec)
+    m = daily.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("v").cast("bigint").alias("s"),
+        F.sum(vd * vd).alias("q"),
+    )
+    nd = F.col("n").cast(dec)
+    sd = F.col("s").cast(dec)
+    var_num = nd * F.col("q") - sd * sd
+    disp_num = var_num - (nd - 1) * sd
+    return m.select(
+        "event_type",
+        "n",
+        F.floor(F.col("s").cast("double") / F.col("n") * 1000000)
+        .cast("bigint")
+        .alias("mean_e6"),
+        F.floor(
+            var_num.cast("double")
+            / (F.col("n") * (F.col("n") - 1)).cast("double")
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("var_e6"),
+        F.when(
+            disp_num > 0,
+            F.floor(
+                (sd * sd * (nd - 1)).cast("double")
+                / (nd * disp_num).cast("double")
+                * 1000000
+            ).cast("bigint"),
+        )
+        .otherwise(F.lit(None).cast("bigint"))
+        .alias("r_e6"),
+        F.floor(
+            (sd * (nd - 1)).cast("double")
+            / var_num.cast("double")
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("p_e6"),
+        F.when(disp_num > 0, 1).otherwise(0).cast("bigint").alias(
+            "overdispersed"
+        ),
+    ).orderBy("event_type")

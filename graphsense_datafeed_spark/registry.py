@@ -495,6 +495,8 @@ _ROUND10_NEXT_UP = (
     "text_model_average_precision",
     "embed_pair_distance_hist",
     "ts_robust_decompose",
+    "agg_mutual_information",
+    "agg_negative_binomial_fit",
 )
 
 _loaded = False

@@ -221,3 +221,76 @@ def test_robust_decompose_referee(spark, sf_dir):
     vs = np.array([r["v"] for r in got], dtype=np.float64)
     rems = np.array([r["remainder"] for r in got], dtype=np.float64)
     assert rems.var() < vs.var()
+
+
+def test_mutual_information_referee(spark, sf_dir):
+    import pyarrow.parquet as pq
+    from collections import Counter
+
+    ev = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+    ).to_pandas()
+    cells = Counter(
+        zip(ev["event_type"], ev["ts"].dt.hour // 6)
+    )
+    n = sum(cells.values())
+    r = Counter()
+    c = Counter()
+    for (t, dp), v in cells.items():
+        r[t] += v
+        c[dp] += v
+    terms = {
+        k: math.floor(
+            float(v) / n * math.log(float(v) * n / (float(r[k[0]]) * c[k[1]]))
+            * 1000000000
+        )
+        for k, v in cells.items()
+    }
+    mi_sum = sum(terms.values())
+    got = QUERIES["agg_mutual_information"](spark, sf_dir).collect()
+    assert len(got) == len(cells)
+    for row in got:
+        k = (row["event_type"], row["daypart"])
+        assert row["c"] == cells[k]
+        assert row["term_e9"] == terms[k]
+        assert row["mi_sum_e9"] == mi_sum
+    # MI is non-negative (up to per-term floor quantization)
+    assert mi_sum >= -len(cells)
+
+
+def test_negative_binomial_fit_referee(spark, sf_dir):
+    import pyarrow.parquet as pq
+
+    ev = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+    ).to_pandas()
+    ev["d"] = ev["ts"].dt.floor("D")
+    daily = ev.groupby(["event_type", "d"]).size()
+    got = {
+        r["event_type"]: r
+        for r in QUERIES["agg_negative_binomial_fit"](
+            spark, sf_dir
+        ).collect()
+    }
+    for typ, grp in daily.groupby(level=0):
+        vs = [int(x) for x in grp.values]
+        n, s, q = len(vs), sum(vs), sum(v * v for v in vs)
+        var_num = n * q - s * s
+        disp_num = var_num - (n - 1) * s
+        row = got[typ]
+        assert row["n"] == n
+        assert row["mean_e6"] == math.floor(s / n * 1000000)
+        assert row["var_e6"] == math.floor(
+            float(var_num) / float(n * (n - 1)) * 1000000
+        )
+        assert row["p_e6"] == math.floor(
+            float(s * (n - 1)) / float(var_num) * 1000000
+        )
+        if disp_num > 0:
+            assert row["overdispersed"] == 1
+            assert row["r_e6"] == math.floor(
+                float(s * s * (n - 1)) / float(n * disp_num) * 1000000
+            )
+        else:
+            assert row["overdispersed"] == 0
+            assert row["r_e6"] is None
