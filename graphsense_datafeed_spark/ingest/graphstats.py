@@ -1712,3 +1712,111 @@ def graph_edge_overlap_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("is_local_bridge"),
     )
+
+
+@query(
+    "graph_harmonic_bounded",
+    f"""
+    WITH {_DUCK_EDGES.strip()},
+    sym AS (
+        SELECT src AS a, dst AS b FROM edges
+        UNION ALL SELECT dst, src FROM edges
+    ), d1 AS (
+        SELECT DISTINCT a, b FROM sym
+    ), d2 AS (
+        SELECT DISTINCT d1.a, s.b
+        FROM d1 JOIN sym s ON s.a = d1.b
+        WHERE s.b <> d1.a
+          AND NOT EXISTS (SELECT 1 FROM d1 x
+                          WHERE x.a = d1.a AND x.b = s.b)
+    ), d3 AS (
+        SELECT DISTINCT d2.a, s.b
+        FROM d2 JOIN sym s ON s.a = d2.b
+        WHERE s.b <> d2.a
+          AND NOT EXISTS (SELECT 1 FROM d1 x
+                          WHERE x.a = d2.a AND x.b = s.b)
+          AND NOT EXISTS (SELECT 1 FROM d2 y
+                          WHERE y.a = d2.a AND y.b = s.b)
+    ), c1 AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS n1 FROM d1 GROUP BY a),
+    c2 AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS n2 FROM d2 GROUP BY a),
+    c3 AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS n3 FROM d3 GROUP BY a)
+    SELECT c1.a AS addr, c1.n1,
+           COALESCE(c2.n2, 0) AS n2,
+           COALESCE(c3.n3, 0) AS n3,
+           CAST(6 * c1.n1 + 3 * COALESCE(c2.n2, 0)
+                + 2 * COALESCE(c3.n3, 0) AS BIGINT) AS harmonic_x6
+    FROM c1
+    LEFT JOIN c2 ON c2.a = c1.a
+    LEFT JOIN c3 ON c3.a = c1.a
+    """,
+)
+def graph_harmonic_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARMONIC centrality truncated at 3 hops (round 9) — the
+    closeness-family member the walk-weighted scores miss: H(v) =
+    Σ_{u≠v} 1/d(v,u) over nodes within distance 3, the
+    disconnected-graph-safe closeness (classic closeness is
+    undefined across components; harmonic just drops the 1/∞
+    terms — essential here, the co-occurrence graph IS fragmented).
+    Degree counts hop 1, Katz weights WALKS (a hub counted once per
+    path); harmonic counts REACHED NODES once each at their true
+    distance — the "how fast can v actually touch the graph" number.
+
+    Exactness is TOTAL: with distances capped at 3, H = n1/1 + n2/2
+    + n3/3 lives in exact SIXTHS — harmonic_x6 = 6n1 + 3n2 + 2n3 is
+    a pure bigint; no quantization anywhere.  Exact-distance layers
+    by frontier subtraction (d2 = neighbors-of-d1 minus d1 minus
+    self; d3 likewise), the graph_bfs_layers discipline run from
+    every source at once.
+
+    Scale: each hop is one edges⋈frontier equi-join + DISTINCT on
+    (source, node) — O(Σ frontier·degree) per hop, the standard
+    bounded-BFS cost; the 3-hop ball bound is the cap that keeps
+    all-pairs tractable (uncapped closeness needs APSP — never).
+    Hub-heavy graphs inflate the hop-2 frontier as Σd²; the
+    module-head degree-orientation note and per-source frontier
+    caps are the 100 TB refinements."""
+    edges = cooccurrence_edges(spark)
+    sym = edges.select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    ).unionAll(
+        edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+    )
+    d1 = sym.distinct()
+    nxt = sym.select(F.col("a").alias("via"), F.col("b").alias("nb"))
+    d2 = (
+        d1.join(nxt, d1.b == nxt.via)
+        .select("a", F.col("nb").alias("b"))
+        .filter(F.col("b") != F.col("a"))
+        .distinct()
+        .join(d1, ["a", "b"], "left_anti")
+    )
+    d3 = (
+        d2.join(nxt, d2.b == nxt.via)
+        .select("a", F.col("nb").alias("b"))
+        .filter(F.col("b") != F.col("a"))
+        .distinct()
+        .join(d1, ["a", "b"], "left_anti")
+        .join(d2, ["a", "b"], "left_anti")
+    )
+    c1 = d1.groupBy("a").agg(F.count("*").cast("bigint").alias("n1"))
+    c2 = d2.groupBy("a").agg(F.count("*").cast("bigint").alias("n2"))
+    c3 = d3.groupBy("a").agg(F.count("*").cast("bigint").alias("n3"))
+    out = (
+        c1.join(c2, "a", "left")
+        .join(c3, "a", "left")
+        .select(
+            F.col("a").alias("addr"),
+            "n1",
+            F.coalesce(F.col("n2"), F.lit(0)).cast("bigint").alias("n2"),
+            F.coalesce(F.col("n3"), F.lit(0)).cast("bigint").alias("n3"),
+        )
+    )
+    return out.select(
+        "addr",
+        "n1",
+        "n2",
+        "n3",
+        (6 * F.col("n1") + 3 * F.col("n2") + 2 * F.col("n3"))
+        .cast("bigint")
+        .alias("harmonic_x6"),
+    )

@@ -1733,3 +1733,111 @@ def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("orig_key", "dirty_name", "matched_key", "lev")
         .orderBy("orig_key")
     )
+
+
+@query(
+    "interval_union_coverage",
+    """
+    WITH iv AS (
+        SELECT l_suppkey AS suppkey,
+               CAST(l_shipdate AS DATE) AS s,
+               CAST(l_shipdate AS DATE)
+                   + CAST(CAST(l_quantity AS BIGINT) % 14 AS INTEGER)
+                   AS e
+        FROM lineitem
+    ), marked AS (
+        SELECT suppkey, s, e,
+               CASE WHEN s > MAX(e) OVER (PARTITION BY suppkey
+                        ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING)
+                    THEN 1 ELSE 0 END AS new_island
+        FROM iv
+    ), islands AS (
+        SELECT suppkey, s, e,
+               CAST(SUM(new_island) OVER (PARTITION BY suppkey
+                    ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS island_id
+        FROM marked
+    ), spans AS (
+        SELECT suppkey, island_id,
+               MIN(s) AS is_, MAX(e) AS ie
+        FROM islands GROUP BY suppkey, island_id
+    )
+    SELECT suppkey,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(ie - is_ + 1) AS BIGINT) AS covered_days,
+           CAST(MAX(ie) - MIN(is_) + 1 AS BIGINT) AS span_days,
+           CAST(MAX(ie) - MIN(is_) + 1 - SUM(ie - is_ + 1) AS BIGINT)
+               AS gap_days
+    FROM spans GROUP BY suppkey
+    """,
+)
+def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key INTERVAL-UNION length (round 9) — the measure-theory
+    twin of the interval-join family: each supplier's in-transit
+    windows [shipdate, shipdate + quantity mod 14 days] (the fixture
+    carries no receiptdate; the synthetic duration is deterministic
+    and engine-identical) merged into disjoint islands,
+    then covered vs gap days — "how much of the calendar was this
+    supplier actually mid-shipment?".  interval_overlap_duration
+    measures pairwise intersections; win_gaps_islands finds islands
+    on a POINT series; this is the union-LENGTH over genuine
+    intervals, the utilization/SLA-exposure statistic, and the
+    classic case where naive per-interval day sums double-count
+    overlaps (referee-asserted: covered ≤ span and covered ≤ Σ
+    lengths, with strict inequality where overlaps exist).
+
+    The sweep is the textbook one-pass island detection: intervals
+    sorted (start, end) per key; an interval opens a NEW island iff
+    its start clears the running max end of everything before it
+    (max, not lag — an earlier interval can swallow a later one);
+    island id = prefix sum of the flag.  All date arithmetic is
+    exact integer days; no floats exist.
+
+    Scale: one keyed window over (suppkey)-partitioned intervals —
+    never a global sort — then two keyed aggregates; per-key state
+    is O(1) (the running max).  Skewed keys (one supplier with
+    millions of intervals) sort within their partition only."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("suppkey"),
+        F.to_date("l_shipdate").alias("s"),
+        F.date_add(
+            F.to_date("l_shipdate"),
+            (F.col("l_quantity").cast("bigint") % 14).cast("int"),
+        ).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("suppkey")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = li.select(
+        "suppkey",
+        "s",
+        "e",
+        F.when(F.col("s") > F.max("e").over(w_prev), 1)
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    w_run = (
+        Window.partitionBy("suppkey")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = marked.select(
+        "suppkey",
+        "s",
+        "e",
+        F.sum("new_island").over(w_run).cast("bigint").alias("island_id"),
+    )
+    spans = islands.groupBy("suppkey", "island_id").agg(
+        F.min("s").alias("is_"), F.max("e").alias("ie")
+    )
+    cov = F.sum(F.datediff("ie", "is_") + 1).cast("bigint")
+    span = (F.datediff(F.max("ie"), F.min("is_")) + 1).cast("bigint")
+    return spans.groupBy("suppkey").agg(
+        F.count("*").cast("bigint").alias("n_islands"),
+        cov.alias("covered_days"),
+        span.alias("span_days"),
+        (span - cov).cast("bigint").alias("gap_days"),
+    )

@@ -497,6 +497,8 @@ _ROUND10_NEXT_UP = (
     "ts_robust_decompose",
     "agg_mutual_information",
     "agg_negative_binomial_fit",
+    "graph_harmonic_bounded",
+    "interval_union_coverage",
 )
 
 _loaded = False

@@ -294,3 +294,78 @@ def test_negative_binomial_fit_referee(spark, sf_dir):
         else:
             assert row["overdispersed"] == 0
             assert row["r_e6"] is None
+
+
+def test_harmonic_bounded_referee(spark, sf_dir):
+    adj: dict[str, set[str]] = {}
+    for tx in _txs():
+        addrs = sorted(
+            {io["address"][0] for io in tx["inputs"] + tx["outputs"]}
+        )
+        for i, a in enumerate(addrs):
+            for b in addrs[i + 1 :]:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+    got = {
+        r["addr"]: r
+        for r in QUERIES["graph_harmonic_bounded"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(adj)
+    for v in adj:
+        n1 = adj[v]
+        n2 = set().union(*(adj[u] for u in n1)) - n1 - {v}
+        n3 = (
+            set().union(*(adj[u] for u in n2)) - n2 - n1 - {v}
+            if n2
+            else set()
+        )
+        r = got[v]
+        assert r["n1"] == len(n1)
+        assert r["n2"] == len(n2)
+        assert r["n3"] == len(n3)
+        assert r["harmonic_x6"] == 6 * len(n1) + 3 * len(n2) + 2 * len(n3)
+
+
+def test_interval_union_coverage_referee(spark, sf_dir):
+    import pyarrow.parquet as pq
+
+    li = pq.read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_shipdate", "l_quantity"],
+    ).to_pandas()
+    li["s"] = li["l_shipdate"]
+    import datetime
+
+    li["e"] = [
+        s + datetime.timedelta(days=int(q) % 14)
+        for s, q in zip(li["l_shipdate"], li["l_quantity"])
+    ]
+    got = {
+        r["suppkey"]: r
+        for r in QUERIES["interval_union_coverage"](spark, sf_dir).collect()
+    }
+    for key, grp in li.groupby("l_suppkey"):
+        ivs = sorted(zip(grp["s"], grp["e"]))
+        islands = []
+        cur_s, cur_e = ivs[0]
+        for s, e in ivs[1:]:
+            if s > cur_e:
+                islands.append((cur_s, cur_e))
+                cur_s, cur_e = s, e
+            else:
+                cur_e = max(cur_e, e)
+        islands.append((cur_s, cur_e))
+        covered = sum((e - s).days + 1 for s, e in islands)
+        span = (islands[-1][1] - islands[0][0]).days + 1
+        # NB: max end is always in the last island by construction
+        span = (
+            max(e for _s, e in islands) - min(s for s, _e in islands)
+        ).days + 1
+        r = got[key]
+        assert r["n_islands"] == len(islands)
+        assert r["covered_days"] == covered
+        assert r["span_days"] == span
+        assert r["gap_days"] == span - covered
+        # union never exceeds the naive per-interval sum
+        naive = sum((e - s).days + 1 for s, e in zip(grp["s"], grp["e"]))
+        assert covered <= naive
