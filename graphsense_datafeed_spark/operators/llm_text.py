@@ -4947,3 +4947,85 @@ def text_model_average_precision(
     return terms.groupBy("n1", "n0").agg(
         F.sum("term_e12").cast("bigint").alias("ap_e12")
     )
+
+
+@query(
+    "text_model_brier",
+    """
+    WITH scored AS (
+        SELECT doc_id,
+               CAST(FLOOR(1000000.0 / (1.0 + exp(-(-0.25
+                   + 1.5 * (CAST(n_chars AS DOUBLE) / 1000)
+                   - 0.75 * (CAST(length(text) - length(replace(text, ' ', ''))
+                             AS DOUBLE) / 100)
+                   + 2.0 * (CAST(length(text)
+                                 - length(replace(text, 'the', ''))
+                            AS DOUBLE)
+                            / (3 * GREATEST(CAST(n_chars AS DOUBLE), 1.0))
+                            * 10))))) AS BIGINT) AS s_e6,
+               CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS label
+        FROM documents
+    ), dev AS (
+        SELECT label,
+               CAST(s_e6 - label * 1000000 AS HUGEINT) AS d
+        FROM scored
+    ), agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(label) AS BIGINT) AS n1,
+               SUM(d * d) AS ss,
+               SUM(CASE WHEN label = 1 THEN d * d END) AS ss1,
+               SUM(CASE WHEN label = 0 THEN d * d END) AS ss0
+        FROM dev
+    )
+    SELECT n, n1,
+           CAST(FLOOR(CAST(ss AS DOUBLE) / n) AS BIGINT) AS brier_e12,
+           CAST(FLOOR(CAST(ss1 AS DOUBLE) / n1) AS BIGINT)
+               AS brier_pos_e12,
+           CAST(FLOOR(CAST(ss0 AS DOUBLE) / (n - n1)) AS BIGINT)
+               AS brier_neg_e12
+    FROM agg
+    """,
+)
+def text_model_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BRIER SCORE of the quality classifier (round 9) — the proper
+    scoring rule that closes the model-eval family: AUC ranks
+    (order-only), ECE bins calibration (binned), AP weights by
+    precision; the Brier score mean((p−y)²) is the single number
+    that rewards BOTH discrimination and calibration at once and
+    cannot be gamed by either alone — the metric to minimize when
+    the score feeds a downstream threshold-free consumer (mixture
+    weighting, soft filtering).  Per-class conditionals expose the
+    asymmetry (a scorer can be sharp on positives and mushy on
+    negatives — the averages hide it).
+
+    Exactness is TOTAL until one division: p floors to e6 once (the
+    shared _auc_scored lane), d = p_e6 − y·10⁶ is an exact integer,
+    Σd² accumulates in 128-bit (hugeint / decimal(38,0) — d² is
+    1e12-scale, int64 saturates near 9×10⁶ docs), and each readout
+    is one floored double division; (p−y)² lands in exact e12 units.
+
+    Scale: ONE map-side-combinable global aggregate over the corpus;
+    no window, no join, no sort — the cheapest shape there is."""
+    scored = _auc_scored(spark, sf_dir)
+    dec = "decimal(38,0)"
+    d = (F.col("s_e6") - F.col("label") * 1000000).cast(dec)
+    agg = scored.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("label").cast("bigint").alias("n1"),
+        F.sum(d * d).alias("ss"),
+        F.sum(F.when(F.col("label") == 1, d * d)).alias("ss1"),
+        F.sum(F.when(F.col("label") == 0, d * d)).alias("ss0"),
+    )
+    return agg.select(
+        "n",
+        "n1",
+        F.floor(F.col("ss").cast("double") / F.col("n"))
+        .cast("bigint")
+        .alias("brier_e12"),
+        F.floor(F.col("ss1").cast("double") / F.col("n1"))
+        .cast("bigint")
+        .alias("brier_pos_e12"),
+        F.floor(F.col("ss0").cast("double") / (F.col("n") - F.col("n1")))
+        .cast("bigint")
+        .alias("brier_neg_e12"),
+    )

@@ -6369,3 +6369,120 @@ def ts_robust_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("remainder"),
     ).orderBy("event_type", "d")
+
+
+@query(
+    "events_survival_cindex",
+    """
+    WITH peru AS (
+        SELECT user_id,
+               CAST(FLOOR((epoch(MAX(ts)) - epoch(MIN(ts))) / 3600)
+                    AS BIGINT) AS t,
+               CAST(CASE WHEN day(MAX(ts)) <= 27 THEN 1 ELSE 0 END
+                    AS BIGINT) AS ev,
+               CAST(COUNT(*) AS BIGINT) AS score
+        FROM events WHERE user_id < 500 GROUP BY user_id
+    ), pairs AS (
+        SELECT CASE WHEN a.score < b.score THEN 2
+                    WHEN a.score = b.score THEN 1
+                    ELSE 0 END AS conc2
+        FROM peru a JOIN peru b
+          ON a.t < b.t AND a.ev = 1
+    ), agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_comparable,
+               CAST(SUM(conc2) AS BIGINT) AS conc2
+        FROM pairs
+    ), u AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(ev) AS BIGINT) AS n_events
+        FROM peru
+    )
+    SELECT u.n_users, u.n_events, a.n_comparable,
+           CASE WHEN a.n_comparable > 0
+                THEN CAST(FLOOR(CAST(a.conc2 AS DOUBLE) * 1000000
+                          / (2 * a.n_comparable)) AS BIGINT)
+                ELSE NULL END AS c_index_e6
+    FROM u, agg a
+    """,
+)
+def events_survival_cindex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARRELL'S C-INDEX for the activity-predicts-survival model
+    (round 9) — the discrimination metric of the survival family
+    (events_survival_km estimates the curve, events_hazard_
+    nelson_aalen its slope; the C-index asks whether a COVARIATE
+    actually orders the outcomes): over comparable user pairs (the
+    earlier-ending user experienced the event — censored-first pairs
+    are unordered and excluded, the censoring-correct rule), the
+    share where higher activity (event count, the candidate
+    predictor) belongs to the longer-lived user.  C≈0.5 = the
+    predictor is noise; the referee asserts the fixture's activity
+    signal clears it.  Ties in the predictor count ½ (Harrell's
+    convention).
+
+    Exactness: durations/flags/scores exact integers (the
+    nelson_aalen duration lane); doubled concordance units
+    (2·concordant + ties) keep the tie-half integral; ONE floored
+    double division.
+
+    Scale: the pair domain is an id-bounded ANCHOR PANEL (user_id <
+    500 — deterministic at every SF, the agg_kendall_tau bounded-
+    pairs discipline; SE ~ 1/√pairs makes the panel already ±0.01);
+    C-index IS pairwise — no rank reduction exists for the censored
+    comparable-pair rule — so bounding the panel is the design, not
+    a shortcut."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 500)
+    peru = ev.groupBy("user_id").agg(
+        F.floor(
+            (
+                F.unix_timestamp(F.max("ts"))
+                - F.unix_timestamp(F.min("ts"))
+            )
+            / 3600
+        )
+        .cast("bigint")
+        .alias("t"),
+        F.when(F.dayofmonth(F.max("ts")) <= 27, 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("ev"),
+        F.count("*").cast("bigint").alias("score"),
+    )
+    a = peru.select(
+        F.col("t").alias("ta"),
+        F.col("ev").alias("eva"),
+        F.col("score").alias("sa"),
+    )
+    b = peru.select(
+        F.col("t").alias("tb"), F.col("score").alias("sb")
+    )
+    pairs = a.join(
+        F.broadcast(b), (F.col("ta") < F.col("tb")) & (F.col("eva") == 1)
+    ).select(
+        F.when(F.col("sa") < F.col("sb"), 2)
+        .when(F.col("sa") == F.col("sb"), 1)
+        .otherwise(0)
+        .alias("conc2")
+    )
+    agg = pairs.agg(
+        F.count("*").cast("bigint").alias("n_comparable"),
+        F.sum("conc2").cast("bigint").alias("conc2"),
+    )
+    u = peru.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("ev").cast("bigint").alias("n_events"),
+    )
+    return u.crossJoin(agg).select(
+        "n_users",
+        "n_events",
+        "n_comparable",
+        F.when(
+            F.col("n_comparable") > 0,
+            F.floor(
+                F.col("conc2").cast("double")
+                * 1000000
+                / (2 * F.col("n_comparable"))
+            ).cast("bigint"),
+        )
+        .otherwise(F.lit(None).cast("bigint"))
+        .alias("c_index_e6"),
+    )

@@ -499,6 +499,8 @@ _ROUND10_NEXT_UP = (
     "agg_negative_binomial_fit",
     "graph_harmonic_bounded",
     "interval_union_coverage",
+    "text_model_brier",
+    "events_survival_cindex",
 )
 
 _loaded = False

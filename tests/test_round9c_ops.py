@@ -369,3 +369,59 @@ def test_interval_union_coverage_referee(spark, sf_dir):
         # union never exceeds the naive per-interval sum
         naive = sum((e - s).days + 1 for s, e in zip(grp["s"], grp["e"]))
         assert covered <= naive
+
+
+def test_model_brier_referee(spark, sf_dir):
+    from graphsense_datafeed_spark.operators.llm_text import _auc_scored
+
+    rows = _auc_scored(spark, sf_dir).collect()
+    n = len(rows)
+    n1 = sum(r["label"] for r in rows)
+    ss = sum((r["s_e6"] - r["label"] * 1000000) ** 2 for r in rows)
+    ss1 = sum(
+        (r["s_e6"] - 1000000) ** 2 for r in rows if r["label"] == 1
+    )
+    ss0 = sum(r["s_e6"] ** 2 for r in rows if r["label"] == 0)
+    got = QUERIES["text_model_brier"](spark, sf_dir).collect()[0]
+    assert got["n"] == n and got["n1"] == n1
+    assert got["brier_e12"] == math.floor(float(ss) / n)
+    assert got["brier_pos_e12"] == math.floor(float(ss1) / n1)
+    assert got["brier_neg_e12"] == math.floor(float(ss0) / (n - n1))
+    # decomposition consistency: the class-conditional pieces must
+    # reassemble the total (up to the three independent floors)
+    reassembled = (got["brier_pos_e12"] * n1 + got["brier_neg_e12"] * (n - n1)) / n
+    assert abs(reassembled - got["brier_e12"]) <= 2
+    assert 0 <= got["brier_e12"] <= 1000000000000
+
+
+def test_survival_cindex_referee(spark, sf_dir):
+    import pyarrow.parquet as pq
+
+    ev = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+    ).to_pandas()
+    ev = ev[ev["user_id"] < 500]
+    peru = {}
+    for uid, grp in ev.groupby("user_id"):
+        lo, hi = grp["ts"].min(), grp["ts"].max()
+        t = math.floor((hi - lo).total_seconds() / 3600)
+        evf = 1 if hi.day <= 27 else 0
+        peru[uid] = (t, evf, len(grp))
+    users = list(peru.values())
+    conc2 = n_comp = 0
+    for ta, eva, sa in users:
+        if eva != 1:
+            continue
+        for tb, _evb, sb in users:
+            if ta < tb:
+                n_comp += 1
+                conc2 += 2 if sa < sb else (1 if sa == sb else 0)
+    got = QUERIES["events_survival_cindex"](spark, sf_dir).collect()[0]
+    assert got["n_users"] == len(users)
+    assert got["n_comparable"] == n_comp
+    if n_comp == 0:
+        assert got["c_index_e6"] is None
+        return
+    assert got["c_index_e6"] == math.floor(
+        conc2 * 1000000 / (2 * n_comp)
+    )
