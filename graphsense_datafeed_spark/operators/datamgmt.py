@@ -2763,3 +2763,145 @@ def profile_ndv_sample_gee(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("err_e6"),
     )
+
+
+@query(
+    "anon_randomized_response_freq",
+    """
+    WITH types AS (
+        SELECT event_type,
+               ROW_NUMBER() OVER (ORDER BY event_type) - 1 AS idx,
+               CAST(COUNT(*) OVER () AS BIGINT) AS k
+        FROM (SELECT DISTINCT event_type FROM events)
+    ), coined AS (
+        SELECT e.event_type AS true_type,
+               CAST(CAST('0x' || substr(md5(CAST(e.event_id AS VARCHAR)
+                    || ':rr'), 1, 4) AS BIGINT) % 4 AS BIGINT) AS keep,
+               CAST(CAST('0x' || substr(md5(CAST(e.event_id AS VARCHAR)
+                    || ':alt'), 1, 4) AS BIGINT)
+                    % (SELECT MAX(k) FROM types) AS BIGINT) AS alt_idx
+        FROM events e
+    ), reported AS (
+        SELECT CASE WHEN c.keep < 3 THEN c.true_type
+                    ELSE t.event_type END AS rep_type,
+               c.true_type
+        FROM coined c JOIN types t ON t.idx = c.alt_idx
+    ), obs AS (
+        SELECT rep_type AS event_type,
+               CAST(COUNT(*) AS BIGINT) AS o
+        FROM reported GROUP BY rep_type
+    ), tru AS (
+        SELECT true_type AS event_type,
+               CAST(COUNT(*) AS BIGINT) AS t_count
+        FROM reported GROUP BY true_type
+    ), n AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM reported
+    ), tk AS (
+        SELECT MAX(k) AS k FROM types
+    )
+    SELECT o.event_type, o.o AS reported_count, tr.t_count AS true_count,
+           CAST(FLOOR(CAST(4 * tk.k * o.o - n.n AS DOUBLE) * 1000000
+                      / (3 * tk.k * n.n)) AS BIGINT) AS est_share_e6,
+           CAST(FLOOR(CAST(tr.t_count AS DOUBLE) * 1000000 / n.n)
+                AS BIGINT) AS true_share_e6
+    FROM obs o JOIN tru tr USING (event_type), n, tk
+    ORDER BY o.event_type
+    """,
+)
+def anon_randomized_response_freq(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RANDOMIZED RESPONSE frequency release (round 9) — the
+    LOCAL-privacy member completing the anonymization kit
+    (anon_k_suppress/l_diversity/t_closeness protect a published
+    TABLE, anon_dp_laplace_counts perturbs CENTRAL counts; RR
+    perturbs each RECORD before collection — Warner 1965, the
+    mechanism behind RAPPOR-style telemetry): each event keeps its
+    true type w.p. p = 3/4, else reports a uniform draw over the k
+    types; the collector sees only perturbed labels yet debiases the
+    marginal exactly — π̂_j = (o_j/n − (1−p)/k)/p, which with p=3/4
+    clears to (4k·o_j − n)/(3kn), a ratio of exact bigints.
+    Per-record ε = ln(p·k/(1−p)+1) ≈ ln 16.
+
+    Determinism: both coins are md5(event_id:salt) draws (the
+    agg_permutation_test discipline) — engine-portable, re-runnable,
+    no RNG state; the alt draw maps through the ORDERED distinct
+    type table so both engines pick the identical replacement.
+
+    Exactness: counts exact; the debiased share and the true share
+    (emitted for audit — a real collector never sees it) each floor
+    once; negative estimates floor toward −∞ identically.
+
+    Scale: one coin map over the scan (no shuffle), two keyed
+    counts, a k-row broadcast type table, a 1-row n anchor."""
+    ev = load(spark, sf_dir, "events")
+    w_idx = Window.orderBy("event_type")
+    w_all = Window.partitionBy()
+    types = (
+        ev.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            (F.row_number().over(w_idx) - 1).alias("idx"),
+            F.count("*").over(w_all).cast("bigint").alias("k"),
+        )
+    )
+    k_row = types.agg(F.max("k").alias("k"))
+    coin = lambda salt: F.conv(  # noqa: E731
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("event_id").cast("string"), F.lit(salt)
+                ).cast("binary")
+            ),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    coined = ev.crossJoin(F.broadcast(k_row)).select(
+        F.col("event_type").alias("true_type"),
+        (coin(":rr") % 4).alias("keep"),
+        (coin(":alt") % F.col("k")).alias("alt_idx"),
+    )
+    reported = coined.join(
+        F.broadcast(types.select(F.col("idx").alias("alt_idx"),
+                                 F.col("event_type").alias("alt_type"))),
+        "alt_idx",
+    ).select(
+        F.when(F.col("keep") < 3, F.col("true_type"))
+        .otherwise(F.col("alt_type"))
+        .alias("rep_type"),
+        "true_type",
+    )
+    obs = reported.groupBy(F.col("rep_type").alias("event_type")).agg(
+        F.count("*").cast("bigint").alias("reported_count")
+    )
+    tru = reported.groupBy(F.col("true_type").alias("event_type")).agg(
+        F.count("*").cast("bigint").alias("true_count")
+    )
+    n_row = reported.agg(F.count("*").cast("bigint").alias("n"))
+    out = (
+        obs.join(tru, "event_type")
+        .crossJoin(F.broadcast(n_row))
+        .crossJoin(F.broadcast(k_row))
+    )
+    return out.select(
+        "event_type",
+        "reported_count",
+        "true_count",
+        F.floor(
+            (4 * F.col("k") * F.col("reported_count") - F.col("n"))
+            .cast("double")
+            * 1000000
+            / (3 * F.col("k") * F.col("n"))
+        )
+        .cast("bigint")
+        .alias("est_share_e6"),
+        F.floor(
+            F.col("true_count").cast("double") * 1000000 / F.col("n")
+        )
+        .cast("bigint")
+        .alias("true_share_e6"),
+    ).orderBy("event_type")

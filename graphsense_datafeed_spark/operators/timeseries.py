@@ -6486,3 +6486,154 @@ def events_survival_cindex(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(None).cast("bigint"))
         .alias("c_index_e6"),
     )
+
+
+@query(
+    "ts_sample_entropy",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS v
+        FROM events GROUP BY event_type, date_trunc('day', ts)
+    ), tol AS (
+        SELECT event_type,
+               CAST(quantile_disc(v, 0.5) // 10 AS BIGINT) AS r
+        FROM daily GROUP BY event_type
+    ), seq AS (
+        SELECT event_type, v AS v0,
+               LEAD(v, 1) OVER w AS v1,
+               LEAD(v, 2) OVER w AS v2
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY d)
+    ), pts AS (
+        SELECT event_type, v0, v1, v2,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY v0, v1, v2) AS i
+        FROM seq WHERE v1 IS NOT NULL
+    ), pair AS (
+        SELECT a.event_type,
+               CASE WHEN ABS(a.v0 - b.v0) <= t.r
+                     AND ABS(a.v1 - b.v1) <= t.r THEN 1 ELSE 0 END AS m_b,
+               CASE WHEN a.v2 IS NOT NULL AND b.v2 IS NOT NULL
+                     AND ABS(a.v0 - b.v0) <= t.r
+                     AND ABS(a.v1 - b.v1) <= t.r
+                     AND ABS(a.v2 - b.v2) <= t.r THEN 1 ELSE 0 END AS m_a
+        FROM pts a
+        JOIN pts b ON a.event_type = b.event_type AND a.i < b.i
+        JOIN tol t ON t.event_type = a.event_type
+    ), counts AS (
+        SELECT event_type,
+               CAST(SUM(m_b) AS BIGINT) AS b_count,
+               CAST(SUM(m_a) AS BIGINT) AS a_count
+        FROM pair GROUP BY event_type
+    )
+    SELECT c.event_type, t.r AS r_tol, c.b_count, c.a_count,
+           CASE WHEN c.a_count > 0 AND c.b_count > 0
+                THEN CAST(FLOOR(-ln(CAST(c.a_count AS DOUBLE)
+                                    / c.b_count) * 1000000) AS BIGINT)
+                ELSE NULL END AS sampen_e6
+    FROM counts c JOIN tol t USING (event_type)
+    ORDER BY c.event_type
+    """,
+)
+def ts_sample_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLE ENTROPY SampEn(m=2, r) of each daily series (round 9)
+    — the regularity number the spectral family can't give:
+    ts_spectral_entropy asks "is the energy concentrated in few
+    frequencies", SampEn asks "does the PATTERN repeat" — low SampEn
+    = a predictable series (templates that match at length 2 keep
+    matching at length 3), high = each window is novel.  The
+    physiology-standard irregularity screen, here ranking event
+    types by behavioral predictability.  SampEn = −ln(A/B) with B =
+    length-2 template matches within tolerance r, A = the same pairs
+    still matching at length 3; r = median/10 (a DISCRETE integer
+    tolerance — the usual 0.2σ needs a float σ; an element-derived r
+    keeps the whole statistic exact).
+
+    Exactness: daily counts, lead-tapes, the tolerance and both
+    match counts are pure integers; −ln(A/B) is ONE double chain
+    floored e6 (NULL when A or B is 0 — SampEn is undefined, not ∞).
+    Unordered-pair counting (i<j) halves A and B together, leaving
+    the ratio — and the statistic — unchanged.
+
+    Scale: the pair domain is CALENDAR-BOUNDED per series (≤435
+    pairs per type at any SF — the mann_kendall discipline); the
+    per-series tapes build with keyed windows, never global ones."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).agg(F.count("*").cast("bigint").alias("v"))
+    tol = daily.groupBy("event_type").agg(
+        F.floor(
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY v)") / 10
+        )
+        .cast("bigint")
+        .alias("r")
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    seq = daily.select(
+        "event_type",
+        F.col("v").alias("v0"),
+        F.lead("v", 1).over(w).alias("v1"),
+        F.lead("v", 2).over(w).alias("v2"),
+    ).filter(F.col("v1").isNotNull())
+    w_i = Window.partitionBy("event_type").orderBy("v0", "v1", "v2")
+    pts = seq.select(
+        "event_type", "v0", "v1", "v2", F.row_number().over(w_i).alias("i")
+    )
+    a = pts.select(
+        "event_type",
+        F.col("v0").alias("a0"),
+        F.col("v1").alias("a1"),
+        F.col("v2").alias("a2"),
+        F.col("i").alias("ia"),
+    )
+    b = pts.select(
+        "event_type",
+        F.col("v0").alias("b0"),
+        F.col("v1").alias("b1"),
+        F.col("v2").alias("b2"),
+        F.col("i").alias("ib"),
+    )
+    pair = (
+        a.join(b, "event_type")
+        .filter(F.col("ia") < F.col("ib"))
+        .join(F.broadcast(tol), "event_type")
+    )
+    m_b = F.when(
+        (F.abs(F.col("a0") - F.col("b0")) <= F.col("r"))
+        & (F.abs(F.col("a1") - F.col("b1")) <= F.col("r")),
+        1,
+    ).otherwise(0)
+    m_a = F.when(
+        F.col("a2").isNotNull()
+        & F.col("b2").isNotNull()
+        & (F.abs(F.col("a0") - F.col("b0")) <= F.col("r"))
+        & (F.abs(F.col("a1") - F.col("b1")) <= F.col("r"))
+        & (F.abs(F.col("a2") - F.col("b2")) <= F.col("r")),
+        1,
+    ).otherwise(0)
+    counts = pair.select(
+        "event_type", m_b.alias("m_b"), m_a.alias("m_a")
+    ).groupBy("event_type").agg(
+        F.sum("m_b").cast("bigint").alias("b_count"),
+        F.sum("m_a").cast("bigint").alias("a_count"),
+    )
+    out = counts.join(F.broadcast(tol), "event_type")
+    return out.select(
+        "event_type",
+        F.col("r").alias("r_tol"),
+        "b_count",
+        "a_count",
+        F.when(
+            (F.col("a_count") > 0) & (F.col("b_count") > 0),
+            F.floor(
+                -F.log(
+                    F.col("a_count").cast("double") / F.col("b_count")
+                )
+                * 1000000
+            ).cast("bigint"),
+        )
+        .otherwise(F.lit(None).cast("bigint"))
+        .alias("sampen_e6"),
+    ).orderBy("event_type")

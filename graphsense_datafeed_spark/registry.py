@@ -501,6 +501,8 @@ _ROUND10_NEXT_UP = (
     "interval_union_coverage",
     "text_model_brier",
     "events_survival_cindex",
+    "ts_sample_entropy",
+    "anon_randomized_response_freq",
 )
 
 _loaded = False

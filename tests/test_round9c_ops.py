@@ -425,3 +425,98 @@ def test_survival_cindex_referee(spark, sf_dir):
     assert got["c_index_e6"] == math.floor(
         conc2 * 1000000 / (2 * n_comp)
     )
+
+
+def test_sample_entropy_referee(spark, sf_dir):
+    import pyarrow.parquet as pq
+
+    ev = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+    ).to_pandas()
+    ev["d"] = ev["ts"].dt.date
+    daily = ev.groupby(["event_type", "d"]).size()
+    got = {
+        r["event_type"]: r
+        for r in QUERIES["ts_sample_entropy"](spark, sf_dir).collect()
+    }
+    for typ, grp in daily.groupby(level=0):
+        vs = [int(x) for x in grp.sort_index().values]
+        med = sorted(vs)[(len(vs) - 1) // 2]
+        r_tol = med // 10
+        # length-2 and length-3 template pairs over the lead tape
+        t2 = [(vs[i], vs[i + 1]) for i in range(len(vs) - 1)]
+        t3 = [
+            (vs[i], vs[i + 1], vs[i + 2]) for i in range(len(vs) - 2)
+        ]
+        b_count = a_count = 0
+        for i in range(len(t2)):
+            for j in range(i + 1, len(t2)):
+                if (
+                    abs(t2[i][0] - t2[j][0]) <= r_tol
+                    and abs(t2[i][1] - t2[j][1]) <= r_tol
+                ):
+                    b_count += 1
+                    if (
+                        i < len(t3)
+                        and j < len(t3)
+                        and abs(t3[i][2] - t3[j][2]) <= r_tol
+                    ):
+                        a_count += 1
+        row = got[typ]
+        assert row["r_tol"] == r_tol
+        assert row["b_count"] == b_count
+        assert row["a_count"] == a_count
+        if a_count > 0 and b_count > 0:
+            assert row["sampen_e6"] == math.floor(
+                -math.log(a_count / b_count) * 1000000
+            )
+            assert row["sampen_e6"] >= 0  # A <= B structurally
+        else:
+            assert row["sampen_e6"] is None
+
+
+def test_randomized_response_referee(spark, sf_dir):
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    ev = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type"]
+    ).to_pandas()
+    types = sorted(ev["event_type"].unique())
+    k = len(types)
+    n = len(ev)
+
+    def coin(eid, salt):
+        return int(
+            hashlib.md5(f"{eid}{salt}".encode()).hexdigest()[:4], 16
+        )
+
+    from collections import Counter
+
+    rep = Counter()
+    tru = Counter(ev["event_type"])
+    for eid, typ in zip(ev["event_id"], ev["event_type"]):
+        if coin(eid, ":rr") % 4 < 3:
+            rep[typ] += 1
+        else:
+            rep[types[coin(eid, ":alt") % k]] += 1
+    got = {
+        r["event_type"]: r
+        for r in QUERIES["anon_randomized_response_freq"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(got) == set(rep)
+    for typ, r in got.items():
+        assert r["reported_count"] == rep[typ]
+        assert r["true_count"] == tru[typ]
+        est = math.floor(
+            (4 * k * rep[typ] - n) * 1000000 / (3 * k * n)
+        )
+        assert r["est_share_e6"] == est
+        assert r["true_share_e6"] == math.floor(tru[typ] * 1000000 / n)
+        # debiased estimate recovers the true share within RR noise:
+        # SE ~ sqrt(k/n)/3; allow 5 SE in e6 units
+        se_e6 = math.sqrt(k / n) / 3 * 1e6 * 5
+        assert abs(r["est_share_e6"] - r["true_share_e6"]) < se_e6 + 20000
