@@ -6387,3 +6387,84 @@ def agg_negative_binomial_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overdispersed"
         ),
     ).orderBy("event_type")
+
+
+@query(
+    "agg_lin_ccc",
+    """
+    WITH base AS (
+        SELECT event_type,
+               CAST(FLOOR(value * 10000) AS BIGINT) AS x,
+               CAST(json_extract(props, '$.k') AS BIGINT) AS y
+        FROM events
+    ), m AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               SUM(CAST(x AS HUGEINT) * x) AS sxx,
+               SUM(CAST(y AS HUGEINT) * y) AS syy,
+               SUM(CAST(x AS HUGEINT) * y) AS sxy
+        FROM base GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CAST(FLOOR(
+               CAST(2 * (n * sxy - CAST(sx AS HUGEINT) * sy) AS DOUBLE)
+               / CAST((n * sxx - CAST(sx AS HUGEINT) * sx)
+                      + (n * syy - CAST(sy AS HUGEINT) * sy)
+                      + (CAST(sx AS HUGEINT) - sy)
+                        * (CAST(sx AS HUGEINT) - sy) AS DOUBLE)
+               * 1000000) AS BIGINT) AS ccc_e6
+    FROM m ORDER BY event_type
+    """,
+)
+def agg_lin_ccc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIN'S CONCORDANCE CORRELATION COEFFICIENT (round 9) — the
+    AGREEMENT number that closes the paired-measurement family:
+    Pearson (agg_corr_exact) rewards any linear relation, Deming
+    (agg_deming_regression) fits the relation; Lin's CCC asks
+    whether two instruments report the SAME value — it penalizes
+    both scatter AND systematic bias (scale or location shift), so
+    y = 2x correlates perfectly but concords poorly.  The
+    method-comparison standard before swapping one measurement
+    source for another (sensor migration, model-v2 vs model-v1
+    scores).  ρc = 2σxy / (σx² + σy² + (x̄−ȳ)²).
+
+    Exactness (the Cronbach 128-bit lane): with the n² denominators
+    cleared, numerator 2(nΣxy−SxSy) and denominator (nΣxx−Sx²) +
+    (nΣyy−Sy²) + (Sx−Sy)² are exact 128-bit integers; ONE double
+    division floors e6.
+
+    Scale: one keyed moment aggregate, fully map-side combinable;
+    |types|-row finish."""
+    ev = load(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    base = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 10000).cast("bigint").alias("x"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("y"),
+    )
+    xd, yd = F.col("x").cast(dec), F.col("y").cast(dec)
+    m = base.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(yd * yd).alias("syy"),
+        F.sum(xd * yd).alias("sxy"),
+    )
+    nd = F.col("n").cast(dec)
+    sxd, syd = F.col("sx").cast(dec), F.col("sy").cast(dec)
+    num = 2 * (nd * F.col("sxy") - sxd * syd)
+    den = (
+        (nd * F.col("sxx") - sxd * sxd)
+        + (nd * F.col("syy") - syd * syd)
+        + (sxd - syd) * (sxd - syd)
+    )
+    return m.select(
+        "event_type",
+        "n",
+        F.floor(num.cast("double") / den.cast("double") * 1000000)
+        .cast("bigint")
+        .alias("ccc_e6"),
+    ).orderBy("event_type")

@@ -6637,3 +6637,93 @@ def ts_sample_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(None).cast("bigint"))
         .alias("sampen_e6"),
     ).orderBy("event_type")
+
+
+@query(
+    "ts_pinball_loss",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+               CAST(day(ts) AS BIGINT) AS dom,
+               CAST(COUNT(*) AS BIGINT) AS v
+        FROM events GROUP BY event_type, date_trunc('day', ts), day(ts)
+    ), q AS (
+        SELECT event_type,
+               CAST(quantile_disc(v, 0.9) AS BIGINT) AS q90
+        FROM daily WHERE dom <= 21 GROUP BY event_type
+    ), test_days AS (
+        SELECT d.event_type, d.v, q.q90,
+               CASE WHEN d.v >= q.q90 THEN 9 * (d.v - q.q90)
+                    ELSE q.q90 - d.v END AS loss_x10
+        FROM daily d JOIN q USING (event_type)
+        WHERE d.dom > 21
+    )
+    SELECT event_type, MAX(q90) AS q90,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(SUM(loss_x10) AS BIGINT) AS pinball_x10,
+           CAST(FLOOR(CAST(SUM(loss_x10) AS DOUBLE) * 100000
+                      / COUNT(*)) AS BIGINT) AS mean_pinball_e6
+    FROM test_days GROUP BY event_type ORDER BY event_type
+    """,
+)
+def ts_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PINBALL (quantile) LOSS of a P90 forecast band (round 9) —
+    the eval that the point-forecast family can't do:
+    ts_backtest_snaive scores a MEAN forecast with absolute error;
+    capacity planning ships a QUANTILE ("provision for the P90
+    day"), and the pinball loss τ·(y−q)⁺ + (1−τ)·(q−y)⁺ is the
+    proper scoring rule for it — under-provisioning a P90 costs 9×
+    what over-provisioning does, exactly the asymmetry the loss
+    encodes.  Train = days 1–21 (the percentile_disc P90 of daily
+    counts), test = the remaining calendar; per-type means rank
+    which series' tails are hardest to band.
+
+    Exactness is TOTAL until one division: with τ = 0.9 the loss
+    lives in exact TENTHS — loss_x10 = 9(y−q) or (q−y), pure
+    bigints (the harmonic-sixths trick); the only float is the mean,
+    floored once (×10⁵ returns tenths to e6 units).
+
+    Scale: keyed daily rollup, a |types|-row broadcast quantile
+    table, one keyed finish — no windows, no pairs."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.to_date(F.date_trunc("day", "ts")).alias("d"),
+        F.dayofmonth("ts").cast("bigint").alias("dom"),
+    ).agg(F.count("*").cast("bigint").alias("v"))
+    q = (
+        daily.filter(F.col("dom") <= 21)
+        .groupBy("event_type")
+        .agg(
+            F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY v)")
+            .cast("bigint")
+            .alias("q90")
+        )
+    )
+    test = (
+        daily.filter(F.col("dom") > 21)
+        .join(F.broadcast(q), "event_type")
+        .select(
+            "event_type",
+            "q90",
+            F.when(
+                F.col("v") >= F.col("q90"), 9 * (F.col("v") - F.col("q90"))
+            )
+            .otherwise(F.col("q90") - F.col("v"))
+            .alias("loss_x10"),
+        )
+    )
+    return (
+        test.groupBy("event_type")
+        .agg(
+            F.max("q90").alias("q90"),
+            F.count("*").cast("bigint").alias("n_test"),
+            F.sum("loss_x10").cast("bigint").alias("pinball_x10"),
+            F.floor(
+                F.sum("loss_x10").cast("double") * 100000 / F.count("*")
+            )
+            .cast("bigint")
+            .alias("mean_pinball_e6"),
+        )
+        .orderBy("event_type")
+    )

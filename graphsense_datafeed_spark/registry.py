@@ -503,6 +503,8 @@ _ROUND10_NEXT_UP = (
     "events_survival_cindex",
     "ts_sample_entropy",
     "anon_randomized_response_freq",
+    "agg_lin_ccc",
+    "ts_pinball_loss",
 )
 
 _loaded = False

@@ -520,3 +520,65 @@ def test_randomized_response_referee(spark, sf_dir):
         # SE ~ sqrt(k/n)/3; allow 5 SE in e6 units
         se_e6 = math.sqrt(k / n) / 3 * 1e6 * 5
         assert abs(r["est_share_e6"] - r["true_share_e6"]) < se_e6 + 20000
+
+
+def test_lin_ccc_referee(spark, sf_dir):
+    import pyarrow.parquet as pq
+
+    ev = pq.read_table(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "value", "props"],
+    ).to_pandas()
+    ev["x"] = ev["value"].apply(lambda v: math.floor(v * 10000))
+    ev["y"] = ev["props"].apply(lambda p: int(json.loads(p)["k"]))
+    got = {
+        r["event_type"]: r
+        for r in QUERIES["agg_lin_ccc"](spark, sf_dir).collect()
+    }
+    for typ, grp in ev.groupby("event_type"):
+        xs = [int(v) for v in grp["x"]]
+        ys = [int(v) for v in grp["y"]]
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxx = sum(v * v for v in xs)
+        syy = sum(v * v for v in ys)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        num = 2 * (n * sxy - sx * sy)
+        den = (n * sxx - sx * sx) + (n * syy - sy * sy) + (sx - sy) ** 2
+        r = got[typ]
+        assert r["n"] == n
+        assert r["ccc_e6"] == math.floor(float(num) / float(den) * 1000000)
+        # |CCC| <= |Pearson r| <= 1 always
+        assert -1000000 <= r["ccc_e6"] <= 1000000
+
+
+def test_pinball_loss_referee(spark, sf_dir):
+    import pyarrow.parquet as pq
+
+    ev = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+    ).to_pandas()
+    ev["d"] = ev["ts"].dt.date
+    daily = ev.groupby(["event_type", "d"]).size()
+    got = {
+        r["event_type"]: r
+        for r in QUERIES["ts_pinball_loss"](spark, sf_dir).collect()
+    }
+    for typ, grp in daily.groupby(level=0):
+        train = sorted(
+            int(v) for (t, d), v in grp.items() if d.day <= 21
+        )
+        test = [int(v) for (t, d), v in grp.items() if d.day > 21]
+        # quantile_disc(0.9): smallest element whose cumulative
+        # share >= 0.9 -> the ceil(0.9*n)-th order statistic
+        q90 = train[int(math.ceil(0.9 * len(train))) - 1]
+        losses = [
+            9 * (v - q90) if v >= q90 else q90 - v for v in test
+        ]
+        r = got[typ]
+        assert r["q90"] == q90
+        assert r["n_test"] == len(test)
+        assert r["pinball_x10"] == sum(losses)
+        assert r["mean_pinball_e6"] == math.floor(
+            sum(losses) * 100000 / len(test)
+        )
