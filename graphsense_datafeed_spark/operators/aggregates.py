@@ -6468,3 +6468,108 @@ def agg_lin_ccc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("ccc_e6"),
     ).orderBy("event_type")
+
+
+@query(
+    "agg_jarque_bera",
+    """
+    WITH base AS (
+        SELECT event_type,
+               CAST(FLOOR(value * 10000) AS BIGINT) AS x
+        FROM events
+    ), m AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS s1,
+               SUM(CAST(x AS HUGEINT) * x) AS s2,
+               SUM(CAST(x AS HUGEINT) * x * x) AS s3,
+               SUM(CAST(x AS HUGEINT) * x * x * x) AS s4
+        FROM base GROUP BY event_type
+    ), a AS (
+        SELECT event_type, n,
+               CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) AS a2,
+               CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(s3 AS DOUBLE)
+                   - 3.0 * CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE)
+                         * CAST(s2 AS DOUBLE)
+                   + 2.0 * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                         * CAST(s1 AS DOUBLE) AS a3,
+               CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                     * CAST(s4 AS DOUBLE)
+                   - 4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                         * CAST(s1 AS DOUBLE) * CAST(s3 AS DOUBLE)
+                   + 6.0 * CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE)
+                         * CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE)
+                   - 3.0 * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                         * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) AS a4
+        FROM m
+    )
+    SELECT event_type, n,
+           CAST(FLOOR(a3 / pow(a2, 1.5) * 1000000) AS BIGINT) AS skew_e6,
+           CAST(FLOOR(a4 / (a2 * a2) * 1000000) AS BIGINT) AS kurt_e6,
+           CAST(FLOOR(CAST(n AS DOUBLE)
+                      * ((a3 / pow(a2, 1.5)) * (a3 / pow(a2, 1.5)) / 6.0
+                         + (a4 / (a2 * a2) - 3.0)
+                           * (a4 / (a2 * a2) - 3.0) / 24.0)
+                      * 1000000) AS BIGINT) AS jb_e6
+    FROM a ORDER BY event_type
+    """,
+)
+def agg_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JARQUE-BERA normality test per group (round 9) — the gate in
+    front of every normal-assuming consumer in the registry
+    (agg_t_test_welch, agg_anova_oneway, the ±3σ control charts):
+    JB = n·(g₁²/6 + (g₂−3)²/24) from sample skewness and kurtosis —
+    large JB says the Gaussian machinery will lie, and the
+    parametric-fit alternatives (agg_gamma_fit_moments,
+    agg_negative_binomial_fit, agg_hill_tail_index) take over.
+    agg_higher_moments REPORTS g₁/g₂; JB turns them into one
+    thresholdable χ²(2) statistic.
+
+    Exactness: power sums Σx..Σx⁴ are exact 128-bit integers
+    (hugeint / decimal(38,0)); the n-cleared central-moment
+    combinations A₂ = nΣx²−S₁², A₃, A₄ evaluate as literal-order
+    double chains (the agg_deming_regression lane — skew = A₃/A₂^1.5
+    and kurtosis = A₄/A₂² are n-free identities, so no large-n
+    cancellation reshuffle exists), and each readout floors once.
+
+    Scale: one keyed aggregate, fully map-side combinable;
+    |types|-row finish.  Σx⁴ of e4-quantized values needs the
+    128-bit lane from ~10⁴ rows — int64 was never an option."""
+    ev = load(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    base = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 10000).cast("bigint").alias("x"),
+    )
+    xd = F.col("x").cast(dec)
+    m = base.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s1"),
+        F.sum(xd * xd).alias("s2"),
+        F.sum(xd * xd * xd).alias("s3"),
+        F.sum(xd * xd * xd * xd).alias("s4"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    a2 = d("n") * d("s2") - d("s1") * d("s1")
+    a3 = (
+        d("n") * d("n") * d("s3")
+        - 3.0 * d("n") * d("s1") * d("s2")
+        + 2.0 * d("s1") * d("s1") * d("s1")
+    )
+    a4 = (
+        d("n") * d("n") * d("n") * d("s4")
+        - 4.0 * d("n") * d("n") * d("s1") * d("s3")
+        + 6.0 * d("n") * d("s1") * d("s1") * d("s2")
+        - 3.0 * d("s1") * d("s1") * d("s1") * d("s1")
+    )
+    skew = a3 / F.pow(a2, 1.5)
+    kurt = a4 / (a2 * a2)
+    jb = d("n") * (skew * skew / 6.0 + (kurt - 3.0) * (kurt - 3.0) / 24.0)
+    return m.select(
+        "event_type",
+        "n",
+        F.floor(skew * 1000000).cast("bigint").alias("skew_e6"),
+        F.floor(kurt * 1000000).cast("bigint").alias("kurt_e6"),
+        F.floor(jb * 1000000).cast("bigint").alias("jb_e6"),
+    ).orderBy("event_type")

@@ -6727,3 +6727,157 @@ def ts_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_ABS_STATE = "purchase"
+_ABS_ITERS = 6
+
+
+def _markov_absorption_oracle_sql(iters: int = _ABS_ITERS) -> str:
+    """Unrolled DuckDB oracle for the truncated absorption walk (the
+    _markov_stationary_oracle_sql discipline, run jointly from every
+    non-absorbing start): mass vectors live as e12 bigints keyed
+    (start, state); each step multiplies by the SUB-stochastic Q
+    (transitions into the absorbing state drop out), so row mass
+    decays exactly by the absorbed share; every term floors through
+    one double chain before the bigint sum."""
+    s = _MKV_SCALE
+    sql = f"""
+    WITH tape AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ), counts AS MATERIALIZED (
+        SELECT prev_type AS f, event_type AS t, CAST(COUNT(*) AS BIGINT) AS n
+        FROM tape WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    ), p AS MATERIALIZED (
+        SELECT f, t,
+               CAST(FLOOR(CAST(n AS DOUBLE) * {s}.0
+                          / SUM(n) OVER (PARTITION BY f)) AS BIGINT) AS p
+        FROM counts WHERE f <> '{_ABS_STATE}'
+    ), q AS MATERIALIZED (
+        SELECT f, t, p FROM p WHERE t <> '{_ABS_STATE}'
+    ), m0 AS MATERIALIZED (
+        SELECT DISTINCT f AS start, f AS st, CAST({s} AS BIGINT) AS r
+        FROM p
+    )"""
+    for i in range(1, iters + 1):
+        sql += f""", m{i} AS MATERIALIZED (
+        SELECT m.start, q.t AS st,
+               CAST(SUM(CAST(FLOOR(CAST(m.r AS DOUBLE) * CAST(q.p AS DOUBLE)
+                             / {s}.0) AS BIGINT)) AS BIGINT) AS r
+        FROM q JOIN m{i - 1} m ON m.st = q.f
+        GROUP BY m.start, q.t
+    )"""
+    surv = " + ".join(
+        f"(SELECT COALESCE(SUM(r), 0) FROM m{k} WHERE m{k}.start = s.start)"
+        for k in range(0, iters)
+    )
+    last = (
+        f"(SELECT COALESCE(SUM(r), 0) FROM m{iters}"
+        f" WHERE m{iters}.start = s.start)"
+    )
+    sql += f"""
+    SELECT s.start AS start_type,
+           CAST({surv} AS BIGINT) AS expected_steps_e12,
+           CAST({s} - {last} AS BIGINT) AS absorbed_e12
+    FROM (SELECT DISTINCT start FROM m0) s
+    ORDER BY s.start"""
+    return sql
+
+
+@query("events_markov_absorption", _markov_absorption_oracle_sql())
+def events_markov_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUNCATED ABSORPTION analysis of the behavior chain (round 9)
+    — the third Markov readout: transitions say what happens NEXT,
+    the stationary π what the system does ALL DAY; absorption asks
+    "starting from state X, how many steps until PURCHASE, and does
+    the user get there at all within k?" — the conversion-horizon
+    model funnels approximate (a funnel demands ONE path; the chain
+    walks every loop).  E[min(T, 6)] = Σ_{{k<6}} P(T>k) via the
+    sub-stochastic Q (transitions into the absorbing state removed),
+    run JOINTLY from every non-absorbing start; absorbed_e12 =
+    P(T ≤ 6).  Rank starts by expected steps = the "distance from
+    money" ordering.
+
+    Determinism is the events_markov_stationary discipline on the
+    (start × state) mass table: Q quantizes to e12 once, every
+    m·Q term floors through one double chain before the order-free
+    bigint sum, survivals are exact bigint row sums — bit-exact
+    against the unrolled-CTE oracle.
+
+    Scale: ONE corpus pass builds the count matrix; the walk runs
+    on ≤ |types|² broadcast cells per step — free at any SF."""
+    ev = load(spark, sf_dir, "events")
+    s = _MKV_SCALE
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tape = ev.select(
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    counts = tape.groupBy(
+        F.col("prev_type").alias("f"), F.col("event_type").alias("t")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    wf = Window.partitionBy("f")
+    p = (
+        counts.filter(F.col("f") != _ABS_STATE)
+        .select(
+            "f",
+            "t",
+            F.floor(
+                F.col("n").cast("double") * float(s)
+                / F.sum("n").over(wf).cast("double")
+            )
+            .cast("bigint")
+            .alias("p"),
+        )
+        .localCheckpoint()
+    )
+    q = p.filter(F.col("t") != _ABS_STATE)
+    m = p.select(F.col("f").alias("start")).distinct().select(
+        "start", F.col("start").alias("st"), F.lit(s).cast("bigint").alias("r")
+    )
+    starts = m.select("start").distinct()
+    surv_frames = []
+    for k in range(_ABS_ITERS):
+        surv_frames.append(
+            m.groupBy("start").agg(
+                F.sum("r").cast("bigint").alias(f"s{k}")
+            )
+        )
+        m = (
+            q.join(m.withColumnRenamed("st", "f2"), q.f == F.col("f2"))
+            .select(
+                "start",
+                F.col("t").alias("st"),
+                F.floor(
+                    F.col("r").cast("double")
+                    * F.col("p").cast("double")
+                    / float(s)
+                )
+                .cast("bigint")
+                .alias("term"),
+            )
+            .groupBy("start", "st")
+            .agg(F.sum("term").cast("bigint").alias("r"))
+            .localCheckpoint()
+        )
+    last = m.groupBy("start").agg(
+        F.sum("r").cast("bigint").alias("s_last")
+    )
+    out = starts
+    for k, fr in enumerate(surv_frames):
+        out = out.join(fr, "start", "left")
+    out = out.join(last, "start", "left")
+    e_steps = sum(
+        (F.coalesce(F.col(f"s{k}"), F.lit(0)) for k in range(_ABS_ITERS)),
+        F.lit(0),
+    )
+    return out.select(
+        F.col("start").alias("start_type"),
+        e_steps.cast("bigint").alias("expected_steps_e12"),
+        (F.lit(s) - F.coalesce(F.col("s_last"), F.lit(0)))
+        .cast("bigint")
+        .alias("absorbed_e12"),
+    ).orderBy("start_type")

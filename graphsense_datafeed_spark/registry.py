@@ -505,6 +505,8 @@ _ROUND10_NEXT_UP = (
     "anon_randomized_response_freq",
     "agg_lin_ccc",
     "ts_pinball_loss",
+    "events_markov_absorption",
+    "agg_jarque_bera",
 )
 
 _loaded = False

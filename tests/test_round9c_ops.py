@@ -582,3 +582,114 @@ def test_pinball_loss_referee(spark, sf_dir):
         assert r["mean_pinball_e6"] == math.floor(
             sum(losses) * 100000 / len(test)
         )
+
+
+def test_markov_absorption_referee(spark, sf_dir):
+    """Driver-side pure-python integer simulation of the truncated
+    absorption walk with the identical e12 floors — bit-for-bit."""
+    import pyarrow.parquet as pq
+
+    from graphsense_datafeed_spark.operators.timeseries import (
+        _ABS_ITERS,
+        _ABS_STATE,
+        _MKV_SCALE,
+    )
+
+    ev = (
+        pq.read_table(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "ts", "event_id", "event_type"],
+        )
+        .to_pandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    from collections import Counter, defaultdict
+
+    counts = Counter()
+    for _uid, grp in ev.groupby("user_id"):
+        types = grp["event_type"].tolist()
+        for a, b in zip(types, types[1:]):
+            counts[(a, b)] += 1
+    row_tot = Counter()
+    for (f, t), n in counts.items():
+        row_tot[f] += n
+    s = _MKV_SCALE
+    q = defaultdict(dict)
+    starts = set()
+    for (f, t), n in counts.items():
+        if f == _ABS_STATE:
+            continue
+        starts.add(f)
+        if t != _ABS_STATE:
+            q[f][t] = math.floor(float(n) * float(s) / float(row_tot[f]))
+    want = {}
+    for st0 in starts:
+        m = {st0: s}
+        e_steps = 0
+        for _k in range(_ABS_ITERS):
+            e_steps += sum(m.values())
+            nxt = defaultdict(int)
+            for f, r in m.items():
+                for t, p in q.get(f, {}).items():
+                    nxt[t] += math.floor(float(r) * float(p) / float(s))
+            m = dict(nxt)
+        want[st0] = (e_steps, s - sum(m.values()))
+    got = {
+        r["start_type"]: r
+        for r in QUERIES["events_markov_absorption"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for st0, (e_steps, absorbed) in want.items():
+        assert got[st0]["expected_steps_e12"] == e_steps
+        assert got[st0]["absorbed_e12"] == absorbed
+        # bounded by the truncation horizon and the probability axioms
+        assert 0 < got[st0]["expected_steps_e12"] <= _ABS_ITERS * s
+        assert 0 <= got[st0]["absorbed_e12"] <= s
+
+
+def test_jarque_bera_referee(spark, sf_dir):
+    import pyarrow.parquet as pq
+
+    ev = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    ).to_pandas()
+    ev["x"] = ev["value"].apply(lambda v: math.floor(v * 10000))
+    got = {
+        r["event_type"]: r
+        for r in QUERIES["agg_jarque_bera"](spark, sf_dir).collect()
+    }
+    for typ, grp in ev.groupby("event_type"):
+        xs = [int(v) for v in grp["x"]]
+        n = len(xs)
+        s1 = sum(xs)
+        s2 = sum(v * v for v in xs)
+        s3 = sum(v**3 for v in xs)
+        s4 = sum(v**4 for v in xs)
+        a2 = float(n) * float(s2) - float(s1) * float(s1)
+        a3 = (
+            float(n) * float(n) * float(s3)
+            - 3.0 * float(n) * float(s1) * float(s2)
+            + 2.0 * float(s1) * float(s1) * float(s1)
+        )
+        a4 = (
+            float(n) * float(n) * float(n) * float(s4)
+            - 4.0 * float(n) * float(n) * float(s1) * float(s3)
+            + 6.0 * float(n) * float(s1) * float(s1) * float(s2)
+            - 3.0 * float(s1) * float(s1) * float(s1) * float(s1)
+        )
+        skew = a3 / a2**1.5
+        kurt = a4 / (a2 * a2)
+        jb = n * (skew * skew / 6.0 + (kurt - 3.0) * (kurt - 3.0) / 24.0)
+        r = got[typ]
+        assert r["n"] == n
+        assert r["skew_e6"] == math.floor(skew * 1000000)
+        assert r["kurt_e6"] == math.floor(kurt * 1000000)
+        assert r["jb_e6"] == math.floor(jb * 1000000)
+        # cross-check against numpy's independent moment path
+        import numpy as np
+
+        arr = np.array(xs, dtype=np.float64)
+        assert abs(skew - ((arr - arr.mean()) ** 3).mean()
+                   / arr.var() ** 1.5) < 1e-6
