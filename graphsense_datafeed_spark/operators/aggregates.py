@@ -6573,3 +6573,108 @@ def agg_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(kurt * 1000000).cast("bigint").alias("kurt_e6"),
         F.floor(jb * 1000000).cast("bigint").alias("jb_e6"),
     ).orderBy("event_type")
+
+
+# Second-digit Benford expectations P(d2=k) = Σ_{j=1..9} log10(1+1/(10j+k)),
+# floored to e9 ONCE in Python and embedded as literals in BOTH programs
+# (the ts_periodogram_peaks literal-coefficient discipline): a 9-term
+# double sum inside either engine would be addition-order-dependent.
+_BENFORD2_E9 = (
+    119679268, 113890103, 108821499, 104329560, 100308202,
+    96677235, 93374735, 90351989, 87570053, 84997352,
+)
+
+
+def _benford2_oracle_sql() -> str:
+    values = ", ".join(f"({k}, {e})" for k, e in enumerate(_BENFORD2_E9))
+    return f"""
+    WITH expected(digit2, exp_e9) AS (VALUES {values}),
+    digits AS (
+        SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                                AS VARCHAR), 2, 1) AS BIGINT) AS digit2,
+               CAST(COUNT(*) AS BIGINT) AS o
+        FROM orders
+        WHERE length(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                          AS VARCHAR)) >= 2
+        GROUP BY 1
+    ), tot AS (
+        SELECT d.digit2, d.o, e.exp_e9,
+               CAST(SUM(d.o) OVER () AS BIGINT) AS n
+        FROM digits d JOIN expected e USING (digit2)
+    ), terms AS (
+        SELECT digit2, o, CAST(exp_e9 AS BIGINT) AS exp_e9,
+               CAST(FLOOR(
+                   (CAST(o AS DOUBLE)
+                    - CAST(n AS DOUBLE) * (exp_e9 / 1000000000.0))
+                   * (CAST(o AS DOUBLE)
+                      - CAST(n AS DOUBLE) * (exp_e9 / 1000000000.0))
+                   / (CAST(n AS DOUBLE) * (exp_e9 / 1000000000.0))
+                   * 1000000) AS BIGINT) AS dev_e6
+        FROM tot
+    )
+    SELECT digit2, o, exp_e9, dev_e6,
+           CAST(SUM(dev_e6) OVER () AS BIGINT) AS chi2_sum_e6
+    FROM terms"""
+
+
+@query("agg_benford_second_digit", _benford2_oracle_sql())
+def agg_benford_second_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford SECOND-digit audit (round 9) — the forensic follow-up
+    auditors run when the first-digit test passes: first digits are
+    easy to fake plausibly (fraudsters know "more 1s than 9s"), the
+    second-digit law P(d₂=k) = Σ_j log₁₀(1+1/(10j+k)) is flatter,
+    less known, and catches rounding/pricing artifacts (psychological
+    .99s, batch-generated amounts) that survive the first-digit
+    screen.  Same readout shape as agg_benford_profile: per-digit
+    observed vs expected, χ²-style deviations, grand total.
+
+    Exactness: the second digit is STRING-truncated from exact
+    integer cents (the first-digit lesson — no libm log10 on the
+    extraction path); the ten expectations are PYTHON-floored e9
+    literals shared by both programs (a 9-term double sum in-engine
+    would be addition-order-dependent); each deviation runs one
+    literal-order double chain floored e6.
+
+    Scale: one map-side-combinable digit count; everything after
+    runs on ten rows."""
+    o = load(spark, sf_dir, "orders")
+    cents_str = F.round(F.col("o_totalprice") * 100, 0).cast("bigint").cast(
+        "string"
+    )
+    digits = (
+        o.filter(F.length(cents_str) >= 2)
+        .groupBy(
+            F.substring(cents_str, 2, 1).cast("bigint").alias("digit2")
+        )
+        .agg(F.count("*").cast("bigint").alias("o"))
+    )
+    exp_arr = F.array(*[F.lit(v) for v in _BENFORD2_E9])
+    w_all = Window.partitionBy()
+    tot = digits.select(
+        "digit2",
+        "o",
+        F.element_at(exp_arr, (F.col("digit2") + 1).cast("int"))
+        .cast("bigint")
+        .alias("exp_e9"),
+        F.sum("o").over(w_all).cast("bigint").alias("n"),
+    )
+    p = F.col("exp_e9") / 1000000000.0
+    dev = (
+        (F.col("o").cast("double") - F.col("n").cast("double") * p)
+        * (F.col("o").cast("double") - F.col("n").cast("double") * p)
+        / (F.col("n").cast("double") * p)
+        * 1000000
+    )
+    terms = tot.select(
+        "digit2",
+        "o",
+        "exp_e9",
+        F.floor(dev).cast("bigint").alias("dev_e6"),
+    )
+    return terms.select(
+        "digit2",
+        "o",
+        "exp_e9",
+        "dev_e6",
+        F.sum("dev_e6").over(w_all).cast("bigint").alias("chi2_sum_e6"),
+    )

@@ -1841,3 +1841,95 @@ def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         span.alias("span_days"),
         (span - cov).cast("bigint").alias("gap_days"),
     )
+
+
+@query(
+    "join_mutual_best_match",
+    """
+    WITH spend AS (
+        SELECT o_custkey AS custkey, l_suppkey AS suppkey,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        GROUP BY o_custkey, l_suppkey
+    ), best_supp AS (
+        SELECT custkey, suppkey, cents
+        FROM (
+            SELECT custkey, suppkey, cents,
+                   ROW_NUMBER() OVER (PARTITION BY custkey
+                       ORDER BY cents DESC, suppkey) AS rn
+            FROM spend
+        ) WHERE rn = 1
+    ), best_cust AS (
+        SELECT custkey, suppkey
+        FROM (
+            SELECT custkey, suppkey,
+                   ROW_NUMBER() OVER (PARTITION BY suppkey
+                       ORDER BY cents DESC, custkey) AS rn
+            FROM spend
+        ) WHERE rn = 1
+    )
+    SELECT bs.custkey, bs.suppkey, bs.cents AS pair_cents
+    FROM best_supp bs
+    JOIN best_cust bc
+      ON bc.custkey = bs.custkey AND bc.suppkey = bs.suppkey
+    ORDER BY bs.custkey
+    """,
+)
+def join_mutual_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MUTUAL-BEST-MATCH join (round 9) — the entity-resolution
+    primitive the one-directional argmax families miss: customer C
+    and supplier S match iff S is C's top supplier by spend AND C is
+    S's top customer — the symmetric-confidence rule linkage
+    pipelines apply before accepting an automated merge (a
+    one-directional best is routinely a hub: everyone's best
+    supplier is the biggest one; mutuality kills hub captures
+    structurally).  The same shape, swapped onto name-similarity
+    scores, is the accept rule for join_fuzzy_levenshtein's
+    candidates; embed_knn_graph applies it to vectors (mutual-kNN).
+
+    Exactness: spend is exact integer cents (ROUND mirrors the
+    golden-query money lane); both argmaxes tie-pin on the entity
+    key, so the match set is deterministic; no floats anywhere.
+
+    Scale: one keyed rollup to the (cust, supp) spend table, then
+    two keyed ROW_NUMBER windows over it (partitioned by each side —
+    never a global sort) and an equi self-join of the two rank-1
+    slices — every exchange on entity keys."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100, 0)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    spend = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("custkey"),
+            F.col("l_suppkey").alias("suppkey"),
+        )
+        .agg(F.sum("cents").cast("bigint").alias("cents"))
+    )
+    w_c = Window.partitionBy("custkey").orderBy(
+        F.col("cents").desc(), "suppkey"
+    )
+    w_s = Window.partitionBy("suppkey").orderBy(
+        F.col("cents").desc(), "custkey"
+    )
+    best_supp = (
+        spend.withColumn("rn", F.row_number().over(w_c))
+        .filter(F.col("rn") == 1)
+        .select("custkey", "suppkey", "cents")
+    )
+    best_cust = (
+        spend.withColumn("rn", F.row_number().over(w_s))
+        .filter(F.col("rn") == 1)
+        .select("custkey", "suppkey")
+    )
+    return (
+        best_supp.join(best_cust, ["custkey", "suppkey"])
+        .select("custkey", "suppkey", F.col("cents").alias("pair_cents"))
+        .orderBy("custkey")
+    )

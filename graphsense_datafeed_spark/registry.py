@@ -507,6 +507,8 @@ _ROUND10_NEXT_UP = (
     "ts_pinball_loss",
     "events_markov_absorption",
     "agg_jarque_bera",
+    "agg_benford_second_digit",
+    "join_mutual_best_match",
 )
 
 _loaded = False

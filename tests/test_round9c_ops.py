@@ -693,3 +693,97 @@ def test_jarque_bera_referee(spark, sf_dir):
         arr = np.array(xs, dtype=np.float64)
         assert abs(skew - ((arr - arr.mean()) ** 3).mean()
                    / arr.var() ** 1.5) < 1e-6
+
+
+def test_benford_second_digit_referee(spark, sf_dir):
+    import pyarrow.parquet as pq
+    from collections import Counter
+
+    from graphsense_datafeed_spark.operators.aggregates import _BENFORD2_E9
+
+    o = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_totalprice"]
+    ).to_pandas()
+    # mirror the ROUND lane (banker's rounding irrelevant: cents are
+    # .5-free after *100 of 2-decimal prices, but round() matches anyway)
+    digits = Counter()
+    for v in o["o_totalprice"]:
+        s = str(round(v * 100))
+        if len(s) >= 2:
+            digits[int(s[1])] += 1
+    n = sum(digits.values())
+    # the literal table matches a fresh Python recompute
+    for k, e in enumerate(_BENFORD2_E9):
+        want = math.floor(
+            sum(math.log10(1 + 1 / (10 * j + k)) for j in range(1, 10))
+            * 10**9
+        )
+        assert e == want
+    got = {
+        r["digit2"]: r
+        for r in QUERIES["agg_benford_second_digit"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(got) == set(digits)
+    chi2 = 0
+    for k, cnt in digits.items():
+        p = _BENFORD2_E9[k] / 1000000000.0
+        dev = math.floor(
+            (cnt - n * p) * (cnt - n * p) / (n * p) * 1000000
+        )
+        assert got[k]["o"] == cnt
+        assert got[k]["exp_e9"] == _BENFORD2_E9[k]
+        assert got[k]["dev_e6"] == dev
+        chi2 += dev
+    for r in got.values():
+        assert r["chi2_sum_e6"] == chi2
+
+
+def test_mutual_best_match_referee(spark, sf_dir):
+    import pyarrow.parquet as pq
+
+    li = pq.read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice"],
+    ).to_pandas()
+    o = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).to_pandas()
+    li["cents"] = li["l_extendedprice"].apply(lambda v: round(v * 100))
+    merged = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    spend = (
+        merged.groupby(["o_custkey", "l_suppkey"])["cents"]
+        .sum()
+        .reset_index()
+    )
+    best_supp = {}
+    best_cust = {}
+    for _i, row in spend.iterrows():
+        c, s, v = (
+            int(row["o_custkey"]),
+            int(row["l_suppkey"]),
+            int(row["cents"]),
+        )
+        if c not in best_supp or (v, -s) > (
+            best_supp[c][1],
+            -best_supp[c][0],
+        ):
+            best_supp[c] = (s, v)
+        if s not in best_cust or (v, -c) > (
+            best_cust[s][1],
+            -best_cust[s][0],
+        ):
+            best_cust[s] = (c, v)
+    want = {
+        (c, s_v[0]): s_v[1]
+        for c, s_v in best_supp.items()
+        if best_cust.get(s_v[0], (None,))[0] == c
+    }
+    got = QUERIES["join_mutual_best_match"](spark, sf_dir).collect()
+    assert {(r["custkey"], r["suppkey"]) for r in got} == set(want)
+    for r in got:
+        assert r["pair_cents"] == want[(r["custkey"], r["suppkey"])]
+    # mutuality: each side appears at most once in the match set
+    assert len({r["custkey"] for r in got}) == len(got)
+    assert len({r["suppkey"] for r in got}) == len(got)
