@@ -6678,3 +6678,114 @@ def agg_benford_second_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dev_e6",
         F.sum("dev_e6").over(w_all).cast("bigint").alias("chi2_sum_e6"),
     )
+
+
+@query(
+    "agg_tukey_hsd",
+    """
+    WITH base AS (
+        SELECT event_type,
+               CAST(FLOOR(value * 10000) AS BIGINT) AS x
+        FROM events
+    ), g AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS s,
+               SUM(CAST(x AS HUGEINT) * x) AS q
+        FROM base GROUP BY event_type
+    ), msw AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS n_tot,
+               CAST(COUNT(*) AS BIGINT) AS k,
+               SUM(CAST(n * q - CAST(s AS HUGEINT) * s AS DOUBLE)
+                   / CAST(n AS DOUBLE)) AS ssw
+        FROM g
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(FLOOR(ABS(CAST(a.s AS DOUBLE) / a.n
+                          - CAST(b.s AS DOUBLE) / b.n)
+                      / sqrt((m.ssw / (m.n_tot - m.k)) / 2.0
+                             * (1.0 / a.n + 1.0 / b.n))
+                      * 1000000) AS BIGINT) AS q_e6,
+           CAST(CASE WHEN ABS(CAST(a.s AS DOUBLE) / a.n
+                              - CAST(b.s AS DOUBLE) / b.n)
+                          / sqrt((m.ssw / (m.n_tot - m.k)) / 2.0
+                                 * (1.0 / a.n + 1.0 / b.n))
+                          > 3.858 THEN 1 ELSE 0 END AS BIGINT)
+               AS significant
+    FROM g a JOIN g b ON a.event_type < b.event_type, msw m
+    ORDER BY type_a, type_b
+    """,
+)
+def agg_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TUKEY'S HSD post-hoc pairwise comparison (round 9) — the step
+    AFTER agg_anova_oneway rejects: ANOVA says "SOME group differs",
+    HSD says WHICH pairs, at a familywise error rate the naive
+    10-pairwise-t's inflate to ~40%; the studentized-range statistic
+    q = |x̄ᵢ−x̄ⱼ| / √(MSW/2·(1/nᵢ+1/nⱼ)) against the LITERAL critical
+    value q(k=5, ∞, α=.05) = 3.858 (embedded constant — the critical
+    surface is a table lookup, not a computation).
+
+    Exactness: group moments exact 128-bit; each within-group sum of
+    squares Q − S²/n evaluates 128-bit-exact then casts once; q and
+    the threshold comparison run ONE literal-order double chain per
+    pair (the Deming lane — the comparison is on the same chain both
+    engines compute).
+
+    Scale: one keyed moment aggregate; the pair join runs on the
+    |types|-row group table — k(k−1)/2 rows, free at any SF."""
+    ev = load(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    base = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 10000).cast("bigint").alias("x"),
+    )
+    xd = F.col("x").cast(dec)
+    g = base.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+        F.sum(xd * xd).alias("q"),
+    )
+    # n·Q − S² is 128-bit exact; ONE cast then the two divisions in
+    # literal order (the agg_levene_brown_forsythe float-sum shape) —
+    # never a decimal division, whose scale rules differ per engine
+    ssw_term = (
+        (F.col("n").cast(dec) * F.col("q")
+         - F.col("s").cast(dec) * F.col("s")).cast("double")
+        / F.col("n").cast("double")
+    )
+    msw = g.agg(
+        F.sum("n").cast("bigint").alias("n_tot"),
+        F.count("*").cast("bigint").alias("k"),
+        F.sum(ssw_term).alias("ssw"),
+    )
+    a = g.select(
+        F.col("event_type").alias("type_a"),
+        F.col("n").alias("na"),
+        F.col("s").alias("sa"),
+    )
+    b = g.select(
+        F.col("event_type").alias("type_b"),
+        F.col("n").alias("nb"),
+        F.col("s").alias("sb"),
+    )
+    pairs = a.join(
+        F.broadcast(b), F.col("type_a") < F.col("type_b")
+    ).crossJoin(F.broadcast(msw))
+    gap = F.abs(
+        F.col("sa").cast("double") / F.col("na")
+        - F.col("sb").cast("double") / F.col("nb")
+    )
+    se = F.sqrt(
+        (F.col("ssw") / (F.col("n_tot") - F.col("k")))
+        / 2.0
+        * (1.0 / F.col("na") + 1.0 / F.col("nb"))
+    )
+    return pairs.select(
+        "type_a",
+        "type_b",
+        F.floor(gap / se * 1000000).cast("bigint").alias("q_e6"),
+        F.when(gap / se > 3.858, 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("significant"),
+    ).orderBy("type_a", "type_b")

@@ -2905,3 +2905,122 @@ def anon_randomized_response_freq(
         .cast("bigint")
         .alias("true_share_e6"),
     ).orderBy("event_type")
+
+
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def _corr_matrix_oracle_sql() -> str:
+    cols = _CORR_COLS
+    quant = {c: f"CAST(FLOOR({c} * 10000) AS BIGINT)" for c in cols}
+    selects = []
+    for i, ca in enumerate(cols):
+        for cb in cols[i + 1 :]:
+            selects.append(f"""
+    SELECT '{ca}' AS col_a, '{cb}' AS col_b, n,
+           CAST(FLOOR(
+               CAST(n * s_{ca}_{cb} - CAST(s_{ca} AS HUGEINT) * s_{cb}
+                    AS DOUBLE)
+               / sqrt(CAST(n * q_{ca} - CAST(s_{ca} AS HUGEINT) * s_{ca}
+                           AS DOUBLE))
+               / sqrt(CAST(n * q_{cb} - CAST(s_{cb} AS HUGEINT) * s_{cb}
+                           AS DOUBLE))
+               * 1000000) AS BIGINT) AS pearson_e6
+    FROM m""")
+    sums = [f"CAST(COUNT(*) AS BIGINT) AS n"]
+    for c in cols:
+        sums.append(f"CAST(SUM({quant[c]}) AS BIGINT) AS s_{c}")
+        sums.append(
+            f"SUM(CAST({quant[c]} AS HUGEINT) * {quant[c]}) AS q_{c}"
+        )
+    for i, ca in enumerate(cols):
+        for cb in cols[i + 1 :]:
+            sums.append(
+                f"SUM(CAST({quant[ca]} AS HUGEINT) * {quant[cb]})"
+                f" AS s_{ca}_{cb}"
+            )
+    return f"""
+    WITH m AS (
+        SELECT {", ".join(sums)}
+        FROM lineitem
+    )
+    {" UNION ALL ".join(selects)}
+    ORDER BY col_a, col_b"""
+
+
+@query("profile_numeric_correlation_matrix", _corr_matrix_oracle_sql())
+def profile_numeric_correlation_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pairwise Pearson CORRELATION MATRIX over the fact table's
+    numeric columns (round 9) — the EDA staple that completes the
+    profiling family (profile_columns: per-column stats,
+    profile_skew: key distribution, profile_functional_dependency:
+    determinism between columns; this: LINEAR coupling among
+    measures) — the first table a feature-engineering pass reads
+    (collinear features waste model capacity; a surprise correlation
+    flags leakage), and agg_corr_exact generalized from one pinned
+    pair to the full upper triangle.
+
+    Exactness: ALL power/cross sums for every pair ride ONE
+    map-side-combinable aggregate (a single corpus pass, |cols|²/2
+    accumulators — not one pass per pair); numerators/denominators
+    are n-cleared exact 128-bit integers; each correlation is one
+    literal-order double chain (IEEE sqrt) floored e6.
+
+    Scale: one scan, one 1-row moment table; the pair expansion is
+    driver-free literal projection over that row."""
+    li = load(spark, sf_dir, "lineitem")
+    dec = "decimal(38,0)"
+    cols = _CORR_COLS
+    q = {
+        c: F.floor(F.col(c) * 10000).cast("bigint").alias(f"x_{c}")
+        for c in cols
+    }
+    base = li.select(*q.values())
+    aggs = [F.count("*").cast("bigint").alias("n")]
+    for c in cols:
+        xc = F.col(f"x_{c}")
+        aggs.append(F.sum(xc).cast("bigint").alias(f"s_{c}"))
+        aggs.append(F.sum(xc.cast(dec) * xc).alias(f"q_{c}"))
+    for i, ca in enumerate(cols):
+        for cb in cols[i + 1 :]:
+            aggs.append(
+                F.sum(F.col(f"x_{ca}").cast(dec) * F.col(f"x_{cb}"))
+                .alias(f"s_{ca}_{cb}")
+            )
+    m = base.agg(*aggs)
+    frames = []
+    nd = F.col("n").cast(dec)
+    for i, ca in enumerate(cols):
+        for cb in cols[i + 1 :]:
+            num = (
+                nd * F.col(f"s_{ca}_{cb}")
+                - F.col(f"s_{ca}").cast(dec) * F.col(f"s_{cb}")
+            ).cast("double")
+            da = F.sqrt(
+                (
+                    nd * F.col(f"q_{ca}")
+                    - F.col(f"s_{ca}").cast(dec) * F.col(f"s_{ca}")
+                ).cast("double")
+            )
+            db = F.sqrt(
+                (
+                    nd * F.col(f"q_{cb}")
+                    - F.col(f"s_{cb}").cast(dec) * F.col(f"s_{cb}")
+                ).cast("double")
+            )
+            frames.append(
+                m.select(
+                    F.lit(ca).alias("col_a"),
+                    F.lit(cb).alias("col_b"),
+                    "n",
+                    F.floor(num / da / db * 1000000)
+                    .cast("bigint")
+                    .alias("pearson_e6"),
+                )
+            )
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out.orderBy("col_a", "col_b")

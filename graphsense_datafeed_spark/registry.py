@@ -509,6 +509,8 @@ _ROUND10_NEXT_UP = (
     "agg_jarque_bera",
     "agg_benford_second_digit",
     "join_mutual_best_match",
+    "agg_tukey_hsd",
+    "profile_numeric_correlation_matrix",
 )
 
 _loaded = False

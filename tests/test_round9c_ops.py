@@ -787,3 +787,79 @@ def test_mutual_best_match_referee(spark, sf_dir):
     # mutuality: each side appears at most once in the match set
     assert len({r["custkey"] for r in got}) == len(got)
     assert len({r["suppkey"] for r in got}) == len(got)
+
+
+def test_tukey_hsd_referee(spark, sf_dir):
+    import pyarrow.parquet as pq
+
+    ev = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    ).to_pandas()
+    ev["x"] = ev["value"].apply(lambda v: math.floor(v * 10000))
+    groups = {
+        t: [int(v) for v in g["x"]] for t, g in ev.groupby("event_type")
+    }
+    n_tot = sum(len(v) for v in groups.values())
+    k = len(groups)
+    ssw = sum(
+        float(len(xs) * sum(v * v for v in xs) - sum(xs) ** 2)
+        / float(len(xs))
+        for xs in groups.values()
+    )
+    msw = ssw / (n_tot - k)
+    got = {
+        (r["type_a"], r["type_b"]): r
+        for r in QUERIES["agg_tukey_hsd"](spark, sf_dir).collect()
+    }
+    types = sorted(groups)
+    assert len(got) == k * (k - 1) // 2
+    for i, ta in enumerate(types):
+        for tb in types[i + 1 :]:
+            xa, xb = groups[ta], groups[tb]
+            gap = abs(sum(xa) / len(xa) - sum(xb) / len(xb))
+            se = math.sqrt(msw / 2.0 * (1.0 / len(xa) + 1.0 / len(xb)))
+            r = got[(ta, tb)]
+            assert r["q_e6"] == math.floor(gap / se * 1000000)
+            assert r["significant"] == (1 if gap / se > 3.858 else 0)
+
+
+def test_correlation_matrix_referee(spark, sf_dir):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    li = pq.read_table(
+        f"{sf_dir}/lineitem.parquet", columns=cols
+    ).to_pandas()
+    x = {
+        c: [math.floor(v * 10000) for v in li[c]] for c in cols
+    }
+    n = len(li)
+    got = {
+        (r["col_a"], r["col_b"]): r
+        for r in QUERIES["profile_numeric_correlation_matrix"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert len(got) == 6
+    for i, ca in enumerate(cols):
+        for cb in cols[i + 1 :]:
+            xa, xb = x[ca], x[cb]
+            num = float(
+                n * sum(a * b for a, b in zip(xa, xb))
+                - sum(xa) * sum(xb)
+            )
+            da = math.sqrt(
+                float(n * sum(a * a for a in xa) - sum(xa) ** 2)
+            )
+            db = math.sqrt(
+                float(n * sum(b * b for b in xb) - sum(xb) ** 2)
+            )
+            r = got[(ca, cb)]
+            assert r["n"] == n
+            assert r["pearson_e6"] == math.floor(num / da / db * 1000000)
+            # cross-check against numpy's own corrcoef
+            np_r = np.corrcoef(np.array(xa, float), np.array(xb, float))[
+                0, 1
+            ]
+            assert abs(r["pearson_e6"] / 1e6 - np_r) < 1e-4
