@@ -2326,10 +2326,12 @@ def embed_alignment_uniformity(
     WITH q AS (
         SELECT vec_id,
                list_transform(embedding,
-                   x -> CAST(FLOOR(x * 1000000) AS BIGINT)) AS qv,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000)
+                             AS BIGINT)) AS qv,
                list_sum(list_transform(embedding,
-                   x -> CAST(FLOOR(x * 1000000) AS BIGINT)
-                        * CAST(FLOOR(x * 1000000) AS BIGINT))) AS n2
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+                        * CAST(FLOOR(CAST(x AS DOUBLE) * 1000000)
+                               AS BIGINT))) AS n2
         FROM embeddings WHERE vec_id < 128
     ), pairs AS (
         SELECT a.vec_id AS va, b.vec_id AS vb,
@@ -2414,4 +2416,132 @@ def embed_pair_distance_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         sims.groupBy("bucket")
         .agg(F.count("*").cast("bigint").alias("n_pairs"))
         .orderBy("bucket")
+    )
+
+
+@query(
+    "embed_knn_margin_audit",
+    """
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000)
+                             AS BIGINT)) AS qv,
+               list_sum(list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+                        * CAST(FLOOR(CAST(x AS DOUBLE) * 1000000)
+                               AS BIGINT))) AS n2
+        FROM embeddings
+    ), anchors AS (
+        SELECT * FROM q WHERE vec_id < 64
+    ), sims AS (
+        SELECT a.vec_id AS qid, b.vec_id AS nid,
+               CAST(FLOOR(CAST(list_sum(list_transform(
+                        list_zip(a.qv, b.qv), p -> p[1] * p[2]))
+                        AS DOUBLE)
+                      / sqrt(CAST(a.n2 AS DOUBLE))
+                      / sqrt(CAST(b.n2 AS DOUBLE))
+                      * 1000000) AS BIGINT) AS sim_e6
+        FROM anchors a JOIN q b ON b.vec_id <> a.vec_id
+    ), ranked AS (
+        SELECT qid, nid, sim_e6,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                   ORDER BY sim_e6 DESC, nid) AS rn
+        FROM sims
+    )
+    SELECT r1.qid AS vec_id, r1.nid AS best_id,
+           r1.sim_e6 AS sim1_e6,
+           r1.sim_e6 - r2.sim_e6 AS margin_e6
+    FROM ranked r1 JOIN ranked r2
+      ON r2.qid = r1.qid AND r1.rn = 1 AND r2.rn = 2
+    ORDER BY r1.qid
+    """,
+)
+def embed_knn_margin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-NEIGHBOR MARGIN audit (round 9) — the ANN reliability
+    number recall alone hides: for each anchor query, the cosine gap
+    between its 1st and 2nd neighbor.  Tiny margins mean the true
+    top-1 is one quantization/probe away from flipping — exactly the
+    queries where sim_ann_lsh/ivf/pq recall will degrade first
+    (margin is the per-query difficulty the corpus-level recall
+    averages wash out); the margin DISTRIBUTION decides whether an
+    approximate index is safe to ship, and embed_pair_distance_hist's
+    corpus geometry explains WHY margins are thin.
+
+    Exactness: the embed_pair_distance_hist lane — e6-quantized
+    elements, exact bigint dots/norms², one sqrt chain per pair
+    floored e6; ranks tie-pin on neighbor id; the margin is a bigint
+    subtraction of two already-floored sims.
+
+    Scale: a FIXED 64-anchor panel probes the full corpus — anchors
+    × corpus, the bounded-rank shape sim_topk_exact pins (linear in
+    corpus, constant in panel); per-anchor windows are keyed by
+    query id, never global."""
+    e = load(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * 1000000).cast("bigint"),
+    )
+    base = e.select(
+        "vec_id",
+        qv.alias("qv"),
+        F.aggregate(
+            F.transform(qv, lambda v: v * v),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        ).alias("n2"),
+    )
+    anchors = base.filter(F.col("vec_id") < 64).select(
+        F.col("vec_id").alias("qid"),
+        F.col("qv").alias("qa"),
+        F.col("n2").alias("na"),
+    )
+    corpus = base.select(
+        F.col("vec_id").alias("nid"),
+        F.col("qv").alias("qb"),
+        F.col("n2").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    sims = (
+        F.broadcast(anchors)
+        .join(corpus, F.col("nid") != F.col("qid"))
+        .select(
+            "qid",
+            "nid",
+            F.floor(
+                dot.cast("double")
+                / F.sqrt(F.col("na").cast("double"))
+                / F.sqrt(F.col("nb").cast("double"))
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("sim_e6"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim_e6").desc(), "nid")
+    ranked = sims.select(
+        "qid", "nid", "sim_e6", F.row_number().over(w).alias("rn")
+    )
+    r1 = ranked.filter(F.col("rn") == 1).select(
+        F.col("qid").alias("vec_id"),
+        F.col("nid").alias("best_id"),
+        F.col("sim_e6").alias("sim1_e6"),
+    )
+    r2 = ranked.filter(F.col("rn") == 2).select(
+        F.col("qid").alias("vec_id"),
+        F.col("sim_e6").alias("sim2_e6"),
+    )
+    return (
+        r1.join(r2, "vec_id")
+        .select(
+            "vec_id",
+            "best_id",
+            "sim1_e6",
+            (F.col("sim1_e6") - F.col("sim2_e6")).alias("margin_e6"),
+        )
+        .orderBy("vec_id")
     )

@@ -6881,3 +6881,115 @@ def events_markov_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("absorbed_e12"),
     ).orderBy("start_type")
+
+
+@query(
+    "events_exposure_fatigue",
+    """
+    WITH tape AS (
+        SELECT user_id, ts, event_type,
+               MIN(CASE WHEN event_type = 'click' THEN ts END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 1 FOLLOWING
+                         AND UNBOUNDED FOLLOWING) AS next_click_ts
+        FROM events
+    ), views AS (
+        SELECT user_id, ts, next_click_ts,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts) AS exposure
+        FROM tape WHERE event_type = 'view'
+    ), flagged AS (
+        SELECT CASE WHEN exposure = 1 THEN '01'
+                    WHEN exposure = 2 THEN '02'
+                    WHEN exposure <= 5 THEN '03-05'
+                    WHEN exposure <= 10 THEN '06-10'
+                    ELSE '11+' END AS exposure_bucket,
+               CASE WHEN next_click_ts IS NOT NULL
+                     AND epoch_us(next_click_ts) - epoch_us(ts)
+                         <= 3600000000 THEN 1 ELSE 0 END AS clicked
+        FROM views
+    )
+    SELECT exposure_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_views,
+           CAST(SUM(clicked) AS BIGINT) AS n_clicked,
+           CAST(FLOOR(CAST(SUM(clicked) AS DOUBLE) * 1000000
+                      / COUNT(*)) AS BIGINT) AS ctr_e6
+    FROM flagged GROUP BY exposure_bucket ORDER BY exposure_bucket
+    """,
+)
+def events_exposure_fatigue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPOSURE-FATIGUE curve (round 9) — the diminishing-returns
+    readout ad/recommendation frequency capping is built on: click-
+    within-an-hour rate by each user's Nth view — a declining curve
+    says further impressions burn inventory (cap exposure), a flat
+    one says the cap is money left on the table.
+    events_conversion_lag measures HOW LONG conversion takes;
+    fatigue measures whether the Nth attempt still converts AT ALL.
+
+    The scalable formulation is the point: the naive program joins
+    each view to every later click of the same user — a per-user
+    pairs² blowup on exactly the heavy users that matter.  Instead
+    ONE ordered pass computes next_click_ts as MIN(CASE WHEN click)
+    over the strictly-following frame (the win_pattern_match_var
+    fold trick, mirrored forward), so clicked = next_click within
+    3600s is a per-row predicate — O(n log n) per user, no join.
+
+    Exactness: the click flag compares integer MICROSECONDS
+    (epoch_us vs unix_micros — engine-identical on µs timestamps);
+    exposure index and bucket edges are integers; CTR floors once.
+    Bucket labels are zero-padded so lexicographic ORDER BY is the
+    numeric order in both engines.
+
+    Scale: two user-keyed windows + one ≤5-row rollup; never a
+    self-join."""
+    ev = load(spark, sf_dir, "events")
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    tape = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.min(F.when(F.col("event_type") == "click", F.col("ts")))
+        .over(w_next)
+        .alias("next_click_ts"),
+    )
+    w_exp = Window.partitionBy("user_id").orderBy("ts")
+    views = tape.filter(F.col("event_type") == "view").select(
+        "ts",
+        "next_click_ts",
+        F.row_number().over(w_exp).alias("exposure"),
+    )
+    bucket = (
+        F.when(F.col("exposure") == 1, "01")
+        .when(F.col("exposure") == 2, "02")
+        .when(F.col("exposure") <= 5, "03-05")
+        .when(F.col("exposure") <= 10, "06-10")
+        .otherwise("11+")
+    )
+    clicked = F.when(
+        F.col("next_click_ts").isNotNull()
+        & (
+            F.unix_micros(F.col("next_click_ts").cast("timestamp")) - F.unix_micros(F.col("ts").cast("timestamp"))
+            <= 3600000000
+        ),
+        1,
+    ).otherwise(0)
+    flagged = views.select(
+        bucket.alias("exposure_bucket"), clicked.alias("clicked")
+    )
+    return (
+        flagged.groupBy("exposure_bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_views"),
+            F.sum("clicked").cast("bigint").alias("n_clicked"),
+            F.floor(
+                F.sum("clicked").cast("double") * 1000000 / F.count("*")
+            )
+            .cast("bigint")
+            .alias("ctr_e6"),
+        )
+        .orderBy("exposure_bucket")
+    )

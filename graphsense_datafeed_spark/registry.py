@@ -511,6 +511,8 @@ _ROUND10_NEXT_UP = (
     "join_mutual_best_match",
     "agg_tukey_hsd",
     "profile_numeric_correlation_matrix",
+    "events_exposure_fatigue",
+    "embed_knn_margin_audit",
 )
 
 _loaded = False

@@ -863,3 +863,91 @@ def test_correlation_matrix_referee(spark, sf_dir):
                 0, 1
             ]
             assert abs(r["pearson_e6"] / 1e6 - np_r) < 1e-4
+
+
+def test_exposure_fatigue_referee(spark, sf_dir):
+    import pyarrow.parquet as pq
+    from collections import defaultdict
+
+    ev = (
+        pq.read_table(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "ts", "event_id", "event_type"],
+        )
+        .to_pandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    agg = defaultdict(lambda: [0, 0])
+    for _uid, grp in ev.groupby("user_id"):
+        rows = list(zip(grp["ts"], grp["event_type"]))
+        exposure = 0
+        for i, (ts, typ) in enumerate(rows):
+            if typ != "view":
+                continue
+            exposure += 1
+            if exposure == 1:
+                b = "01"
+            elif exposure == 2:
+                b = "02"
+            elif exposure <= 5:
+                b = "03-05"
+            elif exposure <= 10:
+                b = "06-10"
+            else:
+                b = "11+"
+            clicked = any(
+                t2 == "click"
+                and (ts2 - ts).total_seconds() * 1000000 <= 3600000000
+                for ts2, t2 in rows[i + 1 :]
+            )
+            agg[b][0] += 1
+            agg[b][1] += 1 if clicked else 0
+    got = {
+        r["exposure_bucket"]: r
+        for r in QUERIES["events_exposure_fatigue"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(agg)
+    for b, (n, c) in agg.items():
+        assert got[b]["n_views"] == n
+        assert got[b]["n_clicked"] == c
+        assert got[b]["ctr_e6"] == math.floor(c * 1000000 / n)
+
+
+def test_knn_margin_referee(spark, sf_dir):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    t = t.sort_values("vec_id").reset_index(drop=True)
+    q = np.stack(
+        [
+            np.floor(np.asarray(v, dtype=np.float64) * 1000000).astype(
+                np.int64
+            )
+            for v in t["embedding"]
+        ]
+    )
+    ids = t["vec_id"].to_numpy()
+    n2 = (q * q).sum(axis=1).astype(np.float64)
+    got = {
+        r["vec_id"]: r
+        for r in QUERIES["embed_knn_margin_audit"](spark, sf_dir).collect()
+    }
+    anchors = [i for i, vid in enumerate(ids) if vid < 64]
+    assert set(got) == {int(ids[i]) for i in anchors}
+    for i in anchors:
+        sims = []
+        for j in range(len(ids)):
+            if ids[j] == ids[i]:
+                continue
+            dot = float((q[i] * q[j]).sum())
+            s = math.floor(
+                dot / math.sqrt(n2[i]) / math.sqrt(n2[j]) * 1000000
+            )
+            sims.append((s, int(ids[j])))
+        sims.sort(key=lambda p: (-p[0], p[1]))
+        r = got[int(ids[i])]
+        assert r["best_id"] == sims[0][1]
+        assert r["sim1_e6"] == sims[0][0]
+        assert r["margin_e6"] == sims[0][0] - sims[1][0]
+        assert r["margin_e6"] >= 0
