@@ -1767,7 +1767,8 @@ def embed_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH dims AS (
         SELECT u.i - 1 AS dim,
-               CAST(FLOOR(embedding[u.i] * 1000000) AS BIGINT) AS v_e6
+               CAST(FLOOR(CAST(embedding[u.i] AS DOUBLE) * 1000000)
+                    AS BIGINT) AS v_e6
         FROM embeddings,
              LATERAL (SELECT unnest(generate_series(1,
                           len(embedding))) AS i) u
@@ -1791,8 +1792,10 @@ def embed_dim_variance_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimates and embed_matryoshka_truncate's prefix assumption
     depend on.  Run BEFORE trusting any truncation/quantization.
 
-    Exactness: each float quantizes ONCE to e6 (floor — exact on
-    stored f32), then Σ and Σ² are exact bigints per dimension; mean
+    Exactness: each float quantizes ONCE to e6 (floor — the oracle
+    casts f32→DOUBLE before the multiply; DuckDB otherwise runs
+    FLOAT×INT in float32, the round-9 ulp trap), then Σ and Σ² are
+    exact bigints per dimension; mean
     and population variance are one floored double chain each
     (variance rescaled back to e6 units).
 
