@@ -3024,3 +3024,117 @@ def profile_numeric_correlation_matrix(
     for fr in frames[1:]:
         out = out.unionByName(fr)
     return out.orderBy("col_a", "col_b")
+
+
+@query(
+    "events_stratified_effect",
+    """
+    WITH base AS (
+        SELECT event_type,
+               CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS t,
+               CAST(FLOOR(value * 10000) AS BIGINT) AS y
+        FROM events
+    ), strat AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_s,
+               CAST(COUNT(*) FILTER (t = 1) AS BIGINT) AS n1,
+               CAST(COUNT(*) FILTER (t = 0) AS BIGINT) AS n0,
+               CAST(SUM(y) FILTER (t = 1) AS BIGINT) AS s1,
+               CAST(SUM(y) FILTER (t = 0) AS BIGINT) AS s0
+        FROM base GROUP BY event_type
+    ), tot AS (
+        SELECT event_type, n_s, n1, n0, s1, s0,
+               CAST(SUM(n_s) OVER () AS BIGINT) AS n,
+               CAST(SUM(n1) OVER () AS BIGINT) AS n1_tot,
+               CAST(SUM(n0) OVER () AS BIGINT) AS n0_tot,
+               CAST(SUM(s1) OVER () AS BIGINT) AS s1_tot,
+               CAST(SUM(s0) OVER () AS BIGINT) AS s0_tot
+        FROM strat
+    ), terms AS (
+        SELECT event_type, n_s, n1, n0,
+               CAST(FLOOR((CAST(s1 AS DOUBLE) / n1
+                           - CAST(s0 AS DOUBLE) / n0) * 100000)
+                    AS BIGINT) AS gap_e9,
+               CAST(FLOOR(CAST(n_s AS DOUBLE)
+                          * (CAST(s1 AS DOUBLE) / n1
+                             - CAST(s0 AS DOUBLE) / n0)
+                          / n * 100000) AS BIGINT) AS term_e9,
+               CAST(FLOOR((CAST(s1_tot AS DOUBLE) / n1_tot
+                           - CAST(s0_tot AS DOUBLE) / n0_tot) * 100000)
+                    AS BIGINT) AS crude_gap_e9
+        FROM tot
+    )
+    SELECT event_type, n_s, n1, n0, gap_e9, term_e9, crude_gap_e9,
+           CAST(SUM(term_e9) OVER () AS BIGINT) AS ate_e9
+    FROM terms ORDER BY event_type
+    """,
+)
+def events_stratified_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRATIFIED (post-stratification) effect estimate (round 9) —
+    the third observational-causal member: events_ab_cuped adjusts a
+    RANDOMIZED gap with a covariate, events_did_estimator needs a
+    control GROUP over time; stratification is the adjustment when
+    you have neither — the weekend-vs-weekday value gap recomputed
+    WITHIN each event type and averaged with n_s/n weights, so any
+    confounding carried by the type MIX (weekends sampling a
+    different behavior blend) is removed by construction.  Reading
+    crude vs adjusted side-by-side IS the diagnostic: a large
+    difference says the mix was lying (Simpson's territory), near
+    equality certifies the crude number.
+
+    Exactness: all stratum counts/sums exact bigints; per-stratum
+    gap and its n_s/n-weighted term run one literal double chain
+    each, floored e9 (values are e4-quantized, so ×10⁵ lands in e9
+    units); the adjusted total is an order-free bigint window sum
+    over the |types|-row table; dayofweek parity uses the
+    agg_kl_divergence weekend pin (Spark −1 shift).
+
+    Scale: one map-side-combinable conditional-moment aggregate;
+    every window runs on the pre-reduced stratum table."""
+    ev = load(spark, sf_dir, "events")
+    dow = F.dayofweek("ts") - 1
+    t = F.when(dow.isin(0, 6), 1).otherwise(0)
+    base = ev.select(
+        "event_type",
+        t.alias("t"),
+        F.floor(F.col("value") * 10000).cast("bigint").alias("y"),
+    )
+    strat = base.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_s"),
+        F.count_if(F.col("t") == 1).cast("bigint").alias("n1"),
+        F.count_if(F.col("t") == 0).cast("bigint").alias("n0"),
+        F.sum(F.when(F.col("t") == 1, F.col("y"))).cast("bigint").alias("s1"),
+        F.sum(F.when(F.col("t") == 0, F.col("y"))).cast("bigint").alias("s0"),
+    )
+    w_all = Window.partitionBy()
+    tot = strat.select(
+        "*",
+        F.sum("n_s").over(w_all).cast("bigint").alias("n"),
+        F.sum("n1").over(w_all).cast("bigint").alias("n1_tot"),
+        F.sum("n0").over(w_all).cast("bigint").alias("n0_tot"),
+        F.sum("s1").over(w_all).cast("bigint").alias("s1_tot"),
+        F.sum("s0").over(w_all).cast("bigint").alias("s0_tot"),
+    )
+    gap = (
+        F.col("s1").cast("double") / F.col("n1")
+        - F.col("s0").cast("double") / F.col("n0")
+    )
+    crude = (
+        F.col("s1_tot").cast("double") / F.col("n1_tot")
+        - F.col("s0_tot").cast("double") / F.col("n0_tot")
+    )
+    terms = tot.select(
+        "event_type",
+        "n_s",
+        "n1",
+        "n0",
+        F.floor(gap * 100000).cast("bigint").alias("gap_e9"),
+        F.floor(F.col("n_s").cast("double") * gap / F.col("n") * 100000)
+        .cast("bigint")
+        .alias("term_e9"),
+        F.floor(crude * 100000).cast("bigint").alias("crude_gap_e9"),
+    )
+    return terms.select(
+        "*",
+        F.sum("term_e9").over(w_all).cast("bigint").alias("ate_e9"),
+    ).orderBy("event_type")

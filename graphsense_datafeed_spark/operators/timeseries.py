@@ -6993,3 +6993,112 @@ def events_exposure_fatigue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("exposure_bucket")
     )
+
+
+@query(
+    "events_retention_halflife",
+    """
+    WITH firsts AS (
+        SELECT user_id, MIN(CAST(date_trunc('day', ts) AS DATE)) AS d0
+        FROM events GROUP BY user_id
+    ), offsets AS (
+        SELECT DISTINCT e.user_id,
+               CAST(CAST(date_trunc('day', e.ts) AS DATE) - f.d0
+                    AS BIGINT) AS k
+        FROM events e JOIN firsts f USING (user_id)
+    ), ret AS (
+        SELECT k, CAST(COUNT(*) AS BIGINT) AS r
+        FROM offsets WHERE k >= 1 GROUP BY k
+    ), pts AS (
+        SELECT k, r,
+               CAST(FLOOR(ln(CAST(r AS DOUBLE)) * 1000000000) AS BIGINT)
+                   AS l_e9
+        FROM ret
+    ), m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(k) AS BIGINT) AS sk,
+               CAST(SUM(l_e9) AS BIGINT) AS sl,
+               CAST(SUM(k * l_e9) AS BIGINT) AS skl,
+               CAST(SUM(k * k) AS BIGINT) AS skk
+        FROM pts
+    )
+    SELECT n,
+           CAST(FLOOR(CAST(n * skl - sk * sl AS DOUBLE)
+                      / CAST(n * skk - sk * sk AS DOUBLE)) AS BIGINT)
+               AS slope_e9,
+           CASE WHEN n * skl - sk * sl < 0
+                THEN CAST(FLOOR(ln(2.0) * 1000000
+                     / (-(CAST(n * skl - sk * sl AS DOUBLE)
+                          / CAST(n * skk - sk * sk AS DOUBLE))
+                        / 1000000000.0)) AS BIGINT)
+                ELSE NULL END AS halflife_days_e6
+    FROM m
+    """,
+)
+def events_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETENTION HALF-LIFE by log-linear decay fit (round 9) — the
+    one number the retention CURVE (events_retention /
+    events_cohort_retention) doesn't give: fit ln(retained_k) = a +
+    b·k over day offsets k ≥ 1 and read t½ = ln2/(−b) — "every t½
+    days, half the remaining actives are gone", the constant
+    product/finance models discount by and the cleanest
+    cross-cohort comparison (two curves are hard to compare; two
+    half-lives aren't).  Geometric decay is the null model; curvature
+    against it is read from ts_backtest-style residuals, not here.
+
+    Exactness: retained counts are exact distinct-aggregates; each
+    ln(r_k) floors to e9 as a SINGLE-term chain (the KL per-term
+    discipline — never a float sum); the OLS sums over (k, l_e9) are
+    exact bigints; slope is one double division and the half-life one
+    more literal chain; a non-decaying fit (slope ≥ 0) emits NULL —
+    a half-life of a growing series is not a number.
+
+    Scale: one keyed min, one distinct on (user, k), one ≤366-row
+    rollup — the fit runs on the offset table."""
+    ev = load(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.to_date(F.date_trunc("day", "ts"))).alias("d0")
+    )
+    offsets = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            F.datediff(F.to_date(F.date_trunc("day", "ts")), F.col("d0"))
+            .cast("bigint")
+            .alias("k"),
+        )
+        .distinct()
+    )
+    ret = (
+        offsets.filter(F.col("k") >= 1)
+        .groupBy("k")
+        .agg(F.count("*").cast("bigint").alias("r"))
+    )
+    pts = ret.select(
+        "k",
+        F.floor(F.log(F.col("r").cast("double")) * 1000000000)
+        .cast("bigint")
+        .alias("l_e9"),
+    )
+    m = pts.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("k").cast("bigint").alias("sk"),
+        F.sum("l_e9").cast("bigint").alias("sl"),
+        F.sum(F.col("k") * F.col("l_e9")).cast("bigint").alias("skl"),
+        F.sum(F.col("k") * F.col("k")).cast("bigint").alias("skk"),
+    )
+    num = F.col("n") * F.col("skl") - F.col("sk") * F.col("sl")
+    den = F.col("n") * F.col("skk") - F.col("sk") * F.col("sk")
+    slope = num.cast("double") / den.cast("double")
+    return m.select(
+        "n",
+        F.floor(slope).cast("bigint").alias("slope_e9"),
+        F.when(
+            num < 0,
+            F.floor(
+                F.log(F.lit(2.0)) * 1000000 / (-slope / 1000000000.0)
+            ).cast("bigint"),
+        )
+        .otherwise(F.lit(None).cast("bigint"))
+        .alias("halflife_days_e6"),
+    )

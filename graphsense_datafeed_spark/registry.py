@@ -513,6 +513,8 @@ _ROUND10_NEXT_UP = (
     "profile_numeric_correlation_matrix",
     "events_exposure_fatigue",
     "embed_knn_margin_audit",
+    "events_retention_halflife",
+    "events_stratified_effect",
 )
 
 _loaded = False

@@ -951,3 +951,82 @@ def test_knn_margin_referee(spark, sf_dir):
         assert r["sim1_e6"] == sims[0][0]
         assert r["margin_e6"] == sims[0][0] - sims[1][0]
         assert r["margin_e6"] >= 0
+
+
+def test_retention_halflife_referee(spark, sf_dir):
+    import pyarrow.parquet as pq
+
+    ev = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    ).to_pandas()
+    ev["d"] = ev["ts"].dt.date
+    d0 = ev.groupby("user_id")["d"].min()
+    offsets = {
+        (uid, (d - d0[uid]).days)
+        for uid, d in zip(ev["user_id"], ev["d"])
+    }
+    from collections import Counter
+
+    ret = Counter(k for _uid, k in offsets if k >= 1)
+    pts = [(k, math.floor(math.log(r) * 1000000000)) for k, r in ret.items()]
+    n = len(pts)
+    sk = sum(k for k, _l in pts)
+    sl = sum(l for _k, l in pts)
+    skl = sum(k * l for k, l in pts)
+    skk = sum(k * k for k, _l in pts)
+    num, den = n * skl - sk * sl, n * skk - sk * sk
+    slope = float(num) / float(den)
+    got = QUERIES["events_retention_halflife"](spark, sf_dir).collect()[0]
+    assert got["n"] == n
+    assert got["slope_e9"] == math.floor(slope)
+    if num < 0:
+        want = math.floor(
+            math.log(2.0) * 1000000 / (-slope / 1000000000.0)
+        )
+        assert got["halflife_days_e6"] == want
+        # decaying retention: half-life positive and finite
+        assert got["halflife_days_e6"] > 0
+    else:
+        assert got["halflife_days_e6"] is None
+
+
+def test_stratified_effect_referee(spark, sf_dir):
+    import pyarrow.parquet as pq
+
+    ev = pq.read_table(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts", "value"],
+    ).to_pandas()
+    ev["t"] = ev["ts"].apply(
+        lambda ts: 1 if ts.isoweekday() % 7 in (0, 6) else 0
+    )
+    ev["y"] = ev["value"].apply(lambda v: math.floor(v * 10000))
+    got = {
+        r["event_type"]: r
+        for r in QUERIES["events_stratified_effect"](
+            spark, sf_dir
+        ).collect()
+    }
+    n = len(ev)
+    s1t = int(ev.loc[ev["t"] == 1, "y"].sum())
+    s0t = int(ev.loc[ev["t"] == 0, "y"].sum())
+    n1t = int((ev["t"] == 1).sum())
+    n0t = int((ev["t"] == 0).sum())
+    crude = math.floor((s1t / n1t - s0t / n0t) * 100000)
+    ate = 0
+    for typ, grp in ev.groupby("event_type"):
+        n_s = len(grp)
+        n1 = int((grp["t"] == 1).sum())
+        n0 = n_s - n1
+        s1 = int(grp.loc[grp["t"] == 1, "y"].sum())
+        s0 = int(grp.loc[grp["t"] == 0, "y"].sum())
+        gap = s1 / n1 - s0 / n0
+        term = math.floor(float(n_s) * gap / n * 100000)
+        r = got[typ]
+        assert r["n_s"] == n_s and r["n1"] == n1 and r["n0"] == n0
+        assert r["gap_e9"] == math.floor(gap * 100000)
+        assert r["term_e9"] == term
+        assert r["crude_gap_e9"] == crude
+        ate += term
+    for r in got.values():
+        assert r["ate_e9"] == ate
