@@ -6789,3 +6789,190 @@ def agg_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("significant"),
     ).orderBy("type_a", "type_b")
+
+
+@query(
+    "agg_woe_information_value",
+    """
+    WITH base AS (
+        SELECT CAST(FLOOR(value / 10) AS BIGINT) AS bucket,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        FROM events
+    ), bins AS (
+        SELECT bucket,
+               CAST(COUNT(*) FILTER (pos = 1) AS BIGINT) AS n_pos,
+               CAST(COUNT(*) FILTER (pos = 0) AS BIGINT) AS n_neg
+        FROM base GROUP BY bucket
+    ), tot AS (
+        SELECT bucket, n_pos, n_neg,
+               CAST(SUM(n_pos) OVER () AS BIGINT) AS pos_tot,
+               CAST(SUM(n_neg) OVER () AS BIGINT) AS neg_tot,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n_bins
+        FROM bins
+    ), terms AS (
+        SELECT bucket, n_pos, n_neg,
+               CAST(FLOOR(ln(((CAST(n_pos AS DOUBLE) + 0.5)
+                              / (pos_tot + 0.5 * n_bins))
+                             / ((CAST(n_neg AS DOUBLE) + 0.5)
+                                / (neg_tot + 0.5 * n_bins)))
+                          * 1000000000) AS BIGINT) AS woe_e9,
+               CAST(FLOOR(((CAST(n_pos AS DOUBLE) + 0.5)
+                           / (pos_tot + 0.5 * n_bins)
+                           - (CAST(n_neg AS DOUBLE) + 0.5)
+                             / (neg_tot + 0.5 * n_bins))
+                          * ln(((CAST(n_pos AS DOUBLE) + 0.5)
+                                / (pos_tot + 0.5 * n_bins))
+                               / ((CAST(n_neg AS DOUBLE) + 0.5)
+                                  / (neg_tot + 0.5 * n_bins)))
+                          * 1000000000) AS BIGINT) AS iv_term_e9
+        FROM tot
+    )
+    SELECT bucket, n_pos, n_neg, woe_e9, iv_term_e9,
+           CAST(SUM(iv_term_e9) OVER () AS BIGINT) AS iv_sum_e9
+    FROM terms ORDER BY bucket
+    """,
+)
+def agg_woe_information_value(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WEIGHT-OF-EVIDENCE binning + INFORMATION VALUE (round 9) —
+    the credit-scoring feature screen the correlation matrix can't
+    replace for a BINARY target: per value bin, WOE = ln(share of
+    positives / share of negatives) is the bin's evidence direction
+    (the quantity scorecards add up), and IV = Σ(Δshare)·WOE ranks
+    the whole feature — the standard gates read IV < 0.02 as useless
+    and > 0.5 as suspiciously strong (leakage check).  Smoothing is
+    add-½ per bin (Laplace on both margins), so empty-side bins
+    stay finite.
+
+    The per-term discipline is agg_kl_divergence's (WOE literally IS
+    a per-bin log-likelihood-ratio): counts and margins exact
+    bigints over the bin table; WOE and the IV term each evaluate in
+    ONE literal-order double chain floored e9; the IV total is an
+    order-free bigint window sum.
+
+    Scale: one map-side-combinable conditional count to the bin
+    table; everything after runs on ≤34 bins."""
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        F.floor(F.col("value") / 10).cast("bigint").alias("bucket"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("pos"),
+    )
+    bins = base.groupBy("bucket").agg(
+        F.count_if(F.col("pos") == 1).cast("bigint").alias("n_pos"),
+        F.count_if(F.col("pos") == 0).cast("bigint").alias("n_neg"),
+    )
+    w_all = Window.partitionBy()
+    tot = bins.select(
+        "bucket",
+        "n_pos",
+        "n_neg",
+        F.sum("n_pos").over(w_all).cast("bigint").alias("pos_tot"),
+        F.sum("n_neg").over(w_all).cast("bigint").alias("neg_tot"),
+        F.count("*").over(w_all).cast("bigint").alias("n_bins"),
+    )
+    p_pos = (F.col("n_pos").cast("double") + 0.5) / (
+        F.col("pos_tot") + 0.5 * F.col("n_bins")
+    )
+    p_neg = (F.col("n_neg").cast("double") + 0.5) / (
+        F.col("neg_tot") + 0.5 * F.col("n_bins")
+    )
+    woe = F.log(p_pos / p_neg)
+    terms = tot.select(
+        "bucket",
+        "n_pos",
+        "n_neg",
+        F.floor(woe * 1000000000).cast("bigint").alias("woe_e9"),
+        F.floor((p_pos - p_neg) * woe * 1000000000)
+        .cast("bigint")
+        .alias("iv_term_e9"),
+    )
+    return terms.select(
+        "*",
+        F.sum("iv_term_e9").over(w_all).cast("bigint").alias("iv_sum_e9"),
+    ).orderBy("bucket")
+
+
+@query(
+    "agg_hill_numbers_diversity",
+    """
+    WITH counts AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY event_type
+    ), tot AS (
+        SELECT event_type, c, CAST(SUM(c) OVER () AS BIGINT) AS n
+        FROM counts
+    ), h AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(MAX(n) AS BIGINT) AS n,
+               CAST(SUM(CAST(FLOOR(-(CAST(c AS DOUBLE) / n)
+                             * ln(CAST(c AS DOUBLE) / n)
+                             * 1000000000) AS BIGINT)) AS BIGINT)
+                   AS h_e9,
+               SUM(CAST(c AS HUGEINT) * c) AS c2
+        FROM tot
+    )
+    SELECT k AS hill0, h_e9 AS shannon_h_e9,
+           CAST(FLOOR(exp(CAST(h_e9 AS DOUBLE) / 1000000000.0) * 1000000)
+                AS BIGINT) AS hill1_e6,
+           CAST(FLOOR(CAST(CAST(n AS HUGEINT) * n AS DOUBLE)
+                      / CAST(c2 AS DOUBLE) * 1000000) AS BIGINT)
+               AS hill2_e6
+    FROM h
+    """,
+)
+def agg_hill_numbers_diversity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HILL-NUMBER diversity spectrum ⁰D/¹D/²D (round 9) — the
+    unification that puts the registry's three diversity readouts on
+    ONE effective-species scale: ⁰D = richness (type count),
+    ¹D = exp(Shannon H) (agg_entropy exponentiated), ²D = 1/Σp²
+    (agg_simpson_diversity inverted) — all answering "how many
+    EQUALLY-COMMON types would look like this?", so 5 types with
+    ¹D = 4.97 reads instantly as near-uniform where H = 1.603 nats
+    does not.  The ⁰D→²D decline rate is the rare-type-tail
+    diagnostic corpus mixers read before rebalancing.
+
+    Exactness: each −p·ln p term floors e9 (the KL single-term
+    chain) and ¹D = exp of the already-quantized bigint sum — one
+    more deterministic chain; ²D clears to n²/Σc², a ratio of exact
+    128-bit integers, one floored division.
+
+    Scale: one map-side count to |types| rows; scalars after."""
+    ev = load(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    w_all = Window.partitionBy()
+    tot = counts.select(
+        "c", F.sum("c").over(w_all).cast("bigint").alias("n")
+    )
+    dec = "decimal(38,0)"
+    p = F.col("c").cast("double") / F.col("n")
+    h = tot.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.max("n").cast("bigint").alias("n"),
+        F.sum(F.floor(-p * F.log(p) * 1000000000).cast("bigint"))
+        .cast("bigint")
+        .alias("h_e9"),
+        F.sum(F.col("c").cast(dec) * F.col("c")).alias("c2"),
+    )
+    return h.select(
+        F.col("k").alias("hill0"),
+        F.col("h_e9").alias("shannon_h_e9"),
+        F.floor(
+            F.exp(F.col("h_e9").cast("double") / 1000000000.0) * 1000000
+        )
+        .cast("bigint")
+        .alias("hill1_e6"),
+        F.floor(
+            (F.col("n").cast(dec) * F.col("n")).cast("double")
+            / F.col("c2").cast("double")
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("hill2_e6"),
+    )

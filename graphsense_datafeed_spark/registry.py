@@ -515,6 +515,8 @@ _ROUND10_NEXT_UP = (
     "embed_knn_margin_audit",
     "events_retention_halflife",
     "events_stratified_effect",
+    "agg_woe_information_value",
+    "agg_hill_numbers_diversity",
 )
 
 _loaded = False

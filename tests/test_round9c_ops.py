@@ -1030,3 +1030,70 @@ def test_stratified_effect_referee(spark, sf_dir):
         ate += term
     for r in got.values():
         assert r["ate_e9"] == ate
+
+
+def test_woe_iv_referee(spark, sf_dir):
+    import pyarrow.parquet as pq
+    from collections import defaultdict
+
+    ev = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    ).to_pandas()
+    bins = defaultdict(lambda: [0, 0])
+    for typ, v in zip(ev["event_type"], ev["value"]):
+        b = math.floor(v / 10)
+        bins[b][0 if typ == "purchase" else 1] += 1
+    pos_tot = sum(v[0] for v in bins.values())
+    neg_tot = sum(v[1] for v in bins.values())
+    nb = len(bins)
+    got = {
+        r["bucket"]: r
+        for r in QUERIES["agg_woe_information_value"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(got) == set(bins)
+    iv = 0
+    terms = {}
+    for b, (np_, nn) in bins.items():
+        pp = (np_ + 0.5) / (pos_tot + 0.5 * nb)
+        pn = (nn + 0.5) / (neg_tot + 0.5 * nb)
+        woe = math.log(pp / pn)
+        terms[b] = (
+            math.floor(woe * 1000000000),
+            math.floor((pp - pn) * woe * 1000000000),
+        )
+        iv += terms[b][1]
+    for b, r in got.items():
+        assert r["n_pos"] == bins[b][0] and r["n_neg"] == bins[b][1]
+        assert r["woe_e9"] == terms[b][0]
+        assert r["iv_term_e9"] == terms[b][1]
+        assert r["iv_sum_e9"] == iv
+    # each IV term is non-negative up to floor quantization
+    assert all(r["iv_term_e9"] >= -1 for r in got.values())
+
+
+def test_hill_numbers_referee(spark, sf_dir):
+    import pyarrow.parquet as pq
+    from collections import Counter
+
+    ev = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["event_type"]
+    ).to_pandas()
+    counts = Counter(ev["event_type"])
+    n = sum(counts.values())
+    k = len(counts)
+    h_e9 = sum(
+        math.floor(-(c / n) * math.log(c / n) * 1000000000)
+        for c in counts.values()
+    )
+    c2 = sum(c * c for c in counts.values())
+    got = QUERIES["agg_hill_numbers_diversity"](spark, sf_dir).collect()[0]
+    assert got["hill0"] == k
+    assert got["shannon_h_e9"] == h_e9
+    assert got["hill1_e6"] == math.floor(
+        math.exp(h_e9 / 1000000000.0) * 1000000
+    )
+    assert got["hill2_e6"] == math.floor(float(n * n) / float(c2) * 1000000)
+    # Hill ordering: 0D >= 1D >= 2D (diversity declines with order q)
+    assert got["hill0"] * 1000000 >= got["hill1_e6"] >= got["hill2_e6"]
