@@ -6976,3 +6976,232 @@ def agg_hill_numbers_diversity(
         .cast("bigint")
         .alias("hill2_e6"),
     )
+
+
+@query(
+    "agg_friedman_page_trend",
+    """
+    WITH cells AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS blk,
+               CAST(FLOOR(hour(ts) / 6) AS BIGINT) AS trt,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ), ranked AS (
+        SELECT blk, trt,
+               2 * RANK() OVER (PARTITION BY blk ORDER BY c)
+                   + COUNT(*) OVER (PARTITION BY blk, c) - 1 AS r2
+        FROM cells
+    ), sums AS (
+        SELECT trt,
+               CAST(SUM(r2) AS BIGINT) AS r2_sum,
+               CAST(COUNT(*) AS BIGINT) AS n_blocks
+        FROM ranked GROUP BY trt
+    ), fin AS (
+        SELECT trt, r2_sum,
+               CAST(MAX(n_blocks) OVER () AS BIGINT) AS n,
+               CAST(COUNT(*) OVER () AS BIGINT) AS k,
+               CAST(SUM(CAST(r2_sum AS HUGEINT) * r2_sum) OVER ()
+                    AS HUGEINT) AS sr2,
+               CAST(SUM(trt * r2_sum) OVER () AS BIGINT) AS l2
+        FROM sums
+    )
+    SELECT trt AS daypart, r2_sum,
+           CAST(FLOOR((3.0 * CAST(sr2 AS DOUBLE)
+                       / (CAST(n AS DOUBLE) * k * (k + 1))
+                       - 3.0 * CAST(n AS DOUBLE) * (k + 1))
+                      * 1000000) AS BIGINT) AS chi2_f_e6,
+           l2 AS page_l2,
+           CAST(FLOOR((CAST(l2 AS DOUBLE) / 2
+                       + CAST(n AS DOUBLE) * k * (k + 1) / 2
+                       - CAST(n AS DOUBLE) * k * (k + 1) * (k + 1) / 4)
+                      / sqrt(CAST(n AS DOUBLE) * k * k * (k + 1)
+                             * (k * k - 1) / 144.0)
+                      * 1000000) AS BIGINT) AS page_z_e6
+    FROM fin ORDER BY trt
+    """,
+)
+def agg_friedman_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FRIEDMAN blocked-rank test + PAGE trend statistic (round 9) —
+    the k-RELATED-samples member completing the nonparametric
+    family: Mann-Whitney compares 2 independent groups, Kruskal-
+    Wallis k independent; Friedman ranks the k DAYPARTS within each
+    DAY block, so day-level level shifts (weekends, incidents)
+    cancel by construction — the right test for "do dayparts differ
+    in activity?" when days themselves vary wildly.  Page's L =
+    Σ j·R_j sharpens the alternative to the ORDERED hypothesis
+    ("activity rises over the day") — against trends it dominates
+    Friedman's any-difference power.
+
+    Exactness: the agg_kruskal_wallis doubled-rank-unit trick inside
+    each block (2·RANK + ties − 1) keeps every rank sum an exact
+    bigint under ties; ΣR² runs 128-bit; χ²_F and Page's z each
+    evaluate one literal-order double chain floored e6 (L and its
+    moments stay in doubled units until the chain).
+
+    Scale: one keyed cell count, per-BLOCK rank windows (keyed by
+    day — never global), a k-row finish."""
+    ev = load(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("blk"),
+        F.floor(F.hour("ts") / 6).cast("bigint").alias("trt"),
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    w_rank = Window.partitionBy("blk").orderBy("c")
+    w_tie = Window.partitionBy("blk", "c")
+    ranked = cells.select(
+        "blk",
+        "trt",
+        (
+            2 * F.rank().over(w_rank) + F.count("*").over(w_tie) - 1
+        ).alias("r2"),
+    )
+    sums = ranked.groupBy("trt").agg(
+        F.sum("r2").cast("bigint").alias("r2_sum"),
+        F.count("*").cast("bigint").alias("n_blocks"),
+    )
+    dec = "decimal(38,0)"
+    w_all = Window.partitionBy()
+    fin = sums.select(
+        "trt",
+        "r2_sum",
+        F.max("n_blocks").over(w_all).cast("bigint").alias("n"),
+        F.count("*").over(w_all).cast("bigint").alias("k"),
+        F.sum(F.col("r2_sum").cast(dec) * F.col("r2_sum"))
+        .over(w_all)
+        .alias("sr2"),
+        F.sum(F.col("trt") * F.col("r2_sum"))
+        .over(w_all)
+        .cast("bigint")
+        .alias("l2"),
+    )
+    nd, kd = F.col("n").cast("double"), F.col("k").cast("double")
+    # doubled ranks: R_j = r2_sum/2, so ΣR² = sr2/4 and the classic
+    # 12/(nk(k+1))·ΣR² − 3n(k+1) becomes 3·sr2/(nk(k+1)) − 3n(k+1)
+    chi2 = (
+        3.0 * F.col("sr2").cast("double")
+        / (nd * F.col("k") * (F.col("k") + 1))
+        - 3.0 * nd * (F.col("k") + 1)
+    )
+    # Page with 0-based trt and doubled ranks: textbook (1-based)
+    # L = l2/2 + n·k(k+1)/2; centered by μ_L = n·k(k+1)²/4 and scaled
+    # by σ_L = sqrt(n·k²(k+1)(k²−1)/144) — one literal chain
+    z = (
+        F.col("l2").cast("double") / 2
+        + nd * kd * (kd + 1) / 2
+        - nd * kd * (kd + 1) * (kd + 1) / 4
+    ) / F.sqrt(nd * kd * kd * (kd + 1) * (kd * kd - 1) / 144.0)
+    return fin.select(
+        F.col("trt").alias("daypart"),
+        "r2_sum",
+        F.floor(chi2 * 1000000).cast("bigint").alias("chi2_f_e6"),
+        F.col("l2").alias("page_l2"),
+        F.floor(z * 1000000).cast("bigint").alias("page_z_e6"),
+    ).orderBy("daypart")
+
+
+@query(
+    "agg_bartlett_test",
+    """
+    WITH base AS (
+        SELECT event_type,
+               CAST(FLOOR(value * 10000) AS BIGINT) AS x
+        FROM events
+    ), g AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS s,
+               SUM(CAST(x AS HUGEINT) * x) AS q
+        FROM base GROUP BY event_type
+    ), per AS (
+        SELECT event_type, n,
+               CAST(FLOOR(ln(CAST(n * q - CAST(s AS HUGEINT) * s
+                                  AS DOUBLE)
+                             / CAST(n AS DOUBLE) / (n - 1))
+                          * 1000000000) AS BIGINT) AS lnv_e9,
+               CAST(n * q - CAST(s AS HUGEINT) * s AS DOUBLE)
+                   / CAST(n AS DOUBLE) AS ssw_i
+        FROM g
+    ), fin AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS n_tot,
+               CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM((n - 1) * lnv_e9) AS BIGINT) AS w_ln_e9,
+               SUM(ssw_i) AS ssw,
+               SUM(1.0 / (n - 1)) AS invsum
+        FROM per
+    )
+    SELECT k, n_tot,
+           CAST(FLOOR(
+               ((CAST(n_tot AS DOUBLE) - k)
+                    * ln(ssw / (CAST(n_tot AS DOUBLE) - k))
+                - CAST(w_ln_e9 AS DOUBLE) / 1000000000.0)
+               / (1.0 + (invsum - 1.0 / (CAST(n_tot AS DOUBLE) - k))
+                        / (3.0 * (CAST(k AS DOUBLE) - 1.0)))
+               * 1000000) AS BIGINT) AS t_e6
+    FROM fin
+    """,
+)
+def agg_bartlett_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BARTLETT'S equal-variance test (round 9) — the PARAMETRIC
+    sibling of agg_levene_brown_forsythe and the sharper screen when
+    agg_jarque_bera has certified normality: T compares the pooled
+    log-variance against the mean of per-group log-variances
+    (a log-space Jensen gap — zero iff all variances agree), χ²(k−1)
+    under H₀, but notoriously fragile under heavy tails — which is
+    exactly why BOTH screens exist: Bartlett for power on normal
+    data, Brown-Forsythe for robustness, JB to arbitrate.
+
+    Exactness: per-group A = nΣx²−S² exact 128-bit; each
+    ln(S_i²) = ln(A/n/(n−1)) is a SINGLE-term chain floored e9, so
+    Σ(nᵢ−1)·lnvᵢ is an order-free bigint sum; the pooled SSW and
+    Σ1/(nᵢ−1) are k-term float sums in the agg_levene accepted
+    shape (k = 5 — bounded, not data-scaled); T floors once.
+
+    Scale: one keyed moment aggregate + a k-row finish."""
+    ev = load(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    base = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 10000).cast("bigint").alias("x"),
+    )
+    xd = F.col("x").cast(dec)
+    g = base.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+        F.sum(xd * xd).alias("q"),
+    )
+    a2 = (
+        F.col("n").cast(dec) * F.col("q")
+        - F.col("s").cast(dec) * F.col("s")
+    ).cast("double")
+    per = g.select(
+        "n",
+        F.floor(
+            F.log(a2 / F.col("n").cast("double") / (F.col("n") - 1))
+            * 1000000000
+        )
+        .cast("bigint")
+        .alias("lnv_e9"),
+        (a2 / F.col("n").cast("double")).alias("ssw_i"),
+    )
+    fin = per.agg(
+        F.sum("n").cast("bigint").alias("n_tot"),
+        F.count("*").cast("bigint").alias("k"),
+        F.sum((F.col("n") - 1) * F.col("lnv_e9"))
+        .cast("bigint")
+        .alias("w_ln_e9"),
+        F.sum("ssw_i").alias("ssw"),
+        F.sum(1.0 / (F.col("n") - 1)).alias("invsum"),
+    )
+    ntd, kd = F.col("n_tot").cast("double"), F.col("k").cast("double")
+    t = (
+        (ntd - F.col("k")) * F.log(F.col("ssw") / (ntd - F.col("k")))
+        - F.col("w_ln_e9").cast("double") / 1000000000.0
+    ) / (
+        1.0
+        + (F.col("invsum") - 1.0 / (ntd - F.col("k")))
+        / (3.0 * (kd - 1.0))
+    )
+    return fin.select(
+        "k",
+        "n_tot",
+        F.floor(t * 1000000).cast("bigint").alias("t_e6"),
+    )

@@ -517,6 +517,8 @@ _ROUND10_NEXT_UP = (
     "events_stratified_effect",
     "agg_woe_information_value",
     "agg_hill_numbers_diversity",
+    "agg_friedman_page_trend",
+    "agg_bartlett_test",
 )
 
 _loaded = False

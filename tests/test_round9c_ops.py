@@ -1097,3 +1097,80 @@ def test_hill_numbers_referee(spark, sf_dir):
     assert got["hill2_e6"] == math.floor(float(n * n) / float(c2) * 1000000)
     # Hill ordering: 0D >= 1D >= 2D (diversity declines with order q)
     assert got["hill0"] * 1000000 >= got["hill1_e6"] >= got["hill2_e6"]
+
+
+def test_friedman_page_referee(spark, sf_dir):
+    import pyarrow.parquet as pq
+    from collections import Counter, defaultdict
+
+    ev = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["ts"]
+    ).to_pandas()
+    cells = Counter(
+        (ts.date(), ts.hour // 6) for ts in ev["ts"]
+    )
+    by_block = defaultdict(dict)
+    for (blk, trt), c in cells.items():
+        by_block[blk][trt] = c
+    r2_sum = Counter()
+    n_blocks = Counter()
+    for blk, row in by_block.items():
+        vals = sorted(row.values())
+        for trt, c in row.items():
+            lo = sum(1 for v in vals if v < c)
+            ties = sum(1 for v in vals if v == c)
+            r2 = 2 * (lo + 1) + ties - 1
+            r2_sum[trt] += r2
+            n_blocks[trt] += 1
+    n = max(n_blocks.values())
+    k = len(r2_sum)
+    sr2 = sum(v * v for v in r2_sum.values())
+    l2 = sum(t * v for t, v in r2_sum.items())
+    chi2 = 3.0 * sr2 / (n * k * (k + 1)) - 3.0 * n * (k + 1)
+    z = (
+        l2 / 2 + n * k * (k + 1) / 2 - n * k * (k + 1) * (k + 1) / 4
+    ) / math.sqrt(n * k * k * (k + 1) * (k * k - 1) / 144.0)
+    got = {
+        r["daypart"]: r
+        for r in QUERIES["agg_friedman_page_trend"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(r2_sum)
+    for trt, r in got.items():
+        assert r["r2_sum"] == r2_sum[trt]
+        assert r["chi2_f_e6"] == math.floor(chi2 * 1000000)
+        assert r["page_l2"] == l2
+        assert r["page_z_e6"] == math.floor(z * 1000000)
+    # rank sums over all treatments total n_blocks * k(k+1) (doubled)
+    assert sum(r2_sum.values()) == n * k * (k + 1)
+
+
+def test_bartlett_referee(spark, sf_dir):
+    import pyarrow.parquet as pq
+
+    ev = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    ).to_pandas()
+    ev["x"] = ev["value"].apply(lambda v: math.floor(v * 10000))
+    lnvs = []
+    ssw = 0.0
+    invsum = 0.0
+    n_tot = 0
+    for _typ, grp in sorted(ev.groupby("event_type"), key=lambda p: p[0]):
+        xs = [int(v) for v in grp["x"]]
+        n = len(xs)
+        a = n * sum(v * v for v in xs) - sum(xs) ** 2
+        lnv = math.floor(math.log(float(a) / n / (n - 1)) * 1000000000)
+        lnvs.append((n, lnv))
+        ssw += float(a) / n
+        invsum += 1.0 / (n - 1)
+        n_tot += n
+    k = len(lnvs)
+    w_ln = sum((n - 1) * lnv for n, lnv in lnvs)
+    t = (
+        (n_tot - k) * math.log(ssw / (n_tot - k)) - w_ln / 1000000000.0
+    ) / (1.0 + (invsum - 1.0 / (n_tot - k)) / (3.0 * (k - 1.0)))
+    got = QUERIES["agg_bartlett_test"](spark, sf_dir).collect()[0]
+    assert got["k"] == k and got["n_tot"] == n_tot
+    assert got["t_e6"] == math.floor(t * 1000000)
+    # Bartlett T is non-negative (Jensen gap) up to quantization
+    assert got["t_e6"] >= -1
