@@ -1502,3 +1502,142 @@ def dedup_minhash_jaccard_estimate(
         .cast("bigint")
         .alias("mean_abs_err_e6"),
     )
+
+
+def _shingle_sensitivity_oracle_sql() -> str:
+    per_k = []
+    for k in (3, 5, 7):
+        per_k.append(f"""
+    sh{k} AS (
+        SELECT doc_id, source,
+               array_to_string(words[s.i : s.i + {k} - 1], ' ') AS sh
+        FROM w, LATERAL (SELECT unnest(generate_series(1,
+                 len(words) - {k} + 1)) AS i) s
+    ), dsh{k} AS (
+        SELECT DISTINCT doc_id, source, sh FROM sh{k}
+    ), sz{k} AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+        FROM dsh{k} GROUP BY doc_id
+    ), pr{k} AS (
+        SELECT CAST(FLOOR(CAST(c AS DOUBLE) / (sa.n + sb.n - c)
+                    * 1000000) AS BIGINT) AS j_e6
+        FROM (
+            SELECT a.doc_id AS da, b.doc_id AS db,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM dsh{k} a JOIN dsh{k} b
+              ON a.sh = b.sh AND a.source = b.source
+                 AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ) JOIN sz{k} sa ON sa.doc_id = da
+          JOIN sz{k} sb ON sb.doc_id = db
+    ), out{k} AS (
+        SELECT CAST({k} AS BIGINT) AS k,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(FLOOR(CAST(SUM(j_e6) AS DOUBLE) / COUNT(*))
+                    AS BIGINT) AS mean_j_e6,
+               CAST(COUNT(*) FILTER (j_e6 >= 500000) AS BIGINT)
+                   AS n_ge_half
+        FROM pr{k}
+    )""")
+    return (
+        """
+    WITH w AS (
+        SELECT doc_id, source, str_split(text, ' ') AS words
+        FROM documents WHERE doc_id < 80
+    ),"""
+        + ",".join(per_k)
+        + """
+    SELECT * FROM out3 UNION ALL
+    SELECT * FROM out5 UNION ALL
+    SELECT * FROM out7 ORDER BY k"""
+    )
+
+
+@query("dedup_shingle_sensitivity", _shingle_sensitivity_oracle_sql())
+def dedup_shingle_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHINGLE-SIZE sensitivity sweep (round 9) — the tuning table
+    consulted BEFORE freezing dedup_near's k: exact Jaccard over the
+    same bounded panel at k = 3/5/7-word shingles, summarized as
+    overlapping-pair count, mean similarity and the ≥0.5 tail.
+    Small k inflates similarity (common phrases collide), large k
+    deflates it (one edit kills k shingles) — the mean-vs-k decay
+    and the tail count show exactly where the 0.8 near-dup line
+    separates true duplicates from topical overlap on THIS corpus;
+    rerun per corpus, because the right k is a property of the text,
+    not of the algorithm.
+
+    Exactness: shingle sets are exact (distinct explode), overlap
+    counts exact via the token equi-join (the dedup_ngram_jaccard
+    lane — pairs only within a shared shingle, never doc×doc);
+    per-pair Jaccard floors e6, the mean floors the bigint sum once,
+    and the tail threshold compares the already-floored integer.
+
+    Scale: the panel is id-bounded (doc_id < 80) and the join is
+    per-bucket token-keyed; the k-sweep is 3 independent passes that
+    share one word-array scan."""
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 80)
+        .select("doc_id", "source", F.split("text", " ").alias("words"))
+    )
+    frames = []
+    for k in (3, 5, 7):
+        sh = d.select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0), F.size("words") - F.lit(k)
+                    ),
+                    lambda i: F.concat_ws(
+                        " ", F.slice("words", i + 1, k)
+                    ),
+                )
+            ).alias("sh"),
+        ).distinct()
+        sz = sh.groupBy("doc_id").agg(
+            F.count("*").cast("bigint").alias("n")
+        )
+        a, b = sh.alias("a"), sh.alias("b")
+        commons = (
+            a.join(
+                b,
+                (F.col("a.sh") == F.col("b.sh"))
+                & (F.col("a.source") == F.col("b.source"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(
+                F.col("a.doc_id").alias("da"),
+                F.col("b.doc_id").alias("db"),
+            )
+            .agg(F.count("*").cast("bigint").alias("c"))
+        )
+        sa = sz.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
+        sb = sz.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
+        pairs = commons.join(F.broadcast(sa), "da").join(
+            F.broadcast(sb), "db"
+        )
+        j = F.floor(
+            F.col("c").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("c"))
+            * 1000000
+        ).cast("bigint")
+        frames.append(
+            pairs.select(j.alias("j_e6")).agg(
+                F.lit(k).cast("bigint").alias("k"),
+                F.count("*").cast("bigint").alias("n_pairs"),
+                F.floor(
+                    F.sum("j_e6").cast("double") / F.count("*")
+                )
+                .cast("bigint")
+                .alias("mean_j_e6"),
+                F.count_if(F.col("j_e6") >= 500000)
+                .cast("bigint")
+                .alias("n_ge_half"),
+            )
+        )
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out.orderBy("k")

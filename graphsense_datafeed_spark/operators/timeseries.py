@@ -7102,3 +7102,105 @@ def events_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(None).cast("bigint"))
         .alias("halflife_days_e6"),
     )
+
+
+@query(
+    "events_markov_order_test",
+    """
+    WITH tape AS (
+        SELECT user_id, event_type AS c,
+               lag(event_type, 1) OVER w AS b,
+               lag(event_type, 2) OVER w AS a
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), triples AS (
+        SELECT a, b, c, CAST(COUNT(*) AS BIGINT) AS n_abc
+        FROM tape WHERE a IS NOT NULL GROUP BY a, b, c
+    ), marg AS (
+        SELECT a, b, c, n_abc,
+               CAST(SUM(n_abc) OVER (PARTITION BY a, b) AS BIGINT) AS n_ab,
+               CAST(SUM(n_abc) OVER (PARTITION BY b, c) AS BIGINT) AS n_bc,
+               CAST(SUM(n_abc) OVER (PARTITION BY b) AS BIGINT) AS n_b
+        FROM triples
+    ), terms AS (
+        SELECT n_abc,
+               CAST(FLOOR(2.0 * n_abc
+                          * ln(CAST(n_abc AS DOUBLE) * n_b
+                               / (CAST(n_ab AS DOUBLE) * n_bc))
+                          * 1000000000) AS BIGINT) AS term_e9
+        FROM marg
+    ), states AS (
+        SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS m FROM triples
+    )
+    SELECT s.m AS n_states,
+           CAST(SUM(t.n_abc) AS BIGINT) AS n_triples,
+           CAST(SUM(t.term_e9) AS BIGINT) AS g2_e9,
+           CAST(s.m * (s.m - 1) * (s.m - 1) AS BIGINT) AS df
+    FROM terms t, states s
+    GROUP BY s.m
+    """,
+)
+def events_markov_order_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MARKOV ORDER likelihood-ratio test (round 9) — the model-
+    selection gate under the whole Markov family: transitions,
+    stationary π and the absorption walk all ASSUME order 1 (the
+    next state depends only on the current one); this G² tests it
+    against order 2 — G² = 2Σ n_abc·ln(n_abc·n_b/(n_ab·n_bc)),
+    the conditional-independence LRT of a ⊥ c given b, χ²(m(m−1)²)
+    under order-1.  Large G² says sessions carry longer memory and
+    the chain summaries underfit (go to events_user_paths n-grams);
+    small certifies them.
+
+    Exactness: triple counts and all three window marginals are
+    exact bigints over the ≤m³ triple table; each cell's
+    2n·ln(·) term is a single literal chain floored e9 (the KL
+    per-term discipline); G² is the order-free bigint sum.  Cells
+    with n_abc = 0 never materialize — their term is 0.
+
+    Scale: one tape pass (two lags on the user-keyed window), one
+    keyed triple count; marginals and terms run on ≤m³ rows."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tape = ev.select(
+        F.col("event_type").alias("c"),
+        F.lag("event_type", 1).over(w).alias("b"),
+        F.lag("event_type", 2).over(w).alias("a"),
+    ).filter(F.col("a").isNotNull())
+    triples = tape.groupBy("a", "b", "c").agg(
+        F.count("*").cast("bigint").alias("n_abc")
+    )
+    w_ab = Window.partitionBy("a", "b")
+    w_bc = Window.partitionBy("b", "c")
+    w_b = Window.partitionBy("b")
+    marg = triples.select(
+        "n_abc",
+        F.sum("n_abc").over(w_ab).cast("bigint").alias("n_ab"),
+        F.sum("n_abc").over(w_bc).cast("bigint").alias("n_bc"),
+        F.sum("n_abc").over(w_b).cast("bigint").alias("n_b"),
+    )
+    term = F.floor(
+        2.0
+        * F.col("n_abc")
+        * F.log(
+            F.col("n_abc").cast("double")
+            * F.col("n_b")
+            / (F.col("n_ab").cast("double") * F.col("n_bc"))
+        )
+        * 1000000000
+    ).cast("bigint")
+    terms = marg.select("n_abc", term.alias("term_e9"))
+    m_row = triples.agg(
+        F.countDistinct("b").cast("bigint").alias("m")
+    )
+    agg = terms.agg(
+        F.sum("n_abc").cast("bigint").alias("n_triples"),
+        F.sum("term_e9").cast("bigint").alias("g2_e9"),
+    )
+    return agg.crossJoin(F.broadcast(m_row)).select(
+        F.col("m").alias("n_states"),
+        "n_triples",
+        "g2_e9",
+        (F.col("m") * (F.col("m") - 1) * (F.col("m") - 1))
+        .cast("bigint")
+        .alias("df"),
+    )

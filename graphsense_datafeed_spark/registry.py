@@ -519,6 +519,8 @@ _ROUND10_NEXT_UP = (
     "agg_hill_numbers_diversity",
     "agg_friedman_page_trend",
     "agg_bartlett_test",
+    "events_markov_order_test",
+    "dedup_shingle_sensitivity",
 )
 
 _loaded = False

@@ -1174,3 +1174,98 @@ def test_bartlett_referee(spark, sf_dir):
     assert got["t_e6"] == math.floor(t * 1000000)
     # Bartlett T is non-negative (Jensen gap) up to quantization
     assert got["t_e6"] >= -1
+
+
+def test_markov_order_test_referee(spark, sf_dir):
+    import pyarrow.parquet as pq
+    from collections import Counter
+
+    ev = (
+        pq.read_table(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "ts", "event_id", "event_type"],
+        )
+        .to_pandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    triples = Counter()
+    for _uid, grp in ev.groupby("user_id"):
+        t = grp["event_type"].tolist()
+        for a, b, c in zip(t, t[1:], t[2:]):
+            triples[(a, b, c)] += 1
+    n_ab = Counter()
+    n_bc = Counter()
+    n_b = Counter()
+    for (a, b, c), n in triples.items():
+        n_ab[(a, b)] += n
+        n_bc[(b, c)] += n
+        n_b[b] += n
+    g2 = sum(
+        math.floor(
+            2.0
+            * n
+            * math.log(
+                float(n) * n_b[b] / (float(n_ab[(a, b)]) * n_bc[(b, c)])
+            )
+            * 1000000000
+        )
+        for (a, b, c), n in triples.items()
+    )
+    m = len({b for (_a, b, _c) in triples})
+    got = QUERIES["events_markov_order_test"](spark, sf_dir).collect()[0]
+    assert got["n_states"] == m
+    assert got["n_triples"] == sum(triples.values())
+    assert got["g2_e9"] == g2
+    assert got["df"] == m * (m - 1) * (m - 1)
+    # G2 is non-negative up to per-cell floor quantization
+    assert got["g2_e9"] >= -len(triples)
+
+
+def test_shingle_sensitivity_referee(spark, sf_dir):
+    import pyarrow.parquet as pq
+
+    d = pq.read_table(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "source", "text"],
+    ).to_pandas()
+    d = d[d["doc_id"] < 80]
+    got = {
+        r["k"]: r
+        for r in QUERIES["dedup_shingle_sensitivity"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(got) == {3, 5, 7}
+    means = {}
+    for k in (3, 5, 7):
+        sets = {}
+        for _i, row in d.iterrows():
+            ws = row["text"].split(" ")
+            sets[row["doc_id"]] = (
+                row["source"],
+                {
+                    " ".join(ws[i : i + k])
+                    for i in range(len(ws) - k + 1)
+                },
+            )
+        ids = sorted(sets)
+        js = []
+        for i, da in enumerate(ids):
+            for db in ids[i + 1 :]:
+                if sets[da][0] != sets[db][0]:
+                    continue
+                c = len(sets[da][1] & sets[db][1])
+                if c == 0:
+                    continue
+                u = len(sets[da][1]) + len(sets[db][1]) - c
+                js.append(math.floor(c / u * 1000000))
+        r = got[k]
+        assert r["n_pairs"] == len(js)
+        if js:
+            assert r["mean_j_e6"] == math.floor(sum(js) / len(js))
+        else:
+            assert r["mean_j_e6"] is None
+        assert r["n_ge_half"] == sum(j >= 500000 for j in js)
+        means[k] = r["mean_j_e6"] if js else 0
+    # similarity decays with shingle size on any real corpus
+    assert means[3] >= means[5] >= means[7]
