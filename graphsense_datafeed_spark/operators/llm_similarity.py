@@ -2548,3 +2548,160 @@ def embed_knn_margin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@query(
+    "embed_knn_loo_accuracy",
+    """
+    WITH q AS (
+        SELECT vec_id, label,
+               list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000)
+                             AS BIGINT)) AS qv,
+               list_sum(list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+                        * CAST(FLOOR(CAST(x AS DOUBLE) * 1000000)
+                               AS BIGINT))) AS n2
+        FROM embeddings
+    ), anchors AS (
+        SELECT * FROM q WHERE vec_id < 128
+    ), sims AS (
+        SELECT a.vec_id AS qid, a.label AS true_label,
+               b.label AS nb_label, b.vec_id AS nid,
+               CAST(FLOOR(CAST(list_sum(list_transform(
+                        list_zip(a.qv, b.qv), p -> p[1] * p[2]))
+                        AS DOUBLE)
+                      / sqrt(CAST(a.n2 AS DOUBLE))
+                      / sqrt(CAST(b.n2 AS DOUBLE))
+                      * 1000000) AS BIGINT) AS sim_e6
+        FROM anchors a JOIN q b ON b.vec_id <> a.vec_id
+    ), top5 AS (
+        SELECT qid, true_label, nb_label
+        FROM (
+            SELECT qid, true_label, nb_label,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                       ORDER BY sim_e6 DESC, nid) AS rn
+            FROM sims
+        ) WHERE rn <= 5
+    ), votes AS (
+        SELECT qid, true_label, nb_label,
+               CAST(COUNT(*) AS BIGINT) AS v
+        FROM top5 GROUP BY qid, true_label, nb_label
+    ), pred AS (
+        SELECT qid, true_label, nb_label AS pred_label
+        FROM (
+            SELECT qid, true_label, nb_label,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                       ORDER BY v DESC, nb_label) AS rn
+            FROM votes
+        ) WHERE rn = 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(COUNT(*) FILTER (pred_label = true_label) AS BIGINT)
+               AS n_correct,
+           CAST(FLOOR(CAST(COUNT(*) FILTER (pred_label = true_label)
+                           AS DOUBLE) * 1000000 / COUNT(*)) AS BIGINT)
+               AS accuracy_e6
+    FROM pred
+    """,
+)
+def embed_knn_loo_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAVE-ONE-OUT kNN label accuracy (round 9) — the third
+    embedding-quality referee and the most decision-relevant:
+    embed_cluster_purity scores given clusters,
+    embed_silhouette_simplified their geometry; LOO-kNN asks the
+    production question directly — does NEIGHBORHOOD STRUCTURE
+    predict labels?  Each anchor's label is predicted by majority
+    vote of its 5 nearest OTHER vectors (ties broken toward the
+    lexicographically smaller label — pinned, not arbitrary);
+    accuracy near the majority-class share means retrieval-augmented
+    anything built on these vectors will disappoint regardless of
+    recall.
+
+    Exactness: the quantized-cosine lane end-to-end (e6 elements
+    cast f32→double first, exact dots/norms², one sqrt chain per
+    pair); neighbor ranks tie-pin on vec_id, votes on label — every
+    stage deterministic, the final accuracy floors once.
+
+    Scale: fixed 128-anchor panel × corpus (the margin-audit
+    shape); vote and argmax windows keyed per query."""
+    e = load(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * 1000000).cast("bigint"),
+    )
+    base = e.select(
+        "vec_id",
+        "label",
+        qv.alias("qv"),
+        F.aggregate(
+            F.transform(qv, lambda v: v * v),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        ).alias("n2"),
+    )
+    anchors = base.filter(F.col("vec_id") < 128).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("true_label"),
+        F.col("qv").alias("qa"),
+        F.col("n2").alias("na"),
+    )
+    corpus = base.select(
+        F.col("vec_id").alias("nid"),
+        F.col("label").alias("nb_label"),
+        F.col("qv").alias("qb"),
+        F.col("n2").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    sims = (
+        F.broadcast(anchors)
+        .join(corpus, F.col("nid") != F.col("qid"))
+        .select(
+            "qid",
+            "true_label",
+            "nb_label",
+            "nid",
+            F.floor(
+                dot.cast("double")
+                / F.sqrt(F.col("na").cast("double"))
+                / F.sqrt(F.col("nb").cast("double"))
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("sim_e6"),
+        )
+    )
+    w_rank = Window.partitionBy("qid").orderBy(
+        F.col("sim_e6").desc(), "nid"
+    )
+    top5 = sims.withColumn("rn", F.row_number().over(w_rank)).filter(
+        F.col("rn") <= 5
+    )
+    votes = top5.groupBy("qid", "true_label", "nb_label").agg(
+        F.count("*").cast("bigint").alias("v")
+    )
+    w_vote = Window.partitionBy("qid").orderBy(
+        F.col("v").desc(), "nb_label"
+    )
+    pred = votes.withColumn("rn", F.row_number().over(w_vote)).filter(
+        F.col("rn") == 1
+    )
+    return pred.agg(
+        F.count("*").cast("bigint").alias("n_queries"),
+        F.count_if(F.col("nb_label") == F.col("true_label"))
+        .cast("bigint")
+        .alias("n_correct"),
+        F.floor(
+            F.count_if(F.col("nb_label") == F.col("true_label")).cast(
+                "double"
+            )
+            * 1000000
+            / F.count("*")
+        )
+        .cast("bigint")
+        .alias("accuracy_e6"),
+    )

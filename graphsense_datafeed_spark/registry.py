@@ -521,6 +521,8 @@ _ROUND10_NEXT_UP = (
     "agg_bartlett_test",
     "events_markov_order_test",
     "dedup_shingle_sensitivity",
+    "embed_knn_loo_accuracy",
+    "text_vocab_coverage_curve",
 )
 
 _loaded = False

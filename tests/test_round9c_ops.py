@@ -1269,3 +1269,86 @@ def test_shingle_sensitivity_referee(spark, sf_dir):
         means[k] = r["mean_j_e6"] if js else 0
     # similarity decays with shingle size on any real corpus
     assert means[3] >= means[5] >= means[7]
+
+
+def test_knn_loo_accuracy_referee(spark, sf_dir):
+    import numpy as np
+    import pyarrow.parquet as pq
+    from collections import Counter
+
+    t = (
+        pq.read_table(f"{sf_dir}/embeddings.parquet")
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    q = np.stack(
+        [
+            np.floor(np.asarray(v, dtype=np.float64) * 1000000).astype(
+                np.int64
+            )
+            for v in t["embedding"]
+        ]
+    )
+    ids = t["vec_id"].to_numpy()
+    labels = t["label"].to_numpy()
+    n2 = (q * q).sum(axis=1).astype(np.float64)
+    n_correct = n_queries = 0
+    for i in range(len(ids)):
+        if ids[i] >= 128:
+            continue
+        sims = []
+        for j in range(len(ids)):
+            if ids[j] == ids[i]:
+                continue
+            s = math.floor(
+                float((q[i] * q[j]).sum())
+                / math.sqrt(n2[i])
+                / math.sqrt(n2[j])
+                * 1000000
+            )
+            sims.append((-s, int(ids[j]), int(labels[j])))
+        sims.sort()
+        votes = Counter(lab for _s, _vid, lab in sims[:5])
+        pred = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        n_queries += 1
+        n_correct += 1 if pred == int(labels[i]) else 0
+    got = QUERIES["embed_knn_loo_accuracy"](spark, sf_dir).collect()[0]
+    assert got["n_queries"] == n_queries
+    assert got["n_correct"] == n_correct
+    assert got["accuracy_e6"] == math.floor(
+        n_correct * 1000000 / n_queries
+    )
+
+
+def test_vocab_coverage_curve_referee(spark, sf_dir):
+    import pyarrow.parquet as pq
+    from collections import Counter
+
+    d = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    ).to_pandas()
+    vocab = Counter()
+    for txt in d["text"]:
+        for tok in txt.lower().split(" "):
+            if tok:
+                vocab[tok] += 1
+    total = sum(vocab.values())
+    ordered = sorted(vocab.items(), key=lambda kv: (-kv[1], kv[0]))
+    got = {
+        r["top_n"]: r
+        for r in QUERIES["text_vocab_coverage_curve"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(got) == {10, 100, 1000}
+    prev = 0
+    for n in (10, 100, 1000):
+        cov = sum(c for _t, c in ordered[:n])
+        r = got[n]
+        assert r["vocab_size"] == len(vocab)
+        assert r["total_tokens"] == total
+        assert r["covered_tokens"] == cov
+        assert r["coverage_e6"] == math.floor(cov * 1000000 / total)
+        assert r["coverage_e6"] >= prev  # curve is monotone
+        prev = r["coverage_e6"]
