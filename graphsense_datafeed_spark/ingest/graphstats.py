@@ -1820,3 +1820,73 @@ def graph_harmonic_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("harmonic_x6"),
     )
+
+
+@query(
+    "graph_degree_centralization",
+    f"""
+    WITH {_DUCK_EDGES.strip()},
+    sym AS (
+        SELECT src AS a, dst AS b FROM edges
+        UNION ALL SELECT dst, src FROM edges
+    ), deg AS (
+        SELECT a, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY a
+    ), m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(MAX(d) AS BIGINT) AS dmax,
+               CAST(SUM(d) AS BIGINT) AS dsum
+        FROM deg
+    )
+    SELECT n, dmax,
+           CAST(n * dmax - dsum AS BIGINT) AS gap_sum,
+           CAST(FLOOR(CAST(n * dmax - dsum AS DOUBLE)
+                      / (CAST(n AS DOUBLE) - 1) / (n - 2)
+                      * 1000000) AS BIGINT) AS centralization_e6
+    FROM m
+    """,
+)
+def graph_degree_centralization(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FREEMAN degree centralization (round 9) — the one-number
+    STAR-SHAPEDNESS of the graph, closing the degree-statistics
+    trio: the histogram shows the distribution, the Gini its
+    inequality; centralization C = Σ(d_max − d_i) / ((n−1)(n−2))
+    normalizes the hub dominance against the star graph (C = 1) —
+    the topology question ("is there ONE center?") Gini's
+    value-concentration framing doesn't answer, and the single
+    scalar monitoring tracks for hub-formation drift.
+
+    Exactness is TOTAL until one division: degrees, n, d_max and
+    the gap sum n·d_max − Σd are exact bigints (the gap-sum
+    identity avoids a per-node subtraction pass); one floored
+    double chain against the star-graph maximum.
+
+    Scale: one keyed degree count + a 1-row extrema fold —
+    map-side combinable throughout."""
+    edges = cooccurrence_edges(spark)
+    sym = edges.select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    ).unionAll(
+        edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+    )
+    deg = sym.groupBy("a").agg(F.count("*").cast("bigint").alias("d"))
+    m = deg.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.max("d").cast("bigint").alias("dmax"),
+        F.sum("d").cast("bigint").alias("dsum"),
+    )
+    gap = F.col("n") * F.col("dmax") - F.col("dsum")
+    return m.select(
+        "n",
+        "dmax",
+        gap.cast("bigint").alias("gap_sum"),
+        F.floor(
+            gap.cast("double")
+            / (F.col("n").cast("double") - 1)
+            / (F.col("n") - 2)
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("centralization_e6"),
+    )

@@ -5120,3 +5120,98 @@ def text_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("top_n")
     )
+
+
+@query(
+    "text_model_mcc",
+    """
+    WITH scored AS (
+        SELECT doc_id,
+               CAST(FLOOR(1000000.0 / (1.0 + exp(-(-0.25
+                   + 1.5 * (CAST(n_chars AS DOUBLE) / 1000)
+                   - 0.75 * (CAST(length(text) - length(replace(text, ' ', ''))
+                             AS DOUBLE) / 100)
+                   + 2.0 * (CAST(length(text)
+                                 - length(replace(text, 'the', ''))
+                            AS DOUBLE)
+                            / (3 * GREATEST(CAST(n_chars AS DOUBLE), 1.0))
+                            * 10))))) AS BIGINT) AS s_e6,
+               CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS label
+        FROM documents
+    ), cm AS (
+        SELECT CAST(COUNT(*) FILTER (s_e6 >= 500000 AND label = 1)
+                    AS BIGINT) AS tp,
+               CAST(COUNT(*) FILTER (s_e6 >= 500000 AND label = 0)
+                    AS BIGINT) AS fp,
+               CAST(COUNT(*) FILTER (s_e6 < 500000 AND label = 0)
+                    AS BIGINT) AS tn,
+               CAST(COUNT(*) FILTER (s_e6 < 500000 AND label = 1)
+                    AS BIGINT) AS fn
+        FROM scored
+    )
+    SELECT tp, fp, tn, fn,
+           CASE WHEN (tp + fp) * (tp + fn) > 0
+                 AND (tn + fp) * (tn + fn) > 0
+                THEN CAST(FLOOR(
+                    CAST(CAST(tp AS HUGEINT) * tn
+                         - CAST(fp AS HUGEINT) * fn AS DOUBLE)
+                    / sqrt(CAST(tp + fp AS DOUBLE))
+                    / sqrt(CAST(tp + fn AS DOUBLE))
+                    / sqrt(CAST(tn + fp AS DOUBLE))
+                    / sqrt(CAST(tn + fn AS DOUBLE))
+                    * 1000000) AS BIGINT)
+                ELSE NULL END AS mcc_e6
+    FROM cm
+    """,
+)
+def text_model_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATTHEWS CORRELATION at the 0.5 operating point (round 9) —
+    the single-threshold verdict closing the binary-eval family:
+    AUC/AP integrate over all thresholds, ECE/Brier score the
+    probabilities, Youden-J picks a point; MCC judges the DEPLOYED
+    cut — the one confusion-matrix summary that stays honest under
+    imbalance (accuracy and F1 both reward majority-class collapse;
+    MCC = 0 for any constant classifier, by construction).  MCC =
+    (TP·TN − FP·FN)/√((TP+FP)(TP+FN)(TN+FP)(TN+FN)), a true
+    correlation in [−1, 1].
+
+    Exactness: the four cells are exact counts on the already-
+    floored e6 score (threshold compares integers); the numerator
+    runs 128-bit (TP·TN passes int64 near 3M docs); one chain of
+    four IEEE sqrts floors once; degenerate margins (a constant
+    classifier) emit NULL — MCC is undefined there, not 0.
+
+    Scale: ONE map-side-combinable conditional-count aggregate."""
+    scored = _auc_scored(spark, sf_dir)
+    dec = "decimal(38,0)"
+    pred = F.col("s_e6") >= 500000
+    cm = scored.agg(
+        F.count_if(pred & (F.col("label") == 1)).cast("bigint").alias("tp"),
+        F.count_if(pred & (F.col("label") == 0)).cast("bigint").alias("fp"),
+        F.count_if(~pred & (F.col("label") == 0)).cast("bigint").alias("tn"),
+        F.count_if(~pred & (F.col("label") == 1)).cast("bigint").alias("fn"),
+    )
+    num = (
+        F.col("tp").cast(dec) * F.col("tn")
+        - F.col("fp").cast(dec) * F.col("fn")
+    )
+    ok = (
+        ((F.col("tp") + F.col("fp")) * (F.col("tp") + F.col("fn")) > 0)
+        & ((F.col("tn") + F.col("fp")) * (F.col("tn") + F.col("fn")) > 0)
+    )
+    mcc = (
+        num.cast("double")
+        / F.sqrt((F.col("tp") + F.col("fp")).cast("double"))
+        / F.sqrt((F.col("tp") + F.col("fn")).cast("double"))
+        / F.sqrt((F.col("tn") + F.col("fp")).cast("double"))
+        / F.sqrt((F.col("tn") + F.col("fn")).cast("double"))
+    )
+    return cm.select(
+        "tp",
+        "fp",
+        "tn",
+        "fn",
+        F.when(ok, F.floor(mcc * 1000000).cast("bigint"))
+        .otherwise(F.lit(None).cast("bigint"))
+        .alias("mcc_e6"),
+    )

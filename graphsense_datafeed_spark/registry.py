@@ -523,6 +523,8 @@ _ROUND10_NEXT_UP = (
     "dedup_shingle_sensitivity",
     "embed_knn_loo_accuracy",
     "text_vocab_coverage_curve",
+    "graph_degree_centralization",
+    "text_model_mcc",
 )
 
 _loaded = False

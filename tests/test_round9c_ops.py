@@ -1352,3 +1352,55 @@ def test_vocab_coverage_curve_referee(spark, sf_dir):
         assert r["coverage_e6"] == math.floor(cov * 1000000 / total)
         assert r["coverage_e6"] >= prev  # curve is monotone
         prev = r["coverage_e6"]
+
+
+def test_degree_centralization_referee(spark, sf_dir):
+    adj: dict[str, set[str]] = {}
+    for tx in _txs():
+        addrs = sorted(
+            {io["address"][0] for io in tx["inputs"] + tx["outputs"]}
+        )
+        for i, a in enumerate(addrs):
+            for b in addrs[i + 1 :]:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+    degs = [len(v) for v in adj.values()]
+    n, dmax, dsum = len(degs), max(degs), sum(degs)
+    got = QUERIES["graph_degree_centralization"](spark, sf_dir).collect()[
+        0
+    ]
+    assert got["n"] == n and got["dmax"] == dmax
+    assert got["gap_sum"] == n * dmax - dsum
+    assert got["centralization_e6"] == math.floor(
+        (n * dmax - dsum) / (n - 1) / (n - 2) * 1000000
+    )
+    assert 0 <= got["centralization_e6"] <= 1000000
+
+
+def test_model_mcc_referee(spark, sf_dir):
+    from graphsense_datafeed_spark.operators.llm_text import _auc_scored
+
+    rows = _auc_scored(spark, sf_dir).collect()
+    tp = sum(1 for r in rows if r["s_e6"] >= 500000 and r["label"] == 1)
+    fp = sum(1 for r in rows if r["s_e6"] >= 500000 and r["label"] == 0)
+    tn = sum(1 for r in rows if r["s_e6"] < 500000 and r["label"] == 0)
+    fn = sum(1 for r in rows if r["s_e6"] < 500000 and r["label"] == 1)
+    got = QUERIES["text_model_mcc"](spark, sf_dir).collect()[0]
+    assert (got["tp"], got["fp"], got["tn"], got["fn"]) == (
+        tp,
+        fp,
+        tn,
+        fn,
+    )
+    if (tp + fp) * (tp + fn) > 0 and (tn + fp) * (tn + fn) > 0:
+        mcc = (
+            float(tp * tn - fp * fn)
+            / math.sqrt(tp + fp)
+            / math.sqrt(tp + fn)
+            / math.sqrt(tn + fp)
+            / math.sqrt(tn + fn)
+        )
+        assert got["mcc_e6"] == math.floor(mcc * 1000000)
+        assert -1000000 <= got["mcc_e6"] <= 1000000
+    else:
+        assert got["mcc_e6"] is None
