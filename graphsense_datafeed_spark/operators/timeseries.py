@@ -7204,3 +7204,246 @@ def events_markov_order_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("df"),
     )
+
+
+@query(
+    "ts_haar_energy",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS v
+        FROM events GROUP BY event_type, date_trunc('day', ts)
+    ), idx AS (
+        SELECT event_type, v,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY d) - 1 AS i
+        FROM daily
+    ), lvl1 AS (
+        SELECT event_type, CAST(i // 2 AS BIGINT) AS j,
+               CAST(SUM(CASE WHEN i % 2 = 0 THEN v END) AS BIGINT) AS a,
+               CAST(SUM(CASE WHEN i % 2 = 1 THEN v END) AS BIGINT) AS b,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM idx GROUP BY event_type, i // 2
+    ), d1 AS (
+        SELECT event_type, j, CAST(a + b AS BIGINT) AS s2,
+               CAST(a - b AS BIGINT) AS dd
+        FROM lvl1 WHERE cnt = 2
+    ), lvl2 AS (
+        SELECT event_type, CAST(j // 2 AS BIGINT) AS j2,
+               CAST(SUM(CASE WHEN j % 2 = 0 THEN s2 END) AS BIGINT) AS a,
+               CAST(SUM(CASE WHEN j % 2 = 1 THEN s2 END) AS BIGINT) AS b,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM d1 GROUP BY event_type, j // 2
+    ), d2 AS (
+        SELECT event_type, CAST(a - b AS BIGINT) AS dd
+        FROM lvl2 WHERE cnt = 2
+    ), e1 AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n1,
+               CAST(SUM(dd * dd) AS BIGINT) AS energy1_x4
+        FROM d1 GROUP BY event_type
+    ), e2 AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n2,
+               CAST(SUM(dd * dd) AS BIGINT) AS energy2_x16
+        FROM d2 GROUP BY event_type
+    )
+    SELECT e1.event_type, e1.n1, e1.energy1_x4,
+           e2.n2, e2.energy2_x16,
+           CAST(FLOOR(CAST(e2.energy2_x16 AS DOUBLE) / 4
+                      / e1.energy1_x4 * 1000000) AS BIGINT)
+               AS ratio21_e6
+    FROM e1 JOIN e2 USING (event_type)
+    ORDER BY e1.event_type
+    """,
+)
+def ts_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAAR WAVELET detail energy by level (round 9) — the
+    multi-resolution variance decomposition between ts_acf's lag
+    view and the periodogram's frequency view: level-1 details
+    (adjacent-day differences, pair-averaged) carry day-to-day
+    noise energy, level-2 (adjacent 2-day-block differences) the
+    2–4-day swings; the level-2/level-1 ratio says WHERE the
+    series' variability lives — ratios ≫ 1 mean slow regimes
+    dominate (smooth before forecasting), ≪ 1 mean high-frequency
+    churn (daily seasonality or noise — aggregate up).
+
+    Exactness is TOTAL until one division: the Haar transform runs
+    in SCALED units (level-1 coefficients doubled, level-2 ×4 — the
+    harmonic-sixths discipline), so every coefficient and both
+    energy sums are exact bigints; odd tail blocks are excluded
+    (cnt = 2 gate), and the ratio rescales (÷4) in the single
+    floored chain.
+
+    Scale: one keyed daily rollup, two cascaded keyed pair
+    aggregations (map-side combinable) — no windows beyond the
+    per-series index, no pairs."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).agg(F.count("*").cast("bigint").alias("v"))
+    w = Window.partitionBy("event_type").orderBy("d")
+    idx = daily.select(
+        "event_type",
+        "v",
+        (F.row_number().over(w) - 1).alias("i"),
+    )
+    lvl1 = idx.groupBy(
+        "event_type", F.floor(F.col("i") / 2).cast("bigint").alias("j")
+    ).agg(
+        F.sum(F.when(F.col("i") % 2 == 0, F.col("v")))
+        .cast("bigint")
+        .alias("a"),
+        F.sum(F.when(F.col("i") % 2 == 1, F.col("v")))
+        .cast("bigint")
+        .alias("b"),
+        F.count("*").cast("bigint").alias("cnt"),
+    )
+    d1 = lvl1.filter(F.col("cnt") == 2).select(
+        "event_type",
+        "j",
+        (F.col("a") + F.col("b")).cast("bigint").alias("s2"),
+        (F.col("a") - F.col("b")).cast("bigint").alias("dd"),
+    )
+    lvl2 = d1.groupBy(
+        "event_type", F.floor(F.col("j") / 2).cast("bigint").alias("j2")
+    ).agg(
+        F.sum(F.when(F.col("j") % 2 == 0, F.col("s2")))
+        .cast("bigint")
+        .alias("a"),
+        F.sum(F.when(F.col("j") % 2 == 1, F.col("s2")))
+        .cast("bigint")
+        .alias("b"),
+        F.count("*").cast("bigint").alias("cnt"),
+    )
+    d2 = lvl2.filter(F.col("cnt") == 2).select(
+        "event_type", (F.col("a") - F.col("b")).cast("bigint").alias("dd")
+    )
+    e1 = d1.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n1"),
+        F.sum(F.col("dd") * F.col("dd")).cast("bigint").alias("energy1_x4"),
+    )
+    e2 = d2.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n2"),
+        F.sum(F.col("dd") * F.col("dd"))
+        .cast("bigint")
+        .alias("energy2_x16"),
+    )
+    out = e1.join(e2, "event_type")
+    return out.select(
+        "event_type",
+        "n1",
+        "energy1_x4",
+        "n2",
+        "energy2_x16",
+        F.floor(
+            F.col("energy2_x16").cast("double")
+            / 4
+            / F.col("energy1_x4")
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("ratio21_e6"),
+    ).orderBy("event_type")
+
+
+@query(
+    "ts_regime_run_lengths",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS v
+        FROM events GROUP BY event_type, date_trunc('day', ts)
+    ), med AS (
+        SELECT event_type,
+               CAST(quantile_disc(v, 0.5) AS BIGINT) AS m
+        FROM daily GROUP BY event_type
+    ), flagged AS (
+        SELECT d.event_type, d.d,
+               CAST(CASE WHEN d.v >= m.m THEN 1 ELSE 0 END AS BIGINT)
+                   AS state
+        FROM daily d JOIN med m USING (event_type)
+    ), keyed AS (
+        SELECT event_type, state,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d)
+               - ROW_NUMBER() OVER (PARTITION BY event_type, state
+                                    ORDER BY d) AS grp
+        FROM flagged
+    ), runs AS (
+        SELECT event_type, state, grp,
+               CAST(COUNT(*) AS BIGINT) AS len
+        FROM keyed GROUP BY event_type, state, grp
+    )
+    SELECT event_type, state,
+           CAST(COUNT(*) AS BIGINT) AS n_runs,
+           CAST(SUM(len) AS BIGINT) AS n_days,
+           CAST(MAX(len) AS BIGINT) AS max_len,
+           CAST(FLOOR(CAST(SUM(len) AS DOUBLE) * 1000000 / COUNT(*))
+                AS BIGINT) AS mean_len_e6
+    FROM runs GROUP BY event_type, state
+    ORDER BY event_type, state
+    """,
+)
+def ts_regime_run_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REGIME RUN-LENGTH profile (round 9) — the persistence readout
+    between agg_runs_test (one global randomness verdict) and
+    ts_changepoint_cusum (locating specific shifts): split each
+    daily series at its own discrete median, then profile the RUNS
+    of consecutive above/below days — mean run length near the
+    i.i.d. baseline (≈2) says day-over-day levels don't persist
+    (momentum features are noise); long runs say regimes exist and
+    regime-aware models (Page-Hinkley alarms, run-length caps on
+    forecasts) will pay.  Above/below asymmetry flags skewed
+    regime dynamics (slow builds, fast crashes).
+
+    Exactness is TOTAL until one division: the median is an element
+    (percentile_disc), the state flag integer, and runs come from
+    the tabibitosan double-row_number key (win_gaps_islands'
+    derived-key trick re-keyed by state) — lengths, counts and maxes
+    all exact bigints; the mean floors once.
+
+    Scale: keyed daily rollup + k-row broadcast medians + two
+    per-series windows + keyed run rollup — no global stage."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).agg(F.count("*").cast("bigint").alias("v"))
+    med = daily.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY v)")
+        .cast("bigint")
+        .alias("m")
+    )
+    flagged = daily.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "d",
+        F.when(F.col("v") >= F.col("m"), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("state"),
+    )
+    w_all = Window.partitionBy("event_type").orderBy("d")
+    w_st = Window.partitionBy("event_type", "state").orderBy("d")
+    keyed = flagged.select(
+        "event_type",
+        "state",
+        (F.row_number().over(w_all) - F.row_number().over(w_st)).alias(
+            "grp"
+        ),
+    )
+    runs = keyed.groupBy("event_type", "state", "grp").agg(
+        F.count("*").cast("bigint").alias("len")
+    )
+    return (
+        runs.groupBy("event_type", "state")
+        .agg(
+            F.count("*").cast("bigint").alias("n_runs"),
+            F.sum("len").cast("bigint").alias("n_days"),
+            F.max("len").cast("bigint").alias("max_len"),
+            F.floor(
+                F.sum("len").cast("double") * 1000000 / F.count("*")
+            )
+            .cast("bigint")
+            .alias("mean_len_e6"),
+        )
+        .orderBy("event_type", "state")
+    )

@@ -525,6 +525,8 @@ _ROUND10_NEXT_UP = (
     "text_vocab_coverage_curve",
     "graph_degree_centralization",
     "text_model_mcc",
+    "ts_haar_energy",
+    "ts_regime_run_lengths",
 )
 
 _loaded = False

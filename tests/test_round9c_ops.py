@@ -1404,3 +1404,76 @@ def test_model_mcc_referee(spark, sf_dir):
         assert -1000000 <= got["mcc_e6"] <= 1000000
     else:
         assert got["mcc_e6"] is None
+
+
+def test_haar_energy_referee(spark, sf_dir):
+    import pyarrow.parquet as pq
+
+    ev = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+    ).to_pandas()
+    ev["d"] = ev["ts"].dt.date
+    daily = ev.groupby(["event_type", "d"]).size()
+    got = {
+        r["event_type"]: r
+        for r in QUERIES["ts_haar_energy"](spark, sf_dir).collect()
+    }
+    for typ, grp in daily.groupby(level=0):
+        vs = [int(x) for x in grp.sort_index().values]
+        d1 = [
+            vs[2 * i] - vs[2 * i + 1] for i in range(len(vs) // 2)
+        ]
+        s2 = [
+            vs[2 * i] + vs[2 * i + 1] for i in range(len(vs) // 2)
+        ]
+        d2 = [
+            s2[2 * i] - s2[2 * i + 1] for i in range(len(s2) // 2)
+        ]
+        r = got[typ]
+        assert r["n1"] == len(d1)
+        assert r["energy1_x4"] == sum(x * x for x in d1)
+        assert r["n2"] == len(d2)
+        assert r["energy2_x16"] == sum(x * x for x in d2)
+        assert r["ratio21_e6"] == math.floor(
+            sum(x * x for x in d2) / 4 / sum(x * x for x in d1) * 1000000
+        )
+
+
+def test_regime_run_lengths_referee(spark, sf_dir):
+    import pyarrow.parquet as pq
+
+    ev = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+    ).to_pandas()
+    ev["d"] = ev["ts"].dt.date
+    daily = ev.groupby(["event_type", "d"]).size()
+    got = {
+        (r["event_type"], r["state"]): r
+        for r in QUERIES["ts_regime_run_lengths"](spark, sf_dir).collect()
+    }
+    n_keys = 0
+    for typ, grp in daily.groupby(level=0):
+        vs = [int(x) for x in grp.sort_index().values]
+        med = sorted(vs)[(len(vs) - 1) // 2]
+        states = [1 if v >= med else 0 for v in vs]
+        runs = {0: [], 1: []}
+        cur_s, cur_len = states[0], 1
+        for s in states[1:]:
+            if s == cur_s:
+                cur_len += 1
+            else:
+                runs[cur_s].append(cur_len)
+                cur_s, cur_len = s, 1
+        runs[cur_s].append(cur_len)
+        for st in (0, 1):
+            if not runs[st]:
+                continue
+            n_keys += 1
+            r = got[(typ, st)]
+            assert r["n_runs"] == len(runs[st])
+            assert r["n_days"] == sum(runs[st])
+            assert r["max_len"] == max(runs[st])
+            assert r["mean_len_e6"] == math.floor(
+                sum(runs[st]) * 1000000 / len(runs[st])
+            )
+    assert len(got) == n_keys
