@@ -7447,3 +7447,168 @@ def ts_regime_run_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "state")
     )
+
+
+@query(
+    "events_circadian_entropy",
+    """
+    WITH cells AS (
+        SELECT user_id, CAST(hour(ts) AS BIGINT) AS h,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY user_id, hour(ts)
+    ), tot AS (
+        SELECT user_id, h, c,
+               CAST(SUM(c) OVER (PARTITION BY user_id) AS BIGINT) AS n
+        FROM cells
+    ), peruser AS (
+        SELECT user_id,
+               CAST(SUM(CAST(FLOOR(-(CAST(c AS DOUBLE) / n)
+                             * ln(CAST(c AS DOUBLE) / n)
+                             * 1000000000) AS BIGINT)) AS BIGINT)
+                   AS h_e9,
+               CAST(MAX(n) AS BIGINT) AS n_events
+        FROM tot GROUP BY user_id
+    ), bucketed AS (
+        SELECT CAST(h_e9 * 10 // 3178053830 AS BIGINT) AS decile,
+               n_events
+        FROM peruser
+    )
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(n_events) AS BIGINT) AS n_events
+    FROM bucketed GROUP BY decile ORDER BY decile
+    """,
+)
+def events_circadian_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CIRCADIAN-ENTROPY census (round 9) — the bot/automation
+    signal the burst rules miss: a human's hour-of-day histogram is
+    CONCENTRATED (they sleep — entropy well below ln 24); schedulers
+    and scripts run flat (entropy near the ln 24 ceiling) or on one
+    cron slot (near zero with high volume).  Per-user Shannon
+    entropy of the 24-hour profile, bucketed into deciles of the
+    [0, ln 24] range — the two TAILS of this census are the review
+    queue: decile 0 with high event counts = single-slot automation,
+    decile 9 = around-the-clock uniformity no human produces.
+    events_velocity_rule flags the burst; this flags the SCHEDULE.
+
+    Exactness: per-(user, hour) counts exact; each −p·ln p term
+    floors e9 (the KL single-term chain) so the per-user entropy is
+    an order-free bigint sum; the decile boundary divides by the
+    PYTHON-floored literal ⌊ln 24·10⁹⌋ = 3178053830 with integer
+    division — no engine ever computes ln 24.
+
+    Scale: two keyed aggregations (user×hour, then user) +
+    a ≤10-row census — fully map-side combinable, no windows over
+    raw rows (the user-keyed margin rides the groupBy)."""
+    ev = load(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "user_id", F.hour("ts").cast("bigint").alias("h")
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    w_u = Window.partitionBy("user_id")
+    tot = cells.select(
+        "user_id",
+        "c",
+        F.sum("c").over(w_u).cast("bigint").alias("n"),
+    )
+    p = F.col("c").cast("double") / F.col("n")
+    peruser = tot.groupBy("user_id").agg(
+        F.sum(F.floor(-p * F.log(p) * 1000000000).cast("bigint"))
+        .cast("bigint")
+        .alias("h_e9"),
+        F.max("n").cast("bigint").alias("n_events"),
+    )
+    bucketed = peruser.select(
+        F.floor(F.col("h_e9") * 10 / 3178053830)
+        .cast("bigint")
+        .alias("decile"),
+        "n_events",
+    )
+    return (
+        bucketed.groupBy("decile")
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.sum("n_events").cast("bigint").alias("n_events"),
+        )
+        .orderBy("decile")
+    )
+
+
+@query(
+    "events_mix_drift_weekly",
+    """
+    WITH cells AS (
+        SELECT CAST(weekofyear(ts) AS BIGINT) AS wk, event_type,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY weekofyear(ts), event_type
+    ), marg AS (
+        SELECT wk, event_type, c,
+               CAST(SUM(c) OVER (PARTITION BY wk) AS BIGINT) AS n_w,
+               CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS n_t,
+               CAST(SUM(c) OVER () AS BIGINT) AS n
+        FROM cells
+    ), terms AS (
+        SELECT wk, event_type, c,
+               CAST(FLOOR(
+                   (CAST(c AS DOUBLE)
+                    - CAST(n_w AS DOUBLE) * n_t / n)
+                   * (CAST(c AS DOUBLE)
+                      - CAST(n_w AS DOUBLE) * n_t / n)
+                   / (CAST(n_w AS DOUBLE) * n_t / n)
+                   * 1000000) AS BIGINT) AS dev_e6
+        FROM marg
+    )
+    SELECT wk, CAST(SUM(c) AS BIGINT) AS n_events,
+           CAST(SUM(dev_e6) AS BIGINT) AS chi2_e6
+    FROM terms GROUP BY wk ORDER BY wk
+    """,
+)
+def events_mix_drift_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEEKLY composition-drift monitor (round 9) — the chi-square
+    drift table a data-quality dashboard actually plots:
+    agg_chi_square tests ONE contingency table once; this emits a
+    per-week χ² of the event-type MIX against the corpus-wide
+    composition, so a pipeline change or bot influx shows up as the
+    week its χ² jumps off the band (the week × type interaction,
+    localized by week).  Composition drift is invisible to volume
+    monitors — totals can hold steady while the mix rots.
+
+    Exactness: counts and all three margins exact bigints over the
+    (week × type) cell table; each cell's (observed − expected)²/
+    expected evaluates in ONE literal-order double chain floored e6
+    (the agg_chi_square per-cell discipline); per-week totals are
+    order-free bigint sums.  Week numbering is ISO-8601 in both
+    engines (weekofyear).
+
+    Scale: one map-side count to |weeks|×|types| cells; margins and
+    terms run on the cell table."""
+    ev = load(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.weekofyear("ts").cast("bigint").alias("wk"), "event_type"
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    w_w = Window.partitionBy("wk")
+    w_t = Window.partitionBy("event_type")
+    w_all = Window.partitionBy()
+    marg = cells.select(
+        "wk",
+        "c",
+        F.sum("c").over(w_w).cast("bigint").alias("n_w"),
+        F.sum("c").over(w_t).cast("bigint").alias("n_t"),
+        F.sum("c").over(w_all).cast("bigint").alias("n"),
+    )
+    e = F.col("n_w").cast("double") * F.col("n_t") / F.col("n")
+    dev = F.floor(
+        (F.col("c").cast("double") - e)
+        * (F.col("c").cast("double") - e)
+        / e
+        * 1000000
+    ).cast("bigint")
+    terms = marg.select("wk", "c", dev.alias("dev_e6"))
+    return (
+        terms.groupBy("wk")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_events"),
+            F.sum("dev_e6").cast("bigint").alias("chi2_e6"),
+        )
+        .orderBy("wk")
+    )

@@ -527,6 +527,8 @@ _ROUND10_NEXT_UP = (
     "text_model_mcc",
     "ts_haar_energy",
     "ts_regime_run_lengths",
+    "events_circadian_entropy",
+    "events_mix_drift_weekly",
 )
 
 _loaded = False

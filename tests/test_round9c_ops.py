@@ -1477,3 +1477,69 @@ def test_regime_run_lengths_referee(spark, sf_dir):
                 sum(runs[st]) * 1000000 / len(runs[st])
             )
     assert len(got) == n_keys
+
+
+def test_circadian_entropy_referee(spark, sf_dir):
+    import pyarrow.parquet as pq
+    from collections import Counter
+
+    ev = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    ).to_pandas()
+    cells = Counter(zip(ev["user_id"], ev["ts"].dt.hour))
+    peruser_n = Counter()
+    for (uid, _h), c in cells.items():
+        peruser_n[uid] += c
+    h_e9 = Counter()
+    for (uid, _h), c in cells.items():
+        p = c / peruser_n[uid]
+        h_e9[uid] += math.floor(-p * math.log(p) * 1000000000)
+    buckets = Counter()
+    bucket_events = Counter()
+    for uid, h in h_e9.items():
+        b = h * 10 // 3178053830
+        buckets[b] += 1
+        bucket_events[b] += peruser_n[uid]
+    got = {
+        r["decile"]: r
+        for r in QUERIES["events_circadian_entropy"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(got) == set(buckets)
+    for b, n in buckets.items():
+        assert got[b]["n_users"] == n
+        assert got[b]["n_events"] == bucket_events[b]
+    # entropy lives in [0, ln 24): all deciles in range
+    assert all(0 <= b <= 9 for b in got)
+
+
+def test_mix_drift_weekly_referee(spark, sf_dir):
+    import pyarrow.parquet as pq
+    from collections import Counter
+
+    ev = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+    ).to_pandas()
+    cells = Counter(
+        (ts.isocalendar()[1], t)
+        for ts, t in zip(ev["ts"], ev["event_type"])
+    )
+    n = sum(cells.values())
+    n_w = Counter()
+    n_t = Counter()
+    for (wk, t), c in cells.items():
+        n_w[wk] += c
+        n_t[t] += c
+    chi2 = Counter()
+    for (wk, t), c in cells.items():
+        e = n_w[wk] * n_t[t] / n
+        chi2[wk] += math.floor((c - e) * (c - e) / e * 1000000)
+    got = {
+        r["wk"]: r
+        for r in QUERIES["events_mix_drift_weekly"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(n_w)
+    for wk in n_w:
+        assert got[wk]["n_events"] == n_w[wk]
+        assert got[wk]["chi2_e6"] == chi2[wk]
