@@ -1890,3 +1890,152 @@ def graph_degree_centralization(
         .cast("bigint")
         .alias("centralization_e6"),
     )
+
+
+_RESILIENCE_KS = (0, 2, 4)
+
+
+def _hub_removal_oracle_sql() -> str:
+    """Per-k recursive-closure oracle (the _DUCK_COMPONENTS shape on
+    the hub-filtered edge set, survivors without edges counted as
+    singletons), unioned over the removal ladder."""
+    parts = []
+    for k in _RESILIENCE_KS:
+        parts.append(f"""
+    SELECT CAST({k} AS BIGINT) AS k_removed,
+           CAST(COUNT(*) AS BIGINT) AS n_survivors,
+           CAST(COUNT(DISTINCT label) AS BIGINT) AS n_components,
+           CAST(MAX(csize) AS BIGINT) AS gcc_size,
+           CAST(FLOOR(CAST(MAX(csize) AS DOUBLE) * 1000000 / COUNT(*))
+                AS BIGINT) AS gcc_share_e6
+    FROM (
+        WITH RECURSIVE deg AS (
+            SELECT a, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY a
+        ), hubs AS (
+            SELECT a FROM deg ORDER BY d DESC, a LIMIT {k}
+        ), fsym AS (
+            SELECT s.a, s.b FROM sym s
+            WHERE s.a NOT IN (SELECT a FROM hubs)
+              AND s.b NOT IN (SELECT a FROM hubs)
+        ), survivors AS (
+            SELECT a FROM nodes
+            WHERE a NOT IN (SELECT a FROM hubs)
+        ), reach(src, dst) AS (
+            SELECT a, b FROM fsym
+            UNION
+            SELECT r.src, f.b FROM reach r JOIN fsym f ON r.dst = f.a
+        ), labels AS (
+            SELECT s.a,
+                   least(s.a, coalesce(min(r.dst), s.a)) AS label
+            FROM survivors s LEFT JOIN reach r ON s.a = r.src
+            GROUP BY s.a
+        ), comps AS (
+            SELECT label, CAST(COUNT(*) AS BIGINT) AS csize
+            FROM labels GROUP BY label
+        )
+        SELECT l.label, c.csize FROM labels l JOIN comps c USING (label)
+    )""")
+    return (
+        f"""
+    WITH {_DUCK_EDGES.strip()},
+    sym AS (
+        SELECT src AS a, dst AS b FROM edges
+        UNION ALL SELECT dst, src FROM edges
+    ), nodes AS (
+        SELECT DISTINCT a FROM sym
+    )
+    """
+        + " UNION ALL ".join(parts)
+        + " ORDER BY k_removed"
+    )
+
+
+@query("graph_hub_removal_resilience", _hub_removal_oracle_sql())
+def graph_hub_removal_resilience(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HUB-REMOVAL resilience ladder (round 9) — the targeted-attack
+    tolerance curve (Albert–Barabási): remove the top-k degree hubs
+    (tie-pinned), recompute connectivity, and watch the giant
+    component's share — scale-free graphs survive random failure but
+    SHATTER under targeted hub removal, and how fast gcc_share
+    collapses down the k-ladder is the robustness number
+    (infrastructure risk for payment graphs, mixer-dependence for
+    flow graphs).  graph_degree_centralization says there IS a
+    center; this measures what breaks when you take it out.
+
+    Exactness: degrees/hub election exact and tie-pinned; per-k
+    components by the graph_components min-label machinery over the
+    filtered edge set, survivors without a surviving edge counted as
+    singletons (they ARE components); sizes/counts exact bigints,
+    gcc share floors once.  Oracle: the recursive-closure form per
+    rung, unioned.
+
+    Scale: each rung is one bounded label-propagation run (≤
+    diameter rounds of edge-keyed shuffles — the components cost
+    note applies, ×|ladder|); the hub list is a k-row broadcast."""
+    from graphsense_datafeed_spark.ingest.facade import label_propagate
+
+    edges = cooccurrence_edges(spark)
+    sym = (
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .unionAll(
+            edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+        )
+        .localCheckpoint()
+    )
+    deg = sym.groupBy("a").agg(F.count("*").cast("bigint").alias("d"))
+    nodes = sym.select("a").distinct()
+    frames = []
+    for k in _RESILIENCE_KS:
+        if k == 0:
+            hubs = deg.filter(F.lit(False)).select("a")
+        else:
+            hubs = (
+                deg.orderBy(F.col("d").desc(), "a").limit(k).select("a")
+            )
+        survivors = nodes.join(F.broadcast(hubs), "a", "left_anti")
+        fsym = (
+            sym.join(
+                F.broadcast(hubs.select(F.col("a").alias("ha"))),
+                sym.a == F.col("ha"),
+                "left_anti",
+            )
+            .join(
+                F.broadcast(hubs.select(F.col("a").alias("hb"))),
+                F.col("b") == F.col("hb"),
+                "left_anti",
+            )
+            .localCheckpoint()
+        )
+        labels = survivors.select(
+            F.col("a").alias("addr"), F.col("a").alias("label")
+        ).localCheckpoint()
+        labels, _ = label_propagate(
+            fsym.select(F.col("a").alias("src"), F.col("b").alias("dst")),
+            labels,
+            max_iter=50,
+            require_converged=True,
+        )
+        comps = labels.groupBy("label").agg(
+            F.count("*").cast("bigint").alias("csize")
+        )
+        frames.append(
+            comps.agg(
+                F.lit(k).cast("bigint").alias("k_removed"),
+                F.sum("csize").cast("bigint").alias("n_survivors"),
+                F.count("*").cast("bigint").alias("n_components"),
+                F.max("csize").cast("bigint").alias("gcc_size"),
+                F.floor(
+                    F.max("csize").cast("double")
+                    * 1000000
+                    / F.sum("csize")
+                )
+                .cast("bigint")
+                .alias("gcc_share_e6"),
+            )
+        )
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out.orderBy("k_removed")

@@ -7612,3 +7612,84 @@ def events_mix_drift_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("wk")
     )
+
+
+@query(
+    "ts_adstock_halfdecay",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS v
+        FROM events GROUP BY event_type, date_trunc('day', ts)
+    ), lagged AS (
+        SELECT event_type, d, v,
+               COALESCE(lag(v, 1) OVER w, 0) AS v1,
+               COALESCE(lag(v, 2) OVER w, 0) AS v2,
+               COALESCE(lag(v, 3) OVER w, 0) AS v3,
+               COALESCE(lag(v, 4) OVER w, 0) AS v4,
+               COALESCE(lag(v, 5) OVER w, 0) AS v5,
+               COALESCE(lag(v, 6) OVER w, 0) AS v6
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY d)
+    )
+    SELECT event_type, d, v,
+           CAST(64 * v + 32 * v1 + 16 * v2 + 8 * v3 + 4 * v4
+                + 2 * v5 + v6 AS BIGINT) AS adstock_x64,
+           CAST(FLOOR(CAST(64 * v AS DOUBLE) * 1000000
+                      / (64 * v + 32 * v1 + 16 * v2 + 8 * v3
+                         + 4 * v4 + 2 * v5 + v6)) AS BIGINT)
+               AS fresh_share_e6
+    FROM lagged ORDER BY event_type, d
+    """,
+)
+def ts_adstock_halfdecay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GEOMETRIC ADSTOCK transform, λ = ½, 7-day memory (round 9) —
+    the marketing-mix carryover feature: today's effective pressure
+    is today's volume plus half of yesterday's effective pressure,
+    truncated at a week — the transform applied to spend/impressions
+    BEFORE any response regression (raw daily counts understate
+    carryover; adstock is the standard fix, and λ = ½ is the
+    half-life-one-day special case whose weights are exact powers
+    of two).  fresh_share = today's contribution to its own adstock
+    — low values mean the series is riding momentum, not new
+    activity (ties to ts_ewma, which is the INFINITE-memory
+    normalized cousin; the truncated form is what regressions
+    actually use, because it keeps the design matrix finite).
+
+    Exactness is TOTAL until one division: with λ = ½ the 7-term
+    kernel in ×64 units is integer (64, 32, …, 1 — the
+    harmonic-sixths discipline again), pre-series history is a
+    literal 0 (COALESCE), and only the share floors.
+
+    Scale: one keyed daily rollup + ONE per-series window carrying
+    six lags — no joins, no state beyond the frame."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).agg(F.count("*").cast("bigint").alias("v"))
+    w = Window.partitionBy("event_type").orderBy("d")
+    lags = {
+        f"v{j}": F.coalesce(F.lag("v", j).over(w), F.lit(0)).alias(
+            f"v{j}"
+        )
+        for j in range(1, 7)
+    }
+    lagged = daily.select("event_type", "d", "v", *lags.values())
+    adstock = (
+        64 * F.col("v")
+        + 32 * F.col("v1")
+        + 16 * F.col("v2")
+        + 8 * F.col("v3")
+        + 4 * F.col("v4")
+        + 2 * F.col("v5")
+        + F.col("v6")
+    )
+    return lagged.select(
+        "event_type",
+        "d",
+        "v",
+        adstock.cast("bigint").alias("adstock_x64"),
+        F.floor((64 * F.col("v")).cast("double") * 1000000 / adstock)
+        .cast("bigint")
+        .alias("fresh_share_e6"),
+    ).orderBy("event_type", "d")

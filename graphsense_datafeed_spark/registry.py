@@ -529,6 +529,8 @@ _ROUND10_NEXT_UP = (
     "ts_regime_run_lengths",
     "events_circadian_entropy",
     "events_mix_drift_weekly",
+    "graph_hub_removal_resilience",
+    "ts_adstock_halfdecay",
 )
 
 _loaded = False

@@ -1543,3 +1543,85 @@ def test_mix_drift_weekly_referee(spark, sf_dir):
     for wk in n_w:
         assert got[wk]["n_events"] == n_w[wk]
         assert got[wk]["chi2_e6"] == chi2[wk]
+
+
+def test_hub_removal_resilience_referee(spark, sf_dir):
+    adj: dict[str, set[str]] = {}
+    for tx in _txs():
+        addrs = sorted(
+            {io["address"][0] for io in tx["inputs"] + tx["outputs"]}
+        )
+        for i, a in enumerate(addrs):
+            for b in addrs[i + 1 :]:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+    got = {
+        r["k_removed"]: r
+        for r in QUERIES["graph_hub_removal_resilience"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(got) == {0, 2, 4}
+    prev_gcc = None
+    for k in (0, 2, 4):
+        hubs = sorted(adj, key=lambda a: (-len(adj[a]), a))[:k]
+        removed = set(hubs)
+        survivors = set(adj) - removed
+        seen = set()
+        sizes = []
+        for start in survivors:
+            if start in seen:
+                continue
+            stack, comp = [start], set()
+            while stack:
+                x = stack.pop()
+                if x in comp:
+                    continue
+                comp.add(x)
+                for y in adj[x]:
+                    if y in survivors and y not in comp:
+                        stack.append(y)
+            seen |= comp
+            sizes.append(len(comp))
+        r = got[k]
+        assert r["n_survivors"] == len(survivors)
+        assert r["n_components"] == len(sizes)
+        assert r["gcc_size"] == max(sizes)
+        assert r["gcc_share_e6"] == math.floor(
+            max(sizes) * 1000000 / len(survivors)
+        )
+        if prev_gcc is not None:
+            assert r["gcc_size"] <= prev_gcc  # removal can't grow gcc
+        prev_gcc = r["gcc_size"]
+
+
+def test_adstock_referee(spark, sf_dir):
+    import pyarrow.parquet as pq
+
+    ev = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+    ).to_pandas()
+    ev["d"] = ev["ts"].dt.date
+    daily = ev.groupby(["event_type", "d"]).size()
+    got = {
+        (r["event_type"], r["d"]): r
+        for r in QUERIES["ts_adstock_halfdecay"](spark, sf_dir).collect()
+    }
+    n_rows = 0
+    for typ, grp in daily.groupby(level=0):
+        srt = grp.sort_index()
+        vs = [int(x) for x in srt.values]
+        days = [d for (_t, d) in srt.index]
+        for i, d in enumerate(days):
+            window = [
+                vs[i - j] if i - j >= 0 else 0 for j in range(7)
+            ]
+            adstock = sum(w * (1 << (6 - j)) for j, w in enumerate(window))
+            r = got[(typ, d)]
+            assert r["v"] == vs[i]
+            assert r["adstock_x64"] == adstock
+            assert r["fresh_share_e6"] == math.floor(
+                64 * vs[i] * 1000000 / adstock
+            )
+            n_rows += 1
+    assert len(got) == n_rows
