@@ -1641,3 +1641,103 @@ def dedup_shingle_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     for fr in frames[1:]:
         out = out.unionByName(fr)
     return out.orderBy("k")
+
+
+@query(
+    "embed_lsh_bucket_stats",
+    f"""
+    WITH k AS (
+        SELECT vec_id, b.band_id,
+               {" + ".join(
+                   f"(CASE WHEN embedding[b.band_id*{_SEM_BW}+{i + 1}] > 0 "
+                   f"THEN {1 << i} ELSE 0 END)"
+                   for i in range(_SEM_BW)
+               )} AS band_key
+        FROM embeddings
+        CROSS JOIN (SELECT unnest(range(0, {_SEM_BANDS})) AS band_id) b
+    ), buckets AS (
+        SELECT band_id, band_key, CAST(COUNT(*) AS BIGINT) AS s
+        FROM k GROUP BY band_id, band_key
+    )
+    SELECT CAST(band_id AS BIGINT) AS band_id,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(s) AS BIGINT) AS n_vectors,
+           CAST(MAX(s) AS BIGINT) AS max_bucket,
+           CAST(SUM(s * (s - 1)) // 2 AS BIGINT) AS candidate_pairs,
+           CAST(FLOOR(CAST(SUM(s * (s - 1)) // 2 AS DOUBLE) * 1000000000
+                      / (CAST(SUM(s) AS DOUBLE) * (SUM(s) - 1) / 2))
+                AS BIGINT) AS cand_rate_e9
+    FROM buckets GROUP BY band_id ORDER BY band_id
+    """,
+)
+def embed_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH BUCKET load-balance audit (round 9) — the ops metric that
+    decides whether a sign-band index is SAFE before anything joins
+    on it: per band, the bucket-size distribution's max (the hot
+    bucket that would dominate a candidate join), the exact
+    candidate-pair count Σ s(s−1)/2, and the candidate RATE vs
+    all-pairs — the number dedup_semantic's 256-cap and the ANN
+    family's bucket caps exist to bound.  A band whose cand_rate
+    approaches 1 is a degenerate projection (anisotropic corpus —
+    embed_pair_distance_hist shows why); healthy bands sit near
+    2^−bw.  Same band keys as dedup_semantic (sign bits of
+    consecutive dims), so this table explains THAT operator's cost.
+
+    Exactness is TOTAL until one division: sign-bit keys are exact
+    comparisons on stored floats, bucket sizes / pair counts exact
+    bigints (s(s−1)/2 is integer), one floored rate per band.
+
+    Scale: one |corpus|×|bands| key projection (narrow), one keyed
+    count, a |bands|-row finish — the audit costs less than one
+    candidate join it prevents."""
+    e = load(spark, sf_dir, "embeddings")
+    bands = spark.range(_SEM_BANDS).select(
+        F.col("id").cast("int").alias("band_id")
+    )
+    key = None
+    for i in range(_SEM_BW):
+        bit = F.when(
+            F.element_at(
+                "embedding", F.col("band_id") * _SEM_BW + i + 1
+            )
+            > 0,
+            1 << i,
+        ).otherwise(0)
+        key = bit if key is None else key + bit
+    k = e.crossJoin(F.broadcast(bands)).select(
+        "vec_id", "band_id", key.alias("band_key")
+    )
+    buckets = k.groupBy("band_id", "band_key").agg(
+        F.count("*").cast("bigint").alias("s")
+    )
+    # integer-halve the even Σs(s−1): a double division is exact only
+    # below 2^53 and this count is corpus-quadratic in the worst case
+    pairs = F.shiftright(
+        F.sum(F.col("s") * (F.col("s") - 1)).cast("bigint"), 1
+    ).cast("bigint")
+    tot = F.sum("s").cast("bigint")
+    return (
+        buckets.groupBy("band_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_buckets"),
+            tot.alias("n_vectors"),
+            F.max("s").cast("bigint").alias("max_bucket"),
+            pairs.alias("candidate_pairs"),
+            F.floor(
+                pairs.cast("double")
+                * 1000000000
+                / (tot.cast("double") * (tot - 1) / 2)
+            )
+            .cast("bigint")
+            .alias("cand_rate_e9"),
+        )
+        .select(
+            F.col("band_id").cast("bigint").alias("band_id"),
+            "n_buckets",
+            "n_vectors",
+            "max_bucket",
+            "candidate_pairs",
+            "cand_rate_e9",
+        )
+        .orderBy("band_id")
+    )

@@ -7693,3 +7693,100 @@ def ts_adstock_halfdecay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("fresh_share_e6"),
     ).orderBy("event_type", "d")
+
+
+@query(
+    "events_activation_time_to_n",
+    """
+    WITH ordered AS (
+        SELECT user_id, ts,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ), spans AS (
+        SELECT f.user_id,
+               CAST(FLOOR((epoch(n5.ts) - epoch(f.ts)) / 3600)
+                    AS BIGINT) AS hours_to_5
+        FROM (SELECT user_id, ts FROM ordered WHERE rn = 1) f
+        LEFT JOIN (SELECT user_id, ts FROM ordered WHERE rn = 5) n5
+          USING (user_id)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(COUNT(hours_to_5) AS BIGINT) AS n_activated,
+           CAST(quantile_disc(hours_to_5, 0.25) AS BIGINT) AS q1_hours,
+           CAST(quantile_disc(hours_to_5, 0.5) AS BIGINT) AS med_hours,
+           CAST(quantile_disc(hours_to_5, 0.75) AS BIGINT) AS q3_hours,
+           CAST(COUNT(*) FILTER (hours_to_5 <= 168) AS BIGINT)
+               AS n_within_week,
+           CAST(FLOOR(CAST(COUNT(*) FILTER (hours_to_5 <= 168)
+                           AS DOUBLE) * 1000000 / COUNT(*)) AS BIGINT)
+               AS week_activation_e6
+    FROM spans
+    """,
+)
+def events_activation_time_to_n(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ACTIVATION time-to-Nth-event distribution (round 9) — the
+    "time to aha" metric growth teams steer by: hours from each
+    user's FIRST event to their FIFTH (the activation proxy), as
+    exact discrete quartiles plus the share activating within a
+    week — the number onboarding changes move, upstream of the
+    retention family (events_retention measures coming BACK;
+    activation measures getting STARTED; a bad week-activation rate
+    caps every retention curve downstream).  Users who never reach
+    five events carry NULL (right-censored — counted in n_users,
+    excluded from quantiles, failing the week gate).
+
+    Exactness: the 1st/5th event pin on the (ts, event_id) total
+    order; hour spans floor exact integer epochs; quartiles are
+    percentile_disc elements; one floored share.
+
+    Scale: one user-keyed rank window + a users-sized span table +
+    a 1-row quantile fold — no joins beyond the keyed self-pair."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id", "ts", F.row_number().over(w).alias("rn")
+    )
+    f = ordered.filter(F.col("rn") == 1).select(
+        "user_id", F.col("ts").alias("t1")
+    )
+    n5 = ordered.filter(F.col("rn") == 5).select(
+        "user_id", F.col("ts").alias("t5")
+    )
+    spans = f.join(n5, "user_id", "left").select(
+        F.floor(
+            (
+                F.unix_timestamp(F.col("t5").cast("timestamp"))
+                - F.unix_timestamp(F.col("t1").cast("timestamp"))
+            )
+            / 3600
+        )
+        .cast("bigint")
+        .alias("hours_to_5")
+    )
+    within = F.count_if(F.col("hours_to_5") <= 168).cast("bigint")
+    return spans.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.count("hours_to_5").cast("bigint").alias("n_activated"),
+        F.expr(
+            "percentile_disc(0.25) WITHIN GROUP (ORDER BY hours_to_5)"
+        )
+        .cast("bigint")
+        .alias("q1_hours"),
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY hours_to_5)"
+        )
+        .cast("bigint")
+        .alias("med_hours"),
+        F.expr(
+            "percentile_disc(0.75) WITHIN GROUP (ORDER BY hours_to_5)"
+        )
+        .cast("bigint")
+        .alias("q3_hours"),
+        within.alias("n_within_week"),
+        F.floor(within.cast("double") * 1000000 / F.count("*"))
+        .cast("bigint")
+        .alias("week_activation_e6"),
+    )

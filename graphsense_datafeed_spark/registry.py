@@ -531,6 +531,8 @@ _ROUND10_NEXT_UP = (
     "events_mix_drift_weekly",
     "graph_hub_removal_resilience",
     "ts_adstock_halfdecay",
+    "embed_lsh_bucket_stats",
+    "events_activation_time_to_n",
 )
 
 _loaded = False

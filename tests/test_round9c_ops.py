@@ -1625,3 +1625,85 @@ def test_adstock_referee(spark, sf_dir):
             )
             n_rows += 1
     assert len(got) == n_rows
+
+
+def test_lsh_bucket_stats_referee(spark, sf_dir):
+    import pyarrow.parquet as pq
+    from collections import Counter
+
+    from graphsense_datafeed_spark.operators.llm_dedup import (
+        _SEM_BANDS,
+        _SEM_BW,
+    )
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    buckets = Counter()
+    for v in t["embedding"]:
+        for band in range(_SEM_BANDS):
+            key = sum(
+                (1 << i)
+                for i in range(_SEM_BW)
+                if v[band * _SEM_BW + i] > 0
+            )
+            buckets[(band, key)] += 1
+    got = {
+        r["band_id"]: r
+        for r in QUERIES["embed_lsh_bucket_stats"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(range(_SEM_BANDS))
+    n = len(t)
+    for band in range(_SEM_BANDS):
+        sizes = [c for (b, _k), c in buckets.items() if b == band]
+        pairs = sum(s * (s - 1) for s in sizes) // 2
+        r = got[band]
+        assert r["n_buckets"] == len(sizes)
+        assert r["n_vectors"] == n
+        assert r["max_bucket"] == max(sizes)
+        assert r["candidate_pairs"] == pairs
+        assert r["cand_rate_e9"] == math.floor(
+            pairs * 1000000000 / (n * (n - 1) / 2)
+        )
+        # candidate rate is a proper reduction vs all-pairs
+        assert r["cand_rate_e9"] < 1000000000
+
+
+def test_activation_time_referee(spark, sf_dir):
+    import pyarrow.parquet as pq
+
+    ev = (
+        pq.read_table(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "ts", "event_id"],
+        )
+        .to_pandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    spans = []
+    n_users = 0
+    for _uid, grp in ev.groupby("user_id"):
+        n_users += 1
+        ts = grp["ts"].tolist()
+        if len(ts) >= 5:
+            spans.append(
+                math.floor((ts[4] - ts[0]).total_seconds() / 3600)
+            )
+        else:
+            spans.append(None)
+    act = sorted(s for s in spans if s is not None)
+
+    def disc(q):
+        return act[int(math.ceil(q * len(act))) - 1]
+
+    within = sum(1 for s in spans if s is not None and s <= 168)
+    got = QUERIES["events_activation_time_to_n"](spark, sf_dir).collect()[
+        0
+    ]
+    assert got["n_users"] == n_users
+    assert got["n_activated"] == len(act)
+    assert got["q1_hours"] == disc(0.25)
+    assert got["med_hours"] == disc(0.5)
+    assert got["q3_hours"] == disc(0.75)
+    assert got["n_within_week"] == within
+    assert got["week_activation_e6"] == math.floor(
+        within * 1000000 / n_users
+    )
