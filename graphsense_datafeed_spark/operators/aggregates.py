@@ -7205,3 +7205,111 @@ def agg_bartlett_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tot",
         F.floor(t * 1000000).cast("bigint").alias("t_e6"),
     )
+
+
+@query(
+    "agg_weighted_kappa",
+    """
+    WITH rated AS (
+        SELECT CASE WHEN n_chars < 150 THEN 0
+                    WHEN n_chars < 250 THEN 1 ELSE 2 END AS a,
+               CASE WHEN length(text) - length(replace(text, ' ', ''))
+                         < 25 THEN 0
+                    WHEN length(text) - length(replace(text, ' ', ''))
+                         < 40 THEN 1 ELSE 2 END AS b
+        FROM documents
+    ), cells AS (
+        SELECT a, b, CAST(COUNT(*) AS BIGINT) AS o
+        FROM rated GROUP BY a, b
+    ), ra AS (
+        SELECT a, CAST(SUM(o) AS BIGINT) AS r_a FROM cells GROUP BY a
+    ), cb AS (
+        SELECT b, CAST(SUM(o) AS BIGINT) AS c_b FROM cells GROUP BY b
+    ), tot AS (
+        SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells
+    ), num AS (
+        SELECT SUM(CAST((a - b) * (a - b) AS HUGEINT) * o
+                   * (SELECT n FROM tot)) AS num
+        FROM cells
+    ), den AS (
+        SELECT SUM(CAST((ra.a - cb.b) * (ra.a - cb.b) AS HUGEINT)
+                   * ra.r_a * cb.c_b) AS den
+        FROM ra CROSS JOIN cb
+    )
+    SELECT tot.n,
+           CASE WHEN den.den > 0
+                THEN CAST(FLOOR((1.0 - CAST(num.num AS DOUBLE)
+                                / CAST(den.den AS DOUBLE)) * 1000000)
+                          AS BIGINT)
+                ELSE NULL END AS kappa_w_e6
+    FROM tot, num, den
+    """,
+)
+def agg_weighted_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUADRATIC-WEIGHTED kappa on a 3-level ordinal scale (round 9)
+    — the agreement statistic agg_cohens_kappa can't be for graded
+    labels: on an ordinal scale, confusing adjacent grades is venial
+    and confusing extremes is mortal; quadratic weights (i−j)² make
+    the penalty say so (and make κ_w equal the ICC in large samples
+    — the bridge to agg_icc_design_effect).  The standard metric for
+    graded quality labels (the 0/1/2 length-vs-whitespace raters
+    here stand in for any pair of graded annotators or model-vs-gold
+    comparisons).
+
+    Exactness is STRUCTURAL: κ_w = 1 − n·Σ(i−j)²O_ij / Σ(i−j)²R_iC_j
+    clears both the n division and the weight normalization (the
+    (k−1)² scale cancels), so numerator and denominator are exact
+    128-bit integers; one floored chain; a degenerate margin
+    (den = 0 — a constant rater) emits NULL.
+
+    Scale: one conditional count to ≤9 cells; margins/sums on the
+    cell table."""
+    d = load(spark, sf_dir, "documents")
+    spaces = F.length("text") - F.length(
+        F.replace(F.col("text"), F.lit(" "))
+    )
+    rated = d.select(
+        F.when(F.col("n_chars") < 150, 0)
+        .when(F.col("n_chars") < 250, 1)
+        .otherwise(2)
+        .alias("a"),
+        F.when(spaces < 25, 0).when(spaces < 40, 1).otherwise(2).alias(
+            "b"
+        ),
+    )
+    cells = rated.groupBy("a", "b").agg(
+        F.count("*").cast("bigint").alias("o")
+    )
+    dec = "decimal(38,0)"
+    ra = cells.groupBy("a").agg(F.sum("o").cast("bigint").alias("r_a"))
+    cb = cells.groupBy("b").agg(F.sum("o").cast("bigint").alias("c_b"))
+    tot = cells.agg(F.sum("o").cast("bigint").alias("n"))
+    wsq = ((F.col("a") - F.col("b")) * (F.col("a") - F.col("b"))).cast(
+        dec
+    )
+    num = cells.crossJoin(F.broadcast(tot)).agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.sum(wsq * F.col("o") * F.col("n").cast(dec)).alias("num"),
+    )
+    # full grade grid: an empty observed cell still contributes to
+    # chance disagreement
+    den = ra.crossJoin(F.broadcast(cb)).agg(
+        F.sum(wsq * F.col("r_a") * F.col("c_b")).alias("den")
+    )
+    s = num.crossJoin(F.broadcast(den))
+    return s.select(
+        "n",
+        F.when(
+            F.col("den") > 0,
+            F.floor(
+                (
+                    1.0
+                    - F.col("num").cast("double")
+                    / F.col("den").cast("double")
+                )
+                * 1000000
+            ).cast("bigint"),
+        )
+        .otherwise(F.lit(None).cast("bigint"))
+        .alias("kappa_w_e6"),
+    )

@@ -7790,3 +7790,115 @@ def events_activation_time_to_n(
         .cast("bigint")
         .alias("week_activation_e6"),
     )
+
+
+@query(
+    "ts_kupiec_coverage_test",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+               CAST(day(ts) AS BIGINT) AS dom,
+               CAST(COUNT(*) AS BIGINT) AS v
+        FROM events GROUP BY event_type, date_trunc('day', ts), day(ts)
+    ), q AS (
+        SELECT event_type,
+               CAST(quantile_disc(v, 0.9) AS BIGINT) AS q90
+        FROM daily WHERE dom <= 21 GROUP BY event_type
+    ), test_days AS (
+        SELECT d.event_type,
+               CAST(CASE WHEN d.v > q.q90 THEN 1 ELSE 0 END AS BIGINT)
+                   AS viol
+        FROM daily d JOIN q USING (event_type)
+        WHERE d.dom > 21
+    ), c AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(viol) AS BIGINT) AS x
+        FROM test_days GROUP BY event_type
+    )
+    SELECT event_type, n, x,
+           CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 / n) AS BIGINT)
+               AS viol_rate_e6,
+           CAST(FLOOR(-2.0 * (
+               (n - x) * ln(0.9) + x * ln(0.1)
+               - (CASE WHEN n - x > 0
+                       THEN (n - x) * ln(1.0 - CAST(x AS DOUBLE) / n)
+                       ELSE 0.0 END)
+               - (CASE WHEN x > 0
+                       THEN x * ln(CAST(x AS DOUBLE) / n)
+                       ELSE 0.0 END))
+               * 1000000) AS BIGINT) AS lr_uc_e6
+    FROM c ORDER BY event_type
+    """,
+)
+def ts_kupiec_coverage_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KUPIEC proportion-of-failures coverage test (round 9) — the
+    backtest that certifies a quantile band AFTER ts_pinball_loss
+    scores it: a P90 band should be violated on 10% of test days;
+    LR_uc = −2·ln[binomial likelihood at p=0.1 / at p=x̂] is χ²(1)
+    under correct coverage — too MANY violations means the band
+    under-provisions (the expensive direction the pinball loss
+    weights 9×), too FEW means capacity money is parked.  The
+    finance-regulation standard (Basel VaR backtesting), applied to
+    the capacity band.
+
+    Exactness: violation counts exact integers over the same
+    train/test split as ts_pinball_loss; the LR is ONE literal-order
+    double chain per series (ln(0.9)/ln(0.1) are single libm calls,
+    identical cross-engine as in the entropy family), with the
+    0·ln 0 = 0 boundary cases handled STRUCTURALLY by CASE, not by
+    NaN propagation; one floor.
+
+    Scale: keyed rollup + |types|-row broadcast quantiles + keyed
+    count — no windows, no pairs."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.to_date(F.date_trunc("day", "ts")).alias("d"),
+        F.dayofmonth("ts").cast("bigint").alias("dom"),
+    ).agg(F.count("*").cast("bigint").alias("v"))
+    q = (
+        daily.filter(F.col("dom") <= 21)
+        .groupBy("event_type")
+        .agg(
+            F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY v)")
+            .cast("bigint")
+            .alias("q90")
+        )
+    )
+    test = (
+        daily.filter(F.col("dom") > 21)
+        .join(F.broadcast(q), "event_type")
+        .select(
+            "event_type",
+            F.when(F.col("v") > F.col("q90"), 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("viol"),
+        )
+    )
+    c = test.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("viol").cast("bigint").alias("x"),
+    )
+    nd, xd = F.col("n").cast("double"), F.col("x").cast("double")
+    lr = -2.0 * (
+        (F.col("n") - F.col("x")) * F.log(F.lit(0.9))
+        + F.col("x") * F.log(F.lit(0.1))
+        - F.when(
+            F.col("n") - F.col("x") > 0,
+            (F.col("n") - F.col("x")) * F.log(1.0 - xd / F.col("n")),
+        ).otherwise(F.lit(0.0))
+        - F.when(
+            F.col("x") > 0, F.col("x") * F.log(xd / F.col("n"))
+        ).otherwise(F.lit(0.0))
+    )
+    return c.select(
+        "event_type",
+        "n",
+        "x",
+        F.floor(xd * 1000000 / F.col("n")).cast("bigint").alias(
+            "viol_rate_e6"
+        ),
+        F.floor(lr * 1000000).cast("bigint").alias("lr_uc_e6"),
+    ).orderBy("event_type")

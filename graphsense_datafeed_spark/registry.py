@@ -533,6 +533,8 @@ _ROUND10_NEXT_UP = (
     "ts_adstock_halfdecay",
     "embed_lsh_bucket_stats",
     "events_activation_time_to_n",
+    "ts_kupiec_coverage_test",
+    "agg_weighted_kappa",
 )
 
 _loaded = False

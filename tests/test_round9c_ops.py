@@ -1707,3 +1707,75 @@ def test_activation_time_referee(spark, sf_dir):
     assert got["week_activation_e6"] == math.floor(
         within * 1000000 / n_users
     )
+
+
+def test_kupiec_referee(spark, sf_dir):
+    import pyarrow.parquet as pq
+
+    ev = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+    ).to_pandas()
+    ev["d"] = ev["ts"].dt.date
+    daily = ev.groupby(["event_type", "d"]).size()
+    got = {
+        r["event_type"]: r
+        for r in QUERIES["ts_kupiec_coverage_test"](spark, sf_dir).collect()
+    }
+    for typ, grp in daily.groupby(level=0):
+        train = sorted(
+            int(v) for (t, d), v in grp.items() if d.day <= 21
+        )
+        test = [int(v) for (t, d), v in grp.items() if d.day > 21]
+        q90 = train[int(math.ceil(0.9 * len(train))) - 1]
+        n, x = len(test), sum(1 for v in test if v > q90)
+        lr = -2.0 * (
+            (n - x) * math.log(0.9)
+            + x * math.log(0.1)
+            - ((n - x) * math.log(1.0 - x / n) if n - x > 0 else 0.0)
+            - (x * math.log(x / n) if x > 0 else 0.0)
+        )
+        r = got[typ]
+        assert r["n"] == n and r["x"] == x
+        assert r["viol_rate_e6"] == math.floor(x * 1000000 / n)
+        assert r["lr_uc_e6"] == math.floor(lr * 1000000)
+        # an LR is non-negative up to quantization
+        assert r["lr_uc_e6"] >= -1
+
+
+def test_weighted_kappa_referee(spark, sf_dir):
+    import pyarrow.parquet as pq
+    from collections import Counter
+
+    d = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["n_chars", "text"]
+    ).to_pandas()
+
+    def grade_a(nc):
+        return 0 if nc < 150 else (1 if nc < 250 else 2)
+
+    def grade_b(txt):
+        sp = len(txt) - len(txt.replace(" ", ""))
+        return 0 if sp < 25 else (1 if sp < 40 else 2)
+
+    cells = Counter(
+        (grade_a(nc), grade_b(t))
+        for nc, t in zip(d["n_chars"], d["text"])
+    )
+    n = sum(cells.values())
+    r = Counter()
+    c = Counter()
+    for (a, b), o in cells.items():
+        r[a] += o
+        c[b] += o
+    num = sum((a - b) ** 2 * o * n for (a, b), o in cells.items())
+    den = sum(
+        (a - b) ** 2 * r[a] * c[b] for a in r for b in c
+    )
+    got = QUERIES["agg_weighted_kappa"](spark, sf_dir).collect()[0]
+    assert got["n"] == n
+    if den > 0:
+        want = math.floor((1.0 - num / den) * 1000000)
+        assert got["kappa_w_e6"] == want
+        assert -1000000 <= got["kappa_w_e6"] <= 1000000
+    else:
+        assert got["kappa_w_e6"] is None
