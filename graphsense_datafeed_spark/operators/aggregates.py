@@ -7313,3 +7313,114 @@ def agg_weighted_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(None).cast("bigint"))
         .alias("kappa_w_e6"),
     )
+
+
+@query(
+    "agg_cmh_test",
+    """
+    WITH base AS (
+        SELECT event_type,
+               CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS t,
+               CASE WHEN value >= 50 THEN 1 ELSE 0 END AS y
+        FROM events
+    ), strat AS (
+        SELECT event_type,
+               CAST(COUNT(*) FILTER (t = 1 AND y = 1) AS BIGINT) AS a,
+               CAST(COUNT(*) FILTER (t = 1) AS BIGINT) AS r1,
+               CAST(COUNT(*) FILTER (t = 0) AS BIGINT) AS r0,
+               CAST(COUNT(*) FILTER (y = 1) AS BIGINT) AS c1,
+               CAST(COUNT(*) FILTER (y = 0) AS BIGINT) AS c0,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM base GROUP BY event_type
+    ), terms AS (
+        SELECT event_type, a,
+               CAST(FLOOR((CAST(a AS DOUBLE)
+                           - CAST(r1 AS DOUBLE) * c1 / n)
+                          * 1000000000) AS BIGINT) AS dev_e9,
+               CAST(FLOOR(CAST(r1 AS DOUBLE) * r0 * c1 * c0
+                          / (CAST(n AS DOUBLE) * n * (n - 1))
+                          * 1000000000) AS BIGINT) AS var_e9
+        FROM strat
+    ), tot AS (
+        SELECT CAST(SUM(dev_e9) AS BIGINT) AS dev_sum_e9,
+               CAST(SUM(var_e9) AS BIGINT) AS var_sum_e9,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM terms
+    )
+    SELECT k, dev_sum_e9, var_sum_e9,
+           CAST(FLOOR(
+               (abs(CAST(dev_sum_e9 AS DOUBLE) / 1000000000.0) - 0.5)
+               * (abs(CAST(dev_sum_e9 AS DOUBLE) / 1000000000.0) - 0.5)
+               / (CAST(var_sum_e9 AS DOUBLE) / 1000000000.0)
+               * 1000000) AS BIGINT) AS cmh_e6
+    FROM tot
+    """,
+)
+def agg_cmh_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COCHRAN–MANTEL–HAENSZEL stratified 2×2 test (round 9) — the
+    TEST companion to events_stratified_effect's estimate: is the
+    weekend × high-value association real once the event-type MIX is
+    controlled?  Pools per-stratum evidence (a_i − E_i) and
+    hypergeometric variances instead of collapsing the table —
+    collapsing is exactly how Simpson reversals manufacture fake
+    associations; χ²(1) with the standard ½ continuity correction.
+    agg_chi_square tests ONE table; CMH tests the common association
+    ACROSS tables.
+
+    Exactness: all stratum margins exact bigints; each stratum's
+    deviation a − r₁c₁/n and variance r₁r₀c₁c₀/(n²(n−1)) evaluate
+    in one literal-order double chain floored e9 (the KL per-term
+    discipline), so the pooled sums are order-free bigint sums; the
+    final statistic is one more literal chain on the two quantized
+    pools.
+
+    Scale: one conditional-count aggregate to |types| strata; the
+    pool and finish run on k rows."""
+    ev = load(spark, sf_dir, "events")
+    dow = F.dayofweek("ts") - 1
+    t = F.when(dow.isin(0, 6), 1).otherwise(0)
+    y = F.when(F.col("value") >= 50, 1).otherwise(0)
+    base = ev.select("event_type", t.alias("t"), y.alias("y"))
+    strat = base.groupBy("event_type").agg(
+        F.count_if((F.col("t") == 1) & (F.col("y") == 1))
+        .cast("bigint")
+        .alias("a"),
+        F.count_if(F.col("t") == 1).cast("bigint").alias("r1"),
+        F.count_if(F.col("t") == 0).cast("bigint").alias("r0"),
+        F.count_if(F.col("y") == 1).cast("bigint").alias("c1"),
+        F.count_if(F.col("y") == 0).cast("bigint").alias("c0"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    dev = F.floor(
+        (
+            F.col("a").cast("double")
+            - F.col("r1").cast("double") * F.col("c1") / F.col("n")
+        )
+        * 1000000000
+    ).cast("bigint")
+    var = F.floor(
+        F.col("r1").cast("double")
+        * F.col("r0")
+        * F.col("c1")
+        * F.col("c0")
+        / (F.col("n").cast("double") * F.col("n") * (F.col("n") - 1))
+        * 1000000000
+    ).cast("bigint")
+    terms = strat.select(dev.alias("dev_e9"), var.alias("var_e9"))
+    tot = terms.agg(
+        F.sum("dev_e9").cast("bigint").alias("dev_sum_e9"),
+        F.sum("var_e9").cast("bigint").alias("var_sum_e9"),
+        F.count("*").cast("bigint").alias("k"),
+    )
+    dabs = F.abs(F.col("dev_sum_e9").cast("double") / 1000000000.0)
+    cmh = (
+        (dabs - 0.5)
+        * (dabs - 0.5)
+        / (F.col("var_sum_e9").cast("double") / 1000000000.0)
+    )
+    return tot.select(
+        "k",
+        "dev_sum_e9",
+        "var_sum_e9",
+        F.floor(cmh * 1000000).cast("bigint").alias("cmh_e6"),
+    )

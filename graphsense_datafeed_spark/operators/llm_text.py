@@ -5215,3 +5215,153 @@ def text_model_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(None).cast("bigint"))
         .alias("mcc_e6"),
     )
+
+
+@query(
+    "text_source_divergence_matrix",
+    """
+    WITH cnt AS (
+        SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (
+            SELECT d.source, unnest(str_split(d.text, ' ')) AS token
+            FROM documents d
+        ) WHERE token <> '' GROUP BY source, token
+    ), srcs AS (
+        SELECT DISTINCT source FROM cnt
+    ), pairs AS (
+        SELECT a.source AS sa, b.source AS sb
+        FROM srcs a JOIN srcs b ON a.source < b.source
+    ), grid AS (
+        SELECT p.sa, p.sb, t.token
+        FROM pairs p JOIN cnt t ON t.source = p.sa OR t.source = p.sb
+        GROUP BY p.sa, p.sb, t.token
+    ), joined AS (
+        SELECT g.sa, g.sb, g.token,
+               CAST(COALESCE(ca.c, 0) AS BIGINT) AS cp,
+               CAST(COALESCE(cb.c, 0) AS BIGINT) AS cq
+        FROM grid g
+        LEFT JOIN cnt ca ON ca.source = g.sa AND ca.token = g.token
+        LEFT JOIN cnt cb ON cb.source = g.sb AND cb.token = g.token
+    ), tot AS (
+        SELECT sa, sb, token, cp, cq,
+               CAST(SUM(cp) OVER (PARTITION BY sa, sb) AS BIGINT) AS np,
+               CAST(SUM(cq) OVER (PARTITION BY sa, sb) AS BIGINT) AS nq,
+               CAST(COUNT(*) OVER (PARTITION BY sa, sb) AS BIGINT) AS v
+        FROM joined
+    ), terms AS (
+        SELECT sa, sb, v,
+               CAST(FLOOR((0.5 * ((CAST(cp + 1 AS DOUBLE) / (np + v)))
+                           * ln(((CAST(cp + 1 AS DOUBLE) / (np + v)))
+                                / ((((CAST(cp + 1 AS DOUBLE) / (np + v)))
+                                    + ((CAST(cq + 1 AS DOUBLE)
+                                        / (nq + v)))) / 2))
+                           + 0.5 * ((CAST(cq + 1 AS DOUBLE) / (nq + v)))
+                           * ln(((CAST(cq + 1 AS DOUBLE) / (nq + v)))
+                                / ((((CAST(cp + 1 AS DOUBLE) / (np + v)))
+                                    + ((CAST(cq + 1 AS DOUBLE)
+                                        / (nq + v)))) / 2)))
+                          * 1000000000) AS BIGINT) AS term_e9
+        FROM tot
+    )
+    SELECT sa, sb, CAST(MAX(v) AS BIGINT) AS union_vocab,
+           CAST(SUM(term_e9) AS BIGINT) AS js_e9
+    FROM terms GROUP BY sa, sb ORDER BY sa, sb
+    """,
+)
+def text_source_divergence_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PAIRWISE Jensen-Shannon drift MATRIX across sources (round 9)
+    — text_js_divergence generalized from one pinned pair to the
+    full upper triangle: the table corpus mixing actually consults
+    (which sources are interchangeable, which pair carries the real
+    diversity, which new source duplicates an old one — a near-zero
+    JS row is a redundancy flag BEFORE paying to ingest).  JS per
+    pair over the PAIR'S union vocabulary with add-1 smoothing —
+    symmetric, bounded by ln 2, always finite.
+
+    Exactness: counts/margins exact bigints; each token's mixture
+    term is ONE literal-order double chain floored e9 (the
+    text_js_divergence chain verbatim, re-keyed per pair), summed
+    order-free per pair.
+
+    Scale: token counts reduce once (map-side); the pair grid costs
+    Σ_pairs |union vocab| — bounded by |sources|²·|vocab|, the
+    documented quadratic-in-SOURCES (not corpus) trade, fine while
+    sources number dozens; per-pair margins are keyed windows."""
+    d = load(spark, sf_dir, "documents")
+    cnt = (
+        d.select(
+            "source",
+            F.explode(F.split("text", " ")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .groupBy("source", "token")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    srcs = cnt.select("source").distinct()
+    pairs = (
+        srcs.alias("a")
+        .join(
+            srcs.alias("b"),
+            F.col("a.source") < F.col("b.source"),
+        )
+        .select(
+            F.col("a.source").alias("sa"), F.col("b.source").alias("sb")
+        )
+    )
+    grid = (
+        F.broadcast(pairs)
+        .join(
+            cnt.alias("t"),
+            (F.col("t.source") == F.col("sa"))
+            | (F.col("t.source") == F.col("sb")),
+        )
+        .select("sa", "sb", "token")
+        .distinct()
+    )
+    ca = cnt.select(
+        F.col("source").alias("sa"),
+        F.col("token").alias("token"),
+        F.col("c").alias("cp"),
+    )
+    cb = cnt.select(
+        F.col("source").alias("sb"),
+        F.col("token").alias("token"),
+        F.col("c").alias("cq"),
+    )
+    joined = (
+        grid.join(ca, ["sa", "token"], "left")
+        .join(cb, ["sb", "token"], "left")
+        .select(
+            "sa",
+            "sb",
+            F.coalesce(F.col("cp"), F.lit(0)).cast("bigint").alias("cp"),
+            F.coalesce(F.col("cq"), F.lit(0)).cast("bigint").alias("cq"),
+        )
+    )
+    w_pair = Window.partitionBy("sa", "sb")
+    tot = joined.select(
+        "sa",
+        "sb",
+        "cp",
+        "cq",
+        F.sum("cp").over(w_pair).cast("bigint").alias("np"),
+        F.sum("cq").over(w_pair).cast("bigint").alias("nq"),
+        F.count("*").over(w_pair).cast("bigint").alias("v"),
+    )
+    p = (F.col("cp") + 1).cast("double") / (F.col("np") + F.col("v"))
+    q = (F.col("cq") + 1).cast("double") / (F.col("nq") + F.col("v"))
+    m = (p + q) / 2
+    term = F.floor(
+        (0.5 * p * F.log(p / m) + 0.5 * q * F.log(q / m)) * 1000000000
+    ).cast("bigint")
+    terms = tot.select("sa", "sb", "v", term.alias("term_e9"))
+    return (
+        terms.groupBy("sa", "sb")
+        .agg(
+            F.max("v").cast("bigint").alias("union_vocab"),
+            F.sum("term_e9").cast("bigint").alias("js_e9"),
+        )
+        .orderBy("sa", "sb")
+    )

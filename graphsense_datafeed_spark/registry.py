@@ -535,6 +535,8 @@ _ROUND10_NEXT_UP = (
     "events_activation_time_to_n",
     "ts_kupiec_coverage_test",
     "agg_weighted_kappa",
+    "agg_cmh_test",
+    "text_source_divergence_matrix",
 )
 
 _loaded = False

@@ -1779,3 +1779,85 @@ def test_weighted_kappa_referee(spark, sf_dir):
         assert -1000000 <= got["kappa_w_e6"] <= 1000000
     else:
         assert got["kappa_w_e6"] is None
+
+
+def test_cmh_referee(spark, sf_dir):
+    import pyarrow.parquet as pq
+
+    ev = pq.read_table(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts", "value"],
+    ).to_pandas()
+    ev["t"] = ev["ts"].apply(
+        lambda ts: 1 if ts.isoweekday() % 7 in (0, 6) else 0
+    )
+    ev["y"] = (ev["value"] >= 50).astype(int)
+    dev_sum = var_sum = k = 0
+    for _typ, g in ev.groupby("event_type"):
+        a = int(((g["t"] == 1) & (g["y"] == 1)).sum())
+        r1 = int((g["t"] == 1).sum())
+        r0 = int((g["t"] == 0).sum())
+        c1 = int((g["y"] == 1).sum())
+        c0 = int((g["y"] == 0).sum())
+        n = len(g)
+        dev_sum += math.floor((a - r1 * c1 / n) * 1000000000)
+        var_sum += math.floor(
+            r1 * r0 * c1 * c0 / (n * n * (n - 1)) * 1000000000
+        )
+        k += 1
+    dabs = abs(dev_sum / 1000000000.0)
+    cmh = (dabs - 0.5) * (dabs - 0.5) / (var_sum / 1000000000.0)
+    got = QUERIES["agg_cmh_test"](spark, sf_dir).collect()[0]
+    assert got["k"] == k
+    assert got["dev_sum_e9"] == dev_sum
+    assert got["var_sum_e9"] == var_sum
+    assert got["cmh_e6"] == math.floor(cmh * 1000000)
+
+
+def test_source_divergence_matrix_referee(spark, sf_dir):
+    import pyarrow.parquet as pq
+    from collections import Counter
+
+    d = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    ).to_pandas()
+    cnt = {}
+    for src, grp in d.groupby("source"):
+        c = Counter()
+        for t in grp["text"]:
+            for tok in t.split(" "):
+                if tok:
+                    c[tok] += 1
+        cnt[src] = c
+    srcs = sorted(cnt)
+    got = {
+        (r["sa"], r["sb"]): r
+        for r in QUERIES["text_source_divergence_matrix"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert len(got) == len(srcs) * (len(srcs) - 1) // 2
+    import random
+
+    rng = random.Random(9)
+    sample = rng.sample(
+        [(a, b) for i, a in enumerate(srcs) for b in srcs[i + 1 :]], 12
+    )
+    for sa, sb in sample:
+        union = set(cnt[sa]) | set(cnt[sb])
+        v = len(union)
+        np_, nq = sum(cnt[sa].values()), sum(cnt[sb].values())
+        js = 0
+        for tok in union:
+            p = (cnt[sa][tok] + 1) / (np_ + v)
+            q = (cnt[sb][tok] + 1) / (nq + v)
+            m = (p + q) / 2
+            js += math.floor(
+                (0.5 * p * math.log(p / m) + 0.5 * q * math.log(q / m))
+                * 1000000000
+            )
+        r = got[(sa, sb)]
+        assert r["union_vocab"] == v
+        assert r["js_e9"] == js
+        # JS is bounded by ln2 and non-negative up to quantization
+        assert -v <= r["js_e9"] <= 693147181 * 1000
