@@ -7902,3 +7902,255 @@ def ts_kupiec_coverage_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.floor(lr * 1000000).cast("bigint").alias("lr_uc_e6"),
     ).orderBy("event_type")
+
+
+@query(
+    "ts_pacf_bounded",
+    """
+    WITH base AS (
+        SELECT event_type,
+               CAST(FLOOR(value * 100) AS BIGINT) AS v,
+               lag(CAST(FLOOR(value * 100) AS BIGINT), 1) OVER w AS y1,
+               lag(CAST(FLOOR(value * 100) AS BIGINT), 2) OVER w AS y2,
+               lag(CAST(FLOOR(value * 100) AS BIGINT), 3) OVER w AS y3
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    ), pairs AS (
+        SELECT event_type, CAST(1 AS BIGINT) AS lag_k, v AS x, y1 AS y
+        FROM base WHERE y1 IS NOT NULL
+        UNION ALL
+        SELECT event_type, 2, v, y2 FROM base WHERE y2 IS NOT NULL
+        UNION ALL
+        SELECT event_type, 3, v, y3 FROM base WHERE y3 IS NOT NULL
+    ), stats AS (
+        SELECT event_type, lag_k,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM pairs GROUP BY 1, 2
+    ), acf AS (
+        SELECT event_type, lag_k,
+               CAST(FLOOR(
+                   (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                          * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                   * 1000000) AS BIGINT) AS acf_e6
+        FROM stats
+    ), rho AS (
+        SELECT event_type,
+               MAX(CASE WHEN lag_k = 1 THEN acf_e6 END) / 1000000.0
+                   AS r1,
+               MAX(CASE WHEN lag_k = 2 THEN acf_e6 END) / 1000000.0
+                   AS r2,
+               MAX(CASE WHEN lag_k = 3 THEN acf_e6 END) / 1000000.0
+                   AS r3
+        FROM acf GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(FLOOR(r1 * 1000000) AS BIGINT) AS pacf1_e6,
+           CAST(FLOOR((r2 - r1 * r1) / (1.0 - r1 * r1) * 1000000)
+                AS BIGINT) AS pacf2_e6,
+           CAST(FLOOR(
+               (r3 - (r1 - ((r2 - r1 * r1) / (1.0 - r1 * r1)) * r1) * r2
+                - ((r2 - r1 * r1) / (1.0 - r1 * r1)) * r1)
+               / (1.0 - (r1 - ((r2 - r1 * r1) / (1.0 - r1 * r1)) * r1)
+                        * r1
+                  - ((r2 - r1 * r1) / (1.0 - r1 * r1)) * r2)
+               * 1000000) AS BIGINT) AS pacf3_e6
+    FROM rho ORDER BY event_type
+    """,
+)
+def ts_pacf_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTIAL autocorrelation at lags 1–3 by Durbin–Levinson (round
+    9) — the Box–Jenkins order-selection companion ts_acf can't be:
+    ACF says WHETHER lag k correlates, PACF says whether it adds
+    anything AFTER lags 1..k−1 are regressed out — an AR(p) series
+    has PACF ≈ 0 beyond lag p, which is THE rule for choosing p
+    (ACF tails off uselessly on AR processes).  φ₁₁ = ρ₁, φ₂₂ =
+    (ρ₂−ρ₁²)/(1−ρ₁²), φ₃₃ via the level-3 recursion with φ₂₁ =
+    φ₁₁ − φ₂₂φ₁₁.
+
+    Exactness: the ρ inputs are ts_acf's floored e6 values (both
+    engines start the recursion from IDENTICAL quantized integers —
+    the already-quantized-input discipline from agg_hill_numbers'
+    exp), and each φ is one literal-order double chain floored e6.
+
+    Scale: the acf moment machinery verbatim (per-series lag tapes,
+    keyed aggregates); the recursion runs on a |types|×3 table."""
+    ev = load(spark, sf_dir, "events")
+    v = F.floor(F.col("value") * 100).cast("bigint")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    base = ev.select(
+        "event_type",
+        v.alias("v"),
+        F.lag(v, 1).over(w).alias("y1"),
+        F.lag(v, 2).over(w).alias("y2"),
+        F.lag(v, 3).over(w).alias("y3"),
+    )
+    frames = []
+    for k in (1, 2, 3):
+        frames.append(
+            base.filter(F.col(f"y{k}").isNotNull()).select(
+                "event_type",
+                F.lit(k).cast("bigint").alias("lag_k"),
+                F.col("v").alias("x"),
+                F.col(f"y{k}").alias("y"),
+            )
+        )
+    pairs = frames[0].unionByName(frames[1]).unionByName(frames[2])
+    stats = pairs.groupBy("event_type", "lag_k").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    acf = stats.select(
+        "event_type",
+        "lag_k",
+        F.floor(
+            (d("n") * d("sxy") - d("sx") * d("sy"))
+            / F.sqrt(
+                (d("n") * d("sxx") - d("sx") * d("sx"))
+                * (d("n") * d("syy") - d("sy") * d("sy"))
+            )
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("acf_e6"),
+    )
+    rho = acf.groupBy("event_type").agg(
+        (F.max(F.when(F.col("lag_k") == 1, F.col("acf_e6"))) / 1000000.0)
+        .alias("r1"),
+        (F.max(F.when(F.col("lag_k") == 2, F.col("acf_e6"))) / 1000000.0)
+        .alias("r2"),
+        (F.max(F.when(F.col("lag_k") == 3, F.col("acf_e6"))) / 1000000.0)
+        .alias("r3"),
+    )
+    r1, r2, r3 = F.col("r1"), F.col("r2"), F.col("r3")
+    phi22 = (r2 - r1 * r1) / (1.0 - r1 * r1)
+    phi21 = r1 - phi22 * r1
+    phi33 = (r3 - phi21 * r2 - phi22 * r1) / (
+        1.0 - phi21 * r1 - phi22 * r2
+    )
+    return rho.select(
+        "event_type",
+        F.floor(r1 * 1000000).cast("bigint").alias("pacf1_e6"),
+        F.floor(phi22 * 1000000).cast("bigint").alias("pacf2_e6"),
+        F.floor(phi33 * 1000000).cast("bigint").alias("pacf3_e6"),
+    ).orderBy("event_type")
+
+
+@query(
+    "ts_arch_effect_lm1",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS v
+        FROM events GROUP BY event_type, date_trunc('day', ts)
+    ), chg AS (
+        SELECT event_type, d,
+               CAST(v - lag(v) OVER (PARTITION BY event_type
+                                     ORDER BY d) AS BIGINT) AS dv
+        FROM daily
+    ), sq AS (
+        SELECT event_type, d, CAST(dv * dv AS BIGINT) AS s
+        FROM chg WHERE dv IS NOT NULL
+    ), lagged AS (
+        SELECT event_type, s,
+               lag(s) OVER (PARTITION BY event_type ORDER BY d) AS s1
+        FROM sq
+    ), m AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(s1) AS BIGINT) AS sx,
+               CAST(SUM(s) AS BIGINT) AS sy,
+               SUM(CAST(s1 AS HUGEINT) * s) AS sxy,
+               SUM(CAST(s1 AS HUGEINT) * s1) AS sxx,
+               SUM(CAST(s AS HUGEINT) * s) AS syy
+        FROM lagged WHERE s1 IS NOT NULL GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CAST(FLOOR(
+               (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+               * CAST(n AS DOUBLE) * 1000000) AS BIGINT) AS lm_e6
+    FROM m ORDER BY event_type
+    """,
+)
+def ts_arch_effect_lm1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENGLE'S ARCH-LM test at lag 1 (round 9) — the volatility-
+    clustering screen the level diagnostics miss: a series can pass
+    every mean test (acf/pacf ≈ 0) while its squared CHANGES
+    autocorrelate — calm days follow calm days, wild follow wild —
+    and then every constant-variance band (Bollinger, ±3σ control
+    charts, the Kupiec-certified P90) is wrong in exactly the calm
+    and wild stretches.  LM = n·R² of s_t on s_{t−1} (s = squared
+    day-over-day change), χ²(1) under homoskedasticity; significant
+    LM says switch to regime-aware bands (ts_regime_run_lengths
+    shows the regimes).
+
+    Exactness: changes and squares exact integers; the cross moments
+    run 128-bit (s² is fourth-power scale — int64 dies at ~55k daily
+    events); R² = corr² clears to one literal-order double chain
+    with the acf numerator squared, floored once with the n factor
+    inside.
+
+    Scale: keyed daily rollup + two per-series lag windows + one
+    keyed moment aggregate."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).agg(F.count("*").cast("bigint").alias("v"))
+    w = Window.partitionBy("event_type").orderBy("d")
+    chg = daily.select(
+        "event_type",
+        "d",
+        (F.col("v") - F.lag("v").over(w)).cast("bigint").alias("dv"),
+    ).filter(F.col("dv").isNotNull())
+    sq = chg.select(
+        "event_type", "d", (F.col("dv") * F.col("dv")).cast("bigint").alias("s")
+    )
+    lagged = sq.select(
+        "event_type",
+        "s",
+        F.lag("s").over(w).alias("s1"),
+    ).filter(F.col("s1").isNotNull())
+    dec = "decimal(38,0)"
+    m = lagged.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("s1").cast("bigint").alias("sx"),
+        F.sum("s").cast("bigint").alias("sy"),
+        F.sum(F.col("s1").cast(dec) * F.col("s")).alias("sxy"),
+        F.sum(F.col("s1").cast(dec) * F.col("s1")).alias("sxx"),
+        F.sum(F.col("s").cast(dec) * F.col("s")).alias("syy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    num = d("n") * d("sxy") - d("sx") * d("sy")
+    lm = (
+        num
+        * num
+        / (d("n") * d("sxx") - d("sx") * d("sx"))
+        / (d("n") * d("syy") - d("sy") * d("sy"))
+        * d("n")
+        * 1000000
+    )
+    return m.select(
+        "event_type",
+        "n",
+        F.floor(lm).cast("bigint").alias("lm_e6"),
+    ).orderBy("event_type")

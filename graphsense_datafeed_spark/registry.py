@@ -537,6 +537,8 @@ _ROUND10_NEXT_UP = (
     "agg_weighted_kappa",
     "agg_cmh_test",
     "text_source_divergence_matrix",
+    "ts_pacf_bounded",
+    "ts_arch_effect_lm1",
 )
 
 _loaded = False

@@ -1861,3 +1861,90 @@ def test_source_divergence_matrix_referee(spark, sf_dir):
         assert r["js_e9"] == js
         # JS is bounded by ln2 and non-negative up to quantization
         assert -v <= r["js_e9"] <= 693147181 * 1000
+
+
+def test_pacf_referee(spark, sf_dir):
+    import pyarrow.parquet as pq
+
+    ev = (
+        pq.read_table(
+            f"{sf_dir}/events.parquet",
+            columns=["event_type", "ts", "event_id", "value"],
+        )
+        .to_pandas()
+        .sort_values(["event_type", "ts", "event_id"])
+    )
+    ev["v"] = ev["value"].apply(lambda x: math.floor(x * 100))
+    got = {
+        r["event_type"]: r
+        for r in QUERIES["ts_pacf_bounded"](spark, sf_dir).collect()
+    }
+    for typ, grp in ev.groupby("event_type"):
+        vs = [int(x) for x in grp["v"]]
+        rho = {}
+        for k in (1, 2, 3):
+            xs = vs[k:]
+            ys = vs[:-k]
+            n = len(xs)
+            sx, sy = sum(xs), sum(ys)
+            sxy = sum(a * b for a, b in zip(xs, ys))
+            sxx = sum(a * a for a in xs)
+            syy = sum(b * b for b in ys)
+            rho[k] = (
+                math.floor(
+                    (n * sxy - sx * sy)
+                    / math.sqrt(
+                        (n * sxx - sx * sx) * (n * syy - sy * sy)
+                    )
+                    * 1000000
+                )
+                / 1000000.0
+            )
+        r1, r2, r3 = rho[1], rho[2], rho[3]
+        phi22 = (r2 - r1 * r1) / (1.0 - r1 * r1)
+        phi21 = r1 - phi22 * r1
+        phi33 = (r3 - phi21 * r2 - phi22 * r1) / (
+            1.0 - phi21 * r1 - phi22 * r2
+        )
+        r = got[typ]
+        assert r["pacf1_e6"] == math.floor(r1 * 1000000)
+        assert r["pacf2_e6"] == math.floor(phi22 * 1000000)
+        assert r["pacf3_e6"] == math.floor(phi33 * 1000000)
+
+
+def test_arch_lm_referee(spark, sf_dir):
+    import pyarrow.parquet as pq
+
+    ev = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+    ).to_pandas()
+    ev["d"] = ev["ts"].dt.date
+    daily = ev.groupby(["event_type", "d"]).size()
+    got = {
+        r["event_type"]: r
+        for r in QUERIES["ts_arch_effect_lm1"](spark, sf_dir).collect()
+    }
+    for typ, grp in daily.groupby(level=0):
+        vs = [int(x) for x in grp.sort_index().values]
+        dv = [b - a for a, b in zip(vs, vs[1:])]
+        s = [x * x for x in dv]
+        xs, ys = s[:-1], s[1:]
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        sxx = sum(a * a for a in xs)
+        syy = sum(b * b for b in ys)
+        num = n * sxy - sx * sy
+        lm = (
+            float(num)
+            * float(num)
+            / float(n * sxx - sx * sx)
+            / float(n * syy - sy * sy)
+            * n
+            * 1000000
+        )
+        r = got[typ]
+        assert r["n"] == n
+        assert r["lm_e6"] == math.floor(lm)
+        # LM = n*R^2 lives in [0, n]
+        assert 0 <= r["lm_e6"] <= n * 1000000
