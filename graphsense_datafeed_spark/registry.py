@@ -14,7 +14,11 @@ computed column on both.
 
 from __future__ import annotations
 
+import glob
 import importlib
+import json
+import os
+import re
 from collections.abc import Callable
 from typing import Optional
 
@@ -543,21 +547,118 @@ _ROUND10_NEXT_UP = (
 
 _loaded = False
 
+# Landing-order queue for rows that have never been inside a driver
+# window.  compute_window_order() consults this for the NEVER category's
+# relative order; operators added in round 10+ append here in landing
+# order so each lands near the head of a future window.
+_NEVER_CHECKED_QUEUE = _ROUND10_NEXT_UP
+
+
+def _ledger_last_seen(repo_root: str) -> dict[str, tuple[int, bool, bool]]:
+    """Scan every CORRECTNESS_r*.json ledger and return, per query id,
+    ``(round, green, rows_only)`` for the HIGHEST round mentioning it.
+
+    ``green`` for a rows-only entry (``err == "no_oracle"``) means the
+    driver's weaker >0-rows check passed; ``rows_only`` records that the
+    check was the weak one, so a row whose exact oracle landed AFTER its
+    last driver contact can be front-loaded for a real hash-match.
+    """
+    last: dict[str, tuple[int, bool, bool]] = {}
+    for path in glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        with open(path) as fh:
+            ledger = json.load(fh)
+        if not isinstance(ledger, dict):
+            continue
+        for qid, res in ledger.items():
+            if not isinstance(res, dict):
+                continue
+            rows_only = res.get("err") == "no_oracle"
+            if rows_only:
+                green = bool(res.get("spark_rows"))
+            else:
+                green = bool(
+                    res.get("rows_match")
+                    and res.get("schema_match")
+                    and res.get("hash_match") is not False
+                    and not res.get("err")
+                )
+            if qid not in last or rnd > last[qid][0]:
+                last[qid] = (rnd, green, rows_only)
+    return last
+
+
+def compute_window_order() -> list[str]:
+    """Mechanical driver-window ordering (VERDICT r9 item 4, executable).
+
+    Priority within the ordering the driver's capped first-50 sweep sees:
+
+    1. RED — most recent driver appearance failed; always front-load.
+    2. ORACLE-RETIRED — last driver contact was the weak rows-only check
+       but an exact DuckDB oracle is registered now; the hash-match has
+       never actually run in a driver window.
+    3. NEVER-CHECKED — absent from every ledger, in landing-queue order
+       (``_NEVER_CHECKED_QUEUE``), unknown stragglers behind in
+       registration order.
+    4. RE-CHECK — driver-green rows, oldest last-green round first, so
+       once the never-checked queue drains no green row goes more than
+       ~(registry_size / 50) rounds without re-verification (anti-rot).
+
+    Must be called after operator modules are imported (QUERIES full).
+    Raises on unreadable ledgers; the caller falls back to the static
+    window tuples in that case.
+    """
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    last = _ledger_last_seen(repo_root)
+    registered = list(QUERIES)
+    queue_pos = {q: i for i, q in enumerate(_NEVER_CHECKED_QUEUE)}
+
+    red = [q for q in registered if q in last and not last[q][1]]
+    retired = [
+        q
+        for q in registered
+        if q in last and last[q][1] and last[q][2] and q in ORACLES
+    ]
+    never = sorted(
+        (q for q in registered if q not in last),
+        key=lambda q: (queue_pos.get(q, len(queue_pos)), registered.index(q)),
+    )
+    seen_front = set(red) | set(retired)
+    recheck = sorted(
+        (
+            q
+            for q in registered
+            if q in last and last[q][1] and q not in seen_front
+        ),
+        key=lambda q: (last[q][0], registered.index(q)),
+    )
+    return red + retired + never + recheck
+
 
 def load_all_operators() -> None:
     """Import every operator module exactly once (idempotent), then
     order the registry so the driver's capped per-round sweep lands on
-    (1) fixed rows needing re-check, (2) never-checked oracle rows."""
+    (1) red rows, (2) oracle-retired rows, (3) never-checked rows,
+    (4) oldest-green re-checks — computed mechanically from the
+    CORRECTNESS_r*.json ledgers (compute_window_order); the static
+    window tuples above are the fallback if the ledgers are unreadable
+    (e.g. a bare checkout without driver artifacts)."""
     global _loaded
     if _loaded:
         return
     for mod in _OPERATOR_MODULES:
         importlib.import_module(mod)
-    pinned = [
-        q
-        for q in _ROUND9_WINDOW + _ROUND10_NEXT_UP + _ROUND8_WINDOW + _ROUND7_WINDOW + _ROUND6_WINDOW + _ROUND5_WINDOW
-        if q in QUERIES
-    ]
+    try:
+        pinned = compute_window_order()
+    except Exception:
+        pinned = [
+            q
+            for q in _ROUND9_WINDOW + _ROUND10_NEXT_UP + _ROUND8_WINDOW + _ROUND7_WINDOW + _ROUND6_WINDOW + _ROUND5_WINDOW
+            if q in QUERIES
+        ]
     rest = [q for q in QUERIES if q not in set(pinned)]
     reordered = {q: QUERIES[q] for q in [*pinned, *rest]}
     QUERIES.clear()

@@ -1,35 +1,28 @@
-"""Compute the next driver-window ordering mechanically.
+"""Print the next driver-window ordering mechanically.
 
     python /root/repo/scripts/next_window.py [--limit N]
 
-Reads every CORRECTNESS_r*.json ledger in the repo root and emits, in
-window order:
+Thin CLI over ``registry.compute_window_order()`` (the executable
+rotation recipe — VERDICT r9 item 4).  Reads every CORRECTNESS_r*.json
+ledger in the repo root and emits, in window order:
 
-  1. RED rows (any row whose most recent driver appearance failed) —
-     these always front-load;
-  2. NEVER-CHECKED rows (registered queries absent from every ledger),
-     in current registry order;
-  3. RE-CHECK rows: all driver-green rows, oldest last-green round
-     first — so once the never-checked queue drains (~r10), the window
-     becomes a rotating re-check sample and no green row goes more
-     than ~(registry_size/50) rounds without re-verification.
+  1. RED rows (most recent driver appearance failed) — always first;
+  2. ORACLE-RETIRED rows (driver last saw the weak rows-only check but
+     an exact oracle is registered now) — the hash-match has never run;
+  3. NEVER-CHECKED rows (absent from every ledger), landing-queue order;
+  4. RE-CHECK rows: driver-green rows, oldest last-green round first.
 
-Output is one query id per line (paste-ready for the registry window
-tuple); --limit 50 trims to a driver window.
+Output is one query id per line (paste-ready); --limit 50 trims to a
+driver window.  ``load_all_operators()`` applies the same ordering to
+the live registry, so this script is a preview, not a separate recipe.
 """
 
 from __future__ import annotations
 
 import argparse
-import glob
-import json
-import os
-import re
 import sys
 
 sys.path.insert(0, "/root/repo")
-
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> int:
@@ -40,50 +33,30 @@ def main() -> int:
     from graphsense_datafeed_spark import registry
 
     registry.load_all_operators()
-    registered = list(registry.QUERIES)
+    ordered = registry.compute_window_order()
+    import os
 
-    # last_seen[qid] = (round, green?) for the HIGHEST round mentioning it
-    last_seen: dict[str, tuple[int, bool]] = {}
-    for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
-        rnd = int(re.search(r"_r(\d+)\.json$", path).group(1))
-        with open(path) as fh:
-            ledger = json.load(fh)
-        for qid, res in ledger.items():
-            if res.get("err") == "no_oracle":
-                # rows-only entry: the driver's weaker check is
-                # "runs and returns >0 rows", not a hash match
-                green = bool(res.get("spark_rows"))
-            else:
-                green = bool(
-                    res.get("rows_match")
-                    and res.get("schema_match")
-                    and res.get("hash_match") is not False
-                    and not res.get("err")
-                )
-            if qid not in last_seen or rnd > last_seen[qid][0]:
-                last_seen[qid] = (rnd, green)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    last = registry._ledger_last_seen(repo)
 
-    red = [q for q in registered if q in last_seen and not last_seen[q][1]]
-    never = [q for q in registered if q not in last_seen]
-    recheck = sorted(
-        (q for q in registered if q in last_seen and last_seen[q][1]),
-        key=lambda q: (last_seen[q][0], registered.index(q)),
-    )
-    ordered = red + never + recheck
-    if args.limit:
-        ordered = ordered[: args.limit]
+    n_red = n_retired = n_never = n_green = 0
+    lines = []
     for q in ordered:
-        tag = (
-            "RED"
-            if q in red
-            else "NEW"
-            if q in never
-            else f"green r{last_seen[q][0]}"
-        )
-        print(f"{q}  # {tag}")
+        if q not in last:
+            tag, n_never = "NEW", n_never + 1
+        elif not last[q][1]:
+            tag, n_red = "RED", n_red + 1
+        elif last[q][2] and q in registry.ORACLES:
+            tag, n_retired = f"ORACLE-RETIRED (rows-only r{last[q][0]})", n_retired + 1
+        else:
+            tag, n_green = f"green r{last[q][0]}", n_green + 1
+        lines.append(f"{q}  # {tag}")
+    if args.limit:
+        lines = lines[: args.limit]
+    print("\n".join(lines))
     print(
-        f"-- {len(red)} red, {len(never)} never-checked, "
-        f"{len(recheck)} re-check candidates --",
+        f"-- {n_red} red, {n_retired} oracle-retired, {n_never} never-checked, "
+        f"{n_green} re-check candidates --",
         file=sys.stderr,
     )
     return 0
