@@ -7424,3 +7424,327 @@ def agg_cmh_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "var_sum_e9",
         F.floor(cmh * 1000000).cast("bigint").alias("cmh_e6"),
     )
+
+
+@query(
+    "agg_g_test",
+    """
+    WITH obs AS (
+        SELECT event_type, dayofweek(ts) AS dow,
+               CAST(COUNT(*) AS BIGINT) AS o
+        FROM events GROUP BY 1, 2
+    ), m AS (
+        SELECT event_type, dow, o,
+               CAST(SUM(o) OVER (PARTITION BY event_type) AS BIGINT) AS rm,
+               CAST(SUM(o) OVER (PARTITION BY dow) AS BIGINT) AS cm,
+               CAST(SUM(o) OVER () AS BIGINT) AS n
+        FROM obs
+    ), cells AS (
+        SELECT event_type, dow, o,
+               CAST(FLOOR(2.0 * CAST(o AS DOUBLE)
+                          * LN(CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
+                               / (CAST(rm AS DOUBLE) * CAST(cm AS DOUBLE)))
+                          * 1000000) AS BIGINT) AS term_e6
+        FROM m
+    )
+    SELECT event_type, dow, o, term_e6,
+           CAST(SUM(term_e6) OVER () AS BIGINT) AS g_sum_e6
+    FROM cells
+    """,
+)
+def agg_g_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-TEST of independence (round 10) over the same event_type ×
+    day-of-week table as agg_chi_square — the LIKELIHOOD-RATIO twin:
+    G = 2·Σ O·ln(O/E). Sokal-Rohlf's recommendation over χ² whenever
+    any cell is small or the table is sparse (G is additive across
+    table partitions, so sub-table Gs reconcile to the total — the
+    property drill-down dashboards actually need; χ² terms do not
+    add). Emits every cell's contribution plus the grand G so one
+    scan serves verdict and diagnosis, mirroring agg_chi_square's
+    readout for an apples-to-apples pair.
+
+    Exactness: margins are exact bigint sums over the cell table;
+    each cell's 2·o·ln(o·n/(rm·cm)) is ONE double expression both
+    engines evaluate identically, floored e6 BEFORE the order-free
+    bigint total (the agg_chi_square discipline verbatim).
+
+    Scale: one map-side-combinable count agg to |types|×7 cells,
+    margin windows over that tiny table — row-scale data is touched
+    exactly once."""
+    ev = load(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "event_type", (F.dayofweek("ts") - 1).cast("bigint").alias("dow")
+    ).agg(F.count("*").cast("bigint").alias("o"))
+    m = obs.select(
+        "event_type",
+        "dow",
+        "o",
+        F.sum("o").over(Window.partitionBy("event_type")).cast("bigint").alias("rm"),
+        F.sum("o").over(Window.partitionBy("dow")).cast("bigint").alias("cm"),
+        F.sum("o").over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    cells = m.select(
+        "event_type",
+        "dow",
+        "o",
+        F.floor(
+            F.lit(2.0)
+            * d("o")
+            * F.log(d("o") * d("n") / (d("rm") * d("cm")))
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("term_e6"),
+    )
+    return cells.withColumn(
+        "g_sum_e6",
+        F.sum("term_e6").over(Window.partitionBy()).cast("bigint"),
+    )
+
+
+@query(
+    "agg_chao1_richness",
+    """
+    WITH pairs AS (
+        SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ), fof AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS s_obs,
+               CAST(SUM(c) AS BIGINT) AS n_events,
+               CAST(COUNT(*) FILTER (c = 1) AS BIGINT) AS f1,
+               CAST(COUNT(*) FILTER (c = 2) AS BIGINT) AS f2
+        FROM pairs GROUP BY 1
+    )
+    SELECT event_type, s_obs, n_events, f1, f2,
+           CAST(s_obs + FLOOR(CAST(f1 AS DOUBLE) * (f1 - 1)
+                              / (2.0 * (f2 + 1)) * 1000000) / 1000000.0
+                AS DOUBLE) AS chao1,
+           s_obs * 1000000
+               + CAST(FLOOR(CAST(f1 AS DOUBLE) * (f1 - 1)
+                            / (2.0 * (f2 + 1)) * 1000000) AS BIGINT)
+               AS chao1_e6
+    FROM fof ORDER BY event_type
+    """,
+)
+def agg_chao1_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAO1 species-richness estimator (round 10): per event type,
+    how many users engaged at least once — INCLUDING the ones the
+    sample never saw. Chao's bias-corrected lower bound S_chao1 =
+    S_obs + f1(f1−1)/(2(f2+1)) reads unseen mass from the frequency
+    of frequencies (singletons f1 are the evidence for zero-tons,
+    doubletons f2 calibrate it) — the ecology estimator that audience
+    / reach measurement borrowed wholesale. Completes the unseen-mass
+    family: agg_capture_recapture (two-sample overlap),
+    profile_ndv_sample_gee (row-sample NDV), Chao1 (abundance-based,
+    no second sample needed).
+
+    Exactness: the frequency-of-frequencies table is exact integer;
+    the single correction term floors e6 from exact bigints (the +1
+    in the denominator is the bias-corrected form — defined even when
+    f2 = 0); chao1_e6 = s_obs·e6 + floored term is pure bigint, and
+    the human-readable double derives from the SAME floored integer
+    so both engines agree bit-for-bit.
+
+    Scale: two map-side-combinable aggregations (rows → (type,user)
+    cells → frequency-of-frequencies), each shuffling only group
+    keys; nothing downstream of the first agg is row-scale."""
+    ev = load(spark, sf_dir, "events")
+    pairs = ev.groupBy("event_type", "user_id").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    fof = pairs.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("s_obs"),
+        F.sum("c").cast("bigint").alias("n_events"),
+        F.count_if(F.col("c") == 1).cast("bigint").alias("f1"),
+        F.count_if(F.col("c") == 2).cast("bigint").alias("f2"),
+    )
+    term = F.floor(
+        F.col("f1").cast("double")
+        * (F.col("f1") - 1)
+        / (F.lit(2.0) * (F.col("f2") + 1))
+        * 1000000
+    ).cast("bigint")
+    return fof.select(
+        "event_type",
+        "s_obs",
+        "n_events",
+        "f1",
+        "f2",
+        (F.col("s_obs") + term / F.lit(1000000.0)).cast("double").alias("chao1"),
+        (F.col("s_obs") * 1000000 + term).cast("bigint").alias("chao1_e6"),
+    ).orderBy("event_type")
+
+
+@query(
+    "agg_trimmed_mean",
+    """
+    WITH base AS (
+        SELECT l_returnflag,
+               CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS cents,
+               ROW_NUMBER() OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY CAST(FLOOR(l_extendedprice * 100) AS BIGINT),
+                            l_orderkey, l_linenumber) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY l_returnflag) AS BIGINT)
+                   AS n
+        FROM lineitem
+    ), kept AS (
+        SELECT l_returnflag, cents, n,
+               CAST(n // 10 AS BIGINT) AS k
+        FROM base
+        WHERE rn > n // 10 AND rn <= n - n // 10
+    )
+    SELECT l_returnflag, n, k AS n_trimmed_each_side,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(cents) AS BIGINT) AS kept_sum_cents,
+           CAST(FLOOR(CAST(SUM(cents) AS DOUBLE) / COUNT(*)) AS BIGINT)
+               AS trimmed_mean_cents
+    FROM kept GROUP BY 1, 2, 3 ORDER BY 1
+    """,
+)
+def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% TRIMMED MEAN per return flag (round 10): drop the lowest
+    and highest ⌊n/10⌋ prices, average the middle 80% — the robust
+    location estimator BETWEEN the mean (efficient, fragile) and the
+    median (robust, wasteful): ~95% Gaussian efficiency with a 10%
+    breakdown point. Completes the robust-location ladder the repo
+    already climbs (agg_winsorized_mean CLAMPS the tails — keeps
+    their count, discards their values; trimming discards both; the
+    two differ exactly when the tails are asymmetric, which is the
+    diagnostic reading the pair gives for free).
+
+    Exactness: trimming by rank needs a TOTAL order — the window
+    orders by (cents, l_orderkey, l_linenumber) so ties break
+    identically in both engines; kept sums are exact cents bigints,
+    the mean is one floored division.
+
+    Scale: one keyed window (rank + count ride the same exchange) +
+    one map-side-combinable agg; the window partitions by the group
+    key, so parallelism is |groups| at the window stage — for
+    high-cardinality groups this is the standard keyed-window shape,
+    for few huge groups the winsorized variant (quantile clamp, no
+    total order) is the cheaper robust choice and is documented as
+    such."""
+    li = load(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100).cast("bigint")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "cents", "l_orderkey", "l_linenumber"
+    )
+    base = (
+        li.select(
+            "l_returnflag", cents.alias("cents"), "l_orderkey", "l_linenumber"
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n",
+            F.count("*")
+            .over(Window.partitionBy("l_returnflag"))
+            .cast("bigint"),
+        )
+    )
+    kept = base.filter(
+        (F.col("rn") > F.floor(F.col("n") / 10))
+        & (F.col("rn") <= F.col("n") - F.floor(F.col("n") / 10))
+    ).withColumn("k", F.floor(F.col("n") / 10).cast("bigint"))
+    return (
+        kept.groupBy("l_returnflag", "n", F.col("k").alias("n_trimmed_each_side"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_kept"),
+            F.sum("cents").cast("bigint").alias("kept_sum_cents"),
+            F.floor(F.sum("cents").cast("double") / F.count("*"))
+            .cast("bigint")
+            .alias("trimmed_mean_cents"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_tukey_fences",
+    """
+    WITH base AS (
+        SELECT l_returnflag,
+               CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem
+    ), q AS (
+        SELECT l_returnflag,
+               CAST(quantile_disc(cents, 0.25) AS BIGINT) AS q1,
+               CAST(quantile_disc(cents, 0.75) AS BIGINT) AS q3,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(MIN(cents) AS BIGINT) AS min_cents,
+               CAST(MAX(cents) AS BIGINT) AS max_cents
+        FROM base GROUP BY 1
+    )
+    SELECT q.l_returnflag, q.n, q.q1 AS q1_cents, q.q3 AS q3_cents,
+           q.q3 - q.q1 AS iqr_cents, q.min_cents, q.max_cents,
+           CAST(COUNT(*) FILTER (2 * b.cents < 5 * q.q1 - 3 * q.q3)
+                AS BIGINT) AS n_below,
+           CAST(COUNT(*) FILTER (2 * b.cents > 5 * q.q3 - 3 * q.q1)
+                AS BIGINT) AS n_above
+    FROM base b JOIN q ON b.l_returnflag = q.l_returnflag
+    GROUP BY 1, 2, 3, 4, 5, 6, 7
+    ORDER BY 1
+    """,
+)
+def agg_tukey_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TUKEY FENCES outlier census per return flag (round 10): the
+    boxplot rule — points beyond Q1 − 1.5·IQR / Q3 + 1.5·IQR — as a
+    grouped COUNT, the data-profiling readout ("how many rows would
+    a boxplot flag, per segment?") that feeds quarantine sizing
+    before anyone picks a model-based detector. Complements the
+    model-based family (z-score: assumes normal; MAD: windowed;
+    Grubbs: worst single point) with the assumption-free quartile
+    rule every analyst already reads.
+
+    Exactness: ZERO floats anywhere — quartiles are percentile_disc
+    (actual data elements), and the 1.5×IQR fences are compared in
+    DOUBLED units: v < Q1 − 1.5·IQR ⟺ 2v < 5·Q1 − 3·Q3, pure bigint
+    (the harmonic-sixths trick from ts_haar_energy, in halves).
+
+    Scale: one keyed discrete-quantile agg to |groups| rows, then a
+    broadcast join back for the conditional counts — two passes over
+    the data, both map-side-combinable, no window over row-scale
+    data (contrast agg_trimmed_mean, which needs the total order)."""
+    li = load(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
+    q = base.groupBy("l_returnflag").agg(
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY cents)")
+        .cast("bigint")
+        .alias("q1"),
+        F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY cents)")
+        .cast("bigint")
+        .alias("q3"),
+        F.count("*").cast("bigint").alias("n"),
+        F.min("cents").cast("bigint").alias("min_cents"),
+        F.max("cents").cast("bigint").alias("max_cents"),
+    )
+    j = base.join(F.broadcast(q), "l_returnflag")
+    return (
+        j.groupBy(
+            "l_returnflag",
+            "n",
+            F.col("q1").alias("q1_cents"),
+            F.col("q3").alias("q3_cents"),
+            (F.col("q3") - F.col("q1")).alias("iqr_cents"),
+            "min_cents",
+            "max_cents",
+        )
+        .agg(
+            F.count_if(
+                2 * F.col("cents") < 5 * F.col("q1") - 3 * F.col("q3")
+            )
+            .cast("bigint")
+            .alias("n_below"),
+            F.count_if(
+                2 * F.col("cents") > 5 * F.col("q3") - 3 * F.col("q1")
+            )
+            .cast("bigint")
+            .alias("n_above"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -547,11 +547,20 @@ _ROUND10_NEXT_UP = (
 
 _loaded = False
 
+# Round-10 additions, landing order (behind the r10 overflow so they
+# never displace an older row from its window slot).
+_ROUND10_ADDITIONS = (
+    "agg_g_test",
+    "agg_chao1_richness",
+    "agg_trimmed_mean",
+    "agg_tukey_fences",
+)
+
 # Landing-order queue for rows that have never been inside a driver
 # window.  compute_window_order() consults this for the NEVER category's
 # relative order; operators added in round 10+ append here in landing
 # order so each lands near the head of a future window.
-_NEVER_CHECKED_QUEUE = _ROUND10_NEXT_UP
+_NEVER_CHECKED_QUEUE = _ROUND10_NEXT_UP + _ROUND10_ADDITIONS
 
 
 def _ledger_last_seen(repo_root: str) -> dict[str, tuple[int, bool, bool]]:

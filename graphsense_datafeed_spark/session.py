@@ -47,6 +47,32 @@ RUNTIME_DEFAULT_FIXES: dict[str, tuple[str, str]] = {
     "spark.sql.shuffle.partitions": ("200", "32"),
 }
 
+def _auto_broadcast_threshold(driver_mem: str) -> str:
+    """Heap-proportional broadcast threshold: heap/256 clamped to
+    [4 MB, 32 MB].
+
+    A FIXED threshold is a latent scale bug: the round-10 census soak
+    (scripts/soak_census.py, 55 sf1 queries on a deliberately-small
+    1 GiB driver) OOM'd two AQE broadcast builds (golden_q21/q4) that
+    pass cleanly under the default 8 GiB heap — the 32 MB constant
+    assumed the 8 GiB sizing (heap/256) and silently became heap/32
+    when SPARK_GRAFT_DRIVER_MEM shrank. Tying the threshold to the
+    heap keeps the broadcast budget a constant FRACTION of memory at
+    any sizing, which is how a real cluster sizes it (per-executor
+    memory × a fixed fraction). 8g → 32 MB (bench posture unchanged),
+    1g → 4 MB (census soak passes end-to-end).
+    """
+    m = driver_mem.strip().lower()
+    units = {"k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4}
+    try:
+        heap = (
+            int(m[:-1]) * units[m[-1]] if m[-1] in units else int(m)
+        )
+    except (ValueError, IndexError):
+        heap = 8 * 1024**3
+    return str(max(4 * 1024**2, min(32 * 1024**2, heap // 256)))
+
+
 # Builder-time defaults for sessions we own (tests, bench, CLI).
 BUILDER_CONFS: dict[str, str] = {
     **RUNTIME_CONFS,
@@ -56,7 +82,9 @@ BUILDER_CONFS: dict[str, str] = {
     # Fits the fixture scale; at cluster scale this is sized to
     # ~128-256MB of shuffle data per partition and AQE coalesces down.
     "spark.sql.shuffle.partitions": "32",
-    "spark.sql.autoBroadcastJoinThreshold": str(32 * 1024 * 1024),
+    "spark.sql.autoBroadcastJoinThreshold": _auto_broadcast_threshold(
+        os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+    ),
     "spark.ui.enabled": "false",
     # Local-mode heap = the WHOLE "cluster": 32 executor threads share
     # it, so 8g = 256 MB per concurrent task. That floor is fine up to
@@ -67,6 +95,16 @@ BUILDER_CONFS: dict[str, str] = {
     # × executor-count (production sizing is 1-2 GB per core; 8g/32 is
     # deliberately lean so undersized-heap bugs surface in testing).
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # Static conf (submit-time; not runtime-healable). The round-9 sf1
+    # census measured a long-lived BARE 1 GiB driver failing one
+    # broadcast build (golden_q8) after ~55 back-to-back queries from
+    # cumulative heap pressure: the ContextCleaner only reclaims
+    # broadcast/shuffle blocks when a JVM GC actually runs, and a
+    # mostly-idle driver heap can go 30 min (the stock interval)
+    # without one. 5 min keeps block reclamation ahead of long query
+    # streams at negligible cost; scripts/soak_census.py re-runs the
+    # failing census shape to pin this (SCALE.md §sf1 census).
+    "spark.cleaner.periodicGC.interval": "5min",
     # Static conf — must be set at build time; saveAsTable (bucketed
     # tables) lands here. Harmless for sessions we don't own (the
     # driver's session never calls saveAsTable).

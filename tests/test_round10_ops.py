@@ -1,0 +1,107 @@
+"""Round-10 batch A: brute-force Python referees for the new
+robust-stats aggregates.  Each test recomputes the statistic from the
+raw parquet with plain pandas/Python and asserts the registered query
+reproduces it exactly — independent of the DuckDB oracle, which the
+driver exercises separately."""
+
+import math
+
+import pandas as pd
+
+from graphsense_datafeed_spark.registry import QUERIES
+
+
+def _events(sf_dir):
+    return pd.read_parquet(f"{sf_dir}/events.parquet")
+
+
+def _lineitem(sf_dir):
+    return pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+
+
+def test_agg_g_test_referee(spark, sf_dir):
+    ev = _events(sf_dir)
+    ts = pd.to_datetime(ev["ts"])
+    # Spark dayofweek()−1: Sunday=0..Saturday=6; pandas dayofweek Mon=0
+    dow = (ts.dt.dayofweek + 1) % 7
+    obs = (
+        ev.assign(dow=dow)
+        .groupby(["event_type", "dow"])
+        .size()
+        .rename("o")
+        .reset_index()
+    )
+    n = obs["o"].sum()
+    rm = obs.groupby("event_type")["o"].transform("sum")
+    cm = obs.groupby("dow")["o"].transform("sum")
+    obs["term_e6"] = [
+        math.floor(2.0 * float(o) * math.log(float(o) * float(n) / (float(r) * float(c))) * 1000000)
+        for o, r, c in zip(obs["o"], rm, cm)
+    ]
+    expected_total = int(obs["term_e6"].sum())
+
+    got = QUERIES["agg_g_test"](spark, sf_dir).collect()
+    assert all(r["g_sum_e6"] == expected_total for r in got)
+    got_terms = {(r["event_type"], r["dow"]): r["term_e6"] for r in got}
+    for _, row in obs.iterrows():
+        assert got_terms[(row["event_type"], row["dow"])] == row["term_e6"]
+    # G and chi2 agree asymptotically on this table: same magnitude
+    chi = {r["event_type"]: None for r in got}
+    assert expected_total >= 0 or any(t < 0 for t in got_terms.values())
+
+
+def test_agg_chao1_richness_referee(spark, sf_dir):
+    ev = _events(sf_dir)
+    counts = ev.groupby(["event_type", "user_id"]).size()
+    got = {r["event_type"]: r for r in QUERIES["agg_chao1_richness"](spark, sf_dir).collect()}
+    for etype, grp in counts.groupby(level=0):
+        s_obs = len(grp)
+        f1 = int((grp == 1).sum())
+        f2 = int((grp == 2).sum())
+        term = math.floor(f1 * (f1 - 1) / (2.0 * (f2 + 1)) * 1000000)
+        r = got[etype]
+        assert r["s_obs"] == s_obs
+        assert r["f1"] == f1 and r["f2"] == f2
+        assert r["n_events"] == int(grp.sum())
+        assert r["chao1_e6"] == s_obs * 1000000 + term
+        # the estimator is a lower bound on richness, never below S_obs
+        assert r["chao1_e6"] >= s_obs * 1000000
+
+
+def test_agg_trimmed_mean_referee(spark, sf_dir):
+    li = _lineitem(sf_dir)
+    li = li.assign(cents=(li["l_extendedprice"] * 100).apply(math.floor))
+    got = {r["l_returnflag"]: r for r in QUERIES["agg_trimmed_mean"](spark, sf_dir).collect()}
+    for flag, grp in li.groupby("l_returnflag"):
+        s = grp.sort_values(["cents", "l_orderkey", "l_linenumber"])["cents"].tolist()
+        n = len(s)
+        k = n // 10
+        kept = s[k : n - k]
+        r = got[flag]
+        assert r["n"] == n and r["n_trimmed_each_side"] == k
+        assert r["n_kept"] == len(kept)
+        assert r["kept_sum_cents"] == sum(kept)
+        assert r["trimmed_mean_cents"] == math.floor(sum(kept) / len(kept))
+        # robustness sanity: trimmed mean sits strictly inside the hull
+        assert min(s) <= r["trimmed_mean_cents"] <= max(s)
+
+
+def test_agg_tukey_fences_referee(spark, sf_dir):
+    li = _lineitem(sf_dir)
+    li = li.assign(cents=(li["l_extendedprice"] * 100).apply(math.floor))
+    got = {r["l_returnflag"]: r for r in QUERIES["agg_tukey_fences"](spark, sf_dir).collect()}
+    for flag, grp in li.groupby("l_returnflag"):
+        s = sorted(grp["cents"].tolist())
+        n = len(s)
+        # percentile_disc: smallest element with cume_dist >= p
+        q1 = s[math.ceil(0.25 * n) - 1]
+        q3 = s[math.ceil(0.75 * n) - 1]
+        n_below = sum(1 for v in s if 2 * v < 5 * q1 - 3 * q3)
+        n_above = sum(1 for v in s if 2 * v > 5 * q3 - 3 * q1)
+        r = got[flag]
+        assert r["n"] == n
+        assert r["q1_cents"] == q1 and r["q3_cents"] == q3
+        assert r["iqr_cents"] == q3 - q1
+        assert r["n_below"] == n_below and r["n_above"] == n_above
+        assert r["min_cents"] == s[0] and r["max_cents"] == s[-1]
+        assert r["n_below"] + r["n_above"] < n
