@@ -7748,3 +7748,408 @@ def agg_tukey_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "agg_goodman_kruskal_gamma",
+    """
+    WITH q AS (
+        SELECT CAST(quantile_disc(CAST(ROUND(o_totalprice * 100)
+                                       AS BIGINT), 0.25) AS BIGINT) AS b1,
+               CAST(quantile_disc(CAST(ROUND(o_totalprice * 100)
+                                       AS BIGINT), 0.50) AS BIGINT) AS b2,
+               CAST(quantile_disc(CAST(ROUND(o_totalprice * 100)
+                                       AS BIGINT), 0.75) AS BIGINT) AS b3
+        FROM orders
+    ), base AS (
+        SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS xr,
+               1 + CASE WHEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                             > q.b1 THEN 1 ELSE 0 END
+                 + CASE WHEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                             > q.b2 THEN 1 ELSE 0 END
+                 + CASE WHEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                             > q.b3 THEN 1 ELSE 0 END AS yb
+        FROM orders, q
+    ), cells AS (
+        SELECT xr, yb, CAST(COUNT(*) AS BIGINT) AS c
+        FROM base GROUP BY 1, 2
+    ), pc AS (
+        SELECT
+            CAST(SUM(CASE WHEN a.xr < b.xr AND a.yb < b.yb
+                     THEN a.c * b.c ELSE 0 END) AS BIGINT) AS conc,
+            CAST(SUM(CASE WHEN a.xr < b.xr AND a.yb > b.yb
+                     THEN a.c * b.c ELSE 0 END) AS BIGINT) AS disc,
+            CAST(SUM(CASE WHEN a.xr = b.xr AND a.yb < b.yb
+                     THEN a.c * b.c ELSE 0 END) AS BIGINT) AS tie_x_only,
+            CAST(SUM(CASE WHEN a.xr < b.xr AND a.yb = b.yb
+                     THEN a.c * b.c ELSE 0 END) AS BIGINT) AS tie_y_only,
+            CAST(SUM(CASE WHEN a.xr = b.xr AND a.yb = b.yb
+                          AND a.rowid_ = b.rowid_
+                     THEN a.c * (a.c - 1) // 2 ELSE 0 END) AS BIGINT)
+                AS tie_both
+        FROM (SELECT xr, yb, c, xr * 100 + yb AS rowid_ FROM cells) a,
+             (SELECT xr, yb, c, xr * 100 + yb AS rowid_ FROM cells) b
+    )
+    SELECT conc, disc, tie_x_only, tie_y_only, tie_both,
+           conc + disc + tie_x_only + tie_y_only + tie_both AS n_pairs,
+           CAST(FLOOR((CAST(conc AS DOUBLE) - disc)
+                      / (CAST(conc AS DOUBLE) + disc) * 1000000)
+                AS BIGINT) AS gamma_e6,
+           CAST(FLOOR((CAST(conc AS DOUBLE) - disc)
+                      / (CAST(conc AS DOUBLE) + disc + tie_y_only)
+                      * 1000000) AS BIGINT) AS somers_dyx_e6,
+           CAST(FLOOR((CAST(conc AS DOUBLE) - disc)
+                      / (CAST(conc AS DOUBLE) + disc + tie_x_only)
+                      * 1000000) AS BIGINT) AS somers_dxy_e6
+    FROM pc
+    """,
+)
+def agg_goodman_kruskal_gamma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GOODMAN-KRUSKAL GAMMA + SOMERS' D (round 10) on the ordinal ×
+    ordinal table priority-rank (1-5) × price quartile (1-4): the
+    ordinal-association pair agg_kendall_tau cannot serve when BOTH
+    axes are coarse categories — with 20 cells almost every pair is
+    tied somewhere, tau-b's symmetric tie penalty crushes toward 0,
+    while gamma ignores ties entirely ((C−D)/(C+D)) and Somers' d
+    penalizes only the DEPENDENT side: d(Y|X) = (C−D)/(pairs untied
+    on X) = (C−D)/(C+D+tie_y_only) — the asymmetric version a
+    "does priority predict price band?" question actually wants.
+
+    Exactness AND the scale story in one move: concordant/discordant
+    counts are computed from the CONTINGENCY TABLE, not row pairs —
+    C = Σ_{cells strictly increasing both ways} n_a·n_b over the
+    20×20 cell cross, so the quadratic term is |cells|², constant in
+    SF, while agg_kendall_tau's anchor trick caps n but samples.
+    Ordinal buckets cut at percentile_disc boundaries (actual data
+    elements, deterministic both engines). Every count exact bigint;
+    the three ratios floor once each.
+
+    Scale: one map-side-combinable count agg to ≤20 cells + a
+    broadcast cell cross — row-scale data touched once; this is THE
+    way to compute rank association over categorical axes at 100 TB."""
+    o = load(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    q = o.select(cents.alias("v")).agg(
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY v)")
+        .cast("bigint")
+        .alias("b1"),
+        F.expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY v)")
+        .cast("bigint")
+        .alias("b2"),
+        F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY v)")
+        .cast("bigint")
+        .alias("b3"),
+    )
+    base = o.select(
+        F.substring("o_orderpriority", 1, 1).cast("bigint").alias("xr"),
+        cents.alias("v"),
+    ).crossJoin(F.broadcast(q))
+    base = base.select(
+        "xr",
+        (
+            F.lit(1)
+            + (F.col("v") > F.col("b1")).cast("int")
+            + (F.col("v") > F.col("b2")).cast("int")
+            + (F.col("v") > F.col("b3")).cast("int")
+        )
+        .cast("bigint")
+        .alias("yb"),
+    )
+    cells = base.groupBy("xr", "yb").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    a = cells.select(
+        F.col("xr").alias("axr"), F.col("yb").alias("ayb"), F.col("c").alias("ac")
+    )
+    b = cells.select(
+        F.col("xr").alias("bxr"), F.col("yb").alias("byb"), F.col("c").alias("bc")
+    )
+    cross = a.crossJoin(F.broadcast(b))
+    w = F.col("ac") * F.col("bc")
+    pc = cross.agg(
+        F.sum(
+            F.when((F.col("axr") < F.col("bxr")) & (F.col("ayb") < F.col("byb")), w).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("conc"),
+        F.sum(
+            F.when((F.col("axr") < F.col("bxr")) & (F.col("ayb") > F.col("byb")), w).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("disc"),
+        F.sum(
+            F.when((F.col("axr") == F.col("bxr")) & (F.col("ayb") < F.col("byb")), w).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("tie_x_only"),
+        F.sum(
+            F.when((F.col("axr") < F.col("bxr")) & (F.col("ayb") == F.col("byb")), w).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("tie_y_only"),
+        F.sum(
+            F.when(
+                (F.col("axr") == F.col("bxr")) & (F.col("ayb") == F.col("byb")),
+                F.expr("ac * (ac - 1) DIV 2"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("tie_both"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return pc.select(
+        "conc",
+        "disc",
+        "tie_x_only",
+        "tie_y_only",
+        "tie_both",
+        (
+            F.col("conc")
+            + F.col("disc")
+            + F.col("tie_x_only")
+            + F.col("tie_y_only")
+            + F.col("tie_both")
+        ).alias("n_pairs"),
+        F.floor((d("conc") - d("disc")) / (d("conc") + d("disc")) * 1000000)
+        .cast("bigint")
+        .alias("gamma_e6"),
+        F.floor(
+            (d("conc") - d("disc"))
+            / (d("conc") + d("disc") + d("tie_y_only"))
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("somers_dyx_e6"),
+        F.floor(
+            (d("conc") - d("disc"))
+            / (d("conc") + d("disc") + d("tie_x_only"))
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("somers_dxy_e6"),
+    )
+
+
+@query(
+    "agg_wilcoxon_signed_rank",
+    """
+    WITH pairs AS (
+        SELECT event_type, user_id,
+               CAST(COALESCE(SUM(CASE WHEN EXTRACT(day FROM ts) <= 15
+                   THEN CAST(FLOOR(value * 10000) AS BIGINT) END), 0)
+                   AS BIGINT) AS pre,
+               CAST(COALESCE(SUM(CASE WHEN EXTRACT(day FROM ts) > 15
+                   THEN CAST(FLOOR(value * 10000) AS BIGINT) END), 0)
+                   AS BIGINT) AS post
+        FROM events GROUP BY 1, 2
+    ), diffs AS (
+        SELECT event_type, post - pre AS dd, ABS(post - pre) AS ad
+        FROM pairs WHERE post <> pre
+    ), ranked AS (
+        SELECT event_type, dd,
+               2 * RANK() OVER (PARTITION BY event_type ORDER BY ad)
+                 + COUNT(*) OVER (PARTITION BY event_type, ad) - 1
+                   AS dr
+        FROM diffs
+    ), tg AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS t
+        FROM diffs GROUP BY event_type, ad
+    ), ts_ AS (
+        SELECT event_type,
+               CAST(SUM(t * t * t - t) AS BIGINT) AS tie_sum
+        FROM tg GROUP BY 1
+    ), s AS (
+        SELECT r.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(CASE WHEN dd > 0 THEN dr ELSE 0 END) AS BIGINT)
+                   AS w_plus_x2
+        FROM ranked r GROUP BY 1
+    )
+    SELECT s.event_type, s.n_pairs, s.w_plus_x2,
+           CAST(s.n_pairs * (s.n_pairs + 1) // 2 AS BIGINT) AS mean_x2,
+           CAST(2 * s.n_pairs * (s.n_pairs + 1) * (2 * s.n_pairs + 1)
+               - ts_.tie_sum AS BIGINT) AS var_x12,
+           CASE WHEN 2 * s.n_pairs * (s.n_pairs + 1)
+                     * (2 * s.n_pairs + 1) - ts_.tie_sum > 0
+                THEN CAST(FLOOR(
+                    (CAST(s.w_plus_x2 AS DOUBLE)
+                     - CAST(s.n_pairs AS DOUBLE) * (s.n_pairs + 1) / 2)
+                    / sqrt((CAST(2 * s.n_pairs AS DOUBLE)
+                            * (s.n_pairs + 1) * (2 * s.n_pairs + 1)
+                            - ts_.tie_sum) / 12.0)
+                    * 1000000) AS BIGINT)
+                ELSE NULL END AS z_e6
+    FROM s JOIN ts_ ON s.event_type = ts_.event_type
+    ORDER BY s.event_type
+    """,
+)
+def agg_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WILCOXON SIGNED-RANK test (round 10), per event type: did
+    per-user spend SHIFT between the first and second half of the
+    month?  The PAIRED test the repo's rank family lacked —
+    agg_mann_whitney compares two independent groups, agg_mcnemar two
+    paired BINARY outcomes; signed-rank handles paired CONTINUOUS
+    outcomes without normality (each user is their own control, which
+    removes between-user variance — the reason paired designs need
+    ~½ the sample).  W+ = Σ ranks of |post−pre| over positive diffs;
+    zero diffs drop (Wilcoxon's rule); normal approximation with the
+    tie-corrected variance.
+
+    Exactness: average tie ranks are FRACTIONAL, so everything runs
+    in DOUBLED rank units — 2·avg_rank = 2·RANK() + tie_count − 1 is
+    an exact integer both engines compute from the same window; W+,
+    its mean n(n+1)/2 (doubled units) and the ×12-scaled variance
+    2n(n+1)(2n+1) − Σ(t³−t) are all exact bigints; z floors once.
+
+    Scale: the user-pair rollup is one map-side-combinable keyed agg;
+    the rank window partitions by event_type over |users-with-diffs|
+    rows — keyed, never single-partition; tie correction rides a
+    second tiny agg on the same frame."""
+    ev = load(spark, sf_dir, "events")
+    v = F.floor(F.col("value") * 10000).cast("bigint")
+    pairs = ev.groupBy("event_type", "user_id").agg(
+        F.coalesce(
+            F.sum(F.when(F.dayofmonth("ts") <= 15, v)), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("pre"),
+        F.coalesce(
+            F.sum(F.when(F.dayofmonth("ts") > 15, v)), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("post"),
+    )
+    diffs = pairs.filter(F.col("post") != F.col("pre")).select(
+        "event_type",
+        (F.col("post") - F.col("pre")).alias("dd"),
+        F.abs(F.col("post") - F.col("pre")).alias("ad"),
+    )
+    wr = Window.partitionBy("event_type").orderBy("ad")
+    wt = Window.partitionBy("event_type", "ad")
+    ranked = diffs.select(
+        "event_type",
+        "dd",
+        (2 * F.rank().over(wr) + F.count("*").over(wt) - 1).alias("dr"),
+    )
+    tie_sum = (
+        diffs.groupBy("event_type", "ad")
+        .agg(F.count("*").cast("bigint").alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+            .cast("bigint")
+            .alias("tie_sum")
+        )
+    )
+    s = ranked.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum(F.when(F.col("dd") > 0, F.col("dr")).otherwise(0))
+        .cast("bigint")
+        .alias("w_plus_x2"),
+    )
+    j = s.join(tie_sum, "event_type")
+    n = F.col("n_pairs")
+    var12 = 2 * n * (n + 1) * (2 * n + 1) - F.col("tie_sum")
+    z = (
+        F.col("w_plus_x2").cast("double")
+        - n.cast("double") * (n + 1) / 2
+    ) / F.sqrt(var12.cast("double") / 12.0)
+    return j.select(
+        "event_type",
+        "n_pairs",
+        "w_plus_x2",
+        (n * (n + 1) / 2).cast("bigint").alias("mean_x2"),
+        var12.cast("bigint").alias("var_x12"),
+        F.when(var12 > 0, F.floor(z * 1000000).cast("bigint"))
+        .otherwise(F.lit(None))
+        .alias("z_e6"),
+    ).orderBy("event_type")
+
+
+@query(
+    "agg_gwet_ac1",
+    """
+    WITH rated AS (
+        SELECT CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS a,
+               CASE WHEN length(text) - length(replace(text, ' ', ''))
+                         >= 30 THEN 1 ELSE 0 END AS b
+        FROM documents
+    ), c AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(*) FILTER (a = 1 AND b = 1) AS BIGINT) AS n11,
+               CAST(COUNT(*) FILTER (a = 1 AND b = 0) AS BIGINT) AS n10,
+               CAST(COUNT(*) FILTER (a = 0 AND b = 1) AS BIGINT) AS n01,
+               CAST(COUNT(*) FILTER (a = 0 AND b = 0) AS BIGINT) AS n00
+        FROM rated
+    )
+    SELECT n, n11, n10, n01, n00,
+           CAST(FLOOR(CAST(n11 + n00 AS DOUBLE) / n * 1000000)
+                AS BIGINT) AS pa_e6,
+           CAST(FLOOR(
+               (CAST(n11 + n00 AS DOUBLE) / n
+                - 2.0 * ((CAST(n11 + n10 AS DOUBLE) + (n11 + n01))
+                         / (2.0 * n))
+                      * (1.0 - (CAST(n11 + n10 AS DOUBLE) + (n11 + n01))
+                               / (2.0 * n)))
+               / (1.0
+                  - 2.0 * ((CAST(n11 + n10 AS DOUBLE) + (n11 + n01))
+                           / (2.0 * n))
+                        * (1.0 - (CAST(n11 + n10 AS DOUBLE)
+                                  + (n11 + n01)) / (2.0 * n)))
+               * 1000000) AS BIGINT) AS ac1_e6
+    FROM c
+    """,
+)
+def agg_gwet_ac1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GWET'S AC1 agreement coefficient (round 10) on the SAME two
+    deterministic document-quality raters as agg_cohens_kappa — so
+    the pair demonstrates the PREVALENCE PARADOX directly: when both
+    raters say "keep" for most documents, kappa's chance term pe =
+    Σ marginal products approaches the observed agreement and kappa
+    collapses toward 0 even though the raters almost always agree;
+    Gwet's chance term pe = 2π(1−π) (π = mean of the two raters'
+    positive rates) models chance agreement as happening only on the
+    UNCERTAIN mass, staying stable under skewed marginals.  AC1 is
+    what annotation-quality dashboards report alongside kappa when
+    label distributions are imbalanced — which LLM filter-rule audits
+    almost always are.
+
+    Exactness: one exact 2×2 bigint table (shared shape with kappa);
+    pa and AC1 are each ONE double chain from those integers, floored
+    e6 — both engines evaluate identical expressions.
+
+    Scale: single map-side-combinable conditional-count aggregate;
+    the statistic is O(1) beyond the scan."""
+    docs = load(spark, sf_dir, "documents")
+    rated = docs.select(
+        F.when(F.col("n_chars") >= 200, 1).otherwise(0).alias("a"),
+        F.when(
+            F.length("text") - F.length(F.regexp_replace("text", " ", ""))
+            >= 30,
+            1,
+        )
+        .otherwise(0)
+        .alias("b"),
+    )
+    c = rated.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.count_if((F.col("a") == 1) & (F.col("b") == 1)).cast("bigint").alias("n11"),
+        F.count_if((F.col("a") == 1) & (F.col("b") == 0)).cast("bigint").alias("n10"),
+        F.count_if((F.col("a") == 0) & (F.col("b") == 1)).cast("bigint").alias("n01"),
+        F.count_if((F.col("a") == 0) & (F.col("b") == 0)).cast("bigint").alias("n00"),
+    )
+    d = lambda col: F.col(col).cast("double")  # noqa: E731
+    pa = (d("n11") + d("n00")) / d("n")
+    pi = ((d("n11") + d("n10")) + (d("n11") + d("n01"))) / (2.0 * d("n"))
+    pe = 2.0 * pi * (1.0 - pi)
+    return c.select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.floor(pa * 1000000).cast("bigint").alias("pa_e6"),
+        F.floor((pa - pe) / (1.0 - pe) * 1000000)
+        .cast("bigint")
+        .alias("ac1_e6"),
+    )

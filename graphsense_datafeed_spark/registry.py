@@ -554,6 +554,9 @@ _ROUND10_ADDITIONS = (
     "agg_chao1_richness",
     "agg_trimmed_mean",
     "agg_tukey_fences",
+    "agg_goodman_kruskal_gamma",
+    "agg_wilcoxon_signed_rank",
+    "agg_gwet_ac1",
 )
 
 # Landing-order queue for rows that have never been inside a driver

@@ -105,3 +105,104 @@ def test_agg_tukey_fences_referee(spark, sf_dir):
         assert r["n_below"] == n_below and r["n_above"] == n_above
         assert r["min_cents"] == s[0] and r["max_cents"] == s[-1]
         assert r["n_below"] + r["n_above"] < n
+
+
+def test_agg_goodman_kruskal_gamma_referee(spark, sf_dir):
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    cents = (o["o_totalprice"] * 100).round().astype("int64")
+    s = sorted(cents.tolist())
+    n = len(s)
+
+    def disc_q(p):
+        return s[math.ceil(p * n) - 1]
+
+    b1, b2, b3 = disc_q(0.25), disc_q(0.50), disc_q(0.75)
+    xr = o["o_orderpriority"].str[0].astype(int)
+    yb = 1 + (cents > b1).astype(int) + (cents > b2).astype(int) + (cents > b3).astype(int)
+    from collections import Counter
+
+    cells = Counter(zip(xr, yb))
+    C = D = Tx = Ty = Tb = 0
+    items = list(cells.items())
+    for i, ((x1, y1), c1) in enumerate(items):
+        Tb += c1 * (c1 - 1) // 2
+        for (x2, y2), c2 in items:
+            if x1 < x2 and y1 < y2:
+                C += c1 * c2
+            elif x1 < x2 and y1 > y2:
+                D += c1 * c2
+            elif x1 == x2 and y1 < y2:
+                Tx += c1 * c2
+            elif x1 < x2 and y1 == y2:
+                Ty += c1 * c2
+    r = QUERIES["agg_goodman_kruskal_gamma"](spark, sf_dir).collect()[0]
+    assert (r["conc"], r["disc"]) == (C, D)
+    assert (r["tie_x_only"], r["tie_y_only"], r["tie_both"]) == (Tx, Ty, Tb)
+    assert r["n_pairs"] == n * (n - 1) // 2  # the pair partition is exhaustive
+    assert r["gamma_e6"] == math.floor((C - D) / (C + D) * 1000000)
+    assert r["somers_dyx_e6"] == math.floor((C - D) / (C + D + Ty) * 1000000)
+    assert r["somers_dxy_e6"] == math.floor((C - D) / (C + D + Tx) * 1000000)
+    # gamma ignores ties -> always the largest magnitude of the three
+    assert abs(r["gamma_e6"]) >= abs(r["somers_dyx_e6"])
+    assert abs(r["gamma_e6"]) >= abs(r["somers_dxy_e6"])
+
+
+def test_agg_wilcoxon_signed_rank_referee(spark, sf_dir):
+    ev = _events(sf_dir)
+    ts = pd.to_datetime(ev["ts"])
+    v = (ev["value"] * 10000).apply(math.floor)
+    half = ts.dt.day <= 15
+    df = pd.DataFrame(
+        {"event_type": ev["event_type"], "user_id": ev["user_id"],
+         "pre": v.where(half, 0), "post": v.where(~half, 0)}
+    )
+    g = df.groupby(["event_type", "user_id"])[["pre", "post"]].sum()
+    got = {r["event_type"]: r for r in QUERIES["agg_wilcoxon_signed_rank"](spark, sf_dir).collect()}
+    for etype, grp in g.groupby(level=0):
+        d = (grp["post"] - grp["pre"]).astype("int64")
+        d = d[d != 0].tolist()
+        n = len(d)
+        ads = sorted(abs(x) for x in d)
+        # doubled average ranks
+        from collections import Counter
+
+        cnt = Counter(ads)
+        first_rank = {}
+        rk = 1
+        for val in sorted(cnt):
+            first_rank[val] = rk
+            rk += cnt[val]
+        w2 = 0
+        for x in d:
+            if x > 0:
+                a = abs(x)
+                w2 += 2 * first_rank[a] + cnt[a] - 1
+        tie_sum = sum(t**3 - t for t in cnt.values())
+        var12 = 2 * n * (n + 1) * (2 * n + 1) - tie_sum
+        r = got[etype]
+        assert r["n_pairs"] == n
+        assert r["w_plus_x2"] == w2
+        assert r["mean_x2"] == n * (n + 1) // 2
+        assert r["var_x12"] == var12
+        if var12 > 0:
+            z = (w2 - n * (n + 1) / 2) / math.sqrt(var12 / 12.0)
+            assert r["z_e6"] == math.floor(z * 1000000)
+
+
+def test_agg_gwet_ac1_referee(spark, sf_dir):
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    a = (docs["n_chars"] >= 200).astype(int)
+    b = (docs["text"].str.count(" ") >= 30).astype(int)
+    n = len(docs)
+    n11 = int(((a == 1) & (b == 1)).sum())
+    n10 = int(((a == 1) & (b == 0)).sum())
+    n01 = int(((a == 0) & (b == 1)).sum())
+    n00 = int(((a == 0) & (b == 0)).sum())
+    pa = (n11 + n00) / n
+    pi = ((n11 + n10) + (n11 + n01)) / (2 * n)
+    pe = 2 * pi * (1 - pi)
+    ac1 = (pa - pe) / (1 - pe)
+    r = QUERIES["agg_gwet_ac1"](spark, sf_dir).collect()[0]
+    assert (r["n"], r["n11"], r["n10"], r["n01"], r["n00"]) == (n, n11, n10, n01, n00)
+    assert r["pa_e6"] == math.floor(pa * 1000000)
+    assert r["ac1_e6"] == math.floor(ac1 * 1000000)
