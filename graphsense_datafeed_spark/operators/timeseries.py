@@ -8154,3 +8154,458 @@ def ts_arch_effect_lm1(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.floor(lm).cast("bigint").alias("lm_e6"),
     ).orderBy("event_type")
+
+
+@query(
+    "ts_turning_points",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ), lagged AS (
+        SELECT event_type, x,
+               lag(x) OVER (PARTITION BY event_type ORDER BY d) AS p,
+               lead(x) OVER (PARTITION BY event_type ORDER BY d) AS q
+        FROM daily
+    ), s AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(COUNT(*) FILTER (p IS NOT NULL AND q IS NOT NULL
+                    AND ((x > p AND x > q) OR (x < p AND x < q)))
+                    AS BIGINT) AS n_turning
+        FROM lagged GROUP BY 1
+    )
+    SELECT event_type, n_days, n_turning,
+           CAST(2 * (n_days - 2) AS BIGINT) AS exp_x3,
+           CAST(16 * n_days - 29 AS BIGINT) AS var_x90,
+           CASE WHEN 16 * n_days - 29 > 0 THEN
+               CAST(FLOOR(
+                   (CAST(n_turning AS DOUBLE)
+                    - 2.0 * (n_days - 2) / 3.0)
+                   / sqrt((16.0 * n_days - 29.0) / 90.0)
+                   * 1000000) AS BIGINT)
+           ELSE NULL END AS z_e6
+    FROM s ORDER BY event_type
+    """,
+)
+def ts_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TURNING-POINTS randomness test (round 10) on the daily count
+    tape per event type: count interior days that are a strict local
+    peak or trough; under i.i.d. continuity E[T] = 2(n−2)/3 and
+    Var[T] = (16n−29)/90, so z reads directly — too FEW turning
+    points means positive persistence (trends), too MANY means
+    high-frequency alternation (negative autocorrelation).  The
+    cheapest member of the randomness family and the one field QA
+    teams run first: agg_runs_test needs a median dichotomy,
+    ts_acf a full correlogram; turning points need one lag/lead
+    window.  Ties (equal neighbors) are not turning points — strict
+    comparisons, deterministic on integer counts (the continuity
+    assumption's discrete cost is a conservative bias the z shares
+    in both engines identically).
+
+    Exactness: T, 3·E and 90·Var are exact integers; z is one double
+    chain floored e6.
+
+    Scale: map-side daily rollup, one keyed two-sided window over
+    calendar-bounded rows, one keyed count."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count("*").cast("bigint").alias("x")
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    lagged = daily.select(
+        "event_type",
+        "x",
+        F.lag("x").over(w).alias("p"),
+        F.lead("x").over(w).alias("q"),
+    )
+    turning = (
+        F.col("p").isNotNull()
+        & F.col("q").isNotNull()
+        & (
+            ((F.col("x") > F.col("p")) & (F.col("x") > F.col("q")))
+            | ((F.col("x") < F.col("p")) & (F.col("x") < F.col("q")))
+        )
+    )
+    s = lagged.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.count_if(turning).cast("bigint").alias("n_turning"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    z = (d("n_turning") - 2.0 * (d("n_days") - 2) / 3.0) / F.sqrt(
+        (16.0 * d("n_days") - 29.0) / 90.0
+    )
+    return s.select(
+        "event_type",
+        "n_days",
+        "n_turning",
+        (2 * (F.col("n_days") - 2)).cast("bigint").alias("exp_x3"),
+        (16 * F.col("n_days") - 29).cast("bigint").alias("var_x90"),
+        F.when(
+            16 * F.col("n_days") - 29 > 0,
+            F.floor(z * 1000000).cast("bigint"),
+        ).alias("z_e6"),
+    ).orderBy("event_type")
+
+
+@query(
+    "ts_cusum_squares",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(FLOOR(CAST(SUM(CAST(FLOOR(value * 10000) AS BIGINT))
+                          AS DOUBLE) / COUNT(*)) AS BIGINT) AS m_e4
+        FROM events GROUP BY event_type, date_trunc('day', ts)
+    ), tot AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(m_e4) AS BIGINT) AS s
+        FROM daily GROUP BY 1
+    ), cent AS (
+        SELECT d.event_type, d.day, t.n, t.s,
+               (t.n * d.m_e4 - t.s) * (t.n * d.m_e4 - t.s) AS c
+        FROM daily d JOIN tot t ON d.event_type = t.event_type
+    ), pfx AS (
+        SELECT event_type, n,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY day) AS r,
+               CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS a,
+               CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS b
+        FROM cent
+    )
+    SELECT event_type, n, CAST(MAX(b) AS BIGINT) AS ss_total,
+           CAST(MAX(ABS(n * a - r * b)) AS BIGINT) AS max_dev_num,
+           CASE WHEN MAX(b) > 0 THEN
+               CAST(FLOOR(CAST(MAX(ABS(n * a - r * b)) AS DOUBLE)
+                          / (CAST(n AS DOUBLE) * MAX(b)) * 1000000)
+                    AS BIGINT)
+           ELSE NULL END AS cusum_sq_stat_e6
+    FROM pfx GROUP BY event_type, n ORDER BY event_type
+    """,
+)
+def ts_cusum_squares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM-OF-SQUARES variance-stability test (round 10),
+    Brown-Durbin-Evans: plot the cumulative share of squared
+    deviations S_r = Σ_{i≤r}e_i²/Σe² against the uniform line r/n —
+    the max gap is the test statistic, and WHERE it peaks is where
+    the VARIANCE regime changed.  Completes the change-detection
+    family along the second moment: ts_changepoint_cusum /
+    ts_page_hinkley watch the MEAN, ts_arch_effect_lm1 tests
+    clustering globally; CUSUM² localizes a variance break (a
+    deploy that made a metric noisier without moving its level —
+    invisible to every mean-based monitor).
+
+    Exactness: deviations are CLEARED of the fractional mean —
+    e_i ∝ n·m_i − S exact bigint, c_i = (n·m_i − S)² exact (≈2e14 at
+    this value scale, 4 decades of int64 headroom), prefix sums A_r
+    and total B exact via one keyed ordered window; the max gap
+    numerator max|n·A_r − r·B| is integer MAX, ONE double division
+    at the end.
+
+    Scale: map-side daily rollup + one keyed ordered window over
+    calendar-bounded rows — the Page-Hinkley shape with squares."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts").cast("timestamp"))
+        .cast("date")
+        .alias("day"),
+    ).agg(
+        F.floor(
+            F.sum(F.floor(F.col("value") * 10000).cast("bigint")).cast("double")
+            / F.count("*")
+        )
+        .cast("bigint")
+        .alias("m_e4")
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("m_e4").cast("bigint").alias("s"),
+    )
+    cent = daily.join(tot, "event_type").select(
+        "event_type",
+        "day",
+        "n",
+        (
+            (F.col("n") * F.col("m_e4") - F.col("s"))
+            * (F.col("n") * F.col("m_e4") - F.col("s"))
+        ).alias("c"),
+    )
+    wo = Window.partitionBy("event_type").orderBy("day")
+    wa = Window.partitionBy("event_type")
+    pfx = cent.select(
+        "event_type",
+        "n",
+        F.row_number().over(wo).alias("r"),
+        F.sum("c")
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint")
+        .alias("a"),
+        F.sum("c").over(wa).cast("bigint").alias("b"),
+    )
+    g = pfx.groupBy("event_type", "n").agg(
+        F.max("b").cast("bigint").alias("ss_total"),
+        F.max(F.abs(F.col("n") * F.col("a") - F.col("r") * F.col("b")))
+        .cast("bigint")
+        .alias("max_dev_num"),
+    )
+    return g.select(
+        "event_type",
+        "n",
+        "ss_total",
+        "max_dev_num",
+        F.when(
+            F.col("ss_total") > 0,
+            F.floor(
+                F.col("max_dev_num").cast("double")
+                / (F.col("n").cast("double") * F.col("ss_total"))
+                * 1000000
+            ).cast("bigint"),
+        ).alias("cusum_sq_stat_e6"),
+    ).orderBy("event_type")
+
+
+@query(
+    "ts_seasonal_mann_kendall",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               dayofweek(ts) AS season,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2, 3
+    ), strata_s AS (
+        SELECT a.event_type,
+               CAST(SUM(CASE WHEN b.x > a.x THEN 1
+                             WHEN b.x < a.x THEN -1 ELSE 0 END)
+                    AS BIGINT) AS s_total
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.season = b.season
+         AND a.d < b.d
+        GROUP BY a.event_type
+    ), strata_var AS (
+        SELECT event_type,
+               CAST(SUM(nv) AS BIGINT) AS var_x18,
+               CAST(SUM(ns) AS BIGINT) AS n_days
+        FROM (
+            SELECT event_type, season,
+                   SUM(t) * (SUM(t) - 1) * (2 * SUM(t) + 5)
+                       - SUM(t * (t - 1) * (2 * t + 5)) AS nv,
+                   SUM(t) AS ns
+            FROM (
+                SELECT event_type, season, x,
+                       CAST(COUNT(*) AS BIGINT) AS t
+                FROM daily GROUP BY 1, 2, 3
+            ) GROUP BY event_type, season
+        ) GROUP BY event_type
+    )
+    SELECT s.event_type, v.n_days, s.s_total, v.var_x18,
+           CASE WHEN v.var_x18 > 0 THEN
+               CAST(FLOOR(
+                   CASE WHEN s.s_total > 0
+                        THEN CAST(s.s_total AS DOUBLE) - 1.0
+                        WHEN s.s_total < 0
+                        THEN CAST(s.s_total AS DOUBLE) + 1.0
+                        ELSE 0.0 END
+                   / sqrt(CAST(v.var_x18 AS DOUBLE) / 18.0)
+                   * 1000000) AS BIGINT)
+           ELSE NULL END AS z_e6
+    FROM strata_s s JOIN strata_var v USING (event_type)
+    ORDER BY s.event_type
+    """,
+)
+def ts_seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEASONAL MANN-KENDALL trend test (round 10), Hirsch-Slack: the
+    weekly-seasonal upgrade of agg_mann_kendall_trend — compare days
+    only WITHIN the same weekday stratum (Monday vs Monday), then
+    pool S and Var across the 7 strata.  Plain MK on weekly-seasonal
+    data reads the seasonal cycle as noise (or worse, as trend when
+    the window is a partial week); the seasonal variant removes the
+    cycle WITHOUT estimating it — the standard for environmental /
+    traffic monitoring and exactly what events dashboards need on
+    weekday-skewed counts.
+
+    Exactness: the agg_mann_kendall_trend discipline per stratum —
+    within-stratum sign sums and tie terms n(n−1)(2n+5) − Σt(t−1)
+    (2t+5) exact bigints, pooled by plain integer addition (the
+    strata are independent under H₀, so variances ADD); one
+    continuity-corrected double chain for z.
+
+    Scale: pair domain is calendar-bounded per stratum (≤C(5,2)·7
+    pairs per series at a 30-day window), broadcast-trivial at any
+    SF; the corpus-scale stage is the one map-side daily rollup."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.to_date("ts").alias("d"),
+        (F.dayofweek("ts")).alias("season"),
+    ).agg(F.count("*").cast("bigint").alias("x"))
+    a = daily.alias("a")
+    b = daily.alias("b")
+    sgn = (
+        F.when(F.col("b.x") > F.col("a.x"), 1)
+        .when(F.col("b.x") < F.col("a.x"), -1)
+        .otherwise(0)
+    )
+    strata_s = (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.season") == F.col("b.season"))
+            & (F.col("a.d") < F.col("b.d")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(F.sum(sgn).cast("bigint").alias("s_total"))
+    )
+    per_stratum = (
+        daily.groupBy("event_type", "season", "x")
+        .agg(F.count("*").cast("bigint").alias("t"))
+        .groupBy("event_type", "season")
+        .agg(
+            (
+                F.sum("t") * (F.sum("t") - 1) * (2 * F.sum("t") + 5)
+                - F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5))
+            ).alias("nv"),
+            F.sum("t").alias("ns"),
+        )
+    )
+    strata_var = per_stratum.groupBy("event_type").agg(
+        F.sum("nv").cast("bigint").alias("var_x18"),
+        F.sum("ns").cast("bigint").alias("n_days"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    num = (
+        F.when(F.col("s_total") > 0, d("s_total") - 1.0)
+        .when(F.col("s_total") < 0, d("s_total") + 1.0)
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        strata_s.join(strata_var, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "s_total",
+            "var_x18",
+            F.when(
+                F.col("var_x18") > 0,
+                F.floor(num / F.sqrt(d("var_x18") / 18.0) * 1000000).cast(
+                    "bigint"
+                ),
+            ).alias("z_e6"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "ts_records_test",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ), rec AS (
+        SELECT event_type, x,
+               max(x) OVER (PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prevmax
+        FROM daily
+    ), s AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(COUNT(*) FILTER (prevmax IS NULL OR x > prevmax)
+                    AS BIGINT) AS n_records
+        FROM rec GROUP BY 1
+    ), h AS (
+        SELECT event_type,
+               CAST(SUM(1000000000000 // i) AS BIGINT) AS h1_e12,
+               CAST(SUM(1000000000000 // (i * i)) AS BIGINT) AS h2_e12
+        FROM (
+            SELECT event_type,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                           ORDER BY d) AS BIGINT) AS i
+            FROM daily
+        ) GROUP BY event_type
+    )
+    SELECT s.event_type, s.n_days, s.n_records, h.h1_e12, h.h2_e12,
+           CASE WHEN h.h1_e12 - h.h2_e12 > 0 THEN
+               CAST(FLOOR(
+                   (CAST(s.n_records AS DOUBLE) - h.h1_e12 / 1e12)
+                   / sqrt((CAST(h.h1_e12 AS DOUBLE) - h.h2_e12) / 1e12)
+                   * 1000000) AS BIGINT)
+           ELSE NULL END AS z_e6
+    FROM s JOIN h ON s.event_type = h.event_type
+    ORDER BY s.event_type
+    """,
+)
+def ts_records_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECORDS test for trend (round 10): count strict running-maximum
+    days R in the daily tape; under exchangeability E[R] = H_n (the
+    harmonic number — records get exponentially rarer) and Var[R] =
+    H_n − H_n⁽²⁾, so "3 record days this month" is quantifiable
+    surprise.  The test win_record_highs (which ENUMERATES records)
+    was missing: this is its inferential readout, and the only trend
+    test in the family driven purely by EXTREMES — MK/Theil-Sen read
+    the bulk, records fire on new-peak behavior even when the median
+    is flat (capacity planning's actual concern).
+
+    Exactness: the harmonic numbers are the trap — a naive SUM(1/i)
+    is order-dependent in both engines; instead each term floors to
+    e12 FIRST (1e12 // i, exact integer division) and the order-free
+    bigint sums H₁ᵉ¹²/H₂ᵉ¹² feed one double chain for z.  Record
+    counting is integer window max, strict (>).
+
+    Scale: map-side daily rollup + one keyed running-max window; the
+    harmonic series expands n ≤ |calendar| rows per series."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count("*").cast("bigint").alias("x")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rec = daily.select(
+        "event_type", "x", F.max("x").over(w).alias("prevmax")
+    )
+    s = rec.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.count_if(F.col("prevmax").isNull() | (F.col("x") > F.col("prevmax")))
+        .cast("bigint")
+        .alias("n_records"),
+    )
+    h = s.select(
+        "event_type",
+        F.expr(
+            "aggregate(sequence(1, CAST(n_days AS INT)), 0L,"
+            " (acc, i) -> acc + 1000000000000L DIV i)"
+        )
+        .cast("bigint")
+        .alias("h1_e12"),
+        F.expr(
+            "aggregate(sequence(1, CAST(n_days AS INT)), 0L,"
+            " (acc, i) -> acc + 1000000000000L DIV (CAST(i AS BIGINT) * i))"
+        )
+        .cast("bigint")
+        .alias("h2_e12"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    z = (d("n_records") - d("h1_e12") / 1e12) / F.sqrt(
+        (d("h1_e12") - d("h2_e12")) / 1e12
+    )
+    return (
+        s.join(h, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "n_records",
+            "h1_e12",
+            "h2_e12",
+            F.when(
+                F.col("h1_e12") - F.col("h2_e12") > 0,
+                F.floor(z * 1000000).cast("bigint"),
+            ).alias("z_e6"),
+        )
+        .orderBy("event_type")
+    )

@@ -557,6 +557,10 @@ _ROUND10_ADDITIONS = (
     "agg_goodman_kruskal_gamma",
     "agg_wilcoxon_signed_rank",
     "agg_gwet_ac1",
+    "ts_turning_points",
+    "ts_cusum_squares",
+    "ts_seasonal_mann_kendall",
+    "ts_records_test",
 )
 
 # Landing-order queue for rows that have never been inside a driver

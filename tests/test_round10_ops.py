@@ -206,3 +206,115 @@ def test_agg_gwet_ac1_referee(spark, sf_dir):
     assert (r["n"], r["n11"], r["n10"], r["n01"], r["n00"]) == (n, n11, n10, n01, n00)
     assert r["pa_e6"] == math.floor(pa * 1000000)
     assert r["ac1_e6"] == math.floor(ac1 * 1000000)
+
+
+def _daily_counts(sf_dir):
+    ev = _events(sf_dir)
+    d = pd.to_datetime(ev["ts"]).dt.date
+    return ev.assign(d=d).groupby(["event_type", "d"]).size()
+
+
+def test_ts_turning_points_referee(spark, sf_dir):
+    daily = _daily_counts(sf_dir)
+    got = {r["event_type"]: r for r in QUERIES["ts_turning_points"](spark, sf_dir).collect()}
+    for etype, grp in daily.groupby(level=0):
+        xs = grp.sort_index().tolist()
+        n = len(xs)
+        t = sum(
+            1
+            for i in range(1, n - 1)
+            if (xs[i] > xs[i - 1] and xs[i] > xs[i + 1])
+            or (xs[i] < xs[i - 1] and xs[i] < xs[i + 1])
+        )
+        r = got[etype]
+        assert r["n_days"] == n and r["n_turning"] == t
+        assert r["exp_x3"] == 2 * (n - 2)
+        assert r["var_x90"] == 16 * n - 29
+        z = (t - 2.0 * (n - 2) / 3.0) / math.sqrt((16.0 * n - 29.0) / 90.0)
+        assert r["z_e6"] == math.floor(z * 1000000)
+
+
+def test_ts_cusum_squares_referee(spark, sf_dir):
+    ev = _events(sf_dir)
+    d = pd.to_datetime(ev["ts"]).dt.date
+    v = (ev["value"] * 10000).apply(math.floor)
+    daily = (
+        ev.assign(d=d, v=v)
+        .groupby(["event_type", "d"])["v"]
+        .agg(["sum", "count"])
+    )
+    daily["m"] = (daily["sum"] / daily["count"]).apply(math.floor)
+    got = {r["event_type"]: r for r in QUERIES["ts_cusum_squares"](spark, sf_dir).collect()}
+    for etype, grp in daily.groupby(level=0):
+        ms = grp.sort_index()["m"].astype(int).tolist()
+        n = len(ms)
+        s = sum(ms)
+        cs = [(n * m - s) ** 2 for m in ms]
+        b = sum(cs)
+        acc, best = 0, 0
+        for r_, c in enumerate(cs, start=1):
+            acc += c
+            best = max(best, abs(n * acc - r_ * b))
+        row = got[etype]
+        assert row["n"] == n and row["ss_total"] == b
+        assert row["max_dev_num"] == best
+        if b > 0:
+            assert row["cusum_sq_stat_e6"] == math.floor(best / (n * b) * 1000000)
+            # the gap statistic is a fraction of the whole path
+            assert 0 <= row["cusum_sq_stat_e6"] <= 1000000
+
+
+def test_ts_seasonal_mann_kendall_referee(spark, sf_dir):
+    ev = _events(sf_dir)
+    ts = pd.to_datetime(ev["ts"])
+    df = ev.assign(d=ts.dt.date, season=(ts.dt.dayofweek + 1) % 7 + 1)
+    daily = df.groupby(["event_type", "season", "d"]).size().rename("x").reset_index()
+    got = {r["event_type"]: r for r in QUERIES["ts_seasonal_mann_kendall"](spark, sf_dir).collect()}
+    for etype, g in daily.groupby("event_type"):
+        s_total = 0
+        var18 = 0
+        n_days = 0
+        for _, gs in g.groupby("season"):
+            xs = gs.sort_values("d")["x"].tolist()
+            m = len(xs)
+            n_days += m
+            for i in range(m):
+                for j in range(i + 1, m):
+                    s_total += (xs[j] > xs[i]) - (xs[j] < xs[i])
+            from collections import Counter
+
+            tc = Counter(xs)
+            var18 += m * (m - 1) * (2 * m + 5) - sum(
+                t * (t - 1) * (2 * t + 5) for t in tc.values()
+            )
+        r = got[etype]
+        assert r["n_days"] == n_days
+        assert r["s_total"] == s_total
+        assert r["var_x18"] == var18
+        if var18 > 0:
+            num = s_total - 1 if s_total > 0 else (s_total + 1 if s_total < 0 else 0)
+            z = num / math.sqrt(var18 / 18.0)
+            assert r["z_e6"] == math.floor(z * 1000000)
+
+
+def test_ts_records_test_referee(spark, sf_dir):
+    daily = _daily_counts(sf_dir)
+    got = {r["event_type"]: r for r in QUERIES["ts_records_test"](spark, sf_dir).collect()}
+    for etype, grp in daily.groupby(level=0):
+        xs = grp.sort_index().tolist()
+        n = len(xs)
+        rec = 0
+        mx = None
+        for x in xs:
+            if mx is None or x > mx:
+                rec += 1
+                mx = x
+            mx = max(mx, x)
+        h1 = sum(10**12 // i for i in range(1, n + 1))
+        h2 = sum(10**12 // (i * i) for i in range(1, n + 1))
+        r = got[etype]
+        assert r["n_days"] == n and r["n_records"] == rec
+        assert r["h1_e12"] == h1 and r["h2_e12"] == h2
+        z = (rec - h1 / 1e12) / math.sqrt((h1 - h2) / 1e12)
+        assert r["z_e6"] == math.floor(z * 1000000)
+        assert rec >= 1  # the first day is always a record
