@@ -2705,3 +2705,333 @@ def embed_knn_loo_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("accuracy_e6"),
     )
+
+
+@query(
+    "embed_mrr",
+    f"""
+    WITH scored AS (
+        SELECT q.vec_id AS query_id, q.label AS q_label,
+               c.vec_id AS neighbor_id, c.label AS c_label,
+               {_DUCK_DOT.format(a="q.embedding", b="c.embedding")} AS dot
+        FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+        WHERE q.vec_id < 30
+    ), ranked AS (
+        SELECT query_id,
+               CASE WHEN q_label = c_label THEN 1 ELSE 0 END AS rel,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY dot DESC, neighbor_id ASC)
+                   AS rank_k
+        FROM scored
+    ), firstrel AS (
+        SELECT query_id,
+               CAST(MIN(CASE WHEN rel = 1 THEN rank_k END) AS BIGINT)
+                   AS first_rel_rank
+        FROM ranked GROUP BY query_id
+    )
+    SELECT query_id, first_rel_rank,
+           CAST(COALESCE(1000000 // first_rel_rank, 0) AS BIGINT)
+               AS rr_e6,
+           CAST(CAST(SUM(COALESCE(1000000 // first_rel_rank, 0))
+                     OVER () AS BIGINT)
+                // COUNT(*) OVER () AS BIGINT) AS mrr_e6
+    FROM firstrel ORDER BY query_id
+    """,
+)
+def embed_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEAN RECIPROCAL RANK (round 10) over the standard 30-query
+    panel: the rank of the FIRST same-label neighbor, inverted and
+    averaged — the retrieval metric for "find me ONE good match"
+    tasks (known-item search, dedup candidate lookup, RAG first-hit)
+    where nDCG's graded tail is noise.  Completes the ranking-eval
+    trio: recall@k (did candidates survive — the ANN referees),
+    nDCG@5 (is the whole top-k ordered well), MRR (how deep must a
+    user dig for the first hit).
+
+    ZERO floats end-to-end: ranks are integers, each reciprocal is
+    the exact integer 1000000 DIV rank, and the panel MRR is one
+    integer division of exact sums — no quantization boundary at
+    all (the dot-product ordering itself is the shared float chain,
+    tie-broken by neighbor_id like every ranking op here).
+
+    Scale: bounded panel × corpus, the sim_topk_exact shape; at
+    100 TB the ranked stream comes from the ANN shortlist instead —
+    same eval, cheaper candidates."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 30).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("c_label"),
+        F.col("embedding").alias("c_emb"),
+    )
+    scored = q.join(c, F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id",
+        F.when(F.col("q_label") == F.col("c_label"), 1).otherwise(0).alias("rel"),
+        "neighbor_id",
+        dot_product(F.col("q_emb"), F.col("c_emb")).alias("dot"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("neighbor_id").asc()
+    )
+    ranked = scored.withColumn("rank_k", F.row_number().over(w))
+    firstrel = ranked.groupBy("query_id").agg(
+        F.min(F.when(F.col("rel") == 1, F.col("rank_k")))
+        .cast("bigint")
+        .alias("first_rel_rank")
+    )
+    rr = F.coalesce(
+        F.expr("1000000 DIV first_rel_rank"), F.lit(0)
+    ).cast("bigint")
+    wall = Window.partitionBy()
+    return (
+        firstrel.select(
+            "query_id",
+            "first_rel_rank",
+            rr.alias("rr_e6"),
+        )
+        .withColumn(
+            "mrr_e6",
+            F.expr("CAST(SUM(rr_e6) OVER () DIV COUNT(*) OVER () AS BIGINT)"),
+        )
+        .orderBy("query_id")
+    )
+
+
+@query(
+    "embed_hubness",
+    f"""
+    WITH scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_DUCK_DOT.format(a="q.embedding", b="c.embedding")} AS dot
+        FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+    ), top5 AS (
+        SELECT neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY dot DESC, neighbor_id ASC)
+                       AS rank_k
+            FROM scored
+        ) WHERE rank_k <= 5
+    ), occ AS (
+        SELECT e.vec_id,
+               CAST(COALESCE(t.c, 0) AS BIGINT) AS n5
+        FROM embeddings e LEFT JOIN (
+            SELECT neighbor_id, CAST(COUNT(*) AS BIGINT) AS c
+            FROM top5 GROUP BY 1
+        ) t ON e.vec_id = t.neighbor_id
+    ), mom AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(n5) AS BIGINT) AS s1,
+               CAST(SUM(n5 * n5) AS BIGINT) AS s2,
+               CAST(SUM(n5 * n5 * n5) AS BIGINT) AS s3,
+               CAST(MAX(n5) AS BIGINT) AS max_occ,
+               CAST(COUNT(*) FILTER (n5 = 0) AS BIGINT) AS n_antihubs,
+               CAST(COUNT(*) FILTER (n5 > 10) AS BIGINT) AS n_hubs
+        FROM occ
+    )
+    SELECT n, s1, s2, s3, max_occ, n_antihubs, n_hubs,
+           CASE WHEN CAST(s2 AS DOUBLE) / n
+                     - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                     > 0
+                THEN CAST(FLOOR(
+                    (CAST(s3 AS DOUBLE) / n
+                     - 3.0 * (CAST(s1 AS DOUBLE) / n)
+                           * (CAST(s2 AS DOUBLE) / n)
+                     + 2.0 * (CAST(s1 AS DOUBLE) / n)
+                           * (CAST(s1 AS DOUBLE) / n)
+                           * (CAST(s1 AS DOUBLE) / n))
+                    / pow(CAST(s2 AS DOUBLE) / n
+                          - (CAST(s1 AS DOUBLE) / n)
+                            * (CAST(s1 AS DOUBLE) / n), 1.5)
+                    * 1000000) AS BIGINT)
+                ELSE NULL END AS skew_e6
+    FROM mom
+    """,
+)
+def embed_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HUBNESS audit of the embedding space (round 10): compute every
+    point's 5-occurrence N₅ (how many OTHER points list it among
+    their top-5 neighbors) and the skewness of that distribution —
+    THE high-dimensionality pathology metric for similarity search
+    (Radovanović et al.): in well-behaved spaces N₅ concentrates
+    near k=5; in hub-ridden spaces a few points appear in everyone's
+    neighbor lists (skew ≫ 0) while anti-hubs (N₅ = 0) become
+    unreachable — which silently corrupts kNN classification,
+    dedup_semantic candidate quality, and ANN recall.  Readout: the
+    exact moment sums, max occupancy, anti-hub and hub (>2k) counts,
+    and the floored skewness.
+
+    Exactness: N₅ values are exact integers from the same
+    WindowGroupLimit top-5 as embed_knn_graph (dot order, id
+    tiebreak); S₁/S₂/S₃ are exact bigints; skewness is ONE double
+    chain, floored e6.
+
+    Scale: the all-pairs stage is the knn-graph shape — quadratic at
+    fixture scale, replaced by the LSH-bucketed candidate join
+    (sim_ann_lsh) at corpus scale with this SAME downstream occ/
+    moment pipeline; the audit itself is |corpus|-linear."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+    )
+    scored = q.join(c, F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id",
+        "neighbor_id",
+        dot_product(F.col("q_emb"), F.col("c_emb")).alias("dot"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("neighbor_id").asc()
+    )
+    top5 = (
+        scored.withColumn("rank_k", F.row_number().over(w))
+        .filter(F.col("rank_k") <= 5)
+        .select("neighbor_id")
+    )
+    occ_counts = top5.groupBy("neighbor_id").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    occ = (
+        e.select("vec_id")
+        .join(occ_counts, e.vec_id == occ_counts.neighbor_id, "left")
+        .select(
+            "vec_id", F.coalesce("c", F.lit(0)).cast("bigint").alias("n5")
+        )
+    )
+    mom = occ.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("n5").cast("bigint").alias("s1"),
+        F.sum(F.col("n5") * F.col("n5")).cast("bigint").alias("s2"),
+        F.sum(F.col("n5") * F.col("n5") * F.col("n5"))
+        .cast("bigint")
+        .alias("s3"),
+        F.max("n5").cast("bigint").alias("max_occ"),
+        F.count_if(F.col("n5") == 0).cast("bigint").alias("n_antihubs"),
+        F.count_if(F.col("n5") > 10).cast("bigint").alias("n_hubs"),
+    )
+    d = lambda col: F.col(col).cast("double")  # noqa: E731
+    m = d("s1") / d("n")
+    var = d("s2") / d("n") - m * m
+    m3 = d("s3") / d("n") - 3.0 * m * (d("s2") / d("n")) + 2.0 * m * m * m
+    return mom.select(
+        "n",
+        "s1",
+        "s2",
+        "s3",
+        "max_occ",
+        "n_antihubs",
+        "n_hubs",
+        F.when(
+            var > 0,
+            F.floor(m3 / F.pow(var, F.lit(1.5)) * 1000000).cast("bigint"),
+        ).alias("skew_e6"),
+    )
+
+
+@query(
+    "embed_intrinsic_dim_twonn",
+    f"""
+    WITH scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_DUCK_DOT.format(a="q.embedding", b="c.embedding")} AS dot
+        FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+    ), nn2 AS (
+        SELECT query_id,
+               MAX(CASE WHEN rank_k = 1 THEN dot END) AS dot1,
+               MAX(CASE WHEN rank_k = 2 THEN dot END) AS dot2
+        FROM (
+            SELECT query_id, dot,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY dot DESC, neighbor_id ASC)
+                       AS rank_k
+            FROM scored
+        ) WHERE rank_k <= 2 GROUP BY query_id
+    ), terms AS (
+        SELECT query_id,
+               CAST(FLOOR(0.5 * LN((1.0 - dot2) / (1.0 - dot1))
+                          * 1000000000) AS BIGINT) AS lnmu_e9
+        FROM nn2 WHERE 1.0 - dot1 > 0.000000001
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_used,
+           CAST(SUM(lnmu_e9) AS BIGINT) AS sum_lnmu_e9,
+           CAST(FLOOR(CAST(COUNT(*) AS DOUBLE)
+                      / (CAST(SUM(lnmu_e9) AS DOUBLE) / 1000000000.0)
+                      * 1000000) AS BIGINT) AS id_twonn_e6
+    FROM terms
+    """,
+)
+def embed_intrinsic_dim_twonn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TwoNN INTRINSIC DIMENSION (round 10), Facco et al. 2017: the
+    MLE d̂ = n / Σ ln(d₂/d₁) from each point's two nearest-neighbor
+    distances — how many degrees of freedom the embedding cloud
+    ACTUALLY uses, regardless of its 64 ambient dimensions.  The
+    manifold-level companion to the repo's two linear collapse
+    probes (embed_dim_variance_profile: per-axis; embed_gram_
+    spectral_norm: top direction): a space can pass both and still
+    live on a curved low-dimensional sheet — TwoNN sees it from
+    local neighbor ratios alone.  Low d̂ with high ambient dim means
+    aggressive matryoshka truncation / PQ compression is safe; d̂
+    collapsing across snapshots flags representation degeneration.
+
+    Exactness: unit-norm embeddings make ‖a−b‖² = 2(1−dot), so
+    ln(d₂/d₁) = ½·ln((1−dot₂)/(1−dot₁)) — each per-point term is ONE
+    double chain over the shared dot values, floored e9, summed as
+    exact bigints; points whose nearest neighbor is (numerically) a
+    duplicate (1−dot₁ ≤ 1e-9) are excluded BEFORE the log in both
+    engines — run dedup first, as the TwoNN paper itself requires.
+
+    Scale: top-2-of-corpus per point — the knn-graph stage with k=2;
+    at 100 TB the ANN shortlist feeds the same ratio pipeline."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+    )
+    scored = q.join(c, F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id",
+        "neighbor_id",
+        dot_product(F.col("q_emb"), F.col("c_emb")).alias("dot"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("neighbor_id").asc()
+    )
+    nn2 = (
+        scored.withColumn("rank_k", F.row_number().over(w))
+        .filter(F.col("rank_k") <= 2)
+        .groupBy("query_id")
+        .agg(
+            F.max(F.when(F.col("rank_k") == 1, F.col("dot"))).alias("dot1"),
+            F.max(F.when(F.col("rank_k") == 2, F.col("dot"))).alias("dot2"),
+        )
+    )
+    terms = nn2.filter(F.lit(1.0) - F.col("dot1") > 1e-9).select(
+        "query_id",
+        F.floor(
+            0.5
+            * F.log((F.lit(1.0) - F.col("dot2")) / (F.lit(1.0) - F.col("dot1")))
+            * 1000000000
+        )
+        .cast("bigint")
+        .alias("lnmu_e9"),
+    )
+    return terms.agg(
+        F.count("*").cast("bigint").alias("n_used"),
+        F.sum("lnmu_e9").cast("bigint").alias("sum_lnmu_e9"),
+        F.floor(
+            F.count("*").cast("double")
+            / (F.sum("lnmu_e9").cast("double") / 1e9)
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("id_twonn_e6"),
+    )

@@ -561,6 +561,9 @@ _ROUND10_ADDITIONS = (
     "ts_cusum_squares",
     "ts_seasonal_mann_kendall",
     "ts_records_test",
+    "embed_mrr",
+    "embed_hubness",
+    "embed_intrinsic_dim_twonn",
 )
 
 # Landing-order queue for rows that have never been inside a driver

@@ -318,3 +318,96 @@ def test_ts_records_test_referee(spark, sf_dir):
         z = (rec - h1 / 1e12) / math.sqrt((h1 - h2) / 1e12)
         assert r["z_e6"] == math.floor(z * 1000000)
         assert rec >= 1  # the first day is always a record
+
+
+def _embeddings(sf_dir):
+    return pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _dots(emb):
+    import numpy as np
+
+    x = np.stack(emb["embedding"].to_numpy()).astype("float64")
+    return x @ x.T
+
+
+def test_embed_mrr_referee(spark, sf_dir):
+    import numpy as np
+
+    emb = _embeddings(sf_dir)
+    dots = _dots(emb)
+    ids = emb["vec_id"].to_numpy()
+    labels = emb["label"].to_numpy()
+    got = {r["query_id"]: r for r in QUERIES["embed_mrr"](spark, sf_dir).collect()}
+    rrs = []
+    for qi in range(len(ids)):
+        if ids[qi] >= 30:
+            continue
+        order = sorted(
+            (j for j in range(len(ids)) if j != qi),
+            key=lambda j: (-dots[qi, j], ids[j]),
+        )
+        first = next(
+            (k + 1 for k, j in enumerate(order) if labels[j] == labels[qi]),
+            None,
+        )
+        r = got[ids[qi]]
+        assert r["first_rel_rank"] == first
+        rr = 1000000 // first if first else 0
+        assert r["rr_e6"] == rr
+        rrs.append(rr)
+    mrr = sum(rrs) // len(rrs)
+    assert all(r["mrr_e6"] == mrr for r in got.values())
+
+
+def test_embed_hubness_referee(spark, sf_dir):
+    import numpy as np
+    from collections import Counter
+
+    emb = _embeddings(sf_dir)
+    dots = _dots(emb)
+    ids = emb["vec_id"].to_numpy()
+    n = len(ids)
+    occ = Counter()
+    for qi in range(n):
+        order = sorted(
+            (j for j in range(n) if j != qi), key=lambda j: (-dots[qi, j], ids[j])
+        )
+        for j in order[:5]:
+            occ[ids[j]] += 1
+    n5 = [occ.get(v, 0) for v in ids]
+    s1, s2, s3 = sum(n5), sum(x * x for x in n5), sum(x**3 for x in n5)
+    r = QUERIES["embed_hubness"](spark, sf_dir).collect()[0]
+    assert r["n"] == n
+    assert (r["s1"], r["s2"], r["s3"]) == (s1, s2, s3)
+    assert r["max_occ"] == max(n5)
+    assert r["n_antihubs"] == sum(1 for x in n5 if x == 0)
+    assert r["n_hubs"] == sum(1 for x in n5 if x > 10)
+    assert s1 == 5 * n  # every point emits exactly 5 votes
+    m = s1 / n
+    var = s2 / n - m * m
+    m3 = s3 / n - 3 * m * (s2 / n) + 2 * m**3
+    assert r["skew_e6"] == math.floor(m3 / var**1.5 * 1000000)
+
+
+def test_embed_intrinsic_dim_twonn_referee(spark, sf_dir):
+    import numpy as np
+
+    emb = _embeddings(sf_dir)
+    dots = _dots(emb)
+    ids = emb["vec_id"].to_numpy()
+    n = len(ids)
+    terms = []
+    for qi in range(n):
+        order = sorted(
+            (j for j in range(n) if j != qi), key=lambda j: (-dots[qi, j], ids[j])
+        )
+        d1, d2 = dots[qi, order[0]], dots[qi, order[1]]
+        if 1.0 - d1 > 1e-9:
+            terms.append(math.floor(0.5 * math.log((1.0 - d2) / (1.0 - d1)) * 1e9))
+    r = QUERIES["embed_intrinsic_dim_twonn"](spark, sf_dir).collect()[0]
+    assert r["n_used"] == len(terms)
+    assert r["sum_lnmu_e9"] == sum(terms)
+    assert r["id_twonn_e6"] == math.floor(len(terms) / (sum(terms) / 1e9) * 1000000)
+    # the estimate must be positive and far below the ambient 64 dims
+    assert 0 < r["id_twonn_e6"]
