@@ -3138,3 +3138,177 @@ def events_stratified_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         "*",
         F.sum("term_e9").over(w_all).cast("bigint").alias("ate_e9"),
     ).orderBy("event_type")
+
+
+@query(
+    "anon_generalize_ladder",
+    """
+    WITH lv AS (
+        SELECT UNNEST([0, 1, 2, 3, 4, 5, 6, 7]) AS level
+    ), binned AS (
+        SELECT l.level,
+               CAST(1000 * power(2, l.level) AS BIGINT) AS width,
+               CAST(FLOOR(CAST(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)
+                               AS DOUBLE)
+                          / (1000 * power(2, l.level))) AS BIGINT)
+                   AS bin
+        FROM customer c, lv l
+    ), per_bin AS (
+        SELECT level, width, bin, CAST(COUNT(*) AS BIGINT) AS k
+        FROM binned GROUP BY 1, 2, 3
+    )
+    SELECT level, width,
+           CAST(COUNT(*) AS BIGINT) AS n_bins,
+           CAST(MIN(k) AS BIGINT) AS k_min,
+           CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
+               AS n_rows_below_k5,
+           CASE WHEN MIN(k) >= 5 THEN 1 ELSE 0 END AS k5_satisfied
+    FROM per_bin GROUP BY 1, 2 ORDER BY level
+    """,
+)
+def anon_generalize_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERALIZATION LADDER for k-anonymity (round 10): bin the
+    quasi-identifier (account balance, cents) at doubling widths
+    1000·2ˡ for l = 0..7 and report, per rung, the bin count, the
+    SMALLEST equivalence class k_min, the row mass still living in
+    sub-k classes, and whether k ≥ 5 holds — the table a privacy
+    review reads to pick the COARSEST level that satisfies k, which
+    is the whole k-anonymity generalization trade (coarser = safer,
+    finer = more useful).  Complements anon_k_suppress (which DROPS
+    sub-k rows at one fixed granularity): the ladder finds the
+    granularity where nothing needs dropping, and the two compose —
+    generalize to the best rung, suppress the remainder.
+
+    Exactness: bins floor a DOUBLE division (exact: |cents| < 2⁵³,
+    widths are small integers; FLOOR not integer division because
+    the two engines disagree on negative integer-division rounding
+    and balances go negative); every readout is an exact count.
+
+    Scale: one |levels|-row broadcast cross, one map-side-combinable
+    (level, bin) count, one |levels·bins| rollup — the scan is
+    touched once for all 8 rungs."""
+    cust = load(spark, sf_dir, "customer")
+    lv = spark.range(8).select(F.col("id").cast("int").alias("level"))
+    cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    binned = cust.select(cents.alias("v")).crossJoin(F.broadcast(lv)).select(
+        "level",
+        (F.lit(1000) * F.pow(F.lit(2.0), F.col("level")))
+        .cast("bigint")
+        .alias("width"),
+        F.floor(
+            F.col("v").cast("double")
+            / (F.lit(1000) * F.pow(F.lit(2.0), F.col("level")))
+        )
+        .cast("bigint")
+        .alias("bin"),
+    )
+    per_bin = binned.groupBy("level", "width", "bin").agg(
+        F.count("*").cast("bigint").alias("k")
+    )
+    return (
+        per_bin.groupBy("level", "width")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bins"),
+            F.min("k").cast("bigint").alias("k_min"),
+            F.sum(F.when(F.col("k") < 5, F.col("k")).otherwise(0))
+            .cast("bigint")
+            .alias("n_rows_below_k5"),
+            F.when(F.min("k") >= 5, 1).otherwise(0).alias("k5_satisfied"),
+        )
+        .orderBy("level")
+    )
+
+
+@query(
+    "agg_smr_indirect",
+    """
+    WITH strata AS (
+        SELECT CAST(month(o_orderdate) AS BIGINT) AS stratum,
+               CAST(COUNT(*) AS BIGINT) AS n_s,
+               CAST(COUNT(*) FILTER (o_orderstatus = 'F') AS BIGINT)
+                   AS o_s
+        FROM orders GROUP BY 1
+    ), cells AS (
+        SELECT o_orderpriority AS grp,
+               CAST(month(o_orderdate) AS BIGINT) AS stratum,
+               CAST(COUNT(*) AS BIGINT) AS n_gs,
+               CAST(COUNT(*) FILTER (o_orderstatus = 'F') AS BIGINT)
+                   AS obs_gs
+        FROM orders GROUP BY 1, 2
+    ), g AS (
+        SELECT c.grp,
+               CAST(SUM(c.n_gs) AS BIGINT) AS n_g,
+               CAST(SUM(c.obs_gs) AS BIGINT) AS observed,
+               CAST(SUM(c.n_gs * s.o_s * 1000000 // s.n_s) AS BIGINT)
+                   AS expected_e6
+        FROM cells c JOIN strata s ON c.stratum = s.stratum
+        GROUP BY 1
+    )
+    SELECT grp, n_g, observed, expected_e6,
+           CASE WHEN expected_e6 > 0
+                THEN CAST(observed * 1000000000000 // expected_e6
+                          AS BIGINT)
+                ELSE NULL END AS smr_e6
+    FROM g ORDER BY grp
+    """,
+)
+def agg_smr_indirect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INDIRECT STANDARDIZATION / SMR (round 10): is a group's event
+    rate high BECAUSE of the group, or because of its mix?  Expected
+    events per priority class = Σ over month strata of n_gs·r_s,
+    where r_s is the REFERENCE (whole-population) finished-rate of
+    that month; SMR = observed/expected.  The epidemiology
+    standard (standardized mortality ratio) that ops/risk teams
+    reuse as "mix-adjusted incident rate" — and the ESTIMATION
+    companion to agg_cmh_test (CMH tests the stratified association;
+    SMR quantifies each group's deviation after the same mix
+    adjustment).  SMR > 1 with events_stratified_effect flat means
+    the excess is composition, not behavior.
+
+    ZERO floats: each cell's expectation n_gs·o_s·1e6 // n_s floors
+    once as an exact integer division (order-free bigint sum), and
+    SMR is one more exact integer division.  int64 sizing: the cell
+    numerator n_gs·o_s·1e6 tops out ~1.6e17 at sf10 (250k × 625k
+    cells over 12 month strata) and the SMR numerator observed·1e12
+    at ~7.5e18 — both inside int64 through sf10; beyond that the
+    same chains move to decimal(38,0)/hugeint (the agg_gamma_fit
+    discipline).
+
+    Scale: two map-side-combinable aggregations over the same scan +
+    a |strata|-row broadcast join — the agg_chi_square shape with a
+    reference-rate join instead of margins."""
+    o = load(spark, sf_dir, "orders")
+    strata = o.groupBy(F.month("o_orderdate").cast("bigint").alias("stratum")).agg(
+        F.count("*").cast("bigint").alias("n_s"),
+        F.count_if(F.col("o_orderstatus") == "F").cast("bigint").alias("o_s"),
+    )
+    cells = o.groupBy(
+        F.col("o_orderpriority").alias("grp"),
+        F.month("o_orderdate").cast("bigint").alias("stratum"),
+    ).agg(
+        F.count("*").cast("bigint").alias("n_gs"),
+        F.count_if(F.col("o_orderstatus") == "F")
+        .cast("bigint")
+        .alias("obs_gs"),
+    )
+    g = (
+        cells.join(F.broadcast(strata), "stratum")
+        .groupBy("grp")
+        .agg(
+            F.sum("n_gs").cast("bigint").alias("n_g"),
+            F.sum("obs_gs").cast("bigint").alias("observed"),
+            F.sum(F.expr("n_gs * o_s * 1000000 DIV n_s"))
+            .cast("bigint")
+            .alias("expected_e6"),
+        )
+    )
+    return g.select(
+        "grp",
+        "n_g",
+        "observed",
+        "expected_e6",
+        F.when(
+            F.col("expected_e6") > 0,
+            F.expr("CAST(observed * 1000000000000 DIV expected_e6 AS BIGINT)"),
+        ).alias("smr_e6"),
+    ).orderBy("grp")

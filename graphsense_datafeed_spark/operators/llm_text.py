@@ -5365,3 +5365,89 @@ def text_source_divergence_matrix(
         )
         .orderBy("sa", "sb")
     )
+
+
+@query(
+    "text_good_turing_mass",
+    """
+    WITH toks AS (
+        SELECT lang, unnest(str_split(text, ' ')) AS token
+        FROM documents
+    ), counts AS (
+        SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS r
+        FROM toks GROUP BY 1, 2
+    ), fof AS (
+        SELECT lang,
+               CAST(SUM(r) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS vocab,
+               CAST(COUNT(*) FILTER (r = 1) AS BIGINT) AS f1,
+               CAST(COUNT(*) FILTER (r = 2) AS BIGINT) AS f2,
+               CAST(COUNT(*) FILTER (r = 3) AS BIGINT) AS f3,
+               CAST(COUNT(*) FILTER (r = 4) AS BIGINT) AS f4
+        FROM counts GROUP BY 1
+    )
+    SELECT lang, n_tokens, vocab, f1, f2, f3, f4,
+           CAST(f1 * 1000000 // n_tokens AS BIGINT) AS p0_e6,
+           CASE WHEN f1 > 0
+                THEN CAST(2 * f2 * 1000000 // f1 AS BIGINT)
+                ELSE NULL END AS r1_star_e6,
+           CASE WHEN f2 > 0
+                THEN CAST(3 * f3 * 1000000 // f2 AS BIGINT)
+                ELSE NULL END AS r2_star_e6,
+           CASE WHEN f3 > 0
+                THEN CAST(4 * f4 * 1000000 // f3 AS BIGINT)
+                ELSE NULL END AS r3_star_e6
+    FROM fof ORDER BY lang
+    """,
+)
+def text_good_turing_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GOOD-TURING unseen mass + smoothed counts per language (round
+    10): p₀ = f₁/N is the probability that the NEXT token drawn is a
+    type the corpus has never seen (singletons are the evidence), and
+    r* = (r+1)·f_{r+1}/f_r are the smoothed counts every classical LM
+    backoff (Katz) is built on.  The vocabulary-side twin of
+    agg_chao1_richness (same frequency-of-frequencies input, opposite
+    question: Chao1 asks how many MORE types exist, Good-Turing how
+    much probability MASS they carry) — and the quantitative basis
+    under text_heaps_law's growth curve: a language whose p₀ stays
+    high after N tokens will keep minting vocabulary.
+
+    ZERO floats: frequency-of-frequencies are exact counts and every
+    readout is an exact integer division (e6-scaled) — no
+    quantization boundary anywhere.
+
+    Scale: explode → two map-side-combinable keyed aggregations
+    (tokens → type counts → f_r per language); nothing after the
+    second agg exceeds |langs| rows."""
+    counts = (
+        tokens(load(spark, sf_dir, "documents"))
+        .groupBy("lang", "token")
+        .agg(F.count("*").cast("bigint").alias("r"))
+    )
+    fof = counts.groupBy("lang").agg(
+        F.sum("r").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("vocab"),
+        F.count_if(F.col("r") == 1).cast("bigint").alias("f1"),
+        F.count_if(F.col("r") == 2).cast("bigint").alias("f2"),
+        F.count_if(F.col("r") == 3).cast("bigint").alias("f3"),
+        F.count_if(F.col("r") == 4).cast("bigint").alias("f4"),
+    )
+    return fof.select(
+        "lang",
+        "n_tokens",
+        "vocab",
+        "f1",
+        "f2",
+        "f3",
+        "f4",
+        F.expr("CAST(f1 * 1000000 DIV n_tokens AS BIGINT)").alias("p0_e6"),
+        F.when(
+            F.col("f1") > 0, F.expr("CAST(2 * f2 * 1000000 DIV f1 AS BIGINT)")
+        ).alias("r1_star_e6"),
+        F.when(
+            F.col("f2") > 0, F.expr("CAST(3 * f3 * 1000000 DIV f2 AS BIGINT)")
+        ).alias("r2_star_e6"),
+        F.when(
+            F.col("f3") > 0, F.expr("CAST(4 * f4 * 1000000 DIV f3 AS BIGINT)")
+        ).alias("r3_star_e6"),
+    ).orderBy("lang")

@@ -564,6 +564,9 @@ _ROUND10_ADDITIONS = (
     "embed_mrr",
     "embed_hubness",
     "embed_intrinsic_dim_twonn",
+    "text_good_turing_mass",
+    "anon_generalize_ladder",
+    "agg_smr_indirect",
 )
 
 # Landing-order queue for rows that have never been inside a driver

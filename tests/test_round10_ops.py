@@ -411,3 +411,73 @@ def test_embed_intrinsic_dim_twonn_referee(spark, sf_dir):
     assert r["id_twonn_e6"] == math.floor(len(terms) / (sum(terms) / 1e9) * 1000000)
     # the estimate must be positive and far below the ambient 64 dims
     assert 0 < r["id_twonn_e6"]
+
+
+def test_text_good_turing_mass_referee(spark, sf_dir):
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    from collections import Counter
+
+    got = {r["lang"]: r for r in QUERIES["text_good_turing_mass"](spark, sf_dir).collect()}
+    for lang, grp in docs.groupby("lang"):
+        cnt = Counter()
+        for t in grp["text"]:
+            cnt.update(t.split(" "))
+        n = sum(cnt.values())
+        fof = Counter(cnt.values())
+        f1, f2, f3, f4 = fof[1], fof[2], fof[3], fof[4]
+        r = got[lang]
+        assert r["n_tokens"] == n and r["vocab"] == len(cnt)
+        assert (r["f1"], r["f2"], r["f3"], r["f4"]) == (f1, f2, f3, f4)
+        assert r["p0_e6"] == f1 * 1000000 // n
+        if f1:
+            assert r["r1_star_e6"] == 2 * f2 * 1000000 // f1
+        if f2:
+            assert r["r2_star_e6"] == 3 * f3 * 1000000 // f2
+        # Good-Turing discounts singletons: smoothed r=1 count below 1
+        if f1:
+            assert r["r1_star_e6"] < 1000000
+
+
+def test_anon_generalize_ladder_referee(spark, sf_dir):
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet")
+    cents = (cust["c_acctbal"] * 100).round().astype("int64")
+    from collections import Counter
+
+    got = {r["level"]: r for r in QUERIES["anon_generalize_ladder"](spark, sf_dir).collect()}
+    prev_kmin = None
+    for level in range(8):
+        width = 1000 * 2**level
+        bins = Counter(math.floor(v / width) for v in cents)
+        r = got[level]
+        assert r["width"] == width
+        assert r["n_bins"] == len(bins)
+        assert r["k_min"] == min(bins.values())
+        assert r["n_rows_below_k5"] == sum(k for k in bins.values() if k < 5)
+        assert r["k5_satisfied"] == (1 if min(bins.values()) >= 5 else 0)
+        # coarser rungs can only merge bins: k_min is monotone non-decr
+        if prev_kmin is not None:
+            assert r["k_min"] >= prev_kmin or r["n_bins"] == 1
+        prev_kmin = r["k_min"]
+
+
+def test_agg_smr_indirect_referee(spark, sf_dir):
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    o = o.assign(stratum=pd.to_datetime(o["o_orderdate"]).dt.month,
+                 f=(o["o_orderstatus"] == "F").astype(int))
+    strata = o.groupby("stratum")["f"].agg(["count", "sum"])
+    got = {r["grp"]: r for r in QUERIES["agg_smr_indirect"](spark, sf_dir).collect()}
+    for grp, g in o.groupby("o_orderpriority"):
+        observed = int(g["f"].sum())
+        expected_e6 = 0
+        for s, gs in g.groupby("stratum"):
+            n_gs = len(gs)
+            n_s = int(strata.loc[s, "count"])
+            o_s = int(strata.loc[s, "sum"])
+            expected_e6 += n_gs * o_s * 1000000 // n_s
+        r = got[grp]
+        assert r["n_g"] == len(g)
+        assert r["observed"] == observed
+        assert r["expected_e6"] == expected_e6
+        assert r["smr_e6"] == observed * 10**12 // expected_e6
+        # mix-adjusted rate should be near 1 under this null-ish fixture
+        assert 200000 < r["smr_e6"] < 5000000
