@@ -2039,3 +2039,143 @@ def graph_hub_removal_resilience(
     for fr in frames[1:]:
         out = out.unionByName(fr)
     return out.orderBy("k_removed")
+
+
+@query(
+    "graph_conductance_segments",
+    """
+    WITH bip AS (
+        SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    ), edges AS (
+        SELECT a.cust AS cust_a, b.cust AS cust_b
+        FROM bip a JOIN bip b ON a.part = b.part AND a.cust < b.cust
+        GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    ), labeled AS (
+        SELECT e.cust_a, e.cust_b,
+               sa.c_mktsegment AS seg_a, sb.c_mktsegment AS seg_b
+        FROM edges e
+        JOIN customer sa ON sa.c_custkey = e.cust_a
+        JOIN customer sb ON sb.c_custkey = e.cust_b
+    ), m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM labeled
+    ), deg AS (
+        SELECT seg, CAST(SUM(d) AS BIGINT) AS vol FROM (
+            SELECT seg_a AS seg, CAST(COUNT(*) AS BIGINT) AS d
+            FROM labeled GROUP BY seg_a
+            UNION ALL
+            SELECT seg_b, CAST(COUNT(*) AS BIGINT) FROM labeled
+            GROUP BY seg_b
+        ) GROUP BY seg
+    ), cut AS (
+        SELECT seg, CAST(SUM(c) AS BIGINT) AS cut_edges FROM (
+            SELECT seg_a AS seg, CAST(COUNT(*) AS BIGINT) AS c
+            FROM labeled WHERE seg_a <> seg_b GROUP BY seg_a
+            UNION ALL
+            SELECT seg_b, CAST(COUNT(*) AS BIGINT)
+            FROM labeled WHERE seg_a <> seg_b GROUP BY seg_b
+        ) GROUP BY seg
+    )
+    SELECT d.seg AS segment, m.n_edges, d.vol,
+           COALESCE(c.cut_edges, 0) AS cut_edges,
+           CASE WHEN LEAST(d.vol, 2 * m.n_edges - d.vol) > 0 THEN
+               CAST(FLOOR(CAST(COALESCE(c.cut_edges, 0) AS DOUBLE)
+                          / LEAST(d.vol, 2 * m.n_edges - d.vol)
+                          * 1000000) AS BIGINT)
+           ELSE NULL END AS conductance_e6
+    FROM deg d LEFT JOIN cut c ON c.seg = d.seg CROSS JOIN m
+    ORDER BY segment
+    """,
+)
+def graph_conductance_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONDUCTANCE of the market-segment partition (round 10) over
+    the co-purchase graph (graph_modularity_segments' edge set): per
+    segment φ(S) = cut(S) / min(vol(S), vol(V∖S)) — the EXPANSION
+    view of partition quality where modularity is the null-model
+    view.  The two disagree exactly when it matters: modularity can
+    reward a segment for being big (degree-sum term) while its
+    boundary is still porous; conductance reads the boundary
+    directly, which is why spectral partitioners, METIS-style graph
+    cuts, and "should we shard storage by this label?" decisions all
+    minimize φ.  A segment with φ near 1 sends almost every edge
+    outside — partitioning by it would shuffle everything anyway.
+
+    Exactness: cut, volume and m are exact bigint counts off one
+    labeled edge table; φ is one floored division.
+
+    Scale: reuses the bounded within-part edge generation; cut and
+    volume are two |segments|-row rollups on the same frame — the
+    modularity plan with one different predicate."""
+    from graphsense_datafeed_spark.sources.tables import load
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    bip = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part")
+        )
+        .distinct()
+    )
+    a = bip.alias("a")
+    b = bip.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.part") == F.col("b.part"))
+            & (F.col("a.cust") < F.col("b.cust")),
+        )
+        .groupBy(
+            F.col("a.cust").alias("cust_a"), F.col("b.cust").alias("cust_b")
+        )
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= 3)
+        .select("cust_a", "cust_b")
+    )
+    sa = c.select(
+        F.col("c_custkey").alias("cust_a"), F.col("c_mktsegment").alias("seg_a")
+    )
+    sb = c.select(
+        F.col("c_custkey").alias("cust_b"), F.col("c_mktsegment").alias("seg_b")
+    )
+    labeled = edges.join(F.broadcast(sa), "cust_a").join(
+        F.broadcast(sb), "cust_b"
+    )
+    m = labeled.agg(F.count("*").cast("bigint").alias("n_edges"))
+    deg = (
+        labeled.select(F.col("seg_a").alias("seg"))
+        .unionAll(labeled.select(F.col("seg_b").alias("seg")))
+        .groupBy("seg")
+        .agg(F.count("*").cast("bigint").alias("vol"))
+    )
+    crossed = labeled.filter(F.col("seg_a") != F.col("seg_b"))
+    cut = (
+        crossed.select(F.col("seg_a").alias("seg"))
+        .unionAll(crossed.select(F.col("seg_b").alias("seg")))
+        .groupBy("seg")
+        .agg(F.count("*").cast("bigint").alias("cut_edges"))
+    )
+    joined = (
+        deg.join(cut, "seg", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            F.col("seg").alias("segment"),
+            "n_edges",
+            "vol",
+            F.coalesce("cut_edges", F.lit(0)).cast("bigint").alias("cut_edges"),
+        )
+    )
+    den = F.least(F.col("vol"), 2 * F.col("n_edges") - F.col("vol"))
+    return joined.select(
+        "segment",
+        "n_edges",
+        "vol",
+        "cut_edges",
+        F.when(
+            den > 0,
+            F.floor(F.col("cut_edges").cast("double") / den * 1000000).cast(
+                "bigint"
+            ),
+        ).alias("conductance_e6"),
+    ).orderBy("segment")

@@ -8609,3 +8609,84 @@ def ts_records_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "ts_mase",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ), lagged AS (
+        SELECT event_type, x,
+               lag(x, 1) OVER (PARTITION BY event_type ORDER BY d) AS x1,
+               lag(x, 7) OVER (PARTITION BY event_type ORDER BY d) AS x7
+        FROM daily
+    ), s AS (
+        SELECT event_type,
+               CAST(COUNT(x1) AS BIGINT) AS n_naive,
+               CAST(SUM(ABS(x - x1)) AS BIGINT) AS sae_naive,
+               CAST(COUNT(x7) AS BIGINT) AS n_snaive,
+               CAST(SUM(ABS(x - x7)) AS BIGINT) AS sae_snaive
+        FROM lagged GROUP BY 1
+    )
+    SELECT event_type, n_naive, sae_naive, n_snaive, sae_snaive,
+           CASE WHEN sae_naive > 0 AND n_snaive > 0 THEN
+               CAST(FLOOR(CAST(sae_snaive AS DOUBLE) * n_naive
+                          / (CAST(sae_naive AS DOUBLE) * n_snaive)
+                          * 1000000) AS BIGINT)
+           ELSE NULL END AS mase_e6
+    FROM s ORDER BY event_type
+    """,
+)
+def ts_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MASE — mean absolute SCALED error (round 10), Hyndman's
+    forecast-eval standard: the seasonal-naive forecast's MAE scaled
+    by the one-step naive MAE on the same series.  MASE < 1 means
+    the weekly-seasonal forecaster beats "tomorrow = today"; > 1
+    means the seasonality is not worth modeling — the
+    unit-free, division-safe readout that makes error comparable
+    ACROSS series of different magnitude (per-series MAPE dies on
+    zero days, raw MAE can't rank a 10/day series against a
+    10k/day one).  Scores ts_backtest_snaive's forecaster with the
+    denominator discipline ts_pinball_loss applies to quantiles.
+
+    Exactness: both sums of absolute integer differences are exact
+    bigints; MASE is one double chain (cross-multiplied counts, one
+    floor).
+
+    Scale: map-side daily rollup + one keyed window carrying both
+    lags in a single exchange + one keyed aggregate."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count("*").cast("bigint").alias("x")
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    lagged = daily.select(
+        "event_type",
+        "x",
+        F.lag("x", 1).over(w).alias("x1"),
+        F.lag("x", 7).over(w).alias("x7"),
+    )
+    s = lagged.groupBy("event_type").agg(
+        F.count("x1").cast("bigint").alias("n_naive"),
+        F.sum(F.abs(F.col("x") - F.col("x1"))).cast("bigint").alias("sae_naive"),
+        F.count("x7").cast("bigint").alias("n_snaive"),
+        F.sum(F.abs(F.col("x") - F.col("x7")))
+        .cast("bigint")
+        .alias("sae_snaive"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    mase = d("sae_snaive") * d("n_naive") / (d("sae_naive") * d("n_snaive"))
+    return s.select(
+        "event_type",
+        "n_naive",
+        "sae_naive",
+        "n_snaive",
+        "sae_snaive",
+        F.when(
+            (F.col("sae_naive") > 0) & (F.col("n_snaive") > 0),
+            F.floor(mase * 1000000).cast("bigint"),
+        ).alias("mase_e6"),
+    ).orderBy("event_type")

@@ -567,6 +567,9 @@ _ROUND10_ADDITIONS = (
     "text_good_turing_mass",
     "anon_generalize_ladder",
     "agg_smr_indirect",
+    "agg_cliffs_delta",
+    "graph_conductance_segments",
+    "ts_mase",
 )
 
 # Landing-order queue for rows that have never been inside a driver

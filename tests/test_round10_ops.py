@@ -481,3 +481,82 @@ def test_agg_smr_indirect_referee(spark, sf_dir):
         assert r["smr_e6"] == observed * 10**12 // expected_e6
         # mix-adjusted rate should be near 1 under this null-ish fixture
         assert 200000 < r["smr_e6"] < 5000000
+
+
+def test_agg_cliffs_delta_referee(spark, sf_dir):
+    ev = _events(sf_dir)
+    ts = pd.to_datetime(ev["ts"])
+    wknd = ts.dt.dayofweek.isin([5, 6])  # pandas Mon=0: Sat=5, Sun=6
+    v = (ev["value"] * 10000).apply(math.floor)
+    got = {r["event_type"]: r for r in QUERIES["agg_cliffs_delta"](spark, sf_dir).collect()}
+    for etype in ev["event_type"].unique():
+        mask = ev["event_type"] == etype
+        x = sorted(v[mask & wknd].tolist())
+        y = sorted(v[mask & ~wknd].tolist())
+        n1, n2 = len(x), len(y)
+        # brute-force pair counts via two-pointer on sorted arrays
+        import bisect
+
+        gt = sum(bisect.bisect_left(y, xi) for xi in x)
+        lt = sum(n2 - bisect.bisect_right(y, xi) for xi in x)
+        delta = (gt - lt) / (n1 * n2)
+        r = got[etype]
+        assert (r["n1"], r["n2"]) == (n1, n2)
+        assert r["cliffs_delta_e6"] == math.floor(delta * 1000000)
+        # the rank-sum identity: u1_x2 = 2*(gt + ties/2)
+        ties = n1 * n2 - gt - lt
+        assert r["u1_x2"] == 2 * gt + ties
+
+
+def test_graph_conductance_segments_referee(spark, sf_dir):
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")[["l_orderkey", "l_partkey"]]
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")[["o_orderkey", "o_custkey"]]
+    c = pd.read_parquet(f"{sf_dir}/customer.parquet")[["c_custkey", "c_mktsegment"]]
+    bip = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")[
+        ["o_custkey", "l_partkey"]
+    ].drop_duplicates()
+    from collections import Counter
+
+    pairs = Counter()
+    for _, grp in bip.groupby("l_partkey"):
+        custs = sorted(grp["o_custkey"].tolist())
+        for i in range(len(custs)):
+            for j in range(i + 1, len(custs)):
+                pairs[(custs[i], custs[j])] += 1
+    edges = [e for e, s in pairs.items() if s >= 3]
+    seg = dict(zip(c["c_custkey"], c["c_mktsegment"]))
+    m = len(edges)
+    vol = Counter()
+    cut = Counter()
+    for a, b in edges:
+        sa, sb = seg[a], seg[b]
+        vol[sa] += 1
+        vol[sb] += 1
+        if sa != sb:
+            cut[sa] += 1
+            cut[sb] += 1
+    got = {r["segment"]: r for r in QUERIES["graph_conductance_segments"](spark, sf_dir).collect()}
+    for s_ in vol:
+        r = got[s_]
+        assert r["n_edges"] == m
+        assert r["vol"] == vol[s_]
+        assert r["cut_edges"] == cut.get(s_, 0)
+        den = min(vol[s_], 2 * m - vol[s_])
+        if den > 0:
+            assert r["conductance_e6"] == math.floor(cut.get(s_, 0) / den * 1000000)
+
+
+def test_ts_mase_referee(spark, sf_dir):
+    daily = _daily_counts(sf_dir)
+    got = {r["event_type"]: r for r in QUERIES["ts_mase"](spark, sf_dir).collect()}
+    for etype, grp in daily.groupby(level=0):
+        xs = grp.sort_index().tolist()
+        n = len(xs)
+        sae1 = sum(abs(xs[i] - xs[i - 1]) for i in range(1, n))
+        sae7 = sum(abs(xs[i] - xs[i - 7]) for i in range(7, n))
+        r = got[etype]
+        assert r["n_naive"] == n - 1 and r["n_snaive"] == n - 7
+        assert r["sae_naive"] == sae1 and r["sae_snaive"] == sae7
+        if sae1 > 0:
+            mase = (sae7 / (n - 7)) / (sae1 / (n - 1))
+            assert r["mase_e6"] == math.floor(mase * 1000000)
