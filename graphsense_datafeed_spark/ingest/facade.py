@@ -2607,3 +2607,218 @@ def ingest_miner_concentration(
         .cast("bigint")
         .alias("hhi_e6"),
     )
+
+
+@query(
+    "ingest_dust_output_census",
+    f"""
+    WITH txr AS (
+        SELECT height, unnest(txs) AS tx FROM {_DUCK_BLOCKS}
+    ), outs AS (
+        SELECT height, (o).value AS sat
+        FROM (SELECT height, unnest((tx).outputs) AS o FROM txr)
+    )
+    SELECT height,
+           CAST(COUNT(*) AS BIGINT) AS n_outputs,
+           CAST(COUNT(*) FILTER (sat < 100000000) AS BIGINT) AS n_dust,
+           CAST(COALESCE(SUM(sat) FILTER (sat < 100000000), 0)
+                AS BIGINT) AS dust_sat_total,
+           CAST(COUNT(*) FILTER (sat < 100000000) * 1000000
+                // COUNT(*) AS BIGINT) AS dust_share_e6
+    FROM outs GROUP BY height ORDER BY height
+    """,
+)
+def ingest_dust_output_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-block DUST-output census (round 10): outputs below the
+    1e8-satoshi threshold — count, satoshi mass, and share per block.
+    Dust is the UTXO-set pollution vector (dusting attacks tag
+    addresses for clustering; economically-unspendable outputs bloat
+    every full node forever), so chain-health dashboards track the
+    dust share as a leading indicator alongside fee pressure
+    (ingest_fee_summary): rising dust + rising fees = outputs being
+    minted that will never be worth sweeping.  The threshold is a
+    LITERAL by design — the real network's dust limit is a relay
+    policy constant, not data-derived.
+
+    ZERO floats: satoshi values are integral, the share is one exact
+    integer division (e6).
+
+    Scale: one outputs explode + one height-keyed map-side-combinable
+    aggregate — the ingest_fee_summary shape on the output side;
+    incremental per block at the daemon's pace."""
+    txs = explode_transactions(normalize_blocks(read_blocks_json(spark)))
+    outs = txs.select(
+        "height", F.explode("outputs").alias("o")
+    ).select("height", F.col("o.value").alias("sat"))
+    return (
+        outs.groupBy("height")
+        .agg(
+            F.count("*").cast("bigint").alias("n_outputs"),
+            F.count_if(F.col("sat") < 100000000)
+            .cast("bigint")
+            .alias("n_dust"),
+            F.coalesce(
+                F.sum(F.when(F.col("sat") < 100000000, F.col("sat"))),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("dust_sat_total"),
+            F.expr(
+                "CAST(count_if(sat < 100000000) * 1000000 DIV COUNT(*)"
+                " AS BIGINT)"
+            ).alias("dust_share_e6"),
+        )
+        .orderBy("height")
+    )
+
+
+@query(
+    "ingest_utxo_growth",
+    f"""
+    WITH txr AS (
+        SELECT height, unnest(txs) AS tx FROM {_DUCK_BLOCKS}
+    ), per_block AS (
+        SELECT height,
+               CAST(SUM(len((tx).outputs)) AS BIGINT) AS created,
+               CAST(SUM(len((tx).inputs)) AS BIGINT) AS destroyed
+        FROM txr GROUP BY height
+    )
+    SELECT height, created, destroyed,
+           created - destroyed AS net,
+           CAST(SUM(created - destroyed)
+                OVER (ORDER BY height
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS utxo_set_size
+    FROM per_block ORDER BY height
+    """,
+)
+def ingest_utxo_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UTXO-set growth series (round 10): per block, outputs created
+    minus inputs destroyed, and the running total — the proxy for
+    the unspent-output set size every full node must hold in fast
+    storage.  THE node-capacity planning series (the real network's
+    UTXO count is the headline scalability argument in every
+    protocol debate), and the chain-level reconciliation companion
+    to ingest_address_balance: the per-address balances must sum to
+    the same net flow this series accumulates.
+
+    Exactness: pure integer counts and one ROWS-framed running sum
+    over the height order.
+
+    Scale: the running window is a chain-LENGTH frame (one row per
+    block — bounded by consensus at ~55k blocks/year, never by tx
+    volume), partitioned in production by chain id across currencies
+    (ingest_multi_currency's seam); the per-block reduction is
+    map-side-combinable on height."""
+    raw = normalize_blocks(read_blocks_json(spark))
+    txr = raw.select("height", F.explode("txs").alias("tx"))
+    per_block = txr.groupBy("height").agg(
+        F.sum(F.size("tx.outputs")).cast("bigint").alias("created"),
+        F.sum(F.size("tx.inputs")).cast("bigint").alias("destroyed"),
+    )
+    w = (
+        Window.orderBy("height")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return per_block.select(
+        "height",
+        "created",
+        "destroyed",
+        (F.col("created") - F.col("destroyed")).alias("net"),
+        F.sum(F.col("created") - F.col("destroyed"))
+        .over(w)
+        .cast("bigint")
+        .alias("utxo_set_size"),
+    ).orderBy("height")
+
+
+@query(
+    "ingest_balance_concentration",
+    f"""
+    WITH txr AS (
+        SELECT unnest(txs) AS tx FROM {_DUCK_BLOCKS}
+    ), flows AS (
+        SELECT (o).address[1] AS address, (o).value AS delta
+        FROM (SELECT unnest((tx).outputs) AS o FROM txr)
+        UNION ALL
+        SELECT (i).address[1] AS address, -(i).value AS delta
+        FROM (SELECT unnest((tx).inputs) AS i FROM txr)
+    ), bal AS (
+        SELECT address, CAST(SUM(delta) AS BIGINT) AS balance
+        FROM flows GROUP BY 1 HAVING SUM(delta) > 0
+    ), ranked AS (
+        SELECT balance,
+               row_number() OVER (ORDER BY balance DESC, address ASC)
+                   AS rnk,
+               CAST(SUM(balance) OVER () AS BIGINT) AS total
+        FROM bal
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_addresses,
+           CAST(MAX(total) AS BIGINT) AS total_sat,
+           CAST(SUM(balance) FILTER (rnk <= 10) AS BIGINT) AS top10_sat,
+           CAST(SUM(balance) FILTER (rnk <= 10) * 1000000 // MAX(total)
+                AS BIGINT) AS top10_share_e6,
+           CAST(SUM((balance // 1000000) * (balance // 1000000))
+                AS BIGINT) AS hhi_num_scaled
+    FROM ranked
+    """,
+)
+def ingest_balance_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADDRESS-BALANCE concentration (round 10): the share of all
+    positive on-chain balance held by the top-10 addresses, plus a
+    scaled Herfindahl numerator — the wealth-concentration readout
+    ("whale watch") every chain-analytics product publishes, and the
+    holder-side twin of ingest_miner_concentration's miner HHI.
+    Rising top-10 share means custodial consolidation or whale
+    accumulation; compliance teams read it as counterparty-risk
+    concentration on the asset itself.
+
+    Exactness: balances are exact signed satoshi sums (negative
+    balances — the synthetic fixture doesn't conserve — are excluded
+    by the positive-balance HAVING, identically both engines); the
+    top-10 is rank-pinned (balance DESC, address ASC); the share is
+    one exact integer division; the HHI numerator squares
+    MEGA-satoshi balances (balance DIV 1e6, then squared) so the sum
+    stays in int64 at any balance magnitude; the consumer divides by
+    (total DIV 1e6)² for the [0,1] index.
+
+    Scale: one address-keyed exchange (the ingest_address_balance
+    plan) + a rank over |addresses-with-balance|; at 100 TB the top-k
+    rides WindowGroupLimit and the HHI is a map-side sum."""
+    raw = normalize_blocks(read_blocks_json(spark))
+    txr = raw.select(F.explode("txs").alias("tx"))
+    outs = txr.select(F.explode("tx.outputs").alias("o")).select(
+        F.col("o.address")[0].alias("address"),
+        F.col("o.value").alias("delta"),
+    )
+    ins = txr.select(F.explode("tx.inputs").alias("i")).select(
+        F.col("i.address")[0].alias("address"),
+        (-F.col("i.value")).alias("delta"),
+    )
+    bal = (
+        outs.unionAll(ins)
+        .groupBy("address")
+        .agg(F.sum("delta").cast("bigint").alias("balance"))
+        .filter(F.col("balance") > 0)
+    )
+    ranked = bal.select(
+        "balance",
+        F.row_number()
+        .over(Window.orderBy(F.col("balance").desc(), F.col("address").asc()))
+        .alias("rnk"),
+        F.sum("balance").over(Window.partitionBy()).cast("bigint").alias("total"),
+    )
+    return ranked.agg(
+        F.count("*").cast("bigint").alias("n_addresses"),
+        F.max("total").cast("bigint").alias("total_sat"),
+        F.sum(F.when(F.col("rnk") <= 10, F.col("balance")))
+        .cast("bigint")
+        .alias("top10_sat"),
+        F.expr(
+            "CAST(SUM(CASE WHEN rnk <= 10 THEN balance END) * 1000000"
+            " DIV MAX(total) AS BIGINT)"
+        ).alias("top10_share_e6"),
+        F.sum(F.expr("(balance DIV 1000000) * (balance DIV 1000000)"))
+        .cast("bigint")
+        .alias("hhi_num_scaled"),
+    )

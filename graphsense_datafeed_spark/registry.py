@@ -570,6 +570,9 @@ _ROUND10_ADDITIONS = (
     "agg_cliffs_delta",
     "graph_conductance_segments",
     "ts_mase",
+    "ingest_dust_output_census",
+    "ingest_utxo_growth",
+    "ingest_balance_concentration",
 )
 
 # Landing-order queue for rows that have never been inside a driver
