@@ -8242,3 +8242,87 @@ def agg_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(delta * 1000000).cast("bigint"),
         ).alias("cliffs_delta_e6"),
     ).orderBy("event_type")
+
+
+@query(
+    "agg_hhi_by_group",
+    """
+    WITH cell AS (
+        SELECT c.c_mktsegment AS segment, o.o_custkey,
+               CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS spend
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2
+    ), tot AS (
+        SELECT segment, CAST(SUM(spend) AS BIGINT) AS total,
+               CAST(COUNT(*) AS BIGINT) AS n_custs
+        FROM cell GROUP BY 1
+    )
+    SELECT t.segment, t.n_custs, t.total AS total_cents,
+           CAST(SUM(
+               (c.spend * 1000000 // t.total)
+               * (c.spend * 1000000 // t.total)
+           ) AS BIGINT) AS hhi_e12,
+           CAST(1000000000000 // t.n_custs AS BIGINT)
+               AS hhi_uniform_e12
+    FROM cell c JOIN tot t ON c.segment = t.segment
+    GROUP BY 1, 2, 3 ORDER BY 1
+    """,
+)
+def agg_hhi_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED HERFINDAHL concentration (round 10): per market
+    segment, the HHI of customer spend shares — "is this segment's
+    revenue a broad base or three whales?", the antitrust metric
+    ops/finance reuse as revenue-concentration risk.  Reported
+    against the uniform floor 1/n (the minimum possible HHI at that
+    customer count) so segments of different size compare fairly —
+    raw HHI alone confounds concentration with headcount.
+    Generalizes ingest_miner_concentration / ingest_balance_
+    concentration (global, one-row) to the keyed form dashboards
+    segment by.
+
+    Exactness: each share quantizes ONCE as the exact integer
+    division spend·1e6 // total (shares in e6 units, squares in e12),
+    then sums — zero floats anywhere, and the quantization bias is
+    bounded by n·2·share·e-6, negligible against any reporting
+    threshold.  int64 safe: squares ≤ 1e12, sums ≤ n·1e12 with
+    n ≤ |customers|.
+
+    Scale: one keyed spend rollup (map-side-combinable) + a
+    |segments|-row broadcast total join — the agg_gini_concentration
+    shape without the sort."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    cell = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            "o_custkey",
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("spend")
+        )
+    )
+    tot = cell.groupBy("segment").agg(
+        F.sum("spend").cast("bigint").alias("total"),
+        F.count("*").cast("bigint").alias("n_custs"),
+    )
+    j = cell.join(F.broadcast(tot), "segment")
+    share = F.expr("spend * 1000000 DIV total")
+    return (
+        j.groupBy(
+            "segment",
+            "n_custs",
+            F.col("total").alias("total_cents"),
+        )
+        .agg(
+            F.sum(share * share).cast("bigint").alias("hhi_e12"),
+        )
+        .withColumn(
+            "hhi_uniform_e12",
+            F.expr("CAST(1000000000000 DIV n_custs AS BIGINT)"),
+        )
+        .orderBy("segment")
+    )

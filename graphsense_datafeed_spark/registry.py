@@ -573,6 +573,8 @@ _ROUND10_ADDITIONS = (
     "ingest_dust_output_census",
     "ingest_utxo_growth",
     "ingest_balance_concentration",
+    "stream_hierarchical_rollup",
+    "agg_hhi_by_group",
 )
 
 # Landing-order queue for rows that have never been inside a driver

@@ -613,3 +613,66 @@ def stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rk") <= 3)
     )
+
+
+@query(
+    "stream_hierarchical_rollup",
+    """
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(FLOOR(value * 10000) AS BIGINT)) AS BIGINT)
+                   AS value_e4
+        FROM events GROUP BY 1, 2
+    )
+    SELECT CAST(date_trunc('day', h) AS DATE) AS day, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_hours,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           CAST(SUM(value_e4) AS BIGINT) AS value_e4
+    FROM hourly GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def stream_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HIERARCHICAL rollup hour→day (round 10): Structured
+    Streaming forbids chained streaming aggregations (an agg over an
+    agg has no incremental plan), so the production pattern is the
+    TWO-LAYER split the topk/rank ops also use — the STREAM maintains
+    the finest-grain mergeable state (hourly sums per type), and the
+    day level is a trivial batch rollup over the drained hourly
+    table.  This is the lambda-architecture collapse done right: one
+    streaming state store serves EVERY coarser grain because sums
+    are mergeable — the property ts_hierarchy_coherence audits from
+    the consistency side.
+
+    Exactness: counts and floor-e4 value sums are exact bigints at
+    both layers; the day table is pure integer addition over hours.
+
+    Scale: streaming state is |hours|×|types| counters (bounded by
+    the calendar, not traffic); the finishing rollup is keyed on
+    (day, type) — at production scale the drain is a foreachBatch
+    upsert and the day grain is the reader's GROUP BY."""
+    s = read_events_stream(spark, sf_dir)
+    hourly = s.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(F.floor(F.col("value") * 10000).cast("bigint"))
+        .cast("bigint")
+        .alias("value_e4"),
+    )
+    out = run_stream_to_memory(spark, hourly, "complete")
+    return (
+        out.select(
+            F.col("w.start").alias("h"), "event_type", "n_events", "value_e4"
+        )
+        .groupBy(
+            F.date_trunc("day", F.col("h")).cast("date").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_hours"),
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.sum("value_e4").cast("bigint").alias("value_e4"),
+        )
+        .orderBy("day", "event_type")
+    )

@@ -621,3 +621,43 @@ def test_ingest_balance_concentration_referee(spark, sf_dir):
     assert r["top10_share_e6"] == top10 * 1000000 // total
     assert r["hhi_num_scaled"] == hhi
     assert 0 < r["top10_share_e6"] <= 1000000
+
+
+def test_stream_hierarchical_rollup_referee(spark, sf_dir):
+    ev = _events(sf_dir)
+    ts = pd.to_datetime(ev["ts"])
+    v = (ev["value"] * 10000).apply(math.floor)
+    df = pd.DataFrame(
+        {"day": ts.dt.date, "h": ts.dt.floor("h"), "event_type": ev["event_type"], "v": v}
+    )
+    got = {(r["day"], r["event_type"]): r
+           for r in QUERIES["stream_hierarchical_rollup"](spark, sf_dir).collect()}
+    exp = df.groupby(["day", "event_type"]).agg(
+        n_hours=("h", "nunique"), n_events=("v", "size"), value_e4=("v", "sum")
+    )
+    assert len(got) == len(exp)
+    for (day, et), row in exp.iterrows():
+        r = got[(day, et)]
+        assert r["n_hours"] == row["n_hours"]
+        assert r["n_events"] == row["n_events"]
+        assert r["value_e4"] == row["value_e4"]
+
+
+def test_agg_hhi_by_group_referee(spark, sf_dir):
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    c = pd.read_parquet(f"{sf_dir}/customer.parquet")
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    j["cents"] = (j["o_totalprice"] * 100).round().astype("int64")
+    got = {r["segment"]: r for r in QUERIES["agg_hhi_by_group"](spark, sf_dir).collect()}
+    for seg, grp in j.groupby("c_mktsegment"):
+        spend = grp.groupby("o_custkey")["cents"].sum()
+        total = int(spend.sum())
+        hhi = sum((int(s) * 1000000 // total) ** 2 for s in spend)
+        r = got[seg]
+        assert r["n_custs"] == len(spend)
+        assert r["total_cents"] == total
+        assert r["hhi_e12"] == hhi
+        assert r["hhi_uniform_e12"] == 10**12 // len(spend)
+        # concentration can never undercut the uniform floor (up to
+        # the documented e-6 per-share quantization)
+        assert r["hhi_e12"] >= r["hhi_uniform_e12"] - len(spend) * 2
