@@ -1142,3 +1142,195 @@ def multimodal_video_scene_cut(
             "is_cut"
         ),
     )
+
+
+@query(
+    "multimodal_image_luma_stats",
+    """
+    WITH media AS (
+        SELECT doc_id, repeat(md5(text), 12) AS hexpix
+        FROM documents WHERE doc_id < 200
+    ), px AS (
+        SELECT doc_id,
+               (299 * CAST(('0x' || substring(hexpix, 6 * i.i + 1, 2))
+                           AS BIGINT)
+                + 587 * CAST(('0x' || substring(hexpix, 6 * i.i + 3, 2))
+                             AS BIGINT)
+                + 114 * CAST(('0x' || substring(hexpix, 6 * i.i + 5, 2))
+                             AS BIGINT)) // 1000 AS luma
+        FROM media, generate_series(0, 63) AS i(i)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_px,
+           CAST(SUM(luma) AS BIGINT) AS luma_sum,
+           CAST(MIN(luma) AS BIGINT) AS luma_min,
+           CAST(MAX(luma) AS BIGINT) AS luma_max,
+           CAST(COUNT(*) FILTER (luma < 64) AS BIGINT) AS n_dark,
+           CAST(COUNT(*) FILTER (luma >= 192) AS BIGINT) AS n_bright,
+           CASE WHEN COUNT(*) FILTER (luma < 64) * 2 > COUNT(*)
+                THEN 'under'
+                WHEN COUNT(*) FILTER (luma >= 192) * 2 > COUNT(*)
+                THEN 'over' ELSE 'ok' END AS exposure
+    FROM px GROUP BY doc_id
+    """,
+)
+def multimodal_image_luma_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image LUMA exposure census (round 10): decode each
+    document's deterministic 8×8 RGB block through the REAL container
+    round trip (the multimodal_decode_codec seam — PNG for even ids,
+    PPM for odd, header-triaged), compute integer ITU-R 601 luma
+    (299R + 587G + 114B)//1000 per pixel, and emit the exposure
+    profile: sum/min/max, dark (<64) and bright (≥192) pixel counts,
+    and an under/over/ok flag — the first-pass quality gate a
+    vision-data pipeline runs before any model sees the image
+    (near-black and blown-out frames poison contrastive training and
+    waste tokens in captioning).
+
+    The oracle pins the DECODE, not the plumbing: DuckDB re-derives
+    every pixel byte relationally from the known hex and computes
+    the identical integer luma — any filter-inversion bug in the PNG
+    path shifts a byte and breaks the per-image sums.
+
+    Exactness: luma is pure integer arithmetic; every output column
+    is an exact count/sum.
+
+    Scale: one narrow Arrow-batched map (decode) + one keyed agg —
+    no shuffle beyond the doc_id partial agg; the relational oracle
+    side is fixture-bounded by construction."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    src = d.select(
+        "doc_id",
+        F.unhex(F.repeat(F.md5(F.col("text").cast("binary")), 12)).alias(
+            "pixels"
+        ),
+    )
+    out_schema = (
+        "doc_id bigint, n_px bigint, luma_sum bigint, luma_min bigint, "
+        "luma_max bigint, n_dark bigint, n_bright bigint, exposure string"
+    )
+
+    def luma_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from graphsense_datafeed_spark.operators import imagecodec as _ic
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "n_px", "luma_sum", "luma_min", "luma_max",
+                "n_dark", "n_bright", "exposure",
+            )}
+            for doc_id, px in zip(pdf["doc_id"], pdf["pixels"]):
+                px = bytes(px)
+                if doc_id % 2 == 0:
+                    payload = _ic.png_encode(px, 8, 8, 3, int(doc_id % 5))
+                    _ic.png_parse_header(payload)
+                    _, _, _, dec = _ic.png_decode(payload)
+                else:
+                    payload = _ic.ppm_encode(px, 8, 8)
+                    _, _, _, dec = _ic.ppm_decode(payload)
+                lumas = [
+                    (299 * dec[3 * i] + 587 * dec[3 * i + 1]
+                     + 114 * dec[3 * i + 2]) // 1000
+                    for i in range(64)
+                ]
+                n_dark = sum(1 for v in lumas if v < 64)
+                n_bright = sum(1 for v in lumas if v >= 192)
+                rows["doc_id"].append(doc_id)
+                rows["n_px"].append(64)
+                rows["luma_sum"].append(sum(lumas))
+                rows["luma_min"].append(min(lumas))
+                rows["luma_max"].append(max(lumas))
+                rows["n_dark"].append(n_dark)
+                rows["n_bright"].append(n_bright)
+                rows["exposure"].append(
+                    "under" if n_dark * 2 > 64
+                    else "over" if n_bright * 2 > 64
+                    else "ok"
+                )
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(luma_batches, out_schema)
+
+
+@query(
+    "multimodal_payload_entropy",
+    """
+    WITH media AS (
+        SELECT doc_id, repeat(md5(text), 12) AS hexpix
+        FROM documents WHERE doc_id < 200
+    ), bytes_ AS (
+        SELECT doc_id,
+               CAST(('0x' || substring(hexpix, 2 * i.i + 1, 2)) AS BIGINT)
+                   AS b
+        FROM media, generate_series(0, 191) AS i(i)
+    ), hist AS (
+        SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS c
+        FROM bytes_ GROUP BY 1, 2
+    ), terms AS (
+        SELECT doc_id,
+               CAST(FLOOR(-(CAST(c AS DOUBLE) / 192.0)
+                          * LN(CAST(c AS DOUBLE) / 192.0) / LN(2.0)
+                          * 1000000000) AS BIGINT) AS term_e9,
+               c
+        FROM hist
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_bytes,
+           CAST(MAX(c) AS BIGINT) AS mode_count,
+           CAST(SUM(term_e9) AS BIGINT) AS entropy_bits_e9
+    FROM terms GROUP BY doc_id
+    """,
+)
+def multimodal_payload_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BYTE-ENTROPY gate for binary payloads (round 10): per blob,
+    the Shannon entropy of its byte histogram — the standard triage
+    scalar for opaque media columns BEFORE any decoder runs: entropy
+    near 8 bits/byte means compressed/encrypted content (decode it,
+    don't re-compress it), near 0 means padding/corruption, and a
+    sudden corpus-wide shift means an upstream pipeline started
+    double-compressing.  Complements multimodal_parse_header
+    (structure triage) with the content-statistics triage; both run
+    at the gate so undecodable blobs surface before feature
+    extraction.
+
+    Fully relational BOTH engines — no Python in the Spark path: hex
+    pairs explode via a bounded sequence, the histogram is a keyed
+    count, and each −p·log₂p term floors e9 BEFORE the order-free
+    bigint sum (the ts_records_test harmonic discipline applied to
+    entropy).
+
+    Scale: |payload_bytes| explode per blob is the same row volume
+    the decoder touches anyway; two map-side-combinable aggs; at
+    100 TB the explode runs per Arrow batch on fixed-size payload
+    prefixes (first N KB is the standard triage window)."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = d.select(
+        "doc_id",
+        F.repeat(F.md5(F.col("text").cast("binary")), 12).alias("hexpix"),
+    )
+    bytes_ = media.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(191))).alias("i"),
+        "hexpix",
+    ).select(
+        "doc_id",
+        F.conv(
+            F.substring(F.col("hexpix"), 2 * F.col("i") + 1, 2), 16, 10
+        )
+        .cast("bigint")
+        .alias("b"),
+    )
+    hist = bytes_.groupBy("doc_id", "b").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    p = F.col("c").cast("double") / 192.0
+    terms = hist.select(
+        "doc_id",
+        "c",
+        F.floor(-p * F.log(p) / F.log(F.lit(2.0)) * 1000000000)
+        .cast("bigint")
+        .alias("term_e9"),
+    )
+    return terms.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_distinct_bytes"),
+        F.max("c").cast("bigint").alias("mode_count"),
+        F.sum("term_e9").cast("bigint").alias("entropy_bits_e9"),
+    )

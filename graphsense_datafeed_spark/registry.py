@@ -575,6 +575,8 @@ _ROUND10_ADDITIONS = (
     "ingest_balance_concentration",
     "stream_hierarchical_rollup",
     "agg_hhi_by_group",
+    "multimodal_image_luma_stats",
+    "multimodal_payload_entropy",
 )
 
 # Landing-order queue for rows that have never been inside a driver

@@ -661,3 +661,51 @@ def test_agg_hhi_by_group_referee(spark, sf_dir):
         # concentration can never undercut the uniform floor (up to
         # the documented e-6 per-share quantization)
         assert r["hhi_e12"] >= r["hhi_uniform_e12"] - len(spend) * 2
+
+
+def test_multimodal_image_luma_stats_referee(spark, sf_dir):
+    import hashlib
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    docs = docs[docs["doc_id"] < 200]
+    got = {r["doc_id"]: r for r in QUERIES["multimodal_image_luma_stats"](spark, sf_dir).collect()}
+    assert len(got) == len(docs)
+    for _, row in docs.iterrows():
+        px = bytes.fromhex(hashlib.md5(row["text"].encode()).hexdigest() * 12)
+        lumas = [
+            (299 * px[3 * i] + 587 * px[3 * i + 1] + 114 * px[3 * i + 2]) // 1000
+            for i in range(64)
+        ]
+        r = got[row["doc_id"]]
+        assert r["n_px"] == 64
+        assert r["luma_sum"] == sum(lumas)
+        assert r["luma_min"] == min(lumas) and r["luma_max"] == max(lumas)
+        nd = sum(1 for v in lumas if v < 64)
+        nb = sum(1 for v in lumas if v >= 192)
+        assert r["n_dark"] == nd and r["n_bright"] == nb
+        exp = "under" if nd * 2 > 64 else "over" if nb * 2 > 64 else "ok"
+        assert r["exposure"] == exp
+
+
+def test_multimodal_payload_entropy_referee(spark, sf_dir):
+    import hashlib
+    from collections import Counter
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    docs = docs[docs["doc_id"] < 200]
+    got = {r["doc_id"]: r for r in QUERIES["multimodal_payload_entropy"](spark, sf_dir).collect()}
+    for _, row in docs.iterrows():
+        px = bytes.fromhex(hashlib.md5(row["text"].encode()).hexdigest() * 12)
+        hist = Counter(px)
+        ent = sum(
+            math.floor(-(c / 192) * math.log(c / 192) / math.log(2) * 1e9)
+            for c in hist.values()
+        )
+        r = got[row["doc_id"]]
+        assert r["n_distinct_bytes"] == len(hist)
+        assert r["mode_count"] == max(hist.values())
+        assert r["entropy_bits_e9"] == ent
+        # the payload is one md5 repeated 12x -> at most 16 distinct
+        # bytes, so entropy is capped at exactly 4 bits
+        assert r["n_distinct_bytes"] <= 16
+        assert 2_000_000_000 < r["entropy_bits_e9"] <= 4_000_000_000
