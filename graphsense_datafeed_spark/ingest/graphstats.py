@@ -2179,3 +2179,108 @@ def graph_conductance_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("conductance_e6"),
     ).orderBy("segment")
+
+
+@query(
+    "graph_avg_neighbor_degree",
+    """
+    WITH bip AS (
+        SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    ), edges AS (
+        SELECT a.cust AS cust_a, b.cust AS cust_b
+        FROM bip a JOIN bip b ON a.part = b.part AND a.cust < b.cust
+        GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    ), sym AS (
+        SELECT cust_a AS u, cust_b AS v FROM edges
+        UNION ALL
+        SELECT cust_b, cust_a FROM edges
+    ), deg AS (
+        SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY 1
+    ), nbr AS (
+        SELECT s.u, CAST(SUM(dv.d) AS BIGINT) AS nbr_deg_sum
+        FROM sym s JOIN deg dv ON dv.u = s.v
+        GROUP BY s.u
+    )
+    SELECT d.d AS degree,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(n.nbr_deg_sum) AS BIGINT) AS nbr_deg_total,
+           CAST(FLOOR(CAST(SUM(n.nbr_deg_sum) AS DOUBLE)
+                      / (d.d * COUNT(*)) * 1000000) AS BIGINT)
+               AS knn_e6
+    FROM deg d JOIN nbr n ON n.u = d.u
+    GROUP BY d.d ORDER BY degree
+    """,
+)
+def graph_avg_neighbor_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVERAGE NEIGHBOR DEGREE curve k_nn(k) (round 10) on the
+    co-purchase graph: for each degree class k, the mean degree of
+    the neighbors of degree-k nodes — the per-k CURVE behind
+    graph_assortativity's single correlation number.  Rising k_nn(k)
+    = assortative (hubs wire to hubs — the rich-club's gradient
+    view); falling = disassortative (hubs serve the periphery, the
+    router/star topology).  The curve localizes WHERE mixing changes
+    — a graph can be flat-assortative overall yet disassortative
+    exactly in the high-k tail that matters for robustness
+    (graph_hub_removal_resilience's territory).
+
+    Exactness: degrees and neighbor-degree sums are exact bigint
+    counts off the symmetrized edge list; one floored division per
+    degree class.
+
+    Scale: reuses the bounded within-part edge generation; the
+    neighbor-degree join keys on the edge list (|edges| rows, the
+    same exchange the degree count uses) and everything downstream
+    is |degree-classes| rows."""
+    from graphsense_datafeed_spark.sources.tables import load
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    bip = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part")
+        )
+        .distinct()
+    )
+    a = bip.alias("a")
+    b = bip.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.part") == F.col("b.part"))
+            & (F.col("a.cust") < F.col("b.cust")),
+        )
+        .groupBy(
+            F.col("a.cust").alias("cust_a"), F.col("b.cust").alias("cust_b")
+        )
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= 3)
+        .select("cust_a", "cust_b")
+    )
+    sym = edges.select(
+        F.col("cust_a").alias("u"), F.col("cust_b").alias("v")
+    ).unionAll(edges.select(F.col("cust_b").alias("u"), F.col("cust_a").alias("v")))
+    deg = sym.groupBy("u").agg(F.count("*").cast("bigint").alias("d"))
+    dv = deg.select(F.col("u").alias("v"), F.col("d").alias("dv"))
+    nbr = (
+        sym.join(dv, "v")
+        .groupBy("u")
+        .agg(F.sum("dv").cast("bigint").alias("nbr_deg_sum"))
+    )
+    j = deg.join(nbr, "u")
+    return (
+        j.groupBy(F.col("d").alias("degree"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_nodes"),
+            F.sum("nbr_deg_sum").cast("bigint").alias("nbr_deg_total"),
+            F.floor(
+                F.sum("nbr_deg_sum").cast("double")
+                / (F.col("d") * F.count("*"))
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("knn_e6"),
+        )
+        .orderBy("degree")
+    )

@@ -5451,3 +5451,136 @@ def text_good_turing_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("f3") > 0, F.expr("CAST(4 * f4 * 1000000 DIV f3 AS BIGINT)")
         ).alias("r3_star_e6"),
     ).orderBy("lang")
+
+
+@query(
+    "text_lm_holdout_perplexity",
+    """
+    WITH split AS (
+        SELECT doc_id, str_split(text, ' ') AS t,
+               CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                             1, 7) AS BIGINT) % 1000 < 50
+                    THEN 'holdout' ELSE 'train' END AS split
+        FROM documents
+        WHERE len(str_split(text, ' ')) >= 2
+    ), train_bg AS (
+        SELECT t[i] AS w1, t[i] || ' ' || t[i+1] AS bigram
+        FROM (SELECT t, unnest(range(1, len(t))) AS i
+              FROM split WHERE split = 'train')
+    ), c2 AS (
+        SELECT w1, bigram, CAST(COUNT(*) AS BIGINT) AS c
+        FROM train_bg GROUP BY 1, 2
+    ), c1 AS (
+        SELECT w1, CAST(SUM(c) AS BIGINT) AS cw FROM c2 GROUP BY 1
+    ), v AS (
+        SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS vocab
+        FROM (SELECT unnest(t) AS tok FROM split WHERE split = 'train')
+    ), eval_bg AS (
+        SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i+1] AS bigram
+        FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+              FROM split WHERE split = 'holdout')
+    ), scored AS (
+        SELECT e.doc_id,
+               CAST(FLOOR(-ln((CAST(COALESCE(c2.c, 0) AS DOUBLE) + 1.0)
+                              / (CAST(COALESCE(c1.cw, 0) AS DOUBLE)
+                                 + v.vocab))
+                          * 1000000) AS BIGINT) AS nll_e6
+        FROM eval_bg e
+        LEFT JOIN c2 ON c2.bigram = e.bigram
+        LEFT JOIN c1 ON c1.w1 = e.w1
+        CROSS JOIN v
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(nll_e6) AS BIGINT) AS nll_sum_e6,
+           CAST(FLOOR(CAST(SUM(nll_e6) AS DOUBLE) / COUNT(*)) AS BIGINT)
+               AS avg_nll_e6
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_lm_holdout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-SPLIT LM perplexity (round 10): train the bigram LM on
+    the hash-stable train split, score ONLY the holdout docs with
+    add-one (Laplace) smoothing — the generalization readout
+    text_bigram_lm (which trains and scores on the same corpus)
+    cannot give: memorized boilerplate scores well in-corpus but a
+    holdout NLL that keeps dropping as the corpus grows is the signal
+    the data actually generalizes.  This is the evaluation loop of
+    classical LM corpus work (and the shape of every 'val loss'
+    curve), assembled from the repo's own parts: split_train_holdout's
+    md5-bucket discipline + text_bigram_lm's floored-NLL discipline +
+    smoothing over the train vocab (unseen w1 backs off to 1/V —
+    defined for every holdout bigram, no infinities).
+
+    Exactness: train counts exact bigints; each holdout bigram TYPE's
+    −ln((c+1)/(cw+V)) is one double chain floored e6; per-doc sums
+    exact.
+
+    Scale: train-side the text_bigram_lm plan; holdout side is 5% of
+    docs joined against the broadcast-sized probability inputs; the
+    vocab scalar is a 1-row broadcast."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("t"))
+        .filter(F.size("t") >= 2)
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 7
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000
+    )
+    split = docs.withColumn(
+        "split", F.when(bucket < 50, "holdout").otherwise("train")
+    )
+    bg_expr = F.explode(
+        F.expr(
+            "transform(sequence(1, size(t) - 1),"
+            " i -> struct(t[i-1] AS w1, concat(t[i-1], ' ', t[i]) AS bigram))"
+        )
+    ).alias("x")
+    train = split.filter(F.col("split") == "train")
+    train_bg = train.select(bg_expr).select("x.w1", "x.bigram")
+    c2 = train_bg.groupBy("w1", "bigram").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    c1 = c2.groupBy("w1").agg(F.sum("c").cast("bigint").alias("cw"))
+    v = train.select(F.explode("t").alias("tok")).agg(
+        F.countDistinct("tok").cast("bigint").alias("vocab")
+    )
+    eval_bg = (
+        split.filter(F.col("split") == "holdout")
+        .select("doc_id", bg_expr)
+        .select("doc_id", "x.w1", "x.bigram")
+    )
+    scored = (
+        eval_bg.join(F.broadcast(c2.select("bigram", "c")), "bigram", "left")
+        .join(F.broadcast(c1), "w1", "left")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.floor(
+                -F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)).cast("double") + 1.0)
+                    / (
+                        F.coalesce(F.col("cw"), F.lit(0)).cast("double")
+                        + F.col("vocab")
+                    )
+                )
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("nll_e6"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.sum("nll_e6").cast("bigint").alias("nll_sum_e6"),
+        F.floor(F.sum("nll_e6").cast("double") / F.count("*"))
+        .cast("bigint")
+        .alias("avg_nll_e6"),
+    )

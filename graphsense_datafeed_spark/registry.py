@@ -577,6 +577,8 @@ _ROUND10_ADDITIONS = (
     "agg_hhi_by_group",
     "multimodal_image_luma_stats",
     "multimodal_payload_entropy",
+    "text_lm_holdout_perplexity",
+    "graph_avg_neighbor_degree",
 )
 
 # Landing-order queue for rows that have never been inside a driver

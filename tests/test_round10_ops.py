@@ -709,3 +709,73 @@ def test_multimodal_payload_entropy_referee(spark, sf_dir):
         # bytes, so entropy is capped at exactly 4 bits
         assert r["n_distinct_bytes"] <= 16
         assert 2_000_000_000 < r["entropy_bits_e9"] <= 4_000_000_000
+
+
+def test_text_lm_holdout_perplexity_referee(spark, sf_dir):
+    import hashlib
+    from collections import Counter
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    toks = {r.doc_id: r.text.split(" ") for r in docs.itertuples() if len(r.text.split(" ")) >= 2}
+
+    def bucket(doc_id):
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:7], 16) % 1000
+
+    train = {d: t for d, t in toks.items() if bucket(d) >= 50}
+    hold = {d: t for d, t in toks.items() if bucket(d) < 50}
+    c2, c1, vocab = Counter(), Counter(), set()
+    for t in train.values():
+        vocab.update(t)
+        for i in range(1, len(t)):
+            c2[(t[i - 1], t[i - 1] + " " + t[i])] += 1
+            c1[t[i - 1]] += 1
+    V = len(vocab)
+    got = {r["doc_id"]: r for r in QUERIES["text_lm_holdout_perplexity"](spark, sf_dir).collect()}
+    assert set(got) == set(hold)
+    for d, t in hold.items():
+        nll = 0
+        n = 0
+        for i in range(1, len(t)):
+            w1, bg = t[i - 1], t[i - 1] + " " + t[i]
+            p = (c2.get((w1, bg), 0) + 1.0) / (c1.get(w1, 0) + V)
+            nll += math.floor(-math.log(p) * 1000000)
+            n += 1
+        r = got[d]
+        assert r["n_bigrams"] == n
+        assert r["nll_sum_e6"] == nll
+        assert r["avg_nll_e6"] == math.floor(nll / n)
+        # smoothed NLL is bounded by the uniform-backoff worst case
+        assert r["avg_nll_e6"] <= math.floor(math.log(V + max(c1.values())) * 1e6)
+
+
+def test_graph_avg_neighbor_degree_referee(spark, sf_dir):
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")[["l_orderkey", "l_partkey"]]
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")[["o_orderkey", "o_custkey"]]
+    bip = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")[
+        ["o_custkey", "l_partkey"]
+    ].drop_duplicates()
+    from collections import Counter, defaultdict
+
+    pairs = Counter()
+    for _, grp in bip.groupby("l_partkey"):
+        custs = sorted(grp["o_custkey"].tolist())
+        for i in range(len(custs)):
+            for j in range(i + 1, len(custs)):
+                pairs[(custs[i], custs[j])] += 1
+    adj = defaultdict(set)
+    for (a, b), s_ in pairs.items():
+        if s_ >= 3:
+            adj[a].add(b)
+            adj[b].add(a)
+    deg = {u: len(vs) for u, vs in adj.items()}
+    per_k = defaultdict(lambda: [0, 0])  # k -> [n_nodes, nbr_deg_total]
+    for u, vs in adj.items():
+        per_k[deg[u]][0] += 1
+        per_k[deg[u]][1] += sum(deg[v] for v in vs)
+    got = {r["degree"]: r for r in QUERIES["graph_avg_neighbor_degree"](spark, sf_dir).collect()}
+    assert set(got) == set(per_k)
+    for k, (n_nodes, total) in per_k.items():
+        r = got[k]
+        assert r["n_nodes"] == n_nodes
+        assert r["nbr_deg_total"] == total
+        assert r["knn_e6"] == math.floor(total / (k * n_nodes) * 1000000)
