@@ -2822,3 +2822,132 @@ def ingest_balance_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("hhi_num_scaled"),
     )
+
+
+@query(
+    "ingest_fifo_value_attribution",
+    f"""
+    WITH txr AS (
+        SELECT unnest(txs) AS tx FROM {_DUCK_BLOCKS}
+    ), ntx AS (
+        SELECT (tx).tx_hash AS tx_hash, (tx).inputs AS ins,
+               (tx).outputs AS outs
+        FROM txr
+        WHERE NOT (tx).coinbase
+          AND len((tx).inputs) > 0 AND len((tx).outputs) > 0
+    ), iraw AS (
+        SELECT tx_hash, unnest(range(1, len(ins) + 1)) AS i, ins
+        FROM ntx
+    ), ipos AS (
+        SELECT tx_hash, CAST(i AS BIGINT) AS in_pos,
+               (ins[i]).address[1] AS in_addr,
+               CAST((ins[i]).value AS BIGINT) AS v,
+               CAST(SUM((ins[i]).value) OVER (
+                   PARTITION BY tx_hash ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_i
+        FROM iraw
+    ), oraw AS (
+        SELECT tx_hash, unnest(range(1, len(outs) + 1)) AS j, outs
+        FROM ntx
+    ), opos AS (
+        SELECT tx_hash, CAST(j AS BIGINT) AS out_pos,
+               (outs[j]).address[1] AS out_addr,
+               CAST((outs[j]).value AS BIGINT) AS w,
+               CAST(SUM((outs[j]).value) OVER (
+                   PARTITION BY tx_hash ORDER BY j
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_o
+        FROM oraw
+    )
+    SELECT i.tx_hash, i.in_pos, i.in_addr, o.out_pos, o.out_addr,
+           CAST(LEAST(i.cum_i, o.cum_o)
+                - GREATEST(i.cum_i - i.v, o.cum_o - o.w) AS BIGINT)
+               AS matched_sat
+    FROM ipos i JOIN opos o ON i.tx_hash = o.tx_hash
+     AND i.cum_i - i.v < o.cum_o AND o.cum_o - o.w < i.cum_i
+    ORDER BY i.tx_hash, i.in_pos, o.out_pos
+    """,
+)
+def ingest_fifo_value_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO VALUE ATTRIBUTION within each transaction (round 10) —
+    the taint-tracking primitive of UTXO forensics: line the inputs
+    and outputs up in position order as two interval partitions of
+    the same satoshi axis, and attribute to each (input, output)
+    pair the OVERLAP of their cumulative-sum intervals — the FIFO
+    rule courts and compliance tooling actually apply ("first coin
+    in is first coin out"), in contrast to the haircut/proportional
+    rule (ingest_entity_cospend's clustering is WHO, this is HOW
+    MUCH of WHOSE value went WHERE).  Emits the positional flow
+    matrix with exact matched satoshis; the synthetic fixture does
+    not conserve value, so attribution covers min(total_in,
+    total_out) per tx and the remainder is unmatched by
+    construction (documented, identical both engines).
+
+    Exactness: cumulative sums, interval bounds and overlaps are
+    pure bigint arithmetic — the interval-intersection identity
+    max(0, min(hi)−max(lo)) needs no floats, and the join predicate
+    (strict interval overlap) makes the max(0,·) clamp unnecessary.
+
+    Scale: the pair domain is interval-overlap WITHIN a tx — for a
+    tx with m inputs and n outputs the overlap chain has at most
+    m + n − 1 pairs (not m·n), the classic sorted-interval zip; the
+    running sums ride one tx-keyed window each, and the join keys on
+    tx_hash so pairs never leave their partition."""
+    raw = normalize_blocks(read_blocks_json(spark))
+    ntx = (
+        raw.select(F.explode("txs").alias("tx"))
+        .filter(
+            (~F.col("tx.coinbase"))
+            & (F.size("tx.inputs") > 0)
+            & (F.size("tx.outputs") > 0)
+        )
+        .select(
+            F.col("tx.tx_hash").alias("tx_hash"),
+            F.col("tx.inputs").alias("ins"),
+            F.col("tx.outputs").alias("outs"),
+        )
+    )
+    wi = (
+        Window.partitionBy("tx_hash")
+        .orderBy("in_pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ipos = ntx.select(
+        "tx_hash", F.posexplode("ins").alias("p", "inp")
+    ).select(
+        "tx_hash",
+        (F.col("p") + 1).cast("bigint").alias("in_pos"),
+        F.col("inp.address")[0].alias("in_addr"),
+        F.col("inp.value").cast("bigint").alias("v"),
+    ).withColumn("cum_i", F.sum("v").over(wi).cast("bigint"))
+    wo = (
+        Window.partitionBy("tx_hash")
+        .orderBy("out_pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    opos = ntx.select(
+        "tx_hash", F.posexplode("outs").alias("p", "outp")
+    ).select(
+        "tx_hash",
+        (F.col("p") + 1).cast("bigint").alias("out_pos"),
+        F.col("outp.address")[0].alias("out_addr"),
+        F.col("outp.value").cast("bigint").alias("w"),
+    ).withColumn("cum_o", F.sum("w").over(wo).cast("bigint"))
+    j = ipos.join(opos, "tx_hash").filter(
+        (F.col("cum_i") - F.col("v") < F.col("cum_o"))
+        & (F.col("cum_o") - F.col("w") < F.col("cum_i"))
+    )
+    return j.select(
+        "tx_hash",
+        "in_pos",
+        "in_addr",
+        "out_pos",
+        "out_addr",
+        (
+            F.least("cum_i", "cum_o")
+            - F.greatest(F.col("cum_i") - F.col("v"), F.col("cum_o") - F.col("w"))
+        )
+        .cast("bigint")
+        .alias("matched_sat"),
+    ).orderBy("tx_hash", "in_pos", "out_pos")

@@ -579,6 +579,7 @@ _ROUND10_ADDITIONS = (
     "multimodal_payload_entropy",
     "text_lm_holdout_perplexity",
     "graph_avg_neighbor_degree",
+    "ingest_fifo_value_attribution",
 )
 
 # Landing-order queue for rows that have never been inside a driver

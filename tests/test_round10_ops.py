@@ -779,3 +779,45 @@ def test_graph_avg_neighbor_degree_referee(spark, sf_dir):
         assert r["n_nodes"] == n_nodes
         assert r["nbr_deg_total"] == total
         assert r["knn_e6"] == math.floor(total / (k * n_nodes) * 1000000)
+
+
+def test_ingest_fifo_value_attribution_referee(spark, sf_dir):
+    rows = QUERIES["ingest_fifo_value_attribution"](spark, sf_dir).collect()
+    got = {}
+    for r in rows:
+        got[(r["tx_hash"], r["in_pos"], r["out_pos"])] = r
+    n_expected = 0
+    for blk in _blocks():
+        for tx in blk["txs"]:
+            if tx["coinbase"] or not tx["inputs"] or not tx["outputs"]:
+                continue
+            ci = 0
+            for i, inp in enumerate(tx["inputs"], start=1):
+                lo_i, ci = ci, ci + inp["value"]
+                co = 0
+                for j, outp in enumerate(tx["outputs"], start=1):
+                    lo_o, co = co, co + outp["value"]
+                    m = min(ci, co) - max(lo_i, lo_o)
+                    if m > 0:
+                        n_expected += 1
+                        r = got[(tx["tx_hash"], i, j)]
+                        assert r["matched_sat"] == m
+                        assert r["in_addr"] == inp["address"][0]
+                        assert r["out_addr"] == outp["address"][0]
+    assert len(got) == n_expected
+    # FIFO conservation: per tx, matched totals = min(total_in, total_out)
+    from collections import Counter
+
+    per_tx = Counter()
+    for (h, _, _), r in got.items():
+        per_tx[h] += r["matched_sat"]
+    for blk in _blocks():
+        for tx in blk["txs"]:
+            if tx["coinbase"] or not tx["inputs"] or not tx["outputs"]:
+                continue
+            assert per_tx[tx["tx_hash"]] == min(
+                tx["total_input"], tx["total_output"]
+            ) or per_tx[tx["tx_hash"]] == min(
+                sum(i["value"] for i in tx["inputs"]),
+                sum(o["value"] for o in tx["outputs"]),
+            )
