@@ -933,3 +933,90 @@ def win_record_highs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_record").cast("bigint").alias("n_records"),
         F.max("v").cast("bigint").alias("all_time_high_e4"),
     )
+
+
+@query(
+    "win_abc_classification",
+    """
+    WITH spend AS (
+        SELECT l_returnflag, l_partkey,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM lineitem GROUP BY 1, 2
+    ), ranked AS (
+        SELECT l_returnflag, l_partkey, cents,
+               CAST(SUM(cents) OVER (PARTITION BY l_returnflag
+                   ORDER BY cents DESC, l_partkey ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_cents,
+               CAST(SUM(cents) OVER (PARTITION BY l_returnflag)
+                    AS BIGINT) AS total_cents
+        FROM spend
+    ), classed AS (
+        SELECT l_returnflag,
+               CASE WHEN cum_cents * 100 <= total_cents * 80 THEN 'A'
+                    WHEN cum_cents * 100 <= total_cents * 95 THEN 'B'
+                    ELSE 'C' END AS abc_class,
+               cents
+        FROM ranked
+    )
+    SELECT l_returnflag, abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(cents) AS BIGINT) AS class_cents
+    FROM classed GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def win_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) CLASSIFICATION per return flag (round 10): rank
+    parts by spend, classify by cumulative share — A up to 80%, B to
+    95%, C the tail — the inventory-management standard that turns
+    agg_pareto_coverage's single readout into the actionable
+    three-way split ops teams stock/audit/deprioritize by.  Emits
+    the class census (how many parts, how much value per class) —
+    the "20% of parts are 80% of value" verdict per segment.
+
+    ZERO floats: class boundaries compare cum·100 ≤ total·80 in pure
+    bigint cross-multiplication (no percentage division anywhere);
+    the cumulative order is total (cents DESC, partkey ASC), so ties
+    break identically in both engines.
+
+    Scale: one map-side-combinable spend rollup, then one keyed
+    cumulative window over |parts-per-flag| rows and a tiny class
+    rollup — the agg_lorenz_deciles exchange with a CASE instead of
+    an ntile."""
+    li = load(spark, sf_dir, "lineitem")
+    spend = li.groupBy("l_returnflag", "l_partkey").agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    wc = (
+        Window.partitionBy("l_returnflag")
+        .orderBy(F.col("cents").desc(), F.col("l_partkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("l_returnflag")
+    ranked = spend.select(
+        "l_returnflag",
+        "cents",
+        F.sum("cents").over(wc).cast("bigint").alias("cum_cents"),
+        F.sum("cents").over(wt).cast("bigint").alias("total_cents"),
+    )
+    classed = ranked.select(
+        "l_returnflag",
+        F.when(
+            F.col("cum_cents") * 100 <= F.col("total_cents") * 80, "A"
+        )
+        .when(F.col("cum_cents") * 100 <= F.col("total_cents") * 95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "cents",
+    )
+    return (
+        classed.groupBy("l_returnflag", "abc_class")
+        .agg(
+            F.count("*").cast("bigint").alias("n_parts"),
+            F.sum("cents").cast("bigint").alias("class_cents"),
+        )
+        .orderBy("l_returnflag", "abc_class")
+    )

@@ -580,6 +580,8 @@ _ROUND10_ADDITIONS = (
     "text_lm_holdout_perplexity",
     "graph_avg_neighbor_degree",
     "ingest_fifo_value_attribution",
+    "join_proportional_allocation",
+    "win_abc_classification",
 )
 
 # Landing-order queue for rows that have never been inside a driver

@@ -821,3 +821,63 @@ def test_ingest_fifo_value_attribution_referee(spark, sf_dir):
                 sum(i["value"] for i in tx["inputs"]),
                 sum(o["value"] for o in tx["outputs"]),
             )
+
+
+def test_join_proportional_allocation_referee(spark, sf_dir):
+    li = _lineitem(sf_dir)
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    totals = dict(
+        zip(o["o_orderkey"], (o["o_totalprice"] * 100).round().astype("int64"))
+    )
+    li = li.assign(cents=(li["l_extendedprice"] * 100).apply(math.floor))
+    got = {}
+    for r in QUERIES["join_proportional_allocation"](spark, sf_dir).collect():
+        got[(r["l_orderkey"], r["l_linenumber"])] = r
+    for ok, grp in li.groupby("l_orderkey"):
+        total = int(totals[ok])
+        lines = sorted(
+            zip(grp["l_linenumber"], grp["cents"].astype(int)), key=lambda t: t[0]
+        )
+        lsum = sum(c for _, c in lines)
+        floors = {ln: total * c // lsum for ln, c in lines}
+        rems = {ln: total * c % lsum for ln, c in lines}
+        shortfall = total - sum(floors.values())
+        order = sorted(lines, key=lambda t: (-rems[t[0]], t[0]))
+        alloc = dict(floors)
+        for ln, _ in order[:shortfall]:
+            alloc[ln] += 1
+        for ln, c in lines:
+            r = got[(ok, ln)]
+            assert r["alloc_cents"] == alloc[ln]
+        # the whole point: per-order allocations reconcile EXACTLY
+        assert sum(alloc.values()) == total
+
+
+def test_win_abc_classification_referee(spark, sf_dir):
+    li = _lineitem(sf_dir)
+    li = li.assign(cents=(li["l_extendedprice"] * 100).apply(math.floor))
+    spend = li.groupby(["l_returnflag", "l_partkey"])["cents"].sum().reset_index()
+    got = {(r["l_returnflag"], r["abc_class"]): r
+           for r in QUERIES["win_abc_classification"](spark, sf_dir).collect()}
+    from collections import Counter
+
+    for flag, grp in spend.groupby("l_returnflag"):
+        rows = sorted(
+            zip(grp["cents"].astype(int), grp["l_partkey"]),
+            key=lambda t: (-t[0], t[1]),
+        )
+        total = sum(c for c, _ in rows)
+        cum = 0
+        census = Counter()
+        value = Counter()
+        for c, _ in rows:
+            cum += c
+            cls = "A" if cum * 100 <= total * 80 else ("B" if cum * 100 <= total * 95 else "C")
+            census[cls] += 1
+            value[cls] += c
+        for cls in census:
+            r = got[(flag, cls)]
+            assert r["n_parts"] == census[cls]
+            assert r["class_cents"] == value[cls]
+        # Pareto shape: A holds most value with fewer parts than C
+        assert value["A"] > value["C"]
