@@ -1960,7 +1960,8 @@ def join_mutual_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), ranked AS (
         SELECT *,
                row_number() OVER (PARTITION BY l_orderkey
-                                  ORDER BY rem DESC, l_linenumber ASC)
+                                  ORDER BY rem DESC, l_linenumber ASC,
+                                           line_cents ASC)
                    AS rem_rank,
                CAST(total_cents
                     - SUM(floor_alloc) OVER (PARTITION BY l_orderkey)
@@ -2022,8 +2023,11 @@ def join_proportional_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rem"
         ),
     )
+    # (orderkey, linenumber) is NOT unique in the fixture — cents joins
+    # the sort so the remainder rank is a total order up to fully
+    # identical rows (which are interchangeable in the allocation)
     wr = Window.partitionBy("l_orderkey").orderBy(
-        F.col("rem").desc(), F.col("l_linenumber").asc()
+        F.col("rem").desc(), F.col("l_linenumber").asc(), F.col("line_cents").asc()
     )
     ranked = base.select(
         "*",

@@ -826,31 +826,41 @@ def test_ingest_fifo_value_attribution_referee(spark, sf_dir):
 def test_join_proportional_allocation_referee(spark, sf_dir):
     li = _lineitem(sf_dir)
     o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    # Spark F.round is HALF_UP; pandas .round() is banker's — match Spark
     totals = dict(
-        zip(o["o_orderkey"], (o["o_totalprice"] * 100).round().astype("int64"))
+        zip(o["o_orderkey"],
+            (o["o_totalprice"] * 100).apply(lambda x: math.floor(x + 0.5)))
     )
     li = li.assign(cents=(li["l_extendedprice"] * 100).apply(math.floor))
+    from collections import Counter
+
     got = {}
     for r in QUERIES["join_proportional_allocation"](spark, sf_dir).collect():
-        got[(r["l_orderkey"], r["l_linenumber"])] = r
+        got.setdefault(r["l_orderkey"], Counter())[
+            (r["l_linenumber"], r["line_cents"], r["alloc_cents"])
+        ] += 1
     for ok, grp in li.groupby("l_orderkey"):
         total = int(totals[ok])
+        # (orderkey, linenumber) is NOT unique in the fixture — keep rows
         lines = sorted(
-            zip(grp["l_linenumber"], grp["cents"].astype(int)), key=lambda t: t[0]
+            zip(grp["l_linenumber"].astype(int), grp["cents"].astype(int))
         )
         lsum = sum(c for _, c in lines)
-        floors = {ln: total * c // lsum for ln, c in lines}
-        rems = {ln: total * c % lsum for ln, c in lines}
-        shortfall = total - sum(floors.values())
-        order = sorted(lines, key=lambda t: (-rems[t[0]], t[0]))
-        alloc = dict(floors)
-        for ln, _ in order[:shortfall]:
-            alloc[ln] += 1
-        for ln, c in lines:
-            r = got[(ok, ln)]
-            assert r["alloc_cents"] == alloc[ln]
+        rows = [
+            (ln, c, total * c // lsum, total * c % lsum) for ln, c in lines
+        ]
+        shortfall = total - sum(fl for _, _, fl, _ in rows)
+        order = sorted(range(len(rows)),
+                       key=lambda i: (-rows[i][3], rows[i][0], rows[i][1]))
+        alloc = [fl for _, _, fl, _ in rows]
+        for i in order[:shortfall]:
+            alloc[i] += 1
+        expect = Counter(
+            (rows[i][0], rows[i][1], alloc[i]) for i in range(len(rows))
+        )
+        assert got[ok] == expect
         # the whole point: per-order allocations reconcile EXACTLY
-        assert sum(alloc.values()) == total
+        assert sum(alloc) == total
 
 
 def test_win_abc_classification_referee(spark, sf_dir):
