@@ -23,7 +23,7 @@ from typing import Iterator
 
 import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from graphsense_datafeed_spark.registry import query
 from graphsense_datafeed_spark.sources.tables import load
@@ -265,3 +265,54 @@ def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
     return ev.select("event_id", sq_e3("value").alias("sq_e3"))
+
+
+@query(
+    "udaf_pandas_window",
+    """
+    SELECT event_id, event_type,
+           CAST(SUM(CAST(FLOOR(value * 10000) AS BIGINT)) OVER (
+               PARTITION BY event_type ORDER BY event_id
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS roll_sum_e4
+    FROM events WHERE event_id < 3000
+    ORDER BY event_id
+    """,
+)
+def udaf_pandas_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF used OVER A WINDOW (round 10) —
+    the last unexercised pandas-UDF placement: the same Series→scalar
+    UDF that groupBy().agg() accepts also runs per window frame
+    (Spark evaluates it once per row over the frame's Arrow slice).
+    This is the escape hatch for rolling statistics the built-in
+    window aggregates can't express (rolling percentile-of-custom-
+    score, rolling trimmed means) — here a 3-row rolling sum so the
+    oracle is the plain SQL window and any frame-alignment bug
+    (off-by-one PRECEDING, partition bleed) breaks the hash.
+
+    Exactness: the UDF floors each value to e4 integer BEFORE
+    summing, so accumulation order inside the frame cannot matter.
+
+    Scale: bounded ROWS frames ship only the frame slice per row;
+    the window partitions by event_type — keyed exchange, and the
+    Python boundary is Arrow-batched per partition, NOT per row.
+    Still the slow path vs a built-in SUM — use only when the frame
+    statistic has no JVM expression (this one exists purely to pin
+    the placement's semantics)."""
+    import numpy as np
+
+    @F.pandas_udf("bigint")
+    def roll_sum_e4(v: pd.Series) -> int:
+        return int(np.floor(v * 10000).astype("int64").sum())
+
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        roll_sum_e4("value").over(w).alias("roll_sum_e4"),
+    ).orderBy("event_id")

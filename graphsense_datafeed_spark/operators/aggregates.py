@@ -8326,3 +8326,88 @@ def agg_hhi_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@query(
+    "agg_ks_one_sample_uniform",
+    """
+    WITH base AS (
+        SELECT event_type,
+               CAST(EXTRACT(day FROM ts) AS BIGINT) AS d
+        FROM events
+    ), ecdf AS (
+        SELECT event_type, d,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM base GROUP BY 1, 2
+    ), cum AS (
+        SELECT event_type, d,
+               CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_c,
+               CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS n
+        FROM ecdf
+    )
+    SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+           CAST(MAX(ABS(30 * cum_c - n * d)) AS BIGINT) AS d_num_x30n,
+           CAST(FLOOR(CAST(MAX(ABS(30 * cum_c - n * d)) AS DOUBLE)
+                      / (30.0 * MAX(n)) * 1000000) AS BIGINT)
+               AS ks_d_e6,
+           CAST(FLOOR(CAST(MAX(ABS(30 * cum_c - n * d)) AS DOUBLE)
+                      / (30.0 * MAX(n)) * sqrt(CAST(MAX(n) AS DOUBLE))
+                      * 1000000) AS BIGINT) AS ks_stat_e6
+    FROM cum GROUP BY event_type ORDER BY event_type
+    """,
+)
+def agg_ks_one_sample_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-SAMPLE Kolmogorov-Smirnov against the uniform calendar
+    (round 10): is each event type's day-of-month distribution
+    uniform over the 30-day window?  D = max|F̂(d) − d/30| — the
+    goodness-of-fit twin of agg_ks_two_sample (which compares two
+    empirical samples; this one tests against a THEORETICAL null),
+    and the distributional upgrade of agg_chi_square's binned
+    independence view: KS needs no binning choice and is sensitive
+    to WHERE the calendar mass drifted, not just that it did.
+    √n·D is the test statistic (≥1.36 ≈ 5% level).
+
+    Exactness: the ECDF gap clears to pure integers —
+    |F̂ − d/30| = |30·cum − n·d|/(30n) — so the max is an exact
+    bigint comparison and only the final scalings floor.
+
+    Scale: map-side (type, day) rollup + one keyed cumulative window
+    over calendar-bounded rows + one keyed max."""
+    ev = load(spark, sf_dir, "events")
+    ecdf = ev.groupBy(
+        "event_type", F.dayofmonth("ts").cast("bigint").alias("d")
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("event_type")
+    cum = ecdf.select(
+        "event_type",
+        "d",
+        F.sum("c").over(wc).cast("bigint").alias("cum_c"),
+        F.sum("c").over(wt).cast("bigint").alias("n"),
+    )
+    gap = F.abs(30 * F.col("cum_c") - F.col("n") * F.col("d"))
+    g = cum.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.max(gap).cast("bigint").alias("d_num_x30n"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return g.select(
+        "event_type",
+        "n",
+        "d_num_x30n",
+        F.floor(d("d_num_x30n") / (30.0 * d("n")) * 1000000)
+        .cast("bigint")
+        .alias("ks_d_e6"),
+        F.floor(
+            d("d_num_x30n") / (30.0 * d("n")) * F.sqrt(d("n")) * 1000000
+        )
+        .cast("bigint")
+        .alias("ks_stat_e6"),
+    ).orderBy("event_type")

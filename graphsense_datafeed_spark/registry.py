@@ -582,6 +582,8 @@ _ROUND10_ADDITIONS = (
     "ingest_fifo_value_attribution",
     "join_proportional_allocation",
     "win_abc_classification",
+    "udaf_pandas_window",
+    "agg_ks_one_sample_uniform",
 )
 
 # Landing-order queue for rows that have never been inside a driver

@@ -891,3 +891,46 @@ def test_win_abc_classification_referee(spark, sf_dir):
             assert r["class_cents"] == value[cls]
         # Pareto shape: A holds most value with fewer parts than C
         assert value["A"] > value["C"]
+
+
+def test_udaf_pandas_window_referee(spark, sf_dir):
+    ev = _events(sf_dir)
+    ev = ev[ev["event_id"] < 3000]
+    v4 = (ev["value"] * 10000).apply(math.floor)
+    df = pd.DataFrame(
+        {"event_id": ev["event_id"], "event_type": ev["event_type"], "v4": v4}
+    )
+    got = {r["event_id"]: r["roll_sum_e4"]
+           for r in QUERIES["udaf_pandas_window"](spark, sf_dir).collect()}
+    for _, grp in df.groupby("event_type"):
+        g = grp.sort_values("event_id").reset_index(drop=True)
+        for i in range(len(g)):
+            lo = max(0, i - 2)
+            expect = int(g["v4"].iloc[lo : i + 1].sum())
+            assert got[g["event_id"].iloc[i]] == expect
+
+
+def test_agg_ks_one_sample_uniform_referee(spark, sf_dir):
+    ev = _events(sf_dir)
+    days = pd.to_datetime(ev["ts"]).dt.day
+    got = {r["event_type"]: r for r in QUERIES["agg_ks_one_sample_uniform"](spark, sf_dir).collect()}
+    for etype in ev["event_type"].unique():
+        ds = sorted(days[ev["event_type"] == etype].tolist())
+        n = len(ds)
+        from collections import Counter
+
+        cnt = Counter(ds)
+        cum = 0
+        best = 0
+        for d in sorted(cnt):
+            cum += cnt[d]
+            best = max(best, abs(30 * cum - n * d))
+        r = got[etype]
+        assert r["n"] == n
+        assert r["d_num_x30n"] == best
+        assert r["ks_d_e6"] == math.floor(best / (30.0 * n) * 1000000)
+        assert r["ks_stat_e6"] == math.floor(
+            best / (30.0 * n) * math.sqrt(n) * 1000000
+        )
+        # the fixture calendar is roughly uniform: D stays small
+        assert r["ks_d_e6"] < 200000
