@@ -3312,3 +3312,215 @@ def agg_smr_indirect(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(observed * 1000000000000 DIV expected_e6 AS BIGINT)"),
         ).alias("smr_e6"),
     ).orderBy("grp")
+
+
+from graphsense_datafeed_spark.ingest.facade import _DUCK_BLOCKS as _DM_BLOCKS
+
+
+@query(
+    "anon_pseudonymize_consistent",
+    f"""
+    WITH txr AS (
+        SELECT unnest(txs) AS tx FROM {_DM_BLOCKS}
+    ), flows AS (
+        SELECT (o).address[1] AS address, (o).value AS sat
+        FROM (SELECT unnest((tx).outputs) AS o FROM txr)
+    ), pseud AS (
+        SELECT address,
+               'anon_' || substr(md5('gds-pepper-v1:' || address), 1, 12)
+                   AS pseudonym,
+               CAST(SUM(sat) AS BIGINT) AS total_received,
+               CAST(COUNT(*) AS BIGINT) AS n_outputs
+        FROM flows GROUP BY address
+    )
+    SELECT pseudonym, total_received, n_outputs,
+           CAST(COUNT(*) OVER (PARTITION BY pseudonym) AS BIGINT)
+               AS collision_width
+    FROM pseud ORDER BY pseudonym
+    """,
+)
+def anon_pseudonymize_consistent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONSISTENT PSEUDONYMIZATION (round 10): replace every address
+    with a peppered-hash pseudonym — the privacy transform that keeps
+    REFERENTIAL INTEGRITY (the same address maps to the same
+    pseudonym in every table, so joins, balances and graph structure
+    survive) while severing the link to the real identifier; the
+    12-hex-char truncation is the utility/linkability knob and the
+    emitted collision_width column is its audit (truncate harder and
+    two addresses may share a pseudonym — the audit catches it
+    BEFORE analysts silently merge entities).  The pepper is a
+    deployment secret; rotating it unlinks all history — the GDPR
+    'erasure by key destruction' pattern.  Completes the anon family:
+    k-suppress / l-diversity / t-closeness bound INFERENCE,
+    DP-laplace bounds AGGREGATES, this bounds IDENTIFIER linkage.
+
+    Exactness: md5 is engine-portable (the split/sample discipline);
+    totals are exact satoshi bigints; output keys on the pseudonym so
+    the oracle never sees a raw address.
+
+    Scale: one address-keyed aggregation + a pseudonym-keyed window
+    over |addresses| rows; the map is stateless per row, so it
+    applies identically in the streaming ingest path."""
+    from graphsense_datafeed_spark.sources.scans import BLOCKS_JSONL  # noqa: F401
+    from graphsense_datafeed_spark.ingest.facade import (
+        normalize_blocks,
+        read_blocks_json,
+    )
+
+    raw = normalize_blocks(read_blocks_json(spark))
+    outs = (
+        raw.select(F.explode("txs").alias("tx"))
+        .select(F.explode("tx.outputs").alias("o"))
+        .select(
+            F.col("o.address")[0].alias("address"),
+            F.col("o.value").alias("sat"),
+        )
+    )
+    pseud = outs.groupBy("address").agg(
+        F.sum("sat").cast("bigint").alias("total_received"),
+        F.count("*").cast("bigint").alias("n_outputs"),
+    ).select(
+        F.concat(
+            F.lit("anon_"),
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("gds-pepper-v1:"), F.col("address")).cast(
+                        "binary"
+                    )
+                ),
+                1,
+                12,
+            ),
+        ).alias("pseudonym"),
+        "total_received",
+        "n_outputs",
+    )
+    return pseud.select(
+        "pseudonym",
+        "total_received",
+        "n_outputs",
+        F.count("*")
+        .over(Window.partitionBy("pseudonym"))
+        .cast("bigint")
+        .alias("collision_width"),
+    ).orderBy("pseudonym")
+
+
+@query(
+    "dq_expectation_checks",
+    """
+    WITH checks AS (
+        SELECT 'orderkey_not_null' AS check_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) FILTER (o_orderkey IS NULL) AS BIGINT)
+                   AS n_violations
+        FROM orders
+        UNION ALL
+        SELECT 'totalprice_positive',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(*) FILTER (o_totalprice <= 0) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'status_in_domain',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(*) FILTER (o_orderstatus NOT IN ('F','O','P'))
+                    AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'priority_format',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(*) FILTER (NOT regexp_matches(o_orderpriority,
+                    '^[1-5]-[A-Z ]+$')) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'orderkey_unique',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'custkey_referential',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(*) FILTER (c_custkey IS NULL) AS BIGINT)
+        FROM orders LEFT JOIN customer ON c_custkey = o_custkey
+    )
+    SELECT check_name, n_rows, n_violations,
+           CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS passed
+    FROM checks ORDER BY check_name
+    """,
+)
+def dq_expectation_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECLARATIVE DATA-QUALITY expectation suite (round 10) — the
+    great-expectations-style contract every landing table needs: six
+    check CLASSES over orders (not-null, range, domain membership,
+    regex format, key uniqueness, referential integrity into
+    customer), each returning (rows, violations, passed) — the table
+    a data SLA dashboard renders and a circuit-breaker gates
+    downstream jobs on.  Complements profile_columns (which DESCRIBES
+    the data; this ASSERTS against a contract) and
+    audit_totals_reconcile (cross-table totals; this is
+    within-feed shape).
+
+    Exactness: every check is an exact conditional count; the
+    referential check is a broadcast left join counting unmatched
+    keys.
+
+    Scale: the five single-table checks share ONE scan (union of
+    conditional aggregates over the same frame — AQE reuses the
+    exchange-free scans); the referential check adds one broadcast
+    dim join.  At 100 TB the suite runs per-partition on arrival and
+    the pass/fail table merges incrementally."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+
+    def check(name, violation_col):
+        return o.agg(
+            F.lit(name).alias("check_name"),
+            F.count("*").cast("bigint").alias("n_rows"),
+            violation_col.cast("bigint").alias("n_violations"),
+        )
+
+    checks = (
+        check("orderkey_not_null", F.count_if(F.col("o_orderkey").isNull()))
+        .unionAll(
+            check("totalprice_positive", F.count_if(F.col("o_totalprice") <= 0))
+        )
+        .unionAll(
+            check(
+                "status_in_domain",
+                F.count_if(~F.col("o_orderstatus").isin("F", "O", "P")),
+            )
+        )
+        .unionAll(
+            check(
+                "priority_format",
+                F.count_if(
+                    ~F.col("o_orderpriority").rlike("^[1-5]-[A-Z ]+$")
+                ),
+            )
+        )
+        .unionAll(
+            check(
+                "orderkey_unique",
+                F.count("*") - F.countDistinct("o_orderkey"),
+            )
+        )
+        .unionAll(
+            o.join(
+                F.broadcast(c.select("c_custkey")),
+                o.o_custkey == F.col("c_custkey"),
+                "left",
+            ).agg(
+                F.lit("custkey_referential").alias("check_name"),
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.count_if(F.col("c_custkey").isNull())
+                .cast("bigint")
+                .alias("n_violations"),
+            )
+        )
+    )
+    return checks.select(
+        "check_name",
+        "n_rows",
+        "n_violations",
+        F.when(F.col("n_violations") == 0, 1).otherwise(0).alias("passed"),
+    ).orderBy("check_name")

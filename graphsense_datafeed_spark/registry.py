@@ -584,6 +584,9 @@ _ROUND10_ADDITIONS = (
     "win_abc_classification",
     "udaf_pandas_window",
     "agg_ks_one_sample_uniform",
+    "scan_csv_multiline",
+    "anon_pseudonymize_consistent",
+    "dq_expectation_checks",
 )
 
 # Landing-order queue for rows that have never been inside a driver

@@ -1523,3 +1523,67 @@ def scan_partition_evolution_union(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("mth")
     )
+
+
+@query(
+    "scan_csv_multiline",
+    """
+    SELECT n_nationkey, n_name,
+           n_name || chr(10) || 'line2 of ' || n_name AS n_comment_ml
+    FROM nation
+    """,
+)
+def scan_csv_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC-4180 CSV with QUOTED EMBEDDED NEWLINES (round 10) — the
+    CSV edge every naive line-splitting reader corrupts: a quoted
+    field containing a literal newline (and doubled-quote escapes)
+    must parse as ONE record.  The engine stages a multiline CSV from
+    the nation dim (each comment field carries an embedded newline),
+    reads it with multiLine=true, and must recover exactly the
+    relationally-derived rows.  multiLine disables input-split
+    parallelism PER FILE (a record may straddle any byte offset), so
+    the 100 TB posture is many small-ish files — parallelism across
+    files, correctness within each — which is exactly how landing
+    zones deliver vendor CSV anyway.
+
+    The oracle never touches the staged file: it derives the same
+    three columns relationally, so a parse slip (split record, eaten
+    quote) hash-mismatches.
+
+    Scale: staging collects a 25-row dimension (bounded); the read
+    path is the production reader configuration."""
+    from graphsense_datafeed_spark.sources.tables import staged_source_dir
+
+    base = staged_source_dir(sf_dir, "gds_csv_multiline", "nation")
+    csv_path = os.path.join(base, "nation_multiline.csv")
+    if not os.path.exists(csv_path):
+        os.makedirs(base, exist_ok=True)
+        rows = (
+            load(spark, sf_dir, "nation")
+            .select("n_nationkey", "n_name")
+            .orderBy("n_nationkey")
+            .collect()
+        )
+        tmp = csv_path + ".tmp"
+        with open(tmp, "w") as out:
+            for r in rows:
+                out.write(
+                    f'{r.n_nationkey},"{r.n_name}",'
+                    f'"{r.n_name}\nline2 of {r.n_name}"\n'
+                )
+        os.rename(tmp, csv_path)
+    schema = StructType(
+        [
+            StructField("n_nationkey", LongType()),
+            StructField("n_name", StringType()),
+            StructField("n_comment_ml", StringType()),
+        ]
+    )
+    return (
+        spark.read.schema(schema)
+        .option("multiLine", "true")
+        .option("quote", '"')
+        .option("escape", '"')
+        .csv(csv_path)
+        .select("n_nationkey", "n_name", "n_comment_ml")
+    )

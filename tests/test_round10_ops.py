@@ -934,3 +934,65 @@ def test_agg_ks_one_sample_uniform_referee(spark, sf_dir):
         )
         # the fixture calendar is roughly uniform: D stays small
         assert r["ks_d_e6"] < 200000
+
+
+def test_scan_csv_multiline_referee(spark, sf_dir):
+    nat = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    got = {r["n_nationkey"]: r for r in QUERIES["scan_csv_multiline"](spark, sf_dir).collect()}
+    assert len(got) == len(nat)  # one record per row despite newlines
+    for _, row in nat.iterrows():
+        r = got[row["n_nationkey"]]
+        assert r["n_name"] == row["n_name"]
+        assert r["n_comment_ml"] == f"{row['n_name']}\nline2 of {row['n_name']}"
+        assert "\n" in r["n_comment_ml"]  # the newline SURVIVED parsing
+
+
+def test_anon_pseudonymize_consistent_referee(spark, sf_dir):
+    import hashlib
+    from collections import Counter
+
+    recv = Counter()
+    nout = Counter()
+    for blk in _blocks():
+        for tx in blk["txs"]:
+            for o in tx["outputs"]:
+                recv[o["address"][0]] += o["value"]
+                nout[o["address"][0]] += 1
+    got = {}
+    for r in QUERIES["anon_pseudonymize_consistent"](spark, sf_dir).collect():
+        got.setdefault(r["pseudonym"], []).append(r)
+    for addr in recv:
+        ps = "anon_" + hashlib.md5(f"gds-pepper-v1:{addr}".encode()).hexdigest()[:12]
+        rows = got[ps]
+        match = [r for r in rows if r["total_received"] == recv[addr] and r["n_outputs"] == nout[addr]]
+        assert match, f"no pseudonym row for {addr}"
+        # collision audit column reflects the actual pseudonym width
+        assert all(r["collision_width"] == len(rows) for r in rows)
+    # no raw address may leak into the output
+    assert all(p.startswith("anon_") and len(p) == 17 for p in got)
+
+
+def test_dq_expectation_checks_referee(spark, sf_dir):
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    c = pd.read_parquet(f"{sf_dir}/customer.parquet")
+    got = {r["check_name"]: r for r in QUERIES["dq_expectation_checks"](spark, sf_dir).collect()}
+    assert len(got) == 6
+    n = len(o)
+    import re as _re
+
+    expect = {
+        "orderkey_not_null": o["o_orderkey"].isna().sum(),
+        "totalprice_positive": (o["o_totalprice"] <= 0).sum(),
+        "status_in_domain": (~o["o_orderstatus"].isin(["F", "O", "P"])).sum(),
+        "priority_format": sum(
+            0 if _re.match(r"^[1-5]-[A-Z ]+$", p) else 1
+            for p in o["o_orderpriority"]
+        ),
+        "orderkey_unique": n - o["o_orderkey"].nunique(),
+        "custkey_referential": (~o["o_custkey"].isin(set(c["c_custkey"]))).sum(),
+    }
+    for name, viol in expect.items():
+        r = got[name]
+        assert r["n_rows"] == n
+        assert r["n_violations"] == int(viol)
+        assert r["passed"] == (1 if viol == 0 else 0)
