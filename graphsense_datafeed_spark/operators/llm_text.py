@@ -5584,3 +5584,104 @@ def text_lm_holdout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("avg_nll_e6"),
     )
+
+
+@query(
+    "sample_temperature_mixture",
+    """
+    WITH src AS (
+        SELECT source,
+               CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY 1
+    ), powed AS (
+        SELECT source, n_tokens,
+               CAST(FLOOR(pow(CAST(n_tokens AS DOUBLE), 0.7)
+                          * 1000000000) AS BIGINT) AS w_e9
+        FROM src
+    ), tot AS (
+        SELECT CAST(SUM(w_e9) AS BIGINT) AS wt,
+               CAST(COUNT(*) AS BIGINT) AS n_src
+        FROM powed
+    ), quota AS (
+        SELECT p.source, p.n_tokens, p.w_e9,
+               CAST(1000000 * p.w_e9 // t.wt AS BIGINT) AS floor_ppm,
+               CAST(1000000 * p.w_e9 % t.wt AS BIGINT) AS rem
+        FROM powed p CROSS JOIN tot t
+    ), ranked AS (
+        SELECT *,
+               row_number() OVER (ORDER BY rem DESC, source ASC)
+                   AS rem_rank,
+               CAST(1000000 - SUM(floor_ppm) OVER () AS BIGINT)
+                   AS shortfall
+        FROM quota
+    )
+    SELECT source, n_tokens, w_e9,
+           CAST(floor_ppm + CASE WHEN rem_rank <= shortfall
+                                 THEN 1 ELSE 0 END AS BIGINT)
+               AS mix_ppm
+    FROM ranked ORDER BY source
+    """,
+)
+def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPERATURE-SCALED mixture weights (round 10), τ = 0.7: the
+    multilingual/multi-source sampling standard (mT5, XLM-R,
+    BLOOM) — raw proportional sampling (τ=1) drowns low-resource
+    sources, uniform (τ=0) overfits them; p_i ∝ n_i^τ is the dial in
+    between, and 0.7 is the published sweet spot.  Emits per-source
+    parts-per-million mixture weights that SUM TO EXACTLY 1e6 via
+    Hamilton largest-remainder (the corpus_token_budget_apportion /
+    join_proportional_allocation discipline — a mixture table that
+    doesn't sum to one is a silent budget leak).  Completes the
+    mixture kit: token_budget_apportion (proportional budget),
+    upsample_mixture (per-row replication), temperature (the
+    BETWEEN-source policy those two execute).
+
+    Exactness: each n^0.7 is ONE pow chain floored e9 (the only
+    float step, identical both engines); quotas and remainders are
+    exact integer division on the floored weights; the remainder
+    rank pins on (rem DESC, source ASC).
+
+    Scale: one token-count rollup + |sources|-row arithmetic — the
+    policy table is dashboard-sized at any corpus size."""
+    docs = load(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens")
+    )
+    powed = src.select(
+        "source",
+        "n_tokens",
+        F.floor(F.pow(F.col("n_tokens").cast("double"), F.lit(0.7)) * 1e9)
+        .cast("bigint")
+        .alias("w_e9"),
+    )
+    tot = powed.agg(
+        F.sum("w_e9").cast("bigint").alias("wt"),
+        F.count("*").cast("bigint").alias("n_src"),
+    )
+    quota = powed.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        "w_e9",
+        F.expr("CAST(1000000 * w_e9 DIV wt AS BIGINT)").alias("floor_ppm"),
+        F.expr("CAST(1000000 * w_e9 % wt AS BIGINT)").alias("rem"),
+    )
+    wr = Window.orderBy(F.col("rem").desc(), F.col("source").asc())
+    wall = Window.partitionBy()
+    ranked = quota.select(
+        "*",
+        F.row_number().over(wr).alias("rem_rank"),
+        (F.lit(1000000) - F.sum("floor_ppm").over(wall))
+        .cast("bigint")
+        .alias("shortfall"),
+    )
+    return ranked.select(
+        "source",
+        "n_tokens",
+        "w_e9",
+        (
+            F.col("floor_ppm")
+            + F.when(F.col("rem_rank") <= F.col("shortfall"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("mix_ppm"),
+    ).orderBy("source")

@@ -587,6 +587,7 @@ _ROUND10_ADDITIONS = (
     "scan_csv_multiline",
     "anon_pseudonymize_consistent",
     "dq_expectation_checks",
+    "sample_temperature_mixture",
 )
 
 # Landing-order queue for rows that have never been inside a driver

@@ -996,3 +996,31 @@ def test_dq_expectation_checks_referee(spark, sf_dir):
         assert r["n_rows"] == n
         assert r["n_violations"] == int(viol)
         assert r["passed"] == (1 if viol == 0 else 0)
+
+
+def test_sample_temperature_mixture_referee(spark, sf_dir):
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    tokens = docs.assign(n=docs["text"].str.split(" ").str.len()).groupby("source")["n"].sum()
+    w = {s_: math.floor(int(n) ** 0.7 * 1e9) for s_, n in tokens.items()}
+    wt = sum(w.values())
+    floors = {s_: 1000000 * x // wt for s_, x in w.items()}
+    rems = {s_: 1000000 * x % wt for s_, x in w.items()}
+    shortfall = 1000000 - sum(floors.values())
+    order = sorted(w, key=lambda s_: (-rems[s_], s_))
+    mix = dict(floors)
+    for s_ in order[:shortfall]:
+        mix[s_] += 1
+    got = {r["source"]: r for r in QUERIES["sample_temperature_mixture"](spark, sf_dir).collect()}
+    total = 0
+    for s_, n in tokens.items():
+        r = got[s_]
+        assert r["n_tokens"] == int(n)
+        assert r["w_e9"] == w[s_]
+        assert r["mix_ppm"] == mix[s_]
+        total += r["mix_ppm"]
+    # the whole point: the mixture table sums to exactly one
+    assert total == 1000000
+    # temperature flattens: max/min ppm ratio < max/min token ratio
+    ppms = [got[s_]["mix_ppm"] for s_ in tokens.index]
+    toks = [int(n) for n in tokens]
+    assert max(ppms) / min(ppms) < max(toks) / min(toks)
