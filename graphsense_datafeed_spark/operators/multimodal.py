@@ -1334,3 +1334,130 @@ def multimodal_payload_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("c").cast("bigint").alias("mode_count"),
         F.sum("term_e9").cast("bigint").alias("entropy_bits_e9"),
     )
+
+
+@query(
+    "multimodal_audio_silence_census",
+    """
+    WITH media AS (
+        SELECT doc_id, repeat(md5(text), 8) AS h
+        FROM documents WHERE doc_id < 200
+    ), samp AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS i,
+               CASE WHEN CAST('0x' || substr(h, CAST(i * 4 + 1 AS INT), 2)
+                              AS BIGINT)
+                         + 256 * CAST('0x' || substr(h,
+                              CAST(i * 4 + 3 AS INT), 2) AS BIGINT) >= 32768
+                    THEN CAST('0x' || substr(h, CAST(i * 4 + 1 AS INT), 2)
+                              AS BIGINT)
+                         + 256 * CAST('0x' || substr(h,
+                              CAST(i * 4 + 3 AS INT), 2) AS BIGINT) - 65536
+                    ELSE CAST('0x' || substr(h, CAST(i * 4 + 1 AS INT), 2)
+                              AS BIGINT)
+                         + 256 * CAST('0x' || substr(h,
+                              CAST(i * 4 + 3 AS INT), 2) AS BIGINT)
+               END AS s
+        FROM media, generate_series(0, 63) AS t(i)
+    ), flagged AS (
+        SELECT doc_id, i, s,
+               CASE WHEN abs(s) < 1024 THEN 1 ELSE 0 END AS silent
+        FROM samp
+    ), runs AS (
+        SELECT doc_id,
+               i - row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY i) AS island
+        FROM flagged WHERE silent = 1
+    ), run_len AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS rl
+        FROM runs GROUP BY doc_id, island
+    ), agg AS (
+        SELECT f.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_samples,
+               CAST(SUM(f.silent) AS BIGINT) AS n_silent,
+               CAST(COUNT(*) FILTER (abs(f.s) >= 32700) AS BIGINT)
+                   AS n_clipped,
+               CAST((COUNT(*) - SUM(f.silent)) * 1000000 // COUNT(*)
+                    AS BIGINT) AS active_share_e6
+        FROM flagged f GROUP BY f.doc_id
+    )
+    SELECT a.doc_id, a.n_samples, a.n_silent, a.n_clipped,
+           a.active_share_e6,
+           CAST(COALESCE(MAX(r.rl), 0) AS BIGINT) AS longest_silent_run
+    FROM agg a LEFT JOIN run_len r ON r.doc_id = a.doc_id
+    GROUP BY 1, 2, 3, 4, 5
+    """,
+)
+def multimodal_audio_silence_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """AUDIO SILENCE / CLIPPING census (round 10) through the real
+    WAV round trip (multimodal_audio_wav's encode→triage→decode
+    seam): per clip, the silent-sample count (|s| < 1024 ≈ −30 dBFS
+    for int16), the LONGEST silent run (gaps-islands over the sample
+    index — the "is this clip mostly dead air?" readout that decides
+    trimming), the clipping count (|s| ≥ 32700, rail-adjacent), and
+    the active share.  These are the triage features every
+    speech-data pipeline computes before transcription: mostly-silent
+    and clipped clips waste ASR compute and poison training.
+
+    The oracle re-derives every int16 sample relationally (hex-pair
+    two's-complement) and runs the SAME islands computation in SQL —
+    a decoder alignment bug shifts a byte and breaks the run lengths.
+
+    Exactness: all counts and run lengths are exact integers; the
+    share is one exact integer division.
+
+    Scale: one Arrow-batched decode map + per-clip bounded sample
+    logic (the islands window partitions by doc_id over
+    |samples-per-clip| rows)."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    src = d.select(
+        "doc_id",
+        F.unhex(F.repeat(F.md5(F.col("text").cast("binary")), 8)).alias("pcm"),
+    )
+    out_schema = (
+        "doc_id bigint, n_samples bigint, n_silent bigint, "
+        "n_clipped bigint, active_share_e6 bigint, longest_silent_run bigint"
+    )
+
+    def census_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _st
+
+        from graphsense_datafeed_spark.operators import imagecodec as _ic
+
+        for pdf in batches:
+            rows = {
+                k: []
+                for k in (
+                    "doc_id",
+                    "n_samples",
+                    "n_silent",
+                    "n_clipped",
+                    "active_share_e6",
+                    "longest_silent_run",
+                )
+            }
+            for doc_id, pcm in zip(pdf["doc_id"], pdf["pcm"]):
+                pcm = bytes(pcm)
+                payload = _ic.wav_encode(pcm, 8000, 1, 16)
+                _ic.wav_parse_header(payload)
+                _, _, _, dec = _ic.wav_decode(payload)
+                samples = _st.unpack(f"<{len(dec) // 2}h", dec)
+                n = len(samples)
+                silent = [1 if abs(s) < 1024 else 0 for s in samples]
+                n_sil = sum(silent)
+                best = run = 0
+                for flag in silent:
+                    run = run + 1 if flag else 0
+                    best = max(best, run)
+                rows["doc_id"].append(doc_id)
+                rows["n_samples"].append(n)
+                rows["n_silent"].append(n_sil)
+                rows["n_clipped"].append(
+                    sum(1 for s in samples if abs(s) >= 32700)
+                )
+                rows["active_share_e6"].append((n - n_sil) * 1000000 // n)
+                rows["longest_silent_run"].append(best)
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(census_batches, out_schema)

@@ -588,6 +588,7 @@ _ROUND10_ADDITIONS = (
     "anon_pseudonymize_consistent",
     "dq_expectation_checks",
     "sample_temperature_mixture",
+    "multimodal_audio_silence_census",
 )
 
 # Landing-order queue for rows that have never been inside a driver

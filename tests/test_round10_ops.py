@@ -1024,3 +1024,27 @@ def test_sample_temperature_mixture_referee(spark, sf_dir):
     ppms = [got[s_]["mix_ppm"] for s_ in tokens.index]
     toks = [int(n) for n in tokens]
     assert max(ppms) / min(ppms) < max(toks) / min(toks)
+
+
+def test_multimodal_audio_silence_census_referee(spark, sf_dir):
+    import hashlib
+    import struct
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    docs = docs[docs["doc_id"] < 200]
+    got = {r["doc_id"]: r for r in QUERIES["multimodal_audio_silence_census"](spark, sf_dir).collect()}
+    for _, row in docs.iterrows():
+        pcm = bytes.fromhex(hashlib.md5(row["text"].encode()).hexdigest() * 8)
+        samples = struct.unpack(f"<{len(pcm) // 2}h", pcm)
+        n = len(samples)
+        silent = [1 if abs(s) < 1024 else 0 for s in samples]
+        best = run = 0
+        for f_ in silent:
+            run = run + 1 if f_ else 0
+            best = max(best, run)
+        r = got[row["doc_id"]]
+        assert r["n_samples"] == n == 64
+        assert r["n_silent"] == sum(silent)
+        assert r["n_clipped"] == sum(1 for s in samples if abs(s) >= 32700)
+        assert r["active_share_e6"] == (n - sum(silent)) * 1000000 // n
+        assert r["longest_silent_run"] == best
