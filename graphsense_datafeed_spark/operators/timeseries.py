@@ -8690,3 +8690,168 @@ def ts_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(mase * 1000000).cast("bigint"),
         ).alias("mase_e6"),
     ).orderBy("event_type")
+
+
+@query(
+    "events_survival_logrank",
+    """
+    WITH peru AS (
+        SELECT user_id,
+               CAST('0x' || substr(md5('exp42_' || CAST(user_id AS VARCHAR)),
+                                   1, 7) AS BIGINT) % 2 AS arm,
+               CAST(FLOOR((epoch(MAX(ts)) - epoch(MIN(ts))) / 3600)
+                    AS BIGINT) AS t,
+               CAST(CASE WHEN day(MAX(ts)) <= 27 THEN 1 ELSE 0 END
+                    AS BIGINT) AS ev
+        FROM events GROUP BY user_id
+    ), times AS (
+        SELECT t,
+               CAST(COUNT(*) FILTER (ev = 1) AS BIGINT) AS d,
+               CAST(COUNT(*) FILTER (ev = 1 AND arm = 1) AS BIGINT)
+                   AS d1,
+               CAST(COUNT(*) AS BIGINT) AS c_at,
+               CAST(COUNT(*) FILTER (arm = 1) AS BIGINT) AS c1_at
+        FROM peru GROUP BY t
+    ), risk AS (
+        SELECT t, d, d1,
+               CAST(SUM(c_at) OVER (ORDER BY t DESC
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_risk,
+               CAST(SUM(c1_at) OVER (ORDER BY t DESC
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n1_risk
+        FROM times
+    ), terms AS (
+        SELECT t, d, d1, n_risk, n1_risk,
+               CAST(FLOOR(CAST(d AS DOUBLE) * n1_risk / n_risk
+                          * 1000000000) AS BIGINT) AS e1_e9,
+               CASE WHEN n_risk > 1 THEN
+                   CAST(FLOOR(CAST(d AS DOUBLE) * n1_risk
+                              * (n_risk - n1_risk) * (n_risk - d)
+                              / (CAST(n_risk AS DOUBLE) * n_risk
+                                 * (n_risk - 1))
+                              * 1000000000) AS BIGINT)
+               ELSE 0 END AS v_e9
+        FROM risk WHERE d > 0
+    )
+    SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+           CAST(SUM(e1_e9) AS BIGINT) AS e1_e9,
+           CAST(SUM(v_e9) AS BIGINT) AS v_e9,
+           CASE WHEN SUM(v_e9) > 0 THEN
+               CAST(FLOOR((CAST(SUM(d1) AS DOUBLE)
+                           - SUM(e1_e9) / 1000000000.0)
+                          * (CAST(SUM(d1) AS DOUBLE)
+                             - SUM(e1_e9) / 1000000000.0)
+                          / (SUM(v_e9) / 1000000000.0)
+                          * 1000000) AS BIGINT)
+           ELSE NULL END AS logrank_chi2_e6
+    FROM terms
+    """,
+)
+def events_survival_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOG-RANK TEST between the two hash arms' survival curves
+    (round 10) — the standard two-group censored-time test and the
+    missing INFERENTIAL member of the survival kit: events_survival_km
+    draws the curves, events_hazard_nelson_aalen integrates the
+    hazard, events_survival_cindex ranks a score; log-rank answers
+    "are these two curves the SAME curve?" without any distributional
+    assumption.  At each event time, arm 1's observed deaths compare
+    against the hypergeometric expectation d·n₁/n with variance
+    d·n₁(n−n₁)(n−d)/(n²(n−1)); χ² = (O−E)²/V on one degree of
+    freedom.  Arms are the frozen exp42 md5 user hash (the
+    events_ab_srm discipline), so under this null the statistic
+    referee-hugs χ²(1) — wiring it to a real treatment flag is a
+    one-line change.  Durations and censoring mirror
+    events_hazard_nelson_aalen exactly (first→last span hours;
+    final-3-day actives censored).
+
+    Exactness: death counts and both at-risk reverse-cumulatives are
+    exact integers; each time's expectation and variance floor e9 as
+    single chains; the final χ² is one double chain over the three
+    exact sums.
+
+    Scale: one keyed user aggregate + windows over the bounded
+    distinct-duration tape — the Nelson-Aalen plan with one more
+    stratified count riding the same exchange."""
+    ev = load(spark, sf_dir, "events")
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("exp42_"), F.col("user_id").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    peru = ev.groupBy("user_id").agg(
+        F.floor(
+            (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+            / 3600
+        )
+        .cast("bigint")
+        .alias("t"),
+        F.when(F.dayofmonth(F.max("ts")) <= 27, 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("ev"),
+    ).withColumn("arm", arm)
+    times = peru.groupBy("t").agg(
+        F.count_if(F.col("ev") == 1).cast("bigint").alias("d"),
+        F.count_if((F.col("ev") == 1) & (F.col("arm") == 1))
+        .cast("bigint")
+        .alias("d1"),
+        F.count("*").cast("bigint").alias("c_at"),
+        F.count_if(F.col("arm") == 1).cast("bigint").alias("c1_at"),
+    )
+    w_desc = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = times.select(
+        "t",
+        "d",
+        "d1",
+        F.sum("c_at").over(w_desc).cast("bigint").alias("n_risk"),
+        F.sum("c1_at").over(w_desc).cast("bigint").alias("n1_risk"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    terms = risk.filter(F.col("d") > 0).select(
+        "d1",
+        F.floor(d("d") * F.col("n1_risk") / F.col("n_risk") * 1e9)
+        .cast("bigint")
+        .alias("e1_e9"),
+        F.when(
+            F.col("n_risk") > 1,
+            F.floor(
+                d("d")
+                * F.col("n1_risk")
+                * (F.col("n_risk") - F.col("n1_risk"))
+                * (F.col("n_risk") - F.col("d"))
+                / (d("n_risk") * F.col("n_risk") * (F.col("n_risk") - 1))
+                * 1e9
+            ).cast("bigint"),
+        )
+        .otherwise(F.lit(0))
+        .alias("v_e9"),
+    )
+    g = terms.agg(
+        F.sum("d1").cast("bigint").alias("o1"),
+        F.sum("e1_e9").cast("bigint").alias("e1_e9"),
+        F.sum("v_e9").cast("bigint").alias("v_e9"),
+    )
+    gap = F.col("o1").cast("double") - F.col("e1_e9") / 1e9
+    return g.select(
+        "o1",
+        "e1_e9",
+        "v_e9",
+        F.when(
+            F.col("v_e9") > 0,
+            F.floor(gap * gap / (F.col("v_e9") / 1e9) * 1000000).cast(
+                "bigint"
+            ),
+        ).alias("logrank_chi2_e6"),
+    )

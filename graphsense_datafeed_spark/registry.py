@@ -589,6 +589,7 @@ _ROUND10_ADDITIONS = (
     "dq_expectation_checks",
     "sample_temperature_mixture",
     "multimodal_audio_silence_census",
+    "events_survival_logrank",
 )
 
 # Landing-order queue for rows that have never been inside a driver

@@ -1048,3 +1048,47 @@ def test_multimodal_audio_silence_census_referee(spark, sf_dir):
         assert r["n_clipped"] == sum(1 for s in samples if abs(s) >= 32700)
         assert r["active_share_e6"] == (n - sum(silent)) * 1000000 // n
         assert r["longest_silent_run"] == best
+
+
+def test_events_survival_logrank_referee(spark, sf_dir):
+    import hashlib
+    from collections import defaultdict
+
+    ev = _events(sf_dir)
+    ts = pd.to_datetime(ev["ts"])
+    g = ev.assign(ts=ts).groupby("user_id")["ts"].agg(["min", "max"])
+    per = {}
+    for uid, row in g.iterrows():
+        t = math.floor((row["max"] - row["min"]).total_seconds() / 3600)
+        evflag = 1 if row["max"].day <= 27 else 0
+        arm = int(hashlib.md5(f"exp42_{uid}".encode()).hexdigest()[:7], 16) % 2
+        per[uid] = (t, evflag, arm)
+    times = defaultdict(lambda: [0, 0, 0, 0])  # t -> [d, d1, c_at, c1_at]
+    for t, e, a in per.values():
+        rec = times[t]
+        rec[0] += e
+        rec[1] += e if a == 1 else 0
+        rec[2] += 1
+        rec[3] += 1 if a == 1 else 0
+    o1 = e1 = v = 0
+    n_risk = n1_risk = 0
+    for t in sorted(times, reverse=True):
+        d_, d1_, c, c1 = times[t]
+        n_risk += c
+        n1_risk += c1
+        if d_ > 0:
+            o1 += d1_
+            e1 += math.floor(d_ * n1_risk / n_risk * 1e9)
+            if n_risk > 1:
+                v += math.floor(
+                    d_ * n1_risk * (n_risk - n1_risk) * (n_risk - d_)
+                    / (n_risk * n_risk * (n_risk - 1)) * 1e9
+                )
+    r = QUERIES["events_survival_logrank"](spark, sf_dir).collect()[0]
+    assert r["o1"] == o1
+    assert r["e1_e9"] == e1
+    assert r["v_e9"] == v
+    gap = o1 - e1 / 1e9
+    assert r["logrank_chi2_e6"] == math.floor(gap * gap / (v / 1e9) * 1e6)
+    # null arms: chi2(1) should not be extreme (p ~ .001 bound = 10.8)
+    assert r["logrank_chi2_e6"] < 10_830_000
