@@ -8732,10 +8732,10 @@ def ts_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
                ELSE 0 END AS v_e9
         FROM risk WHERE d > 0
     )
-    SELECT CAST(SUM(d1) AS BIGINT) AS o1,
-           CAST(SUM(e1_e9) AS BIGINT) AS e1_e9,
-           CAST(SUM(v_e9) AS BIGINT) AS v_e9,
-           CASE WHEN SUM(v_e9) > 0 THEN
+    SELECT CAST(COALESCE(SUM(d1), 0) AS BIGINT) AS o1,
+           CAST(COALESCE(SUM(e1_e9), 0) AS BIGINT) AS e1_e9,
+           CAST(COALESCE(SUM(v_e9), 0) AS BIGINT) AS v_e9,
+           CASE WHEN COALESCE(SUM(v_e9), 0) > 0 THEN
                CAST(FLOOR((CAST(SUM(d1) AS DOUBLE)
                            - SUM(e1_e9) / 1000000000.0)
                           * (CAST(SUM(d1) AS DOUBLE)
@@ -8839,9 +8839,9 @@ def events_survival_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("v_e9"),
     )
     g = terms.agg(
-        F.sum("d1").cast("bigint").alias("o1"),
-        F.sum("e1_e9").cast("bigint").alias("e1_e9"),
-        F.sum("v_e9").cast("bigint").alias("v_e9"),
+        F.coalesce(F.sum("d1"), F.lit(0)).cast("bigint").alias("o1"),
+        F.coalesce(F.sum("e1_e9"), F.lit(0)).cast("bigint").alias("e1_e9"),
+        F.coalesce(F.sum("v_e9"), F.lit(0)).cast("bigint").alias("v_e9"),
     )
     gap = F.col("o1").cast("double") - F.col("e1_e9") / 1e9
     return g.select(

@@ -1088,7 +1088,11 @@ def test_events_survival_logrank_referee(spark, sf_dir):
     assert r["o1"] == o1
     assert r["e1_e9"] == e1
     assert r["v_e9"] == v
-    gap = o1 - e1 / 1e9
-    assert r["logrank_chi2_e6"] == math.floor(gap * gap / (v / 1e9) * 1e6)
-    # null arms: chi2(1) should not be extreme (p ~ .001 bound = 10.8)
-    assert r["logrank_chi2_e6"] < 10_830_000
+    if v > 0:
+        gap = o1 - e1 / 1e9
+        assert r["logrank_chi2_e6"] == math.floor(gap * gap / (v / 1e9) * 1e6)
+        # null arms: chi2(1) should not be extreme (p ~ .001 bound = 10.8)
+        assert r["logrank_chi2_e6"] < 10_830_000
+    else:
+        # fully-censored micro-fixture: zero deaths, undefined chi2
+        assert r["logrank_chi2_e6"] is None
