@@ -8855,3 +8855,92 @@ def events_survival_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("logrank_chi2_e6"),
     )
+
+
+@query(
+    "ts_missing_data_census",
+    """
+    WITH daily AS (
+        SELECT DISTINCT event_type, CAST(ts AS DATE) AS d
+        FROM events
+    ), bounds AS (
+        SELECT event_type, MIN(d) AS d0, MAX(d) AS d1,
+               CAST(COUNT(*) AS BIGINT) AS n_present,
+               CAST(date_diff('day', MIN(d), MAX(d)) + 1 AS BIGINT)
+                   AS span_days
+        FROM daily GROUP BY 1
+    ), gaps AS (
+        SELECT event_type,
+               CAST(date_diff('day',
+                    lag(d) OVER (PARTITION BY event_type ORDER BY d), d)
+                    - 1 AS BIGINT) AS gap
+        FROM daily
+    )
+    SELECT b.event_type, b.n_present, b.span_days,
+           b.span_days - b.n_present AS n_missing,
+           CAST(b.n_present * 1000000 // b.span_days AS BIGINT)
+               AS coverage_e6,
+           CAST(COALESCE(MAX(g.gap), 0) AS BIGINT) AS longest_gap_days,
+           CAST(COALESCE(COUNT(*) FILTER (g.gap > 0), 0) AS BIGINT)
+               AS n_gaps
+    FROM bounds b LEFT JOIN gaps g ON g.event_type = b.event_type
+    GROUP BY 1, 2, 3, 4, 5
+    ORDER BY b.event_type
+    """,
+)
+def ts_missing_data_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MISSING-DATA census per series (round 10): presence span,
+    missing-day count, coverage share, number of gaps and the LONGEST
+    gap — the audit that must run BEFORE date_spine_fill /
+    ts_interpolate_linear / ts_resample_locf choose a fill strategy:
+    LOCF across a 1-day hole is fine, across a 9-day hole it
+    manufactures fiction, and every downstream seasonal statistic
+    (ts_acf, seasonality, Holt) silently degrades with coverage.
+    This is the fill-policy DECISION table; the fill operators are
+    its executors.
+
+    ZERO floats: calendar day arithmetic, exact counts, and coverage
+    as one exact integer division.
+
+    Scale: distinct (type, day) reduction map-side, one keyed lag
+    window over the calendar-bounded tape, one keyed rollup."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.select(
+        "event_type", F.to_date("ts").alias("d")
+    ).distinct()
+    bounds = daily.groupBy("event_type").agg(
+        F.min("d").alias("d0"),
+        F.max("d").alias("d1"),
+        F.count("*").cast("bigint").alias("n_present"),
+        (F.datediff(F.max("d"), F.min("d")) + 1)
+        .cast("bigint")
+        .alias("span_days"),
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    gaps = daily.select(
+        "event_type",
+        (F.datediff(F.col("d"), F.lag("d").over(w)) - 1)
+        .cast("bigint")
+        .alias("gap"),
+    )
+    return (
+        bounds.join(gaps, "event_type", "left")
+        .groupBy(
+            "event_type",
+            "n_present",
+            "span_days",
+            (F.col("span_days") - F.col("n_present")).alias("n_missing"),
+            F.expr("CAST(n_present * 1000000 DIV span_days AS BIGINT)").alias(
+                "coverage_e6"
+            ),
+        )
+        .agg(
+            F.coalesce(F.max("gap"), F.lit(0))
+            .cast("bigint")
+            .alias("longest_gap_days"),
+            F.coalesce(F.count_if(F.col("gap") > 0), F.lit(0))
+            .cast("bigint")
+            .alias("n_gaps"),
+        )
+        .orderBy("event_type")
+    )

@@ -590,6 +590,8 @@ _ROUND10_ADDITIONS = (
     "sample_temperature_mixture",
     "multimodal_audio_silence_census",
     "events_survival_logrank",
+    "ts_missing_data_census",
+    "agg_weighted_quantiles",
 )
 
 # Landing-order queue for rows that have never been inside a driver

@@ -1096,3 +1096,57 @@ def test_events_survival_logrank_referee(spark, sf_dir):
     else:
         # fully-censored micro-fixture: zero deaths, undefined chi2
         assert r["logrank_chi2_e6"] is None
+
+
+def test_ts_missing_data_census_referee(spark, sf_dir):
+    ev = _events(sf_dir)
+    days = pd.to_datetime(ev["ts"]).dt.date
+    got = {r["event_type"]: r for r in QUERIES["ts_missing_data_census"](spark, sf_dir).collect()}
+    for etype in ev["event_type"].unique():
+        ds = sorted(set(days[ev["event_type"] == etype]))
+        span = (ds[-1] - ds[0]).days + 1
+        gaps = [(ds[i] - ds[i - 1]).days - 1 for i in range(1, len(ds))]
+        gaps = [g for g in gaps if g > 0]
+        r = got[etype]
+        assert r["n_present"] == len(ds)
+        assert r["span_days"] == span
+        assert r["n_missing"] == span - len(ds)
+        assert r["coverage_e6"] == len(ds) * 1000000 // span
+        assert r["longest_gap_days"] == (max(gaps) if gaps else 0)
+        assert r["n_gaps"] == len(gaps)
+        assert r["n_missing"] == sum(gaps)  # gaps account for all misses
+
+
+def test_agg_weighted_quantiles_referee(spark, sf_dir):
+    li = _lineitem(sf_dir)
+    li = li.assign(
+        v=(li["l_extendedprice"] * 100).apply(math.floor),
+        w=li["l_quantity"].astype(int),
+    )
+    got = {r["l_returnflag"]: r for r in QUERIES["agg_weighted_quantiles"](spark, sf_dir).collect()}
+    for flag, grp in li.groupby("l_returnflag"):
+        rows = sorted(zip(grp["v"], grp["w"]))
+        tw = sum(w for _, w in rows)
+
+        def wq(num, den):
+            cw = 0
+            seen = {}
+            # cumulative by distinct value
+            from collections import OrderedDict
+
+            agg = OrderedDict()
+            for v, w in rows:
+                agg[v] = agg.get(v, 0) + w
+            for v, w in agg.items():
+                cw += w
+                if den * cw >= num * tw:
+                    return v
+            return None
+
+        r = got[flag]
+        assert r["total_weight"] == tw
+        assert r["wq25_cents"] == wq(1, 4)
+        assert r["wq50_cents"] == wq(1, 2)
+        assert r["wq75_cents"] == wq(3, 4)
+        assert r["wq90_cents"] == wq(9, 10)
+        assert r["wq25_cents"] <= r["wq50_cents"] <= r["wq75_cents"] <= r["wq90_cents"]
