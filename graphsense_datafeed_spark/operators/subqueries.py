@@ -312,3 +312,68 @@ def win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.count("*").over(w).alias("events_last_hour"),
     )
+
+
+@query(
+    "subquery_not_in_null_trap",
+    """
+    WITH probe AS (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        UNION ALL SELECT NULL
+    )
+    SELECT 'not_in_naive' AS variant,
+           CAST((SELECT COUNT(*) FROM orders
+                 WHERE o_custkey NOT IN (SELECT c_custkey FROM probe))
+                AS BIGINT) AS n_rows
+    UNION ALL
+    SELECT 'not_exists_null_safe',
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM probe p
+                                   WHERE p.c_custkey = o.o_custkey))
+                AS BIGINT)
+    ORDER BY variant
+    """,
+)
+def subquery_not_in_null_trap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE NOT-IN NULL TRAP, pinned as an operator (round 10): under
+    ANSI three-valued logic, ``x NOT IN (set containing NULL)`` is
+    never TRUE (x <> NULL is UNKNOWN), so ONE null in the subquery
+    silently empties the whole result — the single most common
+    silent-wrong-answer bug in migrated SQL.  The operator runs both
+    variants against a probe set with an injected NULL and emits
+    their row counts side by side: the naive NOT IN returns 0, the
+    null-safe NOT EXISTS returns the real anti-join count.  Both
+    engines implement the same ANSI semantics, so this doubles as a
+    parity pin on the null-aware anti-join rewrite
+    (Spark: NullAwareAntiJoin; the plan every reviewer should look
+    for when NOT IN appears on a nullable column).
+
+    Scale note: the null-aware anti-join CANNOT use a plain
+    broadcast-anti fast path (it must detect the any-null case), so
+    at 100 TB prefer NOT EXISTS / anti-join on non-null predicates —
+    exactly the guidance this row's side-by-side readout teaches.
+
+    Exactness: two integer counts."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        WITH probe AS (
+            SELECT c_custkey FROM gds_customer
+            WHERE c_mktsegment = 'BUILDING'
+            UNION ALL SELECT NULL
+        )
+        SELECT 'not_in_naive' AS variant,
+               CAST((SELECT COUNT(*) FROM gds_orders
+                     WHERE o_custkey NOT IN
+                         (SELECT c_custkey FROM probe)) AS BIGINT)
+                   AS n_rows
+        UNION ALL
+        SELECT 'not_exists_null_safe',
+               CAST((SELECT COUNT(*) FROM gds_orders o
+                     WHERE NOT EXISTS (SELECT 1 FROM probe p
+                                       WHERE p.c_custkey = o.o_custkey))
+                    AS BIGINT)
+        ORDER BY variant
+        """,
+    )

@@ -1020,3 +1020,86 @@ def win_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "abc_class")
     )
+
+
+@query(
+    "win_variance_bridge",
+    """
+    WITH half AS (
+        SELECT l_returnflag,
+               CAST(SUM(CASE WHEN l_shipdate < DATE '1996-01-01'
+                    THEN CAST(FLOOR(l_extendedprice * 100) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS pre_cents,
+               CAST(SUM(CASE WHEN l_shipdate >= DATE '1996-01-01'
+                    THEN CAST(FLOOR(l_extendedprice * 100) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS post_cents
+        FROM lineitem GROUP BY 1
+    )
+    SELECT l_returnflag, pre_cents, post_cents,
+           post_cents - pre_cents AS delta_cents,
+           CAST(SUM(post_cents - pre_cents) OVER () AS BIGINT)
+               AS total_delta_cents,
+           CASE WHEN SUM(post_cents - pre_cents) OVER () <> 0 THEN
+               CAST(FLOOR(CAST(post_cents - pre_cents AS DOUBLE)
+                          / SUM(post_cents - pre_cents) OVER ()
+                          * 1000000) AS BIGINT)
+           ELSE NULL END AS contrib_share_e6,
+           CAST(SUM(post_cents - pre_cents) OVER (
+               ORDER BY post_cents - pre_cents DESC, l_returnflag
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS waterfall_running_cents
+    FROM half ORDER BY delta_cents DESC, l_returnflag
+    """,
+)
+def win_variance_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANCE BRIDGE / waterfall (round 10): decompose the total
+    period-over-period revenue change into per-segment contributions
+    with a running waterfall — THE finance/BI explanation artifact
+    ("revenue moved +X; segment A contributed 70%, B −20%...") that
+    turns ts_period_over_period's per-series deltas into an
+    additive, presentation-ready bridge.  Each segment's share of
+    the total delta and the cumulative waterfall line are emitted
+    so the chart is a straight render of the result.
+
+    Exactness: pre/post sums and deltas are exact cents bigints; the
+    waterfall running sum is integer; only the share floors (and is
+    guarded against a zero total delta).  The waterfall order pins
+    on (delta DESC, flag) — deterministic ties.
+
+    Scale: one conditional-sum scan to |segments| rows; the windows
+    run over that dashboard-sized frame (budgeted)."""
+    li = load(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100).cast("bigint")
+    half = li.groupBy("l_returnflag").agg(
+        F.sum(
+            F.when(F.col("l_shipdate") < F.lit("1996-01-01").cast("date"), cents)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("pre_cents"),
+        F.sum(
+            F.when(
+                F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"), cents
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("post_cents"),
+    )
+    delta = F.col("post_cents") - F.col("pre_cents")
+    wall = Window.partitionBy()
+    wfall = Window.orderBy(delta.desc(), F.col("l_returnflag")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total = F.sum(delta).over(wall)
+    return half.select(
+        "l_returnflag",
+        "pre_cents",
+        "post_cents",
+        delta.alias("delta_cents"),
+        total.cast("bigint").alias("total_delta_cents"),
+        F.when(
+            total != 0,
+            F.floor(delta.cast("double") / total * 1000000).cast("bigint"),
+        ).alias("contrib_share_e6"),
+        F.sum(delta).over(wfall).cast("bigint").alias("waterfall_running_cents"),
+    ).orderBy(F.col("delta_cents").desc(), "l_returnflag")

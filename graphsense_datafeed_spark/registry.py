@@ -592,6 +592,8 @@ _ROUND10_ADDITIONS = (
     "events_survival_logrank",
     "ts_missing_data_census",
     "agg_weighted_quantiles",
+    "subquery_not_in_null_trap",
+    "win_variance_bridge",
 )
 
 # Landing-order queue for rows that have never been inside a driver

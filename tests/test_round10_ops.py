@@ -1150,3 +1150,44 @@ def test_agg_weighted_quantiles_referee(spark, sf_dir):
         assert r["wq75_cents"] == wq(3, 4)
         assert r["wq90_cents"] == wq(9, 10)
         assert r["wq25_cents"] <= r["wq50_cents"] <= r["wq75_cents"] <= r["wq90_cents"]
+
+
+def test_subquery_not_in_null_trap_referee(spark, sf_dir):
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    c = pd.read_parquet(f"{sf_dir}/customer.parquet")
+    building = set(c[c["c_mktsegment"] == "BUILDING"]["c_custkey"])
+    got = {r["variant"]: r["n_rows"]
+           for r in QUERIES["subquery_not_in_null_trap"](spark, sf_dir).collect()}
+    # ANSI: NOT IN over a set containing NULL is never TRUE
+    assert got["not_in_naive"] == 0
+    expect = int((~o["o_custkey"].isin(building)).sum())
+    assert got["not_exists_null_safe"] == expect
+    assert expect > 0  # the trap actually bites on this fixture
+
+
+def test_win_variance_bridge_referee(spark, sf_dir):
+    li = _lineitem(sf_dir)
+    cents = (li["l_extendedprice"] * 100).apply(math.floor)
+    pre_mask = pd.to_datetime(li["l_shipdate"]) < pd.Timestamp("1996-01-01")
+    df = pd.DataFrame(
+        {"flag": li["l_returnflag"],
+         "pre": cents.where(pre_mask, 0),
+         "post": cents.where(~pre_mask, 0)}
+    )
+    g = df.groupby("flag")[["pre", "post"]].sum()
+    deltas = (g["post"] - g["pre"]).astype(int)
+    total = int(deltas.sum())
+    got = {r["l_returnflag"]: r for r in QUERIES["win_variance_bridge"](spark, sf_dir).collect()}
+    running = 0
+    for flag in sorted(deltas.index, key=lambda f: (-deltas[f], f)):
+        running += int(deltas[flag])
+        r = got[flag]
+        assert r["pre_cents"] == int(g.loc[flag, "pre"])
+        assert r["post_cents"] == int(g.loc[flag, "post"])
+        assert r["delta_cents"] == int(deltas[flag])
+        assert r["total_delta_cents"] == total
+        assert r["waterfall_running_cents"] == running
+        if total != 0:
+            assert r["contrib_share_e6"] == math.floor(deltas[flag] / total * 1e6)
+    # the bridge closes: the last waterfall value IS the total
+    assert running == total
