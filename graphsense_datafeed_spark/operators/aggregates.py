@@ -8498,3 +8498,128 @@ def agg_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "agg_psi_drift",
+    """
+    WITH base AS (
+        SELECT event_type,
+               CASE WHEN EXTRACT(day FROM ts) <= 15 THEN 'ref'
+                    ELSE 'cur' END AS period,
+               CAST(FLOOR(value * 10000) AS BIGINT) AS v
+        FROM events
+    ), cuts AS (
+        SELECT event_type,
+               CAST(quantile_disc(v, 0.2) AS BIGINT) AS b1,
+               CAST(quantile_disc(v, 0.4) AS BIGINT) AS b2,
+               CAST(quantile_disc(v, 0.6) AS BIGINT) AS b3,
+               CAST(quantile_disc(v, 0.8) AS BIGINT) AS b4
+        FROM base WHERE period = 'ref' GROUP BY 1
+    ), bucketed AS (
+        SELECT b.event_type, b.period,
+               1 + CASE WHEN b.v > c.b1 THEN 1 ELSE 0 END
+                 + CASE WHEN b.v > c.b2 THEN 1 ELSE 0 END
+                 + CASE WHEN b.v > c.b3 THEN 1 ELSE 0 END
+                 + CASE WHEN b.v > c.b4 THEN 1 ELSE 0 END AS bucket
+        FROM base b JOIN cuts c ON b.event_type = c.event_type
+    ), cells AS (
+        SELECT event_type, bucket,
+               CAST(COUNT(*) FILTER (period = 'ref') + 1 AS BIGINT) AS p_c,
+               CAST(COUNT(*) FILTER (period = 'cur') + 1 AS BIGINT) AS q_c
+        FROM bucketed GROUP BY 1, 2
+    ), tots AS (
+        SELECT event_type,
+               CAST(SUM(p_c) AS BIGINT) AS pt,
+               CAST(SUM(q_c) AS BIGINT) AS qt
+        FROM cells GROUP BY 1
+    ), terms AS (
+        SELECT c.event_type,
+               CAST(FLOOR((CAST(c.p_c AS DOUBLE) / t.pt
+                           - CAST(c.q_c AS DOUBLE) / t.qt)
+                          * LN((CAST(c.p_c AS DOUBLE) / t.pt)
+                               / (CAST(c.q_c AS DOUBLE) / t.qt))
+                          * 1000000000) AS BIGINT) AS term_e9
+        FROM cells c JOIN tots t ON c.event_type = t.event_type
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(term_e9) AS BIGINT) AS psi_e9
+    FROM terms GROUP BY 1 ORDER BY 1
+    """,
+)
+def agg_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POPULATION STABILITY INDEX (round 10) — the scorecard-industry
+    drift standard between the reference (first half-month) and
+    current (second half) value distributions, per event type: fix
+    quintile buckets FROM THE REFERENCE period (the convention that
+    makes PSI comparable across monitoring runs), then PSI =
+    Σ (pᵢ−qᵢ)·ln(pᵢ/qᵢ).  The canonical bands read straight off
+    psi_e9: < 0.1 stable, 0.1-0.25 watch, > 0.25 re-fit the model.
+    Completes the drift family with the member risk teams actually
+    gate on (KS: max gap; JS: symmetric info; PSI: banded industry
+    readout on FIXED reference bins).
+
+    Exactness: bucket cuts are reference-period percentile_disc
+    integers; cell counts carry +1 Laplace smoothing (PSI is
+    undefined on empty cells — the standard fix, identical both
+    engines); each bucket term is one double chain floored e9 before
+    the order-free bigint sum.
+
+    Scale: one disc-quantile pass over the reference slice, one
+    broadcast cuts join, two keyed aggregates — the agg_chi_square
+    shape with reference-fixed binning."""
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.when(F.dayofmonth("ts") <= 15, "ref").otherwise("cur").alias("period"),
+        F.floor(F.col("value") * 10000).cast("bigint").alias("v"),
+    )
+    cuts = (
+        base.filter(F.col("period") == "ref")
+        .groupBy("event_type")
+        .agg(
+            *[
+                F.expr(f"percentile_disc({p}) WITHIN GROUP (ORDER BY v)")
+                .cast("bigint")
+                .alias(f"b{i}")
+                for i, p in enumerate((0.2, 0.4, 0.6, 0.8), start=1)
+            ]
+        )
+    )
+    bucketed = base.join(F.broadcast(cuts), "event_type").select(
+        "event_type",
+        "period",
+        (
+            F.lit(1)
+            + (F.col("v") > F.col("b1")).cast("int")
+            + (F.col("v") > F.col("b2")).cast("int")
+            + (F.col("v") > F.col("b3")).cast("int")
+            + (F.col("v") > F.col("b4")).cast("int")
+        ).alias("bucket"),
+    )
+    cells = bucketed.groupBy("event_type", "bucket").agg(
+        (F.count_if(F.col("period") == "ref") + 1).cast("bigint").alias("p_c"),
+        (F.count_if(F.col("period") == "cur") + 1).cast("bigint").alias("q_c"),
+    )
+    tots = cells.groupBy("event_type").agg(
+        F.sum("p_c").cast("bigint").alias("pt"),
+        F.sum("q_c").cast("bigint").alias("qt"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    p = d("p_c") / d("pt")
+    q = d("q_c") / d("qt")
+    terms = cells.join(tots, "event_type").select(
+        "event_type",
+        F.floor((p - q) * F.log(p / q) * 1000000000)
+        .cast("bigint")
+        .alias("term_e9"),
+    )
+    return (
+        terms.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_buckets"),
+            F.sum("term_e9").cast("bigint").alias("psi_e9"),
+        )
+        .orderBy("event_type")
+    )

@@ -594,6 +594,7 @@ _ROUND10_ADDITIONS = (
     "agg_weighted_quantiles",
     "subquery_not_in_null_trap",
     "win_variance_bridge",
+    "agg_psi_drift",
 )
 
 # Landing-order queue for rows that have never been inside a driver

@@ -1191,3 +1191,41 @@ def test_win_variance_bridge_referee(spark, sf_dir):
             assert r["contrib_share_e6"] == math.floor(deltas[flag] / total * 1e6)
     # the bridge closes: the last waterfall value IS the total
     assert running == total
+
+
+def test_agg_psi_drift_referee(spark, sf_dir):
+    ev = _events(sf_dir)
+    half = pd.to_datetime(ev["ts"]).dt.day <= 15
+    v = (ev["value"] * 10000).apply(math.floor)
+    got = {r["event_type"]: r for r in QUERIES["agg_psi_drift"](spark, sf_dir).collect()}
+    for etype in ev["event_type"].unique():
+        mask = ev["event_type"] == etype
+        ref = sorted(v[mask & half].tolist())
+        cur = v[mask & ~half].tolist()
+        n = len(ref)
+        cuts = [ref[math.ceil(p * n) - 1] for p in (0.2, 0.4, 0.6, 0.8)]
+
+        def bucket(x):
+            return 1 + sum(1 for c in cuts if x > c)
+
+        from collections import Counter
+
+        pc = Counter(bucket(x) for x in ref)
+        qc = Counter(bucket(x) for x in cur)
+        buckets = sorted(set(pc) | set(qc))
+        pcs = {b: pc.get(b, 0) + 1 for b in buckets}
+        qcs = {b: qc.get(b, 0) + 1 for b in buckets}
+        pt, qt = sum(pcs.values()), sum(qcs.values())
+        psi = sum(
+            math.floor(
+                (pcs[b] / pt - qcs[b] / qt)
+                * math.log((pcs[b] / pt) / (qcs[b] / qt))
+                * 1e9
+            )
+            for b in buckets
+        )
+        r = got[etype]
+        assert r["n_buckets"] == len(buckets)
+        assert r["psi_e9"] == psi
+        # same-generator halves: PSI must sit deep in the stable band
+        assert r["psi_e9"] < 100_000_000
