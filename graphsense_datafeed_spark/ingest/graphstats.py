@@ -2284,3 +2284,120 @@ def graph_avg_neighbor_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("degree")
     )
+
+
+@query(
+    "graph_clustering_vs_null",
+    f"""
+    WITH {_DUCK_EDGES}, sym AS (
+        SELECT src AS addr, dst AS nbr FROM edges
+        UNION
+        SELECT dst AS addr, src AS nbr FROM edges
+    ), deg AS (
+        SELECT addr, CAST(COUNT(*) AS BIGINT) AS d
+        FROM sym GROUP BY addr
+    ), mom AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(d) AS BIGINT) AS s1,
+               CAST(SUM(d * d) AS BIGINT) AS s2,
+               CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+        FROM deg
+    ), tri AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM edges e1
+        JOIN edges e2 ON e2.src = e1.dst
+        JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    )
+    SELECT m.n, m.s1, m.s2, m.n_wedges, t.n_triangles,
+           CASE WHEN m.n_wedges > 0 THEN
+               CAST(FLOOR(3.0 * t.n_triangles / m.n_wedges * 1000000)
+                    AS BIGINT) ELSE NULL END AS c_global_e6,
+           CAST(FLOOR(
+               (CAST(m.s2 AS DOUBLE) / m.n - CAST(m.s1 AS DOUBLE) / m.n)
+               * (CAST(m.s2 AS DOUBLE) / m.n - CAST(m.s1 AS DOUBLE) / m.n)
+               / (m.n * (CAST(m.s1 AS DOUBLE) / m.n)
+                  * (CAST(m.s1 AS DOUBLE) / m.n)
+                  * (CAST(m.s1 AS DOUBLE) / m.n))
+               * 1000000) AS BIGINT) AS c_random_e6,
+           CASE WHEN m.n_wedges > 0 THEN
+               CAST(FLOOR(
+                   (3.0 * t.n_triangles / m.n_wedges)
+                   / ((CAST(m.s2 AS DOUBLE) / m.n
+                       - CAST(m.s1 AS DOUBLE) / m.n)
+                      * (CAST(m.s2 AS DOUBLE) / m.n
+                         - CAST(m.s1 AS DOUBLE) / m.n)
+                      / (m.n * (CAST(m.s1 AS DOUBLE) / m.n)
+                         * (CAST(m.s1 AS DOUBLE) / m.n)
+                         * (CAST(m.s1 AS DOUBLE) / m.n)))
+                   * 1000000) AS BIGINT)
+           ELSE NULL END AS ratio_e6
+    FROM mom m CROSS JOIN tri t
+    """,
+)
+def graph_clustering_vs_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL CLUSTERING vs the CONFIGURATION-MODEL null (round 10):
+    C = 3·triangles/wedges against C_rand = (⟨k²⟩−⟨k⟩)²/(n·⟨k⟩³) —
+    the expected transitivity of a random graph with the SAME degree
+    sequence.  The ratio is the half of the small-world verdict the
+    repo's graph kit could not state: graph_clustering_coeff says
+    HOW clustered, this says whether that clustering is structure or
+    just what the hubs force (heavy-tailed degrees manufacture
+    triangles in any random wiring — a ratio ≈ 1 means the
+    'community structure' is a degree-sequence artifact, the classic
+    over-interpretation in transaction-graph analytics).
+
+    Exactness: triangle and wedge counts and the degree moments are
+    exact bigints off the oriented edge list (wedges as the exact
+    integer Σd(d−1)/2); C, C_rand and the ratio are three double
+    chains floored e6.
+
+    Scale: the triangle join is the graph_triangle_count plan; the
+    moment side is two map-side-combinable aggregations — the null
+    model costs nothing extra at any scale."""
+    e = cooccurrence_edges(spark)
+    sym = e.select(F.col("src").alias("addr"), F.col("dst").alias("nbr")).union(
+        e.select(F.col("dst").alias("addr"), F.col("src").alias("nbr"))
+    )
+    deg = sym.groupBy("addr").agg(F.count("*").cast("bigint").alias("d"))
+    mom = deg.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("d").cast("bigint").alias("s1"),
+        F.sum(F.col("d") * F.col("d")).cast("bigint").alias("s2"),
+        F.sum(F.expr("d * (d - 1) DIV 2")).cast("bigint").alias("n_wedges"),
+    )
+    e1 = e.alias("e1")
+    e2 = e.alias("e2")
+    e3 = e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.src") == F.col("e1.dst"))
+        .join(
+            e3,
+            (F.col("e3.src") == F.col("e1.src"))
+            & (F.col("e3.dst") == F.col("e2.dst")),
+            "left_semi",
+        )
+        .agg(F.count("*").cast("bigint").alias("n_triangles"))
+    )
+    j = mom.crossJoin(F.broadcast(tri))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    kbar = d("s1") / d("n")
+    c_rand = (d("s2") / d("n") - kbar) * (d("s2") / d("n") - kbar) / (
+        d("n") * kbar * kbar * kbar
+    )
+    c_glob = 3.0 * d("n_triangles") / d("n_wedges")
+    return j.select(
+        "n",
+        "s1",
+        "s2",
+        "n_wedges",
+        "n_triangles",
+        F.when(
+            F.col("n_wedges") > 0,
+            F.floor(c_glob * 1000000).cast("bigint"),
+        ).alias("c_global_e6"),
+        F.floor(c_rand * 1000000).cast("bigint").alias("c_random_e6"),
+        F.when(
+            F.col("n_wedges") > 0,
+            F.floor(c_glob / c_rand * 1000000).cast("bigint"),
+        ).alias("ratio_e6"),
+    )

@@ -595,6 +595,8 @@ _ROUND10_ADDITIONS = (
     "subquery_not_in_null_trap",
     "win_variance_bridge",
     "agg_psi_drift",
+    "graph_clustering_vs_null",
+    "events_rate_volume_decomposition",
 )
 
 # Landing-order queue for rows that have never been inside a driver

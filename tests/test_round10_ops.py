@@ -1232,3 +1232,63 @@ def test_agg_psi_drift_referee(spark, sf_dir):
         # PSI ~ 2.5k/n ~ 0.17, so the bound is the order-of-magnitude
         # guard, not the production 0.1 band (which assumes large n).
         assert r["psi_e9"] < 1_000_000_000
+
+
+def test_graph_clustering_vs_null_referee(spark, sf_dir):
+    from collections import defaultdict
+    from itertools import combinations
+
+    adj = defaultdict(set)
+    edges = set()
+    for blk in _blocks():
+        for tx in blk["txs"]:
+            if tx["coinbase"]:
+                continue
+            addrs = {io["address"][0] for io in tx["inputs"]} | {
+                io["address"][0] for io in tx["outputs"]
+            }
+            for a, b in combinations(sorted(addrs), 2):
+                edges.add((a, b))
+                adj[a].add(b)
+                adj[b].add(a)
+    degs = [len(v) for v in adj.values()]
+    n = len(degs)
+    s1, s2 = sum(degs), sum(d * d for d in degs)
+    wedges = sum(d * (d - 1) // 2 for d in degs)
+    tris = 0
+    for a, b in edges:
+        la, lb = adj[a], adj[b]
+        small, big = (la, lb) if len(la) < len(lb) else (lb, la)
+        tris += sum(1 for x in small if x > b and x in big)
+    r = QUERIES["graph_clustering_vs_null"](spark, sf_dir).collect()[0]
+    assert r["n"] == n and (r["s1"], r["s2"]) == (s1, s2)
+    assert r["n_wedges"] == wedges
+    assert r["n_triangles"] == tris
+    kbar = s1 / n
+    c_rand = (s2 / n - kbar) ** 2 / (n * kbar**3)
+    c_glob = 3 * tris / wedges
+    assert r["c_global_e6"] == math.floor(c_glob * 1e6)
+    assert r["c_random_e6"] == math.floor(c_rand * 1e6)
+    assert r["ratio_e6"] == math.floor(c_glob / c_rand * 1e6)
+    # co-occurrence graphs are clique unions: clustering far above null
+    assert r["ratio_e6"] > 1_000_000
+
+
+def test_events_rate_volume_decomposition_referee(spark, sf_dir):
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    cents = (o["o_totalprice"] * 100).apply(lambda x: math.floor(x + 0.5))
+    pre = pd.to_datetime(o["o_orderdate"]) < pd.Timestamp("1996-01-01")
+    got = {r["grp"]: r for r in QUERIES["events_rate_volume_decomposition"](spark, sf_dir).collect()}
+    for grp in o["o_orderpriority"].unique():
+        m = o["o_orderpriority"] == grp
+        n0, n1 = int((m & pre).sum()), int((m & ~pre).sum())
+        s0, s1 = int(cents[m & pre].sum()), int(cents[m & ~pre].sum())
+        r = got[grp]
+        assert (r["n0"], r["s0"], r["n1"], r["s1"]) == (n0, s0, n1, s1)
+        assert r["delta_cents"] == s1 - s0
+        ve = math.floor((n1 - n0) * (s0 / n0))
+        re_ = math.floor(n1 * (s1 / n1 - s0 / n0))
+        assert r["volume_effect_cents"] == ve
+        assert r["rate_effect_cents"] == re_
+        # additive identity up to the two floors
+        assert 0 <= (s1 - s0) - (ve + re_) <= 2
