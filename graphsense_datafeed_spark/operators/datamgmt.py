@@ -3524,3 +3524,95 @@ def dq_expectation_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_violations",
         F.when(F.col("n_violations") == 0, 1).otherwise(0).alias("passed"),
     ).orderBy("check_name")
+
+
+@query(
+    "cdc_column_level_diff",
+    """
+    WITH snap_a AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_cents,
+             o_orderpriority
+      FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '1997-07-01'
+    ), snap_b AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderstatus = 'P' THEN 'F'
+                  ELSE o_orderstatus END AS o_orderstatus,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                 + CASE WHEN o_orderkey % 97 = 0 THEN 500 ELSE 0 END
+                 AS total_cents,
+             o_orderpriority
+      FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '1997-07-01'
+    ), matched AS (
+      SELECT a.o_orderkey,
+             CASE WHEN a.o_orderstatus <> b.o_orderstatus
+                  THEN 1 ELSE 0 END AS status_changed,
+             CASE WHEN a.total_cents <> b.total_cents
+                  THEN 1 ELSE 0 END AS total_changed,
+             CASE WHEN a.o_orderpriority <> b.o_orderpriority
+                  THEN 1 ELSE 0 END AS priority_changed
+      FROM snap_a a JOIN snap_b b ON a.o_orderkey = b.o_orderkey
+    )
+    SELECT o_orderkey, status_changed, total_changed, priority_changed,
+           status_changed + total_changed + priority_changed
+               AS n_cols_changed
+    FROM matched
+    WHERE status_changed + total_changed + priority_changed > 0
+    ORDER BY o_orderkey
+    """,
+)
+def cdc_column_level_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMN-LEVEL CDC diff (round 10): for keys present in both
+    snapshots, WHICH columns changed — the refinement of
+    cdc_snapshot_diff's row-level insert/update/delete that incremental
+    downstream consumers actually need (a status flip invalidates the
+    status rollup but NOT the revenue cube; column-level change sets
+    are what lets each consumer re-aggregate only its own inputs —
+    the selective-invalidation pattern behind every incremental
+    materialized view).  Snapshot B deterministically finalizes 'P'
+    statuses and amends every 97th order's total by 5.00, so both
+    change classes occur and compose.
+
+    Exactness: per-column flags are exact integer comparisons
+    (money compared in cents, never float equality); the output is
+    sized in CHANGED ROWS.
+
+    Scale: one PK-keyed join (exchange-free on bucketed snapshots,
+    like cdc_snapshot_diff) with the per-column CASEs riding the
+    join projection — no extra pass per column."""
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").cast("date") < F.lit("1997-07-01").cast("date")
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    snap_a = orders.select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_orderstatus").alias("a_status"),
+        cents.alias("a_cents"),
+        F.col("o_orderpriority").alias("a_prio"),
+    )
+    snap_b = orders.select(
+        F.col("o_orderkey").alias("bkey"),
+        F.when(F.col("o_orderstatus") == "P", "F")
+        .otherwise(F.col("o_orderstatus"))
+        .alias("b_status"),
+        (
+            cents
+            + F.when(F.col("o_orderkey") % 97 == 0, 500).otherwise(0)
+        ).alias("b_cents"),
+        F.col("o_orderpriority").alias("b_prio"),
+    )
+    m = snap_a.join(snap_b, snap_a.key == snap_b.bkey)
+    sc = (F.col("a_status") != F.col("b_status")).cast("int").alias("status_changed")
+    tc = (F.col("a_cents") != F.col("b_cents")).cast("int").alias("total_changed")
+    pc = (F.col("a_prio") != F.col("b_prio")).cast("int").alias("priority_changed")
+    out = m.select(F.col("key").alias("o_orderkey"), sc, tc, pc)
+    return (
+        out.withColumn(
+            "n_cols_changed",
+            F.col("status_changed")
+            + F.col("total_changed")
+            + F.col("priority_changed"),
+        )
+        .filter(F.col("n_cols_changed") > 0)
+        .orderBy("o_orderkey")
+    )

@@ -597,6 +597,7 @@ _ROUND10_ADDITIONS = (
     "agg_psi_drift",
     "graph_clustering_vs_null",
     "events_rate_volume_decomposition",
+    "cdc_column_level_diff",
 )
 
 # Landing-order queue for rows that have never been inside a driver

@@ -1292,3 +1292,24 @@ def test_events_rate_volume_decomposition_referee(spark, sf_dir):
         assert r["rate_effect_cents"] == re_
         # additive identity up to the two floors
         assert 0 <= (s1 - s0) - (ve + re_) <= 2
+
+
+def test_cdc_column_level_diff_referee(spark, sf_dir):
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    o = o[pd.to_datetime(o["o_orderdate"]) < pd.Timestamp("1997-07-01")]
+    got = {r["o_orderkey"]: r for r in QUERIES["cdc_column_level_diff"](spark, sf_dir).collect()}
+    n_expected = 0
+    for _, row in o.iterrows():
+        sc = 1 if row["o_orderstatus"] == "P" else 0
+        tc = 1 if row["o_orderkey"] % 97 == 0 else 0
+        if sc + tc > 0:
+            n_expected += 1
+            r = got[row["o_orderkey"]]
+            assert r["status_changed"] == sc
+            assert r["total_changed"] == tc
+            assert r["priority_changed"] == 0
+            assert r["n_cols_changed"] == sc + tc
+    assert len(got) == n_expected
+    # both change classes occur, and they compose on some keys
+    assert any(r["status_changed"] for r in got.values())
+    assert any(r["total_changed"] for r in got.values())
