@@ -9032,3 +9032,204 @@ def events_rate_volume_decomposition(
             ),
         ).alias("rate_effect_cents"),
     ).orderBy("grp")
+
+
+@query(
+    "ts_extremal_index_runs",
+    """
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ), thr AS (
+        SELECT event_type,
+               CAST(quantile_disc(x, 0.9) AS BIGINT) AS u
+        FROM hourly GROUP BY 1
+    ), exceed AS (
+        SELECT h.event_type, h.h, t.u
+        FROM hourly h JOIN thr t ON h.event_type = t.event_type
+        WHERE h.x > t.u
+    ), runs AS (
+        SELECT event_type, u,
+               CASE WHEN lag(h) OVER (PARTITION BY event_type
+                                      ORDER BY h) IS NULL
+                         OR date_diff('hour',
+                            lag(h) OVER (PARTITION BY event_type
+                                         ORDER BY h), h) > 3
+                    THEN 1 ELSE 0 END AS new_cluster
+        FROM exceed
+    )
+    SELECT event_type, CAST(MAX(u) AS BIGINT) AS threshold,
+           CAST(COUNT(*) AS BIGINT) AS n_exceedances,
+           CAST(SUM(new_cluster) AS BIGINT) AS n_clusters,
+           CASE WHEN COUNT(*) > 0 THEN
+               CAST(SUM(new_cluster) * 1000000 // COUNT(*) AS BIGINT)
+           ELSE NULL END AS theta_e6
+    FROM runs GROUP BY event_type ORDER BY event_type
+    """,
+)
+def ts_extremal_index_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTREMAL INDEX by runs declustering (round 10): the dependence
+    parameter the EVT pair left unmeasured — agg_gumbel_block_maxima
+    and ts_pot_gpd_moments both assume exceedances arrive
+    independently, but real load spikes CLUSTER (one incident = many
+    consecutive extreme hours), and then POT double-counts: the
+    effective number of independent extremes is θ·n.  Runs
+    declustering with gap r=3: exceedances of the hourly series over
+    its discrete p90 start a new cluster when separated by more than
+    3 hours; θ̂ = clusters/exceedances — θ ≈ 1 independent spikes,
+    θ ≪ 1 incident clustering (and 1/θ is the mean incident length
+    in extreme-hours).  This is the number that corrects return-level
+    math AND doubles as an incident-clustering readout for SRE
+    dashboards.
+
+    ZERO floats: threshold is a discrete quantile (actual element),
+    cluster starts are integer calendar-gap comparisons over the
+    exceedance tape, θ is one exact integer division.
+
+    Scale: map-side hourly rollup, broadcast per-type threshold,
+    one keyed lag window over EXCEEDANCE rows only (a ~10% slice of
+    the calendar-bounded tape)."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count("*").cast("bigint").alias("x"))
+    thr = hourly.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY x)")
+        .cast("bigint")
+        .alias("u")
+    )
+    exceed = hourly.join(F.broadcast(thr), "event_type").filter(
+        F.col("x") > F.col("u")
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    runs = exceed.select(
+        "event_type",
+        "u",
+        F.when(
+            F.lag("h").over(w).isNull()
+            | (
+                (
+                    F.unix_timestamp("h")
+                    - F.unix_timestamp(F.lag("h").over(w))
+                )
+                / 3600
+                > 3
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_cluster"),
+    )
+    return (
+        runs.groupBy("event_type")
+        .agg(
+            F.max("u").cast("bigint").alias("threshold"),
+            F.count("*").cast("bigint").alias("n_exceedances"),
+            F.sum("new_cluster").cast("bigint").alias("n_clusters"),
+        )
+        .withColumn(
+            "theta_e6",
+            F.when(
+                F.col("n_exceedances") > 0,
+                F.expr(
+                    "CAST(n_clusters * 1000000 DIV n_exceedances AS BIGINT)"
+                ),
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "ts_spc_p_chart",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT)
+                   AS errs
+        FROM events GROUP BY 1
+    ), center AS (
+        SELECT CAST(SUM(errs) AS BIGINT) AS tot_errs,
+               CAST(SUM(n) AS BIGINT) AS tot_n
+        FROM daily
+    )
+    SELECT d.day, d.n, d.errs,
+           CAST(d.errs * 1000000 // d.n AS BIGINT) AS p_e6,
+           CAST(c.tot_errs * 1000000 // c.tot_n AS BIGINT) AS pbar_e6,
+           CAST(FLOOR((CAST(c.tot_errs AS DOUBLE) / c.tot_n
+                       + 3.0 * sqrt(CAST(c.tot_errs AS DOUBLE) / c.tot_n
+                                    * (1.0 - CAST(c.tot_errs AS DOUBLE)
+                                             / c.tot_n) / d.n))
+                      * 1000000) AS BIGINT) AS ucl_e6,
+           GREATEST(CAST(FLOOR((CAST(c.tot_errs AS DOUBLE) / c.tot_n
+                       - 3.0 * sqrt(CAST(c.tot_errs AS DOUBLE) / c.tot_n
+                                    * (1.0 - CAST(c.tot_errs AS DOUBLE)
+                                             / c.tot_n) / d.n))
+                      * 1000000) AS BIGINT), 0) AS lcl_e6,
+           CASE WHEN CAST(d.errs AS DOUBLE) / d.n
+                     > CAST(c.tot_errs AS DOUBLE) / c.tot_n
+                       + 3.0 * sqrt(CAST(c.tot_errs AS DOUBLE) / c.tot_n
+                                    * (1.0 - CAST(c.tot_errs AS DOUBLE)
+                                             / c.tot_n) / d.n)
+                     OR CAST(d.errs AS DOUBLE) / d.n
+                        < CAST(c.tot_errs AS DOUBLE) / c.tot_n
+                          - 3.0 * sqrt(CAST(c.tot_errs AS DOUBLE) / c.tot_n
+                                       * (1.0 - CAST(c.tot_errs AS DOUBLE)
+                                                / c.tot_n) / d.n)
+                THEN 1 ELSE 0 END AS breach
+    FROM daily d CROSS JOIN center c
+    ORDER BY d.day
+    """,
+)
+def ts_spc_p_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPC p-CHART (round 10): the attribute-data control chart —
+    daily error PROPORTION against binomial 3σ limits p̄ ±
+    3√(p̄(1−p̄)/n_d), with per-day limits because daily volumes
+    differ (the defining feature of the p-chart vs a fixed band).
+    Completes the SPC family: ts_control_chart_imr watches a
+    CONTINUOUS measure, this watches a RATE — the error-budget /
+    defect-rate chart every SRE and quality team runs, and the
+    chart whose breaches feed events_error_budget_burn.
+
+    Exactness: daily and total counts exact; p̄ and each day's
+    limits are single double chains from exact integers (floored e6
+    for display; the BREACH test compares the same double chains
+    directly, so flag and displayed limits cannot disagree); LCL
+    clamps at 0.
+
+    Scale: one map-side daily rollup + a 1-row center broadcast —
+    every limit is per-row arithmetic."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.count_if(F.col("event_type") == "error")
+        .cast("bigint")
+        .alias("errs"),
+    )
+    center = daily.agg(
+        F.sum("errs").cast("bigint").alias("tot_errs"),
+        F.sum("n").cast("bigint").alias("tot_n"),
+    )
+    j = daily.crossJoin(F.broadcast(center))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    pbar = d("tot_errs") / d("tot_n")
+    half = 3.0 * F.sqrt(pbar * (1.0 - pbar) / d("n"))
+    pd_ = d("errs") / d("n")
+    return j.select(
+        "day",
+        "n",
+        "errs",
+        F.expr("CAST(errs * 1000000 DIV n AS BIGINT)").alias("p_e6"),
+        F.expr("CAST(tot_errs * 1000000 DIV tot_n AS BIGINT)").alias(
+            "pbar_e6"
+        ),
+        F.floor((pbar + half) * 1000000).cast("bigint").alias("ucl_e6"),
+        F.greatest(
+            F.floor((pbar - half) * 1000000).cast("bigint"), F.lit(0)
+        ).alias("lcl_e6"),
+        F.when((pd_ > pbar + half) | (pd_ < pbar - half), 1)
+        .otherwise(0)
+        .alias("breach"),
+    ).orderBy("day")

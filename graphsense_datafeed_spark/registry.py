@@ -598,6 +598,8 @@ _ROUND10_ADDITIONS = (
     "graph_clustering_vs_null",
     "events_rate_volume_decomposition",
     "cdc_column_level_diff",
+    "ts_extremal_index_runs",
+    "ts_spc_p_chart",
 )
 
 # Landing-order queue for rows that have never been inside a driver

@@ -1313,3 +1313,56 @@ def test_cdc_column_level_diff_referee(spark, sf_dir):
     # both change classes occur, and they compose on some keys
     assert any(r["status_changed"] for r in got.values())
     assert any(r["total_changed"] for r in got.values())
+
+
+def test_ts_extremal_index_runs_referee(spark, sf_dir):
+    ev = _events(sf_dir)
+    hours = pd.to_datetime(ev["ts"]).dt.floor("h")
+    got = {r["event_type"]: r for r in QUERIES["ts_extremal_index_runs"](spark, sf_dir).collect()}
+    for etype in ev["event_type"].unique():
+        hs = hours[ev["event_type"] == etype]
+        counts = hs.value_counts().sort_index()
+        xs = sorted(counts.tolist())
+        n = len(xs)
+        u = xs[math.ceil(0.9 * n) - 1]
+        exceed = sorted(h for h, x in counts.items() if x > u)
+        clusters = 0
+        prev = None
+        for h in exceed:
+            if prev is None or (h - prev).total_seconds() / 3600 > 3:
+                clusters += 1
+            prev = h
+        if not exceed:
+            assert etype not in got
+            continue
+        r = got[etype]
+        assert r["threshold"] == u
+        assert r["n_exceedances"] == len(exceed)
+        assert r["n_clusters"] == clusters
+        assert r["theta_e6"] == clusters * 1000000 // len(exceed)
+        assert 0 < r["theta_e6"] <= 1000000
+
+
+def test_ts_spc_p_chart_referee(spark, sf_dir):
+    ev = _events(sf_dir)
+    days = pd.to_datetime(ev["ts"]).dt.date
+    df = pd.DataFrame({"day": days, "err": (ev["event_type"] == "error").astype(int)})
+    g = df.groupby("day")["err"].agg(["count", "sum"])
+    tot_n, tot_e = int(g["count"].sum()), int(g["sum"].sum())
+    pbar = tot_e / tot_n
+    got = {r["day"]: r for r in QUERIES["ts_spc_p_chart"](spark, sf_dir).collect()}
+    breaches = 0
+    for day, row in g.iterrows():
+        n, e = int(row["count"]), int(row["sum"])
+        half = 3.0 * math.sqrt(pbar * (1 - pbar) / n)
+        r = got[day]
+        assert r["n"] == n and r["errs"] == e
+        assert r["p_e6"] == e * 1000000 // n
+        assert r["pbar_e6"] == tot_e * 1000000 // tot_n
+        assert r["ucl_e6"] == math.floor((pbar + half) * 1e6)
+        assert r["lcl_e6"] == max(math.floor((pbar - half) * 1e6), 0)
+        expect_breach = 1 if (e / n > pbar + half or e / n < pbar - half) else 0
+        assert r["breach"] == expect_breach
+        breaches += expect_breach
+    # an in-control binomial process rarely breaches 3-sigma limits
+    assert breaches <= max(2, len(g) // 5)
