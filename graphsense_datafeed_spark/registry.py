@@ -600,6 +600,7 @@ _ROUND10_ADDITIONS = (
     "cdc_column_level_diff",
     "ts_extremal_index_runs",
     "ts_spc_p_chart",
+    "ingest_entity_size_distribution",
 )
 
 # Landing-order queue for rows that have never been inside a driver

@@ -1366,3 +1366,48 @@ def test_ts_spc_p_chart_referee(spark, sf_dir):
         breaches += expect_breach
     # an in-control binomial process rarely breaches 3-sigma limits
     assert breaches <= max(2, len(g) // 5)
+
+
+def test_ingest_entity_size_distribution_referee(spark, sf_dir):
+    # union-find over co-spend input edges, straight from the JSONL
+    parent = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for blk in _blocks():
+        for tx in blk["txs"]:
+            if tx["coinbase"]:
+                continue
+            addrs = sorted({i["address"][0] for i in tx["inputs"]})
+            for a in addrs:
+                parent.setdefault(a, a)
+            for a, b in zip(addrs, addrs[1:]):
+                union(a, b)
+    from collections import Counter
+
+    sizes = Counter(find(a) for a in parent)
+    buckets = Counter(len(bin(n)) - 3 for n in sizes.values())  # '0b1..'
+    mass = Counter()
+    for n in sizes.values():
+        mass[len(bin(n)) - 3] += n
+    got = {r["size_log2"]: r for r in QUERIES["ingest_entity_size_distribution"](spark, sf_dir).collect()}
+    assert set(got) == set(buckets)
+    total_addrs = sum(sizes.values())
+    largest = max(sizes.values())
+    for b, cnt in buckets.items():
+        r = got[b]
+        assert r["n_entities"] == cnt
+        assert r["addr_mass"] == mass[b]
+        assert r["total_entities"] == len(sizes)
+        assert r["total_addrs"] == total_addrs
+        assert r["largest_entity"] == largest
+        assert r["largest_share_e6"] == largest * 1000000 // total_addrs
