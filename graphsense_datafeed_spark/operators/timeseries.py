@@ -9233,3 +9233,133 @@ def ts_spc_p_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("breach"),
     ).orderBy("day")
+
+
+@query(
+    "ts_outlier_consensus",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(FLOOR(CAST(SUM(CAST(FLOOR(value * 10000) AS BIGINT))
+                          AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+        FROM events GROUP BY event_type, date_trunc('day', ts)
+    ), stats AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(m) AS BIGINT) AS s,
+               CAST(SUM(m * m) AS BIGINT) AS q,
+               CAST(quantile_disc(m, 0.25) AS BIGINT) AS q1,
+               CAST(quantile_disc(m, 0.5) AS BIGINT) AS med,
+               CAST(quantile_disc(m, 0.75) AS BIGINT) AS q3
+        FROM daily GROUP BY 1
+    ), madt AS (
+        SELECT d.event_type,
+               CAST(quantile_disc(abs(d.m - s.med), 0.5) AS BIGINT)
+                   AS mad
+        FROM daily d JOIN stats s ON d.event_type = s.event_type
+        GROUP BY 1
+    ), flagged AS (
+        SELECT d.event_type, d.day, d.m,
+               CASE WHEN 4 * (s.n * d.m - s.s) * (s.n * d.m - s.s)
+                         > 25 * (s.n * s.q - s.s * s.s)
+                    THEN 1 ELSE 0 END AS flag_z,
+               CASE WHEN abs(d.m - s.med) * 10000 > 44478 * t.mad
+                    THEN 1 ELSE 0 END AS flag_mad,
+               CASE WHEN 2 * d.m < 5 * s.q1 - 3 * s.q3
+                         OR 2 * d.m > 5 * s.q3 - 3 * s.q1
+                    THEN 1 ELSE 0 END AS flag_tukey
+        FROM daily d
+        JOIN stats s ON d.event_type = s.event_type
+        JOIN madt t ON t.event_type = d.event_type
+    )
+    SELECT event_type, day, m AS m_e4, flag_z, flag_mad, flag_tukey,
+           flag_z + flag_mad + flag_tukey AS votes
+    FROM flagged
+    WHERE flag_z + flag_mad + flag_tukey > 0
+    ORDER BY event_type, day
+    """,
+)
+def ts_outlier_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OUTLIER CONSENSUS vote (round 10): three detectors with three
+    different failure modes — z-score (assumes normality, masked by
+    the outlier inflating its own σ), MAD (robust, blind when >50%
+    of days shift), Tukey fences (quartile-rule, coarse) — each vote
+    on every daily point, emitting flagged days with the vote count.
+    Single-detector anomaly feeds page people at 3am for detector
+    ARTIFACTS; the ensemble-vote pattern (≥2 of 3) is the standard
+    de-noising every mature alerting stack converges on, and the
+    disagreement rows (votes = 1) are the detector-tuning backlog.
+
+    ZERO FLOATS in all three tests — each clears to pure integer
+    comparisons: z-score as 4(n·m − S)² > 25(nQ − S²) (2.5σ with the
+    fraction cleared), MAD as |m − med|·10⁴ > 44478·MAD (3·1.4826
+    scaled e4, disc medians are actual elements), Tukey in doubled
+    units (2m vs 5Q1 − 3Q3).  No quantization boundary anywhere.
+
+    Scale: one map-side daily rollup + two |types|-row stat frames
+    broadcast back — three detectors for the price of one pass."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts").cast("timestamp"))
+        .cast("date")
+        .alias("day"),
+    ).agg(
+        F.floor(
+            F.sum(F.floor(F.col("value") * 10000).cast("bigint")).cast("double")
+            / F.count("*")
+        )
+        .cast("bigint")
+        .alias("m")
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("m").cast("bigint").alias("s"),
+        F.sum(F.col("m") * F.col("m")).cast("bigint").alias("q"),
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY m)")
+        .cast("bigint")
+        .alias("q1"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY m)")
+        .cast("bigint")
+        .alias("med"),
+        F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY m)")
+        .cast("bigint")
+        .alias("q3"),
+    )
+    madt = (
+        daily.join(F.broadcast(stats.select("event_type", "med")), "event_type")
+        .select(
+            "event_type", F.abs(F.col("m") - F.col("med")).alias("dev")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY dev)")
+            .cast("bigint")
+            .alias("mad")
+        )
+    )
+    j = daily.join(F.broadcast(stats), "event_type").join(
+        F.broadcast(madt), "event_type"
+    )
+    dz = F.col("n") * F.col("m") - F.col("s")
+    flag_z = (
+        4 * dz * dz > 25 * (F.col("n") * F.col("q") - F.col("s") * F.col("s"))
+    ).cast("int")
+    flag_mad = (
+        F.abs(F.col("m") - F.col("med")) * 10000 > 44478 * F.col("mad")
+    ).cast("int")
+    flag_tukey = (
+        (2 * F.col("m") < 5 * F.col("q1") - 3 * F.col("q3"))
+        | (2 * F.col("m") > 5 * F.col("q3") - 3 * F.col("q1"))
+    ).cast("int")
+    out = j.select(
+        "event_type",
+        "day",
+        F.col("m").alias("m_e4"),
+        flag_z.alias("flag_z"),
+        flag_mad.alias("flag_mad"),
+        flag_tukey.alias("flag_tukey"),
+    ).withColumn(
+        "votes", F.col("flag_z") + F.col("flag_mad") + F.col("flag_tukey")
+    )
+    return out.filter(F.col("votes") > 0).orderBy("event_type", "day")

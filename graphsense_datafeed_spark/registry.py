@@ -601,6 +601,7 @@ _ROUND10_ADDITIONS = (
     "ts_extremal_index_runs",
     "ts_spc_p_chart",
     "ingest_entity_size_distribution",
+    "ts_outlier_consensus",
 )
 
 # Landing-order queue for rows that have never been inside a driver

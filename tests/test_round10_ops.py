@@ -1411,3 +1411,41 @@ def test_ingest_entity_size_distribution_referee(spark, sf_dir):
         assert r["total_addrs"] == total_addrs
         assert r["largest_entity"] == largest
         assert r["largest_share_e6"] == largest * 1000000 // total_addrs
+
+
+def test_ts_outlier_consensus_referee(spark, sf_dir):
+    ev = _events(sf_dir)
+    d = pd.to_datetime(ev["ts"]).dt.date
+    v = (ev["value"] * 10000).apply(math.floor)
+    daily = (
+        ev.assign(d=d, v=v).groupby(["event_type", "d"])["v"].agg(["sum", "count"])
+    )
+    daily["m"] = (daily["sum"] / daily["count"]).apply(math.floor)
+    got = {}
+    for r in QUERIES["ts_outlier_consensus"](spark, sf_dir).collect():
+        got[(r["event_type"], r["day"])] = r
+    n_expected = 0
+    for etype, grp in daily.groupby(level=0):
+        ms = grp["m"].astype(int).tolist()
+        n, s, q = len(ms), sum(ms), sum(x * x for x in ms)
+        xs = sorted(ms)
+        q1 = xs[math.ceil(0.25 * n) - 1]
+        med = xs[math.ceil(0.5 * n) - 1]
+        q3 = xs[math.ceil(0.75 * n) - 1]
+        devs = sorted(abs(x - med) for x in ms)
+        mad = devs[math.ceil(0.5 * n) - 1]
+        for (et, day), row in grp.iterrows():
+            m = int(row["m"])
+            fz = 1 if 4 * (n * m - s) ** 2 > 25 * (n * q - s * s) else 0
+            fm = 1 if abs(m - med) * 10000 > 44478 * mad else 0
+            ft = 1 if (2 * m < 5 * q1 - 3 * q3 or 2 * m > 5 * q3 - 3 * q1) else 0
+            votes = fz + fm + ft
+            if votes > 0:
+                n_expected += 1
+                r = got[(et, day)]
+                assert (r["flag_z"], r["flag_mad"], r["flag_tukey"]) == (fz, fm, ft)
+                assert r["votes"] == votes
+                assert r["m_e4"] == m
+            else:
+                assert (et, day) not in got
+    assert len(got) == n_expected
