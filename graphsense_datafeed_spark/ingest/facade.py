@@ -3047,3 +3047,86 @@ def ingest_entity_size_distribution(
         )
         .orderBy("size_log2")
     )
+
+
+@query(
+    "ingest_structuring_detector",
+    f"""
+    WITH txr AS (
+        SELECT height, unnest(txs) AS tx FROM {_DUCK_BLOCKS}
+    ), near AS (
+        SELECT height, (o).address[1] AS address, (o).value AS sat
+        FROM (SELECT height, unnest((tx).outputs) AS o FROM txr
+              WHERE NOT (tx).coinbase)
+        WHERE (o).value >= 1250000000 AND (o).value < 2500000000
+    ), windowed AS (
+        SELECT address, height,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n_near_5blk,
+               CAST(SUM(sat) OVER w AS BIGINT) AS sat_near_5blk
+        FROM near
+        WINDOW w AS (PARTITION BY address ORDER BY height
+                     RANGE BETWEEN 4 PRECEDING AND CURRENT ROW)
+    )
+    SELECT DISTINCT address, height, n_near_5blk, sat_near_5blk,
+           CASE WHEN n_near_5blk >= 3 THEN 1 ELSE 0 END AS flagged
+    FROM windowed WHERE n_near_5blk >= 2
+    ORDER BY address, height
+    """,
+)
+def ingest_structuring_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCTURING (smurfing) detector (round 10) — the AML screen
+    the reference's ecosystem exists to serve: an address receiving
+    REPEATED just-under-threshold amounts inside a short block window
+    is the canonical pattern of splitting one reportable transfer
+    into many sub-reporting-limit pieces.  The band [T/2, T) under
+    the reporting threshold T and the 5-block trailing RANGE window
+    are the policy knobs; emitted rows carry the trailing count and
+    satoshi mass with the ≥3-hits flag — the alert queue an
+    investigator triages, with the n=2 rows as the watchlist.
+    Complements events_velocity_rule (rate-based, behavioral) with
+    the amount-shape rule regulators actually codify.
+
+    Exactness: satoshi bands, block-RANGE frames keyed on integral
+    heights, counts and masses — all exact integers; DISTINCT
+    collapses equal-height duplicates identically in both engines
+    (RANGE frames make same-height rows peers, so their window
+    values are identical by definition).
+
+    Scale: the band filter prunes at the scan; the window partitions
+    by address over the filtered slice (the datafeed's at-rest
+    partition key), RANGE-framed on height so reorg-replays
+    re-evaluate only the affected window."""
+    txs = explode_transactions(normalize_blocks(read_blocks_json(spark)))
+    near = (
+        txs.filter(~F.col("coinbase"))
+        .select("height", F.explode("outputs").alias("o"))
+        .select(
+            "height",
+            F.col("o.address")[0].alias("address"),
+            F.col("o.value").alias("sat"),
+        )
+        .filter((F.col("sat") >= 1250000000) & (F.col("sat") < 2500000000))
+    )
+    w = (
+        Window.partitionBy("address")
+        .orderBy("height")
+        .rangeBetween(-4, Window.currentRow)
+    )
+    windowed = near.select(
+        "address",
+        "height",
+        F.count("*").over(w).cast("bigint").alias("n_near_5blk"),
+        F.sum("sat").over(w).cast("bigint").alias("sat_near_5blk"),
+    )
+    return (
+        windowed.filter(F.col("n_near_5blk") >= 2)
+        .select(
+            "address",
+            "height",
+            "n_near_5blk",
+            "sat_near_5blk",
+            F.when(F.col("n_near_5blk") >= 3, 1).otherwise(0).alias("flagged"),
+        )
+        .distinct()
+        .orderBy("address", "height")
+    )

@@ -602,6 +602,7 @@ _ROUND10_ADDITIONS = (
     "ts_spc_p_chart",
     "ingest_entity_size_distribution",
     "ts_outlier_consensus",
+    "ingest_structuring_detector",
 )
 
 # Landing-order queue for rows that have never been inside a driver

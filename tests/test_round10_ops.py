@@ -1449,3 +1449,33 @@ def test_ts_outlier_consensus_referee(spark, sf_dir):
             else:
                 assert (et, day) not in got
     assert len(got) == n_expected
+
+
+def test_ingest_structuring_detector_referee(spark, sf_dir):
+    from collections import defaultdict
+
+    hits = defaultdict(list)  # address -> [(height, sat)]
+    for blk in _blocks():
+        for tx in blk["txs"]:
+            if tx["coinbase"]:
+                continue
+            for o in tx["outputs"]:
+                if 1250000000 <= o["value"] < 2500000000:
+                    hits[o["address"][0]].append((blk["height"], o["value"]))
+    expect = {}
+    for addr, rows in hits.items():
+        rows.sort()
+        for h, _ in rows:
+            in_win = [(hh, ss) for hh, ss in rows if h - 4 <= hh <= h]
+            n = len(in_win)
+            if n >= 2:
+                expect[(addr, h)] = (n, sum(ss for _, ss in in_win))
+    got = {(r["address"], r["height"]): r
+           for r in QUERIES["ingest_structuring_detector"](spark, sf_dir).collect()}
+    assert set(got) == set(expect)
+    for key, (n, sat) in expect.items():
+        r = got[key]
+        assert r["n_near_5blk"] == n
+        assert r["sat_near_5blk"] == sat
+        assert r["flagged"] == (1 if n >= 3 else 0)
+    assert any(r["flagged"] for r in got.values())  # the screen fires
