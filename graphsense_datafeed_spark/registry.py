@@ -393,16 +393,15 @@ _ROUND9_WINDOW = (
     "ingest_coinbase_subsidy_check",
 )
 
-# Remaining overflow -> the round-10 window (28 entries; any round-9
-# additions append in landing order).  ROUND-10 RECIPE: the queue
-# drains this round -- fill the window to 50 by appending re-check
-# rows sampled oldest-driver-green first (r1 passes, then r2, ...),
-# skipping rows already in the window.  From r11 on, the whole window
-# is the oldest-green re-check sample, so no row stays unverified for
-# more than ~8 rounds and early greens cannot rot unnoticed.  Track
-# each row's last-green round in the CORRECTNESS_r*.json ledger (the
-# files are the source of truth; scripts/next_window.py computes the
-# oldest-first ordering mechanically).
+# Remaining overflow queue after the round-9 window (any round-9
+# additions append in landing order).  SINCE ROUND 10 the rotation
+# recipe is EXECUTABLE CODE, not prose: compute_window_order() below
+# orders the live registry RED -> ORACLE-RETIRED -> NEVER-CHECKED
+# (this queue's order) -> oldest-green re-check, straight from the
+# CORRECTNESS_r*.json ledgers, and load_all_operators() applies it.
+# These static tuples remain only as (a) the never-checked landing
+# order and (b) the fallback when no ledgers are readable (bare
+# checkout).  scripts/next_window.py previews the same ordering.
 _ROUND10_NEXT_UP = (
     "rank_biased_overlap",
     "agg_quantiles_grouped",
