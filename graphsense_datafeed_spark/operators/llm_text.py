@@ -5604,8 +5604,11 @@ def text_lm_holdout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM powed
     ), quota AS (
         SELECT p.source, p.n_tokens, p.w_e9,
-               CAST(1000000 * p.w_e9 // t.wt AS BIGINT) AS floor_ppm,
-               CAST(1000000 * p.w_e9 % t.wt AS BIGINT) AS rem
+               CAST(FLOOR(1000000.0 * p.w_e9 / t.wt) AS BIGINT)
+                   AS floor_ppm,
+               CAST(FLOOR((1000000.0 * p.w_e9 / t.wt
+                           - FLOOR(1000000.0 * p.w_e9 / t.wt))
+                          * 1000000000) AS BIGINT) AS rem
         FROM powed p CROSS JOIN tot t
     ), ranked AS (
         SELECT *,
@@ -5636,10 +5639,14 @@ def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     upsample_mixture (per-row replication), temperature (the
     BETWEEN-source policy those two execute).
 
-    Exactness: each n^0.7 is ONE pow chain floored e9 (the only
-    float step, identical both engines); quotas and remainders are
-    exact integer division on the floored weights; the remainder
-    rank pins on (rem DESC, source ASC).
+    Exactness: each n^0.7 is ONE pow chain floored e9; the ppm quota
+    and its remainder are one shared double chain per source (the
+    exact-integer form 1e6·w_e9 DIV wt overflows int64 once corpus
+    tokens pass ~1e8 — caught by this round's overflow audit; the
+    double chain is identical in both engines and the Hamilton
+    top-up still sums to exactly 1e6 because the floors and the
+    shortfall are exact integers); the remainder rank pins on
+    (rem DESC, source ASC).
 
     Scale: one token-count rollup + |sources|-row arithmetic — the
     policy table is dashboard-sized at any corpus size."""
@@ -5658,12 +5665,15 @@ def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("w_e9").cast("bigint").alias("wt"),
         F.count("*").cast("bigint").alias("n_src"),
     )
+    share = F.lit(1000000.0) * F.col("w_e9") / F.col("wt")
     quota = powed.crossJoin(F.broadcast(tot)).select(
         "source",
         "n_tokens",
         "w_e9",
-        F.expr("CAST(1000000 * w_e9 DIV wt AS BIGINT)").alias("floor_ppm"),
-        F.expr("CAST(1000000 * w_e9 % wt AS BIGINT)").alias("rem"),
+        F.floor(share).cast("bigint").alias("floor_ppm"),
+        F.floor((share - F.floor(share)) * 1000000000)
+        .cast("bigint")
+        .alias("rem"),
     )
     wr = Window.orderBy(F.col("rem").desc(), F.col("source").asc())
     wall = Window.partitionBy()
