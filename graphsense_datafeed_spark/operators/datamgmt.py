@@ -3616,3 +3616,113 @@ def cdc_column_level_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_cols_changed") > 0)
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "events_covariate_balance_smd",
+    """
+    WITH base AS (
+        SELECT CAST('0x' || substr(md5('exp42_' || CAST(user_id AS VARCHAR)),
+                                   1, 7) AS BIGINT) % 2 AS arm,
+               CAST(FLOOR(value * 10000) AS BIGINT) AS v_value,
+               CAST(json_extract(props, '$.k') AS BIGINT) AS v_k,
+               CAST(EXTRACT(hour FROM ts) AS BIGINT) AS v_hour
+        FROM events
+    ), long AS (
+        SELECT arm, 'value_e4' AS covariate, v_value AS v FROM base
+        UNION ALL SELECT arm, 'props_k', v_k FROM base
+        UNION ALL SELECT arm, 'hour_of_day', v_hour FROM base
+    ), stats AS (
+        SELECT covariate,
+               CAST(COUNT(*) FILTER (arm = 1) AS BIGINT) AS n1,
+               CAST(SUM(v) FILTER (arm = 1) AS BIGINT) AS s1,
+               CAST(SUM(v * v) FILTER (arm = 1) AS BIGINT) AS q1,
+               CAST(COUNT(*) FILTER (arm = 0) AS BIGINT) AS n0,
+               CAST(SUM(v) FILTER (arm = 0) AS BIGINT) AS s0,
+               CAST(SUM(v * v) FILTER (arm = 0) AS BIGINT) AS q0
+        FROM long GROUP BY 1
+    )
+    SELECT covariate, n1, n0,
+           CAST(FLOOR((CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0)
+                / sqrt(((CAST(q1 AS DOUBLE) / n1
+                         - (CAST(s1 AS DOUBLE) / n1)
+                           * (CAST(s1 AS DOUBLE) / n1))
+                        + (CAST(q0 AS DOUBLE) / n0
+                           - (CAST(s0 AS DOUBLE) / n0)
+                             * (CAST(s0 AS DOUBLE) / n0))) / 2.0)
+                * 1000000) AS BIGINT) AS smd_e6
+    FROM stats ORDER BY covariate
+    """,
+)
+def events_covariate_balance_smd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COVARIATE BALANCE table (round 10): the standardized mean
+    difference (m₁−m₀)/√((v₁+v₀)/2) of every pre-treatment covariate
+    between the two hash arms — the FIRST table in any observational
+    study or experiment report (|SMD| < 0.1 is the balance
+    convention), and the missing prerequisite check for the repo's
+    whole causal kit: events_ab_cuped, events_did_estimator,
+    events_stratified_effect and events_uplift_qini all ASSUME the
+    arms are comparable; this measures it.  Under the frozen md5
+    assignment the referee bounds every |SMD| near 0 — wiring it to
+    a real (possibly confounded) treatment flag is the one-line
+    change, and then the table IS the confounding alarm.
+
+    Exactness: per-covariate per-arm sufficient statistics are exact
+    bigints off one unpivoted pass; each SMD is one double chain
+    floored e6.
+
+    Scale: the unpivot triples map-stage rows but keeps ONE
+    map-side-combinable aggregate — the covariate list extends
+    without new passes."""
+    ev = load(spark, sf_dir, "events")
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("exp42_"), F.col("user_id").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    base = ev.select(
+        arm.alias("arm"),
+        F.floor(F.col("value") * 10000).cast("bigint").alias("v_value"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("v_k"),
+        F.hour("ts").cast("bigint").alias("v_hour"),
+    )
+    long = (
+        base.select("arm", F.lit("value_e4").alias("covariate"), F.col("v_value").alias("v"))
+        .unionAll(base.select("arm", F.lit("props_k"), F.col("v_k")))
+        .unionAll(base.select("arm", F.lit("hour_of_day"), F.col("v_hour")))
+    )
+    stats = long.groupBy("covariate").agg(
+        F.count_if(F.col("arm") == 1).cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("arm") == 1, F.col("v"))).cast("bigint").alias("s1"),
+        F.sum(F.when(F.col("arm") == 1, F.col("v") * F.col("v")))
+        .cast("bigint")
+        .alias("q1"),
+        F.count_if(F.col("arm") == 0).cast("bigint").alias("n0"),
+        F.sum(F.when(F.col("arm") == 0, F.col("v"))).cast("bigint").alias("s0"),
+        F.sum(F.when(F.col("arm") == 0, F.col("v") * F.col("v")))
+        .cast("bigint")
+        .alias("q0"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    m1, m0 = d("s1") / d("n1"), d("s0") / d("n0")
+    v1 = d("q1") / d("n1") - m1 * m1
+    v0 = d("q0") / d("n0") - m0 * m0
+    return stats.select(
+        "covariate",
+        "n1",
+        "n0",
+        F.floor((m1 - m0) / F.sqrt((v1 + v0) / 2.0) * 1000000)
+        .cast("bigint")
+        .alias("smd_e6"),
+    ).orderBy("covariate")

@@ -9363,3 +9363,67 @@ def ts_outlier_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "votes", F.col("flag_z") + F.col("flag_mad") + F.col("flag_tukey")
     )
     return out.filter(F.col("votes") > 0).orderBy("event_type", "day")
+
+
+@query(
+    "events_cumulative_reach",
+    """
+    WITH firstseen AS (
+        SELECT user_id, CAST(MIN(CAST(ts AS DATE)) AS DATE) AS d0
+        FROM events GROUP BY 1
+    ), daily_new AS (
+        SELECT d0 AS day, CAST(COUNT(*) AS BIGINT) AS n_new
+        FROM firstseen GROUP BY 1
+    )
+    SELECT day, n_new,
+           CAST(SUM(n_new) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS reach,
+           CAST(SUM(n_new) OVER () AS BIGINT) AS total_users,
+           CAST(SUM(n_new) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                * 1000000 // SUM(n_new) OVER () AS BIGINT)
+               AS reach_share_e6
+    FROM daily_new ORDER BY day
+    """,
+)
+def events_cumulative_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUMULATIVE REACH curve (round 10): distinct users ever seen,
+    by day — the audience-accumulation curve every campaign /
+    launch report leads with, computed the ONLY way that scales:
+    running COUNT(DISTINCT) per day is quadratic state, but reach is
+    exactly the cumulative sum of FIRST-SEEN counts (each user
+    contributes once, on their first day) — one keyed min, one
+    day rollup, one calendar-bounded running sum.  The daily-new
+    column doubles as the acquisition series and the curve's
+    flattening is the market-saturation readout (text_heaps_law's
+    vocabulary-growth shape, on users).
+
+    ZERO floats: first-seen days, counts, the running sum and the
+    share (exact integer division) — no quantization anywhere.
+
+    Scale: the user-keyed min is the one row-scale exchange; the
+    window runs over |calendar| rows (budgeted single-series
+    frame)."""
+    ev = load(spark, sf_dir, "events")
+    firstseen = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("d0")
+    )
+    daily_new = firstseen.groupBy(F.col("d0").alias("day")).agg(
+        F.count("*").cast("bigint").alias("n_new")
+    )
+    wc = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    return daily_new.select(
+        "day",
+        "n_new",
+        F.sum("n_new").over(wc).cast("bigint").alias("reach"),
+        F.sum("n_new").over(wall).cast("bigint").alias("total_users"),
+        F.expr(
+            "CAST(SUM(n_new) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED"
+            " PRECEDING AND CURRENT ROW) * 1000000 DIV SUM(n_new) OVER ()"
+            " AS BIGINT)"
+        ).alias("reach_share_e6"),
+    ).orderBy("day")

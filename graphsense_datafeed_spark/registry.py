@@ -602,6 +602,8 @@ _ROUND10_ADDITIONS = (
     "ingest_entity_size_distribution",
     "ts_outlier_consensus",
     "ingest_structuring_detector",
+    "events_covariate_balance_smd",
+    "events_cumulative_reach",
 )
 
 # Landing-order queue for rows that have never been inside a driver

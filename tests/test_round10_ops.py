@@ -1482,3 +1482,51 @@ def test_ingest_structuring_detector_referee(spark, sf_dir):
     # reaches the >= 3 alert depends on fixture density, so the flag
     # semantics are asserted per-row above rather than existentially
     assert len(got) > 0
+
+
+def test_events_covariate_balance_smd_referee(spark, sf_dir):
+    import hashlib
+
+    ev = _events(sf_dir)
+    arm = ev["user_id"].apply(
+        lambda u: int(hashlib.md5(f"exp42_{u}".encode()).hexdigest()[:7], 16) % 2
+    )
+    covs = {
+        "value_e4": (ev["value"] * 10000).apply(math.floor),
+        "props_k": ev["props"].str.extract(r'"k": (\d+)')[0].astype(int),
+        "hour_of_day": pd.to_datetime(ev["ts"]).dt.hour,
+    }
+    got = {r["covariate"]: r for r in QUERIES["events_covariate_balance_smd"](spark, sf_dir).collect()}
+    for name, v in covs.items():
+        v = v.astype("int64")
+        x1, x0 = v[arm == 1], v[arm == 0]
+        n1, n0 = len(x1), len(x0)
+        s1, q1 = int(x1.sum()), int((x1 * x1).sum())
+        s0, q0 = int(x0.sum()), int((x0 * x0).sum())
+        m1, m0 = s1 / n1, s0 / n0
+        v1, v0 = q1 / n1 - m1 * m1, q0 / n0 - m0 * m0
+        smd = (m1 - m0) / math.sqrt((v1 + v0) / 2)
+        r = got[name]
+        assert (r["n1"], r["n0"]) == (n1, n0)
+        assert r["smd_e6"] == math.floor(smd * 1e6)
+        # frozen hash arms are balanced by construction
+        assert abs(r["smd_e6"]) < 100_000
+
+
+def test_events_cumulative_reach_referee(spark, sf_dir):
+    ev = _events(sf_dir)
+    first = ev.assign(d=pd.to_datetime(ev["ts"]).dt.date).groupby("user_id")["d"].min()
+    from collections import Counter
+
+    daily = Counter(first)
+    got = {r["day"]: r for r in QUERIES["events_cumulative_reach"](spark, sf_dir).collect()}
+    total = len(first)
+    reach = 0
+    for day in sorted(daily):
+        reach += daily[day]
+        r = got[day]
+        assert r["n_new"] == daily[day]
+        assert r["reach"] == reach
+        assert r["total_users"] == total
+        assert r["reach_share_e6"] == reach * 1000000 // total
+    assert reach == total  # the curve ends at full reach
