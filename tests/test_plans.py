@@ -753,3 +753,46 @@ def test_no_broadcast_hints_on_scaling_frames():
             if deny.search(line):
                 hits.append(f"{p}:{i}: {line.strip()}")
     assert not hits, "\n".join(hits)
+
+
+def test_round10_allocation_windows_share_one_exchange(spark, sf_dir):
+    """join_proportional_allocation's three windows (line sum,
+    remainder rank, floor-alloc sum) all partition by l_orderkey — the
+    plan must shuffle on that key ONCE, not once per window."""
+    p = plan_of(QUERIES["join_proportional_allocation"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert p.count("hashpartitioning(l_orderkey") <= 2, p
+
+
+def test_round10_cliffs_delta_no_pair_join(spark, sf_dir):
+    """Cliff's delta is defined over n1*n2 pairs but computed from ONE
+    ranking — the plan must contain no join node at all."""
+    p = plan_of(QUERIES["agg_cliffs_delta"](spark, sf_dir))
+    assert "Join" not in p
+    assert "Window" in p
+
+
+def test_round10_fifo_pairs_never_leave_partition(spark, sf_dir):
+    """FIFO attribution joins inputs to outputs WITHIN a tx — the join
+    must be keyed (hash/sort-merge on tx_hash), never a cartesian."""
+    p = plan_of(QUERIES["ingest_fifo_value_attribution"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "tx_hash" in p
+
+
+def test_round10_gamma_cell_cross_is_broadcast(spark, sf_dir):
+    """gamma/Somers' pair counts come from the <=20-cell contingency
+    cross — a broadcast nested loop over a tiny frame, never a
+    row-scale cartesian."""
+    p = plan_of(QUERIES["agg_goodman_kruskal_gamma"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
+def test_round10_reach_is_cumsum_not_running_distinct(spark, sf_dir):
+    """Cumulative reach must be first-seen cumsum — exactly one
+    row-scale aggregate (the user-keyed min), no distinct-per-day
+    expansion."""
+    p = plan_of(QUERIES["events_cumulative_reach"](spark, sf_dir))
+    assert "Join" not in p
+    assert p.lower().count("expand") == 0, p
