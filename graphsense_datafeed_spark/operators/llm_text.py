@@ -5695,3 +5695,100 @@ def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("mix_ppm"),
     ).orderBy("source")
+
+
+@query(
+    "text_doclen_lognormal_fit",
+    """
+    WITH logs AS (
+        SELECT source,
+               CAST(n_chars AS BIGINT) AS n_chars,
+               CAST(FLOOR(LN(CAST(n_chars AS DOUBLE)) * 1000000000)
+                    AS BIGINT) AS lnl_e9
+        FROM documents WHERE n_chars > 0
+    ), mom AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(lnl_e9) AS BIGINT) AS s,
+               CAST(SUM((lnl_e9 // 1000) * (lnl_e9 // 1000) // 1000)
+                    AS BIGINT) AS q_e9,
+               CAST(quantile_disc(n_chars, 0.5) AS BIGINT)
+                   AS actual_median_chars
+        FROM logs GROUP BY 1
+    )
+    SELECT source, n_docs, actual_median_chars,
+           CAST(s // n_docs AS BIGINT) AS mu_e9,
+           CAST(FLOOR(CAST(q_e9 AS DOUBLE) / n_docs
+                       - (CAST(s AS DOUBLE) / n_docs)
+                         * (CAST(s AS DOUBLE) / n_docs)
+                         / 1000000000.0) AS BIGINT) AS sigma2_e9,
+           CAST(FLOOR(EXP(CAST(s // n_docs AS DOUBLE) / 1000000000.0))
+                AS BIGINT) AS fitted_median_chars,
+           CAST(FLOOR(CAST(quantile_disc(n_chars, 0.5) AS DOUBLE)
+                      / FLOOR(EXP(CAST(s // n_docs AS DOUBLE)
+                                  / 1000000000.0))
+                      * 1000000) AS BIGINT) AS median_ratio_e6
+    FROM logs JOIN mom USING (source)
+    GROUP BY source, n_docs, s, q_e9, actual_median_chars
+    ORDER BY source
+    """,
+)
+def text_doclen_lognormal_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOGNORMAL document-length fit per source (round 10): document
+    lengths are the textbook lognormal, and (μ̂, σ̂²) of ln(length)
+    are the two numbers corpus synthesis, chunk-size selection
+    (text_chunk's budget math) and sampling-weight design actually
+    consume.  The built-in FIT QUALITY readout is the ratio of the
+    observed median to the fitted median e^μ̂ (lognormal's median is
+    exactly e^μ) — a ratio far from 1 means a mixture or truncation
+    (crawler caps, boilerplate floors) and the parametric shortcuts
+    downstream are invalid for that source.
+
+    Exactness: each ln(length) floors ONCE to e9 (per-doc single
+    chain); μ̂ is an exact integer division of the floored sum; the
+    second moment squares the e6 down-shift of each term ((lnl_e9
+    DIV 1000)² DIV 1000 ≈ ln²·1e9 — the raw e9 square at ~8.5e19
+    overflows int64 before any division, caught by the overflow
+    audit; the shifted ladder stays under 4e17 at sf10); the fitted
+    median applies exp to the identical quantized μ̂ in both
+    engines.
+
+    Scale: one map-side keyed aggregate over docs; everything
+    downstream is |sources| rows."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    logs = docs.select(
+        "source",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.floor(F.log(F.col("n_chars").cast("double")) * 1000000000)
+        .cast("bigint")
+        .alias("lnl_e9"),
+    )
+    mom = logs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("lnl_e9").cast("bigint").alias("s"),
+        F.sum(F.expr("(lnl_e9 DIV 1000) * (lnl_e9 DIV 1000) DIV 1000"))
+        .cast("bigint")
+        .alias("q_e9"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)")
+        .cast("bigint")
+        .alias("actual_median_chars"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    mu_e9 = F.expr("CAST(s DIV n_docs AS BIGINT)")
+    fitted = F.floor(F.exp(mu_e9.cast("double") / 1e9)).cast("bigint")
+    return mom.select(
+        "source",
+        "n_docs",
+        "actual_median_chars",
+        mu_e9.alias("mu_e9"),
+        F.floor(
+            d("q_e9") / d("n_docs")
+            - (d("s") / d("n_docs")) * (d("s") / d("n_docs")) / 1e9
+        )
+        .cast("bigint")
+        .alias("sigma2_e9"),
+        fitted.alias("fitted_median_chars"),
+        F.floor(d("actual_median_chars") / fitted * 1000000)
+        .cast("bigint")
+        .alias("median_ratio_e6"),
+    ).orderBy("source")

@@ -604,6 +604,7 @@ _ROUND10_ADDITIONS = (
     "ingest_structuring_detector",
     "events_covariate_balance_smd",
     "events_cumulative_reach",
+    "text_doclen_lognormal_fit",
 )
 
 # Landing-order queue for rows that have never been inside a driver

@@ -1530,3 +1530,28 @@ def test_events_cumulative_reach_referee(spark, sf_dir):
         assert r["total_users"] == total
         assert r["reach_share_e6"] == reach * 1000000 // total
     assert reach == total  # the curve ends at full reach
+
+
+def test_text_doclen_lognormal_fit_referee(spark, sf_dir):
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    docs = docs[docs["n_chars"] > 0]
+    got = {r["source"]: r for r in QUERIES["text_doclen_lognormal_fit"](spark, sf_dir).collect()}
+    for src, grp in docs.groupby("source"):
+        lens = grp["n_chars"].astype(int).tolist()
+        lnl = [math.floor(math.log(x) * 1e9) for x in lens]
+        n = len(lnl)
+        s = sum(lnl)
+        q = sum((x // 1000) * (x // 1000) // 1000 for x in lnl)
+        mu = s // n
+        fitted = math.floor(math.exp(mu / 1e9))
+        xs = sorted(lens)
+        med = xs[math.ceil(0.5 * n) - 1]
+        r = got[src]
+        assert r["n_docs"] == n
+        assert r["mu_e9"] == mu
+        assert r["sigma2_e9"] == math.floor(q / n - (s / n) ** 2 / 1e9)
+        assert r["fitted_median_chars"] == fitted
+        assert r["actual_median_chars"] == med
+        assert r["median_ratio_e6"] == math.floor(med / fitted * 1e6)
+        # a lognormal-ish fixture keeps the fitted median in range
+        assert 0 < r["median_ratio_e6"] < 10_000_000
