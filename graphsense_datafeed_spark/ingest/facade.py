@@ -3130,3 +3130,61 @@ def ingest_structuring_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("address", "height")
     )
+
+
+@query(
+    "ingest_fee_percentiles",
+    f"""
+    WITH txr AS (
+        SELECT height, unnest(txs) AS tx FROM {_DUCK_BLOCKS}
+    ), fees AS (
+        SELECT height,
+               (tx).total_input - (tx).total_output AS fee
+        FROM txr WHERE NOT (tx).coinbase
+    )
+    SELECT height,
+           CAST(COUNT(*) AS BIGINT) AS n_tx,
+           CAST(quantile_disc(fee, 0.25) AS BIGINT) AS fee_p25,
+           CAST(quantile_disc(fee, 0.5) AS BIGINT) AS fee_p50,
+           CAST(quantile_disc(fee, 0.75) AS BIGINT) AS fee_p75,
+           CAST(quantile_disc(fee, 0.9) AS BIGINT) AS fee_p90
+    FROM fees GROUP BY height ORDER BY height
+    """,
+)
+def ingest_fee_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-block FEE PERCENTILES (round 10): the discrete p25/50/75/90
+    of the fee distribution inside each block — the actual input a
+    fee ESTIMATOR consumes (ingest_fee_summary's min/mean/max hides
+    the congestion signal: median and p90 fees are what wallets bid
+    against, and the p75/p25 spread is the block's fee-market
+    dispersion).  Completes the fee family: summary (totals),
+    percentiles (the bid curve), dust census (the pollution side).
+
+    ZERO floats: percentile_disc picks actual satoshi elements —
+    every output column is an exact integer (negative synthetic fees
+    summarized as-is, identically both engines).
+
+    Scale: one explode + height-keyed discrete-quantile aggregate —
+    incremental per block at the daemon's pace."""
+    txs = explode_transactions(normalize_blocks(read_blocks_json(spark)))
+    fees = txs.filter(~F.col("coinbase")).select(
+        "height", (F.col("total_input") - F.col("total_output")).alias("fee")
+    )
+    return (
+        fees.groupBy("height")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tx"),
+            *[
+                F.expr(f"percentile_disc({p}) WITHIN GROUP (ORDER BY fee)")
+                .cast("bigint")
+                .alias(name)
+                for p, name in (
+                    (0.25, "fee_p25"),
+                    (0.5, "fee_p50"),
+                    (0.75, "fee_p75"),
+                    (0.9, "fee_p90"),
+                )
+            ],
+        )
+        .orderBy("height")
+    )

@@ -9427,3 +9427,104 @@ def events_cumulative_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("reach_share_e6"),
     ).orderBy("day")
+
+
+@query(
+    "ts_seasonal_profile_similarity",
+    """
+    WITH prof AS (
+        SELECT event_type, dayofweek(ts) AS dow,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ), tot AS (
+        SELECT event_type, CAST(SUM(c) AS BIGINT) AS t
+        FROM prof GROUP BY 1
+    ), shares AS (
+        SELECT p.event_type, p.dow,
+               CAST(p.c * 1000000 // t.t AS BIGINT) AS share_e6
+        FROM prof p JOIN tot t ON p.event_type = t.event_type
+    ), pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(SUM(a.share_e6 * b.share_e6) AS BIGINT) AS dot_e12,
+               CAST(SUM(a.share_e6 * a.share_e6) AS BIGINT) AS na_e12,
+               CAST(SUM(b.share_e6 * b.share_e6) AS BIGINT) AS nb_e12,
+               CAST(SUM(ABS(a.share_e6 - b.share_e6)) AS BIGINT)
+                   AS l1_e6
+        FROM shares a JOIN shares b
+          ON a.dow = b.dow AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, l1_e6,
+           CAST(FLOOR(CAST(dot_e12 AS DOUBLE)
+                      / sqrt(CAST(na_e12 AS DOUBLE)
+                             * CAST(nb_e12 AS DOUBLE))
+                      * 1000000) AS BIGINT) AS cosine_e6
+    FROM pairs ORDER BY type_a, type_b
+    """,
+)
+def ts_seasonal_profile_similarity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WEEKLY-PROFILE similarity between series (round 10): cosine
+    and L1 distance between every pair of event types' day-of-week
+    share profiles — the input to metric CLUSTERING ("which metrics
+    share a weekly shape?"), which decides dashboard grouping, shared
+    seasonal models (one seasonal adjustment can serve a cluster),
+    and anomaly correlation groups.  ts_seasonality_profile reads one
+    series' shape; this compares shapes — the pairwise step the
+    single-series ops can't express.
+
+    Exactness: shares quantize once as exact integer divisions (e6);
+    dot products and norms are exact e12 bigints over the 7-day
+    profile; cosine is one floored chain, L1 is pure integer.
+
+    Scale: the pair domain is |types|² over 7-row profiles —
+    dashboard-sized at any SF; the corpus-scale stage is one
+    map-side (type, dow) count."""
+    ev = load(spark, sf_dir, "events")
+    prof = ev.groupBy(
+        "event_type", (F.dayofweek("ts")).alias("dow")
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    tot = prof.groupBy("event_type").agg(
+        F.sum("c").cast("bigint").alias("t")
+    )
+    shares = prof.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "dow",
+        F.expr("CAST(c * 1000000 DIV t AS BIGINT)").alias("share_e6"),
+    )
+    a = shares.select(
+        F.col("event_type").alias("type_a"),
+        F.col("dow").alias("dow"),
+        F.col("share_e6").alias("sa"),
+    )
+    b = shares.select(
+        F.col("event_type").alias("type_b"),
+        F.col("dow").alias("dow_b"),
+        F.col("share_e6").alias("sb"),
+    )
+    pairs = (
+        a.join(
+            F.broadcast(b),
+            (F.col("dow") == F.col("dow_b"))
+            & (F.col("type_a") < F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.sum(F.col("sa") * F.col("sb")).cast("bigint").alias("dot_e12"),
+            F.sum(F.col("sa") * F.col("sa")).cast("bigint").alias("na_e12"),
+            F.sum(F.col("sb") * F.col("sb")).cast("bigint").alias("nb_e12"),
+            F.sum(F.abs(F.col("sa") - F.col("sb")))
+            .cast("bigint")
+            .alias("l1_e6"),
+        )
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return pairs.select(
+        "type_a",
+        "type_b",
+        "l1_e6",
+        F.floor(d("dot_e12") / F.sqrt(d("na_e12") * d("nb_e12")) * 1000000)
+        .cast("bigint")
+        .alias("cosine_e6"),
+    ).orderBy("type_a", "type_b")

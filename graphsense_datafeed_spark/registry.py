@@ -605,6 +605,8 @@ _ROUND10_ADDITIONS = (
     "events_covariate_balance_smd",
     "events_cumulative_reach",
     "text_doclen_lognormal_fit",
+    "ts_seasonal_profile_similarity",
+    "ingest_fee_percentiles",
 )
 
 # Landing-order queue for rows that have never been inside a driver

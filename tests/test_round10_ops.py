@@ -1555,3 +1555,54 @@ def test_text_doclen_lognormal_fit_referee(spark, sf_dir):
         assert r["median_ratio_e6"] == math.floor(med / fitted * 1e6)
         # a lognormal-ish fixture keeps the fitted median in range
         assert 0 < r["median_ratio_e6"] < 10_000_000
+
+
+def test_ts_seasonal_profile_similarity_referee(spark, sf_dir):
+    ev = _events(sf_dir)
+    dow = (pd.to_datetime(ev["ts"]).dt.dayofweek + 1) % 7 + 1  # Spark dayofweek
+    from collections import Counter
+
+    prof = {}
+    for etype in ev["event_type"].unique():
+        cnt = Counter(dow[ev["event_type"] == etype])
+        t = sum(cnt.values())
+        prof[etype] = {d: cnt.get(d, 0) * 1000000 // t for d in cnt}
+    got = {(r["type_a"], r["type_b"]): r
+           for r in QUERIES["ts_seasonal_profile_similarity"](spark, sf_dir).collect()}
+    types = sorted(prof)
+    for i, ta in enumerate(types):
+        for tb in types[i + 1:]:
+            days = set(prof[ta]) & set(prof[tb])
+            dot = sum(prof[ta][d] * prof[tb][d] for d in days)
+            na = sum(prof[ta][d] ** 2 for d in days)
+            nb = sum(prof[tb][d] ** 2 for d in days)
+            l1 = sum(abs(prof[ta][d] - prof[tb][d]) for d in days)
+            r = got[(ta, tb)]
+            assert r["l1_e6"] == l1
+            assert r["cosine_e6"] == math.floor(dot / math.sqrt(na * nb) * 1e6)
+            # same-generator types share a weekly shape: cosine high
+            assert r["cosine_e6"] > 900_000
+
+
+def test_ingest_fee_percentiles_referee(spark, sf_dir):
+    got = {r["height"]: r for r in QUERIES["ingest_fee_percentiles"](spark, sf_dir).collect()}
+    for blk in _blocks():
+        fees = sorted(
+            tx["total_input"] - tx["total_output"]
+            for tx in blk["txs"] if not tx["coinbase"]
+        )
+        if not fees:
+            assert blk["height"] not in got
+            continue
+        n = len(fees)
+
+        def dq(p):
+            return fees[math.ceil(p * n) - 1]
+
+        r = got[blk["height"]]
+        assert r["n_tx"] == n
+        assert r["fee_p25"] == dq(0.25)
+        assert r["fee_p50"] == dq(0.5)
+        assert r["fee_p75"] == dq(0.75)
+        assert r["fee_p90"] == dq(0.9)
+        assert r["fee_p25"] <= r["fee_p50"] <= r["fee_p75"] <= r["fee_p90"]
