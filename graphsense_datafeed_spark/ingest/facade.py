@@ -3188,3 +3188,69 @@ def ingest_fee_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("height")
     )
+
+
+@query(
+    "ingest_round_amount_census",
+    f"""
+    WITH txr AS (
+        SELECT height, unnest(txs) AS tx FROM {_DUCK_BLOCKS}
+    ), outs AS (
+        SELECT height, (o).value AS sat
+        FROM (SELECT height, unnest((tx).outputs) AS o FROM txr
+              WHERE NOT (tx).coinbase)
+    )
+    SELECT height,
+           CAST(COUNT(*) AS BIGINT) AS n_outputs,
+           CAST(COUNT(*) FILTER (sat % 100000000 = 0) AS BIGINT)
+               AS n_round_1e8,
+           CAST(COUNT(*) FILTER (sat % 1000000000 = 0) AS BIGINT)
+               AS n_round_1e9,
+           CAST(COUNT(*) FILTER (sat % 100000000 = 0) * 1000000
+                // COUNT(*) AS BIGINT) AS round_share_e6,
+           CAST(COUNT(*) FILTER (sat % 10000 <> 0) AS BIGINT)
+               AS n_dusty_tail
+    FROM outs GROUP BY height ORDER BY height
+    """,
+)
+def ingest_round_amount_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUND-AMOUNT census (round 10): per block, how many outputs
+    are exact multiples of 1e8 / 1e9 satoshis and how many carry a
+    non-zero sub-1e4 tail — the amount-SHAPE forensic next to
+    agg_benford_profile's digit view: humans send ROUND amounts
+    (manual transfers, OTC settlements), while change outputs and
+    fee-optimizing software produce ragged tails.  A block (or
+    address) whose round share spikes is hand-driven flow; the
+    round-amount side of a payment is also the classic change-
+    detection tiebreaker when ingest_change_address_heuristic is
+    ambiguous.  ZERO floats: modulo tests and one exact integer
+    share.
+
+    Scale: one explode + height-keyed conditional counts — the
+    ingest_fee_summary shape on the output side."""
+    txs = explode_transactions(normalize_blocks(read_blocks_json(spark)))
+    outs = (
+        txs.filter(~F.col("coinbase"))
+        .select("height", F.explode("outputs").alias("o"))
+        .select("height", F.col("o.value").alias("sat"))
+    )
+    return (
+        outs.groupBy("height")
+        .agg(
+            F.count("*").cast("bigint").alias("n_outputs"),
+            F.count_if(F.col("sat") % 100000000 == 0)
+            .cast("bigint")
+            .alias("n_round_1e8"),
+            F.count_if(F.col("sat") % 1000000000 == 0)
+            .cast("bigint")
+            .alias("n_round_1e9"),
+            F.expr(
+                "CAST(count_if(sat % 100000000 = 0) * 1000000"
+                " DIV COUNT(*) AS BIGINT)"
+            ).alias("round_share_e6"),
+            F.count_if(F.col("sat") % 10000 != 0)
+            .cast("bigint")
+            .alias("n_dusty_tail"),
+        )
+        .orderBy("height")
+    )

@@ -607,6 +607,7 @@ _ROUND10_ADDITIONS = (
     "text_doclen_lognormal_fit",
     "ts_seasonal_profile_similarity",
     "ingest_fee_percentiles",
+    "ingest_round_amount_census",
 )
 
 # Landing-order queue for rows that have never been inside a driver

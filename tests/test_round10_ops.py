@@ -1606,3 +1606,20 @@ def test_ingest_fee_percentiles_referee(spark, sf_dir):
         assert r["fee_p75"] == dq(0.75)
         assert r["fee_p90"] == dq(0.9)
         assert r["fee_p25"] <= r["fee_p50"] <= r["fee_p75"] <= r["fee_p90"]
+
+
+def test_ingest_round_amount_census_referee(spark, sf_dir):
+    got = {r["height"]: r for r in QUERIES["ingest_round_amount_census"](spark, sf_dir).collect()}
+    for blk in _blocks():
+        sats = [o["value"] for tx in blk["txs"] if not tx["coinbase"]
+                for o in tx["outputs"]]
+        if not sats:
+            assert blk["height"] not in got
+            continue
+        r = got[blk["height"]]
+        assert r["n_outputs"] == len(sats)
+        assert r["n_round_1e8"] == sum(1 for s in sats if s % 10**8 == 0)
+        assert r["n_round_1e9"] == sum(1 for s in sats if s % 10**9 == 0)
+        assert r["round_share_e6"] == sum(1 for s in sats if s % 10**8 == 0) * 10**6 // len(sats)
+        assert r["n_dusty_tail"] == sum(1 for s in sats if s % 10**4 != 0)
+        assert r["n_round_1e9"] <= r["n_round_1e8"]  # nesting invariant
