@@ -3035,3 +3035,72 @@ def embed_intrinsic_dim_twonn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("id_twonn_e6"),
     )
+
+
+@query(
+    "embed_panel_coverage",
+    f"""
+    WITH scored AS (
+        SELECT c.vec_id AS corpus_id, q.vec_id AS query_id,
+               {_DUCK_DOT.format(a="q.embedding", b="c.embedding")} AS dot
+        FROM embeddings c JOIN embeddings q
+          ON q.vec_id < 30 AND q.vec_id != c.vec_id
+    ), covered AS (
+        SELECT corpus_id,
+               CAST(COUNT(*) FILTER (dot >= 0.3) AS BIGINT) AS n_hits
+        FROM scored GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus,
+           CAST(COUNT(*) FILTER (n_hits > 0) AS BIGINT) AS n_covered,
+           CAST(COUNT(*) FILTER (n_hits > 0) * 1000000 // COUNT(*)
+                AS BIGINT) AS coverage_e6,
+           CAST(SUM(n_hits) AS BIGINT) AS total_hits,
+           CAST(MAX(n_hits) AS BIGINT) AS max_hits_per_doc
+    FROM covered
+    """,
+)
+def embed_panel_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROBE-PANEL COVERAGE (round 10): what share of the corpus lies
+    within cosine 0.3 of AT LEAST ONE panel query — the
+    representativeness audit of the 30-query probe set every
+    retrieval eval in this repo (sim_topk_exact, nDCG, MRR, the ANN
+    recall referees) silently conditions on.  A panel that covers
+    20% of the corpus certifies ANN recall for that 20% and says
+    NOTHING about the rest — coverage is the denominator disclosure
+    evaluation reports owe, and the multiplicity column (max hits per
+    doc) reads panel redundancy (many queries covering the same
+    region = wasted probes).
+
+    Exactness: the shared dot chain (zip_with fold, identical both
+    engines), one threshold comparison on identical doubles, then
+    pure integer counts and one exact share division.
+
+    Scale: bounded panel × corpus — the sim_topk_exact shape reduced
+    map-side to per-document hit counts; at 100 TB the same audit
+    rides the ANN bucket join instead of the dense pass."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 30).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = e.select(
+        F.col("vec_id").alias("corpus_id"),
+        F.col("embedding").alias("c_emb"),
+    )
+    scored = c.join(
+        F.broadcast(q), F.col("query_id") != F.col("corpus_id")
+    ).select(
+        "corpus_id",
+        dot_product(F.col("q_emb"), F.col("c_emb")).alias("dot"),
+    )
+    covered = scored.groupBy("corpus_id").agg(
+        F.count_if(F.col("dot") >= 0.3).cast("bigint").alias("n_hits")
+    )
+    return covered.agg(
+        F.count("*").cast("bigint").alias("n_corpus"),
+        F.count_if(F.col("n_hits") > 0).cast("bigint").alias("n_covered"),
+        F.expr(
+            "CAST(count_if(n_hits > 0) * 1000000 DIV COUNT(*) AS BIGINT)"
+        ).alias("coverage_e6"),
+        F.sum("n_hits").cast("bigint").alias("total_hits"),
+        F.max("n_hits").cast("bigint").alias("max_hits_per_doc"),
+    )

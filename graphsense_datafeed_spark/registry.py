@@ -608,6 +608,7 @@ _ROUND10_ADDITIONS = (
     "ts_seasonal_profile_similarity",
     "ingest_fee_percentiles",
     "ingest_round_amount_census",
+    "embed_panel_coverage",
 )
 
 # Landing-order queue for rows that have never been inside a driver

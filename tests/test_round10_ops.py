@@ -1623,3 +1623,28 @@ def test_ingest_round_amount_census_referee(spark, sf_dir):
         assert r["round_share_e6"] == sum(1 for s in sats if s % 10**8 == 0) * 10**6 // len(sats)
         assert r["n_dusty_tail"] == sum(1 for s in sats if s % 10**4 != 0)
         assert r["n_round_1e9"] <= r["n_round_1e8"]  # nesting invariant
+
+
+def test_embed_panel_coverage_referee(spark, sf_dir):
+    import numpy as np
+
+    emb = _embeddings(sf_dir)
+    dots = _dots(emb)
+    ids = emb["vec_id"].to_numpy()
+    panel = [i for i in range(len(ids)) if ids[i] < 30]
+    hits = []
+    for ci in range(len(ids)):
+        n = sum(
+            1 for qi in panel if qi != ci and dots[qi, ci] >= 0.3
+        )
+        hits.append(n)
+    n_corpus = len(ids)
+    n_covered = sum(1 for h in hits if h > 0)
+    r = QUERIES["embed_panel_coverage"](spark, sf_dir).collect()[0]
+    assert r["n_corpus"] == n_corpus
+    assert r["n_covered"] == n_covered
+    assert r["coverage_e6"] == n_covered * 1000000 // n_corpus
+    assert r["total_hits"] == sum(hits)
+    assert r["max_hits_per_doc"] == max(hits)
+    # the audit's reason to exist: coverage is a real, partial number
+    assert 0 < r["coverage_e6"] <= 1000000
