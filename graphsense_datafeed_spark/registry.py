@@ -19,6 +19,7 @@ import importlib
 import json
 import os
 import re
+import warnings
 from collections.abc import Callable
 from typing import Optional
 
@@ -644,10 +645,16 @@ def _ledger_last_seen(repo_root: str) -> dict[str, tuple[int, bool, bool]]:
             if rows_only:
                 green = bool(res.get("spark_rows"))
             else:
+                # hash_match=None with no error means the hash compare
+                # was recorded as skipped — NOT green for oracle-backed
+                # rows (ADVICE r10): such a row must front-load for a
+                # real hash check.  Only an explicitly hash-less check
+                # mode (no hash_match key at all) stays lenient.
+                hash_ok = res["hash_match"] is True if "hash_match" in res else True
                 green = bool(
                     res.get("rows_match")
                     and res.get("schema_match")
-                    and res.get("hash_match") is not False
+                    and hash_ok
                     and not res.get("err")
                 )
             if qid not in last or rnd > last[qid][0]:
@@ -717,7 +724,17 @@ def load_all_operators() -> None:
         importlib.import_module(mod)
     try:
         pinned = compute_window_order()
-    except Exception:
+    except (OSError, ValueError, KeyError, json.JSONDecodeError) as exc:
+        # Narrow catch (ADVICE r10): only unreadable/malformed ledgers
+        # fall back to the static tuples, and loudly — a regression in
+        # the ordering code itself must not silently sweep a stale
+        # window.
+        warnings.warn(
+            f"compute_window_order() failed ({exc!r}); falling back to "
+            "static window tuples",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         pinned = [
             q
             for q in _ROUND9_WINDOW + _ROUND10_NEXT_UP + _ROUND8_WINDOW + _ROUND7_WINDOW + _ROUND6_WINDOW + _ROUND5_WINDOW

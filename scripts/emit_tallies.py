@@ -33,6 +33,52 @@ def counts() -> tuple[int, int]:
     return len(QUERIES), len(ORACLES)
 
 
+def survey_s2_ids() -> list[str]:
+    """Extract every §2 operator-table row id (first backticked cell),
+    in document order, from SURVEY.md between the '## §2.' and '## §3.'
+    headings.  Duplicate-landing guard input (VERDICT r10 item 2)."""
+    ids: list[str] = []
+    in_s2 = False
+    for line in open(SURVEY):
+        if line.startswith("## §2."):
+            in_s2 = True
+            continue
+        if line.startswith("## §3."):
+            break
+        if not in_s2:
+            continue
+        m = re.match(r"\|\s*`([A-Za-z0-9_]+)`\s*\|", line)
+        if m:
+            ids.append(m.group(1))
+    return ids
+
+
+def check_s2(write: bool = False) -> int:
+    """§2 integrity: (a) no duplicate row ids (the ts_mase double-landing
+    class), (b) every §2 id is registered, (c) every registered query has
+    a §2 row (registry == §2; the goldens were §2-promoted in r11)."""
+    from graphsense_datafeed_spark.registry import QUERIES, load_all_operators
+
+    load_all_operators()
+    ids = survey_s2_ids()
+    errs = 0
+    seen: set[str] = set()
+    dups = sorted({i for i in ids if i in seen or seen.add(i)})
+    if dups:
+        print(f"DUPLICATE §2 rows: {dups}")
+        errs += 1
+    missing_reg = sorted(set(ids) - set(QUERIES))
+    if missing_reg:
+        print(f"§2 rows with NO registry entry: {missing_reg}")
+        errs += 1
+    missing_s2 = sorted(set(QUERIES) - set(ids))
+    if missing_s2:
+        print(f"registered queries with NO §2 row: {missing_s2}")
+        errs += 1
+    print(f"§2: {len(ids)} rows, {len(set(ids))} unique")
+    return errs
+
+
 def _rules(nq: int, no: int) -> list[tuple[str, str, str]]:
     return [
         (README, r"\*\*\d+ registered queries\*\*",
@@ -65,6 +111,7 @@ def run(write: bool) -> int:
             else:
                 print(f"DRIFT in {path}: {stale} != {want}")
                 drift += 1
+    drift += check_s2(write)
     if drift and not write:
         print("tallies drifted — run with --write")
         return 1

@@ -54,6 +54,26 @@ def test_ledger_parser_semantics(tmp_path):
                 "spark_rows": 0,
                 "err": "no_oracle",
             },
+            "q_hash_skipped": {
+                # rows/schema matched but the hash compare was recorded
+                # as skipped (None, no error): NOT green — must
+                # front-load for a real hash check (ADVICE r10).
+                "rows_match": True,
+                "schema_match": True,
+                "hash_match": None,
+                "spark_rows": 5,
+                "oracle_rows": 5,
+                "err": None,
+            },
+            "q_hashless_mode": {
+                # explicitly hash-less check mode (no hash_match key at
+                # all): the lenient form still applies.
+                "rows_match": True,
+                "schema_match": True,
+                "spark_rows": 5,
+                "oracle_rows": 5,
+                "err": None,
+            },
             "q_err": {
                 "rows_match": False,
                 "schema_match": False,
@@ -84,6 +104,8 @@ def test_ledger_parser_semantics(tmp_path):
     assert last["q_red_hash"] == (3, True, False)  # r3 supersedes r1 red
     assert last["q_rows_only"] == (1, True, True)
     assert last["q_rows_only_empty"] == (1, False, True)  # 0 rows = red
+    assert last["q_hash_skipped"] == (1, False, False)  # skipped hash = red
+    assert last["q_hashless_mode"] == (1, True, False)
     assert last["q_err"] == (1, False, False)
 
 
