@@ -612,11 +612,44 @@ _ROUND10_ADDITIONS = (
     "embed_panel_coverage",
 )
 
+# The 16 rows the r9 judge verified in a bare-session sweep that have
+# still never been inside a DRIVER window (VERDICT r10 item 8): they
+# have gone two rounds on judge evidence only, so they lead the
+# never-checked queue.
+_R9_JUDGE_PASS_RECHECK = (
+    "scan_partition_evolution_union",
+    "sink_csv_roundtrip",
+    "profile_numeric_correlation_matrix",
+    "ingest_multi_currency",
+    "seq_global_two_pass",
+    "interval_union_coverage",
+    "join_mutual_best_match",
+    "join_fuzzy_levenshtein",
+    "agg_mutual_information",
+    "agg_tukey_hsd",
+    "agg_conformal_interval",
+    "stream_topk_per_window",
+    "anon_dp_laplace_counts",
+    "text_watermark_greenlist",
+    "corpus_token_budget_apportion",
+    "udf_arrow_scalar",
+)
+
 # Landing-order queue for rows that have never been inside a driver
 # window.  compute_window_order() consults this for the NEVER category's
 # relative order; operators added in round 10+ append here in landing
 # order so each lands near the head of a future window.
-_NEVER_CHECKED_QUEUE = _ROUND10_NEXT_UP + _ROUND10_ADDITIONS
+_NEVER_CHECKED_QUEUE = (
+    _R9_JUDGE_PASS_RECHECK + _ROUND10_NEXT_UP + _ROUND10_ADDITIONS
+)
+
+# Driver-window geometry (VERDICT r10 item 5): the driver's per-round
+# sweep caps at ~50 queries; reserve the tail of that first window for
+# oldest-green anti-rot re-checks instead of waiting for the
+# never-checked queue to fully drain (118 rows were last verified in
+# r1-r2; rot risk grows with age).
+_WINDOW_SIZE = 50
+_RECHECK_RESERVE = 10
 
 
 def _ledger_last_seen(repo_root: str) -> dict[str, tuple[int, bool, bool]]:
@@ -672,11 +705,18 @@ def compute_window_order() -> list[str]:
        but an exact DuckDB oracle is registered now; the hash-match has
        never actually run in a driver window.
     3. NEVER-CHECKED — absent from every ledger, in landing-queue order
-       (``_NEVER_CHECKED_QUEUE``), unknown stragglers behind in
+       (``_NEVER_CHECKED_QUEUE``, first occurrence wins — the r9
+       judge-pass rows lead it), unknown stragglers behind in
        registration order.
     4. RE-CHECK — driver-green rows, oldest last-green round first, so
        once the never-checked queue drains no green row goes more than
        ~(registry_size / 50) rounds without re-verification (anti-rot).
+
+    Anti-rot reserve (VERDICT r10 item 5): the last ``_RECHECK_RESERVE``
+    slots of the first ``_WINDOW_SIZE``-query window are spliced with
+    the oldest-green re-checks even while the never-checked queue is
+    non-empty, so rot checking starts immediately rather than after the
+    queue drains.
 
     Must be called after operator modules are imported (QUERIES full).
     Raises on unreadable ledgers; the caller falls back to the static
@@ -685,7 +725,9 @@ def compute_window_order() -> list[str]:
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     last = _ledger_last_seen(repo_root)
     registered = list(QUERIES)
-    queue_pos = {q: i for i, q in enumerate(_NEVER_CHECKED_QUEUE)}
+    queue_pos: dict[str, int] = {}
+    for i, q in enumerate(_NEVER_CHECKED_QUEUE):
+        queue_pos.setdefault(q, i)
 
     red = [q for q in registered if q in last and not last[q][1]]
     retired = [
@@ -706,7 +748,14 @@ def compute_window_order() -> list[str]:
         ),
         key=lambda q: (last[q][0], registered.index(q)),
     )
-    return red + retired + never + recheck
+    front = red + retired + never
+    cut = max(0, _WINDOW_SIZE - _RECHECK_RESERVE)
+    return (
+        front[:cut]
+        + recheck[:_RECHECK_RESERVE]
+        + front[cut:]
+        + recheck[_RECHECK_RESERVE:]
+    )
 
 
 def load_all_operators() -> None:

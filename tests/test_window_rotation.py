@@ -127,19 +127,75 @@ def test_window_order_invariants():
             return 1  # oracle-retired
         return 3  # green re-check
 
+    # The r11 anti-rot reserve splices the RECHECK_RESERVE oldest-green
+    # re-checks into the tail of the first window, so categories are
+    # monotone only after REMOVING that reserve block.
+    cut = max(0, registry._WINDOW_SIZE - registry._RECHECK_RESERVE)
     cats = [category(q) for q in ordered]
+    n_front = sum(1 for c in cats if c != 3)
+    if n_front > cut:
+        reserve = ordered[cut : cut + registry._RECHECK_RESERVE]
+        assert all(category(q) == 3 for q in reserve), (
+            "reserve slots must hold green re-checks"
+        )
+        spliced = ordered[:cut] + ordered[cut + registry._RECHECK_RESERVE :]
+        cats = [category(q) for q in spliced]
     assert cats == sorted(cats), "window categories must be monotone"
 
-    # re-check tail is oldest-green first
+    # re-check rows (reserve block + tail) are oldest-green first
     greens = [q for q in ordered if category(q) == 3]
     rounds = [last[q][0] for q in greens]
     assert rounds == sorted(rounds)
 
     # never-checked rows respect the landing queue's relative order
-    qpos = {q: i for i, q in enumerate(registry._NEVER_CHECKED_QUEUE)}
+    # (first occurrence wins — the r9 judge-pass rows lead the queue)
+    qpos = {}
+    for i, q in enumerate(registry._NEVER_CHECKED_QUEUE):
+        qpos.setdefault(q, i)
     nevers = [q for q in ordered if category(q) == 2 and q in qpos]
     positions = [qpos[q] for q in nevers]
     assert positions == sorted(positions)
+
+
+def test_r9_judge_pass_rows_lead_first_window():
+    """VERDICT r10 item 8: the 16 rows that have gone two rounds on
+    judge evidence only must land inside the first driver window."""
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(registry.__file__)))
+    last = registry._ledger_last_seen(repo)
+    ordered = registry.compute_window_order()
+    idx = {q: i for i, q in enumerate(ordered)}
+    for q in registry._R9_JUDGE_PASS_RECHECK:
+        if q in registry.QUERIES and q not in last:
+            assert idx[q] < registry._WINDOW_SIZE - registry._RECHECK_RESERVE, q
+
+
+def test_recheck_reserve_in_first_window():
+    """VERDICT r10 item 5: ~10 oldest-green re-checks occupy the tail
+    of the first window while the never-checked queue is non-empty."""
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(registry.__file__)))
+    last = registry._ledger_last_seen(repo)
+    ordered = registry.compute_window_order()
+    nevers = [q for q in ordered if q not in last]
+    cut = registry._WINDOW_SIZE - registry._RECHECK_RESERVE
+    if len(nevers) >= cut:  # queue still deep enough to trigger the splice
+        reserve = ordered[cut : registry._WINDOW_SIZE]
+        assert len(reserve) == registry._RECHECK_RESERVE
+        for q in reserve:
+            assert q in last and last[q][1], f"{q} not a green re-check"
+        # oldest greens first: every reserve row's last-green round must
+        # be <= any green re-check row after the window
+        tail_greens = [
+            q for q in ordered[registry._WINDOW_SIZE :]
+            if q in last and last[q][1]
+        ]
+        if tail_greens:
+            assert max(last[q][0] for q in reserve) <= min(
+                last[q][0] for q in tail_greens
+            )
 
 
 def test_registry_order_matches_computed_window():
