@@ -17,6 +17,7 @@ Unit-norm fixture vectors (FIXTURES.md) → cosine ≡ dot product.
 """
 
 import random
+from typing import Optional
 
 import numpy as np
 import pandas as pd
@@ -2801,6 +2802,124 @@ def embed_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _score_pairs(emb: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Attach embeddings by id to a bare (query_id, neighbor_id)
+    candidate-pair frame and compute the exact dot — the shared scoring
+    step of every audit that can run over EITHER the all-pairs frame or
+    an ANN shortlist (the pair frame stays 2 ints wide through any
+    dedup; arrays join back here, the sim_ann_lsh discipline)."""
+    qe = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    ce = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+    )
+    return (
+        pairs.join(qe, "query_id")
+        .join(ce, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            dot_product(F.col("q_emb"), F.col("c_emb")).alias("dot"),
+        )
+    )
+
+
+def _all_pairs_scored(emb: DataFrame) -> DataFrame:
+    """The exact all-pairs scored frame — quadratic, fixture-scale
+    only; corpus scale substitutes lsh_candidate_pairs() (same schema,
+    same downstream pipelines)."""
+    q = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+    )
+    return q.join(c, F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id",
+        "neighbor_id",
+        dot_product(F.col("q_emb"), F.col("c_emb")).alias("dot"),
+    )
+
+
+def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-corpus LSH candidate shortlist — (query_id, neighbor_id)
+    for every pair sharing a (table, bucket) cell in the 16-table
+    random-hyperplane index.  This is the documented corpus-scale
+    substitution feed for the quadratic audits (embed_hubness,
+    embed_intrinsic_dim_twonn): the equi-join on (table_id, bucket)
+    replaces the cross join, and the downstream occ/moment (resp.
+    nn-ratio) pipelines are IDENTICAL on both feeds —
+    tests/test_round11_ops.py pins that identity."""
+    idx = _lsh_index(spark, sf_dir)
+    q = idx.select(F.col("vec_id").alias("query_id"), "table_id", "bucket")
+    c = idx.select(
+        F.col("vec_id").alias("neighbor_id"), "table_id", "bucket"
+    )
+    return (
+        q.join(c, ["table_id", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+
+
+def hubness_audit(emb: DataFrame, scored: DataFrame) -> DataFrame:
+    """The occ/moment pipeline of embed_hubness, factored over ANY
+    scored candidate frame (all-pairs or ANN shortlist): top-5 per
+    query (dot desc, id asc), N5 occupancy via left join (anti-hubs
+    with zero candidates stay counted), exact bigint moment sums,
+    floored-e6 skewness."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("neighbor_id").asc()
+    )
+    top5 = (
+        scored.withColumn("rank_k", F.row_number().over(w))
+        .filter(F.col("rank_k") <= 5)
+        .select("neighbor_id")
+    )
+    occ_counts = top5.groupBy("neighbor_id").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    occ = (
+        emb.select("vec_id")
+        .join(occ_counts, emb.vec_id == occ_counts.neighbor_id, "left")
+        .select(
+            "vec_id", F.coalesce("c", F.lit(0)).cast("bigint").alias("n5")
+        )
+    )
+    mom = occ.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("n5").cast("bigint").alias("s1"),
+        F.sum(F.col("n5") * F.col("n5")).cast("bigint").alias("s2"),
+        F.sum(F.col("n5") * F.col("n5") * F.col("n5"))
+        .cast("bigint")
+        .alias("s3"),
+        F.max("n5").cast("bigint").alias("max_occ"),
+        F.count_if(F.col("n5") == 0).cast("bigint").alias("n_antihubs"),
+        F.count_if(F.col("n5") > 10).cast("bigint").alias("n_hubs"),
+    )
+    d = lambda col: F.col(col).cast("double")  # noqa: E731
+    m = d("s1") / d("n")
+    var = d("s2") / d("n") - m * m
+    m3 = d("s3") / d("n") - 3.0 * m * (d("s2") / d("n")) + 2.0 * m * m * m
+    return mom.select(
+        "n",
+        "s1",
+        "s2",
+        "s3",
+        "max_occ",
+        "n_antihubs",
+        "n_hubs",
+        F.when(
+            var > 0,
+            F.floor(m3 / F.pow(var, F.lit(1.5)) * 1000000).cast("bigint"),
+        ).alias("skew_e6"),
+    )
+
+
 @query(
     "embed_hubness",
     f"""
@@ -2852,7 +2971,11 @@ def embed_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM mom
     """,
 )
-def embed_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
+def embed_hubness(
+    spark: SparkSession,
+    sf_dir: str,
+    candidate_pairs: Optional[DataFrame] = None,
+) -> DataFrame:
     """HUBNESS audit of the embedding space (round 10): compute every
     point's 5-occurrence N₅ (how many OTHER points list it among
     their top-5 neighbors) and the skewness of that distribution —
@@ -2871,67 +2994,62 @@ def embed_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
     chain, floored e6.
 
     Scale: the all-pairs stage is the knn-graph shape — quadratic at
-    fixture scale, replaced by the LSH-bucketed candidate join
-    (sim_ann_lsh) at corpus scale with this SAME downstream occ/
-    moment pipeline; the audit itself is |corpus|-linear."""
+    fixture scale; at corpus scale pass ``candidate_pairs=
+    lsh_candidate_pairs(spark, sf_dir)`` (or any ANN shortlist) and
+    the equi-join feed replaces the cross join while the SAME
+    ``hubness_audit`` occ/moment pipeline runs downstream
+    (tests/test_round11_ops.py proves feed-independence by running
+    the audit over an exact top-10 shortlist and matching the
+    all-pairs result bit-for-bit); the audit itself is
+    |corpus|-linear."""
     e = load(spark, sf_dir, "embeddings")
-    q = e.select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-    )
-    c = e.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("c_emb"),
-    )
-    scored = q.join(c, F.col("query_id") != F.col("neighbor_id")).select(
-        "query_id",
-        "neighbor_id",
-        dot_product(F.col("q_emb"), F.col("c_emb")).alias("dot"),
-    )
+    if candidate_pairs is not None:
+        scored = _score_pairs(e, candidate_pairs)
+    else:
+        scored = _all_pairs_scored(e)
+    return hubness_audit(e, scored)
+
+
+def twonn_audit(scored: DataFrame) -> DataFrame:
+    """The nn-ratio pipeline of embed_intrinsic_dim_twonn, factored
+    over ANY scored candidate frame (all-pairs or ANN shortlist):
+    top-2 per query (dot desc, id asc), duplicate-gate before the log,
+    per-point floored-e9 log-ratio terms, exact bigint sum, MLE
+    readout."""
     w = Window.partitionBy("query_id").orderBy(
         F.col("dot").desc(), F.col("neighbor_id").asc()
     )
-    top5 = (
+    nn2 = (
         scored.withColumn("rank_k", F.row_number().over(w))
-        .filter(F.col("rank_k") <= 5)
-        .select("neighbor_id")
-    )
-    occ_counts = top5.groupBy("neighbor_id").agg(
-        F.count("*").cast("bigint").alias("c")
-    )
-    occ = (
-        e.select("vec_id")
-        .join(occ_counts, e.vec_id == occ_counts.neighbor_id, "left")
-        .select(
-            "vec_id", F.coalesce("c", F.lit(0)).cast("bigint").alias("n5")
+        .filter(F.col("rank_k") <= 2)
+        .groupBy("query_id")
+        .agg(
+            F.max(F.when(F.col("rank_k") == 1, F.col("dot"))).alias("dot1"),
+            F.max(F.when(F.col("rank_k") == 2, F.col("dot"))).alias("dot2"),
         )
     )
-    mom = occ.agg(
-        F.count("*").cast("bigint").alias("n"),
-        F.sum("n5").cast("bigint").alias("s1"),
-        F.sum(F.col("n5") * F.col("n5")).cast("bigint").alias("s2"),
-        F.sum(F.col("n5") * F.col("n5") * F.col("n5"))
+    terms = nn2.filter(F.lit(1.0) - F.col("dot1") > 1e-9).select(
+        "query_id",
+        F.floor(
+            0.5
+            * F.log(
+                (F.lit(1.0) - F.col("dot2")) / (F.lit(1.0) - F.col("dot1"))
+            )
+            * 1000000000
+        )
         .cast("bigint")
-        .alias("s3"),
-        F.max("n5").cast("bigint").alias("max_occ"),
-        F.count_if(F.col("n5") == 0).cast("bigint").alias("n_antihubs"),
-        F.count_if(F.col("n5") > 10).cast("bigint").alias("n_hubs"),
+        .alias("lnmu_e9"),
     )
-    d = lambda col: F.col(col).cast("double")  # noqa: E731
-    m = d("s1") / d("n")
-    var = d("s2") / d("n") - m * m
-    m3 = d("s3") / d("n") - 3.0 * m * (d("s2") / d("n")) + 2.0 * m * m * m
-    return mom.select(
-        "n",
-        "s1",
-        "s2",
-        "s3",
-        "max_occ",
-        "n_antihubs",
-        "n_hubs",
-        F.when(
-            var > 0,
-            F.floor(m3 / F.pow(var, F.lit(1.5)) * 1000000).cast("bigint"),
-        ).alias("skew_e6"),
+    return terms.agg(
+        F.count("*").cast("bigint").alias("n_used"),
+        F.sum("lnmu_e9").cast("bigint").alias("sum_lnmu_e9"),
+        F.floor(
+            F.count("*").cast("double")
+            / (F.sum("lnmu_e9").cast("double") / 1e9)
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("id_twonn_e6"),
     )
 
 
@@ -2967,7 +3085,11 @@ def embed_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM terms
     """,
 )
-def embed_intrinsic_dim_twonn(spark: SparkSession, sf_dir: str) -> DataFrame:
+def embed_intrinsic_dim_twonn(
+    spark: SparkSession,
+    sf_dir: str,
+    candidate_pairs: Optional[DataFrame] = None,
+) -> DataFrame:
     """TwoNN INTRINSIC DIMENSION (round 10), Facco et al. 2017: the
     MLE d̂ = n / Σ ln(d₂/d₁) from each point's two nearest-neighbor
     distances — how many degrees of freedom the embedding cloud
@@ -2988,53 +3110,17 @@ def embed_intrinsic_dim_twonn(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines — run dedup first, as the TwoNN paper itself requires.
 
     Scale: top-2-of-corpus per point — the knn-graph stage with k=2;
-    at 100 TB the ANN shortlist feeds the same ratio pipeline."""
+    at 100 TB pass ``candidate_pairs=lsh_candidate_pairs(spark,
+    sf_dir)`` (or any ANN shortlist) and the SAME ``twonn_audit``
+    ratio pipeline runs over the equi-join feed
+    (tests/test_round11_ops.py proves feed-independence against an
+    exact top-10 shortlist)."""
     e = load(spark, sf_dir, "embeddings")
-    q = e.select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-    )
-    c = e.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("c_emb"),
-    )
-    scored = q.join(c, F.col("query_id") != F.col("neighbor_id")).select(
-        "query_id",
-        "neighbor_id",
-        dot_product(F.col("q_emb"), F.col("c_emb")).alias("dot"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("dot").desc(), F.col("neighbor_id").asc()
-    )
-    nn2 = (
-        scored.withColumn("rank_k", F.row_number().over(w))
-        .filter(F.col("rank_k") <= 2)
-        .groupBy("query_id")
-        .agg(
-            F.max(F.when(F.col("rank_k") == 1, F.col("dot"))).alias("dot1"),
-            F.max(F.when(F.col("rank_k") == 2, F.col("dot"))).alias("dot2"),
-        )
-    )
-    terms = nn2.filter(F.lit(1.0) - F.col("dot1") > 1e-9).select(
-        "query_id",
-        F.floor(
-            0.5
-            * F.log((F.lit(1.0) - F.col("dot2")) / (F.lit(1.0) - F.col("dot1")))
-            * 1000000000
-        )
-        .cast("bigint")
-        .alias("lnmu_e9"),
-    )
-    return terms.agg(
-        F.count("*").cast("bigint").alias("n_used"),
-        F.sum("lnmu_e9").cast("bigint").alias("sum_lnmu_e9"),
-        F.floor(
-            F.count("*").cast("double")
-            / (F.sum("lnmu_e9").cast("double") / 1e9)
-            * 1000000
-        )
-        .cast("bigint")
-        .alias("id_twonn_e6"),
-    )
+    if candidate_pairs is not None:
+        scored = _score_pairs(e, candidate_pairs)
+    else:
+        scored = _all_pairs_scored(e)
+    return twonn_audit(scored)
 
 
 @query(
