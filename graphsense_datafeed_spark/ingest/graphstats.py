@@ -2401,3 +2401,140 @@ def graph_clustering_vs_null(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(c_glob / c_rand * 1000000).cast("bigint"),
         ).alias("ratio_e6"),
     )
+
+
+@query(
+    "graph_smetric",
+    f"""
+    WITH {_DUCK_EDGES},
+    sym AS (
+        SELECT src, dst FROM edges
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM edges
+    ), deg AS (
+        SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+        FROM sym GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+           CAST(SUM(du.d * dv.d) AS BIGINT) AS s_metric,
+           CAST(SUM(du.d + dv.d) AS BIGINT) AS sum_deg,
+           CAST(SUM(du.d * du.d + dv.d * dv.d) AS BIGINT) AS sum_deg_sq
+    FROM edges e
+    JOIN deg du ON du.node = e.src
+    JOIN deg dv ON dv.node = e.dst
+    """,
+)
+def graph_smetric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-METRIC of the co-occurrence graph (round 11), Li-Alderson-
+    Doyle-Willinger: s(G) = Σ_{(u,v)∈E} d(u)·d(v) — the scalar that
+    separates 'scale-free by degree sequence' from 'scale-rich by
+    wiring': among all graphs with the SAME degree sequence, s is
+    maximal when hubs attach to hubs.  The edge-level sums emitted
+    alongside (Σd(u)+d(v), Σd(u)²+d(v)²) are exactly the three
+    ingredients of the Pearson degree-assortativity numerator/
+    denominator, making this the exact-integer companion to
+    graph_assortativity's floored readout.
+
+    Exactness: degrees and all three edge sums are exact bigints —
+    no floats anywhere in the output.
+
+    Scale: degree table = one keyed aggregate on the symmetrized
+    edges; two hash joins edge→degree (the degree side is the small
+    frame — broadcastable at any realistic node/edge ratio); one
+    1-row fold.  No windows, no quadratic stage."""
+    e = cooccurrence_edges(spark)
+    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("bigint").alias("d")
+    )
+    du = deg.select(F.col("node").alias("src"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("dst"), F.col("d").alias("dv"))
+    return (
+        e.join(du, "src")
+        .join(dv, "dst")
+        .agg(
+            F.count("*").cast("bigint").alias("n_edges"),
+            F.sum(F.col("du") * F.col("dv")).cast("bigint").alias("s_metric"),
+            F.sum(F.col("du") + F.col("dv")).cast("bigint").alias("sum_deg"),
+            F.sum(F.col("du") * F.col("du") + F.col("dv") * F.col("dv"))
+            .cast("bigint")
+            .alias("sum_deg_sq"),
+        )
+    )
+
+
+@query(
+    "graph_transitivity_global",
+    f"""
+    WITH {_DUCK_EDGES},
+    sym AS (
+        SELECT src, dst FROM edges
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM edges
+    ), deg AS (
+        SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+        FROM sym GROUP BY 1
+    ), wedges AS (
+        SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS n_wedges FROM deg
+    ), tri AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM edges e1
+        JOIN edges e2 ON e2.src = e1.dst
+        JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    )
+    SELECT w.n_wedges, t.n_triangles,
+           CAST(FLOOR(3.0 * CAST(t.n_triangles AS DOUBLE)
+                      / CAST(w.n_wedges AS DOUBLE) * 1000000) AS BIGINT)
+               AS transitivity_e6
+    FROM wedges w, tri t
+    """,
+)
+def graph_transitivity_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL TRANSITIVITY (round 11): C = 3·triangles / wedges —
+    the closed-wedge fraction of the WHOLE graph, weighting every
+    wedge equally where graph_clustering_coeff's per-node average
+    weights every NODE equally (the two disagree badly on hub-heavy
+    graphs: a few high-degree open hubs crush transitivity while
+    barely moving the node average — reading both is the standard
+    diagnostic for whether closure lives in the core or the fringe).
+
+    Exactness: wedges Σd(d−1)/2 (d(d−1) always even — exact integer
+    division) and the oriented triangle count are exact bigints; ONE
+    double division, floored e6.
+
+    Scale: degree aggregate + the graph_triangle_count join program
+    (same orientation, same arboricity-bounding refinement path);
+    1-row finish."""
+    e = cooccurrence_edges(spark)
+    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("bigint").alias("d")
+    )
+    wedges = deg.agg(
+        F.sum((F.col("d") * (F.col("d") - 1) / 2).cast("bigint"))
+        .cast("bigint")
+        .alias("n_wedges")
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.src") == F.col("e1.dst"))
+        .join(
+            e3,
+            (F.col("e3.src") == F.col("e1.src"))
+            & (F.col("e3.dst") == F.col("e2.dst")),
+            "left_semi",
+        )
+        .agg(F.count("*").cast("bigint").alias("n_triangles"))
+    )
+    return wedges.crossJoin(F.broadcast(tri)).select(
+        "n_wedges",
+        "n_triangles",
+        F.floor(
+            3.0
+            * F.col("n_triangles").cast("double")
+            / F.col("n_wedges").cast("double")
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("transitivity_e6"),
+    )

@@ -8623,3 +8623,493 @@ def agg_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "agg_mood_median_test",
+    """
+    WITH base AS (
+        SELECT event_type, CAST(FLOOR(value * 10000) AS BIGINT) AS v
+        FROM events
+    ), med AS (
+        SELECT CAST(quantile_disc(v, 0.5) AS BIGINT) AS m FROM base
+    ), cells AS (
+        SELECT event_type,
+               CAST(COUNT(*) FILTER (v > (SELECT m FROM med)) AS BIGINT)
+                   AS n_gt,
+               CAST(COUNT(*) FILTER (v <= (SELECT m FROM med)) AS BIGINT)
+                   AS n_le
+        FROM base GROUP BY 1
+    ), tots AS (
+        SELECT CAST(SUM(n_gt) AS BIGINT) AS g,
+               CAST(SUM(n_le) AS BIGINT) AS l,
+               CAST(SUM(n_gt + n_le) AS BIGINT) AS n
+        FROM cells
+    )
+    SELECT c.event_type, c.n_gt, c.n_le,
+           CAST(FLOOR((
+               POW(CAST(c.n_gt AS DOUBLE)
+                   - CAST((c.n_gt + c.n_le) * t.g AS DOUBLE) / t.n, 2)
+               / (CAST((c.n_gt + c.n_le) * t.g AS DOUBLE) / t.n)
+             + POW(CAST(c.n_le AS DOUBLE)
+                   - CAST((c.n_gt + c.n_le) * t.l AS DOUBLE) / t.n, 2)
+               / (CAST((c.n_gt + c.n_le) * t.l AS DOUBLE) / t.n)
+           ) * 1000000000) AS BIGINT) AS term_e9
+    FROM cells c, tots t ORDER BY c.event_type
+    """,
+)
+def agg_mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOOD'S MEDIAN TEST (round 11): classify every value as above /
+    at-or-below the POOLED discrete median, then chi-square the
+    resulting 2×k table — the crudest, most outlier-proof k-sample
+    location test (only the side of the median matters, so a single
+    10⁶× corrupted reading cannot move it; the robustness rung BELOW
+    agg_kruskal_wallis, which still trusts ranks).  Per-group rows
+    carry the observed counts and the group's floored chi-square
+    contribution; Σ term_e9 vs χ²(k−1) is the verdict.
+
+    Exactness: the pooled median is the discrete (type-1) quantile of
+    exact e4 integers — no interpolation, identical both engines;
+    cell counts are exact; each group's term is ONE double chain
+    (expected counts formed as (row·col)/n in double) floored e9.
+
+    Scale: one scan → per-type conditional counts (map-side); the
+    pooled median is a single quantile_disc over the value domain;
+    1-row totals broadcast back — the agg_chi_square shape."""
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type", F.floor(F.col("value") * 10000).cast("bigint").alias("v")
+    )
+    med = base.agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY v)")
+        .cast("bigint")
+        .alias("m")
+    )
+    cells = (
+        base.crossJoin(F.broadcast(med))
+        .groupBy("event_type")
+        .agg(
+            F.count_if(F.col("v") > F.col("m")).cast("bigint").alias("n_gt"),
+            F.count_if(F.col("v") <= F.col("m")).cast("bigint").alias("n_le"),
+        )
+    )
+    tots = cells.agg(
+        F.sum("n_gt").cast("bigint").alias("g"),
+        F.sum("n_le").cast("bigint").alias("l"),
+        F.sum(F.col("n_gt") + F.col("n_le")).cast("bigint").alias("n"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    row = (F.col("n_gt") + F.col("n_le")).cast("bigint")
+    e_gt = (row * F.col("g")).cast("double") / d("n")
+    e_le = (row * F.col("l")).cast("double") / d("n")
+    term = (
+        F.pow(d("n_gt") - e_gt, F.lit(2.0)) / e_gt
+        + F.pow(d("n_le") - e_le, F.lit(2.0)) / e_le
+    )
+    return (
+        cells.crossJoin(F.broadcast(tots))
+        .select(
+            "event_type",
+            "n_gt",
+            "n_le",
+            F.floor(term * 1000000000).cast("bigint").alias("term_e9"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "agg_wasserstein_binned",
+    """
+    WITH base AS (
+        SELECT CAST(FLOOR(value * 10000) AS BIGINT) AS v,
+               CASE WHEN day(ts) <= 15 THEN 'ref' ELSE 'cur' END AS period
+        FROM events
+    ), rng AS (
+        SELECT CAST(MIN(v) AS BIGINT) AS lo,
+               CAST(MAX(v) - MIN(v) + 1 AS BIGINT) AS span
+        FROM base
+    ), binned AS (
+        SELECT CAST((b.v - r.lo) * 20 // r.span AS BIGINT) AS bin,
+               b.period
+        FROM base b, rng r
+    ), cells AS (
+        SELECT bin,
+               CAST(COUNT(*) FILTER (period = 'ref') AS BIGINT) AS cp,
+               CAST(COUNT(*) FILTER (period = 'cur') AS BIGINT) AS cq
+        FROM binned GROUP BY 1
+    ), cum AS (
+        SELECT bin,
+               CAST(SUM(cp) OVER (ORDER BY bin) AS BIGINT) AS kp,
+               CAST(SUM(cq) OVER (ORDER BY bin) AS BIGINT) AS kq
+        FROM cells
+    ), tot AS (
+        SELECT CAST(SUM(cp) AS BIGINT) AS np, CAST(SUM(cq) AS BIGINT) AS nq
+        FROM cells
+    ), folded AS (
+        SELECT CAST(SUM(ABS(c.kp * t.nq - c.kq * t.np)) AS BIGINT) AS sd
+        FROM cum c, tot t
+    )
+    SELECT t.np AS n_ref, t.nq AS n_cur, f.sd AS sum_fdiff,
+           CAST(FLOOR(CAST(f.sd AS DOUBLE)
+                      / (CAST(t.np AS DOUBLE) * CAST(t.nq AS DOUBLE))
+                      * CAST(r.span AS DOUBLE) / 20.0 / 10000.0
+                      * 1000000) AS BIGINT) AS w1_value_e6
+    FROM folded f, tot t, rng r
+    """,
+)
+def agg_wasserstein_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EARTH-MOVER / WASSERSTEIN-1 drift (round 11), 20 equal-width
+    bins, first vs second half-month: W₁ = ∫|F_ref − F_cur| — the
+    drift metric that (unlike KS's max gap, PSI's log-ratio, JS's
+    info) carries UNITS: 'the distributions are 3.2 value-units of
+    transport apart', which makes drift thresholds business-legible.
+    Completes the drift family with the transport-cost member.
+
+    Exactness: bin index ((v−lo)·20) DIV span is pure bigint
+    arithmetic (identical both engines, no float binning); the CDF
+    gap is cleared to |K_P·N_Q − K_Q·N_P| per bin — exact bigints
+    summed order-free; ONE double chain converts to value units,
+    floored e6.
+
+    Scale: one scan → 20-cell conditional counts (map-side); the
+    cumulative window runs over 20 bounded bins; 1-row finish."""
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        F.floor(F.col("value") * 10000).cast("bigint").alias("v"),
+        F.when(F.dayofmonth("ts") <= 15, "ref").otherwise("cur").alias("period"),
+    )
+    rng = base.agg(
+        F.min("v").cast("bigint").alias("lo"),
+        (F.max("v") - F.min("v") + 1).cast("bigint").alias("span"),
+    )
+    binned = base.crossJoin(F.broadcast(rng)).select(
+        ((F.col("v") - F.col("lo")) * 20 / F.col("span"))
+        .cast("bigint")
+        .alias("bin"),
+        "period",
+    )
+    cells = binned.groupBy("bin").agg(
+        F.count_if(F.col("period") == "ref").cast("bigint").alias("cp"),
+        F.count_if(F.col("period") == "cur").cast("bigint").alias("cq"),
+    )
+    w_seq = Window.orderBy("bin")
+    cum = cells.select(
+        "bin",
+        F.sum("cp").over(w_seq).cast("bigint").alias("kp"),
+        F.sum("cq").over(w_seq).cast("bigint").alias("kq"),
+    )
+    tot = cells.agg(
+        F.sum("cp").cast("bigint").alias("np"),
+        F.sum("cq").cast("bigint").alias("nq"),
+    )
+    folded = cum.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.abs(F.col("kp") * F.col("nq") - F.col("kq") * F.col("np"))
+        )
+        .cast("bigint")
+        .alias("sd")
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return (
+        folded.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(rng.select("span")))
+        .select(
+            F.col("np").alias("n_ref"),
+            F.col("nq").alias("n_cur"),
+            F.col("sd").alias("sum_fdiff"),
+            F.floor(
+                d("sd")
+                / (d("np") * d("nq"))
+                * d("span")
+                / 20.0
+                / 10000.0
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("w1_value_e6"),
+        )
+    )
+
+
+@query(
+    "agg_hellinger_drift",
+    """
+    WITH base AS (
+        SELECT CAST(FLOOR(value * 10000) AS BIGINT) AS v,
+               CASE WHEN day(ts) <= 15 THEN 'ref' ELSE 'cur' END AS period
+        FROM events
+    ), rng AS (
+        SELECT CAST(MIN(v) AS BIGINT) AS lo,
+               CAST(MAX(v) - MIN(v) + 1 AS BIGINT) AS span
+        FROM base
+    ), cells AS (
+        SELECT CAST((b.v - r.lo) * 20 // r.span AS BIGINT) AS bin,
+               CAST(COUNT(*) FILTER (period = 'ref') AS BIGINT) AS cp,
+               CAST(COUNT(*) FILTER (period = 'cur') AS BIGINT) AS cq
+        FROM base b, rng r GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(cp) AS BIGINT) AS np, CAST(SUM(cq) AS BIGINT) AS nq
+        FROM cells
+    ), folded AS (
+        SELECT CAST(SUM(CAST(FLOOR(SQRT(CAST(cp AS DOUBLE)
+                                        * CAST(cq AS DOUBLE)) * 1000000)
+                             AS BIGINT)) AS BIGINT) AS s_bc,
+               CAST(SUM(ABS(cp * (SELECT nq FROM tot)
+                            - cq * (SELECT np FROM tot))) AS BIGINT) AS s_tv
+        FROM cells
+    )
+    SELECT t.np AS n_ref, t.nq AS n_cur,
+           CAST(FLOOR(CAST(f.s_bc AS DOUBLE)
+                      / SQRT(CAST(t.np AS DOUBLE) * CAST(t.nq AS DOUBLE)))
+                AS BIGINT) AS bc_e6,
+           CAST(1000000 - FLOOR(CAST(f.s_bc AS DOUBLE)
+                      / SQRT(CAST(t.np AS DOUBLE) * CAST(t.nq AS DOUBLE)))
+                AS BIGINT) AS hell2_e6,
+           CAST(FLOOR(CAST(f.s_tv AS DOUBLE) * 1000000
+                      / (2.0 * CAST(t.np AS DOUBLE) * CAST(t.nq AS DOUBLE)))
+                AS BIGINT) AS tv_e6
+    FROM folded f, tot t
+    """,
+)
+def agg_hellinger_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HELLINGER / BHATTACHARYYA / TOTAL-VARIATION drift (round 11),
+    20 equal-width bins, first vs second half-month: BC = Σ√(pᵢqᵢ),
+    H² = 1 − BC, TV = ½Σ|pᵢ−qᵢ| — the three bounded-metric members
+    of the drift family (all in [0,1], so alert thresholds transfer
+    across metrics of different scales, where KL/PSI explode on
+    near-empty cells; Hellinger additionally √-metrizes, so drift
+    accumulates by triangle inequality across snapshots).
+
+    Exactness: same pure-bigint bin index as agg_wasserstein_binned;
+    each √(cp·cq) is ONE double sqrt floored e6 before the order-free
+    bigint sum; TV clears denominators to |cp·N_Q − cq·N_P| exact
+    bigints; finals are single double chains (hell2_e6 = 1e6 − bc_e6
+    exactly, integer arithmetic).
+
+    Scale: one scan → 20-cell conditional counts (map-side), 1-row
+    finish; no windows at all."""
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        F.floor(F.col("value") * 10000).cast("bigint").alias("v"),
+        F.when(F.dayofmonth("ts") <= 15, "ref").otherwise("cur").alias("period"),
+    )
+    rng = base.agg(
+        F.min("v").cast("bigint").alias("lo"),
+        (F.max("v") - F.min("v") + 1).cast("bigint").alias("span"),
+    )
+    cells = (
+        base.crossJoin(F.broadcast(rng))
+        .groupBy(
+            ((F.col("v") - F.col("lo")) * 20 / F.col("span"))
+            .cast("bigint")
+            .alias("bin")
+        )
+        .agg(
+            F.count_if(F.col("period") == "ref").cast("bigint").alias("cp"),
+            F.count_if(F.col("period") == "cur").cast("bigint").alias("cq"),
+        )
+    )
+    tot = cells.agg(
+        F.sum("cp").cast("bigint").alias("np"),
+        F.sum("cq").cast("bigint").alias("nq"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    folded = cells.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.floor(F.sqrt(d("cp") * d("cq")) * 1000000).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("s_bc"),
+        F.sum(
+            F.abs(F.col("cp") * F.col("nq") - F.col("cq") * F.col("np"))
+        )
+        .cast("bigint")
+        .alias("s_tv"),
+    )
+    bc = F.floor(d("s_bc") / F.sqrt(d("np") * d("nq"))).cast("bigint")
+    return folded.crossJoin(F.broadcast(tot)).select(
+        F.col("np").alias("n_ref"),
+        F.col("nq").alias("n_cur"),
+        bc.alias("bc_e6"),
+        (F.lit(1000000).cast("bigint") - bc).cast("bigint").alias("hell2_e6"),
+        F.floor(d("s_tv") * 1000000 / (2.0 * d("np") * d("nq")))
+        .cast("bigint")
+        .alias("tv_e6"),
+    )
+
+
+@query(
+    "agg_sign_test",
+    """
+    WITH halves AS (
+        SELECT user_id,
+               CAST(SUM(CASE WHEN day(ts) <= 15
+                        THEN CAST(FLOOR(value * 10000) AS BIGINT) END)
+                    AS BIGINT) AS s1,
+               CAST(COUNT(*) FILTER (day(ts) <= 15) AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN day(ts) > 15
+                        THEN CAST(FLOOR(value * 10000) AS BIGINT) END)
+                    AS BIGINT) AS s2,
+               CAST(COUNT(*) FILTER (day(ts) > 15) AS BIGINT) AS n2
+        FROM events GROUP BY 1
+        HAVING COUNT(*) FILTER (day(ts) <= 15) > 0
+           AND COUNT(*) FILTER (day(ts) > 15) > 0
+    ), signs AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(COUNT(*) FILTER (s2 * n1 > s1 * n2) AS BIGINT) AS n_pos,
+               CAST(COUNT(*) FILTER (s2 * n1 < s1 * n2) AS BIGINT) AS n_neg,
+               CAST(COUNT(*) FILTER (s2 * n1 = s1 * n2) AS BIGINT) AS n_tie
+        FROM halves
+    )
+    SELECT n_users, n_pos, n_neg, n_tie,
+           CAST(FLOOR((ABS(CAST(n_pos AS DOUBLE) - CAST(n_neg AS DOUBLE))
+                       - 1.0)
+                      / SQRT(CAST(n_pos + n_neg AS DOUBLE))
+                      * 1000000) AS BIGINT) AS z_e6
+    FROM signs
+    """,
+)
+def agg_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAIRED SIGN TEST (round 11): per user, did the mean event value
+    RISE or FALL from the first to the second half-month?  Counts of
+    risers/fallers/ties plus the continuity-corrected normal z —
+    the weakest-assumption paired test there is (no symmetry, no
+    scale, just exchangeability of the sign), the sanity floor under
+    agg_wilcoxon_signed_rank: when the two disagree, the Wilcoxon is
+    being driven by a few large paired differences.
+
+    Exactness: the per-user comparison clears denominators —
+    s2·n1 vs s1·n2 in exact e4-bigints, so 'rose/fell/tied' never
+    touches a float; counts are exact; the z fold is ONE double
+    chain floored e6.
+
+    Scale: one keyed aggregate over users (map-side partials), 1-row
+    finish — the agg_two_proportion_z shape."""
+    ev = load(spark, sf_dir, "events")
+    v = F.floor(F.col("value") * 10000).cast("bigint")
+    first = F.dayofmonth("ts") <= 15
+    halves = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(F.when(first, v)).cast("bigint").alias("s1"),
+            F.count_if(first).cast("bigint").alias("n1"),
+            F.sum(F.when(~first, v)).cast("bigint").alias("s2"),
+            F.count_if(~first).cast("bigint").alias("n2"),
+        )
+        .filter((F.col("n1") > 0) & (F.col("n2") > 0))
+    )
+    lhs = F.col("s2") * F.col("n1")
+    rhs = F.col("s1") * F.col("n2")
+    signs = halves.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.count_if(lhs > rhs).cast("bigint").alias("n_pos"),
+        F.count_if(lhs < rhs).cast("bigint").alias("n_neg"),
+        F.count_if(lhs == rhs).cast("bigint").alias("n_tie"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return signs.select(
+        "n_users",
+        "n_pos",
+        "n_neg",
+        "n_tie",
+        F.floor(
+            (F.abs(d("n_pos") - d("n_neg")) - 1.0)
+            / F.sqrt(d("n_pos") + d("n_neg"))
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("z_e6"),
+    )
+
+
+@query(
+    "agg_dixon_q",
+    """
+    WITH base AS (
+        SELECT event_type, CAST(FLOOR(value * 10000) AS BIGINT) AS v
+        FROM events
+    ), ranked AS (
+        SELECT event_type, v,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY v ASC, v ASC) AS r_asc,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY v DESC, v DESC) AS r_desc,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        FROM base
+    ), pivoted AS (
+        SELECT event_type, MAX(n) AS n,
+               CAST(MAX(CASE WHEN r_asc = 1 THEN v END) AS BIGINT) AS x1,
+               CAST(MAX(CASE WHEN r_asc = 2 THEN v END) AS BIGINT) AS x2,
+               CAST(MAX(CASE WHEN r_desc = 2 THEN v END) AS BIGINT) AS xn1,
+               CAST(MAX(CASE WHEN r_desc = 1 THEN v END) AS BIGINT) AS xn
+        FROM ranked GROUP BY 1
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           CAST(FLOOR(CAST(x2 - x1 AS DOUBLE)
+                      / CAST(xn - x1 AS DOUBLE) * 1000000) AS BIGINT)
+               AS q_low_e6,
+           CAST(FLOOR(CAST(xn - xn1 AS DOUBLE)
+                      / CAST(xn - x1 AS DOUBLE) * 1000000) AS BIGINT)
+               AS q_high_e6
+    FROM pivoted ORDER BY event_type
+    """,
+)
+def agg_dixon_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIXON'S Q outlier screen per group (round 11): Q_low =
+    (x₂−x₁)/(xₙ−x₁) and Q_high = (xₙ−xₙ₋₁)/(xₙ−x₁) — is the most
+    extreme reading an outlier relative to the GAP it leaves to its
+    nearest neighbor, normalized by the range?  The lab-assay
+    classic that catches the single-corrupted-sensor case
+    agg_grubbs_outlier (variance-based) and agg_tukey_fences
+    (quartile-based) each frame differently; near-zero Q with large
+    range means heavy tails, not one bad point.
+
+    Exactness: the four order statistics are exact e4 integers from
+    keyed rank windows (value ties collapse to identical v, so rank
+    ambiguity cannot change any xᵢ); each Q is ONE double division
+    floored e6.
+
+    Scale: keyed windows partitioned by event_type (never global);
+    per-group 4-value pivot via conditional max — the
+    agg_argminmax shape."""
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type", F.floor(F.col("value") * 10000).cast("bigint").alias("v")
+    )
+    w_asc = Window.partitionBy("event_type").orderBy(F.col("v").asc())
+    w_desc = Window.partitionBy("event_type").orderBy(F.col("v").desc())
+    w_all = Window.partitionBy("event_type")
+    ranked = base.select(
+        "event_type",
+        "v",
+        F.row_number().over(w_asc).alias("r_asc"),
+        F.row_number().over(w_desc).alias("r_desc"),
+        F.count("*").over(w_all).cast("bigint").alias("n"),
+    )
+    pivoted = ranked.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.max(F.when(F.col("r_asc") == 1, F.col("v")))
+        .cast("bigint")
+        .alias("x1"),
+        F.max(F.when(F.col("r_asc") == 2, F.col("v")))
+        .cast("bigint")
+        .alias("x2"),
+        F.max(F.when(F.col("r_desc") == 2, F.col("v")))
+        .cast("bigint")
+        .alias("xn1"),
+        F.max(F.when(F.col("r_desc") == 1, F.col("v")))
+        .cast("bigint")
+        .alias("xn"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return pivoted.select(
+        "event_type",
+        "n",
+        F.floor((d("x2") - d("x1")) / (d("xn") - d("x1")) * 1000000)
+        .cast("bigint")
+        .alias("q_low_e6"),
+        F.floor((d("xn") - d("xn1")) / (d("xn") - d("x1")) * 1000000)
+        .cast("bigint")
+        .alias("q_high_e6"),
+    ).orderBy("event_type")

@@ -3726,3 +3726,433 @@ def events_covariate_balance_smd(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("smd_e6"),
     ).orderBy("covariate")
+
+
+@query(
+    "events_iv_wald",
+    """
+    WITH users AS (
+        SELECT user_id,
+               CAST(CAST('0x' || substr(md5('iv:' ||
+                    CAST(user_id AS VARCHAR)), 1, 4) AS BIGINT) % 2
+                    AS BIGINT) AS z,
+               CAST(SUM(CAST(FLOOR(value * 10000) AS BIGINT)) AS BIGINT)
+                   AS y,
+               CAST(CASE WHEN COUNT(*) FILTER (event_type = 'click') > 0
+                    THEN 1 ELSE 0 END AS BIGINT) AS d
+        FROM events GROUP BY 1
+    ), arms AS (
+        SELECT z, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(y * y) AS BIGINT) AS syy,
+               CAST(SUM(d) AS BIGINT) AS sd,
+               CAST(SUM(y * d) AS BIGINT) AS syd
+        FROM users GROUP BY 1
+    ), wide AS (
+        SELECT MAX(CASE WHEN z = 0 THEN n END) AS n0,
+               MAX(CASE WHEN z = 0 THEN sy END) AS sy0,
+               MAX(CASE WHEN z = 0 THEN syy END) AS syy0,
+               MAX(CASE WHEN z = 0 THEN sd END) AS sd0,
+               MAX(CASE WHEN z = 0 THEN syd END) AS syd0,
+               MAX(CASE WHEN z = 1 THEN n END) AS n1,
+               MAX(CASE WHEN z = 1 THEN sy END) AS sy1,
+               MAX(CASE WHEN z = 1 THEN syy END) AS syy1,
+               MAX(CASE WHEN z = 1 THEN sd END) AS sd1,
+               MAX(CASE WHEN z = 1 THEN syd END) AS syd1
+        FROM arms
+    )
+    SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+           CAST(FLOOR(CAST(sy1 AS DOUBLE) / n1
+                      - CAST(sy0 AS DOUBLE) / n0) AS BIGINT) AS itt_y_e4,
+           CAST(FLOOR((CAST(sd1 AS DOUBLE) / n1
+                       - CAST(sd0 AS DOUBLE) / n0) * 1000000) AS BIGINT)
+               AS itt_d_e6,
+           CASE WHEN sd1 * n0 = sd0 * n1 THEN NULL
+                ELSE CAST(FLOOR(
+                    (CAST(sy1 AS DOUBLE) / n1 - CAST(sy0 AS DOUBLE) / n0)
+                    / (CAST(sd1 AS DOUBLE) / n1
+                       - CAST(sd0 AS DOUBLE) / n0)) AS BIGINT) END
+               AS wald_e4,
+           CASE WHEN sd1 * n0 = sd0 * n1 THEN NULL
+                ELSE CAST(FLOOR(SQRT((
+                    ((CAST(syy1 AS DOUBLE) - CAST(sy1 AS DOUBLE)
+                      * CAST(sy1 AS DOUBLE) / n1) / (n1 - 1.0)) / n1
+                  + ((CAST(syy0 AS DOUBLE) - CAST(sy0 AS DOUBLE)
+                      * CAST(sy0 AS DOUBLE) / n0) / (n0 - 1.0)) / n0
+                  + POW((CAST(sy1 AS DOUBLE) / n1
+                         - CAST(sy0 AS DOUBLE) / n0)
+                        / (CAST(sd1 AS DOUBLE) / n1
+                           - CAST(sd0 AS DOUBLE) / n0), 2)
+                    * (((CAST(sd1 AS DOUBLE)
+                         - CAST(sd1 AS DOUBLE) * CAST(sd1 AS DOUBLE) / n1)
+                        / (n1 - 1.0)) / n1
+                       + ((CAST(sd0 AS DOUBLE)
+                           - CAST(sd0 AS DOUBLE) * CAST(sd0 AS DOUBLE) / n0)
+                          / (n0 - 1.0)) / n0)
+                  - 2.0 * ((CAST(sy1 AS DOUBLE) / n1
+                            - CAST(sy0 AS DOUBLE) / n0)
+                           / (CAST(sd1 AS DOUBLE) / n1
+                              - CAST(sd0 AS DOUBLE) / n0))
+                    * (((CAST(syd1 AS DOUBLE) - CAST(sy1 AS DOUBLE)
+                         * CAST(sd1 AS DOUBLE) / n1) / (n1 - 1.0)) / n1
+                       + ((CAST(syd0 AS DOUBLE) - CAST(sy0 AS DOUBLE)
+                           * CAST(sd0 AS DOUBLE) / n0) / (n0 - 1.0)) / n0))
+                  / POW(CAST(sd1 AS DOUBLE) / n1
+                        - CAST(sd0 AS DOUBLE) / n0, 2))) AS BIGINT) END
+               AS se_e4
+    FROM wide
+    """,
+)
+def events_iv_wald(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSTRUMENTAL-VARIABLE WALD ESTIMATOR (round 11): with the
+    frozen md5 user hash as the randomized ENCOURAGEMENT z and
+    'ever clicked' as the endogenous takeup d, the Wald LATE is
+    ITT_y / ITT_d — the effect on compliers when you could only
+    randomize the nudge, not the behavior.  Completes the causal
+    family's identification ladder: ab (randomized exposure), cuped
+    (variance reduction), did (parallel trends), rdd (cutoff),
+    IV (encouragement); the delta-method SE carries all three
+    variance pieces (outcome diff, takeup diff, their covariance).
+
+    Exactness: per-user (z, y, d) reduce to exact bigints
+    (y = Σ e4-value, d binary); per-arm five-sums are exact; the
+    Wald point and SE fold in ONE double chain each, floored e4;
+    a weak-instrument ZERO takeup difference is detected by the
+    cleared integer comparison sd1·n0 = sd0·n1 (never a float) and
+    returns NULL rather than ±inf (ANSI-safe both engines).
+
+    Scale: one keyed user aggregate → 2-arm partial aggregate →
+    1-row conditional-max pivot — the events_did_estimator shape."""
+    ev = load(spark, sf_dir, "events")
+    z = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("iv:"), F.col("user_id").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    users = ev.groupBy("user_id").agg(
+        F.max(z).cast("bigint").alias("z"),
+        F.sum(F.floor(F.col("value") * 10000).cast("bigint"))
+        .cast("bigint")
+        .alias("y"),
+        F.when(F.count_if(F.col("event_type") == "click") > 0, 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("d"),
+    )
+    arms = users.groupBy("z").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum("d").cast("bigint").alias("sd"),
+        F.sum(F.col("y") * F.col("d")).cast("bigint").alias("syd"),
+    )
+
+    def _pick(zv: int, col: str):
+        return (
+            F.max(F.when(F.col("z") == zv, F.col(col)))
+            .alias(f"{col}{zv}")
+        )
+
+    wide = arms.groupBy().agg(
+        *[_pick(zv, c) for zv in (0, 1) for c in ("n", "sy", "syy", "sd", "syd")]
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    itt_y = d("sy1") / d("n1") - d("sy0") / d("n0")
+    itt_d = d("sd1") / d("n1") - d("sd0") / d("n0")
+    weak = F.col("sd1") * F.col("n0") == F.col("sd0") * F.col("n1")
+    wald = itt_y / itt_d
+
+    def _var(s: str, ss, n: str):
+        return ((ss - F.col(s).cast("double") ** 2 / d(n)) / (d(n) - 1.0)) / d(n)
+
+    var_y = _var("sy1", d("syy1"), "n1") + _var("sy0", d("syy0"), "n0")
+    var_d = _var("sd1", d("sd1"), "n1") + _var("sd0", d("sd0"), "n0")
+    cov = (
+        ((d("syd1") - d("sy1") * d("sd1") / d("n1")) / (d("n1") - 1.0)) / d("n1")
+        + ((d("syd0") - d("sy0") * d("sd0") / d("n0")) / (d("n0") - 1.0))
+        / d("n0")
+    )
+    se = F.sqrt(
+        (var_y + wald * wald * var_d - 2.0 * wald * cov) / (itt_d * itt_d)
+    )
+    return wide.select(
+        F.col("n0").cast("bigint").alias("n0"),
+        F.col("n1").cast("bigint").alias("n1"),
+        F.floor(itt_y).cast("bigint").alias("itt_y_e4"),
+        F.floor(itt_d * 1000000).cast("bigint").alias("itt_d_e6"),
+        F.when(~weak, F.floor(wald).cast("bigint")).alias("wald_e4"),
+        F.when(~weak, F.floor(se).cast("bigint")).alias("se_e4"),
+    )
+
+
+@query(
+    "events_rdd_sharp",
+    """
+    WITH users AS (
+        SELECT user_id,
+               CAST(CAST('0x' || substr(md5('rdd:' ||
+                    CAST(user_id AS VARCHAR)), 1, 4) AS BIGINT) % 1000
+                    - 500 AS BIGINT) AS r,
+               CAST(SUM(CAST(FLOOR(value * 10000) AS BIGINT))
+                    // COUNT(*) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ), sides AS (
+        SELECT CASE WHEN r >= 0 THEN 1 ELSE 0 END AS side,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(r) AS BIGINT) AS sr,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(r * r) AS BIGINT) AS srr,
+               CAST(SUM(r * y) AS BIGINT) AS sry,
+               CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM users WHERE r > -250 AND r < 250 GROUP BY 1
+    ), wide AS (
+        SELECT MAX(CASE WHEN side = 0 THEN n END) AS nl,
+               MAX(CASE WHEN side = 0 THEN sr END) AS srl,
+               MAX(CASE WHEN side = 0 THEN sy END) AS syl,
+               MAX(CASE WHEN side = 0 THEN srr END) AS srrl,
+               MAX(CASE WHEN side = 0 THEN sry END) AS sryl,
+               MAX(CASE WHEN side = 0 THEN syy END) AS syyl,
+               MAX(CASE WHEN side = 1 THEN n END) AS nr,
+               MAX(CASE WHEN side = 1 THEN sr END) AS srr_,
+               MAX(CASE WHEN side = 1 THEN sy END) AS syr,
+               MAX(CASE WHEN side = 1 THEN srr END) AS srrr,
+               MAX(CASE WHEN side = 1 THEN sry END) AS sryr,
+               MAX(CASE WHEN side = 1 THEN syy END) AS syyr
+        FROM sides
+    )
+    SELECT CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right,
+           CAST(FLOOR((CAST(syl AS DOUBLE) * srrl
+                       - CAST(srl AS DOUBLE) * sryl)
+                      / (CAST(nl AS DOUBLE) * srrl
+                         - CAST(srl AS DOUBLE) * srl)) AS BIGINT)
+               AS alpha_left_e4,
+           CAST(FLOOR((CAST(syr AS DOUBLE) * srrr
+                       - CAST(srr_ AS DOUBLE) * sryr)
+                      / (CAST(nr AS DOUBLE) * srrr
+                         - CAST(srr_ AS DOUBLE) * srr_)) AS BIGINT)
+               AS alpha_right_e4,
+           CAST(FLOOR(
+               (CAST(syr AS DOUBLE) * srrr - CAST(srr_ AS DOUBLE) * sryr)
+               / (CAST(nr AS DOUBLE) * srrr - CAST(srr_ AS DOUBLE) * srr_)
+             - (CAST(syl AS DOUBLE) * srrl - CAST(srl AS DOUBLE) * sryl)
+               / (CAST(nl AS DOUBLE) * srrl - CAST(srl AS DOUBLE) * srl))
+               AS BIGINT) AS tau_e4,
+           CAST(FLOOR(SQRT(
+               ((CAST(nl AS DOUBLE) * syyl - CAST(syl AS DOUBLE) * syl)
+                  * (CAST(nl AS DOUBLE) * srrl - CAST(srl AS DOUBLE) * srl)
+                - POW(CAST(nl AS DOUBLE) * sryl
+                      - CAST(srl AS DOUBLE) * syl, 2))
+               / (CAST(nl AS DOUBLE)
+                  * (CAST(nl AS DOUBLE) * srrl - CAST(srl AS DOUBLE) * srl))
+               / (nl - 2.0) * CAST(srrl AS DOUBLE)
+               / (CAST(nl AS DOUBLE) * srrl - CAST(srl AS DOUBLE) * srl)
+             + ((CAST(nr AS DOUBLE) * syyr - CAST(syr AS DOUBLE) * syr)
+                  * (CAST(nr AS DOUBLE) * srrr
+                     - CAST(srr_ AS DOUBLE) * srr_)
+                - POW(CAST(nr AS DOUBLE) * sryr
+                      - CAST(srr_ AS DOUBLE) * syr, 2))
+               / (CAST(nr AS DOUBLE)
+                  * (CAST(nr AS DOUBLE) * srrr
+                     - CAST(srr_ AS DOUBLE) * srr_))
+               / (nr - 2.0) * CAST(srrr AS DOUBLE)
+               / (CAST(nr AS DOUBLE) * srrr - CAST(srr_ AS DOUBLE) * srr_)
+               )) AS BIGINT) AS se_e4
+    FROM wide
+    """,
+)
+def events_rdd_sharp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHARP REGRESSION DISCONTINUITY (round 11): users get a frozen
+    md5 pseudo-score in [−500, 500); treatment switches on at 0;
+    within the ±250 bandwidth, fit a LOCAL LINEAR regression of mean
+    user value on the score SEPARATELY on each side and read the
+    jump between the two intercepts at the cutoff — the design you
+    reach for when eligibility is a hard threshold (credit score,
+    minimum balance) and randomization never happened.  Slopes are
+    deliberately side-specific (the pooled-slope shortcut biases τ
+    when trends differ).
+
+    Exactness: per-user y is the exact integer-division e4 mean
+    (domain-bounded, the ts_granger_1lag discipline); per-side
+    five-sums are exact bigints; each intercept is the closed-form
+    (Σy·Σr² − Σr·Σry)/(nΣr² − (Σr)²) and the SE folds
+    RSS/(n−2)·Σr²/Sxx per side — ONE double chain each, floored e4.
+
+    Scale: keyed user aggregate → bandwidth filter → 2-side partial
+    aggregate → 1-row pivot; no windows."""
+    ev = load(spark, sf_dir, "events")
+    score = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("rdd:"), F.col("user_id").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000
+        - 500
+    )
+    users = ev.groupBy("user_id").agg(
+        F.max(score).cast("bigint").alias("r"),
+        (
+            F.sum(F.floor(F.col("value") * 10000).cast("bigint"))
+            / F.count("*")
+        )
+        .cast("bigint")
+        .alias("y"),
+    )
+    sides = (
+        users.filter((F.col("r") > -250) & (F.col("r") < 250))
+        .groupBy(
+            F.when(F.col("r") >= 0, 1).otherwise(0).alias("side")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("r").cast("bigint").alias("sr"),
+            F.sum("y").cast("bigint").alias("sy"),
+            F.sum(F.col("r") * F.col("r")).cast("bigint").alias("srr"),
+            F.sum(F.col("r") * F.col("y")).cast("bigint").alias("sry"),
+            F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        )
+    )
+    suffix = {0: "l", 1: "r_"}
+    cols = ("n", "sr", "sy", "srr", "sry", "syy")
+    rename = {
+        (0, "n"): "nl", (0, "sr"): "srl", (0, "sy"): "syl",
+        (0, "srr"): "srrl", (0, "sry"): "sryl", (0, "syy"): "syyl",
+        (1, "n"): "nr", (1, "sr"): "srr_", (1, "sy"): "syr",
+        (1, "srr"): "srrr", (1, "sry"): "sryr", (1, "syy"): "syyr",
+    }
+    wide = sides.groupBy().agg(
+        *[
+            F.max(F.when(F.col("side") == s, F.col(c))).alias(rename[(s, c)])
+            for s in (0, 1)
+            for c in cols
+        ]
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+
+    def _alpha(n, sr, sy, srr, sry):
+        return (d(sy) * d(srr) - d(sr) * d(sry)) / (
+            d(n) * d(srr) - d(sr) * d(sr)
+        )
+
+    def _var_alpha(n, sr, sy, srr, sry, syy):
+        b = d(n) * d(srr) - d(sr) * d(sr)
+        c_ = d(n) * d(syy) - d(sy) * d(sy)
+        a = d(n) * d(sry) - d(sr) * d(sy)
+        # RSS = (B*C - A^2)/(n*B); s^2 = RSS/(n-2); Var(alpha) = s^2*Σr²/B
+        return (c_ * b - a * a) / (d(n) * b) / (d(n) - 2.0) * d(srr) / b
+
+    al = _alpha("nl", "srl", "syl", "srrl", "sryl")
+    ar = _alpha("nr", "srr_", "syr", "srrr", "sryr")
+    se = F.sqrt(
+        _var_alpha("nl", "srl", "syl", "srrl", "sryl", "syyl")
+        + _var_alpha("nr", "srr_", "syr", "srrr", "sryr", "syyr")
+    )
+    return wide.select(
+        F.col("nl").cast("bigint").alias("n_left"),
+        F.col("nr").cast("bigint").alias("n_right"),
+        F.floor(al).cast("bigint").alias("alpha_left_e4"),
+        F.floor(ar).cast("bigint").alias("alpha_right_e4"),
+        F.floor(ar - al).cast("bigint").alias("tau_e4"),
+        F.floor(se).cast("bigint").alias("se_e4"),
+    )
+
+
+@query(
+    "anon_microaggregate",
+    """
+    WITH base AS (
+        SELECT c_mktsegment,
+               c_custkey,
+               CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS v
+        FROM customer
+    ), ranked AS (
+        SELECT c_mktsegment, v,
+               CAST((row_number() OVER (PARTITION BY c_mktsegment
+                                        ORDER BY v ASC, c_custkey ASC) - 1)
+                    // 10 AS BIGINT) AS group_id
+        FROM base
+    ), grouped AS (
+        SELECT c_mktsegment, group_id,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(v) // COUNT(*) AS BIGINT) AS mean_bal_e2
+        FROM ranked GROUP BY 1, 2
+    )
+    SELECT g.c_mktsegment, g.group_id, g.n, g.mean_bal_e2,
+           CAST(SUM((r.v - g.mean_bal_e2) * (r.v - g.mean_bal_e2))
+                AS BIGINT) AS ss_loss
+    FROM ranked r
+    JOIN grouped g
+      ON r.c_mktsegment = g.c_mktsegment AND r.group_id = g.group_id
+    GROUP BY g.c_mktsegment, g.group_id, g.n, g.mean_bal_e2
+    ORDER BY g.c_mktsegment, g.group_id
+    """,
+)
+def anon_microaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MICROAGGREGATION k=10 (round 11): within each market segment,
+    sort balances and fuse consecutive runs of 10 records into their
+    group mean — the numeric-attribute anonymization that k-anonymity
+    (anon_k_suppress: categorical suppression) cannot do: every
+    published balance is now shared by ≥10 customers, and the per-
+    group SSE is the information-loss ledger the privacy officer
+    trades off against k.  The fixed-size sorted-run heuristic is the
+    univariate optimal-in-class MDAV special case.
+
+    Exactness: balances as e2 integers; group means are exact integer
+    division; SSE terms are exact bigint squares around that integer
+    mean — no floats in the output at all.
+
+    Scale: the ranking window is KEYED by segment (never global); two
+    keyed aggregates and one keyed join — the scd/batch shapes.  At
+    100 TB the segment key is whatever partitions the table; a
+    single monster segment range-partitions on (v, custkey) with a
+    distributed rank."""
+    cust = load(spark, sf_dir, "customer")
+    base = cust.select(
+        "c_mktsegment",
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100).cast("bigint").alias("v"),
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("v").asc(), F.col("c_custkey").asc()
+    )
+    ranked = base.select(
+        "c_mktsegment",
+        "v",
+        ((F.row_number().over(w) - 1) / 10).cast("bigint").alias("group_id"),
+    )
+    grouped = ranked.groupBy("c_mktsegment", "group_id").agg(
+        F.count("*").cast("bigint").alias("n"),
+        (F.sum("v") / F.count("*")).cast("bigint").alias("mean_bal_e2"),
+    )
+    return (
+        ranked.join(grouped, ["c_mktsegment", "group_id"])
+        .groupBy("c_mktsegment", "group_id", "n", "mean_bal_e2")
+        .agg(
+            F.sum(
+                (F.col("v") - F.col("mean_bal_e2"))
+                * (F.col("v") - F.col("mean_bal_e2"))
+            )
+            .cast("bigint")
+            .alias("ss_loss")
+        )
+        .orderBy("c_mktsegment", "group_id")
+    )

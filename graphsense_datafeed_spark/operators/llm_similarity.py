@@ -3190,3 +3190,74 @@ def embed_panel_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_hits").cast("bigint").alias("total_hits"),
         F.max("n_hits").cast("bigint").alias("max_hits_per_doc"),
     )
+
+
+@query(
+    "embed_spherical_kmeans_step",
+    f"""
+    WITH scored AS (
+        SELECT c.vec_id, s.vec_id AS cell,
+               {_DUCK_DOT.format(a="c.embedding", b="s.embedding")} AS dot
+        FROM embeddings c JOIN embeddings s ON s.vec_id < 8
+    ), assigned AS (
+        SELECT vec_id, cell, dot FROM (
+            SELECT vec_id, cell, dot,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dot DESC, cell ASC) AS rnk
+            FROM scored
+        ) WHERE rnk = 1
+    )
+    SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(CAST(FLOOR((1.0 - dot) * 1000000) AS BIGINT))
+                AS BIGINT) AS inertia_e6
+    FROM assigned GROUP BY 1 ORDER BY 1
+    """,
+)
+def embed_spherical_kmeans_step(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ONE SPHERICAL K-MEANS ASSIGNMENT STEP (round 11), k=8,
+    deterministic seeds (vec_ids 0-7 as centroids): every vector
+    joins its argmax-cosine cell (dot desc, seed-id asc tiebreak) and
+    each cell reports membership and cosine inertia Σ(1−cos) — the
+    EXACT-ORACLE window into the Lloyd iteration that the rows-only
+    ANN trainers (sim_ann_ivf's bounded-sample Lloyd, embed_centroid_
+    topk) run opaquely: cell balance and inertia per step are what
+    you actually monitor when fitting an IVF codebook at corpus
+    scale.
+
+    Exactness: seeded centroids are corpus rows (no RNG); each dot is
+    the shared double-chain reduction; per-vector (1−dot) floors e6
+    BEFORE the order-free bigint sum.
+
+    Scale: |corpus|×8 broadcast-joined scoring (linear, the
+    embed_nearest_centroid_classify shape), keyed top-1 window on
+    vec_id, 8-row finish."""
+    e = load(spark, sf_dir, "embeddings")
+    seeds = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("s_emb")
+    )
+    scored = e.crossJoin(F.broadcast(seeds)).select(
+        "vec_id",
+        "cell",
+        dot_product(F.col("embedding"), F.col("s_emb")).alias("dot"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("dot").desc(), F.col("cell").asc()
+    )
+    assigned = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+    )
+    return (
+        assigned.groupBy("cell")
+        .agg(
+            F.count("*").cast("bigint").alias("n_members"),
+            F.sum(
+                F.floor((F.lit(1.0) - F.col("dot")) * 1000000).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("inertia_e6"),
+        )
+        .orderBy("cell")
+    )

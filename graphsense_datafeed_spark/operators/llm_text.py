@@ -5792,3 +5792,214 @@ def text_doclen_lognormal_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("median_ratio_e6"),
     ).orderBy("source")
+
+
+@query(
+    "text_term_burstiness",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(str_split(text, ' ')) AS token
+        FROM documents
+    ), per_doc AS (
+        SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+        FROM toks GROUP BY 1, 2
+    ), ndocs AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents
+    ), term AS (
+        SELECT token,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(c) AS BIGINT) AS total_cnt,
+               CAST(SUM(c * c) AS BIGINT) AS sum_sq
+        FROM per_doc GROUP BY 1
+    ), ranked AS (
+        SELECT token, n_docs, total_cnt, sum_sq,
+               row_number() OVER (ORDER BY total_cnt DESC, token ASC)
+                   AS rnk
+        FROM term
+    )
+    SELECT r.token, r.n_docs, r.total_cnt, CAST(r.rnk AS BIGINT) AS rnk,
+           CAST(FLOOR(CAST(d.nd * r.sum_sq - r.total_cnt * r.total_cnt
+                           AS DOUBLE)
+                      / (CAST(d.nd AS DOUBLE)
+                         * CAST(r.total_cnt AS DOUBLE))
+                      * 1000000) AS BIGINT) AS fano_e6
+    FROM ranked r, ndocs d WHERE r.rnk <= 20 ORDER BY r.rnk
+    """,
+)
+def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TERM BURSTINESS / FANO FACTOR (round 11) for the corpus's 20
+    most frequent terms: var/mean of the per-document count
+    (documents WITHOUT the term count as zeros).  Fano ≈ 1 means
+    Poisson scatter (function words); Fano ≫ 1 means the term
+    CLUMPS into few documents (content/topical words, boilerplate
+    runs) — the Church-Gale burstiness diagnostic that tells a
+    mixture-weights pipeline which terms are topic signals vs
+    background, and flags template spam (huge Fano on odd tokens)
+    before dedup even runs.
+
+    Exactness: zeros enter through the identity var/mean =
+    (N·Σc² − T²)/(N·T) over exact bigint counts — the
+    document-zero rows are never materialized; ONE double chain
+    floored e6.
+
+    Scale: explode → two keyed aggregates (map-side); the top-20
+    window runs over the term vocabulary (the text_keywords_topk
+    shape); 20-row finish."""
+    docs = load(spark, sf_dir, "documents")
+    per_doc = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("token")
+        )
+        .groupBy("token", "doc_id")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    ndocs = docs.agg(F.count("*").cast("bigint").alias("nd"))
+    term = per_doc.groupBy("token").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("c").cast("bigint").alias("total_cnt"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sum_sq"),
+    )
+    w = Window.orderBy(F.col("total_cnt").desc(), F.col("token").asc())
+    ranked = term.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= 20
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return (
+        ranked.crossJoin(F.broadcast(ndocs))
+        .select(
+            "token",
+            "n_docs",
+            "total_cnt",
+            F.col("rnk").cast("bigint").alias("rnk"),
+            F.floor(
+                (
+                    F.col("nd") * F.col("sum_sq")
+                    - F.col("total_cnt") * F.col("total_cnt")
+                ).cast("double")
+                / (d("nd") * d("total_cnt"))
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("fano_e6"),
+        )
+        .orderBy("rnk")
+    )
+
+
+@query(
+    "text_log_odds_sources",
+    """
+    WITH srcs AS (
+        SELECT MIN(source) AS s1,
+               MIN(CASE WHEN source > (SELECT MIN(source) FROM documents)
+                        THEN source END) AS s2
+        FROM documents
+    ), toks AS (
+        SELECT d.source, unnest(str_split(d.text, ' ')) AS token
+        FROM documents d, srcs
+        WHERE d.source = srcs.s1 OR d.source = srcs.s2
+    ), counts AS (
+        SELECT token,
+               CAST(COUNT(*) FILTER (source = (SELECT s1 FROM srcs))
+                    AS BIGINT) AS y1,
+               CAST(COUNT(*) FILTER (source = (SELECT s2 FROM srcs))
+                    AS BIGINT) AS y2
+        FROM toks GROUP BY 1
+    ), tots AS (
+        SELECT CAST(SUM(y1) AS BIGINT) AS n1,
+               CAST(SUM(y2) AS BIGINT) AS n2,
+               CAST(COUNT(*) AS BIGINT) AS v
+        FROM counts
+    ), scored AS (
+        SELECT c.token, c.y1, c.y2,
+               CAST(FLOOR((LN((CAST(c.y1 AS DOUBLE) + 1.0)
+                              / (CAST(t.n1 AS DOUBLE) + CAST(t.v AS DOUBLE)
+                                 - CAST(c.y1 AS DOUBLE) - 1.0))
+                           - LN((CAST(c.y2 AS DOUBLE) + 1.0)
+                                / (CAST(t.n2 AS DOUBLE)
+                                   + CAST(t.v AS DOUBLE)
+                                   - CAST(c.y2 AS DOUBLE) - 1.0)))
+                          / SQRT(1.0 / (CAST(c.y1 AS DOUBLE) + 1.0)
+                                 + 1.0 / (CAST(c.y2 AS DOUBLE) + 1.0))
+                          * 1000000) AS BIGINT) AS z_e6
+        FROM counts c, tots t
+    )
+    SELECT token, y1, y2, z_e6, CAST(rnk AS BIGINT) AS rnk FROM (
+        SELECT token, y1, y2, z_e6,
+               row_number() OVER (ORDER BY ABS(z_e6) DESC, token ASC)
+                   AS rnk
+        FROM scored
+    ) WHERE rnk <= 15 ORDER BY rnk
+    """,
+)
+def text_log_odds_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MONROE LOG-ODDS WITH DIRICHLET PRIOR (round 11) between the two
+    lexicographically-first sources: per shared-vocabulary term,
+    δ_w = ln((y₁+1)/(n₁+V−y₁−1)) − ln((y₂+1)/(n₂+V−y₂−1)) with the
+    uniform α=1 prior, z = δ/√(1/(y₁+1)+1/(y₂+1)) — 'Fightin'
+    Words': WHICH terms distinguish two corpus slices, with the
+    variance correction that stops raw log-ratio lists being all
+    hapaxes (the failure mode of naive tf-idf diffs).  Top-15 by |z|.
+    Complements text_js_divergence (how far apart) and
+    text_source_cross_entropy (how surprising) with WHO is
+    responsible.
+
+    Exactness: token counts exact bigints; each z is ONE double chain
+    floored e6; the |z| ranking orders by the already-floored
+    integer (never the raw double), so rank ties are impossible to
+    disagree on.
+
+    Scale: explode → keyed conditional counts (map-side); the top-15
+    window runs over the shared vocabulary; 15-row finish."""
+    docs = load(spark, sf_dir, "documents")
+    s1 = docs.agg(F.min("source").alias("s1"))
+    s2 = (
+        docs.crossJoin(F.broadcast(s1))
+        .filter(F.col("source") > F.col("s1"))
+        .agg(F.min("source").alias("s2"))
+    )
+    srcs = s1.crossJoin(F.broadcast(s2))
+    toks = (
+        docs.crossJoin(F.broadcast(srcs))
+        .filter(
+            (F.col("source") == F.col("s1"))
+            | (F.col("source") == F.col("s2"))
+        )
+        .select(
+            "source",
+            "s1",
+            "s2",
+            F.explode(F.split("text", " ")).alias("token"),
+        )
+    )
+    counts = toks.groupBy("token").agg(
+        F.count_if(F.col("source") == F.col("s1"))
+        .cast("bigint")
+        .alias("y1"),
+        F.count_if(F.col("source") == F.col("s2"))
+        .cast("bigint")
+        .alias("y2"),
+    )
+    tots = counts.agg(
+        F.sum("y1").cast("bigint").alias("n1"),
+        F.sum("y2").cast("bigint").alias("n2"),
+        F.count("*").cast("bigint").alias("v"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    delta = F.log(
+        (d("y1") + 1.0) / (d("n1") + d("v") - d("y1") - 1.0)
+    ) - F.log((d("y2") + 1.0) / (d("n2") + d("v") - d("y2") - 1.0))
+    z = delta / F.sqrt(1.0 / (d("y1") + 1.0) + 1.0 / (d("y2") + 1.0))
+    scored = counts.crossJoin(F.broadcast(tots)).select(
+        "token",
+        "y1",
+        "y2",
+        F.floor(z * 1000000).cast("bigint").alias("z_e6"),
+    )
+    w = Window.orderBy(F.abs(F.col("z_e6")).desc(), F.col("token").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 15)
+        .select("token", "y1", "y2", "z_e6", F.col("rnk").cast("bigint").alias("rnk"))
+        .orderBy("rnk")
+    )

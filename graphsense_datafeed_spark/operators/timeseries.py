@@ -9528,3 +9528,334 @@ def ts_seasonal_profile_similarity(
         .cast("bigint")
         .alias("cosine_e6"),
     ).orderBy("type_a", "type_b")
+
+
+@query(
+    "ts_dickey_fuller",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ), pairs AS (
+        SELECT CAST(x - LAG(x) OVER (ORDER BY d) AS BIGINT) AS y,
+               CAST(LAG(x) OVER (ORDER BY d) AS BIGINT) AS z
+        FROM daily QUALIFY LAG(x) OVER (ORDER BY d) IS NOT NULL
+    ), sums AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(z) AS BIGINT) AS sz,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(z * z) AS BIGINT) AS szz,
+               CAST(SUM(z * y) AS BIGINT) AS szy,
+               CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM pairs
+    )
+    SELECT n,
+           CAST(n * szy - sz * sy AS BIGINT) AS a_num,
+           CAST(n * szz - sz * sz AS BIGINT) AS b_den,
+           CAST(FLOOR(CAST(n * szy - sz * sy AS DOUBLE)
+                      / CAST(n * szz - sz * sz AS DOUBLE)
+                      * 1000000000) AS BIGINT) AS beta_e9,
+           CAST(FLOOR(CAST(n * szy - sz * sy AS DOUBLE)
+                      * SQRT((CAST(n AS DOUBLE) - 2.0)
+                             / (CAST(n * szz - sz * sz AS DOUBLE)
+                                * CAST(n * syy - sy * sy AS DOUBLE)
+                                - CAST(n * szy - sz * sy AS DOUBLE)
+                                  * CAST(n * szy - sz * sy AS DOUBLE)))
+                      * 1000000) AS BIGINT) AS df_t_e6
+    FROM sums
+    """,
+)
+def ts_dickey_fuller(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DICKEY-FULLER unit-root t-statistic (round 11), constant-only,
+    no augmentation, on the daily event-count series: regress
+    Δx_t = α + β·x_{t−1} and read the t-stat on β — the stationarity
+    gate every ARIMA/forecast member of this suite silently assumes
+    (a random-walk series makes ts_acf/ts_holt_linear readouts
+    meaningless; DF ≪ −2.9 rejects the unit root at 5%).  Completes
+    the diagnostics family: ts_variance_ratio (dependence), ts_kpss
+    (trend-stationarity, the mirrored null), DF (unit root).
+
+    Exactness: with A = nΣzy−ΣzΣy, B = nΣz²−(Σz)², C = nΣy²−(Σy)²
+    (exact bigints from integer counts), β̂ = A/B and the t-stat
+    folds to A·√((n−2)/(B·C−A²)) — ONE double chain each, floored
+    e9/e6; B·C−A² is formed in double (its exact value overflows
+    int64 at decade scales, the r10 overflow-audit discipline).
+
+    Scale: map-side daily rollup; the lag window runs on the
+    calendar-bounded pre-reduced series; one-row finish."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count("*").cast("bigint").alias("x")
+    )
+    w_seq = Window.orderBy("d")
+    pairs = (
+        daily.select(
+            (F.col("x") - F.lag("x").over(w_seq)).cast("bigint").alias("y"),
+            F.lag("x").over(w_seq).cast("bigint").alias("z"),
+        )
+        .filter(F.col("z").isNotNull())
+    )
+    sums = pairs.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("z").cast("bigint").alias("sz"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("z") * F.col("z")).cast("bigint").alias("szz"),
+        F.sum(F.col("z") * F.col("y")).cast("bigint").alias("szy"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    a = (F.col("n") * F.col("szy") - F.col("sz") * F.col("sy")).cast("bigint")
+    b = (F.col("n") * F.col("szz") - F.col("sz") * F.col("sz")).cast("bigint")
+    c = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("bigint")
+    ad, bd, cd = a.cast("double"), b.cast("double"), c.cast("double")
+    nd = F.col("n").cast("double")
+    return sums.select(
+        "n",
+        a.alias("a_num"),
+        b.alias("b_den"),
+        F.floor(ad / bd * 1000000000).cast("bigint").alias("beta_e9"),
+        F.floor(ad * F.sqrt((nd - 2.0) / (bd * cd - ad * ad)) * 1000000)
+        .cast("bigint")
+        .alias("df_t_e6"),
+    )
+
+
+@query(
+    "ts_kpss_level",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s
+        FROM daily
+    ), e AS (
+        SELECT daily.d,
+               CAST(ROW_NUMBER() OVER (ORDER BY daily.d) AS BIGINT) AS i,
+               CAST(tot.n * daily.x - tot.s AS BIGINT) AS ne
+        FROM daily, tot
+    ), parts AS (
+        SELECT i, ne,
+               CAST(SUM(ne) OVER (ORDER BY i) AS BIGINT) AS ns,
+               CAST(LAG(ne, 1) OVER (ORDER BY i) AS BIGINT) AS ne1,
+               CAST(LAG(ne, 2) OVER (ORDER BY i) AS BIGINT) AS ne2,
+               CAST(LAG(ne, 3) OVER (ORDER BY i) AS BIGINT) AS ne3,
+               CAST(LAG(ne, 4) OVER (ORDER BY i) AS BIGINT) AS ne4
+        FROM e
+    ), folded AS (
+        SELECT CAST(SUM(CAST(FLOOR(CAST(ns AS DOUBLE) * CAST(ns AS DOUBLE)
+                        / (SELECT CAST(n * n AS DOUBLE) FROM tot))
+                        AS BIGINT)) AS BIGINT) AS ss_part,
+               CAST(5 * SUM(ne * ne)
+                    + 2 * 4 * SUM(ne * ne1)
+                    + 2 * 3 * SUM(ne * ne2)
+                    + 2 * 2 * SUM(ne * ne3)
+                    + 2 * 1 * SUM(ne * ne4) AS BIGINT) AS lrv_h
+        FROM parts
+    )
+    SELECT tot.n, ss_part, lrv_h,
+           CAST(FLOOR(5.0 * CAST(ss_part AS DOUBLE)
+                      / (CAST(tot.n AS DOUBLE) * CAST(lrv_h AS DOUBLE))
+                      * 1000000) AS BIGINT) AS kpss_e6
+    FROM folded, tot
+    """,
+)
+def ts_kpss_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KPSS level-stationarity statistic (round 11), Bartlett
+    bandwidth ℓ=4, on the daily event-count series — the MIRRORED
+    null to ts_dickey_fuller (KPSS null = stationary, DF null = unit
+    root; the pair gives the four-quadrant stationarity verdict
+    every forecasting handbook prescribes): η = Σ_t S_t² / (n²·σ̂²_ℓ)
+    with S_t the partial sums of demeaned counts and σ̂²_ℓ the
+    Bartlett long-run variance.  η ≫ 0.463 rejects stationarity
+    at 5%.
+
+    Exactness by clearing the mean: n·e_t = n·x_t − Σx is an exact
+    bigint, so every autocovariance term G_j = Σ(ne_t)(ne_{t−j}) and
+    the Bartlett fold H = 5G₀+8G₁+6G₂+4G₃+2G₄ (weights 2(5−j)/5
+    cleared by 5) are exact bigints; each partial-sum square is ONE
+    double product floored to (S_t)² scale before the order-free
+    bigint sum ((nS_t)² exceeds int64 at decade scales — the r10
+    overflow-audit discipline); the final η folds in one double
+    division, floored e6.
+
+    Scale: map-side daily rollup; lag/cumsum windows run on the
+    calendar-bounded pre-reduced series; one-row finish."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count("*").cast("bigint").alias("x")
+    )
+    tot = daily.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+    )
+    e = daily.crossJoin(F.broadcast(tot)).select(
+        "d",
+        "n",
+        (F.col("n") * F.col("x") - F.col("s")).cast("bigint").alias("ne"),
+    )
+    w_seq = Window.orderBy("d")
+    parts = e.select(
+        "n",
+        "ne",
+        F.sum("ne").over(w_seq).cast("bigint").alias("ns"),
+        F.lag("ne", 1).over(w_seq).cast("bigint").alias("ne1"),
+        F.lag("ne", 2).over(w_seq).cast("bigint").alias("ne2"),
+        F.lag("ne", 3).over(w_seq).cast("bigint").alias("ne3"),
+        F.lag("ne", 4).over(w_seq).cast("bigint").alias("ne4"),
+    )
+    nsd = F.col("ns").cast("double")
+    nd = F.col("n").cast("double")
+    folded = parts.agg(
+        F.sum(F.floor(nsd * nsd / (nd * nd)).cast("bigint"))
+        .cast("bigint")
+        .alias("ss_part"),
+        (
+            5 * F.sum(F.col("ne") * F.col("ne"))
+            + 8 * F.sum(F.col("ne") * F.col("ne1"))
+            + 6 * F.sum(F.col("ne") * F.col("ne2"))
+            + 4 * F.sum(F.col("ne") * F.col("ne3"))
+            + 2 * F.sum(F.col("ne") * F.col("ne4"))
+        )
+        .cast("bigint")
+        .alias("lrv_h"),
+    )
+    return folded.crossJoin(F.broadcast(tot.select("n"))).select(
+        "n",
+        "ss_part",
+        "lrv_h",
+        F.floor(
+            5.0
+            * F.col("ss_part").cast("double")
+            / (F.col("n").cast("double") * F.col("lrv_h").cast("double"))
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("kpss_e6"),
+    )
+
+
+@query(
+    "ts_granger_1lag",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS x,
+               CAST(SUM(CAST(FLOOR(value * 10000) AS BIGINT))
+                    // COUNT(*) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ), pairs AS (
+        SELECT CAST(y AS BIGINT) AS w,
+               CAST(LAG(y) OVER (ORDER BY d) AS BIGINT) AS z1,
+               CAST(LAG(x) OVER (ORDER BY d) AS BIGINT) AS z2
+        FROM daily QUALIFY LAG(y) OVER (ORDER BY d) IS NOT NULL
+    ), sums AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(z1) AS BIGINT) AS s1, CAST(SUM(z2) AS BIGINT) AS s2,
+               CAST(SUM(w) AS BIGINT) AS sw,
+               CAST(SUM(z1 * z1) AS BIGINT) AS s11,
+               CAST(SUM(z1 * z2) AS BIGINT) AS s12,
+               CAST(SUM(z2 * z2) AS BIGINT) AS s22,
+               CAST(SUM(z1 * w) AS BIGINT) AS s1w,
+               CAST(SUM(z2 * w) AS BIGINT) AS s2w,
+               CAST(SUM(w * w) AS BIGINT) AS sww
+        FROM pairs
+    ), cleared AS (
+        SELECT n,
+               CAST(n * s11 - s1 * s1 AS DOUBLE) AS c11,
+               CAST(n * s12 - s1 * s2 AS DOUBLE) AS c12,
+               CAST(n * s22 - s2 * s2 AS DOUBLE) AS c22,
+               CAST(n * s1w - s1 * sw AS DOUBLE) AS c1w,
+               CAST(n * s2w - s2 * sw AS DOUBLE) AS c2w,
+               CAST(n * sww - sw * sw AS DOUBLE) AS cww
+        FROM sums
+    )
+    SELECT n,
+           CAST(FLOOR((cww - c1w * c1w / c11) * 1000000
+                      / CAST(n AS DOUBLE)) AS BIGINT) AS rss_r_e6,
+           CAST(FLOOR((cww - (c22 * c1w * c1w - 2.0 * c12 * c1w * c2w
+                              + c11 * c2w * c2w)
+                             / (c11 * c22 - c12 * c12)) * 1000000
+                      / CAST(n AS DOUBLE)) AS BIGINT) AS rss_u_e6,
+           CAST(FLOOR(((cww - c1w * c1w / c11)
+                       - (cww - (c22 * c1w * c1w - 2.0 * c12 * c1w * c2w
+                                 + c11 * c2w * c2w)
+                                / (c11 * c22 - c12 * c12)))
+                      * (CAST(n AS DOUBLE) - 3.0)
+                      / (cww - (c22 * c1w * c1w - 2.0 * c12 * c1w * c2w
+                                + c11 * c2w * c2w)
+                               / (c11 * c22 - c12 * c12))
+                      * 1000000) AS BIGINT) AS f_e6
+    FROM cleared
+    """,
+)
+def ts_granger_1lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRANGER CAUSALITY, one lag (round 11): does yesterday's event
+    VOLUME (daily count x) predict today's average ticket (daily mean
+    value y) beyond y's own lag?  F = (RSS_r − RSS_u)·(n−3)/RSS_u
+    comparing the restricted AR(1) of y against the unrestricted
+    regression on (y_{t−1}, x_{t−1}) — the standard lead-lag screen
+    before anyone claims 'volume drives price' from a pair of
+    dashboards; completes ts_cross_correlation_lagged (symmetric,
+    descriptive) with the directional inferential member.
+
+    Exactness: daily y is the exact integer-division mean of e4 value
+    units (bounded by the VALUE domain, so its squares cannot
+    overflow at any SF — chosen over daily sums for exactly that
+    reason); all six centered co-moments are n-cleared exact bigints;
+    the 2×2 normal-equation solve (Cramer) and F fold are ONE double
+    chain floored e6, written identically in both engines.
+
+    Scale: map-side daily rollup; one lag window on the
+    calendar-bounded series; one-row finish."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count("*").cast("bigint").alias("x"),
+        (
+            F.sum(F.floor(F.col("value") * 10000).cast("bigint"))
+            .cast("bigint")
+            / F.count("*")
+        )
+        .cast("bigint")
+        .alias("y"),
+    )
+    w_seq = Window.orderBy("d")
+    pairs = (
+        daily.select(
+            F.col("y").alias("w"),
+            F.lag("y").over(w_seq).cast("bigint").alias("z1"),
+            F.lag("x").over(w_seq).cast("bigint").alias("z2"),
+        )
+        .filter(F.col("z1").isNotNull())
+    )
+    sums = pairs.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("z1").cast("bigint").alias("s1"),
+        F.sum("z2").cast("bigint").alias("s2"),
+        F.sum("w").cast("bigint").alias("sw"),
+        F.sum(F.col("z1") * F.col("z1")).cast("bigint").alias("s11"),
+        F.sum(F.col("z1") * F.col("z2")).cast("bigint").alias("s12"),
+        F.sum(F.col("z2") * F.col("z2")).cast("bigint").alias("s22"),
+        F.sum(F.col("z1") * F.col("w")).cast("bigint").alias("s1w"),
+        F.sum(F.col("z2") * F.col("w")).cast("bigint").alias("s2w"),
+        F.sum(F.col("w") * F.col("w")).cast("bigint").alias("sww"),
+    )
+    n = F.col("n")
+    c11 = (n * F.col("s11") - F.col("s1") * F.col("s1")).cast("double")
+    c12 = (n * F.col("s12") - F.col("s1") * F.col("s2")).cast("double")
+    c22 = (n * F.col("s22") - F.col("s2") * F.col("s2")).cast("double")
+    c1w = (n * F.col("s1w") - F.col("s1") * F.col("sw")).cast("double")
+    c2w = (n * F.col("s2w") - F.col("s2") * F.col("sw")).cast("double")
+    cww = (n * F.col("sww") - F.col("sw") * F.col("sw")).cast("double")
+    nd = n.cast("double")
+    rss_r = cww - c1w * c1w / c11
+    rss_u = cww - (
+        c22 * c1w * c1w - 2.0 * c12 * c1w * c2w + c11 * c2w * c2w
+    ) / (c11 * c22 - c12 * c12)
+    return sums.select(
+        "n",
+        F.floor(rss_r * 1000000 / nd).cast("bigint").alias("rss_r_e6"),
+        F.floor(rss_u * 1000000 / nd).cast("bigint").alias("rss_u_e6"),
+        F.floor((rss_r - rss_u) * (nd - 3.0) / rss_u * 1000000)
+        .cast("bigint")
+        .alias("f_e6"),
+    )

@@ -635,12 +635,34 @@ _R9_JUDGE_PASS_RECHECK = (
     "udf_arrow_scalar",
 )
 
+_ROUND11_ADDITIONS = (
+    "ts_dickey_fuller",
+    "ts_kpss_level",
+    "ts_granger_1lag",
+    "agg_mood_median_test",
+    "agg_wasserstein_binned",
+    "agg_hellinger_drift",
+    "agg_sign_test",
+    "agg_dixon_q",
+    "events_iv_wald",
+    "events_rdd_sharp",
+    "graph_smetric",
+    "graph_transitivity_global",
+    "embed_spherical_kmeans_step",
+    "text_term_burstiness",
+    "text_log_odds_sources",
+    "anon_microaggregate",
+)
+
 # Landing-order queue for rows that have never been inside a driver
 # window.  compute_window_order() consults this for the NEVER category's
 # relative order; operators added in round 10+ append here in landing
 # order so each lands near the head of a future window.
 _NEVER_CHECKED_QUEUE = (
-    _R9_JUDGE_PASS_RECHECK + _ROUND10_NEXT_UP + _ROUND10_ADDITIONS
+    _R9_JUDGE_PASS_RECHECK
+    + _ROUND10_NEXT_UP
+    + _ROUND10_ADDITIONS
+    + _ROUND11_ADDITIONS
 )
 
 # Driver-window geometry (VERDICT r10 item 5): the driver's per-round
