@@ -9113,3 +9113,112 @@ def agg_dixon_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("q_high_e6"),
     ).orderBy("event_type")
+
+
+@query(
+    "agg_kendall_distance_topk",
+    """
+    WITH rev AS (
+        SELECT l_partkey,
+               CASE WHEN year(l_shipdate) <= 1997 THEN 'a' ELSE 'b' END
+                   AS half,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                                   * 100) AS BIGINT)) AS BIGINT) AS r
+        FROM lineitem GROUP BY 1, 2
+    ), ranked AS (
+        SELECT half, l_partkey,
+               row_number() OVER (PARTITION BY half
+                                  ORDER BY r DESC, l_partkey ASC) AS rnk
+        FROM rev
+    ), topa AS (
+        SELECT l_partkey, rnk AS ra FROM ranked
+        WHERE half = 'a' AND rnk <= 20
+    ), topb AS (
+        SELECT l_partkey, rnk AS rb FROM ranked
+        WHERE half = 'b' AND rnk <= 20
+    ), common AS (
+        SELECT a.l_partkey, a.ra, b.rb
+        FROM topa a JOIN topb b USING (l_partkey)
+    ), pairs AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(COUNT(*) FILTER (
+                   (x.ra < y.ra AND x.rb > y.rb)
+                   OR (x.ra > y.ra AND x.rb < y.rb)) AS BIGINT)
+                   AS n_discordant
+        FROM common x JOIN common y ON x.l_partkey < y.l_partkey
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM common) AS n_common,
+           p.n_pairs, p.n_discordant,
+           CASE WHEN p.n_pairs > 0 THEN
+               CAST(p.n_discordant * 1000000 // p.n_pairs AS BIGINT)
+           ELSE NULL END AS kendall_dist_e6
+    FROM pairs p
+    """,
+)
+def agg_kendall_distance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KENDALL DISTANCE BETWEEN TOP-K RANKINGS (round 11): rank parts
+    by revenue in the early (≤1997) vs late ship years, intersect
+    the two top-20 lists, and count discordant pairs — the
+    rank-stability audit that answers 'did the leaderboard actually
+    RESHUFFLE or just rotate its tail'.  Complements
+    rank_biased_overlap (top-weighted set overlap, handles disjoint
+    lists) with the classic pairwise-inversion metric on the common
+    core; distance 0 = same order, 1e6 = fully reversed.
+
+    Exactness: revenues as exact e2 bigint sums; ranks from keyed
+    windows with (revenue desc, partkey asc) total order — no rank
+    ambiguity; the pair count is exact integers over the ≤190-pair
+    bounded self-join; the distance is exact integer division.
+
+    Scale: keyed part×half rollup (map-side) → two 20-row frames →
+    bounded 20×20 self-join; nothing grows with the fact table but
+    the first rollup."""
+    li = load(spark, sf_dir, "lineitem")
+    rev = li.groupBy(
+        "l_partkey",
+        F.when(F.year("l_shipdate") <= 1997, "a").otherwise("b").alias("half"),
+    ).agg(
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("r")
+    )
+    w = Window.partitionBy("half").orderBy(
+        F.col("r").desc(), F.col("l_partkey").asc()
+    )
+    ranked = rev.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= 20
+    )
+    topa = ranked.filter(F.col("half") == "a").select(
+        "l_partkey", F.col("rnk").alias("ra")
+    )
+    topb = ranked.filter(F.col("half") == "b").select(
+        "l_partkey", F.col("rnk").alias("rb")
+    )
+    common = topa.join(topb, "l_partkey")
+    x = common.alias("x")
+    y = common.alias("y")
+    disc = (
+        (F.col("x.ra") < F.col("y.ra")) & (F.col("x.rb") > F.col("y.rb"))
+    ) | ((F.col("x.ra") > F.col("y.ra")) & (F.col("x.rb") < F.col("y.rb")))
+    pairs = x.join(
+        y, F.col("x.l_partkey") < F.col("y.l_partkey")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.count_if(disc).cast("bigint").alias("n_discordant"),
+    )
+    n_common = common.agg(F.count("*").cast("bigint").alias("n_common"))
+    return F.broadcast(n_common).crossJoin(pairs).select(
+        "n_common",
+        "n_pairs",
+        "n_discordant",
+        F.when(
+            F.col("n_pairs") > 0,
+            (F.col("n_discordant") * 1000000 / F.col("n_pairs")).cast(
+                "bigint"
+            ),
+        ).alias("kendall_dist_e6"),
+    )

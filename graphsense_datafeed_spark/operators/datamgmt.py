@@ -4156,3 +4156,238 @@ def anon_microaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment", "group_id")
     )
+
+
+@query(
+    "events_parallel_trends_placebo",
+    """
+    WITH base AS (
+        SELECT CAST(FLOOR(value * 10000) AS BIGINT) AS v_e4,
+               CAST(CAST('0x' || substr(md5('did:' ||
+                    CAST(user_id AS VARCHAR)), 1, 4) AS BIGINT) % 2
+                    AS BIGINT) AS treat,
+               CAST(CASE WHEN day(ts) >= 8 THEN 1 ELSE 0 END
+                    AS BIGINT) AS post
+        FROM events WHERE day(ts) <= 15
+    ), cell AS (
+        SELECT treat, post,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(v_e4) AS BIGINT) AS s,
+               CAST(SUM(v_e4 * v_e4) AS BIGINT) AS ss
+        FROM base GROUP BY treat, post
+    ), wide AS (
+        SELECT MAX(CASE WHEN treat = 0 AND post = 0 THEN n END) AS n00,
+               MAX(CASE WHEN treat = 0 AND post = 0 THEN s END) AS s00,
+               MAX(CASE WHEN treat = 0 AND post = 0 THEN ss END) AS ss00,
+               MAX(CASE WHEN treat = 0 AND post = 1 THEN n END) AS n01,
+               MAX(CASE WHEN treat = 0 AND post = 1 THEN s END) AS s01,
+               MAX(CASE WHEN treat = 0 AND post = 1 THEN ss END) AS ss01,
+               MAX(CASE WHEN treat = 1 AND post = 0 THEN n END) AS n10,
+               MAX(CASE WHEN treat = 1 AND post = 0 THEN s END) AS s10,
+               MAX(CASE WHEN treat = 1 AND post = 0 THEN ss END) AS ss10,
+               MAX(CASE WHEN treat = 1 AND post = 1 THEN n END) AS n11,
+               MAX(CASE WHEN treat = 1 AND post = 1 THEN s END) AS s11,
+               MAX(CASE WHEN treat = 1 AND post = 1 THEN ss END) AS ss11
+        FROM cell
+    )
+    SELECT CAST(n00 AS BIGINT) AS n00, CAST(n01 AS BIGINT) AS n01,
+           CAST(n10 AS BIGINT) AS n10, CAST(n11 AS BIGINT) AS n11,
+           CAST(FLOOR((CAST(s11 AS DOUBLE) / n11
+                       - CAST(s10 AS DOUBLE) / n10)
+                      - (CAST(s01 AS DOUBLE) / n01
+                         - CAST(s00 AS DOUBLE) / n00)) AS BIGINT)
+               AS placebo_did_e4,
+           CAST(FLOOR(
+               (((CAST(s11 AS DOUBLE) / n11 - CAST(s10 AS DOUBLE) / n10)
+                 - (CAST(s01 AS DOUBLE) / n01
+                    - CAST(s00 AS DOUBLE) / n00))
+                / sqrt(
+               ((CAST(ss00 AS DOUBLE) - CAST(s00 AS DOUBLE)
+                 * CAST(s00 AS DOUBLE) / n00) / (n00 - 1.0)) / n00
+             + ((CAST(ss01 AS DOUBLE) - CAST(s01 AS DOUBLE)
+                 * CAST(s01 AS DOUBLE) / n01) / (n01 - 1.0)) / n01
+             + ((CAST(ss10 AS DOUBLE) - CAST(s10 AS DOUBLE)
+                 * CAST(s10 AS DOUBLE) / n10) / (n10 - 1.0)) / n10
+             + ((CAST(ss11 AS DOUBLE) - CAST(s11 AS DOUBLE)
+                 * CAST(s11 AS DOUBLE) / n11) / (n11 - 1.0)) / n11))
+               * 10000) AS BIGINT) AS placebo_t_e4
+    FROM wide
+    """,
+)
+def events_parallel_trends_placebo(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PARALLEL-TRENDS PLACEBO (round 11): rerun events_did_estimator
+    ENTIRELY INSIDE the pre-period (days 1-7 vs 8-15, same frozen
+    md5 'did:' arms as the real estimator — deliberately the same
+    prefix, because the placebo must test the arms you actually
+    use), where the true effect is zero by construction.  A placebo
+    t beyond ±2 means the arms were already trending apart before
+    the cutoff and the headline DiD is uninterpretable — the ONE
+    diagnostic every DiD referee asks for first; the estimator and
+    its refutation test now ship as a pair.
+
+    Exactness: identical cell-sum machinery to events_did_estimator
+    (exact e4 bigint three-sums per cell, ONE double chain for the
+    point and t, floored e4).
+
+    Scale: one filtered pass → 4-cell partial aggregate → 1-row
+    pivot — the events_did_estimator shape exactly."""
+    ev = load(spark, sf_dir, "events")
+    treat = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("did:"), F.col("user_id").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    base = ev.filter(F.dayofmonth("ts") <= 15).select(
+        F.floor(F.col("value") * 10000).cast("bigint").alias("v_e4"),
+        treat.alias("treat"),
+        F.when(F.dayofmonth("ts") >= 8, 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("post"),
+    )
+    cell = base.groupBy("treat", "post").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("v_e4").cast("bigint").alias("s"),
+        F.sum(F.col("v_e4") * F.col("v_e4")).cast("bigint").alias("ss"),
+    )
+
+    def _pick(t: int, p: int, col: str):
+        return F.max(
+            F.when((F.col("treat") == t) & (F.col("post") == p), F.col(col))
+        ).alias(f"{col}{t}{p}")
+
+    wide = cell.groupBy().agg(
+        *[_pick(t, p, c) for t in (0, 1) for p in (0, 1) for c in ("n", "s", "ss")]
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    did = (d("s11") / d("n11") - d("s10") / d("n10")) - (
+        d("s01") / d("n01") - d("s00") / d("n00")
+    )
+
+    def _cell_var_over_n(t: int, p: int):
+        n, s, ss = d(f"n{t}{p}"), d(f"s{t}{p}"), d(f"ss{t}{p}")
+        return ((ss - s * s / n) / (n - 1.0)) / n
+
+    se = F.sqrt(
+        _cell_var_over_n(0, 0)
+        + _cell_var_over_n(0, 1)
+        + _cell_var_over_n(1, 0)
+        + _cell_var_over_n(1, 1)
+    )
+    return wide.select(
+        F.col("n00").cast("bigint").alias("n00"),
+        F.col("n01").cast("bigint").alias("n01"),
+        F.col("n10").cast("bigint").alias("n10"),
+        F.col("n11").cast("bigint").alias("n11"),
+        F.floor(did).cast("bigint").alias("placebo_did_e4"),
+        F.floor(did / se * 10000).cast("bigint").alias("placebo_t_e4"),
+    )
+
+
+_ENTROPY_COLUMNS = ("o_orderstatus", "o_orderpriority")
+
+
+def _entropy_oracle_sql() -> str:
+    branches = []
+    for col in _ENTROPY_COLUMNS:
+        branches.append(f"""
+        SELECT '{col}' AS col_name,
+               CAST(t.nr AS BIGINT) AS n_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               CAST(SUM(CAST(FLOOR(CAST(cc.c AS DOUBLE)
+                        * LN(CAST(t.nr AS DOUBLE)
+                             / CAST(cc.c AS DOUBLE)) * 1000000) AS BIGINT))
+                    AS BIGINT) AS s_terms_e6
+        FROM (
+            SELECT {col}, CAST(COUNT(*) AS BIGINT) AS c
+            FROM orders GROUP BY 1
+        ) cc, (SELECT CAST(COUNT(*) AS BIGINT) AS nr FROM orders) t
+        GROUP BY t.nr""")
+    return (
+        "SELECT col_name, n_rows, n_distinct, "
+        "CAST(s_terms_e6 // n_rows AS BIGINT) AS entropy_e6, "
+        "CAST(FLOOR(CAST(s_terms_e6 // n_rows AS DOUBLE) "
+        "     / LN(CAST(n_distinct AS DOUBLE)) ) AS BIGINT) AS norm_entropy_e6 "
+        "FROM (" + " UNION ALL ".join(branches) + ") ORDER BY col_name"
+    )
+
+
+@query("profile_column_entropy", _entropy_oracle_sql())
+def profile_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-COLUMN SHANNON ENTROPY profile (round 11) over the orders
+    categoricals: H = Σ (c/N)·ln(N/c) plus the ln(k)-normalized form
+    — the one-number answer to 'is this column worth a dictionary /
+    a partition key / a zorder slot': H near ln(k) means uniform
+    (partition-friendly, dictionary-cheap), H near 0 means one
+    dominant value (predicate-selectivity trap; skew-join risk).
+    The datamgmt complement to profile_skew (per-KEY counts) and
+    agg_entropy (one column) — a fixed audited column LIST, the
+    profile_functional_dependency pattern.
+
+    Exactness: value counts exact; each count's c·ln(N/c) term floors
+    e6 BEFORE the order-free bigint sum; entropy is the exact integer
+    division of that sum by N; normalization is one double chain.
+
+    Scale: one keyed aggregate per audited column (unioned — one scan
+    each, map-side partials; a shared-scan rewrite via grouping sets
+    is the 100 TB refinement); value-domain-bounded finish."""
+    orders = load(spark, sf_dir, "orders")
+    outs = []
+    for col in _ENTROPY_COLUMNS:
+        counts = orders.groupBy(F.col(col).alias("val")).agg(
+            F.count("*").cast("bigint").alias("c")
+        )
+        tot = counts.agg(F.sum("c").cast("bigint").alias("n_rows"))
+        folded = (
+            counts.crossJoin(F.broadcast(tot))
+            .agg(
+                F.max("n_rows").cast("bigint").alias("n_rows"),
+                F.count("*").cast("bigint").alias("n_distinct"),
+                F.sum(
+                    F.floor(
+                        F.col("c").cast("double")
+                        * F.log(
+                            F.col("n_rows").cast("double")
+                            / F.col("c").cast("double")
+                        )
+                        * 1000000
+                    ).cast("bigint")
+                )
+                .cast("bigint")
+                .alias("s_terms_e6"),
+            )
+            .select(
+                F.lit(col).alias("col_name"),
+                "n_rows",
+                "n_distinct",
+                (F.col("s_terms_e6") / F.col("n_rows"))
+                .cast("bigint")
+                .alias("entropy_e6"),
+                F.floor(
+                    (F.col("s_terms_e6") / F.col("n_rows"))
+                    .cast("bigint")
+                    .cast("double")
+                    / F.log(F.col("n_distinct").cast("double"))
+                )
+                .cast("bigint")
+                .alias("norm_entropy_e6"),
+            )
+        )
+        outs.append(folded)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("col_name")

@@ -3261,3 +3261,136 @@ def embed_spherical_kmeans_step(
         )
         .orderBy("cell")
     )
+
+
+@query(
+    "embed_cka_split",
+    """
+    WITH flat AS (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) AS pos,
+               CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 10000)
+                    AS BIGINT) AS v
+        FROM embeddings
+    ), xf AS (
+        SELECT vec_id, pos AS p, v FROM flat WHERE pos <= 32
+    ), yf AS (
+        SELECT vec_id, pos - 32 AS q, v AS w FROM flat WHERE pos > 32
+    ), cxy AS (
+        SELECT x.p, y.q, CAST(SUM(x.v * y.w) AS BIGINT) AS c
+        FROM xf x JOIN yf y USING (vec_id) GROUP BY 1, 2
+    ), cxx AS (
+        SELECT a.p, b.p AS q, CAST(SUM(a.v * b.v) AS BIGINT) AS c
+        FROM xf a JOIN xf b USING (vec_id) GROUP BY 1, 2
+    ), cyy AS (
+        SELECT a.q AS p, b.q, CAST(SUM(a.w * b.w) AS BIGINT) AS c
+        FROM yf a JOIN yf b USING (vec_id) GROUP BY 1, 2
+    ), folds AS (
+        SELECT
+            (SELECT CAST(SUM(CAST(FLOOR(CAST(c AS DOUBLE)
+                 * CAST(c AS DOUBLE) / 1000000000000) AS BIGINT))
+                 AS BIGINT) FROM cxy) AS sxy,
+            (SELECT CAST(SUM(CAST(FLOOR(CAST(c AS DOUBLE)
+                 * CAST(c AS DOUBLE) / 1000000000000) AS BIGINT))
+                 AS BIGINT) FROM cxx) AS sxx,
+            (SELECT CAST(SUM(CAST(FLOOR(CAST(c AS DOUBLE)
+                 * CAST(c AS DOUBLE) / 1000000000000) AS BIGINT))
+                 AS BIGINT) FROM cyy) AS syy
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS n_vec,
+           sxy AS frob2_xy_s, sxx AS frob2_xx_s, syy AS frob2_yy_s,
+           CAST(FLOOR(CAST(sxy AS DOUBLE)
+                      / (SQRT(CAST(sxx AS DOUBLE))
+                         * SQRT(CAST(syy AS DOUBLE)))
+                      * 1000000) AS BIGINT) AS cka_e6
+    FROM folds
+    """,
+)
+def embed_cka_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR CKA BETWEEN THE TWO HALVES of the embedding dims (round
+    11), uncentered: CKA = ‖XᵀY‖²_F / (‖XᵀX‖_F·‖YᵀY‖_F) with X =
+    dims 1-32, Y = dims 33-64 — DO the two halves of the
+    representation encode the same geometry?  High CKA means the
+    trailing dims are redundant with the leading ones
+    (matryoshka-truncation and PQ-subspace compression are safe —
+    the pairwise companion to embed_dim_variance_profile's per-axis
+    and embed_gram_spectral_norm's top-direction views); CKA falling
+    across snapshots localizes representation drift to WHICH
+    subspace changed.  The uncentered (gram-cosine) form is used so
+    every co-moment stays an exact cleared integer.
+
+    Exactness: values quantized to e4 bigints, so every 32×32 gram
+    cell Σvw is an exact bigint at ANY corpus size; each cell's
+    square is ONE correctly-rounded double product scaled 1e-12 and
+    floored BEFORE the order-free bigint fold (the scale cancels in
+    the CKA ratio); final is one double chain floored e6.
+
+    Scale: posexplode → three vec-keyed self-joins with a fixed
+    32×32 fan-out (linear in corpus, the embed_centroids shape) →
+    1024-cell aggregates → 1-row fold."""
+    e = load(spark, sf_dir, "embeddings")
+    flat = e.select(
+        "vec_id",
+        (F.posexplode("embedding")).alias("pos0", "val"),
+    ).select(
+        "vec_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.floor(F.col("val").cast("double") * 10000).cast("bigint").alias("v"),
+    )
+    xf = flat.filter(F.col("pos") <= 32).select(
+        "vec_id", F.col("pos").alias("p"), "v"
+    )
+    yf = flat.filter(F.col("pos") > 32).select(
+        "vec_id", (F.col("pos") - 32).alias("q"), F.col("v").alias("w")
+    )
+
+    def _fold(gram: DataFrame, alias: str) -> DataFrame:
+        sq = (
+            F.col("c").cast("double") * F.col("c").cast("double")
+            / 1000000000000
+        )
+        return gram.agg(
+            F.sum(F.floor(sq).cast("bigint")).cast("bigint").alias(alias)
+        )
+
+    cxy = (
+        xf.join(yf, "vec_id")
+        .groupBy("p", "q")
+        .agg(F.sum(F.col("v") * F.col("w")).cast("bigint").alias("c"))
+    )
+    a, b = xf.alias("a"), xf.alias("b")
+    cxx = (
+        a.join(b, "vec_id")
+        .groupBy(F.col("a.p"), F.col("b.p"))
+        .agg(F.sum(F.col("a.v") * F.col("b.v")).cast("bigint").alias("c"))
+    )
+    ya, yb = yf.alias("a"), yf.alias("b")
+    cyy = (
+        ya.join(yb, "vec_id")
+        .groupBy(F.col("a.q"), F.col("b.q"))
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).cast("bigint").alias("c"))
+    )
+    n_vec = e.agg(F.count("*").cast("bigint").alias("n_vec"))
+    sxy = _fold(cxy, "frob2_xy_s")
+    sxx = _fold(cxx, "frob2_xx_s")
+    syy = _fold(cyy, "frob2_yy_s")
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return (
+        F.broadcast(n_vec)
+        .crossJoin(sxy)
+        .crossJoin(F.broadcast(sxx))
+        .crossJoin(F.broadcast(syy))
+        .select(
+            "n_vec",
+            "frob2_xy_s",
+            "frob2_xx_s",
+            "frob2_yy_s",
+            F.floor(
+                d("frob2_xy_s")
+                / (F.sqrt(d("frob2_xx_s")) * F.sqrt(d("frob2_yy_s")))
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("cka_e6"),
+        )
+    )

@@ -652,6 +652,10 @@ _ROUND11_ADDITIONS = (
     "text_term_burstiness",
     "text_log_odds_sources",
     "anon_microaggregate",
+    "events_parallel_trends_placebo",
+    "profile_column_entropy",
+    "agg_kendall_distance_topk",
+    "embed_cka_split",
 )
 
 # Landing-order queue for rows that have never been inside a driver
