@@ -2538,3 +2538,66 @@ def graph_transitivity_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("transitivity_e6"),
     )
+
+
+@query(
+    "graph_local_bridges",
+    f"""
+    WITH {_DUCK_EDGES},
+    sym AS (
+        SELECT src, dst FROM edges
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM edges
+    ), wedged AS (
+        SELECT e.src, e.dst, CAST(COUNT(s2.dst) AS BIGINT) AS cn
+        FROM edges e
+        LEFT JOIN sym s1 ON s1.src = e.src
+        LEFT JOIN sym s2 ON s2.src = e.dst AND s2.dst = s1.dst
+        GROUP BY e.src, e.dst
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+           CAST(COUNT(*) FILTER (cn = 0) AS BIGINT) AS n_local_bridges,
+           CAST(COUNT(*) FILTER (cn = 0) * 1000000 // COUNT(*) AS BIGINT)
+               AS share_e6
+    FROM wedged
+    """,
+)
+def graph_local_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCAL-BRIDGE CENSUS (round 11): an edge is a local bridge when
+    its endpoints share NO common neighbor — removing it forces any
+    alternative path to length ≥ 3.  Granovetter's weak-tie edges in
+    graph form: local bridges are where information (or tainted
+    value, in the co-spend graph) crosses between otherwise-separate
+    clusters, the edge-level complement to graph_clustering_coeff
+    (which scores the NODES) and the structural signal under
+    graph_edge_overlap_bridges' overlap quantiles — this is the
+    exact zero-overlap boundary case, counted.
+
+    Exactness: common-neighbor counts are exact integers from the
+    oriented wedge join (LEFT joins keep zero-wedge edges); the
+    share is exact integer division.
+
+    Scale: the graph_common_neighbors join program (wedges pivot on
+    shared endpoints; degree-orientation bounds hub fan-out at
+    100 TB) with a 1-row census finish."""
+    e = cooccurrence_edges(spark)
+    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    s1 = sym.select(F.col("src").alias("u"), F.col("dst").alias("w1"))
+    s2 = sym.select(F.col("src").alias("v"), F.col("dst").alias("w2"))
+    wedged = (
+        e.join(s1, e.src == s1.u, "left")
+        .join(
+            s2,
+            (e.dst == s2.v) & (F.col("w1") == F.col("w2")),
+            "left",
+        )
+        .groupBy(e.src, e.dst)
+        .agg(F.count(F.col("w2")).cast("bigint").alias("cn"))
+    )
+    return wedged.agg(
+        F.count("*").cast("bigint").alias("n_edges"),
+        F.count_if(F.col("cn") == 0).cast("bigint").alias("n_local_bridges"),
+        (F.count_if(F.col("cn") == 0) * 1000000 / F.count("*"))
+        .cast("bigint")
+        .alias("share_e6"),
+    )

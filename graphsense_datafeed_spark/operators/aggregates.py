@@ -9222,3 +9222,117 @@ def agg_kendall_distance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("kendall_dist_e6"),
     )
+
+
+@query(
+    "agg_newcombe_diff_ci",
+    """
+    WITH arms AS (
+        SELECT CASE WHEN day(ts) <= 15 THEN 1 ELSE 2 END AS half,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT)
+                   AS x
+        FROM events GROUP BY 1
+    ), wide AS (
+        SELECT MAX(CASE WHEN half = 1 THEN n END) AS n1,
+               MAX(CASE WHEN half = 1 THEN x END) AS x1,
+               MAX(CASE WHEN half = 2 THEN n END) AS n2,
+               MAX(CASE WHEN half = 2 THEN x END) AS x2
+        FROM arms
+    ), wilson AS (
+        SELECT n1, x1, n2, x2,
+               CAST(x1 AS DOUBLE) / n1 AS p1,
+               CAST(x2 AS DOUBLE) / n2 AS p2,
+               (CAST(x1 AS DOUBLE) / n1 + 1.9208 / n1
+                - 1.96 * SQRT((CAST(x1 AS DOUBLE) / n1)
+                              * (1.0 - CAST(x1 AS DOUBLE) / n1) / n1
+                              + 0.9604 / (CAST(n1 AS DOUBLE) * n1)))
+               / (1.0 + 3.8416 / n1) AS l1,
+               (CAST(x1 AS DOUBLE) / n1 + 1.9208 / n1
+                + 1.96 * SQRT((CAST(x1 AS DOUBLE) / n1)
+                              * (1.0 - CAST(x1 AS DOUBLE) / n1) / n1
+                              + 0.9604 / (CAST(n1 AS DOUBLE) * n1)))
+               / (1.0 + 3.8416 / n1) AS u1,
+               (CAST(x2 AS DOUBLE) / n2 + 1.9208 / n2
+                - 1.96 * SQRT((CAST(x2 AS DOUBLE) / n2)
+                              * (1.0 - CAST(x2 AS DOUBLE) / n2) / n2
+                              + 0.9604 / (CAST(n2 AS DOUBLE) * n2)))
+               / (1.0 + 3.8416 / n2) AS l2,
+               (CAST(x2 AS DOUBLE) / n2 + 1.9208 / n2
+                + 1.96 * SQRT((CAST(x2 AS DOUBLE) / n2)
+                              * (1.0 - CAST(x2 AS DOUBLE) / n2) / n2
+                              + 0.9604 / (CAST(n2 AS DOUBLE) * n2)))
+               / (1.0 + 3.8416 / n2) AS u2
+        FROM wide
+    )
+    SELECT n1, x1, n2, x2,
+           CAST(FLOOR((p1 - p2) * 1000000) AS BIGINT) AS diff_e6,
+           CAST(FLOOR((p1 - p2
+                       - SQRT((p1 - l1) * (p1 - l1)
+                              + (u2 - p2) * (u2 - p2))) * 1000000)
+                AS BIGINT) AS lo_e6,
+           CAST(FLOOR((p1 - p2
+                       + SQRT((u1 - p1) * (u1 - p1)
+                              + (p2 - l2) * (p2 - l2))) * 1000000)
+                AS BIGINT) AS hi_e6
+    FROM wilson
+    """,
+)
+def agg_newcombe_diff_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEWCOMBE HYBRID-WILSON CI for a difference of proportions
+    (round 11): purchase share, first vs second half-month — the
+    readout every A/B dashboard actually needs (the DIFFERENCE with
+    its interval, not two separate intervals eyeballed for overlap).
+    Newcombe's construction composes the two Wilson score intervals
+    (agg_wilson_interval is the single-arm member):
+    L = d − √((p₁−l₁)² + (u₂−p₂)²), U = d + √((u₁−p₁)² + (p₂−l₂)²)
+    — it respects the [−1,1] bounds and never degenerates at 0% or
+    100% the way the Wald ± z·SE interval does.
+
+    Exactness: arm counts exact bigints; z = 1.96 enters as the
+    literal constants 1.9208/3.8416/0.9604 (z²/2, z², z²/4 scaled)
+    written identically in both engines; the three readouts are ONE
+    double chain each, floored e6.
+
+    Scale: one conditional-count pass (map-side) → 1-row pivot →
+    closed-form fold; no windows, no joins."""
+    ev = load(spark, sf_dir, "events")
+    arms = ev.groupBy(
+        F.when(F.dayofmonth("ts") <= 15, 1).otherwise(2).alias("half")
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.count_if(F.col("event_type") == "purchase")
+        .cast("bigint")
+        .alias("x"),
+    )
+    wide = arms.groupBy().agg(
+        F.max(F.when(F.col("half") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("half") == 1, F.col("x"))).alias("x1"),
+        F.max(F.when(F.col("half") == 2, F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("half") == 2, F.col("x"))).alias("x2"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+
+    def _wilson(x: str, n: str):
+        p = d(x) / d(n)
+        half = 1.9208 / d(n)
+        rad = 1.96 * F.sqrt(
+            p * (1.0 - p) / d(n) + 0.9604 / (d(n) * d(n))
+        )
+        den = 1.0 + 3.8416 / d(n)
+        return p, (p + half - rad) / den, (p + half + rad) / den
+
+    p1, l1, u1 = _wilson("x1", "n1")
+    p2, l2, u2 = _wilson("x2", "n2")
+    diff = p1 - p2
+    lo = diff - F.sqrt((p1 - l1) * (p1 - l1) + (u2 - p2) * (u2 - p2))
+    hi = diff + F.sqrt((u1 - p1) * (u1 - p1) + (p2 - l2) * (p2 - l2))
+    return wide.select(
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("x1").cast("bigint").alias("x1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        F.col("x2").cast("bigint").alias("x2"),
+        F.floor(diff * 1000000).cast("bigint").alias("diff_e6"),
+        F.floor(lo * 1000000).cast("bigint").alias("lo_e6"),
+        F.floor(hi * 1000000).cast("bigint").alias("hi_e6"),
+    )

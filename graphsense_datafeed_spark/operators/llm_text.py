@@ -6003,3 +6003,115 @@ def text_log_odds_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("token", "y1", "y2", "z_e6", F.col("rnk").cast("bigint").alias("rnk"))
         .orderBy("rnk")
     )
+
+
+@query(
+    "text_ccnet_perplexity_buckets",
+    """
+    WITH toks AS (
+        SELECT doc_id, lang, unnest(str_split(text, ' ')) AS token
+        FROM documents
+    ), counts AS (
+        SELECT token, COUNT(*) AS c FROM toks GROUP BY token
+    ), total AS (
+        SELECT CAST(SUM(c) AS DOUBLE) AS n FROM counts
+    ), probs AS (
+        SELECT token,
+               CAST(FLOOR(-ln(CAST(c AS DOUBLE) / (SELECT n FROM total))
+                          * 1000000) AS BIGINT) AS nll_e6
+        FROM counts
+    ), scored AS (
+        SELECT t.doc_id, t.lang,
+               CAST(FLOOR(CAST(SUM(p.nll_e6) AS DOUBLE) / COUNT(*))
+                    AS BIGINT) AS avg_nll_e6
+        FROM toks t JOIN probs p USING (token)
+        GROUP BY t.doc_id, t.lang
+    ), cuts AS (
+        SELECT lang,
+               CAST(quantile_disc(avg_nll_e6, 0.3333333333333333)
+                    AS BIGINT) AS c1,
+               CAST(quantile_disc(avg_nll_e6, 0.6666666666666666)
+                    AS BIGINT) AS c2
+        FROM scored GROUP BY 1
+    )
+    SELECT s.lang,
+           CASE WHEN s.avg_nll_e6 <= c.c1 THEN 'head'
+                WHEN s.avg_nll_e6 <= c.c2 THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(s.avg_nll_e6) // COUNT(*) AS BIGINT) AS mean_nll_e6
+    FROM scored s JOIN cuts c USING (lang)
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def text_ccnet_perplexity_buckets(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CCNET HEAD/MIDDLE/TAIL BUCKETS (round 11): per language, cut
+    the per-document average unigram NLL at the within-language
+    discrete terciles and label docs head (most fluent third),
+    middle, tail — the exact pipeline stage CCNet/CommonCrawl
+    curation made standard (train on head, inspect middle, drop or
+    re-weight tail), composed from this repo's own LM scoring
+    (text_unigram_logprob conventions) and reference-frozen
+    disc-quantile cuts (the agg_psi_drift discipline).  PER-LANGUAGE
+    cuts matter: a global cut just reinvents language ID, the
+    documented CCNet pitfall.
+
+    Exactness: per-vocab-entry NLL floored e6 once, per-doc score an
+    exact bigint fold + integer division; tercile cuts are discrete
+    order statistics of those integers; bucket membership and the
+    per-bucket means are pure integer programs.
+
+    Scale: the text_unigram_logprob shape (vocab broadcast, doc-keyed
+    agg) + one lang-keyed disc-quantile + broadcast cuts join —
+    nothing new shuffles on more than (lang, doc)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
+    )
+    counts = toks.groupBy("token").agg(F.count("*").alias("c"))
+    n_total = float(toks.count())
+    probs = counts.select(
+        "token",
+        F.floor(-F.log(F.col("c").cast("double") / F.lit(n_total)) * 1000000)
+        .cast("bigint")
+        .alias("nll_e6"),
+    )
+    scored = (
+        toks.join(F.broadcast(probs), "token")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.floor(F.sum("nll_e6").cast("double") / F.count("*"))
+            .cast("bigint")
+            .alias("avg_nll_e6")
+        )
+    )
+    cuts = scored.groupBy("lang").agg(
+        F.expr(
+            "percentile_disc(0.3333333333333333) WITHIN GROUP (ORDER BY avg_nll_e6)"
+        )
+        .cast("bigint")
+        .alias("c1"),
+        F.expr(
+            "percentile_disc(0.6666666666666666) WITHIN GROUP (ORDER BY avg_nll_e6)"
+        )
+        .cast("bigint")
+        .alias("c2"),
+    )
+    bucket = (
+        F.when(F.col("avg_nll_e6") <= F.col("c1"), "head")
+        .when(F.col("avg_nll_e6") <= F.col("c2"), "middle")
+        .otherwise("tail")
+    )
+    return (
+        scored.join(F.broadcast(cuts), "lang")
+        .groupBy("lang", bucket.alias("bucket"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            (F.sum("avg_nll_e6") / F.count("*"))
+            .cast("bigint")
+            .alias("mean_nll_e6"),
+        )
+        .orderBy("lang", "bucket")
+    )

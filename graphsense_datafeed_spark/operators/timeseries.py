@@ -9859,3 +9859,113 @@ def ts_granger_1lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("f_e6"),
     )
+
+
+@query(
+    "ts_locf_max_gap",
+    """
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour_ts,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events WHERE user_id < 40
+      GROUP BY user_id, date_trunc('hour', ts)
+    ), bounds AS (
+      SELECT user_id, MIN(hour_ts) AS h0, MAX(hour_ts) AS h1
+      FROM hourly GROUP BY user_id
+    ), grid AS (
+      SELECT user_id,
+             unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour_ts
+      FROM bounds
+    ), joined AS (
+      SELECT g.user_id, g.hour_ts, h.n_events,
+             last_value(h.n_events IGNORE NULLS) OVER (
+                 PARTITION BY g.user_id ORDER BY g.hour_ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS carried,
+             last_value(CASE WHEN h.n_events IS NOT NULL
+                        THEN g.hour_ts END IGNORE NULLS) OVER (
+                 PARTITION BY g.user_id ORDER BY g.hour_ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS last_obs
+      FROM grid g
+      LEFT JOIN hourly h
+        ON g.user_id = h.user_id AND g.hour_ts = h.hour_ts
+    )
+    SELECT user_id, hour_ts,
+           CAST(CASE WHEN n_events IS NOT NULL THEN n_events
+                WHEN date_diff('hour', last_obs, hour_ts) <= 6
+                THEN carried ELSE NULL END AS BIGINT) AS n_events_filled,
+           CAST(date_diff('hour', last_obs, hour_ts) AS BIGINT)
+               AS gap_hours,
+           n_events IS NULL
+               AND date_diff('hour', last_obs, hour_ts) <= 6 AS was_filled
+    FROM joined
+    """,
+)
+def ts_locf_max_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOUNDED-GAP LOCF (round 11): the production variant of
+    ts_resample_locf — carry the last observation forward AT MOST 6
+    hours, then surface NULL rather than keep repeating a stale
+    reading.  Unbounded LOCF is the classic monitoring lie (a dead
+    sensor 'reports' its last value forever; ts_missing_data_census
+    exists precisely to catch that); the max-gap cutoff is the fix
+    every metrics pipeline actually deploys, and the gap_hours
+    column is the staleness audit trail.
+
+    Exactness: grid, carried values, and gap arithmetic are all
+    integer/calendar programs — last_value IGNORE NULLS over the
+    same keyed frame in both engines; no floats anywhere.
+
+    Scale: user-keyed spine join + one keyed window carrying BOTH
+    the value and its observation hour on a single frame (one window
+    pass, not two) — the ts_resample_locf shape with a second
+    carried column."""
+    ev = load(spark, sf_dir, "events")
+    hourly = (
+        ev.filter(F.col("user_id") < 40)
+        .groupBy("user_id", F.date_trunc("hour", "ts").alias("hour_ts"))
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+    )
+    bounds = hourly.groupBy("user_id").agg(
+        F.min("hour_ts").alias("h0"), F.max("hour_ts").alias("h1")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour_ts"),
+    )
+    joined = grid.join(hourly, ["user_id", "hour_ts"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = F.last("n_events", ignorenulls=True).over(w)
+    last_obs = F.last(
+        F.when(F.col("n_events").isNotNull(), F.col("hour_ts")),
+        ignorenulls=True,
+    ).over(w)
+    gap = (
+        (F.unix_timestamp(F.col("hour_ts")) - F.unix_timestamp(last_obs))
+        / 3600
+    ).cast("bigint")
+    out = joined.select(
+        "user_id",
+        "hour_ts",
+        "n_events",
+        carried.alias("carried"),
+        gap.alias("gap_hours"),
+    )
+    return out.select(
+        "user_id",
+        "hour_ts",
+        F.when(F.col("n_events").isNotNull(), F.col("n_events"))
+        .when(F.col("gap_hours") <= 6, F.col("carried"))
+        .cast("bigint")
+        .alias("n_events_filled"),
+        "gap_hours",
+        (F.col("n_events").isNull() & (F.col("gap_hours") <= 6)).alias(
+            "was_filled"
+        ),
+    )

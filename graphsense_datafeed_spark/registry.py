@@ -656,6 +656,10 @@ _ROUND11_ADDITIONS = (
     "profile_column_entropy",
     "agg_kendall_distance_topk",
     "embed_cka_split",
+    "text_ccnet_perplexity_buckets",
+    "ts_locf_max_gap",
+    "agg_newcombe_diff_ci",
+    "graph_local_bridges",
 )
 
 # Landing-order queue for rows that have never been inside a driver
