@@ -108,3 +108,50 @@ def date_unix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date("ts").alias("event_date"),
         F.date_format("ts", "yyyy-MM-dd HH:mm").alias("formatted"),
     )
+
+@query(
+    "date_business_days",
+    """
+    SELECT o.o_orderkey,
+           CAST(o.o_orderdate AS DATE) AS start_d,
+           CAST(COUNT(*) FILTER (
+               isodow(CAST(o.o_orderdate AS DATE) + CAST(i.i AS INTEGER)) < 6
+           ) AS BIGINT) AS biz_days
+    FROM (SELECT o_orderkey, o_orderdate FROM orders
+          WHERE o_orderkey < 200) o,
+         (SELECT unnest(range(1, 31)) AS i) i
+    GROUP BY 1, 2 ORDER BY 1
+    """,
+)
+def date_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUSINESS-DAY COUNT (round 11): weekdays (Mon-Fri) among the 30
+    days following each order date — the SLA arithmetic every
+    fulfillment/settlement pipeline needs and no engine ships as a
+    builtin.  Implemented by explicit enumeration of the bounded
+    30-day offset domain rather than a closed-form dow formula: the
+    enumeration is self-evidently correct, identical in both engines
+    (the dow-arithmetic shortcut has 7 boundary cases and engines
+    disagree on week-start conventions — Spark dayofweek is
+    Sun-based, DuckDB isodow Mon-based; counting sidesteps the
+    convention entirely), and extends to holiday calendars by one
+    anti-join against a holiday table.
+
+    Exactness: pure calendar/integer program.
+
+    Scale: a constant 30× fan-out on the filtered slice — the
+    explode is bounded by the OFFSET domain, not the data; the
+    aggregate collapses it right back (map-side)."""
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
+    days = orders.select(
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("start_d"),
+        F.explode(F.sequence(F.lit(1), F.lit(30))).alias("i"),
+    )
+    is_weekday = ~F.dayofweek(
+        F.date_add(F.col("start_d"), F.col("i"))
+    ).isin(1, 7)
+    return (
+        days.groupBy("o_orderkey", "start_d")
+        .agg(F.count_if(is_weekday).cast("bigint").alias("biz_days"))
+        .orderBy("o_orderkey")
+    )

@@ -6115,3 +6115,56 @@ def text_ccnet_perplexity_buckets(
         )
         .orderBy("lang", "bucket")
     )
+
+
+@query(
+    "sample_domain_cap",
+    """
+    WITH ranked AS (
+        SELECT source, doc_id, n_chars,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY doc_id ASC) AS rnk
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (rnk <= 25) AS BIGINT) AS n_kept,
+           CAST(COUNT(*) FILTER (rnk > 25) AS BIGINT) AS n_capped,
+           CAST(SUM(n_chars) FILTER (rnk <= 25) AS BIGINT) AS kept_chars
+    FROM ranked GROUP BY 1 ORDER BY 1
+    """,
+)
+def sample_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-DOMAIN DOCUMENT CAP (round 11): keep at most 25 documents
+    per source (deterministic keep = lowest doc_id) and ledger what
+    the cap removed — the Gopher/RefinedWeb-style domain-capping
+    stage that stops one crawler-friendly site from dominating the
+    mixture BEFORE temperature sampling even runs
+    (sample_temperature_mixture reweights sources; this bounds the
+    raw supply a single source can offer it).  The kept_chars column
+    is the post-cap token-budget input.
+
+    Exactness: keyed rank with a total order (doc_id), exact counts
+    and char sums — a pure integer program.
+
+    Scale: one keyed window partitioned by source (never global) +
+    one keyed rollup; at 100 TB this is the canonical
+    top-k-per-group shape (WindowGroupLimit pushes the cap before
+    the sort completes)."""
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.col("doc_id").asc())
+    ranked = docs.select(
+        "source", "doc_id", "n_chars", F.row_number().over(w).alias("rnk")
+    )
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.count_if(F.col("rnk") <= 25).cast("bigint").alias("n_kept"),
+            F.count_if(F.col("rnk") > 25).cast("bigint").alias("n_capped"),
+            F.sum(F.when(F.col("rnk") <= 25, F.col("n_chars")))
+            .cast("bigint")
+            .alias("kept_chars"),
+        )
+        .orderBy("source")
+    )

@@ -91,3 +91,57 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = li.filter(F.col("l_linenumber") == 1).select("l_suppkey", "l_returnflag")
     b = li.filter(F.col("l_linenumber") == 2).select("l_suppkey", "l_returnflag")
     return a.exceptAll(b)
+
+
+@query(
+    "set_symmetric_difference",
+    """
+    WITH a AS (
+        SELECT DISTINCT o_custkey AS custkey FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+    ), b AS (
+        SELECT DISTINCT o_custkey AS custkey FROM orders
+        WHERE o_orderpriority = '5-LOW'
+    )
+    SELECT custkey, side FROM (
+        SELECT custkey, 'only_urgent' AS side FROM a
+        WHERE custkey NOT IN (SELECT custkey FROM b)
+        UNION ALL
+        SELECT custkey, 'only_low' AS side FROM b
+        WHERE custkey NOT IN (SELECT custkey FROM a)
+    ) ORDER BY custkey, side
+    """,
+)
+def set_symmetric_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SYMMETRIC DIFFERENCE (round 11): customers who placed urgent
+    orders XOR low-priority orders — (A∖B) ∪ (B∖A) with a side tag,
+    completing the set-operation family (§2.7 has union/intersect/
+    except in all/distinct variants; the XOR member is what audit
+    reconciliations actually want: 'who is in exactly one of these
+    two extracts').
+
+    Exactness: pure distinct-set relational algebra on integer keys.
+
+    Scale: two anti-joins on the same key — both sides shuffle on
+    custkey once and AQE broadcasts whichever distinct set turns out
+    small; the NOT IN here is null-free by construction (keys are
+    non-null), so the null-aware-anti-join trap
+    (subquery_not_in_null_trap) does not bite."""
+    orders = load(spark, sf_dir, "orders")
+    a = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    b = (
+        orders.filter(F.col("o_orderpriority") == "5-LOW")
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    only_a = a.join(b, "custkey", "left_anti").select(
+        "custkey", F.lit("only_urgent").alias("side")
+    )
+    only_b = b.join(a, "custkey", "left_anti").select(
+        "custkey", F.lit("only_low").alias("side")
+    )
+    return only_a.unionByName(only_b).orderBy("custkey", "side")

@@ -660,6 +660,9 @@ _ROUND11_ADDITIONS = (
     "ts_locf_max_gap",
     "agg_newcombe_diff_ci",
     "graph_local_bridges",
+    "sample_domain_cap",
+    "set_symmetric_difference",
+    "date_business_days",
 )
 
 # Landing-order queue for rows that have never been inside a driver
