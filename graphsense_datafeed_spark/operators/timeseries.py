@@ -9969,3 +9969,245 @@ def ts_locf_max_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "was_filled"
         ),
     )
+
+
+@query(
+    "ts_weekend_effect_ols",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ), idx AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS t,
+               CAST(CASE WHEN isodow(d) >= 6 THEN 1 ELSE 0 END AS BIGINT)
+                   AS w,
+               y
+        FROM daily
+    ), sums AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(t) AS BIGINT) AS st, CAST(SUM(w) AS BIGINT) AS sw,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(t * t) AS BIGINT) AS stt,
+               CAST(SUM(t * w) AS BIGINT) AS stw,
+               CAST(SUM(w * w) AS BIGINT) AS sww,
+               CAST(SUM(t * y) AS BIGINT) AS sty,
+               CAST(SUM(w * y) AS BIGINT) AS swy,
+               CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM idx
+    ), cleared AS (
+        SELECT n,
+               CAST(n * stt - st * st AS DOUBLE) AS c11,
+               CAST(n * stw - st * sw AS DOUBLE) AS c12,
+               CAST(n * sww - sw * sw AS DOUBLE) AS c22,
+               CAST(n * sty - st * sy AS DOUBLE) AS c1y,
+               CAST(n * swy - sw * sy AS DOUBLE) AS c2y,
+               CAST(n * syy - sy * sy AS DOUBLE) AS cyy
+        FROM sums
+    )
+    SELECT n,
+           CAST(FLOOR((c22 * c1y - c12 * c2y)
+                      / (c11 * c22 - c12 * c12) * 1000000) AS BIGINT)
+               AS b_trend_e6,
+           CAST(FLOOR((c11 * c2y - c12 * c1y)
+                      / (c11 * c22 - c12 * c12) * 10000) AS BIGINT)
+               AS b_weekend_e4,
+           CAST(FLOOR(((c22 * c1y - c12 * c2y) * c1y
+                       + (c11 * c2y - c12 * c1y) * c2y)
+                      / ((c11 * c22 - c12 * c12) * cyy)
+                      * 1000000) AS BIGINT) AS r2_e6
+    FROM cleared
+    """,
+)
+def ts_weekend_effect_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALENDAR-EFFECT OLS (round 11): regress the daily event count
+    on a linear day index AND a weekend dummy simultaneously —
+    'traffic grows b_trend/day and drops b_weekend on weekends',
+    each coefficient controlling for the other (eyeballing weekend
+    dips off a trending series confounds the two; this is the
+    two-regressor fix, the deterministic-covariate sibling of
+    ts_granger_1lag's lagged pair).  R² reports how much of the
+    daily variance calendar + trend explain — the residual is what
+    ts_anomaly_pipeline should actually be hunting.
+
+    Exactness: day index and weekend dummy are exact integers; all
+    six centered co-moments are n-cleared exact bigints; the Cramer
+    solve and R² fold are ONE double chain each, floored
+    e6/e4/e6.
+
+    Scale: map-side daily rollup; the index window runs on the
+    calendar-bounded series; 1-row finish."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count("*").cast("bigint").alias("y")
+    )
+    w_seq = Window.orderBy("d")
+    idx = daily.select(
+        F.row_number().over(w_seq).cast("bigint").alias("t"),
+        F.when(F.dayofweek("d").isin(1, 7), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("w"),
+        "y",
+    )
+    sums = idx.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("t").cast("bigint").alias("st"),
+        F.sum("w").cast("bigint").alias("sw"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("t") * F.col("t")).cast("bigint").alias("stt"),
+        F.sum(F.col("t") * F.col("w")).cast("bigint").alias("stw"),
+        F.sum(F.col("w") * F.col("w")).cast("bigint").alias("sww"),
+        F.sum(F.col("t") * F.col("y")).cast("bigint").alias("sty"),
+        F.sum(F.col("w") * F.col("y")).cast("bigint").alias("swy"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    n = F.col("n")
+    c11 = (n * F.col("stt") - F.col("st") * F.col("st")).cast("double")
+    c12 = (n * F.col("stw") - F.col("st") * F.col("sw")).cast("double")
+    c22 = (n * F.col("sww") - F.col("sw") * F.col("sw")).cast("double")
+    c1y = (n * F.col("sty") - F.col("st") * F.col("sy")).cast("double")
+    c2y = (n * F.col("swy") - F.col("sw") * F.col("sy")).cast("double")
+    cyy = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    det = c11 * c22 - c12 * c12
+    b1 = (c22 * c1y - c12 * c2y) / det
+    b2 = (c11 * c2y - c12 * c1y) / det
+    return sums.select(
+        "n",
+        F.floor(b1 * 1000000).cast("bigint").alias("b_trend_e6"),
+        F.floor(b2 * 10000).cast("bigint").alias("b_weekend_e4"),
+        F.floor(
+            ((c22 * c1y - c12 * c2y) * c1y + (c11 * c2y - c12 * c1y) * c2y)
+            / (det * cyy)
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("r2_e6"),
+    )
+
+
+_SES_GRID = (
+    ("2", "0.2", "0.8"),
+    ("3", "0.3", "0.7"),
+    ("4", "0.4", "0.6"),
+    ("5", "0.5", "0.5"),
+    ("6", "0.6", "0.4"),
+    ("7", "0.7", "0.3"),
+    ("8", "0.8", "0.2"),
+)
+
+
+def _ses_oracle_sql() -> str:
+    seed_cols = ", ".join(
+        f"CAST(y AS DOUBLE) AS yh{k}, CAST(0 AS DOUBLE) AS ss{k}"
+        for k, _, _ in _SES_GRID
+    )
+    step_cols = ", ".join(
+        f"r.ss{k} + (CAST(d.y AS DOUBLE) - r.yh{k})"
+        f" * (CAST(d.y AS DOUBLE) - r.yh{k}) AS ss{k}_n, "
+        f"{a} * CAST(d.y AS DOUBLE) + {b} * r.yh{k} AS yh{k}_n"
+        for k, a, b in _SES_GRID
+    )
+    # rename *_n back in the recursive select list
+    step_sel = ", ".join(
+        f"yh{k}_n AS yh{k}, ss{k}_n AS ss{k}" for k, _, _ in _SES_GRID
+    )
+    out_cols = ", ".join(
+        f"CAST(FLOOR(ss{k} * 100) AS BIGINT) AS sse_a{k}_e2"
+        for k, _, _ in _SES_GRID
+    )
+    best = "CASE " + " ".join(
+        f"WHEN CAST(FLOOR(ss{k} * 100) AS BIGINT) = m.best THEN {k}"
+        for k, _, _ in _SES_GRID
+    ) + " END"
+    least = "LEAST(" + ", ".join(
+        f"CAST(FLOOR(ss{k} * 100) AS BIGINT)" for k, _, _ in _SES_GRID
+    ) + ")"
+    return f"""
+    WITH RECURSIVE daily AS (
+        SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ), idx AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS t, y
+        FROM daily
+    ), rec AS (
+        SELECT t, {seed_cols} FROM idx WHERE t = 1
+        UNION ALL
+        SELECT t, {step_sel} FROM (
+            SELECT d.t, {step_cols}
+            FROM rec r JOIN idx d ON d.t = r.t + 1
+        ) _
+    ), fin AS (
+        SELECT * FROM rec WHERE t = (SELECT MAX(t) FROM idx)
+    )
+    SELECT (SELECT CAST(MAX(t) AS BIGINT) FROM idx) AS n, {out_cols},
+           CAST({best} AS BIGINT) AS best_alpha_e1
+    FROM fin, (SELECT {least} AS best FROM fin) m
+    """
+
+
+@query("ts_ses_grid_alpha", _ses_oracle_sql())
+def ts_ses_grid_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SES SMOOTHING-PARAMETER GRID SEARCH (round 11): run simple
+    exponential smoothing over the daily count series at α ∈
+    {0.2..0.8} SIMULTANEOUSLY and report each α's one-step-ahead SSE
+    plus the argmin — the model-selection readout behind every
+    'auto' smoother (ts_ewma and ts_holt_linear fix their constants;
+    this answers WHICH constant the data wants, the first rung of
+    state-space model selection).  Low best-α = stable series, lean
+    on history; high best-α = regime-shifting, trust the present.
+
+    Exactness: the recurrence ŷ' = α·y + β·ŷ is inherently
+    sequential, so BOTH engines fold the identical ordered series
+    with identical literal constants (α AND β both written as
+    literals — deriving β as 1−α risks a one-ulp divergence) in
+    identical operation order: Spark via a higher-order aggregate()
+    lambda over the calendar-bounded array, DuckDB via a recursive
+    CTE carrying all seven (ŷ, SSE) pairs in one recursion; every
+    IEEE64 op matches bit-for-bit, SSEs floor e2, argmin compares
+    floored integers (ties → smallest α).
+
+    Scale: map-side daily rollup; the fold runs over the
+    calendar-bounded series (31 values — a bounded array, never a
+    per-row collect of raw data); 1-row finish."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count("*").cast("bigint").alias("y")
+    )
+    arr = daily.agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("d", "y"))),
+            lambda s: s["y"].cast("double"),
+        ).alias("vals"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    def _merge(af: float, bf: float):
+        def merge(acc, x):
+            return F.struct(
+                (F.lit(af) * x + F.lit(bf) * acc["yh"]).alias("yh"),
+                (acc["ss"] + (x - acc["yh"]) * (x - acc["yh"])).alias("ss"),
+            )
+
+        return merge
+
+    cols = [F.col("n")]
+    sse_cols = []
+    for k, a, b in _SES_GRID:
+        folded = F.aggregate(
+            F.slice(F.col("vals"), 2, F.size("vals") - 1),
+            F.struct(
+                F.element_at("vals", 1).alias("yh"),
+                F.lit(0.0).alias("ss"),
+            ),
+            _merge(float(a), float(b)),
+        )
+        sse = F.floor(folded["ss"] * 100).cast("bigint")
+        cols.append(sse.alias(f"sse_a{k}_e2"))
+        sse_cols.append((k, sse))
+    best = F.least(*[c for _, c in sse_cols])
+    pick = None
+    for k, c in sse_cols:
+        pick = F.when(c == best, F.lit(int(k))) if pick is None else pick.when(
+            c == best, F.lit(int(k))
+        )
+    cols.append(pick.cast("bigint").alias("best_alpha_e1"))
+    return arr.select(*cols)

@@ -663,6 +663,8 @@ _ROUND11_ADDITIONS = (
     "sample_domain_cap",
     "set_symmetric_difference",
     "date_business_days",
+    "ts_weekend_effect_ols",
+    "ts_ses_grid_alpha",
 )
 
 # Landing-order queue for rows that have never been inside a driver
