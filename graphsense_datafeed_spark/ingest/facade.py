@@ -3254,3 +3254,120 @@ def ingest_round_amount_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("height")
     )
+
+
+@query(
+    "ingest_hodl_waves",
+    f"""
+    WITH txr AS (
+        SELECT height, unnest(txs) AS tx FROM {_DUCK_BLOCKS}
+    ), outs AS (
+        SELECT height, (o).address[1] AS address,
+               CAST((o).value AS BIGINT) AS sat
+        FROM (SELECT height, unnest((tx).outputs) AS o FROM txr)
+    ), ins AS (
+        SELECT (i).address[1] AS address, CAST((i).value AS BIGINT) AS sat
+        FROM (SELECT unnest((tx).inputs) AS i FROM txr)
+    ), addr AS (
+        SELECT o.address,
+               CAST(SUM(o.sat) AS BIGINT) AS received,
+               CAST(MAX(o.height) AS BIGINT) AS last_height
+        FROM outs o GROUP BY 1
+    ), spent AS (
+        SELECT address, CAST(SUM(sat) AS BIGINT) AS spent
+        FROM ins GROUP BY 1
+    ), bal AS (
+        SELECT a.address,
+               GREATEST(a.received - COALESCE(s.spent, 0), 0) AS sat_held,
+               (SELECT MAX(height) FROM txr) - a.last_height AS age
+        FROM addr a LEFT JOIN spent s ON s.address = a.address
+    )
+    SELECT CAST(CASE WHEN age = 0 THEN 0
+                ELSE CAST(FLOOR(LN(CAST(age AS DOUBLE)) / LN(2.0))
+                     AS BIGINT) + 1 END AS BIGINT) AS age_band_log2,
+           CAST(COUNT(*) FILTER (sat_held > 0) AS BIGINT) AS n_addresses,
+           CAST(SUM(sat_held) AS BIGINT) AS sat_held,
+           CAST(SUM(sat_held) * 1000000
+                // (SELECT SUM(GREATEST(a2.received
+                                        - COALESCE(s2.spent, 0), 0))
+                    FROM addr a2 LEFT JOIN spent s2
+                      ON s2.address = a2.address) AS BIGINT) AS share_e6
+    FROM bal GROUP BY 1 ORDER BY 1
+    """,
+)
+def ingest_hodl_waves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HODL WAVES (round 11): the held (unspent) value of the chain
+    tip binned by dormancy age — the supply-age stratigraphy chart
+    every on-chain analyst reads for holder-conviction cycles (young
+    bands swell in speculation, old bands in accumulation).  The
+    flow twin of ingest_coin_days_destroyed (that op weighs what
+    MOVED by its age; this one weighs what STAYED): with the feed's
+    documented address-age approximation, an address's remaining
+    balance (received − spent, clamped ≥ 0) ages from its LAST
+    funding height; age bands are log2 (0, 1, 2-3, 4-7, ... blocks).
+
+    Exactness: balances, ages, and band sums are exact satoshi/block
+    bigints; the log2 band index floors one double log chain on
+    small integers; shares are exact integer division against the
+    total held supply.
+
+    Scale: two address-keyed aggregates + one keyed left join (the
+    ingest_address_balance shape) and a band-bounded rollup; the tip
+    height is a 1-row broadcast."""
+    raw = normalize_blocks(read_blocks_json(spark))
+    txr = raw.select("height", F.explode("txs").alias("tx"))
+    outs = txr.select(
+        "height", F.explode("tx.outputs").alias("o")
+    ).select(
+        "height",
+        F.col("o.address")[0].alias("address"),
+        F.col("o.value").cast("bigint").alias("sat"),
+    )
+    ins = txr.select(F.explode("tx.inputs").alias("i")).select(
+        F.col("i.address")[0].alias("address"),
+        F.col("i.value").cast("bigint").alias("sat"),
+    )
+    addr = outs.groupBy("address").agg(
+        F.sum("sat").cast("bigint").alias("received"),
+        F.max("height").cast("bigint").alias("last_height"),
+    )
+    spent = ins.groupBy("address").agg(
+        F.sum("sat").cast("bigint").alias("spent")
+    )
+    tip = txr.agg(F.max("height").cast("bigint").alias("tip"))
+    bal = (
+        addr.join(spent, "address", "left")
+        .crossJoin(F.broadcast(tip))
+        .select(
+            F.greatest(
+                F.col("received") - F.coalesce(F.col("spent"), F.lit(0)),
+                F.lit(0),
+            ).alias("sat_held"),
+            (F.col("tip") - F.col("last_height")).alias("age"),
+        )
+    )
+    band = F.when(F.col("age") == 0, F.lit(0)).otherwise(
+        F.floor(F.log(F.col("age").cast("double")) / F.log(F.lit(2.0)))
+        .cast("bigint")
+        + 1
+    )
+    total = bal.agg(F.sum("sat_held").cast("bigint").alias("total_held"))
+    return (
+        bal.groupBy(band.cast("bigint").alias("age_band_log2"))
+        .agg(
+            F.count_if(F.col("sat_held") > 0)
+            .cast("bigint")
+            .alias("n_addresses"),
+            F.sum("sat_held").cast("bigint").alias("sat_held"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "age_band_log2",
+            "n_addresses",
+            "sat_held",
+            (F.col("sat_held") * 1000000 / F.col("total_held"))
+            .cast("bigint")
+            .alias("share_e6"),
+        )
+        .orderBy("age_band_log2")
+    )

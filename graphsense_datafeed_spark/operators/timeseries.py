@@ -10211,3 +10211,133 @@ def ts_ses_grid_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     cols.append(pick.cast("bigint").alias("best_alpha_e1"))
     return arr.select(*cols)
+
+
+@query(
+    "ts_forecast_combination",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ), idx AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS t, y,
+               CAST(LAG(y, 7) OVER (ORDER BY d) AS BIGINT) AS y_lag7
+        FROM daily
+    ), consts AS (
+        SELECT CAST(MAX(t) - 7 AS BIGINT) AS n_tr,
+               CAST(SUM(CASE WHEN t <= (SELECT MAX(t) - 7 FROM idx)
+                        THEN y END) AS BIGINT) AS s_tr,
+               CAST(MAX(CASE WHEN t = 1 THEN y END) AS BIGINT) AS y1,
+               CAST(MAX(CASE WHEN t = (SELECT MAX(t) - 7 FROM idx)
+                        THEN y END) AS BIGINT) AS yn
+        FROM idx
+    ), test AS (
+        SELECT i.t - c.n_tr AS h, i.y, i.y_lag7,
+               CAST(c.s_tr AS DOUBLE) / c.n_tr AS f_mean,
+               CAST(c.yn AS DOUBLE)
+                 + (i.t - c.n_tr) * (CAST(c.yn AS DOUBLE) - c.y1)
+                   / (c.n_tr - 1.0) AS f_drift
+        FROM idx i, consts c WHERE i.t > c.n_tr
+    ), errs AS (
+        SELECT
+            CAST(SUM(CAST(FLOOR(ABS(CAST(y AS DOUBLE) - y_lag7) * 10000)
+                     AS BIGINT)) AS BIGINT) AS e_snaive,
+            CAST(SUM(CAST(FLOOR(ABS(CAST(y AS DOUBLE) - f_mean) * 10000)
+                     AS BIGINT)) AS BIGINT) AS e_mean,
+            CAST(SUM(CAST(FLOOR(ABS(CAST(y AS DOUBLE) - f_drift) * 10000)
+                     AS BIGINT)) AS BIGINT) AS e_drift,
+            CAST(SUM(CAST(FLOOR(ABS(CAST(y AS DOUBLE)
+                     - (CAST(y_lag7 AS DOUBLE) + f_mean + f_drift) / 3.0)
+                     * 10000) AS BIGINT)) AS BIGINT) AS e_combo
+        FROM test
+    )
+    SELECT CAST(7 AS BIGINT) AS horizon,
+           CAST(e_snaive // 7 AS BIGINT) AS mae_snaive_e4,
+           CAST(e_mean // 7 AS BIGINT) AS mae_mean_e4,
+           CAST(e_drift // 7 AS BIGINT) AS mae_drift_e4,
+           CAST(e_combo // 7 AS BIGINT) AS mae_combo_e4
+    FROM errs
+    """,
+)
+def ts_forecast_combination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORECAST COMBINATION BACKTEST (round 11): hold out the last 7
+    days, forecast them with the three classical benchmarks —
+    seasonal-naive (y_{t−7}), train mean, drift line — and with
+    their EQUAL-WEIGHT AVERAGE, reporting each MAE.  The forecast
+    combination puzzle (Bates-Granger): the simple average
+    routinely beats its best member because the methods' errors
+    decorrelate — the one-line upgrade to ts_backtest_snaive's
+    single benchmark, and the readout that justifies (or kills) any
+    fancier model someone wants to deploy.
+
+    Exactness: forecasts are double chains over exact bigint train
+    constants (mean and drift denominators cleared into the chain,
+    written identically both engines); each per-day absolute error
+    floors e4 BEFORE the order-free bigint sum; MAEs are exact
+    integer division by the 7-day horizon.
+
+    Scale: map-side daily rollup; one lag window on the
+    calendar-bounded series; 1-row train-constants broadcast;
+    7-row test fold."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count("*").cast("bigint").alias("y")
+    )
+    w_seq = Window.orderBy("d")
+    idx = daily.select(
+        F.row_number().over(w_seq).cast("bigint").alias("t"),
+        "y",
+        F.lag("y", 7).over(w_seq).cast("bigint").alias("y_lag7"),
+    )
+    n_all = idx.agg(F.max("t").alias("nmax"))
+    consts = (
+        idx.crossJoin(F.broadcast(n_all))
+        .agg(
+            F.max(F.col("nmax") - 7).cast("bigint").alias("n_tr"),
+            F.sum(
+                F.when(F.col("t") <= F.col("nmax") - 7, F.col("y"))
+            )
+            .cast("bigint")
+            .alias("s_tr"),
+            F.max(F.when(F.col("t") == 1, F.col("y")))
+            .cast("bigint")
+            .alias("y1"),
+            F.max(F.when(F.col("t") == F.col("nmax") - 7, F.col("y")))
+            .cast("bigint")
+            .alias("yn"),
+        )
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    test = (
+        idx.crossJoin(F.broadcast(consts))
+        .filter(F.col("t") > F.col("n_tr"))
+        .select(
+            "y",
+            "y_lag7",
+            (d("s_tr") / d("n_tr")).alias("f_mean"),
+            (
+                d("yn")
+                + (F.col("t") - F.col("n_tr")).cast("double")
+                * (d("yn") - d("y1"))
+                / (d("n_tr") - 1.0)
+            ).alias("f_drift"),
+        )
+    )
+    def _fe4(expr):
+        return F.sum(F.floor(F.abs(expr) * 10000).cast("bigint")).cast("bigint")
+
+    errs = test.agg(
+        _fe4(d("y") - d("y_lag7")).alias("e_snaive"),
+        _fe4(d("y") - F.col("f_mean")).alias("e_mean"),
+        _fe4(d("y") - F.col("f_drift")).alias("e_drift"),
+        _fe4(
+            d("y") - (d("y_lag7") + F.col("f_mean") + F.col("f_drift")) / 3.0
+        ).alias("e_combo"),
+    )
+    return errs.select(
+        F.lit(7).cast("bigint").alias("horizon"),
+        (F.col("e_snaive") / 7).cast("bigint").alias("mae_snaive_e4"),
+        (F.col("e_mean") / 7).cast("bigint").alias("mae_mean_e4"),
+        (F.col("e_drift") / 7).cast("bigint").alias("mae_drift_e4"),
+        (F.col("e_combo") / 7).cast("bigint").alias("mae_combo_e4"),
+    )

@@ -665,6 +665,8 @@ _ROUND11_ADDITIONS = (
     "date_business_days",
     "ts_weekend_effect_ols",
     "ts_ses_grid_alpha",
+    "ingest_hodl_waves",
+    "ts_forecast_combination",
 )
 
 # Landing-order queue for rows that have never been inside a driver
