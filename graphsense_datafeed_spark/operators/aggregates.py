@@ -9336,3 +9336,105 @@ def agg_newcombe_diff_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(lo * 1000000).cast("bigint").alias("lo_e6"),
         F.floor(hi * 1000000).cast("bigint").alias("hi_e6"),
     )
+
+
+@query(
+    "agg_tost_equivalence",
+    """
+    WITH arms AS (
+        SELECT CASE WHEN day(ts) <= 15 THEN 1 ELSE 2 END AS half,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(FLOOR(value * 10000) AS BIGINT)) AS BIGINT)
+                   AS s,
+               CAST(SUM(CAST(FLOOR(value * 10000) AS BIGINT)
+                        * CAST(FLOOR(value * 10000) AS BIGINT))
+                    AS BIGINT) AS ss
+        FROM events GROUP BY 1
+    ), wide AS (
+        SELECT MAX(CASE WHEN half = 1 THEN n END) AS n1,
+               MAX(CASE WHEN half = 1 THEN s END) AS s1,
+               MAX(CASE WHEN half = 1 THEN ss END) AS ss1,
+               MAX(CASE WHEN half = 2 THEN n END) AS n2,
+               MAX(CASE WHEN half = 2 THEN s END) AS s2,
+               MAX(CASE WHEN half = 2 THEN ss END) AS ss2
+        FROM arms
+    )
+    SELECT n1, n2,
+           CAST(FLOOR(CAST(s1 AS DOUBLE) / n1
+                      - CAST(s2 AS DOUBLE) / n2) AS BIGINT) AS diff_e4,
+           CAST(FLOOR(SQRT(
+               ((CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                 * CAST(s1 AS DOUBLE) / n1) / (n1 - 1.0)) / n1
+             + ((CAST(ss2 AS DOUBLE) - CAST(s2 AS DOUBLE)
+                 * CAST(s2 AS DOUBLE) / n2) / (n2 - 1.0)) / n2))
+                AS BIGINT) AS se_e4,
+           CAST(FLOOR(((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+                       - (-50000.0))
+                      / SQRT(
+               ((CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                 * CAST(s1 AS DOUBLE) / n1) / (n1 - 1.0)) / n1
+             + ((CAST(ss2 AS DOUBLE) - CAST(s2 AS DOUBLE)
+                 * CAST(s2 AS DOUBLE) / n2) / (n2 - 1.0)) / n2)
+                      * 10000) AS BIGINT) AS t_lower_e4,
+           CAST(FLOOR(((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+                       - 50000.0)
+                      / SQRT(
+               ((CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                 * CAST(s1 AS DOUBLE) / n1) / (n1 - 1.0)) / n1
+             + ((CAST(ss2 AS DOUBLE) - CAST(s2 AS DOUBLE)
+                 * CAST(s2 AS DOUBLE) / n2) / (n2 - 1.0)) / n2)
+                      * 10000) AS BIGINT) AS t_upper_e4
+    FROM wide
+    """,
+)
+def agg_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOST EQUIVALENCE TEST (round 11): two one-sided Welch t-tests
+    of the half-month mean difference against the margin ±5 value
+    units — the test that can actually CONCLUDE 'these two periods
+    are the same to within δ', which a non-significant t-test never
+    licenses (absence of evidence ≠ evidence of absence — the single
+    most common A/B readout error).  Equivalence holds when t_lower
+    ≫ 0 AND t_upper ≪ 0 (both one-sided tests reject); the margin
+    is the literal 50000 e4-units in both engines.
+
+    Exactness: the agg_t_test_welch cell sums (exact e4 bigints);
+    the three readouts are ONE double chain each, floored e4, with
+    the ±δ margin entering as shared integer literals.
+
+    Scale: one conditional-agg pass → 1-row pivot → closed-form
+    fold; no windows, no joins."""
+    ev = load(spark, sf_dir, "events")
+    v = F.floor(F.col("value") * 10000).cast("bigint")
+    arms = ev.groupBy(
+        F.when(F.dayofmonth("ts") <= 15, 1).otherwise(2).alias("half")
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(v).cast("bigint").alias("s"),
+        F.sum(v * v).cast("bigint").alias("ss"),
+    )
+    wide = arms.groupBy().agg(
+        *[
+            F.max(F.when(F.col("half") == h, F.col(c))).alias(f"{c}{h}")
+            for h in (1, 2)
+            for c in ("n", "s", "ss")
+        ]
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    diff = d("s1") / d("n1") - d("s2") / d("n2")
+    se = F.sqrt(
+        ((d("ss1") - d("s1") * d("s1") / d("n1")) / (d("n1") - 1.0)) / d("n1")
+        + ((d("ss2") - d("s2") * d("s2") / d("n2")) / (d("n2") - 1.0))
+        / d("n2")
+    )
+    return wide.select(
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        F.floor(diff).cast("bigint").alias("diff_e4"),
+        F.floor(se).cast("bigint").alias("se_e4"),
+        F.floor((diff - (-50000.0)) / se * 10000)
+        .cast("bigint")
+        .alias("t_lower_e4"),
+        F.floor((diff - 50000.0) / se * 10000)
+        .cast("bigint")
+        .alias("t_upper_e4"),
+    )

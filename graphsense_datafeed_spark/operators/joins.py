@@ -2048,3 +2048,118 @@ def join_proportional_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("alloc_cents"),
     ).orderBy("l_orderkey", "l_linenumber")
+
+
+@query(
+    "join_cardinality_qerror",
+    """
+    WITH rng AS (
+        SELECT CAST(MIN(o_orderkey) AS BIGINT) AS lo,
+               CAST(MAX(o_orderkey) - MIN(o_orderkey) + 1 AS BIGINT)
+                   AS span
+        FROM orders
+    ), ha AS (
+        SELECT CAST((o_orderkey - r.lo) * 20 // r.span AS BIGINT) AS b,
+               CAST(COUNT(*) AS BIGINT) AS c,
+               CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS ndv
+        FROM orders, rng r GROUP BY 1
+    ), hb AS (
+        SELECT CAST((l_orderkey - r.lo) * 20 // r.span AS BIGINT) AS b,
+               CAST(COUNT(*) AS BIGINT) AS c,
+               CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS ndv
+        FROM lineitem, rng r GROUP BY 1
+    ), est AS (
+        SELECT CAST(SUM(ha.c * hb.c
+                        // GREATEST(ha.ndv, hb.ndv)) AS BIGINT)
+                   AS est_rows
+        FROM ha JOIN hb USING (b)
+    ), act AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS actual_rows
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT a.actual_rows, e.est_rows,
+           CAST(FLOOR(GREATEST(
+               CAST(a.actual_rows AS DOUBLE) / e.est_rows,
+               CAST(e.est_rows AS DOUBLE) / a.actual_rows) * 10000)
+               AS BIGINT) AS qerror_e4
+    FROM act a, est e
+    """,
+)
+def join_cardinality_qerror(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-CARDINALITY ESTIMATION Q-ERROR (round 11): estimate
+    |orders ⋈ lineitem| the way a cost-based optimizer does — 20
+    aligned equi-width key-range buckets per side, per-bucket
+    containment estimate cA·cB/max(ndvA, ndvB) — then measure the
+    q-error max(actual/est, est/actual) against the true join size.
+    The systems-facing self-audit: q-error is THE metric the
+    cardinality-estimation literature grades planners on, and a
+    pipeline that sizes its own shuffles (AQE thresholds, broadcast
+    cutoffs) should know how wrong histogram math gets on its own
+    key distributions.
+
+    Exactness: bucket index is pure bigint arithmetic on the shared
+    key range; histogram counts/NDVs exact; the per-bucket estimate
+    uses exact integer division (the floor a real optimizer takes);
+    one double chain for the q-error, floored e4.
+
+    Scale: two histogram aggregates (map-side) + a 20-row bucket
+    join for the estimate; the ACTUAL join is the one real shuffle —
+    i.e. the audit costs what the audited join costs, run it on the
+    sample tier in production."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    rng = orders.agg(
+        F.min("o_orderkey").cast("bigint").alias("lo"),
+        (F.max("o_orderkey") - F.min("o_orderkey") + 1)
+        .cast("bigint")
+        .alias("span"),
+    )
+    def _hist(df: DataFrame, key: str) -> DataFrame:
+        return (
+            df.crossJoin(F.broadcast(rng))
+            .groupBy(
+                ((F.col(key) - F.col("lo")) * 20 / F.col("span"))
+                .cast("bigint")
+                .alias("b")
+            )
+            .agg(
+                F.count("*").cast("bigint").alias("c"),
+                F.countDistinct(key).cast("bigint").alias("ndv"),
+            )
+        )
+
+    ha = _hist(orders, "o_orderkey")
+    hb = _hist(li, "l_orderkey")
+    est = (
+        ha.alias("ha")
+        .join(hb.alias("hb"), "b")
+        .agg(
+            F.sum(
+                (
+                    F.col("ha.c")
+                    * F.col("hb.c")
+                    / F.greatest(F.col("ha.ndv"), F.col("hb.ndv"))
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("est_rows")
+        )
+    )
+    act = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .agg(F.count("*").cast("bigint").alias("actual_rows"))
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return act.crossJoin(F.broadcast(est)).select(
+        "actual_rows",
+        "est_rows",
+        F.floor(
+            F.greatest(
+                d("actual_rows") / d("est_rows"),
+                d("est_rows") / d("actual_rows"),
+            )
+            * 10000
+        )
+        .cast("bigint")
+        .alias("qerror_e4"),
+    )

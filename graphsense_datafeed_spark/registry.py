@@ -667,6 +667,8 @@ _ROUND11_ADDITIONS = (
     "ts_ses_grid_alpha",
     "ingest_hodl_waves",
     "ts_forecast_combination",
+    "join_cardinality_qerror",
+    "agg_tost_equivalence",
 )
 
 # Landing-order queue for rows that have never been inside a driver
