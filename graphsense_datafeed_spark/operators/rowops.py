@@ -287,3 +287,50 @@ def seq_global_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("off") + F.col("rn") - 1).cast("bigint").alias("seq"),
         )
     )
+
+
+@query(
+    "seq_collapse_consecutive",
+    """
+    WITH ordered AS (
+        SELECT user_id, ts, event_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events WHERE user_id < 25
+    )
+    SELECT user_id, event_id, event_type
+    FROM ordered
+    WHERE prev_type IS NULL OR event_type != prev_type
+    ORDER BY user_id, event_id
+    """,
+)
+def seq_collapse_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLLAPSE CONSECUTIVE DUPLICATES (round 11): keep each user's
+    event only when its type DIFFERS from the immediately preceding
+    one — run-length compression of a state stream, the row-ops
+    primitive under events_markov_transitions (self-loops removed),
+    CDC feeds (suppress no-op updates), and sensor pipelines
+    (repeated readings compressed).  distinct_rows removes ALL
+    duplicates regardless of position; this removes only CONSECUTIVE
+    ones — order-sensitive dedup, a genuinely different operator.
+
+    Exactness: pure lag-compare on a total order (ts, event_id).
+
+    Scale: one keyed window (user) — the win_lag_lead shape; the
+    filter is a narrow map afterwards."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 25)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    return (
+        ordered.filter(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+        .select("user_id", "event_id", "event_type")
+        .orderBy("user_id", "event_id")
+    )

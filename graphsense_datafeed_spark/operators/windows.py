@@ -1103,3 +1103,84 @@ def win_variance_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("contrib_share_e6"),
         F.sum(delta).over(wfall).cast("bigint").alias("waterfall_running_cents"),
     ).orderBy(F.col("delta_cents").desc(), "l_returnflag")
+
+
+@query(
+    "win_reset_cumsum",
+    """
+    WITH ordered AS (
+        SELECT user_id, ts, event_id,
+               CAST(FLOOR(value * 10000) AS BIGINT) AS v,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTE
+                    OR LAG(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_start
+        FROM events WHERE user_id < 25
+    ), sessioned AS (
+        SELECT user_id, ts, event_id, v,
+               CAST(SUM(is_start) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id)
+                    AS BIGINT) AS session_no
+        FROM ordered
+    )
+    SELECT user_id, event_id, session_no,
+           CAST(SUM(v) OVER (PARTITION BY user_id, session_no
+                             ORDER BY ts, event_id) AS BIGINT)
+               AS session_running_e4
+    FROM sessioned
+    """,
+)
+def win_reset_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESETTING CUMULATIVE SUM (round 11): a per-user running value
+    total that RESTARTS at every session boundary (>30 min gap) —
+    the composition the window family was missing: gaps-islands
+    session numbering (win_gaps_islands) feeding a second window
+    keyed by the DERIVED (user, session) — 'spend so far this
+    session', the live-dashboard primitive that a plain running sum
+    (win_running_sum) silently gets wrong across session breaks.
+
+    Exactness: session boundaries are exact interval comparisons on
+    a total order (ts, event_id); running sums are exact e4 bigints.
+
+    Scale: both windows are keyed (user, then user+session — the
+    second key REFINES the first, so AQE reuses the same hash
+    partitioning with only an intra-partition re-sort, no second
+    exchange); never a global window."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 25)
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w_user)
+    is_start = (
+        F.when(
+            prev_ts.isNull()
+            | (
+                F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)
+                > 1800
+            ),
+            1,
+        )
+        .otherwise(0)
+    )
+    sessioned = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 10000).cast("bigint").alias("v"),
+        is_start.alias("is_start"),
+    ).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "v",
+        F.sum("is_start").over(w_user).cast("bigint").alias("session_no"),
+    )
+    w_sess = Window.partitionBy("user_id", "session_no").orderBy(
+        "ts", "event_id"
+    )
+    return sessioned.select(
+        "user_id",
+        "event_id",
+        "session_no",
+        F.sum("v").over(w_sess).cast("bigint").alias("session_running_e4"),
+    )

@@ -669,6 +669,8 @@ _ROUND11_ADDITIONS = (
     "ts_forecast_combination",
     "join_cardinality_qerror",
     "agg_tost_equivalence",
+    "win_reset_cumsum",
+    "seq_collapse_consecutive",
 )
 
 # Landing-order queue for rows that have never been inside a driver
