@@ -4391,3 +4391,61 @@ def profile_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.orderBy("col_name")
+
+
+@query(
+    "sample_systematic_interval",
+    """
+    WITH ranked AS (
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               row_number() OVER (ORDER BY o_orderkey) AS rn
+        FROM orders
+    )
+    SELECT o_orderkey, o_custkey,
+           CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_e2
+    FROM ranked
+    WHERE (rn - 1) % 10 = CAST(CAST('0x' || substr(md5('sys:seed'), 1, 4)
+                                AS BIGINT) % 10 AS BIGINT)
+    ORDER BY o_orderkey
+    """,
+)
+def sample_systematic_interval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SYSTEMATIC INTERVAL SAMPLE (round 11): every 10th order in key
+    order, with the phase drawn from a frozen md5 seed — the survey-
+    methods member the sampling family was missing (deterministic
+    hash sampling = per-row Bernoulli-like; reservoir = fixed-size;
+    stratified/Neyman = allocation; SYSTEMATIC = fixed interval over
+    an ordered frame, the pattern auditors and quality inspectors
+    specify because coverage is guaranteed to be evenly spread over
+    the ordering — and the one that silently BREAKS when the
+    ordering is periodic with the interval, which is why the frozen
+    random phase matters).
+
+    Exactness: rank over the unique key is a total order; the phase
+    is the shared md5 literal; membership is pure modular
+    arithmetic.
+
+    Scale: the global row_number is the one honest cost — at 100 TB
+    you derive rank from a monotonic key range-partition (zipWithIndex
+    per sorted partition + offset cumsum), the documented
+    seq_global_two_pass shape this op composes with."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.orderBy("o_orderkey")
+    phase = (
+        F.conv(F.substring(F.md5(F.lit("sys:seed").cast("binary")), 1, 4), 16, 10)
+        .cast("bigint")
+        % 10
+    )
+    ranked = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("price_e2"),
+        F.row_number().over(w).alias("rn"),
+    )
+    return (
+        ranked.filter((F.col("rn") - 1) % 10 == phase)
+        .select("o_orderkey", "o_custkey", "price_e2")
+        .orderBy("o_orderkey")
+    )

@@ -671,6 +671,7 @@ _ROUND11_ADDITIONS = (
     "agg_tost_equivalence",
     "win_reset_cumsum",
     "seq_collapse_consecutive",
+    "sample_systematic_interval",
 )
 
 # Landing-order queue for rows that have never been inside a driver
