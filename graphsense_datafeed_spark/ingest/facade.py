@@ -3287,11 +3287,12 @@ def ingest_round_amount_census(spark: SparkSession, sf_dir: str) -> DataFrame:
                      AS BIGINT) + 1 END AS BIGINT) AS age_band_log2,
            CAST(COUNT(*) FILTER (sat_held > 0) AS BIGINT) AS n_addresses,
            CAST(SUM(sat_held) AS BIGINT) AS sat_held,
-           CAST(SUM(sat_held) * 1000000
-                // (SELECT SUM(GREATEST(a2.received
+           CAST(FLOOR(CAST(SUM(sat_held) AS DOUBLE) * 1000000
+                / CAST((SELECT SUM(GREATEST(a2.received
                                         - COALESCE(s2.spent, 0), 0))
                     FROM addr a2 LEFT JOIN spent s2
-                      ON s2.address = a2.address) AS BIGINT) AS share_e6
+                      ON s2.address = a2.address) AS DOUBLE))
+                AS BIGINT) AS share_e6
     FROM bal GROUP BY 1 ORDER BY 1
     """,
 )
@@ -3308,8 +3309,9 @@ def ingest_hodl_waves(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: balances, ages, and band sums are exact satoshi/block
     bigints; the log2 band index floors one double log chain on
-    small integers; shares are exact integer division against the
-    total held supply.
+    small integers; shares are ONE floored double chain against the
+    total held supply (a bigint sat*1e6 product would overflow int64
+    at real-chain magnitudes — round-11 review finding).
 
     Scale: two address-keyed aggregates + one keyed left join (the
     ingest_address_balance shape) and a band-bounded rollup; the tip
@@ -3365,7 +3367,14 @@ def ingest_hodl_waves(spark: SparkSession, sf_dir: str) -> DataFrame:
             "age_band_log2",
             "n_addresses",
             "sat_held",
-            (F.col("sat_held") * 1000000 / F.col("total_held"))
+            # one floored double chain — the bigint product
+            # sat_held*1e6 overflows int64 at real-chain magnitudes
+            # (round-11 review finding)
+            F.floor(
+                F.col("sat_held").cast("double")
+                * 1000000
+                / F.col("total_held").cast("double")
+            )
             .cast("bigint")
             .alias("share_e6"),
         )

@@ -9032,9 +9032,9 @@ def agg_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), ranked AS (
         SELECT event_type, v,
                row_number() OVER (PARTITION BY event_type
-                                  ORDER BY v ASC, v ASC) AS r_asc,
+                                  ORDER BY v ASC) AS r_asc,
                row_number() OVER (PARTITION BY event_type
-                                  ORDER BY v DESC, v DESC) AS r_desc,
+                                  ORDER BY v DESC) AS r_desc,
                CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
         FROM base
     ), pivoted AS (

@@ -2134,12 +2134,14 @@ def join_cardinality_qerror(spark: SparkSession, sf_dir: str) -> DataFrame:
         ha.alias("ha")
         .join(hb.alias("hb"), "b")
         .agg(
+            # exact integer DIV, matching the oracle's `//` — a double
+            # division + cast truncates differently once the product
+            # passes 2^53 (round-11 review finding)
             F.sum(
-                (
-                    F.col("ha.c")
-                    * F.col("hb.c")
-                    / F.greatest(F.col("ha.ndv"), F.col("hb.ndv"))
-                ).cast("bigint")
+                F.expr(
+                    "CAST((ha.c * hb.c) DIV GREATEST(ha.ndv, hb.ndv)"
+                    " AS BIGINT)"
+                )
             )
             .cast("bigint")
             .alias("est_rows")

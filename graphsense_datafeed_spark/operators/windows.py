@@ -1151,13 +1151,14 @@ def win_reset_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 25)
     w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev_ts = F.lag("ts").over(w_user)
+    # exact microsecond interval compare (the events_sessionize
+    # pattern) — a unix_timestamp() diff truncates to seconds and
+    # diverges from the oracle's INTERVAL compare within 1 s of the
+    # boundary (round-11 review finding)
     is_start = (
         F.when(
             prev_ts.isNull()
-            | (
-                F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)
-                > 1800
-            ),
+            | (F.col("ts") > prev_ts + F.expr("INTERVAL 30 MINUTES")),
             1,
         )
         .otherwise(0)

@@ -791,7 +791,10 @@ def compute_window_order() -> list[str]:
         key=lambda q: (last[q][0], registered.index(q)),
     )
     front = red + retired + never
-    cut = max(0, _WINDOW_SIZE - _RECHECK_RESERVE)
+    # The reserve may only displace NEVER-CHECKED rows, never a RED or
+    # ORACLE-RETIRED row (round-11 review finding: a bad round with
+    # >40 red rows must still front-load every one of them).
+    cut = max(len(red) + len(retired), _WINDOW_SIZE - _RECHECK_RESERVE)
     return (
         front[:cut]
         + recheck[:_RECHECK_RESERVE]

@@ -111,7 +111,14 @@ def run(write: bool) -> int:
             else:
                 print(f"DRIFT in {path}: {stale} != {want}")
                 drift += 1
-    drift += check_s2(write)
+    # §2 integrity failures are NOT repairable by --write (duplicate
+    # rows / unregistered ids / missing rows need a human edit), so
+    # they fail the run in BOTH modes — --write must not mask the very
+    # violation the guard exists for (round-11 review finding).
+    s2_errs = check_s2(write)
+    if s2_errs:
+        print("§2 integrity errors — fix SURVEY.md / registry by hand")
+        return 1
     if drift and not write:
         print("tallies drifted — run with --write")
         return 1

@@ -130,7 +130,8 @@ def test_window_order_invariants():
     # The r11 anti-rot reserve splices the RECHECK_RESERVE oldest-green
     # re-checks into the tail of the first window, so categories are
     # monotone only after REMOVING that reserve block.
-    cut = max(0, registry._WINDOW_SIZE - registry._RECHECK_RESERVE)
+    n_priority = sum(1 for q in ordered if category(q) in (0, 1))
+    cut = max(n_priority, registry._WINDOW_SIZE - registry._RECHECK_RESERVE)
     cats = [category(q) for q in ordered]
     n_front = sum(1 for c in cats if c != 3)
     if n_front > cut:
@@ -180,16 +181,25 @@ def test_recheck_reserve_in_first_window():
     last = registry._ledger_last_seen(repo)
     ordered = registry.compute_window_order()
     nevers = [q for q in ordered if q not in last]
-    cut = registry._WINDOW_SIZE - registry._RECHECK_RESERVE
-    if len(nevers) >= cut:  # queue still deep enough to trigger the splice
-        reserve = ordered[cut : registry._WINDOW_SIZE]
+    n_priority = sum(
+        1
+        for q in ordered
+        if q in last
+        and (
+            not last[q][1]
+            or (last[q][1] and last[q][2] and q in registry.ORACLES)
+        )
+    )
+    cut = max(n_priority, registry._WINDOW_SIZE - registry._RECHECK_RESERVE)
+    if len(nevers) >= cut - n_priority:  # queue deep enough to splice
+        reserve = ordered[cut : cut + registry._RECHECK_RESERVE]
         assert len(reserve) == registry._RECHECK_RESERVE
         for q in reserve:
             assert q in last and last[q][1], f"{q} not a green re-check"
         # oldest greens first: every reserve row's last-green round must
         # be <= any green re-check row after the window
         tail_greens = [
-            q for q in ordered[registry._WINDOW_SIZE :]
+            q for q in ordered[cut + registry._RECHECK_RESERVE :]
             if q in last and last[q][1]
         ]
         if tail_greens:
