@@ -316,3 +316,63 @@ def udaf_pandas_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         roll_sum_e4("value").over(w).alias("roll_sum_e4"),
     ).orderBy("event_id")
+
+
+@query(
+    "udtf_map_arrow",
+    """
+    SELECT event_id,
+           CAST(FLOOR(value * 10000) AS BIGINT) AS v_e4,
+           CAST(length(event_type) AS BIGINT) AS type_len
+    FROM events WHERE user_id < 50
+    """,
+)
+def udtf_map_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow (round 11): RecordBatch-iterator → RecordBatch-
+    iterator — the LOWEST-overhead Python boundary Spark offers,
+    one rung below mapInPandas on the documented UDF ladder
+    (builtin > pandas_udf > mapInPandas > mapInArrow-when-zero-copy
+    -matters > row udf): no pandas Series materialization, no index
+    bookkeeping — pyarrow.compute kernels run directly on the Arrow
+    buffers Spark already shipped.  The right rung when the per-batch
+    work is itself Arrow-native (casts, takes, dictionary ops) and
+    the pandas conversion would DOMINATE the work, which is exactly
+    the multimodal-decode regime.
+
+    Parity: floor(value*1e4) via pyarrow.compute.floor on float64 is
+    the identical IEEE chain as both SQL engines; length() on ASCII
+    event types is byte-length in all three.
+
+    Scale: narrow map over Arrow batches, whole-stage boundaries on
+    either side; batch size inherits
+    spark.sql.execution.arrow.maxRecordsPerBatch."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def enrich(batches):
+        for batch in batches:
+            v = pc.cast(
+                pc.floor(
+                    pc.multiply(
+                        pc.cast(batch.column("value"), pa.float64()),
+                        pa.scalar(10000.0),
+                    )
+                ),
+                pa.int64(),
+            )
+            tl = pc.cast(
+                pc.utf8_length(batch.column("event_type")), pa.int64()
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("event_id"), v, tl],
+                ["event_id", "v_e4", "type_len"],
+            )
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 50)
+        .select("event_id", "value", "event_type")
+    )
+    return ev.mapInArrow(
+        enrich, "event_id bigint, v_e4 bigint, type_len bigint"
+    )

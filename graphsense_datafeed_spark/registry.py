@@ -672,6 +672,8 @@ _ROUND11_ADDITIONS = (
     "win_reset_cumsum",
     "seq_collapse_consecutive",
     "sample_systematic_interval",
+    "udtf_map_arrow",
+    "batch_session_window",
 )
 
 # Landing-order queue for rows that have never been inside a driver

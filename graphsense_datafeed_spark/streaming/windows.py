@@ -676,3 +676,71 @@ def stream_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day", "event_type")
     )
+
+
+@query(
+    "batch_session_window",
+    """
+    WITH marked AS (
+        SELECT user_id, ts,
+               CAST(FLOOR(value * 10000) AS BIGINT) AS v,
+               CASE WHEN LAG(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) IS NULL
+                    OR ts - LAG(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS is_start
+        FROM events WHERE user_id < 40
+    ), sessions AS (
+        SELECT user_id, ts, v,
+               SUM(is_start) OVER (PARTITION BY user_id
+                                   ORDER BY ts) AS session_no
+        FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(v) AS BIGINT) AS val_e4
+    FROM sessions GROUP BY user_id, session_no
+    """,
+)
+def batch_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE session_window IN BATCH MODE (round 11): Spark's
+    session_window() is not streaming-only — the same
+    gap-merging window works as a batch groupBy key, and THIS is the
+    plan you want at 100 TB (one keyed aggregate, map-side partials,
+    no window function pass at all) versus the manual gaps-islands
+    two-window program (events_sessionize) it replaces.  Both now
+    exist in §2 precisely so the plans can be compared: the manual
+    form when you need the session NUMBER on every row, the native
+    form when you only need per-session aggregates.
+
+    Parity: Spark merges events whose windows [ts, ts+30min)
+    overlap, i.e. a new session starts when the gap is >= 30 min
+    exactly — the oracle's gaps-islands uses >= (note:
+    events_sessionize's convention is >, a deliberately documented
+    difference); session_end is last event + gap in both.
+
+    Scale: ONE keyed aggregate with session merging inside the
+    aggregation (ObjectHashAggregate / merging session buffers) —
+    no window exchange, no row_number pass."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    return (
+        ev.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("sw")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 10000).cast("bigint"))
+            .cast("bigint")
+            .alias("val_e4"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "val_e4",
+        )
+    )
