@@ -1461,3 +1461,121 @@ def multimodal_audio_silence_census(
             yield pd.DataFrame(rows)
 
     return src.mapInPandas(census_batches, out_schema)
+
+
+@query(
+    "multimodal_audio_clipping_census",
+    """
+    WITH media AS (
+        SELECT doc_id, repeat(md5(text), 8) AS h
+        FROM documents WHERE doc_id < 200
+    ), samples AS (
+        SELECT doc_id,
+               list_transform(range(0, 64), i -> CASE
+                   WHEN CAST('0x' || substr(h, CAST(i * 4 + 1 AS INT), 2)
+                             AS BIGINT)
+                        + 256 * CAST('0x' || substr(h, CAST(i * 4 + 3 AS INT),
+                                                    2) AS BIGINT) >= 32768
+                   THEN CAST('0x' || substr(h, CAST(i * 4 + 1 AS INT), 2)
+                             AS BIGINT)
+                        + 256 * CAST('0x' || substr(h, CAST(i * 4 + 3 AS INT),
+                                                    2) AS BIGINT) - 65536
+                   ELSE CAST('0x' || substr(h, CAST(i * 4 + 1 AS INT), 2)
+                             AS BIGINT)
+                        + 256 * CAST('0x' || substr(h, CAST(i * 4 + 3 AS INT),
+                                                    2) AS BIGINT)
+               END) AS pcm
+        FROM media
+    )
+    SELECT doc_id,
+           CAST(len(list_filter(pcm, s -> abs(s) >= 30000)) AS BIGINT)
+               AS n_clipped,
+           CAST(list_max(list_transform(pcm, s -> abs(s))) AS BIGINT)
+               AS peak_abs,
+           CAST(FLOOR(CAST(list_max(list_transform(pcm, s -> abs(s)))
+                           AS DOUBLE)
+                      / SQRT(CAST(list_reduce(list_transform(pcm,
+                                                             s -> s * s),
+                                              (a, b) -> a + b) AS DOUBLE)
+                             / 64.0)
+                      * 10000) AS BIGINT) AS crest_e4
+    FROM samples ORDER BY doc_id
+    """,
+)
+def multimodal_audio_clipping_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """AUDIO CLIPPING / CREST-FACTOR CENSUS (round 11): per clip,
+    count samples at or beyond the ±30000 rail (int16 clips at
+    ±32767 — a recording that LIVES near the rail was clipped
+    upstream even when no sample is exactly maxed) and the crest
+    factor peak/RMS — the two first-pass audio-QC gates a speech
+    corpus runs before feature extraction (clipped audio poisons
+    spectral features; crest ≈ 1 flags square-wave/synthetic
+    content, high crest flags transient-heavy clips).  Works on the
+    same deterministic 64-sample int16 PCM blocks as
+    multimodal_audio_wav, decoded PURE-SQL in both engines (hex-pair
+    byte math + two's-complement) — no Python in the loop.
+
+    Exactness: sample decode, clip counts, and peak are exact
+    integers; the crest factor is ONE double chain (peak /
+    sqrt(sumsq/64)) floored e4.
+
+    Scale: narrow per-row transform over bounded 64-element arrays —
+    no shuffle, no Python boundary."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    h = F.repeat(F.md5(F.col("text").cast("binary")), 8)
+    idx = F.sequence(F.lit(0), F.lit(63))
+    # materialize the pcm array once via transform over the index seq
+    media = d.select("doc_id", h.alias("h"))
+    pcm = F.transform(
+        idx,
+        lambda i: F.when(
+            (
+                F.conv(
+                    F.substring(F.col("h"), (i * 4 + 1).cast("int"), 2), 16, 10
+                ).cast("bigint")
+                + 256
+                * F.conv(
+                    F.substring(F.col("h"), (i * 4 + 3).cast("int"), 2), 16, 10
+                ).cast("bigint")
+            )
+            >= 32768,
+            F.conv(
+                F.substring(F.col("h"), (i * 4 + 1).cast("int"), 2), 16, 10
+            ).cast("bigint")
+            + 256
+            * F.conv(
+                F.substring(F.col("h"), (i * 4 + 3).cast("int"), 2), 16, 10
+            ).cast("bigint")
+            - 65536,
+        ).otherwise(
+            F.conv(
+                F.substring(F.col("h"), (i * 4 + 1).cast("int"), 2), 16, 10
+            ).cast("bigint")
+            + 256
+            * F.conv(
+                F.substring(F.col("h"), (i * 4 + 3).cast("int"), 2), 16, 10
+            ).cast("bigint")
+        ),
+    )
+    withpcm = media.select("doc_id", pcm.alias("pcm"))
+    absarr = F.transform(F.col("pcm"), lambda s: F.abs(s))
+    sumsq = F.aggregate(
+        F.transform(F.col("pcm"), lambda s: s * s),
+        F.lit(0).cast("bigint"),
+        lambda a, b: a + b,
+    )
+    peak = F.array_max(absarr)
+    return withpcm.select(
+        "doc_id",
+        F.size(F.filter(absarr, lambda s: s >= 30000))
+        .cast("bigint")
+        .alias("n_clipped"),
+        peak.cast("bigint").alias("peak_abs"),
+        F.floor(
+            peak.cast("double") / F.sqrt(sumsq.cast("double") / 64.0) * 10000
+        )
+        .cast("bigint")
+        .alias("crest_e4"),
+    ).orderBy("doc_id")

@@ -674,6 +674,7 @@ _ROUND11_ADDITIONS = (
     "sample_systematic_interval",
     "udtf_map_arrow",
     "batch_session_window",
+    "multimodal_audio_clipping_census",
 )
 
 # Landing-order queue for rows that have never been inside a driver
