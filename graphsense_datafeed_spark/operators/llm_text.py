@@ -6168,3 +6168,101 @@ def sample_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "sample_epoch_cap_schedule",
+    """
+    WITH src AS (
+        SELECT source, CAST(SUM(n_chars) // 4 AS BIGINT) AS toks
+        FROM documents GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(toks) AS BIGINT) AS t, CAST(SUM(toks) * 3 AS BIGINT) AS b
+        FROM src
+    ), r1 AS (
+        SELECT s.source, s.toks,
+               LEAST(t.b * s.toks // t.t, s.toks * 4) AS a1,
+               CAST(s.toks * 4 AS BIGINT) AS cap
+        FROM src s, tot t
+    ), pools AS (
+        SELECT CAST((SELECT b FROM tot) - SUM(a1) AS BIGINT) AS leftover,
+               CAST(SUM(CASE WHEN a1 < cap THEN toks END) AS BIGINT)
+                   AS open_toks
+        FROM r1
+    )
+    SELECT r.source, r.toks, r.cap, CAST(r.a1 AS BIGINT) AS alloc_prop,
+           CAST(LEAST(r.a1 + CASE WHEN r.a1 < r.cap AND p.open_toks > 0
+                      THEN p.leftover * r.toks // p.open_toks
+                      ELSE 0 END, r.cap) AS BIGINT) AS alloc_final,
+           CAST(LEAST(r.a1 + CASE WHEN r.a1 < r.cap AND p.open_toks > 0
+                      THEN p.leftover * r.toks // p.open_toks
+                      ELSE 0 END, r.cap) * 100 // r.toks AS BIGINT)
+               AS epochs_e2,
+           r.a1 >= r.cap AS capped_round1
+    FROM r1 r, pools p ORDER BY r.source
+    """,
+)
+def sample_epoch_cap_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPOCH-CAPPED MIXTURE SCHEDULE (round 11): allocate a 3×-corpus
+    token budget across sources proportionally, but cap every source
+    at 4 epochs (the repetition ceiling the data-constrained-scaling
+    literature — Muennighoff et al. — says you can repeat before
+    returns collapse), then redistribute the capped sources'
+    unclaimed budget to the open ones in ONE documented pass (a
+    second redistribution can re-cap; the residual slack after one
+    pass is visible as Σ(final) < budget and is the scheduler's
+    honest remainder).  corpus_token_budget_apportion answers 'split
+    a budget fairly'; this answers the pretraining question 'split
+    it fairly WITHOUT over-repeating any source' — epochs_e2 per
+    source is the readout a mixture config actually consumes.
+
+    Exactness: token counts, caps, both allocation passes, and the
+    epoch ratios are pure bigint arithmetic (integer division at
+    every step — Hamilton-style exactness discipline).
+
+    Scale: one keyed rollup + two 1-row broadcasts; |sources|-row
+    finish."""
+    docs = load(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(
+        (F.sum("n_chars") / 4).cast("bigint").alias("toks")
+    )
+    tot = src.agg(
+        F.sum("toks").cast("bigint").alias("t"),
+        (F.sum("toks") * 3).cast("bigint").alias("b"),
+    )
+    r1 = src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "toks",
+        F.least(
+            (F.col("b") * F.col("toks") / F.col("t")).cast("bigint"),
+            (F.col("toks") * 4).cast("bigint"),
+        ).alias("a1"),
+        (F.col("toks") * 4).cast("bigint").alias("cap"),
+        "b",
+    )
+    pools = r1.agg(
+        (F.max("b") - F.sum("a1")).cast("bigint").alias("leftover"),
+        F.sum(F.when(F.col("a1") < F.col("cap"), F.col("toks")))
+        .cast("bigint")
+        .alias("open_toks"),
+    )
+    topup = F.when(
+        (F.col("a1") < F.col("cap")) & (F.col("open_toks") > 0),
+        (F.col("leftover") * F.col("toks") / F.col("open_toks")).cast(
+            "bigint"
+        ),
+    ).otherwise(F.lit(0).cast("bigint"))
+    final = F.least(F.col("a1") + topup, F.col("cap")).cast("bigint")
+    return (
+        r1.crossJoin(F.broadcast(pools))
+        .select(
+            "source",
+            "toks",
+            "cap",
+            F.col("a1").cast("bigint").alias("alloc_prop"),
+            final.alias("alloc_final"),
+            (final * 100 / F.col("toks")).cast("bigint").alias("epochs_e2"),
+            (F.col("a1") >= F.col("cap")).alias("capped_round1"),
+        )
+        .orderBy("source")
+    )

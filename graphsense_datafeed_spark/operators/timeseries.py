@@ -10341,3 +10341,132 @@ def ts_forecast_combination(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("e_drift") / 7).cast("bigint").alias("mae_drift_e4"),
         (F.col("e_combo") / 7).cast("bigint").alias("mae_combo_e4"),
     )
+
+
+@query(
+    "ts_cointegration_eg",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS x,
+               CAST(SUM(CAST(FLOOR(value * 10000) AS BIGINT))
+                    // COUNT(*) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ), sums AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM daily
+    ), resid AS (
+        SELECT d.d,
+               CAST(FLOOR(CAST(d.y AS DOUBLE)
+                   - (CAST(s.sy AS DOUBLE) * s.sxx
+                      - CAST(s.sx AS DOUBLE) * s.sxy)
+                     / (CAST(s.n AS DOUBLE) * s.sxx
+                        - CAST(s.sx AS DOUBLE) * s.sx)
+                   - (CAST(s.n AS DOUBLE) * s.sxy
+                      - CAST(s.sx AS DOUBLE) * s.sy)
+                     / (CAST(s.n AS DOUBLE) * s.sxx
+                        - CAST(s.sx AS DOUBLE) * s.sx)
+                     * d.x) AS BIGINT) AS r
+        FROM daily d, sums s
+    ), pairs AS (
+        SELECT CAST(r - LAG(r) OVER (ORDER BY d) AS BIGINT) AS w,
+               CAST(LAG(r) OVER (ORDER BY d) AS BIGINT) AS z
+        FROM resid QUALIFY LAG(r) OVER (ORDER BY d) IS NOT NULL
+    ), dfsums AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(SUM(z * w) AS BIGINT) AS szw,
+               CAST(SUM(z * z) AS BIGINT) AS szz,
+               CAST(SUM(w * w) AS BIGINT) AS sww
+        FROM pairs
+    )
+    SELECT m AS n_pairs,
+           CAST(FLOOR(CAST(szw AS DOUBLE) / CAST(szz AS DOUBLE)
+                      * 1000000) AS BIGINT) AS rho_e6,
+           CAST(FLOOR(CAST(szw AS DOUBLE)
+                      * SQRT((CAST(m AS DOUBLE) - 1.0)
+                             / (CAST(szz AS DOUBLE) * CAST(sww AS DOUBLE)
+                                - CAST(szw AS DOUBLE)
+                                  * CAST(szw AS DOUBLE)))
+                      * 1000000) AS BIGINT) AS eg_t_e6
+    FROM dfsums
+    """,
+)
+def ts_cointegration_eg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENGLE-GRANGER COINTEGRATION TEST (round 11), two-step, on the
+    daily (count, mean-value) pair: regress y on x, then run the
+    no-constant Dickey-Fuller on the RESIDUAL — if two trending
+    series are cointegrated their residual is stationary (eg_t ≪
+    −3.4 rejects no-cointegration) and an error-correction model is
+    licensed; if not, any regression between them is the classic
+    spurious-regression trap.  Completes the unit-root kit:
+    ts_dickey_fuller (one series), ts_kpss_level (mirrored null),
+    EG (the PAIR).
+
+    Exactness: step-1 OLS coefficients come from exact bigint sums;
+    each residual folds in ONE double chain floored to an e4-unit
+    integer (flooring the residual, never its huge cleared form —
+    the r11 overflow discipline); step-2 sums over those floored
+    integers are exact bigints; ρ̂ and the uncentered-OLS t fold in
+    one double chain each, floored e6.
+
+    Scale: map-side daily rollup, one 1-row sums broadcast, one lag
+    window on the calendar-bounded residual series, 1-row finish."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count("*").cast("bigint").alias("x"),
+        (
+            F.sum(F.floor(F.col("value") * 10000).cast("bigint"))
+            / F.count("*")
+        )
+        .cast("bigint")
+        .alias("y"),
+    )
+    sums = daily.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    d_ = lambda c: F.col(c).cast("double")  # noqa: E731
+    det = d_("n") * d_("sxx") - d_("sx") * d_("sx")
+    a = (d_("sy") * d_("sxx") - d_("sx") * d_("sxy")) / det
+    b = (d_("n") * d_("sxy") - d_("sx") * d_("sy")) / det
+    resid = daily.crossJoin(F.broadcast(sums)).select(
+        "d",
+        F.floor(d_("y") - a - b * F.col("x").cast("double"))
+        .cast("bigint")
+        .alias("r"),
+    )
+    w_seq = Window.orderBy("d")
+    pairs = (
+        resid.select(
+            (F.col("r") - F.lag("r").over(w_seq)).cast("bigint").alias("w"),
+            F.lag("r").over(w_seq).cast("bigint").alias("z"),
+        )
+        .filter(F.col("z").isNotNull())
+    )
+    dfsums = pairs.agg(
+        F.count("*").cast("bigint").alias("m"),
+        F.sum(F.col("z") * F.col("w")).cast("bigint").alias("szw"),
+        F.sum(F.col("z") * F.col("z")).cast("bigint").alias("szz"),
+        F.sum(F.col("w") * F.col("w")).cast("bigint").alias("sww"),
+    )
+    return dfsums.select(
+        F.col("m").alias("n_pairs"),
+        F.floor(d_("szw") / d_("szz") * 1000000)
+        .cast("bigint")
+        .alias("rho_e6"),
+        F.floor(
+            d_("szw")
+            * F.sqrt(
+                (d_("m") - 1.0)
+                / (d_("szz") * d_("sww") - d_("szw") * d_("szw"))
+            )
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("eg_t_e6"),
+    )

@@ -675,6 +675,8 @@ _ROUND11_ADDITIONS = (
     "udtf_map_arrow",
     "batch_session_window",
     "multimodal_audio_clipping_census",
+    "sample_epoch_cap_schedule",
+    "ts_cointegration_eg",
 )
 
 # Landing-order queue for rows that have never been inside a driver
