@@ -6266,3 +6266,92 @@ def sample_epoch_cap_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "text_weighted_jaccard_sources",
+    """
+    WITH srcs AS (
+        SELECT MIN(source) AS s1,
+               MIN(CASE WHEN source > (SELECT MIN(source) FROM documents)
+                        THEN source END) AS s2
+        FROM documents
+    ), toks AS (
+        SELECT d.source, unnest(str_split(d.text, ' ')) AS token
+        FROM documents d, srcs
+        WHERE d.source = srcs.s1 OR d.source = srcs.s2
+    ), counts AS (
+        SELECT token,
+               CAST(COUNT(*) FILTER (source = (SELECT s1 FROM srcs))
+                    AS BIGINT) AS c1,
+               CAST(COUNT(*) FILTER (source = (SELECT s2 FROM srcs))
+                    AS BIGINT) AS c2
+        FROM toks GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+           CAST(SUM(LEAST(c1, c2)) AS BIGINT) AS sum_min,
+           CAST(SUM(GREATEST(c1, c2)) AS BIGINT) AS sum_max,
+           CAST(SUM(LEAST(c1, c2)) * 1000000 // SUM(GREATEST(c1, c2))
+                AS BIGINT) AS weighted_jaccard_e6
+    FROM counts
+    """,
+)
+def text_weighted_jaccard_sources(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WEIGHTED (RUZICKA) JACCARD between the two first sources'
+    term-frequency vectors (round 11): Σ min(c₁,c₂) / Σ max(c₁,c₂) —
+    the count-aware overlap that set-Jaccard throws away (two sources
+    can share every TYPE yet have wildly different usage RATES; this
+    is the metric that sees it).  Slots between
+    text_vocab_overlap_sources (type-level) and text_js_divergence
+    (distribution-level): same explode+conditional-count shape, a
+    different and standard readout (the min-hash-able Ruzicka
+    similarity underlying weighted MinHash).
+
+    Exactness: counts, min/max sums, and the ratio are pure bigint
+    arithmetic — exact integer division, no floats at all.
+
+    Scale: explode → one keyed conditional-count aggregate →
+    1-row fold."""
+    docs = load(spark, sf_dir, "documents")
+    s1 = docs.agg(F.min("source").alias("s1"))
+    s2 = (
+        docs.crossJoin(F.broadcast(s1))
+        .filter(F.col("source") > F.col("s1"))
+        .agg(F.min("source").alias("s2"))
+    )
+    srcs = s1.crossJoin(F.broadcast(s2))
+    counts = (
+        docs.crossJoin(F.broadcast(srcs))
+        .filter(
+            (F.col("source") == F.col("s1"))
+            | (F.col("source") == F.col("s2"))
+        )
+        .select(
+            "source",
+            "s1",
+            "s2",
+            F.explode(F.split("text", " ")).alias("token"),
+        )
+        .groupBy("token")
+        .agg(
+            F.count_if(F.col("source") == F.col("s1"))
+            .cast("bigint")
+            .alias("c1"),
+            F.count_if(F.col("source") == F.col("s2"))
+            .cast("bigint")
+            .alias("c2"),
+        )
+    )
+    return counts.agg(
+        F.count("*").cast("bigint").alias("n_terms"),
+        F.sum(F.least("c1", "c2")).cast("bigint").alias("sum_min"),
+        F.sum(F.greatest("c1", "c2")).cast("bigint").alias("sum_max"),
+        (
+            F.sum(F.least("c1", "c2")) * 1000000
+            / F.sum(F.greatest("c1", "c2"))
+        )
+        .cast("bigint")
+        .alias("weighted_jaccard_e6"),
+    )

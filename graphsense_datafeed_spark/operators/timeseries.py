@@ -10470,3 +10470,153 @@ def ts_cointegration_eg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("eg_t_e6"),
     )
+
+
+@query(
+    "events_survival_rmst",
+    """
+    WITH anchor AS (
+        SELECT MAX(CAST(ts AS DATE)) AS corpus_max FROM events
+    ), users AS (
+        SELECT user_id,
+               date_diff('day', MIN(CAST(ts AS DATE)),
+                         MAX(CAST(ts AS DATE))) AS t,
+               MAX(CAST(ts AS DATE)) <
+                   (SELECT corpus_max FROM anchor) - 3 AS churned
+        FROM events GROUP BY user_id
+    ), times AS (
+        SELECT t,
+               CAST(COUNT(*) AS BIGINT) AS n_at,
+               CAST(COUNT(*) FILTER (churned) AS BIGINT) AS d
+        FROM users GROUP BY t
+    ), risk AS (
+        SELECT t, d,
+               CAST(SUM(n_at) OVER (ORDER BY t DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS n_risk
+        FROM times
+    ), steps AS (
+        SELECT t,
+               CASE WHEN d < n_risk THEN
+                   CAST(FLOOR(exp(CAST(SUM(CAST(FLOOR(
+                       ln(1.0 - CAST(d AS DOUBLE) / n_risk)
+                       * 1000000000) AS BIGINT)) OVER (ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS DOUBLE) / 1000000000) * 1000000) AS BIGINT)
+               ELSE 0 END AS surv_e6
+        FROM risk WHERE d > 0
+    ), capped AS (
+        SELECT t, surv_e6,
+               LAG(t) OVER (ORDER BY t) AS prev_t,
+               LAG(surv_e6) OVER (ORDER BY t) AS prev_s
+        FROM steps WHERE t <= 14
+    ), area AS (
+        SELECT CAST(SUM(CASE WHEN prev_t IS NULL
+                        THEN 1000000 * t
+                        ELSE prev_s * (t - prev_t) END) AS BIGINT) AS a,
+               CAST(MAX(t) AS BIGINT) AS last_t,
+               CAST(MAX_BY(surv_e6, t) AS BIGINT) AS last_s,
+               CAST(COUNT(*) AS BIGINT) AS n_steps
+        FROM capped
+    )
+    SELECT CAST(14 AS BIGINT) AS tau_days, n_steps,
+           CAST(a + last_s * (14 - last_t) AS BIGINT) AS rmst_day_e6
+    FROM area
+    """,
+)
+def events_survival_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTRICTED MEAN SURVIVAL TIME (round 11), τ = 14 days: the
+    area under the Kaplan-Meier curve up to the horizon — 'expected
+    active days in the first fortnight', the ONE-NUMBER summary
+    regulators and A/B readouts prefer over eyeballing two curves
+    (and the estimand that stays valid when hazards cross and the
+    log-rank test loses power).  Completes the survival kit: KM
+    (curve), Nelson-Aalen (hazard), log-rank (test), C-index
+    (discrimination), RMST (effect size).
+
+    Exactness: reuses events_survival_km's log-space discipline —
+    per-step ln terms floored e9, prefix-summed as exact bigints,
+    ONE exp per step floored e6; the area fold is then pure integer
+    arithmetic (surv_e6 × whole days), including the tail rectangle
+    to τ.
+
+    Scale: the KM shape exactly (map-side user agg, |distinct
+    lifetimes| rows, 1-row finish)."""
+    ev = load(spark, sf_dir, "events")
+    anchor = ev.agg(F.max(F.col("ts").cast("date")).alias("corpus_max"))
+    users = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(F.col("ts").cast("date")).alias("first_d"),
+            F.max(F.col("ts").cast("date")).alias("last_d"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            F.datediff("last_d", "first_d").alias("t"),
+            (F.col("last_d") < F.date_sub(F.col("corpus_max"), 3)).alias(
+                "churned"
+            ),
+        )
+    )
+    times = users.groupBy("t").agg(
+        F.count("*").cast("bigint").alias("n_at"),
+        F.count_if(F.col("churned")).cast("bigint").alias("d"),
+    )
+    w_desc = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = times.select(
+        "t",
+        "d",
+        F.sum("n_at").over(w_desc).cast("bigint").alias("n_risk"),
+    )
+    w_asc = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    term = F.floor(
+        F.log(F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk"))
+        * 1000000000
+    ).cast("bigint")
+    steps = (
+        risk.filter(F.col("d") > 0)
+        .select(
+            "t",
+            "d",
+            "n_risk",
+            F.when(
+                F.col("d") < F.col("n_risk"),
+                F.floor(
+                    F.exp(
+                        F.sum(term).over(w_asc).cast("double") / 1000000000
+                    )
+                    * 1000000
+                ).cast("bigint"),
+            )
+            .otherwise(F.lit(0).cast("bigint"))
+            .alias("surv_e6"),
+        )
+    )
+    w_seq = Window.orderBy("t")
+    capped = steps.filter(F.col("t") <= 14).select(
+        "t",
+        "surv_e6",
+        F.lag("t").over(w_seq).alias("prev_t"),
+        F.lag("surv_e6").over(w_seq).alias("prev_s"),
+    )
+    area = capped.agg(
+        F.sum(
+            F.when(
+                F.col("prev_t").isNull(), F.lit(1000000) * F.col("t")
+            ).otherwise(F.col("prev_s") * (F.col("t") - F.col("prev_t")))
+        )
+        .cast("bigint")
+        .alias("a"),
+        F.max("t").cast("bigint").alias("last_t"),
+        F.max_by("surv_e6", "t").cast("bigint").alias("last_s"),
+        F.count("*").cast("bigint").alias("n_steps"),
+    )
+    return area.select(
+        F.lit(14).cast("bigint").alias("tau_days"),
+        "n_steps",
+        (F.col("a") + F.col("last_s") * (14 - F.col("last_t")))
+        .cast("bigint")
+        .alias("rmst_day_e6"),
+    )

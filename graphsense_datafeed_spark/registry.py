@@ -677,6 +677,9 @@ _ROUND11_ADDITIONS = (
     "multimodal_audio_clipping_census",
     "sample_epoch_cap_schedule",
     "ts_cointegration_eg",
+    "events_survival_rmst",
+    "text_weighted_jaccard_sources",
+    "events_quantile_treatment_effect",
 )
 
 # Landing-order queue for rows that have never been inside a driver
