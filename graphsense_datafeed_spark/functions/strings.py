@@ -137,3 +137,88 @@ def str_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.lower(F.any_value("seg")).alias("segment"), F.count("*").alias("n"))
         .select("segment", "n")
     )
+
+
+@query(
+    "str_luhn_validate",
+    """
+    WITH cand AS (
+        SELECT o_orderkey,
+               substr(regexp_replace(md5(CAST(o_orderkey AS VARCHAR)),
+                                     '[a-f]', '', 'g') || '0000000000000000',
+                      1, 12) AS digits
+        FROM orders WHERE o_orderkey < 300
+    ), summed AS (
+        SELECT o_orderkey, digits,
+               CAST(list_reduce(list_transform(range(1, 13), i ->
+                   CASE WHEN (13 - i) % 2 = 0 THEN
+                       CASE WHEN 2 * CAST(substr(digits,
+                                CAST(i AS INT), 1) AS BIGINT) > 9
+                            THEN 2 * CAST(substr(digits,
+                                CAST(i AS INT), 1) AS BIGINT) - 9
+                            ELSE 2 * CAST(substr(digits,
+                                CAST(i AS INT), 1) AS BIGINT) END
+                   ELSE CAST(substr(digits, CAST(i AS INT), 1) AS BIGINT)
+                   END), (a, b) -> a + b) AS BIGINT) AS luhn_sum
+        FROM cand
+    )
+    SELECT o_orderkey, digits, luhn_sum,
+           luhn_sum % 10 = 0 AS is_valid
+    FROM summed ORDER BY o_orderkey
+    """,
+)
+def str_luhn_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LUHN CHECKSUM VALIDATION (round 11): the mod-10 double-every-
+    second-digit-from-the-right check over deterministic 12-digit
+    candidates (md5 digits, zero-padded) — the validation rung ABOVE
+    text_pii_scrub's regex detection: a 16-digit run that fails Luhn
+    is a serial number, not a card, and scrubbing it is a false
+    positive that destroys legitimate data.  Shipping the checksum
+    as a first-class scalar program (pure transform/aggregate
+    lambdas, no UDF) is what lets the PII pipeline run it inline at
+    scan speed.
+
+    Exactness: digit extraction and the doubled-digit fold are pure
+    integer programs over bounded 12-element index ranges, identical
+    in both engines; position parity is computed from the RIGHT
+    ((13−i) even ⇔ doubled), the part every hand-rolled Luhn gets
+    wrong first.
+
+    Scale: narrow per-row transform, no shuffle, no Python."""
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 300)
+    digits = F.substring(
+        F.concat(
+            F.regexp_replace(
+                F.md5(F.col("o_orderkey").cast("string").cast("binary")),
+                "[a-f]",
+                "",
+            ),
+            F.lit("0000000000000000"),
+        ),
+        1,
+        12,
+    )
+    cand = orders.select("o_orderkey", digits.alias("digits"))
+    luhn_sum = F.aggregate(
+        F.sequence(F.lit(1), F.lit(12)),
+        F.lit(0).cast("bigint"),
+        lambda acc, i: acc
+        + F.when(
+            (13 - i) % 2 == 0,
+            F.when(
+                2 * F.substring(F.col("digits"), i.cast("int"), 1).cast("bigint") > 9,
+                2 * F.substring(F.col("digits"), i.cast("int"), 1).cast("bigint") - 9,
+            ).otherwise(
+                2 * F.substring(F.col("digits"), i.cast("int"), 1).cast("bigint")
+            ),
+        ).otherwise(F.substring(F.col("digits"), i.cast("int"), 1).cast("bigint")),
+    )
+    return (
+        cand.select(
+            "o_orderkey",
+            "digits",
+            luhn_sum.cast("bigint").alias("luhn_sum"),
+        )
+        .withColumn("is_valid", F.col("luhn_sum") % 10 == 0)
+        .orderBy("o_orderkey")
+    )

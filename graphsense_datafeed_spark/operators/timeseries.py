@@ -10520,7 +10520,9 @@ def ts_cointegration_eg(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM capped
     )
     SELECT CAST(14 AS BIGINT) AS tau_days, n_steps,
-           CAST(a + last_s * (14 - last_t) AS BIGINT) AS rmst_day_e6
+           CAST(COALESCE(a, 0)
+                + COALESCE(last_s, 1000000) * (14 - COALESCE(last_t, 0))
+                AS BIGINT) AS rmst_day_e6
     FROM area
     """,
 )
@@ -10613,10 +10615,16 @@ def events_survival_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("surv_e6", "t").cast("bigint").alias("last_s"),
         F.count("*").cast("bigint").alias("n_steps"),
     )
+    # no KM step before tau => S(t)=1 on [0,tau) and RMST = tau
+    # exactly (COALESCE defaults, identical both engines)
     return area.select(
         F.lit(14).cast("bigint").alias("tau_days"),
         "n_steps",
-        (F.col("a") + F.col("last_s") * (14 - F.col("last_t")))
+        (
+            F.coalesce(F.col("a"), F.lit(0))
+            + F.coalesce(F.col("last_s"), F.lit(1000000))
+            * (14 - F.coalesce(F.col("last_t"), F.lit(0)))
+        )
         .cast("bigint")
         .alias("rmst_day_e6"),
     )

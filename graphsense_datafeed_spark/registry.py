@@ -680,6 +680,7 @@ _ROUND11_ADDITIONS = (
     "events_survival_rmst",
     "text_weighted_jaccard_sources",
     "events_quantile_treatment_effect",
+    "str_luhn_validate",
 )
 
 # Landing-order queue for rows that have never been inside a driver
