@@ -3736,8 +3736,8 @@ def events_covariate_balance_smd(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(CAST('0x' || substr(md5('iv:' ||
                     CAST(user_id AS VARCHAR)), 1, 4) AS BIGINT) % 2
                     AS BIGINT) AS z,
-               CAST(SUM(CAST(FLOOR(value * 10000) AS BIGINT)) AS BIGINT)
-                   AS y,
+               CAST(SUM(CAST(FLOOR(value * 10000) AS BIGINT))
+                    // COUNT(*) AS BIGINT) AS y,
                CAST(CASE WHEN COUNT(*) FILTER (event_type = 'click') > 0
                     THEN 1 ELSE 0 END AS BIGINT) AS d
         FROM events GROUP BY 1
@@ -3807,7 +3807,11 @@ def events_iv_wald(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INSTRUMENTAL-VARIABLE WALD ESTIMATOR (round 11): with the
     frozen md5 user hash as the randomized ENCOURAGEMENT z and
     'ever clicked' as the endogenous takeup d, the Wald LATE is
-    ITT_y / ITT_d — the effect on compliers when you could only
+    ITT_y / ITT_d (on the per-user MEAN e4 outcome — the exact
+    integer-division mean, domain-bounded so Σy² cannot overflow at
+    any SF; a per-user value SUM squared overflows int64 at sf10,
+    caught by this round's decade spot-check) — the effect on
+    compliers when you could only
     randomize the nudge, not the behavior.  Completes the causal
     family's identification ladder: ab (randomized exposure), cuped
     (variance reduction), did (parallel trends), rdd (cutoff),
@@ -3842,7 +3846,10 @@ def events_iv_wald(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     users = ev.groupBy("user_id").agg(
         F.max(z).cast("bigint").alias("z"),
-        F.sum(F.floor(F.col("value") * 10000).cast("bigint"))
+        (
+            F.sum(F.floor(F.col("value") * 10000).cast("bigint"))
+            / F.count("*")
+        )
         .cast("bigint")
         .alias("y"),
         F.when(F.count_if(F.col("event_type") == "click") > 0, 1)

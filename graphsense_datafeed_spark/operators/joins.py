@@ -2115,18 +2115,28 @@ def join_cardinality_qerror(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("span"),
     )
     def _hist(df: DataFrame, key: str) -> DataFrame:
-        return (
-            df.crossJoin(F.broadcast(rng))
-            .groupBy(
-                ((F.col(key) - F.col("lo")) * 20 / F.col("span"))
-                .cast("bigint")
-                .alias("b")
-            )
-            .agg(
-                F.count("*").cast("bigint").alias("c"),
-                F.countDistinct(key).cast("bigint").alias("ndv"),
-            )
+        # counts and NDV as two separate aggregates joined on bucket:
+        # countDistinct holds a per-group hash set of every key and
+        # OOMs a bare session at sf10 (measured); distinct() is a
+        # spillable shuffle-dedup, so this shape survives any SF
+        bucket = (
+            ((F.col(key) - F.col("lo")) * 20 / F.col("span"))
+            .cast("bigint")
+            .alias("b")
         )
+        cnt = (
+            df.crossJoin(F.broadcast(rng))
+            .groupBy(bucket)
+            .agg(F.count("*").cast("bigint").alias("c"))
+        )
+        nd = (
+            df.select(key)
+            .distinct()
+            .crossJoin(F.broadcast(rng))
+            .groupBy(bucket)
+            .agg(F.count("*").cast("bigint").alias("ndv"))
+        )
+        return cnt.join(nd, "b")
 
     ha = _hist(orders, "o_orderkey")
     hb = _hist(li, "l_orderkey")
