@@ -9438,3 +9438,76 @@ def agg_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("t_upper_e4"),
     )
+
+
+@query(
+    "agg_poisson_rate_ratio",
+    """
+    WITH arms AS (
+        SELECT CASE WHEN day(ts) <= 15 THEN 1 ELSE 2 END AS half,
+               CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS x,
+               CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS days
+        FROM events GROUP BY 1
+    ), wide AS (
+        SELECT MAX(CASE WHEN half = 1 THEN x END) AS x1,
+               MAX(CASE WHEN half = 1 THEN days END) AS t1,
+               MAX(CASE WHEN half = 2 THEN x END) AS x2,
+               MAX(CASE WHEN half = 2 THEN days END) AS t2
+        FROM arms
+    )
+    SELECT CAST(x1 AS BIGINT) AS x1, CAST(t1 AS BIGINT) AS t1,
+           CAST(x2 AS BIGINT) AS x2, CAST(t2 AS BIGINT) AS t2,
+           CAST(FLOOR(CAST(x1 AS DOUBLE) * t2
+                      / (CAST(x2 AS DOUBLE) * t1) * 1000000) AS BIGINT)
+               AS rate_ratio_e6,
+           CAST(FLOOR(LN(CAST(x1 AS DOUBLE) * t2
+                         / (CAST(x2 AS DOUBLE) * t1))
+                      / SQRT(1.0 / x1 + 1.0 / x2) * 10000) AS BIGINT)
+               AS z_e4
+    FROM wide
+    """,
+)
+def agg_poisson_rate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POISSON RATE-RATIO TEST (round 11): error events per exposure
+    day, first vs second half-month — RR = (x₁/T₁)/(x₂/T₂) with the
+    log-scale z = ln(RR)/√(1/x₁+1/x₂), the incidence-rate comparison
+    epidemiology and SRE postmortems both run ('did the error RATE
+    double, or did we just run longer?').  Completes the
+    epidemiological trio: agg_odds_ratio (case-control),
+    agg_smr_indirect (standardized), rate ratio (cohort/exposure) —
+    and unlike a raw count diff it is exposure-honest when the two
+    periods cover different numbers of active days.
+
+    Exactness: counts and exposure days exact; RR clears denominators
+    into one double chain (x₁T₂ / x₂T₁), z is one more chain — both
+    floored.
+
+    Scale: one conditional-count pass → 1-row pivot → closed-form
+    fold."""
+    ev = load(spark, sf_dir, "events")
+    arms = ev.groupBy(
+        F.when(F.dayofmonth("ts") <= 15, 1).otherwise(2).alias("half")
+    ).agg(
+        F.count_if(F.col("event_type") == "error").cast("bigint").alias("x"),
+        F.countDistinct(F.to_date("ts")).cast("bigint").alias("days"),
+    )
+    wide = arms.groupBy().agg(
+        F.max(F.when(F.col("half") == 1, F.col("x"))).alias("x1"),
+        F.max(F.when(F.col("half") == 1, F.col("days"))).alias("t1"),
+        F.max(F.when(F.col("half") == 2, F.col("x"))).alias("x2"),
+        F.max(F.when(F.col("half") == 2, F.col("days"))).alias("t2"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    rr = d("x1") * d("t2") / (d("x2") * d("t1"))
+    return wide.select(
+        F.col("x1").cast("bigint").alias("x1"),
+        F.col("t1").cast("bigint").alias("t1"),
+        F.col("x2").cast("bigint").alias("x2"),
+        F.col("t2").cast("bigint").alias("t2"),
+        F.floor(rr * 1000000).cast("bigint").alias("rate_ratio_e6"),
+        F.floor(
+            F.log(rr) / F.sqrt(1.0 / d("x1") + 1.0 / d("x2")) * 10000
+        )
+        .cast("bigint")
+        .alias("z_e4"),
+    )

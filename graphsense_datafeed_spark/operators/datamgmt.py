@@ -4569,3 +4569,102 @@ def events_quantile_treatment_effect(
         )
         .orderBy("decile")
     )
+
+
+@query(
+    "anon_rank_swap",
+    """
+    WITH ranked AS (
+        SELECT c_mktsegment,
+               CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS v,
+               CAST(row_number() OVER (PARTITION BY c_mktsegment
+                    ORDER BY c_acctbal, c_custkey) AS BIGINT) AS rnk,
+               CAST(COUNT(*) OVER (PARTITION BY c_mktsegment) AS BIGINT)
+                   AS n
+        FROM customer
+    ), swapped AS (
+        SELECT r.c_mktsegment, r.v,
+               CAST(COALESCE(p.v, r.v) AS BIGINT) AS v_swapped
+        FROM ranked r
+        LEFT JOIN ranked p
+          ON p.c_mktsegment = r.c_mktsegment
+         AND p.rnk = CASE WHEN r.rnk % 2 = 1 AND r.rnk < r.n
+                          THEN r.rnk + 1
+                          WHEN r.rnk % 2 = 0 THEN r.rnk - 1
+                          ELSE r.rnk END
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) FILTER (v != v_swapped) AS BIGINT) AS n_swapped,
+           CAST(SUM(ABS(v - v_swapped)) AS BIGINT) AS sum_abs_disp_e2,
+           CAST(SUM(v) AS BIGINT) AS sum_orig_e2,
+           CAST(SUM(v_swapped) AS BIGINT) AS sum_swapped_e2
+    FROM swapped GROUP BY 1 ORDER BY 1
+    """,
+)
+def anon_rank_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANK SWAPPING (round 11): within each segment, sort balances
+    and exchange rank-adjacent pairs (1↔2, 3↔4, …; an odd tail keeps
+    its value) — the classic statistical-disclosure-control
+    perturbation that BREAKS record linkage (no published value
+    belongs to its record) while PROVABLY preserving every
+    segment-level distributional statistic exactly (the published
+    multiset of values is identical — the audit columns show
+    sum_orig == sum_swapped by construction while sum_abs_disp
+    measures the per-record protection distance).  Complements
+    anon_microaggregate (fuse to means, lossy) with the
+    permutation-based member (lossless in distribution, lossy in
+    linkage).
+
+    Exactness: ranks over a total order, partner lookup by exact rank
+    arithmetic, all sums exact e2 bigints.
+
+    Scale: one keyed rank window + one self-join on (segment, rank) —
+    both shuffle on the segment key the table is already
+    partitioned by."""
+    cust = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    wn = Window.partitionBy("c_mktsegment")
+    ranked = cust.select(
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") * 100).cast("bigint").alias("v"),
+        F.row_number().over(w).cast("bigint").alias("rnk"),
+        F.count("*").over(wn).cast("bigint").alias("n"),
+    )
+    partner = F.when(
+        (F.col("rnk") % 2 == 1) & (F.col("rnk") < F.col("n")),
+        F.col("rnk") + 1,
+    ).when(F.col("rnk") % 2 == 0, F.col("rnk") - 1).otherwise(F.col("rnk"))
+    r = ranked.select(
+        "c_mktsegment", "v", "rnk", partner.alias("p_rnk")
+    )
+    p = ranked.select(
+        F.col("c_mktsegment").alias("p_seg"),
+        F.col("v").alias("p_v"),
+        F.col("rnk").alias("p_rnk2"),
+    )
+    swapped = r.join(
+        p,
+        (F.col("c_mktsegment") == F.col("p_seg"))
+        & (F.col("p_rnk") == F.col("p_rnk2")),
+        "left",
+    ).select(
+        "c_mktsegment",
+        "v",
+        F.coalesce(F.col("p_v"), F.col("v")).cast("bigint").alias("v_swapped"),
+    )
+    return (
+        swapped.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.count_if(F.col("v") != F.col("v_swapped"))
+            .cast("bigint")
+            .alias("n_swapped"),
+            F.sum(F.abs(F.col("v") - F.col("v_swapped")))
+            .cast("bigint")
+            .alias("sum_abs_disp_e2"),
+            F.sum("v").cast("bigint").alias("sum_orig_e2"),
+            F.sum("v_swapped").cast("bigint").alias("sum_swapped_e2"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -681,6 +681,8 @@ _ROUND11_ADDITIONS = (
     "text_weighted_jaccard_sources",
     "events_quantile_treatment_effect",
     "str_luhn_validate",
+    "agg_poisson_rate_ratio",
+    "anon_rank_swap",
 )
 
 # Landing-order queue for rows that have never been inside a driver
