@@ -6148,9 +6148,12 @@ def sample_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     and char sums — a pure integer program.
 
     Scale: one keyed window partitioned by source (never global) +
-    one keyed rollup; at 100 TB this is the canonical
-    top-k-per-group shape (WindowGroupLimit pushes the cap before
-    the sort completes)."""
+    one keyed rollup on the SAME key (the aggregate reuses the
+    window's hash partitioning — one exchange total, plan-pinned).
+    Note this census deliberately ranks EVERY row (the removal
+    ledger needs the beyond-cap counts), so the WindowGroupLimit
+    shortcut of a pure keep-top-k materialization does not apply;
+    the keep-only variant would add .filter(rnk <= 25) and get it."""
     docs = load(spark, sf_dir, "documents")
     w = Window.partitionBy("source").orderBy(F.col("doc_id").asc())
     ranked = docs.select(
