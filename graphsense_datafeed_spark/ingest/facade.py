@@ -3380,3 +3380,95 @@ def ingest_hodl_waves(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("age_band_log2")
     )
+
+
+@query(
+    "ingest_fee_size_elasticity",
+    f"""
+    WITH txr AS (
+        SELECT unnest(txs) AS tx FROM {_DUCK_BLOCKS}
+    ), txf AS (
+        SELECT CAST(((tx).total_input - (tx).total_output) // 1000
+                    AS BIGINT) AS fee,
+               CAST(len((tx).inputs) + len((tx).outputs) AS BIGINT) AS io
+        FROM txr WHERE NOT (tx).coinbase
+    ), sums AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(io) AS BIGINT) AS sx,
+               CAST(SUM(fee) AS BIGINT) AS sy,
+               CAST(SUM(io * io) AS BIGINT) AS sxx,
+               CAST(SUM(io * fee) AS BIGINT) AS sxy,
+               CAST(SUM(fee * fee) AS BIGINT) AS syy
+        FROM txf
+    )
+    SELECT n,
+           CAST(FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+                      / CAST(n * sxx - sx * sx AS DOUBLE) * 10000)
+                AS BIGINT) AS ksat_per_io_e4,
+           CAST(FLOOR((CAST(sy AS DOUBLE) * sxx
+                       - CAST(sx AS DOUBLE) * sxy)
+                      / CAST(n * sxx - sx * sx AS DOUBLE)) AS BIGINT)
+               AS base_fee_ksat,
+           CAST(FLOOR(POW(CAST(n * sxy - sx * sy AS DOUBLE), 2)
+                      / (CAST(n * sxx - sx * sx AS DOUBLE)
+                         * CAST(n * syy - sy * sy AS DOUBLE))
+                      * 1000000) AS BIGINT) AS r2_e6
+    FROM sums
+    """,
+)
+def ingest_fee_size_elasticity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FEE-vs-SIZE ELASTICITY (round 11): regress each transaction's
+    fee on its input+output count — ksat_per_io is the marginal price
+    of one more UTXO touched (the number fee estimators and
+    consolidation planners actually trade on: consolidate when
+    sat_per_io is low), base_fee the fixed component, R² how much of
+    fee variance size explains at all (low R² = fees are
+    priority-driven, not size-driven — a regime signal).  The feed
+    carries no serialized byte size, so io count is the documented
+    size proxy (exact, and proportional to vsize for standard
+    scripts).
+
+    Exactness: fees carry in ksat units (integer division by 1000 —
+    the raw-satoshi squares overflow int64 on this feed's value
+    range, caught at registration); io counts exact; the n-cleared
+    co-moments are exact bigints; slope/intercept/R² fold in ONE
+    double chain each, floored.
+
+    Scale: one explode pass → 1-row sums → closed-form fold; no
+    windows, no joins."""
+    raw = normalize_blocks(read_blocks_json(spark))
+    txf = (
+        raw.select(F.explode("txs").alias("tx"))
+        .filter(~F.col("tx.coinbase"))
+        .select(
+            ((F.col("tx.total_input") - F.col("tx.total_output")) / 1000)
+            .cast("bigint")
+            .alias("fee"),
+            (F.size("tx.inputs") + F.size("tx.outputs"))
+            .cast("bigint")
+            .alias("io"),
+        )
+    )
+    sums = txf.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("io").cast("bigint").alias("sx"),
+        F.sum("fee").cast("bigint").alias("sy"),
+        F.sum(F.col("io") * F.col("io")).cast("bigint").alias("sxx"),
+        F.sum(F.col("io") * F.col("fee")).cast("bigint").alias("sxy"),
+        F.sum(F.col("fee") * F.col("fee")).cast("bigint").alias("syy"),
+    )
+    n = F.col("n")
+    a = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    b = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    c = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    d = lambda col: F.col(col).cast("double")  # noqa: E731
+    return sums.select(
+        "n",
+        F.floor(a / b * 10000).cast("bigint").alias("ksat_per_io_e4"),
+        F.floor((d("sy") * d("sxx") - d("sx") * d("sxy")) / b)
+        .cast("bigint")
+        .alias("base_fee_ksat"),
+        F.floor(a * a / (b * c) * 1000000).cast("bigint").alias("r2_e6"),
+    )

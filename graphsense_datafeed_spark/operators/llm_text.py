@@ -6358,3 +6358,87 @@ def text_weighted_jaccard_sources(
         .cast("bigint")
         .alias("weighted_jaccard_e6"),
     )
+
+
+@query(
+    "text_bigram_entropy_rate",
+    """
+    WITH toks AS (
+        SELECT doc_id, str_split(text, ' ') AS ws FROM documents
+    ), bigrams AS (
+        SELECT ws[CAST(i AS INT)] AS w1, ws[CAST(i AS INT) + 1] AS w2
+        FROM toks, LATERAL unnest(range(1, len(ws))) AS t(i)
+    ), pair_c AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+        FROM bigrams GROUP BY 1, 2
+    ), left_c AS (
+        SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM pair_c GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(c12) AS BIGINT) AS n FROM pair_c
+    ), terms AS (
+        SELECT p.c12,
+               CAST(FLOOR(CAST(p.c12 AS DOUBLE)
+                          * LN(CAST(l.c1 AS DOUBLE) / p.c12)
+                          * 1000000) AS BIGINT) AS term_e6
+        FROM pair_c p JOIN left_c l USING (w1)
+    )
+    SELECT t.n AS n_bigrams,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM pair_c) AS n_pair_types,
+           CAST(SUM(term_e6) // t.n AS BIGINT) AS cond_entropy_e6
+    FROM terms, tot t GROUP BY t.n
+    """,
+)
+def text_bigram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BIGRAM ENTROPY RATE (round 11): H(w₂|w₁) = Σ p(w₁,w₂)·
+    ln(c(w₁)/c(w₁,w₂)) — how predictable the NEXT word is given the
+    current one, the first-order entropy-rate estimate of the corpus
+    (Shannon's game at n=2).  The unigram entropy ceiling minus this
+    is exactly the average mutual information text_pmi reports
+    pairwise; a corpus whose entropy rate is far below its unigram
+    entropy is template-heavy (boilerplate detection at the language
+    level), and the readout is the floor a bigram LM's perplexity
+    (text_bigram_lm) can reach — ships as its diagnostic twin.
+
+    Exactness: bigram and left-context counts exact; each pair's
+    c₁₂·ln(c₁/c₁₂) floors e6 BEFORE the order-free bigint sum; the
+    rate is exact integer division by total bigrams.
+
+    Scale: one in-doc adjacency explode (narrow — pairs never cross
+    documents, so no self-join), two keyed aggregates, 1-row
+    finish."""
+    docs = load(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    bigrams = docs.select(
+        F.explode(
+            F.zip_with(
+                F.slice(ws, 1, F.size(ws) - 1),
+                F.slice(ws, 2, F.size(ws) - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg")
+    ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    pair_c = bigrams.groupBy("w1", "w2").agg(
+        F.count("*").cast("bigint").alias("c12")
+    )
+    left_c = pair_c.groupBy("w1").agg(
+        F.sum("c12").cast("bigint").alias("c1")
+    )
+    tot = pair_c.agg(
+        F.sum("c12").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("n_pair_types"),
+    )
+    terms = pair_c.join(left_c, "w1").select(
+        F.floor(
+            F.col("c12").cast("double")
+            * F.log(F.col("c1").cast("double") / F.col("c12").cast("double"))
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("term_e6")
+    )
+    folded = terms.agg(F.sum("term_e6").cast("bigint").alias("s"))
+    return folded.crossJoin(F.broadcast(tot)).select(
+        F.col("n").alias("n_bigrams"),
+        "n_pair_types",
+        (F.col("s") / F.col("n")).cast("bigint").alias("cond_entropy_e6"),
+    )

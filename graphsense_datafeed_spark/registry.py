@@ -683,6 +683,8 @@ _ROUND11_ADDITIONS = (
     "str_luhn_validate",
     "agg_poisson_rate_ratio",
     "anon_rank_swap",
+    "ingest_fee_size_elasticity",
+    "text_bigram_entropy_rate",
 )
 
 # Landing-order queue for rows that have never been inside a driver
