@@ -3472,3 +3472,194 @@ def ingest_fee_size_elasticity(
         .alias("base_fee_ksat"),
         F.floor(a * a / (b * c) * 1000000).cast("bigint").alias("r2_e6"),
     )
+
+
+def _ppr_oracle_sql(iters: int = 10) -> str:
+    """Unrolled exact oracle for PERSONALIZED PageRank: identical hop
+    structure to _pagerank_oracle_sql, but teleport and the dangling
+    redirect both target the md5-chosen SEED SET instead of all
+    nodes, and the walk starts uniform on the seeds."""
+    s = PAGERANK_SCALE
+    sql = f"""
+    WITH txio AS (
+        SELECT (tx).tx_hash AS tx_hash, (tx).inputs AS inputs,
+               (tx).outputs AS outputs
+        FROM (SELECT unnest(txs) AS tx FROM {_DUCK_BLOCKS})
+        WHERE NOT (tx).coinbase
+    ), ins AS (
+        SELECT tx_hash, (i).address[1] AS src
+        FROM (SELECT tx_hash, unnest(inputs) AS i FROM txio)
+    ), outs AS (
+        SELECT tx_hash, (o).address[1] AS dst
+        FROM (SELECT tx_hash, unnest(outputs) AS o FROM txio)
+    ), edges AS MATERIALIZED (
+        SELECT DISTINCT src, dst FROM ins JOIN outs USING (tx_hash)
+        WHERE src <> dst
+    ), nodes AS MATERIALIZED (
+        SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ), seeds AS MATERIALIZED (
+        SELECT node FROM nodes
+        WHERE CAST('0x' || substr(md5('ppr:' || node), 1, 4) AS BIGINT)
+              % 16 = 0
+    ), ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM seeds
+    ), outdeg AS MATERIALIZED (
+        SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM edges GROUP BY src
+    ), pr0 AS MATERIALIZED (
+        SELECT n.node,
+               CAST(CASE WHEN s.node IS NOT NULL
+                    THEN {s} // (SELECT n FROM ns) ELSE 0 END AS BIGINT)
+                   AS r
+        FROM nodes n LEFT JOIN seeds s ON s.node = n.node
+    )"""
+    for i in range(1, iters + 1):
+        sql += f""", contrib{i} AS MATERIALIZED (
+        SELECT e.dst AS node, CAST(SUM(p.r // d.deg) AS BIGINT) AS contrib
+        FROM edges e
+        JOIN pr{i - 1} p ON p.node = e.src
+        JOIN outdeg d ON d.node = e.src
+        GROUP BY e.dst
+    ), dang{i} AS MATERIALIZED (
+        SELECT CAST(COALESCE(SUM(p.r), 0) AS BIGINT) AS d
+        FROM pr{i - 1} p LEFT JOIN outdeg o ON o.node = p.node
+        WHERE o.node IS NULL
+    ), pr{i} AS MATERIALIZED (
+        SELECT n.node,
+               CAST(CASE WHEN sd.node IS NOT NULL
+                    THEN 3 * {s} // (20 * (SELECT n FROM ns))
+                    ELSE 0 END
+                    + 17 * (COALESCE(c.contrib, 0)
+                            + CASE WHEN sd.node IS NOT NULL
+                              THEN (SELECT d FROM dang{i})
+                                   // (SELECT n FROM ns) ELSE 0 END) // 20
+                    AS BIGINT) AS r
+        FROM nodes n
+        LEFT JOIN contrib{i} c ON c.node = n.node
+        LEFT JOIN seeds sd ON sd.node = n.node
+    )"""
+    sql += (
+        f"\n    SELECT node AS addr, r AS rank_e12 FROM pr{iters}"
+        " WHERE r > 0"
+    )
+    return sql
+
+
+@query("graph_pagerank_personalized", _ppr_oracle_sql())
+def graph_pagerank_personalized(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PERSONALIZED PAGERANK (round 11) from an md5-frozen seed set
+    (1/16 of addresses): teleport AND the dangling redirect both
+    return to the seeds, so the stationary mass measures importance
+    RELATIVE TO the seed wallets — the taint/recommendation
+    primitive a global PageRank cannot express ('how exposed is each
+    address to value flowing from THESE wallets'), and the
+    graph-side generalization of ingest_fifo_value_attribution's
+    per-hop taint to the full random-walk closure.
+
+    Exactness: the graph_pagerank integer discipline unchanged —
+    e12 bigint ranks, 17/20 damping, integer divisions everywhere;
+    teleport/dangling mass goes to seeds via the same DIV-by-|S|
+    floor; the 10-hop unrolled DuckDB CTE reproduces the distributed
+    result bit-for-bit (zero-mass nodes dropped in both engines).
+
+    Scale: per round one ranks⋈edges shuffle + scalar dangling agg,
+    exactly graph_pagerank's loop; the integer fixpoint early-exit
+    argument carries over verbatim (a fixpoint is invariant under
+    further rounds, so exiting early returns output identical to
+    the full unroll)."""
+    raw = read_blocks_json(spark)
+    txio = (
+        raw.select(F.explode("txs").alias("tx"))
+        .filter(~F.col("tx.coinbase"))
+        .select("tx.tx_hash", "tx.inputs", "tx.outputs")
+    )
+    ins = txio.select("tx_hash", F.explode("inputs").alias("i")).select(
+        "tx_hash", F.col("i.address")[0].alias("src")
+    )
+    outs = txio.select("tx_hash", F.explode("outputs").alias("o")).select(
+        "tx_hash", F.col("o.address")[0].alias("dst")
+    )
+    edges = (
+        ins.join(outs, "tx_hash")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("addr"))
+        .union(edges.select(F.col("dst").alias("addr")))
+        .distinct()
+        .localCheckpoint()
+    )
+    is_seed = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ppr:"), F.col("addr")).cast("binary")),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 16
+        == 0
+    )
+    seeded = nodes.select("addr", is_seed.alias("is_seed")).localCheckpoint()
+    n_seeds = int(seeded.filter("is_seed").count())
+    out_deg = edges.groupBy("src").agg(
+        F.count("*").cast("bigint").alias("deg")
+    )
+    base = 3 * PAGERANK_SCALE // (20 * n_seeds)
+    init = PAGERANK_SCALE // n_seeds
+    ranks = seeded.select(
+        "addr",
+        "is_seed",
+        F.when(F.col("is_seed"), F.lit(init))
+        .otherwise(0)
+        .cast("bigint")
+        .alias("rank_e12"),
+    ).localCheckpoint()
+    for _ in range(10):
+        contribs = (
+            edges.join(out_deg, "src")
+            .join(ranks, edges.src == ranks.addr)
+            .select("dst", F.expr("rank_e12 DIV deg").alias("share"))
+            .groupBy("dst")
+            .agg(F.sum("share").cast("bigint").alias("contrib"))
+        )
+        dangling = int(
+            ranks.join(out_deg, ranks.addr == out_deg.src, "left_anti")
+            .agg(F.coalesce(F.sum("rank_e12"), F.lit(0)).cast("bigint"))
+            .collect()[0][0]
+        )
+        dang_share = dangling // n_seeds
+        new_ranks = (
+            seeded.join(contribs, seeded.addr == contribs.dst, "left")
+            .select(
+                "addr",
+                "is_seed",
+                F.expr(
+                    f"CAST(CASE WHEN is_seed THEN {base} ELSE 0 END"
+                    f" + (17 * (COALESCE(contrib, 0)"
+                    f" + CASE WHEN is_seed THEN {dang_share} ELSE 0 END))"
+                    f" DIV 20 AS BIGINT)"
+                ).alias("rank_e12"),
+            )
+            .localCheckpoint()
+        )
+        delta = (
+            new_ranks.alias("n")
+            .join(ranks.alias("o"), "addr")
+            .agg(
+                F.sum(F.abs(F.col("n.rank_e12") - F.col("o.rank_e12")))
+                .cast("bigint")
+                .alias("d")
+            )
+            .collect()[0][0]
+        )
+        ranks = new_ranks
+        if delta == 0:
+            break
+    return ranks.filter(F.col("rank_e12") > 0).select("addr", "rank_e12")

@@ -685,6 +685,7 @@ _ROUND11_ADDITIONS = (
     "anon_rank_swap",
     "ingest_fee_size_elasticity",
     "text_bigram_entropy_rate",
+    "graph_pagerank_personalized",
 )
 
 # Landing-order queue for rows that have never been inside a driver
