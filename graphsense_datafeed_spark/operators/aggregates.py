@@ -9511,3 +9511,138 @@ def agg_poisson_rate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("z_e4"),
     )
+
+
+def _em_oracle_sql(iters: int = 3) -> str:
+    """Unrolled exact oracle for the bounded 2-component 1-D EM: each
+    round's responsibilities floor e4 per row BEFORE the bigint
+    weighted sums, and the new means are exact integer divisions —
+    so the 3-round unroll reproduces the Spark loop bit-for-bit."""
+    sql = """
+    WITH base AS (
+        SELECT CAST(FLOOR(value * 10000) AS BIGINT) AS v FROM events
+    ), stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(quantile_disc(v, 0.25) AS BIGINT) AS m1_0,
+               CAST(quantile_disc(v, 0.75) AS BIGINT) AS m2_0,
+               CAST(FLOOR((CAST(COUNT(*) AS DOUBLE) * SUM(CAST(v AS DOUBLE) * v)
+                           - SUM(CAST(v AS DOUBLE)) * SUM(CAST(v AS DOUBLE)))
+                          / (CAST(COUNT(*) AS DOUBLE) * COUNT(*)))
+                    AS BIGINT) AS var_e8
+        FROM base
+    )"""
+    prev_m1, prev_m2 = "(SELECT m1_0 FROM stats)", "(SELECT m2_0 FROM stats)"
+    for i in range(1, iters + 1):
+        sql += f""", resp{i} AS (
+        SELECT v,
+               CAST(FLOOR(10000.0 / (1.0 + EXP(
+                   (POW(CAST(v AS DOUBLE) - {prev_m1}, 2)
+                    - POW(CAST(v AS DOUBLE) - {prev_m2}, 2))
+                   / (2.0 * (SELECT CAST(var_e8 AS DOUBLE) FROM stats))
+               ))) AS BIGINT) AS r_e4
+        FROM base
+    ), step{i} AS (
+        SELECT CAST(SUM(r_e4 * v) // GREATEST(SUM(r_e4), 1) AS BIGINT)
+                   AS m1,
+               CAST(SUM((10000 - r_e4) * v)
+                    // GREATEST(SUM(10000 - r_e4), 1) AS BIGINT) AS m2,
+               CAST(SUM(r_e4) AS BIGINT) AS mass1_e4
+        FROM resp{i}
+    )"""
+        prev_m1 = f"(SELECT CAST(m1 AS DOUBLE) FROM step{i})"
+        prev_m2 = f"(SELECT CAST(m2 AS DOUBLE) FROM step{i})"
+    sql += f"""
+    SELECT s.n, st.m1 AS mu1_e4, st.m2 AS mu2_e4,
+           CAST(st.mass1_e4 // s.n AS BIGINT) AS w1_e4
+    FROM step{iters} st, stats s"""
+    return sql
+
+
+@query("agg_em_gaussian_1d", _em_oracle_sql())
+def agg_em_gaussian_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOUNDED 1-D GAUSSIAN-MIXTURE EM (round 11), two components,
+    three rounds, shared fixed variance: soft-clustering's canonical
+    algorithm joins the engine's iterative family (label propagation,
+    PageRank power iteration, Lloyd's k-means) with its missing
+    member — EXPECTATION-MAXIMIZATION, the algorithm under every
+    'is this metric secretly two populations' question
+    (agg_kmeans_1d_bounded gives the hard-assignment answer; EM
+    gives the soft one plus the mixing weight, which is what you
+    report: '23% of events come from the high-value regime').
+
+    Exactness: responsibilities are ONE double logistic chain per
+    row floored e4 BEFORE the bigint weighted sums (order-free);
+    new means are exact integer divisions; the shared variance and
+    disc-quantile inits are frozen from the data once; the 3-round
+    DuckDB unroll is bit-identical to the Spark loop (the
+    graph_pagerank oracle discipline applied to EM).
+
+    Scale: each round is ONE map-side aggregate over the corpus —
+    no shuffle beyond the 1-row fold; the driver carries two scalar
+    means between rounds (bounded state, the pagerank_iterate
+    pattern)."""
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        F.floor(F.col("value") * 10000).cast("bigint").alias("v")
+    ).localCheckpoint()
+    stats = base.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY v)")
+        .cast("bigint")
+        .alias("m1_0"),
+        F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY v)")
+        .cast("bigint")
+        .alias("m2_0"),
+        F.floor(
+            (
+                F.count("*").cast("double")
+                * F.sum(F.col("v").cast("double") * F.col("v"))
+                - F.sum(F.col("v").cast("double"))
+                * F.sum(F.col("v").cast("double"))
+            )
+            / (F.count("*").cast("double") * F.count("*"))
+        )
+        .cast("bigint")
+        .alias("var_e8"),
+    ).collect()[0]
+    n, var_e8 = int(stats["n"]), float(stats["var_e8"])
+    m1, m2 = float(stats["m1_0"]), float(stats["m2_0"])
+    mass1 = None
+    for _ in range(3):
+        r_e4 = F.floor(
+            10000.0
+            / (
+                1.0
+                + F.exp(
+                    (
+                        F.pow(F.col("v").cast("double") - m1, F.lit(2.0))
+                        - F.pow(F.col("v").cast("double") - m2, F.lit(2.0))
+                    )
+                    / (2.0 * var_e8)
+                )
+            )
+        ).cast("bigint")
+        step = (
+            base.select(F.col("v"), r_e4.alias("r"))
+            .agg(
+                (
+                    F.sum(F.col("r") * F.col("v"))
+                    / F.greatest(F.sum("r"), F.lit(1))
+                )
+                .cast("bigint")
+                .alias("m1"),
+                (
+                    F.sum((10000 - F.col("r")) * F.col("v"))
+                    / F.greatest(F.sum(10000 - F.col("r")), F.lit(1))
+                )
+                .cast("bigint")
+                .alias("m2"),
+                F.sum("r").cast("bigint").alias("mass1_e4"),
+            )
+            .collect()[0]
+        )
+        m1, m2, mass1 = float(step["m1"]), float(step["m2"]), int(step["mass1_e4"])
+    return base.sparkSession.createDataFrame(
+        [(n, int(m1), int(m2), mass1 // n)],
+        "n bigint, mu1_e4 bigint, mu2_e4 bigint, w1_e4 bigint",
+    )

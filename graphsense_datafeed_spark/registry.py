@@ -686,6 +686,7 @@ _ROUND11_ADDITIONS = (
     "ingest_fee_size_elasticity",
     "text_bigram_entropy_rate",
     "graph_pagerank_personalized",
+    "agg_em_gaussian_1d",
 )
 
 # Landing-order queue for rows that have never been inside a driver
