@@ -4668,3 +4668,120 @@ def anon_rank_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "events_did_event_study",
+    """
+    WITH base AS (
+        SELECT CAST(day(ts) AS BIGINT) AS d,
+               CAST(FLOOR(value * 10000) AS BIGINT) AS v,
+               CAST(CAST('0x' || substr(md5('did:' ||
+                    CAST(user_id AS VARCHAR)), 1, 4) AS BIGINT) % 2
+                    AS BIGINT) AS treat
+        FROM events
+    ), cells AS (
+        SELECT d, treat,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(v) AS BIGINT) AS s
+        FROM base GROUP BY 1, 2
+    ), gaps AS (
+        SELECT t.d,
+               CAST(t.d - 16 AS BIGINT) AS rel_day,
+               t.n AS n_treat, c.n AS n_ctrl,
+               CAST(FLOOR(CAST(t.s AS DOUBLE) / t.n
+                          - CAST(c.s AS DOUBLE) / c.n) AS BIGINT)
+                   AS gap_e4
+        FROM cells t JOIN cells c ON t.d = c.d
+        WHERE t.treat = 1 AND c.treat = 0
+    ), pre AS (
+        SELECT CAST(SUM(gap_e4) // COUNT(*) AS BIGINT) AS pre_mean
+        FROM gaps WHERE rel_day < 0
+    )
+    SELECT g.rel_day, g.n_treat, g.n_ctrl, g.gap_e4,
+           CAST(g.gap_e4 - p.pre_mean AS BIGINT) AS centered_gap_e4
+    FROM gaps g, pre p ORDER BY g.rel_day
+    """,
+)
+def events_did_event_study(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC DiD / EVENT STUDY (round 11): the per-day treated-vs-
+    control mean gap for EVERY day relative to the day-16 cutoff,
+    centered on the pre-period average gap — the leads-and-lags plot
+    modern DiD practice demands before trusting any pooled estimate
+    (events_did_estimator gives ONE number; events_parallel_trends_
+    placebo tests ONE pre-split; this shows the whole dynamic path:
+    flat leads = credible design, drifting leads = the r10 placebo
+    would also have caught it, and the lags show effect ramp/decay
+    that a pooled post coefficient averages away).  Same frozen
+    'did:' arms as the rest of the family, deliberately.
+
+    Exactness: per-(day, arm) cell sums exact; each day's gap is ONE
+    double chain floored e4; the pre-period centering is an exact
+    integer division and subtraction of already-floored integers.
+
+    Scale: one pass → |days|×2 cell aggregate (map-side) → a
+    day-keyed self-join of the tiny cell table → calendar-bounded
+    finish."""
+    ev = load(spark, sf_dir, "events")
+    treat = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("did:"), F.col("user_id").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    base = ev.select(
+        F.dayofmonth("ts").cast("bigint").alias("d"),
+        F.floor(F.col("value") * 10000).cast("bigint").alias("v"),
+        treat.alias("treat"),
+    )
+    cells = base.groupBy("d", "treat").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("v").cast("bigint").alias("s"),
+    )
+    t = cells.filter(F.col("treat") == 1).select(
+        "d",
+        F.col("n").alias("n_treat"),
+        F.col("s").alias("s_t"),
+    )
+    c = cells.filter(F.col("treat") == 0).select(
+        "d",
+        F.col("n").alias("n_ctrl"),
+        F.col("s").alias("s_c"),
+    )
+    gaps = t.join(c, "d").select(
+        (F.col("d") - 16).cast("bigint").alias("rel_day"),
+        "n_treat",
+        "n_ctrl",
+        F.floor(
+            F.col("s_t").cast("double") / F.col("n_treat").cast("double")
+            - F.col("s_c").cast("double") / F.col("n_ctrl").cast("double")
+        )
+        .cast("bigint")
+        .alias("gap_e4"),
+    )
+    pre = gaps.filter(F.col("rel_day") < 0).agg(
+        (F.sum("gap_e4") / F.count("*")).cast("bigint").alias("pre_mean")
+    )
+    return (
+        gaps.crossJoin(F.broadcast(pre))
+        .select(
+            "rel_day",
+            "n_treat",
+            "n_ctrl",
+            "gap_e4",
+            (F.col("gap_e4") - F.col("pre_mean"))
+            .cast("bigint")
+            .alias("centered_gap_e4"),
+        )
+        .orderBy("rel_day")
+    )

@@ -687,6 +687,7 @@ _ROUND11_ADDITIONS = (
     "text_bigram_entropy_rate",
     "graph_pagerank_personalized",
     "agg_em_gaussian_1d",
+    "events_did_event_study",
 )
 
 # Landing-order queue for rows that have never been inside a driver
