@@ -9646,3 +9646,85 @@ def agg_em_gaussian_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n, int(m1), int(m2), mass1 // n)],
         "n bigint, mu1_e4 bigint, mu2_e4 bigint, w1_e4 bigint",
     )
+
+
+@query(
+    "agg_process_capability",
+    """
+    WITH base AS (
+        SELECT event_type, CAST(FLOOR(value * 10000) AS BIGINT) AS v
+        FROM events
+    ), sums AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(v) AS BIGINT) AS s,
+               CAST(SUM(v * v) AS BIGINT) AS ss,
+               CAST(COUNT(*) FILTER (v < 0 OR v > 4000000) AS BIGINT)
+                   AS n_out_of_spec
+        FROM base GROUP BY 1
+    )
+    SELECT event_type, n, n_out_of_spec,
+           CAST(FLOOR(CAST(s AS DOUBLE) / n) AS BIGINT) AS mean_e4,
+           CAST(FLOOR(4000000.0
+                      / (6.0 * SQRT((CAST(ss AS DOUBLE)
+                                     - CAST(s AS DOUBLE)
+                                       * CAST(s AS DOUBLE) / n)
+                                    / (n - 1.0)))
+                      * 1000000) AS BIGINT) AS cp_e6,
+           CAST(FLOOR(LEAST(4000000.0 - CAST(s AS DOUBLE) / n,
+                            CAST(s AS DOUBLE) / n - 0.0)
+                      / (3.0 * SQRT((CAST(ss AS DOUBLE)
+                                     - CAST(s AS DOUBLE)
+                                       * CAST(s AS DOUBLE) / n)
+                                    / (n - 1.0)))
+                      * 1000000) AS BIGINT) AS cpk_e6
+    FROM sums ORDER BY event_type
+    """,
+)
+def agg_process_capability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROCESS CAPABILITY Cp / Cpk (round 11) per event type against
+    the spec window [0, 400] value units: Cp = (USL−LSL)/6σ is the
+    pure spread capability, Cpk = min(USL−μ, μ−LSL)/3σ the CENTERED
+    capability — the pair every manufacturing/SLO review reads
+    together (Cp fine but Cpk poor = the process is tight but
+    off-center; both < 1 = the spec is a lie).  Completes the SPC
+    family: control charts (ts_control_chart_imr, ts_spc_p_chart)
+    monitor stability over time; capability indices judge the
+    distribution against the SPEC, which is a different question.
+    The out-of-spec count is the empirical cross-check on the
+    normal-theory index.
+
+    Exactness: e4 integer sums; spec limits enter as shared
+    literals; Cp/Cpk are ONE double chain each, floored e6.
+
+    Scale: one keyed conditional-agg pass (map-side), |types|-row
+    finish."""
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type", F.floor(F.col("value") * 10000).cast("bigint").alias("v")
+    )
+    sums = base.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("v").cast("bigint").alias("s"),
+        F.sum(F.col("v") * F.col("v")).cast("bigint").alias("ss"),
+        F.count_if((F.col("v") < 0) | (F.col("v") > 4000000))
+        .cast("bigint")
+        .alias("n_out_of_spec"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    mean = d("s") / d("n")
+    sd = F.sqrt((d("ss") - d("s") * d("s") / d("n")) / (d("n") - 1.0))
+    return sums.select(
+        "event_type",
+        "n",
+        "n_out_of_spec",
+        F.floor(mean).cast("bigint").alias("mean_e4"),
+        F.floor(4000000.0 / (6.0 * sd) * 1000000)
+        .cast("bigint")
+        .alias("cp_e6"),
+        F.floor(
+            F.least(4000000.0 - mean, mean - 0.0) / (3.0 * sd) * 1000000
+        )
+        .cast("bigint")
+        .alias("cpk_e6"),
+    ).orderBy("event_type")

@@ -688,6 +688,7 @@ _ROUND11_ADDITIONS = (
     "graph_pagerank_personalized",
     "agg_em_gaussian_1d",
     "events_did_event_study",
+    "agg_process_capability",
 )
 
 # Landing-order queue for rows that have never been inside a driver
