@@ -3663,3 +3663,111 @@ def graph_pagerank_personalized(
         if delta == 0:
             break
     return ranks.filter(F.col("rank_e12") > 0).select("addr", "rank_e12")
+
+
+@query(
+    "ingest_monetary_velocity",
+    f"""
+    WITH txr AS (
+        SELECT height, unnest(txs) AS tx FROM {_DUCK_BLOCKS}
+    ), minted AS (
+        SELECT height,
+               CAST(SUM((o).value) AS BIGINT) AS mint
+        FROM (SELECT height, unnest((tx).outputs) AS o
+              FROM txr WHERE (tx).coinbase)
+        GROUP BY height
+    ), moved AS (
+        SELECT height,
+               CAST(SUM((i).value) AS BIGINT) AS sat_moved
+        FROM (SELECT height, unnest((tx).inputs) AS i
+              FROM txr WHERE NOT (tx).coinbase)
+        GROUP BY height
+    ), buckets AS (
+        SELECT CAST(height // 10 AS BIGINT) AS bucket,
+               CAST(COALESCE(SUM(m.sat_moved), 0) AS BIGINT) AS moved,
+               CAST(MAX(height) AS BIGINT) AS bucket_end
+        FROM (SELECT DISTINCT height FROM txr) h
+        LEFT JOIN moved m USING (height)
+        GROUP BY 1
+    ), supply AS (
+        SELECT b.bucket, b.moved, b.bucket_end,
+               CAST((SELECT SUM(mint) FROM minted mm
+                     WHERE mm.height <= b.bucket_end) AS BIGINT)
+                   AS supply_at_end
+        FROM buckets b
+    )
+    SELECT bucket, moved, supply_at_end,
+           CAST(FLOOR(CAST(moved AS DOUBLE) * 1000000
+                      / CAST(supply_at_end AS DOUBLE)) AS BIGINT)
+               AS velocity_e6
+    FROM supply ORDER BY bucket
+    """,
+)
+def ingest_monetary_velocity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MONETARY VELOCITY per 10-block bucket (round 11): value moved
+    (non-coinbase input sum) over the coinbase-minted supply
+    outstanding at the bucket's end — the on-chain turnover rate
+    that separates a chain being USED from a chain being HELD
+    (velocity collapsing while supply grows = accumulation regime;
+    the flow-rate complement to ingest_hodl_waves' stock-age view
+    and coin_days_destroyed's age-weighted flow).
+
+    Exactness: minted/moved sums exact satoshi bigints; the
+    cumulative supply is an exact half-open sum per bucket; velocity
+    is ONE floored double chain (a sat×1e6 bigint product would
+    overflow at real-chain supply — the round-11 hodl_waves
+    discipline).
+
+    Scale: two explode passes + a height-bucket rollup + a bounded
+    |buckets|² cumulative-supply subquery (buckets = height/10 —
+    calendar-class bounded); at real chain length the running
+    supply is a window cumsum instead."""
+    raw = normalize_blocks(read_blocks_json(spark))
+    txr = raw.select("height", F.explode("txs").alias("tx"))
+    minted = (
+        txr.filter(F.col("tx.coinbase"))
+        .select("height", F.explode("tx.outputs").alias("o"))
+        .groupBy("height")
+        .agg(F.sum("o.value").cast("bigint").alias("mint"))
+    )
+    moved = (
+        txr.filter(~F.col("tx.coinbase"))
+        .select("height", F.explode("tx.inputs").alias("i"))
+        .groupBy("height")
+        .agg(F.sum("i.value").cast("bigint").alias("sat_moved"))
+    )
+    heights = txr.select("height").distinct()
+    buckets = (
+        heights.join(moved, "height", "left")
+        .groupBy((F.col("height") / 10).cast("bigint").alias("bucket"))
+        .agg(
+            F.coalesce(F.sum("sat_moved"), F.lit(0))
+            .cast("bigint")
+            .alias("moved"),
+            F.max("height").cast("bigint").alias("bucket_end"),
+        )
+    )
+    m = minted.select(
+        F.col("height").alias("m_height"), F.col("mint")
+    )
+    supply = (
+        buckets.join(
+            F.broadcast(m), F.col("m_height") <= F.col("bucket_end"), "left"
+        )
+        .groupBy("bucket", "moved", "bucket_end")
+        .agg(F.sum("mint").cast("bigint").alias("supply_at_end"))
+    )
+    return supply.select(
+        "bucket",
+        "moved",
+        "supply_at_end",
+        F.floor(
+            F.col("moved").cast("double")
+            * 1000000
+            / F.col("supply_at_end").cast("double")
+        )
+        .cast("bigint")
+        .alias("velocity_e6"),
+    ).orderBy("bucket")

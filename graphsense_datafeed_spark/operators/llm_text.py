@@ -6442,3 +6442,83 @@ def text_bigram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pair_types",
         (F.col("s") / F.col("n")).cast("bigint").alias("cond_entropy_e6"),
     )
+
+
+@query(
+    "text_template_slot_profile",
+    """
+    WITH toks AS (
+        SELECT source, doc_id,
+               CAST(i AS BIGINT) AS pos,
+               str_split(text, ' ')[CAST(i AS INT)] AS token
+        FROM documents, LATERAL unnest(range(1, 11)) AS t(i)
+        WHERE len(str_split(text, ' ')) >= 10
+    ), counts AS (
+        SELECT source, pos, token, CAST(COUNT(*) AS BIGINT) AS c
+        FROM toks GROUP BY 1, 2, 3
+    ), tot AS (
+        SELECT source, pos,
+               CAST(SUM(c) AS BIGINT) AS n_docs,
+               CAST(MAX(c) AS BIGINT) AS top_c,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct
+        FROM counts GROUP BY 1, 2
+    )
+    SELECT source, pos, n_docs, n_distinct,
+           CAST(top_c * 1000000 // n_docs AS BIGINT) AS top_share_e6,
+           top_c * 10 >= n_docs * 9 AS is_slot
+    FROM tot ORDER BY source, pos
+    """,
+)
+def text_template_slot_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TEMPLATE-SLOT PROFILE (round 11): for each source, how
+    concentrated is the token at each of the first 10 positions
+    across its documents — a position where ≥90% of docs carry the
+    SAME token is a template slot (machine-generated boilerplate
+    structure), and a source whose leading positions are all slots
+    is a template farm.  The POSITIONAL view of boilerplate that
+    text_boilerplate_share (line-hash mass) and text_term_burstiness
+    (corpus-level clumping) cannot see: those detect repeated
+    content, this detects repeated STRUCTURE with varying fill.
+
+    Exactness: positional token counts exact; top-share is exact
+    integer division; the slot flag is the cleared integer compare
+    top·10 ≥ n·9 (never a float threshold).
+
+    Scale: a bounded 10-position explode (narrow) → two keyed
+    aggregates — |sources|×10-row finish."""
+    docs = load(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    toks = (
+        docs.filter(F.size(ws) >= 10)
+        .select(
+            "source",
+            "doc_id",
+            F.posexplode(F.slice(ws, 1, 10)).alias("pos0", "token"),
+        )
+        .select(
+            "source",
+            "doc_id",
+            (F.col("pos0") + 1).cast("bigint").alias("pos"),
+            "token",
+        )
+    )
+    counts = toks.groupBy("source", "pos", "token").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    tot = counts.groupBy("source", "pos").agg(
+        F.sum("c").cast("bigint").alias("n_docs"),
+        F.max("c").cast("bigint").alias("top_c"),
+        F.count("*").cast("bigint").alias("n_distinct"),
+    )
+    return tot.select(
+        "source",
+        "pos",
+        "n_docs",
+        "n_distinct",
+        (F.col("top_c") * 1000000 / F.col("n_docs"))
+        .cast("bigint")
+        .alias("top_share_e6"),
+        (F.col("top_c") * 10 >= F.col("n_docs") * 9).alias("is_slot"),
+    ).orderBy("source", "pos")

@@ -689,6 +689,8 @@ _ROUND11_ADDITIONS = (
     "agg_em_gaussian_1d",
     "events_did_event_study",
     "agg_process_capability",
+    "text_template_slot_profile",
+    "ingest_monetary_velocity",
 )
 
 # Landing-order queue for rows that have never been inside a driver
