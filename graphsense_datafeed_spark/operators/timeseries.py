@@ -10628,3 +10628,172 @@ def events_survival_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rmst_day_e6"),
     )
+
+
+@query(
+    "ts_stationarity_verdict",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ), pairs AS (
+        SELECT CAST(x - LAG(x) OVER (ORDER BY d) AS BIGINT) AS y,
+               CAST(LAG(x) OVER (ORDER BY d) AS BIGINT) AS z
+        FROM daily QUALIFY LAG(x) OVER (ORDER BY d) IS NOT NULL
+    ), dfs AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(z) AS BIGINT) AS sz, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(z * z) AS BIGINT) AS szz,
+               CAST(SUM(z * y) AS BIGINT) AS szy,
+               CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM pairs
+    ), df_t AS (
+        SELECT CAST(FLOOR(CAST(n * szy - sz * sy AS DOUBLE)
+                   * SQRT((CAST(n AS DOUBLE) - 2.0)
+                          / (CAST(n * szz - sz * sz AS DOUBLE)
+                             * CAST(n * syy - sy * sy AS DOUBLE)
+                             - CAST(n * szy - sz * sy AS DOUBLE)
+                               * CAST(n * szy - sz * sy AS DOUBLE)))
+                   * 1000000) AS BIGINT) AS t FROM dfs
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s
+        FROM daily
+    ), e AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY daily.d) AS BIGINT) AS i,
+               CAST(tot.n * daily.x - tot.s AS BIGINT) AS ne
+        FROM daily, tot
+    ), parts AS (
+        SELECT ne,
+               CAST(SUM(ne) OVER (ORDER BY i) AS BIGINT) AS ns,
+               CAST(LAG(ne, 1) OVER (ORDER BY i) AS BIGINT) AS ne1,
+               CAST(LAG(ne, 2) OVER (ORDER BY i) AS BIGINT) AS ne2,
+               CAST(LAG(ne, 3) OVER (ORDER BY i) AS BIGINT) AS ne3,
+               CAST(LAG(ne, 4) OVER (ORDER BY i) AS BIGINT) AS ne4
+        FROM e
+    ), kp AS (
+        SELECT CAST(FLOOR(5.0 * CAST(SUM(CAST(FLOOR(CAST(ns AS DOUBLE)
+                       * CAST(ns AS DOUBLE)
+                       / (SELECT CAST(n * n AS DOUBLE) FROM tot))
+                       AS BIGINT)) AS DOUBLE)
+                   / (CAST((SELECT n FROM tot) AS DOUBLE)
+                      * CAST(5 * SUM(ne * ne) + 8 * SUM(ne * ne1)
+                             + 6 * SUM(ne * ne2) + 4 * SUM(ne * ne3)
+                             + 2 * SUM(ne * ne4) AS DOUBLE))
+                   * 1000000) AS BIGINT) AS k FROM parts
+    )
+    SELECT d.t AS df_t_e6, k.k AS kpss_e6,
+           CASE WHEN d.t < -2900000 AND k.k < 463000 THEN 'stationary'
+                WHEN d.t >= -2900000 AND k.k >= 463000 THEN 'unit_root'
+                WHEN d.t < -2900000 AND k.k >= 463000
+                    THEN 'conflict_check_breaks'
+                ELSE 'inconclusive' END AS verdict
+    FROM df_t d, kp k
+    """,
+)
+def ts_stationarity_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FOUR-QUADRANT STATIONARITY VERDICT (round 11): run the
+    Dickey-Fuller (null = unit root) and KPSS (null = stationary)
+    on the SAME series and read the joint cell — the decision table
+    every forecasting text prescribes, because each test alone is
+    uninterpretable on failure-to-reject: DF rejects & KPSS accepts
+    → stationary; neither rejects → unit root (difference it); both
+    reject → structural break / wrong spec (neither differencing
+    nor levels is safe — the case people miss); neither informative
+    → inconclusive (short series).  Composes ts_dickey_fuller and
+    ts_kpss_level's exact machinery with the canonical 5% critical
+    values (−2.9, 0.463) as shared integer-scaled literals.
+
+    Exactness: identical floored chains to the two parent operators;
+    the verdict is pure integer threshold comparison on the already-
+    floored statistics.
+
+    Scale: the parents' shapes side by side; one-row finish."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count("*").cast("bigint").alias("x")
+    )
+    w_seq = Window.orderBy("d")
+    pairs = (
+        daily.select(
+            (F.col("x") - F.lag("x").over(w_seq)).cast("bigint").alias("y"),
+            F.lag("x").over(w_seq).cast("bigint").alias("z"),
+        )
+        .filter(F.col("z").isNotNull())
+    )
+    dfs = pairs.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("z").cast("bigint").alias("sz"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("z") * F.col("z")).cast("bigint").alias("szz"),
+        F.sum(F.col("z") * F.col("y")).cast("bigint").alias("szy"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    n = F.col("n")
+    a = (n * F.col("szy") - F.col("sz") * F.col("sy")).cast("double")
+    b = (n * F.col("szz") - F.col("sz") * F.col("sz")).cast("double")
+    c = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    nd = n.cast("double")
+    df_t = dfs.select(
+        F.floor(a * F.sqrt((nd - 2.0) / (b * c - a * a)) * 1000000)
+        .cast("bigint")
+        .alias("df_t_e6")
+    )
+    tot = daily.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+    )
+    e = daily.crossJoin(F.broadcast(tot)).select(
+        "d",
+        "n",
+        (F.col("n") * F.col("x") - F.col("s")).cast("bigint").alias("ne"),
+    )
+    parts = e.select(
+        "n",
+        "ne",
+        F.sum("ne").over(w_seq).cast("bigint").alias("ns"),
+        F.lag("ne", 1).over(w_seq).cast("bigint").alias("ne1"),
+        F.lag("ne", 2).over(w_seq).cast("bigint").alias("ne2"),
+        F.lag("ne", 3).over(w_seq).cast("bigint").alias("ne3"),
+        F.lag("ne", 4).over(w_seq).cast("bigint").alias("ne4"),
+    )
+    nsd = F.col("ns").cast("double")
+    nd2 = F.col("n").cast("double")
+    kp = parts.agg(
+        F.floor(
+            5.0
+            * F.sum(
+                F.floor(nsd * nsd / (nd2 * nd2)).cast("bigint")
+            ).cast("double")
+            / (
+                F.max("n").cast("double")
+                * (
+                    5 * F.sum(F.col("ne") * F.col("ne"))
+                    + 8 * F.sum(F.col("ne") * F.col("ne1"))
+                    + 6 * F.sum(F.col("ne") * F.col("ne2"))
+                    + 4 * F.sum(F.col("ne") * F.col("ne3"))
+                    + 2 * F.sum(F.col("ne") * F.col("ne4"))
+                ).cast("double")
+            )
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("kpss_e6")
+    )
+    verdict = (
+        F.when(
+            (F.col("df_t_e6") < -2900000) & (F.col("kpss_e6") < 463000),
+            "stationary",
+        )
+        .when(
+            (F.col("df_t_e6") >= -2900000) & (F.col("kpss_e6") >= 463000),
+            "unit_root",
+        )
+        .when(
+            (F.col("df_t_e6") < -2900000) & (F.col("kpss_e6") >= 463000),
+            "conflict_check_breaks",
+        )
+        .otherwise("inconclusive")
+    )
+    return df_t.crossJoin(F.broadcast(kp)).select(
+        "df_t_e6", "kpss_e6", verdict.alias("verdict")
+    )

@@ -691,6 +691,7 @@ _ROUND11_ADDITIONS = (
     "agg_process_capability",
     "text_template_slot_profile",
     "ingest_monetary_velocity",
+    "ts_stationarity_verdict",
 )
 
 # Landing-order queue for rows that have never been inside a driver
