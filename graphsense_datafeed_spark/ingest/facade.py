@@ -3608,6 +3608,16 @@ def graph_pagerank_personalized(
     )
     seeded = nodes.select("addr", is_seed.alias("is_seed")).localCheckpoint()
     n_seeds = int(seeded.filter("is_seed").count())
+    if n_seeds == 0:
+        # ADVICE r11: without this, PAGERANK_SCALE // n_seeds raises a
+        # bare ZeroDivisionError on the driver for a small/skewed
+        # corpus whose md5 draw selects no node
+        raise ValueError(
+            "graph_pagerank_personalized: the deterministic seed draw "
+            "(md5 % 16 == 0) selected zero nodes on this corpus; "
+            "widen the seed predicate or personalize over an explicit "
+            "seed list"
+        )
     out_deg = edges.groupBy("src").agg(
         F.count("*").cast("bigint").alias("deg")
     )

@@ -2475,7 +2475,7 @@ def graph_smetric(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
         FROM sym GROUP BY 1
     ), wedges AS (
-        SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS n_wedges FROM deg
+        SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg
     ), tri AS (
         SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
         FROM edges e1
@@ -2511,7 +2511,10 @@ def graph_transitivity_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("d")
     )
     wedges = deg.agg(
-        F.sum((F.col("d") * (F.col("d") - 1) / 2).cast("bigint"))
+        # exact int64 DIV per row (d*(d-1) is even, but the double
+        # product rounds past 2^53 for hub degrees ~1e8 — ADVICE r11
+        # integer-division discipline), summed as bigint
+        F.sum(F.expr("CAST(d * (d - 1) DIV 2 AS BIGINT)"))
         .cast("bigint")
         .alias("n_wedges")
     )
@@ -2597,7 +2600,8 @@ def graph_local_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wedged.agg(
         F.count("*").cast("bigint").alias("n_edges"),
         F.count_if(F.col("cn") == 0).cast("bigint").alias("n_local_bridges"),
-        (F.count_if(F.col("cn") == 0) * 1000000 / F.count("*"))
-        .cast("bigint")
-        .alias("share_e6"),
+        # exact int64 DIV matching the oracle's `//` (ADVICE r11)
+        F.expr(
+            "CAST(count_if(cn = 0) * 1000000 DIV count(*) AS BIGINT)"
+        ).alias("share_e6"),
     )

@@ -9046,12 +9046,14 @@ def agg_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ranked GROUP BY 1
     )
     SELECT event_type, CAST(n AS BIGINT) AS n,
-           CAST(FLOOR(CAST(x2 - x1 AS DOUBLE)
-                      / CAST(xn - x1 AS DOUBLE) * 1000000) AS BIGINT)
-               AS q_low_e6,
-           CAST(FLOOR(CAST(xn - xn1 AS DOUBLE)
-                      / CAST(xn - x1 AS DOUBLE) * 1000000) AS BIGINT)
-               AS q_high_e6
+           CASE WHEN xn > x1 THEN
+               CAST(FLOOR(CAST(x2 - x1 AS DOUBLE)
+                          / CAST(xn - x1 AS DOUBLE) * 1000000) AS BIGINT)
+           END AS q_low_e6,
+           CASE WHEN xn > x1 THEN
+               CAST(FLOOR(CAST(xn - xn1 AS DOUBLE)
+                          / CAST(xn - x1 AS DOUBLE) * 1000000) AS BIGINT)
+           END AS q_high_e6
     FROM pivoted ORDER BY event_type
     """,
 )
@@ -9103,15 +9105,26 @@ def agg_dixon_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("xn"),
     )
     d = lambda c: F.col(c).cast("double")  # noqa: E731
+    # zero-range guard (ADVICE r11): a group whose values are all
+    # equal makes (xn-x1)=0 — NaN through the double chain, and
+    # FLOOR(NaN)::BIGINT errors under ANSI; NULL the row instead
+    # (the events_iv_wald cleared-integer NULL discipline)
+    rng = F.col("xn") > F.col("x1")
     return pivoted.select(
         "event_type",
         "n",
-        F.floor((d("x2") - d("x1")) / (d("xn") - d("x1")) * 1000000)
-        .cast("bigint")
-        .alias("q_low_e6"),
-        F.floor((d("xn") - d("xn1")) / (d("xn") - d("x1")) * 1000000)
-        .cast("bigint")
-        .alias("q_high_e6"),
+        F.when(
+            rng,
+            F.floor(
+                (d("x2") - d("x1")) / (d("xn") - d("x1")) * 1000000
+            ).cast("bigint"),
+        ).alias("q_low_e6"),
+        F.when(
+            rng,
+            F.floor(
+                (d("xn") - d("xn1")) / (d("xn") - d("x1")) * 1000000
+            ).cast("bigint"),
+        ).alias("q_high_e6"),
     ).orderBy("event_type")
 
 
@@ -9625,18 +9638,17 @@ def agg_em_gaussian_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
         step = (
             base.select(F.col("v"), r_e4.alias("r"))
             .agg(
-                (
-                    F.sum(F.col("r") * F.col("v"))
-                    / F.greatest(F.sum("r"), F.lit(1))
-                )
-                .cast("bigint")
-                .alias("m1"),
-                (
-                    F.sum((10000 - F.col("r")) * F.col("v"))
-                    / F.greatest(F.sum(10000 - F.col("r")), F.lit(1))
-                )
-                .cast("bigint")
-                .alias("m2"),
+                # exact int64 division (DIV), not double `/` + cast:
+                # sum(r*v) reaches ~4e17 at sf10, past 2^53 — double
+                # division would silently round before truncation
+                # (ADVICE r11 medium; the join_cardinality_qerror fix)
+                F.expr(
+                    "CAST(sum(r * v) DIV greatest(sum(r), 1) AS BIGINT)"
+                ).alias("m1"),
+                F.expr(
+                    "CAST(sum((10000 - r) * v)"
+                    " DIV greatest(sum(10000 - r), 1) AS BIGINT)"
+                ).alias("m2"),
                 F.sum("r").cast("bigint").alias("mass1_e4"),
             )
             .collect()[0]

@@ -3846,12 +3846,12 @@ def events_iv_wald(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     users = ev.groupBy("user_id").agg(
         F.max(z).cast("bigint").alias("z"),
-        (
-            F.sum(F.floor(F.col("value") * 10000).cast("bigint"))
-            / F.count("*")
-        )
-        .cast("bigint")
-        .alias("y"),
+        # exact int64 DIV matching the oracle's `//` (ADVICE r11):
+        # double `/` + cast rounds before truncating past 2^53
+        F.expr(
+            "CAST(sum(CAST(floor(value * 10000) AS BIGINT))"
+            " DIV count(*) AS BIGINT)"
+        ).alias("y"),
         F.when(F.count_if(F.col("event_type") == "click") > 0, 1)
         .otherwise(0)
         .cast("bigint")
@@ -4144,11 +4144,18 @@ def anon_microaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = base.select(
         "c_mktsegment",
         "v",
-        ((F.row_number().over(w) - 1) / 10).cast("bigint").alias("group_id"),
+        (F.row_number().over(w) - 1).alias("rn0"),
+    ).select(
+        "c_mktsegment",
+        "v",
+        # exact int64 DIV matching the oracle's `//` (ADVICE r11)
+        F.expr("CAST(rn0 DIV 10 AS BIGINT)").alias("group_id"),
     )
     grouped = ranked.groupBy("c_mktsegment", "group_id").agg(
         F.count("*").cast("bigint").alias("n"),
-        (F.sum("v") / F.count("*")).cast("bigint").alias("mean_bal_e2"),
+        F.expr("CAST(sum(v) DIV count(*) AS BIGINT)").alias(
+            "mean_bal_e2"
+        ),
     )
     return (
         ranked.join(grouped, ["c_mktsegment", "group_id"])
@@ -4326,8 +4333,10 @@ def _entropy_oracle_sql() -> str:
     return (
         "SELECT col_name, n_rows, n_distinct, "
         "CAST(s_terms_e6 // n_rows AS BIGINT) AS entropy_e6, "
+        "CASE WHEN n_distinct > 1 THEN "
         "CAST(FLOOR(CAST(s_terms_e6 // n_rows AS DOUBLE) "
-        "     / LN(CAST(n_distinct AS DOUBLE)) ) AS BIGINT) AS norm_entropy_e6 "
+        "     / LN(CAST(n_distinct AS DOUBLE)) ) AS BIGINT) END "
+        "AS norm_entropy_e6 "
         "FROM (" + " UNION ALL ".join(branches) + ") ORDER BY col_name"
     )
 
@@ -4380,17 +4389,21 @@ def profile_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(col).alias("col_name"),
                 "n_rows",
                 "n_distinct",
-                (F.col("s_terms_e6") / F.col("n_rows"))
-                .cast("bigint")
-                .alias("entropy_e6"),
-                F.floor(
-                    (F.col("s_terms_e6") / F.col("n_rows"))
-                    .cast("bigint")
-                    .cast("double")
-                    / F.log(F.col("n_distinct").cast("double"))
-                )
-                .cast("bigint")
-                .alias("norm_entropy_e6"),
+                # exact int64 DIV matching the oracle's `//`, and a
+                # single-valued-column guard: ln(n_distinct)=0 would
+                # push NaN/inf into FLOOR::BIGINT (ADVICE r11)
+                F.expr(
+                    "CAST(s_terms_e6 DIV n_rows AS BIGINT)"
+                ).alias("entropy_e6"),
+                F.when(
+                    F.col("n_distinct") > 1,
+                    F.floor(
+                        F.expr(
+                            "CAST(s_terms_e6 DIV n_rows AS BIGINT)"
+                        ).cast("double")
+                        / F.log(F.col("n_distinct").cast("double"))
+                    ).cast("bigint"),
+                ).alias("norm_entropy_e6"),
             )
         )
         outs.append(folded)
@@ -4770,7 +4783,10 @@ def events_did_event_study(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("gap_e4"),
     )
     pre = gaps.filter(F.col("rel_day") < 0).agg(
-        (F.sum("gap_e4") / F.count("*")).cast("bigint").alias("pre_mean")
+        # exact int64 DIV matching the oracle's `//` (ADVICE r11)
+        F.expr("CAST(sum(gap_e4) DIV count(*) AS BIGINT)").alias(
+            "pre_mean"
+        )
     )
     return (
         gaps.crossJoin(F.broadcast(pre))

@@ -6109,9 +6109,10 @@ def text_ccnet_perplexity_buckets(
         .groupBy("lang", bucket.alias("bucket"))
         .agg(
             F.count("*").cast("bigint").alias("n_docs"),
-            (F.sum("avg_nll_e6") / F.count("*"))
-            .cast("bigint")
-            .alias("mean_nll_e6"),
+            # exact int64 DIV matching the oracle's `//` (ADVICE r11)
+            F.expr(
+                "CAST(sum(avg_nll_e6) DIV count(*) AS BIGINT)"
+            ).alias("mean_nll_e6"),
         )
         .orderBy("lang", "bucket")
     )
@@ -6227,7 +6228,8 @@ def sample_epoch_cap_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     finish."""
     docs = load(spark, sf_dir, "documents")
     src = docs.groupBy("source").agg(
-        (F.sum("n_chars") / 4).cast("bigint").alias("toks")
+        # exact int64 DIV matching the oracle's `//` (ADVICE r11)
+        F.expr("CAST(sum(n_chars) DIV 4 AS BIGINT)").alias("toks")
     )
     tot = src.agg(
         F.sum("toks").cast("bigint").alias("t"),
@@ -6237,7 +6239,7 @@ def sample_epoch_cap_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "toks",
         F.least(
-            (F.col("b") * F.col("toks") / F.col("t")).cast("bigint"),
+            F.expr("CAST(b * toks DIV t AS BIGINT)"),
             (F.col("toks") * 4).cast("bigint"),
         ).alias("a1"),
         (F.col("toks") * 4).cast("bigint").alias("cap"),
@@ -6251,9 +6253,7 @@ def sample_epoch_cap_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     topup = F.when(
         (F.col("a1") < F.col("cap")) & (F.col("open_toks") > 0),
-        (F.col("leftover") * F.col("toks") / F.col("open_toks")).cast(
-            "bigint"
-        ),
+        F.expr("CAST(leftover * toks DIV open_toks AS BIGINT)"),
     ).otherwise(F.lit(0).cast("bigint"))
     final = F.least(F.col("a1") + topup, F.col("cap")).cast("bigint")
     return (
@@ -6264,7 +6264,11 @@ def sample_epoch_cap_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cap",
             F.col("a1").cast("bigint").alias("alloc_prop"),
             final.alias("alloc_final"),
-            (final * 100 / F.col("toks")).cast("bigint").alias("epochs_e2"),
+            F.expr(
+                "CAST(least(a1 + CASE WHEN a1 < cap AND open_toks > 0"
+                " THEN leftover * toks DIV open_toks ELSE 0 END, cap)"
+                " * 100 DIV toks AS BIGINT)"
+            ).alias("epochs_e2"),
             (F.col("a1") >= F.col("cap")).alias("capped_round1"),
         )
         .orderBy("source")
@@ -6351,12 +6355,11 @@ def text_weighted_jaccard_sources(
         F.count("*").cast("bigint").alias("n_terms"),
         F.sum(F.least("c1", "c2")).cast("bigint").alias("sum_min"),
         F.sum(F.greatest("c1", "c2")).cast("bigint").alias("sum_max"),
-        (
-            F.sum(F.least("c1", "c2")) * 1000000
-            / F.sum(F.greatest("c1", "c2"))
-        )
-        .cast("bigint")
-        .alias("weighted_jaccard_e6"),
+        # exact int64 DIV matching the oracle's `//` (ADVICE r11)
+        F.expr(
+            "CAST(sum(least(c1, c2)) * 1000000"
+            " DIV sum(greatest(c1, c2)) AS BIGINT)"
+        ).alias("weighted_jaccard_e6"),
     )
 
 
@@ -6440,7 +6443,8 @@ def text_bigram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return folded.crossJoin(F.broadcast(tot)).select(
         F.col("n").alias("n_bigrams"),
         "n_pair_types",
-        (F.col("s") / F.col("n")).cast("bigint").alias("cond_entropy_e6"),
+        # exact int64 DIV matching the oracle's `//` (ADVICE r11)
+        F.expr("CAST(s DIV n AS BIGINT)").alias("cond_entropy_e6"),
     )
 
 
@@ -6517,8 +6521,9 @@ def text_template_slot_profile(
         "pos",
         "n_docs",
         "n_distinct",
-        (F.col("top_c") * 1000000 / F.col("n_docs"))
-        .cast("bigint")
-        .alias("top_share_e6"),
+        # exact int64 DIV matching the oracle's `//` (ADVICE r11)
+        F.expr("CAST(top_c * 1000000 DIV n_docs AS BIGINT)").alias(
+            "top_share_e6"
+        ),
         (F.col("top_c") * 10 >= F.col("n_docs") * 9).alias("is_slot"),
     ).orderBy("source", "pos")

@@ -9810,13 +9810,11 @@ def ts_granger_1lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
         F.count("*").cast("bigint").alias("x"),
-        (
-            F.sum(F.floor(F.col("value") * 10000).cast("bigint"))
-            .cast("bigint")
-            / F.count("*")
-        )
-        .cast("bigint")
-        .alias("y"),
+        # exact int64 DIV matching the oracle's `//` (ADVICE r11)
+        F.expr(
+            "CAST(sum(CAST(floor(value * 10000) AS BIGINT))"
+            " DIV count(*) AS BIGINT)"
+        ).alias("y"),
     )
     w_seq = Window.orderBy("d")
     pairs = (
@@ -10416,12 +10414,11 @@ def ts_cointegration_eg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
         F.count("*").cast("bigint").alias("x"),
-        (
-            F.sum(F.floor(F.col("value") * 10000).cast("bigint"))
-            / F.count("*")
-        )
-        .cast("bigint")
-        .alias("y"),
+        # exact int64 DIV matching the oracle's `//` (ADVICE r11)
+        F.expr(
+            "CAST(sum(CAST(floor(value * 10000) AS BIGINT))"
+            " DIV count(*) AS BIGINT)"
+        ).alias("y"),
     )
     sums = daily.agg(
         F.count("*").cast("bigint").alias("n"),

@@ -132,12 +132,50 @@ def test_epoch_cap_schedule_invariants(spark, sf_dir):
 
 def test_iv_wald_weak_instrument_guard(spark, sf_dir):
     """If takeup is identical in both arms the Wald point/SE must be
-    NULL (cleared-integer compare), never inf — exercised through the
-    registered query by construction check on its outputs."""
+    NULL (cleared-integer compare), never inf.  The referee recomputes
+    the EXACT guard condition sd1*n0 == sd0*n1 from the arm sums
+    (ADVICE r11: the floored itt_d_e6 == 0 proxy fires spuriously for
+    0 < ITT_d < 1e-6, where wald_e4 is legitimately non-NULL)."""
+    import pyspark.sql.functions as F
+
     from graphsense_datafeed_spark.registry import QUERIES
+    from graphsense_datafeed_spark.sources.tables import load
+
+    ev = load(spark, sf_dir, "events")
+    z = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("iv:"), F.col("user_id").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    arms = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(z).alias("z"),
+            F.when(F.count_if(F.col("event_type") == "click") > 0, 1)
+            .otherwise(0)
+            .alias("d"),
+        )
+        .groupBy("z")
+        .agg(F.count("*").alias("n"), F.sum("d").alias("sd"))
+        .collect()
+    )
+    n = {int(r["z"]): int(r["n"]) for r in arms}
+    sd = {int(r["z"]): int(r["sd"]) for r in arms}
+    weak = sd[1] * n[0] == sd[0] * n[1]
 
     row = QUERIES["events_iv_wald"](spark, sf_dir).collect()[0]
-    if row["itt_d_e6"] == 0:
+    if weak:
         assert row["wald_e4"] is None and row["se_e4"] is None
     else:
         assert row["wald_e4"] is not None
