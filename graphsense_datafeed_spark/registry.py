@@ -694,6 +694,11 @@ _ROUND11_ADDITIONS = (
     "ts_stationarity_verdict",
 )
 
+_ROUND12_ADDITIONS = (
+    "sim_lsh_bucket_index",
+    "sim_ivf_cell_index",
+)
+
 # Landing-order queue for rows that have never been inside a driver
 # window.  compute_window_order() consults this for the NEVER category's
 # relative order; operators added in round 10+ append here in landing
@@ -703,6 +708,7 @@ _NEVER_CHECKED_QUEUE = (
     + _ROUND10_NEXT_UP
     + _ROUND10_ADDITIONS
     + _ROUND11_ADDITIONS
+    + _ROUND12_ADDITIONS
 )
 
 # Driver-window geometry (VERDICT r10 item 5): the driver's per-round

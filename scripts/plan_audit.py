@@ -79,6 +79,7 @@ _EFFECTFUL = {
     "layout_zorder",
     "layout_compact",
     "sim_ann_lsh",
+    "sim_lsh_bucket_index",
     "sim_ann_ivf",
     "sim_ann_pq",
     "embed_pca",
