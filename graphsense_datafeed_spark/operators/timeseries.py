@@ -10794,3 +10794,426 @@ def ts_stationarity_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df_t.crossJoin(F.broadcast(kp)).select(
         "df_t_e6", "kpss_e6", verdict.alias("verdict")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 12: daily-candle risk estimators (ulcer, Garman-Klass,
+# Parkinson) and the Wald-Wolfowitz runs test on daily moves — the
+# downside/efficiency readouts a market-data or chain-fee consumer
+# runs over any value stream once it has a daily tape.
+# ---------------------------------------------------------------------------
+
+# 2*ln(2)-1 and 1/(4*ln(2)) as shared literals: libm ln can differ in
+# the last ulp between JVM and C, so the CONSTANTS never go through
+# either engine's ln (the ts_periodogram_peaks literal discipline).
+_GK_C = "0.3862943611198906"
+_PK_C = "0.36067376022224085"
+
+_DAILY_CLOSE_SQL = """
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(FLOOR(value * 10000) AS BIGINT) AS close_e4
+        FROM (
+            SELECT event_type, ts, value,
+                   row_number() OVER (PARTITION BY event_type,
+                                      CAST(ts AS DATE)
+                                      ORDER BY ts DESC, event_id DESC)
+                       AS rn
+            FROM events
+        ) WHERE rn = 1
+"""
+
+
+def _daily_close(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, d, close_e4) — last value of each day per series,
+    the shared tape of the round-12 candle family. One keyed window
+    (partitioned by type AND day — never global)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type", F.to_date("ts")).orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.select(
+            "event_type",
+            F.to_date("ts").alias("d"),
+            F.floor(F.col("value") * 10000).cast("bigint").alias("close_e4"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@query(
+    "ts_ulcer_index",
+    f"""
+    WITH closes AS ({_DAILY_CLOSE_SQL}
+    ), dd AS (
+        SELECT event_type,
+               CASE WHEN peak > 0
+                    THEN (peak - close_e4) * 1000000 // peak
+                    ELSE 0 END AS dd_e6
+        FROM (
+            SELECT event_type, close_e4,
+                   CAST(MAX(close_e4) OVER (PARTITION BY event_type
+                        ORDER BY d
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS peak
+            FROM closes
+        )
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(MAX(dd_e6) AS BIGINT) AS max_dd_e6,
+           CAST(FLOOR(SQRT(CAST(SUM(dd_e6 * dd_e6) AS DOUBLE)
+                           / COUNT(*))) AS BIGINT) AS ulcer_e6
+    FROM dd GROUP BY event_type ORDER BY event_type
+    """,
+)
+def ts_ulcer_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ULCER INDEX per series (round 12): RMS of the daily percentage
+    drawdown from the running peak of the daily close — the
+    depth-AND-duration downside measure (ts_max_drawdown reports only
+    the single worst excursion; the ulcer index charges every day
+    spent under water, which is what a drawdown-averse consumer
+    actually experiences).
+
+    Exactness: closes are e4 integers off one keyed last-of-day
+    window; the running peak is an integer window max; each day's
+    drawdown pct is (peak-close)*1e6 DIV peak — ALL-INTEGER (products
+    bounded by the value domain, not the row count); only the final
+    RMS takes one double sqrt over exact bigint sums.
+
+    Scale: one map-reducible daily rollup, two keyed windows on the
+    calendar-bounded tape, |types|-row finish — the ts_max_drawdown
+    prefix-scan shape."""
+    closes = _daily_close(spark, sf_dir)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dd = closes.select(
+        "event_type",
+        F.max("close_e4").over(w).cast("bigint").alias("peak"),
+        "close_e4",
+    ).select(
+        "event_type",
+        F.when(
+            F.col("peak") > 0,
+            F.expr("(peak - close_e4) * 1000000 DIV peak"),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("dd_e6"),
+    )
+    return (
+        dd.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_days"),
+            F.max("dd_e6").cast("bigint").alias("max_dd_e6"),
+            F.floor(
+                F.sqrt(
+                    F.sum(F.col("dd_e6") * F.col("dd_e6")).cast("double")
+                    / F.count("*")
+                )
+            )
+            .cast("bigint")
+            .alias("ulcer_e6"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_DAILY_OHLC_SQL = """
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(MAX(v1) AS BIGINT) AS h1,
+               CAST(MIN(v1) AS BIGINT) AS l1,
+               CAST(MAX(CASE WHEN rn_a = 1 THEN v1 END) AS BIGINT) AS o1,
+               CAST(MAX(CASE WHEN rn_d = 1 THEN v1 END) AS BIGINT) AS c1
+        FROM (
+            SELECT event_type, ts,
+                   CAST(FLOOR(value * 10000) AS BIGINT) + 1 AS v1,
+                   row_number() OVER (PARTITION BY event_type,
+                                      CAST(ts AS DATE)
+                                      ORDER BY ts ASC, event_id ASC)
+                       AS rn_a,
+                   row_number() OVER (PARTITION BY event_type,
+                                      CAST(ts AS DATE)
+                                      ORDER BY ts DESC, event_id DESC)
+                       AS rn_d
+            FROM events
+        ) GROUP BY 1, 2
+"""
+
+
+def _daily_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, d, h1, l1, o1, c1) daily candles in SHIFTED e4
+    integers (v+1 so every ln argument is strictly positive — the
+    value domain includes exact zeros). Two same-spec keyed windows
+    Catalyst coalesces into one exchange."""
+    ev = load(spark, sf_dir, "events")
+    v1 = (F.floor(F.col("value") * 10000).cast("bigint") + 1).alias("v1")
+    wa = Window.partitionBy("event_type", F.to_date("ts")).orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    wd = Window.partitionBy("event_type", F.to_date("ts")).orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    base = ev.select(
+        "event_type",
+        F.to_date("ts").alias("d"),
+        v1,
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return base.groupBy("event_type", "d").agg(
+        F.max("v1").cast("bigint").alias("h1"),
+        F.min("v1").cast("bigint").alias("l1"),
+        F.max(F.when(F.col("rn_a") == 1, F.col("v1")))
+        .cast("bigint")
+        .alias("o1"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("v1")))
+        .cast("bigint")
+        .alias("c1"),
+    )
+
+
+@query(
+    "ts_garman_klass_vol",
+    f"""
+    WITH ohlc AS ({_DAILY_OHLC_SQL}
+    ), terms AS (
+        SELECT event_type,
+               CAST(FLOOR((0.5 * ln(CAST(h1 AS DOUBLE) / l1)
+                               * ln(CAST(h1 AS DOUBLE) / l1)
+                           - {_GK_C} * ln(CAST(c1 AS DOUBLE) / o1)
+                                     * ln(CAST(c1 AS DOUBLE) / o1))
+                          * 100000000) AS BIGINT) AS term_e8
+        FROM ohlc
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(FLOOR(CAST(SUM(term_e8) AS DOUBLE) / COUNT(*))
+                AS BIGINT) AS gk_var_e8,
+           CASE WHEN SUM(term_e8) > 0 THEN
+               CAST(FLOOR(SQRT(CAST(SUM(term_e8) AS DOUBLE) / COUNT(*)))
+                    AS BIGINT) END AS gk_vol_e4
+    FROM terms GROUP BY event_type ORDER BY event_type
+    """,
+)
+def ts_garman_klass_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GARMAN-KLASS range volatility per series (round 12): the
+    OHLC-efficient daily variance estimator 0.5·ln(H/L)² −
+    (2ln2−1)·ln(C/O)² averaged over days — ~7.4× more efficient per
+    day than close-to-close variance because the intraday RANGE
+    carries most of the information; the candle complement to
+    ts_realized_vol-style close-only readouts and the estimator a fee
+    or price tape deserves once _daily_ohlc exists.
+
+    Exactness: candles are shifted e4 integers (v+1 keeps every ln
+    argument > 0 on a domain with exact zeros); 2ln2−1 is a SHARED
+    LITERAL so no libm ln(2) divergence; each day's term floors e8
+    BEFORE the order-free bigint sum; the variance floors ONE double
+    division (FLOOR(double), not DIV — GK day terms can be negative
+    and DuckDB `//` floors where Spark DIV truncates); the vol sqrt
+    is gated on a positive variance sum.
+
+    Scale: one daily keyed rollup (two coalesced windows), bigint
+    partial sums, |types|-row finish."""
+    ohlc = _daily_ohlc(spark, sf_dir)
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    lr_hl = F.log(d("h1") / F.col("l1"))
+    lr_co = F.log(d("c1") / F.col("o1"))
+    terms = ohlc.select(
+        "event_type",
+        F.floor(
+            (
+                0.5 * lr_hl * lr_hl
+                - F.lit(float(_GK_C)) * lr_co * lr_co
+            )
+            * 100000000
+        )
+        .cast("bigint")
+        .alias("term_e8"),
+    )
+    return (
+        terms.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_days"),
+            F.floor(F.sum("term_e8").cast("double") / F.count("*"))
+            .cast("bigint")
+            .alias("gk_var_e8"),
+            F.when(
+                F.sum("term_e8") > 0,
+                F.floor(
+                    F.sqrt(F.sum("term_e8").cast("double") / F.count("*"))
+                ).cast("bigint"),
+            ).alias("gk_vol_e4"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "ts_parkinson_vol",
+    f"""
+    WITH ohlc AS ({_DAILY_OHLC_SQL}
+    ), terms AS (
+        SELECT event_type,
+               CAST(FLOOR({_PK_C} * ln(CAST(h1 AS DOUBLE) / l1)
+                                  * ln(CAST(h1 AS DOUBLE) / l1)
+                          * 100000000) AS BIGINT) AS term_e8
+        FROM ohlc
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(term_e8) // COUNT(*) AS BIGINT) AS pk_var_e8,
+           CAST(FLOOR(SQRT(CAST(SUM(term_e8) AS DOUBLE) / COUNT(*)))
+                AS BIGINT) AS pk_vol_e4
+    FROM terms GROUP BY event_type ORDER BY event_type
+    """,
+)
+def ts_parkinson_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARKINSON range volatility per series (round 12): ln(H/L)² /
+    (4ln2) averaged over days — the high-low-only estimator (~4.9×
+    close-to-close efficiency) for tapes where open/close are
+    unreliable but the daily extremes are trustworthy; read NEXT TO
+    ts_garman_klass_vol: Parkinson ≫ GK flags days where the range is
+    wide but open-to-close is quiet (mean-reverting chop vs trend).
+
+    Exactness: same shifted-e4 candles and shared 1/(4ln2) literal;
+    Parkinson day terms are ≥ 0 by construction so the variance is an
+    exact integer DIV (matching the oracle's `//`); vol is one double
+    sqrt chain.
+
+    Scale: identical to ts_garman_klass_vol — the candle rollup is
+    the only exchange."""
+    ohlc = _daily_ohlc(spark, sf_dir)
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    lr_hl = F.log(d("h1") / F.col("l1"))
+    terms = ohlc.select(
+        "event_type",
+        F.floor(F.lit(float(_PK_C)) * lr_hl * lr_hl * 100000000)
+        .cast("bigint")
+        .alias("term_e8"),
+    )
+    return (
+        terms.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_days"),
+            F.expr("CAST(sum(term_e8) DIV count(*) AS BIGINT)").alias(
+                "pk_var_e8"
+            ),
+            F.floor(
+                F.sqrt(F.sum("term_e8").cast("double") / F.count("*"))
+            )
+            .cast("bigint")
+            .alias("pk_vol_e4"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "ts_runs_up_down",
+    f"""
+    WITH closes AS ({_DAILY_CLOSE_SQL}
+    ), moves AS (
+        SELECT event_type,
+               d,
+               CASE WHEN diff > 0 THEN 1 ELSE -1 END AS sgn
+        FROM (
+            SELECT event_type, d,
+                   close_e4 - lag(close_e4) OVER (PARTITION BY event_type
+                                                  ORDER BY d) AS diff
+            FROM closes
+        ) WHERE diff IS NOT NULL AND diff <> 0
+    ), runs AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_moves,
+               CAST(SUM(CASE WHEN prev IS NULL OR sgn <> prev
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+        FROM (
+            SELECT event_type, sgn,
+                   lag(sgn) OVER (PARTITION BY event_type ORDER BY d)
+                       AS prev
+            FROM moves
+        ) GROUP BY 1
+    )
+    SELECT event_type, n_moves, n_runs,
+           CAST((2 * n_moves - 1) * 1000000 // 3 AS BIGINT)
+               AS expected_runs_e6,
+           CASE WHEN n_moves >= 3 THEN
+               CAST(FLOOR((CAST(n_runs AS DOUBLE)
+                           - (2.0 * n_moves - 1.0) / 3.0)
+                          / SQRT((16.0 * n_moves - 29.0) / 90.0)
+                          * 10000) AS BIGINT) END AS z_e4
+    FROM runs ORDER BY event_type
+    """,
+)
+def ts_runs_up_down(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RUNS-UP-AND-DOWN test per series (round 12): count maximal
+    monotone runs in the daily close's up/down move sequence and
+    z-score against the i.i.d. expectation (2n−1)/3, variance
+    (16n−29)/90 — the turning-point randomness screen that catches
+    both momentum (too FEW runs) and oscillating mean-reversion (too
+    MANY) where agg_runs_test's above/below-median form sees neither
+    (a steady ramp has ONE median run but alternating up-moves).
+    Complements ts_turning_points (which counts local extrema) with
+    the calibrated two-sided z.
+
+    Exactness: moves are integer close diffs off one keyed lag (zero
+    diffs dropped on BOTH sides — ties carry no direction); run
+    boundaries are integer compares; expected runs is an exact
+    integer DIV e6 (operands non-negative); only the z leaves
+    integers, floored e4, gated n ≥ 3 so the variance is positive.
+
+    Scale: three stacked keyed windows on the calendar-bounded daily
+    tape (never global); |types|-row finish."""
+    closes = _daily_close(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("d")
+    moves = (
+        closes.select(
+            "event_type",
+            "d",
+            (F.col("close_e4") - F.lag("close_e4").over(w)).alias("diff"),
+        )
+        .filter(F.col("diff").isNotNull() & (F.col("diff") != 0))
+        .select(
+            "event_type",
+            "d",
+            F.when(F.col("diff") > 0, 1).otherwise(-1).alias("sgn"),
+        )
+    )
+    marked = moves.select(
+        "event_type",
+        "sgn",
+        F.lag("sgn").over(w).alias("prev"),
+    )
+    runs = marked.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_moves"),
+        F.sum(
+            F.when(
+                F.col("prev").isNull() | (F.col("sgn") != F.col("prev")), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_runs"),
+    )
+    nm = F.col("n_moves").cast("double")
+    return runs.select(
+        "event_type",
+        "n_moves",
+        "n_runs",
+        F.expr(
+            "CAST((2 * n_moves - 1) * 1000000 DIV 3 AS BIGINT)"
+        ).alias("expected_runs_e6"),
+        F.when(
+            F.col("n_moves") >= 3,
+            F.floor(
+                (F.col("n_runs").cast("double") - (2.0 * nm - 1.0) / 3.0)
+                / F.sqrt((16.0 * nm - 29.0) / 90.0)
+                * 10000
+            ).cast("bigint"),
+        ).alias("z_e4"),
+    ).orderBy("event_type")

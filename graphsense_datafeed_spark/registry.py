@@ -697,6 +697,10 @@ _ROUND11_ADDITIONS = (
 _ROUND12_ADDITIONS = (
     "sim_lsh_bucket_index",
     "sim_ivf_cell_index",
+    "ts_ulcer_index",
+    "ts_garman_klass_vol",
+    "ts_parkinson_vol",
+    "ts_runs_up_down",
 )
 
 # Landing-order queue for rows that have never been inside a driver
