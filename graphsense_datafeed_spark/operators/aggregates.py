@@ -9740,3 +9740,472 @@ def agg_process_capability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cpk_e6"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Round 12: rank-statistics completion — effect size for the U test,
+# the ordered-alternative trend test, the rank scale test, and the
+# Cramér-von Mises ECDF distance. All four run on the atom-table
+# reduction (counts per distinct value), never raw-row rankings: the
+# cumulative window's input is value-domain-bounded.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_rank_biserial_cles",
+    """
+    WITH s AS (
+        SELECT CAST(FLOOR(value * 10000) AS BIGINT) AS v_e4,
+               CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS c1,
+               CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS c2
+        FROM events WHERE event_type IN ('click', 'purchase')
+        GROUP BY 1
+    ), r AS (
+        SELECT c1, c2,
+               CAST(COALESCE(SUM(c1 + c2) OVER (ORDER BY v_e4
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS prev
+        FROM s
+    ), agg AS (
+        SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+               CAST(SUM(c2) AS BIGINT) AS n2,
+               CAST(SUM(c1 * (2 * prev + c1 + c2 + 1)) AS BIGINT) AS r1_x2
+        FROM r
+    )
+    SELECT n1, n2,
+           CAST(2 * n1 * n2 + n1 * (n1 + 1) - r1_x2 AS BIGINT) AS u1_x2,
+           CAST(FLOOR(CAST(2 * n1 * n2 + n1 * (n1 + 1) - r1_x2 AS DOUBLE)
+                      / (2.0 * n1 * n2) * 1000000) AS BIGINT) AS cles_e6,
+           CAST(FLOOR((CAST(2 * n1 * n2 + n1 * (n1 + 1) - r1_x2 AS DOUBLE)
+                       / (CAST(n1 AS DOUBLE) * n2) - 1.0) * 1000000)
+                AS BIGINT) AS rank_biserial_e6
+    FROM agg
+    """,
+)
+def agg_rank_biserial_cles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANK-BISERIAL r and COMMON-LANGUAGE EFFECT SIZE for the U test
+    (round 12): CLES = U₁/(n₁n₂) is P(X>Y)+½P(X=Y) — 'a random click
+    outranks a random purchase this often' — and rank-biserial
+    r = 2·CLES − 1 is its signed [−1,1] form. agg_mann_whitney answers
+    IS there a shift (p-value decays with n; everything is eventually
+    significant at 100 TB); this row reports HOW BIG, the pair
+    discipline of agg_effect_size_cohens_d next to the t-test.
+
+    Exactness: the identical doubled-unit atom-table U (midrank tie
+    handling, exact bigints); both effect sizes are ONE double
+    division each floored e6 (not integer DIV: rank-biserial is
+    signed, and U·10⁶ would overflow int64 at sf10 row counts —
+    the double operands stay below 2^53 because U ≤ n₁n₂).
+
+    Scale: the Mann-Whitney shape — cumulative window over the
+    pre-reduced atom table only."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    s = ev.groupBy(
+        F.floor(F.col("value") * 10000).cast("bigint").alias("v_e4")
+    ).agg(
+        F.count_if(F.col("event_type") == "click").cast("bigint").alias("c1"),
+        F.count_if(F.col("event_type") == "purchase")
+        .cast("bigint")
+        .alias("c2"),
+    )
+    wprev = Window.orderBy("v_e4").rowsBetween(Window.unboundedPreceding, -1)
+    r = s.select(
+        "c1",
+        "c2",
+        F.coalesce(F.sum(F.col("c1") + F.col("c2")).over(wprev), F.lit(0))
+        .cast("bigint")
+        .alias("prev"),
+    )
+    rank2 = 2 * F.col("prev") + F.col("c1") + F.col("c2") + 1
+    agg = r.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+        F.sum(F.col("c1") * rank2).cast("bigint").alias("r1_x2"),
+    )
+    u1_x2 = (
+        2 * F.col("n1") * F.col("n2")
+        + F.col("n1") * (F.col("n1") + 1)
+        - F.col("r1_x2")
+    ).cast("double")
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return agg.select(
+        "n1",
+        "n2",
+        u1_x2.cast("bigint").alias("u1_x2"),
+        F.floor(u1_x2 / (2.0 * d("n1") * d("n2")) * 1000000)
+        .cast("bigint")
+        .alias("cles_e6"),
+        F.floor((u1_x2 / (d("n1") * d("n2")) - 1.0) * 1000000)
+        .cast("bigint")
+        .alias("rank_biserial_e6"),
+    )
+
+
+_JT_PRIORITIES = (
+    "1-URGENT",
+    "2-HIGH",
+    "3-MEDIUM",
+    "4-NOT SPECIFIED",
+    "5-LOW",
+)
+# The JT variance is CUBIC in N — no int64 can hold N²(2N+3) at sf10
+# row counts, so the moment sums run in double; to keep that double
+# chain ORDER-FREE the five group sizes are pivoted to ONE row and the
+# sums are written as a fixed-order EXPRESSION over named columns
+# (the events_iv_wald _pick discipline), identical in both engines.
+_JT_WIDE_SQL = " ".join(
+    f"MAX(CASE WHEN g = '{p}' THEN ng ELSE 0 END) AS ng{i},"
+    for i, p in enumerate(_JT_PRIORITIES)
+).rstrip(",")
+_JT_N = " + ".join(f"ng{i}" for i in range(5))
+_JT_S2 = " + ".join(
+    f"CAST(ng{i} AS DOUBLE) * ng{i}" for i in range(5)
+)
+_JT_SV = " + ".join(
+    f"CAST(ng{i} AS DOUBLE) * ng{i} * (2.0 * ng{i} + 3.0)"
+    for i in range(5)
+)
+
+
+@query(
+    "agg_jonckheere_terpstra",
+    f"""
+    WITH cnt AS (
+        SELECT o_orderpriority AS g,
+               CAST(FLOOR(o_totalprice / 10000) AS BIGINT) AS v,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders GROUP BY 1, 2
+    ), jt AS (
+        SELECT CAST(SUM(CASE WHEN a.v < b.v THEN 2 * a.n * b.n
+                             WHEN a.v = b.v THEN a.n * b.n
+                             ELSE 0 END) AS BIGINT) AS jt2
+        FROM cnt a JOIN cnt b ON a.g < b.g
+    ), grp AS (
+        SELECT g, CAST(SUM(n) AS BIGINT) AS ng FROM cnt GROUP BY g
+    ), wide AS (
+        SELECT {_JT_WIDE_SQL} FROM grp
+    )
+    SELECT CAST({_JT_N} AS BIGINT) AS n_total,
+           CAST(5 AS BIGINT) AS n_groups,
+           j.jt2,
+           CAST(FLOOR((CAST(j.jt2 AS DOUBLE) / 2.0
+                       - (CAST({_JT_N} AS DOUBLE) * ({_JT_N})
+                          - ({_JT_S2})) / 4.0)
+                      / SQRT((CAST({_JT_N} AS DOUBLE) * ({_JT_N})
+                              * (2.0 * ({_JT_N}) + 3.0)
+                              - ({_JT_SV})) / 72.0)
+                      * 10000) AS BIGINT) AS z_e4
+    FROM jt j, wide
+    """,
+)
+def agg_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JONCKHEERE-TERPSTRA ordered-alternative trend test (round 12):
+    do order totals rise (or fall) MONOTONICALLY across the ordinal
+    priority ladder 1-URGENT → 5-LOW?  Kruskal-Wallis (implemented
+    r10) asks 'are the groups different AT ALL' and throws away the
+    ordering; JT sums the pairwise Mann-Whitney counts of every
+    lower-priority-vs-higher-priority pair and is the standard
+    dose-response screen for any ordinal factor (priority tiers, spec
+    grades, severity levels).
+
+    Exactness: values bucket to a bounded atom domain (price DIV
+    10000); JT×2 is an exact bigint over the group-pair × atom-pair
+    join (ties count once — the doubled-unit midrank convention); the
+    cubic-in-N moments CANNOT be int64 at sf10, so they run as ONE
+    double expression over the five PIVOTED group sizes in literal
+    priority order — order-free because it is an expression, not an
+    aggregation over doubles.
+
+    Scale: the pair join is |groups·atoms|² over a value-DOMAIN-
+    bounded table (5×~60 rows at any SF) — broadcast, never
+    corpus-sized; everything upstream is one keyed rollup."""
+    orders = load(spark, sf_dir, "orders")
+    cnt = orders.groupBy(
+        F.col("o_orderpriority").alias("g"),
+        F.floor(F.col("o_totalprice") / 10000).cast("bigint").alias("v"),
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    a, b = cnt.alias("a"), cnt.alias("b")
+    jt = (
+        a.join(F.broadcast(b), F.col("a.g") < F.col("b.g"))
+        .select(
+            F.when(
+                F.col("a.v") < F.col("b.v"),
+                2 * F.col("a.n") * F.col("b.n"),
+            )
+            .when(F.col("a.v") == F.col("b.v"), F.col("a.n") * F.col("b.n"))
+            .otherwise(0)
+            .alias("t")
+        )
+        .agg(F.sum("t").cast("bigint").alias("jt2"))
+    )
+    grp = cnt.groupBy("g").agg(F.sum("n").cast("bigint").alias("ng"))
+    wide = grp.agg(
+        *[
+            F.max(F.when(F.col("g") == p, F.col("ng")).otherwise(0))
+            .cast("bigint")
+            .alias(f"ng{i}")
+            for i, p in enumerate(_JT_PRIORITIES)
+        ]
+    )
+    n_expr = " + ".join(f"ng{i}" for i in range(5))
+    s2_expr = _JT_S2
+    sv_expr = _JT_SV
+    return jt.crossJoin(F.broadcast(wide)).select(
+        F.expr(f"CAST({n_expr} AS BIGINT)").alias("n_total"),
+        F.lit(5).cast("bigint").alias("n_groups"),
+        "jt2",
+        F.expr(
+            f"CAST(FLOOR((CAST(jt2 AS DOUBLE) / 2.0"
+            f" - (CAST({n_expr} AS DOUBLE) * ({n_expr})"
+            f" - ({s2_expr})) / 4.0)"
+            f" / SQRT((CAST({n_expr} AS DOUBLE) * ({n_expr})"
+            f" * (2.0 * ({n_expr}) + 3.0)"
+            f" - ({sv_expr})) / 72.0)"
+            f" * 10000) AS BIGINT)"
+        ).alias("z_e4"),
+    )
+
+
+@query(
+    "agg_ansari_bradley",
+    """
+    WITH s AS (
+        SELECT CAST(FLOOR(value * 10000) AS BIGINT) AS v_e4,
+               CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS c1,
+               CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS c2
+        FROM events WHERE event_type IN ('click', 'view')
+        GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+               CAST(SUM(c2) AS BIGINT) AS n2,
+               CAST(SUM(c1 + c2) AS BIGINT) AS nn
+        FROM s
+    ), r AS (
+        SELECT s.c1, s.c2, t.n1, t.n2, t.nn,
+               CAST(2 * COALESCE(SUM(s.c1 + s.c2) OVER (ORDER BY s.v_e4
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    + s.c1 + s.c2 + 1 AS BIGINT) AS mid2
+        FROM s, tot t
+    ), ab AS (
+        SELECT MAX(n1) AS n1, MAX(n2) AS n2, MAX(nn) AS nn,
+               CAST(SUM(c1 * LEAST(mid2, 2 * (nn + 1) - mid2)) AS BIGINT)
+                   AS ab2
+        FROM r
+    )
+    SELECT n1, n2, ab2,
+           CASE WHEN nn % 2 = 0 THEN
+               CAST(FLOOR((CAST(ab2 AS DOUBLE) / 2.0
+                           - CAST(n1 AS DOUBLE) * (nn + 2.0) / 4.0)
+                          / SQRT(CAST(n1 AS DOUBLE) * n2 * (nn + 2.0)
+                                 * (nn - 2.0) / (48.0 * (nn - 1.0)))
+                          * 10000) AS BIGINT)
+           ELSE
+               CAST(FLOOR((CAST(ab2 AS DOUBLE) / 2.0
+                           - CAST(n1 AS DOUBLE) * (nn + 1.0) * (nn + 1.0)
+                             / (4.0 * nn))
+                          / SQRT(CAST(n1 AS DOUBLE) * n2 * (nn + 1.0)
+                                 * (3.0 + CAST(nn AS DOUBLE) * nn)
+                                 / (48.0 * CAST(nn AS DOUBLE) * nn))
+                          * 10000) AS BIGINT)
+           END AS z_e4
+    FROM ab
+    """,
+)
+def agg_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSARI-BRADLEY rank SCALE test (round 12): are click values
+    more DISPERSED than view values around a common center?  Scores
+    min(rank, N+1−rank) pile mass at the extremes for the
+    wider-spread sample; every location test in the registry
+    (Mann-Whitney, Mood, t) is blind to a pure variance difference —
+    this is the nonparametric counterpart of agg_levene_brown_forsythe
+    when even the within-group mean is untrustworthy.
+
+    Exactness: midrank tie handling in DOUBLED units over the atom
+    table (2·prev+c+1 integral; the doubled score
+    min(mid2, 2(N+1)−mid2) stays integral), so AB×2 is an exact
+    bigint; the even/odd-N moment formulas are ONE double CASE chain
+    floored e4 (tie-corrected variance documented as the follow-on —
+    same caveat as agg_mann_whitney).
+
+    Scale: the Mann-Whitney atom-table shape; the one ordered pass
+    runs over distinct values only."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    s = ev.groupBy(
+        F.floor(F.col("value") * 10000).cast("bigint").alias("v_e4")
+    ).agg(
+        F.count_if(F.col("event_type") == "click").cast("bigint").alias("c1"),
+        F.count_if(F.col("event_type") == "view").cast("bigint").alias("c2"),
+    )
+    tot = s.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+        F.sum(F.col("c1") + F.col("c2")).cast("bigint").alias("nn"),
+    )
+    wprev = Window.orderBy("v_e4").rowsBetween(Window.unboundedPreceding, -1)
+    r = s.select(
+        "c1",
+        "c2",
+        (
+            2
+            * F.coalesce(
+                F.sum(F.col("c1") + F.col("c2")).over(wprev), F.lit(0)
+            )
+            + F.col("c1")
+            + F.col("c2")
+            + 1
+        )
+        .cast("bigint")
+        .alias("mid2"),
+    ).crossJoin(F.broadcast(tot))
+    ab = r.agg(
+        F.max("n1").cast("bigint").alias("n1"),
+        F.max("n2").cast("bigint").alias("n2"),
+        F.max("nn").cast("bigint").alias("nn"),
+        F.sum(
+            F.col("c1")
+            * F.least(F.col("mid2"), 2 * (F.col("nn") + 1) - F.col("mid2"))
+        )
+        .cast("bigint")
+        .alias("ab2"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    z_even = (
+        d("ab2") / 2.0 - d("n1") * (d("nn") + 2.0) / 4.0
+    ) / F.sqrt(
+        d("n1") * d("n2") * (d("nn") + 2.0) * (d("nn") - 2.0)
+        / (48.0 * (d("nn") - 1.0))
+    )
+    z_odd = (
+        d("ab2") / 2.0
+        - d("n1") * (d("nn") + 1.0) * (d("nn") + 1.0) / (4.0 * d("nn"))
+    ) / F.sqrt(
+        d("n1") * d("n2") * (d("nn") + 1.0)
+        * (3.0 + d("nn") * d("nn"))
+        / (48.0 * d("nn") * d("nn"))
+    )
+    return ab.select(
+        "n1",
+        "n2",
+        "ab2",
+        F.when(F.col("nn") % 2 == 0, F.floor(z_even * 10000))
+        .otherwise(F.floor(z_odd * 10000))
+        .cast("bigint")
+        .alias("z_e4"),
+    )
+
+
+@query(
+    "agg_cvm_two_sample",
+    """
+    WITH s AS (
+        SELECT CAST(FLOOR(value * 10000) AS BIGINT) AS v_e4,
+               CAST(COUNT(*) FILTER (user_id % 2 = 0) AS BIGINT) AS c1,
+               CAST(COUNT(*) FILTER (user_id % 2 = 1) AS BIGINT) AS c2
+        FROM events GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+               CAST(SUM(c2) AS BIGINT) AS n2
+        FROM s
+    ), c AS (
+        SELECT s.c1, s.c2, t.n1, t.n2,
+               CAST(SUM(s.c1) OVER (ORDER BY s.v_e4
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum1,
+               CAST(SUM(s.c2) OVER (ORDER BY s.v_e4
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum2
+        FROM s, tot t
+    ), terms AS (
+        SELECT n1, n2,
+               CAST(FLOOR((c1 + c2)
+                    * POW(CAST(cum1 * n2 - cum2 * n1 AS DOUBLE)
+                          / (CAST(n1 AS DOUBLE) * n2), 2)
+                    * 1000000000) AS BIGINT) AS term_e9
+        FROM c
+    )
+    SELECT MAX(n1) AS n1, MAX(n2) AS n2,
+           CAST(FLOOR(CAST(MAX(n1) AS DOUBLE) * MAX(n2)
+                      / POW(CAST(MAX(n1) + MAX(n2) AS DOUBLE), 2)
+                      * SUM(term_e9) / 1000.0) AS BIGINT) AS t_e6,
+           CAST((MAX(n1) + MAX(n2) + 1) * 1000000
+                // (6 * (MAX(n1) + MAX(n2))) AS BIGINT) AS expected_e6
+    FROM terms
+    """,
+)
+def agg_cvm_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRAMÉR-VON MISES two-sample ECDF distance (round 12): T =
+    nm/N² · Σ over all observations of (F₁(x)−F₂(x))² — the
+    WHOLE-CURVE alternative to agg_ks_two_sample's single worst gap:
+    KS is driven by one point (and is insensitive in the tails); CvM
+    charges every value where the splits' distributions disagree, so
+    a broad mild drift that KS misses still scores. Split =
+    user_id parity (deterministic in both engines); under H₀ E[T] =
+    1/6 + 1/(6N), emitted alongside as the calibration anchor.
+
+    Exactness: the integral form over the pooled empirical measure
+    handles ties natively (no per-row ranking); cum counts are exact
+    integer windows over the atom table; D = cum1·n2 − cum2·n1 is an
+    exact bigint (≤ n·m, inside int64 at any SF); each atom's term
+    floors e9 BEFORE the order-free bigint sum — D² would overflow
+    int64 at sf10, so the square happens in double, per atom, floored;
+    E[T] is an exact integer DIV.
+
+    Scale: one keyed atom rollup + two value-domain-bounded cumulative
+    windows + a 1-row totals broadcast — the KS/Mann-Whitney shape."""
+    ev = load(spark, sf_dir, "events")
+    s = ev.groupBy(
+        F.floor(F.col("value") * 10000).cast("bigint").alias("v_e4")
+    ).agg(
+        F.count_if(F.col("user_id") % 2 == 0).cast("bigint").alias("c1"),
+        F.count_if(F.col("user_id") % 2 == 1).cast("bigint").alias("c2"),
+    )
+    tot = s.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+    )
+    wcum = Window.orderBy("v_e4").rowsBetween(Window.unboundedPreceding, 0)
+    c = s.select(
+        "c1",
+        "c2",
+        "v_e4",
+        F.sum("c1").over(wcum).cast("bigint").alias("cum1"),
+        F.sum("c2").over(wcum).cast("bigint").alias("cum2"),
+    ).crossJoin(F.broadcast(tot))
+    d = lambda col: F.col(col).cast("double")  # noqa: E731
+    terms = c.select(
+        "n1",
+        "n2",
+        F.floor(
+            (F.col("c1") + F.col("c2"))
+            * F.pow(
+                (F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))
+                .cast("double")
+                / (d("n1") * d("n2")),
+                F.lit(2.0),
+            )
+            * 1000000000
+        )
+        .cast("bigint")
+        .alias("term_e9"),
+    )
+    return terms.agg(
+        F.max("n1").cast("bigint").alias("n1"),
+        F.max("n2").cast("bigint").alias("n2"),
+        F.floor(
+            F.max("n1").cast("double")
+            * F.max("n2")
+            / F.pow((F.max("n1") + F.max("n2")).cast("double"), F.lit(2.0))
+            * F.sum("term_e9")
+            / 1000.0
+        )
+        .cast("bigint")
+        .alias("t_e6"),
+        F.expr(
+            "CAST((max(n1) + max(n2) + 1) * 1000000"
+            " DIV (6 * (max(n1) + max(n2))) AS BIGINT)"
+        ).alias("expected_e6"),
+    )

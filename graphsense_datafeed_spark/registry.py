@@ -701,6 +701,10 @@ _ROUND12_ADDITIONS = (
     "ts_garman_klass_vol",
     "ts_parkinson_vol",
     "ts_runs_up_down",
+    "agg_rank_biserial_cles",
+    "agg_jonckheere_terpstra",
+    "agg_ansari_bradley",
+    "agg_cvm_two_sample",
 )
 
 # Landing-order queue for rows that have never been inside a driver
