@@ -2605,3 +2605,142 @@ def graph_local_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(count_if(cn = 0) * 1000000 DIV count(*) AS BIGINT)"
         ).alias("share_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 12: graph structure census completions — the degree-degree
+# mixing matrix (who wires to whom, by degree class) and per-node
+# triangle participation (where the triangle mass actually sits).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "graph_degree_mixing_matrix",
+    f"""
+    WITH {_DUCK_EDGES}, sym AS (
+        SELECT src, dst FROM edges
+        UNION ALL SELECT dst, src FROM edges
+    ), deg AS (
+        SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+        FROM sym GROUP BY 1
+    )
+    SELECT CAST(FLOOR(LOG2(ds.d)) AS BIGINT) AS src_band,
+           CAST(FLOOR(LOG2(dd.d)) AS BIGINT) AS dst_band,
+           CAST(COUNT(*) AS BIGINT) AS n_edges
+    FROM sym e
+    JOIN deg ds ON ds.node = e.src
+    JOIN deg dd ON dd.node = e.dst
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def graph_degree_mixing_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEGREE-DEGREE MIXING MATRIX (round 12): directed half-edge
+    counts binned by log₂ degree band of each endpoint — the
+    two-dimensional structure behind graph_assortativity's single
+    correlation number: a hub-hub-heavy diagonal (rich club wiring)
+    and a hub-leaf-heavy off-diagonal (star/exchange wiring) can
+    produce the SAME assortativity coefficient; the matrix
+    distinguishes them, which is what an entity-typing heuristic
+    actually consumes.
+
+    Exactness: degrees are exact integer counts over the symmetrized
+    edge list; log₂ band floors are safe — the only floor boundaries
+    are exact powers of two, where IEEE log2 is exact on both engines
+    (non-powers sit ≥ 1/(d·ln2) from a boundary, orders of magnitude
+    above ulp noise); band cell counts are exact.
+
+    Scale: degree table + two keyed joins back to edges (the
+    graph_assortativity join program) — no pair enumeration, band
+    domain is log-bounded (≤ 64 bands ever)."""
+    e = cooccurrence_edges(spark)
+    sym = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("bigint").alias("d")
+    )
+    ds = deg.select(
+        F.col("node").alias("s_node"),
+        F.floor(F.log2("d")).cast("bigint").alias("src_band"),
+    )
+    dd = deg.select(
+        F.col("node").alias("d_node"),
+        F.floor(F.log2("d")).cast("bigint").alias("dst_band"),
+    )
+    return (
+        sym.join(ds, sym.src == ds.s_node)
+        .join(dd, sym.dst == dd.d_node)
+        .groupBy("src_band", "dst_band")
+        .agg(F.count("*").cast("bigint").alias("n_edges"))
+        .orderBy("src_band", "dst_band")
+    )
+
+
+@query(
+    "graph_triangle_participation",
+    f"""
+    WITH {_DUCK_EDGES}, tri AS (
+        SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        FROM edges e1
+        JOIN edges e2 ON e2.src = e1.dst
+        JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    ), pernode AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri
+        FROM (
+            SELECT a AS node FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        ) GROUP BY 1
+    )
+    SELECT n_tri, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM pernode GROUP BY 1 ORDER BY 1
+    """,
+)
+def graph_triangle_participation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TRIANGLE PARTICIPATION distribution (round 12): how many nodes
+    sit in exactly k triangles — graph_triangle_count says how much
+    closure exists in total; this says WHERE it sits (a community-rich
+    graph has broad participation; a single clique puts all mass on
+    few deep nodes), and participation ≥ 1 is the classic seed filter
+    for community detection (nodes in zero triangles cannot be in any
+    non-trivial clique community).
+
+    Exactness: the oriented a<b<c triangle enumeration is the
+    graph_triangle_count join program verbatim; each triangle charges
+    its three corners via UNION ALL; both histogram dimensions are
+    exact integer counts.
+
+    Scale: same arboricity-bounded oriented join as triangle_count
+    (each triangle generated once, no symmetrization blow-up); the
+    explode is 3× the triangle list, the histogram is count-domain
+    bounded."""
+    e = cooccurrence_edges(spark)
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.src") == F.col("e1.dst"))
+        .join(
+            e3,
+            (F.col("e3.src") == F.col("e1.src"))
+            & (F.col("e3.dst") == F.col("e2.dst")),
+        )
+        .select(
+            F.col("e1.src").alias("a"),
+            F.col("e1.dst").alias("b"),
+            F.col("e2.dst").alias("c"),
+        )
+    )
+    corners = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    pernode = corners.groupBy("node").agg(
+        F.count("*").cast("bigint").alias("n_tri")
+    )
+    return (
+        pernode.groupBy("n_tri")
+        .agg(F.count("*").cast("bigint").alias("n_nodes"))
+        .orderBy("n_tri")
+    )

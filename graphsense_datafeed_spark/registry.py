@@ -705,6 +705,8 @@ _ROUND12_ADDITIONS = (
     "agg_jonckheere_terpstra",
     "agg_ansari_bradley",
     "agg_cvm_two_sample",
+    "graph_degree_mixing_matrix",
+    "graph_triangle_participation",
 )
 
 # Landing-order queue for rows that have never been inside a driver
