@@ -3582,3 +3582,250 @@ def embed_cka_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cka_e6"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 12: binary-sketch ANN (the fourth ANN scale path — sign bits
+# packed into two int64 words, Hamming scan) and the Matryoshka
+# energy-spectrum audit.
+# ---------------------------------------------------------------------------
+
+# Pack 32 sign bits into one bigint by a PURE-INTEGER ordered fold
+# (acc*2 + bit over the reversed slice, zero-seeded): no float op
+# anywhere, so cross-engine parity is trivial rather than argued.
+_PACK_SPARK = (
+    "aggregate(reverse(slice(embedding, {off}, 32)), 0L,"
+    " (acc, x) -> acc * 2L + IF(x > CAST(0.0 AS FLOAT), 1L, 0L))"
+)
+_PACK_DUCK = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT),"
+    " list_transform(list_reverse(embedding[{off}:{end}]),"
+    " x -> CAST(CASE WHEN x > 0 THEN 1 ELSE 0 END AS BIGINT))),"
+    " (a, b) -> a * 2 + b)"
+)
+
+
+@query(
+    "sim_ann_hamming",
+    f"""
+    WITH packed AS (
+        SELECT vec_id,
+               {_PACK_DUCK.format(off=1, end=32)} AS h1,
+               {_PACK_DUCK.format(off=33, end=64)} AS h2
+        FROM embeddings
+    ), q AS (
+        SELECT vec_id AS query_id, h1 AS q1, h2 AS q2
+        FROM packed WHERE vec_id < 30
+    ), scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               CAST(bit_count(xor(q.q1, c.h1))
+                    + bit_count(xor(q.q2, c.h2)) AS BIGINT) AS hamming
+        FROM q JOIN packed c ON c.vec_id <> q.query_id
+    ), shortlist AS (
+        SELECT query_id, neighbor_id, hamming
+        FROM (
+            SELECT query_id, neighbor_id, hamming,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY hamming ASC,
+                                               neighbor_id ASC) AS hrank
+            FROM scored
+        ) WHERE hrank <= 32
+    ), rerank AS (
+        SELECT s.query_id, s.neighbor_id, s.hamming,
+               {_DUCK_DOT.format(a="qe.embedding", b="ce.embedding")}
+                   AS dot
+        FROM shortlist s
+        JOIN embeddings qe ON qe.vec_id = s.query_id
+        JOIN embeddings ce ON ce.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, rank_k, hamming,
+           CAST(FLOOR(dot * 10000) AS BIGINT) AS cosine_e4
+    FROM (
+        SELECT query_id, neighbor_id, hamming, dot,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY dot DESC, neighbor_id ASC)
+                   AS rank_k
+        FROM rerank
+    ) WHERE rank_k <= 3
+    """,
+)
+def sim_ann_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BINARY-SKETCH ANN, two-stage (round 12): the FOURTH ANN scale
+    path after LSH (candidate pruning), IVF (partition pruning) and
+    PQ (memory compression) — 64 dims collapse to two int64 WORDS
+    (32× smaller than float32); stage 1 is an xor+popcount Hamming
+    scan at memory bandwidth with ZERO float ops producing a top-32
+    shortlist; stage 2 exact-re-ranks the shortlist by cosine (the PQ
+    ADC-then-re-rank discipline — a raw 1-bit sketch alone measured
+    recall 0.147 on this mid-angle geometry; the re-ranked form is
+    the production shape). Fully deterministic, so this ANN variant
+    carries an EXACT oracle end-to-end.
+
+    Exactness: the pack is an integer fold (acc·2+bit, zero-seeded,
+    reversed slice so bit k carries weight 2^k); Hamming, shortlist
+    rank and tiebreaks are pure integers; the re-rank dot is the
+    shared left fold (_DUCK_DOT parity).
+
+    Scale: the packed table is the at-rest artifact (2 bigints/vector
+    — 100 TB of floats become ~3 TB of words); the bounded query set
+    broadcasts, the scan is one narrow pass, and the float vectors
+    are touched for only 32 candidates/query. Recall referee vs
+    sim_topk_exact in tests/test_round12_ops.py."""
+    e = load(spark, sf_dir, "embeddings")
+    packed = e.select(
+        "vec_id",
+        F.expr(_PACK_SPARK.format(off=1)).alias("h1"),
+        F.expr(_PACK_SPARK.format(off=33)).alias("h2"),
+    )
+    q = packed.filter(F.col("vec_id") < 30).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("h1").alias("q1"),
+        F.col("h2").alias("q2"),
+    )
+    scored = F.broadcast(q).join(
+        packed, packed.vec_id != q.query_id
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (
+            F.bit_count(F.col("q1").bitwiseXOR(F.col("h1")))
+            + F.bit_count(F.col("q2").bitwiseXOR(F.col("h2")))
+        )
+        .cast("bigint")
+        .alias("hamming"),
+    )
+    wh = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("neighbor_id").asc()
+    )
+    shortlist = (
+        scored.withColumn("hrank", F.row_number().over(wh))
+        .filter(F.col("hrank") <= 32)
+        .select("query_id", "neighbor_id", "hamming")
+    )
+    qe = e.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    ce = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+    )
+    rerank = (
+        shortlist.join(qe, "query_id")
+        .join(ce, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "hamming",
+            dot_product(F.col("q_emb"), F.col("c_emb")).alias("dot"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rerank.withColumn("rank_k", F.row_number().over(wr))
+        .filter(F.col("rank_k") <= 3)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank_k",
+            "hamming",
+            F.floor(F.col("dot") * 10000).cast("bigint").alias("cosine_e4"),
+        )
+    )
+
+
+@query(
+    "embed_prefix_energy",
+    f"""
+    WITH pv AS (
+        SELECT label,
+               {_DUCK_DOT.format(a="embedding[1:8]", b="embedding[1:8]")}
+                   AS e8,
+               {_DUCK_DOT.format(a="embedding[1:16]", b="embedding[1:16]")}
+                   AS e16,
+               {_DUCK_DOT.format(a="embedding[1:32]", b="embedding[1:32]")}
+                   AS e32,
+               {_DUCK_DOT.format(a="embedding", b="embedding")} AS e64
+        FROM embeddings
+    ), ratios AS (
+        SELECT label,
+               CASE WHEN e64 > 0
+                    THEN CAST(FLOOR(e8 / e64 * 1000000) AS BIGINT)
+               END AS r8,
+               CASE WHEN e64 > 0
+                    THEN CAST(FLOOR(e16 / e64 * 1000000) AS BIGINT)
+               END AS r16,
+               CASE WHEN e64 > 0
+                    THEN CAST(FLOOR(e32 / e64 * 1000000) AS BIGINT)
+               END AS r32
+        FROM pv
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(r8) // COUNT(r8) AS BIGINT) AS mean_r8_e6,
+           CAST(SUM(r16) // COUNT(r16) AS BIGINT) AS mean_r16_e6,
+           CAST(SUM(r32) // COUNT(r32) AS BIGINT) AS mean_r32_e6
+    FROM ratios GROUP BY label ORDER BY label
+    """,
+)
+def embed_prefix_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATRYOSHKA ENERGY SPECTRUM per label (round 12): what fraction
+    of each vector's squared norm lives in the first 8/16/32 dims —
+    the corpus-level readout that decides WHICH prefix length
+    embed_matryoshka_truncate (pairwise cosine fidelity on a bounded
+    sample) should be asked about: if mean_r16 is already 0.95, a
+    16-dim candidate index is safe; if the energy is flat, MRL-style
+    truncation will hurt at every length.
+
+    Exactness: each prefix energy is the shared left-fold dot of a
+    slice with itself (_DUCK_DOT parity); ratios floor e6 PER VECTOR
+    before exact integer sums; the label means are integer DIV with
+    NULL-guarded zero-norm vectors excluded from numerator and
+    denominator alike.
+
+    Scale: fully narrow per-row array math + one keyed rollup —
+    no shuffle beyond the label agg."""
+    e = load(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+
+    def energy(n: int):
+        s = F.slice(emb, 1, n) if n < 64 else emb
+        return dot_product(s, s)
+
+    pv = e.select(
+        "label",
+        energy(8).alias("e8"),
+        energy(16).alias("e16"),
+        energy(32).alias("e32"),
+        energy(64).alias("e64"),
+    )
+
+    def ratio(c: str):
+        return F.when(
+            F.col("e64") > 0,
+            F.floor(F.col(c) / F.col("e64") * 1000000).cast("bigint"),
+        )
+
+    ratios = pv.select(
+        "label",
+        ratio("e8").alias("r8"),
+        ratio("e16").alias("r16"),
+        ratio("e32").alias("r32"),
+    )
+    return (
+        ratios.groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.expr("CAST(sum(r8) DIV count(r8) AS BIGINT)").alias(
+                "mean_r8_e6"
+            ),
+            F.expr("CAST(sum(r16) DIV count(r16) AS BIGINT)").alias(
+                "mean_r16_e6"
+            ),
+            F.expr("CAST(sum(r32) DIV count(r32) AS BIGINT)").alias(
+                "mean_r32_e6"
+            ),
+        )
+        .orderBy("label")
+    )

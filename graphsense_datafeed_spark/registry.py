@@ -707,6 +707,8 @@ _ROUND12_ADDITIONS = (
     "agg_cvm_two_sample",
     "graph_degree_mixing_matrix",
     "graph_triangle_participation",
+    "sim_ann_hamming",
+    "embed_prefix_energy",
 )
 
 # Landing-order queue for rows that have never been inside a driver

@@ -1,0 +1,163 @@
+"""Round-12 operator referees: brute-force / invariant checks that the
+oracle hash-match cannot express (recall floors, identity cross-checks,
+formula sanity on known inputs)."""
+
+import math
+
+import pyspark.sql.functions as F
+
+from graphsense_datafeed_spark.registry import QUERIES, load_all_operators
+from graphsense_datafeed_spark.sources.tables import load
+
+load_all_operators()
+
+SF01 = "/root/testdata/sf0.01"
+
+
+def test_hamming_ann_recall_vs_exact(spark, sf_dir):
+    """Sign-bit Hamming top-3 must recover a nontrivial share of the
+    true cosine top-5 — the 1-bit sketch keeps angular order only
+    approximately, but on this geometry recall@(3 vs 5) should beat a
+    random-ranking baseline by a wide margin."""
+    exact = QUERIES["sim_topk_exact"](spark, SF01).collect()
+    ham = QUERIES["sim_ann_hamming"](spark, SF01).collect()
+    truth: dict[int, set[int]] = {}
+    for r in exact:
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got: dict[int, set[int]] = {}
+    for r in ham:
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+    total = sum(len(v) for v in truth.values())
+    recall = hits / total
+    assert recall >= 0.25, f"hamming recall {recall:.3f} vs exact top-5"
+
+
+def test_hamming_pack_matches_numpy(spark, sf_dir):
+    """The integer pack fold must equal the straightforward numpy
+    bit-pack for every vector in the corpus sample."""
+    import numpy as np
+
+    e = load(spark, SF01, "embeddings").limit(50).collect()
+    from graphsense_datafeed_spark.operators.llm_similarity import (
+        _PACK_SPARK,
+    )
+
+    df = (
+        load(spark, SF01, "embeddings")
+        .limit(50)
+        .select(
+            "vec_id",
+            F.expr(_PACK_SPARK.format(off=1)).alias("h1"),
+            F.expr(_PACK_SPARK.format(off=33)).alias("h2"),
+        )
+        .collect()
+    )
+    by_id = {r["vec_id"]: (r["h1"], r["h2"]) for r in df}
+    for r in e:
+        v = np.array(r["embedding"])
+        h1 = int(sum((1 << k) for k in range(32) if v[k] > 0))
+        h2 = int(sum((1 << k) for k in range(32) if v[32 + k] > 0))
+        assert by_id[r["vec_id"]] == (h1, h2)
+
+
+def test_prefix_energy_monotone(spark, sf_dir):
+    """Energy ratios must be monotone in prefix length and inside
+    [0, 1e6] for every label."""
+    rows = QUERIES["embed_prefix_energy"](spark, SF01).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["mean_r8_e6"] <= r["mean_r16_e6"]
+        assert r["mean_r16_e6"] <= r["mean_r32_e6"] <= 1000000
+
+
+def test_ulcer_bounded_by_max_drawdown(spark, sf_dir):
+    """RMS drawdown can never exceed the max drawdown."""
+    rows = QUERIES["ts_ulcer_index"](spark, SF01).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["ulcer_e6"] <= r["max_dd_e6"]
+
+
+def test_parkinson_vs_garman_klass_positive(spark, sf_dir):
+    """Parkinson terms are nonnegative by construction; both
+    estimators should produce a positive variance on this tape, and
+    the ratio should be O(1) (same ln(H/L)² core)."""
+    pk = {r["event_type"]: r for r in QUERIES["ts_parkinson_vol"](spark, SF01).collect()}
+    gk = {r["event_type"]: r for r in QUERIES["ts_garman_klass_vol"](spark, SF01).collect()}
+    assert pk.keys() == gk.keys()
+    for t, r in pk.items():
+        assert r["pk_var_e8"] >= 0
+        assert r["n_days"] == gk[t]["n_days"]
+
+
+def test_runs_test_identity(spark, sf_dir):
+    """n_runs is between 1 and n_moves, and the expected-runs formula
+    matches the closed form."""
+    for r in QUERIES["ts_runs_up_down"](spark, SF01).collect():
+        assert 1 <= r["n_runs"] <= r["n_moves"]
+        assert r["expected_runs_e6"] == (2 * r["n_moves"] - 1) * 1000000 // 3
+
+
+def test_mw_effect_size_consistency(spark, sf_dir):
+    """CLES and rank-biserial must satisfy rb = 2*CLES - 1 (up to the
+    independent e6 floors) and U1_x2 must equal agg_mann_whitney's."""
+    eff = QUERIES["agg_rank_biserial_cles"](spark, SF01).collect()[0]
+    mw = QUERIES["agg_mann_whitney"](spark, SF01).collect()[0]
+    assert eff["u1_x2"] == mw["u1_x2"]
+    assert abs(eff["rank_biserial_e6"] - (2 * eff["cles_e6"] - 1000000)) <= 2
+
+
+def test_jt_pair_bounds(spark, sf_dir):
+    """JT×2 is bounded by 2·Σ_{g<h} n_g·n_h (every cross-group pair
+    counted at most twice)."""
+    r = QUERIES["agg_jonckheere_terpstra"](spark, SF01).collect()[0]
+    orders = load(spark, SF01, "orders")
+    sizes = [
+        x["n"]
+        for x in orders.groupBy("o_orderpriority").agg(F.count("*").alias("n")).collect()
+    ]
+    cap = sum(
+        2 * a * b for i, a in enumerate(sizes) for b in sizes[i + 1:]
+    )
+    assert 0 <= r["jt2"] <= cap
+    assert r["n_total"] == sum(sizes)
+
+
+def test_cvm_nonnegative_and_calibrated(spark, sf_dir):
+    """T >= 0 always; the parity split is null-ish so T should land
+    within an order of magnitude of E[T] ~ 1/6."""
+    r = QUERIES["agg_cvm_two_sample"](spark, SF01).collect()[0]
+    assert r["t_e6"] >= 0
+    assert r["expected_e6"] == (r["n1"] + r["n2"] + 1) * 1000000 // (
+        6 * (r["n1"] + r["n2"])
+    )
+
+
+def test_ansari_bradley_score_bounds(spark, sf_dir):
+    """AB×2 is at most n1·(N+2)·... sanity: scores lie in [1, N+1] in
+    doubled units ⇒ AB2 ∈ [2·n1, n1·(N+2)]."""
+    r = QUERIES["agg_ansari_bradley"](spark, SF01).collect()[0]
+    n1, nn = r["n1"], r["n1"] + r["n2"]
+    assert 2 * n1 <= r["ab2"] <= n1 * (nn + 2)
+
+
+def test_mixing_matrix_mass_conservation(spark, sf_dir):
+    """Band cell counts must sum to 2·|edges| (each undirected edge
+    contributes two half-edges)."""
+    from graphsense_datafeed_spark.ingest.graphstats import (
+        cooccurrence_edges,
+    )
+
+    cells = QUERIES["graph_degree_mixing_matrix"](spark, SF01).collect()
+    n_edges = cooccurrence_edges(spark).count()
+    assert sum(r["n_edges"] for r in cells) == 2 * n_edges
+
+
+def test_triangle_participation_mass(spark, sf_dir):
+    """Σ n_tri·n_nodes over the histogram = 3 × total triangles."""
+    hist = QUERIES["graph_triangle_participation"](spark, SF01).collect()
+    total = QUERIES["graph_triangle_count"](spark, SF01).collect()[0][
+        "n_triangles"
+    ]
+    assert sum(r["n_tri"] * r["n_nodes"] for r in hist) == 3 * total
