@@ -3793,3 +3793,157 @@ def ingest_monetary_velocity(
         .cast("bigint")
         .alias("velocity_e6"),
     ).orderBy("bucket")
+
+
+@query(
+    "ingest_realized_cap",
+    f"""
+    WITH blocks AS (
+        SELECT height,
+               CAST(make_timestamp(timestamp * 1000000) AS DATE)
+                   AS block_date,
+               txs
+        FROM {_DUCK_BLOCKS}
+    ), txr AS (
+        SELECT block_date, unnest(txs) AS tx FROM blocks
+    ), outs AS (
+        SELECT (o).address[1] AS address, block_date,
+               CAST(SUM((o).value) AS BIGINT) AS recv
+        FROM (SELECT block_date, unnest((tx).outputs) AS o FROM txr)
+        GROUP BY 1, 2
+    ), ins AS (
+        SELECT (i).address[1] AS address,
+               CAST(SUM((i).value) AS BIGINT) AS spent
+        FROM (SELECT unnest((tx).inputs) AS i FROM txr)
+        GROUP BY 1
+    ), addr AS (
+        SELECT o.address,
+               CAST(SUM(o.recv) AS BIGINT) AS recv,
+               CAST(MAX(o.block_date) AS DATE) AS last_recv_day
+        FROM outs o GROUP BY 1
+    ), bal AS (
+        SELECT a.address, a.last_recv_day,
+               CAST(a.recv - COALESCE(i.spent, 0) AS BIGINT) AS balance
+        FROM addr a LEFT JOIN ins i USING (address)
+    ), rates AS (
+        SELECT CAST(date AS DATE) AS rate_date, CAST(usd AS DOUBLE) AS usd
+        FROM read_csv('/root/repo/fixtures/rates.csv', header=true)
+    ), held AS (
+        SELECT b.address, b.balance,
+               CAST(FLOOR(CAST(b.balance AS DOUBLE) / 100000000.0
+                          * r.usd * 100) AS BIGINT) AS cents
+        FROM bal b JOIN rates r ON r.rate_date = b.last_recv_day
+        WHERE b.balance > 0
+    ), tip AS (
+        SELECT r.usd AS tip_usd
+        FROM rates r
+        WHERE r.rate_date = (SELECT MAX(block_date) FROM blocks)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_addrs,
+           CAST(SUM(h.balance) AS BIGINT) AS total_balance_sat,
+           CAST(SUM(h.cents) AS BIGINT) AS realized_cap_cents,
+           CAST(FLOOR(CAST(SUM(h.balance) AS DOUBLE) / 100000000.0
+                      * MAX(t.tip_usd) * 100) AS BIGINT)
+               AS market_cap_cents,
+           CAST(FLOOR(CAST(FLOOR(CAST(SUM(h.balance) AS DOUBLE)
+                                 / 100000000.0 * MAX(t.tip_usd) * 100)
+                           AS DOUBLE)
+                      / SUM(h.cents) * 1000000) AS BIGINT) AS mvrv_e6
+    FROM held h, tip t
+    """,
+)
+def ingest_realized_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REALIZED CAP and MVRV, address-level (round 12): every
+    positive address balance priced at the rate of the day the
+    address LAST RECEIVED coin, summed — the cost-basis valuation of
+    the chain — against market cap (total balance at the tip-day
+    rate); MVRV = market/realized is the canonical on-chain
+    over/under-valuation cycle signal (the stock-level complement to
+    ingest_monetary_velocity's flow rate and ingest_hodl_waves' age
+    stock). The fixture's inputs carry no outpoint references, so the
+    cost basis is the documented ADDRESS-LEVEL approximation (last
+    receive day prices the whole balance) rather than per-UTXO lots —
+    the form used in practice when lot tracking is unavailable;
+    ingest_fifo_value_attribution holds the per-lot machinery.
+
+    Exactness: balances and day keys are exact integers off the
+    address-keyed flow rollup; each address's cents floor ONE double
+    chain in oracle-literal order BEFORE the order-free sum; MVRV is
+    one double division over the two exact cent sums.
+
+    Scale: the ingest_address_balance exchange + a broadcast daily
+    rate dim; the valuation is a narrow map over the address table —
+    the at-rest partition key, maintained incrementally per block."""
+    raw = normalize_blocks(read_blocks_json(spark))
+    txr = raw.select("block_date", F.explode("txs").alias("tx"))
+    outs = (
+        txr.select("block_date", F.explode("tx.outputs").alias("o"))
+        .groupBy(
+            F.col("o.address")[0].alias("address"), F.col("block_date")
+        )
+        .agg(F.sum("o.value").cast("bigint").alias("recv"))
+    )
+    ins = (
+        txr.select(F.explode("tx.inputs").alias("i"))
+        .groupBy(F.col("i.address")[0].alias("address"))
+        .agg(F.sum("i.value").cast("bigint").alias("spent"))
+    )
+    addr = outs.groupBy("address").agg(
+        F.sum("recv").cast("bigint").alias("recv"),
+        F.max("block_date").alias("last_recv_day"),
+    )
+    bal = addr.join(ins, "address", "left").select(
+        "address",
+        "last_recv_day",
+        (F.col("recv") - F.coalesce(F.col("spent"), F.lit(0)))
+        .cast("bigint")
+        .alias("balance"),
+    )
+    from graphsense_datafeed_spark.sources.scans import read_rates_csv
+
+    rates = read_rates_csv(spark).select(
+        F.col("date").cast("date").alias("rate_date"),
+        F.col("usd").cast("double").alias("usd"),
+    )
+    held = (
+        bal.filter(F.col("balance") > 0)
+        .join(F.broadcast(rates), bal.last_recv_day == rates.rate_date)
+        .select(
+            "balance",
+            F.floor(
+                F.col("balance").cast("double")
+                / 100000000.0
+                * F.col("usd")
+                * 100
+            )
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    tip_day = raw.agg(F.max("block_date").alias("tip_day"))
+    tip = rates.join(
+        F.broadcast(tip_day), rates.rate_date == F.col("tip_day")
+    ).select(F.col("usd").alias("tip_usd"))
+    agg = held.crossJoin(F.broadcast(tip)).agg(
+        F.count("*").cast("bigint").alias("n_addrs"),
+        F.sum("balance").cast("bigint").alias("total_balance_sat"),
+        F.sum("cents").cast("bigint").alias("realized_cap_cents"),
+        F.max("tip_usd").alias("tip_usd"),
+    )
+    market = F.floor(
+        F.col("total_balance_sat").cast("double")
+        / 100000000.0
+        * F.col("tip_usd")
+        * 100
+    ).cast("bigint")
+    return agg.select(
+        "n_addrs",
+        "total_balance_sat",
+        "realized_cap_cents",
+        market.alias("market_cap_cents"),
+        F.floor(
+            market.cast("double") / F.col("realized_cap_cents") * 1000000
+        )
+        .cast("bigint")
+        .alias("mvrv_e6"),
+    )

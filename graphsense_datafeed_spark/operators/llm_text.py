@@ -6527,3 +6527,71 @@ def text_template_slot_profile(
         ),
         (F.col("top_c") * 10 >= F.col("n_docs") * 9).alias("is_slot"),
     ).orderBy("source", "pos")
+
+@query(
+    "text_ttr_by_length_band",
+    """
+    WITH d AS (
+        SELECT source, str_split(text, ' ') AS ws
+        FROM documents
+    ), per_doc AS (
+        SELECT source,
+               CAST(len(ws) AS BIGINT) AS n_tok,
+               CAST(FLOOR(LOG2(len(ws))) AS BIGINT) AS band,
+               CAST(len(list_distinct(ws)) * 1000000 // len(ws)
+                    AS BIGINT) AS ttr_e6
+        FROM d WHERE len(ws) >= 1
+    )
+    SELECT source, band,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) // COUNT(*) AS BIGINT) AS mean_tokens,
+           CAST(SUM(ttr_e6) // COUNT(*) AS BIGINT) AS mean_ttr_e6
+    FROM per_doc GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def text_ttr_by_length_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TYPE-TOKEN RATIO by log₂ length band per source (round 12):
+    lexical diversity NORMALIZED FOR LENGTH — raw TTR falls
+    mechanically as documents grow (Herdan/Heaps), so a single
+    corpus-wide TTR conflates 'short docs' with 'diverse docs'; the
+    banded curve compares like with like, and a source whose curve
+    sits below its peers AT THE SAME LENGTH is template/spam-heavy in
+    a way text_repetition_filter's within-doc bigram rule and
+    vocab_coverage's corpus vocab mass both miss (a source can pass
+    both while recycling a small vocabulary across medium docs).
+
+    Exactness: token/type counts exact integers from narrow array
+    ops; per-doc TTR is integer DIV e6; band floors are safe (only
+    exact powers of two sit on log₂ boundaries, exact in IEEE on both
+    engines); band means are integer DIV over exact sums.
+
+    Scale: fully narrow per-row array math + one keyed (source, band)
+    rollup — band domain ≤ 64, rides the shared quality scan."""
+    d = load(spark, sf_dir, "documents").select(
+        "source", F.split("text", " ").alias("ws")
+    )
+    ws = F.col("ws")
+    per_doc = d.filter(F.size(ws) >= 1).select(
+        "source",
+        F.size(ws).cast("bigint").alias("n_tok"),
+        F.floor(F.log2(F.size(ws).cast("double")))
+        .cast("bigint")
+        .alias("band"),
+        F.expr(
+            "CAST(size(array_distinct(ws)) * 1000000"
+            " DIV size(ws) AS BIGINT)"
+        ).alias("ttr_e6"),
+    )
+    return (
+        per_doc.groupBy("source", "band")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.expr("CAST(sum(n_tok) DIV count(*) AS BIGINT)").alias(
+                "mean_tokens"
+            ),
+            F.expr("CAST(sum(ttr_e6) DIV count(*) AS BIGINT)").alias(
+                "mean_ttr_e6"
+            ),
+        )
+        .orderBy("source", "band")
+    )

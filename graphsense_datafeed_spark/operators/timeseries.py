@@ -11217,3 +11217,146 @@ def ts_runs_up_down(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint"),
         ).alias("z_e4"),
     ).orderBy("event_type")
+
+
+@query(
+    "events_cox_score_1cov",
+    """
+    WITH users AS (
+        SELECT user_id,
+               CAST(user_id % 2 AS BIGINT) AS x,
+               CAST(MIN(CASE WHEN event_type = 'purchase'
+                             THEN day(ts) END) AS BIGINT) AS ev_day
+        FROM events GROUP BY 1
+    ), totals AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(x) AS BIGINT) AS n1
+        FROM users
+    ), days AS (
+        SELECT ev_day AS t,
+               CAST(COUNT(*) AS BIGINT) AS d_all,
+               CAST(SUM(x) AS BIGINT) AS d1
+        FROM users WHERE ev_day IS NOT NULL GROUP BY 1
+    ), tape AS (
+        SELECT t, d_all, d1, tt.n_users, tt.n1,
+               CAST(tt.n_users
+                    - COALESCE(SUM(d_all) OVER (ORDER BY t
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS BIGINT) AS at_risk,
+               CAST(tt.n1
+                    - COALESCE(SUM(d1) OVER (ORDER BY t
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS BIGINT) AS at_risk1
+        FROM days, totals tt
+    ), terms AS (
+        SELECT n_users,
+               CAST(SUM(d_all) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(FLOOR((d1 - d_all
+                    * (CAST(at_risk1 AS DOUBLE) / at_risk)) * 1000000)
+                    AS BIGINT)) AS BIGINT) AS u_e6,
+               CAST(SUM(CAST(FLOOR(d_all
+                    * (CAST(at_risk1 AS DOUBLE) / at_risk)
+                    * (1.0 - CAST(at_risk1 AS DOUBLE) / at_risk)
+                    * 1000000) AS BIGINT)) AS BIGINT) AS v_e6
+        FROM tape GROUP BY n_users
+    )
+    SELECT n_users, n_events, u_e6, v_e6,
+           CASE WHEN v_e6 > 0 THEN
+               CAST(FLOOR(CAST(u_e6 AS DOUBLE) / 1000000.0
+                          / SQRT(CAST(v_e6 AS DOUBLE) / 1000000.0)
+                          * 10000) AS BIGINT) END AS z_e4
+    FROM terms
+    """,
+)
+def events_cox_score_1cov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COX PROPORTIONAL-HAZARDS SCORE TEST, one binary covariate
+    (round 12): does the user-parity arm change the hazard of the
+    first purchase?  The score U = Σ_t [d₁(t) − d(t)·r₁(t)/r(t)]
+    (Breslow tie handling at day granularity) with information
+    V = Σ_t d(t)·p(1−p) is the log-rank-family test in its
+    regression form — the bridge between events_survival_logrank
+    (two fixed arms, KM machinery) and a real Cox fit: U/√V is the
+    score z, the first Newton step of the partial likelihood at β=0.
+
+    Exactness: event days, arm totals and risk-set counts are exact
+    integers off a bounded day tape (risk sets = totals minus
+    cumulative prior events — censoring happens only at the end);
+    each day's U and V terms floor e6 BEFORE the order-free sums
+    (one double division per term); z gated on V > 0.
+
+    Scale: per-user rollup (keyed), then everything runs on the
+    ≤31-row calendar tape — the ts daily-tape discipline; at 100 TB
+    the user rollup is the only corpus-sized stage."""
+    ev = load(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(
+                F.col("event_type") == "purchase", F.dayofmonth("ts")
+            )
+        )
+        .cast("bigint")
+        .alias("ev_day"),
+    ).select(
+        (F.col("user_id") % 2).cast("bigint").alias("x"), "ev_day"
+    )
+    totals = users.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("x").cast("bigint").alias("n1"),
+    )
+    days = (
+        users.filter(F.col("ev_day").isNotNull())
+        .groupBy(F.col("ev_day").alias("t"))
+        .agg(
+            F.count("*").cast("bigint").alias("d_all"),
+            F.sum("x").cast("bigint").alias("d1"),
+        )
+    )
+    wprev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    tape = days.crossJoin(F.broadcast(totals)).select(
+        "t",
+        "d_all",
+        "d1",
+        "n_users",
+        (
+            F.col("n_users")
+            - F.coalesce(F.sum("d_all").over(wprev), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("at_risk"),
+        (F.col("n1") - F.coalesce(F.sum("d1").over(wprev), F.lit(0)))
+        .cast("bigint")
+        .alias("at_risk1"),
+    )
+    p = F.col("at_risk1").cast("double") / F.col("at_risk")
+    terms = tape.groupBy("n_users").agg(
+        F.sum("d_all").cast("bigint").alias("n_events"),
+        F.sum(
+            F.floor((F.col("d1") - F.col("d_all") * p) * 1000000).cast(
+                "bigint"
+            )
+        )
+        .cast("bigint")
+        .alias("u_e6"),
+        F.sum(
+            F.floor(F.col("d_all") * p * (1.0 - p) * 1000000).cast(
+                "bigint"
+            )
+        )
+        .cast("bigint")
+        .alias("v_e6"),
+    )
+    return terms.select(
+        "n_users",
+        "n_events",
+        "u_e6",
+        "v_e6",
+        F.when(
+            F.col("v_e6") > 0,
+            F.floor(
+                F.col("u_e6").cast("double")
+                / 1000000.0
+                / F.sqrt(F.col("v_e6").cast("double") / 1000000.0)
+                * 10000
+            ).cast("bigint"),
+        ).alias("z_e4"),
+    )

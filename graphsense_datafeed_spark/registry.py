@@ -709,6 +709,9 @@ _ROUND12_ADDITIONS = (
     "graph_triangle_participation",
     "sim_ann_hamming",
     "embed_prefix_energy",
+    "events_cox_score_1cov",
+    "text_ttr_by_length_band",
+    "ingest_realized_cap",
 )
 
 # Landing-order queue for rows that have never been inside a driver
