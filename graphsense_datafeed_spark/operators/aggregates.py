@@ -1268,11 +1268,13 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), s AS (
         SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
                CAST(SUM(cents) AS BIGINT) AS total_cents,
-               CAST(SUM(i * cents) AS BIGINT) AS rank_weighted
+               CAST(SUM(CAST(i AS HUGEINT) * cents) AS DECIMAL(38, 0))
+                   AS rank_weighted
         FROM ranked
     )
     SELECT n_customers, total_cents,
-           CAST(FLOOR((2.0 * rank_weighted / (n_customers * total_cents)
+           CAST(FLOOR((2.0 * CAST(rank_weighted AS DOUBLE)
+                       / (CAST(n_customers AS DOUBLE) * total_cents)
                        - (n_customers + 1.0) / n_customers) * 1000000)
                 AS BIGINT) AS gini_e6
     FROM s
@@ -1306,11 +1308,19 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = ranked.agg(
         F.count("*").cast("bigint").alias("n_customers"),
         F.sum("cents").cast("bigint").alias("total_cents"),
-        F.sum(F.col("i") * F.col("cents")).cast("bigint").alias("rank_weighted"),
+        # decimal(38,0) accumulation (round 12): Σ(i·cents) overflows
+        # int64 at sf10 customer counts (caught by the sf10 stratified
+        # census, ARITHMETIC_OVERFLOW under ANSI); decimal sums are
+        # exact and order-free in both engines, and the value re-enters
+        # doubles only in the one final shared expression
+        F.sum(F.col("i").cast("decimal(38,0)") * F.col("cents"))
+        .cast("decimal(38,0)")
+        .alias("rank_weighted"),
     )
     n = F.col("n_customers").cast("double")
     gini = (
-        2.0 * F.col("rank_weighted") / (n * F.col("total_cents"))
+        2.0 * F.col("rank_weighted").cast("double")
+        / (n * F.col("total_cents"))
         - (n + 1.0) / n
     )
     return s.select(
@@ -10208,4 +10218,137 @@ def agg_cvm_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((max(n1) + max(n2) + 1) * 1000000"
             " DIV (6 * (max(n1) + max(n2))) AS BIGINT)"
         ).alias("expected_e6"),
+    )
+
+
+def _huber_oracle_sql(rounds: int = 3) -> str:
+    """Unrolled exact oracle for the 3-round Huber IRLS: weights are
+    INTEGER e6 (1e6 inside the k-band, t·1e6 DIV |v−m| outside — both
+    non-negative DIVs), so each round's weighted mean is an exact
+    integer division and the whole unroll is float-free except the
+    single t = FLOOR(1.345·mad) literal product."""
+    sql = """
+    WITH base AS (
+        SELECT event_type, CAST(FLOOR(value * 10000) AS BIGINT) AS v
+        FROM events
+    ), st0 AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(quantile_disc(v, 0.5) AS BIGINT) AS med
+        FROM base GROUP BY 1
+    ), mad AS (
+        SELECT b.event_type,
+               CAST(quantile_disc(abs(b.v - s.med), 0.5) AS BIGINT)
+                   AS mad
+        FROM base b JOIN st0 s USING (event_type) GROUP BY 1
+    ), st AS (
+        SELECT s.event_type, s.n, s.med, m.mad,
+               CAST(FLOOR(1.345 * m.mad) AS BIGINT) AS t
+        FROM st0 s JOIN mad m USING (event_type)
+    ), m0 AS (
+        SELECT event_type, med AS m FROM st
+    )"""
+    prev = "m0"
+    for i in range(1, rounds + 1):
+        sql += f""", m{i} AS (
+        SELECT b.event_type,
+               CAST(SUM(CASE WHEN abs(b.v - p.m) <= s.t THEN 1000000
+                        ELSE s.t * 1000000 // abs(b.v - p.m) END * b.v)
+                    // SUM(CASE WHEN abs(b.v - p.m) <= s.t THEN 1000000
+                           ELSE s.t * 1000000 // abs(b.v - p.m) END)
+                    AS BIGINT) AS m
+        FROM base b
+        JOIN {prev} p USING (event_type)
+        JOIN st s USING (event_type)
+        GROUP BY 1
+    )"""
+        prev = f"m{i}"
+    sql += f"""
+    SELECT s.event_type, s.n, s.med AS median_e4, s.mad AS mad_e4,
+           r.m AS huber_m_e4
+    FROM st s JOIN {prev} r USING (event_type)
+    ORDER BY s.event_type"""
+    return sql
+
+
+@query("agg_huber_m_3step", _huber_oracle_sql())
+def agg_huber_m_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HUBER M-ESTIMATOR of location, 3 IRLS rounds (round 12): the
+    canonical robust mean — quadratic loss inside k·MAD of the
+    current estimate, linear outside — completing the robust-location
+    shelf (median ignores all magnitude information;
+    agg_winsorized_mean / agg_trimmed_mean clip at fixed QUANTILES
+    regardless of shape; agg_hodges_lehmann is pairwise-median; Huber
+    downweights by DISTANCE, the statistically efficient compromise,
+    k=1.345·MAD giving 95% Gaussian efficiency).
+
+    Exactness: the iterative family's integer discipline taken all
+    the way — weights are e6 INTEGERS (1e6 in-band, t·1e6 DIV |v−m|
+    out-of-band, both non-negative so `//` ≡ DIV), every round's new
+    location is ONE exact integer division of exact bigint sums, and
+    the only float op in the whole program is t = FLOOR(1.345·mad),
+    a shared-literal product. The median weight is always 1e6, so
+    Σw ≥ 1e6 and no zero-division guard is needed even at MAD = 0.
+
+    Scale: three keyed re-aggregations of the corpus against a
+    broadcast |types|-row state dim — the graph_pagerank bounded-
+    state loop shape, unrolled; sums bounded by Σ(1e6·v) < 2^63 at
+    ~2×10¹² rows/type (beyond that, per-partition partial DIV
+    pre-scaling is the documented refinement)."""
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type", F.floor(F.col("value") * 10000).cast("bigint").alias("v")
+    )
+    st0 = base.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY v)"
+               " AS BIGINT)").alias("med"),
+    )
+    mad = (
+        base.join(F.broadcast(st0), "event_type")
+        .select("event_type", F.abs(F.col("v") - F.col("med")).alias("ad"))
+        .groupBy("event_type")
+        .agg(
+            F.expr(
+                "CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY ad)"
+                " AS BIGINT)"
+            ).alias("mad")
+        )
+    )
+    st = st0.join(mad, "event_type").select(
+        "event_type",
+        "n",
+        "med",
+        "mad",
+        F.floor(1.345 * F.col("mad")).cast("bigint").alias("t"),
+    )
+    m = st.select("event_type", F.col("med").alias("m"))
+    for _ in range(3):
+        j = base.join(F.broadcast(m), "event_type").join(
+            F.broadcast(st.select("event_type", "t")), "event_type"
+        )
+        w = F.when(
+            F.abs(F.col("v") - F.col("m")) <= F.col("t"), F.lit(1000000)
+        ).otherwise(
+            F.expr("t * 1000000 DIV abs(v - m)")
+        )
+        m = (
+            j.select("event_type", F.col("v"), w.alias("w"))
+            .groupBy("event_type")
+            .agg(
+                F.expr(
+                    "CAST(sum(w * v) DIV sum(w) AS BIGINT)"
+                ).alias("m")
+            )
+        )
+    return (
+        st.join(m, "event_type")
+        .select(
+            "event_type",
+            "n",
+            F.col("med").alias("median_e4"),
+            F.col("mad").alias("mad_e4"),
+            F.col("m").alias("huber_m_e4"),
+        )
+        .orderBy("event_type")
     )

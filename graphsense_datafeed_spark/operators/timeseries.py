@@ -11360,3 +11360,219 @@ def events_cox_score_1cov(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint"),
         ).alias("z_e4"),
     )
+
+
+@query(
+    "ts_amihud_illiquidity",
+    f"""
+    WITH closes AS ({_DAILY_CLOSE_SQL}
+    ), vol AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(SUM(CAST(FLOOR(value * 10000) AS BIGINT)) AS BIGINT)
+                   AS vol_e4
+        FROM events GROUP BY 1, 2
+    ), days AS (
+        SELECT c.event_type, c.d, c.close_e4, v.vol_e4,
+               lag(c.close_e4) OVER (PARTITION BY c.event_type
+                                     ORDER BY c.d) AS prev
+        FROM closes c JOIN vol v
+          ON v.event_type = c.event_type AND v.d = c.d
+    ), terms AS (
+        SELECT event_type,
+               CAST(abs(close_e4 - prev) * 1000000 // prev AS BIGINT)
+                   AS ret_e6,
+               vol_e4,
+               CAST(abs(close_e4 - prev) * 1000000 // prev
+                    * 1000000 // vol_e4 AS BIGINT) AS illiq_e12
+        FROM days WHERE prev IS NOT NULL AND prev > 0 AND vol_e4 > 0
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(ret_e6) // COUNT(*) AS BIGINT) AS mean_abs_ret_e6,
+           CAST(SUM(illiq_e12) // COUNT(*) AS BIGINT) AS amihud_e12
+    FROM terms GROUP BY event_type ORDER BY event_type
+    """,
+)
+def ts_amihud_illiquidity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMIHUD ILLIQUIDITY per series (round 12): mean of |daily
+    return| per unit of daily volume — the price-IMPACT readout the
+    candle family lacks: ts_garman_klass_vol says how much the tape
+    moves; Amihud says how much it moves PER UNIT OF FLOW, the
+    standard proxy for thin markets / manipulable fee tapes (a chain
+    whose fee rate jumps on tiny volume is illiquid in exactly this
+    sense).
+
+    Exactness: ALL-INTEGER — |return| is abs(Δclose)·1e6 DIV prev
+    (non-negative, so DuckDB `//` ≡ Spark DIV), the per-day impact
+    ratio divides the e6 return by the exact e4 volume in a second
+    non-negative DIV, and day means are integer DIV; zero-volume and
+    zero-prev days excluded on both sides.
+
+    Scale: the shared daily-close window + a map-side volume rollup
+    joined on (type, day); |types|-row finish."""
+    closes = _daily_close(spark, sf_dir)
+    ev = load(spark, sf_dir, "events")
+    vol = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 10000).cast("bigint"))
+        .cast("bigint")
+        .alias("vol_e4")
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    days = closes.join(vol, ["event_type", "d"]).select(
+        "event_type",
+        "d",
+        "close_e4",
+        "vol_e4",
+        F.lag("close_e4").over(w).alias("prev"),
+    )
+    terms = days.filter(
+        F.col("prev").isNotNull() & (F.col("prev") > 0) & (F.col("vol_e4") > 0)
+    ).select(
+        "event_type",
+        F.expr(
+            "CAST(abs(close_e4 - prev) * 1000000 DIV prev AS BIGINT)"
+        ).alias("ret_e6"),
+        F.expr(
+            "CAST(abs(close_e4 - prev) * 1000000 DIV prev"
+            " * 1000000 DIV vol_e4 AS BIGINT)"
+        ).alias("illiq_e12"),
+    )
+    return (
+        terms.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_days"),
+            F.expr("CAST(sum(ret_e6) DIV count(*) AS BIGINT)").alias(
+                "mean_abs_ret_e6"
+            ),
+            F.expr("CAST(sum(illiq_e12) DIV count(*) AS BIGINT)").alias(
+                "amihud_e12"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "events_preference_shift_bowker",
+    """
+    WITH halves AS (
+        SELECT user_id,
+               CASE WHEN day(ts) <= 15 THEN 0 ELSE 1 END AS half,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2, 3
+    ), fav AS (
+        SELECT user_id, half, event_type AS fav
+        FROM (
+            SELECT user_id, half, event_type,
+                   row_number() OVER (PARTITION BY user_id, half
+                                      ORDER BY c DESC, event_type ASC)
+                       AS rn
+            FROM halves
+        ) WHERE rn = 1
+    ), paired AS (
+        SELECT a.fav AS fav1, b.fav AS fav2
+        FROM fav a JOIN fav b
+          ON a.user_id = b.user_id AND a.half = 0 AND b.half = 1
+    ), cells AS (
+        SELECT fav1, fav2, CAST(COUNT(*) AS BIGINT) AS n
+        FROM paired GROUP BY 1, 2
+    ), pairs AS (
+        SELECT COALESCE(u.n, 0) AS nij, COALESCE(l.n, 0) AS nji
+        FROM (SELECT DISTINCT LEAST(fav1, fav2) AS lo,
+                     GREATEST(fav1, fav2) AS hi
+              FROM cells WHERE fav1 <> fav2) p
+        LEFT JOIN cells u ON u.fav1 = p.lo AND u.fav2 = p.hi
+        LEFT JOIN cells l ON l.fav1 = p.hi AND l.fav2 = p.lo
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS df,
+           CAST(SUM(nij + nji) AS BIGINT) AS n_discordant,
+           CAST(SUM(CAST(FLOOR(POW(CAST(nij - nji AS DOUBLE), 2)
+                    / (nij + nji) * 1000000) AS BIGINT)) AS BIGINT)
+               AS chi2_e6
+    FROM pairs
+    """,
+)
+def events_preference_shift_bowker(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BOWKER SYMMETRY TEST on preference transitions (round 12): per
+    user, the favorite event type in the first half-month vs the
+    second; Bowker's χ² = Σ_{i<j} (n_ij−n_ji)²/(n_ij+n_ji) asks
+    whether the k×k transition table is SYMMETRIC — i.e. whether
+    preference drift has a direction (click→purchase migration ≠
+    purchase→click). agg_mcnemar_test (r10) is exactly the k=2
+    special case; Bowker completes it for the full category set, df =
+    #discordant pairs.
+
+    Exactness: favorites are deterministic (count desc, type asc
+    tiebreak); cell counts exact; each pair's χ² term floors e6
+    BEFORE the order-free sum; zero-discordant pairs excluded on both
+    sides (0/0 is no evidence, not zero evidence).
+
+    Scale: keyed user-half rollup + keyed top-1 window + a
+    k²-bounded pair table (k = |event types|) — nothing corpus-sized
+    past the first aggregate."""
+    ev = load(spark, sf_dir, "events")
+    halves = ev.groupBy(
+        "user_id",
+        F.when(F.dayofmonth("ts") <= 15, 0).otherwise(1).alias("half"),
+        "event_type",
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    w = Window.partitionBy("user_id", "half").orderBy(
+        F.col("c").desc(), F.col("event_type").asc()
+    )
+    fav = (
+        halves.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "half", F.col("event_type").alias("fav"))
+    )
+    a = fav.filter(F.col("half") == 0).select(
+        "user_id", F.col("fav").alias("fav1")
+    )
+    b = fav.filter(F.col("half") == 1).select(
+        "user_id", F.col("fav").alias("fav2")
+    )
+    cells = (
+        a.join(b, "user_id")
+        .groupBy("fav1", "fav2")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    off = cells.filter(F.col("fav1") != F.col("fav2"))
+    p = off.select(
+        F.least("fav1", "fav2").alias("lo"),
+        F.greatest("fav1", "fav2").alias("hi"),
+    ).distinct()
+    u = cells.select(
+        F.col("fav1").alias("lo"), F.col("fav2").alias("hi"),
+        F.col("n").alias("nij"),
+    )
+    lo = cells.select(
+        F.col("fav2").alias("lo"), F.col("fav1").alias("hi"),
+        F.col("n").alias("nji"),
+    )
+    pairs = (
+        p.join(u, ["lo", "hi"], "left")
+        .join(lo, ["lo", "hi"], "left")
+        .select(
+            F.coalesce(F.col("nij"), F.lit(0)).cast("bigint").alias("nij"),
+            F.coalesce(F.col("nji"), F.lit(0)).cast("bigint").alias("nji"),
+        )
+    )
+    return pairs.agg(
+        F.count("*").cast("bigint").alias("df"),
+        F.sum(F.col("nij") + F.col("nji")).cast("bigint").alias(
+            "n_discordant"
+        ),
+        F.sum(
+            F.floor(
+                F.pow((F.col("nij") - F.col("nji")).cast("double"), F.lit(2.0))
+                / (F.col("nij") + F.col("nji"))
+                * 1000000
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("chi2_e6"),
+    )

@@ -712,6 +712,9 @@ _ROUND12_ADDITIONS = (
     "events_cox_score_1cov",
     "text_ttr_by_length_band",
     "ingest_realized_cap",
+    "ts_amihud_illiquidity",
+    "events_preference_shift_bowker",
+    "agg_huber_m_3step",
 )
 
 # Landing-order queue for rows that have never been inside a driver
