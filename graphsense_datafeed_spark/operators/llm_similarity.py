@@ -3829,3 +3829,118 @@ def embed_prefix_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query(
+    "embed_direction_concentration",
+    f"""
+    WITH normed AS (
+        SELECT label, vec_id, embedding,
+               sqrt({_DUCK_DOT.format(a="embedding", b="embedding")})
+                   AS nrm
+        FROM embeddings
+    ), comps AS (
+        SELECT label, vec_id,
+               unnest(list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) / nrm * 1000000)
+                             AS BIGINT))) AS u_e6,
+               generate_subscripts(embedding, 1) AS pos
+        FROM normed WHERE nrm > 0
+    ), sums AS (
+        SELECT label, pos, CAST(SUM(u_e6) AS BIGINT) AS s
+        FROM comps GROUP BY 1, 2
+    ), counts AS (
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs
+        FROM normed WHERE nrm > 0 GROUP BY 1
+    ), res AS (
+        SELECT s.label, c.n_vecs,
+               CAST(SUM(CAST(s.s AS HUGEINT) * s.s) AS DECIMAL(38, 0))
+                   AS ss
+        FROM sums s JOIN counts c USING (label)
+        GROUP BY 1, 2
+    )
+    SELECT label, n_vecs,
+           CAST(FLOOR(root / n_vecs) AS BIGINT) AS resultant_e6,
+           CASE WHEN 1.0 - rbar * rbar > 0
+           THEN CAST(FLOOR(rbar * (64.0 - rbar * rbar)
+                           / (1.0 - rbar * rbar) * 10000) AS BIGINT)
+           END AS kappa_e4
+    FROM (
+        SELECT label, n_vecs,
+               SQRT(CAST(ss AS DOUBLE)) AS root,
+               SQRT(CAST(ss AS DOUBLE)) / (n_vecs * 1000000.0) AS rbar
+        FROM res
+    ) ORDER BY label
+    """,
+)
+def embed_direction_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DIRECTIONAL CONCENTRATION per label (round 12): the mean
+    resultant length R̄ = ‖Σ uᵢ‖/n of the UNIT vectors plus the
+    Banerjee von-Mises-Fisher κ̂ = R̄(d−R̄²)/(1−R̄²) — directional
+    statistics' answer to 'how tightly does this label point one
+    way?'. embed_centroids measures spread AROUND the (magnitude-
+    weighted) centroid; R̄ is magnitude-free — a label whose vectors
+    agree in direction but vary in norm scores tight here and loose
+    there, exactly the distinction cosine-retrieval quality cares
+    about.
+
+    Exactness: unit components quantize to e6 integers PER VECTOR
+    (the norm is the shared left-fold self-dot, so the float chain
+    is engine-identical before the floor); per-(label, pos) sums are
+    exact bigints; Σ_pos S² accumulates in decimal(38,0)/HUGEINT (S²
+    overflows int64 at sf10 label sizes — the gini lesson applied at
+    design time); R̄ and κ̂ are one shared double chain, κ̂ gated on
+    R̄ < 1; zero-norm vectors excluded on both sides.
+
+    Scale: one narrow per-row transform + posexplode into a
+    (label, pos)-keyed agg (64·|vecs| rows, the embed_centroids
+    exchange) + a |labels|·64-row finish."""
+    e = load(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    nrm = F.sqrt(dot_product(emb, emb))
+    normed = e.select("label", "vec_id", "embedding", nrm.alias("nrm"))
+    comps = normed.filter(F.col("nrm") > 0).select(
+        "label",
+        F.posexplode(
+            F.transform(
+                emb,
+                lambda x: F.floor(
+                    x.cast("double") / F.col("nrm") * 1000000
+                ).cast("bigint"),
+            )
+        ).alias("pos0", "u_e6"),
+    )
+    sums = comps.groupBy("label", "pos0").agg(
+        F.sum("u_e6").cast("bigint").alias("s")
+    )
+    counts = (
+        normed.filter(F.col("nrm") > 0)
+        .groupBy("label")
+        .agg(F.count("*").cast("bigint").alias("n_vecs"))
+    )
+    res = (
+        sums.join(counts, "label")
+        .groupBy("label", "n_vecs")
+        .agg(
+            F.sum(F.col("s").cast("decimal(38,0)") * F.col("s"))
+            .cast("decimal(38,0)")
+            .alias("ss"),
+        )
+    )
+    root = F.sqrt(F.col("ss").cast("double"))
+    rbar = root / (F.col("n_vecs") * 1000000.0)
+    return res.select(
+        "label",
+        "n_vecs",
+        F.floor(root / F.col("n_vecs")).cast("bigint").alias(
+            "resultant_e6"
+        ),
+        F.when(
+            1.0 - rbar * rbar > 0,
+            F.floor(
+                rbar * (64.0 - rbar * rbar) / (1.0 - rbar * rbar) * 10000
+            ).cast("bigint"),
+        ).alias("kappa_e4"),
+    ).orderBy("label")

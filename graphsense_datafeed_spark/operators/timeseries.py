@@ -11576,3 +11576,228 @@ def events_preference_shift_bowker(
         .cast("bigint")
         .alias("chi2_e6"),
     )
+
+
+@query(
+    "ts_ccf_lead_lag",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS x,
+               CAST(SUM(CAST(FLOOR(value * 10000) AS BIGINT))
+                    // COUNT(*) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ), tape AS (
+        SELECT x, y,
+               CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS t
+        FROM daily
+    ), lags AS (
+        SELECT unnest(range(-5, 6)) AS lag
+    ), pairs AS (
+        SELECT l.lag, a.x, b.y
+        FROM tape a
+        CROSS JOIN lags l
+        JOIN tape b ON b.t = a.t + l.lag
+    ), sums AS (
+        SELECT lag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM pairs GROUP BY 1
+    )
+    SELECT CAST(lag AS BIGINT) AS lag, n,
+           CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+           THEN CAST(FLOOR((CAST(n AS DOUBLE) * sxy
+                            - CAST(sx AS DOUBLE) * sy)
+                           / SQRT((CAST(n AS DOUBLE) * sxx
+                                   - CAST(sx AS DOUBLE) * sx)
+                                  * (CAST(n AS DOUBLE) * syy
+                                     - CAST(sy AS DOUBLE) * sy))
+                           * 1000000) AS BIGINT) END AS r_e6
+    FROM sums ORDER BY lag
+    """,
+)
+def ts_ccf_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-CORRELATION FUNCTION, lags −5..+5 (round 12): the full
+    lead-lag profile between daily event VOLUME and daily mean VALUE
+    — ts_granger_1lag answers 'does x help predict y one step out?'
+    with a single F-ish statistic; the CCF shows the whole structure
+    (at WHICH lag the relationship peaks, and whether volume leads
+    value or lags it), which is what you read before choosing a lag
+    for any transfer model.
+
+    Exactness: the daily tape is exact integers (count; mean value by
+    integer DIV — the granger/cointegration discipline); per-lag
+    sufficient statistics are exact bigints over the aligned-pair
+    join; each lag's correlation is ONE double formula floored e6,
+    NULLed on zero variance.
+
+    Scale: map-side daily rollup; the 11-lag dim broadcasts into a
+    self equi-join on the calendar-bounded tape — O(|days|·|lags|),
+    never corpus-sized."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count("*").cast("bigint").alias("x"),
+        F.expr(
+            "CAST(sum(CAST(floor(value * 10000) AS BIGINT))"
+            " DIV count(*) AS BIGINT)"
+        ).alias("y"),
+    )
+    tape = daily.select(
+        "x",
+        "y",
+        F.row_number().over(Window.orderBy("d")).cast("bigint").alias("t"),
+    )
+    lags = spark.range(-5, 6).select(F.col("id").alias("lag"))
+    a = tape.alias("a")
+    b = tape.select(
+        F.col("t").alias("bt"), F.col("y").alias("by")
+    ).alias("b")
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("bt") == F.col("a.t") + F.col("lag"))
+        .select("lag", F.col("a.x").alias("x"), F.col("by").alias("y"))
+    )
+    sums = pairs.groupBy("lag").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    dx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    r = F.floor(
+        (d("n") * F.col("sxy") - d("sx") * F.col("sy"))
+        / F.sqrt(
+            (d("n") * F.col("sxx") - d("sx") * F.col("sx"))
+            * (d("n") * F.col("syy") - d("sy") * F.col("sy"))
+        )
+        * 1000000
+    ).cast("bigint")
+    return sums.select(
+        F.col("lag").cast("bigint").alias("lag"),
+        "n",
+        F.when((dx > 0) & (dy > 0), r).alias("r_e6"),
+    ).orderBy("lag")
+
+
+@query(
+    "interval_merge_islands",
+    """
+    WITH iv AS (
+        SELECT user_id,
+               epoch_us(ts) AS s,
+               epoch_us(ts) + 300000000 AS e,
+               event_id
+        FROM events
+    ), marked AS (
+        SELECT user_id, s, e, event_id,
+               CASE WHEN prev_max IS NULL OR s > prev_max
+                    THEN 1 ELSE 0 END AS new_island
+        FROM (
+            SELECT user_id, s, e, event_id,
+                   MAX(e) OVER (PARTITION BY user_id
+                                ORDER BY s, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING) AS prev_max
+            FROM iv
+        )
+    ), islands AS (
+        SELECT user_id, island_id,
+               CAST(MAX(e) - MIN(s) AS BIGINT) AS span_us
+        FROM (
+            SELECT user_id, s, e,
+                   SUM(new_island) OVER (PARTITION BY user_id
+                                         ORDER BY s, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                                  AND CURRENT ROW)
+                       AS island_id
+            FROM marked
+        ) GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(span_us) AS BIGINT) AS covered_us,
+           CAST(MAX(span_us) AS BIGINT) AS max_island_us
+    FROM islands GROUP BY 1 ORDER BY user_id
+    """,
+)
+def interval_merge_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-KEY INTERVAL ISLAND MERGE (round 12): each event opens a
+    5-minute activity interval; overlapping intervals per user merge
+    into maximal islands, reporting island count, total covered time
+    and the longest island — the interval form of gaps-and-islands
+    (win_gaps_islands chains EQUAL CONSECUTIVE VALUES;
+    interval_union_coverage measures ONE GLOBAL union length; this is
+    the per-key union STRUCTURE, i.e. sessionization when sessions
+    are defined by interval overlap rather than an inactivity gap).
+
+    Exactness: all integer microseconds; an island is a connected
+    overlap component, so its union length is exactly max(e)−min(s);
+    the new-island flag compares s against the RUNNING MAX of prior
+    ends (a plain lag(e) under-merges when an early long interval
+    swallows later short ones — the classic island bug, referee'd in
+    tests/test_round12_ops.py).
+
+    Scale: two stacked keyed windows (partitioned by user — never
+    global) + two keyed rollups; the streaming twin is
+    session_window with a 0 gap on padded intervals."""
+    ev = load(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("s"),
+        (F.unix_micros(F.col("ts").cast("timestamp")) + 300000000).alias(
+            "e"
+        ),
+        "event_id",
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = iv.select(
+        "user_id",
+        "s",
+        "e",
+        "event_id",
+        F.when(
+            F.col("s") > F.coalesce(F.max("e").over(w_prev), F.lit(-1)),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    # running sum MUST order on the unique (s, event_id): two
+    # intervals tying on (s, e) would make the 0/1 flag order
+    # ambiguous and could split one island into two
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = (
+        marked.select(
+            "user_id",
+            "s",
+            "e",
+            F.sum("new_island").over(w_run).alias("island_id"),
+        )
+        .groupBy("user_id", "island_id")
+        .agg((F.max("e") - F.min("s")).cast("bigint").alias("span_us"))
+    )
+    return (
+        islands.groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_islands"),
+            F.sum("span_us").cast("bigint").alias("covered_us"),
+            F.max("span_us").cast("bigint").alias("max_island_us"),
+        )
+        .orderBy("user_id")
+    )

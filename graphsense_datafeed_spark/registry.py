@@ -715,6 +715,9 @@ _ROUND12_ADDITIONS = (
     "ts_amihud_illiquidity",
     "events_preference_shift_bowker",
     "agg_huber_m_3step",
+    "ts_ccf_lead_lag",
+    "interval_merge_islands",
+    "embed_direction_concentration",
 )
 
 # Landing-order queue for rows that have never been inside a driver
