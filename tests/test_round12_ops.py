@@ -161,3 +161,86 @@ def test_triangle_participation_mass(spark, sf_dir):
         "n_triangles"
     ]
     assert sum(r["n_tri"] * r["n_nodes"] for r in hist) == 3 * total
+
+
+def test_interval_islands_brute_force(spark, sf_dir):
+    """Recompute island structure per user by a driver-side sweep for
+    a user sample and compare count/coverage exactly."""
+    rows = {
+        r["user_id"]: r
+        for r in QUERIES["interval_merge_islands"](spark, SF01).collect()
+    }
+    ev = (
+        load(spark, SF01, "events")
+        .filter(F.col("user_id") < 10)
+        .select("user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("s"))
+        .collect()
+    )
+    by_user: dict[int, list[int]] = {}
+    for r in ev:
+        by_user.setdefault(r["user_id"], []).append(r["s"])
+    for uid, starts in by_user.items():
+        ivs = sorted((s, s + 300_000_000) for s in starts)
+        islands = []
+        cur_s, cur_e = ivs[0]
+        for s, e in ivs[1:]:
+            if s > cur_e:
+                islands.append((cur_s, cur_e))
+                cur_s, cur_e = s, e
+            else:
+                cur_e = max(cur_e, e)
+        islands.append((cur_s, cur_e))
+        r = rows[uid]
+        assert r["n_islands"] == len(islands)
+        assert r["covered_us"] == sum(e - s for s, e in islands)
+        assert r["max_island_us"] == max(e - s for s, e in islands)
+
+
+def test_huber_within_group_range(spark, sf_dir):
+    """The Huber location must sit inside [min, max] and its weights
+    keep it within the data's convex hull; with symmetric-ish data it
+    stays near the median (within 3 MADs)."""
+    rows = QUERIES["agg_huber_m_3step"](spark, SF01).collect()
+    assert rows
+    for r in rows:
+        assert abs(r["huber_m_e4"] - r["median_e4"]) <= 3 * max(r["mad_e4"], 1)
+
+
+def test_ccf_bounds_and_lag0(spark, sf_dir):
+    rows = QUERIES["ts_ccf_lead_lag"](spark, SF01).collect()
+    lags = {r["lag"] for r in rows}
+    assert lags == set(range(-5, 6))
+    for r in rows:
+        if r["r_e6"] is not None:
+            assert -1000000 <= r["r_e6"] <= 1000000
+
+
+def test_amihud_nonnegative(spark, sf_dir):
+    for r in QUERIES["ts_amihud_illiquidity"](spark, SF01).collect():
+        assert r["mean_abs_ret_e6"] >= 0 and r["amihud_e12"] >= 0
+
+
+def test_bowker_df_bound(spark, sf_dir):
+    r = QUERIES["events_preference_shift_bowker"](spark, SF01).collect()[0]
+    k = 5  # event types
+    assert 0 <= r["df"] <= k * (k - 1) // 2
+    assert r["chi2_e6"] >= 0
+
+
+def test_realized_cap_mvrv_identity(spark, sf_dir):
+    r = QUERIES["ingest_realized_cap"](spark, SF01).collect()[0]
+    assert r["realized_cap_cents"] > 0 and r["market_cap_cents"] > 0
+    expect = int(
+        r["market_cap_cents"] / r["realized_cap_cents"] * 1000000
+    )
+    assert abs(r["mvrv_e6"] - expect) <= 1
+
+
+def test_direction_concentration_bounds(spark, sf_dir):
+    rows = QUERIES["embed_direction_concentration"](spark, SF01).collect()
+    assert rows
+    for r in rows:
+        # quantization can push ||sum of unit vecs||/n a hair past 1e6
+        assert 0 <= r["resultant_e6"] <= 1000064
+        if r["kappa_e4"] is not None and r["resultant_e6"] > 0:
+            assert r["kappa_e4"] >= 0
