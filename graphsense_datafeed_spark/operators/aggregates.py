@@ -10352,3 +10352,136 @@ def agg_huber_m_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "agg_quade_test",
+    """
+    WITH cells AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS blk,
+               CAST(FLOOR(hour(ts) / 6) AS BIGINT) AS trt,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ), ranked AS (
+        SELECT blk, trt,
+               2 * RANK() OVER (PARTITION BY blk ORDER BY c)
+                   + COUNT(*) OVER (PARTITION BY blk, c) - 1 AS r2
+        FROM cells
+    ), rng AS (
+        SELECT blk, CAST(MAX(c) - MIN(c) AS BIGINT) AS range_c
+        FROM cells GROUP BY 1
+    ), wts AS (
+        SELECT blk,
+               2 * RANK() OVER (ORDER BY range_c)
+                   + COUNT(*) OVER (PARTITION BY range_c) - 1 AS w2
+        FROM rng
+    ), s AS (
+        SELECT r.blk, r.trt,
+               CAST(w.w2 * (r.r2 - (k.k + 1)) AS BIGINT) AS s4
+        FROM ranked r
+        JOIN wts w USING (blk)
+        CROSS JOIN (SELECT CAST(MAX(cnt) AS BIGINT) AS k
+                    FROM (SELECT COUNT(*) AS cnt FROM cells GROUP BY blk))
+                   k
+    ), tots AS (
+        SELECT CAST(COUNT(DISTINCT blk) AS BIGINT) AS b,
+               CAST(SUM(s4 * s4) AS BIGINT) AS a16
+        FROM s
+    ), percol AS (
+        SELECT CAST(SUM(sj4 * sj4) AS BIGINT) AS b16,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM (SELECT trt, CAST(SUM(s4) AS BIGINT) AS sj4
+              FROM s GROUP BY trt)
+    )
+    SELECT t.b AS n_blocks, p.k AS n_treatments,
+           t.a16, p.b16,
+           CASE WHEN t.b * t.a16 - p.b16 > 0 THEN
+               CAST((t.b - 1) * p.b16 * 1000000
+                    // (t.b * t.a16 - p.b16) AS BIGINT)
+           END AS quade_f_e6
+    FROM tots t, percol p
+    """,
+)
+def agg_quade_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUADE TEST (round 12): Friedman's blocked-rank test with
+    RANGE-WEIGHTED blocks — blocks (days) whose dayparts differ by
+    MORE carry proportionally more evidence, which dominates Friedman
+    for small k (here k=4 dayparts) exactly as the weighted t beats
+    the sign test. Reads as a pair with agg_friedman_page_trend on
+    the SAME (day × daypart) table: Friedman answers under
+    block-exchangeability, Quade when block scale is informative.
+
+    Exactness: within-block midranks and block weights both live in
+    DOUBLED units (2·RANK + tiecount − 1 — the Friedman idiom); the
+    cell statistic S₄ = w₂·(r₂−(k+1)) is ×4 the textbook S and stays
+    an exact bigint at ANY scale (operands calendar-bounded: b days,
+    k dayparts); the F statistic (b−1)·ΣSⱼ²/(b·ΣS²−ΣSⱼ²) is an exact
+    integer DIV e6 of the ×16 sums (the scale factor cancels), gated
+    on a positive denominator (A=B ⇔ perfect block agreement).
+
+    Scale: one map-side (day, daypart) rollup; every window runs on
+    calendar-bounded tapes keyed by block."""
+    ev = load(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.to_date("ts").alias("blk"),
+        F.floor(F.hour("ts") / 6).cast("bigint").alias("trt"),
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    w_rank = Window.partitionBy("blk").orderBy("c")
+    w_tie = Window.partitionBy("blk", "c")
+    ranked = cells.select(
+        "blk",
+        "trt",
+        (2 * F.rank().over(w_rank) + F.count("*").over(w_tie) - 1).alias(
+            "r2"
+        ),
+    )
+    rng = cells.groupBy("blk").agg(
+        (F.max("c") - F.min("c")).cast("bigint").alias("range_c")
+    )
+    w_wrank = Window.orderBy("range_c")
+    w_wtie = Window.partitionBy("range_c")
+    wts = rng.select(
+        "blk",
+        (2 * F.rank().over(w_wrank) + F.count("*").over(w_wtie) - 1).alias(
+            "w2"
+        ),
+    )
+    k = cells.groupBy("blk").count().agg(
+        F.max("count").cast("bigint").alias("k")
+    )
+    s = (
+        ranked.join(wts, "blk")
+        .crossJoin(F.broadcast(k))
+        .select(
+            "blk",
+            "trt",
+            (F.col("w2") * (F.col("r2") - (F.col("k") + 1)))
+            .cast("bigint")
+            .alias("s4"),
+        )
+    )
+    tots = s.agg(
+        F.countDistinct("blk").cast("bigint").alias("b"),
+        F.sum(F.col("s4") * F.col("s4")).cast("bigint").alias("a16"),
+    )
+    percol = (
+        s.groupBy("trt")
+        .agg(F.sum("s4").cast("bigint").alias("sj4"))
+        .agg(
+            F.sum(F.col("sj4") * F.col("sj4")).cast("bigint").alias("b16"),
+            F.count("*").cast("bigint").alias("k"),
+        )
+    )
+    return tots.crossJoin(F.broadcast(percol)).select(
+        F.col("b").alias("n_blocks"),
+        F.col("k").alias("n_treatments"),
+        "a16",
+        "b16",
+        F.when(
+            F.col("b") * F.col("a16") - F.col("b16") > 0,
+            F.expr(
+                "CAST((b - 1) * b16 * 1000000"
+                " DIV (b * a16 - b16) AS BIGINT)"
+            ),
+        ).alias("quade_f_e6"),
+    )

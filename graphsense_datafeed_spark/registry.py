@@ -718,6 +718,7 @@ _ROUND12_ADDITIONS = (
     "ts_ccf_lead_lag",
     "interval_merge_islands",
     "embed_direction_concentration",
+    "agg_quade_test",
 )
 
 # Landing-order queue for rows that have never been inside a driver
