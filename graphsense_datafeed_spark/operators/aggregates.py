@@ -10485,3 +10485,128 @@ def agg_quade_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("quade_f_e6"),
     )
+
+
+@query(
+    "agg_dunn_posthoc",
+    """
+    WITH atoms AS (
+        SELECT event_type AS g,
+               CAST(FLOOR(value * 10000) AS BIGINT) AS v,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ), vtot AS (
+        SELECT v, CAST(SUM(c) AS BIGINT) AS ct
+        FROM atoms GROUP BY 1
+    ), r AS (
+        SELECT v, ct,
+               CAST(2 * COALESCE(SUM(ct) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    + ct + 1 AS BIGINT) AS mid2
+        FROM vtot
+    ), joined AS (
+        SELECT a.g, a.c, r.mid2
+        FROM atoms a JOIN r USING (v)
+    ), grp AS (
+        SELECT g,
+               CAST(SUM(c) AS BIGINT) AS n,
+               CAST(SUM(c * mid2) AS BIGINT) AS rsum2
+        FROM joined GROUP BY 1
+    ), gtot AS (
+        SELECT CAST(SUM(ct) AS BIGINT) AS big_n,
+               CAST(SUM(ct * ct * ct - ct) AS BIGINT) AS tie_term
+        FROM vtot
+    )
+    SELECT a.g AS group_a, b.g AS group_b, a.n AS n_a, b.n AS n_b,
+           CAST(FLOOR((CAST(a.rsum2 AS DOUBLE) / (2.0 * a.n)
+                       - CAST(b.rsum2 AS DOUBLE) / (2.0 * b.n))
+                      / SQRT((CAST(gl.big_n AS DOUBLE)
+                              * (gl.big_n + 1) / 12.0
+                              - CAST(gl.tie_term AS DOUBLE)
+                                / (12.0 * (gl.big_n - 1)))
+                             * (1.0 / a.n + 1.0 / b.n))
+                      * 10000) AS BIGINT) AS z_e4
+    FROM grp a JOIN grp b ON a.g < b.g CROSS JOIN gtot gl
+    ORDER BY group_a, group_b
+    """,
+)
+def agg_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DUNN'S POST-HOC pairwise rank test (round 12): after
+    agg_kruskal_wallis says 'SOME event type differs', Dunn's z for
+    every group pair says WHICH — mean joint midrank differences
+    scaled by the tie-corrected pooled rank variance
+    (N(N+1)/12 − ΣT/(12(N−1)))·(1/nᵢ+1/nⱼ). This is the
+    nonparametric twin of agg_tukey_hsd (which assumes equal-variance
+    normal cells); reporting the full pair matrix is what makes the
+    omnibus test actionable.
+
+    Exactness: joint midranks in DOUBLED units off the shared atom
+    table; per-group rank sums and the tie term Σ(t³−t) are exact
+    bigints; each pair's z is ONE double formula floored e4 (mean
+    midrank = rsum2/(2n), halving the doubled units inside the
+    shared chain).
+
+    Scale: atom table + one value-domain cumulative window + a
+    |groups|²-bounded pair join (k=5 → 10 rows) with a 1-row tie
+    anchor."""
+    ev = load(spark, sf_dir, "events")
+    atoms = ev.groupBy(
+        F.col("event_type").alias("g"),
+        F.floor(F.col("value") * 10000).cast("bigint").alias("v"),
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    vtot = atoms.groupBy("v").agg(F.sum("c").cast("bigint").alias("ct"))
+    wprev = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    r = vtot.select(
+        "v",
+        "ct",
+        (
+            2 * F.coalesce(F.sum("ct").over(wprev), F.lit(0))
+            + F.col("ct")
+            + 1
+        )
+        .cast("bigint")
+        .alias("mid2"),
+    )
+    joined = atoms.join(r, "v")
+    grp = joined.groupBy("g").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.col("c") * F.col("mid2")).cast("bigint").alias("rsum2"),
+    )
+    glob = vtot.agg(
+        F.sum("ct").cast("bigint").alias("big_n"),
+        F.sum(F.col("ct") * F.col("ct") * F.col("ct") - F.col("ct"))
+        .cast("bigint")
+        .alias("tie_term"),
+    )
+    a = grp.select(
+        F.col("g").alias("group_a"),
+        F.col("n").alias("n_a"),
+        F.col("rsum2").alias("ra2"),
+    )
+    b = grp.select(
+        F.col("g").alias("group_b"),
+        F.col("n").alias("n_b"),
+        F.col("rsum2").alias("rb2"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    z = (
+        d("ra2") / (2.0 * d("n_a")) - d("rb2") / (2.0 * d("n_b"))
+    ) / F.sqrt(
+        (
+            d("big_n") * (d("big_n") + 1) / 12.0
+            - d("tie_term") / (12.0 * (d("big_n") - 1))
+        )
+        * (1.0 / d("n_a") + 1.0 / d("n_b"))
+    )
+    return (
+        a.join(F.broadcast(b), F.col("group_a") < F.col("group_b"))
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "group_a",
+            "group_b",
+            "n_a",
+            "n_b",
+            F.floor(z * 10000).cast("bigint").alias("z_e4"),
+        )
+        .orderBy("group_a", "group_b")
+    )

@@ -719,6 +719,7 @@ _ROUND12_ADDITIONS = (
     "interval_merge_islands",
     "embed_direction_concentration",
     "agg_quade_test",
+    "agg_dunn_posthoc",
 )
 
 # Landing-order queue for rows that have never been inside a driver
