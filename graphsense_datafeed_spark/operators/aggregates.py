@@ -10610,3 +10610,122 @@ def agg_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("group_a", "group_b")
     )
+
+
+# 16^15 = 2^60, the KMV hash space (15 hex digits keeps the parsed
+# hash inside int64). 63·2^60 needs 67 bits, so the estimator runs in
+# ONE double chain from this shared literal — identical rounding in
+# both engines rather than an int64 overflow.
+_KMV_K = 64
+_KMV_SPACE = float(16 ** 15)
+
+
+@query(
+    "agg_kmv_sketch_ndv",
+    f"""
+    WITH hashes AS (
+        SELECT grp, h FROM (
+            SELECT DISTINCT event_type AS grp,
+                   CAST(CAST('0x' || substr(md5('kmv:' ||
+                        CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT)
+                        AS BIGINT) AS h
+            FROM events
+            UNION ALL
+            SELECT DISTINCT '__all__' AS grp,
+                   CAST(CAST('0x' || substr(md5('kmv:' ||
+                        CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT)
+                        AS BIGINT) AS h
+            FROM events
+        )
+    ), kept AS (
+        SELECT grp, h,
+               row_number() OVER (PARTITION BY grp ORDER BY h ASC) AS rk
+        FROM hashes
+    ), sk AS (
+        SELECT grp,
+               CAST(COUNT(*) AS BIGINT) AS k_used,
+               CAST(MAX(h) AS BIGINT) AS h_k
+        FROM kept WHERE rk <= {_KMV_K} GROUP BY 1
+    ), exact AS (
+        SELECT grp, CAST(COUNT(*) AS BIGINT) AS ndv_exact
+        FROM hashes GROUP BY 1
+    )
+    SELECT s.grp,
+           e.ndv_exact,
+           CASE WHEN s.k_used < {_KMV_K} THEN e.ndv_exact
+                ELSE CAST(FLOOR(({_KMV_K} - 1.0) * {_KMV_SPACE!r}
+                                / s.h_k) AS BIGINT) END AS ndv_est,
+           s.k_used
+    FROM sk s JOIN exact e USING (grp) ORDER BY s.grp
+    """,
+)
+def agg_kmv_sketch_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) NDV SKETCH with built-in accuracy audit
+    (round 12): keep the k=64 smallest md5 hashes of each group's
+    distinct users; the k-th smallest estimates NDV as
+    (k−1)·SPACE/h_k — the third sketch family next to
+    agg_hll_sketch (probabilistic registers — rows-only by nature)
+    and agg_bitmap_ndv (exact but memory ∝ domain): KMV is BOUNDED
+    MEMORY (k hashes), MERGEABLE (union sketch = k smallest of the
+    concatenation — the '__all__' row demonstrates the merge), and —
+    because the hash is a deterministic md5 — EXACTLY reproducible,
+    so this sketch query carries a full hash-match oracle where HLL
+    cannot. Groups with fewer than k distinct members short-circuit
+    to the exact count (the estimator is undefined there).
+
+    Exactness: 15-hex-digit hashes stay inside int64; the k smallest
+    are a keyed WindowGroupLimit over DISTINCT hashes; the only
+    float op is the shared-literal (k−1)·2⁶⁰/h_k chain (63·2⁶⁰
+    needs 67 bits — a deliberate double, identical rounding both
+    engines).
+
+    Scale: distinct-hash reduction then k rows per group — the
+    at-rest sketch is k·8 bytes per partition key and merges
+    associatively, exactly how you maintain NDV across 100 TB
+    partitions without re-scanning."""
+    ev = load(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("kmv:"), F.col("user_id").cast("string")
+                ).cast("binary")
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    per_type = ev.select(
+        F.col("event_type").alias("grp"), h.alias("h")
+    ).distinct()
+    all_grp = ev.select(F.lit("__all__").alias("grp"), h.alias("h")).distinct()
+    hashes = per_type.unionAll(all_grp)
+    w = Window.partitionBy("grp").orderBy(F.col("h").asc())
+    kept = hashes.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= _KMV_K
+    )
+    sk = kept.groupBy("grp").agg(
+        F.count("*").cast("bigint").alias("k_used"),
+        F.max("h").cast("bigint").alias("h_k"),
+    )
+    exact = hashes.groupBy("grp").agg(
+        F.count("*").cast("bigint").alias("ndv_exact")
+    )
+    return (
+        sk.join(exact, "grp")
+        .select(
+            "grp",
+            "ndv_exact",
+            F.when(F.col("k_used") < _KMV_K, F.col("ndv_exact"))
+            .otherwise(
+                F.floor(
+                    (_KMV_K - 1.0) * _KMV_SPACE / F.col("h_k")
+                ).cast("bigint")
+            )
+            .alias("ndv_est"),
+            "k_used",
+        )
+        .orderBy("grp")
+    )

@@ -720,6 +720,7 @@ _ROUND12_ADDITIONS = (
     "embed_direction_concentration",
     "agg_quade_test",
     "agg_dunn_posthoc",
+    "agg_kmv_sketch_ndv",
 )
 
 # Landing-order queue for rows that have never been inside a driver
