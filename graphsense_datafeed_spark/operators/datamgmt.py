@@ -4801,3 +4801,231 @@ def events_did_event_study(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rel_day")
     )
+
+
+@query(
+    "events_ab_srm_check",
+    """
+    WITH users AS (
+        SELECT user_id,
+               CAST(CAST('0x' || substr(md5('srm:' ||
+                    CAST(user_id AS VARCHAR)), 1, 4) AS BIGINT) % 2
+                    AS BIGINT) AS arm
+        FROM events GROUP BY 1
+    ), arms AS (
+        SELECT CAST(COUNT(*) FILTER (arm = 0) AS BIGINT) AS n0,
+               CAST(COUNT(*) FILTER (arm = 1) AS BIGINT) AS n1
+        FROM users
+    )
+    SELECT n0, n1,
+           CAST(FLOOR(POW(CAST(n0 - n1 AS DOUBLE), 2)
+                      / (n0 + n1) * 1000000) AS BIGINT) AS chi2_e6,
+           CAST(FLOOR(CAST(n0 - n1 AS DOUBLE)
+                      / SQRT(CAST(n0 + n1 AS DOUBLE)) * 10000)
+                AS BIGINT) AS z_e4,
+           ABS(CAST(n0 - n1 AS DOUBLE))
+               / SQRT(CAST(n0 + n1 AS DOUBLE)) > 3.0 AS srm_flag
+    FROM arms
+    """,
+)
+def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLE-RATIO MISMATCH check (round 12): is the md5 arm split
+    actually 50/50 at the USER level?  The A/B hygiene gate every
+    outcome test in this registry (two_proportion_z, iv_wald, uplift,
+    DiD placebo) silently assumes — a biased assignment hash, a
+    bot-filter applied to one arm, or a logging drop makes every
+    downstream effect estimate wrong BEFORE statistics start; SRM
+    χ²(1) = (n₀−n₁)²/N against the designed 1:1 is the standard
+    pre-test, flagged at |z| > 3 (the industry trigger).
+
+    Exactness: arm counts are exact integers off the user rollup;
+    χ² and z are one double chain each floored; the flag compares
+    the SAME double both engines compute.
+
+    Scale: one user-keyed reduction to a 1-row readout — nothing
+    else; runs before any outcome scan needs to."""
+    ev = load(spark, sf_dir, "events")
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("srm:"), F.col("user_id").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    users = ev.groupBy("user_id").agg(F.max(arm).alias("arm"))
+    arms = users.agg(
+        F.count_if(F.col("arm") == 0).cast("bigint").alias("n0"),
+        F.count_if(F.col("arm") == 1).cast("bigint").alias("n1"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    diff = d("n0") - d("n1")
+    tot = d("n0") + d("n1")
+    return arms.select(
+        "n0",
+        "n1",
+        F.floor(diff * diff / tot * 1000000).cast("bigint").alias(
+            "chi2_e6"
+        ),
+        F.floor(diff / F.sqrt(tot) * 10000).cast("bigint").alias("z_e4"),
+        (F.abs(diff) / F.sqrt(tot) > 3.0).alias("srm_flag"),
+    )
+
+
+@query(
+    "events_cuped_adjustment",
+    """
+    WITH users AS (
+        SELECT user_id,
+               CAST(CAST('0x' || substr(md5('srm:' ||
+                    CAST(user_id AS VARCHAR)), 1, 4) AS BIGINT) % 2
+                    AS BIGINT) AS arm,
+               CAST(SUM(CASE WHEN day(ts) <= 15
+                    THEN CAST(FLOOR(value * 10000) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS pre,
+               CAST(SUM(CASE WHEN day(ts) > 15
+                    THEN CAST(FLOOR(value * 10000) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS post
+        FROM events GROUP BY 1
+    ), s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(pre) AS BIGINT) AS sx,
+               CAST(SUM(post) AS BIGINT) AS sy,
+               CAST(SUM(CAST(pre AS HUGEINT) * pre) AS DECIMAL(38, 0))
+                   AS sxx,
+               CAST(SUM(CAST(pre AS HUGEINT) * post) AS DECIMAL(38, 0))
+                   AS sxy,
+               CAST(SUM(CAST(post AS HUGEINT) * post) AS DECIMAL(38, 0))
+                   AS syy,
+               CAST(COUNT(*) FILTER (arm = 1) AS BIGINT) AS n1,
+               CAST(SUM(post) FILTER (arm = 1) AS BIGINT) AS sy1,
+               CAST(SUM(pre) FILTER (arm = 1) AS BIGINT) AS sx1
+        FROM users
+    ), theta AS (
+        SELECT n, n1, sx, sy, sx1, sy1,
+               (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * sy)
+               / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * sx) AS th,
+               1.0 - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * sy)
+                     * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * sy)
+                     / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * sx)
+                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * sy)) AS var_ratio
+        FROM s
+    )
+    SELECT n, n1,
+           CAST(FLOOR((CAST(sy1 AS DOUBLE) / n1
+                       - CAST(sy - sy1 AS DOUBLE) / (n - n1))) AS BIGINT)
+               AS raw_effect_e4,
+           CAST(FLOOR(((CAST(sy1 AS DOUBLE) / n1
+                        - th * (CAST(sx1 AS DOUBLE) / n1))
+                       - (CAST(sy - sy1 AS DOUBLE) / (n - n1)
+                          - th * (CAST(sx - sx1 AS DOUBLE) / (n - n1)))))
+                AS BIGINT) AS cuped_effect_e4,
+           CAST(FLOOR(th * 1000000) AS BIGINT) AS theta_e6,
+           CAST(FLOOR(var_ratio * 1000000) AS BIGINT) AS var_ratio_e6
+    FROM theta
+    """,
+)
+def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B estimator (round 12): adjust each
+    arm's post-period mean by θ·(pre-period mean), θ =
+    cov(pre,post)/var(pre) — Deng et al.'s industry-standard trick
+    that removes the share of outcome variance explained by
+    pre-experiment behavior (var_ratio = 1−ρ² is the fraction of
+    variance REMAINING — the experiment-duration multiplier you
+    save). Completes the causal shelf from the other end than
+    events_did_event_study: DiD needs parallel trends; CUPED only
+    needs pre-period correlation and a randomized split (whose
+    health events_ab_srm_check gates — the two rows share the same
+    md5 arm draw deliberately).
+
+    Exactness: per-user pre/post sums are exact e4 integers; the
+    five global moments accumulate in decimal(38,0)/HUGEINT
+    (pre·post products overflow int64 at sf10 user volumes — the
+    gini discipline at design time); θ, both effects and the
+    variance ratio are ONE shared double chain each, floored.
+
+    Scale: one user-keyed reduction, a 1-row moment table, a 1-row
+    readout — the whole adjustment is free at any corpus size."""
+    ev = load(spark, sf_dir, "events")
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("srm:"), F.col("user_id").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    v = F.floor(F.col("value") * 10000).cast("bigint")
+    users = ev.groupBy("user_id").agg(
+        F.max(arm).alias("arm"),
+        F.sum(F.when(F.dayofmonth("ts") <= 15, v).otherwise(0))
+        .cast("bigint")
+        .alias("pre"),
+        F.sum(F.when(F.dayofmonth("ts") > 15, v).otherwise(0))
+        .cast("bigint")
+        .alias("post"),
+    )
+    d38 = "decimal(38,0)"
+    s = users.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("pre").cast("bigint").alias("sx"),
+        F.sum("post").cast("bigint").alias("sy"),
+        F.sum(F.col("pre").cast(d38) * F.col("pre")).cast(d38).alias("sxx"),
+        F.sum(F.col("pre").cast(d38) * F.col("post"))
+        .cast(d38)
+        .alias("sxy"),
+        F.sum(F.col("post").cast(d38) * F.col("post"))
+        .cast(d38)
+        .alias("syy"),
+        F.count_if(F.col("arm") == 1).cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("arm") == 1, F.col("post")))
+        .cast("bigint")
+        .alias("sy1"),
+        F.sum(F.when(F.col("arm") == 1, F.col("pre")))
+        .cast("bigint")
+        .alias("sx1"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    num = d("n") * d("sxy") - d("sx") * F.col("sy")
+    dx = d("n") * d("sxx") - d("sx") * F.col("sx")
+    dy = d("n") * d("syy") - d("sy") * F.col("sy")
+    th = num / dx
+    var_ratio = 1.0 - num * num / (dx * dy)
+    raw = d("sy1") / F.col("n1") - (d("sy") - F.col("sy1")) / (
+        F.col("n") - F.col("n1")
+    )
+    cuped = (d("sy1") / F.col("n1") - th * (d("sx1") / F.col("n1"))) - (
+        (d("sy") - F.col("sy1")) / (F.col("n") - F.col("n1"))
+        - th
+        * ((d("sx") - F.col("sx1")) / (F.col("n") - F.col("n1")))
+    )
+    return s.select(
+        "n",
+        "n1",
+        F.floor(raw).cast("bigint").alias("raw_effect_e4"),
+        F.floor(cuped).cast("bigint").alias("cuped_effect_e4"),
+        F.floor(th * 1000000).cast("bigint").alias("theta_e6"),
+        F.floor(var_ratio * 1000000).cast("bigint").alias("var_ratio_e6"),
+    )

@@ -721,6 +721,8 @@ _ROUND12_ADDITIONS = (
     "agg_quade_test",
     "agg_dunn_posthoc",
     "agg_kmv_sketch_ndv",
+    "events_ab_srm_check",
+    "events_cuped_adjustment",
 )
 
 # Landing-order queue for rows that have never been inside a driver
