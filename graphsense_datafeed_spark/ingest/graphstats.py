@@ -2744,3 +2744,103 @@ def graph_triangle_participation(
         .agg(F.count("*").cast("bigint").alias("n_nodes"))
         .orderBy("n_tri")
     )
+
+
+@query(
+    "graph_label_homophily",
+    f"""
+    WITH {_DUCK_EDGES}, lab AS (
+        SELECT DISTINCT addr,
+               CAST(CAST('0x' || substr(md5('hom:' || addr), 1, 4)
+                    AS BIGINT) % 2 AS BIGINT) AS lbl
+        FROM (SELECT src AS addr FROM edges
+              UNION SELECT dst FROM edges)
+    ), typed AS (
+        SELECT la.lbl AS la, lb.lbl AS lb
+        FROM edges e
+        JOIN lab la ON la.addr = e.src
+        JOIN lab lb ON lb.addr = e.dst
+    ), cells AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(COUNT(*) FILTER (la = lb) AS BIGINT) AS within,
+               CAST(SUM(la) + SUM(lb) AS BIGINT) AS ends1
+        FROM typed
+    )
+    SELECT m, within,
+           CAST(FLOOR(CAST(within AS DOUBLE) / m * 1000000) AS BIGINT)
+               AS within_share_e6,
+           CAST(FLOOR((CAST(within AS DOUBLE) / m
+                       - ((CAST(ends1 AS DOUBLE) / (2 * m))
+                          * (CAST(ends1 AS DOUBLE) / (2 * m))
+                          + (1.0 - CAST(ends1 AS DOUBLE) / (2 * m))
+                            * (1.0 - CAST(ends1 AS DOUBLE) / (2 * m))))
+                      / (1.0 - ((CAST(ends1 AS DOUBLE) / (2 * m))
+                                * (CAST(ends1 AS DOUBLE) / (2 * m))
+                                + (1.0 - CAST(ends1 AS DOUBLE) / (2 * m))
+                                  * (1.0 - CAST(ends1 AS DOUBLE)
+                                     / (2 * m))))
+                      * 1000000) AS BIGINT) AS assortativity_e6
+    FROM cells
+    """,
+)
+def graph_label_homophily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CATEGORICAL label homophily (round 12): do same-label
+    addresses preferentially transact?  Newman's categorical
+    assortativity r = (Σeᵢᵢ − Σaᵢ²)/(1 − Σaᵢ²) over a deterministic
+    binary md5 label — the LABEL twin of graph_assortativity (degree
+    Pearson) and the one-number summary of what
+    graph_degree_mixing_matrix shows by band: r > 0 = community
+    wiring, r < 0 = bipartite-ish wiring (exchange↔user), r ≈ 0 is
+    the null this hash label referees by construction (asserted in
+    tests/test_round12_ops.py).
+
+    Exactness: labels and edge cells are exact integers (ends1 counts
+    label-1 endpoints, so aᵢ = ends1/2m is the exact endpoint share);
+    r is ONE double chain floored e6, written with explicit products
+    (no POW — pow(x,2) parity is not guaranteed).
+
+    Scale: two broadcast label joins over the edge list + a 1-row
+    readout — the assortativity join program."""
+    e = cooccurrence_edges(spark)
+    nodes = e.select(F.col("src").alias("addr")).union(
+        e.select(F.col("dst").alias("addr"))
+    ).distinct()
+    lbl = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("hom:"), F.col("addr")).cast("binary")),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    lab = nodes.select("addr", lbl.alias("lbl"))
+    la = lab.select(F.col("addr").alias("a_src"), F.col("lbl").alias("la"))
+    lb = lab.select(F.col("addr").alias("a_dst"), F.col("lbl").alias("lb"))
+    typed = (
+        e.join(la, e.src == F.col("a_src"))
+        .join(lb, e.dst == F.col("a_dst"))
+        .select("la", "lb")
+    )
+    cells = typed.agg(
+        F.count("*").cast("bigint").alias("m"),
+        F.count_if(F.col("la") == F.col("lb")).cast("bigint").alias(
+            "within"
+        ),
+        (F.sum("la") + F.sum("lb")).cast("bigint").alias("ends1"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    p1 = d("ends1") / (2 * F.col("m"))
+    base = p1 * p1 + (1.0 - p1) * (1.0 - p1)
+    obs = d("within") / F.col("m")
+    return cells.select(
+        "m",
+        "within",
+        F.floor(obs * 1000000).cast("bigint").alias("within_share_e6"),
+        F.floor((obs - base) / (1.0 - base) * 1000000)
+        .cast("bigint")
+        .alias("assortativity_e6"),
+    )

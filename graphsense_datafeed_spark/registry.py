@@ -723,6 +723,7 @@ _ROUND12_ADDITIONS = (
     "agg_kmv_sketch_ndv",
     "events_ab_srm_check",
     "events_cuped_adjustment",
+    "graph_label_homophily",
 )
 
 # Landing-order queue for rows that have never been inside a driver

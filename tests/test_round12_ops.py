@@ -289,3 +289,12 @@ def test_cassandra_sink_write_contract(spark, sf_dir):
     assert (
         spark.conf.get("spark.cassandra.connection.host") == "c1.internal"
     )
+
+
+def test_homophily_null_near_zero(spark, sf_dir):
+    """The md5 label is independent of wiring, so assortativity must
+    sit near zero (|r| < 0.1) — the built-in null referee — and the
+    cell identities must hold."""
+    r = QUERIES["graph_label_homophily"](spark, SF01).collect()[0]
+    assert 0 <= r["within"] <= r["m"]
+    assert abs(r["assortativity_e6"]) < 100000
