@@ -724,6 +724,7 @@ _ROUND12_ADDITIONS = (
     "events_ab_srm_check",
     "events_cuped_adjustment",
     "graph_label_homophily",
+    "stream_srm_monitor",
 )
 
 # Landing-order queue for rows that have never been inside a driver

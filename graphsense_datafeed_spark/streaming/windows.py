@@ -744,3 +744,60 @@ def batch_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "val_e4",
         )
     )
+
+
+@query(
+    "stream_srm_monitor",
+    """
+    WITH users AS (
+        SELECT user_id,
+               CAST(CAST('0x' || substr(md5('srm:' ||
+                    CAST(user_id AS VARCHAR)), 1, 4) AS BIGINT) % 2
+                    AS BIGINT) AS arm
+        FROM events GROUP BY 1
+    )
+    SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM users GROUP BY arm ORDER BY arm
+    """,
+)
+def stream_srm_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING sample-ratio monitor (round 12): the production form
+    of events_ab_srm_check — assignment health has to be watched
+    WHILE the experiment runs (a one-armed logging drop is only
+    cheap to catch early), so the stream keeps per-user
+    dropDuplicates state (first sighting wins; watermark-bounded)
+    and maintains the per-arm distinct-user counts in complete mode.
+    The availableNow run's final table equals the batch oracle
+    exactly — streaming-vs-batch parity IS the correctness claim.
+
+    Scale: user-keyed dedup state + a 2-key aggregate; state is one
+    row per user per watermark horizon — the stream_dedup posture
+    with an md5-derived key downstream."""
+    s = read_events_stream(spark, sf_dir)
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("srm:"), F.col("user_id").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    dedup = (
+        s.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates(["user_id"])
+    )
+    agg = (
+        dedup.select(arm.alias("arm"))
+        .groupBy("arm")
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+    )
+    return run_stream_to_memory(spark, agg, "complete").orderBy("arm")
