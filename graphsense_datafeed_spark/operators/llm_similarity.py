@@ -3944,3 +3944,137 @@ def embed_direction_concentration(
             ).cast("bigint"),
         ).alias("kappa_e4"),
     ).orderBy("label")
+
+
+@query(
+    "sim_lsh_recall_curve",
+    f"""
+    WITH {_lsh_index_sql_ctes()},
+    q AS (
+        SELECT vec_id AS query_id, table_id, bucket
+        FROM lsh_index WHERE vec_id < 30
+    ),
+    cand AS (
+        SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+        FROM q JOIN lsh_index c USING (table_id, bucket)
+        WHERE q.query_id <> c.vec_id
+    ),
+    truth AS (
+        SELECT query_id, neighbor_id, rank_k FROM (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY {_DUCK_DOT.format(a="a.embedding",
+                                                  b="b.embedding")} DESC,
+                                b.vec_id ASC) AS rank_k
+            FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+            WHERE a.vec_id < 30
+        ) WHERE rank_k <= 10
+    ), hits AS (
+        SELECT t.rank_k,
+               CAST(COUNT(c.neighbor_id) AS BIGINT) AS n_hit,
+               CAST(COUNT(*) AS BIGINT) AS n_tot
+        FROM truth t
+        LEFT JOIN cand c ON c.query_id = t.query_id
+                        AND c.neighbor_id = t.neighbor_id
+        GROUP BY t.rank_k
+    )
+    SELECT k,
+           CAST(SUM(n_hit) AS BIGINT) AS n_hit,
+           CAST(SUM(n_tot) AS BIGINT) AS n_truth,
+           CAST(SUM(n_hit) * 1000000 // SUM(n_tot) AS BIGINT)
+               AS recall_e6
+    FROM hits
+    CROSS JOIN (SELECT unnest([1, 3, 5, 10]) AS k)
+    WHERE rank_k <= k
+    GROUP BY k ORDER BY k
+    """,
+)
+def sim_lsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH CANDIDATE-RECALL CURVE as a first-class EXACT query (round
+    12): what fraction of the TRUE top-k cosine neighbors (k =
+    1/3/5/10) does the 16-table index's candidate set contain?  This
+    is the number that tunes tables-vs-planes — recall@1 high but
+    recall@10 sagging means the bucket geometry catches near
+    neighbors and loses the mid-field (add tables); until round 12
+    this audit lived in pytest (rows-only recall referees); with the
+    ordered-fold projections BOTH the index and the exact ranking are
+    bit-deterministic, so the whole evaluation carries a hash-match
+    oracle — ANN quality measured by a query you can schedule, not a
+    test you have to run.
+
+    Exactness: candidate set and truth ranking are both
+    deterministic (literal planes; fold dots; rank tiebreaks);
+    recall is an exact integer DIV e6 per k.
+
+    Scale: candidate generation is the sim_ann_lsh equi-join; the
+    truth side is queries×corpus (30-row bounded query set — the
+    sim_topk_exact re-rank discipline, NEVER corpus×corpus)."""
+    idx = _lsh_index(spark, sf_dir)
+    q = idx.filter(F.col("vec_id") < 30).select(
+        F.col("vec_id").alias("query_id"), "table_id", "bucket"
+    )
+    c = idx.select(
+        F.col("vec_id").alias("neighbor_id"), "table_id", "bucket"
+    )
+    cand = (
+        q.join(c, ["table_id", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    e = load(spark, sf_dir, "embeddings")
+    qe = e.filter(F.col("vec_id") < 30).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    ce = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("neighbor_id").asc()
+    )
+    truth = (
+        qe.join(ce, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            dot_product(F.col("q_emb"), F.col("c_emb")).alias("dot"),
+        )
+        .withColumn("rank_k", F.row_number().over(w))
+        .filter(F.col("rank_k") <= 10)
+        .select("query_id", "neighbor_id", "rank_k")
+    )
+    hits = (
+        truth.join(
+            cand.withColumn("hit", F.lit(1)),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        .groupBy("rank_k")
+        .agg(
+            F.count("hit").cast("bigint").alias("n_hit"),
+            F.count("*").cast("bigint").alias("n_tot"),
+        )
+    )
+    ks = spark.range(0, 4).select(
+        F.element_at(
+            F.array(F.lit(1), F.lit(3), F.lit(5), F.lit(10)),
+            (F.col("id") + 1).cast("int"),
+        )
+        .cast("bigint")
+        .alias("k")
+    )
+    return (
+        hits.crossJoin(F.broadcast(ks))
+        .filter(F.col("rank_k") <= F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.sum("n_hit").cast("bigint").alias("n_hit"),
+            F.sum("n_tot").cast("bigint").alias("n_truth"),
+            F.expr(
+                "CAST(sum(n_hit) * 1000000 DIV sum(n_tot) AS BIGINT)"
+            ).alias("recall_e6"),
+        )
+        .orderBy("k")
+    )

@@ -725,6 +725,7 @@ _ROUND12_ADDITIONS = (
     "events_cuped_adjustment",
     "graph_label_homophily",
     "stream_srm_monitor",
+    "sim_lsh_recall_curve",
 )
 
 # Landing-order queue for rows that have never been inside a driver

@@ -80,6 +80,7 @@ _EFFECTFUL = {
     "layout_compact",
     "sim_ann_lsh",
     "sim_lsh_bucket_index",
+    "sim_lsh_recall_curve",
     "sim_ann_ivf",
     "sim_ann_pq",
     "embed_pca",
