@@ -11801,3 +11801,267 @@ def interval_merge_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+_DAILY_DELTA_SQL = f"""
+        SELECT event_type, d, c1,
+               c1 - lag(c1) OVER (PARTITION BY event_type ORDER BY d)
+                   AS delta
+        FROM ({_DAILY_OHLC_SQL})
+"""
+
+
+def _daily_close_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, d, c1, delta) — day-over-day close changes in
+    shifted e4 integers off the shared ``_daily_ohlc`` candle tape
+    (delta NULL on each series' first day).  One keyed lag window on
+    the |types|×|days| tape."""
+    ohlc = _daily_ohlc(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("d")
+    return ohlc.select(
+        "event_type",
+        "d",
+        "c1",
+        (F.col("c1") - F.lag("c1").over(w)).alias("delta"),
+    )
+
+
+@query(
+    "ts_rsi_sma",
+    f"""
+    WITH deltas AS ({_DAILY_DELTA_SQL}
+    ), moves AS (
+        SELECT event_type, d,
+               CAST(GREATEST(delta, 0) AS BIGINT) AS gain,
+               CAST(GREATEST(-delta, 0) AS BIGINT) AS loss
+        FROM deltas WHERE delta IS NOT NULL
+    ), frames AS (
+        SELECT event_type, d,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n14,
+               CAST(SUM(gain) OVER w AS BIGINT) AS sg,
+               CAST(SUM(loss) OVER w AS BIGINT) AS sl
+        FROM moves
+        WINDOW w AS (PARTITION BY event_type ORDER BY d
+                     ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, d, n14, sg, sl,
+           CASE WHEN n14 = 14 AND sg + sl > 0
+                THEN CAST((100000000 * sg) // (sg + sl) AS BIGINT)
+           END AS rsi_e6
+    FROM frames
+    """,
+)
+def ts_rsi_sma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUTLER'S RSI per series (round 12 cont.): the SMA-form relative
+    strength index 100·ΣG/(ΣG+ΣL) over a 14-day frame of daily close
+    moves — the momentum oscillator the candle family (_daily_ohlc)
+    was missing; unlike Wilder's EMA form this one has NO recursive
+    state, so it is window-expressible and integer-EXACT.
+
+    Exactness: gains/losses are nonneg e4 integers off the shared
+    close tape; the frame sums are exact bigints and the RSI is ONE
+    integer division (100e6·sg // (sg+sl) — both operands nonnegative
+    so DuckDB's floor-div and Spark's truncating DIV agree); partial
+    frames (n14 < 14) and flat frames (sg+sl = 0) emit NULL — no
+    partial-window ambiguity.
+
+    Scale: one keyed lag + one keyed 14-row frame over the
+    calendar-bounded |types|×|days| tape (the candle rollup is the
+    only pass over raw events)."""
+    moves = (
+        _daily_close_delta(spark, sf_dir)
+        .filter(F.col("delta").isNotNull())
+        .select(
+            "event_type",
+            "d",
+            F.greatest(F.col("delta"), F.lit(0)).cast("bigint").alias(
+                "gain"
+            ),
+            F.greatest(-F.col("delta"), F.lit(0)).cast("bigint").alias(
+                "loss"
+            ),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-13, 0)
+    )
+    frames = moves.select(
+        "event_type",
+        "d",
+        F.count("*").over(w).cast("bigint").alias("n14"),
+        F.sum("gain").over(w).cast("bigint").alias("sg"),
+        F.sum("loss").over(w).cast("bigint").alias("sl"),
+    )
+    return frames.select(
+        "event_type",
+        "d",
+        "n14",
+        "sg",
+        "sl",
+        F.when(
+            (F.col("n14") == 14) & (F.col("sg") + F.col("sl") > 0),
+            F.expr("(100000000 * sg) DIV (sg + sl)"),
+        ).alias("rsi_e6"),
+    )
+
+
+@query(
+    "ts_sortino_ratio",
+    f"""
+    WITH deltas AS ({_DAILY_DELTA_SQL}
+    ), cells AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(delta) AS BIGINT) AS s_pnl,
+               CAST(SUM(LEAST(delta, 0) * LEAST(delta, 0)) AS BIGINT)
+                   AS sdd
+        FROM deltas WHERE delta IS NOT NULL
+        GROUP BY event_type
+    )
+    SELECT event_type, n_days, s_pnl, sdd,
+           CAST(FLOOR(CAST(s_pnl AS DOUBLE) / n_days) AS BIGINT)
+               AS mean_pnl_e4,
+           CASE WHEN sdd > 0 THEN
+               CAST(FLOOR(SQRT(CAST(sdd AS DOUBLE) / n_days)) AS BIGINT)
+           END AS downside_dev_e4,
+           CASE WHEN sdd > 0 THEN
+               CAST(FLOOR(CAST(s_pnl AS DOUBLE) / n_days
+                          / SQRT(CAST(sdd AS DOUBLE) / n_days)
+                          * 1000000) AS BIGINT)
+           END AS sortino_e6
+    FROM cells ORDER BY event_type
+    """,
+)
+def ts_sortino_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SORTINO ratio per series (round 12 cont.): mean daily P&L over
+    DOWNSIDE deviation √(Σ min(Δ,0)²/n) — the risk-adjusted return
+    that only charges losses, read against the symmetric-vol candle
+    family (a series with identical GK vol but positive skew scores
+    higher here); completes the drawdown/ulcer/vol risk block with
+    the one ratio that uses the SIGN of the moves.
+
+    Exactness: day deltas are exact e4 integers off the shared close
+    tape; n/Σ/Σmin² are exact bigint cells (|Δ|² ≤ ~2.4e13 × ~29 days
+    — far inside int64); mean floors ONE double division (s_pnl can
+    be negative — FLOOR(double), not DIV, per the GK discipline);
+    dev and ratio are one double chain each, written identically and
+    gated on sdd > 0.
+
+    Scale: keyed lag window + a |types|-row group-all — the candle
+    rollup is the only raw-events pass."""
+    deltas = _daily_close_delta(spark, sf_dir).filter(
+        F.col("delta").isNotNull()
+    )
+    neg = F.least(F.col("delta"), F.lit(0))
+    cells = deltas.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum("delta").cast("bigint").alias("s_pnl"),
+        F.sum(neg * neg).cast("bigint").alias("sdd"),
+    )
+    mean = F.col("s_pnl").cast("double") / F.col("n_days")
+    dev = F.sqrt(F.col("sdd").cast("double") / F.col("n_days"))
+    return cells.select(
+        "event_type",
+        "n_days",
+        "s_pnl",
+        "sdd",
+        F.floor(mean).cast("bigint").alias("mean_pnl_e4"),
+        F.when(F.col("sdd") > 0, F.floor(dev).cast("bigint")).alias(
+            "downside_dev_e4"
+        ),
+        F.when(
+            F.col("sdd") > 0,
+            F.floor(mean / dev * 1000000).cast("bigint"),
+        ).alias("sortino_e6"),
+    ).orderBy("event_type")
+
+
+@query(
+    "ts_vwap_anchored",
+    """
+    WITH daily AS (
+        SELECT l_returnflag AS flag,
+               CAST(l_shipdate AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)
+                        * CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT)
+                   AS pv,
+               CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT)
+                   AS v
+        FROM lineitem
+        GROUP BY 1, 2
+    ), cum AS (
+        SELECT flag, day, pv, v,
+               CAST(SUM(pv) OVER w AS BIGINT) AS cum_pv,
+               CAST(SUM(v) OVER w AS BIGINT) AS cum_v
+        FROM daily
+        WINDOW w AS (PARTITION BY flag ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT flag, day, v,
+           CAST((pv * 10000) // v AS BIGINT) AS day_vwap_e6,
+           CAST(FLOOR(CAST(cum_pv AS DOUBLE) / cum_v * 10000) AS BIGINT)
+               AS anchored_vwap_e6
+    FROM cum
+    """,
+)
+def ts_vwap_anchored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily + ANCHORED VWAP per return-flag series (round 12 cont.):
+    the volume-weighted average price Σpq/Σq each day AND cumulative
+    from the series start — the execution-quality benchmark every
+    trading/cost dashboard anchors to, over the lineitem price×qty
+    tape (the one fixture with a real price AND a real volume).
+
+    Exactness: prices are exact cents, quantities exact units (TPC-H
+    integral), so pv/v are exact bigint daily cells; the DAY vwap is
+    one integer division of nonnegatives (pv·1e4 ≤ ~4e17 at sf10 —
+    inside int64; `//`/DIV agree on nonnegatives); the ANCHORED vwap
+    floors ONE double division (cum_pv can exceed 2^53 at sf10 — the
+    int64→double rounding is IEEE-identical in both engines, so
+    parity holds even where doubles round).
+
+    Scale: one (flag, day) rollup over lineitem (map-side partial
+    sums), then a keyed running window on the |flags|×|days|
+    calendar-bounded tape — raw rows are touched exactly once."""
+    li = load(spark, sf_dir, "lineitem")
+    daily = (
+        li.select(
+            F.col("l_returnflag").alias("flag"),
+            F.to_date("l_shipdate").alias("day"),
+            (
+                F.floor(F.col("l_extendedprice") * 100).cast("bigint")
+                * F.floor(F.col("l_quantity")).cast("bigint")
+            ).alias("pq"),
+            F.floor(F.col("l_quantity")).cast("bigint").alias("q"),
+        )
+        .groupBy("flag", "day")
+        .agg(
+            F.sum("pq").cast("bigint").alias("pv"),
+            F.sum("q").cast("bigint").alias("v"),
+        )
+    )
+    w = (
+        Window.partitionBy("flag")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = daily.select(
+        "flag",
+        "day",
+        "pv",
+        "v",
+        F.sum("pv").over(w).cast("bigint").alias("cum_pv"),
+        F.sum("v").over(w).cast("bigint").alias("cum_v"),
+    )
+    return cum.select(
+        "flag",
+        "day",
+        "v",
+        F.expr("(pv * 10000) DIV v").alias("day_vwap_e6"),
+        F.floor(
+            F.col("cum_pv").cast("double") / F.col("cum_v") * 10000
+        )
+        .cast("bigint")
+        .alias("anchored_vwap_e6"),
+    )

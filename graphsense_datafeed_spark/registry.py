@@ -726,6 +726,9 @@ _ROUND12_ADDITIONS = (
     "graph_label_homophily",
     "stream_srm_monitor",
     "sim_lsh_recall_curve",
+    "ts_rsi_sma",
+    "ts_sortino_ratio",
+    "ts_vwap_anchored",
 )
 
 # Landing-order queue for rows that have never been inside a driver

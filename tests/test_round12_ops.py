@@ -298,3 +298,57 @@ def test_homophily_null_near_zero(spark, sf_dir):
     r = QUERIES["graph_label_homophily"](spark, SF01).collect()[0]
     assert 0 <= r["within"] <= r["m"]
     assert abs(r["assortativity_e6"]) < 100000
+
+
+def test_rsi_bounds_and_flat_null(spark, sf_dir):
+    """RSI must live in [0, 100]·e6 on full frames and be NULL on
+    partial frames (n14 < 14)."""
+    rows = QUERIES["ts_rsi_sma"](spark, SF01).collect()
+    assert rows
+    for r in rows:
+        if r["n14"] < 14:
+            assert r["rsi_e6"] is None
+        elif r["rsi_e6"] is not None:
+            assert 0 <= r["rsi_e6"] <= 100000000
+            # identity: rsi = 100e6·sg // (sg+sl)
+            assert r["rsi_e6"] == (100000000 * r["sg"]) // (
+                r["sg"] + r["sl"]
+            )
+
+
+def test_sortino_sign_matches_mean(spark, sf_dir):
+    """Sortino's sign must equal the mean P&L's sign (the denominator
+    is positive), and the dev identity must hold to 1 ulp."""
+    for r in QUERIES["ts_sortino_ratio"](spark, SF01).collect():
+        if r["sortino_e6"] is None:
+            continue
+        if r["s_pnl"] > 0:
+            assert r["sortino_e6"] >= 0
+        if r["s_pnl"] < 0:
+            assert r["sortino_e6"] < 0
+        expect_dev = math.floor(math.sqrt(r["sdd"] / r["n_days"]))
+        assert abs(r["downside_dev_e4"] - expect_dev) <= 1
+
+
+def test_vwap_anchored_converges_to_global(spark, sf_dir):
+    """The LAST anchored vwap per flag must equal the flag's global
+    Σpq·1e4/Σq — the running window's telescoping identity."""
+    rows = QUERIES["ts_vwap_anchored"](spark, SF01).collect()
+    li = load(spark, SF01, "lineitem")
+    glob = {
+        r["flag"]: (r["pv"], r["v"])
+        for r in li.groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100).cast("bigint")
+                * F.floor(F.col("l_quantity")).cast("bigint")
+            ).alias("pv"),
+            F.sum(F.floor(F.col("l_quantity")).cast("bigint")).alias("v"),
+        )
+        .collect()
+    }
+    last: dict[str, object] = {}
+    for r in sorted(rows, key=lambda r: (r["flag"], r["day"])):
+        last[r["flag"]] = r["anchored_vwap_e6"]
+    for flag, (pv, v) in glob.items():
+        assert last[flag] == math.floor(pv / v * 10000)
