@@ -10729,3 +10729,76 @@ def agg_kmv_sketch_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp")
     )
+
+
+@query(
+    "agg_cohens_h",
+    """
+    WITH cell AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_t,
+               CAST(COUNT(*) FILTER (value >= 100.0) AS BIGINT) AS s_t
+        FROM events GROUP BY event_type
+    ), tot AS (
+        SELECT CAST(SUM(n_t) AS BIGINT) AS n,
+               CAST(SUM(s_t) AS BIGINT) AS s
+        FROM cell
+    )
+    SELECT event_type, n_t, s_t,
+           CAST((s_t * 1000000) // n_t AS BIGINT) AS p_self_e6,
+           CAST(((s - s_t) * 1000000) // (n - n_t) AS BIGINT)
+               AS p_rest_e6,
+           CAST(FLOOR((2.0 * ASIN(SQRT(CAST(s_t AS DOUBLE) / n_t))
+                       - 2.0 * ASIN(SQRT(CAST(s - s_t AS DOUBLE)
+                                         / (n - n_t))))
+                      * 1000000) AS BIGINT) AS h_e6
+    FROM cell, tot
+    ORDER BY event_type
+    """,
+)
+def agg_cohens_h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHEN'S H effect size per event type (round 12 cont.):
+    h = 2·asin(√p_self) − 2·asin(√p_rest) for the high-value-event
+    rate of each type against the POOLED REST — the
+    variance-stabilized proportion-difference that completes the
+    effect-size block (cohens_d for means, cliffs_delta/CLES for
+    ranks, this for proportions): unlike the raw difference, equal
+    h means equal detectability at every baseline rate, which is why
+    power calculators take h, not Δp.
+
+    Exactness: cells are exact bigint counts; the two shares are
+    exact integer divisions (nonneg, so `//`/DIV agree); h itself is
+    ONE double chain (sqrt→asin→difference, written identically both
+    sides) floored e6 — asin joins the ln/sqrt/exp libm set the §2.12
+    parity discipline already covers.
+
+    Scale: one keyed rollup over raw events + a 1-ROW totals anchor
+    broadcast-crossed into the |types|-row cell table (allowlisted
+    bnlj: bounded by construction)."""
+    ev = load(spark, sf_dir, "events")
+    cell = ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_t"),
+        F.count_if(F.col("value") >= 100.0).cast("bigint").alias("s_t"),
+    )
+    tot = cell.agg(
+        F.sum("n_t").cast("bigint").alias("n"),
+        F.sum("s_t").cast("bigint").alias("s"),
+    )
+    j = cell.crossJoin(F.broadcast(tot))
+    p_self = F.sqrt(F.col("s_t").cast("double") / F.col("n_t"))
+    p_rest = F.sqrt(
+        (F.col("s") - F.col("s_t")).cast("double")
+        / (F.col("n") - F.col("n_t"))
+    )
+    return j.select(
+        "event_type",
+        "n_t",
+        "s_t",
+        F.expr("(s_t * 1000000) DIV n_t").alias("p_self_e6"),
+        F.expr("((s - s_t) * 1000000) DIV (n - n_t)").alias(
+            "p_rest_e6"
+        ),
+        F.floor((2.0 * F.asin(p_self) - 2.0 * F.asin(p_rest)) * 1000000)
+        .cast("bigint")
+        .alias("h_e6"),
+    ).orderBy("event_type")

@@ -12065,3 +12065,174 @@ def ts_vwap_anchored(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("anchored_vwap_e6"),
     )
+
+
+# SPRT literals, computed once and shared verbatim by both engines:
+# H0: p = 0.10 vs H1: p = 0.12 (one-sided uplift), alpha = beta = 0.05.
+# L1 = ln(p1/p0), L0 = ln((1-p1)/(1-p0)); Wald boundaries
+# lnA = ln((1-beta)/alpha), lnB = ln(beta/(1-alpha)). All floored e6
+# INTEGER literals so the whole monitor is integer-exact.
+_SPRT_L1_E6 = 182321
+_SPRT_L0_E6 = -22473
+_SPRT_LNA_E6 = 2944438
+_SPRT_LNB_E6 = -2944439
+
+
+@query(
+    "events_sprt_monitor",
+    f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS n_trials,
+               CAST(COUNT(*) FILTER (value >= 100.0) AS BIGINT)
+                   AS n_success
+        FROM events GROUP BY 1, 2
+    ), llr AS (
+        SELECT event_type, d, n_trials, n_success,
+               CAST(n_success * {_SPRT_L1_E6}
+                    + (n_trials - n_success) * {_SPRT_L0_E6} AS BIGINT)
+                   AS llr_day_e6
+        FROM daily
+    ), cum AS (
+        SELECT event_type, d, n_trials, n_success, llr_day_e6,
+               CAST(SUM(llr_day_e6) OVER (PARTITION BY event_type
+                                          ORDER BY d) AS BIGINT)
+                   AS cum_llr_e6
+        FROM llr
+    )
+    SELECT event_type, d, n_trials, n_success, llr_day_e6, cum_llr_e6,
+           CASE WHEN cum_llr_e6 >= {_SPRT_LNA_E6} THEN 'accept_h1'
+                WHEN cum_llr_e6 <= {_SPRT_LNB_E6} THEN 'accept_h0'
+                ELSE 'continue' END AS state
+    FROM cum
+    """,
+)
+def events_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WALD SPRT monitor per series (round 12 cont.): the sequential
+    probability ratio test H0: p=0.10 vs H1: p=0.12 on the daily
+    high-value-event rate, with the cumulative log-likelihood ratio
+    walked against the (0.05, 0.05) Wald boundaries — the
+    always-valid sequential complement of events_power_sample_size's
+    FIXED-horizon design (SPRT needs ~half the samples on average)
+    and the decision layer events_ab_srm_check's health gate feeds.
+
+    Exactness: ALL-INTEGER — the per-day LLR is s·L1 + (n−s)·L0 with
+    L1/L0/lnA/lnB floored-e6 Python literals shared verbatim by both
+    engines (no runtime ln anywhere); the cumulative sum is an exact
+    bigint keyed window; the verdict is integer comparisons.
+
+    Scale: one (type, day) rollup over raw events (map-side
+    combinable), then a keyed running window on the calendar-bounded
+    |types|×|days| tape."""
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_trials"),
+            F.count_if(F.col("value") >= 100.0)
+            .cast("bigint")
+            .alias("n_success"),
+        )
+    )
+    llr = daily.withColumn(
+        "llr_day_e6",
+        (
+            F.col("n_success") * _SPRT_L1_E6
+            + (F.col("n_trials") - F.col("n_success")) * _SPRT_L0_E6
+        ).cast("bigint"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = llr.withColumn(
+        "cum_llr_e6", F.sum("llr_day_e6").over(w).cast("bigint")
+    )
+    return cum.select(
+        "event_type",
+        "d",
+        "n_trials",
+        "n_success",
+        "llr_day_e6",
+        "cum_llr_e6",
+        F.when(F.col("cum_llr_e6") >= _SPRT_LNA_E6, F.lit("accept_h1"))
+        .when(F.col("cum_llr_e6") <= _SPRT_LNB_E6, F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+        .alias("state"),
+    )
+
+
+@query(
+    "ts_theil_u2_snaive",
+    f"""
+    WITH closes AS ({_DAILY_OHLC_SQL}
+    ), lagged AS (
+        SELECT event_type, d, c1,
+               lag(c1, 1) OVER w AS c_1,
+               lag(c1, 7) OVER w AS c_7
+        FROM closes
+        WINDOW w AS (PARTITION BY event_type ORDER BY d)
+    ), cells AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM((c1 - c_7) * (c1 - c_7)) AS BIGINT) AS sse_model,
+               CAST(SUM((c1 - c_1) * (c1 - c_1)) AS BIGINT) AS sse_naive
+        FROM lagged
+        WHERE c_1 IS NOT NULL AND c_7 IS NOT NULL
+        GROUP BY event_type
+    )
+    SELECT event_type, n_days, sse_model, sse_naive,
+           CASE WHEN sse_naive > 0 THEN
+               CAST(FLOOR(SQRT(CAST(sse_model AS DOUBLE) / sse_naive)
+                          * 1000000) AS BIGINT)
+           END AS u2_e6
+    FROM cells ORDER BY event_type
+    """,
+)
+def ts_theil_u2_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THEIL'S U2 for the seasonal-naive forecaster (round 12 cont.):
+    √(Σ(c_d−c_{d−7})²/Σ(c_d−c_{d−1})²) — the seasonal-naive model's
+    error relative to the plain random walk, the scale-free cousin of
+    ts_mase (which normalizes by MAE; U2 by the naive RMSE, so it
+    punishes large misses harder).  U2 < 1e6 means weekly seasonality
+    genuinely helps; > 1e6 means lag-7 is WORSE than yesterday's
+    value — a seasonality detector phrased as forecast skill.
+
+    Exactness: both SSEs are exact bigint sums of squared e4-integer
+    differences over the SAME valid-day set (both lags non-NULL); the
+    ratio+sqrt is ONE gated double chain floored e6.
+
+    Scale: one keyed two-lag window + a |types|-row rollup on the
+    calendar-bounded daily tape."""
+    ohlc = _daily_ohlc(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("d")
+    lagged = ohlc.select(
+        "event_type",
+        "c1",
+        F.lag("c1", 1).over(w).alias("c_1"),
+        F.lag("c1", 7).over(w).alias("c_7"),
+    ).filter(F.col("c_1").isNotNull() & F.col("c_7").isNotNull())
+    em = F.col("c1") - F.col("c_7")
+    en = F.col("c1") - F.col("c_1")
+    cells = lagged.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum(em * em).cast("bigint").alias("sse_model"),
+        F.sum(en * en).cast("bigint").alias("sse_naive"),
+    )
+    return cells.select(
+        "event_type",
+        "n_days",
+        "sse_model",
+        "sse_naive",
+        F.when(
+            F.col("sse_naive") > 0,
+            F.floor(
+                F.sqrt(
+                    F.col("sse_model").cast("double")
+                    / F.col("sse_naive")
+                )
+                * 1000000
+            ).cast("bigint"),
+        ).alias("u2_e6"),
+    ).orderBy("event_type")

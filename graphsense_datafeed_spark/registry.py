@@ -729,6 +729,9 @@ _ROUND12_ADDITIONS = (
     "ts_rsi_sma",
     "ts_sortino_ratio",
     "ts_vwap_anchored",
+    "events_sprt_monitor",
+    "ts_theil_u2_snaive",
+    "agg_cohens_h",
 )
 
 # Landing-order queue for rows that have never been inside a driver

@@ -352,3 +352,71 @@ def test_vwap_anchored_converges_to_global(spark, sf_dir):
         last[r["flag"]] = r["anchored_vwap_e6"]
     for flag, (pv, v) in glob.items():
         assert last[flag] == math.floor(pv / v * 10000)
+
+
+def test_sprt_monitor_integer_identities(spark, sf_dir):
+    """Day LLR must equal s*L1+(n-s)*L0 exactly; the cumulative walk
+    must be monotone-consistent with its parts and the verdict must
+    match the boundary comparisons."""
+    from graphsense_datafeed_spark.operators.timeseries import (
+        _SPRT_L0_E6,
+        _SPRT_L1_E6,
+        _SPRT_LNA_E6,
+        _SPRT_LNB_E6,
+    )
+
+    rows = QUERIES["events_sprt_monitor"](spark, SF01).collect()
+    assert rows
+    cum: dict[str, int] = {}
+    for r in sorted(rows, key=lambda r: (r["event_type"], r["d"])):
+        expect = (
+            r["n_success"] * _SPRT_L1_E6
+            + (r["n_trials"] - r["n_success"]) * _SPRT_L0_E6
+        )
+        assert r["llr_day_e6"] == expect
+        cum[r["event_type"]] = cum.get(r["event_type"], 0) + expect
+        assert r["cum_llr_e6"] == cum[r["event_type"]]
+        if r["cum_llr_e6"] >= _SPRT_LNA_E6:
+            assert r["state"] == "accept_h1"
+        elif r["cum_llr_e6"] <= _SPRT_LNB_E6:
+            assert r["state"] == "accept_h0"
+        else:
+            assert r["state"] == "continue"
+
+
+def test_cohens_h_sign_and_magnitude(spark, sf_dir):
+    """h must share the sign of p_self - p_rest and match the asin
+    formula recomputed in pure python."""
+    for r in QUERIES["agg_cohens_h"](spark, SF01).collect():
+        p_s = r["s_t"] / r["n_t"]
+        expect = math.floor(
+            (
+                2 * math.asin(math.sqrt(p_s))
+                - 2 * math.asin(math.sqrt(r["p_rest_e6"] / 1e6))
+            )
+            * 1e6
+        )
+        # p_rest is quantized e6 in the readout; allow the 1e-6 slack
+        assert abs(r["h_e6"] - expect) <= 5
+        if r["p_self_e6"] > r["p_rest_e6"]:
+            assert r["h_e6"] >= 0
+        if r["p_self_e6"] < r["p_rest_e6"]:
+            assert r["h_e6"] <= 0
+
+
+def test_theil_u2_vs_brute(spark, sf_dir):
+    """U2 must equal the brute-force ratio off the same candle tape."""
+    from graphsense_datafeed_spark.operators.timeseries import _daily_ohlc
+
+    tape: dict[str, list[int]] = {}
+    for r in sorted(
+        _daily_ohlc(spark, SF01).collect(), key=lambda r: (r["event_type"], r["d"])
+    ):
+        tape.setdefault(r["event_type"], []).append(r["c1"])
+    for r in QUERIES["ts_theil_u2_snaive"](spark, SF01).collect():
+        c = tape[r["event_type"]]
+        sm = sum((c[i] - c[i - 7]) ** 2 for i in range(7, len(c)))
+        sn = sum((c[i] - c[i - 1]) ** 2 for i in range(7, len(c)))
+        assert r["sse_model"] == sm and r["sse_naive"] == sn
+        if sn > 0:
+            assert r["u2_e6"] == math.floor(math.sqrt(sm / sn) * 1e6)
