@@ -10802,3 +10802,140 @@ def agg_cohens_h(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("h_e6"),
     ).orderBy("event_type")
+
+
+@query(
+    "agg_theil_u",
+    """
+    WITH cells AS (
+        SELECT event_type AS y,
+               CAST(FLOOR(EXTRACT(hour FROM ts) / 6) AS BIGINT) AS x,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ), marg AS (
+        SELECT x, y, c,
+               CAST(SUM(c) OVER (PARTITION BY y) AS BIGINT) AS r_y,
+               CAST(SUM(c) OVER (PARTITION BY x) AS BIGINT) AS c_x,
+               CAST(SUM(c) OVER () AS BIGINT) AS n
+        FROM cells
+    ), mi AS (
+        SELECT MAX(n) AS n,
+               CAST(SUM(CAST(FLOOR(CAST(c AS DOUBLE) / n
+                        * ln(CAST(c AS DOUBLE) * n
+                             / (CAST(r_y AS DOUBLE) * c_x))
+                        * 1000000000) AS BIGINT)) AS BIGINT) AS i_e9
+        FROM marg
+    ), hy AS (
+        SELECT CAST(SUM(CAST(FLOOR(-(CAST(r_y AS DOUBLE) / n)
+                        * ln(CAST(r_y AS DOUBLE) / n)
+                        * 1000000000) AS BIGINT)) AS BIGINT) AS hy_e9
+        FROM (SELECT DISTINCT y, r_y, n FROM marg)
+    ), hx AS (
+        SELECT CAST(SUM(CAST(FLOOR(-(CAST(c_x AS DOUBLE) / n)
+                        * ln(CAST(c_x AS DOUBLE) / n)
+                        * 1000000000) AS BIGINT)) AS BIGINT) AS hx_e9
+        FROM (SELECT DISTINCT x, c_x, n FROM marg)
+    )
+    SELECT n, i_e9, hy_e9, hx_e9,
+           CASE WHEN hy_e9 > 0 THEN
+               CAST((GREATEST(i_e9, 0) * 1000000) // hy_e9 AS BIGINT)
+           END AS u_y_given_x_e6,
+           CASE WHEN hx_e9 > 0 THEN
+               CAST((GREATEST(i_e9, 0) * 1000000) // hx_e9 AS BIGINT)
+           END AS u_x_given_y_e6
+    FROM mi, hy, hx
+    """,
+)
+def agg_theil_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THEIL'S UNCERTAINTY COEFFICIENT both ways (round 12 cont.):
+    U(Y|X) = I(X;Y)/H(Y) and U(X|Y) = I/H(X) on the same type ×
+    daypart table as agg_mutual_information — the DIRECTIONAL [0,1]
+    normalization the symmetric family (MI nats, Cramér's V) cannot
+    express: "knowing the daypart removes u% of the uncertainty
+    about the event type" is an asymmetric claim, and U(Y|X) ≠
+    U(X|Y) precisely when the margins are uneven.
+
+    Exactness: mirrors the MI discipline — exact bigint cells and
+    margins; each MI cell term and each margin entropy term evaluates
+    in ONE double expression floored e9 BEFORE the order-free bigint
+    sum; the two U readouts are exact integer divisions of the e9
+    sums (nonneg numerator: I ≥ 0 up to term-flooring, gated on
+    positive entropy; i_e9 can be -|cells| at worst from floors, and
+    `//`/DIV agree only on nonneg — so the division is gated and
+    GREATEST(i_e9,0) feeds it both sides).
+
+    Scale: one map-side count to |types|×4 cells; margins and
+    entropies run on the cell table (allowlisted pre-reduced global
+    window, bounded by the category domain)."""
+    ev = load(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.col("event_type").alias("y"),
+        F.floor(F.hour("ts") / 6).cast("bigint").alias("x"),
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    w_y = Window.partitionBy("y")
+    w_x = Window.partitionBy("x")
+    w_all = Window.partitionBy()
+    marg = cells.select(
+        "x",
+        "y",
+        "c",
+        F.sum("c").over(w_y).cast("bigint").alias("r_y"),
+        F.sum("c").over(w_x).cast("bigint").alias("c_x"),
+        F.sum("c").over(w_all).cast("bigint").alias("n"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    mi_term = F.floor(
+        d("c")
+        / F.col("n")
+        * F.log(d("c") * F.col("n") / (d("r_y") * F.col("c_x")))
+        * 1000000000
+    ).cast("bigint")
+    mi = marg.agg(
+        F.max("n").alias("n"),
+        F.sum(mi_term).cast("bigint").alias("i_e9"),
+    )
+    hy = (
+        marg.select("y", "r_y", "n")
+        .distinct()
+        .agg(
+            F.sum(
+                F.floor(
+                    -(d("r_y") / F.col("n"))
+                    * F.log(d("r_y") / F.col("n"))
+                    * 1000000000
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("hy_e9")
+        )
+    )
+    hx = (
+        marg.select("x", "c_x", "n")
+        .distinct()
+        .agg(
+            F.sum(
+                F.floor(
+                    -(d("c_x") / F.col("n"))
+                    * F.log(d("c_x") / F.col("n"))
+                    * 1000000000
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("hx_e9")
+        )
+    )
+    j = mi.crossJoin(F.broadcast(hy)).crossJoin(F.broadcast(hx))
+    return j.select(
+        "n",
+        "i_e9",
+        "hy_e9",
+        "hx_e9",
+        F.when(
+            F.col("hy_e9") > 0,
+            F.expr("(GREATEST(i_e9, 0L) * 1000000) DIV hy_e9"),
+        ).alias("u_y_given_x_e6"),
+        F.when(
+            F.col("hx_e9") > 0,
+            F.expr("(GREATEST(i_e9, 0L) * 1000000) DIV hx_e9"),
+        ).alias("u_x_given_y_e6"),
+    )

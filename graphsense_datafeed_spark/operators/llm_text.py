@@ -6595,3 +6595,148 @@ def text_ttr_by_length_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "band")
     )
+
+
+@query(
+    "text_rater_agreement_krippendorff",
+    """
+    WITH rated AS (
+        SELECT
+            CASE WHEN n_chars < 200 THEN 0
+                 WHEN n_chars < 500 THEN 1 ELSE 2 END AS r_a,
+            CASE WHEN len(str_split(text, ' ')) < 40 THEN 0
+                 WHEN len(str_split(text, ' ')) < 100 THEN 1
+                 ELSE 2 END AS r_b,
+            CASE WHEN n_chars
+                      + CAST(CAST('0x' || substr(md5(CAST(doc_id
+                                 AS VARCHAR)), 1, 2) AS BIGINT) - 128
+                             AS BIGINT) < 200 THEN 0
+                 WHEN n_chars
+                      + CAST(CAST('0x' || substr(md5(CAST(doc_id
+                                 AS VARCHAR)), 1, 2) AS BIGINT) - 128
+                             AS BIGINT) < 500 THEN 1
+                 ELSE 2 END AS r_c
+        FROM documents
+    ), counts AS (
+        SELECT CAST((r_a = 0)::INT + (r_b = 0)::INT + (r_c = 0)::INT
+                    AS BIGINT) AS n0,
+               CAST((r_a = 1)::INT + (r_b = 1)::INT + (r_c = 1)::INT
+                    AS BIGINT) AS n1,
+               CAST((r_a = 2)::INT + (r_b = 2)::INT + (r_c = 2)::INT
+                    AS BIGINT) AS n2
+        FROM rated
+    ), cells AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_units,
+               CAST(SUM(3 - (n0 * (n0 - 1) + n1 * (n1 - 1)
+                             + n2 * (n2 - 1)) / 2) AS BIGINT) AS sdis,
+               CAST(SUM(n0) AS BIGINT) AS m0,
+               CAST(SUM(n1) AS BIGINT) AS m1,
+               CAST(SUM(n2) AS BIGINT) AS m2
+        FROM counts
+    )
+    SELECT n_units, sdis, m0, m1, m2,
+           CAST(FLOOR(CAST(sdis AS DOUBLE) / (3 * n_units)
+                      * 1000000000) AS BIGINT) AS do_e9,
+           CAST(FLOOR((CAST(3 * n_units AS DOUBLE) * (3 * n_units)
+                       - (CAST(m0 AS DOUBLE) * m0
+                          + CAST(m1 AS DOUBLE) * m1
+                          + CAST(m2 AS DOUBLE) * m2))
+                      / (CAST(3 * n_units AS DOUBLE)
+                         * (3 * n_units - 1))
+                      * 1000000000) AS BIGINT) AS de_e9,
+           CAST(FLOOR((1.0 - (CAST(sdis AS DOUBLE) / (3 * n_units))
+                             / ((CAST(3 * n_units AS DOUBLE)
+                                 * (3 * n_units)
+                                 - (CAST(m0 AS DOUBLE) * m0
+                                    + CAST(m1 AS DOUBLE) * m1
+                                    + CAST(m2 AS DOUBLE) * m2))
+                                / (CAST(3 * n_units AS DOUBLE)
+                                   * (3 * n_units - 1))))
+                      * 1000000) AS BIGINT) AS alpha_e6
+    FROM cells
+    """,
+)
+def text_rater_agreement_krippendorff(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """KRIPPENDORFF'S ALPHA, nominal metric (round 12 cont.), over
+    the SAME three deterministic quality raters as
+    text_rater_agreement_fleiss — the reliability coefficient content
+    analysis standardized on: alpha = 1 − Do/De with De computed from
+    the POOLED value distribution with the (n−1) small-sample
+    correction, where Fleiss' chance model uses per-category
+    products.  On big N the two converge; the referee asserts both
+    the convergence and the exact disagreement identities.
+
+    Exactness: per-unit category counts are exact ints, so
+    disagreeing pairs per unit = 3 − ΣC(n_k,2) is exact (the /2 is an
+    even integer's halving — exact in both engines); Do, De and alpha
+    are double chains floored e9/e9/e6 written identically (the
+    margin squares stay < 2^53 through sf10: m_k ≤ 3·|docs| ≈ 4e7,
+    squared ≈ 1.6e15 — cast double BEFORE the multiply both sides).
+
+    Scale: one corpus pass (three CASE raters, 5-integer global
+    fold) — map-side combinable, 1-row finish; no shuffle beyond the
+    final readout."""
+    docs = load(spark, sf_dir, "documents")
+    jitter = (
+        F.conv(
+            F.substring(
+                F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        - 128
+    )
+    n_tok = F.size(F.split("text", " "))
+
+    def tercile(x, lo, hi):
+        return F.when(x < lo, 0).when(x < hi, 1).otherwise(2)
+
+    rated = docs.select(
+        tercile(F.col("n_chars"), F.lit(200), F.lit(500)).alias("r_a"),
+        tercile(n_tok, F.lit(40), F.lit(100)).alias("r_b"),
+        tercile(F.col("n_chars") + jitter, F.lit(200), F.lit(500)).alias(
+            "r_c"
+        ),
+    )
+    cnt = lambda k: (  # noqa: E731
+        (F.col("r_a") == k).cast("bigint")
+        + (F.col("r_b") == k).cast("bigint")
+        + (F.col("r_c") == k).cast("bigint")
+    )
+    counts = rated.select(
+        cnt(0).alias("n0"), cnt(1).alias("n1"), cnt(2).alias("n2")
+    )
+    pairs_agree = (
+        F.col("n0") * (F.col("n0") - 1)
+        + F.col("n1") * (F.col("n1") - 1)
+        + F.col("n2") * (F.col("n2") - 1)
+    ) / 2
+    cells = counts.agg(
+        F.count("*").cast("bigint").alias("n_units"),
+        F.sum(F.lit(3) - pairs_agree).cast("bigint").alias("sdis"),
+        F.sum("n0").cast("bigint").alias("m0"),
+        F.sum("n1").cast("bigint").alias("m1"),
+        F.sum("n2").cast("bigint").alias("m2"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    nv = 3 * F.col("n_units")
+    do = d("sdis") / nv
+    de = (
+        nv.cast("double") * nv
+        - (d("m0") * F.col("m0") + d("m1") * F.col("m1") + d("m2") * F.col("m2"))
+    ) / (nv.cast("double") * (nv - 1))
+    return cells.select(
+        "n_units",
+        "sdis",
+        "m0",
+        "m1",
+        "m2",
+        F.floor(do * 1000000000).cast("bigint").alias("do_e9"),
+        F.floor(de * 1000000000).cast("bigint").alias("de_e9"),
+        F.floor((1.0 - do / de) * 1000000).cast("bigint").alias(
+            "alpha_e6"
+        ),
+    )

@@ -732,6 +732,8 @@ _ROUND12_ADDITIONS = (
     "events_sprt_monitor",
     "ts_theil_u2_snaive",
     "agg_cohens_h",
+    "agg_theil_u",
+    "text_rater_agreement_krippendorff",
 )
 
 # Landing-order queue for rows that have never been inside a driver

@@ -420,3 +420,35 @@ def test_theil_u2_vs_brute(spark, sf_dir):
         assert r["sse_model"] == sm and r["sse_naive"] == sn
         if sn > 0:
             assert r["u2_e6"] == math.floor(math.sqrt(sm / sn) * 1e6)
+
+
+def test_theil_u_bounds_and_identity(spark, sf_dir):
+    """Both U readouts live in [0, 1e6]; the asymmetry follows the
+    entropy ordering (U(Y|X)·H(Y) == U(X|Y)·H(X) == I up to floor)."""
+    r = QUERIES["agg_theil_u"](spark, SF01).collect()[0]
+    assert r["i_e9"] >= -100  # floor noise only
+    for u in (r["u_y_given_x_e6"], r["u_x_given_y_e6"]):
+        assert u is None or 0 <= u <= 1000000
+    if r["hy_e9"] > 0:
+        assert r["u_y_given_x_e6"] == (
+            max(r["i_e9"], 0) * 1000000
+        ) // r["hy_e9"]
+
+
+def test_krippendorff_converges_to_fleiss(spark, sf_dir):
+    """On thousands of units the (n-1) correction is negligible:
+    alpha and Fleiss' kappa must agree within 0.02, and the identity
+    alpha = 1 - Do/De must hold exactly at the floored readouts."""
+    ka = QUERIES["text_rater_agreement_krippendorff"](
+        spark, SF01
+    ).collect()[0]
+    assert ka["do_e9"] >= 0 and ka["de_e9"] > 0
+    expect = math.floor((1.0 - (ka["sdis"] / (3 * ka["n_units"])) / (
+        ((3 * ka["n_units"]) ** 2
+         - (ka["m0"] ** 2 + ka["m1"] ** 2 + ka["m2"] ** 2))
+        / ((3 * ka["n_units"]) * (3 * ka["n_units"] - 1))
+    )) * 1e6)
+    assert abs(ka["alpha_e6"] - expect) <= 2
+    fl = QUERIES["text_rater_agreement_fleiss"](spark, SF01).collect()[0]
+    kap = [v for k, v in fl.asDict().items() if "kappa" in k][0]
+    assert abs(ka["alpha_e6"] - kap) <= 20000
