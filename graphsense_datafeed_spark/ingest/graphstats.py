@@ -2844,3 +2844,141 @@ def graph_label_homophily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("assortativity_e6"),
     )
+
+
+@query(
+    "graph_triad_census_directed",
+    f"""
+    WITH txio AS (
+        SELECT (tx).tx_hash AS tx_hash,
+               (tx).inputs AS inputs, (tx).outputs AS outputs
+        FROM (SELECT unnest(txs) AS tx FROM {_DUCK_BLOCKS})
+        WHERE NOT (tx).coinbase
+    ), ins AS (
+        SELECT tx_hash, (i).address[1] AS src
+        FROM (SELECT tx_hash, unnest(inputs) AS i FROM txio)
+    ), outs AS (
+        SELECT tx_hash, (o).address[1] AS dst
+        FROM (SELECT tx_hash, unnest(outputs) AS o FROM txio)
+    ), dedges AS (
+        SELECT DISTINCT i.src, o.dst
+        FROM ins i JOIN outs o USING (tx_hash)
+        WHERE i.src <> o.dst
+    ), paths AS (
+        SELECT e1.src AS a, e1.dst AS b, e2.dst AS c,
+               (c3.src IS NOT NULL) AS cyc,
+               (t3.src IS NOT NULL) AS tra
+        FROM dedges e1
+        JOIN dedges e2 ON e2.src = e1.dst AND e2.dst <> e1.src
+        LEFT JOIN dedges c3 ON c3.src = e2.dst AND c3.dst = e1.src
+        LEFT JOIN dedges t3 ON t3.src = e1.src AND t3.dst = e2.dst
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_paths2,
+           CAST(COUNT(*) FILTER (cyc) AS BIGINT) AS n_cyclic_closed,
+           CAST(COUNT(*) FILTER (tra) AS BIGINT) AS n_transitive_closed,
+           CAST(COUNT(*) FILTER (cyc) // 3 AS BIGINT)
+               AS n_cyclic_triangles,
+           CASE WHEN COUNT(*) FILTER (cyc OR tra) > 0 THEN
+               CAST((COUNT(*) FILTER (tra) * 1000000)
+                    // (COUNT(*) FILTER (cyc) + COUNT(*) FILTER (tra))
+                    AS BIGINT)
+           END AS transitive_share_e6
+    FROM paths
+    """,
+)
+def graph_triad_census_directed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DIRECTED triad census on the address-FLOW graph (round 12
+    cont.): of all length-2 directed payment paths a→b→c (a≠c), how
+    many close CYCLICALLY (c→a — value returns to its origin:
+    churn/mixing loops) vs TRANSITIVELY (a→c — a shortcut alongside
+    the 2-hop route: hierarchy)?  The directed refinement of
+    graph_triangle_count/graph_transitivity_global, and the
+    feedforward-vs-feedback wiring signature network biology calls
+    the FFL census — a laundering graph skews cyclic, an
+    exchange-hub graph skews transitive.
+
+    Exactness: ALL-INTEGER — distinct directed edges (same fabric as
+    graph_reciprocity), exact path/closure counts, cyclic count is
+    divisible by 3 by construction (each 3-cycle closes from each of
+    its 3 rotations) so `// 3` is exact division; the share is an
+    integer division of nonnegatives.
+
+    Scale: e1⋈e2 shuffles once on the shared node key; the two
+    closure probes are equi self-joins on existing edge keys — never
+    a pair/triple enumeration beyond real paths (the standard
+    distributed triangle-join program, direction-aware)."""
+    raw = read_blocks_json(spark)
+    txio = (
+        raw.select(F.explode("txs").alias("tx"))
+        .filter(~F.col("tx.coinbase"))
+        .select(
+            F.col("tx.tx_hash").alias("tx_hash"),
+            F.col("tx.inputs").alias("inputs"),
+            F.col("tx.outputs").alias("outputs"),
+        )
+    )
+    ins = txio.select("tx_hash", F.explode("inputs").alias("i")).select(
+        "tx_hash", F.col("i.address")[0].alias("src")
+    )
+    outs = txio.select("tx_hash", F.explode("outputs").alias("o")).select(
+        "tx_hash", F.col("o.address")[0].alias("dst")
+    )
+    dedges = (
+        ins.join(outs, "tx_hash")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    e1 = dedges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = dedges.select(F.col("src").alias("b2"), F.col("dst").alias("c"))
+    paths = e1.join(e2, (F.col("b") == F.col("b2"))).filter(
+        F.col("c") != F.col("a")
+    )
+    c3 = dedges.select(
+        F.col("src").alias("c3s"),
+        F.col("dst").alias("c3d"),
+        F.lit(True).alias("cyc"),
+    )
+    t3 = dedges.select(
+        F.col("src").alias("t3s"),
+        F.col("dst").alias("t3d"),
+        F.lit(True).alias("tra"),
+    )
+    flagged = (
+        paths.join(
+            c3,
+            (F.col("c3s") == F.col("c")) & (F.col("c3d") == F.col("a")),
+            "left",
+        )
+        .join(
+            t3,
+            (F.col("t3s") == F.col("a")) & (F.col("t3d") == F.col("c")),
+            "left",
+        )
+        .select(
+            F.coalesce(F.col("cyc"), F.lit(False)).alias("cyc"),
+            F.coalesce(F.col("tra"), F.lit(False)).alias("tra"),
+        )
+    )
+    agg = flagged.agg(
+        F.count("*").cast("bigint").alias("n_paths2"),
+        F.count_if(F.col("cyc")).cast("bigint").alias("n_cyclic_closed"),
+        F.count_if(F.col("tra"))
+        .cast("bigint")
+        .alias("n_transitive_closed"),
+    )
+    return agg.select(
+        "n_paths2",
+        "n_cyclic_closed",
+        "n_transitive_closed",
+        F.expr("n_cyclic_closed DIV 3").alias("n_cyclic_triangles"),
+        F.when(
+            F.col("n_cyclic_closed") + F.col("n_transitive_closed") > 0,
+            F.expr(
+                "(n_transitive_closed * 1000000)"
+                " DIV (n_cyclic_closed + n_transitive_closed)"
+            ),
+        ).alias("transitive_share_e6"),
+    )

@@ -734,6 +734,8 @@ _ROUND12_ADDITIONS = (
     "agg_cohens_h",
     "agg_theil_u",
     "text_rater_agreement_krippendorff",
+    "graph_triad_census_directed",
+    "sink_merge_upsert",
 )
 
 # Landing-order queue for rows that have never been inside a driver

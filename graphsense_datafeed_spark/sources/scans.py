@@ -1587,3 +1587,104 @@ def scan_csv_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .csv(csv_path)
         .select("n_nationkey", "n_name", "n_comment_ml")
     )
+
+
+@query(
+    "sink_merge_upsert",
+    """
+    WITH target AS (
+        SELECT c_custkey,
+               c_name,
+               CAST(ROUND(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+               c_mktsegment
+        FROM customer
+    ), updates AS (
+        SELECT c_custkey FROM target WHERE c_custkey % 7 = 0
+    ), inserts AS (
+        SELECT -(c_custkey + 1) AS c_custkey,
+               'Customer#NEW' || CAST(c_custkey AS VARCHAR) AS c_name,
+               CAST(0 AS BIGINT) AS acctbal_cents,
+               'NEWSEG' AS c_mktsegment
+        FROM target WHERE c_custkey % 97 = 0
+    )
+    SELECT t.c_custkey, t.c_name,
+           CAST(t.acctbal_cents
+                + CASE WHEN u.c_custkey IS NOT NULL THEN 10000
+                       ELSE 0 END AS BIGINT) AS acctbal_cents,
+           t.c_mktsegment,
+           CASE WHEN u.c_custkey IS NOT NULL THEN 'update'
+                ELSE 'keep' END AS action
+    FROM target t LEFT JOIN updates u USING (c_custkey)
+    UNION ALL
+    SELECT c_custkey, c_name, acctbal_cents, c_mktsegment,
+           'insert' AS action
+    FROM inserts
+    """,
+)
+def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MERGE INTO semantics through the parquet sink (round 12
+    cont.): WHEN MATCHED THEN UPDATE (acctbal +100.00 for the
+    key%7=0 change feed), WHEN NOT MATCHED THEN INSERT (key −(k+1)
+    synthetic arrivals — strictly negative even for key 0) — the lakehouse upsert primitive
+    stream_cdc_apply exercises incrementally, here as the one-shot
+    batch form, WRITE-VERIFIED: the merged table round-trips through
+    a parquet sink and the returned frame is the re-READ result, so
+    any writer/reader asymmetry hash-fails against the relational
+    oracle (the sink_csv_roundtrip discipline on the merge shape).
+
+    Exactness: balances are exact cents (round-half-up parity per
+    §2.12 on the .5-free TPC-H domain); actions are integer-key set
+    logic; insert keys are −(k+1) — deterministic, strictly
+    negative (key 0 exists in the fixture), collision-free with the
+    nonnegative target domain by construction.
+
+    Scale: the matched probe is a key-equi join (broadcastable change
+    feed at real change rates); the insert branch unions map-side;
+    the parquet write is partition-parallel.  MERGE at 100 TB is
+    exactly this plan plus dynamic partition overwrite on the
+    touched partitions (sink_partitioned_overwrite)."""
+    ensure_runtime_confs(spark)
+    target = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias(
+            "acctbal_cents"
+        ),
+        "c_mktsegment",
+    )
+    updates = target.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey", F.lit(True).alias("matched")
+    )
+    merged = (
+        target.join(updates, "c_custkey", "left")
+        .select(
+            "c_custkey",
+            "c_name",
+            (
+                F.col("acctbal_cents")
+                + F.when(F.col("matched"), 10000).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("acctbal_cents"),
+            "c_mktsegment",
+            F.when(F.col("matched"), F.lit("update"))
+            .otherwise(F.lit("keep"))
+            .alias("action"),
+        )
+    )
+    inserts = target.filter(F.col("c_custkey") % 97 == 0).select(
+        (-(F.col("c_custkey") + 1)).cast("bigint").alias("c_custkey"),
+        F.concat(
+            F.lit("Customer#NEW"), F.col("c_custkey").cast("string")
+        ).alias("c_name"),
+        F.lit(0).cast("bigint").alias("acctbal_cents"),
+        F.lit("NEWSEG").alias("c_mktsegment"),
+        F.lit("insert").alias("action"),
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "gds_merge_upsert",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    merged.unionByName(inserts).write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)

@@ -452,3 +452,38 @@ def test_krippendorff_converges_to_fleiss(spark, sf_dir):
     fl = QUERIES["text_rater_agreement_fleiss"](spark, SF01).collect()[0]
     kap = [v for k, v in fl.asDict().items() if "kappa" in k][0]
     assert abs(ka["alpha_e6"] - kap) <= 20000
+
+
+def test_triad_census_identities(spark, sf_dir):
+    """Cyclic closed-path count must be divisible by 3 (rotation
+    symmetry) and closures can never exceed paths."""
+    r = QUERIES["graph_triad_census_directed"](spark, SF01).collect()[0]
+    assert r["n_cyclic_closed"] % 3 == 0
+    assert r["n_cyclic_triangles"] * 3 == r["n_cyclic_closed"]
+    assert 0 <= r["n_cyclic_closed"] <= r["n_paths2"]
+    assert 0 <= r["n_transitive_closed"] <= r["n_paths2"]
+    if r["transitive_share_e6"] is not None:
+        assert 0 <= r["transitive_share_e6"] <= 1000000
+
+
+def test_merge_upsert_action_accounting(spark, sf_dir):
+    """Merged row count = |target| + |inserts|; every key%7==0 target
+    row is an update with exactly +10000 cents; inserts carry
+    negative keys only."""
+    out = QUERIES["sink_merge_upsert"](spark, SF01)
+    tgt = load(spark, SF01, "customer")
+    n_tgt = tgt.count()
+    n_ins = tgt.filter(F.col("c_custkey") % 97 == 0).count()
+    n_upd = tgt.filter(F.col("c_custkey") % 7 == 0).count()
+    acts = {
+        r["action"]: r["n"]
+        for r in out.groupBy("action").agg(F.count("*").alias("n")).collect()
+    }
+    assert acts.get("insert", 0) == n_ins
+    assert acts.get("update", 0) == n_upd
+    assert sum(acts.values()) == n_tgt + n_ins
+    assert (
+        out.filter((F.col("action") == "insert") & (F.col("c_custkey") >= 0))
+        .count()
+        == 0
+    )
