@@ -5029,3 +5029,91 @@ def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(th * 1000000).cast("bigint").alias("theta_e6"),
         F.floor(var_ratio * 1000000).cast("bigint").alias("var_ratio_e6"),
     )
+
+
+@query(
+    "sample_ess_diagnostic",
+    """
+    WITH weighted AS (
+        SELECT source,
+               CAST(n_chars AS BIGINT) AS w,
+               CAST(LEAST(n_chars, 2000) AS BIGINT) AS wc
+        FROM documents
+    ), cells AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(w) AS BIGINT) AS sw,
+               CAST(SUM(w * w) AS BIGINT) AS sww,
+               CAST(SUM(wc) AS BIGINT) AS swc,
+               CAST(SUM(wc * wc) AS BIGINT) AS swwc
+        FROM weighted GROUP BY source
+    )
+    SELECT source, n_docs, sw, sww,
+           CAST(FLOOR(CAST(sw AS DOUBLE) * sw / sww) AS BIGINT) AS ess,
+           CAST(FLOOR(CAST(sw AS DOUBLE) * sw / sww / n_docs * 1000000)
+                AS BIGINT) AS ess_share_e6,
+           CAST(FLOOR(CAST(swc AS DOUBLE) * swc / swwc) AS BIGINT)
+               AS ess_clipped,
+           CAST(FLOOR(CAST(swc AS DOUBLE) * swc / swwc / n_docs
+                      * 1000000) AS BIGINT) AS ess_clipped_share_e6,
+           CAST(((sw - swc) * 1000000) // sw AS BIGINT)
+               AS clipped_mass_e6
+    FROM cells ORDER BY source
+    """,
+)
+def sample_ess_diagnostic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EFFECTIVE SAMPLE SIZE of importance weights, per source (round
+    12 cont.): ESS = (Σw)²/Σw² — the one number that says whether a
+    weighted corpus mixture (text_dsir_weights, sample_weighted,
+    sample_temperature_mixture) actually behaves like n documents or
+    like the handful carrying most of the mass; plus the CLIPPED twin
+    (w capped at 2000) every practical importance sampler ships,
+    with the exact share of weight the clip removed — the
+    bias-variance dial read in one row.  ESS/n near 1 = healthy;
+    near 0 = the mixture is secretly a few whales.
+
+    Exactness: weights are exact integers (n_chars — the
+    length-proportional weight the chunking/packing family already
+    treats as mass); Σw/Σw² exact bigints (w² ≤ ~4e7 · 6M docs — int64
+    safe through sf10 with clipping, and unclipped Σw² referee-bounded);
+    each ESS readout is ONE double chain (sw² may pass 2^53 — the
+    int64→double rounding is IEEE-identical both engines); the
+    clipped-mass share is an exact integer division of nonnegatives.
+
+    Scale: one corpus pass, 5-integer cells per source, map-side
+    combinable — no join, no window."""
+    docs = load(spark, sf_dir, "documents")
+    weighted = docs.select(
+        "source",
+        F.col("n_chars").cast("bigint").alias("w"),
+        F.least(F.col("n_chars"), F.lit(2000)).cast("bigint").alias("wc"),
+    )
+    cells = weighted.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("w").cast("bigint").alias("sw"),
+        F.sum(F.col("w") * F.col("w")).cast("bigint").alias("sww"),
+        F.sum("wc").cast("bigint").alias("swc"),
+        F.sum(F.col("wc") * F.col("wc")).cast("bigint").alias("swwc"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return cells.select(
+        "source",
+        "n_docs",
+        "sw",
+        "sww",
+        F.floor(d("sw") * F.col("sw") / F.col("sww"))
+        .cast("bigint")
+        .alias("ess"),
+        F.floor(d("sw") * F.col("sw") / F.col("sww") / F.col("n_docs") * 1000000)
+        .cast("bigint")
+        .alias("ess_share_e6"),
+        F.floor(d("swc") * F.col("swc") / F.col("swwc"))
+        .cast("bigint")
+        .alias("ess_clipped"),
+        F.floor(
+            d("swc") * F.col("swc") / F.col("swwc") / F.col("n_docs") * 1000000
+        )
+        .cast("bigint")
+        .alias("ess_clipped_share_e6"),
+        F.expr("((sw - swc) * 1000000) DIV sw").alias("clipped_mass_e6"),
+    ).orderBy("source")

@@ -2175,3 +2175,127 @@ def join_cardinality_qerror(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("qerror_e4"),
     )
+
+
+@query(
+    "geo_moran_i",
+    """
+    WITH pts AS (
+        SELECT c_custkey AS id,
+               CAST(CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)),
+                         1, 7) AS BIGINT) % 10000 AS BIGINT) AS x,
+               CAST(CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)),
+                         8, 7) AS BIGINT) % 10000 AS BIGINT) AS y,
+               CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+        FROM customer
+    ), cells AS (
+        SELECT x // 1000 AS cx, y // 1000 AS cy,
+               CAST(SUM(cents) AS BIGINT) AS v
+        FROM pts GROUP BY 1, 2
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(v) AS BIGINT) AS s
+        FROM cells
+    ), dev AS (
+        SELECT cx, cy, CAST(n * v - s AS BIGINT) AS dv, n
+        FROM cells, tot
+    ), den AS (
+        SELECT CAST(SUM(CAST(dv AS HUGEINT) * dv) AS HUGEINT) AS ssd,
+               MAX(n) AS n
+        FROM dev
+    ), adj AS (
+        SELECT a.dv AS da, b.dv AS db
+        FROM dev a JOIN dev b
+          ON (abs(a.cx - b.cx) + abs(a.cy - b.cy)) = 1
+    ), num AS (
+        SELECT CAST(SUM(CAST(da AS HUGEINT) * db) AS HUGEINT) AS spr,
+               CAST(COUNT(*) AS BIGINT) AS w
+        FROM adj
+    )
+    SELECT n, w,
+           CAST(FLOOR(CAST(n AS DOUBLE) / w
+                      * (CAST(spr AS DOUBLE) / CAST(ssd AS DOUBLE))
+                      * 1000000) AS BIGINT) AS moran_i_e6,
+           CAST(FLOOR(-1000000.0 / (n - 1)) AS BIGINT) AS expected_i_e6
+    FROM den, num
+    """,
+)
+def geo_moran_i(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MORAN'S I spatial autocorrelation (round 12 cont.) of account
+    balance over the md5-seeded point fabric geo_grid_neighbors
+    established, aggregated to a 10×10 coarse grid with rook
+    adjacency — the spatial analogue of ts_acf's lag-1: do
+    neighboring cells carry similar balance mass, or is the surface
+    spatially white?  The md5 seeding makes the TRUE I ≈ E[I] =
+    −1/(n−1) — a built-in structural null the referee asserts, the
+    graph_label_homophily discipline applied to space.
+
+    Exactness: cell values are exact summed cents; deviations
+    multiply through by n (dv = n·v − S, exact bigint — no rational
+    mean anywhere); the num/den products run in HUGEINT/decimal(38,0)
+    (dv² ~1e26-scale at sf10 — the spearman overflow discipline);
+    I = (n/W)·Σw·dv_a·dv_b / Σdv² is ONE double chain floored e6;
+    E[I] is a shared floored literal expression.
+
+    Scale: one point pass to ≤100 cells; the adjacency probe is a
+    ≤100×100 broadcast inequality join on the bounded CELL table
+    (never on points) — at 100 TB the cell grid is still 100 rows."""
+    c = load(spark, sf_dir, "customer")
+    h = F.md5(F.col("c_custkey").cast("string").cast("binary"))
+    pts = c.select(
+        (F.conv(F.substring(h, 1, 7), 16, 10).cast("bigint") % 10000).alias(
+            "x"
+        ),
+        (F.conv(F.substring(h, 8, 7), 16, 10).cast("bigint") % 10000).alias(
+            "y"
+        ),
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
+    )
+    cells = pts.groupBy(
+        F.expr("x DIV 1000").alias("cx"), F.expr("y DIV 1000").alias("cy")
+    ).agg(F.sum("cents").cast("bigint").alias("v"))
+    tot = cells.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("v").cast("bigint").alias("s"),
+    )
+    dev = cells.crossJoin(F.broadcast(tot)).select(
+        "cx",
+        "cy",
+        (F.col("n") * F.col("v") - F.col("s")).cast("bigint").alias("dv"),
+        "n",
+    )
+    d38 = "decimal(38,0)"
+    den = dev.agg(
+        F.sum(F.col("dv").cast(d38) * F.col("dv")).alias("ssd"),
+        F.max("n").alias("n"),
+    )
+    a = dev.select(F.col("cx").alias("acx"), F.col("cy").alias("acy"), F.col("dv").alias("da"))
+    b = dev.select(F.col("cx").alias("bcx"), F.col("cy").alias("bcy"), F.col("dv").alias("db"))
+    adj = a.join(
+        F.broadcast(b),
+        (
+            F.abs(F.col("acx") - F.col("bcx"))
+            + F.abs(F.col("acy") - F.col("bcy"))
+        )
+        == 1,
+    )
+    num = adj.agg(
+        F.sum(F.col("da").cast(d38) * F.col("db")).alias("spr"),
+        F.count("*").cast("bigint").alias("w"),
+    )
+    out = den.crossJoin(F.broadcast(num))
+    return out.select(
+        "n",
+        "w",
+        F.floor(
+            F.col("n").cast("double")
+            / F.col("w")
+            * (F.col("spr").cast("double") / F.col("ssd").cast("double"))
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("moran_i_e6"),
+        F.floor(-1000000.0 / (F.col("n") - 1))
+        .cast("bigint")
+        .alias("expected_i_e6"),
+    )

@@ -736,6 +736,9 @@ _ROUND12_ADDITIONS = (
     "text_rater_agreement_krippendorff",
     "graph_triad_census_directed",
     "sink_merge_upsert",
+    "text_model_brier_decomposition",
+    "sample_ess_diagnostic",
+    "geo_moran_i",
 )
 
 # Landing-order queue for rows that have never been inside a driver

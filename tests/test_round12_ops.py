@@ -487,3 +487,46 @@ def test_merge_upsert_action_accounting(spark, sf_dir):
         .count()
         == 0
     )
+
+
+def test_brier_decomposition_murphy_identity(spark, sf_dir):
+    """REL - RES + UNC must reconstruct the Brier score up to the
+    within-bin variance the decile binning hides (bounded by the
+    decile width: sqrt(wbv) <= 1e5 per bin, wbv <= 1e10·1e12-scale),
+    and each component must be nonnegative with RES <= UNC +
+    binning slack."""
+    r = QUERIES["text_model_brier_decomposition"](spark, SF01).collect()[0]
+    assert r["reliability_e12"] >= 0
+    assert r["resolution_e12"] >= 0
+    assert 0 <= r["uncertainty_e12"] <= 250000000000
+    approx = (
+        r["reliability_e12"] - r["resolution_e12"] + r["uncertainty_e12"]
+    )
+    # the generalized (Stephenson) decomposition carries two
+    # within-bin terms; each is bounded by the bin width squared
+    assert abs(r["brier_e12"] - approx) <= 100000 ** 2 + 2
+    assert r["resolution_e12"] <= r["uncertainty_e12"] + 100000 ** 2
+
+
+def test_ess_bounds_and_clip_monotonicity(spark, sf_dir):
+    """1 <= ESS <= n always; clipping can only RAISE the ESS share
+    (weights get more uniform); clipped mass share in [0, 1e6]."""
+    rows = QUERIES["sample_ess_diagnostic"](spark, SF01).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["ess"] <= r["n_docs"]
+        assert 0 <= r["ess_share_e6"] <= 1000001
+        assert r["ess_clipped_share_e6"] >= r["ess_share_e6"] - 1
+        assert 0 <= r["clipped_mass_e6"] <= 1000000
+        expect = math.floor(float(r["sw"]) * r["sw"] / r["sww"])
+        assert r["ess"] == expect
+
+
+def test_moran_i_structural_null(spark, sf_dir):
+    """The md5 point seeding is independent of balances, so Moran's I
+    must sit near its null expectation -1/(n-1) (within 0.15) and the
+    grid must materialize all 100 cells with W = 360 rook pairs."""
+    r = QUERIES["geo_moran_i"](spark, SF01).collect()[0]
+    assert r["n"] == 100
+    assert r["w"] == 360
+    assert abs(r["moran_i_e6"] - r["expected_i_e6"]) < 150000
