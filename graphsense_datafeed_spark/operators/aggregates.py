@@ -10939,3 +10939,129 @@ def agg_theil_u(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(GREATEST(i_e9, 0L) * 1000000) DIV hx_e9"),
         ).alias("u_x_given_y_e6"),
     )
+
+
+# 24 unit-circle directions for hour-of-day circular statistics,
+# floored e9 INTEGER literals computed once in Python and shared
+# verbatim by both engines (no runtime cos/sin anywhere — the GK
+# shared-literal discipline applied to a whole table).
+_HOUR_DIRS_E9 = (
+    (0, 1000000000, 0), (1, 965925826, 258819045),
+    (2, 866025403, 499999999), (3, 707106781, 707106781),
+    (4, 500000000, 866025403), (5, 258819045, 965925826),
+    (6, 0, 1000000000), (7, -258819046, 965925826),
+    (8, -500000000, 866025403), (9, -707106782, 707106781),
+    (10, -866025404, 499999999), (11, -965925827, 258819045),
+    (12, -1000000000, 0), (13, -965925827, -258819046),
+    (14, -866025404, -500000000), (15, -707106782, -707106782),
+    (16, -500000001, -866025404), (17, -258819046, -965925827),
+    (18, -1, -1000000000), (19, 258819045, -965925827),
+    (20, 500000000, -866025404), (21, 707106781, -707106782),
+    (22, 866025403, -500000001), (23, 965925826, -258819046),
+)
+
+_HOUR_DIRS_SQL = ", ".join(f"({h}, {c}, {s})" for h, c, s in _HOUR_DIRS_E9)
+
+
+@query(
+    "agg_rayleigh_uniformity",
+    f"""
+    WITH hours AS (
+        SELECT event_type,
+               CAST(EXTRACT(hour FROM ts) AS BIGINT) AS h,
+               CAST(COUNT(*) AS BIGINT) AS n_h
+        FROM events GROUP BY 1, 2
+    ), dirs (h, c_e9, s_e9) AS (
+        VALUES {_HOUR_DIRS_SQL}
+    ), cells AS (
+        SELECT event_type,
+               CAST(SUM(n_h) AS BIGINT) AS n,
+               CAST(SUM(n_h * c_e9) AS BIGINT) AS sc_e9,
+               CAST(SUM(n_h * s_e9) AS BIGINT) AS ss_e9
+        FROM hours JOIN dirs USING (h)
+        GROUP BY event_type
+    )
+    SELECT event_type, n, sc_e9, ss_e9,
+           CAST(FLOOR(SQRT(CAST(sc_e9 AS DOUBLE) * sc_e9
+                           + CAST(ss_e9 AS DOUBLE) * ss_e9)
+                      / n / 1000000000 * 1000000) AS BIGINT)
+               AS rbar_e6,
+           CAST(FLOOR((CAST(sc_e9 AS DOUBLE) * sc_e9
+                       + CAST(ss_e9 AS DOUBLE) * ss_e9)
+                      / (CAST(n AS DOUBLE) * 1000000000000000000)
+                      * 1000000) AS BIGINT) AS rayleigh_z_e6,
+           CAST(FLOOR((CASE WHEN ATAN2(CAST(ss_e9 AS DOUBLE),
+                                       CAST(sc_e9 AS DOUBLE)) < 0
+                            THEN ATAN2(CAST(ss_e9 AS DOUBLE),
+                                       CAST(sc_e9 AS DOUBLE))
+                                 + 6.283185307179586
+                            ELSE ATAN2(CAST(ss_e9 AS DOUBLE),
+                                       CAST(sc_e9 AS DOUBLE)) END)
+                      / 6.283185307179586 * 24 * 1000) AS BIGINT)
+               AS mean_hour_e3
+    FROM cells ORDER BY event_type
+    """,
+)
+def agg_rayleigh_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAYLEIGH TEST of circular uniformity on hour-of-day (round 12
+    cont.): per event type, the resultant length R̄ of the unit
+    vectors at each event's hour angle, the Rayleigh statistic
+    z = n·R̄², and the circular MEAN HOUR — the directional-statistics
+    reading of the daily cycle that events_circadian_entropy measures
+    information-theoretically: entropy says HOW concentrated, the
+    resultant says concentrated WHERE (and z gives the significance
+    scale: z ≳ 3 rejects uniformity).
+
+    Exactness: the 24 unit directions are floored-e9 INTEGER literals
+    computed once in Python and shared verbatim (the GK
+    shared-literal discipline applied to a whole VALUES table — no
+    runtime cos/sin); hour counts and the two resultant components
+    are exact bigints; R̄/z are one double chain each; the mean hour
+    runs atan2 on the SAME two exact integers both sides with the
+    branch fixed by 2π as a shared literal.
+
+    Scale: one map-side rollup to |types|×24 cells, a broadcast
+    24-row direction join, |types|-row finish."""
+    ev = load(spark, sf_dir, "events")
+    hours = ev.groupBy(
+        "event_type", F.hour("ts").cast("bigint").alias("h")
+    ).agg(F.count("*").cast("bigint").alias("n_h"))
+    dirs = spark.createDataFrame(
+        list(_HOUR_DIRS_E9), "h: bigint, c_e9: bigint, s_e9: bigint"
+    )
+    cells = (
+        hours.join(F.broadcast(dirs), "h")
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_h").cast("bigint").alias("n"),
+            F.sum(F.col("n_h") * F.col("c_e9")).cast("bigint").alias(
+                "sc_e9"
+            ),
+            F.sum(F.col("n_h") * F.col("s_e9")).cast("bigint").alias(
+                "ss_e9"
+            ),
+        )
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    r2 = d("sc_e9") * F.col("sc_e9") + d("ss_e9") * F.col("ss_e9")
+    theta = F.atan2(d("ss_e9"), d("sc_e9"))
+    theta_pos = F.when(theta < 0, theta + 6.283185307179586).otherwise(
+        theta
+    )
+    return cells.select(
+        "event_type",
+        "n",
+        "sc_e9",
+        "ss_e9",
+        F.floor(F.sqrt(r2) / F.col("n") / 1000000000 * 1000000)
+        .cast("bigint")
+        .alias("rbar_e6"),
+        F.floor(
+            r2 / (F.col("n").cast("double") * 1000000000000000000) * 1000000
+        )
+        .cast("bigint")
+        .alias("rayleigh_z_e6"),
+        F.floor(theta_pos / 6.283185307179586 * 24 * 1000)
+        .cast("bigint")
+        .alias("mean_hour_e3"),
+    ).orderBy("event_type")

@@ -12236,3 +12236,98 @@ def ts_theil_u2_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint"),
         ).alias("u2_e6"),
     ).orderBy("event_type")
+
+
+@query(
+    "ts_mean_reversion_halflife",
+    f"""
+    WITH closes AS ({_DAILY_OHLC_SQL}
+    ), pairs AS (
+        SELECT event_type, c1,
+               lag(c1) OVER (PARTITION BY event_type ORDER BY d) AS cp
+        FROM closes
+    ), cells AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cp) AS BIGINT) AS sx,
+               CAST(SUM(c1) AS BIGINT) AS sy,
+               CAST(SUM(cp * cp) AS BIGINT) AS sxx,
+               CAST(SUM(cp * c1) AS BIGINT) AS sxy
+        FROM pairs WHERE cp IS NOT NULL
+        GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CAST(FLOOR((CAST(n AS DOUBLE) * sxy
+                       - CAST(sx AS DOUBLE) * sy)
+                      / (CAST(n AS DOUBLE) * sxx
+                         - CAST(sx AS DOUBLE) * sx)
+                      * 1000000) AS BIGINT) AS phi_e6,
+           CASE WHEN (CAST(n AS DOUBLE) * sxy
+                      - CAST(sx AS DOUBLE) * sy)
+                     / (CAST(n AS DOUBLE) * sxx
+                        - CAST(sx AS DOUBLE) * sx) > 0
+                 AND (CAST(n AS DOUBLE) * sxy
+                      - CAST(sx AS DOUBLE) * sy)
+                     / (CAST(n AS DOUBLE) * sxx
+                        - CAST(sx AS DOUBLE) * sx) < 1
+           THEN
+               CAST(FLOOR(-0.6931471805599453
+                          / ln((CAST(n AS DOUBLE) * sxy
+                                - CAST(sx AS DOUBLE) * sy)
+                               / (CAST(n AS DOUBLE) * sxx
+                                  - CAST(sx AS DOUBLE) * sx))
+                          * 1000000) AS BIGINT)
+           END AS halflife_days_e6
+    FROM cells ORDER BY event_type
+    """,
+)
+def ts_mean_reversion_halflife(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """AR(1) MEAN-REVERSION HALF-LIFE per series (round 12 cont.):
+    fit c_d = α + φ·c_{d−1} by OLS on the daily close tape and report
+    halflife = −ln2/ln(φ) — "how many days until a shock decays
+    halfway back", the number pairs-trading sizes positions with and
+    the practical readout of what ts_dickey_fuller only tests:
+    φ near 1 = long memory (half-life → ∞, gated NULL outside
+    (0,1)); small φ = fast reversion.
+
+    Exactness: the five OLS cells are exact bigints off the shared
+    tape; φ is the standard cross-moment ratio in ONE double
+    expression (the agg_regr_trend chain), reused VERBATIM inside
+    the gate, the floor, and the log — a single formula appearing
+    three times keeps libm parity trivial; ln 2 is a SHARED
+    LITERAL (0.6931471805599453 — the GK 2ln2−1 discipline; runtime
+    libm ln(2) is exactly the divergence that rule exists to avoid).
+
+    Scale: keyed lag window + |types|-row rollup — the candle rollup
+    is the only raw-events pass."""
+    ohlc = _daily_ohlc(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("d")
+    pairs = ohlc.select(
+        "event_type",
+        "c1",
+        F.lag("c1").over(w).alias("cp"),
+    ).filter(F.col("cp").isNotNull())
+    cells = pairs.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cp").cast("bigint").alias("sx"),
+        F.sum("c1").cast("bigint").alias("sy"),
+        F.sum(F.col("cp") * F.col("cp")).cast("bigint").alias("sxx"),
+        F.sum(F.col("cp") * F.col("c1")).cast("bigint").alias("sxy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    phi = (F.col("n").cast("double") * F.col("sxy") - d("sx") * F.col("sy")) / (
+        F.col("n").cast("double") * F.col("sxx") - d("sx") * F.col("sx")
+    )
+    return cells.select(
+        "event_type",
+        "n",
+        F.floor(phi * 1000000).cast("bigint").alias("phi_e6"),
+        F.when(
+            (phi > 0) & (phi < 1),
+            F.floor(
+                F.lit(-0.6931471805599453) / F.log(phi) * 1000000
+            ).cast("bigint"),
+        ).alias("halflife_days_e6"),
+    ).orderBy("event_type")

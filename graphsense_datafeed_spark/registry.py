@@ -739,6 +739,8 @@ _ROUND12_ADDITIONS = (
     "text_model_brier_decomposition",
     "sample_ess_diagnostic",
     "geo_moran_i",
+    "ts_mean_reversion_halflife",
+    "agg_rayleigh_uniformity",
 )
 
 # Landing-order queue for rows that have never been inside a driver

@@ -530,3 +530,29 @@ def test_moran_i_structural_null(spark, sf_dir):
     assert r["n"] == 100
     assert r["w"] == 360
     assert abs(r["moran_i_e6"] - r["expected_i_e6"]) < 150000
+
+
+def test_halflife_gating_and_formula(spark, sf_dir):
+    """phi outside (0,1) must NULL the half-life; inside, the
+    half-life must match -ln2/ln(phi) at the floored readout."""
+    for r in QUERIES["ts_mean_reversion_halflife"](spark, SF01).collect():
+        phi = r["phi_e6"] / 1e6
+        if r["halflife_days_e6"] is not None:
+            assert 0 < r["phi_e6"] < 1000000
+            approx = -0.6931471805599453 / math.log(phi) * 1e6
+            # phi_e6 is the floored phi; recompute tolerance via slope
+            assert abs(r["halflife_days_e6"] - approx) < 0.01 * approx + 2000
+
+
+def test_rayleigh_bounds_and_null(spark, sf_dir):
+    """R-bar in [0,1]; hour-of-day is near-uniform in the fixture so
+    the resultant must be small (R-bar < 0.1) and z must not explode;
+    mean hour lives on [0, 24)."""
+    rows = QUERIES["agg_rayleigh_uniformity"](spark, SF01).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["rbar_e6"] <= 1000001
+        assert r["rbar_e6"] < 100000
+        assert 0 <= r["mean_hour_e3"] < 24000
+        expect_z = (r["sc_e9"] ** 2 + r["ss_e9"] ** 2) / (r["n"] * 1e18)
+        assert abs(r["rayleigh_z_e6"] - math.floor(expect_z * 1e6)) <= 1
