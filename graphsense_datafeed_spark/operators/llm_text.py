@@ -6886,3 +6886,267 @@ def text_model_brier_decomposition(
         .cast("bigint")
         .alias("brier_e12"),
     )
+
+
+@query(
+    "text_model_youden_cutpoint",
+    """
+    WITH scored AS (
+        SELECT CAST(FLOOR(1000000.0 / (1.0 + exp(-(-0.25
+                   + 1.5 * (CAST(n_chars AS DOUBLE) / 1000)
+                   - 0.75 * (CAST(length(text) - length(replace(text, ' ', ''))
+                             AS DOUBLE) / 100)
+                   + 2.0 * (CAST(length(text)
+                                 - length(replace(text, 'the', ''))
+                            AS DOUBLE)
+                            / (3 * GREATEST(CAST(n_chars AS DOUBLE), 1.0))
+                            * 10))))) AS BIGINT) AS s_e6,
+               CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS label
+        FROM documents
+    ), atoms AS (
+        SELECT s_e6,
+               CAST(SUM(label) AS BIGINT) AS n_pos,
+               CAST(COUNT(*) - SUM(label) AS BIGINT) AS n_neg
+        FROM scored GROUP BY s_e6
+    ), sweep AS (
+        SELECT s_e6,
+               CAST(SUM(n_pos) OVER w AS BIGINT) AS tp,
+               CAST(SUM(n_neg) OVER w AS BIGINT) AS fp,
+               CAST(SUM(n_pos) OVER () AS BIGINT) AS p,
+               CAST(SUM(n_neg) OVER () AS BIGINT) AS n
+        FROM atoms
+        WINDOW w AS (ORDER BY s_e6 DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT s_e6 AS threshold_e6, tp, fp, p, n,
+           CAST((tp * 1000000) // p AS BIGINT) AS tpr_e6,
+           CAST((fp * 1000000) // n AS BIGINT) AS fpr_e6,
+           CAST(FLOOR((CAST(tp AS DOUBLE) * n - CAST(fp AS DOUBLE) * p)
+                      / (CAST(p AS DOUBLE) * n) * 1000000) AS BIGINT)
+               AS youden_j_e6
+    FROM sweep
+    ORDER BY (tp * n - fp * p) DESC, s_e6 ASC
+    LIMIT 1
+    """,
+)
+def text_model_youden_cutpoint(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """YOUDEN-J OPTIMAL CUTPOINT of the quality classifier (round 12
+    cont.): the threshold maximizing J = TPR − FPR over the full ROC
+    sweep — the number that turns the model-eval family's curves
+    (AUC ranks, ECE calibrates, Brier scores) into the OPERATING
+    POINT a filtering pipeline actually deploys; J at the optimum is
+    also the maximum balanced-accuracy gain over chance.
+
+    Exactness: the argmax runs on the EXACT integer J numerator
+    tp·N − fp·P (≤ ~3.6e13 at sf10 — int64 safe; the e6 readouts
+    floor one double chain since numerator·1e6 would overflow);
+    tie-break is (J desc, threshold asc) — fully deterministic;
+    TPR/FPR are exact integer divisions.
+
+    Scale: one corpus pass to score atoms (bounded by the e6 value
+    domain, the histogram-AUC discipline), a pre-reduced ordered
+    sweep over atoms, LIMIT 1."""
+    scored = _auc_scored(spark, sf_dir)
+    atoms = scored.groupBy("s_e6").agg(
+        F.sum("label").cast("bigint").alias("n_pos"),
+        (F.count("*") - F.sum("label")).cast("bigint").alias("n_neg"),
+    )
+    w = (
+        Window.orderBy(F.col("s_e6").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy()
+    sweep = atoms.select(
+        "s_e6",
+        F.sum("n_pos").over(w).cast("bigint").alias("tp"),
+        F.sum("n_neg").over(w).cast("bigint").alias("fp"),
+        F.sum("n_pos").over(w_all).cast("bigint").alias("p"),
+        F.sum("n_neg").over(w_all).cast("bigint").alias("n"),
+    )
+    return (
+        sweep.select(
+            F.col("s_e6").alias("threshold_e6"),
+            "tp",
+            "fp",
+            "p",
+            "n",
+            F.expr("(tp * 1000000) DIV p").alias("tpr_e6"),
+            F.expr("(fp * 1000000) DIV n").alias("fpr_e6"),
+            F.floor(
+                (
+                    F.col("tp").cast("double") * F.col("n")
+                    - F.col("fp").cast("double") * F.col("p")
+                )
+                / (F.col("p").cast("double") * F.col("n"))
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("youden_j_e6"),
+        )
+        .orderBy(
+            (F.col("tp") * F.col("n") - F.col("fp") * F.col("p")).desc(),
+            F.col("threshold_e6").asc(),
+        )
+        .limit(1)
+    )
+
+
+@query(
+    "text_burrows_delta",
+    """
+    WITH toks AS (
+        SELECT source, unnest(str_split(text, ' ')) AS tok
+        FROM documents
+    ), vocab AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+        FROM toks WHERE tok <> ''
+        GROUP BY tok
+        ORDER BY c DESC, tok ASC
+        LIMIT 20
+    ), src_tot AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tok
+        FROM toks WHERE tok <> '' GROUP BY source
+    ), freq AS (
+        SELECT s.source, v.tok,
+               CAST((CAST(COALESCE(f.c, 0) AS BIGINT) * 1000000000)
+                    // s.n_tok AS BIGINT) AS f_e9
+        FROM src_tot s
+        CROSS JOIN vocab v
+        LEFT JOIN (
+            SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+            FROM toks GROUP BY source, tok
+        ) f ON f.source = s.source AND f.tok = v.tok
+    ), stats AS (
+        SELECT tok,
+               CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(f_e9) AS BIGINT) AS sf,
+               CAST(SUM(f_e9 * f_e9) AS BIGINT) AS sff
+        FROM freq GROUP BY tok
+    ), z AS (
+        SELECT f.source, f.tok,
+               (CAST(f.f_e9 AS DOUBLE) - CAST(s.sf AS DOUBLE) / s.k)
+               / SQRT((CAST(s.sff AS DOUBLE)
+                       - CAST(s.sf AS DOUBLE) * s.sf / s.k) / s.k)
+                   AS zv,
+               (s.sff * s.k > s.sf * s.sf) AS ok
+        FROM freq f JOIN stats s USING (tok)
+    ), pairs AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(COUNT(*) FILTER (a.ok) AS BIGINT) AS n_terms,
+               CAST(SUM(CASE WHEN a.ok THEN
+                        CAST(FLOOR(ABS(a.zv - b.zv) * 1000000) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS sdz_e6
+        FROM z a JOIN z b ON a.tok = b.tok AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT src_a, src_b, n_terms,
+           CAST(sdz_e6 // n_terms AS BIGINT) AS delta_e6
+    FROM pairs
+    """,
+)
+def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BURROWS' DELTA stylometric distance between sources (round 12
+    cont.): z-score every source's relative frequency of the top-20
+    corpus tokens against the cross-source mean/sd, then Delta(a,b) =
+    mean |z_a − z_b| — the authorship-attribution metric read here as
+    SOURCE STYLE DRIFT: high-delta source pairs mix badly in one
+    training corpus without reweighting, and a rising delta over
+    snapshots is register drift text_vocab_overlap_sources (set-based)
+    cannot see because delta works on the COMMON high-frequency
+    function words, not the vocabulary tails.
+
+    Exactness: token counts and per-source totals are exact bigints;
+    relative frequencies quantize ONCE as integer divisions (e9);
+    per-token cross-source mean/sd cells are exact bigint sums over
+    the k=|sources| frame; each |z_a − z_b| term floors e6 BEFORE the
+    order-free bigint pair sum; zero-variance tokens are gated out of
+    BOTH the sum and the term count by the exact integer condition
+    sff·k > sf² (never a sd=0 division).
+
+    Scale: one tokenize pass (the shared shape of the tfidf family),
+    a TakeOrdered top-20 vocab, then everything runs on the
+    |sources|×20 frequency table — bounded by construction."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .orderBy(F.col("c").desc(), F.col("tok").asc())
+        .limit(20)
+    )
+    src_tot = toks.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_tok")
+    )
+    st_cnt = toks.groupBy("source", "tok").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    freq = (
+        src_tot.crossJoin(F.broadcast(vocab.select("tok")))
+        .join(st_cnt, ["source", "tok"], "left")
+        .select(
+            "source",
+            "tok",
+            F.expr(
+                "(COALESCE(c, 0L) * 1000000000) DIV n_tok"
+            ).alias("f_e9"),
+        )
+    )
+    stats = freq.groupBy("tok").agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("f_e9").cast("bigint").alias("sf"),
+        F.sum(F.col("f_e9") * F.col("f_e9")).cast("bigint").alias("sff"),
+    )
+    jz = freq.join(F.broadcast(stats), "tok")
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    zv = (d("f_e9") - d("sf") / F.col("k")) / F.sqrt(
+        (d("sff") - d("sf") * F.col("sf") / F.col("k")) / F.col("k")
+    )
+    z = jz.select(
+        "source",
+        "tok",
+        zv.alias("zv"),
+        (F.col("sff") * F.col("k") > F.col("sf") * F.col("sf")).alias(
+            "ok"
+        ),
+    )
+    a = z.select(
+        F.col("source").alias("src_a"),
+        "tok",
+        F.col("zv").alias("za"),
+        F.col("ok").alias("ok_a"),
+    )
+    b = z.select(
+        F.col("source").alias("src_b"),
+        F.col("tok").alias("tok_b"),
+        F.col("zv").alias("zb"),
+    )
+    pairs = (
+        a.join(
+            F.broadcast(b),
+            (F.col("tok") == F.col("tok_b"))
+            & (F.col("src_a") < F.col("src_b")),
+        )
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.count_if(F.col("ok_a")).cast("bigint").alias("n_terms"),
+            F.sum(
+                F.when(
+                    F.col("ok_a"),
+                    F.floor(F.abs(F.col("za") - F.col("zb")) * 1000000)
+                    .cast("bigint"),
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("sdz_e6"),
+        )
+    )
+    return pairs.select(
+        "src_a",
+        "src_b",
+        "n_terms",
+        F.expr("sdz_e6 DIV n_terms").alias("delta_e6"),
+    )

@@ -12331,3 +12331,143 @@ def ts_mean_reversion_halflife(
             ).cast("bigint"),
         ).alias("halflife_days_e6"),
     ).orderBy("event_type")
+
+
+@query(
+    "ts_distance_correlation",
+    f"""
+    WITH closes AS ({_DAILY_OHLC_SQL}
+    ), xa AS (
+        SELECT d, c1 AS x FROM closes WHERE event_type = 'click'
+    ), xb AS (
+        SELECT d, c1 AS y FROM closes WHERE event_type = 'purchase'
+    ), tape AS (
+        SELECT xa.d, xa.x, xb.y FROM xa JOIN xb USING (d)
+    ), pairs AS (
+        SELECT i.d AS di, j.d AS dj,
+               CAST(ABS(i.x - j.x) AS BIGINT) AS a,
+               CAST(ABS(i.y - j.y) AS BIGINT) AS b
+        FROM tape i, tape j
+    ), rows_ AS (
+        SELECT di, dj, a, b,
+               CAST(SUM(a) OVER (PARTITION BY di) AS BIGINT) AS ra,
+               CAST(SUM(b) OVER (PARTITION BY di) AS BIGINT) AS rb,
+               CAST(SUM(a) OVER (PARTITION BY dj) AS BIGINT) AS ca,
+               CAST(SUM(b) OVER (PARTITION BY dj) AS BIGINT) AS cb,
+               CAST(SUM(a) OVER () AS BIGINT) AS ga,
+               CAST(SUM(b) OVER () AS BIGINT) AS gb,
+               CAST(COUNT(*) OVER (PARTITION BY di) AS BIGINT) AS n
+        FROM pairs
+    ), centered AS (
+        SELECT n,
+               CAST(n * n * a - n * ra - n * ca + ga AS BIGINT) AS ah,
+               CAST(n * n * b - n * rb - n * cb + gb AS BIGINT) AS bh
+        FROM rows_
+    ), folded AS (
+        SELECT MAX(n) AS n_days,
+               CAST(SUM(CAST(ah AS HUGEINT) * bh) AS HUGEINT) AS sab,
+               CAST(SUM(CAST(ah AS HUGEINT) * ah) AS HUGEINT) AS saa,
+               CAST(SUM(CAST(bh AS HUGEINT) * bh) AS HUGEINT) AS sbb
+        FROM centered
+    )
+    SELECT n_days,
+           CASE WHEN saa > 0 AND sbb > 0 THEN
+               CAST(FLOOR(CAST(GREATEST(sab, 0) AS DOUBLE)
+                          / SQRT(CAST(saa AS DOUBLE)
+                                 * CAST(sbb AS DOUBLE))
+                          * 1000000) AS BIGINT)
+           END AS dcor2_e6
+    FROM folded
+    """,
+)
+def ts_distance_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTANCE CORRELATION between the click and purchase daily
+    close tapes (round 12 cont.): Székely's dCor² from the
+    doubly-centered pairwise |Δ| matrices — zero IFF independent,
+    so it catches the nonlinear/non-monotone coupling that Pearson
+    (ts_rolling_corr), Spearman and even ts_ccf_lead_lag miss by
+    construction; the final dependence instrument in the pair-of-
+    tapes toolbox.
+
+    Exactness: ALL-INTEGER until one double chain — distances are
+    exact e4 ints; double-centering multiplies through by n²
+    (Â·n² = n²a − n·row − n·col + grand, every term an exact bigint
+    — no rational mean anywhere, the geo_moran_i discipline); the
+    three quadratic sums run in HUGEINT/decimal(38,0) (ÂB̂n⁴ is
+    ~1e20-scale); dCor² floors ONE gated double chain with
+    GREATEST(sab,0) both sides (the population dCov² is ≥ 0; tiny
+    negative is centering-roundoff only, and the guard keeps the
+    floor identical).
+
+    Scale: the pair matrix is |days|² of a CALENDAR-BOUNDED tape
+    (≤ ~31² rows at every SF — the allowlisted bounded-cartesian
+    shape); raw events are touched once by the candle rollup."""
+    ohlc = _daily_ohlc(spark, sf_dir)
+    xa = ohlc.filter(F.col("event_type") == "click").select(
+        "d", F.col("c1").alias("x")
+    )
+    xb = ohlc.filter(F.col("event_type") == "purchase").select(
+        F.col("d").alias("db"), F.col("c1").alias("y")
+    )
+    tape = xa.join(xb, xa.d == F.col("db")).select("d", "x", "y")
+    i = tape.select(
+        F.col("d").alias("di"), F.col("x").alias("xi"), F.col("y").alias("yi")
+    )
+    j = tape.select(
+        F.col("d").alias("dj"), F.col("x").alias("xj"), F.col("y").alias("yj")
+    )
+    pairs = i.crossJoin(F.broadcast(j)).select(
+        "di",
+        "dj",
+        F.abs(F.col("xi") - F.col("xj")).cast("bigint").alias("a"),
+        F.abs(F.col("yi") - F.col("yj")).cast("bigint").alias("b"),
+    )
+    w_i = Window.partitionBy("di")
+    w_j = Window.partitionBy("dj")
+    w_all = Window.partitionBy()
+    rows_ = pairs.select(
+        "a",
+        "b",
+        F.sum("a").over(w_i).cast("bigint").alias("ra"),
+        F.sum("b").over(w_i).cast("bigint").alias("rb"),
+        F.sum("a").over(w_j).cast("bigint").alias("ca"),
+        F.sum("b").over(w_j).cast("bigint").alias("cb"),
+        F.sum("a").over(w_all).cast("bigint").alias("ga"),
+        F.sum("b").over(w_all).cast("bigint").alias("gb"),
+        F.count("*").over(w_i).cast("bigint").alias("n"),
+    )
+    ah = (
+        F.col("n") * F.col("n") * F.col("a")
+        - F.col("n") * F.col("ra")
+        - F.col("n") * F.col("ca")
+        + F.col("ga")
+    ).cast("bigint")
+    bh = (
+        F.col("n") * F.col("n") * F.col("b")
+        - F.col("n") * F.col("rb")
+        - F.col("n") * F.col("cb")
+        + F.col("gb")
+    ).cast("bigint")
+    d38 = "decimal(38,0)"
+    centered = rows_.select(
+        "n", ah.alias("ah"), bh.alias("bh")
+    )
+    folded = centered.agg(
+        F.max("n").alias("n_days"),
+        F.sum(F.col("ah").cast(d38) * F.col("bh")).alias("sab"),
+        F.sum(F.col("ah").cast(d38) * F.col("ah")).alias("saa"),
+        F.sum(F.col("bh").cast(d38) * F.col("bh")).alias("sbb"),
+    )
+    return folded.select(
+        "n_days",
+        F.when(
+            (F.col("saa") > 0) & (F.col("sbb") > 0),
+            F.floor(
+                F.greatest(F.col("sab"), F.lit(0).cast(d38)).cast("double")
+                / F.sqrt(
+                    F.col("saa").cast("double") * F.col("sbb").cast("double")
+                )
+                * 1000000
+            ).cast("bigint"),
+        ).alias("dcor2_e6"),
+    )

@@ -741,6 +741,9 @@ _ROUND12_ADDITIONS = (
     "geo_moran_i",
     "ts_mean_reversion_halflife",
     "agg_rayleigh_uniformity",
+    "text_model_youden_cutpoint",
+    "text_burrows_delta",
+    "ts_distance_correlation",
 )
 
 # Landing-order queue for rows that have never been inside a driver

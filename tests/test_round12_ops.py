@@ -556,3 +556,69 @@ def test_rayleigh_bounds_and_null(spark, sf_dir):
         assert 0 <= r["mean_hour_e3"] < 24000
         expect_z = (r["sc_e9"] ** 2 + r["ss_e9"] ** 2) / (r["n"] * 1e18)
         assert abs(r["rayleigh_z_e6"] - math.floor(expect_z * 1e6)) <= 1
+
+
+def test_youden_is_true_max(spark, sf_dir):
+    """The reported cutpoint's exact-integer J numerator must equal
+    the maximum over a brute-force sweep of all distinct scores."""
+    from graphsense_datafeed_spark.operators.llm_text import _auc_scored
+
+    rows = _auc_scored(spark, SF01).collect()
+    p = sum(r["label"] for r in rows)
+    n = len(rows) - p
+    from collections import Counter
+
+    pos = Counter(r["s_e6"] for r in rows if r["label"] == 1)
+    neg = Counter(r["s_e6"] for r in rows if r["label"] == 0)
+    best = None
+    tp = fp = 0
+    for s in sorted(set(pos) | set(neg), reverse=True):
+        tp += pos.get(s, 0)
+        fp += neg.get(s, 0)
+        num = tp * n - fp * p
+        if best is None or num > best[0] or (num == best[0] and s < best[1]):
+            best = (num, s)
+    r = QUERIES["text_model_youden_cutpoint"](spark, SF01).collect()[0]
+    assert r["tp"] * r["n"] - r["fp"] * r["p"] == best[0]
+    assert r["threshold_e6"] == best[1]
+
+
+def test_burrows_delta_symmetric_pairs(spark, sf_dir):
+    """All source pairs appear once (a < b), deltas are nonnegative,
+    and n_terms never exceeds the 20-token panel."""
+    rows = QUERIES["text_burrows_delta"](spark, SF01).collect()
+    srcs = sorted({r["src_a"] for r in rows} | {r["src_b"] for r in rows})
+    k = len(srcs)
+    assert len(rows) == k * (k - 1) // 2
+    for r in rows:
+        assert r["src_a"] < r["src_b"]
+        assert 0 < r["n_terms"] <= 20
+        assert r["delta_e6"] >= 0
+
+
+def test_dcor_bounds_and_perfect_dependence(spark, sf_dir):
+    """dCor² lives in [0, 1e6]; a tape joined with ITSELF must give
+    exactly 1e6 (perfect dependence) — brute-checked in python."""
+    r = QUERIES["ts_distance_correlation"](spark, SF01).collect()[0]
+    assert r["n_days"] >= 20
+    assert r["dcor2_e6"] is None or 0 <= r["dcor2_e6"] <= 1000000
+    from graphsense_datafeed_spark.operators.timeseries import _daily_ohlc
+
+    tape = sorted(
+        (row["d"], row["c1"])
+        for row in _daily_ohlc(spark, SF01)
+        .filter(F.col("event_type") == "click")
+        .collect()
+    )
+    xs = [c for _, c in tape]
+    n = len(xs)
+    a = [[abs(xs[i] - xs[j]) for j in range(n)] for i in range(n)]
+    ra = [sum(row) for row in a]
+    ga = sum(ra)
+    ah = [
+        [n * n * a[i][j] - n * ra[i] - n * ra[j] + ga for j in range(n)]
+        for i in range(n)
+    ]
+    saa = sum(ah[i][j] * ah[i][j] for i in range(n) for j in range(n))
+    # self-dCor of the click tape: sab == saa == sbb -> exactly 1
+    assert math.floor(saa / math.sqrt(saa * saa) * 1e6) == 1000000
