@@ -11065,3 +11065,100 @@ def agg_rayleigh_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("mean_hour_e3"),
     ).orderBy("event_type")
+
+
+@query(
+    "agg_tarone_overdispersion",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS n_i,
+               CAST(COUNT(*) FILTER (value >= 100.0) AS BIGINT) AS s_i
+        FROM events GROUP BY 1, 2
+    ), tot AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(n_i) AS BIGINT) AS n,
+               CAST(SUM(s_i) AS BIGINT) AS s,
+               CAST(SUM(n_i * (n_i - 1)) AS BIGINT) AS snn1
+        FROM daily GROUP BY event_type
+    ), score AS (
+        SELECT d.event_type, t.k, t.n, t.s, t.snn1,
+               CAST(SUM(CAST(FLOOR(
+                   (CAST(d.s_i AS DOUBLE) * t.n - CAST(d.n_i AS DOUBLE) * t.s)
+                   * (CAST(d.s_i AS DOUBLE) * t.n - CAST(d.n_i AS DOUBLE) * t.s)
+                   / (CAST(d.n_i AS DOUBLE) * t.s * (t.n - t.s))
+                   * 1000000) AS BIGINT)) AS BIGINT) AS stat_e6
+        FROM daily d JOIN tot t USING (event_type)
+        WHERE t.s > 0 AND t.s < t.n
+        GROUP BY 1, 2, 3, 4, 5
+    )
+    SELECT event_type, k, n, s, stat_e6,
+           CASE WHEN snn1 > 0 THEN
+               CAST(FLOOR((CAST(stat_e6 AS DOUBLE) / 1000000 - n)
+                          / SQRT(2.0 * snn1) * 1000000) AS BIGINT)
+           END AS tarone_z_e6
+    FROM score ORDER BY event_type
+    """,
+)
+def agg_tarone_overdispersion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TARONE'S Z for binomial overdispersion (round 12 cont.): per
+    series, does the daily high-value-event count vary MORE than a
+    common-rate binomial allows?  S = Σᵢ (sᵢ − nᵢp̂)²/(p̂(1−p̂))
+    compared against its null expectation Σnᵢ, standardized by
+    √(2Σnᵢ(nᵢ−1)) — the binomial twin of agg_poisson_dispersion and
+    the day-level health check behind every proportion-based op this
+    round (SPRT, SRM, Cohen's h): if Tarone rejects, those tests'
+    binomial variance assumptions understate reality.
+
+    Exactness: daily cells and totals are exact bigints; each day's
+    score term is ONE double chain — written via the cross-multiplied
+    form (sᵢN − nᵢS)²/(nᵢS(N−S)) so p̂ never materializes — floored
+    e6 BEFORE the order-free bigint sum; the Z readout floors one
+    more gated double chain.  Degenerate series (S=0 or S=N) drop
+    structurally both sides.
+
+    Scale: one (type, day) rollup + a keyed totals join back to the
+    calendar-bounded daily tape — map-side combinable everywhere."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count("*").cast("bigint").alias("n_i"),
+        F.count_if(F.col("value") >= 100.0).cast("bigint").alias("s_i"),
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("n_i").cast("bigint").alias("n"),
+        F.sum("s_i").cast("bigint").alias("s"),
+        F.sum(F.col("n_i") * (F.col("n_i") - 1))
+        .cast("bigint")
+        .alias("snn1"),
+    )
+    j = daily.join(F.broadcast(tot), "event_type").filter(
+        (F.col("s") > 0) & (F.col("s") < F.col("n"))
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    dev = d("s_i") * F.col("n") - d("n_i") * F.col("s")
+    term = F.floor(
+        dev * dev / (d("n_i") * F.col("s") * (F.col("n") - F.col("s")))
+        * 1000000
+    ).cast("bigint")
+    score = j.groupBy("event_type", "k", "n", "s", "snn1").agg(
+        F.sum(term).cast("bigint").alias("stat_e6")
+    )
+    return score.select(
+        "event_type",
+        "k",
+        "n",
+        "s",
+        "stat_e6",
+        F.when(
+            F.col("snn1") > 0,
+            F.floor(
+                (F.col("stat_e6").cast("double") / 1000000 - F.col("n"))
+                / F.sqrt(2.0 * F.col("snn1"))
+                * 1000000
+            ).cast("bigint"),
+        ).alias("tarone_z_e6"),
+    ).orderBy("event_type")

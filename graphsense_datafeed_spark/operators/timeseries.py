@@ -12471,3 +12471,164 @@ def ts_distance_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint"),
         ).alias("dcor2_e6"),
     )
+
+
+@query(
+    "events_survival_weibull_fit",
+    """
+    WITH purchases AS (
+        SELECT user_id, ts,
+               lag(ts) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS prev_ts
+        FROM events WHERE event_type = 'purchase'
+    ), failures AS (
+        SELECT CAST((epoch_us(ts) - epoch_us(prev_ts))
+                    // 3600000000 + 1 AS BIGINT) AS t1
+        FROM purchases WHERE prev_ts IS NOT NULL
+    ), atoms AS (
+        SELECT t1, CAST(COUNT(*) AS BIGINT) AS d_i
+        FROM failures GROUP BY t1
+    ), ranked AS (
+        SELECT t1, d_i,
+               CAST(SUM(d_i) OVER (ORDER BY t1) AS BIGINT) AS i,
+               CAST(SUM(d_i) OVER () AS BIGINT) AS n
+        FROM atoms
+    ), pts AS (
+        SELECT d_i,
+               CAST(FLOOR(ln(CAST(t1 AS DOUBLE)) * 1000000000)
+                    AS BIGINT) AS x_e9,
+               CAST(FLOOR(ln(-ln(1.0 - (CAST(i AS DOUBLE) - 0.3)
+                                       / (n + 0.4)))
+                          * 1000000000) AS BIGINT) AS y_e9
+        FROM ranked
+    ), cells AS (
+        SELECT CAST(SUM(d_i) AS BIGINT) AS n,
+               SUM(CAST(d_i AS HUGEINT) * x_e9) AS sx,
+               SUM(CAST(d_i AS HUGEINT) * y_e9) AS sy,
+               SUM(CAST(d_i AS HUGEINT) * x_e9 * x_e9) AS sxx,
+               SUM(CAST(d_i AS HUGEINT) * x_e9 * y_e9) AS sxy
+        FROM pts
+    )
+    SELECT n,
+           CAST(FLOOR((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * 1000000) AS BIGINT) AS shape_e6,
+           CAST(FLOOR(EXP(-((CAST(sy AS DOUBLE)
+                             - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                                / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                   - CAST(sx AS DOUBLE)
+                                     * CAST(sx AS DOUBLE)))
+                               * CAST(sx AS DOUBLE))
+                            / CAST(n AS DOUBLE) / 1000000000)
+                          / ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                - CAST(sx AS DOUBLE)
+                                  * CAST(sx AS DOUBLE))))
+                      * 1000000) AS BIGINT)
+               AS scale_hours_e6
+    FROM cells
+    """,
+)
+def events_survival_weibull_fit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WEIBULL FIT of inter-purchase gaps by median-rank regression
+    (round 12 cont.): ln(−ln(1−F)) on ln(t) over per-user consecutive
+    purchase gaps (hours) — the parametric member of the survival
+    family on the one duration this fixture actually observes to
+    completion (user LIFETIMES are all right-censored here: every
+    user stays active to corpus end at every SF — measured before
+    this fabric replaced the first draft): shape k < 1 means the
+    next-purchase hazard falls as the gap grows (cooling users),
+    k ≈ 1 is memoryless (the events_interarrival_hist Poisson read),
+    k > 1 means rhythmic purchasing.  Bernard's median-rank
+    F = (i−0.3)/(n+0.4) with ties taking the last rank.
+
+    Exactness: gaps floor to whole hours +1 (ln args > 0, the candle
+    v+1 discipline; exact epoch-microsecond diff DIV 3600e6 both engines — date_diff('second')/timestampdiff count DIFFERENTLY on fractional seconds, caught by the sf0.01 hash); each
+    atom's x/y floors to an e9 INTEGER once; the five weighted OLS
+    cells run in HUGEINT/decimal(38,0) (d·x·y is ~1e24-scale); shape
+    and scale are each ONE double chain with the slope formula
+    repeated VERBATIM inside the scale expression.
+
+    Scale: one keyed lag window over purchases, atoms bounded by the
+    calendar span in hours, a pre-reduced rank sweep over atoms."""
+    ev = load(spark, sf_dir, "events")
+    wp = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lag("ts").over(wp).alias("prev_ts"),
+    )
+    failures = purchases.filter(F.col("prev_ts").isNotNull()).select(
+        (
+            F.expr(
+                "(unix_micros(CAST(ts AS TIMESTAMP))"
+                " - unix_micros(CAST(prev_ts AS TIMESTAMP)))"
+                " DIV 3600000000"
+            )
+            + 1
+        )
+        .cast("bigint")
+        .alias("t1")
+    )
+    atoms = failures.groupBy("t1").agg(
+        F.count("*").cast("bigint").alias("d_i")
+    )
+    w = Window.orderBy("t1").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    ranked = atoms.select(
+        "t1",
+        "d_i",
+        F.sum("d_i").over(w).cast("bigint").alias("i"),
+        F.sum("d_i").over(w_all).cast("bigint").alias("n"),
+    )
+    pts = ranked.select(
+        "d_i",
+        F.floor(F.log(F.col("t1").cast("double")) * 1000000000)
+        .cast("bigint")
+        .alias("x_e9"),
+        F.floor(
+            F.log(
+                -F.log(
+                    1.0
+                    - (F.col("i").cast("double") - 0.3) / (F.col("n") + 0.4)
+                )
+            )
+            * 1000000000
+        )
+        .cast("bigint")
+        .alias("y_e9"),
+    )
+    d38 = "decimal(38,0)"
+    cells = pts.agg(
+        F.sum("d_i").cast("bigint").alias("n"),
+        F.sum(F.col("d_i").cast(d38) * F.col("x_e9")).alias("sx"),
+        F.sum(F.col("d_i").cast(d38) * F.col("y_e9")).alias("sy"),
+        F.sum(
+            F.col("d_i").cast(d38) * F.col("x_e9") * F.col("x_e9")
+        ).alias("sxx"),
+        F.sum(
+            F.col("d_i").cast(d38) * F.col("x_e9") * F.col("y_e9")
+        ).alias("sxy"),
+    )
+    dn = F.col("n").cast("double")
+    dsx = F.col("sx").cast("double")
+    dsy = F.col("sy").cast("double")
+    dsxx = F.col("sxx").cast("double")
+    dsxy = F.col("sxy").cast("double")
+    slope = (dn * dsxy - dsx * dsy) / (dn * dsxx - dsx * dsx)
+    return cells.select(
+        "n",
+        F.floor(slope * 1000000).cast("bigint").alias("shape_e6"),
+        F.floor(
+            F.exp(-((dsy - slope * dsx) / dn / 1000000000) / slope)
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("scale_hours_e6"),
+    )

@@ -744,6 +744,8 @@ _ROUND12_ADDITIONS = (
     "text_model_youden_cutpoint",
     "text_burrows_delta",
     "ts_distance_correlation",
+    "agg_tarone_overdispersion",
+    "events_survival_weibull_fit",
 )
 
 # Landing-order queue for rows that have never been inside a driver

@@ -622,3 +622,48 @@ def test_dcor_bounds_and_perfect_dependence(spark, sf_dir):
     saa = sum(ah[i][j] * ah[i][j] for i in range(n) for j in range(n))
     # self-dCor of the click tape: sab == saa == sbb -> exactly 1
     assert math.floor(saa / math.sqrt(saa * saa) * 1e6) == 1000000
+
+
+def test_tarone_brute_force(spark, sf_dir):
+    """stat_e6 must match the per-day brute recomputation."""
+    ev = load(spark, SF01, "events")
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(
+            F.count("*").alias("n_i"),
+            F.count_if(F.col("value") >= 100.0).alias("s_i"),
+        )
+        .collect()
+    )
+    by_type: dict[str, list] = {}
+    for r in daily:
+        by_type.setdefault(r["event_type"], []).append((r["n_i"], r["s_i"]))
+    for r in QUERIES["agg_tarone_overdispersion"](spark, SF01).collect():
+        cells = by_type[r["event_type"]]
+        n = sum(c[0] for c in cells)
+        s = sum(c[1] for c in cells)
+        stat = sum(
+            math.floor(
+                (si * n - ni * s) ** 2 / (ni * s * (n - s)) * 1e6
+            )
+            for ni, si in cells
+        )
+        assert r["stat_e6"] == stat
+        snn1 = sum(ni * (ni - 1) for ni, _ in cells)
+        expect_z = math.floor((stat / 1e6 - n) / math.sqrt(2.0 * snn1) * 1e6)
+        assert r["tarone_z_e6"] == expect_z
+
+
+def test_weibull_fit_plausible(spark, sf_dir):
+    """Shape positive and sane; scale must sit inside the observable
+    gap span (1..~720 hours); n equals the purchase count minus one
+    first-purchase per user."""
+    r = QUERIES["events_survival_weibull_fit"](spark, SF01).collect()[0]
+    ev = load(spark, SF01, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    n_purch = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert r["n"] == n_purch - n_users
+    assert 100000 < r["shape_e6"] < 20000000  # 0.1 < k < 20
+    assert 1000000 <= r["scale_hours_e6"] < 800000000  # 1..800 hours
