@@ -4078,3 +4078,192 @@ def sim_lsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+@query(
+    "embed_covariance_anisotropy",
+    """
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding[1:16],
+                   e -> CAST(FLOOR(CAST(e AS DOUBLE) * 1000000)
+                             AS BIGINT)) AS qv
+        FROM embeddings
+    ), pairs AS (
+        SELECT u.i AS i, w.j AS j,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(qv[u.i] AS HUGEINT) * qv[w.j]) AS HUGEINT)
+                   AS sxy
+        FROM q,
+             LATERAL (SELECT unnest(generate_series(1, 16)) AS i) u,
+             LATERAL (SELECT unnest(generate_series(1, 16)) AS j) w
+        WHERE w.j >= u.i
+        GROUP BY 1, 2
+    ), sums AS (
+        SELECT u.i AS i, CAST(SUM(qv[u.i]) AS BIGINT) AS s_i
+        FROM q,
+             LATERAL (SELECT unnest(generate_series(1, 16)) AS i) u
+        GROUP BY 1
+    ), cov AS (
+        SELECT p.i, p.j, p.n,
+               CAST(p.n * p.sxy - CAST(a.s_i AS HUGEINT) * b.s_i
+                    AS HUGEINT) AS cnum
+        FROM pairs p
+        JOIN sums a ON a.i = p.i
+        JOIN sums b ON b.i = p.j
+    ), mass AS (
+        SELECT
+            CAST(SUM(CASE WHEN i = j THEN
+                CAST(FLOOR(CAST(cnum AS DOUBLE) * CAST(cnum AS DOUBLE)
+                           / 1e36) AS BIGINT) ELSE 0 END) AS BIGINT)
+                AS diag_mass_e36,
+            CAST(SUM(CASE WHEN i < j THEN
+                CAST(FLOOR(CAST(cnum AS DOUBLE) * CAST(cnum AS DOUBLE)
+                           / 1e36) AS BIGINT) ELSE 0 END) AS BIGINT)
+                AS offdiag_mass_e36,
+            MAX(n) AS n_vecs
+        FROM cov
+    ), top AS (
+        SELECT c.i AS top_i, c.j AS top_j,
+               CAST(FLOOR(CAST(c.cnum AS DOUBLE)
+                          / SQRT(CAST(di.cnum AS DOUBLE)
+                                 * CAST(dj.cnum AS DOUBLE))
+                          * 1000000) AS BIGINT) AS top_corr_e6
+        FROM cov c
+        JOIN cov di ON di.i = c.i AND di.j = c.i
+        JOIN cov dj ON dj.i = c.j AND dj.j = c.j
+        WHERE c.i < c.j AND di.cnum > 0 AND dj.cnum > 0
+        ORDER BY ABS(c.cnum) DESC, c.i ASC, c.j ASC
+        LIMIT 1
+    )
+    SELECT n_vecs, diag_mass_e36, offdiag_mass_e36,
+           CAST((offdiag_mass_e36 * 1000000)
+                // GREATEST(diag_mass_e36 + offdiag_mass_e36, 1)
+                AS BIGINT) AS offdiag_share_e6,
+           top_i, top_j, top_corr_e6
+    FROM mass, top
+    """,
+)
+def embed_covariance_anisotropy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """COVARIANCE ANISOTROPY of the 16-dim embedding prefix (round 12
+    cont.): the off-diagonal share of the covariance Frobenius mass
+    plus the single strongest dimension-pair correlation — the
+    CROSS-dimension collapse diagnostic embed_dim_variance_profile
+    (diagonal only) cannot see: an encoder can keep every per-dim
+    variance healthy while two dimensions are near-copies, which
+    wastes capacity and breaks the independence assumption behind
+    embed_quantize_int8's per-dim scales and the matryoshka prefix
+    claim.  Prefix-16 keeps the pair blowup d(d+1)/2 = 136 per
+    vector — constant in SF (the matryoshka prefix discipline).
+
+    Exactness: components quantize ONCE to e6 bigints (f32→double
+    first, the round-9 ulp trap); pair products and the n·Σxy − SᵢSⱼ
+    centered numerators run in HUGEINT/decimal(38,0) (the spearman
+    discipline — cnum is ~1e24-scale); the Frobenius masses floor
+    each cell's square (double, IEEE-identical) to e-36-scaled
+    bigints BEFORE order-free sums; the share is an exact integer
+    division; the top pair argmax compares EXACT decimal |cnum| with
+    (i, j) tie-break, and its correlation is one gated double chain.
+
+    Scale: one pass expanding each vector to its 136 prefix pairs
+    JVM-side (flatten(transform(...)) — no self-join, no Python),
+    then a 136-cell keyed rollup; everything after runs on ≤136
+    rows."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.select(
+        F.expr(
+            "transform(slice(embedding, 1, 16),"
+            " v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT))"
+        ).alias("qv")
+    )
+    pairs_raw = q.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(qv, (x, i) ->"
+                " transform(slice(qv, i + 1, size(qv) - i), (y, k) ->"
+                " struct(i + 1 AS i, i + 1 + k AS j, x * y AS p))))"
+            )
+        ).alias("c")
+    ).select("c.i", "c.j", "c.p")
+    d38 = "decimal(38,0)"
+    pairs = pairs_raw.groupBy("i", "j").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("p").cast(d38)).alias("sxy"),
+    )
+    sums = (
+        q.select(F.posexplode("qv").alias("i0", "v"))
+        .groupBy((F.col("i0") + 1).alias("i"))
+        .agg(F.sum("v").cast("bigint").alias("s_i"))
+    )
+    a = sums.select(F.col("i").alias("ai"), F.col("s_i").alias("sa"))
+    b = sums.select(F.col("i").alias("bj"), F.col("s_i").alias("sb"))
+    cov = (
+        pairs.join(F.broadcast(a), F.col("i") == F.col("ai"))
+        .join(F.broadcast(b), F.col("j") == F.col("bj"))
+        .select(
+            "i",
+            "j",
+            "n",
+            (
+                F.col("n").cast(d38) * F.col("sxy")
+                - F.col("sa").cast(d38) * F.col("sb")
+            ).alias("cnum"),
+        )
+    )
+    sq_e36 = F.floor(
+        F.col("cnum").cast("double") * F.col("cnum").cast("double") / 1e36
+    ).cast("bigint")
+    mass = cov.agg(
+        F.sum(F.when(F.col("i") == F.col("j"), sq_e36).otherwise(0))
+        .cast("bigint")
+        .alias("diag_mass_e36"),
+        F.sum(F.when(F.col("i") < F.col("j"), sq_e36).otherwise(0))
+        .cast("bigint")
+        .alias("offdiag_mass_e36"),
+        F.max("n").alias("n_vecs"),
+    )
+    di = cov.filter(F.col("i") == F.col("j")).select(
+        F.col("i").alias("di_i"), F.col("cnum").alias("var_i")
+    )
+    dj = cov.filter(F.col("i") == F.col("j")).select(
+        F.col("i").alias("dj_j"), F.col("cnum").alias("var_j")
+    )
+    top = (
+        cov.filter(F.col("i") < F.col("j"))
+        .join(F.broadcast(di), F.col("i") == F.col("di_i"))
+        .join(F.broadcast(dj), F.col("j") == F.col("dj_j"))
+        .filter((F.col("var_i") > 0) & (F.col("var_j") > 0))
+        .select(
+            F.col("i").alias("top_i"),
+            F.col("j").alias("top_j"),
+            F.floor(
+                F.col("cnum").cast("double")
+                / F.sqrt(
+                    F.col("var_i").cast("double")
+                    * F.col("var_j").cast("double")
+                )
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("top_corr_e6"),
+            F.abs(F.col("cnum")).alias("acnum"),
+        )
+        .orderBy(F.col("acnum").desc(), F.col("top_i").asc(), F.col("top_j").asc())
+        .limit(1)
+        .drop("acnum")
+    )
+    out = mass.crossJoin(F.broadcast(top))
+    return out.select(
+        "n_vecs",
+        "diag_mass_e36",
+        "offdiag_mass_e36",
+        F.expr(
+            "(offdiag_mass_e36 * 1000000)"
+            " DIV GREATEST(diag_mass_e36 + offdiag_mass_e36, 1L)"
+        ).alias("offdiag_share_e6"),
+        "top_i",
+        "top_j",
+        "top_corr_e6",
+    )

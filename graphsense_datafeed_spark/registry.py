@@ -746,6 +746,7 @@ _ROUND12_ADDITIONS = (
     "ts_distance_correlation",
     "agg_tarone_overdispersion",
     "events_survival_weibull_fit",
+    "embed_covariance_anisotropy",
 )
 
 # Landing-order queue for rows that have never been inside a driver

@@ -667,3 +667,46 @@ def test_weibull_fit_plausible(spark, sf_dir):
     assert r["n"] == n_purch - n_users
     assert 100000 < r["shape_e6"] < 20000000  # 0.1 < k < 20
     assert 1000000 <= r["scale_hours_e6"] < 800000000  # 1..800 hours
+
+
+def test_covariance_anisotropy_vs_numpy(spark, sf_dir):
+    """The off-diagonal share and top pair must match a numpy
+    recomputation of the same quantized prefix."""
+    import numpy as np
+
+    vecs = (
+        load(spark, SF01, "embeddings").select("embedding").collect()
+    )
+    q = np.array(
+        [
+            [math.floor(float(v) * 1e6) for v in r["embedding"][:16]]
+            for r in vecs
+        ],
+        dtype=object,
+    )
+    n = len(q)
+    s = q.sum(axis=0)
+    cnum = {}
+    for i in range(16):
+        for j in range(i, 16):
+            sxy = int((q[:, i] * q[:, j]).sum())
+            cnum[(i + 1, j + 1)] = n * sxy - int(s[i]) * int(s[j])
+    diag = sum(
+        math.floor(float(cnum[(i, i)]) * float(cnum[(i, i)]) / 1e36)
+        for i in range(1, 17)
+    )
+    off = sum(
+        math.floor(float(c) * float(c) / 1e36)
+        for (i, j), c in cnum.items()
+        if i < j
+    )
+    r = QUERIES["embed_covariance_anisotropy"](spark, SF01).collect()[0]
+    assert r["n_vecs"] == n
+    assert r["diag_mass_e36"] == diag
+    assert r["offdiag_mass_e36"] == off
+    best = max(
+        ((abs(c), -i, -j), (i, j))
+        for (i, j), c in cnum.items()
+        if i < j
+    )[1]
+    assert (r["top_i"], r["top_j"]) == best
