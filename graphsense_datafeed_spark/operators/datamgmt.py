@@ -5117,3 +5117,74 @@ def sample_ess_diagnostic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("ess_clipped_share_e6"),
         F.expr("((sw - swc) * 1000000) DIV sw").alias("clipped_mass_e6"),
     ).orderBy("source")
+
+
+@query(
+    "sample_pps_systematic",
+    """
+    WITH base AS (
+        SELECT o_orderkey,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS w
+        FROM orders
+    ), cum AS (
+        SELECT o_orderkey, w,
+               CAST(SUM(w) OVER (ORDER BY o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cw,
+               CAST(SUM(w) OVER () AS BIGINT) AS tw
+        FROM base
+    ), marked AS (
+        SELECT o_orderkey, w, cw, tw,
+               ((cw * 200) // tw) - (((cw - w) * 200) // tw) AS hits
+        FROM cum
+    )
+    SELECT o_orderkey, w, CAST(hits AS BIGINT) AS n_hits
+    FROM marked WHERE hits > 0
+    """,
+)
+def sample_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPS SYSTEMATIC SAMPLE (round 12 cont.): ~200 orders drawn with
+    probability proportional to spend via the cumulative-weight
+    skip-interval method — the survey-methods sampler behind every
+    'audit the big accounts harder' design (monetary-unit sampling in
+    audit practice): a unit is hit once per threshold its cumulative
+    weight band crosses, so whales can be hit multiple times (n_hits
+    > 1 is the certainty-unit signal) while dust aggregates to its
+    fair probability.  Completes the sampling family:
+    equal-probability systematic exists (sample_systematic_interval);
+    this is its size-biased sibling.
+
+    Exactness: ALL-INTEGER — weights are exact cents, the cumulative
+    band [cw−w, cw) crossing count is a difference of two floor
+    divisions (nonneg operands: `//`/DIV agree), no phase float, no
+    sort ambiguity (o_orderkey is unique).
+
+    Scale: the ordered cumsum is the documented seq_global_two_pass
+    shape (range-partition + offset cumsum at 100 TB); everything
+    else is per-row arithmetic."""
+    orders = load(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("w"),
+    )
+    w_cum = Window.orderBy("o_orderkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy()
+    cum = base.select(
+        "o_orderkey",
+        "w",
+        F.sum("w").over(w_cum).cast("bigint").alias("cw"),
+        F.sum("w").over(w_all).cast("bigint").alias("tw"),
+    )
+    marked = cum.select(
+        "o_orderkey",
+        "w",
+        (
+            F.expr("(cw * 200) DIV tw")
+            - F.expr("((cw - w) * 200) DIV tw")
+        ).alias("hits"),
+    )
+    return marked.filter(F.col("hits") > 0).select(
+        "o_orderkey", "w", F.col("hits").cast("bigint").alias("n_hits")
+    )

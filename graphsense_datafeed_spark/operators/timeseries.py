@@ -12632,3 +12632,115 @@ def events_survival_weibull_fit(
         .cast("bigint")
         .alias("scale_hours_e6"),
     )
+
+
+@query(
+    "ts_sma_crossover_census",
+    f"""
+    WITH closes AS ({_DAILY_OHLC_SQL}
+    ), frames AS (
+        SELECT event_type, d,
+               CAST(SUM(c1) OVER w5 AS BIGINT) AS s5,
+               CAST(COUNT(*) OVER w5 AS BIGINT) AS n5,
+               CAST(SUM(c1) OVER w20 AS BIGINT) AS s20,
+               CAST(COUNT(*) OVER w20 AS BIGINT) AS n20
+        FROM closes
+        WINDOW w5 AS (PARTITION BY event_type ORDER BY d
+                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+               w20 AS (PARTITION BY event_type ORDER BY d
+                       ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    ), state AS (
+        SELECT event_type, d,
+               CASE WHEN 4 * s5 > s20 THEN 1
+                    WHEN 4 * s5 < s20 THEN -1 ELSE 0 END AS pos,
+               lag(CASE WHEN 4 * s5 > s20 THEN 1
+                        WHEN 4 * s5 < s20 THEN -1 ELSE 0 END)
+                   OVER (PARTITION BY event_type ORDER BY d) AS prev
+        FROM frames WHERE n20 = 20
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(COUNT(*) FILTER (prev IS NOT NULL AND prev <= 0
+                                 AND pos = 1) AS BIGINT)
+               AS golden_crosses,
+           CAST(COUNT(*) FILTER (prev IS NOT NULL AND prev >= 0
+                                 AND pos = -1) AS BIGINT)
+               AS death_crosses,
+           CAST(MAX(CASE WHEN d = last_d THEN pos END)
+                AS BIGINT) AS final_state
+    FROM (SELECT *, MAX(d) OVER (PARTITION BY event_type) AS last_d
+          FROM state)
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def ts_sma_crossover_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SMA CROSSOVER CENSUS per series (round 12 cont.): golden
+    crosses (fast 5-day SMA rising through the slow 20-day) and death
+    crosses counted over the daily close tape, plus the final
+    fast-vs-slow state — the signal layer on top of the moving-
+    average family (win_moving_avg gives the lines; this counts the
+    EVENTS a trend-following consumer actually trades, and a
+    crossover count ≫ expected flags a whipsawing series where MA
+    signals are noise).
+
+    Exactness: ALL-INTEGER — the SMA comparison s5/5 vs s20/20
+    cross-multiplies to 4·s5 vs s20 (no division at all), states are
+    {−1,0,1} ints off exact frame sums, crossings are integer lag
+    comparisons on full 20-day frames only.
+
+    Scale: two same-key windows (Catalyst shares the exchange) + a
+    keyed lag + a |types|-row rollup on the calendar-bounded tape."""
+    ohlc = _daily_ohlc(spark, sf_dir)
+    w5 = (
+        Window.partitionBy("event_type").orderBy("d").rowsBetween(-4, 0)
+    )
+    w20 = (
+        Window.partitionBy("event_type").orderBy("d").rowsBetween(-19, 0)
+    )
+    frames = ohlc.select(
+        "event_type",
+        "d",
+        F.sum("c1").over(w5).cast("bigint").alias("s5"),
+        F.sum("c1").over(w20).cast("bigint").alias("s20"),
+        F.count("*").over(w20).cast("bigint").alias("n20"),
+    )
+    pos = (
+        F.when(4 * F.col("s5") > F.col("s20"), 1)
+        .when(4 * F.col("s5") < F.col("s20"), -1)
+        .otherwise(0)
+    )
+    wl = Window.partitionBy("event_type").orderBy("d")
+    state = frames.filter(F.col("n20") == 20).select(
+        "event_type",
+        "d",
+        pos.alias("pos"),
+        F.lag(pos).over(wl).alias("prev"),
+    )
+    wmax = Window.partitionBy("event_type")
+    st2 = state.withColumn("last_d", F.max("d").over(wmax))
+    return (
+        st2.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_days"),
+            F.count_if(
+                F.col("prev").isNotNull()
+                & (F.col("prev") <= 0)
+                & (F.col("pos") == 1)
+            )
+            .cast("bigint")
+            .alias("golden_crosses"),
+            F.count_if(
+                F.col("prev").isNotNull()
+                & (F.col("prev") >= 0)
+                & (F.col("pos") == -1)
+            )
+            .cast("bigint")
+            .alias("death_crosses"),
+            F.max(
+                F.when(F.col("d") == F.col("last_d"), F.col("pos"))
+            )
+            .cast("bigint")
+            .alias("final_state"),
+        )
+        .orderBy("event_type")
+    )

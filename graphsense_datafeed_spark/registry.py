@@ -747,6 +747,8 @@ _ROUND12_ADDITIONS = (
     "agg_tarone_overdispersion",
     "events_survival_weibull_fit",
     "embed_covariance_anisotropy",
+    "sample_pps_systematic",
+    "ts_sma_crossover_census",
 )
 
 # Landing-order queue for rows that have never been inside a driver

@@ -710,3 +710,51 @@ def test_covariance_anisotropy_vs_numpy(spark, sf_dir):
         if i < j
     )[1]
     assert (r["top_i"], r["top_j"]) == best
+
+
+def test_pps_hits_sum_and_bias(spark, sf_dir):
+    """Total hits must equal exactly 200 (the last band index), and
+    the sampled set's mean weight must exceed the population mean
+    (size bias is the point)."""
+    rows = QUERIES["sample_pps_systematic"](spark, SF01).collect()
+    assert sum(r["n_hits"] for r in rows) == 200
+    o = load(spark, SF01, "orders")
+    pop_mean = (
+        o.agg(
+            F.avg(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        ).collect()[0][0]
+    )
+    samp_mean = sum(r["w"] * r["n_hits"] for r in rows) / 200
+    assert samp_mean > pop_mean
+
+
+def test_sma_crossover_brute(spark, sf_dir):
+    """Census must match a python recomputation off the candle tape."""
+    from graphsense_datafeed_spark.operators.timeseries import _daily_ohlc
+
+    tape: dict[str, list[int]] = {}
+    for r in sorted(
+        _daily_ohlc(spark, SF01).collect(),
+        key=lambda r: (r["event_type"], r["d"]),
+    ):
+        tape.setdefault(r["event_type"], []).append(r["c1"])
+    for r in QUERIES["ts_sma_crossover_census"](spark, SF01).collect():
+        c = tape[r["event_type"]]
+        states = []
+        for i in range(19, len(c)):
+            s5, s20 = sum(c[i - 4 : i + 1]), sum(c[i - 19 : i + 1])
+            states.append(1 if 4 * s5 > s20 else (-1 if 4 * s5 < s20 else 0))
+        golden = sum(
+            1
+            for a, b in zip(states, states[1:])
+            if a <= 0 and b == 1
+        )
+        death = sum(
+            1
+            for a, b in zip(states, states[1:])
+            if a >= 0 and b == -1
+        )
+        assert r["n_days"] == len(states)
+        assert r["golden_crosses"] == golden
+        assert r["death_crosses"] == death
+        assert r["final_state"] == states[-1]
