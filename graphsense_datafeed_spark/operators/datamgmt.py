@@ -5188,3 +5188,134 @@ def sample_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return marked.filter(F.col("hits") > 0).select(
         "o_orderkey", "w", F.col("hits").cast("bigint").alias("n_hits")
     )
+
+
+@query(
+    "anon_synthetic_marginals",
+    """
+    WITH cells AS (
+        SELECT c_mktsegment AS segment,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM customer GROUP BY 1
+    ), cum AS (
+        SELECT segment, c,
+               CAST(SUM(c) OVER (ORDER BY segment) AS BIGINT) AS cw,
+               CAST(SUM(c) OVER () AS BIGINT) AS tw
+        FROM cells
+    ), draws AS (
+        SELECT CAST(CAST('0x' || substr(md5('synth:'
+                        || CAST(i AS VARCHAR)), 1, 7) AS BIGINT)
+                    % (SELECT MAX(tw) FROM cum) AS BIGINT) AS u
+        FROM (SELECT unnest(generate_series(0, 999)) AS i)
+    ), assigned AS (
+        SELECT c2.segment
+        FROM draws d JOIN cum c2
+          ON d.u >= c2.cw - c2.c AND d.u < c2.cw
+    ), synth AS (
+        SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_synth
+        FROM assigned GROUP BY segment
+    )
+    SELECT c2.segment, c2.c AS n_real,
+           CAST((c2.c * 1000000) // c2.tw AS BIGINT) AS real_share_e6,
+           CAST(COALESCE(s.n_synth, 0) AS BIGINT) AS n_synth,
+           CAST((COALESCE(s.n_synth, 0) * 1000000) // 1000 AS BIGINT)
+               AS synth_share_e6,
+           CAST(FLOOR((CAST(COALESCE(s.n_synth, 0) AS DOUBLE)
+                       - 1000.0 * c2.c / c2.tw)
+                      * (CAST(COALESCE(s.n_synth, 0) AS DOUBLE)
+                         - 1000.0 * c2.c / c2.tw)
+                      / (1000.0 * c2.c / c2.tw) * 1000000) AS BIGINT)
+               AS chi2_term_e6
+    FROM cum c2 LEFT JOIN synth s USING (segment)
+    ORDER BY c2.segment
+    """,
+)
+def anon_synthetic_marginals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SYNTHETIC DATA by marginal-preserving inverse-CDF draw (round
+    12 cont.): 1000 synthetic segment labels drawn from the REAL
+    market-segment distribution via deterministic md5 uniforms — the
+    privacy-side generator the anon family was missing (suppression/
+    generalization/swapping REDACT real rows; this RELEASES no row at
+    all, only the marginal, which is the k=∞ end of the disclosure
+    spectrum), and the per-segment χ² terms referee how faithfully
+    the draw tracks its target.
+
+    Exactness: the inverse CDF is an exact integer band probe
+    (u ∈ [cw−c, cw), same discipline as sample_pps_systematic's
+    bands); md5 uniforms are the shared 7-hex-digit literal lane;
+    shares are exact integer divisions; only the χ² terms run a
+    double chain, floored per segment.
+
+    Scale: the band probe is a broadcast range join of the 1000-row
+    draw frame against |segments| rows; the segment rollup is
+    map-side; generating 1e9 synthetic rows instead of 1e3 changes
+    nothing but the range width."""
+    c = load(spark, sf_dir, "customer")
+    cells = c.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    w_ord = Window.orderBy("segment").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy()
+    cum = cells.select(
+        "segment",
+        "c",
+        F.sum("c").over(w_ord).cast("bigint").alias("cw"),
+        F.sum("c").over(w_all).cast("bigint").alias("tw"),
+    )
+    tw_row = cum.agg(F.max("tw").alias("tw_v"))
+    draws = (
+        spark.range(0, 1000)
+        .crossJoin(F.broadcast(tw_row))
+        .select(
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("synth:"), F.col("id").cast("string")
+                            ).cast("binary")
+                        ),
+                        1,
+                        7,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % F.col("tw_v")
+            ).alias("u")
+        )
+    )
+    assigned = draws.join(
+        F.broadcast(cum),
+        (F.col("u") >= F.col("cw") - F.col("c"))
+        & (F.col("u") < F.col("cw")),
+    ).select("segment")
+    synth = assigned.groupBy("segment").agg(
+        F.count("*").cast("bigint").alias("n_synth")
+    )
+    j = cum.join(F.broadcast(synth), "segment", "left").select(
+        "segment",
+        "c",
+        "tw",
+        F.coalesce(F.col("n_synth"), F.lit(0)).cast("bigint").alias(
+            "ns"
+        ),
+    )
+    expect = 1000.0 * F.col("c") / F.col("tw")
+    return j.select(
+        "segment",
+        F.col("c").alias("n_real"),
+        F.expr("(c * 1000000) DIV tw").alias("real_share_e6"),
+        F.col("ns").alias("n_synth"),
+        F.expr("(ns * 1000000) DIV 1000").alias("synth_share_e6"),
+        F.floor(
+            (F.col("ns").cast("double") - expect)
+            * (F.col("ns").cast("double") - expect)
+            / expect
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("chi2_term_e6"),
+    ).orderBy("segment")

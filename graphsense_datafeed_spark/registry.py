@@ -749,6 +749,8 @@ _ROUND12_ADDITIONS = (
     "embed_covariance_anisotropy",
     "sample_pps_systematic",
     "ts_sma_crossover_census",
+    "scan_nested_schema_pruning",
+    "anon_synthetic_marginals",
 )
 
 # Landing-order queue for rows that have never been inside a driver

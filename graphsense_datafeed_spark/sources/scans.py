@@ -1688,3 +1688,70 @@ def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merged.unionByName(inserts).write.mode("overwrite").parquet(out)
     return spark.read.parquet(out)
+
+
+_DUCK_TX_TYPE = (
+    "STRUCT(tx_hash VARCHAR, coinbase BOOLEAN, total_input BIGINT, "
+    "total_output BIGINT, inputs STRUCT(address VARCHAR[], value BIGINT)[], "
+    "outputs STRUCT(address VARCHAR[], value BIGINT)[])[]"
+)
+# local typed-read expression (facade._duck_blocks_sql would be a
+# circular import: facade imports scans)
+_DUCK_BLOCKS_LOCAL = (
+    f"read_json('{BLOCKS_JSONL}', format='newline_delimited', "
+    "columns={'height':'BIGINT','block_hash':'VARCHAR','timestamp':'BIGINT',"
+    f"'no_transactions':'BIGINT','txs':\"{_DUCK_TX_TYPE}\"}})"
+)
+
+
+@query(
+    "scan_nested_schema_pruning",
+    f"""
+    SELECT height,
+           CAST(len(list_transform(txs, t -> (t).tx_hash)) AS BIGINT)
+               AS n_txs,
+           list_transform(txs, t -> (t).tx_hash)[1] AS first_tx
+    FROM {_DUCK_BLOCKS_LOCAL}
+    ORDER BY height
+    """,
+)
+def scan_nested_schema_pruning(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """NESTED SCHEMA PRUNING through a parquet roundtrip (round 12
+    cont.): the block feed (deeply nested txs: inputs/outputs of
+    address lists) lands in parquet, then a query touching ONLY
+    height and txs.tx_hash reads back — and the physical ReadSchema
+    must contain tx_hash but NOT inputs/outputs (asserted in
+    tests/test_round12_ops.py on the formatted plan).  At 100 TB the
+    difference between reading one nested leaf and the whole txs
+    struct IS the query budget: this op pins Spark's
+    nestedSchemaPruning behavior the way scan_footer_stats pins
+    row-group stats.
+
+    Exactness: pure projection — heights, counts and the first tx
+    hash are exact; the oracle reads the SAME json fixture through
+    DuckDB's typed reader (parquet is a pass-through for these
+    values, and any writer/reader asymmetry in the nested encoding
+    hash-fails).
+
+    Scale: the write is partition-parallel; the pruned read scans
+    one leaf column of one struct array — the plan referee is the
+    point."""
+    ensure_runtime_confs(spark)
+    raw = read_blocks_json(spark)
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "gds_nested_pruning",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    raw.write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    return (
+        back.select(
+            "height",
+            F.size(F.col("txs.tx_hash")).cast("bigint").alias("n_txs"),
+            F.col("txs.tx_hash")[0].alias("first_tx"),
+        )
+        .orderBy("height")
+    )

@@ -758,3 +758,31 @@ def test_sma_crossover_brute(spark, sf_dir):
         assert r["golden_crosses"] == golden
         assert r["death_crosses"] == death
         assert r["final_state"] == states[-1]
+
+
+def test_nested_pruning_plan_reads_one_leaf(spark, sf_dir):
+    """The physical plan's ReadSchema must include tx_hash and must
+    NOT materialize the inputs/outputs branches."""
+    df = QUERIES["scan_nested_schema_pruning"](spark, SF01)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # find the parquet scan line(s) of the roundtrip table
+    import re
+
+    scans = [
+        ln for ln in plan.splitlines() if "ReadSchema" in ln and "gds_nested_pruning" in plan
+    ]
+    assert scans, plan[:2000]
+    joined = " ".join(scans)
+    assert "tx_hash" in joined
+    assert "inputs" not in joined and "outputs" not in joined
+
+
+def test_synthetic_marginals_accounting(spark, sf_dir):
+    """Synthetic counts must sum to exactly 1000, every real segment
+    appears, and the total chi2 must be small for a faithful draw
+    (p>0.001-ish: chi2 < 20 on 4 dof)."""
+    rows = QUERIES["anon_synthetic_marginals"](spark, SF01).collect()
+    assert sum(r["n_synth"] for r in rows) == 1000
+    assert all(r["n_real"] > 0 for r in rows)
+    chi2 = sum(r["chi2_term_e6"] for r in rows) / 1e6
+    assert chi2 < 20.0
