@@ -12744,3 +12744,389 @@ def ts_sma_crossover_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "ts_underwater_spells",
+    f"""
+    WITH closes AS ({_DAILY_OHLC_SQL}
+    ), marked AS (
+        SELECT event_type, d, c1,
+               CAST(MAX(c1) OVER (PARTITION BY event_type ORDER BY d)
+                    AS BIGINT) AS peak
+        FROM closes
+    ), flagged AS (
+        SELECT event_type, d,
+               CASE WHEN c1 < peak THEN 1 ELSE 0 END AS uw,
+               CASE WHEN c1 < peak
+                     AND COALESCE(lag(CASE WHEN c1 < peak THEN 1
+                                       ELSE 0 END)
+                         OVER (PARTITION BY event_type ORDER BY d), 0)
+                         = 0
+                    THEN 1 ELSE 0 END AS spell_start
+        FROM marked
+    ), islands AS (
+        SELECT event_type, d, uw,
+               CAST(SUM(spell_start) OVER (PARTITION BY event_type
+                                           ORDER BY d) AS BIGINT)
+                   AS spell_id
+        FROM flagged
+    ), spells AS (
+        SELECT event_type, spell_id,
+               CAST(COUNT(*) AS BIGINT) AS len_days,
+               CAST(MAX(d) AS DATE) AS spell_end
+        FROM islands WHERE uw = 1
+        GROUP BY 1, 2
+    ), last_day AS (
+        SELECT event_type, MAX(d) AS corpus_end,
+               CAST(SUM(uw) AS BIGINT) AS uw_days,
+               CAST(COUNT(*) AS BIGINT) AS n_days
+        FROM islands GROUP BY event_type
+    )
+    SELECT l.event_type, l.n_days, l.uw_days,
+           CAST(COALESCE(COUNT(s.spell_id), 0) AS BIGINT) AS n_spells,
+           CAST(COALESCE(MAX(s.len_days), 0) AS BIGINT)
+               AS longest_spell_days,
+           COALESCE(MAX(CASE WHEN s.spell_end = l.corpus_end
+                             THEN TRUE END), FALSE)
+               AS underwater_now
+    FROM last_day l LEFT JOIN spells s USING (event_type)
+    GROUP BY 1, 2, 3
+    ORDER BY 1
+    """,
+)
+def ts_underwater_spells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNDERWATER SPELL census per series (round 12 cont.): maximal
+    runs of days strictly below the running peak — the DURATION
+    decomposition of the drawdown family (ts_max_drawdown = worst
+    depth, ts_ulcer_index = RMS blend; this answers 'how LONG do we
+    stay down, how many distinct episodes, and are we down right
+    now' — the recovery-time questions a depth number cannot).
+
+    Exactness: ALL-INTEGER — the running peak is an integer window
+    max, the underwater flag an integer comparison, spells are the
+    win_gaps_islands start-flag cumsum, lengths/counts exact; the
+    only non-count output is a boolean.
+
+    Scale: three stacked keyed windows + two keyed rollups on the
+    calendar-bounded tape — the gaps-islands program on the drawdown
+    flag."""
+    ohlc = _daily_ohlc(spark, sf_dir)
+    wp = Window.partitionBy("event_type").orderBy("d")
+    marked = ohlc.select(
+        "event_type",
+        "d",
+        "c1",
+        F.max("c1").over(wp).cast("bigint").alias("peak"),
+    )
+    uw = F.when(F.col("c1") < F.col("peak"), 1).otherwise(0)
+    flagged = marked.select(
+        "event_type",
+        "d",
+        uw.alias("uw"),
+        F.when(
+            (uw == 1)
+            & (F.coalesce(F.lag(uw).over(wp), F.lit(0)) == 0),
+            1,
+        )
+        .otherwise(0)
+        .alias("spell_start"),
+    )
+    islands = flagged.select(
+        "event_type",
+        "d",
+        "uw",
+        F.sum("spell_start").over(wp).cast("bigint").alias("spell_id"),
+    )
+    spells = (
+        islands.filter(F.col("uw") == 1)
+        .groupBy("event_type", "spell_id")
+        .agg(
+            F.count("*").cast("bigint").alias("len_days"),
+            F.max("d").alias("spell_end"),
+        )
+    )
+    last_day = islands.groupBy("event_type").agg(
+        F.max("d").alias("corpus_end"),
+        F.sum("uw").cast("bigint").alias("uw_days"),
+        F.count("*").cast("bigint").alias("n_days"),
+    )
+    j = last_day.join(F.broadcast(spells), "event_type", "left")
+    return (
+        j.groupBy("event_type", "n_days", "uw_days")
+        .agg(
+            F.coalesce(F.count("spell_id"), F.lit(0))
+            .cast("bigint")
+            .alias("n_spells"),
+            F.coalesce(F.max("len_days"), F.lit(0))
+            .cast("bigint")
+            .alias("longest_spell_days"),
+            F.coalesce(
+                F.max(
+                    F.when(
+                        F.col("spell_end") == F.col("corpus_end"),
+                        F.lit(True),
+                    )
+                ),
+                F.lit(False),
+            ).alias("underwater_now"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "events_mantel_haenszel_or",
+    """
+    WITH base AS (
+        SELECT CAST(CAST('0x' || substr(md5('arm:'
+                        || CAST(user_id AS VARCHAR)), 1, 4) AS BIGINT)
+                    % 2 AS BIGINT) AS arm,
+               CASE WHEN value >= 100.0 THEN 1 ELSE 0 END AS y,
+               CAST(FLOOR(EXTRACT(hour FROM ts) / 6) AS BIGINT)
+                   AS stratum
+        FROM events
+    ), cells AS (
+        SELECT stratum,
+               CAST(COUNT(*) FILTER (arm = 1 AND y = 1) AS BIGINT) AS a,
+               CAST(COUNT(*) FILTER (arm = 1 AND y = 0) AS BIGINT) AS b,
+               CAST(COUNT(*) FILTER (arm = 0 AND y = 1) AS BIGINT) AS c,
+               CAST(COUNT(*) FILTER (arm = 0 AND y = 0) AS BIGINT) AS d,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM base GROUP BY stratum
+    ), terms AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+               CAST(SUM((a * 1000000 * d) // n) AS BIGINT) AS num_e6,
+               CAST(SUM((b * 1000000 * c) // n) AS BIGINT) AS den_e6,
+               CAST(SUM(a) AS BIGINT) AS sa, CAST(SUM(b) AS BIGINT) AS sb,
+               CAST(SUM(c) AS BIGINT) AS sc, CAST(SUM(d) AS BIGINT) AS sd
+        FROM cells
+    )
+    SELECT n_strata, sa, sb, sc, sd,
+           CASE WHEN sb * sc > 0 THEN
+               CAST((sa * 1000000 * sd) // (sb * sc) AS BIGINT)
+           END AS crude_or_e6,
+           CASE WHEN den_e6 > 0 THEN
+               CAST((num_e6 * 1000000) // den_e6 AS BIGINT)
+           END AS mh_or_e6,
+           (CASE WHEN sb * sc > 0 AND den_e6 > 0 THEN
+               ((sa * 1000000 * sd) // (sb * sc) > 1000000)
+               <> ((num_e6 * 1000000) // den_e6 > 1000000)
+           ELSE FALSE END) AS reversal
+    FROM terms
+    """,
+)
+def events_mantel_haenszel_or(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MANTEL-HAENSZEL POOLED ODDS RATIO vs the crude (round 12
+    cont.): the md5-arm × high-value-outcome association pooled
+    ACROSS dayparts by the MH estimator Σ(aᵢdᵢ/nᵢ)/Σ(bᵢcᵢ/nᵢ),
+    compared against the collapsed crude OR — the Simpson's-paradox
+    instrument: when stratum sizes correlate with both arm share and
+    outcome rate, crude and MH DISAGREE (reversal = TRUE), and the
+    stratified family (events_stratified_effect, agg_smr_indirect)
+    exists precisely because the crude number lies.  The md5 arm is
+    independent of everything, so both ORs ≈ 1 and reversal must be
+    FALSE — a structural null referee'd in tests.
+
+    Exactness: ALL-INTEGER — 2×2×strata cells exact; each MH term
+    quantizes ONCE as (a·1e6·d)//n (nonneg → `//`/DIV agree; a·1e6·d
+    ≤ ~4e17 at sf10, inside int64); crude/MH ORs are exact integer
+    divisions; the reversal flag compares integer quotients to 1e6.
+
+    Scale: one events pass to ≤4 stratum cells (map-side), 1-row
+    finish — no window, no join."""
+    ev = load(spark, sf_dir, "events")
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("arm:"), F.col("user_id").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    base = ev.select(
+        arm.alias("arm"),
+        F.when(F.col("value") >= 100.0, 1).otherwise(0).alias("y"),
+        F.floor(F.hour("ts") / 6).cast("bigint").alias("stratum"),
+    )
+    cells = base.groupBy("stratum").agg(
+        F.count_if((F.col("arm") == 1) & (F.col("y") == 1))
+        .cast("bigint")
+        .alias("a"),
+        F.count_if((F.col("arm") == 1) & (F.col("y") == 0))
+        .cast("bigint")
+        .alias("b"),
+        F.count_if((F.col("arm") == 0) & (F.col("y") == 1))
+        .cast("bigint")
+        .alias("c"),
+        F.count_if((F.col("arm") == 0) & (F.col("y") == 0))
+        .cast("bigint")
+        .alias("d"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    terms = cells.agg(
+        F.count("*").cast("bigint").alias("n_strata"),
+        F.sum(F.expr("(a * 1000000 * d) DIV n"))
+        .cast("bigint")
+        .alias("num_e6"),
+        F.sum(F.expr("(b * 1000000 * c) DIV n"))
+        .cast("bigint")
+        .alias("den_e6"),
+        F.sum("a").cast("bigint").alias("sa"),
+        F.sum("b").cast("bigint").alias("sb"),
+        F.sum("c").cast("bigint").alias("sc"),
+        F.sum("d").cast("bigint").alias("sd"),
+    )
+    crude = F.expr("(sa * 1000000 * sd) DIV (sb * sc)")
+    mh = F.expr("(num_e6 * 1000000) DIV den_e6")
+    return terms.select(
+        "n_strata",
+        "sa",
+        "sb",
+        "sc",
+        "sd",
+        F.when(F.col("sb") * F.col("sc") > 0, crude).alias(
+            "crude_or_e6"
+        ),
+        F.when(F.col("den_e6") > 0, mh).alias("mh_or_e6"),
+        F.when(
+            (F.col("sb") * F.col("sc") > 0) & (F.col("den_e6") > 0),
+            (crude > 1000000) != (mh > 1000000),
+        )
+        .otherwise(F.lit(False))
+        .alias("reversal"),
+    )
+
+
+@query(
+    "events_cmh_test",
+    """
+    WITH base AS (
+        SELECT CAST(CAST('0x' || substr(md5('arm:'
+                        || CAST(user_id AS VARCHAR)), 1, 4) AS BIGINT)
+                    % 2 AS BIGINT) AS arm,
+               CASE WHEN value >= 100.0 THEN 1 ELSE 0 END AS y,
+               CAST(FLOOR(EXTRACT(hour FROM ts) / 6) AS BIGINT)
+                   AS stratum
+        FROM events
+    ), cells AS (
+        SELECT stratum,
+               CAST(COUNT(*) FILTER (arm = 1 AND y = 1) AS BIGINT) AS a,
+               CAST(COUNT(*) FILTER (arm = 1) AS BIGINT) AS n1,
+               CAST(COUNT(*) FILTER (y = 1) AS BIGINT) AS m1,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM base GROUP BY stratum
+    ), terms AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+               CAST(SUM(a) AS BIGINT) AS sum_a,
+               CAST(SUM(CAST(FLOOR(CAST(n1 AS DOUBLE) * m1 / n
+                                   * 1000000) AS BIGINT)) AS BIGINT)
+                   AS sum_e_e6,
+               CAST(SUM(CAST(FLOOR(CAST(n1 AS DOUBLE) * (n - n1) * m1
+                                   * (n - m1)
+                                   / (CAST(n AS DOUBLE) * n * (n - 1))
+                                   * 1000000) AS BIGINT)) AS BIGINT)
+                   AS sum_v_e6
+        FROM cells WHERE n > 1
+    )
+    SELECT n_strata, sum_a, sum_e_e6, sum_v_e6,
+           CASE WHEN sum_v_e6 > 0 THEN
+               CAST(FLOOR((ABS(sum_a - CAST(sum_e_e6 AS DOUBLE)
+                               / 1000000) - 0.5)
+                          * (ABS(sum_a - CAST(sum_e_e6 AS DOUBLE)
+                                 / 1000000) - 0.5)
+                          / (CAST(sum_v_e6 AS DOUBLE) / 1000000)
+                          * 1000000) AS BIGINT)
+           END AS cmh_chi2_e6
+    FROM terms
+    """,
+)
+def events_cmh_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COCHRAN-MANTEL-HAENSZEL χ²(1) (round 12 cont.): the
+    significance companion of events_mantel_haenszel_or — tests
+    H0: no arm↔outcome association in ANY daypart stratum, via
+    (|Σaᵢ − ΣEᵢ| − ½)²/ΣVᵢ with the exact hypergeometric
+    Eᵢ = n1ᵢm1ᵢ/nᵢ and Vᵢ = n1ᵢn0ᵢm1ᵢm0ᵢ/(nᵢ²(nᵢ−1)) — the
+    stratified 2×2 chain completed: MH estimates the pooled OR, CMH
+    tests it, agg_chi_square is the unstratified degenerate.  The
+    md5 arm keeps the statistic near its null (χ² small — referee'd).
+
+    Exactness: a/n1/m1/n cells exact; each stratum's E and V floor
+    ONCE e6 before order-free bigint sums (the continuity-corrected
+    readout is one gated double chain).
+
+    Scale: one events pass to ≤4 stratum cells, 1-row finish."""
+    ev = load(spark, sf_dir, "events")
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("arm:"), F.col("user_id").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    base = ev.select(
+        arm.alias("arm"),
+        F.when(F.col("value") >= 100.0, 1).otherwise(0).alias("y"),
+        F.floor(F.hour("ts") / 6).cast("bigint").alias("stratum"),
+    )
+    cells = base.groupBy("stratum").agg(
+        F.count_if((F.col("arm") == 1) & (F.col("y") == 1))
+        .cast("bigint")
+        .alias("a"),
+        F.count_if(F.col("arm") == 1).cast("bigint").alias("n1"),
+        F.count_if(F.col("y") == 1).cast("bigint").alias("m1"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    e_e6 = F.floor(d("n1") * F.col("m1") / F.col("n") * 1000000).cast(
+        "bigint"
+    )
+    v_e6 = F.floor(
+        d("n1")
+        * (F.col("n") - F.col("n1"))
+        * F.col("m1")
+        * (F.col("n") - F.col("m1"))
+        / (d("n") * F.col("n") * (F.col("n") - 1))
+        * 1000000
+    ).cast("bigint")
+    terms = cells.filter(F.col("n") > 1).agg(
+        F.count("*").cast("bigint").alias("n_strata"),
+        F.sum("a").cast("bigint").alias("sum_a"),
+        F.sum(e_e6).cast("bigint").alias("sum_e_e6"),
+        F.sum(v_e6).cast("bigint").alias("sum_v_e6"),
+    )
+    dev = F.abs(
+        F.col("sum_a") - F.col("sum_e_e6").cast("double") / 1000000
+    ) - 0.5
+    return terms.select(
+        "n_strata",
+        "sum_a",
+        "sum_e_e6",
+        "sum_v_e6",
+        F.when(
+            F.col("sum_v_e6") > 0,
+            F.floor(
+                dev * dev / (F.col("sum_v_e6").cast("double") / 1000000)
+                * 1000000
+            ).cast("bigint"),
+        ).alias("cmh_chi2_e6"),
+    )

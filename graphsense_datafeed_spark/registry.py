@@ -751,6 +751,9 @@ _ROUND12_ADDITIONS = (
     "ts_sma_crossover_census",
     "scan_nested_schema_pruning",
     "anon_synthetic_marginals",
+    "ts_underwater_spells",
+    "events_mantel_haenszel_or",
+    "events_cmh_test",
 )
 
 # Landing-order queue for rows that have never been inside a driver

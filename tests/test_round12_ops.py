@@ -786,3 +786,52 @@ def test_synthetic_marginals_accounting(spark, sf_dir):
     assert all(r["n_real"] > 0 for r in rows)
     chi2 = sum(r["chi2_term_e6"] for r in rows) / 1e6
     assert chi2 < 20.0
+
+
+def test_underwater_spells_brute(spark, sf_dir):
+    """Spell census must match the python recomputation."""
+    from graphsense_datafeed_spark.operators.timeseries import _daily_ohlc
+
+    tape: dict[str, list[int]] = {}
+    for r in sorted(
+        _daily_ohlc(spark, SF01).collect(),
+        key=lambda r: (r["event_type"], r["d"]),
+    ):
+        tape.setdefault(r["event_type"], []).append(r["c1"])
+    for r in QUERIES["ts_underwater_spells"](spark, SF01).collect():
+        c = tape[r["event_type"]]
+        peak, flags = 0, []
+        for v in c:
+            peak = max(peak, v)
+            flags.append(1 if v < peak else 0)
+        spells, cur = [], 0
+        for f in flags:
+            if f:
+                cur += 1
+            elif cur:
+                spells.append(cur)
+                cur = 0
+        if cur:
+            spells.append(cur)
+        assert r["uw_days"] == sum(flags)
+        assert r["n_spells"] == len(spells)
+        assert r["longest_spell_days"] == (max(spells) if spells else 0)
+        assert r["underwater_now"] == bool(flags and flags[-1] == 1)
+
+
+def test_mh_structural_null(spark, sf_dir):
+    """The md5 arm is independent of outcome and stratum: both ORs
+    must sit near 1 (within 15%) and reversal must be FALSE."""
+    r = QUERIES["events_mantel_haenszel_or"](spark, SF01).collect()[0]
+    assert r["reversal"] is False
+    for k in ("crude_or_e6", "mh_or_e6"):
+        assert 850000 < r[k] < 1176000
+
+
+def test_cmh_null_small(spark, sf_dir):
+    """Under the independent md5 arm, CMH chi2(1) should be
+    unremarkable (< 11, the p=0.001 cut) and E/V must be positive."""
+    r = QUERIES["events_cmh_test"](spark, SF01).collect()[0]
+    assert r["n_strata"] >= 2
+    assert r["sum_e_e6"] > 0 and r["sum_v_e6"] > 0
+    assert r["cmh_chi2_e6"] < 11000000
