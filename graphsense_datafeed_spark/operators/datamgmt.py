@@ -5319,3 +5319,84 @@ def anon_synthetic_marginals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("chi2_term_e6"),
     ).orderBy("segment")
+
+
+@query(
+    "profile_monotonicity_audit",
+    """
+    WITH seq AS (
+        SELECT o_custkey,
+               o_orderkey,
+               CAST(o_orderdate AS DATE) AS d,
+               lag(CAST(o_orderdate AS DATE))
+                   OVER (PARTITION BY o_custkey ORDER BY o_orderkey)
+                   AS prev_d
+        FROM orders
+    ), steps AS (
+        SELECT o_custkey,
+               CAST(COUNT(*) FILTER (prev_d IS NOT NULL) AS BIGINT)
+                   AS n_steps,
+               CAST(COUNT(*) FILTER (prev_d IS NOT NULL
+                                     AND d < prev_d) AS BIGINT)
+                   AS n_descents
+        FROM seq GROUP BY o_custkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(n_steps) AS BIGINT) AS n_steps,
+           CAST(SUM(n_descents) AS BIGINT) AS n_descents,
+           CAST(COUNT(*) FILTER (n_descents = 0 AND n_steps > 0)
+                AS BIGINT) AS n_monotone_keys,
+           CAST((SUM(n_descents) * 1000000)
+                // GREATEST(SUM(n_steps), 1) AS BIGINT)
+               AS descent_rate_e6
+    FROM steps
+    """,
+)
+def profile_monotonicity_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PER-KEY MONOTONICITY AUDIT (round 12 cont.): is each
+    customer's order date nondecreasing in order-key sequence? — the
+    physical-order diagnostic the profiling family was missing:
+    ingestion pipelines assume 'key order ≈ time order' for pruning,
+    as-of joins and incremental reads (scan_manifest_incremental_read),
+    and this measures exactly how true that is (descent rate per
+    adjacent key pair, plus how many keys are perfectly monotone).
+    A rising descent rate after a backfill is the classic silent
+    breakage of every downstream LOCF/as-of assumption.
+
+    Exactness: ALL-INTEGER — adjacent-pair descents are date
+    comparisons over a keyed lag, counts exact, the rate one integer
+    division of nonnegatives.
+
+    Scale: one keyed lag window (partitioned by customer — never
+    global) + a map-side rollup; the audit touches each row once."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    seq = o.select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("d"),
+        F.lag(F.to_date("o_orderdate")).over(w).alias("prev_d"),
+    )
+    steps = seq.groupBy("o_custkey").agg(
+        F.count_if(F.col("prev_d").isNotNull())
+        .cast("bigint")
+        .alias("n_steps"),
+        F.count_if(
+            F.col("prev_d").isNotNull() & (F.col("d") < F.col("prev_d"))
+        )
+        .cast("bigint")
+        .alias("n_descents"),
+    )
+    return steps.agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.sum("n_steps").cast("bigint").alias("n_steps"),
+        F.sum("n_descents").cast("bigint").alias("n_descents"),
+        F.count_if((F.col("n_descents") == 0) & (F.col("n_steps") > 0))
+        .cast("bigint")
+        .alias("n_monotone_keys"),
+        F.expr(
+            "(SUM(n_descents) * 1000000)"
+            " DIV GREATEST(SUM(n_steps), 1L)"
+        ).alias("descent_rate_e6"),
+    )

@@ -7150,3 +7150,141 @@ def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_terms",
         F.expr("sdz_e6 DIV n_terms").alias("delta_e6"),
     )
+
+
+@query(
+    "text_model_auc_delong_se",
+    """
+    WITH scored AS (
+        SELECT CAST(FLOOR(1000000.0 / (1.0 + exp(-(-0.25
+                   + 1.5 * (CAST(n_chars AS DOUBLE) / 1000)
+                   - 0.75 * (CAST(length(text) - length(replace(text, ' ', ''))
+                             AS DOUBLE) / 100)
+                   + 2.0 * (CAST(length(text)
+                                 - length(replace(text, 'the', ''))
+                            AS DOUBLE)
+                            / (3 * GREATEST(CAST(n_chars AS DOUBLE), 1.0))
+                            * 10))))) AS BIGINT) AS s_e6,
+               CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS label
+        FROM documents
+    ), atoms AS (
+        SELECT s_e6,
+               CAST(SUM(label) AS BIGINT) AS p_cnt,
+               CAST(COUNT(*) - SUM(label) AS BIGINT) AS n_cnt
+        FROM scored GROUP BY s_e6
+    ), walk AS (
+        SELECT s_e6, p_cnt, n_cnt,
+               CAST(COALESCE(SUM(n_cnt) OVER (ORDER BY s_e6
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS BIGINT) AS neg_below,
+               CAST(COALESCE(SUM(p_cnt) OVER (ORDER BY s_e6 DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS BIGINT) AS pos_above,
+               CAST(SUM(p_cnt) OVER () AS BIGINT) AS n1,
+               CAST(SUM(n_cnt) OVER () AS BIGINT) AS n0
+        FROM atoms
+    ), moments AS (
+        SELECT MAX(n1) AS n1, MAX(n0) AS n0,
+               CAST(SUM(p_cnt * (2 * neg_below + n_cnt)) AS BIGINT)
+                   AS s10,
+               SUM(CAST(p_cnt AS HUGEINT)
+                   * (2 * neg_below + n_cnt) * (2 * neg_below + n_cnt))
+                   AS ss10,
+               CAST(SUM(n_cnt * (2 * pos_above + p_cnt)) AS BIGINT)
+                   AS s01,
+               SUM(CAST(n_cnt AS HUGEINT)
+                   * (2 * pos_above + p_cnt) * (2 * pos_above + p_cnt))
+                   AS ss01
+        FROM walk
+    )
+    SELECT n1, n0,
+           CAST(FLOOR(CAST(s10 AS DOUBLE) / (2.0 * n1 * n0)
+                      * 1000000000) AS BIGINT) AS auc_e9,
+           CAST(FLOOR(SQRT(
+               (CAST(ss10 AS DOUBLE)
+                - CAST(s10 AS DOUBLE) * s10 / n1)
+               / (n1 - 1) / n1 / (4.0 * n0 * n0)
+               + (CAST(ss01 AS DOUBLE)
+                  - CAST(s01 AS DOUBLE) * s01 / n0)
+                 / (n0 - 1) / n0 / (4.0 * n1 * n1))
+                      * 1000000000) AS BIGINT) AS delong_se_e9
+    FROM moments
+    """,
+)
+def text_model_auc_delong_se(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DELONG STANDARD ERROR of the quality classifier's AUC (round
+    12 cont.): the placement-value variance estimator that turns
+    text_model_auc's point estimate into a confidence statement —
+    SE² = S₁₀/n₁ + S₀₁/n₀ over per-positive and per-negative
+    placement values — the number you need before claiming one
+    scorer beats another (two AUCs a DeLong-SE apart are noise).
+
+    Exactness: placement numerators are EXACT integers on the score
+    atoms (w₁₀ = 2·negBelow + ties — the doubled-rank trick), their
+    first moments exact bigints and second moments in
+    HUGEINT/decimal(38,0) (p·w² is ~1e20-scale at sf10); AUC and SE
+    are each ONE double chain over those exact cells.
+
+    Scale: one corpus pass to e6-domain score atoms + two
+    pre-reduced ordered walks (the histogram-AUC discipline), 1-row
+    finish."""
+    scored = _auc_scored(spark, sf_dir)
+    atoms = scored.groupBy("s_e6").agg(
+        F.sum("label").cast("bigint").alias("p_cnt"),
+        (F.count("*") - F.sum("label")).cast("bigint").alias("n_cnt"),
+    )
+    w_up = Window.orderBy("s_e6").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_dn = Window.orderBy(F.col("s_e6").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.partitionBy()
+    walk = atoms.select(
+        "p_cnt",
+        "n_cnt",
+        F.coalesce(F.sum("n_cnt").over(w_up), F.lit(0))
+        .cast("bigint")
+        .alias("neg_below"),
+        F.coalesce(F.sum("p_cnt").over(w_dn), F.lit(0))
+        .cast("bigint")
+        .alias("pos_above"),
+        F.sum("p_cnt").over(w_all).cast("bigint").alias("n1"),
+        F.sum("n_cnt").over(w_all).cast("bigint").alias("n0"),
+    )
+    d38 = "decimal(38,0)"
+    w10 = 2 * F.col("neg_below") + F.col("n_cnt")
+    w01 = 2 * F.col("pos_above") + F.col("p_cnt")
+    m = walk.agg(
+        F.max("n1").alias("n1"),
+        F.max("n0").alias("n0"),
+        F.sum(F.col("p_cnt") * w10).cast("bigint").alias("s10"),
+        F.sum(F.col("p_cnt").cast(d38) * w10 * w10).alias("ss10"),
+        F.sum(F.col("n_cnt") * w01).cast("bigint").alias("s01"),
+        F.sum(F.col("n_cnt").cast(d38) * w01 * w01).alias("ss01"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    var10 = (
+        (d("ss10") - d("s10") * F.col("s10") / F.col("n1"))
+        / (F.col("n1") - 1)
+        / F.col("n1")
+        / (4.0 * F.col("n0") * F.col("n0"))
+    )
+    var01 = (
+        (d("ss01") - d("s01") * F.col("s01") / F.col("n0"))
+        / (F.col("n0") - 1)
+        / F.col("n0")
+        / (4.0 * F.col("n1") * F.col("n1"))
+    )
+    return m.select(
+        "n1",
+        "n0",
+        F.floor(d("s10") / (2.0 * F.col("n1") * F.col("n0")) * 1000000000)
+        .cast("bigint")
+        .alias("auc_e9"),
+        F.floor(F.sqrt(var10 + var01) * 1000000000)
+        .cast("bigint")
+        .alias("delong_se_e9"),
+    )

@@ -13130,3 +13130,278 @@ def events_cmh_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint"),
         ).alias("cmh_chi2_e6"),
     )
+
+
+_BD_CELLS_SQL = """
+        SELECT CAST(FLOOR(EXTRACT(hour FROM ts) / 6) AS BIGINT)
+                   AS stratum,
+               CAST(COUNT(*) FILTER (
+                   CAST(CAST('0x' || substr(md5('arm:'
+                       || CAST(user_id AS VARCHAR)), 1, 4) AS BIGINT)
+                       % 2 AS BIGINT) = 1 AND value >= 100.0)
+                   AS BIGINT) AS a,
+               CAST(COUNT(*) FILTER (
+                   CAST(CAST('0x' || substr(md5('arm:'
+                       || CAST(user_id AS VARCHAR)), 1, 4) AS BIGINT)
+                       % 2 AS BIGINT) = 1) AS BIGINT) AS n1,
+               CAST(COUNT(*) FILTER (value >= 100.0) AS BIGINT) AS m1,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+"""
+
+
+@query(
+    "agg_breslow_day_homogeneity",
+    f"""
+    WITH cells AS ({_BD_CELLS_SQL}
+    ), mh AS (
+        SELECT CAST(SUM((a * 1000000 * (n - n1 - m1 + a)) // n)
+                    AS BIGINT) AS num_e6,
+               CAST(SUM(((n1 - a) * 1000000 * (m1 - a)) // n)
+                    AS BIGINT) AS den_e6
+        FROM cells
+    ), solved AS (
+        SELECT c.stratum, c.a, c.n1, c.m1, c.n,
+               CAST(m.num_e6 AS DOUBLE) / m.den_e6 AS t,
+               ((CAST(m.num_e6 AS DOUBLE) / m.den_e6 - 1.0)) AS tm1,
+               (CAST(m.num_e6 AS DOUBLE) / m.den_e6
+                   * (c.n1 + c.m1) + (c.n - c.n1 - c.m1)) AS bq
+        FROM cells c, mh m WHERE m.den_e6 > 0
+    ), roots AS (
+        SELECT stratum, a, n1, m1, n, t,
+               CASE WHEN ABS(tm1) < 1e-12 THEN
+                   CAST(n1 AS DOUBLE) * m1 / n
+               ELSE
+                   (bq - SQRT(bq * bq
+                              - 4.0 * tm1 * t * n1 * m1))
+                   / (2.0 * tm1)
+               END AS e
+        FROM solved
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+           CAST(SUM(CAST(FLOOR(
+               (a - e) * (a - e)
+               * (1.0 / e + 1.0 / (n1 - e) + 1.0 / (m1 - e)
+                  + 1.0 / (n - n1 - m1 + e))
+               * 1000000) AS BIGINT)) AS BIGINT) AS bd_chi2_e6
+    FROM roots
+    WHERE e > 0 AND n1 - e > 0 AND m1 - e > 0 AND n - n1 - m1 + e > 0
+    """,
+)
+def agg_breslow_day_homogeneity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BRESLOW-DAY HOMOGENEITY of odds ratios (round 12 cont.): do
+    the per-daypart arm↔outcome odds ratios share ONE common value?
+    — the missing leg of the stratified-2×2 chain: MH assumes
+    homogeneity to pool, CMH tests the pooled effect, Breslow-Day
+    tests the ASSUMPTION (χ² on strata−1 dof): per stratum the
+    expected cell E solves the quadratic
+    (t−1)E² − [t(n1+m1) + (n−n1−m1)]E + t·n1·m1 = 0 at the MH
+    common OR t, and BD = Σ(a−E)²·(1/E + 1/(n1−E) + 1/(m1−E) +
+    1/(n0−m1+E)).  The md5 arm keeps every stratum OR at 1, so BD
+    must be unremarkable — the structural null referee.
+
+    Exactness: cells exact; the MH t quantizes ONCE as the exact
+    integer pair num_e6/den_e6 (the events_mantel_haenszel_or bands)
+    and then t enters a per-stratum double chain: quadratic root via
+    the minus branch (the admissible root below min(n1,m1)), the
+    t→1 degenerate handled by an explicit |t−1| gate with the exact
+    hypergeometric mean, each stratum term floored e6 BEFORE the
+    order-free sum, inadmissible roots dropped by the same gate both
+    sides.
+
+    Scale: one events pass to ≤4 stratum cells, a 1-row MH anchor,
+    1-row finish."""
+    ev = load(spark, sf_dir, "events")
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("arm:"), F.col("user_id").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    base = ev.select(
+        arm.alias("arm"),
+        F.when(F.col("value") >= 100.0, 1).otherwise(0).alias("y"),
+        F.floor(F.hour("ts") / 6).cast("bigint").alias("stratum"),
+    )
+    cells = base.groupBy("stratum").agg(
+        F.count_if((F.col("arm") == 1) & (F.col("y") == 1))
+        .cast("bigint")
+        .alias("a"),
+        F.count_if(F.col("arm") == 1).cast("bigint").alias("n1"),
+        F.count_if(F.col("y") == 1).cast("bigint").alias("m1"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    mh = cells.agg(
+        F.sum(F.expr("(a * 1000000 * (n - n1 - m1 + a)) DIV n"))
+        .cast("bigint")
+        .alias("num_e6"),
+        F.sum(F.expr("((n1 - a) * 1000000 * (m1 - a)) DIV n"))
+        .cast("bigint")
+        .alias("den_e6"),
+    )
+    j = cells.crossJoin(F.broadcast(mh)).filter(F.col("den_e6") > 0)
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    t = d("num_e6") / F.col("den_e6")
+    tm1 = t - 1.0
+    bq = t * (F.col("n1") + F.col("m1")) + (
+        F.col("n") - F.col("n1") - F.col("m1")
+    )
+    e = F.when(
+        F.abs(tm1) < 1e-12, d("n1") * F.col("m1") / F.col("n")
+    ).otherwise(
+        (bq - F.sqrt(bq * bq - 4.0 * tm1 * t * F.col("n1") * F.col("m1")))
+        / (2.0 * tm1)
+    )
+    roots = j.select(
+        "a", "n1", "m1", "n", e.alias("e")
+    ).filter(
+        (F.col("e") > 0)
+        & (F.col("n1") - F.col("e") > 0)
+        & (F.col("m1") - F.col("e") > 0)
+        & (F.col("n") - F.col("n1") - F.col("m1") + F.col("e") > 0)
+    )
+    term = F.floor(
+        (F.col("a") - F.col("e"))
+        * (F.col("a") - F.col("e"))
+        * (
+            1.0 / F.col("e")
+            + 1.0 / (F.col("n1") - F.col("e"))
+            + 1.0 / (F.col("m1") - F.col("e"))
+            + 1.0
+            / (F.col("n") - F.col("n1") - F.col("m1") + F.col("e"))
+        )
+        * 1000000
+    ).cast("bigint")
+    return roots.agg(
+        F.count("*").cast("bigint").alias("n_strata"),
+        F.sum(term).cast("bigint").alias("bd_chi2_e6"),
+    )
+
+
+@query(
+    "ts_pettitt_test",
+    f"""
+    WITH closes AS ({_DAILY_OHLC_SQL}
+    ), ranked AS (
+        SELECT event_type, d,
+               CAST(2 * rank() OVER (PARTITION BY event_type
+                                     ORDER BY c1)
+                    + count(*) OVER (PARTITION BY event_type, c1)
+                    - 1 AS BIGINT) AS r2,
+               CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS n
+        FROM closes
+    ), walks AS (
+        SELECT event_type, d, n,
+               CAST(SUM(r2) OVER (PARTITION BY event_type ORDER BY d)
+                    - row_number() OVER (PARTITION BY event_type
+                                         ORDER BY d) * (n + 1)
+                    AS BIGINT) AS u_t,
+               CAST(row_number() OVER (PARTITION BY event_type
+                                       ORDER BY d) AS BIGINT) AS t
+        FROM ranked
+    ), best AS (
+        SELECT event_type, d AS change_d, n, u_t,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY ABS(u_t) DESC, d ASC)
+                   AS pick
+        FROM walks WHERE t < n
+    )
+    SELECT event_type, change_d, n,
+           CAST(ABS(u_t) AS BIGINT) AS k_stat,
+           CAST(FLOOR(2.0 * EXP(-6.0 * CAST(ABS(u_t) AS DOUBLE)
+                                * ABS(u_t)
+                                / (CAST(n AS DOUBLE) * n * n
+                                   + CAST(n AS DOUBLE) * n))
+                      * 1000000) AS BIGINT) AS p_approx_e6
+    FROM best WHERE pick = 1
+    ORDER BY event_type
+    """,
+)
+def ts_pettitt_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PETTITT CHANGEPOINT TEST per series (round 12 cont.): the
+    rank-based single-changepoint detector — K = max_t |U_t| with
+    U_t = Σ_{i≤t, j>t} sgn(xᵢ−xⱼ) — completing the changepoint
+    family's missing member (CUSUM tracks means, binseg2 fits
+    variance, Page-Hinkley streams; Pettitt is DISTRIBUTION-FREE, so
+    a heavy-tailed fee tape can't fake a change through outliers).
+    Ties handled exactly via doubled average ranks (2r̄ᵢ − (n+1) =
+    #less − #greater identically, so U_t stays an exact INTEGER
+    cumulative sum); the changepoint day is the earliest argmax.
+
+    Exactness: ALL-INTEGER through the argmax (doubled ranks,
+    cumulative walk, |U| comparisons with (|U| desc, d asc)
+    tie-break); only the Pettitt tail approximation
+    2exp(−6K²/(n³+n²)) runs one double chain floored e6.
+
+    Scale: three same-key windows on the calendar-bounded tape +
+    a keyed argmax — the ts_changepoint_cusum shape, rank-based."""
+    ohlc = _daily_ohlc(spark, sf_dir)
+    w_rank = Window.partitionBy("event_type").orderBy("c1")
+    w_tie = Window.partitionBy("event_type", "c1")
+    w_all = Window.partitionBy("event_type")
+    ranked = ohlc.select(
+        "event_type",
+        "d",
+        (
+            2 * F.rank().over(w_rank)
+            + F.count("*").over(w_tie)
+            - 1
+        )
+        .cast("bigint")
+        .alias("r2"),
+        F.count("*").over(w_all).cast("bigint").alias("n"),
+    )
+    w_ord = Window.partitionBy("event_type").orderBy("d")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    walks = ranked.select(
+        "event_type",
+        "d",
+        "n",
+        (
+            F.sum("r2").over(w_cum)
+            - F.row_number().over(w_ord) * (F.col("n") + 1)
+        )
+        .cast("bigint")
+        .alias("u_t"),
+        F.row_number().over(w_ord).cast("bigint").alias("t"),
+    )
+    w_pick = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("u_t")).desc(), F.col("d").asc()
+    )
+    best = (
+        walks.filter(F.col("t") < F.col("n"))
+        .select(
+            "event_type",
+            F.col("d").alias("change_d"),
+            "n",
+            "u_t",
+            F.row_number().over(w_pick).alias("pick"),
+        )
+        .filter(F.col("pick") == 1)
+    )
+    k = F.abs(F.col("u_t")).cast("double")
+    nn = F.col("n").cast("double")
+    return best.select(
+        "event_type",
+        "change_d",
+        "n",
+        F.abs(F.col("u_t")).cast("bigint").alias("k_stat"),
+        F.floor(
+            2.0 * F.exp(-6.0 * k * k / (nn * nn * nn + nn * nn)) * 1000000
+        )
+        .cast("bigint")
+        .alias("p_approx_e6"),
+    ).orderBy("event_type")

@@ -754,6 +754,10 @@ _ROUND12_ADDITIONS = (
     "ts_underwater_spells",
     "events_mantel_haenszel_or",
     "events_cmh_test",
+    "agg_breslow_day_homogeneity",
+    "profile_monotonicity_audit",
+    "ts_pettitt_test",
+    "text_model_auc_delong_se",
 )
 
 # Landing-order queue for rows that have never been inside a driver

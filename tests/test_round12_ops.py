@@ -835,3 +835,89 @@ def test_cmh_null_small(spark, sf_dir):
     assert r["n_strata"] >= 2
     assert r["sum_e_e6"] > 0 and r["sum_v_e6"] > 0
     assert r["cmh_chi2_e6"] < 11000000
+
+
+def test_breslow_day_null_and_dof(spark, sf_dir):
+    """Under the homogeneous md5 null, BD chi2 on (strata-1) dof must
+    be unremarkable (< 18.5 = p 0.001 at 4 dof) and every stratum
+    must yield an admissible root."""
+    r = QUERIES["agg_breslow_day_homogeneity"](spark, SF01).collect()[0]
+    assert r["n_strata"] >= 2
+    assert 0 <= r["bd_chi2_e6"] < 18500000
+
+
+def test_monotonicity_audit_accounting(spark, sf_dir):
+    """steps = orders - keys (one lag-null per customer); descents
+    <= steps; monotone keys <= keys."""
+    r = QUERIES["profile_monotonicity_audit"](spark, SF01).collect()[0]
+    o = load(spark, SF01, "orders")
+    n_orders = o.count()
+    n_keys = o.select("o_custkey").distinct().count()
+    assert r["n_keys"] == n_keys
+    assert r["n_steps"] == n_orders - n_keys
+    assert 0 <= r["n_descents"] <= r["n_steps"]
+    assert 0 <= r["n_monotone_keys"] <= r["n_keys"]
+
+
+def test_pettitt_brute(spark, sf_dir):
+    """K and the changepoint day must match the O(n^2) sgn-sum brute
+    force off the candle tape."""
+    from graphsense_datafeed_spark.operators.timeseries import _daily_ohlc
+
+    tape: dict[str, list] = {}
+    for row in sorted(
+        _daily_ohlc(spark, SF01).collect(),
+        key=lambda r: (r["event_type"], r["d"]),
+    ):
+        tape.setdefault(row["event_type"], []).append(
+            (row["d"], row["c1"])
+        )
+    for r in QUERIES["ts_pettitt_test"](spark, SF01).collect():
+        days = tape[r["event_type"]]
+        xs = [v for _, v in days]
+        n = len(xs)
+        best_k, best_d = -1, None
+        for t in range(1, n):
+            u = sum(
+                (xs[i] > xs[j]) - (xs[i] < xs[j])
+                for i in range(t)
+                for j in range(t, n)
+            )
+            if abs(u) > best_k:
+                best_k, best_d = abs(u), days[t - 1][0]
+        assert r["k_stat"] == best_k
+        assert r["change_d"] == best_d
+
+
+def test_delong_vs_brute(spark, sf_dir):
+    """AUC and DeLong SE must match the per-document placement-value
+    brute force (sklearn-style) within the e9 floor."""
+    from graphsense_datafeed_spark.operators.llm_text import _auc_scored
+
+    rows = _auc_scored(spark, SF01).collect()
+    pos = sorted(r["s_e6"] for r in rows if r["label"] == 1)
+    neg = sorted(r["s_e6"] for r in rows if r["label"] == 0)
+    import bisect
+
+    n1, n0 = len(pos), len(neg)
+    v10 = [
+        (bisect.bisect_left(neg, s) + 0.5 * (bisect.bisect_right(neg, s) - bisect.bisect_left(neg, s)))
+        / n0
+        for s in pos
+    ]
+    v01 = [
+        (n1 - bisect.bisect_right(pos, s)
+         + 0.5 * (bisect.bisect_right(pos, s) - bisect.bisect_left(pos, s)))
+        / n1
+        for s in neg
+    ]
+    auc = sum(v10) / n1
+    m10 = sum(v10) / n1
+    m01 = sum(v01) / n0
+    s10 = sum((v - m10) ** 2 for v in v10) / (n1 - 1)
+    s01 = sum((v - m01) ** 2 for v in v01) / (n0 - 1)
+    se = math.sqrt(s10 / n1 + s01 / n0)
+    r = QUERIES["text_model_auc_delong_se"](spark, SF01).collect()[0]
+    assert abs(r["auc_e9"] - math.floor(auc * 1e9)) <= 2
+    assert abs(r["delong_se_e9"] - math.floor(se * 1e9)) <= 2
+    assert abs(m10 - sum(v01) / n0) < 1e-12  # AUC identity both ways
