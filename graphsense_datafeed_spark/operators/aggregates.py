@@ -11162,3 +11162,332 @@ def agg_tarone_overdispersion(
             ).cast("bigint"),
         ).alias("tarone_z_e6"),
     ).orderBy("event_type")
+
+
+@query(
+    "agg_fisher_z_corr_diff",
+    """
+    WITH base AS (
+        SELECT event_type,
+               CAST(FLOOR(value * 10000) AS BIGINT) AS x,
+               CAST(EXTRACT(hour FROM ts) * 3600
+                    + EXTRACT(minute FROM ts) * 60
+                    + FLOOR(EXTRACT(second FROM ts)) AS BIGINT) AS y
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ), cells AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               SUM(CAST(x AS HUGEINT) * x) AS sxx,
+               SUM(CAST(y AS HUGEINT) * y) AS syy,
+               SUM(CAST(x AS HUGEINT) * y) AS sxy
+        FROM base GROUP BY event_type
+    ), corrs AS (
+        SELECT event_type, n,
+               (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                   AS r
+        FROM cells
+    ), z AS (
+        SELECT MAX(CASE WHEN event_type = 'click' THEN n END) AS n_a,
+               MAX(CASE WHEN event_type = 'purchase' THEN n END) AS n_b,
+               MAX(CASE WHEN event_type = 'click' THEN
+                   0.5 * ln((1.0 + r) / (1.0 - r)) END) AS z_a,
+               MAX(CASE WHEN event_type = 'purchase' THEN
+                   0.5 * ln((1.0 + r) / (1.0 - r)) END) AS z_b,
+               MAX(CASE WHEN event_type = 'click' THEN r END) AS r_a,
+               MAX(CASE WHEN event_type = 'purchase' THEN r END) AS r_b
+        FROM corrs
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(FLOOR(r_a * 1000000) AS BIGINT) AS r_click_e6,
+           CAST(FLOOR(r_b * 1000000) AS BIGINT) AS r_purchase_e6,
+           CAST(FLOOR((z_a - z_b)
+                      / SQRT(1.0 / (n_a - 3) + 1.0 / (n_b - 3))
+                      * 1000000) AS BIGINT) AS fisher_z_e6
+    FROM z
+    """,
+)
+def agg_fisher_z_corr_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FISHER-Z TEST for the difference of two correlations (round 12
+    cont.): is value↔time-of-day correlation the SAME for clicks and
+    purchases?  z = (atanh r_a − atanh r_b)/√(1/(n_a−3)+1/(n_b−3)) —
+    the two-sample member the correlation family was missing
+    (agg_corr_exact estimates, partial_correlation adjusts, this
+    COMPARES), and the md5-free fabric keeps both r ≈ 0, so z ≈ 0 is
+    the structural null the referee pins.
+
+    Exactness: per-group moment cells exact (second moments in
+    HUGEINT/decimal(38,0) — y is seconds-of-day squared at 7e9-scale
+    × 10M rows); r and the z transform are one double chain per
+    group written identically (atanh spelled as ½ln((1+r)/(1−r)) —
+    the libm-set form both engines share), the difference one more.
+
+    Scale: one events pass to 2 moment cells, a 2-row pivot, 1-row
+    finish."""
+    ev = load(spark, sf_dir, "events")
+    base = ev.filter(
+        F.col("event_type").isin("click", "purchase")
+    ).select(
+        "event_type",
+        F.floor(F.col("value") * 10000).cast("bigint").alias("x"),
+        (
+            F.hour("ts") * 3600
+            + F.minute("ts") * 60
+            + F.floor(F.second("ts"))
+        )
+        .cast("bigint")
+        .alias("y"),
+    )
+    d38 = "decimal(38,0)"
+    cells = base.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x").cast(d38) * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast(d38) * F.col("y")).alias("syy"),
+        F.sum(F.col("x").cast(d38) * F.col("y")).alias("sxy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    r = (F.col("n").cast("double") * d("sxy") - d("sx") * d("sy")) / F.sqrt(
+        (F.col("n").cast("double") * d("sxx") - d("sx") * d("sx"))
+        * (F.col("n").cast("double") * d("syy") - d("sy") * d("sy"))
+    )
+    corrs = cells.select("event_type", "n", r.alias("r"))
+    zc = 0.5 * F.log((1.0 + F.col("r")) / (1.0 - F.col("r")))
+    piv = corrs.agg(
+        F.max(F.when(F.col("event_type") == "click", F.col("n"))).alias(
+            "n_a"
+        ),
+        F.max(
+            F.when(F.col("event_type") == "purchase", F.col("n"))
+        ).alias("n_b"),
+        F.max(F.when(F.col("event_type") == "click", zc)).alias("z_a"),
+        F.max(F.when(F.col("event_type") == "purchase", zc)).alias(
+            "z_b"
+        ),
+        F.max(F.when(F.col("event_type") == "click", F.col("r"))).alias(
+            "r_a"
+        ),
+        F.max(
+            F.when(F.col("event_type") == "purchase", F.col("r"))
+        ).alias("r_b"),
+    )
+    return piv.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.floor(F.col("r_a") * 1000000).cast("bigint").alias(
+            "r_click_e6"
+        ),
+        F.floor(F.col("r_b") * 1000000).cast("bigint").alias(
+            "r_purchase_e6"
+        ),
+        F.floor(
+            (F.col("z_a") - F.col("z_b"))
+            / F.sqrt(
+                1.0 / (F.col("n_a") - 3) + 1.0 / (F.col("n_b") - 3)
+            )
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("fisher_z_e6"),
+    )
+
+
+@query(
+    "agg_meta_fixed_effect_i2",
+    """
+    WITH cells AS (
+        SELECT CAST(FLOOR(EXTRACT(hour FROM ts) / 6) AS BIGINT)
+                   AS stratum,
+               CAST(COUNT(*) FILTER (
+                   CAST(CAST('0x' || substr(md5('arm:'
+                       || CAST(user_id AS VARCHAR)), 1, 4) AS BIGINT)
+                       % 2 AS BIGINT) = 1 AND value >= 100.0)
+                   AS BIGINT) AS a,
+               CAST(COUNT(*) FILTER (
+                   CAST(CAST('0x' || substr(md5('arm:'
+                       || CAST(user_id AS VARCHAR)), 1, 4) AS BIGINT)
+                       % 2 AS BIGINT) = 1 AND value < 100.0)
+                   AS BIGINT) AS b,
+               CAST(COUNT(*) FILTER (
+                   CAST(CAST('0x' || substr(md5('arm:'
+                       || CAST(user_id AS VARCHAR)), 1, 4) AS BIGINT)
+                       % 2 AS BIGINT) = 0 AND value >= 100.0)
+                   AS BIGINT) AS c,
+               CAST(COUNT(*) FILTER (
+                   CAST(CAST('0x' || substr(md5('arm:'
+                       || CAST(user_id AS VARCHAR)), 1, 4) AS BIGINT)
+                       % 2 AS BIGINT) = 0 AND value < 100.0)
+                   AS BIGINT) AS d
+        FROM events GROUP BY 1
+    ), studies AS (
+        SELECT stratum,
+               ln(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c))
+                   AS theta,
+               CAST(FLOOR(1.0 / (1.0 / a + 1.0 / b + 1.0 / c
+                                 + 1.0 / d) * 1000000000) AS BIGINT)
+                   AS w_e9,
+               CAST(FLOOR(ln(CAST(a AS DOUBLE) * d
+                             / (CAST(b AS DOUBLE) * c))
+                          * (1.0 / (1.0 / a + 1.0 / b + 1.0 / c
+                                    + 1.0 / d))
+                          * 1000000000) AS BIGINT) AS wt_e9
+        FROM cells WHERE a > 0 AND b > 0 AND c > 0 AND d > 0
+    ), pooled AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(w_e9) AS BIGINT) AS sw_e9,
+               CAST(SUM(wt_e9) AS BIGINT) AS swt_e9
+        FROM studies
+    ), q AS (
+        SELECT p.k, p.sw_e9, p.swt_e9,
+               CAST(SUM(CAST(FLOOR(
+                   (CAST(s.w_e9 AS DOUBLE) / 1000000000)
+                   * (s.theta - CAST(p.swt_e9 AS DOUBLE) / p.sw_e9)
+                   * (s.theta - CAST(p.swt_e9 AS DOUBLE) / p.sw_e9)
+                   * 1000000) AS BIGINT)) AS BIGINT) AS q_e6
+        FROM studies s, pooled p
+        GROUP BY p.k, p.sw_e9, p.swt_e9
+    )
+    SELECT k,
+           CAST(FLOOR(CAST(swt_e9 AS DOUBLE) / sw_e9 * 1000000)
+                AS BIGINT) AS pooled_log_or_e6,
+           CAST(FLOOR(SQRT(1000000000.0 / sw_e9) * 1000000) AS BIGINT)
+               AS pooled_se_e6,
+           q_e6,
+           CASE WHEN q_e6 > 0 THEN
+               CAST(FLOOR(GREATEST((CAST(q_e6 AS DOUBLE) / 1000000
+                                    - (k - 1))
+                                   / (CAST(q_e6 AS DOUBLE) / 1000000),
+                                   0.0) * 1000000) AS BIGINT)
+           END AS i2_e6
+    FROM q
+    """,
+)
+def agg_meta_fixed_effect_i2(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FIXED-EFFECT META-ANALYSIS + I² heterogeneity (round 12
+    cont.): inverse-variance pooling of the per-daypart log odds
+    ratios — the epidemiology-standard alternative to MH pooling
+    (MH weights by bᵢcᵢ/nᵢ; this weights by the Woolf 1/Var(lnOR)),
+    with Cochran's Q and I² = (Q−df)/Q quantifying how much of the
+    between-stratum spread is real heterogeneity vs noise — the
+    continuous companion of agg_breslow_day_homogeneity's yes/no.
+    The md5 arm keeps θ̂ ≈ 0 and I² ≈ 0 (referee'd).
+
+    Exactness: 2×2 cells exact; each stratum's lnOR and Woolf weight
+    are one double chain over ≤4 rows; the two-stage pooled mean /
+    Q uses a 1-row anchor so θ̂ enters Q identically both sides; every
+    cross-study sum runs on floored-e9 INTEGERS (w, w·θ, and each
+    Q term floored e6 before the sum) so no double ever aggregates —
+    the order-free discipline (a first draft summed raw doubles over
+    4 strata; that is exactly the reorder-residue class the rule
+    forbids).
+
+    Scale: one events pass to ≤4 cells, 1-row anchor, 1-row
+    finish."""
+    ev = load(spark, sf_dir, "events")
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("arm:"), F.col("user_id").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    hi = F.col("value") >= 100.0
+    base = ev.select(
+        arm.alias("arm"),
+        hi.alias("hi"),
+        F.floor(F.hour("ts") / 6).cast("bigint").alias("stratum"),
+    )
+    cells = base.groupBy("stratum").agg(
+        F.count_if((F.col("arm") == 1) & F.col("hi"))
+        .cast("bigint")
+        .alias("a"),
+        F.count_if((F.col("arm") == 1) & ~F.col("hi"))
+        .cast("bigint")
+        .alias("b"),
+        F.count_if((F.col("arm") == 0) & F.col("hi"))
+        .cast("bigint")
+        .alias("c"),
+        F.count_if((F.col("arm") == 0) & ~F.col("hi"))
+        .cast("bigint")
+        .alias("d"),
+    )
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    theta = F.log(dd("a") * F.col("d") / (dd("b") * F.col("c")))
+    w = 1.0 / (
+        1.0 / F.col("a")
+        + 1.0 / F.col("b")
+        + 1.0 / F.col("c")
+        + 1.0 / F.col("d")
+    )
+    studies = cells.filter(
+        (F.col("a") > 0)
+        & (F.col("b") > 0)
+        & (F.col("c") > 0)
+        & (F.col("d") > 0)
+    ).select(
+        theta.alias("theta"),
+        F.floor(w * 1000000000).cast("bigint").alias("w_e9"),
+        F.floor(theta * w * 1000000000).cast("bigint").alias("wt_e9"),
+    )
+    pooled = studies.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("w_e9").cast("bigint").alias("sw_e9"),
+        F.sum("wt_e9").cast("bigint").alias("swt_e9"),
+    )
+    j = studies.crossJoin(F.broadcast(pooled))
+    th = F.col("swt_e9").cast("double") / F.col("sw_e9")
+    term = F.floor(
+        (F.col("w_e9").cast("double") / 1000000000)
+        * (F.col("theta") - th)
+        * (F.col("theta") - th)
+        * 1000000
+    ).cast("bigint")
+    q = j.groupBy("k", "sw_e9", "swt_e9").agg(
+        F.sum(term).cast("bigint").alias("q_e6")
+    )
+    return q.select(
+        "k",
+        F.floor(
+            F.col("swt_e9").cast("double") / F.col("sw_e9") * 1000000
+        )
+        .cast("bigint")
+        .alias("pooled_log_or_e6"),
+        F.floor(
+            F.sqrt(1000000000.0 / F.col("sw_e9")) * 1000000
+        )
+        .cast("bigint")
+        .alias("pooled_se_e6"),
+        "q_e6",
+        F.when(
+            F.col("q_e6") > 0,
+            F.floor(
+                F.greatest(
+                    (
+                        F.col("q_e6").cast("double") / 1000000
+                        - (F.col("k") - 1)
+                    )
+                    / (F.col("q_e6").cast("double") / 1000000),
+                    F.lit(0.0),
+                )
+                * 1000000
+            ).cast("bigint"),
+        ).alias("i2_e6"),
+    )

@@ -758,6 +758,8 @@ _ROUND12_ADDITIONS = (
     "profile_monotonicity_audit",
     "ts_pettitt_test",
     "text_model_auc_delong_se",
+    "agg_fisher_z_corr_diff",
+    "agg_meta_fixed_effect_i2",
 )
 
 # Landing-order queue for rows that have never been inside a driver

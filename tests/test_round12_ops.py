@@ -921,3 +921,22 @@ def test_delong_vs_brute(spark, sf_dir):
     assert abs(r["auc_e9"] - math.floor(auc * 1e9)) <= 2
     assert abs(r["delong_se_e9"] - math.floor(se * 1e9)) <= 2
     assert abs(m10 - sum(v01) / n0) < 1e-12  # AUC identity both ways
+
+
+def test_fisher_z_null(spark, sf_dir):
+    """Value and time-of-day are independent in the fixture: both
+    correlations near 0 and |z| < 4."""
+    r = QUERIES["agg_fisher_z_corr_diff"](spark, SF01).collect()[0]
+    assert abs(r["r_click_e6"]) < 100000
+    assert abs(r["r_purchase_e6"]) < 100000
+    assert abs(r["fisher_z_e6"]) < 4000000
+
+
+def test_meta_fixed_effect_null(spark, sf_dir):
+    """md5 arm: pooled log-OR near 0, I2 near 0 (Q below the 0.999
+    quantile of chi2(k-1))."""
+    r = QUERIES["agg_meta_fixed_effect_i2"](spark, SF01).collect()[0]
+    assert r["k"] >= 2
+    assert abs(r["pooled_log_or_e6"]) < 300000
+    assert r["pooled_se_e6"] > 0
+    assert r["q_e6"] < 18500000  # chi2(4) p=0.001 ~ 18.47
