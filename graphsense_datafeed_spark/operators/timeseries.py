@@ -13405,3 +13405,185 @@ def ts_pettitt_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("p_approx_e6"),
     ).orderBy("event_type")
+
+
+# the 4 attribution channels, bit positions fixed alphabetically;
+# Shapley coalition weights w(|S|) = |S|!(3-|S|)! for 4 players (x24
+# scale so everything stays integer: 0!3!=6, 1!2!=2, 2!1!=2, 3!0!=6)
+_SHAPLEY_CHANNELS = ("click", "error", "signup", "view")
+_SHAPLEY_W = {0: 6, 1: 2, 2: 2, 3: 6}
+
+
+def _shapley_lattice_rows() -> list[tuple[int, int, int]]:
+    """(channel_bit, subset_mask_without_channel, weight) rows for
+    the 4-player Shapley sum — 4 channels × 8 subsets = 32 rows,
+    computed once in Python and shared as literals."""
+    rows = []
+    for i in range(4):
+        for mask in range(16):
+            if mask & (1 << i):
+                continue
+            rows.append((i, mask, _SHAPLEY_W[bin(mask).count("1")]))
+    return rows
+
+
+_SHAPLEY_LATTICE_SQL = ", ".join(
+    f"({i}, {m}, {w})" for i, m, w in _shapley_lattice_rows()
+)
+_SUBSET_SQL = ", ".join(f"({m})" for m in range(16))
+
+
+@query(
+    "events_attribution_shapley",
+    f"""
+    WITH conv AS (
+        SELECT user_id, MIN(ts) AS first_purchase
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id
+    ), journeys AS (
+        SELECT e.user_id,
+               CAST(SUM(DISTINCT CASE e.event_type
+                    WHEN 'click' THEN 1 WHEN 'error' THEN 2
+                    WHEN 'signup' THEN 4 WHEN 'view' THEN 8
+                    ELSE 0 END) AS BIGINT) AS mask
+        FROM events e JOIN conv c ON c.user_id = e.user_id
+        WHERE e.ts < c.first_purchase
+          AND e.event_type IN ('click', 'error', 'signup', 'view')
+        GROUP BY e.user_id
+    ), exact_sets AS (
+        SELECT mask, CAST(COUNT(*) AS BIGINT) AS conv_n
+        FROM journeys GROUP BY mask
+    ), subsets (t_mask) AS (VALUES {_SUBSET_SQL}
+    ), v AS (
+        SELECT s.t_mask,
+               CAST(COALESCE(SUM(CASE WHEN (e.mask | s.t_mask)
+                                           = s.t_mask
+                                      THEN e.conv_n END), 0) AS BIGINT)
+                   AS v_t
+        FROM subsets s LEFT JOIN exact_sets e ON TRUE
+        GROUP BY s.t_mask
+    ), lattice (ch_bit, s_mask, w) AS (
+        VALUES {_SHAPLEY_LATTICE_SQL}
+    ), phi AS (
+        SELECT l.ch_bit,
+               CAST(SUM(l.w * (v1.v_t - v0.v_t)) AS BIGINT) AS phi_x24
+        FROM lattice l
+        JOIN v v0 ON v0.t_mask = l.s_mask
+        JOIN v v1 ON v1.t_mask = l.s_mask
+                     + CASE l.ch_bit WHEN 0 THEN 1 WHEN 1 THEN 2
+                                     WHEN 2 THEN 4 ELSE 8 END
+        GROUP BY l.ch_bit
+    )
+    SELECT CASE ch_bit WHEN 0 THEN 'click' WHEN 1 THEN 'error'
+                       WHEN 2 THEN 'signup' ELSE 'view' END AS channel,
+           phi_x24,
+           CAST((phi_x24 * 1000000)
+                // GREATEST(SUM(phi_x24) OVER (), 1) AS BIGINT)
+               AS phi_share_e6
+    FROM phi ORDER BY channel
+    """,
+)
+def events_attribution_shapley(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SHAPLEY-VALUE conversion attribution (round 12 cont.): each
+    pre-purchase channel's game-theoretic credit over the EXACT
+    4-channel coalition lattice — the principled member of the
+    attribution family (events_attribution's positional rules answer
+    'who touched'; Shapley answers 'who CAUSED, averaged over every
+    arrival order'), with v(T) = conversions whose journey set ⊆ T
+    (the Zhao-et-al. characteristic function) and the efficiency
+    identity Σφ = v(all) − v(∅) referee'd in tests.
+
+    Exactness: ALL-INTEGER — journeys reduce to 4-bit masks, v(T) is
+    an exact subset-sum over 16 lattice rows, the 32 (channel,
+    coalition, weight) rows are Python-computed literals shared
+    verbatim, and ×24 scaling turns the factorial weights into
+    integers; shares are one integer division.
+
+    Scale: one events pass to per-user masks (keyed rollup on the
+    converter join), a ≤16-row exact-set table — the lattice math
+    never touches row-scale data."""
+    ev = load(spark, sf_dir, "events")
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    bit = (
+        F.when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "error", 2)
+        .when(F.col("event_type") == "signup", 4)
+        .when(F.col("event_type") == "view", 8)
+        .otherwise(0)
+    )
+    journeys = (
+        ev.join(conv, "user_id")
+        .filter(
+            (F.col("ts") < F.col("first_purchase"))
+            & F.col("event_type").isin(
+                "click", "error", "signup", "view"
+            )
+        )
+        .select("user_id", bit.alias("b"))
+        .distinct()
+        .groupBy("user_id")
+        .agg(F.sum("b").cast("bigint").alias("mask"))
+    )
+    exact_sets = journeys.groupBy("mask").agg(
+        F.count("*").cast("bigint").alias("conv_n")
+    )
+    subsets = spark.createDataFrame(
+        [(m,) for m in range(16)], "t_mask: bigint"
+    )
+    v = (
+        subsets.join(
+            F.broadcast(exact_sets),
+            F.expr("(mask | t_mask) = t_mask"),
+            "left",
+        )
+        .groupBy("t_mask")
+        .agg(
+            F.coalesce(F.sum("conv_n"), F.lit(0))
+            .cast("bigint")
+            .alias("v_t")
+        )
+    )
+    lattice = spark.createDataFrame(
+        _shapley_lattice_rows(), "ch_bit: bigint, s_mask: bigint, w: bigint"
+    )
+    v0 = v.select(F.col("t_mask").alias("m0"), F.col("v_t").alias("v0"))
+    v1 = v.select(F.col("t_mask").alias("m1"), F.col("v_t").alias("v1"))
+    add_bit = F.expr(
+        "CASE ch_bit WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4"
+        " ELSE 8 END"
+    )
+    phi = (
+        lattice.join(F.broadcast(v0), F.col("s_mask") == F.col("m0"))
+        .join(
+            F.broadcast(v1),
+            (F.col("s_mask") + add_bit) == F.col("m1"),
+        )
+        .groupBy("ch_bit")
+        .agg(
+            F.sum(F.col("w") * (F.col("v1") - F.col("v0")))
+            .cast("bigint")
+            .alias("phi_x24")
+        )
+    )
+    w_all = Window.partitionBy()
+    named = phi.select(
+        F.expr(
+            "CASE ch_bit WHEN 0 THEN 'click' WHEN 1 THEN 'error'"
+            " WHEN 2 THEN 'signup' ELSE 'view' END"
+        ).alias("channel"),
+        "phi_x24",
+        F.sum("phi_x24").over(w_all).alias("tot"),
+    )
+    return named.select(
+        "channel",
+        "phi_x24",
+        F.expr(
+            "(phi_x24 * 1000000) DIV GREATEST(tot, 1L)"
+        ).alias("phi_share_e6"),
+    ).orderBy("channel")

@@ -760,6 +760,7 @@ _ROUND12_ADDITIONS = (
     "text_model_auc_delong_se",
     "agg_fisher_z_corr_diff",
     "agg_meta_fixed_effect_i2",
+    "events_attribution_shapley",
 )
 
 # Landing-order queue for rows that have never been inside a driver

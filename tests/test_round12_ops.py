@@ -940,3 +940,50 @@ def test_meta_fixed_effect_null(spark, sf_dir):
     assert abs(r["pooled_log_or_e6"]) < 300000
     assert r["pooled_se_e6"] > 0
     assert r["q_e6"] < 18500000  # chi2(4) p=0.001 ~ 18.47
+
+
+def test_shapley_efficiency_identity(spark, sf_dir):
+    """Sum of phi_x24 must equal 24*(v(full) - v(empty)) and shares
+    must sum to ~1e6; brute-force the lattice in python."""
+    ev = load(spark, SF01, "events")
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fp"))
+    )
+    bits = {"click": 1, "error": 2, "signup": 4, "view": 8}
+    rows = (
+        ev.join(conv, "user_id")
+        .filter(F.col("ts") < F.col("fp"))
+        .filter(F.col("event_type").isin(*bits))
+        .select("user_id", "event_type")
+        .distinct()
+        .collect()
+    )
+    masks: dict[int, int] = {}
+    for r in rows:
+        masks[r["user_id"]] = masks.get(r["user_id"], 0) | bits[r["event_type"]]
+    n_conv_with_channels = len(masks)
+    exact: dict[int, int] = {}
+    for m in masks.values():
+        exact[m] = exact.get(m, 0) + 1
+    v = {
+        t: sum(c for m, c in exact.items() if (m | t) == t)
+        for t in range(16)
+    }
+    w = {0: 6, 1: 2, 2: 2, 3: 6}
+    phi = {}
+    for name, b in bits.items():
+        i = {1: 0, 2: 1, 4: 2, 8: 3}[b]
+        phi[name] = sum(
+            w[bin(m).count("1")] * (v[m + b] - v[m])
+            for m in range(16)
+            if not (m & b)
+        )
+    got = {
+        r["channel"]: r["phi_x24"]
+        for r in QUERIES["events_attribution_shapley"](spark, SF01).collect()
+    }
+    assert got == phi
+    assert sum(phi.values()) == 24 * (v[15] - v[0])
+    assert n_conv_with_channels >= v[15]
