@@ -7288,3 +7288,232 @@ def text_model_auc_delong_se(
         .cast("bigint")
         .alias("delong_se_e9"),
     )
+
+
+_SCORED_SQL = """
+        SELECT CAST(FLOOR(1000000.0 / (1.0 + exp(-(-0.25
+                   + 1.5 * (CAST(n_chars AS DOUBLE) / 1000)
+                   - 0.75 * (CAST(length(text) - length(replace(text, ' ', ''))
+                             AS DOUBLE) / 100)
+                   + 2.0 * (CAST(length(text)
+                                 - length(replace(text, 'the', ''))
+                            AS DOUBLE)
+                            / (3 * GREATEST(CAST(n_chars AS DOUBLE), 1.0))
+                            * 10))))) AS BIGINT) AS s_e6,
+               CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS label
+        FROM documents
+"""
+
+
+@query(
+    "text_model_ks_separation",
+    f"""
+    WITH scored AS ({_SCORED_SQL}
+    ), atoms AS (
+        SELECT s_e6,
+               CAST(SUM(label) AS BIGINT) AS p_cnt,
+               CAST(COUNT(*) - SUM(label) AS BIGINT) AS n_cnt
+        FROM scored GROUP BY s_e6
+    ), walk AS (
+        SELECT s_e6,
+               CAST(SUM(p_cnt) OVER w AS BIGINT) AS cum_p,
+               CAST(SUM(n_cnt) OVER w AS BIGINT) AS cum_n,
+               CAST(SUM(p_cnt) OVER () AS BIGINT) AS p,
+               CAST(SUM(n_cnt) OVER () AS BIGINT) AS n
+        FROM atoms
+        WINDOW w AS (ORDER BY s_e6
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), best AS (
+        SELECT s_e6, cum_p, cum_n, p, n,
+               ABS(cum_n * p - cum_p * n) AS sep,
+               row_number() OVER (ORDER BY ABS(cum_n * p - cum_p * n)
+                                  DESC, s_e6 ASC) AS pick
+        FROM walk
+    )
+    SELECT s_e6 AS ks_threshold_e6, p, n,
+           CAST((sep * 1000000) // (p * n) AS BIGINT) AS ks_e6,
+           CAST((cum_n * 1000000) // n AS BIGINT) AS cdf_neg_e6,
+           CAST((cum_p * 1000000) // p AS BIGINT) AS cdf_pos_e6
+    FROM best WHERE pick = 1
+    """,
+)
+def text_model_ks_separation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """KS SEPARATION of the quality classifier (round 12 cont.): the
+    maximum gap between the positive and negative score CDFs — the
+    credit-scoring industry's standard single separation number (and
+    the two-sample KS statistic applied to model scores), with the
+    threshold where the gap peaks; completes the scorer-eval family
+    next to Youden (which maximizes the SAME gap — the referee pins
+    the equivalence) while reporting the CDF geometry a scorecard
+    reviewer reads.
+
+    Exactness: ALL-INTEGER — the gap |cum_n·P − cum_p·N| is
+    cross-multiplied (no share ever materializes before the argmax),
+    tie-break (gap desc, threshold asc), readouts exact integer
+    divisions.
+
+    Scale: one corpus pass to e6-domain score atoms + one
+    pre-reduced ordered walk, LIMIT-1 finish."""
+    scored = _auc_scored(spark, sf_dir)
+    atoms = scored.groupBy("s_e6").agg(
+        F.sum("label").cast("bigint").alias("p_cnt"),
+        (F.count("*") - F.sum("label")).cast("bigint").alias("n_cnt"),
+    )
+    w = Window.orderBy("s_e6").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    walk = atoms.select(
+        "s_e6",
+        F.sum("p_cnt").over(w).cast("bigint").alias("cum_p"),
+        F.sum("n_cnt").over(w).cast("bigint").alias("cum_n"),
+        F.sum("p_cnt").over(w_all).cast("bigint").alias("p"),
+        F.sum("n_cnt").over(w_all).cast("bigint").alias("n"),
+    )
+    sep = F.abs(
+        F.col("cum_n") * F.col("p") - F.col("cum_p") * F.col("n")
+    )
+    w_pick = Window.orderBy(sep.desc(), F.col("s_e6").asc())
+    best = walk.select(
+        "s_e6",
+        "cum_p",
+        "cum_n",
+        "p",
+        "n",
+        sep.alias("sep"),
+        F.row_number().over(w_pick).alias("pick"),
+    ).filter(F.col("pick") == 1)
+    return best.select(
+        F.col("s_e6").alias("ks_threshold_e6"),
+        "p",
+        "n",
+        F.expr("(sep * 1000000) DIV (p * n)").alias("ks_e6"),
+        F.expr("(cum_n * 1000000) DIV n").alias("cdf_neg_e6"),
+        F.expr("(cum_p * 1000000) DIV p").alias("cdf_pos_e6"),
+    )
+
+
+@query(
+    "text_model_gains_table",
+    f"""
+    WITH scored AS ({_SCORED_SQL}
+    ), atoms AS (
+        SELECT s_e6,
+               CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(SUM(label) AS BIGINT) AS p_cnt
+        FROM scored GROUP BY s_e6
+    ), walk AS (
+        SELECT s_e6, cnt, p_cnt,
+               CAST(COALESCE(SUM(cnt) OVER (ORDER BY s_e6 DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS BIGINT) AS cum_before,
+               CAST(SUM(cnt) OVER () AS BIGINT) AS n,
+               CAST(SUM(p_cnt) OVER () AS BIGINT) AS p
+        FROM atoms
+    ), spread AS (
+        SELECT ((cum_before + u.k - 1) * 10) // n AS decile,
+               CAST(1 AS BIGINT) AS one,
+               CASE WHEN u.k <= p_cnt THEN 1 ELSE 0 END AS is_pos,
+               n, p
+        FROM walk,
+             LATERAL (SELECT unnest(generate_series(1, cnt)) AS k) u
+    ), deciles AS (
+        SELECT decile,
+               CAST(SUM(one) AS BIGINT) AS n_docs,
+               CAST(SUM(is_pos) AS BIGINT) AS n_pos,
+               MAX(n) AS n, MAX(p) AS p
+        FROM spread GROUP BY decile
+    ), cum AS (
+        SELECT decile, n_docs, n_pos, n, p,
+               CAST(SUM(n_pos) OVER (ORDER BY decile
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_pos
+        FROM deciles
+    )
+    SELECT CAST(decile AS BIGINT) AS decile, n_docs, n_pos,
+           CAST((cum_pos * 1000000) // p AS BIGINT) AS cum_capture_e6,
+           CAST(((n_pos * n) * 1000000) // (CAST(n_docs AS BIGINT) * p)
+                AS BIGINT) AS lift_e6
+    FROM cum ORDER BY decile
+    """,
+)
+def text_model_gains_table(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DECILE GAINS / LIFT TABLE of the quality classifier (round 12
+    cont.): rank the corpus by score descending, cut into exact
+    tenths BY ROW COUNT (ties split across the boundary — the
+    deterministic within-atom ordinal spread), and read cumulative
+    capture ('the top 30% of scores holds x% of all positives') and
+    per-decile lift — the campaign-targeting table every scorer
+    consumer asks for before any threshold talk; the tabular
+    companion of Youden/KS's single optima.
+
+    Exactness: ALL-INTEGER — atoms spread ordinally via
+    generate_series/posexplode (within-atom positives first, a FIXED
+    deterministic convention both engines share), the decile index is
+    an integer band ((rank−1)·10)//n, captures/lifts exact integer
+    divisions.
+
+    Scale: the ordinal spread re-expands atoms back to corpus scale
+    for exactness of the tie-split — one pass, map-side, partitioned
+    by the atom walk; the decile rollup is 10 cells."""
+    scored = _auc_scored(spark, sf_dir)
+    atoms = scored.groupBy("s_e6").agg(
+        F.count("*").cast("bigint").alias("cnt"),
+        F.sum("label").cast("bigint").alias("p_cnt"),
+    )
+    w_dn = Window.orderBy(F.col("s_e6").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.partitionBy()
+    walk = atoms.select(
+        "cnt",
+        "p_cnt",
+        F.coalesce(F.sum("cnt").over(w_dn), F.lit(0))
+        .cast("bigint")
+        .alias("cum_before"),
+        F.sum("cnt").over(w_all).cast("bigint").alias("n"),
+        F.sum("p_cnt").over(w_all).cast("bigint").alias("p"),
+    )
+    spread = walk.select(
+        F.explode(F.expr("sequence(1, cnt)")).alias("k"),
+        "cum_before",
+        "p_cnt",
+        "n",
+        "p",
+    ).select(
+        F.expr("((cum_before + k - 1) * 10) DIV n").alias("decile"),
+        F.lit(1).cast("bigint").alias("one"),
+        F.when(F.col("k") <= F.col("p_cnt"), 1)
+        .otherwise(0)
+        .alias("is_pos"),
+        "n",
+        "p",
+    )
+    deciles = spread.groupBy("decile").agg(
+        F.sum("one").cast("bigint").alias("n_docs"),
+        F.sum("is_pos").cast("bigint").alias("n_pos"),
+        F.max("n").alias("n"),
+        F.max("p").alias("p"),
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = deciles.select(
+        "decile",
+        "n_docs",
+        "n_pos",
+        "n",
+        "p",
+        F.sum("n_pos").over(w_cum).cast("bigint").alias("cum_pos"),
+    )
+    return cum.select(
+        F.col("decile").cast("bigint").alias("decile"),
+        "n_docs",
+        "n_pos",
+        F.expr("(cum_pos * 1000000) DIV p").alias("cum_capture_e6"),
+        F.expr(
+            "((n_pos * n) * 1000000) DIV (n_docs * p)"
+        ).alias("lift_e6"),
+    ).orderBy("decile")

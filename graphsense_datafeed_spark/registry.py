@@ -761,6 +761,8 @@ _ROUND12_ADDITIONS = (
     "agg_fisher_z_corr_diff",
     "agg_meta_fixed_effect_i2",
     "events_attribution_shapley",
+    "text_model_ks_separation",
+    "text_model_gains_table",
 )
 
 # Landing-order queue for rows that have never been inside a driver

@@ -987,3 +987,28 @@ def test_shapley_efficiency_identity(spark, sf_dir):
     assert got == phi
     assert sum(phi.values()) == 24 * (v[15] - v[0])
     assert n_conv_with_channels >= v[15]
+
+
+def test_ks_equals_youden_j(spark, sf_dir):
+    """The KS statistic equals Youden's J at its own optimum (same
+    max-gap geometry), within 1 quantization unit."""
+    ks = QUERIES["text_model_ks_separation"](spark, SF01).collect()[0]
+    yd = QUERIES["text_model_youden_cutpoint"](spark, SF01).collect()[0]
+    assert abs(ks["ks_e6"] - yd["youden_j_e6"]) <= 1
+    assert 0 <= ks["ks_e6"] <= 1000000
+    assert ks["cdf_neg_e6"] >= ks["cdf_pos_e6"]
+
+
+def test_gains_table_accounting(spark, sf_dir):
+    """Ten deciles, row counts within 1 of n/10, final capture = 1e6
+    exactly, lift decreasing from first to last decile."""
+    rows = sorted(
+        QUERIES["text_model_gains_table"](spark, SF01).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert [r["decile"] for r in rows] == list(range(10))
+    n = sum(r["n_docs"] for r in rows)
+    for r in rows:
+        assert abs(r["n_docs"] - n / 10) <= 1
+    assert rows[-1]["cum_capture_e6"] == 1000000
+    assert rows[0]["lift_e6"] > rows[-1]["lift_e6"]
