@@ -3947,3 +3947,143 @@ def ingest_realized_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("mvrv_e6"),
     )
+
+
+@query(
+    "ingest_taint_haircut",
+    f"""
+    WITH txr AS (
+        SELECT unnest(txs) AS tx FROM {_DUCK_BLOCKS}
+    ), txio AS (
+        SELECT (tx).tx_hash AS tx_hash, (tx).inputs AS inputs,
+               (tx).outputs AS outputs
+        FROM txr WHERE NOT (tx).coinbase
+    ), ins AS (
+        SELECT tx_hash, (i).address[1] AS addr,
+               CAST((i).value AS BIGINT) AS v
+        FROM (SELECT tx_hash, unnest(inputs) AS i FROM txio)
+    ), tx_taint AS (
+        SELECT tx_hash,
+               CAST(SUM(v) AS BIGINT) AS total_in,
+               CAST(SUM(CASE WHEN CAST(CAST('0x'
+                        || substr(md5('taint:' || addr), 1, 4)
+                        AS BIGINT) % 50 AS BIGINT) = 0
+                    THEN v ELSE 0 END) AS BIGINT) AS tainted_in
+        FROM ins GROUP BY tx_hash
+    ), outs AS (
+        SELECT tx_hash, (o).address[1] AS addr,
+               CAST((o).value AS BIGINT) AS v
+        FROM (SELECT tx_hash, unnest(outputs) AS o FROM txio)
+    ), flowed AS (
+        SELECT o.addr, o.v,
+               CAST(FLOOR(CAST(o.v AS DOUBLE) * t.tainted_in
+                          / t.total_in) AS BIGINT) AS tainted_v
+        FROM outs o JOIN tx_taint t USING (tx_hash)
+        WHERE t.tainted_in > 0 AND t.total_in > 0
+    )
+    SELECT addr,
+           CAST(SUM(v) AS BIGINT) AS received,
+           CAST(SUM(tainted_v) AS BIGINT) AS tainted_received,
+           CAST((SUM(tainted_v) * 1000000) // SUM(v) AS BIGINT)
+               AS taint_rate_e6
+    FROM flowed
+    GROUP BY addr
+    HAVING SUM(tainted_v) > 0
+    """,
+)
+def ingest_taint_haircut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAIRCUT TAINT PROPAGATION, one hop (round 12 cont.): value
+    received from a deterministic md5 seed set (2% of addresses)
+    propagates through each spending transaction PROPORTIONALLY
+    (every output inherits tainted_in/total_in of its value — the
+    'haircut' policy, vs ingest_fifo_value_attribution's queue
+    policy: same question, the two canonical answers), reported per
+    recipient with the taint rate — the GraphSense forensics read
+    'how exposed is this address to the flagged cohort, one hop
+    out'.
+
+    Exactness: satoshi values exact; each output's tainted value
+    quantizes ONCE as FLOOR(double(v)·tainted_in/total_in) — the
+    int64 product overflows (v·tainted_in is ~1e25-scale, caught by
+    the sf0.01 ANSI overflow on the first integer draft), so both
+    engines run the SAME IEEE double chain; per-address sums and the
+    rate are exact integer arithmetic on the quantized values.
+
+    Scale: one tx pass (per-tx input rollup keyed on tx_hash, the
+    ingest_fee_summary shape), one keyed join back to outputs, one
+    address rollup — at chain scale this is the standard
+    taint-sweep join program, and multi-hop is this op iterated
+    with the output table fed back as the next seed valuation."""
+    raw = read_blocks_json(spark)
+    txio = (
+        raw.select(F.explode("txs").alias("tx"))
+        .filter(~F.col("tx.coinbase"))
+        .select(
+            F.col("tx.tx_hash").alias("tx_hash"),
+            F.col("tx.inputs").alias("inputs"),
+            F.col("tx.outputs").alias("outputs"),
+        )
+    )
+    ins = txio.select(
+        "tx_hash", F.explode("inputs").alias("i")
+    ).select(
+        "tx_hash",
+        F.col("i.address")[0].alias("addr"),
+        F.col("i.value").cast("bigint").alias("v"),
+    )
+    seeded = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("taint:"), F.col("addr")).cast(
+                        "binary"
+                    )
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 50
+        == 0
+    )
+    tx_taint = ins.groupBy("tx_hash").agg(
+        F.sum("v").cast("bigint").alias("total_in"),
+        F.sum(F.when(seeded, F.col("v")).otherwise(0))
+        .cast("bigint")
+        .alias("tainted_in"),
+    )
+    outs = txio.select(
+        "tx_hash", F.explode("outputs").alias("o")
+    ).select(
+        "tx_hash",
+        F.col("o.address")[0].alias("addr"),
+        F.col("o.value").cast("bigint").alias("v"),
+    )
+    flowed = (
+        outs.join(tx_taint, "tx_hash")
+        .filter((F.col("tainted_in") > 0) & (F.col("total_in") > 0))
+        .select(
+            "addr",
+            "v",
+            F.floor(
+                F.col("v").cast("double")
+                * F.col("tainted_in")
+                / F.col("total_in")
+            )
+            .cast("bigint")
+            .alias("tainted_v"),
+        )
+    )
+    return (
+        flowed.groupBy("addr")
+        .agg(
+            F.sum("v").cast("bigint").alias("received"),
+            F.sum("tainted_v").cast("bigint").alias("tainted_received"),
+            F.expr(
+                "(SUM(tainted_v) * 1000000) DIV SUM(v)"
+            ).alias("taint_rate_e6"),
+        )
+        .filter(F.col("tainted_received") > 0)
+    )

@@ -763,6 +763,7 @@ _ROUND12_ADDITIONS = (
     "events_attribution_shapley",
     "text_model_ks_separation",
     "text_model_gains_table",
+    "ingest_taint_haircut",
 )
 
 # Landing-order queue for rows that have never been inside a driver

@@ -1012,3 +1012,13 @@ def test_gains_table_accounting(spark, sf_dir):
         assert abs(r["n_docs"] - n / 10) <= 1
     assert rows[-1]["cum_capture_e6"] == 1000000
     assert rows[0]["lift_e6"] > rows[-1]["lift_e6"]
+
+
+def test_taint_haircut_conservation(spark, sf_dir):
+    """Per-tx: the sum of output taints can never exceed tainted_in
+    (floor losses only), and every rate is in (0, 1e6]."""
+    rows = QUERIES["ingest_taint_haircut"](spark, SF01).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["tainted_received"] <= r["received"]
+        assert 0 < r["taint_rate_e6"] <= 1000000
