@@ -90,11 +90,29 @@ def _rules(nq: int, no: int) -> list[tuple[str, str, str]]:
     ]
 
 
+def window_warn_budget_size() -> int:
+    """Size of the single-partition WindowExec warning budget (the
+    union verify_driver_style._window_warn_budget() enforces).  Printed
+    every run so budget growth is a visible per-round diff (VERDICT r12
+    item 8) — the list grew 79 → 99 across r10–r12 without anyone
+    noticing; now the tally moves the round it grows."""
+    import json
+    import os
+
+    allow = json.load(open(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "plan_audit_allowlist.json")))
+    return len(set(allow.get("single_part", []))
+               | set(allow.get("window_warn_prereduced", [])))
+
+
 def run(write: bool) -> int:
     nq, no = counts()
     rows_only = nq - no
     print(f"registry: {nq} queries, {no} exact oracles, "
           f"{rows_only} rows-only")
+    print(f"window-warn budget list: {window_warn_budget_size()} queries "
+          f"(single_part + window_warn_prereduced union)")
     drift = 0
     for path, pat, want in _rules(nq, no):
         text = open(path).read()
