@@ -479,8 +479,9 @@ def test_holt_linear_matches_python_fold(spark, sf_dir):
 
 def test_pq_recall_vs_exact(spark, sf_dir):
     """PQ + shortlist re-rank must recover ≥70% of the exact top-3
-    (measured 0.79 at sf0.001, 0.82 at sf0.01), and every emitted
-    cosine must be the TRUE cosine (re-rank is exact)."""
+    (round-13 frozen round-0 codebooks + shortlist 96: measured 0.82
+    at sf0.001, 0.84 at sf0.01 — above the old Lloyd readings), and
+    every emitted cosine must be the TRUE cosine (re-rank is exact)."""
     exact = Q["sim_topk_exact"](spark, sf_dir).collect()
     exact3 = {(r["query_id"], r["neighbor_id"]) for r in exact if r["rank_k"] <= 3}
     exact_cos = {
