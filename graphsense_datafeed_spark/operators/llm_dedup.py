@@ -280,6 +280,30 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     return minhash_signatures_from_arrays(shingle_arrays(docs))
 
 
+def band_keys(sig: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_key) — the banded-LSH bucket assignment
+    shared by the self-join (lsh_candidate_pairs) and the two-table
+    join (lsh_similarity_join). Band key = positional mix of the
+    band's signature mins (h_even·P + h_odd < 2^62 — exact in bigint,
+    and engine-portable unlike hash(); collision-free by construction,
+    not just w.h.p.)."""
+    return sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    sum(
+                        F.col("sig")[b * _ROWS_PER_BAND + r]
+                        * F.lit(_MINHASH_P ** (_ROWS_PER_BAND - 1 - r))
+                        for r in range(_ROWS_PER_BAND)
+                    )
+                    for b in range(_N_BANDS)
+                ]
+            )
+        ).alias("band_id", "band_key"),
+    )
+
+
 def lsh_candidate_pairs(sig: DataFrame, max_bucket: int | None = 256) -> DataFrame:
     """(doc_a, doc_b) candidates: docs sharing ≥1 LSH band bucket.
 
@@ -305,24 +329,7 @@ def lsh_candidate_pairs(sig: DataFrame, max_bucket: int | None = 256) -> DataFra
     still pruned — they cannot produce a pair). Capped-bucket behavior
     asserted in tests/test_llm.py with a planted 300-identical-doc
     bucket."""
-    # Band key = positional mix of the band's signature mins
-    # (h_even·P + h_odd < 2^62 — exact in bigint, and engine-portable
-    # unlike hash(); collision-free by construction, not just w.h.p.).
-    bands = sig.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    sum(
-                        F.col("sig")[b * _ROWS_PER_BAND + r]
-                        * F.lit(_MINHASH_P ** (_ROWS_PER_BAND - 1 - r))
-                        for r in range(_ROWS_PER_BAND)
-                    )
-                    for b in range(_N_BANDS)
-                ]
-            )
-        ).alias("band_id", "band_key"),
-    )
+    bands = band_keys(sig)
     sized = bands.groupBy("band_id", "band_key").agg(F.count("*").alias("n"))
     keep = sized.filter(F.col("n") >= 2)
     if max_bucket is not None:
@@ -466,6 +473,169 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_a", "doc_b", F.floor(jac * 10000).cast("bigint").alias("jaccard_e4")
         )
+    )
+
+
+def lsh_similarity_join(
+    left: DataFrame,
+    right: DataFrame,
+    threshold: float = 0.5,
+    max_bucket: int | None = 256,
+) -> DataFrame:
+    """Generic banded-LSH similarity JOIN (VERDICT r12 item 7): two
+    text tables in — each with (doc_id, text) — verified near-dup
+    pairs out as (left_id, right_id, jaccard_e4). The reusable form of
+    the dedup_near pipeline: shingle → MinHash → band keys on EACH
+    side, candidates = an EQUI-join on (band_id, band_key), exact
+    shingle-Jaccard verify of candidates only. Pipeline users compose
+    "join new batch against corpus" without re-deriving the banding.
+
+    Differences from the self-join (lsh_candidate_pairs): a bucket is
+    a candidate source when it appears on BOTH sides (no ≥2-per-side
+    floor — one left doc meeting one right doc is a valid pair), and
+    the hot-bucket cap applies PER SIDE, bounding per-bucket fan-out
+    at cap² no matter how degenerate either corpus is.
+
+    Scale: band assignment is narrow per-side; bucket sizing is one
+    partial-aggregated count per side; the candidate join is a hash
+    equi-join on (band_id, band_key) — never a cross product; the
+    verify stage broadcasts the (bucket-capped, hence bounded)
+    candidate pair table against each side's shingle arrays. The same
+    shape as dedup_near, which holds its sf10 readings corpus-linearly
+    (SCALE.md)."""
+    la = shingle_arrays(left)
+    ra = shingle_arrays(right)
+    lb = band_keys(minhash_signatures_from_arrays(la))
+    rb = band_keys(minhash_signatures_from_arrays(ra)).select(
+        F.col("doc_id").alias("r_doc_id"), "band_id", "band_key"
+    )
+    keys = ["band_id", "band_key"]
+    lsz = lb.groupBy(*keys).agg(F.count("*").alias("nl"))
+    rsz = rb.groupBy(*keys).agg(F.count("*").alias("nr"))
+    keep = lsz.join(rsz, keys)
+    if max_bucket is not None:
+        keep = keep.filter(
+            (F.col("nl") <= max_bucket) & (F.col("nr") <= max_bucket)
+        )
+    cands = (
+        lb.join(keep.select(*keys), keys)
+        .join(rb, keys)
+        .select(
+            F.col("doc_id").alias("left_id"),
+            F.col("r_doc_id").alias("right_id"),
+        )
+        .distinct()
+    )
+    a = la.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("arr").alias("arr_a"),
+        F.col("n").alias("na"),
+    )
+    b = ra.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("arr").alias("arr_b"),
+        F.col("n").alias("nb"),
+    )
+    c = F.size(F.array_intersect(F.col("arr_a"), F.col("arr_b")))
+    jac = c.cast("double") / (F.col("na") + F.col("nb") - c)
+    return (
+        a.join(F.broadcast(cands), F.col("a_id") == F.col("left_id"))
+        .join(b, F.col("b_id") == F.col("right_id"))
+        .filter(jac >= threshold)
+        .select(
+            "left_id",
+            "right_id",
+            F.floor(jac * 10000).cast("bigint").alias("jaccard_e4"),
+        )
+    )
+
+
+# The demo split: even doc_ids play the at-rest corpus, odd doc_ids the
+# incoming batch — the "screen a new ingest batch for near-dup
+# contamination against the corpus" shape. The oracle replicates the
+# full two-table pipeline with the same md5 universal-hash literals.
+_LSH_JOIN_ORACLE = f"""
+    WITH ws AS (
+        SELECT doc_id, str_split(text, ' ') AS w FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id, concat_ws(' ', w[i], w[i+1], w[i+2]) AS s
+        FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM ws)
+    ), hb AS (
+        SELECT doc_id, s,
+               CAST('0x' || substr(md5(s), 1, 7) AS BIGINT) AS hbase
+        FROM sh
+    ), sig AS (
+        SELECT doc_id,
+               {", ".join(
+                   f"MIN(({a} * hbase + {b}) % {_MINHASH_P}) AS h{i}"
+                   for i, (a, b) in enumerate(_MINHASH_AB)
+               )}
+        FROM hb GROUP BY doc_id
+    ), bands AS (
+        SELECT doc_id, bd.band_id,
+               [{", ".join(
+                   f"h{2 * b} * {_MINHASH_P} + h{2 * b + 1}"
+                   for b in range(_N_BANDS)
+               )}][bd.band_id + 1] AS band_key
+        FROM sig
+        CROSS JOIN (SELECT unnest(range(0, {_N_BANDS})) AS band_id) bd
+    ), lbands AS (
+        SELECT * FROM bands WHERE doc_id % 2 = 0
+    ), rbands AS (
+        SELECT * FROM bands WHERE doc_id % 2 = 1
+    ), lsz AS (
+        SELECT band_id, band_key FROM lbands GROUP BY 1, 2
+        HAVING COUNT(*) <= 256
+    ), rsz AS (
+        SELECT band_id, band_key FROM rbands GROUP BY 1, 2
+        HAVING COUNT(*) <= 256
+    ), cand AS (
+        SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id
+        FROM lbands l
+        JOIN rbands r USING (band_id, band_key)
+        JOIN lsz USING (band_id, band_key)
+        JOIN rsz USING (band_id, band_key)
+    ), nsh AS (
+        SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+        SELECT c.left_id, c.right_id, COUNT(*) AS c
+        FROM cand c
+        JOIN sh x ON x.doc_id = c.left_id
+        JOIN sh y ON y.doc_id = c.right_id AND y.s = x.s
+        GROUP BY c.left_id, c.right_id
+    )
+    SELECT i.left_id, i.right_id,
+           CAST(FLOOR(CAST(i.c AS DOUBLE) / (na.n + nb.n - i.c) * 10000)
+                AS BIGINT) AS jaccard_e4
+    FROM inter i
+    JOIN nsh na ON na.doc_id = i.left_id
+    JOIN nsh nb ON nb.doc_id = i.right_id
+    WHERE CAST(i.c AS DOUBLE) / (na.n + nb.n - i.c) >= 0.5
+"""
+
+
+@query("join_lsh_similarity", _LSH_JOIN_ORACLE)
+def join_lsh_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reusable LSH-join operator as a registered query (VERDICT
+    r12 item 7 — §2.3's one structural gap): lsh_similarity_join()
+    applied to the even/odd doc_id split of the documents table (the
+    "screen an incoming batch against the at-rest corpus" shape; the
+    fixture's planted near-dups straddle the parity split, so the
+    result is non-degenerate). EXACT oracle: same md5 universal-hash
+    discipline as dedup_near — signatures, band keys, per-side caps,
+    candidates and verified Jaccard all hash-match the two-table SQL.
+
+    Scale: see lsh_similarity_join — banded equi-join, per-side
+    bucket caps, broadcast candidate verify; no cartesian anywhere
+    (pinned in tests/test_round13_ops.py)."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
+    return lsh_similarity_join(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
     )
 
 
