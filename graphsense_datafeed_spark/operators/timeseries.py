@@ -13587,3 +13587,453 @@ def events_attribution_shapley(
             "(phi_x24 * 1000000) DIV GREATEST(tot, 1L)"
         ).alias("phi_share_e6"),
     ).orderBy("channel")
+
+
+# --- Round-13 candle/TA completion -----------------------------------
+# The daily-candle tape (_daily_ohlc) plus per-day VOLUME (trade
+# count): OBV / Chaikin money flow weight price moves by participation,
+# which the OHLC-only tape cannot express. Separate helper so the
+# pinned OHLC-only plans (garman_klass, parkinson, …) are untouched.
+_DAILY_OHLCV_SQL = _DAILY_OHLC_SQL.replace(
+    "CAST(MAX(CASE WHEN rn_d = 1 THEN v1 END) AS BIGINT) AS c1",
+    "CAST(MAX(CASE WHEN rn_d = 1 THEN v1 END) AS BIGINT) AS c1,\n"
+    "               CAST(COUNT(*) AS BIGINT) AS vol",
+)
+
+
+def _daily_ohlcv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, d, h1, l1, o1, c1, vol) — _daily_ohlc plus the
+    day's trade count as volume. Same two coalesced keyed windows +
+    one rollup; vol is an exact bigint."""
+    ev = load(spark, sf_dir, "events")
+    v1 = (F.floor(F.col("value") * 10000).cast("bigint") + 1).alias("v1")
+    wa = Window.partitionBy("event_type", F.to_date("ts")).orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    wd = Window.partitionBy("event_type", F.to_date("ts")).orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    base = ev.select(
+        "event_type",
+        F.to_date("ts").alias("d"),
+        v1,
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return base.groupBy("event_type", "d").agg(
+        F.max("v1").cast("bigint").alias("h1"),
+        F.min("v1").cast("bigint").alias("l1"),
+        F.max(F.when(F.col("rn_a") == 1, F.col("v1")))
+        .cast("bigint")
+        .alias("o1"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("v1")))
+        .cast("bigint")
+        .alias("c1"),
+        F.count("*").cast("bigint").alias("vol"),
+    )
+
+
+_DONCHIAN_W = 10
+
+
+@query(
+    "ts_donchian_channels",
+    f"""
+    WITH ohlc AS ({_DAILY_OHLC_SQL}
+    ), ch AS (
+        SELECT event_type, d, c1,
+               MAX(h1) OVER w AS upper_e4,
+               MIN(l1) OVER w AS lower_e4,
+               MAX(h1) OVER (PARTITION BY event_type ORDER BY d
+                             ROWS BETWEEN {_DONCHIAN_W} PRECEDING
+                                      AND 1 PRECEDING) AS prev_upper,
+               row_number() OVER (PARTITION BY event_type ORDER BY d)
+                   AS rn
+        FROM ohlc
+        WINDOW w AS (PARTITION BY event_type ORDER BY d
+                     ROWS BETWEEN {_DONCHIAN_W - 1} PRECEDING
+                              AND CURRENT ROW)
+    )
+    SELECT event_type, d,
+           CAST(upper_e4 AS BIGINT) AS upper_e4,
+           CAST(lower_e4 AS BIGINT) AS lower_e4,
+           CAST((upper_e4 + lower_e4) // 2 AS BIGINT) AS mid_e4,
+           CASE WHEN c1 > prev_upper THEN 1 ELSE 0 END AS breakout_up
+    FROM ch WHERE rn >= {_DONCHIAN_W}
+    ORDER BY event_type, d
+    """,
+)
+def ts_donchian_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Donchian channels over the daily candle tape (round 13, candle
+    family): trailing-10-day high/low band, midline, and an upward
+    breakout flag (close above the PREVIOUS day's upper band — the
+    classic turtle entry). All integer exact: the band edges are the
+    shifted-e4 candle ints themselves, the midline is a floor-halved
+    sum of positives (// and DIV agree above zero), the flag an
+    integer comparison.
+
+    Scale: one keyed daily rollup then three same-spec keyed windows
+    Catalyst coalesces into one exchange over the |types|×|days| tape
+    — the pre-reduced-tape discipline of the whole candle family."""
+    ohlc = _daily_ohlc(spark, sf_dir)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-(_DONCHIAN_W - 1), 0)
+    )
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-_DONCHIAN_W, -1)
+    )
+    w_rn = Window.partitionBy("event_type").orderBy("d")
+    ch = ohlc.select(
+        "event_type",
+        "d",
+        "c1",
+        F.max("h1").over(w).alias("upper_e4"),
+        F.min("l1").over(w).alias("lower_e4"),
+        F.max("h1").over(w_prev).alias("prev_upper"),
+        F.row_number().over(w_rn).alias("rn"),
+    )
+    return (
+        ch.filter(F.col("rn") >= _DONCHIAN_W)
+        .select(
+            "event_type",
+            "d",
+            F.col("upper_e4").cast("bigint").alias("upper_e4"),
+            F.col("lower_e4").cast("bigint").alias("lower_e4"),
+            ((F.col("upper_e4") + F.col("lower_e4")) / 2)
+            .cast("bigint")
+            .alias("mid_e4"),
+            F.when(F.col("c1") > F.col("prev_upper"), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("breakout_up"),
+        )
+        .orderBy("event_type", "d")
+    )
+
+
+_AROON_W = 10  # lookback periods (current + 9 prior candles)
+
+
+@query(
+    "ts_aroon",
+    f"""
+    WITH ohlc AS ({_DAILY_OHLC_SQL}
+    ), rk AS (
+        SELECT event_type, d, h1, l1,
+               row_number() OVER (PARTITION BY event_type ORDER BY d)
+                   AS rn
+        FROM ohlc
+    ), pairs AS (
+        SELECT c.event_type, c.d, c.rn,
+               p.rn AS p_rn, p.h1 AS p_h1, p.l1 AS p_l1
+        FROM rk c JOIN rk p
+          ON p.event_type = c.event_type
+         AND p.rn BETWEEN c.rn - {_AROON_W - 1} AND c.rn
+        WHERE c.rn >= {_AROON_W}
+    ), picks AS (
+        SELECT event_type, d, rn, p_rn,
+               row_number() OVER (PARTITION BY event_type, rn
+                                  ORDER BY p_h1 DESC, p_rn DESC) AS rk_up,
+               row_number() OVER (PARTITION BY event_type, rn
+                                  ORDER BY p_l1 ASC, p_rn DESC) AS rk_dn
+        FROM pairs
+    ), agg AS (
+        SELECT event_type, d, rn,
+               MAX(CASE WHEN rk_up = 1 THEN rn - p_rn END) AS ds_up,
+               MAX(CASE WHEN rk_dn = 1 THEN rn - p_rn END) AS ds_dn
+        FROM picks GROUP BY 1, 2, 3
+    )
+    SELECT event_type, d,
+           CAST(({_AROON_W} - ds_up) * {100 // _AROON_W} AS BIGINT)
+               AS aroon_up_pct,
+           CAST(({_AROON_W} - ds_dn) * {100 // _AROON_W} AS BIGINT)
+               AS aroon_dn_pct,
+           CAST((ds_dn - ds_up) * {100 // _AROON_W} AS BIGINT)
+               AS aroon_osc
+    FROM agg ORDER BY event_type, d
+    """,
+)
+def ts_aroon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aroon indicator over the daily candle tape (round 13): per day,
+    periods since the trailing-10-day highest high (aroon-up =
+    100·(W−ds)/W) and lowest low (aroon-down), plus the oscillator
+    (up − down). Ties resolve to the MOST RECENT extreme (p_rn DESC),
+    the convention that makes a fresh equal-high read as momentum.
+    100/W divides exactly at W=10, so every output is an exact
+    integer — no floats anywhere.
+
+    Scale: the argmax-within-trailing-frame has no native window form,
+    so it runs as a bounded band self-join ON THE PRE-REDUCED TAPE
+    (|types|×|days| rows after the daily rollup — calendar-bounded,
+    never corpus-sized) with fan-out exactly W per row, then one keyed
+    rank. The corpus-scale work remains the single daily rollup."""
+    ohlc = _daily_ohlc(spark, sf_dir)
+    w_rn = Window.partitionBy("event_type").orderBy("d")
+    rk = ohlc.select(
+        "event_type", "d", "h1", "l1", F.row_number().over(w_rn).alias("rn")
+    )
+    c = rk.select("event_type", "d", "rn")
+    p = rk.select(
+        F.col("event_type").alias("p_type"),
+        F.col("rn").alias("p_rn"),
+        F.col("h1").alias("p_h1"),
+        F.col("l1").alias("p_l1"),
+    )
+    pairs = c.filter(F.col("rn") >= _AROON_W).join(
+        p,
+        (F.col("p_type") == F.col("event_type"))
+        & (F.col("p_rn") >= F.col("rn") - (_AROON_W - 1))
+        & (F.col("p_rn") <= F.col("rn")),
+    )
+    w_up = Window.partitionBy("event_type", "rn").orderBy(
+        F.col("p_h1").desc(), F.col("p_rn").desc()
+    )
+    w_dn = Window.partitionBy("event_type", "rn").orderBy(
+        F.col("p_l1").asc(), F.col("p_rn").desc()
+    )
+    picks = pairs.select(
+        "event_type",
+        "d",
+        "rn",
+        "p_rn",
+        F.row_number().over(w_up).alias("rk_up"),
+        F.row_number().over(w_dn).alias("rk_dn"),
+    )
+    agg = picks.groupBy("event_type", "d", "rn").agg(
+        F.max(
+            F.when(F.col("rk_up") == 1, F.col("rn") - F.col("p_rn"))
+        ).alias("ds_up"),
+        F.max(
+            F.when(F.col("rk_dn") == 1, F.col("rn") - F.col("p_rn"))
+        ).alias("ds_dn"),
+    )
+    unit = 100 // _AROON_W
+    return agg.select(
+        "event_type",
+        "d",
+        ((F.lit(_AROON_W) - F.col("ds_up")) * unit)
+        .cast("bigint")
+        .alias("aroon_up_pct"),
+        ((F.lit(_AROON_W) - F.col("ds_dn")) * unit)
+        .cast("bigint")
+        .alias("aroon_dn_pct"),
+        ((F.col("ds_dn") - F.col("ds_up")) * unit)
+        .cast("bigint")
+        .alias("aroon_osc"),
+    ).orderBy("event_type", "d")
+
+
+_STOCH_W = 10  # %K lookback
+_STOCH_D = 3   # %D smoothing length
+
+
+@query(
+    "ts_stochastic_oscillator",
+    f"""
+    WITH ohlc AS ({_DAILY_OHLC_SQL}
+    ), ch AS (
+        SELECT event_type, d, c1,
+               MAX(h1) OVER w AS hh,
+               MIN(l1) OVER w AS ll,
+               row_number() OVER (PARTITION BY event_type ORDER BY d)
+                   AS rn
+        FROM ohlc
+        WINDOW w AS (PARTITION BY event_type ORDER BY d
+                     ROWS BETWEEN {_STOCH_W - 1} PRECEDING
+                              AND CURRENT ROW)
+    ), k AS (
+        SELECT event_type, d, rn,
+               CASE WHEN hh > ll THEN
+                   CAST(FLOOR(CAST((c1 - ll) * 10000 AS DOUBLE)
+                              / (hh - ll)) AS BIGINT)
+               ELSE 5000 END AS k_e2
+        FROM ch
+    ), kd AS (
+        SELECT event_type, d, rn, k_e2,
+               SUM(k_e2) OVER (PARTITION BY event_type ORDER BY rn
+                               ROWS BETWEEN {_STOCH_D - 1} PRECEDING
+                                        AND CURRENT ROW) AS ksum
+        FROM k
+    )
+    SELECT event_type, d, k_e2,
+           CAST(ksum // {_STOCH_D} AS BIGINT) AS d_e2
+    FROM kd WHERE rn >= {_STOCH_W + _STOCH_D - 1}
+    ORDER BY event_type, d
+    """,
+)
+def ts_stochastic_oscillator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stochastic oscillator over the daily candle tape (round 13):
+    %K = 100·(close − LL)/(HH − LL) over the trailing 10 candles, %D =
+    3-day simple average of %K; emitted in e2 (0..10000). A flat
+    window (HH = LL) reads 50% by convention — spelled identically in
+    both engines. Exactness: (c1−ll)·10000 is an exact int, ONE double
+    division floors to k_e2 BEFORE the %D sum (order-free bigint), and
+    %D floor-divides positives where // and DIV agree.
+
+    Scale: the daily rollup then three same-keyed windows over the
+    calendar-bounded tape — one exchange."""
+    ohlc = _daily_ohlc(spark, sf_dir)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-(_STOCH_W - 1), 0)
+    )
+    w_rn = Window.partitionBy("event_type").orderBy("d")
+    ch = ohlc.select(
+        "event_type",
+        "d",
+        "c1",
+        F.max("h1").over(w).alias("hh"),
+        F.min("l1").over(w).alias("ll"),
+        F.row_number().over(w_rn).alias("rn"),
+    )
+    k = ch.select(
+        "event_type",
+        "d",
+        "rn",
+        F.when(
+            F.col("hh") > F.col("ll"),
+            F.floor(
+                ((F.col("c1") - F.col("ll")) * 10000).cast("double")
+                / (F.col("hh") - F.col("ll"))
+            ).cast("bigint"),
+        )
+        .otherwise(F.lit(5000))
+        .alias("k_e2"),
+    )
+    w_d = (
+        Window.partitionBy("event_type")
+        .orderBy("rn")
+        .rowsBetween(-(_STOCH_D - 1), 0)
+    )
+    kd = k.withColumn("ksum", F.sum("k_e2").over(w_d))
+    return (
+        kd.filter(F.col("rn") >= _STOCH_W + _STOCH_D - 1)
+        .select(
+            "event_type",
+            "d",
+            "k_e2",
+            F.expr(f"ksum DIV {_STOCH_D}").cast("bigint").alias("d_e2"),
+        )
+        .orderBy("event_type", "d")
+    )
+
+
+_CCI_W = 10
+_CCI_C = "0.015"  # Lambert's scaling constant — shared literal
+
+
+@query(
+    "ts_cci",
+    f"""
+    WITH ohlc AS ({_DAILY_OHLC_SQL}
+    ), rk AS (
+        SELECT event_type, d, (h1 + l1 + c1) AS tp3,
+               row_number() OVER (PARTITION BY event_type ORDER BY d)
+                   AS rn
+        FROM ohlc
+    ), pairs AS (
+        SELECT c.event_type, c.d, c.rn, c.tp3, p.tp3 AS p_tp3,
+               p.rn AS p_rn
+        FROM rk c JOIN rk p
+          ON p.event_type = c.event_type
+         AND p.rn BETWEEN c.rn - {_CCI_W - 1} AND c.rn
+        WHERE c.rn >= {_CCI_W}
+    ), sums AS (
+        SELECT event_type, d, rn, MAX(tp3) AS tp3,
+               CAST(SUM(p_tp3) AS BIGINT) AS stp3
+        FROM pairs GROUP BY 1, 2, 3
+    ), devs AS (
+        SELECT s.event_type, s.d, s.tp3, s.stp3,
+               CAST(SUM(ABS({_CCI_W} * p.p_tp3 - s.stp3)) AS BIGINT)
+                   AS sabs
+        FROM sums s JOIN pairs p
+          ON p.event_type = s.event_type AND p.rn = s.rn
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT event_type, d,
+           CASE WHEN sabs > 0 THEN
+               CAST(FLOOR(CAST(({_CCI_W} * tp3 - stp3) AS DOUBLE)
+                          * {_CCI_W}
+                          / ({_CCI_C} * CAST(sabs AS DOUBLE))
+                          * 100.0) AS BIGINT)
+           END AS cci_e2
+    FROM devs ORDER BY event_type, d
+    """,
+)
+def ts_cci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commodity Channel Index over the daily candle tape (round 13):
+    CCI = (TP − SMA_W(TP)) / (0.015 · meandev_W(TP)) with TP the
+    typical price (H+L+C)/3 and meandev the mean absolute deviation of
+    the window's TPs from the window's OWN mean — the two-pass
+    statistic no single window frame expresses.
+
+    Exactness: TP stays as the ×3-scaled integer h1+l1+c1 (never
+    divided); the deviation numerator W·tp3 − Σtp3 and the scaled
+    meandev Σ|W·tp3_j − Σtp3| are exact bigints (the common 3W·e4
+    scale cancels in the ratio); 0.015 is a shared literal; ONE double
+    chain — num·W/(0.015·sabs)·100, same association both engines —
+    floors to e2. Flat windows (sabs = 0) emit NULL.
+
+    Scale: like ts_aroon, the per-window second pass runs as a
+    W-fan-out band self-join on the PRE-REDUCED calendar-bounded tape;
+    the corpus-scale work is the one daily rollup."""
+    ohlc = _daily_ohlc(spark, sf_dir)
+    w_rn = Window.partitionBy("event_type").orderBy("d")
+    rk = ohlc.select(
+        "event_type",
+        "d",
+        (F.col("h1") + F.col("l1") + F.col("c1")).alias("tp3"),
+        F.row_number().over(w_rn).alias("rn"),
+    )
+    c = rk.filter(F.col("rn") >= _CCI_W)
+    p = rk.select(
+        F.col("event_type").alias("p_type"),
+        F.col("rn").alias("p_rn"),
+        F.col("tp3").alias("p_tp3"),
+    )
+    pairs = c.join(
+        p,
+        (F.col("p_type") == F.col("event_type"))
+        & (F.col("p_rn") >= F.col("rn") - (_CCI_W - 1))
+        & (F.col("p_rn") <= F.col("rn")),
+    ).select("event_type", "d", "rn", "tp3", "p_tp3", "p_rn")
+    sums = pairs.groupBy("event_type", "d", "rn").agg(
+        F.max("tp3").alias("tp3"),
+        F.sum("p_tp3").cast("bigint").alias("stp3"),
+    )
+    devs = (
+        sums.join(
+            pairs.select(
+                F.col("event_type").alias("p_type2"),
+                F.col("rn").alias("rn2"),
+                F.col("p_tp3").alias("pp_tp3"),
+            ),
+            (F.col("p_type2") == F.col("event_type"))
+            & (F.col("rn2") == F.col("rn")),
+        )
+        .groupBy("event_type", "d", "tp3", "stp3")
+        .agg(
+            F.sum(
+                F.abs(F.lit(_CCI_W) * F.col("pp_tp3") - F.col("stp3"))
+            )
+            .cast("bigint")
+            .alias("sabs")
+        )
+    )
+    return devs.select(
+        "event_type",
+        "d",
+        F.when(
+            F.col("sabs") > 0,
+            F.floor(
+                (F.lit(_CCI_W) * F.col("tp3") - F.col("stp3")).cast("double")
+                * F.lit(float(_CCI_W))
+                / (F.lit(float(_CCI_C)) * F.col("sabs").cast("double"))
+                * F.lit(100.0)
+            ).cast("bigint"),
+        ).alias("cci_e2"),
+    ).orderBy("event_type", "d")
