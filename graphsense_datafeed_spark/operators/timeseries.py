@@ -14037,3 +14037,379 @@ def ts_cci(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint"),
         ).alias("cci_e2"),
     ).orderBy("event_type", "d")
+
+
+@query(
+    "ts_obv",
+    f"""
+    WITH ohlcv AS ({_DAILY_OHLCV_SQL}
+    ), steps AS (
+        SELECT event_type, d, vol,
+               lag(c1) OVER (PARTITION BY event_type ORDER BY d)
+                   AS prev_c,
+               c1
+        FROM ohlcv
+    ), signed AS (
+        SELECT event_type, d,
+               CASE WHEN prev_c IS NULL THEN 0
+                    WHEN c1 > prev_c THEN vol
+                    WHEN c1 < prev_c THEN -vol
+                    ELSE 0 END AS dv
+        FROM steps
+    )
+    SELECT event_type, d,
+           CAST(SUM(dv) OVER (PARTITION BY event_type ORDER BY d
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS BIGINT)
+               AS obv
+    FROM signed ORDER BY event_type, d
+    """,
+)
+def ts_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """On-balance volume over the daily candle tape (round 13): the
+    running sum of each day's volume signed by the close-to-close
+    direction — the classic confirmation indicator (price moves on
+    rising OBV are participation-backed). Volume here is the day's
+    trade count. Fully integer exact: sign, multiply, cumsum — no
+    floats anywhere.
+
+    Scale: daily rollup → one lag + one running-sum window, both keyed
+    by event_type over the calendar-bounded tape; one exchange."""
+    ohlcv = _daily_ohlcv(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("d")
+    steps = ohlcv.select(
+        "event_type",
+        "d",
+        "vol",
+        "c1",
+        F.lag("c1").over(w).alias("prev_c"),
+    )
+    signed = steps.select(
+        "event_type",
+        "d",
+        F.when(F.col("prev_c").isNull(), F.lit(0))
+        .when(F.col("c1") > F.col("prev_c"), F.col("vol"))
+        .when(F.col("c1") < F.col("prev_c"), -F.col("vol"))
+        .otherwise(F.lit(0))
+        .alias("dv"),
+    )
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return signed.select(
+        "event_type",
+        "d",
+        F.sum("dv").over(w_run).cast("bigint").alias("obv"),
+    ).orderBy("event_type", "d")
+
+
+_CMF_W = 10
+
+
+@query(
+    "ts_chaikin_money_flow",
+    f"""
+    WITH ohlcv AS ({_DAILY_OHLCV_SQL}
+    ), mf AS (
+        SELECT event_type, d, vol,
+               CASE WHEN h1 > l1 THEN
+                   CAST(FLOOR(CAST(2 * c1 - h1 - l1 AS DOUBLE)
+                              * vol * 1000000.0 / (h1 - l1))
+                        AS BIGINT)
+               ELSE 0 END AS mfv_e6,
+               row_number() OVER (PARTITION BY event_type ORDER BY d)
+                   AS rn
+        FROM ohlcv
+    ), sums AS (
+        SELECT event_type, d, rn,
+               SUM(mfv_e6) OVER w AS smfv,
+               SUM(vol) OVER w AS svol
+        FROM mf
+        WINDOW w AS (PARTITION BY event_type ORDER BY d
+                     ROWS BETWEEN {_CMF_W - 1} PRECEDING
+                              AND CURRENT ROW)
+    )
+    SELECT event_type, d,
+           CAST(FLOOR(CAST(smfv AS DOUBLE) / svol) AS BIGINT) AS cmf_e6
+    FROM sums WHERE rn >= {_CMF_W}
+    ORDER BY event_type, d
+    """,
+)
+def ts_chaikin_money_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chaikin money flow over the daily candle tape (round 13): the
+    10-day volume-weighted close-location value Σ(mfm·vol)/Σvol with
+    mfm = ((C−L)−(H−C))/(H−L) ∈ [−1,1] — where within the day's range
+    the close landed, weighted by participation.
+
+    Exactness: (2c−h−l) is an exact int cast to double BEFORE the
+    ·vol·1e6 chain (the product would overflow bigint at sf100 trade
+    counts — the r12 taint-haircut lesson); each day's money-flow
+    volume floors to e6 BEFORE the order-free window sums; the final
+    ratio is FLOOR(double/int) — // would floor-diverge from DIV on
+    the legitimately negative numerator. Flat days (H = L) contribute
+    0 by the standard convention.
+
+    Scale: daily rollup → one lag-free keyed window pair over the
+    calendar-bounded tape."""
+    ohlcv = _daily_ohlcv(spark, sf_dir)
+    w_rn = Window.partitionBy("event_type").orderBy("d")
+    mf = ohlcv.select(
+        "event_type",
+        "d",
+        "vol",
+        F.when(
+            F.col("h1") > F.col("l1"),
+            F.floor(
+                (2 * F.col("c1") - F.col("h1") - F.col("l1")).cast("double")
+                * F.col("vol")
+                * F.lit(1000000.0)
+                / (F.col("h1") - F.col("l1"))
+            ).cast("bigint"),
+        )
+        .otherwise(F.lit(0))
+        .alias("mfv_e6"),
+        F.row_number().over(w_rn).alias("rn"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-(_CMF_W - 1), 0)
+    )
+    sums = mf.select(
+        "event_type",
+        "d",
+        "rn",
+        F.sum("mfv_e6").over(w).alias("smfv"),
+        F.sum("vol").over(w).alias("svol"),
+    )
+    return (
+        sums.filter(F.col("rn") >= _CMF_W)
+        .select(
+            "event_type",
+            "d",
+            F.floor(F.col("smfv").cast("double") / F.col("svol"))
+            .cast("bigint")
+            .alias("cmf_e6"),
+        )
+        .orderBy("event_type", "d")
+    )
+
+
+# EMA smoothing factors as SHARED LITERALS (repr round-trip — the
+# ts_mean_reversion_halflife rule): 2/(span+1) for spans 12/26/9.
+_MACD_A12 = "0.15384615384615385"
+_MACD_A26 = "0.07407407407407407"
+_MACD_A9 = "0.2"
+
+
+def _ema_prefix(lst, t, alpha: str):
+    """EMA over the first t elements of a double array as an ORDERED
+    left fold: seed = element 1 (DuckDB list_reduce semantics), then
+    acc + α·(x − acc) over elements 2..t — bit-identical to the
+    oracle's list_reduce(l[1:t], ...) chain."""
+    return F.aggregate(
+        F.slice(lst, F.lit(2), t - 1),
+        F.element_at(lst, F.lit(1)),
+        lambda acc, x: acc + F.lit(float(alpha)) * (x - acc),
+    )
+
+
+@query(
+    "ts_macd",
+    f"""
+    WITH ohlc AS ({_DAILY_OHLC_SQL}
+    ), ordered AS (
+        SELECT event_type,
+               list(CAST(c1 AS DOUBLE) ORDER BY d) AS l,
+               list(d ORDER BY d) AS ds
+        FROM ohlc GROUP BY 1
+    ), m AS (
+        SELECT event_type, ds,
+               list_transform(range(1, len(l) + 1), t ->
+                   list_reduce(l[1:t],
+                       (acc, x) -> acc + {_MACD_A12} * (x - acc))
+                 - list_reduce(l[1:t],
+                       (acc, x) -> acc + {_MACD_A26} * (x - acc))
+               ) AS macd
+        FROM ordered
+    ), rows_out AS (
+        SELECT event_type,
+               unnest(ds) AS d,
+               unnest(list_transform(range(1, len(macd) + 1), t ->
+                   CAST(FLOOR(macd[t] * 1000000) AS BIGINT))) AS macd_e6,
+               unnest(list_transform(range(1, len(macd) + 1), t ->
+                   CAST(FLOOR(list_reduce(macd[1:t],
+                       (acc, x) -> acc + {_MACD_A9} * (x - acc))
+                       * 1000000) AS BIGINT))) AS signal_e6
+        FROM m
+    )
+    SELECT event_type, d, macd_e6, signal_e6,
+           CAST(macd_e6 - signal_e6 AS BIGINT) AS hist_e6
+    FROM rows_out ORDER BY event_type, d
+    """,
+)
+def ts_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MACD over the daily candle tape (round 13): EMA12 − EMA26 of
+    the close, a 9-day EMA signal line, and the histogram — the
+    momentum-crossover readout the candle family lacked. EMAs seed
+    with the first close (the ts_ewma seeding convention).
+
+    Exactness: the inherently sequential EMA recurrences run as
+    ORDERED left folds over the per-series close array — Spark
+    F.aggregate and DuckDB list_reduce walk the identical element
+    order with identical shared-literal α's, so every IEEE64 step
+    matches bit-for-bit (the ts_ewma parity argument, extended to
+    per-day PREFIX folds); macd floors e6 per day before the integer
+    histogram subtraction.
+
+    Scale: the tape is calendar-bounded (|days| per series grows with
+    time, never data volume), so the O(days²) prefix folds are a
+    constant-bounded per-key cost; the corpus-scale work is the one
+    daily rollup. A production stream would carry the EMA pair as
+    running state (stream_stateful), not re-fold."""
+    ohlc = _daily_ohlc(spark, sf_dir)
+    g = ohlc.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("d", "c1"))).alias("rows")
+    )
+    g = g.select(
+        "event_type",
+        F.transform("rows", lambda r: r["c1"].cast("double")).alias("l"),
+        F.transform("rows", lambda r: r["d"]).alias("ds"),
+    )
+    seq = F.sequence(F.lit(1), F.size("l"))
+    g = g.withColumn(
+        "macd",
+        F.transform(
+            seq,
+            lambda t: _ema_prefix(F.col("l"), t, _MACD_A12)
+            - _ema_prefix(F.col("l"), t, _MACD_A26),
+        ),
+    )
+    items = F.transform(
+        F.sequence(F.lit(1), F.size("macd")),
+        lambda t: F.struct(
+            F.element_at("ds", t).alias("d"),
+            F.floor(F.element_at("macd", t) * 1000000)
+            .cast("bigint")
+            .alias("macd_e6"),
+            F.floor(_ema_prefix(F.col("macd"), t, _MACD_A9) * 1000000)
+            .cast("bigint")
+            .alias("signal_e6"),
+        ),
+    )
+    return (
+        g.select("event_type", F.explode(items).alias("it"))
+        .select(
+            "event_type",
+            F.col("it.d").alias("d"),
+            F.col("it.macd_e6").alias("macd_e6"),
+            F.col("it.signal_e6").alias("signal_e6"),
+            (F.col("it.macd_e6") - F.col("it.signal_e6"))
+            .cast("bigint")
+            .alias("hist_e6"),
+        )
+        .orderBy("event_type", "d")
+    )
+
+
+_ATR_A = "0.1"  # Wilder smoothing 1/W at W=10 — shared literal
+
+
+@query(
+    "ts_atr_wilder",
+    f"""
+    WITH ohlc AS ({_DAILY_OHLC_SQL}
+    ), ordered AS (
+        SELECT event_type,
+               list(h1 ORDER BY d) AS hs,
+               list(l1 ORDER BY d) AS ls,
+               list(c1 ORDER BY d) AS cs,
+               list(d ORDER BY d) AS ds
+        FROM ohlc GROUP BY 1
+    ), tr AS (
+        SELECT event_type, ds,
+               list_transform(range(1, len(hs) + 1), t ->
+                   CASE WHEN t = 1
+                        THEN CAST(hs[t] - ls[t] AS DOUBLE)
+                        ELSE CAST(GREATEST(hs[t] - ls[t],
+                                           ABS(hs[t] - cs[t - 1]),
+                                           ABS(ls[t] - cs[t - 1]))
+                                  AS DOUBLE) END) AS trs
+        FROM ordered
+    )
+    SELECT event_type,
+           unnest(ds) AS d,
+           unnest(list_transform(range(1, len(trs) + 1), t ->
+               CAST(trs[t] AS BIGINT))) AS tr_e4,
+           unnest(list_transform(range(1, len(trs) + 1), t ->
+               CAST(FLOOR(list_reduce(trs[1:t],
+                   (acc, x) -> acc + {_ATR_A} * (x - acc)))
+                   AS BIGINT))) AS atr_e4
+    FROM tr ORDER BY event_type, d
+    """,
+)
+def ts_atr_wilder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average True Range with Wilder smoothing over the daily candle
+    tape (round 13): TR = max(H−L, |H−C_prev|, |L−C_prev|) — the range
+    measure that counts overnight gaps — smoothed by the recursive
+    ATR_t = ATR_{t−1} + (1/W)·(TR_t − ATR_{t−1}), seeded with the
+    first TR (ts_ewma convention; Wilder's SMA-of-first-W seed is a
+    documented deviation).
+
+    Exactness: TRs are exact shifted-e4 integer arithmetic cast to
+    double once; the recursive smooth is the same ordered prefix-fold
+    discipline as ts_macd (bit-identical F.aggregate / list_reduce
+    chains, shared-literal α); per-day ATR floors to e4.
+
+    Scale: identical posture to ts_macd — calendar-bounded per-key
+    prefix folds over the pre-reduced tape; streaming form carries one
+    double of state."""
+    ohlc = _daily_ohlc(spark, sf_dir)
+    g = ohlc.groupBy("event_type").agg(
+        F.sort_array(
+            F.collect_list(F.struct("d", "h1", "l1", "c1"))
+        ).alias("rows")
+    )
+    g = g.select(
+        "event_type",
+        F.transform("rows", lambda r: r["h1"]).alias("hs"),
+        F.transform("rows", lambda r: r["l1"]).alias("ls"),
+        F.transform("rows", lambda r: r["c1"]).alias("cs"),
+        F.transform("rows", lambda r: r["d"]).alias("ds"),
+    )
+    trs = F.transform(
+        F.sequence(F.lit(1), F.size("hs")),
+        lambda t: F.when(
+            t == 1,
+            (F.element_at("hs", t) - F.element_at("ls", t)).cast("double"),
+        ).otherwise(
+            F.greatest(
+                F.element_at("hs", t) - F.element_at("ls", t),
+                F.abs(F.element_at("hs", t) - F.element_at("cs", t - 1)),
+                F.abs(F.element_at("ls", t) - F.element_at("cs", t - 1)),
+            ).cast("double")
+        ),
+    )
+    g = g.withColumn("trs", trs)
+    items = F.transform(
+        F.sequence(F.lit(1), F.size("trs")),
+        lambda t: F.struct(
+            F.element_at("ds", t).alias("d"),
+            F.element_at("trs", t).cast("bigint").alias("tr_e4"),
+            F.floor(_ema_prefix(F.col("trs"), t, _ATR_A))
+            .cast("bigint")
+            .alias("atr_e4"),
+        ),
+    )
+    return (
+        g.select("event_type", F.explode(items).alias("it"))
+        .select(
+            "event_type",
+            F.col("it.d").alias("d"),
+            F.col("it.tr_e4").alias("tr_e4"),
+            F.col("it.atr_e4").alias("atr_e4"),
+        )
+        .orderBy("event_type", "d")
+    )
