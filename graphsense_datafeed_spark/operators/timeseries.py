@@ -14413,3 +14413,427 @@ def ts_atr_wilder(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "d")
     )
+
+
+@query(
+    "ts_c3_nonlinearity",
+    f"""
+    WITH ohlc AS ({_DAILY_OHLC_SQL}
+    ), lagged AS (
+        SELECT event_type, c1,
+               lead(c1, 1) OVER (PARTITION BY event_type ORDER BY d)
+                   AS c2,
+               lead(c1, 2) OVER (PARTITION BY event_type ORDER BY d)
+                   AS c3
+        FROM ohlc
+    ), terms AS (
+        SELECT event_type,
+               CAST(c1 AS HUGEINT) * c2 * c3 AS triple
+        FROM lagged WHERE c3 IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_terms,
+           CAST(FLOOR(CAST(CAST(SUM(triple) AS DECIMAL(38, 0)) AS DOUBLE)
+                      / COUNT(*)) AS BIGINT) AS c3_mean
+    FROM terms GROUP BY event_type ORDER BY event_type
+    """,
+)
+def ts_c3_nonlinearity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tsfresh c3 nonlinearity statistic (lag 1) per series over
+    the daily close tape: mean(x_t · x_{t+1} · x_{t+2}) — a
+    third-order moment that reads ≈μ³ for linear/Gaussian dynamics and
+    shifts when the series has multiplicative (nonlinear) structure;
+    the cheapest standard screen before fitting anything nonlinear.
+
+    Exactness: closes are shifted-e4 ints; each triple product runs in
+    HUGEINT/decimal(38,0) (an e4³ triple overflows int64 — the gini
+    discipline applied at design time); the order-free decimal sum
+    re-enters doubles only in the one final floored division.
+
+    Scale: daily rollup → two same-keyed leads → keyed decimal sum;
+    one exchange over the calendar-bounded tape."""
+    ohlc = _daily_ohlc(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("d")
+    lagged = ohlc.select(
+        "event_type",
+        "c1",
+        F.lead("c1", 1).over(w).alias("c2"),
+        F.lead("c1", 2).over(w).alias("c3"),
+    ).filter(F.col("c3").isNotNull())
+    terms = lagged.select(
+        "event_type",
+        (
+            F.col("c1").cast("decimal(38,0)") * F.col("c2") * F.col("c3")
+        ).alias("triple"),
+    )
+    return (
+        terms.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_terms"),
+            F.floor(
+                F.sum("triple").cast("decimal(38,0)").cast("double")
+                / F.count("*")
+            )
+            .cast("bigint")
+            .alias("c3_mean"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "ts_time_asymmetry",
+    f"""
+    WITH ohlc AS ({_DAILY_OHLC_SQL}
+    ), lagged AS (
+        SELECT event_type, c1,
+               lead(c1, 1) OVER (PARTITION BY event_type ORDER BY d)
+                   AS c2,
+               lead(c1, 2) OVER (PARTITION BY event_type ORDER BY d)
+                   AS c3
+        FROM ohlc
+    ), terms AS (
+        SELECT event_type,
+               CAST(c3 AS HUGEINT) * c3 * c2
+             - CAST(c2 AS HUGEINT) * c1 * c1 AS term
+        FROM lagged WHERE c3 IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_terms,
+           CAST(FLOOR(CAST(CAST(SUM(term) AS DECIMAL(38, 0)) AS DOUBLE)
+                      / COUNT(*)) AS BIGINT) AS tra_mean
+    FROM terms GROUP BY event_type ORDER BY event_type
+    """,
+)
+def ts_time_asymmetry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tsfresh time-reversal-asymmetry statistic (lag 1) per
+    series: mean(x_{t+2}²·x_{t+1} − x_{t+1}·x_t²). Zero in
+    expectation for any time-reversible (e.g. linear Gaussian)
+    process — a significantly nonzero reading means the tape looks
+    different played backwards, the signature of asymmetric dynamics
+    (slow build / fast crash). Companion third-order screen to
+    ts_c3_nonlinearity, same exactness posture: HUGEINT/decimal
+    triples, order-free decimal sum, ONE final floored division.
+
+    Scale: identical to ts_c3_nonlinearity — one keyed exchange over
+    the calendar-bounded tape."""
+    ohlc = _daily_ohlc(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("d")
+    lagged = ohlc.select(
+        "event_type",
+        "c1",
+        F.lead("c1", 1).over(w).alias("c2"),
+        F.lead("c1", 2).over(w).alias("c3"),
+    ).filter(F.col("c3").isNotNull())
+    d38 = "decimal(38,0)"
+    terms = lagged.select(
+        "event_type",
+        (
+            F.col("c3").cast(d38) * F.col("c3") * F.col("c2")
+            - F.col("c2").cast(d38) * F.col("c1") * F.col("c1")
+        ).alias("term"),
+    )
+    return (
+        terms.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_terms"),
+            F.floor(
+                F.sum("term").cast(d38).cast("double") / F.count("*")
+            )
+            .cast("bigint")
+            .alias("tra_mean"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "ts_mean_crossings",
+    f"""
+    WITH ohlc AS ({_DAILY_OHLC_SQL}
+    ), tot AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(c1) AS BIGINT) AS s
+        FROM ohlc GROUP BY 1
+    ), signed AS (
+        SELECT o.event_type, t.n,
+               CASE WHEN t.n * o.c1 - t.s > 0 THEN 1
+                    WHEN t.n * o.c1 - t.s < 0 THEN -1
+                    ELSE 0 END AS sgn,
+               lead(CASE WHEN t.n * o.c1 - t.s > 0 THEN 1
+                         WHEN t.n * o.c1 - t.s < 0 THEN -1
+                         ELSE 0 END)
+                   OVER (PARTITION BY o.event_type ORDER BY o.d)
+                   AS nxt
+        FROM ohlc o JOIN tot t USING (event_type)
+    )
+    SELECT event_type, MAX(n) AS n_days,
+           CAST(SUM(CASE WHEN sgn * nxt < 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS crossings,
+           CAST(SUM(CASE WHEN sgn * nxt < 0 THEN 1 ELSE 0 END) * 10000
+                // (MAX(n) - 1) AS BIGINT) AS crossing_rate_e4
+    FROM signed GROUP BY event_type ORDER BY event_type
+    """,
+)
+def ts_mean_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-crossing count per series over the daily close tape: how
+    often consecutive closes straddle the series mean (strict sign
+    flip; touching the mean exactly is not a crossing) — the cheap
+    oscillation-vs-trend discriminator (a trending tape crosses its
+    mean ~once; white noise ~every other step).
+
+    Exactness: the mean never materializes — the sign of (x − mean)
+    is the sign of the exact integer n·x − Σx (the DIV-means rule);
+    crossings and the e4 rate are pure integer arithmetic (// = DIV
+    above zero).
+
+    Scale: one keyed rollup for (n, Σ), a broadcast-sized join back,
+    one keyed lead window — all on the calendar-bounded tape."""
+    ohlc = _daily_ohlc(spark, sf_dir)
+    tot = ohlc.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("c1").cast("bigint").alias("s"),
+    )
+    sgn = (
+        F.when(F.col("n") * F.col("c1") - F.col("s") > 0, F.lit(1))
+        .when(F.col("n") * F.col("c1") - F.col("s") < 0, F.lit(-1))
+        .otherwise(F.lit(0))
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    signed = (
+        ohlc.join(F.broadcast(tot), "event_type")
+        .select("event_type", "d", "n", sgn.alias("sgn"))
+        .withColumn("nxt", F.lead("sgn").over(w))
+    )
+    cross = F.sum(
+        F.when(F.col("sgn") * F.col("nxt") < 0, F.lit(1)).otherwise(F.lit(0))
+    )
+    return (
+        signed.groupBy("event_type")
+        .agg(
+            F.max("n").alias("n_days"),
+            cross.cast("bigint").alias("crossings"),
+            F.expr(
+                "CAST(SUM(CASE WHEN sgn * nxt < 0 THEN 1 ELSE 0 END)"
+                " * 10000 DIV (MAX(n) - 1) AS BIGINT)"
+            ).alias("crossing_rate_e4"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "ts_cid_distance_matrix",
+    f"""
+    WITH ohlc AS ({_DAILY_OHLC_SQL}
+    ), diffs AS (
+        SELECT event_type,
+               c1 - lag(c1) OVER (PARTITION BY event_type ORDER BY d)
+                   AS dx
+        FROM ohlc
+    ), ce AS (
+        SELECT event_type, CAST(SUM(dx * dx) AS BIGINT) AS ce2
+        FROM diffs WHERE dx IS NOT NULL GROUP BY 1
+    ), pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(SUM((a.c1 - b.c1) * (a.c1 - b.c1)) AS BIGINT) AS ssd
+        FROM ohlc a JOIN ohlc b
+          ON a.d = b.d AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b,
+           ca.ce2 AS ce2_a, cb.ce2 AS ce2_b,
+           CASE WHEN LEAST(ca.ce2, cb.ce2) > 0 THEN
+               CAST(FLOOR(SQRT(CAST(p.ssd AS DOUBLE))
+                          * SQRT(CAST(GREATEST(ca.ce2, cb.ce2) AS DOUBLE)
+                                 / LEAST(ca.ce2, cb.ce2)))
+                    AS BIGINT)
+           END AS cid_e4
+    FROM pairs p
+    JOIN ce ca ON ca.event_type = p.type_a
+    JOIN ce cb ON cb.event_type = p.type_b
+    ORDER BY p.type_a, p.type_b
+    """,
+)
+def ts_cid_distance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complexity-invariant distance (CID, Batista et al.) between
+    every pair of daily close series: Euclidean distance on aligned
+    days × the complexity correction max(CE)/min(CE), where CE² =
+    Σ(Δx)² — so a smooth series is pushed AWAY from a jagged one even
+    when their pointwise gap is small. The standard correction before
+    k-NN/clustering over raw tapes.
+
+    Exactness: CE² and the pairwise Σ(a−b)² are exact bigints (e4-int
+    diffs, 30 terms); max/min over ints; the double enters in one
+    shared SQRT·SQRT chain (CF = √(max ce²/min ce²) — monotonicity
+    moves the ratio inside one sqrt), floored in e4 value units.
+    Flat-series pairs (min CE² = 0) emit NULL.
+
+    Scale: |types|² pairs on the calendar-aligned tape — the pair join
+    is keyed on the date (co-partitioned equi-join), never a
+    cartesian over rows; bounded by (series count)², the audit shape
+    of every *_matrix row in §2."""
+    ohlc = _daily_ohlc(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("d")
+    diffs = ohlc.select(
+        "event_type", (F.col("c1") - F.lag("c1").over(w)).alias("dx")
+    ).filter(F.col("dx").isNotNull())
+    ce = diffs.groupBy("event_type").agg(
+        F.sum(F.col("dx") * F.col("dx")).cast("bigint").alias("ce2")
+    )
+    a = ohlc.select(
+        F.col("event_type").alias("type_a"), "d", F.col("c1").alias("ca")
+    )
+    b = ohlc.select(
+        F.col("event_type").alias("type_b"),
+        F.col("d").alias("d_b"),
+        F.col("c1").alias("cb"),
+    )
+    pairs = (
+        a.join(b, (F.col("d") == F.col("d_b")) & (F.col("type_a") < F.col("type_b")))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.sum((F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb")))
+            .cast("bigint")
+            .alias("ssd")
+        )
+    )
+    ca = ce.select(F.col("event_type").alias("type_a"), F.col("ce2").alias("ce2_a"))
+    cb = ce.select(F.col("event_type").alias("type_b"), F.col("ce2").alias("ce2_b"))
+    out = pairs.join(F.broadcast(ca), "type_a").join(F.broadcast(cb), "type_b")
+    lo = F.least(F.col("ce2_a"), F.col("ce2_b"))
+    hi = F.greatest(F.col("ce2_a"), F.col("ce2_b"))
+    return out.select(
+        "type_a",
+        "type_b",
+        "ce2_a",
+        "ce2_b",
+        F.when(
+            lo > 0,
+            F.floor(
+                F.sqrt(F.col("ssd").cast("double"))
+                * F.sqrt(hi.cast("double") / lo)
+            ).cast("bigint"),
+        ).alias("cid_e4"),
+    ).orderBy("type_a", "type_b")
+
+
+@query(
+    "ts_otsu_step_threshold",
+    f"""
+    WITH ohlc AS ({_DAILY_OHLC_SQL}
+    ), tot AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(c1) AS BIGINT) AS s
+        FROM ohlc GROUP BY 1
+    ), cum AS (
+        SELECT event_type, c1 AS thr,
+               CAST(SUM(COUNT(*)) OVER (PARTITION BY event_type
+                                        ORDER BY c1) AS BIGINT) AS n0,
+               CAST(SUM(SUM(c1)) OVER (PARTITION BY event_type
+                                       ORDER BY c1) AS BIGINT) AS s0
+        FROM ohlc GROUP BY event_type, c1
+    ), scored AS (
+        SELECT c.event_type, c.thr, c.n0, t.n - c.n0 AS n1,
+               CAST(c.s0 * (t.n - c.n0) - (t.s - c.s0) * c.n0 AS DOUBLE)
+                   AS dnum,
+               t.n AS n
+        FROM cum c JOIN tot t USING (event_type)
+        WHERE c.n0 < t.n
+    ), ranked AS (
+        SELECT event_type, thr, n0, n1,
+               CAST(FLOOR(dnum * dnum / (n0 * n1) / (n * n)) AS BIGINT)
+                   AS between_var,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY dnum * dnum / (n0 * n1)
+                                           / (n * n) DESC,
+                                           thr ASC) AS rk
+        FROM scored
+    )
+    SELECT event_type, CAST(thr AS BIGINT) AS thr_e4,
+           CAST(n0 AS BIGINT) AS n_low, CAST(n1 AS BIGINT) AS n_high,
+           between_var
+    FROM ranked WHERE rk = 1 ORDER BY event_type
+    """,
+)
+def ts_otsu_step_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Otsu's threshold on each series' daily closes (round 13): the
+    split value maximizing between-class variance ω0·ω1·(μ0−μ1)² —
+    the histogram-native two-regime separator (low/high plateau of a
+    step change) that needs no changepoint model; companion to
+    ts_changepoint_* which find WHEN, this finds WHERE the level sits.
+
+    Exactness: candidate thresholds are the distinct closes; per
+    candidate, n0/S0 come from cumulative integer windows and the
+    variance numerator S0·n1 − S1·n0 is an exact int64 (≤ Σx·n)
+    entering ONE shared double chain d²/(n0·n1)/n² (same
+    association both engines), argmax tie-pinned to the smallest
+    threshold.
+
+    Scale: one keyed rollup to distinct values + cumulative windows
+    keyed by series — |types|×|distinct closes| rows, never
+    corpus-sized; the argmax is a keyed top-1."""
+    ohlc = _daily_ohlc(spark, sf_dir)
+    tot = ohlc.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("c1").cast("bigint").alias("s"),
+    )
+    byval = ohlc.groupBy("event_type", F.col("c1").alias("thr")).agg(
+        F.count("*").alias("cnt"), F.sum("c1").alias("sv")
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("thr")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = byval.select(
+        "event_type",
+        "thr",
+        F.sum("cnt").over(w_cum).cast("bigint").alias("n0"),
+        F.sum("sv").over(w_cum).cast("bigint").alias("s0"),
+    )
+    scored = (
+        cum.join(F.broadcast(tot), "event_type")
+        .filter(F.col("n0") < F.col("n"))
+        .select(
+            "event_type",
+            "thr",
+            "n0",
+            (F.col("n") - F.col("n0")).alias("n1"),
+            (
+                F.col("s0") * (F.col("n") - F.col("n0"))
+                - (F.col("s") - F.col("s0")) * F.col("n0")
+            )
+            .cast("double")
+            .alias("dnum"),
+            "n",
+        )
+    )
+    score = (
+        F.col("dnum") * F.col("dnum")
+        / (F.col("n0") * F.col("n1"))
+        / (F.col("n") * F.col("n"))
+    )
+    w_rk = Window.partitionBy("event_type").orderBy(
+        score.desc(), F.col("thr").asc()
+    )
+    ranked = scored.select(
+        "event_type",
+        "thr",
+        "n0",
+        "n1",
+        F.floor(score).cast("bigint").alias("between_var"),
+        F.row_number().over(w_rk).alias("rk"),
+    )
+    return (
+        ranked.filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("thr").cast("bigint").alias("thr_e4"),
+            F.col("n0").cast("bigint").alias("n_low"),
+            F.col("n1").cast("bigint").alias("n_high"),
+            "between_var",
+        )
+        .orderBy("event_type")
+    )
