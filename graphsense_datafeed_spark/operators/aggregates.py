@@ -11491,3 +11491,727 @@ def agg_meta_fixed_effect_i2(
             ).cast("bigint"),
         ).alias("i2_e6"),
     )
+
+
+# --- Round-13 rank-test completion ------------------------------------
+
+
+@query(
+    "agg_brunner_munzel",
+    """
+    WITH s AS (
+        SELECT CAST(FLOOR(value * 10000) AS BIGINT) AS v_e4,
+               CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS c1,
+               CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS c2
+        FROM events WHERE event_type IN ('click', 'purchase')
+        GROUP BY 1
+    ), r AS (
+        SELECT c1, c2,
+               CAST(2 * COALESCE(SUM(c1 + c2) OVER (ORDER BY v_e4
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    + c1 + c2 + 1 AS BIGINT) AS mid2,
+               CAST(2 * COALESCE(SUM(c1) OVER (ORDER BY v_e4
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    + c1 + 1 AS BIGINT) AS mid2_w1,
+               CAST(2 * COALESCE(SUM(c2) OVER (ORDER BY v_e4
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    + c2 + 1 AS BIGINT) AS mid2_w2
+        FROM s
+    ), sums AS (
+        SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+               CAST(SUM(c2) AS BIGINT) AS n2,
+               CAST(SUM(c1 * mid2) AS BIGINT) AS t1,
+               CAST(SUM(c2 * mid2) AS BIGINT) AS t2,
+               CAST(SUM(c1 * (mid2 - mid2_w1)) AS BIGINT) AS a1,
+               CAST(SUM(c2 * (mid2 - mid2_w2)) AS BIGINT) AS a2,
+               SUM(CAST(c1 AS HUGEINT) * (mid2 - mid2_w1)
+                   * (mid2 - mid2_w1)) AS q1,
+               SUM(CAST(c2 AS HUGEINT) * (mid2 - mid2_w2)
+                   * (mid2 - mid2_w2)) AS q2
+        FROM r
+    )
+    SELECT n1, n2,
+           CAST(FLOOR((CAST(t2 AS DOUBLE) / n2 - (n2 + 1.0))
+                      / (2.0 * n1) * 1000000) AS BIGINT) AS p_hat_e6,
+           CAST(FLOOR(
+               CAST(n1 AS DOUBLE) * n2
+               * (CAST(t2 AS DOUBLE) / n2 - CAST(t1 AS DOUBLE) / n1) / 2.0
+               / ((n1 + n2)
+                  * SQRT(CAST(n1 AS DOUBLE)
+                         * ((CAST(q1 AS DOUBLE)
+                             - CAST(a1 AS DOUBLE) * a1 / n1) / 4.0)
+                         / (n1 - 1.0)
+                         + CAST(n2 AS DOUBLE)
+                         * ((CAST(q2 AS DOUBLE)
+                             - CAST(a2 AS DOUBLE) * a2 / n2) / 4.0)
+                         / (n2 - 1.0)))
+               * 10000) AS BIGINT) AS w_e4
+    FROM sums
+    """,
+)
+def agg_brunner_munzel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BRUNNER-MUNZEL generalized Wilcoxon test (round 13): tests
+    P(X<Y) + ½P(X=Y) = ½ WITHOUT Mann-Whitney's equal-variance
+    (exchangeability) assumption — the recommended default when the
+    two groups can differ in shape/variance (the nonparametric
+    Behrens-Fisher problem). Emits the stochastic-superiority
+    estimate p̂ and the studentized W (scipy's wbfn convention:
+    positive when the second group ranks higher).
+
+    Exactness: combined AND within-group midranks in doubled units
+    over the distinct-value atom table (both integral); the rank-
+    variance pieces need Σ(a − ā)² with a = 2·(combined − within)
+    midrank — expanded to Σa² − (Σa)²/n so every accumulation is
+    exact (Σa² in HUGEINT/decimal — a is O(N)); doubles enter in ONE
+    final shared chain floored e6/e4.
+
+    Scale: three same-ordered cumulative windows over the PRE-REDUCED
+    atom table (|distinct values| rows), then one fold — the
+    Mann-Whitney shape with one extra per-group prefix each."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    s = ev.groupBy(
+        F.floor(F.col("value") * 10000).cast("bigint").alias("v_e4")
+    ).agg(
+        F.count_if(F.col("event_type") == "click").cast("bigint").alias("c1"),
+        F.count_if(F.col("event_type") == "purchase")
+        .cast("bigint")
+        .alias("c2"),
+    )
+    wprev = Window.orderBy("v_e4").rowsBetween(Window.unboundedPreceding, -1)
+    prev = lambda c: F.coalesce(F.sum(c).over(wprev), F.lit(0))  # noqa: E731
+    r = s.select(
+        "c1",
+        "c2",
+        (2 * prev(F.col("c1") + F.col("c2")) + F.col("c1") + F.col("c2") + 1)
+        .cast("bigint")
+        .alias("mid2"),
+        (2 * prev(F.col("c1")) + F.col("c1") + 1)
+        .cast("bigint")
+        .alias("mid2_w1"),
+        (2 * prev(F.col("c2")) + F.col("c2") + 1)
+        .cast("bigint")
+        .alias("mid2_w2"),
+    )
+    d38 = "decimal(38,0)"
+    a1 = F.col("mid2") - F.col("mid2_w1")
+    a2 = F.col("mid2") - F.col("mid2_w2")
+    sums = r.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+        F.sum(F.col("c1") * F.col("mid2")).cast("bigint").alias("t1"),
+        F.sum(F.col("c2") * F.col("mid2")).cast("bigint").alias("t2"),
+        F.sum(F.col("c1") * a1).cast("bigint").alias("a1"),
+        F.sum(F.col("c2") * a2).cast("bigint").alias("a2"),
+        F.sum(F.col("c1").cast(d38) * a1 * a1).alias("q1"),
+        F.sum(F.col("c2").cast(d38) * a2 * a2).alias("q2"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    p_hat = (d("t2") / F.col("n2") - (F.col("n2") + 1.0)) / (2.0 * F.col("n1"))
+    s1 = (d("q1") - d("a1") * F.col("a1") / F.col("n1")) / 4.0
+    s2 = (d("q2") - d("a2") * F.col("a2") / F.col("n2")) / 4.0
+    w = (
+        d("n1")
+        * F.col("n2")
+        * (d("t2") / F.col("n2") - d("t1") / F.col("n1"))
+        / 2.0
+        / (
+            (F.col("n1") + F.col("n2"))
+            * F.sqrt(
+                d("n1") * s1 / (F.col("n1") - 1.0)
+                + d("n2") * s2 / (F.col("n2") - 1.0)
+            )
+        )
+    )
+    return sums.select(
+        "n1",
+        "n2",
+        F.floor(p_hat * 1000000).cast("bigint").alias("p_hat_e6"),
+        F.floor(w * 10000).cast("bigint").alias("w_e4"),
+    )
+
+
+@query(
+    "agg_cucconi",
+    """
+    WITH s AS (
+        SELECT CAST(FLOOR(value * 10000) AS BIGINT) AS v_e4,
+               CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS c1,
+               CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS c2
+        FROM events WHERE event_type IN ('click', 'signup')
+        GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+               CAST(SUM(c2) AS BIGINT) AS n2,
+               CAST(SUM(c1 + c2) AS BIGINT) AS nn
+        FROM s
+    ), r AS (
+        SELECT s.c1, s.c2, t.n1, t.n2, t.nn,
+               CAST(2 * COALESCE(SUM(s.c1 + s.c2) OVER (ORDER BY s.v_e4
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    + s.c1 + s.c2 + 1 AS BIGINT) AS mid2
+        FROM s, tot t
+    ), sums AS (
+        SELECT MAX(n1) AS n1, MAX(n2) AS n2, MAX(nn) AS nn,
+               SUM(CAST(c2 AS HUGEINT) * mid2 * mid2) AS sq2,
+               SUM(CAST(c2 AS HUGEINT)
+                   * (2 * (nn + 1) - mid2)
+                   * (2 * (nn + 1) - mid2)) AS cq2
+        FROM r
+    ), uv AS (
+        SELECT n1, n2, nn,
+               (6.0 * CAST(sq2 AS DOUBLE) / 4.0
+                - CAST(n2 AS DOUBLE) * (nn + 1.0) * (2.0 * nn + 1.0))
+               / SQRT(CAST(n1 AS DOUBLE) * n2 * (nn + 1.0)
+                      * (2.0 * nn + 1.0) * (8.0 * nn + 11.0) / 5.0) AS u,
+               (6.0 * CAST(cq2 AS DOUBLE) / 4.0
+                - CAST(n2 AS DOUBLE) * (nn + 1.0) * (2.0 * nn + 1.0))
+               / SQRT(CAST(n1 AS DOUBLE) * n2 * (nn + 1.0)
+                      * (2.0 * nn + 1.0) * (8.0 * nn + 11.0) / 5.0) AS v,
+               2.0 * (CAST(nn AS DOUBLE) * nn - 4.0)
+               / ((2.0 * nn + 1.0) * (8.0 * nn + 11.0)) - 1.0 AS rho
+        FROM sums
+    )
+    SELECT n1, n2,
+           CAST(FLOOR(u * 10000) AS BIGINT) AS u_e4,
+           CAST(FLOOR(v * 10000) AS BIGINT) AS v_e4,
+           CAST(FLOOR((u * u + v * v - 2.0 * rho * u * v)
+                      / (2.0 * (1.0 - rho * rho)) * 10000) AS BIGINT)
+               AS c_e4
+    FROM uv
+    """,
+)
+def agg_cucconi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUCCONI joint location-scale test (round 13): one statistic for
+    "did the distribution move OR spread?" from squared ranks (U) and
+    squared CONTRARY ranks (V) of the second sample, combined with
+    their known null correlation ρ — older than and often more
+    powerful than the Lepage combination, and the standard
+    two-sample screen when either shift alone would be missed.
+
+    Exactness: squared doubled midranks accumulate in HUGEINT/decimal
+    (Σc·mid2² is O(N³) — int64 dies at sf10, the gini discipline);
+    U, V, ρ and the quadratic form are ONE shared double chain
+    floored e4. Under H₀, C ≈ χ²₂/2-ish calibration (referee asserts
+    U²+V² symmetry: swapping ranks for contrary ranks swaps U and V —
+    structurally true by construction here).
+
+    Scale: the Mann-Whitney atom-table shape — one ordered pass over
+    distinct values, one fold."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "signup")
+    )
+    s = ev.groupBy(
+        F.floor(F.col("value") * 10000).cast("bigint").alias("v_e4")
+    ).agg(
+        F.count_if(F.col("event_type") == "click").cast("bigint").alias("c1"),
+        F.count_if(F.col("event_type") == "signup")
+        .cast("bigint")
+        .alias("c2"),
+    )
+    wprev = Window.orderBy("v_e4").rowsBetween(Window.unboundedPreceding, -1)
+    r = s.select(
+        "c1",
+        "c2",
+        (2 * F.coalesce(F.sum(F.col("c1") + F.col("c2")).over(wprev), F.lit(0))
+         + F.col("c1") + F.col("c2") + 1)
+        .cast("bigint")
+        .alias("mid2"),
+    )
+    d38 = "decimal(38,0)"
+    w_all = Window.partitionBy()
+    r2 = r.withColumn(
+        "contra2",
+        2 * (F.sum(F.col("c1") + F.col("c2")).over(w_all) + 1) - F.col("mid2"),
+    )
+    sums = r2.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+        F.sum(F.col("c1") + F.col("c2")).cast("bigint").alias("nn"),
+        F.sum(F.col("c2").cast(d38) * F.col("mid2") * F.col("mid2")).alias(
+            "sq2"
+        ),
+        F.sum(
+            F.col("c2").cast(d38) * F.col("contra2") * F.col("contra2")
+        ).alias("cq2"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    den = F.sqrt(
+        d("n1") * F.col("n2") * (F.col("nn") + 1.0)
+        * (2.0 * F.col("nn") + 1.0) * (8.0 * F.col("nn") + 11.0) / 5.0
+    )
+    u = (
+        6.0 * d("sq2") / 4.0
+        - d("n2") * (F.col("nn") + 1.0) * (2.0 * F.col("nn") + 1.0)
+    ) / den
+    v = (
+        6.0 * d("cq2") / 4.0
+        - d("n2") * (F.col("nn") + 1.0) * (2.0 * F.col("nn") + 1.0)
+    ) / den
+    rho = (
+        2.0 * (d("nn") * F.col("nn") - 4.0)
+        / ((2.0 * F.col("nn") + 1.0) * (8.0 * F.col("nn") + 11.0))
+        - 1.0
+    )
+    c_stat = (u * u + v * v - 2.0 * rho * u * v) / (2.0 * (1.0 - rho * rho))
+    return sums.select(
+        "n1",
+        "n2",
+        F.floor(u * 10000).cast("bigint").alias("u_e4"),
+        F.floor(v * 10000).cast("bigint").alias("v_e4"),
+        F.floor(c_stat * 10000).cast("bigint").alias("c_e4"),
+    )
+
+
+@query(
+    "agg_lepage",
+    """
+    WITH s AS (
+        SELECT CAST(FLOOR(value * 10000) AS BIGINT) AS v_e4,
+               CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS c1,
+               CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS c2
+        FROM events WHERE event_type IN ('view', 'purchase')
+        GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+               CAST(SUM(c2) AS BIGINT) AS n2,
+               CAST(SUM(c1 + c2) AS BIGINT) AS nn
+        FROM s
+    ), r AS (
+        SELECT s.c1, s.c2, t.n1, t.n2, t.nn,
+               CAST(2 * COALESCE(SUM(s.c1 + s.c2) OVER (ORDER BY s.v_e4
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    + s.c1 + s.c2 + 1 AS BIGINT) AS mid2
+        FROM s, tot t
+    ), sums AS (
+        SELECT MAX(n1) AS n1, MAX(n2) AS n2, MAX(nn) AS nn,
+               CAST(SUM(c1 * mid2) AS BIGINT) AS w2,
+               CAST(SUM(c1 * LEAST(mid2, 2 * (nn + 1) - mid2)) AS BIGINT)
+                   AS ab2
+        FROM r
+    ), z AS (
+        SELECT n1, n2, w2, ab2,
+               (CAST(w2 AS DOUBLE) / 2.0
+                - CAST(n1 AS DOUBLE) * (nn + 1.0) / 2.0)
+               / SQRT(CAST(n1 AS DOUBLE) * n2 * (nn + 1.0) / 12.0) AS zw,
+               CASE WHEN nn % 2 = 0 THEN
+                   (CAST(ab2 AS DOUBLE) / 2.0
+                    - CAST(n1 AS DOUBLE) * (nn + 2.0) / 4.0)
+                   / SQRT(CAST(n1 AS DOUBLE) * n2 * (nn + 2.0)
+                          * (nn - 2.0) / (48.0 * (nn - 1.0)))
+               ELSE
+                   (CAST(ab2 AS DOUBLE) / 2.0
+                    - CAST(n1 AS DOUBLE) * (nn + 1.0) * (nn + 1.0)
+                      / (4.0 * nn))
+                   / SQRT(CAST(n1 AS DOUBLE) * n2 * (nn + 1.0)
+                          * (3.0 + CAST(nn AS DOUBLE) * nn)
+                          / (48.0 * CAST(nn AS DOUBLE) * nn))
+               END AS za
+        FROM sums
+    )
+    SELECT n1, n2, w2, ab2,
+           CAST(FLOOR(zw * 10000) AS BIGINT) AS z_wilcoxon_e4,
+           CAST(FLOOR(za * 10000) AS BIGINT) AS z_ansari_e4,
+           CAST(FLOOR((zw * zw + za * za) * 10000) AS BIGINT)
+               AS lepage_e4
+    FROM z
+    """,
+)
+def agg_lepage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEPAGE joint location-scale test (round 13): standardized
+    Wilcoxon rank-sum z (location) squared plus standardized
+    Ansari-Bradley z (scale) squared — χ²₂ under H₀; the classic
+    combination the Cucconi test competes with, kept side-by-side so
+    the two joint screens referee each other on the same fixture.
+
+    Exactness: both component statistics come from the same doubled-
+    midrank atom pass (W×2 and AB×2 exact bigints, the agg_mann_whitney
+    / agg_ansari_bradley conventions — same untie-corrected null
+    moments, even/odd-N Ansari CASE); the two z's and the sum of
+    squares are ONE shared double chain floored e4.
+
+    Scale: one ordered pass over the distinct-value atom table, one
+    fold — strictly cheaper than running the two member tests
+    separately."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    s = ev.groupBy(
+        F.floor(F.col("value") * 10000).cast("bigint").alias("v_e4")
+    ).agg(
+        F.count_if(F.col("event_type") == "view").cast("bigint").alias("c1"),
+        F.count_if(F.col("event_type") == "purchase")
+        .cast("bigint")
+        .alias("c2"),
+    )
+    tot = s.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+        F.sum(F.col("c1") + F.col("c2")).cast("bigint").alias("nn"),
+    )
+    wprev = Window.orderBy("v_e4").rowsBetween(Window.unboundedPreceding, -1)
+    r = s.select(
+        "c1",
+        "c2",
+        (2 * F.coalesce(F.sum(F.col("c1") + F.col("c2")).over(wprev), F.lit(0))
+         + F.col("c1") + F.col("c2") + 1)
+        .cast("bigint")
+        .alias("mid2"),
+    ).crossJoin(F.broadcast(tot))
+    sums = r.agg(
+        F.max("n1").cast("bigint").alias("n1"),
+        F.max("n2").cast("bigint").alias("n2"),
+        F.max("nn").cast("bigint").alias("nn"),
+        F.sum(F.col("c1") * F.col("mid2")).cast("bigint").alias("w2"),
+        F.sum(
+            F.col("c1")
+            * F.least(F.col("mid2"), 2 * (F.col("nn") + 1) - F.col("mid2"))
+        )
+        .cast("bigint")
+        .alias("ab2"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    zw = (d("w2") / 2.0 - d("n1") * (F.col("nn") + 1.0) / 2.0) / F.sqrt(
+        d("n1") * F.col("n2") * (F.col("nn") + 1.0) / 12.0
+    )
+    za_even = (
+        d("ab2") / 2.0 - d("n1") * (F.col("nn") + 2.0) / 4.0
+    ) / F.sqrt(
+        d("n1") * F.col("n2") * (F.col("nn") + 2.0) * (F.col("nn") - 2.0)
+        / (48.0 * (F.col("nn") - 1.0))
+    )
+    za_odd = (
+        d("ab2") / 2.0
+        - d("n1") * (F.col("nn") + 1.0) * (F.col("nn") + 1.0)
+        / (4.0 * F.col("nn"))
+    ) / F.sqrt(
+        d("n1") * F.col("n2") * (F.col("nn") + 1.0)
+        * (3.0 + d("nn") * F.col("nn"))
+        / (48.0 * d("nn") * F.col("nn"))
+    )
+    za = F.when(F.col("nn") % 2 == 0, za_even).otherwise(za_odd)
+    return sums.select(
+        "n1",
+        "n2",
+        "w2",
+        "ab2",
+        F.floor(zw * 10000).cast("bigint").alias("z_wilcoxon_e4"),
+        F.floor(za * 10000).cast("bigint").alias("z_ansari_e4"),
+        F.floor((zw * zw + za * za) * 10000).cast("bigint").alias("lepage_e4"),
+    )
+
+
+@query(
+    "agg_kendall_w",
+    """
+    WITH grid AS (
+        SELECT u.user_id, t.event_type
+        FROM (SELECT DISTINCT user_id FROM events WHERE user_id < 50) u
+        CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+    ), cell AS (
+        SELECT g.user_id, g.event_type,
+               COALESCE(SUM(CAST(FLOOR(e.value * 10000) AS BIGINT)), 0)
+                   AS score
+        FROM grid g
+        LEFT JOIN events e
+          ON e.user_id = g.user_id AND e.event_type = g.event_type
+         AND e.user_id < 50
+        GROUP BY 1, 2
+    ), ranked AS (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY score ASC, user_id ASC) AS r
+        FROM cell
+    ), subj AS (
+        SELECT user_id, CAST(SUM(r) AS BIGINT) AS ri,
+               CAST(COUNT(*) AS BIGINT) AS m
+        FROM ranked GROUP BY user_id
+    ), s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n, MAX(m) AS m,
+               CAST(SUM(ri * ri) AS BIGINT) AS sr2
+        FROM subj
+    )
+    SELECT n, m,
+           CAST((12 * sr2 - 3 * m * m * n * (n + 1) * (n + 1)) * 1000000
+                // (m * m * (n * n * n - n)) AS BIGINT) AS w_e6,
+           CAST((12 * sr2 - 3 * m * m * n * (n + 1) * (n + 1)) * 10000
+                * (n - 1)
+                // (m * (n * n * n - n)) AS BIGINT) AS chi2_e4
+    FROM s
+    """,
+)
+def agg_kendall_w(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KENDALL'S W coefficient of concordance (round 13): do the five
+    event-type "raters" rank the user panel consistently?  Subjects =
+    users 0–49, per-rater score = the user's summed e4 engagement in
+    that type (absent cells score 0 via the explicit user×type grid),
+    ranks tie-pinned (score, user_id) so every rank is a DISTINCT
+    integer — W = (12·ΣRᵢ² − 3m²n(n+1)²)/(m²(n³−n)) and the χ² =
+    m(n−1)W companion are then PURE INTEGER arithmetic end-to-end
+    (floor-divided e6/e4; numerator ≥ 0 so // = DIV). The
+    multi-rater generalization of agg_spearman_corr; Friedman's test
+    (agg_friedman_page_trend) is m(n−1)W by identity.
+
+    Scale: one keyed rollup to the n×m cell table, m keyed rank
+    windows, one fold — the grid is |panel|×|raters|, never
+    corpus-sized."""
+    ev = load(spark, sf_dir, "events")
+    users = ev.filter(F.col("user_id") < 50).select("user_id").distinct()
+    types = ev.select("event_type").distinct()
+    grid = users.crossJoin(F.broadcast(types))
+    scores = (
+        ev.filter(F.col("user_id") < 50)
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.sum(F.floor(F.col("value") * 10000).cast("bigint")).alias(
+                "sc"
+            )
+        )
+    )
+    cell = grid.join(scores, ["user_id", "event_type"], "left").select(
+        "user_id",
+        "event_type",
+        F.coalesce(F.col("sc"), F.lit(0)).alias("score"),
+    )
+    w_rank = Window.partitionBy("event_type").orderBy(
+        F.col("score").asc(), F.col("user_id").asc()
+    )
+    ranked = cell.select(
+        "user_id", F.row_number().over(w_rank).alias("r")
+    )
+    subj = ranked.groupBy("user_id").agg(
+        F.sum("r").cast("bigint").alias("ri"),
+        F.count("*").cast("bigint").alias("m"),
+    )
+    s = subj.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.max("m").cast("bigint").alias("m"),
+        F.sum(F.col("ri") * F.col("ri")).cast("bigint").alias("sr2"),
+    )
+    num = 12 * F.col("sr2") - 3 * F.col("m") * F.col("m") * F.col("n") * (
+        F.col("n") + 1
+    ) * (F.col("n") + 1)
+    den = F.col("m") * F.col("m") * (
+        F.col("n") * F.col("n") * F.col("n") - F.col("n")
+    )
+    return s.select(
+        "n",
+        "m",
+        F.expr(
+            "CAST((12 * sr2 - 3 * m * m * n * (n + 1) * (n + 1)) * 1000000"
+            " DIV (m * m * (n * n * n - n)) AS BIGINT)"
+        ).alias("w_e6"),
+        F.expr(
+            "CAST((12 * sr2 - 3 * m * m * n * (n + 1) * (n + 1)) * 10000"
+            " * (n - 1) DIV (m * (n * n * n - n)) AS BIGINT)"
+        ).alias("chi2_e4"),
+    )
+
+
+@query(
+    "agg_somers_d",
+    """
+    WITH cells AS (
+        SELECT CAST(l_linenumber AS BIGINT) AS x,
+               CAST(FLOOR(l_quantity) AS BIGINT) AS y,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM lineitem GROUP BY 1, 2
+    ), tot AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells
+    ), cd AS (
+        SELECT CAST(SUM(CASE WHEN b.x > a.x AND b.y > a.y
+                             THEN a.c * b.c ELSE 0 END) AS BIGINT) AS cc,
+               CAST(SUM(CASE WHEN b.x > a.x AND b.y < a.y
+                             THEN a.c * b.c ELSE 0 END) AS BIGINT) AS dd
+        FROM cells a JOIN cells b ON NOT (a.x = b.x AND a.y = b.y)
+    ), tx AS (
+        SELECT CAST(SUM(nx * (nx - 1) // 2) AS BIGINT) AS tx_all
+        FROM (SELECT x, SUM(c) AS nx FROM cells GROUP BY x)
+    ), ty AS (
+        SELECT CAST(SUM(ny * (ny - 1) // 2) AS BIGINT) AS ty_all
+        FROM (SELECT y, SUM(c) AS ny FROM cells GROUP BY y)
+    )
+    SELECT t.n, cd.cc AS c_pairs, cd.dd AS d_pairs,
+           CAST(FLOOR(CAST(cd.cc - cd.dd AS DOUBLE)
+                      / (CAST(t.n AS DOUBLE) * (t.n - 1) / 2.0 - tx.tx_all)
+                      * 1000000) AS BIGINT) AS d_yx_e6,
+           CAST(FLOOR(CAST(cd.cc - cd.dd AS DOUBLE)
+                      / (CAST(t.n AS DOUBLE) * (t.n - 1) / 2.0 - ty.ty_all)
+                      * 1000000) AS BIGINT) AS d_xy_e6
+    FROM tot t, cd, tx, ty
+    """,
+)
+def agg_somers_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOMERS' D ordinal association (round 13), both directions, on
+    (line number → quantity): the asymmetric cousin of Kendall's τ —
+    D(Y|X) = (C−D)/(pairs not tied on X) reads "given X orders a pair,
+    how much does Y agree?", the standard effect size for an ordinal
+    predictor of an ordinal outcome (and the Gini/AUC connection:
+    D = 2·AUC − 1 for binary Y).
+
+    Exactness: concordant/discordant pair counts come from the
+    CONTINGENCY-CELL self-join (ordered cell pairs, each unordered
+    data pair counted once), tie masses from the marginals — all
+    exact bigints (pair counts ≤ n²/2, inside int64 through sf100);
+    the two ratios are ONE double chain each, floored e6 (signed
+    numerator → FLOOR, never DIV).
+
+    Scale: one keyed rollup to the |x-levels|×|y-levels| grid (350
+    cells here), a bounded grid self-join, two marginal folds — the
+    corpus is touched once."""
+    li = load(spark, sf_dir, "lineitem")
+    cells = li.groupBy(
+        F.col("l_linenumber").cast("bigint").alias("x"),
+        F.floor(F.col("l_quantity")).cast("bigint").alias("y"),
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    tot = cells.agg(F.sum("c").cast("bigint").alias("n"))
+    b = cells.select(
+        F.col("x").alias("x2"), F.col("y").alias("y2"), F.col("c").alias("c2")
+    )
+    cd = (
+        cells.join(
+            F.broadcast(b),
+            ~((F.col("x") == F.col("x2")) & (F.col("y") == F.col("y2"))),
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("x2") > F.col("x")) & (F.col("y2") > F.col("y")),
+                    F.col("c") * F.col("c2"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("cc"),
+            F.sum(
+                F.when(
+                    (F.col("x2") > F.col("x")) & (F.col("y2") < F.col("y")),
+                    F.col("c") * F.col("c2"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("dd"),
+        )
+    )
+    tx = (
+        cells.groupBy("x")
+        .agg(F.sum("c").alias("nx"))
+        .agg(
+            F.sum(F.expr("nx * (nx - 1) DIV 2")).cast("bigint").alias("tx_all")
+        )
+    )
+    ty = (
+        cells.groupBy("y")
+        .agg(F.sum("c").alias("ny"))
+        .agg(
+            F.sum(F.expr("ny * (ny - 1) DIV 2")).cast("bigint").alias("ty_all")
+        )
+    )
+    s = tot.crossJoin(cd).crossJoin(tx).crossJoin(ty)
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    n0 = d("n") * (F.col("n") - 1) / 2.0
+    return s.select(
+        "n",
+        F.col("cc").alias("c_pairs"),
+        F.col("dd").alias("d_pairs"),
+        F.floor((d("cc") - F.col("dd")) / (n0 - F.col("tx_all")) * 1000000)
+        .cast("bigint")
+        .alias("d_yx_e6"),
+        F.floor((d("cc") - F.col("dd")) / (n0 - F.col("ty_all")) * 1000000)
+        .cast("bigint")
+        .alias("d_xy_e6"),
+    )
+
+
+@query(
+    "agg_stuart_tau_c",
+    """
+    WITH cells AS (
+        SELECT CAST(l_linenumber AS BIGINT) AS x,
+               CAST(FLOOR(l_quantity) AS BIGINT) AS y,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM lineitem GROUP BY 1, 2
+    ), tot AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n,
+               CAST(LEAST(COUNT(DISTINCT x), COUNT(DISTINCT y)) AS BIGINT)
+                   AS m
+        FROM cells
+    ), cd AS (
+        SELECT CAST(SUM(CASE WHEN b.x > a.x AND b.y > a.y
+                             THEN a.c * b.c ELSE 0 END) AS BIGINT) AS cc,
+               CAST(SUM(CASE WHEN b.x > a.x AND b.y < a.y
+                             THEN a.c * b.c ELSE 0 END) AS BIGINT) AS dd
+        FROM cells a JOIN cells b ON NOT (a.x = b.x AND a.y = b.y)
+    )
+    SELECT t.n, t.m, cd.cc AS c_pairs, cd.dd AS d_pairs,
+           CAST(FLOOR(2.0 * t.m * (CAST(cd.cc AS DOUBLE) - cd.dd)
+                      / (CAST(t.n AS DOUBLE) * t.n * (t.m - 1))
+                      * 1000000) AS BIGINT) AS tau_c_e6
+    FROM tot t, cd
+    """,
+)
+def agg_stuart_tau_c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STUART'S τ-c (round 13) on the same (line number → quantity)
+    contingency as agg_somers_d: the Kendall-family measure corrected
+    for a RECTANGULAR table — τ-b can't reach ±1 when the two ordinal
+    scales have different numbers of levels (7×50 here); τ-c =
+    2m(C−D)/(n²(m−1)) with m = min(rows, cols) restores the bound.
+    Completes the ordinal suite: τ (paired ranks), γ (ties dropped),
+    Somers' D (asymmetric), τ-c (rectangular).
+
+    Exactness: same exact-bigint cell-pair machinery; one double
+    chain floored e6.
+
+    Scale: identical to agg_somers_d — grid rollup + bounded cell
+    self-join."""
+    li = load(spark, sf_dir, "lineitem")
+    cells = li.groupBy(
+        F.col("l_linenumber").cast("bigint").alias("x"),
+        F.floor(F.col("l_quantity")).cast("bigint").alias("y"),
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    tot = cells.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.least(
+            F.countDistinct("x"), F.countDistinct("y")
+        ).cast("bigint").alias("m"),
+    )
+    b = cells.select(
+        F.col("x").alias("x2"), F.col("y").alias("y2"), F.col("c").alias("c2")
+    )
+    cd = (
+        cells.join(
+            F.broadcast(b),
+            ~((F.col("x") == F.col("x2")) & (F.col("y") == F.col("y2"))),
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("x2") > F.col("x")) & (F.col("y2") > F.col("y")),
+                    F.col("c") * F.col("c2"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("cc"),
+            F.sum(
+                F.when(
+                    (F.col("x2") > F.col("x")) & (F.col("y2") < F.col("y")),
+                    F.col("c") * F.col("c2"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("dd"),
+        )
+    )
+    s = tot.crossJoin(cd)
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    tau_c = (
+        2.0 * F.col("m") * (d("cc") - F.col("dd"))
+        / (d("n") * F.col("n") * (F.col("m") - 1))
+    )
+    return s.select(
+        "n",
+        "m",
+        F.col("cc").alias("c_pairs"),
+        F.col("dd").alias("d_pairs"),
+        F.floor(tau_c * 1000000).cast("bigint").alias("tau_c_e6"),
+    )
