@@ -12215,3 +12215,487 @@ def agg_stuart_tau_c(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dd").alias("d_pairs"),
         F.floor(tau_c * 1000000).cast("bigint").alias("tau_c_e6"),
     )
+
+
+# --- Round-13 inequality / shape completion ---------------------------
+
+
+@query(
+    "agg_atkinson_index",
+    """
+    WITH spend AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY o_custkey
+    ), terms AS (
+        SELECT cents,
+               CAST(FLOOR(ln(CAST(cents AS DOUBLE)) * 1000000000)
+                    AS BIGINT) AS ln_e9
+        FROM spend WHERE cents > 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           CAST(FLOOR((1.0 - exp(CAST(SUM(ln_e9) AS DOUBLE) / 1000000000.0
+                                 / COUNT(*))
+                             * COUNT(*) / CAST(SUM(cents) AS DOUBLE))
+                      * 1000000) AS BIGINT) AS atkinson1_e6
+    FROM terms
+    """,
+)
+def agg_atkinson_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ATKINSON inequality index at ε=1 (round 13): A₁ = 1 −
+    geomean/mean over per-customer spend — the welfare-theoretic
+    complement to agg_gini_concentration (Gini weights transfers by
+    rank; Atkinson-1 weights them by the LOG utility of the poorer
+    side, so it moves more when inequality comes from the bottom).
+
+    Exactness: each ln(cents) floors to e9 BEFORE the order-free
+    bigint sum (the gk term-flooring rule — a raw float Σln is
+    partition-order dependent); the exp/mean chain is ONE final
+    shared double expression. Zero-spend customers are excluded by
+    definition (log utility).
+
+    Scale: one keyed rollup + one fold; the log is per-customer, not
+    per-order."""
+    orders = load(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    terms = spend.filter(F.col("cents") > 0).select(
+        "cents",
+        F.floor(F.log(F.col("cents").cast("double")) * 1000000000)
+        .cast("bigint")
+        .alias("ln_e9"),
+    )
+    s = terms.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+        F.sum("ln_e9").alias("sln"),
+    )
+    a1 = 1.0 - F.exp(
+        F.col("sln").cast("double") / 1000000000.0 / F.col("n")
+    ) * F.col("n") / F.col("total_cents").cast("double")
+    return s.select(
+        "n",
+        "total_cents",
+        F.floor(a1 * 1000000).cast("bigint").alias("atkinson1_e6"),
+    )
+
+
+@query(
+    "agg_hoover_index",
+    """
+    WITH spend AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY o_custkey
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS s
+        FROM spend
+    )
+    SELECT MAX(t.n) AS n, MAX(t.s) AS total_cents,
+           CAST(FLOOR(CAST(SUM(ABS(CAST(t.n AS HUGEINT) * p.cents - t.s))
+                           AS DOUBLE)
+                      / (2.0 * MAX(t.n) * CAST(MAX(t.s) AS DOUBLE))
+                      * 1000000) AS BIGINT) AS hoover_e6
+    FROM spend p, tot t
+    """,
+)
+def agg_hoover_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOOVER (Robin Hood) index (round 13): Σ|xᵢ − μ|/(2Σx) — the
+    share of total spend that would have to move between customers to
+    equalize everyone; the most interpretable member of the
+    inequality suite (Gini = rank-weighted, Atkinson = welfare,
+    Hoover = mass to move).
+
+    Exactness: the deviation |n·xᵢ − S| never materializes the mean
+    (DIV-means rule) and accumulates in HUGEINT/decimal (n·x is
+    O(n·max) — int64 dies at sf10-scale sums); ONE final double
+    normalization floored e6.
+
+    Scale: keyed rollup + broadcast 1-row totals + one fold."""
+    orders = load(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    tot = spend.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s"),
+    )
+    d38 = "decimal(38,0)"
+    joined = spend.crossJoin(F.broadcast(tot))
+    s = joined.agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.max("s").cast("bigint").alias("total_cents"),
+        F.sum(
+            F.abs(F.col("n").cast(d38) * F.col("cents") - F.col("s"))
+        ).alias("dev"),
+    )
+    hoover = (
+        F.col("dev").cast("double")
+        / (2.0 * F.col("n") * F.col("total_cents").cast("double"))
+    )
+    return s.select(
+        "n",
+        "total_cents",
+        F.floor(hoover * 1000000).cast("bigint").alias("hoover_e6"),
+    )
+
+
+@query(
+    "agg_palma_ratio",
+    """
+    WITH spend AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY o_custkey
+    ), ranked AS (
+        SELECT cents,
+               row_number() OVER (ORDER BY cents ASC, o_custkey ASC) AS r,
+               COUNT(*) OVER () AS n
+        FROM spend
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN r > (9 * n) // 10 THEN cents ELSE 0 END)
+                AS BIGINT) AS top10_cents,
+           CAST(SUM(CASE WHEN r <= (4 * n) // 10 THEN cents ELSE 0 END)
+                AS BIGINT) AS bottom40_cents,
+           CAST(FLOOR(CAST(SUM(CASE WHEN r > (9 * n) // 10
+                                    THEN cents ELSE 0 END) AS DOUBLE)
+                      / SUM(CASE WHEN r <= (4 * n) // 10
+                                 THEN cents ELSE 0 END)
+                      * 1000000) AS BIGINT) AS palma_e6
+    FROM ranked
+    """,
+)
+def agg_palma_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PALMA ratio (round 13): top-10% spend share over bottom-40%
+    share — the inequality readout policy work prefers to Gini
+    because the middle 50% is empirically stable, so the tails carry
+    the signal. Membership is rank-exact: ascending (cents, custkey)
+    row_number with integer cutoffs 9n DIV 10 / 4n DIV 10 — no
+    percentile interpolation, no floats until the one final ratio
+    (floored e6).
+
+    Scale: the global rank runs over the per-customer AGGREGATE
+    (|customers| rows) — the agg_gini_concentration posture, same
+    two-pass distributed-rank scale path."""
+    orders = load(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = Window.orderBy(F.col("cents").asc(), F.col("o_custkey").asc())
+    w_all = Window.partitionBy()
+    ranked = spend.select(
+        "cents",
+        F.row_number().over(w).alias("r"),
+        F.count("*").over(w_all).alias("n"),
+    )
+    top = F.sum(
+        F.when(F.col("r") > F.expr("(9 * n) DIV 10"), F.col("cents")).otherwise(
+            F.lit(0)
+        )
+    )
+    bot = F.sum(
+        F.when(
+            F.col("r") <= F.expr("(4 * n) DIV 10"), F.col("cents")
+        ).otherwise(F.lit(0))
+    )
+    return ranked.agg(
+        F.max("n").cast("bigint").alias("n"),
+        top.cast("bigint").alias("top10_cents"),
+        bot.cast("bigint").alias("bottom40_cents"),
+        F.floor(top.cast("double") / bot * 1000000)
+        .cast("bigint")
+        .alias("palma_e6"),
+    )
+
+
+@query(
+    "agg_quantile_shape",
+    """
+    WITH spend AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY o_custkey
+    ), ranked AS (
+        SELECT cents,
+               row_number() OVER (ORDER BY cents ASC, o_custkey ASC) AS r,
+               COUNT(*) OVER () AS n
+        FROM spend
+    ), oct AS (
+        SELECT MAX(n) AS n,
+               MAX(CASE WHEN r = (1 * n + 7) // 8 THEN cents END) AS e1,
+               MAX(CASE WHEN r = (2 * n + 7) // 8 THEN cents END) AS e2,
+               MAX(CASE WHEN r = (3 * n + 7) // 8 THEN cents END) AS e3,
+               MAX(CASE WHEN r = (4 * n + 7) // 8 THEN cents END) AS e4,
+               MAX(CASE WHEN r = (5 * n + 7) // 8 THEN cents END) AS e5,
+               MAX(CASE WHEN r = (6 * n + 7) // 8 THEN cents END) AS e6,
+               MAX(CASE WHEN r = (7 * n + 7) // 8 THEN cents END) AS e7
+        FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(e2 AS BIGINT) AS q1_cents,
+           CAST(e4 AS BIGINT) AS q2_cents,
+           CAST(e6 AS BIGINT) AS q3_cents,
+           CAST(FLOOR(CAST(e6 + e2 - 2 * e4 AS DOUBLE) / (e6 - e2)
+                      * 1000000) AS BIGINT) AS bowley_skew_e6,
+           CAST(FLOOR(CAST((e7 - e5) + (e3 - e1) AS DOUBLE) / (e6 - e2)
+                      * 1000000) AS BIGINT) AS moors_kurt_e6
+    FROM oct
+    """,
+)
+def agg_quantile_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-based shape statistics (round 13): BOWLEY skewness
+    (Q₃+Q₁−2·Q₂)/(Q₃−Q₁) and MOORS kurtosis ((E₇−E₅)+(E₃−E₁))/(E₆−E₂)
+    over per-customer spend — the outlier-proof complements to the
+    moment-based agg_higher_moments (one whale rewrites g₁/g₂; it
+    cannot move an octile). Quantiles are DISCRETE order statistics:
+    rank ceil(q·n) = (q·n + 7) DIV 8 of the (cents, custkey)
+    tie-pinned ascending rank — exact data values, no interpolation,
+    floats only in the two final ratios (floored e6).
+
+    Scale: one global rank over the per-customer aggregate (the gini
+    posture); the octile pick is a one-fold CASE."""
+    orders = load(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = Window.orderBy(F.col("cents").asc(), F.col("o_custkey").asc())
+    w_all = Window.partitionBy()
+    ranked = spend.select(
+        "cents",
+        F.row_number().over(w).alias("r"),
+        F.count("*").over(w_all).alias("n"),
+    )
+    def oct_pick(k: int):
+        return F.max(
+            F.when(
+                F.col("r") == F.expr(f"({k} * n + 7) DIV 8"), F.col("cents")
+            )
+        )
+    oct = ranked.agg(
+        F.max("n").cast("bigint").alias("n"),
+        *[oct_pick(k).alias(f"e{k}") for k in range(1, 8)],
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    bowley = (
+        (F.col("e6") + F.col("e2") - 2 * F.col("e4")).cast("double")
+        / (F.col("e6") - F.col("e2"))
+    )
+    moors = (
+        ((F.col("e7") - F.col("e5")) + (F.col("e3") - F.col("e1")))
+        .cast("double")
+        / (F.col("e6") - F.col("e2"))
+    )
+    return oct.select(
+        "n",
+        F.col("e2").cast("bigint").alias("q1_cents"),
+        F.col("e4").cast("bigint").alias("q2_cents"),
+        F.col("e6").cast("bigint").alias("q3_cents"),
+        F.floor(bowley * 1000000).cast("bigint").alias("bowley_skew_e6"),
+        F.floor(moors * 1000000).cast("bigint").alias("moors_kurt_e6"),
+    )
+
+
+@query(
+    "agg_sarle_bimodality",
+    """
+    WITH spend AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(ROUND(o_totalprice) AS BIGINT)) AS BIGINT)
+                   AS dollars
+        FROM orders GROUP BY o_custkey
+    ), s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(dollars) AS BIGINT) AS s1,
+               SUM(CAST(dollars AS HUGEINT) * dollars) AS s2,
+               SUM(CAST(dollars AS HUGEINT) * dollars * dollars) AS s3,
+               SUM(CAST(dollars AS HUGEINT) * dollars * dollars * dollars)
+                   AS s4
+        FROM spend
+    ), mom AS (
+        SELECT n,
+               CAST(s1 AS DOUBLE) / n AS m1,
+               CAST(s2 AS DOUBLE) / n
+                   - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                   AS m2,
+               CAST(s3 AS DOUBLE) / n
+                   - 3.0 * (CAST(s1 AS DOUBLE) / n)
+                         * (CAST(s2 AS DOUBLE) / n)
+                   + 2.0 * (CAST(s1 AS DOUBLE) / n)
+                         * (CAST(s1 AS DOUBLE) / n)
+                         * (CAST(s1 AS DOUBLE) / n) AS m3,
+               CAST(s4 AS DOUBLE) / n
+                   - 4.0 * (CAST(s1 AS DOUBLE) / n)
+                         * (CAST(s3 AS DOUBLE) / n)
+                   + 6.0 * (CAST(s1 AS DOUBLE) / n)
+                         * (CAST(s1 AS DOUBLE) / n)
+                         * (CAST(s2 AS DOUBLE) / n)
+                   - 3.0 * (CAST(s1 AS DOUBLE) / n)
+                         * (CAST(s1 AS DOUBLE) / n)
+                         * (CAST(s1 AS DOUBLE) / n)
+                         * (CAST(s1 AS DOUBLE) / n) AS m4
+        FROM s
+    )
+    SELECT n,
+           CAST(FLOOR(m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2)) * 1000000)
+                AS BIGINT) AS g1_e6,
+           CAST(FLOOR((m4 / (m2 * m2) - 3.0) * 1000000) AS BIGINT)
+               AS g2_e6,
+           CAST(FLOOR((m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2))
+                       * (m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2))) + 1.0)
+                      / ((m4 / (m2 * m2) - 3.0)
+                         + 3.0 * (n - 1.0) * (n - 1.0)
+                           / ((n - 2.0) * (n - 3.0)))
+                      * 1000000) AS BIGINT) AS sarle_b_e6
+    FROM mom
+    """,
+)
+def agg_sarle_bimodality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SARLE'S bimodality coefficient (round 13): b = (g₁²+1)/(g₂ +
+    3(n−1)²/((n−2)(n−3))) from skewness g₁ and excess kurtosis g₂ —
+    b > 5/9 flags a distribution more bimodal than uniform, the cheap
+    screen run before fitting agg_em_gaussian_1d's two-component
+    mixture (the moment-arithmetic complement to that iterative fit).
+
+    Exactness: raw power sums Σx..Σx⁴ accumulate in HUGEINT/decimal
+    (a dollars⁴ term is ~1e28 — int64 is long gone; e2 cents would
+    push past decimal(38) at sf10 row counts, so the quantization is
+    whole DOLLARS, documented); the central-moment/ratio algebra is
+    ONE shared double chain (identical association both engines)
+    floored e6.
+
+    Scale: one keyed rollup + one fold — power sums are
+    partial-aggregatable, the canonical map-side-combine shape."""
+    orders = load(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice")).cast("bigint"))
+        .cast("bigint")
+        .alias("dollars")
+    )
+    d38 = "decimal(38,0)"
+    x = F.col("dollars")
+    s = spend.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("dollars").cast("bigint").alias("s1"),
+        F.sum(x.cast(d38) * x).alias("s2"),
+        F.sum(x.cast(d38) * x * x).alias("s3"),
+        F.sum(x.cast(d38) * x * x * x).alias("s4"),
+    )
+    n = F.col("n")
+    m1 = F.col("s1").cast("double") / n
+    m2 = F.col("s2").cast("double") / n - m1 * m1
+    m3 = (
+        F.col("s3").cast("double") / n
+        - 3.0 * m1 * (F.col("s2").cast("double") / n)
+        + 2.0 * m1 * m1 * m1
+    )
+    m4 = (
+        F.col("s4").cast("double") / n
+        - 4.0 * m1 * (F.col("s3").cast("double") / n)
+        + 6.0 * m1 * m1 * (F.col("s2").cast("double") / n)
+        - 3.0 * m1 * m1 * m1 * m1
+    )
+    g1 = m3 / (F.sqrt(m2) * F.sqrt(m2) * F.sqrt(m2))
+    g2 = m4 / (m2 * m2) - 3.0
+    sarle = (g1 * g1 + 1.0) / (
+        g2 + 3.0 * (n - 1.0) * (n - 1.0) / ((n - 2.0) * (n - 3.0))
+    )
+    return s.select(
+        "n",
+        F.floor(g1 * 1000000).cast("bigint").alias("g1_e6"),
+        F.floor(g2 * 1000000).cast("bigint").alias("g2_e6"),
+        F.floor(sarle * 1000000).cast("bigint").alias("sarle_b_e6"),
+    )
+
+
+@query(
+    "agg_yule_q",
+    """
+    WITH flags AS (
+        SELECT CASE WHEN value >= 50 THEN 1 ELSE 0 END AS hi,
+               CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END
+                   AS wend
+        FROM events
+    ), cells AS (
+        SELECT CAST(COUNT(*) FILTER (hi = 1 AND wend = 1) AS BIGINT) AS a,
+               CAST(COUNT(*) FILTER (hi = 1 AND wend = 0) AS BIGINT) AS b,
+               CAST(COUNT(*) FILTER (hi = 0 AND wend = 1) AS BIGINT) AS c,
+               CAST(COUNT(*) FILTER (hi = 0 AND wend = 0) AS BIGINT) AS d
+        FROM flags
+    )
+    SELECT a, b, c, d,
+           CAST(FLOOR((CAST(a AS DOUBLE) * d - CAST(b AS DOUBLE) * c)
+                      / (CAST(a AS DOUBLE) * d + CAST(b AS DOUBLE) * c)
+                      * 1000000) AS BIGINT) AS yule_q_e6,
+           CAST(FLOOR((sqrt(CAST(a AS DOUBLE) * d)
+                       - sqrt(CAST(b AS DOUBLE) * c))
+                      / (sqrt(CAST(a AS DOUBLE) * d)
+                         + sqrt(CAST(b AS DOUBLE) * c))
+                      * 1000000) AS BIGINT) AS yule_y_e6
+    FROM cells
+    """,
+)
+def agg_yule_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """YULE'S Q and Y for the 2×2 (high-value × weekend) table (round
+    13): Q = (ad−bc)/(ad+bc) is the odds ratio mapped onto [−1,1]
+    (the OR itself is agg_odds_ratio; Q is its bounded effect-size
+    form), Y = (√ad−√bc)/(√ad+√bc) the colligation coefficient that
+    undoes Q's tendency to saturate. Same margins as agg_odds_ratio,
+    so the two rows referee each other through Q = (OR−1)/(OR+1).
+
+    Exactness: the four cell counts are one exact filtered fold; ad
+    and bc enter doubles as single products (≤ n², exact in double
+    through sf10) in ONE shared chain each, floored e6.
+
+    Scale: a single filtered-count aggregate — the cheapest shape in
+    the registry."""
+    ev = load(spark, sf_dir, "events")
+    flags = ev.select(
+        F.when(F.col("value") >= 50, 1).otherwise(0).alias("hi"),
+        F.when(F.dayofweek("ts").isin(1, 7), 1).otherwise(0).alias("wend"),
+    )
+    cells = flags.agg(
+        F.count_if((F.col("hi") == 1) & (F.col("wend") == 1))
+        .cast("bigint")
+        .alias("a"),
+        F.count_if((F.col("hi") == 1) & (F.col("wend") == 0))
+        .cast("bigint")
+        .alias("b"),
+        F.count_if((F.col("hi") == 0) & (F.col("wend") == 1))
+        .cast("bigint")
+        .alias("c"),
+        F.count_if((F.col("hi") == 0) & (F.col("wend") == 0))
+        .cast("bigint")
+        .alias("d"),
+    )
+    ad = F.col("a").cast("double") * F.col("d")
+    bc = F.col("b").cast("double") * F.col("c")
+    return cells.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        F.floor((ad - bc) / (ad + bc) * 1000000)
+        .cast("bigint")
+        .alias("yule_q_e6"),
+        F.floor(
+            (F.sqrt(ad) - F.sqrt(bc)) / (F.sqrt(ad) + F.sqrt(bc)) * 1000000
+        )
+        .cast("bigint")
+        .alias("yule_y_e6"),
+    )
