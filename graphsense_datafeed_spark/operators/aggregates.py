@@ -12932,3 +12932,150 @@ def agg_berger_parker(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(n * 1000000 DIV c AS BIGINT)").alias("inv_bp_e6"),
         )
     )
+
+
+@query(
+    "agg_welch_anova",
+    """
+    WITH g AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS nk,
+               CAST(SUM(CAST(FLOOR(value * 10000) AS BIGINT)) AS BIGINT)
+                   AS sk,
+               SUM(CAST(CAST(FLOOR(value * 10000) AS BIGINT) AS HUGEINT)
+                   * CAST(FLOOR(value * 10000) AS BIGINT)) AS qk
+        FROM events GROUP BY 1
+    ), w AS (
+        SELECT event_type, nk, sk,
+               CAST(FLOOR(CAST(nk AS DOUBLE) * nk * (nk - 1)
+                          * 1000000000000.0
+                          / CAST(nk * qk - CAST(sk AS HUGEINT) * sk
+                                 AS DOUBLE)) AS BIGINT) AS w_e12
+        FROM g
+        WHERE nk * qk - CAST(sk AS HUGEINT) * sk > 0
+    ), wx AS (
+        SELECT event_type, nk, sk, w_e12,
+               CAST(FLOOR(CAST(w_e12 AS DOUBLE) * sk / nk) AS BIGINT)
+                   AS wx_f
+        FROM w
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(w_e12) AS BIGINT) AS sw,
+               CAST(SUM(wx_f) AS BIGINT) AS swx
+        FROM wx
+    ), terms AS (
+        SELECT t.k,
+               CAST(FLOOR(CAST(x.w_e12 AS DOUBLE) / 1000000.0
+                          * (CAST(x.sk AS DOUBLE) / x.nk
+                             - CAST(t.swx AS DOUBLE) / t.sw)
+                          * (CAST(x.sk AS DOUBLE) / x.nk
+                             - CAST(t.swx AS DOUBLE) / t.sw))
+                    AS BIGINT) AS a_term,
+               CAST(FLOOR((1.0 - CAST(x.w_e12 AS DOUBLE) / t.sw)
+                          * (1.0 - CAST(x.w_e12 AS DOUBLE) / t.sw)
+                          / (x.nk - 1) * 1000000000000.0) AS BIGINT)
+                   AS b_term
+        FROM wx x, tot t
+    )
+    SELECT MAX(k) AS k,
+           CAST(FLOOR(
+               (CAST(SUM(a_term) AS DOUBLE) / 1000000.0 / (MAX(k) - 1))
+               / (1.0 + 2.0 * (MAX(k) - 2.0) / (MAX(k) * MAX(k) - 1.0)
+                        * (CAST(SUM(b_term) AS DOUBLE) / 1000000000000.0))
+               * 10000) AS BIGINT) AS f_welch_e4,
+           CAST(FLOOR((MAX(k) * CAST(MAX(k) AS DOUBLE) - 1.0)
+                      / (3.0 * CAST(SUM(b_term) AS DOUBLE)
+                         / 1000000000000.0)
+                      * 10000) AS BIGINT) AS df2_e4
+    FROM terms
+    """,
+)
+def agg_welch_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WELCH'S heteroscedastic one-way ANOVA over the five event-type
+    value distributions (round 13): the K-group generalization of
+    agg_t_test_welch — classic ANOVA (the F in agg_anova_oneway's
+    family) assumes equal variances, which agg_levene_brown_forsythe
+    exists to reject; this is the test you run after Levene fails.
+    Emits Welch's F and its Satterthwaite denominator df.
+
+    Exactness: per-group (n, Σv, Σv²) are exact ints (HUGEINT
+    squares); the precision-weight w = n²(n−1)/(nQ−S²) FLOORS to e12
+    per group and the A/B summands floor per group BEFORE the
+    order-free cross-group sums (a raw double Σ over groups is
+    partition-order dependent — the Atkinson ln-flooring rule); the
+    floored weights ARE the operator's definition, identical both
+    engines. Zero-variance groups are excluded (their w is infinite —
+    documented boundary). Finals are two shared double chains.
+
+    Scale: one keyed rollup, a broadcast 1-row totals join, one fold —
+    partial-aggregatable end-to-end."""
+    ev = load(spark, sf_dir, "events")
+    v = F.floor(F.col("value") * 10000).cast("bigint")
+    d38 = "decimal(38,0)"
+    g = ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("nk"),
+        F.sum(v).cast("bigint").alias("sk"),
+        F.sum(v.cast(d38) * v).alias("qk"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    varnum = (
+        F.col("nk") * F.col("qk") - F.col("sk").cast(d38) * F.col("sk")
+    )
+    w = g.filter(varnum > 0).select(
+        "event_type",
+        "nk",
+        "sk",
+        F.floor(
+            d("nk") * F.col("nk") * (F.col("nk") - 1)
+            * F.lit(1000000000000.0)
+            / varnum.cast("double")
+        )
+        .cast("bigint")
+        .alias("w_e12"),
+    )
+    wx = w.select(
+        "event_type",
+        "nk",
+        "sk",
+        "w_e12",
+        F.floor(d("w_e12") * F.col("sk") / F.col("nk"))
+        .cast("bigint")
+        .alias("wx_f"),
+    )
+    tot = wx.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("w_e12").cast("bigint").alias("sw"),
+        F.sum("wx_f").cast("bigint").alias("swx"),
+    )
+    joined = wx.crossJoin(F.broadcast(tot))
+    dx = d("sk") / F.col("nk") - d("swx") / F.col("sw")
+    terms = joined.select(
+        "k",
+        F.floor(d("w_e12") / 1000000.0 * dx * dx)
+        .cast("bigint")
+        .alias("a_term"),
+        F.floor(
+            (1.0 - d("w_e12") / F.col("sw"))
+            * (1.0 - d("w_e12") / F.col("sw"))
+            / (F.col("nk") - 1)
+            * 1000000000000.0
+        )
+        .cast("bigint")
+        .alias("b_term"),
+    )
+    s = terms.agg(
+        F.max("k").alias("k"),
+        F.sum("a_term").alias("sa"),
+        F.sum("b_term").alias("sb"),
+    )
+    k = F.col("k")
+    lam = F.col("sb").cast("double") / 1000000000000.0
+    f_w = (F.col("sa").cast("double") / 1000000.0 / (k - 1)) / (
+        1.0 + 2.0 * (k - 2.0) / (k * k.cast("double") - 1.0) * lam
+    )
+    df2 = (k * k.cast("double") - 1.0) / (3.0 * lam)
+    return s.select(
+        k.cast("bigint").alias("k"),
+        F.floor(f_w * 10000).cast("bigint").alias("f_welch_e4"),
+        F.floor(df2 * 10000).cast("bigint").alias("df2_e4"),
+    )
