@@ -1911,3 +1911,272 @@ def embed_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band_id")
     )
+
+
+_CONTAINMENT_ORACLE = f"""
+    WITH ws AS (
+        SELECT doc_id, str_split(text, ' ') AS w FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id, concat_ws(' ', w[i], w[i+1], w[i+2]) AS s
+        FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM ws)
+    ), hb AS (
+        SELECT doc_id, s,
+               CAST('0x' || substr(md5(s), 1, 7) AS BIGINT) AS hbase
+        FROM sh
+    ), sig AS (
+        SELECT doc_id,
+               {", ".join(
+                   f"MIN(({a} * hbase + {b}) % {_MINHASH_P}) AS h{i}"
+                   for i, (a, b) in enumerate(_MINHASH_AB)
+               )}
+        FROM hb GROUP BY doc_id
+    ), bands AS (
+        SELECT doc_id, bd.band_id,
+               [{", ".join(
+                   f"h{2 * b} * {_MINHASH_P} + h{2 * b + 1}"
+                   for b in range(_N_BANDS)
+               )}][bd.band_id + 1] AS band_key
+        FROM sig
+        CROSS JOIN (SELECT unnest(range(0, {_N_BANDS})) AS band_id) bd
+    ), sized AS (
+        SELECT band_id, band_key FROM bands GROUP BY band_id, band_key
+        HAVING COUNT(*) BETWEEN 2 AND 256
+    ), pruned AS (
+        SELECT bands.* FROM bands JOIN sized USING (band_id, band_key)
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM pruned a JOIN pruned b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ), nsh AS (
+        SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS c
+        FROM cand c
+        JOIN sh x ON x.doc_id = c.doc_a
+        JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.c * 10000 // na.n AS BIGINT) AS contain_a_in_b_e4,
+           CAST(i.c * 10000 // nb.n AS BIGINT) AS contain_b_in_a_e4
+    FROM inter i
+    JOIN nsh na ON na.doc_id = i.doc_a
+    JOIN nsh nb ON nb.doc_id = i.doc_b
+    WHERE i.c * 2 >= LEAST(na.n, nb.n)
+"""
+
+
+@query("text_containment_pairs", _CONTAINMENT_ORACLE)
+def text_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC shingle containment over the LSH candidate pairs
+    (round 13): C(A→B) = |A∩B|/|A| both ways, kept when the SMALLER
+    document is ≥50% contained in the other — the quote/excerpt/
+    boilerplate-embedding case Jaccard structurally misses (a 50-word
+    doc fully inside a 5000-word doc has Jaccard ≈ 0.01 but
+    containment 1.0). The standard second screen next to dedup_near
+    in a corpus-curation pipeline.
+
+    Exactness: same md5-universal-hash candidates as dedup_near;
+    containments are pure integer floor-divisions (c·10⁴ DIV n); the
+    keep rule c·2 ≥ min(na,nb) is integer arithmetic — no floats
+    anywhere.
+
+    Scale: identical to dedup_near — banded equi-join candidates,
+    broadcast-pair verify over the persisted shingle arrays; the
+    containment direction adds no extra pass. Caveat shared with all
+    LSH screens: recall is Jaccard-driven, so a tiny-in-huge
+    embedding is only caught when a band collides — the deliberate
+    trade documented here (an exhaustive containment join is
+    quadratic; the bounded alternative is a prefix/suffix index)."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
+    fp = _docs_fingerprint(sf_dir)
+    arrs = _cached_persist(
+        _ARR_CACHE, spark, sf_dir, fp, lambda: shingle_arrays(docs)
+    )
+    cands = lsh_candidate_pairs(minhash_signatures_from_arrays(arrs))
+    a = arrs.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("arr").alias("arr_a"),
+        F.col("n").alias("na"),
+    )
+    b = arrs.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("arr").alias("arr_b"),
+        F.col("n").alias("nb"),
+    )
+    c = F.size(F.array_intersect(F.col("arr_a"), F.col("arr_b")))
+    return (
+        a.join(F.broadcast(cands), F.col("a_id") == F.col("doc_a"))
+        .join(b, F.col("b_id") == F.col("doc_b"))
+        .filter(c * 2 >= F.least(F.col("na"), F.col("nb")))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(
+                "CAST(size(array_intersect(arr_a, arr_b)) * 10000"
+                " DIV na AS BIGINT)"
+            ).alias("contain_a_in_b_e4"),
+            F.expr(
+                "CAST(size(array_intersect(arr_a, arr_b)) * 10000"
+                " DIV nb AS BIGINT)"
+            ).alias("contain_b_in_a_e4"),
+        )
+    )
+
+
+_MINHASH_ERR_ORACLE = f"""
+    WITH ws AS (
+        SELECT doc_id, str_split(text, ' ') AS w FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id, concat_ws(' ', w[i], w[i+1], w[i+2]) AS s
+        FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM ws)
+    ), hb AS (
+        SELECT doc_id, s,
+               CAST('0x' || substr(md5(s), 1, 7) AS BIGINT) AS hbase
+        FROM sh
+    ), sig AS (
+        SELECT doc_id,
+               {", ".join(
+                   f"MIN(({a} * hbase + {b}) % {_MINHASH_P}) AS h{i}"
+                   for i, (a, b) in enumerate(_MINHASH_AB)
+               )}
+        FROM hb GROUP BY doc_id
+    ), bands AS (
+        SELECT doc_id, bd.band_id,
+               [{", ".join(
+                   f"h{2 * b} * {_MINHASH_P} + h{2 * b + 1}"
+                   for b in range(_N_BANDS)
+               )}][bd.band_id + 1] AS band_key
+        FROM sig
+        CROSS JOIN (SELECT unnest(range(0, {_N_BANDS})) AS band_id) bd
+    ), sized AS (
+        SELECT band_id, band_key FROM bands GROUP BY band_id, band_key
+        HAVING COUNT(*) BETWEEN 2 AND 256
+    ), pruned AS (
+        SELECT bands.* FROM bands JOIN sized USING (band_id, band_key)
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM pruned a JOIN pruned b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ), nsh AS (
+        SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), matches AS (
+        SELECT c.doc_a, c.doc_b,
+               {" + ".join(
+                   f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END"
+                   for i in range(_N_HASHES)
+               )} AS est_matches
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.doc_a
+        JOIN sig sb ON sb.doc_id = c.doc_b
+    ), inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS c
+        FROM cand c
+        JOIN sh x ON x.doc_id = c.doc_a
+        JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT m.doc_a, m.doc_b,
+           CAST(m.est_matches AS BIGINT) AS est_matches,
+           CAST(m.est_matches * 10000 // {_N_HASHES} AS BIGINT)
+               AS est_jaccard_e4,
+           CAST(COALESCE(i.c, 0) * 10000
+                // (na.n + nb.n - COALESCE(i.c, 0)) AS BIGINT)
+               AS true_jaccard_e4,
+           CAST(m.est_matches * 10000 // {_N_HASHES}
+                - COALESCE(i.c, 0) * 10000
+                  // (na.n + nb.n - COALESCE(i.c, 0)) AS BIGINT)
+               AS err_e4
+    FROM matches m
+    LEFT JOIN inter i ON i.doc_a = m.doc_a AND i.doc_b = m.doc_b
+    JOIN nsh na ON na.doc_id = m.doc_a
+    JOIN nsh nb ON nb.doc_id = m.doc_b
+"""
+
+
+@query("dedup_minhash_estimate_error", _MINHASH_ERR_ORACLE)
+def dedup_minhash_estimate_error(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MinHash estimation-error audit (round 13): for every LSH
+    candidate pair, the signature-estimated Jaccard (matching
+    components / 16) NEXT TO the exact shingle Jaccard and their
+    signed error — the measurement that justifies (or indicts) the
+    16-hash signature size before anyone trusts dedup_near's
+    candidate ranking at a new corpus. The audit row the sketch
+    family's other members (KMV, HLL) already carry.
+
+    Exactness: component matches are integer equality counts on the
+    md5-universal-hash mins; both Jaccards and the error are integer
+    floor-divisions — no floats anywhere.
+
+    Scale: one extra broadcast join of the (bounded) candidate table
+    against the 16-long signature table; the exact-Jaccard side
+    reuses the persisted shingle arrays."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
+    fp = _docs_fingerprint(sf_dir)
+    arrs = _cached_persist(
+        _ARR_CACHE, spark, sf_dir, fp, lambda: shingle_arrays(docs)
+    )
+    sig = minhash_signatures_from_arrays(arrs)
+    cands = lsh_candidate_pairs(sig)
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    est = (
+        F.aggregate(
+            F.zip_with(
+                F.col("sig_a"),
+                F.col("sig_b"),
+                lambda x, y: F.when(x == y, 1).otherwise(0),
+            ),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+    )
+    matches = (
+        F.broadcast(cands).join(sa, "doc_a").join(sb, "doc_b")
+        .select("doc_a", "doc_b", est.alias("est_matches"))
+    )
+    a = arrs.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("arr").alias("arr_a"),
+        F.col("n").alias("na"),
+    )
+    b = arrs.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("arr").alias("arr_b"),
+        F.col("n").alias("nb"),
+    )
+    c = F.size(F.array_intersect(F.col("arr_a"), F.col("arr_b")))
+    truth = (
+        a.join(F.broadcast(cands), F.col("a_id") == F.col("doc_a"))
+        .join(b, F.col("b_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            c.alias("c"),
+            "na",
+            "nb",
+        )
+    )
+    out = matches.join(truth, ["doc_a", "doc_b"])
+    tj = F.expr("CAST(c * 10000 DIV (na + nb - c) AS BIGINT)")
+    ej = F.expr(f"CAST(est_matches * 10000 DIV {_N_HASHES} AS BIGINT)")
+    return out.select(
+        "doc_a",
+        "doc_b",
+        F.col("est_matches").cast("bigint").alias("est_matches"),
+        ej.alias("est_jaccard_e4"),
+        tj.alias("true_jaccard_e4"),
+        (ej - tj).cast("bigint").alias("err_e4"),
+    )

@@ -7517,3 +7517,210 @@ def text_model_gains_table(
             "((n_pos * n) * 1000000) DIV (n_docs * p)"
         ).alias("lift_e6"),
     ).orderBy("decile")
+
+
+# --- Round-13 lexical-richness / readability completion ----------------
+
+
+@query(
+    "text_lexical_richness",
+    """
+    WITH toks AS (
+        SELECT source, unnest(str_split(text, ' ')) AS tok
+        FROM documents
+    ), types AS (
+        SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS m
+        FROM toks WHERE tok != '' GROUP BY 1, 2
+    ), s AS (
+        SELECT source,
+               CAST(SUM(m) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS v_types,
+               CAST(COUNT(*) FILTER (m = 1) AS BIGINT) AS v1,
+               CAST(COUNT(*) FILTER (m = 2) AS BIGINT) AS v2,
+               CAST(SUM(m * m) AS BIGINT) AS sm2
+        FROM types GROUP BY 1
+    )
+    SELECT source, n_tokens, v_types, v1,
+           CAST(FLOOR(10000.0 * (CAST(sm2 AS DOUBLE) - n_tokens)
+                      / (CAST(n_tokens AS DOUBLE) * n_tokens)
+                      * 10000) AS BIGINT) AS yule_k_e4,
+           CAST(v2 * 1000000 // v_types AS BIGINT) AS sichel_s_e6,
+           CAST(FLOOR(CAST(v_types AS DOUBLE)
+                      / sqrt(CAST(n_tokens AS DOUBLE)) * 10000)
+                AS BIGINT) AS guiraud_r_e4,
+           CASE WHEN v1 < v_types THEN
+               CAST(FLOOR(100.0 * ln(CAST(n_tokens AS DOUBLE))
+                          / (1.0 - CAST(v1 AS DOUBLE) / v_types)
+                          * 10000) AS BIGINT)
+           END AS honore_r_e4
+    FROM s ORDER BY source
+    """,
+)
+def text_lexical_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-richness battery per source (round 13): Yule's K
+    (repeat-rate characteristic 10⁴·(Σm²V(m) − N)/N² — length-robust,
+    the classic stylometric constant), Sichel's S (dis-legomena
+    share V₂/V), Guiraud's R (V/√N — the root-TTR that
+    text_type_token_ratio's raw V/N lacks), and Honoré's R
+    (hapax-based 100·lnN/(1−V₁/V)). Together the size-corrected
+    vocabulary profile used for authorship and for spotting
+    template-generated (low-K-variance) sources in a training corpus;
+    complements text_heaps_law (growth curve) and text_ttr_by_length
+    (banded TTR).
+
+    Exactness: the frequency spectrum (m, V(m)) is exact integer
+    counting; Yule's numerator Σm²V(m) − N is an exact bigint;
+    Sichel floor-divides integers; Guiraud/Honoré are one double
+    chain each (Honoré NULL when every type is a hapax — the formula
+    pole). Empty tokens from multi-space runs are dropped on both
+    engines.
+
+    Scale: one explode→(source, token) count (partial-aggregated),
+    then a |sources|-row finish."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    types = toks.groupBy("source", "tok").agg(
+        F.count("*").cast("bigint").alias("m")
+    )
+    s = types.groupBy("source").agg(
+        F.sum("m").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("v_types"),
+        F.count_if(F.col("m") == 1).cast("bigint").alias("v1"),
+        F.count_if(F.col("m") == 2).cast("bigint").alias("v2"),
+        F.sum(F.col("m") * F.col("m")).cast("bigint").alias("sm2"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    yule = (
+        10000.0 * (d("sm2") - F.col("n_tokens"))
+        / (d("n_tokens") * F.col("n_tokens"))
+    )
+    honore = (
+        100.0 * F.log(d("n_tokens"))
+        / (1.0 - d("v1") / F.col("v_types"))
+    )
+    return s.select(
+        "source",
+        "n_tokens",
+        "v_types",
+        "v1",
+        F.floor(yule * 10000).cast("bigint").alias("yule_k_e4"),
+        F.expr("CAST(v2 * 1000000 DIV v_types AS BIGINT)").alias(
+            "sichel_s_e6"
+        ),
+        F.floor(d("v_types") / F.sqrt(d("n_tokens")) * 10000)
+        .cast("bigint")
+        .alias("guiraud_r_e4"),
+        F.when(F.col("v1") < F.col("v_types"), F.floor(honore * 10000))
+        .cast("bigint")
+        .alias("honore_r_e4"),
+    ).orderBy("source")
+
+
+@query(
+    "text_readability_grades",
+    """
+    WITH per_doc AS (
+        SELECT source,
+               CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                    AS BIGINT) AS letters,
+               CAST(len(list_filter(str_split(text, ' '), w -> w != ''))
+                    AS BIGINT) AS words,
+               CAST(len(list_filter(str_split(text, ' '),
+                        w -> length(w) > 6)) AS BIGINT) AS longwords,
+               CAST(GREATEST(length(text)
+                             - length(replace(replace(replace(text,
+                                   '.', ''), '!', ''), '?', '')), 1)
+                    AS BIGINT) AS sentences
+        FROM documents
+    ), s AS (
+        SELECT source,
+               CAST(SUM(letters) AS BIGINT) AS letters,
+               CAST(SUM(words) AS BIGINT) AS words,
+               CAST(SUM(longwords) AS BIGINT) AS longwords,
+               CAST(SUM(sentences) AS BIGINT) AS sentences
+        FROM per_doc GROUP BY 1
+    )
+    SELECT source, words, sentences,
+           CAST(FLOOR((4.71 * CAST(letters AS DOUBLE) / words
+                       + 0.5 * CAST(words AS DOUBLE) / sentences
+                       - 21.43) * 10000) AS BIGINT) AS ari_e4,
+           CAST(FLOOR((0.0588 * (100.0 * CAST(letters AS DOUBLE) / words)
+                       - 0.296 * (100.0 * CAST(sentences AS DOUBLE)
+                                  / words)
+                       - 15.8) * 10000) AS BIGINT) AS coleman_liau_e4,
+           CAST(FLOOR((CAST(words AS DOUBLE) / sentences
+                       + 100.0 * CAST(longwords AS DOUBLE) / words)
+                      * 10000) AS BIGINT) AS lix_e4
+    FROM s ORDER BY source
+    """,
+)
+def text_readability_grades(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Syllable-free readability battery per source (round 13): ARI
+    (4.71·chars/word + 0.5·words/sentence − 21.43), Coleman-Liau
+    (0.0588·L − 0.296·S − 15.8), and Swedish LIX (words/sentence +
+    100·longwords/words) — the three standard grade-level formulas
+    whose inputs are PURE COUNTS (letters, words, long words,
+    sentence marks), so they stay exact where Flesch-Kincaid
+    (text_readability_fk) leans on a syllable heuristic. Per-doc
+    sentence count floors at 1 (this corpus has unpunctuated docs —
+    the formula pole, handled identically both engines).
+
+    Exactness: all counts are exact integers aggregated per source;
+    the three grade formulas are one shared-literal double chain each,
+    floored e4.
+
+    Scale: narrow per-row count extraction → one keyed rollup —
+    corpus touched once."""
+    docs = load(spark, sf_dir, "documents")
+    words_arr = F.filter(F.split("text", " "), lambda w: w != "")
+    per_doc = docs.select(
+        "source",
+        F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+        .cast("bigint")
+        .alias("letters"),
+        F.size(words_arr).cast("bigint").alias("words"),
+        F.size(
+            F.filter(F.split("text", " "), lambda w: F.length(w) > 6)
+        )
+        .cast("bigint")
+        .alias("longwords"),
+        F.greatest(
+            F.length("text")
+            - F.length(
+                F.regexp_replace("text", r"[.!?]", "")
+            ),
+            F.lit(1),
+        )
+        .cast("bigint")
+        .alias("sentences"),
+    )
+    s = per_doc.groupBy("source").agg(
+        F.sum("letters").cast("bigint").alias("letters"),
+        F.sum("words").cast("bigint").alias("words"),
+        F.sum("longwords").cast("bigint").alias("longwords"),
+        F.sum("sentences").cast("bigint").alias("sentences"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    ari = (
+        4.71 * d("letters") / F.col("words")
+        + 0.5 * d("words") / F.col("sentences")
+        - 21.43
+    )
+    cl = (
+        0.0588 * (100.0 * d("letters") / F.col("words"))
+        - 0.296 * (100.0 * d("sentences") / F.col("words"))
+        - 15.8
+    )
+    lix = d("words") / F.col("sentences") + 100.0 * d("longwords") / F.col(
+        "words"
+    )
+    return s.select(
+        "source",
+        "words",
+        "sentences",
+        F.floor(ari * 10000).cast("bigint").alias("ari_e4"),
+        F.floor(cl * 10000).cast("bigint").alias("coleman_liau_e4"),
+        F.floor(lix * 10000).cast("bigint").alias("lix_e4"),
+    ).orderBy("source")
