@@ -2982,3 +2982,63 @@ def graph_triad_census_directed(
             ),
         ).alias("transitive_share_e6"),
     )
+
+
+@query(
+    "graph_square_count",
+    f"""
+    WITH {_DUCK_EDGES}, sym AS (
+        SELECT src AS addr, dst AS nbr FROM edges
+        UNION
+        SELECT dst AS addr, src AS nbr FROM edges
+    ), codeg AS (
+        SELECT a.addr AS u, b.addr AS v, CAST(COUNT(*) AS BIGINT) AS cd
+        FROM sym a JOIN sym b
+          ON a.nbr = b.nbr AND a.addr < b.addr
+        GROUP BY 1, 2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_codeg_pairs,
+           CAST(SUM(cd * (cd - 1) // 2) AS BIGINT) AS diag_pairs,
+           CAST(SUM(cd * (cd - 1) // 2) // 2 AS BIGINT) AS n_squares
+    FROM codeg
+    """,
+)
+def graph_square_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global 4-cycle (C4) count of the address co-occurrence graph
+    (round 13): every unordered node pair (u,v) with c common
+    neighbors contributes C(c,2) candidate squares u–x–v–y, and each
+    C4 owns exactly TWO diagonals — so squares = Σ C(codeg,2)/2. The
+    motif one step up from graph_triangle_count: triangle-free but
+    square-rich regions are the bipartite/butterfly structures
+    (exchange hot wallets fanning to the same user sets) triangle
+    census can't see. PURE integer arithmetic (C(c,2) and the halving
+    are exact — the diagonal-pair total is even by construction).
+
+    Scale: the common-neighbor pair join (the graph_common_neighbors
+    shape, Σdeg² wedge fan-out — the documented hub caveat and its
+    degree-ordered refinement apply unchanged); one keyed count, one
+    fold."""
+    e = cooccurrence_edges(spark)
+    sym = e.select(
+        F.col("src").alias("addr"), F.col("dst").alias("nbr")
+    ).union(e.select(F.col("dst").alias("addr"), F.col("src").alias("nbr")))
+    a = sym.alias("a")
+    b = sym.alias("b")
+    codeg = (
+        a.join(
+            b,
+            (F.col("a.nbr") == F.col("b.nbr"))
+            & (F.col("a.addr") < F.col("b.addr")),
+        )
+        .groupBy(F.col("a.addr").alias("u"), F.col("b.addr").alias("v"))
+        .agg(F.count("*").cast("bigint").alias("cd"))
+    )
+    return codeg.agg(
+        F.count("*").cast("bigint").alias("n_codeg_pairs"),
+        F.sum(F.expr("cd * (cd - 1) DIV 2")).cast("bigint").alias(
+            "diag_pairs"
+        ),
+        F.expr("CAST(SUM(cd * (cd - 1) DIV 2) DIV 2 AS BIGINT)").alias(
+            "n_squares"
+        ),
+    )

@@ -14837,3 +14837,84 @@ def ts_otsu_step_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_nnt_risk",
+    """
+    WITH flags AS (
+        SELECT CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END
+                   AS exposed,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                   AS outcome
+        FROM events
+    ), s AS (
+        SELECT CAST(COUNT(*) FILTER (exposed = 1) AS BIGINT) AS n1,
+               CAST(COUNT(*) FILTER (exposed = 0) AS BIGINT) AS n0,
+               CAST(COUNT(*) FILTER (exposed = 1 AND outcome = 1)
+                    AS BIGINT) AS x1,
+               CAST(COUNT(*) FILTER (exposed = 0 AND outcome = 1)
+                    AS BIGINT) AS x0
+        FROM flags
+    )
+    SELECT n1, n0, x1, x0,
+           CAST(FLOOR((CAST(x1 AS DOUBLE) / n1 - CAST(x0 AS DOUBLE) / n0)
+                      * 1000000) AS BIGINT) AS arr_e6,
+           CAST(FLOOR(CAST(x1 AS DOUBLE) / n1
+                      / (CAST(x0 AS DOUBLE) / n0) * 1000000) AS BIGINT)
+               AS rr_e6,
+           CASE WHEN x1 * n0 <> x0 * n1 THEN
+               CAST(FLOOR(100.0
+                          / (CAST(x1 AS DOUBLE) / n1
+                             - CAST(x0 AS DOUBLE) / n0)) AS BIGINT)
+           END AS nnt_e2
+    FROM s
+    """,
+)
+def events_nnt_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Risk difference, relative risk, and NUMBER NEEDED TO TREAT for
+    the weekend-exposure → purchase-outcome 2×2 (round 13): NNT =
+    1/ARR is the decision-facing form of agg_two_proportion_z's
+    z-statistic ("how many weekend sessions per extra purchase") —
+    the same margins, so the two rows referee each other; the CI
+    lives in agg_newcombe_diff_ci.
+
+    Exactness: four filtered counts; ARR/RR/NNT are one floored
+    double chain each; the NNT pole (equal risks — spelled as the
+    exact integer cross-product x1·n0 = x0·n1) emits NULL.
+
+    Scale: one filtered-count fold — the cheapest shape."""
+    ev = load(spark, sf_dir, "events")
+    flags = ev.select(
+        F.when(F.dayofweek("ts").isin(1, 7), 1).otherwise(0).alias("exposed"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("outcome"),
+    )
+    s = flags.agg(
+        F.count_if(F.col("exposed") == 1).cast("bigint").alias("n1"),
+        F.count_if(F.col("exposed") == 0).cast("bigint").alias("n0"),
+        F.count_if((F.col("exposed") == 1) & (F.col("outcome") == 1))
+        .cast("bigint")
+        .alias("x1"),
+        F.count_if((F.col("exposed") == 0) & (F.col("outcome") == 1))
+        .cast("bigint")
+        .alias("x0"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    arr = d("x1") / F.col("n1") - d("x0") / F.col("n0")
+    rr = d("x1") / F.col("n1") / (d("x0") / F.col("n0"))
+    return s.select(
+        "n1",
+        "n0",
+        "x1",
+        "x0",
+        F.floor(arr * 1000000).cast("bigint").alias("arr_e6"),
+        F.floor(rr * 1000000).cast("bigint").alias("rr_e6"),
+        F.when(
+            F.col("x1") * F.col("n0") != F.col("x0") * F.col("n1"),
+            F.floor(100.0 / arr),
+        )
+        .cast("bigint")
+        .alias("nnt_e2"),
+    )
