@@ -4087,3 +4087,271 @@ def ingest_taint_haircut(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("tainted_received") > 0)
     )
+
+
+@query(
+    "ingest_sopr",
+    f"""
+    WITH blocks AS (
+        SELECT height,
+               CAST(make_timestamp(timestamp * 1000000) AS DATE)
+                   AS block_date,
+               txs
+        FROM {_DUCK_BLOCKS}
+    ), txr AS (
+        SELECT block_date, unnest(txs) AS tx FROM blocks
+    ), recvs AS (
+        SELECT DISTINCT (o).address[1] AS address, block_date AS recv_day
+        FROM (SELECT block_date, unnest((tx).outputs) AS o FROM txr)
+    ), spends AS (
+        SELECT block_date AS spend_day, (i).address[1] AS address,
+               CAST(SUM((i).value) AS BIGINT) AS sat
+        FROM (SELECT block_date, unnest((tx).inputs) AS i FROM txr)
+        GROUP BY 1, 2
+    ), based AS (
+        SELECT s.spend_day, s.address, s.sat,
+               MAX(r.recv_day) AS acq_day
+        FROM spends s
+        JOIN recvs r
+          ON r.address = s.address AND r.recv_day < s.spend_day
+        GROUP BY 1, 2, 3
+    ), rates AS (
+        SELECT CAST(date AS DATE) AS rate_date, CAST(usd AS DOUBLE) AS usd
+        FROM read_csv('/root/repo/fixtures/rates.csv', header=true)
+    ), priced AS (
+        SELECT b.spend_day, b.sat,
+               CAST(FLOOR(CAST(b.sat AS DOUBLE) / 100000000.0
+                          * rs.usd * 100) AS BIGINT) AS cents_spend,
+               CAST(FLOOR(CAST(b.sat AS DOUBLE) / 100000000.0
+                          * ra.usd * 100) AS BIGINT) AS cents_acq
+        FROM based b
+        JOIN rates rs ON rs.rate_date = b.spend_day
+        JOIN rates ra ON ra.rate_date = b.acq_day
+    )
+    SELECT spend_day,
+           CAST(COUNT(*) AS BIGINT) AS n_spenders,
+           CAST(SUM(sat) AS BIGINT) AS sat_spent,
+           CAST(SUM(cents_spend) AS BIGINT) AS cents_at_spend,
+           CAST(SUM(cents_acq) AS BIGINT) AS cents_at_acq,
+           CASE WHEN SUM(cents_acq) > 0 THEN
+               CAST(FLOOR(CAST(SUM(cents_spend) AS DOUBLE)
+                          / SUM(cents_acq) * 1000000) AS BIGINT)
+           END AS sopr_e6
+    FROM priced GROUP BY spend_day ORDER BY spend_day
+    """,
+)
+def ingest_sopr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOPR — Spent Output Profit Ratio per day (round 13): value of
+    coins spent priced at the SPEND day over the same coins priced at
+    their ACQUISITION day; >1 means the day's movers realized profit
+    — the flow-side profit signal next to ingest_realized_cap's
+    stock-side MVRV. The fixture carries no outpoints, so acquisition
+    is the documented ADDRESS-LEVEL approximation (the spender's last
+    receive day STRICTLY BEFORE the spend; spends with no on-feed
+    prior receive are excluded — no cost basis), the
+    coin_days_destroyed convention.
+
+    Exactness: per-(day, address) sat rollups are exact ints; each
+    leg's cents floor the ONE shared double chain (sat/1e8·usd·100)
+    BEFORE the order-free sums; SOPR is one final division per day.
+
+    Scale: one address-keyed backward-looking join (receive days per
+    address are calendar-bounded), two broadcast daily-rate joins,
+    one day rollup."""
+    raw = normalize_blocks(read_blocks_json(spark))
+    txr = raw.select("block_date", F.explode("txs").alias("tx"))
+    recvs = (
+        txr.select(
+            F.explode("tx.outputs").alias("o"), "block_date"
+        )
+        .select(
+            F.col("o.address")[0].alias("address"),
+            F.col("block_date").alias("recv_day"),
+        )
+        .distinct()
+    )
+    spends = (
+        txr.select(F.explode("tx.inputs").alias("i"), "block_date")
+        .select(
+            F.col("block_date").alias("spend_day"),
+            F.col("i.address")[0].alias("address"),
+            F.col("i.value").alias("v"),
+        )
+        .groupBy("spend_day", "address")
+        .agg(F.sum("v").cast("bigint").alias("sat"))
+    )
+    based = (
+        spends.join(recvs, "address")
+        .filter(F.col("recv_day") < F.col("spend_day"))
+        .groupBy("spend_day", "address", "sat")
+        .agg(F.max("recv_day").alias("acq_day"))
+    )
+    rates = read_rates_csv(spark).select(
+        F.col("date").cast("date").alias("rate_date"),
+        F.col("usd").cast("double").alias("usd"),
+    )
+    rs = rates.select(
+        F.col("rate_date").alias("spend_day"), F.col("usd").alias("usd_s")
+    )
+    ra = rates.select(
+        F.col("rate_date").alias("acq_day"), F.col("usd").alias("usd_a")
+    )
+    cents = lambda usd: F.floor(  # noqa: E731
+        F.col("sat").cast("double") / 100000000.0 * F.col(usd) * 100
+    ).cast("bigint")
+    priced = (
+        based.join(F.broadcast(rs), "spend_day")
+        .join(F.broadcast(ra), "acq_day")
+        .select(
+            "spend_day",
+            "sat",
+            cents("usd_s").alias("cents_spend"),
+            cents("usd_a").alias("cents_acq"),
+        )
+    )
+    return (
+        priced.groupBy("spend_day")
+        .agg(
+            F.count("*").cast("bigint").alias("n_spenders"),
+            F.sum("sat").cast("bigint").alias("sat_spent"),
+            F.sum("cents_spend").cast("bigint").alias("cents_at_spend"),
+            F.sum("cents_acq").cast("bigint").alias("cents_at_acq"),
+            F.when(
+                F.sum("cents_acq") > 0,
+                F.floor(
+                    F.sum("cents_spend").cast("double")
+                    / F.sum("cents_acq")
+                    * 1000000
+                ),
+            )
+            .cast("bigint")
+            .alias("sopr_e6"),
+        )
+        .orderBy("spend_day")
+    )
+
+
+@query(
+    "ingest_nvt_ratio",
+    f"""
+    WITH blocks AS (
+        SELECT height,
+               CAST(make_timestamp(timestamp * 1000000) AS DATE)
+                   AS block_date,
+               txs
+        FROM {_DUCK_BLOCKS}
+    ), txr AS (
+        SELECT block_date, unnest(txs) AS tx FROM blocks
+    ), minted AS (
+        SELECT block_date,
+               CAST(SUM((o).value) AS BIGINT) AS mint_sat
+        FROM (SELECT block_date, unnest((tx).outputs) AS o FROM txr
+              WHERE (tx).coinbase)
+        GROUP BY 1
+    ), moved AS (
+        SELECT block_date,
+               CAST(SUM((i).value) AS BIGINT) AS vol_sat
+        FROM (SELECT block_date, unnest((tx).inputs) AS i FROM txr)
+        GROUP BY 1
+    ), days AS (
+        SELECT COALESCE(m.block_date, v.block_date) AS d,
+               COALESCE(m.mint_sat, 0) AS mint_sat,
+               COALESCE(v.vol_sat, 0) AS vol_sat
+        FROM minted m FULL OUTER JOIN moved v
+          ON v.block_date = m.block_date
+    ), cum AS (
+        SELECT d, vol_sat,
+               CAST(SUM(mint_sat) OVER (ORDER BY d) AS BIGINT)
+                   AS supply_sat
+        FROM days
+    ), rates AS (
+        SELECT CAST(date AS DATE) AS rate_date, CAST(usd AS DOUBLE) AS usd
+        FROM read_csv('/root/repo/fixtures/rates.csv', header=true)
+    )
+    SELECT c.d, c.supply_sat, c.vol_sat,
+           CAST(FLOOR(CAST(c.supply_sat AS DOUBLE) / 100000000.0
+                      * r.usd * 100) AS BIGINT) AS cap_cents,
+           CASE WHEN c.vol_sat > 0 THEN
+               CAST(FLOOR(CAST(FLOOR(CAST(c.supply_sat AS DOUBLE)
+                                     / 100000000.0 * r.usd * 100)
+                               AS DOUBLE)
+                          / CAST(FLOOR(CAST(c.vol_sat AS DOUBLE)
+                                       / 100000000.0 * r.usd * 100)
+                                 AS DOUBLE)
+                          * 10000) AS BIGINT)
+           END AS nvt_e4
+    FROM cum c JOIN rates r ON r.rate_date = c.d
+    ORDER BY c.d
+    """,
+)
+def ingest_nvt_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NVT ratio per day (round 13): network value (cumulative minted
+    supply priced at the day's rate) over on-chain transfer volume
+    (input value moved that day, priced the same) — the on-chain
+    "P/E" cycle metric; completes the valuation suite
+    (realized cap = cost basis stock, SOPR = realized flow, NVT =
+    value per unit of settlement throughput).
+
+    Exactness: minted/moved/supply are exact satoshi bigints (the
+    supply cumsum runs over the calendar-bounded day tape); both cent
+    legs floor the shared sat→cents chain; NVT divides the two
+    FLOORED legs (spelled identically both engines).
+
+    Scale: two per-day rollups + one day-keyed cumsum + a broadcast
+    rate dim."""
+    raw = normalize_blocks(read_blocks_json(spark))
+    txr = raw.select("block_date", F.explode("txs").alias("tx"))
+    minted = (
+        txr.filter(F.col("tx.coinbase"))
+        .select("block_date", F.explode("tx.outputs").alias("o"))
+        .groupBy("block_date")
+        .agg(F.sum("o.value").cast("bigint").alias("mint_sat"))
+    )
+    moved = (
+        txr.select("block_date", F.explode("tx.inputs").alias("i"))
+        .groupBy("block_date")
+        .agg(F.sum("i.value").cast("bigint").alias("vol_sat"))
+    )
+    days = (
+        minted.withColumnRenamed("block_date", "d")
+        .join(
+            moved.withColumnRenamed("block_date", "d"), "d", "full_outer"
+        )
+        .select(
+            "d",
+            F.coalesce(F.col("mint_sat"), F.lit(0)).alias("mint_sat"),
+            F.coalesce(F.col("vol_sat"), F.lit(0)).alias("vol_sat"),
+        )
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cum = days.select(
+        "d",
+        "vol_sat",
+        F.sum("mint_sat").over(w).cast("bigint").alias("supply_sat"),
+    )
+    rates = read_rates_csv(spark).select(
+        F.col("date").cast("date").alias("d"),
+        F.col("usd").cast("double").alias("usd"),
+    )
+    cap = F.floor(
+        F.col("supply_sat").cast("double") / 100000000.0 * F.col("usd") * 100
+    ).cast("bigint")
+    volc = F.floor(
+        F.col("vol_sat").cast("double") / 100000000.0 * F.col("usd") * 100
+    ).cast("bigint")
+    return (
+        cum.join(F.broadcast(rates), "d")
+        .select(
+            "d",
+            "supply_sat",
+            "vol_sat",
+            cap.alias("cap_cents"),
+            F.when(
+                F.col("vol_sat") > 0,
+                F.floor(cap.cast("double") / volc.cast("double") * 10000),
+            )
+            .cast("bigint")
+            .alias("nvt_e4"),
+        )
+        .orderBy("d")
+    )

@@ -13079,3 +13079,117 @@ def agg_welch_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(f_w * 10000).cast("bigint").alias("f_welch_e4"),
         F.floor(df2 * 10000).cast("bigint").alias("df2_e4"),
     )
+
+
+@query(
+    "agg_effect_size_contingency",
+    """
+    WITH obs AS (
+        SELECT event_type, dayofweek(ts) AS dow,
+               CAST(COUNT(*) AS BIGINT) AS o
+        FROM events GROUP BY 1, 2
+    ), m AS (
+        SELECT event_type, dow, o,
+               CAST(SUM(o) OVER (PARTITION BY event_type) AS BIGINT) AS rm,
+               CAST(SUM(o) OVER (PARTITION BY dow) AS BIGINT) AS cm,
+               CAST(SUM(o) OVER () AS BIGINT) AS n
+        FROM obs
+    ), cells AS (
+        SELECT o, rm, cm, n, event_type, dow,
+               CAST(FLOOR(
+                   (CAST(o AS DOUBLE) * n - CAST(rm AS DOUBLE) * cm)
+                   * (CAST(o AS DOUBLE) * n - CAST(rm AS DOUBLE) * cm)
+                   / (CAST(rm AS DOUBLE) * cm * n) * 100000000)
+                   AS BIGINT) AS chi_term_e8
+        FROM m
+    ), s AS (
+        SELECT MAX(n) AS n,
+               CAST(COUNT(DISTINCT event_type) AS BIGINT) AS r,
+               CAST(COUNT(DISTINCT dow) AS BIGINT) AS c,
+               CAST(SUM(chi_term_e8) AS BIGINT) AS chi2_e8
+        FROM cells
+    )
+    SELECT n, r, c,
+           CAST(FLOOR(sqrt(CAST(chi2_e8 AS DOUBLE) / 100000000.0 / n)
+                      * 1000000) AS BIGINT) AS cohen_w_e6,
+           CAST(FLOOR(sqrt(CAST(chi2_e8 AS DOUBLE) / 100000000.0 / n
+                           / (LEAST(r, c) - 1.0)) * 1000000) AS BIGINT)
+               AS cramers_v_e6,
+           CAST(FLOOR(sqrt(
+               GREATEST(CAST(chi2_e8 AS DOUBLE) / 100000000.0 / n
+                        - (r - 1.0) * (c - 1.0) / (n - 1.0), 0.0)
+               / LEAST(r - (r - 1.0) * (r - 1.0) / (n - 1.0),
+                       c - (c - 1.0) * (c - 1.0) / (n - 1.0))
+               ) * 1000000) AS BIGINT) AS cramers_v_corrected_e6
+    FROM s
+    """,
+)
+def agg_effect_size_contingency(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Contingency effect sizes for the same (event_type × weekday)
+    table as agg_chi_square (round 13): Cohen's w = √(χ²/n) (the
+    power-analysis input), Cramér's V = w/√(min(r,c)−1), and the
+    BERGSMA bias-corrected V' (φ² debited by its (r−1)(c−1)/(n−1)
+    null expectation, dimensions shrunk likewise) — raw V is inflated
+    at small n / large tables, and V' is what honest reporting uses;
+    the χ² row says "significant", these rows say "how big". V here
+    referees agg_cramers_v on a different table shape.
+
+    Exactness: per-cell χ² terms floor e8 before the order-free sum
+    (the agg_chi_square convention, same margins CTE); the three
+    effect sizes are one shared double chain each (GREATEST-gated at
+    the φ² correction floor).
+
+    Scale: one keyed cell rollup + margin windows over the bounded
+    (types × weekdays) grid."""
+    ev = load(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "event_type", F.dayofweek("ts").alias("dow")
+    ).agg(F.count("*").cast("bigint").alias("o"))
+    w_r = Window.partitionBy("event_type")
+    w_c = Window.partitionBy("dow")
+    w_all = Window.partitionBy()
+    m = obs.select(
+        "event_type",
+        "dow",
+        "o",
+        F.sum("o").over(w_r).cast("bigint").alias("rm"),
+        F.sum("o").over(w_c).cast("bigint").alias("cm"),
+        F.sum("o").over(w_all).cast("bigint").alias("n"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    dev = d("o") * F.col("n") - d("rm") * F.col("cm")
+    cells = m.select(
+        "event_type",
+        "dow",
+        "n",
+        F.floor(dev * dev / (d("rm") * F.col("cm") * F.col("n")) * 100000000)
+        .cast("bigint")
+        .alias("chi_term_e8"),
+    )
+    s = cells.agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.countDistinct("event_type").cast("bigint").alias("r"),
+        F.countDistinct("dow").cast("bigint").alias("c"),
+        F.sum("chi_term_e8").cast("bigint").alias("chi2_e8"),
+    )
+    phi2 = F.col("chi2_e8").cast("double") / 100000000.0 / F.col("n")
+    r, c, n = F.col("r"), F.col("c"), F.col("n")
+    phi2c = F.greatest(
+        phi2 - (r - 1.0) * (c - 1.0) / (n - 1.0), F.lit(0.0)
+    )
+    rshrunk = r - (r - 1.0) * (r - 1.0) / (n - 1.0)
+    cshrunk = c - (c - 1.0) * (c - 1.0) / (n - 1.0)
+    return s.select(
+        "n",
+        "r",
+        "c",
+        F.floor(F.sqrt(phi2) * 1000000).cast("bigint").alias("cohen_w_e6"),
+        F.floor(F.sqrt(phi2 / (F.least(r, c) - 1.0)) * 1000000)
+        .cast("bigint")
+        .alias("cramers_v_e6"),
+        F.floor(F.sqrt(phi2c / F.least(rshrunk, cshrunk)) * 1000000)
+        .cast("bigint")
+        .alias("cramers_v_corrected_e6"),
+    )

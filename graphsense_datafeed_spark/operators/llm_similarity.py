@@ -4352,3 +4352,114 @@ def embed_covariance_anisotropy(
         "top_j",
         "top_corr_e6",
     )
+
+
+@query(
+    "embed_triplet_margin",
+    f"""
+    WITH scored AS (
+        SELECT q.vec_id AS query_id, q.label AS q_label,
+               c.vec_id AS neighbor_id, c.label AS c_label,
+               {_DUCK_DOT.format(a="q.embedding", b="c.embedding")} AS dot
+        FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+        WHERE q.vec_id < 30
+    ), ranked AS (
+        SELECT query_id, q_label, neighbor_id, dot,
+               CASE WHEN q_label = c_label THEN 1 ELSE 0 END AS same,
+               row_number() OVER (
+                   PARTITION BY query_id,
+                                CASE WHEN q_label = c_label
+                                     THEN 1 ELSE 0 END
+                   ORDER BY dot DESC, neighbor_id ASC) AS rk
+        FROM scored
+    ), pos AS (
+        SELECT query_id, q_label, neighbor_id AS pos_id,
+               CAST(FLOOR(dot * 10000) AS BIGINT) AS pos_cos_e4
+        FROM ranked WHERE same = 1 AND rk = 1
+    ), neg AS (
+        SELECT query_id, neighbor_id AS neg_id,
+               CAST(FLOOR(dot * 10000) AS BIGINT) AS neg_cos_e4
+        FROM ranked WHERE same = 0 AND rk = 1
+    )
+    SELECT p.query_id, p.q_label AS label, p.pos_id, n.neg_id,
+           p.pos_cos_e4, n.neg_cos_e4,
+           CAST(p.pos_cos_e4 - n.neg_cos_e4 AS BIGINT) AS margin_e4,
+           CASE WHEN p.pos_cos_e4 > n.neg_cos_e4 THEN 1 ELSE 0 END
+               AS satisfied
+    FROM pos p JOIN neg n USING (query_id)
+    ORDER BY p.query_id
+    """,
+)
+def embed_triplet_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triplet-margin audit over the labeled embedding corpus (round
+    13): for each anchor, the hardest same-label positive (nearest by
+    cosine) against the hardest other-label negative — margin =
+    cos(a,p) − cos(a,n), the quantity a metric-learning loss
+    (triplet/InfoNCE) drives positive. The per-anchor diagnostic
+    behind embed_knn_loo_accuracy's aggregate: WHICH anchors violate
+    (satisfied = 0) and by how much — the audit run before trusting
+    labels as supervision or mining hard negatives for training.
+
+    Exactness: dots are the shared _DUCK_DOT left fold; both picks
+    are rank-1 windows tie-pinned (dot DESC, neighbor_id ASC); legs
+    floor e4 BEFORE the integer margin/flag.
+
+    Scale: the bounded-query × corpus scan of sim_topk_exact (the
+    documented re-rank shape — at 100 TB anchors come from the ANN
+    candidate index, same plan downstream); two keyed rank-1 windows,
+    one join."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 30).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("c_label"),
+        F.col("embedding").alias("c_emb"),
+    )
+    scored = q.join(c, F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id",
+        "q_label",
+        "neighbor_id",
+        F.when(F.col("q_label") == F.col("c_label"), 1)
+        .otherwise(0)
+        .alias("same"),
+        dot_product(F.col("q_emb"), F.col("c_emb")).alias("dot"),
+    )
+    w = Window.partitionBy("query_id", "same").orderBy(
+        F.col("dot").desc(), F.col("neighbor_id").asc()
+    )
+    ranked = scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") == 1
+    )
+    pos = ranked.filter(F.col("same") == 1).select(
+        "query_id",
+        F.col("q_label").alias("label"),
+        F.col("neighbor_id").alias("pos_id"),
+        F.floor(F.col("dot") * 10000).cast("bigint").alias("pos_cos_e4"),
+    )
+    neg = ranked.filter(F.col("same") == 0).select(
+        "query_id",
+        F.col("neighbor_id").alias("neg_id"),
+        F.floor(F.col("dot") * 10000).cast("bigint").alias("neg_cos_e4"),
+    )
+    return (
+        pos.join(neg, "query_id")
+        .select(
+            "query_id",
+            "label",
+            "pos_id",
+            "neg_id",
+            "pos_cos_e4",
+            "neg_cos_e4",
+            (F.col("pos_cos_e4") - F.col("neg_cos_e4"))
+            .cast("bigint")
+            .alias("margin_e4"),
+            F.when(F.col("pos_cos_e4") > F.col("neg_cos_e4"), 1)
+            .otherwise(0)
+            .alias("satisfied"),
+        )
+        .orderBy("query_id")
+    )
