@@ -13193,3 +13193,285 @@ def agg_effect_size_contingency(
         .cast("bigint")
         .alias("cramers_v_corrected_e6"),
     )
+
+
+# Shared (event_type × weekday) p-value family — the agg_benjamini_
+# hochberg construction factored for the round-13 multiple-testing
+# siblings (Holm step-down, Benjamini-Yekutieli): z floors e4 first,
+# p = two-sided normal via the Abramowitz-Stegun 7.1.26 polynomial
+# with literal coefficients, floored e6 (identical text in the BH
+# oracle — the comparison inputs stay exact integers).
+_DOW_P_CTES = """base AS (
+        SELECT event_type, dayofweek(ts) AS dow,
+               CAST(FLOOR(value * 10000) AS BIGINT) AS v_e4
+        FROM events
+    ), cell AS (
+        SELECT event_type, dow,
+               CAST(COUNT(*) AS BIGINT) AS n_cell,
+               CAST(SUM(v_e4) AS BIGINT) AS s_cell
+        FROM base GROUP BY event_type, dow
+    ), typ AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_t,
+               CAST(SUM(v_e4) AS BIGINT) AS s_t,
+               CAST(SUM(v_e4 * v_e4) AS BIGINT) AS ss_t
+        FROM base GROUP BY event_type
+    ), z AS (
+        SELECT c.event_type, CAST(c.dow AS BIGINT) AS dow, c.n_cell,
+               CAST(FLOOR(
+                   (CAST(c.s_cell AS DOUBLE) / c.n_cell
+                    - CAST(t.s_t AS DOUBLE) / t.n_t)
+                   / sqrt(((CAST(t.ss_t AS DOUBLE)
+                            - CAST(t.s_t AS DOUBLE)
+                              * CAST(t.s_t AS DOUBLE) / t.n_t)
+                           / (t.n_t - 1.0)) / c.n_cell)
+                   * 10000) AS BIGINT) AS z_e4
+        FROM cell c JOIN typ t USING (event_type)
+    ), p AS (
+        SELECT event_type, dow, n_cell, z_e4,
+               CAST(FLOOR(
+                   (1.0 / (1.0 + 0.3275911
+                           * (CAST(ABS(z_e4) AS DOUBLE) / 10000.0
+                              / 1.4142135623730951)))
+                   * (0.254829592
+                      + (1.0 / (1.0 + 0.3275911
+                                * (CAST(ABS(z_e4) AS DOUBLE) / 10000.0
+                                   / 1.4142135623730951)))
+                        * (-0.284496736
+                           + (1.0 / (1.0 + 0.3275911
+                                     * (CAST(ABS(z_e4) AS DOUBLE) / 10000.0
+                                        / 1.4142135623730951)))
+                             * (1.421413741
+                                + (1.0 / (1.0 + 0.3275911
+                                          * (CAST(ABS(z_e4) AS DOUBLE)
+                                             / 10000.0
+                                             / 1.4142135623730951)))
+                                  * (-1.453152027
+                                     + (1.0 / (1.0 + 0.3275911
+                                               * (CAST(ABS(z_e4) AS DOUBLE)
+                                                  / 10000.0
+                                                  / 1.4142135623730951)))
+                                       * 1.061405429))))
+                   * exp(-(CAST(ABS(z_e4) AS DOUBLE) / 10000.0
+                           / 1.4142135623730951)
+                         * (CAST(ABS(z_e4) AS DOUBLE) / 10000.0
+                            / 1.4142135623730951))
+                   * 1000000) AS BIGINT) AS p_e6
+        FROM z
+    )"""
+
+
+def _dow_family_pvalues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, dow, n_cell, z_e4, p_e6) — the 35-test weekday
+    shift family, identical to agg_benjamini_hochberg's construction
+    (same floors, same A-S polynomial literals)."""
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        (F.dayofweek("ts") - 1).cast("bigint").alias("dow"),
+        F.floor(F.col("value") * 10000).cast("bigint").alias("v_e4"),
+    )
+    cell = base.groupBy("event_type", "dow").agg(
+        F.count("*").cast("bigint").alias("n_cell"),
+        F.sum("v_e4").cast("bigint").alias("s_cell"),
+    )
+    typ = base.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_t"),
+        F.sum("v_e4").cast("bigint").alias("s_t"),
+        F.sum(F.col("v_e4") * F.col("v_e4")).cast("bigint").alias("ss_t"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    var_t = (d("ss_t") - d("s_t") * d("s_t") / d("n_t")) / (d("n_t") - 1.0)
+    z = cell.join(F.broadcast(typ), "event_type").select(
+        "event_type",
+        "dow",
+        "n_cell",
+        F.floor(
+            (d("s_cell") / F.col("n_cell") - d("s_t") / F.col("n_t"))
+            / F.sqrt(var_t / F.col("n_cell"))
+            * 10000
+        )
+        .cast("bigint")
+        .alias("z_e4"),
+    )
+    x = F.abs(F.col("z_e4")).cast("double") / 10000.0 / F.lit(
+        1.4142135623730951
+    )
+    t = 1.0 / (1.0 + F.lit(0.3275911) * x)
+    horner = t * (
+        0.254829592
+        + t
+        * (
+            -0.284496736
+            + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429))
+        )
+    )
+    return z.withColumn(
+        "p_e6",
+        F.floor(horner * F.exp(-x * x) * 1000000).cast("bigint"),
+    )
+
+
+@query(
+    "agg_holm_bonferroni",
+    f"""
+    WITH {_DOW_P_CTES}, ranked AS (
+        SELECT *,
+               CAST(ROW_NUMBER() OVER (ORDER BY p_e6, event_type, dow)
+                    AS BIGINT) AS rnk,
+               CAST(COUNT(*) OVER () AS BIGINT) AS m
+        FROM p
+    ), crit AS (
+        SELECT *,
+               CAST(FLOOR(0.05 / (m - rnk + 1) * 1000000) AS BIGINT)
+                   AS thr_e6,
+               MIN(CASE WHEN p_e6 <= CAST(FLOOR(0.05 / (m - rnk + 1)
+                                                * 1000000) AS BIGINT)
+                        THEN 1 ELSE 0 END)
+                   OVER (ORDER BY rnk
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS all_pass
+        FROM ranked
+    )
+    SELECT event_type, dow, n_cell, z_e4, p_e6, rnk, thr_e6,
+           CAST(all_pass AS BIGINT) AS rejected
+    FROM crit ORDER BY rnk
+    """,
+)
+def agg_holm_bonferroni(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOLM step-down correction over the same 35-test weekday-shift
+    family as agg_benjamini_hochberg (round 13): thresholds
+    α/(m−i+1) tighten as i grows, and rejection stops at the FIRST
+    failure (running-AND down the sorted p's) — uniformly more
+    powerful than Bonferroni while still controlling FWER (the
+    stricter guarantee; BH controls only FDR). The FWER/FDR pair on
+    identical p-values is the textbook comparison, and the two rows
+    referee each other (Holm's rejection set ⊆ BH's).
+
+    Exactness: identical floored z/p construction (same A-S
+    polynomial literals); both comparison sides are exact integers;
+    the step-down is an integer running MIN over the pre-reduced
+    35-row family.
+
+    Scale: the BH posture — two keyed partial aggregates, then
+    rank/cume over 35 rows (window-warn budgeted)."""
+    p = _dow_family_pvalues(spark, sf_dir)
+    w_rank = Window.orderBy("p_e6", "event_type", "dow")
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = (
+        p.withColumn("rnk", F.row_number().over(w_rank).cast("bigint"))
+        .withColumn("m", F.count("*").over(w_all).cast("bigint"))
+        .withColumn(
+            "thr_e6",
+            F.floor(
+                F.lit(0.05) / (F.col("m") - F.col("rnk") + 1) * 1000000
+            ).cast("bigint"),
+        )
+    )
+    w_run = Window.orderBy("rnk").rowsBetween(Window.unboundedPreceding, 0)
+    crit = ranked.withColumn(
+        "all_pass",
+        F.min(
+            F.when(F.col("p_e6") <= F.col("thr_e6"), 1).otherwise(0)
+        ).over(w_run),
+    )
+    return crit.select(
+        "event_type",
+        "dow",
+        "n_cell",
+        "z_e4",
+        "p_e6",
+        "rnk",
+        "thr_e6",
+        F.col("all_pass").cast("bigint").alias("rejected"),
+    ).orderBy("rnk")
+
+
+@query(
+    "agg_benjamini_yekutieli",
+    f"""
+    WITH {_DOW_P_CTES}, ranked AS (
+        SELECT *,
+               CAST(ROW_NUMBER() OVER (ORDER BY p_e6, event_type, dow)
+                    AS BIGINT) AS rnk,
+               CAST(COUNT(*) OVER () AS BIGINT) AS m
+        FROM p
+    ), cm AS (
+        SELECT MAX(m) AS m,
+               list_reduce(list_transform(range(1, MAX(m) + 1),
+                   j -> 1.0 / j), (a, b) -> a + b) AS c_m
+        FROM ranked
+    ), crit AS (
+        SELECT r.*,
+               CAST(FLOOR(0.05 * r.rnk / (r.m * c.c_m) * 1000000)
+                    AS BIGINT) AS thr_e6
+        FROM ranked r, cm c
+    ), kmax AS (
+        SELECT COALESCE(MAX(CASE WHEN p_e6 <= thr_e6 THEN rnk END),
+                        CAST(0 AS BIGINT)) AS k
+        FROM crit
+    )
+    SELECT c.event_type, c.dow, c.n_cell, c.z_e4, c.p_e6, c.rnk,
+           c.thr_e6,
+           CAST(CASE WHEN c.rnk <= k.k THEN 1 ELSE 0 END AS BIGINT)
+               AS rejected
+    FROM crit c CROSS JOIN kmax k
+    ORDER BY c.rnk
+    """,
+)
+def agg_benjamini_yekutieli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENJAMINI-YEKUTIELI FDR step-up (round 13): BH's thresholds
+    divided by the harmonic sum c(m) = Σ1/j — the FDR correction that
+    stays valid under ARBITRARY dependence between the tests (BH
+    assumes independence/PRDS; these 35 weekday cells share their
+    per-type margins, exactly the dependence BY insures against).
+    Completes the multiple-testing ladder: Bonferroni → Holm → BY →
+    BH, all on identical p-values.
+
+    Exactness: same floored z/p family; c(m) is an ORDERED left fold
+    over j = 1..m (F.aggregate ≡ list_reduce, the ts_macd rule) so
+    both engines hold the identical double; thresholds floor e6 and
+    the step-up compares exact integers.
+
+    Scale: the BH posture — pre-reduced 35-row family."""
+    p = _dow_family_pvalues(spark, sf_dir)
+    w_rank = Window.orderBy("p_e6", "event_type", "dow")
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = (
+        p.withColumn("rnk", F.row_number().over(w_rank).cast("bigint"))
+        .withColumn("m", F.count("*").over(w_all).cast("bigint"))
+    )
+    c_m = F.aggregate(
+        F.sequence(F.lit(1), F.col("m")),
+        F.lit(0.0),
+        lambda a, j: a + 1.0 / j,
+    )
+    crit = ranked.withColumn(
+        "thr_e6",
+        F.floor(
+            F.lit(0.05) * F.col("rnk") / (F.col("m") * c_m) * 1000000
+        ).cast("bigint"),
+    )
+    kmax = F.coalesce(
+        F.max(
+            F.when(F.col("p_e6") <= F.col("thr_e6"), F.col("rnk"))
+        ).over(w_all),
+        F.lit(0).cast("bigint"),
+    )
+    return crit.select(
+        "event_type",
+        "dow",
+        "n_cell",
+        "z_e4",
+        "p_e6",
+        "rnk",
+        "thr_e6",
+        F.when(F.col("rnk") <= kmax, 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("rejected"),
+    ).orderBy("rnk")
