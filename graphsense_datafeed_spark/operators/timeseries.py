@@ -15157,3 +15157,207 @@ def ts_force_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "d")
     )
+
+
+# DFA scale set + shared ln literals (the GK/mean-reversion rule: both
+# engines hold the identical IEEE doubles for ln of the CONSTANT
+# scales; repr round-trip).
+_DFA_SCALES = (5, 10, 15)
+_DFA_LN = {5: "1.6094379124341003", 10: "2.302585092994046",
+           15: "2.70805020110221"}
+
+
+@query(
+    "ts_dfa_alpha",
+    f"""
+    WITH ohlc AS ({_DAILY_OHLC_SQL}
+    ), tot AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(c1) AS BIGINT) AS s
+        FROM ohlc GROUP BY 1
+    ), prof AS (
+        SELECT o.event_type, t.n,
+               row_number() OVER (PARTITION BY o.event_type ORDER BY o.d)
+                   AS rn,
+               t.n * (SUM(o.c1) OVER (PARTITION BY o.event_type
+                                      ORDER BY o.d
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND CURRENT ROW))
+               - (row_number() OVER (PARTITION BY o.event_type
+                                     ORDER BY o.d)) * t.s AS y
+        FROM ohlc o JOIN tot t USING (event_type)
+    ), blocks AS (
+        SELECT p.event_type, sc.s,
+               (p.rn - 1) // sc.s AS blk,
+               p.rn - ((p.rn - 1) // sc.s) * sc.s AS i,
+               p.y
+        FROM prof p
+        CROSS JOIN (SELECT unnest([5, 10, 15]) AS s) sc
+        WHERE p.rn <= sc.s * (p.n // sc.s)
+    ), fit AS (
+        SELECT event_type, s, blk,
+               CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               SUM(CAST(y AS HUGEINT) * y) AS syy,
+               SUM(CAST(i AS HUGEINT) * y) AS siy
+        FROM blocks GROUP BY 1, 2, 3
+    ), rss AS (
+        SELECT event_type, s,
+               CAST(FLOOR(
+                   (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / s)
+                   - (CAST(siy AS DOUBLE)
+                      - (s + 1.0) / 2.0 * CAST(sy AS DOUBLE))
+                     * (CAST(siy AS DOUBLE)
+                        - (s + 1.0) / 2.0 * CAST(sy AS DOUBLE))
+                     / (s * (CAST(s AS DOUBLE) * s - 1.0) / 12.0))
+                   AS BIGINT) AS rss_f
+        FROM fit
+    ), fs AS (
+        SELECT event_type, s,
+               CAST(COUNT(*) AS BIGINT) AS n_blocks,
+               CAST(SUM(rss_f) AS BIGINT) AS srss
+        FROM rss GROUP BY 1, 2
+    ), piv AS (
+        SELECT event_type,
+               MAX(CASE WHEN s = 5 THEN
+                   0.5 * ln(CAST(srss AS DOUBLE) / (n_blocks * 5)) END)
+                   AS lf5,
+               MAX(CASE WHEN s = 10 THEN
+                   0.5 * ln(CAST(srss AS DOUBLE) / (n_blocks * 10)) END)
+                   AS lf10,
+               MAX(CASE WHEN s = 15 THEN
+                   0.5 * ln(CAST(srss AS DOUBLE) / (n_blocks * 15)) END)
+                   AS lf15
+        FROM fs GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(FLOOR(lf5 * 10000) AS BIGINT) AS ln_f5_e4,
+           CAST(FLOOR(lf10 * 10000) AS BIGINT) AS ln_f10_e4,
+           CAST(FLOOR(lf15 * 10000) AS BIGINT) AS ln_f15_e4,
+           CAST(FLOOR(
+               (({_DFA_LN[5]} - ({_DFA_LN[5]} + {_DFA_LN[10]}
+                                 + {_DFA_LN[15]}) / 3.0) * lf5
+                + ({_DFA_LN[10]} - ({_DFA_LN[5]} + {_DFA_LN[10]}
+                                    + {_DFA_LN[15]}) / 3.0) * lf10
+                + ({_DFA_LN[15]} - ({_DFA_LN[5]} + {_DFA_LN[10]}
+                                    + {_DFA_LN[15]}) / 3.0) * lf15)
+               / (({_DFA_LN[5]} - ({_DFA_LN[5]} + {_DFA_LN[10]}
+                                   + {_DFA_LN[15]}) / 3.0)
+                  * ({_DFA_LN[5]} - ({_DFA_LN[5]} + {_DFA_LN[10]}
+                                     + {_DFA_LN[15]}) / 3.0)
+                  + ({_DFA_LN[10]} - ({_DFA_LN[5]} + {_DFA_LN[10]}
+                                      + {_DFA_LN[15]}) / 3.0)
+                    * ({_DFA_LN[10]} - ({_DFA_LN[5]} + {_DFA_LN[10]}
+                                        + {_DFA_LN[15]}) / 3.0)
+                  + ({_DFA_LN[15]} - ({_DFA_LN[5]} + {_DFA_LN[10]}
+                                      + {_DFA_LN[15]}) / 3.0)
+                    * ({_DFA_LN[15]} - ({_DFA_LN[5]} + {_DFA_LN[10]}
+                                        + {_DFA_LN[15]}) / 3.0))
+               * 10000) AS BIGINT) AS dfa_alpha_e4
+    FROM piv ORDER BY event_type
+    """,
+)
+def ts_dfa_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detrended fluctuation analysis per series (round 13): the DFA
+    scaling exponent α from RMS fluctuations of the mean-centered
+    PROFILE around per-block linear fits at scales 5/10/15 — the
+    long-range-dependence reading that, unlike ts_hurst_rs, is robust
+    to nonstationarity in the mean (α ≈ 0.5 uncorrelated, >0.5
+    persistent, ≈1 pink noise).
+
+    Exactness: the profile never divides — y_t = n·cumsum − t·S is an
+    exact scaled integer (DIV-means rule); per-block OLS residual
+    sums use exact HUGEINT Σy²/Σiy with the literal Sxx =
+    s(s²−1)/12; each block's RSS floors BEFORE the order-free
+    per-scale sum; ln-F values and the 3-point log-log slope use
+    SHARED ln-scale literals (the mean-reversion rule) in one double
+    chain.
+
+    Scale: the corpus-scale work is the daily rollup; profile,
+    blocking (3× fan-out) and fits are calendar-bounded keyed
+    windows/rollups."""
+    ohlc = _daily_ohlc(spark, sf_dir)
+    tot = ohlc.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("c1").cast("bigint").alias("s_tot"),
+    )
+    w_rn = Window.partitionBy("event_type").orderBy("d")
+    w_cum = w_rn.rowsBetween(Window.unboundedPreceding, 0)
+    prof = (
+        ohlc.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            "n",
+            F.row_number().over(w_rn).alias("rn"),
+            (
+                F.col("n") * F.sum("c1").over(w_cum)
+                - F.row_number().over(w_rn) * F.col("s_tot")
+            ).alias("y"),
+        )
+    )
+    scales = spark.range(1).select(
+        F.explode(F.array(*[F.lit(s) for s in _DFA_SCALES])).alias("s")
+    )
+    blocks = (
+        prof.crossJoin(F.broadcast(scales))
+        .filter(F.col("rn") <= F.col("s") * F.expr("n DIV s"))
+        .select(
+            "event_type",
+            "s",
+            F.expr("(rn - 1) DIV s").alias("blk"),
+            F.expr("rn - ((rn - 1) DIV s) * s").alias("i"),
+            "y",
+        )
+    )
+    d38 = "decimal(38,0)"
+    fit = blocks.groupBy("event_type", "s", "blk").agg(
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("y").cast(d38) * F.col("y")).alias("syy"),
+        F.sum(F.col("i").cast(d38) * F.col("y")).alias("siy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    sxy_c = d("siy") - (F.col("s") + 1.0) / 2.0 * d("sy")
+    sxx = F.col("s") * (d("s") * F.col("s") - 1.0) / 12.0
+    rss = fit.select(
+        "event_type",
+        "s",
+        F.floor(
+            (d("syy") - d("sy") * F.col("sy") / F.col("s"))
+            - sxy_c * sxy_c / sxx
+        )
+        .cast("bigint")
+        .alias("rss_f"),
+    )
+    fs = rss.groupBy("event_type", "s").agg(
+        F.count("*").cast("bigint").alias("n_blocks"),
+        F.sum("rss_f").cast("bigint").alias("srss"),
+    )
+    lf = lambda s: F.max(  # noqa: E731
+        F.when(
+            F.col("s") == s,
+            0.5
+            * F.log(
+                F.col("srss").cast("double") / (F.col("n_blocks") * s)
+            ),
+        )
+    )
+    piv = fs.groupBy("event_type").agg(
+        lf(5).alias("lf5"), lf(10).alias("lf10"), lf(15).alias("lf15")
+    )
+    L = {s: float(_DFA_LN[s]) for s in _DFA_SCALES}
+    lbar = (L[5] + L[10] + L[15]) / 3.0
+    num = (
+        F.lit(L[5] - lbar) * F.col("lf5")
+        + F.lit(L[10] - lbar) * F.col("lf10")
+        + F.lit(L[15] - lbar) * F.col("lf15")
+    )
+    den = sum((L[s] - lbar) ** 2 for s in _DFA_SCALES)
+    return piv.select(
+        "event_type",
+        F.floor(F.col("lf5") * 10000).cast("bigint").alias("ln_f5_e4"),
+        F.floor(F.col("lf10") * 10000).cast("bigint").alias("ln_f10_e4"),
+        F.floor(F.col("lf15") * 10000).cast("bigint").alias("ln_f15_e4"),
+        F.floor(num / F.lit(den) * 10000)
+        .cast("bigint")
+        .alias("dfa_alpha_e4"),
+    ).orderBy("event_type")
