@@ -3042,3 +3042,90 @@ def graph_square_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_squares"
         ),
     )
+
+
+@query(
+    "graph_degree_entropy",
+    f"""
+    WITH {_DUCK_EDGES}, sym AS (
+        SELECT src AS addr, dst AS nbr FROM edges
+        UNION
+        SELECT dst AS addr, src AS nbr FROM edges
+    ), deg AS (
+        SELECT addr, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM sym GROUP BY addr
+    ), hist AS (
+        SELECT degree, CAST(COUNT(*) AS BIGINT) AS c
+        FROM deg GROUP BY degree
+    ), tot AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM hist
+    ), terms AS (
+        SELECT h.c, t.n, t.k,
+               CAST(FLOOR(-1.0 * h.c
+                          * ln(CAST(h.c AS DOUBLE) / t.n)
+                          * 1000000000 / t.n) AS BIGINT) AS term_e9
+        FROM hist h, tot t
+    )
+    SELECT MAX(n) AS n_nodes, MAX(k) AS n_degree_levels,
+           CAST(SUM(term_e9) AS BIGINT) AS entropy_e9,
+           CAST(FLOOR(CAST(SUM(term_e9) AS DOUBLE) / 1000000000.0
+                      / ln(CAST(MAX(k) AS DOUBLE)) * 1000000) AS BIGINT)
+               AS normalized_entropy_e6
+    FROM terms
+    """,
+)
+def graph_degree_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the degree distribution (round 13): how
+    heterogeneous the co-occurrence graph's connectivity is in ONE
+    number — low entropy = a few dominant degree classes (regular or
+    star-dominated), high = broad mixing; the information-theoretic
+    companion to graph_degree_gini (dispersion) and
+    graph_degree_centralization (hub dominance), normalized by
+    ln(levels) for cross-SF comparability.
+
+    Exactness: the degree histogram is exact integer counting; each
+    degree class's −p·ln(p) term floors e9 BEFORE the order-free sum
+    (the Atkinson rule: a raw float Σ is partition-order dependent);
+    the normalization is one final double chain.
+
+    Scale: two cascaded partial-aggregating rollups (node → degree →
+    class count) — the graph_degree_hist shape plus a bounded fold."""
+    e = cooccurrence_edges(spark)
+    sym = e.select(
+        F.col("src").alias("addr"), F.col("dst").alias("nbr")
+    ).union(e.select(F.col("dst").alias("addr"), F.col("src").alias("nbr")))
+    deg = sym.groupBy("addr").agg(F.count("*").cast("bigint").alias("degree"))
+    hist = deg.groupBy("degree").agg(F.count("*").cast("bigint").alias("c"))
+    tot = hist.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("k"),
+    )
+    terms = hist.crossJoin(F.broadcast(tot)).select(
+        "c",
+        "n",
+        "k",
+        F.floor(
+            F.lit(-1.0)
+            * F.col("c")
+            * F.log(F.col("c").cast("double") / F.col("n"))
+            * 1000000000
+            / F.col("n")
+        )
+        .cast("bigint")
+        .alias("term_e9"),
+    )
+    return terms.agg(
+        F.max("n").cast("bigint").alias("n_nodes"),
+        F.max("k").cast("bigint").alias("n_degree_levels"),
+        F.sum("term_e9").cast("bigint").alias("entropy_e9"),
+        F.floor(
+            F.sum("term_e9").cast("double")
+            / 1000000000.0
+            / F.log(F.max("k").cast("double"))
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("normalized_entropy_e6"),
+    )

@@ -13475,3 +13475,135 @@ def agg_benjamini_yekutieli(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rejected"),
     ).orderBy("rnk")
+
+
+@query(
+    "agg_james_stein_means",
+    """
+    WITH g AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS nk,
+               CAST(SUM(CAST(FLOOR(value * 10000) AS BIGINT)) AS BIGINT)
+                   AS sk,
+               SUM(CAST(CAST(FLOOR(value * 10000) AS BIGINT) AS HUGEINT)
+                   * CAST(FLOOR(value * 10000) AS BIGINT)) AS qk
+        FROM events GROUP BY 1
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(nk) AS BIGINT) AS n,
+               CAST(SUM(sk) AS BIGINT) AS s,
+               CAST(SUM(CAST(qk AS DECIMAL(38, 0))) AS DECIMAL(38, 0))
+                   AS q
+        FROM g
+    ), dev AS (
+        SELECT g.event_type, g.nk, g.sk, t.k, t.n, t.s, t.q,
+               CAST(g.sk AS DOUBLE) / g.nk - CAST(t.s AS DOUBLE) / t.n
+                   AS dx
+        FROM g, tot t
+    ), ssd AS (
+        SELECT MAX(k) AS k, MAX(n) AS n, MAX(s) AS s, MAX(q) AS q,
+               SUM(CAST(FLOOR(dx * dx * 10000) AS BIGINT)) AS ssd_e4
+        FROM dev
+    )
+    SELECT d.event_type, d.nk,
+           CAST(FLOOR(CAST(d.sk AS DOUBLE) / d.nk * 10000) AS BIGINT)
+               AS raw_mean_e4x4,
+           CAST(FLOOR((CAST(s2.s AS DOUBLE) / s2.n
+                       + GREATEST(1.0 - (s2.k - 3.0)
+                           * ((CAST(s2.q AS DOUBLE)
+                               - CAST(s2.s AS DOUBLE) * s2.s / s2.n)
+                              / (s2.n - 1.0) / s2.n)
+                           / (CAST(s2.ssd_e4 AS DOUBLE) / 10000.0), 0.0)
+                         * d.dx)
+                      * 10000) AS BIGINT) AS js_mean_e4x4
+    FROM dev d, ssd s2
+    ORDER BY d.event_type
+    """,
+)
+def agg_james_stein_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JAMES-STEIN shrinkage of the five event-type means toward the
+    grand mean (round 13): each group mean moves by the positive-part
+    factor (1 − (K−3)·σ̂²/n̄ / Σ(x̄ₖ−x̄)²)₊ — the estimator that
+    DOMINATES raw group means in total squared error for K ≥ 4, and
+    the fixed-effect mean-side companion to agg_shrunk_rates_eb's
+    Beta-Binomial rate shrinkage (dashboards with many small segments
+    want exactly this before ranking segments by mean).
+
+    Exactness: per-group and grand sums are exact (HUGEINT squares);
+    each group's squared deviation floors e4 BEFORE the order-free
+    Σ(x̄ₖ−x̄)² sum (the Welch-ANOVA flooring rule — the floored
+    deviations ARE the definition); the shrinkage chain is one shared
+    double expression per group. Variance uses the pooled grand σ̂²/n̄
+    simplification, documented.
+
+    Scale: one keyed rollup + broadcast 1-row totals — the cheapest
+    two-pass shape."""
+    ev = load(spark, sf_dir, "events")
+    v = F.floor(F.col("value") * 10000).cast("bigint")
+    d38 = "decimal(38,0)"
+    g = ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("nk"),
+        F.sum(v).cast("bigint").alias("sk"),
+        F.sum(v.cast(d38) * v).alias("qk"),
+    )
+    tot = g.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("nk").cast("bigint").alias("n"),
+        F.sum("sk").cast("bigint").alias("s"),
+        F.sum(F.col("qk").cast(d38)).cast(d38).alias("q"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    dev = g.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "nk",
+        "sk",
+        "k",
+        "n",
+        "s",
+        "q",
+        (d("sk") / F.col("nk") - d("s") / F.col("n")).alias("dx"),
+    )
+    ssd = dev.agg(
+        F.max("k").alias("k"),
+        F.max("n").alias("n"),
+        F.max("s").alias("s"),
+        F.max("q").alias("q"),
+        F.sum(
+            F.floor(F.col("dx") * F.col("dx") * 10000).cast("bigint")
+        ).alias("ssd_e4"),
+    )
+    j = dev.crossJoin(
+        F.broadcast(
+            ssd.select(
+                F.col("k").alias("k2"),
+                F.col("n").alias("n2"),
+                F.col("s").alias("s2"),
+                F.col("q").alias("q2"),
+                "ssd_e4",
+            )
+        )
+    )
+    sigma2_over_nbar = (
+        (d("q2") - d("s2") * F.col("s2") / F.col("n2"))
+        / (F.col("n2") - 1.0)
+        / F.col("n2")
+    )
+    shrink = F.greatest(
+        1.0
+        - (F.col("k2") - 3.0)
+        * sigma2_over_nbar
+        / (F.col("ssd_e4").cast("double") / 10000.0),
+        F.lit(0.0),
+    )
+    return j.select(
+        "event_type",
+        "nk",
+        F.floor(d("sk") / F.col("nk") * 10000)
+        .cast("bigint")
+        .alias("raw_mean_e4x4"),
+        F.floor(
+            (d("s2") / F.col("n2") + shrink * F.col("dx")) * 10000
+        )
+        .cast("bigint")
+        .alias("js_mean_e4x4"),
+    ).orderBy("event_type")

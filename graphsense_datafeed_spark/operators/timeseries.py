@@ -15361,3 +15361,92 @@ def ts_dfa_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("dfa_alpha_e4"),
     ).orderBy("event_type")
+
+
+_BETA_W = 10
+
+
+@query(
+    "ts_rolling_beta",
+    f"""
+    WITH ohlc AS ({_DAILY_OHLC_SQL}
+    ), x AS (
+        SELECT d, c1 AS xv FROM ohlc WHERE event_type = 'view'
+    ), y AS (
+        SELECT d, c1 AS yv FROM ohlc WHERE event_type = 'click'
+    ), joined AS (
+        SELECT x.d, x.xv, y.yv,
+               row_number() OVER (ORDER BY x.d) AS rn
+        FROM x JOIN y USING (d)
+    ), sums AS (
+        SELECT d, rn,
+               SUM(xv) OVER w AS sx, SUM(yv) OVER w AS sy,
+               SUM(xv * xv) OVER w AS sxx,
+               SUM(xv * yv) OVER w AS sxy,
+               COUNT(*) OVER w AS m
+        FROM joined
+        WINDOW w AS (ORDER BY rn
+                     ROWS BETWEEN {_BETA_W - 1} PRECEDING
+                              AND CURRENT ROW)
+    )
+    SELECT d,
+           CAST(m AS BIGINT) AS n_obs,
+           CASE WHEN m * sxx - sx * sx > 0 THEN
+               CAST(FLOOR(CAST(m * sxy - sx * sy AS DOUBLE)
+                          / (m * sxx - sx * sx) * 1000000) AS BIGINT)
+           END AS beta_e6
+    FROM sums WHERE rn >= {_BETA_W}
+    ORDER BY d
+    """,
+)
+def ts_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 10-day regression beta of the click series on the view
+    series over aligned daily closes (round 13): β = (mΣxy − ΣxΣy)/
+    (mΣx² − (Σx)²) per trailing window — the time-varying exposure
+    readout (ts_rolling_corr gives direction strength; beta gives the
+    SLOPE a hedge or a capacity model needs).
+
+    Exactness: the two tapes align on the date key; all window sums
+    are exact e4-int products (x·y ≤ e8·e8 = safe); β is ONE floored
+    double division of two exact integers; degenerate windows
+    (zero x-variance) emit NULL.
+
+    Scale: one date-keyed equi-join of two pre-reduced tapes + five
+    same-frame windowed sums — the single-series global window is
+    calendar-bounded (budgeted)."""
+    ohlc = _daily_ohlc(spark, sf_dir)
+    x = ohlc.filter(F.col("event_type") == "view").select(
+        "d", F.col("c1").alias("xv")
+    )
+    y = ohlc.filter(F.col("event_type") == "click").select(
+        F.col("d").alias("d_y"), F.col("c1").alias("yv")
+    )
+    joined = x.join(y, F.col("d") == F.col("d_y")).select("d", "xv", "yv")
+    w_rn = Window.orderBy("d")
+    joined = joined.withColumn("rn", F.row_number().over(w_rn))
+    w = Window.orderBy("rn").rowsBetween(-(_BETA_W - 1), 0)
+    sums = joined.select(
+        "d",
+        "rn",
+        F.sum("xv").over(w).alias("sx"),
+        F.sum("yv").over(w).alias("sy"),
+        F.sum(F.col("xv") * F.col("xv")).over(w).alias("sxx"),
+        F.sum(F.col("xv") * F.col("yv")).over(w).alias("sxy"),
+        F.count("*").over(w).alias("m"),
+    )
+    den = F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return (
+        sums.filter(F.col("rn") >= _BETA_W)
+        .select(
+            "d",
+            F.col("m").cast("bigint").alias("n_obs"),
+            F.when(
+                den > 0,
+                F.floor(num.cast("double") / den * 1000000),
+            )
+            .cast("bigint")
+            .alias("beta_e6"),
+        )
+        .orderBy("d")
+    )
