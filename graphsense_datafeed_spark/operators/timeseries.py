@@ -15450,3 +15450,98 @@ def ts_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+_BINENT_K = 10  # equi-width bins over the per-series value span
+
+
+@query(
+    "ts_entropy_binned",
+    f"""
+    WITH ohlc AS ({_DAILY_OHLC_SQL}
+    ), span AS (
+        SELECT event_type, MIN(c1) AS lo, MAX(c1) AS hi,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM ohlc GROUP BY 1
+    ), binned AS (
+        SELECT o.event_type, s.n,
+               LEAST(CAST((o.c1 - s.lo) * {_BINENT_K}
+                          // (s.hi - s.lo + 1) AS BIGINT),
+                     {_BINENT_K} - 1) AS b
+        FROM ohlc o JOIN span s USING (event_type)
+        WHERE s.hi > s.lo
+    ), hist AS (
+        SELECT event_type, n, b, CAST(COUNT(*) AS BIGINT) AS c
+        FROM binned GROUP BY 1, 2, 3
+    ), terms AS (
+        SELECT event_type, n,
+               CAST(FLOOR(-1.0 * c * ln(CAST(c AS DOUBLE) / n)
+                          * 1000000000 / n) AS BIGINT) AS term_e9
+        FROM hist
+    )
+    SELECT event_type, MAX(n) AS n_days,
+           CAST(COUNT(*) AS BIGINT) AS bins_occupied,
+           CAST(SUM(term_e9) AS BIGINT) AS entropy_e9
+    FROM terms GROUP BY event_type ORDER BY event_type
+    """,
+)
+def ts_entropy_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned value entropy per series (round 13, the tsfresh
+    binned_entropy feature): Shannon entropy of the daily closes over
+    10 equi-width bins spanning each series' own range — the VALUE-
+    domain complexity reading next to ts_spectral_entropy (frequency)
+    and ts_sample_entropy (temporal pattern); near 0 = the tape sits
+    in one level, near ln 10 = levels spread evenly.
+
+    Exactness: bin assignment is pure integer arithmetic
+    ((v−lo)·K DIV (span+1), capped — no float binning); each −p·ln p
+    term floors e9 before the order-free sum (Atkinson rule).
+    Constant series (hi = lo) drop out by definition.
+
+    Scale: keyed min/max rollup + a broadcast span join + keyed
+    histogram — all calendar-bounded."""
+    ohlc = _daily_ohlc(spark, sf_dir)
+    span = ohlc.groupBy("event_type").agg(
+        F.min("c1").alias("lo"),
+        F.max("c1").alias("hi"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    binned = (
+        ohlc.join(F.broadcast(span), "event_type")
+        .filter(F.col("hi") > F.col("lo"))
+        .select(
+            "event_type",
+            "n",
+            F.least(
+                F.expr(
+                    f"(c1 - lo) * {_BINENT_K} DIV (hi - lo + 1)"
+                ),
+                F.lit(_BINENT_K - 1).cast("bigint"),
+            ).alias("b"),
+        )
+    )
+    hist = binned.groupBy("event_type", "n", "b").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    terms = hist.select(
+        "event_type",
+        "n",
+        F.floor(
+            F.lit(-1.0)
+            * F.col("c")
+            * F.log(F.col("c").cast("double") / F.col("n"))
+            * 1000000000
+            / F.col("n")
+        )
+        .cast("bigint")
+        .alias("term_e9"),
+    )
+    return (
+        terms.groupBy("event_type")
+        .agg(
+            F.max("n").cast("bigint").alias("n_days"),
+            F.count("*").cast("bigint").alias("bins_occupied"),
+            F.sum("term_e9").cast("bigint").alias("entropy_e9"),
+        )
+        .orderBy("event_type")
+    )
