@@ -13686,3 +13686,79 @@ def agg_gini_mean_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("relative_gmd_e6"),
     )
+
+
+@query(
+    "agg_bland_altman",
+    """
+    WITH diffs AS (
+        SELECT CAST(n_chars - length(text) AS BIGINT) AS diff
+        FROM documents
+    ), s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(diff) AS BIGINT) AS s1,
+               SUM(CAST(diff AS HUGEINT) * diff) AS s2,
+               CAST(COUNT(*) FILTER (diff = 0) AS BIGINT) AS n_equal
+        FROM diffs
+    )
+    SELECT n, n_equal,
+           CAST(FLOOR(CAST(s1 AS DOUBLE) / n * 10000) AS BIGINT)
+               AS bias_e4,
+           CAST(FLOOR(sqrt((CAST(s2 AS DOUBLE)
+                            - CAST(s1 AS DOUBLE) * s1 / n)
+                           / (n - 1.0)) * 10000) AS BIGINT) AS sd_e4,
+           CAST(FLOOR((CAST(s1 AS DOUBLE) / n
+                       - 1.96 * sqrt((CAST(s2 AS DOUBLE)
+                                      - CAST(s1 AS DOUBLE) * s1 / n)
+                                     / (n - 1.0))) * 10000) AS BIGINT)
+               AS loa_lower_e4,
+           CAST(FLOOR((CAST(s1 AS DOUBLE) / n
+                       + 1.96 * sqrt((CAST(s2 AS DOUBLE)
+                                      - CAST(s1 AS DOUBLE) * s1 / n)
+                                     / (n - 1.0))) * 10000) AS BIGINT)
+               AS loa_upper_e4
+    FROM s
+    """,
+)
+def agg_bland_altman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLAND-ALTMAN agreement between two measurements of the same
+    quantity (round 13): the recorded n_chars column vs the freshly
+    computed text length — bias (mean difference), SD of differences,
+    and the 95% limits of agreement (bias ± 1.96·SD). The method
+    comparison statistic that correlation famously fakes (two
+    measures can correlate 0.99 and still disagree by a constant);
+    here it doubles as a METADATA-INTEGRITY audit: n_equal = n and
+    zero-width limits certify the stored count is the text's truth
+    (the dq_expectation_checks family, with a statistical readout).
+
+    Exactness: differences are exact integers; Σd² in HUGEINT; the
+    bias/SD/LoA chains are one shared double expression each with the
+    1.96 literal.
+
+    Scale: one narrow projection + one fold."""
+    docs = load(spark, sf_dir, "documents")
+    diffs = docs.select(
+        (F.col("n_chars") - F.length("text")).cast("bigint").alias("diff")
+    )
+    d38 = "decimal(38,0)"
+    s = diffs.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("diff").cast("bigint").alias("s1"),
+        F.sum(F.col("diff").cast(d38) * F.col("diff")).alias("s2"),
+        F.count_if(F.col("diff") == 0).cast("bigint").alias("n_equal"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    bias = d("s1") / F.col("n")
+    sd = F.sqrt((d("s2") - d("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1.0))
+    return s.select(
+        "n",
+        "n_equal",
+        F.floor(bias * 10000).cast("bigint").alias("bias_e4"),
+        F.floor(sd * 10000).cast("bigint").alias("sd_e4"),
+        F.floor((bias - 1.96 * sd) * 10000)
+        .cast("bigint")
+        .alias("loa_lower_e4"),
+        F.floor((bias + 1.96 * sd) * 10000)
+        .cast("bigint")
+        .alias("loa_upper_e4"),
+    )

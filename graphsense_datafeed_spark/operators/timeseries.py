@@ -15545,3 +15545,133 @@ def ts_entropy_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_AMI_K = 8  # bins per axis for the (x_t, x_{t+1}) joint histogram
+
+
+@query(
+    "ts_ami_lag1",
+    f"""
+    WITH ohlc AS ({_DAILY_OHLC_SQL}
+    ), span AS (
+        SELECT event_type, MIN(c1) AS lo, MAX(c1) AS hi
+        FROM ohlc GROUP BY 1
+    ), lagged AS (
+        SELECT o.event_type, s.lo, s.hi, o.c1,
+               lead(o.c1) OVER (PARTITION BY o.event_type
+                                ORDER BY o.d) AS nxt
+        FROM ohlc o JOIN span s USING (event_type)
+        WHERE s.hi > s.lo
+    ), pairs AS (
+        SELECT event_type,
+               LEAST(CAST((c1 - lo) * {_AMI_K}
+                          // (hi - lo + 1) AS BIGINT),
+                     {_AMI_K} - 1) AS bx,
+               LEAST(CAST((nxt - lo) * {_AMI_K}
+                          // (hi - lo + 1) AS BIGINT),
+                     {_AMI_K} - 1) AS by
+        FROM lagged WHERE nxt IS NOT NULL
+    ), joint AS (
+        SELECT event_type, bx, by, CAST(COUNT(*) AS BIGINT) AS c
+        FROM pairs GROUP BY 1, 2, 3
+    ), margx AS (
+        SELECT event_type, bx, CAST(SUM(c) AS BIGINT) AS cx
+        FROM joint GROUP BY 1, 2
+    ), margy AS (
+        SELECT event_type, by, CAST(SUM(c) AS BIGINT) AS cy
+        FROM joint GROUP BY 1, 2
+    ), tot AS (
+        SELECT event_type, CAST(SUM(c) AS BIGINT) AS n
+        FROM joint GROUP BY 1
+    ), terms AS (
+        SELECT j.event_type,
+               CAST(FLOOR(j.c * ln(CAST(j.c AS DOUBLE) * t.n
+                                   / (CAST(x.cx AS DOUBLE) * y.cy))
+                          * 1000000000 / t.n) AS BIGINT) AS term_e9
+        FROM joint j
+        JOIN margx x USING (event_type, bx)
+        JOIN margy y USING (event_type, by)
+        JOIN tot t USING (event_type)
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS cells_occupied,
+           CAST(SUM(term_e9) AS BIGINT) AS ami_e9
+    FROM terms GROUP BY event_type ORDER BY event_type
+    """,
+)
+def ts_ami_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average mutual information at lag 1 per series (round 13): MI
+    of the (x_t, x_{t+1}) joint over an 8×8 equi-width binning — the
+    NONLINEAR dependence reading where ts_acf sees only linear
+    correlation (AMI's first minimum is the standard embedding-delay
+    pick in nonlinear dynamics; here lag 1 screens "does tomorrow
+    depend on today at all?").
+
+    Exactness: bin assignment is pure integer arithmetic (the
+    ts_entropy_binned rule); the last-row NULL lead filters out
+    BEFORE any LEAST (DuckDB's LEAST skips NULLs where a binned NULL
+    must stay NULL — caught at design time); each cell's
+    c·ln(c·n/(cx·cy)) term floors e9 BEFORE the order-free sum.
+
+    Scale: keyed span rollup + one lead + three cascaded keyed
+    histograms over the calendar-bounded tape."""
+    ohlc = _daily_ohlc(spark, sf_dir)
+    span = ohlc.groupBy("event_type").agg(
+        F.min("c1").alias("lo"), F.max("c1").alias("hi")
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    binof = lambda col: F.least(  # noqa: E731
+        F.expr(f"({col} - lo) * {_AMI_K} DIV (hi - lo + 1)"),
+        F.lit(_AMI_K - 1).cast("bigint"),
+    )
+    pairs = (
+        ohlc.withColumn("nxt", F.lead("c1").over(w))
+        .join(F.broadcast(span), "event_type")
+        .filter((F.col("hi") > F.col("lo")) & F.col("nxt").isNotNull())
+        .select(
+            "event_type",
+            binof("c1").alias("bx"),
+            binof("nxt").alias("by"),
+        )
+    )
+    joint = pairs.groupBy("event_type", "bx", "by").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    margx = joint.groupBy("event_type", "bx").agg(
+        F.sum("c").cast("bigint").alias("cx")
+    )
+    margy = joint.groupBy("event_type", "by").agg(
+        F.sum("c").cast("bigint").alias("cy")
+    )
+    tot = joint.groupBy("event_type").agg(
+        F.sum("c").cast("bigint").alias("n")
+    )
+    terms = (
+        joint.join(margx, ["event_type", "bx"])
+        .join(margy, ["event_type", "by"])
+        .join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            F.floor(
+                F.col("c")
+                * F.log(
+                    F.col("c").cast("double")
+                    * F.col("n")
+                    / (F.col("cx").cast("double") * F.col("cy"))
+                )
+                * 1000000000
+                / F.col("n")
+            )
+            .cast("bigint")
+            .alias("term_e9"),
+        )
+    )
+    return (
+        terms.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("cells_occupied"),
+            F.sum("term_e9").cast("bigint").alias("ami_e9"),
+        )
+        .orderBy("event_type")
+    )
