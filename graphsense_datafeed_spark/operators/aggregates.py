@@ -13762,3 +13762,79 @@ def agg_bland_altman(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("loa_upper_e4"),
     )
+
+
+@query(
+    "agg_skellam_fit_moments",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d,
+               CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT)
+                   AS n_p,
+               CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT)
+                   AS n_e
+        FROM events GROUP BY 1
+    ), diffs AS (
+        SELECT n_p - n_e AS k FROM daily
+    ), s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(k) AS BIGINT) AS s1,
+               SUM(CAST(k AS HUGEINT) * k) AS s2
+        FROM diffs
+    )
+    SELECT n,
+           CAST(FLOOR(CAST(s1 AS DOUBLE) / n * 10000) AS BIGINT)
+               AS mean_e4,
+           CAST(FLOOR((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
+                      / (n - 1.0) * 10000) AS BIGINT) AS var_e4,
+           CAST(FLOOR(((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
+                       / (n - 1.0) + CAST(s1 AS DOUBLE) / n) / 2.0
+                      * 10000) AS BIGINT) AS mu1_e4,
+           CAST(FLOOR(((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
+                       / (n - 1.0) - CAST(s1 AS DOUBLE) / n) / 2.0
+                      * 10000) AS BIGINT) AS mu2_e4
+    FROM s
+    """,
+)
+def agg_skellam_fit_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKELLAM moment fit to the daily (purchases − errors) count
+    difference (round 13): if both counts are Poisson, their
+    difference is Skellam(μ₁, μ₂) with mean μ₁−μ₂ and variance μ₁+μ₂
+    — so the moment inversion μ₁ = (s²+m)/2, μ₂ = (s²−m)/2 fits both
+    intensities from the DIFFERENCE alone (the model for "net
+    conversions per day" when only the net is observable). A negative
+    μ₂ estimate is itself the diagnostic: the counts are NOT
+    independent Poissons (agg_poisson_dispersion's cross-series
+    sibling).
+
+    Exactness: daily counts and differences are exact ints (HUGEINT
+    squares); the four moment expressions are one shared double chain
+    each, floored e4.
+
+    Scale: one day rollup + one fold."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count_if(F.col("event_type") == "purchase")
+        .cast("bigint")
+        .alias("n_p"),
+        F.count_if(F.col("event_type") == "error")
+        .cast("bigint")
+        .alias("n_e"),
+    )
+    diffs = daily.select((F.col("n_p") - F.col("n_e")).alias("k"))
+    d38 = "decimal(38,0)"
+    s = diffs.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("k").cast("bigint").alias("s1"),
+        F.sum(F.col("k").cast(d38) * F.col("k")).alias("s2"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    mean = d("s1") / F.col("n")
+    var = (d("s2") - d("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1.0)
+    return s.select(
+        "n",
+        F.floor(mean * 10000).cast("bigint").alias("mean_e4"),
+        F.floor(var * 10000).cast("bigint").alias("var_e4"),
+        F.floor((var + mean) / 2.0 * 10000).cast("bigint").alias("mu1_e4"),
+        F.floor((var - mean) / 2.0 * 10000).cast("bigint").alias("mu2_e4"),
+    )

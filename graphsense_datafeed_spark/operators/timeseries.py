@@ -15675,3 +15675,107 @@ def ts_ami_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "ts_min_variance_weights",
+    f"""
+    WITH ohlc AS ({_DAILY_OHLC_SQL}
+    ), x AS (
+        SELECT d,
+               c1 - lag(c1) OVER (ORDER BY d) AS dx
+        FROM ohlc WHERE event_type = 'view'
+    ), y AS (
+        SELECT d,
+               c1 - lag(c1) OVER (ORDER BY d) AS dy
+        FROM ohlc WHERE event_type = 'click'
+    ), joined AS (
+        SELECT x.dx, y.dy FROM x JOIN y USING (d)
+        WHERE x.dx IS NOT NULL AND y.dy IS NOT NULL
+    ), s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(dx) AS BIGINT) AS sx,
+               CAST(SUM(dy) AS BIGINT) AS sy,
+               SUM(CAST(dx AS HUGEINT) * dx) AS sxx,
+               SUM(CAST(dy AS HUGEINT) * dy) AS syy,
+               SUM(CAST(dx AS HUGEINT) * dy) AS sxy
+        FROM joined
+    ), mom AS (
+        SELECT n,
+               (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
+                   / (n - 1.0) AS v1,
+               (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n)
+                   / (n - 1.0) AS v2,
+               (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+                   / (n - 1.0) AS c12
+        FROM s
+    )
+    SELECT n,
+           CAST(FLOOR(v1 * 10000) AS BIGINT) AS var_view_e4,
+           CAST(FLOOR(v2 * 10000) AS BIGINT) AS var_click_e4,
+           CAST(FLOOR(c12 * 10000) AS BIGINT) AS cov_e4,
+           CAST(FLOOR((v2 - c12) / (v1 + v2 - 2.0 * c12) * 1000000)
+                AS BIGINT) AS w_view_e6,
+           CAST(FLOOR((v1 * v2 - c12 * c12) / (v1 + v2 - 2.0 * c12)
+                      * 10000) AS BIGINT) AS portfolio_var_e4
+    FROM mom
+    """,
+)
+def ts_min_variance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-variance two-asset weights over the view/click daily
+    change series (round 13): w* = (σ₂² − σ₁₂)/(σ₁² + σ₂² − 2σ₁₂) —
+    the closed-form Markowitz corner case, plus the achieved
+    portfolio variance (σ₁²σ₂² − σ₁₂²)/(σ₁²+σ₂²−2σ₁₂); the
+    diversification readout on top of ts_rolling_beta's exposure
+    (beta says how they move together, this says how to mix them).
+
+    Exactness: first differences and all cross-products are exact
+    ints (HUGEINT squares/products) on date-aligned tapes; the
+    variance/weight algebra is one shared double chain floored
+    e4/e6.
+
+    Scale: two keyed lags + one date-keyed join + one fold over the
+    calendar-bounded tape (the global lag windows are budgeted
+    pre-reduced shapes)."""
+    ohlc = _daily_ohlc(spark, sf_dir)
+    w = Window.orderBy("d")
+    x = (
+        ohlc.filter(F.col("event_type") == "view")
+        .select("d", (F.col("c1") - F.lag("c1").over(w)).alias("dx"))
+        .filter(F.col("dx").isNotNull())
+    )
+    y = (
+        ohlc.filter(F.col("event_type") == "click")
+        .select(
+            F.col("d").alias("d_y"),
+            (F.col("c1") - F.lag("c1").over(w)).alias("dy"),
+        )
+        .filter(F.col("dy").isNotNull())
+    )
+    joined = x.join(y, F.col("d") == F.col("d_y")).select("dx", "dy")
+    d38 = "decimal(38,0)"
+    s = joined.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("dx").cast("bigint").alias("sx"),
+        F.sum("dy").cast("bigint").alias("sy"),
+        F.sum(F.col("dx").cast(d38) * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy").cast(d38) * F.col("dy")).alias("syy"),
+        F.sum(F.col("dx").cast(d38) * F.col("dy")).alias("sxy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    n = F.col("n")
+    v1 = (d("sxx") - d("sx") * F.col("sx") / n) / (n - 1.0)
+    v2 = (d("syy") - d("sy") * F.col("sy") / n) / (n - 1.0)
+    c12 = (d("sxy") - d("sx") * F.col("sy") / n) / (n - 1.0)
+    return s.select(
+        "n",
+        F.floor(v1 * 10000).cast("bigint").alias("var_view_e4"),
+        F.floor(v2 * 10000).cast("bigint").alias("var_click_e4"),
+        F.floor(c12 * 10000).cast("bigint").alias("cov_e4"),
+        F.floor((v2 - c12) / (v1 + v2 - 2.0 * c12) * 1000000)
+        .cast("bigint")
+        .alias("w_view_e6"),
+        F.floor((v1 * v2 - c12 * c12) / (v1 + v2 - 2.0 * c12) * 10000)
+        .cast("bigint")
+        .alias("portfolio_var_e4"),
+    )
