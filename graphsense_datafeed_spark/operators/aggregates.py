@@ -13645,8 +13645,9 @@ def agg_gini_mean_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
     spend via the rank identity Σ|xᵢ−xⱼ| = 2·Σ(2i−n−1)x₍ᵢ₎ — the
     robust SCALE estimator (62% Gaussian efficiency at σ√(4/π), far
     sturdier than s under heavy tails) that the inequality rows build
-    on: relative GMD = 2·Gini exactly, so this row referees
-    agg_gini_concentration through the identity.
+    on: relative GMD = 2·Gini·n/(n−1) exactly (U-statistic vs
+    n² denominators), so this row referees agg_gini_concentration
+    through the identity.
 
     Exactness: the rank weighting is the gini discipline verbatim —
     tie-pinned ascending rank, (2i−n−1)·cents in HUGEINT/decimal,
