@@ -13839,3 +13839,105 @@ def agg_skellam_fit_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor((var + mean) / 2.0 * 10000).cast("bigint").alias("mu1_e4"),
         F.floor((var - mean) / 2.0 * 10000).cast("bigint").alias("mu2_e4"),
     )
+
+
+@query(
+    "agg_fisher_method",
+    f"""
+    WITH {_DOW_P_CTES}, terms AS (
+        SELECT CAST(FLOOR(-2.0 * ln(GREATEST(CAST(p_e6 AS DOUBLE)
+                                             / 1000000.0, 0.0000005))
+                          * 1000000000) AS BIGINT) AS term_e9
+        FROM p
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS m,
+           CAST(SUM(term_e9) AS BIGINT) AS fisher_chi2_e9,
+           CAST(2 * COUNT(*) AS BIGINT) AS df
+    FROM terms
+    """,
+)
+def agg_fisher_method(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FISHER'S method over the shared 35-test weekday-shift p-value
+    family (round 13): −2Σln pᵢ ~ χ²(2m) under the global null — the
+    classic meta-combination asking "is ANYTHING here non-null?"
+    before the per-test corrections (Holm/BH/BY) ask WHICH. p-values
+    floor at 5e-7 (half the e6 grid — ln 0 is the documented pole of
+    combining floored p's).
+
+    Exactness: the family's p_e6 are already exact integers (the BH
+    construction); each −2·ln p term floors e9 BEFORE the order-free
+    sum (Atkinson rule); df is 2m exactly.
+
+    Scale: the BH posture + one fold."""
+    p = _dow_family_pvalues(spark, sf_dir)
+    terms = p.select(
+        F.floor(
+            -2.0
+            * F.log(
+                F.greatest(
+                    F.col("p_e6").cast("double") / 1000000.0,
+                    F.lit(0.0000005),
+                )
+            )
+            * 1000000000
+        )
+        .cast("bigint")
+        .alias("term_e9")
+    )
+    return terms.agg(
+        F.count("*").cast("bigint").alias("m"),
+        F.sum("term_e9").cast("bigint").alias("fisher_chi2_e9"),
+        (2 * F.count("*")).cast("bigint").alias("df"),
+    )
+
+
+@query(
+    "agg_stouffer_method",
+    f"""
+    WITH {_DOW_P_CTES}
+    SELECT CAST(COUNT(*) AS BIGINT) AS m,
+           CAST(SUM(z_e4) AS BIGINT) AS sum_z_e4,
+           CAST(FLOOR(CAST(SUM(z_e4) AS DOUBLE) / 10000.0
+                      / sqrt(CAST(COUNT(*) AS DOUBLE)) * 10000)
+                AS BIGINT) AS stouffer_z_e4,
+           CAST(FLOOR(CAST(SUM(ABS(z_e4)) AS DOUBLE) / 10000.0
+                      / sqrt(CAST(COUNT(*) AS DOUBLE)) * 10000)
+                AS BIGINT) AS stouffer_abs_z_e4
+    FROM p
+    """,
+)
+def agg_stouffer_method(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STOUFFER'S combined z over the same family (round 13): Σzᵢ/√m
+    ~ N(0,1) under the global null — the DIRECTIONAL combination
+    Fisher's method discards (35 small same-sign shifts combine to a
+    large Stouffer z but a modest Fisher χ²; the pair separates "one
+    big effect" from "many aligned small ones"). The |z| variant is
+    emitted as the magnitude-only companion.
+
+    Exactness: the family's z_e4 are already exact integers, Σz is an
+    exact bigint, and the two normalizations are one floored double
+    chain each.
+
+    Scale: the BH posture + one fold — the cheapest row on the
+    family."""
+    p = _dow_family_pvalues(spark, sf_dir)
+    return p.agg(
+        F.count("*").cast("bigint").alias("m"),
+        F.sum("z_e4").cast("bigint").alias("sum_z_e4"),
+        F.floor(
+            F.sum("z_e4").cast("double")
+            / 10000.0
+            / F.sqrt(F.count("*").cast("double"))
+            * 10000
+        )
+        .cast("bigint")
+        .alias("stouffer_z_e4"),
+        F.floor(
+            F.sum(F.abs(F.col("z_e4"))).cast("double")
+            / 10000.0
+            / F.sqrt(F.count("*").cast("double"))
+            * 10000
+        )
+        .cast("bigint")
+        .alias("stouffer_abs_z_e4"),
+    )

@@ -15779,3 +15779,450 @@ def ts_min_variance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("portfolio_var_e4"),
     )
+
+
+@query(
+    "ts_pivot_points",
+    f"""
+    WITH ohlc AS ({_DAILY_OHLC_SQL}
+    ), prev AS (
+        SELECT event_type, d,
+               lag(h1) OVER (PARTITION BY event_type ORDER BY d) AS ph,
+               lag(l1) OVER (PARTITION BY event_type ORDER BY d) AS pl,
+               lag(c1) OVER (PARTITION BY event_type ORDER BY d) AS pc,
+               c1
+        FROM ohlc
+    )
+    SELECT event_type, d,
+           CAST((ph + pl + pc) // 3 AS BIGINT) AS pivot_e4,
+           CAST(2 * ((ph + pl + pc) // 3) - pl AS BIGINT) AS r1_e4,
+           CAST(2 * ((ph + pl + pc) // 3) - ph AS BIGINT) AS s1_e4,
+           CAST((ph + pl + pc) // 3 + (ph - pl) AS BIGINT) AS r2_e4,
+           CAST((ph + pl + pc) // 3 - (ph - pl) AS BIGINT) AS s2_e4,
+           CASE WHEN c1 > 2 * ((ph + pl + pc) // 3) - pl THEN 1
+                WHEN c1 < 2 * ((ph + pl + pc) // 3) - ph THEN -1
+                ELSE 0 END AS break_flag
+    FROM prev WHERE ph IS NOT NULL
+    ORDER BY event_type, d
+    """,
+)
+def ts_pivot_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic floor-trader pivot points per day (round 13): pivot =
+    (H+L+C)/3 of the PREVIOUS day, R1/S1 = 2P∓(L,H), R2/S2 = P±range,
+    plus a break flag for today's close beyond R1/S1 — the
+    support/resistance lattice intraday desks quote; on this tape it
+    reads as "did today's close escape yesterday's value area". ALL
+    integer: the one /3 floors (// = DIV on positive candle ints) and
+    every derived level is exact arithmetic on that floor.
+
+    Scale: one keyed lag over the calendar-bounded tape."""
+    ohlc = _daily_ohlc(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("d")
+    prev = ohlc.select(
+        "event_type",
+        "d",
+        "c1",
+        F.lag("h1").over(w).alias("ph"),
+        F.lag("l1").over(w).alias("pl"),
+        F.lag("c1").over(w).alias("pc"),
+    ).filter(F.col("ph").isNotNull())
+    piv = F.expr("(ph + pl + pc) DIV 3")
+    return prev.select(
+        "event_type",
+        "d",
+        piv.cast("bigint").alias("pivot_e4"),
+        (2 * piv - F.col("pl")).cast("bigint").alias("r1_e4"),
+        (2 * piv - F.col("ph")).cast("bigint").alias("s1_e4"),
+        (piv + (F.col("ph") - F.col("pl"))).cast("bigint").alias("r2_e4"),
+        (piv - (F.col("ph") - F.col("pl"))).cast("bigint").alias("s2_e4"),
+        F.when(F.col("c1") > 2 * piv - F.col("pl"), F.lit(1))
+        .when(F.col("c1") < 2 * piv - F.col("ph"), F.lit(-1))
+        .otherwise(F.lit(0))
+        .alias("break_flag"),
+    ).orderBy("event_type", "d")
+
+
+_ICHI_CONV = 5   # conversion (tenkan) lookback, scaled to the 30-day tape
+_ICHI_BASE = 15  # base (kijun) lookback
+
+
+@query(
+    "ts_ichimoku_lines",
+    f"""
+    WITH ohlc AS ({_DAILY_OHLC_SQL}
+    ), lines AS (
+        SELECT event_type, d, c1,
+               (MAX(h1) OVER wc + MIN(l1) OVER wc) // 2 AS conv,
+               (MAX(h1) OVER wb + MIN(l1) OVER wb) // 2 AS base,
+               row_number() OVER (PARTITION BY event_type ORDER BY d)
+                   AS rn
+        FROM ohlc
+        WINDOW wc AS (PARTITION BY event_type ORDER BY d
+                      ROWS BETWEEN {_ICHI_CONV - 1} PRECEDING
+                               AND CURRENT ROW),
+               wb AS (PARTITION BY event_type ORDER BY d
+                      ROWS BETWEEN {_ICHI_BASE - 1} PRECEDING
+                               AND CURRENT ROW)
+    )
+    SELECT event_type, d,
+           CAST(conv AS BIGINT) AS conversion_e4,
+           CAST(base AS BIGINT) AS base_e4,
+           CAST((conv + base) // 2 AS BIGINT) AS span_a_e4,
+           CASE WHEN conv > base THEN 1
+                WHEN conv < base THEN -1 ELSE 0 END AS tk_cross,
+           CASE WHEN c1 > GREATEST(conv, base) THEN 1
+                WHEN c1 < LEAST(conv, base) THEN -1
+                ELSE 0 END AS price_position
+    FROM lines WHERE rn >= {_ICHI_BASE}
+    ORDER BY event_type, d
+    """,
+)
+def ts_ichimoku_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ichimoku conversion/base lines per day (round 13, lookbacks
+    5/15 scaled to the 30-day tape): each line is the MIDPOINT of the
+    trailing high-low range (not a close average — range midpoints
+    carry the candle information SMAs discard), span A their own
+    midpoint, plus the TK-cross sign and the price-vs-lines position
+    — the trend-filter lattice. ALL integer: range midpoints
+    floor-halve positives (// = DIV), comparisons exact.
+
+    Scale: two same-keyed windows + one rank over the
+    calendar-bounded tape — one exchange."""
+    ohlc = _daily_ohlc(spark, sf_dir)
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-(_ICHI_CONV - 1), 0)
+    )
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-(_ICHI_BASE - 1), 0)
+    )
+    w_rn = Window.partitionBy("event_type").orderBy("d")
+    lines = ohlc.select(
+        "event_type",
+        "d",
+        "c1",
+        F.expr(
+            f"(max(h1) OVER (PARTITION BY event_type ORDER BY d"
+            f" ROWS BETWEEN {_ICHI_CONV - 1} PRECEDING AND CURRENT ROW)"
+            f" + min(l1) OVER (PARTITION BY event_type ORDER BY d"
+            f" ROWS BETWEEN {_ICHI_CONV - 1} PRECEDING AND CURRENT ROW))"
+            f" DIV 2"
+        ).alias("conv"),
+        F.expr(
+            f"(max(h1) OVER (PARTITION BY event_type ORDER BY d"
+            f" ROWS BETWEEN {_ICHI_BASE - 1} PRECEDING AND CURRENT ROW)"
+            f" + min(l1) OVER (PARTITION BY event_type ORDER BY d"
+            f" ROWS BETWEEN {_ICHI_BASE - 1} PRECEDING AND CURRENT ROW))"
+            f" DIV 2"
+        ).alias("base"),
+        F.row_number().over(w_rn).alias("rn"),
+    )
+    return (
+        lines.filter(F.col("rn") >= _ICHI_BASE)
+        .select(
+            "event_type",
+            "d",
+            F.col("conv").cast("bigint").alias("conversion_e4"),
+            F.col("base").cast("bigint").alias("base_e4"),
+            F.expr("(conv + base) DIV 2").cast("bigint").alias("span_a_e4"),
+            F.when(F.col("conv") > F.col("base"), F.lit(1))
+            .when(F.col("conv") < F.col("base"), F.lit(-1))
+            .otherwise(F.lit(0))
+            .alias("tk_cross"),
+            F.when(
+                F.col("c1") > F.greatest(F.col("conv"), F.col("base")),
+                F.lit(1),
+            )
+            .when(
+                F.col("c1") < F.least(F.col("conv"), F.col("base")),
+                F.lit(-1),
+            )
+            .otherwise(F.lit(0))
+            .alias("price_position"),
+        )
+        .orderBy("event_type", "d")
+    )
+
+
+@query(
+    "ts_heikin_ashi",
+    f"""
+    WITH ohlc AS ({_DAILY_OHLC_SQL}
+    ), ordered AS (
+        SELECT event_type,
+               list(d ORDER BY d) AS ds,
+               list((o1 + h1 + l1 + c1) // 4 ORDER BY d) AS hac,
+               list(o1 ORDER BY d) AS os,
+               list(c1 ORDER BY d) AS cs
+        FROM ohlc GROUP BY 1
+    )
+    SELECT event_type,
+           unnest(ds) AS d,
+           unnest(list_transform(range(1, len(hac) + 1), t ->
+               CAST(list_reduce(
+                   list_prepend((os[1] + cs[1]) // 2, hac[1:t-1]),
+                   (a, x) -> (a + x) // 2) AS BIGINT))) AS ha_open_e4,
+           unnest(list_transform(range(1, len(hac) + 1), t ->
+               CAST(hac[t] AS BIGINT))) AS ha_close_e4,
+           unnest(list_transform(range(1, len(hac) + 1), t ->
+               CASE WHEN hac[t] > list_reduce(
+                        list_prepend((os[1] + cs[1]) // 2, hac[1:t-1]),
+                        (a, x) -> (a + x) // 2) THEN 1
+                    WHEN hac[t] < list_reduce(
+                        list_prepend((os[1] + cs[1]) // 2, hac[1:t-1]),
+                        (a, x) -> (a + x) // 2) THEN -1
+                    ELSE 0 END)) AS ha_bull
+    FROM ordered ORDER BY event_type, d
+    """,
+)
+def ts_heikin_ashi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heikin-Ashi candle transform per day (round 13), in FLOORED
+    INTEGER semantics: HA-close = (O+H+L+C) DIV 4, HA-open =
+    (prev HA-open + prev HA-close) DIV 2 seeded with (O₁+C₁) DIV 2 —
+    the noise-averaged candles whose bull/bear runs read trend far
+    cleaner than raw closes (the visual complement to
+    ts_sma_crossover_census). The recursion is the ts_macd prefix-fold
+    discipline on INTEGERS: Spark F.aggregate and DuckDB list_reduce
+    (seed prepended — list_reduce has no init) walk identical integer
+    DIV chains, so every candle is exact, not just reproducible.
+
+    Scale: calendar-bounded per-key prefix folds over the tape; the
+    streaming form carries one integer of state."""
+    ohlc = _daily_ohlc(spark, sf_dir)
+    g = ohlc.groupBy("event_type").agg(
+        F.sort_array(
+            F.collect_list(F.struct("d", "o1", "h1", "l1", "c1"))
+        ).alias("rows")
+    )
+    g = g.select(
+        "event_type",
+        F.transform("rows", lambda r: r["d"]).alias("ds"),
+        F.transform(
+            "rows",
+            lambda r: (r["o1"] + r["h1"] + r["l1"] + r["c1"]) / F.lit(4),
+        ).alias("hac_raw"),
+        F.transform("rows", lambda r: r["o1"]).alias("os"),
+        F.transform("rows", lambda r: r["c1"]).alias("cs"),
+    )
+    # integer DIV 4 (the / above would be double) — redo exactly:
+    g = g.withColumn(
+        "hac",
+        F.expr(
+            "transform(hac_raw, x -> CAST(floor(x) AS BIGINT))"
+        ),
+    )
+    seed = F.expr("(os[0] + cs[0]) DIV 2")
+    def hao(t):
+        return F.aggregate(
+            F.slice("hac", F.lit(1), t - 1),
+            seed.cast("bigint"),
+            # (a+x)/2 is an exact double for candle-scale ints and the
+            # bigint cast truncates = floors on positives — DIV 2 parity
+            lambda a, x: ((a + x) / 2).cast("bigint"),
+        )
+    items = F.transform(
+        F.sequence(F.lit(1), F.size("hac")),
+        lambda t: F.struct(
+            F.element_at("ds", t).alias("d"),
+            hao(t).alias("ha_open_e4"),
+            F.element_at("hac", t).alias("ha_close_e4"),
+            F.when(F.element_at("hac", t) > hao(t), F.lit(1))
+            .when(F.element_at("hac", t) < hao(t), F.lit(-1))
+            .otherwise(F.lit(0))
+            .alias("ha_bull"),
+        ),
+    )
+    return (
+        g.select("event_type", F.explode(items).alias("it"))
+        .select(
+            "event_type",
+            F.col("it.d").alias("d"),
+            F.col("it.ha_open_e4").cast("bigint").alias("ha_open_e4"),
+            F.col("it.ha_close_e4").cast("bigint").alias("ha_close_e4"),
+            F.col("it.ha_bull").alias("ha_bull"),
+        )
+        .orderBy("event_type", "d")
+    )
+
+
+_ADX_A = "0.1"  # Wilder 1/W at W=10 — shared literal (ts_atr_wilder's)
+
+
+@query(
+    "ts_adx",
+    f"""
+    WITH ohlc AS ({_DAILY_OHLC_SQL}
+    ), steps AS (
+        SELECT event_type, d, h1, l1,
+               lag(h1) OVER (PARTITION BY event_type ORDER BY d) AS ph,
+               lag(l1) OVER (PARTITION BY event_type ORDER BY d) AS pl,
+               lag(c1) OVER (PARTITION BY event_type ORDER BY d) AS pc
+        FROM ohlc
+    ), dm AS (
+        SELECT event_type, d,
+               CAST(CASE WHEN h1 - ph > pl - l1 AND h1 - ph > 0
+                         THEN h1 - ph ELSE 0 END AS DOUBLE) AS pdm,
+               CAST(CASE WHEN pl - l1 > h1 - ph AND pl - l1 > 0
+                         THEN pl - l1 ELSE 0 END AS DOUBLE) AS mdm,
+               CAST(GREATEST(h1 - l1, ABS(h1 - pc), ABS(l1 - pc))
+                    AS DOUBLE) AS tr
+        FROM steps WHERE ph IS NOT NULL
+    ), ordered AS (
+        SELECT event_type,
+               list(d ORDER BY d) AS ds,
+               list(pdm ORDER BY d) AS pdms,
+               list(mdm ORDER BY d) AS mdms,
+               list(tr ORDER BY d) AS trs
+        FROM dm GROUP BY 1
+    ), dx AS (
+        SELECT event_type, ds,
+               list_transform(range(1, len(pdms) + 1), t ->
+                   CASE WHEN list_reduce(pdms[1:t],
+                                 (a, x) -> a + {_ADX_A} * (x - a))
+                             + list_reduce(mdms[1:t],
+                                 (a, x) -> a + {_ADX_A} * (x - a)) > 0
+                        THEN 10000.0
+                             * ABS(list_reduce(pdms[1:t],
+                                   (a, x) -> a + {_ADX_A} * (x - a))
+                                 - list_reduce(mdms[1:t],
+                                   (a, x) -> a + {_ADX_A} * (x - a)))
+                             / (list_reduce(pdms[1:t],
+                                   (a, x) -> a + {_ADX_A} * (x - a))
+                                + list_reduce(mdms[1:t],
+                                   (a, x) -> a + {_ADX_A} * (x - a)))
+                        ELSE 0.0 END) AS dxs,
+               list_transform(range(1, len(pdms) + 1), t ->
+                   CASE WHEN list_reduce(trs[1:t],
+                                 (a, x) -> a + {_ADX_A} * (x - a)) > 0
+                        THEN CAST(FLOOR(10000.0
+                             * list_reduce(pdms[1:t],
+                                   (a, x) -> a + {_ADX_A} * (x - a))
+                             / list_reduce(trs[1:t],
+                                   (a, x) -> a + {_ADX_A} * (x - a)))
+                             AS BIGINT) END) AS dips,
+               list_transform(range(1, len(pdms) + 1), t ->
+                   CASE WHEN list_reduce(trs[1:t],
+                                 (a, x) -> a + {_ADX_A} * (x - a)) > 0
+                        THEN CAST(FLOOR(10000.0
+                             * list_reduce(mdms[1:t],
+                                   (a, x) -> a + {_ADX_A} * (x - a))
+                             / list_reduce(trs[1:t],
+                                   (a, x) -> a + {_ADX_A} * (x - a)))
+                             AS BIGINT) END) AS dims
+        FROM ordered
+    )
+    SELECT event_type,
+           unnest(ds) AS d,
+           unnest(dips) AS di_plus_e2,
+           unnest(dims) AS di_minus_e2,
+           unnest(list_transform(range(1, len(dxs) + 1), t ->
+               CAST(FLOOR(dxs[t]) AS BIGINT))) AS dx_e2,
+           unnest(list_transform(range(1, len(dxs) + 1), t ->
+               CAST(FLOOR(list_reduce(dxs[1:t],
+                   (a, x) -> a + {_ADX_A} * (x - a))) AS BIGINT)))
+               AS adx_e2
+    FROM dx ORDER BY event_type, d
+    """,
+)
+def ts_adx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average Directional Index per day (round 13): Wilder-smoothed
+    +DM/−DM over smoothed TR give DI+/DI−, their normalized gap is
+    DX, and ADX is the Wilder smooth OF the DX series — the standard
+    "is there a trend at all" filter gating every directional signal
+    in the candle family (completes TA: ATR measures range, vortex
+    rotation, ADX trendedness).
+
+    Exactness: DM/TR cells are exact ints cast to double once; every
+    smooth is the ordered prefix-fold discipline (F.aggregate ≡
+    list_reduce, shared α literal) — including the SECOND-ORDER fold
+    over the DX array, whose elements are themselves identical double
+    chains in both engines; DI/DX/ADX floor e2 at output only.
+
+    Scale: calendar-bounded per-key prefix folds (the O(days²) inner
+    folds are the ts_macd posture; streaming form carries four
+    doubles of state)."""
+    ohlc = _daily_ohlc(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("d")
+    steps = ohlc.select(
+        "event_type",
+        "d",
+        "h1",
+        "l1",
+        F.lag("h1").over(w).alias("ph"),
+        F.lag("l1").over(w).alias("pl"),
+        F.lag("c1").over(w).alias("pc"),
+    ).filter(F.col("ph").isNotNull())
+    up = F.col("h1") - F.col("ph")
+    dn = F.col("pl") - F.col("l1")
+    dm = steps.select(
+        "event_type",
+        "d",
+        F.when((up > dn) & (up > 0), up)
+        .otherwise(F.lit(0))
+        .cast("double")
+        .alias("pdm"),
+        F.when((dn > up) & (dn > 0), dn)
+        .otherwise(F.lit(0))
+        .cast("double")
+        .alias("mdm"),
+        F.greatest(
+            F.col("h1") - F.col("l1"),
+            F.abs(F.col("h1") - F.col("pc")),
+            F.abs(F.col("l1") - F.col("pc")),
+        )
+        .cast("double")
+        .alias("tr"),
+    )
+    g = dm.groupBy("event_type").agg(
+        F.sort_array(
+            F.collect_list(F.struct("d", "pdm", "mdm", "tr"))
+        ).alias("rows")
+    )
+    g = g.select(
+        "event_type",
+        F.transform("rows", lambda r: r["d"]).alias("ds"),
+        F.transform("rows", lambda r: r["pdm"]).alias("pdms"),
+        F.transform("rows", lambda r: r["mdm"]).alias("mdms"),
+        F.transform("rows", lambda r: r["tr"]).alias("trs"),
+    )
+    sm = lambda lst, t: _ema_prefix(lst, t, _ADX_A)  # noqa: E731
+    dx_of = lambda t: F.when(  # noqa: E731
+        sm(F.col("pdms"), t) + sm(F.col("mdms"), t) > 0,
+        10000.0
+        * F.abs(sm(F.col("pdms"), t) - sm(F.col("mdms"), t))
+        / (sm(F.col("pdms"), t) + sm(F.col("mdms"), t)),
+    ).otherwise(F.lit(0.0))
+    g = g.withColumn(
+        "dxs", F.transform(F.sequence(F.lit(1), F.size("pdms")), dx_of)
+    )
+    di = lambda lst, t: F.when(  # noqa: E731
+        sm(F.col("trs"), t) > 0,
+        F.floor(10000.0 * sm(lst, t) / sm(F.col("trs"), t)).cast("bigint"),
+    )
+    items = F.transform(
+        F.sequence(F.lit(1), F.size("pdms")),
+        lambda t: F.struct(
+            F.element_at("ds", t).alias("d"),
+            di(F.col("pdms"), t).alias("di_plus_e2"),
+            di(F.col("mdms"), t).alias("di_minus_e2"),
+            F.floor(F.element_at("dxs", t)).cast("bigint").alias("dx_e2"),
+            F.floor(_ema_prefix(F.col("dxs"), t, _ADX_A))
+            .cast("bigint")
+            .alias("adx_e2"),
+        ),
+    )
+    return (
+        g.select("event_type", F.explode(items).alias("it"))
+        .select(
+            "event_type",
+            F.col("it.d").alias("d"),
+            F.col("it.di_plus_e2").alias("di_plus_e2"),
+            F.col("it.di_minus_e2").alias("di_minus_e2"),
+            F.col("it.dx_e2").alias("dx_e2"),
+            F.col("it.adx_e2").alias("adx_e2"),
+        )
+        .orderBy("event_type", "d")
+    )
