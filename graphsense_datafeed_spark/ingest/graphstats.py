@@ -3129,3 +3129,65 @@ def graph_degree_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("normalized_entropy_e6"),
     )
+
+
+@query(
+    "graph_butterfly_count_bipartite",
+    """
+    WITH pres AS (
+        SELECT DISTINCT user_id, event_type FROM events
+    ), pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(COUNT(*) AS BIGINT) AS co_users
+        FROM pres a JOIN pres b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, co_users,
+           CAST(co_users * (co_users - 1) // 2 AS BIGINT)
+               AS butterflies
+    FROM pairs ORDER BY type_a, type_b
+    """,
+)
+def graph_butterfly_count_bipartite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BUTTERFLY (2×2 biclique) census of the user × event-type
+    bipartite graph (round 13): per type pair, the co-engaged user
+    count and C(co,2) butterflies — the bipartite analogue of the
+    triangle (bipartite graphs HAVE no triangles; the butterfly is
+    their smallest cohesion motif, and butterfly counting is the
+    standard bipartite-density primitive in the streaming-graph
+    literature). High butterfly mass between two types = their
+    audiences interlock pairwise, the signal behind
+    events_audience_overlap's single-ratio readout. PURE integer.
+
+    Scale: the co-membership join keys on user_id (hash equi-join;
+    fan-out = per-user type-degree ≤ |types|), then a |types|²-bounded
+    rollup — the wedge side of butterfly counting, with the standard
+    hub caveat handled by the bounded type domain (on an unbounded
+    side you'd degree-order like graph_triangle_count documents)."""
+    from graphsense_datafeed_spark.sources.tables import load
+
+    ev = load(spark, sf_dir, "events")
+    pres = ev.select("user_id", "event_type").distinct()
+    b = pres.select(
+        F.col("user_id").alias("uid2"), F.col("event_type").alias("type_b")
+    )
+    pairs = (
+        pres.join(
+            b,
+            (F.col("user_id") == F.col("uid2"))
+            & (F.col("event_type") < F.col("type_b")),
+        )
+        .groupBy(F.col("event_type").alias("type_a"), "type_b")
+        .agg(F.count("*").cast("bigint").alias("co_users"))
+    )
+    return pairs.select(
+        "type_a",
+        "type_b",
+        "co_users",
+        F.expr("CAST(co_users * (co_users - 1) DIV 2 AS BIGINT)").alias(
+            "butterflies"
+        ),
+    ).orderBy("type_a", "type_b")

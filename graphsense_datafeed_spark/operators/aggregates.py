@@ -13941,3 +13941,330 @@ def agg_stouffer_method(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("stouffer_abs_z_e4"),
     )
+
+
+@query(
+    "agg_powerlaw_fit_ks",
+    """
+    WITH spend AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY o_custkey
+    ), ranked AS (
+        SELECT cents,
+               row_number() OVER (ORDER BY cents DESC, o_custkey ASC)
+                   AS r_desc,
+               COUNT(*) OVER () AS n
+        FROM spend
+    ), tail AS (
+        SELECT cents, r_desc, n, n // 10 AS k,
+               MIN(cents) OVER () AS dummy
+        FROM ranked WHERE r_desc <= n // 10
+    ), xm AS (
+        SELECT MIN(cents) AS xmin, MAX(k) AS k FROM tail
+    ), terms AS (
+        SELECT t.cents, t.r_desc, x.xmin, x.k,
+               CAST(FLOOR(ln(CAST(t.cents AS DOUBLE) / x.xmin)
+                          * 1000000000) AS BIGINT) AS lnr_e9
+        FROM tail t, xm x
+    ), alpha AS (
+        SELECT MAX(xmin) AS xmin, MAX(k) AS k,
+               CAST(SUM(lnr_e9) AS BIGINT) AS slnr_e9,
+               CAST(MAX(k) AS DOUBLE) * 1000000000
+                   / SUM(lnr_e9) AS a_hat
+        FROM terms
+    ), ks AS (
+        SELECT MAX(ABS(
+                   CAST(a.k - t.r_desc + 1 AS DOUBLE) / a.k
+                   - (1.0 - exp(-a.a_hat
+                                * (CAST(t.lnr_e9 AS DOUBLE)
+                                   / 1000000000.0)))
+               )) AS d
+        FROM terms t, alpha a
+    )
+    SELECT a.k, a.xmin AS xmin_cents,
+           CAST(FLOOR(a.a_hat * 1000000) AS BIGINT) AS alpha_e6,
+           CAST(FLOOR(ks.d * 1000000) AS BIGINT) AS ks_e6
+    FROM alpha a, ks
+    """,
+)
+def agg_powerlaw_fit_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-law tail fit + KS distance (round 13, the Clauset-
+    Shalizi-Newman recipe at a fixed tail): Hill's MLE α̂ =
+    k/Σln(xᵢ/xmin) over the top-decile spend tail, then the KS
+    distance between the empirical tail CDF and the fitted Pareto —
+    agg_hill_tail_index estimates the exponent; THIS row asks whether
+    the power law actually FITS (a big KS = the tail is lognormal or
+    truncated, and every "whale" extrapolation from α̂ is fiction).
+
+    Exactness: the tail membership is rank-exact (descending
+    tie-pinned rank, k = n DIV 10); each ln(x/xmin) floors e9 before
+    the order-free sum, and the SAME floored value feeds the fitted
+    CDF exp(−α̂·lnr) — so both engines evaluate identical rationals
+    through one shared exp chain (the Atkinson exp-parity precedent);
+    the KS max runs over exact doubles and floors e6 once.
+
+    Scale: the gini global-rank posture + a broadcast 2-scalar
+    anchor; two passes over the k-row tail."""
+    orders = load(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = Window.orderBy(F.col("cents").desc(), F.col("o_custkey").asc())
+    w_all = Window.partitionBy()
+    ranked = spend.select(
+        "cents",
+        F.row_number().over(w).alias("r_desc"),
+        F.count("*").over(w_all).alias("n"),
+    )
+    tail = ranked.filter(F.col("r_desc") <= F.expr("n DIV 10"))
+    xm = tail.agg(
+        F.min("cents").alias("xmin"),
+        F.max(F.expr("n DIV 10")).cast("bigint").alias("k"),
+    )
+    terms = tail.crossJoin(F.broadcast(xm)).select(
+        "cents",
+        "r_desc",
+        "xmin",
+        "k",
+        F.floor(
+            F.log(F.col("cents").cast("double") / F.col("xmin"))
+            * 1000000000
+        )
+        .cast("bigint")
+        .alias("lnr_e9"),
+    )
+    alpha = terms.agg(
+        F.max("xmin").alias("xmin"),
+        F.max("k").alias("k"),
+        F.sum("lnr_e9").cast("bigint").alias("slnr_e9"),
+        (
+            F.max("k").cast("double") * 1000000000 / F.sum("lnr_e9")
+        ).alias("a_hat"),
+    )
+    ks = (
+        terms.crossJoin(
+            F.broadcast(
+                alpha.select(
+                    F.col("k").alias("k2"), F.col("a_hat").alias("ah")
+                )
+            )
+        )
+        .agg(
+            F.max(
+                F.abs(
+                    (F.col("k2") - F.col("r_desc") + 1).cast("double")
+                    / F.col("k2")
+                    - (
+                        1.0
+                        - F.exp(
+                            -F.col("ah")
+                            * (F.col("lnr_e9").cast("double") / 1000000000.0)
+                        )
+                    )
+                )
+            ).alias("d")
+        )
+    )
+    return (
+        alpha.crossJoin(ks)
+        .select(
+            "k",
+            F.col("xmin").alias("xmin_cents"),
+            F.floor(F.col("a_hat") * 1000000).cast("bigint").alias("alpha_e6"),
+            F.floor(F.col("d") * 1000000).cast("bigint").alias("ks_e6"),
+        )
+    )
+
+
+@query(
+    "agg_benford_mad_conformity",
+    """
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+               CAST(COUNT(*) AS BIGINT) AS o
+        FROM orders GROUP BY 1
+    ), tot AS (
+        SELECT digit, o, CAST(SUM(o) OVER () AS BIGINT) AS n
+        FROM digits
+    ), devs AS (
+        SELECT digit,
+               CAST(FLOOR(ABS(CAST(o AS DOUBLE) / n
+                              - ln(1.0 + 1.0 / digit) / ln(10.0))
+                          * 1000000000) AS BIGINT) AS absdev_e9
+        FROM tot
+    ), mad AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_digits,
+               CAST(SUM(absdev_e9) // COUNT(*) AS BIGINT) AS mad_e9
+        FROM devs
+    )
+    SELECT n_digits, mad_e9,
+           CASE WHEN mad_e9 < 600000 THEN 'close'
+                WHEN mad_e9 < 1200000 THEN 'acceptable'
+                WHEN mad_e9 < 1500000 THEN 'marginal'
+                ELSE 'nonconforming' END AS nigrini_grade
+    FROM mad
+    """,
+)
+def agg_benford_mad_conformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NIGRINI MAD conformity grade for the Benford first-digit audit
+    (round 13): mean absolute deviation of the observed digit shares
+    from log₁₀(1+1/d), graded against Nigrini's published cutoffs
+    (0.0006 / 0.0012 / 0.0015) — the χ² in agg_benford_profile scales
+    with n (EVERYTHING is significant at 60M rows); MAD is the
+    n-free effect size forensic practice actually grades on, so the
+    pair separates "statistically off" from "materially off".
+
+    Exactness: per-digit |share − Benford| floors e9 before the
+    order-free 9-term sum; the grade thresholds are integer
+    comparisons on the floored MAD (cutoffs as e9 literals).
+
+    Scale: one digit rollup (9 cells) + a fold."""
+    orders = load(spark, sf_dir, "orders")
+    digits = orders.groupBy(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"),
+            1,
+            1,
+        )
+        .cast("bigint")
+        .alias("digit")
+    ).agg(F.count("*").cast("bigint").alias("o"))
+    w_all = Window.partitionBy()
+    tot = digits.select(
+        "digit", "o", F.sum("o").over(w_all).cast("bigint").alias("n")
+    )
+    devs = tot.select(
+        "digit",
+        F.floor(
+            F.abs(
+                F.col("o").cast("double") / F.col("n")
+                - F.log(1.0 + 1.0 / F.col("digit")) / F.log(F.lit(10.0))
+            )
+            * 1000000000
+        )
+        .cast("bigint")
+        .alias("absdev_e9"),
+    )
+    mad = devs.agg(
+        F.count("*").cast("bigint").alias("n_digits"),
+        F.expr("CAST(SUM(absdev_e9) DIV COUNT(*) AS BIGINT)").alias(
+            "mad_e9"
+        ),
+    )
+    return mad.select(
+        "n_digits",
+        "mad_e9",
+        F.when(F.col("mad_e9") < 600000, "close")
+        .when(F.col("mad_e9") < 1200000, "acceptable")
+        .when(F.col("mad_e9") < 1500000, "marginal")
+        .otherwise("nonconforming")
+        .alias("nigrini_grade"),
+    )
+
+
+@query(
+    "agg_taylor_law",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ), g AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS nd,
+               CAST(SUM(c) AS BIGINT) AS s1,
+               SUM(CAST(c AS HUGEINT) * c) AS s2
+        FROM daily GROUP BY 1
+    ), mom AS (
+        SELECT event_type,
+               CAST(FLOOR(ln(CAST(s1 AS DOUBLE) / nd) * 1000000000)
+                    AS BIGINT) AS lnm_e9,
+               CAST(FLOOR(ln((CAST(s2 AS DOUBLE)
+                              - CAST(s1 AS DOUBLE) * s1 / nd)
+                             / (nd - 1.0)) * 1000000000) AS BIGINT)
+                   AS lnv_e9
+        FROM g
+        WHERE CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / nd > 0
+    ), fit AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(lnm_e9) AS BIGINT) AS sx,
+               CAST(SUM(lnv_e9) AS BIGINT) AS sy,
+               SUM(CAST(lnm_e9 AS HUGEINT) * lnm_e9) AS sxx,
+               SUM(CAST(lnm_e9 AS HUGEINT) * lnv_e9) AS sxy
+        FROM mom
+    )
+    SELECT k,
+           CAST(FLOOR((CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * sy)
+                      / (CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * sx)
+                      * 1000000) AS BIGINT) AS taylor_b_e6,
+           CAST(FLOOR((CAST(sy AS DOUBLE)
+                       - (CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * sy)
+                         / (CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * sx)
+                         * CAST(sx AS DOUBLE))
+                      / k / 1000000000.0 * 1000000) AS BIGINT)
+               AS ln_a_e6
+    FROM fit
+    """,
+)
+def agg_taylor_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TAYLOR'S POWER LAW fit across the event-type fleet (round 13):
+    regress ln(variance) on ln(mean) of the per-type daily counts —
+    variance ≈ a·mean^b with b ∈ [1,2] for most real count processes
+    (b = 1 Poisson, b = 2 fully synchronized); the fleet-level
+    dispersion readout behind agg_poisson_dispersion's per-series
+    test, and the standard capacity-planning input ("how does burst
+    variance scale with volume?").
+
+    Exactness: per-type (n, Σc, Σc²) are exact (HUGEINT squares);
+    ln(mean)/ln(variance) floor e9 per type BEFORE the order-free
+    regression sums (which then run in HUGEINT — e9² terms); the OLS
+    slope/intercept are one shared double chain each. Zero-variance
+    types drop (log pole).
+
+    Scale: two cascaded rollups + a 5-point fold."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    d38 = "decimal(38,0)"
+    g = daily.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("nd"),
+        F.sum("c").cast("bigint").alias("s1"),
+        F.sum(F.col("c").cast(d38) * F.col("c")).alias("s2"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    var = (d("s2") - d("s1") * F.col("s1") / F.col("nd")) / (F.col("nd") - 1.0)
+    mom = g.filter(
+        d("s2") - d("s1") * F.col("s1") / F.col("nd") > 0
+    ).select(
+        "event_type",
+        F.floor(F.log(d("s1") / F.col("nd")) * 1000000000)
+        .cast("bigint")
+        .alias("lnm_e9"),
+        F.floor(F.log(var) * 1000000000).cast("bigint").alias("lnv_e9"),
+    )
+    fit = mom.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("lnm_e9").cast("bigint").alias("sx"),
+        F.sum("lnv_e9").cast("bigint").alias("sy"),
+        F.sum(F.col("lnm_e9").cast(d38) * F.col("lnm_e9")).alias("sxx"),
+        F.sum(F.col("lnm_e9").cast(d38) * F.col("lnv_e9")).alias("sxy"),
+    )
+    slope = (d("k") * d("sxy") - d("sx") * F.col("sy")) / (
+        d("k") * d("sxx") - d("sx") * F.col("sx")
+    )
+    intercept = (d("sy") - slope * d("sx")) / F.col("k") / 1000000000.0
+    return fit.select(
+        "k",
+        F.floor(slope * 1000000).cast("bigint").alias("taylor_b_e6"),
+        F.floor(intercept * 1000000).cast("bigint").alias("ln_a_e6"),
+    )

@@ -16226,3 +16226,131 @@ def ts_adx(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "d")
     )
+
+
+@query(
+    "ts_recurrence_quantification",
+    f"""
+    WITH ohlc AS ({_DAILY_OHLC_SQL}
+    ), rk AS (
+        SELECT event_type, c1,
+               row_number() OVER (PARTITION BY event_type ORDER BY d)
+                   AS rn
+        FROM ohlc
+    ), span AS (
+        SELECT event_type, (MAX(c1) - MIN(c1)) // 10 AS eps,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM rk GROUP BY 1
+    ), rec AS (
+        SELECT a.event_type, a.rn AS i, b.rn AS j
+        FROM rk a
+        JOIN rk b ON b.event_type = a.event_type AND b.rn > a.rn
+        JOIN span s ON s.event_type = a.event_type
+        WHERE ABS(a.c1 - b.c1) <= s.eps
+    ), diag AS (
+        SELECT r.event_type, CAST(COUNT(*) AS BIGINT) AS det_pairs
+        FROM rec r JOIN rec r2
+          ON r2.event_type = r.event_type
+         AND r2.i = r.i + 1 AND r2.j = r.j + 1
+        GROUP BY 1
+    ), counts AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS rec_pairs
+        FROM rec GROUP BY 1
+    )
+    SELECT s.event_type, s.n,
+           COALESCE(c.rec_pairs, 0) AS rec_pairs,
+           CAST(COALESCE(c.rec_pairs, 0) * 1000000
+                // (s.n * (s.n - 1) // 2) AS BIGINT) AS rr_e6,
+           COALESCE(d.det_pairs, 0) AS det_pairs,
+           CASE WHEN COALESCE(c.rec_pairs, 0) > 0 THEN
+               CAST(COALESCE(d.det_pairs, 0) * 1000000
+                    // c.rec_pairs AS BIGINT) END AS det_e6
+    FROM span s
+    LEFT JOIN counts c USING (event_type)
+    LEFT JOIN diag d USING (event_type)
+    ORDER BY s.event_type
+    """,
+)
+def ts_recurrence_quantification(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Recurrence quantification per series (round 13): recurrence
+    rate RR = share of day pairs whose closes sit within ε = 10% of
+    the series range, and a determinism proxy DET = share of
+    recurrent pairs whose DIAGONAL successor (i+1, j+1) also recurs —
+    the recurrence-plot pair (Marwan's RQA) that separates "revisits
+    levels randomly" (high RR, low DET) from "repeats whole motifs"
+    (high DET); the phase-space companion to ts_sample_entropy.
+    PURE integer end-to-end (integer ε, pair counts, e6
+    floor-divisions of non-negatives).
+
+    Scale: the pair stage is a band self-join on the PRE-REDUCED
+    calendar-bounded tape (C(days,2) per series — bounded by the
+    calendar, never the corpus); at production day-counts the
+    standard move is windowed RQA (pairs within a trailing window),
+    the same shape bounded further."""
+    ohlc = _daily_ohlc(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("d")
+    rk = ohlc.select(
+        "event_type", "c1", F.row_number().over(w).alias("rn")
+    )
+    span = rk.groupBy("event_type").agg(
+        F.expr("(MAX(c1) - MIN(c1)) DIV 10").alias("eps"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    b = rk.select(
+        F.col("event_type").alias("t2"),
+        F.col("c1").alias("c2"),
+        F.col("rn").alias("rn2"),
+    )
+    rec = (
+        rk.join(
+            b,
+            (F.col("t2") == F.col("event_type"))
+            & (F.col("rn2") > F.col("rn")),
+        )
+        .join(F.broadcast(span), "event_type")
+        .filter(F.abs(F.col("c1") - F.col("c2")) <= F.col("eps"))
+        .select("event_type", F.col("rn").alias("i"), F.col("rn2").alias("j"))
+    )
+    r2 = rec.select(
+        F.col("event_type").alias("t3"),
+        F.col("i").alias("i2"),
+        F.col("j").alias("j2"),
+    )
+    diag = (
+        rec.join(
+            r2,
+            (F.col("t3") == F.col("event_type"))
+            & (F.col("i2") == F.col("i") + 1)
+            & (F.col("j2") == F.col("j") + 1),
+        )
+        .groupBy("event_type")
+        .agg(F.count("*").cast("bigint").alias("det_pairs"))
+    )
+    counts = rec.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("rec_pairs")
+    )
+    out = (
+        span.join(counts, "event_type", "left")
+        .join(diag, "event_type", "left")
+        .select(
+            "event_type",
+            "n",
+            F.coalesce(F.col("rec_pairs"), F.lit(0)).alias("rec_pairs"),
+            F.expr(
+                "CAST(COALESCE(rec_pairs, 0) * 1000000"
+                " DIV (n * (n - 1) DIV 2) AS BIGINT)"
+            ).alias("rr_e6"),
+            F.coalesce(F.col("det_pairs"), F.lit(0)).alias("det_pairs"),
+            F.when(
+                F.coalesce(F.col("rec_pairs"), F.lit(0)) > 0,
+                F.expr(
+                    "CAST(COALESCE(det_pairs, 0) * 1000000"
+                    " DIV rec_pairs AS BIGINT)"
+                ),
+            ).alias("det_e6"),
+        )
+        .orderBy("event_type")
+    )
+    return out
