@@ -16354,3 +16354,186 @@ def ts_recurrence_quantification(
         .orderBy("event_type")
     )
     return out
+
+
+_CHOP_W = 10
+_CHOP_LOG10W = "1.0"  # log10(10) — exact shared literal
+
+
+@query(
+    "ts_choppiness_index",
+    f"""
+    WITH ohlc AS ({_DAILY_OHLC_SQL}
+    ), steps AS (
+        SELECT event_type, d, h1, l1,
+               GREATEST(h1 - l1,
+                        ABS(h1 - lag(c1) OVER (PARTITION BY event_type
+                                               ORDER BY d)),
+                        ABS(l1 - lag(c1) OVER (PARTITION BY event_type
+                                               ORDER BY d))) AS tr,
+               row_number() OVER (PARTITION BY event_type ORDER BY d)
+                   AS rn
+        FROM ohlc
+    ), sums AS (
+        SELECT event_type, d, rn,
+               SUM(tr) OVER w AS str,
+               MAX(h1) OVER w AS hh,
+               MIN(l1) OVER w AS ll
+        FROM steps
+        WINDOW w AS (PARTITION BY event_type ORDER BY rn
+                     ROWS BETWEEN {_CHOP_W - 1} PRECEDING
+                              AND CURRENT ROW)
+    )
+    SELECT event_type, d,
+           CASE WHEN hh > ll AND str > 0 THEN
+               CAST(FLOOR(100.0
+                          * ln(CAST(str AS DOUBLE) / (hh - ll))
+                          / ln(10.0) / {_CHOP_LOG10W} * 100) AS BIGINT)
+           END AS chop_e2
+    FROM sums WHERE rn > {_CHOP_W}
+    ORDER BY event_type, d
+    """,
+)
+def ts_choppiness_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHOPPINESS index over the daily candle tape (round 13): 100·
+    log₁₀(ΣTR_W/(maxH−minL))/log₁₀(W) — near 100 when the 10-day true
+    ranges sum to far more than the net envelope (pure chop), near 0
+    when every bar extends the move (trend); the log-scaled sibling
+    of ts_kaufman_efficiency (which is the linear ratio) and the
+    third leg of the trendedness triad with ts_adx.
+
+    Exactness: TR/envelope cells are exact ints; one shared
+    ln-ratio/ln(10) double chain floored e2 (log₁₀(W)=1 at W=10 —
+    exact literal); degenerate windows NULL.
+
+    Scale: one keyed lag + three same-frame windows over the
+    calendar-bounded tape."""
+    ohlc = _daily_ohlc(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("d")
+    steps = ohlc.select(
+        "event_type",
+        "d",
+        "h1",
+        "l1",
+        F.greatest(
+            F.col("h1") - F.col("l1"),
+            F.abs(F.col("h1") - F.lag("c1").over(w)),
+            F.abs(F.col("l1") - F.lag("c1").over(w)),
+        ).alias("tr"),
+        F.row_number().over(w).alias("rn"),
+    )
+    w_sum = (
+        Window.partitionBy("event_type")
+        .orderBy("rn")
+        .rowsBetween(-(_CHOP_W - 1), 0)
+    )
+    sums = steps.select(
+        "event_type",
+        "d",
+        "rn",
+        F.sum("tr").over(w_sum).alias("str"),
+        F.max("h1").over(w_sum).alias("hh"),
+        F.min("l1").over(w_sum).alias("ll"),
+    )
+    chop = (
+        100.0
+        * F.log(F.col("str").cast("double") / (F.col("hh") - F.col("ll")))
+        / F.log(F.lit(10.0))
+        / F.lit(float(_CHOP_LOG10W))
+    )
+    return (
+        sums.filter(F.col("rn") > _CHOP_W)
+        .select(
+            "event_type",
+            "d",
+            F.when(
+                (F.col("hh") > F.col("ll")) & (F.col("str") > 0),
+                F.floor(chop * 100),
+            )
+            .cast("bigint")
+            .alias("chop_e2"),
+        )
+        .orderBy("event_type", "d")
+    )
+
+
+_ELDER_A = "0.14285714285714285"  # 2/(13+1) — EMA13, shared literal
+
+
+@query(
+    "ts_elder_ray",
+    f"""
+    WITH ohlc AS ({_DAILY_OHLC_SQL}
+    ), ordered AS (
+        SELECT event_type,
+               list(d ORDER BY d) AS ds,
+               list(CAST(c1 AS DOUBLE) ORDER BY d) AS cs,
+               list(h1 ORDER BY d) AS hs,
+               list(l1 ORDER BY d) AS ls
+        FROM ohlc GROUP BY 1
+    )
+    SELECT event_type,
+           unnest(ds) AS d,
+           unnest(list_transform(range(1, len(cs) + 1), t ->
+               CAST(FLOOR(hs[t] - list_reduce(cs[1:t],
+                   (a, x) -> a + {_ELDER_A} * (x - a))) AS BIGINT)))
+               AS bull_power_e4,
+           unnest(list_transform(range(1, len(cs) + 1), t ->
+               CAST(FLOOR(ls[t] - list_reduce(cs[1:t],
+                   (a, x) -> a + {_ELDER_A} * (x - a))) AS BIGINT)))
+               AS bear_power_e4
+    FROM ordered ORDER BY event_type, d
+    """,
+)
+def ts_elder_ray(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elder-ray bull/bear power per day (round 13): high minus the
+    EMA13 of closes (can buyers push above consensus value?) and low
+    minus the same EMA (can sellers pull below it?) — the
+    strength-attribution split behind ts_force_index's single signed
+    number. EMA13 seeds with the first close (ts_ewma convention).
+
+    Exactness: the EMA is the ordered prefix-fold discipline
+    (shared-literal α = 2/14); H/L are exact ints; each power floors
+    e4 per day.
+
+    Scale: the ts_macd posture — calendar-bounded per-key prefix
+    folds."""
+    ohlc = _daily_ohlc(spark, sf_dir)
+    g = ohlc.groupBy("event_type").agg(
+        F.sort_array(
+            F.collect_list(F.struct("d", "h1", "l1", "c1"))
+        ).alias("rows")
+    )
+    g = g.select(
+        "event_type",
+        F.transform("rows", lambda r: r["d"]).alias("ds"),
+        F.transform("rows", lambda r: r["c1"].cast("double")).alias("cs"),
+        F.transform("rows", lambda r: r["h1"]).alias("hs"),
+        F.transform("rows", lambda r: r["l1"]).alias("ls"),
+    )
+    items = F.transform(
+        F.sequence(F.lit(1), F.size("cs")),
+        lambda t: F.struct(
+            F.element_at("ds", t).alias("d"),
+            F.floor(
+                F.element_at("hs", t) - _ema_prefix(F.col("cs"), t, _ELDER_A)
+            )
+            .cast("bigint")
+            .alias("bull_power_e4"),
+            F.floor(
+                F.element_at("ls", t) - _ema_prefix(F.col("cs"), t, _ELDER_A)
+            )
+            .cast("bigint")
+            .alias("bear_power_e4"),
+        ),
+    )
+    return (
+        g.select("event_type", F.explode(items).alias("it"))
+        .select(
+            "event_type",
+            F.col("it.d").alias("d"),
+            F.col("it.bull_power_e4").alias("bull_power_e4"),
+            F.col("it.bear_power_e4").alias("bear_power_e4"),
+        )
+        .orderBy("event_type", "d")
+    )
