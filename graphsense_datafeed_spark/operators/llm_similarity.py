@@ -663,85 +663,223 @@ def quantize_int8_frame(e: DataFrame) -> DataFrame:
     )
 
 
-@query("embed_pca")
-def embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed PCA to 8 components, the way it has to work at
-    100 TB: executors reduce each partition to a partial (count, sum,
-    Gram) statistic via Arrow `mapInPandas`; only those partials — one
-    tiny row per batch, bounded by partition count like the IVF
-    centroid matrix — reach the driver, which combines them, forms the
-    covariance, eigendecomposes a 64x64 matrix (driver-side numpy on
-    KBs), and broadcasts the top components back as plan literals. The
-    projection itself is then narrow JVM-side HOF math over the corpus
-    — the full embedding set never moves.
+_PCA_FIT_IDS = 256  # frozen fit sample: vec_id < 256 at every SF
+_PCA_Q = 1_000_000_000.0  # e9 coordinate quantization (floored)
+_PCA_E6 = 10**6  # renormalization fixed point
+_PCA_T = 6  # matrix squarings: M tracks C^(2^T) = C^64
+_PCA_KV = 4  # PC1 matvec iterations (effective C^256)
+_PCA_KO = 6  # PC2 deflated iterations (effective C^384)
 
-    Rows-only in the driver (eigendecomposition is not
-    SQL-expressible); tests/test_llm.py checks the projected variances
-    against numpy's PCA eigenvalues and each component against the
-    numpy projection up to sign.
 
-    The projection is emitted as a ','-joined string of floor-e4
-    components, NOT an array<double>: the driver canonicalizes even
-    rows-only results through a pandas lexsort, and ndarray cells are
-    unhashable there (the r4 red row — CORRECTNESS_r04 `embed_pca`
-    TypeError). Same scalar-encoding rule as embed_quantize_int8."""
-    k = 8
-    e = load(spark, sf_dir, "embeddings")
+def _pca_power_fit(qrows: list[list[int]]) -> tuple[int, list[int], list[int], list[int]]:
+    """Exact-integer top-2 PCA fit on the quantized sample — the
+    Python-int mirror of the DuckDB oracle's CTE chain (arbitrary-
+    precision ints ≡ HUGEINT for these magnitudes, and // is the same
+    floor division the oracle spells with the double-mod residue
+    formula).  Returns (n, column-sums s, PC1 u, PC2 u2); u/u2 are e6
+    fixed-point integer directions, sign-pinned at the first index of
+    the max |component|."""
+    dim = len(qrows[0])
+    n = len(qrows)
+    s = [sum(r[j] for r in qrows) for j in range(dim)]
+    g = [[sum(r[i] * r[j] for r in qrows) for j in range(dim)] for i in range(dim)]
+    # n²·covariance = n·G − s·sᵀ: exact integers, same eigenvectors.
+    c = [[n * g[i][j] - s[i] * s[j] for j in range(dim)] for i in range(dim)]
 
-    def pca_partials(it):
-        # mapInPandas kernel: one partial-statistics row per Arrow
-        # batch — (n, sum vector, flattened Gram). A CLOSURE so
-        # cloudpickle ships it by value (module-level fns pickle by
-        # reference and break in workers without the repo on path —
-        # round-1 lesson, see multimodal_decode).
-        for pdf in it:
-            X = np.stack(pdf["embedding"].to_numpy()).astype("float64")
-            yield pd.DataFrame(
-                {
-                    "n": [X.shape[0]],
-                    "s": [X.sum(axis=0).tolist()],
-                    "g": [(X.T @ X).ravel().tolist()],
-                }
-            )
+    def renorm_vec(w: list[int]) -> list[int]:
+        m = max(abs(x) for x in w)
+        return [(x * _PCA_E6) // m for x in w]
 
-    partials = e.select("embedding").mapInPandas(
-        pca_partials, "n long, s array<double>, g array<double>"
-    )
-    rows = partials.collect()  # bounded: one row per Arrow batch
-    n = sum(r["n"] for r in rows)
-    s = np.sum([r["s"] for r in rows], axis=0)
-    g = np.sum([r["g"] for r in rows], axis=0).reshape(EMBEDDING_DIM, EMBEDDING_DIM)
-    mean = s / n
-    cov = g / n - np.outer(mean, mean)
-    eigvals, eigvecs = np.linalg.eigh(cov)  # ascending
-    order = np.argsort(eigvals)[::-1][:k]
-    comps = eigvecs[:, order].T  # k x 64
-    # deterministic sign: make each component's largest-|.| entry positive
-    for i in range(k):
-        j = int(np.argmax(np.abs(comps[i])))
-        if comps[i][j] < 0:
-            comps[i] = -comps[i]
+    def renorm_mat(a: list[list[int]]) -> list[list[int]]:
+        m = max(abs(x) for row in a for x in row)
+        return [[(x * _PCA_E6) // m for x in row] for row in a]
 
-    emb = F.col("embedding")
-    mean_arr = F.array(*[F.lit(float(v)) for v in mean])
-    centered = F.zip_with(emb, mean_arr, lambda x, m: x.cast("double") - m)
-    proj_cols = []
-    for i in range(k):
-        comp_arr = F.array(*[F.lit(float(v)) for v in comps[i]])
-        proj_cols.append(
-            F.floor(
-                F.aggregate(
-                    F.zip_with(centered, comp_arr, lambda x, c: x * c),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                )
-                * 10000
-            )
-            .cast("bigint")
-            .cast("string")
+    def canon(v: list[int]) -> list[int]:
+        mx = max(abs(x) for x in v)
+        piv = next(i for i in range(dim) if abs(v[i]) == mx)
+        return [-x for x in v] if v[piv] < 0 else v
+
+    m = renorm_mat(c)
+    for _ in range(_PCA_T):  # binary exponentiation: m ∝ C^(2^T)
+        m = renorm_mat(
+            [[sum(m[i][k] * m[k][j] for k in range(dim)) for j in range(dim)] for i in range(dim)]
         )
+    v = [_PCA_E6] * dim
+    for _ in range(_PCA_KV):
+        v = renorm_vec([sum(m[i][j] * v[j] for j in range(dim)) for i in range(dim)])
+    u = canon(v)
+    uu = sum(x * x for x in u)
+    w = [_PCA_E6 if j % 2 == 0 else -_PCA_E6 for j in range(dim)]
+    for _ in range(_PCA_KO):  # deflation: integer Gram-Schmidt vs u each step
+        w = renorm_vec([sum(m[i][j] * w[j] for j in range(dim)) for i in range(dim)])
+        vu = sum(w[j] * u[j] for j in range(dim))
+        w = renorm_vec([uu * w[j] - vu * u[j] for j in range(dim)])
+    return n, s, u, canon(w)
+
+
+def _pca_oracle_sql() -> str:
+    """Generate the unrolled DuckDB oracle for embed_pca: the same
+    frozen-sample integer power iteration, as ~60 flat CTEs over an
+    (i, j, val) HUGEINT matrix table.  Every renormalization is the
+    exact floor division ((x·10⁶) − canonical_residue) // m, bit-equal
+    to Python's // for positive m."""
+    dim1 = 65  # range upper bound (1-based inclusive indices 1..64)
+
+    def rnv(src: str, out: str) -> str:
+        return (
+            f"{out} AS MATERIALIZED (SELECT i, ((val*1000000) - ((((val*1000000) % mm.m) + mm.m) % mm.m))"
+            f" // mm.m AS val FROM {src}, (SELECT MAX(abs(val)) AS m FROM {src}) mm)"
+        )
+
+    cte = [
+        "qrows AS MATERIALIZED (SELECT vec_id, list_transform(embedding,"
+        f" x -> CAST(FLOOR(CAST(x AS DOUBLE) * {_PCA_Q}) AS HUGEINT)) AS q"
+        f" FROM embeddings WHERE vec_id < {_PCA_FIT_IDS})",
+        "nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM qrows)",
+        "su AS MATERIALIZED (SELECT list(s ORDER BY i) AS s FROM (SELECT i, SUM(q[i]) AS s"
+        f" FROM qrows, range(1, {dim1}) t(i) GROUP BY i) ss)",
+        "gm AS MATERIALIZED (SELECT i, j, SUM(q[i] * q[j]) AS g"
+        f" FROM qrows, range(1, {dim1}) ti(i), range(1, {dim1}) tj(j) GROUP BY i, j)",
+        "cp AS MATERIALIZED (SELECT gm.i AS i, gm.j AS j,"
+        " nn.n * gm.g - su.s[gm.i] * su.s[gm.j] AS val FROM gm, nn, su)",
+        "c0 AS MATERIALIZED (SELECT i, j, ((val*1000000) - ((((val*1000000) % mm.m) + mm.m) % mm.m))"
+        " // mm.m AS val FROM cp, (SELECT MAX(abs(val)) AS m FROM cp) mm)",
+    ]
+    for t in range(1, _PCA_T + 1):
+        cte.append(
+            f"s{t} AS MATERIALIZED (SELECT a.i AS i, b.j AS j, SUM(a.val * b.val) AS val"
+            f" FROM c{t-1} a, c{t-1} b WHERE a.j = b.i GROUP BY a.i, b.j)"
+        )
+        cte.append(
+            f"c{t} AS MATERIALIZED (SELECT i, j, ((val*1000000) - ((((val*1000000) % mm.m) + mm.m) % mm.m))"
+            f" // mm.m AS val FROM s{t}, (SELECT MAX(abs(val)) AS m FROM s{t}) mm)"
+        )
+    top = f"c{_PCA_T}"
+    cte.append(
+        f"v0 AS MATERIALIZED (SELECT i, CAST({_PCA_E6} AS HUGEINT) AS val FROM range(1, {dim1}) t(i))"
+    )
+    for k in range(1, _PCA_KV + 1):
+        cte.append(
+            f"w{k} AS MATERIALIZED (SELECT {top}.i AS i, SUM({top}.val * v{k-1}.val) AS val"
+            f" FROM {top}, v{k-1} WHERE {top}.j = v{k-1}.i GROUP BY {top}.i)"
+        )
+        cte.append(rnv(f"w{k}", f"v{k}"))
+    last = f"v{_PCA_KV}"
+    cte.append(
+        f"upiv AS MATERIALIZED (SELECT val AS pv FROM {last}"
+        f" WHERE abs(val) = (SELECT MAX(abs(val)) FROM {last}) ORDER BY i LIMIT 1)"
+    )
+    cte.append(
+        f"u AS MATERIALIZED (SELECT i, CASE WHEN upiv.pv < 0 THEN -val ELSE val END AS val"
+        f" FROM {last}, upiv)"
+    )
+    cte.append("uu AS MATERIALIZED (SELECT SUM(val * val) AS uu FROM u)")
+    cte.append(
+        f"o0 AS MATERIALIZED (SELECT i, CAST(CASE WHEN i % 2 = 1 THEN {_PCA_E6}"
+        f" ELSE -{_PCA_E6} END AS HUGEINT) AS val FROM range(1, {dim1}) t(i))"
+    )
+    for k in range(1, _PCA_KO + 1):
+        cte.append(
+            f"a{k} AS MATERIALIZED (SELECT {top}.i AS i, SUM({top}.val * o{k-1}.val) AS val"
+            f" FROM {top}, o{k-1} WHERE {top}.j = o{k-1}.i GROUP BY {top}.i)"
+        )
+        cte.append(rnv(f"a{k}", f"an{k}"))
+        cte.append(
+            f"vu{k} AS MATERIALIZED (SELECT SUM(an{k}.val * u.val) AS vu FROM an{k}, u"
+            f" WHERE an{k}.i = u.i)"
+        )
+        cte.append(
+            f"d{k} AS MATERIALIZED (SELECT an{k}.i AS i, uu.uu * an{k}.val - vu{k}.vu * u.val AS val"
+            f" FROM an{k}, u, uu, vu{k} WHERE an{k}.i = u.i)"
+        )
+        cte.append(rnv(f"d{k}", f"o{k}"))
+    olast = f"o{_PCA_KO}"
+    cte.append(
+        f"u2piv AS MATERIALIZED (SELECT val AS pv FROM {olast}"
+        f" WHERE abs(val) = (SELECT MAX(abs(val)) FROM {olast}) ORDER BY i LIMIT 1)"
+    )
+    cte.append(
+        f"u2 AS MATERIALIZED (SELECT i, CASE WHEN u2piv.pv < 0 THEN -val ELSE val END AS val"
+        f" FROM {olast}, u2piv)"
+    )
+    cte.append("ul AS MATERIALIZED (SELECT list(val ORDER BY i) AS v FROM u)")
+    cte.append("u2l AS MATERIALIZED (SELECT list(val ORDER BY i) AS v FROM u2)")
+    # VARCHAR output: pc values can exceed bigint (64 terms x ~5e17),
+    # and DECIMAL/HUGEINT columns are driver-hash-unsafe (helpers.py) —
+    # exact decimal digits are the shared wire format.
+    proj = (
+        "CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT), list_transform(e.qe,"
+        " (x, i) -> (nn.n * x - su.s[i]) * {vec}.v[i])), (a, b) -> a + b)"
+        " AS VARCHAR)"
+    )
+    return (
+        "WITH " + ", ".join(cte) + " SELECT e.vec_id, e.label, "
+        + proj.format(vec="ul") + " AS pc1, "
+        + proj.format(vec="u2l") + " AS pc2"
+        + " FROM (SELECT vec_id, label, list_transform(embedding,"
+        f" x -> CAST(FLOOR(CAST(x AS DOUBLE) * {_PCA_Q}) AS HUGEINT)) AS qe"
+        " FROM embeddings) e, nn, su, ul, u2l"
+    )
+
+
+@query("embed_pca", _pca_oracle_sql())
+def embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 PCA projection with an EXACT DuckDB oracle (the r13→r14
+    rows-only flip, VERDICT r13 item 2), built the way PCA has to work
+    at 100 TB: the fit runs on a frozen bounded sample, the projection
+    is a narrow full-corpus scan.
+
+    Frozen-sample fit (the sim_ann_ivf frozen-seed discipline):
+    vectors with vec_id < 256 — a deterministic, SF-stable sample both
+    engines state identically — are e9-floor-quantized JVM-side and
+    collected (bounded: ≤256 rows × 64 ints).  The driver then runs
+    EXACT integer algebra only (`_pca_power_fit`): n²·covariance
+    C = n·G − s·sᵀ (integer, eigenvectors unchanged by the n² scale),
+    e6 renormalization by floor division, T=6 matrix squarings
+    (binary-exponentiated power iteration — M ∝ C^64 direction-wise),
+    KV=4 matvec steps for PC1 (≡ C^256) and KO=6 integer-Gram-Schmidt-
+    deflated steps for PC2, signs pinned at the first max-|·| index.
+    Because every step is arbitrary-precision integer arithmetic with
+    shared floor-division semantics, the DuckDB oracle
+    (`_pca_oracle_sql`, ~60 flat CTEs over an (i, j, HUGEINT) matrix
+    table) reproduces u/u2 BIT-FOR-BIT — no float ever enters the fit,
+    so there is no rounding chain to align, only one integer program
+    stated twice.  tests/test_llm.py keeps the numpy referee: both
+    recovered directions cosine-match eigh's top-2 eigenvectors of the
+    same integer matrix to ≥0.999 at every shipped SF.
+
+    The projection pc_k = Σ_j (n·q_j − s_j)·u_kj is exact-integer too
+    (terms ≤ ~5·10¹⁷ fit bigint; the fold accumulates in
+    decimal(38,0) ↔ HUGEINT, the shared-accumulator discipline), and
+    is pure narrow zip_with/aggregate JVM math over the corpus — no
+    shuffle, no UDF, no Python hop in the hot path; at 100 TB the fit
+    cost is constant and the scan parallelizes embarrassingly."""
+    e = load(spark, sf_dir, "embeddings")
+    qcol = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * F.lit(_PCA_Q)).cast("long"),
+    )
+    fit = (
+        e.filter(F.col("vec_id") < _PCA_FIT_IDS).select(qcol.alias("q")).collect()
+    )  # bounded: frozen ≤256-row fit sample (the IVF seed-pull rule)
+    n, s, u, u2 = _pca_power_fit([list(r["q"]) for r in fit])
+
+    s_arr = F.array(*[F.lit(int(v)) for v in s])
+    centered = F.zip_with(qcol, s_arr, lambda x, sj: F.lit(n) * x - sj)
+
+    def proj(vec: list[int]):
+        v_arr = F.array(*[F.lit(int(c)) for c in vec])
+        return F.aggregate(
+            F.zip_with(centered, v_arr, lambda c, vj: (c * vj).cast("decimal(38,0)")),
+            F.lit(0).cast("decimal(38,0)"),
+            lambda acc, t: acc + t,
+        )
+
     return e.select(
-        "vec_id", "label", F.concat_ws(",", *proj_cols).alias("pca_e4")
+        "vec_id",
+        "label",
+        proj(u).cast("string").alias("pc1"),
+        proj(u2).cast("string").alias("pc2"),
     )
 
 

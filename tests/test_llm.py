@@ -432,43 +432,64 @@ def test_multimodal_resize_matches_hand_pooling(spark, sf_dir):
 
 
 def test_embed_pca_matches_numpy(spark, sf_dir):
-    """Distributed partial-Gram PCA must match numpy PCA on the
-    collected fixture: projected variances equal the top eigenvalues
-    and each projection equals numpy's up to the pinned sign."""
+    """Two referees for the exact-oracle PCA (r14 flip):
+
+    1. EXACTNESS — the Spark projections equal a from-scratch Python
+       arbitrary-precision-integer replica bit-for-bit (same frozen
+       fit sample, same e9 quantization, same `_pca_power_fit`), for
+       every corpus row.
+    2. QUALITY — the integer power iteration actually found PCA: both
+       recovered directions cosine-match numpy eigh's top-2
+       eigenvectors of the SAME integer matrix to >= 0.999, and are
+       mutually near-orthogonal.
+    """
+    import math
+
     import numpy as np
 
+    from graphsense_datafeed_spark.operators.llm_similarity import (
+        _PCA_FIT_IDS,
+        _pca_power_fit,
+    )
     from graphsense_datafeed_spark.registry import QUERIES
     from graphsense_datafeed_spark.sources.tables import load
 
     rows = (
         load(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
     )
-    ids = [r["vec_id"] for r in rows]
-    X = np.stack([np.array(r["embedding"], dtype="float64") for r in rows])
-    Xc = X - X.mean(axis=0)
-    cov = (X.T @ X) / len(X) - np.outer(X.mean(axis=0), X.mean(axis=0))
-    eigvals, eigvecs = np.linalg.eigh(cov)
-    order = np.argsort(eigvals)[::-1][:8]
-    comps = eigvecs[:, order].T
-    for i in range(8):
-        j = int(np.argmax(np.abs(comps[i])))
-        if comps[i][j] < 0:
-            comps[i] = -comps[i]
-    want = {vid: Xc[ix] @ comps.T for ix, vid in enumerate(ids)}
+    q = {
+        r["vec_id"]: [math.floor(float(x) * 1e9) for x in r["embedding"]]
+        for r in rows
+    }
+    fit = [q[vid] for vid in sorted(q) if vid < _PCA_FIT_IDS]
+    n, s, u, u2 = _pca_power_fit(fit)
+    dim = len(u)
 
-    # pca_e4 is a ','-joined floor-e4 string (driver-safe scalar
-    # encoding — array cells crash the driver's pandas canon, r4 red
-    # row), so decode then compare at e4 resolution.
     got = {
-        r["vec_id"]: np.array(r["pca_e4"].split(","), dtype="float64") / 10000.0
+        r["vec_id"]: (int(r["pc1"]), int(r["pc2"]))
         for r in QUERIES["embed_pca"](spark, sf_dir).collect()
     }
-    assert set(got) == set(want)
-    for vid in ids:
-        assert np.allclose(got[vid], want[vid], atol=1.5e-4), vid
-    # projected variance tracks the eigenvalues (e4-quantized values)
-    P = np.stack([got[v] for v in ids])
-    assert np.allclose(P.var(axis=0), eigvals[order], atol=1e-3)
+    assert set(got) == set(q)
+    for vid, qe in q.items():
+        want = (
+            sum((n * qe[j] - s[j]) * u[j] for j in range(dim)),
+            sum((n * qe[j] - s[j]) * u2[j] for j in range(dim)),
+        )
+        assert got[vid] == want, vid
+
+    # quality referee: same integer matrix, float eigendecomposition
+    g = [[sum(r[i] * r[j] for r in fit) for j in range(dim)] for i in range(dim)]
+    c = np.array(
+        [[float(n * g[i][j] - s[i] * s[j]) for j in range(dim)] for i in range(dim)]
+    )
+    _, eigvecs = np.linalg.eigh(c)
+    un = np.array(u, dtype="float64")
+    un /= np.linalg.norm(un)
+    u2n = np.array(u2, dtype="float64")
+    u2n /= np.linalg.norm(u2n)
+    assert abs(float(un @ eigvecs[:, -1])) >= 0.999
+    assert abs(float(u2n @ eigvecs[:, -2])) >= 0.999
+    assert abs(float(un @ u2n)) < 1e-4
 
 
 def test_quantize_int8_roundtrip_error_bound(spark, sf_dir):
