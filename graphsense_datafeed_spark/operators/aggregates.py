@@ -13073,7 +13073,13 @@ def agg_welch_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     f_w = (F.col("sa").cast("double") / 1000000.0 / (k - 1)) / (
         1.0 + 2.0 * (k - 2.0) / (k * k.cast("double") - 1.0) * lam
     )
-    df2 = (k * k.cast("double") - 1.0) / (3.0 * lam)
+    # df2 denominator spelled (3·Σb)/1e12 — NOT 3·(Σb/1e12) — to share
+    # the oracle's left-associated double chain exactly (ADVICE r13:
+    # 1e12 is not a power of two, so the two roundings can differ by
+    # ~1 ulp and flip the e4 floor).
+    df2 = (k * k.cast("double") - 1.0) / (
+        (3.0 * F.col("sb").cast("double")) / 1000000000000.0
+    )
     return s.select(
         k.cast("bigint").alias("k"),
         F.floor(f_w * 10000).cast("bigint").alias("f_welch_e4"),
@@ -13144,8 +13150,12 @@ def agg_effect_size_contingency(
     Scale: one keyed cell rollup + margin windows over the bounded
     (types × weekdays) grid."""
     ev = load(spark, sf_dir, "events")
+    # (dayofweek − 1) matches DuckDB's 0–6 convention — repo-standard
+    # shift (ADVICE r13): dow is only a grouping key today, but an
+    # unshifted key becomes a live trap the moment it is emitted or
+    # joined, and every other dow site applies the shift.
     obs = ev.groupBy(
-        "event_type", F.dayofweek("ts").alias("dow")
+        "event_type", (F.dayofweek("ts") - 1).alias("dow")
     ).agg(F.count("*").cast("bigint").alias("o"))
     w_r = Window.partitionBy("event_type")
     w_c = Window.partitionBy("dow")

@@ -219,17 +219,36 @@ def test_brunner_munzel_direction_consistency(spark):
 
 
 def test_vortex_tr_matches_atr_tr(spark):
-    """The vortex TR cell must equal ts_atr_wilder's TR on every
-    shared (series, day) — the two rows referee each other's true
-    range."""
+    """The TR cell that ts_vortex_indicator and ts_atr_wilder both
+    state — GREATEST(H−L, |H−C_prev|, |L−C_prev|) over the shared
+    daily candle tape — recomputed here from _daily_ohlc directly and
+    asserted equal to ts_atr_wilder's tr_e4 on EVERY (series, day)
+    (ADVICE r13: the old body only asserted non-negativity)."""
+    from graphsense_datafeed_spark.operators.timeseries import _daily_ohlc
+
+    tape = {}
+    for r in _daily_ohlc(spark, SF01).collect():
+        tape.setdefault(r["event_type"], []).append(
+            (r["d"], r["h1"], r["l1"], r["c1"])
+        )
+    want = {}
+    for et, rows in tape.items():
+        rows.sort()
+        prev_close = None
+        for d, h, l, c in rows:
+            if prev_close is None:
+                want[(et, d)] = h - l
+            else:
+                want[(et, d)] = max(
+                    h - l, abs(h - prev_close), abs(l - prev_close)
+                )
+            prev_close = c
     atr = {
         (r["event_type"], r["d"]): r["tr_e4"]
         for r in QUERIES["ts_atr_wilder"](spark, SF01).collect()
     }
-    # vortex only emits from rn > W; recompute its TR from ATR rows
-    # is not exposed — assert instead on ATR rows beyond day 1 that
-    # TR is consistent with the OHLC definition via positivity.
-    assert all(v >= 0 for v in atr.values())
+    assert atr == want
+    assert len(atr) > 100  # real multi-day tape, not a degenerate pass
 
 
 def test_holm_subset_of_bh(spark):
