@@ -1135,14 +1135,24 @@ def join_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     and a third of them missing — unmatched orders fall out, as they
     do in production.
 
-    The band predicate compiles to a range join; at 100 TB the
-    bucketing trick (join on cents/1000 bucket ±1 — the
-    geo_grid_neighbors pigeonhole on one dimension) bounds candidates
-    before the tolerance verify, documented here, unnecessary at
-    fixture scale. The election is a WindowGroupLimit.
+    The band predicate alone would compile to a nested-loop range
+    join — O(orders x payments) comparisons, measured HUNG at sf10
+    (15M x 10M; the round-14 census catch). The shipped plan is the
+    pigeonhole bucketing this docstring used to defer as "unnecessary
+    at fixture scale": payments carry ONE cents bucket of width 21
+    (the band diameter), orders explode to the <=2 distinct buckets
+    their +/-10-cent band can touch, the join is a hash EQUI-join on
+    the bucket, and the exact band + date predicates verify residually
+    — no candidate can be missed (a payment within +/-10 cents of an
+    order lies in one of the order's exploded buckets by pigeonhole)
+    and no pair can duplicate (each payment has exactly one bucket;
+    the order side is array_distinct). The election is a
+    WindowGroupLimit.
 
     Exactness: integer cents and integer day lags end-to-end; the
-    perturbations are modular arithmetic on the key."""
+    perturbations are modular arithmetic on the key; the bucketing
+    changes the PLAN, not the candidate set, so the oracle keeps the
+    clean two-band join."""
     o = load(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
     pay = o.filter(F.col("o_orderkey") % 3 != 0).select(
@@ -1153,19 +1163,30 @@ def join_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_orderkey") % 4).cast("int"),
         ).alias("pay_date"),
     )
+    pay = pay.withColumn("bkt", F.floor(F.col("pay_cents") / 21))
     ord_ = o.select(
         "o_orderkey",
         cents.alias("ord_cents"),
         F.col("o_orderdate").cast("date").alias("o_orderdate"),
+    ).withColumn(
+        "bkt",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.floor((F.col("ord_cents") - 10) / 21),
+                    F.floor(F.col("ord_cents") / 21),
+                    F.floor((F.col("ord_cents") + 10) / 21),
+                )
+            )
+        ),
     )
-    cand = ord_.join(
-        pay,
+    cand = ord_.join(pay, "bkt").filter(
         F.col("pay_cents").between(
             F.col("ord_cents") - 10, F.col("ord_cents") + 10
         )
         & F.col("pay_date").between(
             F.col("o_orderdate"), F.date_add(F.col("o_orderdate"), 3)
-        ),
+        )
     ).select(
         "o_orderkey",
         "pay_id",
