@@ -1102,13 +1102,21 @@ def join_exists_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(ROUND(o_totalprice * 100) AS BIGINT) AS ord_cents,
                CAST(o_orderdate AS DATE) AS o_orderdate
         FROM orders
+    ), ordb AS (
+        SELECT o_orderkey, ord_cents, o_orderdate,
+               unnest(list_distinct([
+                   (ord_cents - 10) // 21,
+                   ord_cents // 21,
+                   (ord_cents + 10) // 21])) AS bkt
+        FROM ord
     ), cand AS (
         SELECT o.o_orderkey, p.pay_id, o.ord_cents, p.pay_cents,
                CAST(p.pay_date - o.o_orderdate AS BIGINT) AS lag_days,
                abs(p.pay_cents - o.ord_cents) AS diff_cents
-        FROM ord o
+        FROM ordb o
         JOIN pay p
-          ON p.pay_cents BETWEEN o.ord_cents - 10 AND o.ord_cents + 10
+          ON p.pay_cents // 21 = o.bkt
+         AND p.pay_cents BETWEEN o.ord_cents - 10 AND o.ord_cents + 10
          AND p.pay_date BETWEEN o.o_orderdate AND o.o_orderdate + 3
     ), best AS (
         SELECT o_orderkey, pay_id, diff_cents, lag_days,
@@ -1151,8 +1159,13 @@ def join_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: integer cents and integer day lags end-to-end; the
     perturbations are modular arithmetic on the key; the bucketing
-    changes the PLAN, not the candidate set, so the oracle keeps the
-    clean two-band join."""
+    changes the PLAN, not the candidate set. The oracle states the
+    SAME pigeonhole (unnest of the <=2 distinct order buckets +
+    bucket-equality before the residual bands): DuckDB's clean
+    two-band join was itself the quadratic at census scales (420 s+
+    at sf1, 30 min+ at sf10), so an efficient-but-identical oracle is
+    what keeps the row scale-hash-checkable; positive-cents // 21
+    equals floor(cents/21) in both engines."""
     o = load(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
     pay = o.filter(F.col("o_orderkey") % 3 != 0).select(
