@@ -83,7 +83,18 @@ def main() -> int:
     for k, qid in enumerate(qids, 1):
         t0 = time.perf_counter()
         try:
-            n = registry.QUERIES[qid](spark, args.sf_dir).count()
+            df = registry.QUERIES[qid](spark, args.sf_dir)
+            try:
+                n = df.count()
+            except Exception as cex:  # noqa: BLE001
+                # count()'s column pruning can leave a query Spark
+                # refuses to run (e.g. a _corrupt_record-only scan,
+                # UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN)
+                # — fall back to collect, which reads full rows like
+                # the driver does.
+                if "CORRUPT_RECORD" not in str(cex):
+                    raise
+                n = len(df.collect())
         except Exception as ex:  # noqa: BLE001 — ledger, don't abort
             failures.append([qid, str(ex)[:160]])
             print(f"# [{k}/{len(qids)}] {qid}: FAILED", file=sys.stderr)
