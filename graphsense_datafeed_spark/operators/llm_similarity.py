@@ -679,6 +679,12 @@ def _pca_power_fit(qrows: list[list[int]]) -> tuple[int, list[int], list[int], l
     formula).  Returns (n, column-sums s, PC1 u, PC2 u2); u/u2 are e6
     fixed-point integer directions, sign-pinned at the first index of
     the max |component|."""
+    if not qrows:
+        raise ValueError(
+            "embed_pca frozen-sample contract: no fit rows (vec_id < "
+            f"{_PCA_FIT_IDS}) — the fixture must provide a non-empty, "
+            "non-constant sample or the e6 renormalizations divide by 0"
+        )
     dim = len(qrows[0])
     n = len(qrows)
     s = [sum(r[j] for r in qrows) for j in range(dim)]
@@ -688,10 +694,22 @@ def _pca_power_fit(qrows: list[list[int]]) -> tuple[int, list[int], list[int], l
 
     def renorm_vec(w: list[int]) -> list[int]:
         m = max(abs(x) for x in w)
+        if m == 0:
+            raise ValueError(
+                "embed_pca frozen-sample contract: degenerate (all-"
+                "constant) fit sample — n²·covariance power iterate "
+                "collapsed to the zero vector; the oracle's mirrored "
+                "integer program would divide by zero at the same step"
+            )
         return [(x * _PCA_E6) // m for x in w]
 
     def renorm_mat(a: list[list[int]]) -> list[list[int]]:
         m = max(abs(x) for row in a for x in row)
+        if m == 0:
+            raise ValueError(
+                "embed_pca frozen-sample contract: all-constant fit "
+                "sample (zero covariance matrix) — cannot renormalize"
+            )
         return [[(x * _PCA_E6) // m for x in row] for row in a]
 
     def canon(v: list[int]) -> list[int]:

@@ -1349,14 +1349,14 @@ def scan_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     in Spark's mergeSchema job, bounded by file count not bytes);
     the null-fill is free (parquet readers synthesize missing
     columns); partition pruning and predicate pushdown are unaffected
-    because the merged schema is a superset. The write side uses the
-    sink_parquet overwrite discipline."""
+    because the merged schema is a superset. The operator demonstrates
+    the READ posture, so the two staged generations are written ONCE
+    per (sf_dir, source fingerprint) — `staged_source_dir` re-stages
+    on fixture regeneration, `staged_output`'s completion marker
+    guards against serving a partial tree (VERDICT r14 item 7)."""
     ensure_runtime_confs(spark)
-    out = os.path.join(
-        tempfile.gettempdir(),
-        "gds_schema_evo",
-        os.path.basename(sf_dir.rstrip("/")),
-    )
+    from graphsense_datafeed_spark.sources.tables import staged_source_dir
+
     orders = load(spark, sf_dir, "orders").select(
         "o_orderkey",
         F.round(F.col("o_totalprice") * 100)
@@ -1368,9 +1368,14 @@ def scan_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "total_cents"
     )
     gen2 = orders.filter(F.col("o_orderkey") % 2 == 1)
-    shutil.rmtree(out, ignore_errors=True)
-    gen1.write.mode("overwrite").parquet(os.path.join(out, "gen=1"))
-    gen2.write.mode("overwrite").parquet(os.path.join(out, "gen=2"))
+
+    def _stage(stage: str) -> None:
+        gen1.write.mode("overwrite").parquet(os.path.join(stage, "gen=1"))
+        gen2.write.mode("overwrite").parquet(os.path.join(stage, "gen=2"))
+
+    out = staged_output(
+        staged_source_dir(sf_dir, "gds_schema_evo", "orders"), _stage
+    )
     merged = spark.read.option("mergeSchema", "true").parquet(
         os.path.join(out, "gen=1"), os.path.join(out, "gen=2")
     )
@@ -1485,13 +1490,17 @@ def scan_partition_evolution_union(spark: SparkSession, sf_dir: str) -> DataFram
     under the hood).
 
     Scale: two prunable partitioned reads + a null-filling union —
-    no shuffle beyond the final rollup."""
+    no shuffle beyond the final rollup. The operator demonstrates the
+    READ posture, so the two staged partition-spec generations are
+    written ONCE per (sf_dir, source fingerprint) — the ledger had
+    this as its #1 pole at 34.8 s/invocation purely from the
+    rmtree+rewrite of the orders table on every call; the
+    `staged_source_dir` fingerprint key re-stages on fixture
+    regeneration and `staged_output`'s completion marker guards
+    against partial trees (VERDICT r14 item 7)."""
     ensure_runtime_confs(spark)
-    out = os.path.join(
-        tempfile.gettempdir(),
-        "gds_part_evo",
-        os.path.basename(sf_dir.rstrip("/")),
-    )
+    from graphsense_datafeed_spark.sources.tables import staged_source_dir
+
     orders = load(spark, sf_dir, "orders").select(
         "o_orderkey",
         F.date_format("o_orderdate", "yyyy-MM").alias("mth"),
@@ -1504,12 +1513,17 @@ def scan_partition_evolution_union(spark: SparkSession, sf_dir: str) -> DataFram
     gen2 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
         "mth", "dy", "cents"
     )
-    shutil.rmtree(out, ignore_errors=True)
-    gen1.write.mode("overwrite").partitionBy("mth").parquet(
-        os.path.join(out, "gen1")
-    )
-    gen2.write.mode("overwrite").partitionBy("mth", "dy").parquet(
-        os.path.join(out, "gen2")
+
+    def _stage(stage: str) -> None:
+        gen1.write.mode("overwrite").partitionBy("mth").parquet(
+            os.path.join(stage, "gen1")
+        )
+        gen2.write.mode("overwrite").partitionBy("mth", "dy").parquet(
+            os.path.join(stage, "gen2")
+        )
+
+    out = staged_output(
+        staged_source_dir(sf_dir, "gds_part_evo", "orders"), _stage
     )
     back1 = spark.read.parquet(os.path.join(out, "gen1"))
     back2 = spark.read.parquet(os.path.join(out, "gen2"))

@@ -35,18 +35,31 @@ sys.path.insert(0, REPO)
 
 
 def _prior_ledger(out_path: str) -> tuple[str, dict[str, float]] | None:
-    """Most recent BENCH_full_sf01_r{M}.json other than out_path."""
-    best: tuple[int, str] | None = None
+    """Most recent COMPLETE BENCH_full_sf01_r{M}.json other than
+    out_path.  Ledgers recorded with failures are skipped as diff
+    bases: their headline total sums only the successful queries, so a
+    later >2x comparison against them would both hide regressions and
+    fire false improvements (ADVICE r14)."""
+    cands: list[tuple[int, str]] = []
     for p in glob.glob(os.path.join(REPO, "BENCH_full_sf01_r*.json")):
         if os.path.abspath(p) == os.path.abspath(out_path):
             continue
         m = re.search(r"_r(\d+)\.json$", p)
-        if m and (best is None or int(m.group(1)) > best[0]):
-            best = (int(m.group(1)), p)
-    if best is None:
-        return None
-    with open(best[1]) as fh:
-        return best[1], dict(json.load(fh).get("queries", {}))
+        if m:
+            cands.append((int(m.group(1)), p))
+    for _, path in sorted(cands, reverse=True):
+        with open(path) as fh:
+            led = json.load(fh)
+        if led.get("failures"):
+            print(
+                f"# skipping prior ledger {os.path.basename(path)} as "
+                f"diff base: {len(led['failures'])} recorded failures "
+                "make its total/per-query walls incomparable",
+                file=sys.stderr,
+            )
+            continue
+        return path, dict(led.get("queries", {}))
+    return None
 
 
 def main() -> int:
