@@ -53,6 +53,132 @@ def _window_warn_budget() -> set[str]:
 
 _WINDOW_WARN = "No Partition Defined"
 
+# ---------------------------------------------------------------------------
+# Engine-side order-insensitive value hash (VERDICT r14 item 2).
+#
+# The default referee collects BOTH result sets and canonicalizes them
+# row-by-row in pure Python — at sf10 five queries produce 1.0–15M-row
+# outputs whose engines finish in seconds while the Python loop drowns
+# (SCALE.md §Round-14 "harness-bound"). This mode pushes the reduction
+# INSIDE each engine: canonical per-row text (columns sorted by name,
+# identical formatting rules both sides) → md5 → two 60-bit hex slices
+# summed with COUNT(*). Addition is commutative, so the three numbers
+# are order-insensitive and each engine returns ONE row regardless of
+# output size. Enabled per-run via GDS_VERIFY_ENGINE_HASH_ROWS=N:
+# oracle queries whose Spark output exceeds N rows take this path
+# (census runs set 1000000; the default 0 keeps the sf0.01 sweep
+# byte-identical to the driver's collect-based compare).
+#
+# Canonical text rules (must be IDENTICAL across engines, not identical
+# to helpers.canon_value):
+#   int types / boolean  -> CAST AS string ('123', 'true')
+#   varchar              -> as-is
+#   date                 -> cast ('YYYY-MM-DD' both engines)
+#   timestamp[_ntz]      -> explicit 6-digit-micros format both sides
+#   double/float         -> FLOOR(x * 1e6) AS BIGINT text (e6-quantized:
+#                           identical input bits => identical text; the
+#                           repo's §2.12 rounding discipline means both
+#                           engines hold bit-identical doubles, and
+#                           engine-native double->string formatting is
+#                           NOT portable — JDK17 Double.toString vs
+#                           DuckDB shortest-round-trip)
+#   NULL                 -> '∅' sentinel (concat_ws SKIPS nulls in both
+#                           engines, which would alias (NULL,'x') with
+#                           ('x',NULL) — so every cell is coalesced)
+# Columns are joined with chr(31) (unit separator).
+# ---------------------------------------------------------------------------
+
+_EH_ROWS = int(os.environ.get("GDS_VERIFY_ENGINE_HASH_ROWS", "0") or "0")
+_EH_SENTINEL = "∅"
+
+
+def _spark_engine_hash(sdf) -> tuple[list[str], int, int, int]:
+    """(sorted columns, n, h1, h2) reduced inside Spark — one collected
+    row, never the result set."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import types as T
+
+    exprs = []
+    for name in sorted(sdf.columns):
+        dt = sdf.schema[name].dataType
+        c = F.col(name)
+        if isinstance(
+            dt,
+            (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.BooleanType),
+        ):
+            e = c.cast("string")
+        elif isinstance(dt, T.StringType):
+            e = c
+        elif isinstance(dt, T.DateType):
+            e = c.cast("string")
+        elif isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+            e = F.date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        elif isinstance(dt, (T.DoubleType, T.FloatType)):
+            e = F.floor(c.cast("double") * 1000000.0).cast("bigint").cast("string")
+        else:
+            raise ValueError(
+                f"engine-hash: unsupported Spark type "
+                f"{dt.simpleString()} for column {name}"
+            )
+        exprs.append(F.coalesce(e, F.lit(_EH_SENTINEL)))
+    h = F.md5(F.concat_ws("\x1f", *exprs))
+    row = (
+        sdf.select(h.alias("h"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.conv(F.substring("h", 1, 15), 16, 10).cast("decimal(38,0)")
+            ).alias("h1"),
+            F.sum(
+                F.conv(F.substring("h", 16, 15), 16, 10).cast("decimal(38,0)")
+            ).alias("h2"),
+        )
+        .collect()[0]
+    )
+    n = int(row["n"])
+    return (
+        sorted(sdf.columns),
+        n,
+        int(row["h1"]) if n else 0,
+        int(row["h2"]) if n else 0,
+    )
+
+
+def _duck_engine_hash(con, oracle_sql: str, qid: str) -> tuple[list[str], int, int, int]:
+    """(sorted columns, n, h1, h2) reduced inside DuckDB with the SAME
+    canonical-text rules as _spark_engine_hash."""
+    rel = con.sql(oracle_sql)
+    cols = rel.columns
+    types = [str(t).upper() for t in rel.types]
+    exprs = []
+    for name, t in sorted(zip(cols, types)):
+        q = f'"{name}"'
+        if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT", "BOOLEAN"):
+            e = f"CAST({q} AS VARCHAR)"
+        elif t == "VARCHAR":
+            e = q
+        elif t == "DATE":
+            e = f"CAST({q} AS VARCHAR)"
+        elif t.startswith("TIMESTAMP"):
+            e = f"strftime({q}, '%Y-%m-%d %H:%M:%S.%f')"
+        elif t in ("DOUBLE", "FLOAT", "REAL"):
+            e = f"CAST(CAST(FLOOR(CAST({q} AS DOUBLE) * 1000000.0) AS BIGINT) AS VARCHAR)"
+        else:
+            raise ValueError(
+                f"engine-hash: unsupported DuckDB type {t} for column "
+                f"{name} ({qid})"
+            )
+        exprs.append(f"COALESCE({e}, '{_EH_SENTINEL}')")
+    txt = "concat_ws(chr(31), " + ", ".join(exprs) + ")"
+    agg = con.sql(
+        "SELECT COUNT(*) AS n, "
+        "SUM(CAST('0x' || substr(h, 1, 15) AS BIGINT)) AS h1, "
+        "SUM(CAST('0x' || substr(h, 16, 15) AS BIGINT)) AS h2 "
+        f"FROM (SELECT md5({txt}) AS h FROM ({oracle_sql}) gds_eh_q) gds_eh_t"
+    ).fetchone()
+    n = int(agg[0])
+    return sorted(cols), n, int(agg[1]) if n else 0, int(agg[2]) if n else 0
+
 
 def main() -> int:
     only = set(sys.argv[1:])
@@ -137,6 +263,28 @@ def _sweep(only, real_err, warn_count) -> int:
                 # output, rows-only ones included — complex-typed columns
                 # crash it there even when no oracle exists (r4 embed_pca)
                 assert_spark_driver_safe_schema(sdf, qid)
+                if _EH_ROWS and qid in oracles and sdf.count() > _EH_ROWS:
+                    s_cols_eh, sn, sh1, sh2 = _spark_engine_hash(sdf)
+                    d_cols_eh, dn, dh1, dh2 = _duck_engine_hash(
+                        con, oracles[qid], qid
+                    )
+                    if s_cols_eh != d_cols_eh:
+                        failures.append(
+                            (qid, f"cols {s_cols_eh} != {d_cols_eh}")
+                        )
+                    elif (sn, sh1, sh2) != (dn, dh1, dh2):
+                        failures.append(
+                            (qid,
+                             f"engine-hash: spark (n={sn}, h1={sh1}, "
+                             f"h2={sh2}) != duck (n={dn}, h1={dh1}, "
+                             f"h2={dh2})")
+                        )
+                    else:
+                        print(
+                            f"engine-hash ok {qid}: n={sn} h1={sh1} h2={sh2}",
+                            file=real_err,
+                        )
+                    continue
                 s_cols = sdf.columns
                 s_rows = sorted(
                     "|".join(canon_value(r[c]) for c in sorted(s_cols))
