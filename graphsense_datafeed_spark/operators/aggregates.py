@@ -6615,10 +6615,13 @@ def _benford2_oracle_sql() -> str:
         SELECT digit2, o, CAST(exp_e9 AS BIGINT) AS exp_e9,
                CAST(FLOOR(
                    (CAST(o AS DOUBLE)
-                    - CAST(n AS DOUBLE) * (exp_e9 / 1000000000.0))
+                    - (CAST(n AS DOUBLE) * CAST(exp_e9 AS DOUBLE))
+                      / 1000000000.0)
                    * (CAST(o AS DOUBLE)
-                      - CAST(n AS DOUBLE) * (exp_e9 / 1000000000.0))
-                   / (CAST(n AS DOUBLE) * (exp_e9 / 1000000000.0))
+                      - (CAST(n AS DOUBLE) * CAST(exp_e9 AS DOUBLE))
+                        / 1000000000.0)
+                   / ((CAST(n AS DOUBLE) * CAST(exp_e9 AS DOUBLE))
+                      / 1000000000.0)
                    * 1000000) AS BIGINT) AS dev_e6
         FROM tot
     )
@@ -6668,11 +6671,18 @@ def agg_benford_second_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("exp_e9"),
         F.sum("o").over(w_all).cast("bigint").alias("n"),
     )
-    p = F.col("exp_e9") / 1000000000.0
+    # expected count spelled (n·exp_e9)/1e9 — multiply FIRST: the
+    # integer product n·exp_e9 ≤ 1.5e7·1.2e8 < 2^53 is EXACT in double,
+    # so the chain carries one rounding instead of two, and the oracle
+    # states the identical association (chain_lint canonical form —
+    # the welch-df2 class can't reappear here).
+    np_ = (
+        F.col("n").cast("double") * F.col("exp_e9").cast("double")
+    ) / 1000000000.0
     dev = (
-        (F.col("o").cast("double") - F.col("n").cast("double") * p)
-        * (F.col("o").cast("double") - F.col("n").cast("double") * p)
-        / (F.col("n").cast("double") * p)
+        (F.col("o").cast("double") - np_)
+        * (F.col("o").cast("double") - np_)
+        / np_
         * 1000000
     )
     terms = tot.select(
