@@ -88,7 +88,15 @@ _WINDOW_WARN = "No Partition Defined"
 # Columns are joined with chr(31) (unit separator).
 # ---------------------------------------------------------------------------
 
-_EH_ROWS = int(os.environ.get("GDS_VERIFY_ENGINE_HASH_ROWS", "0") or "0")
+# Census default (VERDICT r14 item 2 follow-through): at any
+# NON-driver SF dir the mode arms itself at 1M rows — an sf1/sf10
+# census sweep can no longer drown in a multi-million-row collect
+# (the layout_zorder lesson: 60M rows blew maxResultSize before this
+# defaulted). The driver-scale sweep keeps threshold 0 = off so the
+# sf0.01 gate stays byte-identical to the driver's collect compare.
+# GDS_VERIFY_ENGINE_HASH_ROWS overrides either way.
+_EH_DEFAULT = "0" if SF_DIR == "/root/testdata/sf0.01" else "1000000"
+_EH_ROWS = int(os.environ.get("GDS_VERIFY_ENGINE_HASH_ROWS", _EH_DEFAULT) or "0")
 _EH_SENTINEL = "∅"
 
 
