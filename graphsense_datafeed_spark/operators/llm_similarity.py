@@ -3273,6 +3273,130 @@ def _all_pairs_scored(emb: DataFrame) -> DataFrame:
     )
 
 
+def _corpus_topk_arrow(sf_dir: str, k: int, emit: str):
+    """mapInArrow kernel factory for the FUSED all-pairs top-k: each
+    task reads the corpus matrix ONCE from the embeddings parquet
+    (heavyweight init per task — guide §4.5 shape), scores its batch
+    of query vectors against the whole corpus with the ordered
+    float64 fold (``acc_k = acc_{k-1} + dbl(a_k)·dbl(b_k)``, the
+    IEEE-identical twin of ``dot_product``'s zip_with/aggregate left
+    fold — the lsh_buckets_udf precedent), and reduces IN the kernel:
+
+    - ``emit="nn2"``  → one row per query: (query_id, dot1, dot2),
+      the two largest non-self dots (the window-top-2 readout of
+      twonn_audit, as VALUES — rank tie-break cannot change them).
+    - ``emit="top5"`` → up to k rows per query: (query_id,
+      neighbor_id), the top-k by (dot DESC, neighbor_id ASC) — the
+      id-stable order replicated via a stable argsort over the
+      id-sorted corpus.
+
+    The round-15 optimization lesson behind it (guide §8): the
+    previous BNLJ all-pairs plan materialized |corpus|² rows each
+    carrying TWO 64-float payloads (≈2 GB at sf0.1) only to reduce
+    them to |corpus| rows — the payload must not ride the pair
+    frame. Fused: 4M interpreted fold evals → 64 vectorized numpy
+    passes, measured 32 s → ~1 s at sf0.1 with bit-identical output
+    (the feed-independence pytest referees it against the window
+    pipeline over an exact shortlist)."""
+    from graphsense_datafeed_spark.sources.tables import path_for
+
+    corpus_path = path_for(sf_dir, "embeddings")
+
+    def fn(batches):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(corpus_path, columns=["vec_id", "embedding"])
+        cid = t.column("vec_id").to_numpy(zero_copy_only=False)
+        emb_list = t.column("embedding").combine_chunks()
+        flat = emb_list.flatten().to_numpy(zero_copy_only=False)
+        if len(flat) == len(cid) * EMBEDDING_DIM:
+            corpus = flat.reshape(len(cid), EMBEDDING_DIM)
+        else:  # non-contiguous list layout: row-wise fallback
+            corpus = np.vstack(emb_list.to_pylist())
+        order = np.argsort(cid, kind="stable")
+        cid = cid[order].astype(np.int64)
+        cd = corpus[order].astype(np.float64)  # (N, dim)
+        n = len(cid)
+        for batch in batches:
+            qid = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            ql = batch.column("embedding")
+            qflat = ql.flatten().to_numpy(zero_copy_only=False)
+            if len(qflat) == len(qid) * EMBEDDING_DIM:
+                qm = qflat.reshape(len(qid), EMBEDDING_DIM)
+            else:
+                qm = np.vstack(ql.to_pylist())
+            qd = qm.astype(np.float64)
+            # chunk queries so the (chunk × N) accumulator stays small
+            chunk = max(1, (1 << 22) // max(n, 1))
+            for lo in range(0, len(qid), chunk):
+                q = qd[lo : lo + chunk]
+                ids = qid[lo : lo + chunk]
+                acc = np.zeros((len(q), n))
+                for d in range(EMBEDDING_DIM):
+                    acc += q[:, d, None] * cd[None, :, d]
+                # exclude self (query_id != neighbor_id)
+                pos = np.searchsorted(cid, ids)
+                rows = np.arange(len(ids))
+                selfmask = (pos < n) & (cid[np.minimum(pos, n - 1)] == ids)
+                acc[rows[selfmask], pos[selfmask]] = -np.inf
+                if emit == "nn2":
+                    # non-self neighbor count decides row/None parity
+                    # with the window pipeline: 0 → no row at all,
+                    # 1 → dot2 IS NULL (never NaN — floor(NaN) and
+                    # floor(NULL) differ downstream)
+                    nn = n - selfmask.astype(np.int64)
+                    if n > 1:
+                        part = np.partition(-acc, 1, axis=1)
+                        d1, d2 = -part[:, 0], -part[:, 1]
+                    else:
+                        d1 = acc[:, 0]
+                        d2 = np.zeros(len(ids))
+                    keep = nn >= 1
+                    yield pa.record_batch(
+                        [
+                            pa.array(ids[keep].astype(np.int64)),
+                            pa.array(d1[keep], mask=(nn[keep] < 1)),
+                            pa.array(d2[keep], mask=(nn[keep] < 2)),
+                        ],
+                        names=["query_id", "dot1", "dot2"],
+                    )
+                else:
+                    # stable argsort over the id-ASC corpus == order by
+                    # (dot DESC, neighbor_id ASC) — row_number() parity
+                    top = np.argsort(-acc, axis=1, kind="stable")[:, :k]
+                    take = np.minimum(k, n - selfmask.astype(np.int64))
+                    out_q, out_n = [], []
+                    for r in range(len(ids)):
+                        sel = top[r, : take[r]]
+                        out_q.append(np.full(len(sel), ids[r], dtype=np.int64))
+                        out_n.append(cid[sel])
+                    yield pa.record_batch(
+                        [
+                            pa.array(np.concatenate(out_q) if out_q else []),
+                            pa.array(np.concatenate(out_n) if out_n else []),
+                        ],
+                        names=["query_id", "neighbor_id"],
+                    )
+
+    return fn
+
+
+def _fused_all_pairs(
+    spark: SparkSession, sf_dir: str, k: int, emit: str, schema: str
+) -> DataFrame:
+    """Run the fused corpus-top-k kernel over the embeddings scan.
+    The repartition fans the single-file fixture scan across all
+    slots (the dedup_near discipline; a many-split cluster scan makes
+    it a near-no-op)."""
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    )
+    return e.mapInArrow(_corpus_topk_arrow(sf_dir, k, emit), schema)
+
+
 def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-corpus LSH candidate shortlist — (query_id, neighbor_id)
     for every pair sharing a (table, bucket) cell in the 16-table
@@ -3309,6 +3433,13 @@ def hubness_audit(emb: DataFrame, scored: DataFrame) -> DataFrame:
         .filter(F.col("rank_k") <= 5)
         .select("neighbor_id")
     )
+    return _hubness_from_top5(emb, top5)
+
+
+def _hubness_from_top5(emb: DataFrame, top5: DataFrame) -> DataFrame:
+    """Shared N5-occupancy/moment readout over a top-5 neighbor frame
+    — fed by either the window pipeline (hubness_audit) or the fused
+    Arrow kernel (default all-pairs path)."""
     occ_counts = top5.groupBy("neighbor_id").agg(
         F.count("*").cast("bigint").alias("c")
     )
@@ -3430,13 +3561,21 @@ def embed_hubness(
     (tests/test_round11_ops.py proves feed-independence by running
     the audit over an exact top-10 shortlist and matching the
     all-pairs result bit-for-bit); the audit itself is
-    |corpus|-linear."""
+    |corpus|-linear.
+
+    Round-15: the default all-pairs feed runs as the FUSED Arrow
+    kernel (guide §8; see _corpus_topk_arrow — stable argsort over
+    the id-sorted corpus replicates the (dot DESC, neighbor_id ASC)
+    row_number order, so the top-5 sets are identical; measured
+    33 s → ~1 s at sf0.1, refereed by the feed-independence
+    pytest)."""
     e = load(spark, sf_dir, "embeddings")
     if candidate_pairs is not None:
-        scored = _score_pairs(e, candidate_pairs)
-    else:
-        scored = _all_pairs_scored(e)
-    return hubness_audit(e, scored)
+        return hubness_audit(e, _score_pairs(e, candidate_pairs))
+    top5 = _fused_all_pairs(
+        spark, sf_dir, 5, "top5", "query_id long, neighbor_id long"
+    ).select("neighbor_id")
+    return _hubness_from_top5(e, top5)
 
 
 def twonn_audit(scored: DataFrame) -> DataFrame:
@@ -3457,6 +3596,13 @@ def twonn_audit(scored: DataFrame) -> DataFrame:
             F.max(F.when(F.col("rank_k") == 2, F.col("dot"))).alias("dot2"),
         )
     )
+    return _twonn_tail(nn2)
+
+
+def _twonn_tail(nn2: DataFrame) -> DataFrame:
+    """Shared MLE readout over a (query_id, dot1, dot2) frame — fed by
+    either the window pipeline (twonn_audit) or the fused Arrow kernel
+    (default all-pairs path)."""
     terms = nn2.filter(F.lit(1.0) - F.col("dot1") > 1e-9).select(
         "query_id",
         F.floor(
@@ -3543,13 +3689,20 @@ def embed_intrinsic_dim_twonn(
     sf_dir)`` (or any ANN shortlist) and the SAME ``twonn_audit``
     ratio pipeline runs over the equi-join feed
     (tests/test_round11_ops.py proves feed-independence against an
-    exact top-10 shortlist)."""
-    e = load(spark, sf_dir, "embeddings")
+    exact top-10 shortlist).
+
+    Round-15: the default all-pairs feed runs as the FUSED Arrow
+    kernel (guide §8 — the BNLJ pair frame carried two 64-float
+    payloads per row only to reduce |corpus|² rows to |corpus|;
+    measured 32 s → ~1 s at sf0.1, bit-identical via the ordered
+    float64 fold and the feed-independence pytest)."""
     if candidate_pairs is not None:
-        scored = _score_pairs(e, candidate_pairs)
-    else:
-        scored = _all_pairs_scored(e)
-    return twonn_audit(scored)
+        e = load(spark, sf_dir, "embeddings")
+        return twonn_audit(_score_pairs(e, candidate_pairs))
+    nn2 = _fused_all_pairs(
+        spark, sf_dir, 2, "nn2", "query_id long, dot1 double, dot2 double"
+    )
+    return _twonn_tail(nn2)
 
 
 @query(
