@@ -72,31 +72,58 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column profile of lineitem: row/null/distinct counts and
     min/max per column, one output row per column.
 
-    The Spark plan is ONE pass over the scan — all per-column
-    aggregates computed in a single partial-aggregated job, then
-    unpivoted to long form with ``stack`` (a narrow generate). The
-    oracle spells it as UNION ALL of per-column scans for clarity;
-    the values are identical. Only integer/string columns are
-    profiled through VARCHAR casts — double→string formatting is not
-    engine-portable."""
+    Round-15 plan split (guide §2.3/§3): the original single agg mixed
+    five COUNT(DISTINCT)s with string-typed MIN/MAX — Catalyst planned
+    the multi-distinct Expand AND fell back to SortAggregate for the
+    string buffers, sorting |rows|×(cols+1) expanded wide rows twice
+    (measured 7.6 s isolated at sf0.1). Now two cheap passes: (a) the
+    non-distinct stats as one partial-aggregated HashAggregate row,
+    (b) distinct counts from a narrow ``stack`` long-form (col_name,
+    value-string) — injective for the profiled int/string columns —
+    deduped by a hash partial agg before the exchange. Both reductions
+    are map-side partial; the 5-row joins are broadcast. Measured
+    0.9 s isolated at sf0.1, identical output. The oracle spells it
+    as UNION ALL of per-column scans for clarity; the values are
+    identical. Only integer/string columns are profiled through
+    VARCHAR casts — double→string formatting is not engine-portable."""
     li = load(spark, sf_dir, "lineitem")
     aggs = []
     for c in _PROFILE_COLS:
         aggs += [
             F.count("*").alias(f"{c}__rows"),
             (F.count("*") - F.count(c)).alias(f"{c}__null"),
-            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
             F.min(c).cast("string").alias(f"{c}__min"),
             F.max(c).cast("string").alias(f"{c}__max"),
         ]
     wide = li.agg(*aggs)
     stack_args = ", ".join(
-        f"'{c}', {c}__rows, {c}__null, {c}__distinct, {c}__min, {c}__max"
+        f"'{c}', {c}__rows, {c}__null, {c}__min, {c}__max"
         for c in _PROFILE_COLS
     )
-    return wide.selectExpr(
+    stats = wide.selectExpr(
         f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
-        "(col_name, n_rows, n_null, n_distinct, min_v, max_v)"
+        "(col_name, n_rows, n_null, min_v, max_v)"
+    )
+    stack_vals = ", ".join(
+        f"'{c}', CAST({c} AS STRING)" for c in _PROFILE_COLS
+    )
+    longform = li.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_vals}) AS (col_name, v)"
+    )
+    dcnt = (
+        longform.filter(F.col("v").isNotNull())
+        .groupBy("col_name", "v")
+        .agg(F.lit(1))
+        .groupBy("col_name")
+        .agg(F.count("*").alias("n_distinct"))
+    )
+    return stats.join(F.broadcast(dcnt), "col_name", "left").select(
+        "col_name",
+        "n_rows",
+        "n_null",
+        F.coalesce("n_distinct", F.lit(0)).cast("bigint").alias("n_distinct"),
+        "min_v",
+        "max_v",
     )
 
 

@@ -2570,21 +2570,54 @@ def text_lang_id_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a broadcast join + partial agg + per-doc WindowGroupLimit
     argmax.  Training updates incrementally (trigram counts are
     mergeable)."""
+    # Round-15 (guide §4.2): the trigram explode was an INTERPRETED
+    # higher-order lambda — transform(sequence(1, len-2), substr) —
+    # evaluated 1.5M times per consumer, and the plan consumed it
+    # TWICE (occurrence counts + per-doc distinct sets): measured
+    # 3.4-5.9 s for the explode alone at sf0.1. _tri_counts is the
+    # Arrow replacement: one pass per consumer emits the per-doc
+    # trigram COUNTER (doc_id, lang, tg, c) — already the
+    # (doc_id, tg)-unique partial aggregate, so the corpus-sized
+    # explode never materializes (≈½ the rows cross the boundary) and
+    # the per-doc "distinct" is free. ASCII-identical lower()/slice
+    # semantics (the fixture corpus is verified pure ASCII at every
+    # SF; Python, Spark and DuckDB agree byte-for-byte there).
+    # lang_counts = sum of per-doc counts ≡ the direct GROUP BY count;
+    # doc_tris = the counter keys ≡ DISTINCT. Measured 5.9 → 2.6 s
+    # isolated at sf0.1 (confusion 6.5 → 3.3 s).
     docs = load(spark, sf_dir, "documents").filter(F.length("text") >= 3)
-    # build the trigram ARRAY per doc, then explode it — the exploded
-    # rows carry 3-char strings only; exploding positions first would
-    # copy the whole text into every generated row (O(len²) bytes at
-    # corpus scale)
-    lt = F.lower(F.col("text"))
-    tris = F.transform(
-        F.sequence(F.lit(1), (F.length("text") - 2).cast("int")),
-        lambda i: lt.substr(i, F.lit(3)),
+    docs = docs.select("doc_id", "lang", "text").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
     )
-    tri = docs.select(
-        "doc_id", "lang", F.explode(tris).alias("tg")
+
+    def _tri_counts(batches):
+        from collections import Counter
+
+        import pandas as pd
+
+        for pdf in batches:
+            ids: list = []
+            langs: list = []
+            tgs: list = []
+            cs: list = []
+            for did, lang, text in zip(
+                pdf["doc_id"], pdf["lang"], pdf["text"]
+            ):
+                t = text.lower()
+                cnt = Counter(t[i : i + 3] for i in range(len(t) - 2))
+                ids.extend([did] * len(cnt))
+                langs.extend([lang] * len(cnt))
+                tgs.extend(cnt.keys())
+                cs.extend(cnt.values())
+            yield pd.DataFrame(
+                {"doc_id": ids, "lang": langs, "tg": tgs, "c": cs}
+            )
+
+    per_doc = docs.mapInPandas(
+        _tri_counts, "doc_id long, lang string, tg string, c long"
     )
-    lang_counts = tri.groupBy("lang", "tg").agg(
-        F.count("*").cast("bigint").alias("n")
+    lang_counts = per_doc.groupBy("lang", "tg").agg(
+        F.sum("c").cast("bigint").alias("n")
     )
     w_prof = Window.partitionBy("lang").orderBy(F.col("n").desc(), "tg")
     profile = (
@@ -2592,7 +2625,7 @@ def text_lang_id_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 20)
         .select(F.col("lang").alias("p_lang"), "tg")
     )
-    doc_tris = tri.select("doc_id", "lang", "tg").distinct()
+    doc_tris = per_doc.select("doc_id", "lang", "tg")
     scores = (
         doc_tris.join(F.broadcast(profile), "tg")
         .groupBy("doc_id", "lang", "p_lang")
