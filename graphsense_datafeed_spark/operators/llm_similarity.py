@@ -66,39 +66,36 @@ _DUCK_DOT = (
 )
 def sim_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-5 cosine neighbors for a bounded query set against the
-    full corpus. The per-query top-k is a WindowGroupLimit (running
-    per-partition limit), not a full rank materialization.
+    full corpus.
+
+    Round-15 (guide §8/§4.2): the query×corpus pair frame (60K rows
+    at sf0.1, each carrying two 64-float payloads through an
+    interpreted zip_with fold and a window) is replaced by the fused
+    Arrow top-k kernel — each task scores its query rows against the
+    corpus matrix with the ordered float64 fold and emits the ranked
+    top-5 directly (stable argsort over the id-sorted corpus ==
+    row_number over (dot DESC, neighbor_id ASC)). Bit-identical
+    output (oracle-hash green at sf0.01/sf0.1); measured ~0.7 →
+    ~0.25 s isolated at sf0.1.
 
     Scale: queries×corpus dot products — at 100 TB this exact form is
     the RE-RANK stage over LSH candidates; running it corpus×corpus is
     the documented anti-pattern."""
-    e = load(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < 30).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    q = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .filter(F.col("vec_id") < 30)
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
     )
-    c = e.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    top = q.mapInArrow(
+        _corpus_topk_arrow(sf_dir, 5, "topk"),
+        "query_id long, neighbor_id long, rank_k int, dot double",
     )
-    scored = (
-        q.join(c, F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            dot_product(F.col("q_emb"), F.col("c_emb")).alias("dot"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("dot").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank_k", F.row_number().over(w))
-        .filter(F.col("rank_k") <= 5)
-        .select(
-            "query_id",
-            "neighbor_id",
-            "rank_k",
-            F.floor(F.col("dot") * 10000).cast("bigint").alias("cosine_e4"),
-        )
+    return top.select(
+        "query_id",
+        "neighbor_id",
+        "rank_k",
+        F.floor(F.col("dot") * 10000).cast("bigint").alias("cosine_e4"),
     )
 
 
@@ -3366,18 +3363,41 @@ def _corpus_topk_arrow(sf_dir: str, k: int, emit: str):
                     # (dot DESC, neighbor_id ASC) — row_number() parity
                     top = np.argsort(-acc, axis=1, kind="stable")[:, :k]
                     take = np.minimum(k, n - selfmask.astype(np.int64))
-                    out_q, out_n = [], []
+                    out_q, out_n, out_r, out_d = [], [], [], []
                     for r in range(len(ids)):
                         sel = top[r, : take[r]]
                         out_q.append(np.full(len(sel), ids[r], dtype=np.int64))
                         out_n.append(cid[sel])
-                    yield pa.record_batch(
-                        [
-                            pa.array(np.concatenate(out_q) if out_q else []),
-                            pa.array(np.concatenate(out_n) if out_n else []),
-                        ],
-                        names=["query_id", "neighbor_id"],
-                    )
+                        if emit == "topk":
+                            out_r.append(
+                                np.arange(1, len(sel) + 1, dtype=np.int32)
+                            )
+                            out_d.append(acc[r, sel])
+                    qcol = np.concatenate(out_q) if out_q else np.array([], dtype=np.int64)
+                    ncol = np.concatenate(out_n) if out_n else np.array([], dtype=np.int64)
+                    if emit == "topk":
+                        yield pa.record_batch(
+                            [
+                                pa.array(qcol),
+                                pa.array(ncol),
+                                pa.array(
+                                    np.concatenate(out_r)
+                                    if out_r
+                                    else np.array([], dtype=np.int32)
+                                ),
+                                pa.array(
+                                    np.concatenate(out_d)
+                                    if out_d
+                                    else np.array([], dtype=np.float64)
+                                ),
+                            ],
+                            names=["query_id", "neighbor_id", "rank_k", "dot"],
+                        )
+                    else:
+                        yield pa.record_batch(
+                            [pa.array(qcol), pa.array(ncol)],
+                            names=["query_id", "neighbor_id"],
+                        )
 
     return fn
 
