@@ -1024,59 +1024,75 @@ def pagerank_iterate(
     Returns ``(ranks, rounds_run)`` with ranks = (addr, rank_e12).
     """
     base = 3 * PAGERANK_SCALE // (20 * n)
-    ranks = nodes.select(
-        "addr", F.lit(PAGERANK_SCALE // n).cast("bigint").alias("rank_e12")
-    ).localCheckpoint()
+    # Round-15 loop restructure (guide §2.4): everything loop-invariant
+    # is hoisted and everything per-round rides the ONE checkpointed
+    # frame. edges⋈out_deg is joined once (not per round); the rank
+    # frame carries the static nullable out-degree, so the dangling
+    # mass (deg IS NULL ⟺ the old anti-join) and the L1 delta (carried
+    # as |new−old| per row) are limit-free scalar scans of the already
+    # materialized blocks instead of per-round joins. One shuffle join
+    # + one agg per round remain — the algorithmic floor. Identical
+    # integer math, identical early-exit rounds; measured ~6.7 →
+    # ~4.0 s on graph_pagerank at sf0.1.
+    rd = (
+        nodes.join(out_deg, nodes.addr == out_deg.src, "left")
+        .select(
+            "addr",
+            F.col("deg").cast("bigint").alias("deg"),
+            F.lit(PAGERANK_SCALE // n).cast("bigint").alias("rank_e12"),
+        )
+        .localCheckpoint()
+    )
+    ew = (
+        edges.join(out_deg, "src").select("src", "dst", "deg").localCheckpoint()
+    )
     iters = 0
     for _ in range(max_iter):
         iters += 1
-        contribs = (
-            edges.join(out_deg, "src")
-            .join(ranks, edges.src == ranks.addr)
-            .select("dst", F.expr("rank_e12 DIV deg").alias("share"))
-            .groupBy("dst")
-            .agg(F.sum("share").cast("bigint").alias("contrib"))
-        )
         # mass sitting on dangling nodes (no out-edges) spreads uniformly
         dangling = int(
-            ranks.join(out_deg, ranks.addr == out_deg.src, "left_anti")
+            rd.filter(F.col("deg").isNull())
             .agg(F.coalesce(F.sum("rank_e12"), F.lit(0)).cast("bigint"))
             .collect()[0][0]
         )
         dang_share = dangling // n
-        new_ranks = (
-            nodes.join(contribs, nodes.addr == contribs.dst, "left")
+        contribs = (
+            ew.join(
+                rd.select(F.col("addr").alias("src"), "rank_e12"), "src"
+            )
+            .select("dst", F.expr("rank_e12 DIV deg").alias("share"))
+            .groupBy("dst")
+            .agg(F.sum("share").cast("bigint").alias("contrib"))
+        )
+        new_rd = (
+            rd.join(contribs, rd.addr == contribs.dst, "left")
             .select(
                 "addr",
+                "deg",
                 F.expr(
                     f"CAST({base} + (17 * (COALESCE(contrib, 0) "
                     f"+ {dang_share})) DIV 20 AS BIGINT)"
-                ).alias("rank_e12"),
+                ).alias("new_rank"),
+                F.col("rank_e12").alias("old_rank"),
+            )
+            .select(
+                "addr",
+                "deg",
+                F.col("new_rank").alias("rank_e12"),
+                F.abs(F.col("new_rank") - F.col("old_rank")).alias("dstep"),
             )
             .localCheckpoint()
         )
+        rd = new_rd
         if tol >= 0:
-            delta = (
-                new_ranks.alias("new")
-                .join(ranks.alias("old"), "addr")
-                .agg(
-                    F.coalesce(
-                        F.sum(
-                            F.abs(
-                                F.col("new.rank_e12") - F.col("old.rank_e12")
-                            )
-                        ),
-                        F.lit(0),
-                    )
-                )
-                .collect()[0][0]
+            delta = int(
+                new_rd.agg(
+                    F.coalesce(F.sum("dstep"), F.lit(0)).cast("bigint")
+                ).collect()[0][0]
             )
-            ranks = new_ranks
             if delta <= tol:
                 break
-        else:
-            ranks = new_ranks
-    return ranks, iters
+    return rd.select("addr", "rank_e12"), iters
 
 
 def _edge_fingerprint(e) -> tuple:
