@@ -1313,46 +1313,45 @@ def graph_hits_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .select("part", F.lit(s // n_parts).cast("bigint").alias("a"))
     )
+    # Round-15: each half-round checkpoints the RAW sums and folds the
+    # L1 total in as a literal (t < 2^53 — double(t) exact, the
+    # division chain is IEEE-identical to the broadcast form). The
+    # previous crossJoin(broadcast(sum)) plan consumed the join+agg
+    # subtree twice per half-round (once into the scalar agg, once as
+    # the join's left side); now it runs once, the total is a scalar
+    # scan of the materialized blocks, and the normalization is a
+    # narrow map over them. Interleaved A/B at sf0.1: 7.2/4.7 →
+    # 5.2/4.1 s with bit-identical output.
     for _ in range(_HITS_ITERS):
         hraw = (
             bip.join(a, "part")
             .groupBy("cust")
             .agg(F.sum("a").cast("bigint").alias("hr"))
-        )
-        hsum = hraw.agg(F.sum("hr").cast("bigint").alias("t"))
-        h = (
-            hraw.crossJoin(F.broadcast(hsum))
-            .select(
-                "cust",
-                F.floor(
-                    F.col("hr").cast("double")
-                    * float(s)
-                    / F.col("t").cast("double")
-                )
-                .cast("bigint")
-                .alias("h"),
-            )
             .localCheckpoint()
+        )
+        ht = int(
+            hraw.agg(F.sum("hr").cast("bigint")).collect()[0][0]
+        )
+        h = hraw.select(
+            "cust",
+            F.floor(F.col("hr").cast("double") * float(s) / float(ht))
+            .cast("bigint")
+            .alias("h"),
         )
         araw = (
             bip.join(h, "cust")
             .groupBy("part")
             .agg(F.sum("h").cast("bigint").alias("ar"))
-        )
-        asum = araw.agg(F.sum("ar").cast("bigint").alias("t"))
-        a = (
-            araw.crossJoin(F.broadcast(asum))
-            .select(
-                "part",
-                F.floor(
-                    F.col("ar").cast("double")
-                    * float(s)
-                    / F.col("t").cast("double")
-                )
-                .cast("bigint")
-                .alias("a"),
-            )
             .localCheckpoint()
+        )
+        at = int(
+            araw.agg(F.sum("ar").cast("bigint")).collect()[0][0]
+        )
+        a = araw.select(
+            "part",
+            F.floor(F.col("ar").cast("double") * float(s) / float(at))
+            .cast("bigint")
+            .alias("a"),
         )
     return (
         a.select(
