@@ -329,12 +329,23 @@ def test_lsh_pairs_have_no_window_sort(spark, sf_dir):
     assert "collect_list" in p, p
 
 
-def test_profile_is_single_scan(spark, sf_dir):
-    """profile_columns computes every per-column aggregate in ONE
-    pass: exactly one parquet scan node in the formatted plan (each
-    node prints once in the tree and once in the detail section)."""
+def test_profile_is_two_hash_passes(spark, sf_dir):
+    """profile_columns (round-15 split): TWO narrow parquet scans —
+    one partial-aggregated pass for the non-distinct stats, one
+    long-form pass for the distinct counts — with the multi-distinct
+    Expand and its SortAggregate chains gone, and the two 5-row
+    results joined by broadcast. (Pre-r15 this was a single scan whose
+    mixed COUNT(DISTINCT)+string MIN/MAX agg sorted |rows|x6 expanded
+    wide rows: 7.6 s vs 1.3 s isolated at sf0.1.) The string-buffer
+    MIN/MAX pass still PRINTS as SortAggregate, but with zero grouping
+    keys it needs no Sort node below it — that absence is the pin."""
     p = plan_of(QUERIES["profile_columns"](spark, sf_dir))
-    assert p.count("Scan parquet") == 2, p  # 1 node × (tree + detail)
+    assert p.count("Scan parquet") == 4, p  # 2 nodes x (tree + detail)
+    assert "Expand" not in p, p
+    assert "BroadcastHashJoin" in p, p
+    # no Sort node anywhere: the global SortAggregate sorts nothing,
+    # and the distinct-count branch is pure HashAggregate
+    assert "Sort [" not in p, p
 
 
 def test_resample_scans_pushed_and_pruned(spark, sf_dir):
