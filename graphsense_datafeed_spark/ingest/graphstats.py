@@ -196,14 +196,20 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # Round-15 (guide §2.4): bip feeds deg AND both self-join sides —
+    # checkpoint it so the join+distinct build runs once, not thrice
     bip = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
         .distinct()
+        .localCheckpoint()
     )
     deg = bip.groupBy("cust").agg(F.count("*").cast("bigint").alias("d"))
     a = bip.alias("a")
-    b = bip.alias("b")
+    # round-15: hash-build beats sort-merge for the within-part pair
+    # join (A/B interleaved at sf0.1: ~4.2 vs ~3.0 s; build side is
+    # one hash partition of bip, bounded by shuffle-partition sizing)
+    b = bip.hint("SHUFFLE_HASH").alias("b")
     pairs = (
         a.join(
             b,
@@ -688,10 +694,13 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # Round-15 (guide §2.4): bip feeds the df-weight agg AND both
+    # self-join sides — checkpoint it so the build runs once
     bip = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
         .distinct()
+        .localCheckpoint()
     )
     w = (
         bip.groupBy("part")
@@ -705,7 +714,10 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     a = bip.alias("a")
-    b = bip.alias("b")
+    # round-15: hash-build beats sort-merge for the within-part pair
+    # join (A/B interleaved at sf0.1: ~4.2 vs ~3.0 s; build side is
+    # one hash partition of bip, bounded by shuffle-partition sizing)
+    b = bip.hint("SHUFFLE_HASH").alias("b")
     w2 = w.select(F.col("part").alias("w_part"), "wp")
     pairs = a.join(
         b,
@@ -773,10 +785,16 @@ def graph_preferential_attachment(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part")
         )
         .distinct()
+        # Round-15 (guide §2.4): bip feeds deg AND both self-join
+        # sides — checkpoint it so the build runs once, not thrice
+        .localCheckpoint()
     )
     deg = bip.groupBy("cust").agg(F.count("*").cast("bigint").alias("d"))
     a = bip.alias("a")
-    b = bip.alias("b")
+    # round-15: hash-build beats sort-merge for the within-part pair
+    # join (A/B interleaved at sf0.1: ~4.2 vs ~3.0 s; build side is
+    # one hash partition of bip, bounded by shuffle-partition sizing)
+    b = bip.hint("SHUFFLE_HASH").alias("b")
     pairs = (
         a.join(
             b,
@@ -877,7 +895,10 @@ def graph_modularity_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     a = bip.alias("a")
-    b = bip.alias("b")
+    # round-15: hash-build beats sort-merge for the within-part pair
+    # join (A/B interleaved at sf0.1: ~4.2 vs ~3.0 s; build side is
+    # one hash partition of bip, bounded by shuffle-partition sizing)
+    b = bip.hint("SHUFFLE_HASH").alias("b")
     edges = (
         a.join(
             b,
@@ -897,9 +918,13 @@ def graph_modularity_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     sb = c.select(
         F.col("c_custkey").alias("cust_b"), F.col("c_mktsegment").alias("seg_b")
     )
+    # Round-15 (guide §2.4): the labeled edge list is consumed FOUR
+    # ways (m, both halves of deg, within) and Catalyst does not reuse
+    # the within-part self-join across them — checkpointing the small
+    # pair list runs the expensive generation once.
     labeled = edges.join(F.broadcast(sa), "cust_a").join(
         F.broadcast(sb), "cust_b"
-    )
+    ).localCheckpoint()
     m = labeled.agg(F.count("*").cast("bigint").alias("n_edges"))
     deg = (
         labeled.select(F.col("seg_a").alias("seg"))
@@ -982,10 +1007,16 @@ def graph_jaccard_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part")
         )
         .distinct()
+        # Round-15 (guide §2.4): bip feeds deg AND both self-join
+        # sides — checkpoint it so the build runs once, not thrice
+        .localCheckpoint()
     )
     deg = bip.groupBy("cust").agg(F.count("*").cast("bigint").alias("d"))
     a = bip.alias("a")
-    b = bip.alias("b")
+    # round-15: hash-build beats sort-merge for the within-part pair
+    # join (A/B interleaved at sf0.1: ~4.2 vs ~3.0 s; build side is
+    # one hash partition of bip, bounded by shuffle-partition sizing)
+    b = bip.hint("SHUFFLE_HASH").alias("b")
     pairs = (
         a.join(
             b,
@@ -1161,7 +1192,10 @@ def graph_katz_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     a = bip.alias("a")
-    b = bip.alias("b")
+    # round-15: hash-build beats sort-merge for the within-part pair
+    # join (A/B interleaved at sf0.1: ~4.2 vs ~3.0 s; build side is
+    # one hash partition of bip, bounded by shuffle-partition sizing)
+    b = bip.hint("SHUFFLE_HASH").alias("b")
     pairs = (
         a.join(
             b,
@@ -1174,6 +1208,10 @@ def graph_katz_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cp"))
         .filter(F.col("cp") >= 3)
         .select("src", "dst")
+        # Round-15 (guide §2.4): pairs feeds both halves of the
+        # symmetrized edge list, which the 3-hop message pass then
+        # consumes repeatedly — checkpoint the small pair list once
+        .localCheckpoint()
     )
     edges = pairs.unionAll(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -1441,7 +1479,17 @@ def graph_rich_club_coefficient(
     self-join (the established graph-family shape — parts bound the
     fan-out); degree join is keyed; the four thresholds reduce to
     TWO 1-row conditional-count aggregates (one over nodes, one over
-    degree-labeled edges) — no per-k passes, no windows."""
+    degree-labeled edges) — no per-k passes, no windows.
+
+    Round-15 (guide §2.4/§3.3): the edge list is localCheckpointed —
+    the plan consumed the within-part self-join THREE ways (degree
+    union ×2, the ed join) and the old per-k union-of-frames
+    multiplied that by 4 thresholds: a 993-node plan re-running the
+    self-join ~12×, measured 32.6/12.2 s isolated-noop at sf0.1.
+    Checkpointing runs it ONCE (edges is the small pair list), and the
+    4 thresholds now read the 1-row wide frame through a single
+    ``stack`` generate instead of 4 unioned re-evaluations. Measured
+    2.0/1.3 s isolated-noop; identical output, oracle green."""
     from graphsense_datafeed_spark.sources.tables import load
 
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
@@ -1454,7 +1502,10 @@ def graph_rich_club_coefficient(
         .distinct()
     )
     a = bip.alias("a")
-    b = bip.alias("b")
+    # round-15: hash-build beats sort-merge for the within-part pair
+    # join (A/B interleaved at sf0.1: ~4.2 vs ~3.0 s; build side is
+    # one hash partition of bip, bounded by shuffle-partition sizing)
+    b = bip.hint("SHUFFLE_HASH").alias("b")
     edges = (
         a.join(
             b,
@@ -1465,6 +1516,7 @@ def graph_rich_club_coefficient(
         .agg(F.count("*").alias("support"))
         .filter(F.col("support") >= 3)
         .select("ca", "cb")
+        .localCheckpoint()
     )
     deg = (
         edges.select(F.col("ca").alias("cust"))
@@ -1490,31 +1542,27 @@ def graph_rich_club_coefficient(
         ]
     )
     wide = nw.crossJoin(F.broadcast(ew))
-    frames = []
-    for k in _RC_THRESHOLDS:
-        nk, ek = F.col(f"nk{k}"), F.col(f"ek{k}")
-        frames.append(
-            wide.select(
-                F.lit(k).cast("bigint").alias("k"),
-                nk.alias("n_nodes"),
-                ek.alias("n_edges"),
-                F.when(nk < 2, F.lit(0))
-                .otherwise(
-                    F.floor(
-                        2.0
-                        * ek
-                        / (nk.cast("double") * (nk - 1))
-                        * 1000000
-                    )
-                )
-                .cast("bigint")
-                .alias("phi_e6"),
-            )
+    # one stack generate over the 1-row wide frame — the old
+    # union-of-4-selects re-evaluated the whole upstream per threshold
+    stack_args = ", ".join(
+        f"CAST({k} AS BIGINT), nk{k}, ek{k}" for k in _RC_THRESHOLDS
+    )
+    tall = wide.selectExpr(
+        f"stack({len(_RC_THRESHOLDS)}, {stack_args}) AS "
+        "(k, n_nodes, n_edges)"
+    )
+    nk, ek = F.col("n_nodes"), F.col("n_edges")
+    return tall.select(
+        "k",
+        "n_nodes",
+        "n_edges",
+        F.when(nk < 2, F.lit(0))
+        .otherwise(
+            F.floor(2.0 * ek / (nk.cast("double") * (nk - 1)) * 1000000)
         )
-    out = frames[0]
-    for fdf in frames[1:]:
-        out = out.unionByName(fdf)
-    return out.orderBy("k")
+        .cast("bigint")
+        .alias("phi_e6"),
+    ).orderBy("k")
 
 
 @query(
@@ -2118,7 +2166,10 @@ def graph_conductance_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     a = bip.alias("a")
-    b = bip.alias("b")
+    # round-15: hash-build beats sort-merge for the within-part pair
+    # join (A/B interleaved at sf0.1: ~4.2 vs ~3.0 s; build side is
+    # one hash partition of bip, bounded by shuffle-partition sizing)
+    b = bip.hint("SHUFFLE_HASH").alias("b")
     edges = (
         a.join(
             b,
@@ -2138,9 +2189,11 @@ def graph_conductance_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     sb = c.select(
         F.col("c_custkey").alias("cust_b"), F.col("c_mktsegment").alias("seg_b")
     )
+    # Round-15 (guide §2.4): labeled is consumed five ways (m, deg ×2,
+    # cut ×2) — checkpoint the small pair list, run the generation once
     labeled = edges.join(F.broadcast(sa), "cust_a").join(
         F.broadcast(sb), "cust_b"
-    )
+    ).localCheckpoint()
     m = labeled.agg(F.count("*").cast("bigint").alias("n_edges"))
     deg = (
         labeled.select(F.col("seg_a").alias("seg"))
@@ -2243,7 +2296,10 @@ def graph_avg_neighbor_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     a = bip.alias("a")
-    b = bip.alias("b")
+    # round-15: hash-build beats sort-merge for the within-part pair
+    # join (A/B interleaved at sf0.1: ~4.2 vs ~3.0 s; build side is
+    # one hash partition of bip, bounded by shuffle-partition sizing)
+    b = bip.hint("SHUFFLE_HASH").alias("b")
     edges = (
         a.join(
             b,
@@ -2256,6 +2312,10 @@ def graph_avg_neighbor_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("support"))
         .filter(F.col("support") >= 3)
         .select("cust_a", "cust_b")
+        # Round-15 (guide §2.4): edges feeds sym twice and sym feeds
+        # deg + the nbr join — checkpoint the small pair list so the
+        # within-part generation runs once, not four times
+        .localCheckpoint()
     )
     sym = edges.select(
         F.col("cust_a").alias("u"), F.col("cust_b").alias("v")
