@@ -593,7 +593,7 @@ def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     labels, _ = label_propagate(
-        sym.localCheckpoint(), labels, max_iter=50, require_converged=True
+        sym, labels, max_iter=50, require_converged=True
     )
     return labels.groupBy("label").agg(
         F.count("*").alias("component_size"),
@@ -604,12 +604,55 @@ def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 def label_propagate(sym, labels, max_iter: int = 20, require_converged: bool = False):
     """Min-label propagation with convergence early-exit.
 
-    Each round: neighbor-min join + least(own, neighbor) update, then
-    an existence check for any changed label (filter + limit 1 — the
-    cheapest possible convergence probe, it short-circuits on the
-    first changed row). Breaks as soon as no label changed: at 100×
-    scale every avoided round is a full edge-set shuffle, so the exit
-    is the difference between diameter-many rounds and max_iter rounds.
+    Round-15 layout: the adjacency is materialized ONCE, partitioned
+    by ``dst`` and widened with one self-loop per labelled node.  Each
+    round is then a single join + a single min-aggregate:
+
+    - the adjacency is ``repartition(n, "dst").persist()`` — persist,
+      NOT localCheckpoint, deliberately: a localCheckpointed
+      LogicalRDD of an AQE plan reports UnknownPartitioning (measured:
+      the round join re-shuffled the edge set every round), while a
+      cached plan keeps its output partitioning
+      (``spark.sql.optimizer.canChangeCachedPlanOutputPartitioning``
+      is false by default), so the join key (``dst``) matches the
+      cached partitioning and the edge set is shuffled exactly ONCE
+      per propagation — only the |V|-row label frame moves per round
+      (guide §2.4: operations keyed the same way share one exchange);
+    - ``n`` is scale-adaptive, derived from the measured adjacency row
+      count (~2M rows ≈ 50–100 MB per partition) and capped by the
+      session's ``spark.sql.shuffle.partitions`` (the production
+      parallelism knob): AQE cannot re-coalesce a cached plan without
+      losing the reusable partitioning (measured: with
+      ``canChangeCachedPlanOutputPartitioning=true`` the round join
+      re-grew an Exchange over the cache), so the count-derived ``n``
+      plays AQE's role — fixture graphs land on 2 partitions (no
+      32-empty-task scheduling per round), a 100 TB graph lands on the
+      conf'd parallelism.  The count reads the already-materialized
+      checkpoint blocks, so it costs no extra pass over the lineage;
+    - the self-loop row carries the node's OWN label through the same
+      aggregate, so ``min(label)`` over the group IS the new label
+      (``least(own, neighbor-min)``) and the old ``labels ⋈
+      neighbor_min`` join per round disappears outright; srcs outside
+      the label set (no self-loop ⇒ own IS NULL) are dropped exactly
+      as the old left-join form dropped them;
+    - the changed flag (labels only ever DECREASE, so changed ⟺
+      new < own) rides the checkpointed frame, keeping the convergence
+      probe a limit-1 scan of already-materialized blocks.
+
+    Net per round: ONE |V|-row label shuffle + the src-keyed aggregate
+    exchange (map-side partial min reduces it to ~|V| rows) instead of
+    the old three |E|-scale exchanges (edge re-shuffle + agg + label
+    re-join).  localCheckpoint per round truncates the otherwise
+    unbounded iterative lineage, as before; the cached adjacency is
+    unpersisted before returning (the returned label frame is already
+    checkpoint-materialized, so it cannot trigger recompute).
+
+    Skew note (guide §2.5): the cached partitioning is fixed, so AQE
+    cannot skew-split the round join; a pathological hub ``dst`` lands
+    in one partition.  The old form had the same exposure per round
+    (AQE skew split never fired on these joins at any measured SF) and
+    the production mitigation — salting hub dsts — composes with this
+    layout unchanged.
 
     ``require_converged=True`` raises RuntimeError if the bound is hit
     with labels still changing — callers whose oracle is a FULL
@@ -620,29 +663,43 @@ def label_propagate(sym, labels, max_iter: int = 20, require_converged: bool = F
     Returns ``(labels, rounds_run)`` so callers/tests can observe that
     convergence beat the bound.
     """
+    adj_raw = (
+        sym.select("src", "dst")
+        .unionAll(
+            labels.select(
+                F.col("addr").alias("src"), F.col("addr").alias("dst")
+            )
+        )
+        .localCheckpoint()
+    )
+    n_default = int(
+        adj_raw.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    # floor 2, not 1: repartition(1, col) plans as SinglePartition
+    # (not HashPartitioning), which EnsureRequirements will not reuse
+    # — measured: both join sides re-grew ENSURE_REQUIREMENTS
+    # exchanges.  At n >= 2 the cached HashPartitioning is reused and
+    # the round join has NO exchange over the adjacency.
+    n_parts = max(2, min(n_default, -(-adj_raw.count() // 2_000_000)))
+    adj = adj_raw.repartition(n_parts, "dst").persist()
     iters = 0
     converged = False
     for _ in range(max_iter):
         iters += 1
-        neighbor_min = (
-            sym.join(labels, sym.dst == labels.addr)
-            .groupBy("src")
-            .agg(F.min("label").alias("nmin"))
-        )
-        # Round-15: the changed flag rides the checkpointed frame
-        # (labels only ever DECREASE, so changed ⟺ nmin < label), so
-        # the convergence probe is a limit-1 scan of the already
-        # materialized blocks instead of a second per-round
-        # join-the-old-frame job — one iteration job per round, not
-        # two (measured ~8 → ~5 s on the entity queries at sf0.1).
         new_full = (
-            labels.join(neighbor_min, labels.addr == neighbor_min.src, "left")
+            adj.join(labels.hint("shuffle_hash"), adj.dst == labels.addr)
+            .groupBy("src")
+            .agg(
+                F.min("label").alias("new_label"),
+                F.min(
+                    F.when(F.col("dst") == F.col("src"), F.col("label"))
+                ).alias("own"),
+            )
+            .filter(F.col("own").isNotNull())
             .select(
-                "addr",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
-                ).alias("label"),
-                (F.col("nmin") < F.col("label")).alias("changed"),
+                F.col("src").alias("addr"),
+                F.col("new_label").alias("label"),
+                (F.col("new_label") < F.col("own")).alias("changed"),
             )
             .localCheckpoint()
         )
@@ -650,6 +707,7 @@ def label_propagate(sym, labels, max_iter: int = 20, require_converged: bool = F
         if new_full.filter(F.col("changed")).limit(1).count() == 0:
             converged = True
             break
+    adj.unpersist()
     if require_converged and not converged:
         raise RuntimeError(
             f"label propagation did not converge within {max_iter} rounds; "
@@ -1511,7 +1569,7 @@ def ingest_entity_cospend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     labels, _ = label_propagate(
-        sym.localCheckpoint(), labels, max_iter=50, require_converged=True
+        sym, labels, max_iter=50, require_converged=True
     )
     return labels.select(
         F.col("addr").alias("address"), F.col("label").alias("entity")

@@ -2023,38 +2023,41 @@ def graph_hub_removal_resilience(
     note applies, ×|ladder|); the hub list is a k-row broadcast."""
     from graphsense_datafeed_spark.ingest.facade import label_propagate
 
-    edges = cooccurrence_edges(spark)
+    # Round-15: checkpoint the co-occurrence build ONCE — the sym
+    # union used to evaluate the edge join in both branches; sym is
+    # now a cheap column-swap union over materialized blocks.  The
+    # k=0 rung reads sym/nodes directly (its hub set is empty, so the
+    # two anti-joins were no-op re-materializations), and the per-rung
+    # fsym checkpoint is gone: label_propagate materializes the
+    # dst-partitioned adjacency itself.
+    edges = cooccurrence_edges(spark).localCheckpoint()
     sym = (
         edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
         .unionAll(
             edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
         )
-        .localCheckpoint()
     )
     deg = sym.groupBy("a").agg(F.count("*").cast("bigint").alias("d"))
-    nodes = sym.select("a").distinct()
+    nodes = sym.select("a").distinct().localCheckpoint()
     frames = []
     for k in _RESILIENCE_KS:
         if k == 0:
-            hubs = deg.filter(F.lit(False)).select("a")
+            survivors = nodes
+            fsym = sym
         else:
             hubs = (
                 deg.orderBy(F.col("d").desc(), "a").limit(k).select("a")
             )
-        survivors = nodes.join(F.broadcast(hubs), "a", "left_anti")
-        fsym = (
-            sym.join(
+            survivors = nodes.join(F.broadcast(hubs), "a", "left_anti")
+            fsym = sym.join(
                 F.broadcast(hubs.select(F.col("a").alias("ha"))),
                 sym.a == F.col("ha"),
                 "left_anti",
-            )
-            .join(
+            ).join(
                 F.broadcast(hubs.select(F.col("a").alias("hb"))),
                 F.col("b") == F.col("hb"),
                 "left_anti",
             )
-            .localCheckpoint()
-        )
         labels = survivors.select(
             F.col("a").alias("addr"), F.col("a").alias("label")
         ).localCheckpoint()

@@ -2548,26 +2548,27 @@ def embed_gram_spectral_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     for _ in range(_SPEC_NORM_ITERS):
+        # Round-15 (the graph_hits_bounded discipline): checkpoint the
+        # raw matvec ONCE per round — the crossJoin(broadcast(nrm))
+        # form consumed the g⋈v subtree twice (once into the scalar
+        # L1 agg, once as the join left side).  The L1 total is now a
+        # scalar scan of the materialized d-row blocks, folded into
+        # the renormalization as a DOUBLE LITERAL (Python float(t) and
+        # the old bigint→double cast are both correctly-rounded IEEE —
+        # identical division, bit-for-bit).
         w = (
             g.join(v, g.cb == v.a)
             .groupBy("ra")
             .agg(F.sum(F.col("gv") * F.col("v")).cast("bigint").alias("w"))
             .withColumnRenamed("ra", "a")
-        )
-        nrm = w.agg(F.sum(F.abs(F.col("w"))).cast("bigint").alias("t"))
-        v = (
-            w.crossJoin(F.broadcast(nrm))
-            .select(
-                "a",
-                F.floor(
-                    F.col("w").cast("double")
-                    * float(s)
-                    / F.col("t").cast("double")
-                )
-                .cast("bigint")
-                .alias("v"),
-            )
             .localCheckpoint()
+        )
+        t = w.agg(F.sum(F.abs(F.col("w"))).cast("bigint")).collect()[0][0]
+        v = w.select(
+            "a",
+            F.floor(F.col("w").cast("double") * float(s) / float(t))
+            .cast("bigint")
+            .alias("v"),
         )
     wf = (
         g.join(v, g.cb == v.a)

@@ -1949,10 +1949,16 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    firsts = sh.groupBy("g").agg(
-        F.min("doc_id").cast("bigint").alias("first_doc")
+    # Round-15: first_doc = min(doc_id) per shingle as a WINDOW over
+    # the deduped shingle frame instead of a groupBy + self-join — the
+    # join re-shuffled both the aggregate and the probe side by g on
+    # top of the distinct's own exchange; the window attaches the same
+    # value with ONE g-keyed exchange and no join (guide §2.4: window
+    # keyed like the preceding operation shares its partitioning).
+    j = sh.withColumn(
+        "first_doc",
+        F.min("doc_id").over(Window.partitionBy("g")).cast("bigint"),
     )
-    j = sh.join(firsts, "g")
     novel = F.count_if(F.col("first_doc") == F.col("doc_id"))
     return j.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n_shingles"),
