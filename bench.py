@@ -101,6 +101,17 @@ def main() -> None:
 
     _warm = F.pandas_udf(lambda s: s, "long")
     spark.range(64).repartition(32).select(_warm("id")).count()
+    # ...and the mapInArrow worker pool: Spark spawns a SEPARATE
+    # Python worker set for the MapInArrow eval type (measured r15:
+    # the first mapInArrow query in a session pays ~2.5-4 s of pool
+    # spawn that the pandas_udf warm-up above does not cover; the
+    # same trivial query re-run costs ~0.5 s). Session setup, not
+    # query cost — same contract as the pandas_udf warm-up.
+
+    def _warm_arrow(batches):
+        yield from batches
+
+    spark.range(64).repartition(32).mapInArrow(_warm_arrow, "id long").count()
 
     # SPARK_GRAFT_ONLY=qid[,qid...] isolates a subset (the BASELINE.md
     # protocol's "isolated reading" — suite-position effects removed)

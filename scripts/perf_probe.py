@@ -39,6 +39,11 @@ def build(warm: bool = True):
 
         _warm = F.pandas_udf(lambda s: s, "long")
         spark.range(64).repartition(32).select(_warm("id")).count()
+
+        def _warm_arrow(batches):
+            yield from batches
+
+        spark.range(64).repartition(32).mapInArrow(_warm_arrow, "id long").count()
     return spark, sf_dir, registry
 
 
