@@ -642,7 +642,14 @@ def label_propagate(sym, labels, max_iter: int = 20, require_converged: bool = F
     Net per round: ONE |V|-row label shuffle + the src-keyed aggregate
     exchange (map-side partial min reduces it to ~|V| rows) instead of
     the old three |E|-scale exchanges (edge re-shuffle + agg + label
-    re-join).  localCheckpoint per round truncates the otherwise
+    re-join).  Rounds run in PAIRS per checkpoint: the mid round stays
+    lazy inside the second round's lineage (no driver scalar feeds
+    between rounds), so each loop pass is one materialization job +
+    one probe for two propagation rounds — the fixpoint is unique, so
+    the labels are bit-identical to the one-round-per-job form, and
+    convergence detected on the pair's second round alone is exact
+    because labels only decrease.  ``max_iter`` keeps bounding the
+    ROUND count (callers pass even bounds).  localCheckpoint per round truncates the otherwise
     unbounded iterative lineage, as before; the cached adjacency is
     unpersisted before returning (the returned label frame is already
     checkpoint-materialized, so it cannot trigger recompute).
@@ -682,12 +689,13 @@ def label_propagate(sym, labels, max_iter: int = 20, require_converged: bool = F
     # the round join has NO exchange over the adjacency.
     n_parts = max(2, min(n_default, -(-adj_raw.count() // 2_000_000)))
     adj = adj_raw.repartition(n_parts, "dst").persist()
-    iters = 0
-    converged = False
-    for _ in range(max_iter):
-        iters += 1
-        new_full = (
-            adj.join(labels.hint("shuffle_hash"), adj.dst == labels.addr)
+    def _round(frame):
+        """One min-label propagation round over the cached adjacency:
+        (addr, label, changed) for every labelled node.  `changed`
+        compares against the node's own incoming label (the self-loop
+        row), so it is exact per round."""
+        return (
+            adj.join(frame.hint("shuffle_hash"), adj.dst == frame.addr)
             .groupBy("src")
             .agg(
                 F.min("label").alias("new_label"),
@@ -701,8 +709,27 @@ def label_propagate(sym, labels, max_iter: int = 20, require_converged: bool = F
                 F.col("new_label").alias("label"),
                 (F.col("new_label") < F.col("own")).alias("changed"),
             )
-            .localCheckpoint()
         )
+
+    iters = 0
+    converged = False
+    # TWO rounds per materialization: no driver-side scalar feeds
+    # between rounds (unlike pagerank's dangling-mass literal), so the
+    # mid round can stay lazy inside the second round's lineage — one
+    # checkpoint job + one convergence probe per PAIR of rounds, i.e.
+    # half the per-round job overhead and half the checkpoint
+    # materializations/disk writes at scale.  The fixpoint is unique
+    # (min-label propagation is monotone), so labels are bit-identical
+    # to the one-round-per-job form; convergence is detected on the
+    # SECOND round of the pair (labels only decrease, so "round 2
+    # changed nothing" alone proves the fixpoint, whatever round 1
+    # did).  `iters` keeps counting ROUNDS (2 per loop pass) so the
+    # max_iter bound and the observable round count keep their
+    # meaning.
+    for _ in range(0, max_iter, 2):
+        iters += 2
+        mid = _round(labels).select("addr", "label")
+        new_full = _round(mid).localCheckpoint()
         labels = new_full.select("addr", "label")
         if new_full.filter(F.col("changed")).limit(1).count() == 0:
             converged = True

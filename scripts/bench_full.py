@@ -87,6 +87,15 @@ def main() -> int:
     _warm = F.pandas_udf(lambda s: s, "long")
     spark.range(64).repartition(32).select(_warm("id")).count()
 
+    def _warm_arrow(batches):
+        yield from batches
+
+    # the mapInArrow eval type spawns its own Python worker pool
+    # (separate from the pandas_udf pool; ~2.5-4 s first use) — warm it
+    # too so suite position doesn't decide which query pays the spawn
+    # (same methodology note as bench.py, OPTIMIZATION_r15.md).
+    spark.range(64).repartition(32).mapInArrow(_warm_arrow, "id long").count()
+
     only = {q for q in args.only.split(",") if q}
     per_query: dict[str, float] = {}
     rows: dict[str, int] = {}
