@@ -281,17 +281,20 @@ def graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     emptiness probe (the graph_components convergence discipline). At
     100 TB the edge list is partitioned by src and every round reuses
     that layout."""
-    e = cooccurrence_edges(spark)
-    # localCheckpoint: the loop below re-reads sym every round and
-    # embeds dist twice per iteration — without lineage truncation the
-    # plan doubles per round and every emptiness probe re-derives the
-    # JSON explode chain (facade.py label_propagate discipline;
-    # measured 65 s → sub-second at sf0.01 by the round-5 review)
-    sym = (
-        e.select("src", "dst")
-        .union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
-        .localCheckpoint()
+    # localCheckpoint the EDGE build once: the union below consumes it
+    # in both branches (measured: 16 JSON scans / 18 Exchanges in the
+    # un-checkpointed sym plan — the whole parse+explode+self-join ran
+    # twice), and the loop re-reads sym every round — without lineage
+    # truncation the plan doubles per round and every emptiness probe
+    # re-derives the JSON explode chain (facade.py label_propagate
+    # discipline; measured 65 s → sub-second at sf0.01 by the round-5
+    # review).  sym itself stays lazy over the materialized blocks: e
+    # is distinct with src < dst, so the swapped branch is disjoint
+    # from the first and the old .distinct() was a provable no-op (one
+    # full |2E| exchange+aggregate removed outright).
+    e = cooccurrence_edges(spark).localCheckpoint()
+    sym = e.select("src", "dst").union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     seed = sym.agg(F.min("src").alias("a")).collect()[0]["a"]
     dist = sym.sparkSession.createDataFrame(
