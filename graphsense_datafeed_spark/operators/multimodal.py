@@ -462,12 +462,20 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = docs.select("doc_id", bytes_arr.alias("bs"))
     total = F.aggregate(F.col("bs"), F.lit(0).cast("bigint"), lambda a, x: a + x)
+    # Round-16 (guide §2.4): the md5 -> 64x conv(substr) -> threshold
+    # chain is INTERPRETED HOF math (never codegen'd) and the plan
+    # consumed it four ways (keyed's two self-join sides + both verify
+    # sides) — four full re-evaluations over four parquet re-scans.
+    # Checkpoint the per-doc bit vectors ONCE (|docs| rows x 64 tiny
+    # ints); every consumer reads materialized blocks.
     bits = base.select(
         "doc_id",
         F.transform(
             F.col("bs"), lambda b: (b * 64 > total).cast("bigint")
         ).alias("bit"),
-    )
+    ).localCheckpoint()
+    # keyed feeds BOTH candidate-join sides — same discipline (the
+    # block-val fold is another interpreted aggregate per row).
     keyed = bits.select(
         "doc_id",
         "bit",
@@ -480,7 +488,7 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("bigint"),
             lambda acc, x: acc * 2 + x,
         ).alias("block_val"),
-    )
+    ).localCheckpoint()
     a = keyed.select(
         F.col("doc_id").alias("doc_a"), "k", "block_val"
     )
