@@ -1323,28 +1323,43 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ws = F.col("ws")
     from graphsense_datafeed_spark.operators.llm_text import safe_offsets
 
-    sh = d.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                # guarded: <3-word docs contribute no shingles (the
-                # unguarded sequence descends to [1,0] and element_at
-                # aborts under ANSI — round-5 code-review find)
-                safe_offsets(F.size(ws) - 2),
-                lambda i: F.md5(
-                    F.concat_ws(
-                        " ",
-                        F.element_at(ws, i),
-                        F.element_at(ws, i + 1),
-                        F.element_at(ws, i + 2),
-                    ).cast("binary")
-                ),
-            )
-        ).alias("h"),
-    ).distinct()
+    sh = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    # guarded: <3-word docs contribute no shingles (the
+                    # unguarded sequence descends to [1,0] and element_at
+                    # aborts under ANSI — round-5 code-review find)
+                    safe_offsets(F.size(ws) - 2),
+                    lambda i: F.md5(
+                        F.concat_ws(
+                            " ",
+                            F.element_at(ws, i),
+                            F.element_at(ws, i + 1),
+                            F.element_at(ws, i + 2),
+                        ).cast("binary")
+                    ),
+                )
+            ).alias("h"),
+        )
+        .distinct()
+        # Round-16 (guide §2.4): the tokenize+shingle+md5 explode fed
+        # FOUR consumers (sizes, df, both kept sides) with no subtree
+        # reuse — the before-plan re-scanned documents 10x and ran the
+        # Generate 10x, which is also why the query was so
+        # load-sensitive in-suite. Materialize the deduped digest
+        # frame once.
+        .localCheckpoint()
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n"))
     df_ = sh.groupBy("h").agg(F.count("*").alias("nd"))
-    kept = sh.join(df_.filter(F.col("nd") <= 16), "h").select("doc_id", "h")
+    # kept feeds both pair-join sides — same discipline.
+    kept = (
+        sh.join(df_.filter(F.col("nd") <= 16), "h")
+        .select("doc_id", "h")
+        .localCheckpoint()
+    )
     a = kept.alias("a")
     b = kept.alias("b")
     common = (

@@ -1301,9 +1301,20 @@ def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("h"),
         )
         .distinct()
+        # Round-16 (guide §2.4): the shingle-hash + window-min explode
+        # fed THREE consumers (df and both pair-join sides via kept)
+        # with no subtree reuse — the before-plan re-scanned documents
+        # 8x and ran the Generate 8x. Materialize the selected
+        # fingerprint set once.
+        .localCheckpoint()
     )
     df_ = sel.groupBy("h").agg(F.count("*").alias("nd"))
-    kept = sel.join(df_.filter(F.col("nd") <= 16), "h").select("doc_id", "h")
+    # kept feeds both pair-join sides — same discipline.
+    kept = (
+        sel.join(df_.filter(F.col("nd") <= 16), "h")
+        .select("doc_id", "h")
+        .localCheckpoint()
+    )
     a = kept.alias("a")
     b = kept.alias("b")
     return (
