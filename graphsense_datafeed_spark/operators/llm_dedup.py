@@ -1019,16 +1019,22 @@ def semantic_dedup_frame(
             for b in range(bands)
         ]
     )
+    # Round-16 (guide §2.4): the 16-band sign-bit key projection is
+    # interpreted HOF math (64 element_at/cast/mult terms per row) and
+    # fed THREE consumers (sized + both candidate-join sides via
+    # pruned) with no subtree reuse — checkpoint the banded keys once,
+    # and the bucket-capped pruned frame once (it feeds both join
+    # sides).
     banded = e.select(
         F.col("vec_id"), F.posexplode(keys).alias("band_id", "band_key")
-    )
+    ).localCheckpoint()
     sized = (
         banded.groupBy("band_id", "band_key")
         .agg(F.count("*").alias("n"))
         .filter((F.col("n") >= 2) & (F.col("n") <= max_bucket))
         .select("band_id", "band_key")
     )
-    pruned = banded.join(sized, ["band_id", "band_key"])
+    pruned = banded.join(sized, ["band_id", "band_key"]).localCheckpoint()
     a, b_ = pruned.alias("ka"), pruned.alias("kb")
     cands = (
         a.join(
@@ -1045,6 +1051,16 @@ def semantic_dedup_frame(
     )
     ea = e.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("ea"))
     eb = e.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("eb"))
+    # Round-16 measured negative result (the dedup_near r15 lesson
+    # repeating): vectorizing this 64-term fold as an Arrow pandas_udf
+    # was stage-timed SLOWER (3.25 s vs 1.87 s at sf0.1, 1.29M pairs) —
+    # the two 64-float payload columns cost ~1.3 GB of JVM→Arrow
+    # transfer, more than the interpreted lambda steps it saved. A
+    # wide-payload fold stays JVM-side; kernels win only when they
+    # REMOVE the pair-payload materialization outright (the
+    # _corpus_topk_arrow shape), which this frame-parameterized
+    # operator cannot (its corpus is an arbitrary input frame, not a
+    # re-readable file).
     dot = F.aggregate(
         F.zip_with("ea", "eb", lambda x, y: x.cast("double") * y),
         F.lit(0.0),

@@ -1169,7 +1169,18 @@ def embedding_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load(spark, sf_dir, "embeddings")
     gate = embed_quality_gate(spark, sf_dir).filter("passed").select("vec_id")
-    gated = e.join(gate, "vec_id", "left_semi").select("vec_id", "embedding")
+    # Round-16 (guide §2.4): gated fed FOUR consumers (the band-key
+    # projection plus both exact-cosine verify sides inside
+    # semantic_dedup_frame, and the survivor anti-join) — four full
+    # re-evaluations of the scan + quality gate. Materialize it once;
+    # |survivable vectors| x (id + 64 floats) is the natural
+    # between-stages materialization a production pipeline would land
+    # anyway.
+    gated = (
+        e.join(gate, "vec_id", "left_semi")
+        .select("vec_id", "embedding")
+        .localCheckpoint()
+    )
     removed = semantic_dedup_frame(gated).select("vec_id")
     survivors = gated.join(removed, "vec_id", "left_anti")
     return quantize_int8_frame(survivors)
