@@ -601,6 +601,15 @@ def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("component_size", "representative")
 
 
+_ROWS_PER_PART = 2_000_000  # target adjacency rows per cached partition
+# Run the hub census only when the adjacency exceeds one partition
+# target: below it no single dst can dominate a full-sized partition,
+# and the census pass would be pure fixed cost (measured ~1 s on the
+# small fixture graphs). Tests lower it to force the salted branch.
+_HUB_CENSUS_MIN_ROWS = _ROWS_PER_PART
+_LAST_HUBS: list = []  # test observability: hubs salted by the last call
+
+
 def label_propagate(sym, labels, max_iter: int = 20, require_converged: bool = False):
     """Min-label propagation with convergence early-exit.
 
@@ -654,12 +663,17 @@ def label_propagate(sym, labels, max_iter: int = 20, require_converged: bool = F
     unpersisted before returning (the returned label frame is already
     checkpoint-materialized, so it cannot trigger recompute).
 
-    Skew note (guide §2.5): the cached partitioning is fixed, so AQE
-    cannot skew-split the round join; a pathological hub ``dst`` lands
-    in one partition.  The old form had the same exposure per round
-    (AQE skew split never fired on these joins at any measured SF) and
-    the production mitigation — salting hub dsts — composes with this
-    layout unchanged.
+    Skew (guide §2.5): the cached partitioning is fixed, so AQE cannot
+    skew-split the round join — round-16 implements the mitigation
+    directly: a one-pass hub census over the materialized adjacency
+    (the same pass that sizes the partition count) detects dsts whose
+    edge rows exceed half a target partition and splits their rows
+    across ``n_parts`` deterministic salt buckets, with the label side
+    replicating ONLY hub addrs across the salt range; non-hub graphs
+    (every fixture) take the unsalted branch and keep the r15 plan
+    byte-identical.  Referee: tests/test_round16_ops.py plants a
+    one-dst-holds-half-the-edges graph, asserts the census fires and
+    the labels are bit-identical to the unsalted form.
 
     ``require_converged=True`` raises RuntimeError if the bound is hit
     with labels still changing — callers whose oracle is a FULL
@@ -670,6 +684,10 @@ def label_propagate(sym, labels, max_iter: int = 20, require_converged: bool = F
     Returns ``(labels, rounds_run)`` so callers/tests can observe that
     convergence beat the bound.
     """
+    assert max_iter % 2 == 0, (
+        "label_propagate runs rounds in pairs; pass an even max_iter "
+        f"(got {max_iter})"
+    )
     adj_raw = (
         sym.select("src", "dst")
         .unionAll(
@@ -682,21 +700,94 @@ def label_propagate(sym, labels, max_iter: int = 20, require_converged: bool = F
     n_default = int(
         adj_raw.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
+    total = adj_raw.count()
     # floor 2, not 1: repartition(1, col) plans as SinglePartition
     # (not HashPartitioning), which EnsureRequirements will not reuse
     # — measured: both join sides re-grew ENSURE_REQUIREMENTS
     # exchanges.  At n >= 2 the cached HashPartitioning is reused and
     # the round join has NO exchange over the adjacency.
-    n_parts = max(2, min(n_default, -(-adj_raw.count() // 2_000_000)))
-    adj = adj_raw.repartition(n_parts, "dst").persist()
+    n_parts = max(2, min(n_default, -(-total // _ROWS_PER_PART)))
+    # Hub salting (guide §2.5; VERDICT r15 #5): the cached fixed
+    # partitioning is outside AQE skew-split reach, so a hub ``dst``
+    # holding a large share of the edges would pin one partition (and
+    # one task per round) to that share.  Skew only matters once a
+    # single dst can dominate a FULL-SIZED partition, so the census
+    # (one groupBy-dst pass over the materialized blocks) runs only
+    # when the adjacency exceeds one partition target — fixture-sized
+    # graphs skip it outright and keep the r15 cost/plan byte-
+    # identical (an unconditional census A/B'd ~1 s slower on the
+    # small dedup_clusters graph).  A dst is a hub when its edge rows
+    # alone exceed half a target partition; hub rows are split across
+    # ``n_parts`` salt buckets by a deterministic hash of ``src``
+    # (never rand() — SPARK-38388 retry safety) and the label side
+    # replicates ONLY the hub addrs across the salt range, so the
+    # per-round label shuffle stays ~|V| rows.  The bounded
+    # ``limit(64)`` keeps the driver collect O(1): salting the top-64
+    # hubs removes the pathological partitions; a graph with more
+    # mega-hubs degrades gracefully to unsalted behavior for the rest.
+    hubs: list = []
+    if total >= _HUB_CENSUS_MIN_ROWS:
+        hub_threshold = max(64, -(-total // n_parts) // 2)
+        hubs = [
+            r["dst"]
+            for r in adj_raw.groupBy("dst")
+            .agg(F.count("*").alias("c"))
+            .filter(F.col("c") > hub_threshold)
+            .orderBy(F.col("c").desc(), F.col("dst"))
+            .limit(64)
+            .collect()
+        ]
+    # test hook: the skew referee (tests/test_round16_ops.py) asserts
+    # the census actually fired on its planted hub fixture
+    global _LAST_HUBS
+    _LAST_HUBS = list(hubs)
+    if hubs:
+        salt = (
+            F.when(
+                F.col("dst").isin(hubs),
+                F.pmod(F.xxhash64("src"), F.lit(n_parts)),
+            )
+            .otherwise(F.lit(0))
+            .cast("int")
+        )
+        adj = (
+            adj_raw.select("src", "dst", salt.alias("salt"))
+            .repartition(n_parts, "dst", "salt")
+            .persist()
+        )
+    else:
+        adj = adj_raw.repartition(n_parts, "dst").persist()
+
     def _round(frame):
         """One min-label propagation round over the cached adjacency:
         (addr, label, changed) for every labelled node.  `changed`
         compares against the node's own incoming label (the self-loop
-        row), so it is exact per round."""
+        row), so it is exact per round.  Under salting the label frame
+        replicates hub addrs across the salt range and the join keys
+        on (dst, salt) — each adjacency row still matches EXACTLY one
+        label row, so the joined multiset (and therefore the min-agg)
+        is identical to the unsalted form."""
+        if hubs:
+            fr = frame.select(
+                "addr",
+                "label",
+                F.explode(
+                    F.when(
+                        F.col("addr").isin(hubs),
+                        F.sequence(F.lit(0), F.lit(n_parts - 1)),
+                    ).otherwise(F.array(F.lit(0)))
+                ).alias("salt"),
+            )
+            joined = adj.join(
+                fr.hint("shuffle_hash"),
+                (adj.dst == fr.addr) & (adj.salt == fr.salt),
+            )
+        else:
+            joined = adj.join(
+                frame.hint("shuffle_hash"), adj.dst == frame.addr
+            )
         return (
-            adj.join(frame.hint("shuffle_hash"), adj.dst == frame.addr)
-            .groupBy("src")
+            joined.groupBy("src")
             .agg(
                 F.min("label").alias("new_label"),
                 F.min(
