@@ -75,6 +75,81 @@ def staged_output(out: str, write_fn) -> str:
         return stage
 
 
+def stage_schema_evo(spark: SparkSession, sf_dir: str) -> str:
+    """FIXTURE-LAYER staging for scan_schema_evolution_merge: the two
+    parquet generations (one pre-, one post-column-evolution) written
+    once per (sf_dir, source fingerprint).  Round-16 (VERDICT r15 #8):
+    staging lives HERE, not in the query function — the query calls
+    this idempotent helper (a marker-file existence check when already
+    staged) and then reads; scripts/bench_full.py pre-stages via
+    STAGERS and reports staging seconds separately, so no query path
+    writes testdata-keyed artifacts inside its timed window."""
+    from graphsense_datafeed_spark.sources.tables import staged_source_dir
+
+    ensure_runtime_confs(spark)
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100)
+        .cast("bigint")
+        .alias("total_cents"),
+        "o_orderpriority",
+    )
+    gen1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "total_cents"
+    )
+    gen2 = orders.filter(F.col("o_orderkey") % 2 == 1)
+
+    def _stage(stage: str) -> None:
+        gen1.write.mode("overwrite").parquet(os.path.join(stage, "gen=1"))
+        gen2.write.mode("overwrite").parquet(os.path.join(stage, "gen=2"))
+
+    return staged_output(
+        staged_source_dir(sf_dir, "gds_schema_evo", "orders"), _stage
+    )
+
+
+def stage_part_evo(spark: SparkSession, sf_dir: str) -> str:
+    """FIXTURE-LAYER staging for scan_partition_evolution_union: the
+    coarse (mth=) and fine (mth=/dy=) partition-spec generations,
+    written once per (sf_dir, source fingerprint).  Same discipline as
+    stage_schema_evo (VERDICT r15 #8)."""
+    from graphsense_datafeed_spark.sources.tables import staged_source_dir
+
+    ensure_runtime_confs(spark)
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM").alias("mth"),
+        F.dayofmonth("o_orderdate").cast("bigint").alias("dy"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    gen1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "mth", "cents"
+    )
+    gen2 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "mth", "dy", "cents"
+    )
+
+    def _stage(stage: str) -> None:
+        gen1.write.mode("overwrite").partitionBy("mth").parquet(
+            os.path.join(stage, "gen1")
+        )
+        gen2.write.mode("overwrite").partitionBy("mth", "dy").parquet(
+            os.path.join(stage, "gen2")
+        )
+
+    return staged_output(
+        staged_source_dir(sf_dir, "gds_part_evo", "orders"), _stage
+    )
+
+
+# qid -> fixture stager, for harnesses that pre-stage outside the
+# timed window (scripts/bench_full.py reports staging time separately).
+STAGERS = {
+    "scan_schema_evolution_merge": stage_schema_evo,
+    "scan_partition_evolution_union": stage_part_evo,
+}
+
+
 FIXTURES_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "fixtures")
 BLOCKS_JSONL = os.path.abspath(os.path.join(FIXTURES_DIR, "blocks.jsonl"))
 RATES_CSV = os.path.abspath(os.path.join(FIXTURES_DIR, "rates.csv"))
@@ -1355,27 +1430,7 @@ def scan_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     on fixture regeneration, `staged_output`'s completion marker
     guards against serving a partial tree (VERDICT r14 item 7)."""
     ensure_runtime_confs(spark)
-    from graphsense_datafeed_spark.sources.tables import staged_source_dir
-
-    orders = load(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        F.round(F.col("o_totalprice") * 100)
-        .cast("bigint")
-        .alias("total_cents"),
-        "o_orderpriority",
-    )
-    gen1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
-        "o_orderkey", "total_cents"
-    )
-    gen2 = orders.filter(F.col("o_orderkey") % 2 == 1)
-
-    def _stage(stage: str) -> None:
-        gen1.write.mode("overwrite").parquet(os.path.join(stage, "gen=1"))
-        gen2.write.mode("overwrite").parquet(os.path.join(stage, "gen=2"))
-
-    out = staged_output(
-        staged_source_dir(sf_dir, "gds_schema_evo", "orders"), _stage
-    )
+    out = stage_schema_evo(spark, sf_dir)
     merged = spark.read.option("mergeSchema", "true").parquet(
         os.path.join(out, "gen=1"), os.path.join(out, "gen=2")
     )
@@ -1499,32 +1554,7 @@ def scan_partition_evolution_union(spark: SparkSession, sf_dir: str) -> DataFram
     regeneration and `staged_output`'s completion marker guards
     against partial trees (VERDICT r14 item 7)."""
     ensure_runtime_confs(spark)
-    from graphsense_datafeed_spark.sources.tables import staged_source_dir
-
-    orders = load(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        F.date_format("o_orderdate", "yyyy-MM").alias("mth"),
-        F.dayofmonth("o_orderdate").cast("bigint").alias("dy"),
-        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
-    )
-    gen1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
-        "mth", "cents"
-    )
-    gen2 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
-        "mth", "dy", "cents"
-    )
-
-    def _stage(stage: str) -> None:
-        gen1.write.mode("overwrite").partitionBy("mth").parquet(
-            os.path.join(stage, "gen1")
-        )
-        gen2.write.mode("overwrite").partitionBy("mth", "dy").parquet(
-            os.path.join(stage, "gen2")
-        )
-
-    out = staged_output(
-        staged_source_dir(sf_dir, "gds_part_evo", "orders"), _stage
-    )
+    out = stage_part_evo(spark, sf_dir)
     back1 = spark.read.parquet(os.path.join(out, "gen1"))
     back2 = spark.read.parquet(os.path.join(out, "gen2"))
     merged = back1.unionByName(back2, allowMissingColumns=True)
